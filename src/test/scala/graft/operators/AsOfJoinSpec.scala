@@ -1,0 +1,51 @@
+package graft.operators
+
+import graft.SparkSpec
+import java.sql.Timestamp
+
+class AsOfJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("leftAsOf matches most recent right row at-or-before left time") {
+    val left = Seq(
+      (1L, "u1", ts("2024-01-01 10:00:00")),
+      (2L, "u1", ts("2024-01-01 11:00:00")),
+      (3L, "u2", ts("2024-01-01 10:30:00")),
+      (4L, "u3", ts("2024-01-01 09:00:00"))  // no right rows for u3
+    ).toDF("id", "user", "t")
+    val right = Seq(
+      ("u1", ts("2024-01-01 09:30:00"), 100L),
+      ("u1", ts("2024-01-01 10:30:00"), 101L),
+      ("u2", ts("2024-01-01 10:30:00"), 200L), // equal time -> matches
+      ("u2", ts("2024-01-01 11:00:00"), 201L)
+    ).toDF("user", "t", "payload")
+
+    val got = AsOfJoin.leftAsOf(left, right, Seq("user"), "t", "t", Seq("payload"))
+      .select($"id", $"payload").as[(Long, Option[Long])].collect().toMap
+
+    assert(got === Map(
+      1L -> Some(100L),  // 09:30 is latest <= 10:00
+      2L -> Some(101L),  // 10:30 is latest <= 11:00
+      3L -> Some(200L),  // equal timestamp matches
+      4L -> None))       // no right row for u3
+  }
+
+  test("rangeJoin keeps rows within the window only") {
+    val left = Seq((1L, "u1", ts("2024-01-01 10:00:00"))).toDF("id", "user", "t")
+    val right = Seq(
+      ("u1", ts("2024-01-01 09:10:00"), 1L),  // outside (before window)
+      ("u1", ts("2024-01-01 09:30:00"), 2L),  // inside
+      ("u1", ts("2024-01-01 10:30:00"), 3L),  // inside
+      ("u1", ts("2024-01-01 11:30:00"), 4L),  // outside (after)
+      ("u2", ts("2024-01-01 10:00:00"), 5L)   // wrong key
+    ).toDF("user", "rt", "rid")
+
+    val got = AsOfJoin.rangeJoin(left, right, Seq("user"), "t", "rt",
+        org.apache.spark.sql.functions.expr("INTERVAL 45 MINUTES"),
+        org.apache.spark.sql.functions.expr("INTERVAL 45 MINUTES"))
+      .select($"rid").as[Long].collect().toSet
+    assert(got === Set(2L, 3L))
+  }
+}
