@@ -1,0 +1,63 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Cross-engine-deterministic text/hash primitives.
+  *
+  * Every function here is built from Spark built-ins only (codegen'd, no
+  * UDFs) and has a bitwise-identical DuckDB formulation, so operators built
+  * on them can be hash-verified against the driver's DuckDB oracle:
+  *  - `polyHash`   ↔ `list_reduce(list_prepend(0, list_transform(string_split(s,''), c -> ord(c))), …)`
+  *  - `cosine`     ↔ explicit `list_sum(list_transform(…))` double arithmetic
+  *    (verified bitwise-equal; DuckDB's builtin `list_cosine_similarity`
+  *    accumulates differently and is NOT a match)
+  *
+  * All arithmetic is 64-bit with mod 2^31-1, so intermediates stay exact in
+  * both engines (max acc*131 + c < 2^39).
+  */
+object TextFunctions {
+
+  /** Large Mersenne prime 2^31-1; hash values lie in [0, P). */
+  val P: Long = 2147483647L
+
+  /** Deterministic polynomial rolling hash over the characters of `s`:
+    * acc = (acc*131 + codepoint) mod P. Used as the document fingerprint and
+    * as the token hash feeding MinHash/SimHash. Codegen-friendly (built-ins
+    * only) and engine-portable (ascii == ord for all of BMP).
+    */
+  def polyHash(s: Column): Column =
+    aggregate(split(s, ""), lit(0L), (acc, c) => (acc * 131 + ascii(c)) % P)
+
+  /** Whitespace tokens. */
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** Distinct word 3-grams of a token array (1-based element_at, matching
+    * DuckDB `tokens[i] || ' ' || tokens[i+1] || ' ' || tokens[i+2]` over
+    * `range(1, len-1)`). Caller must guard size(tokens) >= 3.
+    */
+  def trigrams(toks: Column): Column =
+    array_distinct(transform(sequence(lit(1), size(toks) - 2), i =>
+      concat_ws(" ", element_at(toks, i), element_at(toks, i + 1),
+        element_at(toks, i + 2))))
+
+  /** Cosine similarity of two float vectors, computed in double with
+    * left-to-right accumulation — bitwise identical to the DuckDB oracle's
+    * `list_sum(list_transform(...))` form.
+    */
+  def cosine(a: Column, b: Column): Column = {
+    val ad = a.cast("array<double>")
+    val bd = b.cast("array<double>")
+    def dot(x: Column, y: Column) =
+      aggregate(zip_with(x, y, (p, q) => p * q), lit(0.0), (acc, v) => acc + v)
+    def norm(x: Column) =
+      sqrt(aggregate(x, lit(0.0), (acc, v) => acc + v * v))
+    dot(ad, bd) / (norm(ad) * norm(bd))
+  }
+
+  /** "BPE-ish" subword token count: runs of letters, runs of digits, or any
+    * single non-space symbol. Same regex compiles under Java regex and RE2.
+    */
+  def bpeTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[a-z]+|[0-9]+|\\S"), lit(0)))
+}

@@ -1,0 +1,152 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions._
+
+/** Text-analysis operators over the `documents` table (SURVEY.md §2.6 /
+  * north-star surface): token counting, quality scoring, language ID,
+  * document fingerprinting. All are single-pass, per-row computations built
+  * from codegen'd built-ins — at 100 TB they run map-side with zero shuffle
+  * except the final (small) aggregation, and the parquet scan prunes to the
+  * referenced columns only.
+  *
+  * Each query has an exact DuckDB oracle; the primitives are chosen for
+  * bitwise cross-engine parity (see functions.TextFunctions scaladoc).
+  */
+object TextAnalysis {
+
+  // ---- q21: token statistics per language ----------------------------------
+  // Whitespace tokens + BPE-ish subword count + char lengths, aggregated.
+  private def q21(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("lang"),
+        size(tokens(col("text"))).as("n_tok"),
+        bpeTokenCount(col("text")).as("n_bpe"),
+        length(col("text")).as("n_char"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).as("tokens_total"),
+        round(avg(col("n_tok")), 4).as("tokens_avg"),
+        sum(col("n_bpe")).as("bpe_total"),
+        round(avg(col("n_char")), 4).as("chars_avg"))
+      .orderBy(col("lang"))
+  private val q21Sql =
+    """SELECT lang, count(*) AS n_docs,
+       sum(len(string_split(text, ' ')))::BIGINT AS tokens_total,
+       round(avg(len(string_split(text, ' '))), 4) AS tokens_avg,
+       sum(len(regexp_extract_all(text, '[a-z]+|[0-9]+|\S')))::BIGINT AS bpe_total,
+       round(avg(length(text)), 4) AS chars_avg
+       FROM documents GROUP BY lang ORDER BY lang"""
+
+  /** English stopword profile used by the quality score. */
+  private val enStops =
+    Seq("the", "a", "of", "and", "to", "is", "in", "that", "it", "as")
+
+  // ---- q22: per-document quality score --------------------------------------
+  // score = 0.5*stopword_ratio + 0.3*min(n_tok/100,1) + 0.2*min(avg_wlen/10,1)
+  // — the standard length/stopword heuristics; all-double arithmetic in the
+  // same order as the oracle so bucket boundaries agree bitwise.
+  private def q22(s: SparkSession, d: String): DataFrame = {
+    val toks = tokens(col("text"))
+    val nTok = size(toks).cast("double")
+    val nStop = size(filter(toks, t =>
+      array_contains(array(enStops.map(lit): _*), t))).cast("double")
+    val stopRatio = nStop / nTok
+    val avgWlen = (length(col("text")).cast("double") - (nTok - 1d)) / nTok
+    val score = stopRatio * 0.5 + least(nTok / 100d, lit(1d)) * 0.3 +
+      least(avgWlen / 10d, lit(1d)) * 0.2
+    Tables.documents(s, d)
+      .select(col("doc_id"), size(toks).as("n_tok"),
+        round(stopRatio, 6).as("stop_ratio"),
+        round(score, 6).as("quality"),
+        when(score >= 0.5, "high").when(score >= 0.3, "mid")
+          .otherwise("low").as("bucket"))
+      .orderBy(col("doc_id"))
+  }
+  private val q22Sql =
+    """SELECT doc_id, len(string_split(text, ' '))::INT AS n_tok,
+       round(stop_n / tok_n, 6) AS stop_ratio,
+       round(stop_n / tok_n * 0.5 + least(tok_n / 100, 1) * 0.3
+             + least((length(text) - (tok_n - 1)) / tok_n / 10, 1) * 0.2, 6)
+         AS quality,
+       CASE WHEN stop_n / tok_n * 0.5 + least(tok_n / 100, 1) * 0.3
+                 + least((length(text) - (tok_n - 1)) / tok_n / 10, 1) * 0.2 >= 0.5
+            THEN 'high'
+            WHEN stop_n / tok_n * 0.5 + least(tok_n / 100, 1) * 0.3
+                 + least((length(text) - (tok_n - 1)) / tok_n / 10, 1) * 0.2 >= 0.3
+            THEN 'mid' ELSE 'low' END AS bucket
+       FROM (SELECT doc_id, text,
+               len(string_split(text, ' '))::DOUBLE AS tok_n,
+               len(list_filter(string_split(text, ' '), t -> list_contains(
+                 ['the','a','of','and','to','is','in','that','it','as'], t)))::DOUBLE
+                 AS stop_n
+             FROM documents) t
+       ORDER BY doc_id"""
+
+  /** Distinctive-stopword profiles for the n-gram language-ID heuristic. */
+  private val langProfiles: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "mit", "ein", "zu", "den"),
+    "es" -> Seq("el", "la", "los", "las", "es", "y", "que", "un", "una", "por"),
+    "fr" -> Seq("le", "les", "et", "est", "dans", "pour", "une", "avec", "sur", "pas"),
+    "en" -> enStops)
+
+  // ---- q23: language identification ------------------------------------------
+  // CJK codepoint check first, then argmax over per-language stopword hit
+  // counts with a fixed priority order (de > es > fr > en on ties). Output is
+  // the confusion matrix against the fixture's lang column.
+  private def q23(s: SparkSession, d: String): DataFrame = {
+    val toks = tokens(col("text"))
+    def hits(words: Seq[String]) =
+      size(filter(toks, t => array_contains(array(words.map(lit): _*), t)))
+    val sDe = hits(langProfiles.find(_._1 == "de").get._2)
+    val sEs = hits(langProfiles.find(_._1 == "es").get._2)
+    val sFr = hits(langProfiles.find(_._1 == "fr").get._2)
+    val sEn = hits(langProfiles.find(_._1 == "en").get._2)
+    val pred = when(col("text").rlike("[\\u4e00-\\u9fff]"), "zh")
+      .when(sDe > greatest(sEs, sFr, sEn), "de")
+      .when(sEs > greatest(sFr, sEn), "es")
+      .when(sFr > sEn, "fr")
+      .otherwise("en")
+    Tables.documents(s, d)
+      .select(col("lang"), pred.as("predicted"))
+      .groupBy(col("lang"), col("predicted"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("lang"), col("predicted"))
+  }
+  private val q23Sql =
+    """SELECT lang, CASE
+         WHEN regexp_matches(text, '[\x{4e00}-\x{9fff}]') THEN 'zh'
+         WHEN s_de > greatest(s_es, s_fr, s_en) THEN 'de'
+         WHEN s_es > greatest(s_fr, s_en) THEN 'es'
+         WHEN s_fr > s_en THEN 'fr' ELSE 'en' END AS predicted,
+       count(*) AS n
+       FROM (SELECT lang, text,
+         len(list_filter(string_split(text,' '), t -> list_contains(['der','die','das','und','ist','nicht','mit','ein','zu','den'], t))) AS s_de,
+         len(list_filter(string_split(text,' '), t -> list_contains(['el','la','los','las','es','y','que','un','una','por'], t))) AS s_es,
+         len(list_filter(string_split(text,' '), t -> list_contains(['le','les','et','est','dans','pour','une','avec','sur','pas'], t))) AS s_fr,
+         len(list_filter(string_split(text,' '), t -> list_contains(['the','a','of','and','to','is','in','that','it','as'], t))) AS s_en
+         FROM documents) t
+       GROUP BY lang, predicted ORDER BY lang, predicted"""
+
+  // ---- q24: document fingerprint (rolling hash) -------------------------------
+  // Per-document 31-bit polynomial hash of the full character stream — the
+  // cheap exact-dedup / shard-routing key. Pure map-side.
+  private def q24(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), polyHash(col("text")).as("fingerprint"))
+      .orderBy(col("doc_id"))
+  private val q24Sql =
+    """SELECT doc_id,
+       list_reduce(list_prepend(0::BIGINT,
+           list_transform(string_split(text, ''), c -> ord(c)::BIGINT)),
+         (acc, c) -> (acc * 131 + c) % 2147483647) AS fingerprint
+       FROM documents ORDER BY doc_id"""
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef("q21_token_stats", q21, Some(q21Sql)),
+    QueryDef("q22_quality_score", q22, Some(q22Sql)),
+    QueryDef("q23_lang_id", q23, Some(q23Sql)),
+    QueryDef("q24_fingerprint", q24, Some(q24Sql)))
+}

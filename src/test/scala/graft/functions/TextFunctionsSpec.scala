@@ -1,0 +1,38 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class TextFunctionsSpec extends SparkSpec {
+  import spark.implicits._
+  import TextFunctions._
+
+  test("polyHash matches the reference formula incl. non-ASCII") {
+    def expected(s: String): Long =
+      s.codePoints().toArray.foldLeft(0L)((acc, c) => (acc * 131 + c) % P)
+    val inputs = Seq("hi", "key agg row", "中文 text", "")
+    val got = inputs.toDF("s").select(polyHash($"s")).as[Long].collect()
+    assert(got.toSeq === inputs.map(expected))
+  }
+
+  test("cosine is 1.0 for identical vectors and symmetric") {
+    val df = Seq(
+      (Array(1f, 2f, 3f), Array(1f, 2f, 3f)),
+      (Array(1f, 0f, 0f), Array(0f, 1f, 0f))).toDF("a", "b")
+    val c = df.select(cosine($"a", $"b")).as[Double].collect()
+    assert(math.abs(c(0) - 1.0) < 1e-12 && c(1) === 0.0)
+  }
+
+  test("trigrams produces distinct 1-based word windows") {
+    val got = Seq("a b c d a b c").toDF("t")
+      .select(trigrams(tokens($"t"))).as[Seq[String]].head()
+    assert(got === Seq("a b c", "b c d", "c d a", "d a b"))
+  }
+
+  test("bpeTokenCount counts letter runs, digit runs, and symbols") {
+    val got = Seq("key agg9 row!").toDF("t")
+      .select(bpeTokenCount($"t")).as[Int].head()
+    // key, agg, 9, row, !
+    assert(got === 5)
+  }
+}
