@@ -1,0 +1,96 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.streaming.{DataStreamWriter, StreamingQuery}
+
+/** Consumer configuration — the reference's `ConsumerConfig`
+  * (reference: Consumer.scala:55-90) re-expressed as source options
+  * (SURVEY.md §1.3/§2.1-S3). HOCON parsing becomes `fromMap` over the same
+  * keys the reference documents in its reference.conf.
+  *
+  * Reference → here:
+  *  - streamName + AWS clients → `streamPath` (the shard backend locator)
+  *  - appName (consumer group)  → `appName`; distinct checkpoint dirs give
+  *    distinct groups their own committed frontier (the DynamoDB analog)
+  *  - position.initial latest / trim-horizon / at-timestamp
+  *    (Consumer.scala:125-143) → `startingPosition` / `startingTimestampMs`
+  *  - CheckpointConfig (maxBufferSize 10000 / maxDuration 60s) → the trigger
+  *    interval bounds checkpoint cadence; buffer-size triggering has no
+  *    engine analog (micro-batches already bound in-flight volume)
+  */
+final case class ConsumerConfig(
+    streamPath: String,
+    appName: String = "graft-consumer",
+    numShards: Int = 4,
+    startingPosition: String = "trim_horizon",
+    startingTimestampMs: Option[Long] = None,
+    maxRecordsPerTrigger: Option[Long] = None)
+
+object ConsumerConfig {
+  /** Config-map parsing mirroring the reference's HOCON keys
+    * (reference: src/main/resources/reference.conf:9-19).
+    */
+  def fromMap(m: Map[String, String]): ConsumerConfig = ConsumerConfig(
+    streamPath = m.getOrElse("stream-name", sys.error("stream-name required")),
+    appName = m.getOrElse("application-name", "graft-consumer"),
+    numShards = m.get("shards").map(_.toInt).getOrElse(4),
+    startingPosition =
+      m.getOrElse("position.initial", "latest").replace('-', '_'),
+    startingTimestampMs = m.get("position.time").map(_.toLong),
+    maxRecordsPerTrigger = m.get("max-records-per-trigger").map(_.toLong))
+}
+
+/** The consumer API — reference parity for `px.kinesis.stream.consumer`
+  * (SURVEY.md §2.1-S1/S2, §2.2-T1, M3).
+  *
+  * `source(...)` returns an unbounded `Dataset[Record]` merging all shards,
+  * strictly ordered within each shard — the `Source[Record, Future[Done]]`
+  * analog. The materialized `Future[Done]` maps to the `StreamingQuery`
+  * returned by `run`/`DataStreamWriter.start()`: `awaitTermination()` is the
+  * completion future.
+  */
+object Consumer {
+
+  /** Reference `consumer.source(config)` (Consumer.scala:37-48). */
+  def source(config: ConsumerConfig)(implicit spark: SparkSession): Dataset[Record] = {
+    import spark.implicits._
+    var r = spark.readStream
+      .format("sharded-replay")
+      .option("path", config.streamPath)
+      .option("shards", config.numShards)
+      .option("startingPosition", config.startingPosition)
+    config.startingTimestampMs.foreach(t => r = r.option("startingTimestampMs", t))
+    config.maxRecordsPerTrigger.foreach(m => r = r.option("maxRecordsPerTrigger", m))
+    r.load().as[Record]
+  }
+
+  /** Reference `consumer.source(streamName, appName)` overload
+    * (Consumer.scala:50-52): defaults, trim_horizon for replay determinism.
+    */
+  def source(streamPath: String, appName: String)(implicit spark: SparkSession): Dataset[Record] =
+    source(ConsumerConfig(streamPath = streamPath, appName = appName))
+
+  /** The reference's `commitFlow` (CommitGraphStages.scala:16-17) marked
+    * every record processed with bounded parallelism; here commit is a
+    * whole-engine concern: offsets for batch N are committed to the
+    * checkpoint log only after batch N's sink write succeeds, which is
+    * exactly the contiguous-prefix rule the reference's tracker enforced
+    * per record (ShardCheckpointTrackerActor.scala:86). This is therefore
+    * an intentional no-op pass-through, kept so reference call sites
+    * translate one-to-one; delivery is at-least-once end-to-end
+    * (exactly-once with idempotent sinks). The reference's at-most-once
+    * mode (commit before process) has no engine equivalent and is
+    * documented as a semantic divergence (SURVEY.md §7).
+    */
+  def commitFlow(ds: Dataset[Record]): Dataset[Record] = ds
+
+  /** Run a record stream into a sink, returning the query handle (the
+    * `Future[Done]` analog). Caller owns `awaitTermination`/`stop` —
+    * mirroring StreamScheduler start/shutdown (StreamScheduler.scala:27-59).
+    */
+  def run(
+      ds: Dataset[Record],
+      checkpointLocation: String)(
+      configure: DataStreamWriter[Record] => DataStreamWriter[Record]): StreamingQuery =
+    configure(ds.writeStream.option("checkpointLocation", checkpointLocation)).start()
+}

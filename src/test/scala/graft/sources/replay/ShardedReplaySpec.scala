@@ -1,0 +1,173 @@
+package graft.sources.replay
+
+import graft.SparkSpec
+import graft.streaming.{Consumer, ConsumerConfig, Record}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.BeforeAndAfterAll
+
+import java.nio.file.Files
+
+class ShardedReplaySpec extends SparkSpec with BeforeAndAfterAll {
+  import spark.implicits._
+
+  private val eventsPath = s"$sf/events.parquet"
+  private lazy val nEvents: Long = graft.Tables.events(spark, sf).count()
+  private implicit lazy val s: org.apache.spark.sql.SparkSession = spark
+
+  private def tmpDir(prefix: String): String =
+    Files.createTempDirectory(prefix).toString
+
+  test("batch read exposes every event exactly once across shards") {
+    val df = spark.read.format("sharded-replay")
+      .option("path", eventsPath).option("shards", 4).load()
+    assert(df.count() === nEvents)
+    assert(df.select("shardId").distinct().count() === 4)
+    // event ids recovered from payloads are exactly the source's ids
+    val ids = df.select(get_json_object(col("data").cast("string"), "$.event_id")
+      .cast("long").as("id"))
+    assert(ids.distinct().count() === nEvents)
+  }
+
+  test("per-shard ordering: sequence numbers are dense and arrival-ordered") {
+    val df = spark.read.format("sharded-replay")
+      .option("path", eventsPath).option("shards", 4).load()
+    val bad = df.select(col("shardId"), col("sequenceNumber").cast("long").as("seq"),
+        col("approximateArrivalTimestamp").as("ts"))
+      .withColumn("prev_ts", lag("ts", 1).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("shardId").orderBy("seq")))
+      .filter(col("prev_ts") > col("ts"))
+    assert(bad.count() === 0, "arrival timestamps must be monotone per shard")
+    // dense positions 0..n-1 per shard
+    val dense = df.groupBy("shardId")
+      .agg(count(lit(1)).as("n"), min(col("sequenceNumber").cast("long")).as("lo"),
+        max(col("sequenceNumber").cast("long")).as("hi"))
+      .filter(col("lo") =!= 0 || col("hi") =!= col("n") - 1)
+    assert(dense.count() === 0, "sequence numbers must be dense per shard")
+  }
+
+  test("streaming AvailableNow delivers all records exactly once") {
+    val ds = Consumer.source(ConsumerConfig(streamPath = eventsPath, numShards = 4))
+    val q = Consumer.commitFlow(ds).writeStream
+      .format("memory").queryName("replay_all")
+      .option("checkpointLocation", tmpDir("ckpt_all"))
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val got = spark.table("replay_all")
+    assert(got.count() === nEvents)
+  }
+
+  test("maxRecordsPerTrigger bounds each micro-batch (admission control)") {
+    val ds = Consumer.source(ConsumerConfig(
+      streamPath = eventsPath, numShards = 4, maxRecordsPerTrigger = Some(300)))
+    val q = ds.writeStream
+      .format("memory").queryName("replay_limited")
+      .option("checkpointLocation", tmpDir("ckpt_lim"))
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    assert(spark.table("replay_limited").count() === nEvents)
+    val progress = q.recentProgress
+    assert(progress.length > 1, "should take several micro-batches")
+    assert(progress.forall(_.numInputRows <= 300),
+      s"batch sizes: ${progress.map(_.numInputRows).toSeq}")
+  }
+
+  test("restart from checkpoint resumes at the committed frontier (exactly-once)") {
+    val ckpt = tmpDir("ckpt_restart")
+    val out = tmpDir("out_restart")
+    def run(stopEarly: Boolean): Unit = {
+      val ds = Consumer.source(ConsumerConfig(
+        streamPath = eventsPath, numShards = 4, maxRecordsPerTrigger = Some(250)))
+      val q = ds.writeStream
+        .format("parquet").option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      if (stopEarly) {
+        // Stop mid-stream once the first batch has committed.
+        val deadline = System.currentTimeMillis() + 60000
+        while (q.recentProgress.length < 1 && q.isActive &&
+          System.currentTimeMillis() < deadline) Thread.sleep(50)
+        q.stop(); q.awaitTermination(60000)
+      } else q.awaitTermination(120000)
+    }
+    run(stopEarly = true)
+    val partial = spark.read.parquet(out).count()
+    assert(partial < nEvents, "first run should stop before draining")
+    run(stopEarly = false)
+    // File sink + offset log → exactly-once end-to-end across the restart.
+    val got = spark.read.parquet(out)
+      .select(get_json_object(col("data").cast("string"), "$.event_id").cast("long").as("id"))
+    assert(got.count() === nEvents, "exactly-once: no loss, no duplication")
+    assert(got.distinct().count() === nEvents)
+  }
+
+  test("startingPosition=latest sees nothing on a static stream") {
+    val ds = Consumer.source(ConsumerConfig(
+      streamPath = eventsPath, numShards = 4, startingPosition = "latest"))
+    val q = ds.writeStream
+      .format("memory").queryName("replay_latest")
+      .option("checkpointLocation", tmpDir("ckpt_latest"))
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    assert(spark.table("replay_latest").count() === 0)
+  }
+
+  test("startingPosition=at_timestamp replays only records at/after the time") {
+    val cutoff = graft.Tables.events(spark, sf)
+      .selectExpr("percentile_approx(cast(ts as double), 0.5)").as[Double].head()
+    val cutoffMs = (cutoff * 1000).toLong
+    val expected = graft.Tables.events(spark, sf)
+      .filter(col("ts") >= timestamp_millis(lit(cutoffMs))).count()
+    val ds = Consumer.source(ConsumerConfig(
+      streamPath = eventsPath, numShards = 4,
+      startingPosition = "at_timestamp", startingTimestampMs = Some(cutoffMs)))
+    val q = ds.writeStream
+      .format("memory").queryName("replay_ts")
+      .option("checkpointLocation", tmpDir("ckpt_ts"))
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    assert(spark.table("replay_ts").count() === expected)
+  }
+
+  test("record envelope round-trips through the typed Dataset API") {
+    val ds = spark.read.format("sharded-replay")
+      .option("path", eventsPath).option("shards", 2).load().as[Record]
+    val r = ds.head()
+    assert(r.shardId.startsWith("shardId-"))
+    assert(r.subSequenceNumber === 0L)
+    assert(r.dataUtf8.contains("\"event_type\""))
+    assert(r.key.nonEmpty)
+  }
+
+  // ---- contiguous-prefix property (reference C3 semantics) -----------------
+  // The committed frontier after any sequence of limited triggers is always
+  // a contiguous prefix per shard, and triggers tile [0, count) disjointly.
+  test("admission planning commits contiguous per-shard prefixes, no gaps/overlap") {
+    val rnd = new scala.util.Random(42)
+    (1 to 200).foreach { _ =>
+      val nShards = 1 + rnd.nextInt(6)
+      val cnt = Array.fill(nShards)(rnd.nextLong(2000L))
+      val lims = List.fill(rnd.nextInt(12))(1L + rnd.nextLong(700L))
+      var cur = ShardPositions.zeros(cnt.length)
+      val seen = Array.fill(cnt.length)(scala.collection.mutable.Set.empty[Long])
+      val allLims = lims :+ -1L // final unlimited trigger drains the stream
+      allLims.foreach { lim =>
+        val next = AdmissionPlanner.advance(cur, cnt,
+          if (lim < 0) None else Some(lim))
+        cnt.indices.foreach { i =>
+          assert(next(i) >= cur(i) && next(i) <= cnt(i)) // monotone, bounded
+          (cur(i) until next(i)).foreach { p =>
+            assert(!seen(i)(p), s"position $p of shard $i delivered twice")
+            seen(i) += p
+          }
+        }
+        if (lim >= 0)
+          assert(cnt.indices.map(i => next(i) - cur(i)).sum <= lim)
+        cur = next
+      }
+      cnt.indices.foreach { i =>
+        assert(seen(i).size.toLong === cnt(i), s"shard $i not fully drained")
+      }
+    }
+  }
+}

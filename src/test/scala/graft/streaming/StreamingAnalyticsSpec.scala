@@ -1,0 +1,96 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import java.nio.file.Files
+
+/** Event-time streaming analytics over the replay source (SURVEY.md M5):
+  * windows, watermarks, streaming dedup. Each result is checked against the
+  * equivalent batch computation on the same data — the streaming answer on a
+  * drained bounded stream must equal the batch answer.
+  */
+class StreamingAnalyticsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val eventsPath = s"$sf/events.parquet"
+  private implicit lazy val s: org.apache.spark.sql.SparkSession = spark
+
+  private def tmp(p: String): String = Files.createTempDirectory(p).toString
+
+  private def decoded() =
+    StreamingOps.decode(Consumer.source(ConsumerConfig(eventsPath, numShards = 4)))
+
+  test("tumbling window counts equal the batch computation") {
+    val q = StreamingOps.tumblingCounts(decoded(), "1 hour", "2 hours")
+      .writeStream.format("memory").queryName("win_counts")
+      .outputMode("append")
+      .option("checkpointLocation", tmp("ckpt_win"))
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val got = spark.table("win_counts")
+      .select(col("window.start").as("ws"), col("event_type"), col("n"))
+    val want = graft.Tables.events(spark, sf)
+      .groupBy(window(col("ts"), "1 hour").getField("start").as("ws"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    // Append mode emits only windows closed by the final watermark; every
+    // emitted window must match batch exactly, and most windows must emit.
+    val joined = got.as("g").join(want.as("w"), Seq("ws", "event_type"))
+    assert(joined.filter(col("g.n") =!= col("w.n")).count() === 0)
+    assert(got.count() > want.count() / 2, "most windows should have closed")
+    assert(got.groupBy("ws", "event_type").count().filter(col("count") > 1).count() === 0,
+      "no window emitted twice")
+  }
+
+  test("session windows per user equal the batch session computation") {
+    val q = StreamingOps.sessionCounts(decoded(), "30 minutes", "2 hours")
+      .writeStream.format("memory").queryName("sess_counts")
+      .outputMode("append")
+      .option("checkpointLocation", tmp("ckpt_sess"))
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val got = spark.table("sess_counts")
+      .select(col("session_window.start").as("ss"), col("user_id"), col("n_events"))
+    val want = graft.Tables.events(spark, sf)
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("session_window.start").as("ss"), col("user_id"), col("n_events"))
+    val joined = got.as("g").join(want.as("w"), Seq("ss", "user_id"))
+    assert(joined.filter(col("g.n_events") =!= col("w.n_events")).count() === 0)
+    assert(got.count() > 0)
+  }
+
+  test("dropDuplicatesWithinWatermark removes replayed records") {
+    // Duplicate the stream by unioning it with itself: every event arrives
+    // twice; streaming dedup must restore exactly-once.
+    val doubled = decoded().union(decoded())
+    val q = StreamingOps.dedupWithinWatermark(doubled, "2 hours")
+      .writeStream.format("memory").queryName("dedup_stream")
+      .option("checkpointLocation", tmp("ckpt_dedup"))
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val total = graft.Tables.events(spark, sf).count()
+    assert(spark.table("dedup_stream").count() === total)
+    assert(spark.table("dedup_stream").select("event_id").distinct().count() === total)
+  }
+
+  test("decode recovers every typed event field from payload bytes") {
+    val q = decoded().writeStream.format("memory").queryName("decoded_all")
+      .option("checkpointLocation", tmp("ckpt_dec"))
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val got = spark.table("decoded_all")
+    val want = graft.Tables.events(spark, sf)
+    assert(got.count() === want.count())
+    // Spot-check: per-type counts and value sums match the batch table.
+    val g = got.groupBy("event_type").agg(count(lit(1)).as("n"),
+      round(sum("value"), 6).as("v")).orderBy("event_type").collect()
+    val w = want.groupBy("event_type").agg(count(lit(1)).as("n"),
+      round(sum("value"), 6).as("v")).orderBy("event_type").collect()
+    assert(g.toSeq === w.toSeq)
+    // props JSON survived the envelope round-trip
+    assert(got.filter(col("props.k").isNotNull).count() > 0)
+  }
+}
