@@ -14,7 +14,8 @@ object SparkEntry {
   /** All operator modules contributing verifiable queries. */
   def allDefs: Seq[QueryDef] =
     operators.Relational.defs ++ operators.TextAnalysis.defs ++
-      operators.Dedup.defs ++ operators.Similarity.defs
+      operators.Dedup.defs ++ operators.Similarity.defs ++
+      operators.Media.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
