@@ -21,9 +21,15 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     allDefs.head.fn(spark, "/root/testdata/sf0.001")
 
-  /** One entry per implemented operator from SURVEY.md §2. */
+  /** One entry per implemented operator from SURVEY.md §2. Each query runs
+    * with the engine's native functions registered (idempotent).
+    */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    allDefs.map(q => q.name -> q.fn).toMap
+    allDefs.map { q =>
+      q.name -> { (s: SparkSession, d: String) =>
+        functions.Native.register(s); q.fn(s, d)
+      }
+    }.toMap
 
   /** Queries timed by Bench (the headline subset). */
   def headlines: Seq[QueryDef] = allDefs.filter(_.headline)

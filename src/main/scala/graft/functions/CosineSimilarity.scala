@@ -1,0 +1,93 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+
+/** Native codegen'd cosine similarity over float/double array columns.
+  *
+  * Replaces the `aggregate(zip_with(...))` higher-order formulation: Spark
+  * HOF lambdas are interpreted per element (no whole-stage codegen), which
+  * measured ~10x slower on the similarity-search path. This expression
+  * generates a single fused Java loop (dot, |a|^2, |b|^2 in one pass).
+  *
+  * Numeric contract (oracle parity): each accumulator is a left-to-right
+  * double sum, and float inputs are widened exactly to double — bitwise
+  * identical to both the HOF formulation and the DuckDB
+  * `list_sum(list_transform(...))` oracle form verified earlier.
+  *
+  * Rows with arrays of different lengths fold over the common prefix
+  * (matching `zip_with`'s non-null prefix behavior for this use); empty
+  * arrays yield NaN (0/0) rather than an error, mirroring the HOF version.
+  */
+final case class CosineSimilarity(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+
+  private def elemType(e: Expression): DataType =
+    e.dataType.asInstanceOf[ArrayType].elementType
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def ok(e: Expression) = e.dataType match {
+      case ArrayType(FloatType | DoubleType, _) => true
+      case _ => false
+    }
+    if (ok(left) && ok(right)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"cosine_sim expects array<float>/array<double>, got " +
+        s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
+  }
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val lt = elemType(left)
+    val rt = elemType(right)
+    def get(arr: ArrayData, t: DataType, i: Int): Double = t match {
+      case FloatType => arr.getFloat(i).toDouble
+      case _ => arr.getDouble(i)
+    }
+    val n = math.min(x.numElements(), y.numElements())
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val xi = get(x, lt, i); val yi = get(y, rt, i)
+      dot += xi * yi; na += xi * xi; nb += yi * yi
+      i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    def getter(t: DataType, arr: String, i: String): String = t match {
+      case FloatType => s"(double) $arr.getFloat($i)"
+      case _ => s"$arr.getDouble($i)"
+    }
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val dot = ctx.freshName("dot")
+      val na = ctx.freshName("na")
+      val nb = ctx.freshName("nb")
+      val xi = ctx.freshName("xi")
+      val yi = ctx.freshName("yi")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $xi = ${getter(elemType(left), a, i)};
+         |  double $yi = ${getter(elemType(right), b, i)};
+         |  $dot += $xi * $yi; $na += $xi * $xi; $nb += $yi * $yi;
+         |}
+         |${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): CosineSimilarity =
+    copy(left = newLeft, right = newRight)
+}

@@ -41,11 +41,21 @@ object TextFunctions {
       concat_ws(" ", element_at(toks, i), element_at(toks, i + 1),
         element_at(toks, i + 2))))
 
-  /** Cosine similarity of two float vectors, computed in double with
-    * left-to-right accumulation — bitwise identical to the DuckDB oracle's
-    * `list_sum(list_transform(...))` form.
+  /** Cosine similarity of two float/double vectors — the native codegen'd
+    * [[CosineSimilarity]] expression (requires [[Native.register]], which
+    * every session factory and SparkEntry entry point performs). Double
+    * left-to-right accumulation, bitwise identical to the DuckDB oracle's
+    * `list_sum(list_transform(...))` form and to [[cosineHof]].
     */
-  def cosine(a: Column, b: Column): Column = {
+  def cosine(a: Column, b: Column): Column =
+    call_function("graft_cosine", a, b)
+
+  /** The built-ins-only higher-order formulation of [[cosine]]. Kept as the
+    * reference semantics (and for environments where no function
+    * registration is possible); ~10x slower because Spark HOF lambdas are
+    * interpreted per element.
+    */
+  def cosineHof(a: Column, b: Column): Column = {
     val ad = a.cast("array<double>")
     val bd = b.cast("array<double>")
     def dot(x: Column, y: Column) =

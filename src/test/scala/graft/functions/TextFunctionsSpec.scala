@@ -23,6 +23,26 @@ class TextFunctionsSpec extends SparkSpec {
     assert(math.abs(c(0) - 1.0) < 1e-12 && c(1) === 0.0)
   }
 
+  test("native codegen cosine is bitwise identical to the HOF formulation") {
+    val e = graft.Tables.embeddings(spark, sf).limit(200)
+    val pairs = e.select($"vec_id".as("i"), $"embedding".as("a"))
+      .crossJoin(e.select($"vec_id".as("j"), $"embedding".as("b")))
+      .filter($"i" < $"j" && $"j" < 40)
+    val diff = pairs
+      .select(cosine($"a", $"b").as("native"), cosineHof($"a", $"b").as("hof"))
+      .filter($"native" =!= $"hof") // bitwise double comparison
+    assert(diff.count() === 0)
+  }
+
+  test("native cosine also accepts double arrays and null rows") {
+    val df = Seq(
+      (Some(Array(1.0, 2.0)), Some(Array(1.0, 2.0))),
+      (None, Some(Array(1.0, 2.0)))).toDF("a", "b")
+    val c = df.select(cosine($"a", $"b")).collect()
+    assert(math.abs(c(0).getDouble(0) - 1.0) < 1e-12)
+    assert(c(1).isNullAt(0))
+  }
+
   test("trigrams produces distinct 1-based word windows") {
     val got = Seq("a b c d a b c").toDF("t")
       .select(trigrams(tokens($"t"))).as[Seq[String]].head()
