@@ -2,6 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 import org.apache.spark.sql.types._
 
 /** Streaming analytics over the record stream (SURVEY.md §2.5 streaming row,
@@ -56,4 +57,79 @@ object StreamingOps {
   def dedupWithinWatermark(decoded: DataFrame, watermark: String): DataFrame =
     decoded.withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("event_id")
+
+  /** A closed user session emitted by [[sessionizeStateful]]. Times are
+    * epoch MICROseconds (java.sql.Timestamp construction would truncate to
+    * millis; convert with timestamp_micros when a timestamp is wanted).
+    */
+  final case class UserSession(
+      user_id: Long, session_start_us: Long,
+      session_end_us: Long, n_events: Long, value_sum: Double)
+
+  /** Internal per-user state of [[sessionizeStateful]] (public: the state
+    * encoder's generated code must reach the accessors).
+    */
+  final case class SessionState(
+      startUs: Long, lastUs: Long, n: Long, valueSum: Double)
+
+  /** Custom keyed state: per-user sessionization with an inactivity gap,
+    * via `flatMapGroupsWithState` + event-time timeout — the general
+    * stateful-operator surface the reference left entirely to user code on
+    * the stream (SURVEY.md §2.5 streaming row). A session closes (and is
+    * emitted) when the watermark passes its last event + gap; state is one
+    * small record per active user, evicted on timeout, so state size tracks
+    * ACTIVE users, not stream length — the property that matters at 100 TB.
+    *
+    * Semantics match the batch `session_window(ts, gap)` aggregation, which
+    * is what the spec asserts.
+    */
+  def sessionizeStateful(decoded: DataFrame, gapMinutes: Int): Dataset[UserSession] = {
+    import decoded.sparkSession.implicits._
+    val gapUs = gapMinutes * 60L * 1000000L
+    decoded
+      .withWatermark("ts", s"$gapMinutes minutes")
+      // ts stays in the projection so the watermark column reaches the
+      // stateful operator (event-time timeout requires it downstream).
+      .select(col("user_id").as[Long], col("ts_us").as[Long],
+        col("value").as[Double], col("ts").as[java.sql.Timestamp])
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[SessionState, UserSession](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        case (user, events, state: GroupState[SessionState]) =>
+          def toSession(s: SessionState) = UserSession(
+            user, s.startUs, s.lastUs, s.n, s.valueSum)
+          if (state.hasTimedOut) {
+            val out = state.getOption.map(toSession).toSeq
+            state.remove()
+            out.iterator
+          } else {
+            // Fold this batch's events (sorted — micro-batches are unordered
+            // within a group) into open sessions, emitting any that closed.
+            val sorted = events.map(e => (e._1, e._2, e._3)).toSeq
+              .sortBy(e => (e._2, e._3))
+            var open = state.getOption
+            val closed = Seq.newBuilder[UserSession]
+            sorted.foreach { case (_, tsUs, v) =>
+              open match {
+                // strict <: session_window merges while next < last + gap
+                case Some(s) if tsUs - s.lastUs < gapUs =>
+                  open = Some(SessionState(s.startUs, math.max(s.lastUs, tsUs),
+                    s.n + 1, s.valueSum + v))
+                case Some(s) =>
+                  closed += toSession(s)
+                  open = Some(SessionState(tsUs, tsUs, 1, v))
+                case None =>
+                  open = Some(SessionState(tsUs, tsUs, 1, v))
+              }
+            }
+            open.foreach { s =>
+              state.update(s)
+              // Close via watermark: timeout fires once event time passes
+              // last activity + gap.
+              state.setTimeoutTimestamp((s.lastUs + gapUs) / 1000)
+            }
+            closed.result().iterator
+          }
+      }
+  }
 }

@@ -76,6 +76,31 @@ class StreamingAnalyticsSpec extends SparkSpec {
     assert(spark.table("dedup_stream").select("event_id").distinct().count() === total)
   }
 
+  test("stateful sessionization matches batch session_window semantics") {
+    val q = StreamingOps.sessionizeStateful(decoded(), gapMinutes = 30)
+      .writeStream.format("memory").queryName("sess_state")
+      .outputMode("append")
+      .option("checkpointLocation", tmp("ckpt_fmgs"))
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(180000)
+    val got = spark.table("sess_state")
+      .select(col("user_id"), timestamp_micros(col("session_start_us")).as("ss"),
+        col("n_events"), round(col("value_sum"), 6).as("v"))
+    val want = graft.Tables.events(spark, sf)
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), round(sum("value"), 6).as("v"))
+      .select(col("user_id"), col("session_window.start").as("ss"),
+        col("n_events"), col("v"))
+    // Every emitted session must match a batch session exactly; sessions
+    // still open at end-of-stream are not emitted (append semantics).
+    val mismatched = got.as("g").join(want.as("w"), Seq("user_id", "ss"))
+      .filter(col("g.n_events") =!= col("w.n_events") || col("g.v") =!= col("w.v"))
+    assert(mismatched.count() === 0)
+    assert(got.join(want, Seq("user_id", "ss"), "left_anti").count() === 0,
+      "no emitted session absent from batch truth")
+    assert(got.count() > want.count() / 2, "most sessions should have closed")
+  }
+
   test("decode recovers every typed event field from payload bytes") {
     val q = decoded().writeStream.format("memory").queryName("decoded_all")
       .option("checkpointLocation", tmp("ckpt_dec"))
