@@ -58,6 +58,30 @@ object StreamingOps {
     decoded.withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Stream-stream interval join with watermarks (SURVEY.md §2.5 joins row):
+    * each purchase joined to the same user's clicks in the hour before it.
+    * Both sides are watermarked so the join state is bounded — Spark evicts
+    * buffered rows once the watermark passes the interval bound, which is
+    * what keeps state finite on an unbounded stream (the 100 TB property).
+    */
+  def clickAttribution(decoded: DataFrame, watermark: String): DataFrame = {
+    val purchases = decoded
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("ts").as("p_ts"))
+      .withWatermark("p_ts", watermark)
+    val clicks = decoded
+      .filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
+        col("ts").as("c_ts"))
+      .withWatermark("c_ts", watermark)
+    purchases.join(clicks,
+      col("user_id") === col("c_user") &&
+        col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
+        col("c_ts") < col("p_ts"))
+      .select(col("purchase_id"), col("user_id"), col("click_id"), col("c_ts"))
+  }
+
   /** A closed user session emitted by [[sessionizeStateful]]. Times are
     * epoch MICROseconds (java.sql.Timestamp construction would truncate to
     * millis; convert with timestamp_micros when a timestamp is wanted).

@@ -76,6 +76,28 @@ class StreamingAnalyticsSpec extends SparkSpec {
     assert(spark.table("dedup_stream").select("event_id").distinct().count() === total)
   }
 
+  test("stream-stream interval join matches the batch range join") {
+    // Two independent instances of the source feed the two join sides.
+    val q = StreamingOps.clickAttribution(decoded(), "2 hours")
+      .writeStream.format("memory").queryName("attrib")
+      .option("checkpointLocation", tmp("ckpt_ssj"))
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(180000)
+    val got = spark.table("attrib").select("purchase_id", "click_id")
+    val ev = graft.Tables.events(spark, sf)
+    val want = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"), col("ts").as("p_ts"))
+      .join(ev.filter(col("event_type") === "click")
+          .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
+            col("ts").as("c_ts")),
+        col("user_id") === col("c_user") &&
+          col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
+          col("c_ts") < col("p_ts"))
+      .select("purchase_id", "click_id")
+    assert(got.count() === want.count(), "same match count as batch")
+    assert(got.exceptAll(want).count() === 0 && want.exceptAll(got).count() === 0)
+  }
+
   test("stateful sessionization matches batch session_window semantics") {
     val q = StreamingOps.sessionizeStateful(decoded(), gapMinutes = 30)
       .writeStream.format("memory").queryName("sess_state")
