@@ -6,20 +6,21 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.TextFunctions.cosine
 
-/** Vector similarity search over `embeddings` (SURVEY.md §2.6).
+/** Vector similarity search over embedding columns (SURVEY.md §2.6).
+  * Parameterized library functions plus fixture-bound oracle queries.
   *
-  * q30 is the brute-force baseline: a broadcast of the (small) query set
-  * against every vector, ranked per query — at scale this is the exact
-  * scatter-gather top-k, one pass over the corpus, no corpus self-join.
+  * `bruteTopK` is the exact baseline: a broadcast of the (small) query set
+  * against every vector, ranked per query — one pass over the corpus, no
+  * corpus self-join, the exact scatter-gather top-k at any corpus size.
   *
-  * q31 is the scale path: IVF (inverted-file) bucketing. Vectors are
+  * `ivfTopK` is the scale path: IVF (inverted-file) bucketing. Vectors are
   * assigned to their nearest seed centroid once (a broadcast join against
   * K seeds), and each query probes only its own centroid's bucket. The
-  * corpus-side work drops from O(|Q|·N) to O(|Q|·N/K); the assignment is
-  * a deterministic argmax so the DuckDB oracle reproduces it exactly.
+  * corpus-side work drops from O(|Q|·N) to O(|Q|·N/K); the assignment is a
+  * deterministic argmax, so the DuckDB oracle reproduces it exactly.
   *
-  * Cosine is the double-precision left-fold from TextFunctions — bitwise
-  * equal across engines, so ranking on the raw (unrounded) value is stable.
+  * Cosine is the native codegen'd expression (graft_cosine) — bitwise equal
+  * to the oracle's double left-fold.
   */
 object Similarity {
 
@@ -28,20 +29,70 @@ object Similarity {
   /** IVF: seed centroids are the first NumSeeds vectors (deterministic). */
   private val NumSeeds = 16
 
-  // ---- q30: brute-force cosine top-k ----------------------------------------
-  private def q30(s: SparkSession, d: String): DataFrame = {
-    val e = Tables.embeddings(s, d)
-    val queries = e.filter(col("vec_id") < NumQueries)
-      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
-    val corpus = e.select(col("vec_id").as("neighbor_id"), col("embedding").as("ne"))
+  // ===========================================================================
+  // Library API
+  // ===========================================================================
+
+  /** Exact top-k neighbors of each query vector over the corpus. */
+  def bruteTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, k: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qe"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("ne"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("c").desc, col("neighbor_id"))
-    broadcast(queries).join(corpus, col("query_id") =!= col("neighbor_id"))
+    broadcast(q).join(c, col("query_id") =!= col("neighbor_id"))
       .withColumn("c", cosine(col("qe"), col("ne")))
       .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= TopK)
+      .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("neighbor_id"),
         round(col("c"), 6).as("cos_sim"))
+  }
+
+  /** Assign every vector to its nearest of the given seed centroids
+    * (broadcast join + deterministic argmax). Output: (idCol, vecCol,
+    * cluster).
+    */
+  def ivfAssign(corpus: DataFrame, seeds: DataFrame, idCol: String,
+      vecCol: String): DataFrame = {
+    val s = seeds.select(col(idCol).as("seed_id"), col(vecCol).as("se"))
+    val aw = Window.partitionBy(col(idCol))
+      .orderBy(col("sc").desc, col("seed_id"))
+    corpus.join(broadcast(s))
+      .withColumn("sc", cosine(col(vecCol), col("se")))
+      .withColumn("arn", row_number().over(aw))
+      .filter(col("arn") === 1)
+      .select(col(idCol), col(vecCol), col("seed_id").as("cluster"))
+  }
+
+  /** Single-probe IVF approximate top-k: each query searches only its own
+    * cluster's bucket.
+    */
+  def ivfTopK(corpus: DataFrame, seeds: DataFrame, queryIds: DataFrame => DataFrame,
+      idCol: String, vecCol: String, k: Int): DataFrame = {
+    val assigned = ivfAssign(corpus, seeds, idCol, vecCol)
+    val queries = queryIds(assigned)
+      .select(col(idCol).as("query_id"), col(vecCol).as("qe"), col("cluster"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("c").desc, col("neighbor_id"))
+    broadcast(queries).join(
+        assigned.select(col(idCol).as("neighbor_id"),
+          col(vecCol).as("ne"), col("cluster")),
+        Seq("cluster"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("c", cosine(col("qe"), col("ne")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        round(col("c"), 6).as("cos_sim"))
+  }
+
+  // ===========================================================================
+  // Oracle-bound query exercises
+  // ===========================================================================
+
+  private def q30(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+    bruteTopK(e.filter(col("vec_id") < NumQueries), e, "vec_id", "embedding", TopK)
       .orderBy(col("query_id"), col("rank"))
   }
   private val q30Sql =
@@ -62,35 +113,11 @@ object Similarity {
        SELECT query_id, rank::INT AS rank, neighbor_id, round(c, 6) AS cos_sim
        FROM ranked WHERE rank <= $TopK ORDER BY query_id, rank"""
 
-  // ---- q31: IVF-bucketed approximate top-k ----------------------------------
   private def q31(s: SparkSession, d: String): DataFrame = {
     val e = Tables.embeddings(s, d)
-    val seeds = e.filter(col("vec_id") < NumSeeds)
-      .select(col("vec_id").as("seed_id"), col("embedding").as("se"))
-    // One broadcast pass assigns every vector to its nearest seed.
-    val aw = Window.partitionBy(col("vec_id"))
-      .orderBy(col("sc").desc, col("seed_id"))
-    val assigned = e.join(broadcast(seeds))
-      .withColumn("sc", cosine(col("embedding"), col("se")))
-      .withColumn("arn", row_number().over(aw))
-      .filter(col("arn") === 1)
-      .select(col("vec_id"), col("embedding"), col("seed_id").as("cluster"))
-    val queries = assigned.filter(col("vec_id") < NumQueries)
-      .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
-        col("cluster"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("c").desc, col("neighbor_id"))
-    // Probe only the query's own bucket (single-probe IVF).
-    broadcast(queries).join(
-        assigned.select(col("vec_id").as("neighbor_id"),
-          col("embedding").as("ne"), col("cluster")),
-        Seq("cluster"))
-      .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("c", cosine(col("qe"), col("ne")))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= TopK)
-      .select(col("query_id"), col("rank"), col("neighbor_id"),
-        round(col("c"), 6).as("cos_sim"))
+    ivfTopK(e, e.filter(col("vec_id") < NumSeeds),
+        assigned => assigned.filter(col("vec_id") < NumQueries),
+        "vec_id", "embedding", TopK)
       .orderBy(col("query_id"), col("rank"))
   }
   private val q31Sql =
