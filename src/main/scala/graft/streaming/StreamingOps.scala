@@ -1,8 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, TimeMode, TimerValues, TTLConfig}
 import org.apache.spark.sql.types._
 
 /** Streaming analytics over the record stream (SURVEY.md §2.5 streaming row,
@@ -155,5 +155,71 @@ object StreamingOps {
             closed.result().iterator
           }
       }
+  }
+
+  /** The Spark-4-native form of [[sessionizeStateful]] using the
+    * transformWithState StatefulProcessor API (typed ValueState + event-time
+    * timers; requires the RocksDB state store provider — see
+    * GraftSession.rocksdb). Same output contract as sessionizeStateful.
+    */
+  def sessionizeTws(decoded: DataFrame, gapMinutes: Int): Dataset[UserSession] = {
+    import decoded.sparkSession.implicits._
+    val gapUs = gapMinutes * 60L * 1000000L
+
+    class SessionProcessor extends StatefulProcessor[Long, (Long, Long, Double, java.sql.Timestamp), UserSession] {
+      @transient private var state: org.apache.spark.sql.streaming.ValueState[SessionState] = _
+
+      override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+        state = getHandle.getValueState[SessionState](
+          "session", Encoders.product[SessionState], TTLConfig.NONE)
+
+      private def toSession(user: Long, s: SessionState) =
+        UserSession(user, s.startUs, s.lastUs, s.n, s.valueSum)
+
+      override def handleInputRows(
+          key: Long,
+          rows: Iterator[(Long, Long, Double, java.sql.Timestamp)],
+          timerValues: TimerValues): Iterator[UserSession] = {
+        val sorted = rows.map(e => (e._2, e._3)).toSeq.sorted
+        var open = Option(state.get())
+        val closed = Seq.newBuilder[UserSession]
+        sorted.foreach { case (tsUs, v) =>
+          open match {
+            case Some(s) if tsUs - s.lastUs < gapUs =>
+              open = Some(SessionState(s.startUs, math.max(s.lastUs, tsUs),
+                s.n + 1, s.valueSum + v))
+            case Some(s) =>
+              closed += toSession(key, s)
+              open = Some(SessionState(tsUs, tsUs, 1, v))
+            case None =>
+              open = Some(SessionState(tsUs, tsUs, 1, v))
+          }
+        }
+        open.foreach { s =>
+          state.update(s)
+          getHandle.registerTimer((s.lastUs + gapUs) / 1000)
+        }
+        closed.result().iterator
+      }
+
+      override def handleExpiredTimer(
+          key: Long,
+          timerValues: TimerValues,
+          expiredTimerInfo: org.apache.spark.sql.streaming.ExpiredTimerInfo): Iterator[UserSession] = {
+        val out = Option(state.get())
+          .filter(s => (s.lastUs + gapUs) / 1000 <= expiredTimerInfo.getExpiryTimeInMs)
+          .map(toSession(key, _))
+        if (out.isDefined) state.clear()
+        out.iterator
+      }
+    }
+
+    decoded
+      .withWatermark("ts", s"$gapMinutes minutes")
+      .select(col("user_id").as[Long], col("ts_us").as[Long],
+        col("value").as[Double], col("ts").as[java.sql.Timestamp])
+      .groupByKey(_._1)
+      .transformWithState(new SessionProcessor,
+        TimeMode.EventTime(), OutputMode.Append())
   }
 }

@@ -123,6 +123,35 @@ class StreamingAnalyticsSpec extends SparkSpec {
     assert(got.count() > want.count() / 2, "most sessions should have closed")
   }
 
+  test("transformWithState sessionization equals flatMapGroupsWithState") {
+    // The Spark-4 stateful API needs the RocksDB state store provider.
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val q = StreamingOps.sessionizeTws(decoded(), gapMinutes = 30)
+        .writeStream.format("memory").queryName("sess_tws")
+        .outputMode("append")
+        .option("checkpointLocation", tmp("ckpt_tws"))
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(180000)
+      val got = spark.table("sess_tws")
+        .select(col("user_id"), timestamp_micros(col("session_start_us")).as("ss"),
+          col("n_events"), round(col("value_sum"), 6).as("v"))
+      val want = graft.Tables.events(spark, sf)
+        .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"), round(sum("value"), 6).as("v"))
+        .select(col("user_id"), col("session_window.start").as("ss"),
+          col("n_events"), col("v"))
+      assert(got.join(want, Seq("user_id", "ss"), "left_anti").count() === 0,
+        "every emitted session matches batch truth")
+      val matched = got.as("g").join(want.as("w"), Seq("user_id", "ss"))
+        .filter(col("g.n_events") =!= col("w.n_events") || col("g.v") =!= col("w.v"))
+      assert(matched.count() === 0)
+      assert(got.count() > 0)
+    } finally
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
   test("decode recovers every typed event field from payload bytes") {
     val q = decoded().writeStream.format("memory").queryName("decoded_all")
       .option("checkpointLocation", tmp("ckpt_dec"))
