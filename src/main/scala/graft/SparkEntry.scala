@@ -15,7 +15,8 @@ object SparkEntry {
   def allDefs: Seq[QueryDef] =
     operators.Relational.defs ++ operators.TextAnalysis.defs ++
       operators.Dedup.defs ++ operators.Similarity.defs ++
-      operators.Media.defs ++ operators.TypedAggs.defs
+      operators.Media.defs ++ operators.TypedAggs.defs ++
+      operators.SqlSurface.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,55 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** The SQL entry point (`spark.sql`) exercised as a first-class surface:
+  * the engine's users can register the fixture tables as views and run ANSI
+  * SQL, including constructs with no one-line DataFrame equivalent
+  * (scalar subqueries, GROUPING SETS). Catalyst plans these identically to
+  * the DataFrame API — same pushdown, same codegen.
+  */
+object SqlSurface {
+
+  private def withViews(s: SparkSession, d: String, tables: String*)(sql: String): DataFrame = {
+    tables.foreach(t => Tables(s, d, t).createOrReplaceTempView(t))
+    s.sql(sql)
+  }
+
+  // ---- q37: correlated scalar subquery --------------------------------------
+  // Orders priced above their priority class's average.
+  private def q37(s: SparkSession, d: String): DataFrame =
+    withViews(s, d, "orders")(
+      """SELECT o_orderpriority, count(*) AS n_above,
+         round(max(o_totalprice), 2) AS max_price
+         FROM orders o
+         WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders i
+                               WHERE i.o_orderpriority = o.o_orderpriority)
+         GROUP BY o_orderpriority ORDER BY o_orderpriority""")
+  private val q37Sql =
+    """SELECT o_orderpriority, count(*) AS n_above,
+       round(max(o_totalprice), 2) AS max_price
+       FROM orders o
+       WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders i
+                             WHERE i.o_orderpriority = o.o_orderpriority)
+       GROUP BY o_orderpriority ORDER BY o_orderpriority"""
+
+  // ---- q38: GROUPING SETS ----------------------------------------------------
+  private def q38(s: SparkSession, d: String): DataFrame =
+    withViews(s, d, "lineitem")(
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+         round(sum(l_extendedprice), 2) AS total
+         FROM lineitem
+         GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+         ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""")
+  private val q38Sql =
+    """SELECT l_returnflag, l_linestatus, count(*) AS n,
+       round(sum(l_extendedprice), 2) AS total
+       FROM lineitem
+       GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+       ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST"""
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef("q37_scalar_subquery", q37, Some(q37Sql)),
+    QueryDef("q38_grouping_sets", q38, Some(q38Sql)))
+}

@@ -159,8 +159,10 @@ object StreamingOps {
 
   /** The Spark-4-native form of [[sessionizeStateful]] using the
     * transformWithState StatefulProcessor API (typed ValueState + event-time
-    * timers; requires the RocksDB state store provider — see
-    * GraftSession.rocksdb). Same output contract as sessionizeStateful.
+    * timers). Requires the RocksDB state store provider:
+    * `spark.sql.streaming.stateStore.providerClass =
+    * org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider`.
+    * Same output contract as sessionizeStateful.
     */
   def sessionizeTws(decoded: DataFrame, gapMinutes: Int): Dataset[UserSession] = {
     import decoded.sparkSession.implicits._
