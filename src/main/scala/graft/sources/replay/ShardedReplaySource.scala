@@ -204,6 +204,14 @@ final class ShardedReplayMicroBatchStream(conf: ReplayConfig)
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val s = start.asInstanceOf[ShardPositions]
     val e = end.asInstanceOf[ShardPositions]
+    // Reshard guard: a checkpoint written with a different shard count must
+    // not silently replay (missing shards would restart at 0 → duplicates)
+    // or drop data. Real resharding (shard split/merge, reference L4) is a
+    // planned offset-format evolution, not a silent remap.
+    require(s.positions.size == conf.numShards,
+      s"checkpoint has ${s.positions.size} shards but source is configured " +
+        s"with ${conf.numShards}; resharding a checkpointed stream is not " +
+        "supported — start a new checkpoint or restore the original count")
     shards.indices.collect {
       case i if e(i) > s(i) =>
         ReplayInputPartition(conf.path, conf.numShards, i, s(i), e(i))

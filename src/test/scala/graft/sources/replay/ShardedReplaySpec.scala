@@ -139,6 +139,39 @@ class ShardedReplaySpec extends SparkSpec with BeforeAndAfterAll {
     assert(r.key.nonEmpty)
   }
 
+  test("restart with a different shard count is rejected, not silently remapped") {
+    val ckpt = tmpDir("ckpt_reshard")
+    val out = tmpDir("out_reshard")
+    def run(shards: Int): Unit = {
+      val q = Consumer.source(ConsumerConfig(
+          streamPath = eventsPath, numShards = shards))
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(120000)
+    }
+    run(shards = 4)
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      run(shards = 8)
+    }
+    assert(e.getMessage.contains("resharding") ||
+      Option(e.getCause).exists(_.getMessage.contains("resharding")))
+  }
+
+  test("continuous ProcessingTime trigger drains and then idles on empty batches") {
+    val ds = Consumer.source(ConsumerConfig(
+      streamPath = eventsPath, numShards = 4, maxRecordsPerTrigger = Some(400)))
+    val q = ds.writeStream.format("memory").queryName("replay_pt")
+      .option("checkpointLocation", tmpDir("ckpt_pt"))
+      .trigger(Trigger.ProcessingTime("100 milliseconds")).start()
+    val deadline = System.currentTimeMillis() + 60000
+    while (spark.table("replay_pt").count() < nEvents &&
+      System.currentTimeMillis() < deadline) Thread.sleep(100)
+    Thread.sleep(500) // a few empty triggers after the drain
+    q.stop(); q.awaitTermination(60000)
+    assert(spark.table("replay_pt").count() === nEvents, "drained exactly once")
+  }
+
   // ---- contiguous-prefix property (reference C3 semantics) -----------------
   // The committed frontier after any sequence of limited triggers is always
   // a contiguous prefix per shard, and triggers tile [0, count) disjointly.
