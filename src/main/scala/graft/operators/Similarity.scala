@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.{QueryDef, Tables}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.TextFunctions.cosine
@@ -86,6 +86,50 @@ object Similarity {
         round(col("c"), 6).as("cos_sim"))
   }
 
+  /** Hyperplane-LSH bucket id: bit i = sign of dot(v, seed_i). Vectors in
+    * the same bucket agree with all `numPlanes` seed hyperplanes — cosine
+    * neighbors collide with high probability. Deterministic (seeds are
+    * data vectors), so the oracle reproduces the bucketing exactly.
+    */
+  def lshBucket(vecCol: String, seeds: Seq[(Int, Column)]): Column =
+    seeds.map { case (i, se) =>
+      when(cosine(col(vecCol), se) >= 0, 1L << i).otherwise(0L)
+    }.reduce(_ + _)
+
+  /** LSH-bucketed approximate top-k: queries probe only their own
+    * sign-bucket. Complements [[ivfTopK]] — hyperplane buckets need no
+    * argmax assignment pass, at the cost of less balanced bucket sizes.
+    *
+    * Recall scales with bucket population (corpus / 2^numPlanes) and the
+    * cosine structure of the data: single-probe on near-orthogonal vectors
+    * (like the synthetic fixture) retrieves bucket-mates, not true
+    * neighbors. Production levers: fewer planes (bigger buckets),
+    * multi-probe (flip 1-2 bucket bits), or several independent plane sets
+    * unioned — all change only the bucketed-join fan-in, not the shape.
+    */
+  def lshTopK(corpus: DataFrame, seeds: DataFrame, queryFilter: Column,
+      idCol: String, vecCol: String, k: Int, numPlanes: Int): DataFrame = {
+    val planes = seeds.limit(numPlanes).collect()
+      .zipWithIndex.map { case (r, i) =>
+        i -> typedLit(r.getAs[scala.collection.Seq[Float]](vecCol).toArray)
+      }.toSeq
+    val bucketed = corpus.withColumn("bucket", lshBucket(vecCol, planes))
+    val queries = bucketed.filter(queryFilter)
+      .select(col(idCol).as("query_id"), col(vecCol).as("qe"), col("bucket"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("c").desc, col("neighbor_id"))
+    broadcast(queries).join(
+        bucketed.select(col(idCol).as("neighbor_id"), col(vecCol).as("ne"),
+          col("bucket")),
+        Seq("bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("c", cosine(col("qe"), col("ne")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        round(col("c"), 6).as("cos_sim"))
+  }
+
   // ===========================================================================
   // Oracle-bound query exercises
   // ===========================================================================
@@ -152,7 +196,48 @@ object Similarity {
        SELECT query_id, rank::INT AS rank, neighbor_id, round(c, 6) AS cos_sim
        FROM ranked WHERE rank <= $TopK ORDER BY query_id, rank"""
 
+  /** 4 planes → 16 buckets: ~30 candidates per probe at fixture scale. */
+  private val NumPlanes = 4
+
+  private def q39(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+    lshTopK(e, e.filter(col("vec_id") < NumPlanes).orderBy(col("vec_id")),
+        col("vec_id") < NumQueries, "vec_id", "embedding", TopK, NumPlanes)
+      .orderBy(col("query_id"), col("rank"))
+  }
+  private val q39Sql =
+    s"""WITH planes AS (
+         SELECT vec_id AS p, embedding AS pe FROM embeddings
+         WHERE vec_id < $NumPlanes),
+       bucketed AS (
+         SELECT a.vec_id, a.embedding,
+           sum(CASE WHEN
+             list_sum(list_transform(range(1, len(a.embedding) + 1),
+               k -> a.embedding[k]::DOUBLE * pe[k]::DOUBLE))
+             / (sqrt(list_sum(list_transform(a.embedding, x -> x::DOUBLE * x::DOUBLE)))
+                * sqrt(list_sum(list_transform(pe, x -> x::DOUBLE * x::DOUBLE)))) >= 0
+             THEN (1::BIGINT << p) ELSE 0 END) AS bucket
+         FROM embeddings a, planes GROUP BY a.vec_id, a.embedding),
+       sims AS (
+         SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+           list_sum(list_transform(range(1, len(q.embedding) + 1),
+             k -> q.embedding[k]::DOUBLE * n.embedding[k]::DOUBLE))
+           / (sqrt(list_sum(list_transform(q.embedding, x -> x::DOUBLE * x::DOUBLE)))
+              * sqrt(list_sum(list_transform(n.embedding, x -> x::DOUBLE * x::DOUBLE))))
+             AS c
+         FROM bucketed q JOIN bucketed n
+           ON q.bucket = n.bucket AND q.vec_id != n.vec_id
+         WHERE q.vec_id < $NumQueries),
+       ranked AS (
+         SELECT query_id, neighbor_id, c,
+           row_number() OVER (PARTITION BY query_id ORDER BY c DESC, neighbor_id)
+             AS rank
+         FROM sims)
+       SELECT query_id, rank::INT AS rank, neighbor_id, round(c, 6) AS cos_sim
+       FROM ranked WHERE rank <= $TopK ORDER BY query_id, rank"""
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q30_cosine_topk", q30, Some(q30Sql), headline = true),
-    QueryDef("q31_ann_ivf", q31, Some(q31Sql)))
+    QueryDef("q31_ann_ivf", q31, Some(q31Sql)),
+    QueryDef("q39_ann_lsh", q39, Some(q39Sql)))
 }
