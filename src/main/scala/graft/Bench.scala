@@ -28,10 +28,16 @@ object Bench {
     // passes taking the per-query minimum — steady-state timing robust to
     // scheduler noise on a shared machine; a cluster amortizes compilation
     // the same way.
+    // A failed query must not masquerade as a fast one: record the error
+    // and surface it in the JSON.
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     def once(q: QueryDef): Double = {
       val t0 = System.nanoTime()
       try q.fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case _: Throwable => () }
+      catch { case e: Throwable =>
+        errors.getOrElseUpdate(q.name,
+          e.getMessage.linesIterator.nextOption().getOrElse(e.getClass.getName))
+      }
       (System.nanoTime() - t0) / 1e9
     }
     SparkEntry.headlines.foreach(once)
@@ -39,10 +45,17 @@ object Bench {
     val results = SparkEntry.headlines.map { q =>
       q.name -> math.min(once(q), once(q))
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    def jstr(s: String): String =
+      "\"" + s.flatMap {
+        case '"' => "\\\""; case '\\' => "\\\\"
+        case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
+      } + "\""
+    val qs = results.map { case (k, v) => jstr(k) + ":" + v }
+      .mkString("{", ",", "}")
+    val errJson = errors.map { case (k, v) => jstr(k) + ":" + jstr(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":${jstr(sfDir)}}""")
     spark.stop()
   }
 }
