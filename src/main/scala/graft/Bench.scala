@@ -36,7 +36,8 @@ object Bench {
       try q.fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case e: Throwable =>
         errors.getOrElseUpdate(q.name,
-          e.getMessage.linesIterator.nextOption().getOrElse(e.getClass.getName))
+          Option(e.getMessage).flatMap(_.linesIterator.nextOption())
+            .getOrElse(e.getClass.getName))
       }
       (System.nanoTime() - t0) / 1e9
     }

@@ -21,11 +21,21 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
   * Rows with arrays of different lengths fold over the common prefix
   * (matching `zip_with`'s non-null prefix behavior for this use); empty
   * arrays yield NaN (0/0) rather than an error, mirroring the HOF version.
+  * A null ELEMENT in either array makes the result null — the same answer
+  * `aggregate(zip_with(...), x + y)` gives (null propagates through the
+  * fold) — rather than reading an undefined slot value.
   */
 final case class CosineSimilarity(left: Expression, right: Expression)
     extends BinaryExpression {
 
   override def dataType: DataType = DoubleType
+
+  private def mayHaveNullElements: Boolean =
+    left.dataType.asInstanceOf[ArrayType].containsNull ||
+      right.dataType.asInstanceOf[ArrayType].containsNull
+
+  // Even with non-null inputs the result is null when an element is null.
+  override def nullable: Boolean = super.nullable || mayHaveNullElements
 
   private def elemType(e: Expression): DataType =
     e.dataType.asInstanceOf[ArrayType].elementType
@@ -54,6 +64,7 @@ final case class CosineSimilarity(left: Expression, right: Expression)
     var dot = 0.0; var na = 0.0; var nb = 0.0
     var i = 0
     while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
       val xi = get(x, lt, i); val yi = get(y, rt, i)
       dot += xi * yi; na += xi * xi; nb += yi * yi
       i += 1
@@ -74,15 +85,25 @@ final case class CosineSimilarity(left: Expression, right: Expression)
       val nb = ctx.freshName("nb")
       val xi = ctx.freshName("xi")
       val yi = ctx.freshName("yi")
+      // The per-element null check is emitted only when the schema admits
+      // null elements — the common containsNull=false case keeps the fused
+      // three-accumulator loop branch-free.
+      val nullCheck =
+        if (mayHaveNullElements)
+          s"if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }"
+        else ""
       s"""
          |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
          |double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
+         |  $nullCheck
          |  double $xi = ${getter(elemType(left), a, i)};
          |  double $yi = ${getter(elemType(right), b, i)};
          |  $dot += $xi * $yi; $na += $xi * $xi; $nb += $yi * $yi;
          |}
-         |${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+         |if (!${ev.isNull}) {
+         |  ${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+         |}
        """.stripMargin
     })
   }

@@ -37,6 +37,9 @@ object Media {
   /** Extracted features: fixed-width vector per media item. */
   final case class MediaFeatures(doc_id: Long, dim: Int, features: Array[Double])
 
+  /** One sampled frame, keyed by (source doc, frame index). */
+  final case class FrameRow(doc_id: Long, frame_idx: Int, kind: String, media: Array[Byte])
+
   /** The codec seam. Bodies are STUBs: deterministic byte arithmetic in
     * place of a real image/audio library (absent in this container). The
     * signatures and batch shape are the real contract.
@@ -71,12 +74,15 @@ object Media {
       m.copy(media = java.util.Arrays.copyOf(m.media, targetBytes))
 
     /** STUB frame sampling: treat the payload as fixed-size frames and keep
-      * every k-th (a real impl would seek keyframes).
+      * every k-th (a real impl would seek keyframes). The frame identity is
+      * a (doc_id, frame_idx) struct — NOT an arithmetic doc_id*k+i encoding,
+      * which silently aliases across documents once a payload exceeds k
+      * frames (unbounded media at 100 TB guarantees that).
       */
-    def sampleFrames(m: MediaRow, frameBytes: Int, everyK: Int): Seq[MediaRow] =
+    def sampleFrames(m: MediaRow, frameBytes: Int, everyK: Int): Seq[FrameRow] =
       m.media.grouped(frameBytes).zipWithIndex
         .collect { case (f, i) if i % everyK == 0 =>
-          MediaRow(m.doc_id * 1000 + i, m.kind, f)
+          FrameRow(m.doc_id, i, m.kind, f)
         }.toSeq
   }
 
@@ -107,7 +113,7 @@ object Media {
     media.mapPartitions(_.map(MediaCodec.extractFeatures))
   }
 
-  def frameSample(media: Dataset[MediaRow], frameBytes: Int, everyK: Int): Dataset[MediaRow] = {
+  def frameSample(media: Dataset[MediaRow], frameBytes: Int, everyK: Int): Dataset[FrameRow] = {
     import media.sparkSession.implicits._
     media.mapPartitions(_.flatMap(MediaCodec.sampleFrames(_, frameBytes, everyK)))
   }
@@ -148,19 +154,20 @@ object Media {
     import s.implicits._
     frameSample(mediaTable(s, d).filter(col("kind") === "video"),
         FrameBytes, EveryK).toDF()
-      .groupBy((col("doc_id") / 1000).cast("long").as("doc_id"))
+      .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_frames"),
         sum(length(col("media"))).as("sampled_bytes"))
       .orderBy(col("doc_id"))
   }
+  // Correlated scalar range + unnest — one row per ACTUAL frame, so there is
+  // no fixed frame cap to silently overflow on large payloads.
   private val q33Sql =
-    s"""SELECT doc_id, count(*) AS n_frames, sum(frame_len)::BIGINT AS sampled_bytes
-       FROM (SELECT doc_id, i,
-         least($FrameBytes, strlen(text) - i * $FrameBytes) AS frame_len
-         FROM documents,
-           range(0, 1024) r(i)
-         WHERE doc_id % 2 = 1
-           AND i * $FrameBytes < strlen(text) AND i % $EveryK = 0) t
+    s"""SELECT doc_id, count(*) AS n_frames,
+         sum(least($FrameBytes, len - i * $FrameBytes))::BIGINT AS sampled_bytes
+       FROM (SELECT doc_id, strlen(text) AS len,
+               unnest(range(0, (strlen(text) + $FrameBytes - 1) // $FrameBytes)) AS i
+             FROM documents WHERE doc_id % 2 = 1) t
+       WHERE i % $EveryK = 0
        GROUP BY doc_id ORDER BY doc_id"""
 
   val defs: Seq[QueryDef] = Seq(

@@ -279,8 +279,30 @@ object ShardStore {
       eventType: String, value: Double, props: String) {
     def payloadJson: String =
       s"""{"event_id":$eventId,"ts_us":$tsMicros,"user_id":$userId,""" +
-        s""""event_type":"$eventType","value":$value,"props":$props}"""
+        s""""event_type":${ShardStore.jsonString(eventType)},""" +
+        s""""value":${ShardStore.jsonNumber(value)},"props":$props}"""
   }
+
+  /** JSON string literal with full escaping — the payload must stay valid
+    * JSON for any event_type value (from_json downstream returns null rows
+    * on malformed documents, silently corrupting the replayed stream).
+    */
+  def jsonString(s: String): String = {
+    val b = new java.lang.StringBuilder(s.length + 2).append('"')
+    s.foreach {
+      case '"' => b.append("\\\"")
+      case '\\' => b.append("\\\\")
+      case c if c < ' ' => b.append(f"\\u${c.toInt}%04x")
+      case c => b.append(c)
+    }
+    b.append('"').toString
+  }
+
+  /** NaN/Infinity are not valid JSON numbers — emit null (what from_json
+    * would produce for them anyway, but without poisoning the whole row).
+    */
+  def jsonNumber(d: Double): String =
+    if (java.lang.Double.isFinite(d)) d.toString else "null"
 
   private val cache = new ConcurrentHashMap[(String, Int), Array[Array[Ev]]]()
 

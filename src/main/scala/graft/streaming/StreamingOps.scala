@@ -135,10 +135,16 @@ object StreamingOps {
             val closed = Seq.newBuilder[UserSession]
             sorted.foreach { case (_, tsUs, v) =>
               open match {
-                // strict <: session_window merges while next < last + gap
+                // strict <: session_window merges while next < last + gap.
+                // A cross-batch out-of-order event (above the watermark) can
+                // precede the open session's start — extend startUs backwards
+                // so the emitted bounds match the batch session_window form.
+                // Events BELOW the watermark never reach here (engine drops
+                // them before the stateful operator) — documented divergence
+                // from an unbounded-state batch recomputation.
                 case Some(s) if tsUs - s.lastUs < gapUs =>
-                  open = Some(SessionState(s.startUs, math.max(s.lastUs, tsUs),
-                    s.n + 1, s.valueSum + v))
+                  open = Some(SessionState(math.min(s.startUs, tsUs),
+                    math.max(s.lastUs, tsUs), s.n + 1, s.valueSum + v))
                 case Some(s) =>
                   closed += toSession(s)
                   open = Some(SessionState(tsUs, tsUs, 1, v))
@@ -187,9 +193,11 @@ object StreamingOps {
         val closed = Seq.newBuilder[UserSession]
         sorted.foreach { case (tsUs, v) =>
           open match {
+            // Same out-of-order merge rule as sessionizeStateful: extend
+            // startUs backwards for above-watermark stragglers.
             case Some(s) if tsUs - s.lastUs < gapUs =>
-              open = Some(SessionState(s.startUs, math.max(s.lastUs, tsUs),
-                s.n + 1, s.valueSum + v))
+              open = Some(SessionState(math.min(s.startUs, tsUs),
+                math.max(s.lastUs, tsUs), s.n + 1, s.valueSum + v))
             case Some(s) =>
               closed += toSession(key, s)
               open = Some(SessionState(tsUs, tsUs, 1, v))

@@ -43,6 +43,19 @@ class TextFunctionsSpec extends SparkSpec {
     assert(c(1).isNullAt(0))
   }
 
+  test("null array ELEMENTS yield null, matching the HOF fold") {
+    // Array literals through toDF carry containsNull=true, so this exercises
+    // the per-element null check in both codegen and interpreted paths.
+    val df = Seq(
+      (Array[java.lang.Double](1.0, null), Array[java.lang.Double](1.0, 2.0)),
+      (Array[java.lang.Double](1.0, 2.0), Array[java.lang.Double](1.0, 2.0)))
+      .toDF("a", "b")
+    val got = df.select(cosine($"a", $"b").as("native"), cosineHof($"a", $"b").as("hof"))
+      .collect()
+    assert(got(0).isNullAt(0) && got(0).isNullAt(1))
+    assert(got(1).getDouble(0) === got(1).getDouble(1))
+  }
+
   test("trigrams produces distinct 1-based word windows") {
     val got = Seq("a b c d a b c").toDF("t")
       .select(trigrams(tokens($"t"))).as[Seq[String]].head()
