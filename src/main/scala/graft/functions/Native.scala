@@ -9,7 +9,7 @@ import org.apache.spark.sql.SparkSession
   * resolving in both the Column API (via call_function) and raw SQL.
   */
 object Native {
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_cosine",
       exprs => {
@@ -17,4 +17,32 @@ object Native {
         CosineSimilarity(exprs.head, exprs(1))
       },
       "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_minhash",
+      exprs => {
+        require(exprs.length == 2,
+          "graft_minhash(tokens, numHashes) takes an array and an int literal")
+        val n = exprs(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"graft_minhash numHashes must be an int literal, got $other")
+        }
+        MinHashSignature(exprs.head, n)
+      },
+      "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_minhash_bands",
+      exprs => {
+        require(exprs.length == 3,
+          "graft_minhash_bands(tokens, numHashes, bandRows) takes an array and two int literals")
+        def intLit(e: org.apache.spark.sql.catalyst.expressions.Expression): Int =
+          e match {
+            case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+            case other => throw new IllegalArgumentException(
+              s"graft_minhash_bands expects int literals, got $other")
+          }
+        MinHashBands(exprs.head, intLit(exprs(1)), intLit(exprs(2)))
+      },
+      "built-in")
+  }
 }

@@ -41,6 +41,20 @@ object TextFunctions {
       concat_ws(" ", element_at(toks, i), element_at(toks, i + 1),
         element_at(toks, i + 2))))
 
+  /** MinHash signature (array<long> of `numHashes` mins) of a token array's
+    * word-trigram set — the native one-pass [[MinHashSignature]] kernel
+    * (requires [[Native.register]]). Null when fewer than 3 tokens.
+    */
+  def minhash(toks: Column, numHashes: Int): Column =
+    call_function("graft_minhash", toks, lit(numHashes))
+
+  /** LSH band keys ("b:m_m_m_m" strings) of a token array's trigram
+    * MinHash — the fused [[MinHashBands]] kernel. Null when fewer than 3
+    * tokens.
+    */
+  def minhashBands(toks: Column, numHashes: Int, bandRows: Int): Column =
+    call_function("graft_minhash_bands", toks, lit(numHashes), lit(bandRows))
+
   /** Cosine similarity of two float/double vectors — the native codegen'd
     * [[CosineSimilarity]] expression (requires [[Native.register]], which
     * every session factory and SparkEntry entry point performs). Double

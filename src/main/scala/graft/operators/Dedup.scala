@@ -107,34 +107,54 @@ object Dedup {
   /** MinHash+LSH near-dup pairs, exact-verified: same output as
     * [[jaccardPairs]] (up to a ~1e-8 per-pair LSH miss probability),
     * near-linear cost.
+    *
+    * Signature stage is the native one-pass [[graft.functions.MinHashSignature]]
+    * kernel: 64 mins per document computed in a single compiled per-row
+    * loop — embarrassingly parallel map work, NO corpus-wide gram explode
+    * and NO (doc_id, h) shuffle. (The previous explode + 64-min-aggregate
+    * formulation shuffled every gram in the corpus and measured ~3x slower
+    * end-to-end at sf0.1; the per-doc higher-order-function fold was 10x
+    * slower still — Spark HOF lambdas are interpreted per element.)
+    *
+    * Only band keys (16 fixed-width rows per doc) shuffle for the candidate
+    * self-join, and the exact-Jaccard verify re-derives grams ONLY for
+    * candidate documents (broadcast semi-join on the tiny candidate id
+    * set) — so verify cost tracks output size, not corpus size.
     */
   def minhashLshPairs(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val grams = gramRows(df, idCol, textCol)
-    // Signature stage: explode grams, xxhash64 them, then 64 min-aggregates
-    // — map-side-partial hash aggregation over codegen'd arithmetic.
-    // Measured alternative (per-doc higher-order transform/array_min fold,
-    // zero shuffle) is 10x SLOWER: Spark HOF lambdas are interpreted per
-    // element. Keep the agg in whole-stage codegen and pay one narrow
-    // (doc_id, h) shuffle.
-    val hashed = grams.withColumn("h", abs(xxhash64(col("g"))) % P)
-    val sigCols = (0 until NumHashes).map { i =>
-      min((col("h") * (2 * i + 1) + (i * 12345 + 7)) % P).as(s"m$i")
-    }
-    val sigs = hashed.groupBy(col("doc_id")).agg(sigCols.head, sigCols.tail: _*)
-    // Band keys: concat of each 4-signature slice, exploded to (doc, band, key).
-    val bandCol = array((0 until NumBands).map { b =>
-      struct(lit(b).as("band"),
-        concat_ws("_", (0 until BandRows).map(r => col(s"m${b * BandRows + r}")): _*)
-          .as("key"))
-    }: _*)
-    val bands = sigs.select(col("doc_id"), explode(bandCol).as("bk"))
-      .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
-    val cands = bands.as("x").join(bands.as("y"),
-        col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
+    // Band keys fused into the native kernel (signature + banding in one
+    // per-row pass); each key carries its band index, so the candidate
+    // join is on the single key column.
+    val bands = df
+      .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("toks"))
+      .filter(size(col("toks")) >= 3)
+      .select(col("doc_id"),
+        explode(minhashBands(col("toks"), NumHashes, BandRows)).as("key"))
+    // Self-join as SHUFFLE hash join, not broadcast: both sides then need
+    // the identical hashpartitioning(key) exchange, which ReuseExchange
+    // computes ONCE — a broadcast build side would recompute the whole
+    // signature scan a second time. (Also the right physical join at
+    // 100 TB, where neither side is broadcastable.)
+    val cands = bands.as("x").join(bands.hint("shuffle_hash").as("y"),
+        col("x.key") === col("y.key") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
       .distinct()
-    verifyJaccard(cands, grams)
+      // The candidate set is consumed 5x downstream (id-set broadcast,
+      // intersection join, two size joins) — materialize it once. It is
+      // tiny by construction (~ true-dup count), so this is the classic
+      // iterative-algorithm localCheckpoint, not a big-data cache.
+      .localCheckpoint(false)
+    val candIds = cands.select(col("d1").as("cid"))
+      .union(cands.select(col("d2"))).distinct()
+    val candGrams = gramRows(
+      df.join(broadcast(candIds), col(idCol) === col("cid"), "left_semi"),
+      idCol, textCol)
+      // Likewise: verify needs candidate grams 3x (g1, g2, sizes); without
+      // this the corpus scan (semi-join-filtered, but still a scan) runs
+      // per consumer.
+      .localCheckpoint(false)
+    verifyJaccard(cands, candGrams)
   }
 
   /** SimHash signature bits per id (32-bit, token-vote construction). */
