@@ -36,10 +36,21 @@ object TextFunctions {
     * DuckDB `tokens[i] || ' ' || tokens[i+1] || ' ' || tokens[i+2]` over
     * `range(1, len-1)`). Caller must guard size(tokens) >= 3.
     */
-  def trigrams(toks: Column): Column =
-    array_distinct(transform(sequence(lit(1), size(toks) - 2), i =>
-      concat_ws(" ", element_at(toks, i), element_at(toks, i + 1),
-        element_at(toks, i + 2))))
+  def trigrams(toks: Column): Column = distinctNgrams(toks, 3)
+
+  /** All word n-gram windows of a token array, in order, NON-distinct
+    * (the multiset — for frequency/repetition measures). 1-based
+    * element_at, matching the DuckDB `tokens[i] || ' ' || …` over
+    * `range(1, len - (n-2))` formulation. Caller must guard
+    * size(toks) >= n: Spark's `sequence(1, 0)` is DESCENDING, not empty.
+    */
+  def ngrams(toks: Column, n: Int): Column =
+    transform(sequence(lit(1), size(toks) - (n - 1)), i =>
+      concat_ws(" ", (0 until n).map(k => element_at(toks, i + k)): _*))
+
+  /** Distinct word n-grams (the set — for Jaccard/containment measures). */
+  def distinctNgrams(toks: Column, n: Int): Column =
+    array_distinct(ngrams(toks, n))
 
   /** MinHash signature (array<long> of `numHashes` mins) of a token array's
     * word-trigram set — the native one-pass [[MinHashSignature]] kernel

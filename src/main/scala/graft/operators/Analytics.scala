@@ -1,0 +1,192 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions.tokens
+
+/** Analytic SQL surface beyond Relational's q01-q20 (SURVEY.md §2.5):
+  * lateral/positional explode, exact percentiles, moment statistics,
+  * navigation window functions, time-RANGE window frames, unpivot,
+  * multiset set operations, and string/regex/edit-distance functions.
+  * All Spark built-ins — Catalyst owns the physical plan; the QueryDefs
+  * pin semantics against the DuckDB oracle.
+  *
+  * Scale notes: exact `percentile` sorts per group — at 100 TB use
+  * `approx_percentile` (t-digest, mergeable partials); everything else
+  * here is partial-aggregatable or map-side and scales with the built-in
+  * operators it compiles to. The RANGE frame is bounded (7 days), so
+  * streaming state / window buffers stay bounded too.
+  */
+object Analytics {
+
+  /** q46: positional token explode — (doc_id, pos, token) with ordinality. */
+  private def q46(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .filter(col("doc_id") < 20)
+      .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("p", "token")))
+      .select(col("doc_id"), col("p").cast("long").as("pos"), col("token"))
+      .orderBy(col("doc_id"), col("pos"))
+  private val q46Sql =
+    """SELECT doc_id, pos, tokens[pos + 1] AS token FROM (
+         SELECT doc_id, string_split(text, ' ') AS tokens,
+           unnest(range(0, len(string_split(text, ' ')))) AS pos
+         FROM documents WHERE doc_id < 20)
+       ORDER BY doc_id, pos"""
+
+  /** q47: exact interpolated percentiles per group. */
+  private def q47(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(expr("percentile(l_extendedprice, array(0.25D, 0.5D, 0.75D))").as("pct"))
+      .select(col("l_returnflag"),
+        round(element_at(col("pct"), 1), 4).as("p25"),
+        round(element_at(col("pct"), 2), 4).as("p50"),
+        round(element_at(col("pct"), 3), 4).as("p75"))
+      .orderBy(col("l_returnflag"))
+  private val q47Sql =
+    """SELECT l_returnflag,
+         round((quantile_cont(l_extendedprice, [0.25, 0.5, 0.75]))[1], 4) AS p25,
+         round((quantile_cont(l_extendedprice, [0.25, 0.5, 0.75]))[2], 4) AS p50,
+         round((quantile_cont(l_extendedprice, [0.25, 0.5, 0.75]))[3], 4) AS p75
+       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
+
+  /** q48: second-moment statistics (corr / covariance / stddev / variance).
+    * Rounding per metric magnitude: single-pass co-moment accumulation
+    * differs in summation order between engines.
+    */
+  private def q48(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("qp_corr"),
+        round(covar_samp(col("l_quantity"), col("l_extendedprice")), 4).as("qp_covar"),
+        round(stddev_samp(col("l_quantity")), 4).as("q_stddev"),
+        round(var_samp(col("l_extendedprice")), 2).as("p_var"))
+      .orderBy(col("l_returnflag"))
+  private val q48Sql =
+    """SELECT l_returnflag,
+         round(corr(l_quantity, l_extendedprice), 6) AS qp_corr,
+         round(covar_samp(l_quantity, l_extendedprice), 4) AS qp_covar,
+         round(stddev_samp(l_quantity), 4) AS q_stddev,
+         round(var_samp(l_extendedprice), 2) AS p_var
+       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
+
+  /** q49: navigation window functions over each customer's order history. */
+  private def q49(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    Tables.orders(s, d)
+      .withColumn("prev_price", lag(col("o_totalprice"), 1).over(w))
+      .withColumn("next_price", lead(col("o_totalprice"), 1).over(w))
+      .withColumn("quartile", ntile(4).over(w))
+      .withColumn("first_key", first(col("o_orderkey")).over(w))
+      .select(col("o_orderkey"), col("o_custkey"),
+        col("o_orderdate").cast("date").as("order_day"), col("o_totalprice"),
+        col("prev_price"), col("next_price"), col("quartile"), col("first_key"))
+      .orderBy(col("o_orderkey"))
+  }
+  private val q49Sql =
+    """SELECT o_orderkey, o_custkey, o_orderdate::DATE AS order_day,
+         o_totalprice,
+         lag(o_totalprice, 1) OVER w AS prev_price,
+         lead(o_totalprice, 1) OVER w AS next_price,
+         ntile(4) OVER w AS quartile,
+         first_value(o_orderkey) OVER w AS first_key
+       FROM orders
+       WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+       ORDER BY o_orderkey"""
+
+  /** q50: trailing 7-day RANGE frame per user over event time (epoch
+    * seconds on both sides: Spark's cast(ts as long) and DuckDB's
+    * epoch_us // 1000000 both floor).
+    */
+  private def q50(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").cast("long"))
+      .rangeBetween(-604800, 0)
+    Tables.events(s, d)
+      .withColumn("w7_sum", round(sum(col("value")).over(w), 6))
+      .select(col("event_id"), col("user_id"),
+        col("ts").cast("date").as("day"), col("value"), col("w7_sum"))
+      .orderBy(col("event_id"))
+  }
+  private val q50Sql =
+    """SELECT event_id, user_id, ts::DATE AS day, value,
+         round(sum(value) OVER (PARTITION BY user_id
+           ORDER BY (epoch_us(ts) // 1000000)
+           RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW), 6) AS w7_sum
+       FROM events ORDER BY event_id"""
+
+  /** q51: unpivot aggregated measures to long form. */
+  private def q51(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(round(sum(col("l_quantity")), 2).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 2).as("sum_price"))
+      .unpivot(Array(col("l_returnflag")),
+        Array(col("sum_qty"), col("sum_price")), "measure", "value")
+      .orderBy(col("l_returnflag"), col("measure"))
+  private val q51Sql =
+    """WITH agg AS (
+         SELECT l_returnflag, round(sum(l_quantity), 2) AS sum_qty,
+           round(sum(l_extendedprice), 2) AS sum_price
+         FROM lineitem GROUP BY l_returnflag)
+       SELECT l_returnflag, 'sum_qty' AS measure, sum_qty AS value FROM agg
+       UNION ALL
+       SELECT l_returnflag, 'sum_price' AS measure, sum_price AS value FROM agg
+       ORDER BY l_returnflag, measure"""
+
+  /** q52: multiset set operations (INTERSECT ALL / EXCEPT ALL) on the
+    * customer vs supplier nation multisets, folded to (op, key, n) rows.
+    */
+  private def q52(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(s, d).select(col("c_nationkey").as("nationkey"))
+    val sup = Tables.supplier(s, d).select(col("s_nationkey").as("nationkey"))
+    val i = c.intersectAll(sup).withColumn("op", lit("intersect_all"))
+    val e = c.exceptAll(sup).withColumn("op", lit("except_all"))
+    i.union(e)
+      .groupBy(col("op"), col("nationkey")).agg(count(lit(1)).as("n"))
+      .orderBy(col("op"), col("nationkey"))
+  }
+  private val q52Sql =
+    """WITH i AS (
+         SELECT c_nationkey AS nationkey FROM customer
+         INTERSECT ALL SELECT s_nationkey FROM supplier),
+       e AS (
+         SELECT c_nationkey AS nationkey FROM customer
+         EXCEPT ALL SELECT s_nationkey FROM supplier)
+       SELECT 'intersect_all' AS op, nationkey, count(*) AS n FROM i GROUP BY 2
+       UNION ALL
+       SELECT 'except_all' AS op, nationkey, count(*) AS n FROM e GROUP BY 2
+       ORDER BY op, nationkey"""
+
+  /** q53: string/regex/edit-distance scalar functions. */
+  private def q53(s: SparkSession, d: String): DataFrame =
+    Tables.part(s, d)
+      .filter(col("p_partkey") <= 200)
+      .select(col("p_partkey"),
+        regexp_extract(col("p_name"), "([a-z]+)$", 1).as("last_word"),
+        levenshtein(col("p_brand"), col("p_type")).cast("long").as("edit_dist"),
+        upper(col("p_brand")).as("brand_uc"),
+        lpad(col("p_size").cast("string"), 4, "0").as("size_padded"))
+      .orderBy(col("p_partkey"))
+  private val q53Sql =
+    """SELECT p_partkey,
+         regexp_extract(p_name, '([a-z]+)$', 1) AS last_word,
+         levenshtein(p_brand, p_type)::BIGINT AS edit_dist,
+         upper(p_brand) AS brand_uc,
+         lpad(p_size::VARCHAR, 4, '0') AS size_padded
+       FROM part WHERE p_partkey <= 200 ORDER BY p_partkey"""
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef("q46_posexplode", q46, Some(q46Sql)),
+    QueryDef("q47_percentiles", q47, Some(q47Sql)),
+    QueryDef("q48_moment_stats", q48, Some(q48Sql)),
+    QueryDef("q49_window_nav", q49, Some(q49Sql)),
+    QueryDef("q50_range_frame", q50, Some(q50Sql)),
+    QueryDef("q51_unpivot", q51, Some(q51Sql)),
+    QueryDef("q52_multiset_ops", q52, Some(q52Sql)),
+    QueryDef("q53_string_funcs", q53, Some(q53Sql)))
+}

@@ -1,0 +1,242 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions._
+
+/** Training-data pipeline operators beyond dedup/similarity (SURVEY.md
+  * §2.6 extensions): benchmark-contamination detection, deterministic
+  * stratified sampling, corpus n-gram statistics, embedding quantization,
+  * k-means cluster assignment, and intra-document repetition scoring.
+  * Each is a parameterized library function plus an oracle-bound QueryDef.
+  *
+  * Scale design notes:
+  *  - contamination: equi-join on the n-gram string, same shape as the
+  *    dedup gram join — shuffles (id, gram) pairs, never documents. At
+  *    100 TB, pre-hash grams with xxhash64 so the shuffle carries 8-byte
+  *    keys (kept as strings here so the DuckDB oracle sees identical
+  *    values); the eval side is typically small enough to broadcast.
+  *  - stratified sample: pure map-side — a deterministic hash predicate
+  *    per row, no shuffle at all (the ONLY way to sample reproducibly
+  *    across engines, retries, and reruns; rand()-based sampling is none
+  *    of those).
+  *  - top-k n-grams: map-side partial aggregation does the heavy lifting
+  *    (frequent grams collapse before the shuffle); the final top-k is a
+  *    single small sort.
+  *  - quantization: embarrassingly parallel map work.
+  *  - k-means assign: broadcast the centroids (k rows), one pass over the
+  *    vectors, per-partition partial aggregation of cluster stats.
+  *  - repetition: per-doc gram frequencies; the (doc_id, gram) shuffle is
+  *    avoidable at scale with a per-row native kernel (same pattern as
+  *    MinHashBands), kept relational here for oracle transparency.
+  */
+object PipelineOps {
+
+  // ===========================================================================
+  // Library API
+  // ===========================================================================
+
+  /** Exact n-gram contamination check: for every (trainId, evalId) pair
+    * sharing at least one distinct word n-gram, the number of shared
+    * n-grams. `evalPred` splits the corpus (rows matching it are the
+    * held-out set).
+    */
+  def contamination(df: DataFrame, idCol: String, textCol: String,
+      evalPred: Column, n: Int): DataFrame = {
+    def grams(part: DataFrame, alias: String) = part
+      .select(col(idCol).as(alias), tokens(col(textCol)).as("toks"))
+      .filter(size(col("toks")) >= n)
+      .select(col(alias), explode(distinctNgrams(col("toks"), n)).as("g"))
+    val train = grams(df.filter(!evalPred), "train_id")
+    val eval_ = grams(df.filter(evalPred), "eval_id")
+    train.join(eval_, "g")
+      .groupBy(col("train_id"), col("eval_id"))
+      .agg(count(lit(1)).as("n_shared"))
+  }
+
+  /** Deterministic hash-based sample predicate: keeps ~`pct`/256 of rows
+    * keyed on md5 of the key column's string form (reproducible across
+    * engines and reruns — the first two hex chars are compared to the
+    * two-digit hex threshold).
+    */
+  def hashSamplePredicate(key: Column, pct256: Int): Column = {
+    require(pct256 >= 0 && pct256 <= 256, "pct256 in [0, 256]")
+    substring(md5(key.cast("string").cast("binary")), 1, 2) < f"$pct256%02x"
+  }
+
+  /** Per-stratum totals and deterministically-sampled counts. */
+  def stratifiedSampleStats(df: DataFrame, stratumCol: String, keyCol: String,
+      pct256: Int): DataFrame =
+    df.groupBy(col(stratumCol))
+      .agg(count(lit(1)).as("n_total"),
+        count(when(hashSamplePredicate(col(keyCol), pct256), 1)).as("n_sampled"))
+      .withColumn("rate",
+        round(col("n_sampled").cast("double") / col("n_total"), 4))
+
+  /** Corpus-wide top-k word n-grams by multiset frequency (count desc,
+    * gram asc tiebreak).
+    */
+  def topNgrams(df: DataFrame, textCol: String, n: Int, k: Int): DataFrame =
+    df.select(tokens(col(textCol)).as("toks"))
+      .filter(size(col("toks")) >= n)
+      .select(explode(ngrams(col("toks"), n)).as("gram"))
+      .groupBy(col("gram")).agg(count(lit(1)).as("n_occurrences"))
+      .orderBy(col("n_occurrences").desc, col("gram"))
+      .limit(k)
+
+  /** L2 norm plus symmetric int8 quantization of an embedding column:
+    * q_i = floor(x_i / max|x| * 127). All arithmetic in double after exact
+    * float widening; floor (not round) so both engines truncate identically.
+    */
+  def quantizeEmbeddings(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val v = col(vecCol)
+    val scale = array_max(transform(v, x => abs(x))).cast("double")
+    df.select(col(idCol),
+      round(sqrt(aggregate(v, lit(0.0),
+        (acc, x) => acc + x.cast("double") * x.cast("double"))), 6).as("l2_norm"),
+      transform(v, x =>
+        floor(x.cast("double") / scale * 127).cast("long")).as("q8"))
+  }
+
+  /** Nearest-centroid assignment (one k-means step): centroids broadcast,
+    * cosine scored in the native kernel, argmax via window (centroid id
+    * tiebreak), then per-cluster stats.
+    */
+  def kmeansAssign(vectors: DataFrame, centroids: DataFrame,
+      idCol: String, vecCol: String, centIdCol: String, centVecCol: String): DataFrame = {
+    val scored = vectors.crossJoin(broadcast(centroids))
+      .select(col(idCol), col(centIdCol),
+        cosine(col(vecCol), col(centVecCol)).as("cs"))
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("cs").desc, col(centIdCol))
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .groupBy(col(centIdCol))
+      .agg(count(lit(1)).as("n_members"), round(avg(col("cs")), 6).as("avg_cos"))
+  }
+
+  /** Intra-document repetition ratio: occurrences of the most frequent
+    * word n-gram over total n-gram occurrences (1/n_grams = no repetition,
+    * 1.0 = the same window repeated throughout) — a boilerplate detector.
+    */
+  def repetitionRatio(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    df.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("toks"))
+      .filter(size(col("toks")) >= n)
+      .select(col("doc_id"), explode(ngrams(col("toks"), n)).as("g"))
+      .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(round(max(col("c")).cast("double") / sum(col("c")), 6).as("rep_ratio"))
+
+  // ===========================================================================
+  // Oracle-bound query exercises
+  // ===========================================================================
+
+  private def q40(s: SparkSession, d: String): DataFrame =
+    contamination(Tables.documents(s, d), "doc_id", "text",
+      col("doc_id") % 10 === 7, n = 5)
+      .orderBy(col("train_id"), col("eval_id"))
+  private val q40Sql =
+    """WITH toks AS (
+         SELECT doc_id, string_split(text, ' ') AS tokens FROM documents
+         WHERE len(string_split(text, ' ')) >= 5),
+       grams AS (
+         SELECT DISTINCT doc_id, g FROM (
+           SELECT doc_id, unnest(list_transform(range(1, len(tokens) - 3),
+             i -> tokens[i] || ' ' || tokens[i+1] || ' ' || tokens[i+2]
+               || ' ' || tokens[i+3] || ' ' || tokens[i+4])) AS g
+           FROM toks))
+       SELECT t.doc_id AS train_id, e.doc_id AS eval_id,
+         count(*) AS n_shared
+       FROM grams t JOIN grams e ON t.g = e.g
+       WHERE t.doc_id % 10 <> 7 AND e.doc_id % 10 = 7
+       GROUP BY 1, 2 ORDER BY train_id, eval_id"""
+
+  private def q41(s: SparkSession, d: String): DataFrame =
+    stratifiedSampleStats(Tables.documents(s, d), "lang", "doc_id", pct256 = 51)
+      .orderBy(col("lang"))
+  private val q41Sql =
+    """SELECT lang, count(*) AS n_total,
+         count(*) FILTER (WHERE substr(md5(doc_id::VARCHAR), 1, 2) < '33')
+           AS n_sampled,
+         round(count(*) FILTER (WHERE substr(md5(doc_id::VARCHAR), 1, 2) < '33')
+           / count(*), 4) AS rate
+       FROM documents GROUP BY lang ORDER BY lang"""
+
+  private def q42(s: SparkSession, d: String): DataFrame =
+    topNgrams(Tables.documents(s, d), "text", n = 2, k = 20)
+  private val q42Sql =
+    """WITH toks AS (
+         SELECT string_split(text, ' ') AS tokens FROM documents
+         WHERE len(string_split(text, ' ')) >= 2),
+       grams AS (
+         SELECT unnest(list_transform(range(1, len(tokens)),
+           i -> tokens[i] || ' ' || tokens[i+1])) AS gram
+         FROM toks)
+       SELECT gram, count(*) AS n_occurrences FROM grams
+       GROUP BY gram ORDER BY n_occurrences DESC, gram LIMIT 20"""
+
+  private def q43(s: SparkSession, d: String): DataFrame =
+    quantizeEmbeddings(Tables.embeddings(s, d), "vec_id", "embedding")
+      .orderBy(col("vec_id"))
+  private val q43Sql =
+    """SELECT vec_id,
+         round(sqrt(list_sum(list_transform(embedding,
+           x -> x::DOUBLE * x::DOUBLE))), 6) AS l2_norm,
+         list_transform(embedding, x -> floor(x::DOUBLE /
+           (list_max(list_transform(embedding, y -> abs(y))))::DOUBLE
+           * 127)::BIGINT) AS q8
+       FROM embeddings ORDER BY vec_id"""
+
+  private def q44(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val cents = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("centroid_id"), col("embedding").as("cent"))
+    kmeansAssign(emb, cents, "vec_id", "embedding", "centroid_id", "cent")
+      .orderBy(col("centroid_id"))
+  }
+  private val q44Sql =
+    """WITH cents AS (
+         SELECT vec_id AS centroid_id, embedding AS cent FROM embeddings
+         WHERE vec_id < 8),
+       scored AS (
+         SELECT e.vec_id, c.centroid_id,
+           list_sum(list_transform(range(1, len(e.embedding) + 1),
+             k -> e.embedding[k]::DOUBLE * c.cent[k]::DOUBLE))
+           / (sqrt(list_sum(list_transform(e.embedding, x -> x::DOUBLE * x::DOUBLE)))
+              * sqrt(list_sum(list_transform(c.cent, x -> x::DOUBLE * x::DOUBLE))))
+             AS cs
+         FROM embeddings e CROSS JOIN cents c),
+       best AS (
+         SELECT vec_id, centroid_id, cs,
+           row_number() OVER (PARTITION BY vec_id
+             ORDER BY cs DESC, centroid_id) AS rn
+         FROM scored)
+       SELECT centroid_id, count(*) AS n_members,
+         round(avg(cs), 6) AS avg_cos
+       FROM best WHERE rn = 1 GROUP BY centroid_id ORDER BY centroid_id"""
+
+  private def q45(s: SparkSession, d: String): DataFrame =
+    repetitionRatio(Tables.documents(s, d), "doc_id", "text", n = 3)
+      .orderBy(col("doc_id"))
+  private val q45Sql =
+    """WITH toks AS (
+         SELECT doc_id, string_split(text, ' ') AS tokens FROM documents
+         WHERE len(string_split(text, ' ')) >= 3),
+       grams AS (
+         SELECT doc_id, unnest(list_transform(range(1, len(tokens) - 1),
+           i -> tokens[i] || ' ' || tokens[i+1] || ' ' || tokens[i+2])) AS g
+         FROM toks),
+       freq AS (
+         SELECT doc_id, g, count(*) AS c FROM grams GROUP BY 1, 2)
+       SELECT doc_id, round(max(c)::DOUBLE / sum(c), 6) AS rep_ratio
+       FROM freq GROUP BY doc_id ORDER BY doc_id"""
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef("q40_contamination", q40, Some(q40Sql)),
+    QueryDef("q41_stratified_sample", q41, Some(q41Sql)),
+    QueryDef("q42_topk_ngrams", q42, Some(q42Sql)),
+    QueryDef("q43_embed_quantize", q43, Some(q43Sql)),
+    QueryDef("q44_kmeans_assign", q44, Some(q44Sql)),
+    QueryDef("q45_repetition", q45, Some(q45Sql)))
+}

@@ -1,0 +1,68 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class PipelineOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("contamination finds cross-split shared n-grams and nothing else") {
+    val df = Seq(
+      (1L, "a b c d e f"),      // train
+      (2L, "z y x w v u"),      // train, disjoint
+      (10L, "a b c d e zzz"),   // eval: shares 5-grams? "a b c d e" only
+      (20L, "q r s t u v")      // eval, disjoint
+    ).toDF("doc_id", "text")
+    val got = PipelineOps.contamination(df, "doc_id", "text",
+        col("doc_id") >= 10, n = 5)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got === Set((1L, 10L, 1L))) // exactly one shared 5-gram
+  }
+
+  test("hash sample predicate is deterministic and near the target rate") {
+    val df = spark.range(10000).toDF("id")
+    val n1 = df.filter(PipelineOps.hashSamplePredicate(col("id"), 51)).count()
+    val n2 = df.filter(PipelineOps.hashSamplePredicate(col("id"), 51)).count()
+    assert(n1 === n2)                        // rerun-stable
+    assert(n1 > 1500 && n1 < 2500)           // ~19.9% of 10k
+  }
+
+  test("repetitionRatio is 1.0 for pure repetition, 1/n for all-distinct") {
+    val df = Seq(
+      (1L, "x y x y x y x y"),   // every trigram window equals one of 2 grams
+      (2L, "a b c d e")          // 3 distinct trigrams, each once
+    ).toDF("doc_id", "text")
+    val got = PipelineOps.repetitionRatio(df, "doc_id", "text", 3)
+      .orderBy("doc_id").as[(Long, Double)].collect()
+    assert(got(0)._2 === 0.5)      // "x y x" appears 3 of 6 windows
+    assert(got(1)._2 === 0.333333) // 1/3 rounded to 6dp
+  }
+
+  test("quantizeEmbeddings bounds q8 in [-127, 127] and norms match") {
+    val df = Seq((1L, Array(3f, -4f))).toDF("vec_id", "embedding")
+    val row = PipelineOps.quantizeEmbeddings(df, "vec_id", "embedding").head()
+    assert(row.getDouble(1) === 5.0)                  // l2 norm
+    val q = row.getSeq[Long](2)
+    assert(q === Seq(95L, -127L))                     // floor(3/4*127), floor(-4/4*127)
+  }
+
+  test("kmeansAssign puts every vector with its nearest centroid") {
+    val vecs = Seq(
+      (1L, Array(1f, 0f)), (2L, Array(0.9f, 0.1f)),
+      (3L, Array(0f, 1f)), (4L, Array(0.1f, 0.9f))).toDF("vec_id", "embedding")
+    val cents = Seq((100L, Array(1f, 0f)), (200L, Array(0f, 1f)))
+      .toDF("centroid_id", "cent")
+    val got = PipelineOps.kmeansAssign(vecs, cents,
+        "vec_id", "embedding", "centroid_id", "cent")
+      .orderBy("centroid_id")
+      .select("centroid_id", "n_members").as[(Long, Long)].collect()
+    assert(got === Array((100L, 2L), (200L, 2L)))
+  }
+
+  test("topNgrams orders by count desc then gram asc") {
+    val df = Seq("b b", "b b", "a a", "a a", "c c").toDF("text")
+    val got = PipelineOps.topNgrams(df, "text", n = 2, k = 2)
+      .as[(String, Long)].collect()
+    assert(got === Array(("a a", 2L), ("b b", 2L))) // tie broken by gram
+  }
+}
