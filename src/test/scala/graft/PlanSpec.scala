@@ -59,6 +59,55 @@ class PlanSpec extends SparkSpec {
       "text must be hashed away before the first shuffle")
   }
 
+  test("q09: map-side WindowGroupLimit prunes before the shuffle") {
+    // Spark 4 pushes a partial top-k below the exchange — per-partition
+    // top-3 per suppkey ships, not the whole table. This is the property
+    // that keeps window top-k viable at 100 TB; pin it.
+    val p = plan("q09_window_topk")
+    val exchangeIdx = p.indexOf("Exchange hashpartitioning")
+    assert(exchangeIdx >= 0)
+    assert(p.indexOf("WindowGroupLimit", exchangeIdx) > 0,
+      "final WindowGroupLimit missing")
+    assert(p.substring(exchangeIdx).contains("WindowGroupLimit"),
+      s"partial WindowGroupLimit below the shuffle missing:\n${p.take(1500)}")
+  }
+
+  test("minhash band stage: kernel in the scan stage, no shuffle below it") {
+    // (q27's final plan reads the localCheckpoint'ed candidate RDDs, so the
+    // signature subtree is asserted on directly.)
+    import org.apache.spark.sql.functions._
+    import graft.functions.TextFunctions._
+    val bands = Tables.documents(spark, sf)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= 3)
+      .select(col("doc_id"), explode(minhashBands(col("toks"), 64, 4)).as("key"))
+    val p = bands.queryExecution.executedPlan.toString
+    assert(p.contains("minhashbands"), s"native kernel missing:\n${p.take(1500)}")
+    assert(!p.contains("Exchange"),
+      s"signature stage must be shuffle-free map work:\n${p.take(1500)}")
+    assert(!p.contains("xxhash64"), "exploded-gram signature path resurfaced")
+  }
+
+  test("q44 k-means: centroids broadcast, vectors never shuffled for scoring") {
+    val p = plan("q44_kmeans_assign")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"centroid side should broadcast:\n${p.take(1500)}")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q41 stratified sample: single scan, aggregation only (no join, no extra shuffle)") {
+    val p = plan("q41_stratified_sample")
+    assert(!p.contains("Join"), "sampling must be map-side + aggregate only")
+    assert(p.linesIterator.count(_.trim.startsWith("+- Exchange")) <= 2,
+      s"too many shuffles for a hash-sample count:\n$p")
+  }
+
+  test("q53: partkey range predicate is pushed into the parquet scan") {
+    val p = plan("q53_string_funcs")
+    assert(p.contains("LessThanOrEqual(p_partkey,200)"),
+      s"filter not pushed:\n${p.take(1500)}")
+  }
+
   test("whole-stage codegen covers the relational hot paths") {
     // AQE prints codegen stages only in the finalized plan — execute first.
     Seq("q01_pricing_summary", "q06_selective_agg", "q09_window_topk").foreach { q =>
