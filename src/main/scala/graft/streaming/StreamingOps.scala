@@ -58,6 +58,17 @@ object StreamingOps {
     decoded.withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Stream-static enrichment join: every micro-batch of the stream is
+    * joined against a static dimension. The dimension is broadcast — on a
+    * cluster each executor holds one copy and the stream never shuffles,
+    * which is the only join shape that keeps per-trigger latency flat as
+    * the stream scales. No watermark needed: the static side never changes
+    * within a query run (restart the query to pick up a new snapshot).
+    */
+  def enrichWithStatic(decoded: DataFrame, dim: DataFrame,
+      joinKey: String): DataFrame =
+    decoded.join(broadcast(dim), Seq(joinKey), "left")
+
   /** Stream-stream interval join with watermarks (SURVEY.md §2.5 joins row):
     * each purchase joined to the same user's clicks in the hour before it.
     * Both sides are watermarked so the join state is bounded — Spark evicts

@@ -76,6 +76,24 @@ class StreamingAnalyticsSpec extends SparkSpec {
     assert(spark.table("dedup_stream").select("event_id").distinct().count() === total)
   }
 
+  test("stream-static enrichment join matches the batch join and keeps all rows") {
+    val dim = spark.range(0, 10000).toDF("user_id")
+      .withColumn("tier", when(col("user_id") % 3 === 0, "gold")
+        .when(col("user_id") % 3 === 1, "silver").otherwise("bronze"))
+    val q = StreamingOps.enrichWithStatic(decoded(), dim, "user_id")
+      .select("event_id", "user_id", "tier")
+      .writeStream.format("memory").queryName("enriched")
+      .option("checkpointLocation", tmp("ckpt_enrich"))
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val got = spark.table("enriched")
+    val want = graft.Tables.events(spark, sf)
+      .join(dim, Seq("user_id"), "left")
+      .select("event_id", "user_id", "tier")
+    assert(got.count() === want.count())
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+  }
+
   test("stream-stream interval join matches the batch range join") {
     // Two independent instances of the source feed the two join sides.
     val q = StreamingOps.clickAttribution(decoded(), "2 hours")
