@@ -31,6 +31,27 @@ object Native {
       },
       "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_simhash",
+      exprs => {
+        require(exprs.length == 1, "graft_simhash(tokens) takes one array")
+        SimHashSignature(exprs.head)
+      },
+      "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_l2sq",
+      exprs => {
+        require(exprs.length == 1, "graft_l2sq(vec) takes one array")
+        L2SquaredNorm(exprs.head)
+      },
+      "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_quantize8",
+      exprs => {
+        require(exprs.length == 1, "graft_quantize8(vec) takes one array")
+        QuantizeInt8(exprs.head)
+      },
+      "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_minhash_bands",
       exprs => {
         require(exprs.length == 3,

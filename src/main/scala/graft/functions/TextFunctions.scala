@@ -66,6 +66,25 @@ object TextFunctions {
   def minhashBands(toks: Column, numHashes: Int, bandRows: Int): Column =
     call_function("graft_minhash_bands", toks, lit(numHashes), lit(bandRows))
 
+  /** 32-bit SimHash of a token array — the native one-pass
+    * [[SimHashSignature]] kernel (requires [[Native.register]]). Bit-equal
+    * to the exploded token-vote formulation it replaces (SimHashSpec).
+    */
+  def simhashSig(toks: Column): Column =
+    call_function("graft_simhash", toks)
+
+  /** L2 squared norm of a float/double vector — native [[L2SquaredNorm]]
+    * kernel; take `sqrt(...)` on top for the norm.
+    */
+  def l2sq(vec: Column): Column =
+    call_function("graft_l2sq", vec)
+
+  /** Symmetric int8 quantization floor(x_i / max|x| * 127) as array<long> —
+    * native [[QuantizeInt8]] kernel, one compiled pass.
+    */
+  def quantize8(vec: Column): Column =
+    call_function("graft_quantize8", vec)
+
   /** Cosine similarity of two float/double vectors — the native codegen'd
     * [[CosineSimilarity]] expression (requires [[Native.register]], which
     * every session factory and SparkEntry entry point performs). Double

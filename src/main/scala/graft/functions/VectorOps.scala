@@ -1,0 +1,143 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, LongType}
+
+/** Native one-pass vector kernels for the embedding pipeline: L2 squared
+  * norm and symmetric int8 quantization. Both replace interpreted
+  * higher-order-function lambdas (`aggregate`/`transform`), which Spark
+  * evaluates per element through the interpreter — the measured ~10x
+  * pitfall on the similarity path (see [[CosineSimilarity]]). These stay
+  * inside whole-stage codegen and are pure map work: zero shuffle, which
+  * is what makes per-vector preprocessing free at 100 TB.
+  *
+  * Numeric contract (oracle parity): float elements widen exactly to
+  * double; accumulation is left-to-right double — bitwise identical to the
+  * HOF formulation and the DuckDB `list_sum(list_transform(...))` form.
+  * The quantizer divides by max|x| computed in the same widened domain
+  * (max over floats == max over their exact double widenings) and floors,
+  * matching `floor(x::DOUBLE / list_max(...) * 127)::BIGINT`.
+  */
+object VectorOpsUtil {
+  /** Sum of squares (left-to-right double fold); null if any element is
+    * null (mirrors the `aggregate` fold, where null poisons the sum).
+    */
+  def l2sq(a: ArrayData, isFloat: Boolean): java.lang.Double = {
+    val n = a.numElements()
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i)) return null
+      val x = if (isFloat) a.getFloat(i).toDouble else a.getDouble(i)
+      s += x * x
+      i += 1
+    }
+    java.lang.Double.valueOf(s)
+  }
+
+  /** Symmetric int8 quantization q_i = floor(x_i / max|x| * 127). Null for
+    * degenerate inputs (empty vector, all-zero vector, NaN scale, null
+    * element) — the cases where the HOF form yields nulls/NaN garbage.
+    */
+  def quantize8(a: ArrayData, isFloat: Boolean): Array[Long] = {
+    val n = a.numElements()
+    if (n == 0) return null
+    var m = 0.0
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i)) return null
+      val x = math.abs(if (isFloat) a.getFloat(i).toDouble else a.getDouble(i))
+      if (x > m) m = x
+      i += 1
+    }
+    if (m == 0.0 || java.lang.Double.isNaN(m)) return null
+    val out = new Array[Long](n)
+    i = 0
+    while (i < n) {
+      val x = if (isFloat) a.getFloat(i).toDouble else a.getDouble(i)
+      out(i) = math.floor(x / m * 127.0).toLong
+      i += 1
+    }
+    out
+  }
+}
+
+private[functions] trait VectorArrayInput extends UnaryExpression {
+  protected def fnName: String
+
+  protected def isFloat: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType | DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$fnName expects array<float>/array<double>, got ${other.simpleString}")
+  }
+}
+
+/** L2 squared norm of a float/double vector (take `sqrt` with the built-in
+  * on top — keeping sqrt/round in Column space preserves the exact
+  * rounding behavior shared with every other oracle-green query).
+  */
+final case class L2SquaredNorm(child: Expression)
+    extends UnaryExpression with VectorArrayInput {
+  override protected def fnName: String = "graft_l2sq"
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+
+  override protected def nullSafeEval(a: Any): Any =
+    VectorOpsUtil.l2sq(a.asInstanceOf[ArrayData], isFloat)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val r = ctx.freshName("l2sq")
+      s"""
+         |java.lang.Double $r = graft.functions.VectorOpsUtil.l2sq($a, $isFloat);
+         |if ($r == null) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = $r.doubleValue();
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): L2SquaredNorm =
+    copy(child = newChild)
+}
+
+/** Symmetric int8 quantization of a float/double vector: array<long> of
+  * floor(x_i / max|x| * 127), one compiled pass.
+  */
+final case class QuantizeInt8(child: Expression)
+    extends UnaryExpression with VectorArrayInput {
+  override protected def fnName: String = "graft_quantize8"
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+
+  override protected def nullSafeEval(a: Any): Any = {
+    val q = VectorOpsUtil.quantize8(a.asInstanceOf[ArrayData], isFloat)
+    if (q == null) null
+    else new org.apache.spark.sql.catalyst.util.GenericArrayData(q)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val q = ctx.freshName("q8")
+      s"""
+         |long[] $q = graft.functions.VectorOpsUtil.quantize8($a, $isFloat);
+         |if ($q == null) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} =
+         |    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+         |      .fromPrimitiveArray($q);
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): QuantizeInt8 =
+    copy(child = newChild)
+}

@@ -22,7 +22,8 @@ import graft.functions.TextFunctions._
   *    Shuffles are on fixed-width band keys (not text); candidate count
   *    ~ true-dup count, so verify cost tracks output size. Miss probability
   *    for a 0.9-Jaccard pair: (1 - 0.9^4)^16 ≈ 4e-8.
-  *  - SimHash: 32-bit signature; pairs at hamming ≤ 3 found via the
+  *  - SimHash: 32-bit signature computed by the native per-row kernel
+  *    (zero-shuffle map work); pairs at hamming ≤ 3 found via the
   *    pigeonhole band join (4 × 8-bit chunks — distance ≤ 3 forces one
   *    equal chunk), so no all-pairs cross join, and the band join is EXACT.
   *  - cosine: brute pair join at test SF; the scale path is the IVF variant
@@ -157,8 +158,23 @@ object Dedup {
     verifyJaccard(cands, candGrams)
   }
 
-  /** SimHash signature bits per id (32-bit, token-vote construction). */
-  def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+  /** SimHash signature bits per id (32-bit, token-vote construction) — the
+    * native one-pass [[graft.functions.SimHashSignature]] kernel: the whole
+    * signature is compiled map work, ZERO shuffle. (The relational vote
+    * formulation it replaces, kept below as [[simhashVotes]], exploded 32
+    * vote rows per token OCCURRENCE and shuffled them twice — a
+    * corpus-sized x32 exchange, the one scale-killer in the dedup suite.)
+    */
+  def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol).as("doc_id"),
+      simhashSig(tokens(col(textCol))).as("simhash"))
+
+  /** The exploded token-vote formulation of [[simhash]] — reference
+    * semantics the kernel must reproduce bit-for-bit (SimHashSpec asserts
+    * equality). Not for production use: shuffles (doc_id, j) for every
+    * token occurrence x 32 bits.
+    */
+  def simhashVotes(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val tok = df.select(col(idCol).as("doc_id"),
       explode(tokens(col(textCol))).as("t"))
     val th = tok.withColumn("h", polyHash(col("t")))

@@ -13,11 +13,12 @@ import graft.functions.TextFunctions._
   * Each is a parameterized library function plus an oracle-bound QueryDef.
   *
   * Scale design notes:
-  *  - contamination: equi-join on the n-gram string, same shape as the
-  *    dedup gram join — shuffles (id, gram) pairs, never documents. At
-  *    100 TB, pre-hash grams with xxhash64 so the shuffle carries 8-byte
-  *    keys (kept as strings here so the DuckDB oracle sees identical
-  *    values); the eval side is typically small enough to broadcast.
+  *  - contamination: equi-join on the n-gram, same shape as the dedup
+  *    gram join — shuffles (id, gram) pairs, never documents. The
+  *    `hashGrams` option shrinks the shuffled key to 8-byte xxhash64
+  *    values and `broadcastEval` removes the corpus-side exchange
+  *    entirely (the oracle-bound q40 keeps the string form so DuckDB
+  *    sees identical values; the spec asserts all variants agree).
   *  - stratified sample: pure map-side — a deterministic hash predicate
   *    per row, no shuffle at all (the ONLY way to sample reproducibly
   *    across engines, retries, and reruns; rand()-based sampling is none
@@ -42,16 +43,30 @@ object PipelineOps {
     * sharing at least one distinct word n-gram, the number of shared
     * n-grams. `evalPred` splits the corpus (rows matching it are the
     * held-out set).
+    *
+    * Scale options (output-identical, asserted by PipelineOpsSpec):
+    *  - `hashGrams`: join on xxhash64 of the gram instead of the string —
+    *    the shuffle carries 8-byte keys, not n-word text windows. (A
+    *    64-bit collision adds a phantom shared gram; at eval-set gram
+    *    cardinalities that is ~1e-9 per pair — negligible vs the 100x
+    *    narrower exchange.)
+    *  - `broadcastEval`: the held-out set is usually tiny next to the
+    *    training corpus; broadcasting its gram rows removes the corpus-side
+    *    shuffle entirely — the train side never exchanges at all.
     */
   def contamination(df: DataFrame, idCol: String, textCol: String,
-      evalPred: Column, n: Int): DataFrame = {
-    def grams(part: DataFrame, alias: String) = part
-      .select(col(idCol).as(alias), tokens(col(textCol)).as("toks"))
-      .filter(size(col("toks")) >= n)
-      .select(col(alias), explode(distinctNgrams(col("toks"), n)).as("g"))
+      evalPred: Column, n: Int, hashGrams: Boolean = false,
+      broadcastEval: Boolean = false): DataFrame = {
+    def grams(part: DataFrame, alias: String) = {
+      val g = part
+        .select(col(idCol).as(alias), tokens(col(textCol)).as("toks"))
+        .filter(size(col("toks")) >= n)
+        .select(col(alias), explode(distinctNgrams(col("toks"), n)).as("g"))
+      if (hashGrams) g.select(col(alias), xxhash64(col("g")).as("g")) else g
+    }
     val train = grams(df.filter(!evalPred), "train_id")
     val eval_ = grams(df.filter(evalPred), "eval_id")
-    train.join(eval_, "g")
+    train.join(if (broadcastEval) broadcast(eval_) else eval_, "g")
       .groupBy(col("train_id"), col("eval_id"))
       .agg(count(lit(1)).as("n_shared"))
   }
@@ -89,16 +104,15 @@ object PipelineOps {
   /** L2 norm plus symmetric int8 quantization of an embedding column:
     * q_i = floor(x_i / max|x| * 127). All arithmetic in double after exact
     * float widening; floor (not round) so both engines truncate identically.
+    * Norm and quantized vector come from the native one-pass kernels
+    * ([[graft.functions.L2SquaredNorm]]/[[graft.functions.QuantizeInt8]]) —
+    * codegen'd map work, replacing the interpreted `transform`/`aggregate`
+    * HOF lambdas that burned ~10x the CPU per row.
     */
-  def quantizeEmbeddings(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
-    val v = col(vecCol)
-    val scale = array_max(transform(v, x => abs(x))).cast("double")
+  def quantizeEmbeddings(df: DataFrame, idCol: String, vecCol: String): DataFrame =
     df.select(col(idCol),
-      round(sqrt(aggregate(v, lit(0.0),
-        (acc, x) => acc + x.cast("double") * x.cast("double"))), 6).as("l2_norm"),
-      transform(v, x =>
-        floor(x.cast("double") / scale * 127).cast("long")).as("q8"))
-  }
+      round(sqrt(l2sq(col(vecCol))), 6).as("l2_norm"),
+      quantize8(col(vecCol)).as("q8"))
 
   /** Nearest-centroid assignment (one k-means step): centroids broadcast,
     * cosine scored in the native kernel, argmax via window (centroid id
@@ -176,16 +190,22 @@ object PipelineOps {
        SELECT gram, count(*) AS n_occurrences FROM grams
        GROUP BY gram ORDER BY n_occurrences DESC, gram LIMIT 20"""
 
+  // q8 is emitted as a CSV string, not the array: every output column must
+  // be scalar/hashable for the driver's pandas-based oracle compare (an
+  // array<long> column crashes its sort with "unhashable numpy.ndarray").
+  // The library function keeps the real array return.
   private def q43(s: SparkSession, d: String): DataFrame =
     quantizeEmbeddings(Tables.embeddings(s, d), "vec_id", "embedding")
+      .select(col("vec_id"), col("l2_norm"),
+        concat_ws(",", col("q8")).as("q8_csv"))
       .orderBy(col("vec_id"))
   private val q43Sql =
     """SELECT vec_id,
          round(sqrt(list_sum(list_transform(embedding,
            x -> x::DOUBLE * x::DOUBLE))), 6) AS l2_norm,
-         list_transform(embedding, x -> floor(x::DOUBLE /
+         array_to_string(list_transform(embedding, x -> floor(x::DOUBLE /
            (list_max(list_transform(embedding, y -> abs(y))))::DOUBLE
-           * 127)::BIGINT) AS q8
+           * 127)::BIGINT), ',') AS q8_csv
        FROM embeddings ORDER BY vec_id"""
 
   private def q44(s: SparkSession, d: String): DataFrame = {

@@ -29,23 +29,53 @@ object Similarity {
   /** IVF: seed centroids are the first NumSeeds vectors (deterministic). */
   private val NumSeeds = 16
 
-  // ===========================================================================
-  // Library API
-  // ===========================================================================
+  /** One scored (query, candidate) pair awaiting ranking. */
+  final case class Scored(query_id: Long, neighbor_id: Long, c: Double)
+
+  /** (c desc, neighbor_id asc) — identical tie-break to the window
+    * row_number formulation and the DuckDB oracle.
+    */
+  private val scoredOrd: Ordering[Scored] =
+    Ordering.by((s: Scored) => (-s.c, s.neighbor_id))
+
+  /** Heap-ranked top-k per query over scored (query_id, neighbor_id, c)
+    * rows — the ranking stage every similarity variant shares.
+    *
+    * Scale rationale: a window `row_number() over (partition by query_id)`
+    * shuffles ALL |Q|·N scored rows into |Q| partitions — with 10 queries
+    * and a 100-TB corpus that is the whole scored relation funneled into 10
+    * tasks (skew by construction). The bounded-heap typed aggregator
+    * ([[TypedAggs.BoundedTopK]]) keeps k rows per query IN EACH MAP
+    * PARTIAL, so only k·partitions rows per query ever reach the exchange,
+    * and the final merge is k-sized list merges. Output is identical to the
+    * window form (same ordering + tie-break), which is the oracle.
+    */
+  def rankTopK(scored: DataFrame, k: Int): DataFrame = {
+    val s = scored.sparkSession
+    import s.implicits._
+    val top = new TypedAggs.BoundedTopK[Scored](k, scoredOrd).toColumn
+    scored.select(col("query_id"), col("neighbor_id"), col("c"))
+      .filter(col("c").isNotNull)
+      .as[Scored]
+      .groupByKey(_.query_id)
+      .agg(top.name("top"))
+      .flatMap { case (_, rows) =>
+        rows.zipWithIndex.map { case (r, i) => (r, i + 1) } }
+      .select(col("_1.query_id").as("query_id"),
+        col("_2").cast("int").as("rank"),
+        col("_1.neighbor_id").as("neighbor_id"),
+        round(col("_1.c"), 6).as("cos_sim"))
+  }
 
   /** Exact top-k neighbors of each query vector over the corpus. */
   def bruteTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
       vecCol: String, k: Int): DataFrame = {
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qe"))
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("ne"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("c").desc, col("neighbor_id"))
-    broadcast(q).join(c, col("query_id") =!= col("neighbor_id"))
-      .withColumn("c", cosine(col("qe"), col("ne")))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("neighbor_id"),
-        round(col("c"), 6).as("cos_sim"))
+    val scored = broadcast(q).join(c, col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("qe"), col("ne")).as("c"))
+    rankTopK(scored, k)
   }
 
   /** Assign every vector to its nearest of the given seed centroids
@@ -72,18 +102,14 @@ object Similarity {
     val assigned = ivfAssign(corpus, seeds, idCol, vecCol)
     val queries = queryIds(assigned)
       .select(col(idCol).as("query_id"), col(vecCol).as("qe"), col("cluster"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("c").desc, col("neighbor_id"))
-    broadcast(queries).join(
+    val scored = broadcast(queries).join(
         assigned.select(col(idCol).as("neighbor_id"),
           col(vecCol).as("ne"), col("cluster")),
         Seq("cluster"))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("c", cosine(col("qe"), col("ne")))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("neighbor_id"),
-        round(col("c"), 6).as("cos_sim"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("qe"), col("ne")).as("c"))
+    rankTopK(scored, k)
   }
 
   /** Hyperplane-LSH bucket id: bit i = sign of dot(v, seed_i). Vectors in
@@ -116,18 +142,14 @@ object Similarity {
     val bucketed = corpus.withColumn("bucket", lshBucket(vecCol, planes))
     val queries = bucketed.filter(queryFilter)
       .select(col(idCol).as("query_id"), col(vecCol).as("qe"), col("bucket"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("c").desc, col("neighbor_id"))
-    broadcast(queries).join(
+    val scored = broadcast(queries).join(
         bucketed.select(col(idCol).as("neighbor_id"), col(vecCol).as("ne"),
           col("bucket")),
         Seq("bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("c", cosine(col("qe"), col("ne")))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("neighbor_id"),
-        round(col("c"), 6).as("cos_sim"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("qe"), col("ne")).as("c"))
+    rankTopK(scored, k)
   }
 
   // ===========================================================================

@@ -17,22 +17,35 @@ import org.apache.spark.sql.functions._
   */
 object TypedAggs {
 
+  /** Generic bounded top-k heap: keeps the `ord`-least k elements. Each
+    * map-side partial holds at most k rows per (partition, group), so the
+    * shuffle carries k rows per partition per group instead of the whole
+    * group — the property that makes top-k-per-key survive groups of
+    * billions of rows (a window row_number sorts ENTIRE groups after
+    * shuffling them whole). Scala `Ordering` and the captured lambda are
+    * serializable, so instances ship to executors as-is.
+    */
+  class BoundedTopK[T](k: Int, ord: Ordering[T])(
+      implicit tt: scala.reflect.runtime.universe.TypeTag[T])
+      extends Aggregator[T, Seq[T], Seq[T]] {
+    override def zero: Seq[T] = Vector.empty
+    override def reduce(b: Seq[T], a: T): Seq[T] =
+      // common case at scale: the row doesn't beat the current worst keeper
+      if (b.length == k && ord.compare(a, b.last) >= 0) b
+      else ((b :+ a).sorted(ord)).take(k)
+    override def merge(b1: Seq[T], b2: Seq[T]): Seq[T] =
+      (b1 ++ b2).sorted(ord).take(k)
+    override def finish(r: Seq[T]): Seq[T] = r
+    override def bufferEncoder: Encoder[Seq[T]] = ExpressionEncoder()
+    override def outputEncoder: Encoder[Seq[T]] = ExpressionEncoder()
+  }
+
   final case class LiRow(
       l_suppkey: Long, l_orderkey: Long, l_linenumber: Int, l_extendedprice: Double)
 
   /** Bounded top-k by (l_extendedprice desc, l_orderkey, l_linenumber). */
-  final class TopK(k: Int) extends Aggregator[LiRow, Seq[LiRow], Seq[LiRow]] {
-    private def ord: Ordering[LiRow] =
-      Ordering.by((r: LiRow) => (-r.l_extendedprice, r.l_orderkey, r.l_linenumber.toLong))
-    override def zero: Seq[LiRow] = Vector.empty
-    override def reduce(b: Seq[LiRow], a: LiRow): Seq[LiRow] =
-      (b :+ a).sorted(ord).take(k)
-    override def merge(b1: Seq[LiRow], b2: Seq[LiRow]): Seq[LiRow] =
-      (b1 ++ b2).sorted(ord).take(k)
-    override def finish(r: Seq[LiRow]): Seq[LiRow] = r
-    override def bufferEncoder: Encoder[Seq[LiRow]] = ExpressionEncoder()
-    override def outputEncoder: Encoder[Seq[LiRow]] = ExpressionEncoder()
-  }
+  final class TopK(k: Int) extends BoundedTopK[LiRow](k,
+    Ordering.by((r: LiRow) => (-r.l_extendedprice, r.l_orderkey, r.l_linenumber.toLong)))
 
   // ---- q34: per-supplier top-3 via the typed bounded-heap aggregator ---------
   // Same answer as q09 (the window/row_number formulation) — asserted by
@@ -80,17 +93,28 @@ object TypedAggs {
        round(sum(o_totalprice) FILTER (o_orderpriority = '5-LOW'), 2) AS "5-LOW"
        FROM orders GROUP BY y ORDER BY y"""
 
-  // ---- q36: approximate distinct (HLL) — no SQL oracle (approximate) ---------
-  // Declared without oracleSql: the driver records a rows-only check. The
-  // exactness property (±5% of truth) is asserted in TypedAggsSpec instead.
+  // ---- q36: approximate distinct (HLL) ---------------------------------------
+  // An approximate aggregate can't hash-match an exact oracle directly, so
+  // the query emits the EXACT distinct count plus a `within_bound` boolean
+  // that moves the ±5% accuracy assertion INTO the row — the oracle emits
+  // literal true, so the row is fully hashable and the accuracy property is
+  // oracle-checked every round (TypedAggsSpec asserts it too).
   private def q36(s: SparkSession, d: String): DataFrame =
     Tables.orders(s, d)
       .groupBy(col("o_orderstatus"))
-      .agg(approx_count_distinct(col("o_custkey"), 0.02).as("approx_customers"))
+      .agg(countDistinct(col("o_custkey")).as("exact_customers"),
+        approx_count_distinct(col("o_custkey"), 0.02).as("approx"))
+      .select(col("o_orderstatus"), col("exact_customers"),
+        (abs(col("approx") - col("exact_customers")) <=
+          col("exact_customers") * 0.05).as("within_bound"))
       .orderBy(col("o_orderstatus"))
+  private val q36Sql =
+    """SELECT o_orderstatus, count(DISTINCT o_custkey) AS exact_customers,
+         true AS within_bound
+       FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"""
 
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q34_topk_aggregator", q34, Some(q34Sql)),
     QueryDef("q35_pivot", q35, Some(q35Sql)),
-    QueryDef("q36_approx_distinct", q36, None))
+    QueryDef("q36_approx_distinct", q36, Some(q36Sql)))
 }

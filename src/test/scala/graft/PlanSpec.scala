@@ -47,6 +47,28 @@ class PlanSpec extends SparkSpec {
       s"query side should broadcast:\n${p.take(1500)}")
   }
 
+  test("q30/q31/q39 ranking: bounded-heap partial aggregation below the exchange") {
+    // The ranking stage must NOT be a window row_number over the full
+    // scored relation (that funnels |Q|·N rows into |Q| partitions). The
+    // typed heap keeps k rows per query per map partial, so the exchange
+    // carries k·partitions rows per query.
+    Seq("q30_cosine_topk", "q31_ann_ivf", "q39_ann_lsh").foreach { q =>
+      val p = plan(q)
+      // q31 keeps one window: ivfAssign's per-vector argmax (partitioned by
+      // vec_id — N balanced partitions, not |Q|). The RANKING must be heap.
+      if (q != "q31_ann_ivf")
+        assert(!p.contains("Window"), s"$q: window ranking resurfaced")
+      // printed top-down: final boundedtopk, then its exchange, then the
+      // map-side partial below it — pin that exact sandwich.
+      val fin = p.indexOf("functions=[boundedtopk")
+      assert(fin >= 0, s"$q: heap ranking aggregate missing")
+      val ex = p.indexOf("Exchange hashpartitioning", fin)
+      assert(ex >= 0, s"$q: ranking exchange missing")
+      assert(p.indexOf("partial_boundedtopk", ex) >= 0,
+        s"$q: map-side heap partial missing below the exchange:\n${p.take(1500)}")
+    }
+  }
+
   test("q25 exact dedup: only (hash, id) is shuffled, never the text") {
     val p = plan("q25_exact_dedup")
     val exchangeIdx = p.indexOf("Exchange")
@@ -86,6 +108,26 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Exchange"),
       s"signature stage must be shuffle-free map work:\n${p.take(1500)}")
     assert(!p.contains("xxhash64"), "exploded-gram signature path resurfaced")
+  }
+
+  test("simhash signature stage: native kernel, no shuffle below it") {
+    // The signature must be pure map work — the exploded vote formulation
+    // shuffled 32 rows per token occurrence (corpus-sized x32 exchange).
+    val p = graft.operators.Dedup
+      .simhash(Tables.documents(spark, sf), "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(p.contains("simhashsignature"), s"native kernel missing:\n${p.take(1500)}")
+    assert(!p.contains("Exchange"),
+      s"signature stage must be shuffle-free map work:\n${p.take(1500)}")
+    assert(!p.contains("shiftright"), "exploded vote path resurfaced")
+  }
+
+  test("q43 quantize: native kernels in the scan stage, no interpreted HOF lambdas") {
+    val p = plan("q43_embed_quantize")
+    assert(p.contains("quantizeint8") && p.contains("l2squarednorm"),
+      s"native kernels missing:\n${p.take(1500)}")
+    assert(!p.contains("lambdafunction"),
+      s"interpreted HOF resurfaced in the hot path:\n${p.take(1500)}")
   }
 
   test("q44 k-means: centroids broadcast, vectors never shuffled for scoring") {

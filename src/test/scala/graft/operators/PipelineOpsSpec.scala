@@ -19,6 +19,29 @@ class PipelineOpsSpec extends SparkSpec {
     assert(got === Set((1L, 10L, 1L))) // exactly one shared 5-gram
   }
 
+  test("hashed-gram and broadcast-eval contamination equal the string-join form") {
+    val docs = graft.Tables.documents(spark, sf)
+    def run(hashGrams: Boolean, broadcastEval: Boolean) =
+      PipelineOps.contamination(docs, "doc_id", "text",
+          col("doc_id") % 10 === 7, n = 5,
+          hashGrams = hashGrams, broadcastEval = broadcastEval)
+        .as[(Long, Long, Long)].collect().toSet
+    val base = run(hashGrams = false, broadcastEval = false)
+    assert(base.nonEmpty)
+    assert(run(hashGrams = true, broadcastEval = false) === base)
+    assert(run(hashGrams = true, broadcastEval = true) === base)
+  }
+
+  test("broadcast-eval contamination broadcasts the eval side (plan pin)") {
+    val docs = graft.Tables.documents(spark, sf)
+    val p = PipelineOps.contamination(docs, "doc_id", "text",
+        col("doc_id") % 10 === 7, n = 5,
+        hashGrams = true, broadcastEval = true)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"),
+      s"eval side should broadcast:\n${p.take(1500)}")
+  }
+
   test("hash sample predicate is deterministic and near the target rate") {
     val df = spark.range(10000).toDF("id")
     val n1 = df.filter(PipelineOps.hashSamplePredicate(col("id"), 51)).count()
