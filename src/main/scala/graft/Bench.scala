@@ -24,10 +24,12 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     functions.Native.register(spark)
 
-    // Warm-up pass (JIT + codegen caches + parquet footers), then two timed
-    // passes taking the per-query minimum — steady-state timing robust to
-    // scheduler noise on a shared machine; a cluster amortizes compilation
-    // the same way.
+    // Per-query isolated warm-up (JIT + codegen caches + parquet footers
+    // hot IMMEDIATELY before timing — a global warm sweep lets six other
+    // queries churn the caches in between and was the prime suspect in a
+    // 2.5x round-over-round swing on q19), then three timed passes taking
+    // the minimum — steady-state timing robust to scheduler noise on a
+    // shared machine; a cluster amortizes compilation the same way.
     // A failed query must not masquerade as a fast one: record the error
     // and surface it in the JSON.
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
@@ -41,10 +43,10 @@ object Bench {
       }
       (System.nanoTime() - t0) / 1e9
     }
-    SparkEntry.headlines.foreach(once)
 
     val results = SparkEntry.headlines.map { q =>
-      q.name -> math.min(once(q), once(q))
+      once(q) // isolated warm pass
+      q.name -> Seq(once(q), once(q), once(q)).min
     }
     def jstr(s: String): String =
       "\"" + s.flatMap {

@@ -25,7 +25,9 @@ object Bucketing {
     * a sort-merge join with NO exchange on either side.
     */
   def colocatedJoin(spark: SparkSession, left: String, right: String,
-      leftKey: String, rightKey: String): DataFrame =
-    spark.table(left).join(spark.table(right),
-      spark.table(left)(leftKey) === spark.table(right)(rightKey))
+      leftKey: String, rightKey: String): DataFrame = {
+    val l = spark.table(left)
+    val r = spark.table(right)
+    l.join(r, l(leftKey) === r(rightKey))
+  }
 }

@@ -3,7 +3,7 @@ package graft.sources.replay
 import java.util
 import java.util.concurrent.ConcurrentHashMap
 
-import scala.collection.immutable.SortedMap
+import scala.collection.immutable.{SortedMap, SortedSet}
 import scala.jdk.CollectionConverters._
 
 import org.apache.hadoop.conf.Configuration
@@ -48,7 +48,13 @@ import graft.streaming.Record
   *
   * Options: `path` (parquet file/dir), `shards` (default 4), `startingPosition`
   * (trim_horizon | latest | at_timestamp), `startingTimestampMs`,
-  * `maxRecordsPerTrigger` (per-trigger total across shards).
+  * `maxRecordsPerTrigger` (per-trigger total across shards), `deliveryMode`
+  * (at_least_once default | at_most_once — eager commit: a failed batch's
+  * records are dropped, not redelivered), `reshardAtMs`
+  * (simulate a shard split at that epoch-millis instant: each of the N
+  * shards seals at the split and hands off to two children — the
+  * reference's shardEnded lifecycle, RecordProcessorImpl.scala:102-113;
+  * children replay only after their parent's seal is committed).
   */
 class ShardedReplayProvider extends TableProvider with DataSourceRegister {
   override def shortName(): String = "sharded-replay"
@@ -77,7 +83,25 @@ final case class ReplayConfig(
     numShards: Int,
     startingPosition: String,
     startingTimestampMs: Long,
-    maxRecordsPerTrigger: Option[Long])
+    maxRecordsPerTrigger: Option[Long],
+    reshardAtMicros: Option[Long],
+    deliveryMode: String = "at_least_once") {
+  def atMostOnce: Boolean = deliveryMode == "at_most_once"
+  /** Shard-id universe: parents 0..N-1, plus children N..3N-1 after a
+    * reshard (each parent i splits into children N+i and 2N+i).
+    */
+  def universeSize: Int =
+    if (reshardAtMicros.isEmpty) numShards else 3 * numShards
+  /** Parent of a child shard id (split lineage: child N+j ← parent j%N —
+    * hash routing userId%2N refines userId%N, so each parent's key space
+    * is exactly the union of its two children's).
+    */
+  def parentOf(shard: Int): Option[Int] =
+    if (reshardAtMicros.isEmpty || shard < numShards) None
+    else Some((shard - numShards) % numShards)
+  def lineage: SortedMap[Int, Int] =
+    SortedMap.from((numShards until universeSize).flatMap(c => parentOf(c).map(c -> _)))
+}
 
 object ReplayConfig {
   def fromOptions(o: CaseInsensitiveStringMap): ReplayConfig = {
@@ -91,7 +115,15 @@ object ReplayConfig {
       startingPosition = pos,
       startingTimestampMs = o.getLong("startingTimestampMs", 0L),
       maxRecordsPerTrigger =
-        Option(o.get("maxRecordsPerTrigger")).map(_.toLong))
+        Option(o.get("maxRecordsPerTrigger")).map(_.toLong),
+      reshardAtMicros =
+        Option(o.get("reshardAtMs")).map(_.toLong * 1000L),
+      deliveryMode = {
+        val m = o.getOrDefault("deliveryMode", "at_least_once").toLowerCase
+        require(Seq("at_least_once", "at_most_once").contains(m),
+          s"unknown deliveryMode '$m'")
+        m
+      })
   }
 }
 
@@ -100,32 +132,68 @@ final class ShardedReplayScan(conf: ReplayConfig) extends ScanBuilder with Scan 
   override def readSchema(): StructType = Record.schema
   override def toBatch: Batch = new ShardedReplayBatch(conf)
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-    new ShardedReplayMicroBatchStream(conf)
+    new ShardedReplayMicroBatchStream(conf, checkpointLocation)
 }
 
 /** Offset = per-shard frontier: records [0, position) are committed. The
   * JSON form is the engine-checkpoint analog of the reference's
   * DynamoDB (shard → highest contiguous sequence number) table.
+  *
+  * Two wire formats:
+  *  - v1 `{"0":5,...}` — plain frontier map (pre-reshard streams; kept so
+  *    existing checkpoints parse unchanged);
+  *  - v2 `{"v":2,"pos":{...},"sealed":[...],"lineage":{"child":parent}}`
+  *    — after a reshard the offset additionally carries which parent
+  *    shards are SEALED (fully consumed, will never produce again — the
+  *    reference's shardEnded checkpoint, RecordProcessorImpl.scala:102-113)
+  *    and the child→parent lineage that gates child consumption.
   */
-final case class ShardPositions(positions: SortedMap[Int, Long]) extends Offset {
+final case class ShardPositions(
+    positions: SortedMap[Int, Long],
+    sealedShards: SortedSet[Int] = SortedSet.empty,
+    lineage: SortedMap[Int, Int] = SortedMap.empty) extends Offset {
   override def json(): String =
-    positions.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
+    if (sealedShards.isEmpty && lineage.isEmpty)
+      positions.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
+    else {
+      val pos = positions.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
+      val sl = sealedShards.mkString("[", ",", "]")
+      val lin = lineage.map { case (c, p) => s""""$c":$p""" }.mkString("{", ",", "}")
+      s"""{"v":2,"pos":$pos,"sealed":$sl,"lineage":$lin}"""
+    }
   def apply(shard: Int): Long = positions.getOrElse(shard, 0L)
+  /** First-generation shard count the checkpoint was written against. */
+  def gen0: Int = positions.size - lineage.size
 }
 
 object ShardPositions {
   def parse(json: String): ShardPositions = {
     import org.json4s._
     import org.json4s.jackson.JsonMethods
-    val m = JsonMethods.parse(json) match {
-      case JObject(fields) => fields.map {
-        case (k, JInt(v)) => k.toInt -> v.toLong
-        case (k, JLong(v)) => k.toInt -> v
-        case (k, v) => sys.error(s"bad offset field $k=$v")
-      }
+    def longs(v: JValue): SortedMap[Int, Long] = v match {
+      case JObject(fields) => SortedMap.from(fields.map {
+        case (k, JInt(x)) => k.toInt -> x.toLong
+        case (k, JLong(x)) => k.toInt -> x
+        case (k, x) => sys.error(s"bad offset field $k=$x")
+      })
       case other => sys.error(s"bad offset json $other")
     }
-    ShardPositions(SortedMap.from(m))
+    JsonMethods.parse(json) match {
+      case o @ JObject(fields) if fields.exists(_._1 == "v") =>
+        val m = fields.toMap
+        ShardPositions(
+          positions = longs(m("pos")),
+          sealedShards = SortedSet.from(m("sealed") match {
+            case JArray(xs) => xs.map {
+              case JInt(x) => x.toInt
+              case JLong(x) => x.toInt
+              case x => sys.error(s"bad sealed entry $x")
+            }
+            case x => sys.error(s"bad sealed list $x")
+          }),
+          lineage = longs(m("lineage")).map { case (c, p) => c -> p.toInt })
+      case other => ShardPositions(longs(other))
+    }
   }
   def zeros(n: Int): ShardPositions =
     ShardPositions(SortedMap.from((0 until n).map(_ -> 0L)))
@@ -158,11 +226,13 @@ object AdmissionPlanner {
   }
 }
 
-final class ShardedReplayMicroBatchStream(conf: ReplayConfig)
+final class ShardedReplayMicroBatchStream(
+    conf: ReplayConfig, checkpointLocation: String)
     extends MicroBatchStream with SupportsAdmissionControl
     with SupportsTriggerAvailableNow {
 
-  private lazy val shards = ShardStore.shards(conf.path, conf.numShards)
+  private lazy val shards =
+    ShardStore.shards(conf.path, conf.numShards, conf.reshardAtMicros)
   private lazy val counts: Array[Long] = shards.map(_.length.toLong)
 
   // Trigger.AvailableNow: snapshot the frontier once; per-batch read limits
@@ -172,13 +242,26 @@ final class ShardedReplayMicroBatchStream(conf: ReplayConfig)
     availableNowCap = Some(counts.clone())
   private def frontier: Array[Long] = availableNowCap.getOrElse(counts)
 
+  /** Re-attach seal + lineage metadata to a bare frontier. A parent is
+    * sealed once its position reaches its end: a resharded stream's
+    * parents are closed — they will never produce again (the reference's
+    * shardEnded condition).
+    */
+  private def decorate(pos: SortedMap[Int, Long]): ShardPositions =
+    if (conf.reshardAtMicros.isEmpty) ShardPositions(pos)
+    else ShardPositions(pos,
+      sealedShards = SortedSet.from(
+        (0 until conf.numShards).filter(i => pos.getOrElse(i, 0L) >= counts(i))),
+      lineage = conf.lineage)
+
   override def initialOffset(): Offset = conf.startingPosition match {
-    case "trim_horizon" => ShardPositions.zeros(conf.numShards)
+    case "trim_horizon" => decorate(
+      SortedMap.from((0 until conf.universeSize).map(_ -> 0L)))
     case "latest" =>
-      ShardPositions(SortedMap.from(counts.indices.map(i => i -> counts(i))))
+      decorate(SortedMap.from(counts.indices.map(i => i -> counts(i))))
     case "at_timestamp" =>
       val t = conf.startingTimestampMs * 1000L // micros
-      ShardPositions(SortedMap.from(shards.indices.map { i =>
+      decorate(SortedMap.from(shards.indices.map { i =>
         i -> shards(i).count(_.tsMicros < t).toLong
       }))
   }
@@ -190,31 +273,129 @@ final class ShardedReplayMicroBatchStream(conf: ReplayConfig)
     throw new UnsupportedOperationException("admission-control latestOffset is used")
 
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
-    val cur = start.asInstanceOf[ShardPositions]
-    limit match {
-      case _: ReadAllAvailable => AdmissionPlanner.advance(cur, frontier, None)
-      case r: ReadMaxRows => AdmissionPlanner.advance(cur, frontier, Some(r.maxRows()))
-      case _ => AdmissionPlanner.advance(cur, frontier, None)
+    val cur = normalize(start.asInstanceOf[ShardPositions])
+    // Parent-before-child ordering (the shardEnded contract): a child
+    // shard admits no records until its parent's frontier has reached the
+    // seal in a COMMITTED offset — child data lands in strictly later
+    // batches than the last parent batch, never beside it.
+    val eligible = frontier.clone()
+    (0 until conf.universeSize).foreach { i =>
+      conf.parentOf(i).foreach { p =>
+        if (cur(p) < counts(p)) eligible(i) = cur(i) // blocked: no backlog
+      }
     }
+    val adv = limit match {
+      case _: ReadAllAvailable => AdmissionPlanner.advance(cur, eligible, None)
+      case r: ReadMaxRows => AdmissionPlanner.advance(cur, eligible, Some(r.maxRows()))
+      case _ => AdmissionPlanner.advance(cur, eligible, None)
+    }
+    decorate(adv.positions)
   }
 
   override def reportLatestOffset(): Offset =
-    ShardPositions(SortedMap.from(counts.indices.map(i => i -> counts(i))))
+    decorate(SortedMap.from(counts.indices.map(i => i -> counts(i))))
+
+  /** Checkpoint validation + offset-format evolution.
+    *
+    * A checkpoint written against a DIFFERENT first-generation shard count
+    * is still rejected (silent remap would replay or drop: hash routing
+    * changed). A v1 checkpoint (no children) restarting against a
+    * resharded stream is VALID history — the stream split after the
+    * checkpoint was taken: parent prefixes are identical in both layouts
+    * (pre-split records sort first), so parent positions carry over and
+    * children start at 0 — provided no parent had consumed past the split
+    * point (impossible in a real stream: those records went to children).
+    */
+  private def normalize(s: ShardPositions): ShardPositions = {
+    require(s.gen0 == conf.numShards,
+      s"checkpoint has ${s.gen0} first-generation shards but source is " +
+        s"configured with ${conf.numShards}; changing the shard count of a " +
+        "checkpointed stream is not supported — resharding is expressed by " +
+        "the reshardAtMs option, which keeps the original count and adds " +
+        "child shards")
+    if (conf.reshardAtMicros.isEmpty) {
+      require(s.lineage.isEmpty,
+        "checkpoint records a resharded stream but the source has no " +
+          "reshardAtMs configured; restore the reshard option")
+      s
+    } else {
+      (0 until conf.numShards).foreach { i =>
+        require(s(i) <= counts(i),
+          s"parent shard $i position ${s(i)} exceeds its sealed length " +
+            s"${counts(i)}: the checkpoint consumed records past the " +
+            "configured split point, so this reshardAtMs does not describe " +
+            "this stream's history")
+      }
+      decorate(SortedMap.from(
+        (0 until conf.universeSize).map(i => i -> s(i))))
+    }
+  }
+
+  // ---- at-most-once (eager commit) -----------------------------------------
+  // The reference selects at-most-once by placing commitFlow BEFORE the
+  // processing stage (README.md:44-45, CommitGraphStages.scala:16-17):
+  // a record's checkpoint advances before its processing, so a crash loses
+  // in-flight records instead of redelivering them. The engine analog:
+  // persist the PLANNED frontier in a source-owned marker next to the
+  // checkpoint before any task runs. On recovery the engine replans the
+  // failed batch from its offset log — and the source then serves an empty
+  // range for everything at or below the marker. (Marker write is
+  // write-tmp-then-rename; a crash between rename and task launch degrades
+  // to redelivery of ONE batch, the same window the reference has between
+  // checkpoint call and record handoff.)
+  private lazy val markerPath =
+    new Path(checkpointLocation, "graft-eager-commit.json")
+  private lazy val markerFs =
+    markerPath.getFileSystem(new Configuration())
+
+  private def readMarker(): Option[ShardPositions] =
+    if (!markerFs.exists(markerPath)) None
+    else {
+      val in = markerFs.open(markerPath)
+      try Some(ShardPositions.parse(
+        new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)))
+      finally in.close()
+    }
+
+  /** The planned frontier left by previous incarnations of this query —
+    * records at or below it were handed to a (possibly failed) prior run
+    * and must not be served again. Snapshotted once per stream instance.
+    */
+  private lazy val plannedByPriorRuns: Option[ShardPositions] =
+    readMarker().map(normalize)
+
+  private def writeMarker(p: ShardPositions): Unit = {
+    val tmp = new Path(markerPath.getParent, markerPath.getName + ".tmp")
+    val out = markerFs.create(tmp, true)
+    try out.write(p.json().getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    markerFs.delete(markerPath, false)
+    markerFs.rename(tmp, markerPath)
+  }
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
-    val s = start.asInstanceOf[ShardPositions]
+    val s0 = normalize(start.asInstanceOf[ShardPositions])
     val e = end.asInstanceOf[ShardPositions]
-    // Reshard guard: a checkpoint written with a different shard count must
-    // not silently replay (missing shards would restart at 0 → duplicates)
-    // or drop data. Real resharding (shard split/merge, reference L4) is a
-    // planned offset-format evolution, not a silent remap.
-    require(s.positions.size == conf.numShards,
-      s"checkpoint has ${s.positions.size} shards but source is configured " +
-        s"with ${conf.numShards}; resharding a checkpointed stream is not " +
-        "supported — start a new checkpoint or restore the original count")
+    val s =
+      if (!conf.atMostOnce) s0
+      else {
+        // Serve only ranges beyond the frontier PREVIOUS runs planned
+        // (snapshotted once at stream init: a batch this run plans may be
+        // re-planned by the engine within the run — that is the same
+        // delivery and must yield the same rows), then eagerly advance the
+        // marker to this batch's end — commit before process.
+        val merged = SortedMap.from(s0.positions.map { case (i, v) =>
+          i -> math.max(v, plannedByPriorRuns.map(_(i)).getOrElse(0L))
+        })
+        writeMarker(decorate(SortedMap.from(merged.map { case (i, v) =>
+          i -> math.max(v, e(i))
+        })))
+        decorate(merged)
+      }
     shards.indices.collect {
       case i if e(i) > s(i) =>
-        ReplayInputPartition(conf.path, conf.numShards, i, s(i), e(i))
+        ReplayInputPartition(conf.path, conf.numShards, conf.reshardAtMicros,
+          i, s(i), e(i))
     }.toArray
   }
 
@@ -226,16 +407,18 @@ final class ShardedReplayMicroBatchStream(conf: ReplayConfig)
 
 final class ShardedReplayBatch(conf: ReplayConfig) extends Batch {
   override def planInputPartitions(): Array[InputPartition] = {
-    val shards = ShardStore.shards(conf.path, conf.numShards)
+    val shards = ShardStore.shards(conf.path, conf.numShards, conf.reshardAtMicros)
     shards.indices.map { i =>
-      ReplayInputPartition(conf.path, conf.numShards, i, 0L, shards(i).length.toLong)
+      ReplayInputPartition(conf.path, conf.numShards, conf.reshardAtMicros,
+        i, 0L, shards(i).length.toLong)
     }.toArray
   }
   override def createReaderFactory(): PartitionReaderFactory = ReplayReaderFactory
 }
 
 final case class ReplayInputPartition(
-    path: String, numShards: Int, shard: Int, from: Long, until: Long)
+    path: String, numShards: Int, reshardAtMicros: Option[Long],
+    shard: Int, from: Long, until: Long)
   extends InputPartition
 
 object ReplayReaderFactory extends PartitionReaderFactory {
@@ -247,7 +430,7 @@ object ReplayReaderFactory extends PartitionReaderFactory {
 
 final class ReplayPartitionReader(p: ReplayInputPartition)
     extends PartitionReader[InternalRow] {
-  private val rows = ShardStore.shards(p.path, p.numShards)(p.shard)
+  private val rows = ShardStore.shards(p.path, p.numShards, p.reshardAtMicros)(p.shard)
   private var pos = p.from - 1
 
   override def next(): Boolean = { pos += 1; pos < p.until }
@@ -304,12 +487,45 @@ object ShardStore {
   def jsonNumber(d: Double): String =
     if (java.lang.Double.isFinite(d)) d.toString else "null"
 
-  private val cache = new ConcurrentHashMap[(String, Int), Array[Array[Ev]]]()
+  private val cache =
+    new ConcurrentHashMap[(String, Int, Option[Long]), Array[Array[Ev]]]()
 
-  def shards(path: String, numShards: Int): Array[Array[Ev]] =
-    cache.computeIfAbsent((path, numShards), { case (p, n) => load(p, n) })
+  def shards(path: String, numShards: Int,
+      reshardAtMicros: Option[Long] = None): Array[Array[Ev]] =
+    cache.computeIfAbsent((path, numShards, reshardAtMicros),
+      { case (p, n, r) => load(p, n, r) })
 
-  private def load(path: String, numShards: Int): Array[Array[Ev]] = {
+  /** Shard layout. Without a reshard: N shards, userId % N. With a reshard
+    * at T: the stream's history has a split at T — records before T live
+    * in the (now sealed) parents 0..N-1 routed userId % N; records at/after
+    * T live in children N..3N-1 routed userId % 2N (child id N+j). Because
+    * userId%N == (userId%2N)%N, each parent's key space is exactly its two
+    * children's union, and a parent's record array is the same pre-T prefix
+    * it had in the unsplit layout (arrival order sorts pre-T first) — which
+    * is what makes v1→v2 checkpoint evolution exact.
+    */
+  private def load(path: String, numShards: Int,
+      reshardAtMicros: Option[Long]): Array[Array[Ev]] = {
+    val evs = loadEvents(path)
+    reshardAtMicros match {
+      case None =>
+        val byShard = evs.groupBy(e => math.floorMod(e.userId, numShards.toLong).toInt)
+        (0 until numShards).map { i =>
+          byShard.getOrElse(i, Array.empty[Ev]).sortBy(e => (e.tsMicros, e.eventId))
+        }.toArray
+      case Some(t) =>
+        val (pre, post) = evs.partition(_.tsMicros < t)
+        val parents = pre.groupBy(e => math.floorMod(e.userId, numShards.toLong).toInt)
+        val children =
+          post.groupBy(e => math.floorMod(e.userId, 2L * numShards).toInt)
+        ((0 until numShards).map(i => parents.getOrElse(i, Array.empty[Ev])) ++
+          (0 until 2 * numShards).map(j => children.getOrElse(j, Array.empty[Ev])))
+          .map(_.sortBy(e => (e.tsMicros, e.eventId)))
+          .toArray
+    }
+  }
+
+  private def loadEvents(path: String): Array[Ev] = {
     val hconf = new Configuration()
     val root = new Path(path)
     val fs = root.getFileSystem(hconf)
@@ -318,7 +534,7 @@ object ShardStore {
         fs.listStatus(root).map(_.getPath)
           .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
       else Array(root)
-    val evs = files.iterator.flatMap { f =>
+    files.iterator.flatMap { f =>
       val reader = ParquetReader.builder(new GroupReadSupport(), f).withConf(hconf).build()
       try Iterator.continually(reader.read()).takeWhile(_ != null).map { g =>
         Ev(
@@ -330,10 +546,6 @@ object ShardStore {
           props = g.getString("props", 0))
       }.toArray.iterator // drain fully before closing the reader
       finally reader.close()
-    }.toArray
-    val byShard = evs.groupBy(e => math.floorMod(e.userId, numShards.toLong).toInt)
-    (0 until numShards).map { i =>
-      byShard.getOrElse(i, Array.empty[Ev]).sortBy(e => (e.tsMicros, e.eventId))
     }.toArray
   }
 }

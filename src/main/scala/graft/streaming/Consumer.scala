@@ -24,7 +24,9 @@ final case class ConsumerConfig(
     numShards: Int = 4,
     startingPosition: String = "trim_horizon",
     startingTimestampMs: Option[Long] = None,
-    maxRecordsPerTrigger: Option[Long] = None)
+    maxRecordsPerTrigger: Option[Long] = None,
+    reshardAtMs: Option[Long] = None,
+    deliveryMode: String = "at_least_once")
 
 object ConsumerConfig {
   /** Config-map parsing mirroring the reference's HOCON keys
@@ -37,7 +39,71 @@ object ConsumerConfig {
     startingPosition =
       m.getOrElse("position.initial", "latest").replace('-', '_'),
     startingTimestampMs = m.get("position.time").map(_.toLong),
-    maxRecordsPerTrigger = m.get("max-records-per-trigger").map(_.toLong))
+    maxRecordsPerTrigger = m.get("max-records-per-trigger").map(_.toLong),
+    reshardAtMs = m.get("reshard-at-ms").map(_.toLong),
+    deliveryMode =
+      m.getOrElse("delivery-mode", "at_least_once").replace('-', '_'))
+
+  /** HOCON-text parsing — reference parity for the `Config`-taking
+    * `ConsumerConfig.fromConfig` (reference: Consumer.scala:113-184), which
+    * reads the `reference.conf`-documented keys. This environment pins the
+    * dependency set (no com.typesafe:config on the Spark-jars classpath),
+    * so the overload accepts HOCON TEXT and parses the subset those
+    * configs actually use — nested blocks, dotted keys, `=`/`:`,
+    * quoted/unquoted scalars, `#`/`//` comments — flattening to the same
+    * key-map `fromMap` consumes. A build with typesafe-config present can
+    * delegate via `fromMap(config.entrySet.asScala.map(...).toMap)`
+    * unchanged.
+    */
+  def fromHocon(text: String): ConsumerConfig = fromMap(Hocon.flatten(text))
+}
+
+/** Minimal HOCON-subset reader (self-contained: the frozen classpath has
+  * no typesafe-config). Supports exactly the shapes in the reference's
+  * reference.conf: `key = value`, `key: value`, nested `key { ... }`
+  * blocks, dotted keys, double-quoted or unquoted scalars, and `#` / `//`
+  * comments. No substitutions/includes/arrays — those never appear in
+  * consumer configs.
+  */
+private[streaming] object Hocon {
+  def flatten(text: String): Map[String, String] = {
+    val out = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    val path = scala.collection.mutable.Stack.empty[String]
+    def strip(line: String): String = {
+      // cut comments not inside quotes
+      var inQ = false
+      val b = new StringBuilder
+      var i = 0
+      while (i < line.length) {
+        val c = line.charAt(i)
+        if (c == '"') { inQ = !inQ; b.append(c); i += 1 }
+        else if (!inQ && (c == '#' ||
+          (c == '/' && i + 1 < line.length && line.charAt(i + 1) == '/'))) i = line.length
+        else { b.append(c); i += 1 }
+      }
+      b.toString.trim
+    }
+    def unquote(v: String): String =
+      if (v.length >= 2 && v.startsWith("\"") && v.endsWith("\""))
+        v.substring(1, v.length - 1)
+      else v
+    text.linesIterator.map(strip).filter(_.nonEmpty).foreach { line =>
+      if (line == "}") {
+        require(path.nonEmpty, s"unbalanced '}' in config")
+        path.pop()
+      } else if (line.endsWith("{")) {
+        path.push(line.dropRight(1).trim.stripSuffix(":").stripSuffix("=").trim)
+      } else {
+        val sep = line.indexWhere(c => c == '=' || c == ':')
+        require(sep > 0, s"unparseable config line: '$line'")
+        val key = line.substring(0, sep).trim
+        val value = unquote(line.substring(sep + 1).trim)
+        out((path.toSeq.reverse :+ key).mkString(".")) = value
+      }
+    }
+    require(path.isEmpty, "unbalanced '{' in config")
+    out.toMap
+  }
 }
 
 /** The consumer API — reference parity for `px.kinesis.stream.consumer`
@@ -61,6 +127,9 @@ object Consumer {
       .option("startingPosition", config.startingPosition)
     config.startingTimestampMs.foreach(t => r = r.option("startingTimestampMs", t))
     config.maxRecordsPerTrigger.foreach(m => r = r.option("maxRecordsPerTrigger", m))
+    config.reshardAtMs.foreach(t => r = r.option("reshardAtMs", t))
+    if (config.deliveryMode != "at_least_once")
+      r = r.option("deliveryMode", config.deliveryMode)
     r.load().as[Record]
   }
 
@@ -79,8 +148,11 @@ object Consumer {
     * an intentional no-op pass-through, kept so reference call sites
     * translate one-to-one; delivery is at-least-once end-to-end
     * (exactly-once with idempotent sinks). The reference's at-most-once
-    * mode (commit before process) has no engine equivalent and is
-    * documented as a semantic divergence (SURVEY.md §7).
+    * mode (commit BEFORE process — commitFlow placed ahead of the
+    * processing stage, README.md:44-45) is selected here with
+    * `ConsumerConfig(deliveryMode = "at_most_once")`: the source commits
+    * the planned frontier eagerly, so a failed batch is dropped on
+    * restart instead of redelivered (ShardedReplaySpec asserts it).
     */
   def commitFlow(ds: Dataset[Record]): Dataset[Record] = ds
 

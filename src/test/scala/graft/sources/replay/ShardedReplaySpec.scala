@@ -158,6 +158,165 @@ class ShardedReplaySpec extends SparkSpec with BeforeAndAfterAll {
       Option(e.getCause).exists(_.getMessage.contains("resharding")))
   }
 
+  // ---- resharding (shard split — reference L4 shardEnded lifecycle) --------
+
+  /** Split instant: the median event time, so parents and children both
+    * hold a substantial slice.
+    */
+  private lazy val splitMs: Long = {
+    val medianSec = graft.Tables.events(spark, sf)
+      .selectExpr("percentile_approx(cast(ts as double), 0.5)").as[Double].head()
+    (medianSec * 1000).toLong
+  }
+
+  test("reshard offset v2 json round-trips seals and lineage") {
+    import scala.collection.immutable.{SortedMap, SortedSet}
+    val off = ShardPositions(
+      SortedMap(0 -> 5L, 1 -> 9L, 2 -> 0L, 4 -> 3L, 5 -> 0L),
+      sealedShards = SortedSet(0, 1),
+      lineage = SortedMap(4 -> 0, 5 -> 1))
+    assert(ShardPositions.parse(off.json()) === off)
+    assert(off.gen0 === 3)
+    // v1 stays v1 (existing checkpoints parse unchanged)
+    val v1 = ShardPositions(SortedMap(0 -> 2L, 1 -> 7L))
+    assert(v1.json() === """{"0":2,"1":7}""")
+    assert(ShardPositions.parse(v1.json()) === v1)
+  }
+
+  test("reshard batch read: parents + children tile the stream exactly once") {
+    val df = spark.read.format("sharded-replay")
+      .option("path", eventsPath).option("shards", 4)
+      .option("reshardAtMs", splitMs).load()
+    assert(df.count() === nEvents)
+    val ids = df.select(get_json_object(col("data").cast("string"), "$.event_id")
+      .cast("long").as("id"))
+    assert(ids.distinct().count() === nEvents)
+    // children exist and carry the post-split records
+    val shardIds = df.select("shardId").distinct().as[String].collect()
+      .map(_.stripPrefix("shardId-").toInt).toSet
+    assert(shardIds.exists(_ >= 4), "child shards must carry data")
+  }
+
+  test("reshard streaming: every parent seals before any of its children emits") {
+    val batches = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Int)]()
+    val ds = Consumer.source(ConsumerConfig(
+      streamPath = eventsPath, numShards = 4,
+      maxRecordsPerTrigger = Some(300), reshardAtMs = Some(splitMs)))
+    val q = ds.writeStream
+      .option("checkpointLocation", tmpDir("ckpt_seal"))
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[Record], batchId: Long) =>
+        df.select("shardId").distinct().collect().foreach { r =>
+          batches.add(batchId -> r.getString(0).stripPrefix("shardId-").toInt)
+        }
+        ()
+      }.start()
+    q.awaitTermination(120000)
+    import scala.jdk.CollectionConverters._
+    val seen = batches.iterator().asScala.toSeq
+    (0 until 4).foreach { p =>
+      val lastParent = seen.filter(_._2 == p).map(_._1).maxOption
+      val children = Seq(4 + p, 8 + p)
+      val firstChild = seen.filter(b => children.contains(b._2)).map(_._1).minOption
+      for (lp <- lastParent; fc <- firstChild)
+        assert(lp < fc,
+          s"parent $p last batch $lp must precede its children's first batch $fc")
+    }
+    assert(seen.exists(_._2 >= 4), "children must emit after the seal")
+  }
+
+  test("restart across the reshard boundary is exactly-once (no loss, no dup)") {
+    val ckpt = tmpDir("ckpt_resh_restart")
+    val out = tmpDir("out_resh_restart")
+    def run(stopEarly: Boolean): Unit = {
+      val ds = Consumer.source(ConsumerConfig(
+        streamPath = eventsPath, numShards = 4,
+        maxRecordsPerTrigger = Some(250), reshardAtMs = Some(splitMs)))
+      val q = ds.writeStream
+        .format("parquet").option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      if (stopEarly) {
+        val deadline = System.currentTimeMillis() + 60000
+        while (q.recentProgress.length < 1 && q.isActive &&
+          System.currentTimeMillis() < deadline) Thread.sleep(50)
+        q.stop(); q.awaitTermination(60000)
+      } else q.awaitTermination(120000)
+    }
+    run(stopEarly = true)
+    assert(spark.read.parquet(out).count() < nEvents)
+    run(stopEarly = false)
+    val got = spark.read.parquet(out)
+      .select(get_json_object(col("data").cast("string"), "$.event_id")
+        .cast("long").as("id"))
+    assert(got.count() === nEvents, "exactly-once across the seal boundary")
+    assert(got.distinct().count() === nEvents)
+  }
+
+  test("pre-reshard (v1) checkpoint evolves: restart with reshardAtMs keeps exactly-once") {
+    val ckpt = tmpDir("ckpt_evolve")
+    val out = tmpDir("out_evolve")
+    def run(reshard: Option[Long], stopEarly: Boolean): Unit = {
+      val ds = Consumer.source(ConsumerConfig(
+        streamPath = eventsPath, numShards = 4,
+        maxRecordsPerTrigger = Some(200), reshardAtMs = reshard))
+      val q = ds.writeStream
+        .format("parquet").option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      if (stopEarly) {
+        val deadline = System.currentTimeMillis() + 60000
+        while (q.recentProgress.length < 1 && q.isActive &&
+          System.currentTimeMillis() < deadline) Thread.sleep(50)
+        q.stop(); q.awaitTermination(60000)
+      } else q.awaitTermination(120000)
+    }
+    // Run 1: the stream has not split yet — v1 offsets, small prefix only
+    // (a 200-record batch stays far inside the pre-split half).
+    run(reshard = None, stopEarly = true)
+    assert(spark.read.parquet(out).count() < nEvents / 2,
+      "first run must stop before the split point for a valid evolution")
+    // Run 2: the stream split at splitMs; the v1 checkpoint's parent
+    // positions carry over (pre-split prefixes are layout-identical).
+    run(reshard = Some(splitMs), stopEarly = false)
+    val got = spark.read.parquet(out)
+      .select(get_json_object(col("data").cast("string"), "$.event_id")
+        .cast("long").as("id"))
+    assert(got.count() === nEvents, "v1→v2 evolution must not lose or duplicate")
+    assert(got.distinct().count() === nEvents)
+  }
+
+  test("at-most-once: a failed batch's records are dropped, not redelivered") {
+    val ckpt = tmpDir("ckpt_amo")
+    val delivered = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    def run(failOn: Option[Long]): Unit = {
+      val ds = Consumer.source(ConsumerConfig(
+        streamPath = eventsPath, numShards = 4,
+        maxRecordsPerTrigger = Some(300), deliveryMode = "at_most_once"))
+      val q = ds.writeStream
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (df: org.apache.spark.sql.Dataset[Record], batchId: Long) =>
+          // read the batch first (processing started), THEN fail — the
+          // at-most-once window the reference's commit-before-process has
+          val ids = df.select(get_json_object(col("data").cast("string"),
+            "$.event_id").cast("long")).as[Long].collect()
+          if (failOn.contains(batchId)) throw new RuntimeException("boom")
+          ids.foreach(delivered.add)
+          ()
+        }.start()
+      try q.awaitTermination(120000)
+      catch { case _: org.apache.spark.sql.streaming.StreamingQueryException => () }
+    }
+    run(failOn = Some(1L))
+    run(failOn = None)
+    import scala.jdk.CollectionConverters._
+    val got = delivered.iterator().asScala.toSeq
+    assert(got.distinct.size === got.size, "no duplicates under at-most-once")
+    assert(got.size === nEvents - 300,
+      s"exactly the failed 300-record batch is lost (got ${got.size} of $nEvents)")
+  }
+
   test("continuous ProcessingTime trigger drains and then idles on empty batches") {
     val ds = Consumer.source(ConsumerConfig(
       streamPath = eventsPath, numShards = 4, maxRecordsPerTrigger = Some(400)))
