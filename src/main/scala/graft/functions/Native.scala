@@ -52,6 +52,44 @@ object Native {
       },
       "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_polyhash",
+      exprs => {
+        require(exprs.length == 1, "graft_polyhash(s) takes one string")
+        PolyHash(exprs.head)
+      },
+      "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_ngrams",
+      exprs => {
+        require(exprs.length == 3,
+          "graft_ngrams(tokens, n, distinct) takes an array and two literals")
+        val n = exprs(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"graft_ngrams n must be an int literal, got $other")
+        }
+        val d = exprs(2) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Boolean, _) => v
+          case other => throw new IllegalArgumentException(
+            s"graft_ngrams distinct must be a boolean literal, got $other")
+        }
+        WordNGrams(exprs.head, n, d)
+      },
+      "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_repetition",
+      exprs => {
+        require(exprs.length == 2,
+          "graft_repetition(tokens, n) takes an array and an int literal")
+        val n = exprs(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"graft_repetition n must be an int literal, got $other")
+        }
+        RepetitionRatioExpr(exprs.head, n)
+      },
+      "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_minhash_bands",
       exprs => {
         require(exprs.length == 3,

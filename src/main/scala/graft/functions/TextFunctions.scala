@@ -22,11 +22,20 @@ object TextFunctions {
   val P: Long = 2147483647L
 
   /** Deterministic polynomial rolling hash over the characters of `s`:
-    * acc = (acc*131 + codepoint) mod P. Used as the document fingerprint and
-    * as the token hash feeding MinHash/SimHash. Codegen-friendly (built-ins
-    * only) and engine-portable (ascii == ord for all of BMP).
+    * acc = (acc*131 + codepoint) mod P. Used as the document fingerprint
+    * and as the token hash feeding MinHash/SimHash. The native [[PolyHash]]
+    * kernel — one compiled pass per string; the `aggregate(split(s,''),…)`
+    * built-ins form it replaces ([[polyHashHof]]) interpreted a lambda per
+    * CHARACTER. Engine-portable: codePointAt ↔ DuckDB `ord` ↔ Spark
+    * `ascii`, bit-equal (TextKernelsSpec).
     */
   def polyHash(s: Column): Column =
+    call_function("graft_polyhash", s)
+
+  /** The built-ins-only formulation of [[polyHash]] — reference semantics
+    * the kernel must reproduce bit-for-bit.
+    */
+  def polyHashHof(s: Column): Column =
     aggregate(split(s, ""), lit(0L), (acc, c) => (acc * 131 + ascii(c)) % P)
 
   /** Whitespace tokens. */
@@ -39,18 +48,34 @@ object TextFunctions {
   def trigrams(toks: Column): Column = distinctNgrams(toks, 3)
 
   /** All word n-gram windows of a token array, in order, NON-distinct
-    * (the multiset — for frequency/repetition measures). 1-based
-    * element_at, matching the DuckDB `tokens[i] || ' ' || …` over
-    * `range(1, len - (n-2))` formulation. Caller must guard
-    * size(toks) >= n: Spark's `sequence(1, 0)` is DESCENDING, not empty.
+    * (the multiset — for frequency/repetition measures). The native
+    * [[WordNGrams]] kernel; [[ngramsHof]] is the built-ins form it
+    * replaces (a lambda per window). Caller must guard size(toks) >= n
+    * (the kernel returns [] below n; the HOF form's `sequence(1, 0)` is
+    * DESCENDING, not empty).
     */
   def ngrams(toks: Column, n: Int): Column =
+    call_function("graft_ngrams", toks, lit(n), lit(false))
+
+  /** Distinct word n-grams (the set — for Jaccard/containment measures);
+    * first-occurrence order, the `array_distinct` contract.
+    */
+  def distinctNgrams(toks: Column, n: Int): Column =
+    call_function("graft_ngrams", toks, lit(n), lit(true))
+
+  /** The built-ins formulation of [[ngrams]] — reference semantics
+    * (and the shape mirrored by every oracle SQL's `list_transform`).
+    */
+  def ngramsHof(toks: Column, n: Int): Column =
     transform(sequence(lit(1), size(toks) - (n - 1)), i =>
       concat_ws(" ", (0 until n).map(k => element_at(toks, i + k)): _*))
 
-  /** Distinct word n-grams (the set — for Jaccard/containment measures). */
-  def distinctNgrams(toks: Column, n: Int): Column =
-    array_distinct(ngrams(toks, n))
+  /** Per-row repetition ratio of the word n-gram multiset (max window
+    * frequency / total windows) — the native [[RepetitionRatioExpr]]
+    * kernel: zero-shuffle map work; null below n tokens.
+    */
+  def repetitionRatio(toks: Column, n: Int): Column =
+    call_function("graft_repetition", toks, lit(n))
 
   /** MinHash signature (array<long> of `numHashes` mins) of a token array's
     * word-trigram set — the native one-pass [[MinHashSignature]] kernel

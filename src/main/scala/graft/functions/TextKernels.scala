@@ -1,0 +1,164 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native text kernels replacing the interpreted higher-order-function hot
+  * paths (Spark HOF lambdas run through the interpreter PER ELEMENT — the
+  * measured ~10x pitfall):
+  *
+  *  - [[PolyHash]]: the per-character rolling hash (document fingerprints,
+  *    token hashes) as one compiled pass — the `aggregate(split(s,''),...)`
+  *    column form it replaces interpreted a lambda per CHARACTER of the
+  *    corpus.
+  *  - [[WordNGrams]]: word n-gram windows (multiset or first-occurrence
+  *    distinct) as one compiled pass — replaces
+  *    `transform(sequence(...), i -> concat_ws(...))`, a lambda per
+  *    window.
+  *  - [[RepetitionRatioExpr]]: the intra-document repetition measure
+  *    computed per row with a local frequency table — besides retiring the
+  *    lambda, this turns a two-shuffle groupBy pipeline into ZERO-shuffle
+  *    map work (the (doc_id, gram) exchange carried every window of the
+  *    corpus).
+  *
+  * All three are bit-compatible with the built-ins forms they replace
+  * (TextKernelsSpec asserts equality; the forms are kept as `...Hof`
+  * reference semantics in TextFunctions) and with the DuckDB oracle.
+  */
+object TextKernelUtil {
+  private val Space = UTF8String.fromString(" ")
+
+  /** All or distinct word n-gram windows, in order (distinct keeps FIRST
+    * occurrence order — the `array_distinct` contract). Empty when fewer
+    * than n tokens (callers guard, mirroring the column form's
+    * size-descending-sequence hazard). Null token slots are skipped inside
+    * a window like concat_ws skips nulls.
+    */
+  def ngrams(tokens: ArrayData, n: Int, distinct: Boolean): ArrayData = {
+    val cnt = tokens.numElements()
+    if (cnt < n) return new GenericArrayData(Array.empty[Any])
+    val parts = new Array[UTF8String](n)
+    val out = new java.util.ArrayList[Any](cnt - n + 1)
+    val seen = if (distinct) new java.util.HashSet[UTF8String]() else null
+    var i = 0
+    while (i <= cnt - n) {
+      var k = 0
+      while (k < n) { parts(k) = tokens.getUTF8String(i + k); k += 1 }
+      val g = UTF8String.concatWs(Space, parts: _*)
+      if (!distinct || seen.add(g)) out.add(g)
+      i += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  /** Most-frequent-window count over total windows of the n-gram multiset;
+    * null when no window exists (mirrors the relational form, where such
+    * docs produce no rows).
+    */
+  def repetition(tokens: ArrayData, n: Int): java.lang.Double = {
+    val cnt = tokens.numElements()
+    if (cnt < n) return null
+    val parts = new Array[UTF8String](n)
+    val freq = new java.util.HashMap[UTF8String, Int]()
+    var max = 0
+    var i = 0
+    while (i <= cnt - n) {
+      var k = 0
+      while (k < n) { parts(k) = tokens.getUTF8String(i + k); k += 1 }
+      val g = UTF8String.concatWs(Space, parts: _*)
+      val c = freq.merge(g, 1, Integer.sum)
+      if (c > max) max = c
+      i += 1
+    }
+    java.lang.Double.valueOf(max.toDouble / (cnt - n + 1))
+  }
+}
+
+/** Rolling polynomial hash over code points: acc = (acc*131 + cp) mod
+  * 2^31-1 — [[SimHashUtil.polyHash]] compiled per row instead of a lambda
+  * per character.
+  */
+final case class PolyHash(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_polyhash expects string, got ${other.simpleString}")
+  }
+
+  override protected def nullSafeEval(s: Any): Any =
+    SimHashUtil.polyHash(s.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, s => s"graft.functions.SimHashUtil.polyHash($s)")
+
+  override protected def withNewChildInternal(newChild: Expression): PolyHash =
+    copy(child = newChild)
+}
+
+private[functions] trait TokenArrayKernel extends UnaryExpression {
+  protected def fnName: String
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$fnName expects array<string>, got ${other.simpleString}")
+  }
+}
+
+/** Word n-gram windows of a token array (ordered; multiset or
+  * first-occurrence distinct).
+  */
+final case class WordNGrams(child: Expression, n: Int, distinct: Boolean)
+    extends UnaryExpression with TokenArrayKernel {
+  require(n >= 1, "n-gram size must be >= 1")
+  override protected def fnName: String = "graft_ngrams"
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override protected def nullSafeEval(toks: Any): Any =
+    TextKernelUtil.ngrams(toks.asInstanceOf[ArrayData], n, distinct)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      toks => s"graft.functions.TextKernelUtil.ngrams($toks, $n, $distinct)")
+
+  override protected def withNewChildInternal(newChild: Expression): WordNGrams =
+    copy(child = newChild)
+}
+
+/** Per-row repetition ratio of the n-gram multiset (max window frequency /
+  * total windows); null when fewer than n tokens.
+  */
+final case class RepetitionRatioExpr(child: Expression, n: Int)
+    extends UnaryExpression with TokenArrayKernel {
+  require(n >= 1, "n-gram size must be >= 1")
+  override protected def fnName: String = "graft_repetition"
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+
+  override protected def nullSafeEval(toks: Any): Any = {
+    val r = TextKernelUtil.repetition(toks.asInstanceOf[ArrayData], n)
+    if (r == null) null else r.doubleValue()
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, toks => {
+      val r = ctx.freshName("rep")
+      s"""
+         |java.lang.Double $r =
+         |  graft.functions.TextKernelUtil.repetition($toks, $n);
+         |if ($r == null) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = $r.doubleValue();
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): RepetitionRatioExpr =
+    copy(child = newChild)
+}

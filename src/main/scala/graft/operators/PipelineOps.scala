@@ -29,9 +29,9 @@ import graft.functions.TextFunctions._
   *  - quantization: embarrassingly parallel map work.
   *  - k-means assign: broadcast the centroids (k rows), one pass over the
   *    vectors, per-partition partial aggregation of cluster stats.
-  *  - repetition: per-doc gram frequencies; the (doc_id, gram) shuffle is
-  *    avoidable at scale with a per-row native kernel (same pattern as
-  *    MinHashBands), kept relational here for oracle transparency.
+  *  - repetition: per-row native kernel (RepetitionRatioExpr) — zero
+  *    shuffle; the exploded (doc_id, gram) groupBy pipeline is kept as
+  *    spec'd reference semantics only.
   */
 object PipelineOps {
 
@@ -133,8 +133,25 @@ object PipelineOps {
   /** Intra-document repetition ratio: occurrences of the most frequent
     * word n-gram over total n-gram occurrences (1/n_grams = no repetition,
     * 1.0 = the same window repeated throughout) — a boilerplate detector.
+    *
+    * Computed per row by the native [[graft.functions.RepetitionRatioExpr]]
+    * kernel: ZERO shuffle (the relational form below, kept as reference
+    * semantics, exploded every window and shuffled (doc_id, gram) twice —
+    * a corpus-of-windows exchange for a per-document measure).
     */
   def repetitionRatio(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    df.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("toks"))
+      .filter(size(col("toks")) >= n)
+      .select(col("doc_id"),
+        round(graft.functions.TextFunctions.repetitionRatio(col("toks"), n), 6)
+          .as("rep_ratio"))
+
+  /** The exploded groupBy formulation of [[repetitionRatio]] — reference
+    * semantics the kernel must reproduce (PipelineOpsSpec asserts
+    * equality). Not for production use.
+    */
+  def repetitionRatioRelational(df: DataFrame, idCol: String, textCol: String,
+      n: Int): DataFrame =
     df.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("toks"))
       .filter(size(col("toks")) >= n)
       .select(col("doc_id"), explode(ngrams(col("toks"), n)).as("g"))

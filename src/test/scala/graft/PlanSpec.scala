@@ -130,6 +130,21 @@ class PlanSpec extends SparkSpec {
       s"interpreted HOF resurfaced in the hot path:\n${p.take(1500)}")
   }
 
+  test("q45 repetition: zero-shuffle map work (no gram explode, no groupBy)") {
+    val p = plan("q45_repetition")
+    assert(p.contains("repetitionratioexpr"), s"native kernel missing:\n${p.take(1500)}")
+    assert(!p.contains("Generate"), "gram explode resurfaced")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"per-document measure must not shuffle:\n${p.take(1500)}")
+  }
+
+  test("q24 fingerprint: native polyhash, no per-character lambda") {
+    val p = plan("q24_fingerprint")
+    assert(p.contains("polyhash"), s"native kernel missing:\n${p.take(1500)}")
+    assert(!p.contains("lambdafunction"),
+      s"interpreted per-char HOF resurfaced:\n${p.take(1500)}")
+  }
+
   test("q44 k-means: centroids broadcast, vectors never shuffled for scoring") {
     val p = plan("q44_kmeans_assign")
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),

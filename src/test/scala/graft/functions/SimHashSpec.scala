@@ -40,7 +40,7 @@ class SimHashSpec extends SparkSpec {
     // ascii() returns the full code point; the kernel iterates code points.
     val df = Seq("héllo 世界 emoji😀end").toDF("text")
       .select(explode(tokens($"text")).as("t"))
-      .select(polyHash($"t").as("builtins"), $"t")
+      .select(polyHashHof($"t").as("builtins"), $"t")
       .withColumn("kernel", simhashSig(array($"t")))
     // single-token sig == hash value itself (see above), so parity on each.
     val rows = df.select($"builtins", $"kernel").collect()

@@ -1,0 +1,66 @@
+package graft.functions
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.functions._
+
+class TextKernelsSpec extends SparkSpec {
+  import spark.implicits._
+  import TextFunctions._
+
+  test("polyhash kernel equals the aggregate/split built-ins form on the corpus") {
+    val bad = Tables.documents(spark, sf)
+      .select(polyHash($"text").as("k"), polyHashHof($"text").as("h"))
+      .filter($"k" =!= $"h")
+    assert(bad.count() === 0)
+  }
+
+  test("polyhash handles empty strings and multibyte code points") {
+    val rows = Seq("", "a", "héllo", "世界", "x😀y")
+      .toDF("s").select(polyHash($"s"), polyHashHof($"s")).collect()
+    rows.foreach(r => assert(r.getLong(0) === r.getLong(1)))
+    assert(rows(0).getLong(0) === 0L) // empty string folds to the seed
+  }
+
+  test("ngrams kernel equals the transform/sequence built-ins form (multiset + distinct)") {
+    val toks = Tables.documents(spark, sf)
+      .select(tokens($"text").as("toks")).filter(size($"toks") >= 3)
+    val bad = toks.select(
+        ngrams($"toks", 3).as("k"), ngramsHof($"toks", 3).as("h"),
+        distinctNgrams($"toks", 3).as("kd"),
+        array_distinct(ngramsHof($"toks", 3)).as("hd"))
+      .filter($"k" =!= $"h" || $"kd" =!= $"hd")
+    assert(bad.count() === 0)
+  }
+
+  test("ngrams kernel: order, duplicates, and below-n inputs") {
+    val r = Seq(Tuple1(Seq("a", "b", "a", "b"))).toDF("toks")
+      .select(ngrams($"toks", 2).as("m"), distinctNgrams($"toks", 2).as("d"),
+        ngrams($"toks", 5).as("short"))
+      .head()
+    assert(r.getSeq[String](0) === Seq("a b", "b a", "a b"))
+    assert(r.getSeq[String](1) === Seq("a b", "b a")) // first-occurrence order
+    assert(r.getSeq[String](2) === Seq.empty)
+  }
+
+  test("repetition kernel equals the exploded groupBy formulation") {
+    val docs = Tables.documents(spark, sf)
+    val k = graft.operators.PipelineOps
+      .repetitionRatio(docs, "doc_id", "text", 3)
+    val rel = graft.operators.PipelineOps
+      .repetitionRatioRelational(docs, "doc_id", "text", 3)
+    assert(k.count() === rel.count())
+    val bad = k.as("k").join(rel.as("r"), "doc_id")
+      .filter($"k.rep_ratio" =!= $"r.rep_ratio")
+    assert(bad.count() === 0)
+  }
+
+  test("repetition kernel: repeated windows, all-distinct, and below-n inputs") {
+    val r = Seq(Tuple1(Seq("x", "y", "x", "y", "x")),
+        Tuple1(Seq("a", "b", "c", "d")), Tuple1(Seq("a", "b")))
+      .toDF("toks")
+      .select(repetitionRatio($"toks", 3)).collect()
+    assert(r(0).getDouble(0) === 2.0 / 3) // windows x·y·x, y·x·y, x·y·x → max 2 of 3
+    assert(r(1).getDouble(0) === 0.5)     // 2 windows, each once → 1/2
+    assert(r(2).isNullAt(0))
+  }
+}
