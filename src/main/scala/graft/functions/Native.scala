@@ -77,6 +77,22 @@ object Native {
       },
       "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_token_hits",
+      exprs => {
+        require(exprs.length == 2,
+          "graft_token_hits(tokens, words) takes an array and a literal word array")
+        val words = exprs(1) match {
+          case e if e.foldable &&
+              e.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType] =>
+            val a = e.eval().asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+            (0 until a.numElements()).map(a.getUTF8String)
+          case other => throw new IllegalArgumentException(
+            s"graft_token_hits words must be a foldable string array, got $other")
+        }
+        TokenHits(exprs.head, words)
+      },
+      "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_repetition",
       exprs => {
         require(exprs.length == 2,

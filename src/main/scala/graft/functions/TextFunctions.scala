@@ -77,6 +77,14 @@ object TextFunctions {
   def repetitionRatio(toks: Column, n: Int): Column =
     call_function("graft_repetition", toks, lit(n))
 
+  /** Occurrences of tokens from a fixed word set — the native [[TokenHits]]
+    * kernel (one hash-set probe per token); equals
+    * `size(filter(toks, t => array_contains(array(words…), t)))`
+    * (TextKernelsSpec).
+    */
+  def tokenHits(toks: Column, words: Seq[String]): Column =
+    call_function("graft_token_hits", toks, array(words.map(lit): _*))
+
   /** MinHash signature (array<long> of `numHashes` mins) of a token array's
     * word-trigram set — the native one-pass [[MinHashSignature]] kernel
     * (requires [[Native.register]]). Null when fewer than 3 tokens.

@@ -78,6 +78,55 @@ object TextKernelUtil {
   }
 }
 
+object TokenHitsUtil {
+  /** Occurrences (multiset count) of tokens present in `set`; null slots
+    * are skipped — `array_contains(words, null)` is null, which the HOF
+    * `filter` treats as false.
+    */
+  def count(toks: ArrayData, set: java.util.HashSet[UTF8String]): Int = {
+    val n = toks.numElements()
+    var c = 0
+    var i = 0
+    while (i < n) {
+      if (!toks.isNullAt(i) && set.contains(toks.getUTF8String(i))) c += 1
+      i += 1
+    }
+    c
+  }
+
+  def buildSet(words: Seq[UTF8String]): java.util.HashSet[UTF8String] = {
+    val s = new java.util.HashSet[UTF8String](words.length * 2)
+    words.foreach(s.add)
+    s
+  }
+}
+
+/** Count of token occurrences matching a fixed word set (stopword-ratio
+  * quality scoring, language-ID profiles) — replaces
+  * `size(filter(toks, t -> array_contains(words, t)))`, which interpreted
+  * a lambda (and a linear array scan) per TOKEN; here it is one hash-set
+  * probe per token inside codegen.
+  */
+final case class TokenHits(child: Expression, words: Seq[UTF8String])
+    extends UnaryExpression with TokenArrayKernel {
+  override protected def fnName: String = "graft_token_hits"
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+
+  @transient private lazy val set = TokenHitsUtil.buildSet(words)
+
+  override protected def nullSafeEval(toks: Any): Any =
+    TokenHitsUtil.count(toks.asInstanceOf[ArrayData], set)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val setRef = ctx.addReferenceObj("wordSet", set, "java.util.HashSet")
+    defineCodeGen(ctx, ev,
+      toks => s"graft.functions.TokenHitsUtil.count($toks, $setRef)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): TokenHits =
+    copy(child = newChild)
+}
+
 /** Rolling polynomial hash over code points: acc = (acc*131 + cp) mod
   * 2^31-1 — [[SimHashUtil.polyHash]] compiled per row instead of a lambda
   * per character.

@@ -159,6 +159,53 @@ object PipelineOps {
       .groupBy(col("doc_id"))
       .agg(round(max(col("c")).cast("double") / sum(col("c")), 6).as("rep_ratio"))
 
+  /** PII patterns — a conservative regex subset that parses and matches
+    * identically under Java regex (Spark codegen) and RE2 (DuckDB oracle):
+    * character classes, greedy quantifiers, no backreferences/lookaround.
+    */
+  val UrlPattern = "https?://[^ ]+"
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhonePattern = "\\+[0-9][0-9\\- ]{5,}[0-9]"
+
+  /** PII scrubbing for training corpora: URL → `<URL>`, email → `<EMAIL>`,
+    * phone → `<PHONE>` (applied in that order — emails inside URLs are
+    * already gone), plus per-document match counts for audit/filtering.
+    * Pure map-side: regex matching is compiled per task, zero shuffle.
+    */
+  def scrubPii(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = col(textCol)
+    df.select(col(idCol),
+      size(regexp_extract_all(t, lit(UrlPattern), lit(0))).cast("long").as("n_urls"),
+      size(regexp_extract_all(t, lit(EmailPattern), lit(0))).cast("long").as("n_emails"),
+      size(regexp_extract_all(t, lit(PhonePattern), lit(0))).cast("long").as("n_phones"),
+      regexp_replace(regexp_replace(regexp_replace(t,
+        UrlPattern, "<URL>"), EmailPattern, "<EMAIL>"),
+        PhonePattern, "<PHONE>").as("scrubbed"))
+  }
+
+  /** Concat-then-chunk sequence packing (the standard LLM pretraining
+    * batching step): documents are laid out in `idCol` order within each
+    * shard and cut into fixed `budget`-token bins; a document's bin is
+    * floor(tokens-before-it / budget). Emits per-bin membership stats.
+    *
+    * Scale design: packing is PER SHARD (`shardCol`) — the window runs
+    * over balanced shard partitions, so no global sort and no single-task
+    * bottleneck. Training shards are independent by construction, so a
+    * global document order is neither needed nor wanted at 100 TB.
+    */
+  def packSequences(df: DataFrame, idCol: String, textCol: String,
+      shardCol: String, budget: Int): DataFrame = {
+    require(budget > 0, "token budget must be positive")
+    val w = Window.partitionBy(col(shardCol)).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.select(col(shardCol), col(idCol),
+        size(tokens(col(textCol))).as("n_tok"))
+      .withColumn("cum_before", sum(col("n_tok")).over(w) - col("n_tok"))
+      .withColumn("bin", floor(col("cum_before") / budget))
+      .groupBy(col(shardCol), col("bin"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("tokens_total"))
+  }
+
   // ===========================================================================
   // Oracle-bound query exercises
   // ===========================================================================
@@ -269,11 +316,61 @@ object PipelineOps {
        SELECT doc_id, round(max(c)::DOUBLE / sum(c), 6) AS rep_ratio
        FROM freq GROUP BY doc_id ORDER BY doc_id"""
 
+  // The fixture corpus is synthetic word salad with no PII, so q54 injects
+  // a deterministic email/URL/phone tail into every third document — built
+  // with the same string expression in both engines — and scrubs THAT.
+  // The oracle then genuinely exercises regex parity, not just no-ops.
+  private def q54(s: SparkSession, d: String): DataFrame = {
+    val id = col("doc_id").cast("string")
+    val aug = when(col("doc_id") % 3 === 0,
+      concat(col("text"), lit(" contact user"), id,
+        lit("@example.com or https://ex.com/p/"), id,
+        lit(" tel +1 555-00"), id))
+      .otherwise(col("text"))
+    scrubPii(Tables.documents(s, d).select(col("doc_id"), aug.as("text")),
+        "doc_id", "text")
+      .orderBy(col("doc_id"))
+  }
+  private val q54Sql =
+    """WITH aug AS (
+         SELECT doc_id, CASE WHEN doc_id % 3 = 0
+           THEN text || ' contact user' || doc_id || '@example.com or https://ex.com/p/'
+                || doc_id || ' tel +1 555-00' || doc_id
+           ELSE text END AS t
+         FROM documents)
+       SELECT doc_id,
+         len(regexp_extract_all(t, 'https?://[^ ]+'))::BIGINT AS n_urls,
+         len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))::BIGINT AS n_emails,
+         len(regexp_extract_all(t, '\+[0-9][0-9\- ]{5,}[0-9]'))::BIGINT AS n_phones,
+         regexp_replace(regexp_replace(regexp_replace(t,
+           'https?://[^ ]+', '<URL>', 'g'),
+           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+           '\+[0-9][0-9\- ]{5,}[0-9]', '<PHONE>', 'g') AS scrubbed
+       FROM aug ORDER BY doc_id"""
+
+  private def q55(s: SparkSession, d: String): DataFrame =
+    packSequences(Tables.documents(s, d), "doc_id", "text", "lang", budget = 2048)
+      .orderBy(col("lang"), col("bin"))
+  private val q55Sql =
+    """WITH n AS (
+         SELECT lang, doc_id, len(string_split(text, ' ')) AS n_tok
+         FROM documents),
+       c AS (
+         SELECT lang, n_tok,
+           sum(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tok AS cum_before
+         FROM n)
+       SELECT lang, floor(cum_before / 2048)::BIGINT AS bin,
+         count(*) AS n_docs, sum(n_tok)::BIGINT AS tokens_total
+       FROM c GROUP BY 1, 2 ORDER BY lang, bin"""
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q40_contamination", q40, Some(q40Sql)),
     QueryDef("q41_stratified_sample", q41, Some(q41Sql)),
     QueryDef("q42_topk_ngrams", q42, Some(q42Sql)),
     QueryDef("q43_embed_quantize", q43, Some(q43Sql)),
     QueryDef("q44_kmeans_assign", q44, Some(q44Sql)),
-    QueryDef("q45_repetition", q45, Some(q45Sql)))
+    QueryDef("q45_repetition", q45, Some(q45Sql)),
+    QueryDef("q54_pii_scrub", q54, Some(q54Sql)),
+    QueryDef("q55_seq_packing", q55, Some(q55Sql)))
 }

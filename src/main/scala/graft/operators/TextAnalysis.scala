@@ -51,8 +51,9 @@ object TextAnalysis {
   private def q22(s: SparkSession, d: String): DataFrame = {
     val toks = tokens(col("text"))
     val nTok = size(toks).cast("double")
-    val nStop = size(filter(toks, t =>
-      array_contains(array(enStops.map(lit): _*), t))).cast("double")
+    // native TokenHits kernel: hash-set probe per token, not a lambda +
+    // linear array scan per token
+    val nStop = tokenHits(toks, enStops).cast("double")
     val stopRatio = nStop / nTok
     val avgWlen = (length(col("text")).cast("double") - (nTok - 1d)) / nTok
     val score = stopRatio * 0.5 + least(nTok / 100d, lit(1d)) * 0.3 +
@@ -98,8 +99,7 @@ object TextAnalysis {
   // the confusion matrix against the fixture's lang column.
   private def q23(s: SparkSession, d: String): DataFrame = {
     val toks = tokens(col("text"))
-    def hits(words: Seq[String]) =
-      size(filter(toks, t => array_contains(array(words.map(lit): _*), t)))
+    def hits(words: Seq[String]) = tokenHits(toks, words)
     val sDe = hits(langProfiles.find(_._1 == "de").get._2)
     val sEs = hits(langProfiles.find(_._1 == "es").get._2)
     val sFr = hits(langProfiles.find(_._1 == "fr").get._2)

@@ -42,6 +42,22 @@ class TextKernelsSpec extends SparkSpec {
     assert(r.getSeq[String](2) === Seq.empty)
   }
 
+  test("token-hits kernel equals the filter/array_contains built-ins form") {
+    val words = Seq("the", "a", "of", "and", "to")
+    val hof = size(filter(tokens($"text"), t =>
+      array_contains(array(words.map(lit): _*), t)))
+    val bad = Tables.documents(spark, sf)
+      .select(tokenHits(tokens($"text"), words).as("k"), hof.as("h"))
+      .filter($"k" =!= $"h")
+    assert(bad.count() === 0)
+    // multiset counting (duplicates count) and empty-set behavior
+    val r = Seq("the the a x").toDF("text")
+      .select(tokenHits(tokens($"text"), words),
+        tokenHits(tokens($"text"), Seq.empty)).head()
+    assert(r.getInt(0) === 3)
+    assert(r.getInt(1) === 0)
+  }
+
   test("repetition kernel equals the exploded groupBy formulation") {
     val docs = Tables.documents(spark, sf)
     val k = graft.operators.PipelineOps

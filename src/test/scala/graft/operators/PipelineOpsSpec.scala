@@ -82,6 +82,34 @@ class PipelineOpsSpec extends SparkSpec {
     assert(got === Array((100L, 2L), (200L, 2L)))
   }
 
+  test("scrubPii redacts urls, emails, and phones and counts matches") {
+    val df = Seq(
+      (1L, "see https://a.io/x and mail bob@x.org or +1 555-0099 now"),
+      (2L, "nothing here")).toDF("doc_id", "text")
+    val rows = PipelineOps.scrubPii(df, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    assert(rows(0).getLong(1) === 1L && rows(0).getLong(2) === 1L &&
+      rows(0).getLong(3) === 1L)
+    assert(rows(0).getString(4) ===
+      "see <URL> and mail <EMAIL> or <PHONE> now")
+    assert(rows(1).getString(4) === "nothing here")
+    assert(rows(1).getLong(1) === 0L)
+  }
+
+  test("packSequences chunks each shard's ordered docs into budget-token bins") {
+    // 4 docs of 3 tokens each in one shard, budget 5:
+    // cum_before = 0,3,6,9 → bins 0,0,1,1
+    val df = Seq(
+      (1L, "a b c", "s1"), (2L, "d e f", "s1"),
+      (3L, "g h i", "s1"), (4L, "j k l", "s1"),
+      (5L, "m n", "s2")).toDF("doc_id", "text", "shard")
+    val got = PipelineOps.packSequences(df, "doc_id", "text", "shard", budget = 5)
+      .orderBy("shard", "bin")
+      .as[(String, Long, Long, Long)].collect()
+    assert(got === Array(("s1", 0L, 2L, 6L), ("s1", 1L, 2L, 6L),
+      ("s2", 0L, 1L, 2L)))
+  }
+
   test("topNgrams orders by count desc then gram asc") {
     val df = Seq("b b", "b b", "a a", "a a", "c c").toDF("text")
     val got = PipelineOps.topNgrams(df, "text", n = 2, k = 2)
