@@ -115,17 +115,22 @@ object PipelineOps {
       quantize8(col(vecCol)).as("q8"))
 
   /** Nearest-centroid assignment (one k-means step): centroids broadcast,
-    * cosine scored in the native kernel, argmax via window (centroid id
-    * tiebreak), then per-cluster stats.
+    * cosine scored in the native kernel, argmax as `max(struct(cs,
+    * -centroid_id))` — a hash aggregation whose map-side partial collapses
+    * each partition's N·K scored rows to N before any exchange (the
+    * window-row_number argmax the oracle uses would sort and shuffle the
+    * full scored relation). Tie-break identical: max score, then lowest
+    * centroid id. Then per-cluster stats.
     */
   def kmeansAssign(vectors: DataFrame, centroids: DataFrame,
       idCol: String, vecCol: String, centIdCol: String, centVecCol: String): DataFrame = {
-    val scored = vectors.crossJoin(broadcast(centroids))
-      .select(col(idCol), col(centIdCol),
-        cosine(col(vecCol), col(centVecCol)).as("cs"))
-    val w = Window.partitionBy(col(idCol))
-      .orderBy(col("cs").desc, col(centIdCol))
-    scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+    vectors.crossJoin(broadcast(centroids))
+      .select(col(idCol),
+        struct(cosine(col(vecCol), col(centVecCol)).as("cs"),
+          (-col(centIdCol)).as("neg_cent")).as("cand"))
+      .groupBy(col(idCol))
+      .agg(max(col("cand")).as("best"))
+      .select((-col("best.neg_cent")).as(centIdCol), col("best.cs").as("cs"))
       .groupBy(col(centIdCol))
       .agg(count(lit(1)).as("n_members"), round(avg(col("cs")), 6).as("avg_cos"))
   }

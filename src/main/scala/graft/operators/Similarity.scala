@@ -81,17 +81,26 @@ object Similarity {
   /** Assign every vector to its nearest of the given seed centroids
     * (broadcast join + deterministic argmax). Output: (idCol, vecCol,
     * cluster).
+    *
+    * The argmax is `max(struct(score, -seed_id, …))` — an ordinary hash
+    * aggregation with MAP-SIDE PARTIALS, so each partition reduces its
+    * N·K scored rows to N before the exchange. (A window `row_number`
+    * argmax — the oracle's formulation — sorts and shuffles the whole
+    * scored relation.) Tie-break identical: max score, then LOWEST seed
+    * id (negated in the struct); the (score, -seed) prefix is unique per
+    * group, so the trailing payload fields never influence the ordering.
     */
   def ivfAssign(corpus: DataFrame, seeds: DataFrame, idCol: String,
       vecCol: String): DataFrame = {
     val s = seeds.select(col(idCol).as("seed_id"), col(vecCol).as("se"))
-    val aw = Window.partitionBy(col(idCol))
-      .orderBy(col("sc").desc, col("seed_id"))
     corpus.join(broadcast(s))
-      .withColumn("sc", cosine(col(vecCol), col("se")))
-      .withColumn("arn", row_number().over(aw))
-      .filter(col("arn") === 1)
-      .select(col(idCol), col(vecCol), col("seed_id").as("cluster"))
+      .select(col(idCol),
+        struct(cosine(col(vecCol), col("se")).as("sc"),
+          (-col("seed_id")).as("neg_seed"), col(vecCol).as("v")).as("cand"))
+      .groupBy(col(idCol))
+      .agg(max(col("cand")).as("best"))
+      .select(col(idCol), col("best.v").as(vecCol),
+        (-col("best.neg_seed")).as("cluster"))
   }
 
   /** Single-probe IVF approximate top-k: each query searches only its own

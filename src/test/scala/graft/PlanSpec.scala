@@ -54,10 +54,9 @@ class PlanSpec extends SparkSpec {
     // carries k·partitions rows per query.
     Seq("q30_cosine_topk", "q31_ann_ivf", "q39_ann_lsh").foreach { q =>
       val p = plan(q)
-      // q31 keeps one window: ivfAssign's per-vector argmax (partitioned by
-      // vec_id — N balanced partitions, not |Q|). The RANKING must be heap.
-      if (q != "q31_ann_ivf")
-        assert(!p.contains("Window"), s"$q: window ranking resurfaced")
+      // no windows anywhere: ranking is the heap aggregator and (q31)
+      // the assign argmax is a partial-aggregated max(struct(...)).
+      assert(!p.contains("Window"), s"$q: window ranking resurfaced")
       // printed top-down: final boundedtopk, then its exchange, then the
       // map-side partial below it — pin that exact sandwich.
       val fin = p.indexOf("functions=[boundedtopk")
@@ -150,6 +149,11 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
       s"centroid side should broadcast:\n${p.take(1500)}")
     assert(!p.contains("CartesianProduct"))
+    // argmax is a partial-aggregated max(struct(...)), not a window sort:
+    // each partition collapses its N·K scored rows to N before the exchange
+    assert(!p.contains("Window"), "window argmax resurfaced")
+    assert(p.contains("partial_max"),
+      s"map-side argmax partial missing:\n${p.take(1500)}")
   }
 
   test("q41 stratified sample: single scan, aggregation only (no join, no extra shuffle)") {
