@@ -210,13 +210,34 @@ object Dedup {
   }
 
   /** Embedding near-dup: pairs with cosine >= threshold (brute pair join;
-    * bucket first via Similarity.ivfAssign at scale).
+    * use [[cosinePairsIvf]] at scale).
     */
   def cosinePairs(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double): DataFrame = {
     val a = df.select(col(idCol).as("v1"), col(vecCol).as("e1"))
     val b = df.select(col(idCol).as("v2"), col(vecCol).as("e2"))
     a.join(b, col("v1") < col("v2"))
+      .withColumn("c", cosine(col("e1"), col("e2")))
+      .filter(col("c") >= threshold)
+      .select(col("v1"), col("v2"), round(col("c"), 6).as("cos_sim"))
+  }
+
+  /** IVF-bucketed embedding near-dup — the scale path for [[cosinePairs]]:
+    * assign every vector to its nearest seed (broadcast + partial-agg
+    * argmax, Similarity.ivfAssign), then pair-join WITHIN clusters only.
+    * Cost drops from O(N²) to O(N²/K) pair evaluations and the join
+    * shuffles on the cluster key; recall covers same-cluster neighbors
+    * (raise K probes or union multiple seed sets to grow it — standard IVF
+    * levers; the output is always a subset of the brute-force pairs,
+    * asserted by DedupSpec).
+    */
+  def cosinePairsIvf(df: DataFrame, seeds: DataFrame, idCol: String,
+      vecCol: String, threshold: Double): DataFrame = {
+    val assigned = Similarity.ivfAssign(df, seeds, idCol, vecCol)
+    val a = assigned.select(col("cluster"), col(idCol).as("v1"), col(vecCol).as("e1"))
+    val b = assigned.select(col("cluster"), col(idCol).as("v2"), col(vecCol).as("e2"))
+    a.join(b, Seq("cluster"))
+      .filter(col("v1") < col("v2"))
       .withColumn("c", cosine(col("e1"), col("e2")))
       .filter(col("c") >= threshold)
       .select(col("v1"), col("v2"), round(col("c"), 6).as("cos_sim"))
@@ -303,10 +324,43 @@ object Dedup {
        SELECT v1, v2, round(cs, 6) AS cos_sim FROM c
        WHERE cs >= 0.4 ORDER BY v1, v2"""
 
+  private def q56(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+    cosinePairsIvf(e, e.filter(col("vec_id") < 16), "vec_id", "embedding",
+        CosineThreshold)
+      .orderBy(col("v1"), col("v2"))
+  }
+  private val q56Sql =
+    """WITH cos AS (
+         SELECT a.vec_id, a.embedding, s.vec_id AS seed_id,
+           list_sum(list_transform(range(1, len(a.embedding) + 1),
+             k -> a.embedding[k]::DOUBLE * s.embedding[k]::DOUBLE))
+           / (sqrt(list_sum(list_transform(a.embedding, x -> x::DOUBLE * x::DOUBLE)))
+              * sqrt(list_sum(list_transform(s.embedding, x -> x::DOUBLE * x::DOUBLE))))
+             AS sc
+         FROM embeddings a JOIN embeddings s ON s.vec_id < 16),
+       assigned AS (
+         SELECT vec_id, embedding, seed_id AS cluster FROM (
+           SELECT *, row_number() OVER (PARTITION BY vec_id
+             ORDER BY sc DESC, seed_id) AS arn FROM cos) t
+         WHERE arn = 1),
+       pairs AS (
+         SELECT a.vec_id AS v1, b.vec_id AS v2,
+           list_sum(list_transform(range(1, len(a.embedding) + 1),
+             k -> a.embedding[k]::DOUBLE * b.embedding[k]::DOUBLE))
+           / (sqrt(list_sum(list_transform(a.embedding, x -> x::DOUBLE * x::DOUBLE)))
+              * sqrt(list_sum(list_transform(b.embedding, x -> x::DOUBLE * x::DOUBLE))))
+             AS c
+         FROM assigned a JOIN assigned b
+           ON a.cluster = b.cluster AND a.vec_id < b.vec_id)
+       SELECT v1, v2, round(c, 6) AS cos_sim FROM pairs
+       WHERE c >= 0.4 ORDER BY v1, v2"""
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q25_exact_dedup", q25, Some(q25Sql)),
     QueryDef("q26_ngram_jaccard", q26, Some(exactJaccardSql)),
     QueryDef("q27_minhash_lsh", q27, Some(exactJaccardSql), headline = true),
     QueryDef("q28_simhash", q28, Some(q28Sql)),
-    QueryDef("q29_embedding_neardup", q29, Some(q29Sql)))
+    QueryDef("q29_embedding_neardup", q29, Some(q29Sql)),
+    QueryDef("q56_embedding_neardup_ivf", q56, Some(q56Sql)))
 }
