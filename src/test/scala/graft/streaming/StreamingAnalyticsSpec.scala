@@ -44,6 +44,33 @@ class StreamingAnalyticsSpec extends SparkSpec {
       "no window emitted twice")
   }
 
+  test("tumbling window counts over a RESHARDED stream equal the batch computation") {
+    // Resharding must compose with event-time aggregation: parents carry
+    // the pre-split events and drain first, children carry the post-split
+    // tail — the watermark advances monotonically across the seal.
+    val splitMs = (graft.Tables.events(spark, sf)
+      .selectExpr("percentile_approx(cast(ts as double), 0.5)").as[Double].head()
+      * 1000).toLong
+    val ds = StreamingOps.decode(Consumer.source(ConsumerConfig(
+      eventsPath, numShards = 4, maxRecordsPerTrigger = Some(400),
+      reshardAtMs = Some(splitMs))))
+    val q = StreamingOps.tumblingCounts(ds, "1 hour", "2 hours")
+      .writeStream.format("memory").queryName("win_counts_reshard")
+      .outputMode("append")
+      .option("checkpointLocation", tmp("ckpt_win_resh"))
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val got = spark.table("win_counts_reshard")
+      .select(col("window.start").as("ws"), col("event_type"), col("n"))
+    val want = graft.Tables.events(spark, sf)
+      .groupBy(window(col("ts"), "1 hour").getField("start").as("ws"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val joined = got.as("g").join(want.as("w"), Seq("ws", "event_type"))
+    assert(joined.filter(col("g.n") =!= col("w.n")).count() === 0)
+    assert(got.count() > want.count() / 2, "most windows should have closed")
+  }
+
   test("session windows per user equal the batch session computation") {
     val q = StreamingOps.sessionCounts(decoded(), "30 minutes", "2 hours")
       .writeStream.format("memory").queryName("sess_counts")
