@@ -52,6 +52,28 @@ object Analytics {
          round((quantile_cont(l_extendedprice, [0.25, 0.5, 0.75]))[3], 4) AS p75
        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
 
+  /** q57: approximate percentile — the mergeable t-digest scale path for
+    * q47's exact sort-based percentile — computed beside the exact value
+    * with the accuracy assertion IN the row (the q36 pattern: the oracle
+    * emits literal true, so the approximation is oracle-checked every
+    * round instead of being a rows-only entry).
+    */
+  private def q57(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(expr("percentile(l_extendedprice, 0.5D)").as("exact_raw"),
+        expr("approx_percentile(l_extendedprice, 0.5D, 10000)").as("approx"))
+      .select(col("l_returnflag"),
+        round(col("exact_raw"), 4).as("exact_p50"),
+        (abs(col("approx") - col("exact_raw")) <=
+          col("exact_raw") * 0.01).as("within_bound"))
+      .orderBy(col("l_returnflag"))
+  private val q57Sql =
+    """SELECT l_returnflag,
+         round(quantile_cont(l_extendedprice, 0.5), 4) AS exact_p50,
+         true AS within_bound
+       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
+
   /** q48: second-moment statistics (corr / covariance / stddev / variance).
     * Rounding per metric magnitude: single-pass co-moment accumulation
     * differs in summation order between engines.
@@ -183,6 +205,7 @@ object Analytics {
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q46_posexplode", q46, Some(q46Sql)),
     QueryDef("q47_percentiles", q47, Some(q47Sql)),
+    QueryDef("q57_approx_percentile", q57, Some(q57Sql)),
     QueryDef("q48_moment_stats", q48, Some(q48Sql)),
     QueryDef("q49_window_nav", q49, Some(q49Sql)),
     QueryDef("q50_range_frame", q50, Some(q50Sql)),
