@@ -205,6 +205,25 @@ object ShardPositions {
   * consumer gets demand).
   */
 object AdmissionPlanner {
+  /** Parent-before-child gating: caps each child shard's visible frontier
+    * at its current position until the parent's COMMITTED position has
+    * reached the parent's end — so child records land in strictly later
+    * batches than the parent's seal (the reference's shardEnded ordering).
+    * Pure; property-tested together with [[advance]].
+    */
+  def gate(current: ShardPositions, counts: Array[Long],
+      parentOf: Int => Option[Int]): Array[Long] = {
+    val eligible = counts.clone()
+    var i = 0
+    while (i < counts.length) {
+      parentOf(i).foreach { p =>
+        if (current(p) < counts(p)) eligible(i) = current(i)
+      }
+      i += 1
+    }
+    eligible
+  }
+
   def advance(current: ShardPositions, counts: Array[Long], maxRows: Option[Long]): ShardPositions = {
     val n = counts.length
     val backlog = (0 until n).map(i => math.max(0L, counts(i) - current(i)))
@@ -278,12 +297,7 @@ final class ShardedReplayMicroBatchStream(
     // shard admits no records until its parent's frontier has reached the
     // seal in a COMMITTED offset — child data lands in strictly later
     // batches than the last parent batch, never beside it.
-    val eligible = frontier.clone()
-    (0 until conf.universeSize).foreach { i =>
-      conf.parentOf(i).foreach { p =>
-        if (cur(p) < counts(p)) eligible(i) = cur(i) // blocked: no backlog
-      }
-    }
+    val eligible = AdmissionPlanner.gate(cur, frontier, conf.parentOf)
     val adv = limit match {
       case _: ReadAllAvailable => AdmissionPlanner.advance(cur, eligible, None)
       case r: ReadMaxRows => AdmissionPlanner.advance(cur, eligible, Some(r.maxRows()))

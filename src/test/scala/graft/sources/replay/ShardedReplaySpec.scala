@@ -331,6 +331,39 @@ class ShardedReplaySpec extends SparkSpec with BeforeAndAfterAll {
     assert(spark.table("replay_pt").count() === nEvents, "drained exactly once")
   }
 
+  // ---- gated admission property (reshard parent-before-child) --------------
+  // Under any sequence of limited triggers over a random split universe,
+  // children never advance while their parent is incomplete, prefixes stay
+  // contiguous, and the stream still fully drains.
+  test("gated admission: children wait for their parent's seal, then everything drains") {
+    val rnd = new scala.util.Random(7)
+    (1 to 100).foreach { _ =>
+      val nParents = 1 + rnd.nextInt(4)
+      val n = 3 * nParents
+      def parentOf(i: Int): Option[Int] =
+        if (i < nParents) None else Some((i - nParents) % nParents)
+      val cnt = Array.fill(n)(rnd.nextLong(500L))
+      val lims = List.fill(rnd.nextInt(10))(1L + rnd.nextLong(300L))
+      var cur = ShardPositions.zeros(n)
+      (lims.map(Option(_)) ++ Seq(None, None)).foreach { lim =>
+        val eligible = AdmissionPlanner.gate(cur, cnt, parentOf)
+        val next = AdmissionPlanner.advance(cur, eligible, lim)
+        (0 until n).foreach { i =>
+          assert(next(i) >= cur(i) && next(i) <= cnt(i))
+          parentOf(i).foreach { p =>
+            if (cur(p) < cnt(p))
+              assert(next(i) === cur(i),
+                s"child $i advanced while parent $p incomplete")
+          }
+        }
+        cur = next
+      }
+      // two unlimited triggers suffice: one finishes every parent, the
+      // next drains every (now unblocked) child
+      (0 until n).foreach(i => assert(cur(i) === cnt(i), s"shard $i not drained"))
+    }
+  }
+
   // ---- contiguous-prefix property (reference C3 semantics) -----------------
   // The committed frontier after any sequence of limited triggers is always
   // a contiguous prefix per shard, and triggers tile [0, count) disjointly.
