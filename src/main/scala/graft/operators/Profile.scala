@@ -1,0 +1,102 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Dataset hygiene operators every large-scale pipeline runs before (and
+  * after) a training build: one-pass column profiling and latest-record-
+  * per-key compaction.
+  *
+  * Scale design notes:
+  *  - profile: ONE aggregation pass computes every column's metrics
+  *    simultaneously (map-side partials; the long-form reshape is a
+  *    single-row `stack`, not a per-column scan). Exact distinct counts
+  *    are the oracle-friendly choice here; swap `countDistinct` for
+  *    `approx_count_distinct` at 100 TB (the q36 pattern shows how to
+  *    keep such a row oracle-verifiable).
+  *  - latestPerKey: `max(struct(order, tie, payload…))` hash aggregation —
+  *    map-side partials collapse each partition to one row per key before
+  *    the exchange, unlike the window row_number compaction which shuffles
+  *    and sorts every version of every key. The (order, tie) prefix must
+  *    be unique per key so payload fields never decide the ordering.
+  */
+object Profile {
+
+  /** Long-form per-column profile: nulls, exact distincts, min/max (as
+    * strings, so heterogeneous columns share one schema).
+    */
+  def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "profile needs at least one column")
+    val aggs = cols.flatMap { c =>
+      Seq(
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}__nulls"),
+        countDistinct(col(c)).as(s"${c}__distinct"),
+        min(col(c)).cast("string").as(s"${c}__min"),
+        max(col(c)).cast("string").as(s"${c}__max"))
+    }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val stackArgs = cols.map(c =>
+      s"'$c', ${c}__nulls, ${c}__distinct, ${c}__min, ${c}__max").mkString(", ")
+    one.selectExpr(s"stack(${cols.length}, $stackArgs) AS " +
+      "(col_name, n_nulls, n_distinct, min_val, max_val)")
+  }
+
+  /** Latest record per key: the row with the max `(orderCols…)` tuple,
+    * carrying `payloadCols` along. `orderCols` must be unique per key
+    * (e.g. timestamp + sequence id) — the standard log-compaction /
+    * SCD-current-view step.
+    */
+  def latestPerKey(df: DataFrame, keyCol: String, orderCols: Seq[String],
+      payloadCols: Seq[String]): DataFrame = {
+    require(orderCols.nonEmpty, "latestPerKey needs ordering columns")
+    val carried = orderCols ++ payloadCols
+    df.groupBy(col(keyCol))
+      .agg(max(struct(carried.map(col): _*)).as("last"))
+      .select(col(keyCol) +:
+        carried.map(c => col(s"last.$c").as(s"last_$c")): _*)
+  }
+
+  // ===========================================================================
+  // Oracle-bound query exercises
+  // ===========================================================================
+
+  private def q58(s: SparkSession, d: String): DataFrame =
+    profile(Tables.documents(s, d), Seq("doc_id", "lang"))
+      .orderBy(col("col_name"))
+  private val q58Sql =
+    """SELECT 'doc_id' AS col_name,
+         sum(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_nulls,
+         count(DISTINCT doc_id)::BIGINT AS n_distinct,
+         min(doc_id)::VARCHAR AS min_val, max(doc_id)::VARCHAR AS max_val
+       FROM documents
+       UNION ALL
+       SELECT 'lang',
+         sum(CASE WHEN lang IS NULL THEN 1 ELSE 0 END)::BIGINT,
+         count(DISTINCT lang)::BIGINT,
+         min(lang)::VARCHAR, max(lang)::VARCHAR
+       FROM documents
+       ORDER BY col_name"""
+
+  private def q59(s: SparkSession, d: String): DataFrame =
+    latestPerKey(Tables.events(s, d), "user_id",
+        orderCols = Seq("ts", "event_id"),
+        payloadCols = Seq("event_type", "value"))
+      .select(col("user_id"), unix_micros(col("last_ts")).as("last_ts_us"),
+        col("last_event_id"), col("last_event_type"), col("last_value"))
+      .orderBy(col("user_id"))
+  private val q59Sql =
+    """WITH r AS (
+         SELECT user_id, ts, event_id, event_type, value,
+           row_number() OVER (PARTITION BY user_id
+             ORDER BY ts DESC, event_id DESC) AS rn
+         FROM events)
+       SELECT user_id, epoch_us(ts::TIMESTAMP)::BIGINT AS last_ts_us,
+         event_id AS last_event_id, event_type AS last_event_type,
+         value AS last_value
+       FROM r WHERE rn = 1 ORDER BY user_id"""
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef("q58_column_profile", q58, Some(q58Sql)),
+    QueryDef("q59_latest_per_key", q59, Some(q59Sql)))
+}
