@@ -243,6 +243,43 @@ object Dedup {
       .select(col("v1"), col("v2"), round(col("c"), 6).as("cos_sim"))
   }
 
+  /** Transitive duplicate clusters over an undirected near-dup pair list:
+    * every document that shares a chain of pairs lands in one cluster,
+    * labeled by the minimum member id (which doubles as the keeper). The
+    * step that turns pairwise dedup output into drop/keep decisions.
+    *
+    * Algorithm: hash-to-min label propagation — each iteration joins the
+    * edge list against current labels and takes the per-node minimum, a
+    * shuffle join + partial-aggregated min per step, converging in
+    * O(diameter) steps (duplicate clusters are near-cliques, so 2-3 in
+    * practice). This alternating join/aggregate IS the standard
+    * large-scale connected-components shape; each iteration is
+    * localCheckpoint'ed so the plan (and lineage) stays flat. The
+    * driver-side loop holds only a changed-row COUNT, never data.
+    */
+  def dedupClusters(pairs: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .distinct()
+      .localCheckpoint(false)
+    var labels = edges.select(col("src").as("node")).distinct()
+      .withColumn("label", col("node"))
+      .localCheckpoint(false)
+    var changed = 1L
+    while (changed > 0) {
+      val prop = edges.join(labels, col("dst") === col("node"))
+        .select(col("src").as("node"), col("label"))
+        .union(labels)
+        .groupBy(col("node")).agg(min(col("label")).as("label"))
+        .localCheckpoint(false)
+      changed = prop.join(
+          labels.withColumnRenamed("label", "old"), "node")
+        .filter(col("label") =!= col("old")).count()
+      labels = prop
+    }
+    labels.select(col("node").as("doc_id"), col("label").as("cluster_id"))
+  }
+
   // ===========================================================================
   // Oracle-bound query exercises
   // ===========================================================================
@@ -356,11 +393,45 @@ object Dedup {
        SELECT v1, v2, round(c, 6) AS cos_sim FROM pairs
        WHERE c >= 0.4 ORDER BY v1, v2"""
 
+  private def q60(s: SparkSession, d: String): DataFrame =
+    dedupClusters(
+        minhashLshPairs(Tables.documents(s, d), "doc_id", "text"), "d1", "d2")
+      .orderBy(col("doc_id"))
+  // Oracle: exact-Jaccard pairs (== the LSH output, q26/q27 share it),
+  // closed transitively with a recursive CTE, min reachable id per node.
+  private val q60Sql =
+    s"""WITH RECURSIVE toks AS (
+         SELECT doc_id, string_split(text, ' ') AS tokens FROM documents
+         WHERE len(string_split(text, ' ')) >= 3),
+       grams AS (
+         SELECT DISTINCT doc_id, g FROM (
+           SELECT doc_id, unnest(list_transform(range(1, len(tokens) - 1),
+             i -> tokens[i] || ' ' || tokens[i+1] || ' ' || tokens[i+2])) AS g
+           FROM toks)),
+       sizes AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id),
+       pair AS (
+         SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
+         FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+         GROUP BY 1, 2),
+       dup AS (
+         SELECT d1, d2 FROM pair
+         JOIN sizes s1 ON d1 = s1.doc_id JOIN sizes s2 ON d2 = s2.doc_id
+         WHERE inter / (s1.n + s2.n - inter) >= $JaccardThreshold),
+       edges AS (SELECT d1 AS a, d2 AS b FROM dup
+                 UNION SELECT d2, d1 FROM dup),
+       reach(a, b) AS (
+         SELECT a, b FROM edges
+         UNION
+         SELECT reach.a, e.b FROM reach JOIN edges e ON reach.b = e.a)
+       SELECT a AS doc_id, least(a, min(b)) AS cluster_id
+       FROM reach GROUP BY a ORDER BY doc_id"""
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q25_exact_dedup", q25, Some(q25Sql)),
     QueryDef("q26_ngram_jaccard", q26, Some(exactJaccardSql)),
     QueryDef("q27_minhash_lsh", q27, Some(exactJaccardSql), headline = true),
     QueryDef("q28_simhash", q28, Some(q28Sql)),
     QueryDef("q29_embedding_neardup", q29, Some(q29Sql)),
-    QueryDef("q56_embedding_neardup_ivf", q56, Some(q56Sql)))
+    QueryDef("q56_embedding_neardup_ivf", q56, Some(q56Sql)),
+    QueryDef("q60_dedup_clusters", q60, Some(q60Sql)))
 }

@@ -24,4 +24,25 @@ class DedupSpec extends SparkSpec {
       .as[(Long, Long, Double)].collect().toSet
     assert(run() === run())
   }
+
+  test("dedupClusters closes chains transitively and labels by minimum id") {
+    // Two clusters: {1,2,3,4} connected only as a chain 1-2, 2-3, 3-4
+    // (so transitive closure is required), and {7,9}. Node 5 has no pair
+    // and must not appear.
+    val pairs = Seq((2L, 1L), (2L, 3L), (4L, 3L), (9L, 7L))
+      .toDF("d1", "d2")
+    val got = Dedup.dedupClusters(pairs, "d1", "d2")
+      .as[(Long, Long)].collect().toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      7L -> 7L, 9L -> 7L))
+  }
+
+  test("dedupClusters handles a long path needing several propagation rounds") {
+    // A 12-node path: min-label propagation needs O(diameter) iterations,
+    // so this exercises the driver loop beyond a single round.
+    val pairs = (1L until 12L).map(i => (i, i + 1)).toDF("d1", "d2")
+    val got = Dedup.dedupClusters(pairs, "d1", "d2")
+      .as[(Long, Long)].collect().toMap
+    assert(got === (1L to 12L).map(_ -> 1L).toMap)
+  }
 }
