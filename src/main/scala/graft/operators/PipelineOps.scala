@@ -305,6 +305,56 @@ object PipelineOps {
          round(avg(cs), 6) AS avg_cos
        FROM best WHERE rn = 1 GROUP BY centroid_id ORDER BY centroid_id"""
 
+  /** Per-group sampling weights that rebalance a corpus toward a uniform
+    * token budget across groups (the "domain mixing" step of a training
+    * pipeline): each group's target is `total_tokens / n_groups`, its
+    * weight `min(1, target / group_tokens)` — over-represented sources are
+    * downsampled, under-represented ones kept whole (weights never
+    * upsample; pair with a repeat-epoch factor for that).
+    *
+    * `sizeExpr` is the per-row cost measure (token count, byte count, …).
+    *
+    * Scale: one partial-aggregated groupBy over the corpus (map-side
+    * combine collapses each partition to |groups| rows), then a broadcast
+    * of the single-row grand total onto the tiny per-group relation —
+    * the corpus itself is scanned once and never reshuffled.
+    */
+  def mixtureWeights(df: DataFrame, groupCol: String,
+      sizeExpr: Column): DataFrame = {
+    val perGroup = df.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_docs"), sum(sizeExpr).as("tokens"))
+    val totals = perGroup.agg(
+      sum(col("tokens")).cast("double").as("total_tokens"),
+      count(lit(1)).cast("double").as("n_groups"))
+    val target = col("total_tokens") / col("n_groups")
+    perGroup.crossJoin(broadcast(totals))
+      .select(col(groupCol), col("n_docs"), col("tokens"),
+        round(least(lit(1d), target / col("tokens").cast("double")), 6)
+          .as("weight"),
+        round(least(lit(1d), target / col("tokens").cast("double")) *
+          col("tokens").cast("double"), 4).as("sampled_tokens"))
+  }
+
+  // ---- q62: source-mixture balancing ----------------------------------------
+  private def q62(s: SparkSession, d: String): DataFrame =
+    mixtureWeights(Tables.documents(s, d), "source",
+      size(tokens(col("text"))).cast("long"))
+      .orderBy(col("source"))
+  private val q62Sql =
+    """WITH g AS (
+         SELECT source, count(*) AS n_docs,
+           sum(len(string_split(text, ' ')))::BIGINT AS tokens
+         FROM documents GROUP BY source),
+       t AS (
+         SELECT source, n_docs, tokens,
+           sum(tokens) OVER ()::DOUBLE / count(*) OVER () AS target
+         FROM g)
+       SELECT source, n_docs, tokens,
+         round(least(1.0::DOUBLE, target / tokens::DOUBLE), 6) AS weight,
+         round(least(1.0::DOUBLE, target / tokens::DOUBLE) * tokens::DOUBLE, 4)
+           AS sampled_tokens
+       FROM t ORDER BY source"""
+
   private def q45(s: SparkSession, d: String): DataFrame =
     repetitionRatio(Tables.documents(s, d), "doc_id", "text", n = 3)
       .orderBy(col("doc_id"))
@@ -377,5 +427,6 @@ object PipelineOps {
     QueryDef("q44_kmeans_assign", q44, Some(q44Sql)),
     QueryDef("q45_repetition", q45, Some(q45Sql)),
     QueryDef("q54_pii_scrub", q54, Some(q54Sql)),
-    QueryDef("q55_seq_packing", q55, Some(q55Sql)))
+    QueryDef("q55_seq_packing", q55, Some(q55Sql)),
+    QueryDef("q62_mixture_weights", q62, Some(q62Sql)))
 }

@@ -130,6 +130,71 @@ object TextAnalysis {
          FROM documents) t
        GROUP BY lang, predicted ORDER BY lang, predicted"""
 
+  /** Gopher-style rule-based document filter: each heuristic is emitted as
+    * its own boolean alongside the final `keep`, so a pipeline can both
+    * filter and audit per-rule rejection rates in one pass. Rules follow
+    * the published Gopher/C4 recipe shapes (word-count bounds, mean word
+    * length bounds, max single-token frequency, minimum stopword hits) with
+    * thresholds parameterized — the defaults here are tuned to the fixture
+    * corpus so every rule discriminates.
+    *
+    * Scale: single map-side pass over pruned (id, text) columns — zero
+    * shuffle, all codegen'd built-ins plus the native repetition/token-hit
+    * kernels; at 100 TB this is scan-bound.
+    */
+  def gopherFilter(df: DataFrame, idCol: String, textCol: String,
+      minWords: Int = 20, maxWords: Int = 85,
+      minWordLen: Double = 4.3, maxWordLen: Double = 4.75,
+      maxTopTokenRatio: Double = 0.125,
+      stopwords: Seq[String] = enStops, minStopHits: Int = 2): DataFrame = {
+    val toks = tokens(col(textCol))
+    val nW = size(toks).cast("double")
+    val meanWlen = (length(col(textCol)).cast("double") - (nW - 1d)) / nW
+    val topRatio = repetitionRatio(toks, 1)
+    val stopHits = tokenHits(toks, stopwords)
+    val okWords = nW >= minWords && nW <= maxWords
+    val okWlen = meanWlen >= minWordLen && meanWlen <= maxWordLen
+    val okRep = topRatio <= maxTopTokenRatio
+    val okStop = stopHits >= minStopHits
+    df.select(col(idCol),
+      nW.cast("int").as("n_words"),
+      round(meanWlen, 6).as("mean_wlen"),
+      round(topRatio, 6).as("top_ratio"),
+      stopHits.as("stop_hits"),
+      okWords.as("ok_words"), okWlen.as("ok_wlen"),
+      okRep.as("ok_rep"), okStop.as("ok_stop"),
+      (okWords && okWlen && okRep && okStop).as("keep"))
+  }
+
+  // ---- q61: Gopher rule filter ------------------------------------------------
+  private def q61(s: SparkSession, d: String): DataFrame =
+    gopherFilter(Tables.documents(s, d), "doc_id", "text")
+      .orderBy(col("doc_id"))
+  private val q61Sql =
+    """WITH f AS (
+         SELECT doc_id, string_split(text, ' ') AS toks,
+           len(string_split(text, ' '))::DOUBLE AS nw,
+           length(text)::DOUBLE AS nc
+         FROM documents),
+       m AS (
+         SELECT doc_id, nw, (nc - (nw - 1)) / nw AS mean_wlen,
+           list_max(list_transform(list_distinct(toks),
+             d -> len(list_filter(toks, x -> x = d))))::DOUBLE / nw AS top_ratio,
+           len(list_filter(toks, t -> list_contains(
+             ['the','a','of','and','to','is','in','that','it','as'], t)))::INT
+             AS stop_hits
+         FROM f)
+       SELECT doc_id, nw::INT AS n_words,
+         round(mean_wlen, 6) AS mean_wlen,
+         round(top_ratio, 6) AS top_ratio, stop_hits,
+         nw >= 20 AND nw <= 85 AS ok_words,
+         mean_wlen >= 4.3 AND mean_wlen <= 4.75 AS ok_wlen,
+         top_ratio <= 0.125 AS ok_rep,
+         stop_hits >= 2 AS ok_stop,
+         nw >= 20 AND nw <= 85 AND mean_wlen >= 4.3 AND mean_wlen <= 4.75
+           AND top_ratio <= 0.125 AND stop_hits >= 2 AS keep
+       FROM m ORDER BY doc_id"""
+
   // ---- q24: document fingerprint (rolling hash) -------------------------------
   // Per-document 31-bit polynomial hash of the full character stream — the
   // cheap exact-dedup / shard-routing key. Pure map-side.
@@ -148,5 +213,6 @@ object TextAnalysis {
     QueryDef("q21_token_stats", q21, Some(q21Sql)),
     QueryDef("q22_quality_score", q22, Some(q22Sql)),
     QueryDef("q23_lang_id", q23, Some(q23Sql)),
-    QueryDef("q24_fingerprint", q24, Some(q24Sql)))
+    QueryDef("q24_fingerprint", q24, Some(q24Sql)),
+    QueryDef("q61_gopher_filter", q61, Some(q61Sql)))
 }

@@ -116,4 +116,29 @@ class PipelineOpsSpec extends SparkSpec {
       .as[(String, Long)].collect()
     assert(got === Array(("a a", 2L), ("b b", 2L))) // tie broken by gram
   }
+
+  test("mixtureWeights downsamples over-budget groups and never upsamples") {
+    // tokens per group: a=30, b=10, c=2 → total 42, target 14.
+    val df = Seq(
+      ("a", "t " * 29 + "t"), ("b", "t " * 9 + "t"), ("c", "t t"))
+      .toDF("source", "text")
+    val got = PipelineOps.mixtureWeights(df, "source",
+        size(split(col("text"), " ")).cast("long"))
+      .orderBy("source")
+      .select("source", "weight", "sampled_tokens")
+      .as[(String, Double, Double)].collect()
+    assert(got(0) === (("a", 0.466667, 14.0)))  // 14/30 capped group
+    assert(got(1) === (("b", 1.0, 10.0)))       // under budget: kept whole
+    assert(got(2) === (("c", 1.0, 2.0)))
+  }
+
+  test("mixtureWeights scans the corpus once and broadcasts the grand total") {
+    val docs = graft.Tables.documents(spark, sf)
+    val plan = PipelineOps.mixtureWeights(docs, "source",
+        size(split(col("text"), " ")).cast("long"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastExchange"),
+      s"grand total should broadcast onto the per-group rows:\n${plan.take(1500)}")
+  }
 }

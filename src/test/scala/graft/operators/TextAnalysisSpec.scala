@@ -1,0 +1,40 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class TextAnalysisSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("gopherFilter trips each rule independently and ANDs them into keep") {
+    // One doc per failure mode, plus one passing doc. Defaults overridden
+    // to small bounds so the fixtures stay readable.
+    val pass = "the quick brown foxes jumped over a lazily sleeping dog"
+    val tooShort = "the a of"
+    val longWords = "extraordinarily the incomprehensibilities a gesticulating"
+    val repetitive = "the the the the the a spam spam spam spam"
+    val noStops = "quick brown foxes jumped over lazily sleeping dogs"
+    val df = Seq(
+      (1L, pass), (2L, tooShort), (3L, longWords), (4L, repetitive),
+      (5L, noStops)).toDF("doc_id", "text")
+    val got = TextAnalysis.gopherFilter(df, "doc_id", "text",
+        minWords = 5, maxWords = 20, minWordLen = 2.0, maxWordLen = 6.0,
+        maxTopTokenRatio = 0.3, minStopHits = 2)
+      .select("doc_id", "ok_words", "ok_wlen", "ok_rep", "ok_stop", "keep")
+      .as[(Long, Boolean, Boolean, Boolean, Boolean, Boolean)]
+      .collect().map(r => r._1 -> r).toMap
+    assert(got(1L) === ((1L, true, true, true, true, true)))
+    assert(got(2L)._2 === false && got(2L)._6 === false)   // under minWords
+    assert(got(3L)._3 === false && got(3L)._6 === false)   // words too long
+    assert(got(4L)._4 === false && got(4L)._6 === false)   // top token 50%
+    assert(got(5L)._5 === false && got(5L)._6 === false)   // no stopwords
+  }
+
+  test("gopherFilter is a single-pass map-side plan with no exchange") {
+    val plan = TextAnalysis.gopherFilter(
+        graft.Tables.documents(spark, sf), "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"rule filter must not shuffle:\n${plan.take(1500)}")
+  }
+}
