@@ -54,7 +54,11 @@ import graft.streaming.Record
   * (simulate a shard split at that epoch-millis instant: each of the N
   * shards seals at the split and hands off to two children — the
   * reference's shardEnded lifecycle, RecordProcessorImpl.scala:102-113;
-  * children replay only after their parent's seal is committed).
+  * children replay only after their parent's seal is committed),
+  * `aggregation` (KPL producer aggregation factor K: runs of K consecutive
+  * user records share one sequence number with subSequenceNumber 0..K-1 —
+  * checkpoints are sub-sequence-granular, the ExtendedSequenceNumber
+  * semantics of reference Record.scala:22).
   */
 class ShardedReplayProvider extends TableProvider with DataSourceRegister {
   override def shortName(): String = "sharded-replay"
@@ -85,7 +89,8 @@ final case class ReplayConfig(
     startingTimestampMs: Long,
     maxRecordsPerTrigger: Option[Long],
     reshardAtMicros: Option[Long],
-    deliveryMode: String = "at_least_once") {
+    deliveryMode: String = "at_least_once",
+    aggregation: Int = 1) {
   def atMostOnce: Boolean = deliveryMode == "at_most_once"
   /** Shard-id universe: parents 0..N-1, plus children N..3N-1 after a
     * reshard (each parent i splits into children N+i and 2N+i).
@@ -123,6 +128,11 @@ object ReplayConfig {
         require(Seq("at_least_once", "at_most_once").contains(m),
           s"unknown deliveryMode '$m'")
         m
+      },
+      aggregation = {
+        val a = o.getInt("aggregation", 1)
+        require(a >= 1, s"aggregation must be >= 1, got $a")
+        a
       })
   }
 }
@@ -409,7 +419,7 @@ final class ShardedReplayMicroBatchStream(
     shards.indices.collect {
       case i if e(i) > s(i) =>
         ReplayInputPartition(conf.path, conf.numShards, conf.reshardAtMicros,
-          i, s(i), e(i))
+          i, s(i), e(i), conf.aggregation)
     }.toArray
   }
 
@@ -424,7 +434,7 @@ final class ShardedReplayBatch(conf: ReplayConfig) extends Batch {
     val shards = ShardStore.shards(conf.path, conf.numShards, conf.reshardAtMicros)
     shards.indices.map { i =>
       ReplayInputPartition(conf.path, conf.numShards, conf.reshardAtMicros,
-        i, 0L, shards(i).length.toLong)
+        i, 0L, shards(i).length.toLong, conf.aggregation)
     }.toArray
   }
   override def createReaderFactory(): PartitionReaderFactory = ReplayReaderFactory
@@ -432,7 +442,7 @@ final class ShardedReplayBatch(conf: ReplayConfig) extends Batch {
 
 final case class ReplayInputPartition(
     path: String, numShards: Int, reshardAtMicros: Option[Long],
-    shard: Int, from: Long, until: Long)
+    shard: Int, from: Long, until: Long, aggregation: Int = 1)
   extends InputPartition
 
 object ReplayReaderFactory extends PartitionReaderFactory {
@@ -454,11 +464,20 @@ final class ReplayPartitionReader(p: ReplayInputPartition)
     // Envelope fields in Record.schema order; payload is the event as a
     // deterministic JSON document (opaque bytes to the engine, decoded
     // downstream with from_json — reference Main.scala:22 utf8String).
+    //
+    // KPL aggregation (`aggregation` = K > 1): each run of K consecutive
+    // user records forms one wire record — they share a sequence number
+    // and carry subSequenceNumber 0..K-1, the ExtendedSequenceNumber pair
+    // KCL checkpoints at (reference Record.scala:22,
+    // ShardCheckpointTrackerActor.scala:52). Offsets stay in USER-record
+    // units, so a batch boundary may land mid-aggregate and restart
+    // resumes at the exact sub-record — sub-sequence-granular
+    // checkpointing, not whole-wire-record.
     InternalRow(
       UTF8String.fromString(ev.userId.toString),
       ev.payloadJson.getBytes(java.nio.charset.StandardCharsets.UTF_8),
-      UTF8String.fromString("%020d".format(pos)),
-      0L,
+      UTF8String.fromString("%020d".format(pos / p.aggregation)),
+      pos % p.aggregation,
       UTF8String.fromString("shardId-%012d".format(p.shard)),
       ev.tsMicros)
   }

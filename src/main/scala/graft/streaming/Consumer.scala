@@ -26,7 +26,8 @@ final case class ConsumerConfig(
     startingTimestampMs: Option[Long] = None,
     maxRecordsPerTrigger: Option[Long] = None,
     reshardAtMs: Option[Long] = None,
-    deliveryMode: String = "at_least_once")
+    deliveryMode: String = "at_least_once",
+    aggregation: Int = 1)
 
 object ConsumerConfig {
   /** Config-map parsing mirroring the reference's HOCON keys
@@ -42,7 +43,8 @@ object ConsumerConfig {
     maxRecordsPerTrigger = m.get("max-records-per-trigger").map(_.toLong),
     reshardAtMs = m.get("reshard-at-ms").map(_.toLong),
     deliveryMode =
-      m.getOrElse("delivery-mode", "at_least_once").replace('-', '_'))
+      m.getOrElse("delivery-mode", "at_least_once").replace('-', '_'),
+    aggregation = m.get("aggregation").map(_.toInt).getOrElse(1))
 
   /** HOCON-text parsing — reference parity for the `Config`-taking
     * `ConsumerConfig.fromConfig` (reference: Consumer.scala:113-184), which
@@ -130,6 +132,8 @@ object Consumer {
     config.reshardAtMs.foreach(t => r = r.option("reshardAtMs", t))
     if (config.deliveryMode != "at_least_once")
       r = r.option("deliveryMode", config.deliveryMode)
+    if (config.aggregation != 1)
+      r = r.option("aggregation", config.aggregation)
     r.load().as[Record]
   }
 

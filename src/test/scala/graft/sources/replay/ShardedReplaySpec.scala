@@ -395,4 +395,102 @@ class ShardedReplaySpec extends SparkSpec with BeforeAndAfterAll {
       }
     }
   }
+
+  test("KPL aggregation: runs of K records share a sequence number with dense sub-sequences") {
+    val K = 3
+    val df = spark.read.format("sharded-replay")
+      .option("path", eventsPath).option("shards", 4)
+      .option("aggregation", K).load()
+    assert(df.count() === nEvents) // de-aggregation is lossless
+    // Every (shard, seq) wire record holds exactly K sub-records with
+    // subSequenceNumbers 0..K-1 — except the final partial aggregate.
+    val groups = df.groupBy(col("shardId"), col("sequenceNumber"))
+      .agg(count(lit(1)).as("n"), min("subSequenceNumber").as("lo"),
+        max("subSequenceNumber").as("hi"))
+      .withColumn("last_seq",
+        max(col("sequenceNumber")).over(
+          org.apache.spark.sql.expressions.Window.partitionBy("shardId")))
+    val bad = groups.filter(
+      col("lo") =!= 0 || col("hi") =!= col("n") - 1 ||
+        (col("n") =!= K && col("sequenceNumber") =!= col("last_seq")))
+    assert(bad.count() === 0,
+      s"non-dense aggregates:\n${bad.limit(5).collect().mkString("\n")}")
+    // (seq, subSeq) ordering is the arrival ordering within each shard.
+    val disorder = df.select(col("shardId"),
+        col("sequenceNumber").cast("long").as("seq"),
+        col("subSequenceNumber").as("sub"),
+        col("approximateArrivalTimestamp").as("ts"))
+      .withColumn("prev_ts", lag("ts", 1).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("shardId")
+          .orderBy("seq", "sub")))
+      .filter(col("prev_ts") > col("ts"))
+    assert(disorder.count() === 0,
+      "ExtendedSequenceNumber order must follow arrival order")
+  }
+
+  test("restart mid-aggregate resumes at the exact sub-record (exactly-once)") {
+    val K = 3
+    val ckpt = tmpDir("ckpt_agg")
+    val out = tmpDir("out_agg")
+    def run(stopEarly: Boolean): Unit = {
+      // 7 records/trigger with K=3 guarantees batch boundaries INSIDE
+      // aggregates — the sub-sequence-granular checkpoint case.
+      val ds = Consumer.source(ConsumerConfig(
+        streamPath = eventsPath, numShards = 4,
+        maxRecordsPerTrigger = Some(7), aggregation = K))
+      val q = ds.writeStream
+        .format("parquet").option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      if (stopEarly) {
+        val deadline = System.currentTimeMillis() + 60000
+        while (q.recentProgress.length < 2 && q.isActive &&
+          System.currentTimeMillis() < deadline) Thread.sleep(50)
+        q.stop(); q.awaitTermination(60000)
+      } else q.awaitTermination(600000)
+    }
+    run(stopEarly = true)
+    val partial = spark.read.parquet(out)
+    assert(partial.count() < nEvents, "first run should stop before draining")
+    run(stopEarly = false)
+    val got = spark.read.parquet(out)
+      .select(get_json_object(col("data").cast("string"), "$.event_id")
+        .cast("long").as("id"))
+    assert(got.count() === nEvents, "exactly-once across a mid-aggregate restart")
+    assert(got.distinct().count() === nEvents)
+  }
+
+  test("planning from a mid-aggregate offset resumes at the exact sub-record") {
+    // Drive the DSv2 contract directly with an explicit offset INSIDE an
+    // aggregate (position 4 with K=3 → wire record 1, sub-record 1): the
+    // next batch must start at exactly (seq 1, sub 1) — KCL's
+    // ExtendedSequenceNumber restart semantics — with no loss or overlap.
+    val K = 3
+    val opts = new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+      java.util.Map.of("path", eventsPath, "shards", "1", "aggregation", K.toString))
+    val conf = ReplayConfig.fromOptions(opts)
+    val stream = new ShardedReplayMicroBatchStream(conf,
+      tmpDir("ckpt_midagg_plan"))
+    def rows(from: Long, until: Long): Seq[(String, Long)] = {
+      val parts = stream.planInputPartitions(
+        ShardPositions(scala.collection.immutable.SortedMap(0 -> from)),
+        ShardPositions(scala.collection.immutable.SortedMap(0 -> until)))
+      parts.flatMap { p =>
+        val r = ReplayReaderFactory.createReader(p)
+        val out = scala.collection.mutable.Buffer.empty[(String, Long)]
+        while (r.next()) {
+          val row = r.get()
+          out += ((row.getUTF8String(2).toString, row.getLong(3)))
+        }
+        out.toSeq
+      }.toSeq
+    }
+    val first = rows(0, 4)
+    assert(first.map(_._2) === Seq(0L, 1L, 2L, 0L)) // last one is mid-aggregate
+    val resumed = rows(4, 8)
+    assert(resumed === Seq(
+      ("%020d".format(1), 1L), ("%020d".format(1), 2L),
+      ("%020d".format(2), 0L), ("%020d".format(2), 1L)),
+      "resume must begin at (seq 1, sub 1), not re-serve or skip sub-records")
+  }
 }
