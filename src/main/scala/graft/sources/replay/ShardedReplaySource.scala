@@ -55,6 +55,10 @@ import graft.streaming.Record
   * shards seals at the split and hands off to two children — the
   * reference's shardEnded lifecycle, RecordProcessorImpl.scala:102-113;
   * children replay only after their parent's seal is committed),
+  * `mergeAtMs` (simulate the inverse reshard: shard pairs (j, j+N/2) seal
+  * at the instant and merge into one child N+j, which waits for BOTH
+  * parents' committed seals — KCL's merge lease-sync semantics; requires
+  * an even shard count, mutually exclusive with reshardAtMs),
   * `aggregation` (KPL producer aggregation factor K: runs of K consecutive
   * user records share one sequence number with subSequenceNumber 0..K-1 —
   * checkpoints are sub-sequence-granular, the ExtendedSequenceNumber
@@ -90,22 +94,37 @@ final case class ReplayConfig(
     maxRecordsPerTrigger: Option[Long],
     reshardAtMicros: Option[Long],
     deliveryMode: String = "at_least_once",
-    aggregation: Int = 1) {
+    aggregation: Int = 1,
+    mergeAtMicros: Option[Long] = None) {
+  require(reshardAtMicros.isEmpty || mergeAtMicros.isEmpty,
+    "reshardAtMs (split) and mergeAtMs are mutually exclusive")
+  require(mergeAtMicros.isEmpty || numShards % 2 == 0,
+    s"mergeAtMs pairs shards, so the shard count must be even (got $numShards)")
   def atMostOnce: Boolean = deliveryMode == "at_most_once"
-  /** Shard-id universe: parents 0..N-1, plus children N..3N-1 after a
-    * reshard (each parent i splits into children N+i and 2N+i).
+  def resharded: Boolean = reshardAtMicros.isDefined || mergeAtMicros.isDefined
+  /** Shard-id universe: parents 0..N-1, plus children after a reshard —
+    * a split adds 2N children (parent i → children N+i and 2N+i), a merge
+    * adds N/2 (parents j and j+N/2 → child N+j).
     */
   def universeSize: Int =
-    if (reshardAtMicros.isEmpty) numShards else 3 * numShards
-  /** Parent of a child shard id (split lineage: child N+j ← parent j%N —
-    * hash routing userId%2N refines userId%N, so each parent's key space
-    * is exactly the union of its two children's).
+    if (reshardAtMicros.isDefined) 3 * numShards
+    else if (mergeAtMicros.isDefined) numShards + numShards / 2
+    else numShards
+  /** Parents of a child shard id. Split lineage: child N+j ← parent j%N
+    * (hash routing userId%2N refines userId%N, so each parent's key space
+    * is exactly the union of its two children's). Merge lineage: child
+    * N+j ← parents j and j+N/2 (userId%N == j or j+N/2 ⟺
+    * userId%(N/2) == j, so the child's key space is exactly its two
+    * parents' union).
     */
-  def parentOf(shard: Int): Option[Int] =
-    if (reshardAtMicros.isEmpty || shard < numShards) None
-    else Some((shard - numShards) % numShards)
-  def lineage: SortedMap[Int, Int] =
-    SortedMap.from((numShards until universeSize).flatMap(c => parentOf(c).map(c -> _)))
+  def parentsOf(shard: Int): Seq[Int] =
+    if (shard < numShards) Nil
+    else if (reshardAtMicros.isDefined) Seq((shard - numShards) % numShards)
+    else if (mergeAtMicros.isDefined)
+      Seq(shard - numShards, shard - numShards + numShards / 2)
+    else Nil
+  def lineage: SortedMap[Int, Seq[Int]] =
+    SortedMap.from((numShards until universeSize).map(c => c -> parentsOf(c)))
 }
 
 object ReplayConfig {
@@ -133,7 +152,9 @@ object ReplayConfig {
         val a = o.getInt("aggregation", 1)
         require(a >= 1, s"aggregation must be >= 1, got $a")
         a
-      })
+      },
+      mergeAtMicros =
+        Option(o.get("mergeAtMs")).map(_.toLong * 1000L))
   }
 }
 
@@ -156,19 +177,25 @@ final class ShardedReplayScan(conf: ReplayConfig) extends ScanBuilder with Scan 
   *    — after a reshard the offset additionally carries which parent
   *    shards are SEALED (fully consumed, will never produce again — the
   *    reference's shardEnded checkpoint, RecordProcessorImpl.scala:102-113)
-  *    and the child→parent lineage that gates child consumption.
+  *    and the child→parent(s) lineage that gates child consumption. A
+  *    split child has one parent (written as a bare int — the original v2
+  *    wire form, kept byte-identical); a merge child has two (written as
+  *    an array `[p1,p2]`); the parser accepts both.
   */
 final case class ShardPositions(
     positions: SortedMap[Int, Long],
     sealedShards: SortedSet[Int] = SortedSet.empty,
-    lineage: SortedMap[Int, Int] = SortedMap.empty) extends Offset {
+    lineage: SortedMap[Int, Seq[Int]] = SortedMap.empty) extends Offset {
   override def json(): String =
     if (sealedShards.isEmpty && lineage.isEmpty)
       positions.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
     else {
       val pos = positions.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
       val sl = sealedShards.mkString("[", ",", "]")
-      val lin = lineage.map { case (c, p) => s""""$c":$p""" }.mkString("{", ",", "}")
+      val lin = lineage.map {
+        case (c, Seq(p)) => s""""$c":$p"""
+        case (c, ps) => s""""$c":${ps.mkString("[", ",", "]")}"""
+      }.mkString("{", ",", "}")
       s"""{"v":2,"pos":$pos,"sealed":$sl,"lineage":$lin}"""
     }
   def apply(shard: Int): Long = positions.getOrElse(shard, 0L)
@@ -188,20 +215,27 @@ object ShardPositions {
       })
       case other => sys.error(s"bad offset json $other")
     }
+    def int(v: JValue): Int = v match {
+      case JInt(x) => x.toInt
+      case JLong(x) => x.toInt
+      case x => sys.error(s"bad int $x")
+    }
     JsonMethods.parse(json) match {
       case o @ JObject(fields) if fields.exists(_._1 == "v") =>
         val m = fields.toMap
         ShardPositions(
           positions = longs(m("pos")),
           sealedShards = SortedSet.from(m("sealed") match {
-            case JArray(xs) => xs.map {
-              case JInt(x) => x.toInt
-              case JLong(x) => x.toInt
-              case x => sys.error(s"bad sealed entry $x")
-            }
+            case JArray(xs) => xs.map(int)
             case x => sys.error(s"bad sealed list $x")
           }),
-          lineage = longs(m("lineage")).map { case (c, p) => c -> p.toInt })
+          lineage = m("lineage") match {
+            case JObject(fs) => SortedMap.from(fs.map {
+              case (c, JArray(ps)) => c.toInt -> ps.map(int)
+              case (c, p) => c.toInt -> Seq(int(p))
+            })
+            case x => sys.error(s"bad lineage $x")
+          })
       case other => ShardPositions(longs(other))
     }
   }
@@ -216,19 +250,19 @@ object ShardPositions {
   */
 object AdmissionPlanner {
   /** Parent-before-child gating: caps each child shard's visible frontier
-    * at its current position until the parent's COMMITTED position has
-    * reached the parent's end — so child records land in strictly later
-    * batches than the parent's seal (the reference's shardEnded ordering).
-    * Pure; property-tested together with [[advance]].
+    * at its current position until EVERY parent's COMMITTED position has
+    * reached that parent's end — so child records land in strictly later
+    * batches than the parents' seals (the reference's shardEnded ordering;
+    * for a merge child, KCL likewise waits for both parents' leases to
+    * close). Pure; property-tested together with [[advance]].
     */
   def gate(current: ShardPositions, counts: Array[Long],
-      parentOf: Int => Option[Int]): Array[Long] = {
+      parentsOf: Int => Seq[Int]): Array[Long] = {
     val eligible = counts.clone()
     var i = 0
     while (i < counts.length) {
-      parentOf(i).foreach { p =>
-        if (current(p) < counts(p)) eligible(i) = current(i)
-      }
+      if (parentsOf(i).exists(p => current(p) < counts(p)))
+        eligible(i) = current(i)
       i += 1
     }
     eligible
@@ -261,7 +295,8 @@ final class ShardedReplayMicroBatchStream(
     with SupportsTriggerAvailableNow {
 
   private lazy val shards =
-    ShardStore.shards(conf.path, conf.numShards, conf.reshardAtMicros)
+    ShardStore.shards(conf.path, conf.numShards, conf.reshardAtMicros,
+      conf.mergeAtMicros)
   private lazy val counts: Array[Long] = shards.map(_.length.toLong)
 
   // Trigger.AvailableNow: snapshot the frontier once; per-batch read limits
@@ -277,7 +312,7 @@ final class ShardedReplayMicroBatchStream(
     * shardEnded condition).
     */
   private def decorate(pos: SortedMap[Int, Long]): ShardPositions =
-    if (conf.reshardAtMicros.isEmpty) ShardPositions(pos)
+    if (!conf.resharded) ShardPositions(pos)
     else ShardPositions(pos,
       sealedShards = SortedSet.from(
         (0 until conf.numShards).filter(i => pos.getOrElse(i, 0L) >= counts(i))),
@@ -307,7 +342,7 @@ final class ShardedReplayMicroBatchStream(
     // shard admits no records until its parent's frontier has reached the
     // seal in a COMMITTED offset — child data lands in strictly later
     // batches than the last parent batch, never beside it.
-    val eligible = AdmissionPlanner.gate(cur, frontier, conf.parentOf)
+    val eligible = AdmissionPlanner.gate(cur, frontier, conf.parentsOf)
     val adv = limit match {
       case _: ReadAllAvailable => AdmissionPlanner.advance(cur, eligible, None)
       case r: ReadMaxRows => AdmissionPlanner.advance(cur, eligible, Some(r.maxRows()))
@@ -337,18 +372,22 @@ final class ShardedReplayMicroBatchStream(
         "checkpointed stream is not supported — resharding is expressed by " +
         "the reshardAtMs option, which keeps the original count and adds " +
         "child shards")
-    if (conf.reshardAtMicros.isEmpty) {
+    if (!conf.resharded) {
       require(s.lineage.isEmpty,
         "checkpoint records a resharded stream but the source has no " +
-          "reshardAtMs configured; restore the reshard option")
+          "reshardAtMs/mergeAtMs configured; restore the reshard option")
       s
     } else {
+      require(s.lineage.isEmpty || s.lineage == conf.lineage,
+        s"checkpoint lineage ${s.lineage} does not match the configured " +
+          s"reshard's ${conf.lineage}: the reshard kind (split vs merge) " +
+          "or geometry changed")
       (0 until conf.numShards).foreach { i =>
         require(s(i) <= counts(i),
           s"parent shard $i position ${s(i)} exceeds its sealed length " +
             s"${counts(i)}: the checkpoint consumed records past the " +
-            "configured split point, so this reshardAtMs does not describe " +
-            "this stream's history")
+            "configured split point, so this reshard option does not " +
+            "describe this stream's history")
       }
       decorate(SortedMap.from(
         (0 until conf.universeSize).map(i => i -> s(i))))
@@ -419,7 +458,7 @@ final class ShardedReplayMicroBatchStream(
     shards.indices.collect {
       case i if e(i) > s(i) =>
         ReplayInputPartition(conf.path, conf.numShards, conf.reshardAtMicros,
-          i, s(i), e(i), conf.aggregation)
+          i, s(i), e(i), conf.aggregation, conf.mergeAtMicros)
     }.toArray
   }
 
@@ -431,10 +470,11 @@ final class ShardedReplayMicroBatchStream(
 
 final class ShardedReplayBatch(conf: ReplayConfig) extends Batch {
   override def planInputPartitions(): Array[InputPartition] = {
-    val shards = ShardStore.shards(conf.path, conf.numShards, conf.reshardAtMicros)
+    val shards = ShardStore.shards(conf.path, conf.numShards,
+      conf.reshardAtMicros, conf.mergeAtMicros)
     shards.indices.map { i =>
       ReplayInputPartition(conf.path, conf.numShards, conf.reshardAtMicros,
-        i, 0L, shards(i).length.toLong, conf.aggregation)
+        i, 0L, shards(i).length.toLong, conf.aggregation, conf.mergeAtMicros)
     }.toArray
   }
   override def createReaderFactory(): PartitionReaderFactory = ReplayReaderFactory
@@ -442,7 +482,8 @@ final class ShardedReplayBatch(conf: ReplayConfig) extends Batch {
 
 final case class ReplayInputPartition(
     path: String, numShards: Int, reshardAtMicros: Option[Long],
-    shard: Int, from: Long, until: Long, aggregation: Int = 1)
+    shard: Int, from: Long, until: Long, aggregation: Int = 1,
+    mergeAtMicros: Option[Long] = None)
   extends InputPartition
 
 object ReplayReaderFactory extends PartitionReaderFactory {
@@ -454,7 +495,8 @@ object ReplayReaderFactory extends PartitionReaderFactory {
 
 final class ReplayPartitionReader(p: ReplayInputPartition)
     extends PartitionReader[InternalRow] {
-  private val rows = ShardStore.shards(p.path, p.numShards, p.reshardAtMicros)(p.shard)
+  private val rows = ShardStore.shards(
+    p.path, p.numShards, p.reshardAtMicros, p.mergeAtMicros)(p.shard)
   private var pos = p.from - 1
 
   override def next(): Boolean = { pos += 1; pos < p.until }
@@ -521,26 +563,31 @@ object ShardStore {
     if (java.lang.Double.isFinite(d)) d.toString else "null"
 
   private val cache =
-    new ConcurrentHashMap[(String, Int, Option[Long]), Array[Array[Ev]]]()
+    new ConcurrentHashMap[(String, Int, Option[Long], Option[Long]), Array[Array[Ev]]]()
 
   def shards(path: String, numShards: Int,
-      reshardAtMicros: Option[Long] = None): Array[Array[Ev]] =
-    cache.computeIfAbsent((path, numShards, reshardAtMicros),
-      { case (p, n, r) => load(p, n, r) })
+      reshardAtMicros: Option[Long] = None,
+      mergeAtMicros: Option[Long] = None): Array[Array[Ev]] =
+    cache.computeIfAbsent((path, numShards, reshardAtMicros, mergeAtMicros),
+      { case (p, n, r, m) => load(p, n, r, m) })
 
-  /** Shard layout. Without a reshard: N shards, userId % N. With a reshard
-    * at T: the stream's history has a split at T — records before T live
-    * in the (now sealed) parents 0..N-1 routed userId % N; records at/after
-    * T live in children N..3N-1 routed userId % 2N (child id N+j). Because
-    * userId%N == (userId%2N)%N, each parent's key space is exactly its two
-    * children's union, and a parent's record array is the same pre-T prefix
-    * it had in the unsplit layout (arrival order sorts pre-T first) — which
-    * is what makes v1→v2 checkpoint evolution exact.
+  /** Shard layout. Without a reshard: N shards, userId % N. With a SPLIT
+    * at T: records before T live in the (now sealed) parents 0..N-1 routed
+    * userId % N; records at/after T live in children N..3N-1 routed
+    * userId % 2N (child id N+j). Because userId%N == (userId%2N)%N, each
+    * parent's key space is exactly its two children's union. With a MERGE
+    * at T: post-T records live in children N..N+N/2-1 routed userId%(N/2)
+    * (child id N+j ← parents j and j+N/2). In both layouts a parent's
+    * record array is the same pre-T prefix it had in the un-resharded
+    * layout (arrival order sorts pre-T first) — which is what makes v1→v2
+    * checkpoint evolution exact.
     */
   private def load(path: String, numShards: Int,
-      reshardAtMicros: Option[Long]): Array[Array[Ev]] = {
+      reshardAtMicros: Option[Long],
+      mergeAtMicros: Option[Long]): Array[Array[Ev]] = {
     val evs = loadEvents(path)
-    reshardAtMicros match {
+    val splitAt = reshardAtMicros.orElse(mergeAtMicros)
+    splitAt match {
       case None =>
         val byShard = evs.groupBy(e => math.floorMod(e.userId, numShards.toLong).toInt)
         (0 until numShards).map { i =>
@@ -549,10 +596,12 @@ object ShardStore {
       case Some(t) =>
         val (pre, post) = evs.partition(_.tsMicros < t)
         val parents = pre.groupBy(e => math.floorMod(e.userId, numShards.toLong).toInt)
+        val childMod =
+          if (reshardAtMicros.isDefined) 2L * numShards else numShards / 2L
         val children =
-          post.groupBy(e => math.floorMod(e.userId, 2L * numShards).toInt)
+          post.groupBy(e => math.floorMod(e.userId, childMod).toInt)
         ((0 until numShards).map(i => parents.getOrElse(i, Array.empty[Ev])) ++
-          (0 until 2 * numShards).map(j => children.getOrElse(j, Array.empty[Ev])))
+          (0 until childMod.toInt).map(j => children.getOrElse(j, Array.empty[Ev])))
           .map(_.sortBy(e => (e.tsMicros, e.eventId)))
           .toArray
     }

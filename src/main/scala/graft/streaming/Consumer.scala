@@ -27,7 +27,8 @@ final case class ConsumerConfig(
     maxRecordsPerTrigger: Option[Long] = None,
     reshardAtMs: Option[Long] = None,
     deliveryMode: String = "at_least_once",
-    aggregation: Int = 1)
+    aggregation: Int = 1,
+    mergeAtMs: Option[Long] = None)
 
 object ConsumerConfig {
   /** Config-map parsing mirroring the reference's HOCON keys
@@ -44,7 +45,8 @@ object ConsumerConfig {
     reshardAtMs = m.get("reshard-at-ms").map(_.toLong),
     deliveryMode =
       m.getOrElse("delivery-mode", "at_least_once").replace('-', '_'),
-    aggregation = m.get("aggregation").map(_.toInt).getOrElse(1))
+    aggregation = m.get("aggregation").map(_.toInt).getOrElse(1),
+    mergeAtMs = m.get("merge-at-ms").map(_.toLong))
 
   /** HOCON-text parsing — reference parity for the `Config`-taking
     * `ConsumerConfig.fromConfig` (reference: Consumer.scala:113-184), which
@@ -134,6 +136,7 @@ object Consumer {
       r = r.option("deliveryMode", config.deliveryMode)
     if (config.aggregation != 1)
       r = r.option("aggregation", config.aggregation)
+    config.mergeAtMs.foreach(t => r = r.option("mergeAtMs", t))
     r.load().as[Record]
   }
 

@@ -174,9 +174,18 @@ class ShardedReplaySpec extends SparkSpec with BeforeAndAfterAll {
     val off = ShardPositions(
       SortedMap(0 -> 5L, 1 -> 9L, 2 -> 0L, 4 -> 3L, 5 -> 0L),
       sealedShards = SortedSet(0, 1),
-      lineage = SortedMap(4 -> 0, 5 -> 1))
+      lineage = SortedMap(4 -> Seq(0), 5 -> Seq(1)))
     assert(ShardPositions.parse(off.json()) === off)
     assert(off.gen0 === 3)
+    // single-parent lineage keeps the original v2 bare-int wire form
+    assert(off.json().contains(""""lineage":{"4":0,"5":1}"""))
+    // merge lineage: a child with two parents round-trips as an array
+    val merged = ShardPositions(
+      SortedMap(0 -> 5L, 1 -> 9L, 2 -> 1L),
+      sealedShards = SortedSet(0, 1),
+      lineage = SortedMap(2 -> Seq(0, 1)))
+    assert(ShardPositions.parse(merged.json()) === merged)
+    assert(merged.json().contains(""""lineage":{"2":[0,1]}"""))
     // v1 stays v1 (existing checkpoints parse unchanged)
     val v1 = ShardPositions(SortedMap(0 -> 2L, 1 -> 7L))
     assert(v1.json() === """{"0":2,"1":7}""")
@@ -223,6 +232,106 @@ class ShardedReplaySpec extends SparkSpec with BeforeAndAfterAll {
           s"parent $p last batch $lp must precede its children's first batch $fc")
     }
     assert(seen.exists(_._2 >= 4), "children must emit after the seal")
+  }
+
+  test("merge batch read: parents + merged children tile the stream exactly once") {
+    val df = spark.read.format("sharded-replay")
+      .option("path", eventsPath).option("shards", 4)
+      .option("mergeAtMs", splitMs).load()
+    assert(df.count() === nEvents)
+    val ids = df.select(get_json_object(col("data").cast("string"), "$.event_id")
+      .cast("long").as("id"))
+    assert(ids.distinct().count() === nEvents)
+    // exactly N/2 = 2 merged children carry the post-merge records
+    val shardIds = df.select("shardId").distinct().as[String].collect()
+      .map(_.stripPrefix("shardId-").toInt).toSet
+    assert(shardIds.filter(_ >= 4) === Set(4, 5),
+      s"expected merged children 4 and 5, got ${shardIds.filter(_ >= 4)}")
+  }
+
+  test("merge streaming: a child emits only after BOTH its parents seal") {
+    val batches = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Int)]()
+    val ds = Consumer.source(ConsumerConfig(
+      streamPath = eventsPath, numShards = 4,
+      maxRecordsPerTrigger = Some(300), mergeAtMs = Some(splitMs)))
+    val q = ds.writeStream
+      .option("checkpointLocation", tmpDir("ckpt_merge_seal"))
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[Record], batchId: Long) =>
+        df.select("shardId").distinct().collect().foreach { r =>
+          batches.add(batchId -> r.getString(0).stripPrefix("shardId-").toInt)
+        }
+        ()
+      }.start()
+    q.awaitTermination(120000)
+    import scala.jdk.CollectionConverters._
+    val seen = batches.iterator().asScala.toSeq
+    (0 until 2).foreach { j =>
+      val child = 4 + j
+      val parents = Seq(j, j + 2)
+      val firstChild = seen.filter(_._2 == child).map(_._1).minOption
+      parents.foreach { p =>
+        val lastParent = seen.filter(_._2 == p).map(_._1).maxOption
+        for (lp <- lastParent; fc <- firstChild)
+          assert(lp < fc,
+            s"parent $p last batch $lp must precede merged child $child's first batch $fc")
+      }
+    }
+    assert(seen.exists(_._2 >= 4), "merged children must emit after the seals")
+  }
+
+  test("restart across a merge boundary is exactly-once; v1 checkpoints evolve") {
+    val ckpt = tmpDir("ckpt_merge_restart")
+    val out = tmpDir("out_merge_restart")
+    def run(merge: Option[Long], stopEarly: Boolean): Unit = {
+      val ds = Consumer.source(ConsumerConfig(
+        streamPath = eventsPath, numShards = 4,
+        maxRecordsPerTrigger = Some(200), mergeAtMs = merge))
+      val q = ds.writeStream
+        .format("parquet").option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      if (stopEarly) {
+        val deadline = System.currentTimeMillis() + 60000
+        while (q.recentProgress.length < 1 && q.isActive &&
+          System.currentTimeMillis() < deadline) Thread.sleep(50)
+        q.stop(); q.awaitTermination(60000)
+      } else q.awaitTermination(120000)
+    }
+    // Run 1: before the merge exists — v1 offsets, small pre-merge prefix.
+    run(merge = None, stopEarly = true)
+    assert(spark.read.parquet(out).count() < nEvents / 2,
+      "first run must stop before the merge point for a valid evolution")
+    // Run 2: the stream merged at splitMs; parent positions carry over and
+    // the merged children drain the rest exactly once.
+    run(merge = Some(splitMs), stopEarly = false)
+    val got = spark.read.parquet(out)
+      .select(get_json_object(col("data").cast("string"), "$.event_id")
+        .cast("long").as("id"))
+    assert(got.count() === nEvents, "exactly-once across the merge boundary")
+    assert(got.distinct().count() === nEvents)
+  }
+
+  test("a split checkpoint restarted as a merge is rejected (lineage mismatch)") {
+    val ckpt = tmpDir("ckpt_kind_mismatch")
+    def run(opts: Map[String, Long]): Unit = {
+      var ds = spark.readStream.format("sharded-replay")
+        .option("path", eventsPath).option("shards", 4)
+        .option("maxRecordsPerTrigger", 200)
+      opts.foreach { case (k, v) => ds = ds.option(k, v) }
+      val q = ds.load().writeStream
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (_: org.apache.spark.sql.DataFrame, _: Long) => () }
+        .start()
+      q.awaitTermination(120000)
+    }
+    run(Map("reshardAtMs" -> splitMs)) // commits v2 split offsets
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      run(Map("mergeAtMs" -> splitMs))
+    }
+    assert(Option(e.getCause).map(_.toString).getOrElse(e.toString)
+      .contains("lineage"), s"unexpected failure: $e")
   }
 
   test("restart across the reshard boundary is exactly-once (no loss, no dup)") {
@@ -337,20 +446,25 @@ class ShardedReplaySpec extends SparkSpec with BeforeAndAfterAll {
   // contiguous, and the stream still fully drains.
   test("gated admission: children wait for their parent's seal, then everything drains") {
     val rnd = new scala.util.Random(7)
-    (1 to 100).foreach { _ =>
-      val nParents = 1 + rnd.nextInt(4)
-      val n = 3 * nParents
-      def parentOf(i: Int): Option[Int] =
-        if (i < nParents) None else Some((i - nParents) % nParents)
+    (1 to 100).foreach { trial =>
+      // Alternate split geometry (child ← 1 parent) and merge geometry
+      // (child ← 2 parents): the gate must hold for any parent fan-in.
+      val merge = trial % 2 == 0
+      val nParents = (1 + rnd.nextInt(4)) * (if (merge) 2 else 1)
+      val n = if (merge) nParents + nParents / 2 else 3 * nParents
+      def parentsOf(i: Int): Seq[Int] =
+        if (i < nParents) Nil
+        else if (merge) Seq(i - nParents, i - nParents + nParents / 2)
+        else Seq((i - nParents) % nParents)
       val cnt = Array.fill(n)(rnd.nextLong(500L))
       val lims = List.fill(rnd.nextInt(10))(1L + rnd.nextLong(300L))
       var cur = ShardPositions.zeros(n)
       (lims.map(Option(_)) ++ Seq(None, None)).foreach { lim =>
-        val eligible = AdmissionPlanner.gate(cur, cnt, parentOf)
+        val eligible = AdmissionPlanner.gate(cur, cnt, parentsOf)
         val next = AdmissionPlanner.advance(cur, eligible, lim)
         (0 until n).foreach { i =>
           assert(next(i) >= cur(i) && next(i) <= cnt(i))
-          parentOf(i).foreach { p =>
+          parentsOf(i).foreach { p =>
             if (cur(p) < cnt(p))
               assert(next(i) === cur(i),
                 s"child $i advanced while parent $p incomplete")
