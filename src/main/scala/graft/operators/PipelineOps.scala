@@ -335,6 +335,57 @@ object PipelineOps {
           col("tokens").cast("double"), 4).as("sampled_tokens"))
   }
 
+  /** Corpus-trained bigram language-model fluency score (the CCNet-style
+    * "perplexity filter" shape): per document, the average conditional
+    * probability C(w1 w2)/C(w1·) of its word bigrams, with counts trained
+    * on the corpus itself. Low scores mark disfluent/unnatural token
+    * sequences. The score is a plain average of exact count ratios — not
+    * log-perplexity — so it is reproducible bit-for-bit across engines
+    * (`ln` is not correctly-rounded in either engine's libm).
+    *
+    * Scale: the exploded bigram relation is aggregated twice into
+    * vocabulary-bounded count tables (map-side partials collapse
+    * corpus-scale to vocab-scale before each shuffle), which then
+    * broadcast back onto the bigram stream — the corpus-sized relation is
+    * never exchanged for the lookups; only the final per-document partial
+    * average shuffles, already collapsed to one row per (partition, doc).
+    */
+  def bigramLmScore(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = tokens(col(textCol))
+    val base = df
+      .where(size(toks) >= 2)
+      .select(col(idCol), explode(ngrams(toks, 2)).as("g"))
+      .withColumn("w1", substring_index(col("g"), " ", 1))
+    val bigramCounts = base.groupBy(col("g")).agg(count(lit(1)).as("bc"))
+    val prefixCounts = base.groupBy(col("w1")).agg(count(lit(1)).as("wc"))
+    base.join(broadcast(bigramCounts), "g")
+      .join(broadcast(prefixCounts), "w1")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(avg(col("bc").cast("double") / col("wc").cast("double")), 6)
+          .as("lm_score"))
+  }
+
+  // ---- q63: bigram-LM fluency scoring ----------------------------------------
+  private def q63(s: SparkSession, d: String): DataFrame =
+    bigramLmScore(Tables.documents(s, d), "doc_id", "text")
+      .orderBy(col("doc_id"))
+  private val q63Sql =
+    """WITH toks AS (
+         SELECT doc_id, string_split(text, ' ') AS t FROM documents
+         WHERE len(string_split(text, ' ')) >= 2),
+       b AS (
+         SELECT doc_id, g, split_part(g, ' ', 1) AS w1 FROM (
+           SELECT doc_id, unnest(list_transform(range(1, len(t)),
+             i -> t[i] || ' ' || t[i+1])) AS g
+           FROM toks)),
+       bc AS (SELECT g, count(*) AS bc FROM b GROUP BY g),
+       wc AS (SELECT w1, count(*) AS wc FROM b GROUP BY w1)
+       SELECT b.doc_id, count(*) AS n_bigrams,
+         round(avg(bc.bc::DOUBLE / wc.wc::DOUBLE), 6) AS lm_score
+       FROM b JOIN bc USING (g) JOIN wc USING (w1)
+       GROUP BY b.doc_id ORDER BY doc_id"""
+
   // ---- q62: source-mixture balancing ----------------------------------------
   private def q62(s: SparkSession, d: String): DataFrame =
     mixtureWeights(Tables.documents(s, d), "source",
@@ -428,5 +479,6 @@ object PipelineOps {
     QueryDef("q45_repetition", q45, Some(q45Sql)),
     QueryDef("q54_pii_scrub", q54, Some(q54Sql)),
     QueryDef("q55_seq_packing", q55, Some(q55Sql)),
-    QueryDef("q62_mixture_weights", q62, Some(q62Sql)))
+    QueryDef("q62_mixture_weights", q62, Some(q62Sql)),
+    QueryDef("q63_bigram_lm", q63, Some(q63Sql)))
 }

@@ -117,6 +117,25 @@ class PipelineOpsSpec extends SparkSpec {
     assert(got === Array(("a a", 2L), ("b b", 2L))) // tie broken by gram
   }
 
+  test("bigramLmScore averages corpus-trained conditional bigram probabilities") {
+    // Corpus bigrams: doc1 = [a b, b a, a b], doc2 = [a c].
+    // Counts: C(a b)=2, C(b a)=1, C(a c)=1; prefixes C(a·)=3, C(b·)=1.
+    // doc1 = avg(2/3, 1/1, 2/3) = 7/9; doc2 = avg(1/3).
+    val df = Seq((1L, "a b a b"), (2L, "a c"), (3L, "x")).toDF("doc_id", "text")
+    val got = PipelineOps.bigramLmScore(df, "doc_id", "text")
+      .orderBy("doc_id").as[(Long, Long, Double)].collect()
+    assert(got === Array((1L, 3L, 0.777778), (2L, 1L, 0.333333)))
+    // doc3 has no bigram and must be absent, not scored as null/zero
+  }
+
+  test("bigramLmScore broadcasts both count tables onto the bigram stream") {
+    val plan = PipelineOps.bigramLmScore(
+        graft.Tables.documents(spark, sf), "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert("BroadcastHashJoin".r.findAllIn(plan).size >= 2,
+      s"both stat lookups should broadcast:\n${plan.take(2000)}")
+  }
+
   test("mixtureWeights downsamples over-budget groups and never upsamples") {
     // tokens per group: a=30, b=10, c=2 → total 42, target 14.
     val df = Seq(
