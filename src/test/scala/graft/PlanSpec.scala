@@ -163,6 +163,27 @@ class PlanSpec extends SparkSpec {
       s"too many shuffles for a hash-sample count:\n$p")
   }
 
+  test("q60 cluster propagation step: partial-aggregated min below the exchange") {
+    // One label-propagation round = edge⋈label join + groupBy(node).min —
+    // the per-round shuffle must carry map-side partial minima (vocab of
+    // touched nodes per partition), never raw propagated candidate rows.
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val edges = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
+    val labels = Seq((1L, 1L), (2L, 1L), (3L, 3L)).toDF("node", "label")
+    val step = edges.join(labels, col("dst") === col("node"))
+      .select(col("src").as("node"), col("label"))
+      .union(labels)
+      .groupBy(col("node")).agg(min(col("label")).as("label"))
+    val p = step.queryExecution.executedPlan.toString
+    val fin = p.indexOf("functions=[min(")
+    assert(fin >= 0, s"min aggregate missing:\n${p.take(1200)}")
+    val ex = p.indexOf("Exchange hashpartitioning", fin)
+    assert(ex >= 0, "aggregation exchange missing")
+    assert(p.indexOf("partial_min", ex) >= 0,
+      s"map-side partial min missing below the exchange:\n${p.take(1500)}")
+  }
+
   test("q53: partkey range predicate is pushed into the parquet scan") {
     val p = plan("q53_string_funcs")
     assert(p.contains("LessThanOrEqual(p_partkey,200)"),
