@@ -280,6 +280,23 @@ object Dedup {
     labels.select(col("node").as("doc_id"), col("label").as("cluster_id"))
   }
 
+  /** The corpus with near-duplicates collapsed: for every transitive
+    * cluster in `pairs`, only the representative (minimum id) survives;
+    * documents in no pair pass through untouched. The standard final step
+    * of a dedup pipeline — [[dedupClusters]] decides, this applies.
+    *
+    * Scale: the non-representative id set is duplicate-count-sized (can be
+    * a large fraction of the corpus), so it is removed with a left-anti
+    * equi-join on the 8-byte id — one corpus shuffle of ids, never text.
+    */
+  def dropDuplicatesTransitive(df: DataFrame, idCol: String,
+      pairs: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val losers = dedupClusters(pairs, aCol, bCol)
+      .filter(col("doc_id") =!= col("cluster_id"))
+      .select(col("doc_id").as("__loser_id"))
+    df.join(losers, col(idCol) === col("__loser_id"), "left_anti")
+  }
+
   // ===========================================================================
   // Oracle-bound query exercises
   // ===========================================================================

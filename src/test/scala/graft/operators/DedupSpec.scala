@@ -37,6 +37,16 @@ class DedupSpec extends SparkSpec {
       7L -> 7L, 9L -> 7L))
   }
 
+  test("dropDuplicatesTransitive keeps one representative per cluster and all unpaired docs") {
+    val docs = Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d"), (5L, "e"))
+      .toDF("doc_id", "text")
+    // cluster {1,2,3} via chain; 4 and 5 unpaired
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("d1", "d2")
+    val kept = Dedup.dropDuplicatesTransitive(docs, "doc_id", pairs, "d1", "d2")
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept === Set(1L, 4L, 5L))
+  }
+
   test("dedupClusters handles a long path needing several propagation rounds") {
     // A 12-node path: min-label propagation needs O(diameter) iterations,
     // so this exercises the driver loop beyond a single round.

@@ -197,6 +197,29 @@ class StreamingAnalyticsSpec extends SparkSpec {
       spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
   }
 
+  test("stateless pipeline operators (gopherFilter) run unchanged on a stream") {
+    // The training-data quality filter is a pure per-row projection, so it
+    // composes with any streaming source: filtering a streamed corpus must
+    // give exactly the batch answer.
+    val docs = graft.Tables.documents(spark, sf)
+      .select("doc_id", "text").as[(Long, String)].collect().toSeq
+    val ms = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)](spark)
+    ms.addData(docs)
+    val filtered = graft.operators.TextAnalysis.gopherFilter(
+      ms.toDF().toDF("doc_id", "text"), "doc_id", "text")
+    val q = filtered.writeStream.format("memory").queryName("gopher_stream")
+      .option("checkpointLocation", tmp("ckpt_gopher")).start()
+    try q.processAllAvailable() finally { q.stop(); q.awaitTermination(60000) }
+    val streamed = spark.table("gopher_stream")
+      .select("doc_id", "keep").as[(Long, Boolean)].collect().toSet
+    val batch = graft.operators.TextAnalysis.gopherFilter(
+        graft.Tables.documents(spark, sf), "doc_id", "text")
+      .select("doc_id", "keep").as[(Long, Boolean)].collect().toSet
+    assert(streamed === batch)
+    assert(batch.exists(_._2) && batch.exists(!_._2)) // both classes present
+  }
+
   test("decode recovers every typed event field from payload bytes") {
     val q = decoded().writeStream.format("memory").queryName("decoded_all")
       .option("checkpointLocation", tmp("ckpt_dec"))
