@@ -280,6 +280,27 @@ object Dedup {
     labels.select(col("node").as("doc_id"), col("label").as("cluster_id"))
   }
 
+  /** Cross-group duplication matrix: for every unordered pair of groups
+    * (sources, dumps, snapshots …), how many near-duplicate document pairs
+    * connect them — the standard corpus-curation report for deciding which
+    * source overlaps which. `pairs` is any near-dup pair list (e.g.
+    * [[minhashLshPairs]]); `dims` maps document id → group.
+    *
+    * Scale: the pair list is duplicate-count-sized and joins `dims` on the
+    * 8-byte id (two hash joins shuffling ids+group strings only, never
+    * text); the final matrix is |groups|² at most — tiny.
+    */
+  def dupMatrix(pairs: DataFrame, aCol: String, bCol: String,
+      dims: DataFrame, idCol: String, groupCol: String): DataFrame = {
+    val ga = dims.select(col(idCol).as("__a"), col(groupCol).as("__ga"))
+    val gb = dims.select(col(idCol).as("__b"), col(groupCol).as("__gb"))
+    pairs.select(col(aCol).as("__a"), col(bCol).as("__b"))
+      .join(ga, "__a").join(gb, "__b")
+      .groupBy(least(col("__ga"), col("__gb")).as("source_a"),
+        greatest(col("__ga"), col("__gb")).as("source_b"))
+      .agg(count(lit(1)).as("n_pairs"))
+  }
+
   /** The corpus with near-duplicates collapsed: for every transitive
     * cluster in `pairs`, only the representative (minimum id) survives;
     * documents in no pair pass through untouched. The standard final step
@@ -443,6 +464,38 @@ object Dedup {
        SELECT a AS doc_id, least(a, min(b)) AS cluster_id
        FROM reach GROUP BY a ORDER BY doc_id"""
 
+  private def q64(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    dupMatrix(minhashLshPairs(docs, "doc_id", "text"), "d1", "d2",
+        docs, "doc_id", "source")
+      .orderBy(col("source_a"), col("source_b"))
+  }
+  // Oracle: exact-Jaccard pairs (== the LSH output at this threshold),
+  // joined to each side's source, aggregated per unordered source pair.
+  private val q64Sql =
+    s"""WITH toks AS (
+         SELECT doc_id, string_split(text, ' ') AS tokens FROM documents
+         WHERE len(string_split(text, ' ')) >= 3),
+       grams AS (
+         SELECT DISTINCT doc_id, g FROM (
+           SELECT doc_id, unnest(list_transform(range(1, len(tokens) - 1),
+             i -> tokens[i] || ' ' || tokens[i+1] || ' ' || tokens[i+2])) AS g
+           FROM toks)),
+       sizes AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id),
+       pair AS (
+         SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
+         FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+         GROUP BY 1, 2),
+       dup AS (
+         SELECT d1, d2 FROM pair
+         JOIN sizes s1 ON d1 = s1.doc_id JOIN sizes s2 ON d2 = s2.doc_id
+         WHERE inter / (s1.n + s2.n - inter) >= $JaccardThreshold),
+       d AS (SELECT doc_id, source FROM documents)
+       SELECT least(a.source, b.source) AS source_a,
+         greatest(a.source, b.source) AS source_b, count(*) AS n_pairs
+       FROM dup JOIN d a ON d1 = a.doc_id JOIN d b ON d2 = b.doc_id
+       GROUP BY 1, 2 ORDER BY 1, 2"""
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q25_exact_dedup", q25, Some(q25Sql)),
     QueryDef("q26_ngram_jaccard", q26, Some(exactJaccardSql)),
@@ -450,5 +503,6 @@ object Dedup {
     QueryDef("q28_simhash", q28, Some(q28Sql)),
     QueryDef("q29_embedding_neardup", q29, Some(q29Sql)),
     QueryDef("q56_embedding_neardup_ivf", q56, Some(q56Sql)),
-    QueryDef("q60_dedup_clusters", q60, Some(q60Sql)))
+    QueryDef("q60_dedup_clusters", q60, Some(q60Sql)),
+    QueryDef("q64_dup_matrix", q64, Some(q64Sql)))
 }

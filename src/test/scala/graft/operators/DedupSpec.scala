@@ -47,6 +47,16 @@ class DedupSpec extends SparkSpec {
     assert(kept === Set(1L, 4L, 5L))
   }
 
+  test("dupMatrix counts unordered group pairs, folding both orientations") {
+    val dims = Seq((1L, "s1"), (2L, "s2"), (3L, "s2"), (4L, "s1"))
+      .toDF("id", "src")
+    // (1,2) s1-s2; (3,1) s2-s1 folds into the same cell; (4,1) s1-s1
+    val pairs = Seq((1L, 2L), (3L, 1L), (4L, 1L)).toDF("a", "b")
+    val got = Dedup.dupMatrix(pairs, "a", "b", dims, "id", "src")
+      .as[(String, String, Long)].collect().toSet
+    assert(got === Set(("s1", "s2", 2L), ("s1", "s1", 1L)))
+  }
+
   test("dedupClusters handles a long path needing several propagation rounds") {
     // A 12-node path: min-label propagation needs O(diameter) iterations,
     // so this exercises the driver loop beyond a single round.
