@@ -275,8 +275,13 @@ object Dedup {
       changed = prop.join(
           labels.withColumnRenamed("label", "old"), "node")
         .filter(col("label") =!= col("old")).count()
+      // The count() above materialized prop's checkpoint, so the previous
+      // round's label blocks are unreachable — free them eagerly (a long
+      // loop would otherwise hold O(rounds) corpus-sized cached relations).
+      labels.unpersist()
       labels = prop
     }
+    edges.unpersist()
     labels.select(col("node").as("doc_id"), col("label").as("cluster_id"))
   }
 
