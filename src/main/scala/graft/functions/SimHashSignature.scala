@@ -48,24 +48,32 @@ object SimHashUtil {
     acc
   }
 
-  /** 32-bit SimHash of a token array; null only when a token slot is null
-    * (split() never produces one — defensive, mirrors the vote pipeline
-    * where a null token hashed to null and dropped the vote rows).
+  /** 32-bit SimHash of a token array. Null token slots contribute no
+    * votes — exactly the vote-pipeline semantics, where a null token
+    * hashes to null and its 32 vote rows are dropped. Returns null when
+    * NOTHING voted (empty array / all-null slots): the vote pipeline's
+    * groupBy would emit no row at all for such a document, and null is
+    * the scalar analog of that absence. (split() never produces null or
+    * empty arrays, so both cases are caller-built-array territory.)
     */
   def signature(tokens: ArrayData): java.lang.Long = {
     val n = tokens.numElements()
     val votes = new Array[Int](32)
+    var voted = false
     var i = 0
     while (i < n) {
-      if (tokens.isNullAt(i)) return null
-      val h = polyHash(tokens.getUTF8String(i))
-      var j = 0
-      while (j < 32) {
-        votes(j) += (((h >>> j) & 1L).toInt * 2) - 1
-        j += 1
+      if (!tokens.isNullAt(i)) {
+        voted = true
+        val h = polyHash(tokens.getUTF8String(i))
+        var j = 0
+        while (j < 32) {
+          votes(j) += (((h >>> j) & 1L).toInt * 2) - 1
+          j += 1
+        }
       }
       i += 1
     }
+    if (!voted) return null
     var sig = 0L
     var j = 0
     while (j < 32) {

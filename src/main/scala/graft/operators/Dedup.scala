@@ -168,6 +168,9 @@ object Dedup {
   def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.select(col(idCol).as("doc_id"),
       simhashSig(tokens(col(textCol))).as("simhash"))
+      // null signature = nothing voted (null text / no tokens); the vote
+      // pipeline emits no row for such documents, so neither do we
+      .where(col("simhash").isNotNull)
 
   /** The exploded token-vote formulation of [[simhash]] — reference
     * semantics the kernel must reproduce bit-for-bit (SimHashSpec asserts
@@ -327,9 +330,13 @@ object Dedup {
   // Oracle-bound query exercises
   // ===========================================================================
 
-  // Shared oracle body: exact distinct-3-gram Jaccard pairs >= threshold.
-  private val exactJaccardSql =
-    s"""WITH toks AS (
+  /** Shared oracle CTE chain: toks → distinct 3-grams → sizes → candidate
+    * pairs with intersection counts. Every Jaccard-derived oracle (q26/q27
+    * pairs, q60 clusters, q64 matrix) interpolates this ONE fragment so a
+    * gram-construction or threshold change cannot silently diverge them.
+    */
+  private val jaccardCtes =
+    """toks AS (
          SELECT doc_id, string_split(text, ' ') AS tokens FROM documents
          WHERE len(string_split(text, ' ')) >= 3),
        grams AS (
@@ -341,7 +348,18 @@ object Dedup {
        pair AS (
          SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
          FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
-         GROUP BY 1, 2)
+         GROUP BY 1, 2)"""
+
+  /** The `dup` CTE on top of [[jaccardCtes]]: pairs at >= the threshold. */
+  private val dupCte =
+    s"""dup AS (
+         SELECT d1, d2 FROM pair
+         JOIN sizes s1 ON d1 = s1.doc_id JOIN sizes s2 ON d2 = s2.doc_id
+         WHERE inter / (s1.n + s2.n - inter) >= $JaccardThreshold)"""
+
+  // Shared oracle body: exact distinct-3-gram Jaccard pairs >= threshold.
+  private val exactJaccardSql =
+    s"""WITH $jaccardCtes
        SELECT d1, d2,
          round(inter / (s1.n + s2.n - inter), 6) AS jaccard
        FROM pair JOIN sizes s1 ON d1 = s1.doc_id
@@ -443,23 +461,8 @@ object Dedup {
   // Oracle: exact-Jaccard pairs (== the LSH output, q26/q27 share it),
   // closed transitively with a recursive CTE, min reachable id per node.
   private val q60Sql =
-    s"""WITH RECURSIVE toks AS (
-         SELECT doc_id, string_split(text, ' ') AS tokens FROM documents
-         WHERE len(string_split(text, ' ')) >= 3),
-       grams AS (
-         SELECT DISTINCT doc_id, g FROM (
-           SELECT doc_id, unnest(list_transform(range(1, len(tokens) - 1),
-             i -> tokens[i] || ' ' || tokens[i+1] || ' ' || tokens[i+2])) AS g
-           FROM toks)),
-       sizes AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id),
-       pair AS (
-         SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
-         FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
-         GROUP BY 1, 2),
-       dup AS (
-         SELECT d1, d2 FROM pair
-         JOIN sizes s1 ON d1 = s1.doc_id JOIN sizes s2 ON d2 = s2.doc_id
-         WHERE inter / (s1.n + s2.n - inter) >= $JaccardThreshold),
+    s"""WITH RECURSIVE $jaccardCtes,
+       $dupCte,
        edges AS (SELECT d1 AS a, d2 AS b FROM dup
                  UNION SELECT d2, d1 FROM dup),
        reach(a, b) AS (
@@ -478,23 +481,8 @@ object Dedup {
   // Oracle: exact-Jaccard pairs (== the LSH output at this threshold),
   // joined to each side's source, aggregated per unordered source pair.
   private val q64Sql =
-    s"""WITH toks AS (
-         SELECT doc_id, string_split(text, ' ') AS tokens FROM documents
-         WHERE len(string_split(text, ' ')) >= 3),
-       grams AS (
-         SELECT DISTINCT doc_id, g FROM (
-           SELECT doc_id, unnest(list_transform(range(1, len(tokens) - 1),
-             i -> tokens[i] || ' ' || tokens[i+1] || ' ' || tokens[i+2])) AS g
-           FROM toks)),
-       sizes AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id),
-       pair AS (
-         SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
-         FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
-         GROUP BY 1, 2),
-       dup AS (
-         SELECT d1, d2 FROM pair
-         JOIN sizes s1 ON d1 = s1.doc_id JOIN sizes s2 ON d2 = s2.doc_id
-         WHERE inter / (s1.n + s2.n - inter) >= $JaccardThreshold),
+    s"""WITH $jaccardCtes,
+       $dupCte,
        d AS (SELECT doc_id, source FROM documents)
        SELECT least(a.source, b.source) AS source_a,
          greatest(a.source, b.source) AS source_b, count(*) AS n_pairs

@@ -175,17 +175,21 @@ object PipelineOps {
   /** PII scrubbing for training corpora: URL → `<URL>`, email → `<EMAIL>`,
     * phone → `<PHONE>` (applied in that order — emails inside URLs are
     * already gone), plus per-document match counts for audit/filtering.
-    * Pure map-side: regex matching is compiled per task, zero shuffle.
+    * Each count is taken on the text AS THE MATCHING STAGE SEES IT (emails
+    * counted after URL scrubbing, phones after both), so the counts equal
+    * the replacements actually made — an email inside a URL is neither
+    * redacted nor counted. Pure map-side: regex matching is compiled per
+    * task, zero shuffle.
     */
   def scrubPii(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val t = col(textCol)
+    val afterUrl = regexp_replace(t, UrlPattern, "<URL>")
+    val afterEmail = regexp_replace(afterUrl, EmailPattern, "<EMAIL>")
     df.select(col(idCol),
       size(regexp_extract_all(t, lit(UrlPattern), lit(0))).cast("long").as("n_urls"),
-      size(regexp_extract_all(t, lit(EmailPattern), lit(0))).cast("long").as("n_emails"),
-      size(regexp_extract_all(t, lit(PhonePattern), lit(0))).cast("long").as("n_phones"),
-      regexp_replace(regexp_replace(regexp_replace(t,
-        UrlPattern, "<URL>"), EmailPattern, "<EMAIL>"),
-        PhonePattern, "<PHONE>").as("scrubbed"))
+      size(regexp_extract_all(afterUrl, lit(EmailPattern), lit(0))).cast("long").as("n_emails"),
+      size(regexp_extract_all(afterEmail, lit(PhonePattern), lit(0))).cast("long").as("n_phones"),
+      regexp_replace(afterEmail, PhonePattern, "<PHONE>").as("scrubbed"))
   }
 
   /** Concat-then-chunk sequence packing (the standard LLM pretraining
@@ -343,22 +347,26 @@ object PipelineOps {
     * log-perplexity — so it is reproducible bit-for-bit across engines
     * (`ln` is not correctly-rounded in either engine's libm).
     *
-    * Scale: the exploded bigram relation is aggregated twice into
-    * vocabulary-bounded count tables (map-side partials collapse
-    * corpus-scale to vocab-scale before each shuffle), which then
-    * broadcast back onto the bigram stream — the corpus-sized relation is
-    * never exchanged for the lookups; only the final per-document partial
-    * average shuffles, already collapsed to one row per (partition, doc).
+    * Scale: ONE corpus aggregation builds the vocabulary-bounded bigram
+    * count table (map-side partials collapse corpus-scale to vocab-scale
+    * before the shuffle); the prefix counts C(w1·) are then derived from
+    * that already-tiny table (sum of bc per first word), NOT by a second
+    * corpus pass. Both stat tables broadcast back onto the bigram stream,
+    * so the corpus-sized relation is never exchanged for the lookups;
+    * only the final per-document partial average shuffles, already
+    * collapsed to one row per (partition, doc).
     */
   def bigramLmScore(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val toks = tokens(col(textCol))
     val base = df
       .where(size(toks) >= 2)
       .select(col(idCol), explode(ngrams(toks, 2)).as("g"))
-      .withColumn("w1", substring_index(col("g"), " ", 1))
     val bigramCounts = base.groupBy(col("g")).agg(count(lit(1)).as("bc"))
-    val prefixCounts = base.groupBy(col("w1")).agg(count(lit(1)).as("wc"))
-    base.join(broadcast(bigramCounts), "g")
+    val prefixCounts = bigramCounts
+      .groupBy(substring_index(col("g"), " ", 1).as("w1"))
+      .agg(sum(col("bc")).as("wc"))
+    base.withColumn("w1", substring_index(col("g"), " ", 1))
+      .join(broadcast(bigramCounts), "g")
       .join(broadcast(prefixCounts), "w1")
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_bigrams"),
@@ -444,15 +452,22 @@ object PipelineOps {
                 || doc_id || ' tel +1 555-00' || doc_id
            ELSE text END AS t
          FROM documents)
+       , staged AS (
+         SELECT doc_id, t,
+           regexp_replace(t, 'https?://[^ ]+', '<URL>', 'g') AS after_url
+         FROM aug),
+       staged2 AS (
+         SELECT doc_id, t, after_url,
+           regexp_replace(after_url,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g')
+             AS after_email
+         FROM staged)
        SELECT doc_id,
          len(regexp_extract_all(t, 'https?://[^ ]+'))::BIGINT AS n_urls,
-         len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))::BIGINT AS n_emails,
-         len(regexp_extract_all(t, '\+[0-9][0-9\- ]{5,}[0-9]'))::BIGINT AS n_phones,
-         regexp_replace(regexp_replace(regexp_replace(t,
-           'https?://[^ ]+', '<URL>', 'g'),
-           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
-           '\+[0-9][0-9\- ]{5,}[0-9]', '<PHONE>', 'g') AS scrubbed
-       FROM aug ORDER BY doc_id"""
+         len(regexp_extract_all(after_url, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))::BIGINT AS n_emails,
+         len(regexp_extract_all(after_email, '\+[0-9][0-9\- ]{5,}[0-9]'))::BIGINT AS n_phones,
+         regexp_replace(after_email, '\+[0-9][0-9\- ]{5,}[0-9]', '<PHONE>', 'g') AS scrubbed
+       FROM staged2 ORDER BY doc_id"""
 
   private def q55(s: SparkSession, d: String): DataFrame =
     packSequences(Tables.documents(s, d), "doc_id", "text", "lang", budget = 2048)

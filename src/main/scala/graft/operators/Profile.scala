@@ -24,22 +24,29 @@ import org.apache.spark.sql.functions._
 object Profile {
 
   /** Long-form per-column profile: nulls, exact distincts, min/max (as
-    * strings, so heterogeneous columns share one schema).
+    * strings, so heterogeneous columns share one schema). Input names are
+    * backtick-quoted and intermediates aliased positionally, so columns
+    * named like `order date`, `a.b`, or SQL keywords — the messy inputs a
+    * profiler exists for — work unchanged.
     */
   def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.nonEmpty, "profile needs at least one column")
-    val aggs = cols.flatMap { c =>
+    def quoted(name: String) = col("`" + name.replace("`", "``") + "`")
+    val aggs = cols.zipWithIndex.flatMap { case (c, i) =>
+      val in = quoted(c)
       Seq(
-        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}__nulls"),
-        countDistinct(col(c)).as(s"${c}__distinct"),
-        min(col(c)).cast("string").as(s"${c}__min"),
-        max(col(c)).cast("string").as(s"${c}__max"))
+        sum(when(in.isNull, 1L).otherwise(0L)).as(s"c${i}__nulls"),
+        countDistinct(in).as(s"c${i}__distinct"),
+        min(in).cast("string").as(s"c${i}__min"),
+        max(in).cast("string").as(s"c${i}__max"))
     }
     val one = df.agg(aggs.head, aggs.tail: _*)
-    val stackArgs = cols.map(c =>
-      s"'$c', ${c}__nulls, ${c}__distinct, ${c}__min, ${c}__max").mkString(", ")
-    one.selectExpr(s"stack(${cols.length}, $stackArgs) AS " +
-      "(col_name, n_nulls, n_distinct, min_val, max_val)")
+    val stackArgs = cols.zipWithIndex.flatMap { case (c, i) =>
+      Seq(lit(c), col(s"c${i}__nulls"), col(s"c${i}__distinct"),
+        col(s"c${i}__min"), col(s"c${i}__max"))
+    }
+    one.select(stack((lit(cols.length) +: stackArgs): _*)
+      .as(Seq("col_name", "n_nulls", "n_distinct", "min_val", "max_val")))
   }
 
   /** Latest record per key: the row with the max `(orderCols…)` tuple,

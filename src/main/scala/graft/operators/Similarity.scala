@@ -32,10 +32,19 @@ object Similarity {
   final case class Scored(query_id: Long, neighbor_id: Long, c: Double)
 
   /** (c desc, neighbor_id asc) — identical tie-break to the window
-    * row_number formulation and the DuckDB oracle.
+    * row_number formulation and the DuckDB oracle, INCLUDING NaN: both
+    * engines' descending sorts rank NaN above every real score, and
+    * `java.lang.Double.compare` is exactly that total order. (The negated
+    * tuple-key form `by(s => (-s.c, ...))` would rank NaN last instead —
+    * a zero-norm embedding would then return different top-k rows than
+    * the window form.)
     */
-  private val scoredOrd: Ordering[Scored] =
-    Ordering.by((s: Scored) => (-s.c, s.neighbor_id))
+  private val scoredOrd: Ordering[Scored] = new Ordering[Scored] {
+    override def compare(a: Scored, b: Scored): Int = {
+      val c = java.lang.Double.compare(b.c, a.c) // desc, NaN greatest
+      if (c != 0) c else java.lang.Long.compare(a.neighbor_id, b.neighbor_id)
+    }
+  }
 
   /** Heap-ranked top-k per query over scored (query_id, neighbor_id, c)
     * rows — the ranking stage every similarity variant shares.
@@ -47,7 +56,11 @@ object Similarity {
     * ([[TypedAggs.BoundedTopK]]) keeps k rows per query IN EACH MAP
     * PARTIAL, so only k·partitions rows per query ever reach the exchange,
     * and the final merge is k-sized list merges. Output is identical to the
-    * window form (same ordering + tie-break), which is the oracle.
+    * window form (same ordering + tie-break, NaN ranked first like both
+    * engines' desc sorts), which is the oracle. Null scores (cosine over a
+    * null embedding) are dropped as "no similarity defined" — the one
+    * deliberate divergence from a window, which would rank them below all
+    * candidates and could surface them when a query has < k scored rows.
     */
   def rankTopK(scored: DataFrame, k: Int): DataFrame = {
     val s = scored.sparkSession

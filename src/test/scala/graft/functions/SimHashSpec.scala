@@ -27,13 +27,26 @@ class SimHashSpec extends SparkSpec {
     assert(got === 97L)
   }
 
-  test("empty token array yields signature 0; null slot yields null") {
-    val empty = Seq(Tuple1(Seq.empty[String])).toDF("toks")
-      .select(simhashSig($"toks")).as[Long].head()
-    assert(empty === 0L)
+  test("null slots contribute no votes; nothing-voted arrays yield null (absence)") {
+    // Vote-pipeline parity: a null token's 32 vote rows are dropped, so
+    // ["a", null] must sign exactly like ["a"]; an array where NOTHING
+    // voted (empty / all-null) corresponds to a document the vote
+    // pipeline's groupBy never emits — null is the scalar analog.
     val withNull = Seq(Tuple1(Seq[String]("a", null))).toDF("toks")
-      .select(simhashSig($"toks")).collect()
-    assert(withNull(0).isNullAt(0))
+      .select(simhashSig($"toks")).as[Long].head()
+    assert(withNull === 97L) // == signature of ["a"]
+    Seq(Seq.empty[String], Seq[String](null, null)).foreach { toks =>
+      val r = Seq(Tuple1(toks)).toDF("toks")
+        .select(simhashSig($"toks")).collect()
+      assert(r(0).isNullAt(0), s"expected null signature for $toks")
+    }
+  }
+
+  test("simhash drops documents with null text, matching the vote pipeline") {
+    val docs = Seq((1L, "a b c"), (2L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    assert(Dedup.simhash(docs, "doc_id", "text").count() === 1)
+    assert(Dedup.simhashVotes(docs, "doc_id", "text").count() === 1)
   }
 
   test("multibyte code points hash like the built-ins polyHash column") {

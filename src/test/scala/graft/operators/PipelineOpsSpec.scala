@@ -96,6 +96,18 @@ class PipelineOpsSpec extends SparkSpec {
     assert(rows(1).getLong(1) === 0L)
   }
 
+  test("scrubPii audit counts equal the replacements actually made") {
+    // The email lives INSIDE the URL: the URL replace consumes it, so no
+    // <EMAIL> token is ever written — and n_emails must be 0, not 1
+    // (counts are taken on the text each stage actually matches against).
+    val df = Seq((1L, "visit https://ex.com/a@b.com now"))
+      .toDF("doc_id", "text")
+    val r = PipelineOps.scrubPii(df, "doc_id", "text").collect()(0)
+    assert(r.getString(4) === "visit <URL> now")
+    assert(r.getLong(1) === 1L, "one URL redacted")
+    assert(r.getLong(2) === 0L, "no email was redacted, so none counted")
+  }
+
   test("packSequences chunks each shard's ordered docs into budget-token bins") {
     // 4 docs of 3 tokens each in one shard, budget 5:
     // cum_before = 0,3,6,9 → bins 0,0,1,1

@@ -14,6 +14,16 @@ class ProfileSpec extends SparkSpec {
     assert(got(1) === (("tag", 0L, 2L, "a", "b")))
   }
 
+  test("profile handles non-identifier column names (spaces, dots, keywords)") {
+    val df = Seq((1L, "x"), (2L, "y"))
+      .toDF("order date", "select.a")
+    val got = Profile.profile(df, Seq("order date", "select.a"))
+      .orderBy("col_name")
+      .as[(String, Long, Long, String, String)].collect()
+    assert(got(0) === (("order date", 0L, 2L, "1", "2")))
+    assert(got(1) === (("select.a", 0L, 2L, "x", "y")))
+  }
+
   test("latestPerKey keeps exactly the max-(order,tie) row per key") {
     val df = Seq(
       (7L, 100L, 1L, "old"), (7L, 200L, 2L, "new"),

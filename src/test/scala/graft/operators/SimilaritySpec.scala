@@ -1,0 +1,34 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("rankTopK equals the window row_number form even with NaN scores") {
+    // Zero-norm embeddings make graft_cosine return NaN; both engines'
+    // descending sorts rank NaN above every real score, and the heap
+    // ordering must agree (the negated-tuple Ordering ranked NaN last).
+    val scored = Seq(
+      (1L, 10L, 0.9), (1L, 11L, Double.NaN), (1L, 12L, 0.5), (1L, 13L, 0.7),
+      (2L, 20L, Double.NaN), (2L, 21L, Double.NaN), (2L, 22L, 0.1))
+      .toDF("query_id", "neighbor_id", "c")
+    def bits(r: (Long, Int, Long, Double)) =
+      (r._1, r._2, r._3, java.lang.Double.doubleToLongBits(r._4))
+    val heap = Similarity.rankTopK(scored, 2)
+      .orderBy("query_id", "rank")
+      .as[(Long, Int, Long, Double)].collect().map(bits)
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("c").desc, col("neighbor_id"))
+    val win = scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= 2)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        round(col("c"), 6).as("cos_sim"))
+      .orderBy("query_id", "rank")
+      .as[(Long, Int, Long, Double)].collect().map(bits)
+    assert(heap === win)
+    assert(heap.exists(_._4 == java.lang.Double.doubleToLongBits(Double.NaN)))
+  }
+}
