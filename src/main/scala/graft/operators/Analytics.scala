@@ -202,6 +202,89 @@ object Analytics {
          lpad(p_size::VARCHAR, 4, '0') AS size_padded
        FROM part WHERE p_partkey <= 200 ORDER BY p_partkey"""
 
+  // ---- q65: batch session windows (gaps-and-islands parity) ------------------
+  // Spark's session_window vs the classic lag/cumsum islands construction:
+  // a new session starts when the gap since the previous event is >= the
+  // 30-minute window (Spark merges while t < previous + gap). The session
+  // end is last-event + gap, Spark's definition. Exact integer-microsecond
+  // arithmetic on both sides.
+  //
+  // Scale: session_window is a single hash aggregation after one exchange
+  // on user_id — no window-function sort of the whole event history.
+  private def q65(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(col("user_id"),
+        session_window(col("ts"), "30 minutes").as("w"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        unix_micros(col("w.start")).as("session_start_us"),
+        unix_micros(col("w.end")).as("session_end_us"),
+        col("n_events"))
+      .orderBy(col("user_id"), col("session_start_us"))
+  private val q65Sql =
+    """WITH e AS (
+         SELECT user_id, epoch_us(ts::TIMESTAMP) AS t FROM events),
+       flags AS (
+         SELECT user_id, t,
+           CASE WHEN lag(t) OVER (PARTITION BY user_id ORDER BY t) IS NULL
+                  OR t - lag(t) OVER (PARTITION BY user_id ORDER BY t)
+                     >= 1800000000
+                THEN 1 ELSE 0 END AS new_s
+         FROM e),
+       sess AS (
+         SELECT user_id, t,
+           sum(new_s) OVER (PARTITION BY user_id ORDER BY t
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+         FROM flags)
+       SELECT user_id, min(t) AS session_start_us,
+         max(t) + 1800000000 AS session_end_us, count(*) AS n_events
+       FROM sess GROUP BY user_id, sid
+       ORDER BY user_id, session_start_us"""
+
+  // ---- q66: ordered funnel (view → click → purchase) --------------------------
+  // Greedy earliest-event chaining: first view, then the first click
+  // strictly after it, then the first purchase strictly after that. The
+  // per-step reached-user counts are the funnel report.
+  //
+  // Scale: each step is a filtered aggregation to |users| rows; the chain
+  // joins run on those small per-user relations, not on raw events.
+  private def q66(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.events(s, d)
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("t"))
+    val v = e.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("t")).as("t_view"))
+    val c = e.filter(col("event_type") === "click")
+      .join(v, "user_id").filter(col("t") > col("t_view"))
+      .groupBy(col("user_id")).agg(min(col("t")).as("t_click"))
+    val p = e.filter(col("event_type") === "purchase")
+      .join(c, "user_id").filter(col("t") > col("t_click"))
+      .groupBy(col("user_id")).agg(min(col("t")).as("t_purchase"))
+    val one = v.agg(count(lit(1)).as("n1"))
+      .crossJoin(c.agg(count(lit(1)).as("n2")))
+      .crossJoin(p.agg(count(lit(1)).as("n3")))
+    one.select(stack(lit(3),
+      lit("1_view"), col("n1"), lit("2_click"), col("n2"),
+      lit("3_purchase"), col("n3")).as(Seq("step", "n_users")))
+      .orderBy(col("step"))
+  }
+  private val q66Sql =
+    """WITH e AS (
+         SELECT user_id, event_type, epoch_us(ts::TIMESTAMP) AS t FROM events),
+       v AS (SELECT user_id, min(t) AS t_view FROM e
+             WHERE event_type = 'view' GROUP BY user_id),
+       c AS (SELECT e.user_id, min(t) AS t_click FROM e
+             JOIN v ON e.user_id = v.user_id
+             WHERE event_type = 'click' AND t > t_view GROUP BY e.user_id),
+       p AS (SELECT e.user_id, min(t) AS t_purchase FROM e
+             JOIN c ON e.user_id = c.user_id
+             WHERE event_type = 'purchase' AND t > t_click GROUP BY e.user_id)
+       SELECT step, n_users FROM (
+         SELECT '1_view' AS step, count(*) AS n_users FROM v
+         UNION ALL SELECT '2_click', count(*) FROM c
+         UNION ALL SELECT '3_purchase', count(*) FROM p)
+       ORDER BY step"""
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q46_posexplode", q46, Some(q46Sql)),
     QueryDef("q47_percentiles", q47, Some(q47Sql)),
@@ -211,5 +294,7 @@ object Analytics {
     QueryDef("q50_range_frame", q50, Some(q50Sql)),
     QueryDef("q51_unpivot", q51, Some(q51Sql)),
     QueryDef("q52_multiset_ops", q52, Some(q52Sql)),
-    QueryDef("q53_string_funcs", q53, Some(q53Sql)))
+    QueryDef("q53_string_funcs", q53, Some(q53Sql)),
+    QueryDef("q65_session_windows", q65, Some(q65Sql)),
+    QueryDef("q66_funnel", q66, Some(q66Sql)))
 }
