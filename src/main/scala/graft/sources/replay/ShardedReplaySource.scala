@@ -180,12 +180,18 @@ final class ShardedReplayScan(conf: ReplayConfig) extends ScanBuilder with Scan 
   *    and the child→parent(s) lineage that gates child consumption. A
   *    split child has one parent (written as a bare int — the original v2
   *    wire form, kept byte-identical); a merge child has two (written as
-  *    an array `[p1,p2]`); the parser accepts both.
+  *    an array `[p1,p2]`); the parser accepts both. The reshard INSTANT
+  *    (`"at":micros`) is also recorded: lineage alone cannot distinguish
+  *    a split at T1 from one at T2, and a changed instant relocates
+  *    records between parents and children — silent replay/loss that the
+  *    restart validation rejects by comparing instants. Absent on
+  *    offsets written before the field existed (then unverifiable).
   */
 final case class ShardPositions(
     positions: SortedMap[Int, Long],
     sealedShards: SortedSet[Int] = SortedSet.empty,
-    lineage: SortedMap[Int, Seq[Int]] = SortedMap.empty) extends Offset {
+    lineage: SortedMap[Int, Seq[Int]] = SortedMap.empty,
+    reshardAtMicros: Option[Long] = None) extends Offset {
   override def json(): String =
     if (sealedShards.isEmpty && lineage.isEmpty)
       positions.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
@@ -196,7 +202,8 @@ final case class ShardPositions(
         case (c, Seq(p)) => s""""$c":$p"""
         case (c, ps) => s""""$c":${ps.mkString("[", ",", "]")}"""
       }.mkString("{", ",", "}")
-      s"""{"v":2,"pos":$pos,"sealed":$sl,"lineage":$lin}"""
+      val at = reshardAtMicros.map(t => s""","at":$t""").getOrElse("")
+      s"""{"v":2,"pos":$pos,"sealed":$sl,"lineage":$lin$at}"""
     }
   def apply(shard: Int): Long = positions.getOrElse(shard, 0L)
   /** First-generation shard count the checkpoint was written against. */
@@ -235,6 +242,11 @@ object ShardPositions {
               case (c, p) => c.toInt -> Seq(int(p))
             })
             case x => sys.error(s"bad lineage $x")
+          },
+          reshardAtMicros = m.get("at").map {
+            case JInt(x) => x.toLong
+            case JLong(x) => x
+            case x => sys.error(s"bad reshard instant $x")
           })
       case other => ShardPositions(longs(other))
     }
@@ -316,7 +328,8 @@ final class ShardedReplayMicroBatchStream(
     else ShardPositions(pos,
       sealedShards = SortedSet.from(
         (0 until conf.numShards).filter(i => pos.getOrElse(i, 0L) >= counts(i))),
-      lineage = conf.lineage)
+      lineage = conf.lineage,
+      reshardAtMicros = conf.reshardAtMicros.orElse(conf.mergeAtMicros))
 
   override def initialOffset(): Offset = conf.startingPosition match {
     case "trim_horizon" => decorate(
@@ -382,6 +395,28 @@ final class ShardedReplayMicroBatchStream(
         s"checkpoint lineage ${s.lineage} does not match the configured " +
           s"reshard's ${conf.lineage}: the reshard kind (split vs merge) " +
           "or geometry changed")
+      // Lineage alone cannot see a changed INSTANT (same geometry, records
+      // relocated between parents and children = silent replay/loss): the
+      // recorded instant must equal the configured one. Offsets that never
+      // recorded one (v1, or evolved before the field existed) are
+      // unverifiable and accepted.
+      val confAt = conf.reshardAtMicros.orElse(conf.mergeAtMicros)
+      s.reshardAtMicros.foreach { at =>
+        require(confAt.contains(at),
+          s"checkpoint records a reshard at ${at}us but the source is " +
+            s"configured with ${confAt.map(_ + "us").getOrElse("none")}: " +
+            "moving the reshard instant relocates records between parents " +
+            "and children, which would replay or lose data")
+      }
+      // A v2 seal list contradicting its own positions means the
+      // checkpoint is internally corrupt — derive and compare.
+      if (s.lineage.nonEmpty) {
+        val derived = SortedSet.from(
+          (0 until conf.numShards).filter(i => s(i) >= counts(i)))
+        require(s.sealedShards == derived,
+          s"checkpoint seal list ${s.sealedShards} contradicts its " +
+            s"positions (expected $derived)")
+      }
       (0 until conf.numShards).foreach { i =>
         require(s(i) <= counts(i),
           s"parent shard $i position ${s(i)} exceeds its sealed length " +
@@ -408,8 +443,13 @@ final class ShardedReplayMicroBatchStream(
   // checkpoint call and record handoff.)
   private lazy val markerPath =
     new Path(checkpointLocation, "graft-eager-commit.json")
+  // The session's Hadoop conf, not a bare new Configuration(): checkpoint
+  // dirs on object stores / HDFS carry credentials and fs settings in
+  // spark.hadoop.* that a default conf lacks (this code runs driver-side,
+  // where the active session is always available).
   private lazy val markerFs =
-    markerPath.getFileSystem(new Configuration())
+    markerPath.getFileSystem(org.apache.spark.sql.SparkSession.active
+      .sessionState.newHadoopConf())
 
   private def readMarker(): Option[ShardPositions] =
     if (!markerFs.exists(markerPath)) None
@@ -432,8 +472,14 @@ final class ShardedReplayMicroBatchStream(
     val out = markerFs.create(tmp, true)
     try out.write(p.json().getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
-    markerFs.delete(markerPath, false)
-    markerFs.rename(tmp, markerPath)
+    // Hadoop FileSystem signals failure by RETURNING false, not throwing.
+    // Proceeding past a failed rename would leave no current marker and
+    // silently widen at-most-once into redelivery — fail the batch instead
+    // (the eager-commit contract is "marker durable before tasks run").
+    markerFs.delete(markerPath, false) // false also when absent — fine
+    if (!markerFs.rename(tmp, markerPath))
+      throw new java.io.IOException(
+        s"failed to move eager-commit marker $tmp -> $markerPath")
   }
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
@@ -562,6 +608,13 @@ object ShardStore {
   def jsonNumber(d: Double): String =
     if (java.lang.Double.isFinite(d)) d.toString else "null"
 
+  // Two-level cache: the parquet read is once per PATH (the expensive,
+  // data-sized part, shared by every layout variant); each (shards,
+  // reshard, merge) layout is derived from that one shared array — a JVM
+  // touching several layouts of the same file (tests do; a driver
+  // reconfiguring shard count would) neither re-reads the file nor holds
+  // duplicate copies of the event set.
+  private val eventsCache = new ConcurrentHashMap[String, Array[Ev]]()
   private val cache =
     new ConcurrentHashMap[(String, Int, Option[Long], Option[Long]), Array[Array[Ev]]]()
 
@@ -585,7 +638,7 @@ object ShardStore {
   private def load(path: String, numShards: Int,
       reshardAtMicros: Option[Long],
       mergeAtMicros: Option[Long]): Array[Array[Ev]] = {
-    val evs = loadEvents(path)
+    val evs = eventsCache.computeIfAbsent(path, loadEvents)
     val splitAt = reshardAtMicros.orElse(mergeAtMicros)
     splitAt match {
       case None =>

@@ -14,9 +14,14 @@ import org.apache.spark.sql.types.StructType
   *    succeeds), not to individual rows — see Consumer.commitFlow.
   *
   * Ordering contract: within a shard, records are strictly ordered by
-  * `sequenceNumber` (zero-padded decimal, so lexical = numeric order, the
-  * same trick the reference's fixtures rely on); across shards there is no
-  * order — exactly Spark's per-partition ordering guarantee.
+  * `(sequenceNumber, subSequenceNumber)` (the sequence number is
+  * zero-padded decimal, so lexical = numeric order, the same trick the
+  * reference's fixtures rely on). With KPL aggregation the sub-sequence
+  * number is the REQUIRED tie-breaker — K records share each sequence
+  * number (KCL's ExtendedSequenceNumber, reference Record.scala:22);
+  * without aggregation it is always 0 and the sequence number alone is
+  * strict. Across shards there is no order — exactly Spark's
+  * per-partition ordering guarantee.
   */
 final case class Record(
     key: String,

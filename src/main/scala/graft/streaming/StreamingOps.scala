@@ -30,7 +30,11 @@ object StreamingOps {
   def decode(records: Dataset[Record]): DataFrame =
     records
       .withColumn("event", from_json(col("data").cast("string"), payloadSchema))
-      .select(col("shardId"), col("sequenceNumber"),
+      // subSequenceNumber rides along: under KPL aggregation it is the
+      // only tie-breaker within a shared sequence number (Record.scala's
+      // ordering contract) — dropping it would make downstream
+      // order/dedup by (shardId, sequenceNumber) ambiguous.
+      .select(col("shardId"), col("sequenceNumber"), col("subSequenceNumber"),
         col("approximateArrivalTimestamp").as("arrival"),
         col("event.*"))
       .withColumn("ts", timestamp_micros(col("ts_us")))

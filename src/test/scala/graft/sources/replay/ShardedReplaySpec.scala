@@ -334,6 +334,31 @@ class ShardedReplaySpec extends SparkSpec with BeforeAndAfterAll {
       .contains("lineage"), s"unexpected failure: $e")
   }
 
+  test("a checkpoint from a different reshard INSTANT is rejected, not remapped") {
+    // Same geometry (split at T1 vs split at T2), so lineage matches — only
+    // the recorded instant distinguishes them, and moving it relocates
+    // records between parents and children (silent replay/loss).
+    val ckpt = tmpDir("ckpt_instant_mismatch")
+    def run(atMs: Long): Unit = {
+      val q = spark.readStream.format("sharded-replay")
+        .option("path", eventsPath).option("shards", 4)
+        .option("maxRecordsPerTrigger", 200)
+        .option("reshardAtMs", atMs)
+        .load().writeStream
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (_: org.apache.spark.sql.DataFrame, _: Long) => () }
+        .start()
+      q.awaitTermination(120000)
+    }
+    run(splitMs)
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      run(splitMs + 60000) // one minute later: same lineage, moved records
+    }
+    assert(Option(e.getCause).map(_.toString).getOrElse(e.toString)
+      .contains("reshard at"), s"unexpected failure: $e")
+  }
+
   test("restart across the reshard boundary is exactly-once (no loss, no dup)") {
     val ckpt = tmpDir("ckpt_resh_restart")
     val out = tmpDir("out_resh_restart")
