@@ -489,6 +489,31 @@ object Dedup {
        FROM dup JOIN d a ON d1 = a.doc_id JOIN d b ON d2 = b.doc_id
        GROUP BY 1, 2 ORDER BY 1, 2"""
 
+  // The whole dedup pipeline end-to-end: LSH pairs → transitive clusters →
+  // representative-kept corpus. Emits the kept ids (with source so the
+  // oracle exercises the carried payload too).
+  private def q67(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    dropDuplicatesTransitive(docs.select(col("doc_id"), col("source")),
+        "doc_id", minhashLshPairs(docs, "doc_id", "text"), "d1", "d2")
+      .orderBy(col("doc_id"))
+  }
+  private val q67Sql =
+    s"""WITH RECURSIVE $jaccardCtes,
+       $dupCte,
+       edges AS (SELECT d1 AS a, d2 AS b FROM dup
+                 UNION SELECT d2, d1 FROM dup),
+       reach(a, b) AS (
+         SELECT a, b FROM edges
+         UNION
+         SELECT reach.a, e.b FROM reach JOIN edges e ON reach.b = e.a),
+       losers AS (
+         SELECT a AS doc_id FROM reach GROUP BY a
+         HAVING least(a, min(b)) <> a)
+       SELECT doc_id, source FROM documents
+       WHERE doc_id NOT IN (SELECT doc_id FROM losers)
+       ORDER BY doc_id"""
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q25_exact_dedup", q25, Some(q25Sql)),
     QueryDef("q26_ngram_jaccard", q26, Some(exactJaccardSql)),
@@ -497,5 +522,6 @@ object Dedup {
     QueryDef("q29_embedding_neardup", q29, Some(q29Sql)),
     QueryDef("q56_embedding_neardup_ivf", q56, Some(q56Sql)),
     QueryDef("q60_dedup_clusters", q60, Some(q60Sql)),
-    QueryDef("q64_dup_matrix", q64, Some(q64Sql)))
+    QueryDef("q64_dup_matrix", q64, Some(q64Sql)),
+    QueryDef("q67_dedup_keep", q67, Some(q67Sql)))
 }
