@@ -252,11 +252,16 @@ object Analytics {
     val e = Tables.events(s, d)
       .select(col("user_id"), col("event_type"),
         unix_micros(col("ts")).as("t"))
+    // Each step relation is |users|-sized but consumed twice (next step's
+    // join + its own count) — checkpoint them so the plan embeds the
+    // events scan once per step, not once per downstream consumer.
     val v = e.filter(col("event_type") === "view")
       .groupBy(col("user_id")).agg(min(col("t")).as("t_view"))
+      .localCheckpoint(false)
     val c = e.filter(col("event_type") === "click")
       .join(v, "user_id").filter(col("t") > col("t_view"))
       .groupBy(col("user_id")).agg(min(col("t")).as("t_click"))
+      .localCheckpoint(false)
     val p = e.filter(col("event_type") === "purchase")
       .join(c, "user_id").filter(col("t") > col("t_click"))
       .groupBy(col("user_id")).agg(min(col("t")).as("t_purchase"))

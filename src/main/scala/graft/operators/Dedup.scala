@@ -260,7 +260,8 @@ object Dedup {
     * localCheckpoint'ed so the plan (and lineage) stays flat. The
     * driver-side loop holds only a changed-row COUNT, never data.
     */
-  def dedupClusters(pairs: DataFrame, aCol: String, bCol: String): DataFrame = {
+  def dedupClusters(pairs: DataFrame, aCol: String, bCol: String,
+      maxIters: Int = 100): DataFrame = {
     val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
       .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
       .distinct()
@@ -269,20 +270,39 @@ object Dedup {
       .withColumn("label", col("node"))
       .localCheckpoint(false)
     var changed = 1L
-    while (changed > 0) {
-      val prop = edges.join(labels, col("dst") === col("node"))
-        .select(col("src").as("node"), col("label"))
-        .union(labels)
-        .groupBy(col("node")).agg(min(col("label")).as("label"))
-        .localCheckpoint(false)
-      changed = prop.join(
-          labels.withColumnRenamed("label", "old"), "node")
-        .filter(col("label") =!= col("old")).count()
-      // The count() above materialized prop's checkpoint, so the previous
-      // round's label blocks are unreachable — free them eagerly (a long
-      // loop would otherwise hold O(rounds) corpus-sized cached relations).
-      labels.unpersist()
-      labels = prop
+    var iters = 0
+    // try/finally: the non-convergence throw below must not strand the
+    // edge/label checkpoints in block storage (a driver catching the error
+    // to retry with a tighter threshold would accumulate them).
+    try {
+      while (changed > 0) {
+        iters += 1
+        require(iters <= maxIters,
+          s"label propagation did not converge in $maxIters rounds: the " +
+            "pair graph has a component of diameter >= maxIters (duplicate " +
+            "clusters are near-cliques, so this suggests pathological " +
+            "input, e.g. a threshold low enough to chain the whole " +
+            "corpus); raise maxIters or tighten the pairing threshold")
+        val prop = edges.join(labels, col("dst") === col("node"))
+          .select(col("src").as("node"), col("label"))
+          .union(labels)
+          .groupBy(col("node")).agg(min(col("label")).as("label"))
+          .localCheckpoint(false)
+        changed = prop.join(
+            labels.withColumnRenamed("label", "old"), "node")
+          .filter(col("label") =!= col("old")).count()
+        // The count() above materialized prop's checkpoint, so the
+        // previous round's label blocks are unreachable — free them
+        // eagerly (a long loop would otherwise hold O(rounds)
+        // corpus-sized cached relations).
+        labels.unpersist()
+        labels = prop
+      }
+    } catch {
+      case e: Throwable =>
+        labels.unpersist()
+        edges.unpersist()
+        throw e
     }
     edges.unpersist()
     labels.select(col("node").as("doc_id"), col("label").as("cluster_id"))
@@ -356,6 +376,19 @@ object Dedup {
          SELECT d1, d2 FROM pair
          JOIN sizes s1 ON d1 = s1.doc_id JOIN sizes s2 ON d2 = s2.doc_id
          WHERE inter / (s1.n + s2.n - inter) >= $JaccardThreshold)"""
+
+  /** Transitive closure over [[dupCte]]'s pairs (recursive; the WITH must
+    * be `WITH RECURSIVE`): symmetrized `edges` + `reach` = every ordered
+    * (a, reachable b). Shared by the cluster (q60) and kept-corpus (q67)
+    * oracles so the closure definition cannot silently diverge.
+    */
+  private val closureCtes =
+    """edges AS (SELECT d1 AS a, d2 AS b FROM dup
+                 UNION SELECT d2, d1 FROM dup),
+       reach(a, b) AS (
+         SELECT a, b FROM edges
+         UNION
+         SELECT reach.a, e.b FROM reach JOIN edges e ON reach.b = e.a)"""
 
   // Shared oracle body: exact distinct-3-gram Jaccard pairs >= threshold.
   private val exactJaccardSql =
@@ -463,12 +496,7 @@ object Dedup {
   private val q60Sql =
     s"""WITH RECURSIVE $jaccardCtes,
        $dupCte,
-       edges AS (SELECT d1 AS a, d2 AS b FROM dup
-                 UNION SELECT d2, d1 FROM dup),
-       reach(a, b) AS (
-         SELECT a, b FROM edges
-         UNION
-         SELECT reach.a, e.b FROM reach JOIN edges e ON reach.b = e.a)
+       $closureCtes
        SELECT a AS doc_id, least(a, min(b)) AS cluster_id
        FROM reach GROUP BY a ORDER BY doc_id"""
 
@@ -501,12 +529,7 @@ object Dedup {
   private val q67Sql =
     s"""WITH RECURSIVE $jaccardCtes,
        $dupCte,
-       edges AS (SELECT d1 AS a, d2 AS b FROM dup
-                 UNION SELECT d2, d1 FROM dup),
-       reach(a, b) AS (
-         SELECT a, b FROM edges
-         UNION
-         SELECT reach.a, e.b FROM reach JOIN edges e ON reach.b = e.a),
+       $closureCtes,
        losers AS (
          SELECT a AS doc_id FROM reach GROUP BY a
          HAVING least(a, min(b)) <> a)

@@ -158,12 +158,46 @@ object ReplayConfig {
   }
 }
 
+/** Hadoop `Configuration` is not java-serializable; this carries it to
+  * executors via its Writable form, so partition readers open the store
+  * with the SESSION's fs settings (spark.hadoop.* credentials, custom
+  * schemes) instead of a bare default conf.
+  */
+final class SerializableHadoopConf(@transient var value: Configuration)
+    extends Serializable {
+  private def writeObject(out: java.io.ObjectOutputStream): Unit = {
+    out.defaultWriteObject()
+    value.write(out)
+  }
+  private def readObject(in: java.io.ObjectInputStream): Unit = {
+    in.defaultReadObject()
+    value = new Configuration(false)
+    value.readFields(in)
+  }
+}
+
+object SerializableHadoopConf {
+  /** Capture the active session's Hadoop conf — call on the DRIVER thread
+    * that owns the query (scan construction / query start), where the
+    * active session is guaranteed. Falls back to a default conf when no
+    * session exists (bare unit-test contexts).
+    */
+  def fromActiveSession(): SerializableHadoopConf =
+    new SerializableHadoopConf(
+      try org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf()
+      catch { case _: IllegalStateException => new Configuration() })
+}
+
 final class ShardedReplayScan(conf: ReplayConfig) extends ScanBuilder with Scan {
+  // Captured HERE (driver, query-planning thread, active session set) —
+  // resolving SparkSession.active lazily on the stream-execution thread
+  // could see a different or no session.
+  private val hconf = SerializableHadoopConf.fromActiveSession()
   override def build(): Scan = this
   override def readSchema(): StructType = Record.schema
-  override def toBatch: Batch = new ShardedReplayBatch(conf)
+  override def toBatch: Batch = new ShardedReplayBatch(conf, hconf)
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-    new ShardedReplayMicroBatchStream(conf, checkpointLocation)
+    new ShardedReplayMicroBatchStream(conf, checkpointLocation, hconf)
 }
 
 /** Offset = per-shard frontier: records [0, position) are committed. The
@@ -202,6 +236,12 @@ final case class ShardPositions(
         case (c, Seq(p)) => s""""$c":$p"""
         case (c, ps) => s""""$c":${ps.mkString("[", ",", "]")}"""
       }.mkString("{", ",", "}")
+      // Note: adding "at" changes the serialized form, and the engine
+      // compares offsets by JSON equality — the first restart of a
+      // DRAINED pre-"at" v2 checkpoint plans one spurious empty batch
+      // (zero partitions, position-identical marker) before converging.
+      // Deliberate: one no-op batch is a fair price for instant
+      // validation.
       val at = reshardAtMicros.map(t => s""","at":$t""").getOrElse("")
       s"""{"v":2,"pos":$pos,"sealed":$sl,"lineage":$lin$at}"""
     }
@@ -302,13 +342,14 @@ object AdmissionPlanner {
 }
 
 final class ShardedReplayMicroBatchStream(
-    conf: ReplayConfig, checkpointLocation: String)
+    conf: ReplayConfig, checkpointLocation: String,
+    hconf: SerializableHadoopConf = SerializableHadoopConf.fromActiveSession())
     extends MicroBatchStream with SupportsAdmissionControl
     with SupportsTriggerAvailableNow {
 
   private lazy val shards =
     ShardStore.shards(conf.path, conf.numShards, conf.reshardAtMicros,
-      conf.mergeAtMicros)
+      conf.mergeAtMicros, hconf.value)
   private lazy val counts: Array[Long] = shards.map(_.length.toLong)
 
   // Trigger.AvailableNow: snapshot the frontier once; per-batch read limits
@@ -408,21 +449,23 @@ final class ShardedReplayMicroBatchStream(
             "moving the reshard instant relocates records between parents " +
             "and children, which would replay or lose data")
       }
-      // A v2 seal list contradicting its own positions means the
-      // checkpoint is internally corrupt — derive and compare.
-      if (s.lineage.nonEmpty) {
-        val derived = SortedSet.from(
-          (0 until conf.numShards).filter(i => s(i) >= counts(i)))
-        require(s.sealedShards == derived,
-          s"checkpoint seal list ${s.sealedShards} contradicts its " +
-            s"positions (expected $derived)")
-      }
       (0 until conf.numShards).foreach { i =>
         require(s(i) <= counts(i),
           s"parent shard $i position ${s(i)} exceeds its sealed length " +
             s"${counts(i)}: the checkpoint consumed records past the " +
             "configured split point, so this reshard option does not " +
             "describe this stream's history")
+      }
+      // AFTER the position-bound check (so a moved split point gets the
+      // targeted message above, not this one): a v2 seal list
+      // contradicting its own positions means the checkpoint is
+      // internally corrupt — derive and compare.
+      if (s.lineage.nonEmpty) {
+        val derived = SortedSet.from(
+          (0 until conf.numShards).filter(i => s(i) >= counts(i)))
+        require(s.sealedShards == derived,
+          s"checkpoint seal list ${s.sealedShards} contradicts its " +
+            s"positions (expected $derived)")
       }
       decorate(SortedMap.from(
         (0 until conf.universeSize).map(i => i -> s(i))))
@@ -443,13 +486,11 @@ final class ShardedReplayMicroBatchStream(
   // checkpoint call and record handoff.)
   private lazy val markerPath =
     new Path(checkpointLocation, "graft-eager-commit.json")
-  // The session's Hadoop conf, not a bare new Configuration(): checkpoint
+  // The session's Hadoop conf (captured at scan construction on the
+  // query's own driver thread), not a bare new Configuration(): checkpoint
   // dirs on object stores / HDFS carry credentials and fs settings in
-  // spark.hadoop.* that a default conf lacks (this code runs driver-side,
-  // where the active session is always available).
-  private lazy val markerFs =
-    markerPath.getFileSystem(org.apache.spark.sql.SparkSession.active
-      .sessionState.newHadoopConf())
+  // spark.hadoop.* that a default conf lacks.
+  private lazy val markerFs = markerPath.getFileSystem(hconf.value)
 
   private def readMarker(): Option[ShardPositions] =
     if (!markerFs.exists(markerPath)) None
@@ -504,7 +545,7 @@ final class ShardedReplayMicroBatchStream(
     shards.indices.collect {
       case i if e(i) > s(i) =>
         ReplayInputPartition(conf.path, conf.numShards, conf.reshardAtMicros,
-          i, s(i), e(i), conf.aggregation, conf.mergeAtMicros)
+          i, s(i), e(i), conf.aggregation, conf.mergeAtMicros, hconf)
     }.toArray
   }
 
@@ -514,13 +555,17 @@ final class ShardedReplayMicroBatchStream(
   override def stop(): Unit = ()
 }
 
-final class ShardedReplayBatch(conf: ReplayConfig) extends Batch {
+final class ShardedReplayBatch(
+    conf: ReplayConfig,
+    hconf: SerializableHadoopConf = SerializableHadoopConf.fromActiveSession())
+    extends Batch {
   override def planInputPartitions(): Array[InputPartition] = {
     val shards = ShardStore.shards(conf.path, conf.numShards,
-      conf.reshardAtMicros, conf.mergeAtMicros)
+      conf.reshardAtMicros, conf.mergeAtMicros, hconf.value)
     shards.indices.map { i =>
       ReplayInputPartition(conf.path, conf.numShards, conf.reshardAtMicros,
-        i, 0L, shards(i).length.toLong, conf.aggregation, conf.mergeAtMicros)
+        i, 0L, shards(i).length.toLong, conf.aggregation, conf.mergeAtMicros,
+        hconf)
     }.toArray
   }
   override def createReaderFactory(): PartitionReaderFactory = ReplayReaderFactory
@@ -529,7 +574,8 @@ final class ShardedReplayBatch(conf: ReplayConfig) extends Batch {
 final case class ReplayInputPartition(
     path: String, numShards: Int, reshardAtMicros: Option[Long],
     shard: Int, from: Long, until: Long, aggregation: Int = 1,
-    mergeAtMicros: Option[Long] = None)
+    mergeAtMicros: Option[Long] = None,
+    hconf: SerializableHadoopConf = SerializableHadoopConf.fromActiveSession())
   extends InputPartition
 
 object ReplayReaderFactory extends PartitionReaderFactory {
@@ -542,7 +588,8 @@ object ReplayReaderFactory extends PartitionReaderFactory {
 final class ReplayPartitionReader(p: ReplayInputPartition)
     extends PartitionReader[InternalRow] {
   private val rows = ShardStore.shards(
-    p.path, p.numShards, p.reshardAtMicros, p.mergeAtMicros)(p.shard)
+    p.path, p.numShards, p.reshardAtMicros, p.mergeAtMicros,
+    p.hconf.value)(p.shard)
   private var pos = p.from - 1
 
   override def next(): Boolean = { pos += 1; pos < p.until }
@@ -620,9 +667,10 @@ object ShardStore {
 
   def shards(path: String, numShards: Int,
       reshardAtMicros: Option[Long] = None,
-      mergeAtMicros: Option[Long] = None): Array[Array[Ev]] =
+      mergeAtMicros: Option[Long] = None,
+      hconf: Configuration = new Configuration()): Array[Array[Ev]] =
     cache.computeIfAbsent((path, numShards, reshardAtMicros, mergeAtMicros),
-      { case (p, n, r, m) => load(p, n, r, m) })
+      { case (p, n, r, m) => load(p, n, r, m, hconf) })
 
   /** Shard layout. Without a reshard: N shards, userId % N. With a SPLIT
     * at T: records before T live in the (now sealed) parents 0..N-1 routed
@@ -637,8 +685,9 @@ object ShardStore {
     */
   private def load(path: String, numShards: Int,
       reshardAtMicros: Option[Long],
-      mergeAtMicros: Option[Long]): Array[Array[Ev]] = {
-    val evs = eventsCache.computeIfAbsent(path, loadEvents)
+      mergeAtMicros: Option[Long],
+      hconf: Configuration): Array[Array[Ev]] = {
+    val evs = eventsCache.computeIfAbsent(path, p => loadEvents(p, hconf))
     val splitAt = reshardAtMicros.orElse(mergeAtMicros)
     splitAt match {
       case None =>
@@ -660,8 +709,7 @@ object ShardStore {
     }
   }
 
-  private def loadEvents(path: String): Array[Ev] = {
-    val hconf = new Configuration()
+  private def loadEvents(path: String, hconf: Configuration): Array[Ev] = {
     val root = new Path(path)
     val fs = root.getFileSystem(hconf)
     val files =

@@ -65,4 +65,12 @@ class DedupSpec extends SparkSpec {
       .as[(Long, Long)].collect().toMap
     assert(got === (1L to 12L).map(_ -> 1L).toMap)
   }
+
+  test("dedupClusters refuses to spin past maxIters on pathological chains") {
+    val pairs = (1L until 12L).map(i => (i, i + 1)).toDF("d1", "d2")
+    val e = intercept[IllegalArgumentException] {
+      Dedup.dedupClusters(pairs, "d1", "d2", maxIters = 2)
+    }
+    assert(e.getMessage.contains("did not converge"))
+  }
 }
