@@ -30,6 +30,14 @@ object AsOfJoin {
     *              with duplicates the matched row would be order-dependent
     *              (DuckDB ASOF has the same caveat).
     * @param rightPayload right columns to attach (null when no match).
+    * @param direction `backward` (default): most recent right row at-or-
+    *                  before the left time — DuckDB `ON l.t >= r.t`;
+    *                  `forward`: earliest right row at-or-after —
+    *                  `ON l.t <= r.t`; `nearest`: whichever of the two is
+    *                  closer in time, ties broken backward (the pandas
+    *                  `merge_asof` convention). All three are the same
+    *                  union+window shape — `nearest` runs both ordered
+    *                  passes over ONE exchange (two in-partition sorts).
     */
   def leftAsOf(
       left: DataFrame,
@@ -37,13 +45,19 @@ object AsOfJoin {
       keys: Seq[String],
       leftTime: String,
       rightTime: String,
-      rightPayload: Seq[String]): DataFrame = {
+      rightPayload: Seq[String],
+      direction: String = "backward"): DataFrame = {
+    require(Seq("backward", "forward", "nearest").contains(direction),
+      s"unknown as-of direction '$direction'")
     val leftCols = left.columns.toSeq
+    // The payload struct carries the matched right TIME too ("_rt") — the
+    // nearest mode needs it to compare distances.
     val l = left
       .withColumn("_t", col(leftTime))
       .withColumn("_side", lit(1))
       .withColumn("_rp", lit(null).cast(
-        right.select(rightPayload.map(col): _*).schema
+        right.select((rightPayload.map(col) :+ col(rightTime).as("_rt")): _*)
+          .schema
           .fields.foldLeft(new org.apache.spark.sql.types.StructType()) {
             (st, f) => st.add(f)
           }))
@@ -51,14 +65,33 @@ object AsOfJoin {
       keys.map(col) ++ Seq(
         col(rightTime).as("_t"),
         lit(0).as("_side"),
-        struct(rightPayload.map(col): _*).as("_rp")): _*)
+        struct((rightPayload.map(col) :+ col(rightTime).as("_rt")): _*)
+          .as("_rp")): _*)
     val unioned = l.unionByName(r, allowMissingColumns = true)
-    // Right rows sort before left rows at equal time => ties match (<=).
-    val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col("_t").asc, col("_side").asc)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // Right rows sort before left rows at equal time in BOTH directions
+    // (side asc after t asc or t desc) => ties match (<= / >=).
+    def pass(timeOrd: Column) =
+      last(col("_rp"), ignoreNulls = true).over(
+        Window.partitionBy(keys.map(col): _*)
+          .orderBy(timeOrd, col("_side").asc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    val backward = pass(col("_t").asc)
+    val forward = pass(col("_t").desc)
+    val m = direction match {
+      case "backward" => backward
+      case "forward" => forward
+      case "nearest" =>
+        val b = backward
+        val f = forward
+        // strictly-closer forward wins; ties (incl. exact-time hits on
+        // both sides, same row) go backward
+        when(b.isNull, f)
+          .when(f.isNull, b)
+          .when(f.getField("_rt") - col("_t") < col("_t") - b.getField("_rt"), f)
+          .otherwise(b)
+    }
     val matched = unioned
-      .withColumn("_m", last(col("_rp"), ignoreNulls = true).over(w))
+      .withColumn("_m", m)
       .where(col("_side") === 1)
     val out = leftCols.map(col) ++
       rightPayload.map(p => col(s"_m.$p").as(p))

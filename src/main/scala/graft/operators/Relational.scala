@@ -383,6 +383,70 @@ object Relational {
          ON p.user_id = c.user_id AND p.ts >= c.ts
        ORDER BY p.event_id"""
 
+  // ---- q68/q69: as-of join direction variants --------------------------------------------
+  // q68 forward: for each purchase, the user's NEXT click at-or-after it
+  // (DuckDB ASOF with the inequality reversed). q69 nearest: whichever of
+  // the prior/next click is closer in time, ties backward — composed in
+  // the oracle from both ASOF directions.
+  private def asOfInputs(s: SparkSession, d: String) = {
+    val ev = Tables.events(s, d)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .groupBy(col("user_id"), col("ts"))
+      .agg(max(col("event_id")).as("click_id"))
+    (purchases, clicks)
+  }
+  private def q68(s: SparkSession, d: String): DataFrame = {
+    val (purchases, clicks) = asOfInputs(s, d)
+    AsOfJoin.leftAsOf(purchases, clicks,
+        keys = Seq("user_id"), leftTime = "ts", rightTime = "ts",
+        rightPayload = Seq("click_id"), direction = "forward")
+      .select(col("event_id"), col("user_id"), col("click_id"))
+      .orderBy(col("event_id"))
+  }
+  private val q68Sql =
+    """WITH purchases AS (
+         SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+       clicks AS (
+         SELECT user_id, ts, max(event_id) AS click_id FROM events
+         WHERE event_type = 'click' GROUP BY user_id, ts)
+       SELECT p.event_id, p.user_id, c.click_id
+       FROM purchases p ASOF LEFT JOIN clicks c
+         ON p.user_id = c.user_id AND p.ts <= c.ts
+       ORDER BY p.event_id"""
+
+  private def q69(s: SparkSession, d: String): DataFrame = {
+    val (purchases, clicks) = asOfInputs(s, d)
+    AsOfJoin.leftAsOf(purchases, clicks,
+        keys = Seq("user_id"), leftTime = "ts", rightTime = "ts",
+        rightPayload = Seq("click_id"), direction = "nearest")
+      .select(col("event_id"), col("user_id"), col("click_id"))
+      .orderBy(col("event_id"))
+  }
+  private val q69Sql =
+    """WITH purchases AS (
+         SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+       clicks AS (
+         SELECT user_id, ts, max(event_id) AS click_id FROM events
+         WHERE event_type = 'click' GROUP BY user_id, ts),
+       b AS (
+         SELECT p.event_id, p.user_id, p.ts,
+           c.click_id AS b_id, c.ts AS b_ts
+         FROM purchases p ASOF LEFT JOIN clicks c
+           ON p.user_id = c.user_id AND p.ts >= c.ts),
+       f AS (
+         SELECT p.event_id, c.click_id AS f_id, c.ts AS f_ts
+         FROM purchases p ASOF LEFT JOIN clicks c
+           ON p.user_id = c.user_id AND p.ts <= c.ts)
+       SELECT b.event_id, b.user_id,
+         CASE WHEN b_id IS NULL THEN f_id
+              WHEN f_id IS NULL THEN b_id
+              WHEN (f_ts - ts) < (ts - b_ts) THEN f_id
+              ELSE b_id END AS click_id
+       FROM b JOIN f USING (event_id)
+       ORDER BY b.event_id"""
+
   // ---- q20: range join -------------------------------------------------------------------
   // Clicks within 1 hour before each purchase, per user.
   private def q20(s: SparkSession, d: String): DataFrame = {
@@ -428,5 +492,7 @@ object Relational {
     QueryDef("q17_json_extract", q17, Some(q17Sql)),
     QueryDef("q18_case_having", q18, Some(q18Sql)),
     QueryDef("q19_asof_join", q19, Some(q19Sql), headline = true),
-    QueryDef("q20_range_join", q20, Some(q20Sql)))
+    QueryDef("q20_range_join", q20, Some(q20Sql)),
+    QueryDef("q68_asof_forward", q68, Some(q68Sql)),
+    QueryDef("q69_asof_nearest", q69, Some(q69Sql)))
 }
