@@ -37,6 +37,23 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("Window"))
   }
 
+  test("q68/q69 as-of directions: join-free; nearest's second pass adds no exchange") {
+    def exchanges(q: String): Int = {
+      val p = plan(q)
+      assert(!p.contains("Join"), s"$q should be join-free:\n${p.take(1500)}")
+      "Exchange hashpartitioning".r.findAllIn(p).size
+    }
+    // Both plans carry the right-side dedup aggregation's exchange plus
+    // ONE window key exchange. The pin: nearest runs BOTH ordered window
+    // passes over that same key exchange — two in-partition sorts, zero
+    // additional shuffles vs the single-direction plan.
+    val fwd = exchanges("q68_asof_forward")
+    val nearest = exchanges("q69_asof_nearest")
+    assert(nearest == fwd,
+      s"nearest ($nearest exchanges) must not shuffle more than a single-" +
+        s"direction as-of ($fwd)")
+  }
+
   test("q27 minhash: no cartesian products anywhere in the LSH path") {
     assert(!plan("q27_minhash_lsh").contains("CartesianProduct"))
   }
