@@ -50,14 +50,17 @@ object AsOfJoin {
     require(Seq("backward", "forward", "nearest").contains(direction),
       s"unknown as-of direction '$direction'")
     val leftCols = left.columns.toSeq
-    // The payload struct carries the matched right TIME too ("_rt") — the
-    // nearest mode needs it to compare distances.
+    // Only the nearest mode needs the matched right TIME ("_rt") in the
+    // payload struct to compare distances — single-direction joins skip
+    // it so their shuffled rows stay as narrow as before.
+    val carried =
+      if (direction == "nearest") rightPayload.map(col) :+ col(rightTime).as("_rt")
+      else rightPayload.map(col)
     val l = left
       .withColumn("_t", col(leftTime))
       .withColumn("_side", lit(1))
       .withColumn("_rp", lit(null).cast(
-        right.select((rightPayload.map(col) :+ col(rightTime).as("_rt")): _*)
-          .schema
+        right.select(carried: _*).schema
           .fields.foldLeft(new org.apache.spark.sql.types.StructType()) {
             (st, f) => st.add(f)
           }))
@@ -65,8 +68,7 @@ object AsOfJoin {
       keys.map(col) ++ Seq(
         col(rightTime).as("_t"),
         lit(0).as("_side"),
-        struct((rightPayload.map(col) :+ col(rightTime).as("_rt")): _*)
-          .as("_rp")): _*)
+        struct(carried: _*).as("_rp")): _*)
     val unioned = l.unionByName(r, allowMissingColumns = true)
     // Right rows sort before left rows at equal time in BOTH directions
     // (side asc after t asc or t desc) => ties match (<= / >=).
