@@ -329,6 +329,29 @@ object Dedup {
       .agg(count(lit(1)).as("n_pairs"))
   }
 
+  /** Per-cluster keeper election by QUALITY rather than id: for each
+    * multi-document cluster, the member with the highest `scoreCol`
+    * (ties → lowest id) — what a production dedup actually keeps (the
+    * longest / highest-quality duplicate), with membership stats for the
+    * curation report.
+    *
+    * Scale: one partial-aggregated `max(struct(score, -id))` per cluster —
+    * the argmax collapses map-side to one row per (partition, cluster),
+    * never window-sorting cluster members.
+    */
+  def dedupKeepBest(df: DataFrame, idCol: String, scoreCol: String,
+      pairs: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val clusters = dedupClusters(pairs, aCol, bCol)
+    df.select(col(idCol).as("doc_id"), col(scoreCol).as("__score"))
+      .join(clusters, "doc_id")
+      .groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("n_members"),
+        max(struct(col("__score"), (-col("doc_id")).as("__nid"))).as("__b"))
+      .select(col("cluster_id"), col("n_members"),
+        (-col("__b.__nid")).as("keeper_id"),
+        col("__b.__score").as("keeper_score"))
+  }
+
   /** The corpus with near-duplicates collapsed: for every transitive
     * cluster in `pairs`, only the representative (minimum id) survives;
     * documents in no pair pass through untouched. The standard final step
@@ -537,6 +560,31 @@ object Dedup {
        WHERE doc_id NOT IN (SELECT doc_id FROM losers)
        ORDER BY doc_id"""
 
+  // Quality-keeper election per near-dup cluster: keep the LONGEST member
+  // (ties → lowest id), with cluster size — the curation report row.
+  private def q70(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    dedupKeepBest(docs, "doc_id", "n_chars",
+        minhashLshPairs(docs, "doc_id", "text"), "d1", "d2")
+      .orderBy(col("cluster_id"))
+  }
+  private val q70Sql =
+    s"""WITH RECURSIVE $jaccardCtes,
+       $dupCte,
+       $closureCtes,
+       clusters AS (
+         SELECT a AS doc_id, least(a, min(b)) AS cluster_id
+         FROM reach GROUP BY a),
+       ranked AS (
+         SELECT c.cluster_id, d.doc_id, d.n_chars,
+           row_number() OVER (PARTITION BY c.cluster_id
+             ORDER BY d.n_chars DESC, d.doc_id) AS rn
+         FROM clusters c JOIN documents d ON c.doc_id = d.doc_id)
+       SELECT cluster_id, count(*) AS n_members,
+         max(CASE WHEN rn = 1 THEN doc_id END) AS keeper_id,
+         max(CASE WHEN rn = 1 THEN n_chars END) AS keeper_score
+       FROM ranked GROUP BY cluster_id ORDER BY cluster_id"""
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q25_exact_dedup", q25, Some(q25Sql)),
     QueryDef("q26_ngram_jaccard", q26, Some(exactJaccardSql)),
@@ -546,5 +594,6 @@ object Dedup {
     QueryDef("q56_embedding_neardup_ivf", q56, Some(q56Sql)),
     QueryDef("q60_dedup_clusters", q60, Some(q60Sql)),
     QueryDef("q64_dup_matrix", q64, Some(q64Sql)),
-    QueryDef("q67_dedup_keep", q67, Some(q67Sql)))
+    QueryDef("q67_dedup_keep", q67, Some(q67Sql)),
+    QueryDef("q70_dedup_keep_best", q70, Some(q70Sql)))
 }

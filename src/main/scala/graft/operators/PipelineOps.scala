@@ -414,6 +414,57 @@ object PipelineOps {
            AS sampled_tokens
        FROM t ORDER BY source"""
 
+  /** Apply [[mixtureWeights]] as an actual deterministic sample: each
+    * group's weight becomes a 0-256 hash-predicate threshold, and every
+    * row keeps or drops by the same md5 predicate as
+    * [[hashSamplePredicate]] — reproducible across engines, retries, and
+    * reruns, with per-group achieved counts as the report.
+    *
+    * Scale: the weight table is |groups| rows (broadcast); the corpus is
+    * scanned once, map-side filtered, and aggregated with partial combine.
+    */
+  def mixtureSample(df: DataFrame, groupCol: String, keyCol: String,
+      sizeExpr: Column): DataFrame = {
+    val rates = mixtureWeights(df, groupCol, sizeExpr)
+      .select(col(groupCol),
+        floor(col("weight") * 256).cast("int").as("rate256"))
+    val keep = col("rate256") >= 256 ||
+      substring(md5(col(keyCol).cast("string").cast("binary")), 1, 2) <
+        lpad(lower(hex(col("rate256"))), 2, "0")
+    df.join(broadcast(rates), groupCol)
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_total"),
+        count(when(keep, 1)).as("n_kept"),
+        max(col("rate256")).as("rate256"))
+  }
+
+  // ---- q71: mixture-weighted deterministic sampling ---------------------------
+  private def q71(s: SparkSession, d: String): DataFrame =
+    mixtureSample(Tables.documents(s, d), "source", "doc_id",
+      size(tokens(col("text"))).cast("long"))
+      .orderBy(col("source"))
+  private val q71Sql =
+    """WITH g AS (
+         SELECT source, count(*) AS n_docs,
+           sum(len(string_split(text, ' ')))::BIGINT AS tokens
+         FROM documents GROUP BY source),
+       t AS (
+         SELECT source, tokens,
+           sum(tokens) OVER ()::DOUBLE / count(*) OVER () AS target
+         FROM g),
+       w AS (
+         SELECT source,
+           floor(round(least(1.0::DOUBLE, target / tokens::DOUBLE), 6)
+             * 256)::INT AS rate256
+         FROM t)
+       SELECT d.source, count(*) AS n_total,
+         count(*) FILTER (WHERE w.rate256 >= 256
+           OR substr(md5(d.doc_id::VARCHAR), 1, 2)
+              < lpad(lower(to_hex(w.rate256)), 2, '0')) AS n_kept,
+         max(w.rate256) AS rate256
+       FROM documents d JOIN w USING (source)
+       GROUP BY d.source ORDER BY d.source"""
+
   private def q45(s: SparkSession, d: String): DataFrame =
     repetitionRatio(Tables.documents(s, d), "doc_id", "text", n = 3)
       .orderBy(col("doc_id"))
@@ -495,5 +546,6 @@ object PipelineOps {
     QueryDef("q54_pii_scrub", q54, Some(q54Sql)),
     QueryDef("q55_seq_packing", q55, Some(q55Sql)),
     QueryDef("q62_mixture_weights", q62, Some(q62Sql)),
-    QueryDef("q63_bigram_lm", q63, Some(q63Sql)))
+    QueryDef("q63_bigram_lm", q63, Some(q63Sql)),
+    QueryDef("q71_mixture_sample", q71, Some(q71Sql)))
 }

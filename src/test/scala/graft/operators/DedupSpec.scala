@@ -66,6 +66,18 @@ class DedupSpec extends SparkSpec {
     assert(got === (1L to 12L).map(_ -> 1L).toMap)
   }
 
+  test("dedupKeepBest elects the highest-score member, ties to the lowest id") {
+    val docs = Seq(
+      (1L, "a", 5L), (2L, "b", 9L), (3L, "c", 9L),  // cluster {1,2,3}: 2 and 3 tie on score -> 2
+      (7L, "d", 1L), (9L, "e", 4L))                  // cluster {7,9}: 9 wins on score
+      .toDF("doc_id", "text", "len")
+    val pairs = Seq((1L, 2L), (2L, 3L), (7L, 9L)).toDF("d1", "d2")
+    val got = Dedup.dedupKeepBest(docs, "doc_id", "len", pairs, "d1", "d2")
+      .orderBy("cluster_id")
+      .as[(Long, Long, Long, Long)].collect()
+    assert(got === Array((1L, 3L, 2L, 9L), (7L, 2L, 9L, 4L)))
+  }
+
   test("dedupClusters refuses to spin past maxIters on pathological chains") {
     val pairs = (1L until 12L).map(i => (i, i + 1)).toDF("d1", "d2")
     val e = intercept[IllegalArgumentException] {

@@ -163,6 +163,24 @@ class PipelineOpsSpec extends SparkSpec {
     assert(got(2) === (("c", 1.0, 2.0)))
   }
 
+  test("mixtureSample keeps everything for under-budget groups and is rerun-stable") {
+    // tokens: a=30, b=10, c=2 -> target 14 -> a downsampled, b/c whole.
+    val df = (1L to 30L).map(i => (s"d$i", "a", "t")).toDF("k", "source", "text")
+      .union((31L to 40L).map(i => (s"d$i", "b", "t")).toDF("k", "source", "text"))
+      .union(Seq(("d41", "c", "t"), ("d42", "c", "t")).toDF("k", "source", "text"))
+    def run() = PipelineOps.mixtureSample(df, "source", "k",
+        size(split(col("text"), " ")).cast("long"))
+      .orderBy("source")
+      .as[(String, Long, Long, Int)].collect().toSeq
+    val got = run()
+    assert(got === run())                              // deterministic
+    assert(got(1) === (("b", 10L, 10L, 256)))          // whole group kept
+    assert(got(2) === (("c", 2L, 2L, 256)))
+    val (s, total, kept, rate) = (got(0)._1, got(0)._2, got(0)._3, got(0)._4)
+    assert(s === "a" && total === 30L && rate === 119) // floor(14/30*256)
+    assert(kept < total, "over-budget group must actually drop rows")
+  }
+
   test("mixtureWeights scans the corpus once and broadcasts the grand total") {
     val docs = graft.Tables.documents(spark, sf)
     val plan = PipelineOps.mixtureWeights(docs, "source",
