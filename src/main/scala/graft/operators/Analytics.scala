@@ -254,7 +254,10 @@ object Analytics {
         unix_micros(col("ts")).as("t"))
     // Each step relation is |users|-sized but consumed twice (next step's
     // join + its own count) — checkpoint them so the plan embeds the
-    // events scan once per step, not once per downstream consumer.
+    // events scan once per step, not once per downstream consumer. The
+    // blocks live as long as the returned (lazy) DataFrame and are
+    // reclaimed by the ContextCleaner once it is dropped — a query-shaped
+    // helper cannot unpersist eagerly without killing its own plan.
     val v = e.filter(col("event_type") === "view")
       .groupBy(col("user_id")).agg(min(col("t")).as("t_view"))
       .localCheckpoint(false)

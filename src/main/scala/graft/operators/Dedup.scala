@@ -271,9 +271,10 @@ object Dedup {
       .localCheckpoint(false)
     var changed = 1L
     var iters = 0
-    // try/finally: the non-convergence throw below must not strand the
-    // edge/label checkpoints in block storage (a driver catching the error
-    // to retry with a tighter threshold would accumulate them).
+    // Cleanup discipline: a throw (the non-convergence guard) must not
+    // strand checkpoints in block storage — a driver catching the error
+    // to retry with a tighter threshold would accumulate them. The final
+    // labels relation is the RESULT and stays checkpointed.
     try {
       while (changed > 0) {
         iters += 1
@@ -299,12 +300,8 @@ object Dedup {
         labels = prop
       }
     } catch {
-      case e: Throwable =>
-        labels.unpersist()
-        edges.unpersist()
-        throw e
-    }
-    edges.unpersist()
+      case e: Throwable => labels.unpersist(); throw e
+    } finally edges.unpersist()
     labels.select(col("node").as("doc_id"), col("label").as("cluster_id"))
   }
 
@@ -340,8 +337,9 @@ object Dedup {
     * never window-sorting cluster members.
     */
   def dedupKeepBest(df: DataFrame, idCol: String, scoreCol: String,
-      pairs: DataFrame, aCol: String, bCol: String): DataFrame = {
-    val clusters = dedupClusters(pairs, aCol, bCol)
+      pairs: DataFrame, aCol: String, bCol: String,
+      maxIters: Int = 100): DataFrame = {
+    val clusters = dedupClusters(pairs, aCol, bCol, maxIters)
     df.select(col(idCol).as("doc_id"), col(scoreCol).as("__score"))
       .join(clusters, "doc_id")
       .groupBy(col("cluster_id"))
@@ -362,8 +360,9 @@ object Dedup {
     * equi-join on the 8-byte id — one corpus shuffle of ids, never text.
     */
   def dropDuplicatesTransitive(df: DataFrame, idCol: String,
-      pairs: DataFrame, aCol: String, bCol: String): DataFrame = {
-    val losers = dedupClusters(pairs, aCol, bCol)
+      pairs: DataFrame, aCol: String, bCol: String,
+      maxIters: Int = 100): DataFrame = {
+    val losers = dedupClusters(pairs, aCol, bCol, maxIters)
       .filter(col("doc_id") =!= col("cluster_id"))
       .select(col("doc_id").as("__loser_id"))
     df.join(losers, col(idCol) === col("__loser_id"), "left_anti")

@@ -78,8 +78,15 @@ object PipelineOps {
     */
   def hashSamplePredicate(key: Column, pct256: Int): Column = {
     require(pct256 >= 0 && pct256 <= 256, "pct256 in [0, 256]")
-    substring(md5(key.cast("string").cast("binary")), 1, 2) < f"$pct256%02x"
+    hashSamplePredicate(key, lit(f"$pct256%02x"))
   }
+
+  /** Column-threshold form of [[hashSamplePredicate]] — ONE definition of
+    * the sampling hash so fixed-rate and per-group (mixture) sampling can
+    * never diverge. `thresholdHex` is a 2-char lowercase hex string.
+    */
+  def hashSamplePredicate(key: Column, thresholdHex: Column): Column =
+    substring(md5(key.cast("string").cast("binary")), 1, 2) < thresholdHex
 
   /** Per-stratum totals and deterministically-sampled counts. */
   def stratifiedSampleStats(df: DataFrame, stratumCol: String, keyCol: String,
@@ -429,8 +436,7 @@ object PipelineOps {
       .select(col(groupCol),
         floor(col("weight") * 256).cast("int").as("rate256"))
     val keep = col("rate256") >= 256 ||
-      substring(md5(col(keyCol).cast("string").cast("binary")), 1, 2) <
-        lpad(lower(hex(col("rate256"))), 2, "0")
+      hashSamplePredicate(col(keyCol), lpad(lower(hex(col("rate256"))), 2, "0"))
     df.join(broadcast(rates), groupCol)
       .groupBy(col(groupCol))
       .agg(count(lit(1)).as("n_total"),

@@ -8,6 +8,7 @@ import scala.jdk.CollectionConverters._
 
 import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.Path
+import org.apache.spark.broadcast.Broadcast
 import org.apache.parquet.hadoop.ParquetReader
 import org.apache.parquet.hadoop.example.GroupReadSupport
 import org.apache.spark.sql.catalyst.InternalRow
@@ -177,22 +178,32 @@ final class SerializableHadoopConf(@transient var value: Configuration)
 }
 
 object SerializableHadoopConf {
-  /** Capture the active session's Hadoop conf — call on the DRIVER thread
-    * that owns the query (scan construction / query start), where the
-    * active session is guaranteed. Falls back to a default conf when no
-    * session exists (bare unit-test contexts).
+  /** Broadcast the active session's Hadoop conf — call on the DRIVER
+    * thread that owns the query (scan construction / query start), where
+    * the active session is guaranteed. Broadcasting serializes the conf
+    * ONCE per query instead of once per input partition per micro-batch
+    * (Configuration.write emits every property — tens of KB). Returns
+    * null when no session exists (bare unit-test contexts; Spark 4 throws
+    * SparkException from `active`, not IllegalStateException, hence the
+    * NonFatal catch) — readers then fall back to a default conf.
     */
-  def fromActiveSession(): SerializableHadoopConf =
-    new SerializableHadoopConf(
-      try org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf()
-      catch { case _: IllegalStateException => new Configuration() })
+  def broadcastFromActiveSession(): Broadcast[SerializableHadoopConf] =
+    try {
+      val s = org.apache.spark.sql.SparkSession.active
+      s.sparkContext.broadcast(
+        new SerializableHadoopConf(s.sessionState.newHadoopConf()))
+    } catch { case scala.util.control.NonFatal(_) => null }
+
+  /** The conf carried by `b`, or a default conf when none was broadcast. */
+  def resolve(b: Broadcast[SerializableHadoopConf]): Configuration =
+    if (b == null) new Configuration() else b.value.value
 }
 
 final class ShardedReplayScan(conf: ReplayConfig) extends ScanBuilder with Scan {
   // Captured HERE (driver, query-planning thread, active session set) —
   // resolving SparkSession.active lazily on the stream-execution thread
   // could see a different or no session.
-  private val hconf = SerializableHadoopConf.fromActiveSession()
+  private val hconf = SerializableHadoopConf.broadcastFromActiveSession()
   override def build(): Scan = this
   override def readSchema(): StructType = Record.schema
   override def toBatch: Batch = new ShardedReplayBatch(conf, hconf)
@@ -343,13 +354,14 @@ object AdmissionPlanner {
 
 final class ShardedReplayMicroBatchStream(
     conf: ReplayConfig, checkpointLocation: String,
-    hconf: SerializableHadoopConf = SerializableHadoopConf.fromActiveSession())
+    hconf: Broadcast[SerializableHadoopConf] =
+      SerializableHadoopConf.broadcastFromActiveSession())
     extends MicroBatchStream with SupportsAdmissionControl
     with SupportsTriggerAvailableNow {
 
   private lazy val shards =
     ShardStore.shards(conf.path, conf.numShards, conf.reshardAtMicros,
-      conf.mergeAtMicros, hconf.value)
+      conf.mergeAtMicros, SerializableHadoopConf.resolve(hconf))
   private lazy val counts: Array[Long] = shards.map(_.length.toLong)
 
   // Trigger.AvailableNow: snapshot the frontier once; per-batch read limits
@@ -490,7 +502,8 @@ final class ShardedReplayMicroBatchStream(
   // query's own driver thread), not a bare new Configuration(): checkpoint
   // dirs on object stores / HDFS carry credentials and fs settings in
   // spark.hadoop.* that a default conf lacks.
-  private lazy val markerFs = markerPath.getFileSystem(hconf.value)
+  private lazy val markerFs =
+    markerPath.getFileSystem(SerializableHadoopConf.resolve(hconf))
 
   private def readMarker(): Option[ShardPositions] =
     if (!markerFs.exists(markerPath)) None
@@ -557,11 +570,13 @@ final class ShardedReplayMicroBatchStream(
 
 final class ShardedReplayBatch(
     conf: ReplayConfig,
-    hconf: SerializableHadoopConf = SerializableHadoopConf.fromActiveSession())
+    hconf: Broadcast[SerializableHadoopConf] =
+      SerializableHadoopConf.broadcastFromActiveSession())
     extends Batch {
   override def planInputPartitions(): Array[InputPartition] = {
     val shards = ShardStore.shards(conf.path, conf.numShards,
-      conf.reshardAtMicros, conf.mergeAtMicros, hconf.value)
+      conf.reshardAtMicros, conf.mergeAtMicros,
+      SerializableHadoopConf.resolve(hconf))
     shards.indices.map { i =>
       ReplayInputPartition(conf.path, conf.numShards, conf.reshardAtMicros,
         i, 0L, shards(i).length.toLong, conf.aggregation, conf.mergeAtMicros,
@@ -575,7 +590,8 @@ final case class ReplayInputPartition(
     path: String, numShards: Int, reshardAtMicros: Option[Long],
     shard: Int, from: Long, until: Long, aggregation: Int = 1,
     mergeAtMicros: Option[Long] = None,
-    hconf: SerializableHadoopConf = SerializableHadoopConf.fromActiveSession())
+    hconf: Broadcast[SerializableHadoopConf] =
+      SerializableHadoopConf.broadcastFromActiveSession())
   extends InputPartition
 
 object ReplayReaderFactory extends PartitionReaderFactory {
@@ -589,7 +605,7 @@ final class ReplayPartitionReader(p: ReplayInputPartition)
     extends PartitionReader[InternalRow] {
   private val rows = ShardStore.shards(
     p.path, p.numShards, p.reshardAtMicros, p.mergeAtMicros,
-    p.hconf.value)(p.shard)
+    SerializableHadoopConf.resolve(p.hconf))(p.shard)
   private var pos = p.from - 1
 
   override def next(): Boolean = { pos += 1; pos < p.until }

@@ -44,23 +44,24 @@ class StreamingAnalyticsSpec extends SparkSpec {
       "no window emitted twice")
   }
 
-  test("tumbling window counts over a RESHARDED stream equal the batch computation") {
-    // Resharding must compose with event-time aggregation: parents carry
-    // the pre-split events and drain first, children carry the post-split
-    // tail — the watermark advances monotonically across the seal.
-    val splitMs = (graft.Tables.events(spark, sf)
-      .selectExpr("percentile_approx(cast(ts as double), 0.5)").as[Double].head()
-      * 1000).toLong
-    val ds = StreamingOps.decode(Consumer.source(ConsumerConfig(
-      eventsPath, numShards = 4, maxRecordsPerTrigger = Some(400),
-      reshardAtMs = Some(splitMs))))
+  /** Median event time — the reshard/merge instant both compose tests use. */
+  private lazy val medianMs: Long = (graft.Tables.events(spark, sf)
+    .selectExpr("percentile_approx(cast(ts as double), 0.5)").as[Double].head()
+    * 1000).toLong
+
+  /** Shared harness: drain a (possibly resharded) stream through tumbling
+    * windows and compare every closed window against the batch answer.
+    */
+  private def assertTumblingEqualsBatch(name: String,
+      config: ConsumerConfig): Unit = {
+    val ds = StreamingOps.decode(Consumer.source(config))
     val q = StreamingOps.tumblingCounts(ds, "1 hour", "2 hours")
-      .writeStream.format("memory").queryName("win_counts_reshard")
+      .writeStream.format("memory").queryName(name)
       .outputMode("append")
-      .option("checkpointLocation", tmp("ckpt_win_resh"))
+      .option("checkpointLocation", tmp(s"ckpt_$name"))
       .trigger(Trigger.AvailableNow()).start()
     q.awaitTermination(120000)
-    val got = spark.table("win_counts_reshard")
+    val got = spark.table(name)
       .select(col("window.start").as("ws"), col("event_type"), col("n"))
     val want = graft.Tables.events(spark, sf)
       .groupBy(window(col("ts"), "1 hour").getField("start").as("ws"),
@@ -71,30 +72,21 @@ class StreamingAnalyticsSpec extends SparkSpec {
     assert(got.count() > want.count() / 2, "most windows should have closed")
   }
 
+  test("tumbling window counts over a RESHARDED stream equal the batch computation") {
+    // Resharding must compose with event-time aggregation: parents carry
+    // the pre-split events and drain first, children carry the post-split
+    // tail — the watermark advances monotonically across the seal.
+    assertTumblingEqualsBatch("win_counts_reshard", ConsumerConfig(
+      eventsPath, numShards = 4, maxRecordsPerTrigger = Some(400),
+      reshardAtMs = Some(medianMs)))
+  }
+
   test("tumbling window counts over a MERGED stream equal the batch computation") {
     // The merge direction of resharding composes the same way: both
     // parents of each merged child drain fully before the child's tail.
-    val mergeMs = (graft.Tables.events(spark, sf)
-      .selectExpr("percentile_approx(cast(ts as double), 0.5)").as[Double].head()
-      * 1000).toLong
-    val ds = StreamingOps.decode(Consumer.source(ConsumerConfig(
+    assertTumblingEqualsBatch("win_counts_merge", ConsumerConfig(
       eventsPath, numShards = 4, maxRecordsPerTrigger = Some(400),
-      mergeAtMs = Some(mergeMs))))
-    val q = StreamingOps.tumblingCounts(ds, "1 hour", "2 hours")
-      .writeStream.format("memory").queryName("win_counts_merge")
-      .outputMode("append")
-      .option("checkpointLocation", tmp("ckpt_win_merge"))
-      .trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination(120000)
-    val got = spark.table("win_counts_merge")
-      .select(col("window.start").as("ws"), col("event_type"), col("n"))
-    val want = graft.Tables.events(spark, sf)
-      .groupBy(window(col("ts"), "1 hour").getField("start").as("ws"),
-        col("event_type"))
-      .agg(count(lit(1)).as("n"))
-    val joined = got.as("g").join(want.as("w"), Seq("ws", "event_type"))
-    assert(joined.filter(col("g.n") =!= col("w.n")).count() === 0)
-    assert(got.count() > want.count() / 2, "most windows should have closed")
+      mergeAtMs = Some(medianMs)))
   }
 
   test("session windows per user equal the batch session computation") {
