@@ -64,6 +64,29 @@ object Profile {
         carried.map(c => col(s"last.$c").as(s"last_$c")): _*)
   }
 
+  /** Apply a CDC changelog to produce the current snapshot: the latest
+    * record per key wins, and a key whose latest operation is `deleteOp`
+    * disappears from the view (the standard Debezium/Hudi/Delta "merge the
+    * change stream" step, expressed engine-side).
+    *
+    * Scale design: same partial-aggregated `max(struct(...))` shape as
+    * [[latestPerKey]] — each map partition collapses to one candidate row
+    * per key before the exchange, so the shuffle carries |keys| rows, not
+    * the change history. A window row_number formulation would shuffle and
+    * sort every version of every key. The delete filter runs after the
+    * aggregation (on |keys| rows), never on the log.
+    */
+  def cdcApply(df: DataFrame, keyCol: String, orderCols: Seq[String],
+      opCol: String, deleteOp: String, payloadCols: Seq[String]): DataFrame = {
+    require(orderCols.nonEmpty, "cdcApply needs ordering columns")
+    val carried = orderCols ++ (opCol +: payloadCols)
+    df.groupBy(col(keyCol))
+      .agg(max(struct(carried.map(col): _*)).as("last"))
+      .where(col(s"last.$opCol") =!= deleteOp)
+      .select(col(keyCol) +:
+        (orderCols ++ payloadCols).map(c => col(s"last.$c").as(s"last_$c")): _*)
+  }
+
   // ===========================================================================
   // Oracle-bound query exercises
   // ===========================================================================
@@ -103,7 +126,38 @@ object Profile {
          value AS last_value
        FROM r WHERE rn = 1 ORDER BY user_id"""
 
+  // ---- q72: CDC changelog apply ---------------------------------------------
+  // The events stream read as a change log: a purchase is the user's
+  // terminal event (op=D), everything else upserts (op=U). The snapshot
+  // keeps only users whose LATEST event is not a delete.
+  private def q72(s: SparkSession, d: String): DataFrame = {
+    val log = Tables.events(s, d).select(
+      col("user_id"), col("ts"), col("event_id"),
+      when(col("event_type") === "purchase", "D").otherwise("U").as("op"),
+      col("value"))
+    cdcApply(log, "user_id", orderCols = Seq("ts", "event_id"),
+        opCol = "op", deleteOp = "D", payloadCols = Seq("value"))
+      .select(col("user_id"), unix_micros(col("last_ts")).as("last_ts_us"),
+        col("last_event_id"), col("last_value"))
+      .orderBy(col("user_id"))
+  }
+  private val q72Sql =
+    """WITH log AS (
+         SELECT user_id, ts, event_id,
+           CASE WHEN event_type = 'purchase' THEN 'D' ELSE 'U' END AS op,
+           value
+         FROM events),
+       r AS (
+         SELECT user_id, ts, event_id, op, value,
+           row_number() OVER (PARTITION BY user_id
+             ORDER BY ts DESC, event_id DESC) AS rn
+         FROM log)
+       SELECT user_id, epoch_us(ts::TIMESTAMP)::BIGINT AS last_ts_us,
+         event_id AS last_event_id, value AS last_value
+       FROM r WHERE rn = 1 AND op <> 'D' ORDER BY user_id"""
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q58_column_profile", q58, Some(q58Sql)),
-    QueryDef("q59_latest_per_key", q59, Some(q59Sql)))
+    QueryDef("q59_latest_per_key", q59, Some(q59Sql)),
+    QueryDef("q72_cdc_apply", q72, Some(q72Sql)))
 }

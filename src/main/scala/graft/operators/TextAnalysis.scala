@@ -195,6 +195,64 @@ object TextAnalysis {
            AND top_ratio <= 0.125 AND stop_hits >= 2 AS keep
        FROM m ORDER BY doc_id"""
 
+  /** Canonical text normalization — the step every dedup/quality pipeline
+    * runs FIRST, so that hashing and n-gram stages see one spelling of each
+    * document: lowercase, control whitespace (tab/newline/CR) to spaces,
+    * collapse space runs, trim. Appends a `norm` column plus a `changed`
+    * audit boolean.
+    *
+    * Scale: pure map-side codegen'd string work (lower/regexp_replace/trim),
+    * zero shuffle; at 100 TB this is scan-bound and pipelines into whatever
+    * consumes `norm` (fingerprint, minhash, exact-dedup md5) in the same
+    * whole-stage codegen span. The regex subset ([\t\n\r], ' +') is
+    * RE2/Java-portable, so cross-engine parity is exact.
+    */
+  def normalizeText(df: DataFrame, textCol: String): DataFrame = {
+    val norm = trim(regexp_replace(
+      regexp_replace(lower(col(textCol)), "[\\t\\n\\r]", " "), " +", " "))
+    df.withColumn("norm", norm)
+      .withColumn("changed", col("norm") =!= col(textCol))
+  }
+
+  // ---- q73: text normalization ------------------------------------------------
+  // The fixture corpus is already clean (lowercase, single-spaced), so the
+  // query first dirties it deterministically by doc_id — uppercase+indent,
+  // tabs for spaces, doubled spaces + trailing newline, or untouched — then
+  // asserts the normalizer restores the canonical form (matches_clean).
+  private def q73(s: SparkSession, d: String): DataFrame = {
+    val m = col("doc_id") % 4
+    val dirty = when(m === 0, concat(lit("  "), upper(col("text"))))
+      .when(m === 1, regexp_replace(col("text"), " ", "\t"))
+      .when(m === 2, concat(regexp_replace(col("text"), " ", "  "), lit("\n")))
+      .otherwise(col("text"))
+    normalizeText(
+        Tables.documents(s, d).select(col("doc_id"), col("text"),
+          dirty.as("raw")),
+        "raw")
+      .select(col("doc_id"), col("changed"),
+        length(col("norm")).cast("long").as("norm_len"),
+        md5(col("norm")).as("norm_hash"),
+        (col("norm") === col("text")).as("matches_clean"))
+      .orderBy(col("doc_id"))
+  }
+  private val q73Sql =
+    """WITH dirty AS (
+         SELECT doc_id, text,
+           CASE WHEN doc_id % 4 = 0 THEN '  ' || upper(text)
+                WHEN doc_id % 4 = 1 THEN replace(text, ' ', chr(9))
+                WHEN doc_id % 4 = 2 THEN replace(text, ' ', '  ') || chr(10)
+                ELSE text END AS raw
+         FROM documents),
+       n AS (
+         SELECT doc_id, text, raw,
+           trim(regexp_replace(regexp_replace(lower(raw),
+             '[\t\n\r]', ' ', 'g'), ' +', ' ', 'g')) AS norm
+         FROM dirty)
+       SELECT doc_id, norm <> raw AS changed,
+         length(norm)::BIGINT AS norm_len, md5(norm) AS norm_hash,
+         norm = text AS matches_clean
+       FROM n ORDER BY doc_id"""
+
   // ---- q24: document fingerprint (rolling hash) -------------------------------
   // Per-document 31-bit polynomial hash of the full character stream — the
   // cheap exact-dedup / shard-routing key. Pure map-side.
@@ -214,5 +272,6 @@ object TextAnalysis {
     QueryDef("q22_quality_score", q22, Some(q22Sql)),
     QueryDef("q23_lang_id", q23, Some(q23Sql)),
     QueryDef("q24_fingerprint", q24, Some(q24Sql)),
-    QueryDef("q61_gopher_filter", q61, Some(q61Sql)))
+    QueryDef("q61_gopher_filter", q61, Some(q61Sql)),
+    QueryDef("q73_normalize_text", q73, Some(q73Sql)))
 }

@@ -24,6 +24,31 @@ class ProfileSpec extends SparkSpec {
     assert(got(1) === (("select.a", 0L, 2L, "x", "y")))
   }
 
+  test("cdcApply keeps the latest non-delete row and drops deleted keys") {
+    val log = Seq(
+      // key 1: insert then update — snapshot keeps the update
+      (1L, 10L, 1L, "U", "v1"), (1L, 20L, 2L, "U", "v2"),
+      // key 2: update then delete — key disappears
+      (2L, 10L, 3L, "U", "x"), (2L, 30L, 4L, "D", "x"),
+      // key 3: delete then REINSERT — resurrection wins
+      (3L, 10L, 5L, "D", "dead"), (3L, 40L, 6L, "U", "alive"))
+      .toDF("k", "ts", "seq", "op", "payload")
+    val got = Profile.cdcApply(log, "k", Seq("ts", "seq"), "op", "D",
+        Seq("payload"))
+      .orderBy("k").as[(Long, Long, Long, String)].collect()
+    assert(got === Array((1L, 20L, 2L, "v2"), (3L, 40L, 6L, "alive")))
+  }
+
+  test("cdcApply aggregates partially below the exchange (no window sort)") {
+    val log = Seq((1L, 10L, 1L, "U", "v")).toDF("k", "ts", "seq", "op", "p")
+    val plan = Profile.cdcApply(log, "k", Seq("ts", "seq"), "op", "D",
+      Seq("p")).queryExecution.executedPlan.toString
+    assert(plan.contains("partial_max") || plan.contains("partial max")
+      || plan.toLowerCase.contains("hashaggregate"),
+      s"expected hash aggregation, got:\n$plan")
+    assert(!plan.contains("Window"), s"unexpected window sort:\n$plan")
+  }
+
   test("latestPerKey keeps exactly the max-(order,tie) row per key") {
     val df = Seq(
       (7L, 100L, 1L, "old"), (7L, 200L, 2L, "new"),

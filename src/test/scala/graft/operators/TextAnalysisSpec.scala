@@ -30,6 +30,34 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got(5L)._5 === false && got(5L)._6 === false)   // no stopwords
   }
 
+  test("normalizeText canonicalizes case, control whitespace, and runs") {
+    val df = Seq(
+      (1L, "  Hello\tWorld  "),          // indent + tab + trailing spaces
+      (2L, "one  two\n three\r\nfour"),  // runs + LF + CRLF
+      (3L, "already clean"))             // untouched
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.normalizeText(df, "text")
+      .select("doc_id", "norm", "changed")
+      .as[(Long, String, Boolean)].collect().sortBy(_._1)
+    assert(got(0) === ((1L, "hello world", true)))
+    assert(got(1) === ((2L, "one two three four", true)))
+    assert(got(2) === ((3L, "already clean", false)))
+  }
+
+  test("normalizeText is idempotent and shuffle-free") {
+    val df = Seq((1L, "  A\tB  ")).toDF("doc_id", "text")
+    val once = TextAnalysis.normalizeText(df, "text")
+      .select(col("doc_id"), col("norm").as("text"))
+    val twice = TextAnalysis.normalizeText(once, "text")
+      .select("norm").as[String].collect()
+    assert(twice === Array("a b"))
+    val plan = TextAnalysis.normalizeText(
+        graft.Tables.documents(spark, sf), "text")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"normalization must not shuffle:\n${plan.take(1500)}")
+  }
+
   test("gopherFilter is a single-pass map-side plan with no exchange") {
     val plan = TextAnalysis.gopherFilter(
         graft.Tables.documents(spark, sf), "doc_id", "text")
