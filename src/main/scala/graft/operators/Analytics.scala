@@ -293,6 +293,45 @@ object Analytics {
          UNION ALL SELECT '3_purchase', count(*) FROM p)
        ORDER BY step"""
 
+  /** Retention cohorts: assign each user to the cohort of their first-
+    * activity day, then count distinct users active in each whole-week
+    * offset from their cohort day — the standard product-analytics
+    * retention triangle.
+    *
+    * Scale design: the first-touch table is a partial-aggregated
+    * `min(day)` per user (map-side combine, one exchange on the user key);
+    * the events side of the enrichment join shuffles on the same key, so
+    * the join itself adds no exchange beyond those two, and no sort — the
+    * window-function formulation (`min over (partition by user)`) would
+    * shuffle the same rows AND sort every partition. The final
+    * (cohort, offset) aggregation runs on the already-joined stream with
+    * partial distinct-user aggregation below its exchange.
+    */
+  def retention(df: DataFrame, userCol: String, tsCol: String,
+      bucketDays: Int = 7): DataFrame = {
+    val e = df.select(col(userCol).as("u"), to_date(col(tsCol)).as("day"))
+    val first = e.groupBy(col("u")).agg(min(col("day")).as("cohort_day"))
+    e.join(first, "u")
+      .groupBy(col("cohort_day"),
+        floor(datediff(col("day"), col("cohort_day")) / bucketDays)
+          .as("bucket_offset"))
+      .agg(countDistinct(col("u")).as("users"))
+  }
+
+  // ---- q75: retention cohorts -------------------------------------------------
+  private def q75(s: SparkSession, d: String): DataFrame =
+    retention(Tables.events(s, d), "user_id", "ts", bucketDays = 7)
+      .withColumnRenamed("bucket_offset", "week_offset")
+      .orderBy(col("cohort_day"), col("week_offset"))
+  private val q75Sql =
+    """WITH e AS (SELECT user_id, ts::DATE AS day FROM events),
+       f AS (SELECT user_id, min(day) AS cohort_day FROM e GROUP BY 1)
+       SELECT cohort_day,
+         ((e.day - f.cohort_day) // 7)::BIGINT AS week_offset,
+         count(DISTINCT e.user_id)::BIGINT AS users
+       FROM e JOIN f USING (user_id)
+       GROUP BY 1, 2 ORDER BY 1, 2"""
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q46_posexplode", q46, Some(q46Sql)),
     QueryDef("q47_percentiles", q47, Some(q47Sql)),
@@ -304,5 +343,6 @@ object Analytics {
     QueryDef("q52_multiset_ops", q52, Some(q52Sql)),
     QueryDef("q53_string_funcs", q53, Some(q53Sql)),
     QueryDef("q65_session_windows", q65, Some(q65Sql)),
-    QueryDef("q66_funnel", q66, Some(q66Sql)))
+    QueryDef("q66_funnel", q66, Some(q66Sql)),
+    QueryDef("q75_retention", q75, Some(q75Sql)))
 }

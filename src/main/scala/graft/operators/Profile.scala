@@ -87,6 +87,36 @@ object Profile {
         (orderCols ++ payloadCols).map(c => col(s"last.$c").as(s"last_$c")): _*)
   }
 
+  /** Diff two snapshots of a keyed table: rows only in `newDf` are inserts
+    * (`I`), rows only in `oldDf` deletes (`D`), rows in both with any
+    * payload difference updates (`U`); unchanged rows are dropped. Output
+    * flattens both sides as `old_<c>` / `new_<c>` scalars (no structs —
+    * downstream tools and the oracle harness hash scalar columns).
+    *
+    * Scale design: one full-outer shuffle join on the key — each side is
+    * exchanged once, and the payload comparison is a null-safe struct
+    * equality evaluated post-join (codegen'd, no second pass). At 100 TB
+    * write both snapshots bucketed by the key ([[Bucketing]]) and the join
+    * plans with zero exchanges; AQE's skew-join split handles hot keys.
+    * The change classification never re-partitions the join output.
+    */
+  def snapshotDiff(oldDf: DataFrame, newDf: DataFrame, keyCol: String,
+      payloadCols: Seq[String]): DataFrame = {
+    require(payloadCols.nonEmpty, "snapshotDiff needs payload columns")
+    def side(df: DataFrame, tag: String) =
+      df.select(col(keyCol), struct(payloadCols.map(col): _*).as(tag))
+    val joined = side(oldDf, "o").join(side(newDf, "n"), Seq(keyCol), "full_outer")
+    joined
+      .withColumn("change",
+        when(col("o").isNull, "I")
+          .when(col("n").isNull, "D")
+          .when(!(col("o") <=> col("n")), "U"))
+      .where(col("change").isNotNull)
+      .select(col(keyCol) +: col("change") +:
+        payloadCols.flatMap(c => Seq(
+          col(s"o.$c").as(s"old_$c"), col(s"n.$c").as(s"new_$c"))): _*)
+  }
+
   // ===========================================================================
   // Oracle-bound query exercises
   // ===========================================================================
@@ -156,8 +186,50 @@ object Profile {
          event_id AS last_event_id, value AS last_value
        FROM r WHERE rn = 1 AND op <> 'D' ORDER BY user_id"""
 
+  // ---- q74: snapshot diff ---------------------------------------------------
+  // Two deterministic snapshots of orders: the old one misses keys %97==0,
+  // the new one misses %89==0 (deletes) and bumps the price on %11==0
+  // (updates; +1.0 is exact in IEEE double, so both engines agree bit-for-
+  // bit). Everything else is unchanged and must NOT appear in the diff.
+  private def q74(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+    val oldSnap = base.where(col("o_orderkey") % 97 =!= 0)
+    val newSnap = base.where(col("o_orderkey") % 89 =!= 0)
+      .withColumn("o_totalprice",
+        when(col("o_orderkey") % 11 === 0, col("o_totalprice") + 1.0)
+          .otherwise(col("o_totalprice")))
+    snapshotDiff(oldSnap, newSnap, "o_orderkey",
+        Seq("o_totalprice", "o_orderstatus"))
+      .orderBy(col("o_orderkey"))
+  }
+  private val q74Sql =
+    """WITH base AS (
+         SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders),
+       old AS (SELECT * FROM base WHERE o_orderkey % 97 <> 0),
+       new AS (
+         SELECT o_orderkey,
+           CASE WHEN o_orderkey % 11 = 0 THEN o_totalprice + 1.0
+                ELSE o_totalprice END AS o_totalprice,
+           o_orderstatus
+         FROM base WHERE o_orderkey % 89 <> 0),
+       j AS (
+         SELECT coalesce(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+           CASE WHEN o.o_orderkey IS NULL THEN 'I'
+                WHEN n.o_orderkey IS NULL THEN 'D'
+                WHEN o.o_totalprice IS DISTINCT FROM n.o_totalprice
+                  OR o.o_orderstatus IS DISTINCT FROM n.o_orderstatus
+                THEN 'U' END AS change,
+           o.o_totalprice AS old_o_totalprice,
+           n.o_totalprice AS new_o_totalprice,
+           o.o_orderstatus AS old_o_orderstatus,
+           n.o_orderstatus AS new_o_orderstatus
+         FROM old o FULL OUTER JOIN new n ON o.o_orderkey = n.o_orderkey)
+       SELECT * FROM j WHERE change IS NOT NULL ORDER BY o_orderkey"""
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q58_column_profile", q58, Some(q58Sql)),
     QueryDef("q59_latest_per_key", q59, Some(q59Sql)),
-    QueryDef("q72_cdc_apply", q72, Some(q72Sql)))
+    QueryDef("q72_cdc_apply", q72, Some(q72Sql)),
+    QueryDef("q74_snapshot_diff", q74, Some(q74Sql)))
 }

@@ -49,6 +49,32 @@ class ProfileSpec extends SparkSpec {
     assert(!plan.contains("Window"), s"unexpected window sort:\n$plan")
   }
 
+  test("snapshotDiff classifies inserts, deletes, updates and drops unchanged") {
+    val old = Seq((1L, 10.0, "A"), (2L, 20.0, "B"), (3L, 30.0, "C"))
+      .toDF("k", "price", "status")
+    val nw = Seq((2L, 20.0, "B"),      // unchanged — must not appear
+                 (3L, 31.0, "C"),      // price update
+                 (4L, 40.0, "D"))      // insert; key 1 deleted
+      .toDF("k", "price", "status")
+    val got = Profile.snapshotDiff(old, nw, "k", Seq("price", "status"))
+      .orderBy("k")
+      .as[(Long, String, Option[Double], Option[Double],
+           Option[String], Option[String])].collect()
+    assert(got === Array(
+      (1L, "D", Some(10.0), None, Some("A"), None),
+      (3L, "U", Some(30.0), Some(31.0), Some("C"), Some("C")),
+      (4L, "I", None, Some(40.0), None, Some("D"))))
+  }
+
+  test("snapshotDiff treats null payloads null-safely (null -> value is U)") {
+    val old = Seq((1L, Option.empty[String]), (2L, Option("x")))
+      .toDF("k", "v")
+    val nw = Seq((1L, Option("y")), (2L, Option("x"))).toDF("k", "v")
+    val got = Profile.snapshotDiff(old, nw, "k", Seq("v"))
+      .as[(Long, String, Option[String], Option[String])].collect()
+    assert(got === Array((1L, "U", None, Some("y"))))
+  }
+
   test("latestPerKey keeps exactly the max-(order,tie) row per key") {
     val df = Seq(
       (7L, 100L, 1L, "old"), (7L, 200L, 2L, "new"),
