@@ -106,6 +106,13 @@ object Native {
       },
       "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_token_stats",
+      exprs => {
+        require(exprs.length == 1, "graft_token_stats(tokens) takes one array")
+        TokenDiversity(exprs.head)
+      },
+      "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_minhash_bands",
       exprs => {
         require(exprs.length == 3,

@@ -78,6 +78,34 @@ object TextKernelUtil {
   }
 }
 
+object TokenDiversityUtil {
+  /** `[distinct, total, sumSq]` of the token multiset in one pass (null
+    * slots skipped): the exact sufficient statistics for type-token ratio
+    * (distinct/total) and the Simpson concentration index (sumSq/total²) —
+    * integer outputs, so cross-engine parity is exact with no float
+    * rounding. Replaces the explode → groupBy(doc, token) → groupBy(doc)
+    * pipeline, whose first exchange shuffles every token occurrence of
+    * the corpus.
+    */
+  def stats(toks: ArrayData): ArrayData = {
+    val n = toks.numElements()
+    val freq = new java.util.HashMap[UTF8String, Int]()
+    var total = 0L
+    var i = 0
+    while (i < n) {
+      if (!toks.isNullAt(i)) {
+        freq.merge(toks.getUTF8String(i), 1, Integer.sum)
+        total += 1L
+      }
+      i += 1
+    }
+    var sumSq = 0L
+    val it = freq.values().iterator()
+    while (it.hasNext) { val c = it.next().toLong; sumSq += c * c }
+    new GenericArrayData(Array[Any](freq.size.toLong, total, sumSq))
+  }
+}
+
 object TokenHitsUtil {
   /** Occurrences (multiset count) of tokens present in `set`; null slots
     * are skipped — `array_contains(words, null)` is null, which the HOF
@@ -176,6 +204,25 @@ final case class WordNGrams(child: Expression, n: Int, distinct: Boolean)
       toks => s"graft.functions.TextKernelUtil.ngrams($toks, $n, $distinct)")
 
   override protected def withNewChildInternal(newChild: Expression): WordNGrams =
+    copy(child = newChild)
+}
+
+/** One-pass `[distinct, total, sumSq]` token-multiset statistics (lexical
+  * diversity / Simpson concentration).
+  */
+final case class TokenDiversity(child: Expression)
+    extends UnaryExpression with TokenArrayKernel {
+  override protected def fnName: String = "graft_token_stats"
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override protected def nullSafeEval(toks: Any): Any =
+    TokenDiversityUtil.stats(toks.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      toks => s"graft.functions.TokenDiversityUtil.stats($toks)")
+
+  override protected def withNewChildInternal(newChild: Expression): TokenDiversity =
     copy(child = newChild)
 }
 

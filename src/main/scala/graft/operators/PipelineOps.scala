@@ -542,6 +542,81 @@ object PipelineOps {
          count(*) AS n_docs, sum(n_tok)::BIGINT AS tokens_total
        FROM c GROUP BY 1, 2 ORDER BY lang, bin"""
 
+  /** URL parsing + blocklist filtering (the C4/RefinedWeb provenance
+    * step): split a URL column into scheme / host / registered domain
+    * (www. stripped) / TLD / path depth, and keep only rows whose TLD is
+    * not blocklisted.
+    *
+    * Scale design: pure map-side codegen'd regexp work, zero shuffle — at
+    * 100 TB this pipelines into the scan like [[scrubPii]]. The regex
+    * subset (anchored literal classes, no lookaround) is RE2/Java-
+    * portable, so the DuckDB oracle computes identical fields. A
+    * domain-level (rather than TLD-level) blocklist at scale is the same
+    * shape with the list broadcast into an `isin`/bloom probe.
+    */
+  def parseUrls(df: DataFrame, urlCol: String,
+      blockedTlds: Seq[String]): DataFrame = {
+    val u = col(urlCol)
+    val scheme = regexp_extract(u, "^([a-z][a-z0-9+.-]*)://", 1)
+    val host = regexp_extract(u, "^[a-z][a-z0-9+.-]*://([^/?#]+)", 1)
+    val domain = regexp_replace(host, "^www\\.", "")
+    val tld = regexp_extract(domain, "\\.([a-z0-9-]+)$", 1)
+    val path = regexp_extract(u, "^[a-z][a-z0-9+.-]*://[^/?#]+(/[^?#]*)", 1)
+    df.withColumn("scheme", scheme)
+      .withColumn("host", host)
+      .withColumn("domain", domain)
+      .withColumn("tld", tld)
+      .withColumn("path_depth",
+        (length(path) - length(regexp_replace(path, "/", ""))).cast("long"))
+      .withColumn("keep", !tld.isin(blockedTlds: _*))
+  }
+
+  // ---- q76: URL parse + blocklist filter --------------------------------------
+  // The fixture has no URL column, so the query synthesizes one
+  // deterministically per doc (scheme, www-prefix, TLD, and path depth all
+  // vary by doc_id) and parses it back; TLD "adnet" is blocklisted.
+  private def q76(s: SparkSession, d: String): DataFrame = {
+    val id = col("doc_id")
+    val url = concat(
+      when(id % 2 === 0, "https").otherwise("http"), lit("://"),
+      when(id % 5 === 0, "www.").otherwise(""),
+      col("source"), lit("."),
+      when(id % 3 === 0, "com").when(id % 3 === 1, "org").otherwise("adnet"),
+      lit("/"), expr("repeat('d/', cast(doc_id % 4 AS INT))"),
+      lit("page"), id.cast("string"))
+    parseUrls(Tables.documents(s, d).select(id, url.as("url")),
+        "url", blockedTlds = Seq("adnet"))
+      .select(col("doc_id"), col("url"), col("scheme"), col("host"),
+        col("domain"), col("tld"), col("path_depth"), col("keep"))
+      .orderBy(col("doc_id"))
+  }
+  private val q76Sql =
+    """WITH u AS (
+         SELECT doc_id,
+           (CASE WHEN doc_id % 2 = 0 THEN 'https' ELSE 'http' END) || '://'
+             || (CASE WHEN doc_id % 5 = 0 THEN 'www.' ELSE '' END)
+             || source || '.'
+             || (CASE WHEN doc_id % 3 = 0 THEN 'com'
+                      WHEN doc_id % 3 = 1 THEN 'org' ELSE 'adnet' END)
+             || '/' || repeat('d/', (doc_id % 4)::INT)
+             || 'page' || doc_id AS url
+         FROM documents),
+       p AS (
+         SELECT doc_id, url,
+           regexp_extract(url, '^([a-z][a-z0-9+.-]*)://', 1) AS scheme,
+           regexp_extract(url, '^[a-z][a-z0-9+.-]*://([^/?#]+)', 1) AS host
+         FROM u),
+       p2 AS (
+         SELECT *, regexp_replace(host, '^www\.', '') AS domain,
+           regexp_extract(url,
+             '^[a-z][a-z0-9+.-]*://[^/?#]+(/[^?#]*)', 1) AS path
+         FROM p)
+       SELECT doc_id, url, scheme, host, domain,
+         regexp_extract(domain, '\.([a-z0-9-]+)$', 1) AS tld,
+         (length(path) - length(replace(path, '/', '')))::BIGINT AS path_depth,
+         regexp_extract(domain, '\.([a-z0-9-]+)$', 1) <> 'adnet' AS keep
+       FROM p2 ORDER BY doc_id"""
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q40_contamination", q40, Some(q40Sql)),
     QueryDef("q41_stratified_sample", q41, Some(q41Sql)),
@@ -553,5 +628,6 @@ object PipelineOps {
     QueryDef("q55_seq_packing", q55, Some(q55Sql)),
     QueryDef("q62_mixture_weights", q62, Some(q62Sql)),
     QueryDef("q63_bigram_lm", q63, Some(q63Sql)),
-    QueryDef("q71_mixture_sample", q71, Some(q71Sql)))
+    QueryDef("q71_mixture_sample", q71, Some(q71Sql)),
+    QueryDef("q76_url_filter", q76, Some(q76Sql)))
 }

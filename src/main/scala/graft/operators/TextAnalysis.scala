@@ -253,6 +253,48 @@ object TextAnalysis {
          norm = text AS matches_clean
        FROM n ORDER BY doc_id"""
 
+  /** Lexical diversity per document: type-token ratio (distinct/total) and
+    * Simpson concentration (Σc²/total²) — the vocabulary-richness quality
+    * signals used beside [[gopherFilter]]'s rules. Entropy would carry the
+    * same information but `ln` is not cross-engine bit-stable; the Simpson
+    * index is rational arithmetic over exact integer counts, so parity is
+    * exact (the ratios are rounded only at the very end).
+    *
+    * Scale design: the sufficient statistics come from the
+    * [[graft.functions.TokenDiversity]] native kernel — one compiled pass
+    * per row, zero shuffle. The relational formulation (explode →
+    * groupBy(doc, token) → groupBy(doc)) shuffles every token occurrence
+    * of the corpus twice; TextKernelsSpec pins that both agree.
+    */
+  def tokenDiversity(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol),
+        call_function("graft_token_stats", tokens(col(textCol))).as("s"))
+      .select(col(idCol),
+        element_at(col("s"), 1).as("distinct_tokens"),
+        element_at(col("s"), 2).as("total_tokens"),
+        element_at(col("s"), 3).as("sum_sq"))
+      .withColumn("ttr",
+        round(col("distinct_tokens") / col("total_tokens"), 6))
+      .withColumn("simpson",
+        round(col("sum_sq") / (col("total_tokens") * col("total_tokens")), 6))
+
+  // ---- q77: lexical diversity -------------------------------------------------
+  private def q77(s: SparkSession, d: String): DataFrame =
+    tokenDiversity(Tables.documents(s, d), "doc_id", "text")
+      .orderBy(col("doc_id"))
+  private val q77Sql =
+    """WITH t AS (
+         SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+       c AS (SELECT doc_id, tok, count(*) AS c FROM t GROUP BY 1, 2),
+       s AS (
+         SELECT doc_id, count(*)::BIGINT AS distinct_tokens,
+           sum(c)::BIGINT AS total_tokens, sum(c * c)::BIGINT AS sum_sq
+         FROM c GROUP BY 1)
+       SELECT doc_id, distinct_tokens, total_tokens, sum_sq,
+         round(distinct_tokens / total_tokens, 6) AS ttr,
+         round(sum_sq / (total_tokens * total_tokens), 6) AS simpson
+       FROM s ORDER BY doc_id"""
+
   // ---- q24: document fingerprint (rolling hash) -------------------------------
   // Per-document 31-bit polynomial hash of the full character stream — the
   // cheap exact-dedup / shard-routing key. Pure map-side.
@@ -273,5 +315,6 @@ object TextAnalysis {
     QueryDef("q23_lang_id", q23, Some(q23Sql)),
     QueryDef("q24_fingerprint", q24, Some(q24Sql)),
     QueryDef("q61_gopher_filter", q61, Some(q61Sql)),
-    QueryDef("q73_normalize_text", q73, Some(q73Sql)))
+    QueryDef("q73_normalize_text", q73, Some(q73Sql)),
+    QueryDef("q77_lexical_diversity", q77, Some(q77Sql)))
 }

@@ -42,6 +42,33 @@ class TextKernelsSpec extends SparkSpec {
     assert(r.getSeq[String](2) === Seq.empty)
   }
 
+  test("token-stats kernel equals the explode/groupBy relational form") {
+    val rel = Tables.documents(spark, sf)
+      .select($"doc_id", explode(tokens($"text")).as("tok"))
+      .groupBy($"doc_id", $"tok").count()
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("d"), sum($"count").as("t"),
+        sum($"count" * $"count").as("s"))
+    val ker = Tables.documents(spark, sf)
+      .select($"doc_id",
+        call_function("graft_token_stats", tokens($"text")).as("st"))
+      .select($"doc_id", element_at($"st", 1).as("d"),
+        element_at($"st", 2).as("t"), element_at($"st", 3).as("s"))
+    assert(ker.exceptAll(rel).count() === 0 &&
+      rel.exceptAll(ker).count() === 0)
+  }
+
+  test("token-stats kernel skips null slots and handles the empty array") {
+    val r = Seq(
+        (1L, Seq[String]("a", null, "a", "b")),
+        (2L, Seq.empty[String]))
+      .toDF("id", "toks")
+      .select($"id", call_function("graft_token_stats", $"toks").as("s"))
+      .orderBy($"id").as[(Long, Seq[Long])].collect()
+    assert(r(0)._2 === Seq(2L, 3L, 5L)) // {a:2, b:1}: 2 distinct, 3 total, 4+1
+    assert(r(1)._2 === Seq(0L, 0L, 0L))
+  }
+
   test("token-hits kernel equals the filter/array_contains built-ins form") {
     val words = Seq("the", "a", "of", "and", "to")
     val hof = size(filter(tokens($"text"), t =>

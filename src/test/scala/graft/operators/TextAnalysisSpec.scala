@@ -58,6 +58,21 @@ class TextAnalysisSpec extends SparkSpec {
       s"normalization must not shuffle:\n${plan.take(1500)}")
   }
 
+  test("tokenDiversity is zero-shuffle and agrees with hand counts") {
+    val df = Seq((1L, "a b a"), (2L, "x")).toDF("doc_id", "text")
+    val got = TextAnalysis.tokenDiversity(df, "doc_id", "text")
+      .orderBy("doc_id")
+      .select("distinct_tokens", "total_tokens", "sum_sq", "ttr", "simpson")
+      .as[(Long, Long, Long, Double, Double)].collect()
+    assert(got(0) === ((2L, 3L, 5L, 0.666667, 0.555556)))
+    assert(got(1) === ((1L, 1L, 1L, 1.0, 1.0)))
+    val plan = TextAnalysis.tokenDiversity(
+        graft.Tables.documents(spark, sf), "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"diversity must not shuffle:\n${plan.take(1500)}")
+  }
+
   test("gopherFilter is a single-pass map-side plan with no exchange") {
     val plan = TextAnalysis.gopherFilter(
         graft.Tables.documents(spark, sf), "doc_id", "text")
