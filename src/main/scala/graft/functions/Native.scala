@@ -106,6 +106,20 @@ object Native {
       },
       "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_winnow",
+      exprs => {
+        require(exprs.length == 3,
+          "graft_winnow(tokens, k, w) takes an array and two int literals")
+        def intLit(e: org.apache.spark.sql.catalyst.expressions.Expression): Int =
+          e match {
+            case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+            case other => throw new IllegalArgumentException(
+              s"graft_winnow expects int literals, got $other")
+          }
+        WinnowFingerprints(exprs.head, intLit(exprs(1)), intLit(exprs(2)))
+      },
+      "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_token_stats",
       exprs => {
         require(exprs.length == 1, "graft_token_stats(tokens) takes one array")

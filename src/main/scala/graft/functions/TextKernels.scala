@@ -106,6 +106,56 @@ object TokenDiversityUtil {
   }
 }
 
+object WinnowUtil {
+  /** Winnowing (MOSS) fingerprint selection in one pass: polyhash every
+    * word k-gram, slide a window of `w` consecutive gram hashes, select
+    * the minimum of each window (rightmost on ties — robust winnowing),
+    * record each selected position once. A document shorter than one full
+    * window yields its single global (rightmost) minimum. Output longs
+    * encode `pos << 31 | hash` (polyhash < 2^31; callers decode with
+    * shiftright/mask).
+    *
+    * O(m) via a monotonic deque — `>=` pops on push keep the RIGHTMOST of
+    * equal minima at the front. Selected positions are non-decreasing
+    * across windows, so duplicate picks are consecutive and the lastPick
+    * check is a full dedup.
+    */
+  def select(toks: ArrayData, k: Int, w: Int): ArrayData = {
+    val cnt = toks.numElements()
+    val m = cnt - k + 1
+    if (m < 1) return new GenericArrayData(Array.empty[Any])
+    val parts = new Array[UTF8String](k)
+    val hs = new Array[Long](m)
+    var g = 0
+    while (g < m) {
+      var j = 0
+      while (j < k) { parts(j) = toks.getUTF8String(g + j); j += 1 }
+      hs(g) = SimHashUtil.polyHash(
+        UTF8String.concatWs(UTF8String.fromString(" "), parts: _*))
+      g += 1
+    }
+    val out = new java.util.ArrayList[Any]()
+    val deque = new java.util.ArrayDeque[Int]()
+    var lastPick = -1
+    var i = 0
+    while (i < m) {
+      while (!deque.isEmpty && hs(deque.peekLast) >= hs(i)) deque.pollLast()
+      deque.addLast(i)
+      if (i >= w - 1) {
+        while (deque.peekFirst < i - w + 1) deque.pollFirst()
+        val p = deque.peekFirst
+        if (p != lastPick) { out.add(p.toLong << 31 | hs(p)); lastPick = p }
+      }
+      i += 1
+    }
+    if (m < w) {
+      val p = deque.peekFirst
+      out.add(p.toLong << 31 | hs(p))
+    }
+    new GenericArrayData(out.toArray)
+  }
+}
+
 object TokenHitsUtil {
   /** Occurrences (multiset count) of tokens present in `set`; null slots
     * are skipped — `array_contains(words, null)` is null, which the HOF
@@ -223,6 +273,26 @@ final case class TokenDiversity(child: Expression)
       toks => s"graft.functions.TokenDiversityUtil.stats($toks)")
 
   override protected def withNewChildInternal(newChild: Expression): TokenDiversity =
+    copy(child = newChild)
+}
+
+/** Winnowing fingerprint selection over word k-grams (window `w` of gram
+  * hashes, rightmost-min). Longs encode `pos << 31 | polyhash`.
+  */
+final case class WinnowFingerprints(child: Expression, k: Int, w: Int)
+    extends UnaryExpression with TokenArrayKernel {
+  require(k >= 1 && w >= 1, "k-gram size and window must be >= 1")
+  override protected def fnName: String = "graft_winnow"
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override protected def nullSafeEval(toks: Any): Any =
+    WinnowUtil.select(toks.asInstanceOf[ArrayData], k, w)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      toks => s"graft.functions.WinnowUtil.select($toks, $k, $w)")
+
+  override protected def withNewChildInternal(newChild: Expression): WinnowFingerprints =
     copy(child = newChild)
 }
 

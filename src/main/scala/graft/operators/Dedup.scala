@@ -584,6 +584,64 @@ object Dedup {
          max(CASE WHEN rn = 1 THEN n_chars END) AS keeper_score
        FROM ranked GROUP BY cluster_id ORDER BY cluster_id"""
 
+  /** Winnowing (MOSS) fingerprints: per document, the positions + hashes
+    * selected by sliding a window of `w` consecutive word-`k`-gram
+    * polyhashes and keeping each window's minimum (rightmost on ties).
+    * Guarantees every shared token run of length >= k + w - 1 contributes
+    * at least one SHARED fingerprint between two documents — the
+    * substring-level (partial-overlap) dedup primitive that whole-document
+    * MinHash cannot provide.
+    *
+    * Scale design: selection is the [[graft.functions.WinnowFingerprints]]
+    * native kernel — one compiled pass per row (monotonic deque, O(grams)),
+    * zero shuffle; density ~2/(w+1) means the exploded output is a small
+    * fraction of the gram stream, and overlap detection joins on 8-byte
+    * (fp) keys only — the text never shuffles.
+    */
+  def winnowFingerprints(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 3, w: Int = 4): DataFrame =
+    df.select(col(idCol),
+        explode(call_function("graft_winnow",
+          tokens(col(textCol)), lit(k), lit(w))).as("enc"))
+      .select(col(idCol),
+        shiftright(col("enc"), 31).as("pos"),
+        (col("enc").bitwiseAND(lit(0x7FFFFFFFL))).as("fp"))
+
+  // ---- q78: winnowing fingerprints --------------------------------------------
+  // Exploded (doc_id, pos, fp) selections over the full corpus; the oracle
+  // recomputes gram polyhashes with list_reduce (q24's construction) and
+  // the rightmost-min window selection via an order-encoding min key
+  // (h * 2^20 + (2^20-1-pos): smallest hash wins, ties -> largest pos).
+  private def q78(s: SparkSession, d: String): DataFrame =
+    winnowFingerprints(Tables.documents(s, d), "doc_id", "text", k = 3, w = 4)
+      .orderBy(col("doc_id"), col("pos"))
+  private val q78Sql =
+    """WITH toks AS (
+         SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+       g AS (
+         SELECT doc_id, i,
+           list_reduce(list_prepend(0::BIGINT,
+               list_transform(string_split(
+                 t[i + 1] || ' ' || t[i + 2] || ' ' || t[i + 3], ''),
+                 c -> ord(c)::BIGINT)),
+             (acc, c) -> (acc * 131 + c) % 2147483647) AS h,
+           len(t) - 2 AS m
+         FROM toks, unnest(range(0, len(t) - 2)) AS u(i)
+         WHERE len(t) >= 3),
+       keys AS (
+         SELECT doc_id, i, m, h * 1048576 + (1048575 - i) AS key FROM g),
+       sel AS (
+         SELECT doc_id, i AS j, m,
+           min(key) OVER (PARTITION BY doc_id ORDER BY i
+             ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS k
+         FROM keys),
+       pick AS (
+         SELECT DISTINCT doc_id,
+           (1048575 - (k % 1048576))::BIGINT AS pos,
+           (k // 1048576)::BIGINT AS fp
+         FROM sel WHERE j <= greatest(0, m - 4))
+       SELECT doc_id, pos, fp FROM pick ORDER BY doc_id, pos"""
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q25_exact_dedup", q25, Some(q25Sql)),
     QueryDef("q26_ngram_jaccard", q26, Some(exactJaccardSql)),
@@ -594,5 +652,6 @@ object Dedup {
     QueryDef("q60_dedup_clusters", q60, Some(q60Sql)),
     QueryDef("q64_dup_matrix", q64, Some(q64Sql)),
     QueryDef("q67_dedup_keep", q67, Some(q67Sql)),
-    QueryDef("q70_dedup_keep_best", q70, Some(q70Sql)))
+    QueryDef("q70_dedup_keep_best", q70, Some(q70Sql)),
+    QueryDef("q78_winnow_fingerprints", q78, Some(q78Sql)))
 }

@@ -69,6 +69,32 @@ class TextKernelsSpec extends SparkSpec {
     assert(r(1)._2 === Seq(0L, 0L, 0L))
   }
 
+  test("winnow kernel: guarantee, short docs, rightmost ties, determinism") {
+    def picks(text: String): Seq[(Long, Long)] =
+      graft.operators.Dedup.winnowFingerprints(
+          Seq((1L, text)).toDF("doc_id", "text"), "doc_id", "text")
+        .select($"pos", $"fp").as[(Long, Long)].collect().toSeq
+
+    // Winnowing guarantee: two docs sharing a token run of length
+    // >= k + w - 1 = 6 share at least one fingerprint.
+    val a = picks("p q r SHARED RUN OF six common tokens HERE x y z")
+    val b = picks("different prefix words SHARED RUN OF six common tokens HERE")
+    assert(a.map(_._2).toSet.intersect(b.map(_._2).toSet).nonEmpty)
+
+    // Shorter than one full window (m < w): exactly one global pick.
+    assert(picks("a b c d e").size === 1)   // 3 grams < w=4
+    // Below k tokens: no grams, no picks.
+    assert(picks("a b").isEmpty)
+
+    // Rightmost tie: identical windows -> the LAST minimal gram is picked.
+    val t = picks("a a a a a a a a")        // all grams equal
+    assert(t.map(_._1) === t.map(_._1).sorted)
+    assert(t.head._1 === 3L)                // first window picks pos 3 (rightmost)
+
+    // Deterministic across invocations.
+    assert(picks("x y z w v u t s") === picks("x y z w v u t s"))
+  }
+
   test("token-hits kernel equals the filter/array_contains built-ins form") {
     val words = Seq("the", "a", "of", "and", "to")
     val hof = size(filter(tokens($"text"), t =>
