@@ -17,7 +17,8 @@ object SparkEntry {
       operators.Dedup.defs ++ operators.Similarity.defs ++
       operators.Media.defs ++ operators.TypedAggs.defs ++
       operators.SqlSurface.defs ++ operators.PipelineOps.defs ++
-      operators.Analytics.defs ++ operators.Profile.defs
+      operators.Analytics.defs ++ operators.Profile.defs ++
+      operators.Layout.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
