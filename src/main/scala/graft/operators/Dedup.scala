@@ -615,8 +615,11 @@ object Dedup {
   private def q78(s: SparkSession, d: String): DataFrame =
     winnowFingerprints(Tables.documents(s, d), "doc_id", "text", k = 3, w = 4)
       .orderBy(col("doc_id"), col("pos"))
-  private val q78Sql =
-    """WITH toks AS (
+  /** Winnow selection CTEs (ends with `pick(doc_id, pos, fp)`), shared by
+    * q78 (raw selections) and q80 (overlap pairs).
+    */
+  private val winnowCtes =
+    """toks AS (
          SELECT doc_id, string_split(text, ' ') AS t FROM documents),
        g AS (
          SELECT doc_id, i,
@@ -639,8 +642,54 @@ object Dedup {
          SELECT DISTINCT doc_id,
            (1048575 - (k % 1048576))::BIGINT AS pos,
            (k // 1048576)::BIGINT AS fp
-         FROM sel WHERE j <= greatest(0, m - 4))
-       SELECT doc_id, pos, fp FROM pick ORDER BY doc_id, pos"""
+         FROM sel WHERE j <= greatest(0, m - 4))"""
+  private val q78Sql =
+    s"WITH $winnowCtes SELECT doc_id, pos, fp FROM pick ORDER BY doc_id, pos"
+
+  /** Partial-overlap (substring-level) near-dup pairs: documents sharing at
+    * least `minShared` winnowed fingerprints, with the shared count — the
+    * MOSS report row. Catches copied PASSAGES between otherwise-different
+    * documents, which whole-document MinHash misses by design.
+    *
+    * Scale design: after the per-row native selection, only distinct
+    * (doc_id, fp) longs survive — density ~2/(w+1) of the gram stream — and
+    * the self-join shuffles 8-byte fp keys, never text. Ultra-frequent
+    * fingerprints (boilerplate) are the skew hazard at 100 TB: `maxDocFreq`
+    * drops any fp seen in more than that many documents BEFORE the join
+    * (MOSS does the same), capping every bucket's pair fan-out.
+    */
+  def winnowOverlapPairs(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 3, w: Int = 4, minShared: Int = 2,
+      maxDocFreq: Int = Int.MaxValue): DataFrame = {
+    val fps0 = winnowFingerprints(df, idCol, textCol, k, w)
+      .select(col(idCol), col("fp")).distinct()
+    val fps =
+      if (maxDocFreq == Int.MaxValue) fps0
+      else {
+        val hot = fps0.groupBy(col("fp"))
+          .agg(count(lit(1)).as("df")).filter(col("df") > maxDocFreq)
+          .select(col("fp"))
+        fps0.join(broadcast(hot), Seq("fp"), "left_anti")
+      }
+    fps.as("a").join(fps.as("b"),
+        col(s"a.fp") === col(s"b.fp") &&
+          col(s"a.$idCol") < col(s"b.$idCol"))
+      .groupBy(col(s"a.$idCol").as("d1"), col(s"b.$idCol").as("d2"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
+  // ---- q80: winnow overlap pairs ----------------------------------------------
+  private def q80(s: SparkSession, d: String): DataFrame =
+    winnowOverlapPairs(Tables.documents(s, d), "doc_id", "text",
+        k = 3, w = 4, minShared = 2)
+      .orderBy(col("d1"), col("d2"))
+  private val q80Sql =
+    s"""WITH $winnowCtes,
+       f AS (SELECT DISTINCT doc_id, fp FROM pick)
+       SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS n_shared
+       FROM f a JOIN f b ON a.fp = b.fp AND a.doc_id < b.doc_id
+       GROUP BY 1, 2 HAVING count(*) >= 2 ORDER BY 1, 2"""
 
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q25_exact_dedup", q25, Some(q25Sql)),
@@ -653,5 +702,6 @@ object Dedup {
     QueryDef("q64_dup_matrix", q64, Some(q64Sql)),
     QueryDef("q67_dedup_keep", q67, Some(q67Sql)),
     QueryDef("q70_dedup_keep_best", q70, Some(q70Sql)),
-    QueryDef("q78_winnow_fingerprints", q78, Some(q78Sql)))
+    QueryDef("q78_winnow_fingerprints", q78, Some(q78Sql)),
+    QueryDef("q80_winnow_overlap", q80, Some(q80Sql)))
 }

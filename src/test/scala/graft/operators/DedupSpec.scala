@@ -85,4 +85,30 @@ class DedupSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("did not converge"))
   }
+
+  test("winnowOverlapPairs finds shared passages and maxDocFreq drops boilerplate") {
+    // 1 and 2 share a long passage (>= k+w-1 = 6 tokens guarantees shared
+    // fingerprints); 3 is unrelated. A boilerplate footer on ALL docs would
+    // link everything — maxDocFreq must cut those fps out.
+    val footer = "copyright footer boilerplate terms apply here"
+    val docs = Seq(
+      (1L, s"alpha beta the quick brown fox jumps over lazy dog gamma $footer"),
+      (2L, s"delta epsilon the quick brown fox jumps over lazy dog zeta $footer"),
+      (3L, s"totally unrelated content about database engines and queries $footer"))
+      .toDF("doc_id", "text")
+
+    val all = Dedup.winnowOverlapPairs(docs, "doc_id", "text", minShared = 1)
+      .select($"d1", $"d2").as[(Long, Long)].collect().toSet
+    assert(all.contains((1L, 2L)))
+
+    val filtered = Dedup.winnowOverlapPairs(docs, "doc_id", "text",
+        minShared = 1, maxDocFreq = 2)
+      .select($"d1", $"d2").as[(Long, Long)].collect().toSet
+    assert(filtered === Set((1L, 2L)), "footer fps (df=3) must be dropped")
+
+    // Ordering invariant: d1 < d2 always.
+    val rows = Dedup.winnowOverlapPairs(docs, "doc_id", "text", minShared = 1)
+      .as[(Long, Long, Long)].collect()
+    assert(rows.forall(r => r._1 < r._2))
+  }
 }
