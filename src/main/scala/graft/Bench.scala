@@ -44,7 +44,15 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
-    val results = SparkEntry.headlines.map { q =>
+    // Optional arg: comma-separated query names to time instead of the
+    // headline set (dev tool; the driver invokes with no args).
+    val picked = args.headOption match {
+      case Some(names) =>
+        val want = names.split(',').toSeq
+        SparkEntry.allDefs.filter(q => want.exists(q.name.startsWith))
+      case None => SparkEntry.headlines
+    }
+    val results = picked.map { q =>
       once(q) // isolated warm pass
       q.name -> Seq(once(q), once(q), once(q)).min
     }

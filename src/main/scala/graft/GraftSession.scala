@@ -15,6 +15,7 @@ object GraftSession {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .appName(appName)
+      .withExtensions(_.injectPlannerStrategy(_ => plans.AsOfJoinStrategy))
       .config("spark.sql.shuffle.partitions", cpus.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

@@ -140,5 +140,14 @@ object Native {
         MinHashBands(exprs.head, intLit(exprs(1)), intLit(exprs(2)))
       },
       "built-in")
+
+    // Planner strategy for the native as-of join (graft.plans). Sessions
+    // built by GraftSession.local also get it via SparkSessionExtensions;
+    // this covers externally-built sessions (Verify/Bench/driver) through
+    // the public experimental-methods hook. Idempotent.
+    val classic = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    if (!classic.experimental.extraStrategies.contains(graft.plans.AsOfJoinStrategy))
+      classic.experimental.extraStrategies =
+        classic.experimental.extraStrategies :+ graft.plans.AsOfJoinStrategy
   }
 }

@@ -100,6 +100,63 @@ object AsOfJoin {
     matched.select(out: _*)
   }
 
+  /** Left as-of join via the engine's NATIVE sorted-merge operator
+    * (graft.plans.AsOfMergeJoinExec) — same semantics and result as
+    * [[leftAsOf]] (equivalence is spec-pinned and both are DuckDB-oracle
+    * checked), different physical shape: each side shuffles in its own
+    * narrow schema and is merged in one O(1)-state pass per partition,
+    * instead of union-widening every row and buffering a window frame.
+    * Exchanges/sorts are REQUIREMENTS, not operators we schedule — a
+    * bucketed-sorted side plans with zero exchanges.
+    *
+    * Requires the strategy to be registered (any `Native.register` /
+    * GraftSession entry point does this). Time columns must be long-backed
+    * (long / int / timestamp / timestamp_ntz / date).
+    */
+  def leftAsOfNative(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      leftTime: String,
+      rightTime: String,
+      rightPayload: Seq[String],
+      direction: String = "backward"): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute}
+    import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, Project}
+    import org.apache.spark.sql.graftshim.GraftShim
+    import org.apache.spark.sql.types._
+    require(Seq("backward", "forward", "nearest").contains(direction),
+      s"unknown as-of direction '$direction'")
+    require(keys.nonEmpty, "as-of join requires at least one key column")
+    val ls = GraftShim.analyzed(left)
+    // A self-join (shared lineage) would alias the same attribute ids on
+    // both sides; re-key the right side with fresh ids so resolution is
+    // unambiguous (what Spark's dedup-relations rule does for Join).
+    val rs0 = GraftShim.analyzed(right)
+    val rs: LogicalPlan =
+      if (ls.outputSet.intersect(rs0.outputSet).isEmpty) rs0
+      else Project(rs0.output.map(a => Alias(a, a.name)()), rs0)
+    def attr(p: LogicalPlan, n: String, side: String): Attribute =
+      p.output.find(_.name == n).getOrElse(throw new IllegalArgumentException(
+        s"$side column '$n' not found among ${p.output.map(_.name).mkString(", ")}"))
+    val longBacked: Set[DataType] =
+      Set(LongType, IntegerType, TimestampType, TimestampNTZType, DateType)
+    val (lt, rt) = (attr(ls, leftTime, "left time"), attr(rs, rightTime, "right time"))
+    require(longBacked.contains(lt.dataType) && rt.dataType == lt.dataType,
+      s"as-of time columns must share a long-backed type, got " +
+        s"${lt.dataType} / ${rt.dataType}")
+    val lk = keys.map(attr(ls, _, "left key"))
+    val rk = keys.map(attr(rs, _, "right key"))
+    lk.zip(rk).foreach { case (a, b) =>
+      require(a.dataType == b.dataType,
+        s"as-of key '${a.name}' type mismatch: ${a.dataType} vs ${b.dataType}")
+    }
+    val payload = rightPayload.map(n => Alias(attr(rs, n, "payload"), n)())
+    val payloadOut = payload.map(_.toAttribute.withNullability(true))
+    GraftShim.ofRows(left.sparkSession,
+      graft.plans.AsOfJoinNode(ls, rs, lk, rk, lt, rt, payload, payloadOut, direction))
+  }
+
   /** Range join: left rows matched to right rows of the same key with
     * rightTime in [leftTime - before, leftTime + after]. Spark plans this as
     * an equi-join on the keys with the range as a post-filter, so it shuffles

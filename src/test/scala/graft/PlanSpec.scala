@@ -31,9 +31,18 @@ class PlanSpec extends SparkSpec {
     assert(!p5.contains("CartesianProduct"))
   }
 
-  test("q19 as-of join: union+window, no join operator at all") {
+  test("q19 as-of join: native sorted-merge, no window buffer, narrow sides") {
     val p = plan("q19_asof_join")
-    assert(!p.contains("Join"), s"as-of should be join-free:\n${p.take(1500)}")
+    assert(p.contains("AsOfMergeJoin"), s"expected the native operator:\n${p.take(1500)}")
+    // The whole point of the native form: no WindowExec partition buffer
+    // and no union row-widening before the exchange.
+    assert(!p.contains("Window"), s"native as-of must not plan a window:\n${p.take(1500)}")
+    assert(!p.contains("Union"), s"native as-of must not union the sides:\n${p.take(1500)}")
+  }
+
+  test("q81 composed as-of: union+window, no join operator at all") {
+    val p = plan("q81_asof_composed")
+    assert(!p.contains("Join"), s"composed as-of should be join-free:\n${p.take(1500)}")
     assert(p.contains("Window"))
   }
 
