@@ -58,6 +58,31 @@ class AsOfMergeJoinSpec extends SparkSpec {
     assert(exchanges <= 3, s"expected one exchange per side + agg prep:\n$p")
   }
 
+  test("plan: pre-partitioned pre-sorted sides add no exchange and no sort") {
+    // The scale contract behind declaring exchanges/sorts as child
+    // REQUIREMENTS: a side that already has the right layout (bucketed
+    // table, prior stage's output) is merged as-is. Here both sides are
+    // explicitly hash-partitioned on the key and sorted by (key, time), so
+    // EnsureRequirements must insert nothing — the only exchanges in the
+    // plan are the two explicit repartitions, and no Sort node exists.
+    val (purchases0, clicks0) = inputs
+    val purchases = purchases0.repartition(4, $"user_id")
+      .sortWithinPartitions($"user_id", $"ts")
+    val clicks = clicks0.repartition(4, $"user_id")
+      .sortWithinPartitions($"user_id", $"ts")
+    val df = AsOfJoin.leftAsOfNative(purchases, clicks,
+      Seq("user_id"), "ts", "ts", Seq("click_id"))
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    assert(p.contains("AsOfMergeJoin"), p)
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    // 2 explicit repartitions + the clicks-dedup aggregate's input prep.
+    assert(exchanges <= 3, s"join added an exchange over pre-partitioned sides:\n$p")
+    // Exactly the two explicit sortWithinPartitions — the join added none.
+    val sorts = "Sort \\[".r.findAllIn(p).size
+    assert(sorts == 2, s"join added a sort over pre-sorted sides ($sorts):\n$p")
+  }
+
   test("null keys and null times never match; nulls pass through left-outer") {
     val left = Seq(
       (1L, Option("u1"), Option(ts("2024-01-01 10:00:00"))),
