@@ -40,6 +40,63 @@ object TypedAggs {
     override def outputEncoder: Encoder[Seq[T]] = ExpressionEncoder()
   }
 
+  /** Misra–Gries heavy-hitters summary: at most k counters plus the exact
+    * total item count (which rides along so the threshold pass needs no
+    * second scan).
+    */
+  final case class MgSummary(counts: Map[String, Long], total: Long)
+
+  /** Misra–Gries frequent-items sketch over a string stream. The buffer
+    * holds at most k counters; stored counts undercount true frequency by
+    * at most total/(k+1), and the undercount bound survives merging
+    * (Agarwal et al., "Mergeable Summaries", PODS 2012) — so every item
+    * with true frequency > total/(k+1) is GUARANTEED to be among the
+    * candidates. That guarantee is what makes a sketch usable under an
+    * exact oracle: filter the corpus to the candidate set (tiny, broadcast
+    * into the scan), count exactly, and keep items above a threshold
+    * coarser than the sketch error — the result is the exact answer set,
+    * independent of partitioning or merge order.
+    *
+    * The scale property: a plain groupBy-count heavy-hitters query
+    * shuffles one row per DISTINCT token (billions at corpus scale); this
+    * pass shuffles k counters per map partition, and the follow-up exact
+    * count filters to ≤ k tokens BEFORE its shuffle.
+    *
+    * Decrement-all is O(k) but fires at most total/k times (each firing
+    * removes k count mass, each row adds 1), so the pass stays O(total).
+    */
+  class MisraGries(k: Int)
+      extends Aggregator[String, MgSummary, (Seq[String], Long)] {
+    override def zero: MgSummary = MgSummary(Map.empty, 0L)
+    override def reduce(b: MgSummary, tok: String): MgSummary = {
+      val m = b.counts
+      val m2 = m.get(tok) match {
+        case Some(c) => m.updated(tok, c + 1)
+        case None if m.size < k => m.updated(tok, 1L)
+        case None => m.collect { case (t, c) if c > 1 => t -> (c - 1) }
+      }
+      MgSummary(m2, b.total + 1)
+    }
+    override def merge(b1: MgSummary, b2: MgSummary): MgSummary = {
+      val sum = (b1.counts.keySet ++ b2.counts.keySet).iterator
+        .map(t => t -> (b1.counts.getOrElse(t, 0L) + b2.counts.getOrElse(t, 0L)))
+        .toMap
+      val pruned =
+        if (sum.size <= k) sum
+        else {
+          // Subtract the (k+1)th-largest count from all; ties with the cut
+          // drop too, so at most k survive and the error bound still holds.
+          val cut = sum.values.toIndexedSeq.sorted(Ordering[Long].reverse)(k)
+          sum.collect { case (t, c) if c > cut => t -> (c - cut) }
+        }
+      MgSummary(pruned, b1.total + b2.total)
+    }
+    override def finish(b: MgSummary): (Seq[String], Long) =
+      (b.counts.keys.toSeq.sorted, b.total)
+    override def bufferEncoder: Encoder[MgSummary] = ExpressionEncoder()
+    override def outputEncoder: Encoder[(Seq[String], Long)] = ExpressionEncoder()
+  }
+
   final case class LiRow(
       l_suppkey: Long, l_orderkey: Long, l_linenumber: Int, l_extendedprice: Double)
 
@@ -113,8 +170,39 @@ object TypedAggs {
          true AS within_bound
        FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"""
 
+  // ---- q83: sketch-verified heavy hitters ------------------------------------
+  // Tokens occurring in more than 1/200th of the corpus. Pass 1 is the
+  // Misra-Gries sketch (k=400 counters per partial, guarantee covers any
+  // f > total/401 so the 1/200 threshold is safely inside it) and yields
+  // candidates + exact total in ONE scan; pass 2 exact-counts ONLY the
+  // candidate tokens (the IN-set filter reaches the scan, so the shuffle
+  // carries k tokens' worth of rows, not the corpus vocabulary). The
+  // collect between passes is one summary row of ≤ k strings — the
+  // standard sketch-to-driver handoff, not a data collect. Thresholding
+  // uses integer cross-multiplication so both engines compare exactly.
+  private def q83(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val toks = Tables.documents(s, d)
+      .select(explode(split(col("text"), " ")).as("token"))
+    val (cands, total) =
+      toks.as[String].select(new MisraGries(400).toColumn).head()
+    toks.filter(col("token").isInCollection(cands))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("n_occurrences"))
+      .filter(col("n_occurrences") * 200 > lit(total))
+      .orderBy(col("token"))
+  }
+  private val q83Sql =
+    """WITH toks AS (
+         SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+       SELECT token, count(*) AS n_occurrences
+       FROM toks GROUP BY token
+       HAVING count(*) * 200 > (SELECT count(*) FROM toks)
+       ORDER BY token"""
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q34_topk_aggregator", q34, Some(q34Sql)),
     QueryDef("q35_pivot", q35, Some(q35Sql)),
-    QueryDef("q36_approx_distinct", q36, Some(q36Sql)))
+    QueryDef("q36_approx_distinct", q36, Some(q36Sql)),
+    QueryDef("q83_heavy_hitters", q83, Some(q83Sql)))
 }

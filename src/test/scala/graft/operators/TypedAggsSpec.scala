@@ -11,6 +11,43 @@ class TypedAggsSpec extends SparkSpec {
     assert(viaAgg.collect().toSeq === viaWindow.collect().toSeq)
   }
 
+  test("Misra-Gries candidates cover every item above total/(k+1), any layout") {
+    import spark.implicits._
+    // Zipf-ish stream: token i appears ~30000/i times, plus a long unique
+    // tail that forces constant counter eviction.
+    val skewed = (1 to 50).flatMap(i => Seq.fill(30000 / i)(s"hot_$i")) ++
+      (1 to 40000).map(i => s"tail_$i")
+    val n = skewed.length.toLong
+    val exact = skewed.groupBy(identity).map { case (t, xs) => t -> xs.length.toLong }
+    for (k <- Seq(50, 200); parts <- Seq(1, 7, 32)) {
+      val ds = spark.sparkContext.parallelize(
+        new scala.util.Random(42).shuffle(skewed), parts).toDS()
+      val (cands, total) = ds.select(new TypedAggs.MisraGries(k).toColumn).head()
+      assert(total === n)
+      assert(cands.length <= k)
+      val mustHave = exact.collect { case (t, f) if f > n / (k + 1) => t }
+      val missing = mustHave.filterNot(cands.contains)
+      assert(missing.isEmpty,
+        s"k=$k parts=$parts: guarantee violated for ${missing.take(5)}")
+    }
+  }
+
+  test("q83 heavy hitters equals the exact full groupBy answer") {
+    import spark.implicits._
+    val sketched = SparkEntry.queries("q83_heavy_hitters")(spark, sf)
+      .as[(String, Long)].collect().toSeq
+    val toks = Tables.documents(spark, sf)
+      .select(explode(split(col("text"), " ")).as("token"))
+    val total = toks.count()
+    val exact = toks.groupBy(col("token"))
+      .agg(count(lit(1)).as("n_occurrences"))
+      .filter(col("n_occurrences") * 200 > lit(total))
+      .orderBy(col("token"))
+      .as[(String, Long)].collect().toSeq
+    assert(sketched === exact)
+    assert(sketched.nonEmpty, "fixture should contain heavy tokens")
+  }
+
   test("approx_count_distinct is within the configured error of truth") {
     val approx = SparkEntry.queries("q36_approx_distinct")(spark, sf)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
