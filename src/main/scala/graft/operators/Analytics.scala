@@ -332,6 +332,71 @@ object Analytics {
        FROM e JOIN f USING (user_id)
        GROUP BY 1, 2 ORDER BY 1, 2"""
 
+  /** Regular-grid gap filling with forward fill (time-series resampling):
+    * per key, build the complete daily spine from the key's first to last
+    * observed day, left-join the observed daily aggregate onto it, and
+    * carry the last observed value across the gaps — the standard
+    * densification step before any per-entity time-series model.
+    *
+    * Scale design: the daily aggregate collapses the raw event stream to
+    * |key × active-days| rows with map-side partials before its exchange;
+    * the spine is generated per key from that already-collapsed relation
+    * (`sequence` + `explode` — pure map work, no driver loop, no global
+    * calendar join); and the forward-fill window re-uses the same hash
+    * partitioning on the key, sorting only each key's |days| rows — the
+    * raw events are never window-sorted. Spine cardinality is bounded by
+    * key-count × date-span, independent of event volume.
+    */
+  def gapFillDaily(df: DataFrame, keyCol: String, tsCol: String,
+      valueCol: String): DataFrame = {
+    val daily = df
+      .select(col(keyCol).as("k"), to_date(col(tsCol)).as("day"),
+        col(valueCol).as("v"))
+      .groupBy(col("k"), col("day"))
+      .agg(count(lit(1)).as("n_obs"), round(avg(col("v")), 6).as("day_avg"))
+    val spine = daily.groupBy(col("k"))
+      .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      .select(col("k"),
+        explode(sequence(col("d0"), col("d1"), expr("interval 1 day")))
+          .as("day"))
+    val w = Window.partitionBy(col("k")).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spine.join(daily, Seq("k", "day"), "left")
+      .select(col("k"), col("day"),
+        coalesce(col("n_obs"), lit(0L)).as("n_obs"),
+        last(col("day_avg"), ignoreNulls = true).over(w).as("filled_avg"))
+  }
+
+  // ---- q84: daily gap fill + forward fill ------------------------------------
+  private def q84(s: SparkSession, d: String): DataFrame =
+    gapFillDaily(Tables.events(s, d).filter(col("user_id") < 300),
+        "user_id", "ts", "value")
+      .withColumnRenamed("k", "user_id")
+      .orderBy(col("user_id"), col("day"))
+  private val q84Sql =
+    """WITH e AS (
+         SELECT user_id, ts::DATE AS day, value FROM events
+         WHERE user_id < 300),
+       daily AS (
+         SELECT user_id, day, count(*) AS n_obs,
+           round(avg(value), 6) AS day_avg
+         FROM e GROUP BY 1, 2),
+       bounds AS (
+         SELECT user_id, min(day) AS d0, max(day) AS d1
+         FROM daily GROUP BY 1),
+       spine AS (
+         SELECT user_id,
+           unnest(generate_series(d0, d1, INTERVAL 1 DAY))::DATE AS day
+         FROM bounds)
+       SELECT s.user_id, s.day,
+         coalesce(daily.n_obs, 0)::BIGINT AS n_obs,
+         last_value(daily.day_avg IGNORE NULLS) OVER (
+           PARTITION BY s.user_id ORDER BY s.day
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_avg
+       FROM spine s LEFT JOIN daily
+         ON s.user_id = daily.user_id AND s.day = daily.day
+       ORDER BY s.user_id, s.day"""
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q46_posexplode", q46, Some(q46Sql)),
     QueryDef("q47_percentiles", q47, Some(q47Sql)),
@@ -344,5 +409,6 @@ object Analytics {
     QueryDef("q53_string_funcs", q53, Some(q53Sql)),
     QueryDef("q65_session_windows", q65, Some(q65Sql)),
     QueryDef("q66_funnel", q66, Some(q66Sql)),
-    QueryDef("q75_retention", q75, Some(q75Sql)))
+    QueryDef("q75_retention", q75, Some(q75Sql)),
+    QueryDef("q84_gap_fill", q84, Some(q84Sql)))
 }

@@ -471,6 +471,53 @@ object PipelineOps {
        FROM documents d JOIN w USING (source)
        GROUP BY d.source ORDER BY d.source"""
 
+  /** One sampled row awaiting ranking: group, key, and its md5 draw. */
+  final case class SampleRow(g: String, id: Long, h: String)
+  private val sampleOrd: Ordering[SampleRow] =
+    Ordering.by((r: SampleRow) => (r.h, r.id))
+
+  /** EXACTLY-k-per-group deterministic sample: the k keys with the
+    * smallest md5 draws in each group. The rate-based
+    * [[hashSamplePredicate]] yields a binomial count per group; this
+    * yields a fixed quota — the form needed for "give me 10k eval docs
+    * per language" extraction jobs — while staying just as reproducible
+    * (the draw is a pure function of the key, so reruns, retries, and
+    * other engines select the identical rows).
+    *
+    * Scale design: a bounded-heap aggregation ([[TypedAggs.BoundedTopK]])
+    * — each map partial keeps at most k rows per group, so the exchange
+    * carries k·partitions rows per group instead of the whole corpus.
+    * The window `row_number` formulation (the oracle) would shuffle and
+    * sort every row of every group into |groups| tasks.
+    */
+  def sampleExactPerGroup(df: DataFrame, groupCol: String, keyCol: String,
+      k: Int): DataFrame = {
+    val s = df.sparkSession
+    import s.implicits._
+    val top = new TypedAggs.BoundedTopK[SampleRow](k, sampleOrd).toColumn
+    df.select(col(groupCol).cast("string").as("g"), col(keyCol).as("id"),
+        md5(col(keyCol).cast("string").cast("binary")).as("h"))
+      .as[SampleRow]
+      .groupByKey(_.g)
+      .agg(top.name("top"))
+      .flatMap { case (_, rows) =>
+        rows.zipWithIndex.map { case (r, i) => (r.g, i + 1, r.id) } }
+      .select(col("_1").as(groupCol), col("_2").cast("int").as("sample_rank"),
+        col("_3").as(keyCol))
+  }
+
+  // ---- q85: exact-quota deterministic per-group sampling ----------------------
+  private def q85(s: SparkSession, d: String): DataFrame =
+    sampleExactPerGroup(Tables.documents(s, d), "lang", "doc_id", k = 12)
+      .orderBy(col("lang"), col("sample_rank"))
+  private val q85Sql =
+    """SELECT lang, rn::INT AS sample_rank, doc_id FROM (
+         SELECT lang, doc_id,
+           row_number() OVER (PARTITION BY lang
+             ORDER BY md5(doc_id::VARCHAR), doc_id) AS rn
+         FROM documents)
+       WHERE rn <= 12 ORDER BY lang, sample_rank"""
+
   private def q45(s: SparkSession, d: String): DataFrame =
     repetitionRatio(Tables.documents(s, d), "doc_id", "text", n = 3)
       .orderBy(col("doc_id"))
@@ -629,5 +676,6 @@ object PipelineOps {
     QueryDef("q62_mixture_weights", q62, Some(q62Sql)),
     QueryDef("q63_bigram_lm", q63, Some(q63Sql)),
     QueryDef("q71_mixture_sample", q71, Some(q71Sql)),
-    QueryDef("q76_url_filter", q76, Some(q76Sql)))
+    QueryDef("q76_url_filter", q76, Some(q76Sql)),
+    QueryDef("q85_exact_group_sample", q85, Some(q85Sql)))
 }

@@ -133,6 +133,41 @@ object Similarity {
     rankTopK(scored, k)
   }
 
+  /** Multi-probe IVF approximate top-k: each query searches its `nprobe`
+    * NEAREST clusters instead of only its own — the standard IVF recall
+    * lever (single-probe misses any true neighbor assigned to an adjacent
+    * cell; probing the next-closest cells recovers most of them at
+    * nprobe/K of brute-force cost).
+    *
+    * Scale shape: the probe list is |Q|·nprobe rows built from a
+    * seeds-vs-queries cross of |Q|·K scored rows — both broadcast-tiny —
+    * ranked by the same bounded-heap aggregator as the main stage; the
+    * corpus-side work is one broadcast-hash probe of the assigned corpus
+    * per cluster hit, ranked by heap partials. The corpus is scanned once
+    * for assignment and once for probing, never self-joined.
+    */
+  def ivfTopKProbes(corpus: DataFrame, seeds: DataFrame, queryFilter: Column,
+      idCol: String, vecCol: String, k: Int, nprobe: Int): DataFrame = {
+    val assigned = ivfAssign(corpus, seeds, idCol, vecCol)
+    val queries = assigned.filter(queryFilter)
+      .select(col(idCol).as("query_id"), col(vecCol).as("qe"))
+    val se = seeds.select(col(idCol).as("neighbor_id"), col(vecCol).as("se"))
+    val probeScored = broadcast(queries).join(broadcast(se))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("qe"), col("se")).as("c"))
+    val probes = rankTopK(probeScored, nprobe)
+      .select(col("query_id"), col("neighbor_id").as("cluster"))
+      .join(queries, "query_id")
+    val scored = broadcast(probes).join(
+        assigned.select(col(idCol).as("neighbor_id"), col(vecCol).as("ne"),
+          col("cluster")),
+        Seq("cluster"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("qe"), col("ne")).as("c"))
+    rankTopK(scored, k)
+  }
+
   /** Hyperplane-LSH bucket id: bit i = sign of dot(v, seed_i). Vectors in
     * the same bucket agree with all `numPlanes` seed hyperplanes — cosine
     * neighbors collide with high probability. Deterministic (seeds are
@@ -239,6 +274,52 @@ object Similarity {
        SELECT query_id, rank::INT AS rank, neighbor_id, round(c, 6) AS cos_sim
        FROM ranked WHERE rank <= $TopK ORDER BY query_id, rank"""
 
+  private val NProbe = 3
+
+  private def q86(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+    ivfTopKProbes(e, e.filter(col("vec_id") < NumSeeds),
+        col("vec_id") < NumQueries, "vec_id", "embedding", TopK, NProbe)
+      .orderBy(col("query_id"), col("rank"))
+  }
+  private val q86Sql =
+    s"""WITH cos AS (
+         SELECT a.vec_id, a.embedding, s.vec_id AS seed_id,
+           list_sum(list_transform(range(1, len(a.embedding) + 1),
+             k -> a.embedding[k]::DOUBLE * s.embedding[k]::DOUBLE))
+           / (sqrt(list_sum(list_transform(a.embedding, x -> x::DOUBLE * x::DOUBLE)))
+              * sqrt(list_sum(list_transform(s.embedding, x -> x::DOUBLE * x::DOUBLE))))
+             AS sc
+         FROM embeddings a JOIN embeddings s ON s.vec_id < $NumSeeds),
+       assigned AS (
+         SELECT vec_id, embedding, seed_id AS cluster FROM (
+           SELECT *, row_number() OVER (PARTITION BY vec_id
+             ORDER BY sc DESC, seed_id) AS arn FROM cos) t
+         WHERE arn = 1),
+       probes AS (
+         SELECT vec_id AS query_id, seed_id AS cluster FROM (
+           SELECT vec_id, seed_id, row_number() OVER (PARTITION BY vec_id
+             ORDER BY sc DESC, seed_id) AS prn
+           FROM cos WHERE vec_id < $NumQueries) t
+         WHERE prn <= $NProbe),
+       sims AS (
+         SELECT p.query_id, n.vec_id AS neighbor_id,
+           list_sum(list_transform(range(1, len(q.embedding) + 1),
+             k -> q.embedding[k]::DOUBLE * n.embedding[k]::DOUBLE))
+           / (sqrt(list_sum(list_transform(q.embedding, x -> x::DOUBLE * x::DOUBLE)))
+              * sqrt(list_sum(list_transform(n.embedding, x -> x::DOUBLE * x::DOUBLE))))
+             AS c
+         FROM probes p
+         JOIN embeddings q ON q.vec_id = p.query_id
+         JOIN assigned n ON n.cluster = p.cluster AND n.vec_id != p.query_id),
+       ranked AS (
+         SELECT query_id, neighbor_id, c,
+           row_number() OVER (PARTITION BY query_id ORDER BY c DESC, neighbor_id)
+             AS rank
+         FROM sims)
+       SELECT query_id, rank::INT AS rank, neighbor_id, round(c, 6) AS cos_sim
+       FROM ranked WHERE rank <= $TopK ORDER BY query_id, rank"""
+
   /** 4 planes → 16 buckets: ~30 candidates per probe at fixture scale. */
   private val NumPlanes = 4
 
@@ -282,5 +363,6 @@ object Similarity {
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q30_cosine_topk", q30, Some(q30Sql), headline = true),
     QueryDef("q31_ann_ivf", q31, Some(q31Sql)),
+    QueryDef("q86_ann_ivf_multiprobe", q86, Some(q86Sql)),
     QueryDef("q39_ann_lsh", q39, Some(q39Sql)))
 }

@@ -35,4 +35,42 @@ class AnalyticsSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Window"), s"unexpected window sort:\n$plan")
   }
+
+  test("gapFillDaily densifies each key's span and forward-fills values") {
+    // key a: days 1,2,5 observed (two rows on day 2); b: single day.
+    val e = Seq(
+      (1L, "2024-01-01 10:00:00", 10.0),
+      (1L, "2024-01-02 09:00:00", 20.0),
+      (1L, "2024-01-02 11:00:00", 40.0),
+      (1L, "2024-01-05 08:00:00", 5.0),
+      (2L, "2024-02-10 12:00:00", 7.0))
+      .toDF("user_id", "ts", "value")
+      .select(col("user_id"), col("ts").cast("timestamp").as("ts"), col("value"))
+    val got = Analytics.gapFillDaily(e, "user_id", "ts", "value")
+      .orderBy("k", "day")
+      .select(col("k"), col("day").cast("string"), col("n_obs"),
+        col("filled_avg"))
+      .as[(Long, String, Long, Double)].collect()
+    assert(got === Array(
+      (1L, "2024-01-01", 1L, 10.0),
+      (1L, "2024-01-02", 2L, 30.0), // avg of 20 and 40
+      (1L, "2024-01-03", 0L, 30.0), // gap: carried forward
+      (1L, "2024-01-04", 0L, 30.0),
+      (1L, "2024-01-05", 1L, 5.0),
+      (2L, "2024-02-10", 1L, 7.0)))
+  }
+
+  test("gapFillDaily never window-sorts the raw events, only the daily spine") {
+    val e = Seq((1L, "2024-01-01 10:00:00", 1.0))
+      .toDF("user_id", "ts", "value")
+      .select(col("user_id"), col("ts").cast("timestamp").as("ts"), col("value"))
+    val df = Analytics.gapFillDaily(e, "user_id", "ts", "value")
+    val plan = df.queryExecution.optimizedPlan.toString
+    // The aggregate must sit BELOW the window in the plan tree: the window
+    // input is the joined spine (|key × days| rows), not raw events.
+    val winIdx = plan.indexOf("Window")
+    val aggIdx = plan.lastIndexOf("Aggregate")
+    assert(winIdx >= 0 && aggIdx > winIdx,
+      s"expected Window over the aggregated spine:\n$plan")
+  }
 }

@@ -181,6 +181,29 @@ class PipelineOpsSpec extends SparkSpec {
     assert(kept < total, "over-budget group must actually drop rows")
   }
 
+  test("sampleExactPerGroup draws exactly min(k, |group|) rows, matching the window form") {
+    val df = graft.Tables.documents(spark, sf)
+    val k = 7
+    val got = PipelineOps.sampleExactPerGroup(df, "lang", "doc_id", k)
+    // Quota: exactly min(k, group size) per group.
+    val sizes = df.groupBy(col("lang")).count()
+      .as[(String, Long)].collect().toMap
+    val quota = got.groupBy(col("lang")).count()
+      .as[(String, Long)].collect().toMap
+    assert(quota === sizes.map { case (g, n) => g -> math.min(k.toLong, n) })
+    // Same rows as the window row_number formulation (the oracle shape).
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("lang"))
+      .orderBy(md5(col("doc_id").cast("string").cast("binary")), col("doc_id"))
+    val win = df.withColumn("rn", row_number().over(w)).where(col("rn") <= k)
+      .select(col("lang"), col("rn").cast("int").as("sample_rank"), col("doc_id"))
+    assert(got.as[(String, Int, Long)].collect().toSet ===
+      win.as[(String, Int, Long)].collect().toSet)
+    // Partial aggregation below the exchange (the heap is map-side bounded),
+    // and no Window node anywhere — the full corpus is never sorted.
+    val plan = got.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"unexpected window sort:\n$plan")
+  }
+
   test("mixtureWeights scans the corpus once and broadcasts the grand total") {
     val docs = graft.Tables.documents(spark, sf)
     val plan = PipelineOps.mixtureWeights(docs, "source",

@@ -31,4 +31,25 @@ class SimilaritySpec extends SparkSpec {
     assert(heap === win)
     assert(heap.exists(_._4 == java.lang.Double.doubleToLongBits(Double.NaN)))
   }
+
+  test("multi-probe IVF: probing all clusters equals brute force; recall is monotone in nprobe") {
+    val e = graft.Tables.embeddings(spark, sf)
+    val seeds = e.filter(col("vec_id") < 16)
+    val qf = col("vec_id") < 10
+    def asSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val brute = asSet(Similarity.bruteTopK(
+      e.filter(qf), e, "vec_id", "embedding", 5))
+    // nprobe = K probes every bucket -> the approximation vanishes.
+    val full = asSet(Similarity.ivfTopKProbes(
+      e, seeds, qf, "vec_id", "embedding", 5, nprobe = 16))
+    assert(full === brute)
+    val r1 = asSet(Similarity.ivfTopKProbes(
+      e, seeds, qf, "vec_id", "embedding", 5, nprobe = 1))
+    val r3 = asSet(Similarity.ivfTopKProbes(
+      e, seeds, qf, "vec_id", "embedding", 5, nprobe = 3))
+    assert((r3 & brute).size >= (r1 & brute).size,
+      s"recall must not drop when probing more clusters: " +
+        s"nprobe1=${(r1 & brute).size} nprobe3=${(r3 & brute).size}")
+  }
 }
