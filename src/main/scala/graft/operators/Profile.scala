@@ -117,6 +117,43 @@ object Profile {
           col(s"o.$c").as(s"old_$c"), col(s"n.$c").as(s"new_$c"))): _*)
   }
 
+  /** Equi-width histogram of a numeric column: `nBins` buckets spanning
+    * [min, max], the top edge closed (the max lands in the last bin).
+    * Empty bins are emitted with n = 0 — a histogram with silent holes
+    * misreads as a distribution shape.
+    *
+    * Scale design: pass one is a two-value min/max aggregation (map-side
+    * partials → single row, broadcast); pass two bins every row map-side
+    * with pure arithmetic (`floor((v−lo)·n/(hi−lo))`) and aggregates
+    * |bins| rows. The corpus is scanned twice but never shuffled — the
+    * exchanges carry one row and |bins| rows respectively. The empty-bin
+    * densification runs on the |bins|-sized result via sequence+explode.
+    * The binning expression is kept textually identical in the oracle so
+    * IEEE double arithmetic agrees bit-for-bit.
+    */
+  def histogram(df: DataFrame, valueCol: String, nBins: Int): DataFrame = {
+    require(nBins > 0, "histogram needs at least one bin")
+    val v = col(valueCol).cast("double")
+    val stats = df.agg(min(v).as("lo"), max(v).as("hi"))
+    val binned = df.select(v.as("v")).crossJoin(broadcast(stats))
+      .select(when(col("hi") === col("lo"), lit(0))
+        .otherwise(least(lit(nBins - 1),
+          floor((col("v") - col("lo")) * nBins / (col("hi") - col("lo")))
+            .cast("int"))).as("bin"))
+      .groupBy(col("bin")).agg(count(lit(1)).as("n"))
+    val allBins = stats.select(
+        explode(sequence(lit(0), lit(nBins - 1))).as("bin"),
+        col("lo"), col("hi"))
+      .select(col("bin"),
+        round(col("lo") + col("bin") * (col("hi") - col("lo")) / nBins, 6)
+          .as("bin_lo"),
+        round(col("lo") + (col("bin") + 1) * (col("hi") - col("lo")) / nBins, 6)
+          .as("bin_hi"))
+    allBins.join(binned, Seq("bin"), "left")
+      .select(col("bin"), col("bin_lo"), col("bin_hi"),
+        coalesce(col("n"), lit(0L)).as("n"))
+  }
+
   // ===========================================================================
   // Oracle-bound query exercises
   // ===========================================================================
@@ -227,9 +264,34 @@ object Profile {
          FROM old o FULL OUTER JOIN new n ON o.o_orderkey = n.o_orderkey)
        SELECT * FROM j WHERE change IS NOT NULL ORDER BY o_orderkey"""
 
+  // ---- q88: equi-width histogram --------------------------------------------
+  private def q88(s: SparkSession, d: String): DataFrame =
+    histogram(Tables.lineitem(s, d), "l_extendedprice", nBins = 20)
+      .orderBy(col("bin"))
+  private val q88Sql =
+    """WITH stats AS (
+         SELECT min(l_extendedprice::DOUBLE) AS lo,
+           max(l_extendedprice::DOUBLE) AS hi
+         FROM lineitem),
+       binned AS (
+         SELECT CASE WHEN hi = lo THEN 0
+           ELSE least(19,
+             floor((l_extendedprice::DOUBLE - lo) * 20 / (hi - lo))::INT) END
+             AS bin,
+           count(*) AS n
+         FROM lineitem, stats GROUP BY 1),
+       bins AS (SELECT unnest(range(0, 20)) AS bin, lo, hi FROM stats)
+       SELECT b.bin::INT AS bin,
+         round(lo + b.bin * (hi - lo) / 20, 6) AS bin_lo,
+         round(lo + (b.bin + 1) * (hi - lo) / 20, 6) AS bin_hi,
+         coalesce(n, 0)::BIGINT AS n
+       FROM bins b LEFT JOIN binned ON b.bin = binned.bin
+       ORDER BY bin"""
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q58_column_profile", q58, Some(q58Sql)),
     QueryDef("q59_latest_per_key", q59, Some(q59Sql)),
     QueryDef("q72_cdc_apply", q72, Some(q72Sql)),
-    QueryDef("q74_snapshot_diff", q74, Some(q74Sql)))
+    QueryDef("q74_snapshot_diff", q74, Some(q74Sql)),
+    QueryDef("q88_histogram", q88, Some(q88Sql)))
 }

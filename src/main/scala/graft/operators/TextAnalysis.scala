@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.{QueryDef, Tables}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.TextFunctions._
 
@@ -309,6 +309,87 @@ object TextAnalysis {
          (acc, c) -> (acc * 131 + c) % 2147483647) AS fingerprint
        FROM documents ORDER BY doc_id"""
 
+  /** One scored (doc, term) row awaiting per-doc ranking. */
+  final case class TermScore(doc_id: Long, term: String, tf: Long,
+      doc_freq: Long, score: Double)
+  private val termOrd: Ordering[TermScore] = new Ordering[TermScore] {
+    override def compare(a: TermScore, b: TermScore): Int = {
+      val c = java.lang.Double.compare(b.score, a.score) // desc
+      if (c != 0) c else a.term.compareTo(b.term)
+    }
+  }
+
+  /** Top-k characteristic terms per document by TF-IDF (rational variant:
+    * score = tf · N / doc_freq). The classic "what is this document about"
+    * / keyword-extraction operator. The usual `ln(N/df)` damping is
+    * deliberately NOT applied: `ln` is not bit-stable across engines'
+    * libms, while integer tf·N with one double division is — and a
+    * monotone transform of 1/df does not change per-document term
+    * RANKINGS, only the score scale (document it, don't break the oracle).
+    *
+    * Scale design: token occurrences collapse to (doc, term, tf) with
+    * map-side partials in the first shuffle; document frequency is a
+    * second aggregation of that already-collapsed relation (vocab-sized
+    * output). The df join exchanges the collapsed tf relation by term —
+    * never raw token occurrences — and the corpus size joins as a
+    * broadcast single row. Final per-doc ranking is the bounded-heap
+    * aggregator: k rows per doc per map partial cross the wire (a window
+    * row_number would re-sort every document's full vocabulary).
+    */
+  def tfIdfTop(df: DataFrame, idCol: String, textCol: String, k: Int,
+      docFilter: Column = lit(true)): DataFrame = {
+    val s = df.sparkSession
+    import s.implicits._
+    val tf = df
+      .select(col(idCol).as("doc_id"), explode(tokens(col(textCol))).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("doc_freq"))
+    val nDocs = df.select(count(lit(1)).as("n_docs"))
+    val scored = tf.filter(docFilter)
+      .join(dfreq, "term")
+      .crossJoin(broadcast(nDocs))
+      .select(col("doc_id"), col("term"), col("tf"), col("doc_freq"),
+        round(col("tf").cast("double") * col("n_docs") / col("doc_freq"), 6)
+          .as("score"))
+    val top = new TypedAggs.BoundedTopK[TermScore](k, termOrd).toColumn
+    scored.as[TermScore]
+      .groupByKey(_.doc_id)
+      .agg(top.name("top"))
+      .flatMap { case (_, rows) =>
+        rows.zipWithIndex.map { case (r, i) => (r, i + 1) } }
+      .select(col("_1.doc_id").as("doc_id"), col("_2").cast("int").as("rank"),
+        col("_1.term").as("term"), col("_1.tf").as("tf"),
+        col("_1.doc_freq").as("doc_freq"), col("_1.score").as("score"))
+  }
+
+  // ---- q87: TF-IDF top terms per document ------------------------------------
+  // df/N computed over the whole corpus; top terms emitted for doc_id < 100.
+  private def q87(s: SparkSession, d: String): DataFrame =
+    tfIdfTop(Tables.documents(s, d), "doc_id", "text", k = 3,
+        docFilter = col("doc_id") < 100)
+      .orderBy(col("doc_id"), col("rank"))
+  private val q87Sql =
+    """WITH tok AS (
+         SELECT doc_id, unnest(string_split(text, ' ')) AS term
+         FROM documents),
+       tf AS (
+         SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+       dfreq AS (
+         SELECT term, count(*) AS doc_freq FROM tf GROUP BY 1),
+       n AS (SELECT count(*) AS n_docs FROM documents),
+       scored AS (
+         SELECT doc_id, term, tf, doc_freq,
+           round(tf::DOUBLE * n_docs / doc_freq, 6) AS score
+         FROM tf JOIN dfreq USING (term) CROSS JOIN n
+         WHERE doc_id < 100),
+       ranked AS (
+         SELECT *, row_number() OVER (PARTITION BY doc_id
+           ORDER BY score DESC, term) AS rank
+         FROM scored)
+       SELECT doc_id, rank::INT AS rank, term, tf, doc_freq, score
+       FROM ranked WHERE rank <= 3 ORDER BY doc_id, rank"""
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q21_token_stats", q21, Some(q21Sql)),
     QueryDef("q22_quality_score", q22, Some(q22Sql)),
@@ -316,5 +397,6 @@ object TextAnalysis {
     QueryDef("q24_fingerprint", q24, Some(q24Sql)),
     QueryDef("q61_gopher_filter", q61, Some(q61Sql)),
     QueryDef("q73_normalize_text", q73, Some(q73Sql)),
-    QueryDef("q77_lexical_diversity", q77, Some(q77Sql)))
+    QueryDef("q77_lexical_diversity", q77, Some(q77Sql)),
+    QueryDef("q87_tfidf_top_terms", q87, Some(q87Sql)))
 }

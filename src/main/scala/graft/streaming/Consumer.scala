@@ -172,4 +172,48 @@ object Consumer {
       checkpointLocation: String)(
       configure: DataStreamWriter[Record] => DataStreamWriter[Record]): StreamingQuery =
     configure(ds.writeStream.option("checkpointLocation", checkpointLocation)).start()
+
+  /** One shard's consumer position vs the stream head at a batch boundary. */
+  final case class ShardLag(shard: Int, committed: Long, latest: Long) {
+    /** Records available but not yet processed (the MillisBehindLatest
+      * analog, in records — the replay clock is the sequence number). */
+    def lag: Long = math.max(0L, latest - committed)
+  }
+
+  /** One micro-batch's progress: how much was read and how far behind the
+    * stream head each shard still is after the batch. */
+  final case class ProgressReport(
+      batchId: Long, numInputRows: Long, shards: Seq[ShardLag]) {
+    def totalLag: Long = shards.map(_.lag).sum
+    def caughtUp: Boolean = totalLag == 0
+  }
+
+  /** Per-shard lag over the query's retained progress history — the
+    * KCL/CloudWatch `MillisBehindLatest` monitoring surface re-expressed
+    * on engine metrics (SURVEY.md §2.1-S7 termination watch / ops
+    * visibility). Reads ONLY `StreamingQueryProgress` — the engine already
+    * reports the per-batch end offset and the stream head
+    * (`reportLatestOffset`), so observability costs no extra I/O, runs on
+    * the driver against in-memory history, and works identically on a
+    * 1000-executor cluster (progress events are driver-side there too).
+    *
+    * Backpressure tuning loop: if `totalLag` grows batch-over-batch while
+    * `numInputRows` sits at the `maxRecordsPerTrigger` cap, the consumer
+    * is under-provisioned — raise the cap or add shards.
+    */
+  def lagReport(query: StreamingQuery): Seq[ProgressReport] = {
+    import graft.sources.replay.ShardPositions
+    query.recentProgress.toSeq.flatMap { p =>
+      p.sources.headOption.flatMap { src =>
+        (Option(src.endOffset), Option(src.latestOffset)) match {
+          case (Some(end), Some(latest)) =>
+            val e = ShardPositions.parse(end)
+            val l = ShardPositions.parse(latest)
+            Some(ProgressReport(p.batchId, p.numInputRows,
+              l.positions.keys.toSeq.sorted.map(k => ShardLag(k, e(k), l(k)))))
+          case _ => None
+        }
+      }
+    }
+  }
 }

@@ -84,4 +84,27 @@ class ProfileSpec extends SparkSpec {
       .orderBy("k").as[(Long, Long, Long, String)].collect()
     assert(got === Array((7L, 200L, 2L, "new"), (8L, 100L, 9L, "hi")))
   }
+
+  test("histogram spans [min,max] with empty bins emitted and max in the top bin") {
+    // values 0..10: bins over [0,10]; nothing lands in (6,8]-ish gaps.
+    val df = Seq(0.0, 1.0, 2.0, 10.0, 10.0).toDF("v")
+    val got = Profile.histogram(df, "v", nBins = 5)
+      .orderBy("bin").as[(Int, Double, Double, Long)].collect()
+    assert(got === Array(
+      (0, 0.0, 2.0, 2L),   // 0, 1
+      (1, 2.0, 4.0, 1L),   // 2
+      (2, 4.0, 6.0, 0L),   // empty bin still present
+      (3, 6.0, 8.0, 0L),
+      (4, 8.0, 10.0, 2L))) // max is top-bin-closed
+    assert(got.map(_._4).sum === 5L)
+  }
+
+  test("histogram degenerates safely when every value is identical") {
+    val df = Seq(3.0, 3.0, 3.0).toDF("v")
+    val got = Profile.histogram(df, "v", nBins = 4)
+      .orderBy("bin").as[(Int, Double, Double, Long)].collect()
+    assert(got.length === 4)
+    assert(got.head === ((0, 3.0, 3.0, 3L)))
+    assert(got.tail.forall(_._4 === 0L))
+  }
 }

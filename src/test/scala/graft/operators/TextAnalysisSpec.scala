@@ -73,6 +73,31 @@ class TextAnalysisSpec extends SparkSpec {
       s"diversity must not shuffle:\n${plan.take(1500)}")
   }
 
+  test("tfIdfTop ranks rare terms over ubiquitous ones, heap matching hand scores") {
+    // "rare" appears in one doc, "common" in all three; within doc 1,
+    // rare (tf=1, df=1, score=1*3/1=3) must outrank common (tf=2,
+    // df=3, score=2*3/3=2).
+    val df = Seq(
+      (1L, "common rare common"),
+      (2L, "common other"),
+      (3L, "common other"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.tfIdfTop(df, "doc_id", "text", k = 2)
+      .orderBy("doc_id", "rank")
+      .as[(Long, Int, String, Long, Long, Double)].collect()
+    assert(got.take(2) === Array(
+      (1L, 1, "rare", 1L, 1L, 3.0),
+      (1L, 2, "common", 2L, 3L, 2.0)))
+    // docs 2/3: other (1*3/2=1.5) over common (1*3/3=1.0)
+    assert(got.filter(_._1 == 2L) === Array(
+      (2L, 1, "other", 1L, 2L, 1.5),
+      (2L, 2, "common", 1L, 3L, 1.0)))
+    // No window sort anywhere: ranking is the bounded-heap aggregate.
+    val plan = TextAnalysis.tfIdfTop(df, "doc_id", "text", k = 2)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"unexpected window sort:\n$plan")
+  }
+
   test("gopherFilter is a single-pass map-side plan with no exchange") {
     val plan = TextAnalysis.gopherFilter(
         graft.Tables.documents(spark, sf), "doc_id", "text")

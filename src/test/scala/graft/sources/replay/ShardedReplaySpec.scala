@@ -72,6 +72,35 @@ class ShardedReplaySpec extends SparkSpec with BeforeAndAfterAll {
       s"batch sizes: ${progress.map(_.numInputRows).toSeq}")
   }
 
+  test("lagReport tracks per-shard lag to zero across the drain") {
+    val ds = Consumer.source(ConsumerConfig(
+      streamPath = eventsPath, numShards = 4, maxRecordsPerTrigger = Some(300)))
+    val q = ds.writeStream
+      .format("memory").queryName("replay_lag")
+      .option("checkpointLocation", tmpDir("ckpt_lag"))
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val reports = Consumer.lagReport(q)
+    assert(reports.length > 1, "should take several micro-batches")
+    assert(reports.map(_.batchId) === reports.map(_.batchId).sorted)
+    // Capped batches leave the consumer behind the head; the drain ends
+    // caught up on every shard.
+    assert(reports.head.totalLag > 0, "first capped batch must show lag")
+    assert(reports.last.caughtUp,
+      s"drained query must report zero lag: ${reports.last.shards}")
+    assert(reports.last.shards.map(_.shard) === Seq(0, 1, 2, 3))
+    // Committed frontiers never move backwards, latest never below
+    // committed, and the batches read the whole stream exactly.
+    reports.sliding(2).foreach {
+      case Seq(a, b) =>
+        a.shards.zip(b.shards).foreach { case (x, y) =>
+          assert(y.committed >= x.committed) }
+      case _ =>
+    }
+    assert(reports.forall(_.shards.forall(s => s.latest >= s.committed)))
+    assert(reports.map(_.numInputRows).sum === nEvents)
+  }
+
   test("restart from checkpoint resumes at the committed frontier (exactly-once)") {
     val ckpt = tmpDir("ckpt_restart")
     val out = tmpDir("out_restart")
