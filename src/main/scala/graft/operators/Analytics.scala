@@ -397,6 +397,58 @@ object Analytics {
          ON s.user_id = daily.user_id AND s.day = daily.day
        ORDER BY s.user_id, s.day"""
 
+  /** Winsorized (percentile-clipped) per-group statistics: values below
+    * the group's `loQ` quantile or above its `hiQ` quantile are clamped to
+    * the bound before averaging — the standard outlier-robust aggregate
+    * (and the "clip extreme document lengths/scores" step of a data
+    * pipeline). Reports how many rows each side actually clipped.
+    *
+    * Bounds are rounded to 4 decimals BEFORE comparing, in both engines —
+    * interpolated percentiles are the one place the engines' last-ulp
+    * doubles could disagree, and a boundary value flipping sides would
+    * change the clip counts; after identical rounding both engines compare
+    * identical doubles. Exact `percentile` keeps the oracle exact; at
+    * 100 TB swap in `approx_percentile` (mergeable t-digest — the q57
+    * pattern shows how to keep that oracle-verifiable too). The bounds
+    * relation is |groups| rows, broadcast back onto the corpus — one
+    * corpus scan per pass, no corpus reshuffle beyond the final partial-
+    * aggregated groupBy.
+    */
+  def winsorize(df: DataFrame, groupCol: String, valueCol: String,
+      loQ: Double, hiQ: Double): DataFrame = {
+    require(loQ >= 0 && hiQ <= 1 && loQ < hiQ, "need 0 <= loQ < hiQ <= 1")
+    val bounds = df.groupBy(col(groupCol)).agg(
+      round(expr(s"percentile($valueCol, ${loQ}D)"), 4).as("lo_b"),
+      round(expr(s"percentile($valueCol, ${hiQ}D)"), 4).as("hi_b"))
+    val v = col(valueCol)
+    df.join(broadcast(bounds), groupCol)
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"),
+        count(when(v < col("lo_b"), 1)).as("n_clipped_lo"),
+        count(when(v > col("hi_b"), 1)).as("n_clipped_hi"),
+        round(avg(greatest(col("lo_b"), least(col("hi_b"), v))), 4)
+          .as("avg_winsorized"))
+  }
+
+  // ---- q90: winsorized outlier clipping ---------------------------------------
+  private def q90(s: SparkSession, d: String): DataFrame =
+    winsorize(Tables.orders(s, d), "o_orderpriority", "o_totalprice",
+        loQ = 0.05, hiQ = 0.95)
+      .orderBy(col("o_orderpriority"))
+  private val q90Sql =
+    """WITH b AS (
+         SELECT o_orderpriority,
+           round(quantile_cont(o_totalprice, 0.05), 4) AS lo_b,
+           round(quantile_cont(o_totalprice, 0.95), 4) AS hi_b
+         FROM orders GROUP BY 1)
+       SELECT o_orderpriority, count(*) AS n,
+         count(*) FILTER (WHERE o_totalprice < lo_b) AS n_clipped_lo,
+         count(*) FILTER (WHERE o_totalprice > hi_b) AS n_clipped_hi,
+         round(avg(greatest(lo_b, least(hi_b, o_totalprice))), 4)
+           AS avg_winsorized
+       FROM orders JOIN b USING (o_orderpriority)
+       GROUP BY o_orderpriority ORDER BY o_orderpriority"""
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q46_posexplode", q46, Some(q46Sql)),
     QueryDef("q47_percentiles", q47, Some(q47Sql)),
@@ -410,5 +462,6 @@ object Analytics {
     QueryDef("q65_session_windows", q65, Some(q65Sql)),
     QueryDef("q66_funnel", q66, Some(q66Sql)),
     QueryDef("q75_retention", q75, Some(q75Sql)),
-    QueryDef("q84_gap_fill", q84, Some(q84Sql)))
+    QueryDef("q84_gap_fill", q84, Some(q84Sql)),
+    QueryDef("q90_winsorize", q90, Some(q90Sql)))
 }

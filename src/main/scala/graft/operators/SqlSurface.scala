@@ -49,7 +49,25 @@ object SqlSurface {
        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
        ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST"""
 
+  // ---- q89: correlated EXISTS / NOT EXISTS -----------------------------------
+  // Customers with at least one urgent order but no low-priority order.
+  // Catalyst decorrelates both subqueries into semi/anti joins — the same
+  // physical shapes as q04/q07, reached from the SQL entry point.
+  private val q89Text =
+    """SELECT c_custkey, c_mktsegment
+       FROM customer c
+       WHERE EXISTS (SELECT 1 FROM orders o
+                     WHERE o.o_custkey = c.c_custkey
+                       AND o.o_orderpriority = '1-URGENT')
+         AND NOT EXISTS (SELECT 1 FROM orders o
+                         WHERE o.o_custkey = c.c_custkey
+                           AND o.o_orderpriority = '5-LOW')
+       ORDER BY c_custkey"""
+  private def q89(s: SparkSession, d: String): DataFrame =
+    withViews(s, d, "customer", "orders")(q89Text)
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q37_scalar_subquery", q37, Some(q37Sql)),
-    QueryDef("q38_grouping_sets", q38, Some(q38Sql)))
+    QueryDef("q38_grouping_sets", q38, Some(q38Sql)),
+    QueryDef("q89_correlated_exists", q89, Some(q89Text)))
 }

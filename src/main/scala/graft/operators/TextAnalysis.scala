@@ -390,6 +390,55 @@ object TextAnalysis {
        SELECT doc_id, rank::INT AS rank, term, tf, doc_freq, score
        FROM ranked WHERE rank <= 3 ORDER BY doc_id, rank"""
 
+  /** Vocabulary coverage / out-of-vocabulary rate per document, against
+    * the corpus's own top-`vocabSize` tokens — the pre-training check
+    * that a tokenizer's vocab (or a frozen embedding table) covers the
+    * corpus, and the filter for documents that are mostly OOV noise.
+    *
+    * Scale design: the vocabulary is built by a map-side partial-
+    * aggregated token count (corpus collapses to vocab cardinality before
+    * the shuffle) and a small top-k sort; the membership probe is a
+    * BROADCAST left join — the token stream itself is never shuffled for
+    * the lookup, and the per-doc aggregation partials below its exchange.
+    * Vocab boundary ties break (count desc, token asc) identically in
+    * both engines, so the selected vocabulary is deterministic.
+    */
+  def vocabCoverage(df: DataFrame, idCol: String, textCol: String,
+      vocabSize: Int): DataFrame = {
+    val toks = df.select(col(idCol).as("doc_id"),
+      explode(tokens(col(textCol))).as("tok"))
+    val vocab = toks.groupBy(col("tok")).agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("tok")).limit(vocabSize)
+      .select(col("tok"), lit(1).as("in_v"))
+    toks.join(broadcast(vocab), Seq("tok"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        count(when(col("in_v").isNull, 1)).as("n_oov"),
+        round(count(when(col("in_v").isNull, 1)).cast("double")
+          / count(lit(1)), 6).as("oov_rate"))
+  }
+
+  // ---- q91: vocabulary coverage / OOV rate ------------------------------------
+  private def q91(s: SparkSession, d: String): DataFrame =
+    vocabCoverage(Tables.documents(s, d), "doc_id", "text", vocabSize = 200)
+      .orderBy(col("doc_id"))
+  private val q91Sql =
+    """WITH toks AS (
+         SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+         FROM documents),
+       vocab AS (
+         SELECT tok FROM (
+           SELECT tok, count(*) AS c,
+             row_number() OVER (ORDER BY count(*) DESC, tok) AS rn
+           FROM toks GROUP BY tok)
+         WHERE rn <= 200)
+       SELECT doc_id, count(*) AS n_tokens,
+         count(*) FILTER (WHERE v.tok IS NULL) AS n_oov,
+         round(count(*) FILTER (WHERE v.tok IS NULL) / count(*)::DOUBLE, 6)
+           AS oov_rate
+       FROM toks t LEFT JOIN vocab v ON t.tok = v.tok
+       GROUP BY doc_id ORDER BY doc_id"""
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q21_token_stats", q21, Some(q21Sql)),
     QueryDef("q22_quality_score", q22, Some(q22Sql)),
@@ -398,5 +447,6 @@ object TextAnalysis {
     QueryDef("q61_gopher_filter", q61, Some(q61Sql)),
     QueryDef("q73_normalize_text", q73, Some(q73Sql)),
     QueryDef("q77_lexical_diversity", q77, Some(q77Sql)),
-    QueryDef("q87_tfidf_top_terms", q87, Some(q87Sql)))
+    QueryDef("q87_tfidf_top_terms", q87, Some(q87Sql)),
+    QueryDef("q91_vocab_coverage", q91, Some(q91Sql)))
 }

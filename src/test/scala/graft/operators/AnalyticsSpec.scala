@@ -60,6 +60,15 @@ class AnalyticsSpec extends SparkSpec {
       (2L, "2024-02-10", 1L, 7.0)))
   }
 
+  test("winsorize clips exactly the tail rows and averages the clamped values") {
+    // group g: 1..20. p05 = 1.95, p95 = 19.05 (linear interpolation);
+    // only 1 and 20 clip; avg = (1.95 + (2+..+19) + 19.05)/20 = 10.5.
+    val df = (1 to 20).map(i => ("g", i.toDouble)).toDF("grp", "v")
+    val got = Analytics.winsorize(df, "grp", "v", 0.05, 0.95)
+      .as[(String, Long, Long, Long, Double)].collect()
+    assert(got === Array(("g", 20L, 1L, 1L, 10.5)))
+  }
+
   test("gapFillDaily never window-sorts the raw events, only the daily spine") {
     val e = Seq((1L, "2024-01-01 10:00:00", 1.0))
       .toDF("user_id", "ts", "value")

@@ -98,6 +98,22 @@ class TextAnalysisSpec extends SparkSpec {
     assert(!plan.contains("Window"), s"unexpected window sort:\n$plan")
   }
 
+  test("vocabCoverage marks exactly the tokens outside the top-k vocab as OOV") {
+    // corpus counts: a=3, b=2, c=1 -> vocab of 2 is {a, b}; c is OOV.
+    val df = Seq((1L, "a b c"), (2L, "a a b")).toDF("doc_id", "text")
+    val got = TextAnalysis.vocabCoverage(df, "doc_id", "text", vocabSize = 2)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, Double)].collect()
+    assert(got === Array(
+      (1L, 3L, 1L, 0.333333),
+      (2L, 3L, 0L, 0.0)))
+    // The membership probe must broadcast the vocab, never shuffle tokens.
+    val plan = TextAnalysis.vocabCoverage(df, "doc_id", "text", 2)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"vocab probe should be a broadcast join:\n${plan.take(1500)}")
+  }
+
   test("gopherFilter is a single-pass map-side plan with no exchange") {
     val plan = TextAnalysis.gopherFilter(
         graft.Tables.documents(spark, sf), "doc_id", "text")
