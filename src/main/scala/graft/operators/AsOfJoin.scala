@@ -38,6 +38,14 @@ object AsOfJoin {
     *                  `merge_asof` convention). All three are the same
     *                  union+window shape — `nearest` runs both ordered
     *                  passes over ONE exchange (two in-partition sorts).
+    * @param tolerance when set, a match further than this from the left
+    *                  time is nulled out (the pandas `merge_asof
+    *                  tolerance` bound — "the last click, but only within
+    *                  the attribution window"). Same type algebra as the
+    *                  time columns: an interval Column for timestamps, a
+    *                  numeric Column for long/epoch times. Applied as a
+    *                  post-window mask on the already-matched row — no
+    *                  extra shuffle, no change of plan shape.
     */
   def leftAsOf(
       left: DataFrame,
@@ -46,15 +54,17 @@ object AsOfJoin {
       leftTime: String,
       rightTime: String,
       rightPayload: Seq[String],
-      direction: String = "backward"): DataFrame = {
+      direction: String = "backward",
+      tolerance: Option[Column] = None): DataFrame = {
     require(Seq("backward", "forward", "nearest").contains(direction),
       s"unknown as-of direction '$direction'")
     val leftCols = left.columns.toSeq
-    // Only the nearest mode needs the matched right TIME ("_rt") in the
-    // payload struct to compare distances — single-direction joins skip
-    // it so their shuffled rows stay as narrow as before.
+    // Only the nearest mode and the tolerance mask need the matched right
+    // TIME ("_rt") in the payload struct — plain single-direction joins
+    // skip it so their shuffled rows stay as narrow as before.
     val carried =
-      if (direction == "nearest") rightPayload.map(col) :+ col(rightTime).as("_rt")
+      if (direction == "nearest" || tolerance.isDefined)
+        rightPayload.map(col) :+ col(rightTime).as("_rt")
       else rightPayload.map(col)
     val l = left
       .withColumn("_t", col(leftTime))
@@ -92,9 +102,18 @@ object AsOfJoin {
           .when(f.getField("_rt") - col("_t") < col("_t") - b.getField("_rt"), f)
           .otherwise(b)
     }
-    val matched = unioned
+    val matched0 = unioned
       .withColumn("_m", m)
       .where(col("_side") === 1)
+    // Tolerance mask: keep the match only when the matched right time is
+    // within [t - tol, t + tol]. A null match stays null (the comparison
+    // is null, so `when` falls through to the null otherwise-branch).
+    val matched = tolerance match {
+      case Some(tol) => matched0.withColumn("_m",
+        when(col("_m._rt") >= col("_t") - tol &&
+             col("_m._rt") <= col("_t") + tol, col("_m")))
+      case None => matched0
+    }
     val out = leftCols.map(col) ++
       rightPayload.map(p => col(s"_m.$p").as(p))
     matched.select(out: _*)

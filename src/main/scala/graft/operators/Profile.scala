@@ -135,7 +135,8 @@ object Profile {
     require(nBins > 0, "histogram needs at least one bin")
     val v = col(valueCol).cast("double")
     val stats = df.agg(min(v).as("lo"), max(v).as("hi"))
-    val binned = df.select(v.as("v")).crossJoin(broadcast(stats))
+    val binned = df.select(v.as("v")).filter(col("v").isNotNull)
+      .crossJoin(broadcast(stats))
       .select(when(col("hi") === col("lo"), lit(0))
         .otherwise(least(lit(nBins - 1),
           floor((col("v") - col("lo")) * nBins / (col("hi") - col("lo")))

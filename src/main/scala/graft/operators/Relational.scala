@@ -450,6 +450,33 @@ object Relational {
        FROM b JOIN f USING (event_id)
        ORDER BY b.event_id"""
 
+  // ---- q93: as-of join with a tolerance bound --------------------------------------------
+  // The attribution-window form: the user's last click at-or-before the
+  // purchase, but only if it happened within the previous 30 minutes —
+  // older matches are nulled out (pandas merge_asof `tolerance`). Same
+  // single-exchange union+window plan; the bound is a post-window mask.
+  private def q93(s: SparkSession, d: String): DataFrame = {
+    val (purchases, clicks) = asOfInputs(s, d)
+    AsOfJoin.leftAsOf(purchases, clicks,
+        keys = Seq("user_id"), leftTime = "ts", rightTime = "ts",
+        rightPayload = Seq("click_id"),
+        tolerance = Some(expr("INTERVAL 30 MINUTES")))
+      .select(col("event_id"), col("user_id"), col("click_id"))
+      .orderBy(col("event_id"))
+  }
+  private val q93Sql =
+    """WITH purchases AS (
+         SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+       clicks AS (
+         SELECT user_id, ts, max(event_id) AS click_id FROM events
+         WHERE event_type = 'click' GROUP BY user_id, ts)
+       SELECT p.event_id, p.user_id,
+         CASE WHEN c.ts >= p.ts - INTERVAL 30 MINUTE THEN c.click_id END
+           AS click_id
+       FROM purchases p ASOF LEFT JOIN clicks c
+         ON p.user_id = c.user_id AND p.ts >= c.ts
+       ORDER BY p.event_id"""
+
   // ---- q81/q82: both as-of implementations against the same oracles ----------------------
   // The as-of oracle answers are DIRECTION properties, not implementation
   // properties: q19 (native backward) and q81 (composed backward) share
@@ -523,5 +550,6 @@ object Relational {
     QueryDef("q68_asof_forward", q68, Some(q68Sql)),
     QueryDef("q69_asof_nearest", q69, Some(q69Sql)),
     QueryDef("q81_asof_composed", q81, Some(q81Sql)),
-    QueryDef("q82_asof_merge_nearest", q82, Some(q82Sql)))
+    QueryDef("q82_asof_merge_nearest", q82, Some(q82Sql)),
+    QueryDef("q93_asof_tolerance", q93, Some(q93Sql)))
 }

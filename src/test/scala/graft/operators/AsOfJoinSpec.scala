@@ -32,6 +32,30 @@ class AsOfJoinSpec extends SparkSpec {
       4L -> None))       // no right row for u3
   }
 
+  test("tolerance nulls matches outside the bound, boundary inclusive") {
+    val left = Seq(
+      (1L, "u1", ts("2024-01-01 10:00:00")), // match 30 min back: boundary, kept
+      (2L, "u1", ts("2024-01-01 11:00:00")), // match 90 min back: nulled
+      (3L, "u2", ts("2024-01-01 10:30:00")), // exact-time match: kept
+      (4L, "u3", ts("2024-01-01 09:00:00"))  // no match at all: still null
+    ).toDF("id", "user", "t")
+    val right = Seq(
+      ("u1", ts("2024-01-01 09:30:00"), 100L),
+      ("u2", ts("2024-01-01 10:30:00"), 200L)
+    ).toDF("user", "t", "payload")
+    val got = AsOfJoin.leftAsOf(left, right, Seq("user"), "t", "t",
+        Seq("payload"),
+        tolerance = Some(org.apache.spark.sql.functions.expr("INTERVAL 30 MINUTES")))
+      .select($"id", $"payload").as[(Long, Option[Long])].collect().toMap
+    assert(got === Map(
+      1L -> Some(100L), 2L -> None, 3L -> Some(200L), 4L -> None))
+    // Without the bound, row 2 matches — the mask is the only difference.
+    val free = AsOfJoin.leftAsOf(left, right, Seq("user"), "t", "t",
+        Seq("payload"))
+      .select($"id", $"payload").as[(Long, Option[Long])].collect().toMap
+    assert(free(2L) === Some(100L))
+  }
+
   test("forward direction matches the earliest right row at-or-after left time") {
     val left = Seq(
       (1L, "u1", ts("2024-01-01 10:00:00")),
