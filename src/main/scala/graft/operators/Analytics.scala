@@ -346,6 +346,11 @@ object Analytics {
     * partitioning on the key, sorting only each key's |days| rows — the
     * raw events are never window-sorted. Spine cardinality is bounded by
     * key-count × date-span, independent of event volume.
+    *
+    * The daily relation is referenced twice (bounds + join), so the lazy
+    * plan scans the raw events twice; in a recurring pipeline,
+    * `localCheckpoint` the daily aggregate (the q66 funnel pattern) or
+    * persist it — it is |key × active-days| rows, trivially cacheable.
     */
   def gapFillDaily(df: DataFrame, keyCol: String, tsCol: String,
       valueCol: String): DataFrame = {

@@ -50,6 +50,35 @@ object Layout {
       .drop("__z")
   }
 
+  /** Compact a table into ~`targetRowsPerFile`-sized output files,
+    * optionally sorted within each file — the small-files remediation
+    * every long-running 100-TB table needs (thousands of tiny files from
+    * incremental appends → scan-planning overhead and dead parquet
+    * metadata I/O; a handful of right-sized files → full-rate scans).
+    *
+    * Scale design: one cheap metadata-ish count (parquet row counts, no
+    * data materialization), then ONE round-robin repartition to the
+    * computed file count — round-robin (not range/hash) because
+    * compaction wants equal SIZES, not clustering; pair with [[zorderBy]]
+    * when clustering is also wanted. `sortCols` re-sorts within each
+    * output file so row-group min/max stats stay selective after the
+    * rewrite. Also sets a `maxRecordsPerFile` guard so a future append
+    * through the same writer cannot silently regress into jumbo files.
+    */
+  def compact(df: DataFrame, path: String, targetRowsPerFile: Long,
+      sortCols: Seq[String] = Nil): Long = {
+    require(targetRowsPerFile > 0, "targetRowsPerFile must be positive")
+    val n = df.count()
+    val files = math.max(1L, (n + targetRowsPerFile - 1) / targetRowsPerFile).toInt
+    val laid0 = df.repartition(files)
+    val laid = if (sortCols.nonEmpty)
+      laid0.sortWithinPartitions(sortCols.map(col): _*) else laid0
+    laid.write.mode("overwrite")
+      .option("maxRecordsPerFile", targetRowsPerFile)
+      .parquet(path)
+    files.toLong
+  }
+
   // ---- q79: Z-value computation ----------------------------------------------
   // The interleave itself, oracle-checked bit-for-bit over the customer
   // table (c_custkey up to 2^31-safe, c_nationkey small — exercises both

@@ -265,6 +265,45 @@ object Profile {
          FROM old o FULL OUTER JOIN new n ON o.o_orderkey = n.o_orderkey)
        SELECT * FROM j WHERE change IS NOT NULL ORDER BY o_orderkey"""
 
+  /** Key-skew profiler: the `topK` hottest keys of a prospective
+    * join/groupBy key, each with its share of the table, plus the global
+    * skew factor (hottest key ÷ mean key size). THE pre-flight diagnostic
+    * before any big join at 100 TB — a skew factor in the hundreds says
+    * "salt this key or let AQE split it" before the job burns a day.
+    *
+    * Scale design: the per-key count is one partial-aggregated pass
+    * (|keys| rows out); top-k is TakeOrdered on that collapsed relation
+    * (no full sort); the totals row broadcasts. The table is scanned
+    * once and its rows are never reshuffled.
+    */
+  def keySkew(df: DataFrame, keyCol: String, topK: Int): DataFrame = {
+    val counts = df.groupBy(col(keyCol)).agg(count(lit(1)).as("n"))
+    val totals = counts.agg(sum(col("n")).as("total"),
+      count(lit(1)).as("n_keys"), max(col("n")).as("max_n"))
+    counts.orderBy(col("n").desc, col(keyCol)).limit(topK)
+      .crossJoin(broadcast(totals))
+      .select(col(keyCol), col("n"),
+        round(col("n").cast("double") / col("total"), 6).as("share"),
+        col("n_keys"),
+        round(col("max_n").cast("double") * col("n_keys") / col("total"), 4)
+          .as("skew_factor"))
+  }
+
+  // ---- q95: key-skew profile --------------------------------------------------
+  private def q95(s: SparkSession, d: String): DataFrame =
+    keySkew(Tables.events(s, d), "user_id", topK = 10)
+      .orderBy(col("n").desc, col("user_id"))
+  private val q95Sql =
+    """WITH c AS (
+         SELECT user_id, count(*) AS n FROM events GROUP BY 1),
+       t AS (
+         SELECT sum(n)::BIGINT AS total, count(*) AS n_keys,
+           max(n) AS max_n
+         FROM c)
+       SELECT user_id, n, round(n::DOUBLE / total, 6) AS share, n_keys,
+         round(max_n::DOUBLE * n_keys / total, 4) AS skew_factor
+       FROM c, t ORDER BY n DESC, user_id LIMIT 10"""
+
   // ---- q88: equi-width histogram --------------------------------------------
   private def q88(s: SparkSession, d: String): DataFrame =
     histogram(Tables.lineitem(s, d), "l_extendedprice", nBins = 20)
@@ -294,5 +333,6 @@ object Profile {
     QueryDef("q59_latest_per_key", q59, Some(q59Sql)),
     QueryDef("q72_cdc_apply", q72, Some(q72Sql)),
     QueryDef("q74_snapshot_diff", q74, Some(q74Sql)),
-    QueryDef("q88_histogram", q88, Some(q88Sql)))
+    QueryDef("q88_histogram", q88, Some(q88Sql)),
+    QueryDef("q95_key_skew", q95, Some(q95Sql)))
 }

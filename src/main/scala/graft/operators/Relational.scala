@@ -450,6 +450,36 @@ object Relational {
        FROM b JOIN f USING (event_id)
        ORDER BY b.event_id"""
 
+  /** Union DataFrames whose schemas evolved over time: columns are matched
+    * BY NAME and columns missing from an older generation surface as
+    * nulls — the "read three years of parquet whose schema grew" reality
+    * of any long-lived 100-TB dataset. Pure metadata alignment: each input
+    * is a map-side projection, the union adds no shuffle whatsoever.
+    */
+  def unionEvolved(dfs: Seq[DataFrame]): DataFrame = {
+    require(dfs.nonEmpty, "unionEvolved needs at least one input")
+    dfs.reduce(_.unionByName(_, allowMissingColumns = true))
+  }
+
+  // ---- q94: schema-evolution union -------------------------------------------------------
+  // An old snapshot generation lacks o_orderpriority; the evolved union
+  // aligns by name and nulls the missing column (DuckDB UNION ALL BY NAME).
+  private def q94(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+    val gen1 = o.filter(col("o_orderkey") % 2 === 0)
+      .select(col("o_orderkey"), col("o_totalprice"))
+    val gen2 = o.filter(col("o_orderkey") % 2 === 1)
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"))
+    unionEvolved(Seq(gen1, gen2)).orderBy(col("o_orderkey"))
+  }
+  private val q94Sql =
+    """SELECT * FROM (
+         SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 2 = 0
+         UNION ALL BY NAME
+         SELECT o_orderkey, o_totalprice, o_orderpriority FROM orders
+         WHERE o_orderkey % 2 = 1)
+       ORDER BY o_orderkey"""
+
   // ---- q93: as-of join with a tolerance bound --------------------------------------------
   // The attribution-window form: the user's last click at-or-before the
   // purchase, but only if it happened within the previous 30 minutes —
@@ -551,5 +581,6 @@ object Relational {
     QueryDef("q69_asof_nearest", q69, Some(q69Sql)),
     QueryDef("q81_asof_composed", q81, Some(q81Sql)),
     QueryDef("q82_asof_merge_nearest", q82, Some(q82Sql)),
-    QueryDef("q93_asof_tolerance", q93, Some(q93Sql)))
+    QueryDef("q93_asof_tolerance", q93, Some(q93Sql)),
+    QueryDef("q94_union_evolved", q94, Some(q94Sql)))
 }

@@ -46,4 +46,37 @@ class LayoutSpec extends SparkSpec {
         Iterator.single(zs == zs.sorted)
       }.collect().foreach(ok => assert(ok, "partition not sorted by z"))
   }
+
+  test("compact rewrites into right-sized sorted files with no row loss") {
+    val dir = java.nio.file.Files.createTempDirectory("compact").toString
+    val df = (0 until 1000).map(i => ((i * 37) % 1000L, s"p$i")).toDF("k", "p")
+      .repartition(50) // simulate a small-files table: 50 tiny inputs
+    val files = Layout.compact(df, s"$dir/out", targetRowsPerFile = 250,
+      sortCols = Seq("k"))
+    assert(files === 4L) // ceil(1000 / 250) planned partitions
+    // Round-robin balance isn't exact, and the maxRecordsPerFile guard
+    // splits any overflow — so the hard contract is: close to the planned
+    // count, and NO file over the target.
+    val written = new java.io.File(s"$dir/out").listFiles()
+      .count(f => f.getName.endsWith(".parquet"))
+    assert(written >= 4 && written <= 8,
+      s"expected ~4 output files, found $written")
+    val back = spark.read.parquet(s"$dir/out")
+    assert(back.count() === 1000)
+    assert(back.select("k").distinct().count() === 1000)
+    val perFile = back
+      .groupBy(org.apache.spark.sql.functions.input_file_name())
+      .count().select("count").as[Long].collect()
+    assert(perFile.forall(_ <= 250),
+      s"file over target: ${perFile.toSeq.sorted.reverse.take(3)}")
+    // each output FILE is internally sorted by k (row-group stats stay
+    // selective after the rewrite) — read files one at a time, since a
+    // combined read coalesces small files into shared partitions
+    new java.io.File(s"$dir/out").listFiles()
+      .filter(_.getName.endsWith(".parquet")).foreach { f =>
+        val ks = spark.read.parquet(f.getPath).select($"k")
+          .as[Long].collect().toSeq
+        assert(ks === ks.sorted, s"${f.getName} not sorted by k")
+      }
+  }
 }

@@ -99,6 +99,18 @@ class ProfileSpec extends SparkSpec {
     assert(got.map(_._4).sum === 5L)
   }
 
+  test("keySkew surfaces the hot key with its share and the global skew factor") {
+    // key "hot" has 6 of 10 rows; 3 keys -> mean 10/3, skew 6/(10/3) = 1.8
+    val df = (Seq.fill(6)("hot") ++ Seq.fill(3)("warm") ++ Seq("cold"))
+      .toDF("k")
+    val got = Profile.keySkew(df, "k", topK = 2)
+      .as[(String, Long, Double, Long, Double)].collect().toSeq
+      .sortBy(-_._2)
+    assert(got === Seq(
+      ("hot", 6L, 0.6, 3L, 1.8),
+      ("warm", 3L, 0.3, 3L, 1.8)))
+  }
+
   test("histogram degenerates safely when every value is identical") {
     val df = Seq(3.0, 3.0, 3.0).toDF("v")
     val got = Profile.histogram(df, "v", nBins = 4)
