@@ -454,6 +454,54 @@ object Analytics {
        FROM orders JOIN b USING (o_orderpriority)
        GROUP BY o_orderpriority ORDER BY o_orderpriority"""
 
+  /** Time-weighted average over an irregular series (TWAP): each
+    * observation's value is weighted by how long it remained current —
+    * the time until the key's next observation. The last observation has
+    * no known holding interval and carries zero weight (standard TWAP
+    * convention); a key with a single observation yields null.
+    *
+    * Simultaneous observations (equal key+timestamp) are merged by mean
+    * FIRST — otherwise `lead` over tied timestamps would hand the
+    * holding interval to an arbitrary member of the tie and the result
+    * would be partition-order-dependent (and engine-dependent).
+    *
+    * Scale design: the tie-merge is a partial-aggregated groupBy sharing
+    * the key exchange; the window does only a per-key sort for `lead`
+    * (unavoidable — the weight IS the gap to the next point), and the
+    * weighted sums aggregate with map-side partials on the already-
+    * partitioned stream, adding no further exchange.
+    */
+  def timeWeightedAvg(df: DataFrame, keyCol: String, tsCol: String,
+      valueCol: String): DataFrame = {
+    val w = Window.partitionBy(col(keyCol)).orderBy(col("t"))
+    df.select(col(keyCol), unix_micros(col(tsCol)).as("t"),
+        col(valueCol).cast("double").as("v"))
+      .groupBy(col(keyCol), col("t"))
+      .agg(avg(col("v")).as("v"))
+      .withColumn("t_next", lead(col("t"), 1).over(w))
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n_points"),
+        round(sum((col("t_next") - col("t")) * col("v"))
+          / sum(col("t_next") - col("t")), 6).as("twap"))
+  }
+
+  // ---- q97: time-weighted average ---------------------------------------------
+  private def q97(s: SparkSession, d: String): DataFrame =
+    timeWeightedAvg(Tables.events(s, d), "user_id", "ts", "value")
+      .orderBy(col("user_id"))
+  private val q97Sql =
+    """WITH e AS (
+         SELECT user_id, epoch_us(ts::TIMESTAMP) AS t,
+           avg(value::DOUBLE) AS v
+         FROM events GROUP BY 1, 2),
+       g AS (
+         SELECT user_id, t, v,
+           lead(t) OVER (PARTITION BY user_id ORDER BY t) AS t_next
+         FROM e)
+       SELECT user_id, count(*) AS n_points,
+         round(sum((t_next - t) * v) / sum(t_next - t), 6) AS twap
+       FROM g GROUP BY user_id ORDER BY user_id"""
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q46_posexplode", q46, Some(q46Sql)),
     QueryDef("q47_percentiles", q47, Some(q47Sql)),
@@ -468,5 +516,6 @@ object Analytics {
     QueryDef("q66_funnel", q66, Some(q66Sql)),
     QueryDef("q75_retention", q75, Some(q75Sql)),
     QueryDef("q84_gap_fill", q84, Some(q84Sql)),
-    QueryDef("q90_winsorize", q90, Some(q90Sql)))
+    QueryDef("q90_winsorize", q90, Some(q90Sql)),
+    QueryDef("q97_time_weighted_avg", q97, Some(q97Sql)))
 }

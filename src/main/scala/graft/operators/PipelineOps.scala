@@ -518,6 +518,52 @@ object PipelineOps {
          FROM documents)
        WHERE rn <= 12 ORDER BY lang, sample_rank"""
 
+  /** Majority-vote label resolution: given (item, vote) rows from
+    * multiple annotators / weak labelers / model runs, the winning label
+    * per item plus the agreement rate — the label-aggregation step of
+    * every supervised-data pipeline (and the "what fraction of raters
+    * agreed" quality signal to filter on).
+    *
+    * Ties break to the lexicographically smallest label so the result is
+    * deterministic and cross-engine reproducible.
+    *
+    * Scale design: two partial-aggregated hash aggregations — votes
+    * collapse to (item, label) counts map-side, then to one winner row
+    * per item via `min(struct(-count, label))` (the argmax-without-a-
+    * window trick used across this codebase); the vote log is never
+    * window-sorted.
+    */
+  def resolveLabels(df: DataFrame, itemCol: String, labelCol: String): DataFrame =
+    df.groupBy(col(itemCol), col(labelCol))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col(itemCol))
+      .agg(min(struct((-col("c")).as("nc"), col(labelCol).as("lab"))).as("best"),
+        sum(col("c")).as("n_votes"))
+      .select(col(itemCol), col("best.lab").as("label"),
+        (-col("best.nc")).as("n_agree"), col("n_votes"),
+        round((-col("best.nc")).cast("double") / col("n_votes"), 6)
+          .as("agreement"))
+
+  // ---- q96: majority-vote label resolution ------------------------------------
+  // Events read as weak labels: each user's dominant event type.
+  private def q96(s: SparkSession, d: String): DataFrame =
+    resolveLabels(Tables.events(s, d), "user_id", "event_type")
+      .orderBy(col("user_id"))
+  private val q96Sql =
+    """WITH c AS (
+         SELECT user_id, event_type, count(*) AS c FROM events
+         GROUP BY 1, 2),
+       t AS (SELECT user_id, sum(c)::BIGINT AS n_votes FROM c GROUP BY 1),
+       w AS (
+         SELECT user_id, event_type AS label, c AS n_agree,
+           row_number() OVER (PARTITION BY user_id
+             ORDER BY c DESC, event_type) AS rn
+         FROM c)
+       SELECT w.user_id, label, n_agree, n_votes,
+         round(n_agree::DOUBLE / n_votes, 6) AS agreement
+       FROM w JOIN t ON w.user_id = t.user_id
+       WHERE rn = 1 ORDER BY w.user_id"""
+
   private def q45(s: SparkSession, d: String): DataFrame =
     repetitionRatio(Tables.documents(s, d), "doc_id", "text", n = 3)
       .orderBy(col("doc_id"))
@@ -677,5 +723,6 @@ object PipelineOps {
     QueryDef("q63_bigram_lm", q63, Some(q63Sql)),
     QueryDef("q71_mixture_sample", q71, Some(q71Sql)),
     QueryDef("q76_url_filter", q76, Some(q76Sql)),
-    QueryDef("q85_exact_group_sample", q85, Some(q85Sql)))
+    QueryDef("q85_exact_group_sample", q85, Some(q85Sql)),
+    QueryDef("q96_label_majority", q96, Some(q96Sql)))
 }

@@ -69,6 +69,26 @@ class AnalyticsSpec extends SparkSpec {
     assert(got === Array(("g", 20L, 1L, 1L, 10.5)))
   }
 
+  test("timeWeightedAvg weights by holding time and merges simultaneous points") {
+    // u1: v=10 held 10s, then two SIMULTANEOUS points at +10s (15, 25 ->
+    // mean 20) held 20s, then a terminal point (weight 0).
+    // twap = (10*10 + 20*20) / 30 = 16.666667. u2: single point -> null.
+    val e = Seq(
+      (1L, "2024-01-01 00:00:00", 10.0),
+      (1L, "2024-01-01 00:00:10", 15.0),
+      (1L, "2024-01-01 00:00:10", 25.0),
+      (1L, "2024-01-01 00:00:30", 99.0),
+      (2L, "2024-01-01 00:00:00", 42.0))
+      .toDF("user_id", "ts", "value")
+      .select(col("user_id"), col("ts").cast("timestamp").as("ts"), col("value"))
+    val got = Analytics.timeWeightedAvg(e, "user_id", "ts", "value")
+      .orderBy("user_id")
+      .as[(Long, Long, Option[Double])].collect()
+    assert(got === Array(
+      (1L, 3L, Some(16.666667)),
+      (2L, 1L, None)))
+  }
+
   test("gapFillDaily never window-sorts the raw events, only the daily spine") {
     val e = Seq((1L, "2024-01-01 10:00:00", 1.0))
       .toDF("user_id", "ts", "value")

@@ -204,6 +204,25 @@ class PipelineOpsSpec extends SparkSpec {
     assert(!plan.contains("Window"), s"unexpected window sort:\n$plan")
   }
 
+  test("resolveLabels picks the majority, breaking ties to the smallest label") {
+    val votes = Seq(
+      (1L, "cat"), (1L, "cat"), (1L, "dog"),           // clear majority
+      (2L, "b"), (2L, "a"),                            // tie -> "a"
+      (3L, "x"))                                       // unanimous single
+      .toDF("item", "vote")
+    val got = PipelineOps.resolveLabels(votes, "item", "vote")
+      .orderBy("item")
+      .as[(Long, String, Long, Long, Double)].collect()
+    assert(got === Array(
+      (1L, "cat", 2L, 3L, 0.666667),
+      (2L, "a", 1L, 2L, 0.5),
+      (3L, "x", 1L, 1L, 1.0)))
+    // Argmax is the partial-aggregated min(struct) — never a window sort.
+    val plan = PipelineOps.resolveLabels(votes, "item", "vote")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"unexpected window sort:\n$plan")
+  }
+
   test("mixtureWeights scans the corpus once and broadcasts the grand total") {
     val docs = graft.Tables.documents(spark, sf)
     val plan = PipelineOps.mixtureWeights(docs, "source",
