@@ -439,6 +439,52 @@ object TextAnalysis {
        FROM toks t LEFT JOIN vocab v ON t.tok = v.tok
        GROUP BY doc_id ORDER BY doc_id"""
 
+  /** Fixed-size token chunking with overlap — the retrieval/embedding
+    * prep step (chunk long documents into `chunkTokens`-token windows
+    * advancing by `chunkTokens - overlapTokens`). Chunk starts are every
+    * multiple of the step below the document's token count, so the final
+    * chunk may be short; `overlap` tokens are repeated between adjacent
+    * chunks for boundary-context continuity.
+    *
+    * Scale design: pure map-side — tokenize once per row, explode the
+    * (tiny) start-offset array, slice the token window per start; zero
+    * shuffle, pipelines straight into an embedding stage. Chunk identity
+    * is (doc_id, chunk_idx), deterministic.
+    */
+  def chunkDocuments(df: DataFrame, idCol: String, textCol: String,
+      chunkTokens: Int, overlapTokens: Int): DataFrame = {
+    require(chunkTokens > 0 && overlapTokens >= 0 && overlapTokens < chunkTokens,
+      "need 0 <= overlap < chunkTokens")
+    val step = chunkTokens - overlapTokens
+    df.select(col(idCol), tokens(col(textCol)).as("toks"))
+      .select(col(idCol), col("toks"),
+        explode(sequence(lit(0),
+          greatest(size(col("toks")) - 1, lit(0)), lit(step))).as("start"))
+      .select(col(idCol),
+        (col("start") / step).cast("int").as("chunk_idx"),
+        concat_ws(" ", slice(col("toks"), col("start") + 1, lit(chunkTokens)))
+          .as("chunk"),
+        least(lit(chunkTokens), size(col("toks")) - col("start"))
+          .cast("long").as("n_tokens"))
+  }
+
+  // ---- q98: overlapping token chunking ----------------------------------------
+  private def q98(s: SparkSession, d: String): DataFrame =
+    chunkDocuments(Tables.documents(s, d).filter(col("doc_id") < 50),
+        "doc_id", "text", chunkTokens = 40, overlapTokens = 10)
+      .orderBy(col("doc_id"), col("chunk_idx"))
+  private val q98Sql =
+    """WITH toks AS (
+         SELECT doc_id, string_split(text, ' ') AS t FROM documents
+         WHERE doc_id < 50),
+       starts AS (
+         SELECT doc_id, t, unnest(range(0, len(t), 30)) AS start
+         FROM toks)
+       SELECT doc_id, (start // 30)::INT AS chunk_idx,
+         array_to_string(list_slice(t, start + 1, start + 40), ' ') AS chunk,
+         least(40, len(t) - start)::BIGINT AS n_tokens
+       FROM starts ORDER BY doc_id, chunk_idx"""
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q21_token_stats", q21, Some(q21Sql)),
     QueryDef("q22_quality_score", q22, Some(q22Sql)),
@@ -448,5 +494,6 @@ object TextAnalysis {
     QueryDef("q73_normalize_text", q73, Some(q73Sql)),
     QueryDef("q77_lexical_diversity", q77, Some(q77Sql)),
     QueryDef("q87_tfidf_top_terms", q87, Some(q87Sql)),
-    QueryDef("q91_vocab_coverage", q91, Some(q91Sql)))
+    QueryDef("q91_vocab_coverage", q91, Some(q91Sql)),
+    QueryDef("q98_chunk_documents", q98, Some(q98Sql)))
 }

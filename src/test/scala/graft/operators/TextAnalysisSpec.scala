@@ -114,6 +114,23 @@ class TextAnalysisSpec extends SparkSpec {
       s"vocab probe should be a broadcast join:\n${plan.take(1500)}")
   }
 
+  test("chunkDocuments windows tokens with overlap, short final chunk, no shuffle") {
+    val df = Seq((1L, "t1 t2 t3 t4 t5 t6 t7 t8 t9 t10")).toDF("doc_id", "text")
+    val got = TextAnalysis.chunkDocuments(df, "doc_id", "text",
+        chunkTokens = 4, overlapTokens = 1)
+      .orderBy("chunk_idx")
+      .as[(Long, Int, String, Long)].collect()
+    assert(got === Array(
+      (1L, 0, "t1 t2 t3 t4", 4L),
+      (1L, 1, "t4 t5 t6 t7", 4L),   // t4 repeats: 1-token overlap
+      (1L, 2, "t7 t8 t9 t10", 4L),
+      (1L, 3, "t10", 1L)))          // short tail chunk
+    val plan = TextAnalysis.chunkDocuments(df, "doc_id", "text", 4, 1)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"chunking must be map-side only:\n${plan.take(1200)}")
+  }
+
   test("gopherFilter is a single-pass map-side plan with no exchange") {
     val plan = TextAnalysis.gopherFilter(
         graft.Tables.documents(spark, sf), "doc_id", "text")
