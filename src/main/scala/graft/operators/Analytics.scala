@@ -502,6 +502,48 @@ object Analytics {
          round(sum((t_next - t) * v) / sum(t_next - t), 6) AS twap
        FROM g GROUP BY user_id ORDER BY user_id"""
 
+  // ---- q99: ordered string aggregation (LISTAGG surface) ----------------------
+  // Per (lang, source): member count + CSV of the 3 smallest doc ids in
+  // order — the LISTAGG/string_agg SQL surface. collect_list gathers the
+  // whole group, acceptable for id-sized payloads and bounded groups; for
+  // a top-k CSV over huge groups, rank through TypedAggs.BoundedTopK
+  // first (q85 shape) and concat the k survivors instead.
+  private def q99(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n"),
+        concat_ws(",",
+          slice(sort_array(collect_list(col("doc_id"))), 1, 3)).as("first_ids"))
+      .orderBy(col("lang"), col("source"))
+  private val q99Sql =
+    """SELECT lang, source, count(*) AS n,
+         array_to_string(list_slice(list_sort(list(doc_id)), 1, 3), ',')
+           AS first_ids
+       FROM documents GROUP BY lang, source ORDER BY lang, source"""
+
+  // ---- q100: hopping (sliding) windows in batch --------------------------------
+  // 1-hour windows every 15 minutes: each event lands in exactly 4
+  // windows. The oracle derives the same window set arithmetically
+  // (epoch-aligned grid, k = 0..3 back-offsets), pinning Spark's
+  // window(slide) assignment semantics bit-for-bit.
+  private def q100(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(window(col("ts"), "1 hour", "15 minutes").as("w"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value")), 2).as("total_value"))
+      .select(unix_micros(col("w.start")).as("window_start_us"),
+        col("n_events"), col("total_value"))
+      .orderBy(col("window_start_us"))
+  private val q100Sql =
+    """WITH e AS (
+         SELECT epoch_us(ts::TIMESTAMP) AS t, value FROM events),
+       hopped AS (
+         SELECT (t // 900000000) * 900000000 - k * 900000000 AS ws, value
+         FROM e CROSS JOIN (SELECT unnest(range(0, 4)) AS k))
+       SELECT ws AS window_start_us, count(*) AS n_events,
+         round(sum(value), 2) AS total_value
+       FROM hopped GROUP BY ws ORDER BY ws"""
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q46_posexplode", q46, Some(q46Sql)),
     QueryDef("q47_percentiles", q47, Some(q47Sql)),
@@ -517,5 +559,7 @@ object Analytics {
     QueryDef("q75_retention", q75, Some(q75Sql)),
     QueryDef("q84_gap_fill", q84, Some(q84Sql)),
     QueryDef("q90_winsorize", q90, Some(q90Sql)),
-    QueryDef("q97_time_weighted_avg", q97, Some(q97Sql)))
+    QueryDef("q97_time_weighted_avg", q97, Some(q97Sql)),
+    QueryDef("q99_string_agg", q99, Some(q99Sql)),
+    QueryDef("q100_hopping_windows", q100, Some(q100Sql)))
 }
