@@ -465,11 +465,12 @@ object Analytics {
     * holding interval to an arbitrary member of the tie and the result
     * would be partition-order-dependent (and engine-dependent).
     *
-    * Scale design: the tie-merge is a partial-aggregated groupBy sharing
-    * the key exchange; the window does only a per-key sort for `lead`
-    * (unavoidable — the weight IS the gap to the next point), and the
-    * weighted sums aggregate with map-side partials on the already-
-    * partitioned stream, adding no further exchange.
+    * Scale design: the tie-merge collapses the raw stream with map-side
+    * partials on (key, t); the window then exchanges the already-
+    * collapsed points once on the key and sorts only per key for `lead`
+    * (unavoidable — the weight IS the gap to the next point); the final
+    * weighted sums aggregate with map-side partials on the window's
+    * partitioning, adding no further exchange.
     */
   def timeWeightedAvg(df: DataFrame, keyCol: String, tsCol: String,
       valueCol: String): DataFrame = {
