@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.{QueryDef, Tables}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.TextFunctions.tokens
@@ -503,6 +503,67 @@ object Analytics {
          round(sum((t_next - t) * v) / sum(t_next - t), 6) AS twap
        FROM g GROUP BY user_id ORDER BY user_id"""
 
+  /** Per-key ordinary-least-squares trend: slope and intercept of y over
+    * x from the five algebraic sums (n, Σx, Σy, Σxy, Σx²) — the
+    * "metric drifting?" detector over millions of keys at once. Emits
+    * null when the variance denominator is zero (single point or
+    * constant x).
+    *
+    * `x` is caller-supplied so it can be CENTERED (e.g. days since the
+    * period start, not epoch micros): with x ~ 1e15 the Σx² term
+    * overwhelms double precision and n·Σx² − (Σx)² cancels
+    * catastrophically; with x in the tens both engines agree to the
+    * rounding digit.
+    *
+    * Scale design: ONE partial-aggregated hash aggregation — the five
+    * sums collapse map-side, |keys| rows cross the wire, and the
+    * slope/intercept arithmetic is a projection. No window, no sort,
+    * no second pass (contrast: a window-based fit would sort every
+    * key's history).
+    */
+  def linearTrend(df: DataFrame, keyCol: String, x: Column, y: Column): DataFrame = {
+    val agg = df.select(col(keyCol), x.cast("double").as("x"),
+        y.cast("double").as("y"))
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+        sum(col("y")).as("sy"), sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"))
+    val den = col("n") * col("sxx") - col("sx") * col("sx")
+    val slope = (col("n") * col("sxy") - col("sx") * col("sy")) / den
+    agg.select(col(keyCol), col("n"),
+      when(den === 0, lit(null)).otherwise(round(slope, 6)).as("slope"),
+      when(den === 0, lit(null))
+        .otherwise(round((col("sy") - slope * col("sx")) / col("n"), 6))
+        .as("intercept"))
+  }
+
+  // ---- q101: per-user value trend over time ------------------------------------
+  // x = fractional days since the fixture period start (2024-01-01) —
+  // centered small so the OLS sums stay in the exact range of doubles.
+  private def q101(s: SparkSession, d: String): DataFrame =
+    linearTrend(Tables.events(s, d), "user_id",
+        (unix_micros(col("ts")) - lit(1704067200000000L)) / 86400000000.0d,
+        col("value"))
+      .orderBy(col("user_id"))
+  private val q101Sql =
+    """WITH p AS (
+         SELECT user_id,
+           (epoch_us(ts::TIMESTAMP) - 1704067200000000) / 86400000000.0 AS x,
+           value::DOUBLE AS y
+         FROM events),
+       a AS (
+         SELECT user_id, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+           sum(x * y) AS sxy, sum(x * x) AS sxx
+         FROM p GROUP BY 1)
+       SELECT user_id, n,
+         CASE WHEN n * sxx - sx * sx = 0 THEN NULL
+           ELSE round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) END
+           AS slope,
+         CASE WHEN n * sxx - sx * sx = 0 THEN NULL
+           ELSE round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx)
+             / n, 6) END AS intercept
+       FROM a ORDER BY user_id"""
+
   // ---- q99: ordered string aggregation (LISTAGG surface) ----------------------
   // Per (lang, source): member count + CSV of the 3 smallest doc ids in
   // order — the LISTAGG/string_agg SQL surface. collect_list gathers the
@@ -562,5 +623,6 @@ object Analytics {
     QueryDef("q90_winsorize", q90, Some(q90Sql)),
     QueryDef("q97_time_weighted_avg", q97, Some(q97Sql)),
     QueryDef("q99_string_agg", q99, Some(q99Sql)),
-    QueryDef("q100_hopping_windows", q100, Some(q100Sql)))
+    QueryDef("q100_hopping_windows", q100, Some(q100Sql)),
+    QueryDef("q101_linear_trend", q101, Some(q101Sql)))
 }

@@ -89,6 +89,22 @@ class AnalyticsSpec extends SparkSpec {
       (2L, 1L, None)))
   }
 
+  test("linearTrend recovers exact slope/intercept and nulls degenerate keys") {
+    val df = Seq(
+      (1L, 0.0, 1.0), (1L, 1.0, 3.0), (1L, 2.0, 5.0), // y = 2x + 1 exactly
+      (2L, 5.0, 9.0))                                 // single point
+      .toDF("k", "x", "y")
+    val got = Analytics.linearTrend(df, "k", col("x"), col("y"))
+      .orderBy("k")
+      .as[(Long, Long, Option[Double], Option[Double])].collect()
+    assert(got === Array(
+      (1L, 3L, Some(2.0), Some(1.0)),
+      (2L, 1L, None, None)))
+    val plan = Analytics.linearTrend(df, "k", col("x"), col("y"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"OLS must be one aggregation:\n$plan")
+  }
+
   test("gapFillDaily never window-sorts the raw events, only the daily spine") {
     val e = Seq((1L, "2024-01-01 10:00:00", 1.0))
       .toDF("user_id", "ts", "value")

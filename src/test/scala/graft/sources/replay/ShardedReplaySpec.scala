@@ -101,6 +101,25 @@ class ShardedReplaySpec extends SparkSpec with BeforeAndAfterAll {
     assert(reports.map(_.numInputRows).sum === nEvents)
   }
 
+  test("lagReport spans the reshard universe (v2 offsets) and drains to zero") {
+    val ds = Consumer.source(ConsumerConfig(
+      streamPath = eventsPath, numShards = 4,
+      maxRecordsPerTrigger = Some(300), reshardAtMs = Some(splitMs)))
+    val q = ds.writeStream
+      .format("memory").queryName("replay_lag_reshard")
+      .option("checkpointLocation", tmpDir("ckpt_lag_reshard"))
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val reports = Consumer.lagReport(q)
+    assert(reports.nonEmpty)
+    // Post-split offsets carry 4 parents + 8 children; the lag report
+    // must parse the v2 JSON and track all 12.
+    assert(reports.last.shards.map(_.shard) === (0 until 12))
+    assert(reports.last.caughtUp,
+      s"drained reshard query must report zero lag: ${reports.last.shards}")
+    assert(reports.map(_.numInputRows).sum === nEvents)
+  }
+
   test("restart from checkpoint resumes at the committed frontier (exactly-once)") {
     val ckpt = tmpDir("ckpt_restart")
     val out = tmpDir("out_restart")
