@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.{QueryDef, Tables}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Dataset hygiene operators every large-scale pipeline runs before (and
@@ -289,6 +289,94 @@ object Profile {
           .as("skew_factor"))
   }
 
+  /** Data-quality expectations — the pre-publish gate every pipeline
+    * table needs (the Great-Expectations/dbt-test shape, engine-side).
+    * Three rule kinds, one uniform report row each
+    * (rule, n_checked, n_violations, pass):
+    *
+    *  - row rules: a violation predicate checked per row — ONE aggregation
+    *    pass evaluates ALL row rules simultaneously (no per-rule scan);
+    *  - uniqueness: violations = rows − distinct keys (a single
+    *    partial-aggregated distinct count);
+    *  - referential integrity: violations = child rows whose key has no
+    *    parent — a left-anti join, broadcast when the parent is small.
+    *
+    * Report rows are |rules|-sized; the table is never reshuffled.
+    */
+  def expectRowRules(df: DataFrame,
+      rules: Seq[(String, Column)]): DataFrame = {
+    require(rules.nonEmpty, "need at least one rule")
+    val aggs = rules.zipWithIndex.flatMap { case ((_, viol), i) =>
+      Seq(count(lit(1)).as(s"r${i}__n"),
+        count(when(viol, 1)).as(s"r${i}__v"))
+    }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val stackArgs = rules.zipWithIndex.flatMap { case ((name, _), i) =>
+      Seq(lit(name), col(s"r${i}__n"), col(s"r${i}__v"))
+    }
+    one.select(stack((lit(rules.length) +: stackArgs): _*)
+        .as(Seq("rule", "n_checked", "n_violations")))
+      .withColumn("pass", col("n_violations") === 0)
+  }
+
+  /** Uniqueness expectation: violations = rows beyond the first per key. */
+  def expectUnique(df: DataFrame, name: String, cols: Seq[String]): DataFrame =
+    df.agg(count(lit(1)).as("n_checked"),
+        (count(lit(1)) - countDistinct(cols.map(col).head, cols.map(col).tail: _*))
+          .as("n_violations"))
+      .select(lit(name).as("rule"), col("n_checked"), col("n_violations"),
+        (col("n_violations") === 0).as("pass"))
+
+  /** Referential-integrity expectation: child keys must exist in parent. */
+  def expectFk(child: DataFrame, childKey: String, parent: DataFrame,
+      parentKey: String, name: String): DataFrame = {
+    val orphans = child.select(col(childKey))
+      .join(parent.select(col(parentKey).as(childKey)), Seq(childKey),
+        "left_anti")
+    child.agg(count(lit(1)).as("n_checked"))
+      .crossJoin(orphans.agg(count(lit(1)).as("n_violations")))
+      .select(lit(name).as("rule"), col("n_checked"), col("n_violations"),
+        (col("n_violations") === 0).as("pass"))
+  }
+
+  // ---- q102: data-quality expectation report -----------------------------------
+  // Orders must have positive prices and valid status codes (row rules),
+  // unique keys, and customers that exist. The fixture satisfies all
+  // four, so the report pins the zero-violation shape; the spec covers
+  // violating inputs.
+  private def q102(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+    expectRowRules(o, Seq(
+        "positive_price" -> !(col("o_totalprice") > 0),
+        "valid_status" -> !col("o_orderstatus").isin("F", "O", "P")))
+      .unionByName(expectUnique(o, "unique_orderkey", Seq("o_orderkey")))
+      .unionByName(expectFk(o, "o_custkey", Tables.customer(s, d),
+        "c_custkey", "fk_custkey"))
+      .orderBy(col("rule"))
+  }
+  private val q102Sql =
+    """SELECT 'positive_price' AS rule, count(*) AS n_checked,
+         count(*) FILTER (WHERE NOT (o_totalprice > 0)) AS n_violations,
+         count(*) FILTER (WHERE NOT (o_totalprice > 0)) = 0 AS pass
+       FROM orders
+       UNION ALL
+       SELECT 'valid_status', count(*),
+         count(*) FILTER (WHERE o_orderstatus NOT IN ('F', 'O', 'P')),
+         count(*) FILTER (WHERE o_orderstatus NOT IN ('F', 'O', 'P')) = 0
+       FROM orders
+       UNION ALL
+       SELECT 'unique_orderkey', count(*),
+         count(*) - count(DISTINCT o_orderkey),
+         count(*) - count(DISTINCT o_orderkey) = 0
+       FROM orders
+       UNION ALL
+       SELECT 'fk_custkey', (SELECT count(*) FROM orders),
+         (SELECT count(*) FROM orders o LEFT JOIN customer c
+            ON o.o_custkey = c.c_custkey WHERE c.c_custkey IS NULL),
+         (SELECT count(*) FROM orders o LEFT JOIN customer c
+            ON o.o_custkey = c.c_custkey WHERE c.c_custkey IS NULL) = 0
+       ORDER BY rule"""
+
   // ---- q95: key-skew profile --------------------------------------------------
   private def q95(s: SparkSession, d: String): DataFrame =
     keySkew(Tables.events(s, d), "user_id", topK = 10)
@@ -334,5 +422,6 @@ object Profile {
     QueryDef("q72_cdc_apply", q72, Some(q72Sql)),
     QueryDef("q74_snapshot_diff", q74, Some(q74Sql)),
     QueryDef("q88_histogram", q88, Some(q88Sql)),
-    QueryDef("q95_key_skew", q95, Some(q95Sql)))
+    QueryDef("q95_key_skew", q95, Some(q95Sql)),
+    QueryDef("q102_quality_gate", q102, Some(q102Sql)))
 }

@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.SparkSpec
+import org.apache.spark.sql.functions.col
 
 class ProfileSpec extends SparkSpec {
   import spark.implicits._
@@ -109,6 +110,22 @@ class ProfileSpec extends SparkSpec {
     assert(got === Seq(
       ("hot", 6L, 0.6, 3L, 1.8),
       ("warm", 3L, 0.3, 3L, 1.8)))
+  }
+
+  test("expectations count violations per rule kind on dirty data") {
+    val child = Seq((1L, 10.0), (1L, -5.0), (2L, 0.0), (9L, 3.0))
+      .toDF("k", "price")
+    val parent = Seq(1L, 2L, 3L).toDF("pk")
+    val report = Profile
+      .expectRowRules(child, Seq("positive_price" -> !(col("price") > 0)))
+      .unionByName(Profile.expectUnique(child, "unique_k", Seq("k")))
+      .unionByName(Profile.expectFk(child, "k", parent, "pk", "fk_k"))
+      .orderBy("rule")
+      .as[(String, Long, Long, Boolean)].collect()
+    assert(report === Array(
+      ("fk_k", 4L, 1L, false),          // k=9 has no parent
+      ("positive_price", 4L, 2L, false), // -5.0 and 0.0
+      ("unique_k", 4L, 1L, false)))      // k=1 appears twice
   }
 
   test("histogram degenerates safely when every value is identical") {
