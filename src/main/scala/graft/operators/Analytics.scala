@@ -564,6 +564,55 @@ object Analytics {
              / n, 6) END AS intercept
        FROM a ORDER BY user_id"""
 
+  /** First-order transition matrix over per-key ordered event sequences:
+    * counts and row-normalized probabilities of each (state → next state)
+    * step — the Markov view of user journeys (what follows a `view`?)
+    * and the input to next-event prediction baselines.
+    *
+    * Ordering ties are broken by `tieCol` (a unique id) — `lead` over a
+    * timestamp alone would pick an arbitrary member of simultaneous
+    * events and the matrix would be partition-order-dependent.
+    *
+    * Scale design: one exchange on the key for the `lead` window (sort
+    * is per key), then the pair counts collapse map-side to at most
+    * |states|² rows; the normalizing per-source totals derive from that
+    * tiny relation and broadcast back. The event log is shuffled once.
+    */
+  def transitionMatrix(df: DataFrame, keyCol: String, tsCol: String,
+      tieCol: String, stateCol: String): DataFrame = {
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(tsCol), col(tieCol))
+    val pairs = df
+      .select(col(keyCol), col(tsCol), col(tieCol), col(stateCol).as("state"))
+      .withColumn("next_state", lead(col("state"), 1).over(w))
+      .filter(col("next_state").isNotNull)
+      .groupBy(col("state"), col("next_state"))
+      .agg(count(lit(1)).as("n"))
+    val totals = pairs.groupBy(col("state")).agg(sum(col("n")).as("tot"))
+    pairs.join(broadcast(totals), "state")
+      .select(col("state"), col("next_state"), col("n"),
+        round(col("n").cast("double") / col("tot"), 6).as("p"))
+  }
+
+  // ---- q103: event-type transition matrix --------------------------------------
+  private def q103(s: SparkSession, d: String): DataFrame =
+    transitionMatrix(Tables.events(s, d), "user_id", "ts", "event_id",
+        "event_type")
+      .orderBy(col("state"), col("next_state"))
+  private val q103Sql =
+    """WITH seq AS (
+         SELECT event_type AS state,
+           lead(event_type) OVER (PARTITION BY user_id
+             ORDER BY ts, event_id) AS next_state
+         FROM events),
+       pairs AS (
+         SELECT state, next_state, count(*) AS n FROM seq
+         WHERE next_state IS NOT NULL GROUP BY 1, 2),
+       tot AS (SELECT state, sum(n)::BIGINT AS tot FROM pairs GROUP BY 1)
+       SELECT pairs.state, next_state, n, round(n::DOUBLE / tot, 6) AS p
+       FROM pairs JOIN tot ON pairs.state = tot.state
+       ORDER BY pairs.state, next_state"""
+
   // ---- q99: ordered string aggregation (LISTAGG surface) ----------------------
   // Per (lang, source): member count + CSV of the 3 smallest doc ids in
   // order — the LISTAGG/string_agg SQL surface. collect_list gathers the
@@ -624,5 +673,6 @@ object Analytics {
     QueryDef("q97_time_weighted_avg", q97, Some(q97Sql)),
     QueryDef("q99_string_agg", q99, Some(q99Sql)),
     QueryDef("q100_hopping_windows", q100, Some(q100Sql)),
-    QueryDef("q101_linear_trend", q101, Some(q101Sql)))
+    QueryDef("q101_linear_trend", q101, Some(q101Sql)),
+    QueryDef("q103_transition_matrix", q103, Some(q103Sql)))
 }

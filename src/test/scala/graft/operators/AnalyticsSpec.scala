@@ -105,6 +105,24 @@ class AnalyticsSpec extends SparkSpec {
     assert(!plan.contains("Window"), s"OLS must be one aggregation:\n$plan")
   }
 
+  test("transitionMatrix counts ordered steps with deterministic tie-break") {
+    // u1: a -> b -> b ; u2: a -> c. From 'a': b (p=.5), c (p=.5).
+    // The two u1 events at t=2 order by the tie id (3 before 4), so the
+    // chain is a,b,b - never a,b,a.
+    val e = Seq(
+      (1L, 1L, 1L, "a"), (1L, 2L, 3L, "b"), (1L, 2L, 4L, "b"),
+      (2L, 1L, 5L, "a"), (2L, 2L, 6L, "c"))
+      .toDF("user_id", "ts", "event_id", "event_type")
+    val got = Analytics.transitionMatrix(e, "user_id", "ts", "event_id",
+        "event_type")
+      .orderBy("state", "next_state")
+      .as[(String, String, Long, Double)].collect()
+    assert(got === Array(
+      ("a", "b", 1L, 0.5),
+      ("a", "c", 1L, 0.5),
+      ("b", "b", 1L, 1.0)))
+  }
+
   test("gapFillDaily never window-sorts the raw events, only the daily spine") {
     val e = Seq((1L, "2024-01-01 10:00:00", 1.0))
       .toDF("user_id", "ts", "value")
