@@ -613,6 +613,32 @@ object Analytics {
        FROM pairs JOIN tot ON pairs.state = tot.state
        ORDER BY pairs.state, next_state"""
 
+  // ---- q104: ranking-family windows (rank / dense_rank / percent_rank / cume_dist)
+  // The remaining ranking functions beyond q09/q49: tied values share a
+  // rank (deterministic — the functions depend only on the ORDER values,
+  // and each output row still carries its unique key), percent_rank is
+  // (rank-1)/(n-1) and cume_dist n_at_or_before/n in BOTH engines.
+  private def q104(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_totalprice").desc)
+    Tables.orders(s, d).filter(col("o_orderkey") < 500)
+      .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"),
+        rank().over(w).cast("long").as("rnk"),
+        dense_rank().over(w).cast("long").as("drnk"),
+        round(percent_rank().over(w), 6).as("prnk"),
+        round(cume_dist().over(w), 6).as("cdist"))
+      .orderBy(col("o_orderkey"))
+  }
+  private val q104Sql =
+    """SELECT o_orderkey, o_orderpriority, o_totalprice,
+         rank() OVER w AS rnk,
+         dense_rank() OVER w AS drnk,
+         round(percent_rank() OVER w, 6) AS prnk,
+         round(cume_dist() OVER w, 6) AS cdist
+       FROM orders WHERE o_orderkey < 500
+       WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC)
+       ORDER BY o_orderkey"""
+
   // ---- q99: ordered string aggregation (LISTAGG surface) ----------------------
   // Per (lang, source): member count + CSV of the 3 smallest doc ids in
   // order — the LISTAGG/string_agg SQL surface. collect_list gathers the
@@ -674,5 +700,6 @@ object Analytics {
     QueryDef("q99_string_agg", q99, Some(q99Sql)),
     QueryDef("q100_hopping_windows", q100, Some(q100Sql)),
     QueryDef("q101_linear_trend", q101, Some(q101Sql)),
-    QueryDef("q103_transition_matrix", q103, Some(q103Sql)))
+    QueryDef("q103_transition_matrix", q103, Some(q103Sql)),
+    QueryDef("q104_rank_family", q104, Some(q104Sql)))
 }
