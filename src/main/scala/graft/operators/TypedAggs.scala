@@ -200,9 +200,44 @@ object TypedAggs {
        HAVING count(*) * 200 > (SELECT count(*) FROM toks)
        ORDER BY token"""
 
+  // ---- q105: typed cogroup ----------------------------------------------------
+  // KeyValueGroupedDataset.cogroup — the typed per-key escape hatch for
+  // logic no relational operator expresses (custom merges, per-key state
+  // machines over two inputs). Here the per-key function is a verifiable
+  // stand-in (count both sides), so the DuckDB oracle — a full outer
+  // join of two aggregates — pins the cogroup plumbing: every key from
+  // EITHER side appears exactly once with both iterators presented.
+  //
+  // Scale: both sides shuffle once on the key (CoGroup plans two
+  // exchanges, one per input); the per-key closure streams its
+  // iterators, so memory is O(1) per key unless the closure buffers.
+  private def q105(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, d).select(col("user_id")).as[Long]
+      .groupByKey(identity)
+    val ord = Tables.orders(s, d).select(col("o_custkey")).as[Long]
+      .groupByKey(identity)
+    ev.cogroup(ord) { (k, evs, ords) =>
+        Iterator.single((k, evs.size.toLong, ords.size.toLong))
+      }
+      .select(col("_1").as("user_id"), col("_2").as("n_events"),
+        col("_3").as("n_orders"))
+      .orderBy(col("user_id"))
+  }
+  private val q105Sql =
+    """SELECT coalesce(e.user_id, o.o_custkey) AS user_id,
+         coalesce(ne, 0)::BIGINT AS n_events,
+         coalesce(no, 0)::BIGINT AS n_orders
+       FROM (SELECT user_id, count(*) AS ne FROM events GROUP BY 1) e
+       FULL OUTER JOIN
+         (SELECT o_custkey, count(*) AS no FROM orders GROUP BY 1) o
+         ON e.user_id = o.o_custkey
+       ORDER BY user_id"""
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q34_topk_aggregator", q34, Some(q34Sql)),
     QueryDef("q35_pivot", q35, Some(q35Sql)),
     QueryDef("q36_approx_distinct", q36, Some(q36Sql)),
-    QueryDef("q83_heavy_hitters", q83, Some(q83Sql)))
+    QueryDef("q83_heavy_hitters", q83, Some(q83Sql)),
+    QueryDef("q105_typed_cogroup", q105, Some(q105Sql)))
 }
