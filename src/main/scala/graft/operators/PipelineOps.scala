@@ -142,6 +142,42 @@ object PipelineOps {
       .agg(count(lit(1)).as("n_members"), round(avg(col("cs")), 6).as("avg_cos"))
   }
 
+  /** Centroid (re)computation — the k-means UPDATE step complementing
+    * [[kmeansAssign]]: the element-wise mean vector per cluster, emitted
+    * LONG-FORM as (cluster, pos, mean) rows. Long form is deliberate:
+    * it is the join-ready shape for the next assign pass, and scalar
+    * rows stay oracle-hashable (array columns crash the compare harness,
+    * and a CSV of doubles would hit engine float-formatting divergence).
+    *
+    * Scale design: posexplode shuffles (cluster, pos, x) triples that
+    * collapse map-side to |clusters|·dim partials — the standard
+    * distributed vector mean. A native sum-vectors kernel (one array add
+    * per row, MinHashSignature pattern) would shrink the exchange to
+    * |partitions|·|clusters| rows; this portable form documents that
+    * upgrade path for trillion-row corpora.
+    */
+  def centroidUpdate(df: DataFrame, clusterCol: String,
+      vecCol: String): DataFrame =
+    df.select(col(clusterCol), posexplode(col(vecCol)).as(Seq("pos", "x")))
+      .groupBy(col(clusterCol), col("pos"))
+      .agg(round(avg(col("x").cast("double")), 6).as("mean_x"),
+        count(lit(1)).as("n_members"))
+
+  // ---- q106: k-means centroid update step -------------------------------------
+  // Labels act as the cluster assignment; the mean vector per label is
+  // the updated centroid table (long form, pos-indexed).
+  private def q106(s: SparkSession, d: String): DataFrame =
+    centroidUpdate(Tables.embeddings(s, d), "label", "embedding")
+      .orderBy(col("label"), col("pos"))
+  private val q106Sql =
+    """WITH p AS (
+         SELECT label, i - 1 AS pos, embedding[i]::DOUBLE AS x
+         FROM embeddings,
+           unnest(range(1, len(embedding) + 1)) AS t(i))
+       SELECT label, pos::INT AS pos, round(avg(x), 6) AS mean_x,
+         count(*) AS n_members
+       FROM p GROUP BY 1, 2 ORDER BY label, pos"""
+
   /** Intra-document repetition ratio: occurrences of the most frequent
     * word n-gram over total n-gram occurrences (1/n_grams = no repetition,
     * 1.0 = the same window repeated throughout) — a boilerplate detector.
@@ -724,5 +760,6 @@ object PipelineOps {
     QueryDef("q71_mixture_sample", q71, Some(q71Sql)),
     QueryDef("q76_url_filter", q76, Some(q76Sql)),
     QueryDef("q85_exact_group_sample", q85, Some(q85Sql)),
-    QueryDef("q96_label_majority", q96, Some(q96Sql)))
+    QueryDef("q96_label_majority", q96, Some(q96Sql)),
+    QueryDef("q106_centroid_update", q106, Some(q106Sql)))
 }
