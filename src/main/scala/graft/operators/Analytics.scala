@@ -613,6 +613,58 @@ object Analytics {
        FROM pairs JOIN tot ON pairs.state = tot.state
        ORDER BY pairs.state, next_state"""
 
+  /** Rolling z-score anomaly detection: each observation scored against
+    * the trailing `windowSeconds` mean/stddev of its own key — the
+    * streaming-adjacent "is this metric suddenly weird" detector, in
+    * batch form. The z-score is ROUNDED before the threshold compare so
+    * both engines flag identical rows (the raw mean/std can differ in
+    * the last ulp from summation order; a boundary value must not flip).
+    * Degenerate windows (fewer than two points, or zero variance) score
+    * null and are never flagged.
+    *
+    * Scale design: one exchange on the key, one per-key sort shared by
+    * both window aggregates (same frame); the bounded RANGE frame keeps
+    * window buffers O(points-in-window), so state is bounded no matter
+    * how long a key's history grows.
+    */
+  def rollingZscore(df: DataFrame, keyCol: String, tsCol: String,
+      valueCol: String, windowSeconds: Long, z: Double): DataFrame = {
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(tsCol).cast("long"))
+      .rangeBetween(-windowSeconds, 0)
+    val m = avg(col(valueCol)).over(w)
+    val sd = stddev_samp(col(valueCol)).over(w)
+    val zscore = when(sd.isNull || sd === 0, lit(null))
+      .otherwise(round((col(valueCol) - m) / sd, 4))
+    df.withColumn("zscore", zscore)
+      .withColumn("anomaly", when(col("zscore").isNull, lit(false))
+        .otherwise(abs(col("zscore")) > z))
+  }
+
+  // ---- q107: rolling anomaly flags --------------------------------------------
+  private def q107(s: SparkSession, d: String): DataFrame =
+    rollingZscore(Tables.events(s, d), "user_id", "ts", "value",
+        windowSeconds = 604800, z = 2.0)
+      .select(col("event_id"), col("user_id"), col("value"),
+        col("zscore"), col("anomaly"))
+      .orderBy(col("event_id"))
+  private val q107Sql =
+    """WITH s AS (
+         SELECT event_id, user_id, value,
+           avg(value) OVER w AS m,
+           stddev_samp(value) OVER w AS sd
+         FROM events
+         WINDOW w AS (PARTITION BY user_id ORDER BY (epoch_us(ts) // 1000000)
+           RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW)),
+       scored AS (
+         SELECT event_id, user_id, value,
+           CASE WHEN sd IS NULL OR sd = 0 THEN NULL
+                ELSE round((value - m) / sd, 4) END AS zscore
+         FROM s)
+       SELECT event_id, user_id, value, zscore,
+         CASE WHEN zscore IS NULL THEN false
+              ELSE abs(zscore) > 2.0 END AS anomaly
+       FROM scored ORDER BY event_id"""
+
   // ---- q104: ranking-family windows (rank / dense_rank / percent_rank / cume_dist)
   // The remaining ranking functions beyond q09/q49: tied values share a
   // rank (deterministic — the functions depend only on the ORDER values,
@@ -701,5 +753,6 @@ object Analytics {
     QueryDef("q100_hopping_windows", q100, Some(q100Sql)),
     QueryDef("q101_linear_trend", q101, Some(q101Sql)),
     QueryDef("q103_transition_matrix", q103, Some(q103Sql)),
-    QueryDef("q104_rank_family", q104, Some(q104Sql)))
+    QueryDef("q104_rank_family", q104, Some(q104Sql)),
+    QueryDef("q107_rolling_anomaly", q107, Some(q107Sql)))
 }
