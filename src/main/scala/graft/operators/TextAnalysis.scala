@@ -485,6 +485,59 @@ object TextAnalysis {
          least(40, len(t) - start)::BIGINT AS n_tokens
        FROM starts ORDER BY doc_id, chunk_idx"""
 
+  /** Pairwise token co-occurrence above a support threshold — the
+    * market-basket / "terms that travel together" miner, restricted to
+    * the corpus's `vocabSize` most frequent tokens so the pair space is
+    * bounded by construction (C(v, 2), not C(distinct-tokens, 2)).
+    *
+    * Scale design: the vocab is a broadcast semi-join filter (the token
+    * stream never shuffles for it); per-document distinct membership
+    * collapses map-side; the pair join runs on the (doc, vocab-token)
+    * relation — bounded per doc by v — and orders pairs (a < b) so each
+    * pair counts once. Support counting partial-aggregates to ≤ C(v, 2)
+    * rows before the final exchange.
+    */
+  def cooccurrence(df: DataFrame, idCol: String, textCol: String,
+      vocabSize: Int, minCount: Long): DataFrame = {
+    val toks = df.select(col(idCol).as("doc_id"),
+      explode(tokens(col(textCol))).as("tok"))
+    val vocab = toks.groupBy(col("tok")).agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("tok")).limit(vocabSize)
+      .select(col("tok"))
+    val member = toks.join(broadcast(vocab), "tok")
+      .select(col("doc_id"), col("tok")).distinct()
+    member.select(col("doc_id"), col("tok").as("a"))
+      .join(member.select(col("doc_id"), col("tok").as("b")), "doc_id")
+      .filter(col("a") < col("b"))
+      .groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") >= minCount)
+  }
+
+  // ---- q108: frequent token co-occurrence --------------------------------------
+  private def q108(s: SparkSession, d: String): DataFrame =
+    cooccurrence(Tables.documents(s, d), "doc_id", "text",
+        vocabSize = 30, minCount = 40)
+      .orderBy(col("a"), col("b"))
+  private val q108Sql =
+    """WITH toks AS (
+         SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+         FROM documents),
+       vocab AS (
+         SELECT tok FROM (
+           SELECT tok, count(*) AS c,
+             row_number() OVER (ORDER BY count(*) DESC, tok) AS rn
+           FROM toks GROUP BY tok)
+         WHERE rn <= 30),
+       member AS (
+         SELECT DISTINCT doc_id, tok FROM toks
+         WHERE tok IN (SELECT tok FROM vocab))
+       SELECT m1.tok AS a, m2.tok AS b, count(*) AS n_docs
+       FROM member m1 JOIN member m2
+         ON m1.doc_id = m2.doc_id AND m1.tok < m2.tok
+       GROUP BY 1, 2 HAVING count(*) >= 40
+       ORDER BY a, b"""
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q21_token_stats", q21, Some(q21Sql)),
     QueryDef("q22_quality_score", q22, Some(q22Sql)),
@@ -495,5 +548,6 @@ object TextAnalysis {
     QueryDef("q77_lexical_diversity", q77, Some(q77Sql)),
     QueryDef("q87_tfidf_top_terms", q87, Some(q87Sql)),
     QueryDef("q91_vocab_coverage", q91, Some(q91Sql)),
-    QueryDef("q98_chunk_documents", q98, Some(q98Sql)))
+    QueryDef("q98_chunk_documents", q98, Some(q98Sql)),
+    QueryDef("q108_cooccurrence", q108, Some(q108Sql)))
 }
