@@ -517,7 +517,7 @@ object TextAnalysis {
   // ---- q108: frequent token co-occurrence --------------------------------------
   private def q108(s: SparkSession, d: String): DataFrame =
     cooccurrence(Tables.documents(s, d), "doc_id", "text",
-        vocabSize = 30, minCount = 40)
+        vocabSize = 30, minCount = 318)
       .orderBy(col("a"), col("b"))
   private val q108Sql =
     """WITH toks AS (
@@ -535,7 +535,7 @@ object TextAnalysis {
        SELECT m1.tok AS a, m2.tok AS b, count(*) AS n_docs
        FROM member m1 JOIN member m2
          ON m1.doc_id = m2.doc_id AND m1.tok < m2.tok
-       GROUP BY 1, 2 HAVING count(*) >= 40
+       GROUP BY 1, 2 HAVING count(*) >= 318
        ORDER BY a, b"""
 
   val defs: Seq[QueryDef] = Seq(
