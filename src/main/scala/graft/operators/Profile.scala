@@ -87,6 +87,22 @@ object Profile {
         (orderCols ++ payloadCols).map(c => col(s"last.$c").as(s"last_$c")): _*)
   }
 
+  /** Point-in-time snapshot (time travel) from the same changelog: the
+    * table exactly as it stood at `asOf` — [[cdcApply]] over only the
+    * changes at-or-before the instant. Reproducibility workhorse: "train
+    * on the corpus as of the data-freeze date" without storing a copy
+    * per freeze.
+    *
+    * Scale: the time predicate pushes into the scan (time-partitioned
+    * changelogs prune whole partitions), then the same partial-
+    * aggregated fold as [[cdcApply]].
+    */
+  def snapshotAsOf(df: DataFrame, keyCol: String, tsCol: String,
+      orderCols: Seq[String], opCol: String, deleteOp: String,
+      payloadCols: Seq[String], asOf: Column): DataFrame =
+    cdcApply(df.filter(col(tsCol) <= asOf), keyCol, orderCols, opCol,
+      deleteOp, payloadCols)
+
   /** Diff two snapshots of a keyed table: rows only in `newDf` are inserts
     * (`I`), rows only in `oldDf` deletes (`D`), rows in both with any
     * payload difference updates (`U`); unchanged rows are dropped. Output
@@ -377,6 +393,38 @@ object Profile {
             ON o.o_custkey = c.c_custkey WHERE c.c_custkey IS NULL) = 0
        ORDER BY rule"""
 
+  // ---- q109: point-in-time snapshot (time travel) -------------------------------
+  // The events changelog replayed to its state at 2024-01-15 00:00 UTC:
+  // users whose latest event AT THAT INSTANT was not a purchase, with
+  // that event's fields — q72's semantics shifted back in time.
+  private def q109(s: SparkSession, d: String): DataFrame = {
+    val log = Tables.events(s, d).select(
+      col("user_id"), col("ts"), col("event_id"),
+      when(col("event_type") === "purchase", "D").otherwise("U").as("op"),
+      col("value"))
+    snapshotAsOf(log, "user_id", "ts", orderCols = Seq("ts", "event_id"),
+        opCol = "op", deleteOp = "D", payloadCols = Seq("value"),
+        asOf = lit("2024-01-15 00:00:00").cast("timestamp"))
+      .select(col("user_id"), unix_micros(col("last_ts")).as("last_ts_us"),
+        col("last_event_id"), col("last_value"))
+      .orderBy(col("user_id"))
+  }
+  private val q109Sql =
+    """WITH log AS (
+         SELECT user_id, ts, event_id,
+           CASE WHEN event_type = 'purchase' THEN 'D' ELSE 'U' END AS op,
+           value
+         FROM events
+         WHERE ts <= TIMESTAMP '2024-01-15 00:00:00'),
+       r AS (
+         SELECT user_id, ts, event_id, op, value,
+           row_number() OVER (PARTITION BY user_id
+             ORDER BY ts DESC, event_id DESC) AS rn
+         FROM log)
+       SELECT user_id, epoch_us(ts::TIMESTAMP)::BIGINT AS last_ts_us,
+         event_id AS last_event_id, value AS last_value
+       FROM r WHERE rn = 1 AND op <> 'D' ORDER BY user_id"""
+
   // ---- q95: key-skew profile --------------------------------------------------
   private def q95(s: SparkSession, d: String): DataFrame =
     keySkew(Tables.events(s, d), "user_id", topK = 10)
@@ -423,5 +471,6 @@ object Profile {
     QueryDef("q74_snapshot_diff", q74, Some(q74Sql)),
     QueryDef("q88_histogram", q88, Some(q88Sql)),
     QueryDef("q95_key_skew", q95, Some(q95Sql)),
-    QueryDef("q102_quality_gate", q102, Some(q102Sql)))
+    QueryDef("q102_quality_gate", q102, Some(q102Sql)),
+    QueryDef("q109_snapshot_asof", q109, Some(q109Sql)))
 }
