@@ -23,6 +23,20 @@ object StreamingOps {
     StructField("value", DoubleType),
     StructField("props", StructType(Seq(StructField("k", IntegerType))))))
 
+  /** Attach per-batch data-quality metrics to a decoded stream via
+    * `Dataset.observe`: record count, null-payload count, and value sum
+    * are computed INSIDE the running query (no second pass, no action)
+    * and surface on every `StreamingQueryProgress.observedMetrics` under
+    * `name` — the metrics side of the monitoring story that
+    * [[Consumer.lagReport]] covers for offsets. Alert wiring reads the
+    * progress events; the stream itself is returned unchanged.
+    */
+  def observed(decoded: DataFrame, name: String = "graft"): DataFrame =
+    decoded.observe(name,
+      count(lit(1)).as("n_records"),
+      count(when(col("event_id").isNull, 1)).as("n_null_ids"),
+      sum(col("value")).as("value_sum"))
+
   /** Decode opaque payload bytes into typed event columns (the reference
     * delegated this to user code — Main.scala:22 `utf8String`; here it is
     * `cast(string)` + `from_json`, SURVEY.md §1.4).

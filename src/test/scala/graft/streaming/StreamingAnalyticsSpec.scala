@@ -44,6 +44,25 @@ class StreamingAnalyticsSpec extends SparkSpec {
       "no window emitted twice")
   }
 
+  test("observed metrics surface per batch and sum to the batch truth") {
+    val q = StreamingOps.observed(decoded())
+      .writeStream.format("memory").queryName("observed_stream")
+      .option("checkpointLocation", tmp("ckpt_obs"))
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val rows = q.recentProgress.toSeq
+      .flatMap(p => Option(p.observedMetrics.get("graft")))
+    assert(rows.nonEmpty, "observe() metrics must appear in progress")
+    val nEvents = graft.Tables.events(spark, sf).count()
+    assert(rows.map(_.getAs[Long]("n_records")).sum === nEvents)
+    assert(rows.map(_.getAs[Long]("n_null_ids")).sum === 0L)
+    val batchSum = graft.Tables.events(spark, sf)
+      .agg(sum(col("value"))).as[Double].head()
+    val streamSum = rows.map(_.getAs[Double]("value_sum")).sum
+    assert(math.abs(streamSum - batchSum) < 1e-6,
+      s"value_sum $streamSum must equal batch $batchSum")
+  }
+
   /** Median event time — the reshard/merge instant both compose tests use. */
   private lazy val medianMs: Long = (graft.Tables.events(spark, sf)
     .selectExpr("percentile_approx(cast(ts as double), 0.5)").as[Double].head()
