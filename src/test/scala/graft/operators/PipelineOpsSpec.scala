@@ -223,6 +223,25 @@ class PipelineOpsSpec extends SparkSpec {
     assert(!plan.contains("Window"), s"unexpected window sort:\n$plan")
   }
 
+  test("centroidUpdate means each dimension exactly, in one exchange") {
+    val df = Seq(
+      (0, Seq(1.0f, 3.0f)), (0, Seq(3.0f, 5.0f)), // centroid (2, 4)
+      (1, Seq(10.0f, 0.0f)))                      // singleton cluster
+      .toDF("label", "embedding")
+    val got = PipelineOps.centroidUpdate(df, "label", "embedding")
+      .orderBy("label", "pos")
+      .as[(Int, Int, Double, Long)].collect()
+    assert(got === Array(
+      (0, 0, 2.0, 2L), (0, 1, 4.0, 2L),
+      (1, 0, 10.0, 1L), (1, 1, 0.0, 1L)))
+    // One exchange total: the explode is map-side and the (cluster, pos)
+    // aggregation partial-aggregates below its single shuffle.
+    val plan = PipelineOps.centroidUpdate(df, "label", "embedding")
+      .queryExecution.executedPlan.toString
+    val exchanges = "Exchange".r.findAllIn(plan).length
+    assert(exchanges <= 1, s"expected at most one exchange:\n${plan.take(1500)}")
+  }
+
   test("mixtureWeights scans the corpus once and broadcasts the grand total") {
     val docs = graft.Tables.documents(spark, sf)
     val plan = PipelineOps.mixtureWeights(docs, "source",
