@@ -88,6 +88,46 @@ object PipelineOps {
   def hashSamplePredicate(key: Column, thresholdHex: Column): Column =
     substring(md5(key.cast("string").cast("binary")), 1, 2) < thresholdHex
 
+  /** Deterministic, disjoint, exhaustive split assignment (train/val/
+    * test) keyed on the SAME md5 draw as [[hashSamplePredicate]]: each
+    * row's 0-255 draw falls into one cumulative bucket. Properties that
+    * matter for ML splits and that rand() splits lack: stable across
+    * engines/retries/reruns AND stable under corpus growth — a document
+    * keeps its split forever, so later data refreshes can never leak
+    * yesterday's test set into tomorrow's training set.
+    *
+    * `weights256` are /256 shares summing to exactly 256. Pure map-side
+    * expression — zero shuffle, fuses into the scan.
+    */
+  def splitAssign(key: Column, weights256: Seq[(String, Int)]): Column = {
+    require(weights256.nonEmpty && weights256.map(_._2).sum == 256 &&
+      weights256.forall(_._2 > 0), "weights must be positive and sum to 256")
+    val draw = substring(md5(key.cast("string").cast("binary")), 1, 2)
+    val cuts = weights256.scanLeft(0)(_ + _._2).tail
+    weights256.init.zip(cuts.init).reverse
+      .foldLeft(lit(weights256.last._1)) { case (acc, ((name, _), cut)) =>
+        when(draw < lit(f"$cut%02x"), name).otherwise(acc)
+      }
+  }
+
+  // ---- q110: train/val/test split assignment ----------------------------------
+  // ~80/10/10 split (205/25/26 of 256); per-(lang, split) counts.
+  private def q110(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("lang"),
+        splitAssign(col("doc_id"),
+          Seq("train" -> 205, "val" -> 25, "test" -> 26)).as("split"))
+      .groupBy(col("lang"), col("split"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("lang"), col("split"))
+  private val q110Sql =
+    """SELECT lang,
+         CASE WHEN substr(md5(doc_id::VARCHAR), 1, 2) < 'cd' THEN 'train'
+              WHEN substr(md5(doc_id::VARCHAR), 1, 2) < 'e6' THEN 'val'
+              ELSE 'test' END AS split,
+         count(*) AS n
+       FROM documents GROUP BY 1, 2 ORDER BY lang, split"""
+
   /** Per-stratum totals and deterministically-sampled counts. */
   def stratifiedSampleStats(df: DataFrame, stratumCol: String, keyCol: String,
       pct256: Int): DataFrame =
@@ -761,5 +801,6 @@ object PipelineOps {
     QueryDef("q76_url_filter", q76, Some(q76Sql)),
     QueryDef("q85_exact_group_sample", q85, Some(q85Sql)),
     QueryDef("q96_label_majority", q96, Some(q96Sql)),
-    QueryDef("q106_centroid_update", q106, Some(q106Sql)))
+    QueryDef("q106_centroid_update", q106, Some(q106Sql)),
+    QueryDef("q110_split_assign", q110, Some(q110Sql)))
 }

@@ -223,6 +223,26 @@ class PipelineOpsSpec extends SparkSpec {
     assert(!plan.contains("Window"), s"unexpected window sort:\n$plan")
   }
 
+  test("splitAssign is exhaustive, disjoint, near-weight, and growth-stable") {
+    val df = (0L until 2000L).toDF("k")
+    val assigned = df.withColumn("split",
+      PipelineOps.splitAssign(col("k"),
+        Seq("train" -> 205, "val" -> 25, "test" -> 26)))
+    val counts = assigned.groupBy("split").count()
+      .as[(String, Long)].collect().toMap
+    assert(counts.values.sum === 2000L, "every row gets exactly one split")
+    assert(counts.keySet === Set("train", "val", "test"))
+    assert(math.abs(counts("train") - 2000 * 205 / 256.0) < 100)
+    // growth stability: the same key keeps its split in a bigger corpus
+    val bigger = (0L until 4000L).toDF("k").withColumn("split",
+      PipelineOps.splitAssign(col("k"),
+        Seq("train" -> 205, "val" -> 25, "test" -> 26)))
+    val joined = assigned.as("a")
+      .join(bigger.as("b"), col("a.k") === col("b.k"))
+      .filter(col("a.split") =!= col("b.split"))
+    assert(joined.count() === 0, "assignments must not change as data grows")
+  }
+
   test("centroidUpdate means each dimension exactly, in one exchange") {
     val df = Seq(
       (0, Seq(1.0f, 3.0f)), (0, Seq(3.0f, 5.0f)), // centroid (2, 4)
