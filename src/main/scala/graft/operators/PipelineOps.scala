@@ -457,6 +457,45 @@ object PipelineOps {
           .as("lm_score"))
   }
 
+  /** Cross-corpus form of [[bigramLmScore]]: the count tables are trained
+    * on `trainDf` and score `scoreDf`'s documents — "how natural is this
+    * held-out/candidate text under the TRAINING distribution", the shape
+    * of a KenLM-style quality filter scoring fresh crawl against the
+    * curated corpus. Bigrams unseen in training contribute probability 0
+    * (dropped by the inner join on the count table, with `n_scored` /
+    * `n_bigrams` exposing the out-of-model rate per document).
+    *
+    * Same scale shape as the self-trained form: one TRAIN aggregation to
+    * a vocab-bounded count table, prefix counts derived from it, both
+    * broadcast onto the scored stream.
+    */
+  def bigramLmScoreAgainst(trainDf: DataFrame, scoreDf: DataFrame,
+      idCol: String, textCol: String): DataFrame = {
+    def grams(d: DataFrame) = {
+      val toks = tokens(col(textCol))
+      d.where(size(toks) >= 2)
+        .select(col(idCol), explode(ngrams(toks, 2)).as("g"))
+    }
+    val bigramCounts = grams(trainDf).groupBy(col("g"))
+      .agg(count(lit(1)).as("bc"))
+    val prefixCounts = bigramCounts
+      .groupBy(substring_index(col("g"), " ", 1).as("w1"))
+      .agg(sum(col("bc")).as("wc"))
+    grams(scoreDf).withColumn("w1", substring_index(col("g"), " ", 1))
+      .groupBy(col(idCol)).agg(count(lit(1)).as("n_bigrams"))
+      .join(
+        grams(scoreDf).withColumn("w1", substring_index(col("g"), " ", 1))
+          .join(broadcast(bigramCounts), "g")
+          .join(broadcast(prefixCounts), "w1")
+          .groupBy(col(idCol))
+          .agg(count(lit(1)).as("n_scored"),
+            round(avg(col("bc").cast("double") / col("wc").cast("double")), 6)
+              .as("lm_score")),
+        Seq(idCol), "left")
+      .select(col(idCol), col("n_bigrams"),
+        coalesce(col("n_scored"), lit(0L)).as("n_scored"), col("lm_score"))
+  }
+
   // ---- q63: bigram-LM fluency scoring ----------------------------------------
   private def q63(s: SparkSession, d: String): DataFrame =
     bigramLmScore(Tables.documents(s, d), "doc_id", "text")
@@ -476,6 +515,44 @@ object PipelineOps {
          round(avg(bc.bc::DOUBLE / wc.wc::DOUBLE), 6) AS lm_score
        FROM b JOIN bc USING (g) JOIN wc USING (w1)
        GROUP BY b.doc_id ORDER BY doc_id"""
+
+  // ---- q111: cross-corpus LM scoring ------------------------------------------
+  // The %10==7 held-out docs scored under the LM trained on the other 90%
+  // (same split as the q40 contamination check).
+  private def q111(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    bigramLmScoreAgainst(
+        docs.filter(col("doc_id") % 10 =!= 7),
+        docs.filter(col("doc_id") % 10 === 7),
+        "doc_id", "text")
+      .orderBy(col("doc_id"))
+  }
+  private val q111Sql =
+    """WITH trb AS (
+         SELECT unnest(list_transform(range(1, len(t)),
+             i -> t[i] || ' ' || t[i+1])) AS g
+         FROM (SELECT string_split(text, ' ') AS t FROM documents
+               WHERE doc_id % 10 <> 7 AND len(string_split(text, ' ')) >= 2)),
+       scb AS (
+         SELECT doc_id, g, split_part(g, ' ', 1) AS w1 FROM (
+           SELECT doc_id, unnest(list_transform(range(1, len(t)),
+             i -> t[i] || ' ' || t[i+1])) AS g
+           FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents
+                 WHERE doc_id % 10 = 7
+                   AND len(string_split(text, ' ')) >= 2))),
+       bc AS (SELECT g, count(*) AS bc FROM trb GROUP BY g),
+       wc AS (SELECT split_part(g, ' ', 1) AS w1, sum(bc) AS wc
+              FROM bc GROUP BY 1),
+       tot AS (SELECT doc_id, count(*) AS n_bigrams FROM scb GROUP BY 1),
+       sc AS (
+         SELECT doc_id, count(*) AS n_scored,
+           round(avg(bc.bc::DOUBLE / wc.wc::DOUBLE), 6) AS lm_score
+         FROM scb JOIN bc USING (g) JOIN wc USING (w1)
+         GROUP BY doc_id)
+       SELECT tot.doc_id, n_bigrams,
+         coalesce(n_scored, 0)::BIGINT AS n_scored, lm_score
+       FROM tot LEFT JOIN sc USING (doc_id)
+       ORDER BY doc_id"""
 
   // ---- q62: source-mixture balancing ----------------------------------------
   private def q62(s: SparkSession, d: String): DataFrame =
@@ -802,5 +879,6 @@ object PipelineOps {
     QueryDef("q85_exact_group_sample", q85, Some(q85Sql)),
     QueryDef("q96_label_majority", q96, Some(q96Sql)),
     QueryDef("q106_centroid_update", q106, Some(q106Sql)),
-    QueryDef("q110_split_assign", q110, Some(q110Sql)))
+    QueryDef("q110_split_assign", q110, Some(q110Sql)),
+    QueryDef("q111_crosslm_score", q111, Some(q111Sql)))
 }
