@@ -168,6 +168,31 @@ object Similarity {
     rankTopK(scored, k)
   }
 
+  /** Exact top-k by EUCLIDEAN distance — the metric used when embedding
+    * magnitudes carry meaning (cosine discards them). Composed entirely
+    * from the existing codegen'd kernels:
+    * d²(a,b) = |a|² + |b|² − 2·cos(a,b)·|a|·|b| — one cosine and two
+    * squared-norm evaluations per pair, no new expression needed. Ranked
+    * by the same bounded heap on the NEGATED distance (descending), so a
+    * NaN from a zero-norm vector ranks first exactly as in the cosine
+    * variants — the oracle must rank by `-d2 DESC` (not `d2 ASC`, which
+    * would put NaN last in DuckDB).
+    */
+  def bruteTopKEuclidean(queries: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, k: Int): DataFrame = {
+    import graft.functions.TextFunctions.l2sq
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qe"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("ne"))
+    val d2 = l2sq(col("qe")) + l2sq(col("ne")) -
+      lit(2d) * cosine(col("qe"), col("ne")) *
+        sqrt(l2sq(col("qe")) * l2sq(col("ne")))
+    val scored = broadcast(q).join(c, col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), (-d2).as("c"))
+    rankTopK(scored, k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        round(-col("cos_sim"), 6).as("dist_sq"))
+  }
+
   /** Hyperplane-LSH bucket id: bit i = sign of dot(v, seed_i). Vectors in
     * the same bucket agree with all `numPlanes` seed hyperplanes — cosine
     * neighbors collide with high probability. Deterministic (seeds are
@@ -320,6 +345,38 @@ object Similarity {
        SELECT query_id, rank::INT AS rank, neighbor_id, round(c, 6) AS cos_sim
        FROM ranked WHERE rank <= $TopK ORDER BY query_id, rank"""
 
+  private def q112(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+    bruteTopKEuclidean(e.filter(col("vec_id") < NumQueries), e,
+        "vec_id", "embedding", TopK)
+      .orderBy(col("query_id"), col("rank"))
+  }
+  // The oracle mirrors the engine's COMPOSED distance arithmetic
+  // (norms + cosine), not sum((a-b)^2): the ranking compares unrounded
+  // doubles, so both engines must walk the identical FP path.
+  private val q112Sql =
+    s"""WITH norms AS (
+         SELECT vec_id, embedding,
+           list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE)) AS l2
+         FROM embeddings),
+       sims AS (
+         SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+           q.l2 + n.l2 - 2 *
+             (list_sum(list_transform(range(1, len(q.embedding) + 1),
+               k -> q.embedding[k]::DOUBLE * n.embedding[k]::DOUBLE))
+              / (sqrt(q.l2) * sqrt(n.l2)))
+             * sqrt(q.l2 * n.l2) AS d2
+         FROM norms q JOIN norms n ON q.vec_id != n.vec_id
+         WHERE q.vec_id < $NumQueries),
+       ranked AS (
+         SELECT query_id, neighbor_id, d2,
+           row_number() OVER (PARTITION BY query_id
+             ORDER BY -d2 DESC, neighbor_id) AS rank
+         FROM sims)
+       SELECT query_id, rank::INT AS rank, neighbor_id,
+         round(d2, 6) AS dist_sq
+       FROM ranked WHERE rank <= $TopK ORDER BY query_id, rank"""
+
   /** 4 planes → 16 buckets: ~30 candidates per probe at fixture scale. */
   private val NumPlanes = 4
 
@@ -364,5 +421,6 @@ object Similarity {
     QueryDef("q30_cosine_topk", q30, Some(q30Sql), headline = true),
     QueryDef("q31_ann_ivf", q31, Some(q31Sql)),
     QueryDef("q86_ann_ivf_multiprobe", q86, Some(q86Sql)),
+    QueryDef("q112_euclidean_topk", q112, Some(q112Sql)),
     QueryDef("q39_ann_lsh", q39, Some(q39Sql)))
 }
