@@ -200,6 +200,43 @@ object TypedAggs {
        HAVING count(*) * 200 > (SELECT count(*) FROM toks)
        ORDER BY token"""
 
+  // ---- q113: per-group heavy hitters (keyed sketch) ----------------------------
+  // The Misra-Gries pass run PER GROUP via groupByKey.agg — the keyed form
+  // a "top terms per language/source" report needs at corpus scale: one
+  // bounded sketch per (partition, group) merges to one per group, then
+  // the exact-count verify (q83's pattern) filters each group's candidates
+  // against ITS total, so the final rows are exact per group. Oracle:
+  // plain per-group counts with a correlated HAVING threshold.
+  private def q113(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val toks = Tables.documents(s, d)
+      .select(col("lang"), explode(split(col("text"), " ")).as("token"))
+    val mg = new MisraGries(200).toColumn
+    val perLang = toks.as[(String, String)]
+      .groupByKey(_._1)
+      .mapValues(_._2)
+      .agg(mg.name("sketch"))
+      .select(col("key").as("lang"), col("sketch._1").as("cands"),
+        col("sketch._2").as("lang_total"))
+    toks.join(perLang, "lang")
+      .filter(array_contains(col("cands"), col("token")))
+      .groupBy(col("lang"), col("token"), col("lang_total"))
+      .agg(count(lit(1)).as("n_occurrences"))
+      .filter(col("n_occurrences") * 100 > col("lang_total"))
+      .select(col("lang"), col("token"), col("n_occurrences"))
+      .orderBy(col("lang"), col("token"))
+  }
+  private val q113Sql =
+    """WITH toks AS (
+         SELECT lang, unnest(string_split(text, ' ')) AS token
+         FROM documents),
+       totals AS (SELECT lang, count(*) AS t FROM toks GROUP BY 1)
+       SELECT toks.lang, token, count(*) AS n_occurrences
+       FROM toks JOIN totals ON toks.lang = totals.lang
+       GROUP BY toks.lang, token, t
+       HAVING count(*) * 100 > t
+       ORDER BY toks.lang, token"""
+
   // ---- q105: typed cogroup ----------------------------------------------------
   // KeyValueGroupedDataset.cogroup — the typed per-key escape hatch for
   // logic no relational operator expresses (custom merges, per-key state
@@ -239,5 +276,6 @@ object TypedAggs {
     QueryDef("q35_pivot", q35, Some(q35Sql)),
     QueryDef("q36_approx_distinct", q36, Some(q36Sql)),
     QueryDef("q83_heavy_hitters", q83, Some(q83Sql)),
-    QueryDef("q105_typed_cogroup", q105, Some(q105Sql)))
+    QueryDef("q105_typed_cogroup", q105, Some(q105Sql)),
+    QueryDef("q113_grouped_heavy_hitters", q113, Some(q113Sql)))
 }
