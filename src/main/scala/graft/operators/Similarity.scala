@@ -345,6 +345,52 @@ object Similarity {
        SELECT query_id, rank::INT AS rank, neighbor_id, round(c, 6) AS cos_sim
        FROM ranked WHERE rank <= $TopK ORDER BY query_id, rank"""
 
+  /** Exact top-k by INNER PRODUCT (MIPS) — the retrieval metric when
+    * vector magnitude encodes relevance (learned rerankers, popularity-
+    * scaled item embeddings). Composed like [[bruteTopKEuclidean]]:
+    * dot(a,b) = cos(a,b)·√(|a|²·|b|²), ranked descending by the same
+    * bounded heap.
+    */
+  def bruteTopKInnerProduct(queries: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, k: Int): DataFrame = {
+    import graft.functions.TextFunctions.l2sq
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qe"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("ne"))
+    val ip = cosine(col("qe"), col("ne")) *
+      sqrt(l2sq(col("qe")) * l2sq(col("ne")))
+    val scored = broadcast(q).join(c, col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), ip.as("c"))
+    rankTopK(scored, k)
+      .withColumnRenamed("cos_sim", "inner_product")
+  }
+
+  private def q114(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+    bruteTopKInnerProduct(e.filter(col("vec_id") < NumQueries), e,
+        "vec_id", "embedding", TopK)
+      .orderBy(col("query_id"), col("rank"))
+  }
+  private val q114Sql =
+    s"""WITH norms AS (
+         SELECT vec_id, embedding,
+           list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE)) AS l2
+         FROM embeddings),
+       sims AS (
+         SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+           (list_sum(list_transform(range(1, len(q.embedding) + 1),
+              k -> q.embedding[k]::DOUBLE * n.embedding[k]::DOUBLE))
+            / (sqrt(q.l2) * sqrt(n.l2))) * sqrt(q.l2 * n.l2) AS c
+         FROM norms q JOIN norms n ON q.vec_id != n.vec_id
+         WHERE q.vec_id < $NumQueries),
+       ranked AS (
+         SELECT query_id, neighbor_id, c,
+           row_number() OVER (PARTITION BY query_id ORDER BY c DESC, neighbor_id)
+             AS rank
+         FROM sims)
+       SELECT query_id, rank::INT AS rank, neighbor_id,
+         round(c, 6) AS inner_product
+       FROM ranked WHERE rank <= $TopK ORDER BY query_id, rank"""
+
   private def q112(s: SparkSession, d: String): DataFrame = {
     val e = Tables.embeddings(s, d)
     bruteTopKEuclidean(e.filter(col("vec_id") < NumQueries), e,
@@ -422,5 +468,6 @@ object Similarity {
     QueryDef("q31_ann_ivf", q31, Some(q31Sql)),
     QueryDef("q86_ann_ivf_multiprobe", q86, Some(q86Sql)),
     QueryDef("q112_euclidean_topk", q112, Some(q112Sql)),
+    QueryDef("q114_mips_topk", q114, Some(q114Sql)),
     QueryDef("q39_ann_lsh", q39, Some(q39Sql)))
 }
