@@ -76,6 +76,27 @@ object StreamingOps {
     decoded.withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Streaming NEAR-duplicate filter: documents whose SimHash signature
+    * was already seen inside the watermark horizon are dropped — the
+    * streaming counterpart of the batch signature dedup, for ingest
+    * pipelines that must reject re-crawled boilerplate before it lands.
+    * Signature-exact by design (honest labeling: docs must collide on
+    * the full 32-bit simhash — near-identical text; the hamming≤3 band
+    * join of the batch path has no bounded-state streaming equivalent,
+    * so this is the deliberately-conservative streaming tier, with the
+    * batch pass as the periodic full-strength sweep).
+    *
+    * State is keyed by the 4-byte signature and evicted at the
+    * watermark, so memory is bounded by the dedup horizon, not history.
+    */
+  def dedupNearBySignature(docs: DataFrame, textCol: String, tsCol: String,
+      watermark: String): DataFrame =
+    docs.withColumn("sig",
+        graft.functions.TextFunctions.simhashSig(
+          graft.functions.TextFunctions.tokens(col(textCol))))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("sig")
+
   /** Stream-static enrichment join: every micro-batch of the stream is
     * joined against a static dimension. The dimension is broadcast — on a
     * cluster each executor holds one copy and the stream never shuffles,

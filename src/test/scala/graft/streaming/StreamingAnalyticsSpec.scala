@@ -63,6 +63,32 @@ class StreamingAnalyticsSpec extends SparkSpec {
       s"value_sum $streamSum must equal batch $batchSum")
   }
 
+  test("streaming signature dedup keeps one doc per simhash within the watermark") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    graft.functions.Native.register(spark)
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    // three distinct texts; the first appears three times (re-crawl)
+    input.addData(
+      (1L, "alpha beta gamma delta", t0),
+      (2L, "alpha beta gamma delta", t0),
+      (3L, "totally different words here", t0),
+      (4L, "alpha beta gamma delta", t0),
+      (5L, "and a third unique document", t0))
+    val docs = input.toDF().toDF("doc_id", "text", "ts")
+    val q = StreamingOps.dedupNearBySignature(docs, "text", "ts", "1 hour")
+      .writeStream.format("memory").queryName("sig_dedup")
+      .option("checkpointLocation", tmp("ckpt_sigdedup"))
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val kept = spark.table("sig_dedup")
+    assert(kept.count() === 3, "one survivor per distinct signature")
+    assert(kept.select("sig").distinct().count() === 3)
+    // survivors cover all three distinct texts
+    assert(kept.select("text").distinct().count() === 3)
+  }
+
   /** Median event time — the reshard/merge instant both compose tests use. */
   private lazy val medianMs: Long = (graft.Tables.events(spark, sf)
     .selectExpr("percentile_approx(cast(ts as double), 0.5)").as[Double].head()
