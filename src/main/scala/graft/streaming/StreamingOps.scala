@@ -76,6 +76,40 @@ object StreamingOps {
     decoded.withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Data circuit breaker: run a decoded stream into a sink, but FAIL the
+    * query the moment any micro-batch violates a data-quality rule — the
+    * streaming form of the [[graft.operators.Profile.expectRowRules]]
+    * gate, wired to the engine's kill switch (a thrown foreachBatch error
+    * stops the query; committed offsets make the restart resume exactly
+    * at the poisoned batch, so nothing bad was ever published and nothing
+    * good is lost). `rules` map rule names to VIOLATION predicates.
+    *
+    * The check is one aggregation pass over the in-memory batch (all
+    * rules at once) before the write — per-trigger cost is a scan of the
+    * batch, not of any table.
+    */
+  def gatedWrite(decoded: DataFrame, rules: Seq[(String, org.apache.spark.sql.Column)],
+      checkpointLocation: String,
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.ProcessingTime(0L))(
+      write: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    decoded.writeStream
+      .option("checkpointLocation", checkpointLocation)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val bad = graft.operators.Profile.expectRowRules(batch, rules)
+          .filter(col("n_violations") > 0)
+          .select(col("rule"), col("n_violations"))
+          .collect()
+        if (bad.nonEmpty)
+          throw new IllegalStateException(
+            s"data gate tripped in batch $batchId: " +
+              bad.map(r => s"${r.getString(0)}=${r.getLong(1)}").mkString(", "))
+        write(batch, batchId)
+        ()
+      }
+      .start()
+
   /** Streaming NEAR-duplicate filter: documents whose SimHash signature
     * was already seen inside the watermark horizon are dropped — the
     * streaming counterpart of the batch signature dedup, for ingest

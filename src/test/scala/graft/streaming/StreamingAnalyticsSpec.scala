@@ -89,6 +89,37 @@ class StreamingAnalyticsSpec extends SparkSpec {
     assert(kept.select("text").distinct().count() === 3)
   }
 
+  test("gatedWrite passes clean data through and trips on a poisoned batch") {
+    // clean stream: every event value is finite and ids are present
+    val out = new java.util.concurrent.atomic.AtomicLong(0)
+    val clean = StreamingOps.gatedWrite(
+      StreamingOps.decode(Consumer.source(
+        ConsumerConfig(eventsPath, numShards = 4))),
+      Seq("null_id" -> col("event_id").isNull,
+        "negative_value" -> (col("value") < -1e18)),
+      tmp("ckpt_gate_ok"),
+      Trigger.AvailableNow()) { (batch, _) => out.addAndGet(batch.count()); () }
+    clean.awaitTermination(120000)
+    assert(out.get() === nEventsLocal, "clean stream must fully publish")
+    // a rule every row violates: the gate must stop the query by name
+    val gated = StreamingOps.gatedWrite(
+      StreamingOps.decode(Consumer.source(
+        ConsumerConfig(eventsPath, numShards = 4))),
+      Seq("impossible_bound" -> (col("value") < 1e18)),
+      tmp("ckpt_gate_bad"),
+      Trigger.AvailableNow()) { (_, _) => () }
+    val err = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      gated.awaitTermination(120000); gated.stop()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil
+      else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(err).exists(_.contains("data gate tripped")),
+      s"unexpected failure: ${messages(err).mkString(" | ")}")
+  }
+
+  private lazy val nEventsLocal: Long = graft.Tables.events(spark, sf).count()
+
   /** Median event time — the reshard/merge instant both compose tests use. */
   private lazy val medianMs: Long = (graft.Tables.events(spark, sf)
     .selectExpr("percentile_approx(cast(ts as double), 0.5)").as[Double].head()
