@@ -393,6 +393,63 @@ object Profile {
             ON o.o_custkey = c.c_custkey WHERE c.c_custkey IS NULL) = 0
        ORDER BY rule"""
 
+  /** Prioritized two-source merge: one row per key from the union of both
+    * feeds, each payload field taken from the PRIMARY source when it has
+    * the row, else from the secondary — the standard "golden record"
+    * reconciliation when two systems disagree about the same entities.
+    * `origin` records which source(s) supplied the key, so downstream
+    * audits can quantify feed coverage.
+    *
+    * Scale: one full-outer shuffle join on the key (each side exchanged
+    * once); field selection is a codegen'd projection. Bucket both feeds
+    * by the key to plan it with zero exchanges ([[Bucketing]]).
+    */
+  def mergePrioritized(primary: DataFrame, secondary: DataFrame,
+      keyCol: String, payloadCols: Seq[String]): DataFrame = {
+    require(payloadCols.nonEmpty, "mergePrioritized needs payload columns")
+    def side(df: DataFrame, tag: String) =
+      df.select(col(keyCol), struct(payloadCols.map(col): _*).as(tag))
+    side(primary, "p").join(side(secondary, "s"), Seq(keyCol), "full_outer")
+      .select(col(keyCol) +:
+        payloadCols.map(c =>
+          when(col("p").isNotNull, col(s"p.$c")).otherwise(col(s"s.$c")).as(c)) :+
+        when(col("p").isNotNull && col("s").isNotNull, "both")
+          .when(col("p").isNotNull, "primary").otherwise("secondary")
+          .as("origin"): _*)
+  }
+
+  // ---- q115: prioritized feed reconciliation ------------------------------------
+  // Two deterministic partial views of orders: the primary misses %7==0
+  // keys and carries a corrected price; the secondary misses %5==0 keys
+  // and has the raw price. The golden record prefers the primary row.
+  private def q115(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+    val primary = base.where(col("o_orderkey") % 7 =!= 0)
+      .withColumn("o_totalprice", col("o_totalprice") + 0.5)
+    val secondary = base.where(col("o_orderkey") % 5 =!= 0)
+    mergePrioritized(primary, secondary, "o_orderkey",
+        Seq("o_totalprice", "o_orderstatus"))
+      .orderBy(col("o_orderkey"))
+  }
+  private val q115Sql =
+    """WITH base AS (
+         SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders),
+       p AS (SELECT o_orderkey, o_totalprice + 0.5 AS o_totalprice,
+               o_orderstatus FROM base WHERE o_orderkey % 7 <> 0),
+       s AS (SELECT * FROM base WHERE o_orderkey % 5 <> 0)
+       SELECT coalesce(p.o_orderkey, s.o_orderkey) AS o_orderkey,
+         CASE WHEN p.o_orderkey IS NOT NULL THEN p.o_totalprice
+              ELSE s.o_totalprice END AS o_totalprice,
+         CASE WHEN p.o_orderkey IS NOT NULL THEN p.o_orderstatus
+              ELSE s.o_orderstatus END AS o_orderstatus,
+         CASE WHEN p.o_orderkey IS NOT NULL AND s.o_orderkey IS NOT NULL
+              THEN 'both'
+              WHEN p.o_orderkey IS NOT NULL THEN 'primary'
+              ELSE 'secondary' END AS origin
+       FROM p FULL OUTER JOIN s ON p.o_orderkey = s.o_orderkey
+       ORDER BY o_orderkey"""
+
   // ---- q109: point-in-time snapshot (time travel) -------------------------------
   // The events changelog replayed to its state at 2024-01-15 00:00 UTC:
   // users whose latest event AT THAT INSTANT was not a purchase, with
@@ -472,5 +529,6 @@ object Profile {
     QueryDef("q88_histogram", q88, Some(q88Sql)),
     QueryDef("q95_key_skew", q95, Some(q95Sql)),
     QueryDef("q102_quality_gate", q102, Some(q102Sql)),
-    QueryDef("q109_snapshot_asof", q109, Some(q109Sql)))
+    QueryDef("q109_snapshot_asof", q109, Some(q109Sql)),
+    QueryDef("q115_merge_prioritized", q115, Some(q115Sql)))
 }
