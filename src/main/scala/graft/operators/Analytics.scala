@@ -665,6 +665,83 @@ object Analytics {
               ELSE abs(zscore) > 2.0 END AS anomaly
        FROM scored ORDER BY event_id"""
 
+  /** Interval-concurrency sweep line: how many intervals are open after
+    * each boundary event — "shipments in transit", "concurrent sessions",
+    * "instances running" over time. Ends release before starts at the
+    * same instant (half-open [start, end) semantics: order by (t, delta)
+    * puts −1 before +1).
+    *
+    * This is a GLOBAL running sum — the one aggregation shape a
+    * hash-partitioned engine cannot express without a total order — so it
+    * is implemented as the classic two-pass distributed prefix sum rather
+    * than a window over one partition:
+    *   pass 1: range-partition boundaries by time, sort within partitions,
+    *           and take each partition's delta TOTAL (tiny: P rows);
+    *   pass 2: each partition streams its rows once, seeded with the sum
+    *           of all earlier partitions' totals (broadcast).
+    * Wall-clock scales with the largest partition, not the timeline; the
+    * window formulation (the oracle) would funnel every boundary into ONE
+    * task. Rows with identical (t, delta) are interchangeable, so the
+    * output MULTISET is deterministic even though their relative order
+    * is not.
+    */
+  def concurrency(df: DataFrame, startCol: String, endCol: String,
+      partitions: Int = 32): DataFrame = {
+    val s = df.sparkSession
+    import s.implicits._
+    val bounds = df.select(col(startCol).cast("long").as("t"), lit(1).as("d"))
+      .unionAll(df.select(col(endCol).cast("long").as("t"), lit(-1).as("d")))
+      .repartitionByRange(partitions, col("t"), col("d"))
+      .sortWithinPartitions(col("t"), col("d"))
+      .as[(Long, Int)]
+      .localCheckpoint(false) // pass 2 must see pass 1's exact partitions
+    val totals = bounds.mapPartitions { it =>
+        Iterator.single(
+          (org.apache.spark.TaskContext.getPartitionId(), it.map(_._2.toLong).sum))
+      }.collect().toMap // P entries — partition metadata, not data
+    val offsets = (0 until partitions)
+      .scanLeft(0L)((acc, p) => acc + totals.getOrElse(p, 0L)).toArray
+    val offB = s.sparkContext.broadcast(offsets)
+    bounds.mapPartitions { it =>
+        var running = offB.value(org.apache.spark.TaskContext.getPartitionId())
+        it.map { case (t, d) => running += d; (t, d, running) }
+      }
+      .select(col("_1").as("t"), col("_2").as("delta"),
+        col("_3").as("concurrent"))
+  }
+
+  // ---- q116: in-transit shipment concurrency -----------------------------------
+  // lineitem rows as [ship, ship + transit) intervals (transit time is a
+  // deterministic 1-30 days from the line identity — the fixture has no
+  // receipt column): the number of shipments in flight after every
+  // boundary. The oracle is the single-task global window form; the
+  // engine runs the two-pass distributed sweep.
+  private def q116(s: SparkSession, d: String): DataFrame =
+    concurrency(
+        Tables.lineitem(s, d).select(
+          // NTZ parquet timestamps: go through TIMESTAMP (UTC session) to
+          // epoch seconds, matching the oracle's epoch_us // 1e6
+          col("l_shipdate").cast("timestamp").cast("long").as("ship"),
+          (col("l_shipdate") +
+            expr("make_interval(0, 0, 0, CAST(l_orderkey % 30 + 1 AS INT))"))
+            .cast("timestamp").cast("long").as("receipt")),
+        "ship", "receipt")
+      .orderBy(col("t"), col("delta"), col("concurrent"))
+  private val q116Sql =
+    """WITH b AS (
+         SELECT epoch_us(l_shipdate::TIMESTAMP)
+           // 1000000 AS t, 1 AS delta FROM lineitem
+         UNION ALL
+         SELECT epoch_us((l_shipdate
+             + to_days((l_orderkey % 30 + 1)::INT))::TIMESTAMP) // 1000000,
+           -1
+         FROM lineitem)
+       SELECT t, delta,
+         (sum(delta) OVER (ORDER BY t, delta
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT
+           AS concurrent
+       FROM b ORDER BY t, delta, concurrent"""
+
   // ---- q104: ranking-family windows (rank / dense_rank / percent_rank / cume_dist)
   // The remaining ranking functions beyond q09/q49: tied values share a
   // rank (deterministic — the functions depend only on the ORDER values,
@@ -754,5 +831,6 @@ object Analytics {
     QueryDef("q101_linear_trend", q101, Some(q101Sql)),
     QueryDef("q103_transition_matrix", q103, Some(q103Sql)),
     QueryDef("q104_rank_family", q104, Some(q104Sql)),
-    QueryDef("q107_rolling_anomaly", q107, Some(q107Sql)))
+    QueryDef("q107_rolling_anomaly", q107, Some(q107Sql)),
+    QueryDef("q116_concurrency_sweep", q116, Some(q116Sql)))
 }

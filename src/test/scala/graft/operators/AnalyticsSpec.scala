@@ -123,6 +123,32 @@ class AnalyticsSpec extends SparkSpec {
       ("b", "b", 1L, 1.0)))
   }
 
+  test("concurrency sweep equals the global window form; ends release before starts") {
+    // intervals: [1,5) [2,4) [4,6) — at t=4 one ends (-1) before one
+    // starts (+1), so peak concurrency is 2, never 3.
+    val iv = Seq((1L, 5L), (2L, 4L), (4L, 6L)).toDF("s", "e")
+    val got = Analytics.concurrency(iv, "s", "e", partitions = 3)
+      .orderBy("t", "delta", "concurrent")
+      .as[(Long, Int, Long)].collect()
+    assert(got === Array(
+      (1L, 1, 1L),   // [1 opens
+      (2L, 1, 2L),   // [2 opens -> 2 in flight
+      (4L, -1, 1L),  // [2,4) closes FIRST at t=4
+      (4L, 1, 2L),   // then [4,6) opens
+      (5L, -1, 1L),
+      (6L, -1, 0L))) // all closed
+    assert(got.map(_._3).max === 2L, "half-open semantics cap the peak at 2")
+    // the two-pass sweep must equal the single-task window formulation
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("t"), col("delta"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val naive = iv.select(col("s").as("t"), lit(1).as("delta"))
+      .unionAll(iv.select(col("e").as("t"), lit(-1).as("delta")))
+      .withColumn("concurrent", sum(col("delta")).over(w))
+      .as[(Long, Int, Long)].collect().sortBy(r => (r._1, r._2, r._3))
+    assert(got.toSeq === naive.toSeq)
+  }
+
   test("gapFillDaily never window-sorts the raw events, only the daily spine") {
     val e = Seq((1L, "2024-01-01 10:00:00", 1.0))
       .toDF("user_id", "ts", "value")
