@@ -418,6 +418,54 @@ object Profile {
           .as("origin"): _*)
   }
 
+  /** Leading-digit (Benford) profile of a positive numeric column: the
+    * observed share of each first significant digit next to Benford's
+    * expected log10(1 + 1/d) — the classic fabricated-data / unit-mixing
+    * forensic check run over financial-ish columns. The digit is taken
+    * from the value's STRING form (both engines format plain decimals for
+    * these magnitudes identically), not via log10 — libm log is not
+    * bit-stable cross-engine, so the expected shares are emitted as
+    * PRE-COMPUTED literals, the one place a constant table beats a
+    * formula. Map-side digit extraction, 9-row aggregate.
+    */
+  def benfordProfile(df: DataFrame, valueCol: String): DataFrame = {
+    val benford = Seq(
+      1 -> 0.30103, 2 -> 0.176091, 3 -> 0.124939, 4 -> 0.09691,
+      5 -> 0.079181, 6 -> 0.066947, 7 -> 0.057992, 8 -> 0.051153,
+      9 -> 0.045757)
+    val expected = benford.tail.foldLeft(
+      when(col("digit") === 1, benford.head._2)) { case (acc, (d, p)) =>
+        acc.when(col("digit") === d, p)
+      }
+    df.filter(col(valueCol) > 0)
+      .select(substring(col(valueCol).cast("string"), 1, 1)
+        .cast("int").as("digit"))
+      .groupBy(col("digit")).agg(count(lit(1)).as("n"))
+      .crossJoin(broadcast(
+        df.filter(col(valueCol) > 0).agg(count(lit(1)).as("total"))))
+      .select(col("digit"), col("n"),
+        round(col("n").cast("double") / col("total"), 6).as("share"),
+        expected.as("benford_share"))
+  }
+
+  // ---- q117: Benford leading-digit forensic profile ------------------------------
+  private def q117(s: SparkSession, d: String): DataFrame =
+    benfordProfile(Tables.orders(s, d), "o_totalprice")
+      .orderBy(col("digit"))
+  private val q117Sql =
+    """WITH v AS (
+         SELECT substr(o_totalprice::VARCHAR, 1, 1)::INT AS digit
+         FROM orders WHERE o_totalprice > 0),
+       t AS (SELECT count(*) AS total FROM v)
+       SELECT digit, count(*) AS n,
+         round(count(*)::DOUBLE / total, 6) AS share,
+         CASE digit WHEN 1 THEN 0.30103 WHEN 2 THEN 0.176091
+           WHEN 3 THEN 0.124939 WHEN 4 THEN 0.09691 WHEN 5 THEN 0.079181
+           WHEN 6 THEN 0.066947 WHEN 7 THEN 0.057992 WHEN 8 THEN 0.051153
+           WHEN 9 THEN 0.045757 END AS benford_share
+       FROM v CROSS JOIN t
+       GROUP BY digit, total ORDER BY digit"""
+
   // ---- q115: prioritized feed reconciliation ------------------------------------
   // Two deterministic partial views of orders: the primary misses %7==0
   // keys and carries a corrected price; the secondary misses %5==0 keys
@@ -530,5 +578,6 @@ object Profile {
     QueryDef("q95_key_skew", q95, Some(q95Sql)),
     QueryDef("q102_quality_gate", q102, Some(q102Sql)),
     QueryDef("q109_snapshot_asof", q109, Some(q109Sql)),
-    QueryDef("q115_merge_prioritized", q115, Some(q115Sql)))
+    QueryDef("q115_merge_prioritized", q115, Some(q115Sql)),
+    QueryDef("q117_benford_profile", q117, Some(q117Sql)))
 }
