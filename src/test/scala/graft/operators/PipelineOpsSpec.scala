@@ -243,6 +243,21 @@ class PipelineOpsSpec extends SparkSpec {
     assert(joined.count() === 0, "assignments must not change as data grows")
   }
 
+  test("the sampler predicate and split assignment agree on the same draw") {
+    // hashSamplePredicate(key, t) must keep EXACTLY the keys that
+    // splitAssign puts in the first bucket of (t, 256-t) — both claim to
+    // read the same md5 draw, and a divergence would silently break the
+    // "sampled subset of train never overlaps test" composition.
+    val df = (0L until 1000L).toDF("k")
+    val t = 64
+    val both = df.select(col("k"),
+      PipelineOps.hashSamplePredicate(col("k"), t).as("sampled"),
+      (PipelineOps.splitAssign(col("k"),
+        Seq("a" -> t, "b" -> (256 - t))) === "a").as("first_bucket"))
+    assert(both.filter(col("sampled") =!= col("first_bucket")).count() === 0)
+    assert(both.filter(col("sampled")).count() > 0, "threshold must select rows")
+  }
+
   test("centroidUpdate means each dimension exactly, in one exchange") {
     val df = Seq(
       (0, Seq(1.0f, 3.0f)), (0, Seq(3.0f, 5.0f)), // centroid (2, 4)
