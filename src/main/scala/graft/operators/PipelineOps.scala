@@ -554,6 +554,55 @@ object PipelineOps {
        FROM tot LEFT JOIN sc USING (doc_id)
        ORDER BY doc_id"""
 
+  /** The upsampling half of mixture balancing: under-represented groups
+    * get an integer REPEAT-EPOCH factor (how many passes over the group
+    * per training epoch) instead of a >1 weight — repeating whole groups
+    * preserves within-group distribution where weighted upsampling would
+    * skew it. Over-budget groups keep epoch 1 and downsample via
+    * [[mixtureWeights]]; the two compose into "each source contributes
+    * ~target tokens per epoch".
+    *
+    * floor-then-clamp keeps the factor conservative (never more than
+    * ⌊target/tokens⌋ repeats, minimum 1); `effective_tokens` shows the
+    * achieved contribution so the residual shortfall is visible.
+    */
+  def mixtureEpochs(df: DataFrame, groupCol: String,
+      sizeExpr: Column): DataFrame = {
+    val perGroup = df.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_docs"), sum(sizeExpr).as("tokens"))
+    val totals = perGroup.agg(
+      sum(col("tokens")).cast("double").as("total_tokens"),
+      count(lit(1)).cast("double").as("n_groups"))
+    val target = col("total_tokens") / col("n_groups")
+    val epochs = greatest(lit(1L),
+      floor(target / col("tokens").cast("double")).cast("long"))
+    perGroup.crossJoin(broadcast(totals))
+      .select(col(groupCol), col("n_docs"), col("tokens"),
+        epochs.as("repeat_epochs"),
+        (epochs * col("tokens")).as("effective_tokens"))
+  }
+
+  // ---- q118: repeat-epoch upsampling factors ----------------------------------
+  private def q118(s: SparkSession, d: String): DataFrame =
+    mixtureEpochs(Tables.documents(s, d), "source",
+      size(tokens(col("text"))).cast("long"))
+      .orderBy(col("source"))
+  private val q118Sql =
+    """WITH g AS (
+         SELECT source, count(*) AS n_docs,
+           sum(len(string_split(text, ' ')))::BIGINT AS tokens
+         FROM documents GROUP BY source),
+       t AS (
+         SELECT source, n_docs, tokens,
+           sum(tokens) OVER ()::DOUBLE / count(*) OVER () AS target
+         FROM g)
+       SELECT source, n_docs, tokens,
+         greatest(1, floor(target / tokens::DOUBLE)::BIGINT)
+           AS repeat_epochs,
+         greatest(1, floor(target / tokens::DOUBLE)::BIGINT) * tokens
+           AS effective_tokens
+       FROM t ORDER BY source"""
+
   // ---- q62: source-mixture balancing ----------------------------------------
   private def q62(s: SparkSession, d: String): DataFrame =
     mixtureWeights(Tables.documents(s, d), "source",
@@ -880,5 +929,6 @@ object PipelineOps {
     QueryDef("q96_label_majority", q96, Some(q96Sql)),
     QueryDef("q106_centroid_update", q106, Some(q106Sql)),
     QueryDef("q110_split_assign", q110, Some(q110Sql)),
-    QueryDef("q111_crosslm_score", q111, Some(q111Sql)))
+    QueryDef("q111_crosslm_score", q111, Some(q111Sql)),
+    QueryDef("q118_mixture_epochs", q118, Some(q118Sql)))
 }
