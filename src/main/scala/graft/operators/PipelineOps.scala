@@ -603,6 +603,39 @@ object PipelineOps {
            AS effective_tokens
        FROM t ORDER BY source"""
 
+  // ---- q119: cross-split leakage check ----------------------------------------
+  // contamination composed with splitAssign: documents in the md5 "test"
+  // bucket sharing 5-grams with "train"-bucket documents — the leakage
+  // audit run AFTER assigning splits and BEFORE training. Pure
+  // composition of two verified operators; the oracle rebuilds the same
+  // split predicate inline.
+  private def q119(s: SparkSession, d: String): DataFrame =
+    contamination(Tables.documents(s, d), "doc_id", "text",
+        evalPred = splitAssign(col("doc_id"),
+          Seq("train" -> 230, "test" -> 26)) === "test",
+        n = 5)
+      .orderBy(col("train_id"), col("eval_id"))
+  private val q119Sql =
+    """WITH split AS (
+         SELECT doc_id, text,
+           substr(md5(doc_id::VARCHAR), 1, 2) >= 'e6' AS is_test
+         FROM documents),
+       toks AS (
+         SELECT doc_id, is_test, string_split(text, ' ') AS tokens
+         FROM split WHERE len(string_split(text, ' ')) >= 5),
+       grams AS (
+         SELECT DISTINCT doc_id, is_test, g FROM (
+           SELECT doc_id, is_test,
+             unnest(list_transform(range(1, len(tokens) - 3),
+               i -> tokens[i] || ' ' || tokens[i+1] || ' ' || tokens[i+2]
+                 || ' ' || tokens[i+3] || ' ' || tokens[i+4])) AS g
+           FROM toks))
+       SELECT t.doc_id AS train_id, e.doc_id AS eval_id,
+         count(*) AS n_shared
+       FROM grams t JOIN grams e ON t.g = e.g
+       WHERE NOT t.is_test AND e.is_test
+       GROUP BY 1, 2 ORDER BY train_id, eval_id"""
+
   // ---- q62: source-mixture balancing ----------------------------------------
   private def q62(s: SparkSession, d: String): DataFrame =
     mixtureWeights(Tables.documents(s, d), "source",
@@ -930,5 +963,6 @@ object PipelineOps {
     QueryDef("q106_centroid_update", q106, Some(q106Sql)),
     QueryDef("q110_split_assign", q110, Some(q110Sql)),
     QueryDef("q111_crosslm_score", q111, Some(q111Sql)),
-    QueryDef("q118_mixture_epochs", q118, Some(q118Sql)))
+    QueryDef("q118_mixture_epochs", q118, Some(q118Sql)),
+    QueryDef("q119_split_leakage", q119, Some(q119Sql)))
 }
