@@ -691,6 +691,40 @@ object Dedup {
        FROM f a JOIN f b ON a.fp = b.fp AND a.doc_id < b.doc_id
        GROUP BY 1, 2 HAVING count(*) >= 2 ORDER BY 1, 2"""
 
+  // ---- q120: corpus dedup health summary ---------------------------------------
+  // The one-row executive report a curation run opens with: document
+  // count, exact-duplicate volume and rate, and verified near-dup pair
+  // count — each number produced by the operator that owns it
+  // (exactDedup, minhashLshPairs) so the summary can never drift from
+  // the detailed reports. The oracle recomputes all three independently
+  // (distinct md5 + the shared Jaccard CTE chain).
+  private def q120(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    exactDedup(docs, "doc_id", "text")
+      .agg(count(lit(1)).as("n_content_groups"),
+        sum(col("n_copies")).as("n_docs"),
+        sum(col("n_copies") - 1).as("n_exact_dups"))
+      .crossJoin(broadcast(minhashLshPairs(docs, "doc_id", "text")
+        .agg(count(lit(1)).as("n_near_dup_pairs"))))
+      .select(col("n_docs"), col("n_content_groups"), col("n_exact_dups"),
+        col("n_near_dup_pairs"),
+        round(col("n_exact_dups").cast("double") / col("n_docs"), 6)
+          .as("exact_dup_rate"))
+  }
+  private val q120Sql =
+    s"""WITH $jaccardCtes,
+       $dupCte,
+       e AS (
+         SELECT count(*) AS n_docs,
+           count(DISTINCT md5(text)) AS n_content_groups
+         FROM documents)
+       SELECT n_docs, n_content_groups,
+         (n_docs - n_content_groups)::BIGINT AS n_exact_dups,
+         (SELECT count(*) FROM dup)::BIGINT AS n_near_dup_pairs,
+         round((n_docs - n_content_groups)::DOUBLE / n_docs, 6)
+           AS exact_dup_rate
+       FROM e"""
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q25_exact_dedup", q25, Some(q25Sql)),
     QueryDef("q26_ngram_jaccard", q26, Some(exactJaccardSql)),
@@ -703,5 +737,6 @@ object Dedup {
     QueryDef("q67_dedup_keep", q67, Some(q67Sql)),
     QueryDef("q70_dedup_keep_best", q70, Some(q70Sql)),
     QueryDef("q78_winnow_fingerprints", q78, Some(q78Sql)),
-    QueryDef("q80_winnow_overlap", q80, Some(q80Sql)))
+    QueryDef("q80_winnow_overlap", q80, Some(q80Sql)),
+    QueryDef("q120_dedup_summary", q120, Some(q120Sql)))
 }
