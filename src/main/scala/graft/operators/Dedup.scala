@@ -368,6 +368,178 @@ object Dedup {
     df.join(losers, col(idCol) === col("__loser_id"), "left_anti")
   }
 
+  /** Incremental near-dup: LSH-found, exact-verified pairs where at least
+    * one member is from `inc` — the corpus REFRESH path. A production
+    * pipeline dedups the base corpus once; when an increment arrives, only
+    * pairs touching the increment are new information, and base×base must
+    * not be re-paired (it is the quadratic bulk).
+    *
+    * Scale: the increment's band keys probe the full corpus' band keys, so
+    * the candidate space is |inc|-driven, not |corpus|²: a base document
+    * that shares no band with any new document never leaves the signature
+    * stage. In production the base's band keys are the PERSISTED output of
+    * the previous run (a (doc_id, key) table this function would read
+    * instead of recomputing — the signature stage is deterministic, so the
+    * two are identical); only the increment computes signatures fresh.
+    * Verify re-derives grams only for candidate docs, as in
+    * [[minhashLshPairs]]. Output matches `minhashLshPairs(base ∪ inc)`
+    * restricted to pairs with a member in `inc` (DedupSpec pins it).
+    */
+  def incrementalNearDupPairs(base: DataFrame, inc: DataFrame,
+      idCol: String, textCol: String): DataFrame = {
+    def bandRows(src: DataFrame): DataFrame = src
+      .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("toks"))
+      .filter(size(col("toks")) >= 3)
+      .select(col("doc_id"),
+        explode(minhashBands(col("toks"), NumHashes, BandRows)).as("key"))
+    val all = base.select(col(idCol), col(textCol))
+      .union(inc.select(col(idCol), col(textCol)))
+    // Shuffle-hash with the increment as the (small) build side; the
+    // corpus side streams. inc-inc pairs surface twice (once per role) —
+    // the least/greatest normalization + distinct collapses them.
+    val cands = bandRows(inc).hint("shuffle_hash").as("x")
+      .join(bandRows(all).as("y"),
+        col("x.key") === col("y.key") && col("x.doc_id") =!= col("y.doc_id"))
+      .select(least(col("x.doc_id"), col("y.doc_id")).as("d1"),
+        greatest(col("x.doc_id"), col("y.doc_id")).as("d2"))
+      .distinct()
+      .localCheckpoint(false)
+    val candIds = cands.select(col("d1").as("cid"))
+      .union(cands.select(col("d2"))).distinct()
+    val candGrams = gramRows(
+      all.join(broadcast(candIds), col(idCol) === col("cid"), "left_semi"),
+      idCol, textCol)
+      .localCheckpoint(false)
+    verifyJaccard(cands, candGrams)
+  }
+
+  /** Containment (asymmetric-Jaccard) near-dup pairs: |A∩B| / |A| per
+    * direction — how much of each document's distinct-trigram set appears
+    * in the other. Catches near-SUBSET duplication (an excerpt, a quoted
+    * passage, a document embedded in a larger one) that symmetric Jaccard
+    * misses by design: a short doc fully contained in a long one has
+    * jaccard ≈ |A|/|B| (arbitrarily small) but containment 1.0.
+    *
+    * Emits (d1 < d2) pairs where EITHER direction reaches `threshold`,
+    * with both directed containments.
+    *
+    * Scale: same narrow gram-equi-join shape as [[jaccardPairs]] — the
+    * oracle-shaped ground truth. MinHash-LSH is NOT a valid prefilter here
+    * (band agreement estimates symmetric Jaccard, which contained-short
+    * docs fail); the scale prefilter for containment is winnowed
+    * fingerprint overlap ([[winnowOverlapPairs]] — shared-substring-driven
+    * and length-asymmetric by construction), with this exact measure as
+    * the verify stage over its candidates.
+    */
+  def containmentPairs(df: DataFrame, idCol: String, textCol: String,
+      threshold: Double): DataFrame = {
+    val grams = gramRows(df, idCol, textCol)
+    val sizes = grams.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val a = grams.select(col("doc_id").as("d1"), col("g"))
+    val b = grams.select(col("doc_id").as("d2"), col("g"))
+    a.join(b, a("g") === b("g") && col("d1") < col("d2"))
+      .groupBy(col("d1"), col("d2")).agg(count(lit(1)).as("inter"))
+      .join(sizes.select(col("doc_id").as("d1"), col("n").as("n1")), "d1")
+      .join(sizes.select(col("doc_id").as("d2"), col("n").as("n2")), "d2")
+      .filter(greatest(col("inter") / col("n1"), col("inter") / col("n2"))
+        >= threshold)
+      .select(col("d1"), col("d2"),
+        round(col("inter") / col("n1"), 6).as("c_1_in_2"),
+        round(col("inter") / col("n2"), 6).as("c_2_in_1"))
+  }
+
+  /** Edit-distance similarity join: (d1 < d2) pairs whose `strCol` values
+    * are within levenshtein distance `maxDist`, with the distance — the
+    * fuzzy-match primitive for record linkage / key reconciliation.
+    *
+    * Candidate generation is partition-signature blocking (the PassJoin
+    * scheme, Li et al., PVLDB 5(3), public literature): split each string
+    * into maxDist+1 segments — if edit(r, s) <= maxDist then at least one
+    * segment of r occurs VERBATIM in s (each edit op can destroy at most
+    * one segment — pigeonhole), at a start offset shifted by at most
+    * maxDist. So candidates come from an equi-join on (source length,
+    * segment index, substring) — short fixed keys, never a cross join —
+    * and only candidates pay a levenshtein verify.
+    *
+    * A corpus-constant prefix (one URL host, "Customer#…" keys) would make
+    * every segment containing it a degenerate blocking key, so the
+    * corpus-wide longest common prefix is stripped first. LCP(corpus) =
+    * LCP(lexicographic min, max) — one aggregation, one 2-string row to
+    * the driver (benign). Safe: equal leading characters can always be
+    * aligned to each other in an optimal alignment, so removing a shared
+    * prefix preserves every pairwise edit distance exactly.
+    *
+    * Strings shorter than maxDist+1 after the strip are excluded from
+    * pairing (their pigeonhole would have an empty segment; real keys are
+    * longer than the edit budget — documented precondition, spec'd).
+    * NULL strings never pair.
+    *
+    * At 100 TB: segment keys shuffle (short substrings + two ints); verify
+    * joins carry each string once, keyed by the 8-byte ids. On a DENSE
+    * keyspace (zero-padded sequential ids, where ~2% of all pairs are true
+    * matches — the q123 fixture) no blocking can beat output size; the
+    * win shows on realistic corpora where matches are rare.
+    */
+  def editDistancePairs(df: DataFrame, idCol: String, strCol: String,
+      maxDist: Int = 1): DataFrame = {
+    require(maxDist >= 1, "maxDist must be >= 1 (use exactDedup for 0)")
+    val d = maxDist
+    val strs0 = df.select(col(idCol).as("sid"), col(strCol).as("str"))
+      .filter(col("str").isNotNull)
+    val mm = strs0.agg(min(col("str")).as("lo"), max(col("str")).as("hi"))
+      .collect()(0)
+    val lcp =
+      if (mm.isNullAt(0)) 0
+      else mm.getString(0).zip(mm.getString(1))
+        .takeWhile { case (x, y) => x == y }.length
+    val strs = strs0
+      .withColumn("core", expr(s"substring(str, ${lcp + 1})"))
+      .withColumn("len", length(col("core")))
+      .filter(col("len") >= d + 1)
+    // Even segment boundaries for a source string of length lr:
+    // segment i spans [start(i), start(i+1)) with start(i) = floor(i*lr/(d+1))+1
+    // — every segment non-empty when lr >= d+1.
+    def segStart(lr: Column, i: Column): Column =
+      floor(i.cast("long") * lr / (d + 1)).cast("int") + 1
+    val segs = strs
+      .select(col("sid").as("rid"), col("core").as("rcore"),
+        col("len").as("lr"), explode(sequence(lit(0), lit(d))).as("i"))
+      .withColumn("p", segStart(col("lr"), col("i")))
+      .withColumn("ln", segStart(col("lr"), col("i") + lit(1)) - col("p"))
+      .select(col("rid"), col("lr"), col("i"),
+        col("rcore").substr(col("p"), col("ln")).as("seg"))
+    // Probe side: for every string s, every source length lr within ±d,
+    // every segment index, every start shift within ±d — a bounded
+    // (2d+1)·(d+1)·(2d+1) fan-out per string.
+    val probes = strs
+      .select(col("sid").as("pid"), col("core").as("pcore"),
+        col("len").as("ls"), explode(sequence(lit(-d), lit(d))).as("dl"))
+      .withColumn("lr", col("ls") + col("dl"))
+      .filter(col("lr") >= d + 1)
+      .select(col("pid"), col("pcore"), col("ls"), col("lr"),
+        explode(sequence(lit(0), lit(d))).as("i"))
+      .withColumn("p", segStart(col("lr"), col("i")))
+      .withColumn("ln", segStart(col("lr"), col("i") + lit(1)) - col("p"))
+      .select(col("pid"), col("pcore"), col("ls"), col("lr"), col("i"),
+        col("p"), col("ln"), explode(sequence(lit(-d), lit(d))).as("sh"))
+      .withColumn("ps", col("p") + col("sh"))
+      .filter(col("ps") >= 1 && col("ps") + col("ln") - lit(1) <= col("ls"))
+      .select(col("pid"), col("lr"), col("i"),
+        col("pcore").substr(col("ps"), col("ln")).as("seg"))
+    val cands = segs.hint("shuffle_hash")
+      .join(probes, Seq("lr", "i", "seg"))
+      .filter(col("rid") =!= col("pid"))
+      .select(least(col("rid"), col("pid")).as("d1"),
+        greatest(col("rid"), col("pid")).as("d2"))
+      .distinct()
+    val s1 = strs.select(col("sid").as("d1"), col("str").as("__s1"))
+    val s2 = strs.select(col("sid").as("d2"), col("str").as("__s2"))
+    cands.join(s1, "d1").join(s2, "d2")
+      .withColumn("dist", levenshtein(col("__s1"), col("__s2")))
+      .filter(col("dist") <= d)
+      .select(col("d1"), col("d2"), col("dist").cast("long").as("dist"))
+  }
+
   // ===========================================================================
   // Oracle-bound query exercises
   // ===========================================================================
@@ -376,10 +548,12 @@ object Dedup {
     * pairs with intersection counts. Every Jaccard-derived oracle (q26/q27
     * pairs, q60 clusters, q64 matrix) interpolates this ONE fragment so a
     * gram-construction or threshold change cannot silently diverge them.
+    * `src` lets a caller run the chain over a derived relation (q122's
+    * corpus-plus-excerpts) instead of the raw table.
     */
-  private val jaccardCtes =
-    """toks AS (
-         SELECT doc_id, string_split(text, ' ') AS tokens FROM documents
+  private def jaccardCtes(src: String = "documents"): String =
+    s"""toks AS (
+         SELECT doc_id, string_split(text, ' ') AS tokens FROM $src
          WHERE len(string_split(text, ' ')) >= 3),
        grams AS (
          SELECT DISTINCT doc_id, g FROM (
@@ -414,7 +588,7 @@ object Dedup {
 
   // Shared oracle body: exact distinct-3-gram Jaccard pairs >= threshold.
   private val exactJaccardSql =
-    s"""WITH $jaccardCtes
+    s"""WITH ${jaccardCtes()}
        SELECT d1, d2,
          round(inter / (s1.n + s2.n - inter), 6) AS jaccard
        FROM pair JOIN sizes s1 ON d1 = s1.doc_id
@@ -516,7 +690,7 @@ object Dedup {
   // Oracle: exact-Jaccard pairs (== the LSH output, q26/q27 share it),
   // closed transitively with a recursive CTE, min reachable id per node.
   private val q60Sql =
-    s"""WITH RECURSIVE $jaccardCtes,
+    s"""WITH RECURSIVE ${jaccardCtes()},
        $dupCte,
        $closureCtes
        SELECT a AS doc_id, least(a, min(b)) AS cluster_id
@@ -531,7 +705,7 @@ object Dedup {
   // Oracle: exact-Jaccard pairs (== the LSH output at this threshold),
   // joined to each side's source, aggregated per unordered source pair.
   private val q64Sql =
-    s"""WITH $jaccardCtes,
+    s"""WITH ${jaccardCtes()},
        $dupCte,
        d AS (SELECT doc_id, source FROM documents)
        SELECT least(a.source, b.source) AS source_a,
@@ -549,7 +723,7 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
   private val q67Sql =
-    s"""WITH RECURSIVE $jaccardCtes,
+    s"""WITH RECURSIVE ${jaccardCtes()},
        $dupCte,
        $closureCtes,
        losers AS (
@@ -568,7 +742,7 @@ object Dedup {
       .orderBy(col("cluster_id"))
   }
   private val q70Sql =
-    s"""WITH RECURSIVE $jaccardCtes,
+    s"""WITH RECURSIVE ${jaccardCtes()},
        $dupCte,
        $closureCtes,
        clusters AS (
@@ -712,7 +886,7 @@ object Dedup {
           .as("exact_dup_rate"))
   }
   private val q120Sql =
-    s"""WITH $jaccardCtes,
+    s"""WITH ${jaccardCtes()},
        $dupCte,
        e AS (
          SELECT count(*) AS n_docs,
@@ -724,6 +898,77 @@ object Dedup {
          round((n_docs - n_content_groups)::DOUBLE / n_docs, 6)
            AS exact_dup_rate
        FROM e"""
+
+  // ---- q121: incremental near-dup (corpus refresh path) ------------------------
+  // Base = doc_id < 400 (the already-deduped corpus), increment = the 100
+  // newest docs; output = verified near-dup pairs touching the increment.
+  // Increment membership is an id suffix here, so "at least one new
+  // member" reduces to d2 >= 400 in the oracle (d2 is the pair maximum).
+  private def q121(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    incrementalNearDupPairs(docs.filter(col("doc_id") < 400),
+        docs.filter(col("doc_id") >= 400), "doc_id", "text")
+      .orderBy(col("d1"), col("d2"))
+  }
+  private val q121Sql =
+    s"""WITH ${jaccardCtes()}
+       SELECT d1, d2,
+         round(inter / (s1.n + s2.n - inter), 6) AS jaccard
+       FROM pair JOIN sizes s1 ON d1 = s1.doc_id
+                 JOIN sizes s2 ON d2 = s2.doc_id
+       WHERE inter / (s1.n + s2.n - inter) >= $JaccardThreshold
+         AND d2 >= 400
+       ORDER BY d1, d2"""
+
+  // ---- q122: containment (asymmetric) overlap ----------------------------------
+  // The corpus plus deterministic EXCERPTS (first half of each doc_id<20
+  // document's tokens, id + 1000): an excerpt's trigram set is a subset
+  // of its source's, so (source, excerpt) pairs surface at containment
+  // 1.0 while their symmetric Jaccard sits near 0.5 — the asymmetry is
+  // exercised on real rows, not just in theory.
+  private def q122(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    val excerpts = Tables.documents(s, d).filter(col("doc_id") < 20)
+      .select((col("doc_id") + 1000).as("doc_id"),
+        array_join(slice(tokens(col("text")), lit(1),
+          (size(tokens(col("text"))) / 2).cast("int")), " ").as("text"))
+    containmentPairs(docs.union(excerpts), "doc_id", "text", 0.8)
+      .orderBy(col("d1"), col("d2"))
+  }
+  private val q122Sql =
+    s"""WITH docs2 AS (
+         SELECT doc_id, text FROM documents
+         UNION ALL
+         SELECT doc_id + 1000,
+           array_to_string(list_slice(string_split(text, ' '), 1,
+             len(string_split(text, ' ')) // 2), ' ')
+         FROM documents WHERE doc_id < 20),
+       ${jaccardCtes("docs2")}
+       SELECT d1, d2,
+         round(inter / s1.n, 6) AS c_1_in_2,
+         round(inter / s2.n, 6) AS c_2_in_1
+       FROM pair JOIN sizes s1 ON d1 = s1.doc_id
+                 JOIN sizes s2 ON d2 = s2.doc_id
+       WHERE greatest(inter / s1.n, inter / s2.n) >= 0.8
+       ORDER BY d1, d2"""
+
+  // ---- q123: edit-distance similarity join (record linkage) --------------------
+  // Customer names at levenshtein <= 1 — zero-padded sequential keys, the
+  // dense worst case (19.5k true pairs among 1500 names at sf0.01);
+  // PassJoin blocking + exact verify must reproduce the brute-force
+  // oracle exactly, including the corpus-prefix strip.
+  private def q123(s: SparkSession, d: String): DataFrame =
+    editDistancePairs(Tables.customer(s, d), "c_custkey", "c_name",
+        maxDist = 1)
+      .orderBy(col("d1"), col("d2"))
+  private val q123Sql =
+    """SELECT a.c_custkey AS d1, b.c_custkey AS d2,
+         levenshtein(a.c_name, b.c_name)::BIGINT AS dist
+       FROM customer a JOIN customer b
+         ON a.c_custkey < b.c_custkey
+        AND abs(length(a.c_name) - length(b.c_name)) <= 1
+       WHERE levenshtein(a.c_name, b.c_name) <= 1
+       ORDER BY d1, d2"""
 
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q25_exact_dedup", q25, Some(q25Sql)),
@@ -738,5 +983,8 @@ object Dedup {
     QueryDef("q70_dedup_keep_best", q70, Some(q70Sql)),
     QueryDef("q78_winnow_fingerprints", q78, Some(q78Sql)),
     QueryDef("q80_winnow_overlap", q80, Some(q80Sql)),
-    QueryDef("q120_dedup_summary", q120, Some(q120Sql)))
+    QueryDef("q120_dedup_summary", q120, Some(q120Sql)),
+    QueryDef("q121_incremental_dedup", q121, Some(q121Sql)),
+    QueryDef("q122_containment", q122, Some(q122Sql)),
+    QueryDef("q123_editdist_join", q123, Some(q123Sql)))
 }

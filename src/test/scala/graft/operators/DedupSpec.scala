@@ -111,4 +111,77 @@ class DedupSpec extends SparkSpec {
       .as[(Long, Long, Long)].collect()
     assert(rows.forall(r => r._1 < r._2))
   }
+
+  test("incremental near-dup equals full pairs restricted to the increment") {
+    val docs = Tables.documents(spark, sf).select($"doc_id", $"text")
+    val full = Dedup.minhashLshPairs(docs, "doc_id", "text")
+      .as[(Long, Long, Double)].collect().toSet
+    assert(full.nonEmpty)
+    // Split at the id midpoint; run the refresh BOTH ways. Each direction
+    // must yield exactly the full pairs touching its increment, and the
+    // two directions together must cover every cross-boundary pair.
+    val mid = 25L
+    def run(base: org.apache.spark.sql.DataFrame,
+        inc: org.apache.spark.sql.DataFrame) =
+      Dedup.incrementalNearDupPairs(base, inc, "doc_id", "text")
+        .as[(Long, Long, Double)].collect().toSet
+    val hi = run(docs.filter($"doc_id" < mid), docs.filter($"doc_id" >= mid))
+    val lo = run(docs.filter($"doc_id" >= mid), docs.filter($"doc_id" < mid))
+    assert(hi === full.filter(p => p._1 >= mid || p._2 >= mid))
+    assert(lo === full.filter(p => p._1 < mid || p._2 < mid))
+    assert((hi ++ lo) === full)
+  }
+
+  test("containment flags subset duplication that symmetric Jaccard misses") {
+    val docs = Seq(
+      (1L, "a b c d e f g h i j k l m n o p q r s t"),
+      (2L, "a b c d e f g h i j"), // strict token prefix of 1 → contained
+      (3L, "z y x w v u t1 s1 r1 q1")).toDF("doc_id", "text")
+    val got = Dedup.containmentPairs(docs, "doc_id", "text", 0.9)
+      .as[(Long, Long, Double, Double)].collect()
+    assert(got.map(r => (r._1, r._2)).toSet === Set((1L, 2L)))
+    // grams(2) ⊂ grams(1): 8 of doc-1's 18 trigrams; fully covered doc 2.
+    val r = got.head
+    assert(r._4 === 1.0)
+    assert(r._3 === math.rint(8.0 / 18.0 * 1e6) / 1e6)
+    // Symmetric Jaccard at its own (lower!) bar never sees the pair:
+    // jac = 8 / 18 ≈ 0.44 < 0.5.
+    assert(Dedup.jaccardPairs(docs, "doc_id", "text").collect().isEmpty)
+  }
+
+  test("editDistancePairs matches brute force incl. insertions and deletions") {
+    val rows = Seq(
+      (1L, "http://ex.com/alpha"), (2L, "http://ex.com/alphas"), // insertion
+      (3L, "http://ex.com/alpka"), // substitution vs 1, dist 2 vs 2
+      (4L, "http://ex.com/beta"), (5L, "http://ex.com/bXta"),
+      (6L, "http://ex.com/bet"), // deletion vs 4
+      (7L, "http://ex.com/gamma-delta"),
+      (8L, "http://ex.com/")).toDF("id", "s")
+    def brute(d: Int) = rows.as("a").join(rows.as("b"), $"a.id" < $"b.id")
+      .select($"a.id", $"b.id",
+        levenshtein($"a.s", $"b.s").cast("long").as("dist"))
+      .as[(Long, Long, Long)].collect().filter(_._3 <= d).toSet
+    for (d <- Seq(1, 2)) {
+      val got = Dedup.editDistancePairs(rows, "id", "s", maxDist = d)
+        .as[(Long, Long, Long)].collect().toSet
+      assert(got === brute(d), s"maxDist=$d")
+      assert(got.nonEmpty, s"maxDist=$d")
+    }
+  }
+
+  test("editDistancePairs strips the corpus-common prefix and stays exact") {
+    // Zero-padded sequential keys: the whole corpus shares "Customer#000";
+    // without the LCP strip, segment 0 is one constant blocking key.
+    val rows = (1 to 80).map(i => (i.toLong, f"Customer#$i%09d"))
+      .toDF("id", "s")
+    val got = Dedup.editDistancePairs(rows, "id", "s", maxDist = 1)
+      .as[(Long, Long, Long)].collect().toSet
+    val brute = rows.as("a").join(rows.as("b"), $"a.id" < $"b.id")
+      .select($"a.id", $"b.id",
+        levenshtein($"a.s", $"b.s").cast("long").as("dist"))
+      .as[(Long, Long, Long)].collect().filter(_._3 <= 1).toSet
+    assert(got === brute)
+    // Single-digit substitutions must surface: …001 vs …002, …070 vs …080.
+    assert(got.contains((1L, 2L, 1L)) && got.contains((70L, 80L, 1L)))
+  }
 }
