@@ -216,6 +216,24 @@ class PlanSpec extends SparkSpec {
       s"filter not pushed:\n${p.take(1500)}")
   }
 
+  test("q121 incremental dedup: equi-joins only — no cartesian, no nested loop") {
+    val p = plan("q121_incremental_dedup")
+    assert(!p.contains("CartesianProduct"), s"cartesian in refresh path:\n${p.take(1500)}")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"nested-loop in refresh path:\n${p.take(1500)}")
+  }
+
+  test("q123 edit-distance join: segment-blocked equi-join, never a cross join") {
+    // The whole point of PassJoin blocking: candidates come from an
+    // equi-join on (length, segment index, substring) — a plan that falls
+    // back to CartesianProduct/BNLJ would be the all-pairs comparison the
+    // blocking exists to avoid.
+    val p = plan("q123_editdist_join")
+    assert(!p.contains("CartesianProduct"), s"cross join in blocking:\n${p.take(1500)}")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"nested-loop in blocking:\n${p.take(1500)}")
+  }
+
   test("whole-stage codegen covers the relational hot paths") {
     // AQE prints codegen stages only in the finalized plan — execute first.
     Seq("q01_pricing_summary", "q06_selective_agg", "q09_window_topk").foreach { q =>
