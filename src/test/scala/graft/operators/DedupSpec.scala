@@ -149,6 +149,33 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.jaccardPairs(docs, "doc_id", "text").collect().isEmpty)
   }
 
+  test("prefix-filtered Jaccard join equals the brute-force join exactly") {
+    val docs = Tables.documents(spark, sf).select($"doc_id", $"text")
+    val brute = Dedup.jaccardPairs(docs, "doc_id", "text")
+      .as[(Long, Long, Double)].collect().toSet
+    val pref = Dedup.jaccardPairsPrefix(docs, "doc_id", "text")
+      .as[(Long, Long, Double)].collect().toSet
+    assert(brute.nonEmpty)
+    assert(pref === brute)
+
+    // Boilerplate case: a footer shared by ALL docs is each doc's most
+    // frequent gram run — it must fall OUT of the prefixes (no false
+    // negatives allowed either: the two near-dup docs still pair).
+    val footer = "all rights reserved contact support for details"
+    val synth = Seq(
+      (1L, s"alpha beta gamma delta epsilon zeta eta theta $footer"),
+      (2L, s"alpha beta gamma delta epsilon zeta eta iota $footer"),
+      (3L, s"one two three four five six seven eight nine ten $footer"),
+      (4L, s"uno dos tres cuatro cinco seis siete ocho nueve $footer"))
+      .toDF("doc_id", "text")
+    val sb = Dedup.jaccardPairs(synth, "doc_id", "text")
+      .as[(Long, Long, Double)].collect().toSet
+    val sp = Dedup.jaccardPairsPrefix(synth, "doc_id", "text")
+      .as[(Long, Long, Double)].collect().toSet
+    assert(sp === sb)
+    assert(sp.exists(p => p._1 == 1L && p._2 == 2L))
+  }
+
   test("editDistancePairs matches brute force incl. insertions and deletions") {
     val rows = Seq(
       (1L, "http://ex.com/alpha"), (2L, "http://ex.com/alphas"), // insertion
