@@ -372,6 +372,51 @@ object Analytics {
         last(col("day_avg"), ignoreNulls = true).over(w).as("filled_avg"))
   }
 
+  /** Daily gap fill with LINEAR INTERPOLATION — the other standard
+    * resampling fill (forward fill is [[gapFillDaily]]): a missing day
+    * gets prev + (next − prev) · gap-position, the straight line between
+    * its surrounding observations. The spine spans each key's observed
+    * [min, max] day, so interior gaps always have both neighbors; observed
+    * days keep their own value (the prev_day = next_day branch — the
+    * formula would be 0/0 there).
+    *
+    * Scale: identical shape to [[gapFillDaily]] — events collapse to
+    * (key, day) with map-side partials; the four neighbor windows run
+    * over the |key × days| spine only, never the raw event history, in
+    * ONE partition pass (same window key both directions).
+    */
+  def gapFillInterpolate(df: DataFrame, keyCol: String, tsCol: String,
+      valueCol: String): DataFrame = {
+    val daily = df
+      .select(col(keyCol).as("k"), to_date(col(tsCol)).as("day"),
+        col(valueCol).as("v"))
+      .groupBy(col("k"), col("day"))
+      .agg(count(lit(1)).as("n_obs"), round(avg(col("v")), 6).as("day_avg"))
+    val spine = daily.groupBy(col("k"))
+      .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      .select(col("k"),
+        explode(sequence(col("d0"), col("d1"), expr("interval 1 day")))
+          .as("day"))
+    val back = Window.partitionBy(col("k")).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val fwd = Window.partitionBy(col("k")).orderBy(col("day"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val obsDay = when(col("day_avg").isNotNull, col("day"))
+    spine.join(daily, Seq("k", "day"), "left")
+      .select(col("k"), col("day"),
+        coalesce(col("n_obs"), lit(0L)).as("n_obs"),
+        last(col("day_avg"), ignoreNulls = true).over(back).as("pv"),
+        last(obsDay, ignoreNulls = true).over(back).as("pd"),
+        first(col("day_avg"), ignoreNulls = true).over(fwd).as("nv"),
+        first(obsDay, ignoreNulls = true).over(fwd).as("nd"))
+      .select(col("k"), col("day"), col("n_obs"),
+        when(col("pd") === col("nd"), col("pv"))
+          .otherwise(round(col("pv") + (col("nv") - col("pv"))
+            * datediff(col("day"), col("pd"))
+            / datediff(col("nd"), col("pd")), 6))
+          .as("interp_avg"))
+  }
+
   // ---- q84: daily gap fill + forward fill ------------------------------------
   private def q84(s: SparkSession, d: String): DataFrame =
     gapFillDaily(Tables.events(s, d).filter(col("user_id") < 300),
@@ -401,6 +446,56 @@ object Analytics {
        FROM spine s LEFT JOIN daily
          ON s.user_id = daily.user_id AND s.day = daily.day
        ORDER BY s.user_id, s.day"""
+
+  // ---- q125: daily gap fill + linear interpolation ----------------------------
+  // Same spine as q84; missing days get the straight line between their
+  // surrounding observations. Both engines evaluate the identical
+  // prev + (next−prev)·i/m double expression (datediff is exact integer
+  // arithmetic), rounded to 6 on top of already-rounded day averages.
+  private def q125(s: SparkSession, d: String): DataFrame =
+    gapFillInterpolate(Tables.events(s, d).filter(col("user_id") < 300),
+        "user_id", "ts", "value")
+      .withColumnRenamed("k", "user_id")
+      .orderBy(col("user_id"), col("day"))
+  private val q125Sql =
+    """WITH e AS (
+         SELECT user_id, ts::DATE AS day, value FROM events
+         WHERE user_id < 300),
+       daily AS (
+         SELECT user_id, day, count(*) AS n_obs,
+           round(avg(value), 6) AS day_avg
+         FROM e GROUP BY 1, 2),
+       bounds AS (
+         SELECT user_id, min(day) AS d0, max(day) AS d1
+         FROM daily GROUP BY 1),
+       spine AS (
+         SELECT user_id,
+           unnest(generate_series(d0, d1, INTERVAL 1 DAY))::DATE AS day
+         FROM bounds),
+       nb AS (
+         SELECT s.user_id, s.day,
+           coalesce(daily.n_obs, 0)::BIGINT AS n_obs,
+           last_value(daily.day_avg IGNORE NULLS) OVER (
+             PARTITION BY s.user_id ORDER BY s.day
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+           last_value(CASE WHEN daily.day_avg IS NOT NULL THEN s.day END
+             IGNORE NULLS) OVER (
+             PARTITION BY s.user_id ORDER BY s.day
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pd,
+           first_value(daily.day_avg IGNORE NULLS) OVER (
+             PARTITION BY s.user_id ORDER BY s.day
+             ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+           first_value(CASE WHEN daily.day_avg IS NOT NULL THEN s.day END
+             IGNORE NULLS) OVER (
+             PARTITION BY s.user_id ORDER BY s.day
+             ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nd
+         FROM spine s LEFT JOIN daily
+           ON s.user_id = daily.user_id AND s.day = daily.day)
+       SELECT user_id, day, n_obs,
+         CASE WHEN pd = nd THEN pv
+              ELSE round(pv + (nv - pv) * (day - pd) / (nd - pd), 6)
+         END AS interp_avg
+       FROM nb ORDER BY user_id, day"""
 
   /** Winsorized (percentile-clipped) per-group statistics: values below
     * the group's `loQ` quantile or above its `hiQ` quantile are clamped to
@@ -824,6 +919,7 @@ object Analytics {
     QueryDef("q66_funnel", q66, Some(q66Sql)),
     QueryDef("q75_retention", q75, Some(q75Sql)),
     QueryDef("q84_gap_fill", q84, Some(q84Sql)),
+    QueryDef("q125_gap_interpolate", q125, Some(q125Sql)),
     QueryDef("q90_winsorize", q90, Some(q90Sql)),
     QueryDef("q97_time_weighted_avg", q97, Some(q97Sql)),
     QueryDef("q99_string_agg", q99, Some(q99Sql)),

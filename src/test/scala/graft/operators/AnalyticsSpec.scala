@@ -149,6 +149,31 @@ class AnalyticsSpec extends SparkSpec {
     assert(got.toSeq === naive.toSeq)
   }
 
+  test("gapFillInterpolate draws the straight line between observations") {
+    // key 1: observed day1=10, day2=30, day5=6 → days 3,4 interpolate the
+    // 30→6 segment at 1/3 and 2/3; key 2: single day passes through.
+    val e = Seq(
+      (1L, "2024-01-01 10:00:00", 10.0),
+      (1L, "2024-01-02 09:00:00", 20.0),
+      (1L, "2024-01-02 11:00:00", 40.0),
+      (1L, "2024-01-05 08:00:00", 6.0),
+      (2L, "2024-02-10 12:00:00", 7.0))
+      .toDF("user_id", "ts", "value")
+      .select(col("user_id"), col("ts").cast("timestamp").as("ts"), col("value"))
+    val got = Analytics.gapFillInterpolate(e, "user_id", "ts", "value")
+      .orderBy("k", "day")
+      .select(col("k"), col("day").cast("string"), col("n_obs"),
+        col("interp_avg"))
+      .as[(Long, String, Long, Double)].collect()
+    assert(got === Array(
+      (1L, "2024-01-01", 1L, 10.0),
+      (1L, "2024-01-02", 2L, 30.0), // avg of 20 and 40
+      (1L, "2024-01-03", 0L, 22.0), // 30 + (6-30)·1/3
+      (1L, "2024-01-04", 0L, 14.0), // 30 + (6-30)·2/3
+      (1L, "2024-01-05", 1L, 6.0),
+      (2L, "2024-02-10", 1L, 7.0)))
+  }
+
   test("gapFillDaily never window-sorts the raw events, only the daily spine") {
     val e = Seq((1L, "2024-01-01 10:00:00", 1.0))
       .toDF("user_id", "ts", "value")
