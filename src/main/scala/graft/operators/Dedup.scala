@@ -468,28 +468,48 @@ object Dedup {
     * rarity sort), in exchange for exactness: this is the path when a
     * missed duplicate has real cost; [[minhashLshPairs]] when ~1e-8/pair
     * miss probability is acceptable and signatures can be precomputed.
+    *
+    * Verify is a per-pair sorted-array intersection, NOT the relational
+    * gram re-join [[verifyJaccard]] uses: prefix candidates are chancy
+    * (any two docs sharing one semi-rare gram pair up, so |cands| can be
+    * 1000× the true-dup count — measured 409k candidates for ~250 true
+    * pairs at sf0.1), and the re-join multiplies |cands| × grams-per-doc
+    * into a shuffle 50× the gram stream. The array form costs one row per
+    * CANDIDATE (two hash joins carrying each doc's gram array once) — at
+    * sf0.1 it took q124 from 51 s to 9.7 s; the remaining cost is the
+    * inherent exactness tax (df join + rarity sort over the gram stream).
+    * LSH keeps the re-join verify: its candidates ≈ true dups, where the
+    * narrow join wins.
     */
   def jaccardPairsPrefix(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val grams = gramRows(df, idCol, textCol).localCheckpoint(false)
     val dfreq = grams.groupBy(col("g")).agg(count(lit(1)).as("df"))
-    val sizes = grams.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    // One row per doc: its distinct grams (sorted, for the verify
+    // intersection) and gram count. |docs|-sized, reused twice.
+    val docGrams = grams.groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(col("g"))).as("gs"),
+        count(lit(1)).as("n"))
+      .localCheckpoint(false)
     val pref = grams.join(dfreq, "g")
       .withColumn("rn", row_number().over(
         Window.partitionBy(col("doc_id")).orderBy(col("df"), col("g"))))
-      .join(sizes, "doc_id")
+      .join(docGrams.select(col("doc_id"), col("n")), "doc_id")
       .filter(col("rn") <= col("n") - ceil(lit(JaccardThreshold) * col("n")) + 1)
       .select(col("doc_id"), col("g"))
     val cands = pref.as("a").join(pref.hint("shuffle_hash").as("b"),
         col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
       .distinct()
-      .localCheckpoint(false)
-    val candIds = cands.select(col("d1").as("cid"))
-      .union(cands.select(col("d2"))).distinct()
-    verifyJaccard(cands,
-      grams.join(broadcast(candIds), col("doc_id") === col("cid"), "left_semi")
-        .select(col("doc_id"), col("g")))
+    cands
+      .join(docGrams.select(col("doc_id").as("d1"), col("gs").as("g1"),
+        col("n").as("n1")), "d1")
+      .join(docGrams.select(col("doc_id").as("d2"), col("gs").as("g2"),
+        col("n").as("n2")), "d2")
+      .withColumn("inter", size(array_intersect(col("g1"), col("g2"))))
+      .withColumn("jac", col("inter") / (col("n1") + col("n2") - col("inter")))
+      .filter(col("jac") >= JaccardThreshold)
+      .select(col("d1"), col("d2"), round(col("jac"), 6).as("jaccard"))
   }
 
   /** Edit-distance similarity join: (d1 < d2) pairs whose `strCol` values

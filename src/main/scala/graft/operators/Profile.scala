@@ -171,6 +171,65 @@ object Profile {
         coalesce(col("n"), lit(0L)).as("n"))
   }
 
+  /** Distribution drift between two populations of `valueCol` — the data
+    * monitoring primitive behind "did this source/snapshot shift?": both
+    * sides are binned on ONE shared equi-width grid (edges from the union
+    * min/max, [[histogram]]'s arithmetic), and each bin reports both
+    * counts, both shares, and the absolute share difference `dp`.
+    * Σdp/2 is total variation distance; dp is kept per bin (rather than
+    * pre-summed) so the report shows WHERE the mass moved. TVD over PSI/KL
+    * deliberately: those need `ln`, which is not cross-engine bit-stable —
+    * dp is plain rational arithmetic, exact in any engine.
+    *
+    * Scale: each side collapses to ≤ nBins counts with map-side partials
+    * (the corpus is never shuffled — the only exchange carries bin ids);
+    * share windows run over the |bins|-sized result. An empty side yields
+    * null shares (nothing to compare against — documented, spec'd).
+    */
+  def distributionDrift(a: DataFrame, b: DataFrame, valueCol: String,
+      nBins: Int): DataFrame = {
+    require(nBins > 0, "drift needs at least one bin")
+    def vals(df: DataFrame) =
+      df.select(col(valueCol).cast("double").as("v"))
+        .filter(col("v").isNotNull)
+    val (va, vb) = (vals(a), vals(b))
+    val stats = va.union(vb).agg(min(col("v")).as("lo"), max(col("v")).as("hi"))
+    def binned(src: DataFrame, n: String) = src.crossJoin(broadcast(stats))
+      .select(when(col("hi") === col("lo"), lit(0))
+        .otherwise(least(lit(nBins - 1),
+          floor((col("v") - col("lo")) * nBins / (col("hi") - col("lo")))
+            .cast("int"))).as("bin"))
+      .groupBy(col("bin")).agg(count(lit(1)).as(n))
+    val allBins = stats.select(
+        explode(sequence(lit(0), lit(nBins - 1))).as("bin"),
+        col("lo"), col("hi"))
+      .select(col("bin"),
+        round(col("lo") + col("bin") * (col("hi") - col("lo")) / nBins, 6)
+          .as("bin_lo"),
+        round(col("lo") + (col("bin") + 1) * (col("hi") - col("lo")) / nBins, 6)
+          .as("bin_hi"))
+    allBins
+      .join(binned(va, "n_a"), Seq("bin"), "left")
+      .join(binned(vb, "n_b"), Seq("bin"), "left")
+      .select(col("bin"), col("bin_lo"), col("bin_hi"),
+        coalesce(col("n_a"), lit(0L)).as("n_a"),
+        coalesce(col("n_b"), lit(0L)).as("n_b"))
+      .select(col("bin"), col("bin_lo"), col("bin_hi"), col("n_a"), col("n_b"),
+        round(col("n_a") / shareTotal("n_a"), 6).as("p_a"),
+        round(col("n_b") / shareTotal("n_b"), 6).as("p_b"),
+        round(abs(col("n_a") / shareTotal("n_a")
+          - col("n_b") / shareTotal("n_b")), 6).as("dp"))
+  }
+
+  /** Population total for the share denominators, nulled when the side is
+    * empty so an absent population reads as null shares instead of an
+    * ANSI division-by-zero (Spark 4 ANSI mode makes n/0 an error).
+    */
+  private def shareTotal(n: String): Column = {
+    val total = sum(col(n)).over()
+    when(total === 0, lit(null)).otherwise(total)
+  }
+
   // ===========================================================================
   // Oracle-bound query exercises
   // ===========================================================================
@@ -569,6 +628,51 @@ object Profile {
        FROM bins b LEFT JOIN binned ON b.bin = binned.bin
        ORDER BY bin"""
 
+  // ---- q126: distribution drift between two event populations ------------------
+  // The same shared-grid binning as q88, applied to both halves of the
+  // user base; dp localizes any share shift per bin.
+  private def q126(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.events(s, d)
+    distributionDrift(e.filter(col("user_id") < 75),
+        e.filter(col("user_id") >= 75), "value", nBins = 10)
+      .orderBy(col("bin"))
+  }
+  private val q126Sql =
+    """WITH va AS (
+         SELECT value::DOUBLE AS v FROM events
+         WHERE user_id < 75 AND value IS NOT NULL),
+       vb AS (
+         SELECT value::DOUBLE AS v FROM events
+         WHERE user_id >= 75 AND value IS NOT NULL),
+       stats AS (
+         SELECT min(v) AS lo, max(v) AS hi
+         FROM (SELECT v FROM va UNION ALL SELECT v FROM vb)),
+       ba AS (
+         SELECT CASE WHEN hi = lo THEN 0
+           ELSE least(9, floor((v - lo) * 10 / (hi - lo))::INT) END AS bin,
+           count(*) AS n_a
+         FROM va, stats GROUP BY 1),
+       bb AS (
+         SELECT CASE WHEN hi = lo THEN 0
+           ELSE least(9, floor((v - lo) * 10 / (hi - lo))::INT) END AS bin,
+           count(*) AS n_b
+         FROM vb, stats GROUP BY 1),
+       bins AS (SELECT unnest(range(0, 10)) AS bin, lo, hi FROM stats),
+       j AS (
+         SELECT b.bin::INT AS bin,
+           round(lo + b.bin * (hi - lo) / 10, 6) AS bin_lo,
+           round(lo + (b.bin + 1) * (hi - lo) / 10, 6) AS bin_hi,
+           coalesce(n_a, 0)::BIGINT AS n_a,
+           coalesce(n_b, 0)::BIGINT AS n_b
+         FROM bins b
+         LEFT JOIN ba ON b.bin = ba.bin
+         LEFT JOIN bb ON b.bin = bb.bin)
+       SELECT bin, bin_lo, bin_hi, n_a, n_b,
+         round(n_a / sum(n_a) OVER (), 6) AS p_a,
+         round(n_b / sum(n_b) OVER (), 6) AS p_b,
+         round(abs(n_a / sum(n_a) OVER () - n_b / sum(n_b) OVER ()), 6) AS dp
+       FROM j ORDER BY bin"""
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q58_column_profile", q58, Some(q58Sql)),
     QueryDef("q59_latest_per_key", q59, Some(q59Sql)),
@@ -579,5 +683,6 @@ object Profile {
     QueryDef("q102_quality_gate", q102, Some(q102Sql)),
     QueryDef("q109_snapshot_asof", q109, Some(q109Sql)),
     QueryDef("q115_merge_prioritized", q115, Some(q115Sql)),
-    QueryDef("q117_benford_profile", q117, Some(q117Sql)))
+    QueryDef("q117_benford_profile", q117, Some(q117Sql)),
+    QueryDef("q126_distribution_drift", q126, Some(q126Sql)))
 }

@@ -136,4 +136,24 @@ class ProfileSpec extends SparkSpec {
     assert(got.head === ((0, 3.0, 3.0, 3L)))
     assert(got.tail.forall(_._4 === 0L))
   }
+
+  test("distributionDrift is zero for identical populations, localized for a shift") {
+    val base = (1 to 100).map(i => i.toDouble).toDF("x")
+    val same = Profile.distributionDrift(base, base, "x", nBins = 5)
+      .orderBy("bin")
+      .as[(Int, Double, Double, Long, Long, Double, Double, Double)].collect()
+    assert(same.length === 5)
+    assert(same.forall(_._8 === 0.0), "identical populations must not drift")
+
+    // b moves 20 points from the bottom bin to the top: dp concentrates in
+    // exactly those two bins, and TVD (Σdp/2) is 0.2.
+    val shifted = ((21 to 100) ++ (81 to 100)).map(_.toDouble).toDF("x")
+    val drift = Profile.distributionDrift(base, shifted, "x", nBins = 5)
+      .orderBy("bin")
+      .as[(Int, Double, Double, Long, Long, Double, Double, Double)].collect()
+    assert(math.abs(drift.map(_._8).sum / 2 - 0.2) < 1e-9)
+    assert(drift(0)._8 === 0.2) // bottom bin lost its mass (round(.,6) exact)
+    assert(drift(4)._8 === 0.2) // top bin gained it
+    assert(drift(1)._8 === 0.0 && drift(2)._8 === 0.0 && drift(3)._8 === 0.0)
+  }
 }
