@@ -66,8 +66,43 @@ object SqlSurface {
   private def q89(s: SparkSession, d: String): DataFrame =
     withViews(s, d, "customer", "orders")(q89Text)
 
+  // ---- q127: recursive CTE (bill-of-materials explosion) ----------------------
+  // Spark 4's WITH RECURSIVE, exercised on the canonical recursive
+  // workload: explode an assembly tree from a root part, multiplying
+  // component quantities down the hierarchy (parent of k is k/2, so every
+  // part key is reachable from part 1 in ≤ log2(N) levels — acyclic, the
+  // form Spark's UNION ALL recursion requires; cyclic closures like q60's
+  // stay on the iterative join+aggregate operator, which Spark recursion
+  // cannot express yet — UNION-dedup recursion is unsupported). Quantities
+  // are exact integer products, so the oracle comparison is bit-exact.
+  private val q127Text =
+    """WITH RECURSIVE bom(pk, depth, qty) AS (
+         SELECT p_partkey, 0, CAST(1 AS BIGINT)
+         FROM part WHERE p_partkey = 1
+         UNION ALL
+         SELECT c.p_partkey, b.depth + 1, b.qty * (c.p_partkey % 3 + 1)
+         FROM bom b JOIN part c
+           ON c.p_partkey = b.pk * 2 OR c.p_partkey = b.pk * 2 + 1)
+       SELECT depth, count(*) AS n_parts, sum(qty) AS total_qty,
+         min(pk) AS min_part, max(pk) AS max_part
+       FROM bom GROUP BY depth ORDER BY depth"""
+  private def q127(s: SparkSession, d: String): DataFrame =
+    withViews(s, d, "part")(q127Text)
+  private val q127Sql =
+    """WITH RECURSIVE bom(pk, depth, qty) AS (
+         SELECT p_partkey, 0, CAST(1 AS BIGINT)
+         FROM part WHERE p_partkey = 1
+         UNION ALL
+         SELECT c.p_partkey, b.depth + 1, b.qty * (c.p_partkey % 3 + 1)
+         FROM bom b JOIN part c
+           ON c.p_partkey = b.pk * 2 OR c.p_partkey = b.pk * 2 + 1)
+       SELECT depth, count(*) AS n_parts, sum(qty)::BIGINT AS total_qty,
+         min(pk) AS min_part, max(pk) AS max_part
+       FROM bom GROUP BY depth ORDER BY depth"""
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q37_scalar_subquery", q37, Some(q37Sql)),
     QueryDef("q38_grouping_sets", q38, Some(q38Sql)),
-    QueryDef("q89_correlated_exists", q89, Some(q89Text)))
+    QueryDef("q89_correlated_exists", q89, Some(q89Text)),
+    QueryDef("q127_recursive_cte", q127, Some(q127Sql)))
 }
