@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.{QueryDef, Tables}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -556,6 +556,80 @@ object Relational {
        WHERE p.event_type = 'purchase'
        GROUP BY purchase_id ORDER BY purchase_id"""
 
+  /** Key-less interval-overlap join via time-bucket binning — the scale
+    * path for "which intervals overlap which" when there is NO equi key
+    * to hash on (q20's range join has user_id; this is the harder case —
+    * outages × sessions, audits × shipments). Spark plans a bare
+    * `aEnd >= bStart AND bEnd >= aStart` join as a broadcast nested loop
+    * (O(|A|·|B|) compares, and the build side must fit in memory);
+    * binning turns it into a standard shuffled HASH join.
+    *
+    * Every interval explodes to the `bucketSeconds`-wide buckets it
+    * covers; pairs equi-join on the bucket id; the true overlap predicate
+    * filters; and a pair sharing several buckets is emitted exactly once
+    * WITHOUT a distinct — only the first bucket both intervals cover
+    * (`bucket == max(floor(aStart/w), floor(bStart/w))`) fires. Overlap
+    * is CLOSED on both ends.
+    *
+    * Scale: replication factor is len/bucketSeconds + 1 per interval, so
+    * size the bucket near the typical interval length; the join is a
+    * plain hash join on a long key — AQE's skew split applies to hot
+    * time ranges, which a nested loop gets no help with.
+    */
+  def intervalOverlapJoin(a: DataFrame, b: DataFrame,
+      aStart: String, aEnd: String, bStart: String, bEnd: String,
+      bucketSeconds: Long): DataFrame = {
+    require(bucketSeconds > 0, "bucketSeconds must be positive")
+    def bkt(c: String): Column =
+      floor(col(c).cast("long") / bucketSeconds).cast("long")
+    val ax = a.withColumn("__bkta", explode(sequence(bkt(aStart), bkt(aEnd))))
+    val bx = b.withColumn("__bktb", explode(sequence(bkt(bStart), bkt(bEnd))))
+    ax.join(bx.hint("shuffle_hash"),
+        col("__bkta") === col("__bktb") &&
+          col(aStart).cast("long") <= col(bEnd).cast("long") &&
+          col(bStart).cast("long") <= col(aEnd).cast("long") &&
+          col("__bkta") === greatest(bkt(aStart), bkt(bStart)))
+      .drop("__bkta", "__bktb")
+  }
+
+  // ---- q128: key-less interval overlap join ------------------------------------
+  // Even-order shipping windows × odd-order shipping windows (no shared
+  // key): per even-order line, how many odd-order windows overlap it.
+  // 30-day buckets ≈ the max window length. The oracle runs the brute
+  // non-equi join — the blocking must reproduce it exactly.
+  private def q128(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d).filter(col("l_partkey") < 20)
+      .select((col("l_orderkey") * 10 + col("l_linenumber")).as("iv_id"),
+        col("l_shipdate").cast("timestamp").cast("long").as("s"),
+        (col("l_shipdate") +
+          expr("make_interval(0, 0, 0, CAST(l_orderkey % 30 + 1 AS INT))"))
+          .cast("timestamp").cast("long").as("e"))
+    val aSide = li.filter(col("iv_id") % 20 < 10)
+      .select(col("iv_id").as("a_id"), col("s").as("a_s"), col("e").as("a_e"))
+    val bSide = li.filter(col("iv_id") % 20 >= 10)
+      .select(col("iv_id").as("b_id"), col("s").as("b_s"), col("e").as("b_e"))
+    intervalOverlapJoin(aSide, bSide, "a_s", "a_e", "b_s", "b_e",
+        bucketSeconds = 30L * 86400)
+      .groupBy(col("a_id"))
+      .agg(count(lit(1)).as("n_overlaps"), max(col("b_id")).as("max_b"))
+      .orderBy(col("a_id"))
+  }
+  private val q128Sql =
+    """WITH iv AS (
+         SELECT l_orderkey * 10 + l_linenumber AS iv_id,
+           epoch_us(l_shipdate::TIMESTAMP) // 1000000 AS s,
+           epoch_us((l_shipdate
+               + to_days((l_orderkey % 30 + 1)::INT))::TIMESTAMP) // 1000000
+             AS e
+         FROM lineitem WHERE l_partkey < 20),
+       a AS (SELECT iv_id AS a_id, s AS a_s, e AS a_e FROM iv
+             WHERE iv_id % 20 < 10),
+       b AS (SELECT iv_id AS b_id, s AS b_s, e AS b_e FROM iv
+             WHERE iv_id % 20 >= 10)
+       SELECT a_id, count(*) AS n_overlaps, max(b_id) AS max_b
+       FROM a JOIN b ON a_s <= b_e AND b_s <= a_e
+       GROUP BY a_id ORDER BY a_id"""
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q01_pricing_summary", q01, Some(q01Sql), headline = true),
     QueryDef("q02_filter_pushdown", q02, Some(q02Sql)),
@@ -582,5 +656,6 @@ object Relational {
     QueryDef("q81_asof_composed", q81, Some(q81Sql)),
     QueryDef("q82_asof_merge_nearest", q82, Some(q82Sql)),
     QueryDef("q93_asof_tolerance", q93, Some(q93Sql)),
-    QueryDef("q94_union_evolved", q94, Some(q94Sql)))
+    QueryDef("q94_union_evolved", q94, Some(q94Sql)),
+    QueryDef("q128_interval_overlap", q128, Some(q128Sql)))
 }

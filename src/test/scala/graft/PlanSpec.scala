@@ -234,6 +234,17 @@ class PlanSpec extends SparkSpec {
       s"nested-loop in blocking:\n${p.take(1500)}")
   }
 
+  test("q128 interval overlap: bucket equi-join, not a nested loop") {
+    // The whole point of binning a key-less interval join: without it
+    // Spark plans BroadcastNestedLoopJoin (O(|A|·|B|) compares).
+    val p = plan("q128_interval_overlap")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"nested loop in interval join:\n${p.take(1500)}")
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("ShuffledHashJoin") || p.contains("SortMergeJoin"),
+      s"expected a hash-partitioned join on the bucket key:\n${p.take(1500)}")
+  }
+
   test("whole-stage codegen covers the relational hot paths") {
     // AQE prints codegen stages only in the finalized plan — execute first.
     Seq("q01_pricing_summary", "q06_selective_agg", "q09_window_topk").foreach { q =>
