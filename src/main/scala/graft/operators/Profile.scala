@@ -230,6 +230,27 @@ object Profile {
     when(total === 0, lit(null)).otherwise(total)
   }
 
+  /** k-anonymity audit over a quasi-identifier combination: every QI
+    * combination observed in fewer than `k` rows, with its size and
+    * re-identification risk (1/size — the probability a linker who knows
+    * the QI values picks the right individual). The privacy companion to
+    * PII scrubbing: scrubbing removes direct identifiers; this finds the
+    * INDIRECT ones (rare attribute combinations) that still single people
+    * out. An empty result certifies the dataset k-anonymous on those
+    * columns.
+    *
+    * Scale: one partial-aggregated pass over the QI columns; the output is
+    * violation-sized (rare combos only), never the corpus.
+    */
+  def kAnonymityAudit(df: DataFrame, qiCols: Seq[String], k: Int): DataFrame = {
+    require(qiCols.nonEmpty, "audit needs quasi-identifier columns")
+    require(k >= 2, "k < 2 makes every row anonymous")
+    df.groupBy(qiCols.map(col): _*)
+      .agg(count(lit(1)).as("group_size"))
+      .filter(col("group_size") < k)
+      .withColumn("reident_risk", round(lit(1.0) / col("group_size"), 6))
+  }
+
   // ===========================================================================
   // Oracle-bound query exercises
   // ===========================================================================
@@ -673,6 +694,20 @@ object Profile {
          round(abs(n_a / sum(n_a) OVER () - n_b / sum(n_b) OVER ()), 6) AS dp
        FROM j ORDER BY bin"""
 
+  // ---- q129: k-anonymity audit --------------------------------------------------
+  // Market segment × nation as the quasi-identifier pair: combinations
+  // identifying fewer than 10 customers are re-identification hazards.
+  private def q129(s: SparkSession, d: String): DataFrame =
+    kAnonymityAudit(Tables.customer(s, d),
+        Seq("c_mktsegment", "c_nationkey"), k = 10)
+      .orderBy(col("c_mktsegment"), col("c_nationkey"))
+  private val q129Sql =
+    """SELECT c_mktsegment, c_nationkey, count(*)::BIGINT AS group_size,
+         round(1.0 / count(*), 6) AS reident_risk
+       FROM customer
+       GROUP BY 1, 2 HAVING count(*) < 10
+       ORDER BY c_mktsegment, c_nationkey"""
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q58_column_profile", q58, Some(q58Sql)),
     QueryDef("q59_latest_per_key", q59, Some(q59Sql)),
@@ -684,5 +719,6 @@ object Profile {
     QueryDef("q109_snapshot_asof", q109, Some(q109Sql)),
     QueryDef("q115_merge_prioritized", q115, Some(q115Sql)),
     QueryDef("q117_benford_profile", q117, Some(q117Sql)),
-    QueryDef("q126_distribution_drift", q126, Some(q126Sql)))
+    QueryDef("q126_distribution_drift", q126, Some(q126Sql)),
+    QueryDef("q129_k_anonymity", q129, Some(q129Sql)))
 }

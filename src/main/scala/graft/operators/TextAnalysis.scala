@@ -538,6 +538,56 @@ object TextAnalysis {
        GROUP BY 1, 2 HAVING count(*) >= 318
        ORDER BY a, b"""
 
+  /** One BPE (byte-pair-encoding) training step, distributed: count
+    * adjacent symbol pairs across the corpus weighted by word frequency
+    * and emit the top merge candidates — the inner loop of tokenizer
+    * training (Sennrich et al., ACL'16, public literature), which a
+    * driver loop repeats after applying each merge. This exercises the
+    * expensive distributed part; the merge application rewrites a
+    * vocab-sized table, not the corpus.
+    *
+    * Scale: words collapse to (word, freq) with map-side partials FIRST —
+    * pair counting then runs over the |vocab|-sized word table, not the
+    * corpus token stream (the corpus-sized explode this avoids is the
+    * difference between touching every token occurrence and every
+    * distinct word). Pair keys are 2 characters; the final top-k is a
+    * TakeOrdered over ≤ |alphabet|² rows.
+    */
+  def bpePairCounts(df: DataFrame, textCol: String, topK: Int): DataFrame = {
+    require(topK > 0, "topK must be positive")
+    val words = df.select(explode(tokens(col(textCol))).as("w"))
+      .filter(length(col("w")) >= 2)
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+    words
+      .select(col("freq"), col("w"),
+        explode(sequence(lit(1), length(col("w")) - 1)).as("i"))
+      .select(col("freq"),
+        col("w").substr(col("i"), lit(1)).as("left_sym"),
+        col("w").substr(col("i") + 1, lit(1)).as("right_sym"))
+      .groupBy(col("left_sym"), col("right_sym"))
+      .agg(sum(col("freq")).as("pair_count"))
+      .orderBy(col("pair_count").desc, col("left_sym"), col("right_sym"))
+      .limit(topK)
+  }
+
+  // ---- q130: BPE merge-candidate step --------------------------------------------
+  // Top 20 adjacent character pairs by frequency-weighted count, the
+  // deterministic (count desc, pair asc) merge ranking.
+  private def q130(s: SparkSession, d: String): DataFrame =
+    bpePairCounts(Tables.documents(s, d), "text", topK = 20)
+  private val q130Sql =
+    """WITH words AS (
+         SELECT w, count(*) AS freq FROM (
+           SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+         WHERE length(w) >= 2 GROUP BY w),
+       p AS (
+         SELECT substring(w, i, 1) AS left_sym,
+           substring(w, i + 1, 1) AS right_sym, freq
+         FROM words, unnest(range(1, length(w))) AS u(i))
+       SELECT left_sym, right_sym, sum(freq)::BIGINT AS pair_count
+       FROM p GROUP BY 1, 2
+       ORDER BY pair_count DESC, left_sym, right_sym LIMIT 20"""
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q21_token_stats", q21, Some(q21Sql)),
     QueryDef("q22_quality_score", q22, Some(q22Sql)),
@@ -549,5 +599,6 @@ object TextAnalysis {
     QueryDef("q87_tfidf_top_terms", q87, Some(q87Sql)),
     QueryDef("q91_vocab_coverage", q91, Some(q91Sql)),
     QueryDef("q98_chunk_documents", q98, Some(q98Sql)),
-    QueryDef("q108_cooccurrence", q108, Some(q108Sql)))
+    QueryDef("q108_cooccurrence", q108, Some(q108Sql)),
+    QueryDef("q130_bpe_pair_step", q130, Some(q130Sql)))
 }

@@ -156,4 +156,22 @@ class ProfileSpec extends SparkSpec {
     assert(drift(4)._8 === 0.2) // top bin gained it
     assert(drift(1)._8 === 0.0 && drift(2)._8 === 0.0 && drift(3)._8 === 0.0)
   }
+
+  test("kAnonymityAudit surfaces only under-k combinations with their risk") {
+    val rows = Seq(
+      ("A", 1L), ("A", 1L), ("A", 1L), // safe at k=3
+      ("A", 2L), ("A", 2L),            // 2 < 3 → violation
+      ("B", 1L)).toDF("seg", "nat")    // singleton → worst risk
+    val got = Profile.kAnonymityAudit(rows, Seq("seg", "nat"), k = 3)
+      .orderBy("seg", "nat")
+      .as[(String, Long, Long, Double)].collect()
+    assert(got === Array(("A", 2L, 2L, 0.5), ("B", 1L, 1L, 1.0)))
+    // Coarsening the QI (seg alone) leaves only the B singleton…
+    val coarse = Profile.kAnonymityAudit(rows, Seq("seg"), k = 3)
+      .as[(String, Long, Double)].collect()
+    assert(coarse === Array(("B", 1L, 1.0)))
+    // …and a k-anonymous dataset certifies with an EMPTY report.
+    assert(Profile.kAnonymityAudit(rows.filter($"seg" === "A"), Seq("seg"),
+      k = 3).count() === 0)
+  }
 }

@@ -138,4 +138,12 @@ class TextAnalysisSpec extends SparkSpec {
     assert(!plan.contains("Exchange"),
       s"rule filter must not shuffle:\n${plan.take(1500)}")
   }
+
+  test("bpePairCounts weights pairs by word frequency with deterministic ties") {
+    // "ab" twice, "abc" once: (a,b) = 2+1, (b,c) = 1; "x" too short.
+    val docs = Seq((1L, "ab abc x"), (2L, "ab")).toDF("doc_id", "text")
+    val got = TextAnalysis.bpePairCounts(docs, "text", topK = 10)
+      .as[(String, String, Long)].collect()
+    assert(got === Array(("a", "b", 3L), ("b", "c", 1L)))
+  }
 }
