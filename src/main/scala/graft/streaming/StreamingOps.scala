@@ -247,6 +247,92 @@ object StreamingOps {
       }
   }
 
+  /** One shard's Misra-Gries sketch state: bounded candidate counts, the
+    * cumulative subtracted error, and how many batches it has absorbed.
+    */
+  final case class HHState(entries: Map[String, Long], subtracted: Long,
+      batches: Long)
+
+  /** One candidate emission: after `batches` micro-batches, `key`'s true
+    * count within this shard lies in [est_min, est_max].
+    */
+  final case class HHCandidate(shard: Int, batches: Long, key: String,
+      est_min: Long, est_max: Long)
+
+  /** Streaming heavy hitters: a persistent Misra-Gries sketch maintained
+    * across micro-batches with `transformWithState` — the streaming form
+    * of the batch q113 aggregator (same guarantee: any key with true
+    * frequency > N/(capacity+1) is always among the candidates; true
+    * counts bracketed by [est_min, est_max]). Each batch re-emits every
+    * shard's current candidates stamped with the batch index — the live
+    * "top keys so far" dashboard feed.
+    *
+    * Scale shape: state is SHARDED by key-hash into `shards` parallel
+    * sketches (a global single-key state would funnel the stream through
+    * one task). Keys route consistently, so each shard's sketch carries
+    * the full MG guarantee over ITS substream, and a globally heavy key
+    * is at least as heavy in its own shard — the shard-candidate union
+    * is a superset of the global heavy hitters. The consumer merges
+    * shards×capacity rows (tiny). Per-batch memory per shard is the
+    * batch's distinct-key count in that shard (folded from an iterator,
+    * never materialized as rows); persistent state is capacity-bounded.
+    *
+    * Chaining note: a per-key streaming pre-aggregation BEFORE the
+    * stateful stage would collapse input to distinct keys per batch, but
+    * Spark disallows an update-mode aggregate upstream of another
+    * stateful operator — the shard fold inside the processor is the
+    * supported form. Requires the RocksDB state store provider (as
+    * [[sessionizeTws]]).
+    */
+  def heavyHittersStream(keyed: DataFrame, keyCol: String, capacity: Int,
+      shards: Int = 8): Dataset[HHCandidate] = {
+    require(capacity > 0 && shards > 0, "capacity and shards must be positive")
+    import keyed.sparkSession.implicits._
+
+    class HHProcessor extends StatefulProcessor[Int, (Int, String), HHCandidate] {
+      @transient private var state: org.apache.spark.sql.streaming.ValueState[HHState] = _
+
+      override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+        state = getHandle.getValueState[HHState](
+          "hh", Encoders.product[HHState], TTLConfig.NONE)
+
+      override def handleInputRows(
+          shard: Int,
+          rows: Iterator[(Int, String)],
+          timerValues: TimerValues): Iterator[HHCandidate] = {
+        val prev = Option(state.get()).getOrElse(HHState(Map.empty, 0L, 0L))
+        val m = scala.collection.mutable.Map.empty[String, Long]
+        prev.entries.foreach { case (k, v) => m(k) = v }
+        rows.foreach { case (_, k) => m(k) = m.getOrElse(k, 0L) + 1L }
+        // Mergeable MG reduction (Agarwal et al., "Mergeable Summaries",
+        // public literature): subtract the (capacity+1)-th largest count
+        // from every entry and drop the non-positive — at most `capacity`
+        // survive, and the cumulative subtraction bounds every key's
+        // undercount (so true <= est_min + subtracted, incl. absent keys).
+        var subtracted = prev.subtracted
+        if (m.size > capacity) {
+          val cut = m.values.toIndexedSeq.sorted.apply(m.size - capacity - 1)
+          subtracted += cut
+          m.filterInPlace((_, v) => v > cut)
+          m.mapValuesInPlace((_, v) => v - cut)
+        }
+        val next = HHState(m.toMap, subtracted, prev.batches + 1)
+        state.update(next)
+        next.entries.toSeq.sortBy { case (k, v) => (-v, k) }.iterator
+          .map { case (k, v) =>
+            HHCandidate(shard, next.batches, k, v, v + next.subtracted)
+          }
+      }
+    }
+
+    keyed
+      .select(pmod(xxhash64(col(keyCol)), lit(shards)).cast("int").as("shard"),
+        col(keyCol).cast("string").as("k"))
+      .as[(Int, String)]
+      .groupByKey(_._1)
+      .transformWithState(new HHProcessor, TimeMode.None(), OutputMode.Update())
+  }
+
   /** The Spark-4-native form of [[sessionizeStateful]] using the
     * transformWithState StatefulProcessor API (typed ValueState + event-time
     * timers). Requires the RocksDB state store provider:

@@ -331,4 +331,47 @@ class StreamingAnalyticsSpec extends SparkSpec {
     // props JSON survived the envelope round-trip
     assert(got.filter(col("props.k").isNotNull).count() > 0)
   }
+
+  test("streaming heavy hitters keep hot keys with valid bounds across batches") {
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val ms = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[String](spark)
+      // Per batch: two hot keys (30 hits each) drowned in 20 one-off keys.
+      def batch(n: Int): Seq[String] =
+        (1 to 60).map(i => s"hot${i % 2}") ++ (1 to 20).map(i => s"rare_${n}_$i")
+      ms.addData(batch(1))
+      val out = StreamingOps.heavyHittersStream(ms.toDF().toDF("k"), "k",
+        capacity = 4, shards = 2)
+      val q = out.writeStream.format("memory").queryName("hh_stream")
+        .outputMode("update")
+        .option("checkpointLocation", tmp("ckpt_hh")).start()
+      try {
+        q.processAllAvailable()
+        ms.addData(batch(2)); q.processAllAvailable()
+        ms.addData(batch(3)); q.processAllAvailable()
+      } finally { q.stop(); q.awaitTermination(60000) }
+      val rows = spark.table("hh_stream")
+        .as[StreamingOps.HHCandidate].collect().toSeq
+      // Latest emission per shard (a shard's batch counter only advances
+      // on batches that routed rows to it).
+      val finalRows = rows.groupBy(_.shard).flatMap { case (_, rs) =>
+        val last = rs.map(_.batches).max
+        rs.filter(_.batches == last)
+      }.toSeq
+      // True count 90 each; shard substream N <= 210, so the MG threshold
+      // N/(capacity+1) <= 42 < 90 guarantees presence; bounds must bracket.
+      for (h <- Seq("hot0", "hot1")) {
+        val c = finalRows.find(_.key == h)
+        assert(c.isDefined, s"$h missing from final candidates: $finalRows")
+        assert(c.get.est_min <= 90 && 90 <= c.get.est_max, s"$h bounds: $c")
+      }
+      // Every emission is capacity-bounded.
+      rows.groupBy(r => (r.shard, r.batches)).foreach { case (g, rs) =>
+        assert(rs.size <= 4, s"shard/batch $g emitted ${rs.size} candidates")
+      }
+    } finally
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
 }
