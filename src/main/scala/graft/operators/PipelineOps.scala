@@ -71,6 +71,30 @@ object PipelineOps {
       .agg(count(lit(1)).as("n_shared"))
   }
 
+  /** The APPLY step for [[contamination]]: the training split with every
+    * document sharing at least `minShared` n-grams with ANY eval document
+    * removed — what a pipeline actually ships after the detection report
+    * is reviewed. Detection and removal share one implementation, so the
+    * dropped set can never drift from the reported set.
+    *
+    * Scale: the contaminated id set is violation-sized; removal is a
+    * left-anti equi-join on the 8-byte id (one corpus shuffle of ids,
+    * never text — the q67 pattern). The same hashGrams/broadcastEval
+    * levers apply to the detection pass.
+    */
+  def decontaminate(df: DataFrame, idCol: String, textCol: String,
+      evalPred: Column, n: Int, minShared: Long = 1,
+      hashGrams: Boolean = false, broadcastEval: Boolean = false): DataFrame = {
+    val bad = contamination(df, idCol, textCol, evalPred, n,
+        hashGrams, broadcastEval)
+      .groupBy(col("train_id"))
+      .agg(sum(col("n_shared")).as("__tot"))
+      .filter(col("__tot") >= minShared)
+      .select(col("train_id"))
+    df.filter(!evalPred)
+      .join(bad, col(idCol) === col("train_id"), "left_anti")
+  }
+
   /** Deterministic hash-based sample predicate: keeps ~`pct`/256 of rows
     * keyed on md5 of the key column's string form (reproducible across
     * engines and reruns — the first two hex chars are compared to the
@@ -321,6 +345,33 @@ object PipelineOps {
        FROM grams t JOIN grams e ON t.g = e.g
        WHERE t.doc_id % 10 <> 7 AND e.doc_id % 10 = 7
        GROUP BY 1, 2 ORDER BY train_id, eval_id"""
+
+  // ---- q131: decontaminated training corpus (the q40 APPLY step) ---------------
+  // Same detection parameters as q40; output = the training split minus
+  // every doc q40 reports, carrying (doc_id, lang, source) payload.
+  private def q131(s: SparkSession, d: String): DataFrame =
+    decontaminate(
+        Tables.documents(s, d).select(col("doc_id"), col("lang"), col("source"),
+          col("text")),
+        "doc_id", "text", col("doc_id") % 10 === 7, n = 5)
+      .select(col("doc_id"), col("lang"), col("source"))
+      .orderBy(col("doc_id"))
+  private val q131Sql =
+    """WITH toks AS (
+         SELECT doc_id, string_split(text, ' ') AS tokens FROM documents
+         WHERE len(string_split(text, ' ')) >= 5),
+       grams AS (
+         SELECT DISTINCT doc_id, g FROM (
+           SELECT doc_id, unnest(list_transform(range(1, len(tokens) - 3),
+             i -> tokens[i] || ' ' || tokens[i+1] || ' ' || tokens[i+2]
+               || ' ' || tokens[i+3] || ' ' || tokens[i+4])) AS g
+           FROM toks)),
+       bad AS (
+         SELECT DISTINCT t.doc_id FROM grams t JOIN grams e ON t.g = e.g
+         WHERE t.doc_id % 10 <> 7 AND e.doc_id % 10 = 7)
+       SELECT doc_id, lang, source FROM documents
+       WHERE doc_id % 10 <> 7 AND doc_id NOT IN (SELECT doc_id FROM bad)
+       ORDER BY doc_id"""
 
   private def q41(s: SparkSession, d: String): DataFrame =
     stratifiedSampleStats(Tables.documents(s, d), "lang", "doc_id", pct256 = 51)
@@ -947,6 +998,7 @@ object PipelineOps {
 
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q40_contamination", q40, Some(q40Sql)),
+    QueryDef("q131_decontaminate", q131, Some(q131Sql)),
     QueryDef("q41_stratified_sample", q41, Some(q41Sql)),
     QueryDef("q42_topk_ngrams", q42, Some(q42Sql)),
     QueryDef("q43_embed_quantize", q43, Some(q43Sql)),

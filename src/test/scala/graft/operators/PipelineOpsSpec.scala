@@ -286,4 +286,25 @@ class PipelineOpsSpec extends SparkSpec {
       plan.contains("BroadcastExchange"),
       s"grand total should broadcast onto the per-group rows:\n${plan.take(1500)}")
   }
+
+  test("decontaminate drops exactly the documents contamination reports") {
+    import spark.implicits._
+    val docs = graft.Tables.documents(spark, sf)
+      .select($"doc_id", $"text")
+    val evalPred = col("doc_id") % 10 === 7
+    val reported = PipelineOps.contamination(docs, "doc_id", "text",
+        evalPred, n = 5)
+      .select($"train_id").distinct().as[Long].collect().toSet
+    val kept = PipelineOps.decontaminate(docs, "doc_id", "text",
+        evalPred, n = 5)
+      .select($"doc_id").as[Long].collect().toSet
+    val train = docs.filter(!evalPred).select($"doc_id").as[Long].collect().toSet
+    assert(kept === train -- reported)
+    assert(reported.subsetOf(train))
+    // A high minShared bar keeps weakly-overlapping docs.
+    val lenient = PipelineOps.decontaminate(docs, "doc_id", "text",
+        evalPred, n = 5, minShared = Long.MaxValue)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(lenient === train)
+  }
 }
