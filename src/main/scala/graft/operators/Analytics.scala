@@ -417,6 +417,112 @@ object Analytics {
           .as("interp_avg"))
   }
 
+  /** EXACT percentiles without a global sort — distributed selection by
+    * iterative range narrowing, the classic answer to "exact median of
+    * 100 TB": Spark's `percentile` buffers values per group and a
+    * sort-based formulation total-orders the corpus; this instead runs
+    * O(log_B(n/cutover)) rounds, each a single-column scan producing
+    * COUNTS (≤ `buckets` longs to the driver — partition metadata, the
+    * dedupClusters discipline), narrowing the candidate value range
+    * until ≤ `cutover` rows remain, which one tiny sorted partition
+    * finishes. 1024 buckets reach a 64k remainder from 10^12 rows in ~3
+    * rounds.
+    *
+    * Robustness: bucket COUNTS only nominate a threshold pair (t0, t1);
+    * the decision uses an exact recount with plain comparisons, so
+    * floor-vs-compare float drift at bucket edges cannot misroute the
+    * rank — a wrong nomination self-corrects by re-narrowing. Duplicate
+    * floods shrink the range to double resolution and return the
+    * duplicated value. NaNs/nulls are excluded.
+    *
+    * Semantics match `percentile`/`quantile_cont` (linear interpolation
+    * at h = (n−1)·p): each requested p costs at most two order
+    * statistics. Values are re-scanned per round rather than cached —
+    * at scale a pruned single-column parquet re-scan is cheaper than
+    * pinning the column in memory.
+    */
+  def percentileNoSort(df: DataFrame, valueCol: String, ps: Seq[Double],
+      buckets: Int = 1024, cutover: Long = 65536): DataFrame = {
+    require(ps.nonEmpty && ps.forall(p => p >= 0.0 && p <= 1.0),
+      "percentiles must lie in [0, 1]")
+    require(buckets >= 2 && cutover >= 1, "need >= 2 buckets, cutover >= 1")
+    val s = df.sparkSession
+    val vals = df.select(col(valueCol).cast("double").as("v"))
+      .filter(col("v").isNotNull && !isnan(col("v")))
+    val n = vals.count()
+    require(n > 0, s"$valueCol has no non-null values")
+    val mm = vals.agg(min(col("v")), max(col("v"))).collect()(0)
+    val (gLo, gHi) = (mm.getDouble(0), mm.getDouble(1))
+
+    // (k+1)-th smallest value, 0-based rank k.
+    def orderStat(k: Long): Double = {
+      var (lo, hi) = (gLo, gHi)
+      var below = 0L
+      var remaining = n
+      var rounds = 0
+      while (remaining > cutover && hi > lo && rounds < 200) {
+        rounds += 1
+        val width = hi - lo
+        val counts = vals.filter(col("v") >= lo && col("v") <= hi)
+          .select(least(lit(buckets - 1),
+            floor((col("v") - lo) * buckets / width).cast("int")).as("b"))
+          .groupBy(col("b")).agg(count(lit(1)).as("c"))
+          .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+        var cum = below
+        var b = 0
+        while (b < buckets - 1 && cum + counts.getOrElse(b, 0L) < k + 1) {
+          cum += counts.getOrElse(b, 0L); b += 1
+        }
+        val t0 = lo + b * width / buckets
+        val t1 = if (b == buckets - 1) hi else lo + (b + 1) * width / buckets
+        if (!(t1 > t0)) return t0 // range at double resolution: all equal
+        // Exact recount with comparisons only — the authoritative counts.
+        val r = vals.agg(
+          sum(when(col("v") < t0, 1L).otherwise(0L)).as("below"),
+          sum(when(col("v") >= t0 && col("v") <= t1, 1L).otherwise(0L))
+            .as("inR")).collect()(0)
+        val (b0, inR) = (r.getLong(0), r.getLong(1))
+        if (b0 > k) hi = t0
+        else if (b0 + inR <= k) lo = t1
+        else { lo = t0; hi = t1; below = b0; remaining = inR }
+      }
+      vals.filter(col("v") >= lo && col("v") <= hi)
+        .orderBy(col("v"))
+        .offset((k - below).toInt).limit(1)
+        .collect()(0).getDouble(0)
+    }
+
+    import s.implicits._
+    ps.map { p =>
+      val h = (n - 1) * p
+      val r0 = math.floor(h).toLong
+      val f = h - r0
+      val v0 = orderStat(r0)
+      val v = if (f == 0.0) v0 else v0 + f * (orderStat(r0 + 1) - v0)
+      (p, v)
+    }.toDF("p", "value")
+  }
+
+  // ---- q132: exact percentile without a global sort ----------------------------
+  // Corpus-wide exact quartiles of extended price via distributed
+  // selection; the oracle's quantile_cont walks a real sort. round(4) is
+  // the q47-established parity bar for the interpolation arithmetic.
+  private def q132(s: SparkSession, d: String): DataFrame =
+    percentileNoSort(Tables.lineitem(s, d), "l_extendedprice",
+        Seq(0.25, 0.5, 0.75), cutover = 4096)
+      .select(col("p"), round(col("value"), 4).as("value"))
+      .orderBy(col("p"))
+  private val q132Sql =
+    """SELECT 0.25::DOUBLE AS p,
+         round(quantile_cont(l_extendedprice, 0.25), 4) AS value FROM lineitem
+       UNION ALL
+       SELECT 0.5::DOUBLE, round(quantile_cont(l_extendedprice, 0.5), 4)
+       FROM lineitem
+       UNION ALL
+       SELECT 0.75::DOUBLE, round(quantile_cont(l_extendedprice, 0.75), 4)
+       FROM lineitem
+       ORDER BY p"""
+
   // ---- q84: daily gap fill + forward fill ------------------------------------
   private def q84(s: SparkSession, d: String): DataFrame =
     gapFillDaily(Tables.events(s, d).filter(col("user_id") < 300),
@@ -920,6 +1026,7 @@ object Analytics {
     QueryDef("q75_retention", q75, Some(q75Sql)),
     QueryDef("q84_gap_fill", q84, Some(q84Sql)),
     QueryDef("q125_gap_interpolate", q125, Some(q125Sql)),
+    QueryDef("q132_percentile_nosort", q132, Some(q132Sql)),
     QueryDef("q90_winsorize", q90, Some(q90Sql)),
     QueryDef("q97_time_weighted_avg", q97, Some(q97Sql)),
     QueryDef("q99_string_agg", q99, Some(q99Sql)),

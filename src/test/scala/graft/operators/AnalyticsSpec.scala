@@ -174,6 +174,33 @@ class AnalyticsSpec extends SparkSpec {
       (2L, "2024-02-10", 1L, 7.0)))
   }
 
+  test("percentileNoSort equals the sort-based exact percentile") {
+    // Fixture column, tiny cutover so the narrowing loop actually runs.
+    val li = graft.Tables.lineitem(spark, sf)
+    val got = Analytics.percentileNoSort(li, "l_extendedprice",
+        Seq(0.0, 0.25, 0.5, 0.75, 1.0), buckets = 16, cutover = 8)
+      .orderBy("p").as[(Double, Double)].collect()
+    val want = li.agg(expr(
+        "percentile(l_extendedprice, array(0.0D, 0.25D, 0.5D, 0.75D, 1.0D))"))
+      .collect()(0).getSeq[Double](0)
+    got.zip(want).foreach { case ((p, g), w) =>
+      assert(math.abs(g - w) < 1e-6, s"p=$p: $g vs $w")
+    }
+
+    // Duplicate flood: the median of many equal values must return that
+    // value even though no range can split the duplicates.
+    val dup = (Seq.fill(1000)(7.5) ++ Seq(1.0, 99.0)).toDF("x")
+    val med = Analytics.percentileNoSort(dup, "x", Seq(0.5),
+        buckets = 4, cutover = 2)
+      .as[(Double, Double)].collect()(0)._2
+    assert(med === 7.5)
+
+    // Interpolation between two values: median of {1, 2} is 1.5.
+    val two = Seq(1.0, 2.0).toDF("x")
+    assert(Analytics.percentileNoSort(two, "x", Seq(0.5))
+      .as[(Double, Double)].collect()(0)._2 === 1.5)
+  }
+
   test("gapFillDaily never window-sorts the raw events, only the daily spine") {
     val e = Seq((1L, "2024-01-01 10:00:00", 1.0))
       .toDF("user_id", "ts", "value")
