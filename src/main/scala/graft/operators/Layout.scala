@@ -79,6 +79,29 @@ object Layout {
     files.toLong
   }
 
+  /** Hive-style directory partitioning: write `df` under
+    * `path/<col>=<value>/…` so scans filtered on the partition columns
+    * prune whole DIRECTORIES at planning time (no file is even listed,
+    * let alone read) — the coarsest and cheapest pruning tier of a
+    * 100-TB table layout, above [[zorderBy]]'s row-group statistics.
+    *
+    * The input is repartitioned BY the partition columns first — the
+    * standard dynamic-partition-write fix: without it every write task
+    * holds an open file per partition value it happens to see, producing
+    * tasks × values small files (and as many open parquet writers);
+    * with it each partition value's rows land in one task → one file
+    * per value (LayoutSpec pins this). Skewed partition values can split
+    * the hot value across tasks by adding a salt column to the
+    * repartitioning — at the cost of that many files for the hot value.
+    */
+  def writePartitioned(df: DataFrame, path: String,
+      partitionCols: Seq[String]): Unit = {
+    require(partitionCols.nonEmpty, "need at least one partition column")
+    df.repartition(partitionCols.map(col): _*)
+      .write.partitionBy(partitionCols: _*)
+      .mode("overwrite").parquet(path)
+  }
+
   // ---- q79: Z-value computation ----------------------------------------------
   // The interleave itself, oracle-checked bit-for-bit over the customer
   // table (c_custkey up to 2^31-safe, c_nationkey small — exercises both

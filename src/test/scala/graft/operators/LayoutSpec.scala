@@ -79,4 +79,39 @@ class LayoutSpec extends SparkSpec {
         assert(ks === ks.sorted, s"${f.getName} not sorted by k")
       }
   }
+
+  test("writePartitioned prunes directories at planning time, one file per value") {
+    val out = java.nio.file.Files.createTempDirectory("part_layout").toString
+    val ev = graft.Tables.events(spark, sf).select("event_id", "event_type", "value")
+    Layout.writePartitioned(ev, out, Seq("event_type"))
+
+    val back = spark.read.parquet(out)
+    val clicks = back.filter($"event_type" === "click")
+    // Planning-time pruning: the filter lands in the scan's
+    // PartitionFilters (directory-level, applied before any file is
+    // listed), and the pruned scan reads exactly one partition.
+    // (Dataset.inputFiles reports the UNPRUNED base relation, so the
+    // plan metadata is the authoritative witness.)
+    val plan = clicks.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") &&
+      "event_type#\\d+ = click".r.findFirstIn(plan).isDefined,
+      s"expected the partition filter in the scan:\n${plan.take(1500)}")
+    val scan = clicks.queryExecution.executedPlan.collectLeaves().collectFirst {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.get
+    assert(scan.relation.partitionSchema.fieldNames.contains("event_type"))
+    clicks.collect() // materialize so the scan metrics fill in
+    assert(scan.metrics("numPartitions").value === 1,
+      s"pruned scan read ${scan.metrics("numPartitions").value} partitions")
+    // Row parity with the unpartitioned source.
+    assert(clicks.count() === ev.filter($"event_type" === "click").count())
+    // The repartition-first write: ONE file per partition value, not
+    // one per (task × value).
+    val types = ev.select($"event_type").distinct().as[String].collect()
+    types.foreach { t =>
+      val dir = new java.io.File(s"$out/event_type=$t")
+      val n = dir.listFiles().count(_.getName.endsWith(".parquet"))
+      assert(n === 1, s"$t wrote $n files")
+    }
+  }
 }
