@@ -102,6 +102,23 @@ object Layout {
       .mode("overwrite").parquet(path)
   }
 
+  /** Idempotent partition-level backfill: overwrite ONLY the partitions
+    * present in `df`, leaving every other partition of the table
+    * untouched (dynamic partition overwrite — static mode would drop the
+    * whole table first). THE re-run primitive for partitioned pipelines:
+    * recomputing one bad day and writing it back is safe to repeat, and
+    * a crash mid-write never touches partitions outside the batch.
+    * Same repartition-first discipline as [[writePartitioned]].
+    */
+  def overwritePartitions(df: DataFrame, path: String,
+      partitionCols: Seq[String]): Unit = {
+    require(partitionCols.nonEmpty, "need at least one partition column")
+    df.repartition(partitionCols.map(col): _*)
+      .write.partitionBy(partitionCols: _*)
+      .option("partitionOverwriteMode", "dynamic")
+      .mode("overwrite").parquet(path)
+  }
+
   // ---- q79: Z-value computation ----------------------------------------------
   // The interleave itself, oracle-checked bit-for-bit over the customer
   // table (c_custkey up to 2^31-safe, c_nationkey small — exercises both

@@ -114,4 +114,32 @@ class LayoutSpec extends SparkSpec {
       assert(n === 1, s"$t wrote $n files")
     }
   }
+
+  test("overwritePartitions backfills one partition, leaves the rest untouched") {
+    val out = java.nio.file.Files.createTempDirectory("part_backfill").toString
+    val ev = graft.Tables.events(spark, sf)
+      .select("event_id", "event_type", "value")
+    Layout.writePartitioned(ev, out, Seq("event_type"))
+    val before = spark.read.parquet(out)
+      .filter($"event_type" =!= "click")
+      .select($"event_id", $"value").as[(Long, Double)].collect().toSet
+
+    // Recompute the click partition (values doubled) and write it back —
+    // twice, because a backfill must be idempotent.
+    val fixed = ev.filter($"event_type" === "click")
+      .withColumn("value", $"value" * 2)
+    Layout.overwritePartitions(fixed, out, Seq("event_type"))
+    Layout.overwritePartitions(fixed, out, Seq("event_type"))
+
+    val after = spark.read.parquet(out)
+    assert(after.count() === ev.count())
+    val clicks = after.filter($"event_type" === "click")
+      .select($"event_id", $"value").as[(Long, Double)].collect().toSet
+    val wantClicks = fixed.select($"event_id", $"value")
+      .as[(Long, Double)].collect().toSet
+    assert(clicks === wantClicks, "backfilled partition must hold the recompute")
+    val others = after.filter($"event_type" =!= "click")
+      .select($"event_id", $"value").as[(Long, Double)].collect().toSet
+    assert(others === before, "untouched partitions must survive the overwrite")
+  }
 }
