@@ -448,6 +448,25 @@ object Dedup {
         round(col("inter") / col("n2"), 6).as("c_2_in_1"))
   }
 
+  /** Semantic deduplication over an embedding column (the SemDeDup shape,
+    * Abbas et al. 2023, public literature): cluster vectors to their
+    * nearest seed (IVF), find same-cluster pairs above the cosine
+    * threshold, close them transitively, keep one representative per
+    * cluster of near-identical meaning. Catches paraphrase/translation
+    * duplicates that every TEXT measure (hash, Jaccard, SimHash,
+    * winnowing) misses by construction.
+    *
+    * Pure composition of verified stages — [[Similarity.ivfAssign]]
+    * (broadcast seeds, argmax assign), [[cosinePairsIvf]] (pair join
+    * within clusters only, O(N²/K)), [[dedupClusters]] (min-label
+    * propagation), [[dropDuplicatesTransitive]] (anti-join on 8-byte
+    * loser ids) — so its scale shape is exactly theirs.
+    */
+  def semanticDedup(df: DataFrame, seeds: DataFrame, idCol: String,
+      vecCol: String, threshold: Double): DataFrame =
+    dropDuplicatesTransitive(df, idCol,
+      cosinePairsIvf(df, seeds, idCol, vecCol, threshold), "v1", "v2")
+
   /** Prefix-filtered EXACT Jaccard near-dup pairs — the all-pairs /
     * PPJoin family (Bayardo et al. WWW'07, Xiao et al. WWW'08, public
     * literature): identical output to [[jaccardPairs]] at ANY scale (no
@@ -721,8 +740,11 @@ object Dedup {
         CosineThreshold)
       .orderBy(col("v1"), col("v2"))
   }
-  private val q56Sql =
-    """WITH cos AS (
+  /** q56's CTE chain (ends at `pairs(v1, v2, c)` — IVF-assigned same-
+    * cluster cosine pairs), shared with the q133 semantic-dedup oracle.
+    */
+  private val ivfPairCtes =
+    """cos AS (
          SELECT a.vec_id, a.embedding, s.vec_id AS seed_id,
            list_sum(list_transform(range(1, len(a.embedding) + 1),
              k -> a.embedding[k]::DOUBLE * s.embedding[k]::DOUBLE))
@@ -743,7 +765,10 @@ object Dedup {
               * sqrt(list_sum(list_transform(b.embedding, x -> x::DOUBLE * x::DOUBLE))))
              AS c
          FROM assigned a JOIN assigned b
-           ON a.cluster = b.cluster AND a.vec_id < b.vec_id)
+           ON a.cluster = b.cluster AND a.vec_id < b.vec_id)"""
+
+  private val q56Sql =
+    s"""WITH $ivfPairCtes
        SELECT v1, v2, round(c, 6) AS cos_sim FROM pairs
        WHERE c >= 0.4 ORDER BY v1, v2"""
 
@@ -963,6 +988,33 @@ object Dedup {
            AS exact_dup_rate
        FROM e"""
 
+  // ---- q133: semantic dedup (embedding-space representative keeping) -----------
+  // Same IVF geometry and threshold as q56; the oracle closes q56's pair
+  // list with the recursive CTE and keeps non-losers — the embedding-
+  // space mirror of q67's text-space pipeline.
+  private def q133(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+    semanticDedup(e, e.filter(col("vec_id") < 16),
+        "vec_id", "embedding", CosineThreshold)
+      .select(col("vec_id"))
+      .orderBy(col("vec_id"))
+  }
+  private val q133Sql =
+    s"""WITH RECURSIVE $ivfPairCtes,
+       dup AS (SELECT v1, v2 FROM pairs WHERE c >= $CosineThreshold),
+       edges AS (SELECT v1 AS a, v2 AS b FROM dup
+                 UNION SELECT v2, v1 FROM dup),
+       reach(a, b) AS (
+         SELECT a, b FROM edges
+         UNION
+         SELECT reach.a, e.b FROM reach JOIN edges e ON reach.b = e.a),
+       losers AS (
+         SELECT a AS vec_id FROM reach GROUP BY a
+         HAVING least(a, min(b)) <> a)
+       SELECT vec_id FROM embeddings
+       WHERE vec_id NOT IN (SELECT vec_id FROM losers)
+       ORDER BY vec_id"""
+
   // ---- q121: incremental near-dup (corpus refresh path) ------------------------
   // Base = doc_id < 400 (the already-deduped corpus), increment = the 100
   // newest docs; output = verified near-dup pairs touching the increment.
@@ -1059,5 +1111,6 @@ object Dedup {
     QueryDef("q121_incremental_dedup", q121, Some(q121Sql)),
     QueryDef("q122_containment", q122, Some(q122Sql)),
     QueryDef("q123_editdist_join", q123, Some(q123Sql)),
-    QueryDef("q124_jaccard_prefix", q124, Some(exactJaccardSql)))
+    QueryDef("q124_jaccard_prefix", q124, Some(exactJaccardSql)),
+    QueryDef("q133_semantic_dedup", q133, Some(q133Sql)))
 }
