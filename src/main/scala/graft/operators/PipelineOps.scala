@@ -547,6 +547,33 @@ object PipelineOps {
         coalesce(col("n_scored"), lit(0L)).as("n_scored"), col("lm_score"))
   }
 
+  /** Perplexity-band corpus filter: keep documents whose LM fluency score
+    * lies between the corpus' loQ and hiQ quantiles — the standard
+    * two-sided quality gate (a KenLM-style filter drops BOTH tails: the
+    * low-probability tail is gibberish/OCR noise, the high-probability
+    * tail is repetitive boilerplate a model overfits). Composes
+    * [[bigramLmScore]] with broadcast percentile bounds.
+    *
+    * Bounds are rounded to 4dp in BOTH engines before comparing (the
+    * q90 winsorize convention — last-ulp quantile differences must not
+    * flip a boundary document). Scale: scoring is the q63 shape
+    * (vocab-sized count tables broadcast back); the band bounds are one
+    * 2-value aggregate broadcast onto the |docs|-sized score relation —
+    * at 100 TB swap the exact percentile for `approx_percentile` or
+    * [[graft.operators.Analytics.percentileNoSort]].
+    */
+  def lmScoreBandFilter(df: DataFrame, idCol: String, textCol: String,
+      loQ: Double, hiQ: Double): DataFrame = {
+    require(0.0 <= loQ && loQ < hiQ && hiQ <= 1.0, "need 0 <= loQ < hiQ <= 1")
+    val scores = bigramLmScore(df, idCol, textCol)
+    val bounds = scores.agg(
+      round(expr(s"percentile(lm_score, ${loQ}D)"), 4).as("__lo"),
+      round(expr(s"percentile(lm_score, ${hiQ}D)"), 4).as("__hi"))
+    scores.crossJoin(broadcast(bounds))
+      .filter(col("lm_score") >= col("__lo") && col("lm_score") <= col("__hi"))
+      .select(col(idCol), col("n_bigrams"), col("lm_score"))
+  }
+
   // ---- q63: bigram-LM fluency scoring ----------------------------------------
   private def q63(s: SparkSession, d: String): DataFrame =
     bigramLmScore(Tables.documents(s, d), "doc_id", "text")
@@ -566,6 +593,37 @@ object PipelineOps {
          round(avg(bc.bc::DOUBLE / wc.wc::DOUBLE), 6) AS lm_score
        FROM b JOIN bc USING (g) JOIN wc USING (w1)
        GROUP BY b.doc_id ORDER BY doc_id"""
+
+  // ---- q134: perplexity-band corpus filter -------------------------------------
+  // Documents inside the [p10, p90] fluency band; both tails dropped.
+  private def q134(s: SparkSession, d: String): DataFrame =
+    lmScoreBandFilter(Tables.documents(s, d), "doc_id", "text",
+        loQ = 0.1, hiQ = 0.9)
+      .orderBy(col("doc_id"))
+  private val q134Sql =
+    """WITH toks AS (
+         SELECT doc_id, string_split(text, ' ') AS t FROM documents
+         WHERE len(string_split(text, ' ')) >= 2),
+       b AS (
+         SELECT doc_id, g, split_part(g, ' ', 1) AS w1 FROM (
+           SELECT doc_id, unnest(list_transform(range(1, len(t)),
+             i -> t[i] || ' ' || t[i+1])) AS g
+           FROM toks)),
+       bc AS (SELECT g, count(*) AS bc FROM b GROUP BY g),
+       wc AS (SELECT w1, count(*) AS wc FROM b GROUP BY w1),
+       scores AS (
+         SELECT b.doc_id, count(*) AS n_bigrams,
+           round(avg(bc.bc::DOUBLE / wc.wc::DOUBLE), 6) AS lm_score
+         FROM b JOIN bc USING (g) JOIN wc USING (w1)
+         GROUP BY b.doc_id),
+       bounds AS (
+         SELECT round(quantile_cont(lm_score, 0.1), 4) AS lo,
+           round(quantile_cont(lm_score, 0.9), 4) AS hi
+         FROM scores)
+       SELECT doc_id, n_bigrams, lm_score
+       FROM scores, bounds
+       WHERE lm_score >= lo AND lm_score <= hi
+       ORDER BY doc_id"""
 
   // ---- q111: cross-corpus LM scoring ------------------------------------------
   // The %10==7 held-out docs scored under the LM trained on the other 90%
@@ -1008,6 +1066,7 @@ object PipelineOps {
     QueryDef("q55_seq_packing", q55, Some(q55Sql)),
     QueryDef("q62_mixture_weights", q62, Some(q62Sql)),
     QueryDef("q63_bigram_lm", q63, Some(q63Sql)),
+    QueryDef("q134_lm_band_filter", q134, Some(q134Sql)),
     QueryDef("q71_mixture_sample", q71, Some(q71Sql)),
     QueryDef("q76_url_filter", q76, Some(q76Sql)),
     QueryDef("q85_exact_group_sample", q85, Some(q85Sql)),
