@@ -445,7 +445,8 @@ object Analytics {
       buckets: Int = 1024, cutover: Long = 65536): DataFrame = {
     require(ps.nonEmpty && ps.forall(p => p >= 0.0 && p <= 1.0),
       "percentiles must lie in [0, 1]")
-    require(buckets >= 2 && cutover >= 1, "need >= 2 buckets, cutover >= 1")
+    require(buckets >= 2 && cutover >= 1 && cutover <= Int.MaxValue,
+      "need >= 2 buckets, cutover in [1, Int.MaxValue]")
     val s = df.sparkSession
     val vals = df.select(col(valueCol).cast("double").as("v"))
       .filter(col("v").isNotNull && !isnan(col("v")))

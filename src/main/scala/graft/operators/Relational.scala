@@ -575,6 +575,10 @@ object Relational {
     * size the bucket near the typical interval length; the join is a
     * plain hash join on a long key — AQE's skew split applies to hot
     * time ranges, which a nested loop gets no help with.
+    *
+    * Precondition: start <= end per interval (an inverted interval is
+    * malformed input — `sequence` would silently enumerate its buckets
+    * in reverse and the once-only emission condition no longer holds).
     */
   def intervalOverlapJoin(a: DataFrame, b: DataFrame,
       aStart: String, aEnd: String, bStart: String, bEnd: String,
