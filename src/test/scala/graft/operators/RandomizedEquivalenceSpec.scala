@@ -1,0 +1,96 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Randomized equivalence pins for the three most intricate distributed
+  * algorithms added late in round 3 — each is checked against its brute
+  * oracle over seeded random inputs, because their correctness arguments
+  * (PassJoin's shifted-segment pigeonhole, the first-shared-bucket
+  * emission rule, selection's float-drift self-correction) have edge
+  * geometry that fixture queries alone might never trip.
+  */
+class RandomizedEquivalenceSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val rnd = new scala.util.Random(7)
+
+  test("editDistancePairs equals brute force on random corpora with indels") {
+    val alphabet = "abcd"
+    def randStr(len: Int): String =
+      Seq.fill(len)(alphabet(rnd.nextInt(alphabet.length))).mkString
+    (1 to 8).foreach { trial =>
+      // Half the trials share a corpus-constant prefix (LCP-strip path).
+      val prefix = if (trial % 2 == 0) "http://x.io/" else ""
+      // Seed strings plus mutated neighbors so true pairs exist.
+      val seeds = Vector.fill(12)(randStr(4 + rnd.nextInt(8)))
+      val mutated = seeds.map { s =>
+        val i = rnd.nextInt(s.length)
+        rnd.nextInt(3) match {
+          case 0 => s.updated(i, alphabet(rnd.nextInt(4)))      // substitute
+          case 1 => s.take(i) + alphabet(rnd.nextInt(4)) + s.drop(i) // insert
+          case 2 if s.length > 3 => s.take(i) + s.drop(i + 1)   // delete
+          case _ => s
+        }
+      }
+      val strs = (seeds ++ mutated).zipWithIndex
+        .map { case (s, i) => (i.toLong, prefix + s) }
+      val df = strs.toDF("id", "s")
+      val d = 1 + rnd.nextInt(2)
+      val minLen = strs.map(_._2.length).min
+      // Respect the documented precondition: cores >= d+1 (alphabet keeps
+      // the corpus LCP tiny, so core length ≈ string length).
+      if (minLen - prefix.length >= d + 1) {
+        val got = Dedup.editDistancePairs(df, "id", "s", maxDist = d)
+          .as[(Long, Long, Long)].collect().toSet
+        val brute = df.as("a").join(df.as("b"), $"a.id" < $"b.id")
+          .select($"a.id", $"b.id",
+            levenshtein($"a.s", $"b.s").cast("long").as("dist"))
+          .as[(Long, Long, Long)].collect().filter(_._3 <= d).toSet
+        assert(got === brute, s"trial $trial d=$d strs=$strs")
+        assert(brute.nonEmpty, s"trial $trial generated no true pairs")
+      }
+    }
+  }
+
+  test("intervalOverlapJoin equals brute force for random intervals and buckets") {
+    (1 to 8).foreach { trial =>
+      def intervals(n: Int) = Vector.tabulate(n) { i =>
+        val s = rnd.nextInt(1000).toLong
+        (i.toLong, s, s + rnd.nextInt(120).toLong)
+      }
+      val a = intervals(30).toDF("a_id", "a_s", "a_e")
+      val b = intervals(30).toDF("b_id", "b_s", "b_e")
+      val w = Seq(7L, 50L, 128L, 1000L)(rnd.nextInt(4))
+      val got = Relational
+        .intervalOverlapJoin(a, b, "a_s", "a_e", "b_s", "b_e", w)
+        .select($"a_id", $"b_id").as[(Long, Long)].collect().sorted
+      val brute = a.join(b, $"a_s" <= $"b_e" && $"b_s" <= $"a_e")
+        .select($"a_id", $"b_id").as[(Long, Long)].collect().sorted
+      // Sorted SEQUENCES: a duplicate emission (the rule the
+      // first-shared-bucket condition replaces distinct with) must fail.
+      assert(got === brute, s"trial $trial w=$w")
+      assert(brute.nonEmpty)
+    }
+  }
+
+  test("percentileNoSort equals the sort-based percentile on random data") {
+    (1 to 4).foreach { trial =>
+      // Mix of dense duplicates and spread values.
+      val xs = Vector.fill(200 + rnd.nextInt(300))(
+        if (rnd.nextBoolean()) rnd.nextInt(5).toDouble
+        else rnd.nextDouble() * 1000)
+      val df = xs.toDF("x")
+      val ps = Seq(0.0, rnd.nextDouble(), 0.5, 1.0)
+      val got = Analytics.percentileNoSort(df, "x", ps,
+          buckets = 8, cutover = 4)
+        .orderBy("p").as[(Double, Double)].collect()
+      val want = df.agg(expr(
+          s"percentile(x, array(${ps.sorted.map(p => s"${p}D").mkString(",")}))"))
+        .collect()(0).getSeq[Double](0)
+      got.zip(want).foreach { case ((p, g), w) =>
+        assert(math.abs(g - w) < 1e-9, s"trial $trial p=$p: $g vs $w")
+      }
+    }
+  }
+}
