@@ -574,6 +574,95 @@ object PipelineOps {
       .select(col(idCol), col("n_bigrams"), col("lm_score"))
   }
 
+  /** Deterministic negative sampling for contrastive training: for every
+    * anchor id, `k` pseudo-random other ids drawn by hashing
+    * (anchor, slot) — reproducible across engines, retries, and reruns
+    * (the same determinism contract as [[hashSamplePredicate]]; `rand()`
+    * negatives change every run and poison cached pair datasets).
+    *
+    * The draw is the corpus' shared polyhash (the cross-engine-stable
+    * q24 construction) mod the id-space size; a drawn id is kept only if
+    * it exists (inner join against the id relation) and differs from its
+    * anchor, so gappy id spaces and self-draws thin slots rather than
+    * emit bad pairs — the caller sizes `k` with headroom. Optional
+    * `excludePairs` (e.g. a near-dup pair list) removes known-positive
+    * pairs by anti-join: a "negative" that is secretly a duplicate is a
+    * false training signal.
+    *
+    * Scale: k small rows per anchor from map-side arithmetic; the
+    * existence check joins 8-byte ids; the exclusion anti-join carries
+    * pair ids only. Nothing touches payloads.
+    */
+  def negativeSamples(ids: DataFrame, idCol: String, k: Int, idSpace: Long,
+      excludePairs: Option[(DataFrame, String, String)] = None): DataFrame = {
+    require(k > 0 && idSpace > 0, "k and idSpace must be positive")
+    val drawn = ids.select(col(idCol).as("anchor_id"))
+      .select(col("anchor_id"), explode(sequence(lit(0), lit(k - 1))).as("slot"))
+      .withColumn("negative_id",
+        pmod(polyHash(concat_ws("_", col("anchor_id"), col("slot"))),
+          lit(idSpace)))
+      .filter(col("negative_id") =!= col("anchor_id"))
+    val existing = drawn.join(
+      ids.select(col(idCol).as("negative_id")), "negative_id")
+    val out = excludePairs match {
+      case None => existing
+      case Some((pairs, aCol, bCol)) =>
+        val sym = pairs.select(col(aCol).as("anchor_id"), col(bCol).as("negative_id"))
+          .union(pairs.select(col(bCol).as("anchor_id"), col(aCol).as("negative_id")))
+        existing.join(sym, Seq("anchor_id", "negative_id"), "left_anti")
+    }
+    out.select(col("anchor_id"), col("slot"), col("negative_id"))
+  }
+
+  // ---- q135: deterministic negative sampling -----------------------------------
+  // Four negatives per document, near-dup pairs excluded so a duplicate
+  // can never pose as a negative; the draw arithmetic is the shared q24
+  // polyhash, textually mirrored in the oracle.
+  private def q135(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    negativeSamples(docs, "doc_id", k = 4, idSpace = 500,
+        excludePairs = Some((
+          graft.operators.Dedup.jaccardPairs(docs, "doc_id", "text"),
+          "d1", "d2")))
+      .orderBy(col("anchor_id"), col("slot"))
+  }
+  private val q135Sql =
+    """WITH toks AS (
+         SELECT doc_id, string_split(text, ' ') AS tokens FROM documents
+         WHERE len(string_split(text, ' ')) >= 3),
+       grams AS (
+         SELECT DISTINCT doc_id, g FROM (
+           SELECT doc_id, unnest(list_transform(range(1, len(tokens) - 1),
+             i -> tokens[i] || ' ' || tokens[i+1] || ' ' || tokens[i+2])) AS g
+           FROM toks)),
+       sizes AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id),
+       pair AS (
+         SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
+         FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+         GROUP BY 1, 2),
+       dup AS (
+         SELECT d1, d2 FROM pair
+         JOIN sizes s1 ON d1 = s1.doc_id JOIN sizes s2 ON d2 = s2.doc_id
+         WHERE inter / (s1.n + s2.n - inter) >= 0.5),
+       sym AS (SELECT d1 AS a, d2 AS b FROM dup
+               UNION ALL SELECT d2, d1 FROM dup),
+       drawn AS (
+         SELECT d.doc_id AS anchor_id, s.range AS slot,
+           list_reduce(list_prepend(0::BIGINT,
+               list_transform(string_split(
+                 d.doc_id::VARCHAR || '_' || s.range::VARCHAR, ''),
+                 c -> ord(c)::BIGINT)),
+             (acc, c) -> (acc * 131 + c) % 2147483647) % 500 AS negative_id
+         FROM documents d, range(0, 4) s)
+       SELECT anchor_id, slot::INT AS slot, negative_id
+       FROM drawn
+       WHERE negative_id <> anchor_id
+         AND negative_id IN (SELECT doc_id FROM documents)
+         AND NOT EXISTS (SELECT 1 FROM sym
+                         WHERE sym.a = drawn.anchor_id
+                           AND sym.b = drawn.negative_id)
+       ORDER BY anchor_id, slot"""
+
   // ---- q63: bigram-LM fluency scoring ----------------------------------------
   private def q63(s: SparkSession, d: String): DataFrame =
     bigramLmScore(Tables.documents(s, d), "doc_id", "text")
@@ -1067,6 +1156,7 @@ object PipelineOps {
     QueryDef("q62_mixture_weights", q62, Some(q62Sql)),
     QueryDef("q63_bigram_lm", q63, Some(q63Sql)),
     QueryDef("q134_lm_band_filter", q134, Some(q134Sql)),
+    QueryDef("q135_negative_samples", q135, Some(q135Sql)),
     QueryDef("q71_mixture_sample", q71, Some(q71Sql)),
     QueryDef("q76_url_filter", q76, Some(q76Sql)),
     QueryDef("q85_exact_group_sample", q85, Some(q85Sql)),
