@@ -374,4 +374,55 @@ class StreamingAnalyticsSpec extends SparkSpec {
     } finally
       spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
   }
+
+  test("streaming heavy-hitter state survives a restart from the checkpoint") {
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val ms = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[String](spark)
+      def batch(n: Int): Seq[String] =
+        (1 to 30).map(_ => "hot") ++ (1 to 10).map(i => s"rare_${n}_$i")
+      val ckpt = tmp("ckpt_hh_restart")
+      val out = StreamingOps.heavyHittersStream(ms.toDF().toDF("k"), "k",
+        capacity = 4, shards = 1)
+      // The memory sink refuses checkpoint recovery — collect emissions
+      // through foreachBatch (which supports it) into per-run buffers.
+      def sinkTo(buf: java.util.concurrent.ConcurrentLinkedQueue[StreamingOps.HHCandidate]) =
+        out.writeStream.outputMode("update")
+          .option("checkpointLocation", ckpt)
+          .foreachBatch {
+            (d: org.apache.spark.sql.Dataset[StreamingOps.HHCandidate], _: Long) =>
+              d.collect().foreach(buf.add)
+          }
+
+      val run1 = new java.util.concurrent.ConcurrentLinkedQueue[StreamingOps.HHCandidate]()
+      val q1 = sinkTo(run1).start()
+      try {
+        ms.addData(batch(1)); q1.processAllAvailable()
+        ms.addData(batch(2)); q1.processAllAvailable()
+      } finally { q1.stop(); q1.awaitTermination(60000) }
+      assert(run1.size > 0)
+
+      // Data arriving while the query is down, then a NEW query over the
+      // same checkpoint: the sketch must resume, not restart.
+      ms.addData(batch(3))
+      val run2 = new java.util.concurrent.ConcurrentLinkedQueue[StreamingOps.HHCandidate]()
+      val q2 = sinkTo(run2).start()
+      try q2.processAllAvailable()
+      finally { q2.stop(); q2.awaitTermination(60000) }
+
+      import scala.jdk.CollectionConverters._
+      val rows = run2.asScala.toSeq
+      assert(rows.nonEmpty)
+      // The run-2 sink holds only post-restart emissions; their batch
+      // counter proves the persisted state absorbed batches 1-2.
+      assert(rows.forall(_.batches == 3), s"state did not resume: $rows")
+      val hot = rows.find(_.key == "hot")
+      assert(hot.isDefined)
+      assert(hot.get.est_min <= 90 && 90 <= hot.get.est_max,
+        s"bounds must bracket the THREE-batch total: $hot")
+    } finally
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
 }
