@@ -47,4 +47,26 @@ class FileFormatsSpec extends SparkSpec {
       s"csv scan reads unreferenced columns: $readSchema")
     assert(df.count() > 0)
   }
+
+  test("gzipped JSONL round-trips — the wire format training corpora arrive in") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.Tables.documents(spark, sf)
+      .select("doc_id", "lang", "source", "n_chars", "text")
+    val out = java.nio.file.Files.createTempDirectory("jsonl_gz").toString
+    docs.write.mode("overwrite").option("compression", "gzip").json(out)
+    // The files on disk really are .json.gz (one JSON object per line).
+    val files = new java.io.File(out).listFiles()
+      .filter(_.getName.endsWith(".json.gz"))
+    assert(files.nonEmpty, "expected gzipped jsonl part files")
+    val back = spark.read.json(out)
+    assert(back.count() === docs.count())
+    // Full-fidelity round-trip, text included (hash every row both sides).
+    def sig(d: org.apache.spark.sql.DataFrame) = d
+      .select(md5(concat_ws("", col("doc_id"), col("lang"),
+        col("source"), col("n_chars"), col("text"))).as("h"))
+      .agg(count(lit(1)), sum(conv(substring(col("h"), 1, 8), 16, 10)
+        .cast("long")))
+      .collect()(0)
+    assert(sig(back) === sig(docs))
+  }
 }
