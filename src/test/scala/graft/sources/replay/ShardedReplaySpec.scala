@@ -680,4 +680,45 @@ class ShardedReplaySpec extends SparkSpec with BeforeAndAfterAll {
       ("%020d".format(2), 0L), ("%020d".format(2), 1L)),
       "resume must begin at (seq 1, sub 1), not re-serve or skip sub-records")
   }
+
+  test("KPL aggregation composed with a reshard restart stays exactly-once") {
+    // The nastiest option interaction in the source: sub-sequence-granular
+    // offsets (aggregation = 3) AND a shard split, with a restart that —
+    // 250 not being divisible by 3 — lands mid-aggregate near the seal
+    // boundary. Offsets must resume at the exact sub-record in whichever
+    // shard generation holds it.
+    val ckpt = tmpDir("ckpt_agg_resh")
+    val out = tmpDir("out_agg_resh")
+    def run(stopEarly: Boolean): Unit = {
+      val ds = Consumer.source(ConsumerConfig(
+        streamPath = eventsPath, numShards = 4,
+        maxRecordsPerTrigger = Some(250), reshardAtMs = Some(splitMs),
+        aggregation = 3))
+      val q = ds.writeStream
+        .format("parquet").option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      if (stopEarly) {
+        val deadline = System.currentTimeMillis() + 60000
+        while (q.recentProgress.length < 1 && q.isActive &&
+          System.currentTimeMillis() < deadline) Thread.sleep(50)
+        q.stop(); q.awaitTermination(60000)
+      } else q.awaitTermination(120000)
+    }
+    run(stopEarly = true)
+    assert(spark.read.parquet(out).count() < nEvents)
+    run(stopEarly = false)
+    val got = spark.read.parquet(out)
+      .select(get_json_object(col("data").cast("string"), "$.event_id")
+        .cast("long").as("id"))
+    assert(got.count() === nEvents, "exactly-once under aggregation + reshard")
+    assert(got.distinct().count() === nEvents)
+    // Aggregation really was on: runs share sequence numbers with
+    // sub-sequence 0..K-1.
+    val subs = spark.read.parquet(out)
+      .groupBy(col("sequenceNumber"))
+      .agg(count(lit(1)).as("n"), max(col("subSequenceNumber")).as("mx"))
+    assert(subs.filter(col("n") > 1).count() > 0, "expected aggregated runs")
+    assert(subs.filter(col("mx") >= 3).count() === 0, "sub-sequence exceeds K-1")
+  }
 }
