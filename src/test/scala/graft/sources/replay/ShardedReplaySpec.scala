@@ -721,4 +721,36 @@ class ShardedReplaySpec extends SparkSpec with BeforeAndAfterAll {
     assert(subs.filter(col("n") > 1).count() > 0, "expected aggregated runs")
     assert(subs.filter(col("mx") >= 3).count() === 0, "sub-sequence exceeds K-1")
   }
+
+  test("KPL aggregation composed with a shard MERGE restart stays exactly-once") {
+    // The merge half of the composition: a child waits for BOTH parents'
+    // committed seals, and sub-sequence offsets must survive the
+    // parent-pair handoff too.
+    val ckpt = tmpDir("ckpt_agg_merge")
+    val out = tmpDir("out_agg_merge")
+    def run(stopEarly: Boolean): Unit = {
+      val ds = Consumer.source(ConsumerConfig(
+        streamPath = eventsPath, numShards = 4,
+        maxRecordsPerTrigger = Some(250), mergeAtMs = Some(splitMs),
+        aggregation = 3))
+      val q = ds.writeStream
+        .format("parquet").option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      if (stopEarly) {
+        val deadline = System.currentTimeMillis() + 60000
+        while (q.recentProgress.length < 1 && q.isActive &&
+          System.currentTimeMillis() < deadline) Thread.sleep(50)
+        q.stop(); q.awaitTermination(60000)
+      } else q.awaitTermination(120000)
+    }
+    run(stopEarly = true)
+    assert(spark.read.parquet(out).count() < nEvents)
+    run(stopEarly = false)
+    val got = spark.read.parquet(out)
+      .select(get_json_object(col("data").cast("string"), "$.event_id")
+        .cast("long").as("id"))
+    assert(got.count() === nEvents, "exactly-once under aggregation + merge")
+    assert(got.distinct().count() === nEvents)
+  }
 }
