@@ -166,6 +166,38 @@ object StreamingOps {
       .select(col("purchase_id"), col("user_id"), col("click_id"), col("c_ts"))
   }
 
+  /** LEFT OUTER stream-stream interval join: every purchase emits, with
+    * click columns null when no click preceded it in the window — the
+    * "unattributed conversion" feed the inner form cannot produce.
+    *
+    * Outer semantics under watermarks: a match emits as soon as both rows
+    * meet; an UNMATCHED purchase emits (null-padded) only once the
+    * watermark passes its join window — before that the engine cannot
+    * prove no matching click is still in flight. Rows still inside the
+    * horizon when a bounded drain shuts down stay unemitted: not-yet-
+    * provably-unmatched is the correct streaming answer, and the spec
+    * pins exactly this (streamed unmatched ⊆ batch unmatched; matched
+    * set identical to the batch join).
+    */
+  def clickAttributionOuter(decoded: DataFrame, watermark: String): DataFrame = {
+    val purchases = decoded
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("ts").as("p_ts"))
+      .withWatermark("p_ts", watermark)
+    val clicks = decoded
+      .filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
+        col("ts").as("c_ts"))
+      .withWatermark("c_ts", watermark)
+    purchases.join(clicks,
+        col("user_id") === col("c_user") &&
+          col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
+          col("c_ts") < col("p_ts"),
+        "left_outer")
+      .select(col("purchase_id"), col("user_id"), col("click_id"), col("c_ts"))
+  }
+
   /** A closed user session emitted by [[sessionizeStateful]]. Times are
     * epoch MICROseconds (java.sql.Timestamp construction would truncate to
     * millis; convert with timestamp_micros when a timestamp is wanted).

@@ -237,6 +237,38 @@ class StreamingAnalyticsSpec extends SparkSpec {
     assert(got.exceptAll(want).count() === 0 && want.exceptAll(got).count() === 0)
   }
 
+  test("left-outer stream-stream join: matches equal batch, unmatched only past watermark") {
+    val q = StreamingOps.clickAttributionOuter(decoded(), "2 hours")
+      .writeStream.format("memory").queryName("attrib_outer")
+      .option("checkpointLocation", tmp("ckpt_ssj_outer"))
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(180000)
+    val got = spark.table("attrib_outer")
+    val ev = graft.Tables.events(spark, sf)
+    val want = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"), col("ts").as("p_ts"))
+      .join(ev.filter(col("event_type") === "click")
+          .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
+            col("ts").as("c_ts")),
+        col("user_id") === col("c_user") &&
+          col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
+          col("c_ts") < col("p_ts"),
+        "left_outer")
+    // Matched rows: identical to the batch left join's matched half.
+    val gm = got.filter(col("click_id").isNotNull).select("purchase_id", "click_id")
+    val wm = want.filter(col("click_id").isNotNull).select("purchase_id", "click_id")
+    assert(gm.exceptAll(wm).count() === 0 && wm.exceptAll(gm).count() === 0)
+    // Unmatched: only provably-unmatched purchases emit — a SUBSET of the
+    // batch unmatched (tail rows still inside the final watermark horizon
+    // stay unemitted), and plenty must have emitted across the span.
+    val gu = got.filter(col("click_id").isNull).select("purchase_id")
+    val wu = want.filter(col("click_id").isNull).select("purchase_id")
+    assert(gu.exceptAll(wu).count() === 0,
+      "streaming emitted an unmatched purchase the batch join matched")
+    assert(gu.count() > 0, "watermark never released any unmatched purchase")
+    assert(gu.count() <= wu.count())
+  }
+
   test("stateful sessionization matches batch session_window semantics") {
     val q = StreamingOps.sessionizeStateful(decoded(), gapMinutes = 30)
       .writeStream.format("memory").queryName("sess_state")
