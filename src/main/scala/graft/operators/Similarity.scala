@@ -237,6 +237,26 @@ object Similarity {
   // Oracle-bound query exercises
   // ===========================================================================
 
+  /** Per-query recall@k of an approximate top-k against the exact top-k —
+    * the acceptance metric every ANN deployment tunes against (raise
+    * nprobe / change seeds until recall clears the bar). Both inputs are
+    * (query, neighbor, rank) relations from any of the top-k operators.
+    *
+    * Scale: a left join on (query, neighbor) — k rows per query per
+    * side — then a |queries|-sized aggregate. The expensive parts are
+    * the rankings themselves; the report is free by comparison.
+    */
+  def recallReport(exact: DataFrame, approx: DataFrame,
+      queryCol: String = "query_id", idCol: String = "neighbor_id"): DataFrame = {
+    val hits = approx.select(col(queryCol), col(idCol))
+      .withColumn("__hit", lit(1))
+    exact.select(col(queryCol), col(idCol))
+      .join(hits, Seq(queryCol, idCol), "left")
+      .groupBy(col(queryCol))
+      .agg(count(lit(1)).as("n_exact"), count(col("__hit")).as("n_hit"))
+      .withColumn("recall", round(col("n_hit") / col("n_exact"), 6))
+  }
+
   private def q30(s: SparkSession, d: String): DataFrame = {
     val e = Tables.embeddings(s, d)
     bruteTopK(e.filter(col("vec_id") < NumQueries), e, "vec_id", "embedding", TopK)
@@ -463,8 +483,74 @@ object Similarity {
        SELECT query_id, rank::INT AS rank, neighbor_id, round(c, 6) AS cos_sim
        FROM ranked WHERE rank <= $TopK ORDER BY query_id, rank"""
 
+  // ---- q136: ANN recall report (exact vs single-probe IVF) ---------------------
+  // The q30 exact ranking scored against the q31 approximate one; the
+  // oracle recomputes both rankings and the same left-join recall.
+  private def q136(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+    recallReport(
+        bruteTopK(e.filter(col("vec_id") < NumQueries), e,
+          "vec_id", "embedding", TopK),
+        ivfTopK(e, e.filter(col("vec_id") < NumSeeds),
+          assigned => assigned.filter(col("vec_id") < NumQueries),
+          "vec_id", "embedding", TopK))
+      .orderBy(col("query_id"))
+  }
+  private val q136Sql =
+    s"""WITH sims_e AS (
+         SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+           list_sum(list_transform(range(1, len(q.embedding) + 1),
+             k -> q.embedding[k]::DOUBLE * n.embedding[k]::DOUBLE))
+           / (sqrt(list_sum(list_transform(q.embedding, x -> x::DOUBLE * x::DOUBLE)))
+              * sqrt(list_sum(list_transform(n.embedding, x -> x::DOUBLE * x::DOUBLE))))
+             AS c
+         FROM embeddings q JOIN embeddings n ON q.vec_id != n.vec_id
+         WHERE q.vec_id < $NumQueries),
+       ex AS (
+         SELECT query_id, neighbor_id FROM (
+           SELECT query_id, neighbor_id,
+             row_number() OVER (PARTITION BY query_id
+               ORDER BY c DESC, neighbor_id) AS rank
+           FROM sims_e) t WHERE rank <= $TopK),
+       cos AS (
+         SELECT a.vec_id, a.embedding, s.vec_id AS seed_id,
+           list_sum(list_transform(range(1, len(a.embedding) + 1),
+             k -> a.embedding[k]::DOUBLE * s.embedding[k]::DOUBLE))
+           / (sqrt(list_sum(list_transform(a.embedding, x -> x::DOUBLE * x::DOUBLE)))
+              * sqrt(list_sum(list_transform(s.embedding, x -> x::DOUBLE * x::DOUBLE))))
+             AS sc
+         FROM embeddings a JOIN embeddings s ON s.vec_id < $NumSeeds),
+       assigned AS (
+         SELECT vec_id, embedding, seed_id AS cluster FROM (
+           SELECT *, row_number() OVER (PARTITION BY vec_id
+             ORDER BY sc DESC, seed_id) AS arn FROM cos) t
+         WHERE arn = 1),
+       sims_a AS (
+         SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+           list_sum(list_transform(range(1, len(q.embedding) + 1),
+             k -> q.embedding[k]::DOUBLE * n.embedding[k]::DOUBLE))
+           / (sqrt(list_sum(list_transform(q.embedding, x -> x::DOUBLE * x::DOUBLE)))
+              * sqrt(list_sum(list_transform(n.embedding, x -> x::DOUBLE * x::DOUBLE))))
+             AS c
+         FROM assigned q JOIN assigned n
+           ON q.cluster = n.cluster AND q.vec_id != n.vec_id
+         WHERE q.vec_id < $NumQueries),
+       ap AS (
+         SELECT query_id, neighbor_id FROM (
+           SELECT query_id, neighbor_id,
+             row_number() OVER (PARTITION BY query_id
+               ORDER BY c DESC, neighbor_id) AS rank
+           FROM sims_a) t WHERE rank <= $TopK)
+       SELECT e.query_id, count(*)::BIGINT AS n_exact,
+         count(a.neighbor_id)::BIGINT AS n_hit,
+         round(count(a.neighbor_id)::DOUBLE / count(*), 6) AS recall
+       FROM ex e LEFT JOIN ap a
+         ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+       GROUP BY e.query_id ORDER BY e.query_id"""
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q30_cosine_topk", q30, Some(q30Sql), headline = true),
+    QueryDef("q136_ann_recall", q136, Some(q136Sql)),
     QueryDef("q31_ann_ivf", q31, Some(q31Sql)),
     QueryDef("q86_ann_ivf_multiprobe", q86, Some(q86Sql)),
     QueryDef("q112_euclidean_topk", q112, Some(q112Sql)),
