@@ -1094,6 +1094,81 @@ object Dedup {
        WHERE levenshtein(a.c_name, b.c_name) <= 1
        ORDER BY d1, d2"""
 
+  /** Corpus-level boilerplate-span removal (the C4 "repeated line" rule,
+    * tile form): segment each document into fixed `tileWords`-word tiles,
+    * count every tile's occurrences ACROSS the corpus, and rewrite each
+    * document keeping only tiles seen at most `maxOccurrences` times —
+    * headers, footers, navigation chrome, and license blocks repeat
+    * verbatim across pages and vanish; unique prose survives. This is the
+    * sub-document complement of whole-doc dedup: it edits documents
+    * instead of dropping them.
+    *
+    * Scale design: the ONLY exchange is the tile-hash count (8-byte
+    * xxhash64 keys, map-side partials). The hot set (tiles over the
+    * threshold) is by definition small — boilerplate is few DISTINCT
+    * strings repeated many times — and is broadcast back as one array row,
+    * so the rewrite is map-side: each document re-derives its tiles,
+    * probes the broadcast set, and reassembles in place. The corpus is
+    * never shuffled, not even once (an explode → anti-join → groupBy
+    * reassembly would shuffle it twice). The per-tile probe runs in an
+    * interpreted HOF lambda — measurably slower per element than codegen —
+    * but it replaces two corpus-wide exchanges, which is the far larger
+    * cost at 100 TB. If the hot set ever outgrows a broadcast row, fall
+    * back to the explode + anti-join form.
+    */
+  def removeBoilerplateTiles(df: DataFrame, idCol: String, textCol: String,
+      tileWords: Int, maxOccurrences: Long): DataFrame = {
+    require(tileWords > 0, "tileWords must be positive")
+    require(maxOccurrences > 0, "maxOccurrences must be positive")
+    val w = tileWords
+    def tilesOf(text: Column): Column = {
+      val toks = tokens(text)
+      val nTiles = greatest(ceil(size(toks) / lit(w.toDouble)).cast("int"),
+        lit(1))
+      transform(sequence(lit(0), nTiles - 1),
+        i => concat_ws(" ", slice(toks, i * w + 1, lit(w))))
+    }
+    val hot = df
+      .select(explode(tilesOf(col(textCol))).as("tile"))
+      .groupBy(xxhash64(col("tile")).as("h"))
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") > maxOccurrences)
+      .agg(coalesce(collect_list(col("h")), array()).as("hot_hashes"))
+    val tilesArr = tilesOf(col(textCol))
+    val kept = filter(tilesArr,
+      t => !array_contains(col("hot_hashes"), xxhash64(t)))
+    df.crossJoin(broadcast(hot))
+      .select(col(idCol), size(tilesArr).cast("long").as("n_tiles"),
+        size(kept).cast("long").as("n_kept"),
+        concat_ws(" ", kept).as("clean_text"))
+  }
+
+  // ---- q140: boilerplate tile removal ------------------------------------------
+  // Strict threshold (keep only globally-unique 8-word tiles): the
+  // fixture's exact-duplicate documents shed their shared tiles from both
+  // copies, unique prose is untouched.
+  private def q140(s: SparkSession, d: String): DataFrame =
+    removeBoilerplateTiles(Tables.documents(s, d), "doc_id", "text",
+        tileWords = 8, maxOccurrences = 1)
+      .orderBy(col("doc_id"))
+  private val q140Sql =
+    """WITH t AS (
+         SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       tiles AS (
+         SELECT doc_id, i,
+           array_to_string(toks[i * 8 + 1 : i * 8 + 8], ' ') AS tile
+         FROM t, unnest(range(0,
+           greatest(ceil(len(toks) / 8.0)::BIGINT, 1))) AS u(i)),
+       counts AS (SELECT tile, count(*) AS n FROM tiles GROUP BY 1),
+       flags AS (
+         SELECT doc_id, i, tile, n <= 1 AS keep
+         FROM tiles JOIN counts USING (tile))
+       SELECT doc_id, count(*)::BIGINT AS n_tiles,
+         sum(CASE WHEN keep THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+         coalesce(string_agg(CASE WHEN keep THEN tile END, ' ' ORDER BY i),
+           '') AS clean_text
+       FROM flags GROUP BY doc_id ORDER BY doc_id"""
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q25_exact_dedup", q25, Some(q25Sql)),
     QueryDef("q26_ngram_jaccard", q26, Some(exactJaccardSql)),
@@ -1112,5 +1187,6 @@ object Dedup {
     QueryDef("q122_containment", q122, Some(q122Sql)),
     QueryDef("q123_editdist_join", q123, Some(q123Sql)),
     QueryDef("q124_jaccard_prefix", q124, Some(exactJaccardSql)),
-    QueryDef("q133_semantic_dedup", q133, Some(q133Sql)))
+    QueryDef("q133_semantic_dedup", q133, Some(q133Sql)),
+    QueryDef("q140_boilerplate_tiles", q140, Some(q140Sql)))
 }

@@ -119,6 +119,46 @@ object Layout {
       .mode("overwrite").parquet(path)
   }
 
+  /** Contiguous 0-based row ids in `orderCols` order WITHOUT a single-task
+    * global sort. The naive formulation —
+    * `row_number().over(Window.orderBy(key))` — plans an Exchange to ONE
+    * partition and sorts the entire table in a single task: the most
+    * common accidental scale-killer in id-assignment / example-numbering
+    * pipelines. This operator does the distributed version: range-
+    * partition by the key (sampled bounds, balanced partitions), sort
+    * within each partition, then a two-pass prefix sum — pass 1 counts
+    * rows per partition (P numbers to the driver, partition METADATA, not
+    * data), pass 2 adds each partition's offset to its local index.
+    *
+    * Ordering among tied keys is partition-internal; pass a unique
+    * tie-breaking suffix in `orderCols` (the row_number convention) for a
+    * fully deterministic assignment. The input is locally checkpointed so
+    * both passes see the identical partitioning and the sort runs once;
+    * that is the standard cost of `zipWithIndex`-shaped work (budget
+    * MEMORY_AND_DISK for one pass of the table, exactly like any global
+    * sort's shuffle files).
+    */
+  def denseIds(df: DataFrame, orderCols: Seq[String], numPartitions: Int,
+      idName: String = "row_id"): DataFrame = {
+    require(orderCols.nonEmpty, "denseIds needs ordering columns")
+    val sorted = rangeSorted(df, orderCols, numPartitions)
+      .localCheckpoint(false) // both passes must see the exact partitions
+    val indexed = sorted.rdd.zipWithIndex().map { case (r, i) =>
+      org.apache.spark.sql.Row.fromSeq(r.toSeq :+ i)
+    }
+    val schema = sorted.schema.add(idName,
+      org.apache.spark.sql.types.LongType, nullable = false)
+    df.sparkSession.createDataFrame(indexed, schema)
+  }
+
+  /** The distributed ordering stage of [[denseIds]], exposed so its plan
+    * shape (range exchange, NO single-partition exchange) is pinnable.
+    */
+  private[graft] def rangeSorted(df: DataFrame, orderCols: Seq[String],
+      numPartitions: Int): DataFrame =
+    df.repartitionByRange(numPartitions, orderCols.map(col): _*)
+      .sortWithinPartitions(orderCols.map(col): _*)
+
   // ---- q79: Z-value computation ----------------------------------------------
   // The interleave itself, oracle-checked bit-for-bit over the customer
   // table (c_custkey up to 2^31-safe, c_nationkey small — exercises both
@@ -151,6 +191,20 @@ object Layout {
        SELECT c_custkey, c_nationkey, (x | (y << 1))::BIGINT AS z
        FROM a5 ORDER BY c_custkey"""
 
+  // ---- q138: dense ordered row ids ------------------------------------------
+  // Contiguous ids over orders in o_orderkey order (unique key, so the
+  // assignment is fully deterministic) — equals the single-task
+  // row_number() formulation the oracle uses, minus the single task.
+  private def q138(s: SparkSession, d: String): DataFrame =
+    denseIds(Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey")),
+        orderCols = Seq("o_orderkey"), numPartitions = 32)
+      .orderBy(col("row_id"))
+  private val q138Sql =
+    """SELECT o_orderkey, o_custkey,
+         (row_number() OVER (ORDER BY o_orderkey) - 1)::BIGINT AS row_id
+       FROM orders ORDER BY row_id"""
+
   val defs: Seq[QueryDef] = Seq(
-    QueryDef("q79_zorder", q79, Some(q79Sql)))
+    QueryDef("q79_zorder", q79, Some(q79Sql)),
+    QueryDef("q138_dense_ids", q138, Some(q138Sql)))
 }

@@ -103,6 +103,34 @@ object Profile {
     cdcApply(df.filter(col(tsCol) <= asOf), keyCol, orderCols, opCol,
       deleteOp, payloadCols)
 
+  /** Build the SCD Type-2 (slowly-changing-dimension) validity history
+    * from a changelog: one row per version with `valid_from` (its own
+    * ordering instant), `valid_to` (the NEXT version's instant — validity
+    * is the half-open [from, to)), a per-key `version_num`, and
+    * `is_current` marking the open tail. [[latestPerKey]] collapses the
+    * log to the current view; this keeps every version addressable — the
+    * table a point-in-time enrichment probes (join fact.ts into
+    * [valid_from, valid_to), or equivalently [[AsOfJoin]] against the
+    * version instants).
+    *
+    * Scale design: ONE exchange on the key, then lead/row_number over each
+    * key's own version history — the minimal work for interval
+    * construction, since every version must observe its successor. The
+    * sort is per key over that key's version count (typically tens), never
+    * a global order, and the window state is one row (lead(1)).
+    */
+  def scdType2(df: DataFrame, keyCol: String, orderCols: Seq[String],
+      payloadCols: Seq[String]): DataFrame = {
+    require(orderCols.nonEmpty, "scdType2 needs ordering columns")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(keyCol)).orderBy(orderCols.map(col): _*)
+    df.select((keyCol +: (orderCols ++ payloadCols)).map(col): _*)
+      .withColumn("version_num", row_number().over(w))
+      .withColumn("valid_to", lead(col(orderCols.head), 1).over(w))
+      .withColumn("is_current", col("valid_to").isNull)
+      .withColumnRenamed(orderCols.head, "valid_from")
+  }
+
   /** Diff two snapshots of a keyed table: rows only in `newDf` are inserts
     * (`I`), rows only in `oldDf` deletes (`D`), rows in both with any
     * payload difference updates (`U`); unchanged rows are dropped. Output
@@ -708,6 +736,31 @@ object Profile {
        GROUP BY 1, 2 HAVING count(*) < 10
        ORDER BY c_mktsegment, c_nationkey"""
 
+  // ---- q137: SCD Type-2 validity history ------------------------------------
+  // The events stream read as a per-user changelog: every event is a new
+  // version of the user's state, carrying its validity interval.
+  private def q137(s: SparkSession, d: String): DataFrame =
+    scdType2(Tables.events(s, d), "user_id",
+        orderCols = Seq("ts", "event_id"),
+        payloadCols = Seq("event_type", "value"))
+      .select(col("user_id"), col("version_num"),
+        unix_micros(col("valid_from")).as("valid_from_us"),
+        unix_micros(col("valid_to")).as("valid_to_us"),
+        col("is_current"), col("event_type"), col("value"))
+      .orderBy(col("user_id"), col("version_num"))
+  private val q137Sql =
+    """WITH v AS (
+         SELECT user_id, ts, event_type, value,
+           row_number() OVER w AS version_num,
+           lead(ts) OVER w AS valid_to
+         FROM events
+         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+       SELECT user_id, version_num::INT AS version_num,
+         epoch_us(ts::TIMESTAMP)::BIGINT AS valid_from_us,
+         epoch_us(valid_to::TIMESTAMP)::BIGINT AS valid_to_us,
+         valid_to IS NULL AS is_current, event_type, value
+       FROM v ORDER BY user_id, version_num"""
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q58_column_profile", q58, Some(q58Sql)),
     QueryDef("q59_latest_per_key", q59, Some(q59Sql)),
@@ -720,5 +773,6 @@ object Profile {
     QueryDef("q115_merge_prioritized", q115, Some(q115Sql)),
     QueryDef("q117_benford_profile", q117, Some(q117Sql)),
     QueryDef("q126_distribution_drift", q126, Some(q126Sql)),
-    QueryDef("q129_k_anonymity", q129, Some(q129Sql)))
+    QueryDef("q129_k_anonymity", q129, Some(q129Sql)),
+    QueryDef("q137_scd_type2", q137, Some(q137Sql)))
 }

@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.{QueryDef, Tables}
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Encoder, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.TextFunctions._
 
@@ -588,6 +588,93 @@ object TextAnalysis {
        FROM p GROUP BY 1, 2
        ORDER BY pair_count DESC, left_sym, right_sym LIMIT 20"""
 
+  /** One collapsed (term, doc, tf) posting awaiting the per-term fold. */
+  final case class TermPosting(term: String, doc_id: Long, tf: Long)
+
+  /** Per-term index entry: exact document/collection frequencies plus the
+    * posting list CAPPED at `maxN` lowest doc ids. The cap and the exact
+    * counts ride in ONE buffer so truncation never skews the statistics.
+    */
+  final case class PostingBuf(postings: Seq[TermPosting], doc_freq: Long,
+      coll_freq: Long)
+
+  private class PostingsAgg(maxN: Int)
+      extends org.apache.spark.sql.expressions.Aggregator[
+        TermPosting, PostingBuf, PostingBuf] {
+    private val ord: Ordering[TermPosting] = Ordering.by(_.doc_id)
+    override def zero: PostingBuf = PostingBuf(Vector.empty, 0L, 0L)
+    override def reduce(b: PostingBuf, a: TermPosting): PostingBuf = {
+      val kept =
+        if (b.postings.length == maxN && ord.compare(a, b.postings.last) >= 0)
+          b.postings // common case at scale: doc id beyond the keepers
+        else ((b.postings :+ a).sorted(ord)).take(maxN)
+      PostingBuf(kept, b.doc_freq + 1, b.coll_freq + a.tf)
+    }
+    override def merge(b1: PostingBuf, b2: PostingBuf): PostingBuf =
+      PostingBuf((b1.postings ++ b2.postings).sorted(ord).take(maxN),
+        b1.doc_freq + b2.doc_freq, b1.coll_freq + b2.coll_freq)
+    override def finish(r: PostingBuf): PostingBuf = r
+    override def bufferEncoder: Encoder[PostingBuf] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+    override def outputEncoder: Encoder[PostingBuf] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+  }
+
+  /** Build an inverted index over the corpus: per term, the exact document
+    * frequency, collection frequency, and the posting list (doc id + term
+    * frequency) capped at `maxPostings` lowest doc ids — the
+    * retrieval-side data structure for sparse/BM25-style search and the
+    * corpus statistic tokenizer and filtering work read. Postings are
+    * emitted as a `doc:tf` CSV string (scalar, oracle-hashable).
+    *
+    * Scale design: token occurrences collapse to (term, doc, tf) with
+    * map-side partials in the first shuffle; the per-term fold is a single
+    * custom Aggregator whose buffer carries the capped posting heap AND
+    * the exact df/cf totals — ONE pass over the collapsed relation, k
+    * postings per term per map partial crossing the wire (the two-query
+    * formulation — heap + relational totals joined on term — would read
+    * the tf relation twice). A full (uncapped) posting list is a
+    * `collect_list` away, but an unbounded per-term list is exactly the
+    * hot-key blowup a 100-TB index build must not ship through one task.
+    */
+  def invertedIndex(df: DataFrame, idCol: String, textCol: String,
+      maxPostings: Int): DataFrame = {
+    require(maxPostings > 0, "maxPostings must be positive")
+    val s = df.sparkSession
+    import s.implicits._
+    val tf = df
+      .select(col(idCol).cast("long").as("doc_id"),
+        explode(tokens(col(textCol))).as("term"))
+      .groupBy(col("term"), col("doc_id"))
+      .agg(count(lit(1)).as("tf"))
+      .as[TermPosting]
+    val agg = new PostingsAgg(maxPostings).toColumn
+    tf.groupByKey(_.term)
+      .agg(agg.name("entry"))
+      .select(col("key").as("term"),
+        col("entry.doc_freq").as("doc_freq"),
+        col("entry.coll_freq").as("coll_freq"),
+        concat_ws(",", transform(col("entry.postings"),
+          p => concat_ws(":", p.getField("doc_id"), p.getField("tf"))))
+          .as("postings"))
+  }
+
+  // ---- q139: inverted index --------------------------------------------------
+  // Full corpus index, posting lists capped at the 10 lowest doc ids.
+  private def q139(s: SparkSession, d: String): DataFrame =
+    invertedIndex(Tables.documents(s, d), "doc_id", "text", maxPostings = 10)
+      .orderBy(col("term"))
+  private val q139Sql =
+    """WITH tok AS (
+         SELECT doc_id, unnest(string_split(text, ' ')) AS term
+         FROM documents),
+       tf AS (
+         SELECT term, doc_id, count(*) AS tf FROM tok GROUP BY 1, 2)
+       SELECT term, count(*)::BIGINT AS doc_freq, sum(tf)::BIGINT AS coll_freq,
+         array_to_string(list_slice(
+           list(doc_id || ':' || tf ORDER BY doc_id), 1, 10), ',') AS postings
+       FROM tf GROUP BY term ORDER BY term"""
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q21_token_stats", q21, Some(q21Sql)),
     QueryDef("q22_quality_score", q22, Some(q22Sql)),
@@ -600,5 +687,6 @@ object TextAnalysis {
     QueryDef("q91_vocab_coverage", q91, Some(q91Sql)),
     QueryDef("q98_chunk_documents", q98, Some(q98Sql)),
     QueryDef("q108_cooccurrence", q108, Some(q108Sql)),
-    QueryDef("q130_bpe_pair_step", q130, Some(q130Sql)))
+    QueryDef("q130_bpe_pair_step", q130, Some(q130Sql)),
+    QueryDef("q139_inverted_index", q139, Some(q139Sql)))
 }

@@ -211,4 +211,33 @@ class DedupSpec extends SparkSpec {
     // Single-digit substitutions must surface: …001 vs …002, …070 vs …080.
     assert(got.contains((1L, 2L, 1L)) && got.contains((70L, 80L, 1L)))
   }
+
+  test("removeBoilerplateTiles drops repeated tiles, keeps unique prose in order") {
+    // 2-word tiles; "shared header text here" is the boilerplate prefix on
+    // docs 1 and 2; each doc's tail is unique. Doc 3 is untouched prose.
+    val docs = Seq(
+      (1L, "shared header text here unique alpha body one"),
+      (2L, "shared header text here unique beta body two"),
+      (3L, "completely different words never repeated anywhere at all"))
+      .toDF("doc_id", "text")
+    val got = Dedup.removeBoilerplateTiles(docs, "doc_id", "text",
+        tileWords = 2, maxOccurrences = 1)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, String)].collect()
+    assert(got(0) === ((1L, 4L, 2L, "unique alpha body one")))
+    assert(got(1) === ((2L, 4L, 2L, "unique beta body two")))
+    assert(got(2) === ((3L, 4L, 4L,
+      "completely different words never repeated anywhere at all")))
+    // A doc that is ALL boilerplate rewrites to the empty string, not null.
+    val twin = Seq((1L, "same text"), (2L, "same text")).toDF("doc_id", "text")
+    val wiped = Dedup.removeBoilerplateTiles(twin, "doc_id", "text", 2, 1)
+      .orderBy("doc_id").as[(Long, Long, Long, String)].collect()
+    assert(wiped.forall(r => r._3 === 0L && r._4 === ""))
+    // The corpus side never shuffles: the only Exchange in the plan feeds
+    // the tile-hash count; the rewrite joins the hot set as a broadcast.
+    val plan = Dedup.removeBoilerplateTiles(docs, "doc_id", "text", 2, 1)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      s"hot set must join as a broadcast:\n$plan")
+  }
 }

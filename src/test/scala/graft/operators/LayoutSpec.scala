@@ -142,4 +142,24 @@ class LayoutSpec extends SparkSpec {
       .select($"event_id", $"value").as[(Long, Double)].collect().toSet
     assert(others === before, "untouched partitions must survive the overwrite")
   }
+
+  test("denseIds equals the single-task row_number, distributed over many partitions") {
+    import org.apache.spark.sql.expressions.Window
+    val df = graft.Tables.events(spark, sf)
+      .select($"event_id", $"user_id")
+    val got = Layout.denseIds(df, Seq("event_id"), numPartitions = 7)
+    val n = df.count()
+    // contiguous 0..n-1, and id order == key order
+    val ids = got.select($"row_id").as[Long].collect().sorted
+    assert(ids === (0L until n).toArray)
+    val naive = df.withColumn("row_id",
+      row_number().over(Window.orderBy($"event_id")).cast("long") - 1)
+    assert(got.except(naive).isEmpty && naive.except(got).isEmpty,
+      "distributed assignment must equal the window formulation")
+    // the ordering stage plans a RANGE exchange, never a single partition
+    val plan = Layout.rangeSorted(df, Seq("event_id"), 7)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("rangepartitioning"), s"expected range exchange:\n$plan")
+    assert(!plan.contains("SinglePartition"), s"single-task sort leaked in:\n$plan")
+  }
 }

@@ -174,4 +174,36 @@ class ProfileSpec extends SparkSpec {
     assert(Profile.kAnonymityAudit(rows.filter($"seg" === "A"), Seq("seg"),
       k = 3).count() === 0)
   }
+
+  test("scdType2 chains half-open validity intervals with one current version per key") {
+    val log = Seq(
+      (1L, 10L, 1L, "a"), (1L, 20L, 2L, "b"), (1L, 30L, 3L, "c"),
+      (2L, 15L, 4L, "x"),
+      // key 3: tied instants — the tie column orders versions; the earlier
+      // one gets a zero-length [15, 15) interval, consistent both engines
+      (3L, 15L, 5L, "old"), (3L, 15L, 6L, "new"))
+      .toDF("k", "ts", "seq", "payload")
+    val got = Profile.scdType2(log, "k", Seq("ts", "seq"), Seq("payload"))
+      .select("k", "version_num", "valid_from", "valid_to", "is_current",
+        "payload")
+      .orderBy("k", "version_num")
+      .as[(Long, Int, Long, Option[Long], Boolean, String)].collect()
+    assert(got === Array(
+      (1L, 1, 10L, Some(20L), false, "a"),
+      (1L, 2, 20L, Some(30L), false, "b"),
+      (1L, 3, 30L, None, true, "c"),
+      (2L, 1, 15L, None, true, "x"),
+      (3L, 1, 15L, Some(15L), false, "old"),
+      (3L, 2, 15L, None, true, "new")))
+    // invariants: version numbers contiguous from 1; each valid_to equals
+    // the successor's valid_from; exactly one open (current) row per key
+    got.groupBy(_._1).foreach { case (_, vs) =>
+      assert(vs.map(_._2).toSeq === (1 to vs.length))
+      vs.sortBy(_._2).sliding(2).foreach {
+        case Array(p, n) => assert(p._4.contains(n._3))
+        case _ =>
+      }
+      assert(vs.count(_._5) === 1 && vs.last._5)
+    }
+  }
 }
