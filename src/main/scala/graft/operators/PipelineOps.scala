@@ -112,6 +112,24 @@ object PipelineOps {
   def hashSamplePredicate(key: Column, thresholdHex: Column): Column =
     substring(md5(key.cast("string").cast("binary")), 1, 2) < thresholdHex
 
+  /** Per-ROW weighted deterministic Bernoulli keep: the per-example
+    * extension of [[hashSamplePredicate]]'s fixed rate — each row brings
+    * its own keep probability (a quality score, a mixture weight, a decay
+    * by age) as `threshold65536`, an integer 0..65536 expression, and is
+    * kept when its 16-bit md5 draw falls below it. Build thresholds with
+    * INTEGER arithmetic (e.g. `least(65536, n_chars * 164)`): a float
+    * product can land on a bucket boundary differently per libm, an
+    * integer one cannot. Same md5 draw family as the rate sampler and
+    * [[splitAssign]] (finer: 65536 buckets vs 256), so per-example
+    * sampling composes with split assignment without correlation.
+    * Reproducible across engines, retries, and reruns — rand() here would
+    * poison every cached downstream dataset. Pure map-side expression:
+    * zero shuffle, fuses into the scan.
+    */
+  def weightedSamplePredicate(key: Column, threshold65536: Column): Column =
+    conv(substring(md5(key.cast("string").cast("binary")), 1, 4), 16, 10)
+      .cast("long") < threshold65536.cast("long")
+
   /** Deterministic, disjoint, exhaustive split assignment (train/val/
     * test) keyed on the SAME md5 draw as [[hashSamplePredicate]]: each
     * row's 0-255 draw falls into one cumulative bucket. Properties that
@@ -151,6 +169,25 @@ object PipelineOps {
               ELSE 'test' END AS split,
          count(*) AS n
        FROM documents GROUP BY 1, 2 ORDER BY lang, split"""
+
+  // ---- q141: per-row weighted sampling ----------------------------------------
+  // Length-weighted keep (longer documents survive with higher
+  // probability, capped at 1): integer threshold n_chars·164 of 65536.
+  private def q141(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("lang"), col("doc_id"),
+        weightedSamplePredicate(col("doc_id"),
+          least(lit(65536), col("n_chars") * 164)).as("keep"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_total"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"))
+      .orderBy(col("lang"))
+  private val q141Sql =
+    """SELECT lang, count(*)::BIGINT AS n_total,
+         sum(CASE WHEN ('0x' || substr(md5(doc_id::VARCHAR), 1, 4))::INTEGER
+               < least(65536, n_chars * 164) THEN 1 ELSE 0 END)::BIGINT
+           AS n_kept
+       FROM documents GROUP BY lang ORDER BY lang"""
 
   /** Per-stratum totals and deterministically-sampled counts. */
   def stratifiedSampleStats(df: DataFrame, stratumCol: String, keyCol: String,
@@ -1165,5 +1202,6 @@ object PipelineOps {
     QueryDef("q110_split_assign", q110, Some(q110Sql)),
     QueryDef("q111_crosslm_score", q111, Some(q111Sql)),
     QueryDef("q118_mixture_epochs", q118, Some(q118Sql)),
-    QueryDef("q119_split_leakage", q119, Some(q119Sql)))
+    QueryDef("q119_split_leakage", q119, Some(q119Sql)),
+    QueryDef("q141_weighted_sample", q141, Some(q141Sql)))
 }

@@ -307,4 +307,24 @@ class PipelineOpsSpec extends SparkSpec {
       .select($"doc_id").as[Long].collect().toSet
     assert(lenient === train)
   }
+
+  test("weightedSamplePredicate: empty at 0, total at 65536, monotone, near-rate") {
+    import spark.implicits._
+    val keys = (0L until 4096L).toDF("k")
+    def kept(t: Int): Set[Long] = keys
+      .filter(PipelineOps.weightedSamplePredicate($"k", lit(t)))
+      .as[Long].collect().toSet
+    assert(kept(0).isEmpty)
+    assert(kept(65536).size === 4096)
+    val (low, mid, high) = (kept(16384), kept(32768), kept(49152))
+    // raising a row's weight can only ADD it to the sample, never evict
+    assert(low.subsetOf(mid) && mid.subsetOf(high))
+    // keep rate tracks threshold/65536 (md5 uniformity, ±4% at n=4096)
+    assert(math.abs(mid.size / 4096.0 - 0.5) < 0.04, s"got ${mid.size}")
+    // per-row weights: a zero-weight row never survives beside kept ones
+    val rows = Seq((1L, 0), (2L, 65536), (3L, 65536)).toDF("k", "w")
+    val got = rows.filter(PipelineOps.weightedSamplePredicate($"k", $"w"))
+      .select($"k").as[Long].collect().toSet
+    assert(got === Set(2L, 3L))
+  }
 }
