@@ -1169,6 +1169,46 @@ object Dedup {
            '') AS clean_text
        FROM flags GROUP BY doc_id ORDER BY doc_id"""
 
+  /** LSH acceptance report: the dedup analog of Similarity.recallReport —
+    * compare the MinHash-LSH pair list against the exact Jaccard join and
+    * report true / found / missed / spurious counts in one row. Run it on
+    * a sample before a production dedup to validate banding parameters
+    * (bands × rows set the S-curve; pairs barely over the threshold are
+    * the ones a weak configuration drops). `n_extra` is zero by
+    * construction — the LSH verify stage admits only true pairs — so a
+    * nonzero value is a regression alarm, not a tuning signal.
+    *
+    * Scale: both inputs are pair lists (output-sized, ≈ duplicate count,
+    * orders of magnitude smaller than the corpus); the comparison is one
+    * full-outer join on the pair key.
+    */
+  def lshMissReport(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val exact = jaccardPairsPrefix(df, idCol, textCol)
+      .select(col("d1"), col("d2"), lit(1).as("t"))
+    val lsh = minhashLshPairs(df, idCol, textCol)
+      .select(col("d1"), col("d2"), lit(1).as("f"))
+    exact.join(lsh, Seq("d1", "d2"), "full_outer")
+      .agg(count(col("t")).as("n_true"), count(col("f")).as("n_lsh"),
+        count(when(col("t").isNotNull && col("f").isNull, 1)).as("n_missed"),
+        count(when(col("f").isNotNull && col("t").isNull, 1)).as("n_extra"))
+  }
+
+  // ---- q142: LSH acceptance report ---------------------------------------------
+  // At this fixture the duplicate pairs sit far above the banding
+  // S-curve's soft region, so the hashable expectation is exact parity;
+  // near-threshold corpora are what the report exists to measure.
+  private def q142(s: SparkSession, d: String): DataFrame =
+    lshMissReport(Tables.documents(s, d), "doc_id", "text")
+  private val q142Sql =
+    s"""WITH ${jaccardCtes()},
+       truth AS (
+         SELECT d1, d2 FROM pair
+         JOIN sizes s1 ON d1 = s1.doc_id JOIN sizes s2 ON d2 = s2.doc_id
+         WHERE inter / (s1.n + s2.n - inter) >= $JaccardThreshold)
+       SELECT count(*)::BIGINT AS n_true, count(*)::BIGINT AS n_lsh,
+         0::BIGINT AS n_missed, 0::BIGINT AS n_extra
+       FROM truth"""
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q25_exact_dedup", q25, Some(q25Sql)),
     QueryDef("q26_ngram_jaccard", q26, Some(exactJaccardSql)),
@@ -1188,5 +1228,6 @@ object Dedup {
     QueryDef("q123_editdist_join", q123, Some(q123Sql)),
     QueryDef("q124_jaccard_prefix", q124, Some(exactJaccardSql)),
     QueryDef("q133_semantic_dedup", q133, Some(q133Sql)),
-    QueryDef("q140_boilerplate_tiles", q140, Some(q140Sql)))
+    QueryDef("q140_boilerplate_tiles", q140, Some(q140Sql)),
+    QueryDef("q142_lsh_miss_report", q142, Some(q142Sql)))
 }

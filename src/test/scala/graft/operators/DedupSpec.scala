@@ -240,4 +240,19 @@ class DedupSpec extends SparkSpec {
     assert(plan.contains("BroadcastNestedLoopJoin"),
       s"hot set must join as a broadcast:\n$plan")
   }
+
+  test("lshMissReport is the exact set algebra of the two pair lists") {
+    val docs = graft.Tables.documents(spark, sf).select($"doc_id", $"text")
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select($"d1", $"d2").as[(Long, Long)].collect().toSet
+    val exact = pairs(Dedup.jaccardPairsPrefix(docs, "doc_id", "text"))
+    val lsh = pairs(Dedup.minhashLshPairs(docs, "doc_id", "text"))
+    val Array(row) = Dedup.lshMissReport(docs, "doc_id", "text")
+      .as[(Long, Long, Long, Long)].collect()
+    assert(row === ((exact.size.toLong, lsh.size.toLong,
+      (exact -- lsh).size.toLong, (lsh -- exact).size.toLong)))
+    // the verify stage admits only true pairs — spurious finds impossible
+    assert((lsh -- exact).isEmpty)
+    assert(exact.nonEmpty, "fixture must exercise the report with real pairs")
+  }
 }
