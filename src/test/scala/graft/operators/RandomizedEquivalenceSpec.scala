@@ -93,4 +93,49 @@ class RandomizedEquivalenceSpec extends SparkSpec {
       }
     }
   }
+
+  test("removeBoilerplateTiles equals a sequential reimplementation on random corpora") {
+    val vocab = Vector("a", "b", "c") // tiny vocab → tile collisions abound
+    (1 to 6).foreach { trial =>
+      val w = 1 + rnd.nextInt(3)
+      val maxOcc = 1 + rnd.nextInt(2)
+      val docs = Vector.tabulate(20) { i =>
+        (i.toLong,
+          Seq.fill(1 + rnd.nextInt(9))(vocab(rnd.nextInt(3))).mkString(" "))
+      }
+      // independent sequential mirror of the tiling + count + rewrite
+      def tiles(text: String): Vector[String] =
+        text.split(" ", -1).toVector.grouped(w).map(_.mkString(" ")).toVector
+      val counts = docs.flatMap(d => tiles(d._2))
+        .groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val want = docs.map { case (id, text) =>
+        val ts = tiles(text)
+        val kept = ts.filter(counts(_) <= maxOcc)
+        (id, ts.size.toLong, kept.size.toLong, kept.mkString(" "))
+      }.toSet
+      val got = Dedup.removeBoilerplateTiles(docs.toDF("doc_id", "text"),
+          "doc_id", "text", tileWords = w, maxOccurrences = maxOcc)
+        .as[(Long, Long, Long, String)].collect().toSet
+      assert(got === want, s"trial $trial w=$w maxOcc=$maxOcc")
+      assert(want.exists(r => r._3 < r._2),
+        s"trial $trial dropped nothing — collisions expected with this vocab")
+    }
+  }
+
+  test("denseIds stays contiguous and order-correct under duplicate keys") {
+    (1 to 4).foreach { trial =>
+      val n = 500 + rnd.nextInt(1500)
+      val parts = 1 + rnd.nextInt(12)
+      // heavy duplication: ~20 distinct keys over hundreds of rows
+      val rows = Vector.tabulate(n)(i => (rnd.nextInt(20).toLong, i.toLong))
+      val got = Layout.denseIds(rows.toDF("k", "uniq"), Seq("k", "uniq"),
+          numPartitions = parts)
+        .as[(Long, Long, Long)].collect().sortBy(_._3)
+      assert(got.map(_._3).toVector === (0L until n).toVector,
+        s"trial $trial ids not contiguous")
+      // with the unique tie-break, id order is exactly (k, uniq) order
+      assert(got.map(r => (r._1, r._2)).toVector ===
+        rows.sorted.toVector, s"trial $trial order mismatch (parts=$parts)")
+    }
+  }
 }
