@@ -7,8 +7,13 @@ import org.apache.spark.sql.functions._
   * training-data pipeline runs, built entirely from this library's
   * individually oracle-verified stages:
   *
-  *   normalize → rule filter (Gopher) → exact dedup → near-dup
-  *   (MinHash-LSH, transitive) → per-source mixture sampling
+  *   normalize → [boilerplate tile removal] → rule filter (Gopher) →
+  *   exact dedup → near-dup (MinHash-LSH, transitive) → per-source
+  *   mixture sampling
+  *
+  * The bracketed stage is opt-in (`boilerplateTileWords`): the C4
+  * repeated-span rule rewrites documents in place; a doc hollowed out to
+  * nothing is then dropped by the word-count rule, not by the rewrite.
   *
   * Returned as (curated corpus, per-stage audit counts). The audit is the
   * artifact a data lead actually reviews: how many documents each stage
@@ -26,7 +31,9 @@ import org.apache.spark.sql.functions._
 object Curation {
 
   def curate(docs: DataFrame, idCol: String, textCol: String,
-      groupCol: String): (DataFrame, DataFrame) = {
+      groupCol: String,
+      boilerplateTileWords: Option[Int] = None,
+      boilerplateMaxOccurrences: Long = 1L): (DataFrame, DataFrame) = {
     val spark = docs.sparkSession
     import spark.implicits._
 
@@ -35,10 +42,23 @@ object Curation {
       .withColumn(textCol, col("norm")).drop("norm", "changed")
       .localCheckpoint(false)
 
+    // 1b. optional boilerplate tile removal (the C4 repeated-span rule):
+    //     documents are REWRITTEN, not dropped — a doc hollowed out to
+    //     nothing then fails the word-count rule in stage 2 naturally.
+    val deboiled = boilerplateTileWords match {
+      case Some(w) =>
+        Dedup.removeBoilerplateTiles(normalized, idCol, textCol,
+            tileWords = w, maxOccurrences = boilerplateMaxOccurrences)
+          .withColumn(textCol, col("clean_text"))
+          .drop("n_tiles", "n_kept", "clean_text")
+          .localCheckpoint(false)
+      case None => normalized
+    }
+
     // 2. rule-based quality filter (keep only passing docs)
-    val kept = TextAnalysis.gopherFilter(normalized, idCol, textCol)
+    val kept = TextAnalysis.gopherFilter(deboiled, idCol, textCol)
       .filter(col("keep")).select(col(idCol))
-    val filtered = normalized.join(kept, idCol).localCheckpoint(false)
+    val filtered = deboiled.join(kept, idCol).localCheckpoint(false)
 
     // 3. exact duplicate removal (first id per content hash survives)
     val keepers = Dedup.exactDedup(filtered, idCol, textCol)
@@ -67,6 +87,8 @@ object Curation {
     val audit = Seq(
       "0_input" -> docs.count(),
       "1_normalized" -> normalized.count(),
+      "1b_nonempty_after_boilerplate" ->
+        deboiled.filter(length(col(textCol)) > 0).count(),
       "2_rule_filtered" -> filtered.count(),
       "3_exact_deduped" -> exactDeduped.count(),
       "4_near_deduped" -> nearDeduped.count(),

@@ -1115,6 +1115,10 @@ object Dedup {
     * but it replaces two corpus-wide exchanges, which is the far larger
     * cost at 100 TB. If the hot set ever outgrows a broadcast row, fall
     * back to the explode + anti-join form.
+    *
+    * All input columns pass through unchanged; `n_tiles`, `n_kept`, and
+    * `clean_text` are appended (so the rewrite composes into pipelines
+    * without a re-join).
     */
   def removeBoilerplateTiles(df: DataFrame, idCol: String, textCol: String,
       tileWords: Int, maxOccurrences: Long): DataFrame = {
@@ -1137,10 +1141,12 @@ object Dedup {
     val tilesArr = tilesOf(col(textCol))
     val kept = filter(tilesArr,
       t => !array_contains(col("hot_hashes"), xxhash64(t)))
+    val passThrough = df.columns.map(col).toSeq
     df.crossJoin(broadcast(hot))
-      .select(col(idCol), size(tilesArr).cast("long").as("n_tiles"),
+      .select(passThrough ++ Seq(
+        size(tilesArr).cast("long").as("n_tiles"),
         size(kept).cast("long").as("n_kept"),
-        concat_ws(" ", kept).as("clean_text"))
+        concat_ws(" ", kept).as("clean_text")): _*)
   }
 
   // ---- q140: boilerplate tile removal ------------------------------------------
@@ -1148,8 +1154,10 @@ object Dedup {
   // fixture's exact-duplicate documents shed their shared tiles from both
   // copies, unique prose is untouched.
   private def q140(s: SparkSession, d: String): DataFrame =
-    removeBoilerplateTiles(Tables.documents(s, d), "doc_id", "text",
-        tileWords = 8, maxOccurrences = 1)
+    removeBoilerplateTiles(
+        Tables.documents(s, d).select(col("doc_id"), col("text")),
+        "doc_id", "text", tileWords = 8, maxOccurrences = 1)
+      .select(col("doc_id"), col("n_tiles"), col("n_kept"), col("clean_text"))
       .orderBy(col("doc_id"))
   private val q140Sql =
     """WITH t AS (

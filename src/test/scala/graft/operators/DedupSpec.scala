@@ -222,6 +222,7 @@ class DedupSpec extends SparkSpec {
       .toDF("doc_id", "text")
     val got = Dedup.removeBoilerplateTiles(docs, "doc_id", "text",
         tileWords = 2, maxOccurrences = 1)
+      .select("doc_id", "n_tiles", "n_kept", "clean_text")
       .orderBy("doc_id")
       .as[(Long, Long, Long, String)].collect()
     assert(got(0) === ((1L, 4L, 2L, "unique alpha body one")))
@@ -231,6 +232,7 @@ class DedupSpec extends SparkSpec {
     // A doc that is ALL boilerplate rewrites to the empty string, not null.
     val twin = Seq((1L, "same text"), (2L, "same text")).toDF("doc_id", "text")
     val wiped = Dedup.removeBoilerplateTiles(twin, "doc_id", "text", 2, 1)
+      .select("doc_id", "n_tiles", "n_kept", "clean_text")
       .orderBy("doc_id").as[(Long, Long, Long, String)].collect()
     assert(wiped.forall(r => r._3 === 0L && r._4 === ""))
     // The corpus side never shuffles: the only Exchange in the plan feeds

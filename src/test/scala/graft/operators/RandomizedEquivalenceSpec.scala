@@ -115,6 +115,7 @@ class RandomizedEquivalenceSpec extends SparkSpec {
       }.toSet
       val got = Dedup.removeBoilerplateTiles(docs.toDF("doc_id", "text"),
           "doc_id", "text", tileWords = w, maxOccurrences = maxOcc)
+        .select("doc_id", "n_tiles", "n_kept", "clean_text")
         .as[(Long, Long, Long, String)].collect().toSet
       assert(got === want, s"trial $trial w=$w maxOcc=$maxOcc")
       assert(want.exists(r => r._3 < r._2),
