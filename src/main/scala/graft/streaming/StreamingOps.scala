@@ -365,6 +365,73 @@ object StreamingOps {
       .transformWithState(new HHProcessor, TimeMode.None(), OutputMode.Update())
   }
 
+  /** Persistent per-key state of the streaming current view: the winning
+    * (ord, tie) version and its payload. */
+  final case class KvState(ord: Long, tie: Long, payload: String)
+
+  /** One change-feed emission: the key's NEW current version. */
+  final case class KvUpdate(key: Long, ord: Long, tie: Long, payload: String)
+
+  /** Streaming materialized-view maintenance: the streaming form of
+    * `Profile.latestPerKey` / `cdcApply`. Each key's current version
+    * ((ord, tie) max, payload) lives in the state store; a batch's rows
+    * fold into it and the operator emits ONLY keys whose current version
+    * changed — a change feed downstream sinks upsert by key. Out-of-order
+    * and replayed rows are absorbed silently (no emission), which makes
+    * the feed idempotent under at-least-once delivery.
+    *
+    * Scale shape: state is one row per key, partitioned by key hash
+    * across tasks; a batch's input folds per key from an iterator (the
+    * map-side equivalent of latestPerKey's partial max(struct)), so
+    * per-batch work is O(batch) and per-batch emissions are bounded by
+    * the batch's distinct keys. Requires the RocksDB state store
+    * provider (as [[sessionizeTws]]) and restart-resumes from the
+    * checkpoint — the view is durable, not per-run.
+    */
+  def latestPerKeyStream(changes: DataFrame, keyCol: String, ordCol: String,
+      tieCol: String, payloadCol: String): Dataset[KvUpdate] = {
+    import changes.sparkSession.implicits._
+
+    class LatestProcessor
+        extends StatefulProcessor[Long, (Long, Long, Long, String), KvUpdate] {
+      @transient private var state: org.apache.spark.sql.streaming.ValueState[KvState] = _
+
+      override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+        state = getHandle.getValueState[KvState](
+          "latest", Encoders.product[KvState], TTLConfig.NONE)
+
+      override def handleInputRows(
+          key: Long,
+          rows: Iterator[(Long, Long, Long, String)],
+          timerValues: TimerValues): Iterator[KvUpdate] = {
+        val prev = Option(state.get())
+        val best = rows.foldLeft(prev) { (acc, r) =>
+          val cand = KvState(r._2, r._3, r._4)
+          acc match {
+            case Some(s)
+              if s.ord > cand.ord || (s.ord == cand.ord && s.tie >= cand.tie)
+              => acc
+            case _ => Some(cand)
+          }
+        }
+        best match {
+          case Some(b) if !prev.contains(b) =>
+            state.update(b)
+            Iterator.single(KvUpdate(key, b.ord, b.tie, b.payload))
+          case _ => Iterator.empty
+        }
+      }
+    }
+
+    changes
+      .select(col(keyCol).cast("long"), col(ordCol).cast("long"),
+        col(tieCol).cast("long"), col(payloadCol).cast("string"))
+      .as[(Long, Long, Long, String)]
+      .groupByKey(_._1)
+      .transformWithState(new LatestProcessor, TimeMode.None(),
+        OutputMode.Update())
+  }
+
   /** The Spark-4-native form of [[sessionizeStateful]] using the
     * transformWithState StatefulProcessor API (typed ValueState + event-time
     * timers). Requires the RocksDB state store provider:

@@ -457,4 +457,67 @@ class StreamingAnalyticsSpec extends SparkSpec {
     } finally
       spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
   }
+
+  test("latestPerKeyStream maintains the current view as an idempotent change feed") {
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val ms = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, Long, Long, String)](spark)
+      val ckpt = tmp("ckpt_kv")
+      val out = StreamingOps.latestPerKeyStream(
+        ms.toDF().toDF("k", "ord", "tie", "payload"), "k", "ord", "tie",
+        "payload")
+      def sinkTo(buf: java.util.concurrent.ConcurrentLinkedQueue[StreamingOps.KvUpdate]) =
+        out.writeStream.outputMode("update")
+          .option("checkpointLocation", ckpt)
+          .foreachBatch {
+            (d: org.apache.spark.sql.Dataset[StreamingOps.KvUpdate], _: Long) =>
+              d.collect().foreach(buf.add)
+          }
+      import scala.jdk.CollectionConverters._
+
+      val run1 = new java.util.concurrent.ConcurrentLinkedQueue[StreamingOps.KvUpdate]()
+      val q1 = sinkTo(run1).start()
+      val all = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, String)]
+      try {
+        val b1 = Seq((1L, 10L, 1L, "a1"), (2L, 10L, 2L, "b1"))
+        all ++= b1; ms.addData(b1); q1.processAllAvailable()
+        // batch 2: key 1 advances; key 2 gets a STALE row (absorbed, no
+        // emission); a replay of key 1's batch-1 row rides along too
+        val b2 = Seq((1L, 20L, 3L, "a2"), (2L, 5L, 4L, "bstale"),
+          (1L, 10L, 1L, "a1"))
+        all ++= b2; ms.addData(b2); q1.processAllAvailable()
+      } finally { q1.stop(); q1.awaitTermination(60000) }
+      val r1 = run1.asScala.toSeq
+      assert(r1.count(_.key == 1L) === 2, s"key 1 changed twice: $r1")
+      assert(r1.count(_.key == 2L) === 1,
+        s"stale+replay rows must not re-emit key 2: $r1")
+
+      // restart over the same checkpoint: only a genuinely newer version
+      // emits; the pre-restart state decides what "newer" means
+      val b3 = Seq((2L, 30L, 5L, "b2"), (1L, 15L, 6L, "aold"))
+      all ++= b3; ms.addData(b3)
+      val run2 = new java.util.concurrent.ConcurrentLinkedQueue[StreamingOps.KvUpdate]()
+      val q2 = sinkTo(run2).start()
+      try q2.processAllAvailable()
+      finally { q2.stop(); q2.awaitTermination(60000) }
+      val r2 = run2.asScala.toSeq
+      assert(r2.map(u => (u.key, u.payload)) === Seq((2L, "b2")),
+        s"only key 2 advanced past the persisted state: $r2")
+
+      // applying the change feed (last emission per key) reproduces the
+      // batch latestPerKey over everything that ever arrived
+      val feedView = (r1 ++ r2).groupBy(_.key).map { case (k, us) =>
+        val w = us.maxBy(u => (u.ord, u.tie))
+        (k, w.ord, w.tie, w.payload)
+      }.toSet
+      val batchView = graft.operators.Profile.latestPerKey(
+          all.toSeq.toDF("k", "ord", "tie", "payload"), "k", Seq("ord", "tie"),
+          Seq("payload"))
+        .as[(Long, Long, Long, String)].collect().toSet
+      assert(feedView === batchView)
+    } finally
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
 }
