@@ -206,4 +206,35 @@ class ProfileSpec extends SparkSpec {
       assert(vs.count(_._5) === 1 && vs.last._5)
     }
   }
+
+  test("point-in-time enrichment: scdType2 interval probe equals the as-of join") {
+    // Two independent machineries must agree: probing the SCD2 validity
+    // intervals with [from, to) semantics, and the backward as-of join on
+    // the raw version instants (the union+window single-exchange plan).
+    val log = graft.Tables.events(spark, sf)
+      .select($"user_id", $"ts", $"event_id", $"value")
+      .filter($"event_id" % 3 === 0)
+    val dim = Profile.scdType2(log, "user_id",
+      Seq("ts", "event_id"), Seq("value"))
+    // probe each user on a fixed minute grid spanning the history
+    val probes = graft.Tables.events(spark, sf)
+      .filter($"event_id" % 17 === 0)
+      .select($"user_id", $"ts".as("probe_ts"))
+    val viaIntervals = probes.join(dim,
+        probes("user_id") === dim("user_id") &&
+          $"probe_ts" >= $"valid_from" &&
+          ($"valid_to".isNull || $"probe_ts" < $"valid_to"),
+        "left")
+      .select(probes("user_id"), $"probe_ts", $"value")
+      .as[(Long, java.sql.Timestamp, Option[Double])].collect().toSet
+    val viaAsOf = AsOfJoin.leftAsOf(probes, log.drop("event_id"),
+        keys = Seq("user_id"), leftTime = "probe_ts", rightTime = "ts",
+        rightPayload = Seq("value"))
+      .select($"user_id", $"probe_ts", $"value")
+      .as[(Long, java.sql.Timestamp, Option[Double])].collect().toSet
+    assert(viaIntervals === viaAsOf)
+    assert(viaIntervals.exists(_._3.isDefined), "probes must hit versions")
+    assert(viaIntervals.exists(_._3.isEmpty),
+      "some probes should precede their user's first version")
+  }
 }
