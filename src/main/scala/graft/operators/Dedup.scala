@@ -495,16 +495,27 @@ object Dedup {
     * pairs at sf0.1), and the re-join multiplies |cands| × grams-per-doc
     * into a shuffle 50× the gram stream. The array form costs one row per
     * CANDIDATE (two hash joins carrying each doc's gram array once) — at
-    * sf0.1 it took q124 from 51 s to 9.7 s; the remaining cost is the
-    * inherent exactness tax (df join + rarity sort over the gram stream).
+    * sf0.1 it took q124 from 51 s to 9.7 s, and shuffling 8-byte gram
+    * hashes instead of gram strings (see below) took it to ~6.7 s; the
+    * remaining cost is the inherent exactness tax (df join + rarity sort
+    * over the gram stream, now at fixed-width keys).
     * LSH keeps the re-join verify: its candidates ≈ true dups, where the
     * narrow join wins.
     */
   def jaccardPairsPrefix(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val grams = gramRows(df, idCol, textCol).localCheckpoint(false)
+    // Grams shuffle as 8-byte xxhash64 keys from the first exchange on —
+    // the same never-shuffle-text convention as exactDedup's md5. Every
+    // downstream step (df count, rarity order, prefix join, verify
+    // intersection) is gram-IDENTITY work, not gram-CONTENT work, so any
+    // injective-in-practice key serves; collision probability per doc
+    // pair is ~|grams|²/2⁶⁴. The rarity tiebreak is the hash (a global
+    // total order is all the prefix lemma needs).
+    val grams = gramRows(df, idCol, textCol)
+      .select(col("doc_id"), xxhash64(col("g")).as("g"))
+      .localCheckpoint(false)
     val dfreq = grams.groupBy(col("g")).agg(count(lit(1)).as("df"))
-    // One row per doc: its distinct grams (sorted, for the verify
+    // One row per doc: its distinct gram hashes (sorted, for the verify
     // intersection) and gram count. |docs|-sized, reused twice.
     val docGrams = grams.groupBy(col("doc_id"))
       .agg(sort_array(collect_list(col("g"))).as("gs"),
