@@ -36,6 +36,26 @@ object Layout {
     spread(a).bitwiseOR(shiftleft(spread(b), 1))
   }
 
+  /** Morton Z-value of THREE non-negative dimensions (each < 2^21): bits
+    * interleaved a,b,c,a,b,c,… — the layout key when a fact table is
+    * queried by three independent dimensions (e.g. time × customer ×
+    * region). 21 bits per dimension fills 63 bits; quantize wider inputs
+    * (shift down) first. Same pure codegen'd mask-shift arithmetic as
+    * [[zValue]], one more spread step.
+    */
+  def zValue3(a: Column, b: Column, c: Column): Column = {
+    def spread(x0c: Column): Column = {
+      val x0 = x0c.cast("long").bitwiseAND(lit(0x1FFFFFL))
+      val x1 = x0.bitwiseOR(shiftleft(x0, 32)).bitwiseAND(lit(0x1F00000000FFFFL))
+      val x2 = x1.bitwiseOR(shiftleft(x1, 16)).bitwiseAND(lit(0x1F0000FF0000FFL))
+      val x3 = x2.bitwiseOR(shiftleft(x2, 8)).bitwiseAND(lit(0x100F00F00F00F00FL))
+      val x4 = x3.bitwiseOR(shiftleft(x3, 4)).bitwiseAND(lit(0x10C30C30C30C30C3L))
+      x4.bitwiseOR(shiftleft(x4, 2)).bitwiseAND(lit(0x1249249249249249L))
+    }
+    spread(a).bitwiseOR(shiftleft(spread(b), 1))
+      .bitwiseOR(shiftleft(spread(c), 2))
+  }
+
   /** Lay `df` out in Z-order over two dimensions: range-partition by the
     * Z-value (balanced output files via sampled bounds), sort within each
     * partition, keep the original schema. Write the result with any file
@@ -204,7 +224,50 @@ object Layout {
          (row_number() OVER (ORDER BY o_orderkey) - 1)::BIGINT AS row_id
        FROM orders ORDER BY row_id"""
 
+  // ---- q143: three-dimensional Z-value ----------------------------------------
+  // Interleave custkey × nationkey × a derived third dimension; the
+  // oracle replays the mask-shift pipeline bit-for-bit in SQL.
+  private def q143(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .select(col("c_custkey"), col("c_nationkey").cast("long").as("c_nationkey"),
+        (col("c_custkey") % 64).as("c_third"),
+        zValue3(col("c_custkey"), col("c_nationkey"), col("c_custkey") % 64)
+          .as("z3"))
+      .orderBy(col("c_custkey"))
+  private val q143Sql =
+    """WITH a0 AS (
+         SELECT c_custkey, c_nationkey::BIGINT AS c_nationkey,
+           (c_custkey % 64)::BIGINT AS c_third,
+           (c_custkey::BIGINT & 2097151) AS x,
+           (c_nationkey::BIGINT & 2097151) AS y,
+           ((c_custkey % 64)::BIGINT & 2097151) AS w
+         FROM customer),
+       a1 AS (SELECT c_custkey, c_nationkey, c_third,
+         (x | (x << 32)) & 8725724278095871 AS x,
+         (y | (y << 32)) & 8725724278095871 AS y,
+         (w | (w << 32)) & 8725724278095871 AS w FROM a0),
+       a2 AS (SELECT c_custkey, c_nationkey, c_third,
+         (x | (x << 16)) & 8725728556220671 AS x,
+         (y | (y << 16)) & 8725728556220671 AS y,
+         (w | (w << 16)) & 8725728556220671 AS w FROM a1),
+       a3 AS (SELECT c_custkey, c_nationkey, c_third,
+         (x | (x << 8)) & 1157144660301377551 AS x,
+         (y | (y << 8)) & 1157144660301377551 AS y,
+         (w | (w << 8)) & 1157144660301377551 AS w FROM a2),
+       a4 AS (SELECT c_custkey, c_nationkey, c_third,
+         (x | (x << 4)) & 1207822528635744451 AS x,
+         (y | (y << 4)) & 1207822528635744451 AS y,
+         (w | (w << 4)) & 1207822528635744451 AS w FROM a3),
+       a5 AS (SELECT c_custkey, c_nationkey, c_third,
+         (x | (x << 2)) & 1317624576693539401 AS x,
+         (y | (y << 2)) & 1317624576693539401 AS y,
+         (w | (w << 2)) & 1317624576693539401 AS w FROM a4)
+       SELECT c_custkey, c_nationkey, c_third,
+         (x | (y << 1) | (w << 2))::BIGINT AS z3
+       FROM a5 ORDER BY c_custkey"""
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q79_zorder", q79, Some(q79Sql)),
-    QueryDef("q138_dense_ids", q138, Some(q138Sql)))
+    QueryDef("q138_dense_ids", q138, Some(q138Sql)),
+    QueryDef("q143_zorder3", q143, Some(q143Sql)))
 }

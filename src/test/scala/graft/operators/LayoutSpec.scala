@@ -30,6 +30,31 @@ class LayoutSpec extends SparkSpec {
       zRef(0, 1) === 2L && zRef(1, 1) === 3L)
   }
 
+  test("zValue3 equals the bit-by-bit reference, including edge values") {
+    def z3Ref(a: Long, b: Long, c: Long): Long = {
+      var z = 0L
+      var i = 0
+      while (i < 21) {
+        z |= ((a >> i) & 1L) << (3 * i)
+        z |= ((b >> i) & 1L) << (3 * i + 1)
+        z |= ((c >> i) & 1L) << (3 * i + 2)
+        i += 1
+      }
+      z
+    }
+    val vals = Seq(0L, 1L, 2L, 7L, 255L, 256L, (1L << 20) - 1, (1L << 21) - 1)
+    val triples = for (a <- vals; b <- vals; c <- Seq(0L, 5L, (1L << 21) - 1))
+      yield (a, b, c)
+    val got = triples.toDF("a", "b", "c")
+      .select($"a", $"b", $"c", Layout.zValue3($"a", $"b", $"c").as("z"))
+      .as[(Long, Long, Long, Long)].collect()
+    got.foreach { case (a, b, c, z) =>
+      assert(z === z3Ref(a, b, c), s"z3($a,$b,$c)") }
+    // canonical octant order: unit steps in a, b, c are bits 0, 1, 2
+    assert(z3Ref(1, 0, 0) === 1L && z3Ref(0, 1, 0) === 2L &&
+      z3Ref(0, 0, 1) === 4L && z3Ref(1, 1, 1) === 7L)
+  }
+
   test("zorderBy range-partitions by the Z-value and keeps the schema") {
     val df = (0 until 64).map(i => (i.toLong % 8, i.toLong / 8, s"p$i"))
       .toDF("x", "y", "payload")

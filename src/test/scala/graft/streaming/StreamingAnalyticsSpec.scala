@@ -346,6 +346,35 @@ class StreamingAnalyticsSpec extends SparkSpec {
     assert(batch.exists(_._2) && batch.exists(!_._2)) // both classes present
   }
 
+  test("deterministic sampling and split assignment run unchanged on a stream") {
+    // md5-draw operators are pure per-row expressions: streamed decisions
+    // must equal the batch decisions row for row — the property that lets
+    // an ingest stream pre-assign splits/samples consistently with any
+    // later batch rebuild.
+    import graft.operators.PipelineOps
+    val ids = (0L until 2000L).toVector
+    val ms = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[Long](spark)
+    ms.addData(ids)
+    val decided = ms.toDF().toDF("id").select($"id",
+      PipelineOps.weightedSamplePredicate($"id", lit(20000)).as("keep"),
+      PipelineOps.splitAssign($"id",
+        Seq("train" -> 205, "val" -> 25, "test" -> 26)).as("split"))
+    val q = decided.writeStream.format("memory").queryName("draws_stream")
+      .option("checkpointLocation", tmp("ckpt_draws")).start()
+    try q.processAllAvailable() finally { q.stop(); q.awaitTermination(60000) }
+    val streamed = spark.table("draws_stream")
+      .as[(Long, Boolean, String)].collect().toSet
+    val batch = ids.toDF("id").select($"id",
+        PipelineOps.weightedSamplePredicate($"id", lit(20000)).as("keep"),
+        PipelineOps.splitAssign($"id",
+          Seq("train" -> 205, "val" -> 25, "test" -> 26)).as("split"))
+      .as[(Long, Boolean, String)].collect().toSet
+    assert(streamed === batch)
+    assert(streamed.count(_._2) > 0)
+    assert(streamed.map(_._3) === Set("train", "val", "test"))
+  }
+
   test("decode recovers every typed event field from payload bytes") {
     val q = decoded().writeStream.format("memory").queryName("decoded_all")
       .option("checkpointLocation", tmp("ckpt_dec"))
