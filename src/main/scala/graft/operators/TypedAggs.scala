@@ -271,11 +271,73 @@ object TypedAggs {
          ON e.user_id = o.o_custkey
        ORDER BY user_id"""
 
+  /** Longest strictly-increasing run of `valCol` per key, in
+    * (ordCol, tieCol) order — the demonstration query for the SECONDARY
+    * SORT escape hatch: `flatMapSortedGroups` hands each key's rows as an
+    * iterator already sorted by the engine (sorted on the shuffle files,
+    * never materialized per group), so order-dependent per-key logic that
+    * no aggregate/window expresses cleanly runs in O(1) memory per group.
+    * Contrast with the window form (the oracle): gaps-and-islands needs
+    * two window passes plus an aggregation; the sorted fold is one pass.
+    *
+    * Scale: one exchange on the key; the per-key sort rides the shuffle
+    * spill machinery (same cost class as any window over the key), and
+    * the fold state is two counters — a million-row key costs nothing
+    * beyond its scan.
+    */
+  def longestIncreasingRun(df: DataFrame, keyCol: String, ordCol: String,
+      tieCol: String, valCol: String): DataFrame = {
+    val s = df.sparkSession
+    import s.implicits._
+    df.select(col(keyCol).cast("long").as("__k"),
+        col(ordCol).cast("long").as("__o"),
+        col(tieCol).cast("long").as("__t"),
+        col(valCol).cast("double").as("__v"))
+      .as[(Long, Long, Long, Double)]
+      .groupByKey(_._1)
+      // sort exprs resolve against the child's columns, not the tuple
+      .flatMapSortedGroups(col("__o"), col("__t")) { (key, rows) =>
+        var best = 0L
+        var cur = 0L
+        var prev = Double.NaN
+        rows.foreach { r =>
+          cur = if (cur > 0 && r._4 > prev) cur + 1 else 1
+          if (cur > best) best = cur
+          prev = r._4
+        }
+        Iterator.single((key, best))
+      }
+      .select(col("_1").as(keyCol), col("_2").as("longest_run"))
+  }
+
+  // ---- q144: longest increasing run (secondary-sort fold) --------------------
+  // Per user: the longest strictly-increasing stretch of event values in
+  // time order. Oracle = the classic two-window gaps-and-islands.
+  private def q144(s: SparkSession, d: String): DataFrame =
+    longestIncreasingRun(Tables.events(s, d), "user_id", "ts", "event_id",
+        "value")
+      .orderBy(col("user_id"))
+  private val q144Sql =
+    """WITH s AS (
+         SELECT user_id, ts, event_id, value,
+           CASE WHEN value > lag(value) OVER w THEN 0 ELSE 1 END AS brk
+         FROM events
+         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+       r AS (
+         SELECT user_id, sum(brk) OVER w2 AS grp
+         FROM s
+         WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id)),
+       runs AS (
+         SELECT user_id, grp, count(*) AS len FROM r GROUP BY 1, 2)
+       SELECT user_id, max(len)::BIGINT AS longest_run
+       FROM runs GROUP BY user_id ORDER BY user_id"""
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q34_topk_aggregator", q34, Some(q34Sql)),
     QueryDef("q35_pivot", q35, Some(q35Sql)),
     QueryDef("q36_approx_distinct", q36, Some(q36Sql)),
     QueryDef("q83_heavy_hitters", q83, Some(q83Sql)),
     QueryDef("q105_typed_cogroup", q105, Some(q105Sql)),
-    QueryDef("q113_grouped_heavy_hitters", q113, Some(q113Sql)))
+    QueryDef("q113_grouped_heavy_hitters", q113, Some(q113Sql)),
+    QueryDef("q144_longest_run", q144, Some(q144Sql)))
 }

@@ -60,4 +60,36 @@ class TypedAggsSpec extends SparkSpec {
         s"$k: approx ${approx(k)} vs exact $n")
     }
   }
+
+  test("longestIncreasingRun folds each key's rows in engine-sorted order") {
+    import spark.implicits._
+    // key 1: 1,3,2,4,5,6 in time order → longest strict run 2,4,5,6 = 4
+    // key 2: plateaus break runs (strict) → 1,1,2 gives run 1,2 = 2
+    // key 3: tied instants ordered by the tie column → 5 then 9 = 2
+    val rows = Seq(
+      (1L, 10L, 1L, 1.0), (1L, 20L, 2L, 3.0), (1L, 30L, 3L, 2.0),
+      (1L, 40L, 4L, 4.0), (1L, 50L, 5L, 5.0), (1L, 60L, 6L, 6.0),
+      (2L, 10L, 7L, 1.0), (2L, 20L, 8L, 1.0), (2L, 30L, 9L, 2.0),
+      (3L, 10L, 11L, 9.0), (3L, 10L, 10L, 5.0))
+      .toDF("k", "o", "t", "v")
+    val got = TypedAggs.longestIncreasingRun(rows, "k", "o", "t", "v")
+      .orderBy("k").as[(Long, Long)].collect()
+    assert(got === Array((1L, 4L), (2L, 2L), (3L, 2L)))
+    // agreement with the window gaps-and-islands form on the real fixture
+    val ev = Tables.events(spark, sf)
+    val viaFold = TypedAggs.longestIncreasingRun(ev, "user_id", "ts",
+        "event_id", "value")
+      .as[(Long, Long)].collect().toSet
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val viaWindow = ev
+      .withColumn("brk",
+        when($"value" > lag($"value", 1).over(w), 0).otherwise(1))
+      .withColumn("grp", sum($"brk").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy($"user_id", $"grp").agg(count(lit(1)).as("len"))
+      .groupBy($"user_id").agg(max($"len").as("longest_run"))
+      .as[(Long, Long)].collect().toSet
+    assert(viaFold === viaWindow)
+  }
 }
