@@ -352,13 +352,32 @@ object Analytics {
     * `localCheckpoint` the daily aggregate (the q66 funnel pattern) or
     * persist it — it is |key × active-days| rows, trivially cacheable.
     */
+  /** Binary-deterministic 6-decimal rounding: floor(x·1e6 + 0.5)/1e6 as
+    * plain IEEE ops, written TEXTUALLY IDENTICALLY in the oracle SQL — on
+    * bit-identical inputs both engines produce bit-identical outputs.
+    * Library round() is NOT cross-engine stable on half boundaries (Spark
+    * rounds the value's shortest decimal representation, DuckDB the
+    * binary double — an exact .xxxxxx5, common for small-denominator
+    * rationals like interpolated averages, flips between them). Valid for
+    * |x| < 2^63/1e6 ≈ 9.2e12; NULL passes through.
+    */
+  private def binRound6(c: Column): Column = floor(c * 1e6 + 0.5) / 1e6
+
   def gapFillDaily(df: DataFrame, keyCol: String, tsCol: String,
       valueCol: String): DataFrame = {
     val daily = df
       .select(col(keyCol).as("k"), to_date(col(tsCol)).as("day"),
         col(valueCol).as("v"))
       .groupBy(col("k"), col("day"))
-      .agg(count(lit(1)).as("n_obs"), round(avg(col("v")), 6).as("day_avg"))
+      .agg(count(lit(1)).as("n_obs"),
+        // deterministic average: exact decimal sum, ONE double division —
+        // bit-identical in both engines (a plain avg(double) folds in
+        // partition order, so engines differ by an ulp). NOT rounded here:
+        // round() itself is engine-divergent on half boundaries (Spark
+        // rounds the shortest decimal representation, DuckDB the binary
+        // value), so rounding happens once, at output, via binRound6.
+        (sum(col("v").cast("decimal(38,6)")).cast("double")
+          / count(lit(1))).as("day_avg"))
     val spine = daily.groupBy(col("k"))
       .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
       .select(col("k"),
@@ -369,7 +388,8 @@ object Analytics {
     spine.join(daily, Seq("k", "day"), "left")
       .select(col("k"), col("day"),
         coalesce(col("n_obs"), lit(0L)).as("n_obs"),
-        last(col("day_avg"), ignoreNulls = true).over(w).as("filled_avg"))
+        binRound6(last(col("day_avg"), ignoreNulls = true).over(w))
+          .as("filled_avg"))
   }
 
   /** Daily gap fill with LINEAR INTERPOLATION — the other standard
@@ -391,7 +411,15 @@ object Analytics {
       .select(col(keyCol).as("k"), to_date(col(tsCol)).as("day"),
         col(valueCol).as("v"))
       .groupBy(col("k"), col("day"))
-      .agg(count(lit(1)).as("n_obs"), round(avg(col("v")), 6).as("day_avg"))
+      .agg(count(lit(1)).as("n_obs"),
+        // deterministic average: exact decimal sum, ONE double division —
+        // bit-identical in both engines (a plain avg(double) folds in
+        // partition order, so engines differ by an ulp). NOT rounded here:
+        // round() itself is engine-divergent on half boundaries (Spark
+        // rounds the shortest decimal representation, DuckDB the binary
+        // value), so rounding happens once, at output, via binRound6.
+        (sum(col("v").cast("decimal(38,6)")).cast("double")
+          / count(lit(1))).as("day_avg"))
     val spine = daily.groupBy(col("k"))
       .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
       .select(col("k"),
@@ -410,10 +438,10 @@ object Analytics {
         first(col("day_avg"), ignoreNulls = true).over(fwd).as("nv"),
         first(obsDay, ignoreNulls = true).over(fwd).as("nd"))
       .select(col("k"), col("day"), col("n_obs"),
-        when(col("pd") === col("nd"), col("pv"))
-          .otherwise(round(col("pv") + (col("nv") - col("pv"))
+        binRound6(when(col("pd") === col("nd"), col("pv"))
+          .otherwise(col("pv") + (col("nv") - col("pv"))
             * datediff(col("day"), col("pd"))
-            / datediff(col("nd"), col("pd")), 6))
+            / datediff(col("nd"), col("pd"))))
           .as("interp_avg"))
   }
 
@@ -536,7 +564,7 @@ object Analytics {
          WHERE user_id < 300),
        daily AS (
          SELECT user_id, day, count(*) AS n_obs,
-           round(avg(value), 6) AS day_avg
+           sum(value::DECIMAL(38,6))::DOUBLE / count(*) AS day_avg
          FROM e GROUP BY 1, 2),
        bounds AS (
          SELECT user_id, min(day) AS d0, max(day) AS d1
@@ -547,9 +575,10 @@ object Analytics {
          FROM bounds)
        SELECT s.user_id, s.day,
          coalesce(daily.n_obs, 0)::BIGINT AS n_obs,
-         last_value(daily.day_avg IGNORE NULLS) OVER (
+         floor(last_value(daily.day_avg IGNORE NULLS) OVER (
            PARTITION BY s.user_id ORDER BY s.day
-           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_avg
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           * 1e6 + 0.5) / 1e6 AS filled_avg
        FROM spine s LEFT JOIN daily
          ON s.user_id = daily.user_id AND s.day = daily.day
        ORDER BY s.user_id, s.day"""
@@ -557,8 +586,10 @@ object Analytics {
   // ---- q125: daily gap fill + linear interpolation ----------------------------
   // Same spine as q84; missing days get the straight line between their
   // surrounding observations. Both engines evaluate the identical
-  // prev + (next−prev)·i/m double expression (datediff is exact integer
-  // arithmetic), rounded to 6 on top of already-rounded day averages.
+  // prev + (next−prev)·i/m double expression over bit-identical inputs
+  // (exact-decimal day sums, datediff as integer arithmetic), and the
+  // output rounding is the shared binary floor(x·1e6+0.5)/1e6 — library
+  // round() flips on exact half boundaries (see binRound6).
   private def q125(s: SparkSession, d: String): DataFrame =
     gapFillInterpolate(Tables.events(s, d).filter(col("user_id") < 300),
         "user_id", "ts", "value")
@@ -570,7 +601,7 @@ object Analytics {
          WHERE user_id < 300),
        daily AS (
          SELECT user_id, day, count(*) AS n_obs,
-           round(avg(value), 6) AS day_avg
+           sum(value::DECIMAL(38,6))::DOUBLE / count(*) AS day_avg
          FROM e GROUP BY 1, 2),
        bounds AS (
          SELECT user_id, min(day) AS d0, max(day) AS d1
@@ -599,9 +630,9 @@ object Analytics {
          FROM spine s LEFT JOIN daily
            ON s.user_id = daily.user_id AND s.day = daily.day)
        SELECT user_id, day, n_obs,
-         CASE WHEN pd = nd THEN pv
-              ELSE round(pv + (nv - pv) * (day - pd) / (nd - pd), 6)
-         END AS interp_avg
+         floor((CASE WHEN pd = nd THEN pv
+              ELSE pv + (nv - pv) * (day - pd) / (nd - pd)
+         END) * 1e6 + 0.5) / 1e6 AS interp_avg
        FROM nb ORDER BY user_id, day"""
 
   /** Winsorized (percentile-clipped) per-group statistics: values below
