@@ -179,6 +179,48 @@ object Layout {
     df.repartitionByRange(numPartitions, orderCols.map(col): _*)
       .sortWithinPartitions(orderCols.map(col): _*)
 
+  /** Deterministic per-epoch training-order shuffle: a reproducible
+    * global permutation of the corpus for epoch `epoch`, positions dense
+    * 0..n−1. Training runs need a DIFFERENT order every epoch but the
+    * SAME order on re-run, resume, or re-shard — `rand()` gives neither,
+    * and `orderBy(rand(seed))` is partitioning-dependent. The draw here
+    * is md5(epoch:id) (the engine's standard md5-draw family, shared
+    * with splitAssign/weightedSamplePredicate), so the permutation is a
+    * pure function of (epoch, id): any engine, cluster size, or retry
+    * reproduces it bit-for-bit, and ingest can pre-compute it at write
+    * time.
+    *
+    * Scale design: the draw is map-side codegen'd hashing; the ordering
+    * + dense position assignment reuse [[denseIds]] — a range exchange
+    * on sampled draw bounds, in-partition sorts, and a two-pass prefix
+    * sum whose cross-partition traffic is one count per partition. No
+    * single-task sort anywhere (the `Window.orderBy(draw)` formulation
+    * the oracle uses funnels the corpus through ONE task).
+    */
+  def epochShuffle(df: DataFrame, idCol: String, epoch: Int,
+      numPartitions: Int, posName: String = "position"): DataFrame = {
+    val draw = md5(concat_ws(":", lit(epoch.toString),
+      col(idCol).cast("string")).cast("binary"))
+    denseIds(df.withColumn("draw", draw), Seq("draw", idCol),
+      numPartitions, posName)
+  }
+
+  // ---- q146: deterministic epoch shuffle -------------------------------------
+  // Epoch-7 permutation of the documents table; the oracle replays the
+  // identical md5 draw and assigns positions with the single-task window
+  // form the operator exists to avoid.
+  private def q146(s: SparkSession, d: String): DataFrame =
+    epochShuffle(Tables.documents(s, d).select(col("doc_id")),
+        "doc_id", epoch = 7, numPartitions = 32)
+      .orderBy(col("position"))
+  private val q146Sql =
+    """SELECT doc_id,
+         md5(concat_ws(':', '7', doc_id::VARCHAR)) AS draw,
+         (row_number() OVER (
+           ORDER BY md5(concat_ws(':', '7', doc_id::VARCHAR)), doc_id)
+          - 1)::BIGINT AS position
+       FROM documents ORDER BY position"""
+
   // ---- q79: Z-value computation ----------------------------------------------
   // The interleave itself, oracle-checked bit-for-bit over the customer
   // table (c_custkey up to 2^31-safe, c_nationkey small — exercises both
@@ -269,5 +311,6 @@ object Layout {
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q79_zorder", q79, Some(q79Sql)),
     QueryDef("q138_dense_ids", q138, Some(q138Sql)),
-    QueryDef("q143_zorder3", q143, Some(q143Sql)))
+    QueryDef("q143_zorder3", q143, Some(q143Sql)),
+    QueryDef("q146_epoch_shuffle", q146, Some(q146Sql)))
 }

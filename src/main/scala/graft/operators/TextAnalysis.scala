@@ -675,6 +675,108 @@ object TextAnalysis {
            list(doc_id || ':' || tf ORDER BY doc_id), 1, 10), ',') AS postings
        FROM tf GROUP BY term ORDER BY term"""
 
+  /** One BM25-scored (term, doc) row awaiting per-term ranking. */
+  final case class Bm25Score(term: String, doc_id: Long, tf: Long, dl: Long,
+      doc_freq: Long, score: Double)
+  private val bm25Ord: Ordering[Bm25Score] = new Ordering[Bm25Score] {
+    override def compare(a: Bm25Score, b: Bm25Score): Int = {
+      val c = java.lang.Double.compare(b.score, a.score) // desc
+      if (c != 0) c else java.lang.Long.compare(a.doc_id, b.doc_id)
+    }
+  }
+
+  /** BM25 retrieval scoring: for each query term, the top-`k` documents by
+    * the Okapi BM25 term weight -- the standard lexical ranking function
+    * (Robertson & Zaragoza, "The Probabilistic Relevance Framework",
+    * 2009), and the scorer the q139 inverted index exists to serve.
+    *
+    * Cross-engine determinism: with k1 = 6/5 and b = 3/4 the weight
+    *   idf * tf(k1+1) / (tf + k1(1-b+b*dl/avgdl))
+    * reduces (avgdl = L/N; rational idf = N/df per the q87 convention --
+    * the usual log damping is not bit-stable across libms, and a monotone
+    * per-term transform cannot change per-term document RANKINGS) to
+    *   22*tf*L*N / ((10*L*tf + 3*L + 9*dl*N) * df)
+    * -- an exact BIGINT numerator and denominator, ONE double division,
+    * then the binary-deterministic floor(x*1e6+0.5)/1e6 rounding. No
+    * float accumulates anywhere, so both engines see bit-identical
+    * scores. (BIGINT headroom: tf*L*N is ~10^12 at sf0.1; for larger
+    * corpora rescale L and N to thousands or move the products to
+    * DECIMAL(38,0) -- the ranking is scale-invariant.)
+    *
+    * Scale design: token occurrences collapse to (doc, term, tf) with
+    * map-side partials in the first shuffle; doc lengths are a second
+    * aggregation of that collapsed relation. Only rows for the |terms|
+    * query terms join the length relation (narrow 2-long rows on the
+    * doc_id exchange); doc-frequency (<=|terms| rows) and the corpus
+    * totals (1 row) come back as broadcasts. Final ranking is the
+    * bounded-heap aggregator: k rows per term per map partial cross the
+    * wire, never a term's full posting set.
+    */
+  def bm25TopDocs(df: DataFrame, idCol: String, textCol: String,
+      terms: Seq[String], k: Int): DataFrame = {
+    require(terms.nonEmpty, "bm25TopDocs needs at least one query term")
+    val s = df.sparkSession
+    import s.implicits._
+    val tf = df
+      .select(col(idCol).cast("long").as("doc_id"),
+        explode(tokens(col(textCol))).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+    val tot = dl.agg(sum(col("dl")).as("l"), count(lit(1)).as("n"))
+    val qtf = tf.filter(col("term").isin(terms: _*))
+    val dfreq = qtf.groupBy(col("term")).agg(count(lit(1)).as("doc_freq"))
+    val scored = qtf.join(dl, "doc_id")
+      .crossJoin(broadcast(tot))
+      .join(broadcast(dfreq), "term")
+      .select(col("term"), col("doc_id"), col("tf"), col("dl"),
+        col("doc_freq"),
+        (floor((lit(22) * col("tf") * col("l") * col("n")).cast("double")
+            / ((lit(10) * col("l") * col("tf") + lit(3) * col("l")
+                + lit(9) * col("dl") * col("n")) * col("doc_freq"))
+            * lit(1e6) + lit(0.5)) / lit(1e6)).as("score"))
+    val top = new TypedAggs.BoundedTopK[Bm25Score](k, bm25Ord).toColumn
+    scored.as[Bm25Score]
+      .groupByKey(_.term)
+      .agg(top.name("top"))
+      .flatMap { case (_, rows) =>
+        rows.zipWithIndex.map { case (r, i) => (r, i + 1) } }
+      .select(col("_1.term").as("term"), col("_2").cast("int").as("rank"),
+        col("_1.doc_id").as("doc_id"), col("_1.tf").as("tf"),
+        col("_1.dl").as("dl"), col("_1.doc_freq").as("doc_freq"),
+        col("_1.score").as("score"))
+  }
+
+  // ---- q145: BM25 top documents per query term -------------------------------
+  // Three query terms from the fixture vocabulary; top-5 docs each.
+  private def q145(s: SparkSession, d: String): DataFrame =
+    bm25TopDocs(Tables.documents(s, d), "doc_id", "text",
+        terms = Seq("join", "filter", "window"), k = 5)
+      .orderBy(col("term"), col("rank"))
+  private val q145Sql =
+    """WITH tok AS (
+         SELECT doc_id, unnest(string_split(text, ' ')) AS term
+         FROM documents),
+       tf AS (
+         SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+       dl AS (SELECT doc_id, sum(tf)::BIGINT AS dl FROM tf GROUP BY 1),
+       tot AS (SELECT sum(dl)::BIGINT AS l, count(*)::BIGINT AS n FROM dl),
+       qtf AS (SELECT * FROM tf WHERE term IN ('join', 'filter', 'window')),
+       dfreq AS (SELECT term, count(*)::BIGINT AS doc_freq FROM qtf GROUP BY 1),
+       scored AS (
+         SELECT term, doc_id, tf, dl, doc_freq,
+           floor((22 * tf * l * n)::DOUBLE
+               / ((10 * l * tf + 3 * l + 9 * dl * n) * doc_freq)
+               * 1e6 + 0.5) / 1e6 AS score
+         FROM qtf JOIN dl USING (doc_id) CROSS JOIN tot
+           JOIN dfreq USING (term)),
+       ranked AS (
+         SELECT *, row_number() OVER (PARTITION BY term
+           ORDER BY score DESC, doc_id) AS rank
+         FROM scored)
+       SELECT term, rank::INT AS rank, doc_id, tf, dl, doc_freq, score
+       FROM ranked WHERE rank <= 5 ORDER BY term, rank"""
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q21_token_stats", q21, Some(q21Sql)),
     QueryDef("q22_quality_score", q22, Some(q22Sql)),
@@ -688,5 +790,6 @@ object TextAnalysis {
     QueryDef("q98_chunk_documents", q98, Some(q98Sql)),
     QueryDef("q108_cooccurrence", q108, Some(q108Sql)),
     QueryDef("q130_bpe_pair_step", q130, Some(q130Sql)),
-    QueryDef("q139_inverted_index", q139, Some(q139Sql)))
+    QueryDef("q139_inverted_index", q139, Some(q139Sql)),
+    QueryDef("q145_bm25_topdocs", q145, Some(q145Sql)))
 }

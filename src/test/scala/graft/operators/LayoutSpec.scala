@@ -187,4 +187,32 @@ class LayoutSpec extends SparkSpec {
     assert(plan.contains("rangepartitioning"), s"expected range exchange:\n$plan")
     assert(!plan.contains("SinglePartition"), s"single-task sort leaked in:\n$plan")
   }
+
+  test("epochShuffle is a reproducible permutation that changes with the epoch") {
+    import org.apache.spark.sql.expressions.Window
+    val df = graft.Tables.documents(spark, sf).select($"doc_id")
+    val n = df.count()
+    val e7 = Layout.epochShuffle(df, "doc_id", epoch = 7, numPartitions = 5)
+    // dense 0..n-1: a true permutation, no gaps or duplicates
+    val pos = e7.select($"position").as[Long].collect().sorted
+    assert(pos === (0L until n).toArray)
+    // partitioning-independent: a different partition count reproduces it
+    val e7b = Layout.epochShuffle(df, "doc_id", epoch = 7, numPartitions = 9)
+    assert(e7.except(e7b).isEmpty && e7b.except(e7).isEmpty,
+      "the permutation must be a pure function of (epoch, id)")
+    // a different epoch is a genuinely different order
+    val e8 = Layout.epochShuffle(df, "doc_id", epoch = 8, numPartitions = 5)
+    val fixed = e7.alias("a").join(e8.alias("b"), "doc_id")
+      .filter(col("a.position") === col("b.position")).count()
+    assert(fixed < n / 10,
+      s"epochs 7 and 8 share $fixed of $n positions — not a re-shuffle")
+    // equals the single-task window formulation it distributes
+    val naive = df
+      .withColumn("draw", md5(concat_ws(":", lit("7"),
+        $"doc_id".cast("string")).cast("binary")))
+      .withColumn("position",
+        row_number().over(Window.orderBy($"draw", $"doc_id")).cast("long") - 1)
+    assert(e7.except(naive).isEmpty && naive.except(e7).isEmpty,
+      "distributed assignment must equal the window formulation")
+  }
 }

@@ -146,4 +146,31 @@ class TextAnalysisSpec extends SparkSpec {
       .as[(String, String, Long)].collect()
     assert(got === Array(("a", "b", 3L), ("b", "c", 1L)))
   }
+
+  test("bm25TopDocs: tf raises, length normalizes, heap matches the closed form") {
+    val df = Seq(
+      (1L, "join join scan"),
+      (2L, "join filter"),
+      (3L, "scan scan scan filter"),
+      (4L, "join scan scan scan"))
+      .toDF("doc_id", "text")
+    // corpus: N=4 docs, L=13 tokens, df(join)=3
+    def score(tf: Long, dl: Long): Double = {
+      val num = (22L * tf * 13L * 4L).toDouble
+      val den = ((10L * 13L * tf + 3L * 13L + 9L * dl * 4L) * 3L).toDouble
+      math.floor(num / den * 1e6 + 0.5) / 1e6
+    }
+    val got = TextAnalysis.bm25TopDocs(df, "doc_id", "text",
+        terms = Seq("join"), k = 4)
+      .orderBy($"rank")
+      .as[(String, Int, Long, Long, Long, Long, Double)].collect()
+    assert(got === Array(
+      ("join", 1, 1L, 2L, 3L, 3L, score(2, 3)), // highest tf wins
+      ("join", 2, 2L, 1L, 2L, 3L, score(1, 2)), // equal tf: shorter doc…
+      ("join", 3, 4L, 1L, 4L, 3L, score(1, 4)))) // …outranks the longer
+    // ranking is the bounded heap, never a window sort
+    val plan = TextAnalysis.bm25TopDocs(df, "doc_id", "text", Seq("join"), 4)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"unexpected window sort:\n$plan")
+  }
 }
