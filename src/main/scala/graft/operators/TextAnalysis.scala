@@ -588,6 +588,73 @@ object TextAnalysis {
        FROM p GROUP BY 1, 2
        ORDER BY pair_count DESC, left_sym, right_sym LIMIT 20"""
 
+  /** BPE tokenizer APPLY step: encode the vocabulary with a learned merge
+    * list — the counterpart of [[bpePairCounts]] (which ranks merge
+    * candidates; iterating count→merge is BPE training, Sennrich et al.
+    * 2016). Symbols are space-delimited; each merge (l, r) rewrites
+    * " l r " → " lr " over the delimiter-wrapped sequence, applied
+    * `passes` times to reach the merge's fixpoint (a single scan resumes
+    * AFTER its replacement, so a run of k adjacent occurrences converges
+    * in ≤ ⌈k/2⌉+1 scans; 4 covers any real word). Scan-and-resume
+    * semantics are identical in Spark, DuckDB, and java.lang.String — so
+    * both engines produce byte-identical encodings; they diverge from
+    * strict leftmost-greedy BPE only on ODD-length same-symbol runs
+    * ("aaaaa" with (a,a) → aa·a·aa vs greedy aa·aa·a — same symbol
+    * count, different split; document, don't chase).
+    *
+    * Scale design: the corpus collapses to the distinct-word vocabulary
+    * FIRST (map-side partials on the word groupBy — same shape as
+    * bpePairCounts), so the merge chain — pure codegen'd string ops, no
+    * UDF — runs over vocab-sized data no matter the corpus size.
+    * Encoding the token STREAM instead is the same expression applied
+    * map-side, or a broadcast join of this vocab→encoding table.
+    */
+  def bpeApply(df: DataFrame, textCol: String, merges: Seq[(String, String)],
+      passes: Int = 4): DataFrame = {
+    require(merges.nonEmpty, "bpeApply needs at least one merge")
+    require(passes >= 1, "bpeApply needs at least one pass")
+    val words = df.select(explode(tokens(col(textCol))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+    val spaced = concat(lit(" "), regexp_replace(col("w"), "(.)", "$1 "))
+    val encoded = merges.foldLeft(spaced) { case (acc, (l, r)) =>
+      (1 to passes).foldLeft(acc) { (c, _) =>
+        replace(c, lit(s" $l $r "), lit(s" $l$r ")) }
+    }
+    words.select(col("w"), col("freq"), trim(encoded).as("encoded"))
+      .withColumn("n_symbols",
+        (length(col("encoded"))
+          - length(replace(col("encoded"), lit(" "), lit(""))) + 1)
+          .cast("long"))
+  }
+
+  // ---- q147: BPE encode with a fixed merge list ------------------------------
+  // Six merges in rank order, including a chained pair (e,r)→(t,er) and a
+  // same-letter pair (l,l); the oracle replays the identical replace
+  // chain, generated from the same merge list.
+  private val q147Merges = Seq("e" -> "r", "t" -> "er", "s" -> "t",
+    "l" -> "l", "i" -> "n", "o" -> "w")
+  private def q147(s: SparkSession, d: String): DataFrame =
+    bpeApply(Tables.documents(s, d), "text", q147Merges)
+      .orderBy(col("freq").desc, col("w"))
+  private val q147Sql = {
+    val chain = q147Merges.foldLeft("s0") { case (acc, (l, r)) =>
+      (1 to 4).foldLeft(acc) { (c, _) => s"replace($c, ' $l $r ', ' $l$r ')" }
+    }
+    s"""WITH words AS (
+         SELECT w, count(*) AS freq FROM (
+           SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+         GROUP BY w),
+       sp AS (
+         SELECT w, freq,
+           ' ' || regexp_replace(w, '(.)', '\\1 ', 'g') AS s0
+         FROM words),
+       enc AS (SELECT w, freq, trim($chain) AS encoded FROM sp)
+       SELECT w, freq, encoded,
+         (length(encoded) - length(replace(encoded, ' ', '')) + 1)::BIGINT
+           AS n_symbols
+       FROM enc ORDER BY freq DESC, w"""
+  }
+
   /** One collapsed (term, doc, tf) posting awaiting the per-term fold. */
   final case class TermPosting(term: String, doc_id: Long, tf: Long)
 
@@ -791,5 +858,6 @@ object TextAnalysis {
     QueryDef("q108_cooccurrence", q108, Some(q108Sql)),
     QueryDef("q130_bpe_pair_step", q130, Some(q130Sql)),
     QueryDef("q139_inverted_index", q139, Some(q139Sql)),
-    QueryDef("q145_bm25_topdocs", q145, Some(q145Sql)))
+    QueryDef("q145_bm25_topdocs", q145, Some(q145Sql)),
+    QueryDef("q147_bpe_apply", q147, Some(q147Sql)))
 }

@@ -173,4 +173,26 @@ class TextAnalysisSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Window"), s"unexpected window sort:\n$plan")
   }
+
+  test("bpeApply encodes with ranked merges, chained pairs, and run fixpoints") {
+    val docs = Seq((1L, "filter small window stream aaaa aaa"))
+      .toDF("doc_id", "text")
+    val merges = Seq("e" -> "r", "t" -> "er", "s" -> "t", "l" -> "l",
+      "i" -> "n", "o" -> "w", "a" -> "a")
+    val got = TextAnalysis.bpeApply(docs, "text", merges)
+      .select($"w", $"encoded", $"n_symbols")
+      .as[(String, String, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got("filter") === (("f i l ter", 4L))) // (e,r) then (t,er) chains
+    assert(got("small") === (("s m a ll", 4L))) // same-letter pair
+    assert(got("window") === (("w in d ow", 4L))) // two independent merges
+    assert(got("stream") === (("st r e a m", 5L)))
+    assert(got("aaaa") === (("aa aa", 2L))) // even run fully collapses
+    assert(got("aaa") === (("aa a", 2L))) // odd run leaves the tail
+    // passes=4 is already this corpus's fixpoint
+    val p5 = TextAnalysis.bpeApply(docs, "text", merges, passes = 5)
+    val p4 = TextAnalysis.bpeApply(docs, "text", merges)
+    assert(p4.except(p5).isEmpty && p5.except(p4).isEmpty,
+      "encoding must be stable once each merge reaches its fixpoint")
+  }
 }
