@@ -1180,6 +1180,85 @@ object PipelineOps {
          regexp_extract(domain, '\.([a-z0-9-]+)$', 1) <> 'adnet' AS keep
        FROM p2 ORDER BY doc_id"""
 
+  /** Token-budget corpus selection: keep the best documents — by a
+    * caller-supplied quality measure — until a total token budget is
+    * filled ("the top 30B tokens by quality"), the selection shape of
+    * quality-pruned pre-training mixes. A document is kept iff it fits
+    * WHOLLY within the budget under the (quality desc, id) order; the
+    * straddling document is excluded. Output carries the inclusive
+    * running token total, so downstream can re-cut to any smaller budget
+    * for free.
+    *
+    * Scale design: a global running sum over a total order is the one
+    * aggregation a hash-partitioned engine cannot express directly, so
+    * this reuses the two-pass distributed prefix sum (the
+    * [[Analytics.concurrency]] machinery): range-partition by (quality
+    * desc, id), per-partition token totals to the driver (P rows of
+    * metadata), then each partition streams once seeded with the earlier
+    * partitions' sum. The window formulation (the oracle) funnels the
+    * corpus through ONE task. The budget filter applies in the same
+    * streamed pass — nothing is re-read, and partitions past the budget
+    * emit nothing.
+    */
+  def budgetSelect(df: DataFrame, idCol: String, qualityCol: Column,
+      tokensCol: Column, budget: Long, partitions: Int = 32): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    val s = df.sparkSession
+    import s.implicits._
+    val ranked = df
+      .select(col(idCol).cast("long").as("doc_id"),
+        qualityCol.cast("long").as("quality"),
+        tokensCol.cast("long").as("n_tokens"))
+      .repartitionByRange(partitions, col("quality").desc, col("doc_id"))
+      .sortWithinPartitions(col("quality").desc, col("doc_id"))
+      .as[(Long, Long, Long)]
+      .localCheckpoint(false) // pass 2 must see pass 1's exact partitions
+    val totals = ranked.mapPartitions { it =>
+        Iterator.single(
+          (org.apache.spark.TaskContext.getPartitionId(), it.map(_._3).sum))
+      }.collect().toMap // P entries — partition metadata, not data
+    val offsets = (0 until partitions)
+      .scanLeft(0L)((acc, p) => acc + totals.getOrElse(p, 0L)).toArray
+    val offB = s.sparkContext.broadcast(offsets)
+    ranked.mapPartitions { it =>
+        var running =
+          offB.value(org.apache.spark.TaskContext.getPartitionId())
+        if (running >= budget) Iterator.empty
+        else it.flatMap { case (id, q, n) =>
+          running += n
+          if (running <= budget) Iterator.single((id, q, n, running))
+          else Iterator.empty // straddler and everything after it
+        }
+      }
+      .select(col("_1").as("doc_id"), col("_2").as("quality"),
+        col("_3").as("n_tokens"), col("_4").as("cum_tokens"))
+  }
+
+  // ---- q149: token-budget corpus selection ------------------------------------
+  // Quality = distinct-token count (integer, cross-engine exact); keep
+  // the lexically richest documents until 10k tokens are filled. The
+  // oracle is the single-task window cumsum the two-pass sweep avoids.
+  private def q149(s: SparkSession, d: String): DataFrame = {
+    val toks = tokens(col("text"))
+    budgetSelect(Tables.documents(s, d), "doc_id",
+        qualityCol = size(array_distinct(toks)),
+        tokensCol = size(toks), budget = 10000L)
+      .orderBy(col("cum_tokens"))
+  }
+  private val q149Sql =
+    """WITH t AS (
+         SELECT doc_id,
+           len(list_distinct(string_split(text, ' ')))::BIGINT AS quality,
+           len(string_split(text, ' '))::BIGINT AS n_tokens
+         FROM documents),
+       c AS (
+         SELECT *, (sum(n_tokens) OVER (ORDER BY quality DESC, doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT
+           AS cum_tokens
+         FROM t)
+       SELECT doc_id, quality, n_tokens, cum_tokens FROM c
+       WHERE cum_tokens <= 10000 ORDER BY cum_tokens"""
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q40_contamination", q40, Some(q40Sql)),
     QueryDef("q131_decontaminate", q131, Some(q131Sql)),
@@ -1203,5 +1282,6 @@ object PipelineOps {
     QueryDef("q111_crosslm_score", q111, Some(q111Sql)),
     QueryDef("q118_mixture_epochs", q118, Some(q118Sql)),
     QueryDef("q119_split_leakage", q119, Some(q119Sql)),
-    QueryDef("q141_weighted_sample", q141, Some(q141Sql)))
+    QueryDef("q141_weighted_sample", q141, Some(q141Sql)),
+    QueryDef("q149_budget_select", q149, Some(q149Sql)))
 }

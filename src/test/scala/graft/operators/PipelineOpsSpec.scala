@@ -327,4 +327,38 @@ class PipelineOpsSpec extends SparkSpec {
       .select($"k").as[Long].collect().toSet
     assert(got === Set(2L, 3L))
   }
+
+  test("budgetSelect keeps whole best-first docs within budget, any partitioning") {
+    import spark.implicits._
+    // quality order: 4 (q9,n3) → 2 (q8,n4) → 1 (q5,n5) → 3 (q2,n6)
+    val docs = Seq((1L, 5L, 5L), (2L, 8L, 4L), (3L, 2L, 6L), (4L, 9L, 3L))
+      .toDF("doc_id", "q", "n")
+    def sel(budget: Long, parts: Int) =
+      PipelineOps.budgetSelect(docs, "doc_id", $"q", $"n", budget, parts)
+        .as[(Long, Long, Long, Long)].collect().sortBy(_._4)
+    // 12 fits exactly 4+2+1 (3+4+5); the next doc would straddle
+    assert(sel(12, 3) === Array((4L, 9L, 3L, 3L), (2L, 8L, 4L, 7L),
+      (1L, 5L, 5L, 12L)))
+    // 11: doc 1 straddles (cum would be 12) and is EXCLUDED, as is all after
+    assert(sel(11, 3) === Array((4L, 9L, 3L, 3L), (2L, 8L, 4L, 7L)))
+    // smaller than the best doc: nothing fits
+    assert(sel(2, 3).isEmpty)
+    // partitioning-independent: over- and under-partitioned runs agree
+    assert(sel(12, 1) === sel(12, 3) && sel(12, 7) === sel(12, 3))
+    // fixture corpus: equals the single-task window formulation
+    val corpus = graft.Tables.documents(spark, sf)
+      .select($"doc_id",
+        size(array_distinct(split($"text", " "))).cast("long").as("q"),
+        size(split($"text", " ")).cast("long").as("n"))
+    val dist = PipelineOps.budgetSelect(corpus, "doc_id", $"q", $"n", 10000L)
+    import org.apache.spark.sql.expressions.Window
+    val win = corpus.withColumn("cum_tokens",
+        sum($"n").over(Window.orderBy($"q".desc, $"doc_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .filter($"cum_tokens" <= 10000L)
+      .select($"doc_id", $"q".as("quality"), $"n".as("n_tokens"),
+        $"cum_tokens")
+    assert(dist.except(win).isEmpty && win.except(dist).isEmpty,
+      "two-pass sweep must equal the window formulation")
+  }
 }
