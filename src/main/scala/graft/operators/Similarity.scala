@@ -548,8 +548,110 @@ object Similarity {
          ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
        GROUP BY e.query_id ORDER BY e.query_id"""
 
+  /** Sparse cosine similarity between documents over raw term-frequency
+    * vectors, computed term-at-a-time through the inverted-index join —
+    * the lexical document-similarity measure between q26's unweighted
+    * set Jaccard and q30's dense embedding cosine, and the document-pair
+    * consumer of the q139 posting lists.
+    *
+    * Cross-engine determinism: dot products (Σ tf_a·tf_b) and squared
+    * norms (Σ tf²) are exact BIGINT sums — no float accumulation — and
+    * the final cosine is sqrt/multiply/divide, all IEEE correctly-rounded
+    * single ops (it is `ln`/`log`/`pow` that differ across libms, not
+    * sqrt), so thresholding and values agree bitwise; output rounds via
+    * the binary-deterministic floor(x·1e6+0.5)/1e6.
+    *
+    * Scale design: the corpus collapses to (term, doc, tf) with map-side
+    * partials; the pair join shuffles that collapsed relation by term,
+    * never documents. Per-term join fanout is df² — `maxDfShare` drops
+    * terms present in more than that fraction of documents (boilerplate
+    * vocabulary carries no similarity signal and is exactly the hot-key
+    * blowup; the df cap is the sparse analog of LSH banding's candidate
+    * bound, integer-compared so both engines cut identically). Norms
+    * aggregate over the SAME kept-term vectors, so the measure stays a
+    * true cosine of the pruned representation.
+    */
+  def sparseCosinePairs(df: DataFrame, idCol: String, textCol: String,
+      docPred: Column, minCos: Double,
+      maxDfShare: (Int, Int) = (92, 100)): DataFrame = {
+    import graft.functions.TextFunctions.tokens
+    val (num, den) = maxDfShare
+    require(num > 0 && den > 0, "maxDfShare must be a positive fraction")
+    val tf = df
+      .select(col(idCol).cast("long").as("doc_id"),
+        explode(tokens(col(textCol))).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val nDocs = df.select(count(lit(1)).as("n_docs"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(nDocs))
+      .filter(col("df") * den <= col("n_docs") * num)
+      .select(col("term"))
+    val kept = tf.join(broadcast(dfreq), "term").filter(docPred)
+    val norms = kept.groupBy(col("doc_id"))
+      .agg(sum(col("tf") * col("tf")).as("norm_sq"))
+    val a = kept.select(col("doc_id").as("a"), col("term"),
+      col("tf").as("tf_a"))
+    val b = kept.select(col("doc_id").as("b"), col("term"),
+      col("tf").as("tf_b"))
+    val dot = a.join(b, "term").filter(col("a") < col("b"))
+      .groupBy(col("a"), col("b"))
+      .agg(sum(col("tf_a") * col("tf_b")).as("dot"))
+    val cos = col("dot").cast("double") /
+      (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double")))
+    dot
+      .join(norms.select(col("doc_id").as("a"), col("norm_sq").as("na")), "a")
+      .join(norms.select(col("doc_id").as("b"), col("norm_sq").as("nb")), "b")
+      .filter(cos >= minCos)
+      .select(col("a"), col("b"), col("dot"), col("na"), col("nb"),
+        (floor(cos * lit(1e6) + lit(0.5)) / lit(1e6)).as("cos"))
+  }
+
+  // ---- q150: sparse tf-vector cosine pairs -----------------------------------
+  // Pairs among the first 40 documents with cosine ≥ 0.5 over vectors
+  // restricted to terms in ≤92% of the corpus (the boilerplate cap).
+  private def q150(s: SparkSession, d: String): DataFrame =
+    sparseCosinePairs(Tables.documents(s, d), "doc_id", "text",
+        docPred = col("doc_id") < 40, minCos = 0.5)
+      .orderBy(col("a"), col("b"))
+  private val q150Sql =
+    """WITH tf AS (
+         SELECT doc_id, term, count(*) AS tf FROM (
+           SELECT doc_id, unnest(string_split(text, ' ')) AS term
+           FROM documents)
+         GROUP BY 1, 2),
+       n AS (SELECT count(*) AS n_docs FROM documents),
+       keptterms AS (
+         SELECT term FROM (
+           SELECT term, count(*) AS df FROM tf GROUP BY 1) CROSS JOIN n
+         WHERE df * 100 <= n_docs * 92),
+       kept AS (
+         SELECT doc_id, term, tf FROM tf JOIN keptterms USING (term)
+         WHERE doc_id < 40),
+       norms AS (
+         SELECT doc_id, sum(tf * tf)::BIGINT AS norm_sq FROM kept
+         GROUP BY 1),
+       dots AS (
+         SELECT x.doc_id AS a, y.doc_id AS b,
+           sum(x.tf * y.tf)::BIGINT AS dot
+         FROM kept x JOIN kept y USING (term)
+         WHERE x.doc_id < y.doc_id
+         GROUP BY 1, 2),
+       scored AS (
+         SELECT a, b, dot, na.norm_sq AS na, nb.norm_sq AS nb
+         FROM dots
+           JOIN norms na ON dots.a = na.doc_id
+           JOIN norms nb ON dots.b = nb.doc_id)
+       SELECT a, b, dot, na, nb,
+         floor(dot::DOUBLE / (sqrt(na::DOUBLE) * sqrt(nb::DOUBLE))
+           * 1e6 + 0.5) / 1e6 AS cos
+       FROM scored
+       WHERE dot::DOUBLE / (sqrt(na::DOUBLE) * sqrt(nb::DOUBLE)) >= 0.5
+       ORDER BY a, b"""
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q30_cosine_topk", q30, Some(q30Sql), headline = true),
+    QueryDef("q150_sparse_cosine", q150, Some(q150Sql)),
     QueryDef("q136_ann_recall", q136, Some(q136Sql)),
     QueryDef("q31_ann_ivf", q31, Some(q31Sql)),
     QueryDef("q86_ann_ivf_multiprobe", q86, Some(q86Sql)),

@@ -52,4 +52,26 @@ class SimilaritySpec extends SparkSpec {
       s"recall must not drop when probing more clusters: " +
         s"nprobe1=${(r1 & brute).size} nprobe3=${(r3 & brute).size}")
   }
+  test("sparseCosinePairs: integer dot/norms, threshold, and the df cap") {
+    val docs = Seq(
+      (1L, "x x y"), (2L, "x y y"), (3L, "z z"), (4L, "x x y"))
+      .toDF("doc_id", "text")
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      Similarity.sparseCosinePairs(df, "doc_id", "text",
+          docPred = lit(true), minCos = 0.5)
+        .as[(Long, Long, Long, Long, Long, Double)].collect()
+        .sortBy(p => (p._1, p._2))
+    // cos(1,2) = (2+2)/(sqrt5*sqrt5) = 0.8; (1,4) duplicate = 1.0;
+    // (1,3)/(2,3) share no term and never materialize a pair row
+    assert(pairs(docs) === Array(
+      (1L, 2L, 4L, 5L, 5L, 0.8),
+      (1L, 4L, 5L, 5L, 5L, 1.0),
+      (2L, 4L, 4L, 5L, 5L, 0.8)))
+    // a term in >92% of docs is pruned from every vector: appending a
+    // universal token changes nothing
+    val noisy = docs.select($"doc_id",
+      concat($"text", lit(" the")).as("text"))
+    assert(pairs(noisy) === pairs(docs),
+      "boilerplate vocabulary must fall out of the pruned vectors")
+  }
 }
