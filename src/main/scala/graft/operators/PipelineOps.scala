@@ -1234,6 +1234,114 @@ object PipelineOps {
         col("_3").as("n_tokens"), col("_4").as("cum_tokens"))
   }
 
+  /** Deterministic span corruption: build (input, target) pairs for
+    * T5-style denoising pre-training. Each token position draws a 16-bit
+    * md5 hash of (doc, pos); positions under `threshold16`/65536 are
+    * masked, CONSECUTIVE masked tokens collapse into one numbered
+    * sentinel in the input, and the target lists each span behind its
+    * sentinel. Masking via the engine's shared md5-draw family (not
+    * `rand()`) means the corruption is a pure function of (doc, pos):
+    * reruns, resumes, and any engine reproduce the same pairs — cached
+    * training data stays valid, and the oracle replays the identical
+    * draw.
+    *
+    * Scale design: one exchange on doc_id; the per-document reassembly
+    * is the secondary-sort ordered fold ([[TypedAggs.longestIncreasingRun]]'s
+    * machinery) — the engine sorts (pos) on the shuffle files and hands
+    * an ordered iterator, so the fold state is two string builders and
+    * three counters regardless of document size. The oracle needs THREE
+    * window passes (lag for run starts, a running span count, ordered
+    * string_aggs) over the same exchange.
+    */
+  def spanCorrupt(df: DataFrame, idCol: String, textCol: String,
+      threshold16: Int): DataFrame = {
+    require(threshold16 >= 0 && threshold16 <= 65536,
+      "threshold16 is a 16-bit draw bound")
+    val s = df.sparkSession
+    import s.implicits._
+    val draw = conv(substring(md5(concat_ws(":",
+        col("doc_id").cast("string"), col("pos").cast("string"))
+        .cast("binary")), 1, 4), 16, 10).cast("long")
+    df.select(col(idCol).cast("long").as("doc_id"),
+        posexplode(tokens(col(textCol))).as(Seq("pos", "tok")))
+      .withColumn("m", draw < threshold16)
+      .as[(Long, Int, String, Boolean)]
+      .groupByKey(_._1)
+      .flatMapSortedGroups(col("pos")) { (doc, rows) =>
+        val input = new StringBuilder
+        val target = new StringBuilder
+        var nMasked = 0L
+        var nSpans = 0L
+        var prevMasked = false
+        rows.foreach { case (_, _, tok, m) =>
+          if (m) {
+            nMasked += 1
+            if (!prevMasked) {
+              if (input.nonEmpty) input += ' '
+              input ++= s"<extra_id_$nSpans>"
+              if (target.nonEmpty) target += ' '
+              target ++= s"<extra_id_$nSpans> "
+              target ++= tok
+              nSpans += 1
+            } else {
+              target += ' '
+              target ++= tok
+            }
+          } else {
+            if (input.nonEmpty) input += ' '
+            input ++= tok
+          }
+          prevMasked = m
+        }
+        Iterator.single(
+          (doc, input.toString, target.toString, nMasked, nSpans))
+      }
+      .select(col("_1").as("doc_id"), col("_2").as("input"),
+        col("_3").as("target"), col("_4").as("n_masked"),
+        col("_5").as("n_spans"))
+  }
+
+  // ---- q151: deterministic span corruption -------------------------------------
+  // ~15% mask rate (9830/65536); the oracle replays the identical draw
+  // with three window passes over the single-doc_id exchange.
+  private def q151(s: SparkSession, d: String): DataFrame =
+    spanCorrupt(Tables.documents(s, d), "doc_id", "text", threshold16 = 9830)
+      .orderBy(col("doc_id"))
+  private val q151Sql =
+    """WITH sp AS (SELECT doc_id, string_split(text, ' ') AS lst
+         FROM documents),
+       tok AS (
+         SELECT doc_id, i - 1 AS pos, lst[i] AS tok
+         FROM sp, unnest(range(1, len(lst) + 1)) AS u(i)),
+       m AS (
+         SELECT doc_id, pos, tok,
+           ('0x' || substr(md5(doc_id::VARCHAR || ':' || pos::VARCHAR),
+             1, 4))::INTEGER < 9830 AS msk
+         FROM tok),
+       r AS (
+         SELECT *, msk AND NOT coalesce(
+           lag(msk) OVER (PARTITION BY doc_id ORDER BY pos), FALSE)
+           AS run_start
+         FROM m),
+       sx AS (
+         SELECT *, (sum(CASE WHEN run_start THEN 1 ELSE 0 END)
+             OVER (PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1)
+           AS span_idx
+         FROM r)
+       SELECT doc_id,
+         string_agg(CASE WHEN NOT msk THEN tok
+             ELSE '<extra_id_' || span_idx::VARCHAR || '>' END,
+           ' ' ORDER BY pos)
+           FILTER (WHERE NOT msk OR run_start) AS input,
+         coalesce(string_agg(CASE WHEN run_start
+             THEN '<extra_id_' || span_idx::VARCHAR || '> ' || tok
+             ELSE tok END, ' ' ORDER BY pos)
+           FILTER (WHERE msk), '') AS target,
+         count(*) FILTER (WHERE msk)::BIGINT AS n_masked,
+         count(*) FILTER (WHERE run_start)::BIGINT AS n_spans
+       FROM sx GROUP BY doc_id ORDER BY doc_id"""
+
   // ---- q149: token-budget corpus selection ------------------------------------
   // Quality = distinct-token count (integer, cross-engine exact); keep
   // the lexically richest documents until 10k tokens are filled. The
@@ -1283,5 +1391,6 @@ object PipelineOps {
     QueryDef("q118_mixture_epochs", q118, Some(q118Sql)),
     QueryDef("q119_split_leakage", q119, Some(q119Sql)),
     QueryDef("q141_weighted_sample", q141, Some(q141Sql)),
-    QueryDef("q149_budget_select", q149, Some(q149Sql)))
+    QueryDef("q149_budget_select", q149, Some(q149Sql)),
+    QueryDef("q151_span_corrupt", q151, Some(q151Sql)))
 }

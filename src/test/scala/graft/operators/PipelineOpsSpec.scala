@@ -361,4 +361,39 @@ class PipelineOpsSpec extends SparkSpec {
     assert(dist.except(win).isEmpty && win.except(dist).isEmpty,
       "two-pass sweep must equal the window formulation")
   }
+
+  test("spanCorrupt round-trips, collapses runs, and tracks the mask rate") {
+    import spark.implicits._
+    val docs = graft.Tables.documents(spark, sf).select($"doc_id", $"text")
+    val got = PipelineOps.spanCorrupt(docs, "doc_id", "text", 9830)
+      .as[(Long, String, String, Long, Long)].collect()
+    val orig = docs.as[(Long, String)].collect().toMap
+    assert(got.length === orig.size)
+    var masked = 0L
+    var total = 0L
+    got.foreach { case (id, input, target, nMasked, nSpans) =>
+      // parse "<extra_id_0> a b <extra_id_1> c" into span texts
+      val spans = "<extra_id_(\\d+)> ?".r.split(target).drop(1)
+      assert(spans.length === nSpans,
+        s"doc $id: target must carry one span per sentinel")
+      // substituting spans back for sentinels reproduces the original
+      val rebuilt = input.split(' ').flatMap { t =>
+        if (t.startsWith("<extra_id_"))
+          spans(t.stripPrefix("<extra_id_").stripSuffix(">").toInt)
+            .trim.split(' ')
+        else Array(t)
+      }.mkString(" ")
+      assert(rebuilt === orig(id), s"doc $id fails the round trip")
+      assert(nSpans <= nMasked, s"doc $id: more spans than masked tokens")
+      masked += nMasked
+      total += orig(id).split(' ').length
+    }
+    // 9830/65536 ≈ 15% — the md5 draw should land near it at corpus size
+    val rate = masked.toDouble / total
+    assert(rate > 0.12 && rate < 0.18, s"mask rate $rate far from 15%")
+    // deterministic: a rerun is bit-identical
+    val again = PipelineOps.spanCorrupt(docs, "doc_id", "text", 9830)
+      .as[(Long, String, String, Long, Long)].collect()
+    assert(got.sortBy(_._1) === again.sortBy(_._1))
+  }
 }
