@@ -561,9 +561,10 @@ object Similarity {
     * sqrt), so thresholding and values agree bitwise; output rounds via
     * the binary-deterministic floor(x·1e6+0.5)/1e6.
     *
-    * Scale design: the corpus collapses to (term, doc, tf) with map-side
-    * partials; the pair join shuffles that collapsed relation by term,
-    * never documents. Per-term join fanout is df² — `maxDfShare` drops
+    * Scale design: terms become 8-byte xxhash64 keys at the source (no
+    * string ever shuffles — see `hashTerms`), and the corpus collapses
+    * to (term, doc, tf) with map-side partials; the pair join shuffles
+    * that collapsed relation by term key, never documents. Per-term join fanout is df² — `maxDfShare` drops
     * terms present in more than that fraction of documents (boilerplate
     * vocabulary carries no similarity signal and is exactly the hot-key
     * blowup; the df cap is the sparse analog of LSH banding's candidate
@@ -573,13 +574,24 @@ object Similarity {
     */
   def sparseCosinePairs(df: DataFrame, idCol: String, textCol: String,
       docPred: Column, minCos: Double,
-      maxDfShare: (Int, Int) = (92, 100)): DataFrame = {
+      maxDfShare: (Int, Int) = (92, 100),
+      hashTerms: Boolean = true): DataFrame = {
     import graft.functions.TextFunctions.tokens
     val (num, den) = maxDfShare
     require(num > 0 && den > 0, "maxDfShare must be a positive fraction")
+    // Every downstream use of a term is identity-only (df counts, the cap
+    // semi-join, the pair equi-join) and no term reaches the output, so
+    // the engine-convention upgrade applies: hash terms to 8-byte
+    // xxhash64 keys AT THE SOURCE and nothing downstream ever shuffles a
+    // string (the q124 lesson; a 64-bit collision would merge two terms'
+    // tf mass — ~vocab squared / 2^64, negligible — `hashTerms = false`
+    // keeps the string form for the spec's equality pin).
+    val termKey: Column => Column =
+      if (hashTerms) t => xxhash64(t) else t => t
     val tf = df
       .select(col(idCol).cast("long").as("doc_id"),
-        explode(tokens(col(textCol))).as("term"))
+        explode(tokens(col(textCol))).as("tok"))
+      .select(col("doc_id"), termKey(col("tok")).as("term"))
       .groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("tf"))
     val nDocs = df.select(count(lit(1)).as("n_docs"))

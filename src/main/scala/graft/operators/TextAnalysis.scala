@@ -770,11 +770,12 @@ object TextAnalysis {
     * corpora rescale L and N to thousands or move the products to
     * DECIMAL(38,0) -- the ranking is scale-invariant.)
     *
-    * Scale design: token occurrences collapse to (doc, term, tf) with
-    * map-side partials in the first shuffle; doc lengths are a second
-    * aggregation of that collapsed relation. Only rows for the |terms|
-    * query terms join the length relation (narrow 2-long rows on the
-    * doc_id exchange); doc-frequency (<=|terms| rows) and the corpus
+    * Scale design: doc lengths come from the token-array SIZE — pure
+    * map-side arithmetic, no explode — so the corpus-wide (doc, term)
+    * relation never materializes; the only exploded-and-aggregated token
+    * rows are the |terms| query terms' (the term filter sits under the
+    * collapse). Those narrow qtf rows join the length relation on the
+    * doc_id exchange; doc-frequency (<=|terms| rows) and the corpus
     * totals (1 row) come back as broadcasts. Final ranking is the
     * bounded-heap aggregator: k rows per term per map partial cross the
     * wire, never a term's full posting set.
@@ -784,14 +785,19 @@ object TextAnalysis {
     require(terms.nonEmpty, "bm25TopDocs needs at least one query term")
     val s = df.sparkSession
     import s.implicits._
-    val tf = df
+    // doc length = token count: computed MAP-SIDE from the array length,
+    // so the corpus-wide (doc, term) relation never materializes — the
+    // only exploded/aggregated token rows are the |terms| query terms'
+    // (the filter sits below the explode's aggregation).
+    val dl = df.select(col(idCol).cast("long").as("doc_id"),
+      size(tokens(col(textCol))).cast("long").as("dl"))
+    val tot = dl.agg(sum(col("dl")).as("l"), count(lit(1)).as("n"))
+    val qtf = df
       .select(col(idCol).cast("long").as("doc_id"),
         explode(tokens(col(textCol))).as("term"))
+      .filter(col("term").isin(terms: _*))
       .groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("tf"))
-    val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
-    val tot = dl.agg(sum(col("dl")).as("l"), count(lit(1)).as("n"))
-    val qtf = tf.filter(col("term").isin(terms: _*))
     val dfreq = qtf.groupBy(col("term")).agg(count(lit(1)).as("doc_freq"))
     val scored = qtf.join(dl, "doc_id")
       .crossJoin(broadcast(tot))

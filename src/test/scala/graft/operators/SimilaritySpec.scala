@@ -73,5 +73,16 @@ class SimilaritySpec extends SparkSpec {
       concat($"text", lit(" the")).as("text"))
     assert(pairs(noisy) === pairs(docs),
       "boilerplate vocabulary must fall out of the pruned vectors")
+    // the 8-byte-key plan is output-identical to the string-keyed form
+    val byString = Similarity.sparseCosinePairs(docs, "doc_id", "text",
+        docPred = lit(true), minCos = 0.5, hashTerms = false)
+      .as[(Long, Long, Long, Long, Long, Double)].collect()
+      .sortBy(p => (p._1, p._2))
+    assert(byString === pairs(docs),
+      "hashing term keys must not change any pair or value")
+    // and the hashed plan really does hash before the first exchange
+    val plan = Similarity.sparseCosinePairs(docs, "doc_id", "text",
+        lit(true), 0.5).queryExecution.executedPlan.toString
+    assert(plan.contains("xxhash64"), s"term hashing missing from plan:\n$plan")
   }
 }
