@@ -1180,6 +1180,18 @@ object PipelineOps {
          regexp_extract(domain, '\.([a-z0-9-]+)$', 1) <> 'adnet' AS keep
        FROM p2 ORDER BY doc_id"""
 
+  /** The distributed ordering stage of [[budgetSelect]], exposed so its
+    * plan shape (range exchange, NO single-partition funnel) is pinnable
+    * past the localCheckpoint that hides it downstream.
+    */
+  private[graft] def budgetRanked(df: DataFrame, idCol: String,
+      qualityCol: Column, tokensCol: Column, partitions: Int): DataFrame =
+    df.select(col(idCol).cast("long").as("doc_id"),
+        qualityCol.cast("long").as("quality"),
+        tokensCol.cast("long").as("n_tokens"))
+      .repartitionByRange(partitions, col("quality").desc, col("doc_id"))
+      .sortWithinPartitions(col("quality").desc, col("doc_id"))
+
   /** Token-budget corpus selection: keep the best documents — by a
     * caller-supplied quality measure — until a total token budget is
     * filled ("the top 30B tokens by quality"), the selection shape of
@@ -1205,12 +1217,7 @@ object PipelineOps {
     require(budget > 0, "budget must be positive")
     val s = df.sparkSession
     import s.implicits._
-    val ranked = df
-      .select(col(idCol).cast("long").as("doc_id"),
-        qualityCol.cast("long").as("quality"),
-        tokensCol.cast("long").as("n_tokens"))
-      .repartitionByRange(partitions, col("quality").desc, col("doc_id"))
-      .sortWithinPartitions(col("quality").desc, col("doc_id"))
+    val ranked = budgetRanked(df, idCol, qualityCol, tokensCol, partitions)
       .as[(Long, Long, Long)]
       .localCheckpoint(false) // pass 2 must see pass 1's exact partitions
     val totals = ranked.mapPartitions { it =>

@@ -360,6 +360,15 @@ class PipelineOpsSpec extends SparkSpec {
         $"cum_tokens")
     assert(dist.except(win).isEmpty && win.except(dist).isEmpty,
       "two-pass sweep must equal the window formulation")
+    // ordering rides a RANGE exchange; nothing funnels to one task
+    // (pinned on the pre-checkpoint ordering stage: localCheckpoint hides
+    // the exchange from the downstream plan)
+    val plan = PipelineOps.budgetRanked(corpus, "doc_id", $"q", $"n", 32)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("rangepartitioning"),
+      s"expected range exchange:\n$plan")
+    assert(!plan.contains("SinglePartition"),
+      s"single-task stage leaked into the sweep:\n$plan")
   }
 
   test("spanCorrupt round-trips, collapses runs, and tracks the mask rate") {
