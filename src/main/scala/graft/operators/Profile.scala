@@ -761,7 +761,98 @@ object Profile {
          valid_to IS NULL AS is_current, event_type, value
        FROM v ORDER BY user_id, version_num"""
 
+  /** Cohen's kappa between two raters labeling the same items — the
+    * chance-corrected inter-annotator agreement behind every
+    * "LLM-as-judge" / human-label QA report, and the principled upgrade
+    * of q96's raw agreement rate: po alone rewards raters who both spam
+    * the majority class; kappa subtracts the agreement their marginals
+    * would produce by chance.
+    *
+    * Cross-engine determinism: with N items, `agree` exact matches, and
+    * S = Σ_label cA(label)·cB(label) (the chance-agreement numerator),
+    *   kappa = (po − pe)/(1 − pe) = (agree·N − S) / (N² − S)
+    * — exact BIGINT numerator and denominator, ONE double division, then
+    * the binary-deterministic floor(x·1e6+0.5)/1e6. po and pe are single
+    * divisions of the same integers. pe = 1 (both raters constant and
+    * identical) leaves kappa undefined → null, ANSI-safe on both engines.
+    *
+    * Scale design: one equi-join of the two (item, label) relations on
+    * item id; the three aggregates over it (totals + both marginals)
+    * share the join's input exchanges via ReuseExchange, and each is
+    * label-cardinality-sized or a single row, so nothing item-sized is
+    * ever re-shuffled. Items lacking a label from EITHER rater drop out
+    * of the inner join (labeled-by-both semantics).
+    */
+  def interRaterKappa(a: DataFrame, b: DataFrame, itemCol: String,
+      labelCol: String): DataFrame = {
+    val la = a.select(col(itemCol).as("item"), col(labelCol).as("la"))
+    val lb = b.select(col(itemCol).as("item"), col(labelCol).as("lb"))
+    val joined = la.join(lb, "item")
+    val tot = joined.agg(count(lit(1)).as("n"),
+      count(when(col("la") === col("lb"), 1)).as("agree"))
+    val ca = joined.groupBy(col("la").as("lab")).agg(count(lit(1)).as("ca"))
+    val cb = joined.groupBy(col("lb").as("lab")).agg(count(lit(1)).as("cb"))
+    val chance = ca.join(cb, "lab")
+      .agg(coalesce(sum(col("ca") * col("cb")), lit(0L)).as("s"))
+    def bin6(c: Column): Column = floor(c * lit(1e6) + lit(0.5)) / lit(1e6)
+    tot.crossJoin(broadcast(chance))
+      .select(col("n").as("n_items"), col("agree").as("n_agree"),
+        bin6(col("agree").cast("double") / col("n")).as("po"),
+        bin6(col("s").cast("double") / (col("n") * col("n"))).as("pe"),
+        when(col("n") * col("n") === col("s"), lit(null).cast("double"))
+          .otherwise(bin6((col("agree") * col("n") - col("s")).cast("double")
+            / (col("n") * col("n") - col("s")))).as("kappa"))
+  }
+
+  // ---- q152: inter-rater agreement (Cohen's kappa) ----------------------------
+  // Two synthetic raters per user: the majority event type over even vs
+  // odd event ids — independent halves of the same behavior stream. The
+  // oracle replays both majority votes and the integer kappa algebra.
+  private def q152(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val ra = PipelineOps.resolveLabels(
+      ev.filter(col("event_id") % 2 === 0), "user_id", "event_type")
+    val rb = PipelineOps.resolveLabels(
+      ev.filter(col("event_id") % 2 === 1), "user_id", "event_type")
+    interRaterKappa(ra, rb, "user_id", "label")
+  }
+  private val q152Sql =
+    """WITH ca0 AS (
+         SELECT user_id, event_type, count(*) AS c FROM events
+         WHERE event_id % 2 = 0 GROUP BY 1, 2),
+       ra AS (
+         SELECT user_id, event_type AS la FROM (
+           SELECT user_id, event_type, row_number() OVER (
+             PARTITION BY user_id ORDER BY c DESC, event_type) AS rn
+           FROM ca0) t WHERE rn = 1),
+       cb0 AS (
+         SELECT user_id, event_type, count(*) AS c FROM events
+         WHERE event_id % 2 = 1 GROUP BY 1, 2),
+       rb AS (
+         SELECT user_id, event_type AS lb FROM (
+           SELECT user_id, event_type, row_number() OVER (
+             PARTITION BY user_id ORDER BY c DESC, event_type) AS rn
+           FROM cb0) t WHERE rn = 1),
+       j AS (SELECT ra.user_id, la, lb FROM ra JOIN rb USING (user_id)),
+       tot AS (
+         SELECT count(*)::BIGINT AS n,
+           count(*) FILTER (WHERE la = lb)::BIGINT AS agree
+         FROM j),
+       ma AS (SELECT la AS lab, count(*)::BIGINT AS ca FROM j GROUP BY 1),
+       mb AS (SELECT lb AS lab, count(*)::BIGINT AS cb FROM j GROUP BY 1),
+       ch AS (
+         SELECT coalesce(sum(ca * cb), 0)::BIGINT AS s
+         FROM ma JOIN mb USING (lab))
+       SELECT n AS n_items, agree AS n_agree,
+         floor(agree::DOUBLE / n * 1e6 + 0.5) / 1e6 AS po,
+         floor(s::DOUBLE / (n * n) * 1e6 + 0.5) / 1e6 AS pe,
+         CASE WHEN n * n = s THEN NULL
+           ELSE floor((agree * n - s)::DOUBLE / (n * n - s) * 1e6 + 0.5)
+             / 1e6 END AS kappa
+       FROM tot CROSS JOIN ch"""
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q152_cohen_kappa", q152, Some(q152Sql)),
     QueryDef("q58_column_profile", q58, Some(q58Sql)),
     QueryDef("q59_latest_per_key", q59, Some(q59Sql)),
     QueryDef("q72_cdc_apply", q72, Some(q72Sql)),

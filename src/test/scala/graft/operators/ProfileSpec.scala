@@ -237,4 +237,26 @@ class ProfileSpec extends SparkSpec {
     assert(viaIntervals.exists(_._3.isEmpty),
       "some probes should precede their user's first version")
   }
+
+  test("interRaterKappa: chance-level, perfect, degenerate, and disjoint raters") {
+    import spark.implicits._
+    def kappa(a: Seq[(Long, String)], b: Seq[(Long, String)]) =
+      Profile.interRaterKappa(a.toDF("item", "lab"), b.toDF("item", "lab"),
+          "item", "lab")
+        .as[(Long, Long, Double, Double, Option[Double])].collect().head
+    // marginals 50/50 both sides, agreement exactly at chance -> kappa 0
+    val chance = kappa(
+      Seq((1L, "x"), (2L, "x"), (3L, "y"), (4L, "y")),
+      Seq((1L, "x"), (2L, "y"), (3L, "y"), (4L, "x")))
+    assert(chance === ((4L, 2L, 0.5, 0.5, Some(0.0))))
+    // identical raters -> kappa 1
+    val perfect = kappa(Seq((1L, "x"), (2L, "y")), Seq((1L, "x"), (2L, "y")))
+    assert(perfect === ((2L, 2L, 1.0, 0.5, Some(1.0))))
+    // both raters constant and identical: pe = 1 -> kappa undefined
+    val degen = kappa(Seq((1L, "x"), (2L, "x")), Seq((1L, "x"), (2L, "x")))
+    assert(degen === ((2L, 2L, 1.0, 1.0, None)))
+    // label sets disjoint: S = 0, agree = 0 -> kappa 0, not an error
+    val disjoint = kappa(Seq((1L, "x"), (2L, "x")), Seq((1L, "y"), (2L, "y")))
+    assert(disjoint === ((2L, 0L, 0.0, 0.0, Some(0.0))))
+  }
 }
