@@ -257,6 +257,110 @@ object Similarity {
       .withColumn("recall", round(col("n_hit") / col("n_exact"), 6))
   }
 
+  /** Kendall tau rank agreement between two rankings of the same items,
+    * per group — the ORDER-agreement companion to [[recallReport]]'s set
+    * agreement: recall@k says the approximate search returned the right
+    * items, tau says it returned them in the right order. The standard
+    * acceptance pair for quantized / approximate ranking changes.
+    *
+    * Cross-engine determinism: concordant/discordant PAIR COUNTS are
+    * exact integers and tau = 2(C − D)/(m(m − 1)) is one double
+    * division + binRound6; rankings are permutations (row_number), so
+    * no pair product is ever zero and C + D = m(m−1)/2. Groups with
+    * fewer than two common items have no pairs — tau is null, not an
+    * error.
+    *
+    * Scale design: one (group, item) equi-join of the two rank
+    * relations, then a within-group pair self-join — QUADRATIC in the
+    * per-group list length by the metric's own definition, which is why
+    * this is for ranking LISTS (top-k evaluations, judged result pages),
+    * not corpus-scale relations; the group key partitions the pair work,
+    * and counts partial-aggregate below the exchange.
+    */
+  def kendallTau(a: DataFrame, b: DataFrame, groupCol: String,
+      itemCol: String, rankCol: String): DataFrame = {
+    val ra = a.select(col(groupCol).as("g"), col(itemCol).as("item"),
+      col(rankCol).cast("long").as("ra"))
+    val rb = b.select(col(groupCol).as("g"), col(itemCol).as("item"),
+      col(rankCol).cast("long").as("rb"))
+    val j = ra.join(rb, Seq("g", "item"))
+    val m = j.groupBy(col("g")).agg(count(lit(1)).as("n_common"))
+    val x = j.select(col("g"), col("item").as("ia"), col("ra").as("rax"),
+      col("rb").as("rbx"))
+    val y = j.select(col("g"), col("item").as("ib"), col("ra").as("ray"),
+      col("rb").as("rby"))
+    val pairs = x.join(y, Seq("g")).filter(col("ia") < col("ib"))
+      .select(col("g"),
+        ((col("rax") - col("ray")) * (col("rbx") - col("rby")) > 0)
+          .as("conc"))
+      .groupBy(col("g"))
+      .agg(count(when(col("conc"), 1)).as("n_concordant"),
+        count(when(!col("conc"), 1)).as("n_discordant"))
+    m.join(pairs, Seq("g"), "left")
+      .select(col("g").as(groupCol), col("n_common"),
+        coalesce(col("n_concordant"), lit(0L)).as("n_concordant"),
+        coalesce(col("n_discordant"), lit(0L)).as("n_discordant"),
+        when(col("n_common") < 2, lit(null).cast("double"))
+          .otherwise(floor(
+            (lit(2) * (coalesce(col("n_concordant"), lit(0L))
+              - coalesce(col("n_discordant"), lit(0L)))).cast("double")
+              / (col("n_common") * (col("n_common") - 1))
+              * lit(1e6) + lit(0.5)) / lit(1e6))
+          .as("tau"))
+  }
+
+  // ---- q153: rank agreement under score quantization ---------------------------
+  // Per nation: customers ranked by exact account balance vs by the
+  // floor-quantized balance — how much order the coarse score preserves.
+  private def q153(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = Tables.customer(s, d).filter(col("c_custkey") <= 300)
+    def ranked(score: Column) = base.select(col("c_nationkey"),
+      col("c_custkey"),
+      row_number().over(Window.partitionBy(col("c_nationkey"))
+        .orderBy(score.desc, col("c_custkey"))).as("rnk"))
+    kendallTau(ranked(col("c_acctbal")),
+        ranked(floor(col("c_acctbal"))), "c_nationkey", "c_custkey", "rnk")
+      .orderBy(col("c_nationkey"))
+  }
+  private val q153Sql =
+    """WITH base AS (
+         SELECT c_nationkey, c_custkey, c_acctbal FROM customer
+         WHERE c_custkey <= 300),
+       ra AS (
+         SELECT c_nationkey AS g, c_custkey AS item,
+           row_number() OVER (PARTITION BY c_nationkey
+             ORDER BY c_acctbal DESC, c_custkey) AS ra
+         FROM base),
+       rb AS (
+         SELECT c_nationkey AS g, c_custkey AS item,
+           row_number() OVER (PARTITION BY c_nationkey
+             ORDER BY floor(c_acctbal) DESC, c_custkey) AS rb
+         FROM base),
+       j AS (SELECT ra.g, ra.item, ra.ra, rb.rb
+         FROM ra JOIN rb ON ra.g = rb.g AND ra.item = rb.item),
+       m AS (SELECT g, count(*)::BIGINT AS n_common FROM j GROUP BY g),
+       p AS (
+         SELECT x.g,
+           count(*) FILTER (
+             WHERE (x.ra - y.ra) * (x.rb - y.rb) > 0)::BIGINT
+             AS n_concordant,
+           count(*) FILTER (
+             WHERE (x.ra - y.ra) * (x.rb - y.rb) < 0)::BIGINT
+             AS n_discordant
+         FROM j x JOIN j y ON x.g = y.g AND x.item < y.item
+         GROUP BY x.g),
+       r AS (
+         SELECT m.g, n_common,
+           coalesce(n_concordant, 0) AS n_concordant,
+           coalesce(n_discordant, 0) AS n_discordant
+         FROM m LEFT JOIN p ON m.g = p.g)
+       SELECT g AS c_nationkey, n_common, n_concordant, n_discordant,
+         CASE WHEN n_common < 2 THEN NULL
+           ELSE floor((2 * (n_concordant - n_discordant))::DOUBLE
+             / (n_common * (n_common - 1)) * 1e6 + 0.5) / 1e6 END AS tau
+       FROM r ORDER BY c_nationkey"""
+
   private def q30(s: SparkSession, d: String): DataFrame = {
     val e = Tables.embeddings(s, d)
     bruteTopK(e.filter(col("vec_id") < NumQueries), e, "vec_id", "embedding", TopK)
@@ -665,6 +769,7 @@ object Similarity {
     QueryDef("q30_cosine_topk", q30, Some(q30Sql), headline = true),
     QueryDef("q150_sparse_cosine", q150, Some(q150Sql)),
     QueryDef("q136_ann_recall", q136, Some(q136Sql)),
+    QueryDef("q153_rank_tau", q153, Some(q153Sql)),
     QueryDef("q31_ann_ivf", q31, Some(q31Sql)),
     QueryDef("q86_ann_ivf_multiprobe", q86, Some(q86Sql)),
     QueryDef("q112_euclidean_topk", q112, Some(q112Sql)),

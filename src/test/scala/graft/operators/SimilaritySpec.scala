@@ -85,4 +85,27 @@ class SimilaritySpec extends SparkSpec {
         lit(true), 0.5).queryExecution.executedPlan.toString
     assert(plan.contains("xxhash64"), s"term hashing missing from plan:\n$plan")
   }
+
+  test("kendallTau: reversal, identity, single swap, and singleton groups") {
+    def tau(b: Seq[(String, Long, Long)]) = Similarity.kendallTau(
+        Seq(("g", 1L, 1L), ("g", 2L, 2L), ("g", 3L, 3L), ("g", 4L, 4L))
+          .toDF("grp", "item", "rnk"),
+        b.toDF("grp", "item", "rnk"), "grp", "item", "rnk")
+      .as[(String, Long, Long, Long, Option[Double])].collect().head
+    // identical rankings: all 6 pairs concordant
+    assert(tau(Seq(("g", 1L, 1L), ("g", 2L, 2L), ("g", 3L, 3L), ("g", 4L, 4L)))
+      === (("g", 4L, 6L, 0L, Some(1.0))))
+    // full reversal: all pairs discordant
+    assert(tau(Seq(("g", 1L, 4L), ("g", 2L, 3L), ("g", 3L, 2L), ("g", 4L, 1L)))
+      === (("g", 4L, 0L, 6L, Some(-1.0))))
+    // one adjacent swap: 5 concordant, 1 discordant -> 8/12
+    assert(tau(Seq(("g", 1L, 2L), ("g", 2L, 1L), ("g", 3L, 3L), ("g", 4L, 4L)))
+      === (("g", 4L, 5L, 1L, Some(0.666667))))
+    // a single common item has no pairs: tau is null, not an error
+    val single = Similarity.kendallTau(
+        Seq(("g", 1L, 1L)).toDF("grp", "item", "rnk"),
+        Seq(("g", 1L, 1L)).toDF("grp", "item", "rnk"), "grp", "item", "rnk")
+      .as[(String, Long, Long, Long, Option[Double])].collect().head
+    assert(single === (("g", 1L, 0L, 0L, None)))
+  }
 }
