@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.{QueryDef, Tables}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Dataset hygiene operators every large-scale pipeline runs before (and
@@ -851,8 +852,131 @@ object Profile {
              / 1e6 END AS kappa
        FROM tot CROSS JOIN ch"""
 
+  /** ROC-AUC of a score against a boolean label via the Mann-Whitney
+    * rank-sum — the standard acceptance metric for a quality classifier
+    * or reranker before its threshold gates a training corpus. Handles
+    * tied scores exactly (each tie group contributes half-credit), which
+    * matters because real quality scores are quantized.
+    *
+    * Cross-engine determinism: group by distinct score, then over the
+    * score-ordered group relation
+    *   2U = Σ_s p(s)·(2·neg_lt(s) + g(s))
+    * (p/g = positive/negative count at score s, neg_lt = negatives
+    * strictly below s) — exact BIGINT algebra; AUC = 2U / (2·n⁺·n⁻) is
+    * ONE correctly-rounded double division, then binary-deterministic
+    * floor(x·1e6+0.5)/1e6. Degenerate inputs (no positives or no
+    * negatives) yield null, same on both engines.
+    *
+    * Scale design: the corpus-sized relation collapses map-side into
+    * (score → counts) partials before its only exchange; the running-sum
+    * window runs over the distinct-score relation, which is bounded in
+    * practice (model scores are int8/fixed-point quantized — q43's own
+    * output shape). Nothing row-sized crosses the wire twice.
+    */
+  def rocAuc(scored: DataFrame, label: Column, score: Column): DataFrame = {
+    val byScore = scored.groupBy(score.as("s")).agg(
+      count(when(label, 1)).as("p"),
+      count(when(!label, 1)).as("g"))
+    val w = Window.orderBy(col("s"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val ranked = byScore.withColumn("neg_lt",
+      coalesce(sum(col("g")).over(w), lit(0L)))
+    def bin6(c: Column): Column = floor(c * lit(1e6) + lit(0.5)) / lit(1e6)
+    ranked
+      .agg(sum(col("p")).as("n_pos"), sum(col("g")).as("n_neg"),
+        sum(col("p") * (lit(2L) * col("neg_lt") + col("g"))).as("u2"))
+      .select(col("n_pos"), col("n_neg"), col("u2"),
+        when(col("n_pos") === 0 || col("n_neg") === 0,
+          lit(null).cast("double"))
+          .otherwise(bin6(col("u2").cast("double")
+            / (lit(2L) * col("n_pos") * col("n_neg")))).as("auc"))
+  }
+
+  // ---- q154: classifier ROC-AUC (rank-sum with ties) --------------------------
+  // Does document length separate English from the rest? n_chars is the
+  // score (heavily tied — the tie-handling path is exercised for real),
+  // lang='en' the label. The oracle replays the identical integer algebra.
+  private def q154(s: SparkSession, d: String): DataFrame =
+    rocAuc(Tables.documents(s, d), col("lang") === "en", col("n_chars"))
+  private val q154Sql =
+    """WITH byscore AS (
+         SELECT n_chars AS s,
+           count(*) FILTER (WHERE lang = 'en')::BIGINT AS p,
+           count(*) FILTER (WHERE lang <> 'en')::BIGINT AS g
+         FROM documents GROUP BY 1),
+       r AS (
+         SELECT p, g, coalesce(sum(g) OVER (ORDER BY s
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT
+           AS neg_lt
+         FROM byscore),
+       t AS (
+         SELECT sum(p)::BIGINT AS n_pos, sum(g)::BIGINT AS n_neg,
+           sum(p * (2 * neg_lt + g))::BIGINT AS u2
+         FROM r)
+       SELECT n_pos, n_neg, u2,
+         CASE WHEN n_pos = 0 OR n_neg = 0 THEN NULL
+           ELSE floor(u2::DOUBLE / (2 * n_pos * n_neg) * 1e6 + 0.5) / 1e6
+           END AS auc
+       FROM t"""
+
+  /** Gini coefficient of a per-group weight relation — the concentration
+    * summary behind "is the corpus dominated by a few sources?" and
+    * "is one user generating most of the events?" checks that decide
+    * per-source caps and repartitioning keys.
+    *
+    * Cross-engine determinism: with weights x sorted ascending and
+    * ranked i = 1..n,  G = (2·Σ i·xᵢ − (n+1)·Σx) / (n·Σx) — exact
+    * BIGINT numerator and denominator, ONE double division, binRound6.
+    * Rank assignment among equal weights is arbitrary but Σ i·xᵢ is
+    * invariant under permuting ties, so the output is deterministic.
+    * Zero total (or an empty input) yields null on both engines.
+    *
+    * Scale design: callers pass an already-aggregated (group, weight)
+    * relation, so the ranked window runs over group cardinality (users,
+    * sources — thousands), not rows; the corpus-sized pass is the
+    * caller's groupBy with map-side partials.
+    */
+  def gini(grouped: DataFrame, valueCol: String): DataFrame = {
+    val ranked = grouped
+      .select(col(valueCol).cast("long").as("x"))
+      .withColumn("i", row_number().over(Window.orderBy(col("x"))))
+    def bin6(c: Column): Column = floor(c * lit(1e6) + lit(0.5)) / lit(1e6)
+    ranked
+      .agg(count(lit(1)).as("n_groups"), sum(col("x")).as("total"),
+        sum(col("i").cast("long") * col("x")).as("s1"))
+      .select(col("n_groups"), col("total"),
+        when(col("total").isNull || col("total") === 0,
+          lit(null).cast("double"))
+          .otherwise(bin6(
+            (lit(2L) * col("s1") - (col("n_groups") + 1) * col("total"))
+              .cast("double") / (col("n_groups") * col("total"))))
+          .as("gini"))
+  }
+
+  // ---- q156: activity concentration (Gini) ------------------------------------
+  // How concentrated is event volume across users? The per-user count
+  // relation feeds the exact rank-sum Gini.
+  private def q156(s: SparkSession, d: String): DataFrame =
+    gini(Tables.events(s, d).groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events")), "n_events")
+  private val q156Sql =
+    """WITH c AS (
+         SELECT user_id, count(*)::BIGINT AS x FROM events GROUP BY 1),
+       r AS (SELECT x, row_number() OVER (ORDER BY x) AS i FROM c),
+       t AS (
+         SELECT count(*)::BIGINT AS n_groups, sum(x)::BIGINT AS total,
+           sum(i * x)::BIGINT AS s1
+         FROM r)
+       SELECT n_groups, total,
+         CASE WHEN total IS NULL OR total = 0 THEN NULL
+           ELSE floor((2 * s1 - (n_groups + 1) * total)::DOUBLE
+             / (n_groups * total) * 1e6 + 0.5) / 1e6 END AS gini
+       FROM t"""
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q152_cohen_kappa", q152, Some(q152Sql)),
+    QueryDef("q154_roc_auc", q154, Some(q154Sql)),
+    QueryDef("q156_gini_concentration", q156, Some(q156Sql)),
     QueryDef("q58_column_profile", q58, Some(q58Sql)),
     QueryDef("q59_latest_per_key", q59, Some(q59Sql)),
     QueryDef("q72_cdc_apply", q72, Some(q72Sql)),

@@ -850,8 +850,104 @@ object TextAnalysis {
        SELECT term, rank::INT AS rank, doc_id, tf, dl, doc_freq, score
        FROM ranked WHERE rank <= 5 ORDER BY term, rank"""
 
+  /** χ² term–class association: which terms are most over/under-
+    * represented in one document class vs the rest? The feature-selection
+    * and "what distinguishes this slice" diagnostic run after language-ID
+    * or a topic classifier splits a corpus. Per term the 2×2 contingency
+    * table over doc-level presence gives
+    *   χ² = N·(ad−bc)² / ((a+b)(c+d)(a+c)(b+d))
+    * with a/b = class/rest docs containing the term and c/d their
+    * complements.
+    *
+    * Cross-engine determinism: counts are exact BIGINTs; numerator
+    * N·(ad−bc)² and denominator df·(N−df)·n⁺·n⁻ stay integer (safe
+    * through ~10⁵ docs; beyond that, promote the factor chain to doubles
+    * in a fixed order — each * is correctly rounded, so the chain stays
+    * bit-stable). The output value is ONE division + binRound6, and the
+    * top-k ORDER BY uses the un-rounded division (bit-identical both
+    * engines) with the term string as unique tiebreaker.
+    *
+    * Scale design: the corpus-sized (doc, term) presence relation is
+    * deduplicated and counted on 8-byte xxhash64 keys — term STRINGS
+    * never ride a corpus-sized shuffle (the q124/exactDedup convention).
+    * Strings reappear only via the vocab-sized (hash → term) map, whose
+    * distinct() collapses map-side to per-partition vocabulary before
+    * its exchange. Totals are a broadcast single row. Hash collisions
+    * would merge two terms' counts — at 64 bits, negligible below ~10⁹
+    * distinct terms.
+    */
+  def termClassChi2(docs: DataFrame, idCol: String, textCol: String,
+      classPred: Column, k: Int): DataFrame = {
+    val toks = docs.select(col(idCol).as("doc_id"),
+      classPred.as("ic"),
+      explode(split(col(textCol), " ")).as("term"))
+    val presence = toks
+      .select(col("doc_id"), col("ic"), xxhash64(col("term")).as("h"))
+      .distinct()
+    val counts = presence.groupBy(col("h")).agg(
+      count(when(col("ic"), 1)).as("a"),
+      count(when(!col("ic"), 1)).as("b"))
+    val vocab = toks.select(xxhash64(col("term")).as("h"), col("term"))
+      .distinct()
+    val tot = docs.agg(
+      count(when(classPred, 1)).as("npos"),
+      count(when(!classPred, 1)).as("nneg"))
+    val adbc = col("a") * (col("nneg") - col("b")) -
+      col("b") * (col("npos") - col("a"))
+    val num = (col("npos") + col("nneg")) * adbc * adbc
+    val den = (col("a") + col("b")) *
+      (col("npos") + col("nneg") - col("a") - col("b")) *
+      col("npos") * col("nneg")
+    def bin6(c: Column): Column = floor(c * lit(1e6) + lit(0.5)) / lit(1e6)
+    counts.crossJoin(broadcast(tot))
+      .withColumn("num", num).withColumn("den", den)
+      .where(col("den") > 0)
+      .join(vocab, "h")
+      .select(col("term"), col("a").as("df_class"), col("b").as("df_rest"),
+        bin6(col("num").cast("double") / col("den")).as("chi2"),
+        (col("num").cast("double") / col("den")).as("chi2x"))
+      .orderBy(col("chi2x").desc, col("term"))
+      .limit(k)
+      .drop("chi2x")
+  }
+
+  // ---- q155: chi-square term-class association --------------------------------
+  // The 30 terms most associated (either direction) with lang='en' vs
+  // the rest of the corpus. The oracle replays the same integer 2×2
+  // algebra directly on term strings.
+  private def q155(s: SparkSession, d: String): DataFrame =
+    termClassChi2(Tables.documents(s, d), "doc_id", "text",
+      col("lang") === "en", k = 30)
+  private val q155Sql =
+    """WITH pairs AS (
+         SELECT doc_id, (lang = 'en') AS ic,
+           unnest(string_split(text, ' ')) AS term
+         FROM documents),
+       dt AS (SELECT DISTINCT doc_id, ic, term FROM pairs),
+       cnt AS (
+         SELECT term,
+           count(*) FILTER (WHERE ic)::BIGINT AS a,
+           count(*) FILTER (WHERE NOT ic)::BIGINT AS b
+         FROM dt GROUP BY 1),
+       tot AS (
+         SELECT count(*) FILTER (WHERE lang = 'en')::BIGINT AS npos,
+           count(*) FILTER (WHERE lang <> 'en')::BIGINT AS nneg
+         FROM documents),
+       sc AS (
+         SELECT term, a, b,
+           (npos + nneg) * (a * (nneg - b) - b * (npos - a))
+             * (a * (nneg - b) - b * (npos - a)) AS num,
+           (a + b) * (npos + nneg - a - b) * npos * nneg AS den
+         FROM cnt CROSS JOIN tot)
+       SELECT term, a AS df_class, b AS df_rest,
+         floor(num::DOUBLE / den * 1e6 + 0.5) / 1e6 AS chi2
+       FROM sc WHERE den > 0
+       ORDER BY num::DOUBLE / den DESC, term
+       LIMIT 30"""
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q21_token_stats", q21, Some(q21Sql)),
+    QueryDef("q155_term_class_chi2", q155, Some(q155Sql)),
     QueryDef("q22_quality_score", q22, Some(q22Sql)),
     QueryDef("q23_lang_id", q23, Some(q23Sql)),
     QueryDef("q24_fingerprint", q24, Some(q24Sql)),

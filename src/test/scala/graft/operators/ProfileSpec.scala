@@ -259,4 +259,39 @@ class ProfileSpec extends SparkSpec {
     val disjoint = kappa(Seq((1L, "x"), (2L, "x")), Seq((1L, "y"), (2L, "y")))
     assert(disjoint === ((2L, 0L, 0.0, 0.0, Some(0.0))))
   }
+
+  test("rocAuc handles separation, reversal, ties, and degenerate labels") {
+    def auc(rows: Seq[(Boolean, Int)]) =
+      Profile.rocAuc(rows.toDF("label", "score"), col("label"), col("score"))
+        .as[(Long, Long, Long, Option[Double])].collect().head
+    // perfect separation -> 1.0
+    val sep = auc(Seq((false, 1), (false, 2), (true, 3), (true, 4)))
+    assert(sep === ((2L, 2L, 8L, Some(1.0))))
+    // perfectly wrong -> 0.0
+    val rev = auc(Seq((true, 1), (true, 2), (false, 3), (false, 4)))
+    assert(rev === ((2L, 2L, 0L, Some(0.0))))
+    // every score tied -> chance, via the half-credit tie path
+    val tied = auc(Seq((true, 5), (false, 5)))
+    assert(tied === ((1L, 1L, 1L, Some(0.5))))
+    // mixed with a pos/neg tie at score 2: 2U = 7 -> AUC 7/8
+    val mixed = auc(Seq((false, 1), (false, 2), (true, 2), (true, 3)))
+    assert(mixed === ((2L, 2L, 7L, Some(0.875))))
+    // single-class input: AUC undefined -> null
+    val degen = auc(Seq((true, 1), (true, 2)))
+    assert(degen === ((2L, 0L, 0L, None)))
+  }
+
+  test("gini is 0 when uniform, (n-1)/n when one group holds everything") {
+    def g(xs: Seq[Long]) =
+      Profile.gini(xs.zipWithIndex.map { case (x, i) => (i.toLong, x) }
+        .toDF("k", "x"), "x")
+        .as[(Long, Long, Option[Double])].collect().head
+    assert(g(Seq(5L, 5L, 5L, 5L)) === ((4L, 20L, Some(0.0))))
+    // one holder of 3: G = (n-1)/n = 2/3, rank ties at 0 don't matter
+    assert(g(Seq(0L, 0L, 10L)) === ((3L, 10L, Some(0.666667))))
+    // hand case: x = [1, 3] -> (2*7 - 3*4) / (2*4) = 0.25
+    assert(g(Seq(1L, 3L)) === ((2L, 4L, Some(0.25))))
+    // all-zero weights: concentration undefined -> null
+    assert(g(Seq(0L, 0L)) === ((2L, 0L, None)))
+  }
 }

@@ -195,4 +195,22 @@ class TextAnalysisSpec extends SparkSpec {
     assert(p4.except(p5).isEmpty && p5.except(p4).isEmpty,
       "encoding must be stable once each merge reaches its fixpoint")
   }
+
+  test("termClassChi2 matches the hand-computed 2x2 tables and tiebreak") {
+    val docs = Seq(
+      (1L, "apple banana", "en"), (2L, "apple cherry", "en"),
+      (3L, "banana cherry", "de"), (4L, "cherry date", "de"))
+      .toDF("doc_id", "text", "lang")
+    val got = TextAnalysis.termClassChi2(docs, "doc_id", "text",
+        col("lang") === "en", k = 4)
+      .as[(String, Long, Long, Double)].collect()
+    // apple: a=2,b=0 -> chi2 = 4*(4)^2/16 = 4.0 (class-exclusive term)
+    // cherry a=1,b=2 and date a=0,b=1 both 16/12; term string breaks the tie
+    // banana a=1,b=1 -> independent -> 0
+    assert(got === Array(
+      ("apple", 2L, 0L, 4.0),
+      ("cherry", 1L, 2L, 1.333333),
+      ("date", 0L, 1L, 1.333333),
+      ("banana", 1L, 1L, 0.0)))
+  }
 }
