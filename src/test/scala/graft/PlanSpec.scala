@@ -245,6 +245,47 @@ class PlanSpec extends SparkSpec {
       s"expected a hash-partitioned join on the bucket key:\n${p.take(1500)}")
   }
 
+  test("q154 roc-auc: corpus collapses to (score, counts) partials below the exchange") {
+    // The rank-sum window runs over the distinct-score relation; the
+    // corpus-sized scan must reach its only exchange as map-side
+    // (score -> pos/neg count) partials, or AUC shuffles every row.
+    // (the exchange partitions on the raw score column — n_chars here)
+    val p = plan("q154_roc_auc")
+    val ex = p.indexOf("Exchange hashpartitioning(n_chars#")
+    assert(ex >= 0, s"score-grouping exchange missing:\n${p.take(1500)}")
+    assert(p.indexOf("partial_count", ex) >= 0,
+      s"map-side partial counts missing below the exchange:\n${p.take(1500)}")
+  }
+
+  test("q155 chi2: term-string exchanges sit on vocab-sized partial dedups") {
+    // The corpus-sized (doc, term) presence relation shuffles xxhash64
+    // keys; term STRINGS may only appear in an exchange's partitioning if
+    // a partial aggregate below it already collapsed the input to the
+    // per-partition vocabulary.
+    val p = plan("q155_term_class_chi2")
+    assert(p.contains("xxhash64"), s"hash kernel missing:\n${p.take(1500)}")
+    val lines = p.linesIterator.toVector
+    val termEx = lines.zipWithIndex.filter { case (l, _) =>
+      l.contains("Exchange hashpartitioning") && l.contains("term#")
+    }
+    assert(termEx.nonEmpty, s"vocab-map exchange missing:\n${p.take(1500)}")
+    termEx.foreach { case (_, i) =>
+      val below = lines.slice(i + 1, i + 3).mkString("\n")
+      assert(below.contains("HashAggregate"),
+        s"term-string exchange without a partial dedup below it:\n$below")
+    }
+  }
+
+  test("q156 gini: per-user counts partially aggregated below the exchange") {
+    // The ranked window runs over group cardinality; the event-sized scan
+    // must collapse to per-partition (user, count) partials first.
+    val p = plan("q156_gini_concentration")
+    val ex = p.indexOf("Exchange hashpartitioning(user_id#")
+    assert(ex >= 0, s"user-grouping exchange missing:\n${p.take(1500)}")
+    assert(p.indexOf("partial_count", ex) >= 0,
+      s"map-side partial counts missing below the exchange:\n${p.take(1500)}")
+  }
+
   test("whole-stage codegen covers the relational hot paths") {
     // AQE prints codegen stages only in the finalized plan — execute first.
     Seq("q01_pricing_summary", "q06_selective_agg", "q09_window_topk").foreach { q =>
