@@ -953,6 +953,142 @@ object Profile {
           .as("gini"))
   }
 
+  /** Precision/recall/F1 operating table: the confusion matrix and the
+    * three derived rates at EVERY occurring score threshold ("predict
+    * positive when score ≥ t") — what you read to pick the quality-
+    * classifier cutoff that [[rocAuc]] summarizes. One row per distinct
+    * score, ordered by threshold.
+    *
+    * Cross-engine determinism: tp/fp are inclusive running sums over the
+    * score-descending distinct-score relation — exact BIGINTs, as are the
+    * fn/tn complements. precision = tp/(tp+fp) (denominator ≥ 1 at every
+    * occurring threshold), recall = tp/P (null when P = 0), and
+    * F1 = 2·tp/((tp+fp)+P) are each ONE double division + the
+    * binary-deterministic floor(x·1e6+0.5)/1e6; F1's denominator is
+    * always positive and tp = 0 yields exactly 0.0.
+    *
+    * Scale design: same shape as [[rocAuc]] — the corpus collapses
+    * map-side to (score → counts) partials before its only exchange;
+    * windows and totals run over the distinct-score relation (bounded
+    * for quantized model scores), with the totals row broadcast and the
+    * byScore subtree shared via ReuseExchange.
+    */
+  def prCurve(scored: DataFrame, label: Column, score: Column): DataFrame = {
+    val byScore = scored.groupBy(score.as("s")).agg(
+      count(when(label, 1)).as("p"),
+      count(when(!label, 1)).as("g"))
+    val w = Window.orderBy(col("s").desc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val cum = byScore.select(col("s"),
+      sum(col("p")).over(w).as("tp"), sum(col("g")).over(w).as("fp"))
+    val tot = byScore.agg(sum(col("p")).as("pos"), sum(col("g")).as("neg"))
+    def bin6(c: Column): Column = floor(c * lit(1e6) + lit(0.5)) / lit(1e6)
+    cum.crossJoin(broadcast(tot))
+      .select(col("s").as("threshold"), col("tp"), col("fp"),
+        (col("pos") - col("tp")).as("fn"), (col("neg") - col("fp")).as("tn"),
+        bin6(col("tp").cast("double") / (col("tp") + col("fp"))).as("prec"),
+        when(col("pos") === 0, lit(null).cast("double"))
+          .otherwise(bin6(col("tp").cast("double") / col("pos"))).as("rec"),
+        bin6((lit(2L) * col("tp")).cast("double")
+          / (col("tp") + col("fp") + col("pos"))).as("f1"))
+      .orderBy(col("threshold"))
+  }
+
+  // ---- q157: precision/recall operating table ---------------------------------
+  // Same label/score pair as q154 (lang='en' vs n_chars), so the eval
+  // suite reads as one coherent report: AUC summary + operating curve.
+  private def q157(s: SparkSession, d: String): DataFrame =
+    prCurve(Tables.documents(s, d), col("lang") === "en", col("n_chars"))
+  private val q157Sql =
+    """WITH byscore AS (
+         SELECT n_chars AS s,
+           count(*) FILTER (WHERE lang = 'en')::BIGINT AS p,
+           count(*) FILTER (WHERE lang <> 'en')::BIGINT AS g
+         FROM documents GROUP BY 1),
+       cum AS (
+         SELECT s,
+           sum(p) OVER (ORDER BY s DESC ROWS BETWEEN UNBOUNDED PRECEDING
+             AND CURRENT ROW)::BIGINT AS tp,
+           sum(g) OVER (ORDER BY s DESC ROWS BETWEEN UNBOUNDED PRECEDING
+             AND CURRENT ROW)::BIGINT AS fp
+         FROM byscore),
+       tot AS (
+         SELECT sum(p)::BIGINT AS pos, sum(g)::BIGINT AS neg FROM byscore)
+       SELECT s AS threshold, tp, fp, (pos - tp) AS fn, (neg - fp) AS tn,
+         floor(tp::DOUBLE / (tp + fp) * 1e6 + 0.5) / 1e6 AS prec,
+         CASE WHEN pos = 0 THEN NULL
+           ELSE floor(tp::DOUBLE / pos * 1e6 + 0.5) / 1e6 END AS rec,
+         floor((2 * tp)::DOUBLE / (tp + fp + pos) * 1e6 + 0.5) / 1e6 AS f1
+       FROM cum CROSS JOIN tot ORDER BY threshold"""
+
+  /** Adjusted Rand Index between two categorical partitions of the same
+    * rows — the chance-corrected agreement of two clusterings, and the
+    * standard acceptance metric for "does my cheap clustering reproduce
+    * the reference labels?" (IVF buckets vs labels, language vs topic).
+    * [[interRaterKappa]] is its per-item cousin; ARI compares PAIR
+    * co-membership, so it is label-permutation-invariant.
+    *
+    * Cross-engine determinism: with contingency counts n_ij, doubled pair
+    * counts I2 = Σ n_ij(n_ij−1), A2/B2 the same over row/column marginals,
+    * and n2 = n(n−1):
+    *   ARI = 2·(I2·n2 − A2·B2) / (n2·(A2+B2) − 2·A2·B2)
+    * — exact BIGINT numerator and denominator (safe through ~10⁶ rows;
+    * beyond, promote the factor chain to doubles in fixed order), ONE
+    * double division + binRound6. Degenerate partitions (both trivial:
+    * everything one cluster, or all singletons) make the denominator 0
+    * → null on both engines.
+    *
+    * Scale design: ONE corpus-sized aggregation to the |A|·|B| contingency
+    * relation (map-side partials); marginals and totals re-aggregate that
+    * small relation and join back as broadcast single rows.
+    */
+  def adjustedRand(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val cells = df.groupBy(col(aCol).as("a"), col(bCol).as("b"))
+      .agg(count(lit(1)).as("nij"))
+    val tot = cells.agg(sum(col("nij")).as("n"),
+      sum(col("nij") * (col("nij") - 1)).as("i2"))
+    val ra = cells.groupBy(col("a")).agg(sum(col("nij")).as("ai"))
+      .agg(sum(col("ai") * (col("ai") - 1)).as("a2"))
+    val rb = cells.groupBy(col("b")).agg(sum(col("nij")).as("bj"))
+      .agg(sum(col("bj") * (col("bj") - 1)).as("b2"))
+    def bin6(c: Column): Column = floor(c * lit(1e6) + lit(0.5)) / lit(1e6)
+    val n2 = col("n") * (col("n") - 1)
+    val den = n2 * (col("a2") + col("b2")) - lit(2L) * col("a2") * col("b2")
+    tot.crossJoin(broadcast(ra)).crossJoin(broadcast(rb))
+      .select(col("n"), col("i2"), col("a2"), col("b2"),
+        when(den === 0, lit(null).cast("double"))
+          .otherwise(bin6(
+            (lit(2L) * (col("i2") * n2 - col("a2") * col("b2"))).cast("double")
+              / den)).as("ari"))
+  }
+
+  // ---- q158: adjusted Rand index (lang vs source partitions) ------------------
+  // How much does the language partition of the corpus agree with the
+  // source partition, beyond chance? The oracle replays the doubled
+  // pair-count algebra on the same contingency table.
+  private def q158(s: SparkSession, d: String): DataFrame =
+    adjustedRand(Tables.documents(s, d), "lang", "source")
+  private val q158Sql =
+    """WITH cells AS (
+         SELECT lang AS a, source AS b, count(*)::BIGINT AS nij
+         FROM documents GROUP BY 1, 2),
+       t AS (
+         SELECT sum(nij)::BIGINT AS n,
+           sum(nij * (nij - 1))::BIGINT AS i2
+         FROM cells),
+       ra AS (
+         SELECT sum(ai * (ai - 1))::BIGINT AS a2 FROM (
+           SELECT sum(nij)::BIGINT AS ai FROM cells GROUP BY a) x),
+       rb AS (
+         SELECT sum(bj * (bj - 1))::BIGINT AS b2 FROM (
+           SELECT sum(nij)::BIGINT AS bj FROM cells GROUP BY b) x)
+       SELECT n, i2, a2, b2,
+         CASE WHEN n * (n - 1) * (a2 + b2) - 2 * a2 * b2 = 0 THEN NULL
+           ELSE floor((2 * (i2 * n * (n - 1) - a2 * b2))::DOUBLE
+             / (n * (n - 1) * (a2 + b2) - 2 * a2 * b2) * 1e6 + 0.5) / 1e6
+           END AS ari
+       FROM t CROSS JOIN ra CROSS JOIN rb"""
+
   // ---- q156: activity concentration (Gini) ------------------------------------
   // How concentrated is event volume across users? The per-user count
   // relation feeds the exact rank-sum Gini.
@@ -977,6 +1113,8 @@ object Profile {
     QueryDef("q152_cohen_kappa", q152, Some(q152Sql)),
     QueryDef("q154_roc_auc", q154, Some(q154Sql)),
     QueryDef("q156_gini_concentration", q156, Some(q156Sql)),
+    QueryDef("q157_pr_curve", q157, Some(q157Sql)),
+    QueryDef("q158_adjusted_rand", q158, Some(q158Sql)),
     QueryDef("q58_column_profile", q58, Some(q58Sql)),
     QueryDef("q59_latest_per_key", q59, Some(q59Sql)),
     QueryDef("q72_cdc_apply", q72, Some(q72Sql)),

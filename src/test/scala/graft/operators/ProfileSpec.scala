@@ -281,6 +281,44 @@ class ProfileSpec extends SparkSpec {
     assert(degen === ((2L, 0L, 0L, None)))
   }
 
+  test("prCurve builds the confusion table at every threshold, hand-checked") {
+    val rows = Seq((false, 1), (false, 2), (true, 2), (true, 3))
+    val got = Profile.prCurve(rows.toDF("label", "score"),
+        col("label"), col("score"))
+      .as[(Int, Long, Long, Long, Long, Double, Option[Double], Double)]
+      .collect()
+    assert(got === Array(
+      (1, 2L, 2L, 0L, 0L, 0.5, Some(1.0), 0.666667),
+      (2, 2L, 1L, 0L, 1L, 0.666667, Some(1.0), 0.8),
+      (3, 1L, 0L, 1L, 2L, 1.0, Some(0.5), 0.666667)))
+    // no positives at all: recall undefined (null), F1 exactly 0
+    val negOnly = Profile.prCurve(Seq((false, 1), (false, 2))
+        .toDF("label", "score"), col("label"), col("score"))
+      .as[(Int, Long, Long, Long, Long, Double, Option[Double], Double)]
+      .collect()
+    assert(negOnly === Array(
+      (1, 0L, 2L, 0L, 0L, 0.0, None, 0.0),
+      (2, 0L, 1L, 0L, 1L, 0.0, None, 0.0)))
+  }
+
+  test("adjustedRand: identical -> 1, trivial-vs-real -> 0, crossed -> -0.5") {
+    def ari(pairs: Seq[(String, String)]) =
+      Profile.adjustedRand(pairs.toDF("a", "b"), "a", "b")
+        .as[(Long, Long, Long, Long, Option[Double])].collect().head
+    val same = ari(Seq(("x", "x"), ("x", "x"), ("y", "y")))
+    assert(same === ((3L, 2L, 2L, 2L, Some(1.0))))
+    // one partition puts everything in one cluster: agreement is exactly
+    // what chance predicts -> 0
+    val triv = ari(Seq(("x", "p"), ("x", "p"), ("x", "q"), ("x", "q")))
+    assert(triv === ((4L, 4L, 12L, 4L, Some(0.0))))
+    // fully crossed 2x2 design: below-chance pair agreement
+    val crossed = ari(Seq(("x", "p"), ("x", "q"), ("y", "p"), ("y", "q")))
+    assert(crossed === ((4L, 0L, 4L, 4L, Some(-0.5))))
+    // both partitions trivial: ARI undefined -> null
+    val degen = ari(Seq(("x", "p"), ("x", "p")))
+    assert(degen === ((2L, 2L, 2L, 2L, None)))
+  }
+
   test("gini is 0 when uniform, (n-1)/n when one group holds everything") {
     def g(xs: Seq[Long]) =
       Profile.gini(xs.zipWithIndex.map { case (x, i) => (i.toLong, x) }
