@@ -24,16 +24,24 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame = apply(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame = apply(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = apply(s, d, "lineitem")
-  /** events.ts is TIMESTAMP(NANOS) in parquet, which Spark rejects; read it
-    * as Long nanos (legacy conf) and convert to a microsecond timestamp.
-    * Fixture nanos are µs-aligned, and DuckDB reads the column as µs
-    * TIMESTAMP too, so oracle parity is exact.
+  /** events.ts normalizes to a session-TZ TIMESTAMP whatever the fixture
+    * generation wrote: TIMESTAMP(NANOS) (Spark rejects natively; read as
+    * Long nanos via the legacy conf and convert), native TIMESTAMP(MICROS)
+    * (arrives as TIMESTAMP_NTZ under inferTimestampNTZ; cast — session TZ
+    * is UTC so the wall clock is preserved), or plain Long micros. DuckDB
+    * reads the same column as a naive µs TIMESTAMP in every case, so
+    * oracle parity is exact.
     */
   def events(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr}
+    import org.apache.spark.sql.types._
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    apply(s, d, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.expr(
-        "timestamp_micros(ts div 1000)"))
+    val df = apply(s, d, "events")
+    df.schema("ts").dataType match {
+      case LongType => df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => df
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = apply(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = apply(s, d, "embeddings")

@@ -735,10 +735,15 @@ object ShardStore {
       else Array(root)
     files.iterator.flatMap { f =>
       val reader = ParquetReader.builder(new GroupReadSupport(), f).withConf(hconf).build()
+      // ts unit varies by fixture generation: TIMESTAMP(NANOS|MICROS|MILLIS)
+      // annotation, or a bare INT64 of nanos. Resolved from the first row's
+      // schema so replay stays exact against any of them.
+      var toMicros: Long => Long = null
       try Iterator.continually(reader.read()).takeWhile(_ != null).map { g =>
+        if (toMicros == null) toMicros = tsUnitToMicros(g.getType.getType("ts"))
         Ev(
           eventId = g.getLong("event_id", 0),
-          tsMicros = g.getLong("ts", 0) / 1000L, // TIMESTAMP(NANOS) → micros
+          tsMicros = toMicros(g.getLong("ts", 0)),
           userId = g.getLong("user_id", 0),
           eventType = g.getString("event_type", 0),
           value = g.getDouble("value", 0),
@@ -746,5 +751,19 @@ object ShardStore {
       }.toArray.iterator // drain fully before closing the reader
       finally reader.close()
     }.toArray
+  }
+
+  private def tsUnitToMicros(t: org.apache.parquet.schema.Type): Long => Long = {
+    import org.apache.parquet.schema.LogicalTypeAnnotation
+    import LogicalTypeAnnotation.TimeUnit
+    t.getLogicalTypeAnnotation match {
+      case ts: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
+        ts.getUnit match {
+          case TimeUnit.NANOS  => v => v / 1000L
+          case TimeUnit.MILLIS => v => v * 1000L
+          case _               => v => v
+        }
+      case _ => v => v / 1000L // unannotated INT64: fixture nanos
+    }
   }
 }
