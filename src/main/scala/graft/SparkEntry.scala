@@ -18,7 +18,8 @@ object SparkEntry {
       operators.Media.defs ++ operators.TypedAggs.defs ++
       operators.SqlSurface.defs ++ operators.PipelineOps.defs ++
       operators.Analytics.defs ++ operators.Profile.defs ++
-      operators.Layout.defs ++ operators.Incremental.defs
+      operators.Layout.defs ++ operators.Incremental.defs ++
+      operators.Graph.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1109,8 +1109,237 @@ object Profile {
              / (n_groups * total) * 1e6 + 0.5) / 1e6 END AS gini
        FROM t"""
 
+  /** Deterministic Poisson-bootstrap confidence interval for a corpus
+    * mean — the error bar on "did this filter change mean document
+    * quality?" that a point estimate alone can't give. Each of B replicas
+    * reweights every row by a Poisson(1) draw (the large-n limit of
+    * sampling n rows with replacement), the replica means are ranked, and
+    * the nearest-rank 5th/95th percentiles bound the CI.
+    *
+    * Cross-engine determinism: the draw is the md5 family every sampler
+    * here uses — the first 4 hex chars of md5(key "-" replica) compared
+    * against the Poisson(1) CDF quantized to 1/65536 (hex-string
+    * thresholds, so neither engine needs hex→int conversion) — and the
+    * replica mean is exact BIGINT algebra: (1e6·Σwx) div Σw. Ranking ties
+    * break on replica id.
+    *
+    * Scale design: rows explode ×B map-side but collapse to B partial
+    * rows per partition in the same stage (hash agg on the replica id) —
+    * the exchange carries B·partitions rows, NOT corpus×B; the ranked
+    * window runs over the B-row replica relation. This is the
+    * bag-of-little-bootstraps shape: resampling a 100-TB corpus costs one
+    * scan.
+    */
+  def bootstrapCi(df: DataFrame, keyCol: Column, valueCol: Column,
+      replicas: Int = 64): DataFrame = {
+    require(replicas >= 20, "nearest-rank 5%/95% needs at least 20 replicas")
+    val loRank = (replicas * 5 + 99) / 100 // nearest-rank ceil(.05 B)
+    val hiRank = (replicas * 95 + 99) / 100 // ceil(.95 B)
+    val drawn = df
+      .select(keyCol.cast("string").as("k"), valueCol.cast("long").as("x"))
+      .select(col("k"), col("x"),
+        explode(sequence(lit(0), lit(replicas - 1))).as("b"))
+      .withColumn("u", substring(
+        md5(concat(col("k"), lit("-"), col("b").cast("string"))
+          .cast("binary")), 1, 4))
+      .withColumn("w", poissonWeight(col("u")))
+    val per = drawn.groupBy(col("b"))
+      .agg(sum(col("w")).as("sw"), sum(col("w") * col("x")).as("swx"))
+      .select(col("b"), when(col("sw") === 0, lit(null).cast("long"))
+        .otherwise(expr("(1000000 * swx) div sw")).as("mean_micro"))
+    per
+      .withColumn("rn",
+        row_number().over(Window.orderBy(col("mean_micro"), col("b"))))
+      .agg(count(lit(1)).as("n_replicas"),
+        expr("sum(mean_micro) div count(1)").as("est_micro"),
+        max(when(col("rn") === loRank, col("mean_micro"))).as("lo_micro"),
+        max(when(col("rn") === hiRank, col("mean_micro"))).as("hi_micro"))
+  }
+
+  /** Poisson(1) weight from a 4-hex-char uniform draw: CDF thresholds
+    * floor(F(k)·65536) rendered as hex strings — lexicographic order on
+    * fixed-width lowercase hex IS numeric order, identically in any
+    * engine. */
+  private def poissonWeight(hex4: Column): Column =
+    when(hex4 < "5e2d", 0L).when(hex4 < "bc5a", 1L).when(hex4 < "eb71", 2L)
+      .when(hex4 < "fb23", 3L).when(hex4 < "ff10", 4L).when(hex4 < "ffd9", 5L)
+      .when(hex4 < "fffa", 6L).otherwise(7L)
+
+  // ---- q160: bootstrap CI on mean document length -----------------------------
+  private def q160(s: SparkSession, d: String): DataFrame =
+    bootstrapCi(Tables.documents(s, d), col("doc_id"), col("n_chars"))
+  private val q160Sql =
+    """WITH reps AS (SELECT unnest(range(0, 64)) AS b),
+       drawn AS (
+         SELECT r.b, d.n_chars::BIGINT AS x,
+           substr(md5(d.doc_id::VARCHAR || '-' || r.b::VARCHAR), 1, 4) AS u
+         FROM documents d CROSS JOIN reps r),
+       w AS (
+         SELECT b, x,
+           (CASE WHEN u < '5e2d' THEN 0 WHEN u < 'bc5a' THEN 1
+                 WHEN u < 'eb71' THEN 2 WHEN u < 'fb23' THEN 3
+                 WHEN u < 'ff10' THEN 4 WHEN u < 'ffd9' THEN 5
+                 WHEN u < 'fffa' THEN 6 ELSE 7 END)::BIGINT AS w
+         FROM drawn),
+       per AS (
+         SELECT b,
+           CASE WHEN sum(w)::BIGINT = 0 THEN NULL
+             ELSE (1000000 * sum(w * x)::BIGINT) // sum(w)::BIGINT
+             END AS mean_micro
+         FROM w GROUP BY b),
+       ranked AS (
+         SELECT b, mean_micro,
+           row_number() OVER (ORDER BY mean_micro, b) AS rn
+         FROM per)
+       SELECT count(*)::BIGINT AS n_replicas,
+         (sum(mean_micro)::BIGINT // count(*))::BIGINT AS est_micro,
+         max(CASE WHEN rn = 4 THEN mean_micro END)::BIGINT AS lo_micro,
+         max(CASE WHEN rn = 61 THEN mean_micro END)::BIGINT AS hi_micro
+       FROM ranked"""
+
+  /** Simplified (centroid-based) silhouette per cluster — the clustering
+    * quality companion to [[adjustedRand]] when there are no reference
+    * labels: a = distance to the assigned centroid, b = distance to the
+    * nearest OTHER centroid, s = (b−a)/max(a,b) ∈ [0,1] (cosine distance;
+    * a ≤ b by construction of the assignment). Mean s near 0 means the
+    * clusters don't separate — re-seed before using them for IVF routing
+    * or semantic dedup.
+    *
+    * Scale design: the K centroids broadcast; the per-point top-2 scores
+    * route through [[Similarity.rankTopK]]'s bounded heap (2 rows per
+    * point reach the exchange, not the N·K scored relation). The
+    * silhouette algebra then runs on micro-quantized BIGINTs — per-point
+    * s_micro = (c1−c2)·1e6 div (1e6−c2) — so cluster means are exact
+    * integer sums, deterministic under any partitioning.
+    */
+  def silhouette(vectors: DataFrame, centroids: DataFrame, idCol: String,
+      vecCol: String, centIdCol: String, centVecCol: String): DataFrame = {
+    import graft.functions.TextFunctions.cosine
+    val scored = vectors.crossJoin(broadcast(centroids))
+      .select(col(idCol).as("query_id"), col(centIdCol).as("neighbor_id"),
+        cosine(col(vecCol), col(centVecCol)).as("c"))
+    val per = Similarity.rankTopK(scored, 2)
+      .groupBy(col("query_id"))
+      .agg(max(when(col("rank") === 1,
+          struct(col("neighbor_id"), col("cos_sim")))).as("b1"),
+        max(when(col("rank") === 2, col("cos_sim"))).as("cs2"))
+      .select(col("b1.neighbor_id").as("cluster_id"),
+        floor(col("b1.cos_sim") * 1e6 + 0.5).as("c1m"),
+        floor(coalesce(col("cs2"), col("b1.cos_sim")) * 1e6 + 0.5).as("c2m"))
+      .withColumn("s_micro",
+        when(col("c2m") >= 1000000L, lit(0L))
+          .otherwise(floor((col("c1m") - col("c2m")).cast("double")
+            / (lit(1000000L) - col("c2m")) * 1e6 + 0.5)))
+    per.groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("n_members"),
+        expr("sum(s_micro) div count(1)").as("mean_s_micro"))
+      .orderBy(col("cluster_id"))
+  }
+
+  // ---- q161: silhouette of the q44 seed clustering ----------------------------
+  // Same seeds as q44 (vec_id < 8): how well do those eight anchors
+  // actually partition the embedding space they were drafted to route?
+  private def q161(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val cents = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("centroid_id"), col("embedding").as("cent"))
+    silhouette(emb, cents, "vec_id", "embedding", "centroid_id", "cent")
+  }
+  private val q161Sql =
+    """WITH cents AS (
+         SELECT vec_id AS centroid_id, embedding AS cent FROM embeddings
+         WHERE vec_id < 8),
+       scored AS (
+         SELECT e.vec_id, c.centroid_id,
+           list_sum(list_transform(range(1, len(e.embedding) + 1),
+             k -> e.embedding[k]::DOUBLE * c.cent[k]::DOUBLE))
+           / (sqrt(list_sum(list_transform(e.embedding, x -> x::DOUBLE * x::DOUBLE)))
+              * sqrt(list_sum(list_transform(c.cent, x -> x::DOUBLE * x::DOUBLE))))
+             AS cs
+         FROM embeddings e CROSS JOIN cents c),
+       top AS (
+         SELECT vec_id, centroid_id, round(cs, 6) AS cs6,
+           row_number() OVER (PARTITION BY vec_id
+             ORDER BY cs DESC, centroid_id) AS rn
+         FROM scored),
+       per AS (
+         SELECT vec_id,
+           max(CASE WHEN rn = 1 THEN centroid_id END) AS cluster_id,
+           floor(max(CASE WHEN rn = 1 THEN cs6 END) * 1e6 + 0.5)::BIGINT AS c1m,
+           floor(coalesce(max(CASE WHEN rn = 2 THEN cs6 END),
+                          max(CASE WHEN rn = 1 THEN cs6 END)) * 1e6 + 0.5)::BIGINT
+             AS c2m
+         FROM top WHERE rn <= 2 GROUP BY vec_id),
+       sil AS (
+         SELECT cluster_id,
+           (CASE WHEN c2m >= 1000000 THEN 0
+              ELSE floor((c1m - c2m)::DOUBLE / (1000000 - c2m) * 1e6 + 0.5)
+              END)::BIGINT AS s_micro
+         FROM per)
+       SELECT cluster_id, count(*)::BIGINT AS n_members,
+         (sum(s_micro)::BIGINT // count(*))::BIGINT AS mean_s_micro
+       FROM sil GROUP BY cluster_id ORDER BY cluster_id"""
+
+  /** Calibration (reliability) table for a score used as a probability:
+    * rows bucket into `bins` equal score bands, and each band reports
+    * mean normalized score (confidence) beside the observed positive rate
+    * (accuracy) plus their gap — the per-band decomposition of expected
+    * calibration error. An over-confident quality classifier passes
+    * [[rocAuc]] (ranking is calibration-free) and still mis-sizes every
+    * threshold-gated corpus cut; this is the table that catches it.
+    *
+    * Integer end to end: bin = (bins·score) div max_score (clamped),
+    * confidence = (1e6·Σscore) div (n·max), accuracy = (1e6·positives)
+    * div n — no floating point anywhere, so no summation-order or
+    * rounding divergence is possible. One partial-aggregated pass over
+    * the corpus plus a broadcast single-row max.
+    */
+  def calibrationBins(df: DataFrame, label: Column, score: Column,
+      bins: Int = 10): DataFrame = {
+    require(bins >= 2, "need at least two calibration bins")
+    val mx = df.agg(max(score.cast("long")).as("mx"))
+    df.select(label.as("y"), score.cast("long").as("sc"))
+      .crossJoin(broadcast(mx))
+      .select(least(expr(s"($bins * sc) div mx"), lit(bins - 1L)).as("bin"),
+        col("y"), col("sc"), col("mx"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("y"), 1L).otherwise(0L)).as("n_pos"),
+        expr("(1000000 * sum(sc)) div (count(1) * max(mx))").as("conf_micro"))
+      .withColumn("acc_micro", expr("(1000000 * n_pos) div n"))
+      .withColumn("gap_micro", abs(col("conf_micro") - col("acc_micro")))
+      .orderBy(col("bin"))
+  }
+
+  // ---- q162: calibration of length-as-English-probability ---------------------
+  // The q154/q157 classifier read as a probability: length separates
+  // 'en' by ranking, but is it calibrated? (It is not — which is the
+  // point of the table.)
+  private def q162(s: SparkSession, d: String): DataFrame =
+    calibrationBins(Tables.documents(s, d), col("lang") === "en",
+      col("n_chars"))
+  private val q162Sql =
+    """WITH t AS (
+         SELECT lang = 'en' AS y, n_chars::BIGINT AS sc FROM documents),
+       m AS (SELECT max(sc)::BIGINT AS mx FROM t),
+       b AS (SELECT least((10 * sc) // mx, 9) AS bin, y, sc, mx
+             FROM t CROSS JOIN m),
+       g AS (
+         SELECT bin, count(*)::BIGINT AS n,
+           sum(CASE WHEN y THEN 1 ELSE 0 END)::BIGINT AS n_pos,
+           ((1000000 * sum(sc)::BIGINT) // (count(*) * max(mx)))::BIGINT
+             AS conf_micro
+         FROM b GROUP BY bin)
+       SELECT bin, n, n_pos, conf_micro,
+         ((1000000 * n_pos) // n)::BIGINT AS acc_micro,
+         abs(conf_micro - ((1000000 * n_pos) // n))::BIGINT AS gap_micro
+       FROM g ORDER BY bin"""
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q152_cohen_kappa", q152, Some(q152Sql)),
+    QueryDef("q160_bootstrap_ci", q160, Some(q160Sql)),
+    QueryDef("q161_silhouette", q161, Some(q161Sql)),
+    QueryDef("q162_calibration", q162, Some(q162Sql)),
     QueryDef("q154_roc_auc", q154, Some(q154Sql)),
     QueryDef("q156_gini_concentration", q156, Some(q156Sql)),
     QueryDef("q157_pr_curve", q157, Some(q157Sql)),

@@ -1,0 +1,49 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions.col
+
+class GraphSpec extends SparkSpec {
+  import spark.implicits._
+
+  // Undirected path 1–2–3 fed as both edge directions.
+  private def pathEdges = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L))
+    .toDF("src", "dst")
+
+  test("pagerank matches the hand-computed integer fixpoint on a path graph") {
+    // deg: 1→1, 2→2, 3→1; start 1e6 each.
+    // iter1: in(1)=500000, in(2)=2000000, in(3)=500000
+    //        r1 = 150000 + 85%·in = (575000, 1850000, 575000)
+    // iter2: contribs (575000, 925000, 575000)
+    //        r2 = (936250, 1127500, 936250)
+    val got = Graph.pagerank(pathEdges, "src", "dst", iterations = 2)
+      .orderBy(col("node_id"))
+      .as[(Long, Long)].collect()
+    assert(got === Array((1L, 936250L), (2L, 1127500L), (3L, 936250L)))
+  }
+
+  test("pagerank is partitioning-invariant (exact BIGINT algebra)") {
+    val a = Graph.pagerank(pathEdges, "src", "dst", 3)
+      .orderBy(col("node_id")).as[(Long, Long)].collect()
+    val b = Graph.pagerank(pathEdges.repartition(7), "src", "dst", 3)
+      .orderBy(col("node_id")).as[(Long, Long)].collect()
+    assert(a === b)
+  }
+
+  test("pagerank iteration aggregates contributions map-side (hash agg, no window)") {
+    val plan = Graph.pagerank(pathEdges, "src", "dst", 1, checkpoint = false)
+      .queryExecution.executedPlan.toString
+    assert(plan.toLowerCase.contains("hashaggregate"),
+      s"expected hash aggregation for the contribution sum:\n$plan")
+    assert(!plan.contains("Window"), s"unexpected window sort:\n$plan")
+  }
+
+  test("pagerank truncates lineage per iteration (checkpointed scan, not a growing plan)") {
+    val plan = Graph.pagerank(pathEdges, "src", "dst", 3)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("Scan ExistingRDD"),
+      s"expected the last iteration to read the checkpointed ranks:\n$plan")
+    assert(!plan.toLowerCase.contains("hashaggregate"),
+      s"lineage was not truncated:\n$plan")
+  }
+}

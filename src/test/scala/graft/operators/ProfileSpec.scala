@@ -332,4 +332,71 @@ class ProfileSpec extends SparkSpec {
     // all-zero weights: concentration undefined -> null
     assert(g(Seq(0L, 0L)) === ((2L, 0L, None)))
   }
+
+  test("bootstrapCi degenerates to a zero-width interval on constant data") {
+    // Every replica's weighted mean of a constant is the constant, so
+    // est = lo = hi = 42e6 regardless of the Poisson draws.
+    val df = (1L to 50L).map(i => (i, 42L)).toDF("k", "x")
+    val got = Profile.bootstrapCi(df, col("k"), col("x"), replicas = 64)
+      .as[(Long, Long, Long, Long)].collect().head
+    assert(got === ((64L, 42000000L, 42000000L, 42000000L)))
+  }
+
+  test("bootstrapCi is partitioning-invariant and brackets the estimate") {
+    val df = (1L to 200L).map(i => (i, i % 37)).toDF("k", "x")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Profile.bootstrapCi(d, col("k"), col("x"))
+        .as[(Long, Long, Long, Long)].collect().head
+    val a = run(df)
+    assert(a === run(df.repartition(13)))
+    val (n, est, lo, hi) = a
+    assert(n === 64L)
+    assert(lo <= est && est <= hi)
+    assert(lo < hi, "nonconstant data must have a nonzero-width CI")
+  }
+
+  test("bootstrapCi shuffles replica partials, not the exploded corpus") {
+    val df = (1L to 50L).map(i => (i, i)).toDF("k", "x")
+    val p = Profile.bootstrapCi(df, col("k"), col("x"))
+      .queryExecution.executedPlan.toString
+    val ex = p.indexOf("Exchange hashpartitioning")
+    assert(ex >= 0, s"expected a replica-keyed exchange:\n$p")
+    assert(p.indexOf("partial_sum", ex) >= 0,
+      s"map-side partial sums missing below the exchange:\n${p.take(1500)}")
+  }
+
+  test("silhouette scores tight well-separated clusters near 1, overlap near 0") {
+    val cents = Seq((0L, Array(1f, 0f)), (1L, Array(0f, 1f)))
+      .toDF("centroid_id", "cent")
+    // Two tight clusters hugging orthogonal centroids.
+    val tight = Seq(
+      (10L, Array(1f, 0.01f)), (11L, Array(1f, -0.01f)),
+      (20L, Array(0.01f, 1f)), (21L, Array(-0.01f, 1f)))
+      .toDF("vec_id", "embedding")
+    val got = Profile
+      .silhouette(tight, cents, "vec_id", "embedding", "centroid_id", "cent")
+      .as[(Long, Long, Long)].collect()
+    assert(got.map(r => (r._1, r._2)) === Array((0L, 2L), (1L, 2L)))
+    assert(got.forall(_._3 > 900000L), s"tight clusters must score high: ${got.toSeq}")
+    // A point on the bisector scores ~0: equally close to both centroids.
+    val mid = Seq((30L, Array(1f, 1f))).toDF("vec_id", "embedding")
+    val m = Profile
+      .silhouette(mid, cents, "vec_id", "embedding", "centroid_id", "cent")
+      .as[(Long, Long, Long)].collect().head
+    assert(m._3 <= 1L, s"bisector point must score ~0, got ${m._3}")
+  }
+
+  test("calibrationBins computes integer conf/acc per band") {
+    // scores 1..10 (max 10), positive iff score >= 8.
+    val df = (1L to 10L).map(i => (i >= 8, i)).toDF("y", "sc")
+    val got = Profile.calibrationBins(df, col("y"), col("sc"))
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+    // bin 5 holds only score 5: conf = 5e5, acc = 0, gap = 5e5.
+    val b5 = got.find(_._1 == 5L).get
+    assert(b5 === ((5L, 1L, 0L, 500000L, 0L, 500000L)))
+    // top bin clamps scores 9 and 10: conf = 19/20, acc = 1.
+    val b9 = got.find(_._1 == 9L).get
+    assert(b9 === ((9L, 2L, 2L, 950000L, 1000000L, 50000L)))
+    assert(got.map(_._2).sum === 10L)
+  }
 }
