@@ -46,9 +46,14 @@ object Graph {
       checkpoint: Boolean = true): DataFrame = {
     require(iterations >= 1, "pagerank needs at least one iteration")
     require(dampingPct >= 0 && dampingPct <= 100, "damping is a percent")
-    val e = edges
+    // Materialize the edge list (and degrees) ONCE — every iteration joins
+    // it, and without this the upstream edge derivation (often itself a
+    // join+distinct) re-executes per iteration.
+    val e0 = edges
       .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
-    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val e = if (checkpoint) e0.localCheckpoint() else e0
+    val deg0 = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val deg = if (checkpoint) deg0.localCheckpoint() else deg0
     val base = 1000000L * (100 - dampingPct) / 100
     var ranks = deg.select(col("src").as("id"), lit(1000000L).as("rank_micro"))
     for (_ <- 1 to iterations) {
