@@ -109,6 +109,114 @@ object Graph {
        SELECT id AS node_id, r AS rank_micro FROM r3
        ORDER BY rank_micro DESC, node_id LIMIT 20"""
 
+  /** Triangle census + global clustering coefficient of an undirected
+    * graph — the motif profile behind "is this similarity graph cliquey
+    * (near-dup families) or star-shaped (boilerplate hubs)?" decisions
+    * that [[Dedup.dedupClusters]] output feeds into.
+    *
+    * The enumeration orients every edge from its (degree, id)-smaller
+    * endpoint to the larger and counts directed paths a→b→c closed by
+    * a→c. Each triangle is counted exactly ONCE, and — the scale
+    * property — the join fan-out per node is bounded by its ORIENTED
+    * out-degree: a hub of degree d contributes min(d, ~√|E|) oriented
+    * out-edges instead of d² wedges. Degree-ordering is what makes
+    * triangle counting survive power-law graphs; id-ordering alone
+    * leaves the skew in place.
+    *
+    * All counts are exact BIGINTs; the clustering coefficient
+    * 3·triangles/wedges is emitted in integer micros (one BIGINT
+    * division), so the row is bit-deterministic on any engine.
+    */
+  def triangleStats(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    val raw = edges.select(col(srcCol).cast("long").as("u"), col(dstCol).cast("long").as("v"))
+      .filter(col("u") =!= col("v"))
+    val und = raw
+      .select(least(col("u"), col("v")).as("u"), greatest(col("u"), col("v")).as("v"))
+      .distinct()
+    val deg = und.select(col("u").as("n")).union(und.select(col("v").as("n")))
+      .groupBy(col("n")).agg(count(lit(1)).as("d"))
+    // Orient each edge toward the (degree, id)-larger endpoint.
+    val o = und
+      .join(deg.select(col("n").as("u"), col("d").as("du")), "u")
+      .join(deg.select(col("n").as("v"), col("d").as("dv")), "v")
+      .select(
+        when(struct(col("du"), col("u")) < struct(col("dv"), col("v")),
+          struct(col("u").as("a"), col("v").as("b")))
+          .otherwise(struct(col("v").as("a"), col("u").as("b"))).as("e"))
+      .select(col("e.a").as("a"), col("e.b").as("b"))
+    val tri = o.as("e1")
+      .join(o.as("e2"), col("e1.b") === col("e2.a"))
+      .join(o.as("e3"),
+        col("e1.a") === col("e3.a") && col("e2.b") === col("e3.b"))
+      .agg(count(lit(1)).as("n_triangles"))
+    val counts = und.agg(count(lit(1)).as("n_edges"))
+      .crossJoin(deg.agg(count(lit(1)).as("n_nodes"),
+        sum(expr("d * (d - 1) div 2")).as("n_wedges")))
+    counts.crossJoin(tri)
+      .select(col("n_nodes"), col("n_edges"), col("n_wedges"),
+        col("n_triangles"),
+        when(col("n_wedges") === 0, lit(null).cast("long"))
+          .otherwise(expr("(3000000 * n_triangles) div n_wedges"))
+          .as("gcc_micro"))
+  }
+
+  // ---- q163: triangle census of the supplier co-sale projection ---------------
+  // Two suppliers link when they share customers; keeping only the 3000
+  // STRONGEST pairs (by shared-customer count, ties on ids) makes the
+  // projection a sparse association graph at any scale factor — an
+  // unthresholded co-occurrence projection of a dense bipartite graph is
+  // near-complete, and its ~n³/6 triangles are a property of the graph,
+  // not the algorithm. The census says whether supplier communities
+  // overlap in cliques or chain through hubs.
+  private def q163(s: SparkSession, d: String): DataFrame = {
+    val sp = Tables.orders(s, d)
+      .join(Tables.lineitem(s, d), col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey").as("c"), col("l_suppkey").as("sup"))
+      .distinct()
+    val proj = sp.as("x").join(sp.as("y"),
+        col("x.c") === col("y.c") && col("x.sup") < col("y.sup"))
+      .groupBy(col("x.sup").as("s1"), col("y.sup").as("s2"))
+      .agg(count(lit(1)).as("w"))
+      .orderBy(col("w").desc, col("s1"), col("s2"))
+      .limit(3000)
+    triangleStats(proj, "s1", "s2")
+  }
+  private val q163Sql =
+    """WITH sp AS (
+         SELECT DISTINCT o_custkey AS c, l_suppkey AS sup
+         FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+       und AS (
+         SELECT u, v FROM (
+           SELECT x.sup AS u, y.sup AS v, count(*) AS w
+           FROM sp x JOIN sp y ON x.c = y.c AND x.sup < y.sup
+           GROUP BY 1, 2
+           ORDER BY w DESC, u, v LIMIT 3000)),
+       deg AS (
+         SELECT n, count(*)::BIGINT AS d FROM (
+           SELECT u AS n FROM und UNION ALL SELECT v FROM und)
+         GROUP BY n),
+       o AS (
+         SELECT CASE WHEN (du.d, und.u) < (dv.d, und.v)
+                  THEN und.u ELSE und.v END AS a,
+                CASE WHEN (du.d, und.u) < (dv.d, und.v)
+                  THEN und.v ELSE und.u END AS b
+         FROM und
+           JOIN deg du ON du.n = und.u
+           JOIN deg dv ON dv.n = und.v),
+       tri AS (
+         SELECT count(*)::BIGINT AS n_triangles
+         FROM o e1 JOIN o e2 ON e1.b = e2.a
+           JOIN o e3 ON e3.a = e1.a AND e3.b = e2.b),
+       c AS (
+         SELECT (SELECT count(*)::BIGINT FROM deg) AS n_nodes,
+           (SELECT count(*)::BIGINT FROM und) AS n_edges,
+           (SELECT sum(d * (d - 1) // 2)::BIGINT FROM deg) AS n_wedges)
+       SELECT n_nodes, n_edges, n_wedges, n_triangles,
+         CASE WHEN n_wedges = 0 THEN NULL
+           ELSE (3000000 * n_triangles) // n_wedges END AS gcc_micro
+       FROM c CROSS JOIN tri"""
+
   val defs: Seq[QueryDef] = Seq(
-    QueryDef("q159_pagerank", q159, Some(q159Sql)))
+    QueryDef("q159_pagerank", q159, Some(q159Sql)),
+    QueryDef("q163_triangle_count", q163, Some(q163Sql)))
 }

@@ -38,6 +38,25 @@ class GraphSpec extends SparkSpec {
     assert(!plan.contains("Window"), s"unexpected window sort:\n$plan")
   }
 
+  test("triangleStats counts the square-with-diagonal by hand") {
+    // 1-2-3-4-1 plus diagonal 1-3: triangles (1,2,3) and (1,3,4).
+    // deg = (3,2,3,2) -> wedges = 3+1+3+1 = 8; gcc = 3*2/8 = 0.75.
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L), (1L, 3L))
+      .toDF("u", "v")
+    val got = Graph.triangleStats(edges, "u", "v")
+      .as[(Long, Long, Long, Long, Long)].collect().head
+    assert(got === ((4L, 5L, 8L, 2L, 750000L)))
+  }
+
+  test("triangleStats canonicalizes reversed, duplicate, and self edges") {
+    val messy = Seq((1L, 2L), (2L, 1L), (1L, 2L), (2L, 3L), (1L, 3L),
+      (3L, 3L)).toDF("u", "v")
+    val got = Graph.triangleStats(messy, "u", "v")
+      .as[(Long, Long, Long, Long, Long)].collect().head
+    // One triangle on 3 nodes, 3 edges, wedges = 3, gcc = 3*1/3 = 1.
+    assert(got === ((3L, 3L, 3L, 1L, 1000000L)))
+  }
+
   test("pagerank truncates lineage per iteration (checkpointed scan, not a growing plan)") {
     val plan = Graph.pagerank(pathEdges, "src", "dst", 3)
       .queryExecution.executedPlan.toString
