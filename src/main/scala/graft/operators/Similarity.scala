@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.{QueryDef, Tables}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.TextFunctions.cosine
 
@@ -765,8 +766,96 @@ object Similarity {
        WHERE dot::DOUBLE / (sqrt(na::DOUBLE) * sqrt(nb::DOUBLE)) >= 0.5
        ORDER BY a, b"""
 
+  /** Reciprocal-rank fusion of two top-k rankings — the standard hybrid-
+    * retrieval combiner (lexical BM25 + dense ANN, or any two scorers
+    * whose score SCALES don't compare): each list contributes
+    * 1/(rrfK + rank) for the items it ranked, summed per item. Ranks,
+    * not scores, are fused, so no calibration step is needed — which is
+    * exactly why RRF is the default in production hybrid search.
+    *
+    * Contributions are exact integer parts-per-billion
+    * (1e9 div (rrfK + rank)), so fused scores are BIGINT sums —
+    * deterministic on any engine — and `n_lists` reports how many input
+    * lists backed each item (consensus vs single-scorer hits).
+    *
+    * Scale design: inputs are ALREADY top-k relations (k·|Q| rows — the
+    * heavy corpus ranking happened upstream in [[rankTopK]]'s bounded
+    * heap), so the fusion window ranks a constant ≤ 2k rows per query:
+    * nothing corpus-sized moves here.
+    */
+  def rrfFuse(a: DataFrame, b: DataFrame, k: Int, rrfK: Int = 60): DataFrame = {
+    val contrib = (df: DataFrame) =>
+      df.select(col("query_id"), col("neighbor_id"),
+        expr(s"1000000000 div ($rrfK + rank)").as("contrib"))
+    contrib(a).unionByName(contrib(b))
+      .groupBy(col("query_id"), col("neighbor_id"))
+      .agg(count(lit(1)).as("n_lists"), sum(col("contrib")).as("rrf_ppb"))
+      .withColumn("rank",
+        row_number().over(Window.partitionBy(col("query_id"))
+          .orderBy(col("rrf_ppb").desc, col("neighbor_id"))))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        col("n_lists"), col("rrf_ppb"))
+  }
+
+  // ---- q164: hybrid fusion of the cosine and euclidean rankings ---------------
+  // The two metric families genuinely disagree on unnormalized vectors
+  // (q30 vs q112), so the fusion exercises both the consensus path
+  // (n_lists = 2) and single-list survivors.
+  private def q164(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+    val q = e.filter(col("vec_id") < NumQueries)
+    rrfFuse(
+      bruteTopK(q, e, "vec_id", "embedding", TopK),
+      bruteTopKEuclidean(q, e, "vec_id", "embedding", TopK),
+      TopK)
+      .orderBy(col("query_id"), col("rank"))
+  }
+  private val q164Sql =
+    s"""WITH norms AS (
+         SELECT vec_id, embedding,
+           list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE)) AS l2
+         FROM embeddings),
+       pairs AS (
+         SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+           (list_sum(list_transform(range(1, len(q.embedding) + 1),
+              k -> q.embedding[k]::DOUBLE * n.embedding[k]::DOUBLE))
+            / (sqrt(q.l2) * sqrt(n.l2))) AS c,
+           q.l2 AS ql2, n.l2 AS nl2
+         FROM norms q JOIN norms n ON q.vec_id != n.vec_id
+         WHERE q.vec_id < $NumQueries),
+       crank AS (
+         SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id
+             ORDER BY c DESC, neighbor_id) AS rank
+         FROM pairs),
+       erank AS (
+         SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id
+             ORDER BY -(ql2 + nl2 - 2 * c * sqrt(ql2 * nl2)) DESC,
+               neighbor_id) AS rank
+         FROM pairs),
+       unioned AS (
+         SELECT query_id, neighbor_id, 1000000000 // (60 + rank) AS contrib
+         FROM crank WHERE rank <= $TopK
+         UNION ALL
+         SELECT query_id, neighbor_id, 1000000000 // (60 + rank)
+         FROM erank WHERE rank <= $TopK),
+       fused AS (
+         SELECT query_id, neighbor_id, count(*)::BIGINT AS n_lists,
+           sum(contrib)::BIGINT AS rrf_ppb
+         FROM unioned GROUP BY 1, 2),
+       rk AS (
+         SELECT query_id, neighbor_id, n_lists, rrf_ppb,
+           row_number() OVER (PARTITION BY query_id
+             ORDER BY rrf_ppb DESC, neighbor_id) AS rank
+         FROM fused)
+       SELECT query_id, rank::INT AS rank, neighbor_id, n_lists, rrf_ppb
+       FROM rk WHERE rank <= $TopK ORDER BY query_id, rank"""
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q30_cosine_topk", q30, Some(q30Sql), headline = true),
+    QueryDef("q164_rrf_fusion", q164, Some(q164Sql)),
     QueryDef("q150_sparse_cosine", q150, Some(q150Sql)),
     QueryDef("q136_ann_recall", q136, Some(q136Sql)),
     QueryDef("q153_rank_tau", q153, Some(q153Sql)),

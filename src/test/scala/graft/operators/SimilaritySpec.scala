@@ -108,4 +108,28 @@ class SimilaritySpec extends SparkSpec {
       .as[(String, Long, Long, Long, Option[Double])].collect().head
     assert(single === (("g", 1L, 0L, 0L, None)))
   }
+
+  test("rrfFuse ranks consensus items first with exact ppb contributions") {
+    val a = Seq((1L, 1, 101L), (1L, 2, 102L))
+      .toDF("query_id", "rank", "neighbor_id")
+    val b = Seq((1L, 1, 102L), (1L, 2, 103L))
+      .toDF("query_id", "rank", "neighbor_id")
+    val got = Similarity.rrfFuse(a, b, k = 3)
+      .as[(Long, Int, Long, Long, Long)].collect()
+    // 1e9 div 61 = 16393442, 1e9 div 62 = 16129032. Item 102 is in both
+    // lists (ranks 2 and 1) and must fuse above either single-list item.
+    assert(got === Array(
+      (1L, 1, 102L, 2L, 32522474L),
+      (1L, 2, 101L, 1L, 16393442L),
+      (1L, 3, 103L, 1L, 16129032L)))
+  }
+
+  test("rrfFuse truncates to k and breaks score ties by neighbor id") {
+    val a = Seq((7L, 1, 5L), (7L, 1, 3L))
+      .toDF("query_id", "rank", "neighbor_id")
+    val b = a.limit(0)
+    val got = Similarity.rrfFuse(a, b, k = 1)
+      .as[(Long, Int, Long, Long, Long)].collect()
+    assert(got === Array((7L, 1, 3L, 1L, 16393442L)))
+  }
 }
