@@ -216,7 +216,89 @@ object Graph {
            ELSE (3000000 * n_triangles) // n_wedges END AS gcc_micro
        FROM c CROSS JOIN tri"""
 
+  /** Bounded-round k-core peeling: repeatedly drop nodes with degree < k
+    * (and their edges) for exactly `rounds` rounds, then report the
+    * surviving nodes with their within-subgraph degrees. The k-core —
+    * the classic "dense cohesive region" extractor (spam rings,
+    * boilerplate hubs, strongly-connected near-dup families) — is the
+    * fixpoint of this peel; running a FIXED round count instead of a
+    * convergence loop keeps the operator a pure declarative plan (no
+    * driver-side actions) and makes the oracle an unrolled generated
+    * peel with identical semantics whether or not the fixpoint was
+    * reached — choose `rounds` ≥ the expected peel depth (cascades
+    * deeper than ~5 are rare outside adversarial chains; the spec pins a
+    * 2-round cascade by hand).
+    *
+    * Scale design: each round is one degree aggregation (map-side
+    * partials) plus two semi-joins of the edge list against the
+    * surviving-node set; lineage is checkpointed per round. All counts
+    * exact BIGINTs — deterministic on any engine or partitioning.
+    */
+  def kCore(edges: DataFrame, srcCol: String, dstCol: String, k: Int,
+      rounds: Int, checkpoint: Boolean = true): DataFrame = {
+    require(k >= 1 && rounds >= 1, "need k >= 1 and at least one round")
+    val und = edges
+      .select(col(srcCol).cast("long").as("u"), col(dstCol).cast("long").as("v"))
+      .filter(col("u") =!= col("v"))
+      .select(least(col("u"), col("v")).as("u"), greatest(col("u"), col("v")).as("v"))
+      .distinct()
+    var e = if (checkpoint) und.localCheckpoint() else und
+    for (_ <- 1 to rounds) {
+      val deg = e.select(col("u").as("n")).union(e.select(col("v").as("n")))
+        .groupBy(col("n")).agg(count(lit(1)).as("d"))
+      val keep = deg.filter(col("d") >= k).select(col("n"))
+      e = e.join(keep.withColumnRenamed("n", "u"), Seq("u"), "left_semi")
+        .join(keep.withColumnRenamed("n", "v"), Seq("v"), "left_semi")
+        .select(col("u"), col("v"))
+      if (checkpoint) e = e.localCheckpoint()
+    }
+    e.select(col("u").as("n")).union(e.select(col("v").as("n")))
+      .groupBy(col("n")).agg(count(lit(1)).as("deg"))
+      .select(col("n").as("node_id"), col("deg"))
+      .orderBy(col("node_id"))
+  }
+
+  private val CoreK = 25
+  private val CoreRounds = 6
+
+  // ---- q165: the 25-core of the customer–supplier trading graph ---------------
+  // Customers trade with ~30 suppliers at every scale factor, so k = 25
+  // peels the thin tail of the bipartite graph without collapsing it;
+  // 6 rounds comfortably cover the cascade depth.
+  private def q165(s: SparkSession, d: String): DataFrame = {
+    val sp = Tables.orders(s, d)
+      .join(Tables.lineitem(s, d), col("l_orderkey") === col("o_orderkey"))
+      .select((col("o_custkey") * 2).as("a"), (col("l_suppkey") * 2 + 1).as("b"))
+      .distinct()
+    kCore(sp, "a", "b", CoreK, CoreRounds)
+  }
+  // The oracle is the identical peel UNROLLED: e0 is the canonical edge
+  // set, e{i} keeps e{i-1}'s edges whose endpoints both have degree >= k
+  // in e{i-1} (generated text — the q147 generated-oracle pattern). Each
+  // round MATERIALIZED: an inlined CTE is referenced several times per
+  // round, so six un-materialized rounds expand to ~5^6 base scans.
+  private val q165Sql: String = {
+    val rounds = (1 to CoreRounds).map { i =>
+      val p = s"e${i - 1}"
+      s"""k$i AS MATERIALIZED (
+         SELECT n FROM (SELECT u AS n FROM $p UNION ALL SELECT v FROM $p)
+         GROUP BY n HAVING count(*) >= $CoreK),
+       e$i AS MATERIALIZED (
+         SELECT u, v FROM $p
+         WHERE u IN (SELECT n FROM k$i) AND v IN (SELECT n FROM k$i))"""
+    }.mkString(",\n       ")
+    s"""WITH e0 AS MATERIALIZED (
+         SELECT DISTINCT o_custkey * 2 AS u, l_suppkey * 2 + 1 AS v
+         FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+       $rounds
+       SELECT n AS node_id, count(*)::BIGINT AS deg
+       FROM (SELECT u AS n FROM e$CoreRounds
+             UNION ALL SELECT v FROM e$CoreRounds)
+       GROUP BY n ORDER BY node_id"""
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q159_pagerank", q159, Some(q159Sql)),
-    QueryDef("q163_triangle_count", q163, Some(q163Sql)))
+    QueryDef("q163_triangle_count", q163, Some(q163Sql)),
+    QueryDef("q165_kcore", q165, Some(q165Sql)))
 }

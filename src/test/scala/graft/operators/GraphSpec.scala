@@ -57,6 +57,30 @@ class GraphSpec extends SparkSpec {
     assert(got === ((3L, 3L, 3L, 1L, 1000000L)))
   }
 
+  test("kCore peels a two-round cascade down to the triangle core") {
+    // Triangle (1,2,3) with a pendant chain 3-4-5. k=2: round 1 drops 5
+    // (degree 1), which exposes 4 (now degree 1) for round 2.
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L))
+      .toDF("u", "v")
+    val after1 = Graph.kCore(edges, "u", "v", k = 2, rounds = 1)
+      .as[(Long, Long)].collect()
+    assert(after1.map(_._1).toSet === Set(1L, 2L, 3L, 4L),
+      "one round must only peel the degree-1 leaf")
+    val core = Graph.kCore(edges, "u", "v", k = 2, rounds = 3)
+      .as[(Long, Long)].collect()
+    assert(core === Array((1L, 2L), (2L, 2L), (3L, 2L)))
+  }
+
+  test("kCore is partitioning-invariant and empty below the threshold") {
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L)).toDF("u", "v")
+    val a = Graph.kCore(edges, "u", "v", 2, 2).as[(Long, Long)].collect()
+    val b = Graph.kCore(edges.repartition(5), "u", "v", 2, 2)
+      .as[(Long, Long)].collect()
+    assert(a === b)
+    assert(Graph.kCore(edges, "u", "v", 3, 2).count() === 0L,
+      "a triangle has no 3-core")
+  }
+
   test("pagerank truncates lineage per iteration (checkpointed scan, not a growing plan)") {
     val plan = Graph.pagerank(pathEdges, "src", "dst", 3)
       .queryExecution.executedPlan.toString
