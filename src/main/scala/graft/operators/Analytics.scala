@@ -82,15 +82,15 @@ object Analytics {
     Tables.lineitem(s, d)
       .groupBy(col("l_returnflag"))
       .agg(
-        round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("qp_corr"),
-        round(covar_samp(col("l_quantity"), col("l_extendedprice")), 4).as("qp_covar"),
+        (round(corr(col("l_quantity"), col("l_extendedprice")), 6) + lit(0.0)).as("qp_corr"),
+        (round(covar_samp(col("l_quantity"), col("l_extendedprice")), 4) + lit(0.0)).as("qp_covar"),
         round(stddev_samp(col("l_quantity")), 4).as("q_stddev"),
         round(var_samp(col("l_extendedprice")), 2).as("p_var"))
       .orderBy(col("l_returnflag"))
   private val q48Sql =
     """SELECT l_returnflag,
-         round(corr(l_quantity, l_extendedprice), 6) AS qp_corr,
-         round(covar_samp(l_quantity, l_extendedprice), 4) AS qp_covar,
+         round(corr(l_quantity, l_extendedprice), 6) + 0.0 AS qp_corr,
+         round(covar_samp(l_quantity, l_extendedprice), 4) + 0.0 AS qp_covar,
          round(stddev_samp(l_quantity), 4) AS q_stddev,
          round(var_samp(l_extendedprice), 2) AS p_var
        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
@@ -764,9 +764,11 @@ object Analytics {
     val den = col("n") * col("sxx") - col("sx") * col("sx")
     val slope = (col("n") * col("sxy") - col("sx") * col("sy")) / den
     agg.select(col(keyCol), col("n"),
-      when(den === 0, lit(null)).otherwise(round(slope, 6)).as("slope"),
+      when(den === 0, lit(null)).otherwise(round(slope, 6) + lit(0.0))
+        .as("slope"),
       when(den === 0, lit(null))
-        .otherwise(round((col("sy") - slope * col("sx")) / col("n"), 6))
+        .otherwise(round((col("sy") - slope * col("sx")) / col("n"), 6)
+          + lit(0.0))
         .as("intercept"))
   }
 
@@ -790,11 +792,11 @@ object Analytics {
          FROM p GROUP BY 1)
        SELECT user_id, n,
          CASE WHEN n * sxx - sx * sx = 0 THEN NULL
-           ELSE round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) END
+           ELSE round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) + 0.0 END
            AS slope,
          CASE WHEN n * sxx - sx * sx = 0 THEN NULL
            ELSE round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx)
-             / n, 6) END AS intercept
+             / n, 6) + 0.0 END AS intercept
        FROM a ORDER BY user_id"""
 
   /** First-order transition matrix over per-key ordered event sequences:
@@ -866,8 +868,12 @@ object Analytics {
       .rangeBetween(-windowSeconds, 0)
     val m = avg(col(valueCol)).over(w)
     val sd = stddev_samp(col(valueCol)).over(w)
+    // `+ 0.0` canonicalizes IEEE negative zero: a tiny-negative pre-round
+    // value rounds to -0.0 on one engine and +0.0 on the other (value-equal
+    // but bit-different, so hash-different). -0.0 + 0.0 = +0.0 exactly; all
+    // other values (and null) pass through unchanged.
     val zscore = when(sd.isNull || sd === 0, lit(null))
-      .otherwise(round((col(valueCol) - m) / sd, 4))
+      .otherwise(round((col(valueCol) - m) / sd, 4) + lit(0.0))
     df.withColumn("zscore", zscore)
       .withColumn("anomaly", when(col("zscore").isNull, lit(false))
         .otherwise(abs(col("zscore")) > z))
@@ -891,7 +897,7 @@ object Analytics {
        scored AS (
          SELECT event_id, user_id, value,
            CASE WHEN sd IS NULL OR sd = 0 THEN NULL
-                ELSE round((value - m) / sd, 4) END AS zscore
+                ELSE round((value - m) / sd, 4) + 0.0 END AS zscore
          FROM s)
        SELECT event_id, user_id, value, zscore,
          CASE WHEN zscore IS NULL THEN false

@@ -222,7 +222,7 @@ object Dedup {
     a.join(b, col("v1") < col("v2"))
       .withColumn("c", cosine(col("e1"), col("e2")))
       .filter(col("c") >= threshold)
-      .select(col("v1"), col("v2"), round(col("c"), 6).as("cos_sim"))
+      .select(col("v1"), col("v2"), (round(col("c"), 6) + lit(0.0)).as("cos_sim"))
   }
 
   /** IVF-bucketed embedding near-dup — the scale path for [[cosinePairs]]:
@@ -243,7 +243,7 @@ object Dedup {
       .filter(col("v1") < col("v2"))
       .withColumn("c", cosine(col("e1"), col("e2")))
       .filter(col("c") >= threshold)
-      .select(col("v1"), col("v2"), round(col("c"), 6).as("cos_sim"))
+      .select(col("v1"), col("v2"), (round(col("c"), 6) + lit(0.0)).as("cos_sim"))
   }
 
   /** Transitive duplicate clusters over an undirected near-dup pair list:
@@ -742,7 +742,7 @@ object Dedup {
               * sqrt(list_sum(list_transform(b.embedding, x -> x::DOUBLE * x::DOUBLE))))
              AS cs
          FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
-       SELECT v1, v2, round(cs, 6) AS cos_sim FROM c
+       SELECT v1, v2, round(cs, 6) + 0.0 AS cos_sim FROM c
        WHERE cs >= 0.4 ORDER BY v1, v2"""
 
   private def q56(s: SparkSession, d: String): DataFrame = {
@@ -780,7 +780,7 @@ object Dedup {
 
   private val q56Sql =
     s"""WITH $ivfPairCtes
-       SELECT v1, v2, round(c, 6) AS cos_sim FROM pairs
+       SELECT v1, v2, round(c, 6) + 0.0 AS cos_sim FROM pairs
        WHERE c >= 0.4 ORDER BY v1, v2"""
 
   private def q60(s: SparkSession, d: String): DataFrame =

@@ -240,7 +240,8 @@ object PipelineOps {
       .agg(max(col("cand")).as("best"))
       .select((-col("best.neg_cent")).as(centIdCol), col("best.cs").as("cs"))
       .groupBy(col(centIdCol))
-      .agg(count(lit(1)).as("n_members"), round(avg(col("cs")), 6).as("avg_cos"))
+      .agg(count(lit(1)).as("n_members"),
+        (round(avg(col("cs")), 6) + lit(0.0)).as("avg_cos"))
   }
 
   /** Centroid (re)computation — the k-means UPDATE step complementing
@@ -261,7 +262,7 @@ object PipelineOps {
       vecCol: String): DataFrame =
     df.select(col(clusterCol), posexplode(col(vecCol)).as(Seq("pos", "x")))
       .groupBy(col(clusterCol), col("pos"))
-      .agg(round(avg(col("x").cast("double")), 6).as("mean_x"),
+      .agg((round(avg(col("x").cast("double")), 6) + lit(0.0)).as("mean_x"),
         count(lit(1)).as("n_members"))
 
   // ---- q106: k-means centroid update step -------------------------------------
@@ -275,7 +276,7 @@ object PipelineOps {
          SELECT label, i - 1 AS pos, embedding[i]::DOUBLE AS x
          FROM embeddings,
            unnest(range(1, len(embedding) + 1)) AS t(i))
-       SELECT label, pos::INT AS pos, round(avg(x), 6) AS mean_x,
+       SELECT label, pos::INT AS pos, round(avg(x), 6) + 0.0 AS mean_x,
          count(*) AS n_members
        FROM p GROUP BY 1, 2 ORDER BY label, pos"""
 
@@ -477,7 +478,7 @@ object PipelineOps {
              ORDER BY cs DESC, centroid_id) AS rn
          FROM scored)
        SELECT centroid_id, count(*) AS n_members,
-         round(avg(cs), 6) AS avg_cos
+         round(avg(cs), 6) + 0.0 AS avg_cos
        FROM best WHERE rn = 1 GROUP BY centroid_id ORDER BY centroid_id"""
 
   /** Per-group sampling weights that rebalance a corpus toward a uniform

@@ -191,10 +191,10 @@ object Profile {
         explode(sequence(lit(0), lit(nBins - 1))).as("bin"),
         col("lo"), col("hi"))
       .select(col("bin"),
-        round(col("lo") + col("bin") * (col("hi") - col("lo")) / nBins, 6)
-          .as("bin_lo"),
-        round(col("lo") + (col("bin") + 1) * (col("hi") - col("lo")) / nBins, 6)
-          .as("bin_hi"))
+        (round(col("lo") + col("bin") * (col("hi") - col("lo")) / nBins, 6)
+          + lit(0.0)).as("bin_lo"),
+        (round(col("lo") + (col("bin") + 1) * (col("hi") - col("lo")) / nBins, 6)
+          + lit(0.0)).as("bin_hi"))
     allBins.join(binned, Seq("bin"), "left")
       .select(col("bin"), col("bin_lo"), col("bin_hi"),
         coalesce(col("n"), lit(0L)).as("n"))
@@ -233,10 +233,10 @@ object Profile {
         explode(sequence(lit(0), lit(nBins - 1))).as("bin"),
         col("lo"), col("hi"))
       .select(col("bin"),
-        round(col("lo") + col("bin") * (col("hi") - col("lo")) / nBins, 6)
-          .as("bin_lo"),
-        round(col("lo") + (col("bin") + 1) * (col("hi") - col("lo")) / nBins, 6)
-          .as("bin_hi"))
+        (round(col("lo") + col("bin") * (col("hi") - col("lo")) / nBins, 6)
+          + lit(0.0)).as("bin_lo"),
+        (round(col("lo") + (col("bin") + 1) * (col("hi") - col("lo")) / nBins, 6)
+          + lit(0.0)).as("bin_hi"))
     allBins
       .join(binned(va, "n_a"), Seq("bin"), "left")
       .join(binned(vb, "n_b"), Seq("bin"), "left")
@@ -672,8 +672,8 @@ object Profile {
          FROM lineitem, stats GROUP BY 1),
        bins AS (SELECT unnest(range(0, 20)) AS bin, lo, hi FROM stats)
        SELECT b.bin::INT AS bin,
-         round(lo + b.bin * (hi - lo) / 20, 6) AS bin_lo,
-         round(lo + (b.bin + 1) * (hi - lo) / 20, 6) AS bin_hi,
+         round(lo + b.bin * (hi - lo) / 20, 6) + 0.0 AS bin_lo,
+         round(lo + (b.bin + 1) * (hi - lo) / 20, 6) + 0.0 AS bin_hi,
          coalesce(n, 0)::BIGINT AS n
        FROM bins b LEFT JOIN binned ON b.bin = binned.bin
        ORDER BY bin"""
@@ -710,8 +710,8 @@ object Profile {
        bins AS (SELECT unnest(range(0, 10)) AS bin, lo, hi FROM stats),
        j AS (
          SELECT b.bin::INT AS bin,
-           round(lo + b.bin * (hi - lo) / 10, 6) AS bin_lo,
-           round(lo + (b.bin + 1) * (hi - lo) / 10, 6) AS bin_hi,
+           round(lo + b.bin * (hi - lo) / 10, 6) + 0.0 AS bin_lo,
+           round(lo + (b.bin + 1) * (hi - lo) / 10, 6) + 0.0 AS bin_hi,
            coalesce(n_a, 0)::BIGINT AS n_a,
            coalesce(n_b, 0)::BIGINT AS n_b
          FROM bins b

@@ -160,12 +160,12 @@ object Relational {
       .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
       .groupBy(col("c_mktsegment"))
       .agg(count(lit(1)).as("n_customers"),
-        round(sum(col("c_acctbal")), 2).as("acctbal_sum"))
+        (round(sum(col("c_acctbal")), 2) + lit(0.0)).as("acctbal_sum"))
       .orderBy(col("c_mktsegment"))
   }
   private val q07Sql =
     """SELECT c_mktsegment, count(*) AS n_customers,
-       round(sum(c_acctbal), 2) AS acctbal_sum FROM customer
+       round(sum(c_acctbal), 2) + 0.0 AS acctbal_sum FROM customer
        WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
                          AND o_orderdate >= TIMESTAMP '2001-01-01')
        GROUP BY c_mktsegment ORDER BY c_mktsegment"""

@@ -77,7 +77,10 @@ object Similarity {
       .select(col("_1.query_id").as("query_id"),
         col("_2").cast("int").as("rank"),
         col("_1.neighbor_id").as("neighbor_id"),
-        round(col("_1.c"), 6).as("cos_sim"))
+        // + 0.0 canonicalizes IEEE -0.0 (a tiny-negative cosine rounds to
+        // -0.0 on one engine, +0.0 on the other — value-equal but
+        // hash-different). Oracle SQL carries the same `+ 0.0`.
+        (round(col("_1.c"), 6) + lit(0.0)).as("cos_sim"))
   }
 
   /** Exact top-k neighbors of each query vector over the corpus. */
@@ -191,7 +194,7 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), (-d2).as("c"))
     rankTopK(scored, k)
       .select(col("query_id"), col("rank"), col("neighbor_id"),
-        round(-col("cos_sim"), 6).as("dist_sq"))
+        (round(-col("cos_sim"), 6) + lit(0.0)).as("dist_sq"))
   }
 
   /** Hyperplane-LSH bucket id: bit i = sign of dot(v, seed_i). Vectors in
@@ -382,7 +385,7 @@ object Similarity {
            row_number() OVER (PARTITION BY query_id ORDER BY c DESC, neighbor_id)
              AS rank
          FROM sims)
-       SELECT query_id, rank::INT AS rank, neighbor_id, round(c, 6) AS cos_sim
+       SELECT query_id, rank::INT AS rank, neighbor_id, round(c, 6) + 0.0 AS cos_sim
        FROM ranked WHERE rank <= $TopK ORDER BY query_id, rank"""
 
   private def q31(s: SparkSession, d: String): DataFrame = {
@@ -421,7 +424,7 @@ object Similarity {
            row_number() OVER (PARTITION BY query_id ORDER BY c DESC, neighbor_id)
              AS rank
          FROM sims)
-       SELECT query_id, rank::INT AS rank, neighbor_id, round(c, 6) AS cos_sim
+       SELECT query_id, rank::INT AS rank, neighbor_id, round(c, 6) + 0.0 AS cos_sim
        FROM ranked WHERE rank <= $TopK ORDER BY query_id, rank"""
 
   private val NProbe = 3
@@ -467,7 +470,7 @@ object Similarity {
            row_number() OVER (PARTITION BY query_id ORDER BY c DESC, neighbor_id)
              AS rank
          FROM sims)
-       SELECT query_id, rank::INT AS rank, neighbor_id, round(c, 6) AS cos_sim
+       SELECT query_id, rank::INT AS rank, neighbor_id, round(c, 6) + 0.0 AS cos_sim
        FROM ranked WHERE rank <= $TopK ORDER BY query_id, rank"""
 
   /** Exact top-k by INNER PRODUCT (MIPS) — the retrieval metric when
@@ -513,7 +516,7 @@ object Similarity {
              AS rank
          FROM sims)
        SELECT query_id, rank::INT AS rank, neighbor_id,
-         round(c, 6) AS inner_product
+         round(c, 6) + 0.0 AS inner_product
        FROM ranked WHERE rank <= $TopK ORDER BY query_id, rank"""
 
   private def q112(s: SparkSession, d: String): DataFrame = {
@@ -545,7 +548,7 @@ object Similarity {
              ORDER BY -d2 DESC, neighbor_id) AS rank
          FROM sims)
        SELECT query_id, rank::INT AS rank, neighbor_id,
-         round(d2, 6) AS dist_sq
+         round(d2, 6) + 0.0 AS dist_sq
        FROM ranked WHERE rank <= $TopK ORDER BY query_id, rank"""
 
   /** 4 planes → 16 buckets: ~30 candidates per probe at fixture scale. */
@@ -585,7 +588,7 @@ object Similarity {
            row_number() OVER (PARTITION BY query_id ORDER BY c DESC, neighbor_id)
              AS rank
          FROM sims)
-       SELECT query_id, rank::INT AS rank, neighbor_id, round(c, 6) AS cos_sim
+       SELECT query_id, rank::INT AS rank, neighbor_id, round(c, 6) + 0.0 AS cos_sim
        FROM ranked WHERE rank <= $TopK ORDER BY query_id, rank"""
 
   // ---- q136: ANN recall report (exact vs single-probe IVF) ---------------------

@@ -51,12 +51,21 @@ def main(sf_dir: str, out_dir: str) -> int:
                 print(f"FAIL {name}: rows {len(got)} vs {len(want)}")
                 n_fail += 1
                 continue
-            # dtype-tolerant value compare (driver hashes values)
+            # dtype-tolerant value compare (driver hashes values).
+            # Floats are SIGN-BIT-STRICT: -0.0 == 0.0 under `==` but the
+            # driver's hash distinguishes the bit patterns (the r3 q107
+            # failure class), so require signbit equality too.
             mism = []
             for c in got.columns:
                 a, b = got[c], want[c]
                 try:
                     eq = (a.isna() & b.isna()) | (a == b)
+                    if str(a.dtype).startswith("float") \
+                            and str(b.dtype).startswith("float"):
+                        import numpy as np
+                        sg = np.signbit(a.to_numpy(dtype="f8", na_value=0.0))
+                        sw = np.signbit(b.to_numpy(dtype="f8", na_value=0.0))
+                        eq = eq & pd.Series(sg == sw, index=a.index)
                 except Exception:
                     eq = a.astype(str) == b.astype(str)
                 if not bool(eq.all()):
