@@ -33,14 +33,22 @@ import org.apache.spark.sql.functions._
   */
 object Graph {
 
-  /** Integer-micro PageRank over a directed edge list. Every node must
-    * have at least one out-edge (feed an undirected graph as both edge
-    * directions — the q159 shape — or pre-drop dangling nodes: with
-    * integer redistribution their mass is a corpus-wide constant shift).
-    */
-  /** `checkpoint = false` keeps the full lineage (plan inspection, tiny
+  /** Integer-micro PageRank over an ARBITRARY directed edge list — sinks
+    * (no out-edges) and sources (no in-edges) included. The node universe
+    * is src ∪ dst and every node appears in every iteration's rank
+    * relation: a source keeps receiving the base + dangling share (it has
+    * no in-flow, not no rank), and a sink's mass is redistributed
+    * uniformly — each iteration adds `(Σ sink ranks) div |V|` to every
+    * node's incoming sum, the standard dangling-mass generalization.
+    * Integer floor division keeps every step exact BIGINT algebra, so the
+    * result stays bit-identical on any engine or partitioning (the
+    * dangling share floors away ≤ |V|−1 micro-units per iteration — a
+    * deterministic quantization, not an engine divergence).
+    *
+    * `checkpoint = false` keeps the full lineage (plan inspection, tiny
     * graphs); leave it on for real runs so iteration N never re-executes
-    * iteration 1. */
+    * iteration 1.
+    */
   def pagerank(edges: DataFrame, srcCol: String, dstCol: String,
       iterations: Int, dampingPct: Int = 85,
       checkpoint: Boolean = true): DataFrame = {
@@ -54,16 +62,29 @@ object Graph {
     val e = if (checkpoint) e0.localCheckpoint() else e0
     val deg0 = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
     val deg = if (checkpoint) deg0.localCheckpoint() else deg0
+    val nodes0 = e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id"))).distinct()
+    val nodes = if (checkpoint) nodes0.localCheckpoint() else nodes0
+    // |V| as a driver-side scalar for the integer dangling share (one
+    // count job over the node set — metadata, not data).
+    val nNodes = nodes.count()
     val base = 1000000L * (100 - dampingPct) / 100
-    var ranks = deg.select(col("src").as("id"), lit(1000000L).as("rank_micro"))
+    var ranks = nodes.select(col("id"), lit(1000000L).as("rank_micro"))
     for (_ <- 1 to iterations) {
-      val contrib = ranks.join(deg, col("id") === col("src"))
+      val withDeg = ranks.join(deg, col("id") === col("src"), "left")
+      val contrib = withDeg.filter(col("deg").isNotNull)
         .select(col("id").as("cid"), expr("rank_micro div deg").as("c"))
-      ranks = e.join(contrib, col("src") === col("cid"))
-        .groupBy(col("dst"))
-        .agg(sum(col("c")).as("in_sum"))
-      ranks = ranks.select(col("dst").as("id"),
-        (lit(base) + expr(s"($dampingPct * in_sum) div 100")).as("rank_micro"))
+      val inSums = e.join(contrib, col("src") === col("cid"))
+        .groupBy(col("dst")).agg(sum(col("c")).as("in_sum"))
+      // Σ rank over sinks, floored to a uniform per-node share.
+      val dangling = withDeg.filter(col("deg").isNull)
+        .agg(coalesce(sum(col("rank_micro")), lit(0L)).as("dm"))
+        .select(expr(s"dm div ${nNodes}L").as("dangling_share"))
+      ranks = nodes.join(inSums, col("id") === col("dst"), "left")
+        .crossJoin(broadcast(dangling))
+        .select(col("id"),
+          (lit(base) + expr(s"($dampingPct * (coalesce(in_sum, 0L)" +
+            s" + dangling_share)) div 100")).as("rank_micro"))
       if (checkpoint) ranks = ranks.localCheckpoint()
     }
     ranks.select(col("id").as("node_id"), col("rank_micro"))
@@ -160,6 +181,51 @@ object Graph {
           .as("gcc_micro"))
   }
 
+  /** Weighted co-occurrence projection of a bipartite (key, item)
+    * relation: two items link with weight = number of shared keys, with
+    * each key's item list CAPPED at `maxItemsPerKey` (smallest item ids
+    * kept — deterministic) before pairing.
+    *
+    * The cap is the scale guarantee, not an optimization: an uncapped
+    * pair self-join fans out Σ per-key d² rows BEFORE any downstream
+    * threshold can apply, so one power-law hub key (a customer touching
+    * 10M suppliers, a boilerplate shingle in every document) is a
+    * quadratic hot task no salting can pay for — salting spreads d² rows,
+    * it doesn't stop generating them. Capping bounds the fan-out at
+    * Σ min(d, C)² ≤ N·C² — linear in keys. Semantics of the cap: a key
+    * with more than C items is a non-discriminative hub (every item pair
+    * shares it); ignoring its tail is the same hub discount that capped
+    * posting lists apply in the q139 inverted index. GraphSpec pins the
+    * bound on a synthetic hot key.
+    *
+    * Plan shape: the cap's rank-filter compiles to WindowGroupLimit, so
+    * each map partial keeps ≤ C rows per key before the one exchange on
+    * the key; the pair join then shuffles capped lists only.
+    */
+  def coOccurrencePairs(pairs: DataFrame, keyCol: String, itemCol: String,
+      maxItemsPerKey: Int): DataFrame = {
+    require(maxItemsPerKey >= 2, "a pair needs at least two items per key")
+    val sp = pairs
+      .select(col(keyCol).cast("long").as("c"), col(itemCol).cast("long").as("i"))
+      .distinct()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("c")).orderBy(col("i"))
+    val capped = sp.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= maxItemsPerKey)
+      .select(col("c"), col("i"))
+    capped.as("x").join(capped.as("y"),
+        col("x.c") === col("y.c") && col("x.i") < col("y.i"))
+      .groupBy(col("x.i").as("i1"), col("y.i").as("i2"))
+      .agg(count(lit(1)).as("w"))
+  }
+
+  /** Per-key item cap for q163: above the max observed per-customer
+    * distinct-supplier count at every fixture scale factor (10 / 67 / 102
+    * at sf0.001 / 0.01 / 0.1), so the fixture census is bit-identical to
+    * the uncapped projection while the fan-out bound holds for any input.
+    */
+  private val CoSaleCap = 128
+
   // ---- q163: triangle census of the supplier co-sale projection ---------------
   // Two suppliers link when they share customers; keeping only the 3000
   // STRONGEST pairs (by shared-customer count, ties on ids) makes the
@@ -167,24 +233,27 @@ object Graph {
   // unthresholded co-occurrence projection of a dense bipartite graph is
   // near-complete, and its ~n³/6 triangles are a property of the graph,
   // not the algorithm. The census says whether supplier communities
-  // overlap in cliques or chain through hubs.
+  // overlap in cliques or chain through hubs. The pair enumeration runs
+  // through [[coOccurrencePairs]], whose per-customer cap bounds the
+  // pre-threshold fan-out (the hub-customer quadratic blowup lives
+  // there, not in the census).
   private def q163(s: SparkSession, d: String): DataFrame = {
     val sp = Tables.orders(s, d)
       .join(Tables.lineitem(s, d), col("l_orderkey") === col("o_orderkey"))
       .select(col("o_custkey").as("c"), col("l_suppkey").as("sup"))
-      .distinct()
-    val proj = sp.as("x").join(sp.as("y"),
-        col("x.c") === col("y.c") && col("x.sup") < col("y.sup"))
-      .groupBy(col("x.sup").as("s1"), col("y.sup").as("s2"))
-      .agg(count(lit(1)).as("w"))
+    val proj = coOccurrencePairs(sp, "c", "sup", CoSaleCap)
+      .select(col("i1").as("s1"), col("i2").as("s2"), col("w"))
       .orderBy(col("w").desc, col("s1"), col("s2"))
       .limit(3000)
     triangleStats(proj, "s1", "s2")
   }
   private val q163Sql =
-    """WITH sp AS (
-         SELECT DISTINCT o_custkey AS c, l_suppkey AS sup
-         FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+    s"""WITH sp AS (
+         SELECT c, sup FROM (
+           SELECT DISTINCT o_custkey AS c, l_suppkey AS sup
+           FROM orders JOIN lineitem ON l_orderkey = o_orderkey)
+         QUALIFY row_number() OVER (PARTITION BY c ORDER BY sup)
+           <= $CoSaleCap),
        und AS (
          SELECT u, v FROM (
            SELECT x.sup AS u, y.sup AS v, count(*) AS w
@@ -218,7 +287,10 @@ object Graph {
 
   /** Bounded-round k-core peeling: repeatedly drop nodes with degree < k
     * (and their edges) for exactly `rounds` rounds, then report the
-    * surviving nodes with their within-subgraph degrees. The k-core —
+    * surviving nodes with their within-subgraph degrees plus a
+    * `converged` flag (true iff the final round removed nothing — by
+    * peel monotonicity, exactly when the true k-core fixpoint was
+    * reached within the round budget). The k-core —
     * the classic "dense cohesive region" extractor (spam rings,
     * boilerplate hubs, strongly-connected near-dup families) — is the
     * fixpoint of this peel; running a FIXED round count instead of a
@@ -243,7 +315,9 @@ object Graph {
       .select(least(col("u"), col("v")).as("u"), greatest(col("u"), col("v")).as("v"))
       .distinct()
     var e = if (checkpoint) und.localCheckpoint() else und
+    var ePrev = e
     for (_ <- 1 to rounds) {
+      ePrev = e
       val deg = e.select(col("u").as("n")).union(e.select(col("v").as("n")))
         .groupBy(col("n")).agg(count(lit(1)).as("d"))
       val keep = deg.filter(col("d") >= k).select(col("n"))
@@ -252,9 +326,17 @@ object Graph {
         .select(col("u"), col("v"))
       if (checkpoint) e = e.localCheckpoint()
     }
+    // Fixpoint certificate: peeling is monotone, so "the final round
+    // removed nothing" (edge counts equal) iff the k-core fixpoint was
+    // reached within the round budget — emitted so callers never mistake
+    // a truncated peel for the core. One broadcast single-row compare.
+    val conv = ePrev.agg(count(lit(1)).as("n_prev"))
+      .crossJoin(e.agg(count(lit(1)).as("n_last")))
+      .select((col("n_prev") === col("n_last")).as("converged"))
     e.select(col("u").as("n")).union(e.select(col("v").as("n")))
       .groupBy(col("n")).agg(count(lit(1)).as("deg"))
       .select(col("n").as("node_id"), col("deg"))
+      .crossJoin(broadcast(conv))
       .orderBy(col("node_id"))
   }
 
@@ -292,7 +374,9 @@ object Graph {
          SELECT DISTINCT o_custkey * 2 AS u, l_suppkey * 2 + 1 AS v
          FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
        $rounds
-       SELECT n AS node_id, count(*)::BIGINT AS deg
+       SELECT n AS node_id, count(*)::BIGINT AS deg,
+         (SELECT count(*) FROM e${CoreRounds - 1})
+           = (SELECT count(*) FROM e$CoreRounds) AS converged
        FROM (SELECT u AS n FROM e$CoreRounds
              UNION ALL SELECT v FROM e$CoreRounds)
        GROUP BY n ORDER BY node_id"""

@@ -63,22 +63,82 @@ class GraphSpec extends SparkSpec {
     val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L))
       .toDF("u", "v")
     val after1 = Graph.kCore(edges, "u", "v", k = 2, rounds = 1)
-      .as[(Long, Long)].collect()
+      .as[(Long, Long, Boolean)].collect()
     assert(after1.map(_._1).toSet === Set(1L, 2L, 3L, 4L),
       "one round must only peel the degree-1 leaf")
+    assert(after1.forall(!_._3),
+      "a truncated peel (round removed an edge) must report converged=false")
     val core = Graph.kCore(edges, "u", "v", k = 2, rounds = 3)
-      .as[(Long, Long)].collect()
-    assert(core === Array((1L, 2L), (2L, 2L), (3L, 2L)))
+      .as[(Long, Long, Boolean)].collect()
+    assert(core === Array((1L, 2L, true), (2L, 2L, true), (3L, 2L, true)),
+      "round 3 removes nothing, so the fixpoint certificate must be true")
   }
 
   test("kCore is partitioning-invariant and empty below the threshold") {
     val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L)).toDF("u", "v")
-    val a = Graph.kCore(edges, "u", "v", 2, 2).as[(Long, Long)].collect()
+    val a = Graph.kCore(edges, "u", "v", 2, 2)
+      .as[(Long, Long, Boolean)].collect()
     val b = Graph.kCore(edges.repartition(5), "u", "v", 2, 2)
-      .as[(Long, Long)].collect()
+      .as[(Long, Long, Boolean)].collect()
     assert(a === b)
     assert(Graph.kCore(edges, "u", "v", 3, 2).count() === 0L,
       "a triangle has no 3-core")
+  }
+
+  test("pagerank redistributes dangling (sink) mass and keeps source nodes") {
+    // 1 → 2 with 2 a sink and 1 a source; |V| = 2, damping 85%.
+    // iter1: dangling = 1e6 → share 500000;
+    //   r(1) = 150000 + 85%·500000        = 575000
+    //   r(2) = 150000 + 85%·(1e6+500000)  = 1425000   (Σ = 2e6, conserved)
+    // iter2: dangling = 1425000 → share 712500;
+    //   r(1) = 150000 + (85·712500) div 100          = 755625
+    //   r(2) = 150000 + (85·(575000+712500)) div 100 = 1244375
+    val got = Graph.pagerank(Seq((1L, 2L)).toDF("src", "dst"), "src", "dst",
+        iterations = 2)
+      .orderBy(col("node_id")).as[(Long, Long)].collect()
+    assert(got === Array((1L, 755625L), (2L, 1244375L)))
+    assert(got.map(_._2).sum === 2000000L,
+      "integer dangling redistribution must conserve total mass here")
+  }
+
+  test("pagerank keeps contributing source-only nodes every iteration") {
+    // 1 → 2, 2 ⇄ 3: node 1 has out-edges but no in-edges. It must stay
+    // in the rank relation at base rank and keep feeding node 2.
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 2L)).toDF("src", "dst")
+    val got = Graph.pagerank(edges, "src", "dst", iterations = 2)
+      .orderBy(col("node_id")).as[(Long, Long)].collect()
+    // iter1: r = (150000, 1850000, 1000000)
+    // iter2: in(2) = 150000 + 1000000, in(3) = 1850000
+    //   r = (150000, 1127500, 1722500)
+    assert(got === Array((1L, 150000L), (2L, 1127500L), (3L, 1722500L)))
+  }
+
+  test("coOccurrencePairs bounds per-key fan-out at the cap") {
+    // One hot key with 50 items plus a normal key with 3: uncapped the
+    // hot key alone fans out C(50,2) = 1225 pairs; capped at 8 it
+    // contributes C(8,2) = 28 — the pre-threshold relation is bounded
+    // by Σ C(min(d, cap), 2), which is what survives a power-law hub.
+    val hot = (1 to 50).map(i => (100L, i.toLong))
+    val normal = Seq((200L, 101L), (200L, 102L), (200L, 103L))
+    val df = (hot ++ normal).toDF("k", "item")
+    val capped = Graph.coOccurrencePairs(df, "k", "item", maxItemsPerKey = 8)
+    assert(capped.agg(org.apache.spark.sql.functions.sum(col("w")))
+      .as[Long].head() === 28L + 3L,
+      "pair multiset must be capped to C(8,2) + C(3,2)")
+    // With the cap above every key's degree the projection is exactly
+    // the uncapped one (the q163 fixture regime).
+    val uncapped = Graph.coOccurrencePairs(df, "k", "item", 64)
+      .orderBy(col("i1"), col("i2")).as[(Long, Long, Long)].collect()
+    assert(uncapped.length === 1225 + 3)
+    assert(uncapped.map(_._3).forall(_ === 1L))
+  }
+
+  test("coOccurrencePairs cap limits rows map-side (WindowGroupLimit)") {
+    val df = (1 to 50).map(i => (100L, i.toLong)).toDF("k", "item")
+    val plan = Graph.coOccurrencePairs(df, "k", "item", 8)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"),
+      s"the rank cap must push below the exchange as WindowGroupLimit:\n$plan")
   }
 
   test("pagerank truncates lineage per iteration (checkpointed scan, not a growing plan)") {
