@@ -1147,9 +1147,14 @@ object Profile {
       .agg(sum(col("w")).as("sw"), sum(col("w") * col("x")).as("swx"))
       .select(col("b"), when(col("sw") === 0, lit(null).cast("long"))
         .otherwise(expr("(1000000 * swx) div sw")).as("mean_micro"))
+    // asc_nulls_last EXPLICITLY: a zero-weight replica (possible at tiny
+    // n — P ≈ 0.368^n per replica) yields a NULL mean; Spark's default
+    // asc is NULLS FIRST while DuckDB's is NULLS LAST, which would shift
+    // every rank and silently move the CI bounds between engines.
     per
       .withColumn("rn",
-        row_number().over(Window.orderBy(col("mean_micro"), col("b"))))
+        row_number().over(
+          Window.orderBy(col("mean_micro").asc_nulls_last, col("b"))))
       .agg(count(lit(1)).as("n_replicas"),
         expr("sum(mean_micro) div count(1)").as("est_micro"),
         max(when(col("rn") === loRank, col("mean_micro"))).as("lo_micro"),
@@ -1189,7 +1194,7 @@ object Profile {
          FROM w GROUP BY b),
        ranked AS (
          SELECT b, mean_micro,
-           row_number() OVER (ORDER BY mean_micro, b) AS rn
+           row_number() OVER (ORDER BY mean_micro NULLS LAST, b) AS rn
          FROM per)
        SELECT count(*)::BIGINT AS n_replicas,
          (sum(mean_micro)::BIGINT // count(*))::BIGINT AS est_micro,
@@ -1288,24 +1293,39 @@ object Profile {
     * [[rocAuc]] (ranking is calibration-free) and still mis-sizes every
     * threshold-gated corpus cut; this is the table that catches it.
     *
-    * Integer end to end: bin = (bins·score) div max_score (clamped),
-    * confidence = (1e6·Σscore) div (n·max), accuracy = (1e6·positives)
-    * div n — no floating point anywhere, so no summation-order or
-    * rounding divergence is possible. One partial-aggregated pass over
-    * the corpus plus a broadcast single-row max.
+    * Integer end to end: bin = (bins·score) div max_score (clamped to
+    * [0, bins−1]), confidence = (1e6·Σscore) div (n·max), accuracy =
+    * (1e6·positives) div n — no floating point anywhere, so no
+    * summation-order or rounding divergence between engines. The one
+    * BIGINT headroom bound: 1e6·Σscore per bin must fit in 63 bits, i.e.
+    * a bin's score sum below ~9.2e12 — beyond that (extreme corpus ×
+    * score scale) pre-scale the score column down; the math stays exact.
+    * One partial-aggregated pass over the corpus plus a broadcast
+    * single-row max.
+    *
+    * Domain guards: negative scores are dropped (a negative
+    * "probability" has no calibration meaning), and a non-positive max
+    * (empty or all-zero input) collapses to single bin 0 with null
+    * confidence instead of an ANSI division-by-zero error.
     */
   def calibrationBins(df: DataFrame, label: Column, score: Column,
       bins: Int = 10): DataFrame = {
     require(bins >= 2, "need at least two calibration bins")
-    val mx = df.agg(max(score.cast("long")).as("mx"))
-    df.select(label.as("y"), score.cast("long").as("sc"))
+    val scored = df.select(label.as("y"), score.cast("long").as("sc"))
+      .filter(col("sc") >= 0)
+    val mx = scored.agg(max(col("sc")).as("mx"))
+    scored
       .crossJoin(broadcast(mx))
-      .select(least(expr(s"($bins * sc) div mx"), lit(bins - 1L)).as("bin"),
+      .select(when(col("mx") <= 0, lit(0L))
+        .otherwise(greatest(lit(0L),
+          least(expr(s"($bins * sc) div mx"), lit(bins - 1L)))).as("bin"),
         col("y"), col("sc"), col("mx"))
       .groupBy(col("bin"))
       .agg(count(lit(1)).as("n"),
         sum(when(col("y"), 1L).otherwise(0L)).as("n_pos"),
-        expr("(1000000 * sum(sc)) div (count(1) * max(mx))").as("conf_micro"))
+        expr("CASE WHEN max(mx) <= 0 THEN NULL" +
+          " ELSE (1000000 * sum(sc)) div (count(1) * max(mx)) END")
+          .as("conf_micro"))
       .withColumn("acc_micro", expr("(1000000 * n_pos) div n"))
       .withColumn("gap_micro", abs(col("conf_micro") - col("acc_micro")))
       .orderBy(col("bin"))
@@ -1320,15 +1340,19 @@ object Profile {
       col("n_chars"))
   private val q162Sql =
     """WITH t AS (
-         SELECT lang = 'en' AS y, n_chars::BIGINT AS sc FROM documents),
+         SELECT lang = 'en' AS y, n_chars::BIGINT AS sc FROM documents
+         WHERE n_chars >= 0),
        m AS (SELECT max(sc)::BIGINT AS mx FROM t),
-       b AS (SELECT least((10 * sc) // mx, 9) AS bin, y, sc, mx
+       b AS (SELECT CASE WHEN mx <= 0 THEN 0
+               ELSE greatest(0, least((10 * sc) // mx, 9)) END AS bin,
+               y, sc, mx
              FROM t CROSS JOIN m),
        g AS (
          SELECT bin, count(*)::BIGINT AS n,
            sum(CASE WHEN y THEN 1 ELSE 0 END)::BIGINT AS n_pos,
-           ((1000000 * sum(sc)::BIGINT) // (count(*) * max(mx)))::BIGINT
-             AS conf_micro
+           (CASE WHEN max(mx) <= 0 THEN NULL
+              ELSE (1000000 * sum(sc)::BIGINT) // (count(*) * max(mx))
+              END)::BIGINT AS conf_micro
          FROM b GROUP BY bin)
        SELECT bin, n, n_pos, conf_micro,
          ((1000000 * n_pos) // n)::BIGINT AS acc_micro,

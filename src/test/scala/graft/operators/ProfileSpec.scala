@@ -355,6 +355,38 @@ class ProfileSpec extends SparkSpec {
     assert(lo < hi, "nonconstant data must have a nonzero-width CI")
   }
 
+  test("bootstrapCi ranks zero-weight (null-mean) replicas LAST, as the oracle does") {
+    // One row, 20 replicas: each replica's mean is either 1e6·x (weight
+    // ≥ 1) or NULL (weight 0). For key "1" the md5 draw zeroes 8 of the
+    // 20 replicas (precomputed), so under the explicit NULLS LAST order
+    // rank 1 is a REAL mean → lo = 42e6, and rank 19 falls among the
+    // nulls → hi null; est = (12·42e6) div 20. Spark's default
+    // NULLS FIRST would flip lo to null — the engine/oracle divergence
+    // this pins.
+    val df = Seq((1L, 42L)).toDF("k", "x")
+    val got = Profile.bootstrapCi(df, col("k"), col("x"), replicas = 20)
+      .as[(Long, Long, Long, Option[Long])].collect().head
+    assert(got === ((20L, 25200000L, 42000000L, None)))
+  }
+
+  test("calibrationBins guards degenerate score domains") {
+    // All-zero scores: everything lands in bin 0 with null confidence
+    // (no max to normalize by) instead of a division error.
+    val z = Seq((true, 0L), (false, 0L)).toDF("y", "sc")
+    val gz = Profile.calibrationBins(z, col("y"), col("sc"))
+      .as[(Long, Long, Long, Option[Long], Long, Option[Long])]
+      .collect()
+    assert(gz === Array((0L, 2L, 1L, None, 500000L, None)))
+    // Negative scores are dropped, and the top score clamps to the last
+    // bin: two sc=10 rows → bin 9, conf = (1e6·20) div (2·10) = 1e6.
+    val m = Seq((true, -5L), (false, 10L), (true, 10L)).toDF("y", "sc")
+    val gm = Profile.calibrationBins(m, col("y"), col("sc"))
+      .as[(Long, Long, Long, Option[Long], Long, Option[Long])]
+      .collect()
+    assert(gm === Array((9L, 2L, 1L, Some(1000000L), 500000L,
+      Some(500000L))))
+  }
+
   test("bootstrapCi shuffles replica partials, not the exploded corpus") {
     val df = (1L to 50L).map(i => (i, i)).toDF("k", "x")
     val p = Profile.bootstrapCi(df, col("k"), col("x"))
