@@ -1,5 +1,9 @@
 package graft.operators
 
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+
+import javax.imageio.ImageIO
+
 import graft.{QueryDef, Tables}
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
@@ -9,30 +13,39 @@ import org.apache.spark.sql.functions._
   * Media lives in DataFrames as an opaque `BinaryType` column plus a typed
   * metadata struct — the same envelope discipline as the stream payload. The
   * decode / feature-extract / resize / frame-sample operators below have the
-  * REAL Spark plumbing (schema, typed mapPartitions batch shape,
-  * partition-preserving execution) with the innermost codec call STUBBED as a
-  * deterministic byte-level computation, because no image/audio codec ships
-  * in this container. Swapping in a real codec changes only the bodies of
-  * `MediaCodec.decode*` — not the operator shape, schema, or distribution.
+  * real Spark plumbing (schema, typed mapPartitions batch shape,
+  * partition-preserving execution).
+  *
+  * The IMAGE path is a real codec: `javax.imageio` (java.desktop ships in
+  * this JVM) parses genuine PNG containers — width/height come from the
+  * decoded header and the pixel statistics from the decoded raster, and the
+  * fixture synthesizes real PNG bytes (gradient grayscale) so the oracle can
+  * predict the decoded values from the generative parameters. Audio/video
+  * codec bodies remain deterministic byte-level STUBs (no such codec ships
+  * here); swapping one in changes only `MediaCodec.decode*` bodies — not the
+  * operator shape, schema, or distribution.
   *
   * Scale design: all operators are map-side (mapPartitions — one pass, no
   * shuffle, no driver collection); at 100 TB, media decode is embarrassingly
   * parallel and the only cross-row operator (per-format stats) is a tiny
-  * aggregation of the already-extracted metadata.
-  *
-  * The test fixture synthesizes media bytes from `documents.text` (UTF-8
-  * encode), so every byte-level result is reproducible by the DuckDB oracle
-  * via ord()/string arithmetic — the stub is deterministic, not random.
+  * aggregation of the already-extracted metadata. Pixel means are emitted as
+  * BIGINT micros ((1e6·Σpixels) div n — exact integer algebra), so the
+  * downstream aggregate is engine- and partitioning-deterministic.
   */
 object Media {
 
   /** Typed media record entering the pipeline: opaque bytes + claimed kind. */
   final case class MediaRow(doc_id: Long, kind: String, media: Array[Byte])
 
-  /** Decoded metadata (what a real codec would return). */
+  /** Decoded metadata. For a decoded image, `n_bytes` is the DECODED
+    * payload size (width·height·channels — what the pixels occupy), not
+    * the container length: container length is `length(media)` upstream
+    * without any codec. `mean_byte_micro` is the mean decoded pixel (or
+    * raw payload byte, for stub kinds) in integer micros.
+    */
   final case class MediaMeta(
       doc_id: Long, kind: String, n_bytes: Long,
-      width: Int, height: Int, mean_byte: Double, format: String)
+      width: Int, height: Int, mean_byte_micro: Long, format: String)
 
   /** Extracted features: fixed-width vector per media item. */
   final case class MediaFeatures(doc_id: Long, dim: Int, features: Array[Double])
@@ -40,31 +53,109 @@ object Media {
   /** One sampled frame, keyed by (source doc, frame index). */
   final case class FrameRow(doc_id: Long, frame_idx: Int, kind: String, media: Array[Byte])
 
-  /** The codec seam. Bodies are STUBs: deterministic byte arithmetic in
-    * place of a real image/audio library (absent in this container). The
-    * signatures and batch shape are the real contract.
+  /** The codec seam. The PNG branch is a real decoder (ImageIO);
+    * non-image kinds keep deterministic byte-arithmetic stubs.
     */
   object MediaCodec {
-    /** STUB decode: a real impl would parse the container header; the stub
-      * derives dimensions from byte statistics deterministically.
+
+    private val PngMagic = Array[Byte](0x89.toByte, 'P', 'N', 'G')
+
+    def isPng(bytes: Array[Byte]): Boolean =
+      bytes.length >= 4 &&
+        bytes(0) == PngMagic(0) && bytes(1) == PngMagic(1) &&
+        bytes(2) == PngMagic(2) && bytes(3) == PngMagic(3)
+
+    /** Synthesize a REAL grayscale PNG: width = 1 + nChars % 64, height =
+      * 1 + nChars % 48, pixel(x, y) = (docId + x) mod 256 (a horizontal
+      * gradient — every row identical, so the exact mean is
+      * h·Σx (docId+x)%256 over w·h, which the oracle reproduces in
+      * integer algebra). PNG is lossless, so the decode below recovers
+      * these pixels bit-exactly.
       */
-    def decodeMeta(m: MediaRow): MediaMeta = {
-      val n = m.media.length
-      val sum = { var s = 0L; var i = 0; while (i < n) { s += m.media(i) & 0xff; i += 1 }; s }
-      val mean = if (n == 0) 0.0 else sum.toDouble / n
-      MediaMeta(m.doc_id, m.kind, n.toLong,
-        width = 1 + n % 64, height = 1 + n % 48, mean_byte = mean,
-        format = if (n % 2 == 0) "png" else "jpg")
+    def synthPng(docId: Long, nChars: Long): Array[Byte] = {
+      val w = (1 + nChars % 64).toInt
+      val h = (1 + nChars % 48).toInt
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      val raster = img.getRaster
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          raster.setSample(x, y, 0, (((docId + x) % 256) + 256) % 256)
+          x += 1
+        }
+        y += 1
+      }
+      val out = new ByteArrayOutputStream()
+      ImageIO.write(img, "png", out)
+      out.toByteArray
     }
 
-    /** STUB feature extraction: 16-bin byte histogram, L1-normalized — the
-      * stand-in for an embedding model / spectral features.
+    /** Decode: REAL for PNG payloads (header dims + raster pixel mean via
+      * ImageIO); deterministic byte-arithmetic stub for everything else.
+      */
+    def decodeMeta(m: MediaRow): MediaMeta = {
+      if (isPng(m.media)) {
+        val img = ImageIO.read(new ByteArrayInputStream(m.media))
+        val w = img.getWidth
+        val h = img.getHeight
+        val raster = img.getRaster
+        val bands = raster.getNumBands
+        var s = 0L
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            var b = 0
+            while (b < bands) { s += raster.getSample(x, y, b); b += 1 }
+            x += 1
+          }
+          y += 1
+        }
+        val n = w.toLong * h * bands
+        MediaMeta(m.doc_id, m.kind, n, w, h,
+          mean_byte_micro = 1000000L * s / n, format = "png")
+      } else {
+        val n = m.media.length
+        val sum = { var s = 0L; var i = 0; while (i < n) { s += m.media(i) & 0xff; i += 1 }; s }
+        MediaMeta(m.doc_id, m.kind, n.toLong,
+          width = 1 + n % 64, height = 1 + n % 48,
+          mean_byte_micro = if (n == 0) 0L else 1000000L * sum / n,
+          format = if (n % 2 == 0) "png" else "jpg")
+      }
+    }
+
+    /** Feature extraction: 16-bin L1-normalized histogram over DECODED
+      * pixels for PNG (real raster walk), over raw payload bytes
+      * otherwise — the stand-in for an embedding model.
       */
     def extractFeatures(m: MediaRow): MediaFeatures = {
       val bins = new Array[Double](16)
-      m.media.foreach(b => bins((b & 0xff) / 16) += 1.0)
-      val n = math.max(1, m.media.length).toDouble
-      MediaFeatures(m.doc_id, 16, bins.map(_ / n))
+      var n = 0L
+      if (isPng(m.media)) {
+        val raster = ImageIO.read(new ByteArrayInputStream(m.media)).getRaster
+        val (w, h, bands) =
+          (raster.getWidth, raster.getHeight, raster.getNumBands)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            var b = 0
+            while (b < bands) {
+              bins(raster.getSample(x, y, b) / 16) += 1.0; b += 1
+            }
+            x += 1
+          }
+          y += 1
+        }
+        n = w.toLong * h * bands
+      } else {
+        m.media.foreach(b => bins((b & 0xff) / 16) += 1.0)
+        n = m.media.length.toLong
+      }
+      val d = math.max(1L, n).toDouble
+      MediaFeatures(m.doc_id, 16, bins.map(_ / d))
     }
 
     /** STUB resize: truncate/zero-pad to the target byte budget (a real impl
@@ -86,18 +177,24 @@ object Media {
         }.toSeq
   }
 
-  /** Media table synthesized from documents (bytes = UTF-8 of text). */
+  /** Media table synthesized from documents: even doc_ids carry REAL PNG
+    * bytes (ImageIO-encoded gradient, executor-side — one encoder per
+    * partition task, no driver work), odd doc_ids a byte payload (UTF-8
+    * of text) standing in for undecodable video.
+    */
   def mediaTable(s: SparkSession, d: String): Dataset[MediaRow] = {
     import s.implicits._
     Tables.documents(s, d)
-      .select(col("doc_id"),
-        when(col("doc_id") % 2 === 0, "image").otherwise("video").as("kind"),
-        encode(col("text"), "UTF-8").as("media"))
-      .as[MediaRow]
+      .select(col("doc_id"), col("n_chars"), col("text"))
+      .as[(Long, Long, String)]
+      .mapPartitions(_.map { case (id, nChars, text) =>
+        if (id % 2 == 0) MediaRow(id, "image", MediaCodec.synthPng(id, nChars))
+        else MediaRow(id, "video", text.getBytes("UTF-8"))
+      })
   }
 
   /** Decode: partition-wise map over typed rows — the mapPartitions batch
-    * shape a real vectorized codec binding would use (one codec instance per
+    * shape a vectorized codec binding uses (one codec instance per
     * partition, streamed rows).
     */
   def decode(media: Dataset[MediaRow]): Dataset[MediaMeta] = {
@@ -126,24 +223,39 @@ object Media {
       .agg(count(lit(1)).as("n"),
         sum(col("n_bytes")).as("bytes_total"),
         round(avg(col("width")), 4).as("width_avg"),
-        round(avg(col("mean_byte")), 4).as("mean_byte_avg"))
+        expr("sum(mean_byte_micro) div count(1)").as("mean_byte_micro_avg"))
       .orderBy(col("kind"), col("format"))
   }
-  // Oracle reproduces the stub arithmetic from the text bytes (ASCII soup →
-  // ord == byte; octet_length == length for this fixture, asserted by the
-  // n_bytes sum matching).
+  // Image rows are REAL decodes of the synthesized PNGs, so the oracle
+  // predicts width/height/pixel-mean from the generative parameters
+  // (w = 1 + n_chars % 64, h = 1 + n_chars % 48, pixel(x,·) =
+  // (doc_id + x) % 256 ⇒ Σpixels = h·Σx): the engine must round-trip a
+  // genuine PNG encode+decode to reproduce these numbers. Video rows
+  // reproduce the documented byte-stub arithmetic from the text bytes
+  // (ASCII soup → ord == byte). All means in integer micros.
   private val q32Sql =
     """SELECT kind, format, count(*) AS n,
        sum(n_bytes)::BIGINT AS bytes_total,
        round(avg(width), 4) AS width_avg,
-       round(avg(mean_byte), 4) AS mean_byte_avg
+       (sum(mean_byte_micro) // count(*))::BIGINT AS mean_byte_micro_avg
        FROM (SELECT
          CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'video' END AS kind,
-         CASE WHEN strlen(text) % 2 = 0 THEN 'png' ELSE 'jpg' END AS format,
-         strlen(text) AS n_bytes,
-         1 + strlen(text) % 64 AS width,
-         list_avg(list_transform(string_split(text, ''), c -> ord(c)::DOUBLE))
-           AS mean_byte
+         CASE WHEN doc_id % 2 = 0 THEN 'png'
+              WHEN strlen(text) % 2 = 0 THEN 'png' ELSE 'jpg' END AS format,
+         CASE WHEN doc_id % 2 = 0
+              THEN (1 + n_chars % 64) * (1 + n_chars % 48)
+              ELSE strlen(text) END AS n_bytes,
+         CASE WHEN doc_id % 2 = 0 THEN 1 + n_chars % 64
+              ELSE 1 + strlen(text) % 64 END AS width,
+         CASE WHEN doc_id % 2 = 0 THEN
+             (1000000 * (1 + n_chars % 48)
+                * list_sum(list_transform(range(0, (1 + n_chars % 64)::INT),
+                    x -> (doc_id + x) % 256))::BIGINT)
+               // ((1 + n_chars % 64) * (1 + n_chars % 48))
+           WHEN strlen(text) = 0 THEN 0
+           ELSE (1000000 * list_sum(list_transform(string_split(text, ''),
+                  c -> ord(c)::BIGINT))::BIGINT) // strlen(text)
+         END AS mean_byte_micro
        FROM documents) t
        GROUP BY kind, format ORDER BY kind, format"""
 

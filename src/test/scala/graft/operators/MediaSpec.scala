@@ -10,9 +10,42 @@ class MediaSpec extends SparkSpec {
     val media = mediaTable(spark, sf)
     val meta = mediaDecode(media)
     assert(meta.count() === media.count())
-    val m = meta.filter($"doc_id" === 0).head()
-    assert(m.width === 1 + m.n_bytes.toInt % 64)
-    assert(m.format === (if (m.n_bytes % 2 == 0) "png" else "jpg"))
+    // Video rows run the documented byte stub.
+    val v = meta.filter($"doc_id" === 1).head()
+    assert(v.width === 1 + v.n_bytes.toInt % 64)
+    assert(v.format === (if (v.n_bytes % 2 == 0) "png" else "jpg"))
+    // Image rows are REAL ImageIO decodes of the synthesized PNG.
+    val i = meta.filter($"doc_id" === 0).head()
+    assert(i.format === "png")
+    assert(i.n_bytes === i.width.toLong * i.height)
+  }
+
+  test("synthPng round-trips through the real PNG decoder bit-exactly") {
+    // 77 chars → 14×30 gradient, pixel(x,·) = (docId + x) % 256. The
+    // decode must recover the generative dims and the exact integer
+    // pixel mean — only a genuine lossless encode+decode does that.
+    val docId = 250L
+    val bytes = MediaCodec.synthPng(docId, nChars = 77L)
+    assert(MediaCodec.isPng(bytes), "container must carry the PNG magic")
+    val m = MediaCodec.decodeMeta(MediaRow(docId, "image", bytes))
+    assert(m.width === 14 && m.height === 30)
+    val sx = (0 until 14).map(x => (docId + x) % 256).sum
+    assert(m.mean_byte_micro === 1000000L * (30L * sx) / (14L * 30L))
+    // Feature histogram walks the decoded raster: bins must hold exactly
+    // the gradient's pixel population, L1-normalized.
+    val f = MediaCodec.extractFeatures(MediaRow(docId, "image", bytes))
+    val expected = (0 until 14).map(x => ((docId + x) % 256).toInt / 16)
+      .groupBy(identity).view.mapValues(_.size * 30.0 / (14 * 30)).toMap
+    (0 until 16).foreach { b =>
+      assert(math.abs(f.features(b) - expected.getOrElse(b, 0.0)) < 1e-12)
+    }
+  }
+
+  test("decodeMeta falls back to the byte stub when the magic is absent") {
+    val bytes = "not a png at all".getBytes("UTF-8")
+    val m = MediaCodec.decodeMeta(MediaRow(9L, "image", bytes))
+    assert(m.width === 1 + bytes.length % 64)
+    assert(m.n_bytes === bytes.length.toLong)
   }
 
   test("features are L1-normalized 16-bin histograms") {
