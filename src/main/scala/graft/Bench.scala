@@ -44,9 +44,12 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
-    // Optional arg: comma-separated query names to time instead of the
-    // headline set (dev tool; the driver invokes with no args).
+    // Optional arg: "all" times the ENTIRE query surface (the per-round
+    // full-bench artifact — catches regressions in heavy operators the
+    // headline set never times), or comma-separated name prefixes for a
+    // picked subset (dev tool). The driver invokes with no args.
     val picked = args.headOption match {
+      case Some("all") => SparkEntry.allDefs
       case Some(names) =>
         val want = names.split(',').toSeq
         SparkEntry.allDefs.filter(q => want.exists(q.name.startsWith))

@@ -645,7 +645,7 @@ object Dedup {
     * `src` lets a caller run the chain over a derived relation (q122's
     * corpus-plus-excerpts) instead of the raw table.
     */
-  private def jaccardCtes(src: String = "documents"): String =
+  private[operators] def jaccardCtes(src: String = "documents"): String =
     s"""toks AS (
          SELECT doc_id, string_split(text, ' ') AS tokens FROM $src
          WHERE len(string_split(text, ' ')) >= 3),
@@ -661,7 +661,7 @@ object Dedup {
          GROUP BY 1, 2)"""
 
   /** The `dup` CTE on top of [[jaccardCtes]]: pairs at >= the threshold. */
-  private val dupCte =
+  private[operators] val dupCte =
     s"""dup AS (
          SELECT d1, d2 FROM pair
          JOIN sizes s1 ON d1 = s1.doc_id JOIN sizes s2 ON d2 = s2.doc_id
@@ -672,7 +672,7 @@ object Dedup {
     * (a, reachable b). Shared by the cluster (q60) and kept-corpus (q67)
     * oracles so the closure definition cannot silently diverge.
     */
-  private val closureCtes =
+  private[operators] val closureCtes =
     """edges AS (SELECT d1 AS a, d2 AS b FROM dup
                  UNION SELECT d2, d1 FROM dup),
        reach(a, b) AS (
@@ -1244,8 +1244,8 @@ object Dedup {
     QueryDef("q120_dedup_summary", q120, Some(q120Sql)),
     QueryDef("q121_incremental_dedup", q121, Some(q121Sql)),
     QueryDef("q122_containment", q122, Some(q122Sql)),
-    QueryDef("q123_editdist_join", q123, Some(q123Sql)),
-    QueryDef("q124_jaccard_prefix", q124, Some(exactJaccardSql)),
+    QueryDef("q123_editdist_join", q123, Some(q123Sql), headline = true),
+    QueryDef("q124_jaccard_prefix", q124, Some(exactJaccardSql), headline = true),
     QueryDef("q133_semantic_dedup", q133, Some(q133Sql)),
     QueryDef("q140_boilerplate_tiles", q140, Some(q140Sql)),
     QueryDef("q142_lsh_miss_report", q142, Some(q142Sql)))

@@ -382,8 +382,100 @@ object Graph {
        GROUP BY n ORDER BY node_id"""
   }
 
+  /** Connected components by ALTERNATING STAR CONTRACTION (the
+    * large-star/small-star algorithm of Kiveris et al., "Connected
+    * Components in MapReduce and Beyond", SoCC'14) — the O(log n)-round
+    * complement to [[Dedup.dedupClusters]]'s O(diameter) min-label
+    * propagation: a 10M-node chain needs 10M propagation rounds but only
+    * ~24 star rounds, and each round is two grouped aggregations over the
+    * (shrinking) edge list.
+    *
+    * large-star hangs every larger neighbor of u onto u's neighborhood
+    * minimum; small-star re-hangs the smaller-or-equal neighbors. Both
+    * steps preserve connectivity and monotonically pull components into
+    * stars rooted at their minimum node id; at the fixpoint every node is
+    * directly attached to its component min. Output: (node_id, component,
+    * converged) for every node appearing in an edge, component = min node
+    * id reachable, plus the same fixpoint certificate discipline as
+    * [[kCore]] (converged = the last round changed nothing — checked as
+    * SET equality via exceptAll, because star rounds rewrite edges rather
+    * than only deleting them, so a bare count compare would be unsound).
+    *
+    * Scale design: each round is groupBy-min + a same-key join back
+    * (partitioning reused) + distinct — all map-side-partial hash
+    * aggregations over star edges that only get sparser; lineage is
+    * localCheckpoint'ed per round. All ids exact BIGINTs.
+    */
+  def connectedComponentsStars(edges: DataFrame, srcCol: String,
+      dstCol: String, rounds: Int, checkpoint: Boolean = true): DataFrame = {
+    require(rounds >= 1, "need at least one star round")
+    val e0 = edges
+      .select(col(srcCol).cast("long").as("a"), col(dstCol).cast("long").as("b"))
+      .filter(col("a") =!= col("b"))
+      .select(least(col("a"), col("b")).as("a"), greatest(col("a"), col("b")).as("b"))
+      .distinct()
+    var e = if (checkpoint) e0.localCheckpoint() else e0
+    var ePrev = e
+    for (_ <- 1 to rounds) {
+      ePrev = e
+      // large-star: for each node u (over the symmetrized adjacency),
+      // hang every neighbor w > u onto m = min(N(u) ∪ {u}).
+      val sym = e.select(col("a").as("u"), col("b").as("v"))
+        .union(e.select(col("b").as("u"), col("a").as("v")))
+      val mins = sym.groupBy(col("u"))
+        .agg(least(min(col("v")), first(col("u"))).as("m"))
+      val large = sym.join(mins, "u")
+        .filter(col("v") > col("u"))
+        .select(col("v").as("a"), col("m").as("b"))
+        .distinct()
+      // small-star: orient each edge to (larger, smaller); hang the
+      // smaller neighbors AND u itself onto m = min of the smaller side.
+      val ori = large
+        .select(greatest(col("a"), col("b")).as("u"), least(col("a"), col("b")).as("v"))
+        .filter(col("u") =!= col("v"))
+        .distinct()
+      val mins2 = ori.groupBy(col("u")).agg(min(col("v")).as("m"))
+      val withM = ori.join(mins2, "u")
+      val small = withM.select(col("u").as("a"), col("m").as("b"))
+        .union(withM.filter(col("v") =!= col("m"))
+          .select(col("v").as("a"), col("m").as("b")))
+        .select(greatest(col("a"), col("b")).as("a"), least(col("a"), col("b")).as("b"))
+        .filter(col("a") =!= col("b"))
+        .distinct()
+      e = if (checkpoint) small.localCheckpoint() else small
+    }
+    // Set-equality fixpoint certificate (rewrites, not just deletions).
+    val conv = ePrev.exceptAll(e).union(e.exceptAll(ePrev))
+      .agg((count(lit(1)) === 0).as("converged"))
+    val sym = e.select(col("a").as("n"), col("b").as("v"))
+      .union(e.select(col("b").as("n"), col("a").as("v")))
+    sym.groupBy(col("n")).agg(least(min(col("v")), first(col("n"))).as("component"))
+      .select(col("n").as("node_id"), col("component"))
+      .crossJoin(broadcast(conv))
+      .orderBy(col("node_id"))
+  }
+
+  // ---- q166: star-contraction components of the near-dup pair graph -----------
+  // The same LSH duplicate pairs that q60 clusters by min-label
+  // propagation, clustered by the O(log n) star algorithm instead — both
+  // must land on the identical (node, min-reachable-id) labeling, and the
+  // oracle is the same recursive-CTE transitive closure. 4 rounds cover
+  // the tiny near-dup families with slack; `converged` is oracle-asserted
+  // true, so a silent truncation would fail the gate.
+  private def q166(s: SparkSession, d: String): DataFrame =
+    connectedComponentsStars(
+      Dedup.minhashLshPairs(Tables.documents(s, d), "doc_id", "text"),
+      "d1", "d2", rounds = 4)
+  private val q166Sql =
+    s"""WITH RECURSIVE ${Dedup.jaccardCtes()},
+       ${Dedup.dupCte},
+       ${Dedup.closureCtes}
+       SELECT a AS node_id, least(a, min(b)) AS component, true AS converged
+       FROM reach GROUP BY a ORDER BY node_id"""
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q159_pagerank", q159, Some(q159Sql)),
     QueryDef("q163_triangle_count", q163, Some(q163Sql)),
-    QueryDef("q165_kcore", q165, Some(q165Sql)))
+    QueryDef("q165_kcore", q165, Some(q165Sql)),
+    QueryDef("q166_cc_stars", q166, Some(q166Sql)))
 }

@@ -359,9 +359,15 @@ object Relational {
   // ---- q19: as-of join (custom operator) -----------------------------------------------
   // For each purchase event, the user's most recent prior-or-equal click.
   // Right side deduped per (user, ts) for determinism (see AsOfJoin scaladoc).
-  // Runs the NATIVE sorted-merge operator (the engine's best as-of path,
-  // ~1.7x the composed union+window form at sf0.1 — no row widening, no
-  // window buffer); the composed form keeps its own oracle row as q81.
+  // Runs the NATIVE sorted-merge operator; the composed union+window form
+  // keeps its own bench/oracle row as q81. Head-to-head at sf0.1 (r4,
+  // min-of-3 isolated, both orders) the two are within scheduler noise
+  // (~0.6-0.7 s each) — the events fixture is too small to separate them.
+  // The native path is still the keeper: each side shuffles in its own
+  // narrow schema with O(1) merge state, vs the composed form widening
+  // every shuffled row with a null payload struct and buffering a window
+  // frame — a shuffle-bytes advantage that grows with payload width and
+  // corpus size even though wall-clock ties at this sf.
   private def q19(s: SparkSession, d: String): DataFrame = {
     val ev = Tables.events(s, d)
     val purchases = ev.filter(col("event_type") === "purchase")

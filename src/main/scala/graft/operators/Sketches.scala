@@ -1,0 +1,214 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Mergeable sketches with EXACT cross-engine algebra (SURVEY.md §2.6
+  * north-star surface): count-min (heavy-hitter frequency bounds) and
+  * HyperLogLog (distinct counts). Both are built from order-invariant
+  * aggregations of deterministic integer hashes, which buys three
+  * properties at once:
+  *
+  *  - mergeable: CMS cells ADD and HLL registers MAX — the partial states
+  *    from any partitioning (or any pre-aggregated shard summaries)
+  *    combine associatively, which is what makes a sketch usable as a
+  *    map-side-partial aggregate at 100 TB (the corpus collapses to a
+  *    depth×width / m-register table per partition before the exchange);
+  *  - deterministic: the hash family is pairwise-independent polynomial
+  *    hashing over the Mersenne prime 2^31−1 with fixed constants —
+  *    pure BIGINT algebra, so any engine computes the identical sketch
+  *    (no engine-local seeds, no float paths);
+  *  - oracle-checkable: DuckDB reproduces every cell/register/estimate
+  *    bit-for-bit, so the driver's hash gate covers the sketches like any
+  *    exact operator.
+  *
+  * The one double appears in HLL's final estimate (α·m²·2^40/S): S is an
+  * exact BIGINT (≤ 2^39, exactly representable), the constants are
+  * literal, and both engines evaluate the identically-shaped expression —
+  * one multiply chain and one correctly-rounded division — so even that
+  * step is bit-stable.
+  */
+object Sketches {
+
+  /** Mersenne prime 2^31 − 1: `(a·k + b) mod P` stays under 2^63 for any
+    * a, k < P, so the polynomial hash never overflows a BIGINT. */
+  private val P = 2147483647L
+
+  /** Per-depth hash constants: an LCG step keeps them reproducible and
+    * documented rather than magic. a_d is made odd-ish and nonzero by
+    * construction (LCG of a positive seed mod a prime is never the full
+    * pattern of zeros for d ≤ 7, asserted in SketchesSpec). */
+  private def aExpr(d: String) = s"(1103515245L * ($d + 1) + 12345L) % ${P}L"
+  private def bExpr(d: String) = s"(12345L * ($d + 1) + 67890L) % ${P}L"
+
+  /** Non-negative canonical residue of the key. */
+  private val ktExpr = s"((k % ${P}L) + ${P}L) % ${P}L"
+
+  /** SQL twins of the above (DuckDB needs explicit ::BIGINT so the
+    * multiply is not attempted in INT32). */
+  private def aSql(d: String) = s"(1103515245::BIGINT * ($d + 1) + 12345) % 2147483647"
+  private def bSql(d: String) = s"(12345::BIGINT * ($d + 1) + 67890) % 2147483647"
+  private val ktSql = "((k % 2147483647) + 2147483647) % 2147483647"
+
+  /** Count-min sketch cells of a key column: `(d, bucket, c)` for depth
+    * rows × width buckets, c = Σ occurrences hashing there. The corpus
+    * collapses map-side to ≤ depth·width partial rows per partition —
+    * the ONLY thing the exchange carries. Cells are additive: summing
+    * two datasets' cell tables IS the sketch of their union (spec'd).
+    */
+  def cmsCells(df: DataFrame, keyCol: String, depth: Int, width: Int): DataFrame = {
+    require(depth >= 1 && width >= 2, "need depth >= 1 and width >= 2")
+    df.select(col(keyCol).cast("long").as("k"))
+      .select(col("k"), explode(sequence(lit(0), lit(depth - 1))).as("d"))
+      .select(col("d"), expr(
+        s"(((${aExpr("d")}) * ($ktExpr) + (${bExpr("d")})) % ${P}L) % $width")
+        .as("bucket"))
+      .groupBy(col("d"), col("bucket")).agg(count(lit(1)).as("c"))
+  }
+
+  /** Point estimates from a cell table: n̂(k) = min over depths of the
+    * matching cell — ≥ the true count always, ≤ true + εN w.h.p. (the
+    * classic CMS guarantee; both bounds are spec'd). The cell table is
+    * depth·width rows — broadcast side of the probe join.
+    */
+  def cmsEstimate(cells: DataFrame, queries: DataFrame, keyCol: String,
+      depth: Int, width: Int): DataFrame =
+    queries.select(col(keyCol).cast("long").as("k")).distinct()
+      .select(col("k"), explode(sequence(lit(0), lit(depth - 1))).as("d"))
+      .select(col("k"), col("d"), expr(
+        s"(((${aExpr("d")}) * ($ktExpr) + (${bExpr("d")})) % ${P}L) % $width")
+        .as("bucket"))
+      .join(broadcast(cells), Seq("d", "bucket"), "left")
+      .groupBy(col("k"))
+      .agg(min(coalesce(col("c"), lit(0L))).as("n_cms"))
+      .select(col("k").as(keyCol), col("n_cms"))
+
+  /** HyperLogLog registers over a key column: `(j, mj)` for m registers,
+    * mj = max over observed keys of ρ(hash suffix) (0 for never-hit
+    * registers — every register row is emitted, so the estimate sees
+    * empties). The hash is 31-bit and log2(m) bits route the register, so
+    * the suffix w is a (31−log2 m)-bit field and ρ = leading zeros within
+    * THAT width + 1 = (32 − log2 m) − bitlength(w) — identical integer
+    * arithmetic in both engines (`length(bin(w))`; the w = 0 corner lands
+    * one below the conventional maximum, a 2^−(31−log2 m) probability
+    * event with negligible bias, same on both sides). Registers are
+    * max-mergeable.
+    */
+  def hllRegisters(df: DataFrame, keyCol: String, m: Int): DataFrame = {
+    require(m >= 16 && (m & (m - 1)) == 0, "m must be a power of two >= 16")
+    val log2m = java.lang.Integer.numberOfTrailingZeros(m)
+    val observed = df.select(col(keyCol).cast("long").as("k"))
+      .select(expr(s"((${aExpr("0")}) * ($ktExpr) + (${bExpr("0")})) % ${P}L")
+        .as("h"))
+      .select(expr(s"h % $m").as("j"),
+        expr(s"${32 - log2m} - length(bin(h div $m))").as("rho"))
+      .groupBy(col("j")).agg(max(col("rho")).as("mj"))
+    df.sparkSession.range(0, m).select(col("id").as("j"))
+      .join(observed, Seq("j"), "left")
+      .select(col("j"), coalesce(col("mj"), lit(0L)).as("mj"))
+  }
+
+  /** Raw HLL estimate from a register table: E = α_m·m²·2^40 / S with
+    * S = Σ_j 2^(40−mj) an exact BIGINT (shift arithmetic; mj ≤ 32 keeps
+    * every term ≥ 2^8 and the sum ≤ m·2^40 « 2^63). Raw estimate only —
+    * the small-range (linear counting) correction needs `ln`, which is
+    * not cross-engine bit-stable; callers in the corrected regime
+    * (n ≳ 2.5·m) get the textbook ±1.04/√m error, spec-bounded.
+    */
+  def hllEstimate(registers: DataFrame, m: Int): DataFrame = {
+    val alpha = m match {
+      case 16 => 0.673
+      case 32 => 0.697
+      case 64 => 0.709
+      case _ => 0.7213 / (1.0 + 1.079 / m)
+    }
+    registers
+      .agg(sum(expr("shiftleft(1L, cast(40 - mj as int))")).as("S"))
+      .select(floor(lit(alpha) * lit(1099511627776.0) * lit(m.toLong * m)
+        / col("S")).cast("long").as("hll_est"))
+  }
+
+  // ---- q167: CMS frequency bounds for the heaviest event users -----------------
+  // The exact per-user counts beside their CMS estimates (depth 4 ×
+  // width 128): the driver gate proves the sketch arithmetic bit-equal in
+  // both engines, and est >= exact on every row proves the one-sided
+  // error bound on real data (SketchesSpec pins it adversarially).
+  private val CmsDepth = 4
+  private val CmsWidth = 128
+  private def q167(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val exact = ev.groupBy(col("user_id")).agg(count(lit(1)).as("n_exact"))
+      .orderBy(col("n_exact").desc, col("user_id")).limit(10)
+    val cells = cmsCells(ev, "user_id", CmsDepth, CmsWidth)
+    exact.join(cmsEstimate(cells, exact, "user_id", CmsDepth, CmsWidth),
+        Seq("user_id"))
+      .select(col("user_id"), col("n_exact"), col("n_cms"))
+      .orderBy(col("n_exact").desc, col("user_id"))
+  }
+  private val q167Sql =
+    s"""WITH exact AS (
+         SELECT user_id, count(*)::BIGINT AS n_exact FROM events
+         GROUP BY user_id ORDER BY n_exact DESC, user_id LIMIT 10),
+       hashed AS (
+         SELECT k, d,
+           ((((${aSql("d")}) * ($ktSql) + (${bSql("d")})) % 2147483647)
+             % $CmsWidth) AS bucket
+         FROM (SELECT user_id AS k FROM events) t,
+           (SELECT unnest(range(0, $CmsDepth)) AS d)),
+       cells AS (
+         SELECT d, bucket, count(*)::BIGINT AS c FROM hashed GROUP BY 1, 2),
+       probe AS (
+         SELECT k, d,
+           ((((${aSql("d")}) * ($ktSql) + (${bSql("d")})) % 2147483647)
+             % $CmsWidth) AS bucket
+         FROM (SELECT DISTINCT user_id AS k FROM exact) q,
+           (SELECT unnest(range(0, $CmsDepth)) AS d)),
+       est AS (
+         SELECT k AS user_id, min(coalesce(c, 0))::BIGINT AS n_cms
+         FROM probe LEFT JOIN cells USING (d, bucket) GROUP BY k)
+       SELECT user_id, n_exact, n_cms
+       FROM exact JOIN est USING (user_id)
+       ORDER BY n_exact DESC, user_id"""
+
+  // ---- q168: HLL distinct-count estimate vs exact ------------------------------
+  // event_id over events (every row distinct — deep in the raw-estimate
+  // regime for m = 64, where no small-range correction applies). The
+  // relative error lands within the ±1.04/√m envelope; err_micro makes
+  // the gap an exact integer the gate can hash.
+  private val HllM = 64
+  private def q168(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val exact = ev.agg(countDistinct(col("event_id")).as("n_exact"))
+    val est = hllEstimate(hllRegisters(ev, "event_id", HllM), HllM)
+    exact.crossJoin(est)
+      .select(lit(HllM).cast("long").as("m"), col("n_exact"), col("hll_est"),
+        expr("abs(hll_est - n_exact) * 1000000L div n_exact").as("err_micro"))
+  }
+  private val q168Sql =
+    s"""WITH h AS (
+         SELECT (((${aSql("0")}) * ($ktSql) + (${bSql("0")}))
+           % 2147483647) AS h
+         FROM (SELECT event_id AS k FROM events) t),
+       observed AS (
+         SELECT h % $HllM AS j,
+           max(${32 - 6} - length(bin(h // $HllM))) AS rho
+         FROM h GROUP BY 1),
+       regs AS (
+         SELECT r.j, coalesce(o.rho, 0) AS mj
+         FROM (SELECT unnest(range(0, $HllM)) AS j) r
+         LEFT JOIN observed o ON r.j = o.j),
+       s AS (SELECT sum(1::BIGINT << (40 - mj)::INT)::BIGINT AS S FROM regs),
+       est AS (
+         SELECT floor(0.709::DOUBLE * 1099511627776.0::DOUBLE
+           * ${HllM.toLong * HllM} / S)::BIGINT AS hll_est FROM s),
+       exact AS (
+         SELECT count(DISTINCT event_id)::BIGINT AS n_exact FROM events)
+       SELECT $HllM::BIGINT AS m, n_exact, hll_est,
+         (abs(hll_est - n_exact) * 1000000 // n_exact)::BIGINT AS err_micro
+       FROM exact CROSS JOIN est"""
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef("q167_cms_heavy", q167, Some(q167Sql)),
+    QueryDef("q168_hll_distinct", q168, Some(q168Sql)))
+}

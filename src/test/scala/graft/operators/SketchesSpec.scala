@@ -1,0 +1,93 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class SketchesSpec extends SparkSpec {
+  import spark.implicits._
+
+  // Zipf-ish skew: key k appears ~200/k times — heavy head, long tail.
+  private def skewed = (1 to 40).flatMap(k => Seq.fill(200 / k)(k.toLong))
+    .toDF("key")
+
+  test("CMS estimates dominate exact counts on every key (one-sided error)") {
+    val cells = Sketches.cmsCells(skewed, "key", depth = 4, width = 32)
+    val exact = skewed.groupBy($"key").agg(count(lit(1)).as("n_exact"))
+    val got = exact.join(
+        Sketches.cmsEstimate(cells, exact, "key", 4, 32), Seq("key"))
+      .select($"key", $"n_exact", $"n_cms")
+      .as[(Long, Long, Long)].collect()
+    assert(got.nonEmpty)
+    got.foreach { case (k, ex, est) =>
+      assert(est >= ex, s"CMS must never under-count (key $k: $est < $ex)")
+    }
+    // width 32 on 40 keys: total inflation is bounded by collisions, and
+    // the heaviest key's estimate is within one tail-mass of exact.
+    val (_, ex0, est0) = got.maxBy(_._2)
+    assert(est0 - ex0 <= skewed.count(), "inflation cannot exceed N")
+  }
+
+  test("CMS cells are additive (mergeable) and partitioning-invariant") {
+    val all = Sketches.cmsCells(skewed, "key", 4, 32)
+      .orderBy($"d", $"bucket").as[(Int, Long, Long)].collect()
+    val repart = Sketches.cmsCells(skewed.repartition(13), "key", 4, 32)
+      .orderBy($"d", $"bucket").as[(Int, Long, Long)].collect()
+    assert(all === repart)
+    // Sketch of a union == sum of the parts' cells.
+    val (a, b) = (skewed.filter($"key" <= 10), skewed.filter($"key" > 10))
+    val merged = Sketches.cmsCells(a, "key", 4, 32)
+      .union(Sketches.cmsCells(b, "key", 4, 32))
+      .groupBy($"d", $"bucket").agg(sum($"c").as("c"))
+      .orderBy($"d", $"bucket").as[(Int, Long, Long)].collect()
+    assert(merged === all)
+  }
+
+  test("HLL registers are max-mergeable and the raw estimate lands in the envelope") {
+    val n = 5000L
+    val df = spark.range(0, n).select(($"id" * 7919L + 13L).as("key"))
+    val m = 64
+    val regs = Sketches.hllRegisters(df, "key", m)
+      .orderBy($"j").as[(Long, Long)].collect()
+    val repart = Sketches.hllRegisters(df.repartition(11), "key", m)
+      .orderBy($"j").as[(Long, Long)].collect()
+    assert(regs === repart)
+    // max-merge of two halves == registers of the whole
+    val (a, b) = (df.filter($"key" % 2 === 0), df.filter($"key" % 2 =!= 0))
+    val merged = Sketches.hllRegisters(a, "key", m)
+      .union(Sketches.hllRegisters(b, "key", m))
+      .groupBy($"j").agg(max($"mj").as("mj"))
+      .orderBy($"j").as[(Long, Long)].collect()
+    assert(merged === regs)
+    // raw-regime estimate: ±3σ = 3·1.04/√64 = 39%
+    val est = Sketches.hllEstimate(Sketches.hllRegisters(df, "key", m), m)
+      .as[Long].head()
+    assert(math.abs(est - n).toDouble / n < 0.39,
+      s"HLL estimate $est too far from $n")
+  }
+
+  test("star contraction labels a long chain (diameter stress) with its min") {
+    // A 33-node chain: min-label propagation needs 32 rounds; the
+    // alternating star algorithm converges in a handful.
+    val chain = (1L to 32L).map(i => (i, i + 1)).toDF("u", "v")
+    val got = Graph.connectedComponentsStars(chain, "u", "v", rounds = 6)
+      .as[(Long, Long, Boolean)].collect()
+    assert(got.length === 33)
+    assert(got.forall(_._3), "6 star rounds must reach the chain fixpoint")
+    assert(got.forall(_._2 === 1L), "every chain node joins component 1")
+    // Truncated run reports non-convergence instead of lying.
+    val cut = Graph.connectedComponentsStars(chain, "u", "v", rounds = 1)
+      .as[(Long, Long, Boolean)].collect()
+    assert(cut.forall(!_._3), "round 1 cannot finish a 33-node chain")
+  }
+
+  test("star contraction agrees with min-label propagation on a multi-component graph") {
+    val edges = Seq((1L, 2L), (2L, 3L), (7L, 9L), (9L, 8L), (20L, 21L),
+      (21L, 20L), (5L, 4L)).toDF("d1", "d2")
+    val stars = Graph.connectedComponentsStars(edges, "d1", "d2", rounds = 4)
+      .select($"node_id", $"component")
+      .orderBy($"node_id").as[(Long, Long)].collect()
+    val prop = Dedup.dedupClusters(edges, "d1", "d2")
+      .orderBy($"doc_id").as[(Long, Long)].collect()
+    assert(stars === prop)
+  }
+}
