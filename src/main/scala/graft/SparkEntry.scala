@@ -19,7 +19,8 @@ object SparkEntry {
       operators.SqlSurface.defs ++ operators.PipelineOps.defs ++
       operators.Analytics.defs ++ operators.Profile.defs ++
       operators.Layout.defs ++ operators.Incremental.defs ++
-      operators.Graph.defs ++ operators.Sketches.defs
+      operators.Graph.defs ++ operators.Sketches.defs ++
+      operators.Ranking.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

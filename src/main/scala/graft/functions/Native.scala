@@ -52,6 +52,13 @@ object Native {
       },
       "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_doti",
+      exprs => {
+        require(exprs.length == 2, "graft_doti(a, b) takes two bigint arrays")
+        DotProductInt(exprs.head, exprs(1))
+      },
+      "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_polyhash",
       exprs => {
         require(exprs.length == 1, "graft_polyhash(s) takes one string")

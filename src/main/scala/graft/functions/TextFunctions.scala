@@ -118,6 +118,13 @@ object TextFunctions {
   def quantize8(vec: Column): Column =
     call_function("graft_quantize8", vec)
 
+  /** Exact BIGINT dot product of two array<long> vectors — native
+    * [[DotProductInt]] kernel; the ADC-style scorer over [[quantize8]]
+    * output (integer algebra: bit-stable under any summation order).
+    */
+  def doti(a: Column, b: Column): Column =
+    call_function("graft_doti", a, b)
+
   /** Cosine similarity of two float/double vectors — the native codegen'd
     * [[CosineSimilarity]] expression (requires [[Native.register]], which
     * every session factory and SparkEntry entry point performs). Double

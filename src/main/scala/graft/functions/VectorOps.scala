@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, LongType}
@@ -140,4 +140,79 @@ final case class QuantizeInt8(child: Expression)
 
   override protected def withNewChildInternal(newChild: Expression): QuantizeInt8 =
     copy(child = newChild)
+}
+
+/** Exact integer dot product of two array<long> columns — the scoring
+  * kernel of the quantized (ADC-style) similarity path: once vectors are
+  * int8-quantized ([[QuantizeInt8]]), ranking is pure BIGINT algebra, so
+  * the score — unlike a float dot product — is bit-identical under any
+  * partitioning, engine, or summation order, and an order of magnitude
+  * cheaper per element than the double path at 100 TB.
+  *
+  * Folds over the common prefix of the two arrays (the [[CosineSimilarity]]
+  * contract); a null element poisons the result to null. Overflow is the
+  * caller's contract: int8-quantized inputs bound each term by 127² and a
+  * dimension-d product by d·2^14 « 2^63.
+  */
+final case class DotProductInt(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = LongType
+
+  private def mayHaveNullElements: Boolean =
+    left.dataType.asInstanceOf[ArrayType].containsNull ||
+      right.dataType.asInstanceOf[ArrayType].containsNull
+
+  override def nullable: Boolean = super.nullable || mayHaveNullElements
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def ok(e: Expression) = e.dataType match {
+      case ArrayType(LongType, _) => true
+      case _ => false
+    }
+    if (ok(left) && ok(right)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_doti expects array<bigint>, got " +
+        s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
+  }
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var dot = 0L
+    var i = 0
+    while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      dot += x.getLong(i) * y.getLong(i)
+      i += 1
+    }
+    java.lang.Long.valueOf(dot)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val dot = ctx.freshName("dot")
+      val nullCheck =
+        if (mayHaveNullElements)
+          s"if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }"
+        else ""
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |long $dot = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $nullCheck
+         |  $dot += $a.getLong($i) * $b.getLong($i);
+         |}
+         |if (!${ev.isNull}) {
+         |  ${ev.value} = $dot;
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DotProductInt =
+    copy(left = newLeft, right = newRight)
 }

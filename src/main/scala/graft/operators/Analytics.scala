@@ -1049,6 +1049,164 @@ object Analytics {
          round(sum(value), 2) AS total_value
        FROM hopped GROUP BY ws ORDER BY ws"""
 
+  /** Robust per-group outlier profile via median absolute deviation: the
+    * heavy-tail-proof companion to [[rollingZscore]] (mean/stddev break
+    * down when the outliers themselves inflate the baseline; median and
+    * MAD have a 50% breakdown point). Flags |x − median| > k·MAD.
+    *
+    * Three passes over the relation (median → MAD → flag counts), each a
+    * group aggregate with the tiny per-group stat table BROADCAST back —
+    * the data relation itself never reshuffles. Exact `percentile` sorts
+    * per group; at 100 TB swap in `approx_percentile` (mergeable t-digest,
+    * one pass for both quantiles via the pair trick) — the q47→q57
+    * upgrade path, deliberately mirrored here.
+    */
+  def madProfile(df: DataFrame, groupCol: String, valueCol: String,
+      k: Int = 3): DataFrame = {
+    val med = df.groupBy(col(groupCol))
+      .agg(expr(s"percentile($valueCol, 0.5D)").as("med"))
+    val mad = df.join(broadcast(med), Seq(groupCol))
+      .groupBy(col(groupCol))
+      .agg(max(col("med")).as("med"),
+        expr(s"percentile(abs($valueCol - med), 0.5D)").as("mad"))
+    df.join(broadcast(mad), Seq(groupCol))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"),
+        round(max(col("med")), 4).as("med_r"),
+        round(max(col("mad")), 4).as("mad_r"),
+        sum(when(abs(col(valueCol) - col("med")) > lit(k) * col("mad"), 1L)
+          .otherwise(0L)).as("n_outliers"))
+      .select(col(groupCol), col("n"), col("med_r").as("med"),
+        col("mad_r").as("mad"), col("n_outliers"))
+  }
+
+  // ---- q176: MAD-based robust anomaly profile ---------------------------------
+  // events.value per event_type: median, MAD, and the count beyond 3 MADs.
+  // Both engines interpolate the same exact median (q47 parity), so the
+  // flag threshold is computed identically.
+  private def q176(s: SparkSession, d: String): DataFrame =
+    madProfile(Tables.events(s, d), "event_type", "value", k = 3)
+      .orderBy(col("event_type"))
+  private val q176Sql =
+    """WITH med AS (
+         SELECT event_type, quantile_cont(value, 0.5) AS med
+         FROM events GROUP BY 1),
+       mad AS (
+         SELECT e.event_type, quantile_cont(abs(e.value - m.med), 0.5) AS mad
+         FROM events e JOIN med m USING (event_type) GROUP BY 1)
+       SELECT e.event_type, count(*)::BIGINT AS n,
+         round(max(m.med), 4) AS med, round(max(d.mad), 4) AS mad,
+         sum(CASE WHEN abs(e.value - m.med) > 3 * d.mad
+           THEN 1 ELSE 0 END)::BIGINT AS n_outliers
+       FROM events e JOIN med m USING (event_type)
+         JOIN mad d USING (event_type)
+       GROUP BY 1 ORDER BY 1"""
+
+  /** Association rules over (basket, item) memberships: for every ordered
+    * item pair a→b, co-occurrence count, support, confidence and lift in
+    * integer micro-units — the market-basket read on any categorical
+    * co-membership (event types per user, sources per near-dup cluster,
+    * labels per annotator).
+    *
+    * Exact integer algebra: support = n_ab·10^6 div N and confidence =
+    * n_ab·10^6 div n_a are single floors; lift is computed as
+    * `(conf_micro · N) div n_b` — two floors instead of one so no
+    * intermediate exceeds max(n_ab·10^6, conf_micro·N) « 2^63 even at
+    * billions of baskets (the single-floor form n_ab·N·10^6 overflows at
+    * ~3·10^6 baskets). Both engines floor identically; the quantization
+    * (≤ N/n_b micro-units) is deterministic, not engine noise.
+    *
+    * Scale design: membership is DISTINCT (basket, item) — the corpus
+    * collapses to that relation first (map-side partials). The pair
+    * self-join keys on basket; per-basket fan-out is |items-per-basket|²,
+    * so for unbounded item domains cap per-basket membership first (the
+    * q163 capped-fan-out discipline) — with a curated vocabulary (event
+    * types, sources) the fan-out is a small constant. Item totals and the
+    * basket count broadcast back onto the vocabulary-sized pair relation.
+    */
+  def associationRules(df: DataFrame, basketCol: String,
+      itemCol: String): DataFrame = {
+    val items = df.select(col(basketCol).as("basket"), col(itemCol).as("item"))
+      .distinct()
+    val itemTotals = items.groupBy(col("item")).agg(count(lit(1)).as("n_item"))
+    val nBaskets = items.select(col("basket")).distinct()
+      .agg(count(lit(1)).as("n_baskets"))
+    items.as("x").join(items.as("y"), Seq("basket"))
+      .filter(col("x.item") =!= col("y.item"))
+      .groupBy(col("x.item").as("a"), col("y.item").as("b"))
+      .agg(count(lit(1)).as("n_ab"))
+      .join(broadcast(itemTotals.select(col("item").as("a"),
+        col("n_item").as("n_a"))), Seq("a"))
+      .join(broadcast(itemTotals.select(col("item").as("b"),
+        col("n_item").as("n_b"))), Seq("b"))
+      .crossJoin(broadcast(nBaskets))
+      .select(col("a"), col("b"), col("n_ab"), col("n_a"), col("n_b"),
+        expr("n_ab * 1000000L div n_baskets").as("support_micro"),
+        expr("n_ab * 1000000L div n_a").as("conf_micro"),
+        expr("((n_ab * 1000000L div n_a) * n_baskets) div n_b")
+          .as("lift_micro"))
+  }
+
+  // ---- q177: association rules between event types per user -------------------
+  private def q177(s: SparkSession, d: String): DataFrame =
+    associationRules(Tables.events(s, d), "user_id", "event_type")
+      .orderBy(col("a"), col("b"))
+  private val q177Sql =
+    """WITH items AS (
+         SELECT DISTINCT user_id AS basket, event_type AS item FROM events),
+       tot AS (SELECT item, count(*)::BIGINT AS n_item FROM items GROUP BY 1),
+       nb AS (SELECT count(DISTINCT basket)::BIGINT AS n_baskets FROM items),
+       pairs AS (
+         SELECT x.item AS a, y.item AS b, count(*)::BIGINT AS n_ab
+         FROM items x JOIN items y ON x.basket = y.basket AND x.item != y.item
+         GROUP BY 1, 2)
+       SELECT a, b, n_ab, ta.n_item AS n_a, tb.n_item AS n_b,
+         (n_ab * 1000000 // n_baskets)::BIGINT AS support_micro,
+         (n_ab * 1000000 // ta.n_item)::BIGINT AS conf_micro,
+         (((n_ab * 1000000 // ta.n_item) * n_baskets) // tb.n_item)::BIGINT
+           AS lift_micro
+       FROM pairs JOIN tot ta ON ta.item = a JOIN tot tb ON tb.item = b
+       CROSS JOIN nb ORDER BY a, b"""
+
+  /** Top-k per group WITH ties — `rank()` ≤ k instead of `row_number()`
+    * ≤ k: every row tying the k-th value is kept, so the answer is
+    * deterministic WITHOUT a total-order tie-break column (the business
+    * question "the best k quantities" has no canonical k-th row when
+    * values tie; returning all of them is the honest contract).
+    *
+    * Plan note: Spark's `WindowGroupLimit` pushes a rank()-filter limit
+    * below the exchange just like row_number() (map-side partial
+    * top-k-with-ties per partition), so the shuffle carries only
+    * candidate rows — the q09 discipline extended to tie semantics.
+    */
+  def topKWithTies(df: DataFrame, partCol: String, orderCol: String,
+      k: Int): DataFrame =
+    df.withColumn("rnk",
+        rank().over(Window.partitionBy(col(partCol))
+          .orderBy(col(orderCol).desc)))
+      .filter(col("rnk") <= k)
+
+  // ---- q178: top quantities per supplier, ties kept ---------------------------
+  // lineitem quantities are small integers — ties are the common case, so
+  // the rank()-vs-row_number() distinction is load-bearing here. Grouped
+  // output (supplier, quantity, rank, n_rows) keeps the result compact
+  // and hashable.
+  private def q178(s: SparkSession, d: String): DataFrame =
+    topKWithTies(Tables.lineitem(s, d), "l_suppkey", "l_quantity", k = 2)
+      .groupBy(col("l_suppkey"), col("l_quantity"),
+        col("rnk").cast("long").as("rnk"))
+      .agg(count(lit(1)).as("n_rows"))
+      .orderBy(col("l_suppkey"), col("rnk"), col("l_quantity"))
+  private val q178Sql =
+    """WITH r AS (
+         SELECT l_suppkey, l_quantity,
+           rank() OVER (PARTITION BY l_suppkey ORDER BY l_quantity DESC)
+             AS rnk
+         FROM lineitem)
+       SELECT l_suppkey, l_quantity, rnk, count(*)::BIGINT AS n_rows
+       FROM r WHERE rnk <= 2 GROUP BY 1, 2, 3
+       ORDER BY l_suppkey, rnk, l_quantity"""
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q46_posexplode", q46, Some(q46Sql)),
     QueryDef("q47_percentiles", q47, Some(q47Sql)),
@@ -1073,5 +1231,8 @@ object Analytics {
     QueryDef("q103_transition_matrix", q103, Some(q103Sql)),
     QueryDef("q104_rank_family", q104, Some(q104Sql)),
     QueryDef("q107_rolling_anomaly", q107, Some(q107Sql)),
-    QueryDef("q116_concurrency_sweep", q116, Some(q116Sql)))
+    QueryDef("q116_concurrency_sweep", q116, Some(q116Sql)),
+    QueryDef("q176_mad_anomaly", q176, Some(q176Sql)),
+    QueryDef("q177_assoc_rules", q177, Some(q177Sql)),
+    QueryDef("q178_topk_ties", q178, Some(q178Sql)))
 }

@@ -473,9 +473,120 @@ object Graph {
        SELECT a AS node_id, least(a, min(b)) AS component, true AS converged
        FROM reach GROUP BY a ORDER BY node_id"""
 
+  /** HITS hubs-and-authorities over a DIRECTED edge list — the mutual
+    * reinforcement pair to [[pagerank]]'s single score: an authority is
+    * pointed at by good hubs, a hub points at good authorities. On an
+    * interaction graph this separates "widely consumed" (authority) from
+    * "widely consuming" (hub) — two roles PageRank conflates.
+    *
+    * Each half-iteration is one shuffle of the edge relation keyed by the
+    * receiving side with map-side partial sums, then a max-normalization:
+    * scores are BIGINT micro-units and `s·1000000 div max(s)` rescales the
+    * leader to exactly 1,000,000 — the standard L∞ normalization made
+    * exact integer algebra (L2 would need a cross-engine-divergent sqrt of
+    * a sum). The max is a single-row aggregate broadcast back, never a
+    * driver round-trip. Exactness bound: the pre-normalization product
+    * s·10^6 must stay under 2^63, i.e. per-node in-degree below ~9·10^6;
+    * beyond that, pre-aggregate parallel edges or downscale the unit.
+    *
+    * Nodes with no in-edges get authority 0; no out-edges, hub 0 —
+    * reported, not dropped (the [[pagerank]] dangling lesson: every node
+    * in src ∪ dst appears in the output).
+    */
+  def hits(edges: DataFrame, srcCol: String, dstCol: String,
+      iterations: Int, checkpoint: Boolean = true): DataFrame = {
+    require(iterations >= 1, "hits needs at least one iteration")
+    val e0 = edges
+      .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
+    val e = if (checkpoint) e0.localCheckpoint() else e0
+    val nodes0 = e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id"))).distinct()
+    val nodes = if (checkpoint) nodes0.localCheckpoint() else nodes0
+    // (id, score) -> normalized (id, score·1e6 div max) with every node
+    // present (absent = 0).
+    def normalized(raw: DataFrame): DataFrame = {
+      val full = nodes.join(raw, Seq("id"), "left")
+        .select(col("id"), coalesce(col("s"), lit(0L)).as("s"))
+      val mx = full.agg(max(col("s")).as("mx"))
+      full.crossJoin(broadcast(mx))
+        .select(col("id"),
+          when(col("mx") > 0, expr("s * 1000000L div mx"))
+            .otherwise(lit(0L)).as("s"))
+    }
+    var hub = nodes.select(col("id"), lit(1000000L).as("s"))
+    var auth = hub
+    for (_ <- 1 to iterations) {
+      auth = normalized(
+        e.join(hub.withColumnRenamed("id", "hid"), col("src") === col("hid"))
+          .groupBy(col("dst").as("id")).agg(sum(col("s")).as("s")))
+      if (checkpoint) auth = auth.localCheckpoint()
+      hub = normalized(
+        e.join(auth.withColumnRenamed("id", "aid"), col("dst") === col("aid"))
+          .groupBy(col("src").as("id")).agg(sum(col("s")).as("s")))
+      if (checkpoint) hub = hub.localCheckpoint()
+    }
+    nodes
+      .join(auth.select(col("id"), col("s").as("auth_micro")), Seq("id"))
+      .join(hub.select(col("id"), col("s").as("hub_micro")), Seq("id"))
+      .select(col("id").as("node_id"), col("auth_micro"), col("hub_micro"))
+  }
+
+  // ---- q175: HITS roles on the directed order graph ---------------------------
+  // Customer → supplier edges (who buys from whom): customers are pure
+  // hubs, suppliers pure authorities — the bipartite case makes the role
+  // split inspectable. Two full iterations, every node reported. The
+  // oracle unrolls the same four half-steps in exact integer algebra.
+  private def q175(s: SparkSession, d: String): DataFrame = {
+    val pairs = Tables.orders(s, d)
+      .join(Tables.lineitem(s, d), col("l_orderkey") === col("o_orderkey"))
+      .select((col("o_custkey") * 2).as("a"), (col("l_suppkey") * 2 + 1).as("b"))
+      .distinct()
+    hits(pairs, "a", "b", iterations = 2)
+      .orderBy(col("auth_micro").desc, col("hub_micro").desc, col("node_id"))
+      .limit(30)
+  }
+  private val q175Sql =
+    """WITH eo AS (
+         SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+         FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+       nodes AS (SELECT src AS id FROM eo UNION SELECT dst FROM eo),
+       h0 AS (SELECT id, 1000000::BIGINT AS s FROM nodes),
+       a1r AS (SELECT n.id, coalesce(x.s, 0)::BIGINT AS s FROM nodes n
+               LEFT JOIN (SELECT e.dst AS id, sum(h.s)::BIGINT AS s
+                          FROM eo e JOIN h0 h ON h.id = e.src
+                          GROUP BY 1) x ON n.id = x.id),
+       a1 AS (SELECT id, CASE WHEN (SELECT max(s) FROM a1r) > 0
+                THEN s * 1000000 // (SELECT max(s) FROM a1r)
+                ELSE 0 END::BIGINT AS s FROM a1r),
+       h1r AS (SELECT n.id, coalesce(x.s, 0)::BIGINT AS s FROM nodes n
+               LEFT JOIN (SELECT e.src AS id, sum(a.s)::BIGINT AS s
+                          FROM eo e JOIN a1 a ON a.id = e.dst
+                          GROUP BY 1) x ON n.id = x.id),
+       h1 AS (SELECT id, CASE WHEN (SELECT max(s) FROM h1r) > 0
+                THEN s * 1000000 // (SELECT max(s) FROM h1r)
+                ELSE 0 END::BIGINT AS s FROM h1r),
+       a2r AS (SELECT n.id, coalesce(x.s, 0)::BIGINT AS s FROM nodes n
+               LEFT JOIN (SELECT e.dst AS id, sum(h.s)::BIGINT AS s
+                          FROM eo e JOIN h1 h ON h.id = e.src
+                          GROUP BY 1) x ON n.id = x.id),
+       a2 AS (SELECT id, CASE WHEN (SELECT max(s) FROM a2r) > 0
+                THEN s * 1000000 // (SELECT max(s) FROM a2r)
+                ELSE 0 END::BIGINT AS s FROM a2r),
+       h2r AS (SELECT n.id, coalesce(x.s, 0)::BIGINT AS s FROM nodes n
+               LEFT JOIN (SELECT e.src AS id, sum(a.s)::BIGINT AS s
+                          FROM eo e JOIN a2 a ON a.id = e.dst
+                          GROUP BY 1) x ON n.id = x.id),
+       h2 AS (SELECT id, CASE WHEN (SELECT max(s) FROM h2r) > 0
+                THEN s * 1000000 // (SELECT max(s) FROM h2r)
+                ELSE 0 END::BIGINT AS s FROM h2r)
+       SELECT n.id AS node_id, a2.s AS auth_micro, h2.s AS hub_micro
+       FROM nodes n JOIN a2 ON a2.id = n.id JOIN h2 ON h2.id = n.id
+       ORDER BY auth_micro DESC, hub_micro DESC, node_id LIMIT 30"""
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q159_pagerank", q159, Some(q159Sql)),
     QueryDef("q163_triangle_count", q163, Some(q163Sql)),
     QueryDef("q165_kcore", q165, Some(q165Sql)),
-    QueryDef("q166_cc_stars", q166, Some(q166Sql)))
+    QueryDef("q166_cc_stars", q166, Some(q166Sql)),
+    QueryDef("q175_hits", q175, Some(q175Sql)))
 }

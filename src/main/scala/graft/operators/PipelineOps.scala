@@ -511,6 +511,39 @@ object PipelineOps {
           col("tokens").cast("double"), 4).as("sampled_tokens"))
   }
 
+  /** Temperature-scaled sampling shares across groups — the multilingual
+    * mixing rule p_l ∝ n_l^α at α = 1/2 (the classic low-resource boost:
+    * a language with 1% of the tokens gets √-scaled toward ~10% of the
+    * relative weight). Complements [[mixtureWeights]]'s uniform-target
+    * rule: that flattens the mixture completely; temperature scaling
+    * interpolates between natural (α = 1) and uniform (α = 0).
+    *
+    * α is FIXED at 1/2 by design, not a parameter: n^α for general α
+    * needs `pow` (libm-specific, not correctly rounded — cross-engine
+    * divergent), while √n is a single IEEE correctly-rounded op, and
+    * `floor(√n)` of a BIGINT is the same integer on every engine. All
+    * shares are integer micro-units of those floored weights, so the
+    * output is bit-identical under any partitioning or engine. (For
+    * other α, compose: α = 1/4 is two isqrt passes.)
+    *
+    * Scale: identical shape to [[mixtureWeights]] — one partial-agg
+    * groupBy collapses the corpus to |groups| rows, a single-row grand
+    * total broadcasts back; the corpus never reshuffles.
+    */
+  def temperatureShares(df: DataFrame, groupCol: String,
+      sizeExpr: Column): DataFrame = {
+    val perGroup = df.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_docs"), sum(sizeExpr).as("tokens"))
+      .select(col(groupCol), col("n_docs"), col("tokens"),
+        floor(sqrt(col("tokens").cast("double"))).cast("long").as("w_sqrt"))
+    val totals = perGroup.agg(sum(col("tokens")).as("tot_tokens"),
+      sum(col("w_sqrt")).as("tot_w"))
+    perGroup.crossJoin(broadcast(totals))
+      .select(col(groupCol), col("n_docs"), col("tokens"), col("w_sqrt"),
+        expr("tokens * 1000000L div tot_tokens").as("natural_micro"),
+        expr("w_sqrt * 1000000L div tot_w").as("share_micro"))
+  }
+
   /** Corpus-trained bigram language-model fluency score (the CCNet-style
     * "perplexity filter" shape): per document, the average conditional
     * probability C(w1 w2)/C(w1·) of its word bigrams, with counts trained
@@ -891,6 +924,29 @@ object PipelineOps {
          round(least(1.0::DOUBLE, target / tokens::DOUBLE) * tokens::DOUBLE, 4)
            AS sampled_tokens
        FROM t ORDER BY source"""
+
+  // ---- q173: temperature-scaled language mixture (α = 1/2) --------------------
+  // Natural vs √-tempered shares per language: the report a multilingual
+  // run reads before fixing its sampling mixture.
+  private def q173(s: SparkSession, d: String): DataFrame =
+    temperatureShares(Tables.documents(s, d), "lang",
+      size(tokens(col("text"))).cast("long"))
+      .orderBy(col("lang"))
+  private val q173Sql =
+    """WITH g AS (
+         SELECT lang, count(*)::BIGINT AS n_docs,
+           sum(len(string_split(text, ' ')))::BIGINT AS tokens
+         FROM documents GROUP BY lang),
+       w AS (
+         SELECT lang, n_docs, tokens,
+           floor(sqrt(tokens::DOUBLE))::BIGINT AS w_sqrt FROM g),
+       t AS (
+         SELECT sum(tokens)::BIGINT AS tot_tokens, sum(w_sqrt)::BIGINT AS tot_w
+         FROM w)
+       SELECT lang, n_docs, tokens, w_sqrt,
+         (tokens * 1000000 // tot_tokens)::BIGINT AS natural_micro,
+         (w_sqrt * 1000000 // tot_w)::BIGINT AS share_micro
+       FROM w CROSS JOIN t ORDER BY lang"""
 
   /** Apply [[mixtureWeights]] as an actual deterministic sample: each
     * group's weight becomes a 0-256 hash-predicate threshold, and every
@@ -1386,6 +1442,7 @@ object PipelineOps {
     QueryDef("q54_pii_scrub", q54, Some(q54Sql)),
     QueryDef("q55_seq_packing", q55, Some(q55Sql)),
     QueryDef("q62_mixture_weights", q62, Some(q62Sql)),
+    QueryDef("q173_temperature_mix", q173, Some(q173Sql)),
     QueryDef("q63_bigram_lm", q63, Some(q63Sql)),
     QueryDef("q134_lm_band_filter", q134, Some(q134Sql)),
     QueryDef("q135_negative_samples", q135, Some(q135Sql)),

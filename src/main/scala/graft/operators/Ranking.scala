@@ -1,0 +1,260 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions.{doti, quantize8}
+
+/** Retrieval-quality metrics over ranked candidate lists, plus the
+  * quantized (ADC-style) ranking path they evaluate — the acceptance
+  * instruments for the similarity-search surface ([[Similarity]]): before
+  * an approximate index (IVF, LSH, quantization) replaces the exact
+  * ranking in a 100-TB pipeline, these report what the swap costs in
+  * ordering quality, not just set overlap ([[Similarity.recallReport]]).
+  *
+  * Cross-engine determinism: every metric is exact BIGINT algebra in
+  * micro-units. The discount is the HARMONIC family 1/(rank+1) — computed
+  * as `1000000 div (rank+1)`, an integer both engines floor identically —
+  * rather than the log2 form, whose `ln`-based evaluation is libm-specific
+  * and whose window-ordered double sum would be partition-order-sensitive
+  * (same reasoning as [[Profile]]'s integer eval metrics). Monotonicity —
+  * the property that makes a discount a discount — is preserved, so
+  * accept/reject decisions rank systems the same way.
+  *
+  * Scale design: relevance joins touch only the top-k rows per query (a
+  * k·|Q|-sized relation) and a per-query relevant-count aggregate with
+  * map-side partials — the corpus-sized relevant set is never shuffled
+  * into per-query partitions. Quantized scoring is one broadcast of the
+  * query vectors against a map-only pass over the corpus with BIGINT dot
+  * products ([[graft.functions.DotProductInt]]), ranked through the same
+  * bounded-heap aggregator as every other top-k
+  * ([[Similarity.rankTopK]]: k rows per map partial cross the wire).
+  */
+object Ranking {
+
+  private val TopK = 5
+  private val NumQueries = 10
+
+  /** Per-query harmonic-discount nDCG@k of a ranked list against a binary
+    * relevant set. `ranked`: (query_id, rank, neighbor_id) with rank
+    * 1-based; `relevant`: (query_id, neighbor_id) — the FULL relevant set
+    * (the ideal ranking is computed from its per-query size, capped at k).
+    *
+    * dcg_micro  = Σ_{hits} 1000000 div (rank+1)
+    * idcg_micro = Σ_{i=1..min(k, |relevant|)} 1000000 div (i+1)
+    * ndcg_micro = dcg·1000000 div idcg (0 when the query has no
+    * relevant documents at all — reported, not dropped, so a dead query
+    * is visible in the acceptance run).
+    */
+  def ndcgAtK(ranked: DataFrame, relevant: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, "ndcgAtK needs k >= 1")
+    val rel = relevant.select(col("query_id"), col("neighbor_id"), lit(1L).as("rel"))
+    val nRel = relevant.groupBy(col("query_id"))
+      .agg(count(lit(1)).as("n_rel_total"))
+    ranked.filter(col("rank") <= k)
+      .join(rel, Seq("query_id", "neighbor_id"), "left")
+      .groupBy(col("query_id"))
+      .agg(sum(coalesce(col("rel"), lit(0L))).as("n_rel_topk"),
+        sum(when(col("rel").isNotNull, expr("1000000L div (rank + 1)"))
+          .otherwise(lit(0L))).as("dcg_micro"))
+      .join(nRel, Seq("query_id"), "left")
+      .select(col("query_id"), col("n_rel_topk"),
+        coalesce(col("n_rel_total"), lit(0L)).as("n_rel_total"),
+        col("dcg_micro"),
+        least(lit(k.toLong), coalesce(col("n_rel_total"), lit(0L))).as("m"))
+      // sequence(1, 0) in Spark DESCENDS instead of yielding empty, so the
+      // m = 0 case must short-circuit before the fold.
+      .withColumn("idcg_micro", when(col("m") >= 1,
+          expr("aggregate(sequence(1L, m), 0L, (acc, i) -> acc + 1000000L div (i + 1L))"))
+        .otherwise(lit(0L)))
+      .select(col("query_id"), col("n_rel_topk"), col("n_rel_total"),
+        col("dcg_micro"), col("idcg_micro"),
+        when(col("idcg_micro") > 0,
+            expr("(dcg_micro * 1000000L) div idcg_micro"))
+          .otherwise(lit(0L)).as("ndcg_micro"))
+  }
+
+  /** Per-query reciprocal rank: the 1-based rank of the FIRST relevant
+    * result within the top k (0 = none found) and rr_micro = 1000000 div
+    * that rank. Mean over queries = MRR ([[mrr]]).
+    */
+  def reciprocalRank(ranked: DataFrame, relevant: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, "reciprocalRank needs k >= 1")
+    val rel = relevant.select(col("query_id"), col("neighbor_id"), lit(1L).as("rel"))
+    ranked.filter(col("rank") <= k)
+      .join(rel, Seq("query_id", "neighbor_id"), "left")
+      .groupBy(col("query_id"))
+      .agg(coalesce(min(when(col("rel").isNotNull, col("rank"))), lit(0))
+        .cast("long").as("first_rank"))
+      .select(col("query_id"), col("first_rank"),
+        when(col("first_rank") > 0, expr("1000000L div first_rank"))
+          .otherwise(lit(0L)).as("rr_micro"))
+  }
+
+  /** Mean reciprocal rank over all queries (single row, integer-floored
+    * micro-units: Σ rr_micro div |Q|).
+    */
+  def mrr(ranked: DataFrame, relevant: DataFrame, k: Int): DataFrame =
+    reciprocalRank(ranked, relevant, k)
+      .agg(count(lit(1)).as("n_queries"), sum(col("rr_micro")).as("rr_sum"))
+      .select(col("n_queries"),
+        expr("rr_sum div n_queries").as("mrr_micro"))
+
+  /** Approximate top-k through int8 quantization + exact integer dot
+    * product (the asymmetric-distance-style scale path: 8-bit codes, 8x
+    * smaller corpus residency, BIGINT scoring that is bit-stable under any
+    * partitioning). `queryPred` selects the query rows out of the corpus.
+    */
+  def quantizedTopK(corpus: DataFrame, queryPred: Column, idCol: String,
+      vecCol: String, k: Int): DataFrame = {
+    val q8 = corpus.select(col(idCol), quantize8(col(vecCol)).as("q8"))
+    val queries = q8.filter(queryPred)
+      .select(col(idCol).as("query_id"), col("q8").as("qq"))
+    val scored = broadcast(queries)
+      .join(q8.select(col(idCol).as("neighbor_id"), col("q8").as("nq")),
+        col("query_id") =!= col("neighbor_id"))
+      // an int8 dot at dim d is bounded by d·127² « 2^53: the cast to
+      // double (rankTopK's score domain) is exact, so ranking parity with
+      // the oracle's integer sort is bitwise.
+      .select(col("query_id"), col("neighbor_id"),
+        doti(col("qq"), col("nq")).cast("double").as("c"))
+    Similarity.rankTopK(scored, k)
+  }
+
+  /** Shared oracle fragment: exact cosine ranking of the first
+    * [[NumQueries]] vectors over the corpus, top [[TopK]] (the q136 form).
+    */
+  private val exactRankSql =
+    s"""sims_e AS (
+         SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+           list_sum(list_transform(range(1, len(q.embedding) + 1),
+             k -> q.embedding[k]::DOUBLE * n.embedding[k]::DOUBLE))
+           / (sqrt(list_sum(list_transform(q.embedding, x -> x::DOUBLE * x::DOUBLE)))
+              * sqrt(list_sum(list_transform(n.embedding, x -> x::DOUBLE * x::DOUBLE))))
+             AS c
+         FROM embeddings q JOIN embeddings n ON q.vec_id != n.vec_id
+         WHERE q.vec_id < $NumQueries),
+       ex AS (
+         SELECT query_id, neighbor_id, rank FROM (
+           SELECT query_id, neighbor_id,
+             row_number() OVER (PARTITION BY query_id
+               ORDER BY c DESC, neighbor_id) AS rank
+           FROM sims_e) t WHERE rank <= $TopK),
+       rel AS (
+         SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id
+         FROM embeddings q JOIN embeddings n
+           ON q.label = n.label AND q.vec_id != n.vec_id
+         WHERE q.vec_id < $NumQueries)"""
+
+  // ---- q169: harmonic-discount nDCG@k of exact cosine retrieval ---------------
+  // The exact cosine ranking scored against label agreement: "retrieving
+  // by embedding similarity — how well does it reproduce the labeling?"
+  // Every step integer micro-algebra; the oracle mirrors it exactly.
+  private def q169(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+    val ranked = Similarity.bruteTopK(
+      e.filter(col("vec_id") < NumQueries), e, "vec_id", "embedding", TopK)
+    val rel = broadcast(e.filter(col("vec_id") < NumQueries)
+        .select(col("vec_id").as("query_id"), col("label").as("ql")))
+      .join(e.select(col("vec_id").as("neighbor_id"), col("label").as("nl")),
+        col("ql") === col("nl") && col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"))
+    ndcgAtK(ranked, rel, TopK).orderBy(col("query_id"))
+  }
+  private val q169Sql =
+    s"""WITH $exactRankSql,
+       nrel AS (
+         SELECT query_id, count(*)::BIGINT AS n_rel_total FROM rel GROUP BY 1),
+       perq AS (
+         SELECT e.query_id,
+           sum(CASE WHEN r.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+             AS n_rel_topk,
+           sum(CASE WHEN r.neighbor_id IS NOT NULL
+             THEN 1000000 // (e.rank + 1) ELSE 0 END)::BIGINT AS dcg_micro
+         FROM ex e LEFT JOIN rel r
+           ON e.query_id = r.query_id AND e.neighbor_id = r.neighbor_id
+         GROUP BY 1),
+       wm AS (
+         SELECT p.query_id, p.n_rel_topk,
+           coalesce(n.n_rel_total, 0)::BIGINT AS n_rel_total, p.dcg_micro,
+           least($TopK, coalesce(n.n_rel_total, 0))::BIGINT AS m
+         FROM perq p LEFT JOIN nrel n ON p.query_id = n.query_id),
+       wi AS (
+         SELECT *, coalesce(list_sum(list_transform(range(1, m + 1),
+             i -> 1000000 // (i + 1))), 0)::BIGINT AS idcg_micro
+         FROM wm)
+       SELECT query_id, n_rel_topk, n_rel_total, dcg_micro, idcg_micro,
+         CASE WHEN idcg_micro > 0
+           THEN (dcg_micro * 1000000) // idcg_micro ELSE 0 END::BIGINT
+           AS ndcg_micro
+       FROM wi ORDER BY query_id"""
+
+  // ---- q170: reciprocal rank of the first label match -------------------------
+  private def q170(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+    val ranked = Similarity.bruteTopK(
+      e.filter(col("vec_id") < NumQueries), e, "vec_id", "embedding", TopK)
+    val rel = broadcast(e.filter(col("vec_id") < NumQueries)
+        .select(col("vec_id").as("query_id"), col("label").as("ql")))
+      .join(e.select(col("vec_id").as("neighbor_id"), col("label").as("nl")),
+        col("ql") === col("nl") && col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"))
+    reciprocalRank(ranked, rel, TopK).orderBy(col("query_id"))
+  }
+  private val q170Sql =
+    s"""WITH $exactRankSql
+       SELECT e.query_id,
+         coalesce(min(CASE WHEN r.neighbor_id IS NOT NULL
+           THEN e.rank END), 0)::BIGINT AS first_rank,
+         CASE WHEN min(CASE WHEN r.neighbor_id IS NOT NULL
+             THEN e.rank END) IS NOT NULL
+           THEN 1000000 // min(CASE WHEN r.neighbor_id IS NOT NULL
+             THEN e.rank END) ELSE 0 END::BIGINT AS rr_micro
+       FROM ex e LEFT JOIN rel r
+         ON e.query_id = r.query_id AND e.neighbor_id = r.neighbor_id
+       GROUP BY e.query_id ORDER BY e.query_id"""
+
+  // ---- q174: recall@k of the int8-quantized ranking vs exact cosine ----------
+  // The quantization acceptance report: how much of the exact top-k
+  // survives 8-bit codes + integer dot scoring (same quantizer as q43,
+  // same recall join as q136).
+  private def q174(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+    Similarity.recallReport(
+        Similarity.bruteTopK(e.filter(col("vec_id") < NumQueries), e,
+          "vec_id", "embedding", TopK),
+        quantizedTopK(e, col("vec_id") < NumQueries,
+          "vec_id", "embedding", TopK))
+      .orderBy(col("query_id"))
+  }
+  private val q174Sql =
+    s"""WITH $exactRankSql,
+       q8 AS (
+         SELECT vec_id, list_transform(embedding, x -> floor(x::DOUBLE /
+           (list_max(list_transform(embedding, y -> abs(y))))::DOUBLE
+           * 127)::BIGINT) AS q
+         FROM embeddings),
+       sims_q AS (
+         SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+           list_sum(list_transform(range(1, len(a.q) + 1),
+             k -> a.q[k] * b.q[k]))::BIGINT AS dot
+         FROM q8 a JOIN q8 b ON a.vec_id != b.vec_id
+         WHERE a.vec_id < $NumQueries),
+       aq AS (
+         SELECT query_id, neighbor_id FROM (
+           SELECT query_id, neighbor_id,
+             row_number() OVER (PARTITION BY query_id
+               ORDER BY dot DESC, neighbor_id) AS rank
+           FROM sims_q) t WHERE rank <= $TopK)
+       SELECT e.query_id, count(*)::BIGINT AS n_exact,
+         count(a.neighbor_id)::BIGINT AS n_hit,
+         round(count(a.neighbor_id)::DOUBLE / count(*), 6) AS recall
+       FROM ex e LEFT JOIN aq a
+         ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+       GROUP BY e.query_id ORDER BY e.query_id"""
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef("q169_ndcg", q169, Some(q169Sql)),
+    QueryDef("q170_reciprocal_rank", q170, Some(q170Sql)),
+    QueryDef("q174_quantized_recall", q174, Some(q174Sql)))
+}

@@ -640,6 +640,74 @@ object Relational {
        FROM a JOIN b ON a_s <= b_e AND b_s <= a_e
        GROUP BY a_id ORDER BY a_id"""
 
+  // ---- q171: pivot — long event stream to a wide per-user feature row --------
+  // `groupBy(user).pivot(event_type)` is ONE hash aggregation with
+  // map-side partials over (user, type) — the pivot happens inside the
+  // aggregation buffers (a fixed column per (type, agg) pair), NOT as
+  // five self-joins of filtered scans, so the plan reads events once and
+  // shuffles one collapsed relation keyed by user. The pivot value list
+  // is explicit: at 100 TB a discovery pass (`pivot(col)` without values)
+  // costs an extra distinct scan and risks an unbounded schema — a
+  // curated wide schema is both cheaper and the only sane contract.
+  // Missing (user, type) combos surface as 0 (coalesce), not null, so
+  // the wide row is directly usable as a feature vector.
+  private val PivotTypes = Seq("click", "error", "purchase", "signup", "view")
+  private def q171(s: SparkSession, d: String): DataFrame = {
+    val p = Tables.events(s, d)
+      .groupBy(col("user_id"))
+      .pivot("event_type", PivotTypes)
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("v"))
+    p.select(col("user_id") +: PivotTypes.flatMap(t => Seq(
+        coalesce(col(s"${t}_n"), lit(0L)).as(s"${t}_n"),
+        // events.value >= 0 by fixture contract, so the rounded sum
+        // cannot be -0.0 (no canonicalization needed).
+        round(coalesce(col(s"${t}_v"), lit(0.0)), 4).as(s"${t}_v"))): _*)
+      .orderBy(col("user_id"))
+  }
+  private val q171Sql = {
+    val cols = PivotTypes.map { t =>
+      s"""count(*) FILTER (event_type = '$t')::BIGINT AS ${t}_n,
+         round(coalesce(sum(value) FILTER (event_type = '$t'), 0), 4)
+           AS ${t}_v"""
+    }.mkString(",\n         ")
+    s"""SELECT user_id,
+         $cols
+       FROM events GROUP BY user_id ORDER BY user_id"""
+  }
+
+  // ---- q172: unpivot/melt — wide metric columns to long (metric, val) --------
+  // `Dataset.unpivot` is a zero-shuffle row expansion (each input row
+  // emits one output row per value column, inside the scan stage); the
+  // per-(flag, metric) profile then aggregates with map-side partials.
+  // The long form is the shape profiling/drift operators consume
+  // ([[Profile]] q58/q126) without a per-metric query each.
+  private def q172(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .unpivot(
+        Array(col("l_returnflag")),
+        Array(col("l_quantity"), col("l_extendedprice"), col("l_discount"),
+          col("l_tax")),
+        "metric", "val")
+      .groupBy(col("l_returnflag"), col("metric"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("val")), 4).as("sum_val"),
+        round(min(col("val")), 4).as("min_val"),
+        round(max(col("val")), 4).as("max_val"))
+      .orderBy(col("l_returnflag"), col("metric"))
+  private val q172Sql =
+    """WITH m AS (
+         SELECT l_returnflag, 'l_quantity' AS metric, l_quantity AS val
+         FROM lineitem
+         UNION ALL SELECT l_returnflag, 'l_extendedprice', l_extendedprice
+         FROM lineitem
+         UNION ALL SELECT l_returnflag, 'l_discount', l_discount
+         FROM lineitem
+         UNION ALL SELECT l_returnflag, 'l_tax', l_tax FROM lineitem)
+       SELECT l_returnflag, metric, count(*)::BIGINT AS n,
+         round(sum(val), 4) AS sum_val, round(min(val), 4) AS min_val,
+         round(max(val), 4) AS max_val
+       FROM m GROUP BY 1, 2 ORDER BY 1, 2"""
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q01_pricing_summary", q01, Some(q01Sql), headline = true),
     QueryDef("q02_filter_pushdown", q02, Some(q02Sql)),
@@ -667,5 +735,7 @@ object Relational {
     QueryDef("q82_asof_merge_nearest", q82, Some(q82Sql)),
     QueryDef("q93_asof_tolerance", q93, Some(q93Sql)),
     QueryDef("q94_union_evolved", q94, Some(q94Sql)),
-    QueryDef("q128_interval_overlap", q128, Some(q128Sql)))
+    QueryDef("q128_interval_overlap", q128, Some(q128Sql)),
+    QueryDef("q171_pivot", q171, Some(q171Sql)),
+    QueryDef("q172_unpivot", q172, Some(q172Sql)))
 }

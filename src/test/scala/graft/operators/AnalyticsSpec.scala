@@ -214,4 +214,42 @@ class AnalyticsSpec extends SparkSpec {
     assert(winIdx >= 0 && aggIdx > winIdx,
       s"expected Window over the aggregated spine:\n$plan")
   }
+
+  test("madProfile flags only the far outlier and survives a robust baseline") {
+    // Nine values near 10 plus one at 1000: median 10, MAD 1 — the
+    // mean/stddev z-score would be dragged by the outlier; MAD is not.
+    val df = (Seq(8.0, 9.0, 9.0, 10.0, 10.0, 10.0, 11.0, 11.0, 12.0, 1000.0))
+      .map(("g", _)).toDF("g", "v")
+    val got = Analytics.madProfile(df, "g", "v", k = 3)
+      .as[(String, Long, Double, Double, Long)].head()
+    assert(got === (("g", 10L, 10.0, 1.0, 1L)))
+  }
+
+  test("associationRules computes hand-checked support/confidence/lift") {
+    // baskets: 1:{a,b}, 2:{a,b}, 3:{a}, 4:{b} → N=4, n_a=3, n_b=3, n_ab=2.
+    val df = Seq((1, "a"), (1, "b"), (2, "a"), (2, "b"), (3, "a"), (4, "b"),
+      (1, "a")) // duplicate membership must not double-count
+      .toDF("basket", "item")
+    val got = Analytics.associationRules(df, "basket", "item")
+      .orderBy($"a", $"b")
+      .select($"a", $"b", $"n_ab", $"support_micro", $"conf_micro", $"lift_micro")
+      .as[(String, String, Long, Long, Long, Long)].collect()
+    // support = 2/4, conf = 2/3, lift = (2/3)/(3/4) = 8/9 (two-floor form:
+    // (666666 * 4) div 3 = 888888).
+    assert(got === Array(
+      ("a", "b", 2L, 500000L, 666666L, 888888L),
+      ("b", "a", 2L, 500000L, 666666L, 888888L)))
+  }
+
+  test("topKWithTies keeps every row tying the k-th value") {
+    val df = Seq(("s", 5), ("s", 5), ("s", 4), ("s", 4), ("s", 3), ("t", 1))
+      .toDF("g", "v")
+    val got = Analytics.topKWithTies(df, "g", "v", k = 2)
+      .select($"g", $"v", $"rnk").orderBy($"g", $"rnk", $"v")
+      .as[(String, Int, Int)].collect()
+    // group s: both 5s rank 1, both 4s rank 3 — EXCLUDED (rank > 2)? No:
+    // rank() gives 5,5 -> 1 and 4,4 -> 3, so k=2 keeps only the two 5s;
+    // group t: its single row ranks 1.
+    assert(got === Array(("s", 5, 1), ("s", 5, 1), ("t", 1, 1)))
+  }
 }
