@@ -1207,6 +1207,136 @@ object Analytics {
        FROM r WHERE rnk <= 2 GROUP BY 1, 2, 3
        ORDER BY l_suppkey, rnk, l_quantity"""
 
+  /** ABC / Pareto classification: rank groups by a measure, accumulate
+    * the share, and band into A (the head carrying `aMicro` of the total),
+    * B (through `bMicro`), C (the tail) — the 80/15/5 read on "which
+    * suppliers/sources/domains carry the corpus".
+    *
+    * Determinism: the measure is an exact BIGINT, shares are integer
+    * micro-units, and the ordering (measure desc, group asc) is total, so
+    * the banding is bit-identical cross-engine — no float cumshare
+    * boundary ever decides a class.
+    *
+    * Scale note: the window runs over the ALREADY-AGGREGATED group
+    * relation (|groups| rows, one exchange), not the corpus — the
+    * corpus-sized input collapses via map-side partials first. The
+    * single-partition window over |groups| is deliberate: groups =
+    * vocabulary, not data (for corpus-sized grouping keys use the
+    * two-pass prefix-sum sweep, q132/q149).
+    */
+  def abcClassify(df: DataFrame, groupCol: String, measure: Column,
+      aMicro: Long = 800000L, bMicro: Long = 950000L): DataFrame = {
+    require(0 < aMicro && aMicro < bMicro && bMicro <= 1000000L,
+      "need 0 < aMicro < bMicro <= 1e6")
+    val per = df.groupBy(col(groupCol)).agg(sum(measure).as("m"))
+    val w = Window.orderBy(col("m").desc, col(groupCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    per
+      .crossJoin(broadcast(per.agg(sum(col("m")).as("total"))))
+      .withColumn("cum", sum(col("m")).over(w))
+      .select(col(groupCol), col("m"),
+        expr("cum * 1000000L div total").as("cum_share_micro"),
+        when(expr("cum * 1000000L div total") <= aMicro, lit("A"))
+          .when(expr("cum * 1000000L div total") <= bMicro, lit("B"))
+          .otherwise(lit("C")).as("abc_class"))
+  }
+
+  // ---- q179: ABC analysis of suppliers by shipped quantity --------------------
+  // l_quantity is integral-valued (cast exact); the classic warehouse
+  // Pareto: a handful of A suppliers carry most of the volume.
+  private def q179(s: SparkSession, d: String): DataFrame =
+    abcClassify(Tables.lineitem(s, d), "l_suppkey",
+      col("l_quantity").cast("long"))
+      .orderBy(col("l_suppkey"))
+  private val q179Sql =
+    """WITH per AS (
+         SELECT l_suppkey, sum(l_quantity::BIGINT)::BIGINT AS m
+         FROM lineitem GROUP BY 1),
+       t AS (SELECT sum(m)::BIGINT AS total FROM per),
+       c AS (
+         SELECT l_suppkey, m,
+           (sum(m) OVER (ORDER BY m DESC, l_suppkey
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             * 1000000 // total)::BIGINT AS cum_share_micro
+         FROM per CROSS JOIN t)
+       SELECT l_suppkey, m, cum_share_micro,
+         CASE WHEN cum_share_micro <= 800000 THEN 'A'
+              WHEN cum_share_micro <= 950000 THEN 'B'
+              ELSE 'C' END AS abc_class
+       FROM c ORDER BY l_suppkey"""
+
+  /** One-sided CUSUM drift detection per key over an ordered value
+    * stream, in closed window form: the textbook recurrence
+    * S_t = max(0, S_{t−1} + d_t) is not window-expressible, but its
+    * closed form S_t = P_t − min(0, min_{j≤t} P_j) over the prefix sums
+    * P of the deviations d IS — two cumulative windows over the same
+    * sort, no driver loop, no UDF state.
+    *
+    * Deviations are exact integer centi-units against the key's FIRST
+    * value as baseline (drift-from-onset); `floor(x·100 + 0.5)` is the
+    * cross-engine-stable fixed-point read of 2-decimal data. Alarms are
+    * integer threshold compares, so engine-exact.
+    *
+    * Scale: one shuffle by key, one per-key sort, both windows share it
+    * (same WindowSpec ordering → one physical Window over one sort).
+    */
+  def cusum(df: DataFrame, keyCol: String, tsCol: String, valueCol: String,
+      tieCol: String, thresholdCenti: Long): DataFrame = {
+    val ord = Window.partitionBy(col(keyCol))
+      .orderBy(col(tsCol), col(tieCol))
+    val cum = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df
+      .withColumn("vc", expr(s"cast(floor($valueCol * 100 + 0.5) as bigint)"))
+      .withColumn("base", first(col("vc")).over(cum))
+      .withColumn("p", sum(col("vc") - col("base")).over(cum))
+      .withColumn("s_centi",
+        col("p") - least(lit(0L), min(col("p")).over(cum)))
+      .withColumn("alarm", col("s_centi") > thresholdCenti)
+  }
+
+  // ---- q180: CUSUM drift alarms per user --------------------------------------
+  // Per-user summary of the detector run: peak statistic, alarm count,
+  // and the lowest alarming event id (an exact integer min; null when
+  // the user never alarms).
+  private def q180(s: SparkSession, d: String): DataFrame =
+    cusum(Tables.events(s, d), "user_id", "ts", "value", "event_id",
+        thresholdCenti = 50000L)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        max(col("s_centi")).as("max_s_centi"),
+        sum(when(col("alarm"), 1L).otherwise(0L)).as("n_alarms"),
+        min(when(col("alarm"), col("event_id"))).as("min_alarm_event"))
+      .orderBy(col("user_id"))
+  private val q180Sql =
+    """WITH v AS (
+         SELECT user_id, ts, event_id,
+           floor(value * 100 + 0.5)::BIGINT AS vc
+         FROM events),
+       b AS (
+         SELECT user_id, ts, event_id, vc,
+           first_value(vc) OVER w AS base
+         FROM v
+         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+       p AS (
+         SELECT user_id, ts, event_id,
+           sum(vc - base) OVER w AS pp
+         FROM b
+         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+       sc AS (
+         SELECT user_id, event_id,
+           (pp - least(0, min(pp) OVER (PARTITION BY user_id
+              ORDER BY ts, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)))::BIGINT
+             AS s_centi
+         FROM p)
+       SELECT user_id, count(*)::BIGINT AS n_events,
+         max(s_centi) AS max_s_centi,
+         sum(CASE WHEN s_centi > 50000 THEN 1 ELSE 0 END)::BIGINT AS n_alarms,
+         min(CASE WHEN s_centi > 50000 THEN event_id END) AS min_alarm_event
+       FROM sc GROUP BY user_id ORDER BY user_id"""
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q46_posexplode", q46, Some(q46Sql)),
     QueryDef("q47_percentiles", q47, Some(q47Sql)),
@@ -1234,5 +1364,7 @@ object Analytics {
     QueryDef("q116_concurrency_sweep", q116, Some(q116Sql)),
     QueryDef("q176_mad_anomaly", q176, Some(q176Sql)),
     QueryDef("q177_assoc_rules", q177, Some(q177Sql)),
-    QueryDef("q178_topk_ties", q178, Some(q178Sql)))
+    QueryDef("q178_topk_ties", q178, Some(q178Sql)),
+    QueryDef("q179_abc_analysis", q179, Some(q179Sql)),
+    QueryDef("q180_cusum_drift", q180, Some(q180Sql)))
 }

@@ -208,7 +208,106 @@ object Sketches {
          (abs(hll_est - n_exact) * 1000000 // n_exact)::BIGINT AS err_micro
        FROM exact CROSS JOIN est"""
 
+  /** Per-group HLL registers: `(group, j, mj)` with the full m-register
+    * spine emitted for EVERY group (a group × register cross of two tiny
+    * relations), so estimates and merges see empty registers. The point
+    * of grouping sketches instead of exact-counting per group: the corpus
+    * collapses map-side to |groups|·m rows — the same wire cost however
+    * many distinct keys each group holds — and any rollup of groups is a
+    * register-wise MAX, never a re-scan (demonstrated by q181's merged
+    * row).
+    */
+  def hllRegistersBy(df: DataFrame, groupCol: String, keyCol: String,
+      m: Int): DataFrame = {
+    require(m >= 16 && (m & (m - 1)) == 0, "m must be a power of two >= 16")
+    val log2m = java.lang.Integer.numberOfTrailingZeros(m)
+    val observed = df
+      .select(col(groupCol).as("g"), col(keyCol).cast("long").as("k"))
+      .select(col("g"),
+        expr(s"((${aExpr("0")}) * ($ktExpr) + (${bExpr("0")})) % ${P}L").as("h"))
+      .select(col("g"), expr(s"h % $m").as("j"),
+        expr(s"${32 - log2m} - length(bin(h div $m))").as("rho"))
+      .groupBy(col("g"), col("j")).agg(max(col("rho")).as("mj"))
+    df.select(col(groupCol).as("g")).distinct()
+      .crossJoin(df.sparkSession.range(0, m).select(col("id").as("j")))
+      .join(observed, Seq("g", "j"), "left")
+      .select(col("g").as(groupCol), col("j"),
+        coalesce(col("mj"), lit(0L)).as("mj"))
+  }
+
+  /** Per-group raw estimates from a grouped register table (the
+    * [[hllEstimate]] arithmetic, one row per group). */
+  def hllEstimateBy(registers: DataFrame, groupCol: String, m: Int): DataFrame = {
+    val alpha = m match {
+      case 16 => 0.673
+      case 32 => 0.697
+      case 64 => 0.709
+      case _ => 0.7213 / (1.0 + 1.079 / m)
+    }
+    registers.groupBy(col(groupCol))
+      .agg(sum(expr("shiftleft(1L, cast(40 - mj as int))")).as("S"))
+      .select(col(groupCol),
+        floor(lit(alpha) * lit(1099511627776.0) * lit(m.toLong * m)
+          / col("S")).cast("long").as("hll_est"))
+  }
+
+  // ---- q181: per-group HLL + register-merge rollup ----------------------------
+  // Distinct users per event type, sketched per group, PLUS an `__all__`
+  // row whose registers are the MAX over the groups' registers — the
+  // merge law in-query: the rollup never touches the events again, and
+  // must equal the sketch built directly over the union (both engines
+  // compute it from the same grouped table). Exact distinct counts ride
+  // along per row for the error-envelope read.
+  private def q181(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val regs = hllRegistersBy(ev, "event_type", "user_id", HllM)
+    val perGroup = hllEstimateBy(regs, "event_type", HllM)
+      .join(ev.groupBy(col("event_type"))
+        .agg(countDistinct(col("user_id")).as("n_exact")), Seq("event_type"))
+    val merged = hllEstimateBy(
+        regs.groupBy(col("j")).agg(max(col("mj")).as("mj"))
+          .select(lit("__all__").as("event_type"), col("j"), col("mj")),
+        "event_type", HllM)
+      .join(ev.agg(countDistinct(col("user_id")).as("n_exact"))
+        .select(lit("__all__").as("event_type"), col("n_exact")), Seq("event_type"))
+    perGroup.unionByName(merged)
+      .select(col("event_type"), col("n_exact"), col("hll_est"))
+      .orderBy(col("event_type"))
+  }
+  private val q181Sql =
+    s"""WITH h AS (
+         SELECT event_type AS g,
+           (((${aSql("0")}) * ($ktSql) + (${bSql("0")}))
+             % 2147483647) AS h
+         FROM (SELECT event_type, user_id AS k FROM events) t),
+       observed AS (
+         SELECT g, h % $HllM AS j,
+           max(${32 - 6} - length(bin(h // $HllM))) AS rho
+         FROM h GROUP BY 1, 2),
+       spine AS (
+         SELECT g, j FROM (SELECT DISTINCT g FROM h),
+           (SELECT unnest(range(0, $HllM)) AS j)),
+       regs AS (
+         SELECT s.g, s.j, coalesce(o.rho, 0) AS mj
+         FROM spine s LEFT JOIN observed o ON s.g = o.g AND s.j = o.j),
+       allregs AS (
+         SELECT '__all__' AS g, j, max(mj) AS mj FROM regs GROUP BY j),
+       est AS (
+         SELECT g, floor(0.709::DOUBLE * 1099511627776.0::DOUBLE
+             * ${HllM.toLong * HllM}
+             / sum(1::BIGINT << (40 - mj)::INT))::BIGINT AS hll_est
+         FROM (SELECT * FROM regs UNION ALL SELECT * FROM allregs)
+         GROUP BY g),
+       exact AS (
+         SELECT event_type AS g, count(DISTINCT user_id)::BIGINT AS n_exact
+         FROM events GROUP BY 1
+         UNION ALL
+         SELECT '__all__', count(DISTINCT user_id)::BIGINT FROM events)
+       SELECT e.g AS event_type, x.n_exact, e.hll_est
+       FROM est e JOIN exact x ON e.g = x.g ORDER BY event_type"""
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q167_cms_heavy", q167, Some(q167Sql)),
-    QueryDef("q168_hll_distinct", q168, Some(q168Sql)))
+    QueryDef("q168_hll_distinct", q168, Some(q168Sql)),
+    QueryDef("q181_hll_by_group", q181, Some(q181Sql)))
 }

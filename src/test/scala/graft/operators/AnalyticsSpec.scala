@@ -252,4 +252,29 @@ class AnalyticsSpec extends SparkSpec {
     // group t: its single row ranks 1.
     assert(got === Array(("s", 5, 1), ("s", 5, 1), ("t", 1, 1)))
   }
+
+  test("abcClassify bands cumulative shares with integer boundaries") {
+    // measures 70, 20, 8, 2 (total 100): cum shares 70/90/98/100% →
+    // A (≤80), B (≤95), C, C.
+    val df = Seq(("w", 70L), ("x", 20L), ("y", 8L), ("z", 2L)).toDF("g", "m")
+    val got = Analytics.abcClassify(df, "g", $"m")
+      .orderBy($"g").as[(String, Long, Long, String)].collect()
+    assert(got === Array(
+      ("w", 70L, 700000L, "A"), ("x", 20L, 900000L, "B"),
+      ("y", 8L, 980000L, "C"), ("z", 2L, 1000000L, "C")))
+  }
+
+  test("cusum closed form equals the sequential max(0, s + d) recurrence") {
+    // One key, values chosen to exercise reset-to-zero and drift: the
+    // window form P_t - min(0, min P_j) must equal the loop.
+    val vals = Seq(10.0, 9.0, 8.5, 11.0, 12.0, 13.5, 13.0, 15.0)
+    val df = vals.zipWithIndex.map { case (v, i) => ("k", i.toLong, v) }
+      .toDF("k", "ts", "v")
+    val got = Analytics.cusum(df, "k", "ts", "v", "ts", thresholdCenti = 300L)
+      .orderBy($"ts").select($"s_centi").as[Long].collect()
+    val vc = vals.map(v => math.floor(v * 100 + 0.5).toLong)
+    val expected = vc.scanLeft(0L) { (s, x) =>
+      math.max(0L, s + (x - vc.head)) }.tail
+    assert(got === expected.toArray)
+  }
 }

@@ -90,4 +90,19 @@ class SketchesSpec extends SparkSpec {
       .orderBy($"doc_id").as[(Long, Long)].collect()
     assert(stars === prop)
   }
+
+  test("grouped HLL registers max-merge to exactly the ungrouped sketch") {
+    val df = (1 to 500).map(k => (if (k % 3 == 0) "a" else "b", k.toLong))
+      .toDF("g", "key")
+    val merged = Sketches.hllRegistersBy(df, "g", "key", 64)
+      .groupBy($"j").agg(max($"mj").as("mj"))
+      .orderBy($"j").as[(Long, Long)].collect()
+    val direct = Sketches.hllRegisters(df, "key", 64)
+      .orderBy($"j").as[(Long, Long)].collect()
+    assert(merged === direct)
+    // Every group gets its full 64-register spine (empties included).
+    val spine = Sketches.hllRegistersBy(df, "g", "key", 64)
+      .groupBy($"g").count().as[(String, Long)].collect().toMap
+    assert(spine === Map("a" -> 64L, "b" -> 64L))
+  }
 }
