@@ -20,10 +20,14 @@ import org.apache.spark.sql.functions._
   * this JVM) parses genuine PNG containers — width/height come from the
   * decoded header and the pixel statistics from the decoded raster, and the
   * fixture synthesizes real PNG bytes (gradient grayscale) so the oracle can
-  * predict the decoded values from the generative parameters. Audio/video
-  * codec bodies remain deterministic byte-level STUBs (no such codec ships
-  * here); swapping one in changes only `MediaCodec.decode*` bodies — not the
-  * operator shape, schema, or distribution.
+  * predict the decoded values from the generative parameters. The AUDIO path
+  * is likewise real: `javax.sound.sampled` writes and parses genuine WAV
+  * (RIFF/PCM) containers — frame count, channels, and sample width come
+  * from the decoded format header and the mean from the decoded PCM frames.
+  * Only the VIDEO codec body remains a deterministic byte-level STUB (no
+  * video codec ships in this JVM); swapping one in changes only
+  * `MediaCodec.decode*` bodies — not the operator shape, schema, or
+  * distribution.
   *
   * Scale design: all operators are map-side (mapPartitions — one pass, no
   * shuffle, no driver collection); at 100 TB, media decode is embarrassingly
@@ -65,6 +69,35 @@ object Media {
         bytes(0) == PngMagic(0) && bytes(1) == PngMagic(1) &&
         bytes(2) == PngMagic(2) && bytes(3) == PngMagic(3)
 
+    def isWav(bytes: Array[Byte]): Boolean =
+      bytes.length >= 4 && bytes(0) == 'R' && bytes(1) == 'I' &&
+        bytes(2) == 'F' && bytes(3) == 'F'
+
+    /** Synthesize a REAL WAV container (RIFF + PCM_UNSIGNED 8-bit mono at
+      * 8 kHz) with n = 1 + nChars % 2048 samples, sample(i) =
+      * (docId + i) mod 256 — the audio twin of [[synthPng]]'s gradient:
+      * PCM is lossless, so the decode recovers the samples bit-exactly
+      * and the oracle predicts the mean from the generative parameters.
+      */
+    def synthWav(docId: Long, nChars: Long): Array[Byte] = {
+      val n = (1 + nChars % 2048).toInt
+      val samples = new Array[Byte](n)
+      var i = 0
+      while (i < n) {
+        samples(i) = ((((docId + i) % 256) + 256) % 256).toByte
+        i += 1
+      }
+      val fmt = new javax.sound.sampled.AudioFormat(
+        javax.sound.sampled.AudioFormat.Encoding.PCM_UNSIGNED,
+        8000f, 8, 1, 1, 8000f, false)
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new ByteArrayInputStream(samples), fmt, n.toLong)
+      val out = new ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(ais,
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+      out.toByteArray
+    }
+
     /** Synthesize a REAL grayscale PNG: width = 1 + nChars % 64, height =
       * 1 + nChars % 48, pixel(x, y) = (docId + x) mod 256 (a horizontal
       * gradient — every row identical, so the exact mean is
@@ -93,10 +126,28 @@ object Media {
     }
 
     /** Decode: REAL for PNG payloads (header dims + raster pixel mean via
-      * ImageIO); deterministic byte-arithmetic stub for everything else.
+      * ImageIO) and for WAV payloads (format header + PCM sample mean via
+      * javax.sound — `width` carries channels, `height` the sample bits,
+      * `n_bytes` the decoded frame count); deterministic byte-arithmetic
+      * stub for everything else (video — no codec ships in this JVM).
       */
     def decodeMeta(m: MediaRow): MediaMeta = {
-      if (isPng(m.media)) {
+      if (isWav(m.media)) {
+        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new ByteArrayInputStream(m.media))
+        val fmt = ais.getFormat
+        val n = ais.getFrameLength
+        val frameBytes = fmt.getFrameSize
+        val buf = ais.readAllBytes()
+        var s = 0L
+        var i = 0
+        while (i < buf.length) { s += buf(i) & 0xff; i += 1 }
+        MediaMeta(m.doc_id, m.kind, n_bytes = n,
+          width = fmt.getChannels, height = fmt.getSampleSizeInBits,
+          mean_byte_micro =
+            if (buf.isEmpty) 0L else 1000000L * s / (n * frameBytes),
+          format = "wav")
+      } else if (isPng(m.media)) {
         val img = ImageIO.read(new ByteArrayInputStream(m.media))
         val w = img.getWidth
         val h = img.getHeight
@@ -133,7 +184,13 @@ object Media {
     def extractFeatures(m: MediaRow): MediaFeatures = {
       val bins = new Array[Double](16)
       var n = 0L
-      if (isPng(m.media)) {
+      if (isWav(m.media)) {
+        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new ByteArrayInputStream(m.media))
+        val buf = ais.readAllBytes()
+        buf.foreach(b => bins((b & 0xff) / 16) += 1.0)
+        n = buf.length.toLong
+      } else if (isPng(m.media)) {
         val raster = ImageIO.read(new ByteArrayInputStream(m.media)).getRaster
         val (w, h, bands) =
           (raster.getWidth, raster.getHeight, raster.getNumBands)
@@ -179,8 +236,9 @@ object Media {
 
   /** Media table synthesized from documents: even doc_ids carry REAL PNG
     * bytes (ImageIO-encoded gradient, executor-side — one encoder per
-    * partition task, no driver work), odd doc_ids a byte payload (UTF-8
-    * of text) standing in for undecodable video.
+    * partition task, no driver work), doc_id ≡ 1 (mod 4) REAL WAV bytes
+    * (javax.sound-encoded PCM gradient), and doc_id ≡ 3 (mod 4) a raw
+    * byte payload (UTF-8 of text) standing in for undecodable video.
     */
   def mediaTable(s: SparkSession, d: String): Dataset[MediaRow] = {
     import s.implicits._
@@ -189,6 +247,8 @@ object Media {
       .as[(Long, Long, String)]
       .mapPartitions(_.map { case (id, nChars, text) =>
         if (id % 2 == 0) MediaRow(id, "image", MediaCodec.synthPng(id, nChars))
+        else if (id % 4 == 1)
+          MediaRow(id, "audio", MediaCodec.synthWav(id, nChars))
         else MediaRow(id, "video", text.getBytes("UTF-8"))
       })
   }
@@ -230,28 +290,41 @@ object Media {
   // predicts width/height/pixel-mean from the generative parameters
   // (w = 1 + n_chars % 64, h = 1 + n_chars % 48, pixel(x,·) =
   // (doc_id + x) % 256 ⇒ Σpixels = h·Σx): the engine must round-trip a
-  // genuine PNG encode+decode to reproduce these numbers. Video rows
-  // reproduce the documented byte-stub arithmetic from the text bytes
-  // (ASCII soup → ord == byte). All means in integer micros.
+  // genuine PNG encode+decode to reproduce these numbers. Audio rows are
+  // the same contract through a genuine WAV (RIFF/PCM) round trip:
+  // n = 1 + n_chars % 2048 samples of (doc_id + i) % 256, so the decoded
+  // frame count, channel/bit header fields, and sample mean are all
+  // oracle-predicted. Video rows reproduce the documented byte-stub
+  // arithmetic from the text bytes (ASCII soup → ord == byte). All means
+  // in integer micros.
   private val q32Sql =
     """SELECT kind, format, count(*) AS n,
        sum(n_bytes)::BIGINT AS bytes_total,
        round(avg(width), 4) AS width_avg,
        (sum(mean_byte_micro) // count(*))::BIGINT AS mean_byte_micro_avg
        FROM (SELECT
-         CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'video' END AS kind,
+         CASE WHEN doc_id % 2 = 0 THEN 'image'
+              WHEN doc_id % 4 = 1 THEN 'audio' ELSE 'video' END AS kind,
          CASE WHEN doc_id % 2 = 0 THEN 'png'
+              WHEN doc_id % 4 = 1 THEN 'wav'
               WHEN strlen(text) % 2 = 0 THEN 'png' ELSE 'jpg' END AS format,
          CASE WHEN doc_id % 2 = 0
               THEN (1 + n_chars % 64) * (1 + n_chars % 48)
+              WHEN doc_id % 4 = 1 THEN 1 + n_chars % 2048
               ELSE strlen(text) END AS n_bytes,
          CASE WHEN doc_id % 2 = 0 THEN 1 + n_chars % 64
+              WHEN doc_id % 4 = 1 THEN 1
               ELSE 1 + strlen(text) % 64 END AS width,
          CASE WHEN doc_id % 2 = 0 THEN
              (1000000 * (1 + n_chars % 48)
                 * list_sum(list_transform(range(0, (1 + n_chars % 64)::INT),
                     x -> (doc_id + x) % 256))::BIGINT)
                // ((1 + n_chars % 64) * (1 + n_chars % 48))
+           WHEN doc_id % 4 = 1 THEN
+             (1000000 * list_sum(list_transform(
+                  range(0, (1 + n_chars % 2048)::INT),
+                  i -> (doc_id + i) % 256))::BIGINT)
+               // (1 + n_chars % 2048)
            WHEN strlen(text) = 0 THEN 0
            ELSE (1000000 * list_sum(list_transform(string_split(text, ''),
                   c -> ord(c)::BIGINT))::BIGINT) // strlen(text)
@@ -278,7 +351,7 @@ object Media {
          sum(least($FrameBytes, len - i * $FrameBytes))::BIGINT AS sampled_bytes
        FROM (SELECT doc_id, strlen(text) AS len,
                unnest(range(0, (strlen(text) + $FrameBytes - 1) // $FrameBytes)) AS i
-             FROM documents WHERE doc_id % 2 = 1) t
+             FROM documents WHERE doc_id % 4 = 3) t
        WHERE i % $EveryK = 0
        GROUP BY doc_id ORDER BY doc_id"""
 

@@ -11,13 +11,30 @@ class MediaSpec extends SparkSpec {
     val meta = mediaDecode(media)
     assert(meta.count() === media.count())
     // Video rows run the documented byte stub.
-    val v = meta.filter($"doc_id" === 1).head()
+    val v = meta.filter($"doc_id" === 3).head()
     assert(v.width === 1 + v.n_bytes.toInt % 64)
     assert(v.format === (if (v.n_bytes % 2 == 0) "png" else "jpg"))
+    // Audio rows are REAL javax.sound decodes of the synthesized WAV.
+    val a = meta.filter($"doc_id" === 1).head()
+    assert(a.format === "wav")
+    assert(a.width === 1 && a.height === 8, "mono 8-bit PCM header fields")
     // Image rows are REAL ImageIO decodes of the synthesized PNG.
     val i = meta.filter($"doc_id" === 0).head()
     assert(i.format === "png")
     assert(i.n_bytes === i.width.toLong * i.height)
+  }
+
+  test("synthWav round-trips through the real WAV decoder bit-exactly") {
+    // 77 chars → 78 samples of (docId + i) % 256 at 8 kHz mono 8-bit.
+    val docId = 33L
+    val bytes = MediaCodec.synthWav(docId, nChars = 77L)
+    assert(MediaCodec.isWav(bytes), "container must carry the RIFF magic")
+    assert(bytes.length > 78, "a real WAV wraps the PCM in a RIFF header")
+    val m = MediaCodec.decodeMeta(MediaRow(docId, "audio", bytes))
+    assert(m.format === "wav")
+    assert(m.n_bytes === 78L, "decoded frame count comes from the header")
+    val s = (0 until 78).map(i => (docId + i) % 256).sum
+    assert(m.mean_byte_micro === 1000000L * s / 78L)
   }
 
   test("synthPng round-trips through the real PNG decoder bit-exactly") {
