@@ -544,6 +544,119 @@ object PipelineOps {
         expr("w_sqrt * 1000000L div tot_w").as("share_micro"))
   }
 
+  /** Within-group quantile (rank) normalization of a score column: each
+    * row's score becomes its empirical percentile WITHIN its group, in
+    * integer micro-units — (rank − 1)·10^6 div (n − 1), ties sharing the
+    * min rank. The curation use: quality scores from different sources
+    * (different scorers, different scales) become comparable, so one
+    * global threshold means the same thing everywhere — the rank-based
+    * alternative to z-scoring that no distribution assumption can break.
+    *
+    * Determinism: ranks and counts are exact integers; ties share a rank
+    * by score equality alone (no tie-break column needed for the OUTPUT
+    * to be well-defined — equal scores get equal percentiles).
+    * Single-member groups normalize to 0.
+    *
+    * Scale: one shuffle partitioned by group, per-group sort inside the
+    * window. Groups parallelize; for a single corpus-sized group use the
+    * two-pass prefix-sum ranking (the q138 dense-id discipline) instead
+    * of one giant window partition.
+    */
+  def quantileNormalize(df: DataFrame, groupCol: String,
+      scoreCol: String): DataFrame = {
+    val w = Window.partitionBy(col(groupCol)).orderBy(col(scoreCol))
+    df.withColumn("rnk", rank().over(w).cast("long"))
+      .withColumn("n_grp", count(lit(1))
+        .over(Window.partitionBy(col(groupCol))))
+      .withColumn("pct_micro",
+        when(col("n_grp") > 1,
+          expr("(rnk - 1) * 1000000L div (n_grp - 1)")).otherwise(lit(0L)))
+      .drop("rnk", "n_grp")
+  }
+
+  // ---- q182: cross-source score calibration by quantile normalization ---------
+  // n_chars as the stand-in quality score: per (source, percentile band)
+  // counts prove the normalized scale is uniform within every source.
+  private def q182(s: SparkSession, d: String): DataFrame =
+    quantileNormalize(Tables.documents(s, d), "source", "n_chars")
+      .groupBy(col("source"),
+        expr("pct_micro div 250000").as("quartile"))
+      .agg(count(lit(1)).as("n"), min(col("n_chars")).as("min_score"),
+        max(col("n_chars")).as("max_score"))
+      .orderBy(col("source"), col("quartile"))
+  private val q182Sql =
+    """WITH r AS (
+         SELECT source, n_chars,
+           rank() OVER (PARTITION BY source ORDER BY n_chars) AS rnk,
+           count(*) OVER (PARTITION BY source) AS n_grp
+         FROM documents),
+       p AS (
+         SELECT source, n_chars,
+           CASE WHEN n_grp > 1 THEN (rnk - 1) * 1000000 // (n_grp - 1)
+                ELSE 0 END AS pct_micro
+         FROM r)
+       SELECT source, (pct_micro // 250000)::BIGINT AS quartile,
+         count(*)::BIGINT AS n, min(n_chars) AS min_score,
+         max(n_chars) AS max_score
+       FROM p GROUP BY 1, 2 ORDER BY source, quartile"""
+
+  /** Horvitz–Thompson total estimation over a [[weightedSamplePredicate]]
+    * sample: every kept row contributes measure·65536 div threshold — its
+    * measure inverse-weighted by its own inclusion probability
+    * t/65536 — so the sampled sum is an (integer-floored) unbiased
+    * estimate of the full-corpus total. The loop this closes: sample with
+    * per-row probabilities (cheap corpus), then still report calibrated
+    * corpus-level statistics (token budgets, bytes per source) WITHOUT
+    * touching the dropped rows.
+    *
+    * Exactness: threshold and draw are the sampler's own integers, the
+    * inverse weight is one BIGINT floor per row, partials sum exactly —
+    * engine- and partitioning-deterministic. (The floor biases each
+    * contribution by < 1 unit; at 65536 buckets that is ≤ 0.002% of the
+    * weight — quantization, not engine noise.)
+    */
+  def htEstimate(df: DataFrame, groupCol: String, keyCol: Column,
+      measure: Column, threshold65536: Column): DataFrame = {
+    val t = least(lit(65536L), threshold65536.cast("long"))
+    df
+      .withColumn("__m", measure.cast("long"))
+      .withColumn("__t", t)
+      .withColumn("__keep", weightedSamplePredicate(keyCol, col("__t")))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_total"),
+        sum(col("__m")).as("true_total"),
+        sum(when(col("__keep"), 1L).otherwise(0L)).as("n_sampled"),
+        sum(when(col("__keep"), expr("__m * 65536L div __t"))
+          .otherwise(0L)).as("ht_estimate"))
+      .withColumn("err_micro",
+        expr("abs(ht_estimate - true_total) * 1000000L div true_total"))
+  }
+
+  // ---- q183: corpus totals estimated from the weighted sample -----------------
+  // The q141 sample (keep probability ∝ n_chars), calibrated back to
+  // per-language token totals; the oracle recomputes the identical
+  // integer inverse weighting, and err_micro shows the estimator landing
+  // near the true total it never fully scanned.
+  private def q183(s: SparkSession, d: String): DataFrame =
+    htEstimate(Tables.documents(s, d), "lang", col("doc_id"),
+      col("n_chars"), col("n_chars") * 164)
+      .orderBy(col("lang"))
+  private val q183Sql =
+    """WITH b AS (
+         SELECT lang, n_chars::BIGINT AS m,
+           least(65536, n_chars * 164)::BIGINT AS t,
+           ('0x' || substr(md5(doc_id::VARCHAR), 1, 4))::INTEGER
+             < least(65536, n_chars * 164) AS keep
+         FROM documents)
+       SELECT lang, count(*)::BIGINT AS n_total,
+         sum(m)::BIGINT AS true_total,
+         sum(CASE WHEN keep THEN 1 ELSE 0 END)::BIGINT AS n_sampled,
+         sum(CASE WHEN keep THEN m * 65536 // t ELSE 0 END)::BIGINT
+           AS ht_estimate,
+         (abs(sum(CASE WHEN keep THEN m * 65536 // t ELSE 0 END) - sum(m))
+            * 1000000 // sum(m))::BIGINT AS err_micro
+       FROM b GROUP BY lang ORDER BY lang"""
+
   /** Corpus-trained bigram language-model fluency score (the CCNet-style
     * "perplexity filter" shape): per document, the average conditional
     * probability C(w1 w2)/C(w1·) of its word bigrams, with counts trained
@@ -1443,6 +1556,8 @@ object PipelineOps {
     QueryDef("q55_seq_packing", q55, Some(q55Sql)),
     QueryDef("q62_mixture_weights", q62, Some(q62Sql)),
     QueryDef("q173_temperature_mix", q173, Some(q173Sql)),
+    QueryDef("q182_quantile_normalize", q182, Some(q182Sql)),
+    QueryDef("q183_ht_estimate", q183, Some(q183Sql)),
     QueryDef("q63_bigram_lm", q63, Some(q63Sql)),
     QueryDef("q134_lm_band_filter", q134, Some(q134Sql)),
     QueryDef("q135_negative_samples", q135, Some(q135Sql)),

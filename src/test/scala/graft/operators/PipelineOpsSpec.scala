@@ -405,4 +405,34 @@ class PipelineOpsSpec extends SparkSpec {
       .as[(Long, String, String, Long, Long)].collect()
     assert(got.sortBy(_._1) === again.sortBy(_._1))
   }
+
+  test("quantileNormalize maps each group to a uniform 0..1e6 scale, ties shared") {
+    val df = Seq(("g", 1L, 10L), ("g", 2L, 20L), ("g", 3L, 20L),
+      ("g", 4L, 40L), ("g", 5L, 50L), ("h", 6L, 999L)).toDF("s", "id", "sc")
+    val got = PipelineOps.quantileNormalize(df, "s", "sc")
+      .select($"id", $"pct_micro").orderBy($"id").as[(Long, Long)].collect()
+    // group g (n=5): ranks 1, 2, 2, 4, 5 → (r-1)/4 micro; singleton h → 0.
+    assert(got === Array((1L, 0L), (2L, 250000L), (3L, 250000L),
+      (4L, 750000L), (5L, 1000000L), (6L, 0L)))
+  }
+
+  test("htEstimate recovers the exact total when every threshold is 65536") {
+    val df = (1 to 50).map(i => ("g", i.toLong, 100L + i)).toDF("s", "id", "m")
+    val got = PipelineOps.htEstimate(df, "s", $"id", $"m", lit(65536L))
+      .as[(String, Long, Long, Long, Long, Long)].head()
+    // p = 1 everywhere: every row kept, weight 1 → estimate == truth.
+    val truth = (1 to 50).map(100L + _).sum
+    assert(got === (("g", 50L, truth, 50L, truth, 0L)))
+  }
+
+  test("htEstimate lands near the truth under genuine per-row sampling") {
+    val df = (1 to 2000).map(i => ("g", i.toLong, 50L + i % 100))
+      .toDF("s", "id", "m")
+    val (_, _, truth, nSampled, est, errMicro) =
+      PipelineOps.htEstimate(df, "s", $"id", $"m", lit(32768L))
+        .as[(String, Long, Long, Long, Long, Long)].head()
+    assert(nSampled > 800 && nSampled < 1200, s"~half kept, got $nSampled")
+    assert(est > 0 && math.abs(est - truth) * 1000000L / truth === errMicro)
+    assert(errMicro < 100000L, s"HT estimate within 10%, got $errMicro micro")
+  }
 }
