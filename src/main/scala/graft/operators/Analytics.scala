@@ -1337,6 +1337,86 @@ object Analytics {
          min(CASE WHEN s_centi > 50000 THEN event_id END) AS min_alarm_event
        FROM sc GROUP BY user_id ORDER BY user_id"""
 
+  /** Frequent ordered event sequences of length n per key — the order-k
+    * generalization of the q103 transition matrix (bigrams): which PATHS
+    * through the event space recur, not just which steps. Each key's
+    * history is assembled once in (ts, tie) order and windowed by the
+    * same native n-gram kernel the text surface uses
+    * ([[graft.functions.WordNGrams]]) — sequences ARE n-grams over the
+    * alphabet of event types.
+    *
+    * Determinism: the per-key ordering struct (ts, tie, type) is total
+    * (tie unique per key), `sort_array` sorts it lexicographically, and
+    * counts are exact integers.
+    *
+    * Scale note: `collect_list` bounds state by the per-key history — fine
+    * for per-user event streams (thousands of events); for keys with
+    * unbounded history, pre-truncate per key (BoundedTopK on recency) or
+    * window by time. The alternative lag(n−1) window form shuffles the
+    * same data but keeps no list state; it pays n−1 window passes.
+    */
+  def eventSequences(df: DataFrame, keyCol: String, tsCol: String,
+      tieCol: String, typeCol: String, n: Int, k: Int): DataFrame = {
+    import graft.functions.TextFunctions.ngrams
+    df.groupBy(col(keyCol))
+      .agg(sort_array(collect_list(
+        struct(col(tsCol), col(tieCol), col(typeCol).as("t")))).as("evs"))
+      .select(expr("transform(evs, e -> e.t)").as("toks"))
+      .filter(size(col("toks")) >= n)
+      .select(explode(ngrams(col("toks"), n)).as("seq"))
+      .groupBy(col("seq")).agg(count(lit(1)).as("n_occurrences"))
+      .orderBy(col("n_occurrences").desc, col("seq"))
+      .limit(k)
+  }
+
+  // ---- q184: top event-type paths of length 3 ---------------------------------
+  private def q184(s: SparkSession, d: String): DataFrame =
+    eventSequences(Tables.events(s, d), "user_id", "ts", "event_id",
+      "event_type", n = 3, k = 20)
+  private val q184Sql =
+    """WITH o AS (
+         SELECT user_id,
+           list(event_type ORDER BY ts, event_id) AS toks
+         FROM events GROUP BY user_id),
+       g AS (
+         SELECT unnest(list_transform(range(1, len(toks) - 1),
+           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS seq
+         FROM o WHERE len(toks) >= 3)
+       SELECT seq, count(*)::BIGINT AS n_occurrences
+       FROM g GROUP BY seq ORDER BY n_occurrences DESC, seq LIMIT 20"""
+
+  /** Day-of-week × hour-of-day activity profile from raw epoch
+    * arithmetic — deliberately NOT `dayofweek()`/`hour()`: weekday
+    * numbering conventions differ across engines (Spark counts 1 =
+    * Sunday, DuckDB 0 = Sunday, ISO 1 = Monday), and that class of
+    * silent off-by-one survives row-count checks. Integer epoch algebra
+    * has one convention: dow = (epoch_days + 3) mod 7 with 0 = Monday
+    * (1970-01-01 was a Thursday), hour = seconds-into-day div 3600 —
+    * identical on every engine, UTC by construction.
+    */
+  def seasonalProfile(df: DataFrame, tsCol: String,
+      valueCol: String): DataFrame =
+    df
+      .withColumn("__es", col(tsCol).cast("long"))
+      .select(expr("((__es div 86400) + 3) % 7").as("dow"),
+        expr("(__es % 86400) div 3600").as("hour"),
+        col(valueCol))
+      .groupBy(col("dow"), col("hour"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col(valueCol)), 4).as("value_sum"))
+
+  // ---- q185: weekly seasonality heatmap of the event stream -------------------
+  private def q185(s: SparkSession, d: String): DataFrame =
+    seasonalProfile(Tables.events(s, d), "ts", "value")
+      .orderBy(col("dow"), col("hour"))
+  private val q185Sql =
+    """WITH e AS (
+         SELECT epoch_us(ts) // 1000000 AS es, value FROM events)
+       SELECT ((es // 86400) + 3) % 7 AS dow,
+         (es % 86400) // 3600 AS hour,
+         count(*)::BIGINT AS n, round(sum(value), 4) AS value_sum
+       FROM e GROUP BY 1, 2 ORDER BY dow, hour"""
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q46_posexplode", q46, Some(q46Sql)),
     QueryDef("q47_percentiles", q47, Some(q47Sql)),
@@ -1366,5 +1446,7 @@ object Analytics {
     QueryDef("q177_assoc_rules", q177, Some(q177Sql)),
     QueryDef("q178_topk_ties", q178, Some(q178Sql)),
     QueryDef("q179_abc_analysis", q179, Some(q179Sql)),
-    QueryDef("q180_cusum_drift", q180, Some(q180Sql)))
+    QueryDef("q180_cusum_drift", q180, Some(q180Sql)),
+    QueryDef("q184_event_sequences", q184, Some(q184Sql)),
+    QueryDef("q185_seasonality", q185, Some(q185Sql)))
 }

@@ -277,4 +277,27 @@ class AnalyticsSpec extends SparkSpec {
       math.max(0L, s + (x - vc.head)) }.tail
     assert(got === expected.toArray)
   }
+
+  test("eventSequences counts time-ordered paths regardless of row order") {
+    // user 1: a->b->c->b (rows given shuffled); user 2: a->b->c.
+    val rows = Seq(
+      (1L, 3L, 30L, "c"), (1L, 1L, 10L, "a"), (1L, 4L, 40L, "b"),
+      (1L, 2L, 20L, "b"), (2L, 5L, 11L, "a"), (2L, 6L, 21L, "b"),
+      (2L, 7L, 31L, "c"))
+      .toDF("u", "id", "ts", "et")
+    val got = Analytics.eventSequences(rows, "u", "ts", "id", "et", n = 3, k = 10)
+      .as[(String, Long)].collect()
+    assert(got === Array(("a b c", 2L), ("b c b", 1L)))
+  }
+
+  test("seasonalProfile uses convention-free epoch arithmetic (0 = Monday)") {
+    // 1970-01-05 was a Monday: epoch day 4 -> dow (4+3)%7 = 0.
+    val df = Seq(
+      (java.sql.Timestamp.from(java.time.Instant.parse("1970-01-05T13:30:00Z")), 2.0),
+      (java.sql.Timestamp.from(java.time.Instant.parse("1970-01-11T00:10:00Z")), 3.0))
+      .toDF("ts", "value")
+    val got = Analytics.seasonalProfile(df, "ts", "value")
+      .orderBy($"dow", $"hour").as[(Long, Long, Long, Double)].collect()
+    assert(got === Array((0L, 13L, 1L, 2.0), (6L, 0L, 1L, 3.0)))
+  }
 }
