@@ -286,6 +286,38 @@ class PlanSpec extends SparkSpec {
       s"map-side partial counts missing below the exchange:\n${p.take(1500)}")
   }
 
+  test("q171 pivot: ONE aggregation pass, no per-value self-joins or unions") {
+    val p = plan("q171_pivot")
+    assert(!p.contains("Join") && !p.contains("Union"),
+      s"pivot must be a single grouped aggregation:\n${p.take(1500)}")
+    // Spark plans multi-agg pivot as TWO stacked aggregations — first
+    // collapse to (user, type) partials, then pivot those per user — so
+    // exactly two hash exchanges, both over already-collapsed relations.
+    // More would mean per-value scans; one would mean the pre-collapse
+    // (the part that shrinks a 100-TB event stream) was lost.
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 2,
+      s"pivot should plan the two-level aggregation:\n${p.take(1500)}")
+  }
+
+  test("q174 quantized ranking: queries broadcast, heap partial below the exchange") {
+    val p = plan("q174_quantized_recall")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"query set must broadcast against the corpus:\n${p.take(1500)}")
+    val partial = p.indexOf("partial_boundedtopk")
+    val ex = p.indexOf("Exchange hashpartitioning")
+    assert(partial >= 0 && ex >= 0 && partial > ex,
+      "bounded-heap partial must sit below its exchange (plan prints " +
+        s"top-down):\n${p.take(1500)}")
+  }
+
+  test("q177 association rules: item totals and basket count broadcast back") {
+    val p = plan("q177_assoc_rules")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2,
+      s"the two totals joins must broadcast:\n${p.take(1500)}")
+    assert(!p.contains("CartesianProduct"),
+      s"no cartesian anywhere (the single-row cross is a broadcast NLJ):\n${p.take(1500)}")
+  }
+
   test("whole-stage codegen covers the relational hot paths") {
     // AQE prints codegen stages only in the finalized plan — execute first.
     Seq("q01_pricing_summary", "q06_selective_agg", "q09_window_topk").foreach { q =>
