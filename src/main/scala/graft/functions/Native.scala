@@ -52,6 +52,13 @@ object Native {
       },
       "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_nfc",
+      exprs => {
+        require(exprs.length == 1, "graft_nfc(s) takes one string")
+        NfcNormalize(exprs.head)
+      },
+      "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_doti",
       exprs => {
         require(exprs.length == 2, "graft_doti(a, b) takes two bigint arrays")

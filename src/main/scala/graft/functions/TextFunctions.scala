@@ -118,6 +118,13 @@ object TextFunctions {
   def quantize8(vec: Column): Column =
     call_function("graft_quantize8", vec)
 
+  /** Unicode NFC canonical composition — native [[NfcNormalize]] kernel
+    * (java.text.Normalizer, UAX #15). Run before any hashing/dedup
+    * operator so canonically-equal text hashes equal.
+    */
+  def nfc(s: Column): Column =
+    call_function("graft_nfc", s)
+
   /** Exact BIGINT dot product of two array<long> vectors — native
     * [[DotProductInt]] kernel; the ADC-style scorer over [[quantize8]]
     * output (integer algebra: bit-stable under any summation order).

@@ -1359,7 +1359,49 @@ object Profile {
          abs(conf_micro - ((1000000 * n_pos) // n))::BIGINT AS gap_micro
        FROM g ORDER BY bin"""
 
+  /** Simpson concentration (Herfindahl index) per group: Σ nᵢ² / n² over
+    * a categorical distribution within the group, in integer micro-units
+    * — the log-free diversity twin of [[gini]] (which needs a rank sort):
+    * 1e6/|categories| = perfectly even, 1e6 = single-category. The
+    * inverse (the "effective number of categories", also integer micro)
+    * rides along. The pipeline read: per-user event-mix concentration,
+    * per-source language concentration — is this slice dominated by one
+    * mode?
+    *
+    * Exactness: counts are BIGINTs, Σ nᵢ² ≤ n² ≤ (corpus)² needs
+    * n < ~3·10⁹ per group for the ·10⁶ product to stay in BIGINT —
+    * per-key distributions, not corpus-wide ones (document the bound,
+    * as with the q177 lift). Two stacked aggregations, both with
+    * map-side partials; no window, no sort.
+    */
+  def simpsonConcentration(df: DataFrame, groupCol: String,
+      catCol: String): DataFrame =
+    df.groupBy(col(groupCol), col(catCol))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_cats"), sum(col("c")).as("n"),
+        sum(col("c") * col("c")).as("s2"))
+      .select(col(groupCol), col("n_cats"), col("n"),
+        expr("s2 * 1000000L div (n * n)").as("simpson_micro"),
+        expr("(n * n) * 1000000L div s2").as("effective_micro"))
+
+  // ---- q187: per-user event-mix concentration ---------------------------------
+  private def q187(s: SparkSession, d: String): DataFrame =
+    simpsonConcentration(Tables.events(s, d), "user_id", "event_type")
+      .orderBy(col("user_id"))
+  private val q187Sql =
+    """WITH c AS (
+         SELECT user_id, event_type, count(*)::BIGINT AS c
+         FROM events GROUP BY 1, 2)
+       SELECT user_id, count(*)::BIGINT AS n_cats, sum(c)::BIGINT AS n,
+         (sum(c * c) * 1000000 // (sum(c) * sum(c)))::BIGINT
+           AS simpson_micro,
+         ((sum(c) * sum(c)) * 1000000 // sum(c * c))::BIGINT
+           AS effective_micro
+       FROM c GROUP BY user_id ORDER BY user_id"""
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q187_simpson", q187, Some(q187Sql)),
     QueryDef("q152_cohen_kappa", q152, Some(q152Sql)),
     QueryDef("q160_bootstrap_ci", q160, Some(q160Sql)),
     QueryDef("q161_silhouette", q161, Some(q161Sql)),

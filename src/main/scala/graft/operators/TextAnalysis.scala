@@ -945,6 +945,51 @@ object TextAnalysis {
        ORDER BY num::DOUBLE / den DESC, term
        LIMIT 30"""
 
+  /** U+0301 combining acute (the decomposed accent) and U+00E9
+    * precomposed e-acute. Single-quoted literals so the Scala compiler
+    * resolves the escapes; both are interpolated into the oracle SQL as
+    * raw UTF-8 (triple-quoted strings leave `\\u` unprocessed).
+    */
+  private val CombiningAcute = "\u0301"
+  private val PrecomposedE = "\u00e9"
+
+  /** q186: Unicode NFC canonical normalization (native
+    * [[graft.functions.NfcNormalize]] kernel vs DuckDB's
+    * `nfc_normalize` \u2014 both implement UAX #15, so the produced code
+    * point sequences must match exactly). The fixture corpus is ASCII
+    * (NFC-invariant), so the query appends a DECOMPOSED sequence
+    * (" e" + combining acute U+0301) to every third document and the
+    * PRECOMPOSED " \u00e9" (U+00E9) to the next third \u2014 the engine must
+    * collapse the decomposed form (3 code points \u2192 2) and leave the
+    * precomposed one alone, which only a genuine normalizer does.
+    * Zero-shuffle map work; at ingest this runs inside the scan stage
+    * ahead of every hashing operator.
+    */
+  private def q186(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.TextFunctions.nfc
+    val suffix = when(col("doc_id") % 3 === 0, lit(" e" + CombiningAcute))
+      .when(col("doc_id") % 3 === 1, lit(" " + PrecomposedE))
+      .otherwise(lit(""))
+    Tables.documents(s, d)
+      .select(col("doc_id"), concat(col("text"), suffix).as("aug"))
+      .select(col("doc_id"), length(col("aug")).cast("long").as("len_raw"),
+        length(nfc(col("aug"))).cast("long").as("len_nfc"))
+      .withColumn("canon_collapsed", col("len_nfc") < col("len_raw"))
+      .orderBy(col("doc_id"))
+  }
+  // def, not val: declared after `defs`, which captures it at object init.
+  private def q186Sql =
+    s"""WITH a AS (
+         SELECT doc_id,
+           text || CASE WHEN doc_id % 3 = 0 THEN ' e$CombiningAcute'
+                        WHEN doc_id % 3 = 1 THEN ' $PrecomposedE'
+                        ELSE '' END AS aug
+         FROM documents)
+       SELECT doc_id, length(aug) AS len_raw,
+         length(nfc_normalize(aug)) AS len_nfc,
+         (length(nfc_normalize(aug)) < length(aug)) AS canon_collapsed
+       FROM a ORDER BY doc_id"""
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q21_token_stats", q21, Some(q21Sql)),
     QueryDef("q155_term_class_chi2", q155, Some(q155Sql)),
@@ -961,5 +1006,6 @@ object TextAnalysis {
     QueryDef("q130_bpe_pair_step", q130, Some(q130Sql)),
     QueryDef("q139_inverted_index", q139, Some(q139Sql)),
     QueryDef("q145_bm25_topdocs", q145, Some(q145Sql)),
-    QueryDef("q147_bpe_apply", q147, Some(q147Sql)))
+    QueryDef("q147_bpe_apply", q147, Some(q147Sql)),
+    QueryDef("q186_nfc_normalize", q186, Some(q186Sql)))
 }

@@ -431,4 +431,15 @@ class ProfileSpec extends SparkSpec {
     assert(b9 === ((9L, 2L, 2L, 950000L, 1000000L, 50000L)))
     assert(got.map(_._2).sum === 10L)
   }
+
+  test("simpsonConcentration matches hand-computed mixes") {
+    // user 1: 2+2 of two types -> simpson 1/2; user 2: all one type -> 1.
+    val df = Seq((1L, "a"), (1L, "a"), (1L, "b"), (1L, "b"),
+      (2L, "a"), (2L, "a")).toDF("u", "t")
+    val got = Profile.simpsonConcentration(df, "u", "t")
+      .orderBy($"u").as[(Long, Long, Long, Long, Long)].collect()
+    assert(got === Array(
+      (1L, 2L, 4L, 500000L, 2000000L),
+      (2L, 1L, 2L, 1000000L, 1000000L)))
+  }
 }

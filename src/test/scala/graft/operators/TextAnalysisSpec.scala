@@ -213,4 +213,21 @@ class TextAnalysisSpec extends SparkSpec {
       ("date", 0L, 1L, 1.333333),
       ("banana", 1L, 1L, 0.0)))
   }
+
+  test("nfc kernel composes decomposed sequences and is idempotent") {
+    val comb = "\u0301" // combining acute
+    val pre = "\u00e9" // precomposed e-acute
+    val df = Seq("e" + comb, pre, "plain ascii", "").toDF("t")
+    val got = df.select(
+        graft.functions.TextFunctions.nfc($"t").as("n"),
+        length($"t").as("lr"), length(graft.functions.TextFunctions.nfc($"t")).as("ln"))
+      .as[(String, Int, Int)].collect()
+    assert(got(0) === ((pre, 2, 1)), "decomposed must compose to U+00E9")
+    assert(got(1) === ((pre, 1, 1)), "precomposed is NFC-invariant")
+    assert(got(2)._2 === got(2)._3, "ASCII untouched")
+    // idempotent: nfc(nfc(x)) == nfc(x)
+    val twice = df.select(graft.functions.TextFunctions.nfc(
+      graft.functions.TextFunctions.nfc($"t"))).as[String].collect()
+    assert(twice(0) === pre)
+  }
 }
