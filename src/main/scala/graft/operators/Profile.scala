@@ -1385,6 +1385,88 @@ object Profile {
         expr("s2 * 1000000L div (n * n)").as("simpson_micro"),
         expr("(n * n) * 1000000L div s2").as("effective_micro"))
 
+  /** Fleiss' kappa: chance-corrected agreement among a FIXED number r of
+    * raters per item over k categories — the multi-rater generalization
+    * of [[Profile]]'s Cohen's kappa (q152, two raters). The labeling-QA
+    * read: are the r annotators of a batch actually agreeing beyond what
+    * their marginal label rates predict?
+    *
+    * Exact rational algebra: with S = Σᵢ Σⱼ nᵢⱼ² and C = Σⱼ cⱼ² (both
+    * BIGINT sums of integer counts),
+    *   P̄  = (S − n·r) / (n·r·(r−1)),  P̄ₑ = C / (n²r²),
+    *   κ  = (n·r·(S − n·r) − (r−1)·C) / ((r−1)·(n²r² − C))
+    * after clearing denominators — so the only division is the final
+    * micro-unit floor. κ can be negative (worse than chance); the sign
+    * is applied OUTSIDE the magnitude floor because integer division
+    * rounds toward zero in Spark but toward −∞ in DuckDB — `sign·(|num|
+    * ·10⁶ div den)` is engine-identical, a truncated-toward-zero κ.
+    * Denominator bound: n²r²(r−1) < 2⁶³ caps items at ~10⁸ for r = 3 —
+    * per-batch agreement runs, not corpus-wide (the q177 discipline).
+    *
+    * Scale: two stacked aggregations over (item, cat) counts — map-side
+    * partials everywhere, no window, no sort; the input relation is one
+    * row per (item, rater) label.
+    */
+  def fleissKappa(df: DataFrame, itemCol: String, catCol: String,
+      raters: Int): DataFrame = {
+    require(raters >= 2, "fleissKappa needs at least two raters")
+    val r = raters.toLong
+    val nij = df.groupBy(col(itemCol), col(catCol))
+      .agg(count(lit(1)).as("c"))
+    val s = nij.groupBy(col(itemCol)).agg(sum(col("c") * col("c")).as("si"))
+      .agg(count(lit(1)).as("n"), sum(col("si")).as("S"))
+    val cc = nij.groupBy(col(catCol)).agg(sum(col("c")).as("cj"))
+      .agg(sum(col("cj") * col("cj")).as("C"))
+    s.crossJoin(broadcast(cc))
+      .select(col("n"), col("S"), col("C"),
+        expr(s"(S - n * ${r}L) * 1000000L div (n * ${r}L * ${r - 1}L)")
+          .as("p_bar_micro"),
+        expr(s"C * 1000000L div (n * n * ${r * r}L)").as("p_e_micro"),
+        expr(s"n * ${r}L * (S - n * ${r}L) - ${r - 1}L * C").as("num"),
+        expr(s"${r - 1}L * (n * n * ${r * r}L - C)").as("den"))
+      .select(col("n").as("n_items"), col("p_bar_micro"), col("p_e_micro"),
+        expr("signum(num) * (abs(num) * 1000000L div den)").cast("long")
+          .as("kappa_micro"))
+  }
+
+  // ---- q188: Fleiss' kappa over three simulated raters ------------------------
+  // The fixture has no annotations, so three raters are SIMULATED with
+  // the same integer expression on both engines (the q54 PII-injection
+  // discipline): base label doc_id % 4; rater j flips to the next label
+  // when (doc_id + j) % 5 = 0 — at most one dissenter per item, so the
+  // oracle exercises genuine partial agreement, not a degenerate 1.0.
+  private def q188(s: SparkSession, d: String): DataFrame =
+    fleissKappa(
+      Tables.documents(s, d)
+        .select(col("doc_id"), explode(sequence(lit(0), lit(2))).as("j"))
+        .select(col("doc_id"),
+          expr("""CASE WHEN (doc_id + j) % 5 = 0
+                  THEN (doc_id % 4 + 1) % 4 ELSE doc_id % 4 END""")
+            .as("label")),
+      "doc_id", "label", raters = 3)
+  private val q188Sql =
+    """WITH labels AS (
+         SELECT doc_id,
+           CASE WHEN (doc_id + j) % 5 = 0
+                THEN (doc_id % 4 + 1) % 4 ELSE doc_id % 4 END AS label
+         FROM documents, (SELECT unnest(range(0, 3)) AS j)),
+       nij AS (
+         SELECT doc_id, label, count(*)::BIGINT AS c
+         FROM labels GROUP BY 1, 2),
+       s AS (
+         SELECT count(*)::BIGINT AS n, sum(si)::BIGINT AS S FROM (
+           SELECT doc_id, sum(c * c) AS si FROM nij GROUP BY 1)),
+       cc AS (
+         SELECT sum(cj * cj)::BIGINT AS C FROM (
+           SELECT label, sum(c) AS cj FROM nij GROUP BY 1))
+       SELECT n AS n_items,
+         ((S - n * 3) * 1000000 // (n * 3 * 2))::BIGINT AS p_bar_micro,
+         (C * 1000000 // (n * n * 9))::BIGINT AS p_e_micro,
+         (sign(n * 3 * (S - n * 3) - 2 * C)
+           * (abs(n * 3 * (S - n * 3) - 2 * C) * 1000000
+              // (2 * (n * n * 9 - C))))::BIGINT AS kappa_micro
+       FROM s CROSS JOIN cc"""
+
   // ---- q187: per-user event-mix concentration ---------------------------------
   private def q187(s: SparkSession, d: String): DataFrame =
     simpsonConcentration(Tables.events(s, d), "user_id", "event_type")
@@ -1402,6 +1484,7 @@ object Profile {
 
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q187_simpson", q187, Some(q187Sql)),
+    QueryDef("q188_fleiss_kappa", q188, Some(q188Sql)),
     QueryDef("q152_cohen_kappa", q152, Some(q152Sql)),
     QueryDef("q160_bootstrap_ci", q160, Some(q160Sql)),
     QueryDef("q161_silhouette", q161, Some(q161Sql)),

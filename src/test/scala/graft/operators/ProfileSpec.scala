@@ -442,4 +442,22 @@ class ProfileSpec extends SparkSpec {
       (1L, 2L, 4L, 500000L, 2000000L),
       (2L, 1L, 2L, 1000000L, 1000000L)))
   }
+
+  test("fleissKappa matches hand-worked agreement cases, sign included") {
+    // Perfect two-category agreement -> kappa exactly 1e6.
+    val perfect = Seq((1L, "A"), (1L, "A"), (1L, "A"),
+      (2L, "B"), (2L, "B"), (2L, "B")).toDF("item", "cat")
+    val kp = Profile.fleissKappa(perfect, "item", "cat", raters = 3)
+      .select($"kappa_micro").as[Long].head()
+    assert(kp === 1000000L)
+    // Mixed case: S = 17, C = 41, n = 3 -> kappa = -10/80 = -0.125
+    // (worse than chance; exercises the cross-engine sign handling).
+    val mixed = Seq(
+      (1L, "A"), (1L, "A"), (1L, "A"),
+      (2L, "A"), (2L, "A"), (2L, "B"),
+      (3L, "A"), (3L, "B"), (3L, "C")).toDF("item", "cat")
+    val got = Profile.fleissKappa(mixed, "item", "cat", raters = 3)
+      .as[(Long, Long, Long, Long)].head()
+    assert(got === ((3L, 444444L, 506172L, -125000L)))
+  }
 }
