@@ -584,7 +584,11 @@ object Graph {
        ORDER BY auth_micro DESC, hub_micro DESC, node_id LIMIT 30"""
 
   val defs: Seq[QueryDef] = Seq(
-    QueryDef("q159_pagerank", q159, Some(q159Sql)),
+    // headline: the iterative-graph representative in the driver's bench,
+    // so a regression in the loop/localCheckpoint machinery is
+    // round-over-round visible (the relational/dedup headliners never
+    // exercise multi-job iteration).
+    QueryDef("q159_pagerank", q159, Some(q159Sql), headline = true),
     QueryDef("q163_triangle_count", q163, Some(q163Sql)),
     QueryDef("q165_kcore", q165, Some(q165Sql)),
     QueryDef("q166_cc_stars", q166, Some(q166Sql)),

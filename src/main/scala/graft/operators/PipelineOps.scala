@@ -544,6 +544,69 @@ object PipelineOps {
         expr("w_sqrt * 1000000L div tot_w").as("share_micro"))
   }
 
+  /** Embedding-space (semantic) contamination audit: for every EVAL item,
+    * its nearest TRAIN neighbor by cosine and a `contaminated` flag at
+    * threshold τ — the paraphrase-robust companion to the lexical n-gram
+    * contamination detector (q40): shared wording is caught by hashed
+    * grams, shared MEANING only by the embedding space. Reports all eval
+    * rows (not just hits), so the audit doubles as a margin report — how
+    * close did every eval item come?
+    *
+    * Determinism: cosine is the codegen'd kernel (bitwise equal to the
+    * oracle's fold), the nearest neighbor is an argmax via
+    * `max(struct(c, -train_id))` — a hash aggregation with MAP-SIDE
+    * partials (each partition's |eval|·N scored rows collapse to |eval|
+    * before the exchange; the window-row_number form the oracle uses
+    * would shuffle them all), tie-broken on lowest train id like the
+    * oracle's ORDER BY.
+    *
+    * Scale: eval sets are small by construction — broadcast eval, one
+    * pass over train, no train shuffle. For huge eval sets, IVF-bucket
+    * both sides first (the q56 path).
+    */
+  def semanticContamination(evalSet: DataFrame, train: DataFrame,
+      idCol: String, vecCol: String, tau: Double): DataFrame = {
+    import graft.functions.TextFunctions.cosine
+    val e = evalSet.select(col(idCol).as("eval_id"), col(vecCol).as("ev"))
+    val t = train.select(col(idCol).as("train_id"), col(vecCol).as("tv"))
+    broadcast(e).join(t)
+      .select(col("eval_id"),
+        struct(cosine(col("ev"), col("tv")).as("c"),
+          (-col("train_id")).as("neg_id")).as("cand"))
+      .groupBy(col("eval_id"))
+      .agg(max(col("cand")).as("best"))
+      .select(col("eval_id"), (-col("best.neg_id")).as("nearest_train_id"),
+        (round(col("best.c"), 6) + lit(0.0)).as("cos_sim"),
+        (col("best.c") >= tau).as("contaminated"))
+  }
+
+  // ---- q189: semantic decontamination audit -----------------------------------
+  // vec_id < 25 plays the benchmark/eval set, the rest the training
+  // corpus; τ = 0.45 flags the near-paraphrase the fixture contains.
+  private def q189(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    semanticContamination(emb.filter(col("vec_id") < 25),
+        emb.filter(col("vec_id") >= 25), "vec_id", "embedding", tau = 0.45)
+      .orderBy(col("eval_id"))
+  }
+  private val q189Sql =
+    """WITH sims AS (
+         SELECT a.vec_id AS eval_id, b.vec_id AS train_id,
+           list_sum(list_transform(range(1, len(a.embedding) + 1),
+             k -> a.embedding[k]::DOUBLE * b.embedding[k]::DOUBLE))
+           / (sqrt(list_sum(list_transform(a.embedding, x -> x::DOUBLE * x::DOUBLE)))
+              * sqrt(list_sum(list_transform(b.embedding, x -> x::DOUBLE * x::DOUBLE))))
+             AS c
+         FROM embeddings a JOIN embeddings b ON b.vec_id >= 25
+         WHERE a.vec_id < 25),
+       best AS (
+         SELECT eval_id, train_id, c, row_number() OVER (
+           PARTITION BY eval_id ORDER BY c DESC, train_id) AS rn
+         FROM sims)
+       SELECT eval_id, train_id AS nearest_train_id,
+         round(c, 6) + 0.0 AS cos_sim, (c >= 0.45) AS contaminated
+       FROM best WHERE rn = 1 ORDER BY eval_id"""
+
   /** Within-group quantile (rank) normalization of a score column: each
     * row's score becomes its empirical percentile WITHIN its group, in
     * integer micro-units — (rank − 1)·10^6 div (n − 1), ties sharing the
@@ -1558,6 +1621,7 @@ object PipelineOps {
     QueryDef("q173_temperature_mix", q173, Some(q173Sql)),
     QueryDef("q182_quantile_normalize", q182, Some(q182Sql)),
     QueryDef("q183_ht_estimate", q183, Some(q183Sql)),
+    QueryDef("q189_semantic_contamination", q189, Some(q189Sql)),
     QueryDef("q63_bigram_lm", q63, Some(q63Sql)),
     QueryDef("q134_lm_band_filter", q134, Some(q134Sql)),
     QueryDef("q135_negative_samples", q135, Some(q135Sql)),

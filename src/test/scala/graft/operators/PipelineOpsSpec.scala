@@ -435,4 +435,19 @@ class PipelineOpsSpec extends SparkSpec {
     assert(est > 0 && math.abs(est - truth) * 1000000L / truth === errMicro)
     assert(errMicro < 100000L, s"HT estimate within 10%, got $errMicro micro")
   }
+
+  test("semanticContamination flags only above-threshold nearest neighbors") {
+    val mk = (id: Long, v: Seq[Float]) => (id, v)
+    val evalSet = Seq(mk(1L, Seq(1f, 0f)), mk(2L, Seq(0f, 1f))).toDF("vec_id", "embedding")
+    val train = Seq(mk(10L, Seq(1f, 0.01f)), mk(11L, Seq(-1f, 0f)),
+      mk(12L, Seq(0.3f, 0.3f))).toDF("vec_id", "embedding")
+    val got = PipelineOps.semanticContamination(
+        evalSet, train, "vec_id", "embedding", tau = 0.9)
+      .orderBy($"eval_id")
+      .select($"eval_id", $"nearest_train_id", $"contaminated")
+      .as[(Long, Long, Boolean)].collect()
+    // eval 1 ~ train 10 (cos ~ 1): contaminated; eval 2's best is train 12
+    // (cos ~ 0.707) below tau: reported, not flagged.
+    assert(got === Array((1L, 10L, true), (2L, 12L, false)))
+  }
 }
