@@ -1417,6 +1417,49 @@ object Analytics {
          count(*)::BIGINT AS n, round(sum(value), 4) AS value_sum
        FROM e GROUP BY 1, 2 ORDER BY dow, hour"""
 
+  /** Lag-k autocorrelation of a per-key regular series: Pearson
+    * correlation of the series against itself shifted k steps — the
+    * "does yesterday predict today" read on any keyed daily metric, and
+    * the standard seasonality probe when computed at the period lag.
+    *
+    * Built as: aggregate to the (key, step) grid (map-side partials
+    * collapse the corpus first), lag(k) over the per-key ordered window,
+    * then `corr` per key — the q48 correlation discipline (round 4 +
+    * negative-zero canonicalization; the window and corr both run over
+    * the already-aggregated grid, steps-per-key-sized, not the corpus).
+    * Pairs with fewer than 2 lagged points yield null corr — reported.
+    */
+  def autocorrelation(df: DataFrame, keyCol: String, stepExpr: Column,
+      valueExpr: Column, lagK: Int): DataFrame = {
+    val grid = df.select(col(keyCol), stepExpr.as("step"), valueExpr.as("v"))
+      .groupBy(col(keyCol), col("step")).agg(sum(col("v")).as("s"))
+    val w = Window.partitionBy(col(keyCol)).orderBy(col("step"))
+    grid.withColumn("s_lag", lag(col("s"), lagK).over(w))
+      .filter(col("s_lag").isNotNull)
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n_pairs"),
+        (round(corr(col("s"), col("s_lag")), 4) + lit(0.0)).as("autocorr"))
+  }
+
+  // ---- q191: lag-1 autocorrelation of daily event value per type --------------
+  private def q191(s: SparkSession, d: String): DataFrame =
+    autocorrelation(Tables.events(s, d), "event_type",
+      expr("cast(ts as long) div 86400"), col("value"), lagK = 1)
+      .orderBy(col("event_type"))
+  private val q191Sql =
+    """WITH g AS (
+         SELECT event_type, (epoch_us(ts) // 1000000) // 86400 AS step,
+           sum(value) AS s
+         FROM events GROUP BY 1, 2),
+       l AS (
+         SELECT event_type, s,
+           lag(s, 1) OVER (PARTITION BY event_type ORDER BY step) AS s_lag
+         FROM g)
+       SELECT event_type, count(*)::BIGINT AS n_pairs,
+         round(corr(s, s_lag), 4) + 0.0 AS autocorr
+       FROM l WHERE s_lag IS NOT NULL
+       GROUP BY event_type ORDER BY event_type"""
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q46_posexplode", q46, Some(q46Sql)),
     QueryDef("q47_percentiles", q47, Some(q47Sql)),
@@ -1448,5 +1491,6 @@ object Analytics {
     QueryDef("q179_abc_analysis", q179, Some(q179Sql)),
     QueryDef("q180_cusum_drift", q180, Some(q180Sql)),
     QueryDef("q184_event_sequences", q184, Some(q184Sql)),
-    QueryDef("q185_seasonality", q185, Some(q185Sql)))
+    QueryDef("q185_seasonality", q185, Some(q185Sql)),
+    QueryDef("q191_autocorrelation", q191, Some(q191Sql)))
 }

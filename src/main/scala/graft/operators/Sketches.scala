@@ -208,6 +208,78 @@ object Sketches {
          (abs(hll_est - n_exact) * 1000000 // n_exact)::BIGINT AS err_micro
        FROM exact CROSS JOIN est"""
 
+  /** Join-size estimation from two CMS cell tables over the SAME hash
+    * family: E_d = Σ_b a[d,b]·b[d,b] per depth, estimate = min over
+    * depths — the inner-product identity (AMS/CMS): colliding keys only
+    * ADD phantom pairs, so every per-depth product over-counts and the
+    * min is a one-sided upper bound on the true equi-join cardinality
+    * |A ⨝ B| = Σ_k cntA(k)·cntB(k), tightening with width.
+    *
+    * The 100-TB use: answer "how big would this join be?" from two
+    * depth×width summaries — BEFORE committing the cluster to a shuffle
+    * that might produce 10¹⁴ rows. Cells are the additive partials the
+    * CMS already maintains, so the estimate composes with incremental
+    * maintenance (union = cell sum) for free; the estimate itself joins
+    * two depth·width-row relations — driver-trivial at any corpus size.
+    *
+    * Exactness: pure BIGINT products and sums (bound: Σ a·b per depth
+    * ≤ |A|·|B| — keep the PRODUCT of relation sizes under 2⁶³, or
+    * estimate on sampled cells).
+    */
+  def cmsJoinSize(aCells: DataFrame, bCells: DataFrame): DataFrame =
+    aCells.select(col("d"), col("bucket"), col("c").as("ca"))
+      .join(bCells.select(col("d"), col("bucket"), col("c").as("cb")),
+        Seq("d", "bucket"))
+      .groupBy(col("d")).agg(sum(col("ca") * col("cb")).as("e"))
+      .agg(min(col("e")).as("join_est"))
+
+  // ---- q190: join cardinality estimated from sketches vs the true count -------
+  // |events.user_id ⨝ orders.o_custkey| — the fact-to-fact join a planner
+  // would want sized in advance. Both sketches share the q167 hash
+  // family; over_micro quantifies the collision tax at width 256.
+  private val JoinW = 256
+  private def q190(s: SparkSession, d: String): DataFrame = {
+    val a = cmsCells(Tables.events(s, d), "user_id", CmsDepth, JoinW)
+    val b = cmsCells(Tables.orders(s, d), "o_custkey", CmsDepth, JoinW)
+    val exact = Tables.events(s, d).select(col("user_id").as("k"))
+      .groupBy(col("k")).agg(count(lit(1)).as("na"))
+      .join(Tables.orders(s, d).select(col("o_custkey").as("k"))
+        .groupBy(col("k")).agg(count(lit(1)).as("nb")), Seq("k"))
+      .agg(coalesce(sum(col("na") * col("nb")), lit(0L)).as("n_exact"))
+    exact.crossJoin(cmsJoinSize(a, b))
+      .select(col("n_exact"), col("join_est"),
+        expr("(join_est - n_exact) * 1000000L div n_exact").as("over_micro"))
+  }
+  private def q190Sql =
+    s"""WITH ha AS (
+         SELECT k, d,
+           ((((${aSql("d")}) * ($ktSql) + (${bSql("d")})) % 2147483647)
+             % $JoinW) AS bucket
+         FROM (SELECT user_id AS k FROM events) t,
+           (SELECT unnest(range(0, $CmsDepth)) AS d)),
+       ca AS (SELECT d, bucket, count(*)::BIGINT AS ca FROM ha GROUP BY 1, 2),
+       hb AS (
+         SELECT k, d,
+           ((((${aSql("d")}) * ($ktSql) + (${bSql("d")})) % 2147483647)
+             % $JoinW) AS bucket
+         FROM (SELECT o_custkey AS k FROM orders) t,
+           (SELECT unnest(range(0, $CmsDepth)) AS d)),
+       cb AS (SELECT d, bucket, count(*)::BIGINT AS cb FROM hb GROUP BY 1, 2),
+       est AS (
+         SELECT min(e)::BIGINT AS join_est FROM (
+           SELECT a.d, sum(a.ca * b.cb) AS e
+           FROM ca a JOIN cb b ON a.d = b.d AND a.bucket = b.bucket
+           GROUP BY a.d)),
+       ex AS (
+         SELECT coalesce(sum(na * nb), 0)::BIGINT AS n_exact FROM (
+           SELECT k, count(*)::BIGINT AS na FROM (SELECT user_id AS k FROM events) GROUP BY 1) a
+           JOIN (
+           SELECT k, count(*)::BIGINT AS nb FROM (SELECT o_custkey AS k FROM orders) GROUP BY 1) b
+           USING (k))
+       SELECT n_exact, join_est,
+         ((join_est - n_exact) * 1000000 // n_exact)::BIGINT AS over_micro
+       FROM ex CROSS JOIN est"""
+
   /** Per-group HLL registers: `(group, j, mj)` with the full m-register
     * spine emitted for EVERY group (a group × register cross of two tiny
     * relations), so estimates and merges see empty registers. The point
@@ -309,5 +381,6 @@ object Sketches {
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q167_cms_heavy", q167, Some(q167Sql)),
     QueryDef("q168_hll_distinct", q168, Some(q168Sql)),
-    QueryDef("q181_hll_by_group", q181, Some(q181Sql)))
+    QueryDef("q181_hll_by_group", q181, Some(q181Sql)),
+    QueryDef("q190_cms_join_size", q190, Some(q190Sql)))
 }

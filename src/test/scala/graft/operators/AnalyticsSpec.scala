@@ -300,4 +300,13 @@ class AnalyticsSpec extends SparkSpec {
       .orderBy($"dow", $"hour").as[(Long, Long, Long, Double)].collect()
     assert(got === Array((0L, 13L, 1L, 2.0), (6L, 0L, 1L, 3.0)))
   }
+
+  test("autocorrelation finds +1 on a trend and -1 on an alternation") {
+    val trend = (0 until 10).map(i => ("up", i.toLong, 1.0 + i))
+    val alt = (0 until 10).map(i => ("alt", i.toLong, if (i % 2 == 0) 1.0 else 5.0))
+    val df = (trend ++ alt).toDF("k", "ts", "v")
+    val got = Analytics.autocorrelation(df, "k", $"ts", $"v", lagK = 1)
+      .orderBy($"k").as[(String, Long, Double)].collect()
+    assert(got === Array(("alt", 9L, -1.0), ("up", 9L, 1.0)))
+  }
 }

@@ -105,4 +105,16 @@ class SketchesSpec extends SparkSpec {
       .groupBy($"g").count().as[(String, Long)].collect().toMap
     assert(spine === Map("a" -> 64L, "b" -> 64L))
   }
+
+  test("cmsJoinSize upper-bounds the true join cardinality and tightens with width") {
+    val a = (1 to 30).flatMap(k => Seq.fill(3)(k.toLong)).toDF("key")
+    val b = (20 to 50).flatMap(k => Seq.fill(2)(k.toLong)).toDF("key")
+    // true |A join B| = overlap keys 20..30 -> 11 keys * 3 * 2 = 66.
+    def est(w: Int): Long = Sketches.cmsJoinSize(
+      Sketches.cmsCells(a, "key", 4, w),
+      Sketches.cmsCells(b, "key", 4, w)).as[Long].head()
+    assert(est(16) >= 66L, "estimate is one-sided")
+    assert(est(256) >= 66L)
+    assert(est(256) <= est(16), "wider sketch cannot be looser")
+  }
 }
