@@ -1467,6 +1467,67 @@ object Profile {
               // (2 * (n * n * 9 - C))))::BIGINT AS kappa_micro
        FROM s CROSS JOIN cc"""
 
+  /** Wilson score interval for a per-group proportion: the
+    * small-sample-safe confidence interval on "what fraction of this
+    * source passes the filter" — unlike the normal (Wald) interval it
+    * never leaves [0, 1] and stays honest at extreme rates, which is
+    * exactly where curation keep-rates live.
+    *
+    * Cross-engine determinism: the interval is a fixed arithmetic tree
+    * over (s, n, z²) — divisions, one sqrt, all IEEE correctly-rounded
+    * single ops evaluated in the SAME shape on both engines (the q22
+    * float-chain discipline), then round-6 with −0.0 canonicalization
+    * (the lower bound can be a tiny negative float before rounding).
+    * z² enters as one literal so no engine computes a power.
+    *
+    * Scale: one partial-aggregated groupBy; the interval math is
+    * per-group scalar work on the collapsed relation.
+    */
+  def wilsonCi(df: DataFrame, groupCol: String, success: Column,
+      z2Literal: Double = 3.8416 /* z = 1.96 */): DataFrame = {
+    val z2 = lit(z2Literal)
+    val n = col("n").cast("double")
+    val p = col("s").cast("double") / n
+    val denom = lit(1d) + z2 / n
+    val center = (p + z2 / (lit(2d) * n)) / denom
+    val half = sqrt(z2) * sqrt(p * (lit(1d) - p) / n +
+      z2 / (lit(4d) * n * n)) / denom
+    df.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"),
+        sum(when(success, 1L).otherwise(0L)).as("s"))
+      .select(col(groupCol), col("n"), col("s"),
+        (round(p, 6) + lit(0.0)).as("p_hat"),
+        (round(center - half, 6) + lit(0.0)).as("ci_lo"),
+        (round(center + half, 6) + lit(0.0)).as("ci_hi"))
+  }
+
+  // ---- q193: keep-rate confidence intervals per language ----------------------
+  // "n_chars > 600" plays the curation filter; the per-language pass
+  // rates get Wilson 95% bounds a mixture decision can actually trust
+  // at small n.
+  private def q193(s: SparkSession, d: String): DataFrame =
+    wilsonCi(Tables.documents(s, d), "lang", col("n_chars") > 600)
+      .orderBy(col("lang"))
+  private val q193Sql =
+    """SELECT lang, n, s,
+         round(p, 6) + 0.0 AS p_hat,
+         round((p + 3.8416 / (2 * nd)) / (1 + 3.8416 / nd)
+           - sqrt(3.8416) * sqrt(p * (1 - p) / nd
+               + 3.8416 / (4 * nd * nd)) / (1 + 3.8416 / nd), 6) + 0.0
+           AS ci_lo,
+         round((p + 3.8416 / (2 * nd)) / (1 + 3.8416 / nd)
+           + sqrt(3.8416) * sqrt(p * (1 - p) / nd
+               + 3.8416 / (4 * nd * nd)) / (1 + 3.8416 / nd), 6) + 0.0
+           AS ci_hi
+       FROM (
+         SELECT lang, count(*)::BIGINT AS n,
+           sum(CASE WHEN n_chars > 600 THEN 1 ELSE 0 END)::BIGINT AS s,
+           count(*)::DOUBLE AS nd,
+           sum(CASE WHEN n_chars > 600 THEN 1 ELSE 0 END)::DOUBLE
+             / count(*)::DOUBLE AS p
+         FROM documents GROUP BY lang) t
+       ORDER BY lang"""
+
   // ---- q187: per-user event-mix concentration ---------------------------------
   private def q187(s: SparkSession, d: String): DataFrame =
     simpsonConcentration(Tables.events(s, d), "user_id", "event_type")
@@ -1485,6 +1546,7 @@ object Profile {
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q187_simpson", q187, Some(q187Sql)),
     QueryDef("q188_fleiss_kappa", q188, Some(q188Sql)),
+    QueryDef("q193_wilson_ci", q193, Some(q193Sql)),
     QueryDef("q152_cohen_kappa", q152, Some(q152Sql)),
     QueryDef("q160_bootstrap_ci", q160, Some(q160Sql)),
     QueryDef("q161_silhouette", q161, Some(q161Sql)),

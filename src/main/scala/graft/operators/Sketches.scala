@@ -378,9 +378,92 @@ object Sketches {
        SELECT e.g AS event_type, x.n_exact, e.hll_est
        FROM est e JOIN exact x ON e.g = x.g ORDER BY event_type"""
 
+  /** Sliding-window distinct counts: for every day, |distinct keys over
+    * the trailing `windowDays`| — exact AND sketched side by side. The
+    * exact form expands (day, key) membership across the window spine
+    * (cost × window length — fine for audits, brutal at corpus scale);
+    * the sketch form max-merges the PER-DAY HLL registers across the
+    * window (cost × m registers per day, independent of cardinality) —
+    * the standard reason sliding distinct is an HLL workload: distinct
+    * counts don't decompose over window panes, but registers do.
+    *
+    * Both paths share the per-day register/membership tables, the window
+    * association is a compact range join against the day spine, and all
+    * arithmetic is the deterministic q168 algebra, so the error column
+    * is an exact integer the oracle reproduces.
+    */
+  def slidingDistinct(df: DataFrame, tsCol: String, keyCol: String,
+      windowDays: Int, m: Int): DataFrame = {
+    require(windowDays >= 1, "windowDays >= 1")
+    val memb = df
+      .select(expr(s"cast($tsCol as long) div 86400").as("day"),
+        col(keyCol).cast("long").as("k"))
+      .distinct()
+    val spine = memb.select(col("day")).distinct()
+    val exact = broadcast(spine.select(col("day").as("w_day")))
+      .join(memb,
+        col("day") <= col("w_day") &&
+          col("day") > col("w_day") - windowDays)
+      .groupBy(col("w_day")).agg(countDistinct(col("k")).as("n_exact"))
+    val regs = hllRegistersBy(memb, "day", "k", m)
+    val winRegs = broadcast(spine.select(col("day").as("w_day")))
+      .join(regs,
+        col("day") <= col("w_day") &&
+          col("day") > col("w_day") - windowDays)
+      .groupBy(col("w_day"), col("j")).agg(max(col("mj")).as("mj"))
+    exact
+      .join(hllEstimateBy(winRegs, "w_day", m), Seq("w_day"))
+      .select(col("w_day").as("day"), col("n_exact"), col("hll_est"),
+        expr("abs(hll_est - n_exact) * 1000000L div n_exact").as("err_micro"))
+  }
+
+  // ---- q192: trailing-7-day distinct users, exact vs register-merged ----------
+  private val SlideDays = 7
+  private def q192(s: SparkSession, d: String): DataFrame =
+    slidingDistinct(Tables.events(s, d), "ts", "user_id", SlideDays, HllM)
+      .orderBy(col("day"))
+  private def q192Sql =
+    s"""WITH memb AS (
+         SELECT DISTINCT (epoch_us(ts) // 1000000) // 86400 AS day,
+           user_id AS k
+         FROM events),
+       spine AS (SELECT DISTINCT day AS w_day FROM memb),
+       exact AS (
+         SELECT w_day, count(DISTINCT k)::BIGINT AS n_exact
+         FROM spine JOIN memb
+           ON day <= w_day AND day > w_day - $SlideDays
+         GROUP BY 1),
+       h AS (
+         SELECT day, (((${aSql("0")}) * ($ktSql) + (${bSql("0")}))
+           % 2147483647) AS h
+         FROM memb),
+       observed AS (
+         SELECT day, h % $HllM AS j,
+           max(${32 - 6} - length(bin(h // $HllM))) AS rho
+         FROM h GROUP BY 1, 2),
+       dayregs AS (
+         SELECT s.day, s.j, coalesce(o.rho, 0) AS mj
+         FROM (SELECT day, j FROM (SELECT DISTINCT day FROM memb),
+                 (SELECT unnest(range(0, $HllM)) AS j)) s
+         LEFT JOIN observed o ON s.day = o.day AND s.j = o.j),
+       winregs AS (
+         SELECT w_day, j, max(mj) AS mj
+         FROM spine JOIN dayregs
+           ON day <= w_day AND day > w_day - $SlideDays
+         GROUP BY 1, 2),
+       est AS (
+         SELECT w_day, floor(0.709::DOUBLE * 1099511627776.0::DOUBLE
+             * ${HllM.toLong * HllM}
+             / sum(1::BIGINT << (40 - mj)::INT))::BIGINT AS hll_est
+         FROM winregs GROUP BY 1)
+       SELECT w_day AS day, n_exact, hll_est,
+         (abs(hll_est - n_exact) * 1000000 // n_exact)::BIGINT AS err_micro
+       FROM exact JOIN est USING (w_day) ORDER BY day"""
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q167_cms_heavy", q167, Some(q167Sql)),
     QueryDef("q168_hll_distinct", q168, Some(q168Sql)),
     QueryDef("q181_hll_by_group", q181, Some(q181Sql)),
-    QueryDef("q190_cms_join_size", q190, Some(q190Sql)))
+    QueryDef("q190_cms_join_size", q190, Some(q190Sql)),
+    QueryDef("q192_sliding_distinct", q192, Some(q192Sql)))
 }

@@ -117,4 +117,26 @@ class SketchesSpec extends SparkSpec {
     assert(est(256) >= 66L)
     assert(est(256) <= est(16), "wider sketch cannot be looser")
   }
+
+  test("slidingDistinct exact counts the trailing window; sketch stays in envelope") {
+    // Day d carries keys d*100 .. d*100+199: consecutive days share 100
+    // keys, so 3-day windows hold min(d+1, 3)*100 + 100 distinct keys -
+    // large enough for HLL(64)'s raw-estimate regime (n >~ 2.5m).
+    val rows = for (d <- 0 until 6; k <- 0 until 200)
+      yield (java.sql.Timestamp.from(
+        java.time.Instant.ofEpochSecond(d * 86400L + 10)), d * 100L + k)
+    val df = rows.toDF("ts", "k")
+    val got = Sketches.slidingDistinct(df, "ts", "k", windowDays = 3, m = 64)
+      .orderBy($"day").as[(Long, Long, Long, Long)].collect()
+    val exact = got.map(_._2)
+    assert(exact === Array(200L, 300L, 400L, 400L, 400L, 400L))
+    got.foreach { case (_, ex, est, err) =>
+      assert(est > 0 && err === math.abs(est - ex) * 1000000L / ex)
+      // near the raw-regime boundary (n ~ 2.5m) bias is still settling;
+      // the tight ±1.04/sqrt(m) envelope is pinned by the q168 spec in
+      // the deep-raw regime - here pin sanity, exactness of the err
+      // column, and that merging never loses keys entirely.
+      assert(err < 600000L, s"register-merged estimate way off: $err")
+    }
+  }
 }
