@@ -1,0 +1,70 @@
+package graft.sources.replay
+
+/** Stream-topology discovery against a control-plane service — the seam
+  * that makes resharding RUNTIME-DISCOVERED instead of user-scripted.
+  *
+  * The reference learns about shard end/split/merge from the service's
+  * metadata whenever the worker polls it
+  * (/root/reference/src/main/scala/px/kinesis/stream/consumer/RecordProcessorImpl.scala:102-113);
+  * the user never configures a reshard. With `controlPlaneUrl` set, this
+  * source does the same: topology (shard count + any announced reshard
+  * instant) comes from `GET <url>` at stream construction and is re-polled
+  * once per trigger until a reshard is announced, at which point the
+  * instant is pinned into the offset log (the v2 `"at"` field) — so
+  * restarts revalidate what was DISCOVERED exactly as they validate what
+  * was configured, and a service answer that contradicts the checkpoint
+  * is rejected, not silently remapped.
+  *
+  * Wire format: `key=value` lines (`numShards`, optional `reshardAtMs` /
+  * `mergeAtMs`), comments with `#`. Deliberately minimal — the contract
+  * under test is the DISCOVERY seam and its interaction with offsets,
+  * not a marshalling layer. In this zero-egress environment the service
+  * is a loopback `com.sun.net.httpserver` started by the test harness;
+  * a production provider would point the same option at real stream
+  * metadata.
+  */
+object ControlPlane {
+
+  final case class Topology(
+      numShards: Int,
+      reshardAtMs: Option[Long],
+      mergeAtMs: Option[Long]) {
+    require(numShards >= 1, s"control plane reported numShards=$numShards")
+    require(reshardAtMs.isEmpty || mergeAtMs.isEmpty,
+      "control plane announced both a split and a merge")
+    def announced: Boolean = reshardAtMs.isDefined || mergeAtMs.isDefined
+  }
+
+  /** Fetch and parse the topology. Failures throw — a stream that cannot
+    * see its control plane must fail its trigger (and let the engine
+    * retry), not guess a topology: planning against a stale shard map is
+    * exactly the silent-replay/loss class the offset validation exists
+    * to prevent.
+    */
+  def fetch(url: String): Topology = {
+    val conn = new java.net.URI(url).toURL.openConnection()
+    conn.setConnectTimeout(5000)
+    conn.setReadTimeout(5000)
+    val in = conn.getInputStream
+    val text =
+      try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
+      finally in.close()
+    parse(text)
+  }
+
+  private[replay] def parse(text: String): Topology = {
+    val kv = text.linesIterator
+      .map(_.trim).filter(l => l.nonEmpty && !l.startsWith("#"))
+      .flatMap { l =>
+        l.split("=", 2) match {
+          case Array(k, v) => Some(k.trim -> v.trim)
+          case _ => None
+        }
+      }.toMap
+    Topology(
+      numShards = kv.getOrElse("numShards",
+        sys.error(s"control plane answer lacks numShards: $text")).toInt,
+      reshardAtMs = kv.get("reshardAtMs").map(_.toLong),
+      mergeAtMs = kv.get("mergeAtMs").map(_.toLong))
+  }
+}

@@ -63,7 +63,13 @@ import graft.streaming.Record
   * `aggregation` (KPL producer aggregation factor K: runs of K consecutive
   * user records share one sequence number with subSequenceNumber 0..K-1 —
   * checkpoints are sub-sequence-granular, the ExtendedSequenceNumber
-  * semantics of reference Record.scala:22).
+  * semantics of reference Record.scala:22),
+  * `controlPlaneUrl` (RUNTIME topology discovery: shard count and any
+  * reshard instant come from `GET <url>` — fetched at construction and
+  * re-polled once per trigger until a reshard is announced — instead of
+  * the `shards`/`reshardAtMs`/`mergeAtMs` options, which are then
+  * ignored. This is the reference's worker-learns-from-stream-metadata
+  * behavior, RecordProcessorImpl.scala:102-113; see [[ControlPlane]]).
   */
 class ShardedReplayProvider extends TableProvider with DataSourceRegister {
   override def shortName(): String = "sharded-replay"
@@ -96,7 +102,8 @@ final case class ReplayConfig(
     reshardAtMicros: Option[Long],
     deliveryMode: String = "at_least_once",
     aggregation: Int = 1,
-    mergeAtMicros: Option[Long] = None) {
+    mergeAtMicros: Option[Long] = None,
+    controlPlaneUrl: Option[String] = None) {
   require(reshardAtMicros.isEmpty || mergeAtMicros.isEmpty,
     "reshardAtMs (split) and mergeAtMs are mutually exclusive")
   require(mergeAtMicros.isEmpty || numShards % 2 == 0,
@@ -126,6 +133,17 @@ final case class ReplayConfig(
     else Nil
   def lineage: SortedMap[Int, Seq[Int]] =
     SortedMap.from((numShards until universeSize).map(c => c -> parentsOf(c)))
+
+  /** This config with its topology replaced by a control-plane answer —
+    * the DISCOVERED counterpart of the `shards`/`reshardAtMs`/`mergeAtMs`
+    * options (which are ignored when `controlPlaneUrl` is set). The case
+    * class invariants re-run on copy, so a nonsensical service answer
+    * (split + merge, odd merge count) fails loudly here.
+    */
+  def withTopology(t: ControlPlane.Topology): ReplayConfig =
+    copy(numShards = t.numShards,
+      reshardAtMicros = t.reshardAtMs.map(_ * 1000L),
+      mergeAtMicros = t.mergeAtMs.map(_ * 1000L))
 }
 
 object ReplayConfig {
@@ -155,7 +173,8 @@ object ReplayConfig {
         a
       },
       mergeAtMicros =
-        Option(o.get("mergeAtMs")).map(_.toLong * 1000L))
+        Option(o.get("mergeAtMs")).map(_.toLong * 1000L),
+      controlPlaneUrl = Option(o.get("controlPlaneUrl")))
   }
 }
 
@@ -199,7 +218,14 @@ object SerializableHadoopConf {
     if (b == null) new Configuration() else b.value.value
 }
 
-final class ShardedReplayScan(conf: ReplayConfig) extends ScanBuilder with Scan {
+final class ShardedReplayScan(raw: ReplayConfig) extends ScanBuilder with Scan {
+  // Batch reads resolve the control-plane topology ONCE at scan
+  // construction (a batch has no triggers to re-poll on); the micro-batch
+  // stream keeps the URL and re-polls per trigger until announcement.
+  private val conf = raw.controlPlaneUrl match {
+    case Some(u) => raw.withTopology(ControlPlane.fetch(u))
+    case None => raw
+  }
   // Captured HERE (driver, query-planning thread, active session set) —
   // resolving SparkSession.active lazily on the stream-execution thread
   // could see a different or no session.
@@ -359,10 +385,32 @@ final class ShardedReplayMicroBatchStream(
     extends MicroBatchStream with SupportsAdmissionControl
     with SupportsTriggerAvailableNow {
 
-  private lazy val shards =
-    ShardStore.shards(conf.path, conf.numShards, conf.reshardAtMicros,
-      conf.mergeAtMicros, SerializableHadoopConf.resolve(hconf))
-  private lazy val counts: Array[Long] = shards.map(_.length.toLong)
+  /** Effective config: the user options, with topology (shard count +
+    * reshard instant) overridden by the control plane when one is
+    * configured. Swapped at most once per stream lifetime — from
+    * no-reshard to an announced reshard — on the driver's trigger thread;
+    * all planning state below reads through it.
+    */
+  @volatile private var eff: ReplayConfig = conf.controlPlaneUrl match {
+    case Some(u) => conf.withTopology(ControlPlane.fetch(u))
+    case None => conf
+  }
+
+  // Shard contents keyed by the effective config (a discovery swap
+  // invalidates; ShardStore's two-level cache makes recomputes share the
+  // underlying parquet read).
+  private var cachedFor: ReplayConfig = null
+  private var cachedShards: Array[Array[ShardStore.Ev]] = null
+  private def shards: Array[Array[ShardStore.Ev]] = synchronized {
+    val e = eff
+    if (cachedFor ne e) {
+      cachedShards = ShardStore.shards(e.path, e.numShards, e.reshardAtMicros,
+        e.mergeAtMicros, SerializableHadoopConf.resolve(hconf))
+      cachedFor = e
+    }
+    cachedShards
+  }
+  private def counts: Array[Long] = shards.map(_.length.toLong)
 
   // Trigger.AvailableNow: snapshot the frontier once; per-batch read limits
   // still apply, so the drain takes several admission-bounded batches.
@@ -377,38 +425,55 @@ final class ShardedReplayMicroBatchStream(
     * shardEnded condition).
     */
   private def decorate(pos: SortedMap[Int, Long]): ShardPositions =
-    if (!conf.resharded) ShardPositions(pos)
+    if (!eff.resharded) ShardPositions(pos)
     else ShardPositions(pos,
       sealedShards = SortedSet.from(
-        (0 until conf.numShards).filter(i => pos.getOrElse(i, 0L) >= counts(i))),
-      lineage = conf.lineage,
-      reshardAtMicros = conf.reshardAtMicros.orElse(conf.mergeAtMicros))
+        (0 until eff.numShards).filter(i => pos.getOrElse(i, 0L) >= counts(i))),
+      lineage = eff.lineage,
+      reshardAtMicros = eff.reshardAtMicros.orElse(eff.mergeAtMicros))
 
-  override def initialOffset(): Offset = conf.startingPosition match {
+  override def initialOffset(): Offset = eff.startingPosition match {
     case "trim_horizon" => decorate(
-      SortedMap.from((0 until conf.universeSize).map(_ -> 0L)))
+      SortedMap.from((0 until eff.universeSize).map(_ -> 0L)))
     case "latest" =>
       decorate(SortedMap.from(counts.indices.map(i => i -> counts(i))))
     case "at_timestamp" =>
-      val t = conf.startingTimestampMs * 1000L // micros
+      val t = eff.startingTimestampMs * 1000L // micros
       decorate(SortedMap.from(shards.indices.map { i =>
         i -> shards(i).count(_.tsMicros < t).toLong
       }))
   }
 
   override def getDefaultReadLimit: ReadLimit =
-    conf.maxRecordsPerTrigger.map(ReadLimit.maxRows).getOrElse(ReadLimit.allAvailable())
+    eff.maxRecordsPerTrigger.map(ReadLimit.maxRows).getOrElse(ReadLimit.allAvailable())
 
   override def latestOffset(): Offset =
     throw new UnsupportedOperationException("admission-control latestOffset is used")
 
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    // Runtime discovery: until a reshard has been announced, re-poll the
+    // control plane each trigger (the reference worker learns shardEnded
+    // from service metadata the same way). Once announced, the topology
+    // is pinned — into `eff` here and into every subsequent offset's
+    // "at" field — so later polls are unnecessary and later service
+    // changes cannot silently relocate records (normalize() rejects a
+    // checkpoint/instant mismatch instead).
+    for (u <- eff.controlPlaneUrl if !eff.resharded) {
+      val t = ControlPlane.fetch(u)
+      if (t.announced) {
+        eff = eff.withTopology(t)
+        // An AvailableNow drain snapshot taken pre-announcement covers
+        // only the old universe — refresh it so the drain includes the
+        // newly-visible children (what "available now" now means).
+        if (availableNowCap.isDefined) availableNowCap = Some(counts.clone())
+      }
+    }
     val cur = normalize(start.asInstanceOf[ShardPositions])
     // Parent-before-child ordering (the shardEnded contract): a child
     // shard admits no records until its parent's frontier has reached the
     // seal in a COMMITTED offset — child data lands in strictly later
     // batches than the last parent batch, never beside it.
-    val eligible = AdmissionPlanner.gate(cur, frontier, conf.parentsOf)
+    val eligible = AdmissionPlanner.gate(cur, frontier, eff.parentsOf)
     val adv = limit match {
       case _: ReadAllAvailable => AdmissionPlanner.advance(cur, eligible, None)
       case r: ReadMaxRows => AdmissionPlanner.advance(cur, eligible, Some(r.maxRows()))
@@ -432,28 +497,28 @@ final class ShardedReplayMicroBatchStream(
     * point (impossible in a real stream: those records went to children).
     */
   private def normalize(s: ShardPositions): ShardPositions = {
-    require(s.gen0 == conf.numShards,
+    require(s.gen0 == eff.numShards,
       s"checkpoint has ${s.gen0} first-generation shards but source is " +
-        s"configured with ${conf.numShards}; changing the shard count of a " +
+        s"configured with ${eff.numShards}; changing the shard count of a " +
         "checkpointed stream is not supported — resharding is expressed by " +
         "the reshardAtMs option, which keeps the original count and adds " +
         "child shards")
-    if (!conf.resharded) {
+    if (!eff.resharded) {
       require(s.lineage.isEmpty,
         "checkpoint records a resharded stream but the source has no " +
           "reshardAtMs/mergeAtMs configured; restore the reshard option")
       s
     } else {
-      require(s.lineage.isEmpty || s.lineage == conf.lineage,
+      require(s.lineage.isEmpty || s.lineage == eff.lineage,
         s"checkpoint lineage ${s.lineage} does not match the configured " +
-          s"reshard's ${conf.lineage}: the reshard kind (split vs merge) " +
+          s"reshard's ${eff.lineage}: the reshard kind (split vs merge) " +
           "or geometry changed")
       // Lineage alone cannot see a changed INSTANT (same geometry, records
       // relocated between parents and children = silent replay/loss): the
       // recorded instant must equal the configured one. Offsets that never
       // recorded one (v1, or evolved before the field existed) are
       // unverifiable and accepted.
-      val confAt = conf.reshardAtMicros.orElse(conf.mergeAtMicros)
+      val confAt = eff.reshardAtMicros.orElse(eff.mergeAtMicros)
       s.reshardAtMicros.foreach { at =>
         require(confAt.contains(at),
           s"checkpoint records a reshard at ${at}us but the source is " +
@@ -461,7 +526,7 @@ final class ShardedReplayMicroBatchStream(
             "moving the reshard instant relocates records between parents " +
             "and children, which would replay or lose data")
       }
-      (0 until conf.numShards).foreach { i =>
+      (0 until eff.numShards).foreach { i =>
         require(s(i) <= counts(i),
           s"parent shard $i position ${s(i)} exceeds its sealed length " +
             s"${counts(i)}: the checkpoint consumed records past the " +
@@ -474,13 +539,13 @@ final class ShardedReplayMicroBatchStream(
       // internally corrupt — derive and compare.
       if (s.lineage.nonEmpty) {
         val derived = SortedSet.from(
-          (0 until conf.numShards).filter(i => s(i) >= counts(i)))
+          (0 until eff.numShards).filter(i => s(i) >= counts(i)))
         require(s.sealedShards == derived,
           s"checkpoint seal list ${s.sealedShards} contradicts its " +
             s"positions (expected $derived)")
       }
       decorate(SortedMap.from(
-        (0 until conf.universeSize).map(i => i -> s(i))))
+        (0 until eff.universeSize).map(i => i -> s(i))))
     }
   }
 
@@ -540,7 +605,7 @@ final class ShardedReplayMicroBatchStream(
     val s0 = normalize(start.asInstanceOf[ShardPositions])
     val e = end.asInstanceOf[ShardPositions]
     val s =
-      if (!conf.atMostOnce) s0
+      if (!eff.atMostOnce) s0
       else {
         // Serve only ranges beyond the frontier PREVIOUS runs planned
         // (snapshotted once at stream init: a batch this run plans may be
@@ -557,8 +622,8 @@ final class ShardedReplayMicroBatchStream(
       }
     shards.indices.collect {
       case i if e(i) > s(i) =>
-        ReplayInputPartition(conf.path, conf.numShards, conf.reshardAtMicros,
-          i, s(i), e(i), conf.aggregation, conf.mergeAtMicros, hconf)
+        ReplayInputPartition(eff.path, eff.numShards, eff.reshardAtMicros,
+          i, s(i), e(i), eff.aggregation, eff.mergeAtMicros, hconf)
     }.toArray
   }
 

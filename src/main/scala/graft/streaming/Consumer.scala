@@ -28,7 +28,8 @@ final case class ConsumerConfig(
     reshardAtMs: Option[Long] = None,
     deliveryMode: String = "at_least_once",
     aggregation: Int = 1,
-    mergeAtMs: Option[Long] = None)
+    mergeAtMs: Option[Long] = None,
+    controlPlaneUrl: Option[String] = None)
 
 object ConsumerConfig {
   /** Config-map parsing mirroring the reference's HOCON keys
@@ -46,7 +47,8 @@ object ConsumerConfig {
     deliveryMode =
       m.getOrElse("delivery-mode", "at_least_once").replace('-', '_'),
     aggregation = m.get("aggregation").map(_.toInt).getOrElse(1),
-    mergeAtMs = m.get("merge-at-ms").map(_.toLong))
+    mergeAtMs = m.get("merge-at-ms").map(_.toLong),
+    controlPlaneUrl = m.get("control-plane-url"))
 
   /** HOCON-text parsing — reference parity for the `Config`-taking
     * `ConsumerConfig.fromConfig` (reference: Consumer.scala:113-184), which
@@ -137,6 +139,7 @@ object Consumer {
     if (config.aggregation != 1)
       r = r.option("aggregation", config.aggregation)
     config.mergeAtMs.foreach(t => r = r.option("mergeAtMs", t))
+    config.controlPlaneUrl.foreach(u => r = r.option("controlPlaneUrl", u))
     r.load().as[Record]
   }
 
