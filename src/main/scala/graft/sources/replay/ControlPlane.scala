@@ -28,12 +28,20 @@ object ControlPlane {
   final case class Topology(
       numShards: Int,
       reshardAtMs: Option[Long],
-      mergeAtMs: Option[Long]) {
+      mergeAtMs: Option[Long],
+      counts: Option[IndexedSeq[Long]] = None) {
     require(numShards >= 1, s"control plane reported numShards=$numShards")
     require(reshardAtMs.isEmpty || mergeAtMs.isEmpty,
       "control plane announced both a split and a merge")
     def announced: Boolean = reshardAtMs.isDefined || mergeAtMs.isDefined
   }
+
+  /** One wire record from the data plane — the fields the envelope needs:
+    * user-record position within its shard (the sequence domain), arrival
+    * micros, partition key, payload bytes.
+    */
+  final case class WireRecord(
+      pos: Long, tsMicros: Long, key: String, payload: Array[Byte])
 
   /** Fetch and parse the topology. Failures throw — a stream that cannot
     * see its control plane must fail its trigger (and let the engine
@@ -65,6 +73,32 @@ object ControlPlane {
       numShards = kv.getOrElse("numShards",
         sys.error(s"control plane answer lacks numShards: $text")).toInt,
       reshardAtMs = kv.get("reshardAtMs").map(_.toLong),
-      mergeAtMs = kv.get("mergeAtMs").map(_.toLong))
+      mergeAtMs = kv.get("mergeAtMs").map(_.toLong),
+      counts = kv.get("counts").map(
+        _.split(",").iterator.map(_.trim.toLong).toIndexedSeq))
+  }
+
+  /** Fetch one page of a shard's user records: positions
+    * [from, min(to, from + limit)) — the GetRecords shape (bounded pages,
+    * resumed by position). Executor-side, no driver involvement. Lines:
+    * `pos \t tsMicros \t key \t base64(payload)`.
+    */
+  def fetchRecords(dataPlaneUrl: String, shard: Int, from: Long, to: Long,
+      limit: Int): Seq[WireRecord] = {
+    val conn = new java.net.URI(
+      s"$dataPlaneUrl?shard=$shard&from=$from&to=$to&limit=$limit")
+      .toURL.openConnection()
+    conn.setConnectTimeout(5000)
+    conn.setReadTimeout(15000)
+    val in = conn.getInputStream
+    val text =
+      try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
+      finally in.close()
+    text.linesIterator.filter(_.nonEmpty).map { l =>
+      val f = l.split("\t", 4)
+      require(f.length == 4, s"malformed data-plane record line: $l")
+      WireRecord(f(0).toLong, f(1).toLong, f(2),
+        java.util.Base64.getDecoder.decode(f(3)))
+    }.toSeq
   }
 }

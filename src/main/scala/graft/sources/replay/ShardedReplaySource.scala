@@ -103,9 +103,15 @@ final case class ReplayConfig(
     deliveryMode: String = "at_least_once",
     aggregation: Int = 1,
     mergeAtMicros: Option[Long] = None,
-    controlPlaneUrl: Option[String] = None) {
+    controlPlaneUrl: Option[String] = None,
+    dataPlaneUrl: Option[String] = None) {
   require(reshardAtMicros.isEmpty || mergeAtMicros.isEmpty,
     "reshardAtMs (split) and mergeAtMs are mutually exclusive")
+  require(dataPlaneUrl.isEmpty || controlPlaneUrl.isDefined,
+    "dataPlaneUrl needs controlPlaneUrl: shard counts come from topology")
+  require(dataPlaneUrl.isEmpty || startingPosition != "at_timestamp",
+    "at_timestamp needs a per-shard timestamp scan, which the data-plane " +
+      "protocol does not expose; use trim_horizon or latest")
   require(mergeAtMicros.isEmpty || numShards % 2 == 0,
     s"mergeAtMs pairs shards, so the shard count must be even (got $numShards)")
   def atMostOnce: Boolean = deliveryMode == "at_most_once"
@@ -174,7 +180,8 @@ object ReplayConfig {
       },
       mergeAtMicros =
         Option(o.get("mergeAtMs")).map(_.toLong * 1000L),
-      controlPlaneUrl = Option(o.get("controlPlaneUrl")))
+      controlPlaneUrl = Option(o.get("controlPlaneUrl")),
+      dataPlaneUrl = Option(o.get("dataPlaneUrl")))
   }
 }
 
@@ -410,7 +417,27 @@ final class ShardedReplayMicroBatchStream(
     }
     cachedShards
   }
-  private def counts: Array[Long] = shards.map(_.length.toLong)
+
+  /** Data-plane mode: per-shard latest positions come from the service's
+    * topology answer (the DescribeStream shape) and refresh each trigger —
+    * a LIVE stream's counts grow between polls. File mode derives them
+    * from the local store.
+    */
+  @volatile private var serviceCounts: Option[Array[Long]] =
+    if (conf.dataPlaneUrl.isEmpty) None
+    else Some(countsFromService(
+      ControlPlane.fetch(conf.controlPlaneUrl.get)))
+  private def countsFromService(t: ControlPlane.Topology): Array[Long] = {
+    val c = t.counts.getOrElse(sys.error(
+      "data-plane mode needs per-shard counts in the topology answer"))
+    require(c.length == eff.universeSize || c.length == eff.numShards,
+      s"topology counts cover ${c.length} shards, universe is ${eff.universeSize}")
+    // pre-announcement answers may cover only the parents; children are
+    // empty until the reshard exists.
+    c.toArray.padTo(eff.universeSize, 0L)
+  }
+  private def counts: Array[Long] =
+    serviceCounts.getOrElse(shards.map(_.length.toLong))
 
   // Trigger.AvailableNow: snapshot the frontier once; per-batch read limits
   // still apply, so the drain takes several admission-bounded batches.
@@ -458,15 +485,19 @@ final class ShardedReplayMicroBatchStream(
     // "at" field — so later polls are unnecessary and later service
     // changes cannot silently relocate records (normalize() rejects a
     // checkpoint/instant mismatch instead).
-    for (u <- eff.controlPlaneUrl if !eff.resharded) {
+    for (u <- eff.controlPlaneUrl
+         if !eff.resharded || eff.dataPlaneUrl.isDefined) {
       val t = ControlPlane.fetch(u)
-      if (t.announced) {
+      if (t.announced && !eff.resharded) {
         eff = eff.withTopology(t)
         // An AvailableNow drain snapshot taken pre-announcement covers
         // only the old universe — refresh it so the drain includes the
         // newly-visible children (what "available now" now means).
         if (availableNowCap.isDefined) availableNowCap = Some(counts.clone())
       }
+      // Live counts: in data-plane mode the service's positions ARE the
+      // stream frontier target; refresh every trigger.
+      if (eff.dataPlaneUrl.isDefined) serviceCounts = Some(countsFromService(t))
     }
     val cur = normalize(start.asInstanceOf[ShardPositions])
     // Parent-before-child ordering (the shardEnded contract): a child
@@ -620,10 +651,11 @@ final class ShardedReplayMicroBatchStream(
         })))
         decorate(merged)
       }
-    shards.indices.collect {
+    counts.indices.collect {
       case i if e(i) > s(i) =>
         ReplayInputPartition(eff.path, eff.numShards, eff.reshardAtMicros,
-          i, s(i), e(i), eff.aggregation, eff.mergeAtMicros, hconf)
+          i, s(i), e(i), eff.aggregation, eff.mergeAtMicros, hconf,
+          eff.dataPlaneUrl)
     }.toArray
   }
 
@@ -639,13 +671,21 @@ final class ShardedReplayBatch(
       SerializableHadoopConf.broadcastFromActiveSession())
     extends Batch {
   override def planInputPartitions(): Array[InputPartition] = {
-    val shards = ShardStore.shards(conf.path, conf.numShards,
-      conf.reshardAtMicros, conf.mergeAtMicros,
-      SerializableHadoopConf.resolve(hconf))
-    shards.indices.map { i =>
+    val counts: Array[Long] = conf.dataPlaneUrl match {
+      case Some(_) =>
+        val t = ControlPlane.fetch(conf.controlPlaneUrl.get)
+        t.counts.getOrElse(sys.error(
+          "data-plane mode needs per-shard counts in the topology answer"))
+          .toArray.padTo(conf.universeSize, 0L)
+      case None =>
+        ShardStore.shards(conf.path, conf.numShards, conf.reshardAtMicros,
+          conf.mergeAtMicros, SerializableHadoopConf.resolve(hconf))
+          .map(_.length.toLong)
+    }
+    counts.indices.map { i =>
       ReplayInputPartition(conf.path, conf.numShards, conf.reshardAtMicros,
-        i, 0L, shards(i).length.toLong, conf.aggregation, conf.mergeAtMicros,
-        hconf)
+        i, 0L, counts(i), conf.aggregation, conf.mergeAtMicros,
+        hconf, conf.dataPlaneUrl)
     }.toArray
   }
   override def createReaderFactory(): PartitionReaderFactory = ReplayReaderFactory
@@ -656,14 +696,61 @@ final case class ReplayInputPartition(
     shard: Int, from: Long, until: Long, aggregation: Int = 1,
     mergeAtMicros: Option[Long] = None,
     hconf: Broadcast[SerializableHadoopConf] =
-      SerializableHadoopConf.broadcastFromActiveSession())
+      SerializableHadoopConf.broadcastFromActiveSession(),
+    dataPlaneUrl: Option[String] = None)
   extends InputPartition
 
 object ReplayReaderFactory extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[ReplayInputPartition]
-    new ReplayPartitionReader(p)
+    if (p.dataPlaneUrl.isDefined) new DataPlanePartitionReader(p)
+    else new ReplayPartitionReader(p)
   }
+}
+
+/** Executor-side data-plane reader: pages the assigned range
+  * [from, until) from the record service in bounded chunks — the
+  * GetRecords client shape (bounded pages resumed by position, no local
+  * file access, one reader per shard range). The envelope construction is
+  * byte-identical to the file reader's, so the two backends are
+  * interchangeable behind the same offsets.
+  */
+final class DataPlanePartitionReader(p: ReplayInputPartition)
+    extends PartitionReader[InternalRow] {
+  private val PageSize = 1000
+  private var pos = p.from - 1
+  private var page: Seq[ControlPlane.WireRecord] = Nil
+  private var pageIdx = -1
+
+  override def next(): Boolean = {
+    pos += 1
+    if (pos >= p.until) return false
+    pageIdx += 1
+    if (pageIdx >= page.length) {
+      page = ControlPlane.fetchRecords(
+        p.dataPlaneUrl.get, p.shard, pos, p.until, PageSize)
+      require(page.nonEmpty,
+        s"data plane returned no records for shard ${p.shard} " +
+          s"range [$pos, ${p.until}) — service and offsets disagree")
+      pageIdx = 0
+    }
+    require(page(pageIdx).pos == pos,
+      s"data plane returned position ${page(pageIdx).pos}, expected $pos")
+    true
+  }
+
+  override def get(): InternalRow = {
+    val r = page(pageIdx)
+    InternalRow(
+      UTF8String.fromString(r.key),
+      r.payload,
+      UTF8String.fromString("%020d".format(pos / p.aggregation)),
+      pos % p.aggregation,
+      UTF8String.fromString("shardId-%012d".format(p.shard)),
+      r.tsMicros)
+  }
+
+  override def close(): Unit = ()
 }
 
 final class ReplayPartitionReader(p: ReplayInputPartition)

@@ -29,7 +29,8 @@ final case class ConsumerConfig(
     deliveryMode: String = "at_least_once",
     aggregation: Int = 1,
     mergeAtMs: Option[Long] = None,
-    controlPlaneUrl: Option[String] = None)
+    controlPlaneUrl: Option[String] = None,
+    dataPlaneUrl: Option[String] = None)
 
 object ConsumerConfig {
   /** Config-map parsing mirroring the reference's HOCON keys
@@ -48,7 +49,8 @@ object ConsumerConfig {
       m.getOrElse("delivery-mode", "at_least_once").replace('-', '_'),
     aggregation = m.get("aggregation").map(_.toInt).getOrElse(1),
     mergeAtMs = m.get("merge-at-ms").map(_.toLong),
-    controlPlaneUrl = m.get("control-plane-url"))
+    controlPlaneUrl = m.get("control-plane-url"),
+    dataPlaneUrl = m.get("data-plane-url"))
 
   /** HOCON-text parsing — reference parity for the `Config`-taking
     * `ConsumerConfig.fromConfig` (reference: Consumer.scala:113-184), which
@@ -140,6 +142,7 @@ object Consumer {
       r = r.option("aggregation", config.aggregation)
     config.mergeAtMs.foreach(t => r = r.option("mergeAtMs", t))
     config.controlPlaneUrl.foreach(u => r = r.option("controlPlaneUrl", u))
+    config.dataPlaneUrl.foreach(u => r = r.option("dataPlaneUrl", u))
     r.load().as[Record]
   }
 

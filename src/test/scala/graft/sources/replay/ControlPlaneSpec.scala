@@ -36,10 +36,42 @@ class ControlPlaneSpec extends SparkSpec with BeforeAndAfterAll {
       exchange.getResponseBody.write(body)
       exchange.close()
     })
+    // The data plane: serves record pages for the layout the CURRENT
+    // topology describes (the service owns both views, like a real
+    // stream backend).
+    srv.createContext("/records", exchange => {
+      val params = exchange.getRequestURI.getQuery.split("&")
+        .map(_.split("=", 2)).map(a => a(0) -> a(1)).toMap
+      val t = ControlPlane.parse(topology.get())
+      val layout = ShardStore.shards(eventsPath, t.numShards,
+        t.reshardAtMs.map(_ * 1000L), t.mergeAtMs.map(_ * 1000L))
+      val shard = params("shard").toInt
+      val from = params("from").toLong
+      val to = math.min(params("to").toLong,
+        from + params("limit").toLong)
+      val body = (from until math.min(to, layout(shard).length.toLong))
+        .map { pos =>
+          val ev = layout(shard)(pos.toInt)
+          s"$pos\t${ev.tsMicros}\t${ev.userId}\t" +
+            java.util.Base64.getEncoder.encodeToString(
+              ev.payloadJson.getBytes("UTF-8"))
+        }.mkString("\n").getBytes("UTF-8")
+      exchange.sendResponseHeaders(200, if (body.isEmpty) -1 else body.length)
+      if (body.nonEmpty) exchange.getResponseBody.write(body)
+      exchange.close()
+    })
     srv.start()
     srv
   }
   private def url = s"http://127.0.0.1:${server.getAddress.getPort}/topology"
+  private def dataUrl = s"http://127.0.0.1:${server.getAddress.getPort}/records"
+
+  /** Publish a topology with per-shard counts (the DescribeStream view). */
+  private def publish(numShards: Int, reshardAtMs: Option[Long],
+      counts: Seq[Long]): Unit =
+    topology.set(s"numShards=$numShards\n" +
+      reshardAtMs.map(t => s"reshardAtMs=$t\n").getOrElse("") +
+      s"counts=${counts.mkString(",")}")
 
   override def afterAll(): Unit = {
     server.stop(0)
@@ -137,6 +169,73 @@ class ControlPlaneSpec extends SparkSpec with BeforeAndAfterAll {
       .map { case (sid, n) => sid.stripPrefix("shardId-").toInt -> n }.toMap
     assert(got === want.filter(_._2 > 0),
       "discovered-reshard delivery must tile exactly like the scripted one")
+  }
+
+  private def fileLayout = ShardStore.shards(eventsPath, 4)
+
+  test("batch read over the data plane equals the file-backed read byte-for-byte") {
+    publish(4, None, fileLayout.map(_.length.toLong).toSeq)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("key"), col("data").cast("string"),
+          col("sequenceNumber"), col("subSequenceNumber"), col("shardId"),
+          col("approximateArrivalTimestamp").cast("long"))
+        .as[(String, String, String, Long, String, Long)]
+        .collect().toSet
+    val viaService = spark.read.format("sharded-replay")
+      .option("path", eventsPath)
+      .option("controlPlaneUrl", url).option("dataPlaneUrl", dataUrl).load()
+    val viaFile = spark.read.format("sharded-replay")
+      .option("path", eventsPath).option("shards", 4).load()
+    assert(rows(viaService) === rows(viaFile),
+      "wire-fetched envelopes must be identical to file-read ones")
+  }
+
+  test("streaming over the data plane drains exactly-once under admission control") {
+    publish(4, None, fileLayout.map(_.length.toLong).toSeq)
+    val ds = Consumer.source(ConsumerConfig(
+      streamPath = eventsPath, numShards = 4,
+      maxRecordsPerTrigger = Some(300),
+      controlPlaneUrl = Some(url), dataPlaneUrl = Some(dataUrl)))
+    val q = ds.writeStream
+      .format("memory").queryName("dp_drain")
+      .option("checkpointLocation", tmpDir("ckpt_dp"))
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val got = spark.table("dp_drain")
+    assert(got.count() === nEvents)
+    assert(got.select("key").distinct().count() ===
+      graft.Tables.events(spark, sf).select("user_id").distinct().count())
+    assert(q.recentProgress.length > 1, "several admission-bounded batches")
+  }
+
+  test("live tail: the stream follows the service's growing counts") {
+    val full = fileLayout.map(_.length.toLong).toSeq
+    val half = full.map(_ / 2)
+    publish(4, None, half)
+    val ds = Consumer.source(ConsumerConfig(
+      streamPath = eventsPath, numShards = 4,
+      maxRecordsPerTrigger = Some(200),
+      controlPlaneUrl = Some(url), dataPlaneUrl = Some(dataUrl)))
+    val q = ds.writeStream
+      .format("memory").queryName("dp_tail")
+      .option("checkpointLocation", tmpDir("ckpt_dp_tail"))
+      .trigger(Trigger.ProcessingTime(50)).start()
+    try {
+      val deadline = System.nanoTime() + 120L * 1000 * 1000 * 1000
+      def count: Long = spark.table("dp_tail").count()
+      // Drain what the service admits to having...
+      while (count < half.sum && System.nanoTime() < deadline)
+        Thread.sleep(100)
+      assert(count === half.sum, s"should idle at the served frontier, got $count")
+      Thread.sleep(500) // a few idle triggers: must NOT run past the frontier
+      assert(count === half.sum, "the source must not invent records")
+      // ...then the stream grows server-side and the tail follows.
+      publish(4, None, full)
+      while (count < full.sum && System.nanoTime() < deadline)
+        Thread.sleep(100)
+      assert(count === full.sum, s"tail must catch up, got $count of ${full.sum}")
+    } finally q.stop()
+    assert(spark.table("dp_tail").count() === nEvents)
   }
 
   test("restart revalidates the DISCOVERED instant like a configured one") {
