@@ -101,4 +101,28 @@ object ControlPlane {
         java.util.Base64.getDecoder.decode(f(3)))
     }.toSeq
   }
+
+  /** Fetch this worker's lease assignment: the shard subset it owns —
+    * the consumer-group seam (KCL's DynamoDB lease table,
+    * StreamScheduler.scala:61-97). Answer: `shards=0,2,...`. Assignments
+    * must be DISJOINT across workers and STABLE for a checkpoint's
+    * lifetime: each worker checkpoints only its own progress, so a
+    * mid-checkpoint rebalance would need the shared-offset coordination
+    * this engine deliberately leaves to the service (SURVEY §7).
+    */
+  def fetchLease(url: String): Set[Int] = {
+    val conn = new java.net.URI(url).toURL.openConnection()
+    conn.setConnectTimeout(5000)
+    conn.setReadTimeout(5000)
+    val in = conn.getInputStream
+    val text =
+      try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
+      finally in.close()
+    val line = text.linesIterator.map(_.trim)
+      .find(_.startsWith("shards=")).getOrElse(
+        sys.error(s"lease answer lacks a shards= line: $text"))
+    val body = line.stripPrefix("shards=").trim
+    if (body.isEmpty) Set.empty
+    else body.split(",").iterator.map(_.trim.toInt).toSet
+  }
 }

@@ -104,7 +104,8 @@ final case class ReplayConfig(
     aggregation: Int = 1,
     mergeAtMicros: Option[Long] = None,
     controlPlaneUrl: Option[String] = None,
-    dataPlaneUrl: Option[String] = None) {
+    dataPlaneUrl: Option[String] = None,
+    leaseUrl: Option[String] = None) {
   require(reshardAtMicros.isEmpty || mergeAtMicros.isEmpty,
     "reshardAtMs (split) and mergeAtMs are mutually exclusive")
   require(dataPlaneUrl.isEmpty || controlPlaneUrl.isDefined,
@@ -181,7 +182,8 @@ object ReplayConfig {
       mergeAtMicros =
         Option(o.get("mergeAtMs")).map(_.toLong * 1000L),
       controlPlaneUrl = Option(o.get("controlPlaneUrl")),
-      dataPlaneUrl = Option(o.get("dataPlaneUrl")))
+      dataPlaneUrl = Option(o.get("dataPlaneUrl")),
+      leaseUrl = Option(o.get("leaseUrl")))
   }
 }
 
@@ -439,6 +441,24 @@ final class ShardedReplayMicroBatchStream(
   private def counts: Array[Long] =
     serviceCounts.getOrElse(shards.map(_.length.toLong))
 
+  /** This worker's lease: the shard subset it advances (None = owns the
+    * whole stream). Fetched ONCE per stream lifetime — assignments must
+    * stay stable for a checkpoint (see [[ControlPlane.fetchLease]]); a
+    * reshard keeps families together, enforced below.
+    */
+  private lazy val owned: Option[Set[Int]] = eff.leaseUrl.map { u =>
+    val o = ControlPlane.fetchLease(u)
+    // A reshard family (parents + their children) must live in ONE
+    // worker's lease: a child owned without its parents could never see
+    // their seals commit (they live in another worker's checkpoint).
+    (eff.numShards until eff.universeSize).foreach { child =>
+      require(o.contains(child) == eff.parentsOf(child).forall(o.contains),
+        s"lease must assign shard families together: child $child with " +
+          s"parents ${eff.parentsOf(child)} vs assignment $o")
+    }
+    o
+  }
+
   // Trigger.AvailableNow: snapshot the frontier once; per-batch read limits
   // still apply, so the drain takes several admission-bounded batches.
   @volatile private var availableNowCap: Option[Array[Long]] = None
@@ -505,6 +525,16 @@ final class ShardedReplayMicroBatchStream(
     // seal in a COMMITTED offset — child data lands in strictly later
     // batches than the last parent batch, never beside it.
     val eligible = AdmissionPlanner.gate(cur, frontier, eff.parentsOf)
+    // Lease restriction: shards this worker does not own never advance —
+    // their committed positions stay wherever the checkpoint has them,
+    // and the owning worker's checkpoint tracks their real progress.
+    for (o <- owned) {
+      var i = 0
+      while (i < eligible.length) {
+        if (!o.contains(i)) eligible(i) = cur(i)
+        i += 1
+      }
+    }
     val adv = limit match {
       case _: ReadAllAvailable => AdmissionPlanner.advance(cur, eligible, None)
       case r: ReadMaxRows => AdmissionPlanner.advance(cur, eligible, Some(r.maxRows()))

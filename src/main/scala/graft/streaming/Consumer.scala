@@ -30,7 +30,8 @@ final case class ConsumerConfig(
     aggregation: Int = 1,
     mergeAtMs: Option[Long] = None,
     controlPlaneUrl: Option[String] = None,
-    dataPlaneUrl: Option[String] = None)
+    dataPlaneUrl: Option[String] = None,
+    leaseUrl: Option[String] = None)
 
 object ConsumerConfig {
   /** Config-map parsing mirroring the reference's HOCON keys
@@ -50,7 +51,8 @@ object ConsumerConfig {
     aggregation = m.get("aggregation").map(_.toInt).getOrElse(1),
     mergeAtMs = m.get("merge-at-ms").map(_.toLong),
     controlPlaneUrl = m.get("control-plane-url"),
-    dataPlaneUrl = m.get("data-plane-url"))
+    dataPlaneUrl = m.get("data-plane-url"),
+    leaseUrl = m.get("lease-url"))
 
   /** HOCON-text parsing — reference parity for the `Config`-taking
     * `ConsumerConfig.fromConfig` (reference: Consumer.scala:113-184), which
@@ -143,6 +145,7 @@ object Consumer {
     config.mergeAtMs.foreach(t => r = r.option("mergeAtMs", t))
     config.controlPlaneUrl.foreach(u => r = r.option("controlPlaneUrl", u))
     config.dataPlaneUrl.foreach(u => r = r.option("dataPlaneUrl", u))
+    config.leaseUrl.foreach(u => r = r.option("leaseUrl", u))
     r.load().as[Record]
   }
 

@@ -60,11 +60,26 @@ class ControlPlaneSpec extends SparkSpec with BeforeAndAfterAll {
       if (body.nonEmpty) exchange.getResponseBody.write(body)
       exchange.close()
     })
+    // The lease table: worker → owned shard subset (disjoint, together
+    // covering the stream — KCL's DynamoDB coordination, service-side).
+    srv.createContext("/lease", exchange => {
+      val worker = exchange.getRequestURI.getQuery.stripPrefix("worker=")
+      val body = (worker match {
+        case "a" => "shards=0,1"
+        case "b" => "shards=2,3"
+        case w => s"# unknown worker $w\nshards="
+      }).getBytes("UTF-8")
+      exchange.sendResponseHeaders(200, body.length)
+      exchange.getResponseBody.write(body)
+      exchange.close()
+    })
     srv.start()
     srv
   }
   private def url = s"http://127.0.0.1:${server.getAddress.getPort}/topology"
   private def dataUrl = s"http://127.0.0.1:${server.getAddress.getPort}/records"
+  private def leaseUrl(worker: String) =
+    s"http://127.0.0.1:${server.getAddress.getPort}/lease?worker=$worker"
 
   /** Publish a topology with per-shard counts (the DescribeStream view). */
   private def publish(numShards: Int, reshardAtMs: Option[Long],
@@ -236,6 +251,35 @@ class ControlPlaneSpec extends SparkSpec with BeforeAndAfterAll {
       assert(count === full.sum, s"tail must catch up, got $count of ${full.sum}")
     } finally q.stop()
     assert(spark.table("dp_tail").count() === nEvents)
+  }
+
+  test("two leased workers tile the stream: disjoint shards, union exactly-once") {
+    publish(4, None, fileLayout.map(_.length.toLong).toSeq)
+    def runWorker(worker: String, sink: String): Unit = {
+      val q = Consumer.source(ConsumerConfig(
+          streamPath = eventsPath, numShards = 4,
+          maxRecordsPerTrigger = Some(300),
+          leaseUrl = Some(leaseUrl(worker))))
+        .writeStream.format("memory").queryName(sink)
+        .option("checkpointLocation", tmpDir(s"ckpt_lease_$worker"))
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(120000)
+    }
+    // Concurrent consumer group: both workers run side by side, each
+    // draining only its lease.
+    val ta = new Thread(() => runWorker("a", "lease_a"))
+    val tb = new Thread(() => runWorker("b", "lease_b"))
+    ta.start(); tb.start(); ta.join(150000); tb.join(150000)
+    val a = spark.table("lease_a")
+    val b = spark.table("lease_b")
+    val shardsA = a.select("shardId").distinct().as[String].collect()
+      .map(_.stripPrefix("shardId-").toInt).toSet
+    val shardsB = b.select("shardId").distinct().as[String].collect()
+      .map(_.stripPrefix("shardId-").toInt).toSet
+    assert(shardsA === Set(0, 1), s"worker a must only consume its lease: $shardsA")
+    assert(shardsB === Set(2, 3), s"worker b must only consume its lease: $shardsB")
+    assert(a.count() + b.count() === nEvents,
+      "the group's union must be the whole stream, exactly once")
   }
 
   test("restart revalidates the DISCOVERED instant like a configured one") {
