@@ -59,6 +59,13 @@ object Native {
       },
       "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_l2dist",
+      exprs => {
+        require(exprs.length == 2, "graft_l2dist(a, b) takes two arrays")
+        L2SquaredDist(exprs.head, exprs(1))
+      },
+      "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_doti",
       exprs => {
         require(exprs.length == 2, "graft_doti(a, b) takes two bigint arrays")

@@ -125,6 +125,14 @@ object TextFunctions {
   def nfc(s: Column): Column =
     call_function("graft_nfc", s)
 
+  /** Squared L2 distance Σ(aᵢ−bᵢ)² of two float/double vectors — native
+    * codegen'd [[L2SquaredDist]] kernel (requires [[Native.register]]).
+    * Double left-to-right accumulation, bitwise identical to the oracle's
+    * `list_sum(list_transform(range(...), (a[k]-b[k])^2))` form.
+    */
+  def l2dist(a: Column, b: Column): Column =
+    call_function("graft_l2dist", a, b)
+
   /** Exact BIGINT dot product of two array<long> vectors — native
     * [[DotProductInt]] kernel; the ADC-style scorer over [[quantize8]]
     * output (integer algebra: bit-stable under any summation order).

@@ -216,3 +216,91 @@ final case class DotProductInt(left: Expression, right: Expression)
       newLeft: Expression, newRight: Expression): DotProductInt =
     copy(left = newLeft, right = newRight)
 }
+
+/** Squared L2 distance Σ(aᵢ−bᵢ)² between two float/double vectors in one
+  * compiled pass — the subvector-distance kernel of the product-quantization
+  * path (codebook assignment and the ADC lookup table both score slices
+  * against centroids; a `zip_with`+`aggregate` HOF chain here would be
+  * interpreted per element, the measured ~10x pitfall).
+  *
+  * Numeric contract (oracle parity): each element widens exactly to double,
+  * each difference/square/accumulate is one correctly-rounded IEEE op,
+  * accumulation left-to-right — bitwise identical to DuckDB's
+  * `list_sum(list_transform(range(...), k -> (a[k]::DOUBLE - b[k]::DOUBLE)^2))`.
+  * Folds over the common prefix (the [[DotProductInt]] contract); a null
+  * element poisons the result to null.
+  */
+final case class L2SquaredDist(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+
+  private def elemIsFloat(e: Expression): Boolean =
+    e.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  private def mayHaveNullElements: Boolean =
+    left.dataType.asInstanceOf[ArrayType].containsNull ||
+      right.dataType.asInstanceOf[ArrayType].containsNull
+
+  override def nullable: Boolean = super.nullable || mayHaveNullElements
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def ok(e: Expression) = e.dataType match {
+      case ArrayType(FloatType | DoubleType, _) => true
+      case _ => false
+    }
+    if (ok(left) && ok(right)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_l2dist expects array<float>/array<double>, got " +
+        s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
+  }
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val (lf, rf) = (elemIsFloat(left), elemIsFloat(right))
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      val xv = if (lf) x.getFloat(i).toDouble else x.getDouble(i)
+      val yv = if (rf) y.getFloat(i).toDouble else y.getDouble(i)
+      val d = xv - yv
+      s += d * d
+      i += 1
+    }
+    java.lang.Double.valueOf(s)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val s = ctx.freshName("s")
+      val d = ctx.freshName("d")
+      def getter(isFloat: Boolean, arr: String, idx: String): String =
+        if (isFloat) s"(double) $arr.getFloat($idx)" else s"$arr.getDouble($idx)"
+      val nullCheck =
+        if (mayHaveNullElements)
+          s"if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }"
+        else ""
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $nullCheck
+         |  double $d = ${getter(elemIsFloat(left), a, s"$i")}
+         |    - ${getter(elemIsFloat(right), b, s"$i")};
+         |  $s += $d * $d;
+         |}
+         |if (!${ev.isNull}) {
+         |  ${ev.value} = $s;
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): L2SquaredDist =
+    copy(left = newLeft, right = newRight)
+}

@@ -1460,7 +1460,67 @@ object Analytics {
        FROM l WHERE s_lag IS NOT NULL
        GROUP BY event_type ORDER BY event_type"""
 
+  /** Exponentially time-decayed per-key total with a one-day half-life,
+    * in exact scaled-integer algebra: each value contributes
+    * cents · 2^(maxAgeDays − age) — weight halves per day of age, ages
+    * capped at `maxAgeDays` (older events all get scaled weight 1; at
+    * 2^−20 of full weight they are decay-negligible anyway). The
+    * recency-weighted score behind "trending now" rankings and
+    * freshness-weighted quality rollups.
+    *
+    * Cross-engine exactness: values are floored to integer cents, the
+    * reference date is the corpus max DATE, weights are BIGINT powers
+    * of two (shift arithmetic), so `decayed_x` — the total scaled by
+    * 2^maxAgeDays — is an exact BIGINT on both engines; no float sum
+    * ever happens. `decayed_units` descales by an integer shift-divide
+    * (exact for the nonnegative values this operates on; sign-split
+    * first if a use case needs negative values). Bound:
+    * Σ cents·2^maxAgeDays must stay < 2^63 — with default cap 20 that
+    * allows ~10¹² cent-value mass per key.
+    *
+    * Scale: one broadcast single-row max (the q88 discipline) + ONE
+    * hash aggregation with map-side partials; no window, no sort.
+    */
+  def decayedSum(df: DataFrame, keyCol: String, tsCol: String,
+      valueCol: String, maxAgeDays: Int = 20): DataFrame = {
+    require(maxAgeDays >= 1 && maxAgeDays <= 40, "cap must be in [1, 40]")
+    val ref = df.agg(max(to_date(col(tsCol))).as("ref_date"))
+    df.select(col(keyCol), to_date(col(tsCol)).as("dte"),
+        floor(col(valueCol) * 100).cast("long").as("cents"))
+      .crossJoin(broadcast(ref))
+      .select(col(keyCol), col("cents"),
+        least(datediff(col("ref_date"), col("dte")), lit(maxAgeDays))
+          .as("age"))
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n_events"),
+        sum(expr(s"cents * shiftleft(1L, cast($maxAgeDays - age AS INT))"))
+          .as("decayed_x"))
+      .select(col(keyCol), col("n_events"), col("decayed_x"),
+        expr(s"decayed_x div ${1L << maxAgeDays}L").as("decayed_units"))
+  }
+
+  // ---- q197: recency-weighted per-user activity score -------------------------
+  // One-day half-life over the events month: the "active right now"
+  // ranking signal, exact to the bit on both engines.
+  private def q197(s: SparkSession, d: String): DataFrame =
+    decayedSum(Tables.events(s, d), "user_id", "ts", "value")
+      .orderBy(col("user_id"))
+  private val q197Sql =
+    """WITH ref AS (
+         SELECT max((ts::TIMESTAMP)::DATE) AS ref_date FROM events),
+       e AS (
+         SELECT user_id, floor(value * 100)::BIGINT AS cents,
+           least(date_diff('day', (ts::TIMESTAMP)::DATE, ref_date), 20)
+             AS age
+         FROM events, ref)
+       SELECT user_id, count(*)::BIGINT AS n_events,
+         sum(cents * (1::BIGINT << (20 - age)))::BIGINT AS decayed_x,
+         (sum(cents * (1::BIGINT << (20 - age))) // 1048576)::BIGINT
+           AS decayed_units
+       FROM e GROUP BY user_id ORDER BY user_id"""
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q197_decayed_score", q197, Some(q197Sql)),
     QueryDef("q46_posexplode", q46, Some(q46Sql)),
     QueryDef("q47_percentiles", q47, Some(q47Sql)),
     QueryDef("q57_approx_percentile", q57, Some(q57Sql)),

@@ -1528,6 +1528,162 @@ object Profile {
          FROM documents GROUP BY lang) t
        ORDER BY lang"""
 
+  /** Mann–Whitney U (Wilcoxon rank-sum): does `valueCol` stochastically
+    * dominate between the two classes selected by `isClassA`, per group?
+    * The nonparametric A/B read on skewed metrics where a t-test's
+    * normality assumption is garbage — THE comparison a curation pipeline
+    * runs on quality scores between two sources.
+    *
+    * Exact integer rank algebra (the q153 discipline): ties get midranks,
+    * kept integral by carrying DOUBLED ranks — rank2 = 2·rank_min +
+    * (ties − 1), where rank_min is SQL `rank()` and ties the count of
+    * equal values in the group. Then 2·U₁ = Σ_A rank2 − n₁(n₁+1) and the
+    * common-language effect size (= P(a > b) + ½P(a = b), the ROC AUC of
+    * the class label) is U₁/(n₁n₂), floored to micro-units — every
+    * quantity BIGINT until that one division, so both engines agree
+    * bitwise. Bound: rank sums ≤ 2n² keep 10⁶-scaling inside BIGINT for
+    * groups up to ~3·10⁶ rows; per-group ranking runs, not corpus-wide.
+    *
+    * Scale: one window (rank + tie count share a single partition-sort of
+    * (group, value)) and one hash aggregation — no pair join, unlike the
+    * O(n²) concordance counter; group cardinality partitions the work.
+    */
+  def mannWhitneyU(df: DataFrame, groupCol: String, valueCol: String,
+      isClassA: Column, isClassB: Column): DataFrame = {
+    val base = df.filter(isClassA || isClassB)
+      .select(col(groupCol).as("g"), col(valueCol).as("v"),
+        isClassA.as("is_a"))
+    val w = Window.partitionBy(col("g")).orderBy(col("v"))
+    val tiew = Window.partitionBy(col("g"), col("v"))
+    val ranked = base.select(col("g"), col("is_a"),
+      (lit(2L) * rank().over(w) + count(lit(1)).over(tiew) - 1L)
+        .as("rank2"))
+    ranked.groupBy(col("g"))
+      .agg(count(when(col("is_a"), 1)).as("n_a"),
+        count(when(!col("is_a"), 1)).as("n_b"),
+        sum(when(col("is_a"), col("rank2"))).as("r_a2"))
+      .filter(col("n_a") > 0 && col("n_b") > 0)
+      .select(col("g").as(groupCol), col("n_a"), col("n_b"),
+        (col("r_a2") - col("n_a") * (col("n_a") + 1L)).as("u2"),
+        expr("(r_a2 - n_a * (n_a + 1L)) * 1000000L div (2L * n_a * n_b)")
+          .as("auc_micro"))
+  }
+
+  // ---- q194: rank-sum test of order value across order status -----------------
+  // Per priority class: do still-open orders ('O') carry systematically
+  // larger totals than fulfilled ones ('F')? auc_micro near 500000 ⇒ no
+  // shift.
+  private def q194(s: SparkSession, d: String): DataFrame =
+    mannWhitneyU(Tables.orders(s, d), "o_orderpriority", "o_totalprice",
+      col("o_orderstatus") === "O", col("o_orderstatus") === "F")
+      .orderBy(col("o_orderpriority"))
+  private val q194Sql =
+    """WITH base AS (
+         SELECT o_orderpriority AS g, o_totalprice AS v,
+           (o_orderstatus = 'O') AS is_a
+         FROM orders WHERE o_orderstatus IN ('O', 'F')),
+       ranked AS (
+         SELECT g, is_a,
+           2 * rank() OVER (PARTITION BY g ORDER BY v)
+             + count(*) OVER (PARTITION BY g, v) - 1 AS rank2
+         FROM base),
+       agg AS (
+         SELECT g, count(*) FILTER (WHERE is_a)::BIGINT AS n_a,
+           count(*) FILTER (WHERE NOT is_a)::BIGINT AS n_b,
+           sum(rank2) FILTER (WHERE is_a)::BIGINT AS r_a2
+         FROM ranked GROUP BY g)
+       SELECT g AS o_orderpriority, n_a, n_b,
+         (r_a2 - n_a * (n_a + 1))::BIGINT AS u2,
+         ((r_a2 - n_a * (n_a + 1)) * 1000000 // (2 * n_a * n_b))::BIGINT
+           AS auc_micro
+       FROM agg WHERE n_a > 0 AND n_b > 0
+       ORDER BY o_orderpriority"""
+
+  /** Spearman rank correlation per group: Pearson correlation of the two
+    * variables' midranks — the monotone-association measure that ignores
+    * each variable's scale entirely (q48's moment correlation is its
+    * parametric sibling; q153's Kendall tau its O(n²) cousin — this one
+    * is the O(n log n) form that survives corpus-scale groups).
+    *
+    * Ties: midranks via the same doubled-rank trick as [[mannWhitneyU]];
+    * Pearson on integer rank2s clears every denominator —
+    *   ρ = (n·Σxy − Σx·Σy) / (√(n·Σx² − (Σx)²) · √(n·Σy² − (Σy)²))
+    * with all five sums exact BIGINT (bound: 4n⁴ < 2⁵³ keeps the
+    * numerator exactly double-representable for groups to ~6·10³ rows —
+    * per-group runs). The final value follows the q153 tau convention:
+    * one double division (sqrt/multiply/divide are correctly-rounded
+    * single IEEE ops — identical on any libm, unlike ln/pow) then the
+    * binary-deterministic floor(x·10⁶ + 0.5)/10⁶. NOT floor-of-integer-
+    * sqrt-product: floor(√A·√A) lands on A−1 whenever the rounded
+    * product dips below A, which would report ρ > 1 for perfectly
+    * monotone groups.
+    *
+    * Scale: two single-partition-column windows + one hash aggregation;
+    * no pair join, map-side partials on every sum.
+    */
+  def spearmanRho(df: DataFrame, groupCol: String, xCol: Column,
+      yCol: Column): DataFrame = {
+    val base = df.select(col(groupCol).as("g"), xCol.as("x"), yCol.as("y"))
+    val wx = Window.partitionBy(col("g")).orderBy(col("x"))
+    val tx = Window.partitionBy(col("g"), col("x"))
+    val wy = Window.partitionBy(col("g")).orderBy(col("y"))
+    val ty = Window.partitionBy(col("g"), col("y"))
+    val ranked = base.select(col("g"),
+      (lit(2L) * rank().over(wx) + count(lit(1)).over(tx) - 1L).as("rx"),
+      (lit(2L) * rank().over(wy) + count(lit(1)).over(ty) - 1L).as("ry"))
+    ranked.groupBy(col("g"))
+      .agg(count(lit(1)).as("n"), sum(col("rx")).as("sx"),
+        sum(col("ry")).as("sy"), sum(col("rx") * col("rx")).as("sxx"),
+        sum(col("ry") * col("ry")).as("syy"),
+        sum(col("rx") * col("ry")).as("sxy"))
+      .select(col("g").as(groupCol), col("n"),
+        when(col("n") < 2
+            || col("n") * col("sxx") === col("sx") * col("sx")
+            || col("n") * col("syy") === col("sy") * col("sy"),
+          lit(null).cast("double"))
+          .otherwise(floor(
+            (col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
+              / (sqrt((col("n") * col("sxx") - col("sx") * col("sx"))
+                  .cast("double"))
+                * sqrt((col("n") * col("syy") - col("sy") * col("sy"))
+                  .cast("double")))
+              * lit(1e6) + lit(0.5)) / lit(1e6))
+          .as("rho"))
+  }
+
+  // ---- q195: monotone association between part price and size -----------------
+  // Per brand: does retail price move monotonically with size? p_size is
+  // a small-integer domain, so the tied-midrank path is exercised on
+  // every group.
+  private def q195(s: SparkSession, d: String): DataFrame =
+    spearmanRho(Tables.part(s, d), "p_brand", col("p_retailprice"),
+        col("p_size"))
+      .orderBy(col("p_brand"))
+  private val q195Sql =
+    """WITH base AS (
+         SELECT p_brand AS g, p_retailprice AS x, p_size AS y
+         FROM part),
+       ranked AS (
+         SELECT g,
+           2 * rank() OVER (PARTITION BY g ORDER BY x)
+             + count(*) OVER (PARTITION BY g, x) - 1 AS rx,
+           2 * rank() OVER (PARTITION BY g ORDER BY y)
+             + count(*) OVER (PARTITION BY g, y) - 1 AS ry
+         FROM base),
+       agg AS (
+         SELECT g, count(*)::BIGINT AS n, sum(rx)::BIGINT AS sx,
+           sum(ry)::BIGINT AS sy, sum(rx * rx)::BIGINT AS sxx,
+           sum(ry * ry)::BIGINT AS syy, sum(rx * ry)::BIGINT AS sxy
+         FROM ranked GROUP BY g)
+       SELECT g AS p_brand, n,
+         CASE WHEN n < 2 OR n * sxx = sx * sx OR n * syy = sy * sy
+           THEN NULL
+           ELSE floor((n * sxy - sx * sy)::DOUBLE
+             / (sqrt((n * sxx - sx * sx)::DOUBLE)
+               * sqrt((n * syy - sy * sy)::DOUBLE)) * 1e6 + 0.5) / 1e6
+           END AS rho
+       FROM agg ORDER BY p_brand"""
+
   // ---- q187: per-user event-mix concentration ---------------------------------
   private def q187(s: SparkSession, d: String): DataFrame =
     simpsonConcentration(Tables.events(s, d), "user_id", "event_type")
@@ -1544,6 +1700,8 @@ object Profile {
        FROM c GROUP BY user_id ORDER BY user_id"""
 
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q194_mann_whitney", q194, Some(q194Sql)),
+    QueryDef("q195_spearman", q195, Some(q195Sql)),
     QueryDef("q187_simpson", q187, Some(q187Sql)),
     QueryDef("q188_fleiss_kappa", q188, Some(q188Sql)),
     QueryDef("q193_wilson_ci", q193, Some(q193Sql)),

@@ -172,6 +172,82 @@ object Similarity {
     rankTopK(scored, k)
   }
 
+  /** Product-quantization (PQ) approximate top-k with asymmetric distance
+    * computation (ADC) — the memory-side ANN lever, complementing IVF's
+    * compute-side bucketing: the corpus is compressed to `numSub` one-byte
+    * codes per vector (each subvector replaced by the id of its nearest
+    * per-subspace centroid), and queries score candidates by summing
+    * per-subspace distances to the CODES' centroids from a per-query
+    * lookup table — never touching the original corpus floats again. At
+    * 100 TB this is the difference between scanning 256 B/vector and
+    * 4 B/vector; composability with IVF (probe buckets, then ADC-score
+    * inside them) is the standard billion-scale layout (IVFADC).
+    *
+    * Codebook: seed vectors' subspace slices (the [[ivfTopK]] seeding
+    * discipline — deterministic, oracle-reproducible; k-means refinement
+    * would change only the codebook input, not the shape). Assignment is
+    * the same max(struct(−d², −cid)) argmin-with-tiebreak as [[ivfAssign]]
+    * — hash aggregation with map-side partials, no window sort.
+    *
+    * Cross-engine determinism: subspace distances go through the codegen'd
+    * [[graft.functions.L2SquaredDist]] kernel (left-to-right double fold,
+    * bitwise equal to the oracle's list_sum form), and the ADC sum adds
+    * the `numSub` LUT entries in FIXED subspace order (d0+d1+…, one join
+    * per subspace on both engines) — never a hash-aggregation float sum,
+    * whose partial order would be partitioning-dependent.
+    *
+    * Scale shape: codes are one broadcast(codebook) probe of the corpus
+    * (map-side argmin partials); the LUT is |Q|·numSub·k rows, broadcast;
+    * scoring joins the 4-byte-code corpus against the LUT and ranks
+    * through the bounded heap — k rows per query per map partial cross
+    * the wire, and the corpus floats are read exactly once (at encoding).
+    */
+  def pqTopK(corpus: DataFrame, seeds: DataFrame, queryFilter: Column,
+      idCol: String, vecCol: String, k: Int, numSub: Int,
+      subDim: Int): DataFrame = {
+    import graft.functions.TextFunctions.l2dist
+    val session = corpus.sparkSession
+    val subs = session.range(numSub).select(col("id").cast("int").as("sub"))
+    def subSlice(vec: Column): Column =
+      slice(vec, col("sub") * subDim + 1, lit(subDim))
+    val cb = broadcast(
+      seeds.select(col(idCol).cast("long").as("cid"), col(vecCol).as("sv"))
+        .crossJoin(broadcast(subs))
+        .select(col("sub"), col("cid"), subSlice(col("sv")).as("cvec")))
+    val base = corpus.select(col(idCol).cast("long").as("id"),
+      col(vecCol).as("v"))
+    val codes = base.crossJoin(cb)
+      .select(col("id"), col("sub"),
+        struct((-l2dist(subSlice(col("v")), col("cvec"))).as("nd"),
+          (-col("cid")).as("nc")).as("cand"))
+      .groupBy(col("id"), col("sub"))
+      .agg(max(col("cand")).as("best"))
+      .select(col("id"), col("sub"), (-col("best.nc")).as("cid"))
+    val wideAggs = (0 until numSub).map(si =>
+      max(when(col("sub") === si, col("cid"))).as(s"c$si"))
+    val codesWide = codes.groupBy(col("id"))
+      .agg(wideAggs.head, wideAggs.tail: _*)
+    val queries = corpus.filter(queryFilter)
+      .select(col(idCol).cast("long").as("query_id"), col(vecCol).as("qv"))
+    val lut = queries.crossJoin(cb)
+      .select(col("query_id"), col("sub"), col("cid"),
+        l2dist(subSlice(col("qv")), col("cvec")).as("d2"))
+    var scored = codesWide.withColumnRenamed("id", "neighbor_id")
+      .crossJoin(broadcast(queries.select(col("query_id"))))
+      .filter(col("neighbor_id") =!= col("query_id"))
+    for (si <- 0 until numSub) {
+      val l = lut.filter(col("sub") === si)
+        .select(col("query_id"), col("cid").as(s"c$si"),
+          col("d2").as(s"d$si"))
+      scored = scored.join(broadcast(l), Seq("query_id", s"c$si"))
+    }
+    val adc = (0 until numSub).map(si => col(s"d$si")).reduce(_ + _)
+    rankTopK(scored.select(col("query_id"), col("neighbor_id"),
+        (-adc).as("c")), k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        (round(-col("cos_sim"), 6) + lit(0.0)).as("adc_dist"))
+  }
+
   /** Exact top-k by EUCLIDEAN distance — the metric used when embedding
     * magnitudes carry meaning (cosine discards them). Composed entirely
     * from the existing codegen'd kernels:
@@ -551,6 +627,102 @@ object Similarity {
          round(d2, 6) + 0.0 AS dist_sq
        FROM ranked WHERE rank <= $TopK ORDER BY query_id, rank"""
 
+  // ---- q196: PQ-ADC recall vs exact euclidean ---------------------------------
+  // The PQ acceptance report (the q174 discipline applied to product
+  // quantization): how much of the exact L2 top-k survives 4x16-dim
+  // codebook compression + ADC scoring.
+  private val NumSub = 4
+  private val SubDim = 16
+  private def q196(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+    recallReport(
+        bruteTopKEuclidean(e.filter(col("vec_id") < NumQueries), e,
+          "vec_id", "embedding", TopK),
+        pqTopK(e, e.filter(col("vec_id") < NumSeeds),
+          col("vec_id") < NumQueries, "vec_id", "embedding", TopK,
+          NumSub, SubDim))
+      .orderBy(col("query_id"))
+  }
+  // The oracle mirrors the engine stage-for-stage: same codebook, same
+  // argmin tiebreak, same per-subspace distance FP path (elementwise
+  // (a-b)*(a-b) double fold), and the ADC sum joins the LUT once per
+  // subspace so the addition order is the fixed d0+d1+d2+d3 on both
+  // engines (never an aggregation-ordered float sum).
+  private val q196Sql =
+    s"""WITH subs AS (SELECT unnest(range(0, $NumSub)) AS sub),
+       cb AS (
+         SELECT subs.sub, s.vec_id AS cid, s.embedding AS sv
+         FROM embeddings s, subs WHERE s.vec_id < $NumSeeds),
+       cd AS (
+         SELECT a.vec_id AS id, c.sub, c.cid,
+           list_sum(list_transform(range(1, ${SubDim + 1}),
+             k -> (a.embedding[c.sub*$SubDim+k]::DOUBLE
+                     - c.sv[c.sub*$SubDim+k]::DOUBLE)
+                * (a.embedding[c.sub*$SubDim+k]::DOUBLE
+                     - c.sv[c.sub*$SubDim+k]::DOUBLE))) AS d2
+         FROM embeddings a, cb c),
+       codes AS (
+         SELECT id, sub, cid FROM (
+           SELECT id, sub, cid, row_number() OVER (
+             PARTITION BY id, sub ORDER BY d2, cid) AS rn
+           FROM cd) t WHERE rn = 1),
+       cw AS (
+         SELECT id,
+           max(CASE WHEN sub = 0 THEN cid END) AS c0,
+           max(CASE WHEN sub = 1 THEN cid END) AS c1,
+           max(CASE WHEN sub = 2 THEN cid END) AS c2,
+           max(CASE WHEN sub = 3 THEN cid END) AS c3
+         FROM codes GROUP BY id),
+       lut AS (
+         SELECT q.vec_id AS query_id, c.sub, c.cid,
+           list_sum(list_transform(range(1, ${SubDim + 1}),
+             k -> (q.embedding[c.sub*$SubDim+k]::DOUBLE
+                     - c.sv[c.sub*$SubDim+k]::DOUBLE)
+                * (q.embedding[c.sub*$SubDim+k]::DOUBLE
+                     - c.sv[c.sub*$SubDim+k]::DOUBLE))) AS d2
+         FROM embeddings q, cb c WHERE q.vec_id < $NumQueries),
+       adcs AS (
+         SELECT l0.query_id, w.id AS neighbor_id,
+           l0.d2 + l1.d2 + l2.d2 + l3.d2 AS adc
+         FROM cw w
+         JOIN lut l0 ON l0.sub = 0 AND l0.cid = w.c0
+         JOIN lut l1 ON l1.sub = 1 AND l1.cid = w.c1
+           AND l1.query_id = l0.query_id
+         JOIN lut l2 ON l2.sub = 2 AND l2.cid = w.c2
+           AND l2.query_id = l0.query_id
+         JOIN lut l3 ON l3.sub = 3 AND l3.cid = w.c3
+           AND l3.query_id = l0.query_id
+         WHERE w.id != l0.query_id),
+       aq AS (
+         SELECT query_id, neighbor_id FROM (
+           SELECT query_id, neighbor_id, row_number() OVER (
+             PARTITION BY query_id ORDER BY -adc DESC, neighbor_id) AS rank
+           FROM adcs) t WHERE rank <= $TopK),
+       norms AS (
+         SELECT vec_id, embedding,
+           list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE)) AS l2
+         FROM embeddings),
+       sims_e AS (
+         SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+           q.l2 + n.l2 - 2 *
+             (list_sum(list_transform(range(1, len(q.embedding) + 1),
+               k -> q.embedding[k]::DOUBLE * n.embedding[k]::DOUBLE))
+              / (sqrt(q.l2) * sqrt(n.l2)))
+             * sqrt(q.l2 * n.l2) AS d2
+         FROM norms q JOIN norms n ON q.vec_id != n.vec_id
+         WHERE q.vec_id < $NumQueries),
+       ex AS (
+         SELECT query_id, neighbor_id FROM (
+           SELECT query_id, neighbor_id, row_number() OVER (
+             PARTITION BY query_id ORDER BY -d2 DESC, neighbor_id) AS rank
+           FROM sims_e) t WHERE rank <= $TopK)
+       SELECT e.query_id, count(*)::BIGINT AS n_exact,
+         count(a.neighbor_id)::BIGINT AS n_hit,
+         round(count(a.neighbor_id)::DOUBLE / count(*), 6) AS recall
+       FROM ex e LEFT JOIN aq a
+         ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+       GROUP BY e.query_id ORDER BY e.query_id"""
+
   /** 4 planes → 16 buckets: ~30 candidates per probe at fixture scale. */
   private val NumPlanes = 4
 
@@ -866,5 +1038,6 @@ object Similarity {
     QueryDef("q86_ann_ivf_multiprobe", q86, Some(q86Sql)),
     QueryDef("q112_euclidean_topk", q112, Some(q112Sql)),
     QueryDef("q114_mips_topk", q114, Some(q114Sql)),
+    QueryDef("q196_pq_adc_recall", q196, Some(q196Sql)),
     QueryDef("q39_ann_lsh", q39, Some(q39Sql)))
 }

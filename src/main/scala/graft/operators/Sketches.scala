@@ -84,6 +84,74 @@ object Sketches {
       .agg(min(coalesce(col("c"), lit(0L))).as("n_cms"))
       .select(col("k").as(keyCol), col("n_cms"))
 
+  /** Bloom-filter bit set of a key column: the distinct bit positions lit
+    * by `numHashes` polynomial hashes of each distinct key over an
+    * `mBits`-position filter — the engine's portable twin of the runtime
+    * bloom join filter (RuntimeFilterSpec pins Spark's own): same
+    * Mersenne-prime hash family as [[cmsCells]], so the bit set is
+    * bit-identical on any engine/partitioning and UNION-mergeable
+    * (bits(A ∪ B) = bits(A) ∪ bits(B) — distinct-of-union of the bit
+    * relations, spec'd). The relation IS the filter: ≤ mBits rows cross
+    * the wire regardless of corpus size, built with map-side distinct
+    * partials.
+    */
+  def bloomBits(df: DataFrame, keyCol: String, numHashes: Int,
+      mBits: Int): DataFrame = {
+    require(numHashes >= 1 && mBits >= 2, "need numHashes >= 1, mBits >= 2")
+    df.select(col(keyCol).cast("long").as("k")).distinct()
+      .select(col("k"), explode(sequence(lit(0), lit(numHashes - 1))).as("d"))
+      .select(expr(
+        s"(((${aExpr("d")}) * ($ktExpr) + (${bExpr("d")})) % ${P}L) % $mBits")
+        .as("bit"))
+      .distinct()
+  }
+
+  /** One-row Bloom membership audit: probe every `probes` key against the
+    * `members` Bloom filter and score the outcome against exact
+    * membership — the acceptance report for sizing (m, k) before
+    * shipping the filter into a semi-join. Guarantees surfaced as
+    * columns: `n_missed` MUST be 0 (a Bloom filter has no false
+    * negatives — spec-pinned), and `fpr_micro` is the measured false-
+    * positive rate over the true non-members, the number the
+    * (m, k)-sizing formula predicts.
+    *
+    * Scale: the filter is a ≤ mBits-row broadcast; probes hash map-side
+    * and the hit count per key partial-aggregates below the exchange;
+    * the exact-membership comparison is a broadcast left-semi shape on
+    * distinct keys. All counts exact BIGINT; the one division is the
+    * final micro floor.
+    */
+  def bloomAudit(members: DataFrame, probes: DataFrame, keyCol: String,
+      numHashes: Int, mBits: Int): DataFrame = {
+    val bits = bloomBits(members, keyCol, numHashes, mBits)
+    val mem = members.select(col(keyCol).cast("long").as("k")).distinct()
+    val pr = probes.select(col(keyCol).cast("long").as("k")).distinct()
+    val flagged = pr
+      .select(col("k"), explode(sequence(lit(0), lit(numHashes - 1))).as("d"))
+      .select(col("k"), expr(
+        s"(((${aExpr("d")}) * ($ktExpr) + (${bExpr("d")})) % ${P}L) % $mBits")
+        .as("bit"))
+      .join(broadcast(bits), Seq("bit"))
+      .groupBy(col("k")).agg(count(lit(1)).as("hits"))
+      .filter(col("hits") === numHashes)
+      .select(col("k"), lit(1).as("f"))
+    pr.join(flagged, Seq("k"), "left")
+      .join(mem.withColumn("m", lit(1)), Seq("k"), "left")
+      .agg(count(lit(1)).as("n_probes"),
+        count(col("m")).as("n_members"),
+        count(col("f")).as("n_flagged"),
+        count(when(col("f").isNotNull && col("m").isNull, 1))
+          .as("n_false_pos"),
+        count(when(col("f").isNull && col("m").isNotNull, 1))
+          .as("n_missed"))
+      .crossJoin(broadcast(bits.agg(count(lit(1)).as("n_bits_set"))))
+      .select(col("n_bits_set"), col("n_probes"), col("n_members"),
+        col("n_flagged"), col("n_false_pos"), col("n_missed"),
+        when(col("n_probes") > col("n_members"),
+          expr("n_false_pos * 1000000L div (n_probes - n_members)"))
+          .otherwise(lit(0L)).as("fpr_micro"))
+  }
+
   /** HyperLogLog registers over a key column: `(j, mj)` for m registers,
     * mj = max over observed keys of ρ(hash suffix) (0 for never-hit
     * registers — every register row is emitted, so the estimate sees
@@ -280,6 +348,55 @@ object Sketches {
          ((join_est - n_exact) * 1000000 // n_exact)::BIGINT AS over_micro
        FROM ex CROSS JOIN est"""
 
+  // ---- q198: Bloom membership audit of early customers ------------------------
+  // The filter-sizing acceptance run: customers with a first-month order
+  // become the member set; every customer is probed. n_missed must be 0
+  // (no false negatives); fpr_micro is what (m, k) sizing predicts.
+  private val BloomK = 3
+  private val BloomM = 8192
+  private def q198(s: SparkSession, d: String): DataFrame =
+    bloomAudit(
+      Tables.orders(s, d)
+        .filter(col("o_orderdate") < lit("1995-02-01").cast("timestamp"))
+        .select(col("o_custkey").as("cust")),
+      Tables.customer(s, d).select(col("c_custkey").as("cust")),
+      "cust", BloomK, BloomM)
+  private def q198Sql =
+    s"""WITH mem AS (
+         SELECT DISTINCT o_custkey AS k FROM orders
+         WHERE o_orderdate < TIMESTAMP '1995-02-01'),
+       pr AS (SELECT DISTINCT c_custkey AS k FROM customer),
+       ds AS (SELECT unnest(range(0, $BloomK)) AS d),
+       bits AS (
+         SELECT DISTINCT ((((${aSql("d")}) * ($ktSql) + (${bSql("d")}))
+           % 2147483647) % $BloomM) AS bit
+         FROM mem, ds),
+       pbits AS (
+         SELECT k, ((((${aSql("d")}) * ($ktSql) + (${bSql("d")}))
+           % 2147483647) % $BloomM) AS bit
+         FROM pr, ds),
+       flagged AS (
+         SELECT k FROM (
+           SELECT p.k, count(b.bit)::BIGINT AS hits
+           FROM pbits p LEFT JOIN bits b ON p.bit = b.bit
+           GROUP BY p.k) t
+         WHERE hits = $BloomK),
+       audit AS (
+         SELECT p.k, (f.k IS NOT NULL) AS fl, (m.k IS NOT NULL) AS mm
+         FROM pr p LEFT JOIN flagged f ON p.k = f.k
+           LEFT JOIN mem m ON p.k = m.k)
+       SELECT (SELECT count(*) FROM bits)::BIGINT AS n_bits_set,
+         count(*)::BIGINT AS n_probes,
+         count(*) FILTER (WHERE mm)::BIGINT AS n_members,
+         count(*) FILTER (WHERE fl)::BIGINT AS n_flagged,
+         count(*) FILTER (WHERE fl AND NOT mm)::BIGINT AS n_false_pos,
+         count(*) FILTER (WHERE mm AND NOT fl)::BIGINT AS n_missed,
+         CASE WHEN count(*) > count(*) FILTER (WHERE mm)
+           THEN (count(*) FILTER (WHERE fl AND NOT mm) * 1000000
+             // (count(*) - count(*) FILTER (WHERE mm)))::BIGINT
+           ELSE 0 END AS fpr_micro
+       FROM audit"""
+
   /** Per-group HLL registers: `(group, j, mj)` with the full m-register
     * spine emitted for EVERY group (a group × register cross of two tiny
     * relations), so estimates and merges see empty registers. The point
@@ -465,5 +582,6 @@ object Sketches {
     QueryDef("q168_hll_distinct", q168, Some(q168Sql)),
     QueryDef("q181_hll_by_group", q181, Some(q181Sql)),
     QueryDef("q190_cms_join_size", q190, Some(q190Sql)),
+    QueryDef("q198_bloom_audit", q198, Some(q198Sql)),
     QueryDef("q192_sliding_distinct", q192, Some(q192Sql)))
 }

@@ -67,4 +67,28 @@ class VectorOpsSpec extends SparkSpec {
     assert(evalL2 === viaPlan.getDouble(0))
     assert(evalQ8.toSeq === viaPlan.getSeq[Long](1))
   }
+
+  test("l2dist matches hand-worked distances and the HOF fold bitwise") {
+    val got = Seq((Seq(1.0d, 2.0d, 3.0d), Seq(4.0d, 0.0d, 3.0d)))
+      .toDF("a", "b").select(l2dist($"a", $"b")).as[Double].head()
+    assert(got === 13.0) // 9 + 4 + 0
+    // Bitwise vs the interpreted zip_with+aggregate reference on floats.
+    val f = Seq((Seq(0.1f, -0.3f, 0.7f), Seq(0.2f, 0.5f, -0.4f)))
+      .toDF("a", "b")
+    val viaKernel = f.select(l2dist($"a", $"b")).as[Double].head()
+    val viaHof = f.select(aggregate(
+        zip_with($"a".cast("array<double>"), $"b".cast("array<double>"),
+          (x, y) => (x - y) * (x - y)),
+        lit(0.0), (acc, v) => acc + v)).as[Double].head()
+    assert(viaKernel === viaHof)
+  }
+
+  test("l2dist folds the common prefix; a null element poisons to null") {
+    val prefix = Seq((Seq(1.0d, 2.0d, 9.0d), Seq(0.0d, 0.0d)))
+      .toDF("a", "b").select(l2dist($"a", $"b")).as[Double].head()
+    assert(prefix === 5.0) // third element ignored
+    val nul = Seq((Seq[java.lang.Double](1.0, null), Seq[java.lang.Double](0.0, 0.0)))
+      .toDF("a", "b").select(l2dist($"a", $"b")).head()
+    assert(nul.isNullAt(0))
+  }
 }

@@ -309,4 +309,19 @@ class AnalyticsSpec extends SparkSpec {
       .orderBy($"k").as[(String, Long, Double)].collect()
     assert(got === Array(("alt", 9L, -1.0), ("up", 9L, 1.0)))
   }
+
+  test("decayedSum halves weight per day, caps age, stays exact BIGINT") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val e = Seq(
+      // key 1: 1.00 today + 2.00 yesterday -> 100*2^20 + 200*2^19
+      (1L, ts("2024-01-30 12:00:00"), 1.0),
+      (1L, ts("2024-01-29 23:59:59"), 2.0),
+      // key 2: a 40-day-old event must cap at age 20 (scaled weight 1)
+      (2L, ts("2023-12-21 00:00:00"), 3.0))
+      .toDF("k", "ts", "v")
+    val got = Analytics.decayedSum(e, "k", "ts", "v")
+      .orderBy($"k").as[(Long, Long, Long, Long)].collect()
+    assert(got(0) === ((1L, 2L, 100L * 1048576L + 200L * 524288L, 200L)))
+    assert(got(1) === ((2L, 1L, 300L, 0L)))
+  }
 }

@@ -460,4 +460,45 @@ class ProfileSpec extends SparkSpec {
       .as[(Long, Long, Long, Long)].head()
     assert(got === ((3L, 444444L, 506172L, -125000L)))
   }
+
+  test("mannWhitneyU matches hand-worked rank sums, midranks for ties") {
+    import org.apache.spark.sql.functions.lit
+    // Complete separation: A={3,5} all above B={1,2} -> U1=n1*n2, AUC=1.
+    val sep = Seq((1L, 3.0, "a"), (1L, 5.0, "a"), (1L, 1.0, "b"),
+      (1L, 2.0, "b")).toDF("g", "v", "cls")
+    val s = Profile.mannWhitneyU(sep, "g", "v",
+      col("cls") === "a", col("cls") === "b")
+      .as[(Long, Long, Long, Long, Long)].head()
+    assert(s === ((1L, 2L, 2L, 8L, 1000000L)))
+    // Tie across classes: A={2}, B={1,2} -> U1 = 1.5 (2U1 = 3),
+    // AUC = 1.5/2 = 0.75 — midrank 2.5 carried as doubled rank 5.
+    val tied = Seq((1L, 2.0, "a"), (1L, 1.0, "b"), (1L, 2.0, "b"))
+      .toDF("g", "v", "cls")
+    val t = Profile.mannWhitneyU(tied, "g", "v",
+      col("cls") === "a", col("cls") === "b")
+      .as[(Long, Long, Long, Long, Long)].head()
+    assert(t === ((1L, 1L, 2L, 3L, 750000L)))
+    // A group with only one class present is dropped, not divided by 0.
+    val one = Seq((1L, 2.0, "a")).toDF("g", "v", "cls")
+    assert(Profile.mannWhitneyU(one, "g", "v",
+      col("cls") === "a", col("cls") === "b").count() === 0L)
+  }
+
+  test("spearmanRho is ±1 on monotone data, 0 crossed, null degenerate") {
+    val df = Seq(
+      // g=1 perfectly increasing, g=2 perfectly decreasing
+      (1L, 1.0, 10L), (1L, 2.0, 20L), (1L, 3.0, 30L),
+      (2L, 1.0, 30L), (2L, 2.0, 20L), (2L, 3.0, 10L),
+      // g=3: symmetric cross -> rho = 0
+      (3L, 1.0, 10L), (3L, 1.0, 20L), (3L, 2.0, 10L), (3L, 2.0, 20L),
+      // g=4: x constant -> null (zero variance)
+      (4L, 5.0, 1L), (4L, 5.0, 2L))
+      .toDF("g", "x", "y")
+    val got = Profile.spearmanRho(df, "g", col("x"), col("y"))
+      .orderBy("g").as[(Long, Long, Option[Double])].collect()
+    assert(got(0) === ((1L, 3L, Some(1.0))))
+    assert(got(1) === ((2L, 3L, Some(-1.0))))
+    assert(got(2) === ((3L, 4L, Some(0.0))))
+    assert(got(3) === ((4L, 2L, None)))
+  }
 }

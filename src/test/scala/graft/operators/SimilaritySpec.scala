@@ -132,4 +132,33 @@ class SimilaritySpec extends SparkSpec {
       .as[(Long, Int, Long, Long, Long)].collect()
     assert(got === Array((7L, 1, 3L, 1L, 16393442L)))
   }
+
+  test("pqTopK reconstructs exactly when the corpus IS the codebook") {
+    // Every vector's subvectors appear verbatim among the seed slices, so
+    // encoding is lossless and ADC distance equals the true squared L2 —
+    // hand-worked: d²(q, id1)=1, d²(q, id2)=250, d²(q, id3)=261.
+    // Also pins the argmin tiebreak: id0 and id1 share the (0,0) sub0
+    // slice; both must take the LOWEST cid (0), which the ADC LUT then
+    // scores identically.
+    val corpus = Seq(
+      (0L, Seq(0f, 0f, 10f, 10f)),
+      (1L, Seq(0f, 0f, 10f, 11f)),
+      (2L, Seq(5f, 5f, 0f, 0f)),
+      (3L, Seq(5f, 6f, 0f, 0f)))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.pqTopK(corpus, corpus, col("vec_id") === 0L,
+        "vec_id", "embedding", k = 3, numSub = 2, subDim = 2)
+      .orderBy("rank")
+      .as[(Long, Int, Long, Double)].collect()
+    assert(got === Array(
+      (0L, 1, 1L, 1.0), (0L, 2, 2L, 250.0), (0L, 3, 3L, 261.0)))
+    // Lossless codes => ADC ranking reproduces the exact L2 ranking.
+    val recall = Similarity.recallReport(
+        Similarity.bruteTopKEuclidean(corpus.filter(col("vec_id") === 0L),
+          corpus, "vec_id", "embedding", 3),
+        Similarity.pqTopK(corpus, corpus, col("vec_id") === 0L,
+          "vec_id", "embedding", 3, 2, 2))
+      .select($"recall").as[Double].head()
+    assert(recall === 1.0)
+  }
 }

@@ -139,4 +139,30 @@ class SketchesSpec extends SparkSpec {
       assert(err < 600000L, s"register-merged estimate way off: $err")
     }
   }
+
+  test("bloomAudit never misses a member and measures false positives") {
+    val members = (1L to 50L).toDF("k")
+    val probes = (1L to 500L).toDF("k")
+    val got = Sketches.bloomAudit(members, probes, "k",
+        numHashes = 3, mBits = 256)
+      .as[(Long, Long, Long, Long, Long, Long, Long)].head()
+    val (bits, nProbes, nMembers, nFlagged, nFalse, nMissed, fpr) = got
+    assert(nMissed === 0L, "a Bloom filter must have no false negatives")
+    assert(nProbes === 500L && nMembers === 50L)
+    assert(nFlagged === nMembers + nFalse)
+    assert(bits > 0L && bits <= 150L) // <= k * |members|, dedup'd
+    assert(fpr === nFalse * 1000000L / (nProbes - nMembers))
+    // 256 bits at ~44% fill, k=3: expect a visibly nonzero FPR.
+    assert(nFalse > 0L)
+  }
+
+  test("bloomBits of a union is the union of the bit sets (mergeable)") {
+    val a = (1L to 40L).toDF("k")
+    val b = (30L to 80L).toDF("k")
+    val merged = Sketches.bloomBits(a.union(b), "k", 3, 512)
+    val unioned = Sketches.bloomBits(a, "k", 3, 512)
+      .union(Sketches.bloomBits(b, "k", 3, 512)).distinct()
+    assert(merged.exceptAll(unioned).count() === 0L)
+    assert(unioned.exceptAll(merged).count() === 0L)
+  }
 }
