@@ -39,6 +39,73 @@ object PipelineOps {
   // Library API
   // ===========================================================================
 
+  /** Row type for the per-key quota heap: best = highest score, ties to
+    * the lowest id. */
+  final case class QuotaDoc(g: String, score: Long, id: Long)
+  private val quotaOrd: Ordering[QuotaDoc] = new Ordering[QuotaDoc] {
+    override def compare(x: QuotaDoc, y: QuotaDoc): Int = {
+      val c = java.lang.Long.compare(y.score, x.score)
+      if (c != 0) c else java.lang.Long.compare(x.id, y.id)
+    }
+  }
+
+  /** Per-key quota cap — "at most `cap` documents per domain/source, keep
+    * the best" — the anti-domination rule every web-scale corpus applies
+    * so one crawl-happy domain cannot own the training mixture. Emits the
+    * per-key audit (docs seen / kept / dropped, score mass kept vs total)
+    * rather than the kept rows; compose with a semi-join on the kept ids
+    * to materialize the capped corpus.
+    *
+    * Scale: ranking rides [[TypedAggs.BoundedTopK]] — each map partition
+    * reduces to ≤ cap rows per key BEFORE the exchange, so the shuffle
+    * carries ~cap·|keys| rows however hot a domain is (a window
+    * row_number — the oracle's formulation — would shuffle and sort every
+    * row of every hot key); totals partial-aggregate in the same pass
+    * shape. The heap tie-break (score desc, id asc) matches the oracle's
+    * ORDER BY exactly, so kept sets are identical, not just same-sized.
+    */
+  def sourceQuota(df: DataFrame, keyCol: String, scoreCol: String,
+      idCol: String, cap: Int): DataFrame = {
+    require(cap >= 1, "cap must be >= 1")
+    val session = df.sparkSession
+    import session.implicits._
+    val rows = df.select(col(keyCol).cast("string").as("g"),
+        col(scoreCol).cast("long").as("score"),
+        col(idCol).cast("long").as("id"))
+      .as[QuotaDoc]
+    val top = new TypedAggs.BoundedTopK[QuotaDoc](cap, quotaOrd).toColumn
+    val kept = rows.groupByKey(_.g).agg(top.name("top"))
+      .flatMap { case (_, ks) => ks }
+    val keptAgg = kept.groupBy(col("g"))
+      .agg(count(lit(1)).as("n_kept"), sum(col("score")).as("score_kept"))
+    val totals = rows.groupBy(col("g"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("score")).as("score_total"))
+    totals.join(keptAgg, Seq("g"))
+      .select(col("g").as(keyCol), col("n_docs"), col("n_kept"),
+        (col("n_docs") - col("n_kept")).as("n_dropped"),
+        col("score_kept"), col("score_total"))
+  }
+
+  // ---- q201: per-source document quota ----------------------------------------
+  // Cap every source at its 10 longest documents; the audit shows how
+  // much raw character mass the cap sheds per source.
+  private def q201(s: SparkSession, d: String): DataFrame =
+    sourceQuota(Tables.documents(s, d), "source", "n_chars", "doc_id",
+        cap = 10)
+      .orderBy(col("source"))
+  private val q201Sql =
+    """WITH ranked AS (
+         SELECT source, n_chars, doc_id,
+           row_number() OVER (PARTITION BY source
+             ORDER BY n_chars DESC, doc_id) AS rn
+         FROM documents)
+       SELECT source, count(*)::BIGINT AS n_docs,
+         count(*) FILTER (WHERE rn <= 10)::BIGINT AS n_kept,
+         count(*) FILTER (WHERE rn > 10)::BIGINT AS n_dropped,
+         sum(n_chars) FILTER (WHERE rn <= 10)::BIGINT AS score_kept,
+         sum(n_chars)::BIGINT AS score_total
+       FROM ranked GROUP BY source ORDER BY source"""
+
   /** Exact n-gram contamination check: for every (trainId, evalId) pair
     * sharing at least one distinct word n-gram, the number of shared
     * n-grams. `evalPred` splits the corpus (rows matching it are the
@@ -1616,6 +1683,7 @@ object PipelineOps {
     QueryDef("q44_kmeans_assign", q44, Some(q44Sql)),
     QueryDef("q45_repetition", q45, Some(q45Sql)),
     QueryDef("q54_pii_scrub", q54, Some(q54Sql)),
+    QueryDef("q201_source_quota", q201, Some(q201Sql)),
     QueryDef("q55_seq_packing", q55, Some(q55Sql)),
     QueryDef("q62_mixture_weights", q62, Some(q62Sql)),
     QueryDef("q173_temperature_mix", q173, Some(q173Sql)),

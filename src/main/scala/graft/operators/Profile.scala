@@ -1599,6 +1599,81 @@ object Profile {
        FROM agg WHERE n_a > 0 AND n_b > 0
        ORDER BY o_orderpriority"""
 
+  /** Two-sample Kolmogorov–Smirnov statistic per group: the maximum gap
+    * between the two classes' empirical CDFs — the distribution-SHAPE
+    * companion to [[mannWhitneyU]]'s location test (U can be ~0.5 while
+    * the variances differ wildly; KS catches that). The drift gate a
+    * pipeline runs between yesterday's and today's quality scores.
+    *
+    * Exact rational algebra: at each distinct value, the CDF gap is
+    * |c₁/n₁ − c₂/n₂| = |c₁·n₂ − c₂·n₁| / (n₁·n₂) — numerator and
+    * denominator exact BIGINT, so the max is found on integers and the
+    * single division is the final micro floor. (Evaluating gaps only AT
+    * distinct observed values is exact: the CDF difference is constant
+    * between observations.) Bound: c·n ≤ n² keeps 10⁶-scaling inside
+    * BIGINT to ~10⁶ rows per group.
+    *
+    * Scale: one (group, value) pre-collapse with map-side partials, one
+    * cumulative window over the collapsed relation (distinct values, not
+    * rows), one hash agg for the max. The totals join is |groups|-sized.
+    */
+  def ksTest(df: DataFrame, groupCol: String, valueCol: String,
+      isClassA: Column, isClassB: Column): DataFrame = {
+    val base = df.filter(isClassA || isClassB)
+      .select(col(groupCol).as("g"), col(valueCol).as("v"),
+        isClassA.as("is_a"))
+    val pv = base.groupBy(col("g"), col("v"))
+      .agg(count(when(col("is_a"), 1)).as("ca"),
+        count(when(!col("is_a"), 1)).as("cb"))
+    val w = Window.partitionBy(col("g")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = pv.select(col("g"), sum(col("ca")).over(w).as("c1"),
+      sum(col("cb")).over(w).as("c2"))
+    val tot = pv.groupBy(col("g"))
+      .agg(sum(col("ca")).as("n_a"), sum(col("cb")).as("n_b"))
+      .filter(col("n_a") > 0 && col("n_b") > 0)
+    cum.join(tot, Seq("g"))
+      .groupBy(col("g"), col("n_a"), col("n_b"))
+      .agg(max(abs(col("c1") * col("n_b") - col("c2") * col("n_a")))
+        .as("ks_num"))
+      .select(col("g").as(groupCol), col("n_a"), col("n_b"), col("ks_num"),
+        expr("ks_num * 1000000L div (n_a * n_b)").as("ks_micro"))
+  }
+
+  // ---- q199: KS distribution drift between order-status populations -----------
+  // The q194 pairing, shape edition: per priority, does the totalprice
+  // DISTRIBUTION differ between open and fulfilled orders?
+  private def q199(s: SparkSession, d: String): DataFrame =
+    ksTest(Tables.orders(s, d), "o_orderpriority", "o_totalprice",
+      col("o_orderstatus") === "O", col("o_orderstatus") === "F")
+      .orderBy(col("o_orderpriority"))
+  private val q199Sql =
+    """WITH base AS (
+         SELECT o_orderpriority AS g, o_totalprice AS v,
+           (o_orderstatus = 'O') AS is_a
+         FROM orders WHERE o_orderstatus IN ('O', 'F')),
+       pv AS (
+         SELECT g, v, count(*) FILTER (WHERE is_a)::BIGINT AS ca,
+           count(*) FILTER (WHERE NOT is_a)::BIGINT AS cb
+         FROM base GROUP BY g, v),
+       cum AS (
+         SELECT g,
+           sum(ca) OVER (PARTITION BY g ORDER BY v
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c1,
+           sum(cb) OVER (PARTITION BY g ORDER BY v
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c2
+         FROM pv),
+       tot AS (
+         SELECT g, sum(ca)::BIGINT AS n_a, sum(cb)::BIGINT AS n_b
+         FROM pv GROUP BY g HAVING sum(ca) > 0 AND sum(cb) > 0)
+       SELECT c.g AS o_orderpriority, t.n_a, t.n_b,
+         max(abs(c.c1 * t.n_b - c.c2 * t.n_a))::BIGINT AS ks_num,
+         (max(abs(c.c1 * t.n_b - c.c2 * t.n_a)) * 1000000
+           // (t.n_a * t.n_b))::BIGINT AS ks_micro
+       FROM cum c JOIN tot t ON c.g = t.g
+       GROUP BY c.g, t.n_a, t.n_b
+       ORDER BY o_orderpriority"""
+
   /** Spearman rank correlation per group: Pearson correlation of the two
     * variables' midranks — the monotone-association measure that ignores
     * each variable's scale entirely (q48's moment correlation is its
@@ -1702,6 +1777,7 @@ object Profile {
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q194_mann_whitney", q194, Some(q194Sql)),
     QueryDef("q195_spearman", q195, Some(q195Sql)),
+    QueryDef("q199_ks_test", q199, Some(q199Sql)),
     QueryDef("q187_simpson", q187, Some(q187Sql)),
     QueryDef("q188_fleiss_kappa", q188, Some(q188Sql)),
     QueryDef("q193_wilson_ci", q193, Some(q193Sql)),

@@ -202,39 +202,54 @@ object Similarity {
     * through the bounded heap — k rows per query per map partial cross
     * the wire, and the corpus floats are read exactly once (at encoding).
     */
-  def pqTopK(corpus: DataFrame, seeds: DataFrame, queryFilter: Column,
-      idCol: String, vecCol: String, k: Int, numSub: Int,
-      subDim: Int): DataFrame = {
-    import graft.functions.TextFunctions.l2dist
-    val session = corpus.sparkSession
-    val subs = session.range(numSub).select(col("id").cast("int").as("sub"))
-    def subSlice(vec: Column): Column =
-      slice(vec, col("sub") * subDim + 1, lit(subDim))
-    val cb = broadcast(
+  /** Subvector slice for the current `sub` column value. */
+  private def subSlice(vec: Column, subDim: Int): Column =
+    slice(vec, col("sub") * subDim + 1, lit(subDim))
+
+  /** PQ codebook: every seed's subspace slices, (sub, cid, cvec) —
+    * numSub·|seeds| rows, broadcast-ready.
+    */
+  private def pqCodebook(seeds: DataFrame, idCol: String, vecCol: String,
+      numSub: Int, subDim: Int): DataFrame = {
+    val subs = seeds.sparkSession.range(numSub)
+      .select(col("id").cast("int").as("sub"))
+    broadcast(
       seeds.select(col(idCol).cast("long").as("cid"), col(vecCol).as("sv"))
         .crossJoin(broadcast(subs))
-        .select(col("sub"), col("cid"), subSlice(col("sv")).as("cvec")))
-    val base = corpus.select(col(idCol).cast("long").as("id"),
-      col(vecCol).as("v"))
-    val codes = base.crossJoin(cb)
+        .select(col("sub"), col("cid"), subSlice(col("sv"), subDim).as("cvec")))
+  }
+
+  /** PQ encoding: one row per vector with its numSub centroid codes as
+    * wide columns c0..c(numSub−1) — the compressed corpus the ADC stage
+    * scores against. Argmin per (id, sub) via the [[ivfAssign]]
+    * max(struct) shape (map-side partials, ties to the lowest cid).
+    */
+  private def pqCodesWide(corpus: DataFrame, cb: DataFrame, idCol: String,
+      vecCol: String, numSub: Int, subDim: Int): DataFrame = {
+    import graft.functions.TextFunctions.l2dist
+    val codes = corpus
+      .select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
+      .crossJoin(cb)
       .select(col("id"), col("sub"),
-        struct((-l2dist(subSlice(col("v")), col("cvec"))).as("nd"),
+        struct((-l2dist(subSlice(col("v"), subDim), col("cvec"))).as("nd"),
           (-col("cid")).as("nc")).as("cand"))
       .groupBy(col("id"), col("sub"))
       .agg(max(col("cand")).as("best"))
       .select(col("id"), col("sub"), (-col("best.nc")).as("cid"))
     val wideAggs = (0 until numSub).map(si =>
       max(when(col("sub") === si, col("cid"))).as(s"c$si"))
-    val codesWide = codes.groupBy(col("id"))
-      .agg(wideAggs.head, wideAggs.tail: _*)
-    val queries = corpus.filter(queryFilter)
-      .select(col(idCol).cast("long").as("query_id"), col(vecCol).as("qv"))
-    val lut = queries.crossJoin(cb)
-      .select(col("query_id"), col("sub"), col("cid"),
-        l2dist(subSlice(col("qv")), col("cvec")).as("d2"))
-    var scored = codesWide.withColumnRenamed("id", "neighbor_id")
-      .crossJoin(broadcast(queries.select(col("query_id"))))
-      .filter(col("neighbor_id") =!= col("query_id"))
+    codes.groupBy(col("id")).agg(wideAggs.head, wideAggs.tail: _*)
+  }
+
+  /** ADC ranking of `candidates` (query_id, neighbor_id): look each
+    * neighbor's codes up in the per-query LUT — ONE join per subspace so
+    * the float additions happen in fixed subspace order on both engines —
+    * and rank ascending through the bounded heap.
+    */
+  private def adcRank(candidates: DataFrame, codesWide: DataFrame,
+      lut: DataFrame, k: Int, numSub: Int): DataFrame = {
+    var scored = candidates.join(
+      codesWide.withColumnRenamed("id", "neighbor_id"), Seq("neighbor_id"))
     for (si <- 0 until numSub) {
       val l = lut.filter(col("sub") === si)
         .select(col("query_id"), col("cid").as(s"c$si"),
@@ -246,6 +261,52 @@ object Similarity {
         (-adc).as("c")), k)
       .select(col("query_id"), col("rank"), col("neighbor_id"),
         (round(-col("cos_sim"), 6) + lit(0.0)).as("adc_dist"))
+  }
+
+  def pqTopK(corpus: DataFrame, seeds: DataFrame, queryFilter: Column,
+      idCol: String, vecCol: String, k: Int, numSub: Int,
+      subDim: Int): DataFrame = {
+    import graft.functions.TextFunctions.l2dist
+    val cb = pqCodebook(seeds, idCol, vecCol, numSub, subDim)
+    val codesWide = pqCodesWide(corpus, cb, idCol, vecCol, numSub, subDim)
+    val queries = corpus.filter(queryFilter)
+      .select(col(idCol).cast("long").as("query_id"), col(vecCol).as("qv"))
+    val lut = queries.crossJoin(cb)
+      .select(col("query_id"), col("sub"), col("cid"),
+        l2dist(subSlice(col("qv"), subDim), col("cvec")).as("d2"))
+    val candidates = codesWide.select(col("id").as("neighbor_id"))
+      .crossJoin(broadcast(queries.select(col("query_id"))))
+      .filter(col("neighbor_id") =!= col("query_id"))
+    adcRank(candidates, codesWide, lut, k, numSub)
+  }
+
+  /** IVFADC: the composed billion-scale ANN layout — IVF bucketing cuts
+    * the CANDIDATE SET to each query's own cluster (compute-side lever,
+    * [[ivfTopK]]), then PQ codes + an ADC lookup table score those
+    * candidates without touching corpus floats (memory-side lever,
+    * [[pqTopK]]). Corpus float reads: once for cluster assignment, once
+    * for encoding — both one-pass broadcast probes; the scoring stage
+    * moves only (cluster, code) integers and the per-query LUT.
+    */
+  def ivfAdcTopK(corpus: DataFrame, seeds: DataFrame, queryFilter: Column,
+      idCol: String, vecCol: String, k: Int, numSub: Int,
+      subDim: Int): DataFrame = {
+    import graft.functions.TextFunctions.l2dist
+    val assigned = ivfAssign(corpus, seeds, idCol, vecCol)
+    val cb = pqCodebook(seeds, idCol, vecCol, numSub, subDim)
+    val codesWide = pqCodesWide(corpus, cb, idCol, vecCol, numSub, subDim)
+    val queries = assigned.filter(queryFilter)
+      .select(col(idCol).cast("long").as("query_id"), col(vecCol).as("qv"),
+        col("cluster"))
+    val lut = queries.select(col("query_id"), col("qv")).crossJoin(cb)
+      .select(col("query_id"), col("sub"), col("cid"),
+        l2dist(subSlice(col("qv"), subDim), col("cvec")).as("d2"))
+    val candidates = broadcast(queries.select(col("query_id"), col("cluster")))
+      .join(assigned.select(col(idCol).cast("long").as("neighbor_id"),
+        col("cluster")), Seq("cluster"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"))
+    adcRank(candidates, codesWide, lut, k, numSub)
   }
 
   /** Exact top-k by EUCLIDEAN distance — the metric used when embedding
@@ -723,6 +784,85 @@ object Similarity {
          ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
        GROUP BY e.query_id ORDER BY e.query_id"""
 
+  // ---- q200: IVFADC — bucketed candidates, code-table scoring -----------------
+  private def q200(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+    ivfAdcTopK(e, e.filter(col("vec_id") < NumSeeds),
+        col("vec_id") < NumQueries, "vec_id", "embedding", TopK,
+        NumSub, SubDim)
+      .orderBy(col("query_id"), col("rank"))
+  }
+  private val q200Sql =
+    s"""WITH cos AS (
+         SELECT a.vec_id, s.vec_id AS seed_id,
+           list_sum(list_transform(range(1, len(a.embedding) + 1),
+             k -> a.embedding[k]::DOUBLE * s.embedding[k]::DOUBLE))
+           / (sqrt(list_sum(list_transform(a.embedding, x -> x::DOUBLE * x::DOUBLE)))
+              * sqrt(list_sum(list_transform(s.embedding, x -> x::DOUBLE * x::DOUBLE))))
+             AS sc
+         FROM embeddings a JOIN embeddings s ON s.vec_id < $NumSeeds),
+       assigned AS (
+         SELECT vec_id, seed_id AS cluster FROM (
+           SELECT *, row_number() OVER (PARTITION BY vec_id
+             ORDER BY sc DESC, seed_id) AS arn FROM cos) t
+         WHERE arn = 1),
+       subs AS (SELECT unnest(range(0, $NumSub)) AS sub),
+       cb AS (
+         SELECT subs.sub, s.vec_id AS cid, s.embedding AS sv
+         FROM embeddings s, subs WHERE s.vec_id < $NumSeeds),
+       cd AS (
+         SELECT a.vec_id AS id, c.sub, c.cid,
+           list_sum(list_transform(range(1, ${SubDim + 1}),
+             k -> (a.embedding[c.sub*$SubDim+k]::DOUBLE
+                     - c.sv[c.sub*$SubDim+k]::DOUBLE)
+                * (a.embedding[c.sub*$SubDim+k]::DOUBLE
+                     - c.sv[c.sub*$SubDim+k]::DOUBLE))) AS d2
+         FROM embeddings a, cb c),
+       codes AS (
+         SELECT id, sub, cid FROM (
+           SELECT id, sub, cid, row_number() OVER (
+             PARTITION BY id, sub ORDER BY d2, cid) AS rn
+           FROM cd) t WHERE rn = 1),
+       cw AS (
+         SELECT id,
+           max(CASE WHEN sub = 0 THEN cid END) AS c0,
+           max(CASE WHEN sub = 1 THEN cid END) AS c1,
+           max(CASE WHEN sub = 2 THEN cid END) AS c2,
+           max(CASE WHEN sub = 3 THEN cid END) AS c3
+         FROM codes GROUP BY id),
+       lut AS (
+         SELECT q.vec_id AS query_id, c.sub, c.cid,
+           list_sum(list_transform(range(1, ${SubDim + 1}),
+             k -> (q.embedding[c.sub*$SubDim+k]::DOUBLE
+                     - c.sv[c.sub*$SubDim+k]::DOUBLE)
+                * (q.embedding[c.sub*$SubDim+k]::DOUBLE
+                     - c.sv[c.sub*$SubDim+k]::DOUBLE))) AS d2
+         FROM embeddings q, cb c WHERE q.vec_id < $NumQueries),
+       cand AS (
+         SELECT qa.vec_id AS query_id, an.vec_id AS neighbor_id
+         FROM assigned qa JOIN assigned an
+           ON qa.cluster = an.cluster AND an.vec_id != qa.vec_id
+         WHERE qa.vec_id < $NumQueries),
+       adcs AS (
+         SELECT c.query_id, c.neighbor_id,
+           l0.d2 + l1.d2 + l2.d2 + l3.d2 AS adc
+         FROM cand c JOIN cw w ON w.id = c.neighbor_id
+         JOIN lut l0 ON l0.query_id = c.query_id
+           AND l0.sub = 0 AND l0.cid = w.c0
+         JOIN lut l1 ON l1.query_id = c.query_id
+           AND l1.sub = 1 AND l1.cid = w.c1
+         JOIN lut l2 ON l2.query_id = c.query_id
+           AND l2.sub = 2 AND l2.cid = w.c2
+         JOIN lut l3 ON l3.query_id = c.query_id
+           AND l3.sub = 3 AND l3.cid = w.c3)
+       SELECT query_id, rank::INT AS rank, neighbor_id,
+         round(adc, 6) + 0.0 AS adc_dist
+       FROM (
+         SELECT query_id, neighbor_id, adc, row_number() OVER (
+           PARTITION BY query_id ORDER BY -adc DESC, neighbor_id) AS rank
+         FROM adcs) t
+       WHERE rank <= $TopK ORDER BY query_id, rank"""
+
   /** 4 planes → 16 buckets: ~30 candidates per probe at fixture scale. */
   private val NumPlanes = 4
 
@@ -1039,5 +1179,6 @@ object Similarity {
     QueryDef("q112_euclidean_topk", q112, Some(q112Sql)),
     QueryDef("q114_mips_topk", q114, Some(q114Sql)),
     QueryDef("q196_pq_adc_recall", q196, Some(q196Sql)),
+    QueryDef("q200_ivfadc", q200, Some(q200Sql)),
     QueryDef("q39_ann_lsh", q39, Some(q39Sql)))
 }

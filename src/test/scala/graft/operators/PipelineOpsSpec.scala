@@ -450,4 +450,18 @@ class PipelineOpsSpec extends SparkSpec {
     // (cos ~ 0.707) below tau: reported, not flagged.
     assert(got === Array((1L, 10L, true), (2L, 12L, false)))
   }
+
+  test("sourceQuota keeps the best `cap` per key with the oracle tiebreak") {
+    val docs = Seq(
+      ("s1", 100L, 1L), ("s1", 50L, 3L), ("s1", 50L, 2L), ("s1", 10L, 4L),
+      ("s2", 7L, 9L))
+      .toDF("src", "chars", "id")
+    val got = PipelineOps.sourceQuota(docs, "src", "chars", "id", cap = 2)
+      .orderBy("src")
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+    // s1 keeps (100, id 1) and the 50-tie's LOWER id 2 -> 150 chars kept.
+    assert(got(0) === (("s1", 4L, 2L, 2L, 150L, 210L)))
+    // Below-cap keys keep everything.
+    assert(got(1) === (("s2", 1L, 1L, 0L, 7L, 7L)))
+  }
 }

@@ -484,6 +484,24 @@ class ProfileSpec extends SparkSpec {
       col("cls") === "a", col("cls") === "b").count() === 0L)
   }
 
+  test("ksTest finds full separation, zero for identical samples") {
+    // g=1: A={1,2} strictly below B={3,4} -> D = 1 (ks_micro 1e6).
+    // g=2: identical samples -> D = 0.
+    val df = Seq(
+      (1L, 1.0, "a"), (1L, 2.0, "a"), (1L, 3.0, "b"), (1L, 4.0, "b"),
+      (2L, 1.0, "a"), (2L, 2.0, "a"), (2L, 1.0, "b"), (2L, 2.0, "b"))
+      .toDF("g", "v", "cls")
+    val got = Profile.ksTest(df, "g", "v",
+        col("cls") === "a", col("cls") === "b")
+      .orderBy("g").as[(Long, Long, Long, Long, Long)].collect()
+    assert(got(0) === ((1L, 2L, 2L, 4L, 1000000L)))
+    assert(got(1) === ((2L, 2L, 2L, 0L, 0L)))
+    // One-class groups are dropped, not divided by zero.
+    val one = Seq((9L, 1.0, "a")).toDF("g", "v", "cls")
+    assert(Profile.ksTest(one, "g", "v",
+      col("cls") === "a", col("cls") === "b").count() === 0L)
+  }
+
   test("spearmanRho is ±1 on monotone data, 0 crossed, null degenerate") {
     val df = Seq(
       // g=1 perfectly increasing, g=2 perfectly decreasing

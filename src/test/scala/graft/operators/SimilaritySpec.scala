@@ -161,4 +161,21 @@ class SimilaritySpec extends SparkSpec {
       .select($"recall").as[Double].head()
     assert(recall === 1.0)
   }
+
+  test("ivfAdcTopK searches only the query's cluster, ADC-scored") {
+    // Seeds {0, 2} split the corpus into two cosine clusters: {0, 1}
+    // and {2, 3}. Query 0's only candidate is 1; its ADC distance is 0
+    // because id1's subvectors encode to id0's codebook slices.
+    val corpus = Seq(
+      (0L, Seq(0f, 0f, 10f, 10f)),
+      (1L, Seq(0f, 0f, 10f, 11f)),
+      (2L, Seq(5f, 5f, 0f, 0f)),
+      (3L, Seq(5f, 6f, 0f, 0f)))
+      .toDF("vec_id", "embedding")
+    val seeds = corpus.filter(col("vec_id").isin(0L, 2L))
+    val got = Similarity.ivfAdcTopK(corpus, seeds, col("vec_id") === 0L,
+        "vec_id", "embedding", k = 3, numSub = 2, subDim = 2)
+      .as[(Long, Int, Long, Double)].collect()
+    assert(got === Array((0L, 1, 1L, 0.0)))
+  }
 }
