@@ -1519,7 +1519,99 @@ object Analytics {
            AS decayed_units
        FROM e GROUP BY user_id ORDER BY user_id"""
 
+  /** Single change-point detection per key (binary segmentation, first
+    * split): the boundary that maximizes the between-segment variance
+    * gain n₁n₂(μ₁−μ₂)²/n of the daily series — "WHEN did this metric
+    * move", completing [[cusumDrift]]'s "did it move". Iterating on the
+    * two halves gives full binary segmentation; one split is the
+    * alarm-triage shape.
+    *
+    * Determinism: daily sums are exact BIGINT cents; the prefix
+    * difference d₁ = S₁·n₂ − S₂·n₁ is exact BIGINT and (for the
+    * documented n·Σcents < 2⁵³ domain) exactly double-representable, so
+    * gain = d₁²/(n₁·n₂·n) is three correctly-rounded IEEE ops —
+    * identical on both engines — and the argmax (gain desc, earliest
+    * day) picks the same row. Segment means are exact micro floors.
+    *
+    * Scale: one (key, day) pre-collapse with map-side partials, one
+    * per-key cumulative window over DAYS (not rows), one argmax window
+    * over the same per-key relation. Series length per key is bounded
+    * by the calendar, not the corpus.
+    */
+  def changePoint(df: DataFrame, keyCol: String, tsCol: String,
+      valueCol: String): DataFrame = {
+    val daily = df
+      .select(col(keyCol).as("k"), to_date(col(tsCol)).as("day"),
+        floor(col(valueCol) * 100).cast("long").as("cents"))
+      .groupBy(col("k"), col("day"))
+      .agg(sum(col("cents")).as("s"))
+    val w = Window.partitionBy(col("k")).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = daily.groupBy(col("k"))
+      .agg(count(lit(1)).as("n"), sum(col("s")).as("stot"))
+    val pre = daily
+      .select(col("k"), col("day"),
+        row_number().over(Window.partitionBy(col("k")).orderBy(col("day")))
+          .as("n1"),
+        sum(col("s")).over(w).as("s1"))
+      .join(tot, Seq("k"))
+      .filter(col("n1") < col("n"))
+      .select(col("k"), col("day"), col("n1"), col("s1"), col("n"),
+        col("stot"),
+        (col("s1") * (col("n") - col("n1"))
+          - (col("stot") - col("s1")) * col("n1")).cast("double").as("d1"))
+      .withColumn("gain",
+        col("d1") * col("d1")
+          / (col("n1") * (col("n") - col("n1")) * col("n")).cast("double"))
+    pre.withColumn("rn", row_number().over(
+        Window.partitionBy(col("k")).orderBy(col("gain").desc, col("day"))))
+      .filter(col("rn") === 1)
+      .select(col("k").as(keyCol), col("n").as("n_days"),
+        col("day").as("split_day"),
+        (round(col("gain"), 4) + lit(0.0)).as("gain"),
+        expr("s1 * 1000000L div n1").as("mean_before_micro"),
+        expr("(stot - s1) * 1000000L div (n - n1)").as("mean_after_micro"))
+  }
+
+  // ---- q202: change-point in the daily event-value series ---------------------
+  // Per event type: the day the daily cent mass shifted the most —
+  // binary segmentation's first split, argmax'd deterministically.
+  private def q202(s: SparkSession, d: String): DataFrame =
+    changePoint(Tables.events(s, d), "event_type", "ts", "value")
+      .orderBy(col("event_type"))
+  private val q202Sql =
+    """WITH daily AS (
+         SELECT event_type AS k, (ts::TIMESTAMP)::DATE AS day,
+           sum(floor(value * 100)::BIGINT)::BIGINT AS s
+         FROM events GROUP BY 1, 2),
+       tot AS (
+         SELECT k, count(*)::BIGINT AS n, sum(s)::BIGINT AS stot
+         FROM daily GROUP BY k),
+       pre AS (
+         SELECT d.k, d.day,
+           row_number() OVER (PARTITION BY d.k ORDER BY d.day) AS n1,
+           sum(d.s) OVER (PARTITION BY d.k ORDER BY d.day
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s1,
+           t.n, t.stot
+         FROM daily d JOIN tot t ON d.k = t.k),
+       gains AS (
+         SELECT k, day, n1, s1, n, stot,
+           ((s1 * (n - n1) - (stot - s1) * n1)::DOUBLE
+             * (s1 * (n - n1) - (stot - s1) * n1)::DOUBLE)
+             / ((n1 * (n - n1) * n)::DOUBLE) AS gain
+         FROM pre WHERE n1 < n),
+       best AS (
+         SELECT *, row_number() OVER (PARTITION BY k
+           ORDER BY gain DESC, day) AS rn
+         FROM gains)
+       SELECT k AS event_type, n AS n_days, day AS split_day,
+         round(gain, 4) + 0.0 AS gain,
+         (s1 * 1000000 // n1)::BIGINT AS mean_before_micro,
+         ((stot - s1) * 1000000 // (n - n1))::BIGINT AS mean_after_micro
+       FROM best WHERE rn = 1 ORDER BY event_type"""
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q202_change_point", q202, Some(q202Sql)),
     QueryDef("q197_decayed_score", q197, Some(q197Sql)),
     QueryDef("q46_posexplode", q46, Some(q46Sql)),
     QueryDef("q47_percentiles", q47, Some(q47Sql)),

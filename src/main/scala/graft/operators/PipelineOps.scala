@@ -86,6 +86,71 @@ object PipelineOps {
         col("score_kept"), col("score_total"))
   }
 
+  /** Pairwise vocabulary overlap between corpus slices (sources, crawls,
+    * snapshots): distinct-term Jaccard for every source pair — the
+    * corpus-level mixing diagnostic ("are these two crawls the same
+    * material?") beside q122's per-document containment. Also emits the
+    * smaller-side containment, the asymmetric "is A basically inside B"
+    * read.
+    *
+    * Scale: the corpus collapses to DISTINCT (source, term) map-side —
+    * vocab-sized, not corpus-sized — and with `hashTerms` the term is an
+    * 8-byte hash at the source, so no string ever shuffles (the q150
+    * upgrade: terms are identity-only here and never reach the output;
+    * a 64-bit collision merges two terms' membership, ~vocab²/2⁶⁴ —
+    * negligible; the oracle runs the string form and must agree on
+    * every count). Per-term pair fan-out is bounded by the SOURCE count
+    * (squared), not the corpus; the pair relation partial-aggregates
+    * below its exchange.
+    */
+  def sourceOverlap(df: DataFrame, srcCol: String, textCol: String,
+      hashTerms: Boolean = true): DataFrame = {
+    val termKey: Column => Column =
+      if (hashTerms) t => xxhash64(t) else t => t
+    val t = df.select(col(srcCol).cast("string").as("src"),
+        explode(tokens(col(textCol))).as("tok"))
+      .select(col("src"), termKey(col("tok")).as("term"))
+      .distinct()
+    val sizes = t.groupBy(col("src")).agg(count(lit(1)).as("nv"))
+    val inter = t.select(col("src").as("src_a"), col("term"))
+      .join(t.select(col("src").as("src_b"), col("term")), Seq("term"))
+      .filter(col("src_a") < col("src_b"))
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(broadcast(sizes.select(col("src").as("src_a"),
+        col("nv").as("n_a"))), Seq("src_a"))
+      .join(broadcast(sizes.select(col("src").as("src_b"),
+        col("nv").as("n_b"))), Seq("src_b"))
+      .select(col("src_a"), col("src_b"), col("n_a"), col("n_b"),
+        col("inter"),
+        expr("inter * 1000000L div (n_a + n_b - inter)").as("jaccard_micro"),
+        expr("inter * 1000000L div least(n_a, n_b)").as("containment_micro"))
+  }
+
+  // ---- q203: which sources speak the same language? ---------------------------
+  // Vocabulary Jaccard across all source pairs of the documents corpus.
+  private def q203(s: SparkSession, d: String): DataFrame =
+    sourceOverlap(Tables.documents(s, d), "source", "text")
+      .orderBy(col("src_a"), col("src_b"))
+  private val q203Sql =
+    """WITH t AS (
+         SELECT DISTINCT source AS src, unnest(string_split(text, ' ')) AS term
+         FROM documents),
+       sizes AS (SELECT src, count(*)::BIGINT AS nv FROM t GROUP BY src),
+       inter AS (
+         SELECT a.src AS src_a, b.src AS src_b, count(*)::BIGINT AS inter
+         FROM t a JOIN t b ON a.term = b.term AND a.src < b.src
+         GROUP BY 1, 2)
+       SELECT src_a, src_b, sa.nv AS n_a, sb.nv AS n_b, inter,
+         (inter * 1000000 // (sa.nv + sb.nv - inter))::BIGINT
+           AS jaccard_micro,
+         (inter * 1000000 // least(sa.nv, sb.nv))::BIGINT
+           AS containment_micro
+       FROM inter i JOIN sizes sa ON i.src_a = sa.src
+         JOIN sizes sb ON i.src_b = sb.src
+       ORDER BY src_a, src_b"""
+
   // ---- q201: per-source document quota ----------------------------------------
   // Cap every source at its 10 longest documents; the audit shows how
   // much raw character mass the cap sheds per source.
@@ -1684,6 +1749,7 @@ object PipelineOps {
     QueryDef("q45_repetition", q45, Some(q45Sql)),
     QueryDef("q54_pii_scrub", q54, Some(q54Sql)),
     QueryDef("q201_source_quota", q201, Some(q201Sql)),
+    QueryDef("q203_source_overlap", q203, Some(q203Sql)),
     QueryDef("q55_seq_packing", q55, Some(q55Sql)),
     QueryDef("q62_mixture_weights", q62, Some(q62Sql)),
     QueryDef("q173_temperature_mix", q173, Some(q173Sql)),

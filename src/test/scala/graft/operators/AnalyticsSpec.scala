@@ -310,6 +310,20 @@ class AnalyticsSpec extends SparkSpec {
     assert(got === Array(("alt", 9L, -1.0), ("up", 9L, 1.0)))
   }
 
+  test("changePoint splits a step series at the step, exact segment means") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    // Three days at 1.00/day then three at 5.00/day: split after day 3.
+    val rows = (1 to 3).map(i => ("a", ts(f"2024-01-0$i 10:00:00"), 1.0)) ++
+      (4 to 6).map(i => ("a", ts(f"2024-01-0$i 10:00:00"), 5.0))
+    val got = Analytics.changePoint(rows.toDF("k", "ts", "v"), "k", "ts", "v")
+      .as[(String, Long, java.sql.Date, Double, Long, Long)].head()
+    assert(got._1 === "a" && got._2 === 6L)
+    assert(got._3.toString === "2024-01-03")
+    // d1 = 300*3 - 1500*3 = -3600; gain = 3600^2 / (3*3*6) = 240000.
+    assert(got._4 === 240000.0)
+    assert(got._5 === 100L * 1000000L && got._6 === 500L * 1000000L)
+  }
+
   test("decayedSum halves weight per day, caps age, stays exact BIGINT") {
     def ts(s: String) = java.sql.Timestamp.valueOf(s)
     val e = Seq(

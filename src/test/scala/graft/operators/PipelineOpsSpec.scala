@@ -451,6 +451,23 @@ class PipelineOpsSpec extends SparkSpec {
     assert(got === Array((1L, 10L, true), (2L, 12L, false)))
   }
 
+  test("sourceOverlap computes pairwise vocab Jaccard; hashing changes nothing") {
+    val docs = Seq(("s1", "a b"), ("s2", "b c"), ("s3", "a b"))
+      .toDF("src", "text")
+    val got = PipelineOps.sourceOverlap(docs, "src", "text")
+      .orderBy("src_a", "src_b")
+      .as[(String, String, Long, Long, Long, Long, Long)].collect()
+    assert(got === Array(
+      ("s1", "s2", 2L, 2L, 1L, 333333L, 500000L),
+      ("s1", "s3", 2L, 2L, 2L, 1000000L, 1000000L),
+      ("s2", "s3", 2L, 2L, 1L, 333333L, 500000L)))
+    val unhashed = PipelineOps.sourceOverlap(docs, "src", "text",
+        hashTerms = false)
+      .orderBy("src_a", "src_b")
+      .as[(String, String, Long, Long, Long, Long, Long)].collect()
+    assert(unhashed === got)
+  }
+
   test("sourceQuota keeps the best `cap` per key with the oracle tiebreak") {
     val docs = Seq(
       ("s1", 100L, 1L), ("s1", 50L, 3L), ("s1", 50L, 2L), ("s1", 10L, 4L),
