@@ -1573,6 +1573,57 @@ object Analytics {
         expr("(stot - s1) * 1000000L div (n - n1)").as("mean_after_micro"))
   }
 
+  /** Per-group WEIGHTED median: the smallest value at which the
+    * cumulative weight reaches half the group's total — e.g. the
+    * document length below which half the CHARACTER MASS sits (very
+    * different from the count median when long docs dominate, which is
+    * exactly when a curation decision needs the weighted one).
+    *
+    * Exact integer rule: first v with 2·cumw(v) ≥ totw — no division,
+    * no interpolation, so both engines agree on the row, not just the
+    * value. Weights must be nonnegative BIGINTs.
+    *
+    * Scale: one (group, value) collapse with map-side weight partials,
+    * one per-group cumulative window over DISTINCT values, one
+    * min-argmax. Nothing corpus-sized is sorted.
+    */
+  def weightedMedian(df: DataFrame, groupCol: String, valueCol: String,
+      weightCol: String): DataFrame = {
+    val byV = df.select(col(groupCol).as("g"),
+        col(valueCol).cast("long").as("v"),
+        col(weightCol).cast("long").as("wt"))
+      .groupBy(col("g"), col("v"))
+      .agg(sum(col("wt")).as("w"))
+    val cw = Window.partitionBy(col("g")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    byV.select(col("g"), col("v"), sum(col("w")).over(cw).as("cumw"),
+        sum(col("w")).over(Window.partitionBy(col("g"))).as("totw"))
+      .filter(lit(2L) * col("cumw") >= col("totw"))
+      .groupBy(col("g"), col("totw"))
+      .agg(min(col("v")).as("wmedian"))
+      .select(col("g").as(groupCol), col("wmedian"),
+        col("totw").as("weight_total"))
+  }
+
+  // ---- q205: character-mass median document length per language ---------------
+  private def q205(s: SparkSession, d: String): DataFrame =
+    weightedMedian(Tables.documents(s, d), "lang", "n_chars", "n_chars")
+      .orderBy(col("lang"))
+  private val q205Sql =
+    """WITH byv AS (
+         SELECT lang AS g, n_chars::BIGINT AS v, sum(n_chars)::BIGINT AS w
+         FROM documents GROUP BY 1, 2),
+       c AS (
+         SELECT g, v,
+           sum(w) OVER (PARTITION BY g ORDER BY v
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumw,
+           sum(w) OVER (PARTITION BY g) AS totw
+         FROM byv)
+       SELECT g AS lang, min(v)::BIGINT AS wmedian,
+         totw::BIGINT AS weight_total
+       FROM c WHERE 2 * cumw >= totw
+       GROUP BY g, totw ORDER BY lang"""
+
   // ---- q202: change-point in the daily event-value series ---------------------
   // Per event type: the day the daily cent mass shifted the most —
   // binary segmentation's first split, argmax'd deterministically.
@@ -1612,6 +1663,7 @@ object Analytics {
 
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q202_change_point", q202, Some(q202Sql)),
+    QueryDef("q205_weighted_median", q205, Some(q205Sql)),
     QueryDef("q197_decayed_score", q197, Some(q197Sql)),
     QueryDef("q46_posexplode", q46, Some(q46Sql)),
     QueryDef("q47_percentiles", q47, Some(q47Sql)),

@@ -128,6 +128,103 @@ object PipelineOps {
         expr("inter * 1000000L div least(n_a, n_b)").as("containment_micro"))
   }
 
+  /** Truncation-cap planning: the largest per-document length cap L such
+    * that Σ min(lenᵢ, L) fits `budgetNum/budgetDen` of the total mass —
+    * the sequencing question every token-budgeted training build answers
+    * before writing shards ("truncate everything to WHAT so the epoch
+    * fits?"). Emits the cap and the exact resulting mass/truncation
+    * counts.
+    *
+    * Math: f(L) = Σ_{len ≤ L} len + |{len > L}|·L is monotone and
+    * piecewise-linear with breakpoints at distinct lengths, so the
+    * optimum is found from per-distinct-length prefix sums: take the
+    * largest breakpoint l with f(l) ≤ B, then advance cap by the exact
+    * integer slack (B − f(l)) div n_gt, clamped below the next
+    * breakpoint. All arithmetic BIGINT — both engines land on the same
+    * cap by construction.
+    *
+    * Scale: one (length → count/mass) collapse with map-side partials
+    * (distinct-length-sized, not corpus-sized), one cumulative window
+    * over distinct lengths, one argmax. The cumulative window is
+    * single-partition, but over the COLLAPSED relation whose row count
+    * is bounded by the maximum document length (≤ ~10⁵ distinct values
+    * at any corpus size) — not the q132-class corpus-sized sort this
+    * shape would be without the collapse. The corpus is scanned once;
+    * no driver-side search loop. Emits no row when even capping at the
+    * smallest distinct length overshoots the budget.
+    */
+  def lengthCapPlan(df: DataFrame, lenCol: String, budgetNum: Long,
+      budgetDen: Long): DataFrame = {
+    require(budgetNum > 0 && budgetDen > 0, "budget must be positive")
+    val byLen = df.select(col(lenCol).cast("long").as("len"))
+      .groupBy(col("len"))
+      .agg(count(lit(1)).as("c"), sum(col("len")).as("mass"))
+    val w = Window.orderBy(col("len"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = byLen.agg(sum(col("c")).as("n_docs"),
+      sum(col("mass")).as("chars_total"))
+    val steps = byLen
+      .select(col("len"), sum(col("c")).over(w).as("n_le"),
+        sum(col("mass")).over(w).as("m_le"),
+        lead(col("len"), 1).over(Window.orderBy(col("len"))).as("len_next"))
+      .crossJoin(broadcast(tot))
+      // B is the budgeted mass; f = m_le + (n_docs - n_le) * len.
+      .withColumn("b", expr(s"chars_total * ${budgetNum}L div ${budgetDen}L"))
+      .withColumn("f", col("m_le") + (col("n_docs") - col("n_le")) * col("len"))
+      .filter(col("f") <= col("b"))
+    val best = steps
+      .withColumn("rn", row_number().over(Window.orderBy(col("len").desc)))
+      .filter(col("rn") === 1)
+      // Advance into the linear stretch above the breakpoint: slack
+      // per still-uncapped doc, clamped below the next distinct length
+      // (at the top breakpoint nothing is truncated; cap = max length).
+      .withColumn("cap",
+        when(col("n_docs") === col("n_le"), col("len"))
+          .otherwise(least(
+            col("len") + expr("(b - f) div (n_docs - n_le)"),
+            coalesce(col("len_next") - 1, col("len")))))
+    best.select(col("cap"), col("n_docs"), col("chars_total"), col("b"),
+      (col("n_docs") - col("n_le")).as("n_truncated"),
+      (col("m_le") + (col("n_docs") - col("n_le")) * col("cap"))
+        .as("chars_after"))
+  }
+
+  // ---- q204: fit the corpus into 60% of its character mass --------------------
+  private def q204(s: SparkSession, d: String): DataFrame =
+    lengthCapPlan(Tables.documents(s, d), "n_chars", 3L, 5L)
+  private val q204Sql =
+    """WITH byl AS (
+         SELECT n_chars::BIGINT AS len, count(*)::BIGINT AS c,
+           sum(n_chars)::BIGINT AS mass
+         FROM documents GROUP BY 1),
+       tot AS (
+         SELECT sum(c)::BIGINT AS n_docs, sum(mass)::BIGINT AS chars_total
+         FROM byl),
+       steps AS (
+         SELECT len,
+           sum(c) OVER (ORDER BY len
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n_le,
+           sum(mass) OVER (ORDER BY len
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS m_le,
+           lead(len) OVER (ORDER BY len) AS len_next,
+           t.n_docs, t.chars_total,
+           chars_total * 3 // 5 AS b
+         FROM byl, tot t),
+       ok AS (
+         SELECT *, m_le + (n_docs - n_le) * len AS f FROM steps
+         WHERE m_le + (n_docs - n_le) * len <= b),
+       best AS (
+         SELECT *, row_number() OVER (ORDER BY len DESC) AS rn FROM ok)
+       SELECT CASE WHEN n_docs = n_le THEN len
+           ELSE least(len + (b - f) // (n_docs - n_le),
+             coalesce(len_next - 1, len)) END::BIGINT AS cap,
+         n_docs, chars_total, b::BIGINT AS b,
+         (n_docs - n_le)::BIGINT AS n_truncated,
+         (m_le + (n_docs - n_le) * (CASE WHEN n_docs = n_le THEN len
+           ELSE least(len + (b - f) // (n_docs - n_le),
+             coalesce(len_next - 1, len)) END))::BIGINT AS chars_after
+       FROM best WHERE rn = 1"""
+
   // ---- q203: which sources speak the same language? ---------------------------
   // Vocabulary Jaccard across all source pairs of the documents corpus.
   private def q203(s: SparkSession, d: String): DataFrame =
@@ -1750,6 +1847,7 @@ object PipelineOps {
     QueryDef("q54_pii_scrub", q54, Some(q54Sql)),
     QueryDef("q201_source_quota", q201, Some(q201Sql)),
     QueryDef("q203_source_overlap", q203, Some(q203Sql)),
+    QueryDef("q204_length_cap", q204, Some(q204Sql)),
     QueryDef("q55_seq_packing", q55, Some(q55Sql)),
     QueryDef("q62_mixture_weights", q62, Some(q62Sql)),
     QueryDef("q173_temperature_mix", q173, Some(q173Sql)),

@@ -324,6 +324,19 @@ class AnalyticsSpec extends SparkSpec {
     assert(got._5 === 100L * 1000000L && got._6 === 500L * 1000000L)
   }
 
+  test("weightedMedian follows the mass, not the row count") {
+    val df = Seq(
+      // g=a: nine-tenths of the weight sits at v=100 -> weighted median
+      // is 100 even though the count median is tiny.
+      ("a", 1L, 1L), ("a", 100L, 9L),
+      // g=b: exact half at the first value -> 2*cumw == totw picks it.
+      ("b", 1L, 5L), ("b", 2L, 5L))
+      .toDF("g", "v", "wt")
+    val got = Analytics.weightedMedian(df, "g", "v", "wt")
+      .orderBy("g").as[(String, Long, Long)].collect()
+    assert(got === Array(("a", 100L, 10L), ("b", 1L, 10L)))
+  }
+
   test("decayedSum halves weight per day, caps age, stays exact BIGINT") {
     def ts(s: String) = java.sql.Timestamp.valueOf(s)
     val e = Seq(

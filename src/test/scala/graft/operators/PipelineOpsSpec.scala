@@ -468,6 +468,21 @@ class PipelineOpsSpec extends SparkSpec {
     assert(unhashed === got)
   }
 
+  test("lengthCapPlan lands exactly on the budget inside a linear stretch") {
+    val docs = Seq(10L, 20L, 30L, 100L).toDF("len")
+    // total = 160, budget 1/2 = 80: f(20) = 70, slack 10 over 2 docs
+    // -> cap 25; sum(min(len, 25)) = 10+20+25+25 = 80, exactly b.
+    val got = PipelineOps.lengthCapPlan(docs, "len", 1L, 2L)
+      .as[(Long, Long, Long, Long, Long, Long)].head()
+    assert(got === ((25L, 4L, 160L, 80L, 2L, 80L)))
+    // A full budget keeps everything: cap = max length, nothing cut.
+    val full = PipelineOps.lengthCapPlan(docs, "len", 1L, 1L)
+      .as[(Long, Long, Long, Long, Long, Long)].head()
+    assert(full === ((100L, 4L, 160L, 160L, 0L, 160L)))
+    // Infeasible budget (below n*min_len at the first breakpoint): no row.
+    assert(PipelineOps.lengthCapPlan(docs, "len", 1L, 10L).count() === 0L)
+  }
+
   test("sourceQuota keeps the best `cap` per key with the oracle tiebreak") {
     val docs = Seq(
       ("s1", 100L, 1L), ("s1", 50L, 3L), ("s1", 50L, 2L), ("s1", 10L, 4L),
