@@ -189,6 +189,63 @@ object PipelineOps {
         .as("chars_after"))
   }
 
+  /** Largest-remainder (Hamilton) apportionment of an integer budget
+    * across strata proportionally to their weights: quota = B·wₕ/W,
+    * everyone gets its floor, and the Σfloor-to-B shortfall goes one
+    * unit each to the largest fractional remainders (ties → lowest
+    * stratum id). THE exact-integer answer to "split this sample/token
+    * budget across languages ∝ mass" — q62's mixture weights say how
+    * much to take per DOC; this says how many UNITS each stratum owns,
+    * summing to the budget exactly (spec-pinned), with no float
+    * rounding anywhere: base = B·w div W, remainder = (B·w) mod W.
+    *
+    * Scale: one weight collapse with map-side partials, one broadcast
+    * total, one rank window over the STRATA relation (|strata| rows —
+    * languages/sources, never the corpus). Bound: B·w < 2⁶³.
+    */
+  def apportion(df: DataFrame, keyCol: String, weightCol: String,
+      budget: Long): DataFrame = {
+    require(budget >= 0, "budget must be nonnegative")
+    val w = df.select(col(keyCol).as("g"), col(weightCol).cast("long").as("wt"))
+      .groupBy(col("g")).agg(sum(col("wt")).as("w"))
+      .filter(col("w") > 0)
+    val tot = w.agg(sum(col("w")).as("tw"))
+    val base = w.crossJoin(broadcast(tot))
+      .select(col("g"), col("w"),
+        expr(s"w * ${budget}L div tw").as("base"),
+        expr(s"(w * ${budget}L) % tw").as("rem"))
+    val leftTot = base.agg((lit(budget) - sum(col("base"))).as("leftover"))
+    base.crossJoin(broadcast(leftTot))
+      .withColumn("rk",
+        row_number().over(Window.orderBy(col("rem").desc, col("g"))))
+      .select(col("g").as(keyCol), col("w").as("weight"),
+        (col("base") + when(col("rk") <= col("leftover"), 1L)
+          .otherwise(0L)).as("alloc"))
+  }
+
+  // ---- q206: split a 997-unit sample budget across languages ∝ char mass ------
+  // An odd budget forces the remainder path; Σ alloc = 997 exactly.
+  private def q206(s: SparkSession, d: String): DataFrame =
+    apportion(Tables.documents(s, d), "lang", "n_chars", budget = 997L)
+      .orderBy(col("lang"))
+  private val q206Sql =
+    """WITH w AS (
+         SELECT lang AS g, sum(n_chars)::BIGINT AS w
+         FROM documents GROUP BY 1 HAVING sum(n_chars) > 0),
+       tot AS (SELECT sum(w)::BIGINT AS tw FROM w),
+       base AS (
+         SELECT g, w, (w * 997 // tw)::BIGINT AS base,
+           ((w * 997) % tw)::BIGINT AS rem
+         FROM w, tot),
+       lt AS (SELECT (997 - sum(base))::BIGINT AS leftover FROM base),
+       rk AS (
+         SELECT *, row_number() OVER (ORDER BY rem DESC, g) AS rk
+         FROM base, lt)
+       SELECT g AS lang, w AS weight,
+         (base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END)::BIGINT
+           AS alloc
+       FROM rk ORDER BY lang"""
+
   // ---- q204: fit the corpus into 60% of its character mass --------------------
   private def q204(s: SparkSession, d: String): DataFrame =
     lengthCapPlan(Tables.documents(s, d), "n_chars", 3L, 5L)
@@ -1848,6 +1905,7 @@ object PipelineOps {
     QueryDef("q201_source_quota", q201, Some(q201Sql)),
     QueryDef("q203_source_overlap", q203, Some(q203Sql)),
     QueryDef("q204_length_cap", q204, Some(q204Sql)),
+    QueryDef("q206_apportion", q206, Some(q206Sql)),
     QueryDef("q55_seq_packing", q55, Some(q55Sql)),
     QueryDef("q62_mixture_weights", q62, Some(q62Sql)),
     QueryDef("q173_temperature_mix", q173, Some(q173Sql)),

@@ -318,6 +318,40 @@ class PlanSpec extends SparkSpec {
       s"no cartesian anywhere (the single-row cross is a broadcast NLJ):\n${p.take(1500)}")
   }
 
+  test("q196/q200 PQ family: codebook and LUT broadcast, no cartesian, heap partial") {
+    Seq("q196_pq_adc_recall", "q200_ivfadc").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"),
+        s"$q: every cross is broadcast-sized, never a cartesian:\n${p.take(1500)}")
+      assert("BroadcastHashJoin".r.findAllIn(p).size >= 2,
+        s"$q: the per-subspace LUT joins must broadcast:\n${p.take(1500)}")
+      val partial = p.indexOf("partial_boundedtopk")
+      val ex = p.indexOf("Exchange hashpartitioning")
+      assert(partial >= 0 && ex >= 0 && partial > ex,
+        s"$q: bounded-heap partial must sit below its exchange:\n${p.take(1500)}")
+    }
+  }
+
+  test("q201 source quota: heap partial below the exchange, no window sort") {
+    val p = plan("q201_source_quota")
+    val partial = p.indexOf("partial_boundedtopk")
+    val ex = p.indexOf("Exchange hashpartitioning")
+    assert(partial >= 0 && ex >= 0 && partial > ex,
+      s"per-key cap must partial-aggregate below its exchange:\n${p.take(1500)}")
+    assert(!p.contains("WindowExec") && !p.contains("RunningWindowFunction"),
+      s"the audit must not window-sort hot keys:\n${p.take(1500)}")
+  }
+
+  test("q204 length cap: the cumulative window runs on the distinct-length collapse") {
+    val p = plan("q204_length_cap")
+    // The corpus-sized relation must collapse (partial hash agg on len)
+    // BEFORE any single-partition window sees it.
+    val partial = p.indexOf("partial_count")
+    val win = p.indexOf("Window")
+    assert(partial >= 0 && win >= 0 && partial > win,
+      s"distinct-length partial must sit below the window stage:\n${p.take(1500)}")
+  }
+
   test("whole-stage codegen covers the relational hot paths") {
     // AQE prints codegen stages only in the finalized plan — execute first.
     Seq("q01_pricing_summary", "q06_selective_agg", "q09_window_topk").foreach { q =>

@@ -468,6 +468,21 @@ class PipelineOpsSpec extends SparkSpec {
     assert(unhashed === got)
   }
 
+  test("apportion is exact Hamilton: floors + largest remainders, sums to budget") {
+    val df = Seq(("a", 5L), ("b", 3L), ("c", 1L)).toDF("g", "wt")
+    // quotas 50/9, 30/9, 10/9 -> floors (5,3,1)=9, one leftover unit to
+    // the largest remainder (a: 5/9).
+    val got = PipelineOps.apportion(df, "g", "wt", budget = 10L)
+      .orderBy("g").as[(String, Long, Long)].collect()
+    assert(got === Array(("a", 5L, 6L), ("b", 3L, 3L), ("c", 1L, 1L)))
+    assert(got.map(_._3).sum === 10L)
+    // Remainder ties break to the LOWEST stratum id.
+    val tie = PipelineOps.apportion(
+        Seq(("x", 1L), ("y", 1L)).toDF("g", "wt"), "g", "wt", budget = 3L)
+      .orderBy("g").as[(String, Long, Long)].collect()
+    assert(tie === Array(("x", 1L, 2L), ("y", 1L, 1L)))
+  }
+
   test("lengthCapPlan lands exactly on the budget inside a linear stretch") {
     val docs = Seq(10L, 20L, 30L, 100L).toDF("len")
     // total = 160, budget 1/2 = 80: f(20) = 70, slack 10 over 2 docs
