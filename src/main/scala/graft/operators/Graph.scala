@@ -237,18 +237,24 @@ object Graph {
   // through [[coOccurrencePairs]], whose per-customer cap bounds the
   // pre-threshold fan-out (the hub-customer quadratic blowup lives
   // there, not in the census).
-  private def q163(s: SparkSession, d: String): DataFrame = {
+  /** The top-3000 supplier co-sale edge list (s1 < s2) — shared by the
+    * q163 census and the q207/q208 community/topology scores. */
+  private def coSaleEdges(s: SparkSession, d: String): DataFrame = {
     val sp = Tables.orders(s, d)
       .join(Tables.lineitem(s, d), col("l_orderkey") === col("o_orderkey"))
       .select(col("o_custkey").as("c"), col("l_suppkey").as("sup"))
-    val proj = coOccurrencePairs(sp, "c", "sup", CoSaleCap)
+    coOccurrencePairs(sp, "c", "sup", CoSaleCap)
       .select(col("i1").as("s1"), col("i2").as("s2"), col("w"))
       .orderBy(col("w").desc, col("s1"), col("s2"))
       .limit(3000)
-    triangleStats(proj, "s1", "s2")
   }
-  private val q163Sql =
-    s"""WITH sp AS (
+
+  private def q163(s: SparkSession, d: String): DataFrame =
+    triangleStats(coSaleEdges(s, d), "s1", "s2")
+  /** Shared oracle fragment: the capped co-sale projection and its
+    * top-3000 undirected edge list `und(u, v)` (q163/q207/q208). */
+  private val coSaleCtes =
+    s"""sp AS (
          SELECT c, sup FROM (
            SELECT DISTINCT o_custkey AS c, l_suppkey AS sup
            FROM orders JOIN lineitem ON l_orderkey = o_orderkey)
@@ -259,7 +265,10 @@ object Graph {
            SELECT x.sup AS u, y.sup AS v, count(*) AS w
            FROM sp x JOIN sp y ON x.c = y.c AND x.sup < y.sup
            GROUP BY 1, 2
-           ORDER BY w DESC, u, v LIMIT 3000)),
+           ORDER BY w DESC, u, v LIMIT 3000))"""
+
+  private val q163Sql =
+    s"""WITH $coSaleCtes,
        deg AS (
          SELECT n, count(*)::BIGINT AS d FROM (
            SELECT u AS n FROM und UNION ALL SELECT v FROM und)
@@ -583,6 +592,157 @@ object Graph {
        FROM nodes n JOIN a2 ON a2.id = n.id JOIN h2 ON h2.id = n.id
        ORDER BY auth_micro DESC, hub_micro DESC, node_id LIMIT 30"""
 
+  /** Newman modularity contributions of a node partition over an
+    * undirected, deduplicated (u < v) edge list: per community,
+    *   Q_c = e_c/m − (D_c/2m)²
+    * where e_c = internal edges, D_c = total degree, m = edge count —
+    * "are these communities denser than the degree sequence predicts?",
+    * the acceptance score for ANY clustering laid over a graph (here:
+    * do dedup/co-sale communities follow the labels?). Σ Q_c is the
+    * partition's modularity; emitting per-community contributions shows
+    * WHICH labels carry the structure.
+    *
+    * Exact rational algebra: Q_c·4m² = 4m·e_c − D_c², all BIGINT; the
+    * one division is a sign-split micro floor (the Fleiss convention —
+    * integer div truncates toward zero in Spark, toward −∞ in DuckDB,
+    * so the magnitude floors and the sign applies outside). Bound:
+    * 4m²·10⁶ < 2⁶³ caps edges at ~10⁶ per run — per-partition QA runs,
+    * not planetary graphs; downscale the unit beyond that.
+    *
+    * Scale: degrees from one union-all aggregation, e_c from one
+    * membership equi-join pair on the edge list, D_c from a
+    * |nodes|-sized join — map-side partials everywhere; m is a
+    * broadcast single-row aggregate. Nodes missing from `membership`
+    * drop out (their edges count toward m but no community).
+    */
+  def modularity(edges: DataFrame, srcCol: String, dstCol: String,
+      membership: DataFrame, nodeCol: String, commCol: String): DataFrame = {
+    val e = edges.select(col(srcCol).cast("long").as("u"),
+      col(dstCol).cast("long").as("v"))
+    val mm = broadcast(e.agg(count(lit(1)).as("m")))
+    val mem = membership.select(col(nodeCol).cast("long").as("n"),
+      col(commCol).as("cm"))
+    val deg = e.select(col("u").as("n"))
+      .unionAll(e.select(col("v").as("n")))
+      .groupBy(col("n")).agg(count(lit(1)).as("d"))
+    val dc = deg.join(mem, Seq("n"))
+      .groupBy(col("cm"))
+      .agg(count(lit(1)).as("n_nodes"), sum(col("d")).as("d_tot"))
+    val ec = e
+      .join(mem.select(col("n").as("u"), col("cm").as("cu")), Seq("u"))
+      .join(mem.select(col("n").as("v"), col("cm").as("cv")), Seq("v"))
+      .filter(col("cu") === col("cv"))
+      .groupBy(col("cu").as("cm"))
+      .agg(count(lit(1)).as("e_in"))
+    dc.join(ec, Seq("cm"), "left")
+      .crossJoin(mm)
+      .select(col("cm").as(commCol), col("n_nodes"), col("d_tot"),
+        coalesce(col("e_in"), lit(0L)).as("e_in"), col("m"),
+        expr("""sign(4L * m * coalesce(e_in, 0L) - d_tot * d_tot)
+             * (abs(4L * m * coalesce(e_in, 0L) - d_tot * d_tot)
+                * 1000000L div (4L * m * m))""").cast("long")
+          .as("q_micro"))
+  }
+
+  /** Degree assortativity of an undirected, deduplicated edge list: the
+    * Pearson correlation of endpoint degrees over all edge-endpoint
+    * pairs (each edge counted in both orientations) — positive means
+    * hubs link to hubs (social shape), negative means hubs link to
+    * leaves (infrastructural/star shape). The one-number topology
+    * fingerprint to watch drift in a dedup/co-occurrence graph.
+    *
+    * Because both orientations are counted, the j and k marginals are
+    * identical, so r = (M·Σjk − (Σj)²)/(M·Σj² − (Σj)²) — numerator and
+    * denominator EXACT BIGINTs (both under 2⁵³ for graphs to ~10⁵
+    * edges, hence exactly double-representable) and the finish is ONE
+    * correctly-rounded division + the binary-deterministic
+    * floor(x·10⁶+0.5)/10⁶. No sqrt anywhere. Null when every degree is
+    * equal (zero variance — a perfect matching or a single cycle).
+    */
+  def assortativity(edges: DataFrame, srcCol: String,
+      dstCol: String): DataFrame = {
+    val e = edges.select(col(srcCol).cast("long").as("u"),
+      col(dstCol).cast("long").as("v"))
+    val deg = e.select(col("u").as("n"))
+      .unionAll(e.select(col("v").as("n")))
+      .groupBy(col("n")).agg(count(lit(1)).as("d"))
+    val pairs = e.unionAll(e.select(col("v").as("u"), col("u").as("v")))
+      .join(deg.select(col("n").as("u"), col("d").as("j")), Seq("u"))
+      .join(deg.select(col("n").as("v"), col("d").as("k")), Seq("v"))
+    pairs.agg(count(lit(1)).as("mm"), sum(col("j")).as("sj"),
+        sum(col("j") * col("j")).as("sjj"),
+        sum(col("j") * col("k")).as("sjk"))
+      .select(col("mm").as("n_endpoints"),
+        when(col("mm") * col("sjj") === col("sj") * col("sj"),
+          lit(null).cast("double"))
+          .otherwise(floor(
+            (col("mm") * col("sjk") - col("sj") * col("sj")).cast("double")
+              / (col("mm") * col("sjj") - col("sj") * col("sj"))
+              .cast("double")
+              * lit(1e6) + lit(0.5)) / lit(1e6))
+          .as("assortativity"))
+  }
+
+  // ---- q207: is supplier co-selling organized by nation? ----------------------
+  // Modularity of the nation partition over the co-sale graph: per
+  // nation, does internal co-selling beat the degree-sequence baseline?
+  private def q207(s: SparkSession, d: String): DataFrame =
+    modularity(coSaleEdges(s, d), "s1", "s2",
+        Tables.supplier(s, d).select(col("s_suppkey").as("n"),
+          col("s_nationkey").as("nation")),
+        "n", "nation")
+      .orderBy(col("nation"))
+  private val q207Sql =
+    s"""WITH $coSaleCtes,
+       mem AS (SELECT s_suppkey AS n, s_nationkey AS nation FROM supplier),
+       deg2 AS (
+         SELECT n, count(*)::BIGINT AS d FROM (
+           SELECT u AS n FROM und UNION ALL SELECT v FROM und)
+         GROUP BY n),
+       mtot AS (SELECT count(*)::BIGINT AS m FROM und),
+       dc AS (
+         SELECT mem.nation AS cm, count(*)::BIGINT AS n_nodes,
+           sum(d)::BIGINT AS d_tot
+         FROM deg2 JOIN mem ON deg2.n = mem.n GROUP BY 1),
+       ec AS (
+         SELECT mu.nation AS cm, count(*)::BIGINT AS e_in
+         FROM und JOIN mem mu ON und.u = mu.n
+           JOIN mem mv ON und.v = mv.n
+         WHERE mu.nation = mv.nation GROUP BY 1)
+       SELECT dc.cm AS nation, n_nodes, d_tot,
+         coalesce(e_in, 0)::BIGINT AS e_in, m,
+         (sign(4 * m * coalesce(e_in, 0) - d_tot * d_tot)::BIGINT
+           * (abs(4 * m * coalesce(e_in, 0) - d_tot * d_tot) * 1000000
+             // (4 * m * m)))::BIGINT AS q_micro
+       FROM dc LEFT JOIN ec ON dc.cm = ec.cm CROSS JOIN mtot
+       ORDER BY nation"""
+
+  // ---- q208: co-sale topology fingerprint — hubs-to-hubs or hubs-to-leaves? ---
+  private def q208(s: SparkSession, d: String): DataFrame =
+    assortativity(coSaleEdges(s, d), "s1", "s2")
+  private val q208Sql =
+    s"""WITH $coSaleCtes,
+       deg2 AS (
+         SELECT n, count(*)::BIGINT AS d FROM (
+           SELECT u AS n FROM und UNION ALL SELECT v FROM und)
+         GROUP BY n),
+       pairs AS (
+         SELECT du.d AS j, dv.d AS k
+         FROM und JOIN deg2 du ON und.u = du.n JOIN deg2 dv ON und.v = dv.n
+         UNION ALL
+         SELECT dv.d AS j, du.d AS k
+         FROM und JOIN deg2 du ON und.u = du.n JOIN deg2 dv ON und.v = dv.n),
+       agg AS (
+         SELECT count(*)::BIGINT AS mm, sum(j)::BIGINT AS sj,
+           sum(j * j)::BIGINT AS sjj, sum(j * k)::BIGINT AS sjk
+         FROM pairs)
+       SELECT mm AS n_endpoints,
+         CASE WHEN mm * sjj = sj * sj THEN NULL
+           ELSE floor((mm * sjk - sj * sj)::DOUBLE
+             / (mm * sjj - sj * sj)::DOUBLE * 1e6 + 0.5) / 1e6
+           END AS assortativity
+       FROM agg"""
+
   val defs: Seq[QueryDef] = Seq(
     // headline: the iterative-graph representative in the driver's bench,
     // so a regression in the loop/localCheckpoint machinery is
@@ -592,5 +752,7 @@ object Graph {
     QueryDef("q163_triangle_count", q163, Some(q163Sql)),
     QueryDef("q165_kcore", q165, Some(q165Sql)),
     QueryDef("q166_cc_stars", q166, Some(q166Sql)),
-    QueryDef("q175_hits", q175, Some(q175Sql)))
+    QueryDef("q175_hits", q175, Some(q175Sql)),
+    QueryDef("q207_modularity", q207, Some(q207Sql)),
+    QueryDef("q208_assortativity", q208, Some(q208Sql)))
 }

@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.SparkSpec
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, lit}
 
 class GraphSpec extends SparkSpec {
   import spark.implicits._
@@ -148,5 +148,34 @@ class GraphSpec extends SparkSpec {
       s"expected the last iteration to read the checkpointed ranks:\n$plan")
     assert(!plan.toLowerCase.contains("hashaggregate"),
       s"lineage was not truncated:\n$plan")
+  }
+
+  test("modularity: two bridged triangles score 35/196 each; one community is 0") {
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L),
+      (4L, 5L), (4L, 6L), (5L, 6L), (3L, 4L)).toDF("a", "b")
+    val mem = Seq((1L, "A"), (2L, "A"), (3L, "A"),
+      (4L, "B"), (5L, "B"), (6L, "B")).toDF("n", "cm")
+    val got = Graph.modularity(edges, "a", "b", mem, "n", "cm")
+      .orderBy("cm")
+      .select($"cm", $"n_nodes", $"d_tot", $"e_in", $"q_micro")
+      .as[(String, Long, Long, Long, Long)].collect()
+    assert(got === Array(("A", 3L, 7L, 3L, 178571L),
+      ("B", 3L, 7L, 3L, 178571L)))
+    // Everyone in one community: Q = 0 exactly (4m*e - D^2 = 0).
+    val one = mem.select($"n", lit("X").as("cm"))
+    val q1 = Graph.modularity(edges, "a", "b", one, "n", "cm")
+      .select($"q_micro").as[Long].head()
+    assert(q1 === 0L)
+  }
+
+  test("assortativity: a star is -1, a cycle is null (zero degree variance)") {
+    val star = Seq((1L, 2L), (1L, 3L), (1L, 4L)).toDF("a", "b")
+    val s = Graph.assortativity(star, "a", "b")
+      .as[(Long, Option[Double])].head()
+    assert(s === ((6L, Some(-1.0))))
+    val cycle = Seq((1L, 2L), (2L, 3L), (1L, 3L)).toDF("a", "b")
+    val c = Graph.assortativity(cycle, "a", "b")
+      .as[(Long, Option[Double])].head()
+    assert(c === ((6L, None)))
   }
 }
