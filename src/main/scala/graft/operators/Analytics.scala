@@ -1605,6 +1605,135 @@ object Analytics {
         col("totw").as("weight_total"))
   }
 
+  /** Seasonal-naive forecast backtest (MASE): per key, the mean absolute
+    * error of "this day = same day last season" scaled by the
+    * in-sample naive-1 error — the standard scale-free "is the seasonal
+    * structure real?" score (< 1e6 micro ⇒ the weekly pattern beats
+    * just repeating yesterday). The operator q185's seasonality profile
+    * hands its output to: profile says there IS a weekly shape, this
+    * says how much forecasting power it carries.
+    *
+    * Exact algebra: daily totals in BIGINT cents; both MAEs are BIGINT
+    * |difference| sums over OBSERVED days (lag = previous observation —
+    * a day with no rows contributes no error term; gap-fill first with
+    * q84 for calendar-strict semantics), and the one division is the
+    * final micro floor. Scale: one (key, day) collapse, one window
+    * providing both lags in a single per-key sort, one hash agg.
+    */
+  def seasonalNaiveBacktest(df: DataFrame, keyCol: String, tsCol: String,
+      valueCol: String, season: Int = 7): DataFrame = {
+    require(season >= 2, "season must be >= 2 (1 is the naive baseline)")
+    val daily = df
+      .select(col(keyCol).as("k"), to_date(col(tsCol)).as("day"),
+        floor(col(valueCol) * 100).cast("long").as("cents"))
+      .groupBy(col("k"), col("day"))
+      .agg(sum(col("cents")).as("s"))
+    val w = Window.partitionBy(col("k")).orderBy(col("day"))
+    daily
+      .select(col("k"), col("s"), lag(col("s"), 1).over(w).as("l1"),
+        lag(col("s"), season).over(w).as("ls"))
+      .filter(col("l1").isNotNull && col("ls").isNotNull)
+      .groupBy(col("k"))
+      .agg(count(lit(1)).as("n_eval"),
+        sum(abs(col("s") - col("ls"))).as("ae_seasonal"),
+        sum(abs(col("s") - col("l1"))).as("ae_naive"))
+      .select(col("k").as(keyCol), col("n_eval"), col("ae_seasonal"),
+        col("ae_naive"),
+        when(col("ae_naive") === 0, lit(null).cast("long"))
+          .otherwise(expr("ae_seasonal * 1000000L div ae_naive"))
+          .as("mase_micro"))
+  }
+
+  // ---- q209: does the weekly pattern beat repeating yesterday? ----------------
+  private def q209(s: SparkSession, d: String): DataFrame =
+    seasonalNaiveBacktest(Tables.events(s, d), "event_type", "ts", "value")
+      .orderBy(col("event_type"))
+  private val q209Sql =
+    """WITH daily AS (
+         SELECT event_type AS k, (ts::TIMESTAMP)::DATE AS day,
+           sum(floor(value * 100)::BIGINT)::BIGINT AS s
+         FROM events GROUP BY 1, 2),
+       l AS (
+         SELECT k, s,
+           lag(s, 1) OVER (PARTITION BY k ORDER BY day) AS l1,
+           lag(s, 7) OVER (PARTITION BY k ORDER BY day) AS ls
+         FROM daily)
+       SELECT k AS event_type, count(*)::BIGINT AS n_eval,
+         sum(abs(s - ls))::BIGINT AS ae_seasonal,
+         sum(abs(s - l1))::BIGINT AS ae_naive,
+         CASE WHEN sum(abs(s - l1)) = 0 THEN NULL
+           ELSE (sum(abs(s - ls)) * 1000000 // sum(abs(s - l1)))::BIGINT
+           END AS mase_micro
+       FROM l WHERE l1 IS NOT NULL AND ls IS NOT NULL
+       GROUP BY k ORDER BY event_type"""
+
+  /** Click→conversion attribution over a raw event stream: for every
+    * conversion, the first- and last-touch candidate events of the same
+    * user inside a lookback window, plus the candidate count (the
+    * linear-credit denominator) — the batch companion to
+    * [[graft.streaming.StreamingOps.clickAttribution]]'s stream-stream
+    * join, on identical windowing semantics.
+    *
+    * Determinism: first = min(struct(ts, id)), last = max(struct(ts,
+    * id)) — timestamp ties break on the event id on both engines.
+    * Conversions with no in-window candidate surface with a zero count
+    * (left join), not silently dropped — unattributed conversions ARE
+    * the metric a marketing pipeline watches.
+    *
+    * Scale: one user-keyed equi-join with the window predicate as a
+    * residual filter (the user key does the partitioning; per-user
+    * event lists bound the fan-out) and one argmin/argmax hash
+    * aggregation with map-side partials. No window sort of the event
+    * history.
+    */
+  def touchAttribution(df: DataFrame, userCol: String, tsCol: String,
+      idCol: String, isTouch: Column, isConversion: Column,
+      lookback: String = "7 days"): DataFrame = {
+    val touches = df.filter(isTouch)
+      .select(col(userCol).as("u"), col(tsCol).as("c_ts"),
+        col(idCol).as("c_id"))
+    val convs = df.filter(isConversion)
+      .select(col(userCol).as("u"), col(tsCol).as("p_ts"),
+        col(idCol).as("p_id"))
+    convs.join(touches,
+        convs("u") === touches("u") && col("c_ts") <= col("p_ts") &&
+          col("c_ts") > col("p_ts") - expr(s"INTERVAL $lookback"),
+        "left")
+      .groupBy(convs("u").as("user_id"), col("p_id"))
+      .agg(count(col("c_id")).as("n_touches"),
+        min(when(col("c_id").isNotNull,
+          struct(col("c_ts"), col("c_id")))).as("first_t"),
+        max(when(col("c_id").isNotNull,
+          struct(col("c_ts"), col("c_id")))).as("last_t"))
+      .select(col("user_id"), col("p_id").as("conversion_id"),
+        col("n_touches"), col("first_t.c_id").as("first_touch_id"),
+        col("last_t.c_id").as("last_touch_id"))
+  }
+
+  // ---- q210: first/last-touch attribution of purchases to clicks --------------
+  private def q210(s: SparkSession, d: String): DataFrame =
+    touchAttribution(Tables.events(s, d), "user_id", "ts", "event_id",
+        col("event_type") === "click", col("event_type") === "purchase")
+      .orderBy(col("conversion_id"))
+  private val q210Sql =
+    """WITH t AS (
+         SELECT user_id AS u, ts AS c_ts, event_id AS c_id
+         FROM events WHERE event_type = 'click'),
+       c AS (
+         SELECT user_id AS u, ts AS p_ts, event_id AS p_id
+         FROM events WHERE event_type = 'purchase'),
+       j AS (
+         SELECT c.u, c.p_id, t.c_ts, t.c_id
+         FROM c LEFT JOIN t ON c.u = t.u AND t.c_ts <= c.p_ts
+           AND t.c_ts > c.p_ts - INTERVAL 7 DAY)
+       SELECT u AS user_id, p_id AS conversion_id,
+         count(c_id)::BIGINT AS n_touches,
+         min(CASE WHEN c_id IS NOT NULL THEN (c_ts, c_id) END)[2]::BIGINT
+           AS first_touch_id,
+         max(CASE WHEN c_id IS NOT NULL THEN (c_ts, c_id) END)[2]::BIGINT
+           AS last_touch_id
+       FROM j GROUP BY u, p_id ORDER BY conversion_id"""
+
   // ---- q205: character-mass median document length per language ---------------
   private def q205(s: SparkSession, d: String): DataFrame =
     weightedMedian(Tables.documents(s, d), "lang", "n_chars", "n_chars")
@@ -1663,6 +1792,8 @@ object Analytics {
 
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q202_change_point", q202, Some(q202Sql)),
+    QueryDef("q209_seasonal_backtest", q209, Some(q209Sql)),
+    QueryDef("q210_touch_attribution", q210, Some(q210Sql)),
     QueryDef("q205_weighted_median", q205, Some(q205Sql)),
     QueryDef("q197_decayed_score", q197, Some(q197Sql)),
     QueryDef("q46_posexplode", q46, Some(q46Sql)),

@@ -324,6 +324,44 @@ class AnalyticsSpec extends SparkSpec {
     assert(got._5 === 100L * 1000000L && got._6 === 500L * 1000000L)
   }
 
+  test("seasonalNaiveBacktest scores a perfect weekly pattern at 0") {
+    def ts(day: Int) = java.sql.Timestamp.valueOf(f"2024-01-$day%02d 08:00:00")
+    // 14 days of a strict period-7 pattern: seasonal error 0; naive-1
+    // error = 6 unit steps (100 cents each) + the 600-cent wrap drop.
+    val rows = (1 to 14).map(i => ("a", ts(i), (i % 7 + 1).toDouble))
+    val got = Analytics.seasonalNaiveBacktest(rows.toDF("k", "ts", "v"),
+        "k", "ts", "v")
+      .as[(String, Long, Long, Long, Option[Long])].head()
+    assert(got === (("a", 7L, 0L, 1200L, Some(0L))))
+    // A constant series has zero naive error -> null, not div-by-zero.
+    val const = (1 to 10).map(i => ("c", ts(i), 2.0))
+    val gc = Analytics.seasonalNaiveBacktest(const.toDF("k", "ts", "v"),
+        "k", "ts", "v")
+      .as[(String, Long, Long, Long, Option[Long])].head()
+    assert(gc._5 === None)
+  }
+
+  test("touchAttribution picks first/last touch with id tiebreaks and keeps orphans") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val e = Seq(
+      // user 1: two clicks inside the window (one ts tie pair), purchase
+      (1L, ts("2024-01-10 10:00:00"), 100L, "click"),
+      (1L, ts("2024-01-10 10:00:00"), 101L, "click"), // ts tie with 100
+      (1L, ts("2024-01-12 09:00:00"), 102L, "click"),
+      (1L, ts("2024-01-12 10:00:00"), 103L, "purchase"),
+      // user 2: click outside the 7-day lookback -> orphan conversion
+      (2L, ts("2024-01-01 10:00:00"), 200L, "click"),
+      (2L, ts("2024-01-12 10:00:00"), 201L, "purchase"))
+      .toDF("user_id", "ts", "event_id", "event_type")
+    val got = Analytics.touchAttribution(e, "user_id", "ts", "event_id",
+        col("event_type") === "click", col("event_type") === "purchase")
+      .orderBy("conversion_id")
+      .as[(Long, Long, Long, Option[Long], Option[Long])].collect()
+    assert(got === Array(
+      (1L, 103L, 3L, Some(100L), Some(102L)),
+      (2L, 201L, 0L, None, None)))
+  }
+
   test("weightedMedian follows the mass, not the row count") {
     val df = Seq(
       // g=a: nine-tenths of the weight sits at v=100 -> weighted median
