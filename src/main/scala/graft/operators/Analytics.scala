@@ -1734,6 +1734,76 @@ object Analytics {
            AS last_touch_id
        FROM j GROUP BY u, p_id ORDER BY conversion_id"""
 
+  /** Cohort lifetime-value curve: customers grouped by first-activity
+    * month, revenue accumulated per months-since-start offset — the
+    * "does a January customer pay back like an October one" table
+    * behind retention economics (q75's retention matrix counts WHO
+    * returns; this sums WHAT they spend).
+    *
+    * Exact algebra: revenue in BIGINT cents, month offsets as integer
+    * truncated-month differences (identical on both engines for
+    * month-truncated dates), cumulative sums per cohort over offsets.
+    * Scale: one (customer → first month) aggregation, one
+    * (customer, month) revenue collapse, a broadcastable cohort join,
+    * and a per-cohort window over ≤ calendar-months rows.
+    */
+  def cohortLtv(df: DataFrame, custCol: String, tsCol: String,
+      amountCol: String): DataFrame = {
+    val acts = df.select(col(custCol).as("cust"),
+      date_trunc("month", col(tsCol)).cast("date").as("mth"),
+      floor(col(amountCol) * 100).cast("long").as("cents"))
+    val cohort = acts.groupBy(col("cust")).agg(min(col("mth")).as("cohort"))
+    val sizes = cohort.groupBy(col("cohort"))
+      .agg(count(lit(1)).as("n_customers"))
+    val rev = acts.groupBy(col("cust"), col("mth"))
+      .agg(sum(col("cents")).as("rev"))
+      .join(cohort, Seq("cust"))
+      .groupBy(col("cohort"),
+        ((year(col("mth")) - year(col("cohort"))) * 12
+          + month(col("mth")) - month(col("cohort")))
+          .cast("long").as("month_offset"))
+      .agg(sum(col("rev")).as("revenue_cents"))
+    val w = Window.partitionBy(col("cohort")).orderBy(col("month_offset"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    rev.join(broadcast(sizes), Seq("cohort"))
+      .select(col("cohort"), col("month_offset"), col("n_customers"),
+        col("revenue_cents"),
+        sum(col("revenue_cents")).over(w).as("ltv_cents"))
+  }
+
+  // ---- q212: monthly cohort LTV from the order book ---------------------------
+  private def q212(s: SparkSession, d: String): DataFrame =
+    cohortLtv(Tables.orders(s, d), "o_custkey", "o_orderdate",
+        "o_totalprice")
+      .orderBy(col("cohort"), col("month_offset"))
+  private val q212Sql =
+    """WITH acts AS (
+         SELECT o_custkey AS cust,
+           date_trunc('month', o_orderdate)::DATE AS mth,
+           floor(o_totalprice * 100)::BIGINT AS cents
+         FROM orders),
+       cohort AS (
+         SELECT cust, min(mth) AS cohort FROM acts GROUP BY cust),
+       sizes AS (
+         SELECT cohort, count(*)::BIGINT AS n_customers
+         FROM cohort GROUP BY cohort),
+       rev AS (
+         SELECT c.cohort,
+           (year(a.mth) - year(c.cohort)) * 12
+             + (month(a.mth) - month(c.cohort)) AS month_offset,
+           sum(cents)::BIGINT AS revenue_cents
+         FROM (SELECT cust, mth, sum(cents) AS cents
+               FROM acts GROUP BY 1, 2) a
+           JOIN cohort c ON a.cust = c.cust
+         GROUP BY 1, 2)
+       SELECT r.cohort, month_offset, n_customers, revenue_cents,
+         sum(revenue_cents) OVER (PARTITION BY r.cohort
+           ORDER BY month_offset
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT
+           AS ltv_cents
+       FROM rev r JOIN sizes s ON r.cohort = s.cohort
+       ORDER BY r.cohort, month_offset"""
+
   // ---- q205: character-mass median document length per language ---------------
   private def q205(s: SparkSession, d: String): DataFrame =
     weightedMedian(Tables.documents(s, d), "lang", "n_chars", "n_chars")
@@ -1793,6 +1863,7 @@ object Analytics {
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q202_change_point", q202, Some(q202Sql)),
     QueryDef("q209_seasonal_backtest", q209, Some(q209Sql)),
+    QueryDef("q212_cohort_ltv", q212, Some(q212Sql)),
     QueryDef("q210_touch_attribution", q210, Some(q210Sql)),
     QueryDef("q205_weighted_median", q205, Some(q205Sql)),
     QueryDef("q197_decayed_score", q197, Some(q197Sql)),

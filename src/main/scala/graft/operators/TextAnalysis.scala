@@ -990,7 +990,79 @@ object TextAnalysis {
          (length(nfc_normalize(aug)) < length(aug)) AS canon_collapsed
        FROM a ORDER BY doc_id"""
 
+  /** Vocabulary growth curve (Heap's-law empirics): cumulative distinct
+    * terms after every `checkpoint`-doc prefix of the corpus, in doc-id
+    * order — the "how fast does new vocabulary arrive" curve that sizes
+    * tokenizer vocabularies and predicts dedup yield (a flattening curve
+    * means the tail is repetition, not novelty).
+    *
+    * The trick that makes it one pass: a term's contribution to every
+    * prefix is fully determined by its FIRST document — so collapse to
+    * (term → min(doc_id)), bucket those first-occurrences into
+    * checkpoints, and prefix-sum the per-checkpoint new-term counts.
+    * No growing-prefix distinct-count ever runs. Exact integers
+    * throughout.
+    *
+    * Scale: one (term, doc) distinct + min aggregation (vocab-sized,
+    * hashable terms), one count per checkpoint, one cumulative window
+    * over the |corpus|/checkpoint-row relation.
+    */
+  def vocabGrowth(df: DataFrame, idCol: String, textCol: String,
+      checkpoint: Int = 100, n: Int = 1): DataFrame = {
+    require(checkpoint >= 1, "checkpoint must be >= 1")
+    require(n >= 1, "n-gram order must be >= 1")
+    val terms =
+      if (n == 1) tokens(col(textCol))
+      else distinctNgrams(tokens(col(textCol)), n)
+    val src =
+      if (n == 1) df
+      else df.filter(size(tokens(col(textCol))) >= n)
+    val first = src
+      .select(col(idCol).cast("long").as("doc_id"),
+        explode(terms).as("term"))
+      .groupBy(col("term")).agg(min(col("doc_id")).as("first_doc"))
+    val perCk = first
+      .select((expr(s"first_doc div ${checkpoint}L") * checkpoint
+        + checkpoint).as("docs_seen"))
+      .groupBy(col("docs_seen"))
+      .agg(count(lit(1)).as("new_terms"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("docs_seen"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    perCk.select(col("docs_seen"), col("new_terms"),
+      sum(col("new_terms")).over(w).as("vocab_cum"))
+  }
+
+  // ---- q211: trigram vocabulary growth every 100 documents --------------------
+  // Word TRIGRAMS, not unigrams: the fixture's unigram vocabulary
+  // saturates inside the first checkpoint (31 terms), while the trigram
+  // space keeps yielding novelty — the regime where the curve earns its
+  // keep.
+  private def q211(s: SparkSession, d: String): DataFrame =
+    vocabGrowth(Tables.documents(s, d), "doc_id", "text", n = 3)
+      .orderBy(col("docs_seen"))
+  private val q211Sql =
+    """WITH toks AS (
+         SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+         WHERE len(string_split(text, ' ')) >= 3),
+       first AS (
+         SELECT term, min(doc_id)::BIGINT AS first_doc FROM (
+           SELECT doc_id, unnest(list_transform(range(1, len(tk) - 1),
+             i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS term
+           FROM toks) t
+         GROUP BY term),
+       ck AS (
+         SELECT (first_doc // 100) * 100 + 100 AS docs_seen,
+           count(*)::BIGINT AS new_terms
+         FROM first GROUP BY 1)
+       SELECT docs_seen, new_terms,
+         sum(new_terms) OVER (ORDER BY docs_seen
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT
+           AS vocab_cum
+       FROM ck ORDER BY docs_seen"""
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q211_vocab_growth", q211, Some(q211Sql)),
     QueryDef("q21_token_stats", q21, Some(q21Sql)),
     QueryDef("q155_term_class_chi2", q155, Some(q155Sql)),
     QueryDef("q22_quality_score", q22, Some(q22Sql)),

@@ -362,6 +362,23 @@ class AnalyticsSpec extends SparkSpec {
       (2L, 201L, 0L, None, None)))
   }
 
+  test("cohortLtv accumulates revenue by months since first activity") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val orders = Seq(
+      (1L, ts("2024-01-05 00:00:00"), 10.0),
+      (1L, ts("2024-01-20 00:00:00"), 5.0),
+      (1L, ts("2024-03-02 00:00:00"), 2.0),
+      (2L, ts("2024-02-10 00:00:00"), 1.0))
+      .toDF("cust", "ts", "amt")
+    val got = Analytics.cohortLtv(orders, "cust", "ts", "amt")
+      .orderBy("cohort", "month_offset")
+      .as[(java.sql.Date, Long, Long, Long, Long)].collect()
+    assert(got.map(r => (r._1.toString, r._2, r._3, r._4, r._5)) === Array(
+      ("2024-01-01", 0L, 1L, 1500L, 1500L),
+      ("2024-01-01", 2L, 1L, 200L, 1700L),
+      ("2024-02-01", 0L, 1L, 100L, 100L)))
+  }
+
   test("weightedMedian follows the mass, not the row count") {
     val df = Seq(
       // g=a: nine-tenths of the weight sits at v=100 -> weighted median

@@ -230,4 +230,21 @@ class TextAnalysisSpec extends SparkSpec {
       graft.functions.TextFunctions.nfc($"t"))).as[String].collect()
     assert(twice(0) === pre)
   }
+
+  test("vocabGrowth counts each term at its first checkpoint only") {
+    val docs = Seq((0L, "a b"), (1L, "a c"), (2L, "d"), (3L, "a"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.vocabGrowth(docs, "doc_id", "text",
+        checkpoint = 2)
+      .orderBy("docs_seen").as[(Long, Long, Long)].collect()
+    // a,b first in doc 0; c in doc 1 -> checkpoint 2 has 3 new terms;
+    // d in doc 2 -> checkpoint 4 adds 1; cumulative 3, 4.
+    assert(got === Array((2L, 3L, 3L), (4L, 1L, 4L)))
+    // n=3: docs shorter than the n-gram order contribute nothing.
+    val tri = TextAnalysis.vocabGrowth(
+        Seq((0L, "x y z w"), (1L, "p q")).toDF("doc_id", "text"),
+        "doc_id", "text", checkpoint = 10, n = 3)
+      .as[(Long, Long, Long)].collect()
+    assert(tri === Array((10L, 2L, 2L))) // "x y z", "y z w"
+  }
 }
