@@ -1599,6 +1599,101 @@ object Profile {
        FROM agg WHERE n_a > 0 AND n_b > 0
        ORDER BY o_orderpriority"""
 
+  /** All-pairs correlation matrix over integer-quantized columns in ONE
+    * aggregation pass: every Σxᵢ, Σxᵢ², Σxᵢxⱼ lands in the same
+    * map-side-partial hash aggregate, so profiling k columns costs one
+    * corpus scan instead of C(k,2) — the "which metrics move together"
+    * table a dataset profile leads with.
+    *
+    * Inputs are caller-quantized to BIGINT units (cents, dollars —
+    * correlation is scale-invariant, so the unit choice only needs to
+    * keep Σx² inside 2⁵³ for exact double conversion; with that bound
+    * every moment is an exact integer and the Pearson finish is the
+    * identical correctly-rounded double path on both engines, rounded
+    * to 6). Zero-variance columns yield null, not NaN.
+    */
+  def corrMatrix(df: DataFrame, cols: Seq[(String, Column)]): DataFrame = {
+    require(cols.size >= 2, "need at least two columns")
+    val named = cols.map { case (nm, c) => nm -> c.cast("long") }
+    val aggs = Seq(count(lit(1)).as("n")) ++
+      named.map { case (nm, c) => sum(c).as(s"s_$nm") } ++
+      named.map { case (nm, c) => sum(c * c).as(s"ss_$nm") } ++
+      (for {
+        i <- named.indices; j <- named.indices if i < j
+      } yield sum(named(i)._2 * named(j)._2)
+        .as(s"sp_${named(i)._1}__${named(j)._1}"))
+    val agg = df.agg(aggs.head, aggs.tail: _*)
+    val pairs = for {
+      i <- named.indices; j <- named.indices if i < j
+    } yield {
+      val (a, b) = (named(i)._1, named(j)._1)
+      // The n·Σx² products overflow BIGINT long before the sums do, so
+      // the finish runs on exact-integer INPUTS cast to double — the
+      // identical correctly-rounded FP path on both engines.
+      def d(c: String) = col(c).cast("double")
+      val va = d("n") * d(s"ss_$a") - d(s"s_$a") * d(s"s_$a")
+      val vb = d("n") * d(s"ss_$b") - d(s"s_$b") * d(s"s_$b")
+      val num = d("n") * d(s"sp_${a}__$b") - d(s"s_$a") * d(s"s_$b")
+      struct(lit(a).as("col_a"), lit(b).as("col_b"),
+        when(va === 0d || vb === 0d, lit(null).cast("double"))
+          .otherwise(round(num / (sqrt(va) * sqrt(vb)), 6) + lit(0.0))
+          .as("corr"))
+    }
+    agg.select(explode(array(pairs: _*)).as("p")).select(col("p.*"))
+  }
+
+  // ---- q214: one-pass correlation matrix of the lineitem measures -------------
+  // Quantity in hundredths, price in whole dollars, discount/tax in
+  // hundredths — units chosen so every moment stays exactly
+  // double-representable at sf0.1.
+  private def q214(s: SparkSession, d: String): DataFrame =
+    corrMatrix(Tables.lineitem(s, d), Seq(
+        "qty" -> floor(col("l_quantity") * 100),
+        "price" -> floor(col("l_extendedprice")),
+        "disc" -> floor(col("l_discount") * 100),
+        "tax" -> floor(col("l_tax") * 100)))
+      .orderBy(col("col_a"), col("col_b"))
+  private val q214Sql =
+    """WITH a AS (
+         SELECT count(*)::BIGINT AS n,
+           sum(q)::BIGINT AS s_qty, sum(p)::BIGINT AS s_price,
+           sum(dc)::BIGINT AS s_disc, sum(tx)::BIGINT AS s_tax,
+           sum(q*q)::BIGINT AS ss_qty, sum(p*p)::BIGINT AS ss_price,
+           sum(dc*dc)::BIGINT AS ss_disc, sum(tx*tx)::BIGINT AS ss_tax,
+           sum(q*p)::BIGINT AS sp_qty_price, sum(q*dc)::BIGINT AS sp_qty_disc,
+           sum(q*tx)::BIGINT AS sp_qty_tax, sum(p*dc)::BIGINT AS sp_price_disc,
+           sum(p*tx)::BIGINT AS sp_price_tax, sum(dc*tx)::BIGINT AS sp_disc_tax
+         FROM (
+           SELECT floor(l_quantity * 100)::BIGINT AS q,
+             floor(l_extendedprice)::BIGINT AS p,
+             floor(l_discount * 100)::BIGINT AS dc,
+             floor(l_tax * 100)::BIGINT AS tx
+           FROM lineitem) t),
+       pairs AS (
+         SELECT 'qty' AS col_a, 'price' AS col_b, s_qty AS sa, s_price AS sb,
+           ss_qty AS ssa, ss_price AS ssb, sp_qty_price AS sp, n FROM a
+         UNION ALL SELECT 'qty', 'disc', s_qty, s_disc, ss_qty, ss_disc,
+           sp_qty_disc, n FROM a
+         UNION ALL SELECT 'qty', 'tax', s_qty, s_tax, ss_qty, ss_tax,
+           sp_qty_tax, n FROM a
+         UNION ALL SELECT 'price', 'disc', s_price, s_disc, ss_price,
+           ss_disc, sp_price_disc, n FROM a
+         UNION ALL SELECT 'price', 'tax', s_price, s_tax, ss_price, ss_tax,
+           sp_price_tax, n FROM a
+         UNION ALL SELECT 'disc', 'tax', s_disc, s_tax, ss_disc, ss_tax,
+           sp_disc_tax, n FROM a)
+       SELECT col_a, col_b,
+         CASE WHEN n::DOUBLE * ssa::DOUBLE - sa::DOUBLE * sa::DOUBLE = 0
+             OR n::DOUBLE * ssb::DOUBLE - sb::DOUBLE * sb::DOUBLE = 0
+           THEN NULL
+           ELSE round(
+             (n::DOUBLE * sp::DOUBLE - sa::DOUBLE * sb::DOUBLE)
+             / (sqrt(n::DOUBLE * ssa::DOUBLE - sa::DOUBLE * sa::DOUBLE)
+               * sqrt(n::DOUBLE * ssb::DOUBLE - sb::DOUBLE * sb::DOUBLE)),
+             6) + 0.0
+           END AS corr
+       FROM pairs ORDER BY col_a, col_b"""
+
   /** Two-sample Kolmogorov–Smirnov statistic per group: the maximum gap
     * between the two classes' empirical CDFs — the distribution-SHAPE
     * companion to [[mannWhitneyU]]'s location test (U can be ~0.5 while
@@ -1778,6 +1873,7 @@ object Profile {
     QueryDef("q194_mann_whitney", q194, Some(q194Sql)),
     QueryDef("q195_spearman", q195, Some(q195Sql)),
     QueryDef("q199_ks_test", q199, Some(q199Sql)),
+    QueryDef("q214_corr_matrix", q214, Some(q214Sql)),
     QueryDef("q187_simpson", q187, Some(q187Sql)),
     QueryDef("q188_fleiss_kappa", q188, Some(q188Sql)),
     QueryDef("q193_wilson_ci", q193, Some(q193Sql)),

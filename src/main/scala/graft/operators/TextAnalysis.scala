@@ -1033,6 +1033,60 @@ object TextAnalysis {
       sum(col("new_terms")).over(w).as("vocab_cum"))
   }
 
+  /** Per-document novelty: the fraction of a document's distinct n-grams
+    * whose corpus-wide FIRST occurrence is this document (in doc-id
+    * order) — the doc-granular reading of [[vocabGrowth]]'s curve, and a
+    * direct curation signal: low-novelty late documents are repetition
+    * (dedup candidates), high-novelty ones carry new material.
+    *
+    * Exact integers end to end (counts + one micro floor). Scale: the
+    * same vocab-sized (term → min doc) collapse as vocabGrowth, joined
+    * back to the per-(doc, term) distinct relation on the hashed term —
+    * two corpus-vocab-sized exchanges, no pair join, no window.
+    */
+  def docNovelty(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3): DataFrame = {
+    require(n >= 1, "n-gram order must be >= 1")
+    val terms =
+      if (n == 1) tokens(col(textCol))
+      else distinctNgrams(tokens(col(textCol)), n)
+    val src = if (n == 1) df
+      else df.filter(size(tokens(col(textCol))) >= n)
+    val dt = src.select(col(idCol).cast("long").as("doc_id"),
+        explode(terms).as("term"))
+      .select(col("doc_id"), xxhash64(col("term")).as("t"))
+      .distinct()
+    val first = dt.groupBy(col("t")).agg(min(col("doc_id")).as("first_doc"))
+    dt.join(first, Seq("t"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        count(when(col("first_doc") === col("doc_id"), 1)).as("n_novel"))
+      .select(col("doc_id"), col("n_grams"), col("n_novel"),
+        expr("n_novel * 1000000L div n_grams").as("novelty_micro"))
+  }
+
+  // ---- q213: trigram novelty per document -------------------------------------
+  private def q213(s: SparkSession, d: String): DataFrame =
+    docNovelty(Tables.documents(s, d), "doc_id", "text")
+      .orderBy(col("doc_id"))
+  private val q213Sql =
+    """WITH toks AS (
+         SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+         WHERE len(string_split(text, ' ')) >= 3),
+       dt AS (
+         SELECT DISTINCT doc_id, term FROM (
+           SELECT doc_id, unnest(list_transform(range(1, len(tk) - 1),
+             i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS term
+           FROM toks) t),
+       first AS (
+         SELECT term, min(doc_id) AS first_doc FROM dt GROUP BY term)
+       SELECT dt.doc_id, count(*)::BIGINT AS n_grams,
+         count(*) FILTER (WHERE first_doc = dt.doc_id)::BIGINT AS n_novel,
+         (count(*) FILTER (WHERE first_doc = dt.doc_id) * 1000000
+           // count(*))::BIGINT AS novelty_micro
+       FROM dt JOIN first ON dt.term = first.term
+       GROUP BY dt.doc_id ORDER BY dt.doc_id"""
+
   // ---- q211: trigram vocabulary growth every 100 documents --------------------
   // Word TRIGRAMS, not unigrams: the fixture's unigram vocabulary
   // saturates inside the first checkpoint (31 terms), while the trigram
@@ -1063,6 +1117,7 @@ object TextAnalysis {
 
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q211_vocab_growth", q211, Some(q211Sql)),
+    QueryDef("q213_doc_novelty", q213, Some(q213Sql)),
     QueryDef("q21_token_stats", q21, Some(q21Sql)),
     QueryDef("q155_term_class_chi2", q155, Some(q155Sql)),
     QueryDef("q22_quality_score", q22, Some(q22Sql)),

@@ -484,6 +484,18 @@ class ProfileSpec extends SparkSpec {
       col("cls") === "a", col("cls") === "b").count() === 0L)
   }
 
+  test("corrMatrix computes every pair in one pass with null on zero variance") {
+    val df = Seq((1L, 2L, 3L, 5L), (2L, 4L, 2L, 5L), (3L, 6L, 1L, 5L))
+      .toDF("x", "y", "z", "w")
+    val got = Profile.corrMatrix(df, Seq(
+        "x" -> col("x"), "y" -> col("y"), "z" -> col("z"), "w" -> col("w")))
+      .orderBy("col_a", "col_b")
+      .as[(String, String, Option[Double])].collect()
+    assert(got === Array(
+      ("x", "w", None), ("x", "y", Some(1.0)), ("x", "z", Some(-1.0)),
+      ("y", "w", None), ("y", "z", Some(-1.0)), ("z", "w", None)))
+  }
+
   test("ksTest finds full separation, zero for identical samples") {
     // g=1: A={1,2} strictly below B={3,4} -> D = 1 (ks_micro 1e6).
     // g=2: identical samples -> D = 0.

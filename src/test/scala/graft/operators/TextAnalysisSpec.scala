@@ -231,6 +231,17 @@ class TextAnalysisSpec extends SparkSpec {
     assert(twice(0) === pre)
   }
 
+  test("docNovelty credits an n-gram only to its first document") {
+    val docs = Seq((0L, "a b c d"), (1L, "a b c x"), (2L, "a b c d"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.docNovelty(docs, "doc_id", "text", n = 3)
+      .orderBy("doc_id").as[(Long, Long, Long, Long)].collect()
+    assert(got === Array(
+      (0L, 2L, 2L, 1000000L), // "a b c", "b c d" both new
+      (1L, 2L, 1L, 500000L), // only "b c x" is new
+      (2L, 2L, 0L, 0L))) // pure repetition
+  }
+
   test("vocabGrowth counts each term at its first checkpoint only") {
     val docs = Seq((0L, "a b"), (1L, "a c"), (2L, "d"), (3L, "a"))
       .toDF("doc_id", "text")
