@@ -1823,6 +1823,87 @@ object Analytics {
        FROM c WHERE 2 * cumw >= totw
        GROUP BY g, totw ORDER BY lang"""
 
+  /** Otsu auto-threshold per group: the value split maximizing
+    * between-class variance over the VALUE distribution — the unsupervised
+    * "where should the filter cutoff sit" answer (the q202 change-point
+    * machinery, pivoted from time order to value order). A curation
+    * pipeline uses it to turn a bimodal quality/length histogram into a
+    * keep/drop boundary without hand-tuning.
+    *
+    * Same determinism contract as [[changePoint]]: per-distinct-value
+    * counts and sums are exact BIGINT, d₁ = S₁·n₂ − S₂·n₁ is exact and
+    * double-representable, the gain's three FP ops are identical on both
+    * engines, and the argmax tie-breaks on the lowest threshold. Scale:
+    * one (group, value) collapse, windows over DISTINCT values.
+    */
+  def otsuThreshold(df: DataFrame, groupCol: String,
+      valueCol: String): DataFrame = {
+    val byV = df.select(col(groupCol).as("k"),
+        col(valueCol).cast("long").as("v"))
+      .groupBy(col("k"), col("v"))
+      .agg(count(lit(1)).as("c"), sum(col("v")).as("m"))
+    val ord = Window.partitionBy(col("k")).orderBy(col("v"))
+    val w = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = byV.groupBy(col("k"))
+      .agg(sum(col("c")).as("n"), sum(col("m")).as("stot"))
+    val pre = byV
+      .select(col("k"), col("v"), sum(col("c")).over(w).as("n1"),
+        sum(col("m")).over(w).as("s1"))
+      .join(tot, Seq("k"))
+      .filter(col("n1") < col("n"))
+      .select(col("k"), col("v"), col("n1"), col("s1"), col("n"),
+        col("stot"),
+        (col("s1") * (col("n") - col("n1"))
+          - (col("stot") - col("s1")) * col("n1")).cast("double").as("d1"))
+      .withColumn("gain",
+        col("d1") * col("d1")
+          / (col("n1") * (col("n") - col("n1"))).cast("double"))
+    pre.withColumn("rn", row_number().over(
+        Window.partitionBy(col("k")).orderBy(col("gain").desc, col("v"))))
+      .filter(col("rn") === 1)
+      .select(col("k").as(groupCol), col("v").as("threshold"),
+        col("n1").as("n_below"), (col("n") - col("n1")).as("n_above"),
+        expr("s1 * 1000000L div n1").as("mean_below_micro"),
+        expr("(stot - s1) * 1000000L div (n - n1)").as("mean_above_micro"))
+  }
+
+  // ---- q215: auto-threshold on document length per language -------------------
+  // Where does each language's length distribution naturally split?
+  private def q215(s: SparkSession, d: String): DataFrame =
+    otsuThreshold(Tables.documents(s, d), "lang", "n_chars")
+      .orderBy(col("lang"))
+  private val q215Sql =
+    """WITH byv AS (
+         SELECT lang AS k, n_chars::BIGINT AS v, count(*)::BIGINT AS c,
+           sum(n_chars)::BIGINT AS m
+         FROM documents GROUP BY 1, 2),
+       tot AS (
+         SELECT k, sum(c)::BIGINT AS n, sum(m)::BIGINT AS stot
+         FROM byv GROUP BY k),
+       pre AS (
+         SELECT b.k, b.v,
+           sum(c) OVER (PARTITION BY b.k ORDER BY v
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n1,
+           sum(m) OVER (PARTITION BY b.k ORDER BY v
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s1,
+           t.n, t.stot
+         FROM byv b JOIN tot t ON b.k = t.k),
+       gains AS (
+         SELECT *,
+           ((s1 * (n - n1) - (stot - s1) * n1)::DOUBLE
+             * (s1 * (n - n1) - (stot - s1) * n1)::DOUBLE)
+             / ((n1 * (n - n1))::DOUBLE) AS gain
+         FROM pre WHERE n1 < n),
+       best AS (
+         SELECT *, row_number() OVER (PARTITION BY k
+           ORDER BY gain DESC, v) AS rn
+         FROM gains)
+       SELECT k AS lang, v AS threshold, n1::BIGINT AS n_below,
+         (n - n1)::BIGINT AS n_above,
+         (s1 * 1000000 // n1)::BIGINT AS mean_below_micro,
+         ((stot - s1) * 1000000 // (n - n1))::BIGINT AS mean_above_micro
+       FROM best WHERE rn = 1 ORDER BY lang"""
+
   // ---- q202: change-point in the daily event-value series ---------------------
   // Per event type: the day the daily cent mass shifted the most —
   // binary segmentation's first split, argmax'd deterministically.
@@ -1862,6 +1943,7 @@ object Analytics {
 
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q202_change_point", q202, Some(q202Sql)),
+    QueryDef("q215_otsu_threshold", q215, Some(q215Sql)),
     QueryDef("q209_seasonal_backtest", q209, Some(q209Sql)),
     QueryDef("q212_cohort_ltv", q212, Some(q212Sql)),
     QueryDef("q210_touch_attribution", q210, Some(q210Sql)),

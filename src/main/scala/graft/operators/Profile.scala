@@ -1694,6 +1694,98 @@ object Profile {
            END AS corr
        FROM pairs ORDER BY col_a, col_b"""
 
+  /** Binary-label decision stump: the single feature threshold minimizing
+    * weighted Gini impurity — the supervised sibling of
+    * [[Analytics.otsuThreshold]] (that one splits on the value
+    * distribution alone; this one splits to separate LABELS). The
+    * one-feature answer to "what cutoff best predicts conversion /
+    * spam / keep" — and the base learner a tree induction would call
+    * per feature.
+    *
+    * Minimizing Σ nᵢ·gini(i) equals maximizing (p₁²+q₁²)/n₁ + (p₂²+q₂²)/n₂
+    * with p/q the within-side label counts — every count an exact BIGINT
+    * from per-distinct-value cumulative sums; the two-fraction score is
+    * evaluated in double on the identical FP path both engines (each
+    * term exactly representable), and the argmax tie-breaks on the
+    * lowest threshold. Scale: one (value → pos/neg counts) collapse with
+    * map-side partials, cumulative windows over DISTINCT values, one
+    * argmax. Single-distinct-value inputs yield no row (no valid split).
+    */
+  def giniStump(df: DataFrame, valueCol: String,
+      isPositive: Column): DataFrame = {
+    val byV = df.select(col(valueCol).cast("long").as("v"),
+        isPositive.cast("boolean").as("y"))
+      .groupBy(col("v"))
+      .agg(count(when(col("y"), 1)).as("p"),
+        count(when(!col("y"), 1)).as("q"))
+    val w = Window.orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = byV.agg(sum(col("p")).as("tp"), sum(col("q")).as("tq"))
+    val pre = byV
+      .select(col("v"), sum(col("p")).over(w).as("p1"),
+        sum(col("q")).over(w).as("q1"))
+      .crossJoin(broadcast(tot))
+      .withColumn("n1", col("p1") + col("q1"))
+      .withColumn("n2", col("tp") + col("tq") - col("p1") - col("q1"))
+      .filter(col("n2") > 0)
+      .withColumn("p2", col("tp") - col("p1"))
+      .withColumn("q2", col("tq") - col("q1"))
+      .withColumn("score",
+        (col("p1") * col("p1") + col("q1") * col("q1")).cast("double")
+          / col("n1").cast("double")
+          + (col("p2") * col("p2") + col("q2") * col("q2")).cast("double")
+          / col("n2").cast("double"))
+    pre.withColumn("rn",
+        row_number().over(Window.orderBy(col("score").desc, col("v"))))
+      .filter(col("rn") === 1)
+      .select(col("v").as("threshold"), col("n1").as("n_left"),
+        col("n2").as("n_right"), col("p1").as("pos_left"),
+        col("p2").as("pos_right"),
+        // Post-split weighted impurity Σnᵢ·gini(i)/n = (n − score)/n,
+        // micro-floored on the identical double path both engines.
+        floor(((col("n1") + col("n2")).cast("double") - col("score"))
+            / (col("n1") + col("n2")).cast("double") * lit(1e6)
+            + lit(0.5)).cast("long")
+          .as("gini_micro"))
+  }
+
+  // ---- q216: the event-value cutoff that best separates purchases -------------
+  private def q216(s: SparkSession, d: String): DataFrame =
+    giniStump(Tables.events(s, d).select(
+        floor(col("value") * 100).as("cents"), col("event_type")),
+      "cents", col("event_type") === "purchase")
+  private val q216Sql =
+    """WITH byv AS (
+         SELECT floor(value * 100)::BIGINT AS v,
+           count(*) FILTER (WHERE event_type = 'purchase')::BIGINT AS p,
+           count(*) FILTER (WHERE event_type != 'purchase')::BIGINT AS q
+         FROM events GROUP BY 1),
+       tot AS (SELECT sum(p)::BIGINT AS tp, sum(q)::BIGINT AS tq FROM byv),
+       pre AS (
+         SELECT v,
+           sum(p) OVER (ORDER BY v
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS p1,
+           sum(q) OVER (ORDER BY v
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS q1,
+           tp, tq
+         FROM byv, tot),
+       sc AS (
+         SELECT v, p1, q1, (p1 + q1)::BIGINT AS n1,
+           (tp + tq - p1 - q1)::BIGINT AS n2,
+           (tp - p1)::BIGINT AS p2, (tq - q1)::BIGINT AS q2,
+           (p1 * p1 + q1 * q1)::DOUBLE / (p1 + q1)::DOUBLE
+             + ((tp - p1) * (tp - p1) + (tq - q1) * (tq - q1))::DOUBLE
+               / (tp + tq - p1 - q1)::DOUBLE AS score
+         FROM pre WHERE tp + tq - p1 - q1 > 0),
+       best AS (
+         SELECT *, row_number() OVER (ORDER BY score DESC, v) AS rn
+         FROM sc)
+       SELECT v AS threshold, n1::BIGINT AS n_left, n2::BIGINT AS n_right,
+         p1::BIGINT AS pos_left, p2::BIGINT AS pos_right,
+         floor(((n1 + n2)::DOUBLE - score) / (n1 + n2)::DOUBLE * 1e6
+           + 0.5)::BIGINT AS gini_micro
+       FROM best WHERE rn = 1"""
+
   /** Two-sample Kolmogorov–Smirnov statistic per group: the maximum gap
     * between the two classes' empirical CDFs — the distribution-SHAPE
     * companion to [[mannWhitneyU]]'s location test (U can be ~0.5 while
@@ -1874,6 +1966,7 @@ object Profile {
     QueryDef("q195_spearman", q195, Some(q195Sql)),
     QueryDef("q199_ks_test", q199, Some(q199Sql)),
     QueryDef("q214_corr_matrix", q214, Some(q214Sql)),
+    QueryDef("q216_gini_stump", q216, Some(q216Sql)),
     QueryDef("q187_simpson", q187, Some(q187Sql)),
     QueryDef("q188_fleiss_kappa", q188, Some(q188Sql)),
     QueryDef("q193_wilson_ci", q193, Some(q193Sql)),

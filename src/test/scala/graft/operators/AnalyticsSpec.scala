@@ -379,6 +379,14 @@ class AnalyticsSpec extends SparkSpec {
       ("2024-02-01", 0L, 1L, 100L, 100L)))
   }
 
+  test("otsuThreshold splits a bimodal distribution at the valley") {
+    val df = Seq(1L, 1L, 2L, 10L, 10L, 11L).map(("a", _)).toDF("g", "v")
+    val got = Analytics.otsuThreshold(df, "g", "v")
+      .as[(String, Long, Long, Long, Long, Long)].head()
+    // gains: split@1 -> 420.5, split@2 -> 729 (max), split@10 -> 192.2
+    assert(got === (("a", 2L, 3L, 3L, 1333333L, 10333333L)))
+  }
+
   test("weightedMedian follows the mass, not the row count") {
     val df = Seq(
       // g=a: nine-tenths of the weight sits at v=100 -> weighted median

@@ -496,6 +496,17 @@ class ProfileSpec extends SparkSpec {
       ("y", "w", None), ("y", "z", Some(-1.0)), ("z", "w", None)))
   }
 
+  test("giniStump finds the perfectly separating threshold with zero impurity") {
+    val df = Seq((1L, "n"), (2L, "n"), (5L, "p"), (6L, "p"))
+      .toDF("v", "cls")
+    val got = Profile.giniStump(df, "v", col("cls") === "p")
+      .as[(Long, Long, Long, Long, Long, Long)].head()
+    assert(got === ((2L, 2L, 2L, 0L, 2L, 0L)))
+    // A single distinct value has no valid split -> empty, not an error.
+    val const = Seq((3L, "p"), (3L, "n")).toDF("v", "cls")
+    assert(Profile.giniStump(const, "v", col("cls") === "p").count() === 0L)
+  }
+
   test("ksTest finds full separation, zero for identical samples") {
     // g=1: A={1,2} strictly below B={3,4} -> D = 1 (ks_micro 1e6).
     // g=2: identical samples -> D = 0.
