@@ -592,6 +592,89 @@ object Graph {
        FROM nodes n JOIN a2 ON a2.id = n.id JOIN h2 ON h2.id = n.id
        ORDER BY auth_micro DESC, hub_micro DESC, node_id LIMIT 30"""
 
+  /** Per-node local clustering coefficient: triangles touching the node
+    * over its C(d, 2) wedges — the node-granular reading of
+    * [[triangleStats]]'s one global number, and the score that separates
+    * clique members (lcc → 1: near-dup families, closed supplier rings)
+    * from hubs (lcc → 0: boilerplate stars) NODE BY NODE.
+    *
+    * Same (degree, id)-oriented enumeration as the census — each
+    * triangle materializes once — then every triangle credits its three
+    * corners via one explode + hash aggregation. Exact integers; nodes
+    * with d < 2 have no wedges and report null. Scale: the enumeration
+    * cost is the census's (oriented out-degree bounded); the corner
+    * credit adds one 3x-triangles-sized aggregation with map-side
+    * partials.
+    */
+  def localClustering(edges: DataFrame, srcCol: String,
+      dstCol: String): DataFrame = {
+    val raw = edges.select(col(srcCol).cast("long").as("u"),
+      col(dstCol).cast("long").as("v"))
+      .filter(col("u") =!= col("v"))
+    val und = raw
+      .select(least(col("u"), col("v")).as("u"),
+        greatest(col("u"), col("v")).as("v"))
+      .distinct()
+    val deg = und.select(col("u").as("n")).union(und.select(col("v").as("n")))
+      .groupBy(col("n")).agg(count(lit(1)).as("d"))
+    val o = und
+      .join(deg.select(col("n").as("u"), col("d").as("du")), "u")
+      .join(deg.select(col("n").as("v"), col("d").as("dv")), "v")
+      .select(
+        when(struct(col("du"), col("u")) < struct(col("dv"), col("v")),
+          struct(col("u").as("a"), col("v").as("b")))
+          .otherwise(struct(col("v").as("a"), col("u").as("b"))).as("e"))
+      .select(col("e.a").as("a"), col("e.b").as("b"))
+    val corners = o.as("e1")
+      .join(o.as("e2"), col("e1.b") === col("e2.a"))
+      .join(o.as("e3"),
+        col("e1.a") === col("e3.a") && col("e2.b") === col("e3.b"))
+      .select(explode(array(col("e1.a"), col("e1.b"), col("e2.b")))
+        .as("n"))
+      .groupBy(col("n")).agg(count(lit(1)).as("n_tri"))
+    deg.join(corners, Seq("n"), "left")
+      .select(col("n").as("node_id"), col("d").as("degree"),
+        coalesce(col("n_tri"), lit(0L)).as("n_triangles"),
+        when(col("d") < 2, lit(null).cast("long"))
+          .otherwise(expr(
+            "2L * coalesce(n_tri, 0L) * 1000000L div (d * (d - 1L))"))
+          .as("lcc_micro"))
+  }
+
+  // ---- q217: who sits inside a clique, who is a hub? --------------------------
+  // Per-supplier local clustering over the co-sale projection, densest
+  // neighborhoods first.
+  private def q217(s: SparkSession, d: String): DataFrame =
+    localClustering(coSaleEdges(s, d), "s1", "s2")
+      .orderBy(col("node_id"))
+  private val q217Sql =
+    s"""WITH $coSaleCtes,
+       deg AS (
+         SELECT n, count(*)::BIGINT AS d FROM (
+           SELECT u AS n FROM und UNION ALL SELECT v FROM und)
+         GROUP BY n),
+       o AS (
+         SELECT CASE WHEN (du.d, und.u) < (dv.d, und.v)
+                  THEN und.u ELSE und.v END AS a,
+                CASE WHEN (du.d, und.u) < (dv.d, und.v)
+                  THEN und.v ELSE und.u END AS b
+         FROM und
+           JOIN deg du ON du.n = und.u
+           JOIN deg dv ON dv.n = und.v),
+       corners AS (
+         SELECT n, count(*)::BIGINT AS n_tri FROM (
+           SELECT unnest([e1.a, e1.b, e2.b]) AS n
+           FROM o e1 JOIN o e2 ON e1.b = e2.a
+             JOIN o e3 ON e3.a = e1.a AND e3.b = e2.b) t
+         GROUP BY n)
+       SELECT deg.n AS node_id, d AS degree,
+         coalesce(n_tri, 0)::BIGINT AS n_triangles,
+         CASE WHEN d < 2 THEN NULL
+           ELSE (2 * coalesce(n_tri, 0) * 1000000 // (d * (d - 1)))
+           END::BIGINT AS lcc_micro
+       FROM deg LEFT JOIN corners ON deg.n = corners.n
+       ORDER BY node_id"""
+
   /** Newman modularity contributions of a node partition over an
     * undirected, deduplicated (u < v) edge list: per community,
     *   Q_c = e_c/m − (D_c/2m)²
@@ -754,5 +837,6 @@ object Graph {
     QueryDef("q166_cc_stars", q166, Some(q166Sql)),
     QueryDef("q175_hits", q175, Some(q175Sql)),
     QueryDef("q207_modularity", q207, Some(q207Sql)),
+    QueryDef("q217_local_clustering", q217, Some(q217Sql)),
     QueryDef("q208_assortativity", q208, Some(q208Sql)))
 }

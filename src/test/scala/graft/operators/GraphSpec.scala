@@ -150,6 +150,22 @@ class GraphSpec extends SparkSpec {
       s"lineage was not truncated:\n$plan")
   }
 
+  test("localClustering credits every triangle corner; d<2 is null") {
+    // Square 1-2-3-4 with diagonal 1-3 plus a pendant 4-5:
+    // triangles (1,2,3) and (1,3,4).
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L), (1L, 3L),
+      (4L, 5L)).toDF("u", "v")
+    val got = Graph.localClustering(edges, "u", "v")
+      .orderBy("node_id")
+      .as[(Long, Long, Long, Option[Long])].collect()
+    assert(got === Array(
+      (1L, 3L, 2L, Some(666666L)), // 2 of 3 wedges closed
+      (2L, 2L, 1L, Some(1000000L)),
+      (3L, 3L, 2L, Some(666666L)),
+      (4L, 3L, 1L, Some(333333L)),
+      (5L, 1L, 0L, None))) // a leaf has no wedges
+  }
+
   test("modularity: two bridged triangles score 35/196 each; one community is 0") {
     val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L),
       (4L, 5L), (4L, 6L), (5L, 6L), (3L, 4L)).toDF("a", "b")
