@@ -1804,6 +1804,133 @@ object Analytics {
        FROM rev r JOIN sizes s ON r.cohort = s.cohort
        ORDER BY r.cohort, month_offset"""
 
+  /** Per-key burstiness of an event stream: B = (σ−μ)/(σ+μ) over
+    * inter-arrival gaps — −1 for a metronome, 0 for a Poisson process,
+    * → 1 for heavy bursts. The one-number answer to "is this user/device
+    * organic or scripted", and the load-model input capacity planning
+    * wants per key.
+    *
+    * Gap seconds are exact BIGINTs (epoch-second differences via one
+    * lag window); Σg and n·Σg²−(Σg)² are exact integers, and the finish
+    * (one sqrt, two add/sub, one divide on those exact inputs) is the
+    * identical correctly-rounded FP path on both engines, rounded via
+    * floor(x·10⁶+0.5)/10⁶. Degenerate keys (fewer than 2 gaps, or all
+    * gaps zero) report null.
+    */
+  def burstiness(df: DataFrame, keyCol: String, tsCol: String): DataFrame = {
+    val w = Window.partitionBy(col("k")).orderBy(col("t"))
+    df.select(col(keyCol).as("k"),
+        expr(s"unix_micros($tsCol) div 1000000L").as("t"))
+      .select(col("k"), (col("t") - lag(col("t"), 1).over(w)).as("g"))
+      .filter(col("g").isNotNull)
+      .groupBy(col("k"))
+      .agg(count(lit(1)).as("n"), sum(col("g")).as("sg"),
+        sum(col("g") * col("g")).as("sgg"))
+      .select(col("k").as(keyCol), col("n").as("n_gaps"),
+        when(col("n") < 2
+            || (col("n") * col("sgg") === col("sg") * col("sg"))
+              && col("sg") === 0,
+          lit(null).cast("double"))
+          .otherwise {
+            val sd = sqrt((col("n") * col("sgg") - col("sg") * col("sg"))
+              .cast("double"))
+            val mu = col("sg").cast("double")
+            floor((sd - mu) / (sd + mu) * lit(1e6) + lit(0.5)) / lit(1e6)
+          }.as("burstiness"))
+  }
+
+  // ---- q218: organic or scripted? burstiness per user -------------------------
+  private def q218(s: SparkSession, d: String): DataFrame =
+    burstiness(Tables.events(s, d), "user_id", "ts")
+      .orderBy(col("user_id"))
+  private val q218Sql =
+    """WITH g AS (
+         SELECT user_id AS k,
+           epoch_us(ts) // 1000000
+             - lag(epoch_us(ts) // 1000000, 1)
+               OVER (PARTITION BY user_id ORDER BY epoch_us(ts) // 1000000)
+             AS g
+         FROM events),
+       a AS (
+         SELECT k, count(*)::BIGINT AS n, sum(g)::BIGINT AS sg,
+           sum(g * g)::BIGINT AS sgg
+         FROM g WHERE g IS NOT NULL GROUP BY k)
+       SELECT k AS user_id, n AS n_gaps,
+         CASE WHEN n < 2 OR (n * sgg = sg * sg AND sg = 0) THEN NULL
+           ELSE floor((sqrt((n * sgg - sg * sg)::DOUBLE) - sg::DOUBLE)
+             / (sqrt((n * sgg - sg * sg)::DOUBLE) + sg::DOUBLE) * 1e6
+             + 0.5) / 1e6
+           END AS burstiness
+       FROM a ORDER BY user_id"""
+
+  /** Nearest-rank percentile set of the attribution delay: for every
+    * conversion with at least one in-window touch, the seconds from the
+    * LAST touch to the conversion, summarized as exact nearest-rank
+    * P50/P90/P99 — "how long does conversion take", the latency profile
+    * attribution feeds back to campaign pacing.
+    *
+    * Exact integers: delays collapse to (value → count) with map-side
+    * partials, one cumulative window over DISTINCT delays, and the p-th
+    * percentile is min{v : 100·cum ≥ p·n} — pure integer comparison,
+    * the q205 weighted-median rule at three ps. One row out.
+    */
+  def conversionLatency(df: DataFrame, userCol: String, tsCol: String,
+      idCol: String, isTouch: Column, isConversion: Column,
+      lookback: String = "7 days"): DataFrame = {
+    val att = touchAttribution(df, userCol, tsCol, idCol, isTouch,
+      isConversion, lookback)
+    val convTs = df.filter(isConversion)
+      .select(col(idCol).as("conversion_id"), col(tsCol).as("p_ts"))
+    val touchTs = df.select(col(idCol).as("last_touch_id"),
+      col(tsCol).as("l_ts"))
+    val delays = att.filter(col("n_touches") > 0)
+      .join(convTs, Seq("conversion_id"))
+      .join(touchTs, Seq("last_touch_id"))
+      .select(expr(
+        "(unix_micros(p_ts) - unix_micros(l_ts)) div 1000000L").as("v"))
+    val byV = delays.groupBy(col("v")).agg(count(lit(1)).as("c"))
+    val w = Window.orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = byV
+      .select(col("v"), sum(col("c")).over(w).as("cum"))
+      .crossJoin(broadcast(byV.agg(sum(col("c")).as("n"))))
+    cum.agg(max(col("n")).as("n_conversions"),
+      min(when(col("cum") * 100 >= col("n") * 50, col("v"))).as("p50_s"),
+      min(when(col("cum") * 100 >= col("n") * 90, col("v"))).as("p90_s"),
+      min(when(col("cum") * 100 >= col("n") * 99, col("v"))).as("p99_s"))
+  }
+
+  // ---- q219: how long from last click to purchase? ----------------------------
+  private def q219(s: SparkSession, d: String): DataFrame =
+    conversionLatency(Tables.events(s, d), "user_id", "ts", "event_id",
+      col("event_type") === "click", col("event_type") === "purchase")
+  private val q219Sql =
+    """WITH t AS (
+         SELECT user_id AS u, ts AS c_ts, event_id AS c_id
+         FROM events WHERE event_type = 'click'),
+       c AS (
+         SELECT user_id AS u, ts AS p_ts, event_id AS p_id
+         FROM events WHERE event_type = 'purchase'),
+       att AS (
+         SELECT c.p_id, max((t.c_ts, t.c_id)) AS last_t
+         FROM c JOIN t ON c.u = t.u AND t.c_ts <= c.p_ts
+           AND t.c_ts > c.p_ts - INTERVAL 7 DAY
+         GROUP BY c.p_id),
+       delays AS (
+         SELECT (epoch_us(c.p_ts) - epoch_us(a.last_t[1])) // 1000000 AS v
+         FROM att a JOIN c ON a.p_id = c.p_id),
+       byv AS (SELECT v, count(*)::BIGINT AS c FROM delays GROUP BY v),
+       cum AS (
+         SELECT v, sum(c) OVER (ORDER BY v
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+           (SELECT sum(c) FROM byv) AS n
+         FROM byv)
+       SELECT max(n)::BIGINT AS n_conversions,
+         min(CASE WHEN cum * 100 >= n * 50 THEN v END)::BIGINT AS p50_s,
+         min(CASE WHEN cum * 100 >= n * 90 THEN v END)::BIGINT AS p90_s,
+         min(CASE WHEN cum * 100 >= n * 99 THEN v END)::BIGINT AS p99_s
+       FROM cum"""
+
   // ---- q205: character-mass median document length per language ---------------
   private def q205(s: SparkSession, d: String): DataFrame =
     weightedMedian(Tables.documents(s, d), "lang", "n_chars", "n_chars")
@@ -1945,6 +2072,8 @@ object Analytics {
     QueryDef("q202_change_point", q202, Some(q202Sql)),
     QueryDef("q215_otsu_threshold", q215, Some(q215Sql)),
     QueryDef("q209_seasonal_backtest", q209, Some(q209Sql)),
+    QueryDef("q218_burstiness", q218, Some(q218Sql)),
+    QueryDef("q219_conversion_latency", q219, Some(q219Sql)),
     QueryDef("q212_cohort_ltv", q212, Some(q212Sql)),
     QueryDef("q210_touch_attribution", q210, Some(q210Sql)),
     QueryDef("q205_weighted_median", q205, Some(q205Sql)),

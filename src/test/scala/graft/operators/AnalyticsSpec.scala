@@ -387,6 +387,41 @@ class AnalyticsSpec extends SparkSpec {
     assert(got === (("a", 2L, 3L, 3L, 1333333L, 10333333L)))
   }
 
+  test("burstiness is -1 for a metronome and null for degenerate keys") {
+    def ts(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    // Metronome: equal gaps -> sigma 0 -> B = (0-mu)/(0+mu) = -1.
+    val metro = (0L to 5L).map(i => ("m", ts(i * 60)))
+    // Bursty: gaps {1, 1, 598}: mean 200, sd 281.4 -> B = 0.169139.
+    val burst = Seq(0L, 1L, 2L, 600L).map(s => ("b", ts(s)))
+    // Degenerate: all events in the same second -> every gap 0 -> null.
+    val zero = Seq(("z", ts(10)), ("z", ts(10)))
+    val got = Analytics.burstiness(
+        (metro ++ burst ++ zero).toDF("k", "ts"), "k", "ts")
+      .orderBy("k").as[(String, Long, Option[Double])].collect()
+    assert(got(0) === (("b", 3L, Some(0.169139))))
+    assert(got(1) === (("m", 5L, Some(-1.0))))
+    assert(got(2) === (("z", 1L, None)))
+  }
+
+  test("conversionLatency reports exact nearest-rank percentiles of delay") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    // Two conversions: delays 60s and 3600s from their LAST click.
+    val e = Seq(
+      (1L, ts("2024-01-10 09:00:00"), 100L, "click"),
+      (1L, ts("2024-01-10 09:59:00"), 101L, "click"),
+      (1L, ts("2024-01-10 10:00:00"), 102L, "purchase"),
+      (2L, ts("2024-01-10 09:00:00"), 200L, "click"),
+      (2L, ts("2024-01-10 10:00:00"), 201L, "purchase"),
+      // orphan conversion (no click in window): excluded from delays
+      (3L, ts("2024-01-10 10:00:00"), 301L, "purchase"))
+      .toDF("user_id", "ts", "event_id", "event_type")
+    val got = Analytics.conversionLatency(e, "user_id", "ts", "event_id",
+        col("event_type") === "click", col("event_type") === "purchase")
+      .as[(Long, Long, Long, Long)].head()
+    // ranks over {60, 3600}: p50 -> first cum>=1 -> 60; p90/p99 -> 3600.
+    assert(got === ((2L, 60L, 3600L, 3600L)))
+  }
+
   test("weightedMedian follows the mass, not the row count") {
     val df = Seq(
       // g=a: nine-tenths of the weight sits at v=100 -> weighted median
