@@ -308,7 +308,67 @@ object Layout {
          (x | (y << 1) | (w << 2))::BIGINT AS z3
        FROM a5 ORDER BY c_custkey"""
 
+  /** Bucket-balance audit for a planned hash layout: rows per bucket
+    * under the engine's PORTABLE polynomial hash (the [[Sketches]]
+    * Mersenne-prime family — reproducible by the oracle, unlike
+    * Murmur3), summarized as min/max/emptiness plus the skew ratio
+    * max·B/n (1e6 ⇒ perfectly balanced) — the "will this key bucket
+    * evenly at B=4096" check run BEFORE committing a bucketed table
+    * layout or a repartition count.
+    *
+    * Exact integers end to end. Scale: one hash + count aggregation
+    * (map-side partials, ≤ B rows out) and a single-row summary; the
+    * B-row spine is generated so empty buckets are counted, not
+    * silently absent.
+    */
+  def bucketBalance(df: DataFrame, keyCol: String, buckets: Int): DataFrame = {
+    require(buckets >= 2, "need at least two buckets")
+    val counts = df
+      .select(col(keyCol).cast("long").as("k"))
+      .select(expr(("((1103515245L * 1 + 12345L) % 2147483647L" +
+        " * (((k % 2147483647L) + 2147483647L) % 2147483647L)" +
+        s" + (12345L * 1 + 67890L) % 2147483647L) % 2147483647L % $buckets"))
+        .as("bucket"))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("c"))
+    val spine = df.sparkSession.range(buckets)
+      .select(col("id").as("bucket"))
+    spine.join(counts, Seq("bucket"), "left")
+      .select(coalesce(col("c"), lit(0L)).as("c"))
+      .agg(count(lit(1)).as("n_buckets"), sum(col("c")).as("n_rows"),
+        min(col("c")).as("min_rows"), max(col("c")).as("max_rows"),
+        count(when(col("c") === 0, 1)).as("n_empty"))
+      .select(col("n_buckets"), col("n_rows"), col("min_rows"),
+        col("max_rows"), col("n_empty"),
+        when(col("n_rows") === 0, lit(null).cast("long"))
+          .otherwise(expr("max_rows * n_buckets * 1000000L div n_rows"))
+          .as("skew_ratio_micro"))
+  }
+
+  // ---- q220: would orders bucket evenly across 64 buckets by custkey? ---------
+  private def q220(s: SparkSession, d: String): DataFrame =
+    bucketBalance(Tables.orders(s, d), "o_custkey", buckets = 64)
+  private val q220Sql =
+    """WITH h AS (
+         SELECT ((1103515245::BIGINT * 1 + 12345) % 2147483647
+           * (((o_custkey % 2147483647) + 2147483647) % 2147483647)
+           + (12345::BIGINT * 1 + 67890) % 2147483647) % 2147483647 % 64
+           AS bucket
+         FROM orders),
+       counts AS (SELECT bucket, count(*)::BIGINT AS c FROM h GROUP BY 1),
+       spine AS (SELECT unnest(range(0, 64)) AS bucket),
+       filled AS (
+         SELECT coalesce(c, 0)::BIGINT AS c
+         FROM spine LEFT JOIN counts USING (bucket))
+       SELECT count(*)::BIGINT AS n_buckets, sum(c)::BIGINT AS n_rows,
+         min(c)::BIGINT AS min_rows, max(c)::BIGINT AS max_rows,
+         count(*) FILTER (WHERE c = 0)::BIGINT AS n_empty,
+         CASE WHEN sum(c) = 0 THEN NULL
+           ELSE (max(c) * count(*) * 1000000 // sum(c)) END::BIGINT
+           AS skew_ratio_micro
+       FROM filled"""
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q220_bucket_balance", q220, Some(q220Sql)),
     QueryDef("q79_zorder", q79, Some(q79Sql)),
     QueryDef("q138_dense_ids", q138, Some(q138Sql)),
     QueryDef("q143_zorder3", q143, Some(q143Sql)),

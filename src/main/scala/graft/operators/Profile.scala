@@ -1749,6 +1749,66 @@ object Profile {
           .as("gini_micro"))
   }
 
+  /** Share-shift report between two periods: each dimension value's
+    * share of the total in period A vs period B plus the signed delta —
+    * the "mix shift" table every BI review opens with (which segment
+    * grew at whose expense). Shares are exact micro floors of BIGINT
+    * cent totals; the delta subtracts two already-floored micros, so it
+    * is exact integer arithmetic with sign — no float anywhere.
+    *
+    * Scale: one (dimension, period) aggregation with map-side partials,
+    * two broadcast single-row totals; dimensions absent from a period
+    * report zero share, not a dropped row.
+    */
+  def shareShift(df: DataFrame, dimCol: String, amountCol: String,
+      inPeriodA: Column, inPeriodB: Column): DataFrame = {
+    val base = df.filter(inPeriodA || inPeriodB)
+      .select(col(dimCol).as("dim"),
+        floor(col(amountCol) * 100).cast("long").as("cents"),
+        inPeriodA.as("in_a"))
+      .groupBy(col("dim"))
+      .agg(sum(when(col("in_a"), col("cents")).otherwise(0L)).as("rev_a"),
+        sum(when(!col("in_a"), col("cents")).otherwise(0L)).as("rev_b"))
+    val tot = base.agg(sum(col("rev_a")).as("ta"), sum(col("rev_b")).as("tb"))
+    base.crossJoin(broadcast(tot))
+      .select(col("dim").as(dimCol), col("rev_a"), col("rev_b"),
+        expr("rev_a * 1000000L div ta").as("share_a_micro"),
+        expr("rev_b * 1000000L div tb").as("share_b_micro"),
+        expr("rev_b * 1000000L div tb - rev_a * 1000000L div ta")
+          .as("delta_micro"))
+  }
+
+  // ---- q222: which priorities gained order-value share, 1995 → 1996? ----------
+  private def q222(s: SparkSession, d: String): DataFrame =
+    shareShift(Tables.orders(s, d), "o_orderpriority", "o_totalprice",
+        col("o_orderdate") >= lit("1995-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1996-01-01").cast("timestamp"),
+        col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+      .orderBy(col("o_orderpriority"))
+  private val q222Sql =
+    """WITH base AS (
+         SELECT o_orderpriority AS dim,
+           sum(CASE WHEN o_orderdate < TIMESTAMP '1996-01-01'
+             THEN floor(o_totalprice * 100)::BIGINT ELSE 0 END)::BIGINT
+             AS rev_a,
+           sum(CASE WHEN o_orderdate >= TIMESTAMP '1996-01-01'
+             THEN floor(o_totalprice * 100)::BIGINT ELSE 0 END)::BIGINT
+             AS rev_b
+         FROM orders
+         WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+           AND o_orderdate < TIMESTAMP '1997-01-01'
+         GROUP BY 1),
+       tot AS (
+         SELECT sum(rev_a)::BIGINT AS ta, sum(rev_b)::BIGINT AS tb
+         FROM base)
+       SELECT dim AS o_orderpriority, rev_a, rev_b,
+         (rev_a * 1000000 // ta)::BIGINT AS share_a_micro,
+         (rev_b * 1000000 // tb)::BIGINT AS share_b_micro,
+         (rev_b * 1000000 // tb - rev_a * 1000000 // ta)::BIGINT
+           AS delta_micro
+       FROM base, tot ORDER BY o_orderpriority"""
+
   // ---- q216: the event-value cutoff that best separates purchases -------------
   private def q216(s: SparkSession, d: String): DataFrame =
     giniStump(Tables.events(s, d).select(
@@ -1967,6 +2027,7 @@ object Profile {
     QueryDef("q199_ks_test", q199, Some(q199Sql)),
     QueryDef("q214_corr_matrix", q214, Some(q214Sql)),
     QueryDef("q216_gini_stump", q216, Some(q216Sql)),
+    QueryDef("q222_share_shift", q222, Some(q222Sql)),
     QueryDef("q187_simpson", q187, Some(q187Sql)),
     QueryDef("q188_fleiss_kappa", q188, Some(q188Sql)),
     QueryDef("q193_wilson_ci", q193, Some(q193Sql)),

@@ -1033,6 +1033,49 @@ object TextAnalysis {
       sum(col("new_terms")).over(w).as("vocab_cum"))
   }
 
+  /** Hapax legomena profile per corpus slice: distinct terms, terms
+    * occurring exactly once, and the hapax share — the classic
+    * vocabulary-quality signal (a natural corpus runs ~40-60% hapax;
+    * template/boilerplate output collapses it, OCR noise or spam
+    * inflates it). Pairs with [[vocabGrowth]]: growth says how fast new
+    * vocabulary arrives, hapax says how much of it never recurs.
+    *
+    * Exact integers; the corpus collapses to (slice, term, tf) with
+    * map-side partials — vocab-sized, the q150 discipline — and terms
+    * never reach the output, so 8-byte hashed keys carry the shuffle.
+    */
+  def hapaxProfile(df: DataFrame, sliceCol: String,
+      textCol: String): DataFrame = {
+    val tf = df.select(col(sliceCol).as("s"),
+        explode(tokens(col(textCol))).as("tok"))
+      .select(col("s"), xxhash64(col("tok")).as("t"))
+      .groupBy(col("s"), col("t"))
+      .agg(count(lit(1)).as("tf"))
+    tf.groupBy(col("s"))
+      .agg(count(lit(1)).as("n_terms"), sum(col("tf")).as("n_tokens"),
+        count(when(col("tf") === 1, 1)).as("n_hapax"))
+      .select(col("s").as(sliceCol), col("n_terms"), col("n_tokens"),
+        col("n_hapax"),
+        expr("n_hapax * 1000000L div n_terms").as("hapax_micro"))
+  }
+
+  // ---- q221: hapax share per language ------------------------------------------
+  private def q221(s: SparkSession, d: String): DataFrame =
+    hapaxProfile(Tables.documents(s, d), "lang", "text")
+      .orderBy(col("lang"))
+  private val q221Sql =
+    """WITH tf AS (
+         SELECT lang AS s, term, count(*)::BIGINT AS tf FROM (
+           SELECT lang, unnest(string_split(text, ' ')) AS term
+           FROM documents) t
+         GROUP BY 1, 2)
+       SELECT s AS lang, count(*)::BIGINT AS n_terms,
+         sum(tf)::BIGINT AS n_tokens,
+         count(*) FILTER (WHERE tf = 1)::BIGINT AS n_hapax,
+         (count(*) FILTER (WHERE tf = 1) * 1000000 // count(*))::BIGINT
+           AS hapax_micro
+       FROM tf GROUP BY s ORDER BY lang"""
+
   /** Per-document novelty: the fraction of a document's distinct n-grams
     * whose corpus-wide FIRST occurrence is this document (in doc-id
     * order) — the doc-granular reading of [[vocabGrowth]]'s curve, and a
@@ -1118,6 +1161,7 @@ object TextAnalysis {
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q211_vocab_growth", q211, Some(q211Sql)),
     QueryDef("q213_doc_novelty", q213, Some(q213Sql)),
+    QueryDef("q221_hapax_profile", q221, Some(q221Sql)),
     QueryDef("q21_token_stats", q21, Some(q21Sql)),
     QueryDef("q155_term_class_chi2", q155, Some(q155Sql)),
     QueryDef("q22_quality_score", q22, Some(q22Sql)),

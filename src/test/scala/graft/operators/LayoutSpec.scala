@@ -215,4 +215,17 @@ class LayoutSpec extends SparkSpec {
     assert(e7.except(naive).isEmpty && naive.except(e7).isEmpty,
       "distributed assignment must equal the window formulation")
   }
+
+  test("bucketBalance: diverse keys balance, a hot key concentrates") {
+    val diverse = (0L until 6400L).toDF("k")
+    val d = Layout.bucketBalance(diverse, "k", buckets = 64)
+      .as[(Long, Long, Long, Long, Long, Option[Long])].head()
+    assert(d._1 === 64L && d._2 === 6400L && d._5 === 0L)
+    assert(d._6.get < 2000000L, s"hash should spread 6400 keys, got $d")
+    // One key everywhere: a single bucket owns all rows.
+    val hot = Seq.fill(100)(42L).toDF("k")
+    val h = Layout.bucketBalance(hot, "k", buckets = 64)
+      .as[(Long, Long, Long, Long, Long, Option[Long])].head()
+    assert(h === ((64L, 100L, 0L, 100L, 63L, Some(64000000L))))
+  }
 }

@@ -496,6 +496,21 @@ class ProfileSpec extends SparkSpec {
       ("y", "w", None), ("y", "z", Some(-1.0)), ("z", "w", None)))
   }
 
+  test("shareShift reports exact micro share deltas between periods") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s + " 00:00:00")
+    val rows = Seq(
+      ("a", ts("2024-01-05"), 1.0), ("b", ts("2024-01-06"), 3.0),
+      ("a", ts("2024-02-05"), 3.0), ("b", ts("2024-02-06"), 1.0))
+      .toDF("dim", "ts", "amt")
+    val got = Profile.shareShift(rows, "dim", "amt",
+        col("ts") < ts("2024-02-01"), col("ts") >= ts("2024-02-01"))
+      .orderBy("dim")
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+    assert(got === Array(
+      ("a", 100L, 300L, 250000L, 750000L, 500000L),
+      ("b", 300L, 100L, 750000L, 250000L, -500000L)))
+  }
+
   test("giniStump finds the perfectly separating threshold with zero impurity") {
     val df = Seq((1L, "n"), (2L, "n"), (5L, "p"), (6L, "p"))
       .toDF("v", "cls")

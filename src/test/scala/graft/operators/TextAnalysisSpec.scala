@@ -231,6 +231,16 @@ class TextAnalysisSpec extends SparkSpec {
     assert(twice(0) === pre)
   }
 
+  test("hapaxProfile counts once-only terms per slice") {
+    val docs = Seq(("s1", "a a b"), ("s2", "x y"))
+      .toDF("src", "text")
+    val got = TextAnalysis.hapaxProfile(docs, "src", "text")
+      .orderBy("src").as[(String, Long, Long, Long, Long)].collect()
+    assert(got === Array(
+      ("s1", 2L, 3L, 1L, 500000L), // b is hapax, a is not
+      ("s2", 2L, 2L, 2L, 1000000L)))
+  }
+
   test("docNovelty credits an n-gram only to its first document") {
     val docs = Seq((0L, "a b c d"), (1L, "a b c x"), (2L, "a b c d"))
       .toDF("doc_id", "text")
