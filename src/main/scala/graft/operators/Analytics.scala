@@ -1931,6 +1931,60 @@ object Analytics {
          min(CASE WHEN cum * 100 >= n * 99 THEN v END)::BIGINT AS p99_s
        FROM cum"""
 
+  /** Year-over-year growth per key and calendar month: revenue this
+    * month vs the SAME month last year — the seasonality-free growth
+    * read (a December spike compares against last December, not
+    * November). Cents exact; growth in signed micro via the
+    * sign-outside floor convention; months with no year-ago comparison
+    * (or a zero base) report null growth rather than dividing by zero.
+    *
+    * Scale: one (key, month) collapse with map-side partials; the
+    * year-ago value arrives by a 12-step lag over each key's month
+    * series ONLY where months are contiguous — an explicit self-join on
+    * (key, month − 1 year) instead, so missing months cannot silently
+    * shift the comparison (the lag-over-sparse-series bug).
+    */
+  def yoyGrowth(df: DataFrame, keyCol: String, tsCol: String,
+      amountCol: String): DataFrame = {
+    val monthly = df.select(col(keyCol).as("k"),
+        date_trunc("month", col(tsCol)).cast("date").as("mth"),
+        floor(col(amountCol) * 100).cast("long").as("cents"))
+      .groupBy(col("k"), col("mth"))
+      .agg(sum(col("cents")).as("rev"))
+    val prior = monthly.select(col("k"),
+      add_months(col("mth"), 12).as("mth"), col("rev").as("rev_prior"))
+    monthly.join(prior, Seq("k", "mth"), "left")
+      .select(col("k").as(keyCol), col("mth"), col("rev"),
+        col("rev_prior"),
+        when(col("rev_prior").isNull || col("rev_prior") === 0,
+          lit(null).cast("long"))
+          .otherwise(expr("""sign(rev - rev_prior) *
+            (abs(rev - rev_prior) * 1000000L div rev_prior)""")
+            .cast("long"))
+          .as("yoy_micro"))
+  }
+
+  // ---- q223: seasonally-honest growth per order priority ----------------------
+  private def q223(s: SparkSession, d: String): DataFrame =
+    yoyGrowth(Tables.orders(s, d), "o_orderpriority", "o_orderdate",
+        "o_totalprice")
+      .orderBy(col("o_orderpriority"), col("mth"))
+  private val q223Sql =
+    """WITH monthly AS (
+         SELECT o_orderpriority AS k,
+           date_trunc('month', o_orderdate)::DATE AS mth,
+           sum(floor(o_totalprice * 100)::BIGINT)::BIGINT AS rev
+         FROM orders GROUP BY 1, 2)
+       SELECT m.k AS o_orderpriority, m.mth, m.rev,
+         p.rev AS rev_prior,
+         CASE WHEN p.rev IS NULL OR p.rev = 0 THEN NULL
+           ELSE sign(m.rev - p.rev)::BIGINT
+             * (abs(m.rev - p.rev) * 1000000 // p.rev) END::BIGINT
+           AS yoy_micro
+       FROM monthly m LEFT JOIN monthly p
+         ON m.k = p.k AND p.mth + INTERVAL 12 MONTH = m.mth
+       ORDER BY o_orderpriority, m.mth"""
+
   // ---- q205: character-mass median document length per language ---------------
   private def q205(s: SparkSession, d: String): DataFrame =
     weightedMedian(Tables.documents(s, d), "lang", "n_chars", "n_chars")
@@ -2075,6 +2129,7 @@ object Analytics {
     QueryDef("q218_burstiness", q218, Some(q218Sql)),
     QueryDef("q219_conversion_latency", q219, Some(q219Sql)),
     QueryDef("q212_cohort_ltv", q212, Some(q212Sql)),
+    QueryDef("q223_yoy_growth", q223, Some(q223Sql)),
     QueryDef("q210_touch_attribution", q210, Some(q210Sql)),
     QueryDef("q205_weighted_median", q205, Some(q205Sql)),
     QueryDef("q197_decayed_score", q197, Some(q197Sql)),

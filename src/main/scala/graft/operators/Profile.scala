@@ -1778,6 +1778,45 @@ object Profile {
           .as("delta_micro"))
   }
 
+  /** Functional-dependency audit: does `lhsCol` determine `rhsCol`?
+    * Reports the violating keys (more than one rhs value per lhs), the
+    * worst fan-out, and the violation share — the profiling question
+    * behind normalization, dedup-key choice, and "can I safely join on
+    * this" (a violated FD on a join key silently multiplies rows).
+    *
+    * Exact integers; one (lhs, rhs) distinct collapse with map-side
+    * partials, one lhs aggregation, one single-row summary. Nulls in
+    * rhs count as a value (an lhs mapping to {x, null} IS ambiguous).
+    */
+  def fdCheck(df: DataFrame, lhsCol: String, rhsCol: String): DataFrame = {
+    val perKey = df
+      .select(col(lhsCol).as("l"), col(rhsCol).as("r"))
+      .distinct()
+      .groupBy(col("l")).agg(count(lit(1)).as("n_rhs"))
+    perKey.agg(count(lit(1)).as("n_keys"),
+        count(when(col("n_rhs") > 1, 1)).as("n_violating"),
+        max(col("n_rhs")).as("max_fanout"))
+      .select(lit(lhsCol).as("lhs"), lit(rhsCol).as("rhs"),
+        col("n_keys"), col("n_violating"), col("max_fanout"),
+        expr("n_violating * 1000000L div n_keys").as("violation_micro"))
+  }
+
+  // ---- q224: does a part determine its supplier? (it must not) -----------------
+  private def q224(s: SparkSession, d: String): DataFrame =
+    fdCheck(Tables.lineitem(s, d), "l_partkey", "l_suppkey")
+  private val q224Sql =
+    """WITH pk AS (
+         SELECT l AS lk, count(*)::BIGINT AS n_rhs FROM (
+           SELECT DISTINCT l_partkey AS l, l_suppkey AS r FROM lineitem) t
+         GROUP BY l)
+       SELECT 'l_partkey' AS lhs, 'l_suppkey' AS rhs,
+         count(*)::BIGINT AS n_keys,
+         count(*) FILTER (WHERE n_rhs > 1)::BIGINT AS n_violating,
+         max(n_rhs)::BIGINT AS max_fanout,
+         (count(*) FILTER (WHERE n_rhs > 1) * 1000000
+           // count(*))::BIGINT AS violation_micro
+       FROM pk"""
+
   // ---- q222: which priorities gained order-value share, 1995 → 1996? ----------
   private def q222(s: SparkSession, d: String): DataFrame =
     shareShift(Tables.orders(s, d), "o_orderpriority", "o_totalprice",
@@ -2028,6 +2067,7 @@ object Profile {
     QueryDef("q214_corr_matrix", q214, Some(q214Sql)),
     QueryDef("q216_gini_stump", q216, Some(q216Sql)),
     QueryDef("q222_share_shift", q222, Some(q222Sql)),
+    QueryDef("q224_fd_check", q224, Some(q224Sql)),
     QueryDef("q187_simpson", q187, Some(q187Sql)),
     QueryDef("q188_fleiss_kappa", q188, Some(q188Sql)),
     QueryDef("q193_wilson_ci", q193, Some(q193Sql)),

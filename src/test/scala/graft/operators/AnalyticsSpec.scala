@@ -422,6 +422,24 @@ class AnalyticsSpec extends SparkSpec {
     assert(got === ((2L, 60L, 3600L, 3600L)))
   }
 
+  test("yoyGrowth compares same-calendar-month only, null without a base") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s + " 00:00:00")
+    val rows = Seq(
+      ("a", ts("2023-01-10"), 1.0), ("a", ts("2024-01-15"), 1.5),
+      // 2024-03 has no 2023-03 base -> null growth, NOT compared
+      // against the adjacent 2023-01 month.
+      ("a", ts("2024-03-01"), 9.0))
+      .toDF("k", "ts", "amt")
+    val got = Analytics.yoyGrowth(rows, "k", "ts", "amt")
+      .orderBy("mth")
+      .select($"mth".cast("string"), $"rev", $"rev_prior", $"yoy_micro")
+      .as[(String, Long, Option[Long], Option[Long])].collect()
+    assert(got === Array(
+      ("2023-01-01", 100L, None, None),
+      ("2024-01-01", 150L, Some(100L), Some(500000L)),
+      ("2024-03-01", 900L, None, None)))
+  }
+
   test("weightedMedian follows the mass, not the row count") {
     val df = Seq(
       // g=a: nine-tenths of the weight sits at v=100 -> weighted median

@@ -496,6 +496,16 @@ class ProfileSpec extends SparkSpec {
       ("y", "w", None), ("y", "z", Some(-1.0)), ("z", "w", None)))
   }
 
+  test("fdCheck counts ambiguous keys, max fan-out, and null-as-value") {
+    val df = Seq((1L, Some("x")), (1L, Some("x")), // key 1 clean
+      (2L, Some("x")), (2L, Some("y")), (2L, Some("z")), // violates, 3
+      (3L, Some("x")), (3L, None)) // {x, null} IS ambiguous
+      .toDF("l", "r")
+    val got = Profile.fdCheck(df, "l", "r")
+      .as[(String, String, Long, Long, Long, Long)].head()
+    assert(got === (("l", "r", 3L, 2L, 3L, 666666L)))
+  }
+
   test("shareShift reports exact micro share deltas between periods") {
     def ts(s: String) = java.sql.Timestamp.valueOf(s + " 00:00:00")
     val rows = Seq(
