@@ -1985,6 +1985,90 @@ object Analytics {
          ON m.k = p.k AND p.mth + INTERVAL 12 MONTH = m.mth
        ORDER BY o_orderpriority, m.mth"""
 
+  /** Robust daily anomaly summary per key: median and MAD of the daily
+    * totals (both exact nearest-rank over distinct values — the 50%-
+    * breakdown estimators no spike can drag), and the count of days
+    * outside median ± k·MAD — the alert feed an on-call dashboard
+    * tails. Pure integer comparisons: a day alerts iff
+    * |x − med| > k·MAD exactly; no float anywhere.
+    *
+    * Scale: one (key, day) collapse, then two distinct-value cumulative
+    * passes (values, then absolute deviations) and one count — the q205
+    * nearest-rank rule applied twice.
+    */
+  def dailyMadAlerts(df: DataFrame, keyCol: String, tsCol: String,
+      valueCol: String, k: Int = 3): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    def nearestRankMedian(in: DataFrame, vCol: String): DataFrame = {
+      val byV = in.groupBy(col("k"), col(vCol).as("v"))
+        .agg(count(lit(1)).as("c"))
+      val w = Window.partitionBy(col("k")).orderBy(col("v"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      byV.select(col("k"), col("v"), sum(col("c")).over(w).as("cum"),
+          sum(col("c")).over(Window.partitionBy(col("k"))).as("tot"))
+        .filter(lit(2L) * col("cum") >= col("tot"))
+        .groupBy(col("k")).agg(min(col("v")).as("med"))
+    }
+    val daily = df.select(col(keyCol).as("k"), to_date(col(tsCol)).as("day"),
+        floor(col(valueCol) * 100).cast("long").as("cents"))
+      .groupBy(col("k"), col("day"))
+      .agg(sum(col("cents")).as("x"))
+    val med = nearestRankMedian(daily.select(col("k"), col("x")), "x")
+    val dev = daily.join(broadcast(med), Seq("k"))
+      .select(col("k"), col("day"), col("x"), col("med"),
+        abs(col("x") - col("med")).as("adev"))
+    val mad = nearestRankMedian(dev.select(col("k"), col("adev")), "adev")
+      .withColumnRenamed("med", "mad")
+    dev.join(broadcast(mad), Seq("k"))
+      .groupBy(col("k"), col("med"), col("mad"))
+      .agg(count(lit(1)).as("n_days"),
+        count(when(col("adev") > lit(k.toLong) * col("mad"), 1))
+          .as("n_alerts"))
+      .select(col("k").as(keyCol), col("n_days"), col("med"), col("mad"),
+        col("n_alerts"))
+  }
+
+  // ---- q225: which event types had out-of-band days? --------------------------
+  private def q225(s: SparkSession, d: String): DataFrame =
+    dailyMadAlerts(Tables.events(s, d), "event_type", "ts", "value")
+      .orderBy(col("event_type"))
+  private val q225Sql =
+    """WITH daily AS (
+         SELECT event_type AS k, (ts::TIMESTAMP)::DATE AS day,
+           sum(floor(value * 100)::BIGINT)::BIGINT AS x
+         FROM events GROUP BY 1, 2),
+       mv AS (
+         SELECT k, x AS v, count(*)::BIGINT AS c FROM daily GROUP BY 1, 2),
+       mc AS (
+         SELECT k, v,
+           sum(c) OVER (PARTITION BY k ORDER BY v
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+           sum(c) OVER (PARTITION BY k) AS tot
+         FROM mv),
+       med AS (
+         SELECT k, min(v)::BIGINT AS med FROM mc
+         WHERE 2 * cum >= tot GROUP BY k),
+       dev AS (
+         SELECT d.k, d.x, m.med, abs(d.x - m.med)::BIGINT AS adev
+         FROM daily d JOIN med m ON d.k = m.k),
+       av AS (
+         SELECT k, adev AS v, count(*)::BIGINT AS c FROM dev GROUP BY 1, 2),
+       ac AS (
+         SELECT k, v,
+           sum(c) OVER (PARTITION BY k ORDER BY v
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+           sum(c) OVER (PARTITION BY k) AS tot
+         FROM av),
+       mad AS (
+         SELECT k, min(v)::BIGINT AS mad FROM ac
+         WHERE 2 * cum >= tot GROUP BY k)
+       SELECT d.k AS event_type, count(*)::BIGINT AS n_days,
+         d.med, a.mad,
+         count(*) FILTER (WHERE d.adev > 3 * a.mad)::BIGINT AS n_alerts
+       FROM dev d JOIN mad a ON d.k = a.k
+       GROUP BY d.k, d.med, a.mad
+       ORDER BY event_type"""
+
   // ---- q205: character-mass median document length per language ---------------
   private def q205(s: SparkSession, d: String): DataFrame =
     weightedMedian(Tables.documents(s, d), "lang", "n_chars", "n_chars")
@@ -2130,6 +2214,7 @@ object Analytics {
     QueryDef("q219_conversion_latency", q219, Some(q219Sql)),
     QueryDef("q212_cohort_ltv", q212, Some(q212Sql)),
     QueryDef("q223_yoy_growth", q223, Some(q223Sql)),
+    QueryDef("q225_daily_mad_alerts", q225, Some(q225Sql)),
     QueryDef("q210_touch_attribution", q210, Some(q210Sql)),
     QueryDef("q205_weighted_median", q205, Some(q205Sql)),
     QueryDef("q197_decayed_score", q197, Some(q197Sql)),

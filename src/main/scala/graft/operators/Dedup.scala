@@ -690,6 +690,77 @@ object Dedup {
        WHERE inter / (s1.n + s2.n - inter) >= $JaccardThreshold
        ORDER BY d1, d2"""
 
+  /** Blocking-quality report for record linkage: given a blocking key,
+    * the reduction ratio (how much of the all-pairs space the blocking
+    * avoids) and pair completeness (what share of TRUE duplicate pairs
+    * land in the same block and are therefore findable) — the two
+    * numbers every entity-resolution blocking scheme is tuned between.
+    * Truth = exact content duplicates (the q25 md5 families).
+    *
+    * Exact integer pair algebra: candidates = Σ C(block, 2), truth =
+    * Σ C(md5 family, 2), found = Σ C((md5, block) family, 2) — every
+    * term from one aggregation over group sizes, never materializing a
+    * pair. Scale: three grouped counts with map-side partials; the text
+    * never shuffles (md5 + block key only).
+    */
+  def blockingQuality(df: DataFrame, idCol: String, textCol: String,
+      blockKey: Column): DataFrame = {
+    val base = df.select(col(idCol).as("id"), md5(col(textCol)).as("h"),
+      blockKey.as("b"))
+    def pairSum: Column = coalesce(sum(expr("cnt * (cnt - 1) div 2")), lit(0L))
+    val nDocs = base.agg(count(lit(1)).as("n_docs"))
+    val cand = base.groupBy(col("b")).agg(count(lit(1)).as("cnt"))
+      .agg(pairSum.as("n_candidate_pairs"))
+    val truth = base.groupBy(col("h")).agg(count(lit(1)).as("cnt"))
+      .agg(pairSum.as("n_true_pairs"))
+    val found = base.groupBy(col("h"), col("b"))
+      .agg(count(lit(1)).as("cnt"))
+      .agg(pairSum.as("n_found_pairs"))
+    nDocs.crossJoin(cand).crossJoin(truth).crossJoin(found)
+      .select(col("n_docs"), col("n_true_pairs"),
+        col("n_candidate_pairs"), col("n_found_pairs"),
+        expr("""(n_docs * (n_docs - 1) div 2 - n_candidate_pairs)
+             * 1000000L div (n_docs * (n_docs - 1) div 2)""")
+          .as("reduction_micro"),
+        when(col("n_true_pairs") === 0, lit(null).cast("long"))
+          .otherwise(expr("n_found_pairs * 1000000L div n_true_pairs"))
+          .as("completeness_micro"))
+  }
+
+  // ---- q226: is (source, length-band) a good blocking key? --------------------
+  // The fixture's verdict is NO: its exact duplicates cross sources, so
+  // completeness lands at 0 while reduction is ~99% — exactly the
+  // failure mode (great reduction, zero recall) this report exists to
+  // catch before a linkage run trusts its blocks.
+  private def q226(s: SparkSession, d: String): DataFrame =
+    blockingQuality(Tables.documents(s, d), "doc_id", "text",
+      concat_ws("|", col("source"), expr("n_chars div 100")))
+  private val q226Sql =
+    """WITH base AS (
+         SELECT doc_id, md5(text) AS h,
+           source || '|' || (n_chars // 100)::VARCHAR AS b
+         FROM documents),
+       nd AS (SELECT count(*)::BIGINT AS n_docs FROM base),
+       cand AS (
+         SELECT coalesce(sum(cnt * (cnt - 1) // 2), 0)::BIGINT
+           AS n_candidate_pairs
+         FROM (SELECT count(*)::BIGINT AS cnt FROM base GROUP BY b)),
+       tr AS (
+         SELECT coalesce(sum(cnt * (cnt - 1) // 2), 0)::BIGINT
+           AS n_true_pairs
+         FROM (SELECT count(*)::BIGINT AS cnt FROM base GROUP BY h)),
+       fnd AS (
+         SELECT coalesce(sum(cnt * (cnt - 1) // 2), 0)::BIGINT
+           AS n_found_pairs
+         FROM (SELECT count(*)::BIGINT AS cnt FROM base GROUP BY h, b))
+       SELECT n_docs, n_true_pairs, n_candidate_pairs, n_found_pairs,
+         ((n_docs * (n_docs - 1) // 2 - n_candidate_pairs) * 1000000
+           // (n_docs * (n_docs - 1) // 2))::BIGINT AS reduction_micro,
+         CASE WHEN n_true_pairs = 0 THEN NULL
+           ELSE n_found_pairs * 1000000 // n_true_pairs END::BIGINT
+           AS completeness_micro
+       FROM nd, cand, tr, fnd"""
+
   private def q25(s: SparkSession, d: String): DataFrame =
     exactDedup(Tables.documents(s, d), "doc_id", "text").orderBy(col("keeper"))
   private val q25Sql =
@@ -1230,6 +1301,7 @@ object Dedup {
 
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q25_exact_dedup", q25, Some(q25Sql)),
+    QueryDef("q226_blocking_quality", q226, Some(q226Sql)),
     QueryDef("q26_ngram_jaccard", q26, Some(exactJaccardSql)),
     QueryDef("q27_minhash_lsh", q27, Some(exactJaccardSql), headline = true),
     QueryDef("q28_simhash", q28, Some(q28Sql)),

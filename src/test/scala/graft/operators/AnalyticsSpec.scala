@@ -440,6 +440,20 @@ class AnalyticsSpec extends SparkSpec {
       ("2024-03-01", 900L, None, None)))
   }
 
+  test("dailyMadAlerts flags only the out-of-band day, robust to the spike") {
+    def ts(day: Int) = java.sql.Timestamp.valueOf(f"2024-01-$day%02d 08:00:00")
+    // Six steady days at 1.00 plus one 50.00 spike: median 100 cents,
+    // MAD 0... make deviations nonzero: values 1,1,2,2,3,3 + spike 50.
+    val rows = Seq(1.0, 1.0, 2.0, 2.0, 3.0, 3.0, 50.0).zipWithIndex
+      .map { case (v, i) => ("a", ts(i + 1), v) }
+    val got = Analytics.dailyMadAlerts(rows.toDF("k", "ts", "v"),
+        "k", "ts", "v")
+      .as[(String, Long, Long, Long, Long)].head()
+    // daily cents: 100,100,200,200,300,300,5000. median=200 (2cum>=n at
+    // 200), adevs: 100,100,0,0,100,100,4800 -> MAD=100; only 4800 > 300.
+    assert(got === (("a", 7L, 200L, 100L, 1L)))
+  }
+
   test("weightedMedian follows the mass, not the row count") {
     val df = Seq(
       // g=a: nine-tenths of the weight sits at v=100 -> weighted median

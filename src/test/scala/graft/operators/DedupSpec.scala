@@ -257,4 +257,23 @@ class DedupSpec extends SparkSpec {
     assert((lsh -- exact).isEmpty)
     assert(exact.nonEmpty, "fixture must exercise the report with real pairs")
   }
+
+  test("blockingQuality: exact pair algebra for reduction and completeness") {
+    // 4 docs: ids 1,2 duplicates in the same block; 3,4 duplicates in
+    // DIFFERENT blocks (missed); total pairs C(4,2)=6.
+    val docs = Seq(
+      (1L, "same text", "a"), (2L, "same text", "a"),
+      (3L, "other txt", "a"), (4L, "other txt", "b"))
+      .toDF("doc_id", "text", "blk")
+    val got = Dedup.blockingQuality(docs, "doc_id", "text", col("blk"))
+      .as[(Long, Long, Long, Long, Long, Option[Long])].head()
+    // blocks: a={1,2,3} -> 3 candidate pairs, b={4} -> 0.
+    // truth: 2 pairs; found in-block: only (1,2).
+    assert(got === ((4L, 2L, 3L, 1L, 500000L, Some(500000L))))
+    // No duplicates at all -> completeness null, not divide-by-zero.
+    val clean = Seq((1L, "x", "a"), (2L, "y", "a")).toDF("doc_id", "text", "blk")
+    val c = Dedup.blockingQuality(clean, "doc_id", "text", col("blk"))
+      .as[(Long, Long, Long, Long, Long, Option[Long])].head()
+    assert(c._2 === 0L && c._6 === None)
+  }
 }
