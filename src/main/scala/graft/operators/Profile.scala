@@ -1801,6 +1801,164 @@ object Profile {
         expr("n_violating * 1000000L div n_keys").as("violation_micro"))
   }
 
+  /** Multi-feature drift table in TWO passes: per feature, the total-
+    * variation distance between two periods' equi-width histograms —
+    * q126's single-column drift generalized with the q214 trick (all
+    * features' min/max land in one aggregation; all features' bin
+    * counts in a second), so profiling k features costs two scans, not
+    * 2k. THE ml-ops "which input feature moved" screen.
+    *
+    * Exact rational: global integer [min,max] per feature, bin =
+    * min(B−1, (x−mn)·B div (mx−mn+1)) identical on both engines, and
+    * TV = Σ|cA·nB − cB·nA| / (2·nA·nB) floored to micro — BIGINT until
+    * the one division (bound: cA·nB < 2⁶³ caps periods at ~3·10⁹ rows).
+    * Features with a degenerate range land in bin 0 and drift 0.
+    */
+  def featureDrift(df: DataFrame, cols: Seq[(String, Column)],
+      inPeriodA: Column, bins: Int = 16): DataFrame = {
+    require(cols.nonEmpty && bins >= 2, "need features and >= 2 bins")
+    val named = cols.map { case (nm, c) => nm -> c.cast("long") }
+    val base = df.select((named.map { case (nm, c) => c.as(s"x_$nm") } :+
+      inPeriodA.as("in_a")): _*)
+    val mmAggs = named.flatMap { case (nm, _) =>
+      Seq(min(col(s"x_$nm")).as(s"mn_$nm"), max(col(s"x_$nm")).as(s"mx_$nm")) }
+    val mm = broadcast(base.agg(mmAggs.head, mmAggs.tail: _*))
+    val withBins = base.crossJoin(mm)
+    val binAggs = named.flatMap { case (nm, _) =>
+      val b = expr(s"least(${bins - 1}L, (x_$nm - mn_$nm) * ${bins}L" +
+        s" div (mx_$nm - mn_$nm + 1L))")
+      (0 until bins).flatMap { bi =>
+        Seq(count(when(col("in_a") && b === bi, 1)).as(s"a_${nm}_$bi"),
+          count(when(!col("in_a") && b === bi, 1)).as(s"b_${nm}_$bi"))
+      }
+    }
+    val agg = withBins.agg(binAggs.head, binAggs.tail: _*)
+    val feats = named.map { case (nm, _) =>
+      val na = (0 until bins).map(bi => col(s"a_${nm}_$bi")).reduce(_ + _)
+      val nb = (0 until bins).map(bi => col(s"b_${nm}_$bi")).reduce(_ + _)
+      val num = (0 until bins).map(bi =>
+        abs(col(s"a_${nm}_$bi") * nb - col(s"b_${nm}_$bi") * na))
+        .reduce(_ + _)
+      struct(lit(nm).as("feature"), na.as("n_a"), nb.as("n_b"),
+        num.as("num"))
+    }
+    agg.select(explode(array(feats: _*)).as("f")).select(col("f.*"))
+      .select(col("feature"), col("n_a"), col("n_b"),
+        when(col("n_a") === 0 || col("n_b") === 0,
+          lit(null).cast("long"))
+          .otherwise(expr("num * 1000000L div (2L * n_a * n_b)"))
+          .as("tv_micro"))
+  }
+
+  // ---- q227: which lineitem measures drifted across the shipdate split? -------
+  private def q227(s: SparkSession, d: String): DataFrame =
+    featureDrift(Tables.lineitem(s, d), Seq(
+        "qty" -> floor(col("l_quantity") * 100),
+        "price" -> floor(col("l_extendedprice")),
+        "disc" -> floor(col("l_discount") * 100)),
+      col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+      .orderBy(col("feature"))
+  private val q227Sql =
+    """WITH base AS (
+         SELECT floor(l_quantity * 100)::BIGINT AS qty,
+           floor(l_extendedprice)::BIGINT AS price,
+           floor(l_discount * 100)::BIGINT AS disc,
+           (l_shipdate < TIMESTAMP '1998-01-01') AS in_a
+         FROM lineitem),
+       mm AS (
+         SELECT min(qty)::BIGINT AS mn_q, max(qty)::BIGINT AS mx_q,
+           min(price)::BIGINT AS mn_p, max(price)::BIGINT AS mx_p,
+           min(disc)::BIGINT AS mn_d, max(disc)::BIGINT AS mx_d
+         FROM base),
+       binned AS (
+         SELECT in_a,
+           least(15, (qty - mn_q) * 16 // (mx_q - mn_q + 1)) AS bq,
+           least(15, (price - mn_p) * 16 // (mx_p - mn_p + 1)) AS bp,
+           least(15, (disc - mn_d) * 16 // (mx_d - mn_d + 1)) AS bd
+         FROM base, mm),
+       f AS (
+         SELECT 'qty' AS feature, bq AS bin, in_a FROM binned
+         UNION ALL SELECT 'price', bp, in_a FROM binned
+         UNION ALL SELECT 'disc', bd, in_a FROM binned),
+       cnts AS (
+         SELECT feature, bin,
+           count(*) FILTER (WHERE in_a)::BIGINT AS ca,
+           count(*) FILTER (WHERE NOT in_a)::BIGINT AS cb
+         FROM f GROUP BY 1, 2),
+       tot AS (
+         SELECT feature, sum(ca)::BIGINT AS na, sum(cb)::BIGINT AS nb
+         FROM cnts GROUP BY 1)
+       SELECT c.feature, t.na AS n_a, t.nb AS n_b,
+         CASE WHEN t.na = 0 OR t.nb = 0 THEN NULL
+           ELSE sum(abs(c.ca * t.nb - c.cb * t.na)) * 1000000
+             // (2 * t.na * t.nb) END::BIGINT AS tv_micro
+       FROM cnts c JOIN tot t ON c.feature = t.feature
+       GROUP BY c.feature, t.na, t.nb
+       ORDER BY c.feature"""
+
+  /** Header-vs-detail reconciliation: every header row scored against
+    * the sum of its detail rows — orphan headers (no details), matched
+    * within tolerance, and mismatched with the total absolute drift.
+    * The month-end close / invoice-audit primitive, and a data-quality
+    * gate between any fact table and its rollup.
+    *
+    * Exactness: both sides quantize to integer cents PER ROW (one
+    * identical-path double multiply chain, then floor) before any
+    * summation, so the detail total is an exact BIGINT under any
+    * partitioning and the comparison is pure integer. Scale: one detail
+    * aggregation keyed by the header id + one left join; the summary is
+    * a single aggregated row.
+    */
+  def reconcile(headers: DataFrame, details: DataFrame, keyCol: String,
+      headerAmount: Column, detailAmount: Column,
+      toleranceCents: Long = 2L): DataFrame = {
+    val h = headers.select(col(keyCol).as("k"),
+      floor(headerAmount * 100).cast("long").as("hc"))
+    val dt = details.select(col(keyCol).as("k"),
+        floor(detailAmount * 100).cast("long").as("dc"))
+      .groupBy(col("k")).agg(sum(col("dc")).as("dsum"))
+    h.join(dt, Seq("k"), "left")
+      .select(col("k"), col("hc"), col("dsum"),
+        when(col("dsum").isNull, lit(null).cast("long"))
+          .otherwise(abs(col("hc") - col("dsum"))).as("delta"))
+      .agg(count(lit(1)).as("n_headers"),
+        count(when(col("dsum").isNull, 1)).as("n_orphans"),
+        count(when(col("delta") <= toleranceCents, 1)).as("n_matched"),
+        count(when(col("delta") > toleranceCents, 1)).as("n_mismatched"),
+        coalesce(sum(col("delta")), lit(0L)).as("abs_drift_cents"))
+  }
+
+  // ---- q228: does the order book reconcile against its line items? ------------
+  // The fixture's totals are synthetic, so the report correctly shows
+  // 257 orphan orders at sf0.01 and ~100% mismatch — the audit's job is
+  // to SAY so, loudly, before anyone trusts a rollup of this book.
+  private def q228(s: SparkSession, d: String): DataFrame =
+    reconcile(Tables.orders(s, d), Tables.lineitem(s, d)
+        .select(col("l_orderkey").as("o_orderkey"), col("l_extendedprice"),
+          col("l_discount"), col("l_tax")),
+      "o_orderkey", col("o_totalprice"),
+      col("l_extendedprice") * (lit(1d) - col("l_discount"))
+        * (lit(1d) + col("l_tax")))
+  private val q228Sql =
+    """WITH dt AS (
+         SELECT l_orderkey AS k,
+           sum(floor(l_extendedprice * (1 - l_discount) * (1 + l_tax)
+             * 100)::BIGINT)::BIGINT AS dsum
+         FROM lineitem GROUP BY 1),
+       j AS (
+         SELECT o.o_orderkey,
+           floor(o.o_totalprice * 100)::BIGINT AS hc, dt.dsum,
+           CASE WHEN dt.dsum IS NULL THEN NULL
+             ELSE abs(floor(o.o_totalprice * 100)::BIGINT - dt.dsum) END
+             AS delta
+         FROM orders o LEFT JOIN dt ON o.o_orderkey = dt.k)
+       SELECT count(*)::BIGINT AS n_headers,
+         count(*) FILTER (WHERE dsum IS NULL)::BIGINT AS n_orphans,
+         count(*) FILTER (WHERE delta <= 2)::BIGINT AS n_matched,
+         count(*) FILTER (WHERE delta > 2)::BIGINT AS n_mismatched,
+         coalesce(sum(delta), 0)::BIGINT AS abs_drift_cents
+       FROM j"""
+
   // ---- q224: does a part determine its supplier? (it must not) -----------------
   private def q224(s: SparkSession, d: String): DataFrame =
     fdCheck(Tables.lineitem(s, d), "l_partkey", "l_suppkey")
@@ -2068,6 +2226,8 @@ object Profile {
     QueryDef("q216_gini_stump", q216, Some(q216Sql)),
     QueryDef("q222_share_shift", q222, Some(q222Sql)),
     QueryDef("q224_fd_check", q224, Some(q224Sql)),
+    QueryDef("q227_feature_drift", q227, Some(q227Sql)),
+    QueryDef("q228_reconcile", q228, Some(q228Sql)),
     QueryDef("q187_simpson", q187, Some(q187Sql)),
     QueryDef("q188_fleiss_kappa", q188, Some(q188Sql)),
     QueryDef("q193_wilson_ci", q193, Some(q193Sql)),

@@ -496,6 +496,37 @@ class ProfileSpec extends SparkSpec {
       ("y", "w", None), ("y", "z", Some(-1.0)), ("z", "w", None)))
   }
 
+  test("featureDrift: identical populations drift 0, a disjoint shift is 1") {
+    val df = Seq(
+      // x identical across periods; y fully shifted (A in [0,9], B in
+      // [90,99] -> no shared bin).
+      (1L, 1L, true), (5L, 5L, true), (9L, 9L, true),
+      (1L, 91L, false), (5L, 95L, false), (9L, 99L, false))
+      .toDF("x", "y", "in_a")
+    val got = Profile.featureDrift(df,
+        Seq("x" -> col("x"), "y" -> col("y")), col("in_a"), bins = 4)
+      .orderBy("feature")
+      .as[(String, Long, Long, Option[Long])].collect()
+    assert(got === Array(
+      ("x", 3L, 3L, Some(0L)),
+      ("y", 3L, 3L, Some(1000000L))))
+  }
+
+  test("reconcile separates orphans, matches, and mismatches exactly") {
+    val headers = Seq((1L, 10.00), (2L, 5.00), (3L, 7.00))
+      .toDF("k", "amt")
+    val details = Seq(
+      (1L, 6.00), (1L, 4.00), // matches exactly
+      (2L, 5.10)) // off by ~10 cents; key 3 orphan. (5.10 floors to
+      // 509 cents - the double literal sits just below 5.10 - so the
+      // drift is 9: the documented floor-quantization semantics.)
+      .toDF("k", "amt")
+    val got = Profile.reconcile(headers, details, "k",
+        col("amt"), col("amt"))
+      .as[(Long, Long, Long, Long, Long)].head()
+    assert(got === ((3L, 1L, 1L, 1L, 9L)))
+  }
+
   test("fdCheck counts ambiguous keys, max fan-out, and null-as-value") {
     val df = Seq((1L, Some("x")), (1L, Some("x")), // key 1 clean
       (2L, Some("x")), (2L, Some("y")), (2L, Some("z")), // violates, 3
