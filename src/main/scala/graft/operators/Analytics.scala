@@ -2069,6 +2069,60 @@ object Analytics {
        GROUP BY d.k, d.med, a.mad
        ORDER BY event_type"""
 
+  /** Exact nearest-rank decile table per group: D1..D9 of the value
+    * distribution in one row per group — the full distribution
+    * fingerprint (q47's percentiles are interpolated and per-percentile;
+    * this is the exact-integer nearest-rank family at all nine cuts,
+    * engine-identical by construction: Dd = min{v : 10·cum ≥ d·n}).
+    *
+    * Scale: one (group, value) collapse, one per-group cumulative window
+    * over DISTINCT values, then nine conditional mins in a single hash
+    * aggregation — no sort of raw rows, no per-decile pass.
+    */
+  def decileTable(df: DataFrame, groupCol: String,
+      valueCol: Column): DataFrame = {
+    val byV = df.select(col(groupCol).as("k"), valueCol.cast("long").as("v"))
+      .groupBy(col("k"), col("v")).agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy(col("k")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = byV.select(col("k"), col("v"),
+      sum(col("c")).over(w).as("cum"),
+      sum(col("c")).over(Window.partitionBy(col("k"))).as("n"))
+    val aggs = max(col("n")).as("n") +: (1 to 9).map(d =>
+      min(when(col("cum") * 10 >= col("n") * d, col("v"))).as(s"d$d"))
+    cum.groupBy(col("k"))
+      .agg(aggs.head, aggs.tail: _*)
+      .withColumnRenamed("k", groupCol)
+  }
+
+  // ---- q229: the value distribution fingerprint per event type ----------------
+  private def q229(s: SparkSession, d: String): DataFrame =
+    decileTable(Tables.events(s, d), "event_type",
+        floor(col("value") * 100))
+      .orderBy(col("event_type"))
+  private val q229Sql =
+    """WITH byv AS (
+         SELECT event_type AS k, floor(value * 100)::BIGINT AS v,
+           count(*)::BIGINT AS c
+         FROM events GROUP BY 1, 2),
+       cum AS (
+         SELECT k, v,
+           sum(c) OVER (PARTITION BY k ORDER BY v
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+           sum(c) OVER (PARTITION BY k) AS n
+         FROM byv)
+       SELECT k AS event_type, max(n)::BIGINT AS n,
+         min(CASE WHEN cum * 10 >= n * 1 THEN v END)::BIGINT AS d1,
+         min(CASE WHEN cum * 10 >= n * 2 THEN v END)::BIGINT AS d2,
+         min(CASE WHEN cum * 10 >= n * 3 THEN v END)::BIGINT AS d3,
+         min(CASE WHEN cum * 10 >= n * 4 THEN v END)::BIGINT AS d4,
+         min(CASE WHEN cum * 10 >= n * 5 THEN v END)::BIGINT AS d5,
+         min(CASE WHEN cum * 10 >= n * 6 THEN v END)::BIGINT AS d6,
+         min(CASE WHEN cum * 10 >= n * 7 THEN v END)::BIGINT AS d7,
+         min(CASE WHEN cum * 10 >= n * 8 THEN v END)::BIGINT AS d8,
+         min(CASE WHEN cum * 10 >= n * 9 THEN v END)::BIGINT AS d9
+       FROM cum GROUP BY k ORDER BY event_type"""
+
   // ---- q205: character-mass median document length per language ---------------
   private def q205(s: SparkSession, d: String): DataFrame =
     weightedMedian(Tables.documents(s, d), "lang", "n_chars", "n_chars")
@@ -2215,6 +2269,7 @@ object Analytics {
     QueryDef("q212_cohort_ltv", q212, Some(q212Sql)),
     QueryDef("q223_yoy_growth", q223, Some(q223Sql)),
     QueryDef("q225_daily_mad_alerts", q225, Some(q225Sql)),
+    QueryDef("q229_decile_table", q229, Some(q229Sql)),
     QueryDef("q210_touch_attribution", q210, Some(q210Sql)),
     QueryDef("q205_weighted_median", q205, Some(q205Sql)),
     QueryDef("q197_decayed_score", q197, Some(q197Sql)),

@@ -1959,6 +1959,74 @@ object Profile {
          coalesce(sum(delta), 0)::BIGINT AS abs_drift_cents
        FROM j"""
 
+  /** Cumulative-gains / lift table of a score against a binary outcome:
+    * at each decile of the score-DESCENDING ranking, how much of the
+    * total positive mass the prefix captures and its lift over random —
+    * the model-eval chart sales/risk teams actually read (q154's AUC in
+    * operational clothing: "call the top 20%, get X% of converters").
+    *
+    * Exact integers: prefixes cut at min{cum_rows : 10·cum_rows ≥ d·n}
+    * over the distinct-score cumulative relation (score ties never
+    * split), capture = pos_cum/tot_pos and lift =
+    * (pos_cum·n)/(rows_cum·tot_pos), both micro-floored from BIGINTs.
+    * Scale: one (score → rows, positives) collapse, one cumulative
+    * window over distinct scores, a 10-row spine join.
+    */
+  def gainsTable(df: DataFrame, scoreCol: Column,
+      isPositive: Column): DataFrame = {
+    val byV = df.select(scoreCol.cast("long").as("v"),
+        isPositive.cast("boolean").as("y"))
+      .groupBy(col("v"))
+      .agg(count(lit(1)).as("c"), count(when(col("y"), 1)).as("p"))
+    val w = Window.orderBy(col("v").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = byV.select(col("v"), sum(col("c")).over(w).as("rows_cum"),
+        sum(col("p")).over(w).as("pos_cum"))
+      .crossJoin(broadcast(byV.agg(sum(col("c")).as("n"),
+        sum(col("p")).as("tot_pos"))))
+    val spine = df.sparkSession.range(1, 11)
+      .select(col("id").cast("int").as("decile"))
+    broadcast(spine).join(cum, col("rows_cum") * 10 >= col("n") * col("decile"))
+      .groupBy(col("decile"))
+      .agg(min(struct(col("rows_cum"), col("v"), col("pos_cum"),
+        col("n"), col("tot_pos"))).as("b"))
+      .select(col("decile"), col("b.v").as("score_threshold"),
+        col("b.rows_cum").as("rows_cum"), col("b.pos_cum").as("pos_cum"),
+        expr("b.pos_cum * 1000000L div b.tot_pos").as("capture_micro"),
+        expr("b.pos_cum * b.n * 1000000L div (b.rows_cum * b.tot_pos)")
+          .as("lift_micro"))
+  }
+
+  // ---- q230: call the top decile, catch what share of purchases? --------------
+  private def q230(s: SparkSession, d: String): DataFrame =
+    gainsTable(Tables.events(s, d), floor(col("value") * 100),
+        col("event_type") === "purchase")
+      .orderBy(col("decile"))
+  private val q230Sql =
+    """WITH byv AS (
+         SELECT floor(value * 100)::BIGINT AS v, count(*)::BIGINT AS c,
+           count(*) FILTER (WHERE event_type = 'purchase')::BIGINT AS p
+         FROM events GROUP BY 1),
+       cum AS (
+         SELECT v,
+           sum(c) OVER (ORDER BY v DESC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS rows_cum,
+           sum(p) OVER (ORDER BY v DESC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pos_cum,
+           (SELECT sum(c) FROM byv) AS n,
+           (SELECT sum(p) FROM byv) AS tot_pos
+         FROM byv),
+       spine AS (SELECT unnest(range(1, 11)) AS decile),
+       hit AS (
+         SELECT s.decile, min((rows_cum, v, pos_cum, n, tot_pos)) AS b
+         FROM spine s JOIN cum ON rows_cum * 10 >= n * s.decile
+         GROUP BY s.decile)
+       SELECT decile::INT AS decile, b[2]::BIGINT AS score_threshold,
+         b[1]::BIGINT AS rows_cum, b[3]::BIGINT AS pos_cum,
+         (b[3] * 1000000 // b[5])::BIGINT AS capture_micro,
+         (b[3] * b[4] * 1000000 // (b[1] * b[5]))::BIGINT AS lift_micro
+       FROM hit ORDER BY decile"""
+
   // ---- q224: does a part determine its supplier? (it must not) -----------------
   private def q224(s: SparkSession, d: String): DataFrame =
     fdCheck(Tables.lineitem(s, d), "l_partkey", "l_suppkey")
@@ -2228,6 +2296,7 @@ object Profile {
     QueryDef("q224_fd_check", q224, Some(q224Sql)),
     QueryDef("q227_feature_drift", q227, Some(q227Sql)),
     QueryDef("q228_reconcile", q228, Some(q228Sql)),
+    QueryDef("q230_gains_table", q230, Some(q230Sql)),
     QueryDef("q187_simpson", q187, Some(q187Sql)),
     QueryDef("q188_fleiss_kappa", q188, Some(q188Sql)),
     QueryDef("q193_wilson_ci", q193, Some(q193Sql)),

@@ -454,6 +454,14 @@ class AnalyticsSpec extends SparkSpec {
     assert(got === (("a", 7L, 200L, 100L, 1L)))
   }
 
+  test("decileTable: uniform 1..10 yields d_k = k exactly") {
+    val df = (1L to 10L).map(("a", _)).toDF("g", "v")
+    val got = Analytics.decileTable(df, "g", col("v"))
+      .as[(String, Long, Long, Long, Long, Long, Long, Long, Long, Long,
+        Long)].head()
+    assert(got === (("a", 10L, 1L, 2L, 3L, 4L, 5L, 6L, 7L, 8L, 9L)))
+  }
+
   test("weightedMedian follows the mass, not the row count") {
     val df = Seq(
       // g=a: nine-tenths of the weight sits at v=100 -> weighted median

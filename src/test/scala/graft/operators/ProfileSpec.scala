@@ -527,6 +527,20 @@ class ProfileSpec extends SparkSpec {
     assert(got === ((3L, 1L, 1L, 1L, 9L)))
   }
 
+  test("gainsTable captures all positives at the top deciles with exact lift") {
+    // Scores 10..1, one row each; positives at the two highest scores.
+    val df = (1L to 10L).map(v => (v, v >= 9L)).toDF("v", "y")
+    val got = Profile.gainsTable(df, col("v"), col("y"))
+      .orderBy("decile")
+      .as[(Int, Long, Long, Long, Long, Long)].collect()
+    // d=1: top row captures 1 of 2 (500000), lift 5x; d=2: both, 5x;
+    // d=5: capture 1.0, lift 2x; d=10: lift exactly 1x.
+    assert(got(0) === ((1, 10L, 1L, 1L, 500000L, 5000000L)))
+    assert(got(1) === ((2, 9L, 2L, 2L, 1000000L, 5000000L)))
+    assert(got(4) === ((5, 6L, 5L, 2L, 1000000L, 2000000L)))
+    assert(got(9) === ((10, 1L, 10L, 2L, 1000000L, 1000000L)))
+  }
+
   test("fdCheck counts ambiguous keys, max fan-out, and null-as-value") {
     val df = Seq((1L, Some("x")), (1L, Some("x")), // key 1 clean
       (2L, Some("x")), (2L, Some("y")), (2L, Some("z")), // violates, 3
