@@ -2123,6 +2123,166 @@ object Analytics {
          min(CASE WHEN cum * 10 >= n * 9 THEN v END)::BIGINT AS d9
        FROM cum GROUP BY k ORDER BY event_type"""
 
+  // ---- q231: order-to-ship latency deciles per priority -----------------------
+  // Process-mining read on the order book: the full D1..D9 fingerprint
+  // of ship delays (days), per priority — one [[decileTable]] call over
+  // the header-detail join; urgent orders should show a left-shifted
+  // curve, and the tail deciles are the SLA conversation.
+  private def q231(s: SparkSession, d: String): DataFrame =
+    decileTable(
+      Tables.orders(s, d)
+        .join(Tables.lineitem(s, d),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_orderpriority"),
+          datediff(to_date(col("l_shipdate")), to_date(col("o_orderdate")))
+            .as("delay")),
+      "o_orderpriority", col("delay"))
+      .orderBy(col("o_orderpriority"))
+  private val q231Sql =
+    """WITH base AS (
+         SELECT o_orderpriority AS k,
+           date_diff('day', (o_orderdate::TIMESTAMP)::DATE,
+             (l_shipdate::TIMESTAMP)::DATE)::BIGINT AS v
+         FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+       byv AS (
+         SELECT k, v, count(*)::BIGINT AS c FROM base GROUP BY 1, 2),
+       cum AS (
+         SELECT k, v,
+           sum(c) OVER (PARTITION BY k ORDER BY v
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+           sum(c) OVER (PARTITION BY k) AS n
+         FROM byv)
+       SELECT k AS o_orderpriority, max(n)::BIGINT AS n,
+         min(CASE WHEN cum * 10 >= n * 1 THEN v END)::BIGINT AS d1,
+         min(CASE WHEN cum * 10 >= n * 2 THEN v END)::BIGINT AS d2,
+         min(CASE WHEN cum * 10 >= n * 3 THEN v END)::BIGINT AS d3,
+         min(CASE WHEN cum * 10 >= n * 4 THEN v END)::BIGINT AS d4,
+         min(CASE WHEN cum * 10 >= n * 5 THEN v END)::BIGINT AS d5,
+         min(CASE WHEN cum * 10 >= n * 6 THEN v END)::BIGINT AS d6,
+         min(CASE WHEN cum * 10 >= n * 7 THEN v END)::BIGINT AS d7,
+         min(CASE WHEN cum * 10 >= n * 8 THEN v END)::BIGINT AS d8,
+         min(CASE WHEN cum * 10 >= n * 9 THEN v END)::BIGINT AS d9
+       FROM cum GROUP BY k ORDER BY o_orderpriority"""
+
+  /** RFM segmentation: every customer scored 1–5 on Recency (days since
+    * last activity — inverted, recent = 5), Frequency, and Monetary
+    * value against GLOBAL nearest-rank quintile thresholds, then
+    * collapsed to per-segment counts — the marketing-analytics workhorse
+    * ("champions" = 555, "at risk" = high F/M but low R).
+    *
+    * Exact integers: metrics are day counts / row counts / cent sums;
+    * thresholds are nearest-rank quintile cuts over the distinct-value
+    * relations (the q229 rule); scores = 1 + Σ(v > tᵢ) strict
+    * comparisons. Deterministic on both engines by construction.
+    *
+    * Scale: one customer aggregation, three distinct-value threshold
+    * passes (each collapsed, tiny), one broadcast of 12 thresholds back,
+    * one segment aggregation.
+    */
+  def rfmSegments(df: DataFrame, custCol: String, tsCol: String,
+      amountCol: String): DataFrame = {
+    val refc = df.agg(max(to_date(col(tsCol))).as("ref"))
+    val metrics = df.select(col(custCol).as("cust"),
+        to_date(col(tsCol)).as("dte"),
+        floor(col(amountCol) * 100).cast("long").as("cents"))
+      .crossJoin(broadcast(refc))
+      .groupBy(col("cust"))
+      .agg(min(datediff(col("ref"), col("dte"))).as("r"),
+        count(lit(1)).as("f"), sum(col("cents")).as("m"))
+    def thresholds(vCol: String): DataFrame = {
+      val byV = metrics.groupBy(col(vCol).as("v"))
+        .agg(count(lit(1)).as("c"))
+      val w = Window.orderBy(col("v"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cum = byV.select(col("v"), sum(col("c")).over(w).as("cum"))
+        .crossJoin(broadcast(byV.agg(sum(col("c")).as("n"))))
+      val cuts = (1 to 4).map(q =>
+        min(when(col("cum") * 5 >= col("n") * q, col("v")))
+          .as(s"${vCol}_t$q"))
+      cum.agg(cuts.head, cuts.tail: _*)
+    }
+    def score(vCol: String): Column =
+      (1 to 4).map(q =>
+        when(col(vCol) > col(s"${vCol}_t$q"), 1).otherwise(0))
+        .reduce(_ + _) + 1
+    metrics
+      .crossJoin(broadcast(thresholds("r")))
+      .crossJoin(broadcast(thresholds("f")))
+      .crossJoin(broadcast(thresholds("m")))
+      .select(col("cust"), (lit(6) - score("r")).as("r_score"),
+        score("f").as("f_score"), score("m").as("m_score"),
+        col("r"), col("f"), col("m"))
+      .groupBy(col("r_score"), col("f_score"), col("m_score"))
+      .agg(count(lit(1)).as("n_customers"),
+        sum(col("f")).as("orders_total"), sum(col("m")).as("cents_total"))
+  }
+
+  // ---- q232: the RFM segment census of the customer base ----------------------
+  private def q232(s: SparkSession, d: String): DataFrame =
+    rfmSegments(Tables.orders(s, d), "o_custkey", "o_orderdate",
+        "o_totalprice")
+      .orderBy(col("r_score"), col("f_score"), col("m_score"))
+  private val q232Sql =
+    """WITH refc AS (
+         SELECT max((o_orderdate::TIMESTAMP)::DATE) AS ref FROM orders),
+       metrics AS (
+         SELECT o_custkey AS cust,
+           min(date_diff('day', (o_orderdate::TIMESTAMP)::DATE, ref))
+             ::BIGINT AS r,
+           count(*)::BIGINT AS f,
+           sum(floor(o_totalprice * 100)::BIGINT)::BIGINT AS m
+         FROM orders, refc GROUP BY 1),
+       rt AS (
+         SELECT
+           min(CASE WHEN cum * 5 >= n * 1 THEN v END) AS r_t1,
+           min(CASE WHEN cum * 5 >= n * 2 THEN v END) AS r_t2,
+           min(CASE WHEN cum * 5 >= n * 3 THEN v END) AS r_t3,
+           min(CASE WHEN cum * 5 >= n * 4 THEN v END) AS r_t4
+         FROM (
+           SELECT v, sum(c) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+             (SELECT count(*) FROM metrics) AS n
+           FROM (SELECT r AS v, count(*)::BIGINT AS c FROM metrics
+                 GROUP BY 1))),
+       ft AS (
+         SELECT
+           min(CASE WHEN cum * 5 >= n * 1 THEN v END) AS f_t1,
+           min(CASE WHEN cum * 5 >= n * 2 THEN v END) AS f_t2,
+           min(CASE WHEN cum * 5 >= n * 3 THEN v END) AS f_t3,
+           min(CASE WHEN cum * 5 >= n * 4 THEN v END) AS f_t4
+         FROM (
+           SELECT v, sum(c) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+             (SELECT count(*) FROM metrics) AS n
+           FROM (SELECT f AS v, count(*)::BIGINT AS c FROM metrics
+                 GROUP BY 1))),
+       mt AS (
+         SELECT
+           min(CASE WHEN cum * 5 >= n * 1 THEN v END) AS m_t1,
+           min(CASE WHEN cum * 5 >= n * 2 THEN v END) AS m_t2,
+           min(CASE WHEN cum * 5 >= n * 3 THEN v END) AS m_t3,
+           min(CASE WHEN cum * 5 >= n * 4 THEN v END) AS m_t4
+         FROM (
+           SELECT v, sum(c) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+             (SELECT count(*) FROM metrics) AS n
+           FROM (SELECT m AS v, count(*)::BIGINT AS c FROM metrics
+                 GROUP BY 1))),
+       scored AS (
+         SELECT cust, r, f, m,
+           6 - (1 + (r > r_t1)::INT + (r > r_t2)::INT + (r > r_t3)::INT
+             + (r > r_t4)::INT) AS r_score,
+           1 + (f > f_t1)::INT + (f > f_t2)::INT + (f > f_t3)::INT
+             + (f > f_t4)::INT AS f_score,
+           1 + (m > m_t1)::INT + (m > m_t2)::INT + (m > m_t3)::INT
+             + (m > m_t4)::INT AS m_score
+         FROM metrics, rt, ft, mt)
+       SELECT r_score::INT AS r_score, f_score::INT AS f_score,
+         m_score::INT AS m_score, count(*)::BIGINT AS n_customers,
+         sum(f)::BIGINT AS orders_total, sum(m)::BIGINT AS cents_total
+       FROM scored GROUP BY 1, 2, 3
+       ORDER BY r_score, f_score, m_score"""
+
   // ---- q205: character-mass median document length per language ---------------
   private def q205(s: SparkSession, d: String): DataFrame =
     weightedMedian(Tables.documents(s, d), "lang", "n_chars", "n_chars")
@@ -2270,6 +2430,8 @@ object Analytics {
     QueryDef("q223_yoy_growth", q223, Some(q223Sql)),
     QueryDef("q225_daily_mad_alerts", q225, Some(q225Sql)),
     QueryDef("q229_decile_table", q229, Some(q229Sql)),
+    QueryDef("q231_ship_latency", q231, Some(q231Sql)),
+    QueryDef("q232_rfm_segments", q232, Some(q232Sql)),
     QueryDef("q210_touch_attribution", q210, Some(q210Sql)),
     QueryDef("q205_weighted_median", q205, Some(q205Sql)),
     QueryDef("q197_decayed_score", q197, Some(q197Sql)),

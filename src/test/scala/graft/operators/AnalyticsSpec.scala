@@ -462,6 +462,26 @@ class AnalyticsSpec extends SparkSpec {
     assert(got === (("a", 10L, 1L, 2L, 3L, 4L, 5L, 6L, 7L, 8L, 9L)))
   }
 
+  test("rfmSegments scores quintiles with inverted recency") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s + " 00:00:00")
+    // Five customers with strictly increasing recency/frequency/monetary
+    // profiles: customer 5 is most recent AND most frequent AND biggest
+    // -> segment (5,5,5); customer 1 the opposite -> (1,1,1).
+    val orders = (1 to 5).flatMap { c =>
+      (1 to c).map { i =>
+        (c.toLong, ts(f"2024-0$c%01d-01"), c * 10.0)
+      }
+    }.toDF("cust", "ts", "amt")
+    val got = Analytics.rfmSegments(orders, "cust", "ts", "amt")
+      .orderBy("r_score", "f_score", "m_score")
+      .as[(Int, Int, Int, Long, Long, Long)].collect()
+    assert(got.length === 5)
+    assert(got.head === ((1, 1, 1, 1L, 1L, 1000L)))
+    assert(got.last === ((5, 5, 5, 1L, 5L, 25000L)))
+    // Every customer lands in exactly one segment.
+    assert(got.map(_._4).sum === 5L)
+  }
+
   test("weightedMedian follows the mass, not the row count") {
     val df = Seq(
       // g=a: nine-tenths of the weight sits at v=100 -> weighted median
