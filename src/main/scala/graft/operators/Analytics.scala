@@ -2283,6 +2283,116 @@ object Analytics {
        FROM scored GROUP BY 1, 2, 3
        ORDER BY r_score, f_score, m_score"""
 
+  /** DAU / WAU / stickiness per day: distinct daily actives, distinct
+    * actives over the trailing 7-day window, and DAU/WAU — the product
+    * engagement triple. EXACT (not sketched — the q192 HLL variant is
+    * the at-scale companion): the corpus first collapses to distinct
+    * (user, day) — the only corpus-sized pass — and the 7-day window is
+    * a spine join over that collapsed relation (≤ 7·|user-days| rows,
+    * calendar-bounded), then a distinct count per day.
+    */
+  def dauWau(df: DataFrame, userCol: String, tsCol: String): DataFrame = {
+    val ud = df.select(col(userCol).as("u"), to_date(col(tsCol)).as("day"))
+      .distinct()
+    val dau = ud.groupBy(col("day")).agg(count(lit(1)).as("dau"))
+    val spine = ud.select(col("day")).distinct()
+    val wau = spine.as("s")
+      .join(ud.as("e"),
+        col("e.day") <= col("s.day") &&
+          col("e.day") >= date_sub(col("s.day"), 6))
+      .select(col("s.day").as("day"), col("e.u").as("u"))
+      .distinct()
+      .groupBy(col("day")).agg(count(lit(1)).as("wau"))
+    dau.join(wau, Seq("day"))
+      .select(col("day"), col("dau"), col("wau"),
+        expr("dau * 1000000L div wau").as("stickiness_micro"))
+  }
+
+  // ---- q233: engagement triple over the events month --------------------------
+  private def q233(s: SparkSession, d: String): DataFrame =
+    dauWau(Tables.events(s, d), "user_id", "ts")
+      .orderBy(col("day"))
+  private val q233Sql =
+    """WITH ud AS (
+         SELECT DISTINCT user_id AS u, (ts::TIMESTAMP)::DATE AS day
+         FROM events),
+       dau AS (SELECT day, count(*)::BIGINT AS dau FROM ud GROUP BY day),
+       spine AS (SELECT DISTINCT day FROM ud),
+       wau AS (
+         SELECT day, count(*)::BIGINT AS wau FROM (
+           SELECT DISTINCT s.day, e.u
+           FROM spine s JOIN ud e
+             ON e.day <= s.day AND e.day >= s.day - 6) t
+         GROUP BY day)
+       SELECT d.day, d.dau, w.wau,
+         (d.dau * 1000000 // w.wau)::BIGINT AS stickiness_micro
+       FROM dau d JOIN wau w ON d.day = w.day
+       ORDER BY d.day"""
+
+  /** Daily bounce rate from gaps-and-islands sessionization: sessions
+    * start where the within-user gap exceeds `gapSeconds` (timestamp
+    * ties broken on the event id — deterministic islands), a bounce is
+    * a single-event session, and each session reports to its START day.
+    * The engagement-quality companion to [[dauWau]]'s volume triple.
+    *
+    * Exact integers throughout. Scale: one per-user window (lag) over
+    * epoch seconds, one session aggregation keyed by (user, session
+    * start), one daily rollup — the q65 session-window machinery's
+    * audit-table sibling.
+    */
+  def bounceRate(df: DataFrame, userCol: String, tsCol: String,
+      idCol: String, gapSeconds: Long = 1800L): DataFrame = {
+    val w = Window.partitionBy(col("u")).orderBy(col("t"), col("eid"))
+    val marked = df.select(col(userCol).as("u"),
+        expr(s"unix_micros($tsCol) div 1000000L").as("t"),
+        col(idCol).as("eid"))
+      .withColumn("new_s",
+        when(col("t") - lag(col("t"), 1).over(w) > gapSeconds
+          || lag(col("t"), 1).over(w).isNull, 1L).otherwise(0L))
+      .withColumn("sid", sum(col("new_s")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    marked.groupBy(col("u"), col("sid"))
+      .agg(min(col("t")).as("start_t"), count(lit(1)).as("n_events"))
+      .select(to_date(from_unixtime(col("start_t"))).as("day"),
+        col("n_events"))
+      .groupBy(col("day"))
+      .agg(count(lit(1)).as("n_sessions"),
+        count(when(col("n_events") === 1, 1)).as("n_bounces"))
+      .select(col("day"), col("n_sessions"), col("n_bounces"),
+        expr("n_bounces * 1000000L div n_sessions").as("bounce_micro"))
+  }
+
+  // ---- q234: daily bounce rate at a 30-minute session gap ---------------------
+  private def q234(s: SparkSession, d: String): DataFrame =
+    bounceRate(Tables.events(s, d), "user_id", "ts", "event_id")
+      .orderBy(col("day"))
+  private val q234Sql =
+    """WITH base AS (
+         SELECT user_id AS u, epoch_us(ts) // 1000000 AS t,
+           event_id AS eid
+         FROM events),
+       marked AS (
+         SELECT u, t, eid,
+           CASE WHEN t - lag(t, 1) OVER (PARTITION BY u ORDER BY t, eid)
+               > 1800
+             OR lag(t, 1) OVER (PARTITION BY u ORDER BY t, eid) IS NULL
+             THEN 1 ELSE 0 END AS new_s
+         FROM base),
+       sess AS (
+         SELECT u, t,
+           sum(new_s) OVER (PARTITION BY u ORDER BY t, eid
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+         FROM marked),
+       per AS (
+         SELECT u, sid, min(t) AS start_t, count(*)::BIGINT AS n_events
+         FROM sess GROUP BY 1, 2)
+       SELECT to_timestamp(start_t)::DATE AS day,
+         count(*)::BIGINT AS n_sessions,
+         count(*) FILTER (WHERE n_events = 1)::BIGINT AS n_bounces,
+         (count(*) FILTER (WHERE n_events = 1) * 1000000
+           // count(*))::BIGINT AS bounce_micro
+       FROM per GROUP BY 1 ORDER BY day"""
+
   // ---- q205: character-mass median document length per language ---------------
   private def q205(s: SparkSession, d: String): DataFrame =
     weightedMedian(Tables.documents(s, d), "lang", "n_chars", "n_chars")
@@ -2431,6 +2541,8 @@ object Analytics {
     QueryDef("q225_daily_mad_alerts", q225, Some(q225Sql)),
     QueryDef("q229_decile_table", q229, Some(q229Sql)),
     QueryDef("q231_ship_latency", q231, Some(q231Sql)),
+    QueryDef("q233_dau_wau", q233, Some(q233Sql)),
+    QueryDef("q234_bounce_rate", q234, Some(q234Sql)),
     QueryDef("q232_rfm_segments", q232, Some(q232Sql)),
     QueryDef("q210_touch_attribution", q210, Some(q210Sql)),
     QueryDef("q205_weighted_median", q205, Some(q205Sql)),

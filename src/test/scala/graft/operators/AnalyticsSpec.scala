@@ -462,6 +462,44 @@ class AnalyticsSpec extends SparkSpec {
     assert(got === (("a", 10L, 1L, 2L, 3L, 4L, 5L, 6L, 7L, 8L, 9L)))
   }
 
+  test("dauWau rolls a 7-day distinct window; stickiness is DAU/WAU") {
+    def ts(day: Int) = java.sql.Timestamp.valueOf(f"2024-01-$day%02d 09:00:00")
+    val e = Seq(
+      (1L, ts(1)), (2L, ts(1)), // day 1: users 1,2
+      (1L, ts(5)), // day 5: user 1 again
+      (3L, ts(10))) // day 10: user 3 only; window excludes days 1-3
+      .toDF("u", "ts")
+    val got = Analytics.dauWau(e, "u", "ts")
+      .orderBy("day")
+      .select($"day".cast("string"), $"dau", $"wau", $"stickiness_micro")
+      .as[(String, Long, Long, Long)].collect()
+    assert(got === Array(
+      ("2024-01-01", 2L, 2L, 1000000L),
+      ("2024-01-05", 1L, 2L, 500000L), // users 1,2 within the week
+      ("2024-01-10", 1L, 2L, 500000L))) // users 1 (day 5) and 3
+  }
+
+  test("bounceRate sessionizes on the gap and counts single-event sessions") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val e = Seq(
+      // user 1 day 1: two events 10 min apart = ONE session (no bounce),
+      // then one event 2h later = bounce.
+      (1L, ts("2024-01-01 09:00:00"), 1L),
+      (1L, ts("2024-01-01 09:10:00"), 2L),
+      (1L, ts("2024-01-01 11:30:00"), 3L),
+      // user 2: single event = bounce on day 2.
+      (2L, ts("2024-01-02 10:00:00"), 4L))
+      .toDF("u", "ts", "eid")
+    val got = Analytics.bounceRate(e, "u", "ts", "eid")
+      .orderBy("day")
+      .select($"day".cast("string"), $"n_sessions", $"n_bounces",
+        $"bounce_micro")
+      .as[(String, Long, Long, Long)].collect()
+    assert(got === Array(
+      ("2024-01-01", 2L, 1L, 500000L),
+      ("2024-01-02", 1L, 1L, 1000000L)))
+  }
+
   test("rfmSegments scores quintiles with inverted recency") {
     def ts(s: String) = java.sql.Timestamp.valueOf(s + " 00:00:00")
     // Five customers with strictly increasing recency/frequency/monetary
