@@ -2393,6 +2393,75 @@ object Analytics {
            // count(*))::BIGINT AS bounce_micro
        FROM per GROUP BY 1 ORDER BY day"""
 
+  /** Session-level conversion: of the sessions that SHOPPED (contain at
+    * least one touch event), how many CONVERTED (contain a purchase) —
+    * per day of session start. The funnel read at session granularity
+    * ([[touchAttribution]] is the event-level credit assignment; this is
+    * the rate a growth dashboard tracks). Sessionization shares
+    * [[bounceRate]]'s deterministic gaps-and-islands (ts, id) ordering.
+    */
+  def sessionConversion(df: DataFrame, userCol: String, tsCol: String,
+      idCol: String, isTouch: Column, isConversion: Column,
+      gapSeconds: Long = 1800L): DataFrame = {
+    val w = Window.partitionBy(col("u")).orderBy(col("t"), col("eid"))
+    val marked = df.select(col(userCol).as("u"),
+        expr(s"unix_micros($tsCol) div 1000000L").as("t"),
+        col(idCol).as("eid"), isTouch.as("is_t"), isConversion.as("is_c"))
+      .withColumn("new_s",
+        when(col("t") - lag(col("t"), 1).over(w) > gapSeconds
+          || lag(col("t"), 1).over(w).isNull, 1L).otherwise(0L))
+      .withColumn("sid", sum(col("new_s")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    marked.groupBy(col("u"), col("sid"))
+      .agg(min(col("t")).as("start_t"),
+        max(when(col("is_t"), 1L).otherwise(0L)).as("touched"),
+        max(when(col("is_c"), 1L).otherwise(0L)).as("converted"))
+      .filter(col("touched") === 1L)
+      .select(to_date(from_unixtime(col("start_t"))).as("day"),
+        col("converted"))
+      .groupBy(col("day"))
+      .agg(count(lit(1)).as("n_shopping_sessions"),
+        count(when(col("converted") === 1L, 1)).as("n_converted"))
+      .select(col("day"), col("n_shopping_sessions"), col("n_converted"),
+        expr("n_converted * 1000000L div n_shopping_sessions")
+          .as("conversion_micro"))
+  }
+
+  // ---- q235: daily session conversion, clicks → purchases ---------------------
+  private def q235(s: SparkSession, d: String): DataFrame =
+    sessionConversion(Tables.events(s, d), "user_id", "ts", "event_id",
+      col("event_type") === "click", col("event_type") === "purchase")
+      .orderBy(col("day"))
+  private val q235Sql =
+    """WITH base AS (
+         SELECT user_id AS u, epoch_us(ts) // 1000000 AS t, event_id AS eid,
+           (event_type = 'click') AS is_t,
+           (event_type = 'purchase') AS is_c
+         FROM events),
+       marked AS (
+         SELECT u, t, eid, is_t, is_c,
+           CASE WHEN t - lag(t, 1) OVER (PARTITION BY u ORDER BY t, eid)
+               > 1800
+             OR lag(t, 1) OVER (PARTITION BY u ORDER BY t, eid) IS NULL
+             THEN 1 ELSE 0 END AS new_s
+         FROM base),
+       sess AS (
+         SELECT u, t, is_t, is_c,
+           sum(new_s) OVER (PARTITION BY u ORDER BY t, eid
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+         FROM marked),
+       per AS (
+         SELECT u, sid, min(t) AS start_t,
+           max(CASE WHEN is_t THEN 1 ELSE 0 END) AS touched,
+           max(CASE WHEN is_c THEN 1 ELSE 0 END) AS converted
+         FROM sess GROUP BY 1, 2)
+       SELECT to_timestamp(start_t)::DATE AS day,
+         count(*)::BIGINT AS n_shopping_sessions,
+         count(*) FILTER (WHERE converted = 1)::BIGINT AS n_converted,
+         (count(*) FILTER (WHERE converted = 1) * 1000000
+           // count(*))::BIGINT AS conversion_micro
+       FROM per WHERE touched = 1 GROUP BY 1 ORDER BY day"""
+
   // ---- q205: character-mass median document length per language ---------------
   private def q205(s: SparkSession, d: String): DataFrame =
     weightedMedian(Tables.documents(s, d), "lang", "n_chars", "n_chars")
@@ -2542,6 +2611,7 @@ object Analytics {
     QueryDef("q229_decile_table", q229, Some(q229Sql)),
     QueryDef("q231_ship_latency", q231, Some(q231Sql)),
     QueryDef("q233_dau_wau", q233, Some(q233Sql)),
+    QueryDef("q235_session_conversion", q235, Some(q235Sql)),
     QueryDef("q234_bounce_rate", q234, Some(q234Sql)),
     QueryDef("q232_rfm_segments", q232, Some(q232Sql)),
     QueryDef("q210_touch_attribution", q210, Some(q210Sql)),

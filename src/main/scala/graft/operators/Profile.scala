@@ -2027,6 +2027,47 @@ object Profile {
          (b[3] * b[4] * 1000000 // (b[1] * b[5]))::BIGINT AS lift_micro
        FROM hit ORDER BY decile"""
 
+  /** Dead-inventory audit: dimension members never referenced by the
+    * fact table — unsold parts, unused suppliers — with exact share
+    * micro. The catalog-hygiene read before a mixture/assortment
+    * decision, and the left-anti-join pattern every warehouse runs.
+    * Scale: two distinct fact key sets (map-side collapsed) anti-joined
+    * against the dimension keys; one summary row per dimension.
+    */
+  def deadStock(dim: DataFrame, dimKey: String, fact: DataFrame,
+      factKey: String, label: String): DataFrame = {
+    val used = fact.select(col(factKey).as("k")).distinct()
+    dim.select(col(dimKey).as("k"))
+      .join(used.withColumn("u", lit(1)), Seq("k"), "left")
+      .agg(count(lit(1)).as("n_members"),
+        count(when(col("u").isNull, 1)).as("n_dead"))
+      .select(lit(label).as("dimension"), col("n_members"), col("n_dead"),
+        expr("n_dead * 1000000L div n_members").as("dead_micro"))
+  }
+
+  // ---- q236: unsold parts and unused suppliers --------------------------------
+  private def q236(s: SparkSession, d: String): DataFrame =
+    deadStock(Tables.part(s, d), "p_partkey", Tables.lineitem(s, d),
+        "l_partkey", "parts")
+      .unionByName(deadStock(Tables.supplier(s, d), "s_suppkey",
+        Tables.lineitem(s, d), "l_suppkey", "suppliers"))
+      .orderBy(col("dimension"))
+  private val q236Sql =
+    """WITH up AS (SELECT DISTINCT l_partkey AS k FROM lineitem),
+       us AS (SELECT DISTINCT l_suppkey AS k FROM lineitem),
+       p AS (
+         SELECT 'parts' AS dimension, count(*)::BIGINT AS n_members,
+           count(*) FILTER (WHERE up.k IS NULL)::BIGINT AS n_dead
+         FROM part LEFT JOIN up ON p_partkey = up.k),
+       s AS (
+         SELECT 'suppliers' AS dimension, count(*)::BIGINT AS n_members,
+           count(*) FILTER (WHERE us.k IS NULL)::BIGINT AS n_dead
+         FROM supplier LEFT JOIN us ON s_suppkey = us.k)
+       SELECT dimension, n_members, n_dead,
+         (n_dead * 1000000 // n_members)::BIGINT AS dead_micro
+       FROM (SELECT * FROM p UNION ALL SELECT * FROM s) t
+       ORDER BY dimension"""
+
   // ---- q224: does a part determine its supplier? (it must not) -----------------
   private def q224(s: SparkSession, d: String): DataFrame =
     fdCheck(Tables.lineitem(s, d), "l_partkey", "l_suppkey")
@@ -2297,6 +2338,7 @@ object Profile {
     QueryDef("q227_feature_drift", q227, Some(q227Sql)),
     QueryDef("q228_reconcile", q228, Some(q228Sql)),
     QueryDef("q230_gains_table", q230, Some(q230Sql)),
+    QueryDef("q236_dead_stock", q236, Some(q236Sql)),
     QueryDef("q187_simpson", q187, Some(q187Sql)),
     QueryDef("q188_fleiss_kappa", q188, Some(q188Sql)),
     QueryDef("q193_wilson_ci", q193, Some(q193Sql)),

@@ -500,6 +500,26 @@ class AnalyticsSpec extends SparkSpec {
       ("2024-01-02", 1L, 1L, 1000000L)))
   }
 
+  test("sessionConversion rates only shopping sessions, per start day") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val e = Seq(
+      // session 1 (day 1): click then purchase -> converted
+      (1L, ts("2024-01-01 09:00:00"), 1L, "click"),
+      (1L, ts("2024-01-01 09:05:00"), 2L, "purchase"),
+      // session 2 (day 1, after gap): click only -> not converted
+      (1L, ts("2024-01-01 12:00:00"), 3L, "click"),
+      // session 3 (day 2): view only -> NOT a shopping session, excluded
+      (2L, ts("2024-01-02 10:00:00"), 4L, "view"))
+      .toDF("u", "ts", "eid", "et")
+    val got = Analytics.sessionConversion(e, "u", "ts", "eid",
+        col("et") === "click", col("et") === "purchase")
+      .orderBy("day")
+      .select($"day".cast("string"), $"n_shopping_sessions",
+        $"n_converted", $"conversion_micro")
+      .as[(String, Long, Long, Long)].collect()
+    assert(got === Array(("2024-01-01", 2L, 1L, 500000L)))
+  }
+
   test("rfmSegments scores quintiles with inverted recency") {
     def ts(s: String) = java.sql.Timestamp.valueOf(s + " 00:00:00")
     // Five customers with strictly increasing recency/frequency/monetary

@@ -541,6 +541,14 @@ class ProfileSpec extends SparkSpec {
     assert(got(9) === ((10, 1L, 10L, 2L, 1000000L, 1000000L)))
   }
 
+  test("deadStock counts never-referenced dimension members") {
+    val dim = Seq(1L, 2L, 3L, 4L).toDF("k")
+    val fact = Seq(1L, 1L, 3L).toDF("fk")
+    val got = Profile.deadStock(dim, "k", fact, "fk", "things")
+      .as[(String, Long, Long, Long)].head()
+    assert(got === (("things", 4L, 2L, 500000L)))
+  }
+
   test("fdCheck counts ambiguous keys, max fan-out, and null-as-value") {
     val df = Seq((1L, Some("x")), (1L, Some("x")), // key 1 clean
       (2L, Some("x")), (2L, Some("y")), (2L, Some("z")), // violates, 3
