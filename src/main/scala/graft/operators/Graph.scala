@@ -238,7 +238,15 @@ object Graph {
   // pre-threshold fan-out (the hub-customer quadratic blowup lives
   // there, not in the census).
   /** The top-3000 supplier co-sale edge list (s1 < s2) — shared by the
-    * q163 census and the q207/q208 community/topology scores. */
+    * q163 census and the q207/q208/q217 community/topology scores.
+    * Materialized once (`localCheckpoint`): every consumer self-joins
+    * this relation several times (the census touches the oriented list
+    * three times, local clustering four), and without truncation each
+    * reference re-executes the orders⨝lineitem projection + pair
+    * aggregation + top-3000 — the pagerank lineage discipline applied
+    * to a shared derived edge list. 3000 rows of three longs: the
+    * materialization is metadata-sized next to what it saves.
+    */
   private def coSaleEdges(s: SparkSession, d: String): DataFrame = {
     val sp = Tables.orders(s, d)
       .join(Tables.lineitem(s, d), col("l_orderkey") === col("o_orderkey"))
@@ -247,6 +255,7 @@ object Graph {
       .select(col("i1").as("s1"), col("i2").as("s2"), col("w"))
       .orderBy(col("w").desc, col("s1"), col("s2"))
       .limit(3000)
+      .localCheckpoint()
   }
 
   private def q163(s: SparkSession, d: String): DataFrame =
