@@ -2068,6 +2068,172 @@ object Profile {
        FROM (SELECT * FROM p UNION ALL SELECT * FROM s) t
        ORDER BY dimension"""
 
+  /** Q–Q table between two classes: the nearest-rank deciles of each
+    * side, paired, with the per-decile ratio — HOW two distributions
+    * differ (uniform ratio ⇒ scale shift; drifting ratio ⇒ shape
+    * change), where q199's KS says only THAT they differ. Exact integer
+    * decile cuts (the q229 rule per class); the ratio is one micro
+    * floor.
+    */
+  def qqTable(df: DataFrame, valueCol: Column, isClassA: Column,
+      isClassB: Column): DataFrame = {
+    val base = df.filter(isClassA || isClassB)
+      .select(valueCol.cast("long").as("v"), isClassA.as("is_a"))
+    val byV = base.groupBy(col("v"), col("is_a"))
+      .agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy(col("is_a")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = byV.select(col("v"), col("is_a"),
+      sum(col("c")).over(w).as("cum"),
+      sum(col("c")).over(Window.partitionBy(col("is_a"))).as("n"))
+    val spine = df.sparkSession.range(1, 10)
+      .select(col("id").cast("int").as("decile"))
+    broadcast(spine)
+      .join(cum, col("cum") * 10 >= col("n") * col("decile"))
+      .groupBy(col("decile"))
+      .agg(min(when(col("is_a"), col("v"))).as("v_a"),
+        min(when(!col("is_a"), col("v"))).as("v_b"))
+      .select(col("decile"), col("v_a"), col("v_b"),
+        when(col("v_b") === 0, lit(null).cast("long"))
+          .otherwise(expr("v_a * 1000000L div v_b")).as("ratio_micro"))
+  }
+
+  // ---- q237: open-vs-fulfilled price distributions, decile by decile ----------
+  private def q237(s: SparkSession, d: String): DataFrame =
+    qqTable(Tables.orders(s, d), floor(col("o_totalprice") * 100),
+        col("o_orderstatus") === "O", col("o_orderstatus") === "F")
+      .orderBy(col("decile"))
+  private val q237Sql =
+    """WITH base AS (
+         SELECT floor(o_totalprice * 100)::BIGINT AS v,
+           (o_orderstatus = 'O') AS is_a
+         FROM orders WHERE o_orderstatus IN ('O', 'F')),
+       byv AS (
+         SELECT v, is_a, count(*)::BIGINT AS c FROM base GROUP BY 1, 2),
+       cm AS (
+         SELECT v, is_a,
+           sum(c) OVER (PARTITION BY is_a ORDER BY v
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+           sum(c) OVER (PARTITION BY is_a) AS n
+         FROM byv),
+       spine AS (SELECT unnest(range(1, 10)) AS decile)
+       SELECT decile::INT AS decile,
+         min(CASE WHEN is_a THEN v END)::BIGINT AS v_a,
+         min(CASE WHEN NOT is_a THEN v END)::BIGINT AS v_b,
+         CASE WHEN min(CASE WHEN NOT is_a THEN v END) = 0 THEN NULL
+           ELSE (min(CASE WHEN is_a THEN v END) * 1000000
+             // min(CASE WHEN NOT is_a THEN v END)) END::BIGINT
+           AS ratio_micro
+       FROM spine s JOIN cm ON cm.cum * 10 >= cm.n * s.decile
+       GROUP BY decile ORDER BY decile"""
+
+  /** Pooled two-proportion z statistic: is conversion in A different
+    * from B beyond sampling noise — the A/B readout at the top of every
+    * experiment review (q193's Wilson interval bounds ONE rate; this
+    * compares two). Counts exact BIGINT; the z finish is the identical
+    * correctly-rounded double path both engines (one pooled rate, one
+    * sqrt, one division), rounded to 4. Null when a pooled-variance
+    * term degenerates (p̂ ∈ {0, 1} or an empty arm).
+    */
+  def twoProportionZ(df: DataFrame, isArmA: Column, isArmB: Column,
+      isSuccess: Column): DataFrame = {
+    val base = df.filter(isArmA || isArmB)
+      .select(isArmA.as("in_a"), isSuccess.cast("boolean").as("y"))
+    base.agg(
+        count(when(col("in_a"), 1)).as("n_a"),
+        count(when(col("in_a") && col("y"), 1)).as("s_a"),
+        count(when(!col("in_a"), 1)).as("n_b"),
+        count(when(!col("in_a") && col("y"), 1)).as("s_b"))
+      .select(col("n_a"), col("s_a"), col("n_b"), col("s_b"),
+        when(col("n_a") === 0 || col("n_b") === 0
+            || col("s_a") + col("s_b") === 0
+            || col("s_a") + col("s_b") === col("n_a") + col("n_b"),
+          lit(null).cast("double"))
+          .otherwise {
+            val pa = col("s_a").cast("double") / col("n_a").cast("double")
+            val pb = col("s_b").cast("double") / col("n_b").cast("double")
+            val p = (col("s_a") + col("s_b")).cast("double") /
+              (col("n_a") + col("n_b")).cast("double")
+            round((pa - pb) /
+              sqrt(p * (lit(1d) - p) *
+                (lit(1d) / col("n_a").cast("double")
+                  + lit(1d) / col("n_b").cast("double"))), 4) + lit(0.0)
+          }.as("z"))
+  }
+
+  // ---- q238: did purchase share move between the two half-months? -------------
+  private def q238(s: SparkSession, d: String): DataFrame =
+    twoProportionZ(Tables.events(s, d),
+      dayofmonth(col("ts")) <= 15, dayofmonth(col("ts")) > 15,
+      col("event_type") === "purchase")
+  private val q238Sql =
+    """WITH base AS (
+         SELECT (day(ts::TIMESTAMP) <= 15) AS in_a,
+           (event_type = 'purchase') AS y
+         FROM events),
+       agg AS (
+         SELECT count(*) FILTER (WHERE in_a)::BIGINT AS n_a,
+           count(*) FILTER (WHERE in_a AND y)::BIGINT AS s_a,
+           count(*) FILTER (WHERE NOT in_a)::BIGINT AS n_b,
+           count(*) FILTER (WHERE NOT in_a AND y)::BIGINT AS s_b
+         FROM base)
+       SELECT n_a, s_a, n_b, s_b,
+         CASE WHEN n_a = 0 OR n_b = 0 OR s_a + s_b = 0
+             OR s_a + s_b = n_a + n_b THEN NULL
+           ELSE round(
+             (s_a::DOUBLE / n_a::DOUBLE - s_b::DOUBLE / n_b::DOUBLE)
+             / sqrt((s_a + s_b)::DOUBLE / (n_a + n_b)::DOUBLE
+               * (1 - (s_a + s_b)::DOUBLE / (n_a + n_b)::DOUBLE)
+               * (1 / n_a::DOUBLE + 1 / n_b::DOUBLE)), 4) + 0.0
+           END AS z
+       FROM agg"""
+
+  /** 2-D skyline (Pareto frontier): the rows no other row dominates,
+    * with x to MINIMIZE and y to MAXIMIZE — "cheapest for its size",
+    * the multi-criteria shortlist query of the database literature. A
+    * point survives iff its y exceeds every strictly-cheaper point's y;
+    * equal-x points collapse to their best y first. The staircase falls
+    * out of ONE running max over the (x → max y) collapse — never the
+    * O(n²) dominance self-join — and the window runs on the
+    * distinct-x-sized relation (the q204 collapsed-domain discipline),
+    * not corpus rows. Exact integer comparisons; emits each frontier
+    * point with how many raw rows sit exactly on it.
+    */
+  def skyline(df: DataFrame, xCol: Column, yCol: Column): DataFrame = {
+    val pts = df.select(xCol.cast("long").as("x"), yCol.cast("long").as("y"))
+    val bestY = pts.groupBy(col("x")).agg(max(col("y")).as("y"))
+    val w = Window.orderBy(col("x"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val frontier = bestY
+      .withColumn("prev_best", max(col("y")).over(w))
+      .filter(col("prev_best").isNull || col("y") > col("prev_best"))
+      .select(col("x"), col("y"))
+    frontier.join(pts, Seq("x", "y"))
+      .groupBy(col("x"), col("y")).agg(count(lit(1)).as("n_rows"))
+  }
+
+  // ---- q240: cheapest part for its size — the procurement shortlist -----------
+  private def q240(s: SparkSession, d: String): DataFrame =
+    skyline(Tables.part(s, d), floor(col("p_retailprice") * 100),
+        col("p_size"))
+      .orderBy(col("x"))
+  private val q240Sql =
+    """WITH pts AS (
+         SELECT floor(p_retailprice * 100)::BIGINT AS x,
+           p_size::BIGINT AS y
+         FROM part),
+       besty AS (SELECT x, max(y)::BIGINT AS y FROM pts GROUP BY x),
+       fr AS (
+         SELECT x, y FROM (
+           SELECT x, y, max(y) OVER (ORDER BY x
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+             AS prev_best
+           FROM besty) t
+         WHERE prev_best IS NULL OR y > prev_best)
+       SELECT fr.x, fr.y, count(*)::BIGINT AS n_rows
+       FROM fr JOIN pts ON fr.x = pts.x AND fr.y = pts.y
+       GROUP BY fr.x, fr.y ORDER BY fr.x"""
+
   // ---- q224: does a part determine its supplier? (it must not) -----------------
   private def q224(s: SparkSession, d: String): DataFrame =
     fdCheck(Tables.lineitem(s, d), "l_partkey", "l_suppkey")
@@ -2339,6 +2505,9 @@ object Profile {
     QueryDef("q228_reconcile", q228, Some(q228Sql)),
     QueryDef("q230_gains_table", q230, Some(q230Sql)),
     QueryDef("q236_dead_stock", q236, Some(q236Sql)),
+    QueryDef("q237_qq_table", q237, Some(q237Sql)),
+    QueryDef("q240_skyline", q240, Some(q240Sql)),
+    QueryDef("q238_two_proportion_z", q238, Some(q238Sql)),
     QueryDef("q187_simpson", q187, Some(q187Sql)),
     QueryDef("q188_fleiss_kappa", q188, Some(q188Sql)),
     QueryDef("q193_wilson_ci", q193, Some(q193Sql)),

@@ -1076,6 +1076,57 @@ object TextAnalysis {
            AS hapax_micro
        FROM tf GROUP BY s ORDER BY lang"""
 
+  /** Rising terms between the first and second half of the corpus (by
+    * doc-id order): the k terms whose token share grew most — the
+    * "what's trending into the new crawl" screen. Ranking is the EXACT
+    * integer cross-multiplied share difference c₂·n₁ − c₁·n₂ (never a
+    * float ratio), ties to the lexicographically smaller term, so both
+    * engines pick the identical list. Terms DO reach the output here,
+    * so the shuffle carries strings — vocab-sized, the q155 discipline.
+    */
+  def risingTerms(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 15): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val pivot = df.agg((max(col(idCol)) / 2).cast("long").as("pivot"))
+    val toks = df.select(col(idCol).as("doc_id"),
+        explode(tokens(col(textCol))).as("term"))
+      .crossJoin(broadcast(pivot))
+      .select(col("term"), (col("doc_id") <= col("pivot")).as("in_a"))
+    val counts = toks.groupBy(col("term"))
+      .agg(count(when(col("in_a"), 1)).as("c1"),
+        count(when(!col("in_a"), 1)).as("c2"))
+    val tot = counts.agg(sum(col("c1")).as("n1"), sum(col("c2")).as("n2"))
+    counts.crossJoin(broadcast(tot))
+      .select(col("term"), col("c1"), col("c2"),
+        (col("c2") * col("n1") - col("c1") * col("n2")).as("rise_x"),
+        expr("c1 * 1000000L div n1").as("share1_micro"),
+        expr("c2 * 1000000L div n2").as("share2_micro"))
+      .orderBy(col("rise_x").desc, col("term"))
+      .limit(k)
+  }
+
+  // ---- q239: which vocabulary is rising into the corpus's second half? --------
+  private def q239(s: SparkSession, d: String): DataFrame =
+    risingTerms(Tables.documents(s, d), "doc_id", "text")
+  private val q239Sql =
+    """WITH pv AS (SELECT max(doc_id) // 2 AS p FROM documents),
+       toks AS (
+         SELECT term, (doc_id <= p) AS in_a FROM (
+           SELECT doc_id, unnest(string_split(text, ' ')) AS term
+           FROM documents) t, pv),
+       counts AS (
+         SELECT term, count(*) FILTER (WHERE in_a)::BIGINT AS c1,
+           count(*) FILTER (WHERE NOT in_a)::BIGINT AS c2
+         FROM toks GROUP BY term),
+       tot AS (
+         SELECT sum(c1)::BIGINT AS n1, sum(c2)::BIGINT AS n2 FROM counts)
+       SELECT term, c1, c2,
+         (c2 * n1 - c1 * n2)::BIGINT AS rise_x,
+         (c1 * 1000000 // n1)::BIGINT AS share1_micro,
+         (c2 * 1000000 // n2)::BIGINT AS share2_micro
+       FROM counts, tot
+       ORDER BY rise_x DESC, term LIMIT 15"""
+
   /** Per-document novelty: the fraction of a document's distinct n-grams
     * whose corpus-wide FIRST occurrence is this document (in doc-id
     * order) — the doc-granular reading of [[vocabGrowth]]'s curve, and a
@@ -1162,6 +1213,7 @@ object TextAnalysis {
     QueryDef("q211_vocab_growth", q211, Some(q211Sql)),
     QueryDef("q213_doc_novelty", q213, Some(q213Sql)),
     QueryDef("q221_hapax_profile", q221, Some(q221Sql)),
+    QueryDef("q239_rising_terms", q239, Some(q239Sql)),
     QueryDef("q21_token_stats", q21, Some(q21Sql)),
     QueryDef("q155_term_class_chi2", q155, Some(q155Sql)),
     QueryDef("q22_quality_score", q22, Some(q22Sql)),

@@ -549,6 +549,45 @@ class ProfileSpec extends SparkSpec {
     assert(got === (("things", 4L, 2L, 500000L)))
   }
 
+  test("qqTable pairs per-class deciles; a pure scale shift is a flat ratio") {
+    // Class b = 2 * class a at every rank -> ratio 0.5 at every decile.
+    val rows = (1L to 10L).map((_, "a")) ++ (1L to 10L).map(v => (2 * v, "b"))
+    val got = Profile.qqTable(rows.toDF("v", "cls"), col("v"),
+        col("cls") === "a", col("cls") === "b")
+      .orderBy("decile")
+      .as[(Int, Long, Long, Long)].collect()
+    assert(got.length === 9)
+    got.zipWithIndex.foreach { case ((d, va, vb, r), i) =>
+      assert(d === i + 1 && va === (i + 1).toLong && vb === 2L * (i + 1)
+        && r === 500000L)
+    }
+  }
+
+  test("twoProportionZ matches the hand-worked pooled statistic") {
+    // A: 5/10, B: 1/10 -> pooled 0.3, z = 0.4/sqrt(0.042) = 1.9518.
+    val rows = (1 to 10).map(i => ("a", i <= 5)) ++
+      (1 to 10).map(i => ("b", i <= 1))
+    val got = Profile.twoProportionZ(rows.toDF("arm", "y"),
+        col("arm") === "a", col("arm") === "b", col("y"))
+      .as[(Long, Long, Long, Long, Option[Double])].head()
+    assert(got === ((10L, 5L, 10L, 1L, Some(1.9518))))
+    // Zero successes anywhere -> null, not NaN.
+    val zero = Seq(("a", false), ("b", false)).toDF("arm", "y")
+    val z = Profile.twoProportionZ(zero, col("arm") === "a",
+        col("arm") === "b", col("y"))
+      .as[(Long, Long, Long, Long, Option[Double])].head()
+    assert(z._5 === None)
+  }
+
+  test("skyline keeps only undominated points with their row counts") {
+    val pts = Seq((1L, 5L), (2L, 9L), (3L, 9L), (2L, 5L)).toDF("x", "y")
+    val got = Profile.skyline(pts, col("x"), col("y"))
+      .orderBy("x").as[(Long, Long, Long)].collect()
+    // (3,9) is dominated by (2,9); (2,5) by both (1,5)... (2,5) has
+    // smaller y than best-at-2 and never reaches the frontier.
+    assert(got === Array((1L, 5L, 1L), (2L, 9L, 1L)))
+  }
+
   test("fdCheck counts ambiguous keys, max fan-out, and null-as-value") {
     val df = Seq((1L, Some("x")), (1L, Some("x")), // key 1 clean
       (2L, Some("x")), (2L, Some("y")), (2L, Some("z")), // violates, 3

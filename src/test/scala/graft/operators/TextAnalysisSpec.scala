@@ -231,6 +231,18 @@ class TextAnalysisSpec extends SparkSpec {
     assert(twice(0) === pre)
   }
 
+  test("risingTerms ranks by exact cross-multiplied share growth") {
+    val docs = Seq((1L, "old old"), (2L, "new new old"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.risingTerms(docs, "doc_id", "text", k = 2)
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+    // pivot = 1: half A = {doc 1}, half B = {doc 2}; n1=2, n2=3.
+    // rise(new) = 2*2 - 0*3 = 4; rise(old) = 1*2 - 2*3 = -4.
+    assert(got === Array(
+      ("new", 0L, 2L, 4L, 0L, 666666L),
+      ("old", 2L, 1L, -4L, 1000000L, 333333L)))
+  }
+
   test("hapaxProfile counts once-only terms per slice") {
     val docs = Seq(("s1", "a a b"), ("s2", "x y"))
       .toDF("src", "text")
