@@ -2462,6 +2462,44 @@ object Analytics {
            // count(*))::BIGINT AS conversion_micro
        FROM per WHERE touched = 1 GROUP BY 1 ORDER BY day"""
 
+  /** Daily new-vs-returning split: actives whose FIRST-ever day is
+    * today vs those seen before — growth accounting's first table
+    * (acquisition vs retention volume), the q75 retention matrix's
+    * daily topline. One distinct (user, day) collapse, one first-day
+    * aggregation joined back; exact integers.
+    */
+  def newVsReturning(df: DataFrame, userCol: String,
+      tsCol: String): DataFrame = {
+    val ud = df.select(col(userCol).as("u"), to_date(col(tsCol)).as("day"))
+      .distinct()
+    val first = ud.groupBy(col("u")).agg(min(col("day")).as("first_day"))
+    ud.join(first, Seq("u"))
+      .groupBy(col("day"))
+      .agg(count(lit(1)).as("dau"),
+        count(when(col("day") === col("first_day"), 1)).as("n_new"))
+      .select(col("day"), col("dau"), col("n_new"),
+        (col("dau") - col("n_new")).as("n_returning"),
+        expr("n_new * 1000000L div dau").as("new_share_micro"))
+  }
+
+  // ---- q242: acquisition vs retention volume, day by day ----------------------
+  private def q242(s: SparkSession, d: String): DataFrame =
+    newVsReturning(Tables.events(s, d), "user_id", "ts")
+      .orderBy(col("day"))
+  private val q242Sql =
+    """WITH ud AS (
+         SELECT DISTINCT user_id AS u, (ts::TIMESTAMP)::DATE AS day
+         FROM events),
+       first AS (SELECT u, min(day) AS first_day FROM ud GROUP BY u)
+       SELECT day, count(*)::BIGINT AS dau,
+         count(*) FILTER (WHERE day = first_day)::BIGINT AS n_new,
+         (count(*) - count(*) FILTER (WHERE day = first_day))::BIGINT
+           AS n_returning,
+         (count(*) FILTER (WHERE day = first_day) * 1000000
+           // count(*))::BIGINT AS new_share_micro
+       FROM ud JOIN first ON ud.u = first.u
+       GROUP BY day ORDER BY day"""
+
   // ---- q205: character-mass median document length per language ---------------
   private def q205(s: SparkSession, d: String): DataFrame =
     weightedMedian(Tables.documents(s, d), "lang", "n_chars", "n_chars")
@@ -2612,6 +2650,7 @@ object Analytics {
     QueryDef("q231_ship_latency", q231, Some(q231Sql)),
     QueryDef("q233_dau_wau", q233, Some(q233Sql)),
     QueryDef("q235_session_conversion", q235, Some(q235Sql)),
+    QueryDef("q242_new_returning", q242, Some(q242Sql)),
     QueryDef("q234_bounce_rate", q234, Some(q234Sql)),
     QueryDef("q232_rfm_segments", q232, Some(q232Sql)),
     QueryDef("q210_touch_attribution", q210, Some(q210Sql)),

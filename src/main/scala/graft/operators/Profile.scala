@@ -2234,6 +2234,61 @@ object Profile {
        FROM fr JOIN pts ON fr.x = pts.x AND fr.y = pts.y
        GROUP BY fr.x, fr.y ORDER BY fr.x"""
 
+  /** Standardized Pearson residuals of a two-way contingency table:
+    * (observed − expected)/√expected per cell — WHICH cells drive the
+    * q155-style chi-square, with sign (over- vs under-represented).
+    * Counts and the expected-value numerators are exact BIGINTs; the
+    * residual is the identical three-op double path on both engines
+    * (one division for e, one sqrt, one division), rounded to 4. Cells
+    * with zero expected mass cannot occur (margins are positive by
+    * construction of the cross).
+    *
+    * Scale: one (a, b) count aggregation, two margin aggregations
+    * broadcast back, all map-side partials.
+    */
+  def contingencyResiduals(df: DataFrame, aCol: String,
+      bCol: String): DataFrame = {
+    val cells = df.select(col(aCol).as("a"), col(bCol).as("b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("o"))
+    val ra = cells.groupBy(col("a")).agg(sum(col("o")).as("ra"))
+    val rb = cells.groupBy(col("b")).agg(sum(col("o")).as("rb"))
+    val n = cells.agg(sum(col("o")).as("n"))
+    cells.join(broadcast(ra), Seq("a")).join(broadcast(rb), Seq("b"))
+      .crossJoin(broadcast(n))
+      .select(col("a").as(aCol), col("b").as(bCol), col("o"),
+        col("ra"), col("rb"),
+        round((col("o").cast("double")
+            - (col("ra") * col("rb")).cast("double") / col("n").cast("double"))
+          / sqrt((col("ra") * col("rb")).cast("double")
+            / col("n").cast("double")), 4)
+          .+(lit(0.0)).as("residual"))
+  }
+
+  // ---- q241: which (event type × weekday) cells are over-represented? ---------
+  private def q241(s: SparkSession, d: String): DataFrame =
+    contingencyResiduals(
+      Tables.events(s, d).select(col("event_type"),
+        expr("(unix_micros(ts) div 1000000L div 86400L) % 7")
+          .as("dow")),
+      "event_type", "dow")
+      .orderBy(col("event_type"), col("dow"))
+  private val q241Sql =
+    """WITH base AS (
+         SELECT event_type AS a,
+           (epoch_us(ts) // 1000000 // 86400) % 7 AS b
+         FROM events),
+       cells AS (
+         SELECT a, b, count(*)::BIGINT AS o FROM base GROUP BY 1, 2),
+       ra AS (SELECT a, sum(o)::BIGINT AS ra FROM cells GROUP BY a),
+       rb AS (SELECT b, sum(o)::BIGINT AS rb FROM cells GROUP BY b),
+       n AS (SELECT sum(o)::BIGINT AS n FROM cells)
+       SELECT c.a AS event_type, c.b AS dow, o, ra, rb,
+         round((o::DOUBLE - (ra * rb)::DOUBLE / n::DOUBLE)
+           / sqrt((ra * rb)::DOUBLE / n::DOUBLE), 4) + 0.0 AS residual
+       FROM cells c JOIN ra ON c.a = ra.a JOIN rb ON c.b = rb.b
+       CROSS JOIN n
+       ORDER BY event_type, dow"""
+
   // ---- q224: does a part determine its supplier? (it must not) -----------------
   private def q224(s: SparkSession, d: String): DataFrame =
     fdCheck(Tables.lineitem(s, d), "l_partkey", "l_suppkey")
@@ -2507,6 +2562,7 @@ object Profile {
     QueryDef("q236_dead_stock", q236, Some(q236Sql)),
     QueryDef("q237_qq_table", q237, Some(q237Sql)),
     QueryDef("q240_skyline", q240, Some(q240Sql)),
+    QueryDef("q241_contingency_residuals", q241, Some(q241Sql)),
     QueryDef("q238_two_proportion_z", q238, Some(q238Sql)),
     QueryDef("q187_simpson", q187, Some(q187Sql)),
     QueryDef("q188_fleiss_kappa", q188, Some(q188Sql)),

@@ -520,6 +520,21 @@ class AnalyticsSpec extends SparkSpec {
     assert(got === Array(("2024-01-01", 2L, 1L, 500000L)))
   }
 
+  test("newVsReturning credits each user's first day once") {
+    def ts(day: Int) = java.sql.Timestamp.valueOf(f"2024-01-$day%02d 09:00:00")
+    val e = Seq((1L, ts(1)), (2L, ts(1)), (1L, ts(2)), (3L, ts(2)),
+      (1L, ts(2))) // duplicate (user, day) must not double count
+      .toDF("u", "ts")
+    val got = Analytics.newVsReturning(e, "u", "ts")
+      .orderBy("day")
+      .select($"day".cast("string"), $"dau", $"n_new", $"n_returning",
+        $"new_share_micro")
+      .as[(String, Long, Long, Long, Long)].collect()
+    assert(got === Array(
+      ("2024-01-01", 2L, 2L, 0L, 1000000L),
+      ("2024-01-02", 2L, 1L, 1L, 500000L)))
+  }
+
   test("rfmSegments scores quintiles with inverted recency") {
     def ts(s: String) = java.sql.Timestamp.valueOf(s + " 00:00:00")
     // Five customers with strictly increasing recency/frequency/monetary

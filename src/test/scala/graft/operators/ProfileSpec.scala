@@ -588,6 +588,24 @@ class ProfileSpec extends SparkSpec {
     assert(got === Array((1L, 5L, 1L), (2L, 9L, 1L)))
   }
 
+  test("contingencyResiduals: independent table is 0, signed cells hand-checked") {
+    // 2x2 with perfect independence: every residual 0.
+    val indep = Seq(("x", 1L), ("x", 2L), ("y", 1L), ("y", 2L))
+      .toDF("a", "b")
+    val r0 = Profile.contingencyResiduals(indep, "a", "b")
+      .select($"residual").as[Double].collect()
+    assert(r0.forall(_ === 0.0))
+    // Concentrated cell: (x,1) twice, (y,2) twice: e = 1 everywhere,
+    // residuals +1/-1 with the right signs.
+    val conc = Seq(("x", 1L), ("x", 1L), ("y", 2L), ("y", 2L))
+      .toDF("a", "b")
+    val rc = Profile.contingencyResiduals(conc, "a", "b")
+      .orderBy("a", "b")
+      .as[(String, Long, Long, Long, Long, Double)].collect()
+    assert(rc === Array(("x", 1L, 2L, 2L, 2L, 1.0),
+      ("y", 2L, 2L, 2L, 2L, 1.0)))
+  }
+
   test("fdCheck counts ambiguous keys, max fan-out, and null-as-value") {
     val df = Seq((1L, Some("x")), (1L, Some("x")), // key 1 clean
       (2L, Some("x")), (2L, Some("y")), (2L, Some("z")), // violates, 3
