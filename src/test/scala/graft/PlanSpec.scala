@@ -352,6 +352,35 @@ class PlanSpec extends SparkSpec {
       s"distinct-length partial must sit below the window stage:\n${p.take(1500)}")
   }
 
+  test("q229/q237 decile machinery: windows run on the distinct-value collapse") {
+    Seq("q229_decile_table", "q237_qq_table").foreach { q =>
+      val p = plan(q)
+      // The corpus-sized relation must partial-aggregate (collapse to
+      // distinct values) BEFORE the cumulative window sees it.
+      val partial = p.indexOf("partial_count")
+      val win = p.indexOf("Window")
+      assert(partial >= 0 && win >= 0 && partial > win,
+        s"$q: distinct-value partial must sit below the window:\n${p.take(1500)}")
+    }
+  }
+
+  test("q230 gains table: the 10-row spine broadcasts against the collapsed cum") {
+    val p = plan("q230_gains_table")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"the decile spine must broadcast into the non-equi join:\n${p.take(1500)}")
+    assert(!p.contains("CartesianProduct"),
+      s"no cartesian — the spine side is broadcast-tiny:\n${p.take(1500)}")
+  }
+
+  test("q240 skyline: one running max, no O(n^2) dominance self-join") {
+    val p = plan("q240_skyline")
+    // Exactly the staircase plan: a single Window (running max) and no
+    // corpus self-join on inequality predicates.
+    assert(p.contains("Window"), s"expected the running max window:\n${p.take(1200)}")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"skyline must not plan a dominance pair join:\n${p.take(1500)}")
+  }
+
   test("whole-stage codegen covers the relational hot paths") {
     // AQE prints codegen stages only in the finalized plan — execute first.
     Seq("q01_pricing_summary", "q06_selective_agg", "q09_window_topk").foreach { q =>
