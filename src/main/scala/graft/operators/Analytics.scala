@@ -1569,8 +1569,10 @@ object Analytics {
       .select(col("k").as(keyCol), col("n").as("n_days"),
         col("day").as("split_day"),
         (round(col("gain"), 4) + lit(0.0)).as("gain"),
-        expr("s1 * 1000000L div n1").as("mean_before_micro"),
-        expr("(stot - s1) * 1000000L div (n - n1)").as("mean_after_micro"))
+        expr("sign(s1) * (abs(s1) * 1000000L div n1)").cast("long")
+          .as("mean_before_micro"),
+        expr("sign(stot - s1) * (abs(stot - s1) * 1000000L div (n - n1))")
+          .cast("long").as("mean_after_micro"))
   }
 
   /** Per-group WEIGHTED median: the smallest value at which the
@@ -1688,7 +1690,8 @@ object Analytics {
     */
   def touchAttribution(df: DataFrame, userCol: String, tsCol: String,
       idCol: String, isTouch: Column, isConversion: Column,
-      lookback: String = "7 days"): DataFrame = {
+      lookbackSeconds: Long = 7L * 86400L): DataFrame = {
+    require(lookbackSeconds > 0, s"lookbackSeconds must be positive: $lookbackSeconds")
     val touches = df.filter(isTouch)
       .select(col(userCol).as("u"), col(tsCol).as("c_ts"),
         col(idCol).as("c_id"))
@@ -1697,7 +1700,8 @@ object Analytics {
         col(idCol).as("p_id"))
     convs.join(touches,
         convs("u") === touches("u") && col("c_ts") <= col("p_ts") &&
-          col("c_ts") > col("p_ts") - expr(s"INTERVAL $lookback"),
+          unix_micros(col("c_ts")) >
+            unix_micros(col("p_ts")) - lit(lookbackSeconds * 1000000L),
         "left")
       .groupBy(convs("u").as("user_id"), col("p_id"))
       .agg(count(col("c_id")).as("n_touches"),
@@ -1876,9 +1880,9 @@ object Analytics {
     */
   def conversionLatency(df: DataFrame, userCol: String, tsCol: String,
       idCol: String, isTouch: Column, isConversion: Column,
-      lookback: String = "7 days"): DataFrame = {
+      lookbackSeconds: Long = 7L * 86400L): DataFrame = {
     val att = touchAttribution(df, userCol, tsCol, idCol, isTouch,
-      isConversion, lookback)
+      isConversion, lookbackSeconds)
     val convTs = df.filter(isConversion)
       .select(col(idCol).as("conversion_id"), col(tsCol).as("p_ts"))
     val touchTs = df.select(col(idCol).as("last_touch_id"),
@@ -2288,20 +2292,23 @@ object Analytics {
     * engagement triple. EXACT (not sketched — the q192 HLL variant is
     * the at-scale companion): the corpus first collapses to distinct
     * (user, day) — the only corpus-sized pass — and the 7-day window is
-    * a spine join over that collapsed relation (≤ 7·|user-days| rows,
-    * calendar-bounded), then a distinct count per day.
+    * an EQUI-join: each (user, day) explodes into the 7 spine days it
+    * covers (bounded ×7 fan-out on the collapsed relation) and distinct
+    * users count per covered day. A range predicate here would plan as a
+    * broadcast nested loop doing |days|·|user-days| comparisons — the
+    * explode keeps it a hash shuffle on the day key, linear in
+    * |user-days| for any calendar length.
     */
   def dauWau(df: DataFrame, userCol: String, tsCol: String): DataFrame = {
     val ud = df.select(col(userCol).as("u"), to_date(col(tsCol)).as("day"))
       .distinct()
     val dau = ud.groupBy(col("day")).agg(count(lit(1)).as("dau"))
     val spine = ud.select(col("day")).distinct()
-    val wau = spine.as("s")
-      .join(ud.as("e"),
-        col("e.day") <= col("s.day") &&
-          col("e.day") >= date_sub(col("s.day"), 6))
-      .select(col("s.day").as("day"), col("e.u").as("u"))
+    val wau = ud
+      .select(col("u"),
+        explode(sequence(col("day"), date_add(col("day"), 6))).as("day"))
       .distinct()
+      .join(spine, Seq("day"), "left_semi")
       .groupBy(col("day")).agg(count(lit(1)).as("wau"))
     dau.join(wau, Seq("day"))
       .select(col("day"), col("dau"), col("wau"),
@@ -2335,10 +2342,13 @@ object Analytics {
     * a single-event session, and each session reports to its START day.
     * The engagement-quality companion to [[dauWau]]'s volume triple.
     *
-    * Exact integers throughout. Scale: one per-user window (lag) over
-    * epoch seconds, one session aggregation keyed by (user, session
-    * start), one daily rollup — the q65 session-window machinery's
-    * audit-table sibling.
+    * Exact integers throughout; the start day is derived from epoch
+    * arithmetic (`date_from_unix_date(start_t div 86400)`) — a fixed UTC
+    * day convention independent of `spark.sql.session.timeZone`, so a
+    * consumer with a non-UTC session gets the documented buckets. Scale:
+    * one per-user window (lag) over epoch seconds, one session
+    * aggregation keyed by (user, session start), one daily rollup — the
+    * q65 session-window machinery's audit-table sibling.
     */
   def bounceRate(df: DataFrame, userCol: String, tsCol: String,
       idCol: String, gapSeconds: Long = 1800L): DataFrame = {
@@ -2353,7 +2363,8 @@ object Analytics {
         w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
     marked.groupBy(col("u"), col("sid"))
       .agg(min(col("t")).as("start_t"), count(lit(1)).as("n_events"))
-      .select(to_date(from_unixtime(col("start_t"))).as("day"),
+      .select(expr("date_from_unix_date(cast(start_t div 86400L as int))")
+          .as("day"),
         col("n_events"))
       .groupBy(col("day"))
       .agg(count(lit(1)).as("n_sessions"),
@@ -2386,7 +2397,7 @@ object Analytics {
        per AS (
          SELECT u, sid, min(t) AS start_t, count(*)::BIGINT AS n_events
          FROM sess GROUP BY 1, 2)
-       SELECT to_timestamp(start_t)::DATE AS day,
+       SELECT (DATE '1970-01-01' + ((start_t // 86400)::INT)) AS day,
          count(*)::BIGINT AS n_sessions,
          count(*) FILTER (WHERE n_events = 1)::BIGINT AS n_bounces,
          (count(*) FILTER (WHERE n_events = 1) * 1000000
@@ -2417,7 +2428,8 @@ object Analytics {
         max(when(col("is_t"), 1L).otherwise(0L)).as("touched"),
         max(when(col("is_c"), 1L).otherwise(0L)).as("converted"))
       .filter(col("touched") === 1L)
-      .select(to_date(from_unixtime(col("start_t"))).as("day"),
+      .select(expr("date_from_unix_date(cast(start_t div 86400L as int))")
+          .as("day"),
         col("converted"))
       .groupBy(col("day"))
       .agg(count(lit(1)).as("n_shopping_sessions"),
@@ -2455,7 +2467,7 @@ object Analytics {
            max(CASE WHEN is_t THEN 1 ELSE 0 END) AS touched,
            max(CASE WHEN is_c THEN 1 ELSE 0 END) AS converted
          FROM sess GROUP BY 1, 2)
-       SELECT to_timestamp(start_t)::DATE AS day,
+       SELECT (DATE '1970-01-01' + ((start_t // 86400)::INT)) AS day,
          count(*)::BIGINT AS n_shopping_sessions,
          count(*) FILTER (WHERE converted = 1)::BIGINT AS n_converted,
          (count(*) FILTER (WHERE converted = 1) * 1000000
@@ -2559,8 +2571,10 @@ object Analytics {
       .filter(col("rn") === 1)
       .select(col("k").as(groupCol), col("v").as("threshold"),
         col("n1").as("n_below"), (col("n") - col("n1")).as("n_above"),
-        expr("s1 * 1000000L div n1").as("mean_below_micro"),
-        expr("(stot - s1) * 1000000L div (n - n1)").as("mean_above_micro"))
+        expr("sign(s1) * (abs(s1) * 1000000L div n1)").cast("long")
+          .as("mean_below_micro"),
+        expr("sign(stot - s1) * (abs(stot - s1) * 1000000L div (n - n1))")
+          .cast("long").as("mean_above_micro"))
   }
 
   // ---- q215: auto-threshold on document length per language -------------------
@@ -2596,8 +2610,11 @@ object Analytics {
          FROM gains)
        SELECT k AS lang, v AS threshold, n1::BIGINT AS n_below,
          (n - n1)::BIGINT AS n_above,
-         (s1 * 1000000 // n1)::BIGINT AS mean_below_micro,
-         ((stot - s1) * 1000000 // (n - n1))::BIGINT AS mean_above_micro
+         (sign(s1)::BIGINT * (abs(s1) * 1000000 // n1))::BIGINT
+           AS mean_below_micro,
+         (sign(stot - s1)::BIGINT
+           * (abs(stot - s1) * 1000000 // (n - n1)))::BIGINT
+           AS mean_above_micro
        FROM best WHERE rn = 1 ORDER BY lang"""
 
   // ---- q202: change-point in the daily event-value series ---------------------
@@ -2633,8 +2650,11 @@ object Analytics {
          FROM gains)
        SELECT k AS event_type, n AS n_days, day AS split_day,
          round(gain, 4) + 0.0 AS gain,
-         (s1 * 1000000 // n1)::BIGINT AS mean_before_micro,
-         ((stot - s1) * 1000000 // (n - n1))::BIGINT AS mean_after_micro
+         (sign(s1)::BIGINT * (abs(s1) * 1000000 // n1))::BIGINT
+           AS mean_before_micro,
+         (sign(stot - s1)::BIGINT
+           * (abs(stot - s1) * 1000000 // (n - n1)))::BIGINT
+           AS mean_after_micro
        FROM best WHERE rn = 1 ORDER BY event_type"""
 
   val defs: Seq[QueryDef] = Seq(

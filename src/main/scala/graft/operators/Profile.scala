@@ -2095,7 +2095,10 @@ object Profile {
         min(when(!col("is_a"), col("v"))).as("v_b"))
       .select(col("decile"), col("v_a"), col("v_b"),
         when(col("v_b") === 0, lit(null).cast("long"))
-          .otherwise(expr("v_a * 1000000L div v_b")).as("ratio_micro"))
+          .otherwise(
+            expr("sign(v_a) * sign(v_b) * (abs(v_a) * 1000000L div abs(v_b))")
+              .cast("long"))
+          .as("ratio_micro"))
   }
 
   // ---- q237: open-vs-fulfilled price distributions, decile by decile ----------
@@ -2121,8 +2124,10 @@ object Profile {
          min(CASE WHEN is_a THEN v END)::BIGINT AS v_a,
          min(CASE WHEN NOT is_a THEN v END)::BIGINT AS v_b,
          CASE WHEN min(CASE WHEN NOT is_a THEN v END) = 0 THEN NULL
-           ELSE (min(CASE WHEN is_a THEN v END) * 1000000
-             // min(CASE WHEN NOT is_a THEN v END)) END::BIGINT
+           ELSE sign(min(CASE WHEN is_a THEN v END))::BIGINT
+             * sign(min(CASE WHEN NOT is_a THEN v END))::BIGINT
+             * (abs(min(CASE WHEN is_a THEN v END)) * 1000000
+               // abs(min(CASE WHEN NOT is_a THEN v END))) END::BIGINT
            AS ratio_micro
        FROM spine s JOIN cm ON cm.cum * 10 >= cm.n * s.decile
        GROUP BY decile ORDER BY decile"""
