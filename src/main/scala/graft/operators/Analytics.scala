@@ -1586,11 +1586,14 @@ object Analytics {
     * value. Weights must be nonnegative BIGINTs.
     *
     * Scale: one (group, value) collapse with map-side weight partials,
-    * one per-group cumulative window over DISTINCT values, one
-    * min-argmax. Nothing corpus-sized is sorted.
+    * one per-group cumulative window over DISTINCT values (corpus-sized
+    * per group when the value domain is continuous — pass
+    * `quantized = false` for the [[DistributedPrefix]] two-pass sum with
+    * totals computed by hash aggregation instead of a whole-group
+    * window), one min-argmax. Nothing corpus-sized is sorted.
     */
   def weightedMedian(df: DataFrame, groupCol: String, valueCol: String,
-      weightCol: String): DataFrame = {
+      weightCol: String, quantized: Boolean = true): DataFrame = {
     val byV = df.select(col(groupCol).as("g"),
         col(valueCol).cast("long").as("v"),
         col(weightCol).cast("long").as("wt"))
@@ -1598,8 +1601,17 @@ object Analytics {
       .agg(sum(col("wt")).as("w"))
     val cw = Window.partitionBy(col("g")).orderBy(col("v"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    byV.select(col("g"), col("v"), sum(col("w")).over(cw).as("cumw"),
-        sum(col("w")).over(Window.partitionBy(col("g"))).as("totw"))
+    val cum =
+      if (quantized)
+        byV.select(col("g"), col("v"), sum(col("w")).over(cw).as("cumw"),
+          sum(col("w")).over(Window.partitionBy(col("g"))).as("totw"))
+      else
+        DistributedPrefix
+          .cumSums(byV, Seq("g"), Seq(col("v")), Seq("w"))
+          .join(broadcast(byV.groupBy(col("g"))
+            .agg(sum(col("w")).as("totw"))), Seq("g"))
+          .select(col("g"), col("v"), col("cum_w").as("cumw"), col("totw"))
+    cum
       .filter(lit(2L) * col("cumw") >= col("totw"))
       .groupBy(col("g"), col("totw"))
       .agg(min(col("v")).as("wmedian"))
@@ -2542,10 +2554,14 @@ object Analytics {
     * counts and sums are exact BIGINT, d₁ = S₁·n₂ − S₂·n₁ is exact and
     * double-representable, the gain's three FP ops are identical on both
     * engines, and the argmax tie-breaks on the lowest threshold. Scale:
-    * one (group, value) collapse, windows over DISTINCT values.
+    * one (group, value) collapse, windows over DISTINCT values; for a
+    * CONTINUOUS value domain pass `quantized = false` — the cumulative
+    * stage routes through the [[DistributedPrefix]] two-pass sum and the
+    * argmax becomes a partial-aggregated max(struct), so no single task
+    * ever sorts a group's collapse.
     */
   def otsuThreshold(df: DataFrame, groupCol: String,
-      valueCol: String): DataFrame = {
+      valueCol: String, quantized: Boolean = true): DataFrame = {
     val byV = df.select(col(groupCol).as("k"),
         col(valueCol).cast("long").as("v"))
       .groupBy(col("k"), col("v"))
@@ -2554,9 +2570,16 @@ object Analytics {
     val w = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val tot = byV.groupBy(col("k"))
       .agg(sum(col("c")).as("n"), sum(col("m")).as("stot"))
-    val pre = byV
-      .select(col("k"), col("v"), sum(col("c")).over(w).as("n1"),
-        sum(col("m")).over(w).as("s1"))
+    val cum =
+      if (quantized)
+        byV.select(col("k"), col("v"), sum(col("c")).over(w).as("n1"),
+          sum(col("m")).over(w).as("s1"))
+      else
+        DistributedPrefix
+          .cumSums(byV, Seq("k"), Seq(col("v")), Seq("c", "m"))
+          .select(col("k"), col("v"), col("cum_c").as("n1"),
+            col("cum_m").as("s1"))
+    val pre = cum
       .join(tot, Seq("k"))
       .filter(col("n1") < col("n"))
       .select(col("k"), col("v"), col("n1"), col("s1"), col("n"),
@@ -2566,9 +2589,22 @@ object Analytics {
       .withColumn("gain",
         col("d1") * col("d1")
           / (col("n1") * (col("n") - col("n1"))).cast("double"))
-    pre.withColumn("rn", row_number().over(
-        Window.partitionBy(col("k")).orderBy(col("gain").desc, col("v"))))
-      .filter(col("rn") === 1)
+    val best =
+      if (quantized)
+        pre.withColumn("rn", row_number().over(
+            Window.partitionBy(col("k")).orderBy(col("gain").desc, col("v"))))
+          .filter(col("rn") === 1)
+      else
+        // Argmax as a partial-aggregated max(struct): (gain, -v) orders
+        // identically to (gain DESC, v ASC), and v is unique per group,
+        // so no per-group sort of the collapsed relation is needed.
+        pre.groupBy(col("k"))
+          .agg(max(struct(col("gain"), (-col("v")).as("negv"), col("v"),
+            col("n1"), col("s1"), col("n"), col("stot"))).as("b"))
+          .select(col("k"), col("b.v").as("v"), col("b.n1").as("n1"),
+            col("b.s1").as("s1"), col("b.n").as("n"),
+            col("b.stot").as("stot"))
+    best
       .select(col("k").as(groupCol), col("v").as("threshold"),
         col("n1").as("n_below"), (col("n") - col("n1")).as("n_above"),
         expr("sign(s1) * (abs(s1) * 1000000L div n1)").cast("long")

@@ -145,16 +145,20 @@ object PipelineOps {
     *
     * Scale: one (length → count/mass) collapse with map-side partials
     * (distinct-length-sized, not corpus-sized), one cumulative window
-    * over distinct lengths, one argmax. The cumulative window is
+    * over distinct lengths, one argmax. The default cumulative window is
     * single-partition, but over the COLLAPSED relation whose row count
     * is bounded by the maximum document length (≤ ~10⁵ distinct values
     * at any corpus size) — not the q132-class corpus-sized sort this
-    * shape would be without the collapse. The corpus is scanned once;
-    * no driver-side search loop. Emits no row when even capping at the
-    * smallest distinct length overshoots the budget.
+    * shape would be without the collapse; for an unbounded length domain
+    * (token budgets over raw byte offsets) pass `quantized = false` and
+    * the cumulative stage routes through the [[DistributedPrefix]]
+    * two-pass sum with the argmax as a partial-aggregated max(struct).
+    * The corpus is scanned once; no driver-side search loop. Emits no
+    * row when even capping at the smallest distinct length overshoots
+    * the budget.
     */
   def lengthCapPlan(df: DataFrame, lenCol: String, budgetNum: Long,
-      budgetDen: Long): DataFrame = {
+      budgetDen: Long, quantized: Boolean = true): DataFrame = {
     require(budgetNum > 0 && budgetDen > 0, "budget must be positive")
     val byLen = df.select(col(lenCol).cast("long").as("len"))
       .groupBy(col("len"))
@@ -163,26 +167,60 @@ object PipelineOps {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val tot = byLen.agg(sum(col("c")).as("n_docs"),
       sum(col("mass")).as("chars_total"))
-    val steps = byLen
-      .select(col("len"), sum(col("c")).over(w).as("n_le"),
-        sum(col("mass")).over(w).as("m_le"),
-        lead(col("len"), 1).over(Window.orderBy(col("len"))).as("len_next"))
+    val cums =
+      if (quantized)
+        byLen.select(col("len"), sum(col("c")).over(w).as("n_le"),
+          sum(col("mass")).over(w).as("m_le"),
+          lead(col("len"), 1).over(Window.orderBy(col("len"))).as("len_next"))
+      else
+        // Two-pass distributed prefix sums; len_next is omitted — the
+        // clamp it feeds is provably redundant (see below), so the
+        // unquantized path never needs a lead() over the global order.
+        DistributedPrefix
+          .cumSums(byLen, Nil, Seq(col("len")), Seq("c", "mass"))
+          .select(col("len"), col("cum_c").as("n_le"),
+            col("cum_mass").as("m_le"),
+            lit(null).cast("long").as("len_next"))
+    val steps = cums
       .crossJoin(broadcast(tot))
       // B is the budgeted mass; f = m_le + (n_docs - n_le) * len.
       .withColumn("b", expr(s"chars_total * ${budgetNum}L div ${budgetDen}L"))
       .withColumn("f", col("m_le") + (col("n_docs") - col("n_le")) * col("len"))
       .filter(col("f") <= col("b"))
-    val best = steps
-      .withColumn("rn", row_number().over(Window.orderBy(col("len").desc)))
-      .filter(col("rn") === 1)
+    val picked =
+      if (quantized)
+        steps.withColumn("rn",
+            row_number().over(Window.orderBy(col("len").desc)))
+          .filter(col("rn") === 1)
+      else
+        // Global argmax on the unique len key as ONE partial-aggregated
+        // max(struct) — no single-task sort of the steps relation.
+        steps.groupBy()
+          .agg(max(struct(col("len"), col("n_le"), col("m_le"),
+            col("len_next"), col("n_docs"), col("chars_total"),
+            col("b"), col("f"))).as("bb"))
+          .filter(col("bb").isNotNull)
+          .select(col("bb.len").as("len"), col("bb.n_le").as("n_le"),
+            col("bb.m_le").as("m_le"), col("bb.len_next").as("len_next"),
+            col("bb.n_docs").as("n_docs"),
+            col("bb.chars_total").as("chars_total"),
+            col("bb.b").as("b"), col("bb.f").as("f"))
+    val best = picked
       // Advance into the linear stretch above the breakpoint: slack
       // per still-uncapped doc, clamped below the next distinct length
       // (at the top breakpoint nothing is truncated; cap = max length).
+      // The clamp never binds: len is the LARGEST breakpoint with
+      // f(len) <= B and f is linear with slope n_gt on [len, len_next],
+      // so f(len_next) > B forces slack < len_next - len; it is kept on
+      // the quantized path as written and omitted (len_next null ->
+      // coalesce passes len + slack through) on the unquantized one.
       .withColumn("cap",
         when(col("n_docs") === col("n_le"), col("len"))
-          .otherwise(least(
-            col("len") + expr("(b - f) div (n_docs - n_le)"),
-            coalesce(col("len_next") - 1, col("len")))))
+          .otherwise(coalesce(
+            least(
+              col("len") + expr("(b - f) div (n_docs - n_le)"),
+              col("len_next") - 1),
+            col("len") + expr("(b - f) div (n_docs - n_le)"))))
     best.select(col("cap"), col("n_docs"), col("chars_total"), col("b"),
       (col("n_docs") - col("n_le")).as("n_truncated"),
       (col("m_le") + (col("n_docs") - col("n_le")) * col("cap"))
@@ -201,10 +239,13 @@ object PipelineOps {
     *
     * Scale: one weight collapse with map-side partials, one broadcast
     * total, one rank window over the STRATA relation (|strata| rows —
-    * languages/sources, never the corpus). Bound: B·w < 2⁶³.
+    * languages/sources, never the corpus; when strata ARE corpus-scale,
+    * e.g. per-domain budgets, pass `quantized = false` to rank through
+    * the [[DistributedPrefix]] two-pass running count). Bound:
+    * B·w < 2⁶³.
     */
   def apportion(df: DataFrame, keyCol: String, weightCol: String,
-      budget: Long): DataFrame = {
+      budget: Long, quantized: Boolean = true): DataFrame = {
     require(budget >= 0, "budget must be nonnegative")
     val w = df.select(col(keyCol).as("g"), col(weightCol).cast("long").as("wt"))
       .groupBy(col("g")).agg(sum(col("wt")).as("w"))
@@ -215,9 +256,21 @@ object PipelineOps {
         expr(s"w * ${budget}L div tw").as("base"),
         expr(s"(w * ${budget}L) % tw").as("rem"))
     val leftTot = base.agg((lit(budget) - sum(col("base"))).as("leftover"))
-    base.crossJoin(broadcast(leftTot))
-      .withColumn("rk",
-        row_number().over(Window.orderBy(col("rem").desc, col("g"))))
+    val ranked =
+      if (quantized)
+        base.crossJoin(broadcast(leftTot))
+          .withColumn("rk",
+            row_number().over(Window.orderBy(col("rem").desc, col("g"))))
+      else
+        // Rank = inclusive running count over (rem DESC, g) via the
+        // two-pass prefix sum — no single-task sort when |strata| is
+        // itself corpus-scale (per-domain apportionment).
+        DistributedPrefix
+          .cumSums(base.withColumn("one", lit(1L)), Nil,
+            Seq(col("rem").desc, col("g")), Seq("one"))
+          .withColumn("rk", col("cum_one"))
+          .crossJoin(broadcast(leftTot))
+    ranked
       .select(col("g").as(keyCol), col("w").as("weight"),
         (col("base") + when(col("rk") <= col("leftover"), 1L)
           .otherwise(0L)).as("alloc"))

@@ -868,19 +868,29 @@ object Profile {
     * negatives) yield null, same on both engines.
     *
     * Scale design: the corpus-sized relation collapses map-side into
-    * (score → counts) partials before its only exchange; the running-sum
-    * window runs over the distinct-score relation, which is bounded in
-    * practice (model scores are int8/fixed-point quantized — q43's own
-    * output shape). Nothing row-sized crosses the wire twice.
+    * (score → counts) partials before its only exchange; with
+    * `quantized = true` (the default) the running-sum window runs over
+    * the distinct-score relation, which is bounded when model scores are
+    * int8/fixed-point quantized (q43's own output shape). For a
+    * CONTINUOUS score domain the collapse is corpus-sized — pass
+    * `quantized = false` to route the running sum through the
+    * [[DistributedPrefix]] two-pass machinery instead of a single-task
+    * window. Nothing row-sized crosses the wire twice either way.
     */
-  def rocAuc(scored: DataFrame, label: Column, score: Column): DataFrame = {
+  def rocAuc(scored: DataFrame, label: Column, score: Column,
+      quantized: Boolean = true): DataFrame = {
     val byScore = scored.groupBy(score.as("s")).agg(
       count(when(label, 1)).as("p"),
       count(when(!label, 1)).as("g"))
     val w = Window.orderBy(col("s"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    val ranked = byScore.withColumn("neg_lt",
-      coalesce(sum(col("g")).over(w), lit(0L)))
+    val ranked =
+      if (quantized)
+        byScore.withColumn("neg_lt",
+          coalesce(sum(col("g")).over(w), lit(0L)))
+      else
+        DistributedPrefix.cumSums(byScore, Nil, Seq(col("s")), Seq("g"))
+          .withColumn("neg_lt", col("cum_g") - col("g"))
     def bin6(c: Column): Column = floor(c * lit(1e6) + lit(0.5)) / lit(1e6)
     ranked
       .agg(sum(col("p")).as("n_pos"), sum(col("g")).as("n_neg"),
@@ -970,17 +980,26 @@ object Profile {
     * Scale design: same shape as [[rocAuc]] — the corpus collapses
     * map-side to (score → counts) partials before its only exchange;
     * windows and totals run over the distinct-score relation (bounded
-    * for quantized model scores), with the totals row broadcast and the
-    * byScore subtree shared via ReuseExchange.
+    * for quantized model scores; `quantized = false` swaps the window
+    * for the [[DistributedPrefix]] two-pass sum when the score domain is
+    * continuous), with the totals row broadcast and the byScore subtree
+    * shared via ReuseExchange.
     */
-  def prCurve(scored: DataFrame, label: Column, score: Column): DataFrame = {
+  def prCurve(scored: DataFrame, label: Column, score: Column,
+      quantized: Boolean = true): DataFrame = {
     val byScore = scored.groupBy(score.as("s")).agg(
       count(when(label, 1)).as("p"),
       count(when(!label, 1)).as("g"))
     val w = Window.orderBy(col("s").desc)
       .rowsBetween(Window.unboundedPreceding, 0)
-    val cum = byScore.select(col("s"),
-      sum(col("p")).over(w).as("tp"), sum(col("g")).over(w).as("fp"))
+    val cum =
+      if (quantized)
+        byScore.select(col("s"),
+          sum(col("p")).over(w).as("tp"), sum(col("g")).over(w).as("fp"))
+      else
+        DistributedPrefix
+          .cumSums(byScore, Nil, Seq(col("s").desc), Seq("p", "g"))
+          .select(col("s"), col("cum_p").as("tp"), col("cum_g").as("fp"))
     val tot = byScore.agg(sum(col("p")).as("pos"), sum(col("g")).as("neg"))
     def bin6(c: Column): Column = floor(c * lit(1e6) + lit(0.5)) / lit(1e6)
     cum.crossJoin(broadcast(tot))
@@ -1970,18 +1989,28 @@ object Profile {
     * split), capture = pos_cum/tot_pos and lift =
     * (pos_cum·n)/(rows_cum·tot_pos), both micro-floored from BIGINTs.
     * Scale: one (score → rows, positives) collapse, one cumulative
-    * window over distinct scores, a 10-row spine join.
+    * window over distinct scores (`quantized = false` routes it through
+    * the [[DistributedPrefix]] two-pass sum for continuous score
+    * domains), a 10-row spine join.
     */
   def gainsTable(df: DataFrame, scoreCol: Column,
-      isPositive: Column): DataFrame = {
+      isPositive: Column, quantized: Boolean = true): DataFrame = {
     val byV = df.select(scoreCol.cast("long").as("v"),
         isPositive.cast("boolean").as("y"))
       .groupBy(col("v"))
       .agg(count(lit(1)).as("c"), count(when(col("y"), 1)).as("p"))
     val w = Window.orderBy(col("v").desc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val cum = byV.select(col("v"), sum(col("c")).over(w).as("rows_cum"),
-        sum(col("p")).over(w).as("pos_cum"))
+    val cumBase =
+      if (quantized)
+        byV.select(col("v"), sum(col("c")).over(w).as("rows_cum"),
+          sum(col("p")).over(w).as("pos_cum"))
+      else
+        DistributedPrefix
+          .cumSums(byV, Nil, Seq(col("v").desc), Seq("c", "p"))
+          .select(col("v"), col("cum_c").as("rows_cum"),
+            col("cum_p").as("pos_cum"))
+    val cum = cumBase
       .crossJoin(broadcast(byV.agg(sum(col("c")).as("n"),
         sum(col("p")).as("tot_pos"))))
     val spine = df.sparkSession.range(1, 11)
@@ -2201,16 +2230,24 @@ object Profile {
     * out of ONE running max over the (x → max y) collapse — never the
     * O(n²) dominance self-join — and the window runs on the
     * distinct-x-sized relation (the q204 collapsed-domain discipline),
-    * not corpus rows. Exact integer comparisons; emits each frontier
-    * point with how many raw rows sit exactly on it.
+    * not corpus rows; for a CONTINUOUS x domain (prices in raw doubles)
+    * pass `quantized = false` to route the running max through the
+    * [[DistributedPrefix]] two-pass prefix machinery. Exact integer
+    * comparisons; emits each frontier point with how many raw rows sit
+    * exactly on it.
     */
-  def skyline(df: DataFrame, xCol: Column, yCol: Column): DataFrame = {
+  def skyline(df: DataFrame, xCol: Column, yCol: Column,
+      quantized: Boolean = true): DataFrame = {
     val pts = df.select(xCol.cast("long").as("x"), yCol.cast("long").as("y"))
     val bestY = pts.groupBy(col("x")).agg(max(col("y")).as("y"))
     val w = Window.orderBy(col("x"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    val frontier = bestY
-      .withColumn("prev_best", max(col("y")).over(w))
+    val withPrev =
+      if (quantized) bestY.withColumn("prev_best", max(col("y")).over(w))
+      else DistributedPrefix
+        .cumSums(bestY, Nil, Seq(col("x")), Nil, maxCols = Seq("y"))
+        .withColumnRenamed("prevmax_y", "prev_best")
+    val frontier = withPrev
       .filter(col("prev_best").isNull || col("y") > col("prev_best"))
       .select(col("x"), col("y"))
     frontier.join(pts, Seq("x", "y"))
@@ -2394,10 +2431,14 @@ object Profile {
     *
     * Scale: one (group, value) pre-collapse with map-side partials, one
     * cumulative window over the collapsed relation (distinct values, not
-    * rows), one hash agg for the max. The totals join is |groups|-sized.
+    * rows — when values are CONTINUOUS that collapse is corpus-sized per
+    * group: pass `quantized = false` for the [[DistributedPrefix]]
+    * two-pass sum), one hash agg for the max. The totals join is
+    * |groups|-sized.
     */
   def ksTest(df: DataFrame, groupCol: String, valueCol: String,
-      isClassA: Column, isClassB: Column): DataFrame = {
+      isClassA: Column, isClassB: Column,
+      quantized: Boolean = true): DataFrame = {
     val base = df.filter(isClassA || isClassB)
       .select(col(groupCol).as("g"), col(valueCol).as("v"),
         isClassA.as("is_a"))
@@ -2406,8 +2447,14 @@ object Profile {
         count(when(!col("is_a"), 1)).as("cb"))
     val w = Window.partitionBy(col("g")).orderBy(col("v"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val cum = pv.select(col("g"), sum(col("ca")).over(w).as("c1"),
-      sum(col("cb")).over(w).as("c2"))
+    val cum =
+      if (quantized)
+        pv.select(col("g"), sum(col("ca")).over(w).as("c1"),
+          sum(col("cb")).over(w).as("c2"))
+      else
+        DistributedPrefix
+          .cumSums(pv, Seq("g"), Seq(col("v")), Seq("ca", "cb"))
+          .select(col("g"), col("cum_ca").as("c1"), col("cum_cb").as("c2"))
     val tot = pv.groupBy(col("g"))
       .agg(sum(col("ca")).as("n_a"), sum(col("cb")).as("n_b"))
       .filter(col("n_a") > 0 && col("n_b") > 0)
