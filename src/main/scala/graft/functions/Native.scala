@@ -114,6 +114,22 @@ object Native {
       },
       "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_keep_tiles",
+      exprs => {
+        require(exprs.length == 2,
+          "graft_keep_tiles(tiles, hotHashes) takes an array and a literal bigint array")
+        val hot = exprs(1) match {
+          case e if e.foldable &&
+              e.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType] =>
+            val a = e.eval().asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+            a.toLongArray().toSeq
+          case other => throw new IllegalArgumentException(
+            s"graft_keep_tiles hotHashes must be a foldable bigint array, got $other")
+        }
+        KeepCoolTiles(exprs.head, hot)
+      },
+      "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_repetition",
       exprs => {
         require(exprs.length == 2,

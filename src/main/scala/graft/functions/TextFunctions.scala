@@ -85,6 +85,14 @@ object TextFunctions {
   def tokenHits(toks: Column, words: Seq[String]): Column =
     call_function("graft_token_hits", toks, array(words.map(lit): _*))
 
+  /** Tiles whose corpus-wide `xxhash64` is NOT in the hot set — the native
+    * [[KeepCoolTiles]] kernel: one O(1) hash-set probe per tile, replacing
+    * the `filter(tiles, t => !array_contains(hot, xxhash64(t)))` form
+    * whose per-probe linear scan is O(|hot|).
+    */
+  def keepCoolTiles(tiles: Column, hotHashes: Seq[Long]): Column =
+    call_function("graft_keep_tiles", tiles, lit(hotHashes.toArray))
+
   /** MinHash signature (array<long> of `numHashes` mins) of a token array's
     * word-trigram set — the native one-pass [[MinHashSignature]] kernel
     * (requires [[Native.register]]). Null when fewer than 3 tokens.

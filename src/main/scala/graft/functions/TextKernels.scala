@@ -205,6 +205,67 @@ final case class TokenHits(child: Expression, words: Seq[UTF8String])
     copy(child = newChild)
 }
 
+object TileProbeUtil {
+  /** Spark's `xxhash64` for one string at the default seed — bit-identical
+    * to the built-in, so set members built from `xxhash64(tile)` counts
+    * probe correctly.
+    */
+  def sparkHash(s: UTF8String): Long =
+    org.apache.spark.sql.catalyst.expressions.XXH64
+      .hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 42L)
+
+  def buildSet(hot: Seq[Long]): java.util.HashSet[java.lang.Long] = {
+    val set = new java.util.HashSet[java.lang.Long](hot.length * 2 + 16)
+    hot.foreach(h => set.add(h))
+    set
+  }
+
+  /** Elements whose spark-xxhash64 is NOT in `hot`, original order kept;
+    * null slots are dropped.
+    */
+  def keep(tiles: ArrayData,
+      hot: java.util.HashSet[java.lang.Long]): ArrayData = {
+    val n = tiles.numElements()
+    val out = new java.util.ArrayList[AnyRef](n)
+    var i = 0
+    while (i < n) {
+      if (!tiles.isNullAt(i)) {
+        val t = tiles.getUTF8String(i)
+        if (!hot.contains(sparkHash(t))) out.add(t)
+      }
+      i += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+}
+
+/** Filter a tile array down to the tiles whose corpus-wide `xxhash64` is
+  * NOT in a fixed hot set — one O(1) hash-set probe per tile inside
+  * codegen, replacing `filter(tiles, t -> !array_contains(hot, ...))`:
+  * that form interpreted a lambda per tile AND scanned the hot array
+  * linearly per probe, O(|hot|) each — quadratic-class pain once a loose
+  * `maxOccurrences` grows the hot set.
+  */
+final case class KeepCoolTiles(child: Expression, hot: Seq[Long])
+    extends UnaryExpression with TokenArrayKernel {
+  override protected def fnName: String = "graft_keep_tiles"
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  @transient private lazy val set = TileProbeUtil.buildSet(hot)
+
+  override protected def nullSafeEval(tiles: Any): Any =
+    TileProbeUtil.keep(tiles.asInstanceOf[ArrayData], set)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val setRef = ctx.addReferenceObj("hotSet", set, "java.util.HashSet")
+    defineCodeGen(ctx, ev,
+      t => s"graft.functions.TileProbeUtil.keep($t, $setRef)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): KeepCoolTiles =
+    copy(child = newChild)
+}
+
 /** Rolling polynomial hash over code points: acc = (acc*131 + cp) mod
   * 2^31-1 — [[SimHashUtil.polyHash]] compiled per row instead of a lambda
   * per character.

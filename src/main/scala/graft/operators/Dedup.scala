@@ -626,11 +626,15 @@ object Dedup {
       .select(least(col("rid"), col("pid")).as("d1"),
         greatest(col("rid"), col("pid")).as("d2"))
       .distinct()
-    val s1 = strs.select(col("sid").as("d1"), col("str").as("__s1"))
-    val s2 = strs.select(col("sid").as("d2"), col("str").as("__s2"))
+    // Verify on the LCP-stripped cores (distance-preserving — the prefix
+    // is common to every string) with the BANDED levenshtein: the
+    // threshold form computes an O(d·n) diagonal band per pair instead of
+    // the O(n²) full matrix, and returns -1 past the bound.
+    val s1 = strs.select(col("sid").as("d1"), col("core").as("__s1"))
+    val s2 = strs.select(col("sid").as("d2"), col("core").as("__s2"))
     cands.join(s1, "d1").join(s2, "d2")
-      .withColumn("dist", levenshtein(col("__s1"), col("__s2")))
-      .filter(col("dist") <= d)
+      .withColumn("dist", levenshtein(col("__s1"), col("__s2"), d))
+      .filter(col("dist") >= 0 && col("dist") <= d)
       .select(col("d1"), col("d2"), col("dist").cast("long").as("dist"))
   }
 
@@ -1188,15 +1192,14 @@ object Dedup {
     * Scale design: the ONLY exchange is the tile-hash count (8-byte
     * xxhash64 keys, map-side partials). The hot set (tiles over the
     * threshold) is by definition small — boilerplate is few DISTINCT
-    * strings repeated many times — and is broadcast back as one array row,
-    * so the rewrite is map-side: each document re-derives its tiles,
-    * probes the broadcast set, and reassembles in place. The corpus is
-    * never shuffled, not even once (an explode → anti-join → groupBy
-    * reassembly would shuffle it twice). The per-tile probe runs in an
-    * interpreted HOF lambda — measurably slower per element than codegen —
-    * but it replaces two corpus-wide exchanges, which is the far larger
-    * cost at 100 TB. If the hot set ever outgrows a broadcast row, fall
-    * back to the explode + anti-join form.
+    * strings repeated many times — and ships to executors inside the
+    * codegen'd [[graft.functions.KeepCoolTiles]] kernel, so the rewrite
+    * is map-side: each document re-derives its tiles, probes a HASH SET
+    * (O(1) per tile — the array_contains form this replaced scanned the
+    * hot array linearly per probe), and reassembles in place. The corpus
+    * is never shuffled, not even once (an explode → anti-join → groupBy
+    * reassembly would shuffle it twice). If the hot set ever outgrows
+    * task-binary shipping, fall back to the explode + anti-join form.
     *
     * All input columns pass through unchanged; `n_tiles`, `n_kept`, and
     * `clean_text` are appended (so the rewrite composes into pipelines
@@ -1214,18 +1217,20 @@ object Dedup {
       transform(sequence(lit(0), nTiles - 1),
         i => concat_ws(" ", slice(toks, i * w + 1, lit(w))))
     }
-    val hot = df
+    // Hot hashes to the driver: small by definition (boilerplate is few
+    // DISTINCT strings repeated many times) — the same metadata-sized
+    // collect class as editDistancePairs' corpus min/max.
+    val hotHashes: Seq[Long] = df
       .select(explode(tilesOf(col(textCol))).as("tile"))
       .groupBy(xxhash64(col("tile")).as("h"))
       .agg(count(lit(1)).as("n"))
       .filter(col("n") > maxOccurrences)
-      .agg(coalesce(collect_list(col("h")), array()).as("hot_hashes"))
+      .select(col("h"))
+      .collect().map(_.getLong(0)).toSeq
     val tilesArr = tilesOf(col(textCol))
-    val kept = filter(tilesArr,
-      t => !array_contains(col("hot_hashes"), xxhash64(t)))
+    val kept = graft.functions.TextFunctions.keepCoolTiles(tilesArr, hotHashes)
     val passThrough = df.columns.map(col).toSeq
-    df.crossJoin(broadcast(hot))
-      .select(passThrough ++ Seq(
+    df.select(passThrough ++ Seq(
         size(tilesArr).cast("long").as("n_tiles"),
         size(kept).cast("long").as("n_kept"),
         concat_ws(" ", kept).as("clean_text")): _*)

@@ -235,12 +235,13 @@ class DedupSpec extends SparkSpec {
       .select("doc_id", "n_tiles", "n_kept", "clean_text")
       .orderBy("doc_id").as[(Long, Long, Long, String)].collect()
     assert(wiped.forall(r => r._3 === 0L && r._4 === ""))
-    // The corpus side never shuffles: the only Exchange in the plan feeds
-    // the tile-hash count; the rewrite joins the hot set as a broadcast.
+    // The corpus side never shuffles OR joins: the hot set ships inside
+    // the codegen'd KeepCoolTiles kernel, so the rewrite stage is pure
+    // map-side work over the input relation.
     val plan = Dedup.removeBoilerplateTiles(docs, "doc_id", "text", 2, 1)
       .queryExecution.executedPlan.toString
-    assert(plan.contains("BroadcastNestedLoopJoin"),
-      s"hot set must join as a broadcast:\n$plan")
+    assert(!plan.contains("Join") && !plan.contains("Exchange"),
+      s"rewrite stage must be join- and shuffle-free:\n$plan")
   }
 
   test("lshMissReport is the exact set algebra of the two pair lists") {
