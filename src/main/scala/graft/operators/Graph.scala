@@ -98,10 +98,7 @@ object Graph {
   // (2·custkey), suppliers odd (2·suppkey+1). Three damped iterations,
   // top 20 by rank (node id breaks ties).
   private def q159(s: SparkSession, d: String): DataFrame = {
-    val pairs = Tables.orders(s, d)
-      .join(Tables.lineitem(s, d), col("l_orderkey") === col("o_orderkey"))
-      .select((col("o_custkey") * 2).as("a"), (col("l_suppkey") * 2 + 1).as("b"))
-      .distinct()
+    val pairs = custSuppPairs(s, d)
     val und = pairs.union(pairs.select(col("b").as("a"), col("a").as("b")))
     pagerank(und, "a", "b", iterations = 3)
       .orderBy(col("rank_micro").desc, col("node_id"))
@@ -239,24 +236,38 @@ object Graph {
   // there, not in the census).
   /** The top-3000 supplier co-sale edge list (s1 < s2) — shared by the
     * q163 census and the q207/q208/q217 community/topology scores.
-    * Materialized once (`localCheckpoint`): every consumer self-joins
-    * this relation several times (the census touches the oriented list
-    * three times, local clustering four), and without truncation each
-    * reference re-executes the orders⨝lineitem projection + pair
-    * aggregation + top-3000 — the pagerank lineage discipline applied
-    * to a shared derived edge list. 3000 rows of three longs: the
+    * Materialized ONCE per (session, dir) via [[Materialized]]: every
+    * consumer self-joins this relation several times (the census touches
+    * the oriented list three times, local clustering four), and the
+    * FAMILY shares one derivation across queries — without the registry
+    * each query re-executed the orders⨝lineitem projection + pair
+    * aggregation + top-3000. 3000 rows of three longs: the
     * materialization is metadata-sized next to what it saves.
     */
-  private def coSaleEdges(s: SparkSession, d: String): DataFrame = {
-    val sp = Tables.orders(s, d)
-      .join(Tables.lineitem(s, d), col("l_orderkey") === col("o_orderkey"))
-      .select(col("o_custkey").as("c"), col("l_suppkey").as("sup"))
-    coOccurrencePairs(sp, "c", "sup", CoSaleCap)
-      .select(col("i1").as("s1"), col("i2").as("s2"), col("w"))
-      .orderBy(col("w").desc, col("s1"), col("s2"))
-      .limit(3000)
-      .localCheckpoint()
-  }
+  private def coSaleEdges(s: SparkSession, d: String): DataFrame =
+    Materialized.of(s, d, "co_sale_top3000") {
+      val sp = Tables.orders(s, d)
+        .join(Tables.lineitem(s, d), col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").as("c"), col("l_suppkey").as("sup"))
+      coOccurrencePairs(sp, "c", "sup", CoSaleCap)
+        .select(col("i1").as("s1"), col("i2").as("s2"), col("w"))
+        .orderBy(col("w").desc, col("s1"), col("s2"))
+        .limit(3000)
+    }
+
+  /** The distinct customer×supplier bipartite pairs in disjoint node-id
+    * encoding (customer 2c, supplier 2s+1) — the edge list shared by the
+    * q159 pagerank, q165 k-core, and q175 HITS consumers, materialized
+    * ONCE per (session, dir) via [[Materialized]].
+    */
+  private def custSuppPairs(s: SparkSession, d: String): DataFrame =
+    Materialized.of(s, d, "cust_supp_bipartite") {
+      Tables.orders(s, d)
+        .join(Tables.lineitem(s, d), col("l_orderkey") === col("o_orderkey"))
+        .select((col("o_custkey") * 2).as("a"),
+          (col("l_suppkey") * 2 + 1).as("b"))
+        .distinct()
+    }
 
   private def q163(s: SparkSession, d: String): DataFrame =
     triangleStats(coSaleEdges(s, d), "s1", "s2")
@@ -366,13 +377,8 @@ object Graph {
   // at sf0.1, so k = 8 peels the thin-tail customers at every scale
   // factor while the high-degree supplier side keeps the core non-empty;
   // 6 rounds comfortably cover the cascade depth.
-  private def q165(s: SparkSession, d: String): DataFrame = {
-    val sp = Tables.orders(s, d)
-      .join(Tables.lineitem(s, d), col("l_orderkey") === col("o_orderkey"))
-      .select((col("o_custkey") * 2).as("a"), (col("l_suppkey") * 2 + 1).as("b"))
-      .distinct()
-    kCore(sp, "a", "b", CoreK, CoreRounds)
-  }
+  private def q165(s: SparkSession, d: String): DataFrame =
+    kCore(custSuppPairs(s, d), "a", "b", CoreK, CoreRounds)
   // The oracle is the identical peel UNROLLED: e0 is the canonical edge
   // set, e{i} keeps e{i-1}'s edges whose endpoints both have degree >= k
   // in e{i-1} (generated text — the q147 generated-oracle pattern). Each
@@ -555,10 +561,7 @@ object Graph {
   // split inspectable. Two full iterations, every node reported. The
   // oracle unrolls the same four half-steps in exact integer algebra.
   private def q175(s: SparkSession, d: String): DataFrame = {
-    val pairs = Tables.orders(s, d)
-      .join(Tables.lineitem(s, d), col("l_orderkey") === col("o_orderkey"))
-      .select((col("o_custkey") * 2).as("a"), (col("l_suppkey") * 2 + 1).as("b"))
-      .distinct()
+    val pairs = custSuppPairs(s, d)
     hits(pairs, "a", "b", iterations = 2)
       .orderBy(col("auth_micro").desc, col("hub_micro").desc, col("node_id"))
       .limit(30)
