@@ -25,6 +25,7 @@ object GraftSession {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     functions.Native.register(spark)
+    operators.SqlRegistry.register(spark)
     spark
   }
 
@@ -33,6 +34,7 @@ object GraftSession {
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.adaptive.enabled", "true")
     functions.Native.register(spark)
+    operators.SqlRegistry.register(spark)
     spark
   }
 }

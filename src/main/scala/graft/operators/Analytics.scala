@@ -2116,7 +2116,7 @@ object Analytics {
     decileTable(Tables.events(s, d), "event_type",
         floor(col("value") * 100))
       .orderBy(col("event_type"))
-  private val q229Sql =
+  private[operators] val q229Sql =
     """WITH byv AS (
          SELECT event_type AS k, floor(value * 100)::BIGINT AS v,
            count(*)::BIGINT AS c

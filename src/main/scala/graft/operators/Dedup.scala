@@ -864,7 +864,7 @@ object Dedup {
       .orderBy(col("doc_id"))
   // Oracle: exact-Jaccard pairs (== the LSH output, q26/q27 share it),
   // closed transitively with a recursive CTE, min reachable id per node.
-  private val q60Sql =
+  private[operators] val q60Sql =
     s"""WITH RECURSIVE ${jaccardCtes()},
        $dupCte,
        $closureCtes

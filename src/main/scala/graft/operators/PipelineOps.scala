@@ -763,7 +763,7 @@ object PipelineOps {
 
   private def q42(s: SparkSession, d: String): DataFrame =
     topNgrams(Tables.documents(s, d), "text", n = 2, k = 20)
-  private val q42Sql =
+  private[operators] val q42Sql =
     """WITH toks AS (
          SELECT string_split(text, ' ') AS tokens FROM documents
          WHERE len(string_split(text, ' ')) >= 2),

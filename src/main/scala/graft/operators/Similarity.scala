@@ -507,7 +507,7 @@ object Similarity {
     bruteTopK(e.filter(col("vec_id") < NumQueries), e, "vec_id", "embedding", TopK)
       .orderBy(col("query_id"), col("rank"))
   }
-  private val q30Sql =
+  private[operators] val q30Sql =
     s"""WITH sims AS (
          SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
            list_sum(list_transform(range(1, len(q.embedding) + 1),

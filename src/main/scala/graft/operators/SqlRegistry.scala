@@ -1,0 +1,90 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.functions.{col, expr}
+import org.apache.spark.sql.graftshim.GraftShim
+import org.apache.spark.unsafe.types.UTF8String
+
+/** SQL TABLE-FUNCTION entry points for the operator library: the
+  * most-consumed operators registered in Spark's
+  * `tableFunctionRegistry`, so a pure-SQL consumer reaches them as
+  * `SELECT * FROM graft_top_ngrams('documents', 'text', 2, 20)` over
+  * any registered view — the same mechanism `range(...)` and
+  * `explode(...)` use in the FROM clause. Each TVF builds the identical
+  * Dataset-API plan (the builder closes over the public operator and
+  * inlines its analyzed plan), so SQL and Scala consumers get
+  * bit-identical results — pinned by the q243–q246 oracle queries,
+  * which share the Dataset forms' DuckDB oracles verbatim.
+  *
+  * Registration is session-scoped and idempotent
+  * (`createOrReplaceTempFunction`); [[graft.GraftSession]] and the
+  * SparkEntry wrappers call it alongside
+  * [[graft.functions.Native.register]].
+  */
+object SqlRegistry {
+
+  private def strLit(e: Expression, what: String): String = e match {
+    case Literal(v: UTF8String, _) => v.toString
+    case other => throw new IllegalArgumentException(
+      s"$what must be a string literal, got $other")
+  }
+  private def intLit(e: Expression, what: String): Int = e match {
+    case Literal(v: Int, _) => v
+    case Literal(v: Long, _) => v.toInt
+    case other => throw new IllegalArgumentException(
+      s"$what must be an integer literal, got $other")
+  }
+
+  def register(s: SparkSession): Unit = {
+    def tvf(name: String)(build: Seq[Expression] => DataFrame): Unit =
+      s.sessionState.tableFunctionRegistry.createOrReplaceTempFunction(
+        name,
+        (exprs: Seq[Expression]) => GraftShim.analyzed(build(exprs)),
+        "built-in")
+
+    // graft_dedup_clusters(table, idCol, textCol): transitive MinHash-LSH
+    // duplicate clusters of a document view (the q60 operator chain).
+    tvf("graft_dedup_clusters") { exprs =>
+      require(exprs.length == 3,
+        "graft_dedup_clusters(table, idCol, textCol)")
+      val t = s.table(strLit(exprs(0), "table"))
+      Dedup.dedupClusters(
+        Dedup.minhashLshPairs(t, strLit(exprs(1), "idCol"),
+          strLit(exprs(2), "textCol")),
+        "d1", "d2")
+    }
+
+    // graft_top_ngrams(table, textCol, n, k): corpus-wide top-k word
+    // n-grams with deterministic tie-breaks (the q42 operator).
+    tvf("graft_top_ngrams") { exprs =>
+      require(exprs.length == 4, "graft_top_ngrams(table, textCol, n, k)")
+      PipelineOps.topNgrams(s.table(strLit(exprs(0), "table")),
+        strLit(exprs(1), "textCol"),
+        intLit(exprs(2), "n"), intLit(exprs(3), "k"))
+    }
+
+    // graft_cosine_topk(table, idCol, vecCol, maxQueryId, k): exact brute
+    // cosine top-k of the id < maxQueryId rows against the whole view
+    // (the q30 operator, heap-ranked).
+    tvf("graft_cosine_topk") { exprs =>
+      require(exprs.length == 5,
+        "graft_cosine_topk(table, idCol, vecCol, maxQueryId, k)")
+      val t = s.table(strLit(exprs(0), "table"))
+      val idCol = strLit(exprs(1), "idCol")
+      Similarity.bruteTopK(
+        t.filter(col(idCol) < intLit(exprs(3), "maxQueryId")), t,
+        idCol, strLit(exprs(2), "vecCol"), intLit(exprs(4), "k"))
+    }
+
+    // graft_decile_table(table, groupCol, valueExpr): exact nearest-rank
+    // D1..D9 per group of any SQL value expression (the q229 operator).
+    tvf("graft_decile_table") { exprs =>
+      require(exprs.length == 3,
+        "graft_decile_table(table, groupCol, valueExpr)")
+      Analytics.decileTable(s.table(strLit(exprs(0), "table")),
+        strLit(exprs(1), "groupCol"), expr(strLit(exprs(2), "valueExpr")))
+    }
+  }
+}

@@ -106,9 +106,42 @@ object SqlSurface {
          min(pk) AS min_part, max(pk) AS max_part
        FROM bom GROUP BY depth ORDER BY depth"""
 
+  // ---- q243–q246: the operator library reached FROM SQL -----------------------
+  // Four library operators re-exercised through spark.sql table functions
+  // (SqlRegistry): each wrapper must hash-match the SAME DuckDB oracle as
+  // its Dataset-API original (q60/q42/q30/q229) — the SQL surface and the
+  // Scala surface are one implementation, pinned bit-for-bit.
+  private def viaTvf(s: SparkSession, d: String, view: String,
+      sql: String): DataFrame = {
+    SqlRegistry.register(s)
+    Tables(s, d, view).createOrReplaceTempView(view)
+    s.sql(sql)
+  }
+  private def q243(s: SparkSession, d: String): DataFrame =
+    viaTvf(s, d, "documents",
+      """SELECT * FROM graft_dedup_clusters('documents', 'doc_id', 'text')
+         ORDER BY doc_id""")
+  private def q244(s: SparkSession, d: String): DataFrame =
+    viaTvf(s, d, "documents",
+      "SELECT * FROM graft_top_ngrams('documents', 'text', 2, 20)")
+  private def q245(s: SparkSession, d: String): DataFrame =
+    viaTvf(s, d, "embeddings",
+      """SELECT * FROM graft_cosine_topk('embeddings', 'vec_id',
+           'embedding', 10, 5)
+         ORDER BY query_id, rank""")
+  private def q246(s: SparkSession, d: String): DataFrame =
+    viaTvf(s, d, "events",
+      """SELECT * FROM graft_decile_table('events', 'event_type',
+           'floor(value * 100)')
+         ORDER BY event_type""")
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q37_scalar_subquery", q37, Some(q37Sql)),
     QueryDef("q38_grouping_sets", q38, Some(q38Sql)),
     QueryDef("q89_correlated_exists", q89, Some(q89Text)),
-    QueryDef("q127_recursive_cte", q127, Some(q127Sql)))
+    QueryDef("q127_recursive_cte", q127, Some(q127Sql)),
+    QueryDef("q243_sql_dedup_clusters", q243, Some(Dedup.q60Sql)),
+    QueryDef("q244_sql_top_ngrams", q244, Some(PipelineOps.q42Sql)),
+    QueryDef("q245_sql_cosine_topk", q245, Some(Similarity.q30Sql)),
+    QueryDef("q246_sql_decile_table", q246, Some(Analytics.q229Sql)))
 }

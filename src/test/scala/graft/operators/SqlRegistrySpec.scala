@@ -1,0 +1,58 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.{SparkSpec, Tables}
+
+/** The SQL table-function surface must be the SAME implementation as the
+  * Dataset API — one plan, two entry points (the q243–q246 oracle rows
+  * pin this against DuckDB; here it is pinned directly).
+  */
+class SqlRegistrySpec extends SparkSpec {
+
+  test("graft_top_ngrams TVF equals the Dataset operator") {
+    SqlRegistry.register(spark)
+    Tables(spark, sf, "documents").createOrReplaceTempView("documents")
+    val viaSql = spark.sql(
+      "SELECT * FROM graft_top_ngrams('documents', 'text', 2, 20)")
+    val viaApi = PipelineOps.topNgrams(
+      Tables(spark, sf, "documents"), "text", 2, 20)
+    assert(viaSql.except(viaApi).isEmpty && viaApi.except(viaSql).isEmpty)
+  }
+
+  test("graft_decile_table TVF equals the Dataset operator") {
+    SqlRegistry.register(spark)
+    Tables(spark, sf, "events").createOrReplaceTempView("events")
+    val viaSql = spark.sql(
+      """SELECT * FROM graft_decile_table('events', 'event_type',
+           'floor(value * 100)')""")
+    val viaApi = Analytics.decileTable(
+      Tables(spark, sf, "events"), "event_type", floor(col("value") * 100))
+    assert(viaSql.except(viaApi).isEmpty && viaApi.except(viaSql).isEmpty)
+  }
+
+  test("graft_cosine_topk TVF equals the Dataset operator") {
+    SqlRegistry.register(spark)
+    Tables(spark, sf, "embeddings").createOrReplaceTempView("embeddings")
+    val viaSql = spark.sql(
+      """SELECT * FROM graft_cosine_topk('embeddings', 'vec_id',
+           'embedding', 10, 5)""")
+    val e = Tables(spark, sf, "embeddings")
+    val viaApi = Similarity.bruteTopK(
+      e.filter(col("vec_id") < 10), e, "vec_id", "embedding", 5)
+    assert(viaSql.except(viaApi).isEmpty && viaApi.except(viaSql).isEmpty)
+  }
+
+  test("a non-literal TVF parameter is rejected, not silently evaluated") {
+    SqlRegistry.register(spark)
+    Tables(spark, sf, "documents").createOrReplaceTempView("documents")
+    val err = intercept[Exception] {
+      spark.sql(
+        "SELECT * FROM graft_top_ngrams('documents', 'text', rand(), 20)")
+        .collect()
+    }
+    assert(err.toString.contains("literal")
+      || Option(err.getCause).exists(_.toString.contains("literal")),
+      s"expected a literal-argument error, got: $err")
+  }
+}
