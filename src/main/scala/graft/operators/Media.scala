@@ -24,8 +24,13 @@ import org.apache.spark.sql.functions._
   * is likewise real: `javax.sound.sampled` writes and parses genuine WAV
   * (RIFF/PCM) containers — frame count, channels, and sample width come
   * from the decoded format header and the mean from the decoded PCM frames.
-  * Only the VIDEO codec body remains a deterministic byte-level STUB (no
-  * video codec ships in this JVM); swapping one in changes only
+  * The MOTION path is real too: multi-frame ANIMATED GIF containers are
+  * encoded and frame-by-frame decoded via `ImageIO`'s sequence API — frame
+  * count, dims, per-frame pixel payloads, and the every-k-th frame sampling
+  * all come from genuine decodes. What remains a stub is only the
+  * H.264-class compressed-video branch (no such codec ships in this JVM;
+  * non-container payloads fall back to deterministic byte arithmetic) and
+  * `resize` (truncate/pad); swapping a codec in changes only
   * `MediaCodec.decode*` bodies — not the operator shape, schema, or
   * distribution.
   *
@@ -72,6 +77,72 @@ object Media {
     def isWav(bytes: Array[Byte]): Boolean =
       bytes.length >= 4 && bytes(0) == 'R' && bytes(1) == 'I' &&
         bytes(2) == 'F' && bytes(3) == 'F'
+
+    def isGif(bytes: Array[Byte]): Boolean =
+      bytes.length >= 4 && bytes(0) == 'G' && bytes(1) == 'I' &&
+        bytes(2) == 'F' && bytes(3) == '8'
+
+    /** Synthesize a REAL multi-frame animated GIF (the motion format this
+      * JVM genuinely encodes AND decodes — the video stand-in): nFrames =
+      * 1 + nChars % 12 grayscale frames of w = 1 + nChars % 32 by
+      * h = 1 + nChars % 24, frame f pixel(x, ·) = (docId + f + x) mod 256.
+      * GIF is lossless for ≤256-color frames, so the per-frame pixel sums
+      * decode bit-exactly and the oracle predicts them from the
+      * generative parameters.
+      */
+    def synthGif(docId: Long, nChars: Long): Array[Byte] = {
+      val w = (1 + nChars % 32).toInt
+      val h = (1 + nChars % 24).toInt
+      val nFrames = (1 + nChars % 12).toInt
+      val writer = ImageIO.getImageWritersByFormatName("gif").next()
+      val out = new ByteArrayOutputStream()
+      val ios = ImageIO.createImageOutputStream(out)
+      writer.setOutput(ios)
+      // Interlace OFF: the default sequence metadata interlaces frames,
+      // and the JDK reader drops rows of interlaced frames shorter than
+      // one interlace pass (h < 8) — non-interlaced frames round-trip
+      // bit-exactly at every size.
+      val param = writer.getDefaultWriteParam
+      param.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DISABLED)
+      writer.prepareWriteSequence(null)
+      var f = 0
+      while (f < nFrames) {
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+        val raster = img.getRaster
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            raster.setSample(x, y, 0, (((docId + f + x) % 256) + 256) % 256)
+            x += 1
+          }
+          y += 1
+        }
+        writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), param)
+        f += 1
+      }
+      writer.endWriteSequence()
+      ios.close()
+      writer.dispose()
+      out.toByteArray
+    }
+
+    /** Decode every frame of a GIF container (animated or single). */
+    def gifFrames(bytes: Array[Byte]): IndexedSeq[java.awt.image.BufferedImage] = {
+      val reader = ImageIO.getImageReadersByFormatName("gif").next()
+      val iis = ImageIO.createImageInputStream(new ByteArrayInputStream(bytes))
+      reader.setInput(iis, false)
+      val n = reader.getNumImages(true)
+      val frames = (0 until n).map(reader.read)
+      reader.dispose()
+      iis.close()
+      frames
+    }
+
+    /** Gray value (r = g = b for a grayscale palette) of one pixel. */
+    private def gray(img: java.awt.image.BufferedImage, x: Int, y: Int): Int =
+      img.getRGB(x, y) & 0xff
 
     /** Synthesize a REAL WAV container (RIFF + PCM_UNSIGNED 8-bit mono at
       * 8 kHz) with n = 1 + nChars % 2048 samples, sample(i) =
@@ -167,6 +238,22 @@ object Media {
         val n = w.toLong * h * bands
         MediaMeta(m.doc_id, m.kind, n, w, h,
           mean_byte_micro = 1000000L * s / n, format = "png")
+      } else if (isGif(m.media)) {
+        val frames = gifFrames(m.media)
+        val w = frames.head.getWidth
+        val h = frames.head.getHeight
+        var s = 0L
+        frames.foreach { img =>
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) { s += gray(img, x, y); x += 1 }
+            y += 1
+          }
+        }
+        val n = w.toLong * h * frames.length
+        MediaMeta(m.doc_id, m.kind, n, w, h,
+          mean_byte_micro = 1000000L * s / n, format = "gif")
       } else {
         val n = m.media.length
         val sum = { var s = 0L; var i = 0; while (i < n) { s += m.media(i) & 0xff; i += 1 }; s }
@@ -207,6 +294,18 @@ object Media {
           y += 1
         }
         n = w.toLong * h * bands
+      } else if (isGif(m.media)) {
+        val frames = gifFrames(m.media)
+        frames.foreach { img =>
+          val (w, h) = (img.getWidth, img.getHeight)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) { bins(gray(img, x, y) / 16) += 1.0; x += 1 }
+            y += 1
+          }
+          n += w.toLong * h
+        }
       } else {
         m.media.foreach(b => bins((b & 0xff) / 16) += 1.0)
         n = m.media.length.toLong
@@ -221,35 +320,56 @@ object Media {
     def resize(m: MediaRow, targetBytes: Int): MediaRow =
       m.copy(media = java.util.Arrays.copyOf(m.media, targetBytes))
 
-    /** STUB frame sampling: treat the payload as fixed-size frames and keep
-      * every k-th (a real impl would seek keyframes). The frame identity is
-      * a (doc_id, frame_idx) struct — NOT an arithmetic doc_id*k+i encoding,
-      * which silently aliases across documents once a payload exceeds k
-      * frames (unbounded media at 100 TB guarantees that).
+    /** Frame sampling. GIF containers are REAL: every k-th genuinely
+      * decoded frame is emitted as its raw grayscale pixel bytes (w·h per
+      * frame — `frameBytes` is ignored; the container defines its frames).
+      * Non-container payloads keep the byte-chunk stub (fixed-size chunks,
+      * every k-th — a real video impl would seek keyframes; no H.264-class
+      * codec ships in this JVM). The frame identity is a (doc_id,
+      * frame_idx) struct — NOT an arithmetic doc_id*k+i encoding, which
+      * silently aliases across documents once a payload exceeds k frames
+      * (unbounded media at 100 TB guarantees that).
       */
     def sampleFrames(m: MediaRow, frameBytes: Int, everyK: Int): Seq[FrameRow] =
-      m.media.grouped(frameBytes).zipWithIndex
-        .collect { case (f, i) if i % everyK == 0 =>
-          FrameRow(m.doc_id, i, m.kind, f)
-        }.toSeq
+      if (isGif(m.media)) {
+        gifFrames(m.media).zipWithIndex
+          .collect { case (img, i) if i % everyK == 0 =>
+            val (w, h) = (img.getWidth, img.getHeight)
+            val px = new Array[Byte](w * h)
+            var y = 0
+            var p = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) { px(p) = gray(img, x, y).toByte; p += 1; x += 1 }
+              y += 1
+            }
+            FrameRow(m.doc_id, i, m.kind, px)
+          }
+      } else {
+        m.media.grouped(frameBytes).zipWithIndex
+          .collect { case (f, i) if i % everyK == 0 =>
+            FrameRow(m.doc_id, i, m.kind, f)
+          }.toSeq
+      }
   }
 
   /** Media table synthesized from documents: even doc_ids carry REAL PNG
     * bytes (ImageIO-encoded gradient, executor-side — one encoder per
     * partition task, no driver work), doc_id ≡ 1 (mod 4) REAL WAV bytes
-    * (javax.sound-encoded PCM gradient), and doc_id ≡ 3 (mod 4) a raw
-    * byte payload (UTF-8 of text) standing in for undecodable video.
+    * (javax.sound-encoded PCM gradient), and doc_id ≡ 3 (mod 4) REAL
+    * multi-frame animated GIF bytes — the motion format this JVM
+    * genuinely encodes and decodes, standing in for video.
     */
   def mediaTable(s: SparkSession, d: String): Dataset[MediaRow] = {
     import s.implicits._
     Tables.documents(s, d)
       .select(col("doc_id"), col("n_chars"), col("text"))
       .as[(Long, Long, String)]
-      .mapPartitions(_.map { case (id, nChars, text) =>
+      .mapPartitions(_.map { case (id, nChars, _) =>
         if (id % 2 == 0) MediaRow(id, "image", MediaCodec.synthPng(id, nChars))
         else if (id % 4 == 1)
           MediaRow(id, "audio", MediaCodec.synthWav(id, nChars))
-        else MediaRow(id, "video", text.getBytes("UTF-8"))
+        else MediaRow(id, "video", MediaCodec.synthGif(id, nChars))
       })
   }
 
@@ -292,11 +412,12 @@ object Media {
   // (doc_id + x) % 256 ⇒ Σpixels = h·Σx): the engine must round-trip a
   // genuine PNG encode+decode to reproduce these numbers. Audio rows are
   // the same contract through a genuine WAV (RIFF/PCM) round trip:
-  // n = 1 + n_chars % 2048 samples of (doc_id + i) % 256, so the decoded
-  // frame count, channel/bit header fields, and sample mean are all
-  // oracle-predicted. Video rows reproduce the documented byte-stub
-  // arithmetic from the text bytes (ASCII soup → ord == byte). All means
-  // in integer micros.
+  // n = 1 + n_chars % 2048 samples of (doc_id + i) % 256. Video rows are
+  // the same contract through a genuine multi-frame ANIMATED GIF round
+  // trip: F = 1 + n_chars % 12 frames of (1 + n_chars % 32) ×
+  // (1 + n_chars % 24), frame f pixel(x,·) = (doc_id + f + x) % 256, so
+  // the decoded frame count, dims, and per-frame pixel sums are all
+  // oracle-predicted. All means in integer micros.
   private val q32Sql =
     """SELECT kind, format, count(*) AS n,
        sum(n_bytes)::BIGINT AS bytes_total,
@@ -306,15 +427,15 @@ object Media {
          CASE WHEN doc_id % 2 = 0 THEN 'image'
               WHEN doc_id % 4 = 1 THEN 'audio' ELSE 'video' END AS kind,
          CASE WHEN doc_id % 2 = 0 THEN 'png'
-              WHEN doc_id % 4 = 1 THEN 'wav'
-              WHEN strlen(text) % 2 = 0 THEN 'png' ELSE 'jpg' END AS format,
+              WHEN doc_id % 4 = 1 THEN 'wav' ELSE 'gif' END AS format,
          CASE WHEN doc_id % 2 = 0
               THEN (1 + n_chars % 64) * (1 + n_chars % 48)
               WHEN doc_id % 4 = 1 THEN 1 + n_chars % 2048
-              ELSE strlen(text) END AS n_bytes,
+              ELSE (1 + n_chars % 32) * (1 + n_chars % 24)
+                * (1 + n_chars % 12) END AS n_bytes,
          CASE WHEN doc_id % 2 = 0 THEN 1 + n_chars % 64
               WHEN doc_id % 4 = 1 THEN 1
-              ELSE 1 + strlen(text) % 64 END AS width,
+              ELSE 1 + n_chars % 32 END AS width,
          CASE WHEN doc_id % 2 = 0 THEN
              (1000000 * (1 + n_chars % 48)
                 * list_sum(list_transform(range(0, (1 + n_chars % 64)::INT),
@@ -325,9 +446,14 @@ object Media {
                   range(0, (1 + n_chars % 2048)::INT),
                   i -> (doc_id + i) % 256))::BIGINT)
                // (1 + n_chars % 2048)
-           WHEN strlen(text) = 0 THEN 0
-           ELSE (1000000 * list_sum(list_transform(string_split(text, ''),
-                  c -> ord(c)::BIGINT))::BIGINT) // strlen(text)
+           ELSE
+             (1000000 * (1 + n_chars % 24)
+                * list_sum(list_transform(range(0, (1 + n_chars % 12)::INT),
+                    f -> list_sum(list_transform(
+                      range(0, (1 + n_chars % 32)::INT),
+                      x -> (doc_id + f + x) % 256))))::BIGINT)
+               // ((1 + n_chars % 32) * (1 + n_chars % 24)
+                  * (1 + n_chars % 12))
          END AS mean_byte_micro
        FROM documents) t
        GROUP BY kind, format ORDER BY kind, format"""
@@ -344,16 +470,18 @@ object Media {
         sum(length(col("media"))).as("sampled_bytes"))
       .orderBy(col("doc_id"))
   }
-  // Correlated scalar range + unnest — one row per ACTUAL frame, so there is
-  // no fixed frame cap to silently overflow on large payloads.
+  // Video rows are animated GIFs, so the sampled frames are GENUINE
+  // decodes: F = 1 + n_chars % 12 frames per doc, indices 0, K, 2K, …
+  // survive, and each sampled frame's payload is its decoded w·h
+  // grayscale pixels — the engine must parse the real container to
+  // reproduce both columns.
   private val q33Sql =
-    s"""SELECT doc_id, count(*) AS n_frames,
-         sum(least($FrameBytes, len - i * $FrameBytes))::BIGINT AS sampled_bytes
-       FROM (SELECT doc_id, strlen(text) AS len,
-               unnest(range(0, (strlen(text) + $FrameBytes - 1) // $FrameBytes)) AS i
-             FROM documents WHERE doc_id % 4 = 3) t
-       WHERE i % $EveryK = 0
-       GROUP BY doc_id ORDER BY doc_id"""
+    s"""SELECT doc_id,
+         ((1 + n_chars % 12 + $EveryK - 1) // $EveryK)::BIGINT AS n_frames,
+         (((1 + n_chars % 12 + $EveryK - 1) // $EveryK)
+           * (1 + n_chars % 32) * (1 + n_chars % 24))::BIGINT
+           AS sampled_bytes
+       FROM documents WHERE doc_id % 4 = 3 ORDER BY doc_id"""
 
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q32_media_decode", q32, Some(q32Sql)),

@@ -10,10 +10,11 @@ class MediaSpec extends SparkSpec {
     val media = mediaTable(spark, sf)
     val meta = mediaDecode(media)
     assert(meta.count() === media.count())
-    // Video rows run the documented byte stub.
+    // Video rows are REAL frame-by-frame GIF decodes.
     val v = meta.filter($"doc_id" === 3).head()
-    assert(v.width === 1 + v.n_bytes.toInt % 64)
-    assert(v.format === (if (v.n_bytes % 2 == 0) "png" else "jpg"))
+    assert(v.format === "gif")
+    assert(v.n_bytes % (v.width.toLong * v.height) === 0,
+      "decoded payload must be a whole number of w*h frames")
     // Audio rows are REAL javax.sound decodes of the synthesized WAV.
     val a = meta.filter($"doc_id" === 1).head()
     assert(a.format === "wav")
@@ -55,6 +56,33 @@ class MediaSpec extends SparkSpec {
       .groupBy(identity).view.mapValues(_.size * 30.0 / (14 * 30)).toMap
     (0 until 16).foreach { b =>
       assert(math.abs(f.features(b) - expected.getOrElse(b, 0.0)) < 1e-12)
+    }
+  }
+
+  test("synthGif round-trips every frame through the real GIF decoder bit-exactly") {
+    // 77 chars → 6 frames of 14×6, frame f pixel(x,·) = (docId+f+x) % 256.
+    val docId = 251L
+    val bytes = MediaCodec.synthGif(docId, nChars = 77L)
+    assert(MediaCodec.isGif(bytes), "container must carry the GIF8 magic")
+    val (w, h, nF) = (14, 6, 6)
+    val m = MediaCodec.decodeMeta(MediaRow(docId, "video", bytes))
+    assert(m.format === "gif")
+    assert(m.width === w && m.height === h)
+    assert(m.n_bytes === w.toLong * h * nF,
+      "frame count must come from the decoded sequence")
+    val s = (0 until nF).map(f =>
+      h.toLong * (0 until w).map(x => (docId + f + x) % 256).sum).sum
+    assert(m.mean_byte_micro === 1000000L * s / (w.toLong * h * nF))
+    // Frame sampling keeps indices 0 and 4 of the 6 decoded frames, each
+    // emitted as its w*h decoded grayscale pixels.
+    val frames = MediaCodec.sampleFrames(MediaRow(docId, "video", bytes), 32, 4)
+    assert(frames.map(_.frame_idx) === Seq(0, 4))
+    frames.foreach { fr =>
+      assert(fr.media.length === w * h)
+      // pixel (x, 0) of frame f is (docId + f + x) % 256
+      (0 until w).foreach { x =>
+        assert((fr.media(x) & 0xff) === ((docId + fr.frame_idx + x) % 256).toInt)
+      }
     }
   }
 
