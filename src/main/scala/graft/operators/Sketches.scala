@@ -177,25 +177,59 @@ object Sketches {
       .select(col("j"), coalesce(col("mj"), lit(0L)).as("mj"))
   }
 
-  /** Raw HLL estimate from a register table: E = α_m·m²·2^40 / S with
-    * S = Σ_j 2^(40−mj) an exact BIGINT (shift arithmetic; mj ≤ 32 keeps
-    * every term ≥ 2^8 and the sum ≤ m·2^40 « 2^63). Raw estimate only —
-    * the small-range (linear counting) correction needs `ln`, which is
-    * not cross-engine bit-stable; callers in the corrected regime
-    * (n ≳ 2.5·m) get the textbook ±1.04/√m error, spec-bounded.
-    */
-  def hllEstimate(registers: DataFrame, m: Int): DataFrame = {
-    val alpha = m match {
-      case 16 => 0.673
-      case 32 => 0.697
-      case 64 => 0.709
-      case _ => 0.7213 / (1.0 + 1.079 / m)
-    }
-    registers
-      .agg(sum(expr("shiftleft(1L, cast(40 - mj as int))")).as("S"))
-      .select(floor(lit(alpha) * lit(1099511627776.0) * lit(m.toLong * m)
-        / col("S")).cast("long").as("hll_est"))
+  private def hllAlpha(m: Int): Double = m match {
+    case 16 => 0.673
+    case 32 => 0.697
+    case 64 => 0.709
+    case _ => 0.7213 / (1.0 + 1.079 / m)
   }
+
+  /** ln(m/V) for V = 1..m in integer micros, round-half-up — the
+    * spec-pinned FIXED table both engines embed as literals. `ln` itself
+    * is not cross-engine bit-stable (libm-dependent), but a table of m
+    * precomputed integers is trivially so; this is what makes the
+    * linear-counting branch oracle-checkable.
+    */
+  private def lnMicroTable(m: Int): IndexedSeq[Long] =
+    (1 to m).map(v => math.round(math.log(m.toDouble / v) * 1e6))
+
+  /** The small-range-corrected estimate from (raw, V) columns: when any
+    * register is empty (V > 0) and the raw estimate sits in the biased
+    * regime (raw ≤ 5m/2), linear counting E = m·ln(m/V) — via the integer
+    * micro table — replaces it; otherwise the raw estimate stands.
+    */
+  private def hllCorrected(m: Int): org.apache.spark.sql.Column = {
+    val arr = lnMicroTable(m).map(x => s"${x}L").mkString(",")
+    when(col("V") > 0 && col("raw") * 2 <= lit(5L * m),
+      expr(s"(${m}L * element_at(array($arr), cast(V as int))) div 1000000L"))
+      .otherwise(col("raw")).as("hll_est")
+  }
+
+  /** The same correction as a SQL CASE over (raw, V) columns — textually
+    * shared by every HLL oracle so the branch can never diverge. */
+  private def hllCorrectedSql(m: Int): String = {
+    val arr = lnMicroTable(m).mkString(",")
+    s"""CASE WHEN V > 0 AND raw * 2 <= ${5L * m}
+         THEN ($m::BIGINT * ([$arr])[V::INT]) // 1000000
+         ELSE raw END"""
+  }
+
+  /** HLL estimate from a register table: raw E = α_m·m²·2^40 / S with
+    * S = Σ_j 2^(40−mj) an exact BIGINT (shift arithmetic; mj ≤ 32 keeps
+    * every term ≥ 2^8 and the sum ≤ m·2^40 « 2^63), plus the standard
+    * small-range correction — linear counting m·ln(m/V) when V registers
+    * are empty and raw ≤ 5m/2 — computed through the fixed integer-micro
+    * ln table ([[lnMicroTable]]), so BOTH branches are cross-engine
+    * bit-stable. Above the corrected regime the textbook ±1.04/√m error
+    * applies, spec-bounded.
+    */
+  def hllEstimate(registers: DataFrame, m: Int): DataFrame =
+    registers
+      .agg(sum(expr("shiftleft(1L, cast(40 - mj as int))")).as("S"),
+        count(when(col("mj") === 0, 1)).as("V"))
+      .select(floor(lit(hllAlpha(m)) * lit(1099511627776.0)
+        * lit(m.toLong * m) / col("S")).cast("long").as("raw"), col("V"))
+      .select(hllCorrected(m))
 
   // ---- q167: CMS frequency bounds for the heaviest event users -----------------
   // The exact per-user counts beside their CMS estimates (depth 4 ×
@@ -266,12 +300,56 @@ object Sketches {
          SELECT r.j, coalesce(o.rho, 0) AS mj
          FROM (SELECT unnest(range(0, $HllM)) AS j) r
          LEFT JOIN observed o ON r.j = o.j),
-       s AS (SELECT sum(1::BIGINT << (40 - mj)::INT)::BIGINT AS S FROM regs),
-       est AS (
+       s AS (SELECT sum(1::BIGINT << (40 - mj)::INT)::BIGINT AS S,
+               count(*) FILTER (WHERE mj = 0)::BIGINT AS V FROM regs),
+       rawe AS (
          SELECT floor(0.709::DOUBLE * 1099511627776.0::DOUBLE
-           * ${HllM.toLong * HllM} / S)::BIGINT AS hll_est FROM s),
+           * ${HllM.toLong * HllM} / S)::BIGINT AS raw, V FROM s),
+       est AS (
+         SELECT (${hllCorrectedSql(HllM)})::BIGINT AS hll_est FROM rawe),
        exact AS (
          SELECT count(DISTINCT event_id)::BIGINT AS n_exact FROM events)
+       SELECT $HllM::BIGINT AS m, n_exact, hll_est,
+         (abs(hll_est - n_exact) * 1000000 // n_exact)::BIGINT AS err_micro
+       FROM exact CROSS JOIN est"""
+
+  // ---- q247: HLL small-range correction on a tiny-cardinality key --------------
+  // user_id % 23 has ~23 distinct values against m = 64 registers — deep
+  // in the regime where the raw harmonic estimate is known-biased and the
+  // linear-counting branch (m·ln(m/V) via the fixed integer ln table)
+  // must fire. The gate proves the corrected branch bit-equal in both
+  // engines; SketchesSpec pins that the correction lands far closer to
+  // the truth than the raw estimate it replaces.
+  private def q247(s: SparkSession, d: String): DataFrame = {
+    val small = Tables.events(s, d).select((col("user_id") % 23).as("k"))
+    val exact = small.agg(countDistinct(col("k")).as("n_exact"))
+    val est = hllEstimate(hllRegisters(small, "k", HllM), HllM)
+    exact.crossJoin(est)
+      .select(lit(HllM).cast("long").as("m"), col("n_exact"), col("hll_est"),
+        expr("abs(hll_est - n_exact) * 1000000L div n_exact").as("err_micro"))
+  }
+  private val q247Sql =
+    s"""WITH h AS (
+         SELECT (((${aSql("0")}) * ($ktSql) + (${bSql("0")}))
+           % 2147483647) AS h
+         FROM (SELECT user_id % 23 AS k FROM events) t),
+       observed AS (
+         SELECT h % $HllM AS j,
+           max(${32 - 6} - length(bin(h // $HllM))) AS rho
+         FROM h GROUP BY 1),
+       regs AS (
+         SELECT r.j, coalesce(o.rho, 0) AS mj
+         FROM (SELECT unnest(range(0, $HllM)) AS j) r
+         LEFT JOIN observed o ON r.j = o.j),
+       s AS (SELECT sum(1::BIGINT << (40 - mj)::INT)::BIGINT AS S,
+               count(*) FILTER (WHERE mj = 0)::BIGINT AS V FROM regs),
+       rawe AS (
+         SELECT floor(0.709::DOUBLE * 1099511627776.0::DOUBLE
+           * ${HllM.toLong * HllM} / S)::BIGINT AS raw, V FROM s),
+       est AS (
+         SELECT (${hllCorrectedSql(HllM)})::BIGINT AS hll_est FROM rawe),
+       exact AS (
+         SELECT count(DISTINCT user_id % 23)::BIGINT AS n_exact FROM events)
        SELECT $HllM::BIGINT AS m, n_exact, hll_est,
          (abs(hll_est - n_exact) * 1000000 // n_exact)::BIGINT AS err_micro
        FROM exact CROSS JOIN est"""
@@ -424,21 +502,17 @@ object Sketches {
         coalesce(col("mj"), lit(0L)).as("mj"))
   }
 
-  /** Per-group raw estimates from a grouped register table (the
-    * [[hllEstimate]] arithmetic, one row per group). */
-  def hllEstimateBy(registers: DataFrame, groupCol: String, m: Int): DataFrame = {
-    val alpha = m match {
-      case 16 => 0.673
-      case 32 => 0.697
-      case 64 => 0.709
-      case _ => 0.7213 / (1.0 + 1.079 / m)
-    }
+  /** Per-group estimates from a grouped register table (the
+    * [[hllEstimate]] arithmetic, one row per group — small-range
+    * correction included; small groups are exactly where it matters). */
+  def hllEstimateBy(registers: DataFrame, groupCol: String, m: Int): DataFrame =
     registers.groupBy(col(groupCol))
-      .agg(sum(expr("shiftleft(1L, cast(40 - mj as int))")).as("S"))
+      .agg(sum(expr("shiftleft(1L, cast(40 - mj as int))")).as("S"),
+        count(when(col("mj") === 0, 1)).as("V"))
       .select(col(groupCol),
-        floor(lit(alpha) * lit(1099511627776.0) * lit(m.toLong * m)
-          / col("S")).cast("long").as("hll_est"))
-  }
+        floor(lit(hllAlpha(m)) * lit(1099511627776.0) * lit(m.toLong * m)
+          / col("S")).cast("long").as("raw"), col("V"))
+      .select(col(groupCol), hllCorrected(m))
 
   // ---- q181: per-group HLL + register-merge rollup ----------------------------
   // Distinct users per event type, sketched per group, PLUS an `__all__`
@@ -482,11 +556,13 @@ object Sketches {
        allregs AS (
          SELECT '__all__' AS g, j, max(mj) AS mj FROM regs GROUP BY j),
        est AS (
-         SELECT g, floor(0.709::DOUBLE * 1099511627776.0::DOUBLE
-             * ${HllM.toLong * HllM}
-             / sum(1::BIGINT << (40 - mj)::INT))::BIGINT AS hll_est
-         FROM (SELECT * FROM regs UNION ALL SELECT * FROM allregs)
-         GROUP BY g),
+         SELECT g, (${hllCorrectedSql(HllM)})::BIGINT AS hll_est FROM (
+           SELECT g, floor(0.709::DOUBLE * 1099511627776.0::DOUBLE
+               * ${HllM.toLong * HllM}
+               / sum(1::BIGINT << (40 - mj)::INT))::BIGINT AS raw,
+             count(*) FILTER (WHERE mj = 0)::BIGINT AS V
+           FROM (SELECT * FROM regs UNION ALL SELECT * FROM allregs)
+           GROUP BY g)),
        exact AS (
          SELECT event_type AS g, count(DISTINCT user_id)::BIGINT AS n_exact
          FROM events GROUP BY 1
@@ -569,10 +645,12 @@ object Sketches {
            ON day <= w_day AND day > w_day - $SlideDays
          GROUP BY 1, 2),
        est AS (
-         SELECT w_day, floor(0.709::DOUBLE * 1099511627776.0::DOUBLE
-             * ${HllM.toLong * HllM}
-             / sum(1::BIGINT << (40 - mj)::INT))::BIGINT AS hll_est
-         FROM winregs GROUP BY 1)
+         SELECT w_day, (${hllCorrectedSql(HllM)})::BIGINT AS hll_est FROM (
+           SELECT w_day, floor(0.709::DOUBLE * 1099511627776.0::DOUBLE
+               * ${HllM.toLong * HllM}
+               / sum(1::BIGINT << (40 - mj)::INT))::BIGINT AS raw,
+             count(*) FILTER (WHERE mj = 0)::BIGINT AS V
+           FROM winregs GROUP BY 1))
        SELECT w_day AS day, n_exact, hll_est,
          (abs(hll_est - n_exact) * 1000000 // n_exact)::BIGINT AS err_micro
        FROM exact JOIN est USING (w_day) ORDER BY day"""
@@ -583,5 +661,6 @@ object Sketches {
     QueryDef("q181_hll_by_group", q181, Some(q181Sql)),
     QueryDef("q190_cms_join_size", q190, Some(q190Sql)),
     QueryDef("q198_bloom_audit", q198, Some(q198Sql)),
-    QueryDef("q192_sliding_distinct", q192, Some(q192Sql)))
+    QueryDef("q192_sliding_distinct", q192, Some(q192Sql)),
+    QueryDef("q247_hll_small_range", q247, Some(q247Sql)))
 }

@@ -102,6 +102,29 @@ object ControlPlane {
     }.toSeq
   }
 
+  /** The first position in `shard` whose record timestamp is at or after
+    * `atMicros` — the GetShardIterator(AT_TIMESTAMP) shape: one bounded
+    * driver-side call per shard at stream initialization, so an
+    * `at_timestamp` start needs no local shard scan. Answer:
+    * `position=p`.
+    */
+  def fetchTimestampPosition(dataPlaneUrl: String, shard: Int,
+      atMicros: Long): Long = {
+    val conn = new java.net.URI(
+      s"$dataPlaneUrl?shard=$shard&atMicros=$atMicros")
+      .toURL.openConnection()
+    conn.setConnectTimeout(5000)
+    conn.setReadTimeout(5000)
+    val in = conn.getInputStream
+    val text =
+      try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
+      finally in.close()
+    val line = text.linesIterator.map(_.trim)
+      .find(_.startsWith("position=")).getOrElse(
+        sys.error(s"timestamp-scan answer lacks a position= line: $text"))
+    line.stripPrefix("position=").trim.toLong
+  }
+
   /** Fetch this worker's lease assignment: the shard subset it owns —
     * the consumer-group seam (KCL's DynamoDB lease table,
     * StreamScheduler.scala:61-97). Answer: `shards=0,2,...`. Assignments

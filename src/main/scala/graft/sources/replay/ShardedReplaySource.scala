@@ -110,9 +110,6 @@ final case class ReplayConfig(
     "reshardAtMs (split) and mergeAtMs are mutually exclusive")
   require(dataPlaneUrl.isEmpty || controlPlaneUrl.isDefined,
     "dataPlaneUrl needs controlPlaneUrl: shard counts come from topology")
-  require(dataPlaneUrl.isEmpty || startingPosition != "at_timestamp",
-    "at_timestamp needs a per-shard timestamp scan, which the data-plane " +
-      "protocol does not expose; use trim_horizon or latest")
   require(mergeAtMicros.isEmpty || numShards % 2 == 0,
     s"mergeAtMs pairs shards, so the shard count must be even (got $numShards)")
   def atMostOnce: Boolean = deliveryMode == "at_most_once"
@@ -486,9 +483,18 @@ final class ShardedReplayMicroBatchStream(
       decorate(SortedMap.from(counts.indices.map(i => i -> counts(i))))
     case "at_timestamp" =>
       val t = eff.startingTimestampMs * 1000L // micros
-      decorate(SortedMap.from(shards.indices.map { i =>
-        i -> shards(i).count(_.tsMicros < t).toLong
-      }))
+      eff.dataPlaneUrl match {
+        case Some(u) =>
+          // Per-shard timestamp scan over the wire — the
+          // GetShardIterator(AT_TIMESTAMP) shape; no local store access.
+          decorate(SortedMap.from((0 until eff.universeSize).map { i =>
+            i -> ControlPlane.fetchTimestampPosition(u, i, t)
+          }))
+        case None =>
+          decorate(SortedMap.from(shards.indices.map { i =>
+            i -> shards(i).count(_.tsMicros < t).toLong
+          }))
+      }
   }
 
   override def getDefaultReadLimit: ReadLimit =

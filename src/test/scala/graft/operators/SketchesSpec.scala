@@ -65,6 +65,33 @@ class SketchesSpec extends SparkSpec {
       s"HLL estimate $est too far from $n")
   }
 
+  test("HLL small-range correction beats the raw estimate on tiny cardinalities") {
+    val m = 64
+    // 20 distinct keys against 64 registers: V ≈ 64·e^(-20/64) > 0 and
+    // the raw harmonic estimate is known-biased here.
+    val tiny = spark.range(0, 2000).select(($"id" % 20 * 7919L + 13L).as("key"))
+    val est = Sketches.hllEstimate(Sketches.hllRegisters(tiny, "key", m), m)
+      .as[Long].head()
+    assert(math.abs(est - 20L) <= 5,
+      s"linear counting must land near 20, got $est")
+    // The raw harmonic estimate (reconstructed) must be WORSE — the
+    // correction genuinely replaces a biased number.
+    val regs = Sketches.hllRegisters(tiny, "key", m)
+      .as[(Long, Long)].collect()
+    val s = regs.map { case (_, mj) => 1L << (40 - mj).toInt }.sum
+    val raw = math.floor(0.709 * 1099511627776.0 * m * m / s).toLong
+    assert(math.abs(raw - 20L) > math.abs(est - 20L),
+      s"raw=$raw should be further from 20 than corrected=$est")
+    // Raw-regime inputs are untouched by the correction branch.
+    val big = spark.range(0, 5000).select(($"id" * 7919L + 13L).as("key"))
+    val bigRegs = Sketches.hllRegisters(big, "key", m).as[(Long, Long)].collect()
+    val bigS = bigRegs.map { case (_, mj) => 1L << (40 - mj).toInt }.sum
+    val bigRaw = math.floor(0.709 * 1099511627776.0 * m * m / bigS).toLong
+    val bigEst = Sketches.hllEstimate(Sketches.hllRegisters(big, "key", m), m)
+      .as[Long].head()
+    assert(bigEst === bigRaw, "above the corrected regime the raw estimate stands")
+  }
+
   test("star contraction labels a long chain (diameter stress) with its min") {
     // A 33-node chain: min-label propagation needs 32 rounds; the
     // alternating star algorithm converges in a handful.

@@ -46,16 +46,24 @@ class ControlPlaneSpec extends SparkSpec with BeforeAndAfterAll {
       val layout = ShardStore.shards(eventsPath, t.numShards,
         t.reshardAtMs.map(_ * 1000L), t.mergeAtMs.map(_ * 1000L))
       val shard = params("shard").toInt
-      val from = params("from").toLong
-      val to = math.min(params("to").toLong,
-        from + params("limit").toLong)
-      val body = (from until math.min(to, layout(shard).length.toLong))
-        .map { pos =>
-          val ev = layout(shard)(pos.toInt)
-          s"$pos\t${ev.tsMicros}\t${ev.userId}\t" +
-            java.util.Base64.getEncoder.encodeToString(
-              ev.payloadJson.getBytes("UTF-8"))
-        }.mkString("\n").getBytes("UTF-8")
+      val body = (params.get("atMicros") match {
+        case Some(at) =>
+          // The timestamp scan (GetShardIterator AT_TIMESTAMP): the first
+          // position with ts >= atMicros.
+          val p = layout(shard).count(_.tsMicros < at.toLong).toLong
+          s"position=$p"
+        case None =>
+          val from = params("from").toLong
+          val to = math.min(params("to").toLong,
+            from + params("limit").toLong)
+          (from until math.min(to, layout(shard).length.toLong))
+            .map { pos =>
+              val ev = layout(shard)(pos.toInt)
+              s"$pos\t${ev.tsMicros}\t${ev.userId}\t" +
+                java.util.Base64.getEncoder.encodeToString(
+                  ev.payloadJson.getBytes("UTF-8"))
+            }.mkString("\n")
+      }).getBytes("UTF-8")
       exchange.sendResponseHeaders(200, if (body.isEmpty) -1 else body.length)
       if (body.nonEmpty) exchange.getResponseBody.write(body)
       exchange.close()
@@ -251,6 +259,39 @@ class ControlPlaneSpec extends SparkSpec with BeforeAndAfterAll {
       assert(count === full.sum, s"tail must catch up, got $count of ${full.sum}")
     } finally q.stop()
     assert(spark.table("dp_tail").count() === nEvents)
+  }
+
+  test("at_timestamp start is byte-identical between file and service backends") {
+    publish(4, None, fileLayout.map(_.length.toLong).toSeq)
+    def drain(sink: String, service: Boolean): Unit = {
+      val base = ConsumerConfig(
+        streamPath = eventsPath, numShards = 4,
+        startingPosition = "at_timestamp",
+        startingTimestampMs = Some(splitMs),
+        maxRecordsPerTrigger = Some(500))
+      val cfg =
+        if (service) base.copy(controlPlaneUrl = Some(url),
+          dataPlaneUrl = Some(dataUrl))
+        else base
+      val q = Consumer.source(cfg)
+        .writeStream.format("memory").queryName(sink)
+        .option("checkpointLocation", tmpDir(s"ckpt_at_$sink"))
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(120000)
+    }
+    drain("at_file", service = false)
+    drain("at_svc", service = true)
+    def rows(name: String) = spark.table(name)
+      .select(col("key"), col("data").cast("string"),
+        col("sequenceNumber"), col("subSequenceNumber"), col("shardId"),
+        col("approximateArrivalTimestamp").cast("long"))
+      .as[(String, String, String, Long, String, Long)].collect().toSet
+    val file = rows("at_file")
+    val svc = rows("at_svc")
+    assert(file.nonEmpty && file.size < nEvents,
+      "the timestamp cut must drop some records and keep some")
+    assert(svc === file,
+      "service-backed at_timestamp must deliver exactly the file backend's rows")
   }
 
   test("two leased workers tile the stream: disjoint shards, union exactly-once") {
