@@ -1575,6 +1575,80 @@ object Analytics {
           .cast("long").as("mean_after_micro"))
   }
 
+  /** Theil–Sen robust trend per key: the median of all pairwise slopes
+    * of the daily value series — the outlier-proof companion to
+    * [[linearTrend]]'s OLS (one 50× spike day drags an OLS slope
+    * arbitrarily; it is one slope sample among C(days, 2) here). The
+    * robust-statistics family closer beside [[dailyMadAlerts]]' level
+    * test: MAD says a day is anomalous, this says what the trend is
+    * despite it.
+    *
+    * Exact algebra: daily BIGINT cent totals; each pair's slope lands as
+    * sign-split integer micros (cents/day — identical floors on both
+    * engines), and the median is the nearest-rank first-value-at-half
+    * rule over the per-key (slope → count) collapse, pure integer
+    * comparison. Keys with < 2 observed days emit nothing (no pairs).
+    *
+    * Scale: the corpus collapses to per-key DAILY totals first
+    * (calendar-bounded — the q202 discipline), so the pair fan-out is
+    * C(days, 2) ≤ ~66k per key per year, never corpus-sized; pairs
+    * partial-aggregate to the slope collapse below their exchange.
+    */
+  def theilSen(df: DataFrame, keyCol: String, tsCol: String,
+      valueCol: String): DataFrame = {
+    val daily = df
+      .select(col(keyCol).as("k"),
+        expr(s"unix_date(to_date($tsCol))").cast("long").as("d"),
+        floor(col(valueCol) * 100).cast("long").as("cents"))
+      .groupBy(col("k"), col("d"))
+      .agg(sum(col("cents")).as("s"))
+    val slopes = daily.as("a")
+      .join(daily.as("b"),
+        col("a.k") === col("b.k") && col("a.d") < col("b.d"))
+      .select(col("a.k").as("k"),
+        expr("""sign(b.s - a.s) *
+          (abs(b.s - a.s) * 1000000L div (b.d - a.d))""").cast("long")
+          .as("sl"))
+    val byV = slopes.groupBy(col("k"), col("sl")).agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy(col("k")).orderBy(col("sl"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    byV.select(col("k"), col("sl"), sum(col("c")).over(w).as("cum"),
+        sum(col("c")).over(Window.partitionBy(col("k"))).as("n"))
+      .filter(lit(2L) * col("cum") >= col("n"))
+      .groupBy(col("k"), col("n"))
+      .agg(min(col("sl")).as("slope_micro"))
+      .select(col("k").as(keyCol), col("n").as("n_pairs"),
+        col("slope_micro"))
+  }
+
+  // ---- q250: robust daily-revenue trend per event type ------------------------
+  private def q250(s: SparkSession, d: String): DataFrame =
+    theilSen(Tables.events(s, d), "event_type", "ts", "value")
+      .orderBy(col("event_type"))
+  private val q250Sql =
+    """WITH daily AS (
+         SELECT event_type AS k,
+           (ts::TIMESTAMP)::DATE - DATE '1970-01-01' AS d,
+           sum(floor(value * 100)::BIGINT)::BIGINT AS s
+         FROM events GROUP BY 1, 2),
+       slopes AS (
+         SELECT a.k,
+           (sign(b.s - a.s)::BIGINT
+             * (abs(b.s - a.s) * 1000000 // (b.d - a.d)))::BIGINT AS sl
+         FROM daily a JOIN daily b ON a.k = b.k AND a.d < b.d),
+       byv AS (
+         SELECT k, sl, count(*)::BIGINT AS c FROM slopes GROUP BY 1, 2),
+       cum AS (
+         SELECT k, sl,
+           sum(c) OVER (PARTITION BY k ORDER BY sl
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+           sum(c) OVER (PARTITION BY k) AS n
+         FROM byv)
+       SELECT k AS event_type, n::BIGINT AS n_pairs,
+         min(sl)::BIGINT AS slope_micro
+       FROM cum WHERE 2 * cum >= n
+       GROUP BY k, n ORDER BY event_type"""
+
   /** Per-group WEIGHTED median: the smallest value at which the
     * cumulative weight reaches half the group's total — e.g. the
     * document length below which half the CHARACTER MASS sits (very
@@ -2694,6 +2768,7 @@ object Analytics {
        FROM best WHERE rn = 1 ORDER BY event_type"""
 
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q250_theil_sen", q250, Some(q250Sql)),
     QueryDef("q202_change_point", q202, Some(q202Sql)),
     QueryDef("q215_otsu_threshold", q215, Some(q215Sql)),
     QueryDef("q209_seasonal_backtest", q209, Some(q209Sql)),

@@ -1820,6 +1820,86 @@ object Profile {
         expr("n_violating * 1000000L div n_keys").as("violation_micro"))
   }
 
+  /** Inclusion-dependency check (FK-candidate discovery / referential
+    * audit): is every non-null value of `child.childCol` present in
+    * `parent.parentCol` — the sibling of [[fdCheck]] (A determines B)
+    * and [[expectFk]] (assert and fail); this one MEASURES: distinct
+    * child values, how many lack a parent, the worst orphan's row
+    * count, and the coverage share — the signal a schema-discovery pass
+    * ranks join candidates by.
+    *
+    * Scale: both sides collapse to distinct keys with map-side partials
+    * before one anti-joinable left join; all counts exact BIGINT, one
+    * micro floor.
+    */
+  def inclusionCheck(child: DataFrame, childCol: String,
+      parent: DataFrame, parentCol: String, label: String): DataFrame = {
+    val c = child.filter(col(childCol).isNotNull)
+      .groupBy(col(childCol).as("k")).agg(count(lit(1)).as("rows"))
+    val p = parent.select(col(parentCol).as("k")).distinct()
+      .withColumn("hit", lit(1))
+    c.join(p, Seq("k"), "left")
+      .agg(count(lit(1)).as("n_child_distinct"),
+        sum(col("rows")).as("n_child_rows"),
+        count(when(col("hit").isNull, 1)).as("n_orphan_distinct"),
+        coalesce(sum(when(col("hit").isNull, col("rows"))), lit(0L))
+          .as("n_orphan_rows"),
+        coalesce(max(when(col("hit").isNull, col("rows"))), lit(0L))
+          .as("worst_orphan_rows"))
+      .select(lit(label).as("candidate"), col("n_child_distinct"),
+        col("n_child_rows"), col("n_orphan_distinct"),
+        col("n_orphan_rows"), col("worst_orphan_rows"),
+        (col("n_orphan_distinct") === 0).as("included"),
+        expr("""(n_child_distinct - n_orphan_distinct) * 1000000L
+          div n_child_distinct""").as("coverage_micro"))
+  }
+
+  // ---- q251: FK-candidate audit over the order book ---------------------------
+  // Two true foreign keys (every lineitem has its order, every order its
+  // customer) and one deliberately failing direction (customers without
+  // orders are orphans of o_custkey) — the report must measure, not
+  // assert.
+  private def q251(s: SparkSession, d: String): DataFrame =
+    inclusionCheck(Tables.lineitem(s, d), "l_orderkey",
+        Tables.orders(s, d), "o_orderkey", "lineitem.l_orderkey->orders")
+      .unionByName(inclusionCheck(Tables.orders(s, d), "o_custkey",
+        Tables.customer(s, d), "c_custkey", "orders.o_custkey->customer"))
+      .unionByName(inclusionCheck(Tables.customer(s, d), "c_custkey",
+        Tables.orders(s, d), "o_custkey", "customer.c_custkey->orders"))
+      .orderBy(col("candidate"))
+  private val q251Sql = {
+    def one(label: String, childTable: String, childCol: String,
+        parentTable: String, parentCol: String) =
+      s"""SELECT '$label' AS candidate,
+           count(*)::BIGINT AS n_child_distinct,
+           sum(rows)::BIGINT AS n_child_rows,
+           count(*) FILTER (WHERE hit IS NULL)::BIGINT AS n_orphan_distinct,
+           coalesce(sum(rows) FILTER (WHERE hit IS NULL), 0)::BIGINT
+             AS n_orphan_rows,
+           coalesce(max(rows) FILTER (WHERE hit IS NULL), 0)::BIGINT
+             AS worst_orphan_rows,
+           (count(*) FILTER (WHERE hit IS NULL) = 0) AS included,
+           ((count(*) - count(*) FILTER (WHERE hit IS NULL)) * 1000000
+             // count(*))::BIGINT AS coverage_micro
+         FROM (
+           SELECT c.k, c.rows, p.hit FROM (
+             SELECT $childCol AS k, count(*)::BIGINT AS rows
+             FROM $childTable WHERE $childCol IS NOT NULL GROUP BY 1) c
+           LEFT JOIN (
+             SELECT DISTINCT $parentCol AS k, 1 AS hit
+             FROM $parentTable) p ON c.k = p.k)"""
+    s"""SELECT * FROM (
+         ${one("lineitem.l_orderkey->orders", "lineitem", "l_orderkey",
+           "orders", "o_orderkey")}
+         UNION ALL
+         ${one("orders.o_custkey->customer", "orders", "o_custkey",
+           "customer", "c_custkey")}
+         UNION ALL
+         ${one("customer.c_custkey->orders", "customer", "c_custkey",
+           "orders", "o_custkey")})
+       ORDER BY candidate"""
+  }
+
   /** Multi-feature drift table in TWO passes: per feature, the total-
     * variation distance between two periods' equi-width histograms —
     * q126's single-column drift generalized with the q214 trick (all
@@ -2601,6 +2681,7 @@ object Profile {
        FROM c GROUP BY user_id ORDER BY user_id"""
 
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q251_inclusion_audit", q251, Some(q251Sql)),
     QueryDef("q194_mann_whitney", q194, Some(q194Sql)),
     QueryDef("q195_spearman", q195, Some(q195Sql)),
     QueryDef("q199_ks_test", q199, Some(q199Sql)),

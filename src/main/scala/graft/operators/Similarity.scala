@@ -1168,7 +1168,104 @@ object Similarity {
        SELECT query_id, rank::INT AS rank, neighbor_id, n_lists, rrf_ppb
        FROM rk WHERE rank <= $TopK ORDER BY query_id, rank"""
 
+  /** Embedding centroid drift per group between two cohorts (periods,
+    * snapshots, model versions): the cosine between each cohort's mean
+    * vector — "did this language's/topic's embedding mass MOVE" — the
+    * vector-space companion to [[Profile.featureDrift]]'s scalar screen
+    * and the cheap gate before re-clustering or re-indexing an ANN
+    * layout (IVF centroids trained on drifted mass probe badly).
+    *
+    * Exact path: components quantize to integer micros map-side
+    * (float→double is exact; floor(x·1e6) identical both engines), sums
+    * and the per-(group, cohort, pos) means are BIGINT (sign-split
+    * floor), and the centroid cosine's dot/norms accumulate as exact
+    * BIGINTs over positions — ONE double finish (sqrt·sqrt·divide,
+    * correctly-rounded single ops), binRound6, −0.0-canonicalized.
+    *
+    * Scale: the corpus collapses to (group, cohort, pos) partials below
+    * the one exchange — dims·|groups|·2 rows; everything after is
+    * group-sized. Groups missing a cohort are omitted (no centroid to
+    * compare).
+    */
+  def centroidDrift(df: DataFrame, groupCol: Column, vecCol: Column,
+      inCohortA: Column): DataFrame = {
+    val base = df.select(groupCol.as("g"), vecCol.as("v"),
+      inCohortA.cast("boolean").as("in_a"))
+    val comps = base
+      .select(col("g"), col("in_a"), posexplode(col("v")).as(Seq("pos", "x")))
+      .select(col("g"), col("in_a"), col("pos"),
+        floor(col("x").cast("double") * lit(1e6)).cast("long").as("xm"))
+      .groupBy(col("g"), col("in_a"), col("pos"))
+      .agg(sum(col("xm")).as("sm"), count(lit(1)).as("nc"))
+      .select(col("g"), col("in_a"), col("pos"),
+        expr("sign(sm) * (abs(sm) div nc)").cast("long").as("m"))
+    val a = comps.filter(col("in_a"))
+      .select(col("g"), col("pos"), col("m").as("ma"))
+    val b = comps.filter(!col("in_a"))
+      .select(col("g"), col("pos"), col("m").as("mb"))
+    val sizes = base.groupBy(col("g"))
+      .agg(count(when(col("in_a"), 1)).as("n_a"),
+        count(when(!col("in_a"), 1)).as("n_b"))
+    a.join(b, Seq("g", "pos"))
+      .groupBy(col("g"))
+      .agg(sum(col("ma") * col("mb")).as("dot"),
+        sum(col("ma") * col("ma")).as("qa"),
+        sum(col("mb") * col("mb")).as("qb"))
+      .join(broadcast(sizes), Seq("g"))
+      .select(col("g"), col("n_a"), col("n_b"),
+        when(col("qa") === 0 || col("qb") === 0, lit(null).cast("double"))
+          .otherwise(
+            floor(col("dot").cast("double")
+              / (sqrt(col("qa").cast("double"))
+                * sqrt(col("qb").cast("double"))) * lit(1e6) + lit(0.5))
+              / lit(1e6) + lit(0.0))
+          .as("cos_centroids"))
+  }
+
+  // ---- q252: did any label's embedding mass move between cohorts? -------------
+  // Even vs odd vec_ids stand in for two snapshots; per label, the
+  // centroid cosine answers "same region of space?" — near 1.0 for a
+  // stationary population. The oracle replays the exact micro-mean
+  // algebra and the identical one-division double finish.
+  private def q252(s: SparkSession, d: String): DataFrame =
+    centroidDrift(Tables.embeddings(s, d), col("label"), col("embedding"),
+        col("vec_id") % 2 === 0)
+      .orderBy(col("g"))
+  private val q252Sql =
+    """WITH base AS (
+         SELECT label AS g, embedding, (vec_id % 2 = 0) AS in_a
+         FROM embeddings),
+       comps AS (
+         SELECT g, in_a, i - 1 AS pos,
+           sum(floor(embedding[i]::DOUBLE * 1e6)::BIGINT)::BIGINT AS sm,
+           count(*)::BIGINT AS nc
+         FROM base, unnest(range(1, len(embedding) + 1)) AS t(i)
+         GROUP BY 1, 2, 3),
+       m AS (
+         SELECT g, in_a, pos,
+           (sign(sm)::BIGINT * (abs(sm) // nc))::BIGINT AS m
+         FROM comps),
+       prod AS (
+         SELECT a.g, sum(a.m * b.m)::BIGINT AS dot,
+           sum(a.m * a.m)::BIGINT AS qa, sum(b.m * b.m)::BIGINT AS qb
+         FROM (SELECT g, pos, m FROM m WHERE in_a) a
+         JOIN (SELECT g, pos, m FROM m WHERE NOT in_a) b
+           ON a.g = b.g AND a.pos = b.pos
+         GROUP BY a.g),
+       sizes AS (
+         SELECT g, count(*) FILTER (WHERE in_a)::BIGINT AS n_a,
+           count(*) FILTER (WHERE NOT in_a)::BIGINT AS n_b
+         FROM base GROUP BY g)
+       SELECT p.g, s.n_a, s.n_b,
+         CASE WHEN p.qa = 0 OR p.qb = 0 THEN NULL
+           ELSE floor(p.dot::DOUBLE
+             / (sqrt(p.qa::DOUBLE) * sqrt(p.qb::DOUBLE)) * 1e6 + 0.5)
+             / 1e6 + 0.0 END AS cos_centroids
+       FROM prod p JOIN sizes s ON p.g = s.g
+       ORDER BY p.g"""
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q252_centroid_drift", q252, Some(q252Sql)),
     QueryDef("q30_cosine_topk", q30, Some(q30Sql), headline = true),
     QueryDef("q164_rrf_fusion", q164, Some(q164Sql)),
     QueryDef("q150_sparse_cosine", q150, Some(q150Sql)),

@@ -1,7 +1,8 @@
 package graft.operators
 
 import graft.{QueryDef, Tables}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Mergeable sketches with EXACT cross-engine algebra (SURVEY.md §2.6
@@ -230,6 +231,134 @@ object Sketches {
       .select(floor(lit(hllAlpha(m)) * lit(1099511627776.0)
         * lit(m.toLong * m) / col("S")).cast("long").as("raw"), col("V"))
       .select(hllCorrected(m))
+
+  /** DDSketch-style log-binned quantile histogram of a POSITIVE integer
+    * value column: bin = (e, sub) with e = bitlength(v) − 1 (the octave)
+    * and sub = the top `subBits` mantissa bits — pure bit/integer
+    * arithmetic (`length(bin(v))`, shifts, floor division), so the
+    * sketch is bit-identical on any engine or partitioning, like
+    * [[cmsCells]]. Bin counts ADD, so two datasets' bin tables sum into
+    * the sketch of their union (spec'd) — the mergeable-quantile lever:
+    * exact percentiles need a per-query shuffle of the value domain,
+    * while this collapses any corpus to ≤ 63·2^subBits rows map-side,
+    * and pre-aggregated shard summaries roll up by addition.
+    *
+    * `rep` is the bin's exact lower bound ((2^s + sub)·2^e / 2^s); a
+    * quantile read returns the rep of the bin holding the nearest-rank
+    * value, so the relative error is bounded by the in-bin width
+    * 1/(2^s + sub) ≤ 2^−subBits. Rows with v < 1 are excluded (the
+    * standard DDSketch positive-domain contract — count zeros
+    * separately upstream).
+    */
+  def ddBins(df: DataFrame, valueCol: Column, subBits: Int): DataFrame = {
+    require(subBits >= 1 && subBits <= 8, "subBits in [1, 8]")
+    val s2 = 1L << subBits
+    df.select(valueCol.cast("long").as("v"))
+      .filter(col("v") >= 1L)
+      .select(expr("length(bin(v)) - 1").as("e"), col("v"))
+      .select(col("e"),
+        expr(s"(v * ${s2}L) div shiftleft(1L, cast(e as int)) - ${s2}L")
+          .as("sub"))
+      .groupBy(col("e"), col("sub")).agg(count(lit(1)).as("c"))
+      .select(col("e"), col("sub"),
+        expr(s"((${s2}L + sub) * shiftleft(1L, cast(e as int))) div ${s2}L")
+          .as("rep"),
+        col("c"))
+  }
+
+  /** One-row quantile-accuracy audit of [[ddBins]]: for each requested
+    * percentile, the sketch estimate (the rep of the first bin whose
+    * cumulative count reaches the nearest rank) beside the exact
+    * nearest-rank value, plus a boolean pinning the estimate inside the
+    * sketch's relative-error bound (exact integer comparison
+    * (exact − est)·2^s ≤ est + 2^s, the bin width plus floor slack).
+    * The cumulative windows run over the ≤ 63·2^s bin relation and the
+    * exact side's distinct-value collapse — the usual quantized-domain
+    * discipline.
+    */
+  def ddQuantileAudit(df: DataFrame, valueCol: Column, subBits: Int,
+      ps: Seq[Int]): DataFrame = {
+    require(ps.nonEmpty && ps.forall(p => p >= 1 && p <= 100))
+    val s2 = 1L << subBits
+    val vals = df.select(valueCol.cast("long").as("v")).filter(col("v") >= 1L)
+    val wB = Window.orderBy(col("e"), col("sub"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cumBins = ddBins(vals, col("v"), subBits)
+      .select(col("rep"), sum(col("c")).over(wB).as("cum"))
+    val byV = vals.groupBy(col("v")).agg(count(lit(1)).as("c"))
+    val wV = Window.orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cumV = byV.select(col("v"), sum(col("c")).over(wV).as("cum"))
+    val n = vals.agg(count(lit(1)).as("n"))
+    val estAggs = ps.flatMap { p =>
+      Seq(min(when(col("cum") * 100 >= col("n") * p, col("rep")))
+        .as(s"p${p}_est"))
+    }
+    val exactAggs = ps.map { p =>
+      min(when(col("cum") * 100 >= col("n") * p, col("v"))).as(s"p${p}_exact")
+    }
+    val est = cumBins.crossJoin(broadcast(n))
+      .agg(estAggs.head, estAggs.tail: _*)
+    val exact = cumV.crossJoin(broadcast(n))
+      .agg(max(col("n")).as("n"), exactAggs: _*)
+    exact.crossJoin(broadcast(est))
+      .select(col("n") +: ps.flatMap { p =>
+        Seq(col(s"p${p}_est"), col(s"p${p}_exact"),
+          ((col(s"p${p}_exact") - col(s"p${p}_est")) * lit(s2) <=
+            col(s"p${p}_est") + lit(s2)).as(s"p${p}_ok"))
+      }: _*)
+  }
+
+  // ---- q248: mergeable log-binned quantile sketch vs exact percentiles ---------
+  // Order-price cents through a subBits = 4 sketch (±1/16 relative
+  // bound): the estimates sit beside the exact nearest-rank values with
+  // the bound check IN the hashable row (the q36/q57 pattern), so the
+  // driver gate proves both the bit-stable bin algebra and the accuracy
+  // promise every round.
+  private val DdSub = 4
+  private def q248(s: SparkSession, d: String): DataFrame =
+    ddQuantileAudit(Tables.orders(s, d),
+      floor(col("o_totalprice") * 100), DdSub, Seq(50, 90, 99))
+  private val q248Sql = {
+    val s2 = 1L << DdSub
+    s"""WITH vals AS (
+         SELECT floor(o_totalprice * 100)::BIGINT AS v FROM orders
+         WHERE floor(o_totalprice * 100) >= 1),
+       bins AS (
+         SELECT e, (v * $s2) // (1::BIGINT << e::INT) - $s2 AS sub,
+           count(*)::BIGINT AS c
+         FROM (SELECT length(bin(v)) - 1 AS e, v FROM vals) t
+         GROUP BY 1, 2),
+       cumb AS (
+         SELECT (($s2 + sub) * (1::BIGINT << e::INT)) // $s2 AS rep,
+           sum(c) OVER (ORDER BY e, sub
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         FROM bins),
+       byv AS (SELECT v, count(*)::BIGINT AS c FROM vals GROUP BY v),
+       cumv AS (
+         SELECT v, sum(c) OVER (ORDER BY v
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         FROM byv),
+       n AS (SELECT count(*)::BIGINT AS n FROM vals),
+       est AS (
+         SELECT min(CASE WHEN cum * 100 >= n * 50 THEN rep END)::BIGINT AS p50_est,
+           min(CASE WHEN cum * 100 >= n * 90 THEN rep END)::BIGINT AS p90_est,
+           min(CASE WHEN cum * 100 >= n * 99 THEN rep END)::BIGINT AS p99_est
+         FROM cumb, n),
+       ext AS (
+         SELECT max(n)::BIGINT AS n,
+           min(CASE WHEN cum * 100 >= n * 50 THEN v END)::BIGINT AS p50_exact,
+           min(CASE WHEN cum * 100 >= n * 90 THEN v END)::BIGINT AS p90_exact,
+           min(CASE WHEN cum * 100 >= n * 99 THEN v END)::BIGINT AS p99_exact
+         FROM cumv, n)
+       SELECT n, p50_est, p50_exact,
+         ((p50_exact - p50_est) * $s2 <= p50_est + $s2) AS p50_ok,
+         p90_est, p90_exact,
+         ((p90_exact - p90_est) * $s2 <= p90_est + $s2) AS p90_ok,
+         p99_est, p99_exact,
+         ((p99_exact - p99_est) * $s2 <= p99_est + $s2) AS p99_ok
+       FROM ext CROSS JOIN est"""
+  }
 
   // ---- q167: CMS frequency bounds for the heaviest event users -----------------
   // The exact per-user counts beside their CMS estimates (depth 4 ×
@@ -571,6 +700,97 @@ object Sketches {
        SELECT e.g AS event_type, x.n_exact, e.hll_est
        FROM est e JOIN exact x ON e.g = x.g ORDER BY event_type"""
 
+  /** One-pass multi-column distinct-cardinality profile: HLL registers
+    * for EVERY named column from a single scan — the profiling shape
+    * that survives 100 TB. Exact per-column distinct counts each cost a
+    * corpus-wide distinct shuffle (or one Expand-multiplied pass); here
+    * the corpus stacks to (column, value) rows map-side, values key
+    * through the cross-engine [[graft.functions.PolyHash]] rolling hash
+    * (any type, via its string form), and the only exchange carries
+    * |columns|·m register rows. Estimates get the [[hllEstimate]]
+    * small-range correction, so low-cardinality columns (statuses,
+    * flags) read accurately next to id columns.
+    *
+    * The audit columns (`n_exact`, `err_micro`) re-derive the true
+    * distinct counts for the acceptance read — at corpus scale a caller
+    * drops them and keeps the register-only pass.
+    */
+  def hllColumnProfile(df: DataFrame, columns: Seq[String],
+      m: Int): DataFrame = {
+    require(columns.nonEmpty, "need at least one column")
+    val stackExpr = s"stack(${columns.size}, " +
+      columns.map(c => s"'$c', cast(`$c` as string)").mkString(", ") +
+      ") as (col_name, sval)"
+    val stacked = df.selectExpr(stackExpr).filter(col("sval").isNotNull)
+    val keyed = stacked.select(col("col_name"),
+      graft.functions.TextFunctions.polyHash(col("sval")).as("k"))
+    val est = hllEstimateBy(
+      hllRegistersBy(keyed, "col_name", "k", m), "col_name", m)
+    val exact = stacked.groupBy(col("col_name"))
+      .agg(count(lit(1)).as("n_nonnull"),
+        countDistinct(col("sval")).as("n_exact"))
+    exact.join(est, Seq("col_name"))
+      .select(col("col_name"), col("n_nonnull"), col("n_exact"),
+        col("hll_est"),
+        expr("abs(hll_est - n_exact) * 1000000L div n_exact").as("err_micro"))
+  }
+
+  // ---- q249: whole-table cardinality profile in one register pass --------------
+  // Four orders columns spanning the cardinality spectrum (5-ish statuses
+  // and priorities, ~10k customers, all-distinct order keys): the small-range
+  // correction and the raw regime are BOTH exercised in one report, and
+  // the oracle rebuilds every register from the same polyhash/HLL
+  // algebra.
+  private val ProfileCols =
+    Seq("o_custkey", "o_orderstatus", "o_orderpriority", "o_orderkey")
+  private def q249(s: SparkSession, d: String): DataFrame =
+    hllColumnProfile(Tables.orders(s, d), ProfileCols, HllM)
+      .orderBy(col("col_name"))
+  private val q249Sql = {
+    val stacked = ProfileCols.map(c =>
+      s"SELECT '$c' AS col_name, $c::VARCHAR AS sval FROM orders")
+      .mkString("\n         UNION ALL ")
+    s"""WITH stacked AS (
+         $stacked),
+       nn AS (SELECT col_name, sval FROM stacked WHERE sval IS NOT NULL),
+       keyed AS (
+         SELECT col_name, list_reduce(list_prepend(0::BIGINT,
+             list_transform(string_split(sval, ''), c -> ord(c)::BIGINT)),
+           (acc, c) -> (acc * 131 + c) % 2147483647) AS k
+         FROM nn),
+       h AS (
+         SELECT col_name AS g,
+           (((${aSql("0")}) * ($ktSql) + (${bSql("0")}))
+             % 2147483647) AS h
+         FROM keyed),
+       observed AS (
+         SELECT g, h % $HllM AS j,
+           max(${32 - 6} - length(bin(h // $HllM))) AS rho
+         FROM h GROUP BY 1, 2),
+       spine AS (
+         SELECT g, j FROM (SELECT DISTINCT g FROM h),
+           (SELECT unnest(range(0, $HllM)) AS j)),
+       regs AS (
+         SELECT s.g, s.j, coalesce(o.rho, 0) AS mj
+         FROM spine s LEFT JOIN observed o ON s.g = o.g AND s.j = o.j),
+       est AS (
+         SELECT g, (${hllCorrectedSql(HllM)})::BIGINT AS hll_est FROM (
+           SELECT g, floor(0.709::DOUBLE * 1099511627776.0::DOUBLE
+               * ${HllM.toLong * HllM}
+               / sum(1::BIGINT << (40 - mj)::INT))::BIGINT AS raw,
+             count(*) FILTER (WHERE mj = 0)::BIGINT AS V
+           FROM regs GROUP BY g)),
+       exact AS (
+         SELECT col_name, count(*)::BIGINT AS n_nonnull,
+           count(DISTINCT sval)::BIGINT AS n_exact
+         FROM nn GROUP BY 1)
+       SELECT x.col_name, x.n_nonnull, x.n_exact, e.hll_est,
+         (abs(e.hll_est - x.n_exact) * 1000000 // x.n_exact)::BIGINT
+           AS err_micro
+       FROM exact x JOIN est e ON x.col_name = e.g
+       ORDER BY col_name"""
+  }
+
   /** Sliding-window distinct counts: for every day, |distinct keys over
     * the trailing `windowDays`| — exact AND sketched side by side. The
     * exact form expands (day, key) membership across the window spine
@@ -662,5 +882,7 @@ object Sketches {
     QueryDef("q190_cms_join_size", q190, Some(q190Sql)),
     QueryDef("q198_bloom_audit", q198, Some(q198Sql)),
     QueryDef("q192_sliding_distinct", q192, Some(q192Sql)),
-    QueryDef("q247_hll_small_range", q247, Some(q247Sql)))
+    QueryDef("q247_hll_small_range", q247, Some(q247Sql)),
+    QueryDef("q248_dd_quantiles", q248, Some(q248Sql)),
+    QueryDef("q249_column_cardinality", q249, Some(q249Sql)))
 }

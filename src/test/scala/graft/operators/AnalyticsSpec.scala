@@ -582,4 +582,24 @@ class AnalyticsSpec extends SparkSpec {
     assert(got(0) === ((1L, 2L, 100L * 1048576L + 200L * 524288L, 200L)))
     assert(got(1) === ((2L, 1L, 300L, 0L)))
   }
+  test("theilSen recovers the trend an outlier day would drag off OLS") {
+    import java.sql.Timestamp
+    // 20 days at slope 100 cents/day, plus one 10000x spike on day 10.
+    val rows = (0 until 20).map { d =>
+      val v = if (d == 10) 1000000.0 else 10.0 + d * 1.0
+      ("k1", Timestamp.valueOf(f"2024-01-${d + 1}%02d 00:00:00"), v)
+    }
+    val df = rows.toDF("k", "ts", "v")
+    val got = Analytics.theilSen(df, "k", "ts", "v").head()
+    // true slope: 1.00/day = 100 cents/day = 100000000 micro-cents/day
+    assert(got.getAs[Long]("slope_micro") === 100000000L,
+      s"median slope must shrug off the spike: $got")
+    assert(got.getAs[Long]("n_pairs") === 190L)
+    // a single-day key emits nothing (no pairs)
+    val one = Analytics.theilSen(
+      Seq(("solo", Timestamp.valueOf("2024-01-01 00:00:00"), 5.0))
+        .toDF("k", "ts", "v"), "k", "ts", "v")
+    assert(one.count() === 0L)
+  }
+
 }

@@ -677,4 +677,23 @@ class ProfileSpec extends SparkSpec {
     assert(got(2) === ((3L, 4L, Some(0.0))))
     assert(got(3) === ((4L, 2L, None)))
   }
+  test("inclusionCheck measures coverage and orphans without asserting") {
+    val child = Seq((1L, "a"), (1L, "b"), (2L, "c"), (9L, "d"), (9L, "e"),
+      (9L, "f")).toDF("fk", "payload")
+    val parent = Seq(1L, 2L, 3L).toDF("pk")
+    val got = Profile.inclusionCheck(child, "fk", parent, "pk", "t").head()
+    assert(got.getAs[Long]("n_child_distinct") === 3L)
+    assert(got.getAs[Long]("n_child_rows") === 6L)
+    assert(got.getAs[Long]("n_orphan_distinct") === 1L)
+    assert(got.getAs[Long]("n_orphan_rows") === 3L)
+    assert(got.getAs[Long]("worst_orphan_rows") === 3L)
+    assert(!got.getAs[Boolean]("included"))
+    assert(got.getAs[Long]("coverage_micro") === 666666L)
+    // full inclusion
+    val ok = Profile.inclusionCheck(
+      Seq(1L, 2L).toDF("fk"), "fk", parent, "pk", "ok").head()
+    assert(ok.getAs[Boolean]("included")
+      && ok.getAs[Long]("coverage_micro") === 1000000L)
+  }
+
 }

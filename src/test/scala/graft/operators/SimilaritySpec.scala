@@ -178,4 +178,20 @@ class SimilaritySpec extends SparkSpec {
       .as[(Long, Int, Long, Double)].collect()
     assert(got === Array((0L, 1, 1L, 0.0)))
   }
+  test("centroidDrift: identical cohorts score 1.0, opposite score -1.0") {
+    val same = Seq(
+      (1L, Seq(1.0f, 0.0f), 0L), (2L, Seq(1.0f, 0.0f), 0L),
+      (3L, Seq(0.0f, 2.0f), 1L), (4L, Seq(0.0f, -2.0f), 1L),
+      (5L, Seq(0.5f, 0.5f), 2L)).toDF("vec_id", "embedding", "label")
+    val got = Similarity.centroidDrift(same, $"label", $"embedding",
+        $"vec_id" % 2 === 1)
+      .orderBy($"g").collect()
+    // label 0: both cohorts on (1,0) -> cos 1.0
+    assert(got(0).getAs[Double]("cos_centroids") === 1.0)
+    // label 1: (0,2) vs (0,-2) -> cos -1.0
+    assert(got(1).getAs[Double]("cos_centroids") === -1.0)
+    // label 2 has only one cohort -> omitted
+    assert(got.length === 2)
+  }
+
 }

@@ -92,6 +92,57 @@ class SketchesSpec extends SparkSpec {
     assert(bigEst === bigRaw, "above the corrected regime the raw estimate stands")
   }
 
+  test("ddBins are additive and the quantile audit stays inside the bound") {
+    val xs = spark.range(1, 5001).select(($"id" * 37L % 99991L + 1L).as("v"))
+    val whole = Sketches.ddBins(xs, $"v", subBits = 4)
+      .orderBy($"e", $"sub").as[(Long, Long, Long, Long)].collect()
+    // bins(A) + bins(B) == bins(A ∪ B): the mergeability law.
+    val (a, b) = (xs.filter($"v" % 2 === 0), xs.filter($"v" % 2 =!= 0))
+    val summed = Sketches.ddBins(a, $"v", 4)
+      .unionByName(Sketches.ddBins(b, $"v", 4))
+      .groupBy($"e", $"sub", $"rep").agg(sum($"c").as("c"))
+      .select($"e", $"sub", $"rep", $"c")
+      .orderBy($"e", $"sub").as[(Long, Long, Long, Long)].collect()
+    assert(summed === whole)
+    // Partitioning-independence.
+    val repart = Sketches.ddBins(xs.repartition(13), $"v", 4)
+      .orderBy($"e", $"sub").as[(Long, Long, Long, Long)].collect()
+    assert(repart === whole)
+    // Every requested percentile lands inside the sketch's error bound.
+    val audit = Sketches.ddQuantileAudit(xs, $"v", 4, Seq(10, 50, 90, 99))
+      .head()
+    Seq("p10_ok", "p50_ok", "p90_ok", "p99_ok").foreach { c =>
+      assert(audit.getAs[Boolean](c), s"$c must hold: $audit")
+    }
+    // rep is a LOWER bound of its bin: estimate <= exact always.
+    Seq(10, 50, 90, 99).foreach { p =>
+      assert(audit.getAs[Long](s"p${p}_est") <= audit.getAs[Long](s"p${p}_exact"))
+    }
+  }
+
+  test("hllColumnProfile reads every column's cardinality from one register pass") {
+    val df = spark.range(0, 3000).select(
+      ($"id" % 7).cast("string").as("status"),
+      $"id".as("ident"),
+      ($"id" % 400).as("bucket"))
+    val got = Sketches.hllColumnProfile(df, Seq("status", "ident", "bucket"), 64)
+      .orderBy($"col_name")
+      .as[(String, Long, Long, Long, Long)].collect()
+    assert(got.map(_._1).toSeq === Seq("bucket", "ident", "status"))
+    got.foreach { case (name, nn, exact, est, _) =>
+      assert(nn === 3000L)
+      val want = Map("status" -> 7L, "ident" -> 3000L, "bucket" -> 400L)(name)
+      assert(exact === want, s"$name exact")
+      // corrected small-range columns are near-exact; the id column gets
+      // the raw-regime 3σ envelope (3·1.04/√64 = 39%)
+      assert(math.abs(est - want).toDouble / want < 0.39,
+        s"$name est=$est want~$want")
+    }
+    // the tiny-cardinality column reads near-exactly under linear
+    // counting (a register collision among the 7 values can shave one)
+    assert(math.abs(got.find(_._1 == "status").get._4 - 7L) <= 1L)
+  }
+
   test("star contraction labels a long chain (diameter stress) with its min") {
     // A 33-node chain: min-label propagation needs 32 rounds; the
     // alternating star algorithm converges in a handful.
