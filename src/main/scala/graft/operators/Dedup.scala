@@ -638,6 +638,180 @@ object Dedup {
       .select(col("d1"), col("d2"), col("dist").cast("long").as("dist"))
   }
 
+  /** Sorted-neighborhood blocking report: records sort by the string
+    * (ties on id — deterministic), every pair within `window` RANKS
+    * becomes a candidate, candidates verify with the banded levenshtein,
+    * and the found pairs score against [[editDistancePairs]]' exact
+    * ground truth — the classic record-linkage blocking method beside
+    * PassJoin's segment scheme, with its recall measured instead of
+    * assumed ([[blockingQuality]]'s lesson: blocking must be audited).
+    *
+    * Scale: ranks come from [[Layout.denseIds]]' two-pass range
+    * partition (no single-task sort); the candidate fan-out is exactly
+    * n·(window−1) — linear, the method's selling point — and each
+    * candidate pays one O(d·len) banded verify. One summary row.
+    */
+  def sortedNeighborhoodReport(df: DataFrame, idCol: String, strCol: String,
+      window: Int, maxDist: Int = 1): DataFrame = {
+    require(window >= 2, "window must be >= 2")
+    val strs = df.select(col(idCol).as("sid"), col(strCol).as("str"))
+      .filter(col("str").isNotNull)
+    val ranked = Layout.denseIds(strs, Seq("str", "sid"), numPartitions = 32)
+    val probe = ranked
+      .select(col("sid").as("aid"), col("str").as("astr"),
+        explode(sequence(lit(1), lit(window - 1))).as("d"), col("row_id"))
+      .select(col("aid"), col("astr"), (col("row_id") + col("d")).as("rid2"))
+    val found = probe
+      .join(ranked.select(col("sid").as("bid"), col("str").as("bstr"),
+        col("row_id").as("rid2")), Seq("rid2"))
+      .withColumn("dist", levenshtein(col("astr"), col("bstr"), maxDist))
+      .filter(col("dist") >= 0 && col("dist") <= maxDist)
+      .filter(col("aid") =!= col("bid"))
+      .select(least(col("aid"), col("bid")).as("d1"),
+        greatest(col("aid"), col("bid")).as("d2"))
+      .distinct()
+    val truth = editDistancePairs(df, idCol, strCol, maxDist)
+      .select(col("d1"), col("d2"))
+    found.agg(count(lit(1)).as("n_found"))
+      .crossJoin(broadcast(truth.agg(count(lit(1)).as("n_true"))))
+      .select(lit(window).cast("long").as("window"), col("n_true"),
+        col("n_found"),
+        when(col("n_true") === 0, lit(null).cast("long"))
+          .otherwise(expr("n_found * 1000000L div n_true"))
+          .as("completeness_micro"))
+  }
+
+  /** Medoid election per near-dup cluster: the member with the highest
+    * total Jaccard similarity to its fellow members — the most CENTRAL
+    * representative, where [[dedupKeepBest]] elects by an external score
+    * (longest/best) and the default keeps the lowest id. Central
+    * representatives matter when the cluster is a paraphrase family: the
+    * medoid is the least-divergent exemplar to keep or to label.
+    *
+    * Exact algebra: within-cluster pairwise Jaccard in integer micros
+    * over 8-byte hashed trigram keys (the q124/q150 discipline), summed
+    * per member; argmax via max(struct(sum, −id)) — lowest id on ties;
+    * members with zero overlap against everyone stand at 0. Scale:
+    * pairwise work is per-cluster quadratic BOUNDED BY CLUSTER SIZE
+    * (near-dup clusters are small by construction — a corpus-sized
+    * cluster means the threshold, not the medoid, is wrong), and the
+    * gram join carries (cluster, hash) keys only.
+    */
+  def dedupMedoids(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val clusters = dedupClusters(
+      minhashLshPairs(df, idCol, textCol), "d1", "d2")
+    val grams = df.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("toks"))
+      .filter(size(col("toks")) >= 3)
+      .select(col("doc_id"), explode(trigrams(col("toks"))).as("gs"))
+      .select(col("doc_id"), xxhash64(col("gs")).as("g"))
+    val sizes = grams.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val cg = clusters.join(grams, Seq("doc_id"))
+      .select(col("cluster_id").as("cid"), col("doc_id"), col("g"))
+    val inter = cg.as("a")
+      .join(cg.as("b"),
+        col("a.cid") === col("b.cid") && col("a.g") === col("b.g") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.cid").as("cid"), col("a.doc_id").as("da"),
+        col("b.doc_id").as("db"))
+      .agg(count(lit(1)).as("i"))
+    val sims = inter
+      .join(sizes.select(col("doc_id").as("da"), col("n").as("na")), Seq("da"))
+      .join(sizes.select(col("doc_id").as("db"), col("n").as("nb")), Seq("db"))
+      .select(col("cid"), col("da"), col("db"),
+        expr("i * 1000000L div (na + nb - i)").as("sim"))
+    val contrib = sims.select(col("cid"), col("da").as("doc_id"), col("sim"))
+      .unionAll(sims.select(col("cid"), col("db").as("doc_id"), col("sim")))
+      .groupBy(col("cid"), col("doc_id")).agg(sum(col("sim")).as("s"))
+    clusters
+      .join(contrib.select(col("cid").as("cluster_id"), col("doc_id"),
+        col("s")), Seq("cluster_id", "doc_id"), "left")
+      .select(col("cluster_id"), col("doc_id"),
+        coalesce(col("s"), lit(0L)).as("s"))
+      .groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("n_members"),
+        max(struct(col("s"), (-col("doc_id")).as("negid"), col("doc_id")))
+          .as("b"))
+      .select(col("cluster_id"), col("n_members"),
+        col("b.doc_id").as("medoid_id"), col("b.s").as("medoid_sim_micro"))
+  }
+
+  // ---- q256: most-central exemplar of every duplicate cluster -----------------
+  private def q256(s: SparkSession, d: String): DataFrame =
+    dedupMedoids(Tables.documents(s, d), "doc_id", "text")
+      .orderBy(col("cluster_id"))
+  private def q256Sql =
+    s"""WITH RECURSIVE ${jaccardCtes()},
+       $dupCte,
+       $closureCtes,
+       clusters AS (
+         SELECT a AS doc_id, least(a, min(b)) AS cluster_id
+         FROM reach GROUP BY a),
+       cg AS (
+         SELECT c.cluster_id AS cid, g.doc_id, g.g
+         FROM clusters c JOIN grams g USING (doc_id)),
+       inter AS (
+         SELECT a.cid, a.doc_id AS da, b.doc_id AS db,
+           count(*)::BIGINT AS i
+         FROM cg a JOIN cg b
+           ON a.cid = b.cid AND a.g = b.g AND a.doc_id < b.doc_id
+         GROUP BY 1, 2, 3),
+       sims AS (
+         SELECT i.cid, i.da, i.db,
+           (i.i * 1000000 // (sa.n + sb.n - i.i))::BIGINT AS sim
+         FROM inter i
+         JOIN sizes sa ON i.da = sa.doc_id
+         JOIN sizes sb ON i.db = sb.doc_id),
+       contrib AS (
+         SELECT cid, doc_id, sum(sim)::BIGINT AS s FROM (
+           SELECT cid, da AS doc_id, sim FROM sims
+           UNION ALL SELECT cid, db, sim FROM sims)
+         GROUP BY 1, 2),
+       scored AS (
+         SELECT c.cluster_id, c.doc_id, coalesce(ct.s, 0)::BIGINT AS s
+         FROM clusters c LEFT JOIN contrib ct
+           ON c.cluster_id = ct.cid AND c.doc_id = ct.doc_id),
+       ranked AS (
+         SELECT cluster_id, doc_id, s,
+           row_number() OVER (PARTITION BY cluster_id
+             ORDER BY s DESC, doc_id) AS rn
+         FROM scored)
+       SELECT cluster_id, count(*)::BIGINT AS n_members,
+         max(CASE WHEN rn = 1 THEN doc_id END)::BIGINT AS medoid_id,
+         max(CASE WHEN rn = 1 THEN s END)::BIGINT AS medoid_sim_micro
+       FROM ranked GROUP BY cluster_id ORDER BY cluster_id"""
+
+  // ---- q254: sorted-neighborhood recall on the customer names -----------------
+  // A rank-window of 10 over the sorted names: cheap (linear candidates)
+  // but provably partial on this dense keyspace — the report measures
+  // exactly how partial, against the PassJoin exact pair list.
+  private def q254(s: SparkSession, d: String): DataFrame =
+    sortedNeighborhoodReport(Tables.customer(s, d), "c_custkey", "c_name",
+      window = 10)
+  private val q254Sql =
+    """WITH ranked AS (
+         SELECT c_custkey AS sid, c_name AS str,
+           row_number() OVER (ORDER BY c_name, c_custkey) - 1 AS rid
+         FROM customer WHERE c_name IS NOT NULL),
+       found AS (
+         SELECT DISTINCT least(a.sid, b.sid) AS d1,
+           greatest(a.sid, b.sid) AS d2
+         FROM ranked a JOIN ranked b
+           ON b.rid - a.rid BETWEEN 1 AND 9
+         WHERE a.sid <> b.sid AND levenshtein(a.str, b.str) <= 1),
+       truth AS (
+         SELECT a.c_custkey AS d1, b.c_custkey AS d2
+         FROM customer a JOIN customer b
+           ON a.c_custkey < b.c_custkey
+          AND abs(length(a.c_name) - length(b.c_name)) <= 1
+         WHERE levenshtein(a.c_name, b.c_name) <= 1)
+       SELECT 10::BIGINT AS window,
+         (SELECT count(*) FROM truth)::BIGINT AS n_true,
+         (SELECT count(*) FROM found)::BIGINT AS n_found,
+         CASE WHEN (SELECT count(*) FROM truth) = 0 THEN NULL
+           ELSE ((SELECT count(*) FROM found) * 1000000
+             // (SELECT count(*) FROM truth)) END::BIGINT
+           AS completeness_micro"""
+
   // ===========================================================================
   // Oracle-bound query exercises
   // ===========================================================================
@@ -1307,6 +1481,8 @@ object Dedup {
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q25_exact_dedup", q25, Some(q25Sql)),
     QueryDef("q226_blocking_quality", q226, Some(q226Sql)),
+    QueryDef("q254_sorted_neighborhood", q254, Some(q254Sql)),
+    QueryDef("q256_dedup_medoids", q256, Some(q256Sql)),
     QueryDef("q26_ngram_jaccard", q26, Some(exactJaccardSql)),
     QueryDef("q27_minhash_lsh", q27, Some(exactJaccardSql), headline = true),
     QueryDef("q28_simhash", q28, Some(q28Sql)),

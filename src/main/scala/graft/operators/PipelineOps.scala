@@ -276,6 +276,78 @@ object PipelineOps {
           .otherwise(0L)).as("alloc"))
   }
 
+  /** Neyman (optimal) allocation of a sample budget across strata:
+    * n_h ∝ N_h·σ_h — the variance-minimizing split for a stratified
+    * estimate, vs [[apportion]]'s proportional-to-mass rule (a noisy
+    * stratum deserves MORE samples per row; a constant one needs almost
+    * none). The identity N_h·σ_h = √(N_h·Σx² − (Σx)²) makes the weight
+    * one exact BIGINT expression under a single correctly-rounded sqrt
+    * floor, and the integer weights feed [[apportion]]'s
+    * largest-remainder machinery, so Σ alloc = budget exactly and the
+    * whole path is engine-deterministic.
+    *
+    * Scale: one partial-aggregated stats pass (|strata| rows out), then
+    * apportion's |strata|-sized rank. Bound: N_h·Σx² < 2⁶³ (quantize
+    * coarser for huge heavy-tailed strata). Zero-variance strata get
+    * weight 0 and drop from the allocation (they need ONE sample for a
+    * mean — the caller's floor to apply, documented rather than
+    * invented here).
+    */
+  def neymanAllocation(df: DataFrame, stratumCol: String, valueCol: Column,
+      budget: Long): DataFrame = {
+    val stats = df
+      .select(col(stratumCol).as("g"), valueCol.cast("long").as("x"))
+      .groupBy(col("g"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("x")).as("sx"),
+        sum(col("x") * col("x")).as("sxx"))
+      .select(col("g"), col("n_rows"),
+        floor(sqrt(greatest(col("n_rows") * col("sxx") - col("sx") * col("sx"),
+          lit(0L)).cast("double"))).cast("long").as("w"))
+    stats.join(
+        apportion(stats, "g", "w", budget).select(col("g"), col("alloc")),
+        Seq("g"), "left")
+      .select(col("g").as(stratumCol), col("n_rows"), col("w").as("weight"),
+        coalesce(col("alloc"), lit(0L)).as("alloc"))
+  }
+
+  // ---- q253: variance-optimal sampling budget across event types --------------
+  // The noisy purchase amounts draw far more of the 1000-sample budget
+  // per row than the near-constant view values — the Neyman read the
+  // proportional rule (q206) cannot give. Σ alloc = 1000 pinned by the
+  // apportion machinery underneath.
+  private def q253(s: SparkSession, d: String): DataFrame =
+    neymanAllocation(Tables.events(s, d), "event_type",
+        floor(col("value") * 100), budget = 1000L)
+      .orderBy(col("event_type"))
+  private val q253Sql =
+    """WITH stats AS (
+         SELECT event_type AS g, count(*)::BIGINT AS n_rows,
+           floor(sqrt(greatest(
+             count(*) * sum(x * x) - sum(x) * sum(x), 0)::DOUBLE))::BIGINT
+             AS w
+         FROM (SELECT event_type, floor(value * 100)::BIGINT AS x
+               FROM events) t
+         GROUP BY 1),
+       pos AS (SELECT g, w FROM stats WHERE w > 0),
+       tot AS (SELECT sum(w)::BIGINT AS tw FROM pos),
+       base AS (
+         SELECT g, w, (w * 1000 // tw)::BIGINT AS base,
+           ((w * 1000) % tw)::BIGINT AS rem
+         FROM pos, tot),
+       lt AS (SELECT (1000 - sum(base))::BIGINT AS leftover FROM base),
+       rk AS (
+         SELECT *, row_number() OVER (ORDER BY rem DESC, g) AS rk
+         FROM base, lt),
+       alloc AS (
+         SELECT g,
+           (base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END)::BIGINT
+             AS alloc
+         FROM rk)
+       SELECT s.g AS event_type, s.n_rows, s.w AS weight,
+         coalesce(a.alloc, 0)::BIGINT AS alloc
+       FROM stats s LEFT JOIN alloc a ON s.g = a.g
+       ORDER BY event_type"""
+
   // ---- q206: split a 997-unit sample budget across languages ∝ char mass ------
   // An odd budget forces the remainder path; Σ alloc = 997 exactly.
   private def q206(s: SparkSession, d: String): DataFrame =
@@ -1959,6 +2031,7 @@ object PipelineOps {
     QueryDef("q203_source_overlap", q203, Some(q203Sql)),
     QueryDef("q204_length_cap", q204, Some(q204Sql)),
     QueryDef("q206_apportion", q206, Some(q206Sql)),
+    QueryDef("q253_neyman_allocation", q253, Some(q253Sql)),
     QueryDef("q55_seq_packing", q55, Some(q55Sql)),
     QueryDef("q62_mixture_weights", q62, Some(q62Sql)),
     QueryDef("q173_temperature_mix", q173, Some(q173Sql)),

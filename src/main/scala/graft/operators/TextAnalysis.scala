@@ -1209,7 +1209,66 @@ object TextAnalysis {
            AS vocab_cum
        FROM ck ORDER BY docs_seen"""
 
+  /** Prefix → top-k completion index (autocomplete / query-suggest
+    * prep): for every token prefix of length `minLen..maxLen`, the k
+    * most frequent full tokens extending it, ranked (count DESC, token
+    * ASC — deterministic). The retrieval-prep sibling of the q139
+    * inverted index, capped the same way: no prefix's posting list
+    * outgrows k.
+    *
+    * Scale: the corpus collapses to the (token → count) vocab FIRST
+    * (map-side partials — the q130 discipline), prefixes fan out ≤
+    * maxLen−minLen+1 rows per TERM (vocab-sized, never corpus-sized),
+    * and the rank window partitions by prefix, whose completion lists
+    * are vocab-bounded. Output ≤ |prefixes|·k rows.
+    */
+  def prefixIndex(df: DataFrame, textCol: String, minLen: Int, maxLen: Int,
+      k: Int): DataFrame = {
+    require(minLen >= 1 && maxLen >= minLen && k >= 1, "bad prefix bounds")
+    val vocab = df.select(explode(tokens(col(textCol))).as("tok"))
+      .filter(length(col("tok")) >= minLen)
+      .groupBy(col("tok")).agg(count(lit(1)).as("n"))
+    val pre = vocab
+      .select(col("tok"), col("n"),
+        explode(sequence(lit(minLen),
+          least(length(col("tok")), lit(maxLen)))).as("pl"))
+      .select(col("tok").substr(lit(1), col("pl")).as("prefix"),
+        col("tok"), col("n"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("prefix")).orderBy(col("n").desc, col("tok"))
+    pre.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("prefix"), col("rank").cast("long").as("rank"),
+        col("tok").as("completion"), col("n").as("n_occurrences"))
+  }
+
+  // ---- q255: autocomplete index over the document vocabulary ------------------
+  // 3..4-char prefixes, top-3 completions each: the index a suggest
+  // service serves, built from vocab-sized work only.
+  private def q255(s: SparkSession, d: String): DataFrame =
+    prefixIndex(Tables.documents(s, d), "text", minLen = 3, maxLen = 4,
+        k = 3)
+      .orderBy(col("prefix"), col("rank"))
+  private val q255Sql =
+    """WITH vocab AS (
+         SELECT tok, count(*)::BIGINT AS n FROM (
+           SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+         WHERE length(tok) >= 3 GROUP BY tok),
+       pre AS (
+         SELECT substr(tok, 1, pl) AS prefix, tok, n
+         FROM vocab, unnest(range(3, least(length(tok), 4) + 1)) AS t(pl)),
+       ranked AS (
+         SELECT prefix, tok, n,
+           row_number() OVER (PARTITION BY prefix
+             ORDER BY n DESC, tok) AS rank
+         FROM pre)
+       SELECT prefix, rank::BIGINT AS rank, tok AS completion,
+         n AS n_occurrences
+       FROM ranked WHERE rank <= 3
+       ORDER BY prefix, rank"""
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q255_prefix_index", q255, Some(q255Sql)),
     QueryDef("q211_vocab_growth", q211, Some(q211Sql)),
     QueryDef("q213_doc_novelty", q213, Some(q213Sql)),
     QueryDef("q221_hapax_profile", q221, Some(q221Sql)),

@@ -277,4 +277,41 @@ class DedupSpec extends SparkSpec {
       .as[(Long, Long, Long, Long, Long, Option[Long])].head()
     assert(c._2 === 0L && c._6 === None)
   }
+  test("sortedNeighborhoodReport finds adjacent-rank pairs and measures its misses") {
+    // abc/abd/abe are mutual dist-1 neighbors and rank-adjacent; zzz is
+    // far in rank from zza but dist 1 — a window of 2 must miss pairs a
+    // wider window catches.
+    val df = Seq((1L, "abc"), (2L, "abd"), (3L, "abe"), (4L, "mmm"),
+      (5L, "zza"), (6L, "zzb")).toDF("id", "s")
+    val wide = Dedup.sortedNeighborhoodReport(df, "id", "s", window = 6)
+      .head()
+    assert(wide.getAs[Long]("n_true") === 4L)   // (1,2)(1,3)(2,3)(5,6)
+    assert(wide.getAs[Long]("n_found") === 4L)
+    assert(wide.getAs[Long]("completeness_micro") === 1000000L)
+    val narrow = Dedup.sortedNeighborhoodReport(df, "id", "s", window = 2)
+      .head()
+    // adjacent ranks only: (1,2)(2,3)(5,6) found, (1,3) missed
+    assert(narrow.getAs[Long]("n_found") === 3L)
+    assert(narrow.getAs[Long]("completeness_micro") === 750000L)
+  }
+
+  test("dedupMedoids elects the most-central member with deterministic ties") {
+    // d1 = "a b c d e f", d2 = same plus a tail, d3 = same plus a longer
+    // tail: d1 shares grams with both; whichever sums highest wins and
+    // ties break to the lowest id.
+    val df = Seq(
+      (1L, "a b c d e f g h"),
+      (2L, "a b c d e f g h x"),
+      (3L, "a b c d e f g h x y"),
+      (9L, "totally different words here never repeated once more")
+    ).toDF("doc_id", "text")
+    val got = Dedup.dedupMedoids(df, "doc_id", "text").collect()
+    assert(got.length === 1, "only the near-dup family forms a cluster")
+    val r = got.head
+    assert(r.getAs[Long]("cluster_id") === 1L)
+    assert(r.getAs[Long]("n_members") === 3L)
+    // member 2 is between 1 and 3: maximal summed Jaccard
+    assert(r.getAs[Long]("medoid_id") === 2L, s"got $r")
+  }
+
 }

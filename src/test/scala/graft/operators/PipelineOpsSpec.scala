@@ -511,4 +511,24 @@ class PipelineOpsSpec extends SparkSpec {
     // Below-cap keys keep everything.
     assert(got(1) === (("s2", 1L, 1L, 0L, 7L, 7L)))
   }
+  test("neymanAllocation sends the budget to the noisy stratum, sums exactly") {
+    // "flat": constant 10 (zero variance, weight 0); "wild": alternating
+    // 0/1000 (huge variance); "mild": alternating 10/12.
+    val rows = (0 until 400).flatMap { i =>
+      Seq(("flat", 10.0), ("wild", if (i % 2 == 0) 0.0 else 1000.0),
+        ("mild", if (i % 2 == 0) 0.10 else 0.12))
+    }
+    val df = rows.toDF("g", "v")
+    val alloc = PipelineOps.neymanAllocation(df, "g", col("v") * 100, 1000L)
+      .orderBy($"g").collect()
+    val byG = alloc.map(r => r.getString(0) ->
+      (r.getAs[Long]("weight"), r.getAs[Long]("alloc"))).toMap
+    assert(byG("flat")._1 === 0L && byG("flat")._2 === 0L,
+      "zero-variance stratum draws nothing")
+    assert(byG("wild")._2 > byG("mild")._2,
+      s"variance must dominate the split: $byG")
+    assert(alloc.map(_.getAs[Long]("alloc")).sum === 1000L,
+      "largest-remainder allocation must sum to the budget exactly")
+  }
+
 }

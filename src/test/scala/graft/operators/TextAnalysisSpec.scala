@@ -280,4 +280,20 @@ class TextAnalysisSpec extends SparkSpec {
       .as[(Long, Long, Long)].collect()
     assert(tri === Array((10L, 2L, 2L))) // "x y z", "y z w"
   }
+  test("prefixIndex ranks completions by corpus frequency with capped lists") {
+    val df = Seq("apple apple apple apricot apex banana banana band")
+      .toDF("text")
+    val got = TextAnalysis.prefixIndex(df, "text", 3, 3, 2)
+      .orderBy($"prefix", $"rank")
+      .as[(String, Long, String, Long)].collect()
+    val ap = got.filter(_._1 == "app")
+    assert(ap.toSeq === Seq(("app", 1L, "apple", 3L)))
+    val apx = got.filter(_._1 == "ape")
+    assert(apx.toSeq === Seq(("ape", 1L, "apex", 1L)))
+    val ban = got.filter(_._1 == "ban")
+    assert(ban.toSeq === Seq(("ban", 1L, "banana", 2L), ("ban", 2L, "band", 1L)))
+    // k caps every list
+    assert(got.groupBy(_._1).forall(_._2.length <= 2))
+  }
+
 }
