@@ -697,9 +697,10 @@ object Dedup {
     * cluster means the threshold, not the medoid, is wrong), and the
     * gram join carries (cluster, hash) keys only.
     */
-  def dedupMedoids(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def dedupMedoids(df: DataFrame, idCol: String, textCol: String,
+      pairs: Option[DataFrame] = None): DataFrame = {
     val clusters = dedupClusters(
-      minhashLshPairs(df, idCol, textCol), "d1", "d2")
+      pairs.getOrElse(minhashLshPairs(df, idCol, textCol)), "d1", "d2")
     val grams = df.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("toks"))
       .filter(size(col("toks")) >= 3)
       .select(col("doc_id"), explode(trigrams(col("toks"))).as("gs"))
@@ -737,7 +738,8 @@ object Dedup {
 
   // ---- q256: most-central exemplar of every duplicate cluster -----------------
   private def q256(s: SparkSession, d: String): DataFrame =
-    dedupMedoids(Tables.documents(s, d), "doc_id", "text")
+    dedupMedoids(Tables.documents(s, d), "doc_id", "text",
+        pairs = Some(lshPairsOf(s, d)))
       .orderBy(col("cluster_id"))
   private def q256Sql =
     s"""WITH RECURSIVE ${jaccardCtes()},
@@ -945,12 +947,23 @@ object Dedup {
     """SELECT min(doc_id) AS keeper, count(*) AS n_copies
        FROM documents GROUP BY md5(text) ORDER BY keeper"""
 
+  /** The fixture documents table's LSH near-dup pair list, derived ONCE
+    * per (session, dir) via [[Materialized]] — seven oracle queries
+    * (q27/q60/q64/q67/q70/q120 + q166's component input) consume this
+    * identical projection; in production the pair list is a persisted
+    * dedup artifact, not a per-query recompute.
+    */
+  private[operators] def lshPairsOf(s: SparkSession, d: String): DataFrame =
+    Materialized.of(s, d, "lsh_pairs_documents") {
+      minhashLshPairs(Tables.documents(s, d), "doc_id", "text")
+    }
+
   private def q26(s: SparkSession, d: String): DataFrame =
     jaccardPairs(Tables.documents(s, d), "doc_id", "text")
       .orderBy(col("d1"), col("d2"))
 
   private def q27(s: SparkSession, d: String): DataFrame =
-    minhashLshPairs(Tables.documents(s, d), "doc_id", "text")
+    lshPairsOf(s, d)
       .orderBy(col("d1"), col("d2"))
 
   private def q28(s: SparkSession, d: String): DataFrame =
@@ -1033,8 +1046,7 @@ object Dedup {
        WHERE c >= 0.4 ORDER BY v1, v2"""
 
   private def q60(s: SparkSession, d: String): DataFrame =
-    dedupClusters(
-        minhashLshPairs(Tables.documents(s, d), "doc_id", "text"), "d1", "d2")
+    dedupClusters(lshPairsOf(s, d), "d1", "d2")
       .orderBy(col("doc_id"))
   // Oracle: exact-Jaccard pairs (== the LSH output, q26/q27 share it),
   // closed transitively with a recursive CTE, min reachable id per node.
@@ -1047,7 +1059,7 @@ object Dedup {
 
   private def q64(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
-    dupMatrix(minhashLshPairs(docs, "doc_id", "text"), "d1", "d2",
+    dupMatrix(lshPairsOf(s, d), "d1", "d2",
         docs, "doc_id", "source")
       .orderBy(col("source_a"), col("source_b"))
   }
@@ -1068,7 +1080,7 @@ object Dedup {
   private def q67(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
     dropDuplicatesTransitive(docs.select(col("doc_id"), col("source")),
-        "doc_id", minhashLshPairs(docs, "doc_id", "text"), "d1", "d2")
+        "doc_id", lshPairsOf(s, d), "d1", "d2")
       .orderBy(col("doc_id"))
   }
   private val q67Sql =
@@ -1087,7 +1099,7 @@ object Dedup {
   private def q70(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
     dedupKeepBest(docs, "doc_id", "n_chars",
-        minhashLshPairs(docs, "doc_id", "text"), "d1", "d2")
+        lshPairsOf(s, d), "d1", "d2")
       .orderBy(col("cluster_id"))
   }
   private val q70Sql =
@@ -1227,7 +1239,7 @@ object Dedup {
       .agg(count(lit(1)).as("n_content_groups"),
         sum(col("n_copies")).as("n_docs"),
         sum(col("n_copies") - 1).as("n_exact_dups"))
-      .crossJoin(broadcast(minhashLshPairs(docs, "doc_id", "text")
+      .crossJoin(broadcast(lshPairsOf(s, d)
         .agg(count(lit(1)).as("n_near_dup_pairs"))))
       .select(col("n_docs"), col("n_content_groups"), col("n_exact_dups"),
         col("n_near_dup_pairs"),

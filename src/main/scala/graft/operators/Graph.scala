@@ -488,7 +488,7 @@ object Graph {
   // true, so a silent truncation would fail the gate.
   private def q166(s: SparkSession, d: String): DataFrame =
     connectedComponentsStars(
-      Dedup.minhashLshPairs(Tables.documents(s, d), "doc_id", "text"),
+      Dedup.lshPairsOf(s, d),
       "d1", "d2", rounds = 4)
   private val q166Sql =
     s"""WITH RECURSIVE ${Dedup.jaccardCtes()},
