@@ -51,9 +51,13 @@ class PlanSnapshotSpec extends AnyFunSuite with SparkSpec {
     "q19_asof_join" -> Map(
       "Exchange hashpartitioning" -> 3, "Exchange rangepartitioning" -> 1,
       "HashAggregate" -> 2, "AsOfMergeJoin" -> 1),
+    // r5: q27 reads the Materialized (localCheckpoint'ed) shared LSH
+    // pair list — the derivation's joins/aggregates run once per session
+    // at registry build, so the query plan is just the final sort over
+    // the checkpoint scan. The derivation's own shape stays pinned by
+    // DedupSpec/PlanSpec on the operator.
     "q27_minhash_lsh" -> Map(
-      "BroadcastHashJoin" -> 4, "Exchange hashpartitioning" -> 3,
-      "Exchange rangepartitioning" -> 1, "HashAggregate" -> 6),
+      "Exchange rangepartitioning" -> 1),
     "q30_cosine_topk" -> Map(
       "BroadcastNestedLoopJoin" -> 1, "Exchange hashpartitioning" -> 1,
       "Exchange rangepartitioning" -> 1, "HashAggregate" -> 2,
