@@ -1966,7 +1966,8 @@ object Analytics {
     */
   def conversionLatency(df: DataFrame, userCol: String, tsCol: String,
       idCol: String, isTouch: Column, isConversion: Column,
-      lookbackSeconds: Long = 7L * 86400L): DataFrame = {
+      lookbackSeconds: Long = 7L * 86400L,
+      quantized: Boolean = true): DataFrame = {
     val att = touchAttribution(df, userCol, tsCol, idCol, isTouch,
       isConversion, lookbackSeconds)
     val convTs = df.filter(isConversion)
@@ -1981,8 +1982,11 @@ object Analytics {
     val byV = delays.groupBy(col("v")).agg(count(lit(1)).as("c"))
     val w = Window.orderBy(col("v"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val cum = byV
-      .select(col("v"), sum(col("c")).over(w).as("cum"))
+    val cumBase =
+      if (quantized) byV.select(col("v"), sum(col("c")).over(w).as("cum"))
+      else DistributedPrefix.cumSums(byV, Nil, Seq(col("v")), Seq("c"))
+        .select(col("v"), col("cum_c").as("cum"))
+    val cum = cumBase
       .crossJoin(broadcast(byV.agg(sum(col("c")).as("n"))))
     cum.agg(max(col("n")).as("n_conversions"),
       min(when(col("cum") * 100 >= col("n") * 50, col("v"))).as("p50_s"),
@@ -2166,18 +2170,28 @@ object Analytics {
     * engine-identical by construction: Dd = min{v : 10·cum ≥ d·n}).
     *
     * Scale: one (group, value) collapse, one per-group cumulative window
-    * over DISTINCT values, then nine conditional mins in a single hash
-    * aggregation — no sort of raw rows, no per-decile pass.
+    * over DISTINCT values (corpus-sized per group when the value domain
+    * is continuous — pass `quantized = false` for the
+    * [[DistributedPrefix]] two-pass sum with broadcast group totals),
+    * then nine conditional mins in a single hash aggregation — no sort
+    * of raw rows, no per-decile pass.
     */
   def decileTable(df: DataFrame, groupCol: String,
-      valueCol: Column): DataFrame = {
+      valueCol: Column, quantized: Boolean = true): DataFrame = {
     val byV = df.select(col(groupCol).as("k"), valueCol.cast("long").as("v"))
       .groupBy(col("k"), col("v")).agg(count(lit(1)).as("c"))
     val w = Window.partitionBy(col("k")).orderBy(col("v"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val cum = byV.select(col("k"), col("v"),
-      sum(col("c")).over(w).as("cum"),
-      sum(col("c")).over(Window.partitionBy(col("k"))).as("n"))
+    val cum =
+      if (quantized)
+        byV.select(col("k"), col("v"),
+          sum(col("c")).over(w).as("cum"),
+          sum(col("c")).over(Window.partitionBy(col("k"))).as("n"))
+      else
+        DistributedPrefix.cumSums(byV, Seq("k"), Seq(col("v")), Seq("c"))
+          .join(broadcast(byV.groupBy(col("k")).agg(sum(col("c")).as("n"))),
+            Seq("k"))
+          .select(col("k"), col("v"), col("cum_c").as("cum"), col("n"))
     val aggs = max(col("n")).as("n") +: (1 to 9).map(d =>
       min(when(col("cum") * 10 >= col("n") * d, col("v"))).as(s"d$d"))
     cum.groupBy(col("k"))

@@ -2185,16 +2185,26 @@ object Profile {
     * floor.
     */
   def qqTable(df: DataFrame, valueCol: Column, isClassA: Column,
-      isClassB: Column): DataFrame = {
+      isClassB: Column, quantized: Boolean = true): DataFrame = {
     val base = df.filter(isClassA || isClassB)
       .select(valueCol.cast("long").as("v"), isClassA.as("is_a"))
     val byV = base.groupBy(col("v"), col("is_a"))
       .agg(count(lit(1)).as("c"))
     val w = Window.partitionBy(col("is_a")).orderBy(col("v"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val cum = byV.select(col("v"), col("is_a"),
-      sum(col("c")).over(w).as("cum"),
-      sum(col("c")).over(Window.partitionBy(col("is_a"))).as("n"))
+    val cum =
+      if (quantized)
+        byV.select(col("v"), col("is_a"),
+          sum(col("c")).over(w).as("cum"),
+          sum(col("c")).over(Window.partitionBy(col("is_a"))).as("n"))
+      else
+        // Continuous value domain: the two classes' collapses are
+        // corpus-sized — route through the two-pass prefix sum with
+        // hash-aggregated class totals.
+        DistributedPrefix.cumSums(byV, Seq("is_a"), Seq(col("v")), Seq("c"))
+          .join(broadcast(byV.groupBy(col("is_a"))
+            .agg(sum(col("c")).as("n"))), Seq("is_a"))
+          .select(col("v"), col("is_a"), col("cum_c").as("cum"), col("n"))
     val spine = df.sparkSession.range(1, 10)
       .select(col("id").cast("int").as("decile"))
     broadcast(spine)

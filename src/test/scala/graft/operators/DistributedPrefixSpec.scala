@@ -142,6 +142,41 @@ class DistributedPrefixSpec extends SparkSpec {
       PipelineOps.apportion(df, "g", "wt", 99991L), "apportion")
   }
 
+  test("decileTable unquantized equals quantized on a continuous value domain") {
+    val df = spark.range(20000).select(
+      concat(lit("g"), ($"id" % 4).cast("string")).as("g"),
+      (xxhash64($"id" * 11) % 1000000007L).as("v"))
+    assertSameRows(
+      Analytics.decileTable(df, "g", $"v", quantized = false),
+      Analytics.decileTable(df, "g", $"v"), "decileTable")
+  }
+
+  test("qqTable unquantized equals quantized on a continuous value domain") {
+    val df = spark.range(20000).select(
+      abs(xxhash64($"id" * 19) % 1000003L).as("v"),
+      (xxhash64($"id" + 3) % 2 === 0).as("a"))
+    assertSameRows(
+      Profile.qqTable(df, $"v", $"a", !$"a", quantized = false),
+      Profile.qqTable(df, $"v", $"a", !$"a"), "qqTable")
+  }
+
+  test("conversionLatency unquantized equals quantized") {
+    import java.sql.Timestamp
+    val events = (0 until 400).flatMap { i =>
+      val base = 1700000000L + i * 3600L
+      Seq((i.toLong, new Timestamp(base * 1000L), 2L * i, "click"),
+        (i.toLong, new Timestamp((base + 7 + i % 50) * 1000L),
+          2L * i + 1, "purchase"))
+    }.toDF("user_id", "ts", "event_id", "event_type")
+    assertSameRows(
+      Analytics.conversionLatency(events, "user_id", "ts", "event_id",
+        $"event_type" === "click", $"event_type" === "purchase",
+        quantized = false),
+      Analytics.conversionLatency(events, "user_id", "ts", "event_id",
+        $"event_type" === "click", $"event_type" === "purchase"),
+      "conversionLatency")
+  }
+
   test("unquantized data path plans no SinglePartition exchange") {
     // The cumulative stage itself: windows are partitioned by
     // (range-partition id, group) — never a single task.

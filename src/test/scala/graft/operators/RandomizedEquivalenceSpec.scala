@@ -139,4 +139,55 @@ class RandomizedEquivalenceSpec extends SparkSpec {
         rows.sorted.toVector, s"trial $trial order mismatch (parts=$parts)")
     }
   }
+  test("theilSen equals a sequential median-of-slopes on random daily series") {
+    import java.sql.Timestamp
+    (1 to 5).foreach { trial =>
+      val nDays = 5 + rnd.nextInt(15)
+      val days = (0 until nDays).map(d => (d, rnd.nextInt(2000) - 500))
+      val rows = days.map { case (d, v) =>
+        ("k", new Timestamp((1700000000L + d * 86400L) * 1000L), v / 100.0)
+      }
+      val got = Analytics.theilSen(rows.toDF("k", "ts", "v"), "k", "ts", "v")
+        .head()
+      // Sequential reimplementation on the daily cents.
+      val daily = days.map { case (d, v) =>
+        (d.toLong, math.floor(v / 100.0 * 100).toLong)
+      }
+      val slopes = for {
+        i <- daily.indices; j <- daily.indices if i < j
+      } yield {
+        val num = daily(j)._2 - daily(i)._2
+        val den = daily(j)._1 - daily(i)._1
+        math.signum(num) * (math.abs(num) * 1000000L / den)
+      }
+      val sorted = slopes.sorted
+      // nearest-rank: first value where 2*rank >= n over the multiset
+      val n = sorted.length
+      val want = sorted.zipWithIndex
+        .find { case (_, idx) => 2 * (idx + 1) >= n }.get._1
+      assert(got.getAs[Long]("slope_micro") === want, s"trial $trial")
+      assert(got.getAs[Long]("n_pairs") === n.toLong)
+    }
+  }
+
+  test("ddQuantileAudit holds its bound on adversarial random value mixes") {
+    (1 to 4).foreach { trial =>
+      // Mix tiny and huge magnitudes plus duplicate floods.
+      val xs = Seq.fill(3000)(rnd.nextInt(3) match {
+        case 0 => 1L + rnd.nextInt(10)
+        case 1 => 1000L + rnd.nextInt(1000)
+        case _ => 1L << (10 + rnd.nextInt(40))
+      })
+      val df = xs.toDF("v")
+      val audit = Sketches.ddQuantileAudit(df, $"v", 4, Seq(25, 50, 75, 99))
+        .head()
+      Seq(25, 50, 75, 99).foreach { p =>
+        assert(audit.getAs[Boolean](s"p${p}_ok"),
+          s"trial $trial p$p violated: $audit")
+        assert(audit.getAs[Long](s"p${p}_est") <=
+          audit.getAs[Long](s"p${p}_exact"))
+      }
+    }
+  }
+
 }
