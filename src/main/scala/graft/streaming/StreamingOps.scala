@@ -365,6 +365,67 @@ object StreamingOps {
       .transformWithState(new HHProcessor, TimeMode.None(), OutputMode.Update())
   }
 
+  /** Persistent per-bin state of the streaming quantile sketch. */
+  final case class BinState(n: Long, batches: Long)
+
+  /** One emitted bin update: the bin's NEW cumulative count (latest per
+    * (e, sub) IS the live sketch — an idempotent upsert feed). */
+  final case class BinUpdate(e: Int, sub: Int, rep: Long, n: Long,
+      batches: Long)
+
+  /** STREAMING quantile sketch: the [[graft.operators.Sketches.ddBins]]
+    * log-binned histogram maintained as transformWithState state — one
+    * persistent counter per (octave, sub-bin) key, additive folds per
+    * micro-batch, emissions only for bins a batch touched. The latest
+    * emission per bin is the live sketch; any consumer reads a quantile
+    * from it with the q248 cumulative rule at whatever moment it likes —
+    * the streaming answer to "what is P99 of this value right now"
+    * without ever storing the stream. Mirrors [[heavyHittersStream]]'s
+    * architecture: bounded keys (≤ 63·2^subBits bins — the natural
+    * shards), RocksDB-backed state, checkpoint-resumable, at-least-once
+    * emissions absorbed by upsert-by-bin idempotence.
+    */
+  def quantileSketchStream(values: DataFrame, valueCol: String,
+      subBits: Int): Dataset[BinUpdate] = {
+    require(subBits >= 1 && subBits <= 8, "subBits in [1, 8]")
+    val s2 = 1L << subBits
+    import values.sparkSession.implicits._
+
+    class BinProcessor
+        extends StatefulProcessor[(Int, Int), (Int, Int, Long), BinUpdate] {
+      @transient private var state: org.apache.spark.sql.streaming.ValueState[BinState] = _
+
+      override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+        state = getHandle.getValueState[BinState](
+          "bin", Encoders.product[BinState], TTLConfig.NONE)
+
+      override def handleInputRows(
+          key: (Int, Int),
+          rows: Iterator[(Int, Int, Long)],
+          timerValues: TimerValues): Iterator[BinUpdate] = {
+        val prev = Option(state.get()).getOrElse(BinState(0L, 0L))
+        var add = 0L
+        rows.foreach(r => add += r._3)
+        val next = BinState(prev.n + add, prev.batches + 1)
+        state.update(next)
+        val (e, sub) = key
+        val rep = ((s2 + sub) * (1L << e)) / s2
+        Iterator.single(BinUpdate(e, sub, rep, next.n, next.batches))
+      }
+    }
+
+    values.select(col(valueCol).cast("long").as("v"))
+      .filter(col("v") >= 1L)
+      .select(expr("cast(length(bin(v)) - 1 as int)").as("e"),
+        expr(s"""cast((v * ${s2}L)
+          div shiftleft(1L, length(bin(v)) - 1) - ${s2}L as int)""").as("sub"),
+        lit(1L).as("c"))
+      .as[(Int, Int, Long)]
+      .groupByKey(r => (r._1, r._2))
+      .transformWithState(new BinProcessor, TimeMode.None(),
+        OutputMode.Update())
+  }
+
   /** Persistent per-key state of the streaming current view: the winning
     * (ord, tie) version and its payload. */
   final case class KvState(ord: Long, tie: Long, payload: String)

@@ -549,4 +549,48 @@ class StreamingAnalyticsSpec extends SparkSpec {
     } finally
       spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
   }
+  test("streaming quantile sketch accumulates to exactly the batch ddBins of the union") {
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val ms = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[Long](spark)
+      def batch(n: Int): Seq[Long] =
+        (1 to 500).map(i => (i.toLong * 37 * n) % 99991L + 1L)
+      ms.addData(batch(1))
+      val out = StreamingOps.quantileSketchStream(
+        ms.toDF().toDF("v"), "v", subBits = 4)
+      val q = out.writeStream.format("memory").queryName("qs_stream")
+        .outputMode("update")
+        .option("checkpointLocation", tmp("ckpt_qs")).start()
+      try {
+        q.processAllAvailable()
+        ms.addData(batch(2)); q.processAllAvailable()
+        ms.addData(batch(3)); q.processAllAvailable()
+      } finally { q.stop(); q.awaitTermination(60000) }
+      // The latest emission per bin is the live sketch — it must equal
+      // the batch operator over the union of all three batches.
+      val rows = spark.table("qs_stream")
+        .as[StreamingOps.BinUpdate].collect().toSeq
+      val live = rows.groupBy(r => (r.e, r.sub))
+        .map { case (_, rs) => rs.maxBy(_.batches) }
+        .map(r => (r.e.toLong, r.sub.toLong, r.rep, r.n)).toSet
+      val union = (batch(1) ++ batch(2) ++ batch(3)).toDF("v")
+      val want = graft.operators.Sketches.ddBins(union, $"v", 4)
+        .as[(Long, Long, Long, Long)].collect().toSet
+      assert(live === want,
+        "state-folded bins must equal the batch sketch of the union")
+      // A quantile read off the live sketch obeys the q248 rule and bound.
+      val sorted = live.toSeq.sortBy(r => (r._1, r._2))
+      val n = sorted.map(_._4).sum
+      var cum = 0L
+      val p50 = sorted.find { r => cum += r._4; cum * 100 >= n * 50 }.get._3
+      val exact = (batch(1) ++ batch(2) ++ batch(3)).sorted
+        .apply(((batch(1).size * 3 + 1) / 2) - 1)
+      assert(p50 <= exact && (exact - p50) * 16 <= p50 + 16,
+        s"p50 read $p50 must bracket exact $exact within the bin bound")
+    } finally
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
 }
