@@ -39,7 +39,7 @@ object Dedup {
   /** Jaccard threshold for near-dup (fixture dups sit at >= 0.9, background
     * pairs at <= 0.07, so recall at 0.5 is exact).
     */
-  private val JaccardThreshold = 0.5
+  private[operators] val JaccardThreshold = 0.5
 
   /** MinHash parameters: 64 permutations in 16 bands of 4 rows. */
   private val NumHashes = 64
@@ -882,6 +882,77 @@ object Dedup {
        WHERE inter / (s1.n + s2.n - inter) >= $JaccardThreshold
        ORDER BY d1, d2"""
 
+  /** Threshold sensitivity sweep over a similarity pair list: at each
+    * candidate threshold, how many pairs survive and how many documents
+    * they touch — the tuning table read before committing a dedup run
+    * (a cliff between 0.7 and 0.8 means the corpus has a paraphrase band
+    * there; a flat curve means the threshold hardly matters). Pure
+    * arithmetic over the ALREADY-verified pair list — the sweep costs
+    * |pairs|·|thresholds|, never a re-verification.
+    */
+  def thresholdSweep(pairs: DataFrame, simCol: String,
+      thresholdsMicro: Seq[Long]): DataFrame = {
+    require(thresholdsMicro.nonEmpty, "need at least one threshold")
+    val t = pairs.sparkSession.createDataFrame(
+      thresholdsMicro.map(Tuple1(_))).toDF("threshold_micro")
+    val withM = pairs.select(col("d1"), col("d2"),
+      floor(col(simCol) * lit(1e6) + lit(0.5)).cast("long").as("sm"))
+    val hit = broadcast(t).join(withM, col("sm") >= col("threshold_micro"))
+    val nPairs = hit.groupBy(col("threshold_micro"))
+      .agg(count(lit(1)).as("n_pairs"))
+    val nDocs = hit
+      .select(col("threshold_micro"),
+        explode(array(col("d1"), col("d2"))).as("doc"))
+      .groupBy(col("threshold_micro"))
+      .agg(countDistinct(col("doc")).as("n_docs_affected"))
+    nPairs.join(nDocs, Seq("threshold_micro"))
+      .unionByName(
+        // Thresholds no pair reaches still report (zero pairs/docs).
+        broadcast(t)
+          .join(withM.groupBy().agg(max(col("sm")).as("mx")),
+            col("threshold_micro") > coalesce(col("mx"),
+              lit(Long.MinValue)))
+          .select(col("threshold_micro"), lit(0L).as("n_pairs"),
+            lit(0L).as("n_docs_affected")))
+  }
+
+  // ---- q257: where should the dedup threshold sit? ----------------------------
+  private def q257(s: SparkSession, d: String): DataFrame =
+    thresholdSweep(lshPairsOf(s, d), "jaccard",
+        Seq(500000L, 600000L, 700000L, 800000L, 900000L))
+      .orderBy(col("threshold_micro"))
+  private def q257Sql =
+    s"""WITH ${jaccardCtes()},
+       pl AS (
+         SELECT d1, d2,
+           floor(round(inter / (s1.n + s2.n - inter), 6) * 1000000
+             + 0.5)::BIGINT AS sm
+         FROM pair JOIN sizes s1 ON d1 = s1.doc_id
+                   JOIN sizes s2 ON d2 = s2.doc_id
+         WHERE inter / (s1.n + s2.n - inter) >= $JaccardThreshold),
+       th AS (SELECT unnest([500000, 600000, 700000, 800000, 900000])
+                AS threshold_micro),
+       hit AS (
+         SELECT th.threshold_micro, pl.d1, pl.d2
+         FROM th JOIN pl ON pl.sm >= th.threshold_micro),
+       np AS (
+         SELECT threshold_micro, count(*)::BIGINT AS n_pairs
+         FROM hit GROUP BY 1),
+       nd AS (
+         SELECT threshold_micro, count(DISTINCT doc)::BIGINT
+           AS n_docs_affected
+         FROM (SELECT threshold_micro, unnest([d1, d2]) AS doc FROM hit)
+         GROUP BY 1)
+       SELECT np.threshold_micro::BIGINT AS threshold_micro, np.n_pairs,
+         nd.n_docs_affected
+       FROM np JOIN nd USING (threshold_micro)
+       UNION ALL
+       SELECT th.threshold_micro::BIGINT, 0::BIGINT, 0::BIGINT
+       FROM th
+       WHERE th.threshold_micro >
+         coalesce((SELECT max(sm) FROM pl), -9223372036854775807)
+       ORDER BY threshold_micro"""
+
   /** Blocking-quality report for record linkage: given a blocking key,
     * the reduction ratio (how much of the all-pairs space the blocking
     * avoids) and pair completeness (what share of TRUE duplicate pairs
@@ -1507,6 +1578,7 @@ object Dedup {
     QueryDef("q226_blocking_quality", q226, Some(q226Sql)),
     QueryDef("q254_sorted_neighborhood", q254, Some(q254Sql)),
     QueryDef("q256_dedup_medoids", q256, Some(q256Sql)),
+    QueryDef("q257_threshold_sweep", q257, Some(q257Sql)),
     QueryDef("q26_ngram_jaccard", q26, Some(exactJaccardSql)),
     QueryDef("q27_minhash_lsh", q27, Some(exactJaccardSql), headline = true),
     QueryDef("q28_simhash", q28, Some(q28Sql)),

@@ -414,6 +414,93 @@ object Profile {
           .as("skew_factor"))
   }
 
+  /** One-row corpus DATASHEET: the executive summary a dataset card
+    * leads with — volumes (docs, chars, whitespace tokens), diversity
+    * (languages, sources), and duplication (exact content groups, exact
+    * dup count and rate, verified near-dup pairs) — composed entirely
+    * from operators that are each independently oracle-verified, so the
+    * summary can't drift from the detailed reports (the q120 rule,
+    * corpus-card-wide). Scale: one corpus aggregation pass + the md5
+    * group collapse + a count over the (output-sized) pair list.
+    */
+  def corpusDatasheet(docs: DataFrame, idCol: String, textCol: String,
+      langCol: String, sourceCol: String,
+      nearDupPairs: DataFrame): DataFrame = {
+    val base = docs.select(col(idCol).as("id"), col(textCol).as("text"),
+      col(langCol).as("lang"), col(sourceCol).as("src"))
+    val main = base.agg(
+      count(lit(1)).as("n_docs"),
+      countDistinct(col("lang")).as("n_langs"),
+      countDistinct(col("src")).as("n_sources"),
+      sum(length(col("text"))).as("chars_total"),
+      sum(size(split(col("text"), " "))).as("tokens_total"))
+    val dup = Dedup.exactDedup(base, "id", "text")
+      .agg(count(lit(1)).as("n_content_groups"),
+        sum(col("n_copies") - 1).as("n_exact_dups"))
+    val near = nearDupPairs.agg(count(lit(1)).as("n_near_dup_pairs"))
+    main.crossJoin(broadcast(dup)).crossJoin(broadcast(near))
+      .withColumn("mean_chars_micro",
+        expr("chars_total * 1000000L div n_docs"))
+      .withColumn("exact_dup_micro",
+        expr("n_exact_dups * 1000000L div n_docs"))
+  }
+
+  // ---- q260: the dataset card's headline row ----------------------------------
+  private def q260(s: SparkSession, d: String): DataFrame =
+    corpusDatasheet(Tables.documents(s, d), "doc_id", "text", "lang",
+      "source", Dedup.lshPairsOf(s, d))
+  private def q260Sql =
+    s"""WITH main AS (
+         SELECT count(*)::BIGINT AS n_docs,
+           count(DISTINCT lang)::BIGINT AS n_langs,
+           count(DISTINCT source)::BIGINT AS n_sources,
+           sum(strlen(text))::BIGINT AS chars_total,
+           sum(len(string_split(text, ' ')))::BIGINT AS tokens_total
+         FROM documents),
+       dup AS (
+         SELECT count(*)::BIGINT AS n_content_groups,
+           sum(n_copies - 1)::BIGINT AS n_exact_dups
+         FROM (SELECT count(*) AS n_copies FROM documents
+               GROUP BY md5(text))),
+       ${Dedup.jaccardCtes()},
+       near AS (
+         SELECT count(*)::BIGINT AS n_near_dup_pairs FROM (
+           SELECT d1 FROM pair
+           JOIN sizes s1 ON d1 = s1.doc_id JOIN sizes s2 ON d2 = s2.doc_id
+           WHERE inter / (s1.n + s2.n - inter) >= ${Dedup.JaccardThreshold}))
+       SELECT m.*, d.n_content_groups, d.n_exact_dups, n.n_near_dup_pairs,
+         (m.chars_total * 1000000 // m.n_docs)::BIGINT AS mean_chars_micro,
+         (d.n_exact_dups * 1000000 // m.n_docs)::BIGINT AS exact_dup_micro
+       FROM main m CROSS JOIN dup d CROSS JOIN near n"""
+
+  /** Salt plan from a key profile: for every key whose row count exceeds
+    * `targetPerTask`, the salt factor ceil(n / target) that splits it
+    * into target-sized sub-keys — the ACTIONABLE output of [[keySkew]]'s
+    * diagnosis, fed directly to a salted join ([[SkewJoin.saltedInner]])
+    * or a salted aggregation. Keys under the target need no salt and are
+    * omitted; the plan is |hot keys|-sized, broadcastable next to the
+    * join it tunes. Exact integer ceil via (n + t − 1) div t.
+    */
+  def saltPlan(df: DataFrame, keyCol: String,
+      targetPerTask: Long): DataFrame = {
+    require(targetPerTask >= 1, "targetPerTask must be positive")
+    df.groupBy(col(keyCol)).agg(count(lit(1)).as("n_rows"))
+      .filter(col("n_rows") > targetPerTask)
+      .select(col(keyCol), col("n_rows"),
+        expr(s"(n_rows + ${targetPerTask}L - 1L) div ${targetPerTask}L")
+          .as("salt_factor"))
+  }
+
+  // ---- q259: how to split the hot event types before a keyed shuffle ----------
+  private def q259(s: SparkSession, d: String): DataFrame =
+    saltPlan(Tables.events(s, d), "event_type", targetPerTask = 1000L)
+      .orderBy(col("event_type"))
+  private val q259Sql =
+    """SELECT event_type, count(*)::BIGINT AS n_rows,
+       ((count(*) + 999) // 1000)::BIGINT AS salt_factor
+       FROM events GROUP BY event_type
+       HAVING count(*) > 1000 ORDER BY event_type"""
+
   /** Data-quality expectations — the pre-publish gate every pipeline
     * table needs (the Great-Expectations/dbt-test shape, engine-side).
     * Three rule kinds, one uniform report row each
@@ -2692,6 +2779,8 @@ object Profile {
 
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q251_inclusion_audit", q251, Some(q251Sql)),
+    QueryDef("q259_salt_plan", q259, Some(q259Sql)),
+    QueryDef("q260_corpus_datasheet", q260, Some(q260Sql)),
     QueryDef("q194_mann_whitney", q194, Some(q194Sql)),
     QueryDef("q195_spearman", q195, Some(q195Sql)),
     QueryDef("q199_ks_test", q199, Some(q199Sql)),

@@ -130,6 +130,77 @@ object TextAnalysis {
          FROM documents) t
        GROUP BY lang, predicted ORDER BY lang, predicted"""
 
+  /** Language-ID confidence margin: beside q23's argmax prediction, the
+    * gap between the best and second-best profile scores — the
+    * mixed-language / too-short-to-tell detector (a monolingual doc
+    * separates its profiles; code-switched or template text ties them).
+    * Low-margin docs are the ones a pipeline routes to a heavier
+    * classifier instead of trusting the heuristic.
+    *
+    * Same zero-shuffle per-row kernels as [[q23]] (TokenHits per
+    * profile); best/second via one sorted 4-array per row. CJK docs
+    * short-circuit to 'zh' with a null margin (the codepoint check is
+    * not score-based).
+    */
+  def langIdMargin(df: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val toks = tokens(col(textCol))
+    def hits(lang: String) =
+      tokenHits(toks, langProfiles.find(_._1 == lang).get._2)
+    val scores = sort_array(array(hits("de"), hits("es"), hits("fr"),
+      hits("en")))
+    val sDe = hits("de"); val sEs = hits("es")
+    val sFr = hits("fr"); val sEn = hits("en")
+    val pred = when(col(textCol).rlike("[\\u4e00-\\u9fff]"), "zh")
+      .when(sDe > greatest(sEs, sFr, sEn), "de")
+      .when(sEs > greatest(sFr, sEn), "es")
+      .when(sFr > sEn, "fr")
+      .otherwise("en")
+    df.select(col(idCol), pred.as("predicted"),
+        when(pred === "zh", lit(null).cast("long"))
+          .otherwise((element_at(scores, 4) - element_at(scores, 3))
+            .cast("long")).as("margin"))
+      .withColumn("confident",
+        col("predicted") === "zh" || col("margin") >= 2)
+  }
+
+  // ---- q258: how trustworthy is the language heuristic, per language? ---------
+  private def q258(s: SparkSession, d: String): DataFrame =
+    langIdMargin(Tables.documents(s, d), "doc_id", "text")
+      .groupBy(col("predicted"))
+      .agg(count(lit(1)).as("n_docs"),
+        count(when(!col("confident"), 1)).as("n_low_margin"),
+        coalesce(sum(col("margin")), lit(0L)).as("margin_total"))
+      .withColumn("low_margin_micro",
+        expr("n_low_margin * 1000000L div n_docs"))
+      .orderBy(col("predicted"))
+  private val q258Sql =
+    """WITH scored AS (
+         SELECT doc_id,
+           CASE WHEN regexp_matches(text, '[\x{4e00}-\x{9fff}]') THEN 'zh'
+             WHEN s_de > greatest(s_es, s_fr, s_en) THEN 'de'
+             WHEN s_es > greatest(s_fr, s_en) THEN 'es'
+             WHEN s_fr > s_en THEN 'fr' ELSE 'en' END AS predicted,
+           list_sort([s_de, s_es, s_fr, s_en]) AS ss
+         FROM (SELECT doc_id, text,
+           len(list_filter(string_split(text,' '), t -> list_contains(['der','die','das','und','ist','nicht','mit','ein','zu','den'], t))) AS s_de,
+           len(list_filter(string_split(text,' '), t -> list_contains(['el','la','los','las','es','y','que','un','una','por'], t))) AS s_es,
+           len(list_filter(string_split(text,' '), t -> list_contains(['le','les','et','est','dans','pour','une','avec','sur','pas'], t))) AS s_fr,
+           len(list_filter(string_split(text,' '), t -> list_contains(['the','a','of','and','to','is','in','that','it','as'], t))) AS s_en
+           FROM documents) t),
+       m AS (
+         SELECT predicted,
+           CASE WHEN predicted = 'zh' THEN NULL
+             ELSE (ss[4] - ss[3])::BIGINT END AS margin,
+           (predicted = 'zh' OR (ss[4] - ss[3]) >= 2) AS confident
+         FROM scored)
+       SELECT predicted, count(*)::BIGINT AS n_docs,
+         count(*) FILTER (WHERE NOT confident)::BIGINT AS n_low_margin,
+         coalesce(sum(margin), 0)::BIGINT AS margin_total,
+         (count(*) FILTER (WHERE NOT confident) * 1000000
+           // count(*))::BIGINT AS low_margin_micro
+       FROM m GROUP BY predicted ORDER BY predicted"""
+
   /** Gopher-style rule-based document filter: each heuristic is emitted as
     * its own boolean alongside the final `keep`, so a pipeline can both
     * filter and audit per-rule rejection rates in one pass. Rules follow
@@ -1269,6 +1340,7 @@ object TextAnalysis {
 
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q255_prefix_index", q255, Some(q255Sql)),
+    QueryDef("q258_langid_margin", q258, Some(q258Sql)),
     QueryDef("q211_vocab_growth", q211, Some(q211Sql)),
     QueryDef("q213_doc_novelty", q213, Some(q213Sql)),
     QueryDef("q221_hapax_profile", q221, Some(q221Sql)),

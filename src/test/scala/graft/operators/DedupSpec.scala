@@ -314,4 +314,18 @@ class DedupSpec extends SparkSpec {
     assert(r.getAs[Long]("medoid_id") === 2L, s"got $r")
   }
 
+  test("thresholdSweep counts survivors per threshold incl. empty tiers") {
+    val pairs = Seq((1L, 2L, 0.95), (1L, 3L, 0.72), (4L, 5L, 0.55))
+      .toDF("d1", "d2", "jaccard")
+    val got = Dedup.thresholdSweep(pairs, "jaccard",
+        Seq(500000L, 700000L, 900000L, 990000L))
+      .orderBy($"threshold_micro")
+      .as[(Long, Long, Long)].collect()
+    assert(got === Array(
+      (500000L, 3L, 5L),   // all pairs, docs {1,2,3,4,5}
+      (700000L, 2L, 3L),   // (1,2)(1,3), docs {1,2,3}
+      (900000L, 1L, 2L),   // (1,2)
+      (990000L, 0L, 0L)))  // nothing reaches 0.99
+  }
+
 }

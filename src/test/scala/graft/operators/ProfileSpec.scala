@@ -696,4 +696,31 @@ class ProfileSpec extends SparkSpec {
       && ok.getAs[Long]("coverage_micro") === 1000000L)
   }
 
+  test("saltPlan salts only over-target keys with exact integer ceil") {
+    val df = (Seq.fill(2500)("hot") ++ Seq.fill(1000)("warm")
+      ++ Seq.fill(10)("cold")).toDF("k")
+    val got = Profile.saltPlan(df, "k", targetPerTask = 1000L)
+      .orderBy($"k").as[(String, Long, Long)].collect()
+    assert(got === Array(("hot", 2500L, 3L)),
+      "warm sits exactly AT target (no salt) and cold is under it")
+  }
+
+  test("corpusDatasheet composes volumes, diversity, and duplication in one row") {
+    val docs = Seq(
+      (1L, "alpha beta gamma", "en", "web"),
+      (2L, "alpha beta gamma", "en", "web"),   // exact dup of 1
+      (3L, "uno dos tres", "es", "books"))
+      .toDF("doc_id", "text", "lang", "source")
+    val noPairs = Seq.empty[(Long, Long, Double)].toDF("d1", "d2", "jaccard")
+    val r = Profile.corpusDatasheet(docs, "doc_id", "text", "lang",
+      "source", noPairs).head()
+    assert(r.getAs[Long]("n_docs") === 3L)
+    assert(r.getAs[Long]("n_langs") === 2L && r.getAs[Long]("n_sources") === 2L)
+    assert(r.getAs[Long]("tokens_total") === 9L)
+    assert(r.getAs[Long]("n_content_groups") === 2L)
+    assert(r.getAs[Long]("n_exact_dups") === 1L)
+    assert(r.getAs[Long]("n_near_dup_pairs") === 0L)
+    assert(r.getAs[Long]("exact_dup_micro") === 333333L)
+  }
+
 }

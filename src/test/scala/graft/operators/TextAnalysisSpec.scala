@@ -296,4 +296,22 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got.groupBy(_._1).forall(_._2.length <= 2))
   }
 
+  test("langIdMargin separates confident predictions from ties") {
+    val docs = Seq(
+      (1L, "der hund und die katze ist nicht mit der maus"), // clearly de
+      (2L, "the el la le of"),                               // 4-way near-tie
+      (3L, "\u4e2d\u6587 text here")                       // CJK short-circuit
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.langIdMargin(docs, "doc_id", "text")
+      .orderBy($"doc_id").collect()
+    assert(got(0).getAs[String]("predicted") === "de")
+    assert(got(0).getAs[Long]("margin") >= 2L
+      && got(0).getAs[Boolean]("confident"))
+    assert(!got(1).getAs[Boolean]("confident"),
+      s"a near-tie must flag low confidence: ${got(1)}")
+    assert(got(2).getAs[String]("predicted") === "zh")
+    assert(got(2).isNullAt(got(2).fieldIndex("margin"))
+      && got(2).getAs[Boolean]("confident"))
+  }
+
 }
