@@ -216,6 +216,66 @@ object Graph {
       .agg(count(lit(1)).as("w"))
   }
 
+  /** Salton (cosine) normalization of a co-occurrence projection: shared
+    * keys / √(deg(i1)·deg(i2)) — the association strength hub items
+    * can't inflate. A raw co-occurrence count ranks two ubiquitous items
+    * first (they share everything because they appear everywhere);
+    * the Salton index is the item-item collaborative-filtering score
+    * that corrects for it. Same capped enumeration (and fan-out bound)
+    * as [[coOccurrencePairs]]; degrees come from the same capped
+    * relation so the score is internally consistent.
+    *
+    * Determinism: integer counts, one √·÷ double finish on the
+    * identical path both engines, binRound6 (Salton ∈ [0, 1] — no −0.0
+    * class).
+    */
+  def saltonPairs(pairs: DataFrame, keyCol: String, itemCol: String,
+      maxItemsPerKey: Int): DataFrame = {
+    val co = coOccurrencePairs(pairs, keyCol, itemCol, maxItemsPerKey)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("c")).orderBy(col("i"))
+    val deg = pairs
+      .select(col(keyCol).cast("long").as("c"),
+        col(itemCol).cast("long").as("i"))
+      .distinct()
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= maxItemsPerKey)
+      .groupBy(col("i")).agg(count(lit(1)).as("d"))
+    co.join(deg.select(col("i").as("i1"), col("d").as("d1")), Seq("i1"))
+      .join(deg.select(col("i").as("i2"), col("d").as("d2")), Seq("i2"))
+      .select(col("i1"), col("i2"), col("w"), col("d1"), col("d2"),
+        (floor(col("w").cast("double")
+          / sqrt((col("d1") * col("d2")).cast("double")) * lit(1e6)
+          + lit(0.5)) / lit(1e6)).as("salton"))
+  }
+
+  // ---- q262: strongest hub-corrected supplier associations --------------------
+  private def q262(s: SparkSession, d: String): DataFrame = {
+    val sp = Tables.orders(s, d)
+      .join(Tables.lineitem(s, d), col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey").as("c"), col("l_suppkey").as("sup"))
+    saltonPairs(sp, "c", "sup", CoSaleCap)
+      .orderBy(col("salton").desc, col("i1"), col("i2"))
+      .limit(30)
+  }
+  private def q262Sql =
+    s"""WITH sp AS (
+         SELECT c, sup FROM (
+           SELECT DISTINCT o_custkey AS c, l_suppkey AS sup
+           FROM orders JOIN lineitem ON l_orderkey = o_orderkey)
+         QUALIFY row_number() OVER (PARTITION BY c ORDER BY sup)
+           <= $CoSaleCap),
+       co AS (
+         SELECT x.sup AS i1, y.sup AS i2, count(*)::BIGINT AS w
+         FROM sp x JOIN sp y ON x.c = y.c AND x.sup < y.sup
+         GROUP BY 1, 2),
+       deg AS (SELECT sup AS i, count(*)::BIGINT AS d FROM sp GROUP BY 1)
+       SELECT co.i1, co.i2, co.w, a.d AS d1, b.d AS d2,
+         floor(co.w::DOUBLE / sqrt((a.d * b.d)::DOUBLE) * 1e6 + 0.5) / 1e6
+           AS salton
+       FROM co JOIN deg a ON co.i1 = a.i JOIN deg b ON co.i2 = b.i
+       ORDER BY salton DESC, co.i1, co.i2 LIMIT 30"""
+
   /** Per-key item cap for q163: above the max observed per-customer
     * distinct-supplier count at every fixture scale factor (10 / 67 / 102
     * at sf0.001 / 0.01 / 0.1), so the fixture census is bit-identical to
@@ -839,6 +899,7 @@ object Graph {
        FROM agg"""
 
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q262_salton_pairs", q262, Some(q262Sql)),
     // headline: the iterative-graph representative in the driver's bench,
     // so a regression in the loop/localCheckpoint machinery is
     // round-over-round visible (the relational/dedup headliners never

@@ -360,6 +360,101 @@ object Sketches {
        FROM ext CROSS JOIN est"""
   }
 
+  /** Sketch-level distribution drift: the maximum empirical-CDF gap
+    * between two populations computed ENTIRELY from their [[ddBins]]
+    * summaries — the KS statistic at bin resolution (exact over the bin
+    * grid; the within-bin remainder is bounded by the larger side's bin
+    * mass). This is the 100-TB drift gate: [[Profile.ksTest]] collapses
+    * both populations to distinct values (corpus-sized for continuous
+    * domains), while two mergeable ≤ 63·2^s-row bin tables — possibly
+    * rolled up from per-shard summaries that never met — answer the
+    * same question in O(bins).
+    *
+    * Exact algebra: the gap |cumA·nB − cumB·nA| is maximized on BIGINTs
+    * over the shared bin grid (argmax ties to the lowest rep boundary);
+    * one final micro floor. Emits the gap's bin boundary — WHERE the
+    * distributions diverge most.
+    */
+  def ddDrift(binsA: DataFrame, binsB: DataFrame): DataFrame = {
+    val merged = binsA.select(col("e"), col("sub"), col("rep"),
+        col("c").as("ca"), lit(0L).as("cb"))
+      .unionByName(binsB.select(col("e"), col("sub"), col("rep"),
+        lit(0L).as("ca"), col("c").as("cb")))
+      .groupBy(col("e"), col("sub"), col("rep"))
+      .agg(sum(col("ca")).as("ca"), sum(col("cb")).as("cb"))
+    val w = Window.orderBy(col("e"), col("sub"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = merged.select(col("rep"),
+        sum(col("ca")).over(w).as("c1"), sum(col("cb")).over(w).as("c2"))
+      .crossJoin(broadcast(merged.agg(sum(col("ca")).as("n_a"),
+        sum(col("cb")).as("n_b"))))
+    cum
+      .select(col("n_a"), col("n_b"), col("rep"),
+        abs(col("c1") * col("n_b") - col("c2") * col("n_a")).as("gap"))
+      .groupBy(col("n_a"), col("n_b"))
+      .agg(max(struct(col("gap"), (-col("rep")).as("negrep"), col("rep")))
+        .as("bst"))
+      .select(col("n_a"), col("n_b"), col("bst.rep").as("drift_at_rep"),
+        when(col("n_a") === 0 || col("n_b") === 0, lit(null).cast("long"))
+          .otherwise(expr("bst.gap * 1000000L div (n_a * n_b)"))
+          .as("ks_micro"))
+  }
+
+  // ---- q261: open-vs-fulfilled price drift from two mergeable sketches ---------
+  // The q199 question (do O and F order prices distribute differently?)
+  // answered WITHOUT touching distinct values: two bin tables in, one
+  // row out. The oracle replays the bin algebra bit-for-bit.
+  private def q261(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+    def side(status: String) = ddBins(
+      o.filter(col("o_orderstatus") === status)
+        .select(floor(col("o_totalprice") * 100).as("v")),
+      col("v"), DdSub)
+    ddDrift(side("O"), side("F"))
+  }
+  private val q261Sql = {
+    val s2 = 1L << DdSub
+    def sideCte(name: String, status: String) =
+      s"""$name AS (
+         SELECT e, (v * $s2) // (1::BIGINT << e::INT) - $s2 AS sub,
+           count(*)::BIGINT AS c
+         FROM (SELECT length(bin(v)) - 1 AS e, v FROM (
+           SELECT floor(o_totalprice * 100)::BIGINT AS v FROM orders
+           WHERE o_orderstatus = '$status'
+             AND floor(o_totalprice * 100) >= 1))
+         GROUP BY 1, 2)"""
+    s"""WITH ${sideCte("ba", "O")},
+       ${sideCte("bb", "F")},
+       merged AS (
+         SELECT e, sub,
+           (($s2 + sub) * (1::BIGINT << e::INT)) // $s2 AS rep,
+           sum(ca)::BIGINT AS ca, sum(cb)::BIGINT AS cb
+         FROM (
+           SELECT e, sub, c AS ca, 0 AS cb FROM ba
+           UNION ALL SELECT e, sub, 0, c FROM bb)
+         GROUP BY 1, 2),
+       cum AS (
+         SELECT rep,
+           sum(ca) OVER (ORDER BY e, sub
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c1,
+           sum(cb) OVER (ORDER BY e, sub
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c2,
+           (SELECT sum(ca) FROM merged) AS n_a,
+           (SELECT sum(cb) FROM merged) AS n_b
+         FROM merged),
+       ranked AS (
+         SELECT n_a, n_b, rep,
+           abs(c1 * n_b - c2 * n_a) AS gap,
+           row_number() OVER (ORDER BY abs(c1 * n_b - c2 * n_a) DESC,
+             rep) AS rn
+         FROM cum)
+       SELECT n_a::BIGINT AS n_a, n_b::BIGINT AS n_b,
+         rep::BIGINT AS drift_at_rep,
+         CASE WHEN n_a = 0 OR n_b = 0 THEN NULL
+           ELSE (gap * 1000000 // (n_a * n_b)) END::BIGINT AS ks_micro
+       FROM ranked WHERE rn = 1"""
+  }
+
   // ---- q167: CMS frequency bounds for the heaviest event users -----------------
   // The exact per-user counts beside their CMS estimates (depth 4 ×
   // width 128): the driver gate proves the sketch arithmetic bit-equal in
@@ -884,5 +979,6 @@ object Sketches {
     QueryDef("q192_sliding_distinct", q192, Some(q192Sql)),
     QueryDef("q247_hll_small_range", q247, Some(q247Sql)),
     QueryDef("q248_dd_quantiles", q248, Some(q248Sql)),
-    QueryDef("q249_column_cardinality", q249, Some(q249Sql)))
+    QueryDef("q249_column_cardinality", q249, Some(q249Sql)),
+    QueryDef("q261_dd_drift", q261, Some(q261Sql)))
 }

@@ -194,4 +194,24 @@ class GraphSpec extends SparkSpec {
       .as[(Long, Option[Double])].head()
     assert(c === ((6L, None)))
   }
+  test("saltonPairs discounts hub items that raw co-occurrence inflates") {
+    // hub appears with every customer; a and b share their 2 customers
+    // exclusively: raw w(hub, a) == w(a, b) == 2, but Salton ranks the
+    // exclusive pair far higher.
+    val rows = Seq(
+      (1L, 10L), (1L, 20L), (1L, 99L),
+      (2L, 10L), (2L, 20L), (2L, 99L),
+      (3L, 99L), (4L, 99L), (5L, 99L),
+      (3L, 30L), (4L, 30L), (5L, 30L)).toDF("c", "i")
+    val got = Graph.saltonPairs(rows, "c", "i", maxItemsPerKey = 16)
+      .collect().map(r => ((r.getAs[Long]("i1"), r.getAs[Long]("i2")),
+        (r.getAs[Long]("w"), r.getAs[Double]("salton")))).toMap
+    // (10, 20): 2 shared of deg 2 and 2 -> salton 1.0
+    assert(got((10L, 20L)) === ((2L, 1.0)))
+    // (10, 99): 2 shared but hub deg 5 -> 2/sqrt(2*5) ~ 0.632456
+    assert(got((10L, 99L))._1 === 2L)
+    assert(math.abs(got((10L, 99L))._2 - 0.632456) < 1e-6)
+    assert(got((10L, 20L))._2 > got((10L, 99L))._2)
+  }
+
 }

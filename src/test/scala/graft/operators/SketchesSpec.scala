@@ -243,4 +243,22 @@ class SketchesSpec extends SparkSpec {
     assert(merged.exceptAll(unioned).count() === 0L)
     assert(unioned.exceptAll(merged).count() === 0L)
   }
+  test("ddDrift reads the KS gap from two sketches: zero for identical, large for shifted") {
+    val a = spark.range(1, 4001).select(($"id" % 500L + 1L).as("v"))
+    // Identical distributions -> gap 0 at bin resolution.
+    val same = Sketches.ddDrift(
+      Sketches.ddBins(a, $"v", 4), Sketches.ddBins(a, $"v", 4)).head()
+    assert(same.getAs[Long]("ks_micro") === 0L)
+    assert(same.getAs[Long]("n_a") === 4000L && same.getAs[Long]("n_b") === 4000L)
+    // A 64x magnitude shift separates the CDFs almost completely.
+    val b = spark.range(1, 4001).select(($"id" % 500L + 1L) * 64L as "v")
+    val far = Sketches.ddDrift(
+      Sketches.ddBins(a, $"v", 4), Sketches.ddBins(b, $"v", 4)).head()
+    assert(far.getAs[Long]("ks_micro") > 900000L,
+      s"shifted populations must show near-total drift: $far")
+    // The sketch KS can never exceed the exact KS by construction
+    // (bin-resolution merge only absorbs gaps); sanity: <= 1e6.
+    assert(far.getAs[Long]("ks_micro") <= 1000000L)
+  }
+
 }
