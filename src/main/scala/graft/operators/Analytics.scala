@@ -848,6 +848,126 @@ object Analytics {
        FROM pairs JOIN tot ON pairs.state = tot.state
        ORDER BY pairs.state, next_state"""
 
+  /** Two-step transition probabilities — the square of the
+    * [[transitionMatrix]]: p₂(a→c) = Σ_b p(a→b)·p(b→c), answering "where
+    * does a session land TWO events from here" (the Markov-chain lookahead
+    * a next-event matrix can't). Exact cross-engine algebra: each path
+    * term floors independently as (n_ab·n_bc·10⁶) div (r_a·r_b) and the
+    * flooring-inside-the-sum convention is documented — both engines sum
+    * identical BIGINT terms, so no float or summation-order divergence
+    * exists. `path_weight` = Σ_b n_ab·n_bc (the raw two-step path count
+    * product) rides along for support filtering.
+    *
+    * Scale design: the event log shuffles once for the per-key `lead`
+    * window (same exchange [[transitionMatrix]] pays); everything after
+    * operates on the |states|²-sized pair relation — the self-join and
+    * totals joins are metadata-sized at any corpus scale.
+    */
+  def markovTwoStep(df: DataFrame, keyCol: String, tsCol: String,
+      tieCol: String, stateCol: String): DataFrame = {
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(tsCol), col(tieCol))
+    val pairs = df
+      .select(col(keyCol), col(tsCol), col(tieCol), col(stateCol).as("state"))
+      .withColumn("next_state", lead(col("state"), 1).over(w))
+      .filter(col("next_state").isNotNull)
+      .groupBy(col("state"), col("next_state"))
+      .agg(count(lit(1)).as("n"))
+    val totals = pairs.groupBy(col("state")).agg(sum(col("n")).as("tot"))
+    val step = pairs.join(broadcast(totals), "state")
+      .select(col("state"), col("next_state"), col("n"), col("tot"))
+    step.as("p1").join(step.as("p2"),
+        col("p1.next_state") === col("p2.state"))
+      .groupBy(col("p1.state").as("state"), col("p2.next_state").as("next2"))
+      .agg(sum(expr("p1.n * p2.n")).as("path_weight"),
+        sum(expr("(p1.n * p2.n * 1000000L) div (p1.tot * p2.tot)"))
+          .as("p2_micro"))
+  }
+
+  // ---- q266: two-step event-type transitions -----------------------------------
+  private def q266(s: SparkSession, d: String): DataFrame =
+    markovTwoStep(Tables.events(s, d), "user_id", "ts", "event_id",
+        "event_type")
+      .orderBy(col("state"), col("next2"))
+  private val q266Sql =
+    """WITH seq AS (
+         SELECT event_type AS state,
+           lead(event_type) OVER (PARTITION BY user_id
+             ORDER BY ts, event_id) AS next_state
+         FROM events),
+       pairs AS (
+         SELECT state, next_state, count(*)::BIGINT AS n FROM seq
+         WHERE next_state IS NOT NULL GROUP BY 1, 2),
+       tot AS (SELECT state, sum(n)::BIGINT AS tot FROM pairs GROUP BY 1),
+       step AS (
+         SELECT p.state, p.next_state, p.n, t.tot
+         FROM pairs p JOIN tot t ON p.state = t.state)
+       SELECT p1.state, p2.next_state AS next2,
+         sum(p1.n * p2.n)::BIGINT AS path_weight,
+         sum((p1.n * p2.n * 1000000) // (p1.tot * p2.tot))::BIGINT AS p2_micro
+       FROM step p1 JOIN step p2 ON p1.next_state = p2.state
+       GROUP BY 1, 2 ORDER BY p1.state, next2"""
+
+  /** Binary-decay exponentially weighted moving average of a per-day
+    * metric: over the most recent `maxDays` days of each key, day at
+    * recency-rank r (1 = latest) carries weight 2^(maxDays−r) — the
+    * α = ½ EWMA, truncated, in EXACT integer algebra (the one decay
+    * family whose weights are integers, so no pow/float enters the
+    * score). Values quantize per row as floor(value·100) cents (the
+    * file-wide convention — per-row, order-independent); the final
+    * division sign-splits so both engines floor identically on negative
+    * sums. Emits the day count actually used, the latest epoch-day, and
+    * ewma_cents.
+    *
+    * Scale design: one partial-aggregated groupBy collapses the event
+    * log to (key, day) rows map-side; the recency window then runs per
+    * key over ≤ a few thousand day rows — bounded state no matter how
+    * many events a day holds.
+    */
+  def binaryEwma(df: DataFrame, keyCol: String, tsCol: String,
+      valueCol: String, maxDays: Int): DataFrame = {
+    require(maxDays >= 1 && maxDays <= 32, "binaryEwma needs 1 <= maxDays <= 32")
+    val daily = df
+      .select(col(keyCol).as("k"),
+        expr(s"unix_micros($tsCol) div 86400000000").as("day_id"),
+        floor(col(valueCol) * 100).cast("long").as("cents"))
+      .groupBy(col("k"), col("day_id"))
+      .agg(sum(col("cents")).as("day_cents"))
+    val w = Window.partitionBy(col("k")).orderBy(col("day_id").desc)
+    daily.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= maxDays)
+      .groupBy(col("k"))
+      .agg(count(lit(1)).as("n_days"),
+        max(col("day_id")).as("last_day_id"),
+        sum(expr(s"day_cents * shiftleft(1L, $maxDays - rn)")).as("num"),
+        sum(expr(s"shiftleft(1L, $maxDays - rn)")).as("den"))
+      .select(col("k"), col("n_days"), col("last_day_id"),
+        expr("sign(num) * (abs(num) div den)").cast("long").as("ewma_cents"))
+  }
+
+  // ---- q267: binary-decay EWMA of daily event value per type -------------------
+  private def q267(s: SparkSession, d: String): DataFrame =
+    binaryEwma(Tables.events(s, d), "event_type", "ts", "value", 16)
+      .withColumnRenamed("k", "event_type")
+      .orderBy(col("event_type"))
+  private val q267Sql =
+    """WITH daily AS (
+         SELECT event_type, epoch_us(ts) // 86400000000 AS day_id,
+           sum(floor(value * 100)::BIGINT)::BIGINT AS day_cents
+         FROM events GROUP BY 1, 2),
+       ranked AS (
+         SELECT event_type, day_id, day_cents,
+           row_number() OVER (PARTITION BY event_type
+             ORDER BY day_id DESC) AS rn
+         FROM daily)
+       SELECT event_type, count(*)::BIGINT AS n_days,
+         max(day_id)::BIGINT AS last_day_id,
+         (sign(sum(day_cents * (1::BIGINT << (16 - rn))))::BIGINT
+           * (abs(sum(day_cents * (1::BIGINT << (16 - rn))))
+              // sum(1::BIGINT << (16 - rn))))::BIGINT AS ewma_cents
+       FROM ranked WHERE rn <= 16
+       GROUP BY event_type ORDER BY event_type"""
+
   /** Rolling z-score anomaly detection: each observation scored against
     * the trailing `windowSeconds` mean/stddev of its own key — the
     * streaming-adjacent "is this metric suddenly weird" detector, in
@@ -2822,6 +2942,8 @@ object Analytics {
     QueryDef("q100_hopping_windows", q100, Some(q100Sql)),
     QueryDef("q101_linear_trend", q101, Some(q101Sql)),
     QueryDef("q103_transition_matrix", q103, Some(q103Sql)),
+    QueryDef("q266_markov_two_step", q266, Some(q266Sql)),
+    QueryDef("q267_binary_ewma", q267, Some(q267Sql)),
     QueryDef("q104_rank_family", q104, Some(q104Sql)),
     QueryDef("q107_rolling_anomaly", q107, Some(q107Sql)),
     QueryDef("q116_concurrency_sweep", q116, Some(q116Sql)),

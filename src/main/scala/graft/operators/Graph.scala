@@ -276,6 +276,65 @@ object Graph {
        FROM co JOIN deg a ON co.i1 = a.i JOIN deg b ON co.i2 = b.i
        ORDER BY salton DESC, co.i1, co.i2 LIMIT 30"""
 
+  /** Neighbor-set Jaccard of a co-occurrence projection — the classic
+    * link-prediction / item-item similarity score |N(a)∩N(b)| /
+    * |N(a)∪N(b)| over the SHARED-KEY sets: shared / (deg(a)+deg(b)−
+    * shared), in exact micro-units (floored BIGINT division — no float
+    * touches the score, unlike [[saltonPairs]]' one √ finish). Salton
+    * corrects hubs geometrically; Jaccard is the set-overlap form a
+    * dedup/blocking pipeline thresholds on. Same capped enumeration
+    * (and fan-out bound) as [[coOccurrencePairs]]; degrees come from the
+    * same capped relation so the score is internally consistent.
+    *
+    * Scale design: identical to [[saltonPairs]] — the pair list is
+    * already the capped projection (Σ min(d,C)² bound) and the degree
+    * relation collapses map-side to |items| rows before two broadcast
+    * joins; nothing corpus-sized shuffles past the projection.
+    */
+  def linkJaccard(pairs: DataFrame, keyCol: String, itemCol: String,
+      maxItemsPerKey: Int): DataFrame = {
+    val co = coOccurrencePairs(pairs, keyCol, itemCol, maxItemsPerKey)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("c")).orderBy(col("i"))
+    val deg = pairs
+      .select(col(keyCol).cast("long").as("c"),
+        col(itemCol).cast("long").as("i"))
+      .distinct()
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= maxItemsPerKey)
+      .groupBy(col("i")).agg(count(lit(1)).as("d"))
+    co.join(deg.select(col("i").as("i1"), col("d").as("d1")), Seq("i1"))
+      .join(deg.select(col("i").as("i2"), col("d").as("d2")), Seq("i2"))
+      .select(col("i1"), col("i2"), col("w"), col("d1"), col("d2"),
+        expr("(w * 1000000L) div (d1 + d2 - w)").as("jaccard_micro"))
+  }
+
+  // ---- q263: supplier link-prediction by neighbor-set Jaccard -----------------
+  private def q263(s: SparkSession, d: String): DataFrame = {
+    val sp = Tables.orders(s, d)
+      .join(Tables.lineitem(s, d), col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey").as("c"), col("l_suppkey").as("sup"))
+    linkJaccard(sp, "c", "sup", CoSaleCap)
+      .orderBy(col("jaccard_micro").desc, col("i1"), col("i2"))
+      .limit(30)
+  }
+  private def q263Sql =
+    s"""WITH sp AS (
+         SELECT c, sup FROM (
+           SELECT DISTINCT o_custkey AS c, l_suppkey AS sup
+           FROM orders JOIN lineitem ON l_orderkey = o_orderkey)
+         QUALIFY row_number() OVER (PARTITION BY c ORDER BY sup)
+           <= $CoSaleCap),
+       co AS (
+         SELECT x.sup AS i1, y.sup AS i2, count(*)::BIGINT AS w
+         FROM sp x JOIN sp y ON x.c = y.c AND x.sup < y.sup
+         GROUP BY 1, 2),
+       deg AS (SELECT sup AS i, count(*)::BIGINT AS d FROM sp GROUP BY 1)
+       SELECT co.i1, co.i2, co.w, a.d AS d1, b.d AS d2,
+         ((co.w * 1000000) // (a.d + b.d - co.w))::BIGINT AS jaccard_micro
+       FROM co JOIN deg a ON co.i1 = a.i JOIN deg b ON co.i2 = b.i
+       ORDER BY jaccard_micro DESC, co.i1, co.i2 LIMIT 30"""
+
   /** Per-key item cap for q163: above the max observed per-customer
     * distinct-supplier count at every fixture scale factor (10 / 67 / 102
     * at sf0.001 / 0.01 / 0.1), so the fixture census is bit-identical to
@@ -900,6 +959,7 @@ object Graph {
 
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q262_salton_pairs", q262, Some(q262Sql)),
+    QueryDef("q263_link_jaccard", q263, Some(q263Sql)),
     // headline: the iterative-graph representative in the driver's bench,
     // so a regression in the loop/localCheckpoint machinery is
     // round-over-round visible (the relational/dedup headliners never

@@ -492,14 +492,16 @@ object Profile {
   }
 
   // ---- q259: how to split the hot event types before a keyed shuffle ----------
+  // target 100 keeps the plan non-empty at every fixture scale factor
+  // (per-type counts run ~200/2000/20000 at sf0.001/0.01/0.1).
   private def q259(s: SparkSession, d: String): DataFrame =
-    saltPlan(Tables.events(s, d), "event_type", targetPerTask = 1000L)
+    saltPlan(Tables.events(s, d), "event_type", targetPerTask = 100L)
       .orderBy(col("event_type"))
   private val q259Sql =
     """SELECT event_type, count(*)::BIGINT AS n_rows,
-       ((count(*) + 999) // 1000)::BIGINT AS salt_factor
+       ((count(*) + 99) // 100)::BIGINT AS salt_factor
        FROM events GROUP BY event_type
-       HAVING count(*) > 1000 ORDER BY event_type"""
+       HAVING count(*) > 100 ORDER BY event_type"""
 
   /** Data-quality expectations — the pre-publish gate every pipeline
     * table needs (the Great-Expectations/dbt-test shape, engine-side).
@@ -1748,6 +1750,148 @@ object Profile {
     agg.select(explode(array(pairs: _*)).as("p")).select(col("p.*"))
   }
 
+  /** Per-group Pearson correlation of two pre-quantized measures — the
+    * keyed companion to [[corrMatrix]] ("does the discount–quantity
+    * relationship differ by ship mode / brand / region?"). Same
+    * determinism contract: the five moments accumulate as exact BIGINT
+    * (callers quantize each measure so its per-group sums stay ≤ 2⁵³),
+    * and the finish runs the identical correctly-rounded double path on
+    * both engines, round6 + `+ 0.0` (r is negative-capable). Degenerate
+    * groups (zero variance on either side) emit null, never NaN.
+    *
+    * Scale design: ONE partial-aggregated groupBy — each partition
+    * collapses to |groups| moment rows map-side; no second pass, no
+    * window, no join.
+    */
+  def groupedCorr(df: DataFrame, groupCol: Column,
+      x: (String, Column), y: (String, Column)): DataFrame = {
+    val (xc, yc) = (x._2.cast("long"), y._2.cast("long"))
+    def d(c: String) = col(c).cast("double")
+    val va = d("n") * d("ssx") - d("sx") * d("sx")
+    val vb = d("n") * d("ssy") - d("sy") * d("sy")
+    val num = d("n") * d("sxy") - d("sx") * d("sy")
+    df.groupBy(groupCol.as("g"))
+      .agg(count(lit(1)).as("n"), sum(xc).as("sx"), sum(yc).as("sy"),
+        sum(xc * xc).as("ssx"), sum(yc * yc).as("ssy"),
+        sum(xc * yc).as("sxy"))
+      .select(col("g"), col("n"),
+        when(va === 0d || vb === 0d, lit(null).cast("double"))
+          .otherwise(round(num / (sqrt(va) * sqrt(vb)), 6) + lit(0.0))
+          .as(s"corr_${x._1}_${y._1}"))
+  }
+
+  // ---- q268: discount-quantity correlation per ship mode ----------------------
+  // Same hundredths quantization as q214; seven groups, one exchange of
+  // seven moment rows.
+  private def q268(s: SparkSession, d: String): DataFrame =
+    groupedCorr(Tables.lineitem(s, d), col("l_shipmode"),
+        "disc" -> floor(col("l_discount") * 100),
+        "qty" -> floor(col("l_quantity") * 100))
+      .orderBy(col("g"))
+  private val q268Sql =
+    """WITH m AS (
+         SELECT l_shipmode AS g, count(*)::BIGINT AS n,
+           sum(floor(l_discount * 100)::BIGINT)::BIGINT AS sx,
+           sum(floor(l_quantity * 100)::BIGINT)::BIGINT AS sy,
+           sum(floor(l_discount * 100)::BIGINT
+             * floor(l_discount * 100)::BIGINT)::BIGINT AS ssx,
+           sum(floor(l_quantity * 100)::BIGINT
+             * floor(l_quantity * 100)::BIGINT)::BIGINT AS ssy,
+           sum(floor(l_discount * 100)::BIGINT
+             * floor(l_quantity * 100)::BIGINT)::BIGINT AS sxy
+         FROM lineitem GROUP BY 1)
+       SELECT g, n,
+         CASE WHEN (n::DOUBLE * ssx - sx::DOUBLE * sx) = 0
+             OR (n::DOUBLE * ssy - sy::DOUBLE * sy) = 0 THEN NULL
+           ELSE round((n::DOUBLE * sxy - sx::DOUBLE * sy)
+             / (sqrt(n::DOUBLE * ssx - sx::DOUBLE * sx)
+                * sqrt(n::DOUBLE * ssy - sy::DOUBLE * sy)), 6) + 0.0
+           END AS corr_disc_qty
+       FROM m ORDER BY g"""
+
+  /** Column-profile drift between two row populations of the SAME
+    * relation (yesterday's load vs today's, region A vs B): per column,
+    * row count, null count, and exact distinct count on each side plus
+    * the distinct-count delta — the "did a feed silently change shape"
+    * gate that schema checks miss (same schema, different content).
+    *
+    * Scale design: ONE aggregation pass evaluates both sides of every
+    * column simultaneously (conditional aggregates — the expectRowRules
+    * shape); the exchange is the |cols|·distinct-values expand of the
+    * count-distincts, never the full relation twice.
+    */
+  def profileDiff(df: DataFrame, sideA: Column,
+      cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "need at least one column")
+    val aggs = cols.zipWithIndex.flatMap { case (c, i) =>
+      Seq(
+        count(when(sideA, lit(1))).as(s"c${i}__na"),
+        count(when(sideA && col(c).isNull, 1)).as(s"c${i}__nulla"),
+        countDistinct(when(sideA, col(c))).as(s"c${i}__da"),
+        count(when(!sideA, lit(1))).as(s"c${i}__nb"),
+        count(when(!sideA && col(c).isNull, 1)).as(s"c${i}__nullb"),
+        countDistinct(when(!sideA, col(c))).as(s"c${i}__db"))
+    }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val stackArgs = cols.zipWithIndex.flatMap { case (c, i) =>
+      Seq(lit(c), col(s"c${i}__na"), col(s"c${i}__nulla"), col(s"c${i}__da"),
+        col(s"c${i}__nb"), col(s"c${i}__nullb"), col(s"c${i}__db"))
+    }
+    one.select(stack((lit(cols.length) +: stackArgs): _*)
+        .as(Seq("column", "n_a", "n_null_a", "n_distinct_a",
+          "n_b", "n_null_b", "n_distinct_b")))
+      .withColumn("distinct_delta",
+        col("n_distinct_b") - col("n_distinct_a"))
+  }
+
+  // ---- q269: did the order feed change shape across the date midpoint? --------
+  private def q269(s: SparkSession, d: String): DataFrame =
+    profileDiff(Tables.orders(s, d), col("o_orderdate") < lit("1995-06-17"),
+        Seq("o_orderstatus", "o_orderpriority", "o_custkey", "o_clerk"))
+      .orderBy(col("column"))
+  private val q269Sql =
+    """WITH s AS (
+         SELECT *, (o_orderdate < DATE '1995-06-17') AS in_a FROM orders),
+       u AS (
+         SELECT 'o_orderstatus' AS "column",
+           count(CASE WHEN in_a THEN 1 END)::BIGINT AS n_a,
+           count(CASE WHEN in_a AND o_orderstatus IS NULL THEN 1 END)::BIGINT AS n_null_a,
+           count(DISTINCT CASE WHEN in_a THEN o_orderstatus END)::BIGINT AS n_distinct_a,
+           count(CASE WHEN NOT in_a THEN 1 END)::BIGINT AS n_b,
+           count(CASE WHEN NOT in_a AND o_orderstatus IS NULL THEN 1 END)::BIGINT AS n_null_b,
+           count(DISTINCT CASE WHEN NOT in_a THEN o_orderstatus END)::BIGINT AS n_distinct_b
+         FROM s
+         UNION ALL
+         SELECT 'o_orderpriority',
+           count(CASE WHEN in_a THEN 1 END)::BIGINT,
+           count(CASE WHEN in_a AND o_orderpriority IS NULL THEN 1 END)::BIGINT,
+           count(DISTINCT CASE WHEN in_a THEN o_orderpriority END)::BIGINT,
+           count(CASE WHEN NOT in_a THEN 1 END)::BIGINT,
+           count(CASE WHEN NOT in_a AND o_orderpriority IS NULL THEN 1 END)::BIGINT,
+           count(DISTINCT CASE WHEN NOT in_a THEN o_orderpriority END)::BIGINT
+         FROM s
+         UNION ALL
+         SELECT 'o_custkey',
+           count(CASE WHEN in_a THEN 1 END)::BIGINT,
+           count(CASE WHEN in_a AND o_custkey IS NULL THEN 1 END)::BIGINT,
+           count(DISTINCT CASE WHEN in_a THEN o_custkey END)::BIGINT,
+           count(CASE WHEN NOT in_a THEN 1 END)::BIGINT,
+           count(CASE WHEN NOT in_a AND o_custkey IS NULL THEN 1 END)::BIGINT,
+           count(DISTINCT CASE WHEN NOT in_a THEN o_custkey END)::BIGINT
+         FROM s
+         UNION ALL
+         SELECT 'o_clerk',
+           count(CASE WHEN in_a THEN 1 END)::BIGINT,
+           count(CASE WHEN in_a AND o_clerk IS NULL THEN 1 END)::BIGINT,
+           count(DISTINCT CASE WHEN in_a THEN o_clerk END)::BIGINT,
+           count(CASE WHEN NOT in_a THEN 1 END)::BIGINT,
+           count(CASE WHEN NOT in_a AND o_clerk IS NULL THEN 1 END)::BIGINT,
+           count(DISTINCT CASE WHEN NOT in_a THEN o_clerk END)::BIGINT
+         FROM s)
+       SELECT "column", n_a, n_null_a, n_distinct_a, n_b, n_null_b,
+         n_distinct_b, (n_distinct_b - n_distinct_a)::BIGINT AS distinct_delta
+       FROM u ORDER BY "column""""
+
   // ---- q214: one-pass correlation matrix of the lineitem measures -------------
   // Quantity in hundredths, price in whole dollars, discount/tax in
   // hundredths — units chosen so every moment stays exactly
@@ -2780,6 +2924,8 @@ object Profile {
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q251_inclusion_audit", q251, Some(q251Sql)),
     QueryDef("q259_salt_plan", q259, Some(q259Sql)),
+    QueryDef("q268_grouped_corr", q268, Some(q268Sql)),
+    QueryDef("q269_profile_diff", q269, Some(q269Sql)),
     QueryDef("q260_corpus_datasheet", q260, Some(q260Sql)),
     QueryDef("q194_mann_whitney", q194, Some(q194Sql)),
     QueryDef("q195_spearman", q195, Some(q195Sql)),

@@ -91,6 +91,45 @@ object Ranking {
           .otherwise(lit(0L)).as("rr_micro"))
   }
 
+  /** Per-query average precision at k — the order-sensitive retrieval
+    * metric nDCG's discount family can't replace: AP credits EVERY hit
+    * with the precision at its own rank (hits-so-far / rank), so burying
+    * one relevant result below k−1 junk rows costs proportionally.
+    * ap_micro = (Σ_{hit ranks r} (hits≤r · 1000000 div r)) div
+    * min(k, |relevant|), 0 when the query has no relevant documents
+    * (reported, not dropped). Mean over queries = MAP. Exact BIGINT
+    * algebra end to end — the cumulative-hit window is per-query
+    * (partitioned, k rows each), never a global sort.
+    *
+    * Scale design: same join shape as [[ndcgAtK]] — only k·|Q| ranked
+    * rows and a per-query relevant-count aggregate move; the window runs
+    * inside each query's k-row group.
+    */
+  def averagePrecision(ranked: DataFrame, relevant: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, "averagePrecision needs k >= 1")
+    val rel = relevant.select(col("query_id"), col("neighbor_id"), lit(1L).as("rel"))
+    val nRel = relevant.groupBy(col("query_id"))
+      .agg(count(lit(1)).as("n_rel_total"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("rank"))
+    ranked.filter(col("rank") <= k)
+      .join(rel, Seq("query_id", "neighbor_id"), "left")
+      .withColumn("hit", when(col("rel").isNotNull, 1L).otherwise(0L))
+      .withColumn("ch", sum(col("hit")).over(w))
+      .groupBy(col("query_id"))
+      .agg(sum(col("hit")).as("n_rel_topk"),
+        sum(when(col("hit") === 1, expr("(ch * 1000000L) div rank"))
+          .otherwise(lit(0L))).as("ap_sum"))
+      .join(nRel, Seq("query_id"), "left")
+      .select(col("query_id"), col("n_rel_topk"),
+        coalesce(col("n_rel_total"), lit(0L)).as("n_rel_total"),
+        least(lit(k.toLong), coalesce(col("n_rel_total"), lit(0L))).as("m"),
+        col("ap_sum"))
+      .select(col("query_id"), col("n_rel_topk"), col("n_rel_total"),
+        when(col("m") > 0, expr("ap_sum div m")).otherwise(lit(0L))
+          .as("ap_micro"))
+  }
+
   /** Mean reciprocal rank over all queries (single row, integer-floored
     * micro-units: Σ rr_micro div |Q|).
     */
@@ -214,6 +253,47 @@ object Ranking {
          ON e.query_id = r.query_id AND e.neighbor_id = r.neighbor_id
        GROUP BY e.query_id ORDER BY e.query_id"""
 
+  // ---- q264: average precision of exact cosine retrieval ----------------------
+  // The same exact-ranking-vs-label-agreement setup as q169/q170, scored
+  // by AP@k — the third leg of the retrieval-quality tripod (position-
+  // weighted coverage, first-hit latency, per-hit precision).
+  private def q264(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+    val ranked = Similarity.bruteTopK(
+      e.filter(col("vec_id") < NumQueries), e, "vec_id", "embedding", TopK)
+    val rel = broadcast(e.filter(col("vec_id") < NumQueries)
+        .select(col("vec_id").as("query_id"), col("label").as("ql")))
+      .join(e.select(col("vec_id").as("neighbor_id"), col("label").as("nl")),
+        col("ql") === col("nl") && col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"))
+    averagePrecision(ranked, rel, TopK).orderBy(col("query_id"))
+  }
+  private val q264Sql =
+    s"""WITH $exactRankSql,
+       nrel AS (
+         SELECT query_id, count(*)::BIGINT AS n_rel_total FROM rel GROUP BY 1),
+       j AS (
+         SELECT e.query_id, e.rank,
+           CASE WHEN r.neighbor_id IS NOT NULL THEN 1 ELSE 0 END AS hit
+         FROM ex e LEFT JOIN rel r
+           ON e.query_id = r.query_id AND e.neighbor_id = r.neighbor_id),
+       cum AS (
+         SELECT query_id, rank, hit,
+           sum(hit) OVER (PARTITION BY query_id ORDER BY rank) AS ch
+         FROM j),
+       perq AS (
+         SELECT query_id, sum(hit)::BIGINT AS n_rel_topk,
+           sum(CASE WHEN hit = 1
+             THEN (ch * 1000000) // rank ELSE 0 END)::BIGINT AS ap_sum
+         FROM cum GROUP BY 1)
+       SELECT p.query_id, p.n_rel_topk,
+         coalesce(n.n_rel_total, 0)::BIGINT AS n_rel_total,
+         CASE WHEN least($TopK, coalesce(n.n_rel_total, 0)) > 0
+           THEN ap_sum // least($TopK, coalesce(n.n_rel_total, 0))
+           ELSE 0 END::BIGINT AS ap_micro
+       FROM perq p LEFT JOIN nrel n ON p.query_id = n.query_id
+       ORDER BY p.query_id"""
+
   // ---- q174: recall@k of the int8-quantized ranking vs exact cosine ----------
   // The quantization acceptance report: how much of the exact top-k
   // survives 8-bit codes + integer dot scoring (same quantizer as q43,
@@ -256,5 +336,6 @@ object Ranking {
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q169_ndcg", q169, Some(q169Sql)),
     QueryDef("q170_reciprocal_rank", q170, Some(q170Sql)),
+    QueryDef("q264_average_precision", q264, Some(q264Sql)),
     QueryDef("q174_quantized_recall", q174, Some(q174Sql)))
 }

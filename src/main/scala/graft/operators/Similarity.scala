@@ -4,7 +4,7 @@ import graft.{QueryDef, Tables}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.functions.TextFunctions.cosine
+import graft.functions.TextFunctions.{cosine, doti, quantize8}
 
 /** Vector similarity search over embedding columns (SURVEY.md §2.6).
   * Parameterized library functions plus fixture-bound oracle queries.
@@ -1264,8 +1264,66 @@ object Similarity {
        FROM prod p JOIN sizes s ON p.g = s.g
        ORDER BY p.g"""
 
+  /** Inertia (within-cluster sum of squared distances) of seeded k-means
+    * assignments at each candidate k — the elbow table that picks the
+    * cluster count BEFORE committing a 100-TB corpus to a partitioning.
+    * Centroids are the deterministic seeds `idCol < k` (the q44/q161
+    * convention); distances are exact BIGINT L2² over int8-quantized
+    * codes (d² = ⟨a,a⟩ − 2⟨a,b⟩ + ⟨b,b⟩ through the [[graft.functions.DotProductInt]]
+    * kernel — bit-stable under any partitioning/summation order, and the
+    * same 8× memory-shrunk code path the ADC scorer rides). Per k:
+    * inertia, mean inertia per vector (floored), and the assigned count.
+    *
+    * Scale design: each k is ONE broadcast of ≤ max(ks) seed codes
+    * against a map-only pass over the corpus (argmin inside the row via
+    * `least`-style struct min in the aggregate — no scored relation is
+    * ever materialized or shuffled); the exchange per k is the map-side
+    * partial sums, |partitions| rows.
+    */
+  def kmeansElbow(vectors: DataFrame, idCol: String, vecCol: String,
+      ks: Seq[Int]): DataFrame = {
+    require(ks.nonEmpty && ks.forall(_ >= 1), "kmeansElbow needs ks >= 1")
+    val q8 = vectors.select(col(idCol).as("vid"), quantize8(col(vecCol)).as("q8"))
+    ks.map { k =>
+      val cents = q8.filter(col("vid") < k)
+        .select(col("vid").as("cid"), col("q8").as("cq"))
+      q8.crossJoin(broadcast(cents))
+        .select(col("vid"),
+          (doti(col("q8"), col("q8")) - lit(2L) * doti(col("q8"), col("cq"))
+            + doti(col("cq"), col("cq"))).as("d2"))
+        .groupBy(col("vid"))
+        .agg(min(col("d2")).as("best_d2"))
+        .agg(count(lit(1)).as("n_vectors"), sum(col("best_d2")).as("inertia"))
+        .select(lit(k).cast("long").as("k"), col("n_vectors"), col("inertia"),
+          expr("inertia div n_vectors").as("inertia_per_vec"))
+    }.reduce(_.unionAll(_))
+  }
+
+  // ---- q265: elbow table over the int8-quantized corpus -----------------------
+  private def q265(s: SparkSession, d: String): DataFrame =
+    kmeansElbow(Tables.embeddings(s, d), "vec_id", "embedding", Seq(2, 4, 8))
+      .orderBy(col("k"))
+  private val q265Sql =
+    """WITH q8 AS (
+         SELECT vec_id AS vid, list_transform(embedding, x -> floor(x::DOUBLE /
+           (list_max(list_transform(embedding, y -> abs(y))))::DOUBLE
+           * 127)::BIGINT) AS q
+         FROM embeddings),
+       ks AS (SELECT unnest([2, 4, 8]) AS k),
+       best AS (
+         SELECT ks.k, e.vid,
+           min(list_sum(list_transform(range(1, len(e.q) + 1),
+             i -> (e.q[i] - c.q[i]) * (e.q[i] - c.q[i]))))::BIGINT AS best_d2
+         FROM ks JOIN q8 c ON c.vid < ks.k CROSS JOIN q8 e
+         GROUP BY 1, 2)
+       SELECT k::BIGINT AS k, count(*)::BIGINT AS n_vectors,
+         sum(best_d2)::BIGINT AS inertia,
+         (sum(best_d2) // count(*))::BIGINT AS inertia_per_vec
+       FROM best GROUP BY k ORDER BY k"""
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q252_centroid_drift", q252, Some(q252Sql)),
+    QueryDef("q265_kmeans_elbow", q265, Some(q265Sql)),
     QueryDef("q30_cosine_topk", q30, Some(q30Sql), headline = true),
     QueryDef("q164_rrf_fusion", q164, Some(q164Sql)),
     QueryDef("q150_sparse_cosine", q150, Some(q150Sql)),

@@ -493,6 +493,68 @@ object StreamingOps {
         OutputMode.Update())
   }
 
+  /** Per-key first-occurrence marker for [[dedupStream]]: how many
+    * duplicates this key has absorbed since its survivor was emitted. */
+  final case class SeenState(dupes: Long)
+
+  /** One surviving record from the streaming dedup. */
+  final case class DedupSurvivor(key: String, payload: String)
+
+  /** Streaming exact deduplication with bounded state — the streaming
+    * form of [[graft.operators.Dedup.exactDedup]]: the FIRST record of
+    * each key (in arrival order) is emitted, every later record with the
+    * same key is absorbed silently. With `ttl = None` the seen-set is
+    * exact forever (state grows with distinct keys — the batch-dedup
+    * guarantee, streaming). With a TTL the state store expires idle keys
+    * after that processing-time horizon: memory stays bounded by the
+    * keys active inside the window, at the documented cost that a
+    * duplicate arriving AFTER its key expired re-emits — the standard
+    * horizon-exact contract every at-scale streaming dedup (including
+    * `dropDuplicatesWithinWatermark`) makes, here with the horizon as an
+    * explicit parameter instead of a watermark side-effect.
+    *
+    * The key is the caller's content hash (md5/minhash of the payload —
+    * the [[graft.operators.Dedup]] convention), so state per key is one
+    * small row regardless of payload size. State lives in the RocksDB
+    * store, partitioned by key hash; restart resumes the seen-set from
+    * the checkpoint, so exactly-once sinks never see a replayed
+    * survivor twice.
+    */
+  def dedupStream(records: DataFrame, keyCol: String, payloadCol: String,
+      ttl: Option[java.time.Duration] = None): Dataset[DedupSurvivor] = {
+    import records.sparkSession.implicits._
+    val ttlConf = ttl.map(TTLConfig(_)).getOrElse(TTLConfig.NONE)
+
+    class DedupProcessor
+        extends StatefulProcessor[String, (String, String), DedupSurvivor] {
+      @transient private var state: org.apache.spark.sql.streaming.ValueState[SeenState] = _
+
+      override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+        state = getHandle.getValueState[SeenState](
+          "seen", Encoders.product[SeenState], ttlConf)
+
+      override def handleInputRows(
+          key: String,
+          rows: Iterator[(String, String)],
+          timerValues: TimerValues): Iterator[DedupSurvivor] = {
+        val prev = Option(state.get())
+        val first = rows.next()
+        var dupes = prev.map(_.dupes).getOrElse(0L)
+        dupes += rows.size + (if (prev.isDefined) 1L else 0L)
+        state.update(SeenState(dupes))
+        if (prev.isEmpty) Iterator.single(DedupSurvivor(key, first._2))
+        else Iterator.empty
+      }
+    }
+
+    records
+      .select(col(keyCol).cast("string"), col(payloadCol).cast("string"))
+      .as[(String, String)]
+      .groupByKey(_._1)
+      .transformWithState(new DedupProcessor, TimeMode.None(),
+        OutputMode.Append())
+  }
+
   /** The Spark-4-native form of [[sessionizeStateful]] using the
     * transformWithState StatefulProcessor API (typed ValueState + event-time
     * timers). Requires the RocksDB state store provider:

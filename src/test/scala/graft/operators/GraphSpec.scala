@@ -214,4 +214,21 @@ class GraphSpec extends SparkSpec {
     assert(got((10L, 20L))._2 > got((10L, 99L))._2)
   }
 
+  test("linkJaccard scores set overlap exactly in integer micro-units") {
+    // Same fixture as the salton spec: (10, 20) share both their
+    // customers exclusively (J = 2/2 = 1); (10, 99) share 2 of
+    // 2 + 5 - 2 = 5 neighbors (J = 0.4).
+    val rows = Seq(
+      (1L, 10L), (1L, 20L), (1L, 99L),
+      (2L, 10L), (2L, 20L), (2L, 99L),
+      (3L, 99L), (4L, 99L), (5L, 99L),
+      (3L, 30L), (4L, 30L), (5L, 30L)).toDF("c", "i")
+    val got = Graph.linkJaccard(rows, "c", "i", maxItemsPerKey = 16)
+      .collect().map(r => ((r.getAs[Long]("i1"), r.getAs[Long]("i2")),
+        r.getAs[Long]("jaccard_micro"))).toMap
+    assert(got((10L, 20L)) === 1000000L)
+    assert(got((10L, 99L)) === 400000L)
+    assert(got((30L, 99L)) === 600000L) // 3 of 3 + 5 - 3
+  }
+
 }

@@ -102,4 +102,72 @@ class RankingSpec extends SparkSpec {
     // w = 10 and 1: shares are 10/11 and 1/11 in micro units.
     assert(bigShare === 909090L && smallShare === 90909L)
   }
+
+  test("averagePrecision credits each hit with precision at its own rank") {
+    // q1: hits at ranks 1 and 3 of 5, 2 relevant total.
+    //   AP = (1/1 + 2/3) / 2 -> (1000000 + 666666) div 2 = 833333
+    // q2: same two hits but at ranks 4 and 5 — position matters:
+    //   AP = (1/4 + 2/5) / 2 -> (250000 + 400000) div 2 = 325000
+    // q3: no relevant docs at all -> reported with ap 0.
+    val ranked = (1 to 5).flatMap(r =>
+      Seq((1L, r, r * 10L), (2L, r, r * 10L), (3L, r, r * 10L)))
+      .toDF("query_id", "rank", "neighbor_id")
+    val rel = Seq((1L, 10L), (1L, 30L), (2L, 40L), (2L, 50L))
+      .toDF("query_id", "neighbor_id")
+    val got = Ranking.averagePrecision(ranked, rel, k = 5)
+      .orderBy($"query_id").as[(Long, Long, Long, Long)].collect()
+    assert(got === Array(
+      (1L, 2L, 2L, 833333L),
+      (2L, 2L, 2L, 325000L),
+      (3L, 0L, 0L, 0L)))
+  }
+
+  test("kmeansElbow inertia is monotone in k and exact on a planted fixture") {
+    // Four points on a line; seeds are vec_id < k. Quantization maps
+    // each vector by floor(x / max|x| * 127).
+    val vecs = Seq(
+      (0L, Seq(1.0f, 0.0f)), (1L, Seq(-1.0f, 0.0f)),
+      (2L, Seq(1.0f, 0.0f)), (3L, Seq(-1.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.kmeansElbow(vecs, "vec_id", "embedding", Seq(1, 2))
+      .orderBy($"k").as[(Long, Long, Long, Long)].collect()
+    // k=1: centroid (127, 0); points 1 and 3 at (-127): d2 = 254² = 64516.
+    assert(got(0) === ((1L, 4L, 2L * 64516L, 32258L)))
+    // k=2: both clusters covered exactly.
+    assert(got(1) === ((2L, 4L, 0L, 0L)))
+  }
+
+  test("markovTwoStep squares the one-step matrix with exact floored terms") {
+    // Chain a->b->a->b->c for one user: pairs ab=2, ba=1, bc=1;
+    // totals: a=2, b=2. Two-step paths:
+    //   a->b->{a, c}: p2(a,a) = (2·1·1e6) div 4 = 500000, p2(a,c) = 500000
+    //   b->a->b:      p2(b,b) = (1·2·1e6) div 4 = 500000
+    val ev = Seq((1L, 1L, "a"), (1L, 2L, "b"), (1L, 3L, "a"),
+      (1L, 4L, "b"), (1L, 5L, "c"))
+      .toDF("u", "tick", "state")
+      .select($"u", org.apache.spark.sql.functions.timestamp_seconds($"tick").as("ts"),
+        $"tick".as("tie"), $"state")
+    val got = Analytics.markovTwoStep(ev, "u", "ts", "tie", "state")
+      .as[(String, String, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+    assert(got === Map(
+      ("a", "a") -> ((2L, 500000L)),
+      ("a", "c") -> ((2L, 500000L)),
+      ("b", "b") -> ((2L, 500000L))))
+  }
+
+  test("binaryEwma halves each older day's weight and uses only maxDays") {
+    // Key x: days 0, 1, 2 with cents 100, 200, 400 (latest = 400).
+    // maxDays=2 uses days 2 and 1: num = 400·2 + 200·1, den = 3 ->
+    // ewma = 2800... wait: weights 2^(2-1)=2 (rn=1), 2^(2-2)=1 (rn=2):
+    // (400·2 + 200) div 3 = 333.
+    val ev = Seq((0L, 1.0), (86400L, 2.0), (172800L, 4.0))
+      .toDF("t", "value")
+      .select(lit("x").as("k"),
+        org.apache.spark.sql.functions.timestamp_seconds($"t").as("ts"),
+        $"value")
+    val got = Analytics.binaryEwma(ev, "k", "ts", "value", maxDays = 2)
+      .as[(String, Long, Long, Long)].head()
+    assert(got === (("x", 2L, 2L, 333L)))
+  }
 }

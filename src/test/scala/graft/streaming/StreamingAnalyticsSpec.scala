@@ -549,6 +549,52 @@ class StreamingAnalyticsSpec extends SparkSpec {
     } finally
       spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
   }
+  test("dedupStream emits one survivor per key, absorbs replays, resumes from checkpoint") {
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val ms = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(String, String)](spark)
+      val ckpt = tmp("ckpt_dedup")
+      val out = StreamingOps.dedupStream(
+        ms.toDF().toDF("k", "payload"), "k", "payload")
+      def sinkTo(buf: java.util.concurrent.ConcurrentLinkedQueue[StreamingOps.DedupSurvivor]) =
+        out.writeStream.outputMode("append")
+          .option("checkpointLocation", ckpt)
+          .foreachBatch {
+            (d: org.apache.spark.sql.Dataset[StreamingOps.DedupSurvivor], _: Long) =>
+              d.collect().foreach(buf.add)
+          }
+      import scala.jdk.CollectionConverters._
+
+      val run1 = new java.util.concurrent.ConcurrentLinkedQueue[StreamingOps.DedupSurvivor]()
+      val q1 = sinkTo(run1).start()
+      try {
+        // a duplicated IN-batch, b once
+        ms.addData(Seq(("a", "pa"), ("b", "pb"), ("a", "pa")))
+        q1.processAllAvailable()
+        // a replayed ACROSS batches, c new
+        ms.addData(Seq(("a", "pa"), ("c", "pc")))
+        q1.processAllAvailable()
+      } finally { q1.stop(); q1.awaitTermination(60000) }
+      val r1 = run1.asScala.toSeq
+      assert(r1.map(s => (s.key, s.payload)).sorted ===
+        Seq(("a", "pa"), ("b", "pb"), ("c", "pc")),
+        s"each key exactly once: $r1")
+
+      // restart over the same checkpoint: the persisted seen-set decides
+      ms.addData(Seq(("b", "pb"), ("d", "pd")))
+      val run2 = new java.util.concurrent.ConcurrentLinkedQueue[StreamingOps.DedupSurvivor]()
+      val q2 = sinkTo(run2).start()
+      try q2.processAllAvailable()
+      finally { q2.stop(); q2.awaitTermination(60000) }
+      val r2 = run2.asScala.toSeq
+      assert(r2.map(s => (s.key, s.payload)) === Seq(("d", "pd")),
+        s"replayed b must stay absorbed after restart: $r2")
+    } finally
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
   test("streaming quantile sketch accumulates to exactly the batch ddBins of the union") {
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
