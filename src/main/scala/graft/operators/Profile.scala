@@ -1780,17 +1780,17 @@ object Profile {
           .as(s"corr_${x._1}_${y._1}"))
   }
 
-  // ---- q268: discount-quantity correlation per ship mode ----------------------
-  // Same hundredths quantization as q214; seven groups, one exchange of
-  // seven moment rows.
+  // ---- q268: discount-quantity correlation per return flag --------------------
+  // Same hundredths quantization as q214; three groups, one exchange of
+  // three moment rows.
   private def q268(s: SparkSession, d: String): DataFrame =
-    groupedCorr(Tables.lineitem(s, d), col("l_shipmode"),
+    groupedCorr(Tables.lineitem(s, d), col("l_returnflag"),
         "disc" -> floor(col("l_discount") * 100),
         "qty" -> floor(col("l_quantity") * 100))
       .orderBy(col("g"))
   private val q268Sql =
     """WITH m AS (
-         SELECT l_shipmode AS g, count(*)::BIGINT AS n,
+         SELECT l_returnflag AS g, count(*)::BIGINT AS n,
            sum(floor(l_discount * 100)::BIGINT)::BIGINT AS sx,
            sum(floor(l_quantity * 100)::BIGINT)::BIGINT AS sy,
            sum(floor(l_discount * 100)::BIGINT
@@ -1847,7 +1847,7 @@ object Profile {
   // ---- q269: did the order feed change shape across the date midpoint? --------
   private def q269(s: SparkSession, d: String): DataFrame =
     profileDiff(Tables.orders(s, d), col("o_orderdate") < lit("1995-06-17"),
-        Seq("o_orderstatus", "o_orderpriority", "o_custkey", "o_clerk"))
+        Seq("o_orderstatus", "o_orderpriority", "o_custkey", "o_totalprice"))
       .orderBy(col("column"))
   private val q269Sql =
     """WITH s AS (
@@ -1880,13 +1880,13 @@ object Profile {
            count(DISTINCT CASE WHEN NOT in_a THEN o_custkey END)::BIGINT
          FROM s
          UNION ALL
-         SELECT 'o_clerk',
+         SELECT 'o_totalprice',
            count(CASE WHEN in_a THEN 1 END)::BIGINT,
-           count(CASE WHEN in_a AND o_clerk IS NULL THEN 1 END)::BIGINT,
-           count(DISTINCT CASE WHEN in_a THEN o_clerk END)::BIGINT,
+           count(CASE WHEN in_a AND o_totalprice IS NULL THEN 1 END)::BIGINT,
+           count(DISTINCT CASE WHEN in_a THEN o_totalprice END)::BIGINT,
            count(CASE WHEN NOT in_a THEN 1 END)::BIGINT,
-           count(CASE WHEN NOT in_a AND o_clerk IS NULL THEN 1 END)::BIGINT,
-           count(DISTINCT CASE WHEN NOT in_a THEN o_clerk END)::BIGINT
+           count(CASE WHEN NOT in_a AND o_totalprice IS NULL THEN 1 END)::BIGINT,
+           count(DISTINCT CASE WHEN NOT in_a THEN o_totalprice END)::BIGINT
          FROM s)
        SELECT "column", n_a, n_null_a, n_distinct_a, n_b, n_null_b,
          n_distinct_b, (n_distinct_b - n_distinct_a)::BIGINT AS distinct_delta

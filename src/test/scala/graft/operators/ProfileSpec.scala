@@ -723,4 +723,32 @@ class ProfileSpec extends SparkSpec {
     assert(r.getAs[Long]("exact_dup_micro") === 333333L)
   }
 
+  test("groupedCorr recovers +1/-1/null on planted per-group relationships") {
+    val df = Seq(
+      ("up", 1L, 10L), ("up", 2L, 20L), ("up", 3L, 30L),
+      ("down", 1L, 30L), ("down", 2L, 20L), ("down", 3L, 10L),
+      ("flat", 1L, 5L), ("flat", 2L, 5L), ("flat", 3L, 5L))
+      .toDF("g", "x", "y")
+    val got = Profile.groupedCorr(df, col("g"), "x" -> col("x"), "y" -> col("y"))
+      .orderBy(col("g")).as[(String, Long, Option[Double])].collect()
+    assert(got === Array(
+      ("down", 3L, Some(-1.0)),
+      ("flat", 3L, None), // zero variance on y -> null, never NaN
+      ("up", 3L, Some(1.0))))
+  }
+
+  test("profileDiff reports per-side counts, nulls, distincts in one pass") {
+    val df = Seq(
+      (1L, Some("a"), "x"), (2L, Some("b"), "x"), (3L, None, "x"),
+      (4L, Some("a"), "y"), (5L, Some("a"), "y"))
+      .toDF("id", "cat", "side")
+    val got = Profile.profileDiff(df, col("side") === "x", Seq("cat", "id"))
+      .orderBy(col("column"))
+      .as[(String, Long, Long, Long, Long, Long, Long, Long)].collect()
+    assert(got === Array(
+      // cat: side A has {a, b, null}; side B has {a, a}
+      ("cat", 3L, 1L, 2L, 2L, 0L, 1L, -1L),
+      ("id", 3L, 0L, 3L, 2L, 0L, 2L, -1L)))
+  }
+
 }
