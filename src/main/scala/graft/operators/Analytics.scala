@@ -908,6 +908,96 @@ object Analytics {
        FROM step p1 JOIN step p2 ON p1.next_state = p2.state
        GROUP BY 1, 2 ORDER BY p1.state, next2"""
 
+  /** Frequent 3-itemsets of a basket relation — the next rung above the
+    * q177 pair rules ("which TRIOS sell together"), with the same
+    * capped-enumeration scale contract as the co-occurrence family: at
+    * most `maxItemsPerBasket` distinct items per basket enter the
+    * enumeration (first by id — the deterministic QUALIFY convention),
+    * bounding fan-out at C(cap, 3) per basket no matter how hot a
+    * basket gets. Exact support counts; `minSupport` prunes the tail
+    * before the final ranking.
+    *
+    * Scale design: the capped basket relation self-joins twice WITHIN
+    * the basket key (co-partitioned — one exchange of the capped
+    * relation, reused by both joins under AQE), then triples collapse
+    * map-side to the |distinct-triples| relation.
+    */
+  def frequentTriples(baskets: DataFrame, basketCol: String, itemCol: String,
+      maxItemsPerBasket: Int, minSupport: Long): DataFrame = {
+    require(maxItemsPerBasket >= 3, "a triple needs three items per basket")
+    val sp = baskets
+      .select(col(basketCol).cast("long").as("c"),
+        col(itemCol).cast("long").as("i"))
+      .distinct()
+    val w = Window.partitionBy(col("c")).orderBy(col("i"))
+    val capped = sp.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= maxItemsPerBasket)
+      .select(col("c"), col("i"))
+    capped.as("x")
+      .join(capped.as("y"), col("x.c") === col("y.c") && col("x.i") < col("y.i"))
+      .join(capped.as("z"), col("y.c") === col("z.c") && col("y.i") < col("z.i"))
+      .groupBy(col("x.i").as("i1"), col("y.i").as("i2"), col("z.i").as("i3"))
+      .agg(count(lit(1)).as("support"))
+      .filter(col("support") >= minSupport)
+  }
+
+  // ---- q273: supplier trios customers buy together ----------------------------
+  private def q273(s: SparkSession, d: String): DataFrame =
+    frequentTriples(
+        Tables.orders(s, d)
+          .join(Tables.lineitem(s, d), col("l_orderkey") === col("o_orderkey"))
+          .select(col("o_custkey").as("c"), col("l_suppkey").as("sup")),
+        "c", "sup", maxItemsPerBasket = 12, minSupport = 2L)
+      .orderBy(col("support").desc, col("i1"), col("i2"), col("i3"))
+      .limit(30)
+  private val q273Sql =
+    """WITH sp AS (
+         SELECT c, i FROM (
+           SELECT DISTINCT o_custkey AS c, l_suppkey AS i
+           FROM orders JOIN lineitem ON l_orderkey = o_orderkey)
+         QUALIFY row_number() OVER (PARTITION BY c ORDER BY i) <= 12)
+       SELECT x.i AS i1, y.i AS i2, z.i AS i3, count(*)::BIGINT AS support
+       FROM sp x JOIN sp y ON x.c = y.c AND x.i < y.i
+         JOIN sp z ON y.c = z.c AND y.i < z.i
+       GROUP BY 1, 2, 3 HAVING count(*) >= 2
+       ORDER BY support DESC, i1, i2, i3 LIMIT 30"""
+
+  /** Hour-of-week load profile: event counts and traffic share per
+    * (day-of-week, hour-of-day) cell — the capacity-planning heatmap,
+    * in pure epoch arithmetic (dow 0 = Monday via the epoch-day + 3
+    * offset; never a timezone-dependent date function, per the
+    * session-timezone advisory). share_micro = cell·10⁶ div total.
+    *
+    * Scale design: one partial-aggregated groupBy to ≤ 168 cells; the
+    * grand total derives from those cells and broadcasts back.
+    */
+  def loadProfile(df: DataFrame, tsCol: String): DataFrame = {
+    val cells = df
+      .select(expr(s"(unix_micros($tsCol) div 86400000000 + 3) % 7").as("dow"),
+        expr(s"(unix_micros($tsCol) div 3600000000) % 24").as("hour"))
+      .groupBy(col("dow"), col("hour"))
+      .agg(count(lit(1)).as("n"))
+    val total = cells.agg(sum(col("n")).as("total"))
+    cells.crossJoin(broadcast(total))
+      .select(col("dow"), col("hour"), col("n"),
+        expr("(n * 1000000L) div total").as("share_micro"))
+  }
+
+  // ---- q274: when does event traffic arrive? -----------------------------------
+  private def q274(s: SparkSession, d: String): DataFrame =
+    loadProfile(Tables.events(s, d), "ts")
+      .orderBy(col("dow"), col("hour"))
+  private val q274Sql =
+    """WITH cells AS (
+         SELECT (epoch_us(ts) // 86400000000 + 3) % 7 AS dow,
+           (epoch_us(ts) // 3600000000) % 24 AS hour,
+           count(*)::BIGINT AS n
+         FROM events GROUP BY 1, 2),
+       t AS (SELECT sum(n)::BIGINT AS total FROM cells)
+       SELECT dow::BIGINT AS dow, hour::BIGINT AS hour, n,
+         ((n * 1000000) // total)::BIGINT AS share_micro
+       FROM cells, t ORDER BY dow, hour"""
+
   /** Binary-decay exponentially weighted moving average of a per-day
     * metric: over the most recent `maxDays` days of each key, day at
     * recency-rank r (1 = latest) carries weight 2^(maxDays−r) — the
@@ -2944,6 +3034,8 @@ object Analytics {
     QueryDef("q103_transition_matrix", q103, Some(q103Sql)),
     QueryDef("q266_markov_two_step", q266, Some(q266Sql)),
     QueryDef("q267_binary_ewma", q267, Some(q267Sql)),
+    QueryDef("q273_frequent_triples", q273, Some(q273Sql)),
+    QueryDef("q274_load_profile", q274, Some(q274Sql)),
     QueryDef("q104_rank_family", q104, Some(q104Sql)),
     QueryDef("q107_rolling_anomaly", q107, Some(q107Sql)),
     QueryDef("q116_concurrency_sweep", q116, Some(q116Sql)),

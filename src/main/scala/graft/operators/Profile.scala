@@ -497,7 +497,7 @@ object Profile {
   private def q259(s: SparkSession, d: String): DataFrame =
     saltPlan(Tables.events(s, d), "event_type", targetPerTask = 100L)
       .orderBy(col("event_type"))
-  private val q259Sql =
+  private[operators] val q259Sql =
     """SELECT event_type, count(*)::BIGINT AS n_rows,
        ((count(*) + 99) // 100)::BIGINT AS salt_factor
        FROM events GROUP BY event_type
@@ -1788,7 +1788,7 @@ object Profile {
         "disc" -> floor(col("l_discount") * 100),
         "qty" -> floor(col("l_quantity") * 100))
       .orderBy(col("g"))
-  private val q268Sql =
+  private[operators] val q268Sql =
     """WITH m AS (
          SELECT l_returnflag AS g, count(*)::BIGINT AS n,
            sum(floor(l_discount * 100)::BIGINT)::BIGINT AS sx,
@@ -1808,6 +1808,73 @@ object Profile {
                 * sqrt(n::DOUBLE * ssy - sy::DOUBLE * sy)), 6) + 0.0
            END AS corr_disc_qty
        FROM m ORDER BY g"""
+
+  /** Cramér's V association between two categorical columns — the
+    * one-number summary the q241 per-cell residual table rolls up to
+    * ("are status and priority related at all?", 0 = independent,
+    * 1 = fully determined). Uses the zero-cell-free identity
+    * χ² = n·(Σ_cells obs²/(rowtot·coltot) − 1), so only OBSERVED cells
+    * are touched (an r×c dense materialization at 100 TB would
+    * manufacture cells the data never produced). The inner sum
+    * accumulates as per-cell floored micro-terms (the documented
+    * floor-inside-the-sum convention — identical BIGINT terms on both
+    * engines, no float summation order anywhere); flooring can leave
+    * χ²_micro a hair under 0 on independent data, so it clamps at 0.
+    * V = √(χ² / (n·min(r−1, c−1))) finishes on the one identical double
+    * path, round6.
+    *
+    * Scale design: one partial-aggregated groupBy to the |r·c|-observed
+    * cell relation; totals derive from it (metadata-sized) and broadcast
+    * back; the corpus shuffles once.
+    */
+  def cramersV(df: DataFrame, aCol: Column, bCol: Column): DataFrame = {
+    val cells = df.select(aCol.as("a"), bCol.as("b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("obs"))
+    val rt = cells.groupBy(col("a")).agg(sum(col("obs")).as("rt"))
+    val ct = cells.groupBy(col("b")).agg(sum(col("obs")).as("ct"))
+    cells.join(broadcast(rt), "a").join(broadcast(ct), "b")
+      .agg(sum(col("obs")).as("n"),
+        countDistinct(col("a")).as("r_cats"),
+        countDistinct(col("b")).as("c_cats"),
+        sum(expr("(obs * obs * 1000000L) div (rt * ct)")).as("s_micro"))
+      .select(col("n"), col("r_cats"), col("c_cats"),
+        greatest(lit(0L), expr("n * s_micro - n * 1000000L"))
+          .as("chi2_micro"))
+      .select(col("n"), col("r_cats"), col("c_cats"), col("chi2_micro"),
+        when(col("r_cats") < 2 || col("c_cats") < 2,
+            lit(null).cast("double"))
+          .otherwise(round(
+            sqrt(col("chi2_micro").cast("double") / lit(1e6)
+              / (col("n") * least(col("r_cats"), col("c_cats")) - col("n"))
+                .cast("double")), 6))
+          .as("cramers_v"))
+  }
+
+  // ---- q272: is order priority independent of order status? -------------------
+  private def q272(s: SparkSession, d: String): DataFrame =
+    cramersV(Tables.orders(s, d), col("o_orderstatus"), col("o_orderpriority"))
+  private val q272Sql =
+    """WITH cells AS (
+         SELECT o_orderstatus AS a, o_orderpriority AS b,
+           count(*)::BIGINT AS obs
+         FROM orders GROUP BY 1, 2),
+       rt AS (SELECT a, sum(obs)::BIGINT AS rt FROM cells GROUP BY 1),
+       ct AS (SELECT b, sum(obs)::BIGINT AS ct FROM cells GROUP BY 1),
+       agg AS (
+         SELECT sum(obs)::BIGINT AS n,
+           count(DISTINCT cells.a)::BIGINT AS r_cats,
+           count(DISTINCT cells.b)::BIGINT AS c_cats,
+           sum((obs * obs * 1000000) // (rt.rt * ct.ct))::BIGINT AS s_micro
+         FROM cells JOIN rt ON cells.a = rt.a JOIN ct ON cells.b = ct.b),
+       chi AS (
+         SELECT n, r_cats, c_cats,
+           greatest(0, n * s_micro - n * 1000000)::BIGINT AS chi2_micro
+         FROM agg)
+       SELECT n, r_cats, c_cats, chi2_micro,
+         CASE WHEN r_cats < 2 OR c_cats < 2 THEN NULL
+           ELSE round(sqrt(chi2_micro::DOUBLE / 1e6
+             / (n * least(r_cats, c_cats) - n)::DOUBLE), 6) END AS cramers_v
+       FROM chi"""
 
   /** Column-profile drift between two row populations of the SAME
     * relation (yesterday's load vs today's, region A vs B): per column,
@@ -2926,6 +2993,7 @@ object Profile {
     QueryDef("q259_salt_plan", q259, Some(q259Sql)),
     QueryDef("q268_grouped_corr", q268, Some(q268Sql)),
     QueryDef("q269_profile_diff", q269, Some(q269Sql)),
+    QueryDef("q272_cramers_v", q272, Some(q272Sql)),
     QueryDef("q260_corpus_datasheet", q260, Some(q260Sql)),
     QueryDef("q194_mann_whitney", q194, Some(q194Sql)),
     QueryDef("q195_spearman", q195, Some(q195Sql)),

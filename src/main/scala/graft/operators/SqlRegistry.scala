@@ -86,5 +86,27 @@ object SqlRegistry {
       Analytics.decileTable(s.table(strLit(exprs(0), "table")),
         strLit(exprs(1), "groupCol"), expr(strLit(exprs(2), "valueExpr")))
     }
+
+    // graft_salt_plan(table, keyCol, targetPerTask): ceil(n/target) salt
+    // factors for over-target keys (the q259 operator) — the skew-join
+    // tuning table, now reachable from pure SQL.
+    tvf("graft_salt_plan") { exprs =>
+      require(exprs.length == 3,
+        "graft_salt_plan(table, keyCol, targetPerTask)")
+      Profile.saltPlan(s.table(strLit(exprs(0), "table")),
+        strLit(exprs(1), "keyCol"), intLit(exprs(2), "targetPerTask").toLong)
+    }
+
+    // graft_grouped_corr(table, groupCol, xName, xExpr, yName, yExpr):
+    // per-group Pearson correlation of two pre-quantized SQL expressions
+    // (the q268 operator).
+    tvf("graft_grouped_corr") { exprs =>
+      require(exprs.length == 6,
+        "graft_grouped_corr(table, groupCol, xName, xExpr, yName, yExpr)")
+      Profile.groupedCorr(s.table(strLit(exprs(0), "table")),
+        col(strLit(exprs(1), "groupCol")),
+        strLit(exprs(2), "xName") -> expr(strLit(exprs(3), "xExpr")),
+        strLit(exprs(4), "yName") -> expr(strLit(exprs(5), "yExpr")))
+    }
   }
 }

@@ -134,6 +134,15 @@ object SqlSurface {
       """SELECT * FROM graft_decile_table('events', 'event_type',
            'floor(value * 100)')
          ORDER BY event_type""")
+  private def q270(s: SparkSession, d: String): DataFrame =
+    viaTvf(s, d, "events",
+      """SELECT * FROM graft_salt_plan('events', 'event_type', 100)
+         ORDER BY event_type""")
+  private def q271(s: SparkSession, d: String): DataFrame =
+    viaTvf(s, d, "lineitem",
+      """SELECT * FROM graft_grouped_corr('lineitem', 'l_returnflag',
+           'disc', 'floor(l_discount * 100)', 'qty', 'floor(l_quantity * 100)')
+         ORDER BY g""")
 
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q37_scalar_subquery", q37, Some(q37Sql)),
@@ -143,5 +152,7 @@ object SqlSurface {
     QueryDef("q243_sql_dedup_clusters", q243, Some(Dedup.q60Sql)),
     QueryDef("q244_sql_top_ngrams", q244, Some(PipelineOps.q42Sql)),
     QueryDef("q245_sql_cosine_topk", q245, Some(Similarity.q30Sql)),
-    QueryDef("q246_sql_decile_table", q246, Some(Analytics.q229Sql)))
+    QueryDef("q246_sql_decile_table", q246, Some(Analytics.q229Sql)),
+    QueryDef("q270_sql_salt_plan", q270, Some(Profile.q259Sql)),
+    QueryDef("q271_sql_grouped_corr", q271, Some(Profile.q268Sql)))
 }

@@ -602,4 +602,38 @@ class AnalyticsSpec extends SparkSpec {
     assert(one.count() === 0L)
   }
 
+  test("frequentTriples counts basket support with the per-basket cap") {
+    // Baskets 1 and 2 both hold {10, 20, 30}; basket 3 holds {10, 20, 40}.
+    val b = Seq(
+      (1L, 10L), (1L, 20L), (1L, 30L),
+      (2L, 10L), (2L, 20L), (2L, 30L), (2L, 10L), // in-basket dupe ignored
+      (3L, 10L), (3L, 20L), (3L, 40L)).toDF("c", "i")
+    val got = Analytics.frequentTriples(b, "c", "i", 12, minSupport = 2L)
+      .as[(Long, Long, Long, Long)].collect()
+    assert(got === Array((10L, 20L, 30L, 2L)))
+    // cap = 3 drops item 40 from basket 3 (ids 10 < 20 < 40 -> all kept;
+    // use a basket where the cap bites: basket 4 = {1, 2, 3, 10, 20, 30}
+    // capped at 3 keeps {1, 2, 3} only, so (10, 20, 30) stays at 2.
+    val b2 = b.union(Seq((4L, 1L), (4L, 2L), (4L, 3L), (4L, 10L),
+      (4L, 20L), (4L, 30L)).toDF("c", "i"))
+    val capped = Analytics.frequentTriples(b2, "c", "i", 3, minSupport = 2L)
+      .as[(Long, Long, Long, Long)].collect()
+    assert(capped === Array((10L, 20L, 30L, 2L)))
+  }
+
+  test("loadProfile buckets epoch microseconds into hour-of-week cells") {
+    // 1970-01-05 (Monday, epoch day 4) 01:00 twice, 1970-01-08
+    // (Thursday) 23:00 once.
+    val mon1am = 4L * 86400 + 3600
+    val thu11pm = 7L * 86400 + 23 * 3600
+    val df = Seq(mon1am, mon1am + 60, thu11pm).toDF("t")
+      .select(timestamp_seconds(col("t")).as("ts"))
+    val got = Analytics.loadProfile(df, "ts")
+      .orderBy(col("dow"), col("hour"))
+      .as[(Long, Long, Long, Long)].collect()
+    assert(got === Array(
+      (0L, 1L, 2L, 666666L), // Monday 01h, 2 of 3 events
+      (3L, 23L, 1L, 333333L))) // Thursday 23h
+  }
+
 }

@@ -737,6 +737,27 @@ class ProfileSpec extends SparkSpec {
       ("up", 3L, Some(1.0))))
   }
 
+  test("cramersV is 1 on a determined table, ~0 on an independent one") {
+    // Fully determined: b = f(a), 2x2, 10 rows each diagonal cell.
+    val det = (Seq.fill(10)(("x", "p")) ++ Seq.fill(10)(("y", "q")))
+      .toDF("a", "b")
+    val r1 = Profile.cramersV(det, col("a"), col("b")).head()
+    // chi2 = n * (10²·1e6/(10·10) + 10²·1e6/(10·10) - 1e6·n)/... s_micro
+    //      = 2·1e6 -> chi2_micro = 20·2e6 - 20e6 = 20e6 -> chi2 = 20 = n.
+    assert(r1.getAs[Long]("chi2_micro") === 20000000L)
+    assert(r1.getAs[Double]("cramers_v") === 1.0)
+    // Independent: every (a, b) cell equally filled.
+    val ind = (for { a <- Seq("x", "y"); b <- Seq("p", "q"); _ <- 1 to 5 }
+      yield (a, b)).toDF("a", "b")
+    val r2 = Profile.cramersV(ind, col("a"), col("b")).head()
+    assert(r2.getAs[Long]("chi2_micro") === 0L)
+    assert(r2.getAs[Double]("cramers_v") === 0.0)
+    // Degenerate: single category on one side -> null, never NaN.
+    val deg = Seq(("x", "p"), ("x", "q")).toDF("a", "b")
+    assert(Profile.cramersV(deg, col("a"), col("b"))
+      .head().isNullAt(4))
+  }
+
   test("profileDiff reports per-side counts, nulls, distincts in one pass") {
     val df = Seq(
       (1L, Some("a"), "x"), (2L, Some("b"), "x"), (3L, None, "x"),

@@ -43,6 +43,29 @@ class SqlRegistrySpec extends SparkSpec {
     assert(viaSql.except(viaApi).isEmpty && viaApi.except(viaSql).isEmpty)
   }
 
+  test("graft_salt_plan TVF equals the Dataset operator") {
+    SqlRegistry.register(spark)
+    Tables(spark, sf, "events").createOrReplaceTempView("events")
+    val viaSql = spark.sql(
+      "SELECT * FROM graft_salt_plan('events', 'event_type', 100)")
+    val viaApi = Profile.saltPlan(Tables(spark, sf, "events"),
+      "event_type", 100L)
+    assert(viaSql.except(viaApi).isEmpty && viaApi.except(viaSql).isEmpty)
+  }
+
+  test("graft_grouped_corr TVF equals the Dataset operator") {
+    SqlRegistry.register(spark)
+    Tables(spark, sf, "lineitem").createOrReplaceTempView("lineitem")
+    val viaSql = spark.sql(
+      """SELECT * FROM graft_grouped_corr('lineitem', 'l_returnflag',
+           'disc', 'floor(l_discount * 100)', 'qty', 'floor(l_quantity * 100)')""")
+    val viaApi = Profile.groupedCorr(Tables(spark, sf, "lineitem"),
+      col("l_returnflag"),
+      "disc" -> floor(col("l_discount") * 100),
+      "qty" -> floor(col("l_quantity") * 100))
+    assert(viaSql.except(viaApi).isEmpty && viaApi.except(viaSql).isEmpty)
+  }
+
   test("a non-literal TVF parameter is rejected, not silently evaluated") {
     SqlRegistry.register(spark)
     Tables(spark, sf, "documents").createOrReplaceTempView("documents")
