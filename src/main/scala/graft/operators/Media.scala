@@ -62,6 +62,12 @@ object Media {
   /** One sampled frame, keyed by (source doc, frame index). */
   final case class FrameRow(doc_id: Long, frame_idx: Int, kind: String, media: Array[Byte])
 
+  /** One fixed-length analysis window of a decoded audio stream:
+    * `energy` = Σ (sample − 128)² over the window's 8-bit unsigned PCM
+    * samples — exact BIGINT, the VAD/silence-gate feature. */
+  final case class AudioWindow(
+      doc_id: Long, window_idx: Long, n_samples: Long, energy: Long)
+
   /** The codec seam. The PNG branch is a real decoder (ImageIO);
     * non-image kinds keep deterministic byte-arithmetic stubs.
     */
@@ -314,6 +320,39 @@ object Media {
       MediaFeatures(m.doc_id, 16, bins.map(_ / d))
     }
 
+    /** REAL windowed audio energy: decode the WAV container
+      * (javax.sound — RIFF header + PCM frames), center the 8-bit
+      * unsigned samples at 128, and emit per fixed-length window the
+      * sample count and Σ(s−128)² — the energy curve a voice-activity /
+      * silence-split stage thresholds on. Exact BIGINT (≤ 128²·W per
+      * window); the last window may be short and reports its true
+      * sample count. Non-WAV payloads yield no windows (skipped, not
+      * stubbed — energy of undecoded bytes would be noise).
+      */
+    def audioWindows(m: MediaRow, windowSamples: Int): Seq[AudioWindow] =
+      if (!isWav(m.media)) Seq.empty
+      else {
+        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new ByteArrayInputStream(m.media))
+        val buf = ais.readAllBytes()
+        val out = scala.collection.mutable.ArrayBuffer.empty[AudioWindow]
+        var w = 0
+        while (w * windowSamples < buf.length) {
+          val start = w * windowSamples
+          val end = math.min(buf.length, start + windowSamples)
+          var e = 0L
+          var i = start
+          while (i < end) {
+            val c = (buf(i) & 0xff) - 128
+            e += c.toLong * c
+            i += 1
+          }
+          out += AudioWindow(m.doc_id, w.toLong, (end - start).toLong, e)
+          w += 1
+        }
+        out.toSeq
+      }
+
     /** STUB resize: truncate/zero-pad to the target byte budget (a real impl
       * would re-encode at the target resolution).
       */
@@ -393,6 +432,14 @@ object Media {
   def frameSample(media: Dataset[MediaRow], frameBytes: Int, everyK: Int): Dataset[FrameRow] = {
     import media.sparkSession.implicits._
     media.mapPartitions(_.flatMap(MediaCodec.sampleFrames(_, frameBytes, everyK)))
+  }
+
+  /** Windowed audio energy over genuinely decoded PCM — map-side like
+    * every media operator (one decode per row inside the partition
+    * iterator, zero shuffle). */
+  def audioEnergy(media: Dataset[MediaRow], windowSamples: Int): Dataset[AudioWindow] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.flatMap(MediaCodec.audioWindows(_, windowSamples)))
   }
 
   // ---- q32: decode → per-format metadata stats -------------------------------
@@ -483,7 +530,39 @@ object Media {
            AS sampled_bytes
        FROM documents WHERE doc_id % 4 = 3 ORDER BY doc_id"""
 
+  // ---- q275: windowed energy of the decoded audio streams ---------------------
+  // Audio rows are real RIFF/PCM WAVs with sample(i) = (doc_id + i) % 256,
+  // so the oracle predicts every window's exact energy from the
+  // generative parameters — the engine must genuinely parse the
+  // container and decode the frames to reproduce the table.
+  private val WindowSamples = 256
+  private def q275(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    audioEnergy(mediaTable(s, d).filter(col("kind") === "audio"),
+        WindowSamples).toDF()
+      .orderBy(col("doc_id"), col("window_idx"))
+  }
+  private val q275Sql =
+    s"""WITH a AS (
+         SELECT doc_id, (1 + n_chars % 2048)::BIGINT AS n FROM documents
+         WHERE doc_id % 4 = 1),
+       w AS (
+         SELECT doc_id, n,
+           unnest(range(0, ((n + ${WindowSamples - 1}) // $WindowSamples)::INT))::BIGINT
+             AS window_idx
+         FROM a)
+       SELECT doc_id, window_idx,
+         (least(n, (window_idx + 1) * $WindowSamples)
+           - window_idx * $WindowSamples)::BIGINT AS n_samples,
+         list_sum(list_transform(
+           range((window_idx * $WindowSamples)::INT,
+             least(n, (window_idx + 1) * $WindowSamples)::INT),
+           i -> ((doc_id + i) % 256 - 128) * ((doc_id + i) % 256 - 128)))::BIGINT
+           AS energy
+       FROM w ORDER BY doc_id, window_idx"""
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q32_media_decode", q32, Some(q32Sql)),
-    QueryDef("q33_media_frames", q33, Some(q33Sql)))
+    QueryDef("q33_media_frames", q33, Some(q33Sql)),
+    QueryDef("q275_audio_energy", q275, Some(q275Sql)))
 }

@@ -114,6 +114,24 @@ class MediaSpec extends SparkSpec {
     assert(MediaCodec.resize(m, 8).media.length === 8)
   }
 
+  test("audioWindows decodes real PCM into exact per-window energies") {
+    // doc_id = 5, nChars = 300 -> 301 samples of (5 + i) % 256: one full
+    // 256-sample window plus a 45-sample tail. Expectation computed from
+    // the generative formula the real decode must reproduce.
+    val row = MediaRow(5L, "audio", MediaCodec.synthWav(5L, 300L))
+    def energy(from: Int, until: Int): Long =
+      (from until until).map { i =>
+        val c = ((5 + i) % 256) - 128; c.toLong * c
+      }.sum
+    val got = MediaCodec.audioWindows(row, 256)
+    assert(got === Seq(
+      AudioWindow(5L, 0L, 256L, energy(0, 256)),
+      AudioWindow(5L, 1L, 45L, energy(256, 301))))
+    // Non-WAV payloads produce no windows (skipped, never stubbed).
+    assert(MediaCodec.audioWindows(
+      MediaRow(2L, "image", MediaCodec.synthPng(2L, 10L)), 256) === Seq())
+  }
+
   test("media pipeline stays map-side (no shuffle before the final agg)") {
     val plan = mediaDecode(mediaTable(spark, sf)).queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), s"decode should not shuffle:\n$plan")
