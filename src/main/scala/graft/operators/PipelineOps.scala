@@ -310,6 +310,52 @@ object PipelineOps {
         coalesce(col("alloc"), lit(0L)).as("alloc"))
   }
 
+  /** Effective sample size under importance weights — Kish's
+    * ESS = (Σw)²/Σw² per group: how many UNWEIGHTED samples the weighted
+    * group is actually worth ("we kept 1M docs of this source at weight
+    * 0.01 — that's 10k effective docs"). The honesty check on every
+    * weighted-mixture recipe ([[mixtureWeights]], [[temperatureShares]]):
+    * a tiny ESS ratio means the reweighting concentrated the mass on a
+    * few rows and the group's diversity is illusory. Exact BIGINT
+    * algebra: ess_milli = (Σw)²·1000 div Σw², ratio_micro =
+    * ess_milli·1000 div n (callers keep per-group Σw ≲ 3·10⁶ so the
+    * squared sum stays inside BIGINT — weights are quantized counts,
+    * not floats). Zero-weight groups report null.
+    *
+    * Scale design: one partial-aggregated groupBy; three moments per
+    * group cross the wire.
+    */
+  def effectiveSampleSize(df: DataFrame, groupCol: String,
+      weight: Column): DataFrame = {
+    val w = weight.cast("long")
+    df.groupBy(col(groupCol).as("g"))
+      .agg(count(lit(1)).as("n"), sum(w).as("sw"), sum(w * w).as("sw2"))
+      .select(col("g"), col("n"), col("sw"), col("sw2"),
+        when(col("sw2") > 0, expr("(sw * sw * 1000L) div sw2"))
+          .otherwise(lit(null).cast("long")).as("ess_milli"))
+      .withColumn("ess_ratio_micro",
+        when(col("ess_milli").isNotNull && col("n") > 0,
+          expr("(ess_milli * 1000L) div n")).otherwise(lit(null).cast("long")))
+  }
+
+  // ---- q276: how many effective docs does each source contribute? -------------
+  // Char mass as the weight: a source whose mass sits in a few huge docs
+  // has a small ESS ratio even at a high doc count.
+  private def q276(s: SparkSession, d: String): DataFrame =
+    effectiveSampleSize(Tables.documents(s, d), "source", col("n_chars"))
+      .orderBy(col("g"))
+  private val q276Sql =
+    """SELECT source AS g, count(*)::BIGINT AS n,
+       sum(n_chars)::BIGINT AS sw, sum(n_chars * n_chars)::BIGINT AS sw2,
+       CASE WHEN sum(n_chars * n_chars) > 0
+         THEN (sum(n_chars) * sum(n_chars) * 1000) // sum(n_chars * n_chars)
+         ELSE NULL END::BIGINT AS ess_milli,
+       CASE WHEN sum(n_chars * n_chars) > 0 AND count(*) > 0
+         THEN (((sum(n_chars) * sum(n_chars) * 1000)
+           // sum(n_chars * n_chars)) * 1000) // count(*)
+         ELSE NULL END::BIGINT AS ess_ratio_micro
+       FROM documents GROUP BY source ORDER BY g"""
+
   // ---- q253: variance-optimal sampling budget across event types --------------
   // The noisy purchase amounts draw far more of the 1000-sample budget
   // per row than the near-constant view values — the Neyman read the
@@ -2032,6 +2078,7 @@ object PipelineOps {
     QueryDef("q204_length_cap", q204, Some(q204Sql)),
     QueryDef("q206_apportion", q206, Some(q206Sql)),
     QueryDef("q253_neyman_allocation", q253, Some(q253Sql)),
+    QueryDef("q276_effective_sample_size", q276, Some(q276Sql)),
     QueryDef("q55_seq_packing", q55, Some(q55Sql)),
     QueryDef("q62_mixture_weights", q62, Some(q62Sql)),
     QueryDef("q173_temperature_mix", q173, Some(q173Sql)),

@@ -164,14 +164,23 @@ object Sketches {
     * event with negligible bias, same on both sides). Registers are
     * max-mergeable.
     */
-  def hllRegisters(df: DataFrame, keyCol: String, m: Int): DataFrame = {
+  /** Per-row (register, ρ) pairs before any aggregation — the shared
+    * derivation under [[hllRegisters]] and the streaming register state
+    * ([[graft.streaming.StreamingOps.hllStream]]), so batch and stream
+    * provably hash identically.
+    */
+  private[graft] def hllObserved(df: DataFrame, keyCol: String, m: Int): DataFrame = {
     require(m >= 16 && (m & (m - 1)) == 0, "m must be a power of two >= 16")
     val log2m = java.lang.Integer.numberOfTrailingZeros(m)
-    val observed = df.select(col(keyCol).cast("long").as("k"))
+    df.select(col(keyCol).cast("long").as("k"))
       .select(expr(s"((${aExpr("0")}) * ($ktExpr) + (${bExpr("0")})) % ${P}L")
         .as("h"))
       .select(expr(s"h % $m").as("j"),
         expr(s"${32 - log2m} - length(bin(h div $m))").as("rho"))
+  }
+
+  def hllRegisters(df: DataFrame, keyCol: String, m: Int): DataFrame = {
+    val observed = hllObserved(df, keyCol, m)
       .groupBy(col("j")).agg(max(col("rho")).as("mj"))
     df.sparkSession.range(0, m).select(col("id").as("j"))
       .join(observed, Seq("j"), "left")

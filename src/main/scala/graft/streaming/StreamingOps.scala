@@ -493,6 +493,59 @@ object StreamingOps {
         OutputMode.Update())
   }
 
+  /** Persistent per-register HLL state. */
+  final case class HllRegState(mj: Long, batches: Long)
+
+  /** One streaming HLL register emission: the register's CURRENT max-ρ. */
+  final case class HllRegUpdate(j: Long, mj: Long, batches: Long)
+
+  /** Streaming HyperLogLog registers: the live distinct-count sketch of
+    * everything that ever arrived, in m registers of transformWithState
+    * state — the streaming form of [[graft.operators.Sketches.hllRegisters]],
+    * sharing its EXACT per-row hash derivation (`hllObserved`), so the
+    * latest emission per register is bit-identical to the batch registers
+    * of the union of all batches (spec-pinned), and a batch
+    * `hllEstimate` read off the live registers is the batch estimate.
+    * Registers are max-mergeable, so state never grows beyond m rows —
+    * the sketch answers "how many distinct users ever" with O(m) state
+    * where exact streaming distinct is unbounded.
+    *
+    * Scale shape: each micro-batch's rows collapse to ≤ m register
+    * partials map-side before touching state (groupByKey on j); state is
+    * m rows total, partitioned by register hash. RocksDB-backed,
+    * checkpoint-resumable.
+    */
+  def hllStream(records: DataFrame, keyCol: String, m: Int): Dataset[HllRegUpdate] = {
+    import records.sparkSession.implicits._
+
+    class RegProcessor
+        extends StatefulProcessor[Long, (Long, Long), HllRegUpdate] {
+      @transient private var state: org.apache.spark.sql.streaming.ValueState[HllRegState] = _
+
+      override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+        state = getHandle.getValueState[HllRegState](
+          "reg", Encoders.product[HllRegState], TTLConfig.NONE)
+
+      override def handleInputRows(
+          key: Long,
+          rows: Iterator[(Long, Long)],
+          timerValues: TimerValues): Iterator[HllRegUpdate] = {
+        val prev = Option(state.get()).getOrElse(HllRegState(0L, 0L))
+        var mj = prev.mj
+        rows.foreach(r => if (r._2 > mj) mj = r._2)
+        val next = HllRegState(mj, prev.batches + 1)
+        state.update(next)
+        Iterator.single(HllRegUpdate(key, next.mj, next.batches))
+      }
+    }
+
+    graft.operators.Sketches.hllObserved(records, keyCol, m)
+      .as[(Long, Long)]
+      .groupByKey(_._1)
+      .transformWithState(new RegProcessor, TimeMode.None(),
+        OutputMode.Update())
+  }
+
   /** Per-key first-occurrence marker for [[dedupStream]]: how many
     * duplicates this key has absorbed since its survivor was emitted. */
   final case class SeenState(dupes: Long)

@@ -381,6 +381,28 @@ class PlanSpec extends SparkSpec {
       s"skyline must not plan a dominance pair join:\n${p.take(1500)}")
   }
 
+  test("q272 cramers V: totals broadcast back, corpus shuffled once") {
+    val p = plan("q272_cramers_v")
+    assert(p.contains("BroadcastHashJoin"),
+      s"row/col totals must broadcast, not shuffle-join:\n${p.take(1500)}")
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"),
+      s"no corpus-sized join may appear:\n${p.take(1500)}")
+  }
+
+  test("q273 frequent triples: capped enumeration, no cartesian") {
+    val p = plan("q273_frequent_triples")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"triple enumeration must ride equi-joins on the basket key:\n${p.take(1500)}")
+  }
+
+  test("q274 load profile: cells collapse before the broadcast total") {
+    val p = plan("q274_load_profile")
+    // the only join is the single-row total broadcast back onto <=168 cells
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"total must broadcast:\n${p.take(1200)}")
+    assert(p.contains("HashAggregate"), "cells must partial-aggregate")
+  }
+
   test("whole-stage codegen covers the relational hot paths") {
     // AQE prints codegen stages only in the finalized plan — execute first.
     Seq("q01_pricing_summary", "q06_selective_agg", "q09_window_topk").foreach { q =>

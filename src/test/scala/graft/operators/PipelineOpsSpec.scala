@@ -531,4 +531,19 @@ class PipelineOpsSpec extends SparkSpec {
       "largest-remainder allocation must sum to the budget exactly")
   }
 
+  test("effectiveSampleSize is n for uniform weights, collapses under concentration") {
+    val df = Seq(
+      ("uniform", 10L), ("uniform", 10L), ("uniform", 10L), ("uniform", 10L),
+      ("spiky", 97L), ("spiky", 1L), ("spiky", 1L), ("spiky", 1L),
+      ("zero", 0L), ("zero", 0L)).toDF("g", "w")
+    val got = PipelineOps.effectiveSampleSize(df, "g", col("w"))
+      .orderBy(col("g"))
+      .as[(String, Long, Long, Long, Option[Long], Option[Long])].collect()
+    // spiky: (100)²·1000 / (9409+3) = 10000000 div 9412 = 1062 -> ~1.06
+    assert(got(0) === (("spiky", 4L, 100L, 9412L, Some(1062L), Some(265500L))))
+    // uniform: (40)²·1000/400 = 4000 -> ESS = 4 = n, ratio = 1.0
+    assert(got(1) === (("uniform", 4L, 40L, 400L, Some(4000L), Some(1000000L))))
+    assert(got(2) === (("zero", 2L, 0L, 0L, None, None)))
+  }
+
 }

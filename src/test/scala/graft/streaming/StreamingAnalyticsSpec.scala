@@ -595,6 +595,41 @@ class StreamingAnalyticsSpec extends SparkSpec {
       spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
   }
 
+  test("hllStream registers fold to exactly the batch registers of the union") {
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val m = 64
+      val ms = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[Long](spark)
+      def batch(n: Int): Seq[Long] = (1 to 400).map(i => (i.toLong * 131 * n) % 50021L)
+      ms.addData(batch(1))
+      val out = StreamingOps.hllStream(ms.toDF().toDF("k"), "k", m)
+      val q = out.writeStream.format("memory").queryName("hll_stream")
+        .outputMode("update")
+        .option("checkpointLocation", tmp("ckpt_hll")).start()
+      try {
+        q.processAllAvailable()
+        ms.addData(batch(2)); q.processAllAvailable()
+        ms.addData(batch(3)); q.processAllAvailable()
+      } finally { q.stop(); q.awaitTermination(60000) }
+
+      val live = spark.table("hll_stream")
+        .as[StreamingOps.HllRegUpdate].collect()
+        .groupBy(_.j).map { case (j, us) => j -> us.maxBy(_.batches).mj }
+      val union = (batch(1) ++ batch(2) ++ batch(3)).toDF("k")
+      val want = graft.operators.Sketches.hllRegisters(union, "k", m)
+        .as[(Long, Long)].collect().toMap
+      live.foreach { case (j, mj) =>
+        assert(want(j) === mj, s"register $j diverged")
+      }
+      (0L until m.toLong).filterNot(live.contains).foreach { j =>
+        assert(want(j) === 0L, s"register $j observed in batch but not stream")
+      }
+    } finally
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
   test("streaming quantile sketch accumulates to exactly the batch ddBins of the union") {
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
