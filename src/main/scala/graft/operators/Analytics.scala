@@ -908,6 +908,87 @@ object Analytics {
        FROM step p1 JOIN step p2 ON p1.next_state = p2.state
        GROUP BY 1, 2 ORDER BY p1.state, next2"""
 
+  /** Quantile treatment effect: the per-decile difference between a
+    * treatment and a control cohort's value distributions — the A/B
+    * readout a mean-difference test hides ("the median moved 2 units but
+    * the top decile moved 40"). Both decile rows come from ONE
+    * [[decileTable]] pass (grouped by cohort, same exact nearest-rank
+    * machinery and `quantized` switch), then unpivot against each other.
+    *
+    * Scale design: whatever decileTable costs (one exchange of the
+    * (cohort, value) collapse); the effect table itself is a 1×1
+    * broadcast join of two wide rows unpivoted to 9.
+    */
+  def quantileTreatmentEffect(df: DataFrame, cohortCol: Column,
+      treatment: String, control: String, valueCol: Column,
+      quantized: Boolean = true): DataFrame = {
+    val dt = decileTable(
+      df.filter(cohortCol.isin(treatment, control))
+        .withColumn("__qte_cohort", cohortCol),
+      "__qte_cohort", valueCol, quantized)
+    val t = dt.filter(col("__qte_cohort") === treatment)
+      .select(col("n").as("n_treatment") +:
+        (1 to 9).map(i => col(s"d$i").as(s"t$i")): _*)
+    val c = dt.filter(col("__qte_cohort") === control)
+      .select(col("n").as("n_control") +:
+        (1 to 9).map(i => col(s"d$i").as(s"c$i")): _*)
+    val stackArgs = (1 to 9).flatMap(i =>
+      Seq(lit(i.toLong), col(s"t$i"), col(s"c$i")))
+    t.crossJoin(broadcast(c))
+      .select(col("n_treatment"), col("n_control"),
+        stack((lit(9) +: stackArgs): _*)
+          .as(Seq("decile", "v_treatment", "v_control")))
+      .select(col("decile"), col("n_treatment"), col("n_control"),
+        col("v_treatment"), col("v_control"),
+        (col("v_treatment") - col("v_control")).as("delta"))
+  }
+
+  // ---- q278: purchase-vs-view value shift, decile by decile -------------------
+  private def q278(s: SparkSession, d: String): DataFrame =
+    quantileTreatmentEffect(Tables.events(s, d), col("event_type"),
+        "purchase", "view", floor(col("value") * 100))
+      .orderBy(col("decile"))
+  private val q278Sql =
+    """WITH byv AS (
+         SELECT event_type AS k, floor(value * 100)::BIGINT AS v,
+           count(*)::BIGINT AS c
+         FROM events WHERE event_type IN ('purchase', 'view')
+         GROUP BY 1, 2),
+       cum AS (
+         SELECT k, v,
+           sum(c) OVER (PARTITION BY k ORDER BY v
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+           sum(c) OVER (PARTITION BY k) AS n
+         FROM byv),
+       wide AS (
+         SELECT k, max(n)::BIGINT AS n,
+           min(CASE WHEN cum * 10 >= n * 1 THEN v END)::BIGINT AS d1,
+           min(CASE WHEN cum * 10 >= n * 2 THEN v END)::BIGINT AS d2,
+           min(CASE WHEN cum * 10 >= n * 3 THEN v END)::BIGINT AS d3,
+           min(CASE WHEN cum * 10 >= n * 4 THEN v END)::BIGINT AS d4,
+           min(CASE WHEN cum * 10 >= n * 5 THEN v END)::BIGINT AS d5,
+           min(CASE WHEN cum * 10 >= n * 6 THEN v END)::BIGINT AS d6,
+           min(CASE WHEN cum * 10 >= n * 7 THEN v END)::BIGINT AS d7,
+           min(CASE WHEN cum * 10 >= n * 8 THEN v END)::BIGINT AS d8,
+           min(CASE WHEN cum * 10 >= n * 9 THEN v END)::BIGINT AS d9
+         FROM cum GROUP BY k),
+       t AS (SELECT * FROM wide WHERE k = 'purchase'),
+       c AS (SELECT * FROM wide WHERE k = 'view'),
+       u AS (
+         SELECT 1::BIGINT AS decile, t.n AS n_treatment, c.n AS n_control,
+           t.d1 AS v_treatment, c.d1 AS v_control FROM t, c
+         UNION ALL SELECT 2, t.n, c.n, t.d2, c.d2 FROM t, c
+         UNION ALL SELECT 3, t.n, c.n, t.d3, c.d3 FROM t, c
+         UNION ALL SELECT 4, t.n, c.n, t.d4, c.d4 FROM t, c
+         UNION ALL SELECT 5, t.n, c.n, t.d5, c.d5 FROM t, c
+         UNION ALL SELECT 6, t.n, c.n, t.d6, c.d6 FROM t, c
+         UNION ALL SELECT 7, t.n, c.n, t.d7, c.d7 FROM t, c
+         UNION ALL SELECT 8, t.n, c.n, t.d8, c.d8 FROM t, c
+         UNION ALL SELECT 9, t.n, c.n, t.d9, c.d9 FROM t, c)
+       SELECT decile, n_treatment, n_control, v_treatment, v_control,
+         (v_treatment - v_control)::BIGINT AS delta
+       FROM u ORDER BY decile"""
+
   /** Frequent 3-itemsets of a basket relation — the next rung above the
     * q177 pair rules ("which TRIOS sell together"), with the same
     * capped-enumeration scale contract as the co-occurrence family: at
@@ -3036,6 +3117,7 @@ object Analytics {
     QueryDef("q267_binary_ewma", q267, Some(q267Sql)),
     QueryDef("q273_frequent_triples", q273, Some(q273Sql)),
     QueryDef("q274_load_profile", q274, Some(q274Sql)),
+    QueryDef("q278_qte", q278, Some(q278Sql)),
     QueryDef("q104_rank_family", q104, Some(q104Sql)),
     QueryDef("q107_rolling_anomaly", q107, Some(q107Sql)),
     QueryDef("q116_concurrency_sweep", q116, Some(q116Sql)),

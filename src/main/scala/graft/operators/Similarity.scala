@@ -1299,6 +1299,96 @@ object Similarity {
     }.reduce(_.unionAll(_))
   }
 
+  /** Nearest-centroid classification report: train per-label centroids
+    * on one cohort (exact micro-mean algebra — the [[centroidDrift]]
+    * convention), assign every held-out vector to its max-cosine
+    * centroid, and emit the confusion matrix — the "are these labels
+    * even separable in embedding space" eval before anyone trains a
+    * real probe. Cosine ranks through floor(cos·10⁶ + ½) micro-rounding
+    * with a lowest-label tie-break, so the argmax is engine- and
+    * partitioning-deterministic.
+    *
+    * Scale design: centroids are |labels|·dim rows — broadcast against
+    * the long-form eval cohort, partial-aggregated to |eval|·|labels|
+    * score rows, argmax folded as max(struct) (never a ranked
+    * materialization); the confusion collapse is |labels|² rows.
+    */
+  def centroidClassifier(df: DataFrame, idCol: String, labelCol: String,
+      vecCol: String, trainPred: Column): DataFrame = {
+    val comps = df.filter(trainPred)
+      .select(col(labelCol).as("cl"), posexplode(col(vecCol)).as(Seq("pos", "x")))
+      .groupBy(col("cl"), col("pos"))
+      .agg(sum(floor(col("x") * 1e6).cast("long")).as("sm"),
+        count(lit(1)).as("nc"))
+      .select(col("cl"), col("pos"),
+        expr("sign(sm) * (abs(sm) div nc)").cast("long").as("m"))
+    val eval = df.filter(!trainPred)
+      .select(col(idCol).as("vid"), col(labelCol).as("true_label"),
+        posexplode(col(vecCol)).as(Seq("pos", "x")))
+      .select(col("vid"), col("true_label"), col("pos"),
+        floor(col("x") * 1e6).cast("long").as("xm"))
+    eval.join(broadcast(comps), Seq("pos"))
+      .groupBy(col("vid"), col("true_label"), col("cl"))
+      .agg(sum(col("xm") * col("m")).as("dot"),
+        sum(col("xm") * col("xm")).as("qa"),
+        sum(col("m") * col("m")).as("qc"))
+      .select(col("vid"), col("true_label"),
+        struct(
+          when(col("qa") > 0 && col("qc") > 0,
+            floor(col("dot").cast("double")
+              / (sqrt(col("qa").cast("double")) * sqrt(col("qc").cast("double")))
+              * lit(1e6) + lit(0.5)).cast("long"))
+            .otherwise(lit(-2000000L)).as("cm"),
+          (-col("cl")).as("neg_cl")).as("cand"))
+      .groupBy(col("vid"), col("true_label"))
+      .agg(max(col("cand")).as("best"))
+      .select(col("true_label"), (-col("best.neg_cl")).as("pred_label"))
+      .groupBy(col("true_label"), col("pred_label"))
+      .agg(count(lit(1)).as("n"))
+  }
+
+  // ---- q277: label separability of the embedding space ------------------------
+  // Even vec_ids train, odd ones evaluate — the q252 cohort convention.
+  private def q277(s: SparkSession, d: String): DataFrame =
+    centroidClassifier(Tables.embeddings(s, d), "vec_id", "label",
+        "embedding", col("vec_id") % 2 === 0)
+      .orderBy(col("true_label"), col("pred_label"))
+  private val q277Sql =
+    """WITH tr AS (
+         SELECT label AS cl, i - 1 AS pos,
+           sum(floor(embedding[i]::DOUBLE * 1e6)::BIGINT)::BIGINT AS sm,
+           count(*)::BIGINT AS nc
+         FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)
+         WHERE vec_id % 2 = 0 GROUP BY 1, 2),
+       m AS (
+         SELECT cl, pos,
+           (sign(sm)::BIGINT * (abs(sm) // nc))::BIGINT AS m
+         FROM tr),
+       ev AS (
+         SELECT vec_id, label, i - 1 AS pos,
+           floor(embedding[i]::DOUBLE * 1e6)::BIGINT AS xm
+         FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)
+         WHERE vec_id % 2 = 1),
+       sc AS (
+         SELECT ev.vec_id, ev.label, m.cl,
+           sum(ev.xm * m.m)::BIGINT AS dot,
+           sum(ev.xm * ev.xm)::BIGINT AS qa,
+           sum(m.m * m.m)::BIGINT AS qc
+         FROM ev JOIN m ON ev.pos = m.pos GROUP BY 1, 2, 3),
+       ranked AS (
+         SELECT vec_id, label, cl,
+           CASE WHEN qa > 0 AND qc > 0
+             THEN floor(dot::DOUBLE / (sqrt(qa::DOUBLE) * sqrt(qc::DOUBLE))
+               * 1e6 + 0.5)::BIGINT
+             ELSE -2000000 END AS cm
+         FROM sc),
+       best AS (
+         SELECT vec_id, label, cl FROM ranked
+         QUALIFY row_number() OVER (PARTITION BY vec_id
+           ORDER BY cm DESC, cl) = 1)
+       SELECT label AS true_label, cl AS pred_label, count(*)::BIGINT AS n
+       FROM best GROUP BY 1, 2 ORDER BY 1, 2"""
+
   // ---- q265: elbow table over the int8-quantized corpus -----------------------
   private def q265(s: SparkSession, d: String): DataFrame =
     kmeansElbow(Tables.embeddings(s, d), "vec_id", "embedding", Seq(2, 4, 8))
@@ -1324,6 +1414,7 @@ object Similarity {
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q252_centroid_drift", q252, Some(q252Sql)),
     QueryDef("q265_kmeans_elbow", q265, Some(q265Sql)),
+    QueryDef("q277_centroid_classifier", q277, Some(q277Sql)),
     QueryDef("q30_cosine_topk", q30, Some(q30Sql), headline = true),
     QueryDef("q164_rrf_fusion", q164, Some(q164Sql)),
     QueryDef("q150_sparse_cosine", q150, Some(q150Sql)),

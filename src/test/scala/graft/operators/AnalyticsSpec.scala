@@ -621,6 +621,22 @@ class AnalyticsSpec extends SparkSpec {
     assert(capped === Array((10L, 20L, 30L, 2L)))
   }
 
+  test("quantileTreatmentEffect reads the planted per-decile shift") {
+    // control: values 1..100; treatment: 1..100 shifted +10 above 50 —
+    // low deciles identical, high deciles show the shift.
+    val rows = (1 to 100).map(v => ("c", v.toLong)) ++
+      (1 to 100).map(v => ("t", if (v > 50) v + 10L else v.toLong))
+    val got = Analytics.quantileTreatmentEffect(rows.toDF("g", "v"),
+        col("g"), "t", "c", col("v"))
+      .orderBy(col("decile"))
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+    assert(got.length === 9)
+    assert(got.forall(r => r._2 === 100L && r._3 === 100L))
+    // decile 2 (value 20) untouched; decile 9 (value 90) shifted +10.
+    assert(got(1) === ((2L, 100L, 100L, 20L, 20L, 0L)))
+    assert(got(8) === ((9L, 100L, 100L, 100L, 90L, 10L)))
+  }
+
   test("loadProfile buckets epoch microseconds into hour-of-week cells") {
     // 1970-01-05 (Monday, epoch day 4) 01:00 twice, 1970-01-08
     // (Thursday) 23:00 once.

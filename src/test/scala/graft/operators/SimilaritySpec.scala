@@ -194,4 +194,22 @@ class SimilaritySpec extends SparkSpec {
     assert(got.length === 2)
   }
 
+  test("centroidClassifier recovers planted axis-aligned labels") {
+    // Label 0 lives on +x, label 1 on +y; train rows are even ids,
+    // eval rows odd. One eval vector per label sits clearly in its own
+    // label's halfspace; one adversarial eval row (id 5, labeled 0)
+    // points along +y and must be predicted 1 — the confusion entry.
+    val rows = Seq(
+      (0L, 0, Seq(1.0f, 0.0f)), (2L, 0, Seq(0.9f, 0.1f)), // train 0
+      (4L, 1, Seq(0.0f, 1.0f)), (6L, 1, Seq(0.1f, 0.9f)), // train 1
+      (1L, 0, Seq(1.0f, 0.2f)), (3L, 1, Seq(0.2f, 1.0f)), // eval, clean
+      (5L, 0, Seq(0.0f, 0.8f))) // eval, mislabeled on purpose
+      .toDF("vec_id", "label", "embedding")
+    val got = Similarity.centroidClassifier(rows, "vec_id", "label",
+        "embedding", col("vec_id") % 2 === 0)
+      .orderBy(col("true_label"), col("pred_label"))
+      .as[(Int, Int, Long)].collect()
+    assert(got === Array((0, 0, 1L), (0, 1, 1L), (1, 1, 1L)))
+  }
+
 }
