@@ -908,6 +908,65 @@ object Analytics {
        FROM step p1 JOIN step p2 ON p1.next_state = p2.state
        GROUP BY 1, 2 ORDER BY p1.state, next2"""
 
+  /** Top-k members per group with an OTHERS rollup — the BI "top 3 plus
+    * everyone else" table whose naïve form ranks the ENTIRE tail just to
+    * throw it away. Here only the top k are ranked (a per-group window
+    * the WindowGroupLimit rule prunes map-side); the OTHERS row derives
+    * as total − Σtop from the group totals, so the tail is never sorted
+    * or ranked. OTHERS carries rank k+1 and appears only when the tail
+    * is nonempty. Ties break on member ascending (string compare — both
+    * engines cast identically).
+    *
+    * Scale design: one (group, member) collapse, one map-side-pruned
+    * top-k window over it, one metadata-sized totals aggregate joined
+    * back broadcast.
+    */
+  def topKWithOthers(df: DataFrame, groupCol: String, memberCol: Column,
+      k: Int): DataFrame = {
+    require(k >= 1, "topKWithOthers needs k >= 1")
+    val counts = df.select(col(groupCol).as("g"),
+        memberCol.cast("string").as("member"))
+      .groupBy(col("g"), col("member")).agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("g"))
+      .orderBy(col("n").desc, col("member"))
+    val top = counts.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("g"), col("rank").cast("long").as("rank"),
+        col("member"), col("n"))
+    val totals = counts.groupBy(col("g")).agg(sum(col("n")).as("total"))
+    val others = top.groupBy(col("g")).agg(sum(col("n")).as("topsum"))
+      .join(broadcast(totals), "g")
+      .filter(col("total") > col("topsum"))
+      .select(col("g"), lit(k + 1L).as("rank"), lit("OTHERS").as("member"),
+        (col("total") - col("topsum")).as("n"))
+    top.unionAll(others)
+  }
+
+  // ---- q281: heaviest users per event type, tail rolled up --------------------
+  private def q281(s: SparkSession, d: String): DataFrame =
+    topKWithOthers(Tables.events(s, d), "event_type", col("user_id"), 3)
+      .orderBy(col("g"), col("rank"))
+  private val q281Sql =
+    """WITH counts AS (
+         SELECT event_type AS g, user_id::VARCHAR AS member,
+           count(*)::BIGINT AS n
+         FROM events GROUP BY 1, 2),
+       ranked AS (
+         SELECT g, member, n,
+           row_number() OVER (PARTITION BY g
+             ORDER BY n DESC, member) AS rank
+         FROM counts),
+       top AS (
+         SELECT g, rank::BIGINT AS rank, member, n FROM ranked
+         WHERE rank <= 3),
+       tot AS (SELECT g, sum(n)::BIGINT AS total FROM counts GROUP BY 1),
+       ts AS (SELECT g, sum(n)::BIGINT AS topsum FROM top GROUP BY 1)
+       SELECT g, rank, member, n FROM top
+       UNION ALL
+       SELECT tot.g, 4::BIGINT, 'OTHERS', (total - topsum)::BIGINT
+       FROM tot JOIN ts ON tot.g = ts.g WHERE total > topsum
+       ORDER BY g, rank"""
+
   /** Quantile treatment effect: the per-decile difference between a
     * treatment and a control cohort's value distributions — the A/B
     * readout a mean-difference test hides ("the median moved 2 units but
@@ -3118,6 +3177,7 @@ object Analytics {
     QueryDef("q273_frequent_triples", q273, Some(q273Sql)),
     QueryDef("q274_load_profile", q274, Some(q274Sql)),
     QueryDef("q278_qte", q278, Some(q278Sql)),
+    QueryDef("q281_topk_others", q281, Some(q281Sql)),
     QueryDef("q104_rank_family", q104, Some(q104Sql)),
     QueryDef("q107_rolling_anomaly", q107, Some(q107Sql)),
     QueryDef("q116_concurrency_sweep", q116, Some(q116Sql)),

@@ -374,6 +374,76 @@ object Graph {
         .limit(3000)
     }
 
+  /** Two-hop link candidates: node pairs at distance exactly 2 —
+    * connected through ≥ 1 common neighbor but NOT yet edges — scored by
+    * common-neighbor count. The candidate-generation step of
+    * link-prediction ("which suppliers WILL co-sell next"), where
+    * [[linkJaccard]]/[[saltonPairs]] score pairs that already co-occur.
+    * Exact integer counts, deterministic ordering.
+    *
+    * Scale design: the wedge join runs on the (already thresholded)
+    * projection — Σ deg² bounded by the edge cap; the existing-edge
+    * removal is a left-anti join on the canonical (min, max) pair key.
+    * Nothing corpus-sized appears.
+    */
+  def linkCandidates(edges: DataFrame, srcCol: String, dstCol: String,
+      k: Int): DataFrame = {
+    val adj = edges.select(col(srcCol).cast("long").as("a"),
+        col(dstCol).cast("long").as("b"))
+      .union(edges.select(col(dstCol).cast("long").as("a"),
+        col(srcCol).cast("long").as("b")))
+    val twoHop = adj.as("l")
+      .join(adj.as("r"), col("l.b") === col("r.a") && col("l.a") < col("r.b"))
+      .groupBy(col("l.a").as("u"), col("r.b").as("v"))
+      .agg(count(lit(1)).as("common_neighbors"))
+    twoHop.join(
+        edges.select(col(srcCol).cast("long").as("u"),
+          col(dstCol).cast("long").as("v")),
+        Seq("u", "v"), "left_anti")
+      .orderBy(col("common_neighbors").desc, col("u"), col("v"))
+      .limit(k)
+  }
+
+  // ---- q279: which part pairs are one order away from co-purchase? ------------
+  // The PART co-purchase graph (orders as baskets, repeat-confirmed
+  // edges w >= 2) is the one association graph in the fixture that stays
+  // SPARSE at every scale factor — the supplier projection is complete
+  // over sf0.001's ten suppliers, which has no distance-2 non-edges by
+  // construction. Same capped enumeration as every co-occurrence
+  // operator (cap 16 > the max lineitems per order at any fixture
+  // scale, so the census is bit-identical to uncapped).
+  private def q279(s: SparkSession, d: String): DataFrame = {
+    val edges = coOccurrencePairs(
+        Tables.lineitem(s, d)
+          .select(col("l_orderkey").as("c"), col("l_partkey").as("i")),
+        "c", "i", maxItemsPerKey = 16)
+      .filter(col("w") >= 2)
+    linkCandidates(edges, "i1", "i2", 30)
+  }
+  private def q279Sql =
+    """WITH sp AS (
+         SELECT c, i FROM (
+           SELECT DISTINCT l_orderkey AS c, l_partkey AS i FROM lineitem)
+         QUALIFY row_number() OVER (PARTITION BY c ORDER BY i) <= 16),
+       e AS (
+         SELECT u, v FROM (
+           SELECT x.i AS u, y.i AS v, count(*) AS w
+           FROM sp x JOIN sp y ON x.c = y.c AND x.i < y.i
+           GROUP BY 1, 2)
+         WHERE w >= 2),
+       adj AS (SELECT u AS a, v AS b FROM e
+               UNION ALL SELECT v, u FROM e),
+       two AS (
+         SELECT l.a AS u, r.b AS v, count(*)::BIGINT AS common_neighbors
+         FROM adj l JOIN adj r ON l.b = r.a AND l.a < r.b
+         GROUP BY 1, 2),
+       cand AS (
+         SELECT two.u, two.v, two.common_neighbors
+         FROM two LEFT JOIN e ON two.u = e.u AND two.v = e.v
+         WHERE e.u IS NULL)
+       SELECT u, v, common_neighbors FROM cand
+       ORDER BY common_neighbors DESC, u, v LIMIT 30"""
+
   /** The distinct customer×supplier bipartite pairs in disjoint node-id
     * encoding (customer 2c, supplier 2s+1) — the edge list shared by the
     * q159 pagerank, q165 k-core, and q175 HITS consumers, materialized
@@ -960,6 +1030,7 @@ object Graph {
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q262_salton_pairs", q262, Some(q262Sql)),
     QueryDef("q263_link_jaccard", q263, Some(q263Sql)),
+    QueryDef("q279_link_candidates", q279, Some(q279Sql)),
     // headline: the iterative-graph representative in the driver's bench,
     // so a regression in the loop/localCheckpoint machinery is
     // round-over-round visible (the relational/dedup headliners never

@@ -489,6 +489,69 @@ object TextAnalysis {
           / count(lit(1)), 6).as("oov_rate"))
   }
 
+  /** Corpus-level vocabulary coverage CURVE: at each candidate vocab
+    * size, the share of all token occurrences the top-S tokens (by
+    * frequency, ties on token) cover — the tokenizer-sizing table
+    * ("32k tokens covers 97.2%, 64k buys 1.1% more"), where [[vocabCoverage]]
+    * scores DOCS against one fixed vocab. The frequency ranking and the
+    * cumulative mass both ride [[DistributedPrefix.cumSums]] (range
+    * partition + seeded per-partition windows — NO single-task global
+    * sort even though token frequencies are near-all-distinct at corpus
+    * scale).
+    *
+    * Scale design: one token-count collapse (vocab-sized), the two-pass
+    * prefix sum over it, then |sizes| metadata-sized aggregates against
+    * one broadcast totals row.
+    */
+  def vocabCoverageCurve(df: DataFrame, textCol: String,
+      sizes: Seq[Long]): DataFrame = {
+    require(sizes.nonEmpty && sizes.forall(_ >= 1), "sizes must be >= 1")
+    val counts = df.select(explode(tokens(col(textCol))).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("c"))
+      .withColumn("one", lit(1L))
+    val ranked = DistributedPrefix.cumSums(counts, Nil,
+      Seq(col("c").desc, col("tok")), Seq("c", "one"))
+    val totals = broadcast(counts.agg(sum(col("c")).as("tokens_total"),
+      count(lit(1)).as("n_vocab")))
+    sizes.map { sz =>
+      ranked.filter(col("cum_one") <= sz)
+        .agg(coalesce(max(col("cum_c")), lit(0L)).as("tokens_covered"))
+        .select(lit(sz).as("vocab_size"), col("tokens_covered"))
+    }.reduce(_.unionAll(_))
+      .crossJoin(totals)
+      .select(col("vocab_size"), col("n_vocab"), col("tokens_total"),
+        col("tokens_covered"),
+        expr("(tokens_covered * 1000000L) div tokens_total")
+          .as("coverage_micro"))
+  }
+
+  // ---- q280: how big a vocabulary does this corpus need? ----------------------
+  private def q280(s: SparkSession, d: String): DataFrame =
+    vocabCoverageCurve(Tables.documents(s, d), "text",
+        Seq(100L, 1000L, 10000L))
+      .orderBy(col("vocab_size"))
+  private val q280Sql =
+    """WITH toks AS (
+         SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+       counts AS (SELECT tok, count(*)::BIGINT AS c FROM toks GROUP BY 1),
+       ranked AS (
+         SELECT tok, c,
+           sum(c) OVER (ORDER BY c DESC, tok) AS cum_c,
+           row_number() OVER (ORDER BY c DESC, tok) AS rn
+         FROM counts),
+       tot AS (
+         SELECT sum(c)::BIGINT AS tokens_total, count(*)::BIGINT AS n_vocab
+         FROM counts),
+       u AS (SELECT 100::BIGINT AS vocab_size
+             UNION ALL SELECT 1000 UNION ALL SELECT 10000)
+       SELECT u.vocab_size, t.n_vocab, t.tokens_total,
+         coalesce((SELECT max(cum_c) FROM ranked
+           WHERE rn <= u.vocab_size), 0)::BIGINT AS tokens_covered,
+         (coalesce((SELECT max(cum_c) FROM ranked
+           WHERE rn <= u.vocab_size), 0) * 1000000
+           // t.tokens_total)::BIGINT AS coverage_micro
+       FROM u, tot t ORDER BY u.vocab_size"""
+
   // ---- q91: vocabulary coverage / OOV rate ------------------------------------
   private def q91(s: SparkSession, d: String): DataFrame =
     vocabCoverage(Tables.documents(s, d), "doc_id", "text", vocabSize = 200)
@@ -1355,6 +1418,7 @@ object TextAnalysis {
     QueryDef("q77_lexical_diversity", q77, Some(q77Sql)),
     QueryDef("q87_tfidf_top_terms", q87, Some(q87Sql)),
     QueryDef("q91_vocab_coverage", q91, Some(q91Sql)),
+    QueryDef("q280_vocab_curve", q280, Some(q280Sql)),
     QueryDef("q98_chunk_documents", q98, Some(q98Sql)),
     QueryDef("q108_cooccurrence", q108, Some(q108Sql)),
     QueryDef("q130_bpe_pair_step", q130, Some(q130Sql)),

@@ -621,6 +621,19 @@ class AnalyticsSpec extends SparkSpec {
     assert(capped === Array((10L, 20L, 30L, 2L)))
   }
 
+  test("topKWithOthers rolls the unranked tail into one exact remainder row") {
+    val df = (Seq.fill(5)(("a", 1L)) ++ Seq.fill(3)(("a", 2L)) ++
+      Seq.fill(2)(("a", 3L)) ++ Seq.fill(1)(("a", 4L)) ++
+      Seq.fill(1)(("a", 5L)) ++ Seq.fill(2)(("b", 9L))).toDF("g", "u")
+    val got = Analytics.topKWithOthers(df, "g", col("u"), 3)
+      .orderBy(col("g"), col("rank"))
+      .as[(String, Long, String, Long)].collect()
+    assert(got === Array(
+      ("a", 1L, "1", 5L), ("a", 2L, "2", 3L), ("a", 3L, "3", 2L),
+      ("a", 4L, "OTHERS", 2L), // 4 and 5, one row each
+      ("b", 1L, "9", 2L))) // no tail -> no OTHERS row
+  }
+
   test("quantileTreatmentEffect reads the planted per-decile shift") {
     // control: values 1..100; treatment: 1..100 shifted +10 above 50 —
     // low deciles identical, high deciles show the shift.

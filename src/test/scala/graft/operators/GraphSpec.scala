@@ -231,4 +231,19 @@ class GraphSpec extends SparkSpec {
     assert(got((30L, 99L)) === 600000L) // 3 of 3 + 5 - 3
   }
 
+  test("linkCandidates finds distance-2 pairs and never existing edges") {
+    // Path 1-2-3-4: candidates are (1,3) and (2,4) via one common
+    // neighbor each; (1,4) is distance 3 and must not appear.
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("s1", "s2")
+    val got = Graph.linkCandidates(edges, "s1", "s2", 10)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got === Set((1L, 3L, 1L), (2L, 4L, 1L)))
+    // A triangle plus a pendant: (1,3) IS an edge -> only the pendant
+    // pair (2,4)... 4 hangs off 1, so candidates are (2,4), (3,4).
+    val tri = Seq((1L, 2L), (2L, 3L), (1L, 3L), (1L, 4L)).toDF("s1", "s2")
+    val got2 = Graph.linkCandidates(tri, "s1", "s2", 10)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got2 === Set((2L, 4L, 1L), (3L, 4L, 1L)))
+  }
+
 }

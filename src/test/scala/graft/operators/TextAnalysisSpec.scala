@@ -314,4 +314,18 @@ class TextAnalysisSpec extends SparkSpec {
       && got(2).getAs[Boolean]("confident"))
   }
 
+  test("vocabCoverageCurve reports exact cumulative mass at each size") {
+    import spark.implicits._
+    // "a" x 6, "b" x 3, "c" x 1 across docs: top-1 covers 6/10, top-2
+    // covers 9/10, top-8 (> vocab) covers everything.
+    val docs = Seq("a a a b", "a a a b b c").toDF("text")
+    val got = TextAnalysis.vocabCoverageCurve(docs, "text", Seq(1L, 2L, 8L))
+      .orderBy(org.apache.spark.sql.functions.col("vocab_size"))
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(got === Array(
+      (1L, 3L, 10L, 6L, 600000L),
+      (2L, 3L, 10L, 9L, 900000L),
+      (8L, 3L, 10L, 10L, 1000000L)))
+  }
+
 }
