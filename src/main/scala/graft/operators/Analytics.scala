@@ -908,6 +908,81 @@ object Analytics {
        FROM step p1 JOIN step p2 ON p1.next_state = p2.state
        GROUP BY 1, 2 ORDER BY p1.state, next2"""
 
+  /** Tukey-fence outlier audit per group: exact nearest-rank quartiles
+    * over the (group, value) collapse, fences at Q1 − 1.5·IQR /
+    * Q3 + 1.5·IQR (as (3·IQR) div 2 — pure integers), and the exact
+    * count + micro-share of rows outside them. The box-plot rule — the
+    * robust-outlier companion to the MAD alerts ([[dailyMadAlerts]]),
+    * tuned to distribution SHAPE rather than a rolling center.
+    *
+    * Scale design: the corpus collapses once to per-(group, value)
+    * counts; quartiles come from the same per-group cumulative window as
+    * [[decileTable]] (bounded when the value domain is quantized — cents
+    * here); the outlier count is a broadcast of |groups| fence rows back
+    * onto the collapse, never a second corpus pass.
+    */
+  def iqrOutliers(df: DataFrame, groupCol: String,
+      valueCol: Column): DataFrame = {
+    val byV = df.select(col(groupCol).as("k"), valueCol.cast("long").as("v"))
+      .groupBy(col("k"), col("v")).agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy(col("k")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val fences = byV
+      .select(col("k"), col("v"), sum(col("c")).over(w).as("cum"),
+        sum(col("c")).over(Window.partitionBy(col("k"))).as("n"))
+      .groupBy(col("k"))
+      .agg(max(col("n")).as("n"),
+        min(when(col("cum") * 4 >= col("n"), col("v"))).as("q1"),
+        min(when(col("cum") * 4 >= col("n") * 3, col("v"))).as("q3"))
+      .select(col("k"), col("n"), col("q1"), col("q3"),
+        expr("q1 - (3L * (q3 - q1)) div 2").as("low_fence"),
+        expr("q3 + (3L * (q3 - q1)) div 2").as("high_fence"))
+    byV.join(broadcast(fences), "k")
+      .groupBy(col("k"))
+      .agg(max(col("n")).as("n"), max(col("q1")).as("q1"),
+        max(col("q3")).as("q3"),
+        max(col("low_fence")).as("low_fence"),
+        max(col("high_fence")).as("high_fence"),
+        sum(when(col("v") < col("low_fence")
+          || col("v") > col("high_fence"), col("c"))
+          .otherwise(lit(0L))).as("n_outliers"))
+      .withColumn("outlier_micro", expr("(n_outliers * 1000000L) div n"))
+  }
+
+  // ---- q283: which event types have heavy tails under the box-plot rule? ------
+  private def q283(s: SparkSession, d: String): DataFrame =
+    iqrOutliers(Tables.events(s, d), "event_type", floor(col("value") * 100))
+      .orderBy(col("k"))
+  private val q283Sql =
+    """WITH byv AS (
+         SELECT event_type AS k, floor(value * 100)::BIGINT AS v,
+           count(*)::BIGINT AS c
+         FROM events GROUP BY 1, 2),
+       cum AS (
+         SELECT k, v, c,
+           sum(c) OVER (PARTITION BY k ORDER BY v
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+           sum(c) OVER (PARTITION BY k) AS n
+         FROM byv),
+       f AS (
+         SELECT k, max(n)::BIGINT AS n,
+           min(CASE WHEN cum * 4 >= n THEN v END)::BIGINT AS q1,
+           min(CASE WHEN cum * 4 >= n * 3 THEN v END)::BIGINT AS q3
+         FROM cum GROUP BY k),
+       fe AS (
+         SELECT k, n, q1, q3,
+           (q1 - (3 * (q3 - q1)) // 2)::BIGINT AS low_fence,
+           (q3 + (3 * (q3 - q1)) // 2)::BIGINT AS high_fence
+         FROM f)
+       SELECT fe.k, fe.n, fe.q1, fe.q3, fe.low_fence, fe.high_fence,
+         sum(CASE WHEN byv.v < fe.low_fence OR byv.v > fe.high_fence
+           THEN byv.c ELSE 0 END)::BIGINT AS n_outliers,
+         ((sum(CASE WHEN byv.v < fe.low_fence OR byv.v > fe.high_fence
+           THEN byv.c ELSE 0 END) * 1000000) // fe.n)::BIGINT AS outlier_micro
+       FROM byv JOIN fe ON byv.k = fe.k
+       GROUP BY fe.k, fe.n, fe.q1, fe.q3, fe.low_fence, fe.high_fence
+       ORDER BY fe.k"""
+
   /** Top-k members per group with an OTHERS rollup — the BI "top 3 plus
     * everyone else" table whose naïve form ranks the ENTIRE tail just to
     * throw it away. Here only the top k are ranked (a per-group window
@@ -3178,6 +3253,7 @@ object Analytics {
     QueryDef("q274_load_profile", q274, Some(q274Sql)),
     QueryDef("q278_qte", q278, Some(q278Sql)),
     QueryDef("q281_topk_others", q281, Some(q281Sql)),
+    QueryDef("q283_iqr_outliers", q283, Some(q283Sql)),
     QueryDef("q104_rank_family", q104, Some(q104Sql)),
     QueryDef("q107_rolling_anomaly", q107, Some(q107Sql)),
     QueryDef("q116_concurrency_sweep", q116, Some(q116Sql)),

@@ -64,6 +64,27 @@ object Incremental {
   def isState(df: DataFrame, keyCols: Seq[String]): Boolean =
     df.columns.toSeq.sorted == (keyCols ++ StateCols).sorted
 
+  /** Incremental JOIN-view maintenance: the delta rows a stored join view
+    * needs when both sides receive increments —
+    * ΔV = (Lold ⋈ ΔR) ∪ (ΔL ⋈ Rold) ∪ (ΔL ⋈ ΔR).
+    * History never re-joins history: each term touches at most one full
+    * snapshot against a delta. The algebra behind every materialized-view
+    * refresh (and the batch analog of the engine's stream-stream join
+    * state); appending the returned rows to the stored view reproduces
+    * the from-scratch join exactly, which the q282 oracle pins.
+    *
+    * Scale design: with daily deltas, the big side of every term is
+    * scanned once and joined against a delta that is typically
+    * broadcastable; the ΔL ⋈ ΔR term is delta×delta. A 100-TB stored
+    * view refresh thus costs O(|snapshot|·|delta|) join work instead of
+    * O(|snapshot|²).
+    */
+  def deltaJoinRows(lOld: DataFrame, lDelta: DataFrame,
+      rOld: DataFrame, rDelta: DataFrame, joinCols: Seq[String]): DataFrame =
+    lOld.join(rDelta, joinCols)
+      .unionByName(lDelta.join(rOld, joinCols))
+      .unionByName(lDelta.join(rDelta, joinCols))
+
   // ===========================================================================
   // Oracle-bound query exercise
   // ===========================================================================
@@ -94,6 +115,33 @@ object Incremental {
        GROUP BY l_returnflag, l_linestatus
        ORDER BY l_returnflag, l_linestatus"""
 
+  // q282: both join sides arrive as (old, delta) splits; the maintained
+  // view — stored rows plus deltaJoinRows — must aggregate to exactly the
+  // oracle's one-shot join. Splits are key-parity so every term is
+  // nonempty and the delta×delta corner is genuinely exercised.
+  private def q282(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+      .select(col("o_custkey").as("custkey"), col("o_totalprice"))
+    val c = Tables.customer(s, d)
+      .select(col("c_custkey").as("custkey"), col("c_nationkey"))
+    val (oOld, oDelta) = (o.filter(col("custkey") % 2 === 0),
+      o.filter(col("custkey") % 2 === 1))
+    val (cOld, cDelta) = (c.filter(col("custkey") % 3 =!= 0),
+      c.filter(col("custkey") % 3 === 0))
+    val maintained = oOld.join(cOld, Seq("custkey"))
+      .unionByName(deltaJoinRows(oOld, oDelta, cOld, cDelta, Seq("custkey")))
+    maintained.groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum(col("o_totalprice")), 2).as("revenue"))
+      .orderBy(col("c_nationkey"))
+  }
+  private val q282Sql =
+    """SELECT c_nationkey, count(*) AS n_orders,
+         round(sum(o_totalprice), 2) AS revenue
+       FROM orders JOIN customer ON o_custkey = c_custkey
+       GROUP BY c_nationkey ORDER BY c_nationkey"""
+
   val defs: Seq[QueryDef] = Seq(
-    QueryDef("q92_incremental_agg", q92, Some(q92Sql)))
+    QueryDef("q92_incremental_agg", q92, Some(q92Sql)),
+    QueryDef("q282_delta_join", q282, Some(q282Sql)))
 }

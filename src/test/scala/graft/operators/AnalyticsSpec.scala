@@ -621,6 +621,16 @@ class AnalyticsSpec extends SparkSpec {
     assert(capped === Array((10L, 20L, 30L, 2L)))
   }
 
+  test("iqrOutliers flags exactly the rows outside the Tukey fences") {
+    // 1..8 plus a 100 spike: n=9, q1 = min v with cum*4 >= 9 -> v=3,
+    // q3 = min v with cum*4 >= 27 -> v=7; iqr=4, fences 3-6=-3 / 7+6=13;
+    // only the spike is outside.
+    val df = ((1L to 8L) :+ 100L).map(("a", _)).toDF("g", "v")
+    val got = Analytics.iqrOutliers(df, "g", col("v"))
+      .as[(String, Long, Long, Long, Long, Long, Long, Long)].head()
+    assert(got === (("a", 9L, 3L, 7L, -3L, 13L, 1L, 111111L)))
+  }
+
   test("topKWithOthers rolls the unranked tail into one exact remainder row") {
     val df = (Seq.fill(5)(("a", 1L)) ++ Seq.fill(3)(("a", 2L)) ++
       Seq.fill(2)(("a", 3L)) ++ Seq.fill(1)(("a", 4L)) ++

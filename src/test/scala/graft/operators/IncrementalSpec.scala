@@ -37,4 +37,17 @@ class IncrementalSpec extends SparkSpec {
     val again = Incremental.mergeStates(Seq(merged, s1), keys)
     assert(Incremental.isState(again, keys))
   }
+
+  test("deltaJoinRows + stored view reproduces the from-scratch join") {
+    import spark.implicits._
+    val l = Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")).toDF("k", "lv")
+    val r = Seq((1L, 10L), (2L, 20L), (3L, 30L), (5L, 50L)).toDF("k", "rv")
+    val (lOld, lDelta) = (l.filter($"k" <= 2), l.filter($"k" > 2))
+    val (rOld, rDelta) = (r.filter($"k" % 2 === 0), r.filter($"k" % 2 === 1))
+    val maintained = lOld.join(rOld, Seq("k"))
+      .unionByName(Incremental.deltaJoinRows(lOld, lDelta, rOld, rDelta, Seq("k")))
+    val direct = l.join(r, Seq("k"))
+    assert(maintained.except(direct).isEmpty && direct.except(maintained).isEmpty)
+    assert(maintained.count() === direct.count()) // no duplicate deltas
+  }
 }
