@@ -918,18 +918,28 @@ object Analytics {
     * Scale design: the corpus collapses once to per-(group, value)
     * counts; quartiles come from the same per-group cumulative window as
     * [[decileTable]] (bounded when the value domain is quantized — cents
-    * here); the outlier count is a broadcast of |groups| fence rows back
-    * onto the collapse, never a second corpus pass.
+    * here), and `quantized = false` swaps it for the
+    * [[DistributedPrefix.cumSums]] two-pass machinery when the domain is
+    * continuous (same contract as every cumulative-family member); the
+    * outlier count is a broadcast of |groups| fence rows back onto the
+    * collapse, never a second corpus pass.
     */
   def iqrOutliers(df: DataFrame, groupCol: String,
-      valueCol: Column): DataFrame = {
+      valueCol: Column, quantized: Boolean = true): DataFrame = {
     val byV = df.select(col(groupCol).as("k"), valueCol.cast("long").as("v"))
       .groupBy(col("k"), col("v")).agg(count(lit(1)).as("c"))
     val w = Window.partitionBy(col("k")).orderBy(col("v"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val fences = byV
-      .select(col("k"), col("v"), sum(col("c")).over(w).as("cum"),
-        sum(col("c")).over(Window.partitionBy(col("k"))).as("n"))
+    val cum =
+      if (quantized)
+        byV.select(col("k"), col("v"), sum(col("c")).over(w).as("cum"),
+          sum(col("c")).over(Window.partitionBy(col("k"))).as("n"))
+      else
+        DistributedPrefix.cumSums(byV, Seq("k"), Seq(col("v")), Seq("c"))
+          .join(broadcast(byV.groupBy(col("k")).agg(sum(col("c")).as("n"))),
+            Seq("k"))
+          .select(col("k"), col("v"), col("cum_c").as("cum"), col("n"))
+    val fences = cum
       .groupBy(col("k"))
       .agg(max(col("n")).as("n"),
         min(when(col("cum") * 4 >= col("n"), col("v"))).as("q1"),
@@ -1303,6 +1313,79 @@ object Analytics {
       .withColumn("anomaly", when(col("zscore").isNull, lit(false))
         .otherwise(abs(col("zscore")) > z))
   }
+
+  /** Rolling correlation of two daily measures per key: for each (key,
+    * day), the Pearson r of the per-day (x, y) sums over the trailing
+    * `windowDays`-day RANGE frame — the drifting-relationship detector
+    * ("did quantity stop tracking price this month?") that a global
+    * [[graft.operators.Profile.groupedCorr]] averages away. The five
+    * moments accumulate as exact BIGINT window sums (callers pre-quantize
+    * per row, so partial order never matters); one identical double
+    * finish per row, round6 + `+ 0.0`, null under two days or zero
+    * variance.
+    *
+    * Scale design: one exchange on the key for the daily collapse; all
+    * six window aggregates share one per-key sort and a bounded RANGE
+    * frame buffer (O(days-in-window) state per key).
+    */
+  def rollingCorr(df: DataFrame, keyCol: String, dayCol: Column,
+      xCol: Column, yCol: Column, windowDays: Int): DataFrame = {
+    require(windowDays >= 2, "rollingCorr needs windowDays >= 2")
+    val daily = df
+      .select(col(keyCol).as("k"), dayCol.cast("long").as("day_id"),
+        xCol.cast("long").as("x"), yCol.cast("long").as("y"))
+      .groupBy(col("k"), col("day_id"))
+      .agg(sum(col("x")).as("xd"), sum(col("y")).as("yd"))
+    val w = Window.partitionBy(col("k")).orderBy(col("day_id"))
+      .rangeBetween(-(windowDays - 1).toLong, 0)
+    val moments = daily
+      .withColumn("n", count(lit(1)).over(w))
+      .withColumn("sx", sum(col("xd")).over(w))
+      .withColumn("sy", sum(col("yd")).over(w))
+      .withColumn("sxx", sum(col("xd") * col("xd")).over(w))
+      .withColumn("syy", sum(col("yd") * col("yd")).over(w))
+      .withColumn("sxy", sum(col("xd") * col("yd")).over(w))
+    def d(c: String) = col(c).cast("double")
+    val va = d("n") * d("sxx") - d("sx") * d("sx")
+    val vb = d("n") * d("syy") - d("sy") * d("sy")
+    val num = d("n") * d("sxy") - d("sx") * d("sy")
+    moments.select(col("k"), col("day_id"), col("n").as("n_days"),
+      when(col("n") < 2 || va === 0d || vb === 0d, lit(null).cast("double"))
+        .otherwise(round(num / (sqrt(va) * sqrt(vb)), 6) + lit(0.0))
+        .as("corr"))
+  }
+
+  // ---- q284: is quantity still tracking price, return class by class? ---------
+  private def q284(s: SparkSession, d: String): DataFrame =
+    rollingCorr(Tables.lineitem(s, d), "l_returnflag",
+        unix_date(to_date(col("l_shipdate"))), floor(col("l_quantity") * 100),
+        floor(col("l_extendedprice")), windowDays = 30)
+      .orderBy(col("k"), col("day_id"))
+  private val q284Sql =
+    """WITH daily AS (
+         SELECT l_returnflag AS k,
+           (l_shipdate::DATE - DATE '1970-01-01')::BIGINT AS day_id,
+           sum(floor(l_quantity * 100)::BIGINT)::BIGINT AS xd,
+           sum(floor(l_extendedprice)::BIGINT)::BIGINT AS yd
+         FROM lineitem GROUP BY 1, 2),
+       m AS (
+         SELECT k, day_id,
+           count(*) OVER w AS n,
+           sum(xd) OVER w AS sx, sum(yd) OVER w AS sy,
+           sum(xd * xd) OVER w AS sxx, sum(yd * yd) OVER w AS syy,
+           sum(xd * yd) OVER w AS sxy
+         FROM daily
+         WINDOW w AS (PARTITION BY k ORDER BY day_id
+           RANGE BETWEEN 29 PRECEDING AND CURRENT ROW))
+       SELECT k, day_id, n::BIGINT AS n_days,
+         CASE WHEN n < 2
+             OR (n::DOUBLE * sxx - sx::DOUBLE * sx) = 0
+             OR (n::DOUBLE * syy - sy::DOUBLE * sy) = 0 THEN NULL
+           ELSE round((n::DOUBLE * sxy - sx::DOUBLE * sy)
+             / (sqrt(n::DOUBLE * sxx - sx::DOUBLE * sx)
+                * sqrt(n::DOUBLE * syy - sy::DOUBLE * sy)), 6) + 0.0
+           END AS corr
+       FROM m ORDER BY k, day_id"""
 
   // ---- q107: rolling anomaly flags --------------------------------------------
   private def q107(s: SparkSession, d: String): DataFrame =
@@ -3254,6 +3337,7 @@ object Analytics {
     QueryDef("q278_qte", q278, Some(q278Sql)),
     QueryDef("q281_topk_others", q281, Some(q281Sql)),
     QueryDef("q283_iqr_outliers", q283, Some(q283Sql)),
+    QueryDef("q284_rolling_corr", q284, Some(q284Sql)),
     QueryDef("q104_rank_family", q104, Some(q104Sql)),
     QueryDef("q107_rolling_anomaly", q107, Some(q107Sql)),
     QueryDef("q116_concurrency_sweep", q116, Some(q116Sql)),

@@ -621,6 +621,27 @@ class AnalyticsSpec extends SparkSpec {
     assert(capped === Array((10L, 20L, 30L, 2L)))
   }
 
+  test("rollingCorr tracks the window's exact sign and nulls degenerate frames") {
+    // key a: y = x -> corr 1 once n >= 2; day 0 alone -> null.
+    // key b: y = -x -> corr -1.
+    val rows = Seq(
+      ("a", 0L, 1L, 1L), ("a", 1L, 2L, 2L), ("a", 2L, 3L, 3L),
+      ("b", 0L, 1L, 3L), ("b", 1L, 2L, 2L), ("b", 2L, 3L, 1L))
+      .toDF("k", "day", "x", "y")
+    val got = Analytics.rollingCorr(rows, "k", col("day"), col("x"), col("y"), 30)
+      .orderBy(col("k"), col("day_id"))
+      .as[(String, Long, Long, Option[Double])].collect()
+    assert(got === Array(
+      ("a", 0L, 1L, None), ("a", 1L, 2L, Some(1.0)), ("a", 2L, 3L, Some(1.0)),
+      ("b", 0L, 1L, None), ("b", 1L, 2L, Some(-1.0)), ("b", 2L, 3L, Some(-1.0))))
+    // the RANGE frame drops days beyond the window: with windowDays = 2,
+    // day 2 sees only days 1-2.
+    val short = Analytics.rollingCorr(rows, "k", col("day"), col("x"), col("y"), 2)
+      .filter(col("day_id") === 2)
+      .as[(String, Long, Long, Option[Double])].collect()
+    assert(short.forall(_._3 === 2L))
+  }
+
   test("iqrOutliers flags exactly the rows outside the Tukey fences") {
     // 1..8 plus a 100 spike: n=9, q1 = min v with cum*4 >= 9 -> v=3,
     // q3 = min v with cum*4 >= 27 -> v=7; iqr=4, fences 3-6=-3 / 7+6=13;

@@ -151,6 +151,15 @@ class DistributedPrefixSpec extends SparkSpec {
       Analytics.decileTable(df, "g", $"v"), "decileTable")
   }
 
+  test("iqrOutliers unquantized equals quantized on a continuous value domain") {
+    val df = spark.range(20000).select(
+      concat(lit("g"), ($"id" % 4).cast("string")).as("g"),
+      (xxhash64($"id" * 13) % 1000000007L).as("v"))
+    assertSameRows(
+      Analytics.iqrOutliers(df, "g", $"v", quantized = false),
+      Analytics.iqrOutliers(df, "g", $"v"), "iqrOutliers")
+  }
+
   test("qqTable unquantized equals quantized on a continuous value domain") {
     val df = spark.range(20000).select(
       abs(xxhash64($"id" * 19) % 1000003L).as("v"),
