@@ -963,7 +963,7 @@ object Analytics {
   private def q283(s: SparkSession, d: String): DataFrame =
     iqrOutliers(Tables.events(s, d), "event_type", floor(col("value") * 100))
       .orderBy(col("k"))
-  private val q283Sql =
+  private[operators] val q283Sql =
     """WITH byv AS (
          SELECT event_type AS k, floor(value * 100)::BIGINT AS v,
            count(*)::BIGINT AS c
@@ -1031,7 +1031,7 @@ object Analytics {
   private def q281(s: SparkSession, d: String): DataFrame =
     topKWithOthers(Tables.events(s, d), "event_type", col("user_id"), 3)
       .orderBy(col("g"), col("rank"))
-  private val q281Sql =
+  private[operators] val q281Sql =
     """WITH counts AS (
          SELECT event_type AS g, user_id::VARCHAR AS member,
            count(*)::BIGINT AS n
@@ -1748,6 +1748,92 @@ object Analytics {
           .when(expr("cum * 1000000L div total") <= bMicro, lit("B"))
           .otherwise(lit("C")).as("abc_class"))
   }
+
+  /** Combined ABC/XYZ classification: ABC ranks each key's total measure
+    * by cumulative Pareto share ([[abcClassify]]); XYZ grades demand
+    * VARIABILITY from the per-period sums — the squared coefficient of
+    * variation as a pure rational, (m·Σq² − (Σq)²)·10⁶ div (Σq)² (never
+    * a sqrt), X below `xMicro`, Y below `yMicro`, else Z. A-X items are
+    * high-volume + predictable (automate the reorder); C-Z is the long
+    * tail nobody should forecast. Null variability (zero total) grades Z.
+    *
+    * Scale design: one (key, period) collapse with map-side partials,
+    * one |keys|-sized moment aggregate, joined to the Pareto table —
+    * the per-key window in abcClassify runs on the |keys| collapse.
+    */
+  def abcXyz(df: DataFrame, groupCol: String, measure: Column,
+      periodCol: Column, xMicro: Long = 250000L,
+      yMicro: Long = 1000000L): DataFrame = {
+    require(0 < xMicro && xMicro < yMicro, "need 0 < xMicro < yMicro")
+    val monthly = df
+      .select(col(groupCol), periodCol.cast("long").as("p"),
+        measure.cast("long").as("q"))
+      .groupBy(col(groupCol), col("p")).agg(sum(col("q")).as("qp"))
+    val xyz = monthly.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_periods"), sum(col("qp")).as("sq"),
+        sum(col("qp") * col("qp")).as("sqq"))
+      .select(col(groupCol), col("n_periods"),
+        when(col("sq") =!= 0,
+          expr("(n_periods * sqq - sq * sq) * 1000000L div (sq * sq)"))
+          .otherwise(lit(null).cast("long")).as("var_ratio_micro"))
+      .withColumn("xyz_class",
+        when(col("var_ratio_micro").isNull, lit("Z"))
+          .when(col("var_ratio_micro") <= xMicro, lit("X"))
+          .when(col("var_ratio_micro") <= yMicro, lit("Y"))
+          .otherwise(lit("Z")))
+    abcClassify(df, groupCol, measure).join(xyz, Seq(groupCol))
+      .select(col(groupCol), col("m"), col("cum_share_micro"),
+        col("abc_class"), col("n_periods"), col("var_ratio_micro"),
+        col("xyz_class"),
+        concat(col("abc_class"), col("xyz_class")).as("combined"))
+  }
+
+  // ---- q285: which suppliers deserve automated reordering? --------------------
+  private def q285(s: SparkSession, d: String): DataFrame =
+    abcXyz(Tables.lineitem(s, d), "l_suppkey", col("l_quantity").cast("long"),
+        expr("year(cast(l_shipdate as date)) * 12 + month(cast(l_shipdate as date))"))
+      .orderBy(col("l_suppkey"))
+  private val q285Sql =
+    """WITH per AS (
+         SELECT l_suppkey, sum(l_quantity::BIGINT)::BIGINT AS m
+         FROM lineitem GROUP BY 1),
+       t AS (SELECT sum(m)::BIGINT AS total FROM per),
+       abc AS (
+         SELECT l_suppkey, m,
+           (sum(m) OVER (ORDER BY m DESC, l_suppkey
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             * 1000000 // total)::BIGINT AS cum_share_micro
+         FROM per CROSS JOIN t),
+       abcc AS (
+         SELECT l_suppkey, m, cum_share_micro,
+           CASE WHEN cum_share_micro <= 800000 THEN 'A'
+                WHEN cum_share_micro <= 950000 THEN 'B'
+                ELSE 'C' END AS abc_class
+         FROM abc),
+       monthly AS (
+         SELECT l_suppkey,
+           year(l_shipdate::DATE) * 12 + month(l_shipdate::DATE) AS p,
+           sum(l_quantity::BIGINT)::BIGINT AS qp
+         FROM lineitem GROUP BY 1, 2),
+       xyz AS (
+         SELECT l_suppkey, count(*)::BIGINT AS n_periods,
+           CASE WHEN sum(qp) != 0
+             THEN ((count(*) * sum(qp * qp) - sum(qp) * sum(qp)) * 1000000)
+               // (sum(qp) * sum(qp))
+             ELSE NULL END::BIGINT AS var_ratio_micro
+         FROM monthly GROUP BY 1),
+       xyzc AS (
+         SELECT l_suppkey, n_periods, var_ratio_micro,
+           CASE WHEN var_ratio_micro IS NULL THEN 'Z'
+                WHEN var_ratio_micro <= 250000 THEN 'X'
+                WHEN var_ratio_micro <= 1000000 THEN 'Y'
+                ELSE 'Z' END AS xyz_class
+         FROM xyz)
+       SELECT a.l_suppkey, a.m, a.cum_share_micro, a.abc_class,
+         x.n_periods, x.var_ratio_micro, x.xyz_class,
+         a.abc_class || x.xyz_class AS combined
+       FROM abcc a JOIN xyzc x ON a.l_suppkey = x.l_suppkey
+       ORDER BY a.l_suppkey"""
 
   // ---- q179: ABC analysis of suppliers by shipped quantity --------------------
   // l_quantity is integral-valued (cast exact); the classic warehouse
@@ -3338,6 +3424,7 @@ object Analytics {
     QueryDef("q281_topk_others", q281, Some(q281Sql)),
     QueryDef("q283_iqr_outliers", q283, Some(q283Sql)),
     QueryDef("q284_rolling_corr", q284, Some(q284Sql)),
+    QueryDef("q285_abc_xyz", q285, Some(q285Sql)),
     QueryDef("q104_rank_family", q104, Some(q104Sql)),
     QueryDef("q107_rolling_anomaly", q107, Some(q107Sql)),
     QueryDef("q116_concurrency_sweep", q116, Some(q116Sql)),

@@ -1389,6 +1389,64 @@ object Similarity {
        SELECT label AS true_label, cl AS pred_label, count(*)::BIGINT AS n
        FROM best GROUP BY 1, 2 ORDER BY 1, 2"""
 
+  /** k-NN distance outliers: each vector scored by the mean of its k
+    * smallest exact L2² distances (int8-quantized BIGINT algebra — the
+    * elbow/ADC kernel), largest means first — the density-based "this
+    * embedding sits in nobody's neighborhood" detector that catches
+    * corrupt rows and out-of-domain data before training. The mean is
+    * Σtop-k div k, so boundary ties (equal d²) cannot change the score.
+    *
+    * This is the EXACT all-pairs baseline (like q29's cosine pairs —
+    * correct at fixture scale, quadratic by intent); at corpus scale
+    * route the neighbor search through [[ivfTopK]] buckets and keep the
+    * same mean-of-top-k scoring. Ranking rides the bounded-heap
+    * aggregator: k rows per vector cross the wire, never a ranked
+    * materialization.
+    */
+  def knnOutliers(vectors: DataFrame, idCol: String, vecCol: String,
+      k: Int, topN: Int): DataFrame = {
+    require(k >= 1 && topN >= 1, "knnOutliers needs k >= 1 and topN >= 1")
+    val q8 = vectors.select(col(idCol).as("vid"), quantize8(col(vecCol)).as("q8"))
+    val scored = q8.as("a").join(q8.as("b"), col("a.vid") =!= col("b.vid"))
+      .select(col("a.vid").as("query_id"), col("b.vid").as("neighbor_id"),
+        (-(doti(col("a.q8"), col("a.q8"))
+          - lit(2L) * doti(col("a.q8"), col("b.q8"))
+          + doti(col("b.q8"), col("b.q8")))).cast("double").as("c"))
+    rankTopK(scored, k)
+      .groupBy(col("query_id"))
+      .agg((-sum(col("cos_sim"))).cast("long").as("d2_sum"),
+        count(lit(1)).as("n_neighbors"))
+      .select(col("query_id").as("vec_id"), col("n_neighbors"),
+        expr(s"d2_sum div n_neighbors").as("knn_d2_mean"))
+      .orderBy(col("knn_d2_mean").desc, col("vec_id"))
+      .limit(topN)
+  }
+
+  // ---- q286: which embeddings sit in nobody's neighborhood? -------------------
+  private def q286(s: SparkSession, d: String): DataFrame =
+    knnOutliers(Tables.embeddings(s, d), "vec_id", "embedding",
+        k = 5, topN = 20)
+  private val q286Sql =
+    """WITH q8 AS (
+         SELECT vec_id AS vid, list_transform(embedding, x -> floor(x::DOUBLE /
+           (list_max(list_transform(embedding, y -> abs(y))))::DOUBLE
+           * 127)::BIGINT) AS q
+         FROM embeddings),
+       d AS (
+         SELECT a.vid AS q, b.vid AS n,
+           list_sum(list_transform(range(1, len(a.q) + 1),
+             i -> (a.q[i] - b.q[i]) * (a.q[i] - b.q[i])))::BIGINT AS d2
+         FROM q8 a JOIN q8 b ON a.vid != b.vid),
+       top AS (
+         SELECT q, d2 FROM (
+           SELECT q, d2, row_number() OVER (PARTITION BY q
+             ORDER BY d2, n) AS rn
+           FROM d) t WHERE rn <= 5)
+       SELECT q AS vec_id, count(*)::BIGINT AS n_neighbors,
+         (sum(d2) // count(*))::BIGINT AS knn_d2_mean
+       FROM top GROUP BY q
+       ORDER BY knn_d2_mean DESC, vec_id LIMIT 20"""
+
   // ---- q265: elbow table over the int8-quantized corpus -----------------------
   private def q265(s: SparkSession, d: String): DataFrame =
     kmeansElbow(Tables.embeddings(s, d), "vec_id", "embedding", Seq(2, 4, 8))
@@ -1415,6 +1473,7 @@ object Similarity {
     QueryDef("q252_centroid_drift", q252, Some(q252Sql)),
     QueryDef("q265_kmeans_elbow", q265, Some(q265Sql)),
     QueryDef("q277_centroid_classifier", q277, Some(q277Sql)),
+    QueryDef("q286_knn_outliers", q286, Some(q286Sql)),
     QueryDef("q30_cosine_topk", q30, Some(q30Sql), headline = true),
     QueryDef("q164_rrf_fusion", q164, Some(q164Sql)),
     QueryDef("q150_sparse_cosine", q150, Some(q150Sql)),

@@ -108,5 +108,24 @@ object SqlRegistry {
         strLit(exprs(2), "xName") -> expr(strLit(exprs(3), "xExpr")),
         strLit(exprs(4), "yName") -> expr(strLit(exprs(5), "yExpr")))
     }
+
+    // graft_topk_others(table, groupCol, memberExpr, k): top-k members
+    // per group plus the exact OTHERS remainder (the q281 operator).
+    tvf("graft_topk_others") { exprs =>
+      require(exprs.length == 4,
+        "graft_topk_others(table, groupCol, memberExpr, k)")
+      Analytics.topKWithOthers(s.table(strLit(exprs(0), "table")),
+        strLit(exprs(1), "groupCol"), expr(strLit(exprs(2), "memberExpr")),
+        intLit(exprs(3), "k"))
+    }
+
+    // graft_iqr_outliers(table, groupCol, valueExpr): Tukey-fence
+    // outlier audit per group (the q283 operator).
+    tvf("graft_iqr_outliers") { exprs =>
+      require(exprs.length == 3,
+        "graft_iqr_outliers(table, groupCol, valueExpr)")
+      Analytics.iqrOutliers(s.table(strLit(exprs(0), "table")),
+        strLit(exprs(1), "groupCol"), expr(strLit(exprs(2), "valueExpr")))
+    }
   }
 }

@@ -143,6 +143,16 @@ object SqlSurface {
       """SELECT * FROM graft_grouped_corr('lineitem', 'l_returnflag',
            'disc', 'floor(l_discount * 100)', 'qty', 'floor(l_quantity * 100)')
          ORDER BY g""")
+  private def q287(s: SparkSession, d: String): DataFrame =
+    viaTvf(s, d, "events",
+      """SELECT * FROM graft_topk_others('events', 'event_type',
+           'user_id', 3)
+         ORDER BY g, rank""")
+  private def q288(s: SparkSession, d: String): DataFrame =
+    viaTvf(s, d, "events",
+      """SELECT * FROM graft_iqr_outliers('events', 'event_type',
+           'floor(value * 100)')
+         ORDER BY k""")
 
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q37_scalar_subquery", q37, Some(q37Sql)),
@@ -154,5 +164,7 @@ object SqlSurface {
     QueryDef("q245_sql_cosine_topk", q245, Some(Similarity.q30Sql)),
     QueryDef("q246_sql_decile_table", q246, Some(Analytics.q229Sql)),
     QueryDef("q270_sql_salt_plan", q270, Some(Profile.q259Sql)),
-    QueryDef("q271_sql_grouped_corr", q271, Some(Profile.q268Sql)))
+    QueryDef("q271_sql_grouped_corr", q271, Some(Profile.q268Sql)),
+    QueryDef("q287_sql_topk_others", q287, Some(Analytics.q281Sql)),
+    QueryDef("q288_sql_iqr_outliers", q288, Some(Analytics.q283Sql)))
 }

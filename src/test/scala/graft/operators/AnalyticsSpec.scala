@@ -621,6 +621,27 @@ class AnalyticsSpec extends SparkSpec {
     assert(capped === Array((10L, 20L, 30L, 2L)))
   }
 
+  test("abcXyz grades volume and variability independently") {
+    // Totals: big_spiky 40, big_steady 40, small 5. Pareto (ties on
+    // name): spiky 470588 A, steady 941176 B, small C.
+    // Variability: steady 10x4 -> 0 (X); spiky 37,1,1,1 -> 2430000 (Z);
+    // small single-period -> 0 (X).
+    val rows =
+      (1 to 4).map(p => ("big_steady", p.toLong, 10L)) ++
+        Seq(("big_spiky", 1L, 37L), ("big_spiky", 2L, 1L),
+          ("big_spiky", 3L, 1L), ("big_spiky", 4L, 1L),
+          ("small", 1L, 5L))
+    val got = Analytics.abcXyz(rows.toDF("g", "p", "q"), "g", col("q"), col("p"))
+      .orderBy(col("g"))
+      .collect().map(r => (r.getString(0), r.getAs[String]("abc_class"),
+        r.getAs[Long]("var_ratio_micro"), r.getAs[String]("xyz_class"),
+        r.getAs[String]("combined")))
+    assert(got === Array(
+      ("big_spiky", "A", 2430000L, "Z", "AZ"),
+      ("big_steady", "B", 0L, "X", "BX"),
+      ("small", "C", 0L, "X", "CX")))
+  }
+
   test("rollingCorr tracks the window's exact sign and nulls degenerate frames") {
     // key a: y = x -> corr 1 once n >= 2; day 0 alone -> null.
     // key b: y = -x -> corr -1.

@@ -194,6 +194,23 @@ class SimilaritySpec extends SparkSpec {
     assert(got.length === 2)
   }
 
+  test("knnOutliers ranks the directionally isolated vector first") {
+    // Four near-collinear vectors and one near-orthogonal outlier
+    // (quantization is per-vector max-normalized, so direction is what
+    // distances measure).
+    val rows = Seq(
+      (1L, Seq(1.0f, 0.00f)), (2L, Seq(1.0f, 0.05f)),
+      (3L, Seq(1.0f, 0.10f)), (4L, Seq(1.0f, 0.15f)),
+      (5L, Seq(0.05f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.knnOutliers(rows, "vec_id", "embedding", k = 2, topN = 5)
+      .as[(Long, Long, Long)].collect()
+    assert(got.head._1 === 5L, s"outlier must rank first: ${got.toSeq}")
+    assert(got.forall(_._2 === 2L))
+    assert(got.head._3 > got(1)._3 * 10,
+      "outlier mean distance should dominate the cluster's")
+  }
+
   test("centroidClassifier recovers planted axis-aligned labels") {
     // Label 0 lives on +x, label 1 on +y; train rows are even ids,
     // eval rows odd. One eval vector per label sits clearly in its own
