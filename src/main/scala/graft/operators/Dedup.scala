@@ -1131,6 +1131,57 @@ object Dedup {
   private def q60(s: SparkSession, d: String): DataFrame =
     dedupClusters(lshPairsOf(s, d), "d1", "d2")
       .orderBy(col("doc_id"))
+
+  /** Duplicate-cluster SIZE distribution — the shape the one-row q120
+    * summary can't show: is duplication a few giant template families or
+    * a long tail of near-identical pairs? Emits (size, n_clusters) for
+    * every multi-doc cluster plus the size-1 row counting documents in
+    * no cluster at all, so Σ size·n_clusters = |corpus| and the
+    * histogram is a complete partition of the corpus.
+    *
+    * Scale design: cluster sizes collapse from the (doc, cluster)
+    * assignment map-side; the singleton row is two metadata-sized counts.
+    */
+  def clusterSizeHistogram(docs: DataFrame, idCol: String,
+      clusters: DataFrame): DataFrame = {
+    val sizes = clusters.groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("size"))
+      .groupBy(col("size")).agg(count(lit(1)).as("n_clusters"))
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val nClustered = clusters.agg(count(lit(1)).as("n_clustered"))
+    val singletons = nDocs.crossJoin(nClustered)
+      .filter(col("n_docs") > col("n_clustered"))
+      .select(lit(1L).as("size"),
+        (col("n_docs") - col("n_clustered")).as("n_clusters"))
+    sizes.unionAll(singletons)
+  }
+
+  // ---- q289: is duplication template families or a pair tail? -----------------
+  private def q289(s: SparkSession, d: String): DataFrame =
+    clusterSizeHistogram(Tables.documents(s, d), "doc_id",
+        dedupClusters(lshPairsOf(s, d), "d1", "d2"))
+      .orderBy(col("size"))
+  private val q289Sql =
+    s"""WITH RECURSIVE ${jaccardCtes()},
+       $dupCte,
+       $closureCtes,
+       clusters AS (
+         SELECT a AS doc_id, least(a, min(b)) AS cluster_id
+         FROM reach GROUP BY a),
+       csz AS (
+         SELECT cluster_id, count(*)::BIGINT AS size
+         FROM clusters GROUP BY 1),
+       hist AS (
+         SELECT size, count(*)::BIGINT AS n_clusters
+         FROM csz GROUP BY size),
+       single AS (
+         SELECT 1::BIGINT AS size,
+           ((SELECT count(*) FROM documents)
+             - (SELECT count(*) FROM clusters))::BIGINT AS n_clusters)
+       SELECT size, n_clusters FROM hist
+       UNION ALL
+       SELECT size, n_clusters FROM single WHERE n_clusters > 0
+       ORDER BY size"""
   // Oracle: exact-Jaccard pairs (== the LSH output, q26/q27 share it),
   // closed transitively with a recursive CTE, min reachable id per node.
   private[operators] val q60Sql =
@@ -1585,6 +1636,7 @@ object Dedup {
     QueryDef("q29_embedding_neardup", q29, Some(q29Sql)),
     QueryDef("q56_embedding_neardup_ivf", q56, Some(q56Sql)),
     QueryDef("q60_dedup_clusters", q60, Some(q60Sql)),
+    QueryDef("q289_cluster_histogram", q289, Some(q289Sql)),
     QueryDef("q64_dup_matrix", q64, Some(q64Sql)),
     QueryDef("q67_dedup_keep", q67, Some(q67Sql)),
     QueryDef("q70_dedup_keep_best", q70, Some(q70Sql)),

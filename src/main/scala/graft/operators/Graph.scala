@@ -444,6 +444,44 @@ object Graph {
        SELECT u, v, common_neighbors FROM cand
        ORDER BY common_neighbors DESC, u, v LIMIT 30"""
 
+  /** Degree-distribution histogram of an undirected edge list:
+    * (degree, n_nodes, node_share_micro) — the first profile read on any
+    * association graph (hub-dominated vs flat decides whether the next
+    * operator needs skew handling at all). Exact integer shares.
+    *
+    * Scale design: two metadata-sized collapses (edge endpoints →
+    * degrees → histogram) with map-side partials; one broadcast total.
+    */
+  def degreeHistogram(edges: DataFrame, srcCol: String,
+      dstCol: String): DataFrame = {
+    val deg = edges.select(col(srcCol).cast("long").as("n"))
+      .unionAll(edges.select(col(dstCol).cast("long").as("n")))
+      .groupBy(col("n")).agg(count(lit(1)).as("d"))
+    val hist = deg.groupBy(col("d").as("degree"))
+      .agg(count(lit(1)).as("n_nodes"))
+    hist.crossJoin(broadcast(hist.agg(sum(col("n_nodes")).as("total"))))
+      .select(col("degree"), col("n_nodes"),
+        expr("(n_nodes * 1000000L) div total").as("node_share_micro"))
+  }
+
+  // ---- q290: is the co-sale projection hub-dominated? -------------------------
+  private def q290(s: SparkSession, d: String): DataFrame =
+    degreeHistogram(coSaleEdges(s, d), "s1", "s2")
+      .orderBy(col("degree"))
+  private def q290Sql =
+    s"""WITH $coSaleCtes,
+       deg AS (
+         SELECT n, count(*)::BIGINT AS d FROM (
+           SELECT u AS n FROM und UNION ALL SELECT v FROM und)
+         GROUP BY n),
+       hist AS (
+         SELECT d AS degree, count(*)::BIGINT AS n_nodes
+         FROM deg GROUP BY 1),
+       t AS (SELECT sum(n_nodes)::BIGINT AS total FROM hist)
+       SELECT degree, n_nodes,
+         ((n_nodes * 1000000) // total)::BIGINT AS node_share_micro
+       FROM hist, t ORDER BY degree"""
+
   /** The distinct customer×supplier bipartite pairs in disjoint node-id
     * encoding (customer 2c, supplier 2s+1) — the edge list shared by the
     * q159 pagerank, q165 k-core, and q175 HITS consumers, materialized
@@ -1031,6 +1069,7 @@ object Graph {
     QueryDef("q262_salton_pairs", q262, Some(q262Sql)),
     QueryDef("q263_link_jaccard", q263, Some(q263Sql)),
     QueryDef("q279_link_candidates", q279, Some(q279Sql)),
+    QueryDef("q290_degree_histogram", q290, Some(q290Sql)),
     // headline: the iterative-graph representative in the driver's bench,
     // so a regression in the loop/localCheckpoint machinery is
     // round-over-round visible (the relational/dedup headliners never

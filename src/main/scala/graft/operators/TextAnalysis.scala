@@ -130,6 +130,94 @@ object TextAnalysis {
          FROM documents) t
        GROUP BY lang, predicted ORDER BY lang, predicted"""
 
+  /** Per-class precision / recall / F1 of the language heuristic against
+    * the declared labels — the q23 confusion matrix rolled up to the
+    * numbers a pipeline actually gates on ("drop languages below 80%
+    * precision"). Exact micro algebra: p = tp·10⁶ div (tp+fp),
+    * r = tp·10⁶ div (tp+fn), F1 = 2·p·r div (p+r); classes with no
+    * predictions (or no docs) report null instead of a fake zero.
+    *
+    * Scale design: everything derives from the |langs|²-sized confusion
+    * collapse — one corpus pass, then metadata-sized joins.
+    */
+  def langIdQuality(df: DataFrame, labelCol: String,
+      textCol: String): DataFrame = {
+    val toks = tokens(col(textCol))
+    def hits(lang: String) =
+      tokenHits(toks, langProfiles.find(_._1 == lang).get._2)
+    val sDe = hits("de"); val sEs = hits("es")
+    val sFr = hits("fr"); val sEn = hits("en")
+    val pred = when(col(textCol).rlike("[\\u4e00-\\u9fff]"), "zh")
+      .when(sDe > greatest(sEs, sFr, sEn), "de")
+      .when(sEs > greatest(sFr, sEn), "es")
+      .when(sFr > sEn, "fr")
+      .otherwise("en")
+    val conf = df.select(col(labelCol).as("lang"), pred.as("predicted"))
+      .groupBy(col("lang"), col("predicted"))
+      .agg(count(lit(1)).as("n"))
+    val langTot = conf.groupBy(col("lang")).agg(sum(col("n")).as("n_docs"))
+    val predTot = conf.groupBy(col("predicted"))
+      .agg(sum(col("n")).as("n_pred"))
+    val tp = conf.filter(col("lang") === col("predicted"))
+      .select(col("lang"), col("n").as("tp"))
+    langTot
+      .join(tp, Seq("lang"), "left")
+      .join(predTot.withColumnRenamed("predicted", "lang"), Seq("lang"), "left")
+      .select(col("lang"), col("n_docs"),
+        coalesce(col("tp"), lit(0L)).as("tp"),
+        coalesce(col("n_pred"), lit(0L)).as("n_pred"))
+      .withColumn("precision_micro",
+        when(col("n_pred") > 0, expr("(tp * 1000000L) div n_pred"))
+          .otherwise(lit(null).cast("long")))
+      .withColumn("recall_micro", expr("(tp * 1000000L) div n_docs"))
+      .withColumn("f1_micro",
+        when(col("precision_micro").isNotNull
+            && col("precision_micro") + col("recall_micro") > 0,
+          expr("(2L * precision_micro * recall_micro) div (precision_micro + recall_micro)"))
+          .otherwise(lit(null).cast("long")))
+  }
+
+  // ---- q291: which languages can the heuristic be trusted on? -----------------
+  private def q291(s: SparkSession, d: String): DataFrame =
+    langIdQuality(Tables.documents(s, d), "lang", "text")
+      .orderBy(col("lang"))
+  private val q291Sql =
+    """WITH conf AS (
+         SELECT lang, CASE
+           WHEN regexp_matches(text, '[\x{4e00}-\x{9fff}]') THEN 'zh'
+           WHEN s_de > greatest(s_es, s_fr, s_en) THEN 'de'
+           WHEN s_es > greatest(s_fr, s_en) THEN 'es'
+           WHEN s_fr > s_en THEN 'fr' ELSE 'en' END AS predicted,
+           count(*)::BIGINT AS n
+         FROM (SELECT lang, text,
+           len(list_filter(string_split(text,' '), t -> list_contains(['der','die','das','und','ist','nicht','mit','ein','zu','den'], t))) AS s_de,
+           len(list_filter(string_split(text,' '), t -> list_contains(['el','la','los','las','es','y','que','un','una','por'], t))) AS s_es,
+           len(list_filter(string_split(text,' '), t -> list_contains(['le','les','et','est','dans','pour','une','avec','sur','pas'], t))) AS s_fr,
+           len(list_filter(string_split(text,' '), t -> list_contains(['the','a','of','and','to','is','in','that','it','as'], t))) AS s_en
+           FROM documents) t
+         GROUP BY lang, predicted),
+       lt AS (SELECT lang, sum(n)::BIGINT AS n_docs FROM conf GROUP BY 1),
+       pt AS (SELECT predicted, sum(n)::BIGINT AS n_pred FROM conf GROUP BY 1),
+       tp AS (SELECT lang, n AS tp FROM conf WHERE lang = predicted),
+       base AS (
+         SELECT lt.lang, lt.n_docs, coalesce(tp.tp, 0)::BIGINT AS tp,
+           coalesce(pt.n_pred, 0)::BIGINT AS n_pred
+         FROM lt LEFT JOIN tp ON lt.lang = tp.lang
+           LEFT JOIN pt ON lt.lang = pt.predicted),
+       m AS (
+         SELECT lang, n_docs, tp, n_pred,
+           CASE WHEN n_pred > 0 THEN (tp * 1000000) // n_pred
+             ELSE NULL END::BIGINT AS precision_micro,
+           ((tp * 1000000) // n_docs)::BIGINT AS recall_micro
+         FROM base)
+       SELECT lang, n_docs, tp, n_pred, precision_micro, recall_micro,
+         CASE WHEN precision_micro IS NOT NULL
+             AND precision_micro + recall_micro > 0
+           THEN (2 * precision_micro * recall_micro)
+             // (precision_micro + recall_micro)
+           ELSE NULL END::BIGINT AS f1_micro
+       FROM m ORDER BY lang"""
+
   /** Language-ID confidence margin: beside q23's argmax prediction, the
     * gap between the best and second-best profile scores — the
     * mixed-language / too-short-to-tell detector (a monolingual doc
@@ -1412,6 +1500,7 @@ object TextAnalysis {
     QueryDef("q155_term_class_chi2", q155, Some(q155Sql)),
     QueryDef("q22_quality_score", q22, Some(q22Sql)),
     QueryDef("q23_lang_id", q23, Some(q23Sql)),
+    QueryDef("q291_langid_quality", q291, Some(q291Sql)),
     QueryDef("q24_fingerprint", q24, Some(q24Sql)),
     QueryDef("q61_gopher_filter", q61, Some(q61Sql)),
     QueryDef("q73_normalize_text", q73, Some(q73Sql)),

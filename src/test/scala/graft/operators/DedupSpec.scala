@@ -328,4 +328,17 @@ class DedupSpec extends SparkSpec {
       (990000L, 0L, 0L)))  // nothing reaches 0.99
   }
 
+  test("clusterSizeHistogram partitions the corpus completely") {
+    import spark.implicits._
+    // 7 docs: cluster {1,2,3}, cluster {4,5}, singletons 6 and 7.
+    val docs = (1L to 7L).toDF("doc_id")
+    val pairs = Seq((1L, 2L), (2L, 3L), (4L, 5L)).toDF("d1", "d2")
+    val clusters = Dedup.dedupClusters(pairs, "d1", "d2")
+    val got = Dedup.clusterSizeHistogram(docs, "doc_id", clusters)
+      .orderBy(org.apache.spark.sql.functions.col("size"))
+      .as[(Long, Long)].collect()
+    assert(got === Array((1L, 2L), (2L, 1L), (3L, 1L)))
+    assert(got.map(r => r._1 * r._2).sum === 7L, "sizes must tile the corpus")
+  }
+
 }

@@ -231,6 +231,14 @@ class GraphSpec extends SparkSpec {
     assert(got((30L, 99L)) === 600000L) // 3 of 3 + 5 - 3
   }
 
+  test("degreeHistogram counts endpoint degrees with exact shares") {
+    // Path 1-2-3-4: degrees 1,2,2,1 -> histogram {1: 2 nodes, 2: 2 nodes}.
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("s1", "s2")
+    val got = Graph.degreeHistogram(edges, "s1", "s2")
+      .orderBy(col("degree")).as[(Long, Long, Long)].collect()
+    assert(got === Array((1L, 2L, 500000L), (2L, 2L, 500000L)))
+  }
+
   test("linkCandidates finds distance-2 pairs and never existing edges") {
     // Path 1-2-3-4: candidates are (1,3) and (2,4) via one common
     // neighbor each; (1,4) is distance 3 and must not appear.

@@ -314,6 +314,24 @@ class TextAnalysisSpec extends SparkSpec {
       && got(2).getAs[Boolean]("confident"))
   }
 
+  test("langIdQuality computes exact per-class precision/recall/F1") {
+    import spark.implicits._
+    // Two English docs (both predicted en), one German doc written with
+    // no stopwords at all -> falls through to 'en': de has recall 0 and
+    // null precision (nothing predicted de); en has precision 2/3.
+    val docs = Seq(
+      ("en", "the cat is on the mat"),
+      ("en", "it is a good day"),
+      ("de", "Katzen Hunde Tiere")).toDF("lang", "text")
+    val got = TextAnalysis.langIdQuality(docs, "lang", "text")
+      .orderBy(org.apache.spark.sql.functions.col("lang"))
+      .as[(String, Long, Long, Long, Option[Long], Long, Option[Long])]
+      .collect()
+    assert(got === Array(
+      ("de", 1L, 0L, 0L, None, 0L, None),
+      ("en", 2L, 2L, 3L, Some(666666L), 1000000L, Some(799999L))))
+  }
+
   test("vocabCoverageCurve reports exact cumulative mass at each size") {
     import spark.implicits._
     // "a" x 6, "b" x 3, "c" x 1 across docs: top-1 covers 6/10, top-2
