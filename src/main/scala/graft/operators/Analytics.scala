@@ -1314,6 +1314,36 @@ object Analytics {
         .otherwise(abs(col("zscore")) > z))
   }
 
+  /** NTILE bucket assignment — the remaining ranking-family window
+    * beyond q104's rank/dense_rank/percent_rank/cume_dist: n
+    * equal-as-possible buckets per partition, earlier buckets absorbing
+    * the remainder (the standard semantics both engines share). The
+    * ORDER BY carries a unique tiebreaker, so bucket membership is
+    * deterministic even across tied values.
+    */
+  def ntileBuckets(df: DataFrame, partCol: String, orderCols: Seq[Column],
+      n: Int): DataFrame = {
+    require(n >= 1, "ntile needs n >= 1")
+    val w = Window.partitionBy(col(partCol)).orderBy(orderCols: _*)
+    df.withColumn("bucket", ntile(n).over(w).cast("long"))
+  }
+
+  // ---- q292: quartile assignment of order values within priority --------------
+  private def q292(s: SparkSession, d: String): DataFrame =
+    ntileBuckets(
+        Tables.orders(s, d).filter(col("o_orderkey") < 500)
+          .select(col("o_orderkey"), col("o_orderpriority"),
+            col("o_totalprice")),
+        "o_orderpriority",
+        Seq(col("o_totalprice").desc, col("o_orderkey")), 4)
+      .orderBy(col("o_orderkey"))
+  private val q292Sql =
+    """SELECT o_orderkey, o_orderpriority, o_totalprice,
+         ntile(4) OVER (PARTITION BY o_orderpriority
+           ORDER BY o_totalprice DESC, o_orderkey)::BIGINT AS bucket
+       FROM orders WHERE o_orderkey < 500
+       ORDER BY o_orderkey"""
+
   /** Rolling correlation of two daily measures per key: for each (key,
     * day), the Pearson r of the per-day (x, y) sums over the trailing
     * `windowDays`-day RANGE frame — the drifting-relationship detector
@@ -3425,6 +3455,7 @@ object Analytics {
     QueryDef("q283_iqr_outliers", q283, Some(q283Sql)),
     QueryDef("q284_rolling_corr", q284, Some(q284Sql)),
     QueryDef("q285_abc_xyz", q285, Some(q285Sql)),
+    QueryDef("q292_ntile", q292, Some(q292Sql)),
     QueryDef("q104_rank_family", q104, Some(q104Sql)),
     QueryDef("q107_rolling_anomaly", q107, Some(q107Sql)),
     QueryDef("q116_concurrency_sweep", q116, Some(q116Sql)),

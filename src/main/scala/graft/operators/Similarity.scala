@@ -1422,6 +1422,55 @@ object Similarity {
       .limit(topN)
   }
 
+  /** Embedding-table health audit per group: row count, zero-norm rows
+    * (an all-zero vector breaks every cosine downstream), and the
+    * min/max/mean of the squared L2 norm in micro-units — the "did the
+    * embedding job silently emit garbage" gate run before any index
+    * build. Norms ride the codegen'd [[graft.functions.TextFunctions.l2sq]]
+    * kernel (double left-to-right accumulation, bit-identical to the
+    * oracle's `list_sum` form) and quantize AFTER the kernel as
+    * floor(norm²·10⁶) — one deterministic float path, then exact BIGINT
+    * aggregation (sign-split mean; norms are nonnegative but the
+    * convention costs nothing).
+    *
+    * Scale design: one map-side kernel pass, one partial-aggregated
+    * groupBy — |groups| rows cross the wire.
+    */
+  def embeddingAudit(df: DataFrame, groupCol: Column,
+      vecCol: Column): DataFrame = {
+    val n2 = floor(graft.functions.TextFunctions.l2sq(vecCol) * lit(1e6))
+      .cast("long")
+    df.select(groupCol.as("g"), n2.as("n2"))
+      .groupBy(col("g"))
+      .agg(count(lit(1)).as("n"),
+        count(when(col("n2") === 0, 1)).as("n_zero"),
+        min(col("n2")).as("min_norm2_micro"),
+        max(col("n2")).as("max_norm2_micro"),
+        sum(col("n2")).as("s"))
+      .select(col("g"), col("n"), col("n_zero"), col("min_norm2_micro"),
+        col("max_norm2_micro"),
+        expr("sign(s) * (abs(s) div n)").cast("long")
+          .as("mean_norm2_micro"))
+  }
+
+  // ---- q293: is any label's embedding mass degenerate? ------------------------
+  private def q293(s: SparkSession, d: String): DataFrame =
+    embeddingAudit(Tables.embeddings(s, d), col("label"), col("embedding"))
+      .orderBy(col("g"))
+  private val q293Sql =
+    """WITH b AS (
+         SELECT label AS g,
+           floor(list_sum(list_transform(embedding,
+             x -> x::DOUBLE * x::DOUBLE)) * 1e6)::BIGINT AS n2
+         FROM embeddings)
+       SELECT g, count(*)::BIGINT AS n,
+         count(CASE WHEN n2 = 0 THEN 1 END)::BIGINT AS n_zero,
+         min(n2)::BIGINT AS min_norm2_micro,
+         max(n2)::BIGINT AS max_norm2_micro,
+         (sign(sum(n2))::BIGINT * (abs(sum(n2)) // count(*)))::BIGINT
+           AS mean_norm2_micro
+       FROM b GROUP BY g ORDER BY g"""
+
   // ---- q286: which embeddings sit in nobody's neighborhood? -------------------
   private def q286(s: SparkSession, d: String): DataFrame =
     knnOutliers(Tables.embeddings(s, d), "vec_id", "embedding",
@@ -1474,6 +1523,7 @@ object Similarity {
     QueryDef("q265_kmeans_elbow", q265, Some(q265Sql)),
     QueryDef("q277_centroid_classifier", q277, Some(q277Sql)),
     QueryDef("q286_knn_outliers", q286, Some(q286Sql)),
+    QueryDef("q293_embedding_audit", q293, Some(q293Sql)),
     QueryDef("q30_cosine_topk", q30, Some(q30Sql), headline = true),
     QueryDef("q164_rrf_fusion", q164, Some(q164Sql)),
     QueryDef("q150_sparse_cosine", q150, Some(q150Sql)),

@@ -328,6 +328,79 @@ object Sketches {
   private def q248(s: SparkSession, d: String): DataFrame =
     ddQuantileAudit(Tables.orders(s, d),
       floor(col("o_totalprice") * 100), DdSub, Seq(50, 90, 99))
+  /** Per-group sketch quantiles from [[ddBins]] bins: for each group and
+    * requested percentile, the representative of the first bin whose
+    * cumulative count reaches the nearest rank — per-group p50/p95/p99
+    * with NO per-group sort of the data: the corpus collapses once to
+    * ≤ 63·2^s bins per group, the cumulative window runs over that
+    * bounded bin relation, and (because the bins are additive) the same
+    * table can be rolled up from per-shard summaries that never met.
+    * Estimates carry the sketch's relative-error bound (q248 audits it).
+    *
+    * Scale design: one (group, bin) collapse with map-side partials; the
+    * window and the per-p argmins all run on the bounded bin relation.
+    */
+  def ddQuantilesBy(df: DataFrame, groupCol: Column, valueCol: Column,
+      subBits: Int, ps: Seq[Int]): DataFrame = {
+    require(subBits >= 1 && subBits <= 8, "subBits in [1, 8]")
+    require(ps.nonEmpty && ps.forall(p => p >= 1 && p <= 100))
+    val s2 = 1L << subBits
+    val bins = df.select(groupCol.as("g"), valueCol.cast("long").as("v"))
+      .filter(col("v") >= 1L)
+      .select(col("g"), expr("length(bin(v)) - 1").as("e"), col("v"))
+      .select(col("g"), col("e"),
+        expr(s"(v * ${s2}L) div shiftleft(1L, cast(e as int)) - ${s2}L")
+          .as("sub"))
+      .groupBy(col("g"), col("e"), col("sub")).agg(count(lit(1)).as("c"))
+      .withColumn("rep",
+        expr(s"((${s2}L + sub) * shiftleft(1L, cast(e as int))) div ${s2}L"))
+    val w = Window.partitionBy(col("g")).orderBy(col("e"), col("sub"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = bins
+      .withColumn("cum", sum(col("c")).over(w))
+      .withColumn("n", sum(col("c")).over(Window.partitionBy(col("g"))))
+    val aggs = max(col("n")).as("n") +: ps.map(p =>
+      min(when(col("cum") * 100 >= col("n") * p, col("rep"))).as(s"est$p"))
+    val stackArgs = ps.flatMap(p => Seq(lit(p.toLong), col(s"est$p")))
+    cum.groupBy(col("g")).agg(aggs.head, aggs.tail: _*)
+      .select(col("g"), col("n"),
+        stack((lit(ps.length) +: stackArgs): _*).as(Seq("p", "est")))
+  }
+
+  // ---- q294: per-event-type latency quantiles, sketch-side --------------------
+  private def q294(s: SparkSession, d: String): DataFrame =
+    ddQuantilesBy(graft.Tables.events(s, d), col("event_type"),
+        floor(col("value") * 100), DdSub, Seq(50, 90, 99))
+      .orderBy(col("g"), col("p"))
+  private val q294Sql = {
+    val s2 = 1L << DdSub
+    s"""WITH vals AS (
+         SELECT event_type AS g, floor(value * 100)::BIGINT AS v FROM events
+         WHERE floor(value * 100) >= 1),
+       bins AS (
+         SELECT g, e, (v * $s2) // (1::BIGINT << e::INT) - $s2 AS sub,
+           count(*)::BIGINT AS c
+         FROM (SELECT g, length(bin(v)) - 1 AS e, v FROM vals) t
+         GROUP BY 1, 2, 3),
+       cumb AS (
+         SELECT g, (($s2 + sub) * (1::BIGINT << e::INT)) // $s2 AS rep,
+           sum(c) OVER (PARTITION BY g ORDER BY e, sub
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+           sum(c) OVER (PARTITION BY g) AS n
+         FROM bins),
+       wide AS (
+         SELECT g, max(n)::BIGINT AS n,
+           min(CASE WHEN cum * 100 >= n * 50 THEN rep END)::BIGINT AS est50,
+           min(CASE WHEN cum * 100 >= n * 90 THEN rep END)::BIGINT AS est90,
+           min(CASE WHEN cum * 100 >= n * 99 THEN rep END)::BIGINT AS est99
+         FROM cumb GROUP BY g)
+       SELECT g, n, p, est FROM (
+         SELECT g, n, 50::BIGINT AS p, est50 AS est FROM wide
+         UNION ALL SELECT g, n, 90, est90 FROM wide
+         UNION ALL SELECT g, n, 99, est99 FROM wide)
+       ORDER BY g, p"""
+  }
+
   private val q248Sql = {
     val s2 = 1L << DdSub
     s"""WITH vals AS (
@@ -988,6 +1061,7 @@ object Sketches {
     QueryDef("q192_sliding_distinct", q192, Some(q192Sql)),
     QueryDef("q247_hll_small_range", q247, Some(q247Sql)),
     QueryDef("q248_dd_quantiles", q248, Some(q248Sql)),
+    QueryDef("q294_dd_quantiles_by", q294, Some(q294Sql)),
     QueryDef("q249_column_cardinality", q249, Some(q249Sql)),
     QueryDef("q261_dd_drift", q261, Some(q261Sql)))
 }

@@ -261,4 +261,40 @@ class SketchesSpec extends SparkSpec {
     assert(far.getAs[Long]("ks_micro") <= 1000000L)
   }
 
+  test("ddQuantilesBy estimates hold the sketch error bound per group") {
+    import spark.implicits._
+    val s2 = 16L
+    // Two groups with very different scales; exact quantiles computed
+    // sequentially, estimates must sit within the bin-width bound.
+    val rows = (1 to 2000).map(i => ("lo", (i % 97 + 1).toLong)) ++
+      (1 to 2000).map(i => ("hi", (i.toLong * 37) % 99991L + 1L))
+    val got = Sketches.ddQuantilesBy(rows.toDF("g", "v"), col("g"), col("v"),
+        subBits = 4, ps = Seq(50, 99))
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => (r._1, r._3) -> r._4).toMap
+    def exact(g: String, p: Int): Long = {
+      val vs = rows.filter(_._1 == g).map(_._2).sorted
+      vs(((vs.size * p + 99) / 100) - 1)
+    }
+    for (g <- Seq("lo", "hi"); p <- Seq(50, 99)) {
+      val est = got((g, p.toLong))
+      val ex = exact(g, p)
+      assert(est <= ex && (ex - est) * s2 <= est + s2,
+        s"$g p$p: est $est must bracket exact $ex within the bin bound")
+    }
+  }
+
+  test("embeddingAudit counts zero-norm rows and exact micro norms") {
+    import spark.implicits._
+    val rows = Seq(
+      (0, Seq(1.0f, 0.0f)), (0, Seq(0.0f, 0.0f)), (1, Seq(0.5f, 0.5f)))
+      .toDF("label", "embedding")
+    val got = Similarity.embeddingAudit(rows, col("label"), col("embedding"))
+      .orderBy(col("g")).as[(Int, Long, Long, Long, Long, Long)].collect()
+    // label 0: norms 1.0 and 0.0 -> min 0, max 1e6, mean 5e5, one zero.
+    assert(got(0) === ((0, 2L, 1L, 0L, 1000000L, 500000L)))
+    // label 1: norm 0.5 -> 500000 everywhere.
+    assert(got(1) === ((1, 1L, 0L, 500000L, 500000L, 500000L)))
+  }
+
 }
