@@ -1314,6 +1314,132 @@ object Analytics {
         .otherwise(abs(col("zscore")) > z))
   }
 
+  /** Ensemble anomaly consensus over a daily series: three independent
+    * detectors — MAD (robust center), Tukey IQR fences (distribution
+    * shape), and 3σ z-score (moment-based) — each vote on every day's
+    * total, and only days with ≥ 1 vote are reported with their vote
+    * count. One detector alone over- or under-flags by construction
+    * (MAD collapses on half-constant series, σ is dragged by the very
+    * outliers it hunts); the consensus column is what an on-call page
+    * actually keys on. Integer algebra throughout: the MAD test is
+    * 2·|x−med| > 7·mad (3.5·MAD without a float), the fences are the
+    * q283 integers, and only the z-score takes the one identical
+    * double path with pre-compare rounding (the q107 convention).
+    *
+    * Scale design: the corpus collapses once to calendar days (a
+    * BOUNDED domain — windows over it are the quantized-domain
+    * discipline); every statistic derives from that collapse and
+    * broadcasts back as one row.
+    */
+  def anomalyConsensus(df: DataFrame, tsCol: String,
+      valueCol: Column): DataFrame = {
+    val daily = df
+      .select(expr(s"unix_micros($tsCol) div 86400000000").as("day_id"),
+        floor(valueCol * 100).cast("long").as("cents"))
+      .groupBy(col("day_id")).agg(sum(col("cents")).as("x"))
+    val byV = daily.groupBy(col("x").as("v")).agg(count(lit(1)).as("c"))
+    val w = Window.orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    def rankStats(collapsed: DataFrame): DataFrame = collapsed
+      .withColumn("cum", sum(col("c")).over(w))
+      .withColumn("n", sum(col("c")).over(
+        Window.rowsBetween(Window.unboundedPreceding,
+          Window.unboundedFollowing)))
+    val st1 = rankStats(byV).agg(
+        min(when(col("cum") * 2 >= col("n"), col("v"))).as("med"),
+        min(when(col("cum") * 4 >= col("n"), col("v"))).as("q1"),
+        min(when(col("cum") * 4 >= col("n") * 3, col("v"))).as("q3"))
+    val devs = daily.crossJoin(broadcast(st1))
+      .select(abs(col("x") - col("med")).as("v"))
+      .groupBy(col("v")).agg(count(lit(1)).as("c"))
+    val madRow = rankStats(devs)
+      .agg(min(when(col("cum") * 2 >= col("n"), col("v"))).as("mad"))
+    val moments = daily.agg(count(lit(1)).as("n"), sum(col("x")).as("s"),
+      sum(col("x") * col("x")).as("ss"))
+    daily.crossJoin(broadcast(st1)).crossJoin(broadcast(madRow))
+      .crossJoin(broadcast(moments))
+      .withColumn("mad_flag", abs(col("x") - col("med")) * 2 > col("mad") * 7)
+      .withColumn("iqr_flag",
+        col("x") < col("q1") - expr("(3L * (q3 - q1)) div 2")
+          || col("x") > col("q3") + expr("(3L * (q3 - q1)) div 2"))
+      .withColumn("z",
+        when(col("n") < 2, lit(null).cast("double")).otherwise {
+          val m = col("s").cast("double") / col("n").cast("double")
+          val varr = ((col("n").cast("double") * col("ss").cast("double")
+            - col("s").cast("double") * col("s").cast("double"))
+            / (col("n").cast("double") * (col("n").cast("double") - 1d)))
+          when(varr <= 0d, lit(null).cast("double"))
+            .otherwise(round((col("x").cast("double") - m) / sqrt(varr), 4)
+              + lit(0.0))
+        })
+      .withColumn("z_flag", col("z").isNotNull && abs(col("z")) > 3d)
+      .withColumn("votes",
+        col("mad_flag").cast("long") + col("iqr_flag").cast("long")
+          + col("z_flag").cast("long"))
+      .filter(col("votes") >= 1)
+      .select(col("day_id"), col("x").as("day_cents"), col("mad_flag"),
+        col("iqr_flag"), col("z_flag"), col("votes"))
+  }
+
+  // ---- q296: which revenue days would page on-call, and by how many votes? ----
+  private def q296(s: SparkSession, d: String): DataFrame =
+    anomalyConsensus(Tables.events(s, d), "ts", col("value"))
+      .orderBy(col("day_id"))
+  private val q296Sql =
+    """WITH daily AS (
+         SELECT epoch_us(ts) // 86400000000 AS day_id,
+           sum(floor(value * 100)::BIGINT)::BIGINT AS x
+         FROM events GROUP BY 1),
+       byv AS (SELECT x AS v, count(*)::BIGINT AS c FROM daily GROUP BY 1),
+       cum1 AS (
+         SELECT v, sum(c) OVER (ORDER BY v
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+           sum(c) OVER () AS n
+         FROM byv),
+       st1 AS (
+         SELECT min(CASE WHEN cum * 2 >= n THEN v END)::BIGINT AS med,
+           min(CASE WHEN cum * 4 >= n THEN v END)::BIGINT AS q1,
+           min(CASE WHEN cum * 4 >= n * 3 THEN v END)::BIGINT AS q3
+         FROM cum1),
+       devs AS (
+         SELECT abs(x - med) AS v, count(*)::BIGINT AS c
+         FROM daily, st1 GROUP BY 1),
+       cum2 AS (
+         SELECT v, sum(c) OVER (ORDER BY v
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+           sum(c) OVER () AS n
+         FROM devs),
+       madr AS (
+         SELECT min(CASE WHEN cum * 2 >= n THEN v END)::BIGINT AS mad
+         FROM cum2),
+       mom AS (
+         SELECT count(*)::BIGINT AS n, sum(x)::BIGINT AS s,
+           sum(x * x)::BIGINT AS ss
+         FROM daily),
+       scored AS (
+         SELECT day_id, x,
+           (abs(x - med) * 2 > mad * 7) AS mad_flag,
+           (x < q1 - (3 * (q3 - q1)) // 2
+             OR x > q3 + (3 * (q3 - q1)) // 2) AS iqr_flag,
+           CASE WHEN n < 2 THEN NULL
+             WHEN (n::DOUBLE * ss - s::DOUBLE * s)
+               / (n::DOUBLE * (n::DOUBLE - 1)) <= 0 THEN NULL
+             ELSE round((x::DOUBLE - s::DOUBLE / n)
+               / sqrt((n::DOUBLE * ss - s::DOUBLE * s)
+                 / (n::DOUBLE * (n::DOUBLE - 1))), 4) + 0.0
+             END AS z
+         FROM daily, st1, madr, mom),
+       flagged AS (
+         SELECT day_id, x AS day_cents, mad_flag, iqr_flag,
+           (z IS NOT NULL AND abs(z) > 3) AS z_flag
+         FROM scored)
+       SELECT day_id, day_cents, mad_flag, iqr_flag, z_flag,
+         (mad_flag::BIGINT + iqr_flag::BIGINT + z_flag::BIGINT)::BIGINT
+           AS votes
+       FROM flagged
+       WHERE mad_flag OR iqr_flag OR z_flag
+       ORDER BY day_id"""
+
   /** NTILE bucket assignment — the remaining ranking-family window
     * beyond q104's rank/dense_rank/percent_rank/cume_dist: n
     * equal-as-possible buckets per partition, earlier buckets absorbing
@@ -3456,6 +3582,7 @@ object Analytics {
     QueryDef("q284_rolling_corr", q284, Some(q284Sql)),
     QueryDef("q285_abc_xyz", q285, Some(q285Sql)),
     QueryDef("q292_ntile", q292, Some(q292Sql)),
+    QueryDef("q296_anomaly_consensus", q296, Some(q296Sql)),
     QueryDef("q104_rank_family", q104, Some(q104Sql)),
     QueryDef("q107_rolling_anomaly", q107, Some(q107Sql)),
     QueryDef("q116_concurrency_sweep", q116, Some(q116Sql)),

@@ -1809,6 +1809,68 @@ object Profile {
            END AS corr_disc_qty
        FROM m ORDER BY g"""
 
+  /** Gaps in an integer key sequence: each maximal missing run as
+    * (gap_start, gap_end, n_missing) — the "did the loader drop a batch"
+    * integrity check on any monotonically assigned id. Duplicates are
+    * collapsed first so repeated ids can't fake continuity.
+    *
+    * Scale design: NO global-order window (a bare `lead` over the
+    * corpus's distinct ids funnels everything through one task). The
+    * distinct ids range-partition by id; each partition finds its
+    * internal gaps with a per-(partition)-keyed lead, and the ≤
+    * |partitions| boundary pairs (this partition's max, the next
+    * non-empty partition's min) are driver metadata — the
+    * DistributedPrefix seeding discipline applied to gap detection.
+    */
+  def sequenceGaps(df: DataFrame, idCol: Column,
+      partitions: Int = 32): DataFrame = {
+    val s = df.sparkSession
+    val keyed = df.select(idCol.cast("long").as("id")).distinct()
+      .repartitionByRange(partitions, col("id"))
+      .withColumn("_pid", spark_partition_id())
+      .localCheckpoint(false)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("_pid")).orderBy(col("id"))
+    val inner = keyed
+      .withColumn("nxt", lead(col("id"), 1).over(w))
+      .filter(col("nxt").isNotNull && col("nxt") > col("id") + 1)
+      .select((col("id") + 1).as("gap_start"), (col("nxt") - 1).as("gap_end"),
+        (col("nxt") - col("id") - 1).as("n_missing"))
+    // Partition boundary handoff: per-partition (min, max) is metadata.
+    val bounds = keyed.groupBy(col("_pid"))
+      .agg(min(col("id")).as("lo"), max(col("id")).as("hi"))
+      .orderBy(col("_pid"))
+      .collect()
+    val boundaryGaps = bounds.sliding(2).collect {
+      case Array(a, b)
+        if b.getAs[Long]("lo") > a.getAs[Long]("hi") + 1 =>
+        (a.getAs[Long]("hi") + 1, b.getAs[Long]("lo") - 1,
+          b.getAs[Long]("lo") - a.getAs[Long]("hi") - 1)
+    }.toSeq
+    import s.implicits._
+    inner.unionAll(
+      boundaryGaps.toDF("gap_start", "gap_end", "n_missing"))
+  }
+
+  // ---- q295: which keys are missing from the fulfilled-order extract? ---------
+  // The F-status subset is a filtered feed, so its key sequence has
+  // genuine gaps at every fixture scale (the full keyspace is dense) -
+  // exactly the shape of a partial export whose completeness is audited.
+  private def q295(s: SparkSession, d: String): DataFrame =
+    sequenceGaps(Tables.orders(s, d).filter(col("o_orderstatus") === "F"),
+        col("o_orderkey"))
+      .orderBy(col("gap_start"))
+      .limit(200)
+  private val q295Sql =
+    """WITH ids AS (SELECT DISTINCT o_orderkey::BIGINT AS id FROM orders
+         WHERE o_orderstatus = 'F'),
+       x AS (
+         SELECT id, lead(id) OVER (ORDER BY id) AS nxt FROM ids)
+       SELECT (id + 1)::BIGINT AS gap_start, (nxt - 1)::BIGINT AS gap_end,
+         (nxt - id - 1)::BIGINT AS n_missing
+       FROM x WHERE nxt IS NOT NULL AND nxt > id + 1
+       ORDER BY gap_start LIMIT 200"""
+
   /** Cramér's V association between two categorical columns — the
     * one-number summary the q241 per-cell residual table rolls up to
     * ("are status and priority related at all?", 0 = independent,
@@ -2994,6 +3056,7 @@ object Profile {
     QueryDef("q268_grouped_corr", q268, Some(q268Sql)),
     QueryDef("q269_profile_diff", q269, Some(q269Sql)),
     QueryDef("q272_cramers_v", q272, Some(q272Sql)),
+    QueryDef("q295_sequence_gaps", q295, Some(q295Sql)),
     QueryDef("q260_corpus_datasheet", q260, Some(q260Sql)),
     QueryDef("q194_mann_whitney", q194, Some(q194Sql)),
     QueryDef("q195_spearman", q195, Some(q195Sql)),

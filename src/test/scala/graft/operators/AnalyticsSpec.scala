@@ -621,6 +621,31 @@ class AnalyticsSpec extends SparkSpec {
     assert(capped === Array((10L, 20L, 30L, 2L)))
   }
 
+  test("anomalyConsensus: a planted spike day gets all three votes") {
+    // 30 steady days of ~100 cents total, one 100x day.
+    val rows = (0 until 30).flatMap { d =>
+      Seq((d.toLong * 86400 + 10, 0.5), (d.toLong * 86400 + 20, 0.5))
+    } ++ Seq((30L * 86400 + 10, 100.0))
+    val df = rows.toDF("t", "value")
+      .select(timestamp_seconds(col("t")).as("ts"), col("value"))
+    val got = Analytics.anomalyConsensus(df, "ts", col("value"))
+      .as[(Long, Long, Boolean, Boolean, Boolean, Long)].collect()
+    assert(got.length === 1, s"only the spike day flags: ${got.toSeq}")
+    assert(got.head === ((30L, 10000L, true, true, true, 3L)))
+  }
+
+  test("sequenceGaps finds exactly the missing runs, including across partitions") {
+    val ids = ((1L to 10L) ++ (14L to 20L) ++ Seq(25L)).toDF("id")
+    val got = Profile.sequenceGaps(ids, col("id"), partitions = 4)
+      .orderBy(col("gap_start")).as[(Long, Long, Long)].collect()
+    assert(got === Array((11L, 13L, 3L), (21L, 24L, 4L)))
+    // duplicates cannot fake continuity
+    val dup = Seq(1L, 2L, 2L, 2L, 5L).toDF("id")
+    val got2 = Profile.sequenceGaps(dup, col("id"), partitions = 3)
+      .as[(Long, Long, Long)].collect()
+    assert(got2 === Array((3L, 4L, 2L)))
+  }
+
   test("abcXyz grades volume and variability independently") {
     // Totals: big_spiky 40, big_steady 40, small 5. Pareto (ties on
     // name): spiky 470588 A, steady 941176 B, small C.
