@@ -401,6 +401,43 @@ object Sketches {
        ORDER BY g, p"""
   }
 
+  // ---- q297: weekly p50/p95 value trend — the percentile-over-time view -------
+  // The same per-group sketch machinery with TIME as the group: weekly
+  // quantile trends with no per-week sort, rolled up from mergeable
+  // bins — the latency-dashboard shape at any scale.
+  private def q297(s: SparkSession, d: String): DataFrame =
+    ddQuantilesBy(graft.Tables.events(s, d),
+        expr("unix_micros(ts) div 604800000000"),
+        floor(col("value") * 100), DdSub, Seq(50, 95))
+      .orderBy(col("g"), col("p"))
+  private val q297Sql = {
+    val s2 = 1L << DdSub
+    s"""WITH vals AS (
+         SELECT epoch_us(ts) // 604800000000 AS g,
+           floor(value * 100)::BIGINT AS v FROM events
+         WHERE floor(value * 100) >= 1),
+       bins AS (
+         SELECT g, e, (v * $s2) // (1::BIGINT << e::INT) - $s2 AS sub,
+           count(*)::BIGINT AS c
+         FROM (SELECT g, length(bin(v)) - 1 AS e, v FROM vals) t
+         GROUP BY 1, 2, 3),
+       cumb AS (
+         SELECT g, (($s2 + sub) * (1::BIGINT << e::INT)) // $s2 AS rep,
+           sum(c) OVER (PARTITION BY g ORDER BY e, sub
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+           sum(c) OVER (PARTITION BY g) AS n
+         FROM bins),
+       wide AS (
+         SELECT g, max(n)::BIGINT AS n,
+           min(CASE WHEN cum * 100 >= n * 50 THEN rep END)::BIGINT AS est50,
+           min(CASE WHEN cum * 100 >= n * 95 THEN rep END)::BIGINT AS est95
+         FROM cumb GROUP BY g)
+       SELECT g, n, p, est FROM (
+         SELECT g, n, 50::BIGINT AS p, est50 AS est FROM wide
+         UNION ALL SELECT g, n, 95, est95 FROM wide)
+       ORDER BY g, p"""
+  }
+
   private val q248Sql = {
     val s2 = 1L << DdSub
     s"""WITH vals AS (
@@ -1062,6 +1099,7 @@ object Sketches {
     QueryDef("q247_hll_small_range", q247, Some(q247Sql)),
     QueryDef("q248_dd_quantiles", q248, Some(q248Sql)),
     QueryDef("q294_dd_quantiles_by", q294, Some(q294Sql)),
+    QueryDef("q297_weekly_quantiles", q297, Some(q297Sql)),
     QueryDef("q249_column_cardinality", q249, Some(q249Sql)),
     QueryDef("q261_dd_drift", q261, Some(q261Sql)))
 }

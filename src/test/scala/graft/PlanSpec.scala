@@ -403,6 +403,24 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("HashAggregate"), "cells must partial-aggregate")
   }
 
+  test("q280 vocab curve: every window is partitioned (two-pass prefix sum)") {
+    // The scalar result aggregates may collapse to one partition (their
+    // input is one row per partial); what must NEVER appear is an
+    // UNPARTITIONED window over the vocab relation.
+    val p = plan("q280_vocab_curve")
+    val windows = p.linesIterator.filter(_.contains("Window [")).toSeq
+    assert(windows.nonEmpty, "expected the seeded prefix-sum windows")
+    windows.foreach(w => assert(w.contains("], [_pid"),
+      s"unpartitioned window on the data path:\n$w"))
+  }
+
+  test("q286 knn outliers: ranking rides the partial-aggregated bounded heap") {
+    val p = plan("q286_knn_outliers")
+    // partial_boundedtopk below the exchange = k rows per map partial
+    assert(p.toLowerCase.contains("boundedtopk"),
+      s"expected the bounded-heap aggregator:\n${p.take(1500)}")
+  }
+
   test("whole-stage codegen covers the relational hot paths") {
     // AQE prints codegen stages only in the finalized plan — execute first.
     Seq("q01_pricing_summary", "q06_selective_agg", "q09_window_topk").foreach { q =>
