@@ -1938,6 +1938,129 @@ object Profile {
              / (n * least(r_cats, c_cats) - n)::DOUBLE), 6) END AS cramers_v
        FROM chi"""
 
+  /** Functional-dependency DISCOVERY over a column set: for every
+    * ordered pair (det → dep), the exact distinct counts, how many
+    * extra (det, dep) combinations exist beyond |distinct det| (0 =
+    * the FD holds), and the violation rate — where [[inclusionCheck]] /
+    * the q224 check audit a DECLARED dependency, this sweeps all pairs
+    * and ranks candidates ("clerk determines status? priority?") for a
+    * schema nobody documented.
+    *
+    * Scale design: ONE aggregation pass computes every distinct count
+    * simultaneously (the count-distinct expand is |cols|+|pairs| wide
+    * over the scan — no per-pair rescans); the pair table itself is
+    * |cols|² rows.
+    */
+  def fdDiscovery(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.size >= 2, "need at least two columns")
+    val singles = cols.map(c => countDistinct(col(c)).as(s"nd__$c"))
+    val pairs = for { a <- cols; b <- cols if a != b } yield (a, b)
+    val pairAggs = pairs.map { case (a, b) =>
+      countDistinct(struct(col(a), col(b))).as(s"nd__${a}__$b")
+    }
+    val one = df.agg((singles ++ pairAggs).head,
+      (singles ++ pairAggs).tail: _*)
+    val stackArgs = pairs.flatMap { case (a, b) =>
+      Seq(lit(a), lit(b), col(s"nd__$a"), col(s"nd__${a}__$b"))
+    }
+    one.select(stack((lit(pairs.length) +: stackArgs): _*)
+        .as(Seq("det", "dep", "nd_det", "nd_pair")))
+      .select(col("det"), col("dep"), col("nd_det"), col("nd_pair"),
+        (col("nd_pair") - col("nd_det")).as("extra"),
+        (col("nd_pair") === col("nd_det")).as("holds"),
+        expr("((nd_pair - nd_det) * 1000000L) div nd_det")
+          .as("violation_micro"))
+  }
+
+  // ---- q298: which undocumented dependencies does the order feed hold? --------
+  private def q298(s: SparkSession, d: String): DataFrame =
+    fdDiscovery(Tables.orders(s, d),
+        Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"))
+      .orderBy(col("det"), col("dep"))
+  private val q298Sql = {
+    val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+      "o_orderpriority")
+    val selects = for { a <- cols; b <- cols if a != b } yield
+      s"""SELECT '$a' AS det, '$b' AS dep,
+        count(DISTINCT $a)::BIGINT AS nd_det,
+        count(DISTINCT ($a, $b))::BIGINT AS nd_pair
+      FROM orders"""
+    s"""WITH u AS (${selects.mkString("\nUNION ALL\n")})
+       SELECT det, dep, nd_det, nd_pair,
+         (nd_pair - nd_det)::BIGINT AS extra,
+         (nd_pair = nd_det) AS holds,
+         (((nd_pair - nd_det) * 1000000) // nd_det)::BIGINT
+           AS violation_micro
+       FROM u ORDER BY det, dep"""
+  }
+
+  /** Goodman–Kruskal λ: proportional reduction in prediction error of
+    * `dep` when `det` is known — the DIRECTIONAL categorical
+    * association Cramér's V symmetrizes away, and (unlike the
+    * entropy-based uncertainty coefficient) computable in pure integer
+    * algebra: λ = (Σ_a max_b n(a,b) − max_b n(·,b)) / (n − max_b
+    * n(·,b)). Emits BOTH directions; a degenerate margin (one dep
+    * value dominates everything: den = 0) reports null.
+    *
+    * Scale design: one corpus collapse to the contingency cells;
+    * everything else is metadata-sized aggregation of that collapse.
+    */
+  def gkLambda(df: DataFrame, aCol: Column, bCol: Column): DataFrame = {
+    val cells = df.select(aCol.as("a"), bCol.as("b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("nc"))
+      .localCheckpoint(false)
+    def oneDir(det: String, dep: String, label: String): DataFrame = {
+      val sumMax = cells.groupBy(col(det))
+        .agg(max(col("nc")).as("mx"))
+        .agg(sum(col("mx")).as("sum_max_given_det"))
+      val marginal = cells.groupBy(col(dep))
+        .agg(sum(col("nc")).as("m"))
+        .agg(max(col("m")).as("max_marginal"), sum(col("m")).as("n"))
+      sumMax.crossJoin(marginal)
+        .select(lit(label).as("direction"), col("n"),
+          col("sum_max_given_det"), col("max_marginal"),
+          when(col("n") > col("max_marginal"),
+            expr("""((sum_max_given_det - max_marginal) * 1000000L)
+              div (n - max_marginal)"""))
+            .otherwise(lit(null).cast("long")).as("lambda_micro"))
+    }
+    oneDir("a", "b", "a_to_b").unionAll(oneDir("b", "a", "b_to_a"))
+  }
+
+  // ---- q299: does status predict priority, or the reverse? --------------------
+  private def q299(s: SparkSession, d: String): DataFrame =
+    gkLambda(Tables.orders(s, d), col("o_orderstatus"),
+        col("o_orderpriority"))
+      .orderBy(col("direction"))
+  private val q299Sql =
+    """WITH cells AS (
+         SELECT o_orderstatus AS a, o_orderpriority AS b,
+           count(*)::BIGINT AS nc
+         FROM orders GROUP BY 1, 2),
+       ab AS (
+         SELECT 'a_to_b' AS direction,
+           (SELECT sum(n)::BIGINT FROM (SELECT sum(nc) AS n FROM cells
+              GROUP BY b) t) AS n,
+           (SELECT sum(mx)::BIGINT FROM (SELECT max(nc) AS mx FROM cells
+              GROUP BY a) t) AS sum_max_given_det,
+           (SELECT max(m)::BIGINT FROM (SELECT sum(nc) AS m FROM cells
+              GROUP BY b) t) AS max_marginal),
+       ba AS (
+         SELECT 'b_to_a' AS direction,
+           (SELECT sum(n)::BIGINT FROM (SELECT sum(nc) AS n FROM cells
+              GROUP BY a) t) AS n,
+           (SELECT sum(mx)::BIGINT FROM (SELECT max(nc) AS mx FROM cells
+              GROUP BY b) t) AS sum_max_given_det,
+           (SELECT max(m)::BIGINT FROM (SELECT sum(nc) AS m FROM cells
+              GROUP BY a) t) AS max_marginal),
+       u AS (SELECT * FROM ab UNION ALL SELECT * FROM ba)
+       SELECT direction, n, sum_max_given_det, max_marginal,
+         CASE WHEN n > max_marginal
+           THEN ((sum_max_given_det - max_marginal) * 1000000)
+             // (n - max_marginal)
+           ELSE NULL END::BIGINT AS lambda_micro
+       FROM u ORDER BY direction"""
+
   /** Column-profile drift between two row populations of the SAME
     * relation (yesterday's load vs today's, region A vs B): per column,
     * row count, null count, and exact distinct count on each side plus
@@ -3057,6 +3180,8 @@ object Profile {
     QueryDef("q269_profile_diff", q269, Some(q269Sql)),
     QueryDef("q272_cramers_v", q272, Some(q272Sql)),
     QueryDef("q295_sequence_gaps", q295, Some(q295Sql)),
+    QueryDef("q298_fd_discovery", q298, Some(q298Sql)),
+    QueryDef("q299_gk_lambda", q299, Some(q299Sql)),
     QueryDef("q260_corpus_datasheet", q260, Some(q260Sql)),
     QueryDef("q194_mann_whitney", q194, Some(q194Sql)),
     QueryDef("q195_spearman", q195, Some(q195Sql)),

@@ -333,9 +333,84 @@ object Ranking {
          ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
        GROUP BY e.query_id ORDER BY e.query_id"""
 
+  // ---- q300: the one retrieval acceptance table -------------------------------
+  // nDCG@k + AP@k + RR per query for the SAME exact ranking and the
+  // SAME relevance set, long-form — the single table an index swap is
+  // accepted or rejected on, composed from the independently
+  // oracle-verified metric operators so the report cannot drift from
+  // its parts.
+  private def q300(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+    val ranked = Similarity.bruteTopK(
+      e.filter(col("vec_id") < NumQueries), e, "vec_id", "embedding", TopK)
+    val rel = broadcast(e.filter(col("vec_id") < NumQueries)
+        .select(col("vec_id").as("query_id"), col("label").as("ql")))
+      .join(e.select(col("vec_id").as("neighbor_id"), col("label").as("nl")),
+        col("ql") === col("nl") && col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"))
+    ndcgAtK(ranked, rel, TopK)
+      .select(lit("ndcg").as("metric"), col("query_id"),
+        col("ndcg_micro").as("value_micro"))
+      .unionAll(averagePrecision(ranked, rel, TopK)
+        .select(lit("ap").as("metric"), col("query_id"),
+          col("ap_micro").as("value_micro")))
+      .unionAll(reciprocalRank(ranked, rel, TopK)
+        .select(lit("rr").as("metric"), col("query_id"),
+          col("rr_micro").as("value_micro")))
+      .orderBy(col("metric"), col("query_id"))
+  }
+  private val q300Sql =
+    s"""WITH $exactRankSql,
+       nrel AS (
+         SELECT query_id, count(*)::BIGINT AS n_rel_total FROM rel GROUP BY 1),
+       j AS (
+         SELECT e.query_id, e.rank,
+           CASE WHEN r.neighbor_id IS NOT NULL THEN 1 ELSE 0 END AS hit
+         FROM ex e LEFT JOIN rel r
+           ON e.query_id = r.query_id AND e.neighbor_id = r.neighbor_id),
+       cum AS (
+         SELECT query_id, rank, hit,
+           sum(hit) OVER (PARTITION BY query_id ORDER BY rank) AS ch
+         FROM j),
+       perq AS (
+         SELECT query_id,
+           sum(CASE WHEN hit = 1
+             THEN 1000000 // (rank + 1) ELSE 0 END)::BIGINT AS dcg_micro,
+           sum(CASE WHEN hit = 1
+             THEN (ch * 1000000) // rank ELSE 0 END)::BIGINT AS ap_sum,
+           min(CASE WHEN hit = 1 THEN rank END) AS first_rank
+         FROM cum GROUP BY 1),
+       base AS (
+         SELECT p.query_id, p.dcg_micro, p.ap_sum, p.first_rank,
+           coalesce(n.n_rel_total, 0)::BIGINT AS nrt,
+           least($TopK, coalesce(n.n_rel_total, 0))::BIGINT AS m
+         FROM perq p LEFT JOIN nrel n ON p.query_id = n.query_id),
+       wi AS (
+         SELECT *, coalesce(list_sum(list_transform(range(1, m + 1),
+             i -> 1000000 // (i + 1))), 0)::BIGINT AS idcg_micro
+         FROM base),
+       metrics AS (
+         SELECT 'ndcg' AS metric, query_id,
+           CASE WHEN idcg_micro > 0
+             THEN (dcg_micro * 1000000) // idcg_micro
+             ELSE 0 END::BIGINT AS value_micro
+         FROM wi
+         UNION ALL
+         SELECT 'ap', query_id,
+           CASE WHEN m > 0 THEN ap_sum // m ELSE 0 END::BIGINT
+         FROM wi
+         UNION ALL
+         SELECT 'rr', query_id,
+           CASE WHEN first_rank IS NOT NULL
+             THEN 1000000 // first_rank ELSE 0 END::BIGINT
+         FROM wi)
+       SELECT metric, query_id, value_micro FROM metrics
+       ORDER BY metric, query_id"""
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q169_ndcg", q169, Some(q169Sql)),
     QueryDef("q170_reciprocal_rank", q170, Some(q170Sql)),
     QueryDef("q264_average_precision", q264, Some(q264Sql)),
+    QueryDef("q300_retrieval_report", q300, Some(q300Sql)),
     QueryDef("q174_quantized_recall", q174, Some(q174Sql)))
 }

@@ -737,6 +737,32 @@ class ProfileSpec extends SparkSpec {
       ("up", 3L, Some(1.0))))
   }
 
+  test("fdDiscovery flags exactly the planted dependencies") {
+    val df = Seq(
+      (1L, "a", "x"), (2L, "a", "x"), (3L, "b", "y"), (4L, "b", "y"))
+      .toDF("id", "v", "w")
+    val got = Profile.fdDiscovery(df, Seq("id", "v", "w"))
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getAs[Long]("extra"), r.getAs[Boolean]("holds")))).toMap
+    assert(got(("id", "v")) === ((0L, true)))  // unique key determines all
+    assert(got(("v", "w")) === ((0L, true)))   // planted v -> w
+    assert(got(("w", "v")) === ((0L, true)))   // bijective here
+    assert(got(("v", "id")) === ((2L, false))) // v cannot determine id
+  }
+
+  test("gkLambda is 1 when det predicts dep perfectly, 0 when useless") {
+    val det = (Seq.fill(5)(("x", "p")) ++ Seq.fill(5)(("y", "q")))
+      .toDF("a", "b")
+    val d1 = Profile.gkLambda(det, col("a"), col("b"))
+      .orderBy(col("direction")).collect()
+    assert(d1.forall(_.getAs[Long]("lambda_micro") === 1000000L))
+    // b constant: knowing a reduces nothing AND the margin degenerates.
+    val useless = Seq(("x", "p"), ("y", "p"), ("x", "p")).toDF("a", "b")
+    val d2 = Profile.gkLambda(useless, col("a"), col("b"))
+      .orderBy(col("direction")).collect()
+    assert(d2.head.isNullAt(4), "degenerate margin must be null (a_to_b)")
+  }
+
   test("cramersV is 1 on a determined table, ~0 on an independent one") {
     // Fully determined: b = f(a), 2x2, 10 rows each diagonal cell.
     val det = (Seq.fill(10)(("x", "p")) ++ Seq.fill(10)(("y", "q")))
