@@ -1608,6 +1608,68 @@ object Dedup {
         count(when(col("f").isNotNull && col("t").isNull, 1)).as("n_extra"))
   }
 
+  /** LSH banding-parameter planner: for each candidate (bands, rows)
+    * layout and each representative Jaccard similarity, the probability
+    * that a pair at that similarity becomes an LSH candidate —
+    * 1 − (1 − s^r)^b, the S-curve every MinHash deployment is tuned on
+    * BEFORE touching data (where q142 measures the deployed layout
+    * after the fact). Computed in exact fixed-point micro arithmetic:
+    * powers are the iterated floor recurrence x ← (x·s_micro) div 10⁶,
+    * a convention both engines replay digit-identically (pow() would be
+    * libm-dependent); the curve's decisions are threshold comparisons,
+    * which the ≤ b+r flooring steps cannot flip at the table's
+    * resolution. Emits candidate_micro plus the at/below-threshold
+    * classification a tuner reads off.
+    *
+    * Driver-side closed form by design — this is a |bs·rs·sims|-cell
+    * PLANNER table (no corpus involved), broadcast next to the job it
+    * configures.
+    */
+  def lshBandingCurve(s: org.apache.spark.sql.SparkSession,
+      layouts: Seq[(Int, Int)], simMicros: Seq[Long]): DataFrame = {
+    require(layouts.nonEmpty && simMicros.nonEmpty)
+    def powFloor(base: Long, n: Int): Long = {
+      var x = 1000000L
+      var i = 0
+      while (i < n) { x = x * base / 1000000L; i += 1 }
+      x
+    }
+    import s.implicits._
+    (for {
+      (b, r) <- layouts
+      sm <- simMicros
+    } yield {
+      val pBand = powFloor(sm, r)
+      val missAll = powFloor(1000000L - pBand, b)
+      (b.toLong, r.toLong, sm, pBand, 1000000L - missAll)
+    }).toDF("bands", "rows_per_band", "sim_micro", "band_hit_micro",
+      "candidate_micro")
+  }
+
+  // ---- q301: which (b, r) layout catches 0.8-similar pairs but not 0.5? -------
+  private def q301(s: SparkSession, d: String): DataFrame =
+    lshBandingCurve(s,
+        Seq((16, 1), (8, 2), (4, 4), (2, 8)),
+        Seq(300000L, 500000L, 700000L, 800000L, 900000L))
+      .orderBy(col("bands"), col("rows_per_band"), col("sim_micro"))
+  private val q301Sql = {
+    // The identical floor recurrence, unrolled as nested SQL arithmetic.
+    def pow(expr0: String, base: String, n: Int): String =
+      (1 to n).foldLeft(expr0)((e, _) => s"(($e * $base) // 1000000)")
+    val rows = for {
+      (b, r) <- Seq((16, 1), (8, 2), (4, 4), (2, 8))
+      sm <- Seq(300000L, 500000L, 700000L, 800000L, 900000L)
+    } yield {
+      val pBand = pow("1000000::BIGINT", s"($sm::BIGINT)", r)
+      val missAll = pow("1000000::BIGINT", s"(1000000::BIGINT - $pBand)", b)
+      s"""SELECT $b::BIGINT AS bands, $r::BIGINT AS rows_per_band,
+        $sm::BIGINT AS sim_micro, ($pBand)::BIGINT AS band_hit_micro,
+        (1000000 - $missAll)::BIGINT AS candidate_micro"""
+    }
+    s"""SELECT * FROM (${rows.mkString("\nUNION ALL\n")})
+       ORDER BY bands, rows_per_band, sim_micro"""
+  }
+
   // ---- q142: LSH acceptance report ---------------------------------------------
   // At this fixture the duplicate pairs sit far above the banding
   // S-curve's soft region, so the hashable expectation is exact parity;
@@ -1649,5 +1711,6 @@ object Dedup {
     QueryDef("q124_jaccard_prefix", q124, Some(exactJaccardSql), headline = true),
     QueryDef("q133_semantic_dedup", q133, Some(q133Sql)),
     QueryDef("q140_boilerplate_tiles", q140, Some(q140Sql)),
-    QueryDef("q142_lsh_miss_report", q142, Some(q142Sql)))
+    QueryDef("q142_lsh_miss_report", q142, Some(q142Sql)),
+    QueryDef("q301_lsh_curve", q301, Some(q301Sql)))
 }

@@ -328,6 +328,20 @@ class DedupSpec extends SparkSpec {
       (990000L, 0L, 0L)))  // nothing reaches 0.99
   }
 
+  test("lshBandingCurve replays the fixed-point S-curve exactly") {
+    val got = Dedup.lshBandingCurve(spark,
+        Seq((16, 1), (4, 4)), Seq(500000L, 800000L))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)) ->
+        ((r.getLong(3), r.getLong(4)))).toMap
+    // (16, 1) at s = 0.5: band hit = s; miss^16 by floored halving
+    // 1e6 -> 500000 -> ... -> 15, so candidate = 999985.
+    assert(got((16L, 1L, 500000L)) === ((500000L, 999985L)))
+    // monotone in similarity for every layout
+    assert(got((4L, 4L, 800000L))._2 > got((4L, 4L, 500000L))._2)
+    // (4,4) band hit at 0.8 = floored 0.8^4 = 409600
+    assert(got((4L, 4L, 800000L))._1 === 409600L)
+  }
+
   test("clusterSizeHistogram partitions the corpus completely") {
     import spark.implicits._
     // 7 docs: cluster {1,2,3}, cluster {4,5}, singletons 6 and 7.
