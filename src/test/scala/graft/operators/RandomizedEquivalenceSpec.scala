@@ -190,4 +190,64 @@ class RandomizedEquivalenceSpec extends SparkSpec {
     }
   }
 
+  test("linkCandidates equals brute distance-2 enumeration on random graphs") {
+    for (trial <- 1 to 4) {
+      val n = 20 + trial * 5
+      val edges = (1 to n * 2).map(_ =>
+          (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+        .map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+        .distinct
+      val got = Graph.linkCandidates(edges.toDF("s1", "s2"), "s1", "s2",
+          k = 10000)
+        .as[(Long, Long, Long)].collect().toSet
+      // brute: adjacency sets, all node pairs, common-neighbor count.
+      val adj = edges.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+        .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).toSet }
+      val nodes = adj.keys.toSeq.sorted
+      val es = edges.toSet
+      val want = (for {
+        i <- nodes; j <- nodes if i < j && !es.contains((i, j))
+        cn = (adj(i) & adj(j)).size if cn >= 1
+      } yield (i, j, cn.toLong)).toSet
+      assert(got === want, s"trial $trial diverged")
+    }
+  }
+
+  test("frequentTriples equals brute itemset counting on random baskets") {
+    for (trial <- 1 to 3) {
+      val baskets = (1 to 30).map(b =>
+        b.toLong -> (1 to (3 + rnd.nextInt(5))).map(_ =>
+          rnd.nextInt(8).toLong).distinct.sorted)
+      val rows = baskets.flatMap { case (b, items) =>
+        items.map(i => (b, i)) }
+      val got = Analytics.frequentTriples(rows.toDF("c", "i"), "c", "i",
+          maxItemsPerBasket = 16, minSupport = 2L)
+        .as[(Long, Long, Long, Long)].collect()
+        .map(r => (r._1, r._2, r._3) -> r._4).toMap
+      val want = baskets.flatMap { case (_, items) =>
+          for {
+            a <- items; b <- items if a < b
+            c <- items if b < c
+          } yield (a, b, c)
+        }.groupBy(identity).view.mapValues(_.size.toLong)
+        .filter(_._2 >= 2L).toMap
+      assert(got === want, s"trial $trial diverged")
+    }
+  }
+
+  test("sequenceGaps equals a sequential scan for random sparse id sets") {
+    for (trial <- 1 to 4) {
+      val ids = (1 to 60).map(_ => rnd.nextInt(200).toLong).distinct
+      val parts = 1 + rnd.nextInt(7)
+      val got = Profile.sequenceGaps(ids.toDF("id"), col("id"), parts)
+        .as[(Long, Long, Long)].collect().toSet
+      val sorted = ids.sorted
+      val want = sorted.zip(sorted.drop(1)).collect {
+        case (a, b) if b > a + 1 => (a + 1, b - 1, b - a - 1)
+      }.toSet
+      assert(got === want, s"trial $trial (parts=$parts) diverged")
+    }
+  }
+
 }
