@@ -1422,6 +1422,108 @@ object Similarity {
       .limit(topN)
   }
 
+  /** IVF probe-budget sweep: recall@k vs `nprobe` against the exact
+    * cosine ranking, one summary row per probe budget — the
+    * cost/quality curve an index deployment picks its operating point
+    * from ("nprobe 2 reaches 91% at an eighth of brute cost"), where
+    * q86/q136 report a single fixed budget. Recall totals are exact
+    * integer counts; recall_micro = hits·10⁶ div exact.
+    *
+    * Scale design: the exact baseline is computed ONCE and each probe
+    * budget reuses the same assignment relation ([[ivfTopKProbes]]'s
+    * shape — the corpus is scanned for assignment, then probed per
+    * budget; nothing quadratic, all ranking through the bounded heap).
+    */
+  def ivfProbeSweep(corpus: DataFrame, seeds: DataFrame, queryFilter: Column,
+      idCol: String, vecCol: String, k: Int, nprobes: Seq[Int]): DataFrame = {
+    require(nprobes.nonEmpty && nprobes.forall(_ >= 1))
+    val exact = bruteTopK(corpus.filter(queryFilter), corpus, idCol, vecCol, k)
+      .localCheckpoint(false)
+    nprobes.map { np =>
+      recallReport(exact,
+          ivfTopKProbes(corpus, seeds, queryFilter, idCol, vecCol, k, np))
+        .agg(count(lit(1)).as("n_queries"), sum(col("n_exact")).as("n_exact"),
+          sum(col("n_hit")).as("n_hit"))
+        .select(lit(np.toLong).as("nprobe"), col("n_queries"),
+          col("n_exact"), col("n_hit"),
+          expr("(n_hit * 1000000L) div n_exact").as("recall_micro"))
+    }.reduce(_.unionAll(_))
+  }
+
+  // ---- q302: how many probes buy how much recall? -----------------------------
+  private def q302(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+    ivfProbeSweep(e, e.filter(col("vec_id") < NumSeeds),
+        col("vec_id") < NumQueries, "vec_id", "embedding", TopK,
+        Seq(1, 2, 4))
+      .orderBy(col("nprobe"))
+  }
+  private val q302Sql = {
+    def perProbe(np: Int): String =
+      s"""SELECT $np::BIGINT AS nprobe, e.query_id,
+        count(*)::BIGINT AS n_exact,
+        count(a.neighbor_id)::BIGINT AS n_hit
+      FROM ex e LEFT JOIN (
+        SELECT query_id, neighbor_id FROM (
+          SELECT s2.query_id, s2.neighbor_id,
+            row_number() OVER (PARTITION BY s2.query_id
+              ORDER BY s2.c DESC, s2.neighbor_id) AS rank
+          FROM (
+            SELECT p.query_id, n.vec_id AS neighbor_id,
+              list_sum(list_transform(range(1, len(q.embedding) + 1),
+                k -> q.embedding[k]::DOUBLE * n.embedding[k]::DOUBLE))
+              / (sqrt(list_sum(list_transform(q.embedding,
+                   x -> x::DOUBLE * x::DOUBLE)))
+                 * sqrt(list_sum(list_transform(n.embedding,
+                   x -> x::DOUBLE * x::DOUBLE)))) AS c
+            FROM (SELECT vec_id AS query_id, seed_id AS cluster FROM (
+                SELECT vec_id, seed_id, row_number() OVER (
+                  PARTITION BY vec_id ORDER BY sc DESC, seed_id) AS prn
+                FROM cos WHERE vec_id < $NumQueries) t
+              WHERE prn <= $np) p
+            JOIN embeddings q ON q.vec_id = p.query_id
+            JOIN assigned n ON n.cluster = p.cluster
+              AND n.vec_id != p.query_id) s2) t
+        WHERE rank <= $TopK) a
+      ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+      GROUP BY e.query_id"""
+    s"""WITH cos AS (
+         SELECT a.vec_id, s.vec_id AS seed_id,
+           list_sum(list_transform(range(1, len(a.embedding) + 1),
+             k -> a.embedding[k]::DOUBLE * s.embedding[k]::DOUBLE))
+           / (sqrt(list_sum(list_transform(a.embedding, x -> x::DOUBLE * x::DOUBLE)))
+              * sqrt(list_sum(list_transform(s.embedding, x -> x::DOUBLE * x::DOUBLE))))
+             AS sc
+         FROM embeddings a JOIN embeddings s ON s.vec_id < $NumSeeds),
+       assigned AS (
+         SELECT c2.vec_id, c2.embedding, t.seed_id AS cluster
+         FROM (SELECT vec_id, seed_id FROM (
+             SELECT vec_id, seed_id, row_number() OVER (PARTITION BY vec_id
+               ORDER BY sc DESC, seed_id) AS arn FROM cos) x
+           WHERE arn = 1) t
+         JOIN embeddings c2 ON c2.vec_id = t.vec_id),
+       sims_e AS (
+         SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+           list_sum(list_transform(range(1, len(q.embedding) + 1),
+             k -> q.embedding[k]::DOUBLE * n.embedding[k]::DOUBLE))
+           / (sqrt(list_sum(list_transform(q.embedding, x -> x::DOUBLE * x::DOUBLE)))
+              * sqrt(list_sum(list_transform(n.embedding, x -> x::DOUBLE * x::DOUBLE))))
+             AS c
+         FROM embeddings q JOIN embeddings n ON q.vec_id != n.vec_id
+         WHERE q.vec_id < $NumQueries),
+       ex AS (
+         SELECT query_id, neighbor_id FROM (
+           SELECT query_id, neighbor_id,
+             row_number() OVER (PARTITION BY query_id
+               ORDER BY c DESC, neighbor_id) AS rank
+           FROM sims_e) t WHERE rank <= $TopK),
+       perq AS (${Seq(1, 2, 4).map(perProbe).mkString("\nUNION ALL\n")})
+       SELECT nprobe, count(*)::BIGINT AS n_queries,
+         sum(n_exact)::BIGINT AS n_exact, sum(n_hit)::BIGINT AS n_hit,
+         ((sum(n_hit) * 1000000) // sum(n_exact))::BIGINT AS recall_micro
+       FROM perq GROUP BY nprobe ORDER BY nprobe"""
+  }
+
   /** Embedding-table health audit per group: row count, zero-norm rows
     * (an all-zero vector breaks every cosine downstream), and the
     * min/max/mean of the squared L2 norm in micro-units — the "did the
@@ -1524,6 +1626,7 @@ object Similarity {
     QueryDef("q277_centroid_classifier", q277, Some(q277Sql)),
     QueryDef("q286_knn_outliers", q286, Some(q286Sql)),
     QueryDef("q293_embedding_audit", q293, Some(q293Sql)),
+    QueryDef("q302_ivf_probe_sweep", q302, Some(q302Sql)),
     QueryDef("q30_cosine_topk", q30, Some(q30Sql), headline = true),
     QueryDef("q164_rrf_fusion", q164, Some(q164Sql)),
     QueryDef("q150_sparse_cosine", q150, Some(q150Sql)),
