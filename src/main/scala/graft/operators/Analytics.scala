@@ -1314,6 +1314,154 @@ object Analytics {
         .otherwise(abs(col("zscore")) > z))
   }
 
+  /** Audience-overlap matrix: for every pair of segments, the exact
+    * Jaccard of their DISTINCT-user sets — "do clickers and purchasers
+    * overlap, or are they different populations?" Pure integers: the
+    * intersection comes from a self-join of the (segment, user)
+    * collapse on the user key, the union from per-segment distincts.
+    *
+    * Scale design: one (segment, user) distinct collapse; the self-join
+    * is keyed on user (co-partitioned) and collapses map-side to
+    * |segments|² rows; per-segment totals broadcast back.
+    */
+  def audienceOverlap(df: DataFrame, segmentCol: Column,
+      userCol: Column): DataFrame = {
+    val su = df.select(segmentCol.as("seg"), userCol.cast("long").as("u"))
+      .distinct()
+    val inter = su.as("a").join(su.as("b"),
+        col("a.u") === col("b.u") && col("a.seg") < col("b.seg"))
+      .groupBy(col("a.seg").as("seg_a"), col("b.seg").as("seg_b"))
+      .agg(count(lit(1)).as("n_both"))
+    val sizes = su.groupBy(col("seg")).agg(count(lit(1)).as("n"))
+    inter
+      .join(broadcast(sizes.select(col("seg").as("seg_a"), col("n").as("n_a"))),
+        Seq("seg_a"))
+      .join(broadcast(sizes.select(col("seg").as("seg_b"), col("n").as("n_b"))),
+        Seq("seg_b"))
+      .select(col("seg_a"), col("seg_b"), col("n_a"), col("n_b"),
+        col("n_both"),
+        expr("(n_both * 1000000L) div (n_a + n_b - n_both)")
+          .as("jaccard_micro"))
+  }
+
+  // ---- q303: are the event-type audiences the same people? --------------------
+  private def q303(s: SparkSession, d: String): DataFrame =
+    audienceOverlap(Tables.events(s, d), col("event_type"), col("user_id"))
+      .orderBy(col("seg_a"), col("seg_b"))
+  private val q303Sql =
+    """WITH su AS (
+         SELECT DISTINCT event_type AS seg, user_id AS u FROM events),
+       inter AS (
+         SELECT a.seg AS seg_a, b.seg AS seg_b, count(*)::BIGINT AS n_both
+         FROM su a JOIN su b ON a.u = b.u AND a.seg < b.seg
+         GROUP BY 1, 2),
+       sizes AS (SELECT seg, count(*)::BIGINT AS n FROM su GROUP BY 1)
+       SELECT i.seg_a, i.seg_b, sa.n AS n_a, sb.n AS n_b, i.n_both,
+         ((i.n_both * 1000000) // (sa.n + sb.n - i.n_both))::BIGINT
+           AS jaccard_micro
+       FROM inter i JOIN sizes sa ON i.seg_a = sa.seg
+         JOIN sizes sb ON i.seg_b = sb.seg
+       ORDER BY i.seg_a, i.seg_b"""
+
+  /** Chapman capture-recapture population estimate: from two overlapping
+    * observation windows, the estimated TOTAL population
+    * N̂ = (n₁+1)(n₂+1) div (m+1) − 1 (m = recaptures) with the exact
+    * inputs beside it — "how many users exist that we never saw",
+    * answerable from two samples and pure integer division. The
+    * coverage-estimation primitive behind crawl-frontier sizing and
+    * dark-pool user estimation; null when the windows never overlap
+    * (the estimator is undefined without recaptures — reported, not a
+    * fake number).
+    *
+    * Scale design: two distinct-set collapses and one co-partitioned
+    * intersection join; three integers cross the wire.
+    */
+  def captureRecapture(df: DataFrame, userCol: Column,
+      inFirst: Column, inSecond: Column): DataFrame = {
+    val u1 = df.filter(inFirst).select(userCol.cast("long").as("u")).distinct()
+    val u2 = df.filter(inSecond).select(userCol.cast("long").as("u")).distinct()
+    val n1 = u1.agg(count(lit(1)).as("n1"))
+    val n2 = u2.agg(count(lit(1)).as("n2"))
+    val m = u1.join(u2, Seq("u")).agg(count(lit(1)).as("m"))
+    n1.crossJoin(n2).crossJoin(m)
+      .select(col("n1"), col("n2"), col("m"),
+        when(col("m") > 0,
+          expr("((n1 + 1) * (n2 + 1)) div (m + 1) - 1"))
+          .otherwise(lit(null).cast("long")).as("n_est"))
+  }
+
+  // ---- q304: how many users exist beyond the ones we observed? ----------------
+  // The two capture windows are the odd/even event halves — overlapping
+  // but distinct samples of the same population.
+  private def q304(s: SparkSession, d: String): DataFrame =
+    captureRecapture(Tables.events(s, d), col("user_id"),
+        col("event_id") % 2 === 0, col("event_id") % 2 === 1)
+  private val q304Sql =
+    """WITH u1 AS (
+         SELECT DISTINCT user_id AS u FROM events WHERE event_id % 2 = 0),
+       u2 AS (
+         SELECT DISTINCT user_id AS u FROM events WHERE event_id % 2 = 1),
+       c AS (
+         SELECT (SELECT count(*) FROM u1)::BIGINT AS n1,
+           (SELECT count(*) FROM u2)::BIGINT AS n2,
+           (SELECT count(*) FROM u1 JOIN u2 ON u1.u = u2.u)::BIGINT AS m)
+       SELECT n1, n2, m,
+         CASE WHEN m > 0 THEN ((n1 + 1) * (n2 + 1)) // (m + 1) - 1
+           ELSE NULL END::BIGINT AS n_est
+       FROM c"""
+
+  /** Day-over-day audience stability: the exact Jaccard between each
+    * day's distinct-user set and the PREVIOUS day's — the churn-velocity
+    * curve (a steady product hovers high; a campaign spike crashes it).
+    * Consecutive-day pairs come from an equi-join on day+1 (never a
+    * window over users), all counts exact integers.
+    *
+    * Scale design: one (day, user) distinct collapse; the join is keyed
+    * on (user, day) equality and collapses map-side to |days| rows;
+    * per-day totals broadcast back.
+    */
+  def dayOverDayOverlap(df: DataFrame, tsCol: String,
+      userCol: Column): DataFrame = {
+    val du = df.select(expr(s"unix_micros($tsCol) div 86400000000")
+        .as("day_id"), userCol.cast("long").as("u"))
+      .distinct()
+    val inter = du.as("a").join(du.as("b"),
+        col("a.u") === col("b.u") && col("b.day_id") === col("a.day_id") + 1)
+      .groupBy(col("b.day_id").as("day_id"))
+      .agg(count(lit(1)).as("n_both"))
+    val sizes = du.groupBy(col("day_id")).agg(count(lit(1)).as("n"))
+    sizes.select(col("day_id"), col("n").as("n_today"))
+      .join(broadcast(sizes.select((col("day_id") + 1).as("day_id"),
+        col("n").as("n_prev"))), Seq("day_id"))
+      .join(inter, Seq("day_id"), "left")
+      .select(col("day_id"), col("n_prev"), col("n_today"),
+        coalesce(col("n_both"), lit(0L)).as("n_both"))
+      .withColumn("jaccard_micro",
+        expr("(n_both * 1000000L) div (n_prev + n_today - n_both)"))
+  }
+
+  // ---- q305: is the daily audience the same people as yesterday? --------------
+  private def q305(s: SparkSession, d: String): DataFrame =
+    dayOverDayOverlap(Tables.events(s, d), "ts", col("user_id"))
+      .orderBy(col("day_id"))
+  private val q305Sql =
+    """WITH du AS (
+         SELECT DISTINCT epoch_us(ts) // 86400000000 AS day_id,
+           user_id AS u
+         FROM events),
+       inter AS (
+         SELECT b.day_id, count(*)::BIGINT AS n_both
+         FROM du a JOIN du b ON a.u = b.u AND b.day_id = a.day_id + 1
+         GROUP BY 1),
+       sizes AS (SELECT day_id, count(*)::BIGINT AS n FROM du GROUP BY 1)
+       SELECT t.day_id, p.n AS n_prev, t.n AS n_today,
+         coalesce(i.n_both, 0)::BIGINT AS n_both,
+         ((coalesce(i.n_both, 0) * 1000000)
+           // (p.n + t.n - coalesce(i.n_both, 0)))::BIGINT AS jaccard_micro
+       FROM sizes t JOIN sizes p ON t.day_id = p.day_id + 1
+         LEFT JOIN inter i ON i.day_id = t.day_id
+       ORDER BY t.day_id"""
+
   /** Ensemble anomaly consensus over a daily series: three independent
     * detectors — MAD (robust center), Tukey IQR fences (distribution
     * shape), and 3σ z-score (moment-based) — each vote on every day's
@@ -3583,6 +3731,9 @@ object Analytics {
     QueryDef("q285_abc_xyz", q285, Some(q285Sql)),
     QueryDef("q292_ntile", q292, Some(q292Sql)),
     QueryDef("q296_anomaly_consensus", q296, Some(q296Sql)),
+    QueryDef("q303_audience_overlap", q303, Some(q303Sql)),
+    QueryDef("q304_capture_recapture", q304, Some(q304Sql)),
+    QueryDef("q305_day_overlap", q305, Some(q305Sql)),
     QueryDef("q104_rank_family", q104, Some(q104Sql)),
     QueryDef("q107_rolling_anomaly", q107, Some(q107Sql)),
     QueryDef("q116_concurrency_sweep", q116, Some(q116Sql)),

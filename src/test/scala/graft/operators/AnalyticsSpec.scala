@@ -621,6 +621,40 @@ class AnalyticsSpec extends SparkSpec {
     assert(capped === Array((10L, 20L, 30L, 2L)))
   }
 
+  test("audienceOverlap and captureRecapture compute exact set algebra") {
+    val ev = Seq(
+      ("click", 1L), ("click", 2L), ("click", 3L),
+      ("buy", 2L), ("buy", 3L), ("buy", 4L),
+      ("view", 9L)).toDF("seg", "u")
+    val ov = Analytics.audienceOverlap(ev, col("seg"), col("u"))
+      .as[(String, String, Long, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> r._6).toMap
+    // click {1,2,3} vs buy {2,3,4}: 2 of 4 -> 500000; view disjoint.
+    assert(ov(("buy", "click")) === 500000L)
+    assert(!ov.contains(("buy", "view")) && !ov.contains(("click", "view")))
+
+    // capture-recapture: n1 = 4, n2 = 3, m = 2 -> (5*4) div 3 - 1 = 5.
+    val obs = Seq((1L, true), (2L, true), (3L, true), (4L, true),
+      (3L, false), (4L, false), (5L, false)).toDF("u", "first")
+    val cr = Analytics.captureRecapture(obs, col("u"),
+        col("first"), !col("first"))
+      .as[(Long, Long, Long, Option[Long])].head()
+    assert(cr === ((4L, 3L, 2L, Some(5L))))
+  }
+
+  test("dayOverDayOverlap pairs each day with yesterday exactly") {
+    // day 0: {1,2}; day 1: {2,3}; day 2: {9} (disjoint from day 1).
+    val rows = Seq((0L, 1L), (0L, 2L), (1L, 2L), (1L, 3L), (2L, 9L))
+      .map { case (d, u) => (d * 86400 + 10, u) }
+    val df = rows.toDF("t", "u")
+      .select(timestamp_seconds(col("t")).as("ts"), col("u"))
+    val got = Analytics.dayOverDayOverlap(df, "ts", col("u"))
+      .orderBy(col("day_id")).as[(Long, Long, Long, Long, Long)].collect()
+    assert(got === Array(
+      (1L, 2L, 2L, 1L, 333333L), // {1,2} vs {2,3}: 1 of 3
+      (2L, 2L, 1L, 0L, 0L)))
+  }
+
   test("anomalyConsensus: a planted spike day gets all three votes") {
     // 30 steady days of ~100 cents total, one 100x day.
     val rows = (0 until 30).flatMap { d =>
