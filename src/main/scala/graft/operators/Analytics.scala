@@ -1314,6 +1314,79 @@ object Analytics {
         .otherwise(abs(col("zscore")) > z))
   }
 
+  /** Price-volume decomposition of a revenue change between two periods,
+    * per group: Δrevenue = price effect + volume effect + residue, the
+    * FP&A bridge ("did we sell less, or sell cheaper?"). With
+    * p_i = rev_i/q_i held as exact rationals:
+    * price_effect = rev₂ − (rev₁·q₂) div q₁ (what revenue moved beyond
+    * period-1 pricing at period-2 volume) and
+    * volume_effect = (rev₁·(q₂−q₁)) div q₁ (period-1 pricing on the
+    * volume change); the ≤ 1-cent flooring residue is EMITTED, so the
+    * bridge reconciles to the exact Δ by construction. Groups missing
+    * either period report null effects (no fabricated baseline).
+    *
+    * Scale design: one conditional-aggregation pass collapses the
+    * corpus to |groups| rows; everything after is arithmetic on that
+    * collapse.
+    */
+  def priceVolumeBridge(df: DataFrame, groupCol: Column, inFirst: Column,
+      revenueCents: Column, quantity: Column): DataFrame = {
+    df.select(groupCol.as("g"), inFirst.as("p1"),
+        revenueCents.cast("long").as("r"), quantity.cast("long").as("q"))
+      .groupBy(col("g"))
+      .agg(sum(when(col("p1"), col("r"))).as("rev1"),
+        sum(when(col("p1"), col("q"))).as("q1"),
+        sum(when(!col("p1"), col("r"))).as("rev2"),
+        sum(when(!col("p1"), col("q"))).as("q2"))
+      .withColumn("delta", col("rev2") - col("rev1"))
+      .withColumn("price_effect",
+        when(col("q1") > 0 && col("q2") > 0,
+          expr("rev2 - (rev1 * q2) div q1")).otherwise(lit(null).cast("long")))
+      .withColumn("volume_effect",
+        when(col("q1") > 0 && col("q2") > 0,
+          expr("(rev1 * (q2 - q1)) div q1")).otherwise(lit(null).cast("long")))
+      .withColumn("residue",
+        when(col("price_effect").isNotNull,
+          col("delta") - col("price_effect") - col("volume_effect"))
+          .otherwise(lit(null).cast("long")))
+  }
+
+  // ---- q306: what moved each return class's revenue across the midpoint? ------
+  private def q306(s: SparkSession, d: String): DataFrame =
+    priceVolumeBridge(Tables.lineitem(s, d), col("l_returnflag"),
+        col("l_shipdate") < lit("1995-06-17"),
+        floor(col("l_extendedprice") * 100),
+        floor(col("l_quantity")))
+      .orderBy(col("g"))
+  private val q306Sql =
+    """WITH base AS (
+         SELECT l_returnflag AS g,
+           (l_shipdate < TIMESTAMP '1995-06-17') AS p1,
+           floor(l_extendedprice * 100)::BIGINT AS r,
+           floor(l_quantity)::BIGINT AS q
+         FROM lineitem),
+       agg AS (
+         SELECT g,
+           sum(CASE WHEN p1 THEN r END)::BIGINT AS rev1,
+           sum(CASE WHEN p1 THEN q END)::BIGINT AS q1,
+           sum(CASE WHEN NOT p1 THEN r END)::BIGINT AS rev2,
+           sum(CASE WHEN NOT p1 THEN q END)::BIGINT AS q2
+         FROM base GROUP BY 1),
+       eff AS (
+         SELECT g, rev1, q1, rev2, q2, (rev2 - rev1)::BIGINT AS delta,
+           CASE WHEN q1 > 0 AND q2 > 0
+             THEN rev2 - (rev1 * q2) // q1 ELSE NULL END::BIGINT
+             AS price_effect,
+           CASE WHEN q1 > 0 AND q2 > 0
+             THEN (rev1 * (q2 - q1)) // q1 ELSE NULL END::BIGINT
+             AS volume_effect
+         FROM agg)
+       SELECT g, rev1, q1, rev2, q2, delta, price_effect, volume_effect,
+         CASE WHEN price_effect IS NOT NULL
+           THEN delta - price_effect - volume_effect
+           ELSE NULL END::BIGINT AS residue
+       FROM eff ORDER BY g"""
+
   /** Audience-overlap matrix: for every pair of segments, the exact
     * Jaccard of their DISTINCT-user sets — "do clickers and purchasers
     * overlap, or are they different populations?" Pure integers: the
@@ -3732,6 +3805,7 @@ object Analytics {
     QueryDef("q292_ntile", q292, Some(q292Sql)),
     QueryDef("q296_anomaly_consensus", q296, Some(q296Sql)),
     QueryDef("q303_audience_overlap", q303, Some(q303Sql)),
+    QueryDef("q306_price_volume", q306, Some(q306Sql)),
     QueryDef("q304_capture_recapture", q304, Some(q304Sql)),
     QueryDef("q305_day_overlap", q305, Some(q305Sql)),
     QueryDef("q104_rank_family", q104, Some(q104Sql)),

@@ -130,6 +130,63 @@ object TextAnalysis {
          FROM documents) t
        GROUP BY lang, predicted ORDER BY lang, predicted"""
 
+  /** Encoding/casing anomaly audit per source: how many documents carry
+    * multi-byte (non-ASCII) content, U+FFFD replacement characters (the
+    * smoking gun of a mis-decoded feed), shouting-heavy text (≥ 20% of
+    * tokens fully uppercase), or absurdly long tokens (> 30 chars — the
+    * base64/URL-blob tell). The triage table a corpus-ingest on-call
+    * reads before anything touches a tokenizer. All doc-level booleans
+    * from per-row expressions; multi-byte detection is the regex-free
+    * octet_length > char_length identity, bit-identical on both engines.
+    *
+    * Scale design: one map pass, one partial-aggregated groupBy to
+    * |sources| rows. (The two token-level checks run interpreted HOF
+    * lambdas — acceptable in an audit path run once per ingest, and the
+    * [[graft.functions.TokenHits]] kernel pattern is the documented
+    * upgrade if an audit ever becomes a hot path.)
+    */
+  def encodingAudit(df: DataFrame, sourceCol: Column,
+      textColName: String): DataFrame = {
+    val textCol = col(textColName)
+    val toks = split(textCol, " ")
+    val capsShare = expr(
+      s"""(size(filter(split($textColName, ' '),
+          t -> t = upper(t) AND t != lower(t))) * 1000000L)
+        div greatest(size(split($textColName, ' ')), 1)""")
+    df.select(sourceCol.as("source"),
+        (octet_length(textCol) > length(textCol)).as("multibyte"),
+        contains(textCol, lit("�")).as("replacement"),
+        (capsShare >= 200000L).as("caps_heavy"),
+        (array_max(transform(toks, t => length(t))) > 30).as("long_token"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        count(when(col("multibyte"), 1)).as("n_multibyte"),
+        count(when(col("replacement"), 1)).as("n_replacement"),
+        count(when(col("caps_heavy"), 1)).as("n_caps_heavy"),
+        count(when(col("long_token"), 1)).as("n_long_token"))
+  }
+
+  // ---- q307: which sources need a decoding/cleaning pass? ---------------------
+  private def q307(s: SparkSession, d: String): DataFrame =
+    encodingAudit(Tables.documents(s, d), col("source"), "text")
+      .orderBy(col("source"))
+  private val q307Sql =
+    """SELECT source, count(*)::BIGINT AS n_docs,
+       count(CASE WHEN strlen(text) > length(text) THEN 1 END)::BIGINT
+         AS n_multibyte,
+       count(CASE WHEN contains(text, chr(65533)) THEN 1 END)::BIGINT
+         AS n_replacement,
+       count(CASE WHEN
+           (len(list_filter(string_split(text, ' '),
+             t -> t = upper(t) AND t != lower(t))) * 1000000)
+           // greatest(len(string_split(text, ' ')), 1) >= 200000
+         THEN 1 END)::BIGINT AS n_caps_heavy,
+       count(CASE WHEN
+           list_max(list_transform(string_split(text, ' '),
+             t -> length(t))) > 30
+         THEN 1 END)::BIGINT AS n_long_token
+       FROM documents GROUP BY source ORDER BY source"""
+
   /** Per-class precision / recall / F1 of the language heuristic against
     * the declared labels — the q23 confusion matrix rolled up to the
     * numbers a pipeline actually gates on ("drop languages below 80%
@@ -1501,6 +1558,7 @@ object TextAnalysis {
     QueryDef("q22_quality_score", q22, Some(q22Sql)),
     QueryDef("q23_lang_id", q23, Some(q23Sql)),
     QueryDef("q291_langid_quality", q291, Some(q291Sql)),
+    QueryDef("q307_encoding_audit", q307, Some(q307Sql)),
     QueryDef("q24_fingerprint", q24, Some(q24Sql)),
     QueryDef("q61_gopher_filter", q61, Some(q61Sql)),
     QueryDef("q73_normalize_text", q73, Some(q73Sql)),

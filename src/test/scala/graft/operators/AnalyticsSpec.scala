@@ -621,6 +621,31 @@ class AnalyticsSpec extends SparkSpec {
     assert(capped === Array((10L, 20L, 30L, 2L)))
   }
 
+  test("priceVolumeBridge reconciles delta = price + volume + residue") {
+    // g1: period 1 sells 10 units for 1000c (p=100); period 2 sells
+    // 20 units for 2400c (p=120). price effect = 2400 - 1000*20/10 = 400,
+    // volume effect = 1000*(20-10)/10 = 1000, delta = 1400, residue 0.
+    val rows = Seq(
+      ("g1", true, 1000L, 10L), ("g1", false, 2400L, 20L),
+      ("g2", true, 500L, 5L)) // missing period 2 -> null effects
+      .toDF("g", "p1", "r", "q")
+    val got = Analytics.priceVolumeBridge(rows, col("g"), col("p1"),
+        col("r"), col("q"))
+      .orderBy(col("g")).collect()
+    val g1 = got(0)
+    assert((g1.getAs[Long]("delta"), g1.getAs[Long]("price_effect"),
+      g1.getAs[Long]("volume_effect"), g1.getAs[Long]("residue"))
+      === ((1400L, 400L, 1000L, 0L)))
+    assert(got(1).isNullAt(got(1).fieldIndex("price_effect")))
+    // flooring residue reconciles by construction on awkward ratios
+    val odd = Seq(("h", true, 1000L, 3L), ("h", false, 1999L, 7L))
+      .toDF("g", "p1", "r", "q")
+    val h = Analytics.priceVolumeBridge(odd, col("g"), col("p1"),
+      col("r"), col("q")).head()
+    assert(h.getAs[Long]("delta") === h.getAs[Long]("price_effect")
+      + h.getAs[Long]("volume_effect") + h.getAs[Long]("residue"))
+  }
+
   test("audienceOverlap and captureRecapture compute exact set algebra") {
     val ev = Seq(
       ("click", 1L), ("click", 2L), ("click", 3L),

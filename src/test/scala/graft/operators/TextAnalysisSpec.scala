@@ -314,6 +314,27 @@ class TextAnalysisSpec extends SparkSpec {
       && got(2).getAs[Boolean]("confident"))
   }
 
+  test("encodingAudit flags multibyte, replacement, shouting, and blob docs") {
+    import spark.implicits._
+    val docs = Seq(
+      ("clean", "a normal document here"),
+      ("multi", "café au lait"),
+      ("repl", "broken � feed"),
+      ("caps", "THIS IS VERY LOUD text"),
+      ("blob", "x aHROcHM6Ly9leGFtcGxlLmNvbS92ZXJ5L2xvbmcvcGF0aA token"))
+      .toDF("source", "text")
+    val got = TextAnalysis.encodingAudit(docs,
+        org.apache.spark.sql.functions.col("source"), "text")
+      .orderBy(org.apache.spark.sql.functions.col("source"))
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._3, r._4, r._5, r._6))).toMap
+    assert(got("clean") === ((0L, 0L, 0L, 0L)))
+    assert(got("multi")._1 === 1L)
+    assert(got("repl")._2 === 1L)
+    assert(got("caps")._3 === 1L) // 4 of 5 tokens fully uppercase
+    assert(got("blob")._4 === 1L)
+  }
+
   test("langIdQuality computes exact per-class precision/recall/F1") {
     import spark.implicits._
     // Two English docs (both predicted en), one German doc written with
