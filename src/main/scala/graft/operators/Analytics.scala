@@ -1314,6 +1314,67 @@ object Analytics {
         .otherwise(abs(col("zscore")) > z))
   }
 
+  /** Month-of-year seasonal index: each calendar month's mean daily
+    * value against the overall mean daily value, as an exact rational —
+    * index_micro = (month_total · overall_days · 10⁶) div
+    * (month_days · overall_total) — the classic seasonality table
+    * (index 1.3 = "Decembers run 30% hot") computed without a single
+    * float. Day counts come from DISTINCT observed days, so sparse
+    * months aren't diluted by absent dates. Negative-capable totals
+    * sign-split before the division.
+    *
+    * Scale design: one (month, day) collapse with map-side partials,
+    * then twelve-row arithmetic against one broadcast overall row.
+    */
+  def seasonalIndex(df: DataFrame, tsCol: String,
+      valueCol: Column): DataFrame = {
+    val daily = df
+      .select(expr(s"unix_micros(cast($tsCol as timestamp)) div 86400000000")
+        .as("day_id"),
+        floor(valueCol * 100).cast("long").as("cents"))
+      .groupBy(col("day_id")).agg(sum(col("cents")).as("day_cents"))
+      .withColumn("month",
+        expr("month(date_from_unix_date(cast(day_id as int)))"))
+    val monthly = daily.groupBy(col("month"))
+      .agg(count(lit(1)).as("n_days"), sum(col("day_cents")).as("total"))
+    val overall = monthly.agg(sum(col("n_days")).as("all_days"),
+      sum(col("total")).as("all_total"))
+    monthly.crossJoin(broadcast(overall))
+      .select(col("month").cast("long").as("month"), col("n_days"),
+        col("total"),
+        when(col("all_total") =!= 0,
+          expr("""sign(total) * sign(all_total) *
+            cast((cast(abs(total) as decimal(38,0)) * all_days * 1000000L)
+              div (cast(n_days as decimal(38,0)) * abs(all_total)) as long)""")
+            .cast("long"))
+          .otherwise(lit(null).cast("long")).as("index_micro"))
+  }
+
+  // ---- q308: which calendar months run hot? -----------------------------------
+  private def q308(s: SparkSession, d: String): DataFrame =
+    seasonalIndex(Tables.orders(s, d), "o_orderdate", col("o_totalprice"))
+      .orderBy(col("month"))
+  private val q308Sql =
+    """WITH daily AS (
+         SELECT epoch_us(o_orderdate) // 86400000000 AS day_id,
+           sum(floor(o_totalprice * 100)::BIGINT)::BIGINT AS day_cents
+         FROM orders GROUP BY 1),
+       m AS (
+         SELECT month(DATE '1970-01-01' + day_id::INT) AS month,
+           count(*)::BIGINT AS n_days, sum(day_cents)::BIGINT AS total
+         FROM daily GROUP BY 1),
+       o AS (
+         SELECT sum(n_days)::BIGINT AS all_days,
+           sum(total)::BIGINT AS all_total
+         FROM m)
+       SELECT month::BIGINT AS month, n_days, total,
+         CASE WHEN all_total != 0
+           THEN sign(total)::BIGINT * sign(all_total)::BIGINT
+             * ((abs(total)::HUGEINT * all_days * 1000000)
+               // (n_days::HUGEINT * abs(all_total)))::BIGINT
+           ELSE NULL END::BIGINT AS index_micro
+       FROM m, o ORDER BY month"""
+
   /** Price-volume decomposition of a revenue change between two periods,
     * per group: Δrevenue = price effect + volume effect + residue, the
     * FP&A bridge ("did we sell less, or sell cheaper?"). With
@@ -3806,6 +3867,7 @@ object Analytics {
     QueryDef("q296_anomaly_consensus", q296, Some(q296Sql)),
     QueryDef("q303_audience_overlap", q303, Some(q303Sql)),
     QueryDef("q306_price_volume", q306, Some(q306Sql)),
+    QueryDef("q308_seasonal_index", q308, Some(q308Sql)),
     QueryDef("q304_capture_recapture", q304, Some(q304Sql)),
     QueryDef("q305_day_overlap", q305, Some(q305Sql)),
     QueryDef("q104_rank_family", q104, Some(q104Sql)),

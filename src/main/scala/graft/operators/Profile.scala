@@ -1938,6 +1938,48 @@ object Profile {
              / (n * least(r_cats, c_cats) - n)::DOUBLE), 6) END AS cramers_v
        FROM chi"""
 
+  /** Join-fanout histogram: the full DISTRIBUTION of per-key group
+    * sizes (size → n_keys, key share, row share) — the companion to
+    * [[keySkew]]'s hot-key list: skew tells you WHO is hot, the fanout
+    * histogram tells you whether the whole relation is join-safe
+    * ("99.8% of orders have ≤ 7 lines; the p99 fanout is 7, not the
+    * max"). Pure integer shares.
+    *
+    * Scale design: two metadata-sized collapses (rows → per-key sizes →
+    * histogram) with map-side partials; totals broadcast back.
+    */
+  def fanoutHistogram(df: DataFrame, keyCol: Column): DataFrame = {
+    val sizes = df.select(keyCol.as("k"))
+      .groupBy(col("k")).agg(count(lit(1)).as("sz"))
+    val hist = sizes.groupBy(col("sz").as("size"))
+      .agg(count(lit(1)).as("n_keys"))
+    hist.crossJoin(broadcast(hist.agg(sum(col("n_keys")).as("tk"),
+        sum(col("n_keys") * col("size")).as("tr"))))
+      .select(col("size"), col("n_keys"),
+        expr("(n_keys * 1000000L) div tk").as("key_share_micro"),
+        expr("(n_keys * size * 1000000L) div tr").as("row_share_micro"))
+  }
+
+  // ---- q309: how many lines does an order fan out to? -------------------------
+  private def q309(s: SparkSession, d: String): DataFrame =
+    fanoutHistogram(Tables.lineitem(s, d), col("l_orderkey"))
+      .orderBy(col("size"))
+  private val q309Sql =
+    """WITH sizes AS (
+         SELECT l_orderkey AS k, count(*)::BIGINT AS sz
+         FROM lineitem GROUP BY 1),
+       hist AS (
+         SELECT sz AS size, count(*)::BIGINT AS n_keys
+         FROM sizes GROUP BY 1),
+       t AS (
+         SELECT sum(n_keys)::BIGINT AS tk,
+           sum(n_keys * size)::BIGINT AS tr
+         FROM hist)
+       SELECT size, n_keys,
+         ((n_keys * 1000000) // tk)::BIGINT AS key_share_micro,
+         ((n_keys * size * 1000000) // tr)::BIGINT AS row_share_micro
+       FROM hist, t ORDER BY size"""
+
   /** Functional-dependency DISCOVERY over a column set: for every
     * ordered pair (det → dep), the exact distinct counts, how many
     * extra (det, dep) combinations exist beyond |distinct det| (0 =
@@ -3181,6 +3223,7 @@ object Profile {
     QueryDef("q272_cramers_v", q272, Some(q272Sql)),
     QueryDef("q295_sequence_gaps", q295, Some(q295Sql)),
     QueryDef("q298_fd_discovery", q298, Some(q298Sql)),
+    QueryDef("q309_fanout_histogram", q309, Some(q309Sql)),
     QueryDef("q299_gk_lambda", q299, Some(q299Sql)),
     QueryDef("q260_corpus_datasheet", q260, Some(q260Sql)),
     QueryDef("q194_mann_whitney", q194, Some(q194Sql)),

@@ -621,6 +621,31 @@ class AnalyticsSpec extends SparkSpec {
     assert(capped === Array((10L, 20L, 30L, 2L)))
   }
 
+  test("seasonalIndex is exactly 1.0 on flat data and scales a hot month") {
+    // January days at 100 cents/day, February days at 300 cents/day.
+    val rows = Seq(0L, 1L, 2L).map(d => (d * 86400 + 10, 1.0)) ++ // Jan
+      Seq(31L, 32L, 33L).map(d => (d * 86400 + 10, 3.0)) // Feb
+    val df = rows.toDF("t", "value")
+      .select(timestamp_seconds(col("t")).as("ts"), col("value"))
+    val got = Analytics.seasonalIndex(df, "ts", col("value"))
+      .orderBy(col("month")).as[(Long, Long, Long, Option[Long])].collect()
+    // overall mean = 1200/6 = 200; Jan mean 100 -> 0.5; Feb 300 -> 1.5.
+    assert(got === Array(
+      (1L, 3L, 300L, Some(500000L)),
+      (2L, 3L, 900L, Some(1500000L))))
+  }
+
+  test("fanoutHistogram shares tile keys and rows exactly") {
+    val df = Seq(1L, 1L, 1L, 2L, 2L, 3L).toDF("k")
+    val got = graft.operators.Profile.fanoutHistogram(df, col("k"))
+      .orderBy(col("size")).as[(Long, Long, Long, Long)].collect()
+    // sizes: {3:1 key, 2:1, 1:1}; rows 6 total.
+    assert(got === Array(
+      (1L, 1L, 333333L, 166666L),
+      (2L, 1L, 333333L, 333333L),
+      (3L, 1L, 333333L, 500000L)))
+  }
+
   test("priceVolumeBridge reconciles delta = price + volume + residue") {
     // g1: period 1 sells 10 units for 1000c (p=100); period 2 sells
     // 20 units for 2400c (p=120). price effect = 2400 - 1000*20/10 = 400,
