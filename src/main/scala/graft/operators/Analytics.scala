@@ -1375,6 +1375,156 @@ object Analytics {
            ELSE NULL END::BIGINT AS index_micro
        FROM m, o ORDER BY month"""
 
+  /** Lead–lag cross-covariance profile between two daily series: for each
+    * lag in [−maxLag, maxLag], the exact covariance numerator
+    * n·Σxy − Σx·Σy over days where series A at day d aligns with series B
+    * at day d+lag — the "does A lead B?" table (the argmax row is the
+    * best-predicting offset; sign says direction). Values in cents, the
+    * product algebra widened to decimal(38,0) so no intermediate ever
+    * wraps, the final numerator cast back to long.
+    *
+    * Scale design: the corpus collapses once to (day, series) sums with
+    * map-side partials; lags replicate only the |days|-sized collapse
+    * (broadcast lag spine), and the alignment is an equi-join on
+    * day+lag — never a range or cross join on the raw data.
+    */
+  def leadLagProfile(df: DataFrame, tsCol: String, seriesCol: Column,
+      valueCol: Column, seriesA: String, seriesB: String,
+      maxLag: Int): DataFrame = {
+    require(maxLag >= 1, "maxLag must be >= 1")
+    val daily = df
+      .select(expr(s"unix_micros(cast($tsCol as timestamp)) div 86400000000")
+          .as("day_id"),
+        seriesCol.as("et"), floor(valueCol * 100).cast("long").as("cents"))
+      .filter(col("et").isin(seriesA, seriesB))
+      .groupBy(col("day_id"), col("et")).agg(sum(col("cents")).as("v"))
+    val a = daily.filter(col("et") === seriesA)
+      .select(col("day_id").as("da"), col("v").as("x"))
+    val b = daily.filter(col("et") === seriesB)
+      .select(col("day_id").as("db"), col("v").as("y"))
+    val lags = broadcast(df.sparkSession
+      .createDataFrame((-maxLag to maxLag).map(l => Tuple1(l.toLong)))
+      .toDF("lag"))
+    a.crossJoin(lags)
+      .join(b, col("da") + col("lag") === col("db"))
+      .groupBy(col("lag"))
+      .agg(count(lit(1)).as("n_days"), sum(col("x")).as("sx"),
+        sum(col("y")).as("sy"),
+        sum(expr("cast(x as decimal(38,0)) * y")).as("sxy"))
+      .select(col("lag"), col("n_days"), col("sx"), col("sy"),
+        expr("""cast(cast(n_days as decimal(38,0)) * sxy
+             - cast(sx as decimal(38,0)) * sy as long)""").as("cov_num"))
+  }
+
+  // ---- q312: do views lead purchases, and by how many days? -------------------
+  private def q312(s: SparkSession, d: String): DataFrame =
+    leadLagProfile(Tables.events(s, d), "ts", col("event_type"),
+      col("value"), "view", "purchase", maxLag = 5)
+      .orderBy(col("lag"))
+  private val q312Sql =
+    """WITH daily AS (
+         SELECT epoch_us(ts) // 86400000000 AS day_id, event_type AS et,
+           sum(floor(value * 100)::BIGINT)::BIGINT AS v
+         FROM events WHERE event_type IN ('view', 'purchase') GROUP BY 1, 2),
+       a AS (SELECT day_id AS da, v AS x FROM daily WHERE et = 'view'),
+       b AS (SELECT day_id AS db, v AS y FROM daily WHERE et = 'purchase'),
+       l AS (SELECT unnest(range(-5, 6))::BIGINT AS lag),
+       ja AS (
+         SELECT lag, x, y FROM a CROSS JOIN l
+         JOIN b ON da + lag = db)
+       SELECT lag, count(*)::BIGINT AS n_days, sum(x)::BIGINT AS sx,
+         sum(y)::BIGINT AS sy,
+         (count(*)::HUGEINT * sum(x::HUGEINT * y)
+           - sum(x)::HUGEINT * sum(y))::BIGINT AS cov_num
+       FROM ja GROUP BY lag ORDER BY lag"""
+
+  /** As-of staleness histogram: given a backward as-of join's output, how
+    * old is the matched right-side row at each left event — bucketed into
+    * human-readable decades (<1 s, <10 s, <1 min, <10 min, <1 h, ≥1 h)
+    * plus the unmatched class, with exact share and per-bucket max. THE
+    * operational readout for an as-of pipeline: it prices the freshness
+    * SLA (and the watermark/retention needed) before anyone trusts the
+    * joined values.
+    *
+    * Scale design: consumes an already-planned as-of join (the native
+    * merge operator at scale); one conditional bucket expression and one
+    * tiny grouped count on top — the histogram adds no new shuffle of the
+    * joined data beyond its 7-row collapse.
+    */
+  def asofStalenessProfile(joined: DataFrame, leftTs: Column,
+      rightTs: Column): DataFrame = {
+    val st = joined.select(
+      (unix_micros(leftTs.cast("timestamp"))
+        - unix_micros(rightTs.cast("timestamp"))).as("stale_us"))
+    val bucketed = st.select(
+      when(col("stale_us").isNull, 6L)
+        .when(col("stale_us") < 1000000L, 0L)
+        .when(col("stale_us") < 10000000L, 1L)
+        .when(col("stale_us") < 60000000L, 2L)
+        .when(col("stale_us") < 600000000L, 3L)
+        .when(col("stale_us") < 3600000000L, 4L)
+        .otherwise(5L).as("ord"),
+      col("stale_us"))
+    val labels = Seq("lt_1s", "lt_10s", "lt_1m", "lt_10m", "lt_1h",
+      "ge_1h", "unmatched")
+    val hist = bucketed.groupBy(col("ord"))
+      .agg(count(lit(1)).as("n"), max(col("stale_us")).as("max_stale_us"))
+    hist.crossJoin(broadcast(hist.agg(sum(col("n")).as("total"))))
+      .select(col("ord"),
+        element_at(typedLit(labels), col("ord").cast("int") + 1)
+          .as("bucket"),
+        col("n"), expr("n * 1000000L div total").as("share_micro"),
+        col("max_stale_us"))
+  }
+
+  // ---- q313: how stale is the click each purchase joins back to? --------------
+  private def q313(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .groupBy(col("user_id"), col("ts"))
+      .agg(max(col("event_id")).as("click_id"))
+      .withColumn("click_ts", col("ts"))
+    val joined = AsOfJoin.leftAsOfNative(purchases, clicks,
+      keys = Seq("user_id"), leftTime = "ts", rightTime = "ts",
+      rightPayload = Seq("click_ts"))
+    asofStalenessProfile(joined, col("ts"), col("click_ts"))
+      .orderBy(col("ord"))
+  }
+  private val q313Sql =
+    """WITH purchases AS (
+         SELECT event_id, user_id, ts FROM events
+         WHERE event_type = 'purchase'),
+       clicks AS (
+         SELECT user_id, ts, max(event_id) AS click_id FROM events
+         WHERE event_type = 'click' GROUP BY user_id, ts),
+       j AS (
+         SELECT epoch_us(p.ts) - epoch_us(c.ts) AS stale_us
+         FROM purchases p ASOF LEFT JOIN clicks c
+           ON p.user_id = c.user_id AND p.ts >= c.ts),
+       bk AS (
+         SELECT CASE
+             WHEN stale_us IS NULL THEN 6
+             WHEN stale_us < 1000000 THEN 0
+             WHEN stale_us < 10000000 THEN 1
+             WHEN stale_us < 60000000 THEN 2
+             WHEN stale_us < 600000000 THEN 3
+             WHEN stale_us < 3600000000 THEN 4
+             ELSE 5 END::BIGINT AS ord,
+           stale_us
+         FROM j),
+       hist AS (
+         SELECT ord, count(*)::BIGINT AS n,
+           max(stale_us)::BIGINT AS max_stale_us
+         FROM bk GROUP BY ord),
+       t AS (SELECT sum(n)::BIGINT AS total FROM hist)
+       SELECT ord,
+         (['lt_1s', 'lt_10s', 'lt_1m', 'lt_10m', 'lt_1h', 'ge_1h',
+           'unmatched'])[ord + 1] AS bucket,
+         n, (n * 1000000 // total)::BIGINT AS share_micro, max_stale_us
+       FROM hist, t ORDER BY ord"""
+
   /** Price-volume decomposition of a revenue change between two periods,
     * per group: Δrevenue = price effect + volume effect + residue, the
     * FP&A bridge ("did we sell less, or sell cheaper?"). With
@@ -3868,6 +4018,8 @@ object Analytics {
     QueryDef("q303_audience_overlap", q303, Some(q303Sql)),
     QueryDef("q306_price_volume", q306, Some(q306Sql)),
     QueryDef("q308_seasonal_index", q308, Some(q308Sql)),
+    QueryDef("q312_lead_lag", q312, Some(q312Sql)),
+    QueryDef("q313_asof_staleness", q313, Some(q313Sql)),
     QueryDef("q304_capture_recapture", q304, Some(q304Sql)),
     QueryDef("q305_day_overlap", q305, Some(q305Sql)),
     QueryDef("q104_rank_family", q104, Some(q104Sql)),

@@ -1024,6 +1024,136 @@ object Dedup {
            AS completeness_micro
        FROM nd, cand, tr, fnd"""
 
+  /** Fellegi–Sunter agreement weights for record linkage: for each
+    * comparison field, the m-probability (P(field agrees | pair is a true
+    * match)), the u-probability (P(field agrees | pair is a non-match
+    * drawn from the blocked candidate space)), and their ratio — the
+    * per-field evidence weight a probabilistic linker sums before
+    * thresholding (Fellegi & Sunter 1969). All probabilities as exact
+    * micro fractions.
+    *
+    * Scale design — neither side materializes the quadratic pair space:
+    *  - m-side: the verified match-pair list is output-sized (it IS the
+    *    dedup result); joined twice against the corpus with the pair list
+    *    broadcast, so the corpus never shuffles for it.
+    *  - u-side: agreement counts among blocked pairs come from pure
+    *    group-size algebra — Σ C(n,2) over (block), (block, field) and
+    *    the match-side corrections — three grouped counts with map-side
+    *    partials, pairs never enumerated (the [[blockingQuality]] trick).
+    */
+  def linkageWeights(df: DataFrame, idCol: String, matchPairs: DataFrame,
+      blockKey: Column, fields: Seq[(String, Column)]): DataFrame = {
+    require(fields.nonEmpty, "need at least one comparison field")
+    val base = df.select(
+      (col(idCol).as("id") +: blockKey.as("b") +:
+        fields.map { case (n, c) => c.as(s"f_$n") }): _*)
+    def pairSum: Column =
+      coalesce(sum(expr("cnt * (cnt - 1) div 2")), lit(0L))
+    val blocked = base.groupBy(col("b")).agg(count(lit(1)).as("cnt"))
+      .agg(pairSum.as("blocked_pairs"))
+    val side1 = base.select(
+      (col("id").as("d1") +: col("b").as("b1") +:
+        fields.map { case (n, _) => col(s"f_$n").as(s"f1_$n") }): _*)
+    val side2 = base.select(
+      (col("id").as("d2") +: col("b").as("b2") +:
+        fields.map { case (n, _) => col(s"f_$n").as(s"f2_$n") }): _*)
+    val mp = matchPairs.select(col("d1"), col("d2"))
+    val matched = broadcast(mp).join(side1, "d1").join(side2, "d2")
+    fields.map { case (name, _) =>
+      val agree = col(s"f1_$name") === col(s"f2_$name")
+      val inBlock = col("b1") === col("b2")
+      val mSide = matched.agg(
+        count(lit(1)).as("n_match"),
+        sum(when(agree, 1L).otherwise(0L)).as("agree_match"),
+        sum(when(inBlock, 1L).otherwise(0L)).as("n_match_blocked"),
+        sum(when(inBlock && agree, 1L).otherwise(0L))
+          .as("agree_match_blocked"))
+      val agreeBlocked = base.groupBy(col("b"), col(s"f_$name"))
+        .agg(count(lit(1)).as("cnt")).agg(pairSum.as("agree_blocked"))
+      mSide.crossJoin(broadcast(agreeBlocked)).crossJoin(broadcast(blocked))
+        .select(lit(name).as("field"), col("n_match"), col("agree_match"),
+          when(col("n_match") > 0,
+            expr("agree_match * 1000000L div n_match"))
+            .otherwise(lit(null).cast("long")).as("m_micro"),
+          when(col("blocked_pairs") - col("n_match_blocked") > 0,
+            expr("""(agree_blocked - agree_match_blocked) * 1000000L
+                 div (blocked_pairs - n_match_blocked)"""))
+            .otherwise(lit(null).cast("long")).as("u_micro"))
+        .withColumn("weight_ratio_micro",
+          when(col("m_micro").isNotNull && col("u_micro").isNotNull,
+            expr("m_micro * 1000000L div greatest(u_micro, 1L)"))
+            .otherwise(lit(null).cast("long")))
+    }.reduce(_ unionByName _)
+  }
+
+  // ---- q311: which fields carry linkage evidence? -----------------------------
+  // Truth = the verified near-dup pair list (LSH-found, exact-Jaccard-
+  // verified — the [[lshPairsOf]] materialization); blocks = 100-char
+  // length bands. The fixture's verdict: source carries almost no weight
+  // (near-dups cross sources by construction), the 16-char prefix is
+  // decisive.
+  private def q311(s: SparkSession, d: String): DataFrame =
+    linkageWeights(Tables.documents(s, d), "doc_id", lshPairsOf(s, d),
+      expr("n_chars div 100"),
+      Seq("source" -> col("source"), "lang" -> col("lang"),
+        "prefix16" -> substring(col("text"), 1, 16)))
+      .orderBy(col("field"))
+  private val q311Sql =
+    s"""WITH ${jaccardCtes()}, $dupCte,
+       base AS (
+         SELECT doc_id AS id, n_chars // 100 AS b, source AS f_source,
+           lang AS f_lang, left(text, 16) AS f_prefix16
+         FROM documents),
+       blocked AS (
+         SELECT coalesce(sum(cnt * (cnt - 1) // 2), 0)::BIGINT
+           AS blocked_pairs
+         FROM (SELECT count(*)::BIGINT AS cnt FROM base GROUP BY b)),
+       m AS (
+         SELECT p.d1, p.d2, a.b AS b1, c.b AS b2,
+           a.f_source AS s1, c.f_source AS s2,
+           a.f_lang AS l1, c.f_lang AS l2,
+           a.f_prefix16 AS x1, c.f_prefix16 AS x2
+         FROM dup p JOIN base a ON p.d1 = a.id JOIN base c ON p.d2 = c.id),
+       stats AS (
+         SELECT 'source' AS field, count(*)::BIGINT AS n_match,
+           sum(CASE WHEN s1 = s2 THEN 1 ELSE 0 END)::BIGINT AS agree_match,
+           sum(CASE WHEN b1 = b2 THEN 1 ELSE 0 END)::BIGINT AS nmb,
+           sum(CASE WHEN b1 = b2 AND s1 = s2 THEN 1 ELSE 0 END)::BIGINT
+             AS amb,
+           (SELECT coalesce(sum(cnt * (cnt - 1) // 2), 0)::BIGINT FROM
+             (SELECT count(*)::BIGINT AS cnt FROM base GROUP BY b, f_source))
+             AS agree_blocked
+         FROM m
+         UNION ALL
+         SELECT 'lang', count(*)::BIGINT,
+           sum(CASE WHEN l1 = l2 THEN 1 ELSE 0 END)::BIGINT,
+           sum(CASE WHEN b1 = b2 THEN 1 ELSE 0 END)::BIGINT,
+           sum(CASE WHEN b1 = b2 AND l1 = l2 THEN 1 ELSE 0 END)::BIGINT,
+           (SELECT coalesce(sum(cnt * (cnt - 1) // 2), 0)::BIGINT FROM
+             (SELECT count(*)::BIGINT AS cnt FROM base GROUP BY b, f_lang))
+         FROM m
+         UNION ALL
+         SELECT 'prefix16', count(*)::BIGINT,
+           sum(CASE WHEN x1 = x2 THEN 1 ELSE 0 END)::BIGINT,
+           sum(CASE WHEN b1 = b2 THEN 1 ELSE 0 END)::BIGINT,
+           sum(CASE WHEN b1 = b2 AND x1 = x2 THEN 1 ELSE 0 END)::BIGINT,
+           (SELECT coalesce(sum(cnt * (cnt - 1) // 2), 0)::BIGINT FROM
+             (SELECT count(*)::BIGINT AS cnt FROM base
+              GROUP BY b, f_prefix16))
+         FROM m)
+       SELECT field, n_match, agree_match,
+         CASE WHEN n_match > 0 THEN agree_match * 1000000 // n_match
+           ELSE NULL END::BIGINT AS m_micro,
+         CASE WHEN blocked_pairs - nmb > 0
+           THEN (agree_blocked - amb) * 1000000 // (blocked_pairs - nmb)
+           ELSE NULL END::BIGINT AS u_micro,
+         CASE WHEN n_match > 0 AND blocked_pairs - nmb > 0
+           THEN (agree_match * 1000000 // n_match) * 1000000
+             // greatest((agree_blocked - amb) * 1000000
+               // (blocked_pairs - nmb), 1)
+           ELSE NULL END::BIGINT AS weight_ratio_micro
+       FROM stats, blocked ORDER BY field"""
+
   private def q25(s: SparkSession, d: String): DataFrame =
     exactDedup(Tables.documents(s, d), "doc_id", "text").orderBy(col("keeper"))
   private val q25Sql =
@@ -1712,5 +1842,6 @@ object Dedup {
     QueryDef("q133_semantic_dedup", q133, Some(q133Sql)),
     QueryDef("q140_boilerplate_tiles", q140, Some(q140Sql)),
     QueryDef("q142_lsh_miss_report", q142, Some(q142Sql)),
-    QueryDef("q301_lsh_curve", q301, Some(q301Sql)))
+    QueryDef("q301_lsh_curve", q301, Some(q301Sql)),
+    QueryDef("q311_linkage_weights", q311, Some(q311Sql)))
 }

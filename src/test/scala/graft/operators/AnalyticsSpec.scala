@@ -646,6 +646,44 @@ class AnalyticsSpec extends SparkSpec {
       (3L, 1L, 333333L, 500000L)))
   }
 
+  test("leadLagProfile peaks at the constructed one-day lead") {
+    // Series B is exactly series A shifted one day later, so the lag=+1
+    // alignment is a perfect match and carries the largest covariance.
+    val rows =
+      Seq((0L, "a", 1.0), (1L, "a", 2.0), (2L, "a", 3.0),
+        (1L, "b", 1.0), (2L, "b", 2.0), (3L, "b", 3.0))
+    val df = rows.toDF("d", "et", "value")
+      .select(timestamp_seconds(col("d") * 86400 + 100).as("ts"),
+        col("et"), col("value"))
+    val got = Analytics.leadLagProfile(df, "ts", col("et"), col("value"),
+        "a", "b", maxLag = 1)
+      .orderBy(col("lag"))
+      .select(col("lag"), col("n_days"), col("cov_num"))
+      .as[(Long, Long, Long)].collect()
+    assert(got === Array((-1L, 1L, 0L), (0L, 2L, 10000L), (1L, 3L, 60000L)))
+  }
+
+  test("asofStalenessProfile buckets staleness and the unmatched class") {
+    val rows = Seq(
+      (1000L, Some(999L)), // exactly 1 s: boundary lands in lt_10s
+      (5000L, Some(4970L)), // 30 s -> lt_1m
+      (90000L, Some(82800L)), // 7200 s -> ge_1h
+      (700L, None: Option[Long])) // unmatched
+    val df = rows.toDF("lt_s", "rt_s")
+      .select(timestamp_seconds(col("lt_s")).as("lt"),
+        timestamp_seconds(col("rt_s")).as("rt"))
+    val got = Analytics.asofStalenessProfile(df, col("lt"), col("rt"))
+      .orderBy(col("ord"))
+      .select(col("ord"), col("bucket"), col("n"), col("share_micro"),
+        col("max_stale_us"))
+      .as[(Long, String, Long, Long, Option[Long])].collect()
+    assert(got === Array(
+      (1L, "lt_10s", 1L, 250000L, Some(1000000L)),
+      (2L, "lt_1m", 1L, 250000L, Some(30000000L)),
+      (5L, "ge_1h", 1L, 250000L, Some(7200000000L)),
+      (6L, "unmatched", 1L, 250000L, None)))
+  }
+
   test("priceVolumeBridge reconciles delta = price + volume + residue") {
     // g1: period 1 sells 10 units for 1000c (p=100); period 2 sells
     // 20 units for 2400c (p=120). price effect = 2400 - 1000*20/10 = 400,

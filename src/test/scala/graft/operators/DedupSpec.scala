@@ -355,4 +355,23 @@ class DedupSpec extends SparkSpec {
     assert(got.map(r => r._1 * r._2).sum === 7L, "sizes must tile the corpus")
   }
 
+  test("linkageWeights computes m/u from pair algebra, never enumerating") {
+    // One block of 4 records; truth = {(1,2)}. Field "c": 1,2 agree (red),
+    // so m=1, and red is the only in-block agreeing pair -> u=(1-1)/5=0.
+    // Field "len": 1,2 DISagree -> m=0; ids {1,3,4} share len=1 ->
+    // agree_blocked=C(3,2)=3 over 5 non-match pairs -> u=600000.
+    val df = Seq(
+      (1L, "red", 1L), (2L, "red", 2L), (3L, "blue", 1L), (4L, "green", 1L))
+      .toDF("id", "c", "len")
+    val pairs = Seq((1L, 2L)).toDF("d1", "d2")
+    val got = Dedup.linkageWeights(df, "id", pairs, lit(0),
+        Seq("c" -> col("c"), "len" -> col("len")))
+      .orderBy($"field")
+      .select($"field", $"m_micro", $"u_micro", $"weight_ratio_micro")
+      .as[(String, Option[Long], Option[Long], Option[Long])].collect()
+    assert(got === Array(
+      ("c", Some(1000000L), Some(0L), Some(1000000000000L)),
+      ("len", Some(0L), Some(600000L), Some(0L))))
+  }
+
 }
