@@ -254,4 +254,29 @@ class GraphSpec extends SparkSpec {
     assert(got2 === Set((2L, 4L, 1L), (3L, 4L, 1L)))
   }
 
+  test("kTruss peels pendant edges and certifies the stable clique") {
+    // K4 on {1,2,3,4}: every edge closes 2 triangles (support 2), so the
+    // 4-truss keeps all six edges. The pendant (4,5) has support 0 and
+    // peels in round one without destabilizing the clique.
+    val k4 = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (4L, 5L)).toDF("s1", "s2")
+    val got = Graph.kTruss(k4, "s1", "s2", k = 4, rounds = 3)
+      .as[(Long, Long, Long, Boolean)].collect()
+    assert(got === Array(
+      (1L, 2L, 2L, true), (1L, 3L, 2L, true), (1L, 4L, 2L, true),
+      (2L, 3L, 2L, true), (2L, 4L, 2L, true), (3L, 4L, 2L, true)))
+  }
+
+  test("kTruss cascade: losing one clique edge dissolves the 4-truss") {
+    // K4 minus edge (3,4): supports drop to 1 everywhere except (1,2)
+    // (still 2: both 3 and 4 remain common neighbors) — but once the
+    // support-1 edges peel, (1,2) has no triangles left either. The
+    // 4-truss is empty and the fixpoint still certifies.
+    val broken = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L))
+      .toDF("s1", "s2")
+    val got = Graph.kTruss(broken, "s1", "s2", k = 4, rounds = 4)
+      .as[(Long, Long, Long, Boolean)].collect()
+    assert(got.isEmpty)
+  }
+
 }
