@@ -938,6 +938,128 @@ object PipelineOps {
          round(avg(cs), 6) + 0.0 AS avg_cos
        FROM best WHERE rn = 1 GROUP BY centroid_id ORDER BY centroid_id"""
 
+  /** Two-way margin raking (iterative proportional fitting, Deming &
+    * Stephan 1940): per-cell weights over a (row, col) contingency
+    * collapse such that the weighted row margins match `rowTargets` and
+    * the weighted column margins match `colTargets` (micro shares of the
+    * total), after `rounds` alternating row/column scaling passes — the
+    * survey-weighting / mixture-balancing step ("rake source × language
+    * to the target mix") done in EXACT integer micro arithmetic: every
+    * scaling is w·t·M div (10⁶·m) with decimal(38,0) intermediates, so
+    * the result is bit-identical on any engine and any partitioning
+    * (IPF's multiplicative updates are order-free; truncation points are
+    * fixed by the round structure, not the data order).
+    *
+    * Target relations are (category, target_micro) pairs and must cover
+    * every observed category (inner-join semantics otherwise drop
+    * cells). Zero-mass guards: margins clamp at 1 before dividing.
+    *
+    * Scale design: the corpus collapses ONCE to the |rows|·|cols|
+    * contingency table (map-side partials); every subsequent round is
+    * arithmetic + joins on that metadata-sized relation with broadcast
+    * single-row totals — iteration depth never touches corpus data.
+    */
+  def rakeWeights(df: DataFrame, rowCol: Column, colCol: Column,
+      rowTargets: DataFrame, colTargets: DataFrame,
+      rounds: Int): DataFrame = {
+    require(rounds >= 1, "need at least one raking round")
+    val rt = broadcast(rowTargets.toDF("r", "t_r"))
+    val ct = broadcast(colTargets.toDF("c", "t_c"))
+    // The contingency collapse is consumed twice per scaling pass and
+    // re-derived every round — checkpoint it once (it is metadata-sized)
+    // so the iterated plan stays linear instead of doubling per pass
+    // (the kCore lineage discipline).
+    var cells = df.select(rowCol.as("r"), colCol.as("c"))
+      .groupBy(col("r"), col("c")).agg(count(lit(1)).as("n"))
+      .withColumn("w", lit(1000000L))
+      .localCheckpoint()
+    def scale(keyName: String, targets: DataFrame,
+        targetName: String): Unit = {
+      val m = cells.groupBy(col(keyName))
+        .agg(sum(expr("n * w")).as("m_k"))
+      val tot = m.agg(sum(col("m_k")).as("mm"))
+      cells = cells.join(m, keyName).join(targets, keyName)
+        .crossJoin(broadcast(tot))
+        .select(col("r"), col("c"), col("n"),
+          expr(s"""cast(cast(w as decimal(38,0)) * $targetName * mm
+               div (cast(1000000 as decimal(38,0)) * greatest(m_k, 1L))
+               as long)""").as("w"))
+        .localCheckpoint()
+    }
+    for (_ <- 1 to rounds) {
+      scale("r", rt, "t_r")
+      scale("c", ct, "t_c")
+    }
+    cells.select(col("r"), col("c"), col("n"), col("w").as("w_micro"))
+  }
+
+  /** [[rakeWeights]] with UNIFORM targets derived from the observed
+    * categories (1e6 div k each) — "flatten both margins", the common
+    * debiasing default.
+    */
+  def rakeToUniform(df: DataFrame, rowCol: Column, colCol: Column,
+      rounds: Int): DataFrame = {
+    def uniform(c: Column): DataFrame = {
+      val d = df.select(c.as("k")).distinct()
+      d.crossJoin(broadcast(d.agg(count(lit(1)).as("nk"))))
+        .select(col("k"), expr("1000000L div nk").as("t"))
+    }
+    rakeWeights(df, rowCol, colCol, uniform(rowCol), uniform(colCol),
+      rounds)
+  }
+
+  private val RakeRounds = 3
+
+  // ---- q316: rake source × language to uniform margins ------------------------
+  // The fixture's languages are en-heavy (en ≈ 2-3x any other), sources
+  // uniform — raking flattens the language margin while the source
+  // margin stays put; three rounds land the 20 × 5 table well inside
+  // micro precision. Oracle = the identical update UNROLLED (the q165
+  // generated-oracle pattern), all arithmetic HUGEINT.
+  private def q316(s: SparkSession, d: String): DataFrame =
+    rakeToUniform(Tables.documents(s, d), col("source"), col("lang"),
+      RakeRounds).orderBy(col("r"), col("c"))
+  private val q316Sql: String = {
+    val steps = (1 to RakeRounds).map { i =>
+      val prev = s"c${2 * i - 2}"; val mid = s"c${2 * i - 1}"
+      s"""m${2 * i - 1} AS (
+         SELECT r, sum(n * w)::HUGEINT AS m_k FROM $prev GROUP BY r),
+       t${2 * i - 1} AS (
+         SELECT sum(m_k)::HUGEINT AS mm FROM m${2 * i - 1}),
+       $mid AS (
+         SELECT p.r, p.c, p.n,
+           (p.w::HUGEINT * rt.t * mm)
+             // (1000000::HUGEINT * greatest(m_k, 1)) AS w
+         FROM $prev p JOIN m${2 * i - 1} USING (r)
+         JOIN rt ON rt.k = p.r CROSS JOIN t${2 * i - 1}),
+       m${2 * i} AS (
+         SELECT c, sum(n * w)::HUGEINT AS m_k FROM $mid GROUP BY c),
+       t${2 * i} AS (
+         SELECT sum(m_k)::HUGEINT AS mm FROM m${2 * i}),
+       c${2 * i} AS (
+         SELECT p.r, p.c, p.n,
+           (p.w::HUGEINT * ct.t * mm)
+             // (1000000::HUGEINT * greatest(m_k, 1)) AS w
+         FROM $mid p JOIN m${2 * i} USING (c)
+         JOIN ct ON ct.k = p.c CROSS JOIN t${2 * i})"""
+    }.mkString(",\n       ")
+    s"""WITH rt AS (
+         SELECT source AS k,
+           1000000 // (SELECT count(DISTINCT source) FROM documents) AS t
+         FROM documents GROUP BY source),
+       ct AS (
+         SELECT lang AS k,
+           1000000 // (SELECT count(DISTINCT lang) FROM documents) AS t
+         FROM documents GROUP BY lang),
+       c0 AS (
+         SELECT source AS r, lang AS c, count(*)::BIGINT AS n,
+           1000000::HUGEINT AS w
+         FROM documents GROUP BY 1, 2),
+       $steps
+       SELECT r, c, n, w::BIGINT AS w_micro FROM c${2 * RakeRounds}
+       ORDER BY r, c"""
+  }
+
   /** Per-group sampling weights that rebalance a corpus toward a uniform
     * token budget across groups (the "domain mixing" step of a training
     * pipeline): each group's target is `total_tokens / n_groups`, its
@@ -2099,5 +2221,6 @@ object PipelineOps {
     QueryDef("q119_split_leakage", q119, Some(q119Sql)),
     QueryDef("q141_weighted_sample", q141, Some(q141Sql)),
     QueryDef("q149_budget_select", q149, Some(q149Sql)),
-    QueryDef("q151_span_corrupt", q151, Some(q151Sql)))
+    QueryDef("q151_span_corrupt", q151, Some(q151Sql)),
+    QueryDef("q316_rake_weights", q316, Some(q316Sql)))
 }

@@ -1980,6 +1980,77 @@ object Profile {
          ((n_keys * size * 1000000) // tr)::BIGINT AS row_share_micro
        FROM hist, t ORDER BY size"""
 
+  /** One-way ANOVA decomposition in exact integer algebra: between- and
+    * within-group sums of squares over cent-quantized values, and the
+    * F statistic as a micro ratio — "does the group mean differ at all"
+    * for k groups at once, the parametric complement to the pairwise
+    * [[mannWhitney]]. No floats anywhere: SS values come from
+    * N·Σ(s_g² div n_g) − S² widened through decimal(38,0) so nothing
+    * wraps, with the one inner truncating division applied identically
+    * on both engines (s_g² ≥ 0, so floor = trunc and DuckDB's `//`
+    * agrees with Spark's `div`).
+    *
+    * Scale design: one grouped collapse to k rows with map-side
+    * partials, then k-row arithmetic — the corpus is touched once.
+    */
+  def anovaTable(df: DataFrame, groupCol: Column,
+      valueCol: Column): DataFrame = {
+    val cells = df
+      .select(groupCol.as("g"),
+        floor(valueCol * 100).cast("long").as("c"))
+      .groupBy(col("g"))
+      .agg(count(lit(1)).as("n_g"), sum(col("c")).as("s_g"),
+        sum(expr("cast(c as decimal(38,0)) * c")).as("q_g"))
+    cells.agg(
+        count(lit(1)).as("k"), sum(col("n_g")).as("n"),
+        sum(col("s_g")).as("s"), sum(col("q_g")).as("q"),
+        sum(expr("cast(s_g as decimal(38,0)) * s_g div n_g")).as("t"))
+      .select(col("k"), col("n"),
+        // The inner truncation in t can push N·t − S² a hair negative
+        // when the true SSB ≈ 0; Spark's div truncates toward zero while
+        // DuckDB's // floors, so the clamp at 0 (SSB is ≥ 0 by
+        // definition) is what keeps the engines bit-identical.
+        expr("""greatest(cast(0 as long), (cast(n as decimal(38,0)) * t
+             - cast(s as decimal(38,0)) * s) div n)""").as("ss_between"),
+        expr("""(cast(n as decimal(38,0)) * q
+             - cast(s as decimal(38,0)) * s) div n""").as("ss_total"))
+      .withColumn("ss_within", col("ss_total") - col("ss_between"))
+      .withColumn("f_micro",
+        when(col("k") > 1 && col("n") > col("k"),
+          expr("""(ss_between div (k - 1)) * 1000000L
+               div greatest(ss_within div (n - k), 1L)"""))
+          .otherwise(lit(null).cast("long")))
+  }
+
+  // ---- q315: does mean event value differ across event types? -----------------
+  private def q315(s: SparkSession, d: String): DataFrame =
+    anovaTable(Tables.events(s, d), col("event_type"), col("value"))
+  private val q315Sql =
+    """WITH cells AS (
+         SELECT event_type AS g, count(*)::BIGINT AS n_g,
+           sum(floor(value * 100)::BIGINT)::BIGINT AS s_g,
+           sum(floor(value * 100)::HUGEINT
+             * floor(value * 100)::HUGEINT) AS q_g
+         FROM events GROUP BY 1),
+       tot AS (
+         SELECT count(*)::BIGINT AS k, sum(n_g)::BIGINT AS n,
+           sum(s_g)::BIGINT AS s, sum(q_g)::HUGEINT AS q,
+           sum((s_g::HUGEINT * s_g) // n_g)::HUGEINT AS t
+         FROM cells),
+       ss AS (
+         SELECT k, n,
+           greatest(0, (n::HUGEINT * t - s::HUGEINT * s) // n)::BIGINT
+             AS ss_between,
+           ((n::HUGEINT * q - s::HUGEINT * s) // n)::BIGINT AS ss_total
+         FROM tot)
+       SELECT k, n, ss_between, ss_total,
+         (ss_total - ss_between)::BIGINT AS ss_within,
+         CASE WHEN k > 1 AND n > k
+           THEN (ss_between // (k - 1)) * 1000000
+             // greatest((ss_total - ss_between) // (n - k), 1)
+           ELSE NULL END::BIGINT AS f_micro
+       FROM ss"""
+
   /** Functional-dependency DISCOVERY over a column set: for every
     * ordered pair (det → dep), the exact distinct counts, how many
     * extra (det, dep) combinations exist beyond |distinct det| (0 =
@@ -3224,6 +3295,7 @@ object Profile {
     QueryDef("q295_sequence_gaps", q295, Some(q295Sql)),
     QueryDef("q298_fd_discovery", q298, Some(q298Sql)),
     QueryDef("q309_fanout_histogram", q309, Some(q309Sql)),
+    QueryDef("q315_anova", q315, Some(q315Sql)),
     QueryDef("q299_gk_lambda", q299, Some(q299Sql)),
     QueryDef("q260_corpus_datasheet", q260, Some(q260Sql)),
     QueryDef("q194_mann_whitney", q194, Some(q194Sql)),

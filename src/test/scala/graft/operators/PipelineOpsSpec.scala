@@ -546,4 +546,39 @@ class PipelineOpsSpec extends SparkSpec {
     assert(got(2) === (("zero", 2L, 0L, 0L, None, None)))
   }
 
+  test("rakeToUniform matches a driver-side BigInt mirror of the update") {
+    // Skewed 2x2 corpus: row a and col x dominate. The mirror below
+    // replays the EXACT integer update (same truncation points), so
+    // equality is bit-for-bit, not approximate.
+    val rows = Seq.fill(6)(("a", "x")) ++ Seq.fill(2)(("a", "y")) ++
+      Seq.fill(1)(("b", "x")) ++ Seq.fill(3)(("b", "y"))
+    val df = rows.toDF("r0", "c0")
+    val got = PipelineOps.rakeToUniform(df, col("r0"), col("c0"), rounds = 4)
+      .orderBy($"r", $"c").as[(String, String, Long, Long)].collect()
+
+    var cells = Map(("a", "x") -> (6L, BigInt(1000000)),
+      ("a", "y") -> (2L, BigInt(1000000)),
+      ("b", "x") -> (1L, BigInt(1000000)),
+      ("b", "y") -> (3L, BigInt(1000000)))
+    val t = BigInt(500000)
+    def scale(key: ((String, String)) => String): Unit = {
+      val m = cells.groupBy { case (k, _) => key(k) }
+        .map { case (g, cs) =>
+          g -> cs.map { case (_, (n, w)) => BigInt(n) * w }.sum }
+      val mm = m.values.sum
+      cells = cells.map { case (k, (n, w)) =>
+        k -> (n, (w * t * mm) / (BigInt(1000000) * m(key(k)).max(1))) }
+    }
+    for (_ <- 1 to 4) { scale(_._1); scale(_._2) }
+    val want = cells.toSeq.sortBy { case ((r, c), _) => (r, c) }
+      .map { case ((r, c), (n, w)) => (r, c, n, w.toLong) }
+    assert(got.toSeq === want)
+
+    // And the raked margins actually flattened: row-a share within 1% of
+    // 50% despite the 8:4 input skew.
+    val aMass = want.filter(_._1 == "a").map(x => x._3 * x._4).sum
+    val total = want.map(x => x._3 * x._4).sum
+    assert(math.abs(aMass.toDouble / total - 0.5) < 0.01)
+  }
+
 }

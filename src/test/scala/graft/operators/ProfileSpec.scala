@@ -798,4 +798,24 @@ class ProfileSpec extends SparkSpec {
       ("id", 3L, 0L, 3L, 2L, 0L, 2L, -1L)))
   }
 
+  test("anovaTable decomposes SS exactly and yields the textbook F") {
+    // a = {1,2,3}, b = {5,6,7}: SSB = 240000 cents², SSW = 40000,
+    // F = (240000/1)/(40000/4) = 24 exactly.
+    val df = Seq(("a", 1.0), ("a", 2.0), ("a", 3.0),
+      ("b", 5.0), ("b", 6.0), ("b", 7.0)).toDF("g", "v")
+    val got = Profile.anovaTable(df, col("g"), col("v"))
+      .select($"k", $"n", $"ss_between", $"ss_within", $"f_micro")
+      .as[(Long, Long, Long, Long, Option[Long])].collect()
+    assert(got === Array((2L, 6L, 240000L, 40000L, Some(24000000L))))
+  }
+
+  test("anovaTable on identical groups clamps SSB to zero, F to zero") {
+    val df = Seq(("a", 2.0), ("a", 4.0), ("b", 2.0), ("b", 4.0))
+      .toDF("g", "v")
+    val got = Profile.anovaTable(df, col("g"), col("v"))
+      .select($"ss_between", $"f_micro")
+      .as[(Long, Option[Long])].collect()
+    assert(got === Array((0L, Some(0L))))
+  }
+
 }
