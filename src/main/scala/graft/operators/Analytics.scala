@@ -1525,6 +1525,107 @@ object Analytics {
          n, (n * 1000000 // total)::BIGINT AS share_micro, max_stale_us
        FROM hist, t ORDER BY ord"""
 
+  /** Kaplan–Meier survival estimator over right-censored integer
+    * durations: for each death time t, the risk-set size, deaths, the
+    * exact hazard d·10⁶ div n, and the product-limit survival
+    * S(t) = Π_{t_i ≤ t} (n_i − d_i)/n_i carried in micro units with a
+    * FIXED truncation point per factor — the fold multiplies then
+    * floor-divides at every step, so the estimate is bit-identical on
+    * any engine (each factor is packed as (n−d)·2³² + n, making the
+    * fold a pure BIGINT lambda both here and in the oracle).
+    *
+    * Scale design: the corpus collapses once to per-duration (count,
+    * deaths) rows with map-side partials; the risk set is ONE cumulative
+    * pass over that collapse (`quantized = true` window for day-like
+    * bounded domains, [[DistributedPrefix.cumSums]] otherwise), and only
+    * the death-time rows — an inherently bounded relation for quantized
+    * durations — enter the sequential product fold. The fold itself is
+    * the textbook KM recurrence: sequential by definition, so it runs on
+    * the collapsed metadata, never the corpus.
+    */
+  def kaplanMeier(df: DataFrame, durationCol: Column, eventCol: Column,
+      quantized: Boolean = true): DataFrame = {
+    val byT = df
+      .select(durationCol.cast("long").as("t"),
+        when(eventCol, 1L).otherwise(0L).as("e"))
+      .groupBy(col("t"))
+      .agg(count(lit(1)).as("c"), sum(col("e")).as("d"))
+    val w = Window.orderBy(col("t"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum =
+      if (quantized)
+        byT.select(col("t"), col("c"), col("d"),
+          sum(col("c")).over(w).as("cum"))
+      else DistributedPrefix.cumSums(byT, Nil, Seq(col("t")), Seq("c"))
+        .select(col("t"), col("c"), col("d"), col("cum_c").as("cum"))
+    val ev = cum
+      .crossJoin(broadcast(byT.agg(sum(col("c")).as("n_total"))))
+      .select(col("t"), col("d"),
+        (col("n_total") - col("cum") + col("c")).as("n_risk"))
+      .filter(col("d") > 0)
+      .select(col("t"), col("n_risk"), col("d"),
+        ((col("n_risk") - col("d")) * lit(4294967296L) + col("n_risk"))
+          .as("f"))
+    ev.agg(array_sort(collect_list(struct(col("t"), col("n_risk"),
+        col("d"), col("f")))).as("a"))
+      .select(col("a"), posexplode(col("a")))
+      .toDF("a", "i", "x")
+      .select(col("x.t").as("t"), col("x.n_risk").as("n_risk"),
+        col("x.d").as("d"),
+        expr("x.d * 1000000L div x.n_risk").as("hazard_micro"),
+        expr("""aggregate(slice(a, 1, i + 1), 1000000L,
+             (acc, y) -> acc * (y.f div 4294967296L)
+               div (y.f % 4294967296L))""").as("surv_micro"))
+  }
+
+  // ---- q317: customer ordering-lifetime survival curve ------------------------
+  // Duration = days between a customer's first and last order; the event
+  // (“stopped ordering”) is observed when the last order predates the
+  // 2001-02-01 horizon, censored otherwise (the fixture's orders run to
+  // 2001-08-01).
+  private def q317(s: SparkSession, d: String): DataFrame = {
+    val cust = Tables.orders(s, d).groupBy(col("o_custkey"))
+      .agg(min(col("o_orderdate")).as("fo"),
+        max(col("o_orderdate")).as("lo"))
+      .select(datediff(col("lo"), col("fo")).cast("long").as("dur"),
+        expr("cast(lo as date) < date'2001-02-01'").as("ev"))
+    kaplanMeier(cust, col("dur"), col("ev")).orderBy(col("t"))
+  }
+  private val q317Sql =
+    """WITH cust AS (
+         SELECT o_custkey, min(o_orderdate) AS fo, max(o_orderdate) AS lo
+         FROM orders GROUP BY 1),
+       pc AS (
+         SELECT date_diff('day', fo::DATE, lo::DATE)::BIGINT AS t,
+           CASE WHEN lo::DATE < DATE '2001-02-01' THEN 1 ELSE 0 END AS e
+         FROM cust),
+       byt AS (
+         SELECT t, count(*)::BIGINT AS c, sum(e)::BIGINT AS d
+         FROM pc GROUP BY t),
+       tot AS (SELECT sum(c)::BIGINT AS n_total FROM byt),
+       km AS (
+         SELECT t, d,
+           (n_total - sum(c) OVER (ORDER BY t
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) + c)::BIGINT
+             AS n_risk
+         FROM byt, tot),
+       ev AS (
+         SELECT t, n_risk, d,
+           (n_risk - d) * 4294967296 + n_risk AS f
+         FROM km WHERE d > 0),
+       arr AS (
+         SELECT list(t ORDER BY t) AS ts, list(n_risk ORDER BY t) AS ns,
+           list(d ORDER BY t) AS ds, list(f ORDER BY t) AS fs
+         FROM ev)
+       SELECT ts[i] AS t, ns[i] AS n_risk, ds[i] AS d,
+         (ds[i] * 1000000 // ns[i])::BIGINT AS hazard_micro,
+         list_reduce(list_prepend(1000000::BIGINT, fs[1:i]),
+           (acc, x) -> acc * (x // 4294967296) // (x % 4294967296))::BIGINT
+           AS surv_micro
+       FROM arr CROSS JOIN (SELECT unnest(range(1, len(ts) + 1)) AS i
+         FROM arr) r
+       ORDER BY t"""
+
   /** Price-volume decomposition of a revenue change between two periods,
     * per group: Δrevenue = price effect + volume effect + residue, the
     * FP&A bridge ("did we sell less, or sell cheaper?"). With
@@ -4019,6 +4120,7 @@ object Analytics {
     QueryDef("q306_price_volume", q306, Some(q306Sql)),
     QueryDef("q308_seasonal_index", q308, Some(q308Sql)),
     QueryDef("q312_lead_lag", q312, Some(q312Sql)),
+    QueryDef("q317_kaplan_meier", q317, Some(q317Sql)),
     QueryDef("q313_asof_staleness", q313, Some(q313Sql)),
     QueryDef("q304_capture_recapture", q304, Some(q304Sql)),
     QueryDef("q305_day_overlap", q305, Some(q305Sql)),

@@ -684,6 +684,22 @@ class AnalyticsSpec extends SparkSpec {
       (6L, "unmatched", 1L, 250000L, None)))
   }
 
+  test("kaplanMeier matches the textbook product-limit on mixed censoring") {
+    // durations: deaths at t=2 (x2) and t=5; censored at 3 and 6.
+    // S(2) = 3/5 = 0.6; S(5) = 0.6 * 1/2 = 0.3; censoring shrinks the
+    // risk set (5 -> 2 at t=5) without adding death rows.
+    val df = Seq((2L, true), (2L, true), (3L, false), (5L, true),
+      (6L, false)).toDF("dur", "ev")
+    for (quant <- Seq(true, false)) {
+      val got = Analytics.kaplanMeier(df, col("dur"), col("ev"), quant)
+        .orderBy(col("t"))
+        .as[(Long, Long, Long, Long, Long)].collect()
+      assert(got === Array(
+        (2L, 5L, 2L, 400000L, 600000L),
+        (5L, 2L, 1L, 500000L, 300000L)), s"quantized=$quant")
+    }
+  }
+
   test("priceVolumeBridge reconciles delta = price + volume + residue") {
     // g1: period 1 sells 10 units for 1000c (p=100); period 2 sells
     // 20 units for 2400c (p=120). price effect = 2400 - 1000*20/10 = 400,
