@@ -17,6 +17,90 @@ import graft.functions.TextFunctions._
   */
 object TextAnalysis {
 
+  /** TextRank keyword extraction (Mihalcea & Tarau 2004) composed from
+    * this library's own integer-micro [[Graph.pagerank]]: adjacent-token
+    * co-occurrence edges, canonicalized and capped to the `maxEdges`
+    * strongest (count-desc, then lexicographic — fully deterministic),
+    * symmetrized, ranked for `iterations` damped rounds, top `k` words
+    * by rank. The corpus-level "what is this corpus about" extractor
+    * beside q87's per-doc TF-IDF terms.
+    *
+    * Scale design: one bigram explode with an immediate map-side grouped
+    * count (vocab²-bounded, in practice vocab-sized); the cap bounds
+    * everything downstream, so the rank iterations run on a ≤ maxEdges
+    * projection exactly like the co-sale graph family. Words ride the
+    * iterations as xxhash64 ids (8-byte shuffle keys, the q124/q150
+    * convention — a collision would merge two words' neighborhoods;
+    * at 2⁻⁶⁴ per pair that is a documented non-event) and join back to
+    * strings only for the k output rows.
+    */
+  def textRankKeywords(df: DataFrame, textCol: String, maxEdges: Int,
+      iterations: Int, k: Int): DataFrame = {
+    val toks = df.select(tokens(col(textCol)).as("tk"))
+      .filter(size(col("tk")) >= 2)
+    val bi = toks
+      .select(explode(expr(
+        """transform(sequence(0, size(tk) - 2),
+           i -> named_struct('x', tk[i], 'y', tk[i + 1]))""")).as("p"))
+      .select(col("p.x").as("x"), col("p.y").as("y"))
+      .filter(col("x") =!= col("y"))
+      .select(least(col("x"), col("y")).as("a"),
+        greatest(col("x"), col("y")).as("b"))
+    val top = bi.groupBy(col("a"), col("b")).agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("a"), col("b")).limit(maxEdges)
+      .localCheckpoint()
+    val words = top.select(col("a").as("w"))
+      .union(top.select(col("b").as("w"))).distinct()
+      .select(col("w"), xxhash64(col("w")).as("wid"))
+      .localCheckpoint()
+    val e = top
+      .join(words.select(col("w").as("a"), col("wid").as("sa")), "a")
+      .join(words.select(col("w").as("b"), col("wid").as("sb")), "b")
+      .select(col("sa"), col("sb"))
+    val und = e.union(e.select(col("sb").as("sa"), col("sa").as("sb")))
+    Graph.pagerank(und, "sa", "sb", iterations)
+      .join(words.select(col("wid").as("node_id"), col("w")), "node_id")
+      .select(col("w").as("word"), col("rank_micro"))
+      .orderBy(col("rank_micro").desc, col("word"))
+      .limit(k)
+  }
+
+  // ---- q318: what is the documents corpus about? ------------------------------
+  private def q318(s: SparkSession, d: String): DataFrame =
+    textRankKeywords(Tables.documents(s, d), "text",
+      maxEdges = 3000, iterations = 3, k = 20)
+  private val q318Sql =
+    """WITH toks AS (
+         SELECT string_split(text, ' ') AS tk FROM documents
+         WHERE len(string_split(text, ' ')) >= 2),
+       bi AS (
+         SELECT unnest(list_transform(range(1, len(tk)),
+           i -> struct_pack(x := tk[i], y := tk[i + 1]))) AS p
+         FROM toks),
+       cw AS (
+         SELECT least(p.x, p.y) AS a, greatest(p.x, p.y) AS b,
+           count(*) AS c
+         FROM bi WHERE p.x != p.y GROUP BY 1, 2),
+       top AS (SELECT a, b FROM cw ORDER BY c DESC, a, b LIMIT 3000),
+       e AS (SELECT a AS s, b AS t FROM top
+             UNION ALL SELECT b, a FROM top),
+       deg AS (SELECT s AS id, count(*)::BIGINT AS dg FROM e GROUP BY 1),
+       r0 AS (SELECT id, 1000000::BIGINT AS r FROM deg),
+       r1 AS (SELECT e.t AS id,
+                (150000 + (85 * sum(r.r // deg.dg)) // 100)::BIGINT AS r
+              FROM e JOIN r0 r ON r.id = e.s JOIN deg ON deg.id = e.s
+              GROUP BY 1),
+       r2 AS (SELECT e.t AS id,
+                (150000 + (85 * sum(r.r // deg.dg)) // 100)::BIGINT AS r
+              FROM e JOIN r1 r ON r.id = e.s JOIN deg ON deg.id = e.s
+              GROUP BY 1),
+       r3 AS (SELECT e.t AS id,
+                (150000 + (85 * sum(r.r // deg.dg)) // 100)::BIGINT AS r
+              FROM e JOIN r2 r ON r.id = e.s JOIN deg ON deg.id = e.s
+              GROUP BY 1)
+       SELECT id AS word, r AS rank_micro FROM r3
+       ORDER BY rank_micro DESC, word LIMIT 20"""
+
   // ---- q21: token statistics per language ----------------------------------
   // Whitespace tokens + BPE-ish subword count + char lengths, aggregated.
   private def q21(s: SparkSession, d: String): DataFrame =
@@ -1554,6 +1638,7 @@ object TextAnalysis {
     QueryDef("q221_hapax_profile", q221, Some(q221Sql)),
     QueryDef("q239_rising_terms", q239, Some(q239Sql)),
     QueryDef("q21_token_stats", q21, Some(q21Sql)),
+    QueryDef("q318_textrank", q318, Some(q318Sql)),
     QueryDef("q155_term_class_chi2", q155, Some(q155Sql)),
     QueryDef("q22_quality_score", q22, Some(q22Sql)),
     QueryDef("q23_lang_id", q23, Some(q23Sql)),

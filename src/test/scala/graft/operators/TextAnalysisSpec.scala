@@ -367,4 +367,17 @@ class TextAnalysisSpec extends SparkSpec {
       (8L, 3L, 10L, 10L, 1000000L)))
   }
 
+  test("textRankKeywords ranks the co-occurrence hub first, deterministically") {
+    // "b" neighbors every other word; the spokes only touch "b".
+    val df = Seq("a b", "c b", "d b", "e b").toDF("text")
+    def run() = TextAnalysis.textRankKeywords(df, "text",
+      maxEdges = 100, iterations = 3, k = 5)
+      .as[(String, Long)].collect()
+    val got = run()
+    assert(got.head._1 === "b")
+    assert(got.head._2 > got(1)._2, "hub must strictly out-rank spokes")
+    assert(got.map(_._1).sorted === Array("a", "b", "c", "d", "e"))
+    assert(got === run(), "rank table must be deterministic")
+  }
+
 }
