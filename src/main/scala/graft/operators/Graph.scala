@@ -335,6 +335,89 @@ object Graph {
        FROM co JOIN deg a ON co.i1 = a.i JOIN deg b ON co.i2 = b.i
        ORDER BY jaccard_micro DESC, co.i1, co.i2 LIMIT 30"""
 
+  /** Item-to-user recommendation scoring on top of [[linkJaccard]]'s
+    * item-item similarity: a candidate item's score for a user is the
+    * SUM of its similarity to the items the user already has (the
+    * classic item-based collaborative filter, Sarwar et al. 2001),
+    * items already owned are anti-joined away, and the `topK`
+    * highest-confidence (user, item) pairs come back with their
+    * supporting-path count — the missing "so what" step after the
+    * similarity tables: q262/q263 say which items are alike, this says
+    * who to show what. All scores exact micro sums; ordering fully
+    * deterministic (score desc, user, item).
+    *
+    * Scale design: the similarity table is already the capped
+    * projection; candidates arise from an equi-join of the per-user
+    * capped item list (≤ cap rows each) against it, so the fan-out is
+    * Σ_u min(d_u, cap)·|neighbors| — bounded, never user × catalog. The
+    * final top-k is a single bounded ranking, not a per-user window
+    * over everything.
+    */
+  def itemRecommendations(pairs: DataFrame, keyCol: String,
+      itemCol: String, maxItemsPerKey: Int, topK: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("c")).orderBy(col("i"))
+    val sp = pairs
+      .select(col(keyCol).cast("long").as("c"),
+        col(itemCol).cast("long").as("i"))
+      .distinct()
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= maxItemsPerKey)
+      .select(col("c"), col("i"))
+    val sims = linkJaccard(pairs, keyCol, itemCol, maxItemsPerKey)
+      .select(col("i1"), col("i2"), col("jaccard_micro").as("jm"))
+    val simBoth = sims
+      .select(col("i1").as("j"), col("i2").as("cand"), col("jm"))
+      .union(sims.select(col("i2").as("j"), col("i1").as("cand"),
+        col("jm")))
+    val scored = sp.join(simBoth, col("i") === col("j"))
+      .groupBy(col("c"), col("cand"))
+      .agg(count(lit(1)).as("n_paths"), sum(col("jm")).as("score_micro"))
+    scored
+      .join(sp.select(col("c"), col("i").as("cand")), Seq("c", "cand"),
+        "left_anti")
+      .orderBy(col("score_micro").desc, col("c"), col("cand"))
+      .limit(topK)
+      .select(col("c").as("custkey"), col("cand").as("suppkey"),
+        col("n_paths"), col("score_micro"))
+  }
+
+  // ---- q319: who should be shown which supplier next? -------------------------
+  private def q319(s: SparkSession, d: String): DataFrame = {
+    val sp = Tables.orders(s, d)
+      .join(Tables.lineitem(s, d), col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey").as("c"), col("l_suppkey").as("sup"))
+    itemRecommendations(sp, "c", "sup", CoSaleCap, topK = 100)
+  }
+  private def q319Sql =
+    s"""WITH sp AS (
+         SELECT c, sup FROM (
+           SELECT DISTINCT o_custkey AS c, l_suppkey AS sup
+           FROM orders JOIN lineitem ON l_orderkey = o_orderkey)
+         QUALIFY row_number() OVER (PARTITION BY c ORDER BY sup)
+           <= $CoSaleCap),
+       co AS (
+         SELECT x.sup AS i1, y.sup AS i2, count(*)::BIGINT AS w
+         FROM sp x JOIN sp y ON x.c = y.c AND x.sup < y.sup
+         GROUP BY 1, 2),
+       deg AS (SELECT sup AS i, count(*)::BIGINT AS d FROM sp GROUP BY 1),
+       sims AS (
+         SELECT co.i1, co.i2,
+           ((co.w * 1000000) // (a.d + b.d - co.w))::BIGINT AS jm
+         FROM co JOIN deg a ON co.i1 = a.i JOIN deg b ON co.i2 = b.i),
+       sb AS (SELECT i1 AS j, i2 AS cand, jm FROM sims
+              UNION ALL SELECT i2, i1, jm FROM sims),
+       scored AS (
+         SELECT sp.c, sb.cand, count(*)::BIGINT AS n_paths,
+           sum(sb.jm)::BIGINT AS score_micro
+         FROM sp JOIN sb ON sp.sup = sb.j
+         GROUP BY 1, 2),
+       rec AS (
+         SELECT s.* FROM scored s
+         ANTI JOIN sp ON s.c = sp.c AND s.cand = sp.sup)
+       SELECT c AS custkey, cand AS suppkey, n_paths, score_micro
+       FROM rec ORDER BY score_micro DESC, custkey, suppkey LIMIT 100"""
+
   /** Per-key item cap for q163: above the max observed per-customer
     * distinct-supplier count at every fixture scale factor (10 / 67 / 102
     * at sf0.001 / 0.01 / 0.1), so the fixture census is bit-identical to
@@ -1164,6 +1247,7 @@ object Graph {
     QueryDef("q163_triangle_count", q163, Some(q163Sql)),
     QueryDef("q165_kcore", q165, Some(q165Sql)),
     QueryDef("q314_ktruss", q314, Some(q314Sql)),
+    QueryDef("q319_item_recs", q319, Some(q319Sql)),
     QueryDef("q166_cc_stars", q166, Some(q166Sql)),
     QueryDef("q175_hits", q175, Some(q175Sql)),
     QueryDef("q207_modularity", q207, Some(q207Sql)),

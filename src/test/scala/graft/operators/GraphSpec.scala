@@ -254,6 +254,22 @@ class GraphSpec extends SparkSpec {
     assert(got2 === Set((2L, 4L, 1L), (3L, 4L, 1L)))
   }
 
+  test("itemRecommendations scores candidates by summed similarity") {
+    // u1 {1,2}, u2 {2,3}, u3 {1,3}: every item pair has jaccard 1/3
+    // (w=1, degs 2). Each user's missing item is reachable through BOTH
+    // owned items -> n_paths=2, score 2 * 333333; owned items anti-join
+    // away.
+    val pairs = Seq((10L, 1L), (10L, 2L), (20L, 2L), (20L, 3L),
+      (30L, 1L), (30L, 3L)).toDF("u", "it")
+    val got = Graph.itemRecommendations(pairs, "u", "it",
+      maxItemsPerKey = 10, topK = 10)
+      .as[(Long, Long, Long, Long)].collect()
+    assert(got === Array(
+      (10L, 3L, 2L, 666666L),
+      (20L, 1L, 2L, 666666L),
+      (30L, 2L, 2L, 666666L)))
+  }
+
   test("kTruss peels pendant edges and certifies the stable clique") {
     // K4 on {1,2,3,4}: every edge closes 2 triangles (support 2), so the
     // 4-truss keeps all six edges. The pendant (4,5) has support 0 and
