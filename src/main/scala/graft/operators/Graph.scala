@@ -418,6 +418,104 @@ object Graph {
        SELECT c AS custkey, cand AS suppkey, n_paths, score_micro
        FROM rec ORDER BY score_micro DESC, custkey, suppkey LIMIT 100"""
 
+  /** Multi-source BFS hop distances: for every node reachable from the
+    * seed set within `rounds` hops over the (symmetrized) edge list, the
+    * minimum hop count — with the [[kCore]]-style fixpoint certificate
+    * (sound as a (count, sum) compare because the reached set only GROWS
+    * and distances only DECREASE). The propagation primitive behind
+    * blast-radius, nearest-hub, and reachability audits.
+    *
+    * Scale design: each round is one equi-join of the current distance
+    * relation against the edge list plus a grouped min with map-side
+    * partials; lineage checkpointed per round, no driver action in the
+    * loop. Cost per round is |reached|·avg-degree — frontier-bounded on
+    * sparse projections.
+    */
+  def hopDistances(seeds: DataFrame, edges: DataFrame, srcCol: String,
+      dstCol: String, rounds: Int, checkpoint: Boolean = true): DataFrame = {
+    require(rounds >= 1, "need at least one round")
+    val e0 = edges.select(col(srcCol).cast("long").as("a"),
+      col(dstCol).cast("long").as("b"))
+    val sym0 = e0.union(e0.select(col("b").as("a"), col("a").as("b")))
+    val sym = if (checkpoint) sym0.localCheckpoint() else sym0
+    var dist = seeds
+      .select(col(seeds.columns.head).cast("long").as("id")).distinct()
+      .withColumn("dist", lit(0L))
+    if (checkpoint) dist = dist.localCheckpoint()
+    var prev = dist
+    for (_ <- 1 to rounds) {
+      prev = dist
+      val prop = dist.join(sym, col("id") === col("a"))
+        .select(col("b").as("id"), (col("dist") + 1).as("dist"))
+      dist = dist.union(prop).groupBy(col("id"))
+        .agg(min(col("dist")).as("dist"))
+      if (checkpoint) dist = dist.localCheckpoint()
+    }
+    val conv = prev
+      .agg(count(lit(1)).as("c1"),
+        coalesce(sum(col("dist")), lit(0L)).as("s1"))
+      .crossJoin(dist.agg(count(lit(1)).as("c2"),
+        coalesce(sum(col("dist")), lit(0L)).as("s2")))
+      .select((col("c1") === col("c2") && col("s1") === col("s2"))
+        .as("converged"))
+    dist.crossJoin(broadcast(conv))
+  }
+
+  // ---- q320: contamination blast radius over the near-dup graph ---------------
+  // A benchmark-contaminated document's NEAR-DUPLICATES are just as
+  // suspect — the q40 detection only catches direct n-gram overlap.
+  // Seeds = q40's directly contaminated train docs; edges = the verified
+  // LSH near-dup pair list; three hops of expansion, reported as a
+  // per-hop census with the fixpoint certificate. The governance readout
+  // a decontamination pass should subtract, not just q40's hop-0 set.
+  private def q320(s: SparkSession, d: String): DataFrame = {
+    val seeds = PipelineOps.contamination(Tables.documents(s, d),
+        "doc_id", "text", col("doc_id") % 10 === 7, n = 5)
+      .select(col("train_id")).distinct()
+    val edges = Dedup.lshPairsOf(s, d).select(col("d1"), col("d2"))
+    hopDistances(seeds, edges, "d1", "d2", rounds = 3)
+      .groupBy(col("dist"), col("converged"))
+      .agg(count(lit(1)).as("n_docs"))
+      .select(col("dist").as("hop"), col("n_docs"), col("converged"))
+      .orderBy(col("hop"))
+  }
+  private val q320Sql =
+    s"""WITH ${Dedup.jaccardCtes()}, ${Dedup.dupCte},
+       ctoks AS (
+         SELECT doc_id, string_split(text, ' ') AS tokens FROM documents
+         WHERE len(string_split(text, ' ')) >= 5),
+       cgrams AS (
+         SELECT DISTINCT doc_id, g FROM (
+           SELECT doc_id, unnest(list_transform(range(1, len(tokens) - 3),
+             i -> tokens[i] || ' ' || tokens[i+1] || ' ' || tokens[i+2]
+               || ' ' || tokens[i+3] || ' ' || tokens[i+4])) AS g
+           FROM ctoks)),
+       seeds AS (
+         SELECT DISTINCT t.doc_id AS id
+         FROM cgrams t JOIN cgrams e ON t.g = e.g
+         WHERE t.doc_id % 10 <> 7 AND e.doc_id % 10 = 7),
+       sym AS (SELECT d1 AS a, d2 AS b FROM dup
+               UNION ALL SELECT d2, d1 FROM dup),
+       h0 AS (SELECT id, 0::BIGINT AS dist FROM seeds),
+       h1 AS (SELECT id, min(dist)::BIGINT AS dist FROM (
+           SELECT id, dist FROM h0
+           UNION ALL SELECT s.b, d.dist + 1 FROM h0 d
+             JOIN sym s ON d.id = s.a) GROUP BY id),
+       h2 AS (SELECT id, min(dist)::BIGINT AS dist FROM (
+           SELECT id, dist FROM h1
+           UNION ALL SELECT s.b, d.dist + 1 FROM h1 d
+             JOIN sym s ON d.id = s.a) GROUP BY id),
+       h3 AS (SELECT id, min(dist)::BIGINT AS dist FROM (
+           SELECT id, dist FROM h2
+           UNION ALL SELECT s.b, d.dist + 1 FROM h2 d
+             JOIN sym s ON d.id = s.a) GROUP BY id),
+       conv AS (
+         SELECT ((SELECT count(*) FROM h2) = (SELECT count(*) FROM h3)
+           AND (SELECT coalesce(sum(dist), 0) FROM h2)
+             = (SELECT coalesce(sum(dist), 0) FROM h3)) AS converged)
+       SELECT dist AS hop, count(*)::BIGINT AS n_docs, converged
+       FROM h3, conv GROUP BY 1, 3 ORDER BY hop"""
+
   /** Per-key item cap for q163: above the max observed per-customer
     * distinct-supplier count at every fixture scale factor (10 / 67 / 102
     * at sf0.001 / 0.01 / 0.1), so the fixture census is bit-identical to
@@ -1248,6 +1346,7 @@ object Graph {
     QueryDef("q165_kcore", q165, Some(q165Sql)),
     QueryDef("q314_ktruss", q314, Some(q314Sql)),
     QueryDef("q319_item_recs", q319, Some(q319Sql)),
+    QueryDef("q320_contamination_radius", q320, Some(q320Sql)),
     QueryDef("q166_cc_stars", q166, Some(q166Sql)),
     QueryDef("q175_hits", q175, Some(q175Sql)),
     QueryDef("q207_modularity", q207, Some(q207Sql)),

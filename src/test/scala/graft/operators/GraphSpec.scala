@@ -270,6 +270,18 @@ class GraphSpec extends SparkSpec {
       (30L, 2L, 2L, 666666L)))
   }
 
+  test("hopDistances walks the chain and certifies only at the fixpoint") {
+    val chain = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("s", "t")
+    val seeds = Seq(1L).toDF("id")
+    val cut = Graph.hopDistances(seeds, chain, "s", "t", rounds = 2)
+      .as[(Long, Long, Boolean)].collect().sortBy(_._1)
+    assert(cut === Array((1L, 0L, false), (2L, 1L, false), (3L, 2L, false)))
+    val full = Graph.hopDistances(seeds, chain, "s", "t", rounds = 5)
+      .as[(Long, Long, Boolean)].collect().sortBy(_._1)
+    assert(full === Array((1L, 0L, true), (2L, 1L, true), (3L, 2L, true),
+      (4L, 3L, true), (5L, 4L, true)))
+  }
+
   test("kTruss peels pendant edges and certifies the stable clique") {
     // K4 on {1,2,3,4}: every edge closes 2 triangles (support 2), so the
     // 4-truss keeps all six edges. The pendant (4,5) has support 0 and
