@@ -1154,6 +1154,100 @@ object Dedup {
            ELSE NULL END::BIGINT AS weight_ratio_micro
        FROM stats, blocked ORDER BY field"""
 
+  /** Near-dup EVIDENCE report: for each flagged pair, the count of
+    * shared trigram shingles and the longest CONTIGUOUS shared token
+    * span — the "show me why these two matched" forensic a human (or a
+    * takedown pipeline) reads before acting on a similarity score. A
+    * pair with jaccard 0.8 from one long quoted block and one with 0.8
+    * from scattered boilerplate look identical to the score; the span
+    * length separates them.
+    *
+    * Method: positioned gram matches between the two sides fall on
+    * diagonals (p1 − p2 constant) exactly when the underlying tokens
+    * align; the longest run of consecutive positions on one diagonal is
+    * the classic gaps-and-islands count (rn-difference grouping), and a
+    * run of k consecutive trigrams spans k + 2 tokens.
+    *
+    * Scale design: gram-with-position rows are derived ONLY for
+    * documents in the pair list (broadcast semi-join on the tiny id
+    * set — the q27 verify discipline), so cost tracks the output pair
+    * list, not the corpus; every window is partitioned by
+    * (pair, diagonal).
+    */
+  def dupEvidence(df: DataFrame, idCol: String, textCol: String,
+      pairs: DataFrame): DataFrame = {
+    val p = pairs.select(col("d1"), col("d2"))
+    val ids = p.select(explode(array(col("d1"), col("d2"))).as("doc_id"))
+      .distinct()
+    val gp = df
+      .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("toks"))
+      .join(broadcast(ids), Seq("doc_id"), "left_semi")
+      .filter(size(col("toks")) >= 3)
+      // the ORDERED multiset kernel — positions must index the token
+      // stream, which the distinct form (first-occurrence order) breaks
+      .select(col("doc_id"), posexplode(ngrams(col("toks"), 3)))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"),
+        col("col").as("g"))
+    val matches = broadcast(p)
+      .join(gp.select(col("doc_id").as("d1"), col("pos").as("p1"),
+        col("g")), "d1")
+      .join(gp.select(col("doc_id").as("d2r"), col("pos").as("p2"),
+        col("g").as("g2")),
+        col("d2") === col("d2r") && col("g") === col("g2"))
+      .select(col("d1"), col("d2"), col("p1"), col("p2"), col("g"))
+    val shared = matches.groupBy(col("d1"), col("d2"))
+      .agg(countDistinct(col("g")).as("n_shared_grams"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("d1"), col("d2"), col("diag")).orderBy(col("p1"))
+    val longest = matches
+      .select(col("d1"), col("d2"), (col("p1") - col("p2")).as("diag"),
+        col("p1")).distinct()
+      .withColumn("grp", col("p1") - row_number().over(w))
+      .groupBy(col("d1"), col("d2"), col("diag"), col("grp"))
+      .agg(count(lit(1)).as("run"))
+      .groupBy(col("d1"), col("d2"))
+      .agg(max(col("run")).as("longest_run"))
+    shared.join(longest, Seq("d1", "d2"))
+      .select(col("d1"), col("d2"), col("n_shared_grams"),
+        (col("longest_run") + 2).as("span_tokens"))
+  }
+
+  // ---- q321: why did these pairs match? ---------------------------------------
+  private def q321(s: SparkSession, d: String): DataFrame =
+    dupEvidence(Tables.documents(s, d), "doc_id", "text", lshPairsOf(s, d))
+      .orderBy(col("d1"), col("d2"))
+  private val q321Sql =
+    s"""WITH ${jaccardCtes()}, $dupCte,
+       gp0 AS (
+         SELECT doc_id, unnest(list_transform(range(1, len(tokens) - 1),
+           i -> struct_pack(pos := i, g := tokens[i] || ' ' || tokens[i+1]
+             || ' ' || tokens[i+2]))) AS pg
+         FROM toks),
+       gp AS (SELECT doc_id, pg.pos::BIGINT AS pos, pg.g AS g FROM gp0),
+       m AS (
+         SELECT p.d1, p.d2, a.pos AS p1, b.pos AS p2, a.g
+         FROM dup p
+         JOIN gp a ON a.doc_id = p.d1
+         JOIN gp b ON b.doc_id = p.d2 AND a.g = b.g),
+       sh AS (
+         SELECT d1, d2, count(DISTINCT g)::BIGINT AS n_shared_grams
+         FROM m GROUP BY 1, 2),
+       dj AS (SELECT DISTINCT d1, d2, p1 - p2 AS diag, p1 FROM m),
+       runs AS (
+         SELECT d1, d2, diag,
+           p1 - row_number() OVER (PARTITION BY d1, d2, diag
+             ORDER BY p1) AS grp
+         FROM dj),
+       rl AS (
+         SELECT d1, d2, max(cnt)::BIGINT AS longest_run FROM (
+           SELECT d1, d2, diag, grp, count(*) AS cnt
+           FROM runs GROUP BY 1, 2, 3, 4)
+         GROUP BY 1, 2)
+       SELECT sh.d1, sh.d2, n_shared_grams,
+         (longest_run + 2)::BIGINT AS span_tokens
+       FROM sh JOIN rl ON sh.d1 = rl.d1 AND sh.d2 = rl.d2
+       ORDER BY sh.d1, sh.d2"""
+
   private def q25(s: SparkSession, d: String): DataFrame =
     exactDedup(Tables.documents(s, d), "doc_id", "text").orderBy(col("keeper"))
   private val q25Sql =
@@ -1843,5 +1937,6 @@ object Dedup {
     QueryDef("q140_boilerplate_tiles", q140, Some(q140Sql)),
     QueryDef("q142_lsh_miss_report", q142, Some(q142Sql)),
     QueryDef("q301_lsh_curve", q301, Some(q301Sql)),
-    QueryDef("q311_linkage_weights", q311, Some(q311Sql)))
+    QueryDef("q311_linkage_weights", q311, Some(q311Sql)),
+    QueryDef("q321_dup_evidence", q321, Some(q321Sql)))
 }

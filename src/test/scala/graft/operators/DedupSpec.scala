@@ -355,6 +355,20 @@ class DedupSpec extends SparkSpec {
     assert(got.map(r => r._1 * r._2).sum === 7L, "sizes must tile the corpus")
   }
 
+  test("dupEvidence finds the longest contiguous shared span") {
+    // Docs share the inner block "b c d e": trigrams "b c d","c d e"
+    // sit on one diagonal -> run 2 -> span 4 tokens. The stray shared
+    // trigram "x y z" at different offsets adds a shared gram but no
+    // longer run.
+    val df = Seq(
+      (1L, "a b c d e f x y z"),
+      (2L, "q b c d e w p x y z")).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L)).toDF("d1", "d2")
+    val got = Dedup.dupEvidence(df, "doc_id", "text", pairs)
+      .as[(Long, Long, Long, Long)].collect()
+    assert(got === Array((1L, 2L, 3L, 4L)))
+  }
+
   test("linkageWeights computes m/u from pair algebra, never enumerating") {
     // One block of 4 records; truth = {(1,2)}. Field "c": 1,2 agree (red),
     // so m=1, and red is the only in-block agreeing pair -> u=(1-1)/5=0.
