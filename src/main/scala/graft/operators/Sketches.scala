@@ -1089,7 +1089,103 @@ object Sketches {
          (abs(hll_est - n_exact) * 1000000 // n_exact)::BIGINT AS err_micro
        FROM exact JOIN est USING (w_day) ORDER BY day"""
 
+  /** MinHash signatures of keyed MEMBER SETS (audience segments, cohort
+    * user lists): k per-segment minima under the portable polynomial
+    * hash family — the constant-size, MERGEABLE stand-in for the sets
+    * themselves (min of mins = signature of the union, the HLL register
+    * law in min form). Pairwise segment Jaccard is then estimated as
+    * matching-coordinate share WITHOUT touching the member lists — the
+    * sketch the q303 exact self-join hands off to when segments hold
+    * billions of members.
+    */
+  def minhashSegments(df: DataFrame, segCol: Column, memberCol: Column,
+      k: Int): DataFrame = {
+    require(k >= 1, "need at least one hash")
+    df.select(segCol.as("seg"), memberCol.cast("long").as("k")).distinct()
+      .select(col("seg"), col("k"),
+        explode(sequence(lit(0), lit(k - 1))).as("d"))
+      .select(col("seg"), col("d"), expr(
+        s"((${aExpr("d")}) * ($ktExpr) + (${bExpr("d")})) % ${P}L")
+        .as("h"))
+      .groupBy(col("seg"), col("d")).agg(min(col("h")).as("mh"))
+  }
+
+  /** The acceptance report for [[minhashSegments]]: estimated vs EXACT
+    * pairwise Jaccard per segment pair, with the absolute error — run at
+    * a testable scale before trusting the sketch at the real one (the
+    * q136/q142 acceptance discipline applied to audience sketches).
+    *
+    * Scale design: the estimate side joins k-row signatures (|segs|·k
+    * rows total); only the exact side touches member lists, and it is
+    * the same capped self-join q303 already runs. Exact micro integers
+    * throughout.
+    */
+  def audienceSketchReport(df: DataFrame, segCol: Column,
+      memberCol: Column, k: Int): DataFrame = {
+    val sig = minhashSegments(df, segCol, memberCol, k)
+    val est = sig.as("a")
+      .join(sig.as("b"),
+        col("a.d") === col("b.d") && col("a.seg") < col("b.seg"))
+      .groupBy(col("a.seg").as("seg_a"), col("b.seg").as("seg_b"))
+      .agg(sum(when(col("a.mh") === col("b.mh"), 1L).otherwise(0L))
+        .as("n_matches"))
+      .select(col("seg_a"), col("seg_b"), col("n_matches"),
+        expr(s"n_matches * 1000000L div ${k}L").as("est_micro"))
+    val exact = Analytics.audienceOverlap(df, segCol, memberCol)
+      .select(col("seg_a"), col("seg_b"),
+        col("jaccard_micro").as("exact_micro"))
+    est.join(exact, Seq("seg_a", "seg_b"))
+      .withColumn("err_micro",
+        abs(col("est_micro") - col("exact_micro")))
+  }
+
+  // ---- q322: do the audience sketches earn their keep? ------------------------
+  // Members are USER-DAYS (user_id·100 + day), not bare users — the
+  // fixture's users all touch every event type over the month, making
+  // bare-user audiences identical (Jaccard ≡ 1.0, a degenerate oracle);
+  // daily-active audiences overlap at ~0.21 at every scale factor, so
+  // the estimate has something real to approximate.
+  private def q322(s: SparkSession, d: String): DataFrame =
+    audienceSketchReport(Tables.events(s, d), col("event_type"),
+      expr("user_id * 100 + unix_micros(ts) div 86400000000"), k = 64)
+      .orderBy(col("seg_a"), col("seg_b"))
+  private val q322Sql =
+    s"""WITH su AS (
+         SELECT DISTINCT event_type AS seg,
+           user_id * 100 + epoch_us(ts) // 86400000000 AS k FROM events),
+       sig AS (
+         SELECT seg, d,
+           min(((${aSql("d")}) * ($ktSql) + (${bSql("d")}))
+             % 2147483647) AS mh
+         FROM su CROSS JOIN (SELECT unnest(range(0, 64)) AS d) r
+         GROUP BY seg, d),
+       est AS (
+         SELECT a.seg AS seg_a, b.seg AS seg_b,
+           sum(CASE WHEN a.mh = b.mh THEN 1 ELSE 0 END)::BIGINT
+             AS n_matches
+         FROM sig a JOIN sig b ON a.d = b.d AND a.seg < b.seg
+         GROUP BY 1, 2),
+       inter AS (
+         SELECT a.seg AS seg_a, b.seg AS seg_b, count(*)::BIGINT AS n_both
+         FROM su a JOIN su b ON a.k = b.k AND a.seg < b.seg
+         GROUP BY 1, 2),
+       sizes AS (SELECT seg, count(*)::BIGINT AS n FROM su GROUP BY 1),
+       ex AS (
+         SELECT i.seg_a, i.seg_b,
+           ((i.n_both * 1000000) // (sa.n + sb.n - i.n_both))::BIGINT
+             AS exact_micro
+         FROM inter i JOIN sizes sa ON i.seg_a = sa.seg
+           JOIN sizes sb ON i.seg_b = sb.seg)
+       SELECT e.seg_a, e.seg_b, e.n_matches,
+         (e.n_matches * 1000000 // 64)::BIGINT AS est_micro,
+         ex.exact_micro,
+         abs(e.n_matches * 1000000 // 64 - ex.exact_micro)::BIGINT
+           AS err_micro
+       FROM est e JOIN ex ON e.seg_a = ex.seg_a AND e.seg_b = ex.seg_b
+       ORDER BY e.seg_a, e.seg_b"""
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q322_audience_sketch", q322, Some(q322Sql)),
     QueryDef("q167_cms_heavy", q167, Some(q167Sql)),
     QueryDef("q168_hll_distinct", q168, Some(q168Sql)),
     QueryDef("q181_hll_by_group", q181, Some(q181Sql)),

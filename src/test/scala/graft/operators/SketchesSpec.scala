@@ -297,4 +297,27 @@ class SketchesSpec extends SparkSpec {
     assert(got(1) === ((1, 1L, 0L, 500000L, 500000L, 500000L)))
   }
 
+  test("minhash segment signatures obey the union-min merge law") {
+    val a = (1L to 40L).map(("a", _))
+    val b = (25L to 70L).map(("b", _))
+    val u = (a ++ b).map { case (_, m) => ("u", m) }
+    val df = (a ++ b ++ u).toDF("seg", "m")
+    val sig = Sketches.minhashSegments(df, col("seg"), col("m"), 32)
+      .as[(String, Int, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(x => x._2 -> x._3).toMap).toMap
+    // signature of the union == element-wise min of the signatures
+    (0 until 32).foreach { d =>
+      assert(sig("u")(d) === math.min(sig("a")(d), sig("b")(d)))
+    }
+  }
+
+  test("audienceSketchReport is exact on identical segments") {
+    val df = ((1L to 50L).map(("x", _)) ++ (1L to 50L).map(("y", _)))
+      .toDF("seg", "m")
+    val got = Sketches.audienceSketchReport(df, col("seg"), col("m"), 64)
+      .select($"n_matches", $"est_micro", $"exact_micro", $"err_micro")
+      .as[(Long, Long, Long, Long)].collect()
+    assert(got === Array((64L, 1000000L, 1000000L, 0L)))
+  }
+
 }
