@@ -1525,6 +1525,197 @@ object Analytics {
          n, (n * 1000000 // total)::BIGINT AS share_micro, max_stale_us
        FROM hist, t ORDER BY ord"""
 
+  /** Difference-in-differences table: the four (treated × period) cell
+    * means in exact micro-cents (sign-split truncating division — the
+    * engine-identical convention for negative-capable sums) and the DiD
+    * estimate (Δtreated − Δcontrol) — the first-reach causal readout for
+    * any natural experiment ("the feature shipped to half the users on
+    * day 15"). One row out.
+    *
+    * Scale design: one conditional-aggregation pass collapses the corpus
+    * to a single row of eight accumulators; every mean and the estimate
+    * are arithmetic on that row.
+    */
+  def diffInDiff(df: DataFrame, treatedCol: Column, postCol: Column,
+      valueCol: Column): DataFrame = {
+    val wide = df
+      .select(treatedCol.as("t"), postCol.as("p"),
+        floor(valueCol * 100).cast("long").as("c"))
+      .agg(
+        sum(when(col("t") && col("p"), 1L).otherwise(0L)).as("n_tp"),
+        sum(when(col("t") && !col("p"), 1L).otherwise(0L)).as("n_t0"),
+        sum(when(!col("t") && col("p"), 1L).otherwise(0L)).as("n_cp"),
+        sum(when(!col("t") && !col("p"), 1L).otherwise(0L)).as("n_c0"),
+        sum(when(col("t") && col("p"), col("c")).otherwise(0L)).as("s_tp"),
+        sum(when(col("t") && !col("p"), col("c")).otherwise(0L)).as("s_t0"),
+        sum(when(!col("t") && col("p"), col("c")).otherwise(0L)).as("s_cp"),
+        sum(when(!col("t") && !col("p"), col("c")).otherwise(0L))
+          .as("s_c0"))
+    def mean(s: String, n: String): Column =
+      when(col(n) > 0,
+        expr(s"sign($s) * (abs($s) * 1000000L div $n)").cast("long"))
+        .otherwise(lit(null).cast("long"))
+    wide.select(col("n_tp"), col("n_t0"), col("n_cp"), col("n_c0"),
+        mean("s_tp", "n_tp").as("m_tp_micro"),
+        mean("s_t0", "n_t0").as("m_t0_micro"),
+        mean("s_cp", "n_cp").as("m_cp_micro"),
+        mean("s_c0", "n_c0").as("m_c0_micro"))
+      .withColumn("did_micro",
+        (col("m_tp_micro") - col("m_t0_micro"))
+          - (col("m_cp_micro") - col("m_c0_micro")))
+  }
+
+  // ---- q323: did even-id users' event values move after Jan 16? ---------------
+  private def q323(s: SparkSession, d: String): DataFrame =
+    diffInDiff(Tables.events(s, d), col("user_id") % 2 === 0,
+      expr("cast(ts as date) >= date'2024-01-16'"), col("value"))
+  private val q323Sql =
+    """WITH base AS (
+         SELECT user_id % 2 = 0 AS t, ts::DATE >= DATE '2024-01-16' AS p,
+           floor(value * 100)::BIGINT AS c
+         FROM events),
+       w AS (
+         SELECT
+           sum(CASE WHEN t AND p THEN 1 ELSE 0 END)::BIGINT AS n_tp,
+           sum(CASE WHEN t AND NOT p THEN 1 ELSE 0 END)::BIGINT AS n_t0,
+           sum(CASE WHEN NOT t AND p THEN 1 ELSE 0 END)::BIGINT AS n_cp,
+           sum(CASE WHEN NOT t AND NOT p THEN 1 ELSE 0 END)::BIGINT
+             AS n_c0,
+           sum(CASE WHEN t AND p THEN c ELSE 0 END)::BIGINT AS s_tp,
+           sum(CASE WHEN t AND NOT p THEN c ELSE 0 END)::BIGINT AS s_t0,
+           sum(CASE WHEN NOT t AND p THEN c ELSE 0 END)::BIGINT AS s_cp,
+           sum(CASE WHEN NOT t AND NOT p THEN c ELSE 0 END)::BIGINT
+             AS s_c0
+         FROM base),
+       m AS (
+         SELECT n_tp, n_t0, n_cp, n_c0,
+           CASE WHEN n_tp > 0 THEN sign(s_tp)::BIGINT
+             * (abs(s_tp) * 1000000 // n_tp) ELSE NULL END AS m_tp_micro,
+           CASE WHEN n_t0 > 0 THEN sign(s_t0)::BIGINT
+             * (abs(s_t0) * 1000000 // n_t0) ELSE NULL END AS m_t0_micro,
+           CASE WHEN n_cp > 0 THEN sign(s_cp)::BIGINT
+             * (abs(s_cp) * 1000000 // n_cp) ELSE NULL END AS m_cp_micro,
+           CASE WHEN n_c0 > 0 THEN sign(s_c0)::BIGINT
+             * (abs(s_c0) * 1000000 // n_c0) ELSE NULL END AS m_c0_micro
+         FROM w)
+       SELECT n_tp, n_t0, n_cp, n_c0, m_tp_micro, m_t0_micro, m_cp_micro,
+         m_c0_micro,
+         ((m_tp_micro - m_t0_micro) - (m_cp_micro - m_c0_micro))::BIGINT
+           AS did_micro
+       FROM m"""
+
+  /** CUPED variance-reduced treatment effect (Deng et al. 2013): per
+    * unit, the pre-period metric x and post-period metric y; the
+    * adjustment coefficient θ = cov(x, y)/var(x) as an exact sign-split
+    * micro ratio (decimal(38,0)-widened products, fixed truncation
+    * points), and the adjusted effect
+    * (ȳ_t − ȳ_c) − θ·(x̄_t − x̄_c) — the industry-standard experiment
+    * readout that removes pre-existing-behavior variance from the raw
+    * diff. One row out.
+    *
+    * Scale design: one per-unit collapse (map-side partials), then ONE
+    * global aggregation row carrying the moment sums; no second corpus
+    * pass, no join.
+    */
+  def cuped(df: DataFrame, unitCol: Column, treatedCol: Column,
+      isPreCol: Column, valueCol: Column): DataFrame = {
+    val per = df
+      .select(unitCol.as("u"), treatedCol.as("t"), isPreCol.as("pre"),
+        floor(valueCol * 100).cast("long").as("c"))
+      .groupBy(col("u"))
+      .agg(max(col("t")).as("t"),
+        sum(when(col("pre"), col("c")).otherwise(0L)).as("x"),
+        sum(when(!col("pre"), col("c")).otherwise(0L)).as("y"))
+    val g = per.agg(
+      count(lit(1)).as("n"), sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+      sum(expr("cast(x as decimal(38,0)) * x")).as("sxx"),
+      sum(expr("cast(x as decimal(38,0)) * y")).as("sxy"),
+      sum(when(col("t"), 1L).otherwise(0L)).as("n_t"),
+      sum(when(col("t"), col("x")).otherwise(0L)).as("sx_t"),
+      sum(when(col("t"), col("y")).otherwise(0L)).as("sy_t"))
+    def mean(s: String, n: String): Column =
+      when(col(n) > 0,
+        expr(s"sign($s) * (abs($s) * 1000000L div $n)").cast("long"))
+        .otherwise(lit(null).cast("long"))
+    g.withColumn("sy_c", col("sy") - col("sy_t"))
+      .withColumn("sx_c", col("sx") - col("sx_t"))
+      .withColumn("n_c", col("n") - col("n_t"))
+      .select(col("n"), col("n_t"),
+        expr("""cast(cast(n as decimal(38,0)) * sxy
+             - cast(sx as decimal(38,0)) * sy as decimal(38,0))""")
+          .as("cov_num"),
+        expr("""cast(cast(n as decimal(38,0)) * sxx
+             - cast(sx as decimal(38,0)) * sx as decimal(38,0))""")
+          .as("var_num"),
+        mean("sy_t", "n_t").as("my_t"),
+        mean("sy_c", "n_c").as("my_c"),
+        mean("sx_t", "n_t").as("mx_t"),
+        mean("sx_c", "n_c").as("mx_c"))
+      .select(col("n"), col("n_t"),
+        when(col("var_num") > 0,
+          expr("""cast(sign(cov_num) * (abs(cov_num) * 1000000
+               div abs(var_num)) as long)"""))
+          .otherwise(lit(0L)).as("theta_micro"),
+        (col("my_t") - col("my_c")).as("raw_diff_micro"),
+        col("mx_t"), col("mx_c"), col("my_t"), col("my_c"))
+      .withColumn("adj_diff_micro",
+        col("raw_diff_micro") - expr(
+          """cast(sign(theta_micro * (mx_t - mx_c))
+             * (abs(theta_micro * (mx_t - mx_c)) div 1000000L)
+             as long)"""))
+      .select(col("n"), col("n_t"), col("theta_micro"),
+        col("raw_diff_micro"), col("adj_diff_micro"))
+  }
+
+  // ---- q324: the CUPED-adjusted effect for the same natural split -------------
+  private def q324(s: SparkSession, d: String): DataFrame =
+    cuped(Tables.events(s, d), col("user_id"), col("user_id") % 2 === 0,
+      expr("cast(ts as date) < date'2024-01-16'"), col("value"))
+  private val q324Sql =
+    """WITH per AS (
+         SELECT user_id AS u, max(user_id % 2 = 0) AS t,
+           sum(CASE WHEN ts::DATE < DATE '2024-01-16' THEN
+             floor(value * 100)::BIGINT ELSE 0 END)::BIGINT AS x,
+           sum(CASE WHEN ts::DATE >= DATE '2024-01-16' THEN
+             floor(value * 100)::BIGINT ELSE 0 END)::BIGINT AS y
+         FROM events GROUP BY 1),
+       g AS (
+         SELECT count(*)::BIGINT AS n, sum(x)::BIGINT AS sx,
+           sum(y)::BIGINT AS sy,
+           sum(x::HUGEINT * x) AS sxx, sum(x::HUGEINT * y) AS sxy,
+           sum(CASE WHEN t THEN 1 ELSE 0 END)::BIGINT AS n_t,
+           sum(CASE WHEN t THEN x ELSE 0 END)::BIGINT AS sx_t,
+           sum(CASE WHEN t THEN y ELSE 0 END)::BIGINT AS sy_t
+         FROM per),
+       d1 AS (
+         SELECT n, n_t,
+           (n::HUGEINT * sxy - sx::HUGEINT * sy) AS cov_num,
+           (n::HUGEINT * sxx - sx::HUGEINT * sx) AS var_num,
+           CASE WHEN n_t > 0 THEN sign(sy_t)::BIGINT
+             * (abs(sy_t) * 1000000 // n_t) ELSE NULL END AS my_t,
+           CASE WHEN n - n_t > 0 THEN sign(sy - sy_t)::BIGINT
+             * (abs(sy - sy_t) * 1000000 // (n - n_t)) ELSE NULL END
+             AS my_c,
+           CASE WHEN n_t > 0 THEN sign(sx_t)::BIGINT
+             * (abs(sx_t) * 1000000 // n_t) ELSE NULL END AS mx_t,
+           CASE WHEN n - n_t > 0 THEN sign(sx - sx_t)::BIGINT
+             * (abs(sx - sx_t) * 1000000 // (n - n_t)) ELSE NULL END
+             AS mx_c
+         FROM g),
+       d2 AS (
+         SELECT n, n_t,
+           CASE WHEN var_num > 0 THEN (sign(cov_num)
+             * (abs(cov_num) * 1000000 // abs(var_num)))::BIGINT
+             ELSE 0 END AS theta_micro,
+           (my_t - my_c)::BIGINT AS raw_diff_micro,
+           mx_t, mx_c
+         FROM d1)
+       SELECT n, n_t, theta_micro, raw_diff_micro,
+         (raw_diff_micro - sign(theta_micro * (mx_t - mx_c))::BIGINT
+           * (abs(theta_micro::HUGEINT * (mx_t - mx_c)) // 1000000))::BIGINT
+           AS adj_diff_micro
+       FROM d2"""
+
   /** Kaplan–Meier survival estimator over right-censored integer
     * durations: for each death time t, the risk-set size, deaths, the
     * exact hazard d·10⁶ div n, and the product-limit survival
@@ -4121,6 +4312,8 @@ object Analytics {
     QueryDef("q308_seasonal_index", q308, Some(q308Sql)),
     QueryDef("q312_lead_lag", q312, Some(q312Sql)),
     QueryDef("q317_kaplan_meier", q317, Some(q317Sql)),
+    QueryDef("q323_diff_in_diff", q323, Some(q323Sql)),
+    QueryDef("q324_cuped", q324, Some(q324Sql)),
     QueryDef("q313_asof_staleness", q313, Some(q313Sql)),
     QueryDef("q304_capture_recapture", q304, Some(q304Sql)),
     QueryDef("q305_day_overlap", q305, Some(q305Sql)),

@@ -684,6 +684,33 @@ class AnalyticsSpec extends SparkSpec {
       (6L, "unmatched", 1L, 250000L, None)))
   }
 
+  test("diffInDiff computes the four cell means and their difference") {
+    // treated: pre {1,3} -> 200e6, post {5} -> 500e6;
+    // control: pre {2} -> 200e6, post {3} -> 300e6. DiD = 300e6 - 100e6.
+    val df = Seq((true, false, 1.0), (true, false, 3.0), (true, true, 5.0),
+      (false, false, 2.0), (false, true, 3.0)).toDF("t", "p", "v")
+    val got = Analytics.diffInDiff(df, col("t"), col("p"), col("v"))
+      .select($"n_tp", $"m_tp_micro", $"m_t0_micro", $"m_cp_micro",
+        $"m_c0_micro", $"did_micro")
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+    assert(got === Array((1L, 500000000L, 200000000L, 300000000L,
+      200000000L, 200000000L)))
+  }
+
+  test("cuped removes the pre-period component from the raw diff") {
+    // y = 2x + 500·treated exactly; pooled theta works out to 3, so the
+    // raw 700e6 diff adjusts by theta * (mx_t - mx_c) = 3 * 100e6.
+    val rows = Seq(
+      (1L, false, 1.0, 2.0), (2L, false, 3.0, 6.0),
+      (3L, true, 2.0, 9.0), (4L, true, 4.0, 13.0))
+    val df = rows.flatMap { case (u, t, xv, yv) =>
+      Seq((u, t, true, xv), (u, t, false, yv)) }
+      .toDF("u", "t", "pre", "v")
+    val got = Analytics.cuped(df, col("u"), col("t"), col("pre"), col("v"))
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(got === Array((4L, 2L, 3000000L, 700000000L, 400000000L)))
+  }
+
   test("kaplanMeier matches the textbook product-limit on mixed censoring") {
     // durations: deaths at t=2 (x2) and t=5; censored at 3 and 6.
     // S(2) = 3/5 = 0.6; S(5) = 0.6 * 1/2 = 0.3; censoring shrinks the
