@@ -1769,6 +1769,109 @@ object Analytics {
                div (y.f % 4294967296L))""").as("surv_micro"))
   }
 
+  /** Log-rank test for two right-censored survival curves: at each
+    * death time, group 1's observed deaths vs its hypergeometric
+    * expectation d·n₁/n, summed — with the variance term
+    * d·n₁·(n−n₁)·(n−d) / (n²·(n−1)) — and the χ² statistic
+    * (O−E)²/V, everything in decimal(38,0)-widened exact micro algebra
+    * with fixed truncation points (the [[kaplanMeier]] discipline
+    * applied to the two-sample comparison: "do even- and odd-keyed
+    * customers churn at the same rate" gets an actual test, not two
+    * curves eyeballed). One row out.
+    *
+    * Scale design: one per-(duration, group-slice) collapse with
+    * map-side partials, one cumulative pass over the distinct-duration
+    * relation (quantized-domain window, the q317 contract), then a
+    * single aggregation row.
+    */
+  def logRank(df: DataFrame, durationCol: Column, eventCol: Column,
+      group1Col: Column): DataFrame = {
+    val byT = df
+      .select(durationCol.cast("long").as("t"),
+        when(eventCol, 1L).otherwise(0L).as("e"),
+        when(group1Col, 1L).otherwise(0L).as("g1"))
+      .groupBy(col("t"))
+      .agg(count(lit(1)).as("c"), sum(col("e")).as("d"),
+        sum(col("g1")).as("c1"),
+        sum(col("e") * col("g1")).as("d1"))
+    val w = Window.orderBy(col("t"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = byT.select(col("t"), col("c"), col("d"), col("c1"),
+      col("d1"), sum(col("c")).over(w).as("cum_c"),
+      sum(col("c1")).over(w).as("cum_c1"))
+    val risk = cum
+      .crossJoin(broadcast(byT.agg(sum(col("c")).as("nt"),
+        sum(col("c1")).as("nt1"))))
+      .select(col("t"), col("d"), col("d1"),
+        (col("nt") - col("cum_c") + col("c")).as("nr"),
+        (col("nt1") - col("cum_c1") + col("c1")).as("nr1"))
+      .filter(col("d") > 0 && col("nr") > 1)
+    risk.agg(
+        sum(col("d1")).as("o1"),
+        sum(expr("""cast(d as decimal(38,0)) * nr1 * 1000000
+             div nr""")).as("e1_micro"),
+        sum(expr("""cast(d as decimal(38,0)) * nr1 * (nr - nr1)
+             * (nr - d) * 1000000
+             div (cast(nr as decimal(38,0)) * nr * (nr - 1))"""))
+          .as("v_micro"))
+      .select(col("o1"), col("e1_micro").cast("long").as("e1_micro"),
+        col("v_micro").cast("long").as("v_micro"))
+      .withColumn("chi2_micro",
+        when(col("v_micro") > 0, expr(
+          """cast((cast(o1 * 1000000L - e1_micro as decimal(38,0))
+             * (o1 * 1000000L - e1_micro)) div v_micro as long)"""))
+          .otherwise(lit(null).cast("long")))
+  }
+
+  // ---- q325: do even- and odd-keyed customers churn alike? --------------------
+  private def q325(s: SparkSession, d: String): DataFrame = {
+    val cust = Tables.orders(s, d).groupBy(col("o_custkey"))
+      .agg(min(col("o_orderdate")).as("fo"),
+        max(col("o_orderdate")).as("lo"))
+      .select(col("o_custkey").as("ck"),
+        datediff(col("lo"), col("fo")).cast("long").as("dur"),
+        expr("cast(lo as date) < date'2001-02-01'").as("ev"))
+    logRank(cust, col("dur"), col("ev"), col("ck") % 2 === 0)
+  }
+  private val q325Sql =
+    """WITH cust AS (
+         SELECT o_custkey AS ck, min(o_orderdate) AS fo,
+           max(o_orderdate) AS lo
+         FROM orders GROUP BY 1),
+       pc AS (
+         SELECT date_diff('day', fo::DATE, lo::DATE)::BIGINT AS t,
+           CASE WHEN lo::DATE < DATE '2001-02-01' THEN 1 ELSE 0 END AS e,
+           CASE WHEN ck % 2 = 0 THEN 1 ELSE 0 END AS g1
+         FROM cust),
+       byt AS (
+         SELECT t, count(*)::BIGINT AS c, sum(e)::BIGINT AS d,
+           sum(g1)::BIGINT AS c1, sum(e * g1)::BIGINT AS d1
+         FROM pc GROUP BY t),
+       tot AS (SELECT sum(c)::BIGINT AS nt, sum(c1)::BIGINT AS nt1
+         FROM byt),
+       risk AS (
+         SELECT t, d, d1,
+           (nt - sum(c) OVER (ORDER BY t
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) + c)::BIGINT
+             AS nr,
+           (nt1 - sum(c1) OVER (ORDER BY t
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) + c1)::BIGINT
+             AS nr1
+         FROM byt, tot),
+       f AS (SELECT * FROM risk WHERE d > 0 AND nr > 1),
+       agg AS (
+         SELECT sum(d1)::BIGINT AS o1,
+           sum(d::HUGEINT * nr1 * 1000000 // nr)::HUGEINT AS e1_micro,
+           sum(d::HUGEINT * nr1 * (nr - nr1) * (nr - d) * 1000000
+             // (nr::HUGEINT * nr * (nr - 1)))::HUGEINT AS v_micro
+         FROM f)
+       SELECT o1, e1_micro::BIGINT AS e1_micro, v_micro::BIGINT AS v_micro,
+         CASE WHEN v_micro > 0
+           THEN ((o1 * 1000000 - e1_micro)::HUGEINT
+             * (o1 * 1000000 - e1_micro) // v_micro)::BIGINT
+           ELSE NULL END AS chi2_micro
+       FROM agg"""
+
   // ---- q317: customer ordering-lifetime survival curve ------------------------
   // Duration = days between a customer's first and last order; the event
   // (“stopped ordering”) is observed when the last order predates the
@@ -4313,6 +4416,7 @@ object Analytics {
     QueryDef("q312_lead_lag", q312, Some(q312Sql)),
     QueryDef("q317_kaplan_meier", q317, Some(q317Sql)),
     QueryDef("q323_diff_in_diff", q323, Some(q323Sql)),
+    QueryDef("q325_logrank", q325, Some(q325Sql)),
     QueryDef("q324_cuped", q324, Some(q324Sql)),
     QueryDef("q313_asof_staleness", q313, Some(q313Sql)),
     QueryDef("q304_capture_recapture", q304, Some(q304Sql)),

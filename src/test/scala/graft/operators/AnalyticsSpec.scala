@@ -711,6 +711,18 @@ class AnalyticsSpec extends SparkSpec {
     assert(got === Array((4L, 2L, 3000000L, 700000000L, 400000000L)))
   }
 
+  test("logRank accumulates hypergeometric O-E and variance exactly") {
+    // g1: death at 2, censored at 4; g2: deaths at 2 and 3.
+    // t=2: e1 = 2·2/4 = 1e6, v = 16e6/48 = 333333;
+    // t=3: e1 = 1·1/2 = 5e5, v = 1e6/4 = 250000.
+    // O=1, E=1.5e6, V=583333 -> chi2 = (5e5)²//583333 = 428571.
+    val df = Seq((2L, true, true), (4L, false, true),
+      (2L, true, false), (3L, true, false)).toDF("dur", "ev", "g1")
+    val got = Analytics.logRank(df, col("dur"), col("ev"), col("g1"))
+      .as[(Long, Long, Long, Option[Long])].collect()
+    assert(got === Array((1L, 1500000L, 583333L, Some(428571L))))
+  }
+
   test("kaplanMeier matches the textbook product-limit on mixed censoring") {
     // durations: deaths at t=2 (x2) and t=5; censored at 3 and 6.
     // S(2) = 3/5 = 0.6; S(5) = 0.6 * 1/2 = 0.3; censoring shrinks the
