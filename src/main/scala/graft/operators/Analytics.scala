@@ -1885,7 +1885,7 @@ object Analytics {
         expr("cast(lo as date) < date'2001-02-01'").as("ev"))
     kaplanMeier(cust, col("dur"), col("ev")).orderBy(col("t"))
   }
-  private val q317Sql =
+  private[operators] val q317Sql =
     """WITH cust AS (
          SELECT o_custkey, min(o_orderdate) AS fo, max(o_orderdate) AS lo
          FROM orders GROUP BY 1),

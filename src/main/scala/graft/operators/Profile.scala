@@ -2025,7 +2025,7 @@ object Profile {
   // ---- q315: does mean event value differ across event types? -----------------
   private def q315(s: SparkSession, d: String): DataFrame =
     anovaTable(Tables.events(s, d), col("event_type"), col("value"))
-  private val q315Sql =
+  private[operators] val q315Sql =
     """WITH cells AS (
          SELECT event_type AS g, count(*)::BIGINT AS n_g,
            sum(floor(value * 100)::BIGINT)::BIGINT AS s_g,

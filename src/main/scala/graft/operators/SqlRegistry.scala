@@ -127,5 +127,25 @@ object SqlRegistry {
       Analytics.iqrOutliers(s.table(strLit(exprs(0), "table")),
         strLit(exprs(1), "groupCol"), expr(strLit(exprs(2), "valueExpr")))
     }
+
+    // graft_anova(table, groupCol, valueExpr): one-way ANOVA SS
+    // decomposition + F in exact integer algebra (the q315 operator).
+    tvf("graft_anova") { exprs =>
+      require(exprs.length == 3, "graft_anova(table, groupCol, valueExpr)")
+      Profile.anovaTable(s.table(strLit(exprs(0), "table")),
+        col(strLit(exprs(1), "groupCol")),
+        expr(strLit(exprs(2), "valueExpr")))
+    }
+
+    // graft_kaplan_meier(table, durationExpr, eventExpr): product-limit
+    // survival over right-censored durations (the q317 operator) —
+    // composes with a TEMP VIEW for the per-unit duration derivation.
+    tvf("graft_kaplan_meier") { exprs =>
+      require(exprs.length == 3,
+        "graft_kaplan_meier(table, durationExpr, eventExpr)")
+      Analytics.kaplanMeier(s.table(strLit(exprs(0), "table")),
+        expr(strLit(exprs(1), "durationExpr")),
+        expr(strLit(exprs(2), "eventExpr")))
+    }
   }
 }

@@ -153,6 +153,22 @@ object SqlSurface {
       """SELECT * FROM graft_iqr_outliers('events', 'event_type',
            'floor(value * 100)')
          ORDER BY k""")
+  private def q326(s: SparkSession, d: String): DataFrame =
+    viaTvf(s, d, "events",
+      "SELECT * FROM graft_anova('events', 'event_type', 'value')")
+  // The KM wrapper composes with a SQL TEMP VIEW for the per-customer
+  // duration derivation — the survival TVF consumes ANY relation-valued
+  // derivation a SQL user can write, not just base tables.
+  private def q327(s: SparkSession, d: String): DataFrame = {
+    SqlRegistry.register(s)
+    Tables(s, d, "orders").createOrReplaceTempView("orders")
+    s.sql("""CREATE OR REPLACE TEMPORARY VIEW cust_life AS
+      SELECT datediff(max(o_orderdate), min(o_orderdate)) AS dur,
+        cast(max(o_orderdate) as date) < date'2001-02-01' AS ev
+      FROM orders GROUP BY o_custkey""")
+    s.sql("""SELECT * FROM graft_kaplan_meier('cust_life', 'dur', 'ev')
+      ORDER BY t""")
+  }
 
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q37_scalar_subquery", q37, Some(q37Sql)),
@@ -166,5 +182,7 @@ object SqlSurface {
     QueryDef("q270_sql_salt_plan", q270, Some(Profile.q259Sql)),
     QueryDef("q271_sql_grouped_corr", q271, Some(Profile.q268Sql)),
     QueryDef("q287_sql_topk_others", q287, Some(Analytics.q281Sql)),
-    QueryDef("q288_sql_iqr_outliers", q288, Some(Analytics.q283Sql)))
+    QueryDef("q288_sql_iqr_outliers", q288, Some(Analytics.q283Sql)),
+    QueryDef("q326_sql_anova", q326, Some(Profile.q315Sql)),
+    QueryDef("q327_sql_kaplan_meier", q327, Some(Analytics.q317Sql)))
 }

@@ -78,4 +78,26 @@ class SqlRegistrySpec extends SparkSpec {
       || Option(err.getCause).exists(_.toString.contains("literal")),
       s"expected a literal-argument error, got: $err")
   }
+
+  test("graft_anova and graft_kaplan_meier TVFs equal the Dataset forms") {
+    SqlRegistry.register(spark)
+    Tables(spark, sf, "events").createOrReplaceTempView("events")
+    val anovaSql = spark.sql(
+      "SELECT * FROM graft_anova('events', 'event_type', 'value')")
+    val anovaApi = Profile.anovaTable(Tables(spark, sf, "events"),
+      col("event_type"), col("value"))
+    assert(anovaSql.except(anovaApi).isEmpty
+      && anovaApi.except(anovaSql).isEmpty)
+
+    Tables(spark, sf, "orders").createOrReplaceTempView("orders")
+    spark.sql("""CREATE OR REPLACE TEMPORARY VIEW cust_life AS
+      SELECT datediff(max(o_orderdate), min(o_orderdate)) AS dur,
+        cast(max(o_orderdate) as date) < date'2001-02-01' AS ev
+      FROM orders GROUP BY o_custkey""")
+    val kmSql = spark.sql(
+      "SELECT * FROM graft_kaplan_meier('cust_life', 'dur', 'ev')")
+    val kmApi = Analytics.kaplanMeier(spark.table("cust_life"),
+      col("dur"), col("ev"))
+    assert(kmSql.except(kmApi).isEmpty && kmApi.except(kmSql).isEmpty)
+  }
 }
