@@ -12,6 +12,17 @@ import org.apache.spark.sql.functions._
   */
 class RuntimeFilterSpec extends SparkSpec {
 
+  // This suite flips session confs (broadcast threshold, bloom-filter
+  // thresholds) mid-test. sbt runs suites concurrently in one JVM, and
+  // `getOrCreate` hands every suite the same session — so mutate an
+  // ISOLATED `newSession()` (own SQLConf, shared context) instead of
+  // racing the plan-shape suites reading the shared one.
+  override lazy val spark: org.apache.spark.sql.SparkSession = {
+    val s = GraftSession.local(cpus = 4, appName = suiteName).newSession()
+    functions.Native.register(s)
+    s
+  }
+
   test("selective dim filter injects a bloom filter on the fact scan side") {
     val prev = Map(
       "spark.sql.optimizer.runtime.bloomFilter.enabled" ->

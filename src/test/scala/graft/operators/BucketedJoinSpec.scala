@@ -9,6 +9,16 @@ import org.apache.spark.sql.functions._
   */
 class BucketedJoinSpec extends SparkSpec {
 
+  // Conf-mutating suite (broadcast threshold): use an isolated
+  // `newSession()` so concurrent plan-shape suites never observe the
+  // flipped threshold on the shared session (see RuntimeFilterSpec).
+  override lazy val spark: org.apache.spark.sql.SparkSession = {
+    val s = graft.GraftSession.local(cpus = 4, appName = suiteName)
+      .newSession()
+    graft.functions.Native.register(s)
+    s
+  }
+
   test("bucketed lineitem joins bucketed orders with no exchange at all") {
     val threshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     // Disable broadcast so the planner must consider a shuffle — and then
