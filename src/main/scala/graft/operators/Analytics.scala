@@ -1525,6 +1525,74 @@ object Analytics {
          n, (n * 1000000 // total)::BIGINT AS share_micro, max_stale_us
        FROM hist, t ORDER BY ord"""
 
+  /** Reorder-point planning table: per group, mean and standard
+    * deviation of DAILY demand (zero-demand days included — the
+    * divisor is the global day count, and absent days contribute 0 to
+    * every sum, so the moments need no gap-filling join), the safety
+    * stock z·σ·√L and the reorder point μ·L + safety — the operations
+    * readout behind "when do we restock". Variance numerator is exact
+    * decimal(38,0) algebra; the single √/÷ finish follows the repo's
+    * one-float-step + binRound6 convention (identical expression text on
+    * both engines, so the IEEE result is bit-stable). Demand is carried
+    * in quantity-cents.
+    *
+    * Scale design: one (group, day) collapse with map-side partials,
+    * one group collapse of the moments, one broadcast single-row day
+    * count. The corpus is scanned once.
+    */
+  def reorderPoints(df: DataFrame, groupCol: Column, dayCol: Column,
+      qtyCol: Column, leadTimeDays: Int, z: Double): DataFrame = {
+    val pd = df
+      .select(groupCol.as("g"), dayCol.cast("date").as("day"),
+        floor(qtyCol * 100).cast("long").as("qc"))
+      .groupBy(col("g"), col("day")).agg(sum(col("qc")).as("dq"))
+    val nd = pd.select(col("day")).distinct()
+      .agg(count(lit(1)).as("n"))
+    val st = pd.groupBy(col("g"))
+      .agg(sum(col("dq")).as("s"),
+        sum(expr("cast(dq as decimal(38,0)) * dq")).as("ss"))
+    val sigmaExpr = "sqrt(cast(cast(n as decimal(38,0)) * ss " +
+      "- cast(s as decimal(38,0)) * s as double)) / n"
+    st.crossJoin(broadcast(nd))
+      .select(col("g"), col("n").as("n_days"), col("s").as("total_qc"),
+        expr("sign(s) * (abs(s) * 1000L div n)").cast("long")
+          .as("mean_daily_milli"),
+        expr(s"floor(($sigmaExpr) * 1e6 + 0.5) / 1e6").as("sigma_daily"),
+        expr(s"floor(($z * sqrt(cast($leadTimeDays as double)) " +
+          s"* ($sigmaExpr)) * 1e6 + 0.5) / 1e6").as("safety_stock"),
+        expr(s"floor(((s * cast($leadTimeDays as double)) / n " +
+          s"+ $z * sqrt(cast($leadTimeDays as double)) * ($sigmaExpr)) " +
+          "* 1e6 + 0.5) / 1e6").as("reorder_point"))
+  }
+
+  // ---- q328: per-supplier restock planning over daily shipped demand ----------
+  private def q328(s: SparkSession, d: String): DataFrame =
+    reorderPoints(Tables.lineitem(s, d), col("l_suppkey"),
+      col("l_shipdate"), col("l_quantity"), leadTimeDays = 7, z = 1.65)
+      .orderBy(col("g"))
+  private val q328Sql =
+    """WITH pd AS (
+         SELECT l_suppkey AS g, l_shipdate::DATE AS day,
+           sum(floor(l_quantity * 100)::BIGINT)::BIGINT AS dq
+         FROM lineitem GROUP BY 1, 2),
+       nd AS (SELECT count(DISTINCT day)::BIGINT AS n FROM pd),
+       st AS (
+         SELECT g, sum(dq)::BIGINT AS s, sum(dq::HUGEINT * dq) AS ss
+         FROM pd GROUP BY 1)
+       SELECT g, n AS n_days, s AS total_qc,
+         (sign(s)::BIGINT * (abs(s) * 1000 // n))::BIGINT
+           AS mean_daily_milli,
+         floor((sqrt((n::HUGEINT * ss - s::HUGEINT * s)::DOUBLE) / n)
+           * 1e6 + 0.5) / 1e6 AS sigma_daily,
+         floor((1.65 * sqrt(cast(7 as double))
+           * (sqrt((n::HUGEINT * ss - s::HUGEINT * s)::DOUBLE) / n))
+           * 1e6 + 0.5) / 1e6 AS safety_stock,
+         floor(((s * cast(7 as double)) / n
+           + 1.65 * sqrt(cast(7 as double))
+             * (sqrt((n::HUGEINT * ss - s::HUGEINT * s)::DOUBLE) / n))
+           * 1e6 + 0.5) / 1e6 AS reorder_point
+       FROM st, nd ORDER BY g"""
+
   /** Difference-in-differences table: the four (treated × period) cell
     * means in exact micro-cents (sign-split truncating division — the
     * engine-identical convention for negative-capable sums) and the DiD
@@ -4417,6 +4485,7 @@ object Analytics {
     QueryDef("q317_kaplan_meier", q317, Some(q317Sql)),
     QueryDef("q323_diff_in_diff", q323, Some(q323Sql)),
     QueryDef("q325_logrank", q325, Some(q325Sql)),
+    QueryDef("q328_reorder_points", q328, Some(q328Sql)),
     QueryDef("q324_cuped", q324, Some(q324Sql)),
     QueryDef("q313_asof_staleness", q313, Some(q313Sql)),
     QueryDef("q304_capture_recapture", q304, Some(q304Sql)),

@@ -711,6 +711,26 @@ class AnalyticsSpec extends SparkSpec {
     assert(got === Array((4L, 2L, 3000000L, 700000000L, 400000000L)))
   }
 
+  test("reorderPoints computes zero-day-aware moments and the z*sigma*sqrt(L) stock") {
+    // Group a sells on both global days (100, 300 qc): sigma = 100.
+    // Group b sells 200 qc on day 1 ONLY — day 2 counts as zero demand
+    // (global divisor), so its variance is NOT zero: var = (2*40000 -
+    // 40000)/4 -> sigma = 100.
+    val df = Seq(("a", 0, 1.0), ("a", 1, 3.0), ("b", 0, 2.0))
+      .toDF("g0", "d0", "q")
+      .select(col("g0"), expr("date_add(date'2020-01-01', d0)").as("day"),
+        col("q"))
+    val got = Analytics.reorderPoints(df, col("g0"), col("day"), col("q"),
+      leadTimeDays = 7, z = 1.65)
+      .orderBy(col("g"))
+      .as[(String, Long, Long, Long, Double, Double, Double)].collect()
+    def r6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    val saf = r6(1.65 * math.sqrt(7.0) * 100.0)
+    assert(got === Array(
+      ("a", 2L, 400L, 200000L, 100.0, saf, r6(1400.0 + 1.65 * math.sqrt(7.0) * 100.0)),
+      ("b", 2L, 200L, 100000L, 100.0, saf, r6(700.0 + 1.65 * math.sqrt(7.0) * 100.0))))
+  }
+
   test("logRank accumulates hypergeometric O-E and variance exactly") {
     // g1: death at 2, censored at 4; g2: deaths at 2 and 3.
     // t=2: e1 = 2·2/4 = 1e6, v = 16e6/48 = 333333;
