@@ -1525,6 +1525,96 @@ object Analytics {
          n, (n * 1000000 // total)::BIGINT AS share_micro, max_stale_us
        FROM hist, t ORDER BY ord"""
 
+  /** Type-7 linearly-interpolated quantiles (the numpy/pandas default)
+    * per group, in EXACT micro arithmetic: the rank position
+    * h = (n−1)·p/100 is an exact rational with denominator 100, so
+    * q_micro = x_k·10⁶ + (x_{k+1} − x_k)·(h mod 1)·10⁶ is pure BIGINT —
+    * the parity bridge for pipelines that must reproduce a pandas
+    * `quantile()` exactly, beside the library's nearest-rank family
+    * (q47/q205/q229). Values carried in cents.
+    *
+    * Scale design: one (group, value) collapse with map-side partials,
+    * cumulative counts over the distinct-value relation (group-
+    * partitioned window — the quantized-domain contract), then one
+    * conditional aggregation per group; the two order statistics per
+    * percentile are min-over-threshold lookups, not sorts.
+    */
+  def interpQuantiles(df: DataFrame, groupCol: Column, valueCol: Column,
+      ps: Seq[Int]): DataFrame = {
+    require(ps.nonEmpty && ps.forall(p => p >= 0 && p < 100),
+      "percentiles must be in [0, 100)")
+    val byV = df
+      .select(groupCol.as("g"), floor(valueCol * 100).cast("long").as("v"))
+      .groupBy(col("g"), col("v")).agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy(col("g")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = byV
+      .select(col("g"), col("v"), sum(col("c")).over(w).as("cum"))
+      .join(byV.groupBy(col("g")).agg(sum(col("c")).as("n")), "g")
+    val aggs = col("n").as("n") +: ps.flatMap { p =>
+      // k = (n−1)·p div 100 (0-based); lookups need cum ≥ k+1 / k+2.
+      val k = s"((n - 1) * $p div 100)"
+      Seq(
+        min(when(expr(s"cum >= $k + 1"), col("v"))).as(s"_lo_$p"),
+        min(when(expr(s"cum >= $k + 2"), col("v"))).as(s"_hi_$p"))
+    }
+    val looked = cum.groupBy(col("g")).agg(max(col("n")).as("n"),
+      aggs.tail: _*)
+    ps.foldLeft(looked) { (d, p) =>
+      d.withColumn(s"p${p}_micro", expr(
+        s"""_lo_$p * 1000000L + (coalesce(_hi_$p, _lo_$p) - _lo_$p)
+           * (((n - 1) * $p) % 100) * 10000L"""))
+    }.select((col("g") +: col("n") +:
+      ps.map(p => col(s"p${p}_micro"))): _*)
+  }
+
+  // ---- q329: pandas-exact value quantiles per event type ----------------------
+  private def q329(s: SparkSession, d: String): DataFrame =
+    interpQuantiles(Tables.events(s, d), col("event_type"), col("value"),
+      Seq(25, 50, 75, 90))
+      .orderBy(col("g"))
+  private val q329Sql =
+    """WITH byv AS (
+         SELECT event_type AS g, floor(value * 100)::BIGINT AS v,
+           count(*)::BIGINT AS c
+         FROM events GROUP BY 1, 2),
+       cum AS (
+         SELECT g, v,
+           sum(c) OVER (PARTITION BY g ORDER BY v
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT
+             AS cum,
+           sum(c) OVER (PARTITION BY g)::BIGINT AS n
+         FROM byv),
+       lk AS (
+         SELECT g, max(n)::BIGINT AS n,
+           min(CASE WHEN cum >= (n - 1) * 25 // 100 + 1 THEN v END)
+             AS lo25,
+           min(CASE WHEN cum >= (n - 1) * 25 // 100 + 2 THEN v END)
+             AS hi25,
+           min(CASE WHEN cum >= (n - 1) * 50 // 100 + 1 THEN v END)
+             AS lo50,
+           min(CASE WHEN cum >= (n - 1) * 50 // 100 + 2 THEN v END)
+             AS hi50,
+           min(CASE WHEN cum >= (n - 1) * 75 // 100 + 1 THEN v END)
+             AS lo75,
+           min(CASE WHEN cum >= (n - 1) * 75 // 100 + 2 THEN v END)
+             AS hi75,
+           min(CASE WHEN cum >= (n - 1) * 90 // 100 + 1 THEN v END)
+             AS lo90,
+           min(CASE WHEN cum >= (n - 1) * 90 // 100 + 2 THEN v END)
+             AS hi90
+         FROM cum GROUP BY g)
+       SELECT g, n,
+         (lo25 * 1000000 + (coalesce(hi25, lo25) - lo25)
+           * (((n - 1) * 25) % 100) * 10000)::BIGINT AS p25_micro,
+         (lo50 * 1000000 + (coalesce(hi50, lo50) - lo50)
+           * (((n - 1) * 50) % 100) * 10000)::BIGINT AS p50_micro,
+         (lo75 * 1000000 + (coalesce(hi75, lo75) - lo75)
+           * (((n - 1) * 75) % 100) * 10000)::BIGINT AS p75_micro,
+         (lo90 * 1000000 + (coalesce(hi90, lo90) - lo90)
+           * (((n - 1) * 90) % 100) * 10000)::BIGINT AS p90_micro
+       FROM lk ORDER BY g"""
+
   /** Reorder-point planning table: per group, mean and standard
     * deviation of DAILY demand (zero-demand days included — the
     * divisor is the global day count, and absent days contribute 0 to
@@ -4486,6 +4576,7 @@ object Analytics {
     QueryDef("q323_diff_in_diff", q323, Some(q323Sql)),
     QueryDef("q325_logrank", q325, Some(q325Sql)),
     QueryDef("q328_reorder_points", q328, Some(q328Sql)),
+    QueryDef("q329_interp_quantiles", q329, Some(q329Sql)),
     QueryDef("q324_cuped", q324, Some(q324Sql)),
     QueryDef("q313_asof_staleness", q313, Some(q313Sql)),
     QueryDef("q304_capture_recapture", q304, Some(q304Sql)),

@@ -731,6 +731,17 @@ class AnalyticsSpec extends SparkSpec {
       ("b", 2L, 200L, 100000L, 100.0, saf, r6(700.0 + 1.65 * math.sqrt(7.0) * 100.0))))
   }
 
+  test("interpQuantiles reproduces the numpy type-7 values exactly") {
+    // numpy.quantile([1,2,3,4], [.25,.5,.75,.9]) = [1.75, 2.5, 3.25, 3.7]
+    val df = Seq(("a", 1.0), ("a", 2.0), ("a", 3.0), ("a", 4.0))
+      .toDF("g0", "v")
+    val got = Analytics.interpQuantiles(df, col("g0"), col("v"),
+      Seq(25, 50, 75, 90))
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+    assert(got === Array(("a", 4L, 175000000L, 250000000L, 325000000L,
+      370000000L)))
+  }
+
   test("logRank accumulates hypergeometric O-E and variance exactly") {
     // g1: death at 2, censored at 4; g2: deaths at 2 and 3.
     // t=2: e1 = 2·2/4 = 1e6, v = 16e6/48 = 333333;
