@@ -1525,6 +1525,49 @@ object Analytics {
          n, (n * 1000000 // total)::BIGINT AS share_micro, max_stale_us
        FROM hist, t ORDER BY ord"""
 
+  /** Calendar dimension spine: one row per day of [start, end], with
+    * year/quarter/month/day plus ISO-agnostic day-of-week and weekend
+    * flag computed from EPOCH-DAY arithmetic ((day_id + 3) % 7,
+    * 0 = Monday) — the same timezone-free convention the dow/load
+    * profiles use, so the spine joins consistently on any engine and
+    * under any session timezone. Generated distributed via
+    * `sequence()`/explode, not a driver loop.
+    */
+  def calendar(s: SparkSession, startDate: String,
+      endDate: String): DataFrame = {
+    s.range(1).select(explode(expr(
+        s"sequence(date'$startDate', date'$endDate', interval 1 day)"))
+        .as("day"))
+      .select(col("day"),
+        expr("datediff(day, date'1970-01-01')").cast("long").as("day_id"),
+        year(col("day")).cast("long").as("year"),
+        quarter(col("day")).cast("long").as("quarter"),
+        month(col("day")).cast("long").as("month"),
+        dayofmonth(col("day")).cast("long").as("day_of_month"),
+        expr("(datediff(day, date'1970-01-01') + 3) % 7").cast("long")
+          .as("dow_monday0"))
+      .withColumn("is_weekend", col("dow_monday0") >= 5)
+  }
+
+  // ---- q330: the 2024 calendar spine, reached from SQL ------------------------
+  private def q330(s: SparkSession, d: String): DataFrame = {
+    SqlRegistry.register(s)
+    s.sql("""SELECT * FROM graft_calendar('2024-01-01', '2024-12-31')
+      ORDER BY day""")
+  }
+  private val q330Sql =
+    """SELECT day::DATE AS day,
+         date_diff('day', DATE '1970-01-01', day)::BIGINT AS day_id,
+         year(day)::BIGINT AS year, quarter(day)::BIGINT AS quarter,
+         month(day)::BIGINT AS month, day(day)::BIGINT AS day_of_month,
+         ((date_diff('day', DATE '1970-01-01', day) + 3) % 7)::BIGINT
+           AS dow_monday0,
+         ((date_diff('day', DATE '1970-01-01', day) + 3) % 7) >= 5
+           AS is_weekend
+       FROM generate_series(DATE '2024-01-01', DATE '2024-12-31',
+         INTERVAL 1 DAY) t(day)
+       ORDER BY day"""
+
   /** Type-7 linearly-interpolated quantiles (the numpy/pandas default)
     * per group, in EXACT micro arithmetic: the rank position
     * h = (n−1)·p/100 is an exact rational with denominator 100, so
@@ -4577,6 +4620,7 @@ object Analytics {
     QueryDef("q325_logrank", q325, Some(q325Sql)),
     QueryDef("q328_reorder_points", q328, Some(q328Sql)),
     QueryDef("q329_interp_quantiles", q329, Some(q329Sql)),
+    QueryDef("q330_sql_calendar", q330, Some(q330Sql)),
     QueryDef("q324_cuped", q324, Some(q324Sql)),
     QueryDef("q313_asof_staleness", q313, Some(q313Sql)),
     QueryDef("q304_capture_recapture", q304, Some(q304Sql)),

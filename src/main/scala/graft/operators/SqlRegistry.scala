@@ -147,5 +147,15 @@ object SqlRegistry {
         expr(strLit(exprs(1), "durationExpr")),
         expr(strLit(exprs(2), "eventExpr")))
     }
+
+    // graft_calendar(startDate, endDate): inclusive date spine with the
+    // calendar attributes every BI join needs, all derived TIMEZONE-FREE
+    // from epoch-day arithmetic (dow via (day_id + 3) % 7, 0 = Monday —
+    // no session-timezone or engine dow-origin dependence).
+    tvf("graft_calendar") { exprs =>
+      require(exprs.length == 2, "graft_calendar(startDate, endDate)")
+      Analytics.calendar(s, strLit(exprs(0), "startDate"),
+        strLit(exprs(1), "endDate"))
+    }
   }
 }

@@ -731,6 +731,16 @@ class AnalyticsSpec extends SparkSpec {
       ("b", 2L, 200L, 100000L, 100.0, saf, r6(700.0 + 1.65 * math.sqrt(7.0) * 100.0))))
   }
 
+  test("calendar spine: leap-year count, epoch dow, weekend flags") {
+    val cal = Analytics.calendar(spark, "2024-01-01", "2024-12-31")
+    assert(cal.count() === 366L) // leap year
+    val jan1 = cal.filter(col("day") === expr("date'2024-01-01'"))
+      .select($"dow_monday0", $"is_weekend").as[(Long, Boolean)].head()
+    assert(jan1 === ((0L, false))) // 2024-01-01 was a Monday
+    val weekends = cal.filter($"is_weekend").count()
+    assert(weekends === 104L) // 52 full weekends in 2024
+  }
+
   test("interpQuantiles reproduces the numpy type-7 values exactly") {
     // numpy.quantile([1,2,3,4], [.25,.5,.75,.9]) = [1.75, 2.5, 3.25, 3.7]
     val df = Seq(("a", 1.0), ("a", 2.0), ("a", 3.0), ("a", 4.0))
