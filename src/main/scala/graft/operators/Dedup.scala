@@ -1248,6 +1248,82 @@ object Dedup {
        FROM sh JOIN rl ON sh.d1 = rl.d1 AND sh.d2 = rl.d2
        ORDER BY sh.d1, sh.d2"""
 
+  /** End-to-end Fellegi–Sunter entity resolution: block → score field
+    * agreements with caller-supplied evidence weights (e.g. read off a
+    * [[linkageWeights]] run) → accept pairs at the threshold →
+    * transitively cluster ([[dedupClusters]]) → report resolved
+    * entities with their member counts. The composition capstone of
+    * the linkage tier: q311 ESTIMATES the weights, this SPENDS them.
+    *
+    * Oversized blocks (> `maxBlockSize`) are dropped whole — a block
+    * key that fails to discriminate is a non-answer, not a candidate
+    * set (the standard blocking discipline; deterministic on both
+    * engines).
+    *
+    * Scale design: candidate pairs exist only within capped blocks
+    * (Σ min(|block|, cap)² bound); scoring is a per-pair expression,
+    * no second corpus pass; clustering runs on the accepted-pair list,
+    * which is resolution-output-sized.
+    */
+  def resolveEntities(df: DataFrame, idCol: String, blockKey: Column,
+      fields: Seq[(String, Column, Long)], thresholdMicro: Long,
+      maxBlockSize: Int = 256): DataFrame = {
+    require(fields.nonEmpty, "need at least one weighted field")
+    val base = df.select(
+      (col(idCol).as("id") +: blockKey.as("b") +:
+        fields.map { case (n, c, _) => c.as(s"f_$n") }): _*)
+    val keptBlocks = base.groupBy(col("b")).agg(count(lit(1)).as("bs"))
+      .filter(col("bs") <= maxBlockSize).select(col("b"))
+    val kept = base.join(keptBlocks, Seq("b"), "left_semi")
+    val l = kept.select(
+      (col("id").as("d1") +: col("b") +:
+        fields.map { case (n, _, _) => col(s"f_$n").as(s"a_$n") }): _*)
+    val r = kept.select(
+      (col("id").as("d2") +: col("b") +:
+        fields.map { case (n, _, _) => col(s"f_$n").as(s"b_$n") }): _*)
+    val score = fields.map { case (n, _, w) =>
+      when(col(s"a_$n") === col(s"b_$n"), lit(w)).otherwise(lit(0L)) }
+      .reduce(_ + _)
+    val accepted = l.join(r, Seq("b")).filter(col("d1") < col("d2"))
+      .select(col("d1"), col("d2"), score.as("score_micro"))
+      .filter(col("score_micro") >= thresholdMicro)
+    dedupClusters(accepted, "d1", "d2")
+      .groupBy(col("cluster_id").as("entity_id"))
+      .agg(count(lit(1)).as("n_members"))
+  }
+
+  // ---- q331: resolve prefix-blocked document entities -------------------------
+  // Blocks = 8-char text prefix (discriminative at every fixture scale);
+  // evidence weights follow the q311 verdict (the 16-char prefix is
+  // decisive, length band and language corroborate); threshold demands
+  // prefix16 PLUS at least one corroborator.
+  private def q331(s: SparkSession, d: String): DataFrame =
+    resolveEntities(Tables.documents(s, d), "doc_id",
+      substring(col("text"), 1, 8),
+      Seq(("prefix16", substring(col("text"), 1, 16), 700000L),
+        ("band", expr("n_chars div 100"), 200000L),
+        ("lang", col("lang"), 100000L)),
+      thresholdMicro = 800000L)
+      .orderBy(col("entity_id"))
+  private val q331Sql =
+    s"""WITH RECURSIVE base AS (
+         SELECT doc_id AS id, left(text, 8) AS b,
+           left(text, 16) AS f_p, n_chars // 100 AS f_b, lang AS f_l
+         FROM documents),
+       kb AS (SELECT b FROM base GROUP BY b HAVING count(*) <= 256),
+       kept AS (SELECT base.* FROM base JOIN kb USING (b)),
+       dup AS (
+         SELECT x.id AS d1, y.id AS d2
+         FROM kept x JOIN kept y ON x.b = y.b AND x.id < y.id
+         WHERE (CASE WHEN x.f_p = y.f_p THEN 700000 ELSE 0 END
+           + CASE WHEN x.f_b = y.f_b THEN 200000 ELSE 0 END
+           + CASE WHEN x.f_l = y.f_l THEN 100000 ELSE 0 END) >= 800000),
+       $closureCtes,
+       lab AS (
+         SELECT a AS id, least(a, min(b)) AS ent FROM reach GROUP BY a)
+       SELECT ent AS entity_id, count(*)::BIGINT AS n_members
+       FROM lab GROUP BY 1 ORDER BY entity_id"""
+
   private def q25(s: SparkSession, d: String): DataFrame =
     exactDedup(Tables.documents(s, d), "doc_id", "text").orderBy(col("keeper"))
   private val q25Sql =
@@ -1938,5 +2014,6 @@ object Dedup {
     QueryDef("q142_lsh_miss_report", q142, Some(q142Sql)),
     QueryDef("q301_lsh_curve", q301, Some(q301Sql)),
     QueryDef("q311_linkage_weights", q311, Some(q311Sql)),
-    QueryDef("q321_dup_evidence", q321, Some(q321Sql)))
+    QueryDef("q321_dup_evidence", q321, Some(q321Sql)),
+    QueryDef("q331_resolve_entities", q331, Some(q331Sql)))
 }

@@ -369,6 +369,31 @@ class DedupSpec extends SparkSpec {
     assert(got === Array((1L, 2L, 3L, 4L)))
   }
 
+  test("resolveEntities blocks, scores, thresholds, and clusters") {
+    // Block bl1: (1,2) agree on f (600k >= tau), (1,3)/(2,3) fall short.
+    // Block bl3: 5,6,7 all agree on f -> one 3-entity. 4 is a singleton
+    // block and never pairs.
+    val df = Seq(
+      (1L, "bl1", "x", "p"), (2L, "bl1", "x", "q"), (3L, "bl1", "y", "p"),
+      (4L, "bl2", "x", "p"),
+      (5L, "bl3", "z", "r"), (6L, "bl3", "z", "s"), (7L, "bl3", "z", "t"))
+      .toDF("id0", "blk", "f", "g")
+    val got = Dedup.resolveEntities(df, "id0", col("blk"),
+      Seq(("f", col("f"), 600000L), ("g", col("g"), 400000L)),
+      thresholdMicro = 600000L)
+      .orderBy($"entity_id").as[(Long, Long)].collect()
+    assert(got === Array((1L, 2L), (5L, 3L)))
+  }
+
+  test("resolveEntities drops non-discriminative oversized blocks whole") {
+    val df = (1L to 10L).map(i => (i, "big", "same"))
+      .toDF("id0", "blk", "f")
+    val got = Dedup.resolveEntities(df, "id0", col("blk"),
+      Seq(("f", col("f"), 1000000L)), thresholdMicro = 1000000L,
+      maxBlockSize = 5)
+    assert(got.count() === 0L)
+  }
+
   test("linkageWeights computes m/u from pair algebra, never enumerating") {
     // One block of 4 records; truth = {(1,2)}. Field "c": 1,2 agree (red),
     // so m=1, and red is the only in-block agreeing pair -> u=(1-1)/5=0.
