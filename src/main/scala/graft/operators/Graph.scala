@@ -202,18 +202,7 @@ object Graph {
   def coOccurrencePairs(pairs: DataFrame, keyCol: String, itemCol: String,
       maxItemsPerKey: Int): DataFrame = {
     require(maxItemsPerKey >= 2, "a pair needs at least two items per key")
-    val sp = pairs
-      .select(col(keyCol).cast("long").as("c"), col(itemCol).cast("long").as("i"))
-      .distinct()
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("c")).orderBy(col("i"))
-    val capped = sp.withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= maxItemsPerKey)
-      .select(col("c"), col("i"))
-    capped.as("x").join(capped.as("y"),
-        col("x.c") === col("y.c") && col("x.i") < col("y.i"))
-      .groupBy(col("x.i").as("i1"), col("y.i").as("i2"))
-      .agg(count(lit(1)).as("w"))
+    coFromCapped(cappedPairs(pairs, keyCol, itemCol, maxItemsPerKey))
   }
 
   /** Salton (cosine) normalization of a co-occurrence projection: shared
@@ -229,35 +218,55 @@ object Graph {
     * identical path both engines, binRound6 (Salton ∈ [0, 1] — no −0.0
     * class).
     */
-  def saltonPairs(pairs: DataFrame, keyCol: String, itemCol: String,
+  /** The capped (key, item) relation every co-occurrence consumer
+    * derives from: distinct pairs with the per-key item cap applied.
+    */
+  def cappedPairs(pairs: DataFrame, keyCol: String, itemCol: String,
       maxItemsPerKey: Int): DataFrame = {
-    val co = coOccurrencePairs(pairs, keyCol, itemCol, maxItemsPerKey)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("c")).orderBy(col("i"))
-    val deg = pairs
+    pairs
       .select(col(keyCol).cast("long").as("c"),
         col(itemCol).cast("long").as("i"))
       .distinct()
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= maxItemsPerKey)
-      .groupBy(col("i")).agg(count(lit(1)).as("d"))
+      .select(col("c"), col("i"))
+  }
+
+  /** Salton scoring over PRECOMPUTED co-pair and degree relations — the
+    * share-the-projection form: when several queries consume the same
+    * co-occurrence base, materialize `co`/`deg` once ([[Materialized]])
+    * and score here; [[saltonPairs]] is the derive-everything wrapper.
+    */
+  def saltonScores(co: DataFrame, deg: DataFrame): DataFrame =
     co.join(deg.select(col("i").as("i1"), col("d").as("d1")), Seq("i1"))
       .join(deg.select(col("i").as("i2"), col("d").as("d2")), Seq("i2"))
       .select(col("i1"), col("i2"), col("w"), col("d1"), col("d2"),
         (floor(col("w").cast("double")
           / sqrt((col("d1") * col("d2")).cast("double")) * lit(1e6)
           + lit(0.5)) / lit(1e6)).as("salton"))
+
+  def saltonPairs(pairs: DataFrame, keyCol: String, itemCol: String,
+      maxItemsPerKey: Int): DataFrame = {
+    val capped = cappedPairs(pairs, keyCol, itemCol, maxItemsPerKey)
+    saltonScores(coFromCapped(capped), degFromCapped(capped))
   }
 
+  /** Pair aggregation / degree collapse of a capped (c, i) relation. */
+  def coFromCapped(capped: DataFrame): DataFrame =
+    capped.as("x").join(capped.as("y"),
+        col("x.c") === col("y.c") && col("x.i") < col("y.i"))
+      .groupBy(col("x.i").as("i1"), col("y.i").as("i2"))
+      .agg(count(lit(1)).as("w"))
+  def degFromCapped(capped: DataFrame): DataFrame =
+    capped.groupBy(col("i")).agg(count(lit(1)).as("d"))
+
   // ---- q262: strongest hub-corrected supplier associations --------------------
-  private def q262(s: SparkSession, d: String): DataFrame = {
-    val sp = Tables.orders(s, d)
-      .join(Tables.lineitem(s, d), col("l_orderkey") === col("o_orderkey"))
-      .select(col("o_custkey").as("c"), col("l_suppkey").as("sup"))
-    saltonPairs(sp, "c", "sup", CoSaleCap)
+  private def q262(s: SparkSession, d: String): DataFrame =
+    saltonScores(coSaleCo(s, d), coSaleDeg(s, d))
       .orderBy(col("salton").desc, col("i1"), col("i2"))
       .limit(30)
-  }
   private def q262Sql =
     s"""WITH sp AS (
          SELECT c, sup FROM (
@@ -291,33 +300,26 @@ object Graph {
     * relation collapses map-side to |items| rows before two broadcast
     * joins; nothing corpus-sized shuffles past the projection.
     */
-  def linkJaccard(pairs: DataFrame, keyCol: String, itemCol: String,
-      maxItemsPerKey: Int): DataFrame = {
-    val co = coOccurrencePairs(pairs, keyCol, itemCol, maxItemsPerKey)
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("c")).orderBy(col("i"))
-    val deg = pairs
-      .select(col(keyCol).cast("long").as("c"),
-        col(itemCol).cast("long").as("i"))
-      .distinct()
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= maxItemsPerKey)
-      .groupBy(col("i")).agg(count(lit(1)).as("d"))
+  /** Jaccard scoring over precomputed co/deg — the share-the-projection
+    * form (see [[saltonScores]]).
+    */
+  def jaccardScores(co: DataFrame, deg: DataFrame): DataFrame =
     co.join(deg.select(col("i").as("i1"), col("d").as("d1")), Seq("i1"))
       .join(deg.select(col("i").as("i2"), col("d").as("d2")), Seq("i2"))
       .select(col("i1"), col("i2"), col("w"), col("d1"), col("d2"),
         expr("(w * 1000000L) div (d1 + d2 - w)").as("jaccard_micro"))
+
+  def linkJaccard(pairs: DataFrame, keyCol: String, itemCol: String,
+      maxItemsPerKey: Int): DataFrame = {
+    val capped = cappedPairs(pairs, keyCol, itemCol, maxItemsPerKey)
+    jaccardScores(coFromCapped(capped), degFromCapped(capped))
   }
 
   // ---- q263: supplier link-prediction by neighbor-set Jaccard -----------------
-  private def q263(s: SparkSession, d: String): DataFrame = {
-    val sp = Tables.orders(s, d)
-      .join(Tables.lineitem(s, d), col("l_orderkey") === col("o_orderkey"))
-      .select(col("o_custkey").as("c"), col("l_suppkey").as("sup"))
-    linkJaccard(sp, "c", "sup", CoSaleCap)
+  private def q263(s: SparkSession, d: String): DataFrame =
+    jaccardScores(coSaleCo(s, d), coSaleDeg(s, d))
       .orderBy(col("jaccard_micro").desc, col("i1"), col("i2"))
       .limit(30)
-  }
   private def q263Sql =
     s"""WITH sp AS (
          SELECT c, sup FROM (
@@ -357,16 +359,19 @@ object Graph {
   def itemRecommendations(pairs: DataFrame, keyCol: String,
       itemCol: String, maxItemsPerKey: Int, topK: Int,
       neighborsPerItem: Int = 10): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("c")).orderBy(col("i"))
-    val sp = pairs
-      .select(col(keyCol).cast("long").as("c"),
-        col(itemCol).cast("long").as("i"))
-      .distinct()
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= maxItemsPerKey)
-      .select(col("c"), col("i"))
-    val sims = linkJaccard(pairs, keyCol, itemCol, maxItemsPerKey)
+    val capped = cappedPairs(pairs, keyCol, itemCol, maxItemsPerKey)
+    recommendFromScores(capped,
+      jaccardScores(coFromCapped(capped), degFromCapped(capped)),
+      topK, neighborsPerItem)
+  }
+
+  /** [[itemRecommendations]] over PRECOMPUTED capped user-item and
+    * similarity relations — the share-the-projection form.
+    */
+  def recommendFromScores(userItems: DataFrame, similarity: DataFrame,
+      topK: Int, neighborsPerItem: Int): DataFrame = {
+    val sp = userItems.select(col("c"), col("i"))
+    val sims = similarity
       .select(col("i1"), col("i2"), col("jaccard_micro").as("jm"))
     val nw = org.apache.spark.sql.expressions.Window
       .partitionBy(col("j")).orderBy(col("jm").desc, col("cand"))
@@ -389,13 +394,33 @@ object Graph {
         col("n_paths"), col("score_micro"))
   }
 
+  /** The capped co-sale (customer, supplier) relation and its pair /
+    * degree / Jaccard collapses, each materialized ONCE per
+    * (session, dir) — q262/q263/q319 consume the same projections
+    * (production owns them as persisted artifacts, the [[coSaleEdges]]
+    * discipline applied to the association-scoring family).
+    */
+  private def coSaleCapped(s: SparkSession, d: String): DataFrame =
+    Materialized.of(s, d, "co_sale_capped") {
+      cappedPairs(Tables.orders(s, d)
+        .join(Tables.lineitem(s, d), col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").as("c"), col("l_suppkey").as("sup")),
+        "c", "sup", CoSaleCap)
+    }
+  private def coSaleCo(s: SparkSession, d: String): DataFrame =
+    Materialized.of(s, d, "co_sale_co") {
+      coFromCapped(coSaleCapped(s, d))
+    }
+  private def coSaleDeg(s: SparkSession, d: String): DataFrame =
+    Materialized.of(s, d, "co_sale_deg") {
+      degFromCapped(coSaleCapped(s, d))
+    }
+
   // ---- q319: who should be shown which supplier next? -------------------------
-  private def q319(s: SparkSession, d: String): DataFrame = {
-    val sp = Tables.orders(s, d)
-      .join(Tables.lineitem(s, d), col("l_orderkey") === col("o_orderkey"))
-      .select(col("o_custkey").as("c"), col("l_suppkey").as("sup"))
-    itemRecommendations(sp, "c", "sup", CoSaleCap, topK = 100)
-  }
+  private def q319(s: SparkSession, d: String): DataFrame =
+    recommendFromScores(coSaleCapped(s, d),
+      jaccardScores(coSaleCo(s, d), coSaleDeg(s, d)),
+      topK = 100, neighborsPerItem = 10)
   private def q319Sql =
     s"""WITH sp AS (
          SELECT c, sup FROM (
