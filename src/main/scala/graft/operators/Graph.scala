@@ -394,6 +394,108 @@ object Graph {
         col("n_paths"), col("score_micro"))
   }
 
+  /** Personalized PageRank: the teleport mass lands ONLY on the seed
+    * set (uniformly, in integer micro shares) instead of everywhere —
+    * ranks become "relevance to the anchor", the related-item /
+    * same-community discovery primitive (e.g. "suppliers that co-sell
+    * their way back to THIS one"). Same exact integer-micro recurrence,
+    * shuffles, and per-iteration checkpointing as [[pagerank]]; total
+    * teleport mass per iteration is |V|·base so the two variants carry
+    * comparable magnitudes. Dangling nodes leak their mass here (no
+    * uniform redistribution — with seed-only teleport the standard
+    * choice is restart-at-seeds, and on the symmetrized graphs this
+    * library feeds it the case never arises).
+    */
+  def personalizedPagerank(edges: DataFrame, srcCol: String,
+      dstCol: String, seeds: DataFrame, iterations: Int,
+      dampingPct: Int = 85, checkpoint: Boolean = true): DataFrame = {
+    require(iterations >= 1, "needs at least one iteration")
+    val e0 = edges
+      .select(col(srcCol).cast("long").as("src"),
+        col(dstCol).cast("long").as("dst"))
+    val e = if (checkpoint) e0.localCheckpoint() else e0
+    val deg0 = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val deg = if (checkpoint) deg0.localCheckpoint() else deg0
+    val nodes0 = e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id"))).distinct()
+    val nodes = if (checkpoint) nodes0.localCheckpoint() else nodes0
+    val seedSet = seeds
+      .select(col(seeds.columns.head).cast("long").as("id")).distinct()
+    val nNodes = nodes.count()
+    val nSeeds = seedSet.count()
+    require(nSeeds > 0, "personalized pagerank needs at least one seed")
+    // Total teleport mass |V|·(1−d)·1e6 splits over the seeds only.
+    val seedBase = 1000000L * (100 - dampingPct) / 100 * nNodes / nSeeds
+    val based = nodes.join(
+        broadcast(seedSet.withColumn("is_seed", lit(true))),
+        Seq("id"), "left")
+      .select(col("id"),
+        when(col("is_seed"), lit(seedBase)).otherwise(lit(0L)).as("base"))
+    val basedCk = if (checkpoint) based.localCheckpoint() else based
+    var ranks = basedCk.select(col("id"), col("base").as("rank_micro"))
+    for (_ <- 1 to iterations) {
+      val withDeg = ranks.join(deg, col("id") === col("src"), "left")
+      val contrib = withDeg.filter(col("deg").isNotNull)
+        .select(col("id").as("cid"), expr("rank_micro div deg").as("c"))
+      val inSums = e.join(contrib, col("src") === col("cid"))
+        .groupBy(col("dst")).agg(sum(col("c")).as("in_sum"))
+      ranks = basedCk.join(inSums, col("id") === col("dst"), "left")
+        .select(col("id"),
+          (col("base") + expr(
+            s"($dampingPct * coalesce(in_sum, 0L)) div 100"))
+            .as("rank_micro"))
+      if (checkpoint) ranks = ranks.localCheckpoint()
+    }
+    ranks.select(col("id").as("node_id"), col("rank_micro"))
+  }
+
+  // ---- q332: which suppliers co-sell their way back to supplier 1? ------------
+  // Seeds = supplier node 1 (odd id 3 in the bipartite encoding); three
+  // damped iterations over the undirected trading graph; top 20 with
+  // the seed excluded (its own teleport mass dwarfs the field).
+  private def q332(s: SparkSession, d: String): DataFrame = {
+    val pairs = custSuppPairs(s, d)
+    val und = pairs.union(pairs.select(col("b").as("a"), col("a").as("b")))
+    val seeds = s.range(1).select(lit(3L).as("id"))
+    personalizedPagerank(und, "a", "b", seeds, iterations = 3)
+      .filter(col("node_id") =!= 3L)
+      .orderBy(col("rank_micro").desc, col("node_id"))
+      .limit(20)
+  }
+  private val q332Sql =
+    """WITH eo AS (
+         SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+         FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+       e AS (SELECT src, dst FROM eo
+             UNION ALL SELECT dst, src FROM eo),
+       deg AS (SELECT src AS id, count(*)::BIGINT AS d FROM e GROUP BY 1),
+       nv AS (SELECT count(*)::BIGINT AS n FROM deg),
+       b AS (SELECT id,
+           CASE WHEN id = 3 THEN 150000::BIGINT * (SELECT n FROM nv)
+             ELSE 0 END AS base
+         FROM deg),
+       r0 AS (SELECT id, base AS r FROM b),
+       r1 AS (SELECT b.id,
+                (b.base + (85 * coalesce(s.m, 0)) // 100)::BIGINT AS r
+              FROM b LEFT JOIN (
+                SELECT e.dst AS id, sum(r.r // d.d) AS m
+                FROM e JOIN r0 r ON r.id = e.src JOIN deg d ON d.id = e.src
+                GROUP BY 1) s ON s.id = b.id),
+       r2 AS (SELECT b.id,
+                (b.base + (85 * coalesce(s.m, 0)) // 100)::BIGINT AS r
+              FROM b LEFT JOIN (
+                SELECT e.dst AS id, sum(r.r // d.d) AS m
+                FROM e JOIN r1 r ON r.id = e.src JOIN deg d ON d.id = e.src
+                GROUP BY 1) s ON s.id = b.id),
+       r3 AS (SELECT b.id,
+                (b.base + (85 * coalesce(s.m, 0)) // 100)::BIGINT AS r
+              FROM b LEFT JOIN (
+                SELECT e.dst AS id, sum(r.r // d.d) AS m
+                FROM e JOIN r2 r ON r.id = e.src JOIN deg d ON d.id = e.src
+                GROUP BY 1) s ON s.id = b.id)
+       SELECT id AS node_id, r AS rank_micro FROM r3 WHERE id != 3
+       ORDER BY rank_micro DESC, node_id LIMIT 20"""
+
   /** The capped co-sale (customer, supplier) relation and its pair /
     * degree / Jaccard collapses, each materialized ONCE per
     * (session, dir) — q262/q263/q319 consume the same projections
@@ -1383,6 +1485,7 @@ object Graph {
     QueryDef("q314_ktruss", q314, Some(q314Sql)),
     QueryDef("q319_item_recs", q319, Some(q319Sql)),
     QueryDef("q320_contamination_radius", q320, Some(q320Sql)),
+    QueryDef("q332_personalized_pagerank", q332, Some(q332Sql)),
     QueryDef("q166_cc_stars", q166, Some(q166Sql)),
     QueryDef("q175_hits", q175, Some(q175Sql)),
     QueryDef("q207_modularity", q207, Some(q207Sql)),

@@ -270,6 +270,21 @@ class GraphSpec extends SparkSpec {
       (30L, 2L, 2L, 666666L)))
   }
 
+  test("personalizedPagerank concentrates rank near the seed") {
+    // Path 1-2-3-4 (symmetrized), seed at 1: relevance must decay with
+    // distance from the anchor.
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("s", "t")
+    val und = path.union(path.select($"t", $"s"))
+    val seeds = Seq(1L).toDF("id")
+    val got = Graph.personalizedPagerank(und, "s", "t", seeds,
+      iterations = 4)
+      .as[(Long, Long)].collect().sortBy(_._1)
+    val byNode = got.toMap
+    assert(byNode(1L) > byNode(2L) && byNode(2L) > byNode(3L)
+      && byNode(3L) > byNode(4L), s"expected monotone decay: $got")
+    assert(byNode(4L) > 0L, "mass must reach the far end in 4 rounds")
+  }
+
   test("hopDistances walks the chain and certifies only at the fixpoint") {
     val chain = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("s", "t")
     val seeds = Seq(1L).toDF("id")
