@@ -250,4 +250,74 @@ class RandomizedEquivalenceSpec extends SparkSpec {
     }
   }
 
+  test("kaplanMeier and logRank equal sequential folds on random censored data") {
+    (1 to 6).foreach { trial =>
+      val n = 20 + rnd.nextInt(40)
+      val data = Vector.fill(n)(
+        (1L + rnd.nextInt(12), rnd.nextBoolean(), rnd.nextBoolean()))
+      val df = data.toDF("dur", "ev", "g1")
+
+      // Brute KM: sequential product with the operator's exact truncation.
+      val byT = data.groupBy(_._1).map { case (t, rows) =>
+        (t, rows.size.toLong, rows.count(_._2).toLong) }.toSeq.sortBy(_._1)
+      val total = n.toLong
+      var atRisk = total
+      var surv = BigInt(1000000)
+      val wantKm = byT.flatMap { case (t, c, d) =>
+        val nr = atRisk
+        atRisk -= c
+        if (d > 0) {
+          surv = surv * (nr - d) / nr
+          Some((t, nr, d, d * 1000000L / nr, surv.toLong))
+        } else None
+      }
+      val gotKm = Analytics.kaplanMeier(df, col("dur"), col("ev"))
+        .orderBy(col("t")).as[(Long, Long, Long, Long, Long)].collect()
+      assert(gotKm.toSeq === wantKm, s"trial $trial KM data=$data")
+
+      // Brute log-rank with the same per-time truncation points.
+      var ar = total; var ar1 = data.count(_._3).toLong
+      var o1 = 0L; var e1 = BigInt(0); var v = BigInt(0)
+      byT.foreach { case (t, _, _) =>
+        val rows = data.filter(_._1 == t)
+        val c = rows.size.toLong; val c1 = rows.count(_._3).toLong
+        val d = rows.count(_._2).toLong
+        val d1 = rows.count(r => r._2 && r._3).toLong
+        if (d > 0 && ar > 1) {
+          o1 += d1
+          e1 += BigInt(d) * ar1 * 1000000 / ar
+          v += BigInt(d) * ar1 * (ar - ar1) * (ar - d) * 1000000 /
+            (BigInt(ar) * ar * (ar - 1))
+        }
+        ar -= c; ar1 -= c1
+      }
+      val gotLr = Analytics.logRank(df, col("dur"), col("ev"), col("g1"))
+        .as[(Long, Long, Long, Option[Long])].collect()
+      assert(gotLr.length === 1)
+      assert((gotLr(0)._1, gotLr(0)._2, gotLr(0)._3) ===
+        ((o1, e1.toLong, v.toLong)), s"trial $trial LR data=$data")
+    }
+  }
+
+  test("interpQuantiles equals the sorted-array rational on random multisets") {
+    (1 to 6).foreach { trial =>
+      val n = 1 + rnd.nextInt(30)
+      val vals = Vector.fill(n)(rnd.nextInt(20).toLong) // cents, with ties
+      val df = vals.map(v => ("g", v / 100.0)).toDF("g0", "v")
+      val sorted = vals.sorted
+      def want(p: Int): Long = {
+        val hNum = (n - 1).toLong * p // denominator 100
+        val k = (hNum / 100).toInt
+        val lo = sorted(k)
+        val hi = if (k + 1 < n) sorted(k + 1) else lo
+        lo * 1000000L + (hi - lo) * (hNum % 100) * 10000L
+      }
+      val got = Analytics.interpQuantiles(df, col("g0"), col("v"),
+        Seq(25, 50, 75, 90))
+        .as[(String, Long, Long, Long, Long, Long)].collect()
+      assert(got === Array(("g", n.toLong, want(25), want(50), want(75),
+        want(90))), s"trial $trial vals=$sorted")
+    }
+  }
+
 }
