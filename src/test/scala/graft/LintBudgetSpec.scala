@@ -1,0 +1,105 @@
+package graft
+
+import graft.operators.ScaleLint
+
+/** Plan-lint budget for the whole query registry: every registered
+  * query's WARN-level [[ScaleLint]] findings must stay within the
+  * adjudicated allowlist below. Each allowlisted entry is one of the two
+  * documented-legitimate classes:
+  *
+  *  - `unpartitioned-window` / its `single-partition-exchange` on a
+  *    QUANTIZED-DOMAIN collapse (distinct cents/days/scores — bounded by
+  *    construction; the scaladocs of each operator state the contract,
+  *    and the `quantized = false` switch routes the unbounded case
+  *    through DistributedPrefix).
+  *  - `broadcast-nested-loop` where the build side is a QUERY-SET or
+  *    seed relation (brute/ANN scoring, per-list ranking metrics) —
+  *    deliberately tiny by contract.
+  *
+  * A NEW query must either lint warning-free or be adjudicated here with
+  * a comment-worthy reason; a regression in an existing query (more
+  * warnings than budgeted) fails the build. Plans only — nothing
+  * executes, so the sweep is cheap.
+  */
+class LintBudgetSpec extends SparkSpec {
+
+  private val budget: Map[String, Map[String, Int]] = Map(
+    // quantized-domain cumulative family (bounded collapses)
+    "q211_vocab_growth" -> Map("unpartitioned-window" -> 1),
+    "q327_sql_kaplan_meier" -> Map("unpartitioned-window" -> 1),
+    "q204_length_cap" -> Map("broadcast-nested-loop" -> 1,
+      "unpartitioned-window" -> 2),
+    "q206_apportion" -> Map("single-partition-exchange" -> 1,
+      "unpartitioned-window" -> 1),
+    "q253_neyman_allocation" -> Map("single-partition-exchange" -> 1,
+      "unpartitioned-window" -> 1),
+    "q219_conversion_latency" -> Map("unpartitioned-window" -> 1),
+    "q232_rfm_segments" -> Map("unpartitioned-window" -> 3),
+    "q285_abc_xyz" -> Map("single-partition-exchange" -> 1,
+      "unpartitioned-window" -> 1),
+    "q296_anomaly_consensus" -> Map("broadcast-nested-loop" -> 1,
+      "unpartitioned-window" -> 6),
+    "q317_kaplan_meier" -> Map("unpartitioned-window" -> 1),
+    "q325_logrank" -> Map("broadcast-nested-loop" -> 1,
+      "unpartitioned-window" -> 1),
+    "q179_abc_analysis" -> Map("single-partition-exchange" -> 1,
+      "unpartitioned-window" -> 1),
+    "q216_gini_stump" -> Map("broadcast-nested-loop" -> 1,
+      "unpartitioned-window" -> 2),
+    "q230_gains_table" -> Map("broadcast-nested-loop" -> 1,
+      "unpartitioned-window" -> 1),
+    "q240_skyline" -> Map("unpartitioned-window" -> 1),
+    "q160_bootstrap_ci" -> Map("single-partition-exchange" -> 1,
+      "unpartitioned-window" -> 1),
+    "q154_roc_auc" -> Map("unpartitioned-window" -> 1),
+    "q156_gini_concentration" -> Map("unpartitioned-window" -> 1),
+    "q157_pr_curve" -> Map("unpartitioned-window" -> 1),
+    "q126_distribution_drift" -> Map("unpartitioned-window" -> 1),
+    "q248_dd_quantiles" -> Map("unpartitioned-window" -> 2),
+    "q261_dd_drift" -> Map("unpartitioned-window" -> 1),
+    // tiny-build-side brute/ANN scoring and per-list ranking metrics
+    "q155_term_class_chi2" -> Map("broadcast-nested-loop" -> 1),
+    "q257_threshold_sweep" -> Map("broadcast-nested-loop" -> 3),
+    "q29_embedding_neardup" -> Map("broadcast-nested-loop" -> 1),
+    "q289_cluster_histogram" -> Map("broadcast-nested-loop" -> 1),
+    "q286_knn_outliers" -> Map("broadcast-nested-loop" -> 1),
+    "q302_ivf_probe_sweep" -> Map("broadcast-nested-loop" -> 3),
+    "q30_cosine_topk" -> Map("broadcast-nested-loop" -> 1),
+    "q164_rrf_fusion" -> Map("broadcast-nested-loop" -> 2),
+    "q150_sparse_cosine" -> Map("broadcast-nested-loop" -> 4),
+    "q136_ann_recall" -> Map("broadcast-nested-loop" -> 1),
+    "q86_ann_ivf_multiprobe" -> Map("broadcast-nested-loop" -> 1),
+    "q112_euclidean_topk" -> Map("broadcast-nested-loop" -> 1),
+    "q114_mips_topk" -> Map("broadcast-nested-loop" -> 1),
+    "q196_pq_adc_recall" -> Map("broadcast-nested-loop" -> 6),
+    "q200_ivfadc" -> Map("broadcast-nested-loop" -> 4),
+    "q245_sql_cosine_topk" -> Map("broadcast-nested-loop" -> 1),
+    "q134_lm_band_filter" -> Map("broadcast-nested-loop" -> 1),
+    "q237_qq_table" -> Map("broadcast-nested-loop" -> 1),
+    "q161_silhouette" -> Map("broadcast-nested-loop" -> 1),
+    "q192_sliding_distinct" -> Map("broadcast-nested-loop" -> 2),
+    "q169_ndcg" -> Map("broadcast-nested-loop" -> 1),
+    "q170_reciprocal_rank" -> Map("broadcast-nested-loop" -> 1),
+    "q264_average_precision" -> Map("broadcast-nested-loop" -> 1),
+    "q300_retrieval_report" -> Map("broadcast-nested-loop" -> 3),
+    "q174_quantized_recall" -> Map("broadcast-nested-loop" -> 2))
+
+  test("every query's warn-level lint findings stay within the budget") {
+    val over = SparkEntry.allDefs.flatMap { q =>
+      val counts = ScaleLint.warnings(q.fn(spark, sf))
+        .groupBy(_.rule).view.mapValues(_.size).toMap
+      val allowed = budget.getOrElse(q.name, Map.empty)
+      val excess = counts.filter { case (r, c) =>
+        c > allowed.getOrElse(r, 0) }
+      if (excess.nonEmpty) Some(q.name -> excess) else None
+    }
+    assert(over.isEmpty,
+      s"unadjudicated scale warnings (add to the budget WITH a reason, " +
+        s"or fix the plan): $over")
+  }
+
+  test("the budget carries no stale entries") {
+    val stale = budget.keySet.diff(SparkEntry.allDefs.map(_.name).toSet)
+    assert(stale.isEmpty, s"budget names unknown queries: $stale")
+  }
+}

@@ -42,15 +42,31 @@ class ScaleLintSpec extends SparkSpec {
     assert(rules.contains("coalesce-1"))
     assert(rules.contains("scala-udf"))
     val audit = ScaleLint.audit(bad)
-    assert(audit.columns.toSeq === Seq("rule", "node", "detail"))
+    assert(audit.columns.toSeq === Seq("rule", "severity", "node", "detail"))
     assert(audit.count() === rules.size.toLong)
   }
 
-  test("the library's own flagship plans come back clean") {
+  test("severity separates real smells from the metadata-sized idioms") {
+    // A global (ungrouped) aggregation's single-partition finish is the
+    // normal collapse-to-one-row idiom -> info, not warn.
+    val globalAgg = base.agg(sum($"v").as("s"))
+    val fs = ScaleLint.findings(globalAgg)
+    assert(fs.exists(f => f.rule === "single-partition-exchange"
+      && f.severity === "info"))
+    assert(ScaleLint.warnings(globalAgg).isEmpty)
+    // A predicate-free broadcast cross join (scalar attach) -> info.
+    val attach = base.crossJoin(
+      org.apache.spark.sql.functions.broadcast(globalAgg))
+    assert(ScaleLint.findings(attach)
+      .exists(f => f.rule === "cross-broadcast" && f.severity === "info"))
+    assert(ScaleLint.warnings(attach).isEmpty)
+  }
+
+  test("the library's own flagship plans carry no warnings") {
     // The lint must agree with PlanSpec's hand pins on the plans this
     // repo holds up as scale-correct.
     for (q <- Seq("q01_pricing_summary", "q05_star_join", "q27_minhash_lsh"))
-      assert(ScaleLint.findings(graft.SparkEntry.queries(q)(spark, sf)).isEmpty,
-        s"$q should lint clean")
+      assert(ScaleLint.warnings(graft.SparkEntry.queries(q)(spark, sf)).isEmpty,
+        s"$q should lint warning-free")
   }
 }
