@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.{QueryDef, Tables}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Iterative graph propagation — the execution class behind influence /
@@ -393,6 +393,97 @@ object Graph {
       .select(col("c").as("custkey"), col("cand").as("suppkey"),
         col("n_paths"), col("score_micro"))
   }
+
+  /** Complement-vs-substitute classification of item pairs by comparing
+    * TWO co-occurrence granularities: among buyers who ever purchase
+    * both items, what share has bought them together in one basket?
+    * Complements ride in the same basket (high share); substitutes are
+    * bought by the same people but in different baskets (low share) —
+    * the assortment-planning readout a single-granularity association
+    * table (q177/q262) cannot see. Exact micro shares; support filter is
+    * a SHARE of the buyer population, so the query is non-degenerate at
+    * any scale factor.
+    *
+    * Scale design: both granularities collapse to distinct (key, item)
+    * relations before their pair self-joins (per-key fan-out bounded by
+    * the per-basket / per-buyer distinct-item counts); the affinity join
+    * runs on the two item-pair collapses — item-vocabulary-sized, never
+    * corpus-sized.
+    */
+  def complementSubstitute(df: DataFrame, basketCol: Column,
+      buyerCol: Column, itemCol: Column, minBuyerShareMicro: Long,
+      complementMicro: Long, substituteMicro: Long): DataFrame = {
+    val li = df.select(basketCol.as("ok"), buyerCol.as("ck"),
+      itemCol.as("it"))
+    val ob = li.select(col("ok"), col("ck"), col("it")).distinct()
+    val cb = li.select(col("ck"), col("it")).distinct()
+    val nc = li.agg(countDistinct(col("ck")).as("n_buyers"))
+    val together = ob.as("x")
+      .join(ob.as("y"),
+        col("x.ok") === col("y.ok") && col("x.it") < col("y.it"))
+      .select(col("x.ck").as("ck"), col("x.it").as("i1"),
+        col("y.it").as("i2"))
+      .distinct()
+      .groupBy(col("i1"), col("i2")).agg(count(lit(1)).as("n_together"))
+    val both = cb.as("x")
+      .join(cb.as("y"),
+        col("x.ck") === col("y.ck") && col("x.it") < col("y.it"))
+      .groupBy(col("x.it").as("i1"), col("y.it").as("i2"))
+      .agg(count(lit(1)).as("n_both"))
+    both.join(together, Seq("i1", "i2"), "left")
+      .crossJoin(broadcast(nc))
+      .filter(col("n_both") * 1000000L >= lit(minBuyerShareMicro)
+        * col("n_buyers"))
+      .select(col("i1"), col("i2"), col("n_both"),
+        coalesce(col("n_together"), lit(0L)).as("n_together"))
+      .withColumn("affinity_micro",
+        expr("n_together * 1000000L div n_both"))
+      .withColumn("label",
+        when(col("affinity_micro") >= complementMicro, "complement")
+          .when(col("affinity_micro") <= substituteMicro, "substitute")
+          .otherwise("neutral"))
+  }
+
+  // ---- q333: which part types ride in one basket vs split across them? --------
+  private def q333(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+      .join(Tables.orders(s, d), col("o_orderkey") === col("l_orderkey"))
+      .join(Tables.part(s, d), col("p_partkey") === col("l_partkey"))
+    complementSubstitute(li, col("l_orderkey"), col("o_custkey"),
+      col("p_type"), minBuyerShareMicro = 100000L,
+      complementMicro = 930000L, substituteMicro = 880000L)
+      .orderBy(col("i1"), col("i2"))
+  }
+  private val q333Sql =
+    """WITH li AS (
+         SELECT l_orderkey AS ok, o_custkey AS ck, p_type AS it
+         FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+         JOIN part ON p_partkey = l_partkey),
+       ob AS (SELECT DISTINCT ok, ck, it FROM li),
+       cb AS (SELECT DISTINCT ck, it FROM li),
+       nc AS (SELECT count(DISTINCT ck)::BIGINT AS n_buyers FROM li),
+       tog AS (
+         SELECT i1, i2, count(*)::BIGINT AS n_together FROM (
+           SELECT DISTINCT x.ck, x.it AS i1, y.it AS i2
+           FROM ob x JOIN ob y ON x.ok = y.ok AND x.it < y.it)
+         GROUP BY 1, 2),
+       cu AS (
+         SELECT x.it AS i1, y.it AS i2, count(*)::BIGINT AS n_both
+         FROM cb x JOIN cb y ON x.ck = y.ck AND x.it < y.it
+         GROUP BY 1, 2),
+       j AS (
+         SELECT b.i1, b.i2, b.n_both,
+           coalesce(t.n_together, 0)::BIGINT AS n_together
+         FROM cu b LEFT JOIN tog t ON b.i1 = t.i1 AND b.i2 = t.i2, nc
+         WHERE b.n_both * 1000000 >= 100000 * nc.n_buyers)
+       SELECT i1, i2, n_both, n_together,
+         (n_together * 1000000 // n_both)::BIGINT AS affinity_micro,
+         CASE WHEN n_together * 1000000 // n_both >= 930000
+             THEN 'complement'
+           WHEN n_together * 1000000 // n_both <= 880000
+             THEN 'substitute'
+           ELSE 'neutral' END AS label
+       FROM j ORDER BY i1, i2"""
 
   /** Personalized PageRank: the teleport mass lands ONLY on the seed
     * set (uniformly, in integer micro shares) instead of everywhere —
@@ -1486,6 +1577,7 @@ object Graph {
     QueryDef("q319_item_recs", q319, Some(q319Sql)),
     QueryDef("q320_contamination_radius", q320, Some(q320Sql)),
     QueryDef("q332_personalized_pagerank", q332, Some(q332Sql)),
+    QueryDef("q333_complement_substitute", q333, Some(q333Sql)),
     QueryDef("q166_cc_stars", q166, Some(q166Sql)),
     QueryDef("q175_hits", q175, Some(q175Sql)),
     QueryDef("q207_modularity", q207, Some(q207Sql)),

@@ -270,6 +270,27 @@ class GraphSpec extends SparkSpec {
       (30L, 2L, 2L, 666666L)))
   }
 
+  test("complementSubstitute separates basket-mates from split buyers") {
+    val rows = Seq(
+      (1L, 100L, "A"), (1L, 100L, "B"), // c100 co-orders A+B
+      (2L, 200L, "A"), (3L, 200L, "B"), // c200 buys both, separately
+      (10L, 300L, "A"), // A-only buyer
+      (4L, 400L, "C"), (4L, 400L, "D"), (5L, 500L, "C"), (5L, 500L, "D"),
+      (6L, 600L, "E"), (7L, 600L, "F"), (8L, 700L, "E"), (9L, 700L, "F"))
+      .toDF("ok0", "ck0", "it0")
+    val got = Graph.complementSubstitute(rows, col("ok0"), col("ck0"),
+      col("it0"), minBuyerShareMicro = 100000L,
+      complementMicro = 900000L, substituteMicro = 100000L)
+      .orderBy($"i1", $"i2")
+      .select($"i1", $"i2", $"n_both", $"n_together", $"affinity_micro",
+        $"label")
+      .as[(String, String, Long, Long, Long, String)].collect()
+    assert(got === Array(
+      ("A", "B", 2L, 1L, 500000L, "neutral"),
+      ("C", "D", 2L, 2L, 1000000L, "complement"),
+      ("E", "F", 2L, 0L, 0L, "substitute")))
+  }
+
   test("personalizedPagerank concentrates rank near the seed") {
     // Path 1-2-3-4 (symmetrized), seed at 1: relevance must decay with
     // distance from the anchor.
