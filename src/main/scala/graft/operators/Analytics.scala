@@ -4559,7 +4559,159 @@ object Analytics {
            AS mean_after_micro
        FROM best WHERE rn = 1 ORDER BY event_type"""
 
+  /** Mann–Kendall trend test on a per-key daily series: is the metric
+    * monotonically drifting, without assuming linearity or normality?
+    * S = Σ_{i<j} sgn(xⱼ − xᵢ) over time-ordered daily sums — the
+    * hypothesis-test companion to [[theilSen]]'s robust slope (same
+    * pair space; Theil–Sen says how steep, Mann–Kendall says whether
+    * it's real).
+    *
+    * Exact integer algebra: daily sums are BIGINT cents, S is a BIGINT
+    * sum of {−1,0,1}, and the tie-corrected variance NUMERATOR
+    * var18 = N(N−1)(2N+5) − Σ_t t(t−1)(2t+5) (t = tie-group sizes) is
+    * BIGINT — 18·Var(S). The continuity-corrected
+    * z = (S − sgn(S))/√(var18/18) finishes through the repo's
+    * correctly-rounded-IEEE path on exact integer inputs, rounded to 6;
+    * degenerate variance (n < 2 or all days tied) ⇒ null.
+    *
+    * Scale: the pair space is the DAILY collapse squared — bounded by
+    * the calendar (31 days ⇒ ≤465 pairs per key), never the corpus; the
+    * corpus collapses once with map-side partials, and the self-join
+    * shuffles calendar-sized relations hash-partitioned by key.
+    */
+  def mannKendall(df: DataFrame, keyCol: String, tsCol: String,
+      valueCol: Column): DataFrame = {
+    val daily = df
+      .select(col(keyCol).as("k"),
+        expr(s"unix_micros(cast($tsCol as timestamp)) div 86400000000")
+          .as("day"),
+        floor(valueCol * 100).cast("long").as("cents"))
+      .groupBy(col("k"), col("day")).agg(sum(col("cents")).as("c"))
+    val pairs = daily.as("a")
+      .join(daily.as("b"),
+        col("a.k") === col("b.k") && col("a.day") < col("b.day"))
+      .groupBy(col("a.k").as("k"))
+      .agg(sum(when(col("b.c") > col("a.c"), 1L)
+        .when(col("b.c") < col("a.c"), -1L).otherwise(0L)).as("s_stat"))
+    val ties = daily.groupBy(col("k"), col("c"))
+      .agg(count(lit(1)).as("t"))
+      .groupBy(col("k"))
+      .agg(sum(col("t")).as("n_days"),
+        sum(col("t") * (col("t") - 1L) * (lit(2L) * col("t") + 5L))
+          .as("tie_term"))
+    ties.join(pairs, "k")
+      .select(col("k"), col("n_days"), col("s_stat"),
+        (col("n_days") * (col("n_days") - 1L)
+          * (lit(2L) * col("n_days") + 5L) - col("tie_term")).as("var18"))
+      .withColumn("z",
+        when(col("var18") > 0L,
+          round((col("s_stat") - signum(col("s_stat"))) /
+            sqrt(col("var18") / lit(18.0)), 6) + lit(0.0))
+          .otherwise(lit(null).cast("double")))
+  }
+
+  // ---- q337: is any event type's daily volume drifting? -----------------------
+  private def q337(s: SparkSession, d: String): DataFrame =
+    mannKendall(Tables.events(s, d), "event_type", "ts", col("value"))
+      .orderBy(col("k"))
+  private val q337Sql =
+    """WITH daily AS (
+         SELECT event_type AS k, epoch_us(ts) // 86400000000 AS day,
+           sum(floor(value * 100)::BIGINT)::BIGINT AS c
+         FROM events GROUP BY 1, 2),
+       pairs AS (
+         SELECT a.k,
+           sum(CASE WHEN b.c > a.c THEN 1 WHEN b.c < a.c THEN -1
+             ELSE 0 END)::BIGINT AS s_stat
+         FROM daily a JOIN daily b ON a.k = b.k AND a.day < b.day
+         GROUP BY 1),
+       ties AS (
+         SELECT k, sum(t)::BIGINT AS n_days,
+           sum(t * (t - 1) * (2 * t + 5))::BIGINT AS tie_term
+         FROM (SELECT k, c, count(*)::BIGINT AS t FROM daily GROUP BY 1, 2)
+         GROUP BY 1),
+       j AS (
+         SELECT ties.k, n_days, s_stat,
+           (n_days * (n_days - 1) * (2 * n_days + 5) - tie_term)::BIGINT
+             AS var18
+         FROM ties JOIN pairs ON ties.k = pairs.k)
+       SELECT k, n_days, s_stat, var18,
+         CASE WHEN var18 > 0
+           THEN round((s_stat - sign(s_stat)) / sqrt(var18 / 18.0), 6)
+             + 0.0
+           ELSE NULL END AS z
+       FROM j ORDER BY k"""
+
+  /** Durbin–Watson statistic on a per-key daily series: are the
+    * mean-residuals serially correlated? DW ≈ 2 ⇒ independent noise,
+    * → 0 ⇒ positive autocorrelation (momentum), → 4 ⇒ negative
+    * (oscillation) — the residual-diagnostics companion to
+    * [[autocorrelation]] (which reads the raw series; DW reads the
+    * deviation-from-mean, the standard regression-residual form).
+    *
+    * Exact integer identity: with daily BIGINT cents c_t, mean
+    * residuals e_t = c_t − S/n scale by n to integers E_t = n·c_t − S,
+    * and DW = ΣΔE²/ΣE² = n·Σ(Δc)²/(n·Σc² − S²) — every term BIGINT,
+    * the ×10⁶ product widened to decimal(38,0)/HUGEINT, one floored
+    * division (numerator and denominator are nonnegative, so floor =
+    * truncate on both engines). Constant series (zero variance) ⇒ null.
+    *
+    * Scale: one corpus collapse with map-side partials, a lag window
+    * partitioned BY KEY over calendar days, one hash aggregation.
+    */
+  def durbinWatson(df: DataFrame, keyCol: String, tsCol: String,
+      valueCol: Column): DataFrame = {
+    val daily = df
+      .select(col(keyCol).as("k"),
+        expr(s"unix_micros(cast($tsCol as timestamp)) div 86400000000")
+          .as("day"),
+        floor(valueCol * 100).cast("long").as("cents"))
+      .groupBy(col("k"), col("day")).agg(sum(col("cents")).as("c"))
+    val w = Window.partitionBy(col("k")).orderBy(col("day"))
+    daily.withColumn("prev", lag(col("c"), 1).over(w))
+      .groupBy(col("k"))
+      .agg(count(lit(1)).as("n_days"), sum(col("c")).as("s"),
+        sum(col("c") * col("c")).as("ss"),
+        sum(when(col("prev").isNotNull,
+          (col("c") - col("prev")) * (col("c") - col("prev")))
+          .otherwise(0L)).as("sdd"))
+      .withColumn("dw_micro",
+        when(col("n_days") * col("ss") - col("s") * col("s") > 0L,
+          expr("""cast(cast(sdd as decimal(38,0)) * n_days * 1000000L
+              div (cast(n_days as decimal(38,0)) * ss
+                - cast(s as decimal(38,0)) * s) as long)"""))
+          .otherwise(lit(null).cast("long")))
+  }
+
+  // ---- q338: is daily event volume momentum or noise per type? ----------------
+  private def q338(s: SparkSession, d: String): DataFrame =
+    durbinWatson(Tables.events(s, d), "event_type", "ts", col("value"))
+      .orderBy(col("k"))
+  private val q338Sql =
+    """WITH daily AS (
+         SELECT event_type AS k, epoch_us(ts) // 86400000000 AS day,
+           sum(floor(value * 100)::BIGINT)::BIGINT AS c
+         FROM events GROUP BY 1, 2),
+       lagd AS (
+         SELECT k, c,
+           lag(c, 1) OVER (PARTITION BY k ORDER BY day) AS prev
+         FROM daily),
+       agg AS (
+         SELECT k, count(*)::BIGINT AS n_days, sum(c)::BIGINT AS s,
+           sum(c * c)::BIGINT AS ss,
+           sum(CASE WHEN prev IS NOT NULL
+             THEN (c - prev) * (c - prev) ELSE 0 END)::BIGINT AS sdd
+         FROM lagd GROUP BY k)
+       SELECT k, n_days, s, ss, sdd,
+         CASE WHEN n_days * ss - s * s > 0
+           THEN (sdd::HUGEINT * n_days * 1000000
+             // (n_days::HUGEINT * ss - s::HUGEINT * s))::BIGINT
+           ELSE NULL END::BIGINT AS dw_micro
+       FROM agg ORDER BY k"""
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q337_mann_kendall", q337, Some(q337Sql)),
+    QueryDef("q338_durbin_watson", q338, Some(q338Sql)),
     QueryDef("q250_theil_sen", q250, Some(q250Sql)),
     QueryDef("q202_change_point", q202, Some(q202Sql)),
     QueryDef("q215_otsu_threshold", q215, Some(q215Sql)),

@@ -3286,7 +3286,257 @@ object Profile {
            AS effective_micro
        FROM c GROUP BY user_id ORDER BY user_id"""
 
+  /** Kruskal–Wallis H: does `valueCol`'s distribution differ across the
+    * k classes of `groupCol`? The k-group extension of [[mannWhitneyU]]
+    * — the one-way ANOVA alternative when normality is garbage, i.e.
+    * THE omnibus test a curation pipeline runs on a skewed metric
+    * across more than two sources before drilling into pairs.
+    *
+    * Exact integer rank algebra (the q194 doubled-midrank discipline,
+    * derived from the distinct-value collapse instead of a per-row
+    * window): for a value v with cnt_v occurrences and cum_v inclusive
+    * running count, every occurrence carries doubled midrank
+    * rank2(v) = 2·cum_v − cnt_v + 1, so per-class doubled rank sums
+    * R2_g = Σ_v cnt_vg·rank2(v) are exact BIGINT. With doubled ranks
+    * H = 3/(N(N+1)) · Σ_g (R2_g − n_g(N+1))²/n_g; the emitted
+    * `h_micro` is the two-floor form (the q177 lift discipline): each
+    * class term (R2_g − n_g(N+1))² div n_g floors at unit scale in
+    * decimal(38,0)/HUGEINT widened algebra (the squared deviations
+    * overflow BIGINT at corpus scale, the quotient q_g ≤ 4N³ does
+    * not), then 3·10⁶·Σq_g floors once more by N(N+1) — deterministic
+    * bitwise on both engines, within ~3·10⁶·k/N² micro-units of the
+    * real H.
+    * `h_adj_micro` applies the tie correction C = 1 − Σ(t³−t)/(N³−N)
+    * as one more exact floored division (null when every value ties —
+    * C = 0 — or n < 2).
+    *
+    * Scale: the rank derivation never windows the corpus — ranks come
+    * from the (value) collapse's running count, which under
+    * `quantized = true` (bounded domains: cents, int8 scores) is a
+    * plain cumulative window and under `quantized = false` routes
+    * through [[DistributedPrefix.cumSums]] (continuous domains:
+    * corpus-sized collapse, no SinglePartition exchange). Everything
+    * after is hash aggregation with map-side partials; the class
+    * relation (k rows) finishes against one broadcast totals row.
+    */
+  def kruskalWallis(df: DataFrame, groupCol: String, valueCol: Column,
+      quantized: Boolean = true): DataFrame = {
+    val base = df.select(col(groupCol).as("g"), valueCol.as("v"))
+      .filter(col("g").isNotNull && col("v").isNotNull)
+    val byVG = base.groupBy(col("v"), col("g"))
+      .agg(count(lit(1)).as("c_vg"))
+    val byV = byVG.groupBy(col("v")).agg(sum(col("c_vg")).as("c_v"))
+    val cum =
+      if (quantized) {
+        val w = Window.orderBy(col("v"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        byV.withColumn("cum_c_v", sum(col("c_v")).over(w))
+      } else {
+        DistributedPrefix.cumSums(byV, Nil, Seq(col("v")), Seq("c_v"))
+      }
+    val ranked = byVG.join(
+      cum.select(col("v"), col("c_v"), col("cum_c_v")), "v")
+    val perG = ranked.groupBy(col("g"))
+      .agg(sum(col("c_vg")).as("n_g"),
+        sum(col("c_vg") * (lit(2L) * col("cum_c_v") - col("c_v") + 1L))
+          .as("r2_g"))
+    val ties = byV.agg(
+      sum(col("c_v") * col("c_v") * col("c_v") - col("c_v")).as("tie_num"))
+    val tot = perG.agg(sum(col("n_g")).as("n"),
+      count(lit(1)).as("k_groups"))
+    perG.crossJoin(broadcast(tot))
+      .select(col("n"), col("k_groups"),
+        expr("""cast(cast(r2_g - n_g * (n + 1L) as decimal(38,0))
+            * (r2_g - n_g * (n + 1L)) div n_g as long)""").as("q_g"))
+      .groupBy(col("n"), col("k_groups"))
+      .agg(sum(col("q_g")).as("q_sum"))
+      .crossJoin(broadcast(ties))
+      .select(col("n"), col("k_groups"), col("tie_num"),
+        when(col("n") >= 2L,
+          expr("""cast(cast(q_sum as decimal(38,0)) * 3000000L
+              div (cast(n as decimal(38,0)) * (n + 1L)) as long)"""))
+          .otherwise(lit(null).cast("long")).as("h_micro"))
+      .withColumn("h_adj_micro",
+        when(col("n") >= 2L &&
+            (col("n") * col("n") * col("n") - col("n") - col("tie_num")) > 0L,
+          expr("""cast(cast(h_micro as decimal(38,0)) * (n * n * n - n)
+              div (n * n * n - n - tie_num) as long)"""))
+          .otherwise(lit(null).cast("long")))
+  }
+
+  // ---- q334: omnibus rank test of order value across priorities ---------------
+  // Continuous totalprice ⇒ the collapse is order-table-sized, so the
+  // query exercises the unquantized DistributedPrefix path.
+  private def q334(s: SparkSession, d: String): DataFrame =
+    kruskalWallis(Tables.orders(s, d), "o_orderpriority",
+      col("o_totalprice"), quantized = false)
+  private val q334Sql =
+    """WITH base AS (
+         SELECT o_orderpriority AS g, o_totalprice AS v FROM orders
+         WHERE o_orderpriority IS NOT NULL AND o_totalprice IS NOT NULL),
+       ranked AS (
+         SELECT g,
+           2 * rank() OVER (ORDER BY v)
+             + count(*) OVER (PARTITION BY v) - 1 AS rank2
+         FROM base),
+       perg AS (
+         SELECT g, count(*)::BIGINT AS n_g, sum(rank2)::BIGINT AS r2_g
+         FROM ranked GROUP BY g),
+       tot AS (
+         SELECT sum(n_g)::BIGINT AS n, count(*)::BIGINT AS k_groups
+         FROM perg),
+       ties AS (
+         SELECT sum(c * c * c - c)::BIGINT AS tie_num
+         FROM (SELECT count(*)::BIGINT AS c FROM base GROUP BY v)),
+       terms AS (
+         SELECT n, k_groups,
+           ((r2_g - n_g * (n + 1))::HUGEINT * (r2_g - n_g * (n + 1))
+             // n_g::HUGEINT)::BIGINT AS q_g
+         FROM perg, tot),
+       h AS (
+         SELECT n, k_groups,
+           (sum(q_g)::HUGEINT * 3000000
+             // (n::HUGEINT * (n + 1)))::BIGINT AS h_micro
+         FROM terms GROUP BY n, k_groups)
+       SELECT n, k_groups, tie_num,
+         CASE WHEN n >= 2 THEN h_micro ELSE NULL END::BIGINT AS h_micro,
+         CASE WHEN n >= 2 AND (n * n * n - n - tie_num) > 0
+           THEN (h_micro::HUGEINT * (n * n * n - n)
+             // (n * n * n - n - tie_num))::BIGINT
+           ELSE NULL END::BIGINT AS h_adj_micro
+       FROM h, ties"""
+
+  /** McNemar's test on PAIRED binary judgments: do two detectors (two
+    * model versions, two quality filters, two labelers) disagree
+    * systematically on the SAME rows? Counts the discordant cells —
+    * b = A-only, c = B-only — per group; under H0 (no systematic
+    * difference) b and c split evenly, and the continuity-corrected
+    * statistic (|b−c|−1)²/(b+c) is χ²(1). THE before/after read when a
+    * filter changes and you need "did it get stricter or just
+    * different".
+    *
+    * Pure BIGINT algebra: counts, one squared difference, one floored
+    * micro division ((|b−c|−1)₊ clamps at zero so b = c never goes
+    * negative; numerator ≤ n²·10⁶ stays in BIGINT to ~3·10⁶-row
+    * groups). No discordant pairs (b + c = 0) ⇒ null, not a 0/0.
+    *
+    * Scale: one hash aggregation with map-side partials — the paired
+    * structure means NO join; both judgments evaluate on the same row.
+    */
+  def mcnemar(df: DataFrame, groupCol: String, testA: Column,
+      testB: Column): DataFrame =
+    df.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"),
+        sum(when(testA && !testB, 1L).otherwise(0L)).as("b"),
+        sum(when(!testA && testB, 1L).otherwise(0L)).as("c"))
+      .withColumn("chi2_micro",
+        when(col("b") + col("c") > 0L,
+          expr("""greatest(abs(b - c) - 1L, 0L)
+              * greatest(abs(b - c) - 1L, 0L) * 1000000L div (b + c)"""))
+          .otherwise(lit(null).cast("long")))
+
+  // ---- q335: did the two length gates change verdicts systematically? ---------
+  // Char gate (n_chars > 600) vs token gate (> 110 whitespace tokens) on
+  // the same documents, per language: b ⇒ char-gate-only passes,
+  // c ⇒ token-gate-only.
+  private def q335(s: SparkSession, d: String): DataFrame =
+    mcnemar(Tables.documents(s, d), "lang",
+      col("n_chars") > 600L,
+      size(split(col("text"), " ")) > 110)
+      .orderBy(col("lang"))
+  private val q335Sql =
+    """WITH t AS (
+         SELECT lang, (n_chars > 600) AS a,
+           (len(string_split(text, ' ')) > 110) AS b2
+         FROM documents),
+       agg AS (
+         SELECT lang, count(*)::BIGINT AS n,
+           sum(CASE WHEN a AND NOT b2 THEN 1 ELSE 0 END)::BIGINT AS b,
+           sum(CASE WHEN NOT a AND b2 THEN 1 ELSE 0 END)::BIGINT AS c
+         FROM t GROUP BY lang)
+       SELECT lang, n, b, c,
+         CASE WHEN b + c > 0
+           THEN greatest(abs(b - c) - 1, 0) * greatest(abs(b - c) - 1, 0)
+             * 1000000 // (b + c)
+           ELSE NULL END::BIGINT AS chi2_micro
+       FROM agg ORDER BY lang"""
+
+  /** Cochran–Armitage trend test: is a binary outcome's rate MONOTONE in
+    * an ordered factor (dose, priority tier, quality decile)? Beats
+    * k-group χ² when the alternative is ordered — one degree of freedom
+    * pointed exactly at "does the rate climb with the tier".
+    *
+    * With per-tier (wᵢ, nᵢ, sᵢ) and totals (N, S): the N-scaled trend
+    * numerator T' = N·Σwᵢsᵢ − S·Σwᵢnᵢ and the variance kernel
+    * V = S(N−S)·(N·Σwᵢ²nᵢ − (Σwᵢnᵢ)²) are exact integers (V widens to
+    * decimal(38,0)/HUGEINT — S(N−S) alone is ~N²/4); z = T'·√N/√V via
+    * the repo's correctly-rounded-IEEE finish on exact integer inputs,
+    * rounded to 6 (z² is the χ²(1) statistic; sign = trend direction).
+    * Degenerate variance (all-success, all-failure, or one tier) ⇒
+    * null.
+    *
+    * Scale: one hash aggregation to the tier relation (k rows), one
+    * single-row finish — no window, no join beyond the broadcast total.
+    */
+  def cochranArmitage(df: DataFrame, weightExpr: Column,
+      success: Column): DataFrame =
+    df.select(weightExpr.cast("long").as("w"),
+        when(success, 1L).otherwise(0L).as("y"))
+      .filter(col("w").isNotNull)
+      .groupBy(col("w"))
+      .agg(count(lit(1)).as("n_i"), sum(col("y")).as("s_i"))
+      .agg(sum(col("n_i")).as("n"), sum(col("s_i")).as("s"),
+        sum(col("w") * col("s_i")).as("sws"),
+        sum(col("w") * col("n_i")).as("swn"),
+        sum(col("w") * col("w") * col("n_i")).as("sw2n"),
+        count(lit(1)).as("k_tiers"))
+      .select(col("n"), col("s"), col("k_tiers"),
+        (col("n") * col("sws") - col("s") * col("swn")).as("t_num"),
+        expr("""cast(cast(s as decimal(38,0)) * (n - s)
+            * (cast(n as decimal(38,0)) * sw2n - cast(swn as decimal(38,0)) * swn)
+            as decimal(38,0))""").as("v_num"))
+      .withColumn("z",
+        when(col("v_num") > 0L,
+          round(col("t_num") * sqrt(col("n").cast("double")) /
+            sqrt(col("v_num").cast("double")), 6) + lit(0.0))
+          .otherwise(lit(null).cast("double")))
+      .drop("v_num")
+
+  // ---- q336: does fulfillment rate trend across priority tiers? ---------------
+  // Tier weight = the priority's leading digit (1-URGENT … 5-LOW);
+  // outcome = order fulfilled ('F'). z < 0 ⇒ lower tiers fulfill less.
+  private def q336(s: SparkSession, d: String): DataFrame =
+    cochranArmitage(Tables.orders(s, d),
+      substring(col("o_orderpriority"), 1, 1).cast("long"),
+      col("o_orderstatus") === "F")
+  private val q336Sql =
+    """WITH tiers AS (
+         SELECT substr(o_orderpriority, 1, 1)::BIGINT AS w,
+           count(*)::BIGINT AS n_i,
+           sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)::BIGINT
+             AS s_i
+         FROM orders WHERE substr(o_orderpriority, 1, 1) IS NOT NULL
+         GROUP BY 1),
+       agg AS (
+         SELECT sum(n_i)::BIGINT AS n, sum(s_i)::BIGINT AS s,
+           sum(w * s_i)::BIGINT AS sws, sum(w * n_i)::BIGINT AS swn,
+           sum(w * w * n_i)::BIGINT AS sw2n, count(*)::BIGINT AS k_tiers
+         FROM tiers)
+       SELECT n, s, k_tiers,
+         (n * sws - s * swn)::BIGINT AS t_num,
+         CASE WHEN s::HUGEINT * (n - s)
+             * (n::HUGEINT * sw2n - swn::HUGEINT * swn) > 0
+           THEN round((n * sws - s * swn) * sqrt(n::DOUBLE)
+             / sqrt((s::HUGEINT * (n - s)
+               * (n::HUGEINT * sw2n - swn::HUGEINT * swn))::DOUBLE), 6)
+             + 0.0
+           ELSE NULL END AS z
+       FROM agg"""
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q334_kruskal_wallis", q334, Some(q334Sql)),
+    QueryDef("q335_mcnemar", q335, Some(q335Sql)),
+    QueryDef("q336_cochran_armitage", q336, Some(q336Sql)),
     QueryDef("q251_inclusion_audit", q251, Some(q251Sql)),
     QueryDef("q259_salt_plan", q259, Some(q259Sql)),
     QueryDef("q268_grouped_corr", q268, Some(q268Sql)),

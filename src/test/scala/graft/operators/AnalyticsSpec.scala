@@ -960,4 +960,45 @@ class AnalyticsSpec extends SparkSpec {
       (3L, 23L, 1L, 333333L))) // Thursday 23h
   }
 
+  test("mannKendall: S, tie-corrected variance, and z match hand folds") {
+    def day(i: Int) = java.sql.Timestamp.valueOf(f"2024-03-${i}%02d 12:00:00")
+    // Strictly rising 4 days: S = 6, var18 = 4·3·13 = 156,
+    // z = (6−1)/√(156/18).
+    val up = Seq(("k", day(1), 1.0), ("k", day(2), 2.0),
+      ("k", day(3), 3.0), ("k", day(4), 4.0)).toDF("k", "ts", "v")
+    val u = Analytics.mannKendall(up, "k", "ts", col("v"))
+      .as[(String, Long, Long, Long, Option[Double])].head()
+    assert(u._2 === 4L && u._3 === 6L && u._4 === 156L)
+    assert(u._5 === Some(BigDecimal(5.0 / math.sqrt(156.0 / 18.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+    // Tied pair then a rise: S = 2, var18 = 66 − 18 = 48.
+    val tied = Seq(("k", day(1), 5.0), ("k", day(2), 5.0),
+      ("k", day(3), 9.0)).toDF("k", "ts", "v")
+    val t = Analytics.mannKendall(tied, "k", "ts", col("v"))
+      .as[(String, Long, Long, Long, Option[Double])].head()
+    assert(t._3 === 2L && t._4 === 48L)
+    // A single-day key has no pairs — dropped, not divided by zero.
+    val one = Seq(("k", day(1), 5.0)).toDF("k", "ts", "v")
+    assert(Analytics.mannKendall(one, "k", "ts", col("v")).count() === 0L)
+  }
+
+  test("durbinWatson: trend ≈ 1, oscillation ≈ 3, constant series null") {
+    def day(i: Int) = java.sql.Timestamp.valueOf(f"2024-03-${i}%02d 12:00:00")
+    val trend = Seq(("k", day(1), 1.0), ("k", day(2), 2.0),
+      ("k", day(3), 3.0)).toDF("k", "ts", "v")
+    val tr = Analytics.durbinWatson(trend, "k", "ts", col("v"))
+      .select($"k", $"dw_micro").as[(String, Option[Long])].head()
+    assert(tr === (("k", Some(1000000L))))
+    val osc = Seq(("k", day(1), 1.0), ("k", day(2), 3.0),
+      ("k", day(3), 1.0), ("k", day(4), 3.0)).toDF("k", "ts", "v")
+    val os = Analytics.durbinWatson(osc, "k", "ts", col("v"))
+      .select($"dw_micro").as[Option[Long]].head()
+    assert(os === Some(3000000L))
+    val const = Seq(("k", day(1), 2.0), ("k", day(2), 2.0))
+      .toDF("k", "ts", "v")
+    val c = Analytics.durbinWatson(const, "k", "ts", col("v"))
+      .select($"dw_micro").as[Option[Long]].head()
+    assert(c === None)
+  }
+
 }

@@ -818,4 +818,68 @@ class ProfileSpec extends SparkSpec {
     assert(got === Array((0L, Some(0L))))
   }
 
+  test("kruskalWallis matches the hand-worked H, with and without ties") {
+    // Separated groups A={1,2} B={3,4} C={5,6}: R2 = 6/14/22,
+    // H = 12/(6·7)·(1.5²+3.5²+5.5²... ) → classic value 32/7 ≈ 4.571428.
+    val sep = Seq(("A", 1.0), ("A", 2.0), ("B", 3.0), ("B", 4.0),
+      ("C", 5.0), ("C", 6.0)).toDF("g", "v")
+    val s = Profile.kruskalWallis(sep, "g", col("v"))
+      .as[(Long, Long, Long, Option[Long], Option[Long])].head()
+    assert(s === ((6L, 3L, 0L, Some(4571428L), Some(4571428L))))
+    // Full ties within values: A={1,1} B={2,2} → H=2.4, C=0.8 → H/C=3.
+    val tied = Seq(("A", 1.0), ("A", 1.0), ("B", 2.0), ("B", 2.0))
+      .toDF("g", "v")
+    val t = Profile.kruskalWallis(tied, "g", col("v"))
+      .as[(Long, Long, Long, Option[Long], Option[Long])].head()
+    assert(t === ((4L, 2L, 12L, Some(2400000L), Some(3000000L))))
+    // Everything tied: C = 0 → adjusted H is null, raw H is 0.
+    val allTied = Seq(("A", 1.0), ("B", 1.0)).toDF("g", "v")
+    val a = Profile.kruskalWallis(allTied, "g", col("v"))
+      .as[(Long, Long, Long, Option[Long], Option[Long])].head()
+    assert(a === ((2L, 2L, 6L, Some(0L), None)))
+  }
+
+  test("kruskalWallis unquantized path equals the windowed path") {
+    val df = (1 to 400).map { i =>
+      (s"g${i % 3}", math.sin(i.toDouble) * 1000.0)
+    }.toDF("g", "v")
+    val a = Profile.kruskalWallis(df, "g", col("v"), quantized = true)
+      .collect().toSeq
+    val b = Profile.kruskalWallis(df, "g", col("v"), quantized = false)
+      .collect().toSeq
+    assert(a === b)
+  }
+
+  test("mcnemar counts discordant cells, clamps b=c, nulls b+c=0") {
+    val df = Seq(
+      // g1: b (A-only) = 3, c (B-only) = 1 → (|2|−1)²·1e6/4 = 250000
+      ("g1", true, false), ("g1", true, false), ("g1", true, false),
+      ("g1", false, true), ("g1", true, true), ("g1", false, false),
+      // g2: b = c = 1 → clamp (|0|−1)₊ = 0 → statistic 0
+      ("g2", true, false), ("g2", false, true),
+      // g3: perfectly concordant → b+c = 0 → null
+      ("g3", true, true), ("g3", false, false)).toDF("g", "a", "b2")
+    val got = Profile.mcnemar(df, "g", col("a"), col("b2"))
+      .orderBy("g")
+      .as[(String, Long, Long, Long, Option[Long])].collect()
+    assert(got === Array(
+      ("g1", 6L, 3L, 1L, Some(250000L)),
+      ("g2", 2L, 1L, 1L, Some(0L)),
+      ("g3", 2L, 0L, 0L, None)))
+  }
+
+  test("cochranArmitage recovers the exact z of a clean linear trend") {
+    // Tiers 1/2/3, n=2 each, successes 0/1/2 → z² = 4 exactly, z = 2.
+    val df = Seq((1L, false), (1L, false), (2L, true), (2L, false),
+      (3L, true), (3L, true)).toDF("w", "y")
+    val got = Profile.cochranArmitage(df, col("w"), col("y"))
+      .as[(Long, Long, Long, Long, Option[Double])].head()
+    assert(got === ((6L, 3L, 3L, 12L, Some(2.0))))
+    // All successes → zero variance → null z.
+    val flat = Seq((1L, true), (2L, true)).toDF("w", "y")
+    val f = Profile.cochranArmitage(flat, col("w"), col("y"))
+      .as[(Long, Long, Long, Long, Option[Double])].head()
+    assert(f._5 === None)
+  }
+
 }
