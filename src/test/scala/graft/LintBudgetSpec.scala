@@ -18,8 +18,13 @@ import graft.operators.ScaleLint
   *
   * A NEW query must either lint warning-free or be adjudicated here with
   * a comment-worthy reason; a regression in an existing query (more
-  * warnings than budgeted) fails the build. Plans only — nothing
-  * executes, so the sweep is cheap.
+  * warnings than budgeted) fails the build. The sweep is plan-only for
+  * most queries; a handful (iterative graph/raking operators that
+  * localCheckpoint rounds at construction, and sequenceGaps which
+  * collects partition bounds) execute real sf-sized work while their
+  * DataFrame is built — accepted: at the spec's scale factor that cost
+  * is small, and linting the EXECUTED shape (checkpointed rounds and
+  * all) is exactly what a pipeline author's composed plan would show.
   */
 class LintBudgetSpec extends SparkSpec {
 
@@ -82,7 +87,12 @@ class LintBudgetSpec extends SparkSpec {
     "q170_reciprocal_rank" -> Map("broadcast-nested-loop" -> 1),
     "q264_average_precision" -> Map("broadcast-nested-loop" -> 1),
     "q300_retrieval_report" -> Map("broadcast-nested-loop" -> 3),
-    "q174_quantized_recall" -> Map("broadcast-nested-loop" -> 2))
+    "q174_quantized_recall" -> Map("broadcast-nested-loop" -> 2),
+    // one-row global buyer-count total attached via crossJoin(broadcast);
+    // Catalyst pushes the share filter into the join, compiling the
+    // predicate-free cross-broadcast into a conditioned BNL whose build
+    // side is exactly ONE row — benign at any scale.
+    "q333_complement_substitute" -> Map("broadcast-nested-loop" -> 1))
 
   test("every query's warn-level lint findings stay within the budget") {
     val over = SparkEntry.allDefs.flatMap { q =>
