@@ -879,8 +879,10 @@ object Analytics {
     step.as("p1").join(step.as("p2"),
         col("p1.next_state") === col("p2.state"))
       .groupBy(col("p1.state").as("state"), col("p2.next_state").as("next2"))
-      .agg(sum(expr("p1.n * p2.n")).as("path_weight"),
-        sum(expr("(p1.n * p2.n * 1000000L) div (p1.tot * p2.tot)"))
+      .agg(sum(expr("cast(p1.n as decimal(38,0)) * p2.n")).cast("long")
+          .as("path_weight"),
+        sum(expr("""(cast(p1.n as decimal(38,0)) * p2.n * 1000000)
+            div (cast(p1.tot as decimal(38,0)) * p2.tot)"""))
           .as("p2_micro"))
   }
 
@@ -903,8 +905,9 @@ object Analytics {
          SELECT p.state, p.next_state, p.n, t.tot
          FROM pairs p JOIN tot t ON p.state = t.state)
        SELECT p1.state, p2.next_state AS next2,
-         sum(p1.n * p2.n)::BIGINT AS path_weight,
-         sum((p1.n * p2.n * 1000000) // (p1.tot * p2.tot))::BIGINT AS p2_micro
+         sum(p1.n::HUGEINT * p2.n)::BIGINT AS path_weight,
+         sum((p1.n::HUGEINT * p2.n * 1000000)
+           // (p1.tot::HUGEINT * p2.tot))::BIGINT AS p2_micro
        FROM step p1 JOIN step p2 ON p1.next_state = p2.state
        GROUP BY 1, 2 ORDER BY p1.state, next2"""
 
@@ -1924,7 +1927,9 @@ object Analytics {
     * FIXED truncation point per factor — the fold multiplies then
     * floor-divides at every step, so the estimate is bit-identical on
     * any engine (each factor is packed as (n−d)·2³² + n, making the
-    * fold a pure BIGINT lambda both here and in the oracle).
+    * fold a pure BIGINT lambda both here and in the oracle; an at-risk
+    * population ≥ 2³² would silently corrupt that packing, so the
+    * operator raises on it rather than emit a wrong curve).
     *
     * Scale design: the corpus collapses once to per-duration (count,
     * deaths) rows with map-side partials; the risk set is ONE cumulative
@@ -1956,7 +1961,10 @@ object Analytics {
         (col("n_total") - col("cum") + col("c")).as("n_risk"))
       .filter(col("d") > 0)
       .select(col("t"), col("n_risk"), col("d"),
-        ((col("n_risk") - col("d")) * lit(4294967296L) + col("n_risk"))
+        when(col("n_risk") < lit(4294967296L),
+          (col("n_risk") - col("d")) * lit(4294967296L) + col("n_risk"))
+          .otherwise(raise_error(lit("kaplanMeier: at-risk population" +
+            " >= 2^32 overflows the packed survival factor")))
           .as("f"))
     ev.agg(array_sort(collect_list(struct(col("t"), col("n_risk"),
         col("d"), col("f")))).as("a"))
@@ -2134,7 +2142,9 @@ object Analytics {
     *
     * Scale design: one conditional-aggregation pass collapses the
     * corpus to |groups| rows; everything after is arithmetic on that
-    * collapse.
+    * collapse, with the revenue×quantity cross products widened through
+    * decimal(38,0) (HUGEINT in the oracle) so group totals far beyond
+    * int64's 9.2e18 still bridge exactly.
     */
   def priceVolumeBridge(df: DataFrame, groupCol: Column, inFirst: Column,
       revenueCents: Column, quantity: Column): DataFrame = {
@@ -2148,10 +2158,12 @@ object Analytics {
       .withColumn("delta", col("rev2") - col("rev1"))
       .withColumn("price_effect",
         when(col("q1") > 0 && col("q2") > 0,
-          expr("rev2 - (rev1 * q2) div q1")).otherwise(lit(null).cast("long")))
+          expr("rev2 - (cast(rev1 as decimal(38,0)) * q2) div q1"))
+          .otherwise(lit(null).cast("long")))
       .withColumn("volume_effect",
         when(col("q1") > 0 && col("q2") > 0,
-          expr("(rev1 * (q2 - q1)) div q1")).otherwise(lit(null).cast("long")))
+          expr("(cast(rev1 as decimal(38,0)) * (q2 - q1)) div q1"))
+          .otherwise(lit(null).cast("long")))
       .withColumn("residue",
         when(col("price_effect").isNotNull,
           col("delta") - col("price_effect") - col("volume_effect"))
@@ -2182,10 +2194,10 @@ object Analytics {
        eff AS (
          SELECT g, rev1, q1, rev2, q2, (rev2 - rev1)::BIGINT AS delta,
            CASE WHEN q1 > 0 AND q2 > 0
-             THEN rev2 - (rev1 * q2) // q1 ELSE NULL END::BIGINT
+             THEN rev2 - (rev1::HUGEINT * q2) // q1 ELSE NULL END::BIGINT
              AS price_effect,
            CASE WHEN q1 > 0 AND q2 > 0
-             THEN (rev1 * (q2 - q1)) // q1 ELSE NULL END::BIGINT
+             THEN (rev1::HUGEINT * (q2 - q1)) // q1 ELSE NULL END::BIGINT
              AS volume_effect
          FROM agg)
        SELECT g, rev1, q1, rev2, q2, delta, price_effect, volume_effect,
@@ -2955,10 +2967,12 @@ object Analytics {
       .groupBy(col(groupCol), col("p")).agg(sum(col("q")).as("qp"))
     val xyz = monthly.groupBy(col(groupCol))
       .agg(count(lit(1)).as("n_periods"), sum(col("qp")).as("sq"),
-        sum(col("qp") * col("qp")).as("sqq"))
+        sum(col("qp").cast("decimal(38,0)") * col("qp")).as("sqq"))
       .select(col(groupCol), col("n_periods"),
         when(col("sq") =!= 0,
-          expr("(n_periods * sqq - sq * sq) * 1000000L div (sq * sq)"))
+          expr("""(cast(n_periods as decimal(38,0)) * sqq
+            - cast(sq as decimal(38,0)) * sq) * 1000000
+            div (cast(sq as decimal(38,0)) * sq)"""))
           .otherwise(lit(null).cast("long")).as("var_ratio_micro"))
       .withColumn("xyz_class",
         when(col("var_ratio_micro").isNull, lit("Z"))
@@ -3002,8 +3016,9 @@ object Analytics {
        xyz AS (
          SELECT l_suppkey, count(*)::BIGINT AS n_periods,
            CASE WHEN sum(qp) != 0
-             THEN ((count(*) * sum(qp * qp) - sum(qp) * sum(qp)) * 1000000)
-               // (sum(qp) * sum(qp))
+             THEN ((count(*)::HUGEINT * sum(qp::HUGEINT * qp)
+               - sum(qp)::HUGEINT * sum(qp)) * 1000000)
+               // (sum(qp)::HUGEINT * sum(qp))
              ELSE NULL END::BIGINT AS var_ratio_micro
          FROM monthly GROUP BY 1),
        xyzc AS (
