@@ -55,21 +55,35 @@ object Bench {
         SparkEntry.allDefs.filter(q => want.exists(q.name.startsWith))
       case None => SparkEntry.headlines
     }
+    // Per-pass times + machine load go into the artifact so a
+    // contaminated run is identifiable from the JSON alone: min-of-3
+    // defends against a transient spike, but when the machine is loaded
+    // for the whole window all three passes inflate together — visible
+    // as high pass variance and/or a high loadavg, without rerunning.
+    def loadavg(): Double =
+      try scala.io.Source.fromFile("/proc/loadavg").mkString
+        .split(" ").head.toDouble
+      catch { case _: Throwable => -1.0 }
+    val loadBefore = loadavg()
     val results = picked.map { q =>
       once(q) // isolated warm pass
-      q.name -> Seq(once(q), once(q), once(q)).min
+      q.name -> Seq(once(q), once(q), once(q))
     }
+    val loadAfter = loadavg()
     def jstr(s: String): String =
       "\"" + s.flatMap {
         case '"' => "\\\""; case '\\' => "\\\\"
         case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
       } + "\""
-    val qs = results.map { case (k, v) => jstr(k) + ":" + v }
+    val qs = results.map { case (k, v) => jstr(k) + ":" + v.min }
+      .mkString("{", ",", "}")
+    val passes = results
+      .map { case (k, v) => jstr(k) + ":" + v.mkString("[", ",", "]") }
       .mkString("{", ",", "}")
     val errJson = errors.map { case (k, v) => jstr(k) + ":" + jstr(v) }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":${jstr(sfDir)}}""")
+    val total = if (results.nonEmpty) results.map(_._2.min).sum else 0.0
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"passes":$passes,"loadavg_before":$loadBefore,"loadavg_after":$loadAfter,"errors":$errJson,"sf":${jstr(sfDir)}}""")
     spark.stop()
   }
 }

@@ -1538,6 +1538,17 @@ object Analytics {
     */
   def calendar(s: SparkSession, startDate: String,
       endDate: String): DataFrame = {
+    // Strict ISO parse BEFORE the literals reach SQL text: a malformed
+    // (or crafted) argument fails here with a clear message instead of
+    // injecting expression text or surfacing a deep parse error.
+    Seq("startDate" -> startDate, "endDate" -> endDate).foreach {
+      case (what, v) =>
+        try java.time.LocalDate.parse(v)
+        catch { case _: java.time.format.DateTimeParseException =>
+          throw new IllegalArgumentException(
+            s"calendar: $what must be an ISO yyyy-MM-dd date, got '$v'")
+        }
+    }
     s.range(1).select(explode(expr(
         s"sequence(date'$startDate', date'$endDate', interval 1 day)"))
         .as("day"))

@@ -22,6 +22,16 @@ import org.apache.spark.unsafe.types.UTF8String
   * (`createOrReplaceTempFunction`); [[graft.GraftSession]] and the
   * SparkEntry wrappers call it alongside
   * [[graft.functions.Native.register]].
+  *
+  * Argument trust: the `*Expr` parameters (valueExpr, xExpr, …) are by
+  * design TRUSTED Spark-SQL expression text, evaluated in the caller's
+  * own session with the caller's own privileges — exactly like any other
+  * fragment of the SQL statement the TVF call sits in, so they grant
+  * nothing the surrounding statement couldn't already express. Pure-data
+  * arguments are validated strictly instead: dates must parse as ISO
+  * dates before they are ever interpolated ([[Analytics.calendar]]),
+  * table/column names resolve through the catalog, and counts must be
+  * integer literals.
   */
 object SqlRegistry {
 
