@@ -928,7 +928,7 @@ object Analytics {
     * collapse, never a second corpus pass.
     */
   def iqrOutliers(df: DataFrame, groupCol: String,
-      valueCol: Column, quantized: Boolean = true): DataFrame = {
+      valueCol: Column, quantized: Boolean = false): DataFrame = {
     val byV = df.select(col(groupCol).as("k"), valueCol.cast("long").as("v"))
       .groupBy(col("k"), col("v")).agg(count(lit(1)).as("c"))
     val w = Window.partitionBy(col("k")).orderBy(col("v"))
@@ -964,7 +964,8 @@ object Analytics {
 
   // ---- q283: which event types have heavy tails under the box-plot rule? ------
   private def q283(s: SparkSession, d: String): DataFrame =
-    iqrOutliers(Tables.events(s, d), "event_type", floor(col("value") * 100))
+    iqrOutliers(Tables.events(s, d), "event_type", floor(col("value") * 100),
+        quantized = true)
       .orderBy(col("k"))
   private[operators] val q283Sql =
     """WITH byv AS (
@@ -1068,7 +1069,7 @@ object Analytics {
     */
   def quantileTreatmentEffect(df: DataFrame, cohortCol: Column,
       treatment: String, control: String, valueCol: Column,
-      quantized: Boolean = true): DataFrame = {
+      quantized: Boolean = false): DataFrame = {
     val dt = decileTable(
       df.filter(cohortCol.isin(treatment, control))
         .withColumn("__qte_cohort", cohortCol),
@@ -1093,7 +1094,7 @@ object Analytics {
   // ---- q278: purchase-vs-view value shift, decile by decile -------------------
   private def q278(s: SparkSession, d: String): DataFrame =
     quantileTreatmentEffect(Tables.events(s, d), col("event_type"),
-        "purchase", "view", floor(col("value") * 100))
+        "purchase", "view", floor(col("value") * 100), quantized = true)
       .orderBy(col("decile"))
   private val q278Sql =
     """WITH byv AS (
@@ -3471,7 +3472,7 @@ object Analytics {
     * window), one min-argmax. Nothing corpus-sized is sorted.
     */
   def weightedMedian(df: DataFrame, groupCol: String, valueCol: String,
-      weightCol: String, quantized: Boolean = true): DataFrame = {
+      weightCol: String, quantized: Boolean = false): DataFrame = {
     val byV = df.select(col(groupCol).as("g"),
         col(valueCol).cast("long").as("v"),
         col(weightCol).cast("long").as("wt"))
@@ -3981,7 +3982,7 @@ object Analytics {
     * of raw rows, no per-decile pass.
     */
   def decileTable(df: DataFrame, groupCol: String,
-      valueCol: Column, quantized: Boolean = true): DataFrame = {
+      valueCol: Column, quantized: Boolean = false): DataFrame = {
     val byV = df.select(col(groupCol).as("k"), valueCol.cast("long").as("v"))
       .groupBy(col("k"), col("v")).agg(count(lit(1)).as("c"))
     val w = Window.partitionBy(col("k")).orderBy(col("v"))
@@ -4006,7 +4007,7 @@ object Analytics {
   // ---- q229: the value distribution fingerprint per event type ----------------
   private def q229(s: SparkSession, d: String): DataFrame =
     decileTable(Tables.events(s, d), "event_type",
-        floor(col("value") * 100))
+        floor(col("value") * 100), quantized = true)
       .orderBy(col("event_type"))
   private[operators] val q229Sql =
     """WITH byv AS (
@@ -4418,7 +4419,8 @@ object Analytics {
 
   // ---- q205: character-mass median document length per language ---------------
   private def q205(s: SparkSession, d: String): DataFrame =
-    weightedMedian(Tables.documents(s, d), "lang", "n_chars", "n_chars")
+    weightedMedian(Tables.documents(s, d), "lang", "n_chars", "n_chars",
+        quantized = true)
       .orderBy(col("lang"))
   private val q205Sql =
     """WITH byv AS (

@@ -957,17 +957,19 @@ object Profile {
     * negatives) yield null, same on both engines.
     *
     * Scale design: the corpus-sized relation collapses map-side into
-    * (score → counts) partials before its only exchange; with
-    * `quantized = true` (the default) the running-sum window runs over
-    * the distinct-score relation, which is bounded when model scores are
-    * int8/fixed-point quantized (q43's own output shape). For a
-    * CONTINUOUS score domain the collapse is corpus-sized — pass
-    * `quantized = false` to route the running sum through the
-    * [[DistributedPrefix]] two-pass machinery instead of a single-task
-    * window. Nothing row-sized crosses the wire twice either way.
+    * (score → counts) partials before its only exchange. The DEFAULT
+    * `quantized = false` assumes a CONTINUOUS score domain — the safe
+    * assumption for raw model scores — and routes the running sum
+    * through the [[DistributedPrefix]] two-pass machinery, so no
+    * single-task window ever appears no matter how many distinct scores
+    * exist (cost: plan construction runs the seed pass eagerly). Pass
+    * `quantized = true` when scores are int8/fixed-point quantized
+    * (q43's own output shape): the bounded distinct-score relation then
+    * rides one cheap lazily-planned cumulative window instead. Nothing
+    * row-sized crosses the wire twice either way.
     */
   def rocAuc(scored: DataFrame, label: Column, score: Column,
-      quantized: Boolean = true): DataFrame = {
+      quantized: Boolean = false): DataFrame = {
     val byScore = scored.groupBy(score.as("s")).agg(
       count(when(label, 1)).as("p"),
       count(when(!label, 1)).as("g"))
@@ -996,7 +998,8 @@ object Profile {
   // score (heavily tied — the tie-handling path is exercised for real),
   // lang='en' the label. The oracle replays the identical integer algebra.
   private def q154(s: SparkSession, d: String): DataFrame =
-    rocAuc(Tables.documents(s, d), col("lang") === "en", col("n_chars"))
+    rocAuc(Tables.documents(s, d), col("lang") === "en", col("n_chars"),
+      quantized = true)
   private val q154Sql =
     """WITH byscore AS (
          SELECT n_chars AS s,
@@ -1075,7 +1078,7 @@ object Profile {
     * shared via ReuseExchange.
     */
   def prCurve(scored: DataFrame, label: Column, score: Column,
-      quantized: Boolean = true): DataFrame = {
+      quantized: Boolean = false): DataFrame = {
     val byScore = scored.groupBy(score.as("s")).agg(
       count(when(label, 1)).as("p"),
       count(when(!label, 1)).as("g"))
@@ -1106,7 +1109,8 @@ object Profile {
   // Same label/score pair as q154 (lang='en' vs n_chars), so the eval
   // suite reads as one coherent report: AUC summary + operating curve.
   private def q157(s: SparkSession, d: String): DataFrame =
-    prCurve(Tables.documents(s, d), col("lang") === "en", col("n_chars"))
+    prCurve(Tables.documents(s, d), col("lang") === "en", col("n_chars"),
+      quantized = true)
   private val q157Sql =
     """WITH byscore AS (
          SELECT n_chars AS s,
@@ -2670,7 +2674,7 @@ object Profile {
     * domains), a 10-row spine join.
     */
   def gainsTable(df: DataFrame, scoreCol: Column,
-      isPositive: Column, quantized: Boolean = true): DataFrame = {
+      isPositive: Column, quantized: Boolean = false): DataFrame = {
     val byV = df.select(scoreCol.cast("long").as("v"),
         isPositive.cast("boolean").as("y"))
       .groupBy(col("v"))
@@ -2705,7 +2709,7 @@ object Profile {
   // ---- q230: call the top decile, catch what share of purchases? --------------
   private def q230(s: SparkSession, d: String): DataFrame =
     gainsTable(Tables.events(s, d), floor(col("value") * 100),
-        col("event_type") === "purchase")
+        col("event_type") === "purchase", quantized = true)
       .orderBy(col("decile"))
   private val q230Sql =
     """WITH byv AS (
@@ -2781,7 +2785,7 @@ object Profile {
     * floor.
     */
   def qqTable(df: DataFrame, valueCol: Column, isClassA: Column,
-      isClassB: Column, quantized: Boolean = true): DataFrame = {
+      isClassB: Column, quantized: Boolean = false): DataFrame = {
     val base = df.filter(isClassA || isClassB)
       .select(valueCol.cast("long").as("v"), isClassA.as("is_a"))
     val byV = base.groupBy(col("v"), col("is_a"))
@@ -2819,7 +2823,8 @@ object Profile {
   // ---- q237: open-vs-fulfilled price distributions, decile by decile ----------
   private def q237(s: SparkSession, d: String): DataFrame =
     qqTable(Tables.orders(s, d), floor(col("o_totalprice") * 100),
-        col("o_orderstatus") === "O", col("o_orderstatus") === "F")
+        col("o_orderstatus") === "O", col("o_orderstatus") === "F",
+        quantized = true)
       .orderBy(col("decile"))
   private val q237Sql =
     """WITH base AS (
@@ -2923,7 +2928,7 @@ object Profile {
     * exactly on it.
     */
   def skyline(df: DataFrame, xCol: Column, yCol: Column,
-      quantized: Boolean = true): DataFrame = {
+      quantized: Boolean = false): DataFrame = {
     val pts = df.select(xCol.cast("long").as("x"), yCol.cast("long").as("y"))
     val bestY = pts.groupBy(col("x")).agg(max(col("y")).as("y"))
     val w = Window.orderBy(col("x"))
@@ -2943,7 +2948,7 @@ object Profile {
   // ---- q240: cheapest part for its size — the procurement shortlist -----------
   private def q240(s: SparkSession, d: String): DataFrame =
     skyline(Tables.part(s, d), floor(col("p_retailprice") * 100),
-        col("p_size"))
+        col("p_size"), quantized = true)
       .orderBy(col("x"))
   private val q240Sql =
     """WITH pts AS (
@@ -3124,7 +3129,7 @@ object Profile {
     */
   def ksTest(df: DataFrame, groupCol: String, valueCol: String,
       isClassA: Column, isClassB: Column,
-      quantized: Boolean = true): DataFrame = {
+      quantized: Boolean = false): DataFrame = {
     val base = df.filter(isClassA || isClassB)
       .select(col(groupCol).as("g"), col(valueCol).as("v"),
         isClassA.as("is_a"))
@@ -3157,7 +3162,8 @@ object Profile {
   // DISTRIBUTION differ between open and fulfilled orders?
   private def q199(s: SparkSession, d: String): DataFrame =
     ksTest(Tables.orders(s, d), "o_orderpriority", "o_totalprice",
-      col("o_orderstatus") === "O", col("o_orderstatus") === "F")
+      col("o_orderstatus") === "O", col("o_orderstatus") === "F",
+      quantized = true)
       .orderBy(col("o_orderpriority"))
   private val q199Sql =
     """WITH base AS (
@@ -3320,7 +3326,7 @@ object Profile {
     * relation (k rows) finishes against one broadcast totals row.
     */
   def kruskalWallis(df: DataFrame, groupCol: String, valueCol: Column,
-      quantized: Boolean = true): DataFrame = {
+      quantized: Boolean = false): DataFrame = {
     val base = df.select(col(groupCol).as("g"), valueCol.as("v"))
       .filter(col("g").isNotNull && col("v").isNotNull)
     val byVG = base.groupBy(col("v"), col("g"))

@@ -94,7 +94,8 @@ object SqlRegistry {
       require(exprs.length == 3,
         "graft_decile_table(table, groupCol, valueExpr)")
       Analytics.decileTable(s.table(strLit(exprs(0), "table")),
-        strLit(exprs(1), "groupCol"), expr(strLit(exprs(2), "valueExpr")))
+        strLit(exprs(1), "groupCol"), expr(strLit(exprs(2), "valueExpr")),
+        quantized = true)
     }
 
     // graft_salt_plan(table, keyCol, targetPerTask): ceil(n/target) salt
@@ -135,7 +136,8 @@ object SqlRegistry {
       require(exprs.length == 3,
         "graft_iqr_outliers(table, groupCol, valueExpr)")
       Analytics.iqrOutliers(s.table(strLit(exprs(0), "table")),
-        strLit(exprs(1), "groupCol"), expr(strLit(exprs(2), "valueExpr")))
+        strLit(exprs(1), "groupCol"), expr(strLit(exprs(2), "valueExpr")),
+        quantized = true)
     }
 
     // graft_anova(table, groupCol, valueExpr): one-way ANOVA SS

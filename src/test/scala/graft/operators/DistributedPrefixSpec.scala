@@ -69,19 +69,19 @@ class DistributedPrefixSpec extends SparkSpec {
   test("rocAuc unquantized equals quantized on a continuous score domain") {
     assertSameRows(
       Profile.rocAuc(scored, $"y", $"score", quantized = false),
-      Profile.rocAuc(scored, $"y", $"score"), "rocAuc")
+      Profile.rocAuc(scored, $"y", $"score", quantized = true), "rocAuc")
   }
 
   test("prCurve unquantized equals quantized on a continuous score domain") {
     assertSameRows(
       Profile.prCurve(scored, $"y", $"score", quantized = false),
-      Profile.prCurve(scored, $"y", $"score"), "prCurve")
+      Profile.prCurve(scored, $"y", $"score", quantized = true), "prCurve")
   }
 
   test("gainsTable unquantized equals quantized on a continuous score domain") {
     assertSameRows(
       Profile.gainsTable(scored, $"score", $"y", quantized = false),
-      Profile.gainsTable(scored, $"score", $"y"), "gainsTable")
+      Profile.gainsTable(scored, $"score", $"y", quantized = true), "gainsTable")
   }
 
   test("skyline unquantized equals quantized on a continuous x domain") {
@@ -89,7 +89,7 @@ class DistributedPrefixSpec extends SparkSpec {
       (xxhash64($"id") % 999983L).as("x"), ($"id" % 701).as("y"))
     assertSameRows(
       Profile.skyline(pts, $"x", $"y", quantized = false),
-      Profile.skyline(pts, $"x", $"y"), "skyline")
+      Profile.skyline(pts, $"x", $"y", quantized = true), "skyline")
   }
 
   test("ksTest unquantized equals quantized on a continuous value domain") {
@@ -99,7 +99,7 @@ class DistributedPrefixSpec extends SparkSpec {
       (xxhash64($"id" + 11) % 2 === 0).as("a"))
     assertSameRows(
       Profile.ksTest(df, "g", "v", $"a", !$"a", quantized = false),
-      Profile.ksTest(df, "g", "v", $"a", !$"a"), "ksTest")
+      Profile.ksTest(df, "g", "v", $"a", !$"a", quantized = true), "ksTest")
   }
 
   test("weightedMedian unquantized equals quantized on a continuous value domain") {
@@ -109,7 +109,7 @@ class DistributedPrefixSpec extends SparkSpec {
       ($"id" % 97 + 1).as("wt"))
     assertSameRows(
       Analytics.weightedMedian(df, "g", "v", "wt", quantized = false),
-      Analytics.weightedMedian(df, "g", "v", "wt"), "weightedMedian")
+      Analytics.weightedMedian(df, "g", "v", "wt", quantized = true), "weightedMedian")
   }
 
   test("otsuThreshold unquantized equals quantized on a continuous value domain") {
@@ -148,7 +148,7 @@ class DistributedPrefixSpec extends SparkSpec {
       (xxhash64($"id" * 11) % 1000000007L).as("v"))
     assertSameRows(
       Analytics.decileTable(df, "g", $"v", quantized = false),
-      Analytics.decileTable(df, "g", $"v"), "decileTable")
+      Analytics.decileTable(df, "g", $"v", quantized = true), "decileTable")
   }
 
   test("iqrOutliers unquantized equals quantized on a continuous value domain") {
@@ -157,7 +157,7 @@ class DistributedPrefixSpec extends SparkSpec {
       (xxhash64($"id" * 13) % 1000000007L).as("v"))
     assertSameRows(
       Analytics.iqrOutliers(df, "g", $"v", quantized = false),
-      Analytics.iqrOutliers(df, "g", $"v"), "iqrOutliers")
+      Analytics.iqrOutliers(df, "g", $"v", quantized = true), "iqrOutliers")
   }
 
   test("qqTable unquantized equals quantized on a continuous value domain") {
@@ -166,7 +166,7 @@ class DistributedPrefixSpec extends SparkSpec {
       (xxhash64($"id" + 3) % 2 === 0).as("a"))
     assertSameRows(
       Profile.qqTable(df, $"v", $"a", !$"a", quantized = false),
-      Profile.qqTable(df, $"v", $"a", !$"a"), "qqTable")
+      Profile.qqTable(df, $"v", $"a", !$"a", quantized = true), "qqTable")
   }
 
   test("conversionLatency unquantized equals quantized") {
