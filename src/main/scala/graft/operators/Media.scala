@@ -27,12 +27,13 @@ import org.apache.spark.sql.functions._
   * The MOTION path is real too: multi-frame ANIMATED GIF containers are
   * encoded and frame-by-frame decoded via `ImageIO`'s sequence API — frame
   * count, dims, per-frame pixel payloads, and the every-k-th frame sampling
-  * all come from genuine decodes. What remains a stub is only the
-  * H.264-class compressed-video branch (no such codec ships in this JVM;
-  * non-container payloads fall back to deterministic byte arithmetic) and
-  * `resize` (truncate/pad); swapping a codec in changes only
-  * `MediaCodec.decode*` bodies — not the operator shape, schema, or
-  * distribution.
+  * all come from genuine decodes. `resize` is real as well: decodable
+  * images rescale through Graphics2D bilinear interpolation and re-encode
+  * as genuine PNGs at the target resolution. What remains a stub is only
+  * the H.264-class compressed-video branch (no such codec ships in this
+  * JVM; non-container payloads fall back to deterministic byte
+  * arithmetic); swapping a codec in changes only `MediaCodec.decode*`
+  * bodies — not the operator shape, schema, or distribution.
   *
   * Scale design: all operators are map-side (mapPartitions — one pass, no
   * shuffle, no driver collection); at 100 TB, media decode is embarrassingly
@@ -353,10 +354,35 @@ object Media {
         out.toSeq
       }
 
-    /** STUB resize: truncate/zero-pad to the target byte budget (a real impl
-      * would re-encode at the target resolution).
+    /** REAL image resize for the container formats this JVM decodes (PNG
+      * and GIF — GIF resizes its first frame, ImageIO's read contract):
+      * decode, rescale through `Graphics2D.drawImage` with BILINEAR
+      * interpolation (java.desktop ships the full AffineTransform
+      * rasterizer), re-encode as a genuine PNG at the target resolution.
+      * Non-image payloads pass through unchanged — resampling audio or
+      * compressed video needs codecs this JVM doesn't ship, and silently
+      * truncating them would corrupt, not resize.
       */
-    def resize(m: MediaRow, targetBytes: Int): MediaRow =
+    def resizeImage(m: MediaRow, targetW: Int, targetH: Int): MediaRow =
+      if (isPng(m.media) || isGif(m.media)) {
+        val src = ImageIO.read(new ByteArrayInputStream(m.media))
+        val dst = new java.awt.image.BufferedImage(targetW, targetH,
+          java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+        val g = dst.createGraphics()
+        g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+          java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+        g.drawImage(src, 0, 0, targetW, targetH, null)
+        g.dispose()
+        val out = new ByteArrayOutputStream()
+        ImageIO.write(dst, "png", out)
+        m.copy(media = out.toByteArray)
+      } else m
+
+    /** Byte-budget clamp for OPAQUE payloads (truncate/zero-pad) — the
+      * storage-cap primitive for kinds with no decoder, NOT an image
+      * operation; image resolution changes go through [[resizeImage]].
+      */
+    def clampBytes(m: MediaRow, targetBytes: Int): MediaRow =
       m.copy(media = java.util.Arrays.copyOf(m.media, targetBytes))
 
     /** Frame sampling. GIF containers are REAL: every k-th genuinely
@@ -440,6 +466,17 @@ object Media {
   def audioEnergy(media: Dataset[MediaRow], windowSamples: Int): Dataset[AudioWindow] = {
     import media.sparkSession.implicits._
     media.mapPartitions(_.flatMap(MediaCodec.audioWindows(_, windowSamples)))
+  }
+
+  /** Real resolution change for every decodable image in the set —
+    * map-side (decode → bilinear rescale → PNG re-encode per row inside
+    * the partition iterator, zero shuffle; at 100 TB this is the
+    * embarrassingly-parallel preprocessing stage before feature
+    * extraction, exactly as distributed as the decode). */
+  def resizeImages(media: Dataset[MediaRow], targetW: Int,
+      targetH: Int): Dataset[MediaRow] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.map(MediaCodec.resizeImage(_, targetW, targetH)))
   }
 
   // ---- q32: decode → per-format metadata stats -------------------------------
@@ -561,8 +598,32 @@ object Media {
            AS energy
        FROM w ORDER BY doc_id, window_idx"""
 
+  // ---- q339: resize every decodable image, then decode what came out ----------
+  // The resized payloads are REAL PNG containers at the target
+  // resolution: decodeMeta must parse them back to (8, 6, 48 decoded
+  // bytes, format png) for every image/video row — a genuine
+  // decode → rescale → re-encode → decode round trip. Pixel values are
+  // interpolator-specific and deliberately NOT asserted here (the spec
+  // pins their invariants); the oracle pins everything structural.
+  private def q339(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    decode(resizeImages(
+        mediaTable(s, d).filter(col("kind") =!= "audio"), 8, 6)).toDF()
+      .groupBy(col("kind"), col("format"), col("width"), col("height"),
+        col("n_bytes"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("kind"))
+  }
+  private val q339Sql =
+    """SELECT CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'video' END AS kind,
+         'png' AS format, 8::INT AS width, 6::INT AS height,
+         48::BIGINT AS n_bytes, count(*) AS n
+       FROM documents WHERE doc_id % 2 = 0 OR doc_id % 4 = 3
+       GROUP BY 1 ORDER BY kind"""
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q32_media_decode", q32, Some(q32Sql)),
     QueryDef("q33_media_frames", q33, Some(q33Sql)),
-    QueryDef("q275_audio_energy", q275, Some(q275Sql)))
+    QueryDef("q275_audio_energy", q275, Some(q275Sql)),
+    QueryDef("q339_image_resize", q339, Some(q339Sql)))
 }

@@ -108,10 +108,54 @@ class MediaSpec extends SparkSpec {
     assert(frames.forall(_.media.length <= 32))
   }
 
-  test("resize truncates or pads to the byte budget") {
-    val m = MediaRow(7L, "image", Array[Byte](1, 2, 3, 4, 5))
-    assert(MediaCodec.resize(m, 3).media.toSeq === Seq[Byte](1, 2, 3))
-    assert(MediaCodec.resize(m, 8).media.length === 8)
+  test("clampBytes truncates or pads an opaque payload to the byte budget") {
+    val m = MediaRow(7L, "raw", Array[Byte](1, 2, 3, 4, 5))
+    assert(MediaCodec.clampBytes(m, 3).media.toSeq === Seq[Byte](1, 2, 3))
+    assert(MediaCodec.clampBytes(m, 8).media.length === 8)
+  }
+
+  test("resizeImage re-encodes a real PNG at the target resolution") {
+    // A genuine 16x12 PNG goes in; a genuine 8x6 PNG must come out.
+    val m = MediaRow(2L, "image", MediaCodec.synthPng(2L, 15L)) // w=16,h=12
+    val r = MediaCodec.resizeImage(m, 8, 6)
+    assert(MediaCodec.isPng(r.media))
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(r.media))
+    assert(img.getWidth === 8 && img.getHeight === 6)
+  }
+
+  test("resizeImage bilinear interpolation preserves constant and order") {
+    // Constant image: every interpolated pixel equals the constant.
+    val w = 16; val h = 16
+    val const = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    for (y <- 0 until h; x <- 0 until w)
+      const.getRaster.setSample(x, y, 0, 99)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(const, "png", out)
+    val rc = MediaCodec.resizeImage(
+      MediaRow(1L, "image", out.toByteArray), 4, 4)
+    val ri = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(rc.media))
+    for (y <- 0 until 4; x <- 0 until 4)
+      assert(ri.getRaster.getSample(x, y, 0) === 99)
+
+    // Gradient image (pixel(x,·) = (docId + x) % 256 with x < 32 so it is
+    // monotone in x): downscaling must keep the left half darker.
+    val g = MediaRow(0L, "image", MediaCodec.synthPng(0L, 31L)) // w=32,h=32
+    val rg = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(
+        MediaCodec.resizeImage(g, 8, 8).media))
+    def mean(x0: Int, x1: Int): Double =
+      (for (y <- 0 until 8; x <- x0 until x1)
+        yield rg.getRaster.getSample(x, y, 0)).sum / (8.0 * (x1 - x0))
+    assert(mean(0, 4) < mean(4, 8))
+  }
+
+  test("resizeImage passes non-image payloads through untouched") {
+    val m = MediaRow(5L, "audio", MediaCodec.synthWav(5L, 100L))
+    val r = MediaCodec.resizeImage(m, 8, 6)
+    assert(r.media.toSeq === m.media.toSeq)
   }
 
   test("audioWindows decodes real PCM into exact per-window energies") {
