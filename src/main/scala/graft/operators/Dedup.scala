@@ -491,14 +491,15 @@ object Dedup {
     * Verify is a per-pair sorted-array intersection, NOT the relational
     * gram re-join [[verifyJaccard]] uses: prefix candidates are chancy
     * (any two docs sharing one semi-rare gram pair up, so |cands| can be
-    * 1000× the true-dup count — measured 409k candidates for ~250 true
-    * pairs at sf0.1), and the re-join multiplies |cands| × grams-per-doc
-    * into a shuffle 50× the gram stream. The array form costs one row per
-    * CANDIDATE (two hash joins carrying each doc's gram array once) — at
-    * sf0.1 it took q124 from 51 s to 9.7 s, and shuffling 8-byte gram
-    * hashes instead of gram strings (see below) took it to ~6.7 s; the
-    * remaining cost is the inherent exactness tax (df join + rarity sort
-    * over the gram stream, now at fixed-width keys).
+    * 1000× the true-dup count), and the re-join multiplies |cands| ×
+    * grams-per-doc into a shuffle 50× the gram stream. The array form
+    * costs one row per CANDIDATE (two hash joins carrying each doc's
+    * gram array once). Candidates are pruned BEFORE the pair distinct by
+    * the PPJoin length and positional bounds (both derived from
+    * jac >= t, so exactness is untouched — measured 430k → 131k matches
+    * at sf0.1), and the whole operator is one lazily-planned query: the
+    * corpus scan and every shared exchange deduplicate at runtime via
+    * AQE stage reuse (verified: one parquet scan end to end).
     * LSH keeps the re-join verify: its candidates ≈ true dups, where the
     * narrow join wins.
     */
@@ -511,24 +512,50 @@ object Dedup {
     // injective-in-practice key serves; collision probability per doc
     // pair is ~|grams|²/2⁶⁴. The rarity tiebreak is the hash (a global
     // total order is all the prefix lemma needs).
+    // The gram stream checkpoints ALREADY PARTITIONED on the gram hash:
+    // the document-frequency aggregation and the df-attach join are then
+    // both exchange-free (co-partitioned on g), so the stream crosses the
+    // wire exactly twice end to end — once here, once for the doc-keyed
+    // collapse below.
     val grams = gramRows(df, idCol, textCol)
       .select(col("doc_id"), xxhash64(col("g")).as("g"))
-      .localCheckpoint(false)
+      .repartition(col("g"))
     val dfreq = grams.groupBy(col("g")).agg(count(lit(1)).as("df"))
-    // One row per doc: its distinct gram hashes (sorted, for the verify
-    // intersection) and gram count. |docs|-sized, reused twice.
-    val docGrams = grams.groupBy(col("doc_id"))
-      .agg(sort_array(collect_list(col("g"))).as("gs"),
-        count(lit(1)).as("n"))
-      .localCheckpoint(false)
-    val pref = grams.join(dfreq, "g")
-      .withColumn("rn", row_number().over(
-        Window.partitionBy(col("doc_id")).orderBy(col("df"), col("g"))))
-      .join(docGrams.select(col("doc_id"), col("n")), "doc_id")
-      .filter(col("rn") <= col("n") - ceil(lit(JaccardThreshold) * col("n")) + 1)
-      .select(col("doc_id"), col("g"))
+    // ONE doc-keyed collapse carrying (df, gram) structs: the sorted gram
+    // array, the count, and the rarity-ordered prefix all derive MAP-SIDE
+    // from it — this fuses what used to be a row_number window (shuffle +
+    // sort on the gram stream) plus a second doc-keyed groupBy into a
+    // single exchange of the gram stream.
+    val byDoc = grams.hint("shuffle_hash").join(dfreq, "g")
+      .groupBy(col("doc_id"))
+      .agg(collect_list(struct(col("df"), col("g"))).as("fg"))
+      .withColumn("n", size(col("fg")).cast("long"))
+    val docGrams = byDoc.select(col("doc_id"),
+      sort_array(transform(col("fg"), x => x("g"))).as("gs"), col("n"))
+    // Prefix with POSITION: struct order = (df, gram) = the rarity order.
+    val pref = byDoc
+      .select(col("doc_id"), col("n"),
+        posexplode(slice(array_sort(col("fg")), lit(1),
+          (col("n").cast("double") - ceil(lit(JaccardThreshold) * col("n"))
+            + 1).cast("int"))))
+      .select(col("doc_id"), col("n"),
+        (col("pos") + 1).cast("long").as("rn"), col("col.g").as("g"))
+    // Micro-threshold bounds with floor/ceil split so both prunes are
+    // provably WEAKER than jac >= t (no float-edge false negatives).
+    val tLo = math.floor(JaccardThreshold * 1000000).toLong
+    val tHi = math.ceil(JaccardThreshold * 1000000).toLong
     val cands = pref.as("a").join(pref.hint("shuffle_hash").as("b"),
         col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
+      // length prune: jac >= t implies min(n1,n2) >= t*max(n1,n2)
+      .filter(least(col("a.n"), col("b.n")) * lit(1000000L)
+        >= lit(tLo) * greatest(col("a.n"), col("b.n")))
+      // positional prune (PPJoin): grams after position rn are the most
+      // this match can still contribute; jac >= t needs intersection
+      // >= t/(1+t)*(n1+n2), and the pair's FIRST common prefix gram
+      // always satisfies the bound, so keeping any-passing rows is exact.
+      .filter((lit(1L) + least(col("a.n") - col("a.rn"),
+          col("b.n") - col("b.rn"))) * lit(1000000L + tHi)
+        >= lit(tLo) * (col("a.n") + col("b.n")))
       .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
       .distinct()
     cands
@@ -568,11 +595,19 @@ object Dedup {
     * longer than the edit budget — documented precondition, spec'd).
     * NULL strings never pair.
     *
-    * At 100 TB: segment keys shuffle (short substrings + two ints); verify
-    * joins carry each string once, keyed by the 8-byte ids. On a DENSE
-    * keyspace (zero-padded sequential ids, where ~2% of all pairs are true
-    * matches — the q123 fixture) no blocking can beat output size; the
-    * win shows on realistic corpora where matches are rare.
+    * At 100 TB: segment keys shuffle (short substrings + two ints), and
+    * the verify strategy ADAPTS to the stripped core length. SHORT cores
+    * (avg ≤ [[InlineVerifyMaxAvgCore]] chars — reconciliation keys,
+    * names) ride along with their segments and verify INLINE in the
+    * segment join's projection: no candidate-pair relation is ever
+    * materialized or shuffled, which is decisive on dense keyspaces
+    * where low-entropy segments over-generate candidates by 30×+ (the
+    * q123 fixture). LONG cores (documents) would bloat the segment
+    * shuffle ~(d+1)+(2d+1)²-fold, so they keep the id-keyed plan:
+    * candidate (d1, d2) pairs distinct first, then two joins carry each
+    * string exactly once. Both paths are output-identical (spec-pinned).
+    * On a dense keyspace no blocking can beat output size; the win shows
+    * on realistic corpora where matches are rare.
     */
   def editDistancePairs(df: DataFrame, idCol: String, strCol: String,
       maxDist: Int = 1): DataFrame = {
@@ -580,12 +615,14 @@ object Dedup {
     val d = maxDist
     val strs0 = df.select(col(idCol).as("sid"), col(strCol).as("str"))
       .filter(col("str").isNotNull)
-    val mm = strs0.agg(min(col("str")).as("lo"), max(col("str")).as("hi"))
+    val mm = strs0.agg(min(col("str")).as("lo"), max(col("str")).as("hi"),
+        avg(length(col("str"))).as("avg_len"))
       .collect()(0)
     val lcp =
       if (mm.isNullAt(0)) 0
       else mm.getString(0).zip(mm.getString(1))
         .takeWhile { case (x, y) => x == y }.length
+    val avgCore = (if (mm.isNullAt(2)) 0.0 else mm.getDouble(2)) - lcp
     val strs = strs0
       .withColumn("core", expr(s"substring(str, ${lcp + 1})"))
       .withColumn("len", length(col("core")))
@@ -595,13 +632,16 @@ object Dedup {
     // — every segment non-empty when lr >= d+1.
     def segStart(lr: Column, i: Column): Column =
       floor(i.cast("long") * lr / (d + 1)).cast("int") + 1
+    val inline = avgCore <= InlineVerifyMaxAvgCore
+    val segCols =
+      if (inline) Seq(col("rid"), col("rcore"), col("lr"), col("i"))
+      else Seq(col("rid"), col("lr"), col("i"))
     val segs = strs
       .select(col("sid").as("rid"), col("core").as("rcore"),
         col("len").as("lr"), explode(sequence(lit(0), lit(d))).as("i"))
       .withColumn("p", segStart(col("lr"), col("i")))
       .withColumn("ln", segStart(col("lr"), col("i") + lit(1)) - col("p"))
-      .select(col("rid"), col("lr"), col("i"),
-        col("rcore").substr(col("p"), col("ln")).as("seg"))
+      .select(segCols :+ col("rcore").substr(col("p"), col("ln")).as("seg"): _*)
     // Probe side: for every string s, every source length lr within ±d,
     // every segment index, every start shift within ±d — a bounded
     // (2d+1)·(d+1)·(2d+1) fan-out per string.
@@ -618,25 +658,51 @@ object Dedup {
         col("p"), col("ln"), explode(sequence(lit(-d), lit(d))).as("sh"))
       .withColumn("ps", col("p") + col("sh"))
       .filter(col("ps") >= 1 && col("ps") + col("ln") - lit(1) <= col("ls"))
-      .select(col("pid"), col("lr"), col("i"),
-        col("pcore").substr(col("ps"), col("ln")).as("seg"))
-    val cands = segs.hint("shuffle_hash")
-      .join(probes, Seq("lr", "i", "seg"))
-      .filter(col("rid") =!= col("pid"))
-      .select(least(col("rid"), col("pid")).as("d1"),
-        greatest(col("rid"), col("pid")).as("d2"))
-      .distinct()
+      .select((if (inline) Seq(col("pid"), col("pcore"))
+        else Seq(col("pid"))) ++ Seq(col("lr"), col("i"),
+        col("pcore").substr(col("ps"), col("ln")).as("seg")): _*)
     // Verify on the LCP-stripped cores (distance-preserving — the prefix
     // is common to every string) with the BANDED levenshtein: the
     // threshold form computes an O(d·n) diagonal band per pair instead of
     // the O(n²) full matrix, and returns -1 past the bound.
-    val s1 = strs.select(col("sid").as("d1"), col("core").as("__s1"))
-    val s2 = strs.select(col("sid").as("d2"), col("core").as("__s2"))
-    cands.join(s1, "d1").join(s2, "d2")
-      .withColumn("dist", levenshtein(col("__s1"), col("__s2"), d))
-      .filter(col("dist") >= 0 && col("dist") <= d)
-      .select(col("d1"), col("d2"), col("dist").cast("long").as("dist"))
+    if (inline) {
+      // Short cores verify straight off the segment join's projection —
+      // no candidate relation, no pair shuffle, no verify joins. A pair
+      // matching several (segment, shift) slots recomputes a cheap
+      // O(d·len) band per slot (bounded by (d+1)·(2d+1)); the final
+      // distinct runs on true matches only — output-sized, not
+      // candidate-sized.
+      segs.hint("shuffle_hash")
+        .join(probes, Seq("lr", "i", "seg"))
+        .filter(col("rid") =!= col("pid"))
+        .withColumn("dist", levenshtein(col("rcore"), col("pcore"), d))
+        .filter(col("dist") >= 0 && col("dist") <= d)
+        .select(least(col("rid"), col("pid")).as("d1"),
+          greatest(col("rid"), col("pid")).as("d2"),
+          col("dist").cast("long").as("dist"))
+        .distinct()
+    } else {
+      val cands = segs.hint("shuffle_hash")
+        .join(probes, Seq("lr", "i", "seg"))
+        .filter(col("rid") =!= col("pid"))
+        .select(least(col("rid"), col("pid")).as("d1"),
+          greatest(col("rid"), col("pid")).as("d2"))
+        .distinct()
+      val s1 = strs.select(col("sid").as("d1"), col("core").as("__s1"))
+      val s2 = strs.select(col("sid").as("d2"), col("core").as("__s2"))
+      cands.join(s1, "d1").join(s2, "d2")
+        .withColumn("dist", levenshtein(col("__s1"), col("__s2"), d))
+        .filter(col("dist") >= 0 && col("dist") <= d)
+        .select(col("d1"), col("d2"), col("dist").cast("long").as("dist"))
+    }
   }
+
+  /** Average LCP-stripped core length at or below which
+    * [[editDistancePairs]] verifies inline in the segment join: a core
+    * this short costs less to carry through the segment shuffle than
+    * the 16-byte candidate pairs it would otherwise fan out into.
+    */
+  val InlineVerifyMaxAvgCore: Double = 48.0
 
   /** Sorted-neighborhood blocking report: records sort by the string
     * (ties on id — deterministic), every pair within `window` RANKS

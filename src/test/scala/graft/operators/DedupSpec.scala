@@ -212,6 +212,28 @@ class DedupSpec extends SparkSpec {
     assert(got.contains((1L, 2L, 1L)) && got.contains((70L, 80L, 1L)))
   }
 
+  test("editDistancePairs long-core (id-join) path matches brute force") {
+    // Cores well past InlineVerifyMaxAvgCore force the id-keyed verify
+    // plan; the short fixtures above exercise the inline plan — this pins
+    // the two paths to the same contract.
+    // The variation sits up front so the corpus LCP is ~0 and the long
+    // constant tail keeps the average core length past the threshold.
+    val pad = "x" * 70
+    val rows = Seq(
+      (1L, s"alpha-omega-$pad"), (2L, s"alpha-omegas-$pad"),
+      (3L, s"alpha-omeka-$pad"), (4L, s"beta-gamma-$pad"),
+      (5L, s"bXta-gamma-$pad"), (6L, s"entirely-different-entry-$pad"))
+      .toDF("id", "s")
+    val brute = rows.as("a").join(rows.as("b"), $"a.id" < $"b.id")
+      .select($"a.id", $"b.id",
+        levenshtein($"a.s", $"b.s").cast("long").as("dist"))
+      .as[(Long, Long, Long)].collect().filter(_._3 <= 1).toSet
+    val got = Dedup.editDistancePairs(rows, "id", "s", maxDist = 1)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got === brute)
+    assert(got.nonEmpty)
+  }
+
   test("removeBoilerplateTiles drops repeated tiles, keeps unique prose in order") {
     // 2-word tiles; "shared header text here" is the boilerplate prefix on
     // docs 1 and 2; each doc's tail is unique. Doc 3 is untouched prose.
