@@ -47,45 +47,57 @@ object Graph {
     *
     * `checkpoint = false` keeps the full lineage (plan inspection, tiny
     * graphs); leave it on for real runs so iteration N never re-executes
-    * iteration 1.
+    * iteration 1. `checkpointEvery` sets the materialization CADENCE:
+    * the edge list and the degree-carrying node relation always pin once
+    * (they are per-iteration join inputs), but intermediate rank
+    * relations only pin every K-th iteration — a short run (the common
+    * 3–5 damped iterations) is then ONE lazily-planned query whose
+    * shared per-iteration stages dedupe via AQE runtime reuse, while a
+    * long run still bounds its lineage depth at K.
     */
   def pagerank(edges: DataFrame, srcCol: String, dstCol: String,
       iterations: Int, dampingPct: Int = 85,
-      checkpoint: Boolean = true): DataFrame = {
+      checkpoint: Boolean = true, checkpointEvery: Int = 4): DataFrame = {
     require(iterations >= 1, "pagerank needs at least one iteration")
     require(dampingPct >= 0 && dampingPct <= 100, "damping is a percent")
-    // Materialize the edge list (and degrees) ONCE — every iteration joins
-    // it, and without this the upstream edge derivation (often itself a
+    require(checkpointEvery >= 1, "checkpointEvery must be >= 1")
+    // Materialize the edge list ONCE — every iteration joins it, and
+    // without this the upstream edge derivation (often itself a
     // join+distinct) re-executes per iteration.
     val e0 = edges
       .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
     val e = if (checkpoint) e0.localCheckpoint() else e0
-    val deg0 = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-    val deg = if (checkpoint) deg0.localCheckpoint() else deg0
-    val nodes0 = e.select(col("src").as("id"))
+    // Node universe WITH out-degree fused in: the rank relation carries
+    // `deg` through every iteration, so the contribution step needs no
+    // per-iteration degree join.
+    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val nodesDeg0 = e.select(col("src").as("id"))
       .union(e.select(col("dst").as("id"))).distinct()
-    val nodes = if (checkpoint) nodes0.localCheckpoint() else nodes0
+      .join(deg, col("id") === col("src"), "left")
+      .select(col("id"), col("deg"))
+    val nodesDeg = if (checkpoint) nodesDeg0.localCheckpoint() else nodesDeg0
     // |V| as a driver-side scalar for the integer dangling share (one
     // count job over the node set — metadata, not data).
-    val nNodes = nodes.count()
+    val nNodes = nodesDeg.count()
     val base = 1000000L * (100 - dampingPct) / 100
-    var ranks = nodes.select(col("id"), lit(1000000L).as("rank_micro"))
-    for (_ <- 1 to iterations) {
-      val withDeg = ranks.join(deg, col("id") === col("src"), "left")
-      val contrib = withDeg.filter(col("deg").isNotNull)
+    var ranks = nodesDeg.select(col("id"), col("deg"),
+      lit(1000000L).as("rank_micro"))
+    for (it <- 1 to iterations) {
+      val contrib = ranks.filter(col("deg").isNotNull)
         .select(col("id").as("cid"), expr("rank_micro div deg").as("c"))
       val inSums = e.join(contrib, col("src") === col("cid"))
         .groupBy(col("dst")).agg(sum(col("c")).as("in_sum"))
       // Σ rank over sinks, floored to a uniform per-node share.
-      val dangling = withDeg.filter(col("deg").isNull)
+      val dangling = ranks.filter(col("deg").isNull)
         .agg(coalesce(sum(col("rank_micro")), lit(0L)).as("dm"))
         .select(expr(s"dm div ${nNodes}L").as("dangling_share"))
-      ranks = nodes.join(inSums, col("id") === col("dst"), "left")
+      ranks = nodesDeg.join(inSums, col("id") === col("dst"), "left")
         .crossJoin(broadcast(dangling))
-        .select(col("id"),
+        .select(col("id"), col("deg"),
           (lit(base) + expr(s"($dampingPct * (coalesce(in_sum, 0L)" +
             s" + dangling_share)) div 100")).as("rank_micro"))
-      if (checkpoint) ranks = ranks.localCheckpoint()
+      if (checkpoint && it % checkpointEvery == 0 && it < iterations)
+        ranks = ranks.localCheckpoint()
     }
     ranks.select(col("id").as("node_id"), col("rank_micro"))
   }

@@ -141,13 +141,25 @@ class GraphSpec extends SparkSpec {
       s"the rank cap must push below the exchange as WindowGroupLimit:\n$plan")
   }
 
-  test("pagerank truncates lineage per iteration (checkpointed scan, not a growing plan)") {
-    val plan = Graph.pagerank(pathEdges, "src", "dst", 3)
+  test("pagerank lineage: short runs plan lazily, cadence=1 truncates") {
+    // Default cadence (4): a 3-iteration run takes NO intermediate
+    // checkpoints — the plan unrolls all three iterations over the
+    // pinned edge/node scans as one lazy query.
+    val lazyPlan = Graph.pagerank(pathEdges, "src", "dst", 3)
       .queryExecution.executedPlan.toString
-    assert(plan.contains("Scan ExistingRDD"),
-      s"expected the last iteration to read the checkpointed ranks:\n$plan")
-    assert(!plan.toLowerCase.contains("hashaggregate"),
-      s"lineage was not truncated:\n$plan")
+    assert(lazyPlan.contains("Scan ExistingRDD"),
+      s"expected the pinned edge/node relations:\n$lazyPlan")
+    def nAgg(p: String) = "HashAggregate".r.findAllIn(p).size
+    // Cadence 1: every intermediate iteration pins, so the final plan
+    // holds only the LAST iteration's aggregations — strictly fewer than
+    // the fully unrolled lazy plan.
+    val truncated = Graph.pagerank(pathEdges, "src", "dst", 3,
+        checkpointEvery = 1)
+      .queryExecution.executedPlan.toString
+    assert(truncated.contains("Scan ExistingRDD"),
+      s"expected the checkpointed iteration-2 ranks:\n$truncated")
+    assert(nAgg(truncated) < nAgg(lazyPlan),
+      s"cadence=1 must bound lineage depth: ${nAgg(truncated)} vs ${nAgg(lazyPlan)}")
   }
 
   test("localClustering credits every triangle corner; d<2 is null") {
