@@ -1379,6 +1379,117 @@ object Analytics {
            ELSE NULL END::BIGINT AS index_micro
        FROM m, o ORDER BY month"""
 
+  /** Holt double-exponential (level + linear trend) smoothing per group,
+    * with an `horizon`-step-ahead forecast table — the workhorse
+    * short-range forecaster between naive last-value and a seasonal
+    * model ([[seasonalIndexTable]] handles the seasonal shape; this
+    * handles drift). α and β arrive as micro fractions; the recurrences
+    *   l_t = (α·y_t·10⁶ + (10⁶−α)·(l+b)) div 10⁶
+    *   b_t = (β·(l_t − l_{t−1}) + (10⁶−β)·b) div 10⁶
+    * run in exact integer micro units — every product widened through
+    * decimal(38,0) (HUGEINT in the oracle) and every division sign-split
+    * (floor-toward-zero on BOTH engines) — so level, trend, and each
+    * forecast ŷ_{T+h} = l_T + h·b_T are bit-identical cross-engine.
+    * Initialization: l₀ = y₀·10⁶, b₀ = (y₁−y₀)·10⁶ (groups with fewer
+    * than 2 periods are dropped — no trend is estimable).
+    *
+    * Scale design: the corpus collapses once to per-(group, period) sums
+    * with map-side partials; the smoothing fold is sequential BY
+    * DEFINITION and runs as a single array fold over each group's
+    * bounded (calendar-sized) series — never over corpus rows.
+    */
+  def holtForecast(df: DataFrame, groupCol: String, periodCol: Column,
+      valueCol: Column, alphaMicro: Long = 500000L,
+      betaMicro: Long = 300000L, horizon: Int = 3): DataFrame = {
+    require(alphaMicro >= 0 && alphaMicro <= 1000000L, "alpha is micro")
+    require(betaMicro >= 0 && betaMicro <= 1000000L, "beta is micro")
+    require(horizon >= 1, "horizon must be >= 1")
+    val (a, na) = (alphaMicro, 1000000L - alphaMicro)
+    val (b, nb) = (betaMicro, 1000000L - betaMicro)
+    // Sign-split micro floor-division: identical truncation on Spark
+    // (div) and DuckDB (//) even for negative levels/trends.
+    def md(x: String) = s"cast((case when ($x) < 0 then -1L else 1L end)" +
+      s" * (abs($x) div 1000000) as long)"
+    val newL = md(s"$a * cast(x.yp as decimal(38,0)) * 1000000" +
+      s" + $na * (cast(acc.l as decimal(38,0)) + acc.b)")
+    val newB = md(s"$b * (cast($newL as decimal(38,0)) - acc.l)" +
+      s" + $nb * cast(acc.b as decimal(38,0))")
+    val foldExpr = s"""aggregate(slice(s, 3, size(s) - 2),
+      named_struct('l', element_at(s, 1).yp * 1000000L,
+        'b', (element_at(s, 2).yp - element_at(s, 1).yp) * 1000000L),
+      (acc, x) -> named_struct('l', $newL, 'b', $newB))"""
+    df.select(col(groupCol).as("g"), periodCol.cast("long").as("p"),
+        valueCol.cast("long").as("y"))
+      .groupBy(col("g"), col("p")).agg(sum(col("y")).as("yp"))
+      .groupBy(col("g"))
+      .agg(array_sort(collect_list(struct(col("p"), col("yp")))).as("s"))
+      .filter(size(col("s")) >= 2)
+      .select(col("g"), size(col("s")).cast("long").as("n_periods"),
+        expr(foldExpr).as("st"))
+      .select(col("g"), col("n_periods"), col("st.l").as("level_micro"),
+        col("st.b").as("trend_micro"),
+        explode(sequence(lit(1), lit(horizon))).as("h"))
+      .select(col("g"), col("n_periods"), col("level_micro"),
+        col("trend_micro"), col("h").cast("long").as("h"),
+        (col("level_micro") + col("h") * col("trend_micro"))
+          .as("forecast_micro"))
+  }
+
+  // ---- q341: next-quarter order-volume forecast per priority class ------------
+  private def q341(s: SparkSession, d: String): DataFrame =
+    holtForecast(Tables.orders(s, d), "o_orderpriority",
+        expr("year(cast(o_orderdate as date)) * 12" +
+          " + month(cast(o_orderdate as date))"),
+        lit(1L), alphaMicro = 500000L, betaMicro = 300000L, horizon = 3)
+      .orderBy(col("g"), col("h"))
+  private val q341Sql =
+    """WITH m AS (
+         SELECT o_orderpriority AS g,
+           year(o_orderdate::DATE) * 12 + month(o_orderdate::DATE) AS p,
+           count(*)::BIGINT AS yp
+         FROM orders GROUP BY 1, 2),
+       s AS (
+         SELECT g, count(*)::BIGINT AS n_periods,
+           list(yp ORDER BY p) AS ys
+         FROM m GROUP BY g HAVING count(*) >= 2),
+       folded AS (
+         SELECT g, n_periods,
+           list_reduce(
+             list_prepend(
+               {'yp': ys[1] * 1000000, 'b': (ys[2] - ys[1]) * 1000000},
+               list_transform(ys[3:], v -> {'yp': v, 'b': 0})),
+             (acc, x) -> {
+               'yp': (CASE WHEN (500000::HUGEINT * x.yp * 1000000
+                   + 500000::HUGEINT * (acc.yp::HUGEINT + acc.b)) < 0
+                   THEN -1 ELSE 1 END
+                 * (abs(500000::HUGEINT * x.yp * 1000000
+                   + 500000::HUGEINT * (acc.yp::HUGEINT + acc.b))
+                   // 1000000))::BIGINT,
+               'b': (CASE WHEN (300000::HUGEINT
+                   * (((CASE WHEN (500000::HUGEINT * x.yp * 1000000
+                       + 500000::HUGEINT * (acc.yp::HUGEINT + acc.b)) < 0
+                       THEN -1 ELSE 1 END
+                     * (abs(500000::HUGEINT * x.yp * 1000000
+                       + 500000::HUGEINT * (acc.yp::HUGEINT + acc.b))
+                       // 1000000))::HUGEINT) - acc.yp)
+                   + 700000::HUGEINT * acc.b) < 0 THEN -1 ELSE 1 END
+                 * (abs(300000::HUGEINT
+                   * (((CASE WHEN (500000::HUGEINT * x.yp * 1000000
+                       + 500000::HUGEINT * (acc.yp::HUGEINT + acc.b)) < 0
+                       THEN -1 ELSE 1 END
+                     * (abs(500000::HUGEINT * x.yp * 1000000
+                       + 500000::HUGEINT * (acc.yp::HUGEINT + acc.b))
+                       // 1000000))::HUGEINT) - acc.yp)
+                   + 700000::HUGEINT * acc.b) // 1000000))::BIGINT}) AS st
+         FROM s),
+       fc AS (
+         SELECT g, n_periods, st.yp AS level_micro, st.b AS trend_micro,
+           unnest(range(1, 4))::BIGINT AS h
+         FROM folded)
+       SELECT g, n_periods, level_micro, trend_micro, h,
+         (level_micro + h * trend_micro)::BIGINT AS forecast_micro
+       FROM fc ORDER BY g, h"""
+
   /** Lead–lag cross-covariance profile between two daily series: for each
     * lag in [−maxLag, maxLag], the exact covariance numerator
     * n·Σxy − Σx·Σy over days where series A at day d aligns with series B
@@ -1989,6 +2100,89 @@ object Analytics {
              (acc, y) -> acc * (y.f div 4294967296L)
                div (y.f % 4294967296L))""").as("surv_micro"))
   }
+
+  /** Nelson–Aalen cumulative-hazard estimator over right-censored
+    * integer durations: at each death time, the risk-set size, deaths,
+    * the exact hazard increment d·10⁶ div n, and the running total
+    * H(t) = Σ_{t_i ≤ t} d_i/n_i — the additive companion to
+    * [[kaplanMeier]]'s product-limit curve (H is what you difference,
+    * regress, or compare across cohorts; S is what you read retention
+    * off). All increments are exact BIGINT micros, so the running sum is
+    * bit-identical on any engine with no packing tricks at all.
+    *
+    * Scale design: identical to [[kaplanMeier]] — one per-duration
+    * collapse with map-side partials, one cumulative pass over that
+    * collapse, and only the death-time rows (bounded for quantized
+    * durations) enter the single-row array fold that forms the running
+    * sum.
+    */
+  def nelsonAalen(df: DataFrame, durationCol: Column, eventCol: Column,
+      quantized: Boolean = true): DataFrame = {
+    val byT = df
+      .select(durationCol.cast("long").as("t"),
+        when(eventCol, 1L).otherwise(0L).as("e"))
+      .groupBy(col("t"))
+      .agg(count(lit(1)).as("c"), sum(col("e")).as("d"))
+    val w = Window.orderBy(col("t"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum =
+      if (quantized)
+        byT.select(col("t"), col("c"), col("d"),
+          sum(col("c")).over(w).as("cum"))
+      else DistributedPrefix.cumSums(byT, Nil, Seq(col("t")), Seq("c"))
+        .select(col("t"), col("c"), col("d"), col("cum_c").as("cum"))
+    val ev = cum
+      .crossJoin(broadcast(byT.agg(sum(col("c")).as("n_total"))))
+      .select(col("t"), col("d"),
+        (col("n_total") - col("cum") + col("c")).as("n_risk"))
+      .filter(col("d") > 0)
+    ev.agg(array_sort(collect_list(struct(col("t"), col("n_risk"),
+        col("d")))).as("a"))
+      .select(col("a"), posexplode(col("a")))
+      .toDF("a", "i", "x")
+      .select(col("x.t").as("t"), col("x.n_risk").as("n_risk"),
+        col("x.d").as("d"),
+        expr("x.d * 1000000L div x.n_risk").as("hazard_micro"),
+        expr("""aggregate(slice(a, 1, i + 1), 0L,
+             (acc, y) -> acc + y.d * 1000000L div y.n_risk)""")
+          .as("cum_hazard_micro"))
+  }
+
+  // ---- q340: cumulative ordering-churn hazard ----------------------------------
+  // The q317 fixture read additively: how much churn hazard has a
+  // customer lifetime accumulated by day t?
+  private def q340(s: SparkSession, d: String): DataFrame = {
+    val cust = Tables.orders(s, d).groupBy(col("o_custkey"))
+      .agg(min(col("o_orderdate")).as("fo"),
+        max(col("o_orderdate")).as("lo"))
+      .select(datediff(col("lo"), col("fo")).cast("long").as("dur"),
+        expr("cast(lo as date) < date'2001-02-01'").as("ev"))
+    nelsonAalen(cust, col("dur"), col("ev")).orderBy(col("t"))
+  }
+  private val q340Sql =
+    """WITH cust AS (
+         SELECT o_custkey, min(o_orderdate) AS fo, max(o_orderdate) AS lo
+         FROM orders GROUP BY 1),
+       pc AS (
+         SELECT date_diff('day', fo::DATE, lo::DATE)::BIGINT AS t,
+           CASE WHEN lo::DATE < DATE '2001-02-01' THEN 1 ELSE 0 END AS e
+         FROM cust),
+       byt AS (
+         SELECT t, count(*)::BIGINT AS c, sum(e)::BIGINT AS d
+         FROM pc GROUP BY t),
+       tot AS (SELECT sum(c)::BIGINT AS n_total FROM byt),
+       km AS (
+         SELECT t, d,
+           (n_total - sum(c) OVER (ORDER BY t
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) + c)::BIGINT
+             AS n_risk
+         FROM byt, tot),
+       ev AS (SELECT t, n_risk, d FROM km WHERE d > 0)
+       SELECT t, n_risk, d, (d * 1000000 // n_risk)::BIGINT AS hazard_micro,
+         (sum(d * 1000000 // n_risk) OVER (ORDER BY t
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT
+           AS cum_hazard_micro
+       FROM ev ORDER BY t"""
 
   /** Log-rank test for two right-censored survival curves: at each
     * death time, group 1's observed deaths vs its hypergeometric
@@ -4740,6 +4934,8 @@ object Analytics {
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q337_mann_kendall", q337, Some(q337Sql)),
     QueryDef("q338_durbin_watson", q338, Some(q338Sql)),
+    QueryDef("q340_nelson_aalen", q340, Some(q340Sql)),
+    QueryDef("q341_holt_forecast", q341, Some(q341Sql)),
     QueryDef("q250_theil_sen", q250, Some(q250Sql)),
     QueryDef("q202_change_point", q202, Some(q202Sql)),
     QueryDef("q215_otsu_threshold", q215, Some(q215Sql)),
