@@ -1397,6 +1397,15 @@ object Analytics {
     * with map-side partials; the smoothing fold is sequential BY
     * DEFINITION and runs as a single array fold over each group's
     * bounded (calendar-sized) series — never over corpus rows.
+    *
+    * Domain contract (the `quantized` analogue for this operator): the
+    * period id must be a CALENDAR-BOUNDED integer domain — months,
+    * weeks, days, epochs. A high-cardinality period expression (raw
+    * timestamps, event sequence numbers) makes the per-group collected
+    * series as large as the group itself; bucket such domains to a
+    * calendar grain FIRST — there is no DistributedPrefix escape hatch
+    * here because the recurrence's data dependence is inherently
+    * sequential, which is why the fold exists per-group only.
     */
   def holtForecast(df: DataFrame, groupCol: String, periodCol: Column,
       valueCol: Column, alphaMicro: Long = 500000L,
@@ -1442,8 +1451,15 @@ object Analytics {
           " + month(cast(o_orderdate as date))"),
         lit(1L), alphaMicro = 500000L, betaMicro = 300000L, horizon = 3)
       .orderBy(col("g"), col("h"))
+  // The fold is a RECURSIVE CTE over (group, step), not list_reduce:
+  // DuckDB 1.0.0 mis-evaluates multi-step list_reduce lambdas whose 'b'
+  // field re-evaluates the newL subexpression inline (one-step folds are
+  // correct, the identical expression outside a lambda is correct, from
+  // the second step the nested re-evaluation diverges). Plain recursive
+  // SQL evaluates the same sign-split micro arithmetic correctly and is
+  // verified bit-identical to the Spark fold at sf0.001/0.01/0.1.
   private val q341Sql =
-    """WITH m AS (
+    """WITH RECURSIVE m AS (
          SELECT o_orderpriority AS g,
            year(o_orderdate::DATE) * 12 + month(o_orderdate::DATE) AS p,
            count(*)::BIGINT AS yp
@@ -1452,40 +1468,38 @@ object Analytics {
          SELECT g, count(*)::BIGINT AS n_periods,
            list(yp ORDER BY p) AS ys
          FROM m GROUP BY g HAVING count(*) >= 2),
-       folded AS (
-         SELECT g, n_periods,
-           list_reduce(
-             list_prepend(
-               {'yp': ys[1] * 1000000, 'b': (ys[2] - ys[1]) * 1000000},
-               list_transform(ys[3:], v -> {'yp': v, 'b': 0})),
-             (acc, x) -> {
-               'yp': (CASE WHEN (500000::HUGEINT * x.yp * 1000000
-                   + 500000::HUGEINT * (acc.yp::HUGEINT + acc.b)) < 0
+       fold AS (
+         SELECT g, n_periods, ys, 2::BIGINT AS step,
+           (ys[1] * 1000000)::BIGINT AS l,
+           ((ys[2] - ys[1]) * 1000000)::BIGINT AS b
+         FROM s
+         UNION ALL
+         SELECT g, n_periods, ys, step + 1,
+           (CASE WHEN (500000::HUGEINT * ys[step + 1] * 1000000
+               + 500000::HUGEINT * (l::HUGEINT + b)) < 0 THEN -1 ELSE 1 END
+             * (abs(500000::HUGEINT * ys[step + 1] * 1000000
+               + 500000::HUGEINT * (l::HUGEINT + b)) // 1000000))::BIGINT,
+           (CASE WHEN (300000::HUGEINT
+               * (((CASE WHEN (500000::HUGEINT * ys[step + 1] * 1000000
+                   + 500000::HUGEINT * (l::HUGEINT + b)) < 0
                    THEN -1 ELSE 1 END
-                 * (abs(500000::HUGEINT * x.yp * 1000000
-                   + 500000::HUGEINT * (acc.yp::HUGEINT + acc.b))
-                   // 1000000))::BIGINT,
-               'b': (CASE WHEN (300000::HUGEINT
-                   * (((CASE WHEN (500000::HUGEINT * x.yp * 1000000
-                       + 500000::HUGEINT * (acc.yp::HUGEINT + acc.b)) < 0
-                       THEN -1 ELSE 1 END
-                     * (abs(500000::HUGEINT * x.yp * 1000000
-                       + 500000::HUGEINT * (acc.yp::HUGEINT + acc.b))
-                       // 1000000))::HUGEINT) - acc.yp)
-                   + 700000::HUGEINT * acc.b) < 0 THEN -1 ELSE 1 END
-                 * (abs(300000::HUGEINT
-                   * (((CASE WHEN (500000::HUGEINT * x.yp * 1000000
-                       + 500000::HUGEINT * (acc.yp::HUGEINT + acc.b)) < 0
-                       THEN -1 ELSE 1 END
-                     * (abs(500000::HUGEINT * x.yp * 1000000
-                       + 500000::HUGEINT * (acc.yp::HUGEINT + acc.b))
-                       // 1000000))::HUGEINT) - acc.yp)
-                   + 700000::HUGEINT * acc.b) // 1000000))::BIGINT}) AS st
-         FROM s),
+                 * (abs(500000::HUGEINT * ys[step + 1] * 1000000
+                   + 500000::HUGEINT * (l::HUGEINT + b))
+                   // 1000000))::HUGEINT) - l)
+               + 700000::HUGEINT * b) < 0 THEN -1 ELSE 1 END
+             * (abs(300000::HUGEINT
+               * (((CASE WHEN (500000::HUGEINT * ys[step + 1] * 1000000
+                   + 500000::HUGEINT * (l::HUGEINT + b)) < 0
+                   THEN -1 ELSE 1 END
+                 * (abs(500000::HUGEINT * ys[step + 1] * 1000000
+                   + 500000::HUGEINT * (l::HUGEINT + b))
+                   // 1000000))::HUGEINT) - l)
+               + 700000::HUGEINT * b) // 1000000))::BIGINT
+         FROM fold WHERE step < n_periods),
        fc AS (
-         SELECT g, n_periods, st.yp AS level_micro, st.b AS trend_micro,
+         SELECT g, n_periods, l AS level_micro, b AS trend_micro,
            unnest(range(1, 4))::BIGINT AS h
-         FROM folded)
+         FROM fold WHERE step = n_periods)
        SELECT g, n_periods, level_micro, trend_micro, h,
          (level_micro + h * trend_micro)::BIGINT AS forecast_micro
        FROM fc ORDER BY g, h"""
@@ -4239,7 +4253,7 @@ object Analytics {
         .select(col("o_orderpriority"),
           datediff(to_date(col("l_shipdate")), to_date(col("o_orderdate")))
             .as("delay")),
-      "o_orderpriority", col("delay"))
+      "o_orderpriority", col("delay"), quantized = true)
       .orderBy(col("o_orderpriority"))
   private val q231Sql =
     """WITH base AS (

@@ -60,7 +60,16 @@ object Graph {
       checkpoint: Boolean = true, checkpointEvery: Int = 4): DataFrame = {
     require(iterations >= 1, "pagerank needs at least one iteration")
     require(dampingPct >= 0 && dampingPct <= 100, "damping is a percent")
-    require(checkpointEvery >= 1, "checkpointEvery must be >= 1")
+    // Between checkpoints each iteration references the previous ranks
+    // relation twice (contribution + dangling mass), so the un-pinned
+    // logical plan DOUBLES per iteration — 2^K subtree growth for a
+    // cadence of K. AQE dedupes the physical stages at runtime, but the
+    // analysis/optimization cost of the logical unroll is real, so the
+    // cadence is clamped where the unroll stays trivially cheap (2^8
+    // shared subtrees of one join each).
+    require(checkpointEvery >= 1 && checkpointEvery <= 8,
+      "checkpointEvery must be in [1, 8]: the inter-checkpoint plan " +
+        "unrolls 2^K subtrees (ranks is referenced twice per iteration)")
     // Materialize the edge list ONCE — every iteration joins it, and
     // without this the upstream edge derivation (often itself a
     // join+distinct) re-executes per iteration.

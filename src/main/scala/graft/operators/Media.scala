@@ -363,9 +363,13 @@ object Media {
       * compressed video needs codecs this JVM doesn't ship, and silently
       * truncating them would corrupt, not resize.
       */
-    def resizeImage(m: MediaRow, targetW: Int, targetH: Int): MediaRow =
-      if (isPng(m.media) || isGif(m.media)) {
-        val src = ImageIO.read(new ByteArrayInputStream(m.media))
+    def resizeImage(m: MediaRow, targetW: Int, targetH: Int): MediaRow = {
+      // ImageIO.read returns null on a truncated/corrupt container even
+      // when the magic bytes matched — route such rows through unchanged
+      // (the opaque fallback) instead of NPE-failing the whole stage.
+      val src = if (isPng(m.media) || isGif(m.media))
+        ImageIO.read(new ByteArrayInputStream(m.media)) else null
+      if (src != null) {
         val dst = new java.awt.image.BufferedImage(targetW, targetH,
           java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
         val g = dst.createGraphics()
@@ -377,6 +381,7 @@ object Media {
         ImageIO.write(dst, "png", out)
         m.copy(media = out.toByteArray)
       } else m
+    }
 
     /** Byte-budget clamp for OPAQUE payloads (truncate/zero-pad) — the
       * storage-cap primitive for kinds with no decoder, NOT an image

@@ -45,6 +45,11 @@ class LintBudgetSpec extends SparkSpec {
     "q296_anomaly_consensus" -> Map("broadcast-nested-loop" -> 1,
       "unpartitioned-window" -> 6),
     "q317_kaplan_meier" -> Map("unpartitioned-window" -> 1),
+    // nelsonAalen's quantized path: one cumulative window over the
+    // per-duration collapse — distinct integer durations, bounded by
+    // construction (identical shape and reason as q317 kaplan_meier;
+    // `quantized = false` routes unbounded domains via DistributedPrefix)
+    "q340_nelson_aalen" -> Map("unpartitioned-window" -> 1),
     "q325_logrank" -> Map("broadcast-nested-loop" -> 1,
       "unpartitioned-window" -> 1),
     "q179_abc_analysis" -> Map("single-partition-exchange" -> 1,

@@ -299,6 +299,73 @@ class RandomizedEquivalenceSpec extends SparkSpec {
     }
   }
 
+  test("nelsonAalen equals a sequential fold on random censored data") {
+    (1 to 6).foreach { trial =>
+      val n = 20 + rnd.nextInt(40)
+      // Trial 6: all-censored — no death times, the estimator is empty.
+      val data = Vector.fill(n)(
+        (1L + rnd.nextInt(12), if (trial == 6) false else rnd.nextBoolean()))
+      val df = data.toDF("dur", "ev")
+      val byT = data.groupBy(_._1).map { case (t, rows) =>
+        (t, rows.size.toLong, rows.count(_._2).toLong) }.toSeq.sortBy(_._1)
+      var atRisk = n.toLong
+      var cum = 0L
+      val want = byT.flatMap { case (t, c, d) =>
+        val nr = atRisk
+        atRisk -= c
+        if (d > 0) {
+          val hz = d * 1000000L / nr
+          cum += hz
+          Some((t, nr, d, hz, cum))
+        } else None
+      }
+      for (quant <- Seq(true, false)) {
+        val got = Analytics.nelsonAalen(df, col("dur"), col("ev"), quant)
+          .orderBy(col("t")).as[(Long, Long, Long, Long, Long)].collect()
+        assert(got.toSeq === want, s"trial $trial quant=$quant data=$data")
+      }
+    }
+  }
+
+  test("holtForecast equals a sequential micro recurrence on random series") {
+    def md(x: BigInt): Long =
+      ((if (x < 0) BigInt(-1) else BigInt(1)) * (x.abs / 1000000)).toLong
+    (1 to 6).foreach { trial =>
+      val a = rnd.nextInt(1000001).toLong
+      val b = rnd.nextInt(1000001).toLong
+      // Sparse period ids (gaps allowed — the fold is over OBSERVED
+      // periods in order, the operator's documented contract) and values
+      // that may dip negative after differencing.
+      val nPeriods = 2 + rnd.nextInt(10)
+      val periods = rnd.shuffle((1 to 40).toList).take(nPeriods).sorted
+      val rows = periods.flatMap { p =>
+        // 1..3 raw rows per period; operator sums them per (g, p).
+        Seq.fill(1 + rnd.nextInt(3))((p.toLong, rnd.nextInt(2000).toLong - 500))
+      }
+      // A one-period group must be DROPPED (no trend estimable).
+      val df = (rows.map { case (p, y) => ("grp", p, y) } :+
+        (("lone", 1L, 7L))).toDF("g0", "p0", "y0")
+      val series = rows.groupBy(_._1).view.mapValues(_.map(_._2).sum)
+        .toSeq.sortBy(_._1).map(_._2)
+      var l = BigInt(series(0)) * 1000000
+      var bt = BigInt(series(1) - series(0)) * 1000000
+      series.drop(2).foreach { y =>
+        val nl = md(a * BigInt(y) * 1000000 + (1000000L - a) * (l + bt))
+        val nb = md(b * (BigInt(nl) - l) + (1000000L - b) * bt)
+        l = nl; bt = nb
+      }
+      val want = (1 to 3).map(h =>
+        ("grp", series.size.toLong, l.toLong, bt.toLong, h.toLong,
+          l.toLong + h * bt.toLong))
+      val got = Analytics.holtForecast(df, "g0", col("p0"), col("y0"),
+          alphaMicro = a, betaMicro = b, horizon = 3)
+        .orderBy(col("g"), col("h"))
+        .as[(String, Long, Long, Long, Long, Long)].collect()
+      assert(got.toSeq === want,
+        s"trial $trial a=$a b=$b series=$series")
+    }
+  }
+
   test("interpQuantiles equals the sorted-array rational on random multisets") {
     (1 to 6).foreach { trial =>
       val n = 1 + rnd.nextInt(30)
