@@ -160,6 +160,35 @@ object SqlRegistry {
         expr(strLit(exprs(2), "eventExpr")))
     }
 
+    // graft_nelson_aalen(table, durationExpr, eventExpr): cumulative-
+    // hazard companion to graft_kaplan_meier (the q340 operator) — same
+    // composition contract: derive per-unit durations in a TEMP VIEW.
+    tvf("graft_nelson_aalen") { exprs =>
+      require(exprs.length == 3,
+        "graft_nelson_aalen(table, durationExpr, eventExpr)")
+      Analytics.nelsonAalen(s.table(strLit(exprs(0), "table")),
+        expr(strLit(exprs(1), "durationExpr")),
+        expr(strLit(exprs(2), "eventExpr")))
+    }
+
+    // graft_holt_forecast(table, groupCol, periodExpr, valueExpr,
+    // alphaMicro, betaMicro, horizon): exact integer-micro Holt
+    // level+trend forecast per group (the q341 operator). Period ids
+    // must be a CALENDAR-BOUNDED integer domain (months, weeks, days —
+    // the per-group series is collected and folded sequentially, the
+    // recurrence's own data dependence).
+    tvf("graft_holt_forecast") { exprs =>
+      require(exprs.length == 7,
+        "graft_holt_forecast(table, groupCol, periodExpr, valueExpr, " +
+          "alphaMicro, betaMicro, horizon)")
+      Analytics.holtForecast(s.table(strLit(exprs(0), "table")),
+        strLit(exprs(1), "groupCol"), expr(strLit(exprs(2), "periodExpr")),
+        expr(strLit(exprs(3), "valueExpr")),
+        alphaMicro = intLit(exprs(4), "alphaMicro").toLong,
+        betaMicro = intLit(exprs(5), "betaMicro").toLong,
+        horizon = intLit(exprs(6), "horizon"))
+    }
+
     // graft_calendar(startDate, endDate): inclusive date spine with the
     // calendar attributes every BI join needs, all derived TIMEZONE-FREE
     // from epoch-day arithmetic (dow via (day_id + 3) % 7, 0 = Monday —

@@ -125,15 +125,32 @@ object ControlPlane {
     line.stripPrefix("position=").trim.toLong
   }
 
+  /** A worker's lease: the shard subset it owns, plus HANDOFF FLOORS for
+    * shards acquired mid-stream — the first position this worker may
+    * read, i.e. the PREVIOUS owner's last committed checkpoint, served
+    * by the lease table itself (KCL's DynamoDB lease row stores both the
+    * owner and the checkpoint sequence number — ownership and progress
+    * travel together, which is exactly what makes a rebalance
+    * exactly-once).
+    */
+  final case class Lease(shards: Set[Int], floors: Map[Int, Long]) {
+    require(floors.keySet.subsetOf(shards),
+      s"lease floors ${floors.keySet} name shards outside the " +
+        s"assignment $shards")
+  }
+
   /** Fetch this worker's lease assignment: the shard subset it owns —
     * the consumer-group seam (KCL's DynamoDB lease table,
-    * StreamScheduler.scala:61-97). Answer: `shards=0,2,...`. Assignments
-    * must be DISJOINT across workers and STABLE for a checkpoint's
-    * lifetime: each worker checkpoints only its own progress, so a
-    * mid-checkpoint rebalance would need the shared-offset coordination
-    * this engine deliberately leaves to the service (SURVEY §7).
+    * StreamScheduler.scala:61-97). Answer: `shards=0,2,...`, plus an
+    * optional `pos.<shard>=<position>` line per shard acquired from
+    * another worker (its last committed position — see [[Lease]]).
+    * Assignments must be DISJOINT across workers at every instant; a
+    * REASSIGNMENT between triggers is supported, provided the service
+    * publishes the new owner's floors only after the old owner's final
+    * commit (the reference worker's leaseLost → shutdown-at-checkpoint
+    * handshake, RecordProcessorImpl.scala:90-100).
     */
-  def fetchLease(url: String): Set[Int] = {
+  def fetchLease(url: String): Lease = {
     val conn = new java.net.URI(url).toURL.openConnection()
     conn.setConnectTimeout(5000)
     conn.setReadTimeout(5000)
@@ -141,11 +158,19 @@ object ControlPlane {
     val text =
       try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
       finally in.close()
-    val line = text.linesIterator.map(_.trim)
-      .find(_.startsWith("shards=")).getOrElse(
-        sys.error(s"lease answer lacks a shards= line: $text"))
+    val lines = text.linesIterator.map(_.trim).toSeq
+    val line = lines.find(_.startsWith("shards=")).getOrElse(
+      sys.error(s"lease answer lacks a shards= line: $text"))
     val body = line.stripPrefix("shards=").trim
-    if (body.isEmpty) Set.empty
-    else body.split(",").iterator.map(_.trim.toInt).toSet
+    val shards =
+      if (body.isEmpty) Set.empty[Int]
+      else body.split(",").iterator.map(_.trim.toInt).toSet
+    val floors = lines.filter(_.startsWith("pos.")).map { l =>
+      l.split("=", 2) match {
+        case Array(k, v) => k.stripPrefix("pos.").trim.toInt -> v.trim.toLong
+        case _ => sys.error(s"malformed lease floor line: $l")
+      }
+    }.toMap
+    Lease(shards, floors)
   }
 }

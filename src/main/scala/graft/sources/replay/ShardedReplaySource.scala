@@ -439,22 +439,44 @@ final class ShardedReplayMicroBatchStream(
     serviceCounts.getOrElse(shards.map(_.length.toLong))
 
   /** This worker's lease: the shard subset it advances (None = owns the
-    * whole stream). Fetched ONCE per stream lifetime — assignments must
-    * stay stable for a checkpoint (see [[ControlPlane.fetchLease]]); a
-    * reshard keeps families together, enforced below.
+    * whole stream). RE-POLLED each trigger (like the topology): a
+    * reassignment between triggers is the consumer-group rebalance —
+    * shards LEAVING the lease simply stop advancing (the reference's
+    * leaseLost: this worker's committed positions stay put and the new
+    * owner's checkpoint takes over), and shards ACQUIRED mid-stream come
+    * with a handoff FLOOR (the previous owner's last committed position,
+    * served by the lease table — see [[ControlPlane.Lease]]) below which
+    * this worker never reads. A reshard keeps families together,
+    * enforced below.
     */
-  private lazy val owned: Option[Set[Int]] = eff.leaseUrl.map { u =>
+  @volatile private var lease: Option[ControlPlane.Lease] =
+    eff.leaseUrl.map(fetchValidatedLease)
+  private def fetchValidatedLease(u: String): ControlPlane.Lease = {
     val o = ControlPlane.fetchLease(u)
     // A reshard family (parents + their children) must live in ONE
     // worker's lease: a child owned without its parents could never see
     // their seals commit (they live in another worker's checkpoint).
     (eff.numShards until eff.universeSize).foreach { child =>
-      require(o.contains(child) == eff.parentsOf(child).forall(o.contains),
+      require(o.shards.contains(child) ==
+          eff.parentsOf(child).forall(o.shards.contains),
         s"lease must assign shard families together: child $child with " +
-          s"parents ${eff.parentsOf(child)} vs assignment $o")
+          s"parents ${eff.parentsOf(child)} vs assignment ${o.shards}")
     }
     o
   }
+
+  /** Positions lifted to the lease's handoff floors: a shard acquired
+    * from another worker starts at that worker's final committed
+    * position, not at this checkpoint's (never-advanced) zero. Max-lift
+    * is idempotent and monotone, so re-applying it to offsets that
+    * already advanced past the floor is a no-op.
+    */
+  private def liftToFloors(pos: SortedMap[Int, Long]): SortedMap[Int, Long] =
+    lease.map(_.floors).filter(_.nonEmpty) match {
+      case Some(f) => SortedMap.from(pos.map { case (i, v) =>
+        i -> math.max(v, f.getOrElse(i, 0L)) })
+      case None => pos
+    }
 
   // Trigger.AvailableNow: snapshot the frontier once; per-batch read limits
   // still apply, so the drain takes several admission-bounded batches.
@@ -525,6 +547,9 @@ final class ShardedReplayMicroBatchStream(
       // stream frontier target; refresh every trigger.
       if (eff.dataPlaneUrl.isDefined) serviceCounts = Some(countsFromService(t))
     }
+    // Consumer-group rebalance: the lease table may have reassigned
+    // shards since the last trigger — poll it alongside the topology.
+    for (u <- eff.leaseUrl) lease = Some(fetchValidatedLease(u))
     val cur = normalize(start.asInstanceOf[ShardPositions])
     // Parent-before-child ordering (the shardEnded contract): a child
     // shard admits no records until its parent's frontier has reached the
@@ -534,10 +559,10 @@ final class ShardedReplayMicroBatchStream(
     // Lease restriction: shards this worker does not own never advance —
     // their committed positions stay wherever the checkpoint has them,
     // and the owning worker's checkpoint tracks their real progress.
-    for (o <- owned) {
+    for (o <- lease) {
       var i = 0
       while (i < eligible.length) {
-        if (!o.contains(i)) eligible(i) = cur(i)
+        if (!o.shards.contains(i)) eligible(i) = cur(i)
         i += 1
       }
     }
@@ -574,7 +599,11 @@ final class ShardedReplayMicroBatchStream(
       require(s.lineage.isEmpty,
         "checkpoint records a resharded stream but the source has no " +
           "reshardAtMs/mergeAtMs configured; restore the reshard option")
-      s
+      // Handoff floors apply to BOTH offset math (latestOffset) and batch
+      // planning (planInputPartitions) — each normalizes through here, so
+      // an acquired shard's range starts at the previous owner's
+      // committed position on every path.
+      decorate(liftToFloors(s.positions))
     } else {
       require(s.lineage.isEmpty || s.lineage == eff.lineage,
         s"checkpoint lineage ${s.lineage} does not match the configured " +
@@ -611,8 +640,8 @@ final class ShardedReplayMicroBatchStream(
           s"checkpoint seal list ${s.sealedShards} contradicts its " +
             s"positions (expected $derived)")
       }
-      decorate(SortedMap.from(
-        (0 until eff.universeSize).map(i => i -> s(i))))
+      decorate(liftToFloors(SortedMap.from(
+        (0 until eff.universeSize).map(i => i -> s(i)))))
     }
   }
 

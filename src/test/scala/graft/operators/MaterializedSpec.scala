@@ -1,0 +1,70 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+
+/** The shared-relation registry must be BOUNDED (LRU) and eviction must
+  * be invisible to consumers: a dropped entry rebuilds through the same
+  * `of` call — residency is a cost knob, never a correctness one.
+  */
+class MaterializedSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def rel(tag: Int): DataFrame =
+    Seq((tag.toLong, s"v$tag")).toDF("id", "v")
+
+  test("of() builds once per key and serves the cached relation") {
+    Materialized.clear()
+    var builds = 0
+    def get() = Materialized.of(spark, "/dirA", "relA") {
+      builds += 1; rel(1)
+    }
+    val a = get(); val b = get()
+    assert(builds === 1)
+    assert(a.collect().toSeq === b.collect().toSeq)
+  }
+
+  test("the registry evicts LRU beyond maxEntries and rebuilds transparently") {
+    Materialized.clear()
+    val buildCounts = scala.collection.mutable.Map.empty[Int, Int]
+    def get(i: Int) = Materialized.of(spark, "/dir", s"rel$i") {
+      buildCounts(i) = buildCounts.getOrElse(i, 0) + 1; rel(i)
+    }
+    // Fill past the cap; entry 0 (least recently used) must fall out.
+    (0 to Materialized.maxEntries).foreach(get)
+    assert(Materialized.size === Materialized.maxEntries)
+    assert(buildCounts(0) === 1)
+    // Consumer asks again: rebuilt transparently, same rows.
+    assert(get(0).as[(Long, String)].collect().toSeq === Seq((0L, "v0")))
+    assert(buildCounts(0) === 2)
+    // LRU order is by USE: touching entry 1 then overflowing evicts 2,
+    // not 1.
+    get(1)
+    val before1 = buildCounts(1)
+    get(Materialized.maxEntries + 1) // overflow by one
+    get(1)
+    assert(buildCounts(1) === before1, "recently-used entry was evicted")
+    val before2 = buildCounts.getOrElse(2, 0)
+    get(2)
+    assert(buildCounts(2) === before2 + 1, "LRU entry 2 should have been evicted")
+    Materialized.clear()
+    assert(Materialized.size === 0)
+  }
+
+  test("ofBucketed writes once and serves catalog read-backs after") {
+    val table = "materialized_spec_bucketed"
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    var builds = 0
+    def get() = Materialized.ofBucketed(spark, table, "id", 4) {
+      builds += 1; rel(9)
+    }
+    val first = get().as[(Long, String)].collect().toSeq
+    val second = get().as[(Long, String)].collect().toSeq
+    assert(builds === 1, "second call must read back, not rebuild")
+    assert(first === Seq((9L, "v9")) && second === first)
+    // The catalog table is genuinely bucketed (the zero-exchange seam).
+    val ddl = spark.sql(s"SHOW CREATE TABLE $table").first().getString(0)
+    assert(ddl.contains("CLUSTERED BY") && ddl.contains("BUCKETS"), ddl)
+    spark.sql(s"DROP TABLE $table")
+  }
+}

@@ -100,4 +100,30 @@ class SqlRegistrySpec extends SparkSpec {
       col("dur"), col("ev"))
     assert(kmSql.except(kmApi).isEmpty && kmApi.except(kmSql).isEmpty)
   }
+
+  test("graft_nelson_aalen and graft_holt_forecast TVFs equal the Dataset forms") {
+    SqlRegistry.register(spark)
+    Tables(spark, sf, "orders").createOrReplaceTempView("orders")
+    spark.sql("""CREATE OR REPLACE TEMPORARY VIEW cust_life AS
+      SELECT datediff(max(o_orderdate), min(o_orderdate)) AS dur,
+        cast(max(o_orderdate) as date) < date'2001-02-01' AS ev
+      FROM orders GROUP BY o_custkey""")
+    val naSql = spark.sql(
+      "SELECT * FROM graft_nelson_aalen('cust_life', 'dur', 'ev')")
+    val naApi = Analytics.nelsonAalen(spark.table("cust_life"),
+      col("dur"), col("ev"))
+    assert(naSql.except(naApi).isEmpty && naApi.except(naSql).isEmpty)
+
+    val hfSql = spark.sql(
+      """SELECT * FROM graft_holt_forecast('orders', 'o_orderpriority',
+           'year(cast(o_orderdate as date)) * 12
+            + month(cast(o_orderdate as date))',
+           '1', 500000, 300000, 3)""")
+    val hfApi = Analytics.holtForecast(Tables(spark, sf, "orders"),
+      "o_orderpriority",
+      expr("year(cast(o_orderdate as date)) * 12" +
+        " + month(cast(o_orderdate as date))"),
+      lit(1L), alphaMicro = 500000L, betaMicro = 300000L, horizon = 3)
+    assert(hfSql.except(hfApi).isEmpty && hfApi.except(hfSql).isEmpty)
+  }
 }

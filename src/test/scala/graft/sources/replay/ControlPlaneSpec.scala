@@ -28,6 +28,8 @@ class ControlPlaneSpec extends SparkSpec with BeforeAndAfterAll {
   private implicit lazy val s: org.apache.spark.sql.SparkSession = spark
 
   private val topology = new AtomicReference[String]("numShards=4")
+  private val leaseTable = new AtomicReference[Map[String, String]](
+    Map("a" -> "shards=0,1", "b" -> "shards=2,3"))
   private lazy val server: HttpServer = {
     val srv = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
     srv.createContext("/topology", exchange => {
@@ -70,13 +72,11 @@ class ControlPlaneSpec extends SparkSpec with BeforeAndAfterAll {
     })
     // The lease table: worker → owned shard subset (disjoint, together
     // covering the stream — KCL's DynamoDB coordination, service-side).
+    // Mutable: reassigning a row between triggers IS the rebalance.
     srv.createContext("/lease", exchange => {
       val worker = exchange.getRequestURI.getQuery.stripPrefix("worker=")
-      val body = (worker match {
-        case "a" => "shards=0,1"
-        case "b" => "shards=2,3"
-        case w => s"# unknown worker $w\nshards="
-      }).getBytes("UTF-8")
+      val body = leaseTable.get().getOrElse(worker,
+        s"# unknown worker $worker\nshards=").getBytes("UTF-8")
       exchange.sendResponseHeaders(200, body.length)
       exchange.getResponseBody.write(body)
       exchange.close()
@@ -295,6 +295,7 @@ class ControlPlaneSpec extends SparkSpec with BeforeAndAfterAll {
   }
 
   test("two leased workers tile the stream: disjoint shards, union exactly-once") {
+    leaseTable.set(Map("a" -> "shards=0,1", "b" -> "shards=2,3"))
     publish(4, None, fileLayout.map(_.length.toLong).toSeq)
     def runWorker(worker: String, sink: String): Unit = {
       val q = Consumer.source(ConsumerConfig(
@@ -321,6 +322,72 @@ class ControlPlaneSpec extends SparkSpec with BeforeAndAfterAll {
     assert(shardsB === Set(2, 3), s"worker b must only consume its lease: $shardsB")
     assert(a.count() + b.count() === nEvents,
       "the group's union must be the whole stream, exactly once")
+  }
+
+  test("mid-stream lease handoff: reassigned shards resume at the old owner's commit, exactly once") {
+    // The reference behavior (RecordProcessorImpl.scala:90-100): a worker
+    // losing its lease stops at a checkpoint boundary; the service hands
+    // the shards — WITH that final checkpoint — to the next worker, whose
+    // lease poll picks them up. Sequence here: A and B each drain their
+    // half of a half-served stream and stop (AvailableNow = a trigger
+    // boundary); the lease table then reassigns A's shards to B, floors
+    // set to A's committed positions; the stream grows to full; B's
+    // restart resumes its own shards from ITS checkpoint and A's shards
+    // from the handoff floors. Union must tile the stream exactly once.
+    val full = fileLayout.map(_.length.toLong).toSeq
+    val half = full.map(_ / 2)
+    leaseTable.set(Map("a" -> "shards=0,1", "b" -> "shards=2,3"))
+    publish(4, None, half)
+    val ckptB = tmpDir("ckpt_handoff_b")
+    // foreachBatch sinks (the memory sink cannot recover from a
+    // checkpoint, and B must RESTART on its own checkpoint after the
+    // rebalance).
+    def drain(worker: String, ckpt: String): Set[(Int, Long)] = {
+      val got = new java.util.concurrent.ConcurrentLinkedQueue[(Int, Long)]()
+      val q = Consumer.source(ConsumerConfig(
+          streamPath = eventsPath, numShards = 4,
+          maxRecordsPerTrigger = Some(300),
+          controlPlaneUrl = Some(url), dataPlaneUrl = Some(dataUrl),
+          leaseUrl = Some(leaseUrl(worker))))
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (df: org.apache.spark.sql.Dataset[Record], _: Long) =>
+          df.select(col("shardId"), col("sequenceNumber").cast("long"))
+            .as[(String, Long)].collect().foreach { case (sid, seq) =>
+              got.add(sid.stripPrefix("shardId-").toInt -> seq)
+            }
+          ()
+        }.start()
+      q.awaitTermination(120000)
+      import scala.jdk.CollectionConverters._
+      got.iterator().asScala.toSet
+    }
+    val aRows = drain("a", tmpDir("ckpt_handoff_a"))
+    val b1Rows = drain("b", ckptB)
+    assert(aRows.map(_._1) === Set(0, 1) && b1Rows.map(_._1) === Set(2, 3))
+    assert(aRows.size.toLong === half(0) + half(1),
+      "A must have drained exactly the served half of its lease")
+    // The rebalance: A's lease is revoked; B acquires 0,1 with floors =
+    // A's final committed positions (the lease table publishes them only
+    // after A's last commit — the test sequences that by construction).
+    leaseTable.set(Map(
+      "a" -> "shards=",
+      "b" -> s"shards=0,1,2,3\npos.0=${half(0)}\npos.1=${half(1)}"))
+    publish(4, None, full)
+    val b2Rows = drain("b", ckptB)
+    // Disjoint across the handoff: B never re-reads what A consumed…
+    assert((aRows & b2Rows) === Set.empty,
+      "the new owner replayed records below the handoff floor")
+    assert((b1Rows & b2Rows) === Set.empty,
+      "B replayed its own checkpointed records")
+    // …and the union is the WHOLE stream, exactly once.
+    val union = aRows ++ b1Rows ++ b2Rows
+    assert(union.size.toLong === aRows.size.toLong + b1Rows.size + b2Rows.size)
+    assert(union.size.toLong === nEvents,
+      s"union ${union.size} of $nEvents: the group lost or duplicated records")
+    // Restore the default table for any later test.
+    leaseTable.set(Map("a" -> "shards=0,1", "b" -> "shards=2,3"))
   }
 
   test("restart revalidates the DISCOVERED instant like a configured one") {

@@ -1,0 +1,99 @@
+#!/usr/bin/env bash
+# Closing gate: the LAST action of every round, run BEFORE the final
+# commit — never register a new QueryDef in the snapshot commit itself.
+#
+# Two rounds in a row shipped red artifacts because features landed in
+# the end-of-round snapshot commit after the last verification run
+# (r5: q333 lint, r6: q340 lint + q341 oracle). A checklist demonstrably
+# wasn't enough, so this is mechanical: the gate
+#   (a) runs the FULL sbt test suite,
+#   (b) runs Verify + tools/verify_local.py over EVERY registered query
+#       at sf0.01 (superset of "names new since last round"),
+#   (c) regenerates bench/BENCH_FULL_r<N>.json and
+#       bench/STREAMBENCH_r<N>.json at sf0.1,
+# and exits non-zero on ANY failure. Commit its outputs; a green exit is
+# the round's ship condition.
+#
+# Usage: tools/closing_gate.sh <round-number>   (e.g. 7)
+set -uo pipefail
+cd "$(dirname "$0")/.."
+
+ROUND="${1:?usage: tools/closing_gate.sh <round-number>}"
+SF_VERIFY="${SPARK_GRAFT_VERIFY_SF:-/root/testdata/sf0.01}"
+SF_BENCH="${SPARK_GRAFT_BENCH_SF:-/root/testdata/sf0.1}"
+OUT="/tmp/closing_gate_r${ROUND}"
+mkdir -p "$OUT" bench
+FAIL=0
+
+echo "== closing gate r${ROUND} =="
+
+echo "-- (a) full sbt test"
+if ! sbt -batch test > "$OUT/sbt_test.log" 2>&1; then
+  echo "GATE FAIL: sbt test (see $OUT/sbt_test.log)"
+  tail -30 "$OUT/sbt_test.log"
+  FAIL=1
+else
+  grep -E "Tests: succeeded" "$OUT/sbt_test.log" | tail -1
+fi
+
+echo "-- (b) Verify + DuckDB oracle over every registered query @ $SF_VERIFY"
+if ! SPARK_GRAFT_CPUS=16 sbt -batch \
+    "runMain graft.Verify $SF_VERIFY $OUT/verify" \
+    > "$OUT/verify.log" 2>&1; then
+  echo "GATE FAIL: graft.Verify crashed (see $OUT/verify.log)"
+  tail -20 "$OUT/verify.log"
+  FAIL=1
+fi
+# Verify is per-query fault-tolerant; a broken query surfaces on stderr.
+if grep -q "\[verify\].*failed" "$OUT/verify.log"; then
+  echo "GATE FAIL: queries failed inside Verify:"
+  grep "\[verify\].*failed" "$OUT/verify.log"
+  FAIL=1
+fi
+if ! python3 tools/verify_local.py "$SF_VERIFY" "$OUT/verify" \
+    > "$OUT/verify_local.log" 2>&1; then
+  echo "GATE FAIL: oracle compare (see $OUT/verify_local.log)"
+  grep "FAIL" "$OUT/verify_local.log" | head -20
+  FAIL=1
+fi
+tail -2 "$OUT/verify_local.log"
+
+echo "-- (c) full-surface bench @ $SF_BENCH"
+if ! SPARK_GRAFT_SF_DIR="$SF_BENCH" sbt -batch "runMain graft.Bench all" \
+    > "$OUT/bench_full.log" 2>&1; then
+  echo "GATE FAIL: Bench all crashed (see $OUT/bench_full.log)"
+  tail -20 "$OUT/bench_full.log"
+  FAIL=1
+else
+  grep '"metric"' "$OUT/bench_full.log" | sed 's/^\[info\] //' \
+    > "bench/BENCH_FULL_r${ROUND}.json"
+  # A query erroring inside the bench is a gate failure, not a footnote.
+  if ! python3 - "bench/BENCH_FULL_r${ROUND}.json" <<'EOF'
+import json, sys
+j = json.load(open(sys.argv[1]))
+errs = j.get("errors", {})
+if errs:
+    print(f"GATE FAIL: bench errors: {errs}")
+    sys.exit(1)
+print(f"bench ok: {len(j['queries'])} queries, total {j['value']:.1f}s")
+EOF
+  then FAIL=1; fi
+fi
+
+echo "-- (c) streaming drain bench @ $SF_BENCH"
+if ! SPARK_GRAFT_SF_DIR="$SF_BENCH" sbt -batch "runMain graft.StreamBench" \
+    > "$OUT/streambench.log" 2>&1; then
+  echo "GATE FAIL: StreamBench crashed (see $OUT/streambench.log)"
+  tail -20 "$OUT/streambench.log"
+  FAIL=1
+else
+  grep '"metric"' "$OUT/streambench.log" | sed 's/^\[info\] //' \
+    > "bench/STREAMBENCH_r${ROUND}.json"
+  cat "bench/STREAMBENCH_r${ROUND}.json"
+fi
+
+if [ "$FAIL" -ne 0 ]; then
+  echo "== GATE RED: do not snapshot — fix and re-run =="
+  exit 1
+fi
+echo "== GATE GREEN: commit bench/BENCH_FULL_r${ROUND}.json and bench/STREAMBENCH_r${ROUND}.json =="
