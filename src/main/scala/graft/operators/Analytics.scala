@@ -1504,6 +1504,73 @@ object Analytics {
          (level_micro + h * trend_micro)::BIGINT AS forecast_micro
        FROM fc ORDER BY g, h"""
 
+  /** Exponentially-weighted moving average SERIES per group — the whole
+    * smoothed curve, not just the final state ([[holtForecast]] is the
+    * forecast-from-the-end companion; this is the monitoring/plotting
+    * read): e₁ = y₁·10⁶, e_t = α·y_t·10⁶ + (1−α)·e_{t−1}, in exact
+    * integer micro with one fixed truncation point per step (sign-split
+    * floor division, bit-identical cross-engine).
+    *
+    * Scale design: one per-(group, period) collapse with map-side
+    * partials; each group's smoothed prefix states come from array
+    * folds over its bounded calendar-sized series (the [[kaplanMeier]]
+    * prefix-emission shape — O(n²) array steps per group over the
+    * COLLAPSED domain only, never over corpus rows). Same
+    * calendar-bounded period-domain contract as [[holtForecast]].
+    */
+  def ewmaSeries(df: DataFrame, groupCol: String, periodCol: Column,
+      valueCol: Column, alphaMicro: Long = 300000L): DataFrame = {
+    require(alphaMicro >= 0 && alphaMicro <= 1000000L, "alpha is micro")
+    val (a, na) = (alphaMicro, 1000000L - alphaMicro)
+    def md(x: String) = s"cast((case when ($x) < 0 then -1L else 1L end)" +
+      s" * (abs($x) div 1000000) as long)"
+    // Prefix fold to position i (0-based): fold rows 2..i+1 onto e₁.
+    val fold = s"""aggregate(slice(s, 2, i),
+      element_at(s, 1).yp * 1000000L,
+      (acc, x) -> ${md(s"$a * cast(x.yp as decimal(38,0)) * 1000000" +
+        s" + $na * cast(acc as decimal(38,0))")})"""
+    df.select(col(groupCol).as("g"), periodCol.cast("long").as("p"),
+        valueCol.cast("long").as("y"))
+      .groupBy(col("g"), col("p")).agg(sum(col("y")).as("yp"))
+      .groupBy(col("g"))
+      .agg(array_sort(collect_list(struct(col("p"), col("yp")))).as("s"))
+      .select(col("g"), col("s"), posexplode(col("s")))
+      .toDF("g", "s", "i", "x")
+      .select(col("g"), col("x.p").as("p"), col("x.yp").as("y"),
+        expr(fold).as("ewma_micro"))
+  }
+
+  // ---- q342: smoothed monthly order-volume curve per priority class -----------
+  private def q342(s: SparkSession, d: String): DataFrame =
+    ewmaSeries(Tables.orders(s, d), "o_orderpriority",
+        expr("year(cast(o_orderdate as date)) * 12" +
+          " + month(cast(o_orderdate as date))"),
+        lit(1L), alphaMicro = 300000L)
+      .orderBy(col("g"), col("p"))
+  private val q342Sql =
+    """WITH RECURSIVE m AS (
+         SELECT o_orderpriority AS g,
+           year(o_orderdate::DATE) * 12 + month(o_orderdate::DATE) AS p,
+           count(*)::BIGINT AS yp
+         FROM orders GROUP BY 1, 2),
+       s AS (
+         SELECT g, list(p ORDER BY p) AS ps, list(yp ORDER BY p) AS ys
+         FROM m GROUP BY g),
+       f AS (
+         SELECT g, ps, ys, 1::BIGINT AS step,
+           (ys[1] * 1000000)::BIGINT AS e
+         FROM s
+         UNION ALL
+         SELECT g, ps, ys, step + 1,
+           (CASE WHEN (300000::HUGEINT * ys[step + 1] * 1000000
+               + 700000::HUGEINT * e) < 0 THEN -1 ELSE 1 END
+             * (abs(300000::HUGEINT * ys[step + 1] * 1000000
+               + 700000::HUGEINT * e) // 1000000))::BIGINT
+         FROM f WHERE step < len(ys))
+       SELECT g, ps[step]::BIGINT AS p, ys[step]::BIGINT AS y,
+         e AS ewma_micro
+       FROM f ORDER BY g, p"""
+
   /** Lead–lag cross-covariance profile between two daily series: for each
     * lag in [−maxLag, maxLag], the exact covariance numerator
     * n·Σxy − Σx·Σy over days where series A at day d aligns with series B
@@ -4950,6 +5017,7 @@ object Analytics {
     QueryDef("q338_durbin_watson", q338, Some(q338Sql)),
     QueryDef("q340_nelson_aalen", q340, Some(q340Sql)),
     QueryDef("q341_holt_forecast", q341, Some(q341Sql)),
+    QueryDef("q342_ewma_series", q342, Some(q342Sql)),
     QueryDef("q250_theil_sen", q250, Some(q250Sql)),
     QueryDef("q202_change_point", q202, Some(q202Sql)),
     QueryDef("q215_otsu_threshold", q215, Some(q215Sql)),

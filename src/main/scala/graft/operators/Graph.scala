@@ -358,6 +358,94 @@ object Graph {
        FROM co JOIN deg a ON co.i1 = a.i JOIN deg b ON co.i2 = b.i
        ORDER BY jaccard_micro DESC, co.i1, co.i2 LIMIT 30"""
 
+  /** Synchronous label propagation (Raghavan et al. 2007) made
+    * DETERMINISTIC: every node starts with its own id as label; each
+    * iteration every node adopts the MOST FREQUENT label among its
+    * out-neighbors, ties broken by the SMALLEST label — so K iterations
+    * produce one well-defined labeling on any engine (classic LPA's
+    * random tie-breaks and async order-dependence are exactly what a
+    * distributed reimplementation cannot reproduce; the deterministic
+    * variant keeps the community-forming dynamics and drops the dice).
+    * Pass an undirected graph as both edge directions (the q159
+    * convention). Complements the min-label fixpoint
+    * ([[Dedup.dedupClusters]] / CC) — frequency propagation finds DENSE
+    * communities, not mere connectivity.
+    *
+    * Scale design: each iteration is one |E|-shuffle — edges⨝labels on
+    * dst (map-side combinable count per (src, label)) and a
+    * PARTITIONED window for the per-node argmax; labels are
+    * lineage-truncated per iteration. At 100 TB, bucket the edge list by
+    * dst so the per-iteration join is exchange-free on the big side.
+    */
+  def labelPropagation(edges: DataFrame, srcCol: String, dstCol: String,
+      iterations: Int, checkpoint: Boolean = true): DataFrame = {
+    require(iterations >= 1, "labelPropagation needs at least one iteration")
+    val e0 = edges.select(col(srcCol).cast("long").as("src"),
+      col(dstCol).cast("long").as("dst"))
+    val e = if (checkpoint) e0.localCheckpoint() else e0
+    var labels = e.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("lbl"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("src")).orderBy(col("cnt").desc, col("lbl"))
+    for (it <- 1 to iterations) {
+      labels = e.join(labels, col("dst") === col("id"))
+        .groupBy(col("src"), col("lbl")).agg(count(lit(1)).as("cnt"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("src").as("id"), col("lbl"))
+      if (checkpoint && it < iterations) labels = labels.localCheckpoint()
+    }
+    labels.select(col("id").as("node_id"), col("lbl").as("label"))
+  }
+
+  // ---- q344: dense supplier communities of the co-sale graph ------------------
+  // Three deterministic LPA rounds over the thresholded supplier–supplier
+  // co-sale projection (the q163/q207 graph — unipartite, genuinely
+  // community-structured; bipartite graphs collapse under frequency
+  // propagation because each side adopts the other's anchor label). The
+  // readout is the community-size histogram, biggest communities first.
+  private def q344(s: SparkSession, d: String): DataFrame = {
+    val pairs = coSaleEdges(s, d)
+    val und = pairs.select(col("s1"), col("s2"))
+      .union(pairs.select(col("s2").as("s1"), col("s1").as("s2")))
+    labelPropagation(und, "s1", "s2", iterations = 3)
+      .groupBy(col("label")).agg(count(lit(1)).as("n_nodes"))
+      .orderBy(col("n_nodes").desc, col("label"))
+      .limit(30)
+  }
+  private def q344Sql =
+    s"""WITH $coSaleCtes,
+       e AS (SELECT u AS src, v AS dst FROM und
+             UNION ALL SELECT v, u FROM und),
+       l0 AS (SELECT DISTINCT src AS id, src AS lbl FROM e),
+       l1 AS (
+         SELECT src AS id, lbl FROM (
+           SELECT e.src, l.lbl,
+             row_number() OVER (PARTITION BY e.src
+               ORDER BY count(*) DESC, l.lbl) AS rn
+           FROM e JOIN l0 l ON l.id = e.dst
+           GROUP BY e.src, l.lbl)
+         WHERE rn = 1),
+       l2 AS (
+         SELECT src AS id, lbl FROM (
+           SELECT e.src, l.lbl,
+             row_number() OVER (PARTITION BY e.src
+               ORDER BY count(*) DESC, l.lbl) AS rn
+           FROM e JOIN l1 l ON l.id = e.dst
+           GROUP BY e.src, l.lbl)
+         WHERE rn = 1),
+       l3 AS (
+         SELECT src AS id, lbl FROM (
+           SELECT e.src, l.lbl,
+             row_number() OVER (PARTITION BY e.src
+               ORDER BY count(*) DESC, l.lbl) AS rn
+           FROM e JOIN l2 l ON l.id = e.dst
+           GROUP BY e.src, l.lbl)
+         WHERE rn = 1)
+       SELECT lbl AS label, count(*)::BIGINT AS n_nodes
+       FROM l3 GROUP BY lbl
+       ORDER BY n_nodes DESC, label LIMIT 30"""
+
   /** Item-to-user recommendation scoring on top of [[linkJaccard]]'s
     * item-item similarity: a candidate item's score for a user is the
     * SUM of its similarity to the items the user already has (the
@@ -1599,6 +1687,7 @@ object Graph {
     QueryDef("q320_contamination_radius", q320, Some(q320Sql)),
     QueryDef("q332_personalized_pagerank", q332, Some(q332Sql)),
     QueryDef("q333_complement_substitute", q333, Some(q333Sql)),
+    QueryDef("q344_label_propagation", q344, Some(q344Sql)),
     QueryDef("q166_cc_stars", q166, Some(q166Sql)),
     QueryDef("q175_hits", q175, Some(q175Sql)),
     QueryDef("q207_modularity", q207, Some(q207Sql)),

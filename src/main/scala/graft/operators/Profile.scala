@@ -2055,6 +2055,63 @@ object Profile {
            ELSE NULL END::BIGINT AS f_micro
        FROM ss"""
 
+  /** Chi-square goodness-of-fit against a UNIFORM distribution over the
+    * observed categories, per group: χ² = Σ(O_i − n/k)²/(n/k), which
+    * algebraically collapses to (k·ΣO² − n²)/n — evaluated exactly in
+    * decimal(38,0) with ONE final micro truncation, so the statistic is
+    * bit-identical cross-engine ("is load spread evenly across
+    * weekdays/shards/sources, per cohort" — the load-balance and
+    * seasonality-null audit the pairwise tests don't cover). k counts
+    * OBSERVED categories only (an unobserved category is a structural
+    * zero the uniform null can't see; document the domain if it
+    * matters), df = k − 1 alongside.
+    *
+    * Scale design: one (group, category) collapse with map-side
+    * partials, then one per-group aggregation over the bounded
+    * category domain — the corpus is touched once.
+    */
+  def chiSquareUniform(df: DataFrame, groupCol: Column,
+      categoryCol: Column): DataFrame = {
+    val byCat = df
+      .select(groupCol.as("g"), categoryCol.as("cat"))
+      .filter(col("cat").isNotNull)
+      .groupBy(col("g"), col("cat")).agg(count(lit(1)).as("o"))
+    byCat.groupBy(col("g"))
+      .agg(sum(col("o")).as("n"), count(lit(1)).as("k_cats"),
+        sum(expr("cast(o as decimal(38,0)) * o")).as("so2"))
+      .select(col("g"), col("n"), col("k_cats"),
+        (col("k_cats") - 1L).as("df"),
+        // k·ΣO² ≥ n² by Cauchy–Schwarz, so the numerator is ≥ 0 and
+        // floor = trunc: Spark's div and DuckDB's // agree.
+        expr("""cast((cast(k_cats as decimal(38,0)) * so2
+             - cast(n as decimal(38,0)) * n) * 1000000 div n as long)""")
+          .as("chi2_micro"))
+  }
+
+  // ---- q343: is order flow uniform across weekdays, per priority? -------------
+  // Day-of-week from epoch-day arithmetic ((day_id + 3) % 7, 0 = Monday)
+  // — no session-timezone or engine dow-origin dependence (the
+  // graft_calendar discipline).
+  private def q343(s: SparkSession, d: String): DataFrame =
+    chiSquareUniform(Tables.orders(s, d), col("o_orderpriority"),
+        expr("(datediff(to_date(o_orderdate), date'1970-01-01') + 3) % 7"))
+      .orderBy(col("g"))
+  private val q343Sql =
+    """WITH bycat AS (
+         SELECT o_orderpriority AS g,
+           (date_diff('day', DATE '1970-01-01', o_orderdate::DATE) + 3) % 7
+             AS cat,
+           count(*)::BIGINT AS o
+         FROM orders GROUP BY 1, 2),
+       agg AS (
+         SELECT g, sum(o)::BIGINT AS n, count(*)::BIGINT AS k_cats,
+           sum(o::HUGEINT * o) AS so2
+         FROM bycat GROUP BY g)
+       SELECT g, n, k_cats, (k_cats - 1)::BIGINT AS df,
+         ((k_cats::HUGEINT * so2 - n::HUGEINT * n) * 1000000 // n)::BIGINT
+           AS chi2_micro
+       FROM agg ORDER BY g"""
+
   /** Functional-dependency DISCOVERY over a column set: for every
     * ordered pair (det → dep), the exact distinct counts, how many
     * extra (det, dep) combinations exist beyond |distinct det| (0 =
@@ -3543,6 +3600,7 @@ object Profile {
     QueryDef("q334_kruskal_wallis", q334, Some(q334Sql)),
     QueryDef("q335_mcnemar", q335, Some(q335Sql)),
     QueryDef("q336_cochran_armitage", q336, Some(q336Sql)),
+    QueryDef("q343_chi2_uniform", q343, Some(q343Sql)),
     QueryDef("q251_inclusion_audit", q251, Some(q251Sql)),
     QueryDef("q259_salt_plan", q259, Some(q259Sql)),
     QueryDef("q268_grouped_corr", q268, Some(q268Sql)),

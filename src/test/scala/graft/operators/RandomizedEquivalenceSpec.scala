@@ -366,6 +366,79 @@ class RandomizedEquivalenceSpec extends SparkSpec {
     }
   }
 
+  test("ewmaSeries equals a sequential micro recurrence on random series") {
+    def md(x: BigInt): Long =
+      ((if (x < 0) BigInt(-1) else BigInt(1)) * (x.abs / 1000000)).toLong
+    (1 to 6).foreach { trial =>
+      val a = rnd.nextInt(1000001).toLong
+      val nPeriods = 1 + rnd.nextInt(12)
+      val periods = rnd.shuffle((1 to 40).toList).take(nPeriods).sorted
+      val rows = periods.flatMap { p =>
+        Seq.fill(1 + rnd.nextInt(3))((p.toLong, rnd.nextInt(2000).toLong - 500))
+      }
+      val df = rows.map { case (p, y) => ("grp", p, y) }.toDF("g0", "p0", "y0")
+      val series = rows.groupBy(_._1).view.mapValues(_.map(_._2).sum)
+        .toSeq.sortBy(_._1)
+      var e = BigInt(series.head._2) * 1000000
+      val want = series.zipWithIndex.map { case ((p, y), i) =>
+        if (i > 0)
+          e = BigInt(md(a * BigInt(y) * 1000000 + (1000000L - a) * e))
+        ("grp", p, y, e.toLong)
+      }
+      val got = Analytics.ewmaSeries(df, "g0", col("p0"), col("y0"),
+          alphaMicro = a)
+        .orderBy(col("p")).as[(String, Long, Long, Long)].collect()
+      assert(got.toSeq === want, s"trial $trial a=$a series=$series")
+    }
+  }
+
+  test("chiSquareUniform equals the definitional statistic on random categories") {
+    (1 to 6).foreach { trial =>
+      val k = 2 + rnd.nextInt(8)
+      val data = Vector.fill(30 + rnd.nextInt(100))(
+        ("grp", rnd.nextInt(k).toLong))
+      val df = data.toDF("g0", "c0")
+      val counts = data.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+      val n = data.size.toLong
+      val kObs = counts.size.toLong
+      // Definitional: Σ(O − n/k)²/(n/k), kept rational — equals
+      // (kΣO² − n²)/n exactly; the operator truncates to micro once.
+      val so2 = counts.values.map(o => BigInt(o) * o).sum
+      val wantChi2 = (BigInt(kObs) * so2 - BigInt(n) * n) * 1000000 / n
+      val got = Profile.chiSquareUniform(df, col("g0"), col("c0"))
+        .as[(String, Long, Long, Long, Long)].collect()
+      assert(got.toSeq === Seq(("grp", n, kObs, kObs - 1, wantChi2.toLong)),
+        s"trial $trial counts=$counts")
+    }
+  }
+
+  test("labelPropagation equals a sequential synchronous LPA on random graphs") {
+    (1 to 5).foreach { trial =>
+      val nNodes = 6 + rnd.nextInt(10)
+      val dir = (for {
+        u <- 0 until nNodes; v <- 0 until nNodes
+        if u < v && rnd.nextInt(100) < 35
+      } yield (u.toLong, v.toLong)).toVector
+      if (dir.nonEmpty) {
+        val und = dir ++ dir.map(_.swap)
+        val iters = 1 + rnd.nextInt(4)
+        // Brute sync LPA: most frequent out-neighbor label, min on ties.
+        val adj = und.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+        var lbl = adj.keys.map(i => i -> i).toMap
+        (1 to iters).foreach { _ =>
+          lbl = adj.map { case (u, nbrs) =>
+            val freq = nbrs.groupBy(lbl).view.mapValues(_.size).toMap
+            u -> freq.toSeq.map { case (l, c) => (-c, l) }.min._2
+          }
+        }
+        val got = Graph.labelPropagation(und.toDF("s", "d"), "s", "d",
+            iterations = iters)
+          .as[(Long, Long)].collect().toMap
+        assert(got === lbl, s"trial $trial iters=$iters edges=$dir")
+      }
+    }
+  }
+
   test("interpQuantiles equals the sorted-array rational on random multisets") {
     (1 to 6).foreach { trial =>
       val n = 1 + rnd.nextInt(30)
