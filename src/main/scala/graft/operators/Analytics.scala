@@ -1504,6 +1504,198 @@ object Analytics {
          (level_micro + h * trend_micro)::BIGINT AS forecast_micro
        FROM fc ORDER BY g, h"""
 
+  /** Holt–Winters ADDITIVE-SEASONAL forecast per group — the completion
+    * of the exponential-smoothing family ([[ewmaSeries]] smooths,
+    * [[holtForecast]] adds trend, this adds the seasonal cycle): exact
+    * integer-micro recurrences over per-period sums, season length `m`,
+    * slot = period mod m (CALENDAR position, so a gap in the series
+    * cannot shift season alignment),
+    *   l_t = α·(y_t·10⁶ − s_slot) + (1−α)·(l + b)
+    *   b_t = β·(l_t − l) + (1−β)·b
+    *   s'_slot = γ·(y_t·10⁶ − l_t) + (1−γ)·s_slot
+    * each with ONE sign-split floor division by 10⁶ (identical
+    * truncation on both engines), initialized from the first two
+    * seasons: l₀ = mean(season 1)·10⁶, b₀ = (mean(season 2) −
+    * mean(season 1))·10⁶/m, s₀[slot] = y_i·10⁶ − l₀ over the first m
+    * observations (never-seen slots start at 0; groups with fewer than
+    * 2m periods are dropped). Forecast ŷ_{T+h} = l_T + h·b_T +
+    * s[(p_T + h) mod m] for h = 1..horizon, with the seasonal term
+    * emitted alongside.
+    *
+    * Scale design and domain contract: identical to [[holtForecast]] —
+    * one per-(group, period) collapse with map-side partials, one
+    * bounded calendar-sized array fold per group (the recurrence is
+    * sequential by definition); period ids must be a calendar-bounded
+    * integer domain.
+    */
+  def holtWintersForecast(df: DataFrame, groupCol: String,
+      periodCol: Column, valueCol: Column, m: Int,
+      alphaMicro: Long = 400000L, betaMicro: Long = 200000L,
+      gammaMicro: Long = 300000L, horizon: Int = 3): DataFrame = {
+    require(m >= 2, "season length m must be >= 2")
+    require(Seq(alphaMicro, betaMicro, gammaMicro)
+      .forall(x => x >= 0 && x <= 1000000L), "alpha/beta/gamma are micro")
+    require(horizon >= 1, "horizon must be >= 1")
+    val (a, na) = (alphaMicro, 1000000L - alphaMicro)
+    val (b, nb) = (betaMicro, 1000000L - betaMicro)
+    val (g, ng) = (gammaMicro, 1000000L - gammaMicro)
+    // Generic sign-split floor division: identical truncation on Spark
+    // (div) and DuckDB (//) for any sign of x (d > 0).
+    def sd(x: String, d: String) = s"cast((case when ($x) < 0 then -1L " +
+      s"else 1L end) * (abs($x) div ($d)) as long)"
+    val slot = s"cast(x.p % $m as int)"
+    val sv = s"element_at(acc.ss, $slot + 1)"
+    val newL = sd(s"$a * (cast(x.yp as decimal(38,0)) * 1000000 - $sv)" +
+      s" + $na * (cast(acc.l as decimal(38,0)) + acc.b)", "1000000")
+    val newB = sd(s"$b * (cast($newL as decimal(38,0)) - acc.l)" +
+      s" + $nb * cast(acc.b as decimal(38,0))", "1000000")
+    val newS = sd(s"$g * (cast(x.yp as decimal(38,0)) * 1000000 - $newL)" +
+      s" + $ng * cast($sv as decimal(38,0))", "1000000")
+    val foldExpr = s"""aggregate(slice(s, ${m + 1}, size(s) - $m),
+      named_struct('l', l0, 'b', b0, 'ss', ss0),
+      (acc, x) -> named_struct('l', $newL, 'b', $newB,
+        'ss', transform(acc.ss, (sv2, si) ->
+          if(si = $slot, $newS, sv2))))"""
+    df.select(col(groupCol).as("g"), periodCol.cast("long").as("p"),
+        valueCol.cast("long").as("y"))
+      .groupBy(col("g"), col("p")).agg(sum(col("y")).as("yp"))
+      .groupBy(col("g"))
+      .agg(array_sort(collect_list(struct(col("p"), col("yp")))).as("s"))
+      .filter(size(col("s")) >= 2 * m)
+      .withColumn("s1",
+        expr(s"aggregate(slice(s, 1, $m), 0L, (acc, x) -> acc + x.yp)"))
+      .withColumn("s2",
+        expr(s"aggregate(slice(s, ${m + 1}, $m), 0L, (acc, x) -> acc + x.yp)"))
+      .withColumn("l0", expr(sd(s"cast(s1 as decimal(38,0)) * 1000000", s"$m")))
+      .withColumn("b0", expr(sd(
+        s"(cast(s2 as decimal(38,0)) - s1) * 1000000", s"${m.toLong * m}")))
+      // Seasonal init: for each slot, the LAST of the first m
+      // observations landing on it (gaps may leave a slot unseen → 0).
+      .withColumn("ss0", expr(s"""transform(sequence(0, ${m - 1}), k ->
+          coalesce(aggregate(slice(s, 1, $m), cast(null as long),
+            (acc, x) -> if(cast(x.p % $m as int) = k,
+              x.yp * 1000000L - l0, acc)), 0L))"""))
+      .select(col("g"), size(col("s")).cast("long").as("n_periods"),
+        element_at(col("s"), -1).getField("p").as("last_p"),
+        expr(foldExpr).as("st"))
+      .select(col("g"), col("n_periods"), col("last_p"),
+        col("st.l").as("level_micro"), col("st.b").as("trend_micro"),
+        col("st.ss").as("ss"),
+        explode(sequence(lit(1), lit(horizon))).as("h"))
+      .select(col("g"), col("n_periods"), col("h").cast("long").as("h"),
+        col("level_micro"), col("trend_micro"),
+        expr(s"element_at(ss, cast((last_p + h) % $m as int) + 1)")
+          .as("seasonal_micro"))
+      .withColumn("forecast_micro",
+        col("level_micro") + col("h") * col("trend_micro")
+          + col("seasonal_micro"))
+  }
+
+  // ---- q345: seasonal next-quarter order-volume forecast per priority ---------
+  // The q341 fixture with the annual cycle modeled: monthly order counts,
+  // season length 12 — the seasonal term is what q341's plain trend
+  // cannot see.
+  private def q345(s: SparkSession, d: String): DataFrame =
+    holtWintersForecast(Tables.orders(s, d), "o_orderpriority",
+        expr("year(cast(o_orderdate as date)) * 12" +
+          " + month(cast(o_orderdate as date))"),
+        lit(1L), m = 12, alphaMicro = 400000L, betaMicro = 200000L,
+        gammaMicro = 300000L, horizon = 4)
+      .orderBy(col("g"), col("h"))
+  private val q345Sql =
+    """WITH RECURSIVE mm AS (
+         SELECT o_orderpriority AS g,
+           year(o_orderdate::DATE) * 12 + month(o_orderdate::DATE) AS p,
+           count(*)::BIGINT AS yp
+         FROM orders GROUP BY 1, 2),
+       s AS (
+         SELECT g, count(*)::BIGINT AS n_periods,
+           list(p ORDER BY p) AS ps, list(yp ORDER BY p) AS ys
+         FROM mm GROUP BY g HAVING count(*) >= 24),
+       ini AS (
+         SELECT g, n_periods, ps, ys,
+           (CASE WHEN list_aggregate(ys[1:12], 'sum') < 0 THEN -1 ELSE 1 END
+             * (abs(list_aggregate(ys[1:12], 'sum')::HUGEINT * 1000000)
+               // 12))::BIGINT AS l0,
+           (CASE WHEN list_aggregate(ys[13:24], 'sum')
+                 - list_aggregate(ys[1:12], 'sum') < 0 THEN -1 ELSE 1 END
+             * (abs((list_aggregate(ys[13:24], 'sum')::HUGEINT
+                 - list_aggregate(ys[1:12], 'sum')) * 1000000)
+               // 144))::BIGINT AS b0
+         FROM s),
+       slots AS (
+         SELECT i.g, k.slot,
+           coalesce((
+             SELECT ys[idx] * 1000000 - l0 FROM (
+               SELECT unnest(range(1, 13)) AS idx) ix
+             WHERE ps[idx] % 12 = k.slot
+             ORDER BY idx DESC LIMIT 1), 0)::BIGINT AS sv
+         FROM ini i CROSS JOIN (SELECT unnest(range(12)) AS slot) k),
+       ss0 AS (
+         SELECT g, list(sv ORDER BY slot) AS ss FROM slots GROUP BY g),
+       fold AS (
+         SELECT i.g, i.n_periods, i.ps, i.ys, 12::BIGINT AS step,
+           i.l0 AS l, i.b0 AS b, s0.ss AS ss
+         FROM ini i JOIN ss0 s0 ON i.g = s0.g
+         UNION ALL
+         SELECT g, n_periods, ps, ys, step + 1,
+           (CASE WHEN (400000::HUGEINT * (ys[step + 1] * 1000000
+                 - ss[(ps[step + 1] % 12) + 1])
+               + 600000::HUGEINT * (l::HUGEINT + b)) < 0 THEN -1 ELSE 1 END
+             * (abs(400000::HUGEINT * (ys[step + 1] * 1000000
+                 - ss[(ps[step + 1] % 12) + 1])
+               + 600000::HUGEINT * (l::HUGEINT + b)) // 1000000))::BIGINT,
+           (CASE WHEN (200000::HUGEINT * (((CASE WHEN (400000::HUGEINT
+                   * (ys[step + 1] * 1000000 - ss[(ps[step + 1] % 12) + 1])
+                   + 600000::HUGEINT * (l::HUGEINT + b)) < 0
+                   THEN -1 ELSE 1 END
+                 * (abs(400000::HUGEINT * (ys[step + 1] * 1000000
+                     - ss[(ps[step + 1] % 12) + 1])
+                   + 600000::HUGEINT * (l::HUGEINT + b))
+                   // 1000000))::HUGEINT) - l)
+               + 800000::HUGEINT * b) < 0 THEN -1 ELSE 1 END
+             * (abs(200000::HUGEINT * (((CASE WHEN (400000::HUGEINT
+                   * (ys[step + 1] * 1000000 - ss[(ps[step + 1] % 12) + 1])
+                   + 600000::HUGEINT * (l::HUGEINT + b)) < 0
+                   THEN -1 ELSE 1 END
+                 * (abs(400000::HUGEINT * (ys[step + 1] * 1000000
+                     - ss[(ps[step + 1] % 12) + 1])
+                   + 600000::HUGEINT * (l::HUGEINT + b))
+                   // 1000000))::HUGEINT) - l)
+               + 800000::HUGEINT * b) // 1000000))::BIGINT,
+           ss[1:(ps[step + 1] % 12)]
+             || [(CASE WHEN (300000::HUGEINT * (ys[step + 1] * 1000000
+                   - ((CASE WHEN (400000::HUGEINT * (ys[step + 1] * 1000000
+                         - ss[(ps[step + 1] % 12) + 1])
+                       + 600000::HUGEINT * (l::HUGEINT + b)) < 0
+                       THEN -1 ELSE 1 END
+                     * (abs(400000::HUGEINT * (ys[step + 1] * 1000000
+                         - ss[(ps[step + 1] % 12) + 1])
+                       + 600000::HUGEINT * (l::HUGEINT + b)) // 1000000))))
+                 + 700000::HUGEINT * ss[(ps[step + 1] % 12) + 1]) < 0
+                 THEN -1 ELSE 1 END
+               * (abs(300000::HUGEINT * (ys[step + 1] * 1000000
+                   - ((CASE WHEN (400000::HUGEINT * (ys[step + 1] * 1000000
+                         - ss[(ps[step + 1] % 12) + 1])
+                       + 600000::HUGEINT * (l::HUGEINT + b)) < 0
+                       THEN -1 ELSE 1 END
+                     * (abs(400000::HUGEINT * (ys[step + 1] * 1000000
+                         - ss[(ps[step + 1] % 12) + 1])
+                       + 600000::HUGEINT * (l::HUGEINT + b)) // 1000000))))
+                 + 700000::HUGEINT * ss[(ps[step + 1] % 12) + 1])
+                 // 1000000))::BIGINT]
+             || ss[(ps[step + 1] % 12) + 2:12]
+         FROM fold WHERE step < n_periods),
+       fc AS (
+         SELECT g, n_periods, l AS level_micro, b AS trend_micro, ss,
+           ps[n_periods] AS last_p, unnest(range(1, 5))::BIGINT AS h
+         FROM fold WHERE step = n_periods)
+       SELECT g, n_periods, h, level_micro, trend_micro,
+         ss[((last_p + h) % 12) + 1]::BIGINT AS seasonal_micro,
+         (level_micro + h * trend_micro
+           + ss[((last_p + h) % 12) + 1])::BIGINT AS forecast_micro
+       FROM fc ORDER BY g, h"""
+
   /** Exponentially-weighted moving average SERIES per group — the whole
     * smoothed curve, not just the final state ([[holtForecast]] is the
     * forecast-from-the-end companion; this is the monitoring/plotting
@@ -5018,6 +5210,7 @@ object Analytics {
     QueryDef("q340_nelson_aalen", q340, Some(q340Sql)),
     QueryDef("q341_holt_forecast", q341, Some(q341Sql)),
     QueryDef("q342_ewma_series", q342, Some(q342Sql)),
+    QueryDef("q345_holt_winters", q345, Some(q345Sql)),
     QueryDef("q250_theil_sen", q250, Some(q250Sql)),
     QueryDef("q202_change_point", q202, Some(q202Sql)),
     QueryDef("q215_otsu_threshold", q215, Some(q215Sql)),

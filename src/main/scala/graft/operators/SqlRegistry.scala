@@ -189,6 +189,23 @@ object SqlRegistry {
         horizon = intLit(exprs(6), "horizon"))
     }
 
+    // graft_holt_winters(table, groupCol, periodExpr, valueExpr, m,
+    // alphaMicro, betaMicro, gammaMicro, horizon): seasonal
+    // exponential-smoothing forecast (the q345 operator); same
+    // calendar-bounded period-domain contract as graft_holt_forecast.
+    tvf("graft_holt_winters") { exprs =>
+      require(exprs.length == 9,
+        "graft_holt_winters(table, groupCol, periodExpr, valueExpr, m, " +
+          "alphaMicro, betaMicro, gammaMicro, horizon)")
+      Analytics.holtWintersForecast(s.table(strLit(exprs(0), "table")),
+        strLit(exprs(1), "groupCol"), expr(strLit(exprs(2), "periodExpr")),
+        expr(strLit(exprs(3), "valueExpr")), m = intLit(exprs(4), "m"),
+        alphaMicro = intLit(exprs(5), "alphaMicro").toLong,
+        betaMicro = intLit(exprs(6), "betaMicro").toLong,
+        gammaMicro = intLit(exprs(7), "gammaMicro").toLong,
+        horizon = intLit(exprs(8), "horizon"))
+    }
+
     // graft_calendar(startDate, endDate): inclusive date spine with the
     // calendar attributes every BI join needs, all derived TIMEZONE-FREE
     // from epoch-day arithmetic (dow via (day_id + 3) % 7, 0 = Monday —

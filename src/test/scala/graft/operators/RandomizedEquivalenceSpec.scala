@@ -366,6 +366,54 @@ class RandomizedEquivalenceSpec extends SparkSpec {
     }
   }
 
+  test("holtWintersForecast equals a sequential seasonal recurrence on random series") {
+    def sd(x: BigInt, d: Long): Long =
+      ((if (x < 0) BigInt(-1) else BigInt(1)) * (x.abs / d)).toLong
+    (1 to 6).foreach { trial =>
+      val m = 2 + rnd.nextInt(3)
+      val a = rnd.nextInt(1000001).toLong
+      val b = rnd.nextInt(1000001).toLong
+      val g = rnd.nextInt(1000001).toLong
+      val nPeriods = 2 * m + rnd.nextInt(10)
+      // Sparse periods (gaps): slot alignment is p % m, not step count.
+      val periods = rnd.shuffle((1 to 60).toList).take(nPeriods).sorted
+      val series = periods.map(p =>
+        (p.toLong, rnd.nextInt(2000).toLong - 500))
+      val df = (series.map { case (p, y) => ("grp", p, y) } :+
+        (("lone", 1L, 7L))).toDF("g0", "p0", "y0")
+      val s1 = series.take(m).map(_._2).sum
+      val s2 = series.slice(m, 2 * m).map(_._2).sum
+      var l = sd(BigInt(s1) * 1000000, m)
+      var bt = sd(BigInt(s2 - s1) * 1000000, m.toLong * m)
+      val ss = Array.fill(m)(0L)
+      series.take(m).foreach { case (p, y) =>
+        ss((p % m).toInt) = y * 1000000L - l }
+      series.drop(m).foreach { case (p, y) =>
+        val slot = (p % m).toInt
+        val sv = ss(slot)
+        val nl = sd(a * (BigInt(y) * 1000000 - sv)
+          + (1000000L - a) * (BigInt(l) + bt), 1000000L)
+        val nb = sd(b * (BigInt(nl) - l) + (1000000L - b) * BigInt(bt),
+          1000000L)
+        val ns = sd(g * (BigInt(y) * 1000000 - nl)
+          + (1000000L - g) * BigInt(sv), 1000000L)
+        l = nl; bt = nb; ss(slot) = ns
+      }
+      val lastP = series.last._1
+      val want = (1 to 3).map { h =>
+        val sv = ss(((lastP + h) % m).toInt)
+        ("grp", series.size.toLong, h.toLong, l, bt, sv, l + h * bt + sv)
+      }
+      val got = Analytics.holtWintersForecast(df, "g0", col("p0"),
+          col("y0"), m = m, alphaMicro = a, betaMicro = b, gammaMicro = g,
+          horizon = 3)
+        .orderBy(col("g"), col("h"))
+        .as[(String, Long, Long, Long, Long, Long, Long)].collect()
+      assert(got.toSeq === want,
+        s"trial $trial m=$m a=$a b=$b g=$g series=$series")
+    }
+  }
+
   test("ewmaSeries equals a sequential micro recurrence on random series") {
     def md(x: BigInt): Long =
       ((if (x < 0) BigInt(-1) else BigInt(1)) * (x.abs / 1000000)).toLong

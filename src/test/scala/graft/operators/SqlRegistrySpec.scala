@@ -125,5 +125,18 @@ class SqlRegistrySpec extends SparkSpec {
         " + month(cast(o_orderdate as date))"),
       lit(1L), alphaMicro = 500000L, betaMicro = 300000L, horizon = 3)
     assert(hfSql.except(hfApi).isEmpty && hfApi.except(hfSql).isEmpty)
+
+    val hwSql = spark.sql(
+      """SELECT * FROM graft_holt_winters('orders', 'o_orderpriority',
+           'year(cast(o_orderdate as date)) * 12
+            + month(cast(o_orderdate as date))',
+           '1', 12, 400000, 200000, 300000, 4)""")
+    val hwApi = Analytics.holtWintersForecast(Tables(spark, sf, "orders"),
+      "o_orderpriority",
+      expr("year(cast(o_orderdate as date)) * 12" +
+        " + month(cast(o_orderdate as date))"),
+      lit(1L), m = 12, alphaMicro = 400000L, betaMicro = 200000L,
+      gammaMicro = 300000L, horizon = 4)
+    assert(hwSql.except(hwApi).isEmpty && hwApi.except(hwSql).isEmpty)
   }
 }
