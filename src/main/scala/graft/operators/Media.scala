@@ -383,6 +383,56 @@ object Media {
       } else m
     }
 
+    /** Difference hash (dHash) of a decodable image: sample a
+      * `grid`×`grid` lattice of EXACT pixel positions spanning the frame
+      * (x_i = i·(w−1) div (grid−1), likewise y), set one bit per
+      * horizontally-adjacent pair where the right sample is brighter,
+      * pack row-major into a BIGINT — (grid−1)·grid bits, 56 for the
+      * default 8, so the pack stays in positive BIGINT range on every
+      * engine. The perceptual-dedup primitive for images: near-identical
+      * frames hash equal (or within a small Hamming ball — compose with
+      * the [[graft.operators.Dedup]] clustering the way [[SimHash]]
+      * consumers do). No resize pass: exact lattice sampling keeps the
+      * hash integer-deterministic where an interpolating rescale would
+      * drag in rasterizer-specific rounding.
+      *
+      * Returns None for payloads this JVM cannot decode (opaque kinds,
+      * truncated containers) — skip, never fabricate. GIF hashes its
+      * first frame (the ImageIO read contract).
+      */
+    def imageDHash(m: MediaRow, grid: Int = 8): Option[(Long, Long)] = {
+      val src = if (isPng(m.media) || isGif(m.media))
+        ImageIO.read(new ByteArrayInputStream(m.media)) else null
+      if (src == null || grid < 2) None
+      else {
+        val (w, h) = (src.getWidth, src.getHeight)
+        // Raw raster samples for single-band (gray) rasters — getRGB
+        // would run the gray→sRGB color transform and distort the
+        // comparison; multi-band/indexed rasters fall back to the low
+        // RGB byte (the GIF-frame convention).
+        val raster = src.getRaster
+        val oneBand = raster.getNumBands == 1
+        def px(x: Int, y: Int): Int =
+          if (oneBand) raster.getSample(x, y, 0) else gray(src, x, y)
+        var hash = 0L
+        var b = 0
+        var j = 0
+        while (j < grid) {
+          val y = j * (h - 1) / (grid - 1)
+          var i = 0
+          while (i < grid - 1) {
+            val x1 = i * (w - 1) / (grid - 1)
+            val x2 = (i + 1) * (w - 1) / (grid - 1)
+            if (px(x2, y) > px(x1, y)) hash |= 1L << b
+            b += 1
+            i += 1
+          }
+          j += 1
+        }
+        Some((m.doc_id, hash))
+      }
+    }
+
     /** Byte-budget clamp for OPAQUE payloads (truncate/zero-pad) — the
       * storage-cap primitive for kinds with no decoder, NOT an image
       * operation; image resolution changes go through [[resizeImage]].
@@ -471,6 +521,17 @@ object Media {
   def audioEnergy(media: Dataset[MediaRow], windowSamples: Int): Dataset[AudioWindow] = {
     import media.sparkSession.implicits._
     media.mapPartitions(_.flatMap(MediaCodec.audioWindows(_, windowSamples)))
+  }
+
+  /** Per-image difference hashes over genuinely decoded pixels —
+    * map-side like every media operator (one decode per row inside the
+    * partition iterator, zero shuffle); undecodable rows are skipped.
+    * The output (doc_id, dhash) relation composes with the exact/Hamming
+    * dedup family the way text fingerprints do. */
+  def imageDHashes(media: Dataset[MediaRow],
+      grid: Int = 8): Dataset[(Long, Long)] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.flatMap(MediaCodec.imageDHash(_, grid)))
   }
 
   /** Real resolution change for every decodable image in the set —
@@ -626,9 +687,44 @@ object Media {
        FROM documents WHERE doc_id % 2 = 0 OR doc_id % 4 = 3
        GROUP BY 1 ORDER BY kind"""
 
+  // ---- q346: perceptual-hash collision report over the image corpus -----------
+  // dHash every REAL PNG (decode → 8×8 lattice → 56-bit pack) and report
+  // the biggest hash-collision clusters — the image near-dup readout.
+  // The oracle predicts each hash from the generative parameters
+  // (pixel(x,·) = (doc_id + x) % 256, y-independent, so every lattice
+  // row carries the same 7-bit pattern and the 56-bit hash is
+  // rowpat · Σ_{j<8} 2^{7j} = rowpat · 567382630219905): the engine must
+  // round-trip a genuine PNG decode to reproduce the histogram.
+  private def q346(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    imageDHashes(mediaTable(s, d).filter(col("kind") === lit("image"))
+        .as[MediaRow])
+      .toDF("doc_id", "dhash")
+      .groupBy(col("dhash")).agg(count(lit(1)).as("n_images"))
+      .orderBy(col("n_images").desc, col("dhash"))
+      .limit(25)
+  }
+  private val q346Sql =
+    """WITH img AS (
+         SELECT doc_id, 1 + n_chars % 64 AS w
+         FROM documents WHERE doc_id % 2 = 0),
+       bits AS (
+         SELECT doc_id,
+           sum(CASE WHEN (doc_id + ((i.i + 1) * (w - 1)) // 7) % 256
+                  > (doc_id + (i.i * (w - 1)) // 7) % 256
+                THEN (1::BIGINT << i.i) ELSE 0 END)::BIGINT AS rowpat
+         FROM img CROSS JOIN (SELECT unnest(range(7)) AS i) i
+         GROUP BY doc_id),
+       hashes AS (
+         SELECT doc_id, (rowpat * 567382630219905)::BIGINT AS dhash
+         FROM bits)
+       SELECT dhash, count(*)::BIGINT AS n_images FROM hashes
+       GROUP BY dhash ORDER BY n_images DESC, dhash LIMIT 25"""
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q32_media_decode", q32, Some(q32Sql)),
     QueryDef("q33_media_frames", q33, Some(q33Sql)),
     QueryDef("q275_audio_energy", q275, Some(q275Sql)),
-    QueryDef("q339_image_resize", q339, Some(q339Sql)))
+    QueryDef("q339_image_resize", q339, Some(q339Sql)),
+    QueryDef("q346_image_dhash", q346, Some(q346Sql)))
 }

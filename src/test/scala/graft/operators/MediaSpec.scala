@@ -176,6 +176,29 @@ class MediaSpec extends SparkSpec {
       MediaRow(2L, "image", MediaCodec.synthPng(2L, 10L)), 256) === Seq())
   }
 
+  test("imageDHash packs lattice comparisons of the REAL decoded pixels") {
+    // doc_id = 4, nChars = 20 -> a 21x21 gradient PNG with
+    // pixel(x, y) = (4 + x) % 256: brute-compute the 56-bit dHash from
+    // the generative formula; the codec must reproduce it through a
+    // genuine PNG decode.
+    val m = MediaRow(4L, "image", MediaCodec.synthPng(4L, 20L))
+    val w = 21
+    def px(x: Int): Int = (4 + x) % 256
+    var want = 0L
+    for (j <- 0 until 8; i <- 0 until 7) {
+      val x1 = i * (w - 1) / 7
+      val x2 = (i + 1) * (w - 1) / 7
+      if (px(x2) > px(x1)) want |= 1L << (j * 7 + i)
+    }
+    assert(MediaCodec.imageDHash(m) === Some((4L, want)))
+    // A 1x1 image has no adjacent samples: hash 0, not an error.
+    assert(MediaCodec.imageDHash(
+      MediaRow(6L, "image", MediaCodec.synthPng(6L, 0L))) === Some((6L, 0L)))
+    // Undecodable payloads are SKIPPED, never fabricated.
+    assert(MediaCodec.imageDHash(
+      MediaRow(5L, "audio", MediaCodec.synthWav(5L, 10L))) === None)
+  }
+
   test("media pipeline stays map-side (no shuffle before the final agg)") {
     val plan = mediaDecode(mediaTable(spark, sf)).queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), s"decode should not shuffle:\n$plan")
