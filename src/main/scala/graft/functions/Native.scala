@@ -59,6 +59,14 @@ object Native {
       },
       "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_pav",
+      exprs => {
+        require(exprs.length == 1,
+          "graft_pav(blocks) takes one array<struct<x, n, s>>")
+        IsotonicPav(exprs.head)
+      },
+      "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_l2dist",
       exprs => {
         require(exprs.length == 2, "graft_l2dist(a, b) takes two arrays")

@@ -2112,6 +2112,111 @@ object Profile {
            AS chi2_micro
        FROM agg ORDER BY g"""
 
+  /** Increasing isotonic regression (pool-adjacent-violators) of a
+    * value against an integer predictor, per group — the monotone
+    * calibration step (Zadrozny & Elkan 2002: map a score to a
+    * probability under the sole assumption that more score means more
+    * probability; also dose-response and latency-vs-load curves). Exact
+    * end to end: pooled block means stay rational (BigInt
+    * cross-multiplied comparisons inside the native [[
+    * graft.functions.IsotonicPav]] kernel), floored to micro ONCE at
+    * emission with the engine-wide sign-split convention; the DuckDB
+    * oracle replays the identical stack machine as a recursive CTE, so
+    * fitted curves are bit-identical cross-engine. One fitted row per
+    * (group, distinct x), non-decreasing in x by construction.
+    *
+    * Scale design: one (group, x) collapse with map-side partials; the
+    * inherently-sequential PAV stack runs ONCE per group over the
+    * bounded distinct-x array inside whole-stage codegen (an O(n)
+    * static-call kernel, the MinHash-kernel discipline) — never over
+    * corpus rows.
+    */
+  def isotonicFit(df: DataFrame, groupCol: Column, xCol: Column,
+      yMicroCol: Column): DataFrame = {
+    val byX = df
+      .select(groupCol.as("g"), xCol.cast("long").as("x"),
+        yMicroCol.cast("long").as("y"))
+      .groupBy(col("g"), col("x"))
+      .agg(count(lit(1)).as("n"), sum(col("y")).as("s"))
+    byX.groupBy(col("g"))
+      .agg(array_sort(collect_list(struct(col("x"), col("n"), col("s"))))
+        .as("a"))
+      .select(col("g"), explode(expr("graft_pav(a)")).as("r"))
+      .select(col("g"), col("r.x").as("x"),
+        col("r.fitted_micro").as("fitted_micro"))
+  }
+
+  // ---- q347: monotone calibration of P(high-value event | hour) ---------------
+  // Per event type: the isotonic fit of the high-value indicator (value
+  // >= 2.0, in micro) against hour-of-day — "does later in the day mean
+  // higher-value traffic, and by how much" as a proper non-decreasing
+  // probability curve, not 24 noisy bin rates (q162's binned calibration
+  // is the unsmoothed readout; this is the one a scorer would deploy).
+  private def q347(s: SparkSession, d: String): DataFrame =
+    isotonicFit(Tables.events(s, d), col("event_type"),
+        expr("(unix_micros(ts) div 3600000000) % 24"),
+        expr("case when value >= 2.0D then 1000000L else 0L end"))
+      .orderBy(col("g"), col("x"))
+  private val q347Sql =
+    """WITH RECURSIVE byx AS (
+         SELECT event_type AS g,
+           ((epoch_us(ts) // 3600000000) % 24)::BIGINT AS x,
+           count(*)::BIGINT AS n,
+           sum(CASE WHEN value >= 2.0 THEN 1000000 ELSE 0 END)::BIGINT AS s
+         FROM events GROUP BY 1, 2),
+       arr AS (
+         SELECT g, count(*)::BIGINT AS nx,
+           list(x ORDER BY x) AS xs, list(n ORDER BY x) AS ns,
+           list(s ORDER BY x) AS ss
+         FROM byx GROUP BY g),
+       pav AS (
+         SELECT g, nx, xs, ns, ss, 1::BIGINT AS step,
+           [{'st': 1::BIGINT, 'num': ss[1]::BIGINT,
+             'den': ns[1]::BIGINT}] AS stk
+         FROM arr
+         UNION ALL
+         SELECT g, nx, xs, ns, ss,
+           CASE WHEN len(stk) >= 2
+               AND stk[len(stk) - 1].num::HUGEINT * stk[len(stk)].den
+                 >= stk[len(stk)].num::HUGEINT * stk[len(stk) - 1].den
+             THEN step ELSE step + 1 END,
+           CASE WHEN len(stk) >= 2
+               AND stk[len(stk) - 1].num::HUGEINT * stk[len(stk)].den
+                 >= stk[len(stk)].num::HUGEINT * stk[len(stk) - 1].den
+             THEN stk[1:len(stk) - 2]
+               || [{'st': stk[len(stk) - 1].st,
+                    'num': (stk[len(stk) - 1].num
+                      + stk[len(stk)].num)::BIGINT,
+                    'den': (stk[len(stk) - 1].den
+                      + stk[len(stk)].den)::BIGINT}]
+             ELSE stk || [{'st': (step + 1)::BIGINT,
+                           'num': ss[step + 1]::BIGINT,
+                           'den': ns[step + 1]::BIGINT}]
+           END
+         FROM pav
+         WHERE (len(stk) >= 2
+             AND stk[len(stk) - 1].num::HUGEINT * stk[len(stk)].den
+               >= stk[len(stk)].num::HUGEINT * stk[len(stk) - 1].den)
+           OR step < nx),
+       fin AS (
+         SELECT g, nx, xs, stk FROM pav
+         WHERE step = nx AND NOT (len(stk) >= 2
+           AND stk[len(stk) - 1].num::HUGEINT * stk[len(stk)].den
+             >= stk[len(stk)].num::HUGEINT * stk[len(stk) - 1].den)),
+       pos AS (
+         SELECT g, xs, stk, unnest(range(1, nx + 1))::BIGINT AS i
+         FROM fin),
+       blk AS (
+         SELECT g, xs[i]::BIGINT AS x,
+           (SELECT u.b FROM (SELECT unnest(stk) AS b) u
+            WHERE u.b.st <= i ORDER BY u.b.st DESC LIMIT 1) AS b
+         FROM pos)
+       SELECT g, x,
+         (CASE WHEN b.num < 0 THEN -1 ELSE 1 END
+           * ((abs(b.num)::HUGEINT * 1000000) // b.den))::BIGINT
+           AS fitted_micro
+       FROM blk ORDER BY g, x"""
+
   /** Functional-dependency DISCOVERY over a column set: for every
     * ordered pair (det → dep), the exact distinct counts, how many
     * extra (det, dep) combinations exist beyond |distinct det| (0 =
@@ -3601,6 +3706,7 @@ object Profile {
     QueryDef("q335_mcnemar", q335, Some(q335Sql)),
     QueryDef("q336_cochran_armitage", q336, Some(q336Sql)),
     QueryDef("q343_chi2_uniform", q343, Some(q343Sql)),
+    QueryDef("q347_isotonic_fit", q347, Some(q347Sql)),
     QueryDef("q251_inclusion_audit", q251, Some(q251Sql)),
     QueryDef("q259_salt_plan", q259, Some(q259Sql)),
     QueryDef("q268_grouped_corr", q268, Some(q268Sql)),

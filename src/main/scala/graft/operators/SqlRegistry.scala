@@ -206,6 +206,16 @@ object SqlRegistry {
         horizon = intLit(exprs(8), "horizon"))
     }
 
+    // graft_isotonic_fit(table, groupCol, xExpr, yMicroExpr): increasing
+    // isotonic (PAV) calibration curve per group (the q347 operator).
+    tvf("graft_isotonic_fit") { exprs =>
+      require(exprs.length == 4,
+        "graft_isotonic_fit(table, groupCol, xExpr, yMicroExpr)")
+      Profile.isotonicFit(s.table(strLit(exprs(0), "table")),
+        col(strLit(exprs(1), "groupCol")), expr(strLit(exprs(2), "xExpr")),
+        expr(strLit(exprs(3), "yMicroExpr")))
+    }
+
     // graft_calendar(startDate, endDate): inclusive date spine with the
     // calendar attributes every BI join needs, all derived TIMEZONE-FREE
     // from epoch-day arithmetic (dow via (day_id + 3) % 7, 0 = Monday —

@@ -487,6 +487,44 @@ class RandomizedEquivalenceSpec extends SparkSpec {
     }
   }
 
+  test("isotonicFit equals the minimax characterization on random data") {
+    // Independent oracle: the isotonic fit satisfies fitted(i) =
+    // max_{j<=i} min_{k>=i} mean(y over x-blocks j..k) with EXACT
+    // rational means (Robertson et al. 1988, Thm 1.4.4) — a different
+    // computation than the PAV stack the kernel runs.
+    (1 to 6).foreach { trial =>
+      val rows = Vector.fill(20 + rnd.nextInt(60))(
+        (rnd.nextInt(8).toLong, rnd.nextInt(2000001).toLong - 1000000L))
+      val df = rows.map { case (x, y) => ("grp", x, y) }.toDF("g0", "x0", "y0")
+      val blocks = rows.groupBy(_._1).toSeq.sortBy(_._1).map { case (x, rs) =>
+        (x, rs.size.toLong, rs.map(_._2).sum)
+      }
+      val nB = blocks.size
+      def mean(j: Int, k: Int): (BigInt, Long) = {
+        val num = blocks.slice(j, k + 1).map(b => BigInt(b._3)).sum
+        val den = blocks.slice(j, k + 1).map(_._2).sum
+        (num, den)
+      }
+      def le(a: (BigInt, Long), b: (BigInt, Long)): Boolean =
+        a._1 * b._2 <= b._1 * a._2
+      val fitted = (0 until nB).map { i =>
+        val v = (0 to i).map { j =>
+          (i until nB).map(k => mean(j, k))
+            .reduce((a, b) => if (le(a, b)) a else b)
+        }.reduce((a, b) => if (le(a, b)) b else a)
+        val t = v._1 * 1000000
+        ((if (t < 0) BigInt(-1) else BigInt(1)) * (t.abs / v._2)).toLong
+      }
+      val wantRows = blocks.zip(fitted).map { case ((x, _, _), f) =>
+        ("grp", x, f) }
+      val got = Profile.isotonicFit(df, col("g0"), col("x0"), col("y0"))
+        .orderBy(col("x")).as[(String, Long, Long)].collect()
+      assert(got.toSeq === wantRows, s"trial $trial blocks=$blocks")
+      // Monotone by construction.
+      assert(fitted === fitted.sorted, s"trial $trial not monotone")
+    }
+  }
+
   test("interpQuantiles equals the sorted-array rational on random multisets") {
     (1 to 6).foreach { trial =>
       val n = 1 + rnd.nextInt(30)

@@ -139,4 +139,19 @@ class SqlRegistrySpec extends SparkSpec {
       gammaMicro = 300000L, horizon = 4)
     assert(hwSql.except(hwApi).isEmpty && hwApi.except(hwSql).isEmpty)
   }
+
+  test("graft_isotonic_fit TVF equals the Dataset operator") {
+    graft.functions.Native.register(spark)
+    SqlRegistry.register(spark)
+    Tables(spark, sf, "events").createOrReplaceTempView("events")
+    val viaSql = spark.sql(
+      """SELECT * FROM graft_isotonic_fit('events', 'event_type',
+           '(unix_micros(cast(ts as timestamp)) div 3600000000) % 24',
+           'case when value >= 2.0D then 1000000L else 0L end')""")
+    val viaApi = Profile.isotonicFit(Tables(spark, sf, "events"),
+      col("event_type"),
+      expr("(unix_micros(cast(ts as timestamp)) div 3600000000) % 24"),
+      expr("case when value >= 2.0D then 1000000L else 0L end"))
+    assert(viaSql.except(viaApi).isEmpty && viaApi.except(viaSql).isEmpty)
+  }
 }
