@@ -1763,6 +1763,131 @@ object Analytics {
          e AS ewma_micro
        FROM f ORDER BY g, p"""
 
+  /** Dynamic-time-warping distance between two per-period series
+    * (Sakoe & Chiba 1978): the minimum total |a_i − b_j| cost over all
+    * monotone alignments — the ELASTIC series similarity ([[
+    * leadLagProfile]] tests rigid shifts; DTW lets segments stretch, the
+    * "same seasonal shape, different pacing" question). Exact integer
+    * DP evaluated as anti-diagonal WAVEFRONTS: diagonal k depends only
+    * on diagonals k−1 and k−2, so the whole table is a fold over
+    * 2·max(n)−1 steps carrying two bounded arrays — no per-cell
+    * recursion, and the identical wavefront replays as a recursive CTE
+    * in the oracle (each cell a pure min of already-final cells; no
+    * accumulator re-evaluation, the q341 defect class). One row out:
+    * lengths, total cost, and cost·10⁶ div (n_a+n_b) per alignment
+    * step.
+    *
+    * Scale design: one per-(series, period) collapse with map-side
+    * partials; the O(n_a·n_b) DP runs ONCE on the single collapsed row
+    * (calendar-bounded series — the [[holtForecast]] domain contract);
+    * the corpus is touched once.
+    */
+  def dtwDistance(df: DataFrame, seriesCol: Column, periodCol: Column,
+      valueCol: Column, seriesA: String, seriesB: String): DataFrame = {
+    val BIG = "1152921504606846976L" // 2^60: +cost can never overflow
+    val byP = df
+      .select(seriesCol.as("et"), periodCol.cast("long").as("p"),
+        valueCol.cast("long").as("y"))
+      .filter(col("et").isin(seriesA, seriesB))
+      .groupBy(col("et"), col("p")).agg(sum(col("y")).as("yp"))
+    def minPred = s"""least(
+        case when i > 1L then element_at(acc.d1, cast(i as int) - 1)
+          else $BIG end,
+        element_at(acc.d1, cast(i as int)),
+        case when i > 1L then element_at(acc.d2, cast(i as int) - 1)
+          else $BIG end)"""
+    // The fold's k IS the new diagonal (the oracle's recursive arm reads
+    // the previous row's k, hence its k+1 offsets): cell (i, j) on
+    // diagonal k has j = k + 1 - i.
+    val cell = s"""case when i >= greatest(1L, k + 1L - nb)
+          and i <= least(na, k)
+        then abs(element_at(a, cast(i as int))
+            - element_at(b, cast(k + 1L - i as int)))
+          + (case when $minPred >= $BIG then 0L else $minPred end)
+        else $BIG end"""
+    val init1 = s"""transform(sequence(1L, na), i ->
+      case when i = 1L then abs(element_at(a, 1) - element_at(b, 1))
+        else $BIG end)"""
+    val foldExpr = s"""case
+      when na = 1L and nb = 1L
+        then abs(element_at(a, 1) - element_at(b, 1))
+      else element_at(aggregate(sequence(2L, na + nb - 1L),
+        named_struct('d1', $init1,
+          'd2', transform(sequence(1L, na), i -> $BIG)),
+        (acc, k) -> named_struct(
+          'd1', transform(sequence(1L, na), i -> $cell),
+          'd2', acc.d1)).d1, cast(na as int))
+      end"""
+    byP.agg(
+        array_sort(collect_list(when(col("et") === lit(seriesA),
+          struct(col("p"), col("yp"))))).as("sa"),
+        array_sort(collect_list(when(col("et") === lit(seriesB),
+          struct(col("p"), col("yp"))))).as("sb"))
+      .select(expr("transform(sa, x -> x.yp)").as("a"),
+        expr("transform(sb, x -> x.yp)").as("b"))
+      .select(col("a"), col("b"), size(col("a")).cast("long").as("na"),
+        size(col("b")).cast("long").as("nb"))
+      .filter(col("na") >= 1L && col("nb") >= 1L)
+      .select(col("na"), col("nb"), expr(foldExpr).as("dtw_cost"))
+      .select(col("na"), col("nb"), col("dtw_cost"),
+        expr("dtw_cost * 1000000L div (na + nb)").as("dtw_per_step_micro"))
+  }
+
+  // ---- q348: do urgent and low-priority order flows share a shape? ------------
+  // DTW over the two monthly count series — rigid-lag tools (q312) say
+  // WHEN one leads; this says how alike the shapes are under elastic
+  // alignment.
+  private def q348(s: SparkSession, d: String): DataFrame =
+    dtwDistance(Tables.orders(s, d), col("o_orderpriority"),
+      expr("year(cast(o_orderdate as date)) * 12" +
+        " + month(cast(o_orderdate as date))"),
+      lit(1L), "1-URGENT", "5-LOW")
+  private val q348Sql =
+    """WITH RECURSIVE m AS (
+         SELECT o_orderpriority AS g,
+           year(o_orderdate::DATE) * 12 + month(o_orderdate::DATE) AS p,
+           count(*)::BIGINT AS yp
+         FROM orders WHERE o_orderpriority IN ('1-URGENT', '5-LOW')
+         GROUP BY 1, 2),
+       sa AS (SELECT list(yp ORDER BY p) AS a FROM m WHERE g = '1-URGENT'),
+       sb AS (SELECT list(yp ORDER BY p) AS b FROM m WHERE g = '5-LOW'),
+       dims AS (SELECT a, b, len(a)::BIGINT AS na, len(b)::BIGINT AS nb
+                FROM sa, sb),
+       wave AS (
+         SELECT a, b, na, nb, 1::BIGINT AS k,
+           list_transform(range(1, na + 1), i ->
+             CASE WHEN i = 1 THEN abs(a[1] - b[1])
+                  ELSE 1152921504606846976 END) AS d1,
+           list_transform(range(1, na + 1),
+             i -> 1152921504606846976::BIGINT) AS d2
+         FROM dims
+         UNION ALL
+         SELECT a, b, na, nb, k + 1,
+           list_transform(range(1, na + 1), i ->
+             CASE WHEN i >= greatest(1, k + 2 - nb)
+                 AND i <= least(na, k + 1)
+               THEN abs(a[i] - b[k + 2 - i])
+                 + CASE WHEN least(
+                     CASE WHEN i > 1 THEN d1[i - 1]
+                          ELSE 1152921504606846976 END,
+                     d1[i],
+                     CASE WHEN i > 1 THEN d2[i - 1]
+                          ELSE 1152921504606846976 END)
+                     >= 1152921504606846976
+                   THEN 0
+                   ELSE least(
+                     CASE WHEN i > 1 THEN d1[i - 1]
+                          ELSE 1152921504606846976 END,
+                     d1[i],
+                     CASE WHEN i > 1 THEN d2[i - 1]
+                          ELSE 1152921504606846976 END) END
+               ELSE 1152921504606846976 END) AS d1,
+           d1 AS d2
+         FROM wave WHERE k < na + nb - 1)
+       SELECT na, nb, d1[na]::BIGINT AS dtw_cost,
+         (d1[na] * 1000000 // (na + nb))::BIGINT AS dtw_per_step_micro
+       FROM wave WHERE k = na + nb - 1"""
+
   /** Lead–lag cross-covariance profile between two daily series: for each
     * lag in [−maxLag, maxLag], the exact covariance numerator
     * n·Σxy − Σx·Σy over days where series A at day d aligns with series B
@@ -5211,6 +5336,7 @@ object Analytics {
     QueryDef("q341_holt_forecast", q341, Some(q341Sql)),
     QueryDef("q342_ewma_series", q342, Some(q342Sql)),
     QueryDef("q345_holt_winters", q345, Some(q345Sql)),
+    QueryDef("q348_dtw_distance", q348, Some(q348Sql)),
     QueryDef("q250_theil_sen", q250, Some(q250Sql)),
     QueryDef("q202_change_point", q202, Some(q202Sql)),
     QueryDef("q215_otsu_threshold", q215, Some(q215Sql)),

@@ -487,6 +487,36 @@ class RandomizedEquivalenceSpec extends SparkSpec {
     }
   }
 
+  test("dtwDistance equals the quadratic DP on random series") {
+    def brute(a: Seq[Long], b: Seq[Long]): Long = {
+      val D = Array.fill(a.size + 1, b.size + 1)(Long.MaxValue / 4)
+      for (i <- 1 to a.size; j <- 1 to b.size) {
+        val c = math.abs(a(i - 1) - b(j - 1))
+        D(i)(j) =
+          if (i == 1 && j == 1) c
+          else c + Seq(D(i - 1)(j), D(i)(j - 1), D(i - 1)(j - 1)).min
+      }
+      D(a.size)(b.size)
+    }
+    (1 to 6).foreach { trial =>
+      // Trial 6 pins the length-1 edge on BOTH sides of the guard.
+      val la = if (trial == 6) 1 else 1 + rnd.nextInt(15)
+      val lb = if (trial == 6) 1 else 1 + rnd.nextInt(15)
+      val a = Vector.fill(la)(rnd.nextInt(100).toLong)
+      val b = Vector.fill(lb)(rnd.nextInt(100).toLong)
+      val rows =
+        a.zipWithIndex.map { case (y, p) => ("A", p.toLong, y) } ++
+        b.zipWithIndex.map { case (y, p) => ("B", p.toLong, y) }
+      val df = rows.toDF("et0", "p0", "y0")
+      val want = brute(a, b)
+      val got = Analytics.dtwDistance(df, col("et0"), col("p0"),
+          col("y0"), "A", "B")
+        .as[(Long, Long, Long, Long)].collect()
+      assert(got.toSeq === Seq((la.toLong, lb.toLong, want,
+        want * 1000000L / (la + lb))), s"trial $trial a=$a b=$b")
+    }
+  }
+
   test("isotonicFit equals the minimax characterization on random data") {
     // Independent oracle: the isotonic fit satisfies fitted(i) =
     // max_{j<=i} min_{k>=i} mean(y over x-blocks j..k) with EXACT
