@@ -1763,6 +1763,97 @@ object Analytics {
          e AS ewma_micro
        FROM f ORDER BY g, p"""
 
+  /** Croston's method for INTERMITTENT demand (Croston 1972): smooth the
+    * nonzero demand SIZES and the CALENDAR INTERVALS between them as two
+    * separate exponential recurrences, and read the demand rate as their
+    * ratio — the forecasting primitive for series that are mostly zero,
+    * where plain smoothing ([[ewmaSeries]] / [[holtForecast]]) dilutes
+    * every real demand across the empty periods. Exact integer micro:
+    * z₁ = y₁·10⁶, v₁ = 10⁶ (unit-interval init), then per subsequent
+    * demand z ← α·y·10⁶ + (1−α)z and v ← α·(p_t − p_{t−1})·10⁶ + (1−α)v,
+    * one sign-split truncation each; rate = z·10⁶ div v. Groups with
+    * fewer than 2 demands are dropped (no interval is estimable).
+    *
+    * Scale design and domain contract: identical to [[holtForecast]] —
+    * one per-(group, period) collapse with map-side partials (zero
+    * periods never enter it), one bounded calendar-sized array fold per
+    * group.
+    */
+  def crostonForecast(df: DataFrame, groupCol: String, periodCol: Column,
+      valueCol: Column, alphaMicro: Long = 200000L): DataFrame = {
+    require(alphaMicro >= 0 && alphaMicro <= 1000000L, "alpha is micro")
+    val (a, na) = (alphaMicro, 1000000L - alphaMicro)
+    def md(x: String) = s"cast((case when ($x) < 0 then -1L else 1L end)" +
+      s" * (abs($x) div 1000000) as long)"
+    val newZ = md(s"$a * cast(x.yp as decimal(38,0)) * 1000000" +
+      s" + $na * cast(acc.z as decimal(38,0))")
+    // The interval is the CALENDAR gap to the previous demand — the
+    // fold carries the previous period in the state.
+    val newV = md(s"$a * cast(x.p - acc.pp as decimal(38,0)) * 1000000" +
+      s" + $na * cast(acc.v as decimal(38,0))")
+    val foldExpr = s"""aggregate(slice(s, 2, size(s) - 1),
+      named_struct('z', element_at(s, 1).yp * 1000000L, 'v', 1000000L,
+        'pp', element_at(s, 1).p),
+      (acc, x) -> named_struct('z', $newZ, 'v', $newV, 'pp', x.p))"""
+    df.select(col(groupCol).as("g"), periodCol.cast("long").as("p"),
+        valueCol.cast("long").as("y"))
+      .groupBy(col("g"), col("p")).agg(sum(col("y")).as("yp"))
+      .filter(col("yp") =!= 0L)
+      .groupBy(col("g"))
+      .agg(array_sort(collect_list(struct(col("p"), col("yp")))).as("s"))
+      .filter(size(col("s")) >= 2)
+      .select(col("g"), size(col("s")).cast("long").as("n_demands"),
+        expr(foldExpr).as("st"))
+      .select(col("g"), col("n_demands"), col("st.z").as("size_micro"),
+        col("st.v").as("interval_micro"),
+        expr("""cast((case when st.z < 0 then -1L else 1L end)
+             * (abs(cast(st.z as decimal(38,0))) * 1000000 div st.v)
+             as long)""").as("rate_micro"))
+  }
+
+  // ---- q349: demand rate of a sparse buyer slice, per priority ----------------
+  // Monthly order counts of the o_custkey % 11 = 0 slice — intermittent
+  // at small scale factors (most months zero), dense at large ones
+  // (interval smooths toward 1): the operator handles both ends of the
+  // sparsity spectrum with the same recurrence.
+  private def q349(s: SparkSession, d: String): DataFrame =
+    crostonForecast(Tables.orders(s, d)
+        .filter(expr("o_custkey % 11 = 0")), "o_orderpriority",
+        expr("year(cast(o_orderdate as date)) * 12" +
+          " + month(cast(o_orderdate as date))"),
+        lit(1L), alphaMicro = 200000L)
+      .orderBy(col("g"))
+  private val q349Sql =
+    """WITH RECURSIVE m AS (
+         SELECT o_orderpriority AS g,
+           year(o_orderdate::DATE) * 12 + month(o_orderdate::DATE) AS p,
+           count(*)::BIGINT AS yp
+         FROM orders WHERE o_custkey % 11 = 0
+         GROUP BY 1, 2 HAVING count(*) > 0),
+       s AS (
+         SELECT g, count(*)::BIGINT AS n_demands,
+           list(p ORDER BY p) AS ps, list(yp ORDER BY p) AS ys
+         FROM m GROUP BY g HAVING count(*) >= 2),
+       fold AS (
+         SELECT g, n_demands, ps, ys, 1::BIGINT AS step,
+           (ys[1] * 1000000)::BIGINT AS z, 1000000::BIGINT AS v
+         FROM s
+         UNION ALL
+         SELECT g, n_demands, ps, ys, step + 1,
+           (CASE WHEN (200000::HUGEINT * ys[step + 1] * 1000000
+               + 800000::HUGEINT * z) < 0 THEN -1 ELSE 1 END
+             * (abs(200000::HUGEINT * ys[step + 1] * 1000000
+               + 800000::HUGEINT * z) // 1000000))::BIGINT,
+           (CASE WHEN (200000::HUGEINT * (ps[step + 1] - ps[step]) * 1000000
+               + 800000::HUGEINT * v) < 0 THEN -1 ELSE 1 END
+             * (abs(200000::HUGEINT * (ps[step + 1] - ps[step]) * 1000000
+               + 800000::HUGEINT * v) // 1000000))::BIGINT
+         FROM fold WHERE step < n_demands)
+       SELECT g, n_demands, z AS size_micro, v AS interval_micro,
+         (CASE WHEN z < 0 THEN -1 ELSE 1 END
+           * ((abs(z)::HUGEINT * 1000000) // v))::BIGINT AS rate_micro
+       FROM fold WHERE step = n_demands ORDER BY g"""
+
   /** Dynamic-time-warping distance between two per-period series
     * (Sakoe & Chiba 1978): the minimum total |a_i − b_j| cost over all
     * monotone alignments — the ELASTIC series similarity ([[
@@ -5337,6 +5428,7 @@ object Analytics {
     QueryDef("q342_ewma_series", q342, Some(q342Sql)),
     QueryDef("q345_holt_winters", q345, Some(q345Sql)),
     QueryDef("q348_dtw_distance", q348, Some(q348Sql)),
+    QueryDef("q349_croston", q349, Some(q349Sql)),
     QueryDef("q250_theil_sen", q250, Some(q250Sql)),
     QueryDef("q202_change_point", q202, Some(q202Sql)),
     QueryDef("q215_otsu_threshold", q215, Some(q215Sql)),

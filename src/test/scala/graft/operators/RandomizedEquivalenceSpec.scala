@@ -414,6 +414,38 @@ class RandomizedEquivalenceSpec extends SparkSpec {
     }
   }
 
+  test("crostonForecast equals a sequential two-recurrence fold on sparse series") {
+    def md(x: BigInt): Long =
+      ((if (x < 0) BigInt(-1) else BigInt(1)) * (x.abs / 1000000)).toLong
+    (1 to 6).foreach { trial =>
+      val a = rnd.nextInt(1000001).toLong
+      // Mostly-zero periods: only ~30% carry demand.
+      val rows = (1 to 40).flatMap { p =>
+        if (rnd.nextInt(10) < 3)
+          Some((p.toLong, 1L + rnd.nextInt(50).toLong)) else None
+      }
+      if (rows.size >= 2) {
+        // Zero-valued rows must behave as ABSENT periods.
+        val zeros = Seq((41L, 0L), (42L, 0L))
+        val df = ((rows ++ zeros).map { case (p, y) => ("grp", p, y) } :+
+          (("lone", 1L, 7L))).toDF("g0", "p0", "y0")
+        var z = BigInt(rows.head._2) * 1000000
+        var v = BigInt(1000000)
+        rows.sliding(2).foreach { case Seq((pp, _), (p, y)) =>
+          z = BigInt(md(a * BigInt(y) * 1000000 + (1000000L - a) * z))
+          v = BigInt(md(a * BigInt(p - pp) * 1000000 + (1000000L - a) * v))
+        }
+        val rate = ((if (z < 0) BigInt(-1) else BigInt(1))
+          * (z.abs * 1000000 / v)).toLong
+        val got = Analytics.crostonForecast(df, "g0", col("p0"), col("y0"),
+            alphaMicro = a)
+          .as[(String, Long, Long, Long, Long)].collect()
+        assert(got.toSeq === Seq(("grp", rows.size.toLong, z.toLong,
+          v.toLong, rate)), s"trial $trial a=$a rows=$rows")
+      }
+    }
+  }
+
   test("ewmaSeries equals a sequential micro recurrence on random series") {
     def md(x: BigInt): Long =
       ((if (x < 0) BigInt(-1) else BigInt(1)) * (x.abs / 1000000)).toLong
