@@ -1397,11 +1397,12 @@ object Similarity {
     * Σtop-k div k, so boundary ties (equal d²) cannot change the score.
     *
     * This is the EXACT all-pairs baseline (like q29's cosine pairs —
-    * correct at fixture scale, quadratic by intent); at corpus scale
-    * route the neighbor search through [[ivfTopK]] buckets and keep the
-    * same mean-of-top-k scoring. Ranking rides the bounded-heap
-    * aggregator: k rows per vector cross the wire, never a ranked
-    * materialization.
+    * correct at fixture scale, quadratic by intent); at corpus scale use
+    * [[knnOutliersIvf]] — the REGISTERED bucketed variant (q350) that
+    * keeps the same mean-of-top-k scoring over IVF bucket candidates,
+    * recall-gated against this baseline by its acceptance spec. Ranking
+    * rides the bounded-heap aggregator: k rows per vector cross the
+    * wire, never a ranked materialization.
     */
   def knnOutliers(vectors: DataFrame, idCol: String, vecCol: String,
       k: Int, topN: Int): DataFrame = {
@@ -1412,6 +1413,71 @@ object Similarity {
         (-(doti(col("a.q8"), col("a.q8"))
           - lit(2L) * doti(col("a.q8"), col("b.q8"))
           + doti(col("b.q8"), col("b.q8")))).cast("double").as("c"))
+    rankTopK(scored, k)
+      .groupBy(col("query_id"))
+      .agg((-sum(col("cos_sim"))).cast("long").as("d2_sum"),
+        count(lit(1)).as("n_neighbors"))
+      .select(col("query_id").as("vec_id"), col("n_neighbors"),
+        expr(s"d2_sum div n_neighbors").as("knn_d2_mean"))
+      .orderBy(col("knn_d2_mean").desc, col("vec_id"))
+      .limit(topN)
+  }
+
+  /** Bucketed SCALE PATH for [[knnOutliers]]: the same mean-of-top-k
+    * L2² outlier score, but each vector's neighbor candidates come from
+    * its IVF bucket instead of the full corpus — the all-pairs join
+    * (O(N²)) becomes a bucket-equality self-join (O(N²/K) pairs for K
+    * balanced buckets), which is the shape that survives a 100-TB
+    * corpus. Assignment is argmin quantized L2² to the seed set
+    * (broadcast seeds + max(struct) hash aggregation with map-side
+    * partials, ties to the lowest seed id — the [[ivfAssign]]
+    * discipline, in the SAME int8 metric the outlier score uses so the
+    * whole operator is one exact BIGINT algebra). Ranking rides the
+    * bounded heap: k rows per vector per map partial cross the wire.
+    *
+    * Approximation contract: scores are an UPPER BOUND proxy — a
+    * vector's true k nearest may live beyond its probed buckets, so
+    * bucketed means ≥ exact means, and genuinely isolated vectors (the
+    * targets) rank first in both; `nprobe` is the recall lever (each
+    * vector's CANDIDATES come from its nprobe nearest buckets, the
+    * [[ivfTopKProbes]] discipline — the acceptance spec pins top-set
+    * recall vs the exact [[knnOutliers]] ranking at nprobe = 4). A
+    * vector with no candidate in its probed buckets emits no row — at
+    * real scale seed counts are sized so buckets hold thousands of
+    * vectors; the spec covers the contract at fixture scale.
+    */
+  def knnOutliersIvf(vectors: DataFrame, seeds: DataFrame, idCol: String,
+      vecCol: String, k: Int, topN: Int, nprobe: Int = 1): DataFrame = {
+    require(k >= 1 && topN >= 1 && nprobe >= 1,
+      "knnOutliersIvf needs k, topN, nprobe >= 1")
+    def d2(a: Column, b: Column): Column =
+      doti(a, a) - lit(2L) * doti(a, b) + doti(b, b)
+    val q8 = vectors.select(col(idCol).as("vid"), quantize8(col(vecCol)).as("q8"))
+    val sq = seeds.select(col(idCol).as("seed_id"), quantize8(col(vecCol)).as("sq"))
+    val assigned = q8.join(broadcast(sq))
+      .select(col("vid"),
+        struct((-d2(col("q8"), col("sq"))).as("neg_d2"),
+          (-col("seed_id")).as("neg_seed"), col("q8").as("v")).as("cand"))
+      .groupBy(col("vid"))
+      .agg(max(col("cand")).as("best"))
+      .select(col("vid"), col("best.v").as("q8"),
+        (-col("best.neg_seed")).as("cluster"))
+    // Each vector probes its nprobe nearest seed buckets (d2 asc, seed
+    // asc — the bounded-heap ranking, |seeds| scored rows per vector,
+    // all broadcast work).
+    val probeScored = q8.join(broadcast(sq))
+      .select(col("vid").as("query_id"), col("seed_id").as("neighbor_id"),
+        (-d2(col("q8"), col("sq"))).cast("double").as("c"))
+    val probes = rankTopK(probeScored, nprobe)
+      .select(col("query_id").as("vid"), col("neighbor_id").as("cluster"))
+      .join(q8, "vid")
+    // A candidate lives in exactly one bucket and probed clusters are
+    // distinct per query, so no pair is scored twice — no distinct pass.
+    val scored = probes.as("a")
+      .join(assigned.as("b"), col("a.cluster") === col("b.cluster")
+        && col("a.vid") =!= col("b.vid"))
+      .select(col("a.vid").as("query_id"), col("b.vid").as("neighbor_id"),
+        (-d2(col("a.q8"), col("b.q8"))).cast("double").as("c"))
     rankTopK(scored, k)
       .groupBy(col("query_id"))
       .agg((-sum(col("cos_sim"))).cast("long").as("d2_sum"),
@@ -1598,6 +1664,49 @@ object Similarity {
        FROM top GROUP BY q
        ORDER BY knn_d2_mean DESC, vec_id LIMIT 20"""
 
+  // ---- q350: the q286 outlier scan through IVF buckets ------------------------
+  // Same mean-of-top-k L2² score, neighbor candidates restricted to the
+  // vector's bucket — the registered demonstration that the outlier
+  // scan has a non-quadratic route (the prose claim q286 carries, made
+  // oracle-checked).
+  private def q350(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+    knnOutliersIvf(e, e.filter(col("vec_id") < NumSeeds), "vec_id",
+      "embedding", k = 5, topN = 20, nprobe = 4)
+  }
+  private val q350Sql =
+    s"""WITH q8 AS (
+         SELECT vec_id AS vid, list_transform(embedding, x -> floor(x::DOUBLE /
+           (list_max(list_transform(embedding, y -> abs(y))))::DOUBLE
+           * 127)::BIGINT) AS q
+         FROM embeddings),
+       sd AS (SELECT vid AS seed_id, q AS sq FROM q8 WHERE vid < $NumSeeds),
+       sc AS (
+         SELECT a.vid, a.q, s.seed_id,
+           row_number() OVER (PARTITION BY a.vid ORDER BY
+             list_sum(list_transform(range(1, len(a.q) + 1),
+               i -> (a.q[i] - s.sq[i]) * (a.q[i] - s.sq[i]))),
+             s.seed_id) AS rn
+         FROM q8 a CROSS JOIN sd s),
+       asg AS (
+         SELECT vid, q, seed_id AS cluster FROM sc WHERE rn = 1),
+       prb AS (
+         SELECT vid, q, seed_id AS cluster FROM sc WHERE rn <= 4),
+       d AS (
+         SELECT a.vid AS q, b.vid AS n,
+           list_sum(list_transform(range(1, len(a.q) + 1),
+             i -> (a.q[i] - b.q[i]) * (a.q[i] - b.q[i])))::BIGINT AS d2
+         FROM prb a JOIN asg b ON a.cluster = b.cluster AND a.vid != b.vid),
+       top AS (
+         SELECT q, d2 FROM (
+           SELECT q, d2, row_number() OVER (PARTITION BY q
+             ORDER BY d2, n) AS rn
+           FROM d) t WHERE rn <= 5)
+       SELECT q AS vec_id, count(*)::BIGINT AS n_neighbors,
+         (sum(d2) // count(*))::BIGINT AS knn_d2_mean
+       FROM top GROUP BY q
+       ORDER BY knn_d2_mean DESC, vec_id LIMIT 20"""
+
   // ---- q265: elbow table over the int8-quantized corpus -----------------------
   private def q265(s: SparkSession, d: String): DataFrame =
     kmeansElbow(Tables.embeddings(s, d), "vec_id", "embedding", Seq(2, 4, 8))
@@ -1625,6 +1734,7 @@ object Similarity {
     QueryDef("q265_kmeans_elbow", q265, Some(q265Sql)),
     QueryDef("q277_centroid_classifier", q277, Some(q277Sql)),
     QueryDef("q286_knn_outliers", q286, Some(q286Sql)),
+    QueryDef("q350_knn_outliers_ivf", q350, Some(q350Sql)),
     QueryDef("q293_embedding_audit", q293, Some(q293Sql)),
     QueryDef("q302_ivf_probe_sweep", q302, Some(q302Sql)),
     QueryDef("q30_cosine_topk", q30, Some(q30Sql), headline = true),
