@@ -212,6 +212,44 @@ object Dedup {
       .select(col("d1"), col("d2"), col("hamming").cast("long").as("hamming"))
   }
 
+  /** Banded Hamming near-dup pairs over PRECOMPUTED integer fingerprints
+    * — the generic pigeonhole join [[simhashPairs]] hard-codes for its
+    * 32-bit signature, parameterized for any packed hash (the
+    * [[Media.imageDHashes]] 56-bit perceptual hash is the motivating
+    * consumer, q351): split each hash into `bands` chunks of `bandBits`,
+    * join on (band index, chunk) equality, verify exact Hamming in the
+    * projection. EXACT for maxHamming < bands — at most maxHamming
+    * differing bits cannot touch every band, so every qualifying pair
+    * shares a band (pigeonhole) and the candidate join finds it; the
+    * Hamming filter discards everything else, so output ≡ the all-pairs
+    * relation the oracle computes.
+    *
+    * Scale shape: the only shuffles are on fixed-width (band, chunk)
+    * keys — `bands` rows per document, never a corpus cross join; the
+    * candidate distinct is bounded by band-collision counts (the
+    * MinHash-LSH discipline at [[minhashLshPairs]]).
+    */
+  def hammingPairs(hashes: DataFrame, idCol: String, hashCol: String,
+      bands: Int, bandBits: Int, maxHamming: Int): DataFrame = {
+    require(bands >= 1 && bandBits >= 1 && bands * bandBits <= 63,
+      "bands * bandBits must fit a positive BIGINT")
+    require(maxHamming >= 0 && maxHamming < bands,
+      "pigeonhole band join is exact only for maxHamming < bands")
+    val mask = (1L << bandBits) - 1
+    val chunks = hashes.select(col(idCol).as("doc_id"), col(hashCol).as("h"),
+        explode(sequence(lit(0), lit(bands - 1))).as("k"))
+      .withColumn("chunk", expr(s"shiftright(h, k * $bandBits) & $mask"))
+    chunks.as("x").join(chunks.as("y"),
+        col("x.k") === col("y.k") && col("x.chunk") === col("y.chunk") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("d1"), col("x.h").as("h1"),
+        col("y.doc_id").as("d2"), col("y.h").as("h2"))
+      .distinct()
+      .withColumn("hamming", bit_count(col("h1").bitwiseXOR(col("h2"))))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("d1"), col("d2"), col("hamming").cast("long").as("hamming"))
+  }
+
   /** Embedding near-dup: pairs with cosine >= threshold (brute pair join;
     * use [[cosinePairsIvf]] at scale).
     */

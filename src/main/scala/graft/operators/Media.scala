@@ -203,6 +203,34 @@ object Media {
       out.toByteArray
     }
 
+    /** XY-gradient variant of [[synthPng]]: pixel(x, y) = (docId + x +
+      * 7·y) mod 256 — the y-dependence makes the 8 dHash lattice rows
+      * carry DIFFERENT 7-bit patterns, so cross-document Hamming
+      * distances take every value in 0..56 instead of multiples of 8
+      * (the plain [[synthPng]] gradient is y-constant, which collapses
+      * the 56-bit hash to one repeated row pattern and makes "near"
+      * degenerate to "equal"). The q351 near-dup fixture.
+      */
+    def synthPngXY(docId: Long, nChars: Long): Array[Byte] = {
+      val w = (1 + nChars % 64).toInt
+      val h = (1 + nChars % 48).toInt
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      val raster = img.getRaster
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          raster.setSample(x, y, 0, (((docId + x + 7L * y) % 256) + 256) % 256)
+          x += 1
+        }
+        y += 1
+      }
+      val out = new ByteArrayOutputStream()
+      ImageIO.write(img, "png", out)
+      out.toByteArray
+    }
+
     /** Decode: REAL for PNG payloads (header dims + raster pixel mean via
       * ImageIO) and for WAV payloads (format header + PCM sample mean via
       * javax.sound — `width` carries channels, `height` the sample bits,
@@ -721,10 +749,60 @@ object Media {
        SELECT dhash, count(*)::BIGINT AS n_images FROM hashes
        GROUP BY dhash ORDER BY n_images DESC, dhash LIMIT 25"""
 
+  // ---- q351: perceptual (Hamming) image near-dup over banded dHashes ----------
+  // The missing read-out of q346: not just exact hash collisions but
+  // pairs within a Hamming ball — dHash every REAL PNG of an XY-gradient
+  // corpus (y-dependent pixels so hashes genuinely spread; see
+  // [[MediaCodec.synthPngXY]]), then the banded pigeonhole join
+  // ([[Dedup.hammingPairs]], 8 bands x 7 bits — EXACT for radius <= 7).
+  // The oracle predicts every hash bit from the generative parameters
+  // (pixel(x,y) = (doc_id + x + 7y) mod 256 at the exact lattice
+  // positions) and computes the all-pairs Hamming relation in SQL: the
+  // engine must round-trip genuine PNG decodes AND its banded join must
+  // reproduce the full <= 7 ball, not just band-collision candidates.
+  // doc_id < 4096 bounds the oracle's quadratic check (the ENGINE path
+  // stays banded at any corpus size).
+  private def q351(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val imgs = Tables.documents(s, d)
+      .filter(col("doc_id") % 2 === 0 && col("doc_id") < 4096)
+      .select(col("doc_id"), col("n_chars")).as[(Long, Long)]
+      .mapPartitions(_.map { case (id, nChars) =>
+        MediaRow(id, "image", MediaCodec.synthPngXY(id, nChars)) })
+    val hashes = imageDHashes(imgs).toDF("doc_id", "dhash")
+    Dedup.hammingPairs(hashes, "doc_id", "dhash", bands = 8, bandBits = 7,
+        maxHamming = 7)
+      .groupBy(col("hamming")).agg(count(lit(1)).as("n_pairs"))
+      .orderBy(col("hamming"))
+  }
+  private val q351Sql =
+    """WITH img AS (
+         SELECT doc_id, 1 + n_chars % 64 AS w, 1 + n_chars % 48 AS h
+         FROM documents WHERE doc_id % 2 = 0 AND doc_id < 4096),
+       bits AS (
+         SELECT doc_id,
+           sum(CASE WHEN (doc_id + ((i.i + 1) * (w - 1)) // 7
+                  + 7 * ((j.j * (h - 1)) // 7)) % 256
+                > (doc_id + (i.i * (w - 1)) // 7
+                  + 7 * ((j.j * (h - 1)) // 7)) % 256
+              THEN (1::BIGINT << (j.j * 7 + i.i)) ELSE 0 END)::BIGINT
+             AS dhash
+         FROM img
+         CROSS JOIN (SELECT unnest(range(8)) AS j) j
+         CROSS JOIN (SELECT unnest(range(7)) AS i) i
+         GROUP BY doc_id),
+       pairs AS (
+         SELECT bit_count(xor(a.dhash, b.dhash))::BIGINT AS hamming
+         FROM bits a JOIN bits b ON a.doc_id < b.doc_id
+         WHERE bit_count(xor(a.dhash, b.dhash)) <= 7)
+       SELECT hamming, count(*)::BIGINT AS n_pairs
+       FROM pairs GROUP BY hamming ORDER BY hamming"""
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q32_media_decode", q32, Some(q32Sql)),
     QueryDef("q33_media_frames", q33, Some(q33Sql)),
     QueryDef("q275_audio_energy", q275, Some(q275Sql)),
     QueryDef("q339_image_resize", q339, Some(q339Sql)),
-    QueryDef("q346_image_dhash", q346, Some(q346Sql)))
+    QueryDef("q346_image_dhash", q346, Some(q346Sql)),
+    QueryDef("q351_image_neardup", q351, Some(q351Sql)))
 }

@@ -25,6 +25,39 @@ class DedupSpec extends SparkSpec {
     assert(run() === run())
   }
 
+  test("hammingPairs equals the brute-force Hamming relation on random hashes") {
+    // 8 bands x 7 bits over 56-bit hashes, radius 7 — the pigeonhole
+    // guarantee (<= 7 differing bits cannot touch all 8 bands) makes the
+    // banded join EXACT, so its output must equal all-pairs.
+    val rnd = new scala.util.Random(46)
+    // Half the hashes are small perturbations of shared bases so the
+    // <= 7 ball is well-populated; half are uniform noise.
+    val bases = Vector.fill(6)(rnd.nextLong() & ((1L << 56) - 1))
+    val hashes = (0 until 60).map { i =>
+      val h =
+        if (i % 2 == 0) {
+          var x = bases(i % bases.size)
+          (0 until rnd.nextInt(9)).foreach(_ => x ^= 1L << rnd.nextInt(56))
+          x
+        } else rnd.nextLong() & ((1L << 56) - 1)
+      (i.toLong, h)
+    }
+    val want = (for {
+      (d1, h1) <- hashes; (d2, h2) <- hashes
+      if d1 < d2 && java.lang.Long.bitCount(h1 ^ h2) <= 7
+    } yield (d1, d2, java.lang.Long.bitCount(h1 ^ h2).toLong)).toSet
+    val got = Dedup.hammingPairs(hashes.toDF("doc_id", "dhash"),
+        "doc_id", "dhash", bands = 8, bandBits = 7, maxHamming = 7)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(want.nonEmpty, "fixture must populate the Hamming ball")
+    assert(got === want)
+    // A pair matching in several bands must still appear exactly once —
+    // covered by the set equality above, but pin the row count too.
+    val gotRows = Dedup.hammingPairs(hashes.toDF("doc_id", "dhash"),
+        "doc_id", "dhash", bands = 8, bandBits = 7, maxHamming = 7).count()
+    assert(gotRows === want.size.toLong)
+  }
+
   test("dedupClusters closes chains transitively and labels by minimum id") {
     // Two clusters: {1,2,3,4} connected only as a chain 1-2, 2-3, 3-4
     // (so transitive closure is required), and {7,9}. Node 5 has no pair

@@ -199,6 +199,49 @@ class MediaSpec extends SparkSpec {
       MediaRow(5L, "audio", MediaCodec.synthWav(5L, 10L))) === None)
   }
 
+  test("synthPngXY dHashes through real decodes land in the banded Hamming join") {
+    import spark.implicits._
+    // Constructed near-pair: same (w, h) class, doc_ids 2 apart — the
+    // XY gradient makes their 56-bit hashes differ in a handful of bits
+    // (verified below from the generative formula), and the banded join
+    // must surface exactly the brute-force <= 7 relation over the set.
+    val docs = Seq((100L, 20L), (102L, 20L), (104L, 20L), (300L, 33L),
+      (301L, 33L), (555L, 47L))
+    def predictHash(docId: Long, nChars: Long): Long = {
+      val w = (1 + nChars % 64).toInt
+      val h = (1 + nChars % 48).toInt
+      def px(x: Int, y: Int): Long = (docId + x + 7L * y) % 256
+      var hash = 0L
+      for (j <- 0 until 8; i <- 0 until 7) {
+        val y = j * (h - 1) / 7
+        val x1 = i * (w - 1) / 7
+        val x2 = (i + 1) * (w - 1) / 7
+        if (px(x2, y) > px(x1, y)) hash |= 1L << (j * 7 + i)
+      }
+      hash
+    }
+    // The real decode path must reproduce the predicted hashes...
+    val rows = docs.map { case (id, n) =>
+      MediaRow(id, "image", MediaCodec.synthPngXY(id, n)) }
+    rows.zip(docs).foreach { case (m, (id, n)) =>
+      assert(MediaCodec.imageDHash(m) === Some((id, predictHash(id, n))))
+    }
+    // ...and hashes must NOT be row-degenerate (y-dependence is the
+    // fixture's whole point: Hamming distances off the 8-multiples grid).
+    val predicted = docs.map { case (id, n) => (id, predictHash(id, n)) }
+    val brute = (for {
+      (d1, h1) <- predicted; (d2, h2) <- predicted
+      if d1 < d2 && java.lang.Long.bitCount(h1 ^ h2) <= 7
+    } yield (d1, d2, java.lang.Long.bitCount(h1 ^ h2).toLong)).toSet
+    assert(brute.exists(_._3 > 0), s"fixture needs a non-exact near pair")
+    val hashes = Media.imageDHashes(spark.createDataset(rows))
+      .toDF("doc_id", "dhash")
+    val got = Dedup.hammingPairs(hashes, "doc_id", "dhash",
+        bands = 8, bandBits = 7, maxHamming = 7)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got === brute)
+  }
+
   test("media pipeline stays map-side (no shuffle before the final agg)") {
     val plan = mediaDecode(mediaTable(spark, sf)).queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), s"decode should not shuffle:\n$plan")
