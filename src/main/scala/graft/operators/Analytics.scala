@@ -1877,15 +1877,32 @@ object Analytics {
     * partials; the O(n_a·n_b) DP runs ONCE on the single collapsed row
     * (calendar-bounded series — the [[holtForecast]] domain contract);
     * the corpus is touched once.
+    *
+    * `band` is the Sakoe–Chiba adjustment window: cells with
+    * |i − j| > band are never expanded, cutting the cells COMPUTED from
+    * n_a·n_b to O(band·(n_a+n_b)) — the standard guard before pointing
+    * DTW at daily-grain multi-year series (out-of-band positions still
+    * cost one comparison each inside the wavefront transform, but none
+    * of the element_at/abs/min work). The window is clamped up to
+    * |n_a − n_b| (narrower admits NO monotone alignment — the Sakoe &
+    * Chiba validity condition), which also keeps every in-band cell's
+    * diagonal predecessor in-band, so banding can never resurrect the
+    * fresh-start fallback. Default ∞ ≡ the exact unbanded distance;
+    * band-limited ≡ full whenever the optimal warp stays inside the
+    * window (spec-pinned).
     */
   def dtwDistance(df: DataFrame, seriesCol: Column, periodCol: Column,
-      valueCol: Column, seriesA: String, seriesB: String): DataFrame = {
+      valueCol: Column, seriesA: String, seriesB: String,
+      band: Long = Long.MaxValue): DataFrame = {
+    require(band >= 0, "band must be >= 0")
     val BIG = "1152921504606846976L" // 2^60: +cost can never overflow
     val byP = df
       .select(seriesCol.as("et"), periodCol.cast("long").as("p"),
         valueCol.cast("long").as("y"))
       .filter(col("et").isin(seriesA, seriesB))
       .groupBy(col("et"), col("p")).agg(sum(col("y")).as("yp"))
+    // Effective window: never narrower than the length gap.
+    val bandEff = s"greatest(${band}L, abs(na - nb))"
     def minPred = s"""least(
         case when i > 1L then element_at(acc.d1, cast(i as int) - 1)
           else $BIG end,
@@ -1894,8 +1911,11 @@ object Analytics {
           else $BIG end)"""
     // The fold's k IS the new diagonal (the oracle's recursive arm reads
     // the previous row's k, hence its k+1 offsets): cell (i, j) on
-    // diagonal k has j = k + 1 - i.
-    val cell = s"""case when i >= greatest(1L, k + 1L - nb)
+    // diagonal k has j = k + 1 - i, so |i - j| = |2i - k - 1|. The band
+    // test leads the conjunction: out-of-band cells short-circuit
+    // before any element_at.
+    val cell = s"""case when abs(2L * i - k - 1L) <= $bandEff
+          and i >= greatest(1L, k + 1L - nb)
           and i <= least(na, k)
         then abs(element_at(a, cast(i as int))
             - element_at(b, cast(k + 1L - i as int)))

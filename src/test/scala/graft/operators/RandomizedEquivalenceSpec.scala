@@ -549,6 +549,51 @@ class RandomizedEquivalenceSpec extends SparkSpec {
     }
   }
 
+  test("dtwDistance with a Sakoe-Chiba band equals the banded DP; wide bands equal full") {
+    def bruteBanded(a: Seq[Long], b: Seq[Long], band: Long): Long = {
+      val eff = math.max(band, math.abs(a.size - b.size).toLong)
+      val D = Array.fill(a.size + 1, b.size + 1)(Long.MaxValue / 4)
+      for (i <- 1 to a.size; j <- 1 to b.size
+          if math.abs(i - j) <= eff) {
+        val c = math.abs(a(i - 1) - b(j - 1))
+        D(i)(j) =
+          if (i == 1 && j == 1) c
+          else c + Seq(D(i - 1)(j), D(i)(j - 1), D(i - 1)(j - 1)).min
+      }
+      D(a.size)(b.size)
+    }
+    (1 to 6).foreach { trial =>
+      val la = 2 + rnd.nextInt(14)
+      val lb = 2 + rnd.nextInt(14)
+      val a = Vector.fill(la)(rnd.nextInt(100).toLong)
+      val b = Vector.fill(lb)(rnd.nextInt(100).toLong)
+      val band = rnd.nextInt(6).toLong
+      val df = (a.zipWithIndex.map { case (y, p) => ("A", p.toLong, y) } ++
+        b.zipWithIndex.map { case (y, p) => ("B", p.toLong, y) })
+        .toDF("et0", "p0", "y0")
+      def run(bd: Long) = Analytics.dtwDistance(df, col("et0"), col("p0"),
+          col("y0"), "A", "B", band = bd)
+        .as[(Long, Long, Long, Long)].collect().head._3
+      // Band-limited == the banded DP (constrained optimum, not full).
+      assert(run(band) === bruteBanded(a, b, band),
+        s"trial $trial band=$band a=$a b=$b")
+      // A window covering the whole table == the unbanded distance; a
+      // banded cost can never undercut the unconstrained optimum.
+      val full = run(Long.MaxValue)
+      assert(run(math.max(la, lb).toLong) === full,
+        s"trial $trial full-window a=$a b=$b")
+      assert(run(band) >= full, s"trial $trial monotonicity a=$a b=$b")
+      // Identical series: the diagonal fits ANY window, so band 0 == 0.
+      val dfEq = (a.zipWithIndex.map { case (y, p) => ("A", p.toLong, y) } ++
+        a.zipWithIndex.map { case (y, p) => ("B", p.toLong, y) })
+        .toDF("et0", "p0", "y0")
+      val eq0 = Analytics.dtwDistance(dfEq, col("et0"), col("p0"),
+          col("y0"), "A", "B", band = 0L)
+        .as[(Long, Long, Long, Long)].collect().head._3
+      assert(eq0 === 0L, s"trial $trial identical-series band 0")
+    }
+  }
+
   test("isotonicFit equals the minimax characterization on random data") {
     // Independent oracle: the isotonic fit satisfies fitted(i) =
     // max_{j<=i} min_{k>=i} mean(y over x-blocks j..k) with EXACT
