@@ -1779,13 +1779,23 @@ object Analytics {
     * one sign-split truncation each; rate = z·10⁶ div v. Groups with
     * fewer than 2 demands are dropped (no interval is estimable).
     *
+    * `sba = true` applies the Syntetos–Boylan approximation (Syntetos &
+    * Boylan 2005): rate ← (1 − α/2)·z/v — the bias correction that
+    * makes the rate estimator approximately unbiased (plain Croston
+    * systematically overshoots because E[z/v] > E[z]/E[v]); the variant
+    * practitioners actually deploy. Exact rational: the correction
+    * multiplies the numerator by (2·10⁶ − α_micro) against a 2·10⁶
+    * denominator — ONE truncation total, not a truncated rate then a
+    * truncated correction.
+    *
     * Scale design and domain contract: identical to [[holtForecast]] —
     * one per-(group, period) collapse with map-side partials (zero
     * periods never enter it), one bounded calendar-sized array fold per
     * group.
     */
   def crostonForecast(df: DataFrame, groupCol: String, periodCol: Column,
-      valueCol: Column, alphaMicro: Long = 200000L): DataFrame = {
+      valueCol: Column, alphaMicro: Long = 200000L,
+      sba: Boolean = false): DataFrame = {
     require(alphaMicro >= 0 && alphaMicro <= 1000000L, "alpha is micro")
     val (a, na) = (alphaMicro, 1000000L - alphaMicro)
     def md(x: String) = s"cast((case when ($x) < 0 then -1L else 1L end)" +
@@ -1811,9 +1821,15 @@ object Analytics {
         expr(foldExpr).as("st"))
       .select(col("g"), col("n_demands"), col("st.z").as("size_micro"),
         col("st.v").as("interval_micro"),
-        expr("""cast((case when st.z < 0 then -1L else 1L end)
-             * (abs(cast(st.z as decimal(38,0))) * 1000000 div st.v)
-             as long)""").as("rate_micro"))
+        (if (sba)
+          expr(s"""cast((case when st.z < 0 then -1L else 1L end)
+               * (abs(cast(st.z as decimal(38,0))) * ${2000000L - a} * 1000000
+                  div (cast(st.v as decimal(38,0)) * 2000000))
+               as long)""")
+        else
+          expr("""cast((case when st.z < 0 then -1L else 1L end)
+               * (abs(cast(st.z as decimal(38,0))) * 1000000 div st.v)
+               as long)""")).as("rate_micro"))
   }
 
   // ---- q349: demand rate of a sparse buyer slice, per priority ----------------
@@ -1857,6 +1873,48 @@ object Analytics {
        SELECT g, n_demands, z AS size_micro, v AS interval_micro,
          (CASE WHEN z < 0 THEN -1 ELSE 1 END
            * ((abs(z)::HUGEINT * 1000000) // v))::BIGINT AS rate_micro
+       FROM fold WHERE step = n_demands ORDER BY g"""
+
+  // ---- q352: the q349 demand rate with the SBA bias correction ----------------
+  // Identical fixture and fold; only the rate emission differs — the
+  // (1 - alpha/2) Syntetos-Boylan factor, one exact truncation.
+  private def q352(s: SparkSession, d: String): DataFrame =
+    crostonForecast(Tables.orders(s, d)
+        .filter(expr("o_custkey % 11 = 0")), "o_orderpriority",
+        expr("year(cast(o_orderdate as date)) * 12" +
+          " + month(cast(o_orderdate as date))"),
+        lit(1L), alphaMicro = 200000L, sba = true)
+      .orderBy(col("g"))
+  private val q352Sql =
+    """WITH RECURSIVE m AS (
+         SELECT o_orderpriority AS g,
+           year(o_orderdate::DATE) * 12 + month(o_orderdate::DATE) AS p,
+           count(*)::BIGINT AS yp
+         FROM orders WHERE o_custkey % 11 = 0
+         GROUP BY 1, 2 HAVING count(*) > 0),
+       s AS (
+         SELECT g, count(*)::BIGINT AS n_demands,
+           list(p ORDER BY p) AS ps, list(yp ORDER BY p) AS ys
+         FROM m GROUP BY g HAVING count(*) >= 2),
+       fold AS (
+         SELECT g, n_demands, ps, ys, 1::BIGINT AS step,
+           (ys[1] * 1000000)::BIGINT AS z, 1000000::BIGINT AS v
+         FROM s
+         UNION ALL
+         SELECT g, n_demands, ps, ys, step + 1,
+           (CASE WHEN (200000::HUGEINT * ys[step + 1] * 1000000
+               + 800000::HUGEINT * z) < 0 THEN -1 ELSE 1 END
+             * (abs(200000::HUGEINT * ys[step + 1] * 1000000
+               + 800000::HUGEINT * z) // 1000000))::BIGINT,
+           (CASE WHEN (200000::HUGEINT * (ps[step + 1] - ps[step]) * 1000000
+               + 800000::HUGEINT * v) < 0 THEN -1 ELSE 1 END
+             * (abs(200000::HUGEINT * (ps[step + 1] - ps[step]) * 1000000
+               + 800000::HUGEINT * v) // 1000000))::BIGINT
+         FROM fold WHERE step < n_demands)
+       SELECT g, n_demands, z AS size_micro, v AS interval_micro,
+         (CASE WHEN z < 0 THEN -1 ELSE 1 END
+           * ((abs(z)::HUGEINT * 1800000 * 1000000)
+              // (v::HUGEINT * 2000000)))::BIGINT AS rate_micro
        FROM fold WHERE step = n_demands ORDER BY g"""
 
   /** Dynamic-time-warping distance between two per-period series
@@ -5454,6 +5512,7 @@ object Analytics {
     QueryDef("q345_holt_winters", q345, Some(q345Sql)),
     QueryDef("q348_dtw_distance", q348, Some(q348Sql)),
     QueryDef("q349_croston", q349, Some(q349Sql)),
+    QueryDef("q352_croston_sba", q352, Some(q352Sql)),
     QueryDef("q250_theil_sen", q250, Some(q250Sql)),
     QueryDef("q202_change_point", q202, Some(q202Sql)),
     QueryDef("q215_otsu_threshold", q215, Some(q215Sql)),

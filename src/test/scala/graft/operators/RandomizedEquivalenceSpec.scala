@@ -442,6 +442,15 @@ class RandomizedEquivalenceSpec extends SparkSpec {
           .as[(String, Long, Long, Long, Long)].collect()
         assert(got.toSeq === Seq(("grp", rows.size.toLong, z.toLong,
           v.toLong, rate)), s"trial $trial a=$a rows=$rows")
+        // SBA: same fold state, rate scaled by (1 - alpha/2) as ONE
+        // exact rational truncation over the 2e6 denominator.
+        val rateSba = ((if (z < 0) BigInt(-1) else BigInt(1))
+          * (z.abs * (2000000L - a) * 1000000 / (v * 2000000))).toLong
+        val gotSba = Analytics.crostonForecast(df, "g0", col("p0"),
+            col("y0"), alphaMicro = a, sba = true)
+          .as[(String, Long, Long, Long, Long)].collect()
+        assert(gotSba.toSeq === Seq(("grp", rows.size.toLong, z.toLong,
+          v.toLong, rateSba)), s"trial $trial sba a=$a rows=$rows")
       }
     }
   }
