@@ -21,6 +21,32 @@ import graft.functions.TextFunctions.tokens
   */
 object Analytics {
 
+  /** SQL snippet: FLOOR division of `a` by the positive literal `b`,
+    * engine-agnostic for any sign of `a`. Spark's `div` truncates toward
+    * zero while DuckDB's `//` floors — the two disagree exactly on
+    * negative non-multiples, i.e. pre-1970 timestamps at every
+    * ts-bucketing site, so bucketing goes through this idiom instead of
+    * a bare `div` (for non-negative inputs it compiles to the same
+    * result; the correction branch keeps the pair engine-agnostic for
+    * ANY timestamp).
+    */
+  def floorDivSql(a: String, b: Long): String = {
+    require(b > 0, "floorDivSql needs a positive divisor")
+    s"(($a) div ${b}L + (case when ($a) % ${b}L < 0 then -1L else 0L end))"
+  }
+
+  /** Calendar-day bucket of a timestamp column (micros since epoch,
+    * floor-divided — see [[floorDivSql]]).
+    */
+  def dayIdSql(ts: String): String =
+    floorDivSql(s"unix_micros($ts)", 86400000000L)
+
+  /** Hour-of-day bucket (0..23 for post-1970 input; engine-agnostic
+    * either way).
+    */
+  def hourOfDaySql(ts: String): String =
+    s"(${floorDivSql(s"unix_micros($ts)", 3600000000L)}) % 24"
+
   /** q46: positional token explode — (doc_id, pos, token) with ordinality. */
   private def q46(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
@@ -1202,8 +1228,8 @@ object Analytics {
     */
   def loadProfile(df: DataFrame, tsCol: String): DataFrame = {
     val cells = df
-      .select(expr(s"(unix_micros($tsCol) div 86400000000 + 3) % 7").as("dow"),
-        expr(s"(unix_micros($tsCol) div 3600000000) % 24").as("hour"))
+      .select(expr(s"(${dayIdSql(tsCol)} + 3) % 7").as("dow"),
+        expr(s"${hourOfDaySql(tsCol)}").as("hour"))
       .groupBy(col("dow"), col("hour"))
       .agg(count(lit(1)).as("n"))
     val total = cells.agg(sum(col("n")).as("total"))
@@ -1248,7 +1274,7 @@ object Analytics {
     require(maxDays >= 1 && maxDays <= 32, "binaryEwma needs 1 <= maxDays <= 32")
     val daily = df
       .select(col(keyCol).as("k"),
-        expr(s"unix_micros($tsCol) div 86400000000").as("day_id"),
+        expr(s"${dayIdSql(tsCol)}").as("day_id"),
         floor(col(valueCol) * 100).cast("long").as("cents"))
       .groupBy(col("k"), col("day_id"))
       .agg(sum(col("cents")).as("day_cents"))
@@ -1333,7 +1359,7 @@ object Analytics {
   def seasonalIndex(df: DataFrame, tsCol: String,
       valueCol: Column): DataFrame = {
     val daily = df
-      .select(expr(s"unix_micros(cast($tsCol as timestamp)) div 86400000000")
+      .select(expr(s"${dayIdSql(s"cast($tsCol as timestamp)")}")
         .as("day_id"),
         floor(valueCol * 100).cast("long").as("cents"))
       .groupBy(col("day_id")).agg(sum(col("cents")).as("day_cents"))
@@ -2080,7 +2106,7 @@ object Analytics {
       maxLag: Int): DataFrame = {
     require(maxLag >= 1, "maxLag must be >= 1")
     val daily = df
-      .select(expr(s"unix_micros(cast($tsCol as timestamp)) div 86400000000")
+      .select(expr(s"${dayIdSql(s"cast($tsCol as timestamp)")}")
           .as("day_id"),
         seriesCol.as("et"), floor(valueCol * 100).cast("long").as("cents"))
       .filter(col("et").isin(seriesA, seriesB))
@@ -3092,7 +3118,7 @@ object Analytics {
     */
   def dayOverDayOverlap(df: DataFrame, tsCol: String,
       userCol: Column): DataFrame = {
-    val du = df.select(expr(s"unix_micros($tsCol) div 86400000000")
+    val du = df.select(expr(s"${dayIdSql(tsCol)}")
         .as("day_id"), userCol.cast("long").as("u"))
       .distinct()
     val inter = du.as("a").join(du.as("b"),
@@ -3152,7 +3178,7 @@ object Analytics {
   def anomalyConsensus(df: DataFrame, tsCol: String,
       valueCol: Column): DataFrame = {
     val daily = df
-      .select(expr(s"unix_micros($tsCol) div 86400000000").as("day_id"),
+      .select(expr(s"${dayIdSql(tsCol)}").as("day_id"),
         floor(valueCol * 100).cast("long").as("cents"))
       .groupBy(col("day_id")).agg(sum(col("cents")).as("x"))
     val byV = daily.groupBy(col("x").as("v")).agg(count(lit(1)).as("c"))
@@ -5377,7 +5403,7 @@ object Analytics {
       valueCol: Column): DataFrame = {
     val daily = df
       .select(col(keyCol).as("k"),
-        expr(s"unix_micros(cast($tsCol as timestamp)) div 86400000000")
+        expr(s"${dayIdSql(s"cast($tsCol as timestamp)")}")
           .as("day"),
         floor(valueCol * 100).cast("long").as("cents"))
       .groupBy(col("k"), col("day")).agg(sum(col("cents")).as("c"))
@@ -5457,7 +5483,7 @@ object Analytics {
       valueCol: Column): DataFrame = {
     val daily = df
       .select(col(keyCol).as("k"),
-        expr(s"unix_micros(cast($tsCol as timestamp)) div 86400000000")
+        expr(s"${dayIdSql(s"cast($tsCol as timestamp)")}")
           .as("day"),
         floor(valueCol * 100).cast("long").as("cents"))
       .groupBy(col("k"), col("day")).agg(sum(col("cents")).as("c"))

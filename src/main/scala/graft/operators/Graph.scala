@@ -367,9 +367,12 @@ object Graph {
     * distributed reimplementation cannot reproduce; the deterministic
     * variant keeps the community-forming dynamics and drops the dice).
     * Pass an undirected graph as both edge directions (the q159
-    * convention). Complements the min-label fixpoint
-    * ([[Dedup.dedupClusters]] / CC) — frequency propagation finds DENSE
-    * communities, not mere connectivity.
+    * convention). On a general DIRECTED input the node set is still
+    * src ∪ dst, and a node with no out-neighbors keeps its current
+    * label each round (nothing to adopt) — sink-only nodes stay in the
+    * labeling instead of silently vanishing. Complements the min-label
+    * fixpoint ([[Dedup.dedupClusters]] / CC) — frequency propagation
+    * finds DENSE communities, not mere connectivity.
     *
     * Scale design: each iteration is one |E|-shuffle — edges⨝labels on
     * dst (map-side combinable count per (src, label)) and a
@@ -383,16 +386,20 @@ object Graph {
     val e0 = edges.select(col(srcCol).cast("long").as("src"),
       col(dstCol).cast("long").as("dst"))
     val e = if (checkpoint) e0.localCheckpoint() else e0
-    var labels = e.select(col("src").as("id")).distinct()
+    var labels = e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id"))).distinct()
       .select(col("id"), col("id").as("lbl"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("src")).orderBy(col("cnt").desc, col("lbl"))
     for (it <- 1 to iterations) {
-      labels = e.join(labels, col("dst") === col("id"))
+      val adopted = e.join(labels, col("dst") === col("id"))
         .groupBy(col("src"), col("lbl")).agg(count(lit(1)).as("cnt"))
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") === 1)
-        .select(col("src").as("id"), col("lbl"))
+        .select(col("src").as("id"), col("lbl").as("adopt"))
+      // Out-degree-0 nodes adopt nothing and keep their label.
+      labels = labels.join(adopted, Seq("id"), "left")
+        .select(col("id"), coalesce(col("adopt"), col("lbl")).as("lbl"))
       if (checkpoint && it < iterations) labels = labels.localCheckpoint()
     }
     labels.select(col("id").as("node_id"), col("lbl").as("label"))

@@ -86,13 +86,36 @@ object Materialized {
     * on every call after — downstream joins/aggregations on `key` plan
     * with zero exchanges on this side, and the materialization survives
     * the session (unlike [[of]]'s checkpoint blocks).
+    *
+    * Concurrency and staleness: the check-then-write is serialized per
+    * table name (two concurrent first callers would otherwise race into
+    * duplicate saveAsTable jobs — the second waits, then reads the
+    * winner's table), and an ALREADY-EXISTING table is validated against
+    * the requested bucket spec — a table bucketed on a different key or
+    * count would silently hand downstream joins a plan WITH exchanges
+    * while the caller believes it owns the zero-exchange seam, so a
+    * mismatch fails loudly instead.
     */
   def ofBucketed(s: SparkSession, table: String, key: String, buckets: Int)
       (build: => DataFrame): DataFrame = {
-    if (!s.catalog.tableExists(table))
-      Bucketing.writeBucketed(build, table, key, buckets)
+    val lock = tableLocks.computeIfAbsent(table, _ => new Object)
+    lock.synchronized {
+      if (!s.catalog.tableExists(table))
+        Bucketing.writeBucketed(build, table, key, buckets)
+    }
+    val ident = s.sessionState.sqlParser.parseTableIdentifier(table)
+    val spec = s.sessionState.catalog.getTableMetadata(ident).bucketSpec
+    require(
+      spec.exists(b =>
+        b.numBuckets == buckets && b.bucketColumnNames == Seq(key)),
+      s"table $table exists with bucket spec ${spec.orNull}, but " +
+        s"(key=$key, buckets=$buckets) was requested — refusing to serve " +
+        "a differently-bucketed relation as the co-location seam")
     s.table(table)
   }
+
+  private val tableLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
 
   /** Number of resident relations (diagnostics/tests). */
   def size: Int = cache.synchronized(cache.size())

@@ -2154,7 +2154,7 @@ object Profile {
   // is the unsmoothed readout; this is the one a scorer would deploy).
   private def q347(s: SparkSession, d: String): DataFrame =
     isotonicFit(Tables.events(s, d), col("event_type"),
-        expr("(unix_micros(ts) div 3600000000) % 24"),
+        expr(Analytics.hourOfDaySql("ts")),
         expr("case when value >= 2.0D then 1000000L else 0L end"))
       .orderBy(col("g"), col("x"))
   private val q347Sql =

@@ -132,11 +132,27 @@ object ControlPlane {
     * owner and the checkpoint sequence number — ownership and progress
     * travel together, which is exactly what makes a rebalance
     * exactly-once).
+    *
+    * A floor naming a shard OUTSIDE the assignment is tolerated and
+    * dropped (see [[Lease.apply]]): leases are re-fetched every
+    * trigger, and during a handoff the lease table's `pos.` lines can
+    * be momentarily visible before/after the `shards=` line updates —
+    * failing the whole streaming query over a one-trigger inconsistency
+    * trades liveness for nothing (the floor only matters once the shard
+    * IS assigned, and then it is present again). Dropped entries are
+    * logged to stderr for the operator.
     */
-  final case class Lease(shards: Set[Int], floors: Map[Int, Long]) {
-    require(floors.keySet.subsetOf(shards),
-      s"lease floors ${floors.keySet} name shards outside the " +
-        s"assignment $shards")
+  final case class Lease private (shards: Set[Int], floors: Map[Int, Long])
+
+  object Lease {
+    def apply(shards: Set[Int], floors: Map[Int, Long]): Lease = {
+      val stray = floors.keySet.diff(shards)
+      if (stray.nonEmpty)
+        System.err.println(
+          s"[graft] lease floors for unassigned shards $stray dropped " +
+            s"(assignment $shards) — transient handoff inconsistency")
+      new Lease(shards, floors -- stray)
+    }
   }
 
   /** Fetch this worker's lease assignment: the shard subset it owns —

@@ -73,6 +73,11 @@ class LintBudgetSpec extends SparkSpec {
     "q29_embedding_neardup" -> Map("broadcast-nested-loop" -> 1),
     "q289_cluster_histogram" -> Map("broadcast-nested-loop" -> 1),
     "q286_knn_outliers" -> Map("broadcast-nested-loop" -> 1),
+    // q350: the IVF assignment/probe cross of the corpus against the
+    // BROADCAST 16-seed set (the [[Similarity.ivfAssign]] shape — K
+    // scored rows per corpus row, map-side argmax/heap; the bucketed
+    // candidate join itself is an equi-join, not a BNL)
+    "q350_knn_outliers_ivf" -> Map("broadcast-nested-loop" -> 1),
     "q302_ivf_probe_sweep" -> Map("broadcast-nested-loop" -> 3),
     "q30_cosine_topk" -> Map("broadcast-nested-loop" -> 1),
     "q164_rrf_fusion" -> Map("broadcast-nested-loop" -> 2),

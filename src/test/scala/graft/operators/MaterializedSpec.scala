@@ -65,6 +65,37 @@ class MaterializedSpec extends SparkSpec {
     // The catalog table is genuinely bucketed (the zero-exchange seam).
     val ddl = spark.sql(s"SHOW CREATE TABLE $table").first().getString(0)
     assert(ddl.contains("CLUSTERED BY") && ddl.contains("BUCKETS"), ddl)
+    // A mismatched request must fail loudly, not silently serve a
+    // differently-bucketed table as the co-location seam.
+    val wrongKey = intercept[IllegalArgumentException] {
+      Materialized.ofBucketed(spark, table, "v", 4) { rel(9) }
+    }
+    assert(wrongKey.getMessage.contains("bucket spec"), wrongKey.getMessage)
+    val wrongBuckets = intercept[IllegalArgumentException] {
+      Materialized.ofBucketed(spark, table, "id", 8) { rel(9) }
+    }
+    assert(wrongBuckets.getMessage.contains("bucket spec"),
+      wrongBuckets.getMessage)
+    assert(builds === 1, "validation failures must never trigger a rebuild")
+    spark.sql(s"DROP TABLE $table")
+  }
+
+  test("ofBucketed serializes concurrent first callers into one write") {
+    val table = "materialized_spec_bucketed_race"
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    val builds = new java.util.concurrent.atomic.AtomicInteger(0)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val results = Await.result(
+      Future.sequence((1 to 4).map(_ => Future {
+        Materialized.ofBucketed(spark, table, "id", 4) {
+          builds.incrementAndGet(); rel(11)
+        }.as[(Long, String)].collect().toSeq
+      })), 120.seconds)
+    assert(builds.get() === 1,
+      s"exactly one concurrent caller may write; got ${builds.get()}")
+    assert(results.forall(_ === Seq((11L, "v11"))))
     spark.sql(s"DROP TABLE $table")
   }
 }

@@ -524,6 +524,26 @@ class RandomizedEquivalenceSpec extends SparkSpec {
             iterations = iters)
           .as[(Long, Long)].collect().toMap
         assert(got === lbl, s"trial $trial iters=$iters edges=$dir")
+        // DIRECTED input: the node set is src UNION dst, and a node with
+        // no out-neighbors keeps its own label every round instead of
+        // vanishing from the labeling.
+        val adjD = dir.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+        val allNodes = (dir.map(_._1) ++ dir.map(_._2)).distinct
+        var lblD = allNodes.map(i => i -> i).toMap
+        (1 to iters).foreach { _ =>
+          lblD = allNodes.map { u =>
+            adjD.get(u) match {
+              case Some(nbrs) =>
+                val freq = nbrs.groupBy(lblD).view.mapValues(_.size).toMap
+                u -> freq.toSeq.map { case (l, c) => (-c, l) }.min._2
+              case None => u -> lblD(u)
+            }
+          }.toMap
+        }
+        val gotD = Graph.labelPropagation(dir.toDF("s", "d"), "s", "d",
+            iterations = iters)
+          .as[(Long, Long)].collect().toMap
+        assert(gotD === lblD, s"trial $trial directed iters=$iters edges=$dir")
       }
     }
   }

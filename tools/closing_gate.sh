@@ -89,7 +89,21 @@ if ! SPARK_GRAFT_SF_DIR="$SF_BENCH" sbt -batch "runMain graft.StreamBench" \
 else
   grep '"metric"' "$OUT/streambench.log" | sed 's/^\[info\] //' \
     > "bench/STREAMBENCH_r${ROUND}.json"
-  cat "bench/STREAMBENCH_r${ROUND}.json"
+  # Validate the extracted artifact like the batch one: a run that exits
+  # zero but emits no metric line must be a RED gate, not an empty file.
+  if ! python3 - "bench/STREAMBENCH_r${ROUND}.json" <<'EOF'
+import json, sys
+j = json.load(open(sys.argv[1]))
+missing = [k for k in ("metric", "value", "unit") if k not in j]
+if missing:
+    print(f"GATE FAIL: stream artifact lacks {missing}")
+    sys.exit(1)
+print(open(sys.argv[1]).read().strip())
+EOF
+  then
+    echo "GATE FAIL: stream artifact empty/unparseable (see $OUT/streambench.log)"
+    FAIL=1
+  fi
 fi
 
 if [ "$FAIL" -ne 0 ]; then
