@@ -268,12 +268,21 @@ object Similarity {
       subDim: Int): DataFrame = {
     import graft.functions.TextFunctions.l2dist
     val cb = pqCodebook(seeds, idCol, vecCol, numSub, subDim)
+    // The code table feeds BOTH the candidate spine and the ADC scoring
+    // join, and the LUT feeds one broadcast per subspace: materialize
+    // each once (the corpus x codebook argmin is the expensive pass —
+    // without the checkpoint it re-runs per consumer, and every
+    // per-subspace broadcast re-derives the query x codebook distances).
+    // Materializing the code table is also exactly what a deployed PQ
+    // index IS: the compressed corpus persisted once at encode time.
     val codesWide = pqCodesWide(corpus, cb, idCol, vecCol, numSub, subDim)
+      .localCheckpoint()
     val queries = corpus.filter(queryFilter)
       .select(col(idCol).cast("long").as("query_id"), col(vecCol).as("qv"))
     val lut = queries.crossJoin(cb)
       .select(col("query_id"), col("sub"), col("cid"),
         l2dist(subSlice(col("qv"), subDim), col("cvec")).as("d2"))
+      .localCheckpoint()
     val candidates = codesWide.select(col("id").as("neighbor_id"))
       .crossJoin(broadcast(queries.select(col("query_id"))))
       .filter(col("neighbor_id") =!= col("query_id"))
@@ -294,13 +303,17 @@ object Similarity {
     import graft.functions.TextFunctions.l2dist
     val assigned = ivfAssign(corpus, seeds, idCol, vecCol)
     val cb = pqCodebook(seeds, idCol, vecCol, numSub, subDim)
+    // Same materialization rationale as [[pqTopK]]: the code table and
+    // the per-query LUT each feed several consumers/broadcasts.
     val codesWide = pqCodesWide(corpus, cb, idCol, vecCol, numSub, subDim)
+      .localCheckpoint()
     val queries = assigned.filter(queryFilter)
       .select(col(idCol).cast("long").as("query_id"), col(vecCol).as("qv"),
         col("cluster"))
     val lut = queries.select(col("query_id"), col("qv")).crossJoin(cb)
       .select(col("query_id"), col("sub"), col("cid"),
         l2dist(subSlice(col("qv"), subDim), col("cvec")).as("d2"))
+      .localCheckpoint()
     val candidates = broadcast(queries.select(col("query_id"), col("cluster")))
       .join(assigned.select(col(idCol).cast("long").as("neighbor_id"),
         col("cluster")), Seq("cluster"))
