@@ -121,6 +121,18 @@ class ControlPlaneSpec extends SparkSpec with BeforeAndAfterAll {
       ControlPlane.parse("numShards=2\nreshardAtMs=1\nmergeAtMs=2"))
   }
 
+  test("lease floors outside the assignment are dropped, not fatal") {
+    // During a handoff the lease table's pos. lines can be visible
+    // before/after the shards= line updates; a per-trigger re-fetch must
+    // tolerate the one-trigger inconsistency instead of failing the
+    // whole streaming query.
+    val l = ControlPlane.Lease(Set(0, 2), Map(0 -> 5L, 1 -> 9L, 3 -> 7L))
+    assert(l.shards === Set(0, 2))
+    assert(l.floors === Map(0 -> 5L), "stray floors (1, 3) must be dropped")
+    // In-assignment floors are untouched.
+    assert(ControlPlane.Lease(Set(1), Map(1 -> 4L)).floors === Map(1 -> 4L))
+  }
+
   test("batch read discovers its topology from the service (split case)") {
     topology.set(s"numShards=4\nreshardAtMs=$splitMs")
     def shape(df: org.apache.spark.sql.DataFrame) =
@@ -387,6 +399,96 @@ class ControlPlaneSpec extends SparkSpec with BeforeAndAfterAll {
     assert(union.size.toLong === nEvents,
       s"union ${union.size} of $nEvents: the group lost or duplicated records")
     // Restore the default table for any later test.
+    leaseTable.set(Map("a" -> "shards=0,1", "b" -> "shards=2,3"))
+  }
+
+  test("chaos handoff: a kill between offset-log and commit-log write replays the same batch, exactly once") {
+    // The mid-stream handoff sequence above, but the new owner is
+    // KILLED MID-BATCH:
+    // Structured Streaming writes the offset log BEFORE running a batch
+    // and the commit log after, so a sink that throws after reading its
+    // rows dies exactly in the window between the two — the crash the
+    // trigger-boundary handoff test never exercises. On recovery the
+    // engine must re-run THAT batch from the offset log (same offset
+    // range — the replayed rows are a superset-free identical set) and
+    // the handoff floors must hold across the crash: nothing below a
+    // floor re-read, nothing skipped, union exactly once.
+    val full = fileLayout.map(_.length.toLong).toSeq
+    val half = full.map(_ / 2)
+    leaseTable.set(Map("a" -> "shards=0,1", "b" -> "shards=2,3"))
+    publish(4, None, half)
+    val ckptB = tmpDir("ckpt_chaos_b")
+    def drain(worker: String, ckpt: String): Set[(Int, Long)] = {
+      val got = new java.util.concurrent.ConcurrentLinkedQueue[(Int, Long)]()
+      val q = Consumer.source(ConsumerConfig(
+          streamPath = eventsPath, numShards = 4,
+          maxRecordsPerTrigger = Some(300),
+          controlPlaneUrl = Some(url), dataPlaneUrl = Some(dataUrl),
+          leaseUrl = Some(leaseUrl(worker))))
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (df: org.apache.spark.sql.Dataset[Record], _: Long) =>
+          df.select(col("shardId"), col("sequenceNumber").cast("long"))
+            .as[(String, Long)].collect().foreach { case (sid, seq) =>
+              got.add(sid.stripPrefix("shardId-").toInt -> seq)
+            }
+          ()
+        }.start()
+      q.awaitTermination(120000)
+      import scala.jdk.CollectionConverters._
+      got.iterator().asScala.toSet
+    }
+    val aRows = drain("a", tmpDir("ckpt_chaos_a"))
+    val b1Rows = drain("b", ckptB)
+    assert(aRows.size.toLong === half(0) + half(1))
+    // Rebalance: B acquires A's shards with floors = A's final commits.
+    leaseTable.set(Map(
+      "a" -> "shards=",
+      "b" -> s"shards=0,1,2,3\npos.0=${half(0)}\npos.1=${half(1)}"))
+    publish(4, None, full)
+    // B restarts and is killed between offset-log and commit-log: the
+    // sink reads the batch's rows, then throws.
+    val killed = new java.util.concurrent.ConcurrentLinkedQueue[(Int, Long)]()
+    val qk = Consumer.source(ConsumerConfig(
+        streamPath = eventsPath, numShards = 4,
+        maxRecordsPerTrigger = Some(300),
+        controlPlaneUrl = Some(url), dataPlaneUrl = Some(dataUrl),
+        leaseUrl = Some(leaseUrl("b"))))
+      .writeStream
+      .option("checkpointLocation", ckptB)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[Record], _: Long) =>
+        df.select(col("shardId"), col("sequenceNumber").cast("long"))
+          .as[(String, Long)].collect().foreach { case (sid, seq) =>
+            killed.add(sid.stripPrefix("shardId-").toInt -> seq)
+          }
+        sys.error("chaos: killed between offset-log and commit-log write")
+      }.start()
+    intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      qk.awaitTermination(120000)
+      throw qk.exception.getOrElse(
+        sys.error("chaos kill did not fail the query"))
+    }
+    import scala.jdk.CollectionConverters._
+    val killedRows = killed.iterator().asScala.toSet
+    assert(killedRows.nonEmpty, "the killed batch must have read rows")
+    // Recovery on the same checkpoint with a healthy sink.
+    val b2Rows = drain("b", ckptB)
+    // The failed batch replays IDENTICALLY from the offset log…
+    assert(killedRows.subsetOf(b2Rows),
+      "recovery must re-deliver the killed batch's rows from the offset log")
+    // …the floors hold across the crash (nothing of A's half re-read,
+    // nothing of B's own checkpointed history re-read)…
+    assert((aRows & b2Rows) === Set.empty,
+      "the recovered owner replayed records below the handoff floor")
+    assert((b1Rows & b2Rows) === Set.empty,
+      "the recovered owner replayed its own checkpointed records")
+    // …and the union still tiles the stream exactly once.
+    val union = aRows ++ b1Rows ++ b2Rows
+    assert(union.size.toLong === aRows.size.toLong + b1Rows.size + b2Rows.size)
+    assert(union.size.toLong === nEvents,
+      s"union ${union.size} of $nEvents after the chaos kill")
     leaseTable.set(Map("a" -> "shards=0,1", "b" -> "shards=2,3"))
   }
 
