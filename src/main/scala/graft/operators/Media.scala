@@ -382,6 +382,31 @@ object Media {
         out.toSeq
       }
 
+    /** Difference-fingerprint of a decodable audio payload — the
+      * [[imageDHash]] discipline applied to the time axis: one bit per
+      * adjacent WINDOW pair (bit w set iff window w+1's energy exceeds
+      * window w's), packed LSB-first and capped at 56 bits so the print
+      * stays in positive BIGINT range. Energy windows are GENUINE PCM
+      * decodes ([[audioWindows]]); volume-scaling robustness comes from
+      * comparing energies, not thresholding them. None for payloads
+      * without a WAV container — skip, never fabricate; a single-window
+      * clip prints 0 (no adjacent pair), not an error.
+      */
+    def audioFingerprint(m: MediaRow, windowSamples: Int): Option[(Long, Long)] = {
+      val ws = audioWindows(m, windowSamples)
+      if (ws.isEmpty) None
+      else {
+        var h = 0L
+        val nBits = math.min(ws.size - 1, 56)
+        var w = 0
+        while (w < nBits) {
+          if (ws(w + 1).energy > ws(w).energy) h |= 1L << w
+          w += 1
+        }
+        Some((m.doc_id, h))
+      }
+    }
+
     /** REAL image resize for the container formats this JVM decodes (PNG
       * and GIF — GIF resizes its first frame, ImageIO's read contract):
       * decode, rescale through `Graphics2D.drawImage` with BILINEAR
@@ -560,6 +585,17 @@ object Media {
       grid: Int = 8): Dataset[(Long, Long)] = {
     import media.sparkSession.implicits._
     media.mapPartitions(_.flatMap(MediaCodec.imageDHash(_, grid)))
+  }
+
+  /** Per-clip audio difference-fingerprints over genuinely decoded PCM —
+    * map-side like every media operator; undecodable rows are skipped.
+    * The (doc_id, fingerprint) relation composes with
+    * [[Dedup.hammingPairs]] exactly as the image dHashes do — the same
+    * banded near-dup join serves both modalities. */
+  def audioFingerprints(media: Dataset[MediaRow],
+      windowSamples: Int): Dataset[(Long, Long)] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.flatMap(MediaCodec.audioFingerprint(_, windowSamples)))
   }
 
   /** Real resolution change for every decodable image in the set —
@@ -762,21 +798,47 @@ object Media {
   // reproduce the full <= 7 ball, not just band-collision candidates.
   // doc_id < 4096 bounds the oracle's quadratic check (the ENGINE path
   // stays banded at any corpus size).
-  private def q351(s: SparkSession, d: String): DataFrame = {
+  private def q351(s: SparkSession, d: String): DataFrame =
+    Dedup.hammingPairs(xyHashes(s, d), "doc_id", "dhash",
+        bands = 8, bandBits = 7, maxHamming = 7)
+      .groupBy(col("hamming")).agg(count(lit(1)).as("n_pairs"))
+      .orderBy(col("hamming"))
+  private lazy val q351Sql =
+    s"""WITH $xyBitsCtes,
+       pairs AS (
+         SELECT bit_count(xor(a.dhash, b.dhash))::BIGINT AS hamming
+         FROM bits a JOIN bits b ON a.doc_id < b.doc_id
+         WHERE bit_count(xor(a.dhash, b.dhash)) <= 7)
+       SELECT hamming, count(*)::BIGINT AS n_pairs
+       FROM pairs GROUP BY hamming ORDER BY hamming"""
+
+  // ---- q353: perceptual image DUP CLUSTERS (pairs closed transitively) --------
+  // The q351 Hamming ball read as dedup families: banded pairs →
+  // min-label fixpoint ([[Dedup.dedupClusters]]) → community size table.
+  // "How many distinct images does the corpus really contain" — the
+  // actionable form of a near-dup report. Oracle: predicted-hash pairs
+  // closed with a recursive reach CTE, min reachable id per node (the
+  // q60/q289 closure discipline).
+  private def q353(s: SparkSession, d: String): DataFrame = {
+    val pairs = Dedup.hammingPairs(xyHashes(s, d), "doc_id", "dhash",
+      bands = 8, bandBits = 7, maxHamming = 7)
+    Dedup.dedupClusters(pairs, "d1", "d2")
+      .groupBy(col("cluster_id")).agg(count(lit(1)).as("n_members"))
+      .orderBy(col("n_members").desc, col("cluster_id"))
+      .limit(25)
+  }
+  /** The q351 XY-gradient dHash fixture (shared by q351/q353). */
+  private def xyHashes(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val imgs = Tables.documents(s, d)
       .filter(col("doc_id") % 2 === 0 && col("doc_id") < 4096)
       .select(col("doc_id"), col("n_chars")).as[(Long, Long)]
       .mapPartitions(_.map { case (id, nChars) =>
         MediaRow(id, "image", MediaCodec.synthPngXY(id, nChars)) })
-    val hashes = imageDHashes(imgs).toDF("doc_id", "dhash")
-    Dedup.hammingPairs(hashes, "doc_id", "dhash", bands = 8, bandBits = 7,
-        maxHamming = 7)
-      .groupBy(col("hamming")).agg(count(lit(1)).as("n_pairs"))
-      .orderBy(col("hamming"))
+    imageDHashes(imgs).toDF("doc_id", "dhash")
   }
-  private val q351Sql =
-    """WITH img AS (
+  private val xyBitsCtes =
+    """img AS (
          SELECT doc_id, 1 + n_chars % 64 AS w, 1 + n_chars % 48 AS h
          FROM documents WHERE doc_id % 2 = 0 AND doc_id < 4096),
        bits AS (
@@ -790,11 +852,74 @@ object Media {
          FROM img
          CROSS JOIN (SELECT unnest(range(8)) AS j) j
          CROSS JOIN (SELECT unnest(range(7)) AS i) i
-         GROUP BY doc_id),
-       pairs AS (
-         SELECT bit_count(xor(a.dhash, b.dhash))::BIGINT AS hamming
+         GROUP BY doc_id)"""
+  private val q353Sql =
+    s"""WITH RECURSIVE $xyBitsCtes,
+       dup AS (
+         SELECT a.doc_id AS d1, b.doc_id AS d2
          FROM bits a JOIN bits b ON a.doc_id < b.doc_id
-         WHERE bit_count(xor(a.dhash, b.dhash)) <= 7)
+         WHERE bit_count(xor(a.dhash, b.dhash)) <= 7),
+       edges AS (SELECT d1 AS a, d2 AS b FROM dup
+                 UNION SELECT d2, d1 FROM dup),
+       reach(a, b) AS (
+         SELECT a, b FROM edges
+         UNION
+         SELECT reach.a, e.b FROM reach JOIN edges e ON reach.b = e.a),
+       clusters AS (
+         SELECT a AS doc_id, least(a, min(b)) AS cluster_id
+         FROM reach GROUP BY a)
+       SELECT cluster_id, count(*)::BIGINT AS n_members
+       FROM clusters GROUP BY 1
+       ORDER BY n_members DESC, cluster_id LIMIT 25"""
+
+  // ---- q354: audio near-dup via banded Hamming over PCM fingerprints ----------
+  // The second modality through the SAME banded join as q351: genuine
+  // WAV decodes → windowed-energy difference fingerprints → 7x8 banded
+  // pigeonhole pairs at radius 6 (< bands, so EXACT). The oracle
+  // predicts every window energy from the generative PCM formula
+  // (sample(i) = (doc_id + i) % 256), packs the bits in SQL, and
+  // computes the all-pairs Hamming relation — the engine must parse the
+  // real RIFF container to reproduce the histogram.
+  private val FpWindow = 16
+  private def q354(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val fps = audioFingerprints(
+        mediaTable(s, d).filter(col("kind") === "audio"), FpWindow)
+      .toDF("doc_id", "fp")
+    Dedup.hammingPairs(fps, "doc_id", "fp",
+        bands = 7, bandBits = 8, maxHamming = 6)
+      .groupBy(col("hamming")).agg(count(lit(1)).as("n_pairs"))
+      .orderBy(col("hamming"))
+  }
+  private val q354Sql =
+    s"""WITH au AS (
+         SELECT doc_id, (1 + n_chars % 2048)::BIGINT AS n
+         FROM documents WHERE doc_id % 4 = 1),
+       en AS (
+         SELECT a.doc_id, w.w,
+           list_sum(list_transform(
+             range((w.w * $FpWindow)::INT,
+               least(a.n, (w.w + 1) * $FpWindow)::INT),
+             i -> ((a.doc_id + i) % 256 - 128)
+                * ((a.doc_id + i) % 256 - 128)))::BIGINT AS e
+         FROM au a
+         CROSS JOIN (SELECT unnest(range(0, 128)) AS w) w
+         WHERE w.w * $FpWindow < a.n),
+       bitsrc AS (
+         SELECT e1.doc_id,
+           CASE WHEN e2.e > e1.e THEN (1::BIGINT << e1.w::INT)
+                ELSE 0 END AS b
+         FROM en e1 JOIN en e2
+           ON e1.doc_id = e2.doc_id AND e2.w = e1.w + 1
+         WHERE e1.w < 56),
+       fps AS (
+         SELECT a.doc_id, coalesce(sum(b.b), 0)::BIGINT AS fp
+         FROM au a LEFT JOIN bitsrc b ON a.doc_id = b.doc_id
+         GROUP BY a.doc_id),
+       pairs AS (
+         SELECT bit_count(xor(a.fp, b.fp))::BIGINT AS hamming
+         FROM fps a JOIN fps b ON a.doc_id < b.doc_id
+         WHERE bit_count(xor(a.fp, b.fp)) <= 6)
        SELECT hamming, count(*)::BIGINT AS n_pairs
        FROM pairs GROUP BY hamming ORDER BY hamming"""
 
@@ -804,5 +929,7 @@ object Media {
     QueryDef("q275_audio_energy", q275, Some(q275Sql)),
     QueryDef("q339_image_resize", q339, Some(q339Sql)),
     QueryDef("q346_image_dhash", q346, Some(q346Sql)),
-    QueryDef("q351_image_neardup", q351, Some(q351Sql)))
+    QueryDef("q351_image_neardup", q351, Some(q351Sql)),
+    QueryDef("q353_image_dup_clusters", q353, Some(q353Sql)),
+    QueryDef("q354_audio_neardup", q354, Some(q354Sql)))
 }

@@ -242,6 +242,34 @@ class MediaSpec extends SparkSpec {
     assert(got === brute)
   }
 
+  test("audioFingerprint packs window-energy comparisons of REAL PCM decodes") {
+    // doc_id = 9, nChars picked so the clip spans several 16-sample
+    // windows: predict every window energy from the generative formula
+    // sample(i) = (9 + i) % 256 and pack the comparison bits; the codec
+    // must reproduce the print through a genuine RIFF/PCM parse.
+    val (id, nChars) = (9L, 200L)
+    val m = MediaRow(id, "audio", MediaCodec.synthWav(id, nChars))
+    val n = (1 + nChars % 2048).toInt
+    val W = 16
+    def energy(w: Int): Long =
+      (w * W until math.min(n, (w + 1) * W)).map { i =>
+        val c = (id + i) % 256 - 128; c * c
+      }.sum
+    val nw = (n + W - 1) / W
+    var want = 0L
+    for (w <- 0 until math.min(nw - 1, 56))
+      if (energy(w + 1) > energy(w)) want |= 1L << w
+    assert(MediaCodec.audioFingerprint(m, W) === Some((id, want)))
+    assert(want !== 0L, "fixture should exercise at least one set bit")
+    // A clip shorter than two windows prints 0 (no adjacent pair).
+    assert(MediaCodec.audioFingerprint(
+      MediaRow(3L, "audio", MediaCodec.synthWav(3L, 4L)), 256) ===
+      Some((3L, 0L)))
+    // Non-WAV payloads are skipped, never fabricated.
+    assert(MediaCodec.audioFingerprint(
+      MediaRow(2L, "image", MediaCodec.synthPng(2L, 10L)), W) === None)
+  }
+
   test("media pipeline stays map-side (no shuffle before the final agg)") {
     val plan = mediaDecode(mediaTable(spark, sf)).queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), s"decode should not shuffle:\n$plan")
