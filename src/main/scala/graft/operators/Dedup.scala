@@ -486,6 +486,29 @@ object Dedup {
         round(col("inter") / col("n2"), 6).as("c_2_in_1"))
   }
 
+  /** Asymmetric set-containment pairs over an ARBITRARY (key, item)
+    * relation — [[containmentPairs]] generalized away from text grams so
+    * any fingerprint family can ride it (the q355 video near-dup feeds
+    * per-frame dHashes; keys are documents, items are frame hashes).
+    * Items are DISTINCT per key; the intersection comes from an
+    * item-equality join (the only shuffle keys are item values — never a
+    * key cross join, candidate count bounded by item collisions);
+    * containment_micro = |A∩B|·10⁶ div min(|A|,|B|), exact BIGINT.
+    */
+  def itemContainmentPairs(items: DataFrame, keyCol: String,
+      itemCol: String): DataFrame = {
+    val d = items.select(col(keyCol).as("k"), col(itemCol).as("it")).distinct()
+    val sizes = d.groupBy(col("k")).agg(count(lit(1)).as("n"))
+    val a = d.select(col("k").as("d1"), col("it"))
+    val b = d.select(col("k").as("d2"), col("it"))
+    a.join(b, a("it") === b("it") && col("d1") < col("d2"))
+      .groupBy(col("d1"), col("d2")).agg(count(lit(1)).as("inter"))
+      .join(sizes.select(col("k").as("d1"), col("n").as("n1")), "d1")
+      .join(sizes.select(col("k").as("d2"), col("n").as("n2")), "d2")
+      .select(col("d1"), col("d2"), col("inter"),
+        expr("inter * 1000000L div least(n1, n2)").as("containment_micro"))
+  }
+
   /** Semantic deduplication over an embedding column (the SemDeDup shape,
     * Abbas et al. 2023, public literature): cluster vectors to their
     * nearest seed (IVF), find same-cluster pairs above the cosine

@@ -457,34 +457,51 @@ object Media {
       val src = if (isPng(m.media) || isGif(m.media))
         ImageIO.read(new ByteArrayInputStream(m.media)) else null
       if (src == null || grid < 2) None
-      else {
-        val (w, h) = (src.getWidth, src.getHeight)
-        // Raw raster samples for single-band (gray) rasters — getRGB
-        // would run the gray→sRGB color transform and distort the
-        // comparison; multi-band/indexed rasters fall back to the low
-        // RGB byte (the GIF-frame convention).
-        val raster = src.getRaster
-        val oneBand = raster.getNumBands == 1
-        def px(x: Int, y: Int): Int =
-          if (oneBand) raster.getSample(x, y, 0) else gray(src, x, y)
-        var hash = 0L
-        var b = 0
-        var j = 0
-        while (j < grid) {
-          val y = j * (h - 1) / (grid - 1)
-          var i = 0
-          while (i < grid - 1) {
-            val x1 = i * (w - 1) / (grid - 1)
-            val x2 = (i + 1) * (w - 1) / (grid - 1)
-            if (px(x2, y) > px(x1, y)) hash |= 1L << b
-            b += 1
-            i += 1
-          }
-          j += 1
-        }
-        Some((m.doc_id, hash))
-      }
+      else Some((m.doc_id, latticeHash(src, grid)))
     }
+
+    /** The (grid−1)·grid-bit lattice pack shared by [[imageDHash]] and
+      * [[gifFrameDHashes]]. Raw raster samples for single-band (gray)
+      * rasters — getRGB would run the gray→sRGB color transform and
+      * distort the comparison; multi-band/indexed rasters fall back to
+      * the low RGB byte (the GIF-frame convention).
+      */
+    private def latticeHash(src: java.awt.image.BufferedImage,
+        grid: Int): Long = {
+      val (w, h) = (src.getWidth, src.getHeight)
+      val raster = src.getRaster
+      val oneBand = raster.getNumBands == 1
+      def px(x: Int, y: Int): Int =
+        if (oneBand) raster.getSample(x, y, 0) else gray(src, x, y)
+      var hash = 0L
+      var b = 0
+      var j = 0
+      while (j < grid) {
+        val y = j * (h - 1) / (grid - 1)
+        var i = 0
+        while (i < grid - 1) {
+          val x1 = i * (w - 1) / (grid - 1)
+          val x2 = (i + 1) * (w - 1) / (grid - 1)
+          if (px(x2, y) > px(x1, y)) hash |= 1L << b
+          b += 1
+          i += 1
+        }
+        j += 1
+      }
+      hash
+    }
+
+    /** dHash of EVERY genuinely decoded frame of a GIF container —
+      * (doc_id, frame_idx, hash) rows, the per-frame primitive the
+      * video near-dup containment (q355) consumes. Empty for non-GIF
+      * payloads (no codec in this JVM decodes other video containers —
+      * skip, never fabricate).
+      */
+    def gifFrameDHashes(m: MediaRow, grid: Int = 8): Seq[(Long, Long, Long)] =
+      if (!isGif(m.media) || grid < 2) Seq.empty
+      else gifFrames(m.media).zipWithIndex.map { case (img, f) =>
+        (m.doc_id, f.toLong, latticeHash(img, grid))
+      }
 
     /** Byte-budget clamp for OPAQUE payloads (truncate/zero-pad) — the
       * storage-cap primitive for kinds with no decoder, NOT an image
@@ -923,6 +940,64 @@ object Media {
        SELECT hamming, count(*)::BIGINT AS n_pairs
        FROM pairs GROUP BY hamming ORDER BY hamming"""
 
+  /** Per-frame dHashes of every GIF in the set — map-side (container
+    * parse + per-frame lattice hash inside the partition iterator, zero
+    * shuffle); the per-frame primitive [[Dedup.itemContainmentPairs]]
+    * consumes for video near-dup.
+    */
+  def gifFrameHashes(media: Dataset[MediaRow],
+      grid: Int = 8): Dataset[(Long, Long, Long)] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.flatMap(MediaCodec.gifFrameDHashes(_, grid)))
+  }
+
+  // ---- q355: video near-dup via frame-hash set containment --------------------
+  // The third modality: every GIF frame genuinely decoded and dHashed,
+  // then documents paired by DISTINCT-frame-hash containment
+  // (|A∩B| / min|A|,|B| — the asymmetric measure that catches a clip
+  // embedded in a longer one). Oracle: the generative frames are
+  // y-constant, so each frame's 56-bit hash is its 7-bit row pattern
+  // times 567382630219905 (the q346 identity) — predicted per (doc,
+  // frame) in SQL, deduplicated, intersected all-pairs. The engine must
+  // parse real multi-frame containers to reproduce the histogram; its
+  // pair join shuffles only frame-hash values, never a doc cross join.
+  private def q355(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val fh = gifFrameHashes(mediaTable(s, d).filter(col("kind") === "video"))
+      .toDF("doc_id", "frame_idx", "fhash")
+    Dedup.itemContainmentPairs(fh, "doc_id", "fhash")
+      .groupBy(col("containment_micro")).agg(count(lit(1)).as("n_pairs"))
+      .orderBy(col("containment_micro"))
+  }
+  private val q355Sql =
+    """WITH vid AS (
+         SELECT doc_id, 1 + n_chars % 12 AS fcnt, 1 + n_chars % 32 AS w
+         FROM documents WHERE doc_id % 4 = 3),
+       fh0 AS (
+         SELECT v.doc_id, f.f,
+           (sum(CASE WHEN (v.doc_id + f.f + ((i.i + 1) * (v.w - 1)) // 7) % 256
+                  > (v.doc_id + f.f + (i.i * (v.w - 1)) // 7) % 256
+                THEN (1::BIGINT << i.i) ELSE 0 END)
+             * 567382630219905)::BIGINT AS fhash
+         FROM vid v
+         CROSS JOIN (SELECT unnest(range(12)) AS f) f
+         CROSS JOIN (SELECT unnest(range(7)) AS i) i
+         WHERE f.f < v.fcnt
+         GROUP BY v.doc_id, f.f),
+       fh AS (SELECT DISTINCT doc_id, fhash FROM fh0),
+       sz AS (SELECT doc_id, count(*)::BIGINT AS n FROM fh GROUP BY 1),
+       inter AS (
+         SELECT a.doc_id AS d1, b.doc_id AS d2, count(*)::BIGINT AS inter
+         FROM fh a JOIN fh b ON a.fhash = b.fhash AND a.doc_id < b.doc_id
+         GROUP BY 1, 2),
+       pairs AS (
+         SELECT (inter * 1000000 // least(s1.n, s2.n))::BIGINT
+           AS containment_micro
+         FROM inter JOIN sz s1 ON d1 = s1.doc_id
+                    JOIN sz s2 ON d2 = s2.doc_id)
+       SELECT containment_micro, count(*)::BIGINT AS n_pairs
+       FROM pairs GROUP BY 1 ORDER BY 1"""
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q32_media_decode", q32, Some(q32Sql)),
     QueryDef("q33_media_frames", q33, Some(q33Sql)),
@@ -931,5 +1006,6 @@ object Media {
     QueryDef("q346_image_dhash", q346, Some(q346Sql)),
     QueryDef("q351_image_neardup", q351, Some(q351Sql)),
     QueryDef("q353_image_dup_clusters", q353, Some(q353Sql)),
-    QueryDef("q354_audio_neardup", q354, Some(q354Sql)))
+    QueryDef("q354_audio_neardup", q354, Some(q354Sql)),
+    QueryDef("q355_video_neardup", q355, Some(q355Sql)))
 }

@@ -58,6 +58,28 @@ class DedupSpec extends SparkSpec {
     assert(gotRows === want.size.toLong)
   }
 
+  test("itemContainmentPairs equals brute distinct-set containment") {
+    // Keys with overlapping item sets, duplicates inside a key (must
+    // collapse before counting), and a disjoint key (no pair emitted).
+    val rows = Seq(
+      (1L, 10L), (1L, 11L), (1L, 12L), (1L, 12L), // A = {10,11,12}
+      (2L, 11L), (2L, 12L), (2L, 13L), (2L, 14L), // B = {11,12,13,14}
+      (3L, 10L), (3L, 11L), (3L, 12L),            // C = A
+      (4L, 99L))                                  // D disjoint
+      .toDF("k0", "i0")
+    val sets = Map(1L -> Set(10L, 11L, 12L), 2L -> Set(11L, 12L, 13L, 14L),
+      3L -> Set(10L, 11L, 12L), 4L -> Set(99L))
+    val want = (for {
+      a <- sets.keys; b <- sets.keys if a < b
+      inter = (sets(a) & sets(b)).size if inter > 0
+    } yield (a, b, inter.toLong,
+      inter * 1000000L / math.min(sets(a).size, sets(b).size))).toSet
+    val got = Dedup.itemContainmentPairs(rows, "k0", "i0")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(got === want)
+    assert(got.contains((1L, 3L, 3L, 1000000L)), "identical sets contain fully")
+  }
+
   test("dedupClusters closes chains transitively and labels by minimum id") {
     // Two clusters: {1,2,3,4} connected only as a chain 1-2, 2-3, 3-4
     // (so transitive closure is required), and {7,9}. Node 5 has no pair

@@ -242,6 +242,34 @@ class MediaSpec extends SparkSpec {
     assert(got === brute)
   }
 
+  test("gifFrameDHashes hashes every REAL decoded frame to the predicted lattice pack") {
+    // doc_id = 250, nChars = 29 -> F = 1 + 29 % 12 = 6 frames of
+    // (1 + 29 % 32) x (1 + 29 % 24) = 30 x 6; frame f is y-constant with
+    // pixel(x, .) = (250 + f + x) % 256, so each frame's 56-bit hash is
+    // its 7-bit row pattern times sum_j 2^(7j) = 567382630219905 — and
+    // the 256-wrap lands at a DIFFERENT lattice position per frame, so
+    // the six hashes genuinely differ.
+    val (id, nChars) = (250L, 29L)
+    val m = MediaRow(id, "video", MediaCodec.synthGif(id, nChars))
+    val (fcnt, w) = ((1 + nChars % 12).toInt, (1 + nChars % 32).toInt)
+    def predict(f: Int): Long = {
+      var rp = 0L
+      for (i <- 0 until 7) {
+        val x1 = i * (w - 1) / 7
+        val x2 = (i + 1) * (w - 1) / 7
+        if ((id + f + x2) % 256 > (id + f + x1) % 256) rp |= 1L << i
+      }
+      rp * 567382630219905L
+    }
+    val want = (0 until fcnt).map(f => (id, f.toLong, predict(f)))
+    assert(MediaCodec.gifFrameDHashes(m) === want)
+    assert(want.map(_._3).distinct.size > 1,
+      "fixture should produce several distinct frame hashes")
+    // Non-GIF payloads are skipped, never fabricated.
+    assert(MediaCodec.gifFrameDHashes(
+      MediaRow(2L, "image", MediaCodec.synthPng(2L, 10L))) === Seq.empty)
+  }
+
   test("audioFingerprint packs window-energy comparisons of REAL PCM decodes") {
     // doc_id = 9, nChars picked so the clip spans several 16-sample
     // windows: predict every window energy from the generative formula
