@@ -2026,6 +2026,49 @@ object Profile {
           .otherwise(lit(null).cast("long")))
   }
 
+  // ---- q356: is purchase value genuinely higher than view value? --------------
+  // Welch's t between the two event-type arms — the pairwise readout
+  // q315's pooled F can't give (which pair differs, with what sign).
+  private def q356(s: SparkSession, d: String): DataFrame =
+    welchT(Tables.events(s, d), col("event_type"), col("value"),
+      "purchase", "view")
+  private val q356Sql =
+    """WITH base AS (
+         SELECT event_type AS g, floor(value * 100)::BIGINT AS c
+         FROM events WHERE event_type IN ('purchase', 'view')),
+       agg AS (
+         SELECT count(*) FILTER (WHERE g = 'purchase')::BIGINT AS n_a,
+           sum(c) FILTER (WHERE g = 'purchase')::BIGINT AS s_a,
+           sum(c::HUGEINT * c) FILTER (WHERE g = 'purchase')::HUGEINT AS q_a,
+           count(*) FILTER (WHERE g = 'view')::BIGINT AS n_b,
+           sum(c) FILTER (WHERE g = 'view')::BIGINT AS s_b,
+           sum(c::HUGEINT * c) FILTER (WHERE g = 'view')::HUGEINT AS q_b
+         FROM base),
+       v AS (
+         SELECT *,
+           (q_a::DOUBLE * n_a::DOUBLE - s_a::DOUBLE * s_a::DOUBLE)
+             / (n_a::DOUBLE * (n_a::DOUBLE - 1)) AS va,
+           (q_b::DOUBLE * n_b::DOUBLE - s_b::DOUBLE * s_b::DOUBLE)
+             / (n_b::DOUBLE * (n_b::DOUBLE - 1)) AS vb
+         FROM agg),
+       se AS (
+         SELECT *, va / n_a::DOUBLE AS sea, vb / n_b::DOUBLE AS seb,
+           va / n_a::DOUBLE + vb / n_b::DOUBLE AS se2
+         FROM v)
+       SELECT n_a, n_b,
+         (CASE WHEN s_a < 0 THEN -1 ELSE 1 END
+           * ((abs(s_a)::HUGEINT * 10000) // n_a))::BIGINT AS mean_a_micro,
+         (CASE WHEN s_b < 0 THEN -1 ELSE 1 END
+           * ((abs(s_b)::HUGEINT * 10000) // n_b))::BIGINT AS mean_b_micro,
+         CASE WHEN n_a < 2 OR n_b < 2 OR se2 <= 0 THEN NULL
+           ELSE floor(((s_a::DOUBLE / n_a::DOUBLE - s_b::DOUBLE / n_b::DOUBLE)
+             / sqrt(se2)) * 1e6 + 0.5) / 1e6 + 0.0 END AS t,
+         CASE WHEN n_a < 2 OR n_b < 2 OR se2 <= 0 THEN NULL
+           ELSE floor(((se2 * se2) / (sea * sea / (n_a::DOUBLE - 1)
+             + seb * seb / (n_b::DOUBLE - 1))) * 1e6 + 0.5) / 1e6 + 0.0
+           END AS df_welch
+       FROM se"""
+
   // ---- q315: does mean event value differ across event types? -----------------
   private def q315(s: SparkSession, d: String): DataFrame =
     anovaTable(Tables.events(s, d), col("event_type"), col("value"))
@@ -2054,6 +2097,59 @@ object Profile {
              // greatest((ss_total - ss_between) // (n - k), 1)
            ELSE NULL END::BIGINT AS f_micro
        FROM ss"""
+
+  /** Welch's two-sample t (unequal variances — Welch 1947): the
+    * practitioners' default two-group mean comparison, filling the slot
+    * between [[anovaTable]] (k groups, pooled) and [[mannWhitneyU]]
+    * (nonparametric). Counts/sums/sums-of-squares are EXACT (cents,
+    * decimal(38,0)); t and the Welch–Satterthwaite df are ONE double
+    * formula over those integers, mirrored operation-for-operation in
+    * the oracle and quantized once via floor(x·10⁶ + 0.5)/10⁶ — the
+    * repo's deterministic rounding idiom. Means are exact micro
+    * (sign-split). Null t/df when either arm has < 2 rows or both
+    * variances vanish.
+    *
+    * Scale design: one filtered pass, one global aggregate with
+    * map-side partials — six numbers cross the wire.
+    */
+  def welchT(df: DataFrame, groupCol: Column, valueCol: Column,
+      groupA: String, groupB: String): DataFrame = {
+    val base = df.select(groupCol.as("g"),
+        floor(valueCol * 100).cast("long").as("c"))
+      .filter(col("g").isin(groupA, groupB))
+    def dd(n: String) = col(n).cast("double")
+    val va = (dd("q_a") * dd("n_a") - dd("s_a") * dd("s_a")) /
+      (dd("n_a") * (dd("n_a") - lit(1d)))
+    val vb = (dd("q_b") * dd("n_b") - dd("s_b") * dd("s_b")) /
+      (dd("n_b") * (dd("n_b") - lit(1d)))
+    val sea = va / dd("n_a")
+    val seb = vb / dd("n_b")
+    val se2 = sea + seb
+    val t = (dd("s_a") / dd("n_a") - dd("s_b") / dd("n_b")) / sqrt(se2)
+    val nu = (se2 * se2) /
+      (sea * sea / (dd("n_a") - lit(1d)) + seb * seb / (dd("n_b") - lit(1d)))
+    def bin6(c: Column) = floor(c * lit(1e6) + lit(0.5)) / lit(1e6)
+    val degenerate = col("n_a") < 2 || col("n_b") < 2 || se2 <= lit(0d)
+    def meanMicro(s: String, n: String) =
+      expr(s"""cast((case when $s < 0 then -1L else 1L end)
+           * ((abs(cast($s as decimal(38,0))) * 10000) div $n) as long)""")
+    base.agg(
+        count(when(col("g") === groupA, 1)).as("n_a"),
+        sum(when(col("g") === groupA, col("c"))).as("s_a"),
+        sum(when(col("g") === groupA,
+          expr("cast(c as decimal(38,0)) * c"))).as("q_a"),
+        count(when(col("g") === groupB, 1)).as("n_b"),
+        sum(when(col("g") === groupB, col("c"))).as("s_b"),
+        sum(when(col("g") === groupB,
+          expr("cast(c as decimal(38,0)) * c"))).as("q_b"))
+      .select(col("n_a"), col("n_b"),
+        meanMicro("s_a", "n_a").as("mean_a_micro"),
+        meanMicro("s_b", "n_b").as("mean_b_micro"),
+        when(degenerate, lit(null).cast("double"))
+          .otherwise(bin6(t) + lit(0.0)).as("t"),
+        when(degenerate, lit(null).cast("double"))
+          .otherwise(bin6(nu) + lit(0.0)).as("df_welch"))
+  }
 
   /** Chi-square goodness-of-fit against a UNIFORM distribution over the
     * observed categories, per group: χ² = Σ(O_i − n/k)²/(n/k), which
@@ -3716,6 +3812,7 @@ object Profile {
     QueryDef("q298_fd_discovery", q298, Some(q298Sql)),
     QueryDef("q309_fanout_histogram", q309, Some(q309Sql)),
     QueryDef("q315_anova", q315, Some(q315Sql)),
+    QueryDef("q356_welch_t", q356, Some(q356Sql)),
     QueryDef("q299_gk_lambda", q299, Some(q299Sql)),
     QueryDef("q260_corpus_datasheet", q260, Some(q260Sql)),
     QueryDef("q194_mann_whitney", q194, Some(q194Sql)),

@@ -481,6 +481,54 @@ class RandomizedEquivalenceSpec extends SparkSpec {
     }
   }
 
+  test("welchT equals the sequential Welch computation on random arms") {
+    (1 to 6).foreach { trial =>
+      val na = 2 + rnd.nextInt(40)
+      val nb = 2 + rnd.nextInt(40)
+      val rawA = Vector.fill(na)(rnd.nextInt(20001) - 10000)
+      val rawB = Vector.fill(nb)(rnd.nextInt(20001) - 10000)
+      val rows = rawA.map(c => ("A", c / 100.0)) ++
+        rawB.map(c => ("B", c / 100.0))
+      val df = rows.toDF("g0", "v0")
+      // Mirror the operator's cents conversion: floor(v * 100) on the
+      // DOUBLE the fixture actually stores (c/100.0*100 can land a hair
+      // under c in IEEE arithmetic).
+      val a = rawA.map(c => math.floor(c / 100.0 * 100).toInt)
+      val b = rawB.map(c => math.floor(c / 100.0 * 100).toInt)
+      def stats(xs: Vector[Int]) = {
+        val n = xs.size.toLong
+        val s = xs.map(_.toLong).sum
+        val q = xs.map(x => BigInt(x) * x).sum
+        (n, s, q)
+      }
+      val (n1, s1, q1) = stats(a)
+      val (n2, s2, q2) = stats(b)
+      // Mirror the operator's double formula operation-for-operation.
+      val va = (q1.toDouble * n1 - s1.toDouble * s1) / (n1.toDouble * (n1 - 1d))
+      val vb = (q2.toDouble * n2 - s2.toDouble * s2) / (n2.toDouble * (n2 - 1d))
+      val (sea, seb) = (va / n1, vb / n2)
+      val se2 = sea + seb
+      def bin6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+      val (wantT, wantNu) =
+        if (se2 <= 0) (null, null)
+        else (bin6((s1.toDouble / n1 - s2.toDouble / n2) / math.sqrt(se2)) + 0.0,
+          bin6(se2 * se2 / (sea * sea / (n1 - 1d) + seb * seb / (n2 - 1d))) + 0.0)
+      def mm(s: Long, n: Long) =
+        (if (s < 0) -1L else 1L) * (math.abs(s) * 10000L / n)
+      val got = Profile.welchT(df, col("g0"), col("v0"), "A", "B")
+        .collect().head
+      assert(got.getLong(0) === n1 && got.getLong(1) === n2)
+      assert(got.getLong(2) === mm(s1, n1) && got.getLong(3) === mm(s2, n2))
+      assert(got.get(4) === wantT && got.get(5) === wantNu,
+        s"trial $trial got=$got want=($wantT, $wantNu)")
+    }
+    // Degenerate: a single-row arm yields null t/df, not a crash.
+    val tiny = Seq(("A", 1.0), ("B", 2.0), ("B", 3.0)).toDF("g0", "v0")
+    val row = Profile.welchT(tiny, col("g0"), col("v0"), "A", "B")
+      .collect().head
+    assert(row.isNullAt(4) && row.isNullAt(5))
+  }
+
   test("chiSquareUniform equals the definitional statistic on random categories") {
     (1 to 6).foreach { trial =>
       val k = 2 + rnd.nextInt(8)
