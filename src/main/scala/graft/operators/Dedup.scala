@@ -1479,7 +1479,7 @@ object Dedup {
   private def q28(s: SparkSession, d: String): DataFrame =
     simhashPairs(Tables.documents(s, d), "doc_id", "text")
       .orderBy(col("d1"), col("d2"))
-  private val q28Sql =
+  private[operators] val q28Sql =
     """WITH th AS (
          SELECT doc_id, list_reduce(list_prepend(0::BIGINT,
              list_transform(string_split(t, ''), c -> ord(c)::BIGINT)),

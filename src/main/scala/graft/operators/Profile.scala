@@ -2032,7 +2032,7 @@ object Profile {
   private def q356(s: SparkSession, d: String): DataFrame =
     welchT(Tables.events(s, d), col("event_type"), col("value"),
       "purchase", "view")
-  private val q356Sql =
+  private[operators] val q356Sql =
     """WITH base AS (
          SELECT event_type AS g, floor(value * 100)::BIGINT AS c
          FROM events WHERE event_type IN ('purchase', 'view')),

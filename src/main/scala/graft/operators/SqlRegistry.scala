@@ -216,6 +216,35 @@ object SqlRegistry {
         expr(strLit(exprs(3), "yMicroExpr")))
     }
 
+    // graft_welch_t(table, groupCol, valueExpr, armA, armB): Welch's
+    // unequal-variance two-sample t between the two named arms (the
+    // q356 operator).
+    tvf("graft_welch_t") { exprs =>
+      require(exprs.length == 5,
+        "graft_welch_t(table, groupCol, valueExpr, armA, armB)")
+      Profile.welchT(s.table(strLit(exprs(0), "table")),
+        col(strLit(exprs(1), "groupCol")), expr(strLit(exprs(2), "valueExpr")),
+        strLit(exprs(3), "armA"), strLit(exprs(4), "armB"))
+    }
+
+    // graft_hamming_pairs(table, idCol, hashExpr, bands, bandBits,
+    // maxHamming): banded pigeonhole near-dup pairs over any packed
+    // integer fingerprint expression (the q351/q354 operator) — compose
+    // with a TEMP VIEW deriving the hash (e.g.
+    // graft_simhash(split(text, ' '))), the q327 composition contract.
+    tvf("graft_hamming_pairs") { exprs =>
+      require(exprs.length == 6,
+        "graft_hamming_pairs(table, idCol, hashExpr, bands, bandBits, " +
+          "maxHamming)")
+      val idCol = strLit(exprs(1), "idCol")
+      Dedup.hammingPairs(
+        s.table(strLit(exprs(0), "table"))
+          .select(col(idCol), expr(strLit(exprs(2), "hashExpr")).as("__h"))
+          .where(col("__h").isNotNull),
+        idCol, "__h", intLit(exprs(3), "bands"), intLit(exprs(4), "bandBits"),
+        intLit(exprs(5), "maxHamming"))
+    }
+
     // graft_calendar(startDate, endDate): inclusive date spine with the
     // calendar attributes every BI join needs, all derived TIMEZONE-FREE
     // from epoch-day arithmetic (dow via (day_id + 3) % 7, 0 = Monday —

@@ -156,6 +156,23 @@ object SqlSurface {
   private def q326(s: SparkSession, d: String): DataFrame =
     viaTvf(s, d, "events",
       "SELECT * FROM graft_anova('events', 'event_type', 'value')")
+  private def q357(s: SparkSession, d: String): DataFrame =
+    viaTvf(s, d, "events",
+      """SELECT * FROM graft_welch_t('events', 'event_type', 'value',
+           'purchase', 'view')""")
+  // The hamming-pairs wrapper composes with a TEMP VIEW deriving the
+  // fingerprint via the registered native kernel — the full SQL-only
+  // near-dup path: graft_simhash in the view, the banded join as a TVF.
+  private def q358(s: SparkSession, d: String): DataFrame = {
+    SqlRegistry.register(s)
+    graft.functions.Native.register(s)
+    Tables(s, d, "documents").createOrReplaceTempView("documents")
+    s.sql("""CREATE OR REPLACE TEMPORARY VIEW doc_simhash AS
+      SELECT doc_id, graft_simhash(split(text, ' ')) AS sh FROM documents""")
+    s.sql("""SELECT * FROM graft_hamming_pairs('doc_simhash', 'doc_id',
+        'sh', 4, 8, 3)
+      ORDER BY d1, d2""")
+  }
   // The KM wrapper composes with a SQL TEMP VIEW for the per-customer
   // duration derivation — the survival TVF consumes ANY relation-valued
   // derivation a SQL user can write, not just base tables.
@@ -184,5 +201,7 @@ object SqlSurface {
     QueryDef("q287_sql_topk_others", q287, Some(Analytics.q281Sql)),
     QueryDef("q288_sql_iqr_outliers", q288, Some(Analytics.q283Sql)),
     QueryDef("q326_sql_anova", q326, Some(Profile.q315Sql)),
-    QueryDef("q327_sql_kaplan_meier", q327, Some(Analytics.q317Sql)))
+    QueryDef("q327_sql_kaplan_meier", q327, Some(Analytics.q317Sql)),
+    QueryDef("q357_sql_welch_t", q357, Some(Profile.q356Sql)),
+    QueryDef("q358_sql_hamming_pairs", q358, Some(Dedup.q28Sql)))
 }

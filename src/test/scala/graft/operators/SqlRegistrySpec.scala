@@ -154,4 +154,32 @@ class SqlRegistrySpec extends SparkSpec {
       expr("case when value >= 2.0D then 1000000L else 0L end"))
     assert(viaSql.except(viaApi).isEmpty && viaApi.except(viaSql).isEmpty)
   }
+
+  test("graft_welch_t and graft_hamming_pairs TVFs equal the Dataset forms") {
+    SqlRegistry.register(spark)
+    graft.functions.Native.register(spark)
+    Tables(spark, sf, "events").createOrReplaceTempView("events")
+    val wtSql = spark.sql(
+      """SELECT * FROM graft_welch_t('events', 'event_type', 'value',
+           'purchase', 'view')""")
+    val wtApi = Profile.welchT(Tables(spark, sf, "events"),
+      col("event_type"), col("value"), "purchase", "view")
+    assert(wtSql.except(wtApi).isEmpty && wtApi.except(wtSql).isEmpty)
+
+    Tables(spark, sf, "documents").createOrReplaceTempView("documents")
+    spark.sql("""CREATE OR REPLACE TEMPORARY VIEW doc_simhash AS
+      SELECT doc_id, graft_simhash(split(text, ' ')) AS sh FROM documents""")
+    val hpSql = spark.sql(
+      """SELECT * FROM graft_hamming_pairs('doc_simhash', 'doc_id', 'sh',
+           4, 8, 3)""")
+    // The TVF route over the simhash view must equal BOTH the generic
+    // Dataset operator on the same hashes and the fused simhashPairs.
+    val hpApi = Dedup.hammingPairs(
+      Dedup.simhash(Tables(spark, sf, "documents"), "doc_id", "text"),
+      "doc_id", "simhash", bands = 4, bandBits = 8, maxHamming = 3)
+    val fused = Dedup.simhashPairs(Tables(spark, sf, "documents"),
+      "doc_id", "text", maxHamming = 3)
+    assert(hpSql.except(hpApi).isEmpty && hpApi.except(hpSql).isEmpty)
+    assert(hpSql.except(fused).isEmpty && fused.except(hpSql).isEmpty)
+  }
 }
