@@ -1501,6 +1501,112 @@ object Similarity {
       .limit(topN)
   }
 
+  /** Exact int8 GRAM MATRIX of an embedding column — the distributed
+    * linear-algebra backbone under covariance/PCA/feature-correlation:
+    * G[i][j] = Σ_rows q[i]·q[j] over the int8-quantized vectors, upper
+    * triangle only. The whole-corpus pass happens INSIDE mapPartitions
+    * with ONE d·(d+1)/2 long-array accumulator per partition (the
+    * treeAggregate discipline expressed relationally): each partition
+    * emits d·(d+1)/2 partial rows NO MATTER HOW MANY VECTORS it read,
+    * and the only shuffle is the (i, j)-keyed partial merge —
+    * partitions·d² rows, corpus-size-independent. Exact BIGINT
+    * throughout (int8 products can't overflow a Long until ~5·10¹⁴
+    * rows per partition).
+    */
+  def gramMatrix(vectors: DataFrame, vecCol: String): DataFrame = {
+    val s = vectors.sparkSession
+    import s.implicits._
+    vectors.select(quantize8(col(vecCol)).as("q"))
+      .as[Seq[Long]]
+      .mapPartitions { it =>
+        var acc: Array[Long] = null
+        var d = 0
+        it.foreach { q =>
+          if (acc == null) { d = q.size; acc = new Array[Long](d * (d + 1) / 2) }
+          val arr = q.toArray
+          var i = 0
+          var p = 0
+          while (i < d) {
+            var j = i
+            while (j < d) {
+              acc(p) += arr(i) * arr(j)
+              p += 1
+              j += 1
+            }
+            i += 1
+          }
+        }
+        if (acc == null) Iterator.empty
+        else {
+          var i = 0
+          var p = 0
+          val out = new Array[(Int, Int, Long)](d * (d + 1) / 2)
+          while (i < d) {
+            var j = i
+            while (j < d) { out(p) = (i, j, acc(p)); p += 1; j += 1 }
+            i += 1
+          }
+          out.iterator
+        }
+      }
+      .toDF("i", "j", "gp")
+      .groupBy(col("i"), col("j")).agg(sum(col("gp")).as("g"))
+  }
+
+  /** Top principal direction of the int8 Gram by POWER ITERATION: the
+    * corpus is touched exactly once (the [[gramMatrix]] pass); the
+    * d×d matrix itself is METADATA (4 KB·d²/2) collected to the driver,
+    * where `iters` deterministic matvec+normalize rounds run from the
+    * all-ones start — left-to-right double sums mirrored
+    * operation-for-operation by the oracle's recursive CTE, so the
+    * result is bit-identical cross-engine (no RNG: fixed start, fixed
+    * iteration count, sign pinned by the start's positive projection).
+    * Output: one row per dimension with the component (round6) plus the
+    * Rayleigh-quotient eigenvalue estimate.
+    */
+  def powerIteration(vectors: DataFrame, vecCol: String,
+      iters: Int): DataFrame = {
+    require(iters >= 1, "powerIteration needs iters >= 1")
+    val s = vectors.sparkSession
+    import s.implicits._
+    val tri = gramMatrix(vectors, vecCol)
+      .as[(Int, Int, Long)].collect()
+    require(tri.nonEmpty, "powerIteration needs at least one vector")
+    val d = tri.map(_._2).max + 1
+    val g = Array.ofDim[Double](d, d)
+    tri.foreach { case (i, j, v) => g(i)(j) = v.toDouble; g(j)(i) = v.toDouble }
+    var v = Array.fill(d)(1.0 / math.sqrt(d.toDouble))
+    var lambda = 0.0
+    for (_ <- 1 to iters) {
+      // u = G·v, λ = v·u, v ← u/‖u‖ — every sum left-to-right, the
+      // exact operation order the oracle's list_sum folds replay.
+      val u = new Array[Double](d)
+      var i = 0
+      while (i < d) {
+        var acc = 0.0
+        var j = 0
+        while (j < d) { acc += g(i)(j) * v(j); j += 1 }
+        u(i) = acc
+        i += 1
+      }
+      lambda = 0.0
+      i = 0
+      while (i < d) { lambda += v(i) * u(i); i += 1 }
+      var n2 = 0.0
+      i = 0
+      while (i < d) { n2 += u(i) * u(i); i += 1 }
+      val n = math.sqrt(n2)
+      i = 0
+      while (i < d) { u(i) = u(i) / n; i += 1 }
+      v = u
+    }
+    val out = v.zipWithIndex.map { case (c, i) =>
+      (i.toLong, math.floor(c * 1e6 + 0.5) / 1e6 + 0.0,
+        math.floor(lambda * 1e2 + 0.5) / 1e2 + 0.0)
+    }
+    s.createDataset(out.toSeq).toDF("dim", "component", "eigenvalue")
+  }
+
   /** IVF probe-budget sweep: recall@k vs `nprobe` against the exact
     * cosine ranking, one summary row per probe budget — the
     * cost/quality curve an index deployment picks its operating point
@@ -1720,6 +1826,73 @@ object Similarity {
        FROM top GROUP BY q
        ORDER BY knn_d2_mean DESC, vec_id LIMIT 20"""
 
+  // ---- q359: the exact Gram matrix of the embedding corpus --------------------
+  // The one-pass distributed reduction every covariance/PCA/correlation
+  // readout sits on; 2080 exact BIGINT cells out of a corpus-sized scan.
+  private def q359(s: SparkSession, d: String): DataFrame =
+    gramMatrix(Tables.embeddings(s, d), "embedding")
+      .orderBy(col("i"), col("j"))
+  private val q359Sql =
+    """WITH q8 AS (
+         SELECT list_transform(embedding, x -> floor(x::DOUBLE /
+           (list_max(list_transform(embedding, y -> abs(y))))::DOUBLE
+           * 127)::BIGINT) AS q
+         FROM embeddings)
+       SELECT i.i::INT AS i, j.j::INT AS j,
+         sum(a.q[i.i + 1] * a.q[j.j + 1])::BIGINT AS g
+       FROM q8 a
+       CROSS JOIN (SELECT unnest(range(64)) AS i) i
+       CROSS JOIN (SELECT unnest(range(64)) AS j) j
+       WHERE i.i <= j.j
+       GROUP BY 1, 2 ORDER BY i, j"""
+
+  // ---- q360: top principal direction by power iteration -----------------------
+  // 12 deterministic matvec+normalize rounds on the driver-side d x d
+  // Gram (metadata; the corpus pass is q359's). The oracle replays the
+  // identical float recurrence as a recursive CTE over DOUBLE lists —
+  // same left-to-right sums, same normalize order, same fixed start.
+  private val PowerIters = 12
+  private def q360(s: SparkSession, d: String): DataFrame =
+    powerIteration(Tables.embeddings(s, d), "embedding", PowerIters)
+      .orderBy(col("dim"))
+  private val q360Sql =
+    s"""WITH RECURSIVE q8 AS (
+         SELECT list_transform(embedding, x -> floor(x::DOUBLE /
+           (list_max(list_transform(embedding, y -> abs(y))))::DOUBLE
+           * 127)::BIGINT) AS q
+         FROM embeddings),
+       gm AS (
+         SELECT i.i, j.j, sum(a.q[i.i + 1] * a.q[j.j + 1])::BIGINT AS g
+         FROM q8 a
+         CROSS JOIN (SELECT unnest(range(64)) AS i) i
+         CROSS JOIN (SELECT unnest(range(64)) AS j) j
+         GROUP BY 1, 2),
+       grows AS (
+         SELECT i, list(g::DOUBLE ORDER BY j) AS row FROM gm GROUP BY i),
+       gmat AS (SELECT list(row ORDER BY i) AS m FROM grows),
+       it AS (
+         SELECT 0 AS t,
+           list_transform(range(64), x -> 1.0 / sqrt(64.0)) AS v,
+           0.0::DOUBLE AS lambda
+         FROM gmat
+         UNION ALL
+         SELECT t + 1,
+           list_transform(
+             list_transform(range(1, 65), i -> list_sum(
+               list_transform(range(1, 65), j -> m[i][j] * v[j]))),
+             x -> x / sqrt(list_sum(list_transform(
+               list_transform(range(1, 65), i -> list_sum(
+                 list_transform(range(1, 65), j -> m[i][j] * v[j]))),
+               u -> u * u)))),
+           list_sum(list_transform(range(1, 65), i -> v[i] * list_sum(
+             list_transform(range(1, 65), j -> m[i][j] * v[j]))))
+         FROM it, gmat WHERE t < $PowerIters)
+       SELECT (u.i - 1)::BIGINT AS dim,
+         floor(v[u.i] * 1e6 + 0.5) / 1e6 + 0.0 AS component,
+         floor(lambda * 1e2 + 0.5) / 1e2 + 0.0 AS eigenvalue
+       FROM it, unnest(range(1, 65)) AS u(i)
+       WHERE t = $PowerIters ORDER BY dim"""
+
   // ---- q265: elbow table over the int8-quantized corpus -----------------------
   private def q265(s: SparkSession, d: String): DataFrame =
     kmeansElbow(Tables.embeddings(s, d), "vec_id", "embedding", Seq(2, 4, 8))
@@ -1748,6 +1921,8 @@ object Similarity {
     QueryDef("q277_centroid_classifier", q277, Some(q277Sql)),
     QueryDef("q286_knn_outliers", q286, Some(q286Sql)),
     QueryDef("q350_knn_outliers_ivf", q350, Some(q350Sql)),
+    QueryDef("q359_gram_matrix", q359, Some(q359Sql)),
+    QueryDef("q360_power_iteration", q360, Some(q360Sql)),
     QueryDef("q293_embedding_audit", q293, Some(q293Sql)),
     QueryDef("q302_ivf_probe_sweep", q302, Some(q302Sql)),
     QueryDef("q30_cosine_topk", q30, Some(q30Sql), headline = true),

@@ -211,6 +211,50 @@ class SimilaritySpec extends SparkSpec {
       "outlier mean distance should dominate the cluster's")
   }
 
+  test("gramMatrix equals the brute quantized outer-product sum") {
+    val rnd = new scala.util.Random(48)
+    val vecs = Vector.fill(40)(Vector.fill(6)(rnd.nextFloat() * 2 - 1))
+    val df = vecs.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      .toDF("vec_id", "embedding")
+      .repartition(7) // several partitions -> several partial accumulators
+    def q8(v: Vector[Float]): Vector[Long] = {
+      val m = v.map(x => math.abs(x)).max
+      v.map(x => math.floor(x / m * 127).toLong)
+    }
+    val qs = vecs.map(q8)
+    val want = (for (i <- 0 until 6; j <- i until 6)
+      yield (i, j, qs.map(q => q(i) * q(j)).sum)).toSet
+    val got = Similarity.gramMatrix(df, "embedding")
+      .as[(Int, Int, Long)].collect().toSet
+    assert(got === want)
+  }
+
+  test("powerIteration recovers a planted dominant axis deterministically") {
+    // Vectors concentrated along axis 2 with small noise elsewhere: the
+    // top principal direction must weight dim 2 far above the rest, with
+    // positive sign (the all-ones start has positive projection).
+    val rnd = new scala.util.Random(49)
+    val vecs = Vector.fill(60)(Vector.tabulate(5)(d =>
+      if (d == 2) 0.8f + 0.2f * rnd.nextFloat()
+      else 0.05f * rnd.nextFloat()))
+    val df = vecs.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      .toDF("vec_id", "embedding")
+    val got = Similarity.powerIteration(df, "embedding", iters = 12)
+      .orderBy(col("dim"))
+      .as[(Long, Double, Double)].collect()
+    assert(got.length === 5)
+    val comp = got.map(_._2)
+    assert(comp(2) > 0.9, s"dominant axis must dominate: ${comp.toSeq}")
+    assert(comp.zipWithIndex.filter(_._2 != 2).forall(c => math.abs(c._1) < 0.3))
+    assert(got.map(_._3).distinct.size === 1 && got.head._3 > 0,
+      "one positive eigenvalue estimate on every row")
+    // Determinism: a second run is bit-identical.
+    val again = Similarity.powerIteration(df, "embedding", iters = 12)
+      .orderBy(col("dim"))
+      .as[(Long, Double, Double)].collect()
+    assert(again.toSeq === got.toSeq)
+  }
+
   test("knnOutliersIvf: one bucket is exact; 16 buckets keep top-set recall") {
     val e = graft.Tables.embeddings(spark, sf)
     val n = e.count().toInt
