@@ -1607,6 +1607,77 @@ object Similarity {
     s.createDataset(out.toSeq).toDF("dim", "component", "eigenvalue")
   }
 
+  /** Per-group alignment with the corpus' TOP PRINCIPAL DIRECTION — the
+    * "which labels/sources carry the dominant variance axis" audit run
+    * after [[powerIteration]]: every vector's projection onto the
+    * (round6, sign-pinned) principal component, quantized to micro per
+    * ROW (one float dot then one floor — after that the aggregation is
+    * exact BIGINT, so distributed sum order cannot wobble the result),
+    * collapsed per group to count/min/max/mean.
+    *
+    * Scale shape: the eigenvector is a d-sized literal broadcast into a
+    * map-side dot-product pass; one partial-aggregated groupBy —
+    * |groups| rows cross the wire. (Two corpus scans total: the Gram
+    * pass inside [[powerIteration]] and the projection pass.)
+    */
+  def principalProjectionByGroup(vectors: DataFrame, groupCol: String,
+      vecCol: String, iters: Int): DataFrame = {
+    val s = vectors.sparkSession
+    import s.implicits._
+    val comp = powerIteration(vectors, vecCol, iters)
+      .orderBy(col("dim")).select(col("component")).as[Double].collect().toSeq
+    vectors.select(col(groupCol).as("g"), quantize8(col(vecCol)).as("q"))
+      .withColumn("vl", typedLit(comp))
+      .select(col("g"), floor(expr(
+        """aggregate(sequence(1, size(q)), cast(0 as double),
+           (acc, i) -> acc + cast(element_at(q, i) as double)
+             * element_at(vl, i))""") * lit(1e6)).cast("long").as("p"))
+      .groupBy(col("g"))
+      .agg(count(lit(1)).as("n"), min(col("p")).as("min_proj_micro"),
+        max(col("p")).as("max_proj_micro"), sum(col("p")).as("s"))
+      .select(col("g"), col("n"), col("min_proj_micro"),
+        col("max_proj_micro"),
+        expr("""cast((case when s < 0 then -1L else 1L end)
+             * (abs(cast(s as decimal(38,0))) div n) as long)""")
+          .as("mean_proj_micro"))
+  }
+
+  /** PCA RESIDUAL outliers: the vectors least explained by the corpus'
+    * top principal direction — residual² = ‖q‖²·10¹² − p², where ‖q‖²
+    * is the exact BIGINT quantized norm and p the micro-floored
+    * projection from [[principalProjectionByGroup]]'s pass, so after
+    * the single per-row float dot everything is exact integer algebra
+    * (both terms sit in raw²·10¹² units and fit a Long at int8/64-dim).
+    * The complement of [[knnOutliers]]: that flags density isolation,
+    * this flags DIRECTIONAL nonconformity — rows whose variance the
+    * dominant axis cannot account for (corrupt embeddings, off-domain
+    * modalities). Ranked by orderBy+limit — Spark plans
+    * TakeOrderedAndProject (per-partition bounded top-N, no global
+    * sort), and the BIGINT key means no float ranking wobble.
+    */
+  def pcaResidualOutliers(vectors: DataFrame, idCol: String, vecCol: String,
+      iters: Int, topN: Int): DataFrame = {
+    require(topN >= 1, "pcaResidualOutliers needs topN >= 1")
+    val s = vectors.sparkSession
+    import s.implicits._
+    val comp = powerIteration(vectors, vecCol, iters)
+      .orderBy(col("dim")).select(col("component")).as[Double].collect().toSeq
+    vectors
+      .select(col(idCol).as("vec_id"), quantize8(col(vecCol)).as("q"))
+      .withColumn("vl", typedLit(comp))
+      .select(col("vec_id"),
+        floor(expr(
+          """aggregate(sequence(1, size(q)), cast(0 as double),
+             (acc, i) -> acc + cast(element_at(q, i) as double)
+               * element_at(vl, i))""") * lit(1e6)).cast("long").as("p"),
+        expr("aggregate(q, 0L, (acc, x) -> acc + x * x)").as("q2"))
+      .select(col("vec_id"),
+        (col("q2") * lit(1000000000000L) - col("p") * col("p"))
+          .as("residual_sq"))
+      .orderBy(col("residual_sq").desc, col("vec_id"))
+      .limit(topN)
+  }
+
   /** IVF probe-budget sweep: recall@k vs `nprobe` against the exact
     * cosine ranking, one summary row per probe budget — the
     * cost/quality curve an index deployment picks its operating point
@@ -1893,6 +1964,103 @@ object Similarity {
        FROM it, unnest(range(1, 65)) AS u(i)
        WHERE t = $PowerIters ORDER BY dim"""
 
+  // ---- q361: which labels carry the dominant variance axis? -------------------
+  private def q361(s: SparkSession, d: String): DataFrame =
+    principalProjectionByGroup(Tables.embeddings(s, d), "label",
+        "embedding", PowerIters)
+      .orderBy(col("g"))
+  private val q361Sql =
+    s"""WITH RECURSIVE q8l AS (
+         SELECT label, list_transform(embedding, x -> floor(x::DOUBLE /
+           (list_max(list_transform(embedding, y -> abs(y))))::DOUBLE
+           * 127)::BIGINT) AS q
+         FROM embeddings),
+       gm AS (
+         SELECT i.i, j.j, sum(a.q[i.i + 1] * a.q[j.j + 1])::BIGINT AS g
+         FROM q8l a
+         CROSS JOIN (SELECT unnest(range(64)) AS i) i
+         CROSS JOIN (SELECT unnest(range(64)) AS j) j
+         GROUP BY 1, 2),
+       grows AS (
+         SELECT i, list(g::DOUBLE ORDER BY j) AS row FROM gm GROUP BY i),
+       gmat AS (SELECT list(row ORDER BY i) AS m FROM grows),
+       it AS (
+         SELECT 0 AS t,
+           list_transform(range(64), x -> 1.0 / sqrt(64.0)) AS v
+         FROM gmat
+         UNION ALL
+         SELECT t + 1,
+           list_transform(
+             list_transform(range(1, 65), i -> list_sum(
+               list_transform(range(1, 65), j -> m[i][j] * v[j]))),
+             x -> x / sqrt(list_sum(list_transform(
+               list_transform(range(1, 65), i -> list_sum(
+                 list_transform(range(1, 65), j -> m[i][j] * v[j]))),
+               u -> u * u))))
+         FROM it, gmat WHERE t < $PowerIters),
+       vr AS (
+         SELECT list_transform(range(1, 65),
+           i -> floor(v[i] * 1e6 + 0.5) / 1e6 + 0.0) AS vl
+         FROM it WHERE t = $PowerIters),
+       pr AS (
+         SELECT a.label AS g,
+           floor(list_sum(list_transform(range(1, 65),
+             i -> a.q[i]::DOUBLE * vr.vl[i])) * 1e6)::BIGINT AS p
+         FROM q8l a, vr)
+       SELECT g, count(*)::BIGINT AS n,
+         min(p)::BIGINT AS min_proj_micro,
+         max(p)::BIGINT AS max_proj_micro,
+         (CASE WHEN sum(p) < 0 THEN -1 ELSE 1 END
+           * (abs(sum(p))::HUGEINT // count(*)))::BIGINT AS mean_proj_micro
+       FROM pr GROUP BY g ORDER BY g"""
+
+  // ---- q362: embeddings the dominant axis cannot explain ----------------------
+  private def q362(s: SparkSession, d: String): DataFrame =
+    pcaResidualOutliers(Tables.embeddings(s, d), "vec_id", "embedding",
+      PowerIters, topN = 20)
+  private val q362Sql =
+    s"""WITH RECURSIVE q8l AS (
+         SELECT vec_id, list_transform(embedding, x -> floor(x::DOUBLE /
+           (list_max(list_transform(embedding, y -> abs(y))))::DOUBLE
+           * 127)::BIGINT) AS q
+         FROM embeddings),
+       gm AS (
+         SELECT i.i, j.j, sum(a.q[i.i + 1] * a.q[j.j + 1])::BIGINT AS g
+         FROM q8l a
+         CROSS JOIN (SELECT unnest(range(64)) AS i) i
+         CROSS JOIN (SELECT unnest(range(64)) AS j) j
+         GROUP BY 1, 2),
+       grows AS (
+         SELECT i, list(g::DOUBLE ORDER BY j) AS row FROM gm GROUP BY i),
+       gmat AS (SELECT list(row ORDER BY i) AS m FROM grows),
+       it AS (
+         SELECT 0 AS t,
+           list_transform(range(64), x -> 1.0 / sqrt(64.0)) AS v
+         FROM gmat
+         UNION ALL
+         SELECT t + 1,
+           list_transform(
+             list_transform(range(1, 65), i -> list_sum(
+               list_transform(range(1, 65), j -> m[i][j] * v[j]))),
+             x -> x / sqrt(list_sum(list_transform(
+               list_transform(range(1, 65), i -> list_sum(
+                 list_transform(range(1, 65), j -> m[i][j] * v[j]))),
+               u -> u * u))))
+         FROM it, gmat WHERE t < $PowerIters),
+       vr AS (
+         SELECT list_transform(range(1, 65),
+           i -> floor(v[i] * 1e6 + 0.5) / 1e6 + 0.0) AS vl
+         FROM it WHERE t = $PowerIters),
+       pr AS (
+         SELECT a.vec_id,
+           floor(list_sum(list_transform(range(1, 65),
+             i -> a.q[i]::DOUBLE * vr.vl[i])) * 1e6)::BIGINT AS p,
+           list_sum(list_transform(a.q, x -> x * x))::BIGINT AS q2
+         FROM q8l a, vr)
+       SELECT vec_id,
+         (q2 * 1000000000000 - p * p)::BIGINT AS residual_sq
+       FROM pr ORDER BY residual_sq DESC, vec_id LIMIT 20"""
+
   // ---- q265: elbow table over the int8-quantized corpus -----------------------
   private def q265(s: SparkSession, d: String): DataFrame =
     kmeansElbow(Tables.embeddings(s, d), "vec_id", "embedding", Seq(2, 4, 8))
@@ -1923,6 +2091,8 @@ object Similarity {
     QueryDef("q350_knn_outliers_ivf", q350, Some(q350Sql)),
     QueryDef("q359_gram_matrix", q359, Some(q359Sql)),
     QueryDef("q360_power_iteration", q360, Some(q360Sql)),
+    QueryDef("q361_principal_projection", q361, Some(q361Sql)),
+    QueryDef("q362_pca_residual_outliers", q362, Some(q362Sql)),
     QueryDef("q293_embedding_audit", q293, Some(q293Sql)),
     QueryDef("q302_ivf_probe_sweep", q302, Some(q302Sql)),
     QueryDef("q30_cosine_topk", q30, Some(q30Sql), headline = true),

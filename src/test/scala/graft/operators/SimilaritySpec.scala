@@ -255,6 +255,31 @@ class SimilaritySpec extends SparkSpec {
     assert(again.toSeq === got.toSeq)
   }
 
+  test("principal projection and PCA residual flag the planted off-axis vector") {
+    // 30 vectors along axis 0 (label 'main') plus one orthogonal vector
+    // on axis 3 (label 'odd'): the dominant direction is axis 0, so the
+    // odd vector projects near zero and carries the largest residual.
+    val rows = (0 until 30).map(i =>
+      (i.toLong, "main", Vector(1.0f, 0.01f * (i % 3), 0.0f, 0.0f))) :+
+      (99L, "odd", Vector(0.0f, 0.0f, 0.0f, 1.0f))
+    val df = rows.toDF("vec_id", "label", "embedding")
+    val proj = Similarity.principalProjectionByGroup(df, "label",
+        "embedding", iters = 10)
+      .as[(String, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(proj("main")._5 > 100000000L,
+      s"axis-aligned label must project strongly: ${proj("main")}")
+    assert(math.abs(proj("odd")._5) < proj("main")._5 / 10,
+      s"orthogonal label must project near zero: ${proj("odd")}")
+    val res = Similarity.pcaResidualOutliers(df, "vec_id", "embedding",
+        iters = 10, topN = 3)
+      .as[(Long, Long)].collect()
+    assert(res.head._1 === 99L,
+      s"the off-axis vector must carry the top residual: ${res.toSeq}")
+    assert(res.head._2 > res(1)._2 * 10,
+      s"its residual should dominate: ${res.toSeq}")
+  }
+
   test("knnOutliersIvf: one bucket is exact; 16 buckets keep top-set recall") {
     val e = graft.Tables.embeddings(spark, sf)
     val n = e.count().toInt
