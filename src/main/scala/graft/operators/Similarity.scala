@@ -1181,6 +1181,157 @@ object Similarity {
        SELECT query_id, rank::INT AS rank, neighbor_id, n_lists, rrf_ppb
        FROM rk WHERE rank <= $TopK ORDER BY query_id, rank"""
 
+  /** Maximal-marginal-relevance re-rank: diversified top-k. From each
+    * query's `fetchN` most-relevant candidates, greedily select `k` by
+    *   argmax  λ·rel(q, c) − (1−λ)·max_{s ∈ selected} sim(c, s)
+    * — the classic redundancy penalty (Carbonell & Goldstein 1998) that
+    * keeps a RAG context window from filling with near-duplicates of
+    * the single best hit. λ arrives in micro units; relevance and
+    * candidate-candidate cosines quantize to micro ints (one float
+    * cosine then one floor — identical doubles floor identically on
+    * both engines), so every selection score is an exact BIGINT in
+    * parts-per-10¹² and the greedy argmax (ties → lowest id) is
+    * deterministic under any fold order.
+    *
+    * Scale design: the corpus-sized work is the upstream candidate
+    * fetch ([[bruteTopK]]'s bounded heap here; swap in [[ivfTopK]] at
+    * index scale — the rerank is fetch-agnostic). Everything after is
+    * bounded by construction: the candidate set (fetchN·|Q| rows)
+    * broadcasts back into one corpus scan to pick up vectors, the
+    * pairwise-sim relation is fetchN²·|Q| rows, and the greedy
+    * selection folds per query over a fetchN-sized array — the
+    * inherently sequential step never sees more than fetchN candidates.
+    * Selection scores: first pick pays no penalty (empty selected set);
+    * later picks use the true max cosine to the selected set (which may
+    * be negative — a bonus for anti-correlated picks, matching the
+    * textbook formula).
+    */
+  def mmrRerank(queries: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, fetchN: Int, k: Int, lambdaMicro: Long): DataFrame = {
+    require(fetchN >= 1 && k >= 1 && k <= fetchN,
+      "mmrRerank needs 1 <= k <= fetchN")
+    require(lambdaMicro >= 0 && lambdaMicro <= 1000000L,
+      "lambda is a micro fraction")
+    val lam = lambdaMicro
+    val pen = 1000000L - lambdaMicro
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qe"))
+    val cand = bruteTopK(queries, corpus, idCol, vecCol, fetchN)
+      .select(col("query_id"), col("neighbor_id"))
+    // Bounded candidate set broadcast into ONE corpus scan for vectors.
+    val cv = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("ne"))
+      .join(broadcast(cand), Seq("neighbor_id"))
+    val rel = cv.join(broadcast(q), Seq("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        floor(cosine(col("qe"), col("ne")) * lit(1e6)).as("rel"))
+    val simMap = cv.as("a")
+      .join(cv.as("b"), col("a.query_id") === col("b.query_id") &&
+        col("a.neighbor_id") =!= col("b.neighbor_id"))
+      .select(col("a.query_id").as("query_id"),
+        col("a.neighbor_id").as("neighbor_id"),
+        struct(col("b.neighbor_id").as("oid"),
+          floor(cosine(col("a.ne"), col("b.ne")) * lit(1e6)).as("s"))
+          .as("e"))
+      .groupBy(col("query_id"), col("neighbor_id"))
+      .agg(map_from_entries(collect_list(col("e"))).as("m"))
+    // Greedy k-step selection over the bounded candidate array. The
+    // argmax inner fold is order-independent (strict better-than with
+    // ties to the lower id), so collect_list order cannot matter.
+    val score = s"$lam * c.rel - $pen * coalesce(" +
+      "array_max(transform(acc, s1 -> element_at(c.m, s1.id))), 0L)"
+    val foldExpr = s"""aggregate(sequence(1, $k),
+      cast(array() as array<struct<id: bigint, sc: bigint>>),
+      (acc, step) -> array_append(acc,
+        aggregate(
+          filter(cands, c0 -> !exists(acc, s0 -> s0.id = c0.id)),
+          named_struct('id', cast(-1 as bigint),
+            'sc', cast(-9223372036854775808 as bigint)),
+          (best, c) -> case
+            when ($score) > best.sc
+              or (($score) = best.sc and c.id < best.id)
+            then named_struct('id', c.id, 'sc', cast(($score) as bigint))
+            else best end)))"""
+    rel.join(simMap, Seq("query_id", "neighbor_id"))
+      .select(col("query_id"),
+        struct(col("neighbor_id").as("id"), col("rel"), col("m")).as("c"))
+      .groupBy(col("query_id"))
+      .agg(collect_list(col("c")).as("cands"))
+      .select(col("query_id"), posexplode(expr(foldExpr)).as(Seq("pos", "s")))
+      .filter(col("s.id") >= 0)
+      .select(col("query_id"), (col("pos") + 1).cast("long").as("step"),
+        col("s.id").as("neighbor_id"), col("s.sc").as("mmr_score_pp"))
+  }
+
+  // ---- q363: diversified retrieval — MMR over the exact top-8 -----------------
+  private val MmrFetch = 8
+  private val MmrK = 4
+  private val MmrLambda = 700000L
+  private def q363(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+    mmrRerank(e.filter(col("vec_id") < NumQueries), e, "vec_id",
+        "embedding", MmrFetch, MmrK, MmrLambda)
+      .orderBy(col("query_id"), col("step"))
+  }
+  // The greedy fold is a RECURSIVE CTE over (query, step) — list_reduce
+  // is off-limits per the q341 DuckDB defect; the per-step argmax is a
+  // LATERAL ORDER BY/LIMIT 1 with the penalty as a correlated max over
+  // the pairwise-sim relation. Validated against an independent python
+  // brute fold at sf0.001/0.01 before wiring.
+  private val q363Sql =
+    s"""WITH RECURSIVE norms AS (
+         SELECT vec_id, embedding,
+           list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE)) AS l2
+         FROM embeddings),
+       rel AS (
+         SELECT query_id, neighbor_id, floor(c * 1e6)::BIGINT AS rel
+         FROM (
+           SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+             (list_sum(list_transform(range(1, len(q.embedding) + 1),
+                i -> q.embedding[i]::DOUBLE * n.embedding[i]::DOUBLE))
+              / (sqrt(q.l2) * sqrt(n.l2))) AS c,
+             row_number() OVER (PARTITION BY q.vec_id
+               ORDER BY (list_sum(list_transform(range(1, len(q.embedding) + 1),
+                  i -> q.embedding[i]::DOUBLE * n.embedding[i]::DOUBLE))
+                / (sqrt(q.l2) * sqrt(n.l2))) DESC, n.vec_id) AS rk
+           FROM norms q JOIN norms n ON q.vec_id != n.vec_id
+           WHERE q.vec_id < $NumQueries)
+         WHERE rk <= $MmrFetch),
+       sims AS (
+         SELECT a.query_id, a.neighbor_id AS ai, b.neighbor_id AS bi,
+           floor((list_sum(list_transform(range(1, len(va.embedding) + 1),
+              i -> va.embedding[i]::DOUBLE * vb.embedding[i]::DOUBLE))
+            / (sqrt(va.l2) * sqrt(vb.l2))) * 1e6)::BIGINT AS s
+         FROM rel a
+         JOIN rel b ON a.query_id = b.query_id
+           AND a.neighbor_id != b.neighbor_id
+         JOIN norms va ON va.vec_id = a.neighbor_id
+         JOIN norms vb ON vb.vec_id = b.neighbor_id),
+       sel AS (
+         SELECT query_id, 1 AS step, neighbor_id,
+           ($MmrLambda::BIGINT * rel)::BIGINT AS sc, [neighbor_id] AS chosen
+         FROM (SELECT query_id, neighbor_id, rel,
+                 row_number() OVER (PARTITION BY query_id
+                   ORDER BY rel DESC, neighbor_id) AS rk
+               FROM rel) WHERE rk = 1
+         UNION ALL
+         SELECT s.query_id, s.step + 1, pick.neighbor_id, pick.sc,
+           list_append(s.chosen, pick.neighbor_id)
+         FROM sel s, LATERAL (
+           SELECT r.neighbor_id,
+             ($MmrLambda::BIGINT * r.rel
+               - ${1000000L - MmrLambda}::BIGINT
+               * (SELECT max(si.s) FROM sims si
+                  WHERE si.query_id = r.query_id
+                    AND si.ai = r.neighbor_id
+                    AND list_contains(s.chosen, si.bi)))::BIGINT AS sc
+           FROM rel r
+           WHERE r.query_id = s.query_id
+             AND NOT list_contains(s.chosen, r.neighbor_id)
+           ORDER BY sc DESC, r.neighbor_id LIMIT 1) pick
+         WHERE s.step < $MmrK)
+       SELECT query_id, step::BIGINT AS step, neighbor_id,
+         sc AS mmr_score_pp
+       FROM sel ORDER BY query_id, step"""
+
   /** Embedding centroid drift per group between two cohorts (periods,
     * snapshots, model versions): the cosine between each cohort's mean
     * vector — "did this language's/topic's embedding mass MOVE" — the
@@ -2093,6 +2244,7 @@ object Similarity {
     QueryDef("q360_power_iteration", q360, Some(q360Sql)),
     QueryDef("q361_principal_projection", q361, Some(q361Sql)),
     QueryDef("q362_pca_residual_outliers", q362, Some(q362Sql)),
+    QueryDef("q363_mmr_rerank", q363, Some(q363Sql)),
     QueryDef("q293_embedding_audit", q293, Some(q293Sql)),
     QueryDef("q302_ivf_probe_sweep", q302, Some(q302Sql)),
     QueryDef("q30_cosine_topk", q30, Some(q30Sql), headline = true),

@@ -280,6 +280,77 @@ class SimilaritySpec extends SparkSpec {
       s"its residual should dominate: ${res.toSeq}")
   }
 
+  test("mmrRerank diversifies a planted near-dup and matches a brute greedy fold") {
+    // Query axis e0; candidates: two near-identical high-relevance
+    // vectors (1, 2), one moderately relevant diverse vector (3), and
+    // fillers. Pure relevance ranks (1, 2) first; MMR at lambda = 0.5
+    // must pick 1 then jump to the diverse 3 before the clone 2.
+    val rows = Seq(
+      (0L, Vector(1.0f, 0.0f, 0.0f, 0.0f)),          // query
+      (1L, Vector(0.99f, 0.10f, 0.00f, 0.0f)),
+      (2L, Vector(0.99f, 0.11f, 0.00f, 0.0f)),       // clone of 1
+      (3L, Vector(0.70f, 0.00f, 0.70f, 0.0f)),       // diverse
+      (4L, Vector(0.50f, 0.00f, 0.00f, 0.9f)),
+      (5L, Vector(0.40f, 0.30f, 0.00f, 0.2f)))
+    val df = rows.toDF("vec_id", "embedding")
+    val got = Similarity.mmrRerank(df.filter(col("vec_id") === 0L), df,
+        "vec_id", "embedding", fetchN = 5, k = 3, lambdaMicro = 500000L)
+      .orderBy("step").as[(Long, Long, Long, Long)].collect()
+    assert(got.map(_._3).toSeq === Seq(1L, 3L, 4L),
+      s"expected the diverse pick to beat the clone: ${got.toSeq}")
+
+    // lambda = 1 (no penalty) degenerates to the pure relevance order.
+    val pure = Similarity.mmrRerank(df.filter(col("vec_id") === 0L), df,
+        "vec_id", "embedding", fetchN = 5, k = 3, lambdaMicro = 1000000L)
+      .orderBy("step").as[(Long, Long, Long, Long)].collect().map(_._3)
+    val brute = Similarity.bruteTopK(df.filter(col("vec_id") === 0L), df,
+        "vec_id", "embedding", 3)
+      .orderBy("rank").as[(Long, Int, Long, Double)].collect().map(_._3)
+    assert(pure.toSeq === brute.toSeq)
+
+    // Randomized equivalence vs an independent scalar greedy fold.
+    val rnd = new scala.util.Random(363)
+    val vecs = Vector.tabulate(40)(i =>
+      i.toLong -> Vector.fill(6)(rnd.nextFloat() * 2f - 1f))
+    val rdf = vecs.toDF("vec_id", "embedding")
+    val (fetchN, k, lam) = (7, 4, 650000L)
+    def cos(a: Vector[Float], b: Vector[Float]): Double = {
+      var dot = 0.0
+      a.indices.foreach(i => dot += a(i).toDouble * b(i).toDouble)
+      dot / (math.sqrt(a.map(x => x.toDouble * x.toDouble).sum) *
+        math.sqrt(b.map(x => x.toDouble * x.toDouble).sum))
+    }
+    val expect = (for {
+      (q, qv) <- vecs.take(3)
+      cands = vecs.filter(_._1 != q)
+        .map { case (n, nv) => (n, cos(qv, nv)) }
+        .sortBy { case (n, c) => (-c, n) }.take(fetchN)
+        .map { case (n, c) => (n, math.floor(c * 1e6).toLong) }
+      sims = (for {
+        (a, _) <- cands; (b, _) <- cands if a != b
+      } yield (a, b) -> math.floor(
+        cos(vecs(a.toInt)._2, vecs(b.toInt)._2) * 1e6).toLong).toMap
+    } yield {
+      var sel = Vector.empty[(Long, Long)]
+      (1 to k).foreach { step =>
+        val best = cands.filter(c => !sel.exists(_._1 == c._1))
+          .map { case (id, rel) =>
+            val p = if (sel.isEmpty) 0L
+              else sel.map(s => sims((id, s._1))).max
+            (id, lam * rel - (1000000L - lam) * p)
+          }.minBy { case (id, sc) => (-sc, id) }
+        sel :+= best
+      }
+      sel.zipWithIndex.map { case ((id, sc), i) =>
+        (q, (i + 1).toLong, id, sc) }
+    }).flatten.sortBy(r => (r._1, r._2))
+    val gotR = Similarity.mmrRerank(rdf.filter(col("vec_id") < 3), rdf,
+        "vec_id", "embedding", fetchN, k, lam)
+      .orderBy("query_id", "step")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(gotR === expect, "operator must equal the brute greedy fold")
+  }
+
   test("knnOutliersIvf: one bucket is exact; 16 buckets keep top-set recall") {
     val e = graft.Tables.embeddings(spark, sf)
     val n = e.count().toInt
