@@ -1471,6 +1471,126 @@ object Profile {
          abs(conf_micro - ((1000000 * n_pos) // n))::BIGINT AS gap_micro
        FROM g ORDER BY bin"""
 
+  /** Split conformal prediction intervals per group, with a held-out
+    * coverage audit — the distribution-free "how wide must the error bar
+    * be" primitive (Vovk et al.; Lei et al. 2018). Rows hash-split
+    * train/cal/test on the SAME md5 draw as [[PipelineOps.splitAssign]]
+    * (stable under corpus growth, reproducible cross-engine). The model
+    * is deliberately the simplest honest one — the per-group train mean
+    * (sign-split integer division) — because conformal's guarantee is
+    * model-agnostic: the radius is the k-th smallest calibration
+    * |y − ŷ| with k = ⌈(n_cal + 1)·(1 − α)⌉, and test coverage then
+    * lands ≥ 1 − α in expectation REGARDLESS of how bad the mean model
+    * is. Swap any scorer in upstream; the calibration algebra is
+    * unchanged. When k > n_cal the conformal interval is infinite —
+    * radius is NULL and every test row counts covered (the textbook
+    * degenerate case, not an error).
+    *
+    * Exactness: values arrive as integers (cents, micros); the mean is
+    * sign-split floor division, residuals/radius are BIGINTs, k is an
+    * exact integer ceiling, coverage is ppm integer division — no float
+    * touches the pipeline, so both engines agree bitwise.
+    *
+    * Scale design: one map-side split + two group-sized aggregations;
+    * the per-group model broadcasts back (|groups| rows); the only sort
+    * is the per-group calibration order statistic (a window over cal
+    * rows — group-sized, and only the k-th VALUE is consumed, so tie
+    * order cannot leak nondeterminism). Groups missing a train, cal, or
+    * test row drop out (no model, no radius, or nothing to audit).
+    */
+  def conformalIntervals(df: DataFrame, groupCol: Column, keyCol: Column,
+      valueCol: Column, alphaMicro: Long = 100000L,
+      trainW: Int = 128, calW: Int = 64, testW: Int = 64): DataFrame = {
+    require(alphaMicro > 0 && alphaMicro < 1000000L, "alpha is micro")
+    require(trainW + calW + testW == 256 &&
+      trainW > 0 && calW > 0 && testW > 0, "split weights are /256")
+    val base = df.select(groupCol.as("g"), valueCol.cast("long").as("y"),
+      PipelineOps.splitAssign(keyCol,
+        Seq("train" -> trainW, "cal" -> calW, "test" -> testW)).as("split"))
+    val model = base.filter(col("split") === "train").groupBy(col("g"))
+      .agg(count(lit(1)).as("n_train"), sum(col("y")).as("ty"))
+      .select(col("g"), col("n_train"),
+        expr("""cast((case when ty < 0 then -1L else 1L end)
+             * (abs(cast(ty as decimal(38,0))) div n_train) as long)""")
+          .as("yhat"))
+    val resid = base.filter(col("split") =!= "train")
+      .join(broadcast(model), Seq("g"))
+      .select(col("g"), col("split"), abs(col("y") - col("yhat")).as("r"))
+    val calK = resid.filter(col("split") === "cal").groupBy(col("g"))
+      .agg(count(lit(1)).as("n_cal"))
+      .select(col("g"), col("n_cal"),
+        expr(s"((n_cal + 1) * ${1000000L - alphaMicro} + 999999)" +
+          " div 1000000").as("k"))
+    val radius = resid.filter(col("split") === "cal")
+      .join(broadcast(calK), Seq("g"))
+      .withColumn("rn",
+        row_number().over(Window.partitionBy(col("g")).orderBy(col("r"))))
+      .filter(col("rn") === col("k"))
+      .select(col("g"), col("r").as("radius"))
+    val cov = resid.filter(col("split") === "test")
+      .join(broadcast(radius), Seq("g"), "left")
+      .groupBy(col("g"))
+      .agg(count(lit(1)).as("n_test"),
+        sum(when(col("radius").isNull || col("r") <= col("radius"), 1L)
+          .otherwise(0L)).as("n_covered"))
+    model.join(calK, Seq("g")).join(radius, Seq("g"), "left")
+      .join(cov, Seq("g"))
+      .select(col("g"), col("n_train"), col("yhat"), col("n_cal"), col("k"),
+        col("radius"), col("n_test"), col("n_covered"),
+        expr("(1000000 * n_covered) div n_test").as("coverage_ppm"))
+  }
+
+  // ---- q364: conformal error bars on order totals per priority ----------------
+  // 90% nominal; the per-priority mean is a weak model BY DESIGN — the
+  // table shows conformal coverage holding anyway.
+  private def q364(s: SparkSession, d: String): DataFrame =
+    conformalIntervals(Tables.orders(s, d), col("o_orderpriority"),
+        col("o_orderkey"), floor(col("o_totalprice") * 100),
+        alphaMicro = 100000L)
+      .orderBy(col("g"))
+  private val q364Sql =
+    """WITH base AS (
+         SELECT o_orderpriority AS g,
+           floor(o_totalprice * 100)::BIGINT AS y,
+           CASE WHEN substr(md5(o_orderkey::VARCHAR), 1, 2) < '80'
+                  THEN 'train'
+                WHEN substr(md5(o_orderkey::VARCHAR), 1, 2) < 'c0'
+                  THEN 'cal'
+                ELSE 'test' END AS split
+         FROM orders),
+       model AS (
+         SELECT g, count(*)::BIGINT AS n_train,
+           (CASE WHEN sum(y) < 0 THEN -1 ELSE 1 END
+             * (abs(sum(y))::HUGEINT // count(*)))::BIGINT AS yhat
+         FROM base WHERE split = 'train' GROUP BY g),
+       resid AS (
+         SELECT b.g, b.split, abs(b.y - m.yhat)::BIGINT AS r
+         FROM base b JOIN model m ON b.g = m.g WHERE b.split != 'train'),
+       calk AS (
+         SELECT g, count(*)::BIGINT AS n_cal,
+           (((count(*) + 1) * 900000 + 999999) // 1000000)::BIGINT AS k
+         FROM resid WHERE split = 'cal' GROUP BY g),
+       rad AS (
+         SELECT g, radius FROM (
+           SELECT r.g, r.r AS radius, c.k,
+             row_number() OVER (PARTITION BY r.g ORDER BY r.r) AS rn
+           FROM resid r JOIN calk c ON r.g = c.g WHERE r.split = 'cal')
+         WHERE rn = k),
+       cov AS (
+         SELECT r.g, count(*)::BIGINT AS n_test,
+           sum(CASE WHEN rad.radius IS NULL OR r.r <= rad.radius
+             THEN 1 ELSE 0 END)::BIGINT AS n_covered
+         FROM resid r LEFT JOIN rad ON r.g = rad.g
+         WHERE r.split = 'test' GROUP BY r.g)
+       SELECT m.g, m.n_train, m.yhat, c.n_cal, c.k, rad.radius,
+         cov.n_test, cov.n_covered,
+         ((1000000 * cov.n_covered) // cov.n_test)::BIGINT AS coverage_ppm
+       FROM model m
+       JOIN calk c ON m.g = c.g
+       LEFT JOIN rad ON m.g = rad.g
+       JOIN cov ON m.g = cov.g
+       ORDER BY m.g"""
+
   /** Simpson concentration (Herfindahl index) per group: Σ nᵢ² / n² over
     * a categorical distribution within the group, in integer micro-units
     * — the log-free diversity twin of [[gini]] (which needs a rank sort):
@@ -3818,6 +3938,7 @@ object Profile {
     QueryDef("q194_mann_whitney", q194, Some(q194Sql)),
     QueryDef("q195_spearman", q195, Some(q195Sql)),
     QueryDef("q199_ks_test", q199, Some(q199Sql)),
+    QueryDef("q364_conformal_intervals", q364, Some(q364Sql)),
     QueryDef("q214_corr_matrix", q214, Some(q214Sql)),
     QueryDef("q216_gini_stump", q216, Some(q216Sql)),
     QueryDef("q222_share_shift", q222, Some(q222Sql)),

@@ -868,6 +868,56 @@ class ProfileSpec extends SparkSpec {
       ("g3", 2L, 0L, 0L, None)))
   }
 
+  test("conformalIntervals equals a brute fold over the same hash split") {
+    val rnd = new scala.util.Random(364)
+    val rows = (1L to 400L).map { k =>
+      val g = s"g${k % 3}"
+      (g, k, (k % 3) * 1000L + rnd.nextInt(500).toLong)
+    }
+    val df = rows.toDF("g", "k", "y")
+    val alpha = 200000L // 80% nominal
+    val got = Profile.conformalIntervals(df, col("g"), col("k"), col("y"),
+        alphaMicro = alpha)
+      .orderBy("g")
+      .as[(String, Long, Long, Long, Long, Option[Long], Long, Long, Long)]
+      .collect()
+
+    // Independent brute fold, reusing only the operator's split column.
+    val splits = df.select(col("g"), col("k"), col("y"),
+        graft.operators.PipelineOps.splitAssign(col("k"),
+          Seq("train" -> 128, "cal" -> 64, "test" -> 64)).as("split"))
+      .as[(String, Long, Long, String)].collect()
+    val expect = splits.groupBy(_._1).toSeq.sortBy(_._1).flatMap {
+      case (g, rs) =>
+        val tr = rs.filter(_._4 == "train").map(_._3)
+        val cal = rs.filter(_._4 == "cal").map(_._3)
+        val te = rs.filter(_._4 == "test").map(_._3)
+        if (tr.isEmpty || cal.isEmpty || te.isEmpty) None
+        else {
+          val yhat = tr.sum / tr.length // nonneg here, floor div OK
+          val rsCal = cal.map(y => math.abs(y - yhat)).sorted
+          val k = ((cal.length + 1) * (1000000L - alpha) + 999999L) / 1000000L
+          val radius = if (k > cal.length) None else Some(rsCal(k.toInt - 1))
+          val covered = te.count(y => radius.forall(math.abs(y - yhat) <= _))
+          Some((g, tr.length.toLong, yhat, cal.length.toLong, k, radius,
+            te.length.toLong, covered.toLong,
+            1000000L * covered / te.length))
+        }
+    }
+    assert(got.toSeq === expect)
+    // Finite-sample conformal coverage should land near nominal.
+    got.foreach(r => assert(r._9 >= 700000L,
+      s"coverage far below the 80% nominal: $r"))
+
+    // alpha so tight that k > n_cal: infinite interval, full coverage.
+    val inf = Profile.conformalIntervals(df, col("g"), col("k"), col("y"),
+        alphaMicro = 1L)
+      .as[(String, Long, Long, Long, Long, Option[Long], Long, Long, Long)]
+      .collect()
+    assert(inf.nonEmpty && inf.forall(r =>
+      r._5 == r._4 + 1 && r._6.isEmpty && r._9 == 1000000L))
+  }
+
   test("cochranArmitage recovers the exact z of a clean linear trend") {
     // Tiers 1/2/3, n=2 each, successes 0/1/2 → z² = 4 exactly, z = 2.
     val df = Seq((1L, false), (1L, false), (2L, true), (2L, false),
