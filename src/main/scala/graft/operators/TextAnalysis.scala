@@ -495,6 +495,70 @@ object TextAnalysis {
            AND top_ratio <= 0.125 AND stop_hits >= 2 AS keep
        FROM m ORDER BY doc_id"""
 
+  /** Flesch reading-ease and Flesch–Kincaid grade per document — the
+    * classic readability pair (Kincaid et al. 1975), a standard cheap
+    * quality-scoring signal next to [[gopherFilter]]'s rules. Sentences
+    * split on `[.!?]+` runs (non-blank pieces, floor 1 so fragments
+    * without terminal punctuation still score); words split on single
+    * spaces (the [[gopherFilter]] contract); syllables per word via the
+    * vowel-group heuristic — count of `[aeiouy]+` runs in the
+    * lowercased word, floor 1.
+    *
+    * Exactness: the three counts are exact integers on both engines
+    * (RE2/Java-portable regex subset); the two scores are then a fixed
+    * dag of correctly-rounded double ops over those integers —
+    * bit-identical cross-engine — floored to 6 places half-up with the
+    * house bin6 idiom (no engine round() involved), −0.0-canonicalized.
+    *
+    * Scale: pure map-side codegen'd string work fused into the scan —
+    * zero shuffle, no UDFs; at 100 TB this is scan-bound like
+    * [[normalizeText]].
+    */
+  def readability(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val nSent = greatest(lit(1L), size(filter(
+      split(t, "[.!?]+"), s => length(trim(s)) > 0)).cast("long"))
+    val nWords = size(split(t, " ")).cast("long")
+    val nSyll = expr(s"""aggregate(
+      transform(split($textCol, ' '),
+        w -> cast(greatest(1, regexp_count(lower(w), '[aeiouy]+')) as bigint)),
+      0L, (a, x) -> a + x)""")
+    def bin6(c: Column): Column =
+      floor(c * lit(1e6) + lit(0.5)) / lit(1e6) + lit(0.0)
+    val ws = col("n_words").cast("double") / col("n_sentences").cast("double")
+    val sw = col("n_syllables").cast("double") / col("n_words").cast("double")
+    df.select(col(idCol), nSent.as("n_sentences"), nWords.as("n_words"),
+        nSyll.as("n_syllables"))
+      .select(col(idCol), col("n_sentences"), col("n_words"),
+        col("n_syllables"),
+        bin6(lit(206.835) - lit(1.015) * ws - lit(84.6) * sw)
+          .as("flesch_ease"),
+        bin6(lit(0.39) * ws + lit(11.8) * sw - lit(15.59)).as("fk_grade"))
+  }
+
+  // ---- q365: readability scores over the corpus --------------------------------
+  private def q365(s: SparkSession, d: String): DataFrame =
+    readability(Tables.documents(s, d), "doc_id", "text")
+      .orderBy(col("doc_id"))
+  private val q365Sql =
+    """WITH c AS (
+         SELECT doc_id,
+           greatest(1, len(list_filter(regexp_split_to_array(text, '[.!?]+'),
+             s -> length(trim(s)) > 0)))::BIGINT AS n_sentences,
+           len(string_split(text, ' '))::BIGINT AS n_words,
+           list_sum(list_transform(string_split(text, ' '),
+             w -> greatest(1, len(regexp_extract_all(lower(w),
+               '[aeiouy]+')))))::BIGINT AS n_syllables
+         FROM documents)
+       SELECT doc_id, n_sentences, n_words, n_syllables,
+         floor((206.835 - 1.015 * (n_words::DOUBLE / n_sentences::DOUBLE)
+           - 84.6 * (n_syllables::DOUBLE / n_words::DOUBLE)) * 1e6 + 0.5)
+           / 1e6 + 0.0 AS flesch_ease,
+         floor((0.39 * (n_words::DOUBLE / n_sentences::DOUBLE)
+           + 11.8 * (n_syllables::DOUBLE / n_words::DOUBLE) - 15.59)
+           * 1e6 + 0.5) / 1e6 + 0.0 AS fk_grade
+       FROM c ORDER BY doc_id"""
+
   /** Canonical text normalization — the step every dedup/quality pipeline
     * runs FIRST, so that hashing and n-gram stages see one spelling of each
     * document: lowercase, control whitespace (tab/newline/CR) to spaces,
@@ -1646,6 +1710,7 @@ object TextAnalysis {
     QueryDef("q307_encoding_audit", q307, Some(q307Sql)),
     QueryDef("q24_fingerprint", q24, Some(q24Sql)),
     QueryDef("q61_gopher_filter", q61, Some(q61Sql)),
+    QueryDef("q365_readability", q365, Some(q365Sql)),
     QueryDef("q73_normalize_text", q73, Some(q73Sql)),
     QueryDef("q77_lexical_diversity", q77, Some(q77Sql)),
     QueryDef("q87_tfidf_top_terms", q87, Some(q87Sql)),

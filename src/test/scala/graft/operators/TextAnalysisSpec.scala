@@ -367,6 +367,35 @@ class TextAnalysisSpec extends SparkSpec {
       (8L, 3L, 10L, 10L, 1000000L)))
   }
 
+  test("readability counts sentences, words, vowel-group syllables exactly") {
+    val df = Seq(
+      (1L, "he ate a pie! it was easy. ok"),
+      (2L, "tsk tsk"), // no vowels: syllable floor 1 per word
+      (3L, "unpunctuated fragment counts as one sentence"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.readability(df, "doc_id", "text")
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, Long, Double, Double)].collect()
+    def scores(s: Long, w: Long, sy: Long) = {
+      val ws = w.toDouble / s.toDouble
+      val sw = sy.toDouble / w.toDouble
+      (math.floor((206.835 - 1.015 * ws - 84.6 * sw) * 1e6 + 0.5) / 1e6 + 0.0,
+        math.floor((0.39 * ws + 11.8 * sw - 15.59) * 1e6 + 0.5) / 1e6 + 0.0)
+    }
+    // doc 1: 3 sentences; 8 space-tokens; syllables
+    // he(1) ate(2) a(1) pie!(1) it(1) was(1) easy.(2) ok(1) = 10.
+    val (f1, g1) = scores(3, 8, 10)
+    assert(got(0) === ((1L, 3L, 8L, 10L, f1, g1)))
+    // doc 2: 1 sentence, 2 words, floor-1 syllables each.
+    val (f2, g2) = scores(1, 2, 2)
+    assert(got(1) === ((2L, 1L, 2L, 2L, f2, g2)))
+    // doc 3: no terminal punctuation -> one sentence; 6 words;
+    // unpunctuated(4: u,u,ua,e) fragment(2) counts(1: ou) as(1)
+    // one(2: o,e) sentence(3: e,e,e) = 13.
+    val (f3, g3) = scores(1, 6, 13)
+    assert(got(2) === ((3L, 1L, 6L, 13L, f3, g3)))
+  }
+
   test("textRankKeywords ranks the co-occurrence hub first, deterministically") {
     // "b" neighbors every other word; the spokes only touch "b".
     val df = Seq("a b", "c b", "d b", "e b").toDF("text")
