@@ -98,6 +98,13 @@ class LintBudgetSpec extends SparkSpec {
     "q264_average_precision" -> Map("broadcast-nested-loop" -> 1),
     "q300_retrieval_report" -> Map("broadcast-nested-loop" -> 3),
     "q174_quantized_recall" -> Map("broadcast-nested-loop" -> 2),
+    // q363: three tiny-build-side broadcasts by contract — (1) the
+    // bruteTopK query-set broadcast riding its non-equi (q != n)
+    // condition (the q30/q302 precedent), and (2)+(3) the fetchN·|Q|
+    // candidate set and the |Q| query-vector set broadcast back into one
+    // corpus scan to pick up vectors; both are bounded by fetchN and the
+    // query count, never by the corpus (see mmrRerank's scaladoc).
+    "q363_mmr_rerank" -> Map("broadcast-nested-loop" -> 3),
     // one-row global buyer-count total attached via crossJoin(broadcast);
     // Catalyst pushes the share filter into the join, compiling the
     // predicate-free cross-broadcast into a conditioned BNL whose build
