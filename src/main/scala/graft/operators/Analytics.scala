@@ -1530,6 +1530,156 @@ object Analytics {
          (level_micro + h * trend_micro)::BIGINT AS forecast_micro
        FROM fc ORDER BY g, h"""
 
+  /** Split-conformal forecast intervals on [[holtForecast]] — the
+    * production form of "forecast + honest uncertainty" (VERDICT r8
+    * Next #8): fit Holt on the series PREFIX (all but the last `calN`
+    * periods), score the held-out calibration suffix with the prefix
+    * state's h-step-ahead forecasts (j = 1..calN), take the k-th
+    * smallest |residual| with k = ⌈(calN + 1)·(1 − α)⌉ — the
+    * distribution-free radius of [[Profile.conformalIntervals]], here
+    * with TIME as the split axis (the only honest split for a series:
+    * calibrate on the most recent past, never on a random shuffle) —
+    * then refit on the FULL series for the point forecast and attach
+    * the radius to every horizon step. Calibration residuals span
+    * horizons 1..calN while the emitted interval covers 1..horizon, so
+    * for horizon ≤ calN the mixed-horizon radius leans conservative
+    * (longer-horizon residuals are the larger ones). When k > calN the
+    * interval is infinite: radius and bounds are NULL (the textbook
+    * degenerate case, not an error).
+    *
+    * Exactness: both folds are [[holtForecast]]'s sign-split micro
+    * recurrence; residuals, the order-statistic radius, and the bounds
+    * are exact BIGINTs — no float anywhere, both engines agree bitwise.
+    *
+    * Scale design: identical to [[holtForecast]] — one per-(group,
+    * period) collapse with map-side partials, then TWO bounded array
+    * folds per group (prefix and full — the recursion must replay
+    * anyway, and the second fold shares the collected array rather than
+    * re-shuffling). Groups with fewer than calN + 2 periods drop out
+    * (no prefix to fit).
+    */
+  def conformalHoltForecast(df: DataFrame, groupCol: String,
+      periodCol: Column, valueCol: Column, alphaMicro: Long = 500000L,
+      betaMicro: Long = 300000L, calN: Int = 8, horizon: Int = 3,
+      confAlphaMicro: Long = 100000L): DataFrame = {
+    require(alphaMicro >= 0 && alphaMicro <= 1000000L, "alpha is micro")
+    require(betaMicro >= 0 && betaMicro <= 1000000L, "beta is micro")
+    require(calN >= 1 && horizon >= 1, "calN and horizon must be >= 1")
+    require(confAlphaMicro > 0 && confAlphaMicro < 1000000L,
+      "conformal alpha is micro")
+    val (a, na) = (alphaMicro, 1000000L - alphaMicro)
+    val (b, nb) = (betaMicro, 1000000L - betaMicro)
+    def md(x: String) = s"cast((case when ($x) < 0 then -1L else 1L end)" +
+      s" * (abs($x) div 1000000) as long)"
+    val newL = md(s"$a * cast(x.yp as decimal(38,0)) * 1000000" +
+      s" + $na * (cast(acc.l as decimal(38,0)) + acc.b)")
+    val newB = md(s"$b * (cast($newL as decimal(38,0)) - acc.l)" +
+      s" + $nb * cast(acc.b as decimal(38,0))")
+    def fold(len: String) = s"""aggregate(slice(s, 3, $len),
+      named_struct('l', element_at(s, 1).yp * 1000000L,
+        'b', (element_at(s, 2).yp - element_at(s, 1).yp) * 1000000L),
+      (acc, x) -> named_struct('l', $newL, 'b', $newB))"""
+    val k = ((calN + 1) * (1000000L - confAlphaMicro) + 999999L) / 1000000L
+    val radiusCol =
+      if (k <= calN) element_at(col("resid"), k.toInt)
+      else lit(null).cast("long")
+    df.select(col(groupCol).as("g"), periodCol.cast("long").as("p"),
+        valueCol.cast("long").as("y"))
+      .groupBy(col("g"), col("p")).agg(sum(col("y")).as("yp"))
+      .groupBy(col("g"))
+      .agg(array_sort(collect_list(struct(col("p"), col("yp")))).as("s"))
+      .filter(size(col("s")) >= calN + 2)
+      .select(col("g"), col("s"), size(col("s")).cast("long").as("n_periods"),
+        expr(fold(s"size(s) - ${calN + 2}")).as("stp"),
+        expr(fold("size(s) - 2")).as("stf"))
+      .withColumn("resid", expr(s"""array_sort(transform(sequence(1, $calN),
+          j -> abs(element_at(s, cast(size(s) - $calN + j as int)).yp
+            * 1000000L - (stp.l + j * stp.b))))"""))
+      .withColumn("radius_micro", radiusCol)
+      .select(col("g"), col("n_periods"), col("radius_micro"),
+        col("stf.l").as("level_micro"), col("stf.b").as("trend_micro"),
+        explode(sequence(lit(1), lit(horizon))).as("h"))
+      .select(col("g"), col("n_periods"), col("h").cast("long").as("h"),
+        (col("level_micro") + col("h") * col("trend_micro"))
+          .as("forecast_micro"),
+        col("radius_micro"))
+      .withColumn("lo_micro", col("forecast_micro") - col("radius_micro"))
+      .withColumn("hi_micro", col("forecast_micro") + col("radius_micro"))
+  }
+
+  // ---- q369: conformal error bars on the q341 order-volume forecast -----------
+  // 90% nominal, 12-month calibration suffix: the last year's one-to-
+  // twelve-step-ahead Holt residuals set the radius around the full-fit
+  // next-quarter forecast — q341 with honest uncertainty attached.
+  private def q369(s: SparkSession, d: String): DataFrame =
+    conformalHoltForecast(Tables.orders(s, d), "o_orderpriority",
+        expr("year(cast(o_orderdate as date)) * 12" +
+          " + month(cast(o_orderdate as date))"),
+        lit(1L), alphaMicro = 500000L, betaMicro = 300000L,
+        calN = 12, horizon = 3, confAlphaMicro = 100000L)
+      .orderBy(col("g"), col("h"))
+  // q341's recursive-CTE fold (list_reduce stays off-limits — the q341
+  // DuckDB defect), read at TWO anchor steps: the prefix state (step =
+  // n − 12) scores the calibration suffix, the full state (step = n)
+  // carries the point forecast. k = ceil(13 · 0.9) = 12.
+  private val q369Sql =
+    """WITH RECURSIVE m AS (
+         SELECT o_orderpriority AS g,
+           year(o_orderdate::DATE) * 12 + month(o_orderdate::DATE) AS p,
+           count(*)::BIGINT AS yp
+         FROM orders GROUP BY 1, 2),
+       s AS (
+         SELECT g, count(*)::BIGINT AS n_periods,
+           list(yp ORDER BY p) AS ys
+         FROM m GROUP BY g HAVING count(*) >= 14),
+       fold AS (
+         SELECT g, n_periods, ys, 2::BIGINT AS step,
+           (ys[1] * 1000000)::BIGINT AS l,
+           ((ys[2] - ys[1]) * 1000000)::BIGINT AS b
+         FROM s
+         UNION ALL
+         SELECT g, n_periods, ys, step + 1,
+           (CASE WHEN (500000::HUGEINT * ys[step + 1] * 1000000
+               + 500000::HUGEINT * (l::HUGEINT + b)) < 0 THEN -1 ELSE 1 END
+             * (abs(500000::HUGEINT * ys[step + 1] * 1000000
+               + 500000::HUGEINT * (l::HUGEINT + b)) // 1000000))::BIGINT,
+           (CASE WHEN (300000::HUGEINT
+               * (((CASE WHEN (500000::HUGEINT * ys[step + 1] * 1000000
+                   + 500000::HUGEINT * (l::HUGEINT + b)) < 0
+                   THEN -1 ELSE 1 END
+                 * (abs(500000::HUGEINT * ys[step + 1] * 1000000
+                   + 500000::HUGEINT * (l::HUGEINT + b))
+                   // 1000000))::HUGEINT) - l)
+               + 700000::HUGEINT * b) < 0 THEN -1 ELSE 1 END
+             * (abs(300000::HUGEINT
+               * (((CASE WHEN (500000::HUGEINT * ys[step + 1] * 1000000
+                   + 500000::HUGEINT * (l::HUGEINT + b)) < 0
+                   THEN -1 ELSE 1 END
+                 * (abs(500000::HUGEINT * ys[step + 1] * 1000000
+                   + 500000::HUGEINT * (l::HUGEINT + b))
+                   // 1000000))::HUGEINT) - l)
+               + 700000::HUGEINT * b) // 1000000))::BIGINT
+         FROM fold WHERE step < n_periods),
+       pre AS (
+         SELECT g, l, b FROM fold WHERE step = n_periods - 12),
+       rad AS (
+         SELECT f.g,
+           (list_sort(list_transform(range(1, 13), j ->
+             abs(f.ys[(f.n_periods - 12 + j)::INT]::BIGINT * 1000000
+               - (p.l + j * p.b)))))[12]::BIGINT AS radius_micro
+         FROM s f JOIN pre p ON f.g = p.g),
+       ful AS (
+         SELECT g, n_periods, l, b FROM fold WHERE step = n_periods),
+       fc AS (
+         SELECT f.g, f.n_periods, unnest(range(1, 4))::BIGINT AS h,
+           f.l, f.b, r.radius_micro
+         FROM ful f JOIN rad r ON f.g = r.g)
+       SELECT g, n_periods, h,
+         (l + h * b)::BIGINT AS forecast_micro, radius_micro,
+         (l + h * b - radius_micro)::BIGINT AS lo_micro,
+         (l + h * b + radius_micro)::BIGINT AS hi_micro
+       FROM fc ORDER BY g, h"""
+
   /** Holt–Winters ADDITIVE-SEASONAL forecast per group — the completion
     * of the exponential-smoothing family ([[ewmaSeries]] smooths,
     * [[holtForecast]] adds trend, this adds the seasonal cycle): exact
@@ -5534,6 +5684,7 @@ object Analytics {
     QueryDef("q338_durbin_watson", q338, Some(q338Sql)),
     QueryDef("q340_nelson_aalen", q340, Some(q340Sql)),
     QueryDef("q341_holt_forecast", q341, Some(q341Sql)),
+    QueryDef("q369_conformal_forecast", q369, Some(q369Sql)),
     QueryDef("q342_ewma_series", q342, Some(q342Sql)),
     QueryDef("q345_holt_winters", q345, Some(q345Sql)),
     QueryDef("q348_dtw_distance", q348, Some(q348Sql)),

@@ -1787,6 +1787,95 @@ object Dedup {
        FROM f a JOIN f b ON a.fp = b.fp AND a.doc_id < b.doc_id
        GROUP BY 1, 2 HAVING count(*) >= 2 ORDER BY 1, 2"""
 
+  /** Cross-document repeated-span REMOVAL plan — the training-data
+    * dedup workhorse (Lee et al. 2022, "Deduplicating Training Data
+    * Makes Language Models Better"): for every document, the TOKEN
+    * ranges that duplicate a passage first seen in an earlier document,
+    * merged into maximal spans ready to cut. Policy: the fingerprint's
+    * owner is the LOWEST doc_id that selected it (first occurrence
+    * wins — owners keep their text; every later holder cuts). Each
+    * selected fingerprint in a non-owner doc marks its k-gram's token
+    * range `[pos, pos + k - 1]`; overlapping or ADJACENT marks merge
+    * (contiguous duplicated text is one span). Output: (doc_id,
+    * span_start, span_end, n_tokens), token-indexed, owner docs and
+    * clean docs absent.
+    *
+    * Winnowing's guarantee makes the recall floor concrete: two docs
+    * sharing >= w + k - 1 contiguous tokens select at least one common
+    * fingerprint inside the shared window, so every long-enough copied
+    * passage yields a cut in the later doc. Short overlaps (< k tokens)
+    * are invisible by construction — the right trade for corpus dedup.
+    *
+    * Scale design: after the per-row native winnow selection, only
+    * (doc_id, pos, fp) longs flow; ownership is one groupBy on the
+    * 8-byte fp key; the mark join shuffles fp keys, never text; the
+    * span merge is a per-document window (bounded by doc length).
+    * `maxDocFreq` is the skew lever: a fingerprint selected by more
+    * than that many docs (site boilerplate at 100 TB) caps its
+    * fan-out — note the trade: capped fps are NOT cut, so boilerplate
+    * removal wants a dedicated upstream pass, not this operator.
+    */
+  def dedupSpans(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 3, w: Int = 4,
+      maxDocFreq: Int = Int.MaxValue): DataFrame = {
+    val pick = winnowFingerprints(df, idCol, textCol, k, w)
+      .select(col(idCol).as("doc_id"), col("pos"), col("fp")).distinct()
+    val fps =
+      if (maxDocFreq == Int.MaxValue) pick
+      else {
+        val hot = pick.select(col("doc_id"), col("fp")).distinct()
+          .groupBy(col("fp")).agg(count(lit(1)).as("df"))
+          .filter(col("df") > maxDocFreq).select(col("fp"))
+        pick.join(broadcast(hot), Seq("fp"), "left_anti")
+      }
+    val owner = fps.groupBy(col("fp")).agg(min(col("doc_id")).as("owner"))
+    val marks = fps.join(owner, Seq("fp"))
+      .filter(col("doc_id") > col("owner"))
+      .select(col("doc_id"), col("pos").as("s"),
+        (col("pos") + lit(k - 1)).as("e"))
+      .distinct()
+    val W = org.apache.spark.sql.expressions.Window
+    val byPos = W.partitionBy(col("doc_id")).orderBy(col("s"), col("e"))
+    val prevMaxE = max(col("e"))
+      .over(byPos.rowsBetween(W.unboundedPreceding, -1))
+    val islands = marks
+      .withColumn("brk",
+        when(col("s") > coalesce(prevMaxE, lit(-2L)) + 1, 1).otherwise(0))
+      .withColumn("island", sum(col("brk")).over(
+        byPos.rowsBetween(W.unboundedPreceding, W.currentRow)))
+    islands.groupBy(col("doc_id"), col("island"))
+      .agg(min(col("s")).as("span_start"), max(col("e")).as("span_end"))
+      .select(col("doc_id"), col("span_start"), col("span_end"),
+        (col("span_end") - col("span_start") + 1).as("n_tokens"))
+  }
+
+  // ---- q367: cross-document span dedup ------------------------------------------
+  private def q367(s: SparkSession, d: String): DataFrame =
+    dedupSpans(Tables.documents(s, d), "doc_id", "text", k = 3, w = 4)
+      .orderBy(col("doc_id"), col("span_start"))
+  private val q367Sql =
+    s"""WITH $winnowCtes,
+       owner AS (SELECT fp, min(doc_id) AS owner FROM pick GROUP BY fp),
+       dm AS (
+         SELECT DISTINCT p.doc_id, p.pos AS s, p.pos + 2 AS e
+         FROM pick p JOIN owner o ON p.fp = o.fp AND p.doc_id > o.owner),
+       flag AS (
+         SELECT doc_id, s, e,
+           CASE WHEN s > coalesce(max(e) OVER (PARTITION BY doc_id
+               ORDER BY s, e
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -2) + 1
+             THEN 1 ELSE 0 END AS brk
+         FROM dm),
+       isl AS (
+         SELECT doc_id, s, e,
+           sum(brk) OVER (PARTITION BY doc_id ORDER BY s, e
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+         FROM flag)
+       SELECT doc_id, min(s)::BIGINT AS span_start,
+         max(e)::BIGINT AS span_end,
+         (max(e) - min(s) + 1)::BIGINT AS n_tokens
+       FROM isl GROUP BY doc_id, island ORDER BY doc_id, span_start"""
+
   // ---- q120: corpus dedup health summary ---------------------------------------
   // The one-row executive report a curation run opens with: document
   // count, exact-duplicate volume and rate, and verified near-dup pair
@@ -2130,6 +2219,7 @@ object Dedup {
     QueryDef("q67_dedup_keep", q67, Some(q67Sql)),
     QueryDef("q70_dedup_keep_best", q70, Some(q70Sql)),
     QueryDef("q78_winnow_fingerprints", q78, Some(q78Sql)),
+    QueryDef("q367_dedup_spans", q367, Some(q367Sql)),
     QueryDef("q80_winnow_overlap", q80, Some(q80Sql)),
     QueryDef("q120_dedup_summary", q120, Some(q120Sql)),
     QueryDef("q121_incremental_dedup", q121, Some(q121Sql)),

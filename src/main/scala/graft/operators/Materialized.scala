@@ -95,6 +95,17 @@ object Materialized {
     * count would silently hand downstream joins a plan WITH exchanges
     * while the caller believes it owns the zero-exchange seam, so a
     * mismatch fails loudly instead.
+    *
+    * SCOPE: the serialization is per JVM — the lock map lives in this
+    * process, so two DRIVERS sharing one metastore can still race
+    * duplicate saveAsTable jobs. For multi-driver deployments the
+    * catalog is the arbiter: the loser's saveAsTable throws
+    * TableAlreadyExistsException, which callers should treat as "the
+    * winner's table is ready" and re-call this method (the bucket-spec
+    * validation below then vets the winner's table exactly as if this
+    * JVM had written it). Lock entries are retained for the process
+    * lifetime — bounded by the number of DISTINCT materialized table
+    * names, a deliberate leak the size of a string per seam.
     */
   def ofBucketed(s: SparkSession, table: String, key: String, buckets: Int)
       (build: => DataFrame): DataFrame = {

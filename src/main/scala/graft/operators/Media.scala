@@ -491,6 +491,97 @@ object Media {
       hash
     }
 
+    /** Integer DCT-II basis for [[imagePHash]], quantized to micros:
+      * T(u, i) = floor(cos(π(2i+1)u/64)·1e6). The q368 oracle SQL
+      * interpolates THIS array as a literal, so engine/oracle agreement
+      * never depends on two libm cos implementations rounding the last
+      * ulp identically — and because every downstream product/sum stays
+      * in exact BIGINT range (|p·T·T| ≤ 255·10¹² per term, ≤ 2.7·10¹⁷
+      * per coefficient), the whole hash is integer-deterministic.
+      */
+    private[operators] val PHashTab: Array[Long] = Array.tabulate(8 * 32) { t =>
+      val u = t / 32
+      val i = t % 32
+      math.floor(math.cos(math.Pi * (2 * i + 1) * u / 64.0) * 1e6).toLong
+    }
+
+    /** DCT-based perceptual hash (pHash) — the crop/noise-tolerant
+      * complement to [[imageDHash]] (VERDICT r8 Next #7): dHash compares
+      * INDIVIDUAL sampled pixels, so per-pixel noise (dither, JPEG
+      * artifacts) flips its bits wholesale; pHash thresholds the 63
+      * low-band 8×8 DCT-II coefficients (DC excluded) of a 32×32 exact
+      * lattice sample against their median, so each bit averages 1024
+      * samples and survives noise that buries dHash. Same packing
+      * discipline: 63 bits, positive BIGINT, rides
+      * [[graft.operators.Dedup.hammingPairs]] at 9 bands × 7 bits
+      * (exact for Hamming ≤ 8). No float leaves the kernel: pixels are
+      * ints, the basis is the integer [[PHashTab]], coefficients are
+      * exact BIGINTs, and the median of 63 is the 32nd smallest — an
+      * order statistic, not an average.
+      */
+    def imagePHash(m: MediaRow): Option[(Long, Long)] = {
+      val src = if (isPng(m.media) || isGif(m.media))
+        ImageIO.read(new ByteArrayInputStream(m.media)) else null
+      if (src == null) None
+      else Some((m.doc_id, pHash(src)))
+    }
+
+    private[operators] def pHash(src: java.awt.image.BufferedImage): Long = {
+      val (w, h) = (src.getWidth, src.getHeight)
+      val raster = src.getRaster
+      val oneBand = raster.getNumBands == 1
+      def px(x: Int, y: Int): Long =
+        (if (oneBand) raster.getSample(x, y, 0) else gray(src, x, y)).toLong
+      // 32×32 exact lattice sample (the latticeHash discipline — no
+      // interpolating resize, so no rasterizer-specific rounding).
+      val p = Array.tabulate(32, 32)((j, i) =>
+        px(i * (w - 1) / 31, j * (h - 1) / 31))
+      val coeffs = new Array[Long](63)
+      var idx = 0
+      var u = 0
+      while (u < 8) {
+        var v = 0
+        while (v < 8) {
+          if (u != 0 || v != 0) {
+            // Σ_j (Σ_i p(j)(i)·T(u,i)) · T(v,j) — exact-integer, so the
+            // factored form equals the oracle's flat triple-product sum.
+            var acc = 0L
+            var j = 0
+            while (j < 32) {
+              var row = 0L
+              var i = 0
+              while (i < 32) {
+                row += p(j)(i) * PHashTab(u * 32 + i)
+                i += 1
+              }
+              acc += row * PHashTab(v * 32 + j)
+              j += 1
+            }
+            coeffs(idx) = acc
+            idx += 1
+          }
+          v += 1
+        }
+        u += 1
+      }
+      val med = coeffs.sorted.apply(31)
+      var hash = 0L
+      idx = 0
+      u = 0
+      while (u < 8) {
+        var v = 0
+        while (v < 8) {
+          if (u != 0 || v != 0) {
+            if (coeffs(idx) > med) hash |= 1L << (u * 8 + v - 1)
+            idx += 1
+          }
+          v += 1
+        }
+        u += 1
+      }
+      hash
+    }
+
     /** dHash of EVERY genuinely decoded frame of a GIF container —
       * (doc_id, frame_idx, hash) rows, the per-frame primitive the
       * video near-dup containment (q355) consumes. Empty for non-GIF
@@ -602,6 +693,16 @@ object Media {
       grid: Int = 8): Dataset[(Long, Long)] = {
     import media.sparkSession.implicits._
     media.mapPartitions(_.flatMap(MediaCodec.imageDHash(_, grid)))
+  }
+
+  /** Per-image DCT perceptual hashes — map-side like every media
+    * operator; undecodable rows are skipped. See
+    * [[MediaCodec.imagePHash]] for why this catches noise/dither
+    * near-dups that [[imageDHashes]] misses; the (doc_id, phash)
+    * relation rides the same banded Hamming join. */
+  def imagePHashes(media: Dataset[MediaRow]): Dataset[(Long, Long)] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.flatMap(MediaCodec.imagePHash))
   }
 
   /** Per-clip audio difference-fingerprints over genuinely decoded PCM —
@@ -889,6 +990,67 @@ object Media {
        FROM clusters GROUP BY 1
        ORDER BY n_members DESC, cluster_id LIMIT 25"""
 
+  // ---- q368: DCT perceptual-hash (pHash) near-dup over the XY corpus ----------
+  // pHash every REAL PNG of the XY-gradient corpus (decode → 32×32 exact
+  // lattice → integer 8×8 DCT-II low band → median threshold → 63-bit
+  // pack) and histogram the Hamming ball via the same banded pigeonhole
+  // join as q351 (9 bands × 7 bits — EXACT for radius ≤ 8). The oracle
+  // predicts every sampled pixel from the generative parameters and
+  // recomputes the integer DCT with the ENGINE'S OWN quantized basis
+  // table interpolated as a SQL literal (see [[MediaCodec.PHashTab]]),
+  // so the whole hash is cross-engine integer-exact. doc_id < 1024
+  // bounds the oracle's 33M-term DCT + quadratic Hamming check (the
+  // ENGINE path stays map-side + banded at any corpus size).
+  private def q368(s: SparkSession, d: String): DataFrame =
+    Dedup.hammingPairs(pxyHashes(s, d), "doc_id", "phash",
+        bands = 9, bandBits = 7, maxHamming = 8)
+      .groupBy(col("hamming")).agg(count(lit(1)).as("n_pairs"))
+      .orderBy(col("hamming"))
+  /** The q368 XY-gradient pHash fixture (q351's corpus, tighter bound). */
+  private def pxyHashes(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val imgs = Tables.documents(s, d)
+      .filter(col("doc_id") % 2 === 0 && col("doc_id") < 1024)
+      .select(col("doc_id"), col("n_chars")).as[(Long, Long)]
+      .mapPartitions(_.map { case (id, nChars) =>
+        MediaRow(id, "image", MediaCodec.synthPngXY(id, nChars)) })
+    imagePHashes(imgs).toDF("doc_id", "phash")
+  }
+  private lazy val q368Sql =
+    s"""WITH imgs AS (
+         SELECT doc_id, 1 + n_chars % 64 AS w, 1 + n_chars % 48 AS h
+         FROM documents WHERE doc_id % 2 = 0 AND doc_id < 1024),
+       tab AS (SELECT ${MediaCodec.PHashTab.mkString("[", ", ", "]")}::BIGINT[] AS t),
+       uv AS (
+         SELECT u.u, v.v
+         FROM (SELECT unnest(range(8)) AS u) u
+         CROSS JOIN (SELECT unnest(range(8)) AS v) v
+         WHERE NOT (u.u = 0 AND v.v = 0)),
+       coeffs AS (
+         SELECT doc_id, uv.u, uv.v,
+           list_sum(list_transform(range(1024), s ->
+             ((doc_id + ((s % 32) * (w - 1)) // 31
+                + 7 * (((s // 32) * (h - 1)) // 31)) % 256)
+             * t[(uv.u * 32 + (s % 32) + 1)::INT]
+             * t[(uv.v * 32 + (s // 32) + 1)::INT]))::BIGINT AS c
+         FROM imgs CROSS JOIN tab CROSS JOIN uv),
+       med AS (
+         SELECT doc_id, quantile_disc(c, 0.5) AS m
+         FROM coeffs GROUP BY doc_id),
+       hashes AS (
+         SELECT c.doc_id,
+           sum(CASE WHEN c.c > m.m
+               THEN (1::BIGINT << (c.u * 8 + c.v - 1)::INT)
+               ELSE 0 END)::BIGINT AS phash
+         FROM coeffs c JOIN med m ON c.doc_id = m.doc_id
+         GROUP BY c.doc_id),
+       pairs AS (
+         SELECT bit_count(xor(a.phash, b.phash))::BIGINT AS hamming
+         FROM hashes a JOIN hashes b ON a.doc_id < b.doc_id
+         WHERE bit_count(xor(a.phash, b.phash)) <= 8)
+       SELECT hamming, count(*)::BIGINT AS n_pairs
+       FROM pairs GROUP BY hamming ORDER BY hamming"""
+
   // ---- q354: audio near-dup via banded Hamming over PCM fingerprints ----------
   // The second modality through the SAME banded join as q351: genuine
   // WAV decodes → windowed-energy difference fingerprints → 7x8 banded
@@ -1007,5 +1169,6 @@ object Media {
     QueryDef("q351_image_neardup", q351, Some(q351Sql)),
     QueryDef("q353_image_dup_clusters", q353, Some(q353Sql)),
     QueryDef("q354_audio_neardup", q354, Some(q354Sql)),
+    QueryDef("q368_phash_neardup", q368, Some(q368Sql)),
     QueryDef("q355_video_neardup", q355, Some(q355Sql)))
 }

@@ -142,7 +142,14 @@ object ControlPlane {
     * IS assigned, and then it is present again). Dropped entries are
     * logged to stderr for the operator.
     */
-  final case class Lease private (shards: Set[Int], floors: Map[Int, Long])
+  final case class Lease private (shards: Set[Int], floors: Map[Int, Long]) {
+    /** The case-class-synthesized copy would bypass the stray-floor
+      * filter (ADVICE r8); defining it explicitly routes EVERY
+      * construction path through the validated companion apply.
+      */
+    def copy(shards: Set[Int] = shards,
+        floors: Map[Int, Long] = floors): Lease = Lease(shards, floors)
+  }
 
   object Lease {
     def apply(shards: Set[Int], floors: Map[Int, Long]): Lease = {

@@ -490,4 +490,44 @@ class DedupSpec extends SparkSpec {
       ("len", Some(0L), Some(600000L), Some(0L))))
   }
 
+  test("dedupSpans cuts planted shared passages from later docs only") {
+    // Two passages, each >= w + k - 1 = 6 tokens, so winnowing
+    // guarantees a shared selected fingerprint inside each; every other
+    // token is unique per doc, so no marks can appear outside them.
+    val p1 = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
+    val p2 = "kilo lima mike november oscar papa quebec romeo"
+    val docA = s"aone atwo athree $p1 afour afive asix $p2 aseven"
+    // doc B: p1 only, at token offset 2
+    val docB = s"bone btwo $p1 bthree bfour bfive bsix bseven beight bnine"
+    // doc C: p1 AND p2 separated by a unique 6-token gap -> two spans
+    val docC = s"cone $p1 ctwo cthree cfour cfive csix cseven $p2 ceight"
+    val df = Seq((1L, docA), (2L, docB), (3L, docC),
+        (4L, "entirely unshared filler tokens only here nothing common"))
+      .toDF("doc_id", "text")
+    val spans = Dedup.dedupSpans(df, "doc_id", "text", k = 3, w = 4)
+      .orderBy("doc_id", "span_start")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    // Owner (doc 1) and the clean doc never appear.
+    assert(!spans.exists(s => s._1 == 1L || s._1 == 4L), spans.toString)
+    // Doc B: at least one span, all inside p1's token range [2, 11].
+    val b = spans.filter(_._1 == 2L)
+    assert(b.nonEmpty, "winnowing guarantee: the 10-token copy must mark")
+    assert(b.forall(s => s._2 >= 2L && s._3 <= 11L), b.toString)
+    // Doc C: spans in p1's range [1, 10] and p2's range [17, 24] — and
+    // never bridging the unique 6-token gap between them.
+    val c = spans.filter(_._1 == 3L)
+    assert(c.nonEmpty)
+    assert(c.forall(s => (s._2 >= 1L && s._3 <= 10L) ||
+      (s._2 >= 17L && s._3 <= 24L)), c.toString)
+    assert(c.exists(_._3 <= 10L) && c.exists(_._2 >= 17L),
+      s"both passages must be cut: $c")
+    // n_tokens is the merged width.
+    assert(spans.forall(s => s._4 == s._3 - s._2 + 1))
+    // maxDocFreq drops boilerplate fps before ownership: with the cap at
+    // 1 every fp shared by >= 2 docs is gone, so nothing is cut.
+    val capped = Dedup.dedupSpans(df, "doc_id", "text", k = 3, w = 4,
+      maxDocFreq = 1)
+    assert(capped.isEmpty, "capped fingerprints must not mark spans")
+  }
+
 }

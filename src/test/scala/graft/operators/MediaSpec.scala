@@ -242,6 +242,71 @@ class MediaSpec extends SparkSpec {
     assert(got === brute)
   }
 
+  test("imagePHash survives pixel noise that buries dHash, and rides the banded join") {
+    import spark.implicits._
+    // 32×32 base image seeding ALL 63 low-band DCT modes with separated
+    // amplitudes (so every pHash bit is a decided comparison, not a
+    // near-zero coin flip); the two copies differ ONLY in deterministic
+    // per-pixel ±30 noise. dHash compares individual sampled pixels —
+    // noise-dominated; each pHash bit averages 1024 samples — the mode
+    // pattern survives. Tuned empirically: observed pHash Hamming 2,
+    // dHash Hamming 13 for these seeds.
+    def noise(seed: Long, x: Int, y: Int): Int = {
+      var z = seed * 0x9E3779B97F4A7C15L + x * 0xBF58476D1CE4E5B9L +
+        y * 0x94D049BB133111EBL
+      z ^= (z >>> 31); z *= 0xD6E8FEB86659FD93L; z ^= (z >>> 27)
+      java.lang.Long.remainderUnsigned(z, 61L).toInt - 30
+    }
+    def mkImg(seed: Long): java.awt.image.BufferedImage = {
+      val img = new java.awt.image.BufferedImage(32, 32,
+        java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      for (y <- 0 until 32; x <- 0 until 32) {
+        var v = 128.0
+        var idx = 0
+        for (u <- 0 until 8; w <- 0 until 8) {
+          if (u != 0 || w != 0) {
+            val amp = (if (idx % 2 == 0) 1 else -1) * (4 + 2 * (idx % 13))
+            v += amp * math.cos(math.Pi * (2 * x + 1) * u / 64.0) *
+              math.cos(math.Pi * (2 * y + 1) * w / 64.0)
+            idx += 1
+          }
+        }
+        val p = math.max(0, math.min(255,
+          math.round(v).toInt + noise(seed, x, y)))
+        img.getRaster.setSample(x, y, 0, p)
+      }
+      img
+    }
+    def png(img: java.awt.image.BufferedImage): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", out)
+      out.toByteArray
+    }
+    val (ia, ib) = (mkImg(11L), mkImg(22L))
+    val a = MediaRow(1L, "image", png(ia))
+    val b = MediaRow(2L, "image", png(ib))
+    // PNG is lossless: the decode path must equal the raw-raster hash.
+    assert(MediaCodec.imagePHash(a) === Some((1L, MediaCodec.pHash(ia))))
+    val Some((_, pa)) = MediaCodec.imagePHash(a)
+    val Some((_, pb)) = MediaCodec.imagePHash(b)
+    val Some((_, da)) = MediaCodec.imageDHash(a)
+    val Some((_, db)) = MediaCodec.imageDHash(b)
+    val pd = java.lang.Long.bitCount(pa ^ pb)
+    val dd = java.lang.Long.bitCount(da ^ db)
+    assert(pd <= 8, s"pHash must survive the noise: Hamming $pd")
+    assert(dd > 8, s"the fixture must bury dHash: Hamming $dd")
+    // The banded join surfaces the pair in pHash space only (dHash's
+    // exact ball is radius 7 at 8 bands — the pair is far outside it).
+    val rows = spark.createDataset(Seq(a, b))
+    val gotP = Dedup.hammingPairs(
+      Media.imagePHashes(rows).toDF("doc_id", "phash"),
+      "doc_id", "phash", bands = 9, bandBits = 7, maxHamming = 8).count()
+    val gotD = Dedup.hammingPairs(
+      Media.imageDHashes(rows).toDF("doc_id", "dhash"),
+      "doc_id", "dhash", bands = 8, bandBits = 7, maxHamming = 7).count()
+    assert(gotP === 1L && gotD === 0L, s"pairs: phash=$gotP dhash=$gotD")
+  }
+
   test("gifFrameDHashes hashes every REAL decoded frame to the predicted lattice pack") {
     // doc_id = 250, nChars = 29 -> F = 1 + 29 % 12 = 6 frames of
     // (1 + 29 % 32) x (1 + 29 % 24) = 30 x 6; frame f is y-constant with

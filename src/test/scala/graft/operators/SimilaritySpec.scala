@@ -351,6 +351,34 @@ class SimilaritySpec extends SparkSpec {
     assert(gotR === expect, "operator must equal the brute greedy fold")
   }
 
+  test("mmrRerankIvf: full probe IS mmrRerank; narrow probe keeps selection recall") {
+    val e = graft.Tables.embeddings(spark, sf)
+    def runBrute = Similarity.mmrRerank(e.filter(col("vec_id") < 10), e,
+        "vec_id", "embedding", fetchN = 8, k = 4, lambdaMicro = 700000L)
+      .orderBy("query_id", "step").as[(Long, Long, Long, Long)].collect().toSeq
+    val brute = runBrute
+    // nprobe = |seeds| probes every bucket: the fetch scores the whole
+    // corpus (each vector lives in exactly one bucket), so the candidate
+    // set — and therefore the greedy selection — is bit-identical.
+    val full = Similarity.mmrRerankIvf(e, e.filter(col("vec_id") < 16),
+        col("vec_id") < 10, "vec_id", "embedding", fetchN = 8, k = 4,
+        lambdaMicro = 700000L, nprobe = 16)
+      .orderBy("query_id", "step").as[(Long, Long, Long, Long)].collect().toSeq
+    assert(full === brute,
+      "probing every bucket must reproduce the brute-fetch MMR bit-for-bit")
+    // The q366 operating point (nprobe = 3 of 16): the diversified
+    // selection must keep recall against the brute selection set.
+    val ivf = Similarity.mmrRerankIvf(e, e.filter(col("vec_id") < 16),
+        col("vec_id") < 10, "vec_id", "embedding", fetchN = 8, k = 4,
+        lambdaMicro = 700000L, nprobe = 3)
+      .orderBy("query_id", "step").as[(Long, Long, Long, Long)].collect().toSeq
+    val bruteSel = brute.map(r => (r._1, r._3)).toSet
+    val ivfSel = ivf.map(r => (r._1, r._3)).toSet
+    val recall = (bruteSel & ivfSel).size.toDouble / bruteSel.size
+    assert(recall >= 0.5,
+      s"selection recall $recall at nprobe=3 below acceptance (${bruteSel.size} picks)")
+  }
+
   test("knnOutliersIvf: one bucket is exact; 16 buckets keep top-set recall") {
     val e = graft.Tables.embeddings(spark, sf)
     val n = e.count().toInt

@@ -2,19 +2,22 @@
 # Closing gate: the LAST action of every round, run BEFORE the final
 # commit — never register a new QueryDef in the snapshot commit itself.
 #
-# Two rounds in a row shipped red artifacts because features landed in
-# the end-of-round snapshot commit after the last verification run
-# (r5: q333 lint, r6: q340 lint + q341 oracle). A checklist demonstrably
-# wasn't enough, so this is mechanical: the gate
-#   (a) runs the FULL sbt test suite,
-#   (b) runs Verify + tools/verify_local.py over EVERY registered query
+# Three rounds shipped red artifacts because features landed after the
+# last verification run (r5: q333 lint, r6: q340 lint + q341 oracle,
+# r8: q363 lint — the gate itself was skipped). So the gate is
+# mechanical AND self-enforcing: it
+#   (a) regenerates bench/BENCH_FULL_r<N>.json and
+#       bench/STREAMBENCH_r<N>.json at sf0.1 FIRST, so that
+#   (b) the full sbt test suite (which includes GateArtifactSpec:
+#       artifact-query-set ⊇ SparkEntry.allDefs) verifies the fresh
+#       artifacts — skipping the gate after registering a query leaves
+#       the suite red at HEAD by construction,
+#   (c) runs Verify + tools/verify_local.py over EVERY registered query
 #       at sf0.01 (superset of "names new since last round"),
-#   (c) regenerates bench/BENCH_FULL_r<N>.json and
-#       bench/STREAMBENCH_r<N>.json at sf0.1,
 # and exits non-zero on ANY failure. Commit its outputs; a green exit is
 # the round's ship condition.
 #
-# Usage: tools/closing_gate.sh <round-number>   (e.g. 7)
+# Usage: tools/closing_gate.sh <round-number>   (e.g. 9)
 set -uo pipefail
 cd "$(dirname "$0")/.."
 
@@ -26,39 +29,10 @@ mkdir -p "$OUT" bench
 FAIL=0
 
 echo "== closing gate r${ROUND} =="
+echo "loadavg: $(cut -d' ' -f1-3 /proc/loadavg)  (headline numbers are" \
+  "noise above ~3 — prefer a quiet machine)"
 
-echo "-- (a) full sbt test"
-if ! sbt -batch test > "$OUT/sbt_test.log" 2>&1; then
-  echo "GATE FAIL: sbt test (see $OUT/sbt_test.log)"
-  tail -30 "$OUT/sbt_test.log"
-  FAIL=1
-else
-  grep -E "Tests: succeeded" "$OUT/sbt_test.log" | tail -1
-fi
-
-echo "-- (b) Verify + DuckDB oracle over every registered query @ $SF_VERIFY"
-if ! SPARK_GRAFT_CPUS=16 sbt -batch \
-    "runMain graft.Verify $SF_VERIFY $OUT/verify" \
-    > "$OUT/verify.log" 2>&1; then
-  echo "GATE FAIL: graft.Verify crashed (see $OUT/verify.log)"
-  tail -20 "$OUT/verify.log"
-  FAIL=1
-fi
-# Verify is per-query fault-tolerant; a broken query surfaces on stderr.
-if grep -q "\[verify\].*failed" "$OUT/verify.log"; then
-  echo "GATE FAIL: queries failed inside Verify:"
-  grep "\[verify\].*failed" "$OUT/verify.log"
-  FAIL=1
-fi
-if ! python3 tools/verify_local.py "$SF_VERIFY" "$OUT/verify" \
-    > "$OUT/verify_local.log" 2>&1; then
-  echo "GATE FAIL: oracle compare (see $OUT/verify_local.log)"
-  grep "FAIL" "$OUT/verify_local.log" | head -20
-  FAIL=1
-fi
-tail -2 "$OUT/verify_local.log"
-
-echo "-- (c) full-surface bench @ $SF_BENCH"
+echo "-- (a) full-surface bench @ $SF_BENCH"
 if ! SPARK_GRAFT_SF_DIR="$SF_BENCH" sbt -batch "runMain graft.Bench all" \
     > "$OUT/bench_full.log" 2>&1; then
   echo "GATE FAIL: Bench all crashed (see $OUT/bench_full.log)"
@@ -80,7 +54,7 @@ EOF
   then FAIL=1; fi
 fi
 
-echo "-- (c) streaming drain bench @ $SF_BENCH"
+echo "-- (a) streaming drain bench @ $SF_BENCH"
 if ! SPARK_GRAFT_SF_DIR="$SF_BENCH" sbt -batch "runMain graft.StreamBench" \
     > "$OUT/streambench.log" 2>&1; then
   echo "GATE FAIL: StreamBench crashed (see $OUT/streambench.log)"
@@ -89,14 +63,17 @@ if ! SPARK_GRAFT_SF_DIR="$SF_BENCH" sbt -batch "runMain graft.StreamBench" \
 else
   grep '"metric"' "$OUT/streambench.log" | sed 's/^\[info\] //' \
     > "bench/STREAMBENCH_r${ROUND}.json"
-  # Validate the extracted artifact like the batch one: a run that exits
-  # zero but emits no metric line must be a RED gate, not an empty file.
+  # Validate the keys StreamBench ACTUALLY emits (the r8 gate required
+  # the batch artifact's (metric,value,unit) set and so failed every
+  # successful stream run — ADVICE r8): one stream_drain line with the
+  # records + unbounded throughput fields.
   if ! python3 - "bench/STREAMBENCH_r${ROUND}.json" <<'EOF'
 import json, sys
 j = json.load(open(sys.argv[1]))
-missing = [k for k in ("metric", "value", "unit") if k not in j]
-if missing:
-    print(f"GATE FAIL: stream artifact lacks {missing}")
+missing = [k for k in ("metric", "records", "unbounded_rec_per_sec")
+           if k not in j]
+if missing or j.get("metric") != "stream_drain":
+    print(f"GATE FAIL: stream artifact lacks {missing or 'stream_drain metric'}")
     sys.exit(1)
 print(open(sys.argv[1]).read().strip())
 EOF
@@ -105,6 +82,37 @@ EOF
     FAIL=1
   fi
 fi
+
+echo "-- (b) full sbt test (includes GateArtifactSpec over the fresh artifacts)"
+if ! sbt -batch test > "$OUT/sbt_test.log" 2>&1; then
+  echo "GATE FAIL: sbt test (see $OUT/sbt_test.log)"
+  tail -30 "$OUT/sbt_test.log"
+  FAIL=1
+else
+  grep -E "Tests: succeeded" "$OUT/sbt_test.log" | tail -1
+fi
+
+echo "-- (c) Verify + DuckDB oracle over every registered query @ $SF_VERIFY"
+if ! SPARK_GRAFT_CPUS=16 sbt -batch \
+    "runMain graft.Verify $SF_VERIFY $OUT/verify" \
+    > "$OUT/verify.log" 2>&1; then
+  echo "GATE FAIL: graft.Verify crashed (see $OUT/verify.log)"
+  tail -20 "$OUT/verify.log"
+  FAIL=1
+fi
+# Verify is per-query fault-tolerant; a broken query surfaces on stderr.
+if grep -q "\[verify\].*failed" "$OUT/verify.log"; then
+  echo "GATE FAIL: queries failed inside Verify:"
+  grep "\[verify\].*failed" "$OUT/verify.log"
+  FAIL=1
+fi
+if ! python3 tools/verify_local.py "$SF_VERIFY" "$OUT/verify" \
+    > "$OUT/verify_local.log" 2>&1; then
+  echo "GATE FAIL: oracle compare (see $OUT/verify_local.log)"
+  grep "FAIL" "$OUT/verify_local.log" | head -20
+  FAIL=1
+fi
+tail -2 "$OUT/verify_local.log"
 
 if [ "$FAIL" -ne 0 ]; then
   echo "== GATE RED: do not snapshot — fix and re-run =="
