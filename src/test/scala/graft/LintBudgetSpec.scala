@@ -105,6 +105,12 @@ class LintBudgetSpec extends SparkSpec {
     // corpus scan to pick up vectors; both are bounded by fetchN and the
     // query count, never by the corpus (see mmrRerank's scaladoc).
     "q363_mmr_rerank" -> Map("broadcast-nested-loop" -> 3),
+    // q366: the same bounded family through the IVF fetch — the
+    // ivfAssign corpus-vs-16-seed broadcast cross, the query-vs-seed
+    // probe-scoring cross (both |seeds|-bounded build sides), and the
+    // candidate-set broadcast back into the corpus scan (fetchN·|Q|
+    // rows). The bucketed candidate join itself is an equi join.
+    "q366_mmr_rerank_ivf" -> Map("broadcast-nested-loop" -> 3),
     // one-row global buyer-count total attached via crossJoin(broadcast);
     // Catalyst pushes the share filter into the join, compiling the
     // predicate-free cross-broadcast into a conditioned BNL whose build

@@ -730,4 +730,87 @@ class RandomizedEquivalenceSpec extends SparkSpec {
     }
   }
 
+  test("conformalHoltForecast equals the brute split-conformal fold") {
+    def md(x: BigInt): Long =
+      ((if (x < 0) BigInt(-1) else BigInt(1)) * (x.abs / 1000000)).toLong
+    def holt(ys: Seq[Long], a: Long, b: Long): (BigInt, BigInt) = {
+      var l = BigInt(ys(0)) * 1000000
+      var bt = BigInt(ys(1) - ys(0)) * 1000000
+      ys.drop(2).foreach { y =>
+        val nl = md(a * BigInt(y) * 1000000 + (1000000L - a) * (l + bt))
+        val nb = md(b * (BigInt(nl) - l) + (1000000L - b) * bt)
+        l = nl; bt = nb
+      }
+      (l, bt)
+    }
+    (1 to 5).foreach { trial =>
+      val a = rnd.nextInt(1000001).toLong
+      val b = rnd.nextInt(1000001).toLong
+      // α = 0.1 needs calN >= 9 for a finite radius (k = ⌈(calN+1)·0.9⌉
+      // <= calN ⇔ calN >= 9) — the degenerate branch is pinned below.
+      val calN = 9 + rnd.nextInt(4)
+      val n = calN + 2 + rnd.nextInt(8)
+      val series = Vector.fill(n)(rnd.nextInt(2000).toLong - 500)
+      val df = series.zipWithIndex
+        .map { case (y, i) => ("grp", (i + 1).toLong, y) }
+        .toDF("g0", "p0", "y0")
+      val (lp, bp) = holt(series.take(n - calN), a, b)
+      val resid = (1 to calN).map(j =>
+        (BigInt(series(n - calN + j - 1)) * 1000000 - (lp + j * bp)).abs)
+      val k = (((calN + 1) * 900000L) + 999999L) / 1000000L
+      val radius = resid.sorted.apply(k.toInt - 1).toLong
+      val (lf, bf) = holt(series, a, b)
+      val want = (1 to 3).map { h =>
+        val fc = lf.toLong + h * bf.toLong
+        ("grp", n.toLong, h.toLong, fc, radius, fc - radius, fc + radius)
+      }
+      val got = Analytics.conformalHoltForecast(df, "g0", col("p0"),
+          col("y0"), alphaMicro = a, betaMicro = b, calN = calN,
+          horizon = 3, confAlphaMicro = 100000L)
+        .orderBy(col("g"), col("h"))
+        .as[(String, Long, Long, Long, Long, Long, Long)].collect()
+      assert(got.toSeq === want,
+        s"trial $trial a=$a b=$b calN=$calN series=$series")
+    }
+    // k > n_cal: the interval is infinite — radius and bounds are NULL.
+    val tiny = Seq(("g", 1L, 5L), ("g", 2L, 7L), ("g", 3L, 6L))
+      .toDF("g0", "p0", "y0")
+    val deg = Analytics.conformalHoltForecast(tiny, "g0", col("p0"),
+        col("y0"), calN = 1, horizon = 1, confAlphaMicro = 100000L)
+      .select("radius_micro", "lo_micro", "hi_micro")
+      .as[(Option[Long], Option[Long], Option[Long])].collect()
+    assert(deg.toSeq === Seq((None, None, None)))
+  }
+
+  test("conformalHoltForecast holds nominal coverage on held-out horizons") {
+    // 150 trending-noise series; the operator sees all but the last 3
+    // periods and forecasts them; the 90%-nominal interval must cover
+    // the held-out truth at ≥ 85% across the 450 (group, h) cells (the
+    // calibration residuals span horizons 1..12 while the audit uses
+    // 1..3, so the mixed-horizon radius leans conservative).
+    val groups = (1 to 150).map { g =>
+      val base = 50 + rnd.nextInt(100)
+      val slope = rnd.nextInt(11) - 5
+      val ys = (1 to 30).map(t =>
+        (base + slope * t + rnd.nextInt(41) - 20).toLong)
+      g.toLong -> ys
+    }
+    val df = groups.flatMap { case (g, ys) =>
+      ys.take(27).zipWithIndex.map { case (y, i) =>
+        (g, (i + 1).toLong, y) }
+    }.toDF("g0", "p0", "y0")
+    val got = Analytics.conformalHoltForecast(df, "g0", col("p0"),
+        col("y0"), calN = 12, horizon = 3, confAlphaMicro = 100000L)
+      .select("g", "h", "lo_micro", "hi_micro")
+      .as[(Long, Long, Long, Long)].collect()
+    assert(got.length === 450)
+    val truth = groups.toMap
+    val covered = got.count { case (g, h, lo, hi) =>
+      val y = truth(g)((27 + h - 1).toInt) * 1000000L
+      lo <= y && y <= hi
+    }
+    val cov = covered.toDouble / got.length
+    assert(cov >= 0.85, s"held-out coverage $cov below 0.85 (450 cells)")
+  }
+
 }
