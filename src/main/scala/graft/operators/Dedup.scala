@@ -1876,6 +1876,135 @@ object Dedup {
          (max(e) - min(s) + 1)::BIGINT AS n_tokens
        FROM isl GROUP BY doc_id, island ORDER BY doc_id, span_start"""
 
+  /** Apply [[dedupSpans]]' cut plan and EMIT THE DEDUPED CORPUS — the
+    * step that turns the span report into training data: every doc's
+    * tokens outside its cut ranges, rejoined, with before/after token
+    * counts (the byte-savings readout). Docs with no spans pass through
+    * intact. Span semantics are [[dedupSpans]]': inclusive token
+    * ranges; any span relation with (doc_id, span_start, span_end)
+    * works, so a curator can edit the plan before applying it.
+    *
+    * Scale design: the span relation is tiny (dup passages only); the
+    * cut itself is ONE expression over the doc's token array after a
+    * left join on doc_id — map-side per doc, no explode, the text
+    * shuffles once to meet its (bounded) span list.
+    */
+  def applySpanCuts(df: DataFrame, spans: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val sp = spans.groupBy(col("doc_id"))
+      .agg(collect_list(struct(col("span_start").as("s"),
+        col("span_end").as("e"))).as("sp"))
+    df.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("toks"))
+      .join(sp, Seq("doc_id"), "left")
+      .withColumn("sp", coalesce(col("sp"),
+        expr("cast(array() as array<struct<s: bigint, e: bigint>>)")))
+      .withColumn("keep", expr("""filter(sequence(0, size(toks) - 1),
+          i -> !exists(sp, r -> i >= r.s and i <= r.e))"""))
+      .select(col("doc_id"), size(col("toks")).cast("long").as("n_tokens"),
+        (size(col("toks")) - size(col("keep"))).cast("long")
+          .as("n_tokens_cut"),
+        expr("array_join(transform(keep," +
+          " i -> element_at(toks, cast(i + 1 as int))), ' ')")
+          .as("clean_text"))
+  }
+
+  // ---- q370: the deduped corpus (q367's spans applied) -------------------------
+  private def q370(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    applySpanCuts(docs, dedupSpans(docs, "doc_id", "text", k = 3, w = 4),
+        "doc_id", "text")
+      .orderBy(col("doc_id"))
+  }
+  private val q370Sql =
+    s"""WITH $winnowCtes,
+       owner AS (SELECT fp, min(doc_id) AS owner FROM pick GROUP BY fp),
+       dm AS (
+         SELECT DISTINCT p.doc_id, p.pos AS s, p.pos + 2 AS e
+         FROM pick p JOIN owner o ON p.fp = o.fp AND p.doc_id > o.owner),
+       flag AS (
+         SELECT doc_id, s, e,
+           CASE WHEN s > coalesce(max(e) OVER (PARTITION BY doc_id
+               ORDER BY s, e
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -2) + 1
+             THEN 1 ELSE 0 END AS brk
+         FROM dm),
+       isl AS (
+         SELECT doc_id, s, e,
+           sum(brk) OVER (PARTITION BY doc_id ORDER BY s, e
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+         FROM flag),
+       spans AS (
+         SELECT doc_id, min(s) AS ss, max(e) AS se
+         FROM isl GROUP BY doc_id, island),
+       sp AS (
+         SELECT doc_id, list(struct_pack(s := ss, e := se)) AS sp
+         FROM spans GROUP BY doc_id),
+       base AS (
+         SELECT d.doc_id, string_split(d.text, ' ') AS toks,
+           coalesce(c.sp, []::STRUCT(s BIGINT, e BIGINT)[]) AS sp
+         FROM documents d LEFT JOIN sp c USING (doc_id)),
+       kept AS (
+         SELECT doc_id, toks,
+           list_filter(range(0, len(toks)), i ->
+             len(list_filter(sp, r -> i >= r.s AND i <= r.e)) = 0) AS keep
+         FROM base)
+       SELECT doc_id, len(toks)::BIGINT AS n_tokens,
+         (len(toks) - len(keep))::BIGINT AS n_tokens_cut,
+         array_to_string(list_transform(keep, i -> toks[(i + 1)::INT]), ' ')
+           AS clean_text
+       FROM kept ORDER BY doc_id"""
+
+  /** Near-dup pairs that CROSS a train/valid/test split boundary — the
+    * data-leakage audit every eval pipeline needs before trusting a
+    * held-out number: a test doc with a near-duplicate in train is a
+    * leaked answer, and a random split of a dedup-dirty corpus GUARANTEES
+    * such pairs (near-dups land in different splits with probability
+    * 1 − Σwᵢ²). Pairs come from [[minhashLshPairs]] (or any (d1, d2)
+    * relation via `pairs`); splits are [[PipelineOps.splitAssign]]'s
+    * hash draw — a PURE function of the id, so the labeling is zero
+    * joins, computed directly on the pair columns. Output: one row per
+    * unordered split pair (split_a ≤ split_b lexicographically) with the
+    * pair count and the leak flag (split_a ≠ split_b).
+    */
+  def splitLeakage(df: DataFrame, idCol: String, textCol: String,
+      weights256: Seq[(String, Int)],
+      pairs: Option[DataFrame] = None): DataFrame = {
+    val p = pairs.getOrElse(minhashLshPairs(df, idCol, textCol))
+      .select(col("d1"), col("d2"))
+    val sa = PipelineOps.splitAssign(col("d1"), weights256)
+    val sb = PipelineOps.splitAssign(col("d2"), weights256)
+    p.select(least(sa, sb).as("split_a"), greatest(sa, sb).as("split_b"))
+      .groupBy(col("split_a"), col("split_b"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .withColumn("leak", col("split_a") =!= col("split_b"))
+  }
+
+  // ---- q371: split-leakage audit over the q27 near-dup relation ----------------
+  // q110's 205/25/26 split shares; the oracle reuses the exact-Jaccard
+  // dup chain (the q27 discipline) and labels d1/d2 with the same md5
+  // draw (cuts at 0xcd and 0xe6).
+  private def q371(s: SparkSession, d: String): DataFrame =
+    splitLeakage(Tables.documents(s, d), "doc_id", "text",
+        Seq("train" -> 205, "val" -> 25, "test" -> 26),
+        pairs = Some(lshPairsOf(s, d)))
+      .orderBy(col("split_a"), col("split_b"))
+  private val q371Sql =
+    s"""WITH ${jaccardCtes()},
+       $dupCte,
+       lab AS (
+         SELECT
+           CASE WHEN substr(md5(d1::VARCHAR), 1, 2) < 'cd' THEN 'train'
+                WHEN substr(md5(d1::VARCHAR), 1, 2) < 'e6' THEN 'val'
+                ELSE 'test' END AS s1,
+           CASE WHEN substr(md5(d2::VARCHAR), 1, 2) < 'cd' THEN 'train'
+                WHEN substr(md5(d2::VARCHAR), 1, 2) < 'e6' THEN 'val'
+                ELSE 'test' END AS s2
+         FROM dup)
+       SELECT least(s1, s2) AS split_a, greatest(s1, s2) AS split_b,
+         count(*)::BIGINT AS n_pairs,
+         least(s1, s2) != greatest(s1, s2) AS leak
+       FROM lab GROUP BY 1, 2 ORDER BY 1, 2"""
+
   // ---- q120: corpus dedup health summary ---------------------------------------
   // The one-row executive report a curation run opens with: document
   // count, exact-duplicate volume and rate, and verified near-dup pair
@@ -2220,6 +2349,8 @@ object Dedup {
     QueryDef("q70_dedup_keep_best", q70, Some(q70Sql)),
     QueryDef("q78_winnow_fingerprints", q78, Some(q78Sql)),
     QueryDef("q367_dedup_spans", q367, Some(q367Sql)),
+    QueryDef("q370_deduped_corpus", q370, Some(q370Sql)),
+    QueryDef("q371_split_leakage", q371, Some(q371Sql)),
     QueryDef("q80_winnow_overlap", q80, Some(q80Sql)),
     QueryDef("q120_dedup_summary", q120, Some(q120Sql)),
     QueryDef("q121_incremental_dedup", q121, Some(q121Sql)),

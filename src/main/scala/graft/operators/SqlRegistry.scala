@@ -245,6 +245,34 @@ object SqlRegistry {
         intLit(exprs(5), "maxHamming"))
     }
 
+    // graft_dedup_spans(table, idCol, textCol, k, w): cross-document
+    // repeated-span cut plan (the q367 operator) — the SQL seam for the
+    // Lee-et-al. corpus dedup loop; feed the result to
+    // graft_apply_span_cuts to emit the cleaned corpus.
+    tvf("graft_dedup_spans") { exprs =>
+      require(exprs.length == 5,
+        "graft_dedup_spans(table, idCol, textCol, k, w)")
+      Dedup.dedupSpans(s.table(strLit(exprs(0), "table")),
+        strLit(exprs(1), "idCol"), strLit(exprs(2), "textCol"),
+        k = intLit(exprs(3), "k"), w = intLit(exprs(4), "w"))
+    }
+
+    // graft_conformal_holt(table, groupCol, periodExpr, valueExpr, calN,
+    // horizon, confAlphaMicro): Holt forecast with split-conformal
+    // intervals (the q369 operator); smoothing params ride the q341
+    // defaults — same calendar-bounded period-domain contract.
+    tvf("graft_conformal_holt") { exprs =>
+      require(exprs.length == 7,
+        "graft_conformal_holt(table, groupCol, periodExpr, valueExpr, " +
+          "calN, horizon, confAlphaMicro)")
+      Analytics.conformalHoltForecast(s.table(strLit(exprs(0), "table")),
+        strLit(exprs(1), "groupCol"), expr(strLit(exprs(2), "periodExpr")),
+        expr(strLit(exprs(3), "valueExpr")),
+        calN = intLit(exprs(4), "calN"),
+        horizon = intLit(exprs(5), "horizon"),
+        confAlphaMicro = intLit(exprs(6), "confAlphaMicro").toLong)
+    }
+
     // graft_calendar(startDate, endDate): inclusive date spine with the
     // calendar attributes every BI join needs, all derived TIMEZONE-FREE
     // from epoch-day arithmetic (dow via (day_id + 3) % 7, 0 = Monday —

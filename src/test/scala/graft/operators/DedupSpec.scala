@@ -528,6 +528,55 @@ class DedupSpec extends SparkSpec {
     val capped = Dedup.dedupSpans(df, "doc_id", "text", k = 3, w = 4,
       maxDocFreq = 1)
     assert(capped.isEmpty, "capped fingerprints must not mark spans")
+
+    // applySpanCuts emits the deduped corpus: exactly the span tokens
+    // are gone, untouched docs pass through byte-identical.
+    val cut = Dedup.applySpanCuts(df,
+        Dedup.dedupSpans(df, "doc_id", "text", k = 3, w = 4),
+        "doc_id", "text")
+      .orderBy("doc_id").as[(Long, Long, Long, String)].collect().toSeq
+    assert(cut.map(_._1) === Seq(1L, 2L, 3L, 4L))
+    val byDoc = cut.map(r => r._1 -> r).toMap
+    assert(byDoc(1L)._4 === docA && byDoc(1L)._3 === 0L,
+      "the owner doc must pass through intact")
+    assert(byDoc(4L)._4 === df.filter($"doc_id" === 4L)
+      .head().getString(1) && byDoc(4L)._3 === 0L)
+    // Cut docs: clean_text = tokens minus the reported spans, exactly.
+    spans.groupBy(_._1).foreach { case (id, ss) =>
+      val toks = byDoc(id)._4.split(" ").toSeq
+      val orig = (if (id == 2L) docB else docC).split(" ").toSeq
+      val cutIdx = ss.flatMap(s => s._2 to s._3).toSet
+      val expect = orig.zipWithIndex.collect {
+        case (t, i) if !cutIdx.contains(i.toLong) => t }
+      assert(toks === expect, s"doc $id clean_text mismatch")
+      assert(byDoc(id)._3 === cutIdx.size.toLong)
+      assert(byDoc(id)._2 === orig.size.toLong)
+    }
+  }
+
+  test("splitLeakage labels pair endpoints with the pure split draw") {
+    // Pairs injected directly: the audit's grouping and least/greatest
+    // canonicalization are the subject; the md5 draw itself is pinned by
+    // the splitAssign specs.
+    val w = Seq("train" -> 205, "val" -> 25, "test" -> 26)
+    val pairs = Seq((1L, 2L), (3L, 4L), (5L, 6L), (7L, 8L), (9L, 10L))
+      .toDF("d1", "d2")
+    val splitOf = (1L to 10L).map { id =>
+      id -> Seq(id).toDF("k")
+        .select(PipelineOps.splitAssign(col("k"), w)).head().getString(0)
+    }.toMap
+    val want = Seq((1L, 2L), (3L, 4L), (5L, 6L), (7L, 8L), (9L, 10L))
+      .map { case (a, b) =>
+        val (s1, s2) = (splitOf(a), splitOf(b))
+        (Seq(s1, s2).min, Seq(s1, s2).max)
+      }
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+      .map { case ((a, b), n) => (a, b, n, a != b) }.toSet
+    val got = Dedup.splitLeakage(spark.emptyDataFrame, "", "", w,
+        pairs = Some(pairs))
+      .as[(String, String, Long, Boolean)].collect().toSet
+    assert(got === want)
+    assert(want.exists(_._4), "fixture should produce at least one leak")
   }
 
 }

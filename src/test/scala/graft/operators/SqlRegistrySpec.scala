@@ -182,4 +182,28 @@ class SqlRegistrySpec extends SparkSpec {
     assert(hpSql.except(hpApi).isEmpty && hpApi.except(hpSql).isEmpty)
     assert(hpSql.except(fused).isEmpty && fused.except(hpSql).isEmpty)
   }
+
+  test("graft_dedup_spans and graft_conformal_holt TVFs equal the Dataset forms") {
+    SqlRegistry.register(spark)
+    graft.functions.Native.register(spark)
+    Tables(spark, sf, "documents").createOrReplaceTempView("documents")
+    val dsSql = spark.sql(
+      "SELECT * FROM graft_dedup_spans('documents', 'doc_id', 'text', 3, 4)")
+    val dsApi = Dedup.dedupSpans(Tables(spark, sf, "documents"),
+      "doc_id", "text", k = 3, w = 4)
+    assert(dsSql.except(dsApi).isEmpty && dsApi.except(dsSql).isEmpty)
+
+    Tables(spark, sf, "orders").createOrReplaceTempView("orders")
+    val chSql = spark.sql(
+      """SELECT * FROM graft_conformal_holt('orders', 'o_orderpriority',
+           'year(cast(o_orderdate as date)) * 12
+            + month(cast(o_orderdate as date))',
+           '1', 12, 3, 100000)""")
+    val chApi = Analytics.conformalHoltForecast(Tables(spark, sf, "orders"),
+      "o_orderpriority",
+      expr("year(cast(o_orderdate as date)) * 12" +
+        " + month(cast(o_orderdate as date))"),
+      lit(1L), calN = 12, horizon = 3, confAlphaMicro = 100000L)
+    assert(chSql.except(chApi).isEmpty && chApi.except(chSql).isEmpty)
+  }
 }
