@@ -111,8 +111,21 @@ object Materialized {
       (build: => DataFrame): DataFrame = {
     val lock = tableLocks.computeIfAbsent(table, _ => new Object)
     lock.synchronized {
-      if (!s.catalog.tableExists(table))
+      if (!s.catalog.tableExists(table)) {
+        // A previous PROCESS may have left the managed location behind:
+        // with the in-memory catalog the metadata dies with the JVM but
+        // the warehouse files do not, and CTAS validates the location is
+        // empty. The relation is write-once-DETERMINISTIC by this seam's
+        // contract, so clearing the orphan and rebuilding is
+        // byte-equivalent — never data loss. (Within one JVM the catalog
+        // hit above short-circuits before this path.)
+        val ident = s.sessionState.sqlParser.parseTableIdentifier(table)
+        val loc = new org.apache.hadoop.fs.Path(
+          s.sessionState.catalog.defaultTablePath(ident))
+        val fs = loc.getFileSystem(s.sparkContext.hadoopConfiguration)
+        if (fs.exists(loc)) fs.delete(loc, true)
         Bucketing.writeBucketed(build, table, key, buckets)
+      }
     }
     val ident = s.sessionState.sqlParser.parseTableIdentifier(table)
     val spec = s.sessionState.catalog.getTableMetadata(ident).bucketSpec

@@ -79,6 +79,10 @@ class LintBudgetSpec extends SparkSpec {
     // candidate join itself is an equi-join, not a BNL)
     "q350_knn_outliers_ivf" -> Map("broadcast-nested-loop" -> 1),
     "q302_ivf_probe_sweep" -> Map("broadcast-nested-loop" -> 3),
+    // q372: the query-vs-16-seed probe-scoring cross (|seeds|-bounded
+    // build side — q86's adjudication); the assignment cross is GONE
+    // from this plan because the index table is read back persisted.
+    "q372_ivf_index_probe" -> Map("broadcast-nested-loop" -> 1),
     "q30_cosine_topk" -> Map("broadcast-nested-loop" -> 1),
     "q164_rrf_fusion" -> Map("broadcast-nested-loop" -> 2),
     "q150_sparse_cosine" -> Map("broadcast-nested-loop" -> 4),

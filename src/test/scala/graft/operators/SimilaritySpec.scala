@@ -379,6 +379,45 @@ class SimilaritySpec extends SparkSpec {
       s"selection recall $recall at nprobe=3 below acceptance (${bruteSel.size} picks)")
   }
 
+  test("ivfIndexed persists the assignment once; probes are bit-identical") {
+    val e = graft.Tables.embeddings(spark, sf)
+    val seeds = e.filter(col("vec_id") < 16)
+    val fresh = Similarity.ivfTopKProbes(e, seeds, col("vec_id") < 10,
+        "vec_id", "embedding", k = 5, nprobe = 3)
+      .orderBy("query_id", "rank")
+      .as[(Long, Int, Long, Double)].collect().toSeq
+    var builds = 0
+    def idx() = Similarity.ivfIndexed(spark, sf,
+      { builds += 1; e }, seeds, "vec_id", "embedding")
+    val viaIndex = Similarity.ivfTopKProbesOver(idx(), seeds,
+        col("vec_id") < 10, "vec_id", "embedding", k = 5, nprobe = 3)
+      .orderBy("query_id", "rank")
+      .as[(Long, Int, Long, Double)].collect().toSeq
+    assert(viaIndex === fresh,
+      "probing the persisted layout must equal probing a fresh assignment")
+    // Write-once: a second batch reads the catalog table back without
+    // re-running the corpus-vs-seeds assignment scan (the build thunk is
+    // by-name and must not be touched when the table already exists).
+    val before = builds
+    val again = Similarity.ivfTopKProbesOver(idx(), seeds,
+        col("vec_id") < 10, "vec_id", "embedding", k = 5, nprobe = 3)
+      .orderBy("query_id", "rank")
+      .as[(Long, Int, Long, Double)].collect().toSeq
+    assert(again === fresh)
+    assert(builds === before, "second batch must not rebuild the index")
+    // The read-back is the catalog table, not a recomputed assignment...
+    val plan = idx().queryExecution.executedPlan.toString
+    assert(plan.contains("spark_catalog.default.graft_ivf_index"),
+      s"expected a catalog-table scan:\n$plan")
+    // ...and the bucketing pays: a cluster-keyed aggregation over the
+    // index plans with ZERO exchanges (the layout already hash-places
+    // rows by cluster on disk).
+    val aggPlan = idx().groupBy("cluster").count()
+      .queryExecution.executedPlan.toString
+    assert(!aggPlan.contains("Exchange"),
+      s"cluster-keyed agg over the bucketed index must not shuffle:\n$aggPlan")
+  }
+
   test("knnOutliersIvf: one bucket is exact; 16 buckets keep top-set recall") {
     val e = graft.Tables.embeddings(spark, sf)
     val n = e.count().toInt
