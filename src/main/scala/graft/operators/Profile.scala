@@ -1591,6 +1591,139 @@ object Profile {
        JOIN cov ON m.g = cov.g
        ORDER BY m.g"""
 
+  /** Conformal outlier screening with FDR control (Bates et al. 2023,
+    * "Testing for outliers with conformal p-values"): score every TEST
+    * row against a REFERENCE cohort and select the anomalies while
+    * controlling the expected false-discovery rate at α — the
+    * production question behind "which of today's rows don't look like
+    * the reference", answered with a guarantee instead of a threshold
+    * guess. Pipeline: reference rows hash-split train/cal (trainW +
+    * calW = 256, the [[PipelineOps.splitAssign]] draw); the model is
+    * the per-group train mean (deliberately simple — the guarantee is
+    * model-agnostic, swap any scorer upstream); each test row's
+    * conformal p is (1 + #{cal residuals ≥ r}) / (n_cal + 1) — exact
+    * integer micro, super-uniform under exchangeability; then
+    * Benjamini–Hochberg per group: k* = max{k : p₍ₖ₎·m ≤ k·α}
+    * (compared in exact BIGINT cross-products, never a division),
+    * select rank ≤ k*. Under exchangeability selections are RARE by
+    * construction (that is FDR control working); they fire when the
+    * test cohort genuinely drifts.
+    *
+    * Exactness: residuals and counts are BIGINTs; the p is one positive
+    * floor division; BH is integer rank algebra with ties broken by id
+    * (a tie order cannot change the selected SET — any tied row at or
+    * below a passing rank is swept in by rank ≤ k*).
+    *
+    * Scale design: one map-side split + one group-sized model agg; the
+    * p-count is ONE per-group window over cal ∪ test sorted by residual
+    * (cal rows sort before tied test rows so ties count as ≥); BH is
+    * two more group-sized windows. No joins beyond the broadcast model
+    * and cal-count; groups missing train or test rows drop out.
+    */
+  def conformalFdrOutliers(df: DataFrame, groupCol: Column, keyCol: Column,
+      valueCol: Column, isReference: Column, alphaMicro: Long = 100000L,
+      trainW: Int = 192, calW: Int = 64): DataFrame = {
+    require(alphaMicro > 0 && alphaMicro < 1000000L, "alpha is micro")
+    require(trainW > 0 && calW > 0 && trainW + calW == 256,
+      "reference split weights are /256")
+    val base = df.select(groupCol.as("g"), keyCol.as("id"),
+      valueCol.cast("long").as("y"), isReference.cast("boolean").as("ref"))
+    val labeled = base.withColumn("split",
+      when(!col("ref"), lit("test")).otherwise(
+        PipelineOps.splitAssign(col("id"),
+          Seq("train" -> trainW, "cal" -> calW))))
+    val model = labeled.filter(col("split") === "train").groupBy(col("g"))
+      .agg(count(lit(1)).as("n_train"), sum(col("y")).as("ty"))
+      .select(col("g"),
+        expr("""cast((case when ty < 0 then -1L else 1L end)
+             * (abs(cast(ty as decimal(38,0))) div n_train) as long)""")
+          .as("yhat"))
+    val resid = labeled.filter(col("split") =!= "train")
+      .join(broadcast(model), Seq("g"))
+      .select(col("g"), col("id"), col("split"),
+        abs(col("y") - col("yhat")).as("r"))
+    val nCal = resid.filter(col("split") === "cal").groupBy(col("g"))
+      .agg(count(lit(1)).as("n_cal"))
+    val wGe = Window.partitionBy(col("g"))
+      .orderBy(col("r").desc, col("is_cal").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wRank = Window.partitionBy(col("g")).orderBy(col("p_micro"), col("id"))
+    val wAll = Window.partitionBy(col("g"))
+    resid
+      .withColumn("is_cal", when(col("split") === "cal", 1L).otherwise(0L))
+      .withColumn("cnt_ge", sum(col("is_cal")).over(wGe))
+      .filter(col("split") === "test")
+      .join(broadcast(nCal), Seq("g"), "left")
+      .withColumn("n_cal", coalesce(col("n_cal"), lit(0L)))
+      .withColumn("p_micro",
+        expr("(1 + cnt_ge) * 1000000L div (n_cal + 1)"))
+      .withColumn("rank", row_number().over(wRank).cast("long"))
+      .withColumn("m_tests", count(lit(1)).over(wAll))
+      .withColumn("k_star", max(when(
+        col("p_micro") * col("m_tests") <= col("rank") * lit(alphaMicro),
+        col("rank"))).over(wAll))
+      .withColumn("selected",
+        col("k_star").isNotNull && col("rank") <= col("k_star"))
+      .select(col("g"), col("id"), col("r"), col("n_cal"), col("p_micro"),
+        col("rank"), col("m_tests"), col("selected"))
+  }
+
+  // ---- q373: which OPEN orders don't look like the FINISHED ones? --------------
+  // Reference cohort = finished orders ('F', hash-split train/cal); test
+  // cohort = everything still in flight ('O'/'P'); 10% FDR per priority.
+  // Under TPC-H's status-independent totals the screen stays (near)
+  // quiet — that IS the guarantee working; the spec plants real drift.
+  private def q373(s: SparkSession, d: String): DataFrame =
+    conformalFdrOutliers(Tables.orders(s, d), col("o_orderpriority"),
+        col("o_orderkey"), floor(col("o_totalprice") * 100),
+        col("o_orderstatus") === "F", alphaMicro = 100000L)
+      .orderBy(col("g"), col("rank"))
+  private val q373Sql =
+    """WITH base AS (
+         SELECT o_orderpriority AS g, o_orderkey AS id,
+           floor(o_totalprice * 100)::BIGINT AS y,
+           CASE WHEN o_orderstatus != 'F' THEN 'test'
+                WHEN substr(md5(o_orderkey::VARCHAR), 1, 2) < 'c0'
+                  THEN 'train'
+                ELSE 'cal' END AS split
+         FROM orders),
+       model AS (
+         SELECT g,
+           (CASE WHEN sum(y) < 0 THEN -1 ELSE 1 END
+             * (abs(sum(y))::HUGEINT // count(*)))::BIGINT AS yhat
+         FROM base WHERE split = 'train' GROUP BY g),
+       resid AS (
+         SELECT b.g, b.id, b.split, abs(b.y - m.yhat)::BIGINT AS r
+         FROM base b JOIN model m ON b.g = m.g WHERE b.split != 'train'),
+       ncal AS (
+         SELECT g, count(*)::BIGINT AS n_cal
+         FROM resid WHERE split = 'cal' GROUP BY g),
+       cnt AS (
+         SELECT g, id, split, r,
+           sum(CASE WHEN split = 'cal' THEN 1 ELSE 0 END) OVER (
+             PARTITION BY g
+             ORDER BY r DESC, (CASE WHEN split = 'cal' THEN 1 ELSE 0 END) DESC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cnt_ge
+         FROM resid),
+       scored AS (
+         SELECT c.g, c.id, c.r, coalesce(n.n_cal, 0) AS n_cal,
+           ((1 + c.cnt_ge) * 1000000 // (coalesce(n.n_cal, 0) + 1))::BIGINT
+             AS p_micro
+         FROM cnt c LEFT JOIN ncal n ON c.g = n.g
+         WHERE c.split = 'test'),
+       ranked AS (
+         SELECT *, row_number() OVER (PARTITION BY g ORDER BY p_micro, id)
+             ::BIGINT AS rank,
+           count(*) OVER (PARTITION BY g)::BIGINT AS m_tests
+         FROM scored),
+       kstar AS (
+         SELECT *, max(CASE WHEN p_micro * m_tests <= rank * 100000
+             THEN rank END) OVER (PARTITION BY g) AS k_star
+         FROM ranked)
+       SELECT g, id, r, n_cal, p_micro, rank, m_tests,
+         (k_star IS NOT NULL AND rank <= k_star) AS selected
+       FROM kstar ORDER BY g, rank"""
+
   /** Simpson concentration (Herfindahl index) per group: Σ nᵢ² / n² over
     * a categorical distribution within the group, in integer micro-units
     * — the log-free diversity twin of [[gini]] (which needs a rank sort):
@@ -3939,6 +4072,7 @@ object Profile {
     QueryDef("q195_spearman", q195, Some(q195Sql)),
     QueryDef("q199_ks_test", q199, Some(q199Sql)),
     QueryDef("q364_conformal_intervals", q364, Some(q364Sql)),
+    QueryDef("q373_conformal_fdr", q373, Some(q373Sql)),
     QueryDef("q214_corr_matrix", q214, Some(q214Sql)),
     QueryDef("q216_gini_stump", q216, Some(q216Sql)),
     QueryDef("q222_share_shift", q222, Some(q222Sql)),

@@ -932,4 +932,73 @@ class ProfileSpec extends SparkSpec {
     assert(f._5 === None)
   }
 
+  test("conformalFdrOutliers selects planted drift and equals a brute BH fold") {
+    // Reference cohort: 600 values near 1000; test cohort: 20 inliers
+    // from the same band plus 6 planted far outliers. (Conformal p's
+    // are floored at 1/(n_cal + 1), so BH detection needs a test cohort
+    // commensurate with the calibration size — m·p_min ≤ k*·α.) The
+    // 10%-FDR screen must select every planted outlier; FDR permits
+    // ~α·k* false inlier selections, so allow at most one.
+    val rnd = new scala.util.Random(373)
+    val ref = (1L to 600L).map(k => ("g1", k, 1000L + rnd.nextInt(101) - 50, true))
+    val inl = (601L to 620L).map(k => ("g1", k, 1000L + rnd.nextInt(101) - 50, false))
+    val out = (621L to 626L).map(k => ("g1", k, 5000L + rnd.nextInt(100), false))
+    val df = (ref ++ inl ++ out).toDF("g", "k", "y", "ref")
+    val got = Profile.conformalFdrOutliers(df, col("g"), col("k"), col("y"),
+        col("ref"), alphaMicro = 100000L)
+      .as[(String, Long, Long, Long, Long, Long, Long, Boolean)]
+      .collect().toSeq
+    val sel = got.filter(_._8).map(_._2).toSet
+    assert((621L to 626L).forall(sel), s"planted outliers not all selected: $sel")
+    assert(sel.count(_ <= 620L) <= 1, s"false selections among inliers: $sel")
+
+    // Brute mirror on a random multi-group instance, reusing only the
+    // operator's split column: p = (1 + #{cal >= r}) / (n_cal + 1), BH
+    // with exact cross-products, ties to the lower id.
+    val rows = (1L to 500L).map { k =>
+      (s"g${k % 2}", k, rnd.nextInt(2000).toLong, rnd.nextInt(4) != 0)
+    }
+    val rdf = rows.toDF("g", "k", "y", "ref")
+    val alpha = 200000L
+    val gotR = Profile.conformalFdrOutliers(rdf, col("g"), col("k"),
+        col("y"), col("ref"), alphaMicro = alpha)
+      .as[(String, Long, Long, Long, Long, Long, Long, Boolean)]
+      .collect().toSeq.sortBy(r => (r._1, r._6))
+    val splits = rdf.filter(col("ref"))
+      .select(col("g"), col("k"),
+        graft.operators.PipelineOps.splitAssign(col("k"),
+          Seq("train" -> 192, "cal" -> 64)).as("split"))
+      .as[(String, Long, String)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    val expect = rows.groupBy(_._1).toSeq.sortBy(_._1).flatMap {
+      case (g, rs) =>
+        def split(r: (String, Long, Long, Boolean)) =
+          if (!r._4) "test" else splits((g, r._2))
+        val tr = rs.filter(split(_) == "train").map(_._3)
+        val cal = rs.filter(split(_) == "cal").map(_._3)
+        val te = rs.filter(split(_) == "test").map(r => (r._2, r._3))
+        if (tr.isEmpty || te.isEmpty) Nil
+        else {
+          val yhat = tr.sum / tr.length
+          val rCal = cal.map(y => math.abs(y - yhat))
+          val scored = te.map { case (id, y) =>
+            val r = math.abs(y - yhat)
+            val p = (1L + rCal.count(_ >= r)) * 1000000L / (cal.length + 1)
+            (id, r, p)
+          }
+          val m = scored.length.toLong
+          val ranked = scored.sortBy(s => (s._3, s._1)).zipWithIndex
+            .map { case ((id, r, p), i) => (id, r, p, (i + 1).toLong) }
+          val kStar = ranked.collect {
+            case (_, _, p, rk) if p * m <= rk * alpha => rk
+          }.sorted.lastOption
+          ranked.map { case (id, r, p, rk) =>
+            (g, id, r, cal.length.toLong, p, rk, m,
+              kStar.exists(rk <= _))
+          }
+        }
+    }
+    assert(gotR === expect)
+  }
+
 }
