@@ -4326,6 +4326,97 @@ object Analytics {
           .cast("long").as("mean_after_micro"))
   }
 
+  /** Mann–Kendall trend TEST per group (Mann 1945; Kendall 1975): the
+    * nonparametric "is there a monotone trend at all" significance
+    * companion to [[theilSen]]'s "how steep is it" — S = Σ_{i<j}
+    * sign(y_j − y_i) over the per-period series in period order, with
+    * the tie-corrected variance 18·Var(S) = n(n−1)(2n+5) −
+    * Σ_ties t(t−1)(2t+5) and the continuity-corrected normal score
+    * z = (S ∓ 1)/√(Var). S and the 18-scaled variance are EXACT
+    * BIGINTs; z is ONE double formula over them, mirrored
+    * operation-for-operation in the oracle and quantized once via
+    * floor(x·10⁶ + 0.5)/10⁶ (NULL when the variance vanishes — all
+    * values tied; 0 when S = 0).
+    *
+    * Scale design: the corpus collapses to per-(group, period) sums
+    * with map-side partials (the [[holtForecast]] calendar-domain
+    * contract — n is months/days of a business horizon, so the O(n²)
+    * pairwise fold inside ONE expression is bounded); ties collapse in
+    * a second group-sized aggregation joined back broadcast. Groups
+    * with < 2 periods emit nothing (no pairs).
+    */
+  def mannKendall(df: DataFrame, groupCol: String, periodCol: Column,
+      valueCol: Column): DataFrame = {
+    val base = df.select(col(groupCol).as("g"), periodCol.cast("long").as("p"),
+        valueCol.cast("long").as("y"))
+      .groupBy(col("g"), col("p")).agg(sum(col("y")).as("yp"))
+    val ties = base.groupBy(col("g"), col("yp"))
+      .agg(count(lit(1)).as("t"))
+      .groupBy(col("g"))
+      .agg(sum(expr("t * (t - 1) * (2 * t + 5)")).as("tie18"))
+    val sExpr = """aggregate(sequence(1, size(s) - 1), 0L, (acc, i) ->
+        acc + aggregate(sequence(i + 1, size(s)), 0L, (a2, j) ->
+          a2 + (case
+            when element_at(s, cast(j as int)).yp
+               > element_at(s, cast(i as int)).yp then 1L
+            when element_at(s, cast(j as int)).yp
+               < element_at(s, cast(i as int)).yp then -1L
+            else 0L end)))"""
+    base.groupBy(col("g"))
+      .agg(array_sort(collect_list(struct(col("p"), col("yp")))).as("s"))
+      .filter(size(col("s")) >= 2)
+      .join(broadcast(ties), Seq("g"))
+      .select(col("g"), size(col("s")).cast("long").as("n_periods"),
+        expr(sExpr).as("s_stat"), col("tie18"))
+      .withColumn("var18",
+        expr("n_periods * (n_periods - 1) * (2 * n_periods + 5) - tie18"))
+      .withColumn("z", when(col("var18") <= 0, lit(null).cast("double"))
+        .otherwise(when(col("s_stat") === 0, lit(0.0)).otherwise(
+          expr("""floor((cast(s_stat - (case when s_stat > 0 then 1L
+               else -1L end) as double) / sqrt(var18 / 18.0)) * 1e6 + 0.5)
+               / 1e6 + 0.0"""))))
+      .select(col("g"), col("n_periods"), col("s_stat"), col("var18"),
+        col("z"))
+  }
+
+  // ---- q375: is monthly order volume trending, per priority? ------------------
+  // The significance readout beside q341's forecast and q193's slope.
+  private def q375(s: SparkSession, d: String): DataFrame =
+    mannKendall(Tables.orders(s, d), "o_orderpriority",
+        expr("year(cast(o_orderdate as date)) * 12" +
+          " + month(cast(o_orderdate as date))"),
+        lit(1L))
+      .orderBy(col("g"))
+  private val q375Sql =
+    """WITH m AS (
+         SELECT o_orderpriority AS g,
+           year(o_orderdate::DATE) * 12 + month(o_orderdate::DATE) AS p,
+           count(*)::BIGINT AS yp
+         FROM orders GROUP BY 1, 2),
+       tie AS (
+         SELECT g, sum(t * (t - 1) * (2 * t + 5))::BIGINT AS tie18
+         FROM (SELECT g, yp, count(*)::BIGINT AS t FROM m GROUP BY g, yp) x
+         GROUP BY g),
+       arr AS (
+         SELECT g, count(*)::BIGINT AS n, list(yp ORDER BY p) AS ys
+         FROM m GROUP BY g HAVING count(*) >= 2),
+       st AS (
+         SELECT a.g, a.n AS n_periods,
+           list_sum(list_transform(range(1, a.n), i ->
+             list_sum(list_transform(range(i + 1, a.n + 1), j ->
+               CASE WHEN a.ys[j::INT] > a.ys[i::INT] THEN 1
+                    WHEN a.ys[j::INT] < a.ys[i::INT] THEN -1
+                    ELSE 0 END))))::BIGINT AS s_stat,
+           (a.n * (a.n - 1) * (2 * a.n + 5) - t.tie18)::BIGINT AS var18
+         FROM arr a JOIN tie t ON a.g = t.g)
+       SELECT g, n_periods, s_stat, var18,
+         CASE WHEN var18 <= 0 THEN NULL
+              WHEN s_stat = 0 THEN 0.0
+              ELSE floor(((s_stat - (CASE WHEN s_stat > 0 THEN 1
+                     ELSE -1 END))::DOUBLE / sqrt(var18 / 18.0)) * 1e6
+                   + 0.5) / 1e6 + 0.0 END AS z
+       FROM st ORDER BY g"""
+
   /** Theil–Sen robust trend per key: the median of all pairwise slopes
     * of the daily value series — the outlier-proof companion to
     * [[linearTrend]]'s OLS (one 50× spike day drags an OLS slope
@@ -5689,6 +5780,7 @@ object Analytics {
     QueryDef("q340_nelson_aalen", q340, Some(q340Sql)),
     QueryDef("q341_holt_forecast", q341, Some(q341Sql)),
     QueryDef("q369_conformal_forecast", q369, Some(q369Sql)),
+    QueryDef("q375_mann_kendall", q375, Some(q375Sql)),
     QueryDef("q342_ewma_series", q342, Some(q342Sql)),
     QueryDef("q345_holt_winters", q345, Some(q345Sql)),
     QueryDef("q348_dtw_distance", q348, Some(q348Sql)),

@@ -2251,10 +2251,16 @@ object Profile {
     * partials, then k-row arithmetic — the corpus is touched once.
     */
   def anovaTable(df: DataFrame, groupCol: Column,
-      valueCol: Column): DataFrame = {
-    val cells = df
-      .select(groupCol.as("g"),
-        floor(valueCol * 100).cast("long").as("c"))
+      valueCol: Column): DataFrame =
+    anovaOfCents(df.select(groupCol.as("g"),
+      floor(valueCol * 100).cast("long").as("c")))
+
+  /** The ANOVA integer algebra over a pre-built (g, c) cents relation —
+    * shared by [[anovaTable]] (raw values) and [[brownForsythe]]
+    * (median absolute deviations).
+    */
+  private def anovaOfCents(base: DataFrame): DataFrame = {
+    val cells = base
       .groupBy(col("g"))
       .agg(count(lit(1)).as("n_g"), sum(col("c")).as("s_g"),
         sum(expr("cast(c as decimal(38,0)) * c")).as("q_g"))
@@ -2273,9 +2279,12 @@ object Profile {
              - cast(s as decimal(38,0)) * s) div n""").as("ss_total"))
       .withColumn("ss_within", col("ss_total") - col("ss_between"))
       .withColumn("f_micro",
+        // decimal(38,0): msb · 10⁶ overflows a BIGINT once the cents are
+        // price-scale (q374's deviations) — same truncation semantics,
+        // wider intermediate; the final ratio is long-ranged.
         when(col("k") > 1 && col("n") > col("k"),
-          expr("""(ss_between div (k - 1)) * 1000000L
-               div greatest(ss_within div (n - k), 1L)"""))
+          expr("""cast(cast(ss_between div (k - 1) as decimal(38,0))
+               * 1000000 div greatest(ss_within div (n - k), 1L) as long)"""))
           .otherwise(lit(null).cast("long")))
   }
 
@@ -2321,6 +2330,78 @@ object Profile {
              + seb * seb / (n_b::DOUBLE - 1))) * 1e6 + 0.5) / 1e6 + 0.0
            END AS df_welch
        FROM se"""
+
+  /** Brown–Forsythe homogeneity-of-variance test (Brown & Forsythe
+    * 1974): the [[anovaTable]] F statistic computed over each value's
+    * ABSOLUTE DEVIATION FROM ITS GROUP MEDIAN — the robust form of
+    * Levene's test, and the check that should precede any pooled-
+    * variance comparison ([[anovaTable]], pooled t): a large F here
+    * says the groups' spreads differ, so pooled inference is suspect.
+    * The median is the deterministic LOWER median (nearest-rank at
+    * ⌈n/2⌉, the [[graft.operators.Analytics.theilSen]] convention) —
+    * an order statistic, exact in cents; deviations are exact BIGINTs;
+    * the F algebra is [[anovaTable]]'s shared integer path.
+    *
+    * Scale design: one per-group window for the median rank (group-
+    * sized sort), one broadcast of the |groups|-row medians back, then
+    * the two-level ANOVA aggregation with map-side partials.
+    */
+  def brownForsythe(df: DataFrame, groupCol: Column,
+      valueCol: Column): DataFrame = {
+    val base = df.select(groupCol.as("g"),
+      floor(valueCol * 100).cast("long").as("c"))
+    val wOrd = Window.partitionBy(col("g")).orderBy(col("c"))
+    val wAll = Window.partitionBy(col("g"))
+    val med = base
+      .withColumn("rn", row_number().over(wOrd).cast("long"))
+      .withColumn("n", count(lit(1)).over(wAll))
+      .filter(col("rn") === expr("(n + 1) div 2"))
+      .select(col("g"), col("c").as("med"))
+    anovaOfCents(base.join(broadcast(med), Seq("g"))
+      .select(col("g"), abs(col("c") - col("med")).as("c")))
+  }
+
+  // ---- q374: do order-total SPREADS differ across priorities? ------------------
+  // The variance-homogeneity gate in front of q315's pooled F.
+  private def q374(s: SparkSession, d: String): DataFrame =
+    brownForsythe(Tables.orders(s, d), col("o_orderpriority"),
+      col("o_totalprice"))
+  private val q374Sql =
+    """WITH base AS (
+         SELECT o_orderpriority AS g,
+           floor(o_totalprice * 100)::BIGINT AS c
+         FROM orders),
+       med AS (
+         SELECT g, c AS med FROM (
+           SELECT g, c, row_number() OVER (PARTITION BY g ORDER BY c) AS rn,
+             count(*) OVER (PARTITION BY g) AS n
+           FROM base) t
+         WHERE rn = (n + 1) // 2),
+       dev AS (
+         SELECT b.g, abs(b.c - m.med)::BIGINT AS c
+         FROM base b JOIN med m ON b.g = m.g),
+       cells AS (
+         SELECT g, count(*)::BIGINT AS n_g, sum(c)::BIGINT AS s_g,
+           sum(c::HUGEINT * c) AS q_g
+         FROM dev GROUP BY g),
+       tot AS (
+         SELECT count(*)::BIGINT AS k, sum(n_g)::BIGINT AS n,
+           sum(s_g)::BIGINT AS s, sum(q_g)::HUGEINT AS q,
+           sum((s_g::HUGEINT * s_g) // n_g)::HUGEINT AS t
+         FROM cells),
+       ss AS (
+         SELECT k, n,
+           greatest(0, (n::HUGEINT * t - s::HUGEINT * s) // n)::BIGINT
+             AS ss_between,
+           ((n::HUGEINT * q - s::HUGEINT * s) // n)::BIGINT AS ss_total
+         FROM tot)
+       SELECT k, n, ss_between, ss_total,
+         (ss_total - ss_between)::BIGINT AS ss_within,
+         CASE WHEN k > 1 AND n > k
+           THEN (ss_between::HUGEINT // (k - 1)) * 1000000
+             // greatest((ss_total - ss_between) // (n - k), 1)
+           ELSE NULL END::BIGINT AS f_micro
+       FROM ss"""
 
   // ---- q315: does mean event value differ across event types? -----------------
   private def q315(s: SparkSession, d: String): DataFrame =
@@ -4073,6 +4154,7 @@ object Profile {
     QueryDef("q199_ks_test", q199, Some(q199Sql)),
     QueryDef("q364_conformal_intervals", q364, Some(q364Sql)),
     QueryDef("q373_conformal_fdr", q373, Some(q373Sql)),
+    QueryDef("q374_brown_forsythe", q374, Some(q374Sql)),
     QueryDef("q214_corr_matrix", q214, Some(q214Sql)),
     QueryDef("q216_gini_stump", q216, Some(q216Sql)),
     QueryDef("q222_share_shift", q222, Some(q222Sql)),

@@ -932,6 +932,40 @@ class ProfileSpec extends SparkSpec {
     assert(f._5 === None)
   }
 
+  test("brownForsythe flags a spread difference the mean F misses") {
+    // Same median/mean per group, radically different spreads: the
+    // mean ANOVA sees nothing (F ~ 0), Brown–Forsythe fires.
+    val a = Seq(98.0, 99.0, 100.0, 101.0, 102.0).map(("a", _))
+    val b = Seq(40.0, 70.0, 100.0, 130.0, 160.0).map(("b", _))
+    val df = (a ++ b).toDF("g", "v")
+    val got = Profile.brownForsythe(df, col("g"), col("v"))
+      .as[(Long, Long, Long, Long, Long, Option[Long])].head()
+    // Brute integer mirror (lower median, exact cents, the shared
+    // ANOVA algebra with truncating division — all values nonneg here).
+    val cents = Map("a" -> a.map(r => math.floor(r._2 * 100).toLong),
+      "b" -> b.map(r => math.floor(r._2 * 100).toLong))
+    val devs = cents.map { case (g, cs) =>
+      val med = cs.sorted.apply(((cs.size + 1) / 2 - 1))
+      g -> cs.map(c => math.abs(c - med))
+    }
+    val k = devs.size.toLong
+    val n = devs.values.map(_.size).sum.toLong
+    val s = devs.values.flatten.sum
+    val q = devs.values.flatten.map(c => BigInt(c) * c).sum
+    val t = devs.values.map(cs => BigInt(cs.sum) * cs.sum / cs.size).sum
+    val ssb = ((BigInt(n) * t - BigInt(s) * s) / n).max(0).toLong
+    val sst = ((BigInt(n) * q - BigInt(s) * s) / n).toLong
+    val ssw = sst - ssb
+    val f = (BigInt(ssb / (k - 1)) * 1000000L /
+      math.max(ssw / (n - k), 1L)).toLong
+    assert(got === ((k, n, ssb, sst, ssw, Some(f))))
+    assert(f > 2000000L, s"spread difference must drive F well above 1: $f")
+    val meanF = Profile.anovaTable(df, col("g"), col("v"))
+      .as[(Long, Long, Long, Long, Long, Option[Long])].head()._6.get
+    assert(meanF < f / 100,
+      s"the mean F ($meanF) must be blind to the pure spread shift ($f)")
+  }
+
   test("conformalFdrOutliers selects planted drift and equals a brute BH fold") {
     // Reference cohort: 600 values near 1000; test cohort: 20 inliers
     // from the same band plus 6 planted far outliers. (Conformal p's

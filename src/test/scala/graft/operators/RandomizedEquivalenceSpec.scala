@@ -730,6 +730,38 @@ class RandomizedEquivalenceSpec extends SparkSpec {
     }
   }
 
+  test("mannKendall equals the brute pairwise statistic with tie correction") {
+    (1 to 5).foreach { trial =>
+      val nP = 2 + rnd.nextInt(15)
+      val periods = rnd.shuffle((1 to 40).toList).take(nP).sorted
+      // Duplicate-heavy values exercise the tie correction; multiple raw
+      // rows per period exercise the per-(g, p) collapse.
+      val rows = periods.flatMap(p =>
+        Seq.fill(1 + rnd.nextInt(2))((p.toLong, rnd.nextInt(6).toLong - 2L)))
+      val df = rows.map { case (p, y) => ("grp", p, y) }
+        .toDF("g0", "p0", "y0")
+      val series = rows.groupBy(_._1).view.mapValues(_.map(_._2).sum)
+        .toSeq.sortBy(_._1).map(_._2)
+      val n = series.size
+      var sStat = 0L
+      for (i <- 0 until n; j <- i + 1 until n)
+        sStat += java.lang.Long.signum(series(j) - series(i))
+      val tie18 = series.groupBy(identity).values
+        .map(v => v.size.toLong).map(t => t * (t - 1) * (2 * t + 5)).sum
+      val var18 = n.toLong * (n - 1) * (2L * n + 5) - tie18
+      val z: Option[Double] =
+        if (var18 <= 0) None
+        else if (sStat == 0) Some(0.0)
+        else Some(math.floor(
+          ((sStat - (if (sStat > 0) 1L else -1L)).toDouble /
+            math.sqrt(var18 / 18.0)) * 1e6 + 0.5) / 1e6 + 0.0)
+      val got = Analytics.mannKendall(df, "g0", col("p0"), col("y0"))
+        .as[(String, Long, Long, Long, Option[Double])].head()
+      assert(got === (("grp", n.toLong, sStat, var18, z)),
+        s"trial $trial series=$series")
+    }
+  }
+
   test("conformalHoltForecast equals the brute split-conformal fold") {
     def md(x: BigInt): Long =
       ((if (x < 0) BigInt(-1) else BigInt(1)) * (x.abs / 1000000)).toLong
