@@ -1872,6 +1872,120 @@ object Analytics {
            + ss[((last_p + h) % 12) + 1])::BIGINT AS forecast_micro
        FROM fc ORDER BY g, h"""
 
+  /** Classical additive seasonal decomposition per group (the
+    * moving-average "STL-lite" every monitoring stack runs before
+    * alerting on a seasonal series): y = trend + seasonal + residual,
+    * with trend the CENTERED moving average over `m` observed periods
+    * (for even m the standard 2×m MA — two overlapping m-sums, so the
+    * half-weights at the window ends are exact integers over 2m),
+    * seasonal the per-slot (period mod m) mean of the detrended series
+    * RE-CENTERED to sum ≈ 0 across slots, and residual the remainder.
+    * The readout [[holtWintersForecast]] fits recursively, this states
+    * descriptively — which months carry the cycle, and how much is left
+    * over once trend and cycle are removed.
+    *
+    * Exactness: values scale to micro BIGINTs first; every division
+    * (the MA, the slot means, the re-centering) is ONE sign-split floor
+    * division — identical truncation on both engines, no float
+    * anywhere. Trend and residual are NULL at the series edges (no full
+    * window — the honest answer, not an asymmetric fill).
+    *
+    * Scale design: one per-(group, period) collapse with map-side
+    * partials; the MA is a per-group window over OBSERVED periods in
+    * order (the [[holtForecast]] calendar-domain contract); seasonal
+    * means are a second group-sized aggregation broadcast back.
+    */
+  def seasonalDecompose(df: DataFrame, groupCol: String, periodCol: Column,
+      valueCol: Column, m: Int): DataFrame = {
+    require(m >= 2, "season length m must be >= 2")
+    def sd(x: String, d: String) = s"cast((case when ($x) < 0 then -1L " +
+      s"else 1L end) * (abs($x) div ($d)) as long)"
+    val base = df.select(col(groupCol).as("g"), periodCol.cast("long").as("p"),
+        valueCol.cast("long").as("y"))
+      .groupBy(col("g"), col("p")).agg((sum(col("y")) * 1000000L).as("ym"))
+    val h = m / 2
+    val ord = Window.partitionBy(col("g")).orderBy(col("p"))
+    val trended =
+      if (m % 2 == 1) {
+        val f = ord.rowsBetween(-h, h)
+        base.withColumn("sw", sum(col("ym")).over(f))
+          .withColumn("cw", count(lit(1)).over(f))
+          .withColumn("trend",
+            when(col("cw") === m, expr(sd("sw", m.toString))))
+      } else {
+        val f1 = ord.rowsBetween(-h, h - 1)
+        val f2 = ord.rowsBetween(-h + 1, h)
+        base.withColumn("sw",
+            sum(col("ym")).over(f1) + sum(col("ym")).over(f2))
+          .withColumn("cw",
+            count(lit(1)).over(f1) + count(lit(1)).over(f2))
+          .withColumn("trend",
+            when(col("cw") === 2 * m, expr(sd("sw", (2 * m).toString))))
+      }
+    val det = trended
+      .withColumn("slot", expr(s"cast(p % $m as int)"))
+      .withColumn("d", col("ym") - col("trend"))
+    val slotMeans = det.filter(col("d").isNotNull)
+      .groupBy(col("g"), col("slot"))
+      .agg(count(lit(1)).as("n_s"), sum(col("d")).as("ss"))
+      .select(col("g"), col("slot"), expr(sd("ss", "n_s")).as("smean"))
+    val centered = slotMeans
+      .join(slotMeans.groupBy(col("g"))
+          .agg(count(lit(1)).as("k_s"), sum(col("smean")).as("sm")),
+        Seq("g"))
+      .select(col("g"), col("slot"),
+        (col("smean") - expr(sd("sm", "k_s"))).as("seasonal_micro"))
+    det.join(broadcast(centered), Seq("g", "slot"), "left")
+      .select(col("g"), col("p"), col("ym").as("y_micro"),
+        col("trend").as("trend_micro"), col("seasonal_micro"),
+        (col("ym") - col("trend") - col("seasonal_micro")).as("resid_micro"))
+  }
+
+  // ---- q376: where does the monthly order cycle live, per priority? -----------
+  private def q376(s: SparkSession, d: String): DataFrame =
+    seasonalDecompose(Tables.orders(s, d), "o_orderpriority",
+        expr("year(cast(o_orderdate as date)) * 12" +
+          " + month(cast(o_orderdate as date))"),
+        lit(1L), m = 12)
+      .orderBy(col("g"), col("p"))
+  private val q376Sql =
+    """WITH m AS (
+         SELECT o_orderpriority AS g,
+           year(o_orderdate::DATE) * 12 + month(o_orderdate::DATE) AS p,
+           (count(*) * 1000000)::BIGINT AS ym
+         FROM orders GROUP BY 1, 2),
+       tr AS (
+         SELECT g, p, ym, p % 12 AS slot,
+           CASE WHEN (count(*) OVER w1 + count(*) OVER w2) = 24 THEN
+             (CASE WHEN (sum(ym) OVER w1 + sum(ym) OVER w2) < 0
+                THEN -1 ELSE 1 END
+              * (abs(sum(ym) OVER w1 + sum(ym) OVER w2)::HUGEINT // 24))
+                ::BIGINT
+           END AS trend
+         FROM m
+         WINDOW w1 AS (PARTITION BY g ORDER BY p
+             ROWS BETWEEN 6 PRECEDING AND 5 FOLLOWING),
+           w2 AS (PARTITION BY g ORDER BY p
+             ROWS BETWEEN 5 PRECEDING AND 6 FOLLOWING)),
+       det AS (SELECT g, p, ym, slot, trend, ym - trend AS d FROM tr),
+       sm AS (
+         SELECT g, slot,
+           (CASE WHEN sum(d) < 0 THEN -1 ELSE 1 END
+             * (abs(sum(d))::HUGEINT // count(*)))::BIGINT AS smean
+         FROM det WHERE d IS NOT NULL GROUP BY g, slot),
+       ctr AS (
+         SELECT s.g, s.slot,
+           (s.smean - (CASE WHEN t.sm2 < 0 THEN -1 ELSE 1 END
+             * (abs(t.sm2)::HUGEINT // t.k_s)))::BIGINT AS seasonal_micro
+         FROM sm s JOIN (
+           SELECT g, count(*)::BIGINT AS k_s, sum(smean)::BIGINT AS sm2
+           FROM sm GROUP BY g) t ON s.g = t.g)
+       SELECT d.g, d.p, d.ym AS y_micro, d.trend AS trend_micro,
+         c.seasonal_micro,
+         (d.ym - d.trend - c.seasonal_micro)::BIGINT AS resid_micro
+       FROM det d LEFT JOIN ctr c ON d.g = c.g AND d.slot = c.slot
+       ORDER BY d.g, d.p"""
+
   /** Exponentially-weighted moving average SERIES per group — the whole
     * smoothed curve, not just the final state ([[holtForecast]] is the
     * forecast-from-the-end companion; this is the monitoring/plotting
@@ -5781,6 +5895,7 @@ object Analytics {
     QueryDef("q341_holt_forecast", q341, Some(q341Sql)),
     QueryDef("q369_conformal_forecast", q369, Some(q369Sql)),
     QueryDef("q375_mann_kendall", q375, Some(q375Sql)),
+    QueryDef("q376_seasonal_decompose", q376, Some(q376Sql)),
     QueryDef("q342_ewma_series", q342, Some(q342Sql)),
     QueryDef("q345_holt_winters", q345, Some(q345Sql)),
     QueryDef("q348_dtw_distance", q348, Some(q348Sql)),

@@ -730,6 +730,70 @@ class RandomizedEquivalenceSpec extends SparkSpec {
     }
   }
 
+  test("seasonalDecompose recovers a planted cycle exactly and equals a brute mirror") {
+    // Perfect linear + zero-sum seasonal: the 2×m CMA reproduces the
+    // line EXACTLY (the seasonal sums to zero over every window and the
+    // linear offsets cancel), so seasonal and residual are exact too.
+    val S = Map(0 -> 12L, 1 -> -4L, 2 -> -8L, 3 -> 0L)
+    val rows = (0 until 24).map(p => ("g", p.toLong, 200L + 3 * p + S(p % 4)))
+    val got = Analytics.seasonalDecompose(rows.toDF("g0", "p0", "y0"),
+        "g0", col("p0"), col("y0"), m = 4)
+      .orderBy("p")
+      .as[(String, Long, Long, Option[Long], Option[Long], Option[Long])]
+      .collect().toSeq
+    got.foreach { case (_, p, ym, trend, seas, resid) =>
+      assert(ym === (200L + 3 * p + S((p % 4).toInt)) * 1000000L)
+      assert(seas === Some(S((p % 4).toInt) * 1000000L), s"p=$p")
+      if (p < 2 || p > 21) assert(trend.isEmpty && resid.isEmpty, s"p=$p")
+      else {
+        assert(trend === Some((200L + 3 * p) * 1000000L), s"p=$p")
+        assert(resid === Some(0L), s"p=$p")
+      }
+    }
+
+    // Brute mirror on random gapped series (windows are over OBSERVED
+    // periods in order — the documented contract), odd and even m.
+    def sd(x: Long, d: Long): Long =
+      (if (x < 0) -1L else 1L) * (math.abs(x) / d)
+    (1 to 4).foreach { trial =>
+      val m = if (trial % 2 == 0) 4 else 3
+      val h = m / 2
+      val periods = rnd.shuffle((1 to 40).toList).take(10 + rnd.nextInt(20))
+        .sorted.map(_.toLong)
+      val ys = periods.map(_ => (rnd.nextInt(2000) - 500) * 1000000L)
+      val n = periods.length
+      val trend = (0 until n).map { i =>
+        if (m % 2 == 1) {
+          if (i - h >= 0 && i + h < n)
+            Some(sd((i - h to i + h).map(ys).sum, m)) else None
+        } else {
+          if (i - h >= 0 && i + h < n)
+            Some(sd((i - h to i + h - 1).map(ys).sum
+              + (i - h + 1 to i + h).map(ys).sum, 2L * m)) else None
+        }
+      }
+      val det = (0 until n).map(i => trend(i).map(ys(i) - _))
+      val slotOf = (i: Int) => (periods(i) % m).toInt
+      val smean = (0 until n).filter(det(_).isDefined).groupBy(slotOf)
+        .view.mapValues(is => sd(is.map(i => det(i).get).sum, is.size)).toMap
+      val adj = sd(smean.values.sum, smean.size)
+      val seas = smean.view.mapValues(_ - adj).toMap
+      val expect = (0 until n).map { i =>
+        val sOpt = seas.get(slotOf(i))
+        ("g", periods(i), ys(i), trend(i), sOpt,
+          for { t <- trend(i); s <- sOpt } yield ys(i) - t - s)
+      }
+      val gotR = Analytics.seasonalDecompose(
+          periods.zip(ys).map { case (p, y) => ("g", p, y / 1000000L) }
+            .toDF("g0", "p0", "y0"),
+          "g0", col("p0"), col("y0"), m = m)
+        .orderBy("p")
+        .as[(String, Long, Long, Option[Long], Option[Long], Option[Long])]
+        .collect().toSeq
+      assert(gotR === expect, s"trial $trial m=$m periods=$periods")
+    }
+  }
+
   test("mannKendall equals the brute pairwise statistic with tie correction") {
     (1 to 5).foreach { trial =>
       val nP = 2 + rnd.nextInt(15)
