@@ -608,6 +608,85 @@ object StreamingOps {
         OutputMode.Append())
   }
 
+  /** Per-key prequential-conformal state: running model (n, Σy) plus the
+    * FIFO calibration buffer of the last `calN` residuals. */
+  final case class ConfScoreState(n: Long, s: Long, buf: Seq[Long])
+
+  /** One scored event: its residual against the pre-update model, the
+    * conformal p in micro, and the calibration size that priced it. */
+  final case class ConformalScore(key: Long, ord: Long, y: Long, r: Long,
+      p_micro: Long, n_cal: Long)
+
+  /** Streaming PREQUENTIAL conformal anomaly scores — the streaming form
+    * of [[graft.operators.Profile.conformalFdrOutliers]]' p-value: every
+    * event is scored against the state BEFORE it (Dawid's prequential
+    * discipline — the model never sees the row it prices), with
+    *   ŷ = sign-split mean of all prior values,
+    *   r = |y − ŷ|,
+    *   p = (1 + #{last calN residuals ≥ r}) / (n_buf + 1)  (micro),
+    * then folds the row in (running sums + FIFO residual buffer). Small
+    * p = "this event does not look like this key's recent past" — the
+    * alerting primitive with a distribution-free guarantee: under
+    * exchangeability p is super-uniform, so alerting at p ≤ α fires at
+    * rate ≤ α per event, no thresholds to tune per key.
+    *
+    * Determinism contract: rows are folded in `ordCol` order WITHIN each
+    * (key, batch); across batches the source must deliver each key
+    * in order (the sharded replay source's per-shard guarantee with
+    * key-consistent sharding). The first event of a key prices at
+    * p = 10⁶ with r = 0 (empty model — the honest uninformative score).
+    *
+    * Scale shape: state is one row per key — two longs plus a
+    * calN-bounded buffer — in the RocksDB store, partitioned by key
+    * hash; per-batch work is O(batch · calN) map-side. Exact integer
+    * arithmetic end to end (the batch operator's algebra), so a batch
+    * mirror replaying the same order reproduces every score bit-for-bit
+    * — pinned by the stream ≡ batch spec.
+    */
+  def conformalScoreStream(decoded: DataFrame, keyCol: String,
+      ordCol: String, valueCol: String, calN: Int): Dataset[ConformalScore] = {
+    require(calN >= 1, "calN must be >= 1")
+    import decoded.sparkSession.implicits._
+
+    class ScoreProcessor
+        extends StatefulProcessor[Long, (Long, Long, Long), ConformalScore] {
+      @transient private var state: org.apache.spark.sql.streaming.ValueState[ConfScoreState] = _
+
+      override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+        state = getHandle.getValueState[ConfScoreState](
+          "conf", Encoders.product[ConfScoreState], TTLConfig.NONE)
+
+      override def handleInputRows(
+          key: Long,
+          rows: Iterator[(Long, Long, Long)],
+          timerValues: TimerValues): Iterator[ConformalScore] = {
+        var st = Option(state.get()).getOrElse(
+          ConfScoreState(0L, 0L, Vector.empty))
+        val out = rows.toVector.sortBy(_._2).map { case (_, ord, y) =>
+          val yhat =
+            if (st.n == 0L) y
+            else (if (st.s < 0) -1L else 1L) * (math.abs(st.s) / st.n)
+          val r = math.abs(y - yhat)
+          val nBuf = st.buf.size.toLong
+          val p = (1L + st.buf.count(_ >= r)) * 1000000L / (nBuf + 1L)
+          st = ConfScoreState(st.n + 1L, st.s + y,
+            (st.buf :+ r).takeRight(calN))
+          ConformalScore(key, ord, y, r, p, nBuf)
+        }
+        state.update(st)
+        out.iterator
+      }
+    }
+
+    decoded
+      .select(col(keyCol).cast("long"), col(ordCol).cast("long"),
+        col(valueCol).cast("long"))
+      .as[(Long, Long, Long)]
+      .groupByKey(_._1)
+      .transformWithState(new ScoreProcessor, TimeMode.None(),
+        OutputMode.Append())
+  }
+
   /** The Spark-4-native form of [[sessionizeStateful]] using the
     * transformWithState StatefulProcessor API (typed ValueState + event-time
     * timers). Requires the RocksDB state store provider:

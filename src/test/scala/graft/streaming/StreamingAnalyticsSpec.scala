@@ -674,4 +674,72 @@ class StreamingAnalyticsSpec extends SparkSpec {
       spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
   }
 
+  test("streaming conformal scores equal the prequential fold and resume from checkpoint") {
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val ms = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, Long, Long)](spark)
+      val ckpt = tmp("ckpt_conf")
+      val out = StreamingOps.conformalScoreStream(
+        ms.toDF().toDF("k", "ord", "y"), "k", "ord", "y", calN = 5)
+      val got = new java.util.concurrent.ConcurrentLinkedQueue[StreamingOps.ConformalScore]()
+      def sink() = out.writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .foreachBatch {
+          (d: org.apache.spark.sql.Dataset[StreamingOps.ConformalScore], _: Long) =>
+            d.collect().foreach(got.add)
+        }
+      val rnd = new scala.util.Random(377)
+      // Two keys; batch 2 arrives SHUFFLED within the batch (the
+      // processor must fold in ord order) but ord ranges increase across
+      // batches (the per-key in-order delivery contract).
+      val b1 = (1L to 12L).map(o => (o % 2 + 1, o, 100L + rnd.nextInt(11) - 5))
+      val b2 = rnd.shuffle(
+        (13L to 24L).map(o => (o % 2 + 1, o, 100L + rnd.nextInt(11) - 5)))
+      // Batch 3 (after a RESTART): calm rows plus one spike per key —
+      // the spike must price at the buffer-floor p.
+      val b3 = Seq((1L, 25L, 100L), (2L, 26L, 101L),
+        (1L, 27L, 5000L), (2L, 28L, -4000L))
+      val q1 = sink().start()
+      try {
+        ms.addData(b1); q1.processAllAvailable()
+        ms.addData(b2); q1.processAllAvailable()
+      } finally { q1.stop(); q1.awaitTermination(60000) }
+      ms.addData(b3)
+      val q2 = sink().start()
+      try q2.processAllAvailable()
+      finally { q2.stop(); q2.awaitTermination(60000) }
+
+      import scala.jdk.CollectionConverters._
+      val scores = got.asScala.toSeq
+      // Sequential prequential mirror over each key's rows in ord order.
+      val all = (b1 ++ b2 ++ b3).sortBy(_._2)
+      val expect = all.groupBy(_._1).toSeq.flatMap { case (k, rows) =>
+        var n = 0L; var s = 0L; var buf = Vector.empty[Long]
+        rows.map { case (_, ord, y) =>
+          val yhat = if (n == 0) y
+            else (if (s < 0) -1L else 1L) * (math.abs(s) / n)
+          val r = math.abs(y - yhat)
+          val p = (1L + buf.count(_ >= r)) * 1000000L / (buf.size + 1L)
+          val sc = StreamingOps.ConformalScore(k, ord, y, r, p, buf.size.toLong)
+          n += 1; s += y; buf = (buf :+ r).takeRight(5)
+          sc
+        }
+      }.toSet
+      assert(scores.toSet === expect,
+        "stream scores must equal the sequential prequential fold")
+      // The planted spikes price at the floor: full buffer (5), no
+      // calibration residual as large -> p = 1e6 / 6.
+      val spikes = scores.filter(sc => sc.ord == 27L || sc.ord == 28L)
+      assert(spikes.size === 2 &&
+        spikes.forall(sc => sc.p_micro === 1000000L / 6 && sc.n_cal === 5L),
+        s"spikes must hit the buffer-floor p: $spikes")
+      // Calm rows right before them price high (nothing unusual).
+      val calm = scores.filter(sc => sc.ord == 25L || sc.ord == 26L)
+      assert(calm.forall(_.p_micro >= 500000L), s"calm rows overpriced: $calm")
+    } finally
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
 }
