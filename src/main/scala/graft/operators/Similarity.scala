@@ -421,6 +421,96 @@ object Similarity {
       .withColumn("recall", round(col("n_hit") / col("n_exact"), 6))
   }
 
+  /** Matryoshka (prefix-dimension) truncation recall (Kusupati et al.
+    * 2022): recall@k of cosine top-k computed over only the FIRST d'
+    * dimensions, per candidate d' — the acceptance table for the modern
+    * index-shrinking lever where an MRL-trained embedding's prefix IS
+    * the small embedding. At 100 TB truncation is a SCAN-side win (an
+    * 8-of-64-dim probe reads an eighth of the vector bytes before any
+    * distance math), unlike PQ's memory-side compression — the two
+    * compose. The full-width row (d' = dim) is the built-in self-check:
+    * its ranking is bit-identical to the exact one, so its recall is
+    * exactly 10⁶.
+    *
+    * Output: one row per d' — (d_prime, n_queries, n_exact, n_hit,
+    * recall_ppm), all exact integers (recall is a ppm floor division).
+    *
+    * Scale: one exact ranking plus one truncated ranking per d', each
+    * the [[bruteTopK]] bounded-heap shape (swap in [[ivfTopKProbes]]
+    * upstream for index scale — the report is fetch-agnostic); the
+    * recall join is k rows per query per side.
+    */
+  def matryoshkaRecall(corpus: DataFrame, idCol: String, vecCol: String,
+      queryFilter: Column, k: Int, dims: Seq[Int]): DataFrame = {
+    require(dims.nonEmpty && dims.forall(_ >= 1), "dims must be >= 1")
+    val exact = bruteTopK(corpus.filter(queryFilter), corpus, idCol,
+        vecCol, k)
+      .select(col("query_id"), col("neighbor_id"))
+      .localCheckpoint(false)
+    dims.map { dp =>
+      val trunc = corpus.select(col(idCol),
+        slice(col(vecCol), 1, dp).as(vecCol))
+      val approx = bruteTopK(trunc.filter(queryFilter), trunc, idCol,
+          vecCol, k)
+        .select(col("query_id"), col("neighbor_id"))
+        .withColumn("__hit", lit(1))
+      exact.join(approx, Seq("query_id", "neighbor_id"), "left")
+        .agg(countDistinct(col("query_id")).as("n_queries"),
+          count(lit(1)).as("n_exact"), count(col("__hit")).as("n_hit"))
+        .select(lit(dp.toLong).as("d_prime"), col("n_queries"),
+          col("n_exact"), col("n_hit"),
+          expr("1000000 * n_hit div n_exact").as("recall_ppm"))
+    }.reduce(_ unionByName _)
+  }
+
+  // ---- q377: how few leading dimensions keep the cosine ranking? --------------
+  private val MatryoshkaDims = Seq(8, 16, 32, 64)
+  private def q377(s: SparkSession, d: String): DataFrame =
+    matryoshkaRecall(Tables.embeddings(s, d), "vec_id", "embedding",
+        col("vec_id") < NumQueries, TopK, MatryoshkaDims)
+      .orderBy(col("d_prime"))
+  private val q377Sql = {
+    val blocks = MatryoshkaDims.map { dp =>
+      s"""SELECT $dp::BIGINT AS d_prime,
+           count(DISTINCT e.query_id)::BIGINT AS n_queries,
+           count(*)::BIGINT AS n_exact,
+           sum(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+             AS n_hit
+         FROM ex e LEFT JOIN (
+           SELECT query_id, neighbor_id FROM (
+             SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+               row_number() OVER (PARTITION BY q.vec_id ORDER BY
+                 (list_sum(list_transform(range(1, $dp + 1),
+                    i -> q.embedding[i]::DOUBLE * n.embedding[i]::DOUBLE))
+                  / (sqrt(list_sum(list_transform(q.embedding[1:$dp],
+                       x -> x::DOUBLE * x::DOUBLE)))
+                   * sqrt(list_sum(list_transform(n.embedding[1:$dp],
+                       x -> x::DOUBLE * x::DOUBLE))))) DESC, n.vec_id) AS rk
+             FROM embeddings q JOIN embeddings n ON q.vec_id != n.vec_id
+             WHERE q.vec_id < $NumQueries) t
+           WHERE rk <= $TopK) a
+           ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id"""
+    }.mkString("\n       UNION ALL\n       ")
+    s"""WITH ex AS (
+         SELECT query_id, neighbor_id FROM (
+           SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+             row_number() OVER (PARTITION BY q.vec_id ORDER BY
+               (list_sum(list_transform(range(1, len(q.embedding) + 1),
+                  i -> q.embedding[i]::DOUBLE * n.embedding[i]::DOUBLE))
+                / (sqrt(list_sum(list_transform(q.embedding,
+                     x -> x::DOUBLE * x::DOUBLE)))
+                 * sqrt(list_sum(list_transform(n.embedding,
+                     x -> x::DOUBLE * x::DOUBLE))))) DESC, n.vec_id) AS rk
+           FROM embeddings q JOIN embeddings n ON q.vec_id != n.vec_id
+           WHERE q.vec_id < $NumQueries) t
+         WHERE rk <= $TopK),
+       r AS (
+       $blocks)
+       SELECT d_prime, n_queries, n_exact, n_hit,
+         (1000000 * n_hit // n_exact)::BIGINT AS recall_ppm
+       FROM r ORDER BY d_prime"""
+  }
+
   /** Kendall tau rank agreement between two rankings of the same items,
     * per group — the ORDER-agreement companion to [[recallReport]]'s set
     * agreement: recall@k says the approximate search returned the right
@@ -2435,5 +2525,6 @@ object Similarity {
     QueryDef("q114_mips_topk", q114, Some(q114Sql)),
     QueryDef("q196_pq_adc_recall", q196, Some(q196Sql)),
     QueryDef("q200_ivfadc", q200, Some(q200Sql)),
+    QueryDef("q377_matryoshka_recall", q377, Some(q377Sql)),
     QueryDef("q39_ann_lsh", q39, Some(q39Sql)))
 }

@@ -119,7 +119,14 @@ class LintBudgetSpec extends SparkSpec {
     // Catalyst pushes the share filter into the join, compiling the
     // predicate-free cross-broadcast into a conditioned BNL whose build
     // side is exactly ONE row — benign at any scale.
-    "q333_complement_substitute" -> Map("broadcast-nested-loop" -> 1))
+    "q333_complement_substitute" -> Map("broadcast-nested-loop" -> 1),
+    // q377: four bruteTopK query-set broadcasts riding the non-equi
+    // (q != n) condition — one exact ranking plus one per truncated d'
+    // (|MatryoshkaDims| = 3 beyond full width collapses with the exact
+    // plan's reuse to 4 distinct BNLs). Each build side is the
+    // NumQueries-row query set by contract, never the corpus — the
+    // q30/q136/q363 precedent.
+    "q377_matryoshka_recall" -> Map("broadcast-nested-loop" -> 4))
 
   test("every query's warn-level lint findings stay within the budget") {
     val over = SparkEntry.allDefs.flatMap { q =>

@@ -469,4 +469,24 @@ class SimilaritySpec extends SparkSpec {
     assert(got === Array((0, 0, 1L), (0, 1, 1L), (1, 1, 1L)))
   }
 
+  test("matryoshkaRecall: truncation misranks, full width is exact") {
+    // Query 0 = (1,1). Full cosine: id2 = (1,1) is the true top-1
+    // (cos 1) over id1 = (2,-0.5) (cos ~0.51). At d' = 1 every
+    // positive first component has cos 1, so the rank tie breaks by
+    // ascending vec_id and picks id1 — the wrong neighbor. So recall
+    // must be exactly 0 ppm at d' = 1 and exactly 10^6 at full width.
+    val corpus = Seq(
+      (0L, Seq(1f, 1f)),
+      (1L, Seq(2f, -0.5f)),
+      (2L, Seq(1f, 1f)))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.matryoshkaRecall(corpus, "vec_id", "embedding",
+        col("vec_id") === 0L, k = 1, dims = Seq(1, 2))
+      .orderBy("d_prime")
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(got === Array(
+      (1L, 1L, 1L, 0L, 0L),
+      (2L, 1L, 1L, 1L, 1000000L)))
+  }
+
 }
