@@ -20,7 +20,7 @@ object SparkEntry {
       operators.Analytics.defs ++ operators.Profile.defs ++
       operators.Layout.defs ++ operators.Incremental.defs ++
       operators.Graph.defs ++ operators.Sketches.defs ++
-      operators.Ranking.defs
+      operators.Ranking.defs ++ operators.Supervised.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1852,6 +1852,92 @@ object Similarity {
       .limit(topN)
   }
 
+  /** Local outlier factor (Breunig et al. 2000) over the integer-
+    * quantized squared-euclidean dissimilarity — the DENSITY-RATIO
+    * companion to [[knnOutliers]]'s absolute-distance score: a point in
+    * a sparse region next to a dense cluster scores high even when its
+    * raw kNN distances are moderate.
+    *
+    * Integer-exact throughout: distances are [[graft.functions.TextFunctions.doti]]
+    * BIGINT d² on int8-quantized vectors; reachability sums are BIGINT;
+    * the final density ratio Σ_o lrd(o)/lrd(p) = Σ_o S(p)/S(o) is
+    * evaluated as `(S(p)·10^6) div S(o)` summed then floor-divided by k
+    * — parts-per-million, no floating point anywhere, so partitioning
+    * and engine cannot change a single output bit. Degenerate
+    * neighborhoods (≥ k+1 coincident points ⇒ reach-sum 0) clamp S to 1
+    * rather than divide by zero. LOF ≈ 1e6 means inlier, >> 1e6 means
+    * the neighbors are mutually much closer than they are to p.
+    *
+    * Scale: the all-pairs scoring here is the exact baseline (n·k rows
+    * after the bounded-heap rank); for corpus scale feed the pair
+    * stream from the IVF bucketing exactly as [[knnOutliersIvf]] does —
+    * everything downstream of `knn` is id-keyed joins over k·n rows.
+    */
+  def lofOutliers(vectors: DataFrame, idCol: String, vecCol: String,
+      k: Int, topN: Int): DataFrame = {
+    require(k >= 1 && topN >= 1, "lofOutliers needs k >= 1 and topN >= 1")
+    val q8 = vectors.select(col(idCol).as("vid"), quantize8(col(vecCol)).as("q8"))
+    val scored = q8.as("a").join(q8.as("b"), col("a.vid") =!= col("b.vid"))
+      .select(col("a.vid").as("query_id"), col("b.vid").as("neighbor_id"),
+        (-(doti(col("a.q8"), col("a.q8"))
+          - lit(2L) * doti(col("a.q8"), col("b.q8"))
+          + doti(col("b.q8"), col("b.q8")))).cast("double").as("c"))
+    // The n·k-row kNN table feeds FIVE downstream join branches (kdist,
+    // reach twice, the final score twice); checkpoint it once so the
+    // O(N²) scoring join runs exactly once — the q196 LUT discipline.
+    val knn = rankTopK(scored, k)
+      .select(col("query_id"), col("neighbor_id"),
+        (-col("cos_sim")).cast("long").as("d2"))
+      .localCheckpoint()
+    val kdist = knn.groupBy("query_id").agg(max(col("d2")).as("kd"))
+    val reach = knn
+      .join(kdist.select(col("query_id").as("neighbor_id"), col("kd")),
+        Seq("neighbor_id"))
+      .groupBy("query_id")
+      .agg(greatest(sum(greatest(col("kd"), col("d2"))), lit(1L)).as("s"))
+    knn
+      .join(reach.select(col("query_id"), col("s").as("sp")), Seq("query_id"))
+      .join(reach.select(col("query_id").as("neighbor_id"), col("s").as("so")),
+        Seq("neighbor_id"))
+      .groupBy("query_id")
+      .agg(expr(s"sum((sp * 1000000) div so) div ${k}L").as("lof_ppm"))
+      .select(col("query_id").as("vec_id"), col("lof_ppm"))
+      .orderBy(col("lof_ppm").desc, col("vec_id"))
+      .limit(topN)
+  }
+
+  // ---- q380: density-ratio outliers over the embedding corpus ----------------
+  private def q380(s: SparkSession, d: String): DataFrame =
+    lofOutliers(Tables.embeddings(s, d), "vec_id", "embedding",
+      k = 5, topN = 20)
+  private val q380Sql =
+    """WITH q8 AS MATERIALIZED (
+         SELECT vec_id AS vid, list_transform(embedding, x -> floor(x::DOUBLE /
+           (list_max(list_transform(embedding, y -> abs(y))))::DOUBLE
+           * 127)::BIGINT) AS q
+         FROM embeddings),
+       d AS MATERIALIZED (
+         SELECT a.vid AS q, b.vid AS n,
+           list_sum(list_transform(range(1, len(a.q) + 1),
+             i -> (a.q[i] - b.q[i]) * (a.q[i] - b.q[i])))::BIGINT AS d2
+         FROM q8 a JOIN q8 b ON a.vid != b.vid),
+       knn AS MATERIALIZED (
+         SELECT q, n, d2 FROM (
+           SELECT q, n, d2, row_number() OVER (PARTITION BY q
+             ORDER BY d2, n) AS rn
+           FROM d) WHERE rn <= 5),
+       kdist AS MATERIALIZED (SELECT q, max(d2)::BIGINT AS kd FROM knn GROUP BY q),
+       s AS MATERIALIZED (
+         SELECT knn.q, greatest(sum(greatest(ko.kd, knn.d2)), 1)::BIGINT AS s
+         FROM knn JOIN kdist ko ON ko.q = knn.n GROUP BY knn.q),
+       lof AS (
+         SELECT knn.q AS vec_id,
+           (sum((sp.s * 1000000) // so.s) // 5)::BIGINT AS lof_ppm
+         FROM knn JOIN s sp ON sp.q = knn.q JOIN s so ON so.q = knn.n
+         GROUP BY knn.q)
+       SELECT vec_id, lof_ppm FROM lof
+       ORDER BY lof_ppm DESC, vec_id LIMIT 20"""
+
   /** Bucketed SCALE PATH for [[knnOutliers]]: the same mean-of-top-k
     * L2² outlier score, but each vector's neighbor candidates come from
     * its IVF bucket instead of the full corpus — the all-pairs join
@@ -2505,6 +2591,7 @@ object Similarity {
     QueryDef("q277_centroid_classifier", q277, Some(q277Sql)),
     QueryDef("q286_knn_outliers", q286, Some(q286Sql)),
     QueryDef("q350_knn_outliers_ivf", q350, Some(q350Sql)),
+    QueryDef("q380_lof_outliers", q380, Some(q380Sql)),
     QueryDef("q359_gram_matrix", q359, Some(q359Sql)),
     QueryDef("q360_power_iteration", q360, Some(q360Sql)),
     QueryDef("q361_principal_projection", q361, Some(q361Sql)),

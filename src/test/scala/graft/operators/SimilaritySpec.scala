@@ -469,6 +469,33 @@ class SimilaritySpec extends SparkSpec {
     assert(got === Array((0, 0, 1L), (0, 1, 1L), (1, 1, 1L)))
   }
 
+  test("lofOutliers: the lone direction scores high, cluster members exactly 1.0") {
+    // Four near-collinear directions form a tight cluster whose members'
+    // neighborhoods are mutually symmetric — each gets LOF exactly
+    // 10^6 (1.0). The orthogonal singleton must borrow the cluster as
+    // its 2-NN, so its density ratio explodes (pinned from the oracle
+    // arithmetic: 1846.09x).
+    val df = Seq(
+      (1L, Seq(1.0f, 0.0f)), (2L, Seq(1.0f, 0.02f)),
+      (3L, Seq(1.0f, -0.02f)), (4L, Seq(0.98f, 0.04f)),
+      (5L, Seq(0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.lofOutliers(df, "vec_id", "embedding", k = 2,
+        topN = 5)
+      .as[(Long, Long)].collect()
+    assert(got === Array((5L, 1846088235L), (1L, 1000000L),
+      (2L, 1000000L), (3L, 1000000L), (4L, 1000000L)))
+  }
+
+  test("lofOutliers: coincident-point neighborhoods clamp instead of dividing by zero") {
+    val df = Seq.tabulate(4)(i => ((i + 1).toLong, Seq(1.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.lofOutliers(df, "vec_id", "embedding", k = 2,
+        topN = 4)
+      .as[(Long, Long)].collect()
+    assert(got.map(_._2).forall(_ === 1000000L), got.mkString(","))
+  }
+
   test("matryoshkaRecall: truncation misranks, full width is exact") {
     // Query 0 = (1,1). Full cosine: id2 = (1,1) is the true top-1
     // (cos 1) over id1 = (2,-0.5) (cos ~0.51). At d' = 1 every
