@@ -3153,6 +3153,70 @@ object Analytics {
            ELSE NULL END AS chi2_micro
        FROM agg"""
 
+  // ---- q383: does order frequency lower churn hazard? -------------------------
+  // Same churn fixture as q317/q325; covariate = per-customer order count
+  // capped at 12. β < 0 ⇒ frequent orderers churn slower.
+  private def q383(s: SparkSession, d: String): DataFrame = {
+    val cust = Tables.orders(s, d).groupBy(col("o_custkey"))
+      .agg(min(col("o_orderdate")).as("fo"), max(col("o_orderdate")).as("lo"),
+        count(lit(1)).as("cnt"))
+      .select(datediff(col("lo"), col("fo")).cast("long").as("dur"),
+        expr("cast(lo as date) < date'2001-02-01'").as("ev"),
+        least(col("cnt"), lit(12L)).as("x"))
+    coxFit(cust, col("dur"), col("ev"), col("x"), iters = 6)
+  }
+  /** Unrolled Newton oracle for [[coxFit]] — one (byt, rs, ui, b) CTE
+    * quartet per iteration, the [[Supervised.logisticFitSql]] pattern.
+    */
+  private def coxFitSql(subjSql: String, iters: Int): String = {
+    import Supervised.fd
+    val levels = scala.collection.mutable.ArrayBuffer(
+      s"subj AS MATERIALIZED ($subjSql)",
+      "b0 AS (SELECT 0::BIGINT AS beta)")
+    for (i <- 1 to iters) {
+      val w = "floor(exp(least(greatest(b.beta * s.x / 1e6, -20), 20))" +
+        " * 1048576 + 0.5)::HUGEINT"
+      levels += s"""byt$i AS MATERIALIZED (
+        SELECT s.t, sum($w) AS sw, sum($w * s.x) AS swx,
+          sum($w * s.x * s.x) AS swx2,
+          sum(s.e)::HUGEINT AS d, sum(s.e * s.x)::HUGEINT AS dx
+        FROM subj s, b${i - 1} b GROUP BY s.t)"""
+      levels += s"""rs$i AS MATERIALIZED (
+        SELECT t, d, dx,
+          sum(sw) OVER (ORDER BY t DESC
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s0,
+          sum(swx) OVER (ORDER BY t DESC
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s1,
+          sum(swx2) OVER (ORDER BY t DESC
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s2
+        FROM byt$i)"""
+      val bq = fd("s1*1000000", "s0")
+      levels += s"""ui$i AS (
+        SELECT sum(dx * 1000000 - d * $bq)::HUGEINT AS u,
+          sum(d * (${fd("s2*1000000", "s0")}
+            - ${fd(s"$bq*$bq", "1000000")}))::HUGEINT AS i
+        FROM rs$i WHERE d > 0)"""
+      levels += s"""b$i AS (
+        SELECT (CASE WHEN u.i > 0
+          THEN b.beta + ${fd("u.u*1000000", "u.i")} ELSE b.beta END)::BIGINT
+          AS beta
+        FROM b${i - 1} b, ui$i u)"""
+    }
+    s"""WITH ${levels.mkString(",\n")}
+      SELECT * FROM (
+        SELECT 'beta_micro' AS term, beta AS value FROM b$iters
+        UNION ALL SELECT 'n_events', sum(e)::BIGINT FROM subj
+        UNION ALL SELECT 'n_subjects', count(*)::BIGINT FROM subj
+        UNION ALL SELECT 'score_residual_micro', u::BIGINT FROM ui$iters)
+      ORDER BY term"""
+  }
+  private val q383Sql = coxFitSql(
+    """SELECT date_diff('day', min(o_orderdate)::DATE,
+          max(o_orderdate)::DATE)::BIGINT AS t,
+        (max(o_orderdate)::DATE < DATE '2001-02-01')::BIGINT AS e,
+        least(count(*), 12)::BIGINT AS x
+      FROM orders GROUP BY o_custkey""", iters = 6)
+
   // ---- q317: customer ordering-lifetime survival curve ------------------------
   // Duration = days between a customer's first and last order; the event
   // (“stopped ordering”) is observed when the last order predates the
@@ -3200,6 +3264,81 @@ object Analytics {
        FROM arr CROSS JOIN (SELECT unnest(range(1, len(ts) + 1)) AS i
          FROM arr) r
        ORDER BY t"""
+
+  /** Cox proportional-hazards fit for a single integer covariate, Newton
+    * iterations with Breslow tie handling — the REGRESSION member of the
+    * survival family ([[kaplanMeier]] describes, [[logRank]] tests a
+    * binary split, this quantifies a graded effect as a log-hazard
+    * slope).
+    *
+    * Cross-engine determinism (the [[Supervised.logisticFit]] recipe):
+    * β lives on the driver in exact micros; each Newton step is ONE
+    * distributed aggregation. The only float op is exp(β·x/10⁶) —
+    * clamped to ±20 and quantized to 1/2^20 units at its single site —
+    * so risk-set sums S0/S1/S2 (DECIMAL(38,0) cumulative windows over
+    * the per-time collapse), the Breslow score U = Σ_t (dx_t·10⁶ −
+    * d_t·⌊S1·10⁶/S0⌋) and information I are exact integer algebra, and
+    * the update is floor-division. The oracle unrolls the identical
+    * fold as per-iteration CTE chains.
+    *
+    * Scale: the corpus collapses to one row per DISTINCT DURATION
+    * (quantized-domain contract, the [[kaplanMeier]] treatment) before
+    * the single-partition cumulative window; each iteration re-scans
+    * only the persisted (t,e,x) projection with map-side partials.
+    * Output: term/value rows — beta_micro, n_events, n_subjects, and
+    * score_residual_micro (the score at the LAST update's β, ≈0 at
+    * convergence).
+    */
+  def coxFit(df: DataFrame, durationCol: Column, eventCol: Column,
+      xCol: Column, iters: Int): DataFrame = {
+    require(iters >= 1, "coxFit needs iters >= 1")
+    val s = df.sparkSession
+    import s.implicits._
+    val subj = df.select(durationCol.cast("long").as("t"),
+      eventCol.cast("long").as("e"), xCol.cast("long").as("x")).persist()
+    try {
+      def fdC(a: Column, b: Column): Column =
+        (call_function("div", a.cast("decimal(38,0)"), b) +
+          when((a.cast("decimal(38,0)") % b) < 0, -1L).otherwise(0L))
+          .cast("long")
+      var beta = BigInt(0)
+      var lastU = BigInt(0)
+      val w = org.apache.spark.sql.expressions.Window.orderBy(col("t").desc)
+        .rowsBetween(Long.MinValue, 0)
+      for (_ <- 1 to iters) {
+        val wq = floor(exp(least(greatest(
+            lit(beta.toLong) * col("x") / lit(1e6), lit(-20.0)), lit(20.0)))
+          * lit(1048576.0) + lit(0.5)).cast("decimal(38,0)")
+        val byt = subj.groupBy("t").agg(
+          sum(wq).as("sw"), sum(wq * col("x")).as("swx"),
+          sum(wq * col("x") * col("x")).as("swx2"),
+          sum(col("e")).as("d"), sum(col("e") * col("x")).as("dx"))
+        val rs = byt.select(col("t"), col("d"), col("dx"),
+          sum(col("sw")).over(w).as("s0"), sum(col("swx")).over(w).as("s1"),
+          sum(col("swx2")).over(w).as("s2"))
+        val b = fdC(col("s1") * lit(1000000L), col("s0"))
+        val ui = rs.filter(col("d") > 0).agg(
+          sum(col("dx") * lit(1000000L) -
+            col("d") * fdC(col("s1") * lit(1000000L), col("s0"))).as("u"),
+          sum(col("d") * (fdC(col("s2") * lit(1000000L), col("s0")) -
+            fdC((b * b).cast("decimal(38,0)"), lit(1000000L)))).as("i"))
+          .head()
+        val (u, inf) = (BigInt(ui.getLong(0)), BigInt(ui.getLong(1)))
+        lastU = u
+        if (inf > 0) {
+          val (q, rem) = (u * 1000000) /% inf
+          beta += (if (rem.signum != 0 && rem.signum != inf.signum) q - 1
+            else q)
+        }
+      }
+      val counts = subj.agg(sum("e"), count(lit(1))).head()
+      s.createDataset(Seq(
+        ("beta_micro", beta.toLong), ("n_events", counts.getLong(0)),
+        ("n_subjects", counts.getLong(1)),
+        ("score_residual_micro", lastU.toLong)))
+        .toDF("term", "value").orderBy("term")
+    } finally subj.unpersist()
+  }
 
   /** Price-volume decomposition of a revenue change between two periods,
     * per group: Δrevenue = price effect + volume effect + residue, the
@@ -5959,6 +6098,7 @@ object Analytics {
     QueryDef("q317_kaplan_meier", q317, Some(q317Sql)),
     QueryDef("q323_diff_in_diff", q323, Some(q323Sql)),
     QueryDef("q325_logrank", q325, Some(q325Sql)),
+    QueryDef("q383_cox_ph", q383, Some(q383Sql)),
     QueryDef("q328_reorder_points", q328, Some(q328Sql)),
     QueryDef("q329_interp_quantiles", q329, Some(q329Sql)),
     QueryDef("q330_sql_calendar", q330, Some(q330Sql)),

@@ -1906,6 +1906,119 @@ object Similarity {
       .limit(topN)
   }
 
+  /** Full Lloyd k-means over int8-quantized vectors, T iterations — the
+    * codebook TRAINER behind the IVF family (ivfTopK / knnOutliersIvf
+    * consume a partitioning like the one this produces; until now the
+    * buckets were hash-seeded, this is the quality path).
+    *
+    * Cross-engine determinism (the [[Supervised.logisticFit]] recipe):
+    * centroids live on the driver in exact MICRO-quantized integers
+    * (so fractional means survive without floats); assignment is the
+    * exact integer argmin of Σ(x·10⁶ − c)² with ties to the lowest
+    * cluster id (one in-row array_min over (d², id) structs — no
+    * shuffle); the update is floor-division of exact component sums.
+    * Seeds are the k lowest-id vectors. Empty clusters keep their
+    * previous centroid. Per-term bound: (254·10⁶)²·d ≈ 4.2e18·(d/64)
+    * < 2^63 for d ≤ 140 — the caller's dimension contract.
+    *
+    * Scale: each iteration is one map-side assignment pass plus one
+    * (cluster, dim)-keyed aggregation — k·d rows of METADATA collected
+    * to the driver, never corpus data; T sequential scans total, the
+    * Lloyd lower bound.
+    */
+  def kmeansFit(vectors: DataFrame, idCol: String, vecCol: String,
+      k: Int, iters: Int): DataFrame = {
+    require(k >= 1 && iters >= 1, "kmeansFit needs k >= 1 and iters >= 1")
+    val q8df = vectors.select(col(idCol).as("vid"),
+      quantize8(col(vecCol)).as("q")).persist()
+    try {
+      var cents: Array[Array[Long]] = q8df.orderBy("vid").limit(k).collect()
+        .map(_.getSeq[Long](1).map(_ * 1000000L).toArray)
+      require(cents.length == k, s"kmeansFit: fewer than $k vectors")
+      def assign: Column = {
+        val cands = cents.zipWithIndex.map { case (c, j) =>
+          val d2 = aggregate(
+            zip_with(col("q"), array(c.map(lit): _*), (a, b) => {
+              val t = a * lit(1000000L) - b; t * t
+            }), lit(0L), (acc, x) => acc + x)
+          struct(d2.as("d2"), lit(j.toLong).as("cl"))
+        }
+        array_min(array(cands: _*))
+      }
+      for (_ <- 1 to iters) {
+        val sums = q8df.select(assign.getField("cl").as("cl"), col("q"))
+          .select(col("cl"), posexplode(col("q")))
+          .toDF("cl", "j", "v")
+          .groupBy("cl", "j").agg(sum("v").as("s"), count(lit(1)).as("n"))
+          .collect()
+        val byCl = sums.groupBy(_.getLong(0))
+        cents = cents.zipWithIndex.map { case (old, j) =>
+          byCl.get(j.toLong).fold(old) { rows =>
+            val next = old.clone()
+            rows.foreach { r =>
+              next(r.getInt(1)) =
+                Math.floorDiv(r.getLong(2) * 1000000L, r.getLong(3))
+            }
+            next
+          }
+        }
+      }
+      q8df.select(assign.as("a"))
+        .select(col("a.cl").as("cluster"), col("a.d2").as("d2"))
+        .groupBy("cluster")
+        .agg(count(lit(1)).as("n"),
+          expr("cast(sum(cast(d2 as decimal(38,0))) div 1000000000000 " +
+            "as bigint)").as("wcss_unit2"))
+        .orderBy("cluster")
+    } finally q8df.unpersist()
+  }
+
+  // ---- q381: 4-way Lloyd codebook over the embedding corpus ------------------
+  private def q381(s: SparkSession, d: String): DataFrame =
+    kmeansFit(Tables.embeddings(s, d), "vec_id", "embedding",
+      k = 4, iters = 3)
+  private val q381Sql = {
+    import Supervised.fd
+    val D = 64
+    def d2(v: String, c: String) =
+      s"""list_sum(list_transform(range(1, ${D + 1}),
+        j -> ($v.q[j]*1000000 - $c.c[j]) * ($v.q[j]*1000000 - $c.c[j])))"""
+    def assignLevel(name: String, cTab: String) =
+      s"""$name AS MATERIALIZED (
+        SELECT vid, q, cl, d2 FROM (
+          SELECT v.vid, v.q, c.cl, ${d2("v", "c")}::HUGEINT AS d2,
+            row_number() OVER (PARTITION BY v.vid
+              ORDER BY ${d2("v", "c")}, c.cl) AS rk
+          FROM q8 v, $cTab c) WHERE rk = 1)"""
+    val T = 3
+    val levels = scala.collection.mutable.ArrayBuffer(
+      """q8 AS MATERIALIZED (
+        SELECT vec_id AS vid, list_transform(embedding, x -> floor(x::DOUBLE /
+          (list_max(list_transform(embedding, y -> abs(y))))::DOUBLE
+          * 127)::BIGINT) AS q
+        FROM embeddings)""",
+      """c0 AS MATERIALIZED (
+        SELECT (row_number() OVER (ORDER BY vid) - 1)::BIGINT AS cl,
+          list_transform(q, v -> v * 1000000) AS c
+        FROM q8 ORDER BY vid LIMIT 4)""")
+    for (i <- 1 to T) {
+      levels += assignLevel(s"a$i", s"c${i - 1}")
+      levels += s"""m$i AS MATERIALIZED (
+        SELECT cl, j, ${fd("sum(q[j])*1000000", "count(*)")}::BIGINT AS cc
+        FROM a$i, range(1, ${D + 1}) r(j) GROUP BY cl, j)"""
+      levels += s"""c$i AS MATERIALIZED (
+        SELECT o.cl, coalesce(n.c, o.c) AS c
+        FROM c${i - 1} o LEFT JOIN (
+          SELECT cl, list(cc ORDER BY j) AS c FROM m$i GROUP BY cl) n
+        ON n.cl = o.cl)"""
+    }
+    levels += assignLevel("fin", s"c$T")
+    s"""WITH ${levels.mkString(",\n")}
+      SELECT cl AS cluster, count(*)::BIGINT AS n,
+        ${fd("sum(d2)", "1000000000000")}::BIGINT AS wcss_unit2
+      FROM fin GROUP BY cl ORDER BY cl"""
+  }
+
   // ---- q380: density-ratio outliers over the embedding corpus ----------------
   private def q380(s: SparkSession, d: String): DataFrame =
     lofOutliers(Tables.embeddings(s, d), "vec_id", "embedding",
@@ -2592,6 +2705,7 @@ object Similarity {
     QueryDef("q286_knn_outliers", q286, Some(q286Sql)),
     QueryDef("q350_knn_outliers_ivf", q350, Some(q350Sql)),
     QueryDef("q380_lof_outliers", q380, Some(q380Sql)),
+    QueryDef("q381_kmeans_fit", q381, Some(q381Sql)),
     QueryDef("q359_gram_matrix", q359, Some(q359Sql)),
     QueryDef("q360_power_iteration", q360, Some(q360Sql)),
     QueryDef("q361_principal_projection", q361, Some(q361Sql)),

@@ -103,7 +103,7 @@ object Supervised {
     * toward zero; the remainder-sign correction makes it a floor —
     * [[Analytics.floorDivSql]] in DuckDB spelling).
     */
-  private def fd(a: String, b: String): String =
+  private[operators] def fd(a: String, b: String): String =
     s"(($a)//($b) + (case when ($a) % ($b) < 0 then -1 else 0 end))"
 
   /** Generated unrolled-fold oracle for [[logisticFit]]: w0 carries the
@@ -149,6 +149,140 @@ object Supervised {
           END)::BIGINT FROM scored
         UNION ALL SELECT 'n_rows', n::BIGINT FROM nn)
       SELECT term, value FROM terms ORDER BY term"""
+  }
+
+  /** Ordinary least squares for TWO regressors plus intercept, solved
+    * EXACTLY by Cramer's rule over the normal equations — no iteration,
+    * no floating point until the caller interprets the micros. One
+    * distributed pass collects the nine moment sums (pure BIGINT — the
+    * caller keeps features/target integer-scaled so Σx·y stays well
+    * under 2^63); the 3×3 determinants are driver-side BigInt (exact at
+    * any magnitude); a second pass computes SSE/SST against the
+    * micro-quantized coefficients as DECIMAL(38,0) sums of squared
+    * integer residuals. R² is reported in ppm with ONE fixed truncation
+    * chain (sst floor-divided by 10⁶ first, so the dividend never
+    * outgrows 38 digits at 100-TB row counts).
+    *
+    * Scale: both passes are map-side-partial aggregations to a single
+    * 9-number (then 2-number) row — the same shape as a count(*); the
+    * only driver state is the moment vector. This is the closed-form
+    * companion to [[logisticFit]]'s iterative fit.
+    */
+  def olsFit2(df: DataFrame, yCol: Column, x1Col: Column,
+      x2Col: Column): DataFrame = {
+    val s = df.sparkSession
+    import s.implicits._
+    val r = df.select(yCol.cast("long").as("y"), x1Col.cast("long").as("x1"),
+      x2Col.cast("long").as("x2")).persist()
+    try {
+      val m = r.agg(count(lit(1)).as("n"), sum("x1").as("s1"),
+        sum("x2").as("s2"),
+        sum(col("x1") * col("x1")).as("s11"),
+        sum(col("x1") * col("x2")).as("s12"),
+        sum(col("x2") * col("x2")).as("s22"), sum("y").as("sy"),
+        sum(col("x1") * col("y")).as("s1y"),
+        sum(col("x2") * col("y")).as("s2y")).head()
+      require(m.getLong(0) > 2, "olsFit2 needs more rows than parameters")
+      val Seq(n, s1, s2, s11, s12, s22, sy, s1y, s2y) =
+        (0 until 9).map(i => BigInt(m.getLong(i)))
+      val det = n * (s11 * s22 - s12 * s12) - s1 * (s1 * s22 - s12 * s2) +
+        s2 * (s1 * s12 - s11 * s2)
+      require(det != 0, "olsFit2: singular normal matrix (collinear features)")
+      val det0 = sy * (s11 * s22 - s12 * s12) -
+        s1 * (s1y * s22 - s12 * s2y) + s2 * (s1y * s12 - s11 * s2y)
+      val det1 = n * (s1y * s22 - s12 * s2y) - sy * (s1 * s22 - s12 * s2) +
+        s2 * (s1 * s2y - s1y * s2)
+      val det2 = n * (s11 * s2y - s1y * s12) - s1 * (s1 * s2y - s1y * s2) +
+        sy * (s1 * s12 - s11 * s2)
+      def fdB(a: BigInt, b: BigInt): BigInt = {
+        val (q, rem) = a /% b
+        if (rem.signum != 0 && (rem.signum != b.signum)) q - 1 else q
+      }
+      val M = BigInt(1000000)
+      val (b0, b1, b2) = (fdB(det0 * M, det), fdB(det1 * M, det),
+        fdB(det2 * M, det))
+      require(b0.isValidLong && b1.isValidLong && b2.isValidLong,
+        "olsFit2: coefficient out of BIGINT micro range — rescale inputs")
+      val ym = fdB(sy * M, n)
+      val resid = (col("y") * lit(1000000L) - (lit(b0.toLong) +
+        lit(b1.toLong) * col("x1") + lit(b2.toLong) * col("x2")))
+        .cast("decimal(38,0)")
+      val dev = (col("y") * lit(1000000L) - lit(ym.toLong))
+        .cast("decimal(38,0)")
+      val e = r.agg(sum(resid * resid).as("sse"), sum(dev * dev).as("sst"))
+        .head()
+      val (sse, sst) = (BigInt(e.getDecimal(0).toBigInteger),
+        BigInt(e.getDecimal(1).toBigInteger))
+      val r2 = if (sst == 0) BigInt(0) else M - fdB(sse, fdB(sst, M))
+      s.createDataset(Seq(
+        ("b0_micro", b0.toLong), ("b1_micro", b1.toLong),
+        ("b2_micro", b2.toLong), ("n_rows", n.toLong),
+        ("r2_ppm", r2.toLong))).toDF("term", "value").orderBy("term")
+    } finally r.unpersist()
+  }
+
+  /** Leakage-safe leave-one-out target encoding: each row's category is
+    * encoded as the mean label of the OTHER rows in its category —
+    * `(Σ_cat y − y_i)·10⁶ div (n_cat − 1)` in exact micros, falling back
+    * to the global mean for singleton categories. Returned as the
+    * per-(category, label) audit (with a binary label the encoding takes
+    * exactly two values per category): cat, y, n, enc_micro.
+    *
+    * Scale: one category aggregate (dimension-sized, broadcast back
+    * onto the fact side) + one O(1) global row — the fact table is
+    * touched once, map-side.
+    */
+  def looTargetEncode(df: DataFrame, catCol: Column,
+      labelCol: Column): DataFrame = {
+    val b = df.select(catCol.as("cat"), labelCol.cast("long").as("y"))
+    val c = b.groupBy("cat").agg(count(lit(1)).as("n"), sum("y").as("s"))
+    val g = b.agg(count(lit(1)).as("gn"), sum("y").as("gs"))
+    b.join(broadcast(c), Seq("cat"))
+      .crossJoin(broadcast(g))
+      .select(col("cat"), col("y"),
+        when(col("n") > 1, expr("(s - y) * 1000000 div (n - 1)"))
+          .otherwise(expr("gs * 1000000 div gn")).as("enc_micro"))
+      .groupBy("cat", "y")
+      .agg(count(lit(1)).as("n"), first("enc_micro").as("enc_micro"))
+      .orderBy("cat", "y")
+  }
+
+  /** ln quantized to exact integer micros at its single computation
+    * site — every downstream sum is then order-independent BIGINT
+    * addition (the [[naiveBayes]] discipline).
+    */
+  private def lnq(c: Column): Column =
+    floor(log(c.cast("double")) * lit(1e6) + lit(0.5)).cast("long")
+
+  /** Mutual information between each (bucketized, integer-valued)
+    * feature and the label, ranked descending — the "which columns are
+    * worth training on" screen. Unnormalized: MI_q = Σ_xy n_xy·(lnq n_xy
+    * + lnq N − lnq n_x − lnq n_y) in micro-nat·rows, exact integer
+    * algebra because ln(a/b) = ln a − ln b lets every logarithm take an
+    * INTEGER argument.
+    *
+    * Scale: the fact table is exploded |features|-fold map-side, then
+    * everything is aggregates over (feature, x, y) — a bounded-domain
+    * relation (buckets × classes) — with dimension-sized joins.
+    */
+  def miRanking(df: DataFrame, labelCol: Column,
+      features: Seq[(String, Column)]): DataFrame = {
+    require(features.nonEmpty, "miRanking needs at least one feature")
+    val stacked = df.select(explode(array(features.map { case (n, c) =>
+        struct(lit(n).as("feature"), c.cast("long").as("x")) }: _*)).as("f"),
+        labelCol.cast("long").as("y"))
+      .select(col("f.feature").as("feature"), col("f.x").as("x"), col("y"))
+    val nxy = stacked.groupBy("feature", "x", "y")
+      .agg(count(lit(1)).as("nxy"))
+    val nx = nxy.groupBy("feature", "x").agg(sum("nxy").as("nx"))
+    val ny = nxy.groupBy("feature", "y").agg(sum("nxy").as("ny"))
+    val nn = nxy.groupBy("feature").agg(sum("nxy").as("n"))
+    nxy.join(nx, Seq("feature", "x")).join(broadcast(ny), Seq("feature", "y"))
+      .join(broadcast(nn), Seq("feature"))
+      .select(col("feature"), (col("nxy") * (lnq(col("nxy")) +
+        lnq(col("n")) - lnq(col("nx")) - lnq(col("ny")))).as("term"))
+      .groupBy("feature").agg(sum("term").as("mi_q"))
+      .orderBy(col("mi_q").desc, col("feature"))
   }
 
   /** Multinomial naive Bayes over a token column: train on one slice,
@@ -278,7 +412,112 @@ object Supervised {
         round(l_discount*100)::BIGINT AS x2 FROM lineitem""",
     Q378Feats, lrShift = 3, iters = 12)
 
+  // ---- q382: is extended price linear in quantity/discount? ------------------
+  // The closed-form screen before reaching for the iterative fit: exact
+  // coefficients + R² in one pass each. (On this synthetic lineitem the
+  // price is NOT the TPC-H qty×unitprice product — R² near zero is the
+  // honest answer, same probe contract as q378.)
+  private def q382(s: SparkSession, d: String): DataFrame =
+    olsFit2(Tables.lineitem(s, d),
+      expr("CAST(round(l_extendedprice*100) AS BIGINT)"),
+      expr("CAST(l_quantity AS BIGINT)"),
+      expr("CAST(round(l_discount*100) AS BIGINT)"))
+  private val q382Sql = {
+    val M = "1000000"
+    s"""WITH r AS (
+        SELECT round(l_extendedprice*100)::BIGINT AS y,
+          l_quantity::BIGINT AS x1, round(l_discount*100)::BIGINT AS x2
+        FROM lineitem),
+      s AS (
+        SELECT count(*)::HUGEINT AS n, sum(x1)::HUGEINT AS s1,
+          sum(x2)::HUGEINT AS s2, sum(x1*x1)::HUGEINT AS s11,
+          sum(x1*x2)::HUGEINT AS s12, sum(x2*x2)::HUGEINT AS s22,
+          sum(y)::HUGEINT AS sy, sum(x1*y)::HUGEINT AS s1y,
+          sum(x2*y)::HUGEINT AS s2y
+        FROM r),
+      d AS (
+        SELECT n, sy,
+          n*(s11*s22 - s12*s12) - s1*(s1*s22 - s12*s2)
+            + s2*(s1*s12 - s11*s2) AS det,
+          sy*(s11*s22 - s12*s12) - s1*(s1y*s22 - s12*s2y)
+            + s2*(s1y*s12 - s11*s2y) AS det0,
+          n*(s1y*s22 - s12*s2y) - sy*(s1*s22 - s12*s2)
+            + s2*(s1*s2y - s1y*s2) AS det1,
+          n*(s11*s2y - s1y*s12) - s1*(s1*s2y - s1y*s2)
+            + sy*(s1*s12 - s11*s2) AS det2
+        FROM s),
+      b AS (
+        SELECT n, sy, ${fd(s"det0*$M", "det")}::HUGEINT AS b0,
+          ${fd(s"det1*$M", "det")}::HUGEINT AS b1,
+          ${fd(s"det2*$M", "det")}::HUGEINT AS b2
+        FROM d),
+      ym AS (SELECT ${fd(s"sy*$M", "n")}::HUGEINT AS ym FROM b),
+      e AS (
+        SELECT sum((r.y::HUGEINT*$M - (b.b0 + b.b1*r.x1 + b.b2*r.x2))
+                 * (r.y::HUGEINT*$M - (b.b0 + b.b1*r.x1 + b.b2*r.x2))) AS sse,
+          sum((r.y::HUGEINT*$M - ym.ym) * (r.y::HUGEINT*$M - ym.ym)) AS sst
+        FROM r, b, ym),
+      m AS (
+        SELECT b.b0, b.b1, b.b2, b.n,
+          ($M - ${fd("e.sse", fd("e.sst", M))})::BIGINT AS r2_ppm
+        FROM b, e)
+      SELECT * FROM (
+        SELECT 'b0_micro' AS term, b0::BIGINT AS value FROM m
+        UNION ALL SELECT 'b1_micro', b1::BIGINT FROM m
+        UNION ALL SELECT 'b2_micro', b2::BIGINT FROM m
+        UNION ALL SELECT 'n_rows', n::BIGINT FROM m
+        UNION ALL SELECT 'r2_ppm', r2_ppm FROM m) ORDER BY term"""
+  }
+
+  // ---- q384: leakage-safe priority→status target encoding audit --------------
+  private def q384(s: SparkSession, d: String): DataFrame =
+    looTargetEncode(Tables.orders(s, d), col("o_orderpriority"),
+      (col("o_orderstatus") === "F").cast("long"))
+  private val q384Sql =
+    """WITH b AS (
+        SELECT o_orderpriority AS cat, (o_orderstatus='F')::BIGINT AS y
+        FROM orders),
+      c AS (SELECT cat, count(*)::BIGINT AS n, sum(y)::BIGINT AS s
+        FROM b GROUP BY cat),
+      g AS (SELECT count(*)::BIGINT AS n, sum(y)::BIGINT AS s FROM b),
+      enc AS (
+        SELECT b.cat, b.y,
+          CASE WHEN c.n > 1 THEN ((c.s - b.y) * 1000000 // (c.n - 1))::BIGINT
+            ELSE (g.s * 1000000 // g.n)::BIGINT END AS enc_micro
+        FROM b JOIN c USING (cat), g)
+      SELECT cat, y, count(*)::BIGINT AS n, any_value(enc_micro) AS enc_micro
+      FROM enc GROUP BY 1, 2 ORDER BY 1, 2"""
+
+  // ---- q385: which lineitem columns carry returnflag signal? -----------------
+  private def q385(s: SparkSession, d: String): DataFrame =
+    miRanking(Tables.lineitem(s, d), (col("l_returnflag") === "R").cast("long"),
+      Seq("qty_bucket" -> expr("CAST(l_quantity AS BIGINT) div 10"),
+        "disc_pct" -> expr("CAST(round(l_discount*100) AS BIGINT)"),
+        "tax_pct" -> expr("CAST(round(l_tax*100) AS BIGINT)")))
+  private val q385Sql =
+    """WITH f AS (
+        SELECT unnest(['qty_bucket','disc_pct','tax_pct']) AS feature,
+          unnest([(l_quantity::BIGINT)//10, round(l_discount*100)::BIGINT,
+                  round(l_tax*100)::BIGINT]) AS x,
+          (l_returnflag='R')::BIGINT AS y
+        FROM lineitem),
+      nxy AS (SELECT feature, x, y, count(*)::BIGINT AS nxy
+        FROM f GROUP BY 1, 2, 3),
+      nx AS (SELECT feature, x, sum(nxy)::BIGINT AS nx FROM nxy GROUP BY 1, 2),
+      ny AS (SELECT feature, y, sum(nxy)::BIGINT AS ny FROM nxy GROUP BY 1, 2),
+      nn AS (SELECT feature, sum(nxy)::BIGINT AS n FROM nxy GROUP BY 1)
+      SELECT feature,
+        sum(nxy * (floor(ln(nxy)*1e6+0.5)::BIGINT + floor(ln(n)*1e6+0.5)::BIGINT
+          - floor(ln(nx)*1e6+0.5)::BIGINT
+          - floor(ln(ny)*1e6+0.5)::BIGINT))::BIGINT AS mi_q
+      FROM nxy JOIN nx USING (feature, x) JOIN ny USING (feature, y)
+        JOIN nn USING (feature)
+      GROUP BY feature ORDER BY mi_q DESC, feature"""
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q378_logistic_fit", q378, Some(q378Sql)),
-    QueryDef("q379_naive_bayes", q379, Some(q379Sql)))
+    QueryDef("q379_naive_bayes", q379, Some(q379Sql)),
+    QueryDef("q382_ols_cramer", q382, Some(q382Sql)),
+    QueryDef("q384_target_encode", q384, Some(q384Sql)),
+    QueryDef("q385_mi_ranking", q385, Some(q385Sql)))
 }

@@ -780,6 +780,29 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("coxFit recovers the hazard direction and converges") {
+    // High-x subjects fail EARLY (x=2 at t=1,2; x=0 at t=5,6 or
+    // censored): the log-hazard slope must come out positive, and with
+    // 8 Newton steps the score at the last update must be ~0 micros.
+    val df = Seq((1L, true, 2L), (2L, true, 2L), (2L, true, 2L),
+      (5L, true, 0L), (6L, true, 0L), (7L, false, 0L), (8L, false, 0L))
+      .toDF("dur", "ev", "x")
+    val got = Analytics.coxFit(df, col("dur"), col("ev"), col("x"), 8)
+      .as[(String, Long)].collect().toMap
+    assert(got("beta_micro") > 500000L, got.toString)
+    assert(math.abs(got("score_residual_micro")) < 2000L, got.toString)
+    assert(got("n_events") === 5L && got("n_subjects") === 7L)
+  }
+
+  test("coxFit is exact fixed-point: partitioning cannot move a bit") {
+    val df = (0 until 60).map(i =>
+      ((i % 9 + 1).toLong, i % 4 != 0, (i % 5).toLong)).toDF("dur", "ev", "x")
+    val a = Analytics.coxFit(df, col("dur"), col("ev"), col("x"), 5).collect()
+    val b = Analytics.coxFit(df.repartition(13), col("dur"), col("ev"),
+      col("x"), 5).collect()
+    assert(a.toSeq === b.toSeq)
+  }
+
   test("priceVolumeBridge reconciles delta = price + volume + residue") {
     // g1: period 1 sells 10 units for 1000c (p=100); period 2 sells
     // 20 units for 2400c (p=120). price effect = 2400 - 1000*20/10 = 400,

@@ -496,6 +496,35 @@ class SimilaritySpec extends SparkSpec {
     assert(got.map(_._2).forall(_ === 1000000L), got.mkString(","))
   }
 
+  test("kmeansFit separates two planted clusters and drives WCSS to the in-cluster spread") {
+    // Two tight orthogonal clusters; seeds are the two lowest ids (one
+    // from each cluster), so one Lloyd step already classifies
+    // perfectly and further steps only recentre.
+    val df = Seq(
+      (1L, Seq(1.0f, 0.0f)), (3L, Seq(0.98f, 0.02f)), (5L, Seq(1.0f, 0.04f)),
+      (2L, Seq(0.0f, 1.0f)), (4L, Seq(0.02f, 0.98f)), (6L, Seq(0.04f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.kmeansFit(df, "vec_id", "embedding", k = 2,
+        iters = 3)
+      .as[(Long, Long, Long)].collect()
+    assert(got.map(c => (c._1, c._2)) === Array((0L, 3L), (1L, 3L)))
+    // quantized cluster members differ by <= 5 units per dim -> tiny WCSS
+    assert(got.forall(_._3 < 20L), got.mkString(","))
+  }
+
+  test("kmeansFit keeps a centroid alive when its cluster empties") {
+    // Both seeds sit on id 1/2; all mass is identical to seed 1, so
+    // seed 2's cluster empties after the first assignment (ties go to
+    // the LOWest cluster id) and must retain its previous centroid
+    // instead of dividing by zero.
+    val df = Seq((1L, Seq(1.0f, 1.0f)), (2L, Seq(1.0f, 1.0f)),
+      (3L, Seq(1.0f, 1.0f))).toDF("vec_id", "embedding")
+    val got = Similarity.kmeansFit(df, "vec_id", "embedding", k = 2,
+        iters = 2)
+      .as[(Long, Long, Long)].collect()
+    assert(got === Array((0L, 3L, 0L)))
+  }
+
   test("matryoshkaRecall: truncation misranks, full width is exact") {
     // Query 0 = (1,1). Full cosine: id2 = (1,1) is the true top-1
     // (cos 1) over id1 = (2,-0.5) (cos ~0.51). At d' = 1 every

@@ -41,6 +41,46 @@ class SupervisedSpec extends SparkSpec {
     assert(got === Array(("X", "X", 1L), ("Y", "X", 1L), ("Y", "Y", 1L)))
   }
 
+  test("olsFit2 recovers an exact linear relation with r2 = 1") {
+    // y = 3 + 2*x1 + 5*x2 exactly: Cramer must return the coefficients
+    // in exact micros and SSE must be exactly zero.
+    val df = (for (x1 <- 0 to 4; x2 <- 0 to 3)
+      yield (3L + 2 * x1 + 5 * x2, x1.toLong, x2.toLong)).toDF("y", "x1", "x2")
+    val got = Supervised.olsFit2(df, col("y"), col("x1"), col("x2"))
+      .as[(String, Long)].collect().toMap
+    assert(got === Map("b0_micro" -> 3000000L, "b1_micro" -> 2000000L,
+      "b2_micro" -> 5000000L, "n_rows" -> 20L, "r2_ppm" -> 1000000L))
+  }
+
+  test("olsFit2 rejects collinear features") {
+    val df = (0 to 9).map(i => (i.toLong, i.toLong, 2L * i)).toDF("y", "x1", "x2")
+    intercept[IllegalArgumentException] {
+      Supervised.olsFit2(df, col("y"), col("x1"), col("x2"))
+    }
+  }
+
+  test("looTargetEncode: each row is scored without its own label; singletons fall back") {
+    // cat A: ys (1,1,0) -> LOO enc for y=1 rows: (2-1)/2 = 500000;
+    // for the y=0 row: (2-0)/2 = 1000000. cat B singleton -> global
+    // mean 3/4 = 750000.
+    val df = Seq(("A", 1L), ("A", 1L), ("A", 0L), ("B", 1L))
+      .toDF("cat", "y")
+    val got = Supervised.looTargetEncode(df, col("cat"), col("y"))
+      .as[(String, Long, Long, Long)].collect()
+    assert(got === Array(("A", 0L, 1L, 1000000L), ("A", 1L, 2L, 500000L),
+      ("B", 1L, 1L, 750000L)))
+  }
+
+  test("miRanking: a determining feature dominates an independent one") {
+    // x_dep == y exactly (MI = ln 2 per row); x_ind constant (MI = 0).
+    val df = (0 until 8).map(i => (i % 2, i % 2, 1)).toDF("y", "dep", "ind")
+    val got = Supervised.miRanking(df, col("y"),
+        Seq("dep" -> col("dep"), "ind" -> col("ind")))
+      .as[(String, Long)].collect()
+    // 8 * (lnq(8) - lnq(4)) = 8 * (2079442 - 1386294)
+    assert(got === Array(("dep", 5545184L), ("ind", 0L)))
+  }
+
   test("logisticFit is invariant to partitioning") {
     val df = (0 until 64).map(i => (i % 3 == 0, i % 7, i % 5))
       .toDF("y", "a", "b")
