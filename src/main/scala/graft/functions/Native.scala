@@ -67,6 +67,14 @@ object Native {
       },
       "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_jaro_winkler",
+      exprs => {
+        require(exprs.length == 2,
+          "graft_jaro_winkler(a, b) takes two strings")
+        JaroWinklerSim(exprs.head, exprs(1))
+      },
+      "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_l2dist",
       exprs => {
         require(exprs.length == 2, "graft_l2dist(a, b) takes two arrays")

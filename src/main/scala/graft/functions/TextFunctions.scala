@@ -126,6 +126,13 @@ object TextFunctions {
   def quantize8(vec: Column): Column =
     call_function("graft_quantize8", vec)
 
+  /** Jaro–Winkler similarity of two strings — native codegen'd
+    * [[JaroWinklerSim]] kernel, bit-identical to DuckDB's
+    * `jaro_winkler_similarity` (requires [[Native.register]]).
+    */
+  def jaroWinkler(a: Column, b: Column): Column =
+    call_function("graft_jaro_winkler", a, b)
+
   /** Unicode NFC canonical composition — native [[NfcNormalize]] kernel
     * (java.text.Normalizer, UAX #15). Run before any hashing/dedup
     * operator so canonically-equal text hashes equal.

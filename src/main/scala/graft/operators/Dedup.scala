@@ -2331,7 +2331,53 @@ object Dedup {
          0::BIGINT AS n_missed, 0::BIGINT AS n_extra
        FROM truth"""
 
+  /** Prefix-blocked Jaro–Winkler fuzzy pairs over a name column — the
+    * Fellegi–Sunter comparator pass for SHORT IDENTITY STRINGS (names,
+    * brands, addresses), where a shared prefix outweighs a mid-string
+    * typo: distinct names only, equi-join on the first `blockChars`
+    * characters (never all-pairs — JW ≥ ~0.8 forces a long common
+    * prefix, so first-char blocking has near-perfect recall by the
+    * metric's own construction), scored by the native codegen'd
+    * [[graft.functions.JaroWinklerSim]] kernel and reported in micros
+    * (floor(jw·10⁶ + 0.5), bit-identical to DuckDB's
+    * `jaro_winkler_similarity`).
+    *
+    * Scale: the name DOMAIN (not the corpus) enters the self-join —
+    * dimension-sized after the distinct — and the block key is a
+    * fixed-width shuffle key; per-block work is |block|², the standard
+    * blocking trade the `q226_blocking_quality` audit measures.
+    */
+  def jaroWinklerPairs(df: DataFrame, nameCol: Column, blockChars: Int,
+      minMicro: Long): DataFrame = {
+    require(blockChars >= 1, "jaroWinklerPairs needs blockChars >= 1")
+    val names = df.select(nameCol.as("n")).distinct()
+      .withColumn("blk", substring(col("n"), 1, blockChars))
+    names.as("a").join(names.as("b"),
+        col("a.blk") === col("b.blk") && col("a.n") < col("b.n"))
+      .select(col("a.n").as("n1"), col("b.n").as("n2"),
+        floor(jaroWinkler(col("a.n"), col("b.n")) * lit(1e6) + lit(0.5))
+          .cast("long").as("jw_micro"))
+      .filter(col("jw_micro") >= minMicro)
+      .orderBy(col("jw_micro").desc, col("n1"), col("n2"))
+  }
+
+  // ---- q386: which part names are one typo apart? -----------------------------
+  private def q386(s: SparkSession, d: String): DataFrame =
+    jaroWinklerPairs(Tables.part(s, d), col("p_name"), blockChars = 1,
+      minMicro = 820000L)
+  private val q386Sql =
+    """WITH n AS (SELECT DISTINCT p_name AS nm FROM part),
+      p AS (
+        SELECT a.nm AS n1, b.nm AS n2,
+          floor(jaro_winkler_similarity(a.nm, b.nm)*1e6 + 0.5)::BIGINT
+            AS jw_micro
+        FROM n a JOIN n b
+          ON substr(a.nm, 1, 1) = substr(b.nm, 1, 1) AND a.nm < b.nm)
+      SELECT n1, n2, jw_micro FROM p WHERE jw_micro >= 820000
+      ORDER BY jw_micro DESC, n1, n2"""
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q386_jw_pairs", q386, Some(q386Sql)),
     QueryDef("q25_exact_dedup", q25, Some(q25Sql)),
     QueryDef("q226_blocking_quality", q226, Some(q226Sql)),
     QueryDef("q254_sorted_neighborhood", q254, Some(q254Sql)),
