@@ -412,6 +412,153 @@ object Supervised {
         round(l_discount*100)::BIGINT AS x2 FROM lineitem""",
     Q378Feats, lrShift = 3, iters = 12)
 
+  /** Gradient-boosted depth-1 trees (stumps) under squared loss — the
+    * "small nonlinear model in the warehouse" step past [[olsFit2]]:
+    * T rounds, each fitting one (feature ≤ threshold) split to the
+    * current residuals with shrinkage 1/2, variance-reduction split
+    * criterion, ties broken (gain desc, feature asc, threshold asc).
+    *
+    * The whole fit happens on the CELL COLLAPSE: rows with identical
+    * (bucketized) feature vectors share every prediction, so the corpus
+    * is grouped once into |X₁|·…·|X_k|-bounded cells (n, Σy) and all T
+    * rounds run over that metadata-sized relation — per-round split
+    * search is a prefix-sum over per-(feature, value) aggregates, gains
+    * are exact BigInt ⌊S_L²/n_L⌋ + ⌊S_R²/n_R⌋ (residual sums stay in
+    * integer micros by construction: cell resid = Σy·10⁶ − n·pred and
+    * leaf values ⌊S/(2n)⌋ are integers), so the fitted model is
+    * bit-identical under any partitioning and engine. The oracle
+    * re-derives the SAME argmax per round as an ORDER BY … LIMIT 1
+    * CTE chain.
+    *
+    * Scale: ONE corpus pass total (the collapse); everything after is
+    * bounded-domain. Returns the stump table: round, feature, thr,
+    * leaf_lo_micro, leaf_hi_micro.
+    */
+  def gbStumps(df: DataFrame, labelCol: Column,
+      features: Seq[(String, Column)], rounds: Int): DataFrame = {
+    require(features.nonEmpty && rounds >= 1,
+      "gbStumps needs features and rounds >= 1")
+    val s = df.sparkSession
+    import s.implicits._
+    val k = features.size
+    val names = features.map(_._1)
+    val cells = df.select((labelCol.cast("long").as("y") +:
+        features.zipWithIndex.map { case ((_, c), j) =>
+          c.cast("long").as(s"x$j") }): _*)
+      .groupBy((0 until k).map(j => col(s"x$j")): _*)
+      .agg(count(lit(1)).as("n"), sum(col("y")).as("sy"))
+      .persist()
+    try {
+      def fdB(a: BigInt, b: BigInt): BigInt = {
+        val (q, rem) = a /% b
+        if (rem.signum != 0 && rem.signum != b.signum) q - 1 else q
+      }
+      var stumps = Vector.empty[(Int, Long, Long, Long)] // (j, v, lo, hi)
+      for (_ <- 1 to rounds) {
+        val pred = stumps.foldLeft(lit(0L)) { case (acc, (j, v, lo, hi)) =>
+          acc + when(col(s"x$j") <= lit(v), lit(lo)).otherwise(lit(hi))
+        }
+        val withR = cells.withColumn("r",
+          col("sy") * lit(1000000L) - col("n") * pred)
+        // (feature, value) candidate stats, prefix-summed per feature
+        val melted = withR.select(explode(array((0 until k).map(j =>
+            struct(lit(j).as("f"), col(s"x$j").as("v"))): _*)).as("fv"),
+            col("r"), col("n"))
+          .groupBy(col("fv.f").as("f"), col("fv.v").as("v"))
+          .agg(sum("r").as("rs"), sum("n").as("ns"))
+        val w = org.apache.spark.sql.expressions.Window.partitionBy("f")
+          .orderBy("v").rowsBetween(Long.MinValue, 0)
+        val cand = melted.select(col("f"), col("v"),
+            sum("rs").over(w).as("sl"), sum("ns").over(w).as("nl"))
+          .collect()
+          .map(r => (r.getInt(0), r.getLong(1), BigInt(r.getLong(2)),
+            r.getLong(3)))
+        val (bigS, bigN) = {
+          val per = cand.groupBy(_._1).map { case (_, rows) =>
+            val last = rows.maxBy(_._2); (last._3, last._4)
+          }
+          (per.head._1, per.head._2) // identical across features
+        }
+        val best = cand
+          .filter { case (_, _, _, nl) => nl > 0 && nl < bigN }
+          .map { case (f, v, sl, nl) =>
+            val sr = bigS - sl
+            val nr = bigN - nl
+            (fdB(sl * sl, nl) + fdB(sr * sr, nr), f, v, sl, nl, sr, nr)
+          }
+          .sortBy { case (gain, f, v, _, _, _, _) => (-gain, f, v) }
+          .headOption
+          .getOrElse(sys.error("gbStumps: no admissible split " +
+            "(single feature cell)"))
+        val (_, f, v, sl, nl, sr, nr) = best
+        stumps :+= ((f, v, fdB(sl, BigInt(2) * nl).toLong,
+          fdB(sr, BigInt(2) * nr).toLong))
+      }
+      s.createDataset(stumps.zipWithIndex.map { case ((j, v, lo, hi), i) =>
+        ((i + 1).toLong, names(j), v, lo, hi)
+      }).toDF("round", "feature", "thr", "leaf_lo_micro", "leaf_hi_micro")
+        .orderBy("round")
+    } finally cells.unpersist()
+  }
+
+  /** Generated per-round argmax oracle for [[gbStumps]]: cells0 is the
+    * cell collapse, then per round a (resid, candidate, pick, pred)
+    * CTE quartet re-derives the same split via ORDER BY gain DESC,
+    * feature, threshold LIMIT 1. cellsSql projects y, x0..x{k-1}.
+    */
+  private def gbStumpsSql(cellsSql: String, names: Seq[String],
+      rounds: Int): String = {
+    val k = names.size
+    val xs = (0 until k).map(j => s"x$j").mkString(", ")
+    val levels = scala.collection.mutable.ArrayBuffer(
+      s"""cells0 AS MATERIALIZED (
+        SELECT $xs, count(*)::BIGINT AS n, sum(y)::BIGINT AS sy,
+          0::BIGINT AS pred
+        FROM ($cellsSql) GROUP BY $xs)""")
+    for (t <- 1 to rounds) {
+      val p = s"cells${t - 1}"
+      levels += s"""cand$t AS MATERIALIZED (
+        SELECT f, v,
+          sum(rs) OVER (PARTITION BY f ORDER BY v
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::HUGEINT AS sl,
+          sum(ns) OVER (PARTITION BY f ORDER BY v
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::HUGEINT AS nl
+        FROM (
+          SELECT f, v, sum(r)::BIGINT AS rs, sum(n)::BIGINT AS ns
+          FROM (
+            SELECT unnest([${(0 until k).map(j => s"$j").mkString(", ")}]) AS f,
+              unnest([$xs]) AS v,
+              sy * 1000000 - n * pred AS r, n
+            FROM $p)
+          GROUP BY f, v))"""
+      levels += s"""tot$t AS (
+        SELECT sum(sy * 1000000 - n * pred)::HUGEINT AS s,
+          sum(n)::HUGEINT AS nn
+        FROM $p)"""
+      levels += s"""pick$t AS MATERIALIZED (
+        SELECT f, v, ${fd("sl", "2 * nl")}::BIGINT AS lo,
+          ${fd("s - sl", "2 * (nn - nl)")}::BIGINT AS hi
+        FROM cand$t, tot$t
+        WHERE nl > 0 AND nl < nn
+        ORDER BY (sl * sl // nl) + ((s - sl) * (s - sl) // (nn - nl)) DESC,
+          f, v
+        LIMIT 1)"""
+      levels += s"""cells$t AS MATERIALIZED (
+        SELECT $xs, n, sy,
+          pred + (CASE WHEN (CASE p.f ${(0 until k).map(j =>
+            s"WHEN $j THEN x$j").mkString(" ")} END) <= p.v
+            THEN p.lo ELSE p.hi END) AS pred
+        FROM $p, pick$t p)"""
+    }
+    s"""WITH ${levels.mkString(",\n")}
+      SELECT * FROM (${(1 to rounds).map(t =>
+        s"""SELECT $t::BIGINT AS round, (CASE f ${names.zipWithIndex.map {
+          case (nm, j) => s"WHEN $j THEN '$nm'" }.mkString(" ")} END)
+          AS feature, v::BIGINT AS thr, lo AS leaf_lo_micro,
+          hi AS leaf_hi_micro FROM pick$t""").mkString("\n UNION ALL ")})
+      ORDER BY round"""
+  }
+
   // ---- q382: is extended price linear in quantity/discount? ------------------
   // The closed-form screen before reaching for the iterative fit: exact
   // coefficients + R² in one pass each. (On this synthetic lineitem the
@@ -469,6 +616,22 @@ object Supervised {
         UNION ALL SELECT 'r2_ppm', r2_ppm FROM m) ORDER BY term"""
   }
 
+  // ---- q387: four boosted stumps on the returnflag probe ---------------------
+  // The nonlinear escalation of q378's linear probe: if boosting can't
+  // find a split with real gain either, the features are certified
+  // signal-free at stump resolution.
+  private def q387(s: SparkSession, d: String): DataFrame =
+    gbStumps(Tables.lineitem(s, d), (col("l_returnflag") === "R").cast("long"),
+      Seq("qty_bucket" -> expr("CAST(l_quantity AS BIGINT) div 10"),
+        "disc_pct" -> expr("CAST(round(l_discount*100) AS BIGINT)"),
+        "tax_pct" -> expr("CAST(round(l_tax*100) AS BIGINT)")),
+      rounds = 4)
+  private val q387Sql = gbStumpsSql(
+    """SELECT (l_returnflag='R')::BIGINT AS y,
+        (l_quantity::BIGINT)//10 AS x0, round(l_discount*100)::BIGINT AS x1,
+        round(l_tax*100)::BIGINT AS x2 FROM lineitem""",
+    Seq("qty_bucket", "disc_pct", "tax_pct"), rounds = 4)
+
   // ---- q384: leakage-safe priority→status target encoding audit --------------
   private def q384(s: SparkSession, d: String): DataFrame =
     looTargetEncode(Tables.orders(s, d), col("o_orderpriority"),
@@ -518,6 +681,7 @@ object Supervised {
     QueryDef("q378_logistic_fit", q378, Some(q378Sql)),
     QueryDef("q379_naive_bayes", q379, Some(q379Sql)),
     QueryDef("q382_ols_cramer", q382, Some(q382Sql)),
+    QueryDef("q387_gb_stumps", q387, Some(q387Sql)),
     QueryDef("q384_target_encode", q384, Some(q384Sql)),
     QueryDef("q385_mi_ranking", q385, Some(q385Sql)))
 }

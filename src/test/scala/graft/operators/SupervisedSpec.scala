@@ -81,6 +81,31 @@ class SupervisedSpec extends SparkSpec {
     assert(got === Array(("dep", 5545184L), ("ind", 0L)))
   }
 
+  test("gbStumps finds the separating split and halves the residual each round") {
+    // y = (x0 <= 2) exactly; feature c is constant (no admissible split,
+    // must be ignored). Shrinkage 1/2 => leaf_lo walks 500000, 250000,
+    // 125000 while the threshold stays pinned at the true boundary.
+    val df = (0 to 5).map(x => (if (x <= 2) 1L else 0L, x.toLong, 7L))
+      .toDF("y", "x0", "c")
+    val got = Supervised.gbStumps(df, col("y"),
+        Seq("x0" -> col("x0"), "c" -> col("c")), rounds = 3)
+      .as[(Long, String, Long, Long, Long)].collect()
+    assert(got === Array(
+      (1L, "x0", 2L, 500000L, 0L),
+      (2L, "x0", 2L, 250000L, 0L),
+      (3L, "x0", 2L, 125000L, 0L)))
+  }
+
+  test("gbStumps is invariant to partitioning") {
+    val df = (0 until 120).map(i => ((i % 3 == 0) || (i % 7 == 0),
+      (i % 5).toLong, (i % 4).toLong)).toDF("y", "a", "b")
+    val fit = Supervised.gbStumps(df, col("y").cast("long"),
+      Seq("a" -> col("a"), "b" -> col("b")), rounds = 4).collect()
+    val fit11 = Supervised.gbStumps(df.repartition(11), col("y").cast("long"),
+      Seq("a" -> col("a"), "b" -> col("b")), rounds = 4).collect()
+    assert(fit.toSeq === fit11.toSeq)
+  }
+
   test("logisticFit is invariant to partitioning") {
     val df = (0 until 64).map(i => (i % 3 == 0, i % 7, i % 5))
       .toDF("y", "a", "b")
