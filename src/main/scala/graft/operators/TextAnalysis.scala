@@ -1054,6 +1054,109 @@ object TextAnalysis {
           .cast("long"))
   }
 
+  /** Full BPE TRAINING loop (Sennrich et al. 2016): T rounds of "count
+    * adjacent symbol pairs over the current encoding, merge the most
+    * frequent" — the composition of [[bpePairCounts]] (one ranking step)
+    * and [[bpeApply]] (a fixed merge list) into the real tokenizer
+    * learner. Ties break (count desc, pair asc); merge application uses
+    * bpeApply's scan-and-resume replace chain, so a learned list fed
+    * back into [[bpeApply]] reproduces the training encoding byte for
+    * byte.
+    *
+    * Determinism: the merge list lives on the driver; each round is ONE
+    * aggregation over the VOCABULARY (argmax collected, exact integer
+    * counts), so the learned tokenizer is independent of partitioning
+    * and engine. The oracle re-derives each round's argmax as an
+    * ORDER BY cnt DESC, l, r LIMIT 1 CTE and replays the same replaces.
+    *
+    * Scale: the corpus collapses to (distinct word, freq) ONCE (map-side
+    * partials); all T rounds run over that vocabulary-sized relation —
+    * the standard trick that makes BPE training corpus-size-independent
+    * after one pass. Round t re-applies the full t-merge chain to the
+    * persisted base encoding (T² string scans over the vocab — bounded,
+    * and cheaper than checkpointing vocab states at these sizes).
+    */
+  def bpeTrain(df: DataFrame, textCol: String, numMerges: Int,
+      passes: Int = 4): DataFrame = {
+    require(numMerges >= 1 && passes >= 1,
+      "bpeTrain needs numMerges >= 1 and passes >= 1")
+    val s = df.sparkSession
+    import s.implicits._
+    val words = df.select(explode(tokens(col(textCol))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+      .select(col("freq"),
+        concat(lit(" "), regexp_replace(col("w"), "(.)", "$1 ")).as("s"))
+      .persist()
+    try {
+      var merges = Vector.empty[(String, String, Long)]
+      var dry = false
+      for (_ <- 1 to numMerges if !dry) {
+        val enc = merges.foldLeft(col("s")) { case (acc, (l, r, _)) =>
+          (1 to passes).foldLeft(acc) { (c, _) =>
+            replace(c, lit(s" $l $r "), lit(s" $l$r ")) }
+        }
+        val best = words.select(col("freq"), split(trim(enc), " ").as("a"))
+          .filter(size(col("a")) >= 2) // sequence(1,0) would run BACKWARD
+          .select(col("freq"), explode(expr(
+            "transform(sequence(1, size(a) - 1)," +
+              " i -> struct(a[i - 1] AS l, a[i] AS r))")).as("p"))
+          .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+          .agg(sum(col("freq")).as("cnt"))
+          .orderBy(col("cnt").desc, col("l"), col("r"))
+          .limit(1).collect().headOption
+        best match {
+          case Some(b) => merges :+= ((b.getString(0), b.getString(1),
+            b.getLong(2)))
+          case None => dry = true // every word fully merged: stop early
+        }
+      }
+      s.createDataset(merges.zipWithIndex.map { case ((l, r, c), i) =>
+        ((i + 1).toLong, l, r, c)
+      }).toDF("rank", "left_sym", "right_sym", "pair_count")
+        .orderBy("rank")
+    } finally words.unpersist()
+  }
+
+  /** Generated unrolled oracle for [[bpeTrain]]: per round a (pair-count,
+    * pick, re-encode) CTE triple re-deriving the same argmax.
+    */
+  private def bpeTrainSql(numMerges: Int, passes: Int): String = {
+    val levels = scala.collection.mutable.ArrayBuffer(
+      """w AS MATERIALIZED (
+        SELECT w, count(*)::BIGINT AS freq FROM (
+          SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+        GROUP BY w)""",
+      """e0 AS MATERIALIZED (
+        SELECT freq, ' ' || regexp_replace(w, '(.)', '\1 ', 'g') AS s
+        FROM w)""")
+    for (t <- 1 to numMerges) {
+      val p = s"e${t - 1}"
+      levels += s"""pc$t AS MATERIALIZED (
+        SELECT a[i] AS l, a[i+1] AS r, sum(freq)::BIGINT AS cnt
+        FROM (SELECT freq, string_split(trim(s), ' ') AS a FROM $p),
+          unnest(range(1, len(a))) AS u(i)
+        GROUP BY 1, 2)"""
+      levels += s"""pk$t AS MATERIALIZED (
+        SELECT l, r, cnt FROM pc$t ORDER BY cnt DESC, l, r LIMIT 1)"""
+      val chain = (1 to passes).foldLeft("s") { (c, _) =>
+        s"replace($c, ' ' || p.l || ' ' || p.r || ' '," +
+          s" ' ' || p.l || p.r || ' ')"
+      }
+      levels += s"""e$t AS MATERIALIZED (
+        SELECT freq, $chain AS s FROM $p, pk$t p)"""
+    }
+    s"""WITH ${levels.mkString(",\n")}
+      SELECT * FROM (${(1 to numMerges).map(t =>
+        s"SELECT $t::BIGINT AS rank, l AS left_sym, r AS right_sym," +
+          s" cnt AS pair_count FROM pk$t").mkString("\n UNION ALL ")})
+      ORDER BY rank"""
+  }
+
+  // ---- q388: learn the corpus's first eight BPE merges ------------------------
+  private def q388(s: SparkSession, d: String): DataFrame =
+    bpeTrain(Tables.documents(s, d), "text", numMerges = 8)
+  private val q388Sql = bpeTrainSql(numMerges = 8, passes = 4)
+
   // ---- q147: BPE encode with a fixed merge list ------------------------------
   // Six merges in rank order, including a chained pair (e,r)→(t,er) and a
   // same-letter pair (l,l); the oracle replays the identical replace
@@ -1722,5 +1825,6 @@ object TextAnalysis {
     QueryDef("q139_inverted_index", q139, Some(q139Sql)),
     QueryDef("q145_bm25_topdocs", q145, Some(q145Sql)),
     QueryDef("q147_bpe_apply", q147, Some(q147Sql)),
+    QueryDef("q388_bpe_train", q388, Some(q388Sql)),
     QueryDef("q186_nfc_normalize", q186, Some(q186Sql)))
 }

@@ -196,6 +196,23 @@ class TextAnalysisSpec extends SparkSpec {
       "encoding must be stable once each merge reaches its fixpoint")
   }
 
+  test("bpeTrain learns the hand-computable merge sequence and stops when dry") {
+    // Corpus: "abab" x3, "ab" x2. Round 1 pairs: (a,b) = 2*3 + 1*2 = 8,
+    // (b,a) = 3. Round 2 over {" ab ab ", " ab "}: (ab,ab) = 3. Round 3:
+    // every word is a single symbol -> trainer must stop early at 2
+    // merges even though 5 were requested.
+    val docs = Seq((1L, "abab abab ab"), (2L, "abab ab"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.bpeTrain(docs, "text", numMerges = 5)
+      .as[(Long, String, String, Long)].collect()
+    assert(got === Array((1L, "a", "b", 8L), (2L, "ab", "ab", 3L)))
+    // feeding the learned list into bpeApply reproduces full merging
+    val enc = TextAnalysis.bpeApply(docs, "text",
+        Seq("a" -> "b", "ab" -> "ab"))
+      .select($"w", $"n_symbols").as[(String, Long)].collect().toMap
+    assert(enc === Map("abab" -> 1L, "ab" -> 1L))
+  }
+
   test("termClassChi2 matches the hand-computed 2x2 tables and tiebreak") {
     val docs = Seq(
       (1L, "apple banana", "en"), (2L, "apple cherry", "en"),
