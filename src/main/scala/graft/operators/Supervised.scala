@@ -412,6 +412,122 @@ object Supervised {
         round(l_discount*100)::BIGINT AS x2 FROM lineitem""",
     Q378Feats, lrShift = 3, iters = 12)
 
+  /** Poisson regression (log link) by full-batch gradient descent — the
+    * COUNT-DATA member of the GLM family beside [[logisticFit]]
+    * (binary), [[olsFit2]] (gaussian closed-form) and
+    * [[graft.operators.Analytics.coxFit]] (hazards). Identical
+    * fixed-point scheme to logisticFit: the one float op is
+    * exp(w·x/10⁶), CLAMPED at e^10 and quantized to 1/2^20 at its
+    * single site; gradients Σ(μ_q − y·2^20)·x_j are exact BIGINT sums;
+    * updates are floor-division. Slow-but-monotone learning rates
+    * (2^-lrShift) are the caller's contract — Poisson's exp link
+    * diverges under the step sizes the sigmoid tolerates.
+    *
+    * Scale: per iteration ONE map-side-partial aggregation over the
+    * persisted integer projection; driver state is O(features).
+    */
+  def poissonFit(df: DataFrame, countCol: Column,
+      features: Seq[(String, Column)], lrShift: Int, iters: Int): DataFrame = {
+    require(features.nonEmpty, "poissonFit needs at least one feature")
+    require(iters >= 1 && lrShift >= 0, "need iters >= 1, lrShift >= 0")
+    val s = df.sparkSession
+    import s.implicits._
+    val den = 1L << (20 + lrShift)
+    val k = features.size
+    val proj = df.select(
+      (countCol.cast("long").as("y") +:
+        features.zipWithIndex.map { case ((_, c), j) =>
+          c.cast("long").as(s"x$j") }): _*)
+      .persist()
+    try {
+      val n = proj.count()
+      require(n > 0, "poissonFit needs rows")
+      val w = Array.fill(k)(0L)
+      def residual: Column = {
+        val z = (0 until k).map(j => lit(w(j)) * col(s"x$j"))
+          .reduce(_ + _).cast("double") / lit(1e6)
+        floor(exp(least(z, lit(10.0))) * lit(SigScale.toDouble) +
+          lit(0.5)).cast("long") - col("y") * lit(SigScale)
+      }
+      for (_ <- 1 to iters) {
+        val g = proj
+          .agg(sum(residual * col("x0")).as("g0"),
+            (1 until k).map(j => sum(residual * col(s"x$j")).as(s"g$j")): _*)
+          .head()
+        var j = 0
+        while (j < k) {
+          w(j) -= Math.floorDiv(Math.floorDiv(g.getLong(j), n) * 1000000L, den)
+          j += 1
+        }
+      }
+      val rows = features.map(_._1).zip(w)
+        .map { case (nm, wj) => (s"w_$nm", wj) } :+ (("n_rows", n))
+      s.createDataset(rows).toDF("term", "value").orderBy("term")
+    } finally proj.unpersist()
+  }
+
+  /** Generated unrolled oracle for [[poissonFit]] — the
+    * [[logisticFitSql]] chain with the exp-link response.
+    */
+  private def poissonFitSql(featsSql: String, names: Seq[String],
+      lrShift: Int, iters: Int): String = {
+    val k = names.size
+    val den = 1L << (20 + lrShift)
+    val levels = Seq(
+      s"f AS MATERIALIZED ($featsSql)",
+      "nn AS MATERIALIZED (SELECT count(*)::BIGINT AS n FROM f)",
+      s"w0 AS MATERIALIZED (SELECT ${(0 until k).map(j =>
+        s"0::BIGINT AS w$j").mkString(", ")})") ++
+      (1 to iters).flatMap { t =>
+        val z = (0 until k).map(j => s"w.w$j*x$j").mkString(" + ")
+        Seq(s"""g$t AS MATERIALIZED (
+          SELECT ${(0 until k).map(j =>
+            s"sum((P - y*$SigScale)*x$j) AS g$j").mkString(", ")}
+          FROM (SELECT y, ${(0 until k).map(j => s"x$j").mkString(", ")},
+              floor(exp(least(($z)/1e6, 10))*$SigScale + 0.5)::BIGINT AS P
+            FROM f, w${t - 1} w))""",
+          s"""w$t AS MATERIALIZED (
+          SELECT ${(0 until k).map(j =>
+            s"w.w$j - ${fd(fd(s"g.g$j", "nn.n") + "*1000000",
+              den.toString)} AS w$j").mkString(", ")}
+          FROM w${t - 1} w, g$t g, nn)""")
+      }
+    s"""WITH ${levels.mkString(",\n")},
+      terms AS (
+        ${names.zipWithIndex.map { case (nm, j) =>
+          s"SELECT 'w_$nm' AS term, w$j::BIGINT AS value FROM w$iters" }
+          .mkString("\n        UNION ALL ")}
+        UNION ALL SELECT 'n_rows', n::BIGINT FROM nn)
+      SELECT term, value FROM terms ORDER BY term"""
+  }
+
+  // ---- q389: does order size follow the order's price bucket? ----------------
+  // Honest-probe fixture (the q378 contract): the synthetic lineitem
+  // count is independent of price, so the converged slope sits near 0
+  // while the intercept recovers ln(mean count) — exactly what the MLE
+  // (1.389, -0.006) says.
+  private def q389(s: SparkSession, d: String): DataFrame = {
+    val perOrder = Tables.orders(s, d)
+      .join(Tables.lineitem(s, d), col("l_orderkey") === col("o_orderkey"),
+        "left")
+      .groupBy(col("o_orderkey"))
+      .agg(first(col("o_totalprice")).as("tp"),
+        count(col("l_orderkey")).as("cnt"))
+    poissonFit(perOrder, col("cnt"),
+      Seq("intercept" -> lit(1L),
+        "price_bucket" -> (least(expr("CAST(tp / 100000 AS BIGINT)"),
+          lit(5L)) - lit(2L))),
+      lrShift = 4, iters = 20)
+  }
+  private val q389Sql = poissonFitSql(
+    """SELECT cnt AS y, 1::BIGINT AS x0,
+        least(floor(tp/100000)::BIGINT, 5) - 2 AS x1
+      FROM (SELECT o_orderkey, any_value(o_totalprice) AS tp,
+              count(l_orderkey)::BIGINT AS cnt
+            FROM orders LEFT JOIN lineitem ON l_orderkey = o_orderkey
+            GROUP BY o_orderkey)""",
+    Seq("intercept", "price_bucket"), lrShift = 4, iters = 20)
+
   /** Gradient-boosted depth-1 trees (stumps) under squared loss — the
     * "small nonlinear model in the warehouse" step past [[olsFit2]]:
     * T rounds, each fitting one (feature ≤ threshold) split to the
@@ -682,6 +798,7 @@ object Supervised {
     QueryDef("q379_naive_bayes", q379, Some(q379Sql)),
     QueryDef("q382_ols_cramer", q382, Some(q382Sql)),
     QueryDef("q387_gb_stumps", q387, Some(q387Sql)),
+    QueryDef("q389_poisson_fit", q389, Some(q389Sql)),
     QueryDef("q384_target_encode", q384, Some(q384Sql)),
     QueryDef("q385_mi_ranking", q385, Some(q385Sql)))
 }

@@ -96,6 +96,22 @@ class SupervisedSpec extends SparkSpec {
       (3L, "x0", 2L, 125000L, 0L)))
   }
 
+  test("poissonFit recovers a planted log-linear rate") {
+    // y = 2^x exactly for x in 0..3: the log-link MLE is w_int = 0,
+    // w_x = ln 2 (693147 micro). 200 slow GD steps land close; the
+    // exact landing point is pinned (fixed-point arithmetic).
+    val df = (for (x <- 0 to 3; _ <- 1 to 4) yield (1L << x, x.toLong))
+      .toDF("y", "x")
+    val got = Supervised.poissonFit(df, col("y"),
+        Seq("intercept" -> lit(1L), "x" -> col("x")),
+        lrShift = 5, iters = 200)
+      .as[(String, Long)].collect().toMap
+    assert(got("w_x") > 650000L && got("w_x") < 730000L, got.toString)
+    assert(math.abs(got("w_intercept")) < 60000L, got.toString)
+    assert(got === Map("n_rows" -> 16L, "w_intercept" -> 11645L,
+      "w_x" -> 688653L), got.toString)
+  }
+
   test("gbStumps is invariant to partitioning") {
     val df = (0 until 120).map(i => ((i % 3 == 0) || (i % 7 == 0),
       (i % 5).toLong, (i % 4).toLong)).toDF("y", "a", "b")
