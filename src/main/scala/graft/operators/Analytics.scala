@@ -1986,6 +1986,87 @@ object Analytics {
        FROM det d LEFT JOIN ctr c ON d.g = c.g AND d.slot = c.slot
        ORDER BY d.g, d.p"""
 
+  /** Yule–Walker AR(2) coefficients per group — "how much does this
+    * month's volume echo the last two?", the classical autoregressive
+    * companion to [[q191 autocorrelation]]'s single-lag read and the
+    * sanity check run before trusting [[holtForecast]] on a series with
+    * momentum.
+    *
+    * Exact integer algebra END TO END, fully distributed (no driver
+    * state, unlike the GLM fits): deviations are kept UNSCALED as
+    * n·y_t − Σy (the n² factors cancel in the coefficient ratios, so no
+    * mean truncation is ever taken); autocovariance sums c₀,c₁,c₂ are
+    * DECIMAL(38,0); φ₁ = (c₁c₀ − c₁c₂)/(c₀² − c₁²) and
+    * φ₂ = (c₀c₂ − c₁²)/(c₀² − c₁²) are floor-divisions in ppm.
+    * Magnitude contract: c₀² needs n·dev² ≲ 10¹⁹ — at larger volumes
+    * pre-scale the value column (the ratios are scale-invariant).
+    *
+    * Scale: one (group, period) collapse with map-side partials, one
+    * group-partitioned window for the two leads, one group aggregate.
+    */
+  def yuleWalkerAr2(df: DataFrame, groupCol: String, periodCol: Column,
+      valueCol: Column): DataFrame = {
+    def fdC(a: Column, b: Column): Column =
+      (call_function("div", a, b) +
+        when((a % b) < 0, -1L).otherwise(0L)).cast("long")
+    val m = df.select(col(groupCol).as("g"), periodCol.cast("long").as("p"),
+        valueCol.cast("long").as("y"))
+      .groupBy("g", "p").agg(sum("y").as("y"))
+    val s = m.groupBy("g").agg(count(lit(1)).as("n"), sum("y").as("sy"))
+    val w = Window.partitionBy("g").orderBy("p")
+    val dev = (col("y") * col("n") - col("sy")).cast("decimal(38,0)")
+    val d = m.join(s, Seq("g"))
+      .select(col("g"), col("p"), dev.as("dev"),
+        lead(dev, 1).over(w).as("dev1"), lead(dev, 2).over(w).as("dev2"))
+    val c = d.groupBy("g").agg(
+      sum(col("dev") * col("dev")).as("c0"),
+      sum(when(col("dev1").isNull, lit(0L).cast("decimal(38,0)"))
+        .otherwise(col("dev") * col("dev1"))).as("c1"),
+      sum(when(col("dev2").isNull, lit(0L).cast("decimal(38,0)"))
+        .otherwise(col("dev") * col("dev2"))).as("c2"))
+    val den = (col("c0") * col("c0") - col("c1") * col("c1"))
+      .cast("decimal(38,0)")
+    c.select(col("g"),
+        fdC(((col("c1") * col("c0") - col("c1") * col("c2")) *
+          lit(1000000L)).cast("decimal(38,0)"), den).as("phi1_ppm"),
+        fdC(((col("c0") * col("c2") - col("c1") * col("c1")) *
+          lit(1000000L)).cast("decimal(38,0)"), den).as("phi2_ppm"))
+      .orderBy("g")
+  }
+
+  // ---- q390: monthly order-volume momentum per priority class -----------------
+  private def q390(s: SparkSession, d: String): DataFrame =
+    yuleWalkerAr2(Tables.orders(s, d), "o_orderpriority",
+      expr("year(cast(o_orderdate as date)) * 12" +
+        " + month(cast(o_orderdate as date))"),
+      lit(1L))
+  private val q390Sql = {
+    import Supervised.fd
+    s"""WITH m AS (
+        SELECT o_orderpriority AS g,
+          year(o_orderdate::DATE)*12 + month(o_orderdate::DATE) AS p,
+          count(*)::BIGINT AS y
+        FROM orders GROUP BY 1, 2),
+      s AS (SELECT g, count(*)::BIGINT AS n, sum(y)::BIGINT AS sy
+        FROM m GROUP BY g),
+      d AS (
+        SELECT m.g, m.p, (m.y * s.n - s.sy)::HUGEINT AS dev,
+          lead(m.y * s.n - s.sy, 1) OVER (PARTITION BY m.g
+            ORDER BY m.p)::HUGEINT AS dev1,
+          lead(m.y * s.n - s.sy, 2) OVER (PARTITION BY m.g
+            ORDER BY m.p)::HUGEINT AS dev2
+        FROM m JOIN s ON s.g = m.g),
+      c AS (
+        SELECT g, sum(dev*dev)::HUGEINT AS c0,
+          sum(CASE WHEN dev1 IS NULL THEN 0 ELSE dev*dev1 END)::HUGEINT AS c1,
+          sum(CASE WHEN dev2 IS NULL THEN 0 ELSE dev*dev2 END)::HUGEINT AS c2
+        FROM d GROUP BY g)
+      SELECT g,
+        ${fd("(c1*c0 - c1*c2)*1000000", "c0*c0 - c1*c1")}::BIGINT AS phi1_ppm,
+        ${fd("(c0*c2 - c1*c1)*1000000", "c0*c0 - c1*c1")}::BIGINT AS phi2_ppm
+      FROM c ORDER BY g"""
+  }
+
   /** Exponentially-weighted moving average SERIES per group — the whole
     * smoothed curve, not just the final state ([[holtForecast]] is the
     * forecast-from-the-end companion; this is the monitoring/plotting
@@ -6099,6 +6180,7 @@ object Analytics {
     QueryDef("q323_diff_in_diff", q323, Some(q323Sql)),
     QueryDef("q325_logrank", q325, Some(q325Sql)),
     QueryDef("q383_cox_ph", q383, Some(q383Sql)),
+    QueryDef("q390_yule_walker", q390, Some(q390Sql)),
     QueryDef("q328_reorder_points", q328, Some(q328Sql)),
     QueryDef("q329_interp_quantiles", q329, Some(q329Sql)),
     QueryDef("q330_sql_calendar", q330, Some(q330Sql)),

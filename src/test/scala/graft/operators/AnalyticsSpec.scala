@@ -780,6 +780,21 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("yuleWalkerAr2 pins the hand-folded coefficients per group") {
+    // "alt" flips 1,2,1,2,1,2 -> strong NEGATIVE lag-1 echo
+    // (phi1 = -810e6/891 = -909091); "fib" trends -> positive phi1.
+    // Values verified by hand against the unscaled-deviation algebra.
+    val rows = Seq(1L, 2L, 1L, 2L, 1L, 2L).zipWithIndex.map { case (y, p) =>
+      ("alt", p.toLong, y) } ++
+      Seq(1L, 2L, 3L, 5L, 8L, 13L).zipWithIndex.map { case (y, p) =>
+        ("fib", p.toLong, y) }
+    val df = rows.toDF("g", "p", "y")
+    val got = Analytics.yuleWalkerAr2(df, "g", col("p"), col("y"))
+      .as[(String, Long, Long)].collect()
+    assert(got === Array(("alt", -909091L, -90910L),
+      ("fib", 497580L, -184840L)))
+  }
+
   test("coxFit recovers the hazard direction and converges") {
     // High-x subjects fail EARLY (x=2 at t=1,2; x=0 at t=5,6 or
     // censored): the log-hazard slope must come out positive, and with
