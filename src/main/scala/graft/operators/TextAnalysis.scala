@@ -941,6 +941,82 @@ object TextAnalysis {
       .filter(col("n_docs") >= minCount)
   }
 
+  /** Pointwise mutual information over document-level co-occurrence —
+    * [[cooccurrence]] counts "terms that travel together", PMI asks
+    * whether they travel together MORE THAN THEIR POPULARITY predicts
+    * (the word2vec-era association score; Levy & Goldberg 2014 showed
+    * SGNS embeddings factorize exactly this matrix). Exact integer
+    * micros via the ln(a/b) = ln a − ln b trick ([[Supervised.miRanking]]
+    * discipline): pmi_q = lnq(n_ab) + lnq(D) − lnq(n_a) − lnq(n_b),
+    * every logarithm on an INTEGER argument.
+    *
+    * Scale: the pair space is vocab-bounded (the cooccurrence
+    * contract); the marginals are one dimension-sized aggregate
+    * broadcast onto the pair relation.
+    */
+  def pmiPairs(df: DataFrame, idCol: String, textCol: String,
+      vocabSize: Int, minCount: Long, topK: Int): DataFrame = {
+    require(topK >= 1, "pmiPairs needs topK >= 1")
+    val lnq = (c: Column) => floor(log(c.cast("double")) * lit(1e6) +
+      lit(0.5)).cast("long")
+    val toks = df.select(col(idCol).as("doc_id"),
+      explode(tokens(col(textCol))).as("tok"))
+    val vocab = toks.groupBy(col("tok")).agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("tok")).limit(vocabSize)
+      .select(col("tok"))
+    val member = toks.join(broadcast(vocab), "tok")
+      .select(col("doc_id"), col("tok")).distinct()
+    val marg = member.groupBy(col("tok")).agg(count(lit(1)).as("nd"))
+    val docs = df.agg(countDistinct(col(idCol)).as("dd"))
+    member.select(col("doc_id"), col("tok").as("a"))
+      .join(member.select(col("doc_id"), col("tok").as("b")), "doc_id")
+      .filter(col("a") < col("b"))
+      .groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") >= minCount)
+      .join(broadcast(marg.select(col("tok").as("a"), col("nd").as("na"))),
+        Seq("a"))
+      .join(broadcast(marg.select(col("tok").as("b"), col("nd").as("nb"))),
+        Seq("b"))
+      .crossJoin(broadcast(docs))
+      .select(col("a"), col("b"), col("n_docs"),
+        (lnq(col("n_docs")) + lnq(col("dd")) - lnq(col("na")) -
+          lnq(col("nb"))).as("pmi_q"))
+      .orderBy(col("pmi_q").desc, col("a"), col("b"))
+      .limit(topK)
+  }
+
+  // ---- q391: which frequent terms attract beyond popularity? -----------------
+  private def q391(s: SparkSession, d: String): DataFrame =
+    pmiPairs(Tables.documents(s, d), "doc_id", "text",
+      vocabSize = 30, minCount = 50, topK = 25)
+  private val q391Sql =
+    """WITH toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        FROM documents),
+      vocab AS (
+        SELECT tok FROM (
+          SELECT tok, count(*) AS c,
+            row_number() OVER (ORDER BY count(*) DESC, tok) AS rn
+          FROM toks GROUP BY tok)
+        WHERE rn <= 30),
+      member AS (
+        SELECT DISTINCT doc_id, tok FROM toks
+        WHERE tok IN (SELECT tok FROM vocab)),
+      marg AS (SELECT tok, count(*)::BIGINT AS nd FROM member GROUP BY tok),
+      dd AS (SELECT count(DISTINCT doc_id)::BIGINT AS dd FROM documents),
+      pairs AS (
+        SELECT m1.tok AS a, m2.tok AS b, count(*)::BIGINT AS n_docs
+        FROM member m1 JOIN member m2 ON m1.doc_id = m2.doc_id
+          AND m1.tok < m2.tok
+        GROUP BY 1, 2 HAVING count(*) >= 50)
+      SELECT a, b, n_docs,
+        (floor(ln(n_docs)*1e6+0.5)::BIGINT + floor(ln(dd)*1e6+0.5)::BIGINT
+          - floor(ln(na.nd)*1e6+0.5)::BIGINT
+          - floor(ln(nb.nd)*1e6+0.5)::BIGINT) AS pmi_q
+      FROM pairs JOIN marg na ON na.tok = a JOIN marg nb ON nb.tok = b, dd
+      ORDER BY pmi_q DESC, a, b LIMIT 25"""
+
   // ---- q108: frequent token co-occurrence --------------------------------------
   private def q108(s: SparkSession, d: String): DataFrame =
     cooccurrence(Tables.documents(s, d), "doc_id", "text",
@@ -1821,6 +1897,7 @@ object TextAnalysis {
     QueryDef("q280_vocab_curve", q280, Some(q280Sql)),
     QueryDef("q98_chunk_documents", q98, Some(q98Sql)),
     QueryDef("q108_cooccurrence", q108, Some(q108Sql)),
+    QueryDef("q391_pmi_pairs", q391, Some(q391Sql)),
     QueryDef("q130_bpe_pair_step", q130, Some(q130Sql)),
     QueryDef("q139_inverted_index", q139, Some(q139Sql)),
     QueryDef("q145_bm25_topdocs", q145, Some(q145Sql)),

@@ -196,6 +196,23 @@ class TextAnalysisSpec extends SparkSpec {
       "encoding must be stable once each merge reaches its fixpoint")
   }
 
+  test("pmiPairs ranks an exclusive pair above a popular-but-independent one") {
+    // x,y co-occur in BOTH their docs (exclusive attraction); p,q are in
+    // every doc (co-occurrence fully predicted by popularity -> PMI 0
+    // ... ln(2*4/(4*4)) < 0 actually NEGATIVE). Hand values:
+    // pmi(x,y) = lnq(2)+lnq(4)-lnq(2)-lnq(2) = ln 2 = 693147.
+    // pmi(p,q) = lnq(4)+lnq(4)-lnq(4)-lnq(4) = 0.
+    val docs = Seq((1L, "x y p q"), (2L, "x y p q"), (3L, "p q a b"),
+      (4L, "p q a b")).toDF("doc_id", "text")
+    val got = TextAnalysis.pmiPairs(docs, "doc_id", "text",
+        vocabSize = 10, minCount = 2, topK = 20)
+      .as[(String, String, Long, Long)].collect()
+    // (a,b) ties (x,y) at ln 2 and wins the lexicographic tiebreak
+    assert(got.take(2) === Array(("a", "b", 2L, 693147L),
+      ("x", "y", 2L, 693147L)))
+    assert(got.map(r => (r._1, r._2, r._4)).contains(("p", "q", 0L)))
+  }
+
   test("bpeTrain learns the hand-computable merge sequence and stops when dry") {
     // Corpus: "abab" x3, "ab" x2. Round 1 pairs: (a,b) = 2*3 + 1*2 = 8,
     // (b,a) = 3. Round 2 over {" ab ab ", " ab "}: (ab,ab) = 3. Round 3:
