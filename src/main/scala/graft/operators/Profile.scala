@@ -4131,7 +4131,94 @@ object Profile {
            ELSE NULL END AS z
        FROM agg"""
 
+  /** Deterministic random-allocation permutation test for a mean
+    * difference — the assumption-free companion to Welch t (q356) and
+    * Mann–Whitney (q194): R replicate group assignments are drawn from
+    * the shared md5 split family ([[PipelineOps.hashSamplePredicate]]'s
+    * draw — first hex char < '8' is an exact 1/2), the mean-difference
+    * statistic is compared as an EXACT CROSS-MULTIPLIED RATIONAL
+    * (|S₁N − N₁S|·den_obs vs |obs|·den_r — no division, no floats), and
+    * the p-value is the usual (1 + #extreme)/(R+1) in ppm. rand() would
+    * poison reruns and differ per engine; the hash draw is reproducible
+    * everywhere, at the price of binomial (not fixed-size) allocations —
+    * the random-allocation variant of the permutation test, documented.
+    *
+    * Scale: the R-fold explode collapses to (replicate, flag) partial
+    * aggregates map-side — 2R running sums per task, one tiny shuffle;
+    * nothing row-sized survives the explode stage.
+    */
+  def permutationMeanTest(df: DataFrame, keyCol: Column, valueCol: Column,
+      groupCol: Column, replicates: Int): DataFrame = {
+    require(replicates >= 1, "permutationMeanTest needs replicates >= 1")
+    val base = df.select(keyCol.cast("string").as("id"),
+      valueCol.cast("long").as("y"), groupCol.cast("boolean").as("g"))
+    val tot = base.agg(count(lit(1)).cast("decimal(38,0)").as("n"),
+      sum(col("y")).cast("decimal(38,0)").as("s"))
+    val obs = base.agg(
+      sum(when(col("g"), col("y")).otherwise(0L)).cast("decimal(38,0)")
+        .as("s1"),
+      sum(when(col("g"), 1L).otherwise(0L)).cast("decimal(38,0)").as("n1"))
+    val onum = obs.crossJoin(tot).select(
+      abs(col("s1") * col("n") - col("n1") * col("s")).as("num"),
+      (col("n1") * (col("n") - col("n1"))).as("den"))
+    val draw = substring(md5(concat(col("id"), lit(":"),
+      col("r").cast("string")).cast("binary")), 1, 1) < lit("8")
+    val rep = base
+      .select(col("id"), col("y"), explode(expr(
+        s"sequence(1, $replicates)")).as("r"))
+      .groupBy("r")
+      .agg(sum(when(draw, col("y")).otherwise(0L)).cast("decimal(38,0)")
+          .as("s1"),
+        sum(when(draw, 1L).otherwise(0L)).cast("decimal(38,0)").as("n1"))
+    val extreme = rep.crossJoin(broadcast(tot)).crossJoin(broadcast(onum))
+      .filter(col("n1") > 0 && col("n1") < col("n"))
+      .filter(abs(col("s1") * col("n") - col("n1") * col("s")) * col("den")
+        >= col("num") * (col("n1") * (col("n") - col("n1"))))
+      .agg(count(lit(1)).as("n_extreme"))
+    extreme.crossJoin(broadcast(tot))
+      .select(col("n").cast("long").as("n_rows"), col("n_extreme"),
+        expr(s"(1 + n_extreme) * 1000000 div ${replicates + 1}")
+          .as("p_ppm"))
+  }
+
+  // ---- q392: is quantity distributed alike across return flags? --------------
+  private def q392(s: SparkSession, d: String): DataFrame =
+    permutationMeanTest(Tables.lineitem(s, d),
+      expr("l_orderkey * 10 + l_linenumber"), col("l_quantity"),
+      col("l_returnflag") === "R", replicates = 100)
+  private val q392Sql =
+    """WITH base AS (
+        SELECT (l_orderkey*10 + l_linenumber)::VARCHAR AS id,
+          l_quantity::BIGINT AS y, (l_returnflag = 'R') AS g
+        FROM lineitem),
+      tot AS (SELECT count(*)::HUGEINT AS n, sum(y)::HUGEINT AS s FROM base),
+      obs AS (
+        SELECT sum(CASE WHEN g THEN y ELSE 0 END)::HUGEINT AS s1,
+          sum(CASE WHEN g THEN 1 ELSE 0 END)::HUGEINT AS n1
+        FROM base),
+      onum AS (
+        SELECT abs(o.s1 * t.n - o.n1 * t.s)::HUGEINT AS num,
+          (o.n1 * (t.n - o.n1))::HUGEINT AS den
+        FROM obs o, tot t),
+      rep AS (
+        SELECT r,
+          sum(CASE WHEN substr(md5(id || ':' || r::VARCHAR), 1, 1) < '8'
+            THEN y ELSE 0 END)::HUGEINT AS s1,
+          sum(CASE WHEN substr(md5(id || ':' || r::VARCHAR), 1, 1) < '8'
+            THEN 1 ELSE 0 END)::HUGEINT AS n1
+        FROM base, range(1, 101) rr(r) GROUP BY r),
+      cmp AS (
+        SELECT count(*)::BIGINT AS n_extreme
+        FROM rep p, tot t, onum o
+        WHERE p.n1 > 0 AND p.n1 < t.n
+          AND abs(p.s1 * t.n - p.n1 * t.s) * o.den
+            >= o.num * (p.n1 * (t.n - p.n1)))
+      SELECT (SELECT n FROM tot)::BIGINT AS n_rows, n_extreme,
+        ((1 + n_extreme) * 1000000 // 101)::BIGINT AS p_ppm
+      FROM cmp"""
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q392_permutation_test", q392, Some(q392Sql)),
     QueryDef("q334_kruskal_wallis", q334, Some(q334Sql)),
     QueryDef("q335_mcnemar", q335, Some(q335Sql)),
     QueryDef("q336_cochran_armitage", q336, Some(q336Sql)),

@@ -52,6 +52,11 @@ class LintBudgetSpec extends SparkSpec {
     "q340_nelson_aalen" -> Map("unpartitioned-window" -> 1),
     "q325_logrank" -> Map("broadcast-nested-loop" -> 1,
       "unpartitioned-window" -> 1),
+    // q392: three SINGLE-ROW scalar broadcasts (corpus total, observed
+    // statistic, and their product onto the R-row replicate table) —
+    // condition-free by construction, build side is one row each; the
+    // q325/q296 scalar-subquery precedent.
+    "q392_permutation_test" -> Map("broadcast-nested-loop" -> 3),
     "q179_abc_analysis" -> Map("single-partition-exchange" -> 1,
       "unpartitioned-window" -> 1),
     "q216_gini_stump" -> Map("broadcast-nested-loop" -> 1,

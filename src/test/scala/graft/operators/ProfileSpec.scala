@@ -461,6 +461,25 @@ class ProfileSpec extends SparkSpec {
     assert(got === ((3L, 444444L, 506172L, -125000L)))
   }
 
+  test("permutationMeanTest: planted separation is extreme, constant data is not") {
+    // Group TRUE all 100, FALSE all 1: no binomial hash allocation of 40
+    // rows should reproduce that mean gap -> n_extreme 0, p = 1/101.
+    val planted = (0 until 40).map(i => (i.toLong, if (i < 20) 100L else 1L,
+      i < 20)).toDF("id", "y", "g")
+    val gotP = Profile.permutationMeanTest(planted, col("id"), col("y"),
+        col("g"), replicates = 100)
+      .as[(Long, Long, Long)].collect().head
+    assert(gotP === ((40L, 0L, 9900L)), gotP.toString)
+    // Constant y: every replicate's statistic equals the observed 0 ->
+    // everything is "extreme", p = 1.
+    val const = (0 until 40).map(i => (i.toLong, 7L, i % 2 == 0))
+      .toDF("id", "y", "g")
+    val gotC = Profile.permutationMeanTest(const, col("id"), col("y"),
+        col("g"), replicates = 100)
+      .as[(Long, Long, Long)].collect().head
+    assert(gotC === ((40L, 100L, 1000000L)), gotC.toString)
+  }
+
   test("mannWhitneyU matches hand-worked rank sums, midranks for ties") {
     import org.apache.spark.sql.functions.lit
     // Complete separation: A={3,5} all above B={1,2} -> U1=n1*n2, AUC=1.
