@@ -2040,7 +2040,7 @@ object Analytics {
       expr("year(cast(o_orderdate as date)) * 12" +
         " + month(cast(o_orderdate as date))"),
       lit(1L))
-  private val q390Sql = {
+  private[operators] val q390Sql = {
     import Supervised.fd
     s"""WITH m AS (
         SELECT o_orderpriority AS g,

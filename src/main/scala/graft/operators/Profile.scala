@@ -4186,7 +4186,7 @@ object Profile {
     permutationMeanTest(Tables.lineitem(s, d),
       expr("l_orderkey * 10 + l_linenumber"), col("l_quantity"),
       col("l_returnflag") === "R", replicates = 100)
-  private val q392Sql =
+  private[operators] val q392Sql =
     """WITH base AS (
         SELECT (l_orderkey*10 + l_linenumber)::VARCHAR AS id,
           l_quantity::BIGINT AS y, (l_returnflag = 'R') AS g

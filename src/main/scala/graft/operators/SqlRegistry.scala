@@ -227,6 +227,28 @@ object SqlRegistry {
         strLit(exprs(3), "armA"), strLit(exprs(4), "armB"))
     }
 
+    // graft_yule_walker(table, groupCol, periodExpr, valueExpr): AR(2)
+    // momentum coefficients per group (the q390 operator).
+    tvf("graft_yule_walker") { exprs =>
+      require(exprs.length == 4,
+        "graft_yule_walker(table, groupCol, periodExpr, valueExpr)")
+      Analytics.yuleWalkerAr2(s.table(strLit(exprs(0), "table")),
+        strLit(exprs(1), "groupCol"), expr(strLit(exprs(2), "periodExpr")),
+        expr(strLit(exprs(3), "valueExpr")))
+    }
+
+    // graft_permutation_test(table, keyExpr, valueExpr, groupExpr,
+    // replicates): deterministic hash-allocation permutation p-value for
+    // a mean difference (the q392 operator).
+    tvf("graft_permutation_test") { exprs =>
+      require(exprs.length == 5,
+        "graft_permutation_test(table, keyExpr, valueExpr, groupExpr, " +
+          "replicates)")
+      Profile.permutationMeanTest(s.table(strLit(exprs(0), "table")),
+        expr(strLit(exprs(1), "keyExpr")), expr(strLit(exprs(2), "valueExpr")),
+        expr(strLit(exprs(3), "groupExpr")), intLit(exprs(4), "replicates"))
+    }
+
     // graft_hamming_pairs(table, idCol, hashExpr, bands, bandBits,
     // maxHamming): banded pigeonhole near-dup pairs over any packed
     // integer fingerprint expression (the q351/q354 operator) — compose

@@ -160,6 +160,16 @@ object SqlSurface {
     viaTvf(s, d, "events",
       """SELECT * FROM graft_welch_t('events', 'event_type', 'value',
            'purchase', 'view')""")
+  private def q393(s: SparkSession, d: String): DataFrame =
+    viaTvf(s, d, "orders",
+      """SELECT * FROM graft_yule_walker('orders', 'o_orderpriority',
+           'year(cast(o_orderdate as date)) * 12
+            + month(cast(o_orderdate as date))', '1L')""")
+  private def q394(s: SparkSession, d: String): DataFrame =
+    viaTvf(s, d, "lineitem",
+      """SELECT * FROM graft_permutation_test('lineitem',
+           'l_orderkey * 10 + l_linenumber', 'l_quantity',
+           'l_returnflag = \'R\'', 100)""")
   // The hamming-pairs wrapper composes with a TEMP VIEW deriving the
   // fingerprint via the registered native kernel — the full SQL-only
   // near-dup path: graft_simhash in the view, the banded join as a TVF.
@@ -203,5 +213,7 @@ object SqlSurface {
     QueryDef("q326_sql_anova", q326, Some(Profile.q315Sql)),
     QueryDef("q327_sql_kaplan_meier", q327, Some(Analytics.q317Sql)),
     QueryDef("q357_sql_welch_t", q357, Some(Profile.q356Sql)),
-    QueryDef("q358_sql_hamming_pairs", q358, Some(Dedup.q28Sql)))
+    QueryDef("q358_sql_hamming_pairs", q358, Some(Dedup.q28Sql)),
+    QueryDef("q393_sql_yule_walker", q393, Some(Analytics.q390Sql)),
+    QueryDef("q394_sql_permutation", q394, Some(Profile.q392Sql)))
 }

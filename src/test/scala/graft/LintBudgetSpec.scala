@@ -57,6 +57,8 @@ class LintBudgetSpec extends SparkSpec {
     // condition-free by construction, build side is one row each; the
     // q325/q296 scalar-subquery precedent.
     "q392_permutation_test" -> Map("broadcast-nested-loop" -> 3),
+    // q394 is the TVF route to the same q392 plan — same three scalars.
+    "q394_sql_permutation" -> Map("broadcast-nested-loop" -> 3),
     "q179_abc_analysis" -> Map("single-partition-exchange" -> 1,
       "unpartitioned-window" -> 1),
     "q216_gini_stump" -> Map("broadcast-nested-loop" -> 1,

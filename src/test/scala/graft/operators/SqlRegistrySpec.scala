@@ -183,6 +183,30 @@ class SqlRegistrySpec extends SparkSpec {
     assert(hpSql.except(fused).isEmpty && fused.except(hpSql).isEmpty)
   }
 
+  test("graft_yule_walker and graft_permutation_test TVFs equal the Dataset forms") {
+    SqlRegistry.register(spark)
+    Tables(spark, sf, "orders").createOrReplaceTempView("orders")
+    val ywSql = spark.sql(
+      """SELECT * FROM graft_yule_walker('orders', 'o_orderpriority',
+           'year(cast(o_orderdate as date)) * 12
+            + month(cast(o_orderdate as date))', '1L')""")
+    val ywApi = Analytics.yuleWalkerAr2(Tables(spark, sf, "orders"),
+      "o_orderpriority",
+      expr("year(cast(o_orderdate as date)) * 12" +
+        " + month(cast(o_orderdate as date))"), lit(1L))
+    assert(ywSql.except(ywApi).isEmpty && ywApi.except(ywSql).isEmpty)
+
+    Tables(spark, sf, "lineitem").createOrReplaceTempView("lineitem")
+    val ptSql = spark.sql(
+      """SELECT * FROM graft_permutation_test('lineitem',
+           'l_orderkey * 10 + l_linenumber', 'l_quantity',
+           'l_returnflag = \'R\'', 50)""")
+    val ptApi = Profile.permutationMeanTest(Tables(spark, sf, "lineitem"),
+      expr("l_orderkey * 10 + l_linenumber"), col("l_quantity"),
+      col("l_returnflag") === "R", replicates = 50)
+    assert(ptSql.except(ptApi).isEmpty && ptApi.except(ptSql).isEmpty)
+  }
+
   test("graft_dedup_spans and graft_conformal_holt TVFs equal the Dataset forms") {
     SqlRegistry.register(spark)
     graft.functions.Native.register(spark)
