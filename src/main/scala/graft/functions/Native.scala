@@ -67,6 +67,14 @@ object Native {
       },
       "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_hilbert2",
+      exprs => {
+        require(exprs.length == 2,
+          "graft_hilbert2(x, y) takes two bigints")
+        HilbertIndex2(exprs.head, exprs(1))
+      },
+      "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_jaro_winkler",
       exprs => {
         require(exprs.length == 2,

@@ -70,6 +70,28 @@ object Layout {
       .drop("__z")
   }
 
+  /** Order-16 Hilbert index of two dimensions — the locality-preserving
+    * upgrade over [[zValue]] (no Z-seams: adjacent curve positions are
+    * always grid neighbors), via the native codegen'd
+    * [[graft.functions.HilbertIndex2]] kernel. Inputs masked to 16 bits;
+    * quantize wider domains down first (the zValue contract).
+    */
+  def hilbertValue(a: Column, b: Column): Column =
+    org.apache.spark.sql.functions.call_function("graft_hilbert2",
+      a.cast("long"), b.cast("long"))
+
+  /** Lay `df` out along the Hilbert curve over two dimensions — same
+    * range-partition + in-partition sort recipe as [[zorderBy]], better
+    * 2-D pruning at the same file count.
+    */
+  def hilbertBy(df: DataFrame, colA: String, colB: String,
+      numPartitions: Int): DataFrame = {
+    df.withColumn("__h", hilbertValue(col(colA), col(colB)))
+      .repartitionByRange(numPartitions, col("__h"))
+      .sortWithinPartitions(col("__h"))
+      .drop("__h")
+  }
+
   /** Compact a table into ~`targetRowsPerFile`-sized output files,
     * optionally sorted within each file — the small-files remediation
     * every long-running 100-TB table needs (thousands of tiny files from
@@ -253,6 +275,47 @@ object Layout {
        SELECT c_custkey, c_nationkey, (x | (y << 1))::BIGINT AS z
        FROM a5 ORDER BY c_custkey"""
 
+  // ---- q395: Hilbert index computation ----------------------------------------
+  // Bit-for-bit against the unrolled rot-and-walk oracle over customer
+  // (key folded into the 16-bit domain; nationkey exercises the dense
+  // low bits — the q79 contract for the better curve).
+  private def q395(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .select(col("c_custkey"),
+        col("c_nationkey").cast("long").as("c_nationkey"),
+        hilbertValue(col("c_custkey") % 65536, col("c_nationkey"))
+          .as("h"))
+      .orderBy(col("c_custkey"))
+  private val q395Sql = {
+    // one CTE per curve order: (x, y, d) stepped with s = 2^15 … 1; the
+    // CASE trio reads the PREVIOUS level's x/y, exactly the kernel loop.
+    val levels = scala.collection.mutable.ArrayBuffer(
+      """h0 AS (
+        SELECT c_custkey, c_nationkey::BIGINT AS c_nationkey,
+          (c_custkey % 65536)::BIGINT AS x, c_nationkey::BIGINT AS y,
+          0::BIGINT AS d
+        FROM customer)""")
+    var s = 1L << 15
+    var i = 0
+    while (s > 0) {
+      val p = s"h$i"
+      i += 1
+      levels += s"""h$i AS (
+        SELECT c_custkey, c_nationkey,
+          CASE WHEN (y & $s) > 0 THEN x
+               WHEN (x & $s) > 0 THEN ${s - 1} - y ELSE y END AS x,
+          CASE WHEN (y & $s) > 0 THEN y
+               WHEN (x & $s) > 0 THEN ${s - 1} - x ELSE x END AS y,
+          d + ${s * s}::BIGINT
+            * xor(3 * (CASE WHEN (x & $s) > 0 THEN 1 ELSE 0 END),
+                  (CASE WHEN (y & $s) > 0 THEN 1 ELSE 0 END)) AS d
+        FROM $p)"""
+      s >>= 1
+    }
+    s"""WITH ${levels.mkString(",\n")}
+      SELECT c_custkey, c_nationkey, d AS h FROM h$i ORDER BY c_custkey"""
+  }
+
   // ---- q138: dense ordered row ids ------------------------------------------
   // Contiguous ids over orders in o_orderkey order (unique key, so the
   // assignment is fully deterministic) — equals the single-task
@@ -370,6 +433,7 @@ object Layout {
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q220_bucket_balance", q220, Some(q220Sql)),
     QueryDef("q79_zorder", q79, Some(q79Sql)),
+    QueryDef("q395_hilbert", q395, Some(q395Sql)),
     QueryDef("q138_dense_ids", q138, Some(q138Sql)),
     QueryDef("q143_zorder3", q143, Some(q143Sql)),
     QueryDef("q146_epoch_shuffle", q146, Some(q146Sql)))

@@ -94,6 +94,100 @@ object Similarity {
     rankTopK(scored, k)
   }
 
+  /** Binary-quantization retrieval: 1-bit sign packing → Hamming
+    * prefilter → exact cosine rerank of the fetchN survivors — the
+    * modern BQ pattern (Hamming on packed words is ~2 ops/candidate vs
+    * a d-wide float dot, and sign-bit agreement tracks cosine for
+    * roughly-centered embeddings). EXACT when fetchN covers the corpus
+    * (spec-pinned ≡ [[bruteTopK]], the q350/q366 acceptance
+    * discipline); at scale fetchN is the recall lever and the packed
+    * words ride a fixed-width column 32× smaller than the vectors.
+    *
+    * Packing is pure integer (bit j set iff e[j] > 0, 32 bits per
+    * BIGINT word — two words for 64-dim, no sign-bit hazards);
+    * Hamming = Σ bit_count(xor) per word; candidate ranking and the
+    * rerank both use the bounded-heap [[rankTopK]] (never a window
+    * sort). The rerank joins candidates back to the raw vectors —
+    * id-keyed equi joins over |Q|·fetchN rows.
+    */
+  def binaryQuantTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, dims: Int, fetchN: Int, k: Int): DataFrame = {
+    require(dims >= 32 && dims % 32 == 0,
+      "binaryQuantTopK packs whole 32-bit words")
+    require(fetchN >= k && k >= 1, "need fetchN >= k >= 1")
+    val words = dims / 32
+    def pack(df: DataFrame, idAs: String): DataFrame = {
+      val wordCols = (0 until words).map { w =>
+        val from = w * 32 + 1
+        val until = w * 32 + 32
+        expr(s"aggregate(sequence($from, $until), 0L, (acc, j) -> acc + " +
+          s"(CASE WHEN element_at(e, j) > 0 THEN shiftleft(1L, j - $from) " +
+          "ELSE 0L END))").as(s"${idAs}_w$w")
+      }
+      df.select(col(idCol).as(idAs), col(vecCol).as("e"))
+        .select(col(idAs) +: wordCols: _*)
+    }
+    val q = pack(queries, "query_id")
+    val c = pack(corpus, "neighbor_id")
+    val hd = (0 until words).map(w =>
+        bit_count(col(s"query_id_w$w").bitwiseXOR(col(s"neighbor_id_w$w"))))
+      .reduce(_ + _)
+    val ham = broadcast(q).join(c, col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        (-hd).cast("double").as("c"))
+    val cand = rankTopK(ham, fetchN).select("query_id", "neighbor_id")
+    val qv = queries.select(col(idCol).as("query_id"), col(vecCol).as("qe"))
+    val cv = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("ne"))
+    val scored = cand.join(broadcast(qv), Seq("query_id"))
+      .join(cv, Seq("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("qe"), col("ne")).as("c"))
+    rankTopK(scored, k)
+  }
+
+  // ---- q396: sign-bit Hamming prefilter + exact rerank -----------------------
+  private def q396(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+    binaryQuantTopK(e.filter(col("vec_id") < 5), e.filter(col("vec_id") >= 5),
+        "vec_id", "embedding", dims = 64, fetchN = 50, k = 5)
+      .orderBy(col("query_id"), col("rank"))
+  }
+  private val q396Sql =
+    """WITH packed AS (
+        SELECT vec_id, embedding,
+          list_sum(list_transform(range(1, 33), j ->
+            CASE WHEN embedding[j] > 0 THEN (1::BIGINT << (j-1))
+              ELSE 0 END))::BIGINT AS w0,
+          list_sum(list_transform(range(33, 65), j ->
+            CASE WHEN embedding[j] > 0 THEN (1::BIGINT << (j-33))
+              ELSE 0 END))::BIGINT AS w1
+        FROM embeddings),
+      ham AS (
+        SELECT q.vec_id AS qid, c.vec_id AS cid,
+          bit_count(xor(q.w0, c.w0)) + bit_count(xor(q.w1, c.w1)) AS hd,
+          q.embedding AS qe, c.embedding AS ce
+        FROM packed q JOIN packed c ON q.vec_id < 5 AND c.vec_id >= 5),
+      cand AS (
+        SELECT qid, cid, qe, ce FROM (
+          SELECT *, row_number() OVER (PARTITION BY qid
+            ORDER BY hd, cid) AS rk
+          FROM ham) WHERE rk <= 50),
+      rer AS (
+        SELECT qid AS query_id, cid AS neighbor_id,
+          list_sum(list_transform(range(1, 65),
+            j -> qe[j]::DOUBLE * ce[j]::DOUBLE))
+          / (sqrt(list_sum(list_transform(qe, x -> x::DOUBLE * x::DOUBLE)))
+           * sqrt(list_sum(list_transform(ce, x -> x::DOUBLE * x::DOUBLE))))
+            AS c
+        FROM cand)
+      SELECT query_id, rk::INT AS rank, neighbor_id,
+        round(c, 6) + 0.0 AS cos_sim
+      FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+          ORDER BY c DESC, neighbor_id) AS rk
+        FROM rer) WHERE rk <= 5
+      ORDER BY query_id, rank"""
+
   /** Assign every vector to its nearest of the given seed centroids
     * (broadcast join + deterministic argmax). Output: (idCol, vecCol,
     * cluster).
@@ -2706,6 +2800,7 @@ object Similarity {
     QueryDef("q350_knn_outliers_ivf", q350, Some(q350Sql)),
     QueryDef("q380_lof_outliers", q380, Some(q380Sql)),
     QueryDef("q381_kmeans_fit", q381, Some(q381Sql)),
+    QueryDef("q396_binary_quant", q396, Some(q396Sql)),
     QueryDef("q359_gram_matrix", q359, Some(q359Sql)),
     QueryDef("q360_power_iteration", q360, Some(q360Sql)),
     QueryDef("q361_principal_projection", q361, Some(q361Sql)),

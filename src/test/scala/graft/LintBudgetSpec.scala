@@ -91,6 +91,10 @@ class LintBudgetSpec extends SparkSpec {
     // from this plan because the index table is read back persisted.
     "q372_ivf_index_probe" -> Map("broadcast-nested-loop" -> 1),
     "q30_cosine_topk" -> Map("broadcast-nested-loop" -> 1),
+    // q396: the Hamming prefilter broadcasts the bounded QUERY set of
+    // packed words against the corpus on a non-equi (!=) condition —
+    // the q30 precedent with a 32x smaller build side.
+    "q396_binary_quant" -> Map("broadcast-nested-loop" -> 1),
     "q164_rrf_fusion" -> Map("broadcast-nested-loop" -> 2),
     "q150_sparse_cosine" -> Map("broadcast-nested-loop" -> 4),
     "q136_ann_recall" -> Map("broadcast-nested-loop" -> 1),

@@ -30,6 +30,50 @@ class LayoutSpec extends SparkSpec {
       zRef(0, 1) === 2L && zRef(1, 1) === 3L)
   }
 
+  test("hilbertValue pins the reference curve, walks the unit square in order") {
+    // Pins from the classic rot-and-walk reference at order 16: the unit
+    // square is visited (0,0)->(1,0)->(1,1)->(0,1) (indices 0..3 — the
+    // defining U of the curve), corners land on thirds of 2^32-1, and
+    // inputs beyond 16 bits fold (the masking contract).
+    val pins = Seq(
+      (0L, 0L, 0L), (1L, 0L, 1L), (1L, 1L, 2L), (0L, 1L, 3L),
+      (65535L, 65535L, 2863311530L), (65535L, 0L, 4294967295L),
+      (0L, 65535L, 1431655765L), (12345L, 678L, 251978711L),
+      (40000L, 2L, 3958378510L),
+      (65536L, 65537L, 3L)) // masks to (0, 1) — the 16-bit fold
+    val df = pins.map { case (x, y, _) => (x, y) }.toDF("x", "y")
+    val got = df.select(Layout.hilbertValue(col("x"), col("y")))
+      .as[Long].collect()
+    got.zip(pins).foreach { case (g, (x, y, want)) =>
+      assert(g === want, s"hilbert($x, $y)")
+    }
+    // Locality on the full curve: the four unit-square cells are the
+    // first four curve positions, so any 2-D range over them is ONE
+    // contiguous curve range — the no-seams property zValue lacks
+    // (z(0,1)=2, z(1,1)=3 puts the square's corners out of walk order).
+    assert(got.take(4).toSeq === Seq(0L, 1L, 2L, 3L))
+  }
+
+  test("hilbertBy preserves rows and schema while clustering the curve") {
+    val df = (0 until 256).map(i => (i.toLong % 16, i.toLong / 16, i))
+      .toDF("x", "y", "payload")
+    val laid = Layout.hilbertBy(df, "x", "y", numPartitions = 4)
+    assert(laid.columns.toSeq === Seq("x", "y", "payload"))
+    assert(laid.count() === 256L)
+    // each partition holds a contiguous Hilbert range: per-partition
+    // index spans must not overlap
+    val spans = laid
+      .select(Layout.hilbertValue(col("x"), col("y")).as("h"),
+        spark_partition_id().as("p"))
+      .groupBy("p").agg(min("h").as("lo"), max("h").as("hi"))
+      .orderBy("lo")
+      .as[(Int, Long, Long)].collect()
+    spans.sliding(2).foreach {
+      case Array(a, b) => assert(a._3 <= b._2, s"overlap: $a vs $b")
+      case _ =>
+    }
+  }
+
   test("zValue3 equals the bit-by-bit reference, including edge values") {
     def z3Ref(a: Long, b: Long, c: Long): Long = {
       var z = 0L

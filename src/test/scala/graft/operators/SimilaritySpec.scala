@@ -496,6 +496,32 @@ class SimilaritySpec extends SparkSpec {
     assert(got.map(_._2).forall(_ === 1000000L), got.mkString(","))
   }
 
+  test("binaryQuantTopK: full fetch IS bruteTopK; sign bits find the planted twin") {
+    // 64-dim vectors. Query 100's sign pattern matches id 1 exactly and
+    // differs from id 2 in every dim -> the Hamming prefilter must keep
+    // id 1 first even at fetchN = 1.
+    def vec(seed: Int, flip: Boolean): Seq[Float] =
+      (0 until 64).map { j =>
+        val s = if ((j * 2654435761L + seed) % 3 == 0) 1f else -1f
+        (if (flip) -s else s) * (1f + j * 0.01f)
+      }
+    val corpus = Seq((1L, vec(7, flip = false)), (2L, vec(7, flip = true)),
+      (3L, vec(11, flip = false)), (4L, vec(13, flip = false)))
+      .toDF("vec_id", "embedding")
+    val queries = Seq((100L, vec(7, flip = false).map(_ * 0.9f)))
+      .toDF("vec_id", "embedding")
+    val narrow = Similarity.binaryQuantTopK(queries, corpus, "vec_id",
+        "embedding", dims = 64, fetchN = 1, k = 1)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect()
+    assert(narrow === Array((100L, 1L)))
+    // fetchN covering the corpus reduces BQ to the exact brute answer
+    val full = Similarity.binaryQuantTopK(queries, corpus, "vec_id",
+      "embedding", dims = 64, fetchN = 4, k = 3).collect()
+    val brute = Similarity.bruteTopK(queries, corpus, "vec_id",
+      "embedding", k = 3).collect()
+    assert(full.toSeq === brute.toSeq)
+  }
+
   test("kmeansFit separates two planted clusters and drives WCSS to the in-cluster spread") {
     // Two tight orthogonal clusters; seeds are the two lowest ids (one
     // from each cluster), so one Lloyd step already classifies
