@@ -299,6 +299,98 @@ class RandomizedEquivalenceSpec extends SparkSpec {
     }
   }
 
+  test("coxFit equals a sequential Newton fold on random censored data") {
+    def fd(a: BigInt, b: BigInt): BigInt = {
+      val (q, r) = a /% b
+      if (r.signum != 0 && r.signum != b.signum) q - 1 else q
+    }
+    (1 to 5).foreach { trial =>
+      val n = 25 + rnd.nextInt(40)
+      val data = Vector.fill(n)((1L + rnd.nextInt(10), rnd.nextInt(4) != 0,
+        rnd.nextInt(5).toLong))
+      val iters = 4
+      // Sequential reimplementation of the exact fixed-point fold.
+      var beta = BigInt(0)
+      var lastU = BigInt(0)
+      for (_ <- 1 to iters) {
+        val byT = data.groupBy(_._1).toSeq.sortBy(-_._1).map {
+          case (t, rows) =>
+            val wq = rows.map { case (_, _, x) =>
+              val z = math.min(math.max(beta.toLong * x / 1e6, -20), 20)
+              (BigInt(math.floor(math.exp(z) * 1048576 + 0.5).toLong), x)
+            }
+            (t, wq.map(_._1).sum, wq.map(w => w._1 * w._2).sum,
+              wq.map(w => w._1 * w._2 * w._2).sum,
+              rows.count(_._2).toLong,
+              rows.filter(_._2).map(_._3).sum)
+        }
+        var s0 = BigInt(0); var s1 = BigInt(0); var s2 = BigInt(0)
+        var u = BigInt(0); var inf = BigInt(0)
+        byT.foreach { case (_, sw, swx, swx2, d, dx) =>
+          s0 += sw; s1 += swx; s2 += swx2
+          if (d > 0) {
+            val b = fd(s1 * 1000000, s0)
+            u += BigInt(dx) * 1000000 - d * b
+            inf += d * (fd(s2 * 1000000, s0) - fd(b * b, 1000000))
+          }
+        }
+        lastU = u
+        if (inf > 0) beta += fd(u * 1000000, inf)
+      }
+      val got = Analytics.coxFit(data.toDF("dur", "ev", "x"), col("dur"),
+          col("ev"), col("x"), iters)
+        .as[(String, Long)].collect().toMap
+      assert(got("beta_micro") === beta.toLong, s"trial $trial data=$data")
+      assert(got("score_residual_micro") === lastU.toLong, s"trial $trial")
+    }
+  }
+
+  test("gbStumps equals a sequential split-search fold on random cells") {
+    def fd(a: BigInt, b: BigInt): BigInt = {
+      val (q, r) = a /% b
+      if (r.signum != 0 && r.signum != b.signum) q - 1 else q
+    }
+    (1 to 5).foreach { trial =>
+      val n = 40 + rnd.nextInt(60)
+      val data = Vector.fill(n)((rnd.nextInt(2).toLong,
+        rnd.nextInt(5).toLong, rnd.nextInt(4).toLong))
+      val rounds = 3
+      // Sequential reimplementation over the cell collapse.
+      val cells = data.groupBy(r => (r._2, r._3)).map { case ((a, b), rs) =>
+        (a, b, rs.size.toLong, rs.map(_._1).sum) }.toVector
+      var stumps = Vector.empty[(Int, Long, Long, Long)]
+      for (_ <- 1 to rounds) {
+        def pred(a: Long, b: Long): Long = stumps.map { case (f, v, lo, hi) =>
+          if ((if (f == 0) a else b) <= v) lo else hi }.sum
+        val withR = cells.map { case (a, b, cn, sy) =>
+          (a, b, cn, sy * 1000000L - cn * pred(a, b)) }
+        val bigS = withR.map(c => BigInt(c._4)).sum
+        val bigN = BigInt(withR.map(_._3).sum)
+        val cand = (0 to 1).flatMap { f =>
+          val byV = withR.groupBy(c => if (f == 0) c._1 else c._2).toSeq
+            .sortBy(_._1)
+          byV.scanLeft((0L, BigInt(0), 0L)) { case ((_, sl, nl), (v, rs)) =>
+            (v, sl + rs.map(c => BigInt(c._4)).sum, nl + rs.map(_._3).sum)
+          }.tail.map { case (v, sl, nl) => (f, v, sl, nl) }
+        }
+        val best = cand
+          .filter { case (_, _, _, nl) => nl > 0 && BigInt(nl) < bigN }
+          .map { case (f, v, sl, nl) =>
+            val sr = bigS - sl; val nr = bigN - nl
+            (fd(sl * sl, nl) + fd(sr * sr, nr), f, v, sl, BigInt(nl), sr, nr)
+          }.sortBy { case (g, f, v, _, _, _, _) => (-g, f, v) }.head
+        stumps :+= ((best._2, best._3, fd(best._4, 2 * best._5).toLong,
+          fd(best._6, 2 * best._7).toLong))
+      }
+      val want = stumps.zipWithIndex.map { case ((f, v, lo, hi), i) =>
+        ((i + 1).toLong, if (f == 0) "a" else "b", v, lo, hi) }
+      val got = Supervised.gbStumps(data.toDF("y", "a", "b"), col("y"),
+          Seq("a" -> col("a"), "b" -> col("b")), rounds)
+        .as[(Long, String, Long, Long, Long)].collect()
+      assert(got.toSeq === want, s"trial $trial")
+    }
+  }
+
   test("nelsonAalen equals a sequential fold on random censored data") {
     (1 to 6).foreach { trial =>
       val n = 20 + rnd.nextInt(40)
