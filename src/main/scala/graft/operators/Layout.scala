@@ -316,6 +316,115 @@ object Layout {
       SELECT c_custkey, c_nationkey, d AS h FROM h$i ORDER BY c_custkey"""
   }
 
+  /** Layout pruning audit: for the SAME bucket count and the SAME 2-D box
+    * predicate, how many buckets would each layout's min/max zone maps
+    * fail to prune? Buckets are deterministic ntile ranges over each
+    * layout key (naive row key, Morton [[zValue]], [[hilbertValue]]) —
+    * the file-level pruning model every lakehouse scan planner applies,
+    * made measurable BEFORE committing to a rewrite. Expected ordering,
+    * which q395's fixture reproduces: hilbert ≤ zorder « naive.
+    *
+    * Scale note: the ntile windows are the AUDIT's device (run it on a
+    * sample or a dimension); the production layout itself uses
+    * [[zorderBy]]/[[hilbertBy]]'s range partitioner, not a window.
+    */
+  def layoutPruningAudit(df: DataFrame, keyCol: Column, xCol: Column,
+      yCol: Column, buckets: Int,
+      xLo: Long, xHi: Long, yLo: Long, yHi: Long): DataFrame = {
+    require(buckets >= 1 && xLo <= xHi && yLo <= yHi,
+      "layoutPruningAudit needs buckets >= 1 and a non-empty box")
+    import org.apache.spark.sql.expressions.Window
+    val keys = df.select(keyCol.cast("long").as("k"),
+        xCol.cast("long").as("x"), yCol.cast("long").as("y"))
+      .withColumn("zval", zValue(col("x"), col("y")))
+      .withColumn("hval", hilbertValue(col("x"), col("y")))
+    val tiled = keys.select(col("x"), col("y"),
+      ntile(buckets).over(Window.orderBy(col("zval"), col("k"))).as("bz"),
+      ntile(buckets).over(Window.orderBy(col("hval"), col("k"))).as("bh"),
+      ntile(buckets).over(Window.orderBy(col("k"))).as("bn"))
+    def stats(b: String, name: String): DataFrame =
+      tiled.groupBy(col(b))
+        .agg(min("x").as("minx"), max("x").as("maxx"),
+          min("y").as("miny"), max("y").as("maxy"))
+        .agg(count(lit(1)).as("buckets_total"),
+          sum(when(col("maxx") >= xLo && col("minx") <= xHi &&
+            col("maxy") >= yLo && col("miny") <= yHi, 1L).otherwise(0L))
+            .as("buckets_touched"))
+        .select(lit(name).as("layout"), col("buckets_total"),
+          col("buckets_touched"))
+    stats("bz", "zorder").unionAll(stats("bh", "hilbert"))
+      .unionAll(stats("bn", "naive"))
+      .orderBy("layout")
+  }
+
+  // ---- q397: does the curve actually prune? -----------------------------------
+  // 64 buckets over the 64x64 customer-key grid, one 8x8 box: at sf0.01
+  // the zone maps touch hilbert 3 < zorder 5 < naive 14 buckets — the
+  // measured version of the q395 no-seams claim.
+  private def q397(s: SparkSession, d: String): DataFrame =
+    layoutPruningAudit(Tables.customer(s, d), col("c_custkey"),
+      col("c_custkey") % 64, expr("(c_custkey div 64) % 64"),
+      buckets = 64, xLo = 8, xHi = 15, yLo = 8, yHi = 15)
+  private val q397Sql = {
+    val zsteps = Seq(
+      "(v | (v << 16)) & 281470681808895",
+      "(v | (v << 8)) & 71777214294589695",
+      "(v | (v << 4)) & 1085102592571150095",
+      "(v | (v << 2)) & 3689348814741910323",
+      "(v | (v << 1)) & 6148914691236517205")
+    val levels = scala.collection.mutable.ArrayBuffer(
+      """p0 AS (
+        SELECT c_custkey AS k, (c_custkey % 64)::BIGINT AS x,
+          ((c_custkey // 64) % 64)::BIGINT AS y
+        FROM customer)""")
+    var prev = "p0"
+    zsteps.zipWithIndex.foreach { case (st, i) =>
+      val sx = if (i == 0) "x" else "zx"
+      val sy = if (i == 0) "y" else "zy"
+      levels += s"""z$i AS (SELECT k, x, y,
+        ${st.replace("v", sx)} AS zx, ${st.replace("v", sy)} AS zy
+        FROM $prev)"""
+      prev = s"z$i"
+    }
+    levels += s"zf AS (SELECT k, x, y, (zx | (zy << 1))::BIGINT AS zval FROM $prev)"
+    levels += "h0 AS (SELECT k, x, y, zval, x AS hx, y AS hy, 0::BIGINT AS d FROM zf)"
+    var s = 1L << 15
+    var i = 0
+    while (s > 0) {
+      val p = s"h$i"
+      i += 1
+      levels += s"""h$i AS (
+        SELECT k, x, y, zval,
+          CASE WHEN (hy & $s) > 0 THEN hx
+               WHEN (hx & $s) > 0 THEN ${s - 1} - hy ELSE hy END AS hx,
+          CASE WHEN (hy & $s) > 0 THEN hy
+               WHEN (hx & $s) > 0 THEN ${s - 1} - hx ELSE hx END AS hy,
+          d + ${s * s}::BIGINT
+            * xor(3 * (CASE WHEN (hx & $s) > 0 THEN 1 ELSE 0 END),
+                  (CASE WHEN (hy & $s) > 0 THEN 1 ELSE 0 END)) AS d
+        FROM $p)"""
+      s >>= 1
+    }
+    levels += s"keys AS (SELECT k, x, y, zval, d AS hval FROM h$i)"
+    levels += """tiled AS (
+      SELECT x, y,
+        ntile(64) OVER (ORDER BY zval, k) AS bz,
+        ntile(64) OVER (ORDER BY hval, k) AS bh,
+        ntile(64) OVER (ORDER BY k) AS bn
+      FROM keys)"""
+    def stats(b: String, name: String) =
+      s"""SELECT '$name' AS layout, count(*)::BIGINT AS buckets_total,
+        sum(CASE WHEN maxx >= 8 AND minx <= 15 AND maxy >= 8 AND miny <= 15
+          THEN 1 ELSE 0 END)::BIGINT AS buckets_touched
+      FROM (SELECT $b, min(x) AS minx, max(x) AS maxx, min(y) AS miny,
+        max(y) AS maxy FROM tiled GROUP BY $b)"""
+    s"""WITH ${levels.mkString(",\n")}
+      SELECT * FROM (${stats("bz", "zorder")}
+        UNION ALL ${stats("bh", "hilbert")}
+        UNION ALL ${stats("bn", "naive")})
+      ORDER BY layout"""
+  }
+
   // ---- q138: dense ordered row ids ------------------------------------------
   // Contiguous ids over orders in o_orderkey order (unique key, so the
   // assignment is fully deterministic) — equals the single-task
@@ -434,6 +543,7 @@ object Layout {
     QueryDef("q220_bucket_balance", q220, Some(q220Sql)),
     QueryDef("q79_zorder", q79, Some(q79Sql)),
     QueryDef("q395_hilbert", q395, Some(q395Sql)),
+    QueryDef("q397_layout_pruning", q397, Some(q397Sql)),
     QueryDef("q138_dense_ids", q138, Some(q138Sql)),
     QueryDef("q143_zorder3", q143, Some(q143Sql)),
     QueryDef("q146_epoch_shuffle", q146, Some(q146Sql)))

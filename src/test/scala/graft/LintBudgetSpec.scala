@@ -57,6 +57,12 @@ class LintBudgetSpec extends SparkSpec {
     // condition-free by construction, build side is one row each; the
     // q325/q296 scalar-subquery precedent.
     "q392_permutation_test" -> Map("broadcast-nested-loop" -> 3),
+    // q397: the three ntile windows ARE the audit's device — the
+    // file-level zone-map model needs one global bucket numbering per
+    // layout; run on a sample/dimension by contract (scaladoc), the
+    // production layout path is zorderBy/hilbertBy's range partitioner.
+    "q397_layout_pruning" -> Map("single-partition-exchange" -> 3,
+      "unpartitioned-window" -> 3),
     // q394 is the TVF route to the same q392 plan — same three scalars.
     "q394_sql_permutation" -> Map("broadcast-nested-loop" -> 3),
     "q179_abc_analysis" -> Map("single-partition-exchange" -> 1,
