@@ -412,6 +412,147 @@ object Supervised {
         round(l_discount*100)::BIGINT AS x2 FROM lineitem""",
     Q378Feats, lrShift = 3, iters = 12)
 
+  /** Bradley–Terry strength scores from pairwise preferences — the
+    * REWARD-MODEL / ranking primitive: given (winner, loser) comparison
+    * rows, fit per-entity scores s_e so that P(w beats l) = σ(s_w − s_l),
+    * by full-batch gradient descent in the [[logisticFit]] fixed-point
+    * scheme (this IS logistic regression on one-hot difference features,
+    * evaluated entity-table-wise instead of k-column-wise). Gradients
+    * sum to zero across entities by construction, so scores stay
+    * centered without an explicit identifiability pin.
+    *
+    * Determinism: driver holds the entity→score map in exact micros;
+    * each iteration is one broadcast-scores join + one entity-keyed
+    * aggregation with the σ quantized to 1/2^20 at its single site and
+    * floor-division updates — bit-identical cross-engine, oracle
+    * unrolled per iteration (score TABLE joins, no per-entity column
+    * unroll, so any entity count generates the same SQL).
+    *
+    * Scale: pairs shuffle once per iteration on the entity key; the
+    * score relation is |entities| rows broadcast both ways. Driver
+    * state is O(entities) — bounded-domain contract (leagues, models,
+    * sources; not users).
+    */
+  def bradleyTerry(pairs: DataFrame, winnerCol: Column, loserCol: Column,
+      lrShift: Int, iters: Int): DataFrame = {
+    require(iters >= 1 && lrShift >= 0, "need iters >= 1, lrShift >= 0")
+    val s = pairs.sparkSession
+    import s.implicits._
+    val den = 1L << (20 + lrShift)
+    val p = pairs.select(winnerCol.cast("string").as("w"),
+      loserCol.cast("string").as("l")).persist()
+    try {
+      val n = p.count()
+      require(n > 0, "bradleyTerry needs pairs")
+      val entities = p.select(col("w")).union(p.select(col("l")))
+        .distinct().orderBy("w").as[String].collect()
+      require(entities.length <= 100000,
+        "bradleyTerry holds O(entities) driver state — bounded domain")
+      val score = scala.collection.mutable.LinkedHashMap(
+        entities.map(_ -> 0L): _*)
+      def fdL(a: Long, b: Long): Long = Math.floorDiv(a, b)
+      for (_ <- 1 to iters) {
+        val st = broadcast(s.createDataset(score.toSeq).toDF("e", "sv"))
+        val scored = p
+          .join(st.select(col("e").as("w"), col("sv").as("sw")), Seq("w"))
+          .join(st.select(col("e").as("l"), col("sv").as("sl")), Seq("l"))
+          .select(col("w"), col("l"),
+            floor(lit(1.0) / (lit(1.0) +
+              exp(-((col("sw") - col("sl")).cast("double") / lit(1e6)))) *
+              lit(SigScale.toDouble) + lit(0.5)).cast("long").as("p"))
+        val grad = scored.select(explode(array(
+            struct(col("w").as("e"), (col("p") - lit(SigScale)).as("r")),
+            struct(col("l").as("e"), (lit(SigScale) - col("p")).as("r"))))
+            .as("t"))
+          .select(col("t.e").as("e"), col("t.r").as("r"))
+          .groupBy("e").agg(sum("r").as("g"))
+          .collect()
+        grad.foreach { row =>
+          val e = row.getString(0)
+          score(e) = score(e) - fdL(fdL(row.getLong(1), n) * 1000000L, den)
+        }
+      }
+      val wl = p.select(explode(array(
+          struct(col("w").as("e"), lit(1L).as("win"), lit(0L).as("loss")),
+          struct(col("l").as("e"), lit(0L).as("win"), lit(1L).as("loss"))))
+          .as("t"))
+        .select(col("t.e").as("entity"), col("t.win").as("win"),
+          col("t.loss").as("loss"))
+        .groupBy("entity")
+        .agg(sum("win").as("wins"), sum("loss").as("losses"))
+      val scoreDf = broadcast(s.createDataset(score.toSeq)
+        .toDF("entity", "score_micro"))
+      wl.join(scoreDf, Seq("entity"))
+        .select(col("entity"), col("score_micro"), col("wins"),
+          col("losses"))
+        .orderBy(col("score_micro").desc, col("entity"))
+    } finally p.unpersist()
+  }
+
+  /** Unrolled oracle for [[bradleyTerry]]: score TABLE per iteration,
+    * (score, gradient, update) CTE triple — entity-count independent.
+    */
+  private def bradleyTerrySql(pairsSql: String, lrShift: Int,
+      iters: Int): String = {
+    val den = 1L << (20 + lrShift)
+    val levels = scala.collection.mutable.ArrayBuffer(
+      s"pr AS MATERIALIZED ($pairsSql)",
+      "nn AS (SELECT count(*)::BIGINT AS n FROM pr)",
+      """s0 AS MATERIALIZED (
+        SELECT e, 0::BIGINT AS s FROM (
+          SELECT DISTINCT w AS e FROM pr UNION SELECT DISTINCT l FROM pr))""")
+    for (t <- 1 to iters) {
+      val p = s"s${t - 1}"
+      levels += s"""sc$t AS MATERIALIZED (
+        SELECT pr.w, pr.l,
+          floor(1.0/(1.0+exp(-((sw.s - sl.s)/1e6)))*$SigScale
+            + 0.5)::BIGINT AS P
+        FROM pr JOIN $p sw ON sw.e = pr.w JOIN $p sl ON sl.e = pr.l)"""
+      levels += s"""g$t AS MATERIALIZED (
+        SELECT e, sum(r)::BIGINT AS g FROM (
+          SELECT w AS e, P - $SigScale AS r FROM sc$t
+          UNION ALL SELECT l, $SigScale - P FROM sc$t) GROUP BY e)"""
+      levels += s"""s$t AS MATERIALIZED (
+        SELECT p.e,
+          (p.s - ${fd(fd("coalesce(g.g, 0)", "nn.n") + "*1000000",
+            den.toString)})::BIGINT AS s
+        FROM $p p LEFT JOIN g$t g ON g.e = p.e, nn)"""
+    }
+    s"""WITH ${levels.mkString(",\n")},
+      wl AS (SELECT e, sum(win)::BIGINT AS wins,
+          sum(loss)::BIGINT AS losses FROM (
+        SELECT w AS e, 1 AS win, 0 AS loss FROM pr
+        UNION ALL SELECT l, 0, 1 FROM pr) GROUP BY e)
+      SELECT s.e AS entity, s.s AS score_micro, wl.wins, wl.losses
+      FROM s$iters s JOIN wl ON wl.e = s.e
+      ORDER BY score_micro DESC, entity"""
+  }
+
+  // ---- q398: which supplier nations ship first, as a strength ladder? --------
+  // Pairwise "shipped earlier within the same order" comparisons between
+  // supplier nations; near-zero scores = the honest no-signal answer,
+  // with the ladder still ordered by the win ratios.
+  private def q398(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+      .join(Tables.supplier(s, d), col("s_suppkey") === col("l_suppkey"))
+      .select(col("l_orderkey").as("o"),
+        col("s_nationkey").cast("string").as("nk"), col("l_shipdate").as("sd"))
+    val pairs = li.as("a").join(li.as("b"),
+        col("a.o") === col("b.o") && col("a.nk") =!= col("b.nk") &&
+          col("a.sd") < col("b.sd"))
+      .select(col("a.nk").as("w"), col("b.nk").as("l"))
+    bradleyTerry(pairs, col("w"), col("l"), lrShift = 1, iters = 8)
+  }
+  private val q398Sql = bradleyTerrySql(
+    """SELECT a.nk AS w, b.nk AS l FROM
+        (SELECT l_orderkey AS o, s_nationkey::VARCHAR AS nk, l_shipdate AS sd
+         FROM lineitem JOIN supplier ON s_suppkey = l_suppkey) a
+      JOIN (SELECT l_orderkey AS o, s_nationkey::VARCHAR AS nk,
+          l_shipdate AS sd
+        FROM lineitem JOIN supplier ON s_suppkey = l_suppkey) b
+      ON a.o = b.o AND a.nk != b.nk AND a.sd < b.sd""",
+    lrShift = 1, iters = 8)
+
   /** Poisson regression (log link) by full-batch gradient descent — the
     * COUNT-DATA member of the GLM family beside [[logisticFit]]
     * (binary), [[olsFit2]] (gaussian closed-form) and
@@ -799,6 +940,7 @@ object Supervised {
     QueryDef("q382_ols_cramer", q382, Some(q382Sql)),
     QueryDef("q387_gb_stumps", q387, Some(q387Sql)),
     QueryDef("q389_poisson_fit", q389, Some(q389Sql)),
+    QueryDef("q398_bradley_terry", q398, Some(q398Sql)),
     QueryDef("q384_target_encode", q384, Some(q384Sql)),
     QueryDef("q385_mi_ranking", q385, Some(q385Sql)))
 }

@@ -112,6 +112,23 @@ class SupervisedSpec extends SparkSpec {
       "w_x" -> 688653L), got.toString)
   }
 
+  test("bradleyTerry recovers the planted strength ladder, exactly pinned") {
+    // A beats B 9:1, B beats C 9:1 -> ladder A > B > C with symmetric
+    // end scores (gradients sum to zero, so the fold keeps the ladder
+    // centered); landing point pinned from the fixed-point arithmetic.
+    val pairs = (Seq.fill(9)(("A", "B")) ++ Seq(("B", "A")) ++
+      Seq.fill(9)(("B", "C")) ++ Seq(("C", "B"))).toDF("w", "l")
+    val got = Supervised.bradleyTerry(pairs, col("w"), col("l"),
+        lrShift = 1, iters = 10)
+      .as[(String, Long, Long, Long)].collect()
+    assert(got === Array(("A", 765980L, 9L, 1L), ("B", 7L, 10L, 10L),
+      ("C", -765965L, 1L, 9L)))
+    val rep = Supervised.bradleyTerry(pairs.repartition(7), col("w"),
+      col("l"), lrShift = 1, iters = 10)
+      .as[(String, Long, Long, Long)].collect()
+    assert(rep === got)
+  }
+
   test("gbStumps is invariant to partitioning") {
     val df = (0 until 120).map(i => ((i % 3 == 0) || (i % 7 == 0),
       (i % 5).toLong, (i % 4).toLong)).toDF("y", "a", "b")
