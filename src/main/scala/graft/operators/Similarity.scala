@@ -145,6 +145,124 @@ object Similarity {
     rankTopK(scored, k)
   }
 
+  /** IVF recall audit with a [[kmeansCentroids]]-TRAINED codebook — the
+    * integration that closes q381's "quality path" claim: train Lloyd
+    * centroids, bucket the corpus by exact-integer nearest-centroid,
+    * probe each query's nprobe nearest buckets, exact-cosine rerank the
+    * candidates, and report per query how many of the true (brute)
+    * top-k the probed buckets recovered plus how many candidates were
+    * scanned — the recall/cost trade in one row per query.
+    *
+    * Scale: the bucket join is EQUI on the centroid id (the whole point
+    * of IVF); candidates per query are |corpus|·nprobe/k in expectation;
+    * everything else is metadata-sized. The brute pass exists HERE to
+    * measure recall — production runs only the probe side.
+    */
+  def ivfRecallAudit(vectors: DataFrame, idCol: String, vecCol: String,
+      numQueries: Int, k: Int, iters: Int, nprobe: Int,
+      topK: Int): DataFrame = {
+    require(nprobe >= 1 && nprobe <= k && topK >= 1,
+      "need 1 <= nprobe <= k and topK >= 1")
+    val q8df = vectors.select(col(idCol).as("vid"),
+      quantize8(col(vecCol)).as("q")).persist()
+    try {
+      val cents = kmeansCentroids(q8df, k, iters)
+      val corpus8 = q8df.filter(col("vid") >= numQueries)
+      val queries8 = q8df.filter(col("vid") < numQueries)
+      val asg = corpus8.select(col("vid").as("cid"),
+        kmeansAssignExpr(cents).getField("cl").as("cl"))
+      // per query: nprobe nearest centroids (k structs sorted in-row)
+      val ranked = array_sort(array(cents.zipWithIndex.map { case (c, j) =>
+        val d2 = aggregate(
+          zip_with(col("q"), array(c.map(lit): _*), (a, b) => {
+            val t = a * lit(1000000L) - b; t * t
+          }), lit(0L), (acc, x) => acc + x)
+        struct(d2.as("d2"), lit(j.toLong).as("cl"))
+      }: _*))
+      val probes = queries8.select(col("vid").as("qid"),
+          explode(slice(ranked, 1, nprobe)).as("p"))
+        .select(col("qid"), col("p.cl").as("cl"))
+      val cand = probes.join(asg, Seq("cl")).select(col("qid"), col("cid"))
+      val nCand = cand.groupBy("qid").agg(count(lit(1)).as("n_candidates"))
+      val qv = vectors.select(col(idCol).as("qid"), col(vecCol).as("qe"))
+        .filter(col("qid") < numQueries)
+      val cv = vectors.select(col(idCol).as("cid"), col(vecCol).as("ce"))
+      val ivf = rankTopK(cand
+          .join(broadcast(qv), Seq("qid")).join(cv, Seq("cid"))
+          .select(col("qid").as("query_id"), col("cid").as("neighbor_id"),
+            cosine(col("qe"), col("ce")).as("c")), topK)
+        .select(col("query_id"), col("neighbor_id"))
+      val brute = bruteTopK(
+          vectors.filter(col(idCol) < numQueries),
+          vectors.filter(col(idCol) >= numQueries), idCol, vecCol, topK)
+        .select(col("query_id"), col("neighbor_id"))
+      val hits = ivf.join(brute, Seq("query_id", "neighbor_id"))
+        .groupBy("query_id").agg(count(lit(1)).as("hits"))
+      nCand.select(col("qid").as("query_id"), col("n_candidates"))
+        .join(hits, Seq("query_id"), "left")
+        .select(col("query_id"), col("n_candidates"),
+          coalesce(col("hits"), lit(0L)).as("hits"))
+        .orderBy("query_id")
+    } finally q8df.unpersist()
+  }
+
+  // ---- q399: does the trained codebook find the true neighbors? --------------
+  private def q399(s: SparkSession, d: String): DataFrame =
+    ivfRecallAudit(Tables.embeddings(s, d), "vec_id", "embedding",
+      numQueries = 5, k = 8, iters = 2, nprobe = 2, topK = 5)
+  private val q399Sql = {
+    val (levels0, cFin) = kmeansCtes(k = 8, iters = 2, d = 64)
+    val levels = scala.collection.mutable.ArrayBuffer(levels0: _*)
+    levels += s"""corp8 AS (SELECT * FROM q8 WHERE vid >= 5)"""
+    levels += kmAssignLevel("asg", "corp8", cFin, 64)
+      .replace("SELECT vid, q, cl, d2 FROM", "SELECT vid AS cid, cl FROM")
+    levels += s"""probes AS MATERIALIZED (
+      SELECT vid AS qid, cl FROM (
+        SELECT v.vid, c.cl,
+          row_number() OVER (PARTITION BY v.vid
+            ORDER BY ${kmD2("v", "c", 64)}, c.cl) AS rk
+        FROM q8 v, $cFin c WHERE v.vid < 5) WHERE rk <= 2)"""
+    levels += """cand AS MATERIALIZED (
+      SELECT p.qid, a.cid FROM probes p JOIN asg a ON a.cl = p.cl)"""
+    levels += """cos AS (
+      SELECT cand.qid AS query_id, cand.cid AS neighbor_id,
+        list_sum(list_transform(range(1, 65),
+          j -> q.embedding[j]::DOUBLE * c.embedding[j]::DOUBLE))
+        / (sqrt(list_sum(list_transform(q.embedding,
+            x -> x::DOUBLE * x::DOUBLE)))
+         * sqrt(list_sum(list_transform(c.embedding,
+            x -> x::DOUBLE * x::DOUBLE)))) AS c
+      FROM cand JOIN embeddings q ON q.vec_id = cand.qid
+        JOIN embeddings c ON c.vec_id = cand.cid)""".stripMargin
+    levels += """ivf AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+          ORDER BY c DESC, neighbor_id) AS rk FROM cos) WHERE rk <= 5)"""
+    levels += """brute AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+          row_number() OVER (PARTITION BY q.vec_id ORDER BY
+            list_sum(list_transform(range(1, 65),
+              j -> q.embedding[j]::DOUBLE * n.embedding[j]::DOUBLE))
+            / (sqrt(list_sum(list_transform(q.embedding,
+                x -> x::DOUBLE * x::DOUBLE)))
+             * sqrt(list_sum(list_transform(n.embedding,
+                x -> x::DOUBLE * x::DOUBLE)))) DESC, n.vec_id) AS rk
+        FROM embeddings q JOIN embeddings n ON n.vec_id >= 5
+        WHERE q.vec_id < 5) WHERE rk <= 5)"""
+    levels += """nc AS (SELECT qid AS query_id, count(*)::BIGINT
+      AS n_candidates FROM cand GROUP BY qid)"""
+    levels += """ht AS (
+      SELECT i.query_id, count(*)::BIGINT AS hits
+      FROM ivf i JOIN brute b ON b.query_id = i.query_id
+        AND b.neighbor_id = i.neighbor_id
+      GROUP BY i.query_id)"""
+    s"""WITH ${levels.mkString(",\n")}
+      SELECT nc.query_id, nc.n_candidates, coalesce(ht.hits, 0) AS hits
+      FROM nc LEFT JOIN ht ON ht.query_id = nc.query_id
+      ORDER BY nc.query_id"""
+  }
+
   // ---- q396: sign-bit Hamming prefilter + exact rerank -----------------------
   private def q396(s: SparkSession, d: String): DataFrame = {
     val e = Tables.embeddings(s, d)
@@ -2020,44 +2138,61 @@ object Similarity {
     * to the driver, never corpus data; T sequential scans total, the
     * Lloyd lower bound.
     */
+  /** The exact integer argmin over MICRO-quantized centroids: one
+    * (d², cluster) struct per centroid, array_min picks (min d², lowest
+    * id) — a pure map-side expression over the int8-quantized vector
+    * column `q`.
+    */
+  private def kmeansAssignExpr(cents: Array[Array[Long]]): Column = {
+    val cands = cents.zipWithIndex.map { case (c, j) =>
+      val d2 = aggregate(
+        zip_with(col("q"), array(c.map(lit): _*), (a, b) => {
+          val t = a * lit(1000000L) - b; t * t
+        }), lit(0L), (acc, x) => acc + x)
+      struct(d2.as("d2"), lit(j.toLong).as("cl"))
+    }
+    array_min(array(cands: _*))
+  }
+
+  /** Lloyd iterations only — returns the trained MICRO-integer centroid
+    * arrays (driver metadata, k·d longs). [[kmeansFit]] reports the fit
+    * summary; the IVF recall audit (q399) consumes the codebook itself.
+    */
+  def kmeansCentroids(q8df: DataFrame, k: Int,
+      iters: Int): Array[Array[Long]] = {
+    var cents: Array[Array[Long]] = q8df.orderBy("vid").limit(k).collect()
+      .map(_.getSeq[Long](1).map(_ * 1000000L).toArray)
+    require(cents.length == k, s"kmeansCentroids: fewer than $k vectors")
+    for (_ <- 1 to iters) {
+      val sums = q8df.select(kmeansAssignExpr(cents).getField("cl").as("cl"),
+          col("q"))
+        .select(col("cl"), posexplode(col("q")))
+        .toDF("cl", "j", "v")
+        .groupBy("cl", "j").agg(sum("v").as("s"), count(lit(1)).as("n"))
+        .collect()
+      val byCl = sums.groupBy(_.getLong(0))
+      cents = cents.zipWithIndex.map { case (old, j) =>
+        byCl.get(j.toLong).fold(old) { rows =>
+          val next = old.clone()
+          rows.foreach { r =>
+            next(r.getInt(1)) =
+              Math.floorDiv(r.getLong(2) * 1000000L, r.getLong(3))
+          }
+          next
+        }
+      }
+    }
+    cents
+  }
+
   def kmeansFit(vectors: DataFrame, idCol: String, vecCol: String,
       k: Int, iters: Int): DataFrame = {
     require(k >= 1 && iters >= 1, "kmeansFit needs k >= 1 and iters >= 1")
     val q8df = vectors.select(col(idCol).as("vid"),
       quantize8(col(vecCol)).as("q")).persist()
     try {
-      var cents: Array[Array[Long]] = q8df.orderBy("vid").limit(k).collect()
-        .map(_.getSeq[Long](1).map(_ * 1000000L).toArray)
-      require(cents.length == k, s"kmeansFit: fewer than $k vectors")
-      def assign: Column = {
-        val cands = cents.zipWithIndex.map { case (c, j) =>
-          val d2 = aggregate(
-            zip_with(col("q"), array(c.map(lit): _*), (a, b) => {
-              val t = a * lit(1000000L) - b; t * t
-            }), lit(0L), (acc, x) => acc + x)
-          struct(d2.as("d2"), lit(j.toLong).as("cl"))
-        }
-        array_min(array(cands: _*))
-      }
-      for (_ <- 1 to iters) {
-        val sums = q8df.select(assign.getField("cl").as("cl"), col("q"))
-          .select(col("cl"), posexplode(col("q")))
-          .toDF("cl", "j", "v")
-          .groupBy("cl", "j").agg(sum("v").as("s"), count(lit(1)).as("n"))
-          .collect()
-        val byCl = sums.groupBy(_.getLong(0))
-        cents = cents.zipWithIndex.map { case (old, j) =>
-          byCl.get(j.toLong).fold(old) { rows =>
-            val next = old.clone()
-            rows.foreach { r =>
-              next(r.getInt(1)) =
-                Math.floorDiv(r.getLong(2) * 1000000L, r.getLong(3))
-            }
-            next
-          }
-        }
-      }
-      q8df.select(assign.as("a"))
+      val cents = kmeansCentroids(q8df, k, iters)
+      q8df.select(kmeansAssignExpr(cents).as("a"))
         .select(col("a.cl").as("cluster"), col("a.d2").as("d2"))
         .groupBy("cluster")
         .agg(count(lit(1)).as("n"),
@@ -2071,43 +2206,58 @@ object Similarity {
   private def q381(s: SparkSession, d: String): DataFrame =
     kmeansFit(Tables.embeddings(s, d), "vec_id", "embedding",
       k = 4, iters = 3)
-  private val q381Sql = {
+  /** Quantized squared distance between a q8 row `v` and a micro
+    * centroid row `c` — the oracle spelling of [[kmeansAssignExpr]]. */
+  private def kmD2(v: String, c: String, d: Int) =
+    s"""list_sum(list_transform(range(1, ${d + 1}),
+      j -> ($v.q[j]*1000000 - $c.c[j]) * ($v.q[j]*1000000 - $c.c[j])))"""
+
+  /** Nearest-centroid CTE: rank `srcTab`'s rows against `cTab`. */
+  private def kmAssignLevel(name: String, srcTab: String, cTab: String,
+      d: Int) =
+    s"""$name AS MATERIALIZED (
+      SELECT vid, q, cl, d2 FROM (
+        SELECT v.vid, v.q, c.cl, ${kmD2("v", "c", d)}::HUGEINT AS d2,
+          row_number() OVER (PARTITION BY v.vid
+            ORDER BY ${kmD2("v", "c", d)}, c.cl) AS rk
+        FROM $srcTab v, $cTab c) WHERE rk = 1)"""
+
+  /** The Lloyd CTE chain (q8 → seeds → T (assign, mean, centroid)
+    * triples) shared by q381's fit summary and q399's IVF audit.
+    * Returns (levels, finalCentroidTable).
+    */
+  private def kmeansCtes(k: Int, iters: Int, d: Int)
+      : (Seq[String], String) = {
     import Supervised.fd
-    val D = 64
-    def d2(v: String, c: String) =
-      s"""list_sum(list_transform(range(1, ${D + 1}),
-        j -> ($v.q[j]*1000000 - $c.c[j]) * ($v.q[j]*1000000 - $c.c[j])))"""
-    def assignLevel(name: String, cTab: String) =
-      s"""$name AS MATERIALIZED (
-        SELECT vid, q, cl, d2 FROM (
-          SELECT v.vid, v.q, c.cl, ${d2("v", "c")}::HUGEINT AS d2,
-            row_number() OVER (PARTITION BY v.vid
-              ORDER BY ${d2("v", "c")}, c.cl) AS rk
-          FROM q8 v, $cTab c) WHERE rk = 1)"""
-    val T = 3
     val levels = scala.collection.mutable.ArrayBuffer(
       """q8 AS MATERIALIZED (
         SELECT vec_id AS vid, list_transform(embedding, x -> floor(x::DOUBLE /
           (list_max(list_transform(embedding, y -> abs(y))))::DOUBLE
           * 127)::BIGINT) AS q
         FROM embeddings)""",
-      """c0 AS MATERIALIZED (
+      s"""c0 AS MATERIALIZED (
         SELECT (row_number() OVER (ORDER BY vid) - 1)::BIGINT AS cl,
           list_transform(q, v -> v * 1000000) AS c
-        FROM q8 ORDER BY vid LIMIT 4)""")
-    for (i <- 1 to T) {
-      levels += assignLevel(s"a$i", s"c${i - 1}")
+        FROM q8 ORDER BY vid LIMIT $k)""")
+    for (i <- 1 to iters) {
+      levels += kmAssignLevel(s"a$i", "q8", s"c${i - 1}", d)
       levels += s"""m$i AS MATERIALIZED (
         SELECT cl, j, ${fd("sum(q[j])*1000000", "count(*)")}::BIGINT AS cc
-        FROM a$i, range(1, ${D + 1}) r(j) GROUP BY cl, j)"""
+        FROM a$i, range(1, ${d + 1}) r(j) GROUP BY cl, j)"""
       levels += s"""c$i AS MATERIALIZED (
         SELECT o.cl, coalesce(n.c, o.c) AS c
         FROM c${i - 1} o LEFT JOIN (
           SELECT cl, list(cc ORDER BY j) AS c FROM m$i GROUP BY cl) n
         ON n.cl = o.cl)"""
     }
-    levels += assignLevel("fin", s"c$T")
-    s"""WITH ${levels.mkString(",\n")}
+    (levels.toSeq, s"c$iters")
+  }
+
+  private val q381Sql = {
+    import Supervised.fd
+    val (levels, cFin) = kmeansCtes(k = 4, iters = 3, d = 64)
+    s"""WITH ${(levels :+ kmAssignLevel("fin", "q8", cFin, 64))
+        .mkString(",\n")}
       SELECT cl AS cluster, count(*)::BIGINT AS n,
         ${fd("sum(d2)", "1000000000000")}::BIGINT AS wcss_unit2
       FROM fin GROUP BY cl ORDER BY cl"""
@@ -2801,6 +2951,7 @@ object Similarity {
     QueryDef("q380_lof_outliers", q380, Some(q380Sql)),
     QueryDef("q381_kmeans_fit", q381, Some(q381Sql)),
     QueryDef("q396_binary_quant", q396, Some(q396Sql)),
+    QueryDef("q399_ivf_recall_audit", q399, Some(q399Sql)),
     QueryDef("q359_gram_matrix", q359, Some(q359Sql)),
     QueryDef("q360_power_iteration", q360, Some(q360Sql)),
     QueryDef("q361_principal_projection", q361, Some(q361Sql)),

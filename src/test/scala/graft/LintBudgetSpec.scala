@@ -101,6 +101,10 @@ class LintBudgetSpec extends SparkSpec {
     // packed words against the corpus on a non-equi (!=) condition —
     // the q30 precedent with a 32x smaller build side.
     "q396_binary_quant" -> Map("broadcast-nested-loop" -> 1),
+    // q399: the BNL is the BRUTE baseline (bounded query-set broadcast,
+    // q30 precedent) that exists only to MEASURE the probe side's
+    // recall — production runs the equi-keyed probe path alone.
+    "q399_ivf_recall_audit" -> Map("broadcast-nested-loop" -> 1),
     "q164_rrf_fusion" -> Map("broadcast-nested-loop" -> 2),
     "q150_sparse_cosine" -> Map("broadcast-nested-loop" -> 4),
     "q136_ann_recall" -> Map("broadcast-nested-loop" -> 1),

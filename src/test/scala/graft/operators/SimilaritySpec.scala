@@ -538,6 +538,27 @@ class SimilaritySpec extends SparkSpec {
     assert(got.forall(_._3 < 20L), got.mkString(","))
   }
 
+  test("ivfRecallAudit: full probe recovers the brute top-k exactly") {
+    // nprobe = k means every bucket is probed -> candidates are the
+    // whole corpus and hits must equal topK for every query; candidate
+    // counts must sum to |corpus| per query.
+    val df = (0 until 40).map { i =>
+      (i.toLong, Seq.tabulate(8)(j =>
+        math.sin(i * 1.7 + j * 0.9).toFloat))
+    }.toDF("vec_id", "embedding")
+    val got = Similarity.ivfRecallAudit(df, "vec_id", "embedding",
+        numQueries = 3, k = 4, iters = 2, nprobe = 4, topK = 3)
+      .as[(Long, Long, Long)].collect()
+    assert(got.map(_._1).toSeq === Seq(0L, 1L, 2L))
+    assert(got.forall(_._2 === 37L), got.mkString(","))
+    assert(got.forall(_._3 === 3L), got.mkString(","))
+    // narrow probe keeps the cost lever honest: fewer candidates
+    val narrow = Similarity.ivfRecallAudit(df, "vec_id", "embedding",
+        numQueries = 3, k = 4, iters = 2, nprobe = 1, topK = 3)
+      .as[(Long, Long, Long)].collect()
+    assert(narrow.forall(_._2 < 37L), narrow.mkString(","))
+  }
+
   test("kmeansFit keeps a centroid alive when its cluster empties") {
     // Both seeds sit on id 1/2; all mass is identical to seed 1, so
     // seed 2's cluster empties after the first assignment (ties go to
