@@ -3298,6 +3298,166 @@ object Analytics {
         least(count(*), 12)::BIGINT AS x
       FROM orders GROUP BY o_custkey""", iters = 6)
 
+  /** TWO-covariate Cox proportional hazards — [[coxFit]]'s Newton scheme
+    * with the full 2×2 information matrix, solved EXACTLY per step by
+    * Cramer's rule in driver BigInt (the [[Supervised.olsFit2]] device):
+    * risk-set sums add S1₂/S2₁₂/S2₂₂, the score is a 2-vector, and the
+    * update is Δβ = I⁻¹U evaluated as floor-divided determinant ratios.
+    * Same single-site clamped-exp quantization, so the fit stays
+    * bit-identical cross-engine; the oracle unrolls the identical
+    * matrix algebra per iteration.
+    */
+  def coxFit2(df: DataFrame, durationCol: Column, eventCol: Column,
+      x1Col: Column, x2Col: Column, iters: Int): DataFrame = {
+    require(iters >= 1, "coxFit2 needs iters >= 1")
+    val s = df.sparkSession
+    import s.implicits._
+    val subj = df.select(durationCol.cast("long").as("t"),
+      eventCol.cast("long").as("e"), x1Col.cast("long").as("x1"),
+      x2Col.cast("long").as("x2")).persist()
+    try {
+      def fdC(a: Column, b: Column): Column =
+        (call_function("div", a.cast("decimal(38,0)"), b) +
+          when((a.cast("decimal(38,0)") % b) < 0, -1L).otherwise(0L))
+          .cast("long")
+      def fdB(a: BigInt, b: BigInt): BigInt = {
+        val (q, rem) = a /% b
+        if (rem.signum != 0 && rem.signum != b.signum) q - 1 else q
+      }
+      var b1 = BigInt(0); var b2 = BigInt(0)
+      var lastU1 = BigInt(0); var lastU2 = BigInt(0)
+      val w = org.apache.spark.sql.expressions.Window.orderBy(col("t").desc)
+        .rowsBetween(Long.MinValue, 0)
+      for (_ <- 1 to iters) {
+        val wq = floor(exp(least(greatest(
+            (lit(b1.toLong) * col("x1") + lit(b2.toLong) * col("x2")) /
+              lit(1e6), lit(-20.0)), lit(20.0)))
+          * lit(1048576.0) + lit(0.5)).cast("decimal(38,0)")
+        val byt = subj.groupBy("t").agg(
+          sum(wq).as("sw"), sum(wq * col("x1")).as("sw1"),
+          sum(wq * col("x2")).as("sw2"),
+          sum(wq * col("x1") * col("x1")).as("sw11"),
+          sum(wq * col("x1") * col("x2")).as("sw12"),
+          sum(wq * col("x2") * col("x2")).as("sw22"),
+          sum(col("e")).as("d"), sum(col("e") * col("x1")).as("dx1"),
+          sum(col("e") * col("x2")).as("dx2"))
+        val rs = byt.select(col("t"), col("d"), col("dx1"), col("dx2"),
+          sum(col("sw")).over(w).as("s0"), sum(col("sw1")).over(w).as("s1"),
+          sum(col("sw2")).over(w).as("s2"),
+          sum(col("sw11")).over(w).as("s11"),
+          sum(col("sw12")).over(w).as("s12"),
+          sum(col("sw22")).over(w).as("s22"))
+        def bq(sj: String) = fdC(col(sj) * lit(1000000L), col("s0"))
+        val ui = rs.filter(col("d") > 0).agg(
+          sum(col("dx1") * lit(1000000L) - col("d") * bq("s1")).as("u1"),
+          sum(col("dx2") * lit(1000000L) - col("d") * bq("s2")).as("u2"),
+          sum(col("d") * (fdC(col("s11") * lit(1000000L), col("s0")) -
+            fdC((bq("s1") * bq("s1")).cast("decimal(38,0)"),
+              lit(1000000L)))).as("i11"),
+          sum(col("d") * (fdC(col("s12") * lit(1000000L), col("s0")) -
+            fdC((bq("s1") * bq("s2")).cast("decimal(38,0)"),
+              lit(1000000L)))).as("i12"),
+          sum(col("d") * (fdC(col("s22") * lit(1000000L), col("s0")) -
+            fdC((bq("s2") * bq("s2")).cast("decimal(38,0)"),
+              lit(1000000L)))).as("i22"))
+          .head()
+        val (u1, u2) = (BigInt(ui.getLong(0)), BigInt(ui.getLong(1)))
+        val (i11, i12, i22) = (BigInt(ui.getLong(2)), BigInt(ui.getLong(3)),
+          BigInt(ui.getLong(4)))
+        lastU1 = u1; lastU2 = u2
+        val det = i11 * i22 - i12 * i12
+        if (det > 0) {
+          b1 += fdB((i22 * u1 - i12 * u2) * 1000000, det)
+          b2 += fdB((i11 * u2 - i12 * u1) * 1000000, det)
+        }
+      }
+      val counts = subj.agg(sum("e"), count(lit(1))).head()
+      s.createDataset(Seq(
+        ("beta1_micro", b1.toLong), ("beta2_micro", b2.toLong),
+        ("n_events", counts.getLong(0)), ("n_subjects", counts.getLong(1)),
+        ("score1_residual_micro", lastU1.toLong),
+        ("score2_residual_micro", lastU2.toLong)))
+        .toDF("term", "value").orderBy("term")
+    } finally subj.unpersist()
+  }
+
+  // ---- q400: churn hazard vs order frequency AND spend ------------------------
+  // The q383 fixture with a second covariate: does spend carry hazard
+  // signal beyond frequency? (Frequency keeps its negative slope; the
+  // spend slope is the adjusted answer.)
+  private def q400(s: SparkSession, d: String): DataFrame = {
+    val cust = Tables.orders(s, d).groupBy(col("o_custkey"))
+      .agg(min(col("o_orderdate")).as("fo"), max(col("o_orderdate")).as("lo"),
+        count(lit(1)).as("cnt"), sum(col("o_totalprice")).as("spend"))
+      .select(datediff(col("lo"), col("fo")).cast("long").as("dur"),
+        expr("cast(lo as date) < date'2001-02-01'").as("ev"),
+        least(col("cnt"), lit(12L)).as("x1"),
+        least(expr("CAST(spend / 1000000 AS BIGINT)"), lit(8L)).as("x2"))
+    coxFit2(cust, col("dur"), col("ev"), col("x1"), col("x2"), iters = 6)
+  }
+  private def coxFit2Sql(subjSql: String, iters: Int): String = {
+    import Supervised.fd
+    val levels = scala.collection.mutable.ArrayBuffer(
+      s"subj AS MATERIALIZED ($subjSql)",
+      "b0 AS (SELECT 0::BIGINT AS b1, 0::BIGINT AS b2)")
+    for (i <- 1 to iters) {
+      val w = "floor(exp(least(greatest((b.b1 * s.x1 + b.b2 * s.x2) / 1e6," +
+        " -20), 20)) * 1048576 + 0.5)::HUGEINT"
+      levels += s"""byt$i AS MATERIALIZED (
+        SELECT s.t, sum($w) AS sw, sum($w * s.x1) AS sw1,
+          sum($w * s.x2) AS sw2, sum($w * s.x1 * s.x1) AS sw11,
+          sum($w * s.x1 * s.x2) AS sw12, sum($w * s.x2 * s.x2) AS sw22,
+          sum(s.e)::HUGEINT AS d, sum(s.e * s.x1)::HUGEINT AS dx1,
+          sum(s.e * s.x2)::HUGEINT AS dx2
+        FROM subj s, b${i - 1} b GROUP BY s.t)"""
+      val cum = Seq("sw" -> "s0", "sw1" -> "s1", "sw2" -> "s2",
+        "sw11" -> "s11", "sw12" -> "s12", "sw22" -> "s22")
+        .map { case (src, dst) =>
+          s"""sum($src) OVER (ORDER BY t DESC
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS $dst"""
+        }.mkString(",\n          ")
+      levels += s"""rs$i AS MATERIALIZED (
+        SELECT t, d, dx1, dx2,
+          $cum
+        FROM byt$i)"""
+      def bqs(sj: String) = fd(s"$sj*1000000", "s0")
+      levels += s"""ui$i AS (
+        SELECT sum(dx1 * 1000000 - d * ${bqs("s1")})::HUGEINT AS u1,
+          sum(dx2 * 1000000 - d * ${bqs("s2")})::HUGEINT AS u2,
+          sum(d * (${fd("s11*1000000", "s0")}
+            - ${fd(s"${bqs("s1")}*${bqs("s1")}", "1000000")}))::HUGEINT AS i11,
+          sum(d * (${fd("s12*1000000", "s0")}
+            - ${fd(s"${bqs("s1")}*${bqs("s2")}", "1000000")}))::HUGEINT AS i12,
+          sum(d * (${fd("s22*1000000", "s0")}
+            - ${fd(s"${bqs("s2")}*${bqs("s2")}", "1000000")}))::HUGEINT AS i22
+        FROM rs$i WHERE d > 0)"""
+      levels += s"""b$i AS (
+        SELECT (CASE WHEN u.i11 * u.i22 - u.i12 * u.i12 > 0
+            THEN b.b1 + ${fd("(u.i22 * u.u1 - u.i12 * u.u2) * 1000000",
+              "u.i11 * u.i22 - u.i12 * u.i12")} ELSE b.b1 END)::BIGINT AS b1,
+          (CASE WHEN u.i11 * u.i22 - u.i12 * u.i12 > 0
+            THEN b.b2 + ${fd("(u.i11 * u.u2 - u.i12 * u.u1) * 1000000",
+              "u.i11 * u.i22 - u.i12 * u.i12")} ELSE b.b2 END)::BIGINT AS b2
+        FROM b${i - 1} b, ui$i u)"""
+    }
+    s"""WITH ${levels.mkString(",\n")}
+      SELECT * FROM (
+        SELECT 'beta1_micro' AS term, b1 AS value FROM b$iters
+        UNION ALL SELECT 'beta2_micro', b2 FROM b$iters
+        UNION ALL SELECT 'n_events', sum(e)::BIGINT FROM subj
+        UNION ALL SELECT 'n_subjects', count(*)::BIGINT FROM subj
+        UNION ALL SELECT 'score1_residual_micro', u1::BIGINT FROM ui$iters
+        UNION ALL SELECT 'score2_residual_micro', u2::BIGINT FROM ui$iters)
+      ORDER BY term"""
+  }
+  private val q400Sql = coxFit2Sql(
+    """SELECT date_diff('day', min(o_orderdate)::DATE,
+          max(o_orderdate)::DATE)::BIGINT AS t,
+        (max(o_orderdate)::DATE < DATE '2001-02-01')::BIGINT AS e,
+        least(count(*), 12)::BIGINT AS x1,
+        least(floor(sum(o_totalprice) / 1000000)::BIGINT, 8) AS x2
+      FROM orders GROUP BY o_custkey""", iters = 6)
+
   // ---- q317: customer ordering-lifetime survival curve ------------------------
   // Duration = days between a customer's first and last order; the event
   // (“stopped ordering”) is observed when the last order predates the
@@ -6181,6 +6341,7 @@ object Analytics {
     QueryDef("q325_logrank", q325, Some(q325Sql)),
     QueryDef("q383_cox_ph", q383, Some(q383Sql)),
     QueryDef("q390_yule_walker", q390, Some(q390Sql)),
+    QueryDef("q400_cox_ph2", q400, Some(q400Sql)),
     QueryDef("q328_reorder_points", q328, Some(q328Sql)),
     QueryDef("q329_interp_quantiles", q329, Some(q329Sql)),
     QueryDef("q330_sql_calendar", q330, Some(q330Sql)),
