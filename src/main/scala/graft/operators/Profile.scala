@@ -2238,15 +2238,20 @@ object Profile {
          ((n_keys * size * 1000000) // tr)::BIGINT AS row_share_micro
        FROM hist, t ORDER BY size"""
 
-  /** One-way ANOVA decomposition in exact integer algebra: between- and
-    * within-group sums of squares over cent-quantized values, and the
-    * F statistic as a micro ratio — "does the group mean differ at all"
-    * for k groups at once, the parametric complement to the pairwise
-    * [[mannWhitney]]. No floats anywhere: SS values come from
-    * N·Σ(s_g² div n_g) − S² widened through decimal(38,0) so nothing
-    * wraps, with the one inner truncating division applied identically
-    * on both engines (s_g² ≥ 0, so floor = trunc and DuckDB's `//`
-    * agrees with Spark's `div`).
+  /** One-way ANOVA in exact integer algebra: MEAN squares (between /
+    * within, cents²) over cent-quantized values and the F statistic as
+    * a micro ratio — "does the group mean differ at all" for k groups
+    * at once, the parametric complement to the pairwise
+    * [[mannWhitney]]. No floats anywhere: SS come from
+    * N·Σ(s_g² div n_g) − S² widened through decimal(38,0), with the one
+    * inner truncating division applied identically on both engines
+    * (s_g² ≥ 0, so floor = trunc and DuckDB's `//` agrees with Spark's
+    * `div`). The EMITTED columns are the variance-scale ms_between /
+    * ms_within, not the raw SS: a sum of squared price-scale cents is
+    * n·variance ≈ 9e19 already at sf0.1 — a BIGINT SS column would be
+    * an overflow at 100 TB by construction (found by the r9 closing
+    * gate's full-surface bench), while mean squares stay BIGINT-ranged
+    * at any corpus size that fits an exchange.
     *
     * Scale design: one grouped collapse to k rows with map-side
     * partials, then k-row arithmetic — the corpus is touched once.
@@ -2268,24 +2273,37 @@ object Profile {
     cells.agg(
         count(lit(1)).as("k"), sum(col("n_g")).as("n"),
         sum(col("s_g")).as("s"), sum(col("q_g")).as("q"),
-        sum(expr("cast(s_g as decimal(38,0)) * s_g div n_g")).as("t"))
+        // div yields LONG and each group's s_g²/n_g is already ~5e18 at
+        // sf0.1 price scale — the SUM must accumulate in decimal (the
+        // oracle sums HUGEINT), or the k-group total wraps.
+        sum(expr("cast(cast(s_g as decimal(38,0)) * s_g div n_g" +
+          " as decimal(38,0))")).as("t"))
       .select(col("k"), col("n"),
         // The inner truncation in t can push N·t − S² a hair negative
         // when the true SSB ≈ 0; Spark's div truncates toward zero while
         // DuckDB's // floors, so the clamp at 0 (SSB is ≥ 0 by
-        // definition) is what keeps the engines bit-identical.
-        expr("""greatest(cast(0 as long), (cast(n as decimal(38,0)) * t
-             - cast(s as decimal(38,0)) * s) div n)""").as("ss_between"),
-        expr("""(cast(n as decimal(38,0)) * q
-             - cast(s as decimal(38,0)) * s) div n""").as("ss_total"))
-      .withColumn("ss_within", col("ss_total") - col("ss_between"))
+        // definition) is what keeps the engines bit-identical. The SS
+        // stay DECIMAL(38,0): raw sums of squared cents grow with the
+        // CORPUS (n·var ≈ 9e19 already at sf0.1 price scale — a BIGINT
+        // SS column is an overflow at 100 TB by construction); only the
+        // variance-SCALE mean squares below are emitted as BIGINTs.
+        expr("""greatest(cast(0 as decimal(38,0)),
+             cast((cast(n as decimal(38,0)) * t
+             - cast(s as decimal(38,0)) * s) div n as decimal(38,0)))""")
+          .as("ssb"),
+        expr("""cast((cast(n as decimal(38,0)) * q
+             - cast(s as decimal(38,0)) * s) div n as decimal(38,0))""")
+          .as("sst"))
+      .select(col("k"), col("n"),
+        when(col("k") > 1, expr("cast(ssb div (k - 1) as long)"))
+          .otherwise(lit(null).cast("long")).as("ms_between"),
+        when(col("n") > col("k"),
+          expr("cast((sst - ssb) div (n - k) as long)"))
+          .otherwise(lit(null).cast("long")).as("ms_within"))
       .withColumn("f_micro",
-        // decimal(38,0): msb · 10⁶ overflows a BIGINT once the cents are
-        // price-scale (q374's deviations) — same truncation semantics,
-        // wider intermediate; the final ratio is long-ranged.
-        when(col("k") > 1 && col("n") > col("k"),
-          expr("""cast(cast(ss_between div (k - 1) as decimal(38,0))
-               * 1000000 div greatest(ss_within div (n - k), 1L) as long)"""))
+        when(col("ms_between").isNotNull && col("ms_within").isNotNull,
+          expr("""cast(cast(ms_between as decimal(38,0))
+               * 1000000 div greatest(ms_within, 1L) as long)"""))
           .otherwise(lit(null).cast("long")))
   }
 
@@ -2392,17 +2410,22 @@ object Profile {
          FROM cells),
        ss AS (
          SELECT k, n,
-           greatest(0, (n::HUGEINT * t - s::HUGEINT * s) // n)::BIGINT
-             AS ss_between,
-           ((n::HUGEINT * q - s::HUGEINT * s) // n)::BIGINT AS ss_total
-         FROM tot)
-       SELECT k, n, ss_between, ss_total,
-         (ss_total - ss_between)::BIGINT AS ss_within,
-         CASE WHEN k > 1 AND n > k
-           THEN (ss_between::HUGEINT // (k - 1)) * 1000000
-             // greatest((ss_total - ss_between) // (n - k), 1)
-           ELSE NULL END::BIGINT AS f_micro
-       FROM ss"""
+           greatest(0, (n::HUGEINT * t - s::HUGEINT * s) // n)::HUGEINT
+             AS ssb,
+           ((n::HUGEINT * q - s::HUGEINT * s) // n)::HUGEINT AS sst
+         FROM tot),
+       ms AS (
+         SELECT k, n,
+           CASE WHEN k > 1 THEN (ssb // (k - 1))::BIGINT END AS ms_between,
+           CASE WHEN n > k THEN ((sst - ssb) // (n - k))::BIGINT
+             END AS ms_within
+         FROM ss)
+       SELECT k, n, ms_between, ms_within,
+         CASE WHEN ms_between IS NOT NULL AND ms_within IS NOT NULL
+           THEN (ms_between::HUGEINT * 1000000
+             // greatest(ms_within, 1))::BIGINT
+           ELSE NULL END AS f_micro
+       FROM ms"""
 
   // ---- q315: does mean event value differ across event types? -----------------
   private def q315(s: SparkSession, d: String): DataFrame =
@@ -2421,17 +2444,22 @@ object Profile {
          FROM cells),
        ss AS (
          SELECT k, n,
-           greatest(0, (n::HUGEINT * t - s::HUGEINT * s) // n)::BIGINT
-             AS ss_between,
-           ((n::HUGEINT * q - s::HUGEINT * s) // n)::BIGINT AS ss_total
-         FROM tot)
-       SELECT k, n, ss_between, ss_total,
-         (ss_total - ss_between)::BIGINT AS ss_within,
-         CASE WHEN k > 1 AND n > k
-           THEN (ss_between // (k - 1)) * 1000000
-             // greatest((ss_total - ss_between) // (n - k), 1)
-           ELSE NULL END::BIGINT AS f_micro
-       FROM ss"""
+           greatest(0, (n::HUGEINT * t - s::HUGEINT * s) // n)::HUGEINT
+             AS ssb,
+           ((n::HUGEINT * q - s::HUGEINT * s) // n)::HUGEINT AS sst
+         FROM tot),
+       ms AS (
+         SELECT k, n,
+           CASE WHEN k > 1 THEN (ssb // (k - 1))::BIGINT END AS ms_between,
+           CASE WHEN n > k THEN ((sst - ssb) // (n - k))::BIGINT
+             END AS ms_within
+         FROM ss)
+       SELECT k, n, ms_between, ms_within,
+         CASE WHEN ms_between IS NOT NULL AND ms_within IS NOT NULL
+           THEN (ms_between::HUGEINT * 1000000
+             // greatest(ms_within, 1))::BIGINT
+           ELSE NULL END AS f_micro
+       FROM ms"""
 
   /** Welch's two-sample t (unequal variances — Welch 1947): the
     * practitioners' default two-group mean comparison, filling the slot

@@ -817,22 +817,22 @@ class ProfileSpec extends SparkSpec {
       ("id", 3L, 0L, 3L, 2L, 0L, 2L, -1L)))
   }
 
-  test("anovaTable decomposes SS exactly and yields the textbook F") {
-    // a = {1,2,3}, b = {5,6,7}: SSB = 240000 cents², SSW = 40000,
-    // F = (240000/1)/(40000/4) = 24 exactly.
+  test("anovaTable yields the textbook mean squares and F") {
+    // a = {1,2,3}, b = {5,6,7}: SSB = 240000 cents², SSW = 40000 ->
+    // MSB = 240000/1, MSW = 40000/4 = 10000, F = 24 exactly.
     val df = Seq(("a", 1.0), ("a", 2.0), ("a", 3.0),
       ("b", 5.0), ("b", 6.0), ("b", 7.0)).toDF("g", "v")
     val got = Profile.anovaTable(df, col("g"), col("v"))
-      .select($"k", $"n", $"ss_between", $"ss_within", $"f_micro")
+      .select($"k", $"n", $"ms_between", $"ms_within", $"f_micro")
       .as[(Long, Long, Long, Long, Option[Long])].collect()
-    assert(got === Array((2L, 6L, 240000L, 40000L, Some(24000000L))))
+    assert(got === Array((2L, 6L, 240000L, 10000L, Some(24000000L))))
   }
 
-  test("anovaTable on identical groups clamps SSB to zero, F to zero") {
+  test("anovaTable on identical groups clamps MSB to zero, F to zero") {
     val df = Seq(("a", 2.0), ("a", 4.0), ("b", 2.0), ("b", 4.0))
       .toDF("g", "v")
     val got = Profile.anovaTable(df, col("g"), col("v"))
-      .select($"ss_between", $"f_micro")
+      .select($"ms_between", $"f_micro")
       .as[(Long, Option[Long])].collect()
     assert(got === Array((0L, Some(0L))))
   }
@@ -958,7 +958,7 @@ class ProfileSpec extends SparkSpec {
     val b = Seq(40.0, 70.0, 100.0, 130.0, 160.0).map(("b", _))
     val df = (a ++ b).toDF("g", "v")
     val got = Profile.brownForsythe(df, col("g"), col("v"))
-      .as[(Long, Long, Long, Long, Long, Option[Long])].head()
+      .as[(Long, Long, Long, Long, Option[Long])].head()
     // Brute integer mirror (lower median, exact cents, the shared
     // ANOVA algebra with truncating division — all values nonneg here).
     val cents = Map("a" -> a.map(r => math.floor(r._2 * 100).toLong),
@@ -972,15 +972,15 @@ class ProfileSpec extends SparkSpec {
     val s = devs.values.flatten.sum
     val q = devs.values.flatten.map(c => BigInt(c) * c).sum
     val t = devs.values.map(cs => BigInt(cs.sum) * cs.sum / cs.size).sum
-    val ssb = ((BigInt(n) * t - BigInt(s) * s) / n).max(0).toLong
-    val sst = ((BigInt(n) * q - BigInt(s) * s) / n).toLong
-    val ssw = sst - ssb
-    val f = (BigInt(ssb / (k - 1)) * 1000000L /
-      math.max(ssw / (n - k), 1L)).toLong
-    assert(got === ((k, n, ssb, sst, ssw, Some(f))))
+    val ssb = ((BigInt(n) * t - BigInt(s) * s) / n).max(0)
+    val sst = (BigInt(n) * q - BigInt(s) * s) / n
+    val msb = (ssb / (k - 1)).toLong
+    val msw = ((sst - ssb) / (n - k)).toLong
+    val f = (BigInt(msb) * 1000000L / math.max(msw, 1L)).toLong
+    assert(got === ((k, n, msb, msw, Some(f))))
     assert(f > 2000000L, s"spread difference must drive F well above 1: $f")
     val meanF = Profile.anovaTable(df, col("g"), col("v"))
-      .as[(Long, Long, Long, Long, Long, Option[Long])].head()._6.get
+      .as[(Long, Long, Long, Long, Option[Long])].head()._5.get
     assert(meanF < f / 100,
       s"the mean F ($meanF) must be blind to the pure spread shift ($f)")
   }
