@@ -299,6 +299,78 @@ class RandomizedEquivalenceSpec extends SparkSpec {
     }
   }
 
+  test("olsFit2 equals a BigInt Cramer fold on random integer designs") {
+    def fdB(a: BigInt, b: BigInt): BigInt = {
+      val (q, r) = a /% b
+      if (r.signum != 0 && r.signum != b.signum) q - 1 else q
+    }
+    (1 to 6).foreach { trial =>
+      val n = 20 + rnd.nextInt(40)
+      val data = Vector.fill(n)((rnd.nextInt(2000).toLong - 500,
+        rnd.nextInt(9).toLong, rnd.nextInt(7).toLong))
+      // skip the (rare) collinear draw
+      if (data.map(_._2).distinct.size > 1 &&
+          data.map(_._3).distinct.size > 1) {
+        val M = BigInt(1000000)
+        val (bn, s1, s2) = (BigInt(n), BigInt(data.map(_._2).sum),
+          BigInt(data.map(_._3).sum))
+        val s11 = data.map(r => BigInt(r._2) * r._2).sum
+        val s12 = data.map(r => BigInt(r._2) * r._3).sum
+        val s22 = data.map(r => BigInt(r._3) * r._3).sum
+        val sy = BigInt(data.map(_._1).sum)
+        val s1y = data.map(r => BigInt(r._2) * r._1).sum
+        val s2y = data.map(r => BigInt(r._3) * r._1).sum
+        val det = bn * (s11 * s22 - s12 * s12) -
+          s1 * (s1 * s22 - s12 * s2) + s2 * (s1 * s12 - s11 * s2)
+        val det0 = sy * (s11 * s22 - s12 * s12) -
+          s1 * (s1y * s22 - s12 * s2y) + s2 * (s1y * s12 - s11 * s2y)
+        val det1 = bn * (s1y * s22 - s12 * s2y) -
+          sy * (s1 * s22 - s12 * s2) + s2 * (s1 * s2y - s1y * s2)
+        val det2 = bn * (s11 * s2y - s1y * s12) -
+          s1 * (s1 * s2y - s1y * s2) + sy * (s1 * s12 - s11 * s2)
+        val (b0, b1, b2) = (fdB(det0 * M, det), fdB(det1 * M, det),
+          fdB(det2 * M, det))
+        val ym = fdB(sy * M, bn)
+        val sse = data.map { case (y, x1, x2) =>
+          val r = BigInt(y) * 1000000 - (b0 + b1 * x1 + b2 * x2); r * r
+        }.sum
+        val sst = data.map { case (y, _, _) =>
+          val r = BigInt(y) * 1000000 - ym; r * r }.sum
+        val r2 = if (sst == 0) BigInt(0) else M - fdB(sse, fdB(sst, M))
+        val got = Supervised.olsFit2(data.toDF("y", "x1", "x2"), col("y"),
+            col("x1"), col("x2"))
+          .as[(String, Long)].collect().toMap
+        assert(got === Map("b0_micro" -> b0.toLong, "b1_micro" -> b1.toLong,
+          "b2_micro" -> b2.toLong, "n_rows" -> n.toLong,
+          "r2_ppm" -> r2.toLong), s"trial $trial")
+      }
+    }
+  }
+
+  test("yuleWalkerAr2 equals a sequential autocovariance fold per group") {
+    def fdB(a: BigInt, b: BigInt): BigInt = {
+      val (q, r) = a /% b
+      if (r.signum != 0 && r.signum != b.signum) q - 1 else q
+    }
+    (1 to 6).foreach { trial =>
+      val len = 8 + rnd.nextInt(20)
+      val series = Vector.fill(len)(rnd.nextInt(1000).toLong)
+      val df = series.zipWithIndex.map { case (y, p) => ("g", p.toLong, y) }
+        .toDF("g", "p", "y")
+      val n = BigInt(len); val sy = BigInt(series.sum)
+      val dev = series.map(y => BigInt(y) * n - sy)
+      val c0 = dev.map(d => d * d).sum
+      val c1 = dev.sliding(2).map { case Seq(a, b) => a * b }.sum
+      val c2 = dev.sliding(3).collect { case Seq(a, _, c) => a * c }.sum
+      val den = c0 * c0 - c1 * c1
+      val want = (fdB((c1 * c0 - c1 * c2) * 1000000, den).toLong,
+        fdB((c0 * c2 - c1 * c1) * 1000000, den).toLong)
+      val got = Analytics.yuleWalkerAr2(df, "g", col("p"), col("y"))
+        .as[(String, Long, Long)].head()
+      assert((got._2, got._3) === want, s"trial $trial series=$series")
+    }
+  }
+
   test("coxFit equals a sequential Newton fold on random censored data") {
     def fd(a: BigInt, b: BigInt): BigInt = {
       val (q, r) = a /% b
