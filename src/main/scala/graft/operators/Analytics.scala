@@ -1986,6 +1986,132 @@ object Analytics {
        FROM det d LEFT JOIN ctr c ON d.g = c.g AND d.slot = c.slot
        ORDER BY d.g, d.p"""
 
+  /** Held-out perplexity of the first-order Markov model over per-key
+    * event sequences — "how predictable is the event stream", the
+    * evaluation side of [[q103 transitionMatrix]]: train add-one-
+    * smoothed transitions on one hash-split of KEYS, score the held-out
+    * split's bigrams, report average negative log-likelihood in exact
+    * micro-nats (lnq(c+1) − lnq(n+V): every logarithm takes an INTEGER
+    * argument — the [[Supervised.naiveBayes]] discipline — so the score
+    * is bit-stable under partitioning and engine; unseen contexts fall
+    * out of the same formula with c = n = 0).
+    *
+    * Scale: one ordered window per key for the lag, then bounded-domain
+    * (state × state) aggregates and a broadcast join back onto test
+    * bigrams.
+    */
+  def markovPerplexity(df: DataFrame, keyCol: Column, orderCols: Seq[Column],
+      stateCol: Column, testHexLt: String = "4"): DataFrame = {
+    require(testHexLt.length == 1, "testHexLt is one hex char")
+    val lnq = (c: Column) => floor(log(c.cast("double")) * lit(1e6) +
+      lit(0.5)).cast("long")
+    val w = Window.partitionBy(col("k")).orderBy(orderCols: _*)
+    val ev = df.select((keyCol.as("k") +: stateCol.as("next") +:
+        orderCols): _*)
+      .withColumn("prev", lag(col("next"), 1).over(w))
+      .withColumn("test",
+        substring(md5(col("k").cast("string").cast("binary")), 1, 1)
+          < lit(testHexLt))
+      .filter(col("prev").isNotNull)
+      .select(col("prev"), col("next"), col("test"))
+    val tr = ev.filter(!col("test")).groupBy("prev", "next")
+      .agg(count(lit(1)).as("c"))
+    val rowt = tr.groupBy("prev").agg(sum("c").as("n"))
+    val v = tr.agg(countDistinct("next").as("v"))
+    val trainN = tr.agg(sum("c").as("n_train_bigrams"))
+    ev.filter(col("test"))
+      .join(broadcast(tr), Seq("prev", "next"), "left")
+      .join(broadcast(rowt), Seq("prev"), "left")
+      .crossJoin(broadcast(v))
+      .select((lnq(coalesce(col("c"), lit(0L)) + 1) -
+        lnq(coalesce(col("n"), lit(0L)) + col("v"))).as("lp"))
+      .agg(count(lit(1)).as("n_test_bigrams"),
+        expr("(-sum(lp)) div count(1)").as("avg_nll_micro"))
+      .crossJoin(broadcast(trainN))
+      .select(col("n_train_bigrams"), col("n_test_bigrams"),
+        col("avg_nll_micro"))
+  }
+
+  // ---- q401: how predictable is a user's next event type? ---------------------
+  private def q401(s: SparkSession, d: String): DataFrame =
+    markovPerplexity(Tables.events(s, d), col("user_id"),
+      Seq(col("ts"), col("event_id")), col("event_type"))
+  private val q401Sql = {
+    import Supervised.fd
+    s"""WITH ev AS (
+        SELECT user_id, event_type,
+          lag(event_type) OVER (PARTITION BY user_id
+            ORDER BY ts, event_id) AS prev,
+          substr(md5(user_id::VARCHAR), 1, 1) < '4' AS test
+        FROM events),
+      bi AS (SELECT prev, event_type AS next, test FROM ev
+        WHERE prev IS NOT NULL),
+      tr AS (SELECT prev, next, count(*)::BIGINT AS c FROM bi
+        WHERE NOT test GROUP BY 1, 2),
+      rowt AS (SELECT prev, sum(c)::BIGINT AS n FROM tr GROUP BY 1),
+      v AS (SELECT count(DISTINCT next)::BIGINT AS v FROM tr),
+      scored AS (
+        SELECT floor(ln(coalesce(t.c, 0) + 1)*1e6 + 0.5)::BIGINT
+            - floor(ln(coalesce(r.n, 0) + (SELECT v FROM v))*1e6
+              + 0.5)::BIGINT AS lp
+        FROM bi b LEFT JOIN tr t ON t.prev = b.prev AND t.next = b.next
+          LEFT JOIN rowt r ON r.prev = b.prev
+        WHERE b.test)
+      SELECT (SELECT sum(c)::BIGINT FROM tr) AS n_train_bigrams,
+        count(*)::BIGINT AS n_test_bigrams,
+        ${fd("-sum(lp)", "count(*)")}::BIGINT AS avg_nll_micro
+      FROM scored"""
+  }
+
+  /** Exact trimmed mean per group (nearest-rank trims): drop the lowest
+    * and highest ⌊n·trim⌋ values by (value, key) rank and average the
+    * rest in micros — the robust location read between the mean
+    * (outlier-hostage) and [[weightedMedian]] (throws away magnitude).
+    * Deterministic rank ties via the key column; exact integer division.
+    *
+    * Scale: one per-group window rank (group-sized sort, the
+    * [[kaplanMeier]] quantized-domain contract does not apply — this is
+    * the generic order-statistic trade) then a grouped average.
+    */
+  def trimmedMean(df: DataFrame, groupCol: Column, keyCol: Column,
+      valueCents: Column, trimPerMille: Int): DataFrame = {
+    require(trimPerMille >= 0 && trimPerMille < 500, "trim in [0, 500)‰")
+    val w = Window.partitionBy(col("g")).orderBy(col("c"), col("k"))
+    val wAll = Window.partitionBy(col("g"))
+    df.select(groupCol.as("g"), valueCents.cast("long").as("c"),
+        keyCol.as("k"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("n", count(lit(1)).over(wAll))
+      .filter(col("rn") > expr(s"(n * $trimPerMille) div 1000") &&
+        col("rn") <= col("n") - expr(s"(n * $trimPerMille) div 1000"))
+      .groupBy("g")
+      .agg(first("n").as("n"), count(lit(1)).as("n_kept"),
+        expr("sum(c) * 10000 div count(1)").as("trimmed_mean_micro"))
+      .orderBy("g")
+  }
+
+  // ---- q402: robust average order value per priority ---------------------------
+  private def q402(s: SparkSession, d: String): DataFrame =
+    trimmedMean(Tables.orders(s, d), col("o_orderpriority"),
+      col("o_orderkey"), round(col("o_totalprice") * 100),
+      trimPerMille = 100)
+  private val q402Sql = {
+    import Supervised.fd
+    s"""WITH r AS (
+        SELECT o_orderpriority AS g, round(o_totalprice*100)::BIGINT AS c,
+          o_orderkey AS k FROM orders),
+      rk AS (
+        SELECT g, c, row_number() OVER (PARTITION BY g ORDER BY c, k) AS rn,
+          count(*) OVER (PARTITION BY g) AS n
+        FROM r),
+      kept AS (
+        SELECT g, c, n FROM rk
+        WHERE rn > (n * 100) // 1000 AND rn <= n - (n * 100) // 1000)
+      SELECT g, any_value(n) AS n, count(*)::BIGINT AS n_kept,
+        ${fd("sum(c)*10000", "count(*)")}::BIGINT AS trimmed_mean_micro
+      FROM kept GROUP BY g ORDER BY g"""
+  }
+
   /** Yule–Walker AR(2) coefficients per group — "how much does this
     * month's volume echo the last two?", the classical autoregressive
     * companion to [[q191 autocorrelation]]'s single-lag read and the
@@ -6342,6 +6468,8 @@ object Analytics {
     QueryDef("q383_cox_ph", q383, Some(q383Sql)),
     QueryDef("q390_yule_walker", q390, Some(q390Sql)),
     QueryDef("q400_cox_ph2", q400, Some(q400Sql)),
+    QueryDef("q401_markov_perplexity", q401, Some(q401Sql)),
+    QueryDef("q402_trimmed_mean", q402, Some(q402Sql)),
     QueryDef("q328_reorder_points", q328, Some(q328Sql)),
     QueryDef("q329_interp_quantiles", q329, Some(q329Sql)),
     QueryDef("q330_sql_calendar", q330, Some(q330Sql)),

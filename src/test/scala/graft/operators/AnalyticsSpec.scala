@@ -809,6 +809,47 @@ class AnalyticsSpec extends SparkSpec {
     assert(got("n_events") === 5L && got("n_subjects") === 7L)
   }
 
+  test("markovPerplexity scores a deterministic chain near zero and unseen contexts by the smoother") {
+    // Train keys (md5 first hex >= '4') walk a->b->a->b...; test keys
+    // walk the same chain. With V=2 and heavy counts, each test bigram's
+    // nll = ln((n+2)/(c+1)) is small; an all-unseen test state would pay
+    // ln(V) exactly. Deterministic split: user 1 hashes to test.
+    def walk(u: Long, n: Int): Seq[(Long, Long, Long, String)] =
+      (0 until n).map(i => (u, i.toLong, i.toLong,
+        if (i % 2 == 0) "a" else "b"))
+    // md5("1") = 'c4...' (train), md5("3") = 'ec...' (train),
+    // md5("0") = 'cf...' (train), md5("2") = 'd3...' -> need a test key:
+    // md5("5") = 'e4...'; md5("6") = '16...' -> TEST.
+    val rows = (walk(1L, 40) ++ walk(3L, 40) ++ walk(6L, 20))
+      .toDF("user_id", "ts", "event_id", "event_type")
+    val got = Analytics.markovPerplexity(rows, col("user_id"),
+        Seq(col("ts"), col("event_id")), col("event_type"))
+      .as[(Long, Long, Long)].head()
+    assert(got._1 === 78L, got.toString) // 2 x 39 train bigrams
+    assert(got._2 === 19L, got.toString)
+    // chain bigrams: c = 39 or 40 within n = 39/40, V = 2:
+    // nll = ln((n+2)/(c+1)) = ln(41/40) or ln(42/40) ~ 25k-49k micro
+    assert(got._3 > 10000L && got._3 < 60000L, got.toString)
+  }
+
+  test("trimmedMean drops exactly the rank tails and averages the rest") {
+    // g: values 0..9 (cents), trim 100 permille -> drop rank 1 and 10:
+    // keep 1..8 -> mean = 4.5 cents = 45000 micro.
+    val df = (0 until 10).map(i => ("g", i.toLong, i.toLong))
+      .toDF("g", "k", "c")
+    val got = Analytics.trimmedMean(df, col("g"), col("k"), col("c"),
+        trimPerMille = 100)
+      .as[(String, Long, Long, Long)].collect()
+    assert(got === Array(("g", 10L, 8L, 45000L)))
+    // outlier robustness: a huge tail value must not move the estimate
+    val dirty = (df.collect().map(r => (r.getString(0), r.getLong(1),
+      r.getLong(2))).toSeq :+ (("g", 99L, 1000000L))).toDF("g", "k", "c")
+    val rob = Analytics.trimmedMean(dirty, col("g"), col("k"), col("c"),
+        trimPerMille = 100)
+      .as[(String, Long, Long, Long)].head()
+    assert(rob._4 === 50000L, rob.toString) // keep 2..10 -> mean 5 cents
+  }
+
   test("coxFit2 adjusts away a confounded covariate") {
     // x1 drives the hazard (high x1 fails early); x2 is pure noise,
     // orthogonal to failure order. The 2x2 Newton solve must give x1 a
