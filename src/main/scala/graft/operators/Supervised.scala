@@ -25,18 +25,42 @@ import org.apache.spark.sql.functions._
   * fold as an UNROLLED per-iteration CTE chain (the [[Graph.kCore]]
   * generated-peel pattern).
   *
-  * Scale design: the feature projection (a handful of BIGINTs per row)
-  * is computed once and persisted; each of the T iterations is then a
-  * map-side-partial sum over that projection — no shuffle wider than
-  * one row of partials per partition, no driver-side data, state is
-  * O(features). At 100 TB that is T sequential scans of a few-column
-  * columnar cache; gradient sums there should widen to DECIMAL(38,0)
-  * (a 2^20-scaled residual times a feature times 10^11 rows can pass
-  * 2^63) — at the tested scales BIGINT has five orders of headroom.
+  * Scale design: the corpus is scanned ONCE — the feature projection
+  * collapses to distinct (label, x⃗) CELLS with a count (one
+  * map-side-combined groupBy; bucketized features make the cell table
+  * tiny, and continuous features degenerate gracefully to cnt=1 rows,
+  * i.e. the old per-row cost) — and each of the T iterations is then a
+  * map-side-partial sum over the persisted cell table with every
+  * contribution weighted by cnt (exact: Σ_rows r·x = Σ_cells cnt·r·x
+  * because the quantized response is a pure function of the cell key).
+  * No shuffle wider than one row of partials per partition, no
+  * driver-side data, state is O(features). Gradient sums at 100 TB
+  * should widen to DECIMAL(38,0) (a 2^20-scaled residual times a
+  * feature times 10^11 rows can pass 2^63) — at the tested scales
+  * BIGINT has five orders of headroom.
   */
 object Supervised {
 
   private val SigScale = 1L << 20 // sigmoid quantization: p in 1/2^20 units
+
+  /** Persist a collapsed (…, cnt) cell relation for iterative fitting,
+    * squeezing a bounded cell table onto ONE partition so every training
+    * iteration is a one-task job — iteration cost is cells, not corpus,
+    * and locally the dominant per-iteration cost would otherwise be the
+    * 2·partitions task launches. A degenerate collapse (continuous
+    * features, > 64k cells) keeps the shuffle layout instead. Returns
+    * (cells, Σcnt); the caller unpersists the returned relation. */
+  private def persistCells(grouped: DataFrame): (DataFrame, Long) = {
+    val p0 = grouped.persist()
+    val r = p0.agg(coalesce(sum("cnt"), lit(0L)), count(lit(1))).head()
+    val (n, cells) = (r.getLong(0), r.getLong(1))
+    if (cells <= 65536L) {
+      val p1 = p0.coalesce(1).persist()
+      p1.count() // materialize before freeing the wide copy
+      p0.unpersist()
+      (p1, n)
+    } else (p0, n)
+  }
 
   /** Binary logistic regression fit by T steps of full-batch gradient
     * descent with learning rate 2^-lrShift, in the fixed-point scheme
@@ -57,15 +81,15 @@ object Supervised {
     import s.implicits._
     val den = 1L << (20 + lrShift)
     val names = features.map(_._1)
-    val proj = df.select(
-      (label.cast("long").as("y") +:
-        features.zipWithIndex.map { case ((_, c), j) =>
-          c.cast("long").as(s"x$j") }): _*)
-      .persist()
+    val k = features.size
+    val keyCols = "y" +: (0 until k).map(j => s"x$j")
+    val (proj, n) = persistCells(df.select(
+        (label.cast("long").as("y") +:
+          features.zipWithIndex.map { case ((_, c), j) =>
+            c.cast("long").as(s"x$j") }): _*)
+      .groupBy(keyCols.map(col): _*).agg(count(lit(1)).as("cnt")))
     try {
-      val n = proj.count()
       require(n > 0, "logisticFit needs rows")
-      val k = features.size
       val w = Array.fill(k)(0L)
       def residual: Column = {
         // z from the EXACT integer dot product; p quantized to 1/2^20
@@ -76,10 +100,11 @@ object Supervised {
           lit(0.5)).cast("long") - col("y") * lit(SigScale)
       }
       for (_ <- 1 to iters) {
-        val g = proj.select((residual.as("r") +: (0 until k).map(j =>
-            col(s"x$j"))): _*)
-          .agg(sum(col("r") * col("x0")).as("g0"),
-            (1 until k).map(j => sum(col("r") * col(s"x$j")).as(s"g$j")): _*)
+        val g = proj.select((residual.as("r") +: col("cnt") +:
+            (0 until k).map(j => col(s"x$j"))): _*)
+          .agg(sum(col("r") * col("x0") * col("cnt")).as("g0"),
+            (1 until k).map(j =>
+              sum(col("r") * col(s"x$j") * col("cnt")).as(s"g$j")): _*)
           .head()
         var j = 0
         while (j < k) {
@@ -91,7 +116,7 @@ object Supervised {
       // i.e. quantized p >= 2^19 — integer compare, no tie ambiguity.
       val pred = (residual + col("y") * lit(SigScale)) >= lit(SigScale / 2)
       val correct = proj
-        .agg(sum(when(pred === (col("y") === 1L), 1L).otherwise(0L)))
+        .agg(sum(when(pred === (col("y") === 1L), col("cnt")).otherwise(0L)))
         .head().getLong(0)
       val rows = names.zip(w).map { case (nm, wj) => (s"w_$nm", wj) } ++
         Seq(("n_correct", correct), ("n_rows", n))
@@ -428,10 +453,12 @@ object Supervised {
     * unrolled per iteration (score TABLE joins, no per-entity column
     * unroll, so any entity count generates the same SQL).
     *
-    * Scale: pairs shuffle once per iteration on the entity key; the
-    * score relation is |entities| rows broadcast both ways. Driver
-    * state is O(entities) — bounded-domain contract (leagues, models,
-    * sources; not users).
+    * Scale: the comparison stream collapses ONCE to distinct
+    * (winner, loser, count) cells — one map-side-combined corpus pass —
+    * and every iteration shuffles only that ≤|entities|²-bounded cell
+    * table on the entity key; the score relation is |entities| rows
+    * broadcast both ways. Driver state is O(entities) —
+    * bounded-domain contract (leagues, models, sources; not users).
     */
   def bradleyTerry(pairs: DataFrame, winnerCol: Column, loserCol: Column,
       lrShift: Int, iters: Int): DataFrame = {
@@ -439,10 +466,16 @@ object Supervised {
     val s = pairs.sparkSession
     import s.implicits._
     val den = 1L << (20 + lrShift)
-    val p = pairs.select(winnerCol.cast("string").as("w"),
-      loserCol.cast("string").as("l")).persist()
+    // Collapse the comparison stream to distinct (winner, loser) cells
+    // with a count — Σ_pairs r = Σ_cells cnt·r because the quantized σ
+    // depends only on (s_w − s_l). ONE corpus pass; every iteration then
+    // works on a relation bounded by |entities|² (and in practice by the
+    // observed matchup matrix, e.g. 25·24 for nation ladders).
+    val (p, n) = persistCells(pairs
+      .select(winnerCol.cast("string").as("w"),
+        loserCol.cast("string").as("l"))
+      .groupBy("w", "l").agg(count(lit(1)).as("cnt")))
     try {
-      val n = p.count()
       require(n > 0, "bradleyTerry needs pairs")
       val entities = p.select(col("w")).union(p.select(col("l")))
         .distinct().orderBy("w").as[String].collect()
@@ -456,13 +489,15 @@ object Supervised {
         val scored = p
           .join(st.select(col("e").as("w"), col("sv").as("sw")), Seq("w"))
           .join(st.select(col("e").as("l"), col("sv").as("sl")), Seq("l"))
-          .select(col("w"), col("l"),
+          .select(col("w"), col("l"), col("cnt"),
             floor(lit(1.0) / (lit(1.0) +
               exp(-((col("sw") - col("sl")).cast("double") / lit(1e6)))) *
               lit(SigScale.toDouble) + lit(0.5)).cast("long").as("p"))
         val grad = scored.select(explode(array(
-            struct(col("w").as("e"), (col("p") - lit(SigScale)).as("r")),
-            struct(col("l").as("e"), (lit(SigScale) - col("p")).as("r"))))
+            struct(col("w").as("e"),
+              ((col("p") - lit(SigScale)) * col("cnt")).as("r")),
+            struct(col("l").as("e"),
+              ((lit(SigScale) - col("p")) * col("cnt")).as("r"))))
             .as("t"))
           .select(col("t.e").as("e"), col("t.r").as("r"))
           .groupBy("e").agg(sum("r").as("g"))
@@ -473,8 +508,8 @@ object Supervised {
         }
       }
       val wl = p.select(explode(array(
-          struct(col("w").as("e"), lit(1L).as("win"), lit(0L).as("loss")),
-          struct(col("l").as("e"), lit(0L).as("win"), lit(1L).as("loss"))))
+          struct(col("w").as("e"), col("cnt").as("win"), lit(0L).as("loss")),
+          struct(col("l").as("e"), lit(0L).as("win"), col("cnt").as("loss"))))
           .as("t"))
         .select(col("t.e").as("entity"), col("t.win").as("win"),
           col("t.loss").as("loss"))
@@ -575,13 +610,13 @@ object Supervised {
     import s.implicits._
     val den = 1L << (20 + lrShift)
     val k = features.size
-    val proj = df.select(
-      (countCol.cast("long").as("y") +:
-        features.zipWithIndex.map { case ((_, c), j) =>
-          c.cast("long").as(s"x$j") }): _*)
-      .persist()
+    val keyCols = "y" +: (0 until k).map(j => s"x$j")
+    val (proj, n) = persistCells(df.select(
+        (countCol.cast("long").as("y") +:
+          features.zipWithIndex.map { case ((_, c), j) =>
+            c.cast("long").as(s"x$j") }): _*)
+      .groupBy(keyCols.map(col): _*).agg(count(lit(1)).as("cnt")))
     try {
-      val n = proj.count()
       require(n > 0, "poissonFit needs rows")
       val w = Array.fill(k)(0L)
       def residual: Column = {
@@ -592,8 +627,9 @@ object Supervised {
       }
       for (_ <- 1 to iters) {
         val g = proj
-          .agg(sum(residual * col("x0")).as("g0"),
-            (1 until k).map(j => sum(residual * col(s"x$j")).as(s"g$j")): _*)
+          .agg(sum(residual * col("x0") * col("cnt")).as("g0"),
+            (1 until k).map(j =>
+              sum(residual * col(s"x$j") * col("cnt")).as(s"g$j")): _*)
           .head()
         var j = 0
         while (j < k) {
