@@ -239,15 +239,29 @@ object Dedup {
     val chunks = hashes.select(col(idCol).as("doc_id"), col(hashCol).as("h"),
         explode(sequence(lit(0), lit(bands - 1))).as("k"))
       .withColumn("chunk", expr(s"shiftright(h, k * $bandBits) & $mask"))
+    // Dedup pairs that collide in several bands WITHOUT a distinct():
+    // a qualifying pair is emitted only at its FIRST equal band (which
+    // exists by the pigeonhole argument), a pure row expression — the
+    // banded join output flows straight to the result with no
+    // pair-stream shuffle. On clustered inputs (near-identical hashes
+    // collide in most bands) the old distinct() shuffled the entire
+    // pre-filter join output, bands× the survivor count.
     chunks.as("x").join(chunks.as("y"),
         col("x.k") === col("y.k") && col("x.chunk") === col("y.chunk") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("d1"), col("x.h").as("h1"),
-        col("y.doc_id").as("d2"), col("y.h").as("h2"))
-      .distinct()
-      .withColumn("hamming", bit_count(col("h1").bitwiseXOR(col("h2"))))
+        col("y.doc_id").as("d2"), col("y.h").as("h2"), col("x.k").as("k"))
+      .withColumn("hamming",
+        bit_count(col("h1").bitwiseXOR(col("h2"))).cast("long"))
       .filter(col("hamming") <= maxHamming)
-      .select(col("d1"), col("d2"), col("hamming").cast("long").as("hamming"))
+      // Unrolled when-chain (bands is a small constant) keeps the whole
+      // join stage inside codegen — a lambda here would interpret it.
+      .filter(col("k") === (0 until bands).foldRight(lit(bands): Column) {
+        (j, rest) =>
+          when(expr(s"(shiftright(h1 ^ h2, ${j * bandBits}) & $mask) = 0"),
+            lit(j)).otherwise(rest)
+      })
+      .select(col("d1"), col("d2"), col("hamming"))
   }
 
   /** Embedding near-dup: pairs with cosine >= threshold (brute pair join;
@@ -300,8 +314,13 @@ object Dedup {
     */
   def dedupClusters(pairs: DataFrame, aCol: String, bCol: String,
       maxIters: Int = 100): DataFrame = {
-    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
-      .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+    // Materialize the pair pipeline ONCE before the symmetric union —
+    // otherwise the union's two branches each recompute the (often
+    // expensive: banded joins, LSH) upstream pair plan in the same job.
+    val pr = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .localCheckpoint(true)
+    val edges = pr
+      .union(pr.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
       .localCheckpoint(false)
     var labels = edges.select(col("src").as("node")).distinct()
@@ -339,7 +358,7 @@ object Dedup {
       }
     } catch {
       case e: Throwable => labels.unpersist(); throw e
-    } finally edges.unpersist()
+    } finally { edges.unpersist(); pr.unpersist() }
     labels.select(col("node").as("doc_id"), col("label").as("cluster_id"))
   }
 
