@@ -1873,7 +1873,120 @@ object TextAnalysis {
        FROM ranked WHERE rank <= 3
        ORDER BY prefix, rank"""
 
+  /** Interpolated Kneser–Ney bigram perplexity on a held-out split — the
+    * standard LM smoothing read beside [[Analytics.markovPerplexity]]'s
+    * add-one baseline (reference exposes per-record scoring hooks only;
+    * held-out NLL is the canonical corpus-quality probe a training
+    * pipeline runs before shipping data to a tokenizer/LM stage).
+    *
+    * Math, exact end to end: discount d = 3/4, so for a TRAIN-seen
+    * context u the interpolated probability is one integer rational
+    *   P(w|u) = [max(4c(u,w)−3, 0)·(T+V) + 3·N1+(u·)·(N1+(·w)+1)]
+    *            / [4·n(u)·(T+V)]
+    * where n(u) = Σ_w c(u,w), N1+(u·) = distinct continuations of u,
+    * N1+(·w) = distinct contexts of w (the continuation count), T =
+    * distinct train bigram types and V = distinct train next-tokens + 1
+    * (the +1s give add-one mass to unseen continuations, so the unigram
+    * level is itself a proper subprobability with OOV headroom). An
+    * UNSEEN context backs off to the continuation level alone:
+    * P = (N1+(·w)+1)/(T+V). Both branches are ln of an integer ratio —
+    * quantized with the shared floor(ln·1e6+0.5) table — so the NLL sum
+    * is exact-integer cross-engine. Output: train/test bigram counts,
+    * the backoff count, and avg NLL in micro-nats.
+    *
+    * Scale: one token explode (map-side), one doc-partitioned window for
+    * the lag, then every model relation is vocabulary-bounded and
+    * broadcast into the single test-scoring pass. Magnitude contract:
+    * 4·n(u)·(T+V) must stay under 2^63 — at larger corpora widen the
+    * products to DECIMAL(38,0) (the ratios are scale-invariant).
+    */
+  def kneserNeyPerplexity(docs: DataFrame, idCol: Column, textCol: Column,
+      testHexLt: String = "4"): DataFrame = {
+    require(testHexLt.length == 1, "testHexLt is one hex char")
+    import org.apache.spark.sql.expressions.Window
+    val lnq = (c: Column) => floor(log(c.cast("double")) * lit(1e6) +
+      lit(0.5)).cast("long")
+    val toks = docs.select(idCol.as("doc"), textCol.as("text"))
+      .select(col("doc"), posexplode(split(col("text"), " ")).as(Seq("p", "w")))
+    val win = Window.partitionBy("doc").orderBy("p")
+    val bg = toks.withColumn("prev", lag(col("w"), 1).over(win))
+      .filter(col("prev").isNotNull)
+      .withColumn("test",
+        substring(md5(col("doc").cast("string").cast("binary")), 1, 1)
+          < lit(testHexLt))
+      .select(col("prev"), col("w").as("next"), col("test"))
+    val tr = bg.filter(!col("test")).groupBy("prev", "next")
+      .agg(count(lit(1)).as("c"))
+    val ctx = tr.groupBy("prev")
+      .agg(sum("c").as("n"), count(lit(1)).as("n1u"))
+    val cw = tr.groupBy("next").agg(count(lit(1)).as("n1w"))
+    val tot = tr.agg(count(lit(1)).as("t"),
+      sum("c").as("n_train_bigrams"))
+    val vv = tr.agg((countDistinct("next") + 1).as("v"))
+    val tv = col("t") + col("v")
+    val num = when(col("n").isNotNull,
+      greatest(lit(4L) * coalesce(col("c"), lit(0L)) - 3, lit(0L)) * tv +
+        lit(3L) * col("n1u") * (coalesce(col("n1w"), lit(0L)) + 1))
+      .otherwise(coalesce(col("n1w"), lit(0L)) + 1)
+    val den = when(col("n").isNotNull, lit(4L) * col("n") * tv).otherwise(tv)
+    bg.filter(col("test"))
+      .join(broadcast(tr), Seq("prev", "next"), "left")
+      .join(broadcast(ctx), Seq("prev"), "left")
+      .join(broadcast(cw), Seq("next"), "left")
+      .crossJoin(broadcast(tot)).crossJoin(broadcast(vv))
+      .select((lnq(den) - lnq(num)).as("nll"),
+        when(col("n").isNull, 1L).otherwise(0L).as("bo"),
+        col("n_train_bigrams"))
+      .agg(first("n_train_bigrams").as("n_train_bigrams"),
+        count(lit(1)).as("n_test_bigrams"),
+        sum("bo").as("n_backoff"),
+        expr("sum(nll) div count(1)").as("avg_nll_micro"))
+  }
+
+  // ---- q403: does proper smoothing beat add-one on held-out documents? --------
+  // The same hash split discipline as q401; avg_nll in micro-nats is
+  // directly comparable across smoothing schemes on this corpus.
+  private def q403(s: SparkSession, d: String): DataFrame =
+    kneserNeyPerplexity(Tables.documents(s, d), col("doc_id"), col("text"))
+  private val q403Sql = {
+    import Supervised.fd
+    s"""WITH toks AS (
+        SELECT doc_id, substr(md5(doc_id::VARCHAR), 1, 1) < '4' AS test,
+          string_split(text, ' ') AS tk FROM documents),
+      bg AS (
+        SELECT test, b.p AS prev, b.n AS next FROM (
+          SELECT test, unnest(list_transform(range(1, len(tk)),
+            i -> struct_pack(p := tk[i], n := tk[i + 1]))) AS b
+          FROM toks WHERE len(tk) >= 2)),
+      tr AS (SELECT prev, next, count(*)::BIGINT AS c FROM bg
+        WHERE NOT test GROUP BY 1, 2),
+      ctx AS (SELECT prev, sum(c)::BIGINT AS n, count(*)::BIGINT AS n1u
+        FROM tr GROUP BY 1),
+      cw AS (SELECT next, count(*)::BIGINT AS n1w FROM tr GROUP BY 1),
+      tot AS (SELECT count(*)::BIGINT AS t, sum(c)::BIGINT AS ntr FROM tr),
+      vv AS (SELECT (count(DISTINCT next) + 1)::BIGINT AS v FROM tr),
+      sc AS (
+        SELECT CASE WHEN x.n IS NULL THEN coalesce(w.n1w, 0) + 1
+            ELSE greatest(4*coalesce(t.c, 0) - 3, 0)*(tot.t + vv.v)
+              + 3*x.n1u*(coalesce(w.n1w, 0) + 1) END AS num,
+          CASE WHEN x.n IS NULL THEN tot.t + vv.v
+            ELSE 4*x.n*(tot.t + vv.v) END AS den,
+          CASE WHEN x.n IS NULL THEN 1 ELSE 0 END AS bo
+        FROM bg b LEFT JOIN tr t ON t.prev = b.prev AND t.next = b.next
+          LEFT JOIN ctx x ON x.prev = b.prev
+          LEFT JOIN cw w ON w.next = b.next, tot, vv
+        WHERE b.test)
+      SELECT (SELECT ntr FROM tot) AS n_train_bigrams,
+        count(*)::BIGINT AS n_test_bigrams,
+        sum(bo)::BIGINT AS n_backoff,
+        ${fd("sum(floor(ln(den)*1e6 + 0.5)::BIGINT" +
+          " - floor(ln(num)*1e6 + 0.5)::BIGINT)", "count(*)")}::BIGINT
+          AS avg_nll_micro
+      FROM sc"""
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q403_kneser_ney", q403, Some(q403Sql)),
     QueryDef("q255_prefix_index", q255, Some(q255Sql)),
     QueryDef("q258_langid_margin", q258, Some(q258Sql)),
     QueryDef("q211_vocab_growth", q211, Some(q211Sql)),

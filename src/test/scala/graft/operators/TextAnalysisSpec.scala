@@ -30,6 +30,23 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got(5L)._5 === false && got(5L)._6 === false)   // no stopwords
   }
 
+  test("kneserNeyPerplexity: hand-computed NLL incl. the unseen-context backoff") {
+    // md5 split: ids 1..5 hash to train, 6 to test (first hex >= '4' / < '4').
+    // Train bigrams: (a,b)x2, (b,a), (a,c), (b,b) -> T=4 types, ntr=5,
+    // ctx a:(n=3,n1u=2) b:(n=2,n1u=2); cont counts b:2, a:1, c:1; V=3+1;
+    // T+V=8. Test doc "a b z c":
+    //  (a,b) seen:   num = max(4*2-3,0)*8 + 3*2*(2+1) = 58, den = 4*3*8 = 96
+    //  (b,z) seen-ctx unseen-w: num = 3*2*(0+1) = 6,    den = 4*2*8 = 64
+    //  (z,c) UNSEEN ctx (backoff): num = 1+1 = 2,       den = 8
+    // avg_nll = (ln(96/58) + ln(64/6) + ln(8/2) quantized) div 3 = 1419108.
+    val df = Seq(
+      (1L, "a b a c"), (2L, "a b"), (3L, "b b"), (6L, "a b z c"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.kneserNeyPerplexity(df, col("doc_id"), col("text"))
+      .as[(Long, Long, Long, Long)].collect()
+    assert(got === Array((5L, 3L, 1L, 1419108L)))
+  }
+
   test("normalizeText canonicalizes case, control whitespace, and runs") {
     val df = Seq(
       (1L, "  Hello\tWorld  "),          // indent + tab + trailing spaces
