@@ -303,14 +303,20 @@ object Dedup {
     * labeled by the minimum member id (which doubles as the keeper). The
     * step that turns pairwise dedup output into drop/keep decisions.
     *
-    * Algorithm: hash-to-min label propagation — each iteration joins the
-    * edge list against current labels and takes the per-node minimum, a
-    * shuffle join + partial-aggregated min per step, converging in
-    * O(diameter) steps (duplicate clusters are near-cliques, so 2-3 in
-    * practice). This alternating join/aggregate IS the standard
-    * large-scale connected-components shape; each iteration is
-    * localCheckpoint'ed so the plan (and lineage) stays flat. The
-    * driver-side loop holds only a changed-row COUNT, never data.
+    * Algorithm: hash-to-min label propagation WITH adaptive pointer
+    * doubling — each iteration (a) joins the edge list against current
+    * labels and takes the per-node minimum; from round 3 on it also
+    * (b) shortcuts every label to its label's label (one join against a
+    * renamed copy; labels are node ids so the lookup always hits). The
+    * shortcut squares the propagation reach, so convergence is
+    * O(log diameter) rounds instead of O(diameter) — near-cliques
+    * (duplicate clusters) finish in 1-2 plain rounds and never pay for
+    * the shortcut, while chain-shaped components (spatial eps-graphs,
+    * long near-dup chains) no longer degenerate to one round per hop.
+    * Each round is a bounded number of shuffle joins + a
+    * partial-aggregated min, localCheckpoint'ed so the plan (and
+    * lineage) stays flat. The driver-side loop holds only a changed-row
+    * COUNT, never data.
     */
   def dedupClusters(pairs: DataFrame, aCol: String, bCol: String,
       maxIters: Int = 100): DataFrame = {
@@ -336,24 +342,37 @@ object Dedup {
       while (changed > 0) {
         iters += 1
         require(iters <= maxIters,
-          s"label propagation did not converge in $maxIters rounds: the " +
-            "pair graph has a component of diameter >= maxIters (duplicate " +
-            "clusters are near-cliques, so this suggests pathological " +
-            "input, e.g. a threshold low enough to chain the whole " +
-            "corpus); raise maxIters or tighten the pairing threshold")
-        val prop = edges.join(labels, col("dst") === col("node"))
+          s"label propagation did not converge in $maxIters rounds: with " +
+            "pointer doubling that means a component of diameter >= " +
+            "2^maxIters — pathological input (e.g. a threshold low " +
+            "enough to chain the whole corpus); tighten the pairing " +
+            "threshold")
+        // Checkpoint the propagate step before the shortcut self-join:
+        // the agg materializes once (not twice via exchange reuse), and
+        // the join sees a flat LogicalRDD (a self-joined Union trips
+        // Catalyst's constraint rewrite).
+        val stepped = edges.join(labels, col("dst") === col("node"))
           .select(col("src").as("node"), col("label"))
           .union(labels)
           .groupBy(col("node")).agg(min(col("label")).as("label"))
           .localCheckpoint(false)
+        // Near-cliques converge in 1-2 plain rounds; only a component
+        // still unconverged after that (a chain) pays for the shortcut.
+        val prop = if (iters <= 2) stepped else {
+          val lk = stepped.select(col("node").as("ln"), col("label").as("ll"))
+          stepped.join(lk, col("label") === col("ln"))
+            .select(col("node"), col("ll").as("label"))
+            .localCheckpoint(false)
+        }
         changed = prop.join(
             labels.withColumnRenamed("label", "old"), "node")
           .filter(col("label") =!= col("old")).count()
         // The count() above materialized prop's checkpoint, so the
-        // previous round's label blocks are unreachable — free them
-        // eagerly (a long loop would otherwise hold O(rounds)
-        // corpus-sized cached relations).
+        // previous round's label blocks (and the intermediate propagate
+        // step) are unreachable — free them eagerly (a long loop would
+        // otherwise hold O(rounds) corpus-sized cached relations).
         labels.unpersist()
+        if (prop ne stepped) stepped.unpersist()
         labels = prop
       }
     } catch {

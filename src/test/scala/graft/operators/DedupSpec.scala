@@ -121,6 +121,16 @@ class DedupSpec extends SparkSpec {
     assert(got === (1L to 12L).map(_ -> 1L).toMap)
   }
 
+  test("dedupClusters pointer doubling closes a 400-hop chain within 15 rounds") {
+    // Plain hash-to-min needs O(diameter) = ~400 rounds here; the
+    // round-3+ label-of-label shortcut squares the reach each round, so
+    // maxIters = 15 only converges if the doubling is in effect.
+    val pairs = (1L until 400L).map(i => (i, i + 1)).toDF("d1", "d2")
+    val got = Dedup.dedupClusters(pairs, "d1", "d2", maxIters = 15)
+      .as[(Long, Long)].collect().toMap
+    assert(got === (1L to 400L).map(_ -> 1L).toMap)
+  }
+
   test("dedupKeepBest elects the highest-score member, ties to the lowest id") {
     val docs = Seq(
       (1L, "a", 5L), (2L, "b", 9L), (3L, "c", 9L),  // cluster {1,2,3}: 2 and 3 tie on score -> 2
