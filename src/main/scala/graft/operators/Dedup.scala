@@ -329,9 +329,15 @@ object Dedup {
       .union(pr.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
       .localCheckpoint(false)
-    var labels = edges.select(col("src").as("node")).distinct()
-      .withColumn("label", col("node"))
-      .localCheckpoint(false)
+    // Loop-round checkpoints must NOT inherit origin stats: a
+    // checkpointed self-join squares the size estimate every round
+    // (see GraftShim.dropOriginStats), which hangs planning after ~20
+    // rounds. The one-shot edges/pr checkpoints above are harmless.
+    def ckpt(df: DataFrame): DataFrame =
+      org.apache.spark.sql.graftshim.GraftShim
+        .dropOriginStats(df.localCheckpoint(false))
+    var labels = ckpt(edges.select(col("src").as("node")).distinct()
+      .withColumn("label", col("node")))
     var changed = 1L
     var iters = 0
     // Cleanup discipline: a throw (the non-convergence guard) must not
@@ -351,19 +357,27 @@ object Dedup {
         // the agg materializes once (not twice via exchange reuse), and
         // the join sees a flat LogicalRDD (a self-joined Union trips
         // Catalyst's constraint rewrite).
-        val stepped = edges.join(labels, col("dst") === col("node"))
+        val stepped = ckpt(edges.join(labels, col("dst") === col("node"))
           .select(col("src").as("node"), col("label"))
           .union(labels)
-          .groupBy(col("node")).agg(min(col("label")).as("label"))
-          .localCheckpoint(false)
+          .groupBy(col("node")).agg(min(col("label")).as("label")))
         // Near-cliques converge in 1-2 plain rounds; only a component
-        // still unconverged after that (a chain) pays for the shortcut.
-        val prop = if (iters <= 2) stepped else {
-          val lk = stepped.select(col("node").as("ln"), col("label").as("ll"))
-          stepped.join(lk, col("label") === col("ln"))
-            .select(col("node"), col("ll").as("label"))
-            .localCheckpoint(false)
+        // still unconverged after that (a chain) pays for the shortcuts.
+        // Two chained label-of-label joins quadruple the reach per round
+        // (reach^4), so a diameter-d component closes in ~log4(d) + 2
+        // rounds; each shortcut is one tiny join on the label relation.
+        var freed = List.empty[DataFrame]
+        var cur = stepped
+        if (iters > 2) {
+          for (_ <- 1 to 2) {
+            val lk = cur.select(col("node").as("ln"), col("label").as("ll"))
+            val nxt = ckpt(cur.join(lk, col("label") === col("ln"))
+              .select(col("node"), col("ll").as("label")))
+            freed ::= cur
+            cur = nxt
+          }
         }
+        val prop = cur
         changed = prop.join(
             labels.withColumnRenamed("label", "old"), "node")
           .filter(col("label") =!= col("old")).count()
@@ -372,7 +386,7 @@ object Dedup {
         // step) are unreachable — free them eagerly (a long loop would
         // otherwise hold O(rounds) corpus-sized cached relations).
         labels.unpersist()
-        if (prop ne stepped) stepped.unpersist()
+        freed.foreach(_.unpersist())
         labels = prop
       }
     } catch {

@@ -2942,7 +2942,146 @@ object Similarity {
          (sum(best_d2) // count(*))::BIGINT AS inertia_per_vec
        FROM best GROUP BY k ORDER BY k"""
 
+  /** Grid-bucketed DBSCAN over a 2-D point set — the density-based
+    * member of the clustering family beside [[kmeansFit]] (centroid),
+    * [[Dedup.dedupClusters]] (transitive near-dup) and [[lofOutliers]]
+    * (density OUTLIERS; DBSCAN's noise set is the cluster-shaped
+    * complement of the same idea). Exact DBSCAN semantics: a point with
+    * >= minPts neighbors within eps (count includes itself) is CORE;
+    * clusters are the connected components of the core-core eps-graph;
+    * a non-core point with a core neighbor is a BORDER of its minimum
+    * core neighbor's cluster (deterministic tie-break); everything else
+    * is NOISE.
+    *
+    * Scale design — the eps-join never goes all-pairs: coordinates are
+    * micro-quantized and bucketed into eps-sized grid cells, one side
+    * explodes to its 3x3 cell neighborhood, and the equi-join on the
+    * cell key finds EXACTLY the candidate pairs (dist <= eps forces
+    * cell deltas within +-1), each discovered once because the offset to
+    * the probe cell is unique per pair. Costs one 9x explode and one
+    * hash shuffle on cell keys; per-cell work is bounded by local
+    * density, the standard spatial-join contract. Components close via
+    * the pointer-doubled [[Dedup.dedupClusters]] fixpoint, so chain-
+    * shaped clusters converge in O(log diameter) rounds.
+    *
+    * Returns one row per cluster (cluster_id = min member id, n_points,
+    * n_core, n_border) plus a cluster_id = -1 noise row, ordered by
+    * n_points DESC. Ids must be >= 0.
+    */
+  def dbscanGrid(points: DataFrame, idCol: String, xCol: Column,
+      yCol: Column, epsMicro: Long, minPts: Int): DataFrame = {
+    require(epsMicro > 0 && minPts >= 1, "need epsMicro > 0, minPts >= 1")
+    val e = lit(epsMicro)
+    def fdiv(a: Column): Column =
+      (call_function("div", a, e) +
+        when((a % e) < 0, -1L).otherwise(0L)).cast("long")
+    val pts = points.select(col(idCol).cast("long").as("id"),
+        floor(xCol.cast("double") * 1e6).cast("long").as("x"),
+        floor(yCol.cast("double") * 1e6).cast("long").as("y"))
+      .withColumn("cx", fdiv(col("x")))
+      .withColumn("cy", fdiv(col("y")))
+      .localCheckpoint(false)
+    val probe = pts.select(col("id").as("aid"), col("x").as("ax"),
+      col("y").as("ay"), col("cx").as("jcx"), col("cy").as("jcy"))
+    val cand = pts.select(col("id").as("bid"), col("x").as("bx"),
+        col("y").as("by"), col("cx").as("bcx"), col("cy").as("bcy"),
+        explode(array(lit(-1L), lit(0L), lit(1L))).as("dx"))
+      .select(col("bid"), col("bx"), col("by"),
+        (col("bcx") + col("dx")).as("jcx"), col("bcy"),
+        explode(array(lit(-1L), lit(0L), lit(1L))).as("dy"))
+      .select(col("bid"), col("bx"), col("by"), col("jcx"),
+        (col("bcy") + col("dy")).as("jcy"))
+    val nbr = probe.join(cand, Seq("jcx", "jcy"))
+      .filter(col("aid") =!= col("bid") &&
+        (col("ax") - col("bx")) * (col("ax") - col("bx")) +
+          (col("ay") - col("by")) * (col("ay") - col("by")) <= e * e)
+      .select(col("aid"), col("bid"))
+      .localCheckpoint(false)
+    val core = pts.join(
+        nbr.groupBy("aid").agg(count(lit(1)).as("nc")),
+        col("id") === col("aid"), "left")
+      .filter(coalesce(col("nc"), lit(0L)) + 1 >= minPts)
+      .select(col("id"))
+      .localCheckpoint(false)
+    // Core-core edges + self-pairs (isolated cores form singleton
+    // clusters; dedupClusters only labels nodes that appear in a pair).
+    val ce = nbr
+      .join(core.withColumnRenamed("id", "aid"), Seq("aid"))
+      .join(core.withColumnRenamed("id", "bid"), Seq("bid"))
+      .select(col("aid"), col("bid"))
+      .union(core.select(col("id").as("aid"), col("id").as("bid")))
+    val labs = Dedup.dedupClusters(ce, "aid", "bid")
+    val borders = nbr
+      .join(core.withColumnRenamed("id", "aid"), Seq("aid"), "left_anti")
+      .join(core.withColumnRenamed("id", "bid"), Seq("bid"))
+      .join(labs.withColumnRenamed("doc_id", "bid"), Seq("bid"))
+      .groupBy("aid").agg(min("cluster_id").as("cluster_id"))
+    val clusters = labs.groupBy("cluster_id")
+      .agg(count(lit(1)).as("n_core"))
+      .join(borders.groupBy("cluster_id")
+        .agg(count(lit(1)).as("n_border")), Seq("cluster_id"), "left")
+      .select(col("cluster_id"),
+        (col("n_core") + coalesce(col("n_border"), lit(0L))).as("n_points"),
+        col("n_core"), coalesce(col("n_border"), lit(0L)).as("n_border"))
+    val noise = pts
+      .join(core.withColumnRenamed("id", "nid"),
+        col("id") === col("nid"), "left_anti")
+      .join(borders.withColumnRenamed("aid", "nid"),
+        col("id") === col("nid"), "left_anti")
+      .agg(count(lit(1)).as("n_points"))
+      .select(lit(-1L).as("cluster_id"), col("n_points"),
+        lit(0L).as("n_core"), lit(0L).as("n_border"))
+    clusters.unionAll(noise)
+      .orderBy(col("n_points").desc, col("cluster_id"))
+  }
+
+  // ---- q404: density clusters in the embedding plane --------------------------
+  // DBSCAN on the first two embedding dims (vec_id-capped so the brute
+  // all-pairs oracle stays cheap; the ENGINE path is the grid join).
+  private def q404(s: SparkSession, d: String): DataFrame =
+    dbscanGrid(Tables.embeddings(s, d).filter(col("vec_id") < 1024),
+      "vec_id", col("embedding").getItem(0), col("embedding").getItem(1),
+      epsMicro = 20000L, minPts = 5)
+  private val q404Sql =
+    """WITH RECURSIVE pts AS (
+        SELECT vec_id AS id, floor(embedding[1]::DOUBLE*1e6)::BIGINT AS x,
+          floor(embedding[2]::DOUBLE*1e6)::BIGINT AS y
+        FROM embeddings WHERE vec_id < 1024),
+      nb AS (
+        SELECT a.id AS a, b.id AS b FROM pts a JOIN pts b
+        ON a.id != b.id AND (a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y)
+          <= 20000::BIGINT*20000),
+      cnt AS (SELECT a AS id, count(*)::BIGINT AS c FROM nb GROUP BY 1),
+      core AS (SELECT p.id FROM pts p LEFT JOIN cnt ON cnt.id = p.id
+        WHERE coalesce(cnt.c, 0) + 1 >= 5),
+      ce AS (SELECT nb.a, nb.b FROM nb
+          JOIN core x ON x.id = nb.a JOIN core y ON y.id = nb.b
+        UNION ALL SELECT id, id FROM core),
+      reach(a, b) AS (
+        SELECT a, b FROM ce
+        UNION
+        SELECT reach.a, e.b FROM reach JOIN ce e ON reach.b = e.a),
+      lab AS (SELECT a AS id, min(b) AS cl FROM reach GROUP BY 1),
+      bord AS (
+        SELECT nb.a AS id, min(l.cl) AS cl FROM nb
+        JOIN core cb ON cb.id = nb.b JOIN lab l ON l.id = nb.b
+        WHERE nb.a NOT IN (SELECT id FROM core) GROUP BY 1),
+      ncr AS (SELECT cl, count(*)::BIGINT AS n_core FROM lab GROUP BY 1),
+      nbd AS (SELECT cl, count(*)::BIGINT AS n_border FROM bord GROUP BY 1),
+      cls AS (
+        SELECT ncr.cl AS cluster_id,
+          ncr.n_core + coalesce(nbd.n_border, 0) AS n_points,
+          ncr.n_core, coalesce(nbd.n_border, 0)::BIGINT AS n_border
+        FROM ncr LEFT JOIN nbd ON nbd.cl = ncr.cl)
+      SELECT * FROM cls
+      UNION ALL
+      SELECT -1::BIGINT, count(*)::BIGINT, 0::BIGINT, 0::BIGINT FROM pts
+      WHERE id NOT IN (SELECT id FROM core)
+        AND id NOT IN (SELECT id FROM bord)
+      ORDER BY n_points DESC, cluster_id"""
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q404_dbscan", q404, Some(q404Sql)),
     QueryDef("q252_centroid_drift", q252, Some(q252Sql)),
     QueryDef("q265_kmeans_elbow", q265, Some(q265Sql)),
     QueryDef("q277_centroid_classifier", q277, Some(q277Sql)),

@@ -22,4 +22,26 @@ object GraftShim {
     */
   def analyzed(df: DataFrame): LogicalPlan =
     df.asInstanceOf[ClassicDataset[_]].queryExecution.analyzed
+
+  /** Drop the origin statistics (and constraints) a `localCheckpoint`
+    * carries over from the plan that produced it. An iterative
+    * algorithm that checkpoints every round otherwise COMPOUNDS the
+    * size-in-bytes estimate — a self-join squares it each round, so
+    * after ~20 rounds Catalyst's stats visitor is multiplying
+    * million-bit BigIntegers on the driver and planning hangs. Data,
+    * lineage truncation, and output partitioning of the checkpoint are
+    * untouched; the relation merely reverts to the
+    * `defaultSizeInBytes` leaf estimate.
+    */
+  def dropOriginStats(df: DataFrame): DataFrame = {
+    val ds = df.asInstanceOf[ClassicDataset[_]]
+    ds.queryExecution.analyzed match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        ClassicDataset.ofRows(ds.sparkSession,
+          new org.apache.spark.sql.execution.LogicalRDD(
+            lr.output, lr.rdd, lr.outputPartitioning, lr.outputOrdering,
+            lr.isStreaming, lr.stream)(ds.sparkSession, None, None))
+      case _ => df
+    }
+  }
 }

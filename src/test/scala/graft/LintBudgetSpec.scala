@@ -147,7 +147,13 @@ class LintBudgetSpec extends SparkSpec {
     // plan's reuse to 4 distinct BNLs). Each build side is the
     // NumQueries-row query set by contract, never the corpus — the
     // q30/q136/q363 precedent.
-    "q377_matryoshka_recall" -> Map("broadcast-nested-loop" -> 4))
+    "q377_matryoshka_recall" -> Map("broadcast-nested-loop" -> 4),
+    // q398: Supervised.persistCells squeezes the BOUNDED (winner, loser,
+    // cnt) cell table (<= |entities|^2, guarded at 64k cells) onto one
+    // partition so each training iteration is a one-task job; the final
+    // wins/losses readout reuses that relation, so its coalesce(1) shows
+    // in the returned plan. Corpus-sized relations never pass through it.
+    "q398_bradley_terry" -> Map("coalesce-1" -> 1))
 
   test("every query's warn-level lint findings stay within the budget") {
     val over = SparkEntry.allDefs.flatMap { q =>

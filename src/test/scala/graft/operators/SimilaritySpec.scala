@@ -7,6 +7,28 @@ import org.apache.spark.sql.functions._
 class SimilaritySpec extends SparkSpec {
   import spark.implicits._
 
+  test("dbscanGrid: core/border/noise roles and negative-coordinate cells") {
+    // eps=0.02, minPts=4 (count includes self).
+    // Star at (-0.5,-0.5): center 10 has 3 satellites within eps that are
+    // pairwise farther than eps -> 10 core, 11/12/13 border; negative
+    // coords exercise the floor-division cell keys.
+    // Chain 20..24 spaced 0.01 on y=0.5: middles see 4 neighbors (core),
+    // ends see 2 (border). Point 99 is isolated noise.
+    val pts = Seq(
+      (10L, -0.5, -0.5), (11L, -0.481, -0.5), (12L, -0.519, -0.5),
+      (13L, -0.5, -0.481),
+      (20L, 0.10, 0.5), (21L, 0.11, 0.5), (22L, 0.12, 0.5),
+      (23L, 0.13, 0.5), (24L, 0.14, 0.5),
+      (99L, 0.9, 0.9)).toDF("id", "x", "y")
+    val got = Similarity.dbscanGrid(pts, "id", col("x"), col("y"),
+        epsMicro = 20000L, minPts = 4)
+      .as[(Long, Long, Long, Long)].collect()
+    assert(got === Array(
+      (21L, 5L, 3L, 2L),   // chain: cores {21,22,23}, borders {20,24}
+      (10L, 4L, 1L, 3L),   // star: one core, three borders
+      (-1L, 1L, 0L, 0L)))  // noise: 99
+  }
+
   test("rankTopK equals the window row_number form even with NaN scores") {
     // Zero-norm embeddings make graft_cosine return NaN; both engines'
     // descending sorts rank NaN above every real score, and the heap
