@@ -407,7 +407,135 @@ object Ranking {
        SELECT metric, query_id, value_micro FROM metrics
        ORDER BY metric, query_id"""
 
+  /** Rank-1 ALS matrix factorization — the alternating-least-squares
+    * kernel of collaborative filtering, at the rank where each solve is
+    * a closed-form ratio (the power iteration of recommenders; higher
+    * ranks orchestrate the same alternating normal-equation solves, one
+    * per latent dimension). Iterates
+    *   u_i = Σ_j r_ij·v_j / Σ_j v_j²,   v_j = Σ_i r_ij·u_i / Σ_i u_i²
+    * over observed cells only, converging to the dominant singular pair
+    * of the interaction matrix.
+    *
+    * Determinism: v is a driver map in exact micros (bounded-item
+    * contract, the [[Supervised.bradleyTerry]] discipline); u stays a
+    * DISTRIBUTED relation (users are corpus-scale) rebuilt per round
+    * from the broadcast v, so each full iteration is two broadcast-join
+    * aggregations over the once-collapsed (i, j, r) cell table. Every
+    * update is a floor division whose numerator/denominator widen to
+    * DECIMAL(38,0) before summing (Σ r·u over 10^9 users passes 2^63);
+    * no float ever enters, so the oracle replays bit-identically.
+    *
+    * Output: every item's factor plus the topUsers strongest user rows
+    * (kind, entity, factor_micro, n_obs, sum_r), factors in micros.
+    */
+  def alsRank1(ratings: DataFrame, userCol: Column, itemCol: Column,
+      valueCol: Column, iters: Int, topUsers: Int): DataFrame = {
+    require(iters >= 1 && topUsers >= 1, "need iters >= 1, topUsers >= 1")
+    val s = ratings.sparkSession
+    import s.implicits._
+    def fdC(a: Column, b: Column): Column =
+      (call_function("div", a, b) +
+        when((a % b) < 0, -1L).otherwise(0L)).cast("long")
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val r = ratings.select(userCol.cast("string").as("i"),
+        itemCol.cast("string").as("j"), valueCol.cast("long").as("r"))
+      .groupBy("i", "j").agg(sum("r").as("r"))
+      .persist()
+    try {
+      val items0 = r.select(col("j")).distinct().orderBy("j")
+        .as[String].collect()
+      require(items0.nonEmpty, "alsRank1 needs ratings")
+      require(items0.length <= 100000,
+        "alsRank1 holds O(items) driver state — bounded item domain")
+      // Factors live in micros while r stays raw, so the closed-form
+      // ratio rescales by micro² (numerator r·v_micro vs denominator
+      // v_micro²) — hence the 1e12 multiplier before the floor division.
+      val sc = lit(1000000000000L)
+      var v: Seq[(String, Long)] = items0.map(_ -> 1000000L).toSeq
+      var u: DataFrame = null
+      for (_ <- 1 to iters) {
+        val vDf = broadcast(s.createDataset(v).toDF("j", "v"))
+        u = r.join(vDf, Seq("j"))
+          .groupBy("i")
+          .agg(fdC(dec(sum(dec(col("r") * col("v")))) * sc,
+            dec(sum(dec(col("v") * col("v"))))).as("u"))
+        v = r.join(u, Seq("i"))
+          .groupBy("j")
+          .agg(fdC(dec(sum(dec(col("r") * col("u")))) * sc,
+            dec(sum(dec(col("u") * col("u"))))).as("v"))
+          .as[(String, Long)].collect().sortBy(_._1).toSeq
+      }
+      val stats = r.groupBy("i").agg(count(lit(1)).as("n_obs"),
+        sum("r").as("sum_r"))
+      val users = u.join(stats, Seq("i"))
+        .select(lit("user").as("kind"), col("i").as("entity"),
+          col("u").as("factor_micro"), col("n_obs"), col("sum_r"))
+        .orderBy(col("factor_micro").desc, col("entity"))
+        .limit(topUsers)
+      val jstats = r.groupBy("j").agg(count(lit(1)).as("n_obs"),
+        sum("r").as("sum_r"))
+      val itemRows = broadcast(s.createDataset(v).toDF("j", "v"))
+        .join(jstats, Seq("j"))
+        .select(lit("item").as("kind"), col("j").as("entity"),
+          col("v").as("factor_micro"), col("n_obs"), col("sum_r"))
+      itemRows.unionAll(users)
+        .orderBy(col("kind"), col("factor_micro").desc, col("entity"))
+    } finally r.unpersist()
+  }
+
+  /** Unrolled oracle for [[alsRank1]] — one (u, v) CTE pair per
+    * iteration over the same cell collapse, entity-table-wise.
+    */
+  private def alsRank1Sql(ratingsSql: String, iters: Int,
+      topUsers: Int): String = {
+    import Supervised.fd
+    // HUGEINT keeps the quotient exact — DuckDB's DECIMAL `//` detours
+    // through doubles past 2^53 (Spark's Decimal quotient is exact).
+    def upd(num: String, den: String) =
+      fd(s"(sum(($num)::HUGEINT))*1000000000000::HUGEINT",
+        s"sum(($den)::HUGEINT)")
+    val levels = scala.collection.mutable.ArrayBuffer(
+      s"r AS MATERIALIZED (SELECT i, j, sum(r)::BIGINT AS r FROM" +
+        s" ($ratingsSql) GROUP BY 1, 2)",
+      "v0 AS (SELECT DISTINCT j, 1000000::BIGINT AS v FROM r)")
+    for (t <- 1 to iters) {
+      levels += s"""u$t AS MATERIALIZED (
+        SELECT r.i, ${upd("r.r*v.v", "v.v*v.v")}::BIGINT AS u
+        FROM r JOIN v${t - 1} v ON v.j = r.j GROUP BY r.i)"""
+      levels += s"""v$t AS MATERIALIZED (
+        SELECT r.j, ${upd("r.r*u.u", "u.u*u.u")}::BIGINT AS v
+        FROM r JOIN u$t u ON u.i = r.i GROUP BY r.j)"""
+    }
+    s"""WITH ${levels.mkString(",\n")},
+      istat AS (SELECT i, count(*)::BIGINT AS n_obs, sum(r)::BIGINT AS
+        sum_r FROM r GROUP BY 1),
+      jstat AS (SELECT j, count(*)::BIGINT AS n_obs, sum(r)::BIGINT AS
+        sum_r FROM r GROUP BY 1),
+      topu AS (
+        SELECT 'user' AS kind, u.i AS entity, u.u AS factor_micro,
+          s.n_obs, s.sum_r
+        FROM u$iters u JOIN istat s ON s.i = u.i
+        ORDER BY factor_micro DESC, entity LIMIT $topUsers)
+      SELECT 'item' AS kind, v.j AS entity, v.v AS factor_micro,
+        s.n_obs, s.sum_r
+      FROM v$iters v JOIN jstat s ON s.j = v.j
+      UNION ALL SELECT * FROM topu
+      ORDER BY kind, factor_micro DESC, entity"""
+  }
+
+  // ---- q405: one latent taste axis over user x event-type counts --------------
+  // The interaction matrix is the events collapse; event types are the
+  // bounded item side, users the distributed side.
+  private def q405(s: SparkSession, d: String): DataFrame =
+    alsRank1(Tables.events(s, d), col("user_id"), col("event_type"),
+      lit(1L), iters = 4, topUsers = 10)
+  private val q405Sql = alsRank1Sql(
+    "SELECT user_id::VARCHAR AS i, event_type AS j, 1::BIGINT AS r" +
+      " FROM events",
+    iters = 4, topUsers = 10)
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q405_als_rank1", q405, Some(q405Sql)),
     QueryDef("q169_ndcg", q169, Some(q169Sql)),
     QueryDef("q170_reciprocal_rank", q170, Some(q170Sql)),
     QueryDef("q264_average_precision", q264, Some(q264Sql)),

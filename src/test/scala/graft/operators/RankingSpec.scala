@@ -6,6 +6,29 @@ import org.apache.spark.sql.functions._
 class RankingSpec extends SparkSpec {
   import spark.implicits._
 
+  test("alsRank1 recovers an exactly rank-1 matrix: u_i*v_j/1e12 == r_ij") {
+    // r = a x b with a=(2,4), b=(1,3) — the dominant (only) singular
+    // pair, so the alternating solves are exact from iteration one and
+    // every prediction lands within integer rounding of the cell.
+    val r = Seq(("u1", "j1", 2L), ("u1", "j2", 6L),
+      ("u2", "j1", 4L), ("u2", "j2", 12L)).toDF("i", "j", "v")
+    val out = Ranking.alsRank1(r, col("i"), col("j"), col("v"),
+        iters = 3, topUsers = 2)
+      .as[(String, String, Long, Long, Long)].collect()
+    val f = out.map(x => (x._1, x._2) -> x._3).toMap
+    for (((iu, ju), exp) <- Seq(("u1", "j1") -> 2L, ("u1", "j2") -> 6L,
+        ("u2", "j1") -> 4L, ("u2", "j2") -> 12L)) {
+      val pred = BigInt(f(("user", iu))) * BigInt(f(("item", ju)))
+      val got = (pred / BigInt(1000000000000L)).toLong
+      assert(math.abs(got - exp) <= 1, s"($iu,$ju): got $got want $exp")
+    }
+    // The stronger user/item rank first within their kind.
+    assert(f(("user", "u2")) > f(("user", "u1")))
+    assert(f(("item", "j2")) > f(("item", "j1")))
+    // n_obs/sum_r audit columns survive the pipeline.
+    assert(out.find(x => x._1 == "user" && x._2 == "u2").get._5 === 16L)
+  }
+
   // Two queries over a 4-item corpus: q1's ranking hits relevant items at
   // ranks 1 and 3 (of 3 relevant overall); q2 finds nothing.
   private def ranked = Seq(
