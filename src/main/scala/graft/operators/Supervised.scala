@@ -62,6 +62,42 @@ object Supervised {
     } else (p0, n)
   }
 
+  /** The quantized sigmoid of w·x over columns x0..x{k-1}: z from the
+    * EXACT integer dot product; p quantized to 1/2^20 before anything
+    * is summed (the one float op, a pure function of integer inputs).
+    */
+  private def sigmoidQ(w: Array[Long], k: Int): Column = {
+    val z = (0 until k).map(j => lit(w(j)) * col(s"x$j"))
+      .reduce(_ + _).cast("double") / lit(1e6)
+    floor(lit(1.0) / (lit(1.0) + exp(-z)) * lit(SigScale.toDouble) +
+      lit(0.5)).cast("long")
+  }
+
+  /** The shared full-batch logistic GD loop over a persisted cell table
+    * (columns y, x0.., cnt): T iterations, each ONE map-side-partial
+    * aggregation; returns the fitted weights in micros. Used by
+    * [[logisticFit]] (the readout) and [[ipwAte]] (the propensity).
+    */
+  private def gdWeights(cells: DataFrame, k: Int, n: Long, den: Long,
+      iters: Int): Array[Long] = {
+    val w = Array.fill(k)(0L)
+    for (_ <- 1 to iters) {
+      val r = (sigmoidQ(w, k) - col("y") * lit(SigScale)).as("r")
+      val g = cells.select((r +: col("cnt") +:
+          (0 until k).map(j => col(s"x$j"))): _*)
+        .agg(sum(col("r") * col("x0") * col("cnt")).as("g0"),
+          (1 until k).map(j =>
+            sum(col("r") * col(s"x$j") * col("cnt")).as(s"g$j")): _*)
+        .head()
+      var j = 0
+      while (j < k) {
+        w(j) -= Math.floorDiv(Math.floorDiv(g.getLong(j), n) * 1000000L, den)
+        j += 1
+      }
+    }
+    w
+  }
+
   /** Binary logistic regression fit by T steps of full-batch gradient
     * descent with learning rate 2^-lrShift, in the fixed-point scheme
     * above. `features` are (name, integer-valued column) pairs — the
@@ -90,31 +126,10 @@ object Supervised {
       .groupBy(keyCols.map(col): _*).agg(count(lit(1)).as("cnt")))
     try {
       require(n > 0, "logisticFit needs rows")
-      val w = Array.fill(k)(0L)
-      def residual: Column = {
-        // z from the EXACT integer dot product; p quantized to 1/2^20
-        // before anything is summed.
-        val z = (0 until k).map(j => lit(w(j)) * col(s"x$j"))
-          .reduce(_ + _).cast("double") / lit(1e6)
-        floor(lit(1.0) / (lit(1.0) + exp(-z)) * lit(SigScale.toDouble) +
-          lit(0.5)).cast("long") - col("y") * lit(SigScale)
-      }
-      for (_ <- 1 to iters) {
-        val g = proj.select((residual.as("r") +: col("cnt") +:
-            (0 until k).map(j => col(s"x$j"))): _*)
-          .agg(sum(col("r") * col("x0") * col("cnt")).as("g0"),
-            (1 until k).map(j =>
-              sum(col("r") * col(s"x$j") * col("cnt")).as(s"g$j")): _*)
-          .head()
-        var j = 0
-        while (j < k) {
-          w(j) -= Math.floorDiv(Math.floorDiv(g.getLong(j), n) * 1000000L, den)
-          j += 1
-        }
-      }
+      val w = gdWeights(proj, k, n, den, iters)
       // One scoring pass with the final weights: predict 1 iff p >= 1/2,
       // i.e. quantized p >= 2^19 — integer compare, no tie ambiguity.
-      val pred = (residual + col("y") * lit(SigScale)) >= lit(SigScale / 2)
+      val pred = sigmoidQ(w, k) >= lit(SigScale / 2)
       val correct = proj
         .agg(sum(when(pred === (col("y") === 1L), col("cnt")).otherwise(0L)))
         .head().getLong(0)
@@ -136,12 +151,15 @@ object Supervised {
     * projection joined to the previous weight row, exactly the driver
     * fold. featsSql projects columns y, x0..x{k-1}.
     */
-  private def logisticFitSql(featsSql: String, names: Seq[String],
-      lrShift: Int, iters: Int): String = {
-    val k = names.size
+  /** The unrolled logistic-GD CTE chain shared by [[logisticFitSql]]
+    * and [[ipwAteSql]]: `f` (the projection), `nn`, and w0..w<iters>.
+    * `featsSql` must project y, x0..x{k-1} (extra columns ride along).
+    */
+  private def logisticCtes(featsSql: String, k: Int, lrShift: Int,
+      iters: Int): Seq[String] = {
     val den = 1L << (20 + lrShift)
     val wCols = (0 until k).map(j => s"w$j")
-    val levels = Seq(
+    Seq(
       s"f AS MATERIALIZED ($featsSql)",
       "nn AS MATERIALIZED (SELECT count(*)::BIGINT AS n FROM f)",
       s"w0 AS MATERIALIZED (SELECT ${wCols.map(c => s"0::BIGINT AS $c").mkString(", ")})") ++
@@ -160,11 +178,22 @@ object Supervised {
           FROM w${t - 1} w, g$t g, nn)"""
         Seq(g, upd)
       }
-    val zFin = (0 until k).map(j => s"w.w$j*x$j").mkString(" + ")
+  }
+
+  /** The quantized-sigmoid SQL over f joined with w<t> (alias w). */
+  private def sigmoidQSql(k: Int): String = {
+    val z = (0 until k).map(j => s"w.w$j*x$j").mkString(" + ")
+    s"floor(1.0/(1.0+exp(-(($z)/1e6)))*$SigScale + 0.5)::BIGINT"
+  }
+
+  private def logisticFitSql(featsSql: String, names: Seq[String],
+      lrShift: Int, iters: Int): String = {
+    val k = names.size
+    val levels = logisticCtes(featsSql, k, lrShift, iters)
     s"""WITH ${levels.mkString(",\n")},
       scored AS (
-        SELECT y, CASE WHEN floor(1.0/(1.0+exp(-(($zFin)/1e6)))*$SigScale
-            + 0.5)::BIGINT >= ${SigScale / 2} THEN 1 ELSE 0 END AS pred
+        SELECT y, CASE WHEN ${sigmoidQSql(k)} >= ${SigScale / 2}
+          THEN 1 ELSE 0 END AS pred
         FROM f, w$iters w),
       terms AS (
         ${names.zipWithIndex.map { case (nm, j) =>
@@ -436,6 +465,127 @@ object Supervised {
         (l_quantity::BIGINT)//10 AS x1,
         round(l_discount*100)::BIGINT AS x2 FROM lineitem""",
     Q378Feats, lrShift = 3, iters = 12)
+
+  /** Inverse-propensity-weighted average treatment effect — the causal
+    * companion to [[Analytics]]'s DiD/CUPED family when treatment is
+    * NOT randomized: fit the propensity e(x) = P(t=1|x) with the shared
+    * logistic GD ([[gdWeights]]), weight every row by 1/e(x) (treated)
+    * or 1/(1−e(x)) (control), and read the Hájek (self-normalized)
+    * weighted-mean contrast. The naive unweighted contrast is emitted
+    * beside it — the gap between the two IS the measured confounding.
+    *
+    * Determinism: the propensity is the same quantized sigmoid as
+    * [[logisticFit]] (clamped to [1, 2^20−1] so weights stay finite);
+    * weights are floor divisions of SigScale·1e6; the four weighted
+    * sums widen to DECIMAL(38,0) (HUGEINT in the oracle) before the two
+    * final floor divisions. Outcome in cents → means in micros.
+    *
+    * Scale: ONE corpus pass — the projection collapses to
+    * (t, x⃗) → (count, Σy) cells ([[persistCells]]), the propensity
+    * depends only on x⃗, so training and BOTH readouts run on the cell
+    * table.
+    */
+  def ipwAte(df: DataFrame, treatCol: Column, outcomeCol: Column,
+      features: Seq[(String, Column)], lrShift: Int, iters: Int): DataFrame = {
+    require(features.nonEmpty, "ipwAte needs at least one feature")
+    require(iters >= 1 && lrShift >= 0, "need iters >= 1, lrShift >= 0")
+    val s = df.sparkSession
+    import s.implicits._
+    val den = 1L << (20 + lrShift)
+    val k = features.size
+    val keyCols = "y" +: (0 until k).map(j => s"x$j")
+    val (cells, n) = persistCells(df.select(
+        ((treatCol.cast("long").as("y") +:
+          features.zipWithIndex.map { case ((_, c), j) =>
+            c.cast("long").as(s"x$j") }) :+
+          outcomeCol.cast("long").as("yo")): _*)
+      .groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("cnt"), sum("yo").as("sy")))
+    try {
+      require(n > 0, "ipwAte needs rows")
+      val w = gdWeights(cells, k, n, den, iters)
+      val pc = greatest(lit(1L), least(lit(SigScale - 1), sigmoidQ(w, k)))
+      val wt = when(col("y") === 1L,
+          call_function("div", lit(SigScale * 1000000L), pc))
+        .otherwise(
+          call_function("div", lit(SigScale * 1000000L), lit(SigScale) - pc))
+      val dec = (c: Column) => c.cast("decimal(38,0)")
+      val z = dec(lit(0L))
+      val r = cells.select(col("y"), col("cnt"), col("sy"), wt.as("wt"))
+        .agg(
+          sum(when(col("y") === 1L, col("cnt")).otherwise(0L)).as("nt"),
+          sum(when(col("y") === 0L, col("cnt")).otherwise(0L)).as("nc"),
+          sum(when(col("y") === 1L, col("sy")).otherwise(0L)).as("syt"),
+          sum(when(col("y") === 0L, col("sy")).otherwise(0L)).as("syc"),
+          sum(when(col("y") === 1L, dec(col("wt")) * col("sy"))
+            .otherwise(z)).as("wyt"),
+          sum(when(col("y") === 0L, dec(col("wt")) * col("sy"))
+            .otherwise(z)).as("wyc"),
+          sum(when(col("y") === 1L, dec(col("wt")) * col("cnt"))
+            .otherwise(z)).as("wtt"),
+          sum(when(col("y") === 0L, dec(col("wt")) * col("cnt"))
+            .otherwise(z)).as("wtc"))
+        .head()
+      val (nt, nc) = (r.getLong(0), r.getLong(1))
+      require(nt > 0 && nc > 0, "ipwAte needs both treated and control rows")
+      def bi(i: Int) = BigInt(r.getDecimal(i).toBigInteger)
+      def fdB(a: BigInt, b: BigInt): Long =
+        { val q = a / b; (if (a % b < 0) q - 1 else q).toLong }
+      val naive = fdB(BigInt(r.getLong(2)) * 10000, BigInt(nt)) -
+        fdB(BigInt(r.getLong(3)) * 10000, BigInt(nc))
+      val ate = fdB(bi(4) * 10000, bi(6)) - fdB(bi(5) * 10000, bi(7))
+      s.createDataset(Seq((nt, nc, naive, ate)))
+        .toDF("n_treated", "n_control", "naive_diff_micro", "ate_ipw_micro")
+    } finally cells.unpersist()
+  }
+
+  /** Unrolled oracle for [[ipwAte]]: the shared [[logisticCtes]] chain,
+    * then the clamp/weight/Hájek readout per row (HUGEINT sums).
+    */
+  private def ipwAteSql(featsSql: String, k: Int, lrShift: Int,
+      iters: Int): String = {
+    val levels = logisticCtes(featsSql, k, lrShift, iters)
+    s"""WITH ${levels.mkString(",\n")},
+      sc AS (SELECT y, yo, ${sigmoidQSql(k)} AS pq FROM f, w$iters w),
+      cl AS (SELECT y, yo,
+        greatest(1, least(${SigScale - 1}, pq))::BIGINT AS pc FROM sc),
+      wts AS (SELECT y, yo,
+        CASE WHEN y = 1 THEN ($SigScale::BIGINT*1000000)//pc
+          ELSE ($SigScale::BIGINT*1000000)//($SigScale - pc) END AS wt
+        FROM cl)
+      SELECT
+        sum(CASE WHEN y=1 THEN 1 ELSE 0 END)::BIGINT AS n_treated,
+        sum(CASE WHEN y=0 THEN 1 ELSE 0 END)::BIGINT AS n_control,
+        (${fd("10000*sum(CASE WHEN y=1 THEN yo ELSE 0 END)",
+          "sum(CASE WHEN y=1 THEN 1 ELSE 0 END)")}
+         - ${fd("10000*sum(CASE WHEN y=0 THEN yo ELSE 0 END)",
+          "sum(CASE WHEN y=0 THEN 1 ELSE 0 END)")})::BIGINT
+          AS naive_diff_micro,
+        (${fd("10000*sum(CASE WHEN y=1 THEN wt::HUGEINT*yo ELSE 0 END)",
+          "sum(CASE WHEN y=1 THEN wt::HUGEINT ELSE 0 END)")}
+         - ${fd("10000*sum(CASE WHEN y=0 THEN wt::HUGEINT*yo ELSE 0 END)",
+          "sum(CASE WHEN y=0 THEN wt::HUGEINT ELSE 0 END)")})::BIGINT
+          AS ate_ipw_micro
+      FROM wts"""
+  }
+
+  // ---- q406: what does a deep discount do to line revenue, adjusted? ---------
+  // Treatment = discount >= 5%, outcome = extended price (cents),
+  // propensity on the quantity bucket. TPC-H draws discounts
+  // independently of quantity, so the IPW estimate should sit close to
+  // the naive contrast — the planted-confounder case lives in the spec.
+  private def q406(s: SparkSession, d: String): DataFrame =
+    ipwAte(Tables.lineitem(s, d),
+      (col("l_discount") >= 0.05).cast("long"),
+      round(col("l_extendedprice") * 100),
+      Seq("intercept" -> lit(1L),
+        "qty_bucket" -> expr("CAST(l_quantity AS BIGINT) div 10")),
+      lrShift = 3, iters = 8)
+  private val q406Sql = ipwAteSql(
+    """SELECT (l_discount >= 0.05)::BIGINT AS y, 1::BIGINT AS x0,
+        (l_quantity::BIGINT)//10 AS x1,
+        round(l_extendedprice*100)::BIGINT AS yo FROM lineitem""",
+    k = 2, lrShift = 3, iters = 8)
 
   /** Bradley–Terry strength scores from pairwise preferences — the
     * REWARD-MODEL / ranking primitive: given (winner, loser) comparison
@@ -977,6 +1127,7 @@ object Supervised {
     QueryDef("q387_gb_stumps", q387, Some(q387Sql)),
     QueryDef("q389_poisson_fit", q389, Some(q389Sql)),
     QueryDef("q398_bradley_terry", q398, Some(q398Sql)),
+    QueryDef("q406_ipw_ate", q406, Some(q406Sql)),
     QueryDef("q384_target_encode", q384, Some(q384Sql)),
     QueryDef("q385_mi_ranking", q385, Some(q385Sql)))
 }

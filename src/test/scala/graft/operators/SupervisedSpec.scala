@@ -6,6 +6,25 @@ import org.apache.spark.sql.functions._
 class SupervisedSpec extends SparkSpec {
   import spark.implicits._
 
+  test("ipwAte removes a planted confounder the naive contrast falls for") {
+    // Stratum x=0: 20% treated, outcome 100; stratum x=1: 80% treated,
+    // outcome 200. TRUE effect is zero — treatment just concentrates in
+    // the high-outcome stratum. Naive contrast: 180 - 120 = 60 cents =
+    // 600000 micros; a decent propensity (e(0)=.2, e(1)=.8) reweights
+    // both arms back to mean 150, so the IPW estimate collapses toward 0.
+    val rows = Seq.fill(80)((0L, 0L, 100L)) ++ Seq.fill(20)((1L, 0L, 100L)) ++
+      Seq.fill(20)((0L, 1L, 200L)) ++ Seq.fill(80)((1L, 1L, 200L))
+    val df = rows.toDF("t", "x", "y")
+    val got = Supervised.ipwAte(df, col("t"), col("y"),
+        Seq("intercept" -> lit(1L), "x" -> col("x")),
+        lrShift = 0, iters = 40)
+      .as[(Long, Long, Long, Long)].head()
+    assert(got._1 === 100L && got._2 === 100L)
+    assert(got._3 === 600000L) // the confounded naive readout, exact
+    assert(math.abs(got._4) < 150000L,
+      s"IPW should kill most of the planted confounding, got ${got._4}")
+  }
+
   test("logisticFit separates a linearly separable fixture exactly") {
     // y = (x >= 3) with the feature centered at the boundary: the fit
     // must drive the centered weight positive and classify all 7 rows.
