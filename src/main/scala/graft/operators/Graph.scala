@@ -1677,7 +1677,113 @@ object Graph {
            END AS assortativity
        FROM agg"""
 
+  /** Closeness centrality, eccentricity, and reach for EVERY node of an
+    * undirected edge list via multi-source BFS — the distance-based
+    * centrality beside [[pagerank]] (flow) and [[kCore]] (cohesion).
+    * Wasserman–Faust normalized so disconnected graphs compare fairly:
+    * C(v) = (r/(n−1)) · (r/Σd) with r = nodes reached (excl. self), 0
+    * when isolated — exact ppm floor division. Eccentricity = max BFS
+    * depth; its max over rows is the graph diameter, its min the radius.
+    *
+    * Scale: level-synchronous frontier BFS from ALL sources at once —
+    * each round joins the current (src, node) frontier against the edge
+    * list, dedupes, and anti-joins the visited set; rounds = graph
+    * diameter, every round one hash join + one anti join, frontiers
+    * localCheckpoint'ed (origin stats dropped — the dedupClusters
+    * discipline). State is the reached PAIR set: all-sources closeness
+    * is inherently Θ(n·reach), so cap the node domain (or sample
+    * sources) before calling at corpus scale — the standard
+    * approximate-closeness trade.
+    */
+  def closenessCentrality(edges: DataFrame, srcCol: String, dstCol: String,
+      maxDepth: Int = 64): DataFrame = {
+    def ckpt(df: DataFrame): DataFrame =
+      org.apache.spark.sql.graftshim.GraftShim
+        .dropOriginStats(df.localCheckpoint(false))
+    val e0 = edges.select(col(srcCol).cast("long").as("a"),
+      col(dstCol).cast("long").as("b")).localCheckpoint(true)
+    val und = ckpt(e0
+      .union(e0.select(col("b").as("a"), col("a").as("b")))
+      .distinct())
+    val start = ckpt(und.select(col("a").as("node")).distinct()
+      .select(col("node").as("src"), col("node"), lit(0L).as("d")))
+    val frontiers = scala.collection.mutable.ListBuffer(start)
+    var frontier = start
+    var depth = 0L
+    var more = true
+    while (more) {
+      depth += 1
+      require(depth <= maxDepth,
+        s"BFS did not drain in $maxDepth levels — the graph has a " +
+          "shortest path longer than maxDepth; raise it or cap the domain")
+      val visited = frontiers.map(_.select(col("src"), col("node")))
+        .reduce(_ union _)
+      val nxt = ckpt(frontier.join(und, col("node") === col("a"))
+        .select(col("src"), col("b").as("node"))
+        .distinct()
+        .join(visited, Seq("src", "node"), "left_anti")
+        .withColumn("d", lit(depth)))
+      if (nxt.count() == 0) { more = false; nxt.unpersist() }
+      else { frontiers += nxt; frontier = nxt }
+    }
+    val dist = frontiers.map(_.select(col("src"), col("node"), col("d")))
+      .reduce(_ union _)
+    val n = start.count()
+    dist.groupBy(col("src"))
+      .agg((count(lit(1)) - 1).as("r"), max(col("d")).as("eccentricity"),
+        sum(col("d")).as("sd"))
+      .select(col("src").as("node"), col("r").as("n_reached"),
+        col("eccentricity"),
+        when(col("sd") === 0L, 0L)
+          .otherwise(expr(s"(r * r * 1000000L) div ((${n}L - 1) * sd)"))
+          .as("closeness_micro"))
+      .orderBy(col("closeness_micro").desc, col("node"))
+  }
+
+  // ---- q407: which embeddings sit central in the kNN topology? ----------------
+  // The kNN-3 graph over a vec_id-capped embedding set (the q286
+  // distance kernel); max eccentricity row = the graph diameter.
+  private def q407(s: SparkSession, d: String): DataFrame =
+    closenessCentrality(
+      Similarity.knnEdges(Tables.embeddings(s, d).filter(col("vec_id") < 256),
+        "vec_id", "embedding", k = 3),
+      "u", "v")
+  private val q407Sql =
+    """WITH RECURSIVE q8 AS (
+         SELECT vec_id AS vid, list_transform(embedding, x -> floor(x::DOUBLE /
+           (list_max(list_transform(embedding, y -> abs(y))))::DOUBLE
+           * 127)::BIGINT) AS q
+         FROM embeddings WHERE vec_id < 256),
+       pd AS (
+         SELECT a.vid AS u, b.vid AS v,
+           list_sum(list_transform(range(1, len(a.q) + 1),
+             i -> (a.q[i] - b.q[i]) * (a.q[i] - b.q[i])))::BIGINT AS d2
+         FROM q8 a JOIN q8 b ON a.vid != b.vid),
+       knn AS (
+         SELECT u, v FROM (
+           SELECT u, v, row_number() OVER (PARTITION BY u
+             ORDER BY d2, v) AS rn FROM pd) t
+         WHERE rn <= 3),
+       adj AS (SELECT u AS a, v AS b FROM knn UNION SELECT v, u FROM knn),
+       nodes AS (SELECT DISTINCT a AS n FROM adj),
+       reach(src, node, d) AS (
+         SELECT n, n, 0 FROM nodes
+         UNION
+         SELECT r.src, adj.b, r.d + 1 FROM reach r
+         JOIN adj ON adj.a = r.node WHERE r.d < 16),
+       dist AS (SELECT src, node, min(d) AS d FROM reach GROUP BY 1, 2),
+       rd AS (SELECT src, count(*) - 1 AS r, max(d) AS ecc,
+         sum(d) AS sd FROM dist GROUP BY src),
+       nn AS (SELECT count(*)::BIGINT AS n FROM nodes)
+       SELECT src AS node, r::BIGINT AS n_reached,
+         ecc::BIGINT AS eccentricity,
+         (CASE WHEN sd = 0 THEN 0
+           ELSE (r*r*1000000) // ((nn.n - 1)*sd) END)::BIGINT
+           AS closeness_micro
+       FROM rd, nn ORDER BY closeness_micro DESC, node"""
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q407_closeness", q407, Some(q407Sql)),
     QueryDef("q262_salton_pairs", q262, Some(q262Sql)),
     QueryDef("q263_link_jaccard", q263, Some(q263Sql)),
     QueryDef("q279_link_candidates", q279, Some(q279Sql)),

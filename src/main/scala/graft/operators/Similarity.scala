@@ -2942,6 +2942,30 @@ object Similarity {
          (sum(best_d2) // count(*))::BIGINT AS inertia_per_vec
        FROM best GROUP BY k ORDER BY k"""
 
+  /** Exact k-nearest-neighbor EDGES over the int8-quantized L2² kernel
+    * (the [[knnOutliers]] distance, the [[rankTopK]] determinism:
+    * ties by d² then neighbor id) — the geometric graph every
+    * embedding-topology read starts from ([[graft.operators.Graph.closenessCentrality]],
+    * component structure, hub detection). Directed (u → its k nearest);
+    * symmetrize downstream as the consumer requires.
+    *
+    * Scale: the self-join here is the exact baseline for a CAPPED id
+    * domain; at corpus scale feed bucketed candidates (ivfAssign) into
+    * the same bounded-heap ranking, as [[knnOutliersIvf]] does.
+    */
+  def knnEdges(vectors: DataFrame, idCol: String, vecCol: String,
+      k: Int): DataFrame = {
+    require(k >= 1, "knnEdges needs k >= 1")
+    val q8 = vectors.select(col(idCol).as("vid"), quantize8(col(vecCol)).as("q8"))
+    val scored = q8.as("a").join(q8.as("b"), col("a.vid") =!= col("b.vid"))
+      .select(col("a.vid").as("query_id"), col("b.vid").as("neighbor_id"),
+        (-(doti(col("a.q8"), col("a.q8"))
+          - lit(2L) * doti(col("a.q8"), col("b.q8"))
+          + doti(col("b.q8"), col("b.q8")))).cast("double").as("c"))
+    rankTopK(scored, k)
+      .select(col("query_id").as("u"), col("neighbor_id").as("v"))
+  }
+
   /** Grid-bucketed DBSCAN over a 2-D point set — the density-based
     * member of the clustering family beside [[kmeansFit]] (centroid),
     * [[Dedup.dedupClusters]] (transitive near-dup) and [[lofOutliers]]

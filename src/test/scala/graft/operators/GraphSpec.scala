@@ -6,6 +6,20 @@ import org.apache.spark.sql.functions.{col, lit}
 class GraphSpec extends SparkSpec {
   import spark.implicits._
 
+  test("closenessCentrality: path + disconnected pair, Wasserman-Faust normalized") {
+    // Path 1-2-3-4 and isolated edge 5-6 (n=6, so n-1=5 in the norm).
+    // Node 2: r=3, sum_d=1+1+2=4, ecc=2 -> 9e6/(5*4)=450000.
+    // Node 1: r=3, sum_d=6, ecc=3      -> 9e6/30 = 300000.
+    // Node 5: r=1, sum_d=1, ecc=1      -> 1e6/5  = 200000.
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (5L, 6L)).toDF("u", "v")
+    val got = Graph.closenessCentrality(edges, "u", "v")
+      .as[(Long, Long, Long, Long)].collect()
+    assert(got === Array(
+      (2L, 3L, 2L, 450000L), (3L, 3L, 2L, 450000L),
+      (1L, 3L, 3L, 300000L), (4L, 3L, 3L, 300000L),
+      (5L, 1L, 1L, 200000L), (6L, 1L, 1L, 200000L)))
+  }
+
   // Undirected path 1–2–3 fed as both edge directions.
   private def pathEdges = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L))
     .toDF("src", "dst")
