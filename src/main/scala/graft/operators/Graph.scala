@@ -1748,7 +1748,7 @@ object Graph {
       Similarity.knnEdges(Tables.embeddings(s, d).filter(col("vec_id") < 256),
         "vec_id", "embedding", k = 3),
       "u", "v")
-  private val q407Sql =
+  private[operators] val q407Sql =
     """WITH RECURSIVE q8 AS (
          SELECT vec_id AS vid, list_transform(embedding, x -> floor(x::DOUBLE /
            (list_max(list_transform(embedding, y -> abs(y))))::DOUBLE

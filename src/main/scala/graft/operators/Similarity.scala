@@ -3066,7 +3066,7 @@ object Similarity {
     dbscanGrid(Tables.embeddings(s, d).filter(col("vec_id") < 1024),
       "vec_id", col("embedding").getItem(0), col("embedding").getItem(1),
       epsMicro = 20000L, minPts = 5)
-  private val q404Sql =
+  private[operators] val q404Sql =
     """WITH RECURSIVE pts AS (
         SELECT vec_id AS id, floor(embedding[1]::DOUBLE*1e6)::BIGINT AS x,
           floor(embedding[2]::DOUBLE*1e6)::BIGINT AS y

@@ -295,6 +295,29 @@ object SqlRegistry {
         confAlphaMicro = intLit(exprs(6), "confAlphaMicro").toLong)
     }
 
+    // graft_dbscan(table, idCol, xExpr, yExpr, epsMicro, minPts):
+    // grid-bucketed exact DBSCAN over any 2-D projection (the q404
+    // operator) — cluster/border/noise census keyed by min member id.
+    tvf("graft_dbscan") { exprs =>
+      require(exprs.length == 6,
+        "graft_dbscan(table, idCol, xExpr, yExpr, epsMicro, minPts)")
+      Similarity.dbscanGrid(s.table(strLit(exprs(0), "table")),
+        strLit(exprs(1), "idCol"),
+        expr(strLit(exprs(2), "xExpr")), expr(strLit(exprs(3), "yExpr")),
+        epsMicro = intLit(exprs(4), "epsMicro").toLong,
+        minPts = intLit(exprs(5), "minPts"))
+    }
+
+    // graft_closeness(table, srcCol, dstCol): multi-source-BFS closeness
+    // centrality / eccentricity over any undirected edge view (the q407
+    // operator) — compose with a TEMP VIEW deriving the edges, the q327
+    // composition contract.
+    tvf("graft_closeness") { exprs =>
+      require(exprs.length == 3, "graft_closeness(table, srcCol, dstCol)")
+      Graph.closenessCentrality(s.table(strLit(exprs(0), "table")),
+        strLit(exprs(1), "srcCol"), strLit(exprs(2), "dstCol"))
+    }
+
     // graft_calendar(startDate, endDate): inclusive date spine with the
     // calendar attributes every BI join needs, all derived TIMEZONE-FREE
     // from epoch-day arithmetic (dow via (day_id + 3) % 7, 0 = Monday —

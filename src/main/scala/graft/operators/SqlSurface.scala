@@ -197,7 +197,32 @@ object SqlSurface {
       ORDER BY t""")
   }
 
+  // ---- q408/q409: the round-9 operators reached FROM SQL ----------------------
+  // Same oracles as the Dataset originals (q404/q407) — the TVF route
+  // must be bit-identical, SqlRegistrySpec pins TVF ≡ Dataset directly.
+  private def q408(s: SparkSession, d: String): DataFrame = {
+    SqlRegistry.register(s)
+    Tables(s, d, "embeddings").createOrReplaceTempView("embeddings")
+    s.sql("""CREATE OR REPLACE TEMPORARY VIEW emb_capped AS
+      SELECT * FROM embeddings WHERE vec_id < 1024""")
+    s.sql("""SELECT * FROM graft_dbscan('emb_capped', 'vec_id',
+        'embedding[0]', 'embedding[1]', 20000, 5)""")
+  }
+  private def q409(s: SparkSession, d: String): DataFrame = {
+    SqlRegistry.register(s)
+    // The edge view comes from the Dataset-side kNN builder — the TVF
+    // consumes ANY edge relation, however derived (q327 contract).
+    Similarity.knnEdges(
+        Tables(s, d, "embeddings")
+          .filter(org.apache.spark.sql.functions.col("vec_id") < 256),
+        "vec_id", "embedding", k = 3)
+      .createOrReplaceTempView("knn_edges")
+    s.sql("SELECT * FROM graft_closeness('knn_edges', 'u', 'v')")
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q408_sql_dbscan", q408, Some(Similarity.q404Sql)),
+    QueryDef("q409_sql_closeness", q409, Some(Graph.q407Sql)),
     QueryDef("q37_scalar_subquery", q37, Some(q37Sql)),
     QueryDef("q38_grouping_sets", q38, Some(q38Sql)),
     QueryDef("q89_correlated_exists", q89, Some(q89Text)),

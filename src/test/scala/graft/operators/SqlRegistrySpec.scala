@@ -230,4 +230,28 @@ class SqlRegistrySpec extends SparkSpec {
       lit(1L), calN = 12, horizon = 3, confAlphaMicro = 100000L)
     assert(chSql.except(chApi).isEmpty && chApi.except(chSql).isEmpty)
   }
+
+  test("graft_dbscan and graft_closeness TVFs equal the Dataset forms") {
+    SqlRegistry.register(spark)
+    Tables(spark, sf, "embeddings").createOrReplaceTempView("embeddings")
+    spark.sql("""CREATE OR REPLACE TEMPORARY VIEW emb_capped AS
+      SELECT * FROM embeddings WHERE vec_id < 1024""")
+    val dbSql = spark.sql(
+      """SELECT * FROM graft_dbscan('emb_capped', 'vec_id',
+           'embedding[0]', 'embedding[1]', 20000, 5)""")
+    val dbApi = Similarity.dbscanGrid(
+      Tables(spark, sf, "embeddings").filter(col("vec_id") < 1024),
+      "vec_id", col("embedding").getItem(0), col("embedding").getItem(1),
+      epsMicro = 20000L, minPts = 5)
+    assert(dbSql.except(dbApi).isEmpty && dbApi.except(dbSql).isEmpty)
+
+    val edges = Similarity.knnEdges(
+      Tables(spark, sf, "embeddings").filter(col("vec_id") < 256),
+      "vec_id", "embedding", k = 3)
+    edges.createOrReplaceTempView("knn_edges")
+    val clSql = spark.sql(
+      "SELECT * FROM graft_closeness('knn_edges', 'u', 'v')")
+    val clApi = Graph.closenessCentrality(edges, "u", "v")
+    assert(clSql.except(clApi).isEmpty && clApi.except(clSql).isEmpty)
+  }
 }
