@@ -1943,6 +1943,159 @@ object TextAnalysis {
         expr("sum(nll) div count(1)").as("avg_nll_micro"))
   }
 
+  /** Leave-one-source-out language-model perplexity — the data-VALUATION
+    * read on a mixed corpus: for every source, score the SAME held-out
+    * bigrams under the add-one bigram model trained on all OTHER
+    * sources, and report the NLL delta against the full-corpus model. A
+    * positive delta means the source was carrying mass the rest of the
+    * corpus cannot replace (dropping it hurts); ~zero means redundant.
+    * The curation loop's "which source earns its tokens" table, built
+    * the same way the ablation would be run — minus the 20 retrainings.
+    *
+    * One counting pass: add-one bigram counts are ADDITIVE, so every
+    * leave-one-out model is (total − per-source) arithmetic over the
+    * (source, prev, next) collapse — no per-source retraining.
+    * Vocabulary shrinks correctly too: a next-token exclusive to the
+    * dropped source leaves V. All lnq-quantized integer ratios (the
+    * [[Analytics.markovPerplexity]] discipline); the scoring pass is
+    * test-bigrams × |sources|, every model relation vocabulary-bounded
+    * and broadcast.
+    */
+  def looSourcePerplexity(docs: DataFrame, idCol: Column, textCol: Column,
+      sourceCol: Column, testHexLt: String = "4"): DataFrame = {
+    require(testHexLt.length == 1, "testHexLt is one hex char")
+    import org.apache.spark.sql.expressions.Window
+    val lnq = (c: Column) => floor(log(c.cast("double")) * lit(1e6) +
+      lit(0.5)).cast("long")
+    val toks = docs.select(idCol.as("doc"), sourceCol.as("src"),
+        textCol.as("text"))
+      .select(col("doc"), col("src"),
+        posexplode(split(col("text"), " ")).as(Seq("p", "w")))
+    val win = Window.partitionBy("doc").orderBy("p")
+    val bg = toks.withColumn("prev", lag(col("w"), 1).over(win))
+      .filter(col("prev").isNotNull)
+      .withColumn("test",
+        substring(md5(col("doc").cast("string").cast("binary")), 1, 1)
+          < lit(testHexLt))
+      .select(col("src"), col("prev"), col("w").as("next"), col("test"))
+    val trs = bg.filter(!col("test")).groupBy("src", "prev", "next")
+      .agg(count(lit(1)).as("c"))
+    val tot = trs.groupBy("prev", "next").agg(sum("c").as("ct"))
+    val rowTot = tot.groupBy("prev").agg(sum("ct").as("nt"))
+    val rowSrc = trs.groupBy("src", "prev").agg(sum("c").as("ns"))
+    val nextTot = tot.groupBy("next").agg(sum("ct").as("cnt_n"))
+    val nextSrc = trs.groupBy("src", "next").agg(sum("c").as("cnt_ns"))
+    // V under LOO(s): total distinct nexts minus those EXCLUSIVE to s.
+    val vLoo = nextSrc.join(nextTot, Seq("next"))
+      .groupBy("src")
+      .agg(sum(when(col("cnt_ns") === col("cnt_n"), 1L).otherwise(0L))
+        .as("n_excl"))
+      .crossJoin(broadcast(tot.agg(countDistinct("next").as("vt"),
+        sum("ct").as("n_train_total"))))
+      .select(col("src"), (col("vt") - col("n_excl")).as("v_loo"),
+        col("n_train_total"))
+    val srcN = trs.groupBy("src").agg(sum("c").as("n_src"))
+    // Full-model baseline NLL on the held-out set (the q401 formula).
+    val vt = tot.agg(countDistinct("next").as("vt"))
+    val full = bg.filter(col("test"))
+      .join(broadcast(tot), Seq("prev", "next"), "left")
+      .join(broadcast(rowTot), Seq("prev"), "left")
+      .crossJoin(broadcast(vt))
+      .select((lnq(coalesce(col("ct"), lit(0L)) + 1) -
+        lnq(coalesce(col("nt"), lit(0L)) + col("vt"))).as("lp"))
+      .agg(expr("(-sum(lp)) div count(1)").as("full_nll"))
+    // Score every held-out bigram under every LOO model in one pass.
+    val scored = bg.filter(col("test")).select(col("prev"), col("next"))
+      .crossJoin(broadcast(srcN.select(col("src"))))
+      .join(broadcast(tot), Seq("prev", "next"), "left")
+      .join(broadcast(trs), Seq("src", "prev", "next"), "left")
+      .join(broadcast(rowTot), Seq("prev"), "left")
+      .join(broadcast(rowSrc), Seq("src", "prev"), "left")
+      .join(broadcast(vLoo), Seq("src"))
+      .select(col("src"), col("n_train_total"),
+        (lnq(coalesce(col("ct"), lit(0L)) -
+          coalesce(col("c"), lit(0L)) + 1) -
+          lnq(coalesce(col("nt"), lit(0L)) -
+            coalesce(col("ns"), lit(0L)) + col("v_loo"))).as("lp"))
+      .groupBy("src")
+      .agg(first("n_train_total").as("n_train_total"),
+        expr("(-sum(lp)) div count(1)").as("loo_nll"))
+    scored.join(broadcast(srcN), Seq("src"))
+      .crossJoin(broadcast(full))
+      .select(col("src").as("source"),
+        (col("n_train_total") - col("n_src")).as("n_train_bigrams_loo"),
+        col("loo_nll").as("avg_nll_loo_micro"),
+        (col("loo_nll") - col("full_nll")).as("delta_vs_full_micro"))
+      .orderBy(col("delta_vs_full_micro").desc, col("source"))
+  }
+
+  // ---- q410: which source earns its tokens? ------------------------------------
+  private def q410(s: SparkSession, d: String): DataFrame =
+    looSourcePerplexity(Tables.documents(s, d), col("doc_id"), col("text"),
+      col("source"))
+  private val q410Sql = {
+    import Supervised.fd
+    s"""WITH toks AS (
+        SELECT doc_id, source AS src,
+          substr(md5(doc_id::VARCHAR), 1, 1) < '4' AS test,
+          string_split(text, ' ') AS tk FROM documents),
+      bg AS (
+        SELECT src, test, b.p AS prev, b.n AS next FROM (
+          SELECT src, test, unnest(list_transform(range(1, len(tk)),
+            i -> struct_pack(p := tk[i], n := tk[i + 1]))) AS b
+          FROM toks WHERE len(tk) >= 2)),
+      trs AS (SELECT src, prev, next, count(*)::BIGINT AS c FROM bg
+        WHERE NOT test GROUP BY 1, 2, 3),
+      tot AS (SELECT prev, next, sum(c)::BIGINT AS ct FROM trs
+        GROUP BY 1, 2),
+      rowtot AS (SELECT prev, sum(ct)::BIGINT AS nt FROM tot GROUP BY 1),
+      rowsrc AS (SELECT src, prev, sum(c)::BIGINT AS ns FROM trs
+        GROUP BY 1, 2),
+      nexttot AS (SELECT next, sum(ct)::BIGINT AS cnt_n FROM tot
+        GROUP BY 1),
+      nextsrc AS (SELECT src, next, sum(c)::BIGINT AS cnt_ns FROM trs
+        GROUP BY 1, 2),
+      gl AS (SELECT count(DISTINCT next)::BIGINT AS vt,
+        sum(ct)::BIGINT AS n_train_total FROM tot),
+      vloo AS (
+        SELECT ns.src, gl.vt - sum(CASE WHEN ns.cnt_ns = nt.cnt_n
+            THEN 1 ELSE 0 END)::BIGINT AS v_loo,
+          any_value(gl.n_train_total) AS n_train_total
+        FROM nextsrc ns JOIN nexttot nt ON nt.next = ns.next, gl
+        GROUP BY ns.src, gl.vt),
+      srcn AS (SELECT src, sum(c)::BIGINT AS n_src FROM trs GROUP BY 1),
+      tb AS (SELECT prev, next FROM bg WHERE test),
+      fullm AS (
+        SELECT ${fd("-sum(floor(ln(coalesce(t.ct, 0) + 1)*1e6 + 0.5)::BIGINT" +
+          " - floor(ln(coalesce(r.nt, 0) + gl.vt)*1e6 + 0.5)::BIGINT)",
+          "count(*)")}::BIGINT AS full_nll
+        FROM tb LEFT JOIN tot t ON t.prev = tb.prev AND t.next = tb.next
+          LEFT JOIN rowtot r ON r.prev = tb.prev, gl),
+      sc AS (
+        SELECT s.src, v.n_train_total,
+          floor(ln(coalesce(t.ct, 0) - coalesce(x.c, 0) + 1)*1e6
+            + 0.5)::BIGINT
+          - floor(ln(coalesce(r.nt, 0) - coalesce(rs.ns, 0) + v.v_loo)*1e6
+            + 0.5)::BIGINT AS lp
+        FROM tb CROSS JOIN srcn s
+        LEFT JOIN tot t ON t.prev = tb.prev AND t.next = tb.next
+        LEFT JOIN trs x ON x.src = s.src AND x.prev = tb.prev
+          AND x.next = tb.next
+        LEFT JOIN rowtot r ON r.prev = tb.prev
+        LEFT JOIN rowsrc rs ON rs.src = s.src AND rs.prev = tb.prev
+        JOIN vloo v ON v.src = s.src),
+      agg AS (
+        SELECT src, any_value(n_train_total) AS n_train_total,
+          ${fd("-sum(lp)", "count(*)")}::BIGINT AS loo_nll
+        FROM sc GROUP BY src)
+      SELECT a.src AS source,
+        (a.n_train_total - s.n_src)::BIGINT AS n_train_bigrams_loo,
+        a.loo_nll AS avg_nll_loo_micro,
+        (a.loo_nll - f.full_nll)::BIGINT AS delta_vs_full_micro
+      FROM agg a JOIN srcn s ON s.src = a.src, fullm f
+      ORDER BY delta_vs_full_micro DESC, source"""
+  }
+
   // ---- q403: does proper smoothing beat add-one on held-out documents? --------
   // The same hash split discipline as q401; avg_nll in micro-nats is
   // directly comparable across smoothing schemes on this corpus.
@@ -1987,6 +2140,7 @@ object TextAnalysis {
 
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q403_kneser_ney", q403, Some(q403Sql)),
+    QueryDef("q410_loo_source_ppl", q410, Some(q410Sql)),
     QueryDef("q255_prefix_index", q255, Some(q255Sql)),
     QueryDef("q258_langid_margin", q258, Some(q258Sql)),
     QueryDef("q211_vocab_growth", q211, Some(q211Sql)),

@@ -47,6 +47,29 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got === Array((5L, 3L, 1L, 1419108L)))
   }
 
+  test("looSourcePerplexity: a unique source hurts when dropped, a duplicated one doesn't") {
+    // md5 split: docs 6 and 19 are held out, the rest train.
+    // Sources A and B carry identical text (mutually redundant); C is the
+    // only source covering the q/r vocabulary that C's held-out doc needs.
+    // Dropping C must cost strictly more NLL than dropping A or B.
+    val docs = Seq(
+      (1L, "A", "a b c d e f g"), (2L, "A", "a b c d e f g"),
+      (3L, "B", "a b c d e f g"), (4L, "B", "a b c d e f g"),
+      (5L, "C", "q r q r q r q r q"),
+      (6L, "A", "a b"), (19L, "C", "q r q r q r q"))
+      .toDF("doc_id", "src", "text")
+    val got = TextAnalysis.looSourcePerplexity(docs, col("doc_id"),
+        col("text"), col("src"))
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got("C")._4 > got("A")._4 && got("C")._4 > got("B")._4)
+    assert(got("C")._4 > 0L)
+    // Redundant twins barely matter and match each other exactly.
+    assert(got("A")._4 === got("B")._4)
+    // Additive identity: LOO train size = total minus the source's own.
+    assert(got("C")._2 === 24L) // 4 shared docs x 6 bigrams; C's 8 removed
+  }
+
   test("normalizeText canonicalizes case, control whitespace, and runs") {
     val df = Seq(
       (1L, "  Hello\tWorld  "),          // indent + tab + trailing spaces
