@@ -3059,6 +3059,117 @@ object Similarity {
       .orderBy(col("n_points").desc, col("cluster_id"))
   }
 
+  /** Deterministic half-space-tree outlier scores (the midpoint-split
+    * variant of HS-Trees / isolation forests): each tree recursively
+    * bisects the data's bounding box — level l of tree t splits
+    * dimension (l+t) mod k at the node's exact integer midpoint — and a
+    * point's outlier score is its summed LEAF MASS across the k
+    * rotated trees. Sparse regions isolate into near-empty leaves, so
+    * LOW mass = anomalous. The linear-cost member of the outlier family
+    * ([[knnOutliers]]/[[lofOutliers]] are pairwise): no join ever
+    * exceeds corpus × trees rows, so this is the one that runs
+    * uncapped at 100 TB.
+    *
+    * Determinism: coordinates micro-quantize once; node boxes come from
+    * exact min/max aggregates; midpoints are floor divisions; node ids
+    * are 2·node+side. No randomness — tree diversity comes from the
+    * dimension rotation, the published HS-Tree structure with the
+    * random split replaced by the midpoint (the deterministic choice).
+    *
+    * Scale: depth × (one partial-agg per (tree, node) + one broadcast
+    * of the ≤ trees·2^level split table) — level-synchronous, the BFS
+    * shape; assignments checkpoint per level with origin stats dropped.
+    */
+  def hstOutliers(points: DataFrame, idCol: String, dims: Seq[Column],
+      depth: Int, topN: Int): DataFrame = {
+    require(dims.nonEmpty && depth >= 1 && depth <= 20 && topN >= 1,
+      "hstOutliers needs dims, 1 <= depth <= 20, topN >= 1")
+    val k = dims.size
+    def ckpt(df: DataFrame): DataFrame =
+      org.apache.spark.sql.graftshim.GraftShim
+        .dropOriginStats(df.localCheckpoint(false))
+    def fdC(a: Column, b: Column): Column =
+      (call_function("div", a, b) +
+        when((a % b) < 0, -1L).otherwise(0L)).cast("long")
+    val pts = ckpt(points.select(
+      (col(idCol).cast("long").as("id") +:
+        dims.zipWithIndex.map { case (c, j) =>
+          floor(c.cast("double") * 1e6).cast("long").as(s"d$j") }): _*))
+    var asg = ckpt(pts.select(col("id"),
+      explode(array((0 until k).map(t => lit(t.toLong)): _*)).as("tree"))
+      .withColumn("node", lit(0L)))
+    for (level <- 0 until depth) {
+      // The split value for (tree, level) is dimension (level+tree) % k.
+      val v = (0 until k).map { t =>
+        (col("tree") === t.toLong, col(s"d${(level + t) % k}"))
+      }.foldRight(lit(null).cast("long"): Column) { case ((p, c), rest) =>
+        when(p, c).otherwise(rest)
+      }
+      val joined = asg.join(pts, Seq("id")).withColumn("v", v)
+      val splits = joined.groupBy("tree", "node")
+        .agg(fdC(min(col("v")) + max(col("v")), lit(2L)).as("mid"))
+      asg = ckpt(joined.join(broadcast(splits), Seq("tree", "node"))
+        .select(col("id"), col("tree"),
+          (col("node") * 2 + when(col("v") > col("mid"), 1L).otherwise(0L))
+            .as("node")))
+    }
+    val mass = asg.groupBy("tree", "node").agg(count(lit(1)).as("m"))
+    asg.join(mass, Seq("tree", "node"))
+      .groupBy("id").agg(sum("m").as("mass_sum"))
+      .orderBy(col("mass_sum"), col("id"))
+      .limit(topN)
+      .select(col("id").as(idCol), col("mass_sum"))
+  }
+
+  /** Unrolled oracle for [[hstOutliers]]: per (tree, level) one split
+    * CTE + one reassignment CTE — generated, so any depth/dims emit the
+    * same SQL shape. dimsSql projects id, d0..d{k-1} (already micros).
+    */
+  private def hstOutliersSql(dimsSql: String, k: Int, depth: Int,
+      topN: Int): String = {
+    import Supervised.fd
+    val levels = scala.collection.mutable.ArrayBuffer(
+      s"pts AS MATERIALIZED ($dimsSql)",
+      ("a0 AS (SELECT id, t AS tree, 0::BIGINT AS node FROM pts, " +
+        s"(SELECT unnest(range($k)) AS t))"))
+    for (l <- 0 until depth) {
+      val v = (0 until k).map(t =>
+        s"WHEN a.tree = $t THEN p.d${(l + t) % k}")
+        .mkString("CASE ", " ", " END")
+      levels += s"""j$l AS (
+        SELECT a.id, a.tree, a.node, $v AS v
+        FROM a$l a JOIN pts p ON p.id = a.id)"""
+      levels += s"""s$l AS (
+        SELECT tree, node, ${fd("min(v) + max(v)", "2")}::BIGINT AS mid
+        FROM j$l GROUP BY 1, 2)"""
+      levels += s"""a${l + 1} AS (
+        SELECT j.id, j.tree,
+          (j.node*2 + CASE WHEN j.v > s.mid THEN 1 ELSE 0 END)::BIGINT
+            AS node
+        FROM j$l j JOIN s$l s ON s.tree = j.tree AND s.node = j.node)"""
+    }
+    s"""WITH ${levels.mkString(",\n")},
+      mass AS (SELECT tree, node, count(*)::BIGINT AS m FROM a$depth
+        GROUP BY 1, 2)
+      SELECT a.id AS vec_id, sum(m.m)::BIGINT AS mass_sum
+      FROM a$depth a JOIN mass m ON m.tree = a.tree AND m.node = a.node
+      GROUP BY a.id ORDER BY mass_sum, vec_id LIMIT $topN"""
+  }
+
+  // ---- q411: which embeddings sit alone in half-space-tree leaves? ------------
+  // Two rotated trees over the first two dims, depth 7 — the UNCAPPED
+  // outlier scan (q286/q380 are the pairwise exact baselines).
+  private def q411(s: SparkSession, d: String): DataFrame =
+    hstOutliers(Tables.embeddings(s, d), "vec_id",
+      Seq(col("embedding").getItem(0), col("embedding").getItem(1)),
+      depth = 7, topN = 20)
+  private val q411Sql = hstOutliersSql(
+    """SELECT vec_id AS id,
+        floor(embedding[1]::DOUBLE*1e6)::BIGINT AS d0,
+        floor(embedding[2]::DOUBLE*1e6)::BIGINT AS d1
+      FROM embeddings""",
+    k = 2, depth = 7, topN = 20)
+
   // ---- q404: density clusters in the embedding plane --------------------------
   // DBSCAN on the first two embedding dims (vec_id-capped so the brute
   // all-pairs oracle stays cheap; the ENGINE path is the grid join).
@@ -3106,6 +3217,7 @@ object Similarity {
 
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q404_dbscan", q404, Some(q404Sql)),
+    QueryDef("q411_hst_outliers", q411, Some(q411Sql)),
     QueryDef("q252_centroid_drift", q252, Some(q252Sql)),
     QueryDef("q265_kmeans_elbow", q265, Some(q265Sql)),
     QueryDef("q277_centroid_classifier", q277, Some(q277Sql)),

@@ -29,6 +29,20 @@ class SimilaritySpec extends SparkSpec {
       (-1L, 1L, 0L, 0L)))  // noise: 99
   }
 
+  test("hstOutliers isolates a far point into a mass-2 leaf pair") {
+    // 40 points tight around the origin plus one at (0.9, 0.9): the
+    // first midpoint split already separates it in both rotated trees,
+    // so its summed leaf mass is exactly 2 and it ranks first.
+    val pts = (0 until 40).map(i =>
+      (i.toLong, i * 0.0001, (i % 7) * 0.0001)) :+ (99L, 0.9, 0.9)
+    val df = pts.toDF("id", "x", "y")
+    val got = Similarity.hstOutliers(df, "id",
+        Seq(col("x"), col("y")), depth = 3, topN = 3)
+      .as[(Long, Long)].collect()
+    assert(got.head === ((99L, 2L)))
+    assert(got.tail.forall(_._2 > 2L))
+  }
+
   test("rankTopK equals the window row_number form even with NaN scores") {
     // Zero-norm embeddings make graft_cosine return NaN; both engines'
     // descending sorts rank NaN above every real score, and the heap
