@@ -275,6 +275,134 @@ object Supervised {
     } finally r.unpersist()
   }
 
+  /** Ridge regularization PATH for two regressors plus (unpenalized)
+    * intercept — [[olsFit2]]'s closed-form Cramer solve with λ added to
+    * the feature diagonal of the normal matrix, evaluated at every
+    * requested λ from the SAME ten moment sums: the entire path costs
+    * ONE distributed pass, because coefficients AND the R² readout are
+    * pure moment algebra (SSE expands to moments; no residual pass).
+    * λ = 0 reproduces olsFit2's coefficients bit for bit. The
+    * collinearity instrument: watch b1/b2 trade mass as λ grows while
+    * R² barely moves — the classic "the pair is one feature" read.
+    *
+    * Exactness: moments are BIGINT sums; determinants and SSE/SST are
+    * driver-side BigInt (HUGEINT in the oracle); coefficients are
+    * floor-division micros. Keep features integer-scaled so Σx²y² stays
+    * well under 2^63 per SUM (the olsFit2 contract).
+    */
+  def ridgePath2(df: DataFrame, yCol: Column, x1Col: Column,
+      x2Col: Column, lambdas: Seq[Long]): DataFrame = {
+    require(lambdas.nonEmpty && lambdas.forall(_ >= 0),
+      "ridgePath2 needs non-negative lambdas")
+    val s = df.sparkSession
+    import s.implicits._
+    val m = df.select(yCol.cast("long").as("y"),
+        x1Col.cast("long").as("x1"), x2Col.cast("long").as("x2"))
+      .agg(count(lit(1)).as("n"), sum("x1").as("s1"), sum("x2").as("s2"),
+        sum(col("x1") * col("x1")).as("s11"),
+        sum(col("x1") * col("x2")).as("s12"),
+        sum(col("x2") * col("x2")).as("s22"), sum("y").as("sy"),
+        sum(col("x1") * col("y")).as("s1y"),
+        sum(col("x2") * col("y")).as("s2y"),
+        sum(col("y") * col("y")).as("syy")).head()
+    require(m.getLong(0) > 2, "ridgePath2 needs more rows than parameters")
+    val Seq(n, s1, s2, s11, s12, s22, sy, s1y, s2y, syy) =
+      (0 until 10).map(i => BigInt(m.getLong(i)))
+    def fdB(a: BigInt, b: BigInt): BigInt = {
+      val (q, rem) = a /% b
+      if (rem.signum != 0 && (rem.signum != b.signum)) q - 1 else q
+    }
+    val M = BigInt(1000000)
+    val ym = fdB(sy * M, n)
+    val sst = M * M * syy - 2 * ym * M * sy + n * ym * ym
+    val rows = lambdas.map { lam =>
+      val (a, c) = (s11 + lam, s22 + lam)
+      val det = n * (a * c - s12 * s12) - s1 * (s1 * c - s12 * s2) +
+        s2 * (s1 * s12 - a * s2)
+      require(det != 0, s"ridgePath2: singular at lambda=$lam")
+      val det0 = sy * (a * c - s12 * s12) - s1 * (s1y * c - s12 * s2y) +
+        s2 * (s1y * s12 - a * s2y)
+      val det1 = n * (s1y * c - s12 * s2y) - sy * (s1 * c - s12 * s2) +
+        s2 * (s1 * s2y - s1y * s2)
+      val det2 = n * (a * s2y - s1y * s12) - s1 * (s1 * s2y - s1y * s2) +
+        sy * (s1 * s12 - a * s2)
+      val (b0, b1, b2) = (fdB(det0 * M, det), fdB(det1 * M, det),
+        fdB(det2 * M, det))
+      require(b0.isValidLong && b1.isValidLong && b2.isValidLong,
+        "ridgePath2: coefficient out of BIGINT micro range — rescale")
+      // SSE from moments with the UNPENALIZED data sums.
+      val sse = M * M * syy + n * b0 * b0 + b1 * b1 * s11 +
+        b2 * b2 * s22 - 2 * M * (b0 * sy + b1 * s1y + b2 * s2y) +
+        2 * (b0 * b1 * s1 + b0 * b2 * s2 + b1 * b2 * s12)
+      val r2 = if (sst == 0) BigInt(0) else M - fdB(sse, fdB(sst, M))
+      (lam, b0.toLong, b1.toLong, b2.toLong, r2.toLong)
+    }
+    s.createDataset(rows)
+      .toDF("lambda", "b0_micro", "b1_micro", "b2_micro", "r2_ppm")
+      .orderBy("lambda")
+  }
+
+  /** Generated oracle for [[ridgePath2]]: one moments CTE, then per λ a
+    * HUGEINT determinant/coefficient/SSE block, UNION ALL'd.
+    */
+  private def ridgePath2Sql(projSql: String, lambdas: Seq[Long]): String = {
+    val mo = """m AS MATERIALIZED (
+      SELECT count(*)::HUGEINT AS n, sum(x1)::HUGEINT AS s1,
+        sum(x2)::HUGEINT AS s2, sum(x1*x1)::HUGEINT AS s11,
+        sum(x1*x2)::HUGEINT AS s12, sum(x2*x2)::HUGEINT AS s22,
+        sum(y)::HUGEINT AS sy, sum(x1*y)::HUGEINT AS s1y,
+        sum(x2*y)::HUGEINT AS s2y, sum(y*y)::HUGEINT AS syy
+      FROM (""" + projSql + "))"
+    def fdH(a: String, b: String) =
+      s"(($a)//($b) + (CASE WHEN ($a) % ($b) != 0 AND" +
+        s" sign(($a) % ($b)) != sign($b) THEN -1 ELSE 0 END))"
+    val blocks = lambdas.map { lam =>
+      s"""SELECT $lam::BIGINT AS lambda, b0::BIGINT AS b0_micro,
+        b1::BIGINT AS b1_micro, b2::BIGINT AS b2_micro,
+        (CASE WHEN sst = 0 THEN 0 ELSE 1000000 -
+          ${fdH("(1000000::HUGEINT*1000000*syy + n*b0*b0 + b1*b1*s11" +
+            " + b2*b2*s22 - 2*1000000::HUGEINT*(b0*sy + b1*s1y + b2*s2y)" +
+            " + 2*(b0*b1*s1 + b0*b2*s2 + b1*b2*s12))",
+            fdH("sst", "1000000::HUGEINT"))} END)::BIGINT AS r2_ppm
+      FROM (
+        SELECT s1, s2, s11, s12, s22, sy, s1y, s2y, syy, n,
+          ${fdH("det0*1000000::HUGEINT", "det")} AS b0,
+          ${fdH("det1*1000000::HUGEINT", "det")} AS b1,
+          ${fdH("det2*1000000::HUGEINT", "det")} AS b2,
+          1000000::HUGEINT*1000000*syy - 2*ym*1000000::HUGEINT*sy
+            + n*ym*ym AS sst
+        FROM (
+          SELECT *,
+            n*(a*c - s12*s12) - s1*(s1*c - s12*s2)
+              + s2*(s1*s12 - a*s2) AS det,
+            sy*(a*c - s12*s12) - s1*(s1y*c - s12*s2y)
+              + s2*(s1y*s12 - a*s2y) AS det0,
+            n*(s1y*c - s12*s2y) - sy*(s1*c - s12*s2)
+              + s2*(s1*s2y - s1y*s2) AS det1,
+            n*(a*s2y - s1y*s12) - s1*(s1*s2y - s1y*s2)
+              + sy*(s1*s12 - a*s2) AS det2,
+            ${fdH("sy*1000000::HUGEINT", "n")} AS ym
+          FROM (SELECT *, (s11 + $lam)::HUGEINT AS a,
+            (s22 + $lam)::HUGEINT AS c FROM m)))"""
+    }
+    s"WITH $mo\n${blocks.mkString("\n UNION ALL\n")}\nORDER BY lambda"
+  }
+
+  // ---- q412: does quantity's price signal survive shrinkage? -------------------
+  // x2 = qty² is engineered collinear with x1 = qty; the path shows the
+  // pair trading coefficient mass as λ grows while R² holds.
+  private def q412(s: SparkSession, d: String): DataFrame =
+    ridgePath2(Tables.lineitem(s, d),
+      expr("CAST(round(l_extendedprice / 100) AS BIGINT)"),
+      expr("CAST(l_quantity AS BIGINT)"),
+      expr("CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)"),
+      lambdas = Seq(0L, 1000L, 1000000L, 1000000000L))
+  private val q412Sql = ridgePath2Sql(
+    """SELECT round(l_extendedprice / 100)::BIGINT AS y,
+        l_quantity::BIGINT AS x1,
+        l_quantity::BIGINT * l_quantity::BIGINT AS x2 FROM lineitem""",
+    Seq(0L, 1000L, 1000000L, 1000000000L))
+
   /** Leakage-safe leave-one-out target encoding: each row's category is
     * encoded as the mean label of the OTHER rows in its category —
     * `(Σ_cat y − y_i)·10⁶ div (n_cat − 1)` in exact micros, falling back
@@ -1128,6 +1256,7 @@ object Supervised {
     QueryDef("q389_poisson_fit", q389, Some(q389Sql)),
     QueryDef("q398_bradley_terry", q398, Some(q398Sql)),
     QueryDef("q406_ipw_ate", q406, Some(q406Sql)),
+    QueryDef("q412_ridge_path", q412, Some(q412Sql)),
     QueryDef("q384_target_encode", q384, Some(q384Sql)),
     QueryDef("q385_mi_ranking", q385, Some(q385Sql)))
 }

@@ -6,6 +6,29 @@ import org.apache.spark.sql.functions._
 class SupervisedSpec extends SparkSpec {
   import spark.implicits._
 
+  test("ridgePath2: lambda=0 recovers an exact model; lambda>0 tames collinearity") {
+    // y = 10 + 4*x1 exactly, x2 = x1^2 irrelevant: OLS endpoint must be
+    // the exact micro coefficients with a perfect R^2.
+    val a = (1L to 20L).map(x => (10L + 4L * x, x, x * x)).toDF("y", "x1", "x2")
+    val pa = Supervised.ridgePath2(a, col("y"), col("x1"), col("x2"),
+        lambdas = Seq(0L))
+      .as[(Long, Long, Long, Long, Long)].head()
+    assert(pa === ((0L, 10000000L, 4000000L, 0L, 1000000L)))
+
+    // Perfectly duplicated features: OLS is singular, ridge shares the
+    // slope mass EXACTLY evenly (symmetric normal equations).
+    val b = (1L to 20L).map(x => (10L + 4L * x, x, x)).toDF("y", "x1", "x2")
+    intercept[IllegalArgumentException] {
+      Supervised.ridgePath2(b, col("y"), col("x1"), col("x2"), Seq(0L))
+    }
+    val pb = Supervised.ridgePath2(b, col("y"), col("x1"), col("x2"),
+        lambdas = Seq(100L))
+      .as[(Long, Long, Long, Long, Long)].head()
+    assert(pb._3 === pb._4)                  // b1 == b2, bit for bit
+    assert(pb._3 > 1500000L && pb._3 < 2500000L) // ~half of 4e6 each
+    assert(pb._5 > 990000L)                  // R^2 still ~1
+  }
+
   test("ipwAte removes a planted confounder the naive contrast falls for") {
     // Stratum x=0: 20% treated, outcome 100; stratum x=1: 80% treated,
     // outcome 200. TRUE effect is zero — treatment just concentrates in
