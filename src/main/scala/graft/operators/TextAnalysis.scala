@@ -1873,6 +1873,134 @@ object TextAnalysis {
        FROM ranked WHERE rank <= 3
        ORDER BY prefix, rank"""
 
+  /** WordPiece tokenization (greedy longest-match-first, Devlin et al.
+    * 2019 / the original Schuster–Nakajima scheme) against a FIXED
+    * vocabulary — the inference-side companion to [[bpeTrain]]/
+    * [[bpeApply]]: head pieces match at word start, continuation
+    * (`##`) pieces after it, always taking the LONGEST match; a
+    * position with no match (or a word needing more than `maxPieces`
+    * pieces) renders `[UNK]`, the standard behavior.
+    *
+    * Execution shape: the corpus collapses to (distinct word, freq)
+    * once, then the greedy walk is UNROLLED as `maxPieces` pure-column
+    * steps (each a longest-first CASE over per-length literal piece
+    * sets) — no UDF, no loop job, the whole tokenizer inside one
+    * whole-stage-codegen projection. The oracle replays the identical
+    * unrolled steps as generated CTEs, so encodings match byte for
+    * byte.
+    */
+  def wordpieceApply(df: DataFrame, textCol: String,
+      headVocab: Seq[String], contVocab: Seq[String],
+      maxPieces: Int = 12): DataFrame = {
+    require(headVocab.nonEmpty && contVocab.nonEmpty &&
+      (headVocab ++ contVocab).forall(p => p.nonEmpty && !p.contains("'")),
+      "wordpieceApply needs non-empty, quote-free vocab pieces")
+    require(maxPieces >= 1 && maxPieces <= 32, "1 <= maxPieces <= 32")
+    def arr(ps: Seq[String]) = ps.map(p => s"'$p'").mkString(", ")
+    // Longest-first match length at column p$i (0 = no match).
+    def matchSql(i: Int, contains: (String, String) => String): String = {
+      def cases(v: Seq[String], guard: String) =
+        v.groupBy(_.length).toSeq.sortBy(-_._1).map { case (l, ps) =>
+          s"WHEN $guard ${contains(arr(ps), s"substr(w, p$i, $l)")}" +
+            s" THEN $l"
+        }.mkString(" ")
+      s"CASE ${cases(headVocab, s"p$i = 1 AND")} " +
+        s"${cases(contVocab, s"p$i > 1 AND")} ELSE 0 END"
+    }
+    // One unrolled greedy step: emits l$i, then the updated state.
+    def stepCols(i: Int, contains: (String, String) => String)
+        : Seq[(String, String)] = {
+      val active = s"(NOT unk AND p$i <= length(w))"
+      Seq(
+        s"l$i" -> matchSql(i, contains),
+        "np" -> s"CASE WHEN $active AND l$i > 0 THEN np + 1 ELSE np END",
+        "enc" -> (s"CASE WHEN $active AND l$i > 0 THEN enc || " +
+          s"(CASE WHEN p$i = 1 THEN '' ELSE ' ##' END) || " +
+          s"substr(w, p$i, l$i) ELSE enc END"),
+        "unk" -> s"(unk OR ($active AND l$i = 0))",
+        s"p${i + 1}" -> s"CASE WHEN l$i > 0 THEN p$i + l$i ELSE p$i END")
+    }
+    val sparkContains = (a: String, v: String) =>
+      s"array_contains(array($a), $v)"
+    var cur = df.select(explode(tokens(col(textCol))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+      .withColumn("p1", lit(1))
+      .withColumn("np", lit(0L))
+      .withColumn("enc", lit(""))
+      .withColumn("unk", length(col("w")) === 0)
+    for (i <- 1 to maxPieces; (name, sql) <- stepCols(i, sparkContains))
+      cur = cur.withColumn(name, expr(sql))
+    cur.select(col("w"), col("freq"),
+        when(col("unk") || col(s"p${maxPieces + 1}") <= length(col("w")),
+          lit("[UNK]")).otherwise(col("enc")).as("encoded"),
+        when(col("unk") || col(s"p${maxPieces + 1}") <= length(col("w")),
+          lit(-1L)).otherwise(col("np")).as("n_pieces"))
+      .orderBy(col("freq").desc, col("w"))
+  }
+
+  /** Generated oracle for [[wordpieceApply]] — the identical unrolled
+    * steps as a CTE chain (list_contains in DuckDB spelling).
+    */
+  private def wordpieceApplySql(headVocab: Seq[String],
+      contVocab: Seq[String], maxPieces: Int): String = {
+    def arr(ps: Seq[String]) = ps.map(p => s"'$p'").mkString(", ")
+    val contains = (a: String, v: String) => s"list_contains([$a], $v)"
+    def matchSql(i: Int): String = {
+      def cases(v: Seq[String], guard: String) =
+        v.groupBy(_.length).toSeq.sortBy(-_._1).map { case (l, ps) =>
+          s"WHEN $guard ${contains(arr(ps), s"substr(w, p$i, $l)")}" +
+            s" THEN $l"
+        }.mkString(" ")
+      s"CASE ${cases(headVocab, s"p$i = 1 AND")} " +
+        s"${cases(contVocab, s"p$i > 1 AND")} ELSE 0 END"
+    }
+    val levels = scala.collection.mutable.ArrayBuffer(
+      """s0 AS (
+        SELECT w, count(*)::BIGINT AS freq, 1 AS p1, 0::BIGINT AS np,
+          '' AS enc, length(w) = 0 AS unk
+        FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+        GROUP BY w)""")
+    for (i <- 1 to maxPieces) {
+      val active = s"(NOT unk AND p$i <= length(w))"
+      levels += s"""s$i AS (
+        SELECT w, freq,
+          CASE WHEN $active AND l$i > 0 THEN np + 1 ELSE np END AS np,
+          CASE WHEN $active AND l$i > 0 THEN enc ||
+            (CASE WHEN p$i = 1 THEN '' ELSE ' ##' END) ||
+            substr(w, p$i, l$i) ELSE enc END AS enc,
+          (unk OR ($active AND l$i = 0)) AS unk,
+          CASE WHEN l$i > 0 THEN p$i + l$i ELSE p$i END AS p${i + 1}
+        FROM (SELECT *, ${matchSql(i)} AS l$i FROM s${i - 1}))"""
+    }
+    s"""WITH ${levels.mkString(",\n")}
+      SELECT w, freq,
+        CASE WHEN unk OR p${maxPieces + 1} <= length(w)
+          THEN '[UNK]' ELSE enc END AS encoded,
+        (CASE WHEN unk OR p${maxPieces + 1} <= length(w)
+          THEN -1 ELSE np END)::BIGINT AS n_pieces
+      FROM s$maxPieces ORDER BY freq DESC, w"""
+  }
+
+  /** The q413 fixture vocabulary: every lowercase letter as both a head
+    * and a continuation piece (full coverage fallback) plus the
+    * frequent multi-char pieces of the corpus domain vocabulary.
+    */
+  private val WpHead: Seq[String] =
+    (('a' to 'z').map(_.toString)) ++ Seq(
+      "jo", "ha", "sc", "col", "fil", "str", "win", "qu", "ta", "me",
+      "or", "va", "li", "ba", "cu", "gr", "sp", "du", "the", "data",
+      "row", "key", "agg", "part", "sort", "fast", "slow", "small", "big")
+  private val WpCont: Seq[String] =
+    (('a' to 'z').map(_.toString)) ++ Seq(
+      "in", "sh", "an", "umn", "ter", "eam", "dow", "ery", "ble", "ow",
+      "ne", "ta", "lue", "rge", "der", "up", "rt", "tch", "all", "ata",
+      "stomer", "oup", "ark", "ector")
+
+  // ---- q413: WordPiece-encode the corpus vocabulary ----------------------------
+  private def q413(s: SparkSession, d: String): DataFrame =
+    wordpieceApply(Tables.documents(s, d), "text", WpHead, WpCont)
+  private val q413Sql = wordpieceApplySql(WpHead, WpCont, maxPieces = 12)
+
   /** Interpolated Kneser–Ney bigram perplexity on a held-out split — the
     * standard LM smoothing read beside [[Analytics.markovPerplexity]]'s
     * add-one baseline (reference exposes per-record scoring hooks only;
@@ -2141,6 +2269,7 @@ object TextAnalysis {
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q403_kneser_ney", q403, Some(q403Sql)),
     QueryDef("q410_loo_source_ppl", q410, Some(q410Sql)),
+    QueryDef("q413_wordpiece", q413, Some(q413Sql)),
     QueryDef("q255_prefix_index", q255, Some(q255Sql)),
     QueryDef("q258_langid_margin", q258, Some(q258Sql)),
     QueryDef("q211_vocab_growth", q211, Some(q211Sql)),

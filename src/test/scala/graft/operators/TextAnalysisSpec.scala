@@ -70,6 +70,33 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got("C")._2 === 24L) // 4 shared docs x 6 bigrams; C's 8 removed
   }
 
+  test("wordpieceApply: longest-match-first, ## continuation, [UNK] fallbacks") {
+    val docs = Seq((1L, "unhappy unhappily zebra cat xx unhappy"))
+      .toDF("doc_id", "text")
+    val head = Seq("un", "u", "c", "cat", "z")     // no generic fallbacks
+    val cont = Seq("happy", "happi", "ly", "h", "ebra", "x")
+    val got = TextAnalysis.wordpieceApply(docs, "text", head, cont,
+        maxPieces = 5)
+      .as[(String, Long, String, Long)].collect()
+      .map(r => r._1 -> ((r._3, r._4))).toMap
+    // Longest match wins: "un ##happy", not "u ##..." or "un ##happi".
+    assert(got("unhappy") === (("un ##happy", 2L)))
+    // Greedy is NOT optimal lookahead: after "un ##happy" nothing covers
+    // "ily"? No: "unhappily" -> un + happi? happy? greedy takes the
+    // LONGEST at each step: "happy" fails (next is 'i'), so ##happi + ##ly.
+    assert(got("unhappily") === (("un ##happi ##ly", 3L)))
+    assert(got("zebra") === (("z ##ebra", 2L)))
+    assert(got("cat") === (("cat", 1L)))         // whole-word head piece
+    assert(got("xx")._1 === "[UNK]")             // 'x' is no HEAD piece
+    assert(got("xx")._2 === -1L)
+    assert(got("unhappy")._2 === 2L)
+    // freq rides the collapse: "unhappy" appeared twice.
+    val freqs = TextAnalysis.wordpieceApply(docs, "text", head, cont)
+      .as[(String, Long, String, Long)].collect()
+      .map(r => r._1 -> r._2).toMap
+    assert(freqs("unhappy") === 2L)
+  }
+
   test("normalizeText canonicalizes case, control whitespace, and runs") {
     val df = Seq(
       (1L, "  Hello\tWorld  "),          // indent + tab + trailing spaces
