@@ -1740,6 +1740,157 @@ object Graph {
       .orderBy(col("closeness_micro").desc, col("node"))
   }
 
+  /** Sampled-source betweenness centrality (Brandes 2001, the standard
+    * pivot-sampled estimator): forward level-synchronous BFS from K
+    * hash-chosen sources accumulating shortest-path COUNTS σ, then the
+    * backward dependency sweep δ(v) = Σ_w σ_v·(1+δ_w)/σ_w over the
+    * level-(d+1) successors — the "how much shortest-path traffic
+    * routes through v" read completing the centrality family
+    * ([[closenessCentrality]] = distance, [[pagerank]] = flow).
+    *
+    * Determinism: σ are exact BIGINT path counts; the dependency ratio
+    * is quantized ppm at its single site — δ(v) += ⌊σ_v·(10⁶+δ_w)/σ_w⌋
+    * — so the backward sweep is integer end to end and the oracle
+    * (generated per-level CTEs, the same floor) matches bit for bit.
+    * Sources are the K lowest (md5(id), id) nodes — a deterministic
+    * uniform sample; scores scale with K (comparative, like pagerank).
+    *
+    * Scale: 2·diameter level rounds, each one hash join + one grouped
+    * sum over frontier-sized relations; state is K·reach rows. K is
+    * the precision/cost lever (exact = K = |V|, the published bound).
+    */
+  def betweennessSampled(edges: DataFrame, srcCol: String, dstCol: String,
+      sources: Int, maxDepth: Int, topN: Int): DataFrame = {
+    require(sources >= 1 && maxDepth >= 1 && topN >= 1,
+      "betweennessSampled needs sources, maxDepth, topN >= 1")
+    def ckpt(df: DataFrame): DataFrame =
+      org.apache.spark.sql.graftshim.GraftShim
+        .dropOriginStats(df.localCheckpoint(false))
+    val e0 = edges.select(col(srcCol).cast("long").as("a"),
+      col(dstCol).cast("long").as("b")).localCheckpoint(true)
+    val und = ckpt(e0
+      .union(e0.select(col("b").as("a"), col("a").as("b")))
+      .distinct())
+    val srcs = ckpt(und.select(col("a").as("node")).distinct()
+      .orderBy(md5(col("node").cast("string").cast("binary")), col("node"))
+      .limit(sources))
+    // Forward: levels(d) = (src, node, sig) at BFS depth d.
+    val levels = scala.collection.mutable.ListBuffer(
+      ckpt(srcs.select(col("node").as("src"), col("node"),
+        lit(1L).as("sig"))))
+    var depth = 0
+    var more = true
+    while (more) {
+      depth += 1
+      require(depth <= maxDepth, s"BFS exceeded maxDepth=$maxDepth")
+      val visited = levels.map(_.select(col("src"), col("node")))
+        .reduce(_ union _)
+      val nxt = ckpt(levels.last.join(und, col("node") === col("a"))
+        .select(col("src"), col("b"), col("sig"))
+        .join(visited.withColumnRenamed("node", "b"), Seq("src", "b"),
+          "left_anti")
+        .groupBy(col("src"), col("b").as("node"))
+        .agg(sum("sig").as("sig"))
+        .select(col("src"), col("node"), col("sig")))
+      if (nxt.count() == 0) more = false else levels += nxt
+    }
+    // Backward: delta at the deepest level is 0; each shallower level
+    // sums the floored ppm dependency over its level-(d+1) successors.
+    var deltas = ckpt(levels.last.withColumn("delta", lit(0L)))
+    val acc = scala.collection.mutable.ListBuffer(deltas)
+    for (d <- (levels.size - 2) to 0 by -1) {
+      val down = deltas.select(col("src"), col("node").as("b"),
+        col("sig").as("sw"), col("delta").as("dw"))
+      deltas = ckpt(levels(d).join(und, col("node") === col("a"))
+        .join(down, Seq("src", "b"))
+        .groupBy(col("src"), col("node"), col("sig"))
+        .agg(sum(expr("sig * (1000000L + dw) div sw")).as("delta"))
+        .unionByName(
+          // level-d nodes with NO level-(d+1) successor keep delta 0
+          levels(d).join(
+            levels(d).join(und, col("node") === col("a"))
+              .join(down, Seq("src", "b"))
+              .select(col("src"), col("node")).distinct(),
+            Seq("src", "node"), "left_anti")
+            .withColumn("delta", lit(0L))))
+      acc += deltas
+    }
+    // Endpoints excluded (Brandes): drop the level-0 source rows.
+    acc.init.map(_.select(col("src"), col("node"), col("delta")))
+      .reduce(_ union _)
+      .filter(col("node") =!= col("src"))
+      .groupBy(col("node"))
+      .agg(sum("delta").as("betweenness_micro"))
+      .orderBy(col("betweenness_micro").desc, col("node"))
+      .limit(topN)
+  }
+
+  /** Generated oracle for [[betweennessSampled]]: forward f0..fD and
+    * backward bD..b0 level CTEs over the adjacency, same ppm floor.
+    */
+  private def betweennessSql(adjCtes: String, sources: Int, maxD: Int,
+      topN: Int): String = {
+    val levels = scala.collection.mutable.ArrayBuffer(
+      s"""srcs AS (SELECT n AS node FROM nodes
+        ORDER BY md5(n::VARCHAR), n LIMIT $sources)""",
+      "f0 AS MATERIALIZED (SELECT node AS src, node, 1::BIGINT AS sig FROM srcs)")
+    for (d <- 0 until maxD) {
+      val vis = (0 to d).map(i => s"SELECT src, node FROM f$i")
+        .mkString(" UNION ALL ")
+      levels += s"""f${d + 1} AS MATERIALIZED (
+        SELECT f.src, adj.b AS node, sum(f.sig)::BIGINT AS sig
+        FROM f$d f JOIN adj ON adj.a = f.node
+        LEFT JOIN ($vis) v ON v.src = f.src AND v.node = adj.b
+        WHERE v.node IS NULL GROUP BY 1, 2)"""
+    }
+    levels += s"b$maxD AS MATERIALIZED (SELECT src, node, sig, 0::BIGINT AS delta FROM f$maxD)"
+    for (d <- (maxD - 1) to 0 by -1) {
+      levels += s"""b$d AS MATERIALIZED (
+        SELECT f.src, f.node, f.sig,
+          coalesce(sum((f.sig * (1000000 + w.delta)) // w.sig), 0)::BIGINT
+            AS delta
+        FROM f$d f
+        LEFT JOIN adj ON adj.a = f.node
+        LEFT JOIN b${d + 1} w ON w.src = f.src AND w.node = adj.b
+        GROUP BY 1, 2, 3)"""
+    }
+    val all = (1 to maxD).map(d => s"SELECT src, node, delta FROM b$d")
+      .mkString(" UNION ALL ")
+    s"""WITH $adjCtes,
+      ${levels.mkString(",\n")}
+      SELECT node, sum(delta)::BIGINT AS betweenness_micro
+      FROM ($all) WHERE node != src
+      GROUP BY node ORDER BY betweenness_micro DESC, node LIMIT $topN"""
+  }
+
+  // ---- q414: which embeddings route the kNN-graph traffic? --------------------
+  // Same capped kNN-3 graph as q407; 8 sampled sources, depth bound 16.
+  private def q414(s: SparkSession, d: String): DataFrame =
+    betweennessSampled(
+      Similarity.knnEdges(Tables.embeddings(s, d).filter(col("vec_id") < 256),
+        "vec_id", "embedding", k = 3),
+      "u", "v", sources = 8, maxDepth = 16, topN = 30)
+  private val q414Sql = betweennessSql(
+    """q8 AS MATERIALIZED (
+         SELECT vec_id AS vid, list_transform(embedding, x -> floor(x::DOUBLE /
+           (list_max(list_transform(embedding, y -> abs(y))))::DOUBLE
+           * 127)::BIGINT) AS q
+         FROM embeddings WHERE vec_id < 256),
+       pd AS (
+         SELECT a.vid AS u, b.vid AS v,
+           list_sum(list_transform(range(1, len(a.q) + 1),
+             i -> (a.q[i] - b.q[i]) * (a.q[i] - b.q[i])))::BIGINT AS d2
+         FROM q8 a JOIN q8 b ON a.vid != b.vid),
+       knn AS (
+         SELECT u, v FROM (
+           SELECT u, v, row_number() OVER (PARTITION BY u
+             ORDER BY d2, v) AS rn FROM pd) t
+         WHERE rn <= 3),
+       adj AS MATERIALIZED (
+         SELECT u AS a, v AS b FROM knn UNION SELECT v, u FROM knn),
+       nodes AS MATERIALIZED (SELECT DISTINCT a AS n FROM adj)""",
+    sources = 8, maxD = 16, topN = 30)
+
   // ---- q407: which embeddings sit central in the kNN topology? ----------------
   // The kNN-3 graph over a vec_id-capped embedding set (the q286
   // distance kernel); max eccentricity row = the graph diameter.
@@ -1784,6 +1935,7 @@ object Graph {
 
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q407_closeness", q407, Some(q407Sql)),
+    QueryDef("q414_betweenness", q414, Some(q414Sql)),
     QueryDef("q262_salton_pairs", q262, Some(q262Sql)),
     QueryDef("q263_link_jaccard", q263, Some(q263Sql)),
     QueryDef("q279_link_candidates", q279, Some(q279Sql)),

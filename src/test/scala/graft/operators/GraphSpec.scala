@@ -20,6 +20,19 @@ class GraphSpec extends SparkSpec {
       (5L, 1L, 1L, 200000L), (6L, 1L, 1L, 200000L)))
   }
 
+  test("betweennessSampled with all sources is exact Brandes on a path") {
+    // Path 1-2-3-4-5, sources = all 5 nodes -> exact betweenness.
+    // bc(v) = 1e6 x (ordered s-t pairs routing through v): node 3 carries
+    // 8 (4 unordered pairs x both directions), nodes 2/4 carry 6, leaves 0.
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("u", "v")
+    val got = Graph.betweennessSampled(edges, "u", "v",
+        sources = 5, maxDepth = 8, topN = 5)
+      .as[(Long, Long)].collect()
+    assert(got === Array(
+      (3L, 8000000L), (2L, 6000000L), (4L, 6000000L),
+      (1L, 0L), (5L, 0L)))
+  }
+
   // Undirected path 1–2–3 fed as both edge directions.
   private def pathEdges = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L))
     .toDF("src", "dst")
