@@ -3028,6 +3028,36 @@ object Profile {
     * partials, one lhs aggregation, one single-row summary. Nulls in
     * rhs count as a value (an lhs mapping to {x, null} IS ambiguous).
     */
+  /** Approximate-FD g₃ error audit (Kivinen–Mannila): for each
+    * candidate X→A, the MINIMUM number of rows to delete for the
+    * dependency to hold exactly — n − Σ_x max_a count(x,a) — reported
+    * beside its ppm share. [[fdCheck]] counts violating KEYS (is it
+    * clean?); this prices the violation in ROWS (how dirty?), the
+    * metric that decides between "fix the pipeline" and "quarantine
+    * 0.3% of rows" in a profiling pass.
+    *
+    * Scale: per candidate one (x, a) collapse with map-side partials,
+    * one per-key max, one total — each is a two-level aggregation of
+    * the pair's distinct domain; candidates are a bounded audit list.
+    */
+  def fdG3Audit(df: DataFrame,
+      candidates: Seq[(String, String)]): DataFrame = {
+    require(candidates.nonEmpty, "fdG3Audit needs candidate pairs")
+    val per = candidates.map { case (x, a) =>
+      val cells = df.select(col(x).cast("string").as("l"),
+          col(a).cast("string").as("r"))
+        .groupBy("l", "r").agg(count(lit(1)).as("c"))
+      cells.groupBy("l").agg(sum("c").as("n_l"), max("c").as("keep"))
+        .agg(sum("n_l").as("n_rows"),
+          (sum("n_l") - sum("keep")).as("n_delete"))
+        .select(lit(x).as("lhs"), lit(a).as("rhs"), col("n_rows"),
+          col("n_delete"),
+          expr("n_delete * 1000000L div n_rows").as("g3_ppm"),
+          (col("n_delete") === 0L).as("holds_exactly"))
+    }
+    per.reduce(_ unionAll _).orderBy(col("g3_ppm"), col("lhs"), col("rhs"))
+  }
+
   def fdCheck(df: DataFrame, lhsCol: String, rhsCol: String): DataFrame = {
     val perKey = df
       .select(col(lhsCol).as("l"), col(rhsCol).as("r"))
@@ -3658,6 +3688,33 @@ object Profile {
          (count(*) FILTER (WHERE n_rhs > 1) * 1000000
            // count(*))::BIGINT AS violation_micro
        FROM pk"""
+
+  // ---- q416: how many rows does each candidate FD cost? ------------------------
+  // g3 prices the q224/q298 discovery output in rows: the PK candidate
+  // is exactly 0, the rest rank by deletion cost.
+  private def q416(s: SparkSession, d: String): DataFrame =
+    fdG3Audit(Tables.orders(s, d), Seq(
+      "o_orderkey" -> "o_orderstatus",
+      "o_custkey" -> "o_orderstatus",
+      "o_orderdate" -> "o_orderpriority",
+      "o_custkey" -> "o_orderpriority"))
+  private val q416Sql = {
+    def one(x: String, a: String) =
+      s"""SELECT '$x' AS lhs, '$a' AS rhs, sum(n_l)::BIGINT AS n_rows,
+        (sum(n_l) - sum(keep))::BIGINT AS n_delete,
+        ((sum(n_l) - sum(keep)) * 1000000 // sum(n_l))::BIGINT AS g3_ppm,
+        (sum(n_l) - sum(keep)) = 0 AS holds_exactly
+      FROM (
+        SELECT l, sum(c) AS n_l, max(c) AS keep FROM (
+          SELECT $x::VARCHAR AS l, $a::VARCHAR AS r, count(*)::BIGINT AS c
+          FROM orders GROUP BY 1, 2) cells
+        GROUP BY l) pk"""
+    Seq("o_orderkey" -> "o_orderstatus", "o_custkey" -> "o_orderstatus",
+      "o_orderdate" -> "o_orderpriority",
+      "o_custkey" -> "o_orderpriority")
+      .map { case (x, a) => one(x, a) }
+      .mkString("", "\nUNION ALL\n", "\nORDER BY g3_ppm, lhs, rhs")
+  }
 
   // ---- q222: which priorities gained order-value share, 1995 → 1996? ----------
   private def q222(s: SparkSession, d: String): DataFrame =
@@ -4325,6 +4382,7 @@ object Profile {
     QueryDef("q216_gini_stump", q216, Some(q216Sql)),
     QueryDef("q222_share_shift", q222, Some(q222Sql)),
     QueryDef("q224_fd_check", q224, Some(q224Sql)),
+    QueryDef("q416_fd_g3", q416, Some(q416Sql)),
     QueryDef("q227_feature_drift", q227, Some(q227Sql)),
     QueryDef("q228_reconcile", q228, Some(q228Sql)),
     QueryDef("q230_gains_table", q230, Some(q230Sql)),

@@ -697,6 +697,100 @@ object Supervised {
       FROM wts"""
   }
 
+  /** Stratified g-computation ATE — the NONPARAMETRIC causal adjustment
+    * beside [[ipwAte]]'s model-based one: group rows into exact
+    * feature strata, take the within-stratum treated-vs-control mean
+    * contrast, and average it weighted by stratum size (the g-formula
+    * with a saturated outcome model; with discrete features the two
+    * estimators bracket the truth from complementary assumptions).
+    * Strata missing either arm are DROPPED (positivity) and counted —
+    * the honest overlap audit IPW's clamping hides.
+    *
+    * Exact: per-stratum means floor to micros at two sites, the
+    * size-weighted average at one more; everything else is BIGINT sums
+    * (DECIMAL(38,0) for the weighted accumulation). Outcome in cents →
+    * micros. ONE corpus pass: the same (t, x⃗) → (count, Σy) cell
+    * collapse as ipwAte, then stratum arithmetic on the cell table.
+    */
+  def gcompAte(df: DataFrame, treatCol: Column, outcomeCol: Column,
+      features: Seq[(String, Column)]): DataFrame = {
+    require(features.nonEmpty, "gcompAte needs at least one feature")
+    val s = df.sparkSession
+    import s.implicits._
+    val k = features.size
+    val xCols = (0 until k).map(j => s"x$j")
+    val cells = df.select(
+        ((treatCol.cast("long").as("t") +:
+          features.zipWithIndex.map { case ((_, c), j) =>
+            c.cast("long").as(s"x$j") }) :+
+          outcomeCol.cast("long").as("yo")): _*)
+      .groupBy(("t" +: xCols).map(col): _*)
+      .agg(count(lit(1)).as("cnt"), sum("yo").as("sy"))
+    val strata = cells.groupBy(xCols.map(col): _*)
+      .agg(sum(when(col("t") === 1L, col("cnt")).otherwise(0L)).as("n1"),
+        sum(when(col("t") === 0L, col("cnt")).otherwise(0L)).as("n0"),
+        sum(when(col("t") === 1L, col("sy")).otherwise(0L)).as("sy1"),
+        sum(when(col("t") === 0L, col("sy")).otherwise(0L)).as("sy0"))
+    def fdc(a: Column, b: Column): Column =
+      (call_function("div", a, b) +
+        when((a % b) < 0, -1L).otherwise(0L)).cast("long")
+    val kept = strata.filter(col("n1") > 0 && col("n0") > 0)
+      .withColumn("diff_micro",
+        fdc(col("sy1") * 10000, col("n1")) - fdc(col("sy0") * 10000, col("n0")))
+    val r = kept.agg(count(lit(1)).as("n_strata"),
+        sum(col("n1") + col("n0")).as("n_kept"),
+        sum(((col("n1") + col("n0")) * col("diff_micro"))
+          .cast("decimal(38,0)")).as("wsum"))
+      .crossJoin(broadcast(
+        strata.agg(sum(col("n1") + col("n0")).as("n_total"))))
+      .select(col("n_strata"), col("n_kept"),
+        (col("n_total") - col("n_kept")).as("n_dropped"),
+        ((call_function("div", col("wsum"),
+            col("n_kept").cast("decimal(38,0)")) +
+          when((col("wsum") % col("n_kept").cast("decimal(38,0)")) < 0, -1L)
+            .otherwise(0L)).cast("long")).as("ate_gcomp_micro"))
+    r
+  }
+
+  /** Oracle for [[gcompAte]] — the same two group-bys and floors. */
+  private def gcompAteSql(projSql: String, k: Int): String = {
+    import Supervised.fd
+    val xs = (0 until k).map(j => s"x$j").mkString(", ")
+    s"""WITH f AS MATERIALIZED ($projSql),
+      cells AS (SELECT t, $xs, count(*)::BIGINT AS cnt,
+        sum(yo)::BIGINT AS sy FROM f GROUP BY ALL),
+      strata AS (
+        SELECT $xs,
+          sum(CASE WHEN t = 1 THEN cnt ELSE 0 END)::BIGINT AS n1,
+          sum(CASE WHEN t = 0 THEN cnt ELSE 0 END)::BIGINT AS n0,
+          sum(CASE WHEN t = 1 THEN sy ELSE 0 END)::BIGINT AS sy1,
+          sum(CASE WHEN t = 0 THEN sy ELSE 0 END)::BIGINT AS sy0
+        FROM cells GROUP BY ALL),
+      kept AS (
+        SELECT *, (${fd("sy1*10000", "n1")} - ${fd("sy0*10000", "n0")})
+          ::BIGINT AS diff_micro
+        FROM strata WHERE n1 > 0 AND n0 > 0)
+      SELECT count(*)::BIGINT AS n_strata,
+        sum(n1 + n0)::BIGINT AS n_kept,
+        ((SELECT sum(n1 + n0) FROM strata) - sum(n1 + n0))::BIGINT
+          AS n_dropped,
+        ${fd("sum((n1 + n0)::HUGEINT * diff_micro)",
+          "sum(n1 + n0)::HUGEINT")}::BIGINT AS ate_gcomp_micro
+      FROM kept"""
+  }
+
+  // ---- q415: the q406 question answered nonparametrically ---------------------
+  private def q415(s: SparkSession, d: String): DataFrame =
+    gcompAte(Tables.lineitem(s, d),
+      (col("l_discount") >= 0.05).cast("long"),
+      round(col("l_extendedprice") * 100),
+      Seq("qty_bucket" -> expr("CAST(l_quantity AS BIGINT) div 10")))
+  private val q415Sql = gcompAteSql(
+    """SELECT (l_discount >= 0.05)::BIGINT AS t,
+        (l_quantity::BIGINT)//10 AS x0,
+        round(l_extendedprice*100)::BIGINT AS yo FROM lineitem""",
+    k = 1)
+
   // ---- q406: what does a deep discount do to line revenue, adjusted? ---------
   // Treatment = discount >= 5%, outcome = extended price (cents),
   // propensity on the quantity bucket. TPC-H draws discounts
@@ -1257,6 +1351,7 @@ object Supervised {
     QueryDef("q398_bradley_terry", q398, Some(q398Sql)),
     QueryDef("q406_ipw_ate", q406, Some(q406Sql)),
     QueryDef("q412_ridge_path", q412, Some(q412Sql)),
+    QueryDef("q415_gcomp_ate", q415, Some(q415Sql)),
     QueryDef("q384_target_encode", q384, Some(q384Sql)),
     QueryDef("q385_mi_ranking", q385, Some(q385Sql)))
 }

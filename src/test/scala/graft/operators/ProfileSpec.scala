@@ -6,6 +6,19 @@ import org.apache.spark.sql.functions.col
 class ProfileSpec extends SparkSpec {
   import spark.implicits._
 
+  test("fdG3Audit prices a candidate FD in minimum row deletions") {
+    // x=1 maps to {a, a, b}: keep the majority pair, delete 1 row;
+    // x=2 maps to {c}: clean. g3 = 1 of 4 rows = 250000 ppm. The id
+    // column holds exactly (distinct per row).
+    val df = Seq((1L, "a", 10L), (1L, "a", 11L), (1L, "b", 12L),
+      (2L, "c", 13L)).toDF("x", "a", "id")
+    val got = Profile.fdG3Audit(df, Seq("x" -> "a", "id" -> "a"))
+      .as[(String, String, Long, Long, Long, Boolean)].collect()
+    assert(got === Array(
+      ("id", "a", 4L, 0L, 0L, true),
+      ("x", "a", 4L, 1L, 250000L, false)))
+  }
+
   test("profile counts nulls and distincts and stringifies min/max per column") {
     val df = Seq((Some(1L), "a"), (None, "b"), (Some(3L), "b"))
       .toDF("id", "tag")

@@ -29,6 +29,19 @@ class SupervisedSpec extends SparkSpec {
     assert(pb._5 > 990000L)                  // R^2 still ~1
   }
 
+  test("gcompAte recovers the planted zero effect EXACTLY and audits overlap") {
+    // Same confounded layout as the ipwAte spec (within-stratum diffs
+    // are literally zero), plus a treated-only stratum x=2 that must be
+    // DROPPED and counted, not averaged in.
+    val rows = Seq.fill(80)((0L, 0L, 100L)) ++ Seq.fill(20)((1L, 0L, 100L)) ++
+      Seq.fill(20)((0L, 1L, 200L)) ++ Seq.fill(80)((1L, 1L, 200L)) ++
+      Seq.fill(10)((1L, 2L, 999L))
+    val got = Supervised.gcompAte(rows.toDF("t", "x", "y"),
+        col("t"), col("y"), Seq("x" -> col("x")))
+      .as[(Long, Long, Long, Long)].head()
+    assert(got === ((2L, 200L, 10L, 0L)))
+  }
+
   test("ipwAte removes a planted confounder the naive contrast falls for") {
     // Stratum x=0: 20% treated, outcome 100; stratum x=1: 80% treated,
     // outcome 200. TRUE effect is zero — treatment just concentrates in
