@@ -1870,7 +1870,7 @@ object Graph {
       Similarity.knnEdges(Tables.embeddings(s, d).filter(col("vec_id") < 256),
         "vec_id", "embedding", k = 3),
       "u", "v", sources = 8, maxDepth = 16, topN = 30)
-  private val q414Sql = betweennessSql(
+  private[operators] val q414Sql = betweennessSql(
     """q8 AS MATERIALIZED (
          SELECT vec_id AS vid, list_transform(embedding, x -> floor(x::DOUBLE /
            (list_max(list_transform(embedding, y -> abs(y))))::DOUBLE

@@ -3163,7 +3163,7 @@ object Similarity {
     hstOutliers(Tables.embeddings(s, d), "vec_id",
       Seq(col("embedding").getItem(0), col("embedding").getItem(1)),
       depth = 7, topN = 20)
-  private val q411Sql = hstOutliersSql(
+  private[operators] val q411Sql = hstOutliersSql(
     """SELECT vec_id AS id,
         floor(embedding[1]::DOUBLE*1e6)::BIGINT AS d0,
         floor(embedding[2]::DOUBLE*1e6)::BIGINT AS d1

@@ -318,6 +318,31 @@ object SqlRegistry {
         strLit(exprs(1), "srcCol"), strLit(exprs(2), "dstCol"))
     }
 
+    // graft_hst_outliers(table, idCol, xExpr, yExpr, depth, topN):
+    // deterministic half-space-tree outlier scores over any 2-D
+    // projection (the q411 operator) — the linear-cost outlier scan.
+    tvf("graft_hst_outliers") { exprs =>
+      require(exprs.length == 6,
+        "graft_hst_outliers(table, idCol, xExpr, yExpr, depth, topN)")
+      Similarity.hstOutliers(s.table(strLit(exprs(0), "table")),
+        strLit(exprs(1), "idCol"),
+        Seq(expr(strLit(exprs(2), "xExpr")), expr(strLit(exprs(3), "yExpr"))),
+        depth = intLit(exprs(4), "depth"), topN = intLit(exprs(5), "topN"))
+    }
+
+    // graft_betweenness(table, srcCol, dstCol, sources, maxDepth, topN):
+    // sampled-source Brandes betweenness over any undirected edge view
+    // (the q414 operator) — the q327 TEMP-VIEW composition contract.
+    tvf("graft_betweenness") { exprs =>
+      require(exprs.length == 6,
+        "graft_betweenness(table, srcCol, dstCol, sources, maxDepth, topN)")
+      Graph.betweennessSampled(s.table(strLit(exprs(0), "table")),
+        strLit(exprs(1), "srcCol"), strLit(exprs(2), "dstCol"),
+        sources = intLit(exprs(3), "sources"),
+        maxDepth = intLit(exprs(4), "maxDepth"),
+        topN = intLit(exprs(5), "topN"))
+    }
+
     // graft_calendar(startDate, endDate): inclusive date spine with the
     // calendar attributes every BI join needs, all derived TIMEZONE-FREE
     // from epoch-day arithmetic (dow via (day_id + 3) % 7, 0 = Monday —

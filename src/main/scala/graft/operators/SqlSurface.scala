@@ -220,9 +220,27 @@ object SqlSurface {
     s.sql("SELECT * FROM graft_closeness('knn_edges', 'u', 'v')")
   }
 
+  private def q417(s: SparkSession, d: String): DataFrame = {
+    SqlRegistry.register(s)
+    Tables(s, d, "embeddings").createOrReplaceTempView("embeddings")
+    s.sql("""SELECT * FROM graft_hst_outliers('embeddings', 'vec_id',
+        'embedding[0]', 'embedding[1]', 7, 20)""")
+  }
+  private def q418(s: SparkSession, d: String): DataFrame = {
+    SqlRegistry.register(s)
+    Similarity.knnEdges(
+        Tables(s, d, "embeddings")
+          .filter(org.apache.spark.sql.functions.col("vec_id") < 256),
+        "vec_id", "embedding", k = 3)
+      .createOrReplaceTempView("knn_edges")
+    s.sql("SELECT * FROM graft_betweenness('knn_edges', 'u', 'v', 8, 16, 30)")
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q408_sql_dbscan", q408, Some(Similarity.q404Sql)),
     QueryDef("q409_sql_closeness", q409, Some(Graph.q407Sql)),
+    QueryDef("q417_sql_hst_outliers", q417, Some(Similarity.q411Sql)),
+    QueryDef("q418_sql_betweenness", q418, Some(Graph.q414Sql)),
     QueryDef("q37_scalar_subquery", q37, Some(q37Sql)),
     QueryDef("q38_grouping_sets", q38, Some(q38Sql)),
     QueryDef("q89_correlated_exists", q89, Some(q89Text)),
