@@ -779,6 +779,126 @@ object Supervised {
       FROM kept"""
   }
 
+  /** Propensity-score-matched ATT — the third leg of the causal
+    * adjustment family ([[ipwAte]] reweights, [[gcompAte]] stratifies,
+    * this MATCHES): every treated stratum pairs with the control
+    * stratum of nearest propensity within a caliper, and the average
+    * treatment effect on the TREATED is the match-pair mean contrast
+    * weighted by treated counts. Unmatched treated rows (no control
+    * within the caliper) are dropped AND counted — the overlap audit.
+    *
+    * Determinism: the propensity is the shared quantized-sigmoid GD
+    * ([[gdWeights]]); it depends only on x⃗, so matching is exact
+    * CELL-level — nearest |Δpq| with (Δpq, control pq, control x⃗)
+    * tie-break; per-cell means floor to micros, the treated-weighted
+    * average at one more site. Caliper in sigmoid quanta (1/2^20).
+    *
+    * Scale: the same one-pass cell collapse; matching joins the
+    * treated × control CELL tables (bounded-cell contract), never rows.
+    */
+  def psmAtt(df: DataFrame, treatCol: Column, outcomeCol: Column,
+      features: Seq[(String, Column)], lrShift: Int, iters: Int,
+      caliperQ: Long): DataFrame = {
+    require(features.nonEmpty, "psmAtt needs at least one feature")
+    require(iters >= 1 && lrShift >= 0 && caliperQ > 0,
+      "need iters >= 1, lrShift >= 0, caliperQ > 0")
+    val s = df.sparkSession
+    import s.implicits._
+    val den = 1L << (20 + lrShift)
+    val k = features.size
+    val xCols = (0 until k).map(j => s"x$j")
+    val keyCols = "y" +: xCols
+    val (cells, n) = persistCells(df.select(
+        ((treatCol.cast("long").as("y") +:
+          features.zipWithIndex.map { case ((_, c), j) =>
+            c.cast("long").as(s"x$j") }) :+
+          outcomeCol.cast("long").as("yo")): _*)
+      .groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("cnt"), sum("yo").as("sy")))
+    try {
+      require(n > 0, "psmAtt needs rows")
+      val w = gdWeights(cells, k, n, den, iters)
+      def fdc(a: Column, b: Column): Column =
+        (call_function("div", a, b) +
+          when((a % b) < 0, -1L).otherwise(0L)).cast("long")
+      val scoredCells = cells.withColumn("pq", sigmoidQ(w, k))
+        .withColumn("m", fdc(col("sy") * 10000, col("cnt")))
+      val tc = scoredCells.filter(col("y") === 1L).select(
+        (xCols.map(j => col(j).as(s"t_$j")) :+ col("pq").as("tpq") :+
+          col("cnt").as("tcnt") :+ col("m").as("tm")): _*)
+      val cc = scoredCells.filter(col("y") === 0L).select(
+        (xCols.map(j => col(j).as(s"c_$j")) :+ col("pq").as("cpq") :+
+          col("m").as("cm")): _*)
+      val win = org.apache.spark.sql.expressions.Window
+        .partitionBy(xCols.map(j => col(s"t_$j")): _*)
+        .orderBy((abs(col("tpq") - col("cpq")) +:
+          col("cpq") +: xCols.map(j => col(s"c_$j"))): _*)
+      val matched = tc.join(cc,
+          abs(col("tpq") - col("cpq")) <= caliperQ)
+        .withColumn("rn", row_number().over(win))
+        .filter(col("rn") === 1)
+      val agg = matched.agg(
+          sum("tcnt").as("n_matched"),
+          sum((col("tcnt") * (col("tm") - col("cm")))
+            .cast("decimal(38,0)")).as("wsum"))
+        .crossJoin(broadcast(tc.agg(sum("tcnt").as("n_treated"))))
+      agg.select(col("n_matched"),
+          (col("n_treated") - col("n_matched")).as("n_unmatched"),
+          ((call_function("div", col("wsum"),
+              col("n_matched").cast("decimal(38,0)")) +
+            when((col("wsum") %
+              col("n_matched").cast("decimal(38,0)")) < 0, -1L)
+              .otherwise(0L)).cast("long")).as("att_psm_micro"))
+    } finally cells.unpersist()
+  }
+
+  /** Oracle for [[psmAtt]]: the shared [[logisticCtes]] chain, the cell
+    * collapse, and the caliper argmin via a window. */
+  private def psmAttSql(featsSql: String, k: Int, lrShift: Int,
+      iters: Int, caliperQ: Long): String = {
+    val levels = logisticCtes(featsSql, k, lrShift, iters)
+    val xs = (0 until k).map(j => s"x$j")
+    val xl = xs.mkString(", ")
+    s"""WITH ${levels.mkString(",\n")},
+      cells AS (
+        SELECT y, $xl, count(*)::BIGINT AS cnt, sum(yo)::BIGINT AS sy
+        FROM f GROUP BY ALL),
+      scored AS (
+        SELECT c.*, ${sigmoidQSql(k)} AS pq,
+          ${fd("sy*10000", "cnt")}::BIGINT AS m
+        FROM cells c, w$iters w),
+      tc AS (SELECT ${xs.map(x => s"$x AS t_$x").mkString(", ")},
+        pq AS tpq, cnt AS tcnt, m AS tm FROM scored WHERE y = 1),
+      cc AS (SELECT ${xs.map(x => s"$x AS c_$x").mkString(", ")},
+        pq AS cpq, m AS cm FROM scored WHERE y = 0),
+      pairs AS (
+        SELECT *, row_number() OVER (
+          PARTITION BY ${xs.map(x => s"t_$x").mkString(", ")}
+          ORDER BY abs(tpq - cpq), cpq,
+            ${xs.map(x => s"c_$x").mkString(", ")}) AS rn
+        FROM tc JOIN cc ON abs(tpq - cpq) <= $caliperQ),
+      m AS (SELECT * FROM pairs WHERE rn = 1)
+      SELECT sum(tcnt)::BIGINT AS n_matched,
+        ((SELECT sum(tcnt) FROM tc) - sum(tcnt))::BIGINT AS n_unmatched,
+        ${fd("sum(tcnt::HUGEINT * (tm - cm))", "sum(tcnt)::HUGEINT")}
+          ::BIGINT AS att_psm_micro
+      FROM m"""
+  }
+
+  // ---- q419: the q406 question answered by matching ---------------------------
+  private def q419(s: SparkSession, d: String): DataFrame =
+    psmAtt(Tables.lineitem(s, d),
+      (col("l_discount") >= 0.05).cast("long"),
+      round(col("l_extendedprice") * 100),
+      Seq("intercept" -> lit(1L),
+        "qty_bucket" -> expr("CAST(l_quantity AS BIGINT) div 10")),
+      lrShift = 3, iters = 8, caliperQ = (1L << 20) / 10)
+  private val q419Sql = psmAttSql(
+    """SELECT (l_discount >= 0.05)::BIGINT AS y, 1::BIGINT AS x0,
+        (l_quantity::BIGINT)//10 AS x1,
+        round(l_extendedprice*100)::BIGINT AS yo FROM lineitem""",
+    k = 2, lrShift = 3, iters = 8, caliperQ = (1L << 20) / 10)
+
   // ---- q415: the q406 question answered nonparametrically ---------------------
   private def q415(s: SparkSession, d: String): DataFrame =
     gcompAte(Tables.lineitem(s, d),
@@ -1352,6 +1472,7 @@ object Supervised {
     QueryDef("q406_ipw_ate", q406, Some(q406Sql)),
     QueryDef("q412_ridge_path", q412, Some(q412Sql)),
     QueryDef("q415_gcomp_ate", q415, Some(q415Sql)),
+    QueryDef("q419_psm_att", q419, Some(q419Sql)),
     QueryDef("q384_target_encode", q384, Some(q384Sql)),
     QueryDef("q385_mi_ranking", q385, Some(q385Sql)))
 }

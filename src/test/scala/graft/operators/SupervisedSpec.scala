@@ -42,6 +42,22 @@ class SupervisedSpec extends SparkSpec {
     assert(got === ((2L, 200L, 10L, 0L)))
   }
 
+  test("psmAtt matches within-stratum and drops out-of-caliper treated") {
+    // The gcompAte layout: own-stratum matches have identical propensity
+    // (delta = 0), so a caliper of 1 quantum admits exactly those, the
+    // pair contrasts are literally zero, and the treated-only x=2
+    // stratum has no control at its propensity -> unmatched.
+    val rows = Seq.fill(80)((0L, 0L, 100L)) ++ Seq.fill(20)((1L, 0L, 100L)) ++
+      Seq.fill(20)((0L, 1L, 200L)) ++ Seq.fill(80)((1L, 1L, 200L)) ++
+      Seq.fill(10)((1L, 2L, 999L))
+    val got = Supervised.psmAtt(rows.toDF("t", "x", "y"),
+        col("t"), col("y"),
+        Seq("intercept" -> lit(1L), "x" -> col("x")),
+        lrShift = 0, iters = 10, caliperQ = 1L)
+      .as[(Long, Long, Long)].head()
+    assert(got === ((100L, 10L, 0L)))
+  }
+
   test("ipwAte removes a planted confounder the naive contrast falls for") {
     // Stratum x=0: 20% treated, outcome 100; stratum x=1: 80% treated,
     // outcome 200. TRUE effect is zero — treatment just concentrates in
