@@ -153,7 +153,14 @@ class LintBudgetSpec extends SparkSpec {
     // partition so each training iteration is a one-task job; the final
     // wins/losses readout reuses that relation, so its coalesce(1) shows
     // in the returned plan. Corpus-sized relations never pass through it.
-    "q398_bradley_terry" -> Map("coalesce-1" -> 1))
+    "q398_bradley_terry" -> Map("coalesce-1" -> 1),
+    // q419: the propensity-matching join runs on the BOUNDED (t, x)
+    // CELL tables (persistCells, 64k guard) — the one-partition cell
+    // relation shows as coalesce-1 through the treated/control/total
+    // readouts, and the caliper |Δpq| <= c condition is non-equi over
+    // those same cell tables, so its BNL build side is cells, never
+    // rows (the q30 bounded-build-side precedent).
+    "q419_psm_att" -> Map("broadcast-nested-loop" -> 1, "coalesce-1" -> 3))
 
   test("every query's warn-level lint findings stay within the budget") {
     val over = SparkEntry.allDefs.flatMap { q =>
