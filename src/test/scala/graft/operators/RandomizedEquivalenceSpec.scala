@@ -1073,4 +1073,43 @@ class RandomizedEquivalenceSpec extends SparkSpec {
     assert(cov >= 0.85, s"held-out coverage $cov below 0.85 (450 cells)")
   }
 
+  test("alsRank1 equals a sequential BigInt fold on random rating matrices") {
+    def fdB(a: BigInt, b: BigInt): BigInt = {
+      val (q, r) = a /% b
+      if (r.signum != 0 && r.signum != b.signum) q - 1 else q
+    }
+    val sc = BigInt(1000000000000L)
+    (1 to 5).foreach { trial =>
+      val nu = 6 + rnd.nextInt(6)
+      val ni = 3 + rnd.nextInt(3)
+      val iters = 2 + rnd.nextInt(3)
+      val ratings = for {
+        i <- 0 until nu; j <- 0 until ni if rnd.nextInt(3) > 0
+      } yield (s"u$i", s"j$j", (1L + rnd.nextInt(50)))
+      if (ratings.nonEmpty) {
+        val cells = ratings.groupBy(t => (t._1, t._2)).toSeq
+          .map { case ((i, j), g) => (i, j, g.map(_._3).sum) }
+        val itemsD = cells.map(_._2).distinct.sorted
+        var v = itemsD.map(_ -> BigInt(1000000)).toMap
+        var u = Map.empty[String, BigInt]
+        for (_ <- 1 to iters) {
+          u = cells.groupBy(_._1).map { case (i, g) =>
+            i -> fdB(g.map(t => BigInt(t._3) * v(t._2)).sum * sc,
+              g.map(t => v(t._2) * v(t._2)).sum)
+          }
+          v = cells.groupBy(_._2).map { case (j, g) =>
+            j -> fdB(g.map(t => BigInt(t._3) * u(t._1)).sum * sc,
+              g.map(t => u(t._1) * u(t._1)).sum)
+          }
+        }
+        val got = Ranking.alsRank1(ratings.toDF("i", "j", "r"),
+            col("i"), col("j"), col("r"), iters, topUsers = nu)
+          .as[(String, String, Long, Long, Long)].collect()
+        got.foreach { case (kind, e, f, _, _) =>
+          val exp = if (kind == "item") v(e) else u(e)
+          assert(BigInt(f) === exp, s"trial $trial $kind $e") }
+        assert(got.count(_._1 == "item") === itemsD.size)
+      }
+    }
+  }
 }
