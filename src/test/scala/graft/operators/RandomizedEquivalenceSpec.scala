@@ -1112,4 +1112,44 @@ class RandomizedEquivalenceSpec extends SparkSpec {
       }
     }
   }
+
+  test("hstOutliers equals a sequential tree build on random point sets") {
+    (1 to 5).foreach { trial =>
+      val n = 20 + rnd.nextInt(40)
+      val depth = 3 + rnd.nextInt(4)
+      val pts = Vector.tabulate(n)(i =>
+        (i.toLong, rnd.nextDouble() * 2 - 1, rnd.nextDouble() * 2 - 1))
+      // Sequential: the same micro quantization, midpoint floor splits,
+      // dimension rotation (level+tree) % 2, and leaf-mass score.
+      val q = pts.map { case (id, x, y) =>
+        (id, Array(math.floor(x * 1e6).toLong, math.floor(y * 1e6).toLong))
+      }
+      val massSum = scala.collection.mutable.Map.empty[Long, Long]
+        .withDefaultValue(0L)
+      for (tree <- 0 until 2) {
+        var nodes: Map[Long, Long] = q.map(_._1 -> 0L).toMap
+        for (level <- 0 until depth) {
+          val dim = (level + tree) % 2
+          val byNode = q.groupBy(p => nodes(p._1))
+          val mids = byNode.map { case (nd, g) =>
+            val vs = g.map(_._2(dim))
+            nd -> Math.floorDiv(vs.min + vs.max, 2L)
+          }
+          nodes = q.map { p =>
+            val nd = nodes(p._1)
+            p._1 -> (nd * 2 + (if (p._2(dim) > mids(nd)) 1L else 0L))
+          }.toMap
+        }
+        val mass = nodes.values.groupBy(identity).map { case (k, g) =>
+          k -> g.size.toLong }
+        q.foreach(p => massSum(p._1) += mass(nodes(p._1)))
+      }
+      val exp = pts.map(p => (p._1, massSum(p._1)))
+        .sortBy(t => (t._2, t._1))
+      val got = Similarity.hstOutliers(pts.toDF("id", "x", "y"), "id",
+          Seq(col("x"), col("y")), depth = depth, topN = n)
+        .as[(Long, Long)].collect().toVector
+      assert(got === exp, s"trial $trial n=$n depth=$depth")
+    }
+  }
 }
