@@ -228,6 +228,11 @@ object Dedup {
     * keys — `bands` rows per document, never a corpus cross join; the
     * candidate distinct is bounded by band-collision counts (the
     * MinHash-LSH discipline at [[minhashLshPairs]]).
+    *
+    * Input contract: ONE row per id. The first-equal-band emit is
+    * per-ROW-pair, so duplicate id rows emit duplicate (d1, d2) pairs
+    * (where a pair-stream distinct would have collapsed them) —
+    * dedupe ids upstream if the input can repeat them.
     */
   def hammingPairs(hashes: DataFrame, idCol: String, hashCol: String,
       bands: Int, bandBits: Int, maxHamming: Int): DataFrame = {

@@ -1794,6 +1794,13 @@ object Graph {
         .select(col("src"), col("node"), col("sig")))
       if (nxt.count() == 0) more = false else levels += nxt
     }
+    // Degenerate graph (no level-1 frontier: empty edge input, or every
+    // sampled source only self-loops): no shortest path routes through
+    // anything — return the empty result instead of crashing the
+    // backward sweep's acc.init.reduce.
+    if (levels.size == 1)
+      return srcs.select(col("node"), lit(0L).as("betweenness_micro"))
+        .limit(0)
     // Backward: delta at the deepest level is 0; each shallower level
     // sums the floored ppm dependency over its level-(d+1) successors.
     var deltas = ckpt(levels.last.withColumn("delta", lit(0L)))
@@ -1894,11 +1901,14 @@ object Graph {
   // ---- q407: which embeddings sit central in the kNN topology? ----------------
   // The kNN-3 graph over a vec_id-capped embedding set (the q286
   // distance kernel); max eccentricity row = the graph diameter.
+  // maxDepth = 16 matches the oracle recursion's `r.d < 16` bound, so a
+  // fixture graph with diameter beyond it fails LOUDLY on the engine side
+  // instead of silently diverging from an under-reporting oracle.
   private def q407(s: SparkSession, d: String): DataFrame =
     closenessCentrality(
       Similarity.knnEdges(Tables.embeddings(s, d).filter(col("vec_id") < 256),
         "vec_id", "embedding", k = 3),
-      "u", "v")
+      "u", "v", maxDepth = 16)
   private[operators] val q407Sql =
     """WITH RECURSIVE q8 AS (
          SELECT vec_id AS vid, list_transform(embedding, x -> floor(x::DOUBLE /

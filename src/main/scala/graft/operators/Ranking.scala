@@ -457,12 +457,14 @@ object Ranking {
         val vDf = broadcast(s.createDataset(v).toDF("j", "v"))
         u = r.join(vDf, Seq("j"))
           .groupBy("i")
-          .agg(fdC(dec(sum(dec(col("r") * col("v")))) * sc,
-            dec(sum(dec(col("v") * col("v"))))).as("u"))
+          // Widen ONE operand before each product (the oracle's
+          // ::HUGEINT placement) — a LONG r·v_micro wraps at r ~ 1e13.
+          .agg(fdC(dec(sum(dec(col("r")) * col("v"))) * sc,
+            dec(sum(dec(col("v")) * col("v")))).as("u"))
         v = r.join(u, Seq("i"))
           .groupBy("j")
-          .agg(fdC(dec(sum(dec(col("r") * col("u")))) * sc,
-            dec(sum(dec(col("u") * col("u"))))).as("v"))
+          .agg(fdC(dec(sum(dec(col("r")) * col("u"))) * sc,
+            dec(sum(dec(col("u")) * col("u")))).as("v"))
           .as[(String, Long)].collect().sortBy(_._1).toSeq
       }
       val stats = r.groupBy("i").agg(count(lit(1)).as("n_obs"),

@@ -308,14 +308,18 @@ object SqlRegistry {
         minPts = intLit(exprs(5), "minPts"))
     }
 
-    // graft_closeness(table, srcCol, dstCol): multi-source-BFS closeness
-    // centrality / eccentricity over any undirected edge view (the q407
-    // operator) — compose with a TEMP VIEW deriving the edges, the q327
-    // composition contract.
+    // graft_closeness(table, srcCol, dstCol[, maxDepth]): multi-source-BFS
+    // closeness centrality / eccentricity over any undirected edge view
+    // (the q407 operator) — compose with a TEMP VIEW deriving the edges,
+    // the q327 composition contract. maxDepth (default 64) fails loudly
+    // when a shortest path exceeds it.
     tvf("graft_closeness") { exprs =>
-      require(exprs.length == 3, "graft_closeness(table, srcCol, dstCol)")
+      require(exprs.length == 3 || exprs.length == 4,
+        "graft_closeness(table, srcCol, dstCol[, maxDepth])")
       Graph.closenessCentrality(s.table(strLit(exprs(0), "table")),
-        strLit(exprs(1), "srcCol"), strLit(exprs(2), "dstCol"))
+        strLit(exprs(1), "srcCol"), strLit(exprs(2), "dstCol"),
+        maxDepth = if (exprs.length == 4) intLit(exprs(3), "maxDepth")
+          else 64)
     }
 
     // graft_hst_outliers(table, idCol, xExpr, yExpr, depth, topN):

@@ -217,7 +217,9 @@ object SqlSurface {
           .filter(org.apache.spark.sql.functions.col("vec_id") < 256),
         "vec_id", "embedding", k = 3)
       .createOrReplaceTempView("knn_edges")
-    s.sql("SELECT * FROM graft_closeness('knn_edges', 'u', 'v')")
+    // maxDepth 16 = the oracle recursion bound (the q407 contract): a
+    // deeper-than-oracle fixture graph raises instead of diverging.
+    s.sql("SELECT * FROM graft_closeness('knn_edges', 'u', 'v', 16)")
   }
 
   private def q417(s: SparkSession, d: String): DataFrame = {

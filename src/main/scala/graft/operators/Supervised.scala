@@ -739,8 +739,10 @@ object Supervised {
         fdc(col("sy1") * 10000, col("n1")) - fdc(col("sy0") * 10000, col("n0")))
     val r = kept.agg(count(lit(1)).as("n_strata"),
         sum(col("n1") + col("n0")).as("n_kept"),
-        sum(((col("n1") + col("n0")) * col("diff_micro"))
-          .cast("decimal(38,0)")).as("wsum"))
+        // Widen BEFORE the product (the oracle's ::HUGEINT placement) —
+        // a LONG n·diff can wrap silently at large cell counts.
+        sum((col("n1") + col("n0")).cast("decimal(38,0)")
+          * col("diff_micro")).as("wsum"))
       .crossJoin(broadcast(
         strata.agg(sum(col("n1") + col("n0")).as("n_total"))))
       .select(col("n_strata"), col("n_kept"),
@@ -839,8 +841,9 @@ object Supervised {
         .filter(col("rn") === 1)
       val agg = matched.agg(
           sum("tcnt").as("n_matched"),
-          sum((col("tcnt") * (col("tm") - col("cm")))
-            .cast("decimal(38,0)")).as("wsum"))
+          // Widen BEFORE the product (oracle: tcnt::HUGEINT * (tm - cm)).
+          sum(col("tcnt").cast("decimal(38,0)")
+            * (col("tm") - col("cm"))).as("wsum"))
         .crossJoin(broadcast(tc.agg(sum("tcnt").as("n_treated"))))
       agg.select(col("n_matched"),
           (col("n_treated") - col("n_matched")).as("n_unmatched"),

@@ -33,6 +33,17 @@ class GraphSpec extends SparkSpec {
       (1L, 0L), (5L, 0L)))
   }
 
+  test("betweennessSampled returns empty (not a crash) on a self-loop-only graph") {
+    // Every node only self-loops -> no level-1 frontier; the backward
+    // sweep has nothing to fold and the operator must return the empty
+    // frame with its contract schema instead of reduce-crashing.
+    val edges = Seq((1L, 1L), (2L, 2L)).toDF("u", "v")
+    val got = Graph.betweennessSampled(edges, "u", "v",
+      sources = 2, maxDepth = 4, topN = 5)
+    assert(got.columns === Array("node", "betweenness_micro"))
+    assert(got.count() === 0L)
+  }
+
   // Undirected path 1–2–3 fed as both edge directions.
   private def pathEdges = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L))
     .toDF("src", "dst")
