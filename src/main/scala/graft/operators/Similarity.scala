@@ -2318,10 +2318,20 @@ object Similarity {
     * real scale seed counts are sized so buckets hold thousands of
     * vectors; the spec covers the contract at fixture scale.
     */
-  def knnOutliersIvf(vectors: DataFrame, seeds: DataFrame, idCol: String,
-      vecCol: String, k: Int, topN: Int, nprobe: Int = 1): DataFrame = {
-    require(k >= 1 && topN >= 1 && nprobe >= 1,
-      "knnOutliersIvf needs k, topN, nprobe >= 1")
+  /** Shared IVF candidate scorer under [[knnOutliersIvf]] and
+    * [[knnEdgesIvf]]: every vector is ASSIGNED to its argmin-L2² seed
+    * bucket (broadcast seeds + max(struct) hash aggregation with
+    * map-side partials, ties to the lowest seed id — the [[ivfAssign]]
+    * discipline) and PROBES its `nprobe` nearest buckets; candidates
+    * are the bucket-equality join of probes × assignments, scored with
+    * the same exact int8 −L2² kernel ([[rankTopK]]'s `c` convention).
+    * A candidate lives in exactly one bucket and probed clusters are
+    * distinct per query, so no pair is scored twice — no distinct pass.
+    * The all-pairs O(N²) join becomes O(N²·nprobe/K) for K balanced
+    * buckets — the shape that survives a 100-TB corpus.
+    */
+  private def ivfCandidateScores(vectors: DataFrame, seeds: DataFrame,
+      idCol: String, vecCol: String, nprobe: Int): DataFrame = {
     def d2(a: Column, b: Column): Column =
       doti(a, a) - lit(2L) * doti(a, b) + doti(b, b)
     val q8 = vectors.select(col(idCol).as("vid"), quantize8(col(vecCol)).as("q8"))
@@ -2343,13 +2353,18 @@ object Similarity {
     val probes = rankTopK(probeScored, nprobe)
       .select(col("query_id").as("vid"), col("neighbor_id").as("cluster"))
       .join(q8, "vid")
-    // A candidate lives in exactly one bucket and probed clusters are
-    // distinct per query, so no pair is scored twice — no distinct pass.
-    val scored = probes.as("a")
+    probes.as("a")
       .join(assigned.as("b"), col("a.cluster") === col("b.cluster")
         && col("a.vid") =!= col("b.vid"))
       .select(col("a.vid").as("query_id"), col("b.vid").as("neighbor_id"),
         (-d2(col("a.q8"), col("b.q8"))).cast("double").as("c"))
+  }
+
+  def knnOutliersIvf(vectors: DataFrame, seeds: DataFrame, idCol: String,
+      vecCol: String, k: Int, topN: Int, nprobe: Int = 1): DataFrame = {
+    require(k >= 1 && topN >= 1 && nprobe >= 1,
+      "knnOutliersIvf needs k, topN, nprobe >= 1")
+    val scored = ivfCandidateScores(vectors, seeds, idCol, vecCol, nprobe)
     rankTopK(scored, k)
       .groupBy(col("query_id"))
       .agg((-sum(col("cos_sim"))).cast("long").as("d2_sum"),
@@ -2756,6 +2771,45 @@ object Similarity {
        FROM top GROUP BY q
        ORDER BY knn_d2_mean DESC, vec_id LIMIT 20"""
 
+  // ---- q420: the centrality family's graph builder through IVF buckets --------
+  // The q350 discipline applied to EDGES: same assignment/probe oracle
+  // chain, bounded-heap kNN-3 per vector, (u, v) rows out — the
+  // registered demonstration that the kNN-graph build (the q407/q414
+  // entry point) has a non-quadratic route.
+  private def q420(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+    knnEdgesIvf(e, e.filter(col("vec_id") < NumSeeds), "vec_id",
+      "embedding", k = 3, nprobe = 4).orderBy(col("u"), col("v"))
+  }
+  private val q420Sql =
+    s"""WITH q8 AS (
+         SELECT vec_id AS vid, list_transform(embedding, x -> floor(x::DOUBLE /
+           (list_max(list_transform(embedding, y -> abs(y))))::DOUBLE
+           * 127)::BIGINT) AS q
+         FROM embeddings),
+       sd AS (SELECT vid AS seed_id, q AS sq FROM q8 WHERE vid < $NumSeeds),
+       sc AS (
+         SELECT a.vid, a.q, s.seed_id,
+           row_number() OVER (PARTITION BY a.vid ORDER BY
+             list_sum(list_transform(range(1, len(a.q) + 1),
+               i -> (a.q[i] - s.sq[i]) * (a.q[i] - s.sq[i]))),
+             s.seed_id) AS rn
+         FROM q8 a CROSS JOIN sd s),
+       asg AS (
+         SELECT vid, q, seed_id AS cluster FROM sc WHERE rn = 1),
+       prb AS (
+         SELECT vid, q, seed_id AS cluster FROM sc WHERE rn <= 4),
+       d AS (
+         SELECT a.vid AS u, b.vid AS v,
+           list_sum(list_transform(range(1, len(a.q) + 1),
+             i -> (a.q[i] - b.q[i]) * (a.q[i] - b.q[i])))::BIGINT AS d2
+         FROM prb a JOIN asg b ON a.cluster = b.cluster AND a.vid != b.vid)
+       SELECT u, v FROM (
+         SELECT u, v, row_number() OVER (PARTITION BY u
+           ORDER BY d2, v) AS rn
+         FROM d) t WHERE rn <= 3
+       ORDER BY u, v"""
+
   // ---- q359: the exact Gram matrix of the embedding corpus --------------------
   // The one-pass distributed reduction every covariance/PCA/correlation
   // readout sits on; 2080 exact BIGINT cells out of a corpus-sized scan.
@@ -2950,8 +3004,8 @@ object Similarity {
     * symmetrize downstream as the consumer requires.
     *
     * Scale: the self-join here is the exact baseline for a CAPPED id
-    * domain; at corpus scale feed bucketed candidates (ivfAssign) into
-    * the same bounded-heap ranking, as [[knnOutliersIvf]] does.
+    * domain; at corpus scale [[knnEdgesIvf]] is the same bounded-heap
+    * ranking over IVF-bucketed candidates.
     */
   def knnEdges(vectors: DataFrame, idCol: String, vecCol: String,
       k: Int): DataFrame = {
@@ -2963,6 +3017,33 @@ object Similarity {
           - lit(2L) * doti(col("a.q8"), col("b.q8"))
           + doti(col("b.q8"), col("b.q8")))).cast("double").as("c"))
     rankTopK(scored, k)
+      .select(col("query_id").as("u"), col("neighbor_id").as("v"))
+  }
+
+  /** Bucketed SCALE PATH for [[knnEdges]] — the [[knnOutliersIvf]]
+    * discipline applied to EDGES: every vector's neighbor candidates
+    * come from its `nprobe` nearest IVF buckets instead of the full
+    * corpus ([[ivfCandidateScores]]), then the same bounded-heap
+    * [[rankTopK]] emits each vector's k nearest as directed (u, v)
+    * rows. This is the entry point the whole embedding-centrality
+    * family ([[graft.operators.Graph.closenessCentrality]],
+    * [[graft.operators.Graph.betweennessSampled]]) rides at corpus
+    * scale — O(N²·nprobe/K) candidate pairs for K balanced buckets,
+    * never the corpus×corpus join.
+    *
+    * Approximation contract: a vector's true k nearest may live beyond
+    * its probed buckets, so the edge set is a SUBSET-biased
+    * approximation of [[knnEdges]]'s; with nprobe ≥ |seeds| every
+    * bucket is probed and the output is bit-identical to the exact
+    * builder (spec-pinned). `nprobe` is the recall lever — the
+    * acceptance spec pins edge-set recall ≥ 0.7 at the q420 operating
+    * point (16 seeds, nprobe = 4). A vector whose probed buckets hold
+    * no other vector emits no edges (isolated in the graph read).
+    */
+  def knnEdgesIvf(vectors: DataFrame, seeds: DataFrame, idCol: String,
+      vecCol: String, k: Int, nprobe: Int = 1): DataFrame = {
+    require(k >= 1 && nprobe >= 1, "knnEdgesIvf needs k, nprobe >= 1")
+    rankTopK(ivfCandidateScores(vectors, seeds, idCol, vecCol, nprobe), k)
       .select(col("query_id").as("u"), col("neighbor_id").as("v"))
   }
 
@@ -3223,6 +3304,7 @@ object Similarity {
     QueryDef("q277_centroid_classifier", q277, Some(q277Sql)),
     QueryDef("q286_knn_outliers", q286, Some(q286Sql)),
     QueryDef("q350_knn_outliers_ivf", q350, Some(q350Sql)),
+    QueryDef("q420_knn_edges_ivf", q420, Some(q420Sql)),
     QueryDef("q380_lof_outliers", q380, Some(q380Sql)),
     QueryDef("q381_kmeans_fit", q381, Some(q381Sql)),
     QueryDef("q396_binary_quant", q396, Some(q396Sql)),

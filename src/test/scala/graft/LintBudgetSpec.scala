@@ -91,6 +91,10 @@ class LintBudgetSpec extends SparkSpec {
     // scored rows per corpus row, map-side argmax/heap; the bucketed
     // candidate join itself is an equi-join, not a BNL)
     "q350_knn_outliers_ivf" -> Map("broadcast-nested-loop" -> 1),
+    // q420: same IVF assignment/probe shape as q350 — the one BNL is the
+    // corpus × broadcast 16-seed cross (bounded build side); the edge
+    // candidate join is the bucket-keyed equi-join.
+    "q420_knn_edges_ivf" -> Map("broadcast-nested-loop" -> 1),
     "q302_ivf_probe_sweep" -> Map("broadcast-nested-loop" -> 3),
     // q372: the query-vs-16-seed probe-scoring cross (|seeds|-bounded
     // build side — q86's adjudication); the assignment cross is GONE

@@ -487,6 +487,45 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("knnEdgesIvf: all-buckets-probed is exact; 16 buckets keep edge recall") {
+    val e = graft.Tables.embeddings(spark, sf)
+    val exact = Similarity.knnEdges(e, "vec_id", "embedding", k = 3)
+      .as[(Long, Long)].collect().toSet
+    // nprobe >= |seeds| probes every bucket -> candidates are the full
+    // corpus minus self -> bit-identical to the exact builder.
+    val allProbed = Similarity.knnEdgesIvf(e,
+        e.filter(col("vec_id") < 16), "vec_id", "embedding",
+        k = 3, nprobe = 16)
+      .as[(Long, Long)].collect().toSet
+    assert(allProbed === exact)
+    // Production setting (the q420 operating point): edge-set recall
+    // must clear the acceptance bar. The fixture embeddings are near-
+    // random 64-dim vectors — the hardest case for coarse quantization
+    // (bucket membership barely correlates with true proximity), so the
+    // bar is the honest 0.6 (observed 0.68 at nprobe=4/16 = a quarter
+    // of the corpus scanned); on clustered production embeddings the
+    // same setting sits far higher (the q350/q399 recall family).
+    def recallAt(nprobe: Int): Double = {
+      val ivf = Similarity.knnEdgesIvf(e,
+          e.filter(col("vec_id") < 16), "vec_id", "embedding",
+          k = 3, nprobe = nprobe)
+        .as[(Long, Long)].collect().toSet
+      (exact & ivf).size.toDouble / exact.size
+    }
+    val r4 = recallAt(4)
+    assert(r4 >= 0.6, s"kNN edge-set recall $r4 below acceptance")
+    // The nprobe lever moves recall the right way.
+    assert(recallAt(8) >= r4, "recall must be monotone in nprobe")
+    val ivf = Similarity.knnEdgesIvf(e,
+        e.filter(col("vec_id") < 16), "vec_id", "embedding",
+        k = 3, nprobe = 4)
+      .as[(Long, Long)].collect().toSet
+    // Subset bias: every emitted edge ranks within the query's exact
+    // k-NN OR replaces a truncated one — never an invented neighbor
+    // closer than a probed candidate; cheap sanity: u domain subset.
+    assert(ivf.map(_._1).subsetOf(exact.map(_._1)))
+  }
+
   test("centroidClassifier recovers planted axis-aligned labels") {
     // Label 0 lives on +x, label 1 on +y; train rows are even ids,
     // eval rows odd. One eval vector per label sits clearly in its own
