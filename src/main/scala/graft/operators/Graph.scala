@@ -1685,18 +1685,27 @@ object Graph {
     * when isolated — exact ppm floor division. Eccentricity = max BFS
     * depth; its max over rows is the graph diameter, its min the radius.
     *
-    * Scale: level-synchronous frontier BFS from ALL sources at once —
-    * each round joins the current (src, node) frontier against the edge
-    * list, dedupes, and anti-joins the visited set; rounds = graph
-    * diameter, every round one hash join + one anti join, frontiers
-    * localCheckpoint'ed (origin stats dropped — the dedupClusters
-    * discipline). State is the reached PAIR set: all-sources closeness
-    * is inherently Θ(n·reach), so cap the node domain (or sample
-    * sources) before calling at corpus scale — the standard
-    * approximate-closeness trade.
+    * Scale: level-synchronous frontier BFS — each round joins the
+    * current (src, node) frontier against the edge list, dedupes, and
+    * anti-joins the visited set; rounds = graph diameter, every round
+    * one hash join + one anti join, frontiers localCheckpoint'ed
+    * (origin stats dropped — the dedupClusters discipline).
+    *
+    * `sources` is the SCALE LEVER (Eppstein–Wang pivot sampling, the
+    * [[betweennessSampled]] discipline): 0 (default) runs BFS from ALL
+    * nodes — exact, but state is the reached PAIR set, Θ(n·reach).
+    * sources = K > 0 runs BFS from the K lowest (md5(id), id) nodes (a
+    * deterministic uniform pivot sample) and estimates EVERY node's
+    * reach/Σd from its distances TO the pivots (undirected symmetry
+    * d(p,v) = d(v,p)): r̂ = ⌊cnt·n/K⌋−1, Σ̂d = ⌊Σ_p d·n/K⌋, the same
+    * Wasserman–Faust ppm floor on the estimates — state drops to
+    * K·reach rows. With K = n the estimator collapses to the exact form
+    * BIT FOR BIT (spec-pinned); eccentricity under sampling is the max
+    * pivot distance, a LOWER bound. Nodes unreached by every pivot emit
+    * no row.
     */
   def closenessCentrality(edges: DataFrame, srcCol: String, dstCol: String,
-      maxDepth: Int = 64): DataFrame = {
+      maxDepth: Int = 64, sources: Int = 0): DataFrame = {
     def ckpt(df: DataFrame): DataFrame =
       org.apache.spark.sql.graftshim.GraftShim
         .dropOriginStats(df.localCheckpoint(false))
@@ -1705,7 +1714,14 @@ object Graph {
     val und = ckpt(e0
       .union(e0.select(col("b").as("a"), col("a").as("b")))
       .distinct())
-    val start = ckpt(und.select(col("a").as("node")).distinct()
+    val allNodes = ckpt(und.select(col("a").as("node")).distinct())
+    val n = allNodes.count()
+    val srcNodes = if (sources <= 0) allNodes
+      else ckpt(allNodes
+        .orderBy(md5(col("node").cast("string").cast("binary")), col("node"))
+        .limit(sources))
+    val k = if (sources <= 0) n else srcNodes.count()
+    val start = ckpt(srcNodes
       .select(col("node").as("src"), col("node"), lit(0L).as("d")))
     val frontiers = scala.collection.mutable.ListBuffer(start)
     var frontier = start
@@ -1728,14 +1744,18 @@ object Graph {
     }
     val dist = frontiers.map(_.select(col("src"), col("node"), col("d")))
       .reduce(_ union _)
-    val n = start.count()
-    dist.groupBy(col("src"))
-      .agg((count(lit(1)) - 1).as("r"), max(col("d")).as("eccentricity"),
-        sum(col("d")).as("sd"))
-      .select(col("src").as("node"), col("r").as("n_reached"),
-        col("eccentricity"),
-        when(col("sd") === 0L, 0L)
-          .otherwise(expr(s"(r * r * 1000000L) div ((${n}L - 1) * sd)"))
+    // Pivot estimate: group by the REACHED node over pivot-source rows
+    // (the transpose of the exact readout — identical at K = n by
+    // undirected symmetry), scale counts/sums by n/K with one floor
+    // each, then the shared ppm formula.
+    dist.groupBy(col("node"))
+      .agg(count(lit(1)).as("cnt"), max(col("d")).as("eccentricity"),
+        sum(col("d")).as("sdp"))
+      .withColumn("rh", expr(s"cnt * ${n}L div ${k}L") - lit(1L))
+      .withColumn("sdh", expr(s"sdp * ${n}L div ${k}L"))
+      .select(col("node"), col("rh").as("n_reached"), col("eccentricity"),
+        when(col("sdh") === 0L, 0L)
+          .otherwise(expr(s"(rh * rh * 1000000L) div ((${n}L - 1) * sdh)"))
           .as("closeness_micro"))
       .orderBy(col("closeness_micro").desc, col("node"))
   }
@@ -1898,6 +1918,59 @@ object Graph {
        nodes AS MATERIALIZED (SELECT DISTINCT a AS n FROM adj)""",
     sources = 8, maxD = 16, topN = 30)
 
+  /** Generated oracle for pivot-sampled [[closenessCentrality]]: the
+    * recursive pivot BFS over the adjacency, then the n/K-scaled
+    * reach/Σd estimates and the shared ppm floor.
+    */
+  private def closenessSampledSql(adjCtes: String, sources: Int,
+      maxD: Int): String =
+    s"""WITH RECURSIVE $adjCtes,
+       srcs AS (SELECT n AS node FROM nodes
+         ORDER BY md5(n::VARCHAR), n LIMIT $sources),
+       reach(src, node, d) AS (
+         SELECT node, node, 0 FROM srcs
+         UNION
+         SELECT r.src, adj.b, r.d + 1 FROM reach r
+         JOIN adj ON adj.a = r.node WHERE r.d < $maxD),
+       dist AS (SELECT src, node, min(d) AS d FROM reach GROUP BY 1, 2),
+       nn AS (SELECT count(*)::BIGINT AS n FROM nodes),
+       kk AS (SELECT count(*)::BIGINT AS k FROM srcs),
+       agg AS (SELECT node, count(*)::BIGINT AS cnt, max(d)::BIGINT AS ecc,
+         sum(d)::BIGINT AS sdp FROM dist GROUP BY node),
+       est AS (SELECT node, (cnt * nn.n) // kk.k - 1 AS rh,
+         (sdp * nn.n) // kk.k AS sdh, ecc FROM agg, nn, kk)
+       SELECT node, rh::BIGINT AS n_reached, ecc::BIGINT AS eccentricity,
+         (CASE WHEN sdh = 0 THEN 0
+           ELSE (rh * rh * 1000000) // ((nn.n - 1) * sdh) END)::BIGINT
+           AS closeness_micro
+       FROM est, nn ORDER BY closeness_micro DESC, node"""
+
+  // The co-sale projection as a generic (adj, nodes) adjacency — the
+  // fixture's real sparse-at-every-sf graph (nodes/edges grow with sf,
+  // unlike the vec_id-capped kNN fixtures), so the centrality scale
+  // levers are exercised by a QUERY, not just a spec.
+  private val coSaleAdjCtes =
+    s"""$coSaleCtes,
+       adj AS MATERIALIZED (
+         SELECT u AS a, v AS b FROM und UNION SELECT v, u FROM und),
+       nodes AS MATERIALIZED (SELECT DISTINCT a AS n FROM adj)"""
+
+  // ---- q421: supplier co-sale closeness, 16-pivot Eppstein–Wang estimate ------
+  // maxDepth 12 = the oracle recursion bound (measured pivot
+  // eccentricity: 2 at sf0.01, 8 at sf0.1 — headroom without cost).
+  private def q421(s: SparkSession, d: String): DataFrame =
+    closenessCentrality(coSaleEdges(s, d), "s1", "s2",
+      maxDepth = 12, sources = 16)
+  private val q421Sql = closenessSampledSql(coSaleAdjCtes,
+    sources = 16, maxD = 12)
+
+  // ---- q422: which suppliers route the co-sale traffic? -----------------------
+  private def q422(s: SparkSession, d: String): DataFrame =
+    betweennessSampled(coSaleEdges(s, d), "s1", "s2",
+      sources = 8, maxDepth = 12, topN = 40)
+  private val q422Sql = betweennessSql(coSaleAdjCtes,
+    sources = 8, maxD = 12, topN = 40)
+
   // ---- q407: which embeddings sit central in the kNN topology? ----------------
   // The kNN-3 graph over a vec_id-capped embedding set (the q286
   // distance kernel); max eccentricity row = the graph diameter.
@@ -1946,6 +2019,8 @@ object Graph {
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q407_closeness", q407, Some(q407Sql)),
     QueryDef("q414_betweenness", q414, Some(q414Sql)),
+    QueryDef("q421_closeness_cosale", q421, Some(q421Sql)),
+    QueryDef("q422_betweenness_cosale", q422, Some(q422Sql)),
     QueryDef("q262_salton_pairs", q262, Some(q262Sql)),
     QueryDef("q263_link_jaccard", q263, Some(q263Sql)),
     QueryDef("q279_link_candidates", q279, Some(q279Sql)),

@@ -313,13 +313,17 @@ object SqlRegistry {
     // (the q407 operator) — compose with a TEMP VIEW deriving the edges,
     // the q327 composition contract. maxDepth (default 64) fails loudly
     // when a shortest path exceeds it.
+    // Optional 5th arg: pivot count for the Eppstein–Wang sampled
+    // estimate (0 = exact all-sources) — the corpus-scale lever.
     tvf("graft_closeness") { exprs =>
-      require(exprs.length == 3 || exprs.length == 4,
-        "graft_closeness(table, srcCol, dstCol[, maxDepth])")
+      require(exprs.length >= 3 && exprs.length <= 5,
+        "graft_closeness(table, srcCol, dstCol[, maxDepth[, sources]])")
       Graph.closenessCentrality(s.table(strLit(exprs(0), "table")),
         strLit(exprs(1), "srcCol"), strLit(exprs(2), "dstCol"),
-        maxDepth = if (exprs.length == 4) intLit(exprs(3), "maxDepth")
-          else 64)
+        maxDepth = if (exprs.length >= 4) intLit(exprs(3), "maxDepth")
+          else 64,
+        sources = if (exprs.length == 5) intLit(exprs(4), "sources")
+          else 0)
     }
 
     // graft_hst_outliers(table, idCol, xExpr, yExpr, depth, topN):

@@ -33,6 +33,45 @@ class GraphSpec extends SparkSpec {
       (1L, 0L), (5L, 0L)))
   }
 
+  test("closenessCentrality: sources = |V| collapses to the exact form bit-for-bit") {
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (5L, 6L)).toDF("u", "v")
+    val exact = Graph.closenessCentrality(edges, "u", "v")
+      .as[(Long, Long, Long, Long)].collect()
+    val allPivots = Graph.closenessCentrality(edges, "u", "v",
+        maxDepth = 8, sources = 6)
+      .as[(Long, Long, Long, Long)].collect()
+    assert(allPivots === exact)
+  }
+
+  test("closenessCentrality pivot estimate tracks exact closeness on a random graph") {
+    // Deterministic pseudo-random sparse graph: 60 nodes, each i links
+    // to two hash-picked targets — connected enough that every node is
+    // reached, irregular enough that closeness genuinely varies.
+    def h(i: Long, s: Long): Long = {
+      val x = i * 2654435761L + s * 40503L
+      math.floorMod(x ^ (x >>> 16), 60L)
+    }
+    val edges = (0L until 60L)
+      .flatMap(i => Seq((i, (i + 1) % 60), (i, h(i, 7)), (i, h(i, 13))))
+      .filter { case (a, b) => a != b }
+      .toDF("u", "v")
+    val exact = Graph.closenessCentrality(edges, "u", "v")
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r._4).toMap
+    val est = Graph.closenessCentrality(edges, "u", "v",
+        maxDepth = 16, sources = 20)
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r._4).toMap
+    assert(est.keySet === exact.keySet)
+    // Eppstein–Wang acceptance: 20 of 60 pivots must put the MEAN
+    // relative closeness error well under the trivial estimator's.
+    val relErrs = exact.toSeq.map { case (node, c) =>
+      math.abs(est(node) - c).toDouble / c
+    }
+    val meanErr = relErrs.sum / relErrs.size
+    assert(meanErr <= 0.15, s"mean relative closeness error $meanErr")
+  }
+
   test("betweennessSampled returns empty (not a crash) on a self-loop-only graph") {
     // Every node only self-loops -> no level-1 frontier; the backward
     // sweep has nothing to fold and the operator must return the empty
