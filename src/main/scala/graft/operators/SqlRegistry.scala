@@ -351,6 +351,54 @@ object SqlRegistry {
         topN = intLit(exprs(5), "topN"))
     }
 
+    // graft_ipw_ate(table, treatExpr, outcomeExpr, lrShift, iters,
+    // featExpr, ...): inverse-propensity-weighted ATE with the naive
+    // contrast beside it (the q406 operator) — trailing args are the
+    // propensity features (include an intercept, e.g. '1L').
+    tvf("graft_ipw_ate") { exprs =>
+      require(exprs.length >= 6,
+        "graft_ipw_ate(table, treatExpr, outcomeExpr, lrShift, iters, " +
+          "featExpr, ...)")
+      Supervised.ipwAte(s.table(strLit(exprs(0), "table")),
+        expr(strLit(exprs(1), "treatExpr")),
+        expr(strLit(exprs(2), "outcomeExpr")),
+        exprs.drop(5).zipWithIndex.map { case (e, j) =>
+          s"f$j" -> expr(strLit(e, s"featExpr$j")) },
+        lrShift = intLit(exprs(3), "lrShift"),
+        iters = intLit(exprs(4), "iters"))
+    }
+
+    // graft_gcomp_ate(table, treatExpr, outcomeExpr, featExpr, ...):
+    // stratified g-computation ATE with the dropped-strata positivity
+    // audit (the q415 operator) — trailing args are the exact strata.
+    tvf("graft_gcomp_ate") { exprs =>
+      require(exprs.length >= 4,
+        "graft_gcomp_ate(table, treatExpr, outcomeExpr, featExpr, ...)")
+      Supervised.gcompAte(s.table(strLit(exprs(0), "table")),
+        expr(strLit(exprs(1), "treatExpr")),
+        expr(strLit(exprs(2), "outcomeExpr")),
+        exprs.drop(3).zipWithIndex.map { case (e, j) =>
+          s"f$j" -> expr(strLit(e, s"featExpr$j")) })
+    }
+
+    // graft_psm_att(table, treatExpr, outcomeExpr, lrShift, iters,
+    // caliperQ, featExpr, ...): propensity-score-matched ATT with the
+    // unmatched-treated overlap audit (the q419 operator); caliper in
+    // sigmoid quanta (1/2^20).
+    tvf("graft_psm_att") { exprs =>
+      require(exprs.length >= 7,
+        "graft_psm_att(table, treatExpr, outcomeExpr, lrShift, iters, " +
+          "caliperQ, featExpr, ...)")
+      Supervised.psmAtt(s.table(strLit(exprs(0), "table")),
+        expr(strLit(exprs(1), "treatExpr")),
+        expr(strLit(exprs(2), "outcomeExpr")),
+        exprs.drop(6).zipWithIndex.map { case (e, j) =>
+          s"f$j" -> expr(strLit(e, s"featExpr$j")) },
+        lrShift = intLit(exprs(3), "lrShift"),
+        iters = intLit(exprs(4), "iters"),
+        caliperQ = intLit(exprs(5), "caliperQ").toLong)
+    }
+
     // graft_calendar(startDate, endDate): inclusive date spine with the
     // calendar attributes every BI join needs, all derived TIMEZONE-FREE
     // from epoch-day arithmetic (dow via (day_id + 3) % 7, 0 = Monday —

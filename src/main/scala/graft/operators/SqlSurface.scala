@@ -222,6 +222,28 @@ object SqlSurface {
     s.sql("SELECT * FROM graft_closeness('knn_edges', 'u', 'v', 16)")
   }
 
+  // ---- q423–q425: the causal family reached FROM SQL --------------------------
+  // The audience for causal readouts is the SQL-first analyst; each TVF
+  // shares the Dataset original's oracle verbatim (q406/q415/q419).
+  private def q423(s: SparkSession, d: String): DataFrame =
+    viaTvf(s, d, "lineitem",
+      """SELECT * FROM graft_ipw_ate('lineitem',
+           'CAST(l_discount >= 0.05 AS BIGINT)',
+           'round(l_extendedprice * 100)', 3, 8,
+           '1L', 'CAST(l_quantity AS BIGINT) div 10')""")
+  private def q424(s: SparkSession, d: String): DataFrame =
+    viaTvf(s, d, "lineitem",
+      """SELECT * FROM graft_gcomp_ate('lineitem',
+           'CAST(l_discount >= 0.05 AS BIGINT)',
+           'round(l_extendedprice * 100)',
+           'CAST(l_quantity AS BIGINT) div 10')""")
+  private def q425(s: SparkSession, d: String): DataFrame =
+    viaTvf(s, d, "lineitem",
+      """SELECT * FROM graft_psm_att('lineitem',
+           'CAST(l_discount >= 0.05 AS BIGINT)',
+           'round(l_extendedprice * 100)', 3, 8, 104857,
+           '1L', 'CAST(l_quantity AS BIGINT) div 10')""")
+
   private def q417(s: SparkSession, d: String): DataFrame = {
     SqlRegistry.register(s)
     Tables(s, d, "embeddings").createOrReplaceTempView("embeddings")
@@ -243,6 +265,9 @@ object SqlSurface {
     QueryDef("q409_sql_closeness", q409, Some(Graph.q407Sql)),
     QueryDef("q417_sql_hst_outliers", q417, Some(Similarity.q411Sql)),
     QueryDef("q418_sql_betweenness", q418, Some(Graph.q414Sql)),
+    QueryDef("q423_sql_ipw_ate", q423, Some(Supervised.q406Sql)),
+    QueryDef("q424_sql_gcomp_ate", q424, Some(Supervised.q415Sql)),
+    QueryDef("q425_sql_psm_att", q425, Some(Supervised.q419Sql)),
     QueryDef("q37_scalar_subquery", q37, Some(q37Sql)),
     QueryDef("q38_grouping_sets", q38, Some(q38Sql)),
     QueryDef("q89_correlated_exists", q89, Some(q89Text)),

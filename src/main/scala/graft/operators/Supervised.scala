@@ -896,7 +896,7 @@ object Supervised {
       Seq("intercept" -> lit(1L),
         "qty_bucket" -> expr("CAST(l_quantity AS BIGINT) div 10")),
       lrShift = 3, iters = 8, caliperQ = (1L << 20) / 10)
-  private val q419Sql = psmAttSql(
+  private[operators] val q419Sql = psmAttSql(
     """SELECT (l_discount >= 0.05)::BIGINT AS y, 1::BIGINT AS x0,
         (l_quantity::BIGINT)//10 AS x1,
         round(l_extendedprice*100)::BIGINT AS yo FROM lineitem""",
@@ -908,7 +908,7 @@ object Supervised {
       (col("l_discount") >= 0.05).cast("long"),
       round(col("l_extendedprice") * 100),
       Seq("qty_bucket" -> expr("CAST(l_quantity AS BIGINT) div 10")))
-  private val q415Sql = gcompAteSql(
+  private[operators] val q415Sql = gcompAteSql(
     """SELECT (l_discount >= 0.05)::BIGINT AS t,
         (l_quantity::BIGINT)//10 AS x0,
         round(l_extendedprice*100)::BIGINT AS yo FROM lineitem""",
@@ -926,7 +926,7 @@ object Supervised {
       Seq("intercept" -> lit(1L),
         "qty_bucket" -> expr("CAST(l_quantity AS BIGINT) div 10")),
       lrShift = 3, iters = 8)
-  private val q406Sql = ipwAteSql(
+  private[operators] val q406Sql = ipwAteSql(
     """SELECT (l_discount >= 0.05)::BIGINT AS y, 1::BIGINT AS x0,
         (l_quantity::BIGINT)//10 AS x1,
         round(l_extendedprice*100)::BIGINT AS yo FROM lineitem""",

@@ -164,7 +164,12 @@ class LintBudgetSpec extends SparkSpec {
     // readouts, and the caliper |Δpq| <= c condition is non-equi over
     // those same cell tables, so its BNL build side is cells, never
     // rows (the q30 bounded-build-side precedent).
-    "q419_psm_att" -> Map("broadcast-nested-loop" -> 1, "coalesce-1" -> 3))
+    "q419_psm_att" -> Map("broadcast-nested-loop" -> 1, "coalesce-1" -> 3),
+    // q425: the q419 plan verbatim, reached through the graft_psm_att
+    // TVF (SqlRegistrySpec pins the two bit-identical) — same bounded
+    // cell-table BNL/coalesce-1 adjudication as q419.
+    "q425_sql_psm_att" -> Map("broadcast-nested-loop" -> 1,
+      "coalesce-1" -> 3))
 
   test("every query's warn-level lint findings stay within the budget") {
     val over = SparkEntry.allDefs.flatMap { q =>

@@ -253,5 +253,49 @@ class SqlRegistrySpec extends SparkSpec {
       "SELECT * FROM graft_closeness('knn_edges', 'u', 'v')")
     val clApi = Graph.closenessCentrality(edges, "u", "v")
     assert(clSql.except(clApi).isEmpty && clApi.except(clSql).isEmpty)
+
+    // The sampled-pivot lever through the same TVF.
+    val csSql = spark.sql(
+      "SELECT * FROM graft_closeness('knn_edges', 'u', 'v', 16, 8)")
+    val csApi = Graph.closenessCentrality(edges, "u", "v",
+      maxDepth = 16, sources = 8)
+    assert(csSql.except(csApi).isEmpty && csApi.except(csSql).isEmpty)
+  }
+
+  test("causal TVFs (ipw/gcomp/psm) equal the Dataset forms") {
+    SqlRegistry.register(spark)
+    Tables(spark, sf, "lineitem").createOrReplaceTempView("lineitem")
+    val li = Tables(spark, sf, "lineitem")
+    val treat = (col("l_discount") >= 0.05).cast("long")
+    val outcome = org.apache.spark.sql.functions
+      .round(col("l_extendedprice") * 100)
+    val feats = Seq("intercept" -> lit(1L),
+      "qty_bucket" -> expr("CAST(l_quantity AS BIGINT) div 10"))
+
+    val ipwSql = spark.sql(
+      """SELECT * FROM graft_ipw_ate('lineitem',
+           'CAST(l_discount >= 0.05 AS BIGINT)',
+           'round(l_extendedprice * 100)', 3, 8,
+           '1L', 'CAST(l_quantity AS BIGINT) div 10')""")
+    val ipwApi = Supervised.ipwAte(li, treat, outcome, feats,
+      lrShift = 3, iters = 8)
+    assert(ipwSql.collect() === ipwApi.collect())
+
+    val gcSql = spark.sql(
+      """SELECT * FROM graft_gcomp_ate('lineitem',
+           'CAST(l_discount >= 0.05 AS BIGINT)',
+           'round(l_extendedprice * 100)',
+           'CAST(l_quantity AS BIGINT) div 10')""")
+    val gcApi = Supervised.gcompAte(li, treat, outcome, feats.tail)
+    assert(gcSql.collect() === gcApi.collect())
+
+    val psmSql = spark.sql(
+      """SELECT * FROM graft_psm_att('lineitem',
+           'CAST(l_discount >= 0.05 AS BIGINT)',
+           'round(l_extendedprice * 100)', 3, 8, 104857,
+           '1L', 'CAST(l_quantity AS BIGINT) div 10')""")
+    val psmApi = Supervised.psmAtt(li, treat, outcome, feats,
+      lrShift = 3, iters = 8, caliperQ = 104857L)
+    assert(psmSql.collect() === psmApi.collect())
   }
 }
