@@ -3202,6 +3202,109 @@ object Similarity {
       .select(col("id").as(idCol), col("mass_sum"))
   }
 
+  /** Batch-trained half-space-tree model: the per-(tree, level) midpoint
+    * split tables plus the per-tree leaf masses — BOUNDED metadata
+    * (≤ trees·2^depth entries per map), the broadcastable artifact the
+    * [[hstScore]] zero-state scorer rides. Node ids are the
+    * [[hstOutliers]] 2·node+side path codes.
+    */
+  case class HstModel(k: Int, depth: Int,
+      splits: Map[(Int, Int), Map[Long, Long]],
+      mass: Map[Int, Map[Long, Long]])
+
+  /** Train the deterministic half-space trees of [[hstOutliers]] and
+    * RETURN the model instead of the scores: the same level loop (exact
+    * integer midpoints of per-node bounding boxes, dimension rotation
+    * (level+tree) mod k), with each level's (tree, node → mid) split
+    * table and the final (tree, leaf → count) mass table collected —
+    * driver state is trees·2^depth longs, metadata by construction
+    * (hard-capped), while the corpus passes stay distributed.
+    */
+  def hstFit(points: DataFrame, idCol: String, dims: Seq[Column],
+      depth: Int): HstModel = {
+    require(dims.nonEmpty && depth >= 1 && depth <= 20,
+      "hstFit needs dims, 1 <= depth <= 20")
+    val k = dims.size
+    require(k.toLong * (1L << depth) <= (1L << 22),
+      "hstFit model must stay driver-bounded: trees * 2^depth <= 4M")
+    def ckpt(df: DataFrame): DataFrame =
+      org.apache.spark.sql.graftshim.GraftShim
+        .dropOriginStats(df.localCheckpoint(false))
+    def fdC(a: Column, b: Column): Column =
+      (call_function("div", a, b) +
+        when((a % b) < 0, -1L).otherwise(0L)).cast("long")
+    val pts = ckpt(points.select(
+      (col(idCol).cast("long").as("id") +:
+        dims.zipWithIndex.map { case (c, j) =>
+          floor(c.cast("double") * 1e6).cast("long").as(s"d$j") }): _*))
+    require(pts.head(1).nonEmpty, "hstFit needs rows")
+    val splits = scala.collection.mutable.Map.empty[(Int, Int), Map[Long, Long]]
+    var asg = ckpt(pts.select(col("id"),
+      explode(array((0 until k).map(t => lit(t.toLong)): _*)).as("tree"))
+      .withColumn("node", lit(0L)))
+    for (level <- 0 until depth) {
+      val v = (0 until k).map { t =>
+        (col("tree") === t.toLong, col(s"d${(level + t) % k}"))
+      }.foldRight(lit(null).cast("long"): Column) { case ((p, c), rest) =>
+        when(p, c).otherwise(rest)
+      }
+      val joined = asg.join(pts, Seq("id")).withColumn("v", v)
+      val sp = joined.groupBy("tree", "node")
+        .agg(fdC(min(col("v")) + max(col("v")), lit(2L)).as("mid"))
+        .persist()
+      val rows = sp.select(col("tree").cast("int"), col("node"), col("mid"))
+        .collect()
+      for (t <- 0 until k)
+        splits((t, level)) = rows.iterator
+          .filter(_.getInt(0) == t).map(r => r.getLong(1) -> r.getLong(2))
+          .toMap
+      asg = ckpt(joined.join(broadcast(sp), Seq("tree", "node"))
+        .select(col("id"), col("tree"),
+          (col("node") * 2 + when(col("v") > col("mid"), 1L).otherwise(0L))
+            .as("node")))
+      sp.unpersist()
+    }
+    val mass = asg.groupBy("tree", "node").agg(count(lit(1)).as("m"))
+      .select(col("tree").cast("int"), col("node"), col("m"))
+      .collect()
+    HstModel(k, depth, splits.toMap,
+      (0 until k).map(t => t -> mass.iterator.filter(_.getInt(0) == t)
+        .map(r => r.getLong(1) -> r.getLong(2)).toMap).toMap)
+  }
+
+  /** Zero-state half-space-tree outlier scoring against a batch-trained
+    * [[HstModel]] — the streaming-side member of the outlier family
+    * (the q399 trained-artifact pattern applied to live scoring): each
+    * row routes down every tree through LITERAL-MAP midpoint lookups (a
+    * pure whole-stage-codegen column expression — no join, no shuffle,
+    * no state), and its score is the summed training leaf mass. LOW
+    * mass = anomalous; a row landing in a region no training point
+    * visited scores 0 — maximally anomalous, the right read for an
+    * unseen regime. Works unchanged on batch AND streaming frames; on
+    * the training table itself it reproduces [[hstOutliers]]'s mass_sum
+    * bit for bit (spec-pinned), so thresholds tuned on the batch scan
+    * transfer to the stream.
+    */
+  def hstScore(df: DataFrame, idCol: String, dims: Seq[Column],
+      model: HstModel): DataFrame = {
+    require(dims.size == model.k,
+      s"hstScore needs ${model.k} dims to match the model")
+    val dcols = dims.zipWithIndex.map { case (c, j) =>
+      floor(c.cast("double") * 1e6).cast("long").as(s"d$j") }
+    val projected = df.select(col(idCol).as(idCol) +: dcols: _*)
+    val score = (0 until model.k).map { t =>
+      var node: Column = lit(0L)
+      for (level <- 0 until model.depth) {
+        val mid = element_at(
+          typedlit(model.splits((t, level))), node)
+        val v = col(s"d${(level + t) % model.k}")
+        node = node * 2 + when(v > mid, 1L).otherwise(0L)
+      }
+      coalesce(element_at(typedlit(model.mass(t)), node), lit(0L))
+    }.reduce(_ + _)
+    projected.select(col(idCol), score.as("mass_sum"))
+  }
+
   /** Unrolled oracle for [[hstOutliers]]: per (tree, level) one split
     * CTE + one reassignment CTE — generated, so any depth/dims emit the
     * same SQL shape. dimsSql projects id, d0..d{k-1} (already micros).
@@ -3244,6 +3347,18 @@ object Similarity {
     hstOutliers(Tables.embeddings(s, d), "vec_id",
       Seq(col("embedding").getItem(0), col("embedding").getItem(1)),
       depth = 7, topN = 20)
+  // ---- q426: the q411 scan through the fit-then-score seam --------------------
+  // Train the model (bounded driver metadata), score the SAME table with
+  // the zero-state literal-map scorer — shares q411's oracle verbatim:
+  // the train/score split must not move a single score (the property
+  // that lets the stream scorer reuse batch-tuned thresholds).
+  private def q426(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+    val dims = Seq(col("embedding").getItem(0), col("embedding").getItem(1))
+    hstScore(e, "vec_id", dims, hstFit(e, "vec_id", dims, depth = 7))
+      .orderBy(col("mass_sum"), col("vec_id"))
+      .limit(20)
+  }
   private[operators] val q411Sql = hstOutliersSql(
     """SELECT vec_id AS id,
         floor(embedding[1]::DOUBLE*1e6)::BIGINT AS d0,
@@ -3299,6 +3414,7 @@ object Similarity {
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q404_dbscan", q404, Some(q404Sql)),
     QueryDef("q411_hst_outliers", q411, Some(q411Sql)),
+    QueryDef("q426_hst_fit_score", q426, Some(q411Sql)),
     QueryDef("q252_centroid_drift", q252, Some(q252Sql)),
     QueryDef("q265_kmeans_elbow", q265, Some(q265Sql)),
     QueryDef("q277_centroid_classifier", q277, Some(q277Sql)),

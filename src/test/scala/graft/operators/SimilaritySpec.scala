@@ -526,6 +526,35 @@ class SimilaritySpec extends SparkSpec {
     assert(ivf.map(_._1).subsetOf(exact.map(_._1)))
   }
 
+  test("hstFit + hstScore reproduce hstOutliers scores on the training table") {
+    val e = graft.Tables.embeddings(spark, sf)
+    val n = e.count().toInt
+    val dims = Seq(col("embedding").getItem(0), col("embedding").getItem(1))
+    val batch = Similarity.hstOutliers(e, "vec_id", dims,
+        depth = 6, topN = n)
+      .as[(Long, Long)].collect().toMap
+    val model = Similarity.hstFit(e, "vec_id", dims, depth = 6)
+    val scored = Similarity.hstScore(e, "vec_id", dims, model)
+      .as[(Long, Long)].collect().toMap
+    assert(scored === batch)
+    // An extreme probe still routes (the rightmost path of a midpoint
+    // tree stays populated) — no crash, a valid low-ish mass.
+    val probe = Seq((9999L, 1e9, -1e9)).toDF("vec_id", "x", "y")
+    val ps = Similarity.hstScore(probe, "vec_id", Seq($"x", $"y"), model)
+      .as[(Long, Long)].collect()
+    assert(ps.length == 1 && ps.head._2 >= 0L)
+    // A probe landing in a node NO training point visited scores 0
+    // (maximally anomalous): 1-D corpus {0, 1, 10}; depth-3 tree splits
+    // node0 at 5, node1 at 10 — probe 12 goes right of 10 into the
+    // never-populated child, every later lookup misses, mass 0.
+    val train = Seq((1L, 0.0), (2L, 1.0), (3L, 10.0)).toDF("id", "x")
+    val m1 = Similarity.hstFit(train, "id", Seq($"x"), depth = 3)
+    val pr = Similarity.hstScore(Seq((99L, 12.0)).toDF("id", "x"),
+        "id", Seq($"x"), m1)
+      .as[(Long, Long)].collect()
+    assert(pr === Array((99L, 0L)))
+  }
+
   test("centroidClassifier recovers planted axis-aligned labels") {
     // Label 0 lives on +x, label 1 on +y; train rows are even ids,
     // eval rows odd. One eval vector per label sits clearly in its own

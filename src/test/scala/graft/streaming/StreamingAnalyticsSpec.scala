@@ -375,6 +375,47 @@ class StreamingAnalyticsSpec extends SparkSpec {
     assert(streamed.map(_._3) === Set("train", "val", "test"))
   }
 
+  test("hstScore streams live anomaly scores equal to the batch scan, across a restart") {
+    // The linear-cost outlier scorer's streaming face: a batch-trained
+    // HstModel is pure literal metadata, so scoring is a stateless map —
+    // stream scores must equal the batch scores row for row, and a NEW
+    // query over the same checkpoint must resume scoring data that
+    // arrived while it was down (zero state to rebuild).
+    import graft.operators.Similarity
+    val e = graft.Tables.embeddings(spark, sf)
+    val dims = Seq(col("embedding").getItem(0), col("embedding").getItem(1))
+    val model = Similarity.hstFit(e, "vec_id", dims, depth = 6)
+    val rows = e.select(col("vec_id"),
+        col("embedding").getItem(0).cast("double"),
+        col("embedding").getItem(1).cast("double"))
+      .as[(Long, Double, Double)].collect().toSeq
+    val (half1, half2) = rows.splitAt(rows.size / 2)
+    val ms = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Double, Double)](spark)
+    val ckpt = tmp("ckpt_hst")
+    val buf = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long)]()
+    def scoredStream = Similarity.hstScore(
+      ms.toDF().toDF("vec_id", "x", "y"), "vec_id", Seq($"x", $"y"), model)
+    def start() = scoredStream.writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (d: org.apache.spark.sql.DataFrame, _: Long) =>
+        d.collect().foreach(r => buf.add((r.getLong(0), r.getLong(1))))
+      }.start()
+    val q1 = start()
+    try { ms.addData(half1); q1.processAllAvailable() }
+    finally { q1.stop(); q1.awaitTermination(60000) }
+    // Data lands while the query is down; the restarted query picks it up.
+    ms.addData(half2)
+    val q2 = start()
+    try q2.processAllAvailable()
+    finally { q2.stop(); q2.awaitTermination(60000) }
+    import scala.jdk.CollectionConverters._
+    val streamed = buf.asScala.toMap
+    val batch = Similarity.hstScore(e, "vec_id", dims, model)
+      .as[(Long, Long)].collect().toMap
+    assert(streamed === batch)
+  }
+
   test("decode recovers every typed event field from payload bytes") {
     val q = decoded().writeStream.format("memory").queryName("decoded_all")
       .option("checkpointLocation", tmp("ckpt_dec"))
