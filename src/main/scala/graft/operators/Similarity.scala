@@ -3140,6 +3140,260 @@ object Similarity {
       .orderBy(col("n_points").desc, col("cluster_id"))
   }
 
+  /** Per-point DBSCAN STATE for incremental maintenance — the carried
+    * artifact between corpus refreshes: one row per point with its
+    * micro coordinates, eps-neighbor count, core cluster label (null
+    * for non-core) and the SET of adjacent core cluster labels `bcls`
+    * (null for points with no core neighbor). The set — not just its
+    * min — is carried because cluster MERGES remap labels: a border
+    * next to clusters {5, 7} must follow 7 when 7 merges into 1
+    * elsewhere, which the scalar min alone cannot see.
+    * [[dbscanCensus]] derives the [[dbscanGrid]] census from state
+    * alone; [[dbscanGridIncrement]] folds an insert batch into it
+    * touching only increment neighborhoods.
+    */
+  def dbscanState(points: DataFrame, idCol: String, xCol: Column,
+      yCol: Column, epsMicro: Long, minPts: Int): DataFrame = {
+    require(epsMicro > 0 && minPts >= 1, "need epsMicro > 0, minPts >= 1")
+    val e = lit(epsMicro)
+    def fdiv(a: Column): Column =
+      (call_function("div", a, e) +
+        when((a % e) < 0, -1L).otherwise(0L)).cast("long")
+    val pts = points.select(col(idCol).cast("long").as("id"),
+        floor(xCol.cast("double") * 1e6).cast("long").as("x"),
+        floor(yCol.cast("double") * 1e6).cast("long").as("y"))
+      .withColumn("cx", fdiv(col("x")))
+      .withColumn("cy", fdiv(col("y")))
+      .localCheckpoint(false)
+    val probe = pts.select(col("id").as("aid"), col("x").as("ax"),
+      col("y").as("ay"), col("cx").as("jcx"), col("cy").as("jcy"))
+    val cand = pts.select(col("id").as("bid"), col("x").as("bx"),
+        col("y").as("by"), col("cx").as("bcx"), col("cy").as("bcy"),
+        explode(array(lit(-1L), lit(0L), lit(1L))).as("dx"))
+      .select(col("bid"), col("bx"), col("by"),
+        (col("bcx") + col("dx")).as("jcx"), col("bcy"),
+        explode(array(lit(-1L), lit(0L), lit(1L))).as("dy"))
+      .select(col("bid"), col("bx"), col("by"), col("jcx"),
+        (col("bcy") + col("dy")).as("jcy"))
+    val nbr = probe.join(cand, Seq("jcx", "jcy"))
+      .filter(col("aid") =!= col("bid") &&
+        (col("ax") - col("bx")) * (col("ax") - col("bx")) +
+          (col("ay") - col("by")) * (col("ay") - col("by")) <= e * e)
+      .select(col("aid"), col("bid"))
+      .localCheckpoint(false)
+    val base = pts.join(
+        nbr.groupBy("aid").agg(count(lit(1)).as("nc")),
+        col("id") === col("aid"), "left")
+      .select(col("id"), col("x"), col("y"),
+        coalesce(col("nc"), lit(0L)).as("ncnt"))
+      .localCheckpoint(false)
+    val core = base.filter(col("ncnt") + 1 >= minPts).select(col("id"))
+    val ce = nbr
+      .join(core.withColumnRenamed("id", "aid"), Seq("aid"))
+      .join(core.withColumnRenamed("id", "bid"), Seq("bid"))
+      .select(col("aid"), col("bid"))
+      .union(core.select(col("id").as("aid"), col("id").as("bid")))
+    val labs = Dedup.dedupClusters(ce, "aid", "bid")
+    val borders = nbr
+      .join(core.withColumnRenamed("id", "aid"), Seq("aid"), "left_anti")
+      .join(core.withColumnRenamed("id", "bid"), Seq("bid"))
+      .join(labs.withColumnRenamed("doc_id", "bid"), Seq("bid"))
+      .groupBy("aid")
+      .agg(sort_array(collect_set(col("cluster_id"))).as("bcls"))
+    base
+      .join(labs.withColumnRenamed("doc_id", "id")
+        .withColumnRenamed("cluster_id", "cluster"), Seq("id"), "left")
+      .join(borders.withColumnRenamed("aid", "id"), Seq("id"), "left")
+      .select(col("id"), col("x"), col("y"), col("ncnt"),
+        col("cluster"), col("bcls"))
+  }
+
+  /** The [[dbscanGrid]] census derived from [[dbscanState]] alone — no
+    * data access: clusters from core labels, borders from the min of
+    * their adjacent-cluster set, noise = the unlabeled remainder.
+    * dbscanCensus(dbscanState(p)) ≡ dbscanGrid(p) (spec-pinned).
+    */
+  def dbscanCensus(state: DataFrame): DataFrame = {
+    val clusters = state.filter(col("cluster").isNotNull)
+      .groupBy(col("cluster").as("cluster_id"))
+      .agg(count(lit(1)).as("n_core"))
+      .join(state.filter(col("cluster").isNull && col("bcls").isNotNull)
+          .groupBy(array_min(col("bcls")).as("cluster_id"))
+          .agg(count(lit(1)).as("n_border")),
+        Seq("cluster_id"), "left")
+      .select(col("cluster_id"),
+        (col("n_core") + coalesce(col("n_border"), lit(0L))).as("n_points"),
+        col("n_core"), coalesce(col("n_border"), lit(0L)).as("n_border"))
+    val noise = state.filter(col("cluster").isNull && col("bcls").isNull)
+      .agg(count(lit(1)).as("n_points"))
+      .select(lit(-1L).as("cluster_id"), col("n_points"),
+        lit(0L).as("n_core"), lit(0L).as("n_border"))
+    clusters.unionAll(noise)
+      .orderBy(col("n_points").desc, col("cluster_id"))
+  }
+
+  /** Fold an INSERT batch into a [[dbscanState]] — incremental exact
+    * DBSCAN maintenance (the q121 increment discipline applied to
+    * density clustering): new points probe the existing eps-grid, so
+    * candidate pairs, core promotions, and border-set updates all cost
+    * |Δ|·local-density, never a base rescan; the returned state is
+    * BIT-IDENTICAL to dbscanState(base ∪ Δ) (spec-pinned). Insertions
+    * only ever (a) raise neighbor counts in Δ's neighborhoods, (b)
+    * promote exactly those points to core, and (c) merge the touched
+    * clusters — closed over the LABEL graph (old labels + new core ids,
+    * bridged by the new core-core edges), a bounded relation the
+    * pointer-doubled fixpoint collapses in log rounds. Label remaps
+    * only ever DECREASE a label (new label = component min), so a
+    * border's new min-adjacent-cluster is min(array_min(old set),
+    * min over remapped/new contributions) — the identity that keeps
+    * untouched border rows untouched. Insert-only (the published
+    * IncrementalDBSCAN restriction: deletions need the full neighbor
+    * relation, which the state deliberately does not carry). Δ ids must
+    * be fresh (guarded) and >= 0.
+    *
+    * Scale: two grid probes (Δ and the newly-core set, each exploded
+    * 3×3 against the point set's cells), one label-table closure, and
+    * label-keyed broadcast remaps; border-set rebuilds touch only rows
+    * whose sets intersect the remapped labels or that gained a core
+    * neighbor. The point set shuffles once per increment on cell keys —
+    * pre-partition the carried state by (cx, cy) to co-locate
+    * successive increments.
+    */
+  def dbscanGridIncrement(state: DataFrame, delta: DataFrame,
+      idCol: String, xCol: Column, yCol: Column, epsMicro: Long,
+      minPts: Int): DataFrame = {
+    require(epsMicro > 0 && minPts >= 1, "need epsMicro > 0, minPts >= 1")
+    val e = lit(epsMicro)
+    def fdiv(a: Column): Column =
+      (call_function("div", a, e) +
+        when((a % e) < 0, -1L).otherwise(0L)).cast("long")
+    def cells(df: DataFrame): DataFrame = df
+      .withColumn("cx", fdiv(col("x"))).withColumn("cy", fdiv(col("y")))
+    val st = state.localCheckpoint(false)
+    val dpts = cells(delta.select(col(idCol).cast("long").as("id"),
+        floor(xCol.cast("double") * 1e6).cast("long").as("x"),
+        floor(yCol.cast("double") * 1e6).cast("long").as("y")))
+      .localCheckpoint(false)
+    require(dpts.join(st.select(col("id")), Seq("id")).isEmpty,
+      "dbscanGridIncrement is insert-only: delta ids must be fresh")
+    val allPts = cells(st.select(col("id"), col("x"), col("y")))
+      .unionByName(dpts.select(col("id"), col("x"), col("y"),
+        col("cx"), col("cy")))
+      .localCheckpoint(false)
+    // One grid probe of a (small) point set against every point's cell:
+    // the probe side explodes 3×3, each qualifying pair is found once.
+    def gridPairs(small: DataFrame): DataFrame = small
+      .select(col("id").as("aid"), col("x").as("ax"), col("y").as("ay"),
+        col("cx").as("pcx"), col("cy").as("pcy"))
+      .withColumn("dx", explode(array(lit(-1L), lit(0L), lit(1L))))
+      .withColumn("dy", explode(array(lit(-1L), lit(0L), lit(1L))))
+      .select(col("aid"), col("ax"), col("ay"),
+        (col("pcx") + col("dx")).as("cx"),
+        (col("pcy") + col("dy")).as("cy"))
+      .join(allPts.select(col("id").as("bid"), col("x").as("bx"),
+        col("y").as("by"), col("cx"), col("cy")), Seq("cx", "cy"))
+      .filter(col("aid") =!= col("bid") &&
+        (col("ax") - col("bx")) * (col("ax") - col("bx")) +
+          (col("ay") - col("by")) * (col("ay") - col("by")) <= e * e)
+      .select(col("aid"), col("bid"))
+    val p1 = gridPairs(dpts).localCheckpoint(false)
+    // Updated neighbor counts: base rows gain their Δ-neighbor count
+    // (p1 rows whose bid is NOT a Δ id), Δ rows count all their pairs.
+    val addB = p1.join(dpts.select(col("id").as("bid")), Seq("bid"),
+        "left_anti")
+      .groupBy(col("bid").as("id")).agg(count(lit(1)).as("add"))
+    val dn = p1.groupBy(col("aid").as("id")).agg(count(lit(1)).as("dnc"))
+    val baseUp = st.join(addB, Seq("id"), "left")
+      .withColumn("ncnt2", col("ncnt") + coalesce(col("add"), lit(0L)))
+      .localCheckpoint(false)
+    val deltaUp = dpts.join(dn, Seq("id"), "left")
+      .withColumn("ncnt2", coalesce(col("dnc"), lit(0L)))
+      .localCheckpoint(false)
+    // Newly-core points: base promotions + core Δ rows.
+    val newCoreBase = baseUp
+      .filter(col("ncnt") + 1 < minPts && col("ncnt2") + 1 >= minPts)
+      .select(col("id"), col("x"), col("y"))
+      .localCheckpoint(false)
+    val coreDelta = deltaUp.filter(col("ncnt2") + 1 >= minPts)
+      .select(col("id")).localCheckpoint(false)
+    val p2 = gridPairs(cells(newCoreBase)).localCheckpoint(false)
+    // Representative per core-after point: old cores speak as their
+    // label, new cores as themselves — the label graph's node set.
+    val reps = st.filter(col("cluster").isNotNull)
+      .select(col("id"), col("cluster").as("rep"))
+      .unionByName(newCoreBase.select(col("id"), col("id").as("rep")))
+      .unionByName(coreDelta.select(col("id"), col("id").as("rep")))
+      .localCheckpoint(false)
+    // New core-core edges at rep level (+ self-pairs so isolated new
+    // cores form singleton clusters), closed transitively.
+    val edges = p1.unionByName(p2)
+      .join(reps.select(col("id").as("aid"), col("rep").as("r1")), Seq("aid"))
+      .join(reps.select(col("id").as("bid"), col("rep").as("r2")), Seq("bid"))
+      .select(col("r1"), col("r2"))
+      .unionByName(newCoreBase.select(col("id")).unionByName(coreDelta)
+        .select(col("id").as("r1"), col("id").as("r2")))
+    val repMap = Dedup.dedupClusters(edges, "r1", "r2")
+      .select(col("doc_id").as("rep"), col("cluster_id").as("lab"))
+      .localCheckpoint(false)
+    // Every core-after point's final label: its rep, remapped.
+    val clustered = reps
+      .join(broadcast(repMap), Seq("rep"), "left")
+      .select(col("id"), coalesce(col("lab"), col("rep")).as("clab"))
+      .localCheckpoint(false)
+    // Border-set maintenance. New adjacent-core contributions: Δ points
+    // take every core-after neighbor's label; base points take only
+    // NEWLY-core neighbors (old core adjacency is already in the set).
+    val contrib = p1.select(col("aid"), col("bid"))
+      .unionByName(p1.select(col("bid").as("aid"), col("aid").as("bid")))
+      .unionByName(p2.select(col("bid").as("aid"), col("aid").as("bid")))
+      .join(clustered.withColumnRenamed("id", "bid")
+        .withColumnRenamed("clab", "nlab"), Seq("bid"))
+      .select(col("aid").as("id"), col("nlab"))
+      .localCheckpoint(false)
+    // Old sets: explode only rows whose elements the repMap touches
+    // (labels only ever decrease, so untouched rows keep their arrays),
+    // rebuild those arrays element-remapped.
+    val oldBorders = st.filter(col("cluster").isNull && col("bcls").isNotNull)
+      .select(col("id"), col("bcls"))
+    val exploded = oldBorders
+      .select(col("id"), explode(col("bcls")).as("rep"))
+    val remappedIds = exploded.join(broadcast(repMap), Seq("rep"))
+      .select(col("id")).distinct()
+    val rebuiltOld = exploded
+      .join(remappedIds, Seq("id"), "left_semi")
+      .join(broadcast(repMap), Seq("rep"), "left")
+      .select(col("id"), coalesce(col("lab"), col("rep")).as("nlab"))
+    // Rows needing a new array: remapped sets and/or new contributions;
+    // rows keeping their old array contribute it wholesale beside the
+    // new labels so one collect_set rebuilds the exact final set.
+    val touchedIds = remappedIds
+      .unionByName(contrib.select(col("id"))).distinct()
+    val carried = oldBorders.join(remappedIds, Seq("id"), "left_anti")
+      .join(contrib.select(col("id")).distinct(), Seq("id"), "left_semi")
+      .select(col("id"), explode(col("bcls")).as("nlab"))
+    val rebuilt = rebuiltOld.unionByName(contrib).unionByName(carried)
+      .groupBy(col("id"))
+      .agg(sort_array(collect_set(col("nlab"))).as("bcls2"))
+      .localCheckpoint(false)
+    // Assemble: ncnt from the update pass, cluster from the remapped
+    // rep table, border sets = rebuilt where touched else carried-over;
+    // cores drop their set, borders/noise drop their label.
+    val merged = baseUp
+      .select(col("id"), col("x"), col("y"), col("ncnt2").as("ncnt"),
+        col("bcls"))
+      .unionByName(deltaUp.select(col("id"), col("x"), col("y"),
+        col("ncnt2").as("ncnt"), lit(null).cast("array<long>").as("bcls")))
+    merged
+      .join(clustered, Seq("id"), "left")
+      .join(rebuilt, Seq("id"), "left")
+      .join(touchedIds.withColumn("touched", lit(true)), Seq("id"), "left")
+      .select(col("id"), col("x"), col("y"), col("ncnt"),
+        col("clab").as("cluster"),
+        when(col("clab").isNotNull, lit(null).cast("array<long>"))
+          .otherwise(when(col("touched"), col("bcls2"))
+            .otherwise(col("bcls"))).as("bcls"))
+  }
+
   /** Deterministic half-space-tree outlier scores (the midpoint-split
     * variant of HS-Trees / isolation forests): each tree recursively
     * bisects the data's bounding box — level l of tree t splits

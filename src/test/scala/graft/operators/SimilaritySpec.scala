@@ -526,6 +526,78 @@ class SimilaritySpec extends SparkSpec {
     assert(ivf.map(_._1).subsetOf(exact.map(_._1)))
   }
 
+  test("dbscan state/census/increment: incremental equals full recompute") {
+    def stateRows(df: org.apache.spark.sql.DataFrame)
+        : Seq[(Long, Long, Long, Long, Option[Long], Option[Seq[Long]])] =
+      df.as[(Long, Long, Long, Long, Option[Long], Option[Seq[Long]])]
+        .collect().sortBy(_._1).toSeq
+    val all = graft.Tables.embeddings(spark, sf).filter(col("vec_id") < 1024)
+    val xc = col("embedding").getItem(0)
+    val yc = col("embedding").getItem(1)
+    // (1) The census derived from state equals dbscanGrid directly.
+    val grid = Similarity.dbscanGrid(all, "vec_id", xc, yc, 20000L, 5)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    val full = Similarity.dbscanState(all, "vec_id", xc, yc, 20000L, 5)
+    assert(Similarity.dbscanCensus(full)
+      .as[(Long, Long, Long, Long)].collect().toSeq === grid)
+    // (2) Folding the appended batch into the base state reproduces the
+    // full-recompute state bit for bit (labels, counts, border sets).
+    val base = all.filter(col("vec_id") < 700)
+    val delta = all.filter(col("vec_id") >= 700)
+    val inc = Similarity.dbscanGridIncrement(
+      Similarity.dbscanState(base, "vec_id", xc, yc, 20000L, 5),
+      delta, "vec_id", xc, yc, 20000L, 5)
+    assert(stateRows(inc) === stateRows(full))
+  }
+
+  test("dbscan increment merges clusters bridged by a new point (deterministic fixture)") {
+    // Two dense 4-point clusters (minPts=3) at x≈0 and x≈10, eps=1.5:
+    // separate components labeled 1 and 10. The increment drops points
+    // at x=4.7/6.2 chaining them — the merged cluster must relabel to
+    // the global min core id, exercising the label-graph closure and
+    // the border-set remap; a far-away singleton stays noise.
+    def pts(rows: Seq[(Long, Double)]) =
+      rows.toDF("id", "x").withColumn("y", lit(0.0))
+    val base = pts(Seq(1L -> 0.0, 2L -> 0.5, 3L -> 1.0, 4L -> 1.4,
+      10L -> 10.0, 11L -> 10.5, 12L -> 11.0, 13L -> 11.4,
+      // border of the right cluster only (within 1.5 of 10.0):
+      20L -> 8.6,
+      // noise:
+      30L -> 50.0))
+    // 1.4-spaced chain from cluster A's rim (1.4) to the border point
+    // at 8.6 — every chain point gets 2 neighbors (core at minPts=3),
+    // and 20 gains a second neighbor, PROMOTING the base border to core.
+    val delta = pts(Seq(40L -> 2.8, 41L -> 4.2, 42L -> 5.6, 43L -> 7.0,
+      44L -> 8.4,
+      // stays noise far away:
+      50L -> 99.0))
+    val eps = 1500000L // 1.5 in micros
+    val full = Similarity.dbscanState(
+      pts(Seq(1L -> 0.0, 2L -> 0.5, 3L -> 1.0, 4L -> 1.4,
+        10L -> 10.0, 11L -> 10.5, 12L -> 11.0, 13L -> 11.4, 20L -> 8.6,
+        30L -> 50.0, 40L -> 2.8, 41L -> 4.2, 42L -> 5.6, 43L -> 7.0,
+        44L -> 8.4, 50L -> 99.0)),
+      "id", $"x", $"y", eps, 3)
+    val inc = Similarity.dbscanGridIncrement(
+      Similarity.dbscanState(base, "id", $"x", $"y", eps, 3),
+      delta, "id", $"x", $"y", eps, 3)
+    val got = inc
+      .as[(Long, Long, Long, Long, Option[Long], Option[Seq[Long]])]
+      .collect().sortBy(_._1).toSeq
+    assert(got === full
+      .as[(Long, Long, Long, Long, Option[Long], Option[Seq[Long]])]
+      .collect().sortBy(_._1).toSeq)
+    // The bridge genuinely merged: every core now carries label 1.
+    val labels = got.flatMap(_._5).distinct
+    assert(labels === Seq(1L), s"expected one merged cluster, got $labels")
+    // Insert-only guard: replaying an existing id must fail loudly.
+    intercept[IllegalArgumentException] {
+      Similarity.dbscanGridIncrement(
+        Similarity.dbscanState(base, "id", $"x", $"y", eps, 3),
+        pts(Seq(1L -> 0.0)), "id", $"x", $"y", eps, 3)
+    }
+  }
+
   test("hstFit + hstScore reproduce hstOutliers scores on the training table") {
     val e = graft.Tables.embeddings(spark, sf)
     val n = e.count().toInt
