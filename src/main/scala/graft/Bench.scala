@@ -64,11 +64,22 @@ object Bench {
       try scala.io.Source.fromFile("/proc/loadavg").mkString
         .split(" ").head.toDouble
       catch { case _: Throwable => -1.0 }
+    // Two sweeps over the whole list, the second in REVERSE order, each
+    // query re-warmed immediately before its timings: machine load grows
+    // monotonically through a long sweep (r9: loadavg 0.99 -> 4.91), so
+    // back-to-back min-of-3 systematically inflates whatever registered
+    // last; the reverse sweep gives every query one head-of-run-shaped
+    // measurement and min-of-3 picks the quiet one.
     val loadBefore = loadavg()
-    val results = picked.map { q =>
+    val t1 = picked.map { q =>
       once(q) // isolated warm pass
-      q.name -> Seq(once(q), once(q), once(q))
-    }
+      q.name -> Seq(once(q), once(q))
+    }.toMap
+    val loadMid = loadavg()
+    val results = picked.reverse.map { q =>
+      once(q) // re-warm: the forward sweep's caches are long gone
+      q.name -> (t1(q.name) :+ once(q))
+    }.reverse
     val loadAfter = loadavg()
     def jstr(s: String): String =
       "\"" + s.flatMap {
@@ -83,7 +94,7 @@ object Bench {
     val errJson = errors.map { case (k, v) => jstr(k) + ":" + jstr(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2.min).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"passes":$passes,"loadavg_before":$loadBefore,"loadavg_after":$loadAfter,"errors":$errJson,"sf":${jstr(sfDir)}}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"passes":$passes,"loadavg_before":$loadBefore,"loadavg_mid":$loadMid,"loadavg_after":$loadAfter,"errors":$errJson,"sf":${jstr(sfDir)}}""")
     spark.stop()
   }
 }

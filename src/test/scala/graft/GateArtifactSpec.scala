@@ -51,6 +51,21 @@ class GateArtifactSpec extends AnyFunSuite {
         s"${missing.toSeq.sorted.mkString(", ")})")
   }
 
+  test("the quiet-window headline artifact accompanies the newest bench artifact") {
+    val (round, _) = newest.getOrElse(
+      fail("no bench/BENCH_FULL_r<N>.json committed — run tools/closing_gate.sh"))
+    // The gate runs the headline bench FIRST (r9 VERDICT "Next #4": the
+    // driver's own headline window is load-noisy; the committed
+    // quiet-start artifact is the arbitration record). Introduced r10.
+    if (round >= 10) {
+      val p = Paths.get(s"bench/BENCH_HEADLINE_r$round.json")
+      assert(Files.exists(p), s"missing $p — run tools/closing_gate.sh $round")
+      val text = new String(Files.readAllBytes(p), "UTF-8")
+      assert(text.contains("\"loadavg_before\":"),
+        s"headline artifact $p lacks the load fields")
+    }
+  }
+
   test("the stream drain artifact accompanies the newest bench artifact") {
     val (round, _) = newest.getOrElse(
       fail("no bench/BENCH_FULL_r<N>.json committed — run tools/closing_gate.sh"))

@@ -32,6 +32,27 @@ echo "== closing gate r${ROUND} =="
 echo "loadavg: $(cut -d' ' -f1-3 /proc/loadavg)  (headline numbers are" \
   "noise above ~3 — prefer a quiet machine)"
 
+echo "-- (a0) HEADLINE bench @ $SF_BENCH (first: the quietest window)"
+if ! SPARK_GRAFT_SF_DIR="$SF_BENCH" sbt -batch "runMain graft.Bench" \
+    > "$OUT/bench_headline.log" 2>&1; then
+  echo "GATE FAIL: headline Bench crashed (see $OUT/bench_headline.log)"
+  tail -20 "$OUT/bench_headline.log"
+  FAIL=1
+else
+  grep '"metric"' "$OUT/bench_headline.log" | sed 's/^\[info\] //' \
+    > "bench/BENCH_HEADLINE_r${ROUND}.json"
+  if ! python3 - "bench/BENCH_HEADLINE_r${ROUND}.json" <<'EOF'
+import json, sys
+j = json.load(open(sys.argv[1]))
+if j.get("errors"):
+    print(f"GATE FAIL: headline bench errors: {j['errors']}")
+    sys.exit(1)
+print(f"headline ok: total {j['value']:.2f}s, loadavg "
+      f"{j['loadavg_before']:.2f} -> {j['loadavg_after']:.2f}")
+EOF
+  then FAIL=1; fi
+fi
+
 echo "-- (a) full-surface bench @ $SF_BENCH"
 if ! SPARK_GRAFT_SF_DIR="$SF_BENCH" sbt -batch "runMain graft.Bench all" \
     > "$OUT/bench_full.log" 2>&1; then
