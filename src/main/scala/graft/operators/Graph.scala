@@ -1971,6 +1971,59 @@ object Graph {
   private val q422Sql = betweennessSql(coSaleAdjCtes,
     sources = 8, maxD = 12, topN = 40)
 
+  // The UNCAPPED kNN topology: edges from the bucketed q420 builder
+  // (IVF assignment/probe, 16 seeds, nprobe 4) over the FULL embedding
+  // corpus — the production composition the capped q407/q414 fixtures
+  // stand in for: graph build O(N²·nprobe/K), centrality from K pivots.
+  private val knnIvfAdjCtes =
+    """q8 AS MATERIALIZED (
+         SELECT vec_id AS vid, list_transform(embedding, x -> floor(x::DOUBLE /
+           (list_max(list_transform(embedding, y -> abs(y))))::DOUBLE
+           * 127)::BIGINT) AS q
+         FROM embeddings),
+       sd AS (SELECT vid AS seed_id, q AS sq FROM q8 WHERE vid < 16),
+       sc AS (
+         SELECT a.vid, a.q, s.seed_id,
+           row_number() OVER (PARTITION BY a.vid ORDER BY
+             list_sum(list_transform(range(1, len(a.q) + 1),
+               i -> (a.q[i] - s.sq[i]) * (a.q[i] - s.sq[i]))),
+             s.seed_id) AS rn
+         FROM q8 a CROSS JOIN sd s),
+       asg AS (SELECT vid, q, seed_id AS cluster FROM sc WHERE rn = 1),
+       prb AS (SELECT vid, q, seed_id AS cluster FROM sc WHERE rn <= 4),
+       pd AS (
+         SELECT a.vid AS u, b.vid AS v,
+           list_sum(list_transform(range(1, len(a.q) + 1),
+             i -> (a.q[i] - b.q[i]) * (a.q[i] - b.q[i])))::BIGINT AS d2
+         FROM prb a JOIN asg b ON a.cluster = b.cluster AND a.vid != b.vid),
+       knn AS MATERIALIZED (
+         SELECT u, v FROM (
+           SELECT u, v, row_number() OVER (PARTITION BY u
+             ORDER BY d2, v) AS rn FROM pd) t WHERE rn <= 3),
+       adj AS MATERIALIZED (
+         SELECT u AS a, v AS b FROM knn UNION SELECT v, u FROM knn),
+       nodes AS MATERIALIZED (SELECT DISTINCT a AS n FROM adj)"""
+  private def knnIvfEdges(s: SparkSession, d: String): DataFrame =
+    Similarity.knnEdgesIvf(Tables.embeddings(s, d),
+      Tables.embeddings(s, d).filter(col("vec_id") < 16),
+      "vec_id", "embedding", k = 3, nprobe = 4)
+
+  // ---- q427: closeness over the WHOLE embedding corpus, bucketed + sampled ----
+  // Both scale levers at once: the q420 IVF graph build and the q421
+  // pivot estimator (measured pivot eccentricity 5–6; bound 16).
+  private def q427(s: SparkSession, d: String): DataFrame =
+    closenessCentrality(knnIvfEdges(s, d), "u", "v",
+      maxDepth = 16, sources = 16)
+  private val q427Sql = closenessSampledSql(knnIvfAdjCtes,
+    sources = 16, maxD = 16)
+
+  // ---- q428: betweenness over the same uncapped IVF graph ---------------------
+  private def q428(s: SparkSession, d: String): DataFrame =
+    betweennessSampled(knnIvfEdges(s, d), "u", "v",
+      sources = 8, maxDepth = 16, topN = 30)
+  private val q428Sql = betweennessSql(knnIvfAdjCtes,
+    sources = 8, maxD = 16, topN = 30)
+
   // ---- q407: which embeddings sit central in the kNN topology? ----------------
   // The kNN-3 graph over a vec_id-capped embedding set (the q286
   // distance kernel); max eccentricity row = the graph diameter.
@@ -2021,6 +2074,8 @@ object Graph {
     QueryDef("q414_betweenness", q414, Some(q414Sql)),
     QueryDef("q421_closeness_cosale", q421, Some(q421Sql)),
     QueryDef("q422_betweenness_cosale", q422, Some(q422Sql)),
+    QueryDef("q427_closeness_knn_ivf", q427, Some(q427Sql)),
+    QueryDef("q428_betweenness_knn_ivf", q428, Some(q428Sql)),
     QueryDef("q262_salton_pairs", q262, Some(q262Sql)),
     QueryDef("q263_link_jaccard", q263, Some(q263Sql)),
     QueryDef("q279_link_candidates", q279, Some(q279Sql)),
