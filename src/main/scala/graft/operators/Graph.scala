@@ -2014,7 +2014,7 @@ object Graph {
   private def q427(s: SparkSession, d: String): DataFrame =
     closenessCentrality(knnIvfEdges(s, d), "u", "v",
       maxDepth = 16, sources = 16)
-  private val q427Sql = closenessSampledSql(knnIvfAdjCtes,
+  private[operators] val q427Sql = closenessSampledSql(knnIvfAdjCtes,
     sources = 16, maxD = 16)
 
   // ---- q428: betweenness over the same uncapped IVF graph ---------------------

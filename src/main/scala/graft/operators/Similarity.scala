@@ -2781,7 +2781,7 @@ object Similarity {
     knnEdgesIvf(e, e.filter(col("vec_id") < NumSeeds), "vec_id",
       "embedding", k = 3, nprobe = 4).orderBy(col("u"), col("v"))
   }
-  private val q420Sql =
+  private[operators] val q420Sql =
     s"""WITH q8 AS (
          SELECT vec_id AS vid, list_transform(embedding, x -> floor(x::DOUBLE /
            (list_max(list_transform(embedding, y -> abs(y))))::DOUBLE

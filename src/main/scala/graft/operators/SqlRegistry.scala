@@ -351,6 +351,21 @@ object SqlRegistry {
         topN = intLit(exprs(5), "topN"))
     }
 
+    // graft_knn_edges_ivf(table, idCol, vecCol, maxSeedId, k, nprobe):
+    // the bucketed kNN-graph builder (the q420 operator) — seeds are the
+    // id < maxSeedId rows; feed the (u, v) edges to graft_closeness /
+    // graft_betweenness for the full SQL-only centrality chain.
+    tvf("graft_knn_edges_ivf") { exprs =>
+      require(exprs.length == 6,
+        "graft_knn_edges_ivf(table, idCol, vecCol, maxSeedId, k, nprobe)")
+      val t = s.table(strLit(exprs(0), "table"))
+      val idCol = strLit(exprs(1), "idCol")
+      Similarity.knnEdgesIvf(t,
+        t.filter(col(idCol) < intLit(exprs(3), "maxSeedId")),
+        idCol, strLit(exprs(2), "vecCol"),
+        k = intLit(exprs(4), "k"), nprobe = intLit(exprs(5), "nprobe"))
+    }
+
     // graft_ipw_ate(table, treatExpr, outcomeExpr, lrShift, iters,
     // featExpr, ...): inverse-propensity-weighted ATE with the naive
     // contrast beside it (the q406 operator) — trailing args are the

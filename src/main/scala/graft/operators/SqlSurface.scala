@@ -244,6 +244,18 @@ object SqlSurface {
            'round(l_extendedprice * 100)', 3, 8, 104857,
            '1L', 'CAST(l_quantity AS BIGINT) div 10')""")
 
+  // ---- q429: the FULL SQL-only centrality chain -------------------------------
+  // Graph build (bucketed TVF) composed with the sampled-closeness TVF
+  // through a TEMP VIEW — no Scala in the loop; shares q427's oracle.
+  private def q429(s: SparkSession, d: String): DataFrame = {
+    SqlRegistry.register(s)
+    Tables(s, d, "embeddings").createOrReplaceTempView("embeddings")
+    s.sql("""CREATE OR REPLACE TEMPORARY VIEW knn_ivf_edges AS
+      SELECT * FROM graft_knn_edges_ivf('embeddings', 'vec_id',
+        'embedding', 16, 3, 4)""")
+    s.sql("SELECT * FROM graft_closeness('knn_ivf_edges', 'u', 'v', 16, 16)")
+  }
+
   private def q417(s: SparkSession, d: String): DataFrame = {
     SqlRegistry.register(s)
     Tables(s, d, "embeddings").createOrReplaceTempView("embeddings")
@@ -265,6 +277,7 @@ object SqlSurface {
     QueryDef("q409_sql_closeness", q409, Some(Graph.q407Sql)),
     QueryDef("q417_sql_hst_outliers", q417, Some(Similarity.q411Sql)),
     QueryDef("q418_sql_betweenness", q418, Some(Graph.q414Sql)),
+    QueryDef("q429_sql_knn_centrality", q429, Some(Graph.q427Sql)),
     QueryDef("q423_sql_ipw_ate", q423, Some(Supervised.q406Sql)),
     QueryDef("q424_sql_gcomp_ate", q424, Some(Supervised.q415Sql)),
     QueryDef("q425_sql_psm_att", q425, Some(Supervised.q419Sql)),

@@ -262,6 +262,20 @@ class SqlRegistrySpec extends SparkSpec {
     assert(csSql.except(csApi).isEmpty && csApi.except(csSql).isEmpty)
   }
 
+  test("graft_knn_edges_ivf TVF equals the Dataset builder") {
+    SqlRegistry.register(spark)
+    Tables(spark, sf, "embeddings").createOrReplaceTempView("embeddings")
+    val sqlEdges = spark.sql(
+      """SELECT * FROM graft_knn_edges_ivf('embeddings', 'vec_id',
+           'embedding', 16, 3, 4)""")
+    val e = Tables(spark, sf, "embeddings")
+    val apiEdges = Similarity.knnEdgesIvf(e,
+      e.filter(col("vec_id") < 16), "vec_id", "embedding",
+      k = 3, nprobe = 4)
+    assert(sqlEdges.except(apiEdges).isEmpty &&
+      apiEdges.except(sqlEdges).isEmpty)
+  }
+
   test("causal TVFs (ipw/gcomp/psm) equal the Dataset forms") {
     SqlRegistry.register(spark)
     Tables(spark, sf, "lineitem").createOrReplaceTempView("lineitem")
