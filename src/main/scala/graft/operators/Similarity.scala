@@ -3627,6 +3627,21 @@ object Similarity {
     dbscanGrid(Tables.embeddings(s, d).filter(col("vec_id") < 1024),
       "vec_id", col("embedding").getItem(0), col("embedding").getItem(1),
       epsMicro = 20000L, minPts = 5)
+
+  // ---- q430: the q404 census maintained INCREMENTALLY --------------------------
+  // Base state on the first 700 ids, the rest folded in as an insert
+  // batch, census derived from state alone — shares q404's oracle
+  // verbatim: the maintained clustering must equal the full recompute.
+  private def q430(s: SparkSession, d: String): DataFrame = {
+    val xc = col("embedding").getItem(0)
+    val yc = col("embedding").getItem(1)
+    val capped = Tables.embeddings(s, d).filter(col("vec_id") < 1024)
+    dbscanCensus(dbscanGridIncrement(
+      dbscanState(capped.filter(col("vec_id") < 700), "vec_id", xc, yc,
+        epsMicro = 20000L, minPts = 5),
+      capped.filter(col("vec_id") >= 700), "vec_id", xc, yc,
+      epsMicro = 20000L, minPts = 5))
+  }
   private[operators] val q404Sql =
     """WITH RECURSIVE pts AS (
         SELECT vec_id AS id, floor(embedding[1]::DOUBLE*1e6)::BIGINT AS x,
@@ -3667,6 +3682,7 @@ object Similarity {
 
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q404_dbscan", q404, Some(q404Sql)),
+    QueryDef("q430_dbscan_increment", q430, Some(q404Sql)),
     QueryDef("q411_hst_outliers", q411, Some(q411Sql)),
     QueryDef("q426_hst_fit_score", q426, Some(q411Sql)),
     QueryDef("q252_centroid_drift", q252, Some(q252Sql)),
