@@ -548,6 +548,17 @@ class SimilaritySpec extends SparkSpec {
       Similarity.dbscanState(base, "vec_id", xc, yc, 20000L, 5),
       delta, "vec_id", xc, yc, 20000L, 5)
     assert(stateRows(inc) === stateRows(full))
+    // (3) Two successive folds (the production cadence: state produced
+    // by one increment feeds the next) still equal the full recompute —
+    // the state round-trips, including the border-label arrays.
+    val d1 = all.filter(col("vec_id") >= 700 && col("vec_id") < 900)
+    val d2 = all.filter(col("vec_id") >= 900)
+    val inc2 = Similarity.dbscanGridIncrement(
+      Similarity.dbscanGridIncrement(
+        Similarity.dbscanState(base, "vec_id", xc, yc, 20000L, 5),
+        d1, "vec_id", xc, yc, 20000L, 5),
+      d2, "vec_id", xc, yc, 20000L, 5)
+    assert(stateRows(inc2) === stateRows(full))
   }
 
   test("dbscan increment merges clusters bridged by a new point (deterministic fixture)") {
