@@ -53,7 +53,12 @@ EOF
   then FAIL=1; fi
 fi
 
-echo "-- (a) full-surface bench @ $SF_BENCH"
+# Load decay between timing steps: each bench leaves loadavg at 4-5 and
+# the 1-minute average decays as e^(-t/60) — without the pause the NEXT
+# artifact starts contaminated by the previous step (r10 first gate run:
+# full bench started at loadavg 4.0 vs r9's 0.99).
+sleep "${GATE_DECAY_SECONDS:-150}"
+echo "-- (a) full-surface bench @ $SF_BENCH (loadavg now $(cut -d' ' -f1 /proc/loadavg))"
 if ! SPARK_GRAFT_SF_DIR="$SF_BENCH" sbt -batch "runMain graft.Bench all" \
     > "$OUT/bench_full.log" 2>&1; then
   echo "GATE FAIL: Bench all crashed (see $OUT/bench_full.log)"
@@ -75,7 +80,8 @@ EOF
   then FAIL=1; fi
 fi
 
-echo "-- (a) streaming drain bench @ $SF_BENCH"
+sleep "${GATE_DECAY_SECONDS:-150}"
+echo "-- (a) streaming drain bench @ $SF_BENCH (loadavg now $(cut -d' ' -f1 /proc/loadavg))"
 if ! SPARK_GRAFT_SF_DIR="$SF_BENCH" sbt -batch "runMain graft.StreamBench" \
     > "$OUT/streambench.log" 2>&1; then
   echo "GATE FAIL: StreamBench crashed (see $OUT/streambench.log)"
