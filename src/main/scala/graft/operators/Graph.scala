@@ -1725,22 +1725,31 @@ object Graph {
       .select(col("node").as("src"), col("node"), lit(0L).as("d")))
     val frontiers = scala.collection.mutable.ListBuffer(start)
     var frontier = start
+    // Visited accumulator: one checkpointed relation maintained across
+    // rounds (not a re-union of every prior frontier — that grows the
+    // plan O(diameter²) and matters on high-diameter graphs like chains
+    // or road networks; spec: 400-hop chain ≡ oracle recursion).
+    var visited = ckpt(start.select(col("src"), col("node")))
     var depth = 0L
     var more = true
     while (more) {
       depth += 1
-      require(depth <= maxDepth,
-        s"BFS did not drain in $maxDepth levels — the graph has a " +
-          "shortest path longer than maxDepth; raise it or cap the domain")
-      val visited = frontiers.map(_.select(col("src"), col("node")))
-        .reduce(_ union _)
       val nxt = ckpt(frontier.join(und, col("node") === col("a"))
         .select(col("src"), col("b").as("node"))
         .distinct()
         .join(visited, Seq("src", "node"), "left_anti")
         .withColumn("d", lit(depth)))
       if (nxt.count() == 0) { more = false; nxt.unpersist() }
-      else { frontiers += nxt; frontier = nxt }
+      else {
+        // Raise only on a still-live frontier PAST the bound, so a graph
+        // with eccentricity exactly maxDepth drains cleanly — matching
+        // the oracle recursion's `r.d < maxD` (which emits d = maxD).
+        require(depth <= maxDepth,
+          s"BFS did not drain in $maxDepth levels — the graph has a " +
+            "shortest path longer than maxDepth; raise it or cap the domain")
+        frontiers += nxt; frontier = nxt
+        visited = ckpt(visited.union(nxt.select(col("src"), col("node"))))
+      }
     }
     val dist = frontiers.map(_.select(col("src"), col("node"), col("d")))
       .reduce(_ union _)
@@ -1800,11 +1809,12 @@ object Graph {
         lit(1L).as("sig"))))
     var depth = 0
     var more = true
+    // Same visited-accumulator + drain-before-raise discipline as
+    // [[closenessCentrality]] (linear plan growth; eccentricity ==
+    // maxDepth drains instead of crashing).
+    var visited = ckpt(levels.head.select(col("src"), col("node")))
     while (more) {
       depth += 1
-      require(depth <= maxDepth, s"BFS exceeded maxDepth=$maxDepth")
-      val visited = levels.map(_.select(col("src"), col("node")))
-        .reduce(_ union _)
       val nxt = ckpt(levels.last.join(und, col("node") === col("a"))
         .select(col("src"), col("b"), col("sig"))
         .join(visited.withColumnRenamed("node", "b"), Seq("src", "b"),
@@ -1812,7 +1822,12 @@ object Graph {
         .groupBy(col("src"), col("b").as("node"))
         .agg(sum("sig").as("sig"))
         .select(col("src"), col("node"), col("sig")))
-      if (nxt.count() == 0) more = false else levels += nxt
+      if (nxt.count() == 0) more = false
+      else {
+        require(depth <= maxDepth, s"BFS exceeded maxDepth=$maxDepth")
+        levels += nxt
+        visited = ckpt(visited.union(nxt.select(col("src"), col("node"))))
+      }
     }
     // Degenerate graph (no level-1 frontier: empty edge input, or every
     // sampled source only self-loops): no shortest path routes through

@@ -24,6 +24,17 @@ import graft.functions.TextFunctions.{cosine, doti, quantize8}
   */
 object Similarity {
 
+  /** Postfix stats-dropping lazy checkpoint: successive increments chain
+    * state → state, so inherited origin sizeInBytes would compound across
+    * folds (the Catalyst stats blowup that once hung dedupClusters/BFS
+    * planning) — every iterative/incremental checkpoint here drops them.
+    */
+  private implicit class CkptOps(private val df: DataFrame) {
+    def ckptNoStats: DataFrame =
+      org.apache.spark.sql.graftshim.GraftShim
+        .dropOriginStats(df.localCheckpoint(false))
+  }
+
   private val TopK = 5
   private val NumQueries = 10
   /** IVF: seed centroids are the first NumSeeds vectors (deterministic). */
@@ -3101,13 +3112,13 @@ object Similarity {
         (col("ax") - col("bx")) * (col("ax") - col("bx")) +
           (col("ay") - col("by")) * (col("ay") - col("by")) <= e * e)
       .select(col("aid"), col("bid"))
-      .localCheckpoint(false)
+      .ckptNoStats
     val core = pts.join(
         nbr.groupBy("aid").agg(count(lit(1)).as("nc")),
         col("id") === col("aid"), "left")
       .filter(coalesce(col("nc"), lit(0L)) + 1 >= minPts)
       .select(col("id"))
-      .localCheckpoint(false)
+      .ckptNoStats
     // Core-core edges + self-pairs (isolated cores form singleton
     // clusters; dedupClusters only labels nodes that appear in a pair).
     val ce = nbr
@@ -3164,7 +3175,13 @@ object Similarity {
         floor(yCol.cast("double") * 1e6).cast("long").as("y"))
       .withColumn("cx", fdiv(col("x")))
       .withColumn("cy", fdiv(col("y")))
-      .localCheckpoint(false)
+      .ckptNoStats
+    // Labels share the id domain (label = min core id of the component),
+    // so a negative id could collide with the census's -1 noise sentinel.
+    require(pts.agg(min(col("id"))).head.isNullAt(0) ||
+        pts.agg(min(col("id"))).head.getLong(0) >= 0L,
+      "dbscanState: point ids must be >= 0 (labels share the id domain; " +
+        "-1 is the census noise sentinel)")
     val probe = pts.select(col("id").as("aid"), col("x").as("ax"),
       col("y").as("ay"), col("cx").as("jcx"), col("cy").as("jcy"))
     val cand = pts.select(col("id").as("bid"), col("x").as("bx"),
@@ -3180,13 +3197,13 @@ object Similarity {
         (col("ax") - col("bx")) * (col("ax") - col("bx")) +
           (col("ay") - col("by")) * (col("ay") - col("by")) <= e * e)
       .select(col("aid"), col("bid"))
-      .localCheckpoint(false)
+      .ckptNoStats
     val base = pts.join(
         nbr.groupBy("aid").agg(count(lit(1)).as("nc")),
         col("id") === col("aid"), "left")
       .select(col("id"), col("x"), col("y"),
         coalesce(col("nc"), lit(0L)).as("ncnt"))
-      .localCheckpoint(false)
+      .ckptNoStats
     val core = base.filter(col("ncnt") + 1 >= minPts).select(col("id"))
     val ce = nbr
       .join(core.withColumnRenamed("id", "aid"), Seq("aid"))
@@ -3249,7 +3266,7 @@ object Similarity {
     * untouched border rows untouched. Insert-only (the published
     * IncrementalDBSCAN restriction: deletions need the full neighbor
     * relation, which the state deliberately does not carry). Δ ids must
-    * be fresh (guarded) and >= 0.
+    * be fresh and >= 0 (both guarded).
     *
     * Scale: two grid probes (Δ and the newly-core set, each exploded
     * 3×3 against the point set's cells), one label-table closure, and
@@ -3269,17 +3286,23 @@ object Similarity {
         when((a % e) < 0, -1L).otherwise(0L)).cast("long")
     def cells(df: DataFrame): DataFrame = df
       .withColumn("cx", fdiv(col("x"))).withColumn("cy", fdiv(col("y")))
-    val st = state.localCheckpoint(false)
+    val st = state.ckptNoStats
     val dpts = cells(delta.select(col(idCol).cast("long").as("id"),
         floor(xCol.cast("double") * 1e6).cast("long").as("x"),
         floor(yCol.cast("double") * 1e6).cast("long").as("y")))
-      .localCheckpoint(false)
+      .ckptNoStats
     require(dpts.join(st.select(col("id")), Seq("id")).isEmpty,
       "dbscanGridIncrement is insert-only: delta ids must be fresh")
+    // Negative ids promoted to core would become cluster labels colliding
+    // with dbscanCensus's -1 noise sentinel — reject them at the door.
+    require(dpts.agg(min(col("id"))).head.isNullAt(0) ||
+        dpts.agg(min(col("id"))).head.getLong(0) >= 0L,
+      "dbscanGridIncrement: delta ids must be >= 0 (labels share the id " +
+        "domain; -1 is the census noise sentinel)")
     val allPts = cells(st.select(col("id"), col("x"), col("y")))
       .unionByName(dpts.select(col("id"), col("x"), col("y"),
         col("cx"), col("cy")))
-      .localCheckpoint(false)
+      .ckptNoStats
     // One grid probe of a (small) point set against every point's cell:
     // the probe side explodes 3×3, each qualifying pair is found once.
     def gridPairs(small: DataFrame): DataFrame = small
@@ -3296,7 +3319,7 @@ object Similarity {
         (col("ax") - col("bx")) * (col("ax") - col("bx")) +
           (col("ay") - col("by")) * (col("ay") - col("by")) <= e * e)
       .select(col("aid"), col("bid"))
-    val p1 = gridPairs(dpts).localCheckpoint(false)
+    val p1 = gridPairs(dpts).ckptNoStats
     // Updated neighbor counts: base rows gain their Δ-neighbor count
     // (p1 rows whose bid is NOT a Δ id), Δ rows count all their pairs.
     val addB = p1.join(dpts.select(col("id").as("bid")), Seq("bid"),
@@ -3305,25 +3328,25 @@ object Similarity {
     val dn = p1.groupBy(col("aid").as("id")).agg(count(lit(1)).as("dnc"))
     val baseUp = st.join(addB, Seq("id"), "left")
       .withColumn("ncnt2", col("ncnt") + coalesce(col("add"), lit(0L)))
-      .localCheckpoint(false)
+      .ckptNoStats
     val deltaUp = dpts.join(dn, Seq("id"), "left")
       .withColumn("ncnt2", coalesce(col("dnc"), lit(0L)))
-      .localCheckpoint(false)
+      .ckptNoStats
     // Newly-core points: base promotions + core Δ rows.
     val newCoreBase = baseUp
       .filter(col("ncnt") + 1 < minPts && col("ncnt2") + 1 >= minPts)
       .select(col("id"), col("x"), col("y"))
-      .localCheckpoint(false)
+      .ckptNoStats
     val coreDelta = deltaUp.filter(col("ncnt2") + 1 >= minPts)
-      .select(col("id")).localCheckpoint(false)
-    val p2 = gridPairs(cells(newCoreBase)).localCheckpoint(false)
+      .select(col("id")).ckptNoStats
+    val p2 = gridPairs(cells(newCoreBase)).ckptNoStats
     // Representative per core-after point: old cores speak as their
     // label, new cores as themselves — the label graph's node set.
     val reps = st.filter(col("cluster").isNotNull)
       .select(col("id"), col("cluster").as("rep"))
       .unionByName(newCoreBase.select(col("id"), col("id").as("rep")))
       .unionByName(coreDelta.select(col("id"), col("id").as("rep")))
-      .localCheckpoint(false)
+      .ckptNoStats
     // New core-core edges at rep level (+ self-pairs so isolated new
     // cores form singleton clusters), closed transitively.
     val edges = p1.unionByName(p2)
@@ -3334,12 +3357,12 @@ object Similarity {
         .select(col("id").as("r1"), col("id").as("r2")))
     val repMap = Dedup.dedupClusters(edges, "r1", "r2")
       .select(col("doc_id").as("rep"), col("cluster_id").as("lab"))
-      .localCheckpoint(false)
+      .ckptNoStats
     // Every core-after point's final label: its rep, remapped.
     val clustered = reps
       .join(broadcast(repMap), Seq("rep"), "left")
       .select(col("id"), coalesce(col("lab"), col("rep")).as("clab"))
-      .localCheckpoint(false)
+      .ckptNoStats
     // Border-set maintenance. New adjacent-core contributions: Δ points
     // take every core-after neighbor's label; base points take only
     // NEWLY-core neighbors (old core adjacency is already in the set).
@@ -3349,7 +3372,7 @@ object Similarity {
       .join(clustered.withColumnRenamed("id", "bid")
         .withColumnRenamed("clab", "nlab"), Seq("bid"))
       .select(col("aid").as("id"), col("nlab"))
-      .localCheckpoint(false)
+      .ckptNoStats
     // Old sets: explode only rows whose elements the repMap touches
     // (labels only ever decrease, so untouched rows keep their arrays),
     // rebuild those arrays element-remapped.
@@ -3374,7 +3397,7 @@ object Similarity {
     val rebuilt = rebuiltOld.unionByName(contrib).unionByName(carried)
       .groupBy(col("id"))
       .agg(sort_array(collect_set(col("nlab"))).as("bcls2"))
-      .localCheckpoint(false)
+      .ckptNoStats
     // Assemble: ncnt from the update pass, cluster from the remapped
     // rep table, border sets = rebuilt where touched else carried-over;
     // cores drop their set, borders/noise drop their label.

@@ -72,6 +72,54 @@ class GraphSpec extends SparkSpec {
     assert(meanErr <= 0.15, s"mean relative closeness error $meanErr")
   }
 
+  test("BFS with eccentricity exactly maxDepth drains instead of crashing") {
+    // Path 1-2-3-4: diameter 3. The bound must raise only on a frontier
+    // still live PAST maxDepth — matching the oracle recursion `r.d < maxD`
+    // which emits d = maxD rows (the r10 advisor's off-by-one).
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("u", "v")
+    val tight = Graph.closenessCentrality(edges, "u", "v", maxDepth = 3)
+      .as[(Long, Long, Long, Long)].collect()
+    val loose = Graph.closenessCentrality(edges, "u", "v", maxDepth = 16)
+      .as[(Long, Long, Long, Long)].collect()
+    assert(tight === loose)
+    val bTight = Graph.betweennessSampled(edges, "u", "v",
+      sources = 4, maxDepth = 3, topN = 4).as[(Long, Long)].collect()
+    val bLoose = Graph.betweennessSampled(edges, "u", "v",
+      sources = 4, maxDepth = 16, topN = 4).as[(Long, Long)].collect()
+    assert(bTight === bLoose)
+    // One past the diameter must still raise loudly.
+    assertThrows[IllegalArgumentException] {
+      Graph.closenessCentrality(edges, "u", "v", maxDepth = 2).collect()
+    }
+  }
+
+  test("closenessCentrality visited accumulator survives a 400-hop chain") {
+    // Chain 0-1-...-400 from a single pivot: 400 level rounds. With the
+    // old per-round re-union of ALL prior frontiers the plan grows
+    // O(rounds²); the maintained checkpointed accumulator keeps each
+    // round's plan constant-size. Output is checked against the closed
+    // form: pivot p (md5-min node), rh = n-1 for every reached node,
+    // ecc_i = |i-p|, closeness_micro = ((n-1)·1e6) div (n·|i-p|).
+    val n = 401L
+    val edges = (0L until n - 1).map(i => (i, i + 1)).toDF("u", "v")
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def md5hex(s: String): String =
+      md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val p = (0L until n).minBy(i => (md5hex(i.toString), i))
+    val got = Graph.closenessCentrality(edges, "u", "v",
+        maxDepth = 400, sources = 1)
+      .as[(Long, Long, Long, Long)].collect()
+    assert(got.length === n)
+    val byNode = got.map(r => r._1 -> r).toMap
+    (0L until n).foreach { i =>
+      val d = math.abs(i - p)
+      val expected =
+        if (d == 0) (i, n - 1, 0L, 0L)
+        else (i, n - 1, d, ((n - 1) * 1000000L) / (n * d))
+      assert(byNode(i) === expected, s"node $i (pivot $p)")
+    }
+  }
+
   test("betweennessSampled returns empty (not a crash) on a self-loop-only graph") {
     // Every node only self-loops -> no level-1 frontier; the backward
     // sweep has nothing to fold and the operator must return the empty
