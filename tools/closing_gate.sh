@@ -56,8 +56,26 @@ fi
 # Load decay between timing steps: each bench leaves loadavg at 4-5 and
 # the 1-minute average decays as e^(-t/60) — without the pause the NEXT
 # artifact starts contaminated by the previous step (r10 first gate run:
-# full bench started at loadavg 4.0 vs r9's 0.99).
-sleep "${GATE_DECAY_SECONDS:-150}"
+# full bench started at loadavg 4.0 vs r9's 0.99). A fixed sleep proved
+# insufficient (r10 verdict What's-wrong #2), so wait until the machine
+# is actually quiet: loadavg < GATE_QUIET_LOAD (default 1.0), capped at
+# GATE_DECAY_MAX_SECONDS (default 600) so a stuck background process
+# can't wedge the gate.
+wait_quiet() {
+  local limit="${GATE_QUIET_LOAD:-1.0}" max="${GATE_DECAY_MAX_SECONDS:-600}"
+  local waited=0
+  while [ "$waited" -lt "$max" ]; do
+    local la
+    la="$(cut -d' ' -f1 /proc/loadavg)"
+    if python3 -c "import sys; sys.exit(0 if float('$la') < float('$limit') else 1)"; then
+      echo "   quiet after ${waited}s (loadavg $la)"
+      return 0
+    fi
+    sleep 15; waited=$((waited + 15))
+  done
+  echo "   WARNING: still loadavg $(cut -d' ' -f1 /proc/loadavg) after ${max}s — proceeding"
+}
+wait_quiet
 echo "-- (a) full-surface bench @ $SF_BENCH (loadavg now $(cut -d' ' -f1 /proc/loadavg))"
 if ! SPARK_GRAFT_SF_DIR="$SF_BENCH" sbt -batch "runMain graft.Bench all" \
     > "$OUT/bench_full.log" 2>&1; then
@@ -80,7 +98,7 @@ EOF
   then FAIL=1; fi
 fi
 
-sleep "${GATE_DECAY_SECONDS:-150}"
+wait_quiet
 echo "-- (a) streaming drain bench @ $SF_BENCH (loadavg now $(cut -d' ' -f1 /proc/loadavg))"
 if ! SPARK_GRAFT_SF_DIR="$SF_BENCH" sbt -batch "runMain graft.StreamBench" \
     > "$OUT/streambench.log" 2>&1; then
