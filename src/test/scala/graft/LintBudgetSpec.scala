@@ -18,7 +18,14 @@ import graft.operators.ScaleLint
   *
   * A NEW query must either lint warning-free or be adjudicated here with
   * a comment-worthy reason; a regression in an existing query (more
-  * warnings than budgeted) fails the build. The sweep is plan-only for
+  * warnings than budgeted) fails the build.
+  *
+  * Related codegen budget (not a plan-lint rule, recorded here as the
+  * adjudicated threshold): `Similarity.hstScore` embeds its model as
+  * typedlit literal maps only up to `litBudget` = 65536 total entries;
+  * above that it auto-routes through per-level broadcast hash joins so
+  * no task ever compiles a multi-megabyte literal plan (r10 verdict
+  * What's-wrong #3; spec pins the two routes bit-identical). The sweep is plan-only for
   * most queries; a handful (iterative graph/raking operators that
   * localCheckpoint rounds at construction, and sequenceGaps which
   * collects partition bounds) execute real sf-sized work while their

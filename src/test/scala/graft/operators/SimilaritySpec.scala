@@ -638,6 +638,34 @@ class SimilaritySpec extends SparkSpec {
     assert(pr === Array((99L, 0L)))
   }
 
+  test("hstScore broadcast-join route is bit-identical to the literal route") {
+    // Above the literal budget the scorer swaps typedlit maps for
+    // per-level broadcast hash joins (r10 verdict What's-wrong #3: a
+    // multi-megabyte literal in every task's codegen'd plan is a
+    // driver/compile bottleneck). litBudget = 0 forces the join route on
+    // the same model; output must match the literal route bit for bit —
+    // including unseen-region rows (null mid → descend left; missing
+    // mass → 0) and negative/extreme coordinates.
+    val e = graft.Tables.embeddings(spark, sf)
+    val dims = Seq(col("embedding").getItem(0), col("embedding").getItem(1))
+    val model = Similarity.hstFit(e, "vec_id", dims, depth = 6)
+    val lit = Similarity.hstScore(e, "vec_id", dims, model)
+      .as[(Long, Long)].collect().toMap
+    val joined = Similarity.hstScore(e, "vec_id", dims, model,
+        litBudget = 0)
+      .as[(Long, Long)].collect().toMap
+    assert(joined === lit)
+    val probes = Seq((1L, 1e9, -1e9), (2L, 0.0, 0.0), (3L, -0.5, 0.25))
+      .toDF("vec_id", "x", "y")
+    val pdims = Seq($"x", $"y")
+    val pLit = Similarity.hstScore(probes, "vec_id", pdims, model)
+      .as[(Long, Long)].collect().toMap
+    val pJoin = Similarity.hstScore(probes, "vec_id", pdims, model,
+        litBudget = 0)
+      .as[(Long, Long)].collect().toMap
+    assert(pJoin === pLit)
+  }
+
   test("centroidClassifier recovers planted axis-aligned labels") {
     // Label 0 lives on +x, label 1 on +y; train rows are even ids,
     // eval rows odd. One eval vector per label sits clearly in its own
