@@ -3058,6 +3058,150 @@ object Similarity {
       .select(col("query_id").as("u"), col("neighbor_id").as("v"))
   }
 
+  private def d2q(a: Column, b: Column): Column =
+    doti(a, a) - lit(2L) * doti(a, b) + doti(b, b)
+
+  /** Assignment + probe metadata per vector: (vid, q8, cluster, probes)
+    * where cluster = the nearest seed (d² asc, seed asc — identical to
+    * [[ivfCandidateScores]]'s assignment) and probes = the sorted set of
+    * the nprobe nearest seed ids. All broadcast work against |seeds|.
+    */
+  private def ivfAssignProbes(q8: DataFrame, sq: DataFrame,
+      nprobe: Int): DataFrame = {
+    val probeScored = q8.join(broadcast(sq))
+      .select(col("vid").as("query_id"), col("seed_id").as("neighbor_id"),
+        (-d2q(col("q8"), col("sq"))).cast("double").as("c"))
+    rankTopK(probeScored, nprobe)
+      .groupBy(col("query_id").as("vid"))
+      .agg(
+        min(when(col("rank") === 1, col("neighbor_id"))).as("cluster"),
+        sort_array(collect_list(col("neighbor_id"))).as("probes"))
+      .join(q8, Seq("vid"))
+      .select(col("vid"), col("q8"), col("cluster"), col("probes"))
+  }
+
+  /** Per-vector kNN-IVF STATE for incremental graph maintenance — the
+    * carried artifact between embedding appends (the [[dbscanState]]
+    * discipline applied to the kNN graph): one row per vector with its
+    * int8 quantization, IVF bucket assignment, probed-bucket set, and
+    * k-nearest list WITH exact d² scores `topk:
+    * array<struct<d2: double, neighbor_id: long>>` (ascending — scores
+    * are integral, so carrying them loses nothing). The scores — not
+    * just the edges — are carried because appends must re-rank: top-k
+    * over (old candidates ∪ Δ) equals top-k over (carried top-k ∪ Δ)
+    * for ANY total order, the bounded-merge identity that lets
+    * [[knnEdgesIvfIncrement]] rescore only Δ-sized candidate sets.
+    * [[knnIvfEdges]] reads the [[knnEdgesIvf]] edge list off the state
+    * with no data access; state(base ∪ Δ) ≡ increment(state(base), Δ)
+    * bit for bit (spec-pinned).
+    */
+  def knnIvfState(vectors: DataFrame, seeds: DataFrame, idCol: String,
+      vecCol: String, k: Int, nprobe: Int = 1): DataFrame = {
+    require(k >= 1 && nprobe >= 1, "knnIvfState needs k, nprobe >= 1")
+    val q8 = vectors.select(col(idCol).as("vid"),
+      quantize8(col(vecCol)).as("q8"))
+    val sq = seeds.select(col(idCol).as("seed_id"),
+      quantize8(col(vecCol)).as("sq"))
+    val ap = ivfAssignProbes(q8, sq, nprobe).ckptNoStats
+    val asg = ap.select(col("vid").as("bid"), col("q8").as("bq"),
+      col("cluster"))
+    val cand = ap.select(col("vid"), col("q8"),
+        explode(col("probes")).as("cluster"))
+      .join(asg, Seq("cluster"))
+      .filter(col("vid") =!= col("bid"))
+      .select(col("vid").as("query_id"), col("bid").as("neighbor_id"),
+        (-d2q(col("q8"), col("bq"))).cast("double").as("c"))
+    attachTopK(ap, rankTopK(cand, k))
+  }
+
+  /** Fold ranked candidates into (vid, q8, cluster, probes, topk). */
+  private def attachTopK(ap: DataFrame, ranked: DataFrame): DataFrame =
+    ap.join(
+      ranked.groupBy(col("query_id").as("vid"))
+        .agg(sort_array(collect_list(
+          struct((-col("cos_sim")).as("d2"), col("neighbor_id"))))
+          .as("topk")),
+      Seq("vid"), "left")
+      .select(col("vid"), col("q8"), col("cluster"), col("probes"),
+        col("topk"))
+
+  /** The [[knnEdgesIvf]] (u, v) edge list read off a [[knnIvfState]] —
+    * no data access; isolated vectors (null topk) emit no rows.
+    */
+  def knnIvfEdges(state: DataFrame): DataFrame =
+    state.filter(col("topk").isNotNull)
+      .select(col("vid").as("u"), explode(col("topk")).as("t"))
+      .select(col("u"), col("t.neighbor_id").as("v"))
+
+  /** Fold an APPEND batch of embeddings into a [[knnIvfState]] —
+    * incremental kNN-graph / IVF-index maintenance (the steady state of
+    * a production embedding pipeline is appends; r10 What's-missing #2).
+    * With the seed set FIXED (pass the SAME seeds the state was built
+    * with — assignments are deterministic in them), an append can only
+    * (a) add Δ rows, each scored against the assigned members of its
+    * probed buckets — |Δ|·nprobe·bucket-density work, and (b) improve
+    * the top-k of base vectors that PROBE a bucket some Δ vector was
+    * ASSIGNED to: those re-rank their carried top-k against only the Δ
+    * members of their probed buckets (the bounded-merge identity on
+    * [[knnIvfState]]'s carried scores). Base vectors probing no touched
+    * bucket pass through UNTOUCHED — never a corpus×corpus rebuild; the
+    * only base-sized work is one metadata-width scan against the
+    * broadcast Δ-cluster set. Returns the new state, BIT-IDENTICAL to
+    * knnIvfState(base ∪ Δ) (spec-pinned). Append-only: Δ ids must be
+    * fresh (guarded); deletions would need the reverse candidate
+    * relation the state deliberately drops.
+    */
+  def knnEdgesIvfIncrement(state: DataFrame, delta: DataFrame,
+      seeds: DataFrame, idCol: String, vecCol: String, k: Int,
+      nprobe: Int = 1): DataFrame = {
+    require(k >= 1 && nprobe >= 1, "knnEdgesIvfIncrement needs k, nprobe >= 1")
+    val st = state.ckptNoStats
+    val dq8 = delta.select(col(idCol).as("vid"),
+      quantize8(col(vecCol)).as("q8")).ckptNoStats
+    require(dq8.join(st.select(col("vid")), Seq("vid")).isEmpty,
+      "knnEdgesIvfIncrement is append-only: delta ids must be fresh")
+    val sq = seeds.select(col(idCol).as("seed_id"),
+      quantize8(col(vecCol)).as("sq"))
+    val dap = ivfAssignProbes(dq8, sq, nprobe).ckptNoStats
+    // (a) Δ rows score against ALL assigned members of their probed
+    // buckets (base ∪ Δ — Δ-Δ pairs included, as in the full build).
+    val asgAll = st.select(col("vid").as("bid"), col("q8").as("bq"),
+        col("cluster"))
+      .unionByName(dap.select(col("vid").as("bid"), col("q8").as("bq"),
+        col("cluster")))
+    val dCand = dap.select(col("vid"), col("q8"),
+        explode(col("probes")).as("cluster"))
+      .join(asgAll, Seq("cluster"))
+      .filter(col("vid") =!= col("bid"))
+      .select(col("vid").as("query_id"), col("bid").as("neighbor_id"),
+        (-d2q(col("q8"), col("bq"))).cast("double").as("c"))
+    val deltaState = attachTopK(dap, rankTopK(dCand, k))
+    // (b) Base vectors probing a bucket Δ touched: re-rank carried top-k
+    // against the Δ members of their probed buckets only.
+    val dAsg = dap.select(col("vid").as("bid"), col("q8").as("bq"),
+      col("cluster")).ckptNoStats
+    val dClusters = dAsg.select(col("cluster")).distinct()
+    val affected = st.select(col("vid"), explode(col("probes")).as("cluster"))
+      .join(broadcast(dClusters), Seq("cluster"))
+      .select(col("vid")).distinct()
+    val aff = st.join(affected, Seq("vid"), "left_semi").ckptNoStats
+    val addCand = aff.select(col("vid"), col("q8"),
+        explode(col("probes")).as("cluster"))
+      .join(dAsg, Seq("cluster"))
+      .select(col("vid").as("query_id"), col("bid").as("neighbor_id"),
+        (-d2q(col("q8"), col("bq"))).cast("double").as("c"))
+    val carried = aff.filter(col("topk").isNotNull)
+      .select(col("vid").as("query_id"), explode(col("topk")).as("t"))
+      .select(col("query_id"), col("t.neighbor_id").as("neighbor_id"),
+        (-col("t.d2")).as("c"))
+    val affState = attachTopK(
+      aff.select(col("vid"), col("q8"), col("cluster"), col("probes")),
+      rankTopK(addCand.unionByName(carried), k))
+    st.join(affected, Seq("vid"), "left_anti")
+      .unionByName(affState)
+      .unionByName(deltaState)
+  }
+
   /** Grid-bucketed DBSCAN over a 2-D point set — the density-based
     * member of the clustering family beside [[kmeansFit]] (centroid),
     * [[Dedup.dedupClusters]] (transitive near-dup) and [[lofOutliers]]
@@ -3747,9 +3891,25 @@ object Similarity {
         AND id NOT IN (SELECT id FROM bord)
       ORDER BY n_points DESC, cluster_id"""
 
+  // ---- q431: the q420 kNN graph maintained INCREMENTALLY ----------------------
+  // Base state on the first 384 ids (seed set 0..15 included), the rest
+  // folded in as an append batch, edges read off the state — shares
+  // q420's oracle verbatim: the maintained graph must equal the full
+  // rebuild.
+  private def q431(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+    val seeds = e.filter(col("vec_id") < NumSeeds)
+    val st = knnIvfState(e.filter(col("vec_id") < 384), seeds,
+      "vec_id", "embedding", k = 3, nprobe = 4)
+    knnIvfEdges(knnEdgesIvfIncrement(st, e.filter(col("vec_id") >= 384),
+        seeds, "vec_id", "embedding", k = 3, nprobe = 4))
+      .orderBy(col("u"), col("v"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q404_dbscan", q404, Some(q404Sql)),
     QueryDef("q430_dbscan_increment", q430, Some(q404Sql)),
+    QueryDef("q431_knn_edges_increment", q431, Some(q420Sql)),
     QueryDef("q411_hst_outliers", q411, Some(q411Sql)),
     QueryDef("q426_hst_fit_score", q426, Some(q411Sql)),
     QueryDef("q252_centroid_drift", q252, Some(q252Sql)),

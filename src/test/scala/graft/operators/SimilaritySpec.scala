@@ -609,6 +609,46 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("knnIvfState edges match knnEdgesIvf; appends fold in bit-identically") {
+    val e = graft.Tables.embeddings(spark, sf)
+    val seeds = e.filter($"vec_id" < 16)
+    def state(v: org.apache.spark.sql.DataFrame) =
+      Similarity.knnIvfState(v, seeds, "vec_id", "embedding",
+        k = 3, nprobe = 4)
+    def canon(st: org.apache.spark.sql.DataFrame) =
+      st.as[(Long, Seq[Long], Long, Seq[Long], Seq[(Double, Long)])]
+        .collect().map(r => r._1 -> r).toMap
+    // The state builder's edge readout ≡ the direct builder.
+    val full = state(e)
+    val direct = Similarity.knnEdgesIvf(e, seeds, "vec_id", "embedding",
+        k = 3, nprobe = 4)
+      .as[(Long, Long)].collect().toSet
+    assert(Similarity.knnIvfEdges(full).as[(Long, Long)].collect().toSet
+      === direct)
+    // One append: increment(state(base), Δ) ≡ state(base ∪ Δ) bit for
+    // bit — including base vectors whose top-k improved (the carried-
+    // score re-rank) and Δ-Δ neighbor pairs.
+    val inc1 = Similarity.knnEdgesIvfIncrement(
+      state(e.filter($"vec_id" < 300)), e.filter($"vec_id" >= 300),
+      seeds, "vec_id", "embedding", k = 3, nprobe = 4)
+    assert(canon(inc1) === canon(full))
+    // Two successive appends chain state -> state.
+    val inc2 = Similarity.knnEdgesIvfIncrement(
+      Similarity.knnEdgesIvfIncrement(
+        state(e.filter($"vec_id" < 300)),
+        e.filter($"vec_id" >= 300 && $"vec_id" < 400),
+        seeds, "vec_id", "embedding", k = 3, nprobe = 4),
+      e.filter($"vec_id" >= 400),
+      seeds, "vec_id", "embedding", k = 3, nprobe = 4)
+    assert(canon(inc2) === canon(full))
+    // Append-only: a replayed id is rejected at the door.
+    intercept[IllegalArgumentException] {
+      Similarity.knnEdgesIvfIncrement(
+        state(e.filter($"vec_id" < 300)), e.filter($"vec_id" < 10),
+        seeds, "vec_id", "embedding", k = 3, nprobe = 4)
+    }
+  }
+
   test("hstFit + hstScore reproduce hstOutliers scores on the training table") {
     val e = graft.Tables.embeddings(spark, sf)
     val n = e.count().toInt
