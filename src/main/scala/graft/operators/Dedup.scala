@@ -1521,8 +1521,18 @@ object Dedup {
     * dedup artifact, not a per-query recompute.
     */
   private[operators] def lshPairsOf(s: SparkSession, d: String): DataFrame =
-    Materialized.of(s, d, "lsh_pairs_documents") {
-      minhashLshPairs(Tables.documents(s, d), "doc_id", "text")
+    lshPairsContent(Tables.documents(s, d), "doc_id", "text")
+
+  /** Content-keyed LSH-pair materialization shared by the Dataset routes
+    * (above) AND the `graft_dedup_clusters` TVF: the key is the resolved
+    * input relation's canonical plan, so the TVF's view-name argument
+    * and `Tables.documents` reach the SAME handle without tying
+    * correctness to view-registry residency ([[Materialized.ofContent]]).
+    */
+  private[operators] def lshPairsContent(input: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    Materialized.ofContent(input, s"lsh_pairs:$idCol:$textCol") { t =>
+      minhashLshPairs(t, idCol, textCol)
     }
 
   private def q26(s: SparkSession, d: String): DataFrame =

@@ -80,6 +80,58 @@ object Materialized {
     }
   }
 
+  /** Content-keyed variant of [[of]]: the cache key is (session, stage,
+    * the CANONICALIZED OPTIMIZED PLAN of the input relation) instead of
+    * a caller-chosen name string. This is the memoization seam the SQL
+    * TVF routes share with the Dataset routes: a TVF receives a VIEW
+    * NAME, and keying a materialization on that name would tie
+    * correctness to registry residency (redefine the view → a stale
+    * handle serves the OLD contents). Keying on the resolved input's
+    * canonical plan dissolves that: a redefined view resolves to a
+    * different plan and misses; the same relation reached through ANY
+    * name — or through no name at all — hits. Plan equality is the same
+    * `sameResult` contract Spark's own CacheManager matches cached
+    * relations with: equal canonical plans ⇒ equal results, and a
+    * semantically-equal-but-structurally-different derivation merely
+    * rebuilds (a cost, never a correctness, miss).
+    *
+    * The derivation stays OUTSIDE the key on purpose — operators with
+    * internal iterative checkpoints (minhashLshPairs, dedupClusters)
+    * embed fresh LogicalRDDs per invocation, so their own plans never
+    * canonicalize equal across calls; the INPUT scan plan does.
+    * `stage` names the derivation applied on top (include its
+    * parameters — e.g. "lsh_pairs:doc_id:text").
+    */
+  def ofContent(input: DataFrame, stage: String)
+      (build: DataFrame => DataFrame): DataFrame = {
+    val s = input.sparkSession
+    val canon = input.queryExecution.optimizedPlan.canonicalized
+    val k = (System.identityHashCode(s), stage, canon.hashCode())
+    val hit = contentCache.synchronized {
+      Option(contentCache.get(k))
+        .flatMap(_.collectFirst { case (p, v) if p == canon => v })
+    }
+    hit.getOrElse {
+      val built = build(input).localCheckpoint()
+      contentCache.synchronized {
+        val cur = Option(contentCache.get(k))
+          .getOrElse(List.empty[(Any, DataFrame)])
+        cur.collectFirst { case (p, v) if p == canon => v }.getOrElse {
+          contentCache.put(k, (canon, built) :: cur)
+          built
+        }
+      }
+    }
+  }
+
+  private val contentCache =
+    new java.util.LinkedHashMap[(Int, String, Int), List[(Any, DataFrame)]](
+      16, 0.75f, /* accessOrder = */ true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(Int, String, Int), List[(Any, DataFrame)]])
+          : Boolean = size() > maxEntries
+    }
+
   /** The production seam: the relation as a bucketed+sorted MANAGED
     * TABLE named `table`, written once via [[Bucketing.writeBucketed]]
     * (one ingest-time shuffle on `key`) and read back from the catalog
@@ -144,9 +196,15 @@ object Materialized {
   /** Number of resident relations (diagnostics/tests). */
   def size: Int = cache.synchronized(cache.size())
 
+  /** Number of resident content-keyed relations (diagnostics/tests). */
+  def contentSize: Int = contentCache.synchronized(contentCache.size())
+
   /** Drop every cached relation (tests / memory pressure). The backing
     * checkpoint blocks are released by Spark's ContextCleaner once the
     * DataFrames are unreachable.
     */
-  def clear(): Unit = cache.synchronized(cache.clear())
+  def clear(): Unit = {
+    cache.synchronized(cache.clear())
+    contentCache.synchronized(contentCache.clear())
+  }
 }

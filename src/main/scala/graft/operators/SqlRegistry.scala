@@ -60,8 +60,11 @@ object SqlRegistry {
       require(exprs.length == 3,
         "graft_dedup_clusters(table, idCol, textCol)")
       val t = s.table(strLit(exprs(0), "table"))
+      // Content-keyed pair materialization: shares the Dataset route's
+      // handle when the view resolves to the same relation (the key is
+      // the resolved plan, never the view name — Materialized.ofContent).
       Dedup.dedupClusters(
-        Dedup.minhashLshPairs(t, strLit(exprs(1), "idCol"),
+        Dedup.lshPairsContent(t, strLit(exprs(1), "idCol"),
           strLit(exprs(2), "textCol")),
         "d1", "d2")
     }

@@ -51,6 +51,48 @@ class MaterializedSpec extends SparkSpec {
     assert(Materialized.size === 0)
   }
 
+  test("ofContent keys by resolved plan: names don't matter, contents do") {
+    Materialized.clear()
+    val dir = java.nio.file.Files.createTempDirectory("mat_content").toString
+    Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+      .write.parquet(s"$dir/t.parquet")
+    var builds = 0
+    def derive(input: DataFrame) =
+      Materialized.ofContent(input, "stage:test") { t =>
+        builds += 1; t.select($"id")
+      }
+    // Two INDEPENDENT reads of the same file share one handle: the key
+    // is the canonical scan plan, not any name.
+    val a = derive(spark.read.parquet(s"$dir/t.parquet"))
+    val b = derive(spark.read.parquet(s"$dir/t.parquet"))
+    assert(builds === 1)
+    assert(a eq b, "same content must serve the identical handle")
+    // A view over the same file ALSO hits — the TVF seam: view names
+    // resolve away before keying.
+    spark.read.parquet(s"$dir/t.parquet")
+      .createOrReplaceTempView("mat_content_view")
+    val c = derive(spark.table("mat_content_view"))
+    assert(builds === 1)
+    assert(c eq a)
+    // Redefining the view to DIFFERENT contents misses — the residency
+    // objection dissolved: a stale handle can never serve a redefined
+    // name.
+    Seq((9L, "z")).toDF("id", "v").write.parquet(s"$dir/t2.parquet")
+    spark.read.parquet(s"$dir/t2.parquet")
+      .createOrReplaceTempView("mat_content_view")
+    val d = derive(spark.table("mat_content_view"))
+    assert(builds === 2)
+    assert(d.as[Long].collect().toSeq === Seq(9L))
+    // A different stage over the same input is its own relation.
+    val e = Materialized.ofContent(
+      spark.read.parquet(s"$dir/t.parquet"), "stage:other") { t =>
+      builds += 1; t.select($"v")
+    }
+    assert(builds === 3 && !(e eq a))
+    Materialized.clear()
+    assert(Materialized.contentSize === 0)
+  }
+
   test("ofBucketed writes once and serves catalog read-backs after") {
     val table = "materialized_spec_bucketed"
     spark.sql(s"DROP TABLE IF EXISTS $table")
