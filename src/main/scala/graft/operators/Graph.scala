@@ -1912,7 +1912,9 @@ object Graph {
       Similarity.knnEdges(Tables.embeddings(s, d).filter(col("vec_id") < 256),
         "vec_id", "embedding", k = 3),
       "u", "v", sources = 8, maxDepth = 16, topN = 30)
-  private[operators] val q414Sql = betweennessSql(
+  // The vec_id-capped kNN-3 adjacency shared by q414 and the q432
+  // pivot-precision audit.
+  private val knnCappedAdjCtes =
     """q8 AS MATERIALIZED (
          SELECT vec_id AS vid, list_transform(embedding, x -> floor(x::DOUBLE /
            (list_max(list_transform(embedding, y -> abs(y))))::DOUBLE
@@ -1930,8 +1932,104 @@ object Graph {
          WHERE rn <= 3),
        adj AS MATERIALIZED (
          SELECT u AS a, v AS b FROM knn UNION SELECT v, u FROM knn),
-       nodes AS MATERIALIZED (SELECT DISTINCT a AS n FROM adj)""",
+       nodes AS MATERIALIZED (SELECT DISTINCT a AS n FROM adj)"""
+
+  private[operators] val q414Sql = betweennessSql(knnCappedAdjCtes,
     sources = 8, maxD = 16, topN = 30)
+
+  /** Precision/cost curve of the Eppstein–Wang pivot estimator: for each
+    * K in `ks`, run [[closenessCentrality]] with K pivots and report the
+    * mean relative error (ppm, integer-floored) of the estimated
+    * closeness against the exact form over all nodes with nonzero exact
+    * closeness (a node no pivot reaches estimates 0 — counted at full
+    * error, the honest read). The REGISTERED readout of the K lever
+    * q421/q427 fix at 16 (r10 verdict Next #8): the audit makes the
+    * sampling error a number a user can query, not a spec constant.
+    *
+    * Scale: one exact all-sources BFS (the audit's reference — run it on
+    * a capped/sampled domain, the q399 recall-audit discipline) plus
+    * |ks| pivot runs, each Θ(K·reach) state.
+    */
+  def closenessPivotAudit(edges: DataFrame, srcCol: String, dstCol: String,
+      maxDepth: Int, ks: Seq[Int]): DataFrame = {
+    require(ks.nonEmpty && ks.forall(_ >= 1), "ks must be >= 1")
+    val ex = org.apache.spark.sql.graftshim.GraftShim.dropOriginStats(
+      closenessCentrality(edges, srcCol, dstCol, maxDepth)
+        .select(col("node"), col("closeness_micro").as("cx"))
+        .filter(col("cx") > 0)
+        .localCheckpoint(false))
+    ks.map { kk =>
+      val est = closenessCentrality(edges, srcCol, dstCol, maxDepth,
+          sources = kk)
+        .select(col("node"), col("closeness_micro").as("ce"))
+      ex.join(est, Seq("node"), "left")
+        .select(expr("abs(coalesce(ce, 0L) - cx) * 1000000L div cx")
+          .as("err"))
+        .agg(count(lit(1)).as("n_nodes"), sum(col("err")).as("serr"))
+        .select(lit(kk.toLong).as("k"), col("n_nodes"),
+          expr("serr div n_nodes").as("mean_rel_err_ppm"))
+    }.reduce(_ unionAll _).orderBy(col("k"))
+  }
+
+  /** Generated oracle for [[closenessPivotAudit]]: ONE all-pairs BFS
+    * recursion feeds both the exact closeness and every K's estimate
+    * (pivots = the first K nodes by (md5, id) — the engine's selection),
+    * then the same floored ppm error per K.
+    */
+  private def closenessAuditSql(adjCtes: String, ks: Seq[Int],
+      maxD: Int): String = {
+    val blocks = ks.map { k =>
+      s"""est$k AS (
+           SELECT d.node, count(*)::BIGINT AS cnt, sum(d.d)::BIGINT AS sdp
+           FROM dist d JOIN pv p ON p.node = d.src AND p.rnk <= $k
+           GROUP BY 1),
+         cm$k AS (
+           SELECT e.node,
+             CASE WHEN (e.sdp * nn.n) // $k = 0 THEN 0
+               ELSE (((e.cnt * nn.n) // $k - 1) * ((e.cnt * nn.n) // $k - 1)
+                 * 1000000) // ((nn.n - 1) * ((e.sdp * nn.n) // $k)) END AS cm
+           FROM est$k e, nn),
+         a$k AS (
+           SELECT $k::BIGINT AS k, count(*)::BIGINT AS n_nodes,
+             (sum((abs(coalesce(c.cm, 0) - x.cx) * 1000000) // x.cx)
+               // count(*))::BIGINT AS mean_rel_err_ppm
+           FROM ex x LEFT JOIN cm$k c ON c.node = x.node)"""
+    }
+    val union = ks.map(k => s"SELECT * FROM a$k").mkString(" UNION ALL ")
+    s"""WITH RECURSIVE $adjCtes,
+       pv AS MATERIALIZED (SELECT n AS node,
+         row_number() OVER (ORDER BY md5(n::VARCHAR), n) AS rnk FROM nodes),
+       reach(src, node, d) AS (
+         SELECT n, n, 0 FROM nodes
+         UNION
+         SELECT r.src, adj.b, r.d + 1 FROM reach r
+         JOIN adj ON adj.a = r.node WHERE r.d < $maxD),
+       dist AS MATERIALIZED (
+         SELECT src, node, min(d) AS d FROM reach GROUP BY 1, 2),
+       nn AS (SELECT count(*)::BIGINT AS n FROM nodes),
+       exg AS (SELECT node, count(*)::BIGINT AS cnt, sum(d)::BIGINT AS sdp
+         FROM dist GROUP BY 1),
+       ex AS MATERIALIZED (
+         SELECT node, ((cnt - 1) * (cnt - 1) * 1000000)
+           // ((nn.n - 1) * sdp) AS cx
+         FROM exg, nn
+         WHERE sdp > 0
+           AND ((cnt - 1) * (cnt - 1) * 1000000) // ((nn.n - 1) * sdp) > 0),
+       ${blocks.mkString(",\n")}
+       $union ORDER BY k"""
+  }
+
+  // ---- q432: the pivot-count precision/cost curve, REGISTERED -----------------
+  // K in {4, 8, 16, 32} against the exact form on the capped kNN-3
+  // graph (the q407 fixture): the audit readout behind q421/q427's
+  // sources=16 operating point.
+  private def q432(s: SparkSession, d: String): DataFrame =
+    closenessPivotAudit(
+      Similarity.knnEdges(Tables.embeddings(s, d).filter(col("vec_id") < 256),
+        "vec_id", "embedding", k = 3),
+      "u", "v", maxDepth = 16, ks = Seq(4, 8, 16, 32))
+  private[operators] val q432Sql = closenessAuditSql(knnCappedAdjCtes,
+    ks = Seq(4, 8, 16, 32), maxD = 16)
 
   /** Generated oracle for pivot-sampled [[closenessCentrality]]: the
     * recursive pivot BFS over the adjacency, then the n/K-scaled
@@ -2090,6 +2188,7 @@ object Graph {
     QueryDef("q421_closeness_cosale", q421, Some(q421Sql)),
     QueryDef("q422_betweenness_cosale", q422, Some(q422Sql)),
     QueryDef("q427_closeness_knn_ivf", q427, Some(q427Sql)),
+    QueryDef("q432_closeness_pivot_audit", q432, Some(q432Sql)),
     QueryDef("q428_betweenness_knn_ivf", q428, Some(q428Sql)),
     QueryDef("q262_salton_pairs", q262, Some(q262Sql)),
     QueryDef("q263_link_jaccard", q263, Some(q263Sql)),
