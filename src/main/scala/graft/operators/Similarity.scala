@@ -3561,6 +3561,139 @@ object Similarity {
             .otherwise(col("bcls"))).as("bcls"))
   }
 
+  /** Fold a DELETE batch into a [[dbscanState]] — the other half of
+    * incremental exact DBSCAN (r10 What's-missing #3: GDPR-style
+    * retention pipelines delete). Deletions only ever (a) LOWER neighbor
+    * counts in the deleted points' eps-neighborhoods — computed by one
+    * grid probe of the delete set against the remaining points, never a
+    * base rescan, (b) DEMOTE exactly the cores that drop below minPts,
+    * and (c) SPLIT or relabel the clusters that lost or demoted a core.
+    * The state deliberately drops the neighbor relation the published
+    * IncrementalDBSCAN deletes with, so splits are resolved by a
+    * LOCALIZED RECOMPUTE: connectivity is rebuilt via a grid self-probe
+    * over ONLY the member cores of touched clusters (components can
+    * never merge on delete, and an untouched cluster's core set,
+    * connectivity, and min-id label are all provably unchanged). Border
+    * sets rebuild only for demoted cores and for non-core rows whose
+    * label set intersects a touched cluster; everything else passes
+    * through untouched. Returned state is BIT-IDENTICAL to
+    * dbscanState(remaining points) (spec-pinned).
+    *
+    * Cost: |Δ|·density (count updates) + touched-members·density
+    * (split recompute) + rebuilt-borders·density — the recompute is per
+    * TOUCHED COMPONENT, so a delete that only trims leaves pays near
+    * nothing while a bridge removal pays one component's rebuild.
+    */
+  def dbscanGridDelete(state: DataFrame, deleteIds: DataFrame,
+      idCol: String, epsMicro: Long, minPts: Int): DataFrame = {
+    require(epsMicro > 0 && minPts >= 1, "need epsMicro > 0, minPts >= 1")
+    val e = lit(epsMicro)
+    def fdiv(a: Column): Column =
+      (call_function("div", a, e) +
+        when((a % e) < 0, -1L).otherwise(0L)).cast("long")
+    def cells(df: DataFrame): DataFrame = df
+      .withColumn("cx", fdiv(col("x"))).withColumn("cy", fdiv(col("y")))
+    def gridPairs(small: DataFrame, among: DataFrame): DataFrame = small
+      .select(col("id").as("aid"), col("x").as("ax"), col("y").as("ay"),
+        col("cx").as("pcx"), col("cy").as("pcy"))
+      .withColumn("dx", explode(array(lit(-1L), lit(0L), lit(1L))))
+      .withColumn("dy", explode(array(lit(-1L), lit(0L), lit(1L))))
+      .select(col("aid"), col("ax"), col("ay"),
+        (col("pcx") + col("dx")).as("cx"),
+        (col("pcy") + col("dy")).as("cy"))
+      .join(among.select(col("id").as("bid"), col("x").as("bx"),
+        col("y").as("by"), col("cx"), col("cy")), Seq("cx", "cy"))
+      .filter(col("aid") =!= col("bid") &&
+        (col("ax") - col("bx")) * (col("ax") - col("bx")) +
+          (col("ay") - col("by")) * (col("ay") - col("by")) <= e * e)
+      .select(col("aid"), col("bid"))
+    val st = state.ckptNoStats
+    val del = deleteIds.select(col(idCol).cast("long").as("id"))
+      .distinct().ckptNoStats
+    require(del.join(st.select(col("id")), Seq("id"), "left_anti").isEmpty,
+      "dbscanGridDelete: every delete id must exist in the state")
+    if (del.isEmpty) return st
+    val rest = st.join(del, Seq("id"), "left_anti").ckptNoStats
+    val dpts = cells(st.join(del, Seq("id"), "left_semi")
+      .select(col("id"), col("x"), col("y"))).ckptNoStats
+    val restPts = cells(rest.select(col("id"), col("x"), col("y")))
+      .ckptNoStats
+    // (a) neighbor-count drops: deleted × remaining pairs, one grid probe.
+    val p1 = gridPairs(dpts, restPts).ckptNoStats
+    val sub = p1.groupBy(col("bid").as("id")).agg(count(lit(1)).as("drop"))
+    val up = rest.join(sub, Seq("id"), "left")
+      .withColumn("ncnt2", col("ncnt") - coalesce(col("drop"), lit(0L)))
+      .withColumn("isCore", col("ncnt2") + 1 >= minPts)
+      .ckptNoStats
+    // (b)/(c) touched clusters: lost a core (deleted) or had one demote.
+    val delCoreLabs = st.join(del, Seq("id"), "left_semi")
+      .filter(col("cluster").isNotNull).select(col("cluster"))
+    val demoted = up.filter(col("ncnt") + 1 >= minPts && !col("isCore"))
+      .ckptNoStats
+    val touched = delCoreLabs.unionByName(demoted.select(col("cluster")))
+      .distinct().ckptNoStats
+    // Split recompute over ONLY the touched clusters' remaining cores.
+    val members = up
+      .filter(col("isCore"))
+      .join(broadcast(touched), Seq("cluster"), "left_semi")
+      .select(col("id"), col("x"), col("y"))
+      .ckptNoStats
+    val relab =
+      if (members.isEmpty)
+        members.select(col("id"), col("id").as("newlab"))
+      else {
+        val mc = cells(members).ckptNoStats
+        val p2 = gridPairs(mc, mc)
+          .unionByName(members.select(col("id").as("aid"),
+            col("id").as("bid")))
+        Dedup.dedupClusters(p2, "aid", "bid")
+          .select(col("doc_id").as("id"), col("cluster_id").as("newlab"))
+      }
+    // Final core labels: untouched keep theirs, touched take the
+    // recomputed component min (labels can INCREASE on delete — the old
+    // min may be gone — but never collide: a label is a member min, and
+    // components are disjoint point sets).
+    // relab is MEMBER-sized (one touched component can be big) — a plain
+    // equi-join, not a forced broadcast; AQE picks the strategy.
+    val coreLabs = up.filter(col("isCore"))
+      .join(relab, Seq("id"), "left")
+      .select(col("id"), col("x"), col("y"), col("ncnt2"),
+        coalesce(col("newlab"), col("cluster")).as("clab"))
+      .ckptNoStats
+    // Border-set rebuild: demoted cores (need a set for the first time)
+    // plus non-core rows whose set intersects a touched label.
+    val touchedBorders = up
+      .filter(!col("isCore") && col("cluster").isNull &&
+        col("bcls").isNotNull)
+      .select(col("id"), explode(col("bcls")).as("cluster"))
+      .join(broadcast(touched), Seq("cluster"), "left_semi")
+      .select(col("id")).distinct()
+    val rebuildIds = touchedBorders
+      .unionByName(demoted.select(col("id"))).distinct().ckptNoStats
+    val rebuildPts = cells(up.join(rebuildIds, Seq("id"), "left_semi")
+      .select(col("id"), col("x"), col("y")))
+    val coreCells = cells(coreLabs.select(col("id"), col("x"), col("y")))
+    val newB = gridPairs(rebuildPts, coreCells)
+      .join(coreLabs.select(col("id").as("bid"), col("clab")), Seq("bid"))
+      .groupBy(col("aid").as("id"))
+      .agg(sort_array(collect_set(col("clab"))).as("bcls2"))
+      .ckptNoStats
+    // Assemble: cores drop their set; non-core rows take the rebuilt set
+    // where rebuilt (absent row = no remaining core neighbor = noise),
+    // else carry the old one.
+    up.select(col("id"), col("x"), col("y"), col("ncnt2").as("ncnt"),
+        col("isCore"), col("bcls"))
+      .join(coreLabs.select(col("id"), col("clab")), Seq("id"), "left")
+      .join(rebuildIds.withColumn("rebuilt", lit(true)), Seq("id"), "left")
+      .join(newB, Seq("id"), "left")
+      .select(col("id"), col("x"), col("y"), col("ncnt"),
+        when(col("isCore"), col("clab"))
+          .otherwise(lit(null).cast("long")).as("cluster"),
+        when(col("isCore"), lit(null).cast("array<long>"))
+          .otherwise(when(col("rebuilt"), col("bcls2"))
+            .otherwise(col("bcls"))).as("bcls"))
+  }
+
   /** Deterministic half-space-tree outlier scores (the midpoint-split
     * variant of HS-Trees / isolation forests): each tree recursively
     * bisects the data's bounding box — level l of tree t splits
@@ -3853,11 +3986,11 @@ object Similarity {
       capped.filter(col("vec_id") >= 700), "vec_id", xc, yc,
       epsMicro = 20000L, minPts = 5))
   }
-  private[operators] val q404Sql =
-    """WITH RECURSIVE pts AS (
+  private def dbscanCensusSql(cap: Int): String =
+    s"""WITH RECURSIVE pts AS (
         SELECT vec_id AS id, floor(embedding[1]::DOUBLE*1e6)::BIGINT AS x,
           floor(embedding[2]::DOUBLE*1e6)::BIGINT AS y
-        FROM embeddings WHERE vec_id < 1024),
+        FROM embeddings WHERE vec_id < $cap),
       nb AS (
         SELECT a.id AS a, b.id AS b FROM pts a JOIN pts b
         ON a.id != b.id AND (a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y)
@@ -3891,6 +4024,22 @@ object Similarity {
         AND id NOT IN (SELECT id FROM bord)
       ORDER BY n_points DESC, cluster_id"""
 
+  private[operators] val q404Sql = dbscanCensusSql(1024)
+
+  // ---- q433: the q404 census after a DELETE increment --------------------------
+  // State on the full capped corpus, 70% of it deleted, census from the
+  // surviving state — the oracle is the census recomputed from scratch
+  // on the survivors (the delete twin of q430's insert discipline).
+  private def q433(s: SparkSession, d: String): DataFrame = {
+    val xc = col("embedding").getItem(0)
+    val yc = col("embedding").getItem(1)
+    val capped = Tables.embeddings(s, d).filter(col("vec_id") < 1024)
+    dbscanCensus(dbscanGridDelete(
+      dbscanState(capped, "vec_id", xc, yc, epsMicro = 20000L, minPts = 5),
+      capped.filter(col("vec_id") >= 300).select(col("vec_id")),
+      "vec_id", epsMicro = 20000L, minPts = 5))
+  }
+
   // ---- q431: the q420 kNN graph maintained INCREMENTALLY ----------------------
   // Base state on the first 384 ids (seed set 0..15 included), the rest
   // folded in as an append batch, edges read off the state — shares
@@ -3910,6 +4059,7 @@ object Similarity {
     QueryDef("q404_dbscan", q404, Some(q404Sql)),
     QueryDef("q430_dbscan_increment", q430, Some(q404Sql)),
     QueryDef("q431_knn_edges_increment", q431, Some(q420Sql)),
+    QueryDef("q433_dbscan_delete", q433, Some(dbscanCensusSql(300))),
     QueryDef("q411_hst_outliers", q411, Some(q411Sql)),
     QueryDef("q426_hst_fit_score", q426, Some(q411Sql)),
     QueryDef("q252_centroid_drift", q252, Some(q252Sql)),

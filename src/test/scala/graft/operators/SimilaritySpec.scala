@@ -609,6 +609,82 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("dbscan delete: demotions and border rebuilds equal the full recompute") {
+    def stateRows(df: org.apache.spark.sql.DataFrame)
+        : Seq[(Long, Long, Long, Long, Option[Long], Option[Seq[Long]])] =
+      df.as[(Long, Long, Long, Long, Option[Long], Option[Seq[Long]])]
+        .collect().sortBy(_._1).toSeq
+    val all = graft.Tables.embeddings(spark, sf).filter(col("vec_id") < 1024)
+    val xc = col("embedding").getItem(0)
+    val yc = col("embedding").getItem(1)
+    val refBase = Similarity.dbscanState(all.filter(col("vec_id") < 300),
+      "vec_id", xc, yc, 20000L, 5)
+    // Delete 70% of the corpus: the surviving state must be bit-identical
+    // to building on the survivors directly.
+    val deleted = Similarity.dbscanGridDelete(
+      Similarity.dbscanState(all, "vec_id", xc, yc, 20000L, 5),
+      all.filter(col("vec_id") >= 300).select(col("vec_id")),
+      "vec_id", 20000L, 5)
+    assert(stateRows(deleted) === stateRows(refBase))
+    // Insert-then-delete round-trips through both increments.
+    val roundTrip = Similarity.dbscanGridDelete(
+      Similarity.dbscanGridIncrement(refBase,
+        all.filter(col("vec_id") >= 300), "vec_id", xc, yc, 20000L, 5),
+      all.filter(col("vec_id") >= 300).select(col("vec_id")),
+      "vec_id", 20000L, 5)
+    assert(stateRows(roundTrip) === stateRows(refBase))
+    // Unknown delete ids are rejected loudly.
+    intercept[IllegalArgumentException] {
+      Similarity.dbscanGridDelete(refBase,
+        Seq(99999L).toDF("vec_id"), "vec_id", 20000L, 5)
+    }
+  }
+
+  test("dbscan delete splits a bridged cluster (deterministic fixture)") {
+    // The merge fixture in reverse: the full point set is ONE cluster
+    // chained through bridge points 40-44; deleting the bridge must
+    // split it back into the two dense clusters, relabel the right one,
+    // demote chain-adjacent cores, and rebuild border sets — all
+    // bit-identical to the full recompute on the survivors.
+    def pts(rows: Seq[(Long, Double)]) =
+      rows.toDF("id", "x").withColumn("y", lit(0.0))
+    val eps = 1500000L
+    val base = Seq(1L -> 0.0, 2L -> 0.5, 3L -> 1.0, 4L -> 1.4,
+      10L -> 10.0, 11L -> 10.5, 12L -> 11.0, 13L -> 11.4,
+      20L -> 8.6, 30L -> 50.0)
+    val bridge = Seq(40L -> 2.8, 41L -> 4.2, 42L -> 5.6, 43L -> 7.0,
+      44L -> 8.4, 50L -> 99.0)
+    val fullState = Similarity.dbscanState(pts(base ++ bridge),
+      "id", $"x", $"y", eps, 3)
+    // Sanity: the bridged set really is one merged cluster.
+    assert(fullState
+      .as[(Long, Long, Long, Long, Option[Long], Option[Seq[Long]])]
+      .collect().flatMap(_._5).distinct.toSeq === Seq(1L))
+    val split = Similarity.dbscanGridDelete(fullState,
+      bridge.map(_._1).toDF("id"), "id", eps, 3)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Long, Long, Long, Option[Long], Option[Seq[Long]])]
+        .collect().sortBy(_._1).toSeq
+    val ref = rows(Similarity.dbscanState(pts(base), "id", $"x", $"y",
+      eps, 3))
+    assert(rows(split) === ref)
+    // The split genuinely relabeled: two clusters again (1 and 10).
+    assert(ref.flatMap(_._5).distinct.sorted === Seq(1L, 10L))
+    // Deleting the OLD MINIMUM of a cluster forces a label INCREASE.
+    val relabeled = Similarity.dbscanGridDelete(
+      Similarity.dbscanState(pts(base), "id", $"x", $"y", eps, 3),
+      Seq(1L).toDF("id"), "id", eps, 3)
+    assert(rows(relabeled) === rows(Similarity.dbscanState(
+      pts(base.filter(_._1 != 1L)), "id", $"x", $"y", eps, 3)))
+    assert(rows(relabeled).flatMap(_._5).distinct.sorted === Seq(2L, 10L))
+    // Deleting only noise touches nothing structural.
+    val noNoise = Similarity.dbscanGridDelete(
+      Similarity.dbscanState(pts(base), "id", $"x", $"y", eps, 3),
+      Seq(30L).toDF("id"), "id", eps, 3)
+    assert(rows(noNoise) === rows(Similarity.dbscanState(
+      pts(base.filter(_._1 != 30L)), "id", $"x", $"y", eps, 3)))
+  }
+
   test("knnIvfState edges match knnEdgesIvf; appends fold in bit-identically") {
     val e = graft.Tables.embeddings(spark, sf)
     val seeds = e.filter($"vec_id" < 16)
