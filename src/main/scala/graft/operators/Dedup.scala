@@ -269,6 +269,68 @@ object Dedup {
       .select(col("d1"), col("d2"), col("hamming"))
   }
 
+  /** Banded Hamming admission INDEX over a batch corpus — the
+    * broadcastable artifact [[hammingAdmit]] filters a stream with: one
+    * row per (band k, chunk) key holding the sorted full hashes of the
+    * corpus rows whose band k equals that chunk. Built by one grouped
+    * pass; bands rows per corpus row, fixed-width keys.
+    */
+  def hammingIndex(hashes: DataFrame, idCol: String, hashCol: String,
+      bands: Int, bandBits: Int): DataFrame = {
+    require(bands >= 1 && bandBits >= 1 && bands * bandBits <= 63,
+      "bands * bandBits must fit a positive BIGINT")
+    val mask = (1L << bandBits) - 1
+    hashes.select(col(hashCol).as("h"),
+        explode(sequence(lit(0), lit(bands - 1))).as("k"))
+      .withColumn("chunk", expr(s"shiftright(h, k * $bandBits) & $mask"))
+      .groupBy(col("k"), col("chunk"))
+      .agg(sort_array(collect_set(col("h"))).as("hs"))
+  }
+
+  /** Zero-state streaming near-dup ADMISSION — the online half of the
+    * dedup pipeline (r10 verdict Next #9): each incoming row is admitted
+    * iff NO batch-indexed hash lies within `maxHamming` of its hash.
+    * EXACT for maxHamming < bands by the [[hammingPairs]] pigeonhole:
+    * a qualifying near-dup shares at least one band with the incoming
+    * hash, so probing the `bands` bucket lists of a [[hammingIndex]]
+    * finds every offender. The probe is one broadcast LEFT equi-join
+    * per band (1:≤1 — the index is grouped per key, so the row count
+    * never changes) plus a row-local exists() over the bucket arrays —
+    * no shuffle, no aggregation, no state; on a stream every join is
+    * stream-static and stateless, so decisions are identical on batch
+    * and streaming frames (spec: bit-equal across a checkpoint restart).
+    * The hstScore broadcast-route discipline applied to admission.
+    *
+    * Returns the input plus an `admitted` BOOLEAN column (keep the
+    * rejects observable; filter on it to enforce). The index and the
+    * incoming rows must be disjoint corpora — an id present in both
+    * simply rejects itself, which is the admission semantics anyway.
+    */
+  def hammingAdmit(df: DataFrame, hashCol: String, index: DataFrame,
+      bands: Int, bandBits: Int, maxHamming: Int): DataFrame = {
+    require(bands >= 1 && bandBits >= 1 && bands * bandBits <= 63,
+      "bands * bandBits must fit a positive BIGINT")
+    require(maxHamming >= 0 && maxHamming < bands,
+      "pigeonhole admission is exact only for maxHamming < bands")
+    val mask = (1L << bandBits) - 1
+    val in = df.columns.map(col)
+    var cur = df
+    for (k <- 0 until bands) {
+      val idx = index.filter(col("k") === k)
+        .select(col("chunk").as(s"ck_$k"), col("hs").as(s"hs_$k"))
+      cur = cur.join(broadcast(idx),
+        expr(s"shiftright($hashCol, ${k * bandBits}) & $mask") ===
+          col(s"ck_$k"), "left")
+    }
+    val dup = (0 until bands).map { k =>
+      coalesce(
+        exists(col(s"hs_$k"),
+          x => bit_count(col(hashCol).bitwiseXOR(x)) <= lit(maxHamming)),
+        lit(false))
+    }.reduce(_ || _)
+    cur.select(in :+ (!dup).as("admitted"): _*)
+  }
+
   /** Embedding near-dup: pairs with cosine >= threshold (brute pair join;
     * use [[cosinePairsIvf]] at scale).
     */
@@ -1546,8 +1608,10 @@ object Dedup {
   private def q28(s: SparkSession, d: String): DataFrame =
     simhashPairs(Tables.documents(s, d), "doc_id", "text")
       .orderBy(col("d1"), col("d2"))
-  private[operators] val q28Sql =
-    """WITH th AS (
+  // The simhash signature CTEs (th → votes → sh) shared by the q28 pair
+  // oracle and the q434 admission oracle.
+  private val simhashShCtes =
+    """th AS (
          SELECT doc_id, list_reduce(list_prepend(0::BIGINT,
              list_transform(string_split(t, ''), c -> ord(c)::BIGINT)),
            (acc, c) -> (acc * 131 + c) % 2147483647) AS h
@@ -1556,15 +1620,42 @@ object Dedup {
          SELECT doc_id, r.range AS j,
            sum(((h >> r.range) & 1) * 2 - 1) AS v
          FROM th, range(0, 32) r GROUP BY 1, 2),
-       sh AS (
+       sh AS MATERIALIZED (
          SELECT doc_id, sum(CASE WHEN v > 0 THEN (1::BIGINT << j) ELSE 0 END)
            AS simhash
-         FROM votes GROUP BY doc_id)
+         FROM votes GROUP BY doc_id)"""
+
+  private[operators] val q28Sql =
+    s"""WITH $simhashShCtes
        SELECT a.doc_id AS d1, b.doc_id AS d2,
          bit_count(xor(a.simhash, b.simhash))::BIGINT AS hamming
        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
        WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
        ORDER BY d1, d2"""
+
+  // ---- q434: streaming near-dup admission, decided in batch ---------------------
+  // Index = simhashes of doc_id < 300 (4 bands x 8 bits); incoming =
+  // the rest; admitted iff no indexed signature within Hamming 3. The
+  // oracle is the PLAIN definition (all-pairs check) — banding is exact
+  // for maxHamming < bands, so the pigeonhole route must agree on every
+  // decision.
+  private def q434(s: SparkSession, d: String): DataFrame = {
+    val sh = simhash(Tables.documents(s, d), "doc_id", "text")
+    hammingAdmit(sh.filter(col("doc_id") >= 300), "simhash",
+        hammingIndex(sh.filter(col("doc_id") < 300), "doc_id", "simhash",
+          bands = 4, bandBits = 8),
+        bands = 4, bandBits = 8, maxHamming = 3)
+      .select(col("doc_id"), col("admitted").cast("long").as("admitted"))
+      .orderBy(col("doc_id"))
+  }
+  private val q434Sql =
+    s"""WITH $simhashShCtes
+       SELECT i.doc_id,
+         CASE WHEN count(b.doc_id) = 0 THEN 1 ELSE 0 END::BIGINT AS admitted
+       FROM sh i LEFT JOIN sh b
+         ON b.doc_id < 300 AND bit_count(xor(i.simhash, b.simhash)) <= 3
+       WHERE i.doc_id >= 300
+       GROUP BY i.doc_id ORDER BY i.doc_id"""
 
   /** Cosine threshold for embedding near-dup (fixture max pair ≈ 0.51). */
   private val CosineThreshold = 0.4
@@ -2453,6 +2544,7 @@ object Dedup {
     QueryDef("q26_ngram_jaccard", q26, Some(exactJaccardSql)),
     QueryDef("q27_minhash_lsh", q27, Some(exactJaccardSql), headline = true),
     QueryDef("q28_simhash", q28, Some(q28Sql)),
+    QueryDef("q434_hamming_admission", q434, Some(q434Sql)),
     QueryDef("q29_embedding_neardup", q29, Some(q29Sql)),
     QueryDef("q56_embedding_neardup_ivf", q56, Some(q56Sql)),
     QueryDef("q60_dedup_clusters", q60, Some(q60Sql)),

@@ -416,6 +416,51 @@ class StreamingAnalyticsSpec extends SparkSpec {
     assert(streamed === batch)
   }
 
+  test("hammingAdmit streams admission decisions equal to batch, across a restart") {
+    // The online half of the dedup pipeline: a batch-built banded index
+    // filters incoming documents with broadcast joins + row-local
+    // exists() — zero state, so streamed decisions must equal the batch
+    // run row for row and a restarted query must pick up rows that
+    // arrived while it was down.
+    import graft.operators.Dedup
+    val sh = Dedup.simhash(graft.Tables.documents(spark, sf),
+      "doc_id", "text")
+    val index = Dedup.hammingIndex(sh.filter(col("doc_id") < 300),
+      "doc_id", "simhash", bands = 4, bandBits = 8).localCheckpoint()
+    val incoming = sh.filter(col("doc_id") >= 300)
+      .as[(Long, Long)].collect().toSeq
+    val (half1, half2) = incoming.splitAt(incoming.size / 2)
+    val ms = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Long)](spark)
+    val ckpt = tmp("ckpt_admit")
+    val buf = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Boolean)]()
+    def admittedStream = Dedup.hammingAdmit(
+      ms.toDF().toDF("doc_id", "simhash"), "simhash", index,
+      bands = 4, bandBits = 8, maxHamming = 3)
+    def start() = admittedStream.writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (d: org.apache.spark.sql.DataFrame, _: Long) =>
+        d.select(col("doc_id"), col("admitted")).collect()
+          .foreach(r => buf.add((r.getLong(0), r.getBoolean(1))))
+      }.start()
+    val q1 = start()
+    try { ms.addData(half1); q1.processAllAvailable() }
+    finally { q1.stop(); q1.awaitTermination(60000) }
+    ms.addData(half2)
+    val q2 = start()
+    try q2.processAllAvailable()
+    finally { q2.stop(); q2.awaitTermination(60000) }
+    import scala.jdk.CollectionConverters._
+    val streamed = buf.asScala.toMap
+    val batch = Dedup.hammingAdmit(sh.filter(col("doc_id") >= 300),
+        "simhash", index, bands = 4, bandBits = 8, maxHamming = 3)
+      .select(col("doc_id"), col("admitted"))
+      .as[(Long, Boolean)].collect().toMap
+    assert(streamed === batch)
+    // Both decision classes genuinely occur on the fixture.
+    assert(batch.values.exists(identity) && batch.values.exists(!_))
+  }
+
   test("decode recovers every typed event field from payload bytes") {
     val q = decoded().writeStream.format("memory").queryName("decoded_all")
       .option("checkpointLocation", tmp("ckpt_dec"))
