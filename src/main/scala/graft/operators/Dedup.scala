@@ -462,6 +462,96 @@ object Dedup {
     labels.select(col("node").as("doc_id"), col("label").as("cluster_id"))
   }
 
+  private def ckptNS(df: DataFrame): DataFrame =
+    org.apache.spark.sql.graftshim.GraftShim
+      .dropOriginStats(df.localCheckpoint(false))
+
+  /** The LSH BAND INDEX of a corpus — the carried artifact of
+    * incremental text dedup: one (key, doc_id) row per band key (16
+    * fixed-width rows per document, the [[minhashLshPairs]] banding).
+    * [[minhashLshPairsIncrement]] probes an append batch against it.
+    */
+  def lshBandIndex(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("toks"))
+      .filter(size(col("toks")) >= 3)
+      .select(col("doc_id"),
+        explode(minhashBands(col("toks"), NumHashes, BandRows)).as("key"))
+
+  /** The near-dup pairs an APPEND batch adds to a corpus — incremental
+    * [[minhashLshPairs]] (the production steady state: new documents
+    * arrive, existing documents' pairs never change, so
+    * pairs(base ∪ Δ) = pairs(base) ∪ THIS). Δ band keys equi-join the
+    * carried [[lshBandIndex]] (plus Δ's own keys, for Δ-Δ dups) — work
+    * scales with Δ's band collisions, never the corpus; the exact-
+    * Jaccard verify re-derives grams only for candidate documents via a
+    * broadcast semi-join on `corpus` (a pruned keyed fetch, the one
+    * base access). Δ ids must be fresh; `corpus` must be base ∪ Δ.
+    */
+  def minhashLshPairsIncrement(bandIndex: DataFrame, corpus: DataFrame,
+      delta: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val dBands = ckptNS(lshBandIndex(delta, idCol, textCol))
+    val allBands = bandIndex.unionByName(dBands)
+    // Shuffle-hash with Δ as the (small) build side; the index streams.
+    val cands = dBands.hint("shuffle_hash").as("x")
+      .join(allBands.as("y"),
+        col("x.key") === col("y.key") &&
+          col("x.doc_id") =!= col("y.doc_id"))
+      .select(least(col("x.doc_id"), col("y.doc_id")).as("d1"),
+        greatest(col("x.doc_id"), col("y.doc_id")).as("d2"))
+      .distinct()
+      .localCheckpoint(false)
+    val candIds = cands.select(col("d1").as("cid"))
+      .union(cands.select(col("d2"))).distinct()
+    val candGrams = gramRows(
+      corpus.join(broadcast(candIds), col(idCol) === col("cid"),
+        "left_semi"),
+      idCol, textCol)
+      .localCheckpoint(false)
+    verifyJaccard(cands, candGrams)
+  }
+
+  /** Fold a batch of NEW pairs into a [[dedupClusters]] labeling —
+    * incremental connected components (the dbscanGridIncrement label-
+    * graph discipline, minus the density machinery): reps = each
+    * touched id's current label (itself if unlabeled), the new pairs
+    * close transitively over the BOUNDED rep graph, and remaps apply
+    * label-keyed. Labels only ever DECREASE (the merged component's
+    * label is the min over member ids — old labels ARE member mins), so
+    * untouched rows stay valid. BIT-IDENTICAL to
+    * dedupClusters(pairs(base) ∪ newPairs) when newPairs is exactly
+    * what [[minhashLshPairsIncrement]] returns (spec-pinned).
+    */
+  def dedupClustersIncrement(labels: DataFrame, newPairs: DataFrame,
+      aCol: String, bCol: String): DataFrame = {
+    val lab = ckptNS(labels)
+    val pr = newPairs.select(col(aCol).as("a"), col(bCol).as("b"))
+      .localCheckpoint(true)
+    if (pr.isEmpty) return lab
+    val ids = pr.select(col("a").as("doc_id"))
+      .union(pr.select(col("b"))).distinct()
+    val reps = ckptNS(ids.join(lab, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster_id"), col("doc_id")).as("rep")))
+    val repEdges = pr
+      .join(reps.select(col("doc_id").as("a"), col("rep").as("r1")),
+        Seq("a"))
+      .join(reps.select(col("doc_id").as("b"), col("rep").as("r2")),
+        Seq("b"))
+      .select(col("r1"), col("r2"))
+      .unionByName(reps.select(col("rep").as("r1"), col("rep").as("r2")))
+    val repMap = ckptNS(dedupClusters(repEdges, "r1", "r2")
+      .select(col("doc_id").as("rep"), col("cluster_id").as("newlab")))
+    val remappedOld = lab
+      .join(broadcast(repMap), lab("cluster_id") === repMap("rep"), "left")
+      .select(lab("doc_id"),
+        coalesce(col("newlab"), lab("cluster_id")).as("cluster_id"))
+    val fresh = reps.join(lab, Seq("doc_id"), "left_anti")
+      .join(broadcast(repMap), Seq("rep"), "left")
+      .select(col("doc_id"),
+        coalesce(col("newlab"), col("rep")).as("cluster_id"))
+    remappedOld.unionByName(fresh)
+  }
+
   /** Cross-group duplication matrix: for every unordered pair of groups
     * (sources, dumps, snapshots …), how many near-duplicate document pairs
     * connect them — the standard corpus-curation report for deciding which
@@ -543,32 +633,12 @@ object Dedup {
     * restricted to pairs with a member in `inc` (DedupSpec pins it).
     */
   def incrementalNearDupPairs(base: DataFrame, inc: DataFrame,
-      idCol: String, textCol: String): DataFrame = {
-    def bandRows(src: DataFrame): DataFrame = src
-      .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("toks"))
-      .filter(size(col("toks")) >= 3)
-      .select(col("doc_id"),
-        explode(minhashBands(col("toks"), NumHashes, BandRows)).as("key"))
-    val all = base.select(col(idCol), col(textCol))
-      .union(inc.select(col(idCol), col(textCol)))
-    // Shuffle-hash with the increment as the (small) build side; the
-    // corpus side streams. inc-inc pairs surface twice (once per role) —
-    // the least/greatest normalization + distinct collapses them.
-    val cands = bandRows(inc).hint("shuffle_hash").as("x")
-      .join(bandRows(all).as("y"),
-        col("x.key") === col("y.key") && col("x.doc_id") =!= col("y.doc_id"))
-      .select(least(col("x.doc_id"), col("y.doc_id")).as("d1"),
-        greatest(col("x.doc_id"), col("y.doc_id")).as("d2"))
-      .distinct()
-      .localCheckpoint(false)
-    val candIds = cands.select(col("d1").as("cid"))
-      .union(cands.select(col("d2"))).distinct()
-    val candGrams = gramRows(
-      all.join(broadcast(candIds), col(idCol) === col("cid"), "left_semi"),
-      idCol, textCol)
-      .localCheckpoint(false)
-    verifyJaccard(cands, candGrams)
-  }
+      idCol: String, textCol: String): DataFrame =
+    minhashLshPairsIncrement(
+      lshBandIndex(base, idCol, textCol),
+      base.select(col(idCol), col(textCol))
+        .union(inc.select(col(idCol), col(textCol))),
+      inc, idCol, textCol)
 
   /** Containment (asymmetric-Jaccard) near-dup pairs: |A∩B| / |A| per
     * direction — how much of each document's distinct-trigram set appears
@@ -1717,6 +1787,23 @@ object Dedup {
     dedupClusters(lshPairsOf(s, d), "d1", "d2")
       .orderBy(col("doc_id"))
 
+  // ---- q435: the q60 clusters maintained INCREMENTALLY ------------------------
+  // Base labeling on doc_id < 300, the rest appended: Δ probes the
+  // carried band index for its new pairs, the label graph folds them in
+  // — shares q60's oracle verbatim: the maintained clustering must
+  // equal the full recompute.
+  private def q435(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val base = docs.filter(col("doc_id") < 300)
+    val baseLabels = dedupClusters(
+      minhashLshPairs(base, "doc_id", "text"), "d1", "d2")
+    val newPairs = minhashLshPairsIncrement(
+      lshBandIndex(base, "doc_id", "text"), docs,
+      docs.filter(col("doc_id") >= 300), "doc_id", "text")
+    dedupClustersIncrement(baseLabels, newPairs, "d1", "d2")
+      .orderBy(col("doc_id"))
+  }
+
   /** Duplicate-cluster SIZE distribution — the shape the one-row q120
     * summary can't show: is duplication a few giant template families or
     * a long tail of near-identical pairs? Emits (size, n_clusters) for
@@ -2548,6 +2635,7 @@ object Dedup {
     QueryDef("q29_embedding_neardup", q29, Some(q29Sql)),
     QueryDef("q56_embedding_neardup_ivf", q56, Some(q56Sql)),
     QueryDef("q60_dedup_clusters", q60, Some(q60Sql)),
+    QueryDef("q435_dedup_increment", q435, Some(q60Sql)),
     QueryDef("q289_cluster_histogram", q289, Some(q289Sql)),
     QueryDef("q64_dup_matrix", q64, Some(q64Sql)),
     QueryDef("q67_dedup_keep", q67, Some(q67Sql)),

@@ -197,6 +197,43 @@ class DedupSpec extends SparkSpec {
     assert((hi ++ lo) === full)
   }
 
+  test("dedupClustersIncrement folds appended pairs into labels bit-identically") {
+    val docs = Tables.documents(spark, sf).select($"doc_id", $"text")
+    val full = Dedup.dedupClusters(
+        Dedup.minhashLshPairs(docs, "doc_id", "text"), "d1", "d2")
+      .as[(Long, Long)].collect().toSet
+    def labelsVia(splits: Seq[Long]): Set[(Long, Long)] = {
+      // Chain increments at each split boundary: base < s0, then each
+      // [s_i, s_i+1) batch probes the carried band index and folds its
+      // new pairs into the carried labels.
+      val bounds = splits :+ Long.MaxValue
+      var labels = Dedup.dedupClusters(
+        Dedup.minhashLshPairs(docs.filter($"doc_id" < splits.head),
+          "doc_id", "text"), "d1", "d2")
+      for (i <- splits.indices) {
+        val lo = bounds(i); val hi = bounds(i + 1)
+        val corpusSoFar = docs.filter($"doc_id" < hi)
+        val delta = docs.filter($"doc_id" >= lo && $"doc_id" < hi)
+        val newPairs = Dedup.minhashLshPairsIncrement(
+          Dedup.lshBandIndex(docs.filter($"doc_id" < lo), "doc_id", "text"),
+          corpusSoFar, delta, "doc_id", "text")
+        labels = Dedup.dedupClustersIncrement(labels, newPairs, "d1", "d2")
+      }
+      labels.as[(Long, Long)].collect().toSet
+    }
+    // One append and a chained two-append cadence both equal the full
+    // recompute (labels, membership, and min-id cluster naming).
+    assert(labelsVia(Seq(25L)) === full)
+    assert(labelsVia(Seq(20L, 35L)) === full)
+    // An empty pair batch is the identity.
+    val base = Dedup.dedupClusters(
+      Dedup.minhashLshPairs(docs, "doc_id", "text"), "d1", "d2")
+    val same = Dedup.dedupClustersIncrement(base,
+      Seq.empty[(Long, Long, Double)].toDF("d1", "d2", "jaccard"),
+      "d1", "d2")
+    assert(same.as[(Long, Long)].collect().toSet === full)
+  }
+
   test("containment flags subset duplication that symmetric Jaccard misses") {
     val docs = Seq(
       (1L, "a b c d e f g h i j k l m n o p q r s t"),
