@@ -21,6 +21,19 @@ object Bucketing {
       .bucketBy(buckets, key).sortBy(key)
       .format("parquet").saveAsTable(table)
 
+  /** Append rows into an existing bucketed table, preserving its layout:
+    * each append batch writes its own per-bucket files (hash-routed on
+    * the SAME key + count, so bucket pruning and zero-exchange joins
+    * keep holding); readers merge the file sets. The incremental half of
+    * the [[writeBucketed]] seam — an index/projection maintained by
+    * appends instead of rebuilt per refresh.
+    */
+  def appendBucketed(df: DataFrame, table: String, key: String,
+      buckets: Int): Unit =
+    df.write.mode("append")
+      .bucketBy(buckets, key).sortBy(key)
+      .format("parquet").saveAsTable(table)
+
   /** Join two same-bucket-count tables on their bucket keys: planner emits
     * a sort-merge join with NO exchange on either side.
     */

@@ -960,12 +960,44 @@ object Similarity {
     */
   def ivfIndexed(s: SparkSession, dir: String, corpus: => DataFrame,
       seeds: => DataFrame, idCol: String, vecCol: String,
-      buckets: Int = 16): DataFrame = {
-    val dig = java.security.MessageDigest.getInstance("MD5")
-      .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
-    Materialized.ofBucketed(s, s"graft_ivf_index_$dig", "cluster", buckets) {
+      buckets: Int = 16, tag: String = ""): DataFrame =
+    Materialized.ofBucketed(s, ivfIndexTable(dir, tag), "cluster", buckets) {
       ivfAssign(corpus, seeds, idCol, vecCol)
     }
+
+  /** Catalog name of the persisted IVF index for `dir` (+ optional tag
+    * for independently-maintained variants): dir-hashed so multi-SF
+    * sessions cannot alias each other's index.
+    */
+  def ivfIndexTable(dir: String, tag: String = ""): String = {
+    val dig = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+    s"graft_ivf_index_$dig$tag"
+  }
+
+  /** Fold an APPEND batch of vectors into a persisted IVF index table —
+    * the catalog-seam half of incremental ANN maintenance (the
+    * [[knnEdgesIvfIncrement]] discipline at the [[ivfIndexed]] seam):
+    * the Δ batch pays only its own broadcast seed-scoring
+    * ([[ivfAssign]], |Δ|·K work) and lands as new per-bucket files in
+    * the SAME hash layout ([[Bucketing.appendBucketed]]), so bucket
+    * pruning and the zero-exchange probe joins keep holding and no base
+    * row is ever re-scored or rewritten. With deterministic assignment
+    * (fixed seeds), the appended table's CONTENT is bit-identical to a
+    * full rebuild over base ∪ Δ (spec-pinned; file layout differs, the
+    * relation does not). Fresh Δ ids are the caller's contract, as with
+    * every append seam here.
+    */
+  def ivfIndexAppend(s: SparkSession, dir: String, delta: DataFrame,
+      seeds: DataFrame, idCol: String, vecCol: String,
+      buckets: Int = 16, tag: String = ""): DataFrame = {
+    val table = ivfIndexTable(dir, tag)
+    require(s.catalog.tableExists(table),
+      s"ivfIndexAppend needs an existing index table $table — build it " +
+        "with ivfIndexed first")
+    Bucketing.appendBucketed(ivfAssign(delta, seeds, idCol, vecCol),
+      table, "cluster", buckets)
+    s.table(table)
   }
 
   // ---- q372: multi-probe ANN over the PERSISTED index ------------------------
@@ -983,6 +1015,25 @@ object Similarity {
       .orderBy(col("query_id"), col("rank"))
   }
   private val q372Sql = q86Sql
+
+  // ---- q436: multi-probe ANN over an APPEND-MAINTAINED persisted index --------
+  // Base index on vec_id < 384, the rest folded in as an append batch of
+  // new per-bucket files, then the q372 probe — shares q86's oracle
+  // verbatim: probing the maintained layout must equal probing a fresh
+  // full assignment. Dropped + rebuilt each run so the timed cost IS
+  // build+append (idempotent under bench re-runs).
+  private def q436(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+    val seeds = e.filter(col("vec_id") < NumSeeds)
+    s.sql(s"DROP TABLE IF EXISTS ${ivfIndexTable(d, "_inc")}")
+    ivfIndexed(s, d, e.filter(col("vec_id") < 384), seeds,
+      "vec_id", "embedding", tag = "_inc")
+    val idx = ivfIndexAppend(s, d, e.filter(col("vec_id") >= 384), seeds,
+      "vec_id", "embedding", tag = "_inc")
+    ivfTopKProbesOver(idx, seeds, col("vec_id") < NumQueries,
+        "vec_id", "embedding", TopK, NProbe)
+      .orderBy(col("query_id"), col("rank"))
+  }
 
   /** Exact top-k by INNER PRODUCT (MIPS) — the retrieval metric when
     * vector magnitude encodes relevance (learned rerankers, popularity-
@@ -4088,6 +4139,7 @@ object Similarity {
     QueryDef("q31_ann_ivf", q31, Some(q31Sql)),
     QueryDef("q86_ann_ivf_multiprobe", q86, Some(q86Sql)),
     QueryDef("q372_ivf_index_probe", q372, Some(q372Sql)),
+    QueryDef("q436_ivf_index_append", q436, Some(q372Sql)),
     QueryDef("q112_euclidean_topk", q112, Some(q112Sql)),
     QueryDef("q114_mips_topk", q114, Some(q114Sql)),
     QueryDef("q196_pq_adc_recall", q196, Some(q196Sql)),

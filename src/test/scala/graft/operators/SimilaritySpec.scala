@@ -609,6 +609,39 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("ivfIndexAppend: appended index equals the full rebuild, content and probes") {
+    val e = graft.Tables.embeddings(spark, sf)
+    val seeds = e.filter($"vec_id" < 16)
+    val table = Similarity.ivfIndexTable(sf, "_spec")
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    Similarity.ivfIndexed(spark, sf, e.filter($"vec_id" < 300), seeds,
+      "vec_id", "embedding", tag = "_spec")
+    val appended = Similarity.ivfIndexAppend(spark, sf,
+      e.filter($"vec_id" >= 300), seeds, "vec_id", "embedding",
+      tag = "_spec")
+    // The maintained table's CONTENT equals a fresh full assignment
+    // (file layout differs — the relation must not).
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select($"vec_id", $"cluster").as[(Long, Long)].collect().toSet
+    assert(rows(appended) ===
+      rows(Similarity.ivfAssign(e, seeds, "vec_id", "embedding")))
+    // Probing the maintained layout equals probing the fresh assignment.
+    val got = Similarity.ivfTopKProbesOver(spark.table(table), seeds,
+        $"vec_id" < 10, "vec_id", "embedding", 5, 4)
+      .as[(Long, Int, Long, Double)].collect().sortBy(r => (r._1, r._2))
+    val want = Similarity.ivfTopKProbesOver(
+        Similarity.ivfAssign(e, seeds, "vec_id", "embedding"), seeds,
+        $"vec_id" < 10, "vec_id", "embedding", 5, 4)
+      .as[(Long, Int, Long, Double)].collect().sortBy(r => (r._1, r._2))
+    assert(got === want)
+    // Appending to a missing table fails loudly.
+    spark.sql(s"DROP TABLE $table")
+    intercept[IllegalArgumentException] {
+      Similarity.ivfIndexAppend(spark, sf, e.filter($"vec_id" >= 300),
+        seeds, "vec_id", "embedding", tag = "_spec")
+    }
+  }
+
   test("dbscan delete: demotions and border rebuilds equal the full recompute") {
     def stateRows(df: org.apache.spark.sql.DataFrame)
         : Seq[(Long, Long, Long, Long, Option[Long], Option[Seq[Long]])] =
