@@ -552,6 +552,58 @@ object Dedup {
     remappedOld.unionByName(fresh)
   }
 
+  /** Fold a DELETE batch out of a [[dedupClusters]] labeling — the
+    * delete twin of [[dedupClustersIncrement]] (retention pipelines
+    * remove documents). Removing a document removes exactly the pairs
+    * incident to it, so only the clusters that CONTAINED a deleted
+    * member can change (split, shrink, relabel, or dissolve); all other
+    * rows pass through untouched. Touched clusters resolve by LOCALIZED
+    * recompute: the remaining members' carried band keys
+    * ([[lshBandIndex]]) self-join for candidates (a member can never
+    * pair with a non-member — a verified cross pair would have merged
+    * the clusters originally), the exact-Jaccard verify re-derives
+    * grams only for candidates, and the re-clustered labels replace the
+    * touched rows. Members left with no surviving pair drop out of the
+    * labeling, exactly as in a full recompute. Delete ids absent from
+    * the labeling (never-paired or unknown docs) are harmless no-ops on
+    * it — drop them from the carried band index with an anti-join.
+    * BIT-IDENTICAL to dedupClusters over the survivors' pairs
+    * (spec-pinned).
+    */
+  def dedupClustersDelete(labels: DataFrame, bandIndex: DataFrame,
+      corpus: DataFrame, deleteIds: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val lab = ckptNS(labels)
+    val del = deleteIds.select(col(idCol).cast("long").as("doc_id"))
+      .distinct().localCheckpoint(true)
+    if (del.isEmpty) return lab
+    val touched = ckptNS(lab.join(del, Seq("doc_id"), "left_semi")
+      .select(col("cluster_id")).distinct())
+    val members = ckptNS(lab
+      .join(broadcast(touched), Seq("cluster_id"), "left_semi")
+      .join(del, Seq("doc_id"), "left_anti")
+      .select(col("doc_id")))
+    val mBands = ckptNS(bandIndex.join(members, Seq("doc_id"), "left_semi"))
+    val cands = mBands.as("x")
+      .join(mBands.hint("shuffle_hash").as("y"),
+        col("x.key") === col("y.key") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
+      .distinct()
+      .localCheckpoint(false)
+    val candIds = cands.select(col("d1").as("cid"))
+      .union(cands.select(col("d2"))).distinct()
+    val candGrams = gramRows(
+      corpus.join(broadcast(candIds), col(idCol) === col("cid"),
+        "left_semi"),
+      idCol, textCol)
+      .localCheckpoint(false)
+    val relabeled = dedupClusters(verifyJaccard(cands, candGrams),
+      "d1", "d2")
+    lab.join(broadcast(touched), Seq("cluster_id"), "left_anti")
+      .select(col("doc_id"), col("cluster_id"))
+      .unionByName(relabeled.select(col("doc_id"), col("cluster_id")))
+  }
+
   /** Cross-group duplication matrix: for every unordered pair of groups
     * (sources, dumps, snapshots …), how many near-duplicate document pairs
     * connect them — the standard corpus-curation report for deciding which
@@ -1787,6 +1839,27 @@ object Dedup {
     dedupClusters(lshPairsOf(s, d), "d1", "d2")
       .orderBy(col("doc_id"))
 
+  // ---- q437: the q60 clusters after a DELETE batch ----------------------------
+  // Full-corpus labels, doc_id >= 300 deleted: touched clusters
+  // re-resolve from their survivors' carried band keys — the oracle is
+  // the clustering recomputed from scratch on the surviving documents.
+  private def q437(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    dedupClustersDelete(
+      dedupClusters(lshPairsOf(s, d), "d1", "d2"),
+      lshBandIndex(docs, "doc_id", "text"), docs,
+      docs.filter(col("doc_id") >= 300).select(col("doc_id")),
+      "doc_id", "text")
+      .orderBy(col("doc_id"))
+  }
+  private val q437Sql =
+    s"""WITH RECURSIVE ${jaccardCtes(
+        "(SELECT * FROM documents WHERE doc_id < 300) live")},
+       $dupCte,
+       $closureCtes
+       SELECT a AS doc_id, least(a, min(b)) AS cluster_id
+       FROM reach GROUP BY a ORDER BY doc_id"""
+
   // ---- q435: the q60 clusters maintained INCREMENTALLY ------------------------
   // Base labeling on doc_id < 300, the rest appended: Δ probes the
   // carried band index for its new pairs, the label graph folds them in
@@ -2636,6 +2709,7 @@ object Dedup {
     QueryDef("q56_embedding_neardup_ivf", q56, Some(q56Sql)),
     QueryDef("q60_dedup_clusters", q60, Some(q60Sql)),
     QueryDef("q435_dedup_increment", q435, Some(q60Sql)),
+    QueryDef("q437_dedup_delete", q437, Some(q437Sql)),
     QueryDef("q289_cluster_histogram", q289, Some(q289Sql)),
     QueryDef("q64_dup_matrix", q64, Some(q64Sql)),
     QueryDef("q67_dedup_keep", q67, Some(q67Sql)),

@@ -107,6 +107,11 @@ class LintBudgetSpec extends SparkSpec {
     // build side — q86's adjudication); the assignment cross is GONE
     // from this plan because the index table is read back persisted.
     "q372_ivf_index_probe" -> Map("broadcast-nested-loop" -> 1),
+    // q436: q372's probe cross plus the APPEND batch's own
+    // ivfAssign-vs-broadcast-16-seed cross (Δ-sized stream side, bounded
+    // build side — the q350 adjudication; the base build runs behind the
+    // ofBucketed seam and is not in this plan).
+    "q436_ivf_index_append" -> Map("broadcast-nested-loop" -> 1),
     "q30_cosine_topk" -> Map("broadcast-nested-loop" -> 1),
     // q396: the Hamming prefilter broadcasts the bounded QUERY set of
     // packed words against the corpus on a non-equi (!=) condition —

@@ -234,6 +234,40 @@ class DedupSpec extends SparkSpec {
     assert(same.as[(Long, Long)].collect().toSet === full)
   }
 
+  test("dedupClustersDelete relabels touched clusters and drops orphans") {
+    val docs = Tables.documents(spark, sf).select($"doc_id", $"text")
+    val bandIndex = Dedup.lshBandIndex(docs, "doc_id", "text")
+    val fullLabels = Dedup.dedupClusters(
+      Dedup.minhashLshPairs(docs, "doc_id", "text"), "d1", "d2")
+    def labelsOn(pred: org.apache.spark.sql.Column): Set[(Long, Long)] =
+      Dedup.dedupClusters(
+          Dedup.minhashLshPairs(docs.filter(pred), "doc_id", "text"),
+          "d1", "d2")
+        .as[(Long, Long)].collect().toSet
+    // Delete the id tail: surviving labels equal the from-scratch
+    // clustering of the survivors (splits, relabels, orphan drops).
+    val afterTail = Dedup.dedupClustersDelete(fullLabels, bandIndex,
+        docs, docs.filter($"doc_id" >= 25).select($"doc_id"),
+        "doc_id", "text")
+      .as[(Long, Long)].collect().toSet
+    assert(afterTail === labelsOn($"doc_id" < 25))
+    // Delete each full cluster's MINIMUM member: every touched cluster
+    // must relabel (or dissolve), again equal to the full recompute.
+    val mins = fullLabels.groupBy($"cluster_id")
+      .agg(org.apache.spark.sql.functions.min($"doc_id").as("doc_id"))
+      .select($"doc_id").as[Long].collect().toSet
+    val afterMins = Dedup.dedupClustersDelete(fullLabels, bandIndex,
+        docs, mins.toSeq.toDF("doc_id"), "doc_id", "text")
+      .as[(Long, Long)].collect().toSet
+    assert(afterMins === labelsOn(!$"doc_id".isin(mins.toSeq: _*)))
+    // Never-paired / unknown ids are harmless no-ops on the labeling.
+    val full = fullLabels.as[(Long, Long)].collect().toSet
+    val noop = Dedup.dedupClustersDelete(fullLabels, bandIndex, docs,
+        Seq(99999L).toDF("doc_id"), "doc_id", "text")
+      .as[(Long, Long)].collect().toSet
+    assert(noop === full)
+  }
+
   test("containment flags subset duplication that symmetric Jaccard misses") {
     val docs = Seq(
       (1L, "a b c d e f g h i j k l m n o p q r s t"),
