@@ -2843,12 +2843,17 @@ object Similarity {
     knnEdgesIvf(e, e.filter(col("vec_id") < NumSeeds), "vec_id",
       "embedding", k = 3, nprobe = 4).orderBy(col("u"), col("v"))
   }
-  private[operators] val q420Sql =
+  private[operators] val q420Sql = knnEdgesIvfSql("")
+
+  /** Generated [[knnEdgesIvf]] oracle; `corpusWhere` restricts the
+    * corpus (the q438 delete twin reuses it over the survivors).
+    */
+  private def knnEdgesIvfSql(corpusWhere: String): String =
     s"""WITH q8 AS (
          SELECT vec_id AS vid, list_transform(embedding, x -> floor(x::DOUBLE /
            (list_max(list_transform(embedding, y -> abs(y))))::DOUBLE
            * 127)::BIGINT) AS q
-         FROM embeddings),
+         FROM embeddings $corpusWhere),
        sd AS (SELECT vid AS seed_id, q AS sq FROM q8 WHERE vid < $NumSeeds),
        sc AS (
          SELECT a.vid, a.q, s.seed_id,
@@ -3251,6 +3256,53 @@ object Similarity {
     st.join(affected, Seq("vid"), "left_anti")
       .unionByName(affState)
       .unionByName(deltaState)
+  }
+
+  /** Fold a DELETE batch out of a [[knnIvfState]] — the delete twin of
+    * [[knnEdgesIvfIncrement]]. Deleting vectors shrinks candidate sets
+    * only: a surviving vector's top-k changes iff its CARRIED top-k
+    * contains a deleted neighbor (dropping a non-top-k candidate can
+    * never surface — the carried scores make affectedness an exact,
+    * local test). Affected vectors re-score their probed buckets'
+    * surviving assigned members in full (the (k+1)-th candidate is not
+    * carried, so a bucket re-scan is the price of a top-k hit — cost
+    * |affected|·bucket-density, Δ-driven for sparse deletes); everyone
+    * else passes through untouched. Assignments and probes never change
+    * (seed centroids are PARAMETERS — deleting the vector a seed was
+    * taken from removes it as a neighbor, not as a centroid; pass the
+    * same seed set when comparing to a full rebuild). BIT-IDENTICAL to
+    * knnIvfState(survivors) (spec-pinned). Pass the k the state was
+    * built with; delete ids must exist in the state (guarded).
+    */
+  def knnIvfStateDelete(state: DataFrame, deleteIds: DataFrame,
+      idCol: String, k: Int): DataFrame = {
+    require(k >= 1, "knnIvfStateDelete needs k >= 1")
+    val st = state.ckptNoStats
+    val del = deleteIds.select(col(idCol).cast("long").as("vid"))
+      .distinct().ckptNoStats
+    require(del.join(st.select(col("vid")), Seq("vid"), "left_anti").isEmpty,
+      "knnIvfStateDelete: every delete id must exist in the state")
+    if (del.isEmpty) return st
+    val rest = st.join(del, Seq("vid"), "left_anti").ckptNoStats
+    val affected = rest.filter(col("topk").isNotNull)
+      .select(col("vid"), explode(col("topk")).as("t"))
+      .join(del.select(col("vid").as("t_n")),
+        col("t.neighbor_id") === col("t_n"), "left_semi")
+      .select(col("vid")).distinct()
+    val aff = rest.join(affected, Seq("vid"), "left_semi").ckptNoStats
+    val asgRest = rest.select(col("vid").as("bid"), col("q8").as("bq"),
+      col("cluster"))
+    val cand = aff.select(col("vid"), col("q8"),
+        explode(col("probes")).as("cluster"))
+      .join(asgRest, Seq("cluster"))
+      .filter(col("vid") =!= col("bid"))
+      .select(col("vid").as("query_id"), col("bid").as("neighbor_id"),
+        (-d2q(col("q8"), col("bq"))).cast("double").as("c"))
+    val affState = attachTopK(
+      aff.select(col("vid"), col("q8"), col("cluster"), col("probes")),
+      rankTopK(cand, k))
+    rest.join(affected, Seq("vid"), "left_anti")
+      .unionByName(affState)
   }
 
   /** Grid-bucketed DBSCAN over a 2-D point set — the density-based
@@ -4106,10 +4158,25 @@ object Similarity {
       .orderBy(col("u"), col("v"))
   }
 
+  // ---- q438: the q420 kNN graph after a DELETE batch --------------------------
+  // Full-corpus state, vec_id >= 384 deleted, edges read off the state —
+  // the oracle is the graph rebuilt from scratch over the survivors.
+  private def q438(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+    knnIvfEdges(knnIvfStateDelete(
+        knnIvfState(e, e.filter(col("vec_id") < NumSeeds),
+          "vec_id", "embedding", k = 3, nprobe = 4),
+        e.filter(col("vec_id") >= 384).select(col("vec_id")),
+        "vec_id", k = 3))
+      .orderBy(col("u"), col("v"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q404_dbscan", q404, Some(q404Sql)),
     QueryDef("q430_dbscan_increment", q430, Some(q404Sql)),
     QueryDef("q431_knn_edges_increment", q431, Some(q420Sql)),
+    QueryDef("q438_knn_edges_delete", q438,
+      Some(knnEdgesIvfSql("WHERE vec_id < 384"))),
     QueryDef("q433_dbscan_delete", q433, Some(dbscanCensusSql(300))),
     QueryDef("q411_hst_outliers", q411, Some(q411Sql)),
     QueryDef("q426_hst_fit_score", q426, Some(q411Sql)),

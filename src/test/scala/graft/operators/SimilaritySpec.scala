@@ -756,6 +756,21 @@ class SimilaritySpec extends SparkSpec {
         state(e.filter($"vec_id" < 300)), e.filter($"vec_id" < 10),
         seeds, "vec_id", "embedding", k = 3, nprobe = 4)
     }
+    // DELETE twin: removing the tail from the full state equals building
+    // on the survivors (affected vectors — carried top-k hit — re-scan
+    // their probed buckets; everyone else passes through).
+    val delState = Similarity.knnIvfStateDelete(full,
+      e.filter($"vec_id" >= 300).select($"vec_id"), "vec_id", k = 3)
+    assert(canon(delState) === canon(state(e.filter($"vec_id" < 300))))
+    // Append-then-delete round-trips.
+    val rt = Similarity.knnIvfStateDelete(inc1,
+      e.filter($"vec_id" >= 300).select($"vec_id"), "vec_id", k = 3)
+    assert(canon(rt) === canon(state(e.filter($"vec_id" < 300))))
+    // Unknown delete ids are rejected loudly.
+    intercept[IllegalArgumentException] {
+      Similarity.knnIvfStateDelete(full, Seq(99999L).toDF("vec_id"),
+        "vec_id", k = 3)
+    }
   }
 
   test("hstFit + hstScore reproduce hstOutliers scores on the training table") {
