@@ -305,6 +305,13 @@ object Dedup {
     * rejects observable; filter on it to enforce). The index and the
     * incoming rows must be disjoint corpora — an id present in both
     * simply rejects itself, which is the admission semantics anyway.
+    *
+    * Scale contract: the index side is BROADCAST — size it as the
+    * curated reference set (the canonical corpus after dedup), not an
+    * unbounded raw corpus. When the reference set itself outgrows
+    * broadcast, run admission batch-side as the banded shuffle join
+    * ([[hammingPairs]] between incoming and reference) — the same
+    * pigeonhole, exchanged instead of replicated.
     */
   def hammingAdmit(df: DataFrame, hashCol: String, index: DataFrame,
       bands: Int, bandBits: Int, maxHamming: Int): DataFrame = {
@@ -1770,7 +1777,7 @@ object Dedup {
       .select(col("doc_id"), col("admitted").cast("long").as("admitted"))
       .orderBy(col("doc_id"))
   }
-  private val q434Sql =
+  private[operators] val q434Sql =
     s"""WITH $simhashShCtes
        SELECT i.doc_id,
          CASE WHEN count(b.doc_id) = 0 THEN 1 ELSE 0 END::BIGINT AS admitted

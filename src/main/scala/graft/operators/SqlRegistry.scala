@@ -270,6 +270,28 @@ object SqlRegistry {
         intLit(exprs(5), "maxHamming"))
     }
 
+    // graft_hamming_admit(refTable, inTable, idCol, hashExpr, bands,
+    // bandBits, maxHamming): zero-state banded near-dup ADMISSION (the
+    // q434 operator) — rows of inTable admitted iff no refTable hash
+    // lies within maxHamming (exact for maxHamming < bands).
+    tvf("graft_hamming_admit") { exprs =>
+      require(exprs.length == 7,
+        "graft_hamming_admit(refTable, inTable, idCol, hashExpr, bands, " +
+          "bandBits, maxHamming)")
+      val idCol = strLit(exprs(2), "idCol")
+      val hashExpr = strLit(exprs(3), "hashExpr")
+      val bands = intLit(exprs(4), "bands")
+      val bandBits = intLit(exprs(5), "bandBits")
+      def hashed(t: String) = s.table(t)
+        .select(col(idCol), expr(hashExpr).as("__h"))
+        .where(col("__h").isNotNull)
+      Dedup.hammingAdmit(hashed(strLit(exprs(1), "inTable")), "__h",
+          Dedup.hammingIndex(hashed(strLit(exprs(0), "refTable")), idCol,
+            "__h", bands, bandBits),
+          bands, bandBits, intLit(exprs(6), "maxHamming"))
+        .select(col(idCol), col("admitted"))
+    }
+
     // graft_dedup_spans(table, idCol, textCol, k, w): cross-document
     // repeated-span cut plan (the q367 operator) — the SQL seam for the
     // Lee-et-al. corpus dedup loop; feed the result to

@@ -244,6 +244,24 @@ object SqlSurface {
            'round(l_extendedprice * 100)', 3, 8, 104857,
            '1L', 'CAST(l_quantity AS BIGINT) div 10')""")
 
+  // ---- q439: streaming-admission decisions from pure SQL ----------------------
+  // The q434 operator through the graft_hamming_admit TVF — the SQL
+  // route must hash-match the same all-pairs oracle; the hash expression
+  // replays the engine's simhash chain (graft_simhash over the
+  // whitespace tokens) exactly.
+  private def q439(s: SparkSession, d: String): DataFrame = {
+    SqlRegistry.register(s)
+    val docs = Tables(s, d, "documents")
+    docs.filter(docs("doc_id") < 300)
+      .createOrReplaceTempView("documents_ref")
+    docs.filter(docs("doc_id") >= 300)
+      .createOrReplaceTempView("documents_in")
+    s.sql("""SELECT doc_id, CAST(admitted AS BIGINT) AS admitted
+      FROM graft_hamming_admit('documents_ref', 'documents_in', 'doc_id',
+        'graft_simhash(split(text, '' ''))', 4, 8, 3)
+      ORDER BY doc_id""")
+  }
+
   // ---- q429: the FULL SQL-only centrality chain -------------------------------
   // Graph build (bucketed TVF) composed with the sampled-closeness TVF
   // through a TEMP VIEW — no Scala in the loop; shares q427's oracle.
@@ -278,6 +296,7 @@ object SqlSurface {
     QueryDef("q417_sql_hst_outliers", q417, Some(Similarity.q411Sql)),
     QueryDef("q418_sql_betweenness", q418, Some(Graph.q414Sql)),
     QueryDef("q429_sql_knn_centrality", q429, Some(Graph.q427Sql)),
+    QueryDef("q439_sql_admission", q439, Some(Dedup.q434Sql)),
     QueryDef("q423_sql_ipw_ate", q423, Some(Supervised.q406Sql)),
     QueryDef("q424_sql_gcomp_ate", q424, Some(Supervised.q415Sql)),
     QueryDef("q425_sql_psm_att", q425, Some(Supervised.q419Sql)),
