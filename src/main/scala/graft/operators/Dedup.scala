@@ -338,6 +338,58 @@ object Dedup {
     cur.select(in :+ (!dup).as("admitted"): _*)
   }
 
+  /** SELF-MAINTAINING streaming admission — the online dedup pipeline
+    * composed end to end: each micro-batch decides against the index of
+    * reference ∪ previously-ADMITTED stream rows, writes its admitted
+    * rows to `outDir/batch=<id>`, and the NEXT batch's index includes
+    * them — so a later near-dup of an admitted stream row is rejected,
+    * not just near-dups of the static reference. Semantics are
+    * BATCH-GRANULAR greedy admission: rows within one micro-batch are
+    * decided against the prior state only (two mutual near-dups arriving
+    * together are both admitted; the next arrival of either's
+    * neighborhood is rejected) — the deterministic micro-batch analog of
+    * per-record greedy admission, spec-pinned against a batch-by-batch
+    * fold of [[hammingAdmit]].
+    *
+    * Exactly-once across restarts WITHOUT engine state: the SINK IS THE
+    * STATE. Each batch writes mode-overwrite into its own `batch=<id>`
+    * subdirectory (a replayed batch after a crash recomputes against the
+    * same prior directories and overwrites its own — idempotent), and
+    * the index rebuilds from reference + the sink's accumulated
+    * directories at every batch, so a restarted query resumes from
+    * exactly the admitted set it had durably written.
+    */
+  def hammingAdmissionSink(incoming: DataFrame, idCol: String,
+      hashCol: String, reference: DataFrame, outDir: String,
+      checkpointDir: String, bands: Int, bandBits: Int,
+      maxHamming: Int): org.apache.spark.sql.streaming.StreamingQuery =
+    incoming.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val s = batch.sparkSession
+        val ref = reference.select(col(idCol), col(hashCol))
+        val root = new org.apache.hadoop.fs.Path(outDir)
+        val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+        val admittedDirs =
+          if (!fs.exists(root)) Array.empty[String]
+          else fs.listStatus(root).filter(_.isDirectory)
+            .map(_.getPath.toString)
+            .filter(_.contains("batch="))
+            // A replayed batch must not index its OWN previous write.
+            .filterNot(_.endsWith(s"batch=$batchId"))
+        val refAll =
+          if (admittedDirs.isEmpty) ref
+          else ref.unionByName(s.read.parquet(admittedDirs.toSeq: _*)
+            .select(col(idCol), col(hashCol)))
+        val admitted = hammingAdmit(batch, hashCol,
+            hammingIndex(refAll, idCol, hashCol, bands, bandBits),
+            bands, bandBits, maxHamming)
+          .filter(col("admitted")).drop("admitted")
+        admitted.write.mode("overwrite")
+          .parquet(s"$outDir/batch=$batchId")
+      }
+      .start()
+
   /** Embedding near-dup: pairs with cosine >= threshold (brute pair join;
     * use [[cosinePairsIvf]] at scale).
     */

@@ -461,6 +461,66 @@ class StreamingAnalyticsSpec extends SparkSpec {
     assert(batch.values.exists(identity) && batch.values.exists(!_))
   }
 
+  test("hammingAdmissionSink grows its own index across batches and a restart") {
+    // The online dedup pipeline composed end to end: admitted rows fold
+    // into the index, so later near-dups of ADMITTED STREAM rows are
+    // rejected too; the sink is the state, so a restarted query resumes
+    // from exactly the admitted set it wrote.
+    import graft.operators.Dedup
+    val sh = Dedup.simhash(graft.Tables.documents(spark, sf),
+      "doc_id", "text").localCheckpoint()
+    val ref = sh.filter(col("doc_id") < 100)
+    val incoming = sh.filter(col("doc_id") >= 100)
+      .as[(Long, Long)].collect().sortBy(_._1).toSeq
+    val batches = Seq(incoming.slice(0, 120), incoming.slice(120, 250),
+      incoming.drop(250))
+    val out = tmp("admit_out")
+    val ckpt = tmp("ckpt_admit_sink")
+    val ms = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Long)](spark)
+    def start() = Dedup.hammingAdmissionSink(
+      ms.toDF().toDF("doc_id", "simhash"), "doc_id", "simhash",
+      ref, out, ckpt, bands = 4, bandBits = 8, maxHamming = 3)
+    val q1 = start()
+    try { ms.addData(batches(0)); q1.processAllAvailable() }
+    finally { q1.stop(); q1.awaitTermination(60000) }
+    // Restart between batches; one batch lands while the query is down.
+    ms.addData(batches(1))
+    val q2 = start()
+    try { q2.processAllAvailable(); ms.addData(batches(2))
+      q2.processAllAvailable() }
+    finally { q2.stop(); q2.awaitTermination(60000) }
+    val streamed = spark.read.parquet(out)
+      .select(col("doc_id"), col("simhash"))
+      .as[(Long, Long)].collect().toSet
+    // Reference fold: per batch, a distributed hammingAdmit against
+    // reference ∪ previously-admitted, exactly the pipeline's contract.
+    var state = ref
+    var expect = Set.empty[(Long, Long)]
+    for (b <- batches) {
+      val idx = Dedup.hammingIndex(state, "doc_id", "simhash", 4, 8)
+      val adm = Dedup.hammingAdmit(b.toDF("doc_id", "simhash"),
+          "simhash", idx, 4, 8, 3)
+        .filter(col("admitted")).drop("admitted")
+        .as[(Long, Long)].collect().toSet
+      expect ++= adm
+      state = state.unionByName(adm.toSeq.toDF("doc_id", "simhash"))
+        .localCheckpoint()
+    }
+    assert(streamed === expect)
+    // Self-maintenance is load-bearing: some row admitted against the
+    // static reference alone is REJECTED by the growing index (a
+    // near-dup of an earlier admitted stream row).
+    val refOnly = Dedup.hammingAdmit(incoming.toDF("doc_id", "simhash"),
+        "simhash", Dedup.hammingIndex(ref, "doc_id", "simhash", 4, 8),
+        4, 8, 3)
+      .filter(col("admitted")).drop("admitted")
+      .as[(Long, Long)].collect().toSet
+    assert(streamed.subsetOf(refOnly) && streamed.size < refOnly.size,
+      s"expected the growing index to reject extra rows " +
+        s"(${streamed.size} vs ${refOnly.size})")
+  }
+
   test("decode recovers every typed event field from payload bytes") {
     val q = decoded().writeStream.format("memory").queryName("decoded_all")
       .option("checkpointLocation", tmp("ckpt_dec"))
