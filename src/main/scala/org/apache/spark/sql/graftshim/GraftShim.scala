@@ -33,6 +33,27 @@ object GraftShim {
     * untouched; the relation merely reverts to the
     * `defaultSizeInBytes` leaf estimate.
     */
+  /** Stats-dropping checkpoint — THE way to truncate lineage inside a
+    * state→state loop (pagerank, LPA, fixpoints, incremental folds):
+    * `localCheckpoint` + [[dropOriginStats]] in one call, so no new
+    * iterative operator can reintroduce the stats-compounding hazard by
+    * forgetting the second half. One-shot (non-loop) checkpoints may
+    * keep the origin stats — they are the real input's and inform join
+    * strategy — and mark the site `// stats-ok: <reason>` for
+    * CheckpointDisciplineSpec's sweep.
+    */
+  def ckptNoStats(df: DataFrame, eager: Boolean = false): DataFrame =
+    dropOriginStats(df.localCheckpoint(eager))
+
+  /** True when the DataFrame is already a materialized leaf (a
+    * `localCheckpoint` result) — lets an operator that defensively
+    * checkpoints a reused input skip the copy when the caller already
+    * paid for one.
+    */
+  def isMaterialized(df: DataFrame): Boolean =
+    df.asInstanceOf[ClassicDataset[_]].queryExecution.analyzed
+      .isInstanceOf[org.apache.spark.sql.execution.LogicalRDD]
+
   def dropOriginStats(df: DataFrame): DataFrame = {
     val ds = df.asInstanceOf[ClassicDataset[_]]
     ds.queryExecution.analyzed match {

@@ -519,6 +519,76 @@ class StreamingAnalyticsSpec extends SparkSpec {
     assert(streamed.subsetOf(refOnly) && streamed.size < refOnly.size,
       s"expected the growing index to reject extra rows " +
         s"(${streamed.size} vs ${refOnly.size})")
+    // The maintained index holds exactly the trailing two compactions
+    // (the engine can only replay the LAST batch; older folds are GC'd).
+    val uptoDirs = new java.io.File(s"$out/_index").listFiles()
+      .filter(_.isDirectory).map(_.getName).toSet
+    assert(uptoDirs.exists(_.startsWith("upto=")) && uptoDirs.size <= 2,
+      s"expected at most the trailing two compactions, got $uptoDirs")
+  }
+
+  test("hammingAdmissionSink per-trigger reads are bounded by Δ + index, not admitted-so-far") {
+    // The maintained index (r11 verdict Next #2): batch 0 indexes the
+    // reference ONCE; afterwards a trigger reads only its own Δ plus
+    // the compacted index, whose row count is bounded by
+    // bands · 2^bandBits (= 64 here) regardless of how much was ever
+    // admitted. With a 4000-row reference over three triggers, the old
+    // rebuild-every-trigger sink read ≥ 3 × 4000 reference rows (plus
+    // all accumulated admitted parquet); the maintained sink reads the
+    // reference once. Records-read are attributed to THIS query via its
+    // runId job group, so parallel suites can't pollute the count.
+    import graft.operators.Dedup
+    val nRef = 4000
+    val ref = (0 until nRef)
+      .map(i => (i.toLong, i.toLong * 2654435761L))
+      .toDF("doc_id", "simhash").localCheckpoint()
+    val batches = (nRef until nRef + 90)
+      .map(i => (i.toLong, i.toLong * 2654435761L + 1L))
+      .grouped(30).toSeq
+    val out = tmp("admit_out_io")
+    val ckpt = tmp("ckpt_admit_io")
+    val ms = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Long)](spark)
+    @volatile var runId: String = null
+    val stages = java.util.concurrent.ConcurrentHashMap.newKeySet[Int]()
+    val reads = new java.util.concurrent.atomic.AtomicLong()
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        val g = Option(js.properties)
+          .map(_.getProperty("spark.jobGroup.id")).orNull
+        if (g != null && runId != null && g.contains(runId))
+          js.stageIds.foreach(i => stages.add(i))
+      }
+      override def onTaskEnd(
+          te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        if (stages.contains(te.stageId) && te.taskMetrics != null)
+          reads.addAndGet(te.taskMetrics.inputMetrics.recordsRead)
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val q = Dedup.hammingAdmissionSink(
+        ms.toDF().toDF("doc_id", "simhash"), "doc_id", "simhash",
+        ref, out, ckpt, bands = 4, bandBits = 4, maxHamming = 2)
+      runId = q.runId.toString
+      try batches.foreach { b => ms.addData(b); q.processAllAvailable() }
+      finally { q.stop(); q.awaitTermination(60000) }
+      Thread.sleep(1000) // listener events are delivered asynchronously
+      val total = reads.get()
+      // Rebuild-per-trigger would read the reference on all three
+      // triggers (≥ 12000 records); the maintained index reads it once.
+      // Generous slack covers the Δs, the ≤64-row compaction reads, and
+      // cached-block re-reads of the per-trigger checkpoints.
+      assert(total > 0L, "listener attributed no reads to the query")
+      assert(total < 2L * nRef,
+        s"per-trigger reads grew with admitted-so-far: $total records " +
+          s"read over 3 triggers vs a $nRef-row reference")
+      // All three batch directories landed.
+      val batchDirs = new java.io.File(out).listFiles()
+        .filter(_.isDirectory).map(_.getName)
+        .filter(_.matches("batch=\\d+")).toSet
+      assert(batchDirs === Set("batch=0", "batch=1", "batch=2"))
+    } finally spark.sparkContext.removeSparkListener(listener)
   }
 
   test("decode recovers every typed event field from payload bytes") {
