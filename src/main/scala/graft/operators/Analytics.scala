@@ -286,11 +286,11 @@ object Analytics {
     // helper cannot unpersist eagerly without killing its own plan.
     val v = e.filter(col("event_type") === "view")
       .groupBy(col("user_id")).agg(min(col("t")).as("t_view"))
-      .localCheckpoint(false)
+      .localCheckpoint(false) // stats-ok: one-shot funnel stage consumed twice
     val c = e.filter(col("event_type") === "click")
       .join(v, "user_id").filter(col("t") > col("t_view"))
       .groupBy(col("user_id")).agg(min(col("t")).as("t_click"))
-      .localCheckpoint(false)
+      .localCheckpoint(false) // stats-ok: one-shot funnel stage consumed twice
     val p = e.filter(col("event_type") === "purchase")
       .join(c, "user_id").filter(col("t") > col("t_click"))
       .groupBy(col("user_id")).agg(min(col("t")).as("t_purchase"))
@@ -4215,7 +4215,7 @@ object Analytics {
       .repartitionByRange(partitions, col("t"), col("d"))
       .sortWithinPartitions(col("t"), col("d"))
       .as[(Long, Int)]
-      .localCheckpoint(false) // pass 2 must see pass 1's exact partitions
+      .localCheckpoint(false) // stats-ok: pass 2 must see pass 1's exact partitions
     val totals = bounds.mapPartitions { it =>
         Iterator.single(
           (org.apache.spark.TaskContext.getPartitionId(), it.map(_._2.toLong).sum))

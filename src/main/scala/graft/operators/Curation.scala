@@ -40,7 +40,7 @@ object Curation {
     // 1. canonical text (normalizeText emits `norm` + `changed`)
     val normalized = TextAnalysis.normalizeText(docs, textCol)
       .withColumn(textCol, col("norm")).drop("norm", "changed")
-      .localCheckpoint(false)
+      .localCheckpoint(false) // stats-ok: one-shot pipeline stage reused downstream + by the audit
 
     // 1b. optional boilerplate tile removal (the C4 repeated-span rule):
     //     documents are REWRITTEN, not dropped — a doc hollowed out to
@@ -51,26 +51,26 @@ object Curation {
             tileWords = w, maxOccurrences = boilerplateMaxOccurrences)
           .withColumn(textCol, col("clean_text"))
           .drop("n_tiles", "n_kept", "clean_text")
-          .localCheckpoint(false)
+          .localCheckpoint(false) // stats-ok: one-shot pipeline stage reused downstream + by the audit
       case None => normalized
     }
 
     // 2. rule-based quality filter (keep only passing docs)
     val kept = TextAnalysis.gopherFilter(deboiled, idCol, textCol)
       .filter(col("keep")).select(col(idCol))
-    val filtered = deboiled.join(kept, idCol).localCheckpoint(false)
+    val filtered = deboiled.join(kept, idCol).localCheckpoint(false) // stats-ok: one-shot pipeline stage reused downstream + by the audit
 
     // 3. exact duplicate removal (first id per content hash survives)
     val keepers = Dedup.exactDedup(filtered, idCol, textCol)
       .select(col("keeper").as(idCol))
-    val exactDeduped = filtered.join(keepers, idCol).localCheckpoint(false)
+    val exactDeduped = filtered.join(keepers, idCol).localCheckpoint(false) // stats-ok: one-shot pipeline stage reused downstream + by the audit
 
     // 4. near-duplicate removal: LSH candidate pairs, exact-verified,
     //    clustered transitively; cluster representatives survive
     val pairs = Dedup.minhashLshPairs(exactDeduped, idCol, textCol)
     val nearDeduped = Dedup
       .dropDuplicatesTransitive(exactDeduped, idCol, pairs, "d1", "d2")
-      .localCheckpoint(false)
+      .localCheckpoint(false) // stats-ok: one-shot pipeline stage reused downstream + by the audit
 
     // 5. mixture-balanced deterministic sample (per-source token budget)
     val rates = PipelineOps

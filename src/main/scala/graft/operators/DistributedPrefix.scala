@@ -57,7 +57,7 @@ object DistributedPrefix {
     val keyed = df
       .repartitionByRange(partitions, (gCols ++ orderCols): _*)
       .withColumn("_pid", spark_partition_id())
-      .localCheckpoint(false)
+      .localCheckpoint(false) // stats-ok: both passes must see identical partition ids
 
     // Pass 1: per-(partition, group) totals — partition metadata, not data.
     val aggExprs =

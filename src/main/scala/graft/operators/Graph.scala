@@ -3,6 +3,7 @@ package graft.operators
 import graft.{QueryDef, Tables}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftshim.GraftShim
 
 /** Iterative graph propagation — the execution class behind influence /
   * centrality scoring of a link or interaction graph (which sources are
@@ -75,7 +76,7 @@ object Graph {
     // join+distinct) re-executes per iteration.
     val e0 = edges
       .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
-    val e = if (checkpoint) e0.localCheckpoint() else e0
+    val e = if (checkpoint) e0.localCheckpoint() else e0 // stats-ok: loop INPUT materialized once, not round state
     // Node universe WITH out-degree fused in: the rank relation carries
     // `deg` through every iteration, so the contribution step needs no
     // per-iteration degree join.
@@ -84,7 +85,7 @@ object Graph {
       .union(e.select(col("dst").as("id"))).distinct()
       .join(deg, col("id") === col("src"), "left")
       .select(col("id"), col("deg"))
-    val nodesDeg = if (checkpoint) nodesDeg0.localCheckpoint() else nodesDeg0
+    val nodesDeg = if (checkpoint) nodesDeg0.localCheckpoint() else nodesDeg0 // stats-ok: loop INPUT materialized once, not round state
     // |V| as a driver-side scalar for the integer dangling share (one
     // count job over the node set — metadata, not data).
     val nNodes = nodesDeg.count()
@@ -106,7 +107,7 @@ object Graph {
           (lit(base) + expr(s"($dampingPct * (coalesce(in_sum, 0L)" +
             s" + dangling_share)) div 100")).as("rank_micro"))
       if (checkpoint && it % checkpointEvery == 0 && it < iterations)
-        ranks = ranks.localCheckpoint()
+        ranks = GraftShim.ckptNoStats(ranks, eager = true)
     }
     ranks.select(col("id").as("node_id"), col("rank_micro"))
   }
@@ -385,7 +386,7 @@ object Graph {
     require(iterations >= 1, "labelPropagation needs at least one iteration")
     val e0 = edges.select(col(srcCol).cast("long").as("src"),
       col(dstCol).cast("long").as("dst"))
-    val e = if (checkpoint) e0.localCheckpoint() else e0
+    val e = if (checkpoint) e0.localCheckpoint() else e0 // stats-ok: loop INPUT materialized once, not round state
     var labels = e.select(col("src").as("id"))
       .union(e.select(col("dst").as("id"))).distinct()
       .select(col("id"), col("id").as("lbl"))
@@ -400,7 +401,7 @@ object Graph {
       // Out-degree-0 nodes adopt nothing and keep their label.
       labels = labels.join(adopted, Seq("id"), "left")
         .select(col("id"), coalesce(col("adopt"), col("lbl")).as("lbl"))
-      if (checkpoint && it < iterations) labels = labels.localCheckpoint()
+      if (checkpoint && it < iterations) labels = GraftShim.ckptNoStats(labels, eager = true)
     }
     labels.select(col("id").as("node_id"), col("lbl").as("label"))
   }
@@ -620,12 +621,12 @@ object Graph {
     val e0 = edges
       .select(col(srcCol).cast("long").as("src"),
         col(dstCol).cast("long").as("dst"))
-    val e = if (checkpoint) e0.localCheckpoint() else e0
+    val e = if (checkpoint) e0.localCheckpoint() else e0 // stats-ok: loop INPUT materialized once, not round state
     val deg0 = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-    val deg = if (checkpoint) deg0.localCheckpoint() else deg0
+    val deg = if (checkpoint) deg0.localCheckpoint() else deg0 // stats-ok: loop INPUT materialized once, not round state
     val nodes0 = e.select(col("src").as("id"))
       .union(e.select(col("dst").as("id"))).distinct()
-    val nodes = if (checkpoint) nodes0.localCheckpoint() else nodes0
+    val nodes = if (checkpoint) nodes0.localCheckpoint() else nodes0 // stats-ok: loop INPUT materialized once, not round state
     val seedSet = seeds
       .select(col(seeds.columns.head).cast("long").as("id")).distinct()
     val nNodes = nodes.count()
@@ -638,7 +639,7 @@ object Graph {
         Seq("id"), "left")
       .select(col("id"),
         when(col("is_seed"), lit(seedBase)).otherwise(lit(0L)).as("base"))
-    val basedCk = if (checkpoint) based.localCheckpoint() else based
+    val basedCk = if (checkpoint) based.localCheckpoint() else based // stats-ok: loop INPUT materialized once, not round state
     var ranks = basedCk.select(col("id"), col("base").as("rank_micro"))
     for (_ <- 1 to iterations) {
       val withDeg = ranks.join(deg, col("id") === col("src"), "left")
@@ -651,7 +652,7 @@ object Graph {
           (col("base") + expr(
             s"($dampingPct * coalesce(in_sum, 0L)) div 100"))
             .as("rank_micro"))
-      if (checkpoint) ranks = ranks.localCheckpoint()
+      if (checkpoint) ranks = GraftShim.ckptNoStats(ranks, eager = true)
     }
     ranks.select(col("id").as("node_id"), col("rank_micro"))
   }
@@ -782,11 +783,11 @@ object Graph {
     val e0 = edges.select(col(srcCol).cast("long").as("a"),
       col(dstCol).cast("long").as("b"))
     val sym0 = e0.union(e0.select(col("b").as("a"), col("a").as("b")))
-    val sym = if (checkpoint) sym0.localCheckpoint() else sym0
+    val sym = if (checkpoint) sym0.localCheckpoint() else sym0 // stats-ok: loop INPUT materialized once, not round state
     var dist = seeds
       .select(col(seeds.columns.head).cast("long").as("id")).distinct()
       .withColumn("dist", lit(0L))
-    if (checkpoint) dist = dist.localCheckpoint()
+    if (checkpoint) dist = GraftShim.ckptNoStats(dist, eager = true)
     var prev = dist
     for (_ <- 1 to rounds) {
       prev = dist
@@ -794,7 +795,7 @@ object Graph {
         .select(col("b").as("id"), (col("dist") + 1).as("dist"))
       dist = dist.union(prop).groupBy(col("id"))
         .agg(min(col("dist")).as("dist"))
-      if (checkpoint) dist = dist.localCheckpoint()
+      if (checkpoint) dist = GraftShim.ckptNoStats(dist, eager = true)
     }
     val conv = prev
       .agg(count(lit(1)).as("c1"),
@@ -1096,7 +1097,7 @@ object Graph {
       .filter(col("u") =!= col("v"))
       .select(least(col("u"), col("v")).as("u"), greatest(col("u"), col("v")).as("v"))
       .distinct()
-    var e = if (checkpoint) und.localCheckpoint() else und
+    var e = if (checkpoint) und.localCheckpoint() else und // stats-ok: loop INPUT materialized once, not round state
     var ePrev = e
     for (_ <- 1 to rounds) {
       ePrev = e
@@ -1106,7 +1107,7 @@ object Graph {
       e = e.join(keep.withColumnRenamed("n", "u"), Seq("u"), "left_semi")
         .join(keep.withColumnRenamed("n", "v"), Seq("v"), "left_semi")
         .select(col("u"), col("v"))
-      if (checkpoint) e = e.localCheckpoint()
+      if (checkpoint) e = GraftShim.ckptNoStats(e, eager = true)
     }
     // Fixpoint certificate: peeling is monotone, so "the final round
     // removed nothing" (edge counts equal) iff the k-core fixpoint was
@@ -1193,12 +1194,12 @@ object Graph {
       .select(least(col("x"), col("y")).as("u"),
         greatest(col("x"), col("y")).as("v"))
       .distinct()
-    var e = if (checkpoint) und.localCheckpoint() else und
+    var e = if (checkpoint) und.localCheckpoint() else und // stats-ok: loop INPUT materialized once, not round state
     var ePrev = e
     for (_ <- 1 to rounds) {
       ePrev = e
       e = support(e).filter(col("sup") >= k - 2).select(col("u"), col("v"))
-      if (checkpoint) e = e.localCheckpoint()
+      if (checkpoint) e = GraftShim.ckptNoStats(e, eager = true)
     }
     val conv = ePrev.agg(count(lit(1)).as("n_prev"))
       .crossJoin(e.agg(count(lit(1)).as("n_last")))
@@ -1277,7 +1278,7 @@ object Graph {
       .filter(col("a") =!= col("b"))
       .select(least(col("a"), col("b")).as("a"), greatest(col("a"), col("b")).as("b"))
       .distinct()
-    var e = if (checkpoint) e0.localCheckpoint() else e0
+    var e = if (checkpoint) e0.localCheckpoint() else e0 // stats-ok: loop INPUT materialized once, not round state
     var ePrev = e
     for (_ <- 1 to rounds) {
       ePrev = e
@@ -1305,7 +1306,7 @@ object Graph {
         .select(greatest(col("a"), col("b")).as("a"), least(col("a"), col("b")).as("b"))
         .filter(col("a") =!= col("b"))
         .distinct()
-      e = if (checkpoint) small.localCheckpoint() else small
+      e = if (checkpoint) GraftShim.ckptNoStats(small, eager = true) else small
     }
     // Set-equality fixpoint certificate (rewrites, not just deletions).
     val conv = ePrev.exceptAll(e).union(e.exceptAll(ePrev))
@@ -1361,10 +1362,10 @@ object Graph {
     require(iterations >= 1, "hits needs at least one iteration")
     val e0 = edges
       .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
-    val e = if (checkpoint) e0.localCheckpoint() else e0
+    val e = if (checkpoint) e0.localCheckpoint() else e0 // stats-ok: loop INPUT materialized once, not round state
     val nodes0 = e.select(col("src").as("id"))
       .union(e.select(col("dst").as("id"))).distinct()
-    val nodes = if (checkpoint) nodes0.localCheckpoint() else nodes0
+    val nodes = if (checkpoint) nodes0.localCheckpoint() else nodes0 // stats-ok: loop INPUT materialized once, not round state
     // (id, score) -> normalized (id, score·1e6 div max) with every node
     // present (absent = 0).
     def normalized(raw: DataFrame): DataFrame = {
@@ -1382,11 +1383,11 @@ object Graph {
       auth = normalized(
         e.join(hub.withColumnRenamed("id", "hid"), col("src") === col("hid"))
           .groupBy(col("dst").as("id")).agg(sum(col("s")).as("s")))
-      if (checkpoint) auth = auth.localCheckpoint()
+      if (checkpoint) auth = GraftShim.ckptNoStats(auth, eager = true)
       hub = normalized(
         e.join(auth.withColumnRenamed("id", "aid"), col("dst") === col("aid"))
           .groupBy(col("src").as("id")).agg(sum(col("s")).as("s")))
-      if (checkpoint) hub = hub.localCheckpoint()
+      if (checkpoint) hub = GraftShim.ckptNoStats(hub, eager = true)
     }
     nodes
       .join(auth.select(col("id"), col("s").as("auth_micro")), Seq("id"))

@@ -184,7 +184,7 @@ object Layout {
       idName: String = "row_id"): DataFrame = {
     require(orderCols.nonEmpty, "denseIds needs ordering columns")
     val sorted = rangeSorted(df, orderCols, numPartitions)
-      .localCheckpoint(false) // both passes must see the exact partitions
+      .localCheckpoint(false) // stats-ok: both passes must see the exact partitions
     val indexed = sorted.rdd.zipWithIndex().map { case (r, i) =>
       org.apache.spark.sql.Row.fromSeq(r.toSeq :+ i)
     }

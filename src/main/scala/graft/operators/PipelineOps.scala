@@ -972,19 +972,22 @@ object PipelineOps {
     var cells = df.select(rowCol.as("r"), colCol.as("c"))
       .groupBy(col("r"), col("c")).agg(count(lit(1)).as("n"))
       .withColumn("w", lit(1000000L))
-      .localCheckpoint()
+      .localCheckpoint() // stats-ok: one-shot contingency collapse (rounds use ckptNoStats)
     def scale(keyName: String, targets: DataFrame,
         targetName: String): Unit = {
       val m = cells.groupBy(col(keyName))
         .agg(sum(expr("n * w")).as("m_k"))
       val tot = m.agg(sum(col("m_k")).as("mm"))
-      cells = cells.join(m, keyName).join(targets, keyName)
-        .crossJoin(broadcast(tot))
-        .select(col("r"), col("c"), col("n"),
-          expr(s"""cast(cast(w as decimal(38,0)) * $targetName * mm
-               div (cast(1000000 as decimal(38,0)) * greatest(m_k, 1L))
-               as long)""").as("w"))
-        .localCheckpoint()
+      // State→state loop checkpoint: drop origin stats, or the join
+      // estimate (cells × m × tot) compounds geometrically per pass.
+      cells = org.apache.spark.sql.graftshim.GraftShim.ckptNoStats(
+        cells.join(m, keyName).join(targets, keyName)
+          .crossJoin(broadcast(tot))
+          .select(col("r"), col("c"), col("n"),
+            expr(s"""cast(cast(w as decimal(38,0)) * $targetName * mm
+                 div (cast(1000000 as decimal(38,0)) * greatest(m_k, 1L))
+                 as long)""").as("w")),
+        eager = true)
     }
     for (_ <- 1 to rounds) {
       scale("r", rt, "t_r")
@@ -2031,7 +2034,7 @@ object PipelineOps {
     import s.implicits._
     val ranked = budgetRanked(df, idCol, qualityCol, tokensCol, partitions)
       .as[(Long, Long, Long)]
-      .localCheckpoint(false) // pass 2 must see pass 1's exact partitions
+      .localCheckpoint(false) // stats-ok: pass 2 must see pass 1's exact partitions
     val totals = ranked.mapPartitions { it =>
         Iterator.single(
           (org.apache.spark.TaskContext.getPartitionId(), it.map(_._3).sum))

@@ -2086,7 +2086,7 @@ object Profile {
     val keyed = df.select(idCol.cast("long").as("id")).distinct()
       .repartitionByRange(partitions, col("id"))
       .withColumn("_pid", spark_partition_id())
-      .localCheckpoint(false)
+      .localCheckpoint(false) // stats-ok: one-shot partition-id snapshot
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("_pid")).orderBy(col("id"))
     val inner = keyed
@@ -2746,7 +2746,7 @@ object Profile {
   def gkLambda(df: DataFrame, aCol: Column, bCol: Column): DataFrame = {
     val cells = df.select(aCol.as("a"), bCol.as("b"))
       .groupBy(col("a"), col("b")).agg(count(lit(1)).as("nc"))
-      .localCheckpoint(false)
+      .localCheckpoint(false) // stats-ok: one-shot contingency cells
     def oneDir(det: String, dep: String, label: String): DataFrame = {
       val sumMax = cells.groupBy(col(det))
         .agg(max(col("nc")).as("mx"))

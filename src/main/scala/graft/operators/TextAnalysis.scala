@@ -48,11 +48,11 @@ object TextAnalysis {
         greatest(col("x"), col("y")).as("b"))
     val top = bi.groupBy(col("a"), col("b")).agg(count(lit(1)).as("c"))
       .orderBy(col("c").desc, col("a"), col("b")).limit(maxEdges)
-      .localCheckpoint()
+      .localCheckpoint() // stats-ok: one-shot capped edge list
     val words = top.select(col("a").as("w"))
       .union(top.select(col("b").as("w"))).distinct()
       .select(col("w"), xxhash64(col("w")).as("wid"))
-      .localCheckpoint()
+      .localCheckpoint() // stats-ok: one-shot word-id map
     val e = top
       .join(words.select(col("w").as("a"), col("wid").as("sa")), "a")
       .join(words.select(col("w").as("b"), col("wid").as("sb")), "b")
