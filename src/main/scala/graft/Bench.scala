@@ -70,6 +70,20 @@ object Bench {
     // back-to-back min-of-3 systematically inflates whatever registered
     // last; the reverse sweep gives every query one head-of-run-shaped
     // measurement and min-of-3 picks the quiet one.
+    // Quiet-start gate INSIDE the timing harness: a shell-level wait
+    // releases before sbt + JVM spin-up add their own load (r11 gate
+    // run 2 started its sweep at loadavg 3.49 despite the outer wait),
+    // so when SPARK_GRAFT_QUIET_LOAD is set the bench itself waits —
+    // after session startup, immediately before the first warm pass —
+    // until loadavg drops under the limit (capped so a stuck background
+    // process can't wedge the gate). Unset = no wait (dev runs).
+    sys.env.get("SPARK_GRAFT_QUIET_LOAD").map(_.toDouble).foreach { lim =>
+      val maxWait =
+        sys.env.getOrElse("SPARK_GRAFT_QUIET_MAX_SECONDS", "600").toInt
+      val deadline = System.nanoTime() + maxWait * 1000000000L
+      while (loadavg() >= lim && System.nanoTime() < deadline)
+        Thread.sleep(5000)
+    }
     val loadBefore = loadavg()
     val t1 = picked.map { q =>
       once(q) // isolated warm pass

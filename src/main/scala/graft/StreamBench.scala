@@ -56,12 +56,23 @@ object StreamBench {
     // store's fallback unit) so the scaled copy replays byte-identically
     // to the raw fixture's path.
     val base = Tables.events(spark, sfDir)
-    val maxId = base.agg(max(col("event_id"))).head.getLong(0)
+    val maxId = Option(base.agg(max(col("event_id"))).head.get(0))
+      .map(_.asInstanceOf[Long])
+      .getOrElse(sys.error(s"empty events fixture at $sfDir"))
+    // Every temp dir this run creates (replicated fixture + one
+    // checkpoint per drain) is deleted after spark.stop() — a gate run
+    // otherwise leaks 2 modes × (runs+1) checkpoints plus a ~1M-row
+    // parquet copy into java.io.tmpdir per invocation.
+    val tempDirs = scala.collection.mutable.ArrayBuffer.empty[String]
+    def newTempDir(prefix: String): String = {
+      val d = java.nio.file.Files.createTempDirectory(prefix).toString
+      tempDirs += d
+      d
+    }
     val eventsPath =
       if (rep <= 1) s"$sfDir/events.parquet"
       else {
-        val dir = java.nio.file.Files.createTempDirectory("sb_events")
-          .toString + "/events.parquet"
+        val dir = newTempDir("sb_events") + "/events.parquet"
         base
           .withColumn("r", explode(expr(s"sequence(0, ${rep - 1})")))
           .select(
@@ -75,7 +86,7 @@ object StreamBench {
     val n = spark.read.parquet(eventsPath).count()
 
     def drain(maxPerTrigger: Option[Long]): Double = {
-      val ckpt = java.nio.file.Files.createTempDirectory("sb_ck").toString
+      val ckpt = newTempDir("sb_ck")
       val ds = Consumer.source(ConsumerConfig(
         streamPath = eventsPath, numShards = 16,
         maxRecordsPerTrigger = maxPerTrigger))
@@ -104,5 +115,9 @@ object StreamBench {
       s""""runs":{$runsJson},"replicate":$rep,""" +
       s""""loadavg_before":$la0,"loadavg_after":$loadavg,"sf":"$sfDir"}""")
     spark.stop()
+    tempDirs.foreach { d =>
+      try org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(d))
+      catch { case _: Throwable => () } // best-effort; never fail the bench
+    }
   }
 }

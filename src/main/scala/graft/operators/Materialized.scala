@@ -71,7 +71,7 @@ object Materialized {
       // nested of() inside a build would contend). A racing duplicate
       // build is benign: one result wins the registry, the loser's
       // blocks are collected once unreachable.
-      val built = build.localCheckpoint()
+      val built = build.localCheckpoint() // stats-ok: one-shot cache-entry build
       cache.synchronized {
         val raced = cache.get(k)
         if (raced != null) raced
@@ -107,17 +107,24 @@ object Materialized {
     val s = input.sparkSession
     val canon = input.queryExecution.optimizedPlan.canonicalized
     val k = (System.identityHashCode(s), stage, canon.hashCode())
+    // Session match is REFERENCE equality, not the identity hash in the
+    // key: identity hashes are not unique (two live sessions can share
+    // one), and serving a checkpointed DataFrame across sessions would
+    // bind a caller to another session's SparkContext. The entry pins
+    // the owning session strongly — the cached DataFrame references it
+    // anyway, so this adds no retention the value didn't already have.
+    def matches(e: (SparkSession, Any, DataFrame)): Boolean =
+      (e._1 eq s) && e._2 == canon
     val hit = contentCache.synchronized {
-      Option(contentCache.get(k))
-        .flatMap(_.collectFirst { case (p, v) if p == canon => v })
+      Option(contentCache.get(k)).flatMap(_.find(matches)).map(_._3)
     }
     hit.getOrElse {
-      val built = build(input).localCheckpoint()
+      val built = build(input).localCheckpoint() // stats-ok: one-shot cache-entry build
       contentCache.synchronized {
         val cur = Option(contentCache.get(k))
-          .getOrElse(List.empty[(Any, DataFrame)])
-        cur.collectFirst { case (p, v) if p == canon => v }.getOrElse {
-          contentCache.put(k, (canon, built) :: cur)
+          .getOrElse(List.empty[(SparkSession, Any, DataFrame)])
+        cur.find(matches).map(_._3).getOrElse {
+          contentCache.put(k, (s, canon, built) :: cur)
           built
         }
       }
@@ -125,10 +132,12 @@ object Materialized {
   }
 
   private val contentCache =
-    new java.util.LinkedHashMap[(Int, String, Int), List[(Any, DataFrame)]](
+    new java.util.LinkedHashMap[
+        (Int, String, Int), List[(SparkSession, Any, DataFrame)]](
       16, 0.75f, /* accessOrder = */ true) {
       override def removeEldestEntry(
-          e: java.util.Map.Entry[(Int, String, Int), List[(Any, DataFrame)]])
+          e: java.util.Map.Entry[
+            (Int, String, Int), List[(SparkSession, Any, DataFrame)]])
           : Boolean = size() > maxEntries
     }
 

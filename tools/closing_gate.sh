@@ -33,7 +33,13 @@ echo "loadavg: $(cut -d' ' -f1-3 /proc/loadavg)  (headline numbers are" \
   "noise above ~3 — prefer a quiet machine)"
 
 echo "-- (a0) HEADLINE bench @ $SF_BENCH (first: the quietest window)"
-if ! SPARK_GRAFT_SF_DIR="$SF_BENCH" sbt -batch "runMain graft.Bench" \
+# Bench itself waits until quiet immediately before its first pass (the
+# shell-level wait_quiet releases before JVM spin-up adds load — r11
+# verdict Next #5), so loadavg_before in the committed artifact is the
+# gated value.
+BENCH_QUIET="${GATE_QUIET_LOAD:-1.2}"
+if ! SPARK_GRAFT_SF_DIR="$SF_BENCH" SPARK_GRAFT_QUIET_LOAD="$BENCH_QUIET" \
+    sbt -batch "runMain graft.Bench" \
     > "$OUT/bench_headline.log" 2>&1; then
   echo "GATE FAIL: headline Bench crashed (see $OUT/bench_headline.log)"
   tail -20 "$OUT/bench_headline.log"
@@ -67,7 +73,10 @@ wait_quiet() {
   while [ "$waited" -lt "$max" ]; do
     local la
     la="$(cut -d' ' -f1 /proc/loadavg)"
-    if python3 -c "import sys; sys.exit(0 if float('$la') < float('$limit') else 1)"; then
+    # awk, not python3, for the float compare: a host without python3
+    # would otherwise fail every iteration and silently burn the full
+    # GATE_DECAY_MAX_SECONDS on each of the gate's pauses (ADVICE r11).
+    if awk -v la="$la" -v lim="$limit" 'BEGIN{exit !(la < lim)}'; then
       echo "   quiet after ${waited}s (loadavg $la)"
       return 0
     fi
@@ -77,7 +86,8 @@ wait_quiet() {
 }
 wait_quiet
 echo "-- (a) full-surface bench @ $SF_BENCH (loadavg now $(cut -d' ' -f1 /proc/loadavg))"
-if ! SPARK_GRAFT_SF_DIR="$SF_BENCH" sbt -batch "runMain graft.Bench all" \
+if ! SPARK_GRAFT_SF_DIR="$SF_BENCH" SPARK_GRAFT_QUIET_LOAD="$BENCH_QUIET" \
+    sbt -batch "runMain graft.Bench all" \
     > "$OUT/bench_full.log" 2>&1; then
   echo "GATE FAIL: Bench all crashed (see $OUT/bench_full.log)"
   tail -20 "$OUT/bench_full.log"
