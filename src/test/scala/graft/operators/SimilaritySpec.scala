@@ -642,6 +642,50 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("ivfIndexDelete: tombstoned probes equal a fresh assignment of survivors") {
+    val e = graft.Tables.embeddings(spark, sf)
+    val seeds = e.filter($"vec_id" < 16)
+    val table = Similarity.ivfIndexTable(sf, "_delspec")
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    spark.sql(s"DROP TABLE IF EXISTS ${Similarity.ivfDeletesTable(sf, "_delspec")}")
+    Similarity.ivfIndexed(spark, sf, e.filter($"vec_id" < 300), seeds,
+      "vec_id", "embedding", tag = "_delspec")
+    Similarity.ivfIndexAppend(spark, sf, e.filter($"vec_id" >= 300), seeds,
+      "vec_id", "embedding", tag = "_delspec")
+    // Two delete batches fold like one (tombstones accumulate).
+    Similarity.ivfIndexDelete(spark, sf,
+      e.filter($"vec_id" % 5 === 1 && $"vec_id" >= 10).select($"vec_id"),
+      "vec_id", tag = "_delspec")
+    val live = Similarity.ivfIndexDelete(spark, sf,
+      e.filter($"vec_id" % 5 === 2 && $"vec_id" >= 10).select($"vec_id"),
+      "vec_id", tag = "_delspec")
+    val survivors = e.filter(!($"vec_id" % 5 === 1 && $"vec_id" >= 10) &&
+      !($"vec_id" % 5 === 2 && $"vec_id" >= 10))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select($"vec_id", $"cluster").as[(Long, Long)].collect().toSet
+    // Live content ≡ fresh assignment over survivors (masking a row
+    // cannot move any other row's cluster).
+    assert(rows(live) ===
+      rows(Similarity.ivfAssign(survivors, seeds, "vec_id", "embedding")))
+    // Probing the tombstoned layout ≡ probing the survivors' assignment.
+    def probed(assigned: org.apache.spark.sql.DataFrame) =
+      Similarity.ivfTopKProbesOver(assigned, seeds, $"vec_id" < 10,
+          "vec_id", "embedding", 5, 4)
+        .as[(Long, Int, Long, Double)].collect().sortBy(r => (r._1, r._2))
+    assert(probed(live) ===
+      probed(Similarity.ivfAssign(survivors, seeds, "vec_id", "embedding")))
+    // No sidecar (the common case) → the base table, zero added plan.
+    spark.sql(s"DROP TABLE ${Similarity.ivfDeletesTable(sf, "_delspec")}")
+    assert(rows(Similarity.ivfIndexLive(spark, sf, "vec_id", "_delspec")) ===
+      rows(Similarity.ivfAssign(e, seeds, "vec_id", "embedding")))
+    // Deleting from a missing index fails loudly.
+    spark.sql(s"DROP TABLE $table")
+    intercept[IllegalArgumentException] {
+      Similarity.ivfIndexDelete(spark, sf, e.limit(1).select($"vec_id"),
+        "vec_id", tag = "_delspec")
+    }
+  }
+
   test("dbscan delete: demotions and border rebuilds equal the full recompute") {
     def stateRows(df: org.apache.spark.sql.DataFrame)
         : Seq[(Long, Long, Long, Long, Option[Long], Option[Seq[Long]])] =
