@@ -112,6 +112,11 @@ class LintBudgetSpec extends SparkSpec {
     // build side — the q350 adjudication; the base build runs behind the
     // ofBucketed seam and is not in this plan).
     "q436_ivf_index_append" -> Map("broadcast-nested-loop" -> 1),
+    // q440: q436's plan with the tombstone sidecar applied — the one BNL
+    // is still the query-vs-16-seed probe-scoring cross (q86's
+    // adjudication); the delete mask itself is a broadcast-HASH
+    // anti-join on the id, not a BNL.
+    "q440_ivf_index_delete" -> Map("broadcast-nested-loop" -> 1),
     "q30_cosine_topk" -> Map("broadcast-nested-loop" -> 1),
     // q396: the Hamming prefilter broadcasts the bounded QUERY set of
     // packed words against the corpus on a non-equi (!=) condition —

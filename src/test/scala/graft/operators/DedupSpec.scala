@@ -25,6 +25,51 @@ class DedupSpec extends SparkSpec {
     assert(run() === run())
   }
 
+  test("cosineAdmit with nprobe = K equals brute-force admission decisions") {
+    // The buckets partition the reference, so probing all K of them
+    // checks every reference vector — the exactness half of the IVF
+    // admission contract (q440's configuration).
+    val e = Tables.embeddings(spark, sf)
+    val seeds = e.filter($"vec_id" < 8)
+    val ref = e.filter($"vec_id" < 250)
+    val incoming = e.filter($"vec_id" >= 250)
+    val got = Dedup.cosineAdmit(incoming, "embedding",
+        Dedup.cosineIndex(ref, seeds, "vec_id", "embedding"),
+        seeds, "vec_id", "embedding", 0.4, nprobe = 8)
+      .select($"vec_id", $"admitted").as[(Long, Boolean)].collect().toMap
+    val brute = incoming.select($"vec_id", $"embedding".as("qe"))
+      .join(ref.select($"vec_id".as("rid"), $"embedding".as("re")),
+        graft.functions.TextFunctions.cosine($"qe", $"re") >= 0.4, "left")
+      .groupBy($"vec_id").agg((count($"rid") === 0).as("admitted"))
+      .as[(Long, Boolean)].collect().toMap
+    assert(got === brute)
+    // Both decision classes genuinely occur on the fixture.
+    assert(brute.values.exists(identity) && brute.values.exists(!_))
+  }
+
+  test("cosineAdmit rejections are one-sided at any nprobe") {
+    // An under-probed query can MISS a true neighbor (and wrongly admit
+    // a near-dup) but a probed neighbor always rejects — so the rejected
+    // set at nprobe = 1 must be a subset of the exact rejected set, and
+    // row count/identity must be preserved.
+    val e = Tables.embeddings(spark, sf)
+    val seeds = e.filter($"vec_id" < 8)
+    val ref = e.filter($"vec_id" < 250)
+    val incoming = e.filter($"vec_id" >= 250)
+    val idx = Dedup.cosineIndex(ref, seeds, "vec_id", "embedding")
+      .localCheckpoint()
+    def rejected(np: Int): Set[Long] = Dedup.cosineAdmit(incoming,
+        "embedding", idx, seeds, "vec_id", "embedding", 0.4, np)
+      .filter(!$"admitted").select($"vec_id").as[Long].collect().toSet
+    val approx = rejected(1)
+    val exact = rejected(8)
+    assert(approx.subsetOf(exact),
+      "a non-probed bucket can only ever flip reject -> admit")
+    val total = Dedup.cosineAdmit(incoming, "embedding", idx, seeds,
+      "vec_id", "embedding", 0.4, 1).count()
+    assert(total === incoming.count(), "probe joins must stay 1:<=1")
+  }
+
   test("hammingPairs equals the brute-force Hamming relation on random hashes") {
     // 8 bands x 7 bits over 56-bit hashes, radius 7 — the pigeonhole
     // guarantee (<= 7 differing bits cannot touch all 8 bands) makes the

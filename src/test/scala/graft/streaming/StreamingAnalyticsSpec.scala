@@ -527,6 +527,70 @@ class StreamingAnalyticsSpec extends SparkSpec {
       s"expected at most the trailing two compactions, got $uptoDirs")
   }
 
+  test("cosineAdmissionSink grows its own index across batches and a restart") {
+    // The embedding half of the online dedup pipeline: admitted vectors
+    // fold into the per-cluster IVF index, so later near-dups of
+    // ADMITTED STREAM rows are rejected too; the sink is the state, so a
+    // restarted query resumes from exactly the admitted set it wrote.
+    // nprobe = K keeps every decision exact, so the whole run must equal
+    // a batch-by-batch cosineAdmit fold bit for bit.
+    import graft.operators.Dedup
+    val e = graft.Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding")).localCheckpoint()
+    val seeds = e.filter(col("vec_id") < 16)
+    val ref = e.filter(col("vec_id") < 100)
+    val incoming = e.filter(col("vec_id") >= 100)
+      .as[(Long, Array[Float])].collect().sortBy(_._1).toSeq
+    val batches = Seq(incoming.slice(0, 140), incoming.slice(140, 280),
+      incoming.drop(280))
+    val out = tmp("cos_admit_out")
+    val ckpt = tmp("ckpt_cos_admit_sink")
+    val ms = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Array[Float])](spark)
+    def start() = Dedup.cosineAdmissionSink(
+      ms.toDF().toDF("vec_id", "embedding"), "vec_id", "embedding",
+      ref, seeds, out, ckpt, threshold = 0.4, nprobe = 16)
+    val q1 = start()
+    try { ms.addData(batches(0)); q1.processAllAvailable() }
+    finally { q1.stop(); q1.awaitTermination(60000) }
+    // Restart between batches; one batch lands while the query is down.
+    ms.addData(batches(1))
+    val q2 = start()
+    try { q2.processAllAvailable(); ms.addData(batches(2))
+      q2.processAllAvailable() }
+    finally { q2.stop(); q2.awaitTermination(60000) }
+    val streamed = spark.read.parquet(out)
+      .select(col("vec_id")).as[Long].collect().toSet
+    // Reference fold: per batch, a distributed cosineAdmit against
+    // reference ∪ previously-admitted, exactly the pipeline's contract.
+    var state = ref
+    var expect = Set.empty[Long]
+    for (b <- batches) {
+      val idx = Dedup.cosineIndex(state, seeds, "vec_id", "embedding")
+      val adm = Dedup.cosineAdmit(b.toDF("vec_id", "embedding"),
+          "embedding", idx, seeds, "vec_id", "embedding", 0.4, 16)
+        .filter(col("admitted")).drop("admitted")
+      expect ++= adm.select(col("vec_id")).as[Long].collect()
+      state = state.unionByName(adm).localCheckpoint()
+    }
+    assert(streamed === expect)
+    // Self-maintenance is load-bearing: some row admitted against the
+    // static reference alone is REJECTED by the growing index.
+    val refOnly = Dedup.cosineAdmit(incoming.toDF("vec_id", "embedding"),
+        "embedding", Dedup.cosineIndex(ref, seeds, "vec_id", "embedding"),
+        seeds, "vec_id", "embedding", 0.4, 16)
+      .filter(col("admitted")).select(col("vec_id"))
+      .as[Long].collect().toSet
+    assert(streamed.subsetOf(refOnly) && streamed.size < refOnly.size,
+      s"expected the growing index to reject extra rows " +
+        s"(${streamed.size} vs ${refOnly.size})")
+    // The maintained index holds at most the trailing two compactions.
+    val uptoDirs = new java.io.File(s"$out/_index").listFiles()
+      .filter(_.isDirectory).map(_.getName).toSet
+    assert(uptoDirs.exists(_.startsWith("upto=")) && uptoDirs.size <= 2,
+      s"expected at most the trailing two compactions, got $uptoDirs")
+  }
+
   test("hammingAdmissionSink per-trigger reads are bounded by Δ + index, not admitted-so-far") {
     // The maintained index (r11 verdict Next #2): batch 0 indexes the
     // reference ONCE; afterwards a trigger reads only its own Δ plus
