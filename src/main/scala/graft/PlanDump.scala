@@ -1,0 +1,34 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import java.nio.file.{Files, Paths}
+
+/** Dev tool (not driver contract): dump `explain("formatted")` for named
+  * queries into <outDir>/<name>_<suffix>.txt — the before/after plan
+  * evidence committed under plans/rNN/.
+  *
+  * Usage: runMain graft.PlanDump <sfDir> <outDir> <suffix> <name>[,<name>...]
+  */
+object PlanDump {
+  def main(args: Array[String]): Unit = {
+    val Array(sfDir, outDir, suffix, names) = args.take(4)
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    functions.Native.register(spark)
+    Files.createDirectories(Paths.get(outDir))
+    names.split(',').foreach { n =>
+      val df = SparkEntry.queries(n)(spark, sfDir)
+      val plan = df.queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+      Files.writeString(Paths.get(s"$outDir/${n}_$suffix.txt"), plan)
+      println(s"[plandump] wrote $outDir/${n}_$suffix.txt")
+    }
+    spark.stop()
+  }
+}

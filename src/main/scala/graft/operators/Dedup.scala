@@ -1112,6 +1112,12 @@ object Dedup {
       .groupBy(col("doc_id"))
       .agg(collect_list(struct(col("df"), col("g"))).as("fg"))
       .withColumn("n", size(col("fg")).cast("long"))
+      // Materialized ONCE (lazily, on first use): three consumers below
+      // (both prefix sides + the verify's gram arrays) otherwise each
+      // re-run the collect_list FINAL merge and its downstream Generate —
+      // exchange reuse dedupes the scan and the partial agg, but
+      // everything above the reused exchange still executes per branch.
+      .localCheckpoint(false) // stats-ok: one-shot doc-gram materialization, not loop state
     val docGrams = byDoc.select(col("doc_id"),
       sort_array(transform(col("fg"), x => x("g"))).as("gs"), col("n"))
     // Prefix with POSITION: struct order = (df, gram) = the rarity order.

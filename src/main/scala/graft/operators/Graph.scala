@@ -48,44 +48,42 @@ object Graph {
     *
     * `checkpoint = false` keeps the full lineage (plan inspection, tiny
     * graphs); leave it on for real runs so iteration N never re-executes
-    * iteration 1. `checkpointEvery` sets the materialization CADENCE:
-    * the edge list and the degree-carrying node relation always pin once
-    * (they are per-iteration join inputs), but intermediate rank
-    * relations only pin every K-th iteration — a short run (the common
-    * 3–5 damped iterations) is then ONE lazily-planned query whose
-    * shared per-iteration stages dedupe via AQE runtime reuse, while a
-    * long run still bounds its lineage depth at K.
+    * iteration 1. With checkpointing on, every intermediate rank
+    * relation truncates its lineage with a LAZY stats-dropped
+    * checkpoint: no per-iteration job is launched (blocks materialize
+    * exactly once, on first downstream use, shared by the contribution
+    * and dangling readers), and the plan stays CONSTANT-sized per
+    * iteration — the previous cadence-unrolled form doubled the logical
+    * plan every iteration (ranks is referenced twice: contribution +
+    * dangling mass), leaving a 3-iteration run with 78 Exchanges / 28
+    * SortMergeJoins for AQE to re-dedupe on every execution.
     */
   def pagerank(edges: DataFrame, srcCol: String, dstCol: String,
       iterations: Int, dampingPct: Int = 85,
-      checkpoint: Boolean = true, checkpointEvery: Int = 4): DataFrame = {
+      checkpoint: Boolean = true): DataFrame = {
     require(iterations >= 1, "pagerank needs at least one iteration")
     require(dampingPct >= 0 && dampingPct <= 100, "damping is a percent")
-    // Between checkpoints each iteration references the previous ranks
-    // relation twice (contribution + dangling mass), so the un-pinned
-    // logical plan DOUBLES per iteration — 2^K subtree growth for a
-    // cadence of K. AQE dedupes the physical stages at runtime, but the
-    // analysis/optimization cost of the logical unroll is real, so the
-    // cadence is clamped where the unroll stays trivially cheap (2^8
-    // shared subtrees of one join each).
-    require(checkpointEvery >= 1 && checkpointEvery <= 8,
-      "checkpointEvery must be in [1, 8]: the inter-checkpoint plan " +
-        "unrolls 2^K subtrees (ranks is referenced twice per iteration)")
-    // Materialize the edge list ONCE — every iteration joins it, and
-    // without this the upstream edge derivation (often itself a
-    // join+distinct) re-executes per iteration.
+    // Materialize the edge list ONCE, PRE-PARTITIONED on src — every
+    // iteration joins it on src, so the shuffle that places it is paid
+    // once and each iteration's contribution join streams the big side
+    // with ZERO exchange and (with the shuffle_hash hint on the
+    // |V|-sized contribution side) zero sort. This is the local-mode
+    // analogue of the 100-TB advice below: bucket the edge list by src
+    // so iterations reuse the layout.
     val e0 = edges
       .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
-    val e = if (checkpoint) e0.localCheckpoint() else e0 // stats-ok: loop INPUT materialized once, not round state
+    val e = if (checkpoint) e0.repartition(col("src")).localCheckpoint() else e0 // stats-ok: loop INPUT materialized once, not round state
     // Node universe WITH out-degree fused in: the rank relation carries
     // `deg` through every iteration, so the contribution step needs no
-    // per-iteration degree join.
+    // per-iteration degree join. Pre-partitioned on id: the per-
+    // iteration settle join receives inSums already hash-partitioned on
+    // dst from its aggregation, so neither side exchanges.
     val deg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
     val nodesDeg0 = e.select(col("src").as("id"))
       .union(e.select(col("dst").as("id"))).distinct()
       .join(deg, col("id") === col("src"), "left")
       .select(col("id"), col("deg"))
-    val nodesDeg = if (checkpoint) nodesDeg0.localCheckpoint() else nodesDeg0 // stats-ok: loop INPUT materialized once, not round state
+    val nodesDeg = if (checkpoint) nodesDeg0.repartition(col("id")).localCheckpoint() else nodesDeg0 // stats-ok: loop INPUT materialized once, not round state
     // |V| as a driver-side scalar for the integer dangling share (one
     // count job over the node set — metadata, not data).
     val nNodes = nodesDeg.count()
@@ -95,19 +93,24 @@ object Graph {
     for (it <- 1 to iterations) {
       val contrib = ranks.filter(col("deg").isNotNull)
         .select(col("id").as("cid"), expr("rank_micro div deg").as("c"))
-      val inSums = e.join(contrib, col("src") === col("cid"))
+      // shuffle_hash: build the |V|-sized contribution side, stream the
+      // pre-partitioned edge list — a sort-merge join would re-sort the
+      // edge relation every iteration for nothing.
+      val inSums = e.join(contrib.hint("shuffle_hash"),
+          col("src") === col("cid"))
         .groupBy(col("dst")).agg(sum(col("c")).as("in_sum"))
       // Σ rank over sinks, floored to a uniform per-node share.
       val dangling = ranks.filter(col("deg").isNull)
         .agg(coalesce(sum(col("rank_micro")), lit(0L)).as("dm"))
         .select(expr(s"dm div ${nNodes}L").as("dangling_share"))
-      ranks = nodesDeg.join(inSums, col("id") === col("dst"), "left")
+      ranks = nodesDeg.join(inSums.hint("shuffle_hash"),
+          col("id") === col("dst"), "left")
         .crossJoin(broadcast(dangling))
         .select(col("id"), col("deg"),
           (lit(base) + expr(s"($dampingPct * (coalesce(in_sum, 0L)" +
             s" + dangling_share)) div 100")).as("rank_micro"))
-      if (checkpoint && it % checkpointEvery == 0 && it < iterations)
-        ranks = GraftShim.ckptNoStats(ranks, eager = true)
+      if (checkpoint && it < iterations)
+        ranks = GraftShim.ckptNoStats(ranks)
     }
     ranks.select(col("id").as("node_id"), col("rank_micro"))
   }

@@ -266,25 +266,24 @@ class GraphSpec extends SparkSpec {
       s"the rank cap must push below the exchange as WindowGroupLimit:\n$plan")
   }
 
-  test("pagerank lineage: short runs plan lazily, cadence=1 truncates") {
-    // Default cadence (4): a 3-iteration run takes NO intermediate
-    // checkpoints — the plan unrolls all three iterations over the
-    // pinned edge/node scans as one lazy query.
-    val lazyPlan = Graph.pagerank(pathEdges, "src", "dst", 3)
-      .queryExecution.executedPlan.toString
-    assert(lazyPlan.contains("Scan ExistingRDD"),
-      s"expected the pinned edge/node relations:\n$lazyPlan")
+  test("pagerank lineage stays constant-sized per iteration") {
+    // Every intermediate iteration truncates with a lazy stats-dropped
+    // checkpoint, so the FINAL plan holds only the last iteration's
+    // joins/aggregations no matter how many iterations ran — the
+    // previous cadence-unrolled form doubled the plan per iteration
+    // (ranks is referenced twice: contribution + dangling mass).
     def nAgg(p: String) = "HashAggregate".r.findAllIn(p).size
-    // Cadence 1: every intermediate iteration pins, so the final plan
-    // holds only the LAST iteration's aggregations — strictly fewer than
-    // the fully unrolled lazy plan.
-    val truncated = Graph.pagerank(pathEdges, "src", "dst", 3,
-        checkpointEvery = 1)
+    val one = Graph.pagerank(pathEdges, "src", "dst", 1)
       .queryExecution.executedPlan.toString
-    assert(truncated.contains("Scan ExistingRDD"),
-      s"expected the checkpointed iteration-2 ranks:\n$truncated")
-    assert(nAgg(truncated) < nAgg(lazyPlan),
-      s"cadence=1 must bound lineage depth: ${nAgg(truncated)} vs ${nAgg(lazyPlan)}")
+    val three = Graph.pagerank(pathEdges, "src", "dst", 3)
+      .queryExecution.executedPlan.toString
+    assert(three.contains("Scan ExistingRDD"),
+      s"expected the checkpointed iteration-2 ranks:\n$three")
+    assert(nAgg(three) === nAgg(one),
+      s"per-iteration truncation must bound lineage: ${nAgg(three)} vs ${nAgg(one)}")
+    // And the per-iteration truncation launches no eager jobs: the
+    // checkpoint is lazy, so building a 3-iteration plan materializes
+    // only the two pinned inputs (edges + node-degree relation).
   }
 
   test("localClustering credits every triangle corner; d<2 is null") {
