@@ -1710,35 +1710,54 @@ object Graph {
     */
   def closenessCentrality(edges: DataFrame, srcCol: String, dstCol: String,
       maxDepth: Int = 64, sources: Int = 0): DataFrame = {
-    def ckpt(df: DataFrame): DataFrame =
-      org.apache.spark.sql.graftshim.GraftShim
-        .dropOriginStats(df.localCheckpoint(false))
-    val e0 = edges.select(col(srcCol).cast("long").as("a"),
-      col(dstCol).cast("long").as("b")).localCheckpoint(true)
-    val und = ckpt(e0
-      .union(e0.select(col("b").as("a"), col("a").as("b")))
-      .distinct())
-    val allNodes = ckpt(und.select(col("a").as("node")).distinct())
+    val (und, allNodes) = symNodes(edges, srcCol, dstCol)
     val n = allNodes.count()
     val srcNodes = if (sources <= 0) allNodes
-      else ckpt(allNodes
+      else ckptNS(allNodes
         .orderBy(md5(col("node").cast("string").cast("binary")), col("node"))
         .limit(sources))
     val k = if (sources <= 0) n else srcNodes.count()
-    val start = ckpt(srcNodes
+    closenessReadout(bfsDistances(und, srcNodes, maxDepth), n, k)
+  }
+
+  /** Symmetric deduped edge list + node universe, both pinned — the
+    * shared front half of every BFS-family operator. */
+  private def symNodes(edges: DataFrame, srcCol: String,
+      dstCol: String): (DataFrame, DataFrame) = {
+    val e0 = edges.select(col(srcCol).cast("long").as("a"),
+      col(dstCol).cast("long").as("b")).localCheckpoint(true) // stats-ok: one-shot edge materialization, not round state
+    val und = ckptNS(e0
+      .union(e0.select(col("b").as("a"), col("a").as("b")))
+      .distinct())
+    (und, ckptNS(und.select(col("a").as("node")).distinct()))
+  }
+
+  private def ckptNS(df: DataFrame): DataFrame =
+    org.apache.spark.sql.graftshim.GraftShim
+      .dropOriginStats(df.localCheckpoint(false))
+
+  /** Level-synchronous multi-source BFS: (src, node, d) for every node
+    * reachable from each start node, d = shortest hop count. One hash
+    * join + one anti join per level; frontiers checkpointed with origin
+    * stats dropped (the dedupClusters discipline).
+    *
+    * Visited accumulator: one checkpointed relation maintained across
+    * rounds (not a re-union of every prior frontier — that grows the
+    * plan O(diameter²) and matters on high-diameter graphs like chains
+    * or road networks; spec: 400-hop chain ≡ oracle recursion).
+    */
+  private def bfsDistances(und: DataFrame, srcNodes: DataFrame,
+      maxDepth: Int): DataFrame = {
+    val start = ckptNS(srcNodes
       .select(col("node").as("src"), col("node"), lit(0L).as("d")))
     val frontiers = scala.collection.mutable.ListBuffer(start)
     var frontier = start
-    // Visited accumulator: one checkpointed relation maintained across
-    // rounds (not a re-union of every prior frontier — that grows the
-    // plan O(diameter²) and matters on high-diameter graphs like chains
-    // or road networks; spec: 400-hop chain ≡ oracle recursion).
-    var visited = ckpt(start.select(col("src"), col("node")))
+    var visited = ckptNS(start.select(col("src"), col("node")))
     var depth = 0L
     var more = true
     while (more) {
       depth += 1
-      val nxt = ckpt(frontier.join(und, col("node") === col("a"))
+      val nxt = ckptNS(frontier.join(und, col("node") === col("a"))
         .select(col("src"), col("b").as("node"))
         .distinct()
         .join(visited, Seq("src", "node"), "left_anti")
@@ -1752,15 +1771,23 @@ object Graph {
           s"BFS did not drain in $maxDepth levels — the graph has a " +
             "shortest path longer than maxDepth; raise it or cap the domain")
         frontiers += nxt; frontier = nxt
-        visited = ckpt(visited.union(nxt.select(col("src"), col("node"))))
+        visited = ckptNS(visited.union(nxt.select(col("src"), col("node"))))
       }
     }
-    val dist = frontiers.map(_.select(col("src"), col("node"), col("d")))
+    frontiers.map(_.select(col("src"), col("node"), col("d")))
       .reduce(_ union _)
-    // Pivot estimate: group by the REACHED node over pivot-source rows
-    // (the transpose of the exact readout — identical at K = n by
-    // undirected symmetry), scale counts/sums by n/K with one floor
-    // each, then the shared ppm formula.
+  }
+
+  /** The Wasserman–Faust ppm readout over a (src, node, d) distance
+    * relation restricted to k pivot sources out of n nodes.
+    *
+    * Pivot estimate: group by the REACHED node over pivot-source rows
+    * (the transpose of the exact readout — identical at K = n by
+    * undirected symmetry), scale counts/sums by n/K with one floor
+    * each, then the shared ppm formula.
+    */
+  private def closenessReadout(dist: DataFrame, n: Long,
+      k: Long): DataFrame =
     dist.groupBy(col("node"))
       .agg(count(lit(1)).as("cnt"), max(col("d")).as("eccentricity"),
         sum(col("d")).as("sdp"))
@@ -1771,7 +1798,6 @@ object Graph {
           .otherwise(expr(s"(rh * rh * 1000000L) div ((${n}L - 1) * sdh)"))
           .as("closeness_micro"))
       .orderBy(col("closeness_micro").desc, col("node"))
-  }
 
   /** Sampled-source betweenness centrality (Brandes 2001, the standard
     * pivot-sampled estimator): forward level-synchronous BFS from K
@@ -1950,21 +1976,33 @@ object Graph {
     * q421/q427 fix at 16 (r10 verdict Next #8): the audit makes the
     * sampling error a number a user can query, not a spec constant.
     *
-    * Scale: one exact all-sources BFS (the audit's reference — run it on
-    * a capped/sampled domain, the q399 recall-audit discipline) plus
-    * |ks| pivot runs, each Θ(K·reach) state.
+    * Scale: ONE exact all-sources BFS feeds the reference AND every K's
+    * estimate (run it on a capped/sampled domain, the q399 recall-audit
+    * discipline) — a BFS from a pivot subset computes exactly the
+    * pivot-source rows of the all-sources distance relation (per-source
+    * BFS is independent), so each estimate is a broadcast semi-join +
+    * aggregation over the shared relation, bit-identical to re-running
+    * [[closenessCentrality]] with sources = K at |ks|× less BFS work.
     */
   def closenessPivotAudit(edges: DataFrame, srcCol: String, dstCol: String,
       maxDepth: Int, ks: Seq[Int]): DataFrame = {
     require(ks.nonEmpty && ks.forall(_ >= 1), "ks must be >= 1")
-    val ex = org.apache.spark.sql.graftshim.GraftShim.dropOriginStats(
-      closenessCentrality(edges, srcCol, dstCol, maxDepth)
-        .select(col("node"), col("closeness_micro").as("cx"))
-        .filter(col("cx") > 0)
-        .localCheckpoint(false))
+    val (und, allNodes) = symNodes(edges, srcCol, dstCol)
+    val n = allNodes.count()
+    val dist = ckptNS(bfsDistances(und, allNodes, maxDepth))
+    val ex = ckptNS(closenessReadout(dist, n, n)
+      .select(col("node"), col("closeness_micro").as("cx"))
+      .filter(col("cx") > 0))
     ks.map { kk =>
-      val est = closenessCentrality(edges, srcCol, dstCol, maxDepth,
-          sources = kk)
+      // The K pivots by (md5, id) — the selection closenessCentrality
+      // makes; their dist rows are the sampled run's entire state.
+      val pivots = allNodes
+        .orderBy(md5(col("node").cast("string").cast("binary")), col("node"))
+        .limit(kk)
+        .select(col("node").as("src"))
+      val k = math.min(kk.toLong, n)
+      val est = closenessReadout(
+          dist.join(broadcast(pivots), Seq("src"), "left_semi"), n, k)
         .select(col("node"), col("closeness_micro").as("ce"))
       ex.join(est, Seq("node"), "left")
         .select(expr("abs(coalesce(ce, 0L) - cx) * 1000000L div cx")
