@@ -23,7 +23,14 @@ object Profile {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("ERROR")
+    spark.sparkContext.setLogLevel(
+      sys.env.getOrElse("GRAFT_PROFILE_LOGLEVEL", "ERROR"))
+    // Ad-hoc runtime SQL conf overrides for plan experiments, e.g.
+    // GRAFT_PROFILE_CONF="spark.sql.adaptive.enabled=false".
+    sys.env.get("GRAFT_PROFILE_CONF").foreach(_.split(';').foreach { kv =>
+      val Array(k, v) = kv.split('=')
+      spark.conf.set(k, v)
+    })
     functions.Native.register(spark)
 
     def once(name: String): Double = {

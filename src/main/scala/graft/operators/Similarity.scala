@@ -3520,8 +3520,10 @@ object Similarity {
       .ckptNoStats
     // Labels share the id domain (label = min core id of the component),
     // so a negative id could collide with the census's -1 noise sentinel.
-    require(pts.agg(min(col("id"))).head.isNullAt(0) ||
-        pts.agg(min(col("id"))).head.getLong(0) >= 0L,
+    // One driver action, not two: the old `agg.head || agg.head` form ran
+    // the aggregation job twice.
+    val minId = pts.agg(min(col("id"))).head
+    require(minId.isNullAt(0) || minId.getLong(0) >= 0L,
       "dbscanState: point ids must be >= 0 (labels share the id domain; " +
         "-1 is the census noise sentinel)")
     val probe = pts.select(col("id").as("aid"), col("x").as("ax"),
@@ -3637,8 +3639,8 @@ object Similarity {
       "dbscanGridIncrement is insert-only: delta ids must be fresh")
     // Negative ids promoted to core would become cluster labels colliding
     // with dbscanCensus's -1 noise sentinel — reject them at the door.
-    require(dpts.agg(min(col("id"))).head.isNullAt(0) ||
-        dpts.agg(min(col("id"))).head.getLong(0) >= 0L,
+    val dMinId = dpts.agg(min(col("id"))).head // one action, not two
+    require(dMinId.isNullAt(0) || dMinId.getLong(0) >= 0L,
       "dbscanGridIncrement: delta ids must be >= 0 (labels share the id " +
         "domain; -1 is the census noise sentinel)")
     val allPts = cells(st.select(col("id"), col("x"), col("y")))
