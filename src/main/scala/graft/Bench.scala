@@ -24,6 +24,22 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     functions.Native.register(spark)
 
+    // Sum of executorRunTime across all tasks, sampled around each pass:
+    // the additive "task_time_sec" readout that separates task-side
+    // scaling from the driver-planning floor (a core-count change moves
+    // wall only where task time dominates — at small SFs it mostly does
+    // not, which is a property of the fixture, not an ignored $CPUS).
+    // The listener bus is async; the small post-pass drain sleep happens
+    // OUTSIDE the wall-clock timing and only bounds sampling slop.
+    val taskMillis = new java.util.concurrent.atomic.AtomicLong(0L)
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(
+            t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+          if (t.taskMetrics != null)
+            taskMillis.addAndGet(t.taskMetrics.executorRunTime)
+      })
+
     // Per-query isolated warm-up (JIT + codegen caches + parquet footers
     // hot IMMEDIATELY before timing — a global warm sweep lets six other
     // queries churn the caches in between and was the prime suspect in a
@@ -33,6 +49,7 @@ object Bench {
     // A failed query must not masquerade as a fast one: record the error
     // and surface it in the JSON.
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    val taskSec = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     def once(q: QueryDef): Double = {
       val t0 = System.nanoTime()
       try q.fn(spark, sfDir).write.format("noop").mode("overwrite").save()
@@ -41,7 +58,22 @@ object Bench {
           Option(e.getMessage).flatMap(_.linesIterator.nextOption())
             .getOrElse(e.getClass.getName))
       }
-      (System.nanoTime() - t0) / 1e9
+      val wall = (System.nanoTime() - t0) / 1e9
+      Thread.sleep(20) // listener-bus drain, not part of the timed pass
+      wall
+    }
+    // A timed pass that also records the pass's task time; the reported
+    // task_time_sec per query is the MINIMUM across timed passes — the
+    // same quiet-pass selection the wall metric uses.
+    def onceTracked(q: QueryDef): Double = {
+      val m0 = taskMillis.get()
+      val wall = once(q)
+      val dt = (taskMillis.get() - m0) / 1e3
+      taskSec.updateWith(q.name) {
+        case Some(prev) => Some(math.min(prev, dt))
+        case None => Some(dt)
+      }
+      wall
     }
 
     // Optional arg: "all" times the ENTIRE query surface (the per-round
@@ -87,12 +119,12 @@ object Bench {
     val loadBefore = loadavg()
     val t1 = picked.map { q =>
       once(q) // isolated warm pass
-      q.name -> Seq(once(q), once(q))
+      q.name -> Seq(onceTracked(q), onceTracked(q))
     }.toMap
     val loadMid = loadavg()
     val results = picked.reverse.map { q =>
       once(q) // re-warm: the forward sweep's caches are long gone
-      q.name -> (t1(q.name) :+ once(q))
+      q.name -> (t1(q.name) :+ onceTracked(q))
     }.reverse
     val loadAfter = loadavg()
     def jstr(s: String): String =
@@ -107,8 +139,11 @@ object Bench {
       .mkString("{", ",", "}")
     val errJson = errors.map { case (k, v) => jstr(k) + ":" + jstr(v) }
       .mkString("{", ",", "}")
+    val taskJson = results
+      .map { case (k, _) => jstr(k) + ":" + taskSec.getOrElse(k, 0.0) }
+      .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2.min).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"passes":$passes,"loadavg_before":$loadBefore,"loadavg_mid":$loadMid,"loadavg_after":$loadAfter,"errors":$errJson,"sf":${jstr(sfDir)}}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"passes":$passes,"task_time_sec":$taskJson,"loadavg_before":$loadBefore,"loadavg_mid":$loadMid,"loadavg_after":$loadAfter,"errors":$errJson,"sf":${jstr(sfDir)}}""")
     spark.stop()
   }
 }

@@ -11,6 +11,12 @@ import java.nio.file.{Files, Paths}
   */
 object PlanDump {
   def main(args: Array[String]): Unit = {
+    if (args.length < 4) {
+      System.err.println(
+        "usage: runMain graft.PlanDump <sfDir> <outDir> <suffix> " +
+          "<name>[,<name>...]")
+      sys.exit(2)
+    }
     val Array(sfDir, outDir, suffix, names) = args.take(4)
     val spark = SparkSession.builder()
       .master("local[32]")

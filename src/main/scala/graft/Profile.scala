@@ -28,8 +28,12 @@ object Profile {
     // Ad-hoc runtime SQL conf overrides for plan experiments, e.g.
     // GRAFT_PROFILE_CONF="spark.sql.adaptive.enabled=false".
     sys.env.get("GRAFT_PROFILE_CONF").foreach(_.split(';').foreach { kv =>
-      val Array(k, v) = kv.split('=')
-      spark.conf.set(k, v)
+      if (kv.nonEmpty) { // trailing ';' produces an empty segment
+        val parts = kv.split("=", 2) // conf VALUES may contain '='
+        require(parts.length == 2 && parts(0).nonEmpty,
+          s"GRAFT_PROFILE_CONF entry '$kv' is not key=value")
+        spark.conf.set(parts(0), parts(1))
+      }
     })
     functions.Native.register(spark)
 

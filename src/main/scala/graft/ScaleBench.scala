@@ -64,8 +64,15 @@ object ScaleBench {
     // ---- build the ×REP fixture dir (untimed) ------------------------
     val outDir = java.nio.file.Files.createTempDirectory("graft_scale")
       .toString
-    def keySpan(df: DataFrame, c: String): Long =
-      df.agg(max(col(c))).head.getLong(0) + 1L
+    def keySpan(df: DataFrame, c: String): Long = {
+      val row = df.agg(max(col(c))).head
+      require(!row.isNullAt(0),
+        s"keySpan($c): empty table or all-null key — bad fixture dir?")
+      val m = row.getLong(0)
+      require(m >= 0L, s"keySpan($c): negative max key $m would make " +
+        "replica key domains overlap")
+      m + 1L
+    }
     val r = explode(expr(s"sequence(0, ${rep - 1})")).as("r")
     def off(c: String, span: Long) = (col(c) + col("r") * lit(span)).as(c)
 
@@ -119,6 +126,12 @@ object ScaleBench {
     write(embs.select(col("*"), r)
       .select(off("vec_id", vk), col("embedding"), col("label")),
       "embeddings", 2)
+    // events: user_id is deliberately NOT offset, so the REP copies
+    // share the user domain — event-family exponents (q09 windows, q19
+    // as-of) therefore measure PER-USER DENSITY scaling (xREP events per
+    // user), not REP independent user populations. Documented rather
+    // than changed (ADVICE r12): the window/as-of work is keyed on
+    // user_id, so more rows per key is the harsher (skew-shaped) test.
     write(evts.select(col("*"), r)
       .select(off("event_id", ek),
         expr("unix_micros(ts) * 1000").as("ts"),

@@ -704,10 +704,20 @@ object Dedup {
         // the agg materializes once (not twice via exchange reuse), and
         // the join sees a flat LogicalRDD (a self-joined Union trips
         // Catalyst's constraint rewrite).
+        // The change-count is FUSED into the propagate aggregation: the
+        // labels branch of the union tags each node's previous label as
+        // `old` (min over the group recovers it — every node appears in
+        // that branch exactly once, and min skips the edge branch's
+        // nulls), so convergence needs no |V|⨝|V| join against the
+        // previous round — just a filter over the round's own output.
+        val labelT = labels.schema("label").dataType
         val stepped = ckpt(edges.join(labels, col("dst") === col("node"))
-          .select(col("src").as("node"), col("label"))
-          .union(labels)
-          .groupBy(col("node")).agg(min(col("label")).as("label")))
+          .select(col("src").as("node"), col("label"),
+            lit(null).cast(labelT).as("old"))
+          .union(labels.select(col("node"), col("label"),
+            col("label").as("old")))
+          .groupBy(col("node")).agg(min(col("label")).as("label"),
+            min(col("old")).as("old")))
         // Near-cliques converge in 1-2 plain rounds; only a component
         // still unconverged after that (a chain) pays for the shortcuts.
         // Two chained label-of-label joins quadruple the reach per round
@@ -719,15 +729,13 @@ object Dedup {
           for (_ <- 1 to 2) {
             val lk = cur.select(col("node").as("ln"), col("label").as("ll"))
             val nxt = ckpt(cur.join(lk, col("label") === col("ln"))
-              .select(col("node"), col("ll").as("label")))
+              .select(col("node"), col("ll").as("label"), col("old")))
             freed ::= cur
             cur = nxt
           }
         }
         val prop = cur
-        changed = prop.join(
-            labels.withColumnRenamed("label", "old"), "node")
-          .filter(col("label") =!= col("old")).count()
+        changed = prop.filter(col("label") =!= col("old")).count()
         // The count() above materialized prop's checkpoint, so the
         // previous round's label blocks (and the intermediate propagate
         // step) are unreachable — free them eagerly (a long loop would

@@ -1741,10 +1741,15 @@ object Graph {
     * join + one anti join per level; frontiers checkpointed with origin
     * stats dropped (the dedupClusters discipline).
     *
-    * Visited accumulator: one checkpointed relation maintained across
-    * rounds (not a re-union of every prior frontier — that grows the
-    * plan O(diameter²) and matters on high-diameter graphs like chains
-    * or road networks; spec: 400-hop chain ≡ oracle recursion).
+    * Visited check is FRONTIER-LOCAL: on an undirected (symmetric) edge
+    * list a candidate generated from the level-d frontier is adjacent to
+    * a distance-d node, so its own distance is d-1, d, or d+1 — the
+    * anti-join only needs the last TWO frontiers, never a cumulative
+    * visited relation. That removes the per-level rewrite of a growing
+    * Θ(reach) pair set (one checkpoint job per level, O(diameter·reach)
+    * total bytes → O(reach)) while keeping the plan flat (each frontier
+    * is already a checkpointed leaf; the 400-hop-chain spec still
+    * matches the oracle recursion).
     */
   private def bfsDistances(und: DataFrame, srcNodes: DataFrame,
       maxDepth: Int): DataFrame = {
@@ -1752,15 +1757,18 @@ object Graph {
       .select(col("node").as("src"), col("node"), lit(0L).as("d")))
     val frontiers = scala.collection.mutable.ListBuffer(start)
     var frontier = start
-    var visited = ckptNS(start.select(col("src"), col("node")))
+    var prev: DataFrame = null
     var depth = 0L
     var more = true
     while (more) {
       depth += 1
+      val seen = if (prev == null) frontier.select(col("src"), col("node"))
+        else frontier.select(col("src"), col("node"))
+          .unionAll(prev.select(col("src"), col("node")))
       val nxt = ckptNS(frontier.join(und, col("node") === col("a"))
         .select(col("src"), col("b").as("node"))
         .distinct()
-        .join(visited, Seq("src", "node"), "left_anti")
+        .join(seen, Seq("src", "node"), "left_anti")
         .withColumn("d", lit(depth)))
       if (nxt.count() == 0) { more = false; nxt.unpersist() }
       else {
@@ -1770,8 +1778,7 @@ object Graph {
         require(depth <= maxDepth,
           s"BFS did not drain in $maxDepth levels — the graph has a " +
             "shortest path longer than maxDepth; raise it or cap the domain")
-        frontiers += nxt; frontier = nxt
-        visited = ckptNS(visited.union(nxt.select(col("src"), col("node"))))
+        frontiers += nxt; prev = frontier; frontier = nxt
       }
     }
     frontiers.map(_.select(col("src"), col("node"), col("d")))
@@ -1839,16 +1846,19 @@ object Graph {
         lit(1L).as("sig"))))
     var depth = 0
     var more = true
-    // Same visited-accumulator + drain-before-raise discipline as
-    // [[closenessCentrality]] (linear plan growth; eccentricity ==
-    // maxDepth drains instead of crashing).
-    var visited = ckpt(levels.head.select(col("src"), col("node")))
+    // Same frontier-local visited check + drain-before-raise discipline
+    // as [[bfsDistances]]: on the symmetric edge list a candidate from
+    // level d sits at distance d-1, d, or d+1, so the anti-join needs
+    // only the last TWO levels — no cumulative visited relation and no
+    // per-level checkpoint rewrite of a growing pair set.
     while (more) {
       depth += 1
+      val seen = levels.takeRight(2)
+        .map(_.select(col("src"), col("node").as("b")))
+        .reduce(_ unionAll _)
       val nxt = ckpt(levels.last.join(und, col("node") === col("a"))
         .select(col("src"), col("b"), col("sig"))
-        .join(visited.withColumnRenamed("node", "b"), Seq("src", "b"),
-          "left_anti")
+        .join(seen, Seq("src", "b"), "left_anti")
         .groupBy(col("src"), col("b").as("node"))
         .agg(sum("sig").as("sig"))
         .select(col("src"), col("node"), col("sig")))
@@ -1856,7 +1866,6 @@ object Graph {
       else {
         require(depth <= maxDepth, s"BFS exceeded maxDepth=$maxDepth")
         levels += nxt
-        visited = ckpt(visited.union(nxt.select(col("src"), col("node"))))
       }
     }
     // Degenerate graph (no level-1 frontier: empty edge input, or every
@@ -1868,23 +1877,22 @@ object Graph {
         .limit(0)
     // Backward: delta at the deepest level is 0; each shallower level
     // sums the floored ppm dependency over its level-(d+1) successors.
+    // One successor aggregation per level, re-attached with a LEFT join
+    // so no-successor nodes keep delta 0 — the former union + anti-join
+    // form planned the |E|-sized levels⨝und⨝down subtree TWICE per
+    // level (once for the sums, once for the no-successor distinct).
     var deltas = ckpt(levels.last.withColumn("delta", lit(0L)))
     val acc = scala.collection.mutable.ListBuffer(deltas)
     for (d <- (levels.size - 2) to 0 by -1) {
       val down = deltas.select(col("src"), col("node").as("b"),
         col("sig").as("sw"), col("delta").as("dw"))
-      deltas = ckpt(levels(d).join(und, col("node") === col("a"))
+      val sums = levels(d).join(und, col("node") === col("a"))
         .join(down, Seq("src", "b"))
-        .groupBy(col("src"), col("node"), col("sig"))
-        .agg(sum(expr("sig * (1000000L + dw) div sw")).as("delta"))
-        .unionByName(
-          // level-d nodes with NO level-(d+1) successor keep delta 0
-          levels(d).join(
-            levels(d).join(und, col("node") === col("a"))
-              .join(down, Seq("src", "b"))
-              .select(col("src"), col("node")).distinct(),
-            Seq("src", "node"), "left_anti")
-            .withColumn("delta", lit(0L))))
+        .groupBy(col("src"), col("node"))
+        .agg(sum(expr("sig * (1000000L + dw) div sw")).as("dsum"))
+      deltas = ckpt(levels(d).join(sums, Seq("src", "node"), "left")
+        .select(col("src"), col("node"), col("sig"),
+          coalesce(col("dsum"), lit(0L)).as("delta")))
       acc += deltas
     }
     // Endpoints excluded (Brandes): drop the level-0 source rows.
@@ -1989,7 +1997,12 @@ object Graph {
     require(ks.nonEmpty && ks.forall(_ >= 1), "ks must be >= 1")
     val (und, allNodes) = symNodes(edges, srcCol, dstCol)
     val n = allNodes.count()
-    val dist = ckptNS(bfsDistances(und, allNodes, maxDepth))
+    // No extra ckptNS on the all-sources distance relation: it is a
+    // plain union of per-level frontiers that are ALREADY checkpointed
+    // leaves, so pinning it again would double local-checkpoint storage
+    // of a Θ(sum-of-reach) relation for zero recompute saved (ADVICE
+    // r12) — every readout below re-reads the frontier blocks directly.
+    val dist = bfsDistances(und, allNodes, maxDepth)
     val ex = ckptNS(closenessReadout(dist, n, n)
       .select(col("node"), col("closeness_micro").as("cx"))
       .filter(col("cx") > 0))

@@ -643,10 +643,20 @@ object Media {
     */
   def mediaTable(s: SparkSession, d: String): Dataset[MediaRow] = {
     import s.implicits._
+    // Only (doc_id, n_chars) feed the synthesizers — selecting `text`
+    // here shipped the corpus' heaviest column through an opaque typed
+    // map for nothing (guide §2.3: project before opaque operations).
+    // The repartition spreads the CPU-bound codec loops over every core:
+    // the documents scan is a handful of parquet splits (one, at bench
+    // scale), and an un-spread mapPartitions pins the whole encode +
+    // decode chain of every downstream media operator to that task count
+    // (guide §2.5 input skew; hash on the unique doc_id, sized by the
+    // cluster's defaultParallelism — never a local[32] constant).
     Tables.documents(s, d)
-      .select(col("doc_id"), col("n_chars"), col("text"))
-      .as[(Long, Long, String)]
-      .mapPartitions(_.map { case (id, nChars, _) =>
+      .select(col("doc_id"), col("n_chars"))
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+      .as[(Long, Long)]
+      .mapPartitions(_.map { case (id, nChars) =>
         if (id % 2 == 0) MediaRow(id, "image", MediaCodec.synthPng(id, nChars))
         else if (id % 4 == 1)
           MediaRow(id, "audio", MediaCodec.synthWav(id, nChars))
@@ -950,7 +960,10 @@ object Media {
     import s.implicits._
     val imgs = Tables.documents(s, d)
       .filter(col("doc_id") % 2 === 0 && col("doc_id") < 4096)
-      .select(col("doc_id"), col("n_chars")).as[(Long, Long)]
+      .select(col("doc_id"), col("n_chars"))
+      // spread the PNG encode+decode over every core (see [[mediaTable]])
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+      .as[(Long, Long)]
       .mapPartitions(_.map { case (id, nChars) =>
         MediaRow(id, "image", MediaCodec.synthPngXY(id, nChars)) })
     imageDHashes(imgs).toDF("doc_id", "dhash")
@@ -1011,7 +1024,10 @@ object Media {
     import s.implicits._
     val imgs = Tables.documents(s, d)
       .filter(col("doc_id") % 2 === 0 && col("doc_id") < 1024)
-      .select(col("doc_id"), col("n_chars")).as[(Long, Long)]
+      .select(col("doc_id"), col("n_chars"))
+      // spread the PNG encode+decode over every core (see [[mediaTable]])
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+      .as[(Long, Long)]
       .mapPartitions(_.map { case (id, nChars) =>
         MediaRow(id, "image", MediaCodec.synthPngXY(id, nChars)) })
     imagePHashes(imgs).toDF("doc_id", "phash")

@@ -3413,19 +3413,57 @@ object Similarity {
     *
     * Scale design — the eps-join never goes all-pairs: coordinates are
     * micro-quantized and bucketed into eps-sized grid cells, one side
-    * explodes to its 3x3 cell neighborhood, and the equi-join on the
-    * cell key finds EXACTLY the candidate pairs (dist <= eps forces
-    * cell deltas within +-1), each discovered once because the offset to
-    * the probe cell is unique per pair. Costs one 9x explode and one
-    * hash shuffle on cell keys; per-cell work is bounded by local
-    * density, the standard spatial-join contract. Components close via
-    * the pointer-doubled [[Dedup.dedupClusters]] fixpoint, so chain-
-    * shaped clusters converge in O(log diameter) rounds.
+    * explodes to the HALF-PLANE 5 of its 9 neighbor cells (dist <= eps
+    * forces cell deltas within +-1; pair symmetry d(a,b) = d(b,a) makes
+    * the other 4 offsets redundant — see [[gridEpsPairs]]), and the
+    * equi-join on the cell key finds EXACTLY the candidate pairs, each
+    * unordered pair once. Costs one 5x explode and one hash shuffle on
+    * cell keys; per-cell work is bounded by local density, the standard
+    * spatial-join contract. Components close via the pointer-doubled
+    * [[Dedup.dedupClusters]] fixpoint, so chain-shaped clusters converge
+    * in O(log diameter) rounds.
     *
     * Returns one row per cluster (cluster_id = min member id, n_points,
     * n_core, n_border) plus a cluster_id = -1 noise row, ordered by
     * n_points DESC. Ids must be >= 0.
     */
+  /** The symmetric eps-neighbor relation (aid, bid) over quantized grid
+    * points (id, x, y, cx, cy) via a HALF-PLANE 5-of-9 cell probe: the
+    * candidate side explodes to the home cell plus the four
+    * lexicographically-positive neighbor offsets only — each unordered
+    * pair is discovered exactly once (cross-cell pairs because exactly
+    * one of ±(cellΔ) is lexicographically positive; same-cell pairs by
+    * the aid < bid tie-break) — and the symmetric relation both
+    * directions of the dbscan contract need is two projections of the
+    * checkpointed half. Versus the full 3×3 explode this halves the
+    * candidate join input AND the distance-filter work (guide §2.3
+    * "shuffle fewer bytes" applied by pair symmetry: d(a,b) = d(b,a)).
+    */
+  private def gridEpsPairs(pts: DataFrame, e: Column): DataFrame = {
+    val probe = pts.select(col("id").as("aid"), col("x").as("ax"),
+      col("y").as("ay"), col("cx").as("jcx"), col("cy").as("jcy"))
+    val cand = pts.select(col("id").as("bid"), col("x").as("bx"),
+        col("y").as("by"), col("cx").as("bcx"), col("cy").as("bcy"),
+        explode(array(
+          struct(lit(0L).as("dx"), lit(0L).as("dy")),
+          struct(lit(0L).as("dx"), lit(1L).as("dy")),
+          struct(lit(1L).as("dx"), lit(-1L).as("dy")),
+          struct(lit(1L).as("dx"), lit(0L).as("dy")),
+          struct(lit(1L).as("dx"), lit(1L).as("dy")))).as("o"))
+      .select(col("bid"), col("bx"), col("by"),
+        col("bcx"), col("bcy"),
+        (col("bcx") + col("o.dx")).as("jcx"),
+        (col("bcy") + col("o.dy")).as("jcy"))
+    val half = probe.join(cand, Seq("jcx", "jcy"))
+      .filter(((col("ax") - col("bx")) * (col("ax") - col("bx")) +
+          (col("ay") - col("by")) * (col("ay") - col("by")) <= e * e) &&
+        (col("aid") < col("bid") ||
+          col("jcx") =!= col("bcx") || col("jcy") =!= col("bcy")))
+      .select(col("aid"), col("bid"))
+      .ckptNoStats
+    half.unionAll(half.select(col("bid").as("aid"), col("aid").as("bid")))
+  }
+
   def dbscanGrid(points: DataFrame, idCol: String, xCol: Column,
       yCol: Column, epsMicro: Long, minPts: Int): DataFrame = {
     require(epsMicro > 0 && minPts >= 1, "need epsMicro > 0, minPts >= 1")
@@ -3439,22 +3477,7 @@ object Similarity {
       .withColumn("cx", fdiv(col("x")))
       .withColumn("cy", fdiv(col("y")))
       .localCheckpoint(false) // stats-ok: one-shot quantized points feeding the grid probe
-    val probe = pts.select(col("id").as("aid"), col("x").as("ax"),
-      col("y").as("ay"), col("cx").as("jcx"), col("cy").as("jcy"))
-    val cand = pts.select(col("id").as("bid"), col("x").as("bx"),
-        col("y").as("by"), col("cx").as("bcx"), col("cy").as("bcy"),
-        explode(array(lit(-1L), lit(0L), lit(1L))).as("dx"))
-      .select(col("bid"), col("bx"), col("by"),
-        (col("bcx") + col("dx")).as("jcx"), col("bcy"),
-        explode(array(lit(-1L), lit(0L), lit(1L))).as("dy"))
-      .select(col("bid"), col("bx"), col("by"), col("jcx"),
-        (col("bcy") + col("dy")).as("jcy"))
-    val nbr = probe.join(cand, Seq("jcx", "jcy"))
-      .filter(col("aid") =!= col("bid") &&
-        (col("ax") - col("bx")) * (col("ax") - col("bx")) +
-          (col("ay") - col("by")) * (col("ay") - col("by")) <= e * e)
-      .select(col("aid"), col("bid"))
-      .ckptNoStats
+    val nbr = gridEpsPairs(pts, e)
     val core = pts.join(
         nbr.groupBy("aid").agg(count(lit(1)).as("nc")),
         col("id") === col("aid"), "left")
@@ -3526,22 +3549,7 @@ object Similarity {
     require(minId.isNullAt(0) || minId.getLong(0) >= 0L,
       "dbscanState: point ids must be >= 0 (labels share the id domain; " +
         "-1 is the census noise sentinel)")
-    val probe = pts.select(col("id").as("aid"), col("x").as("ax"),
-      col("y").as("ay"), col("cx").as("jcx"), col("cy").as("jcy"))
-    val cand = pts.select(col("id").as("bid"), col("x").as("bx"),
-        col("y").as("by"), col("cx").as("bcx"), col("cy").as("bcy"),
-        explode(array(lit(-1L), lit(0L), lit(1L))).as("dx"))
-      .select(col("bid"), col("bx"), col("by"),
-        (col("bcx") + col("dx")).as("jcx"), col("bcy"),
-        explode(array(lit(-1L), lit(0L), lit(1L))).as("dy"))
-      .select(col("bid"), col("bx"), col("by"), col("jcx"),
-        (col("bcy") + col("dy")).as("jcy"))
-    val nbr = probe.join(cand, Seq("jcx", "jcy"))
-      .filter(col("aid") =!= col("bid") &&
-        (col("ax") - col("bx")) * (col("ax") - col("bx")) +
-          (col("ay") - col("by")) * (col("ay") - col("by")) <= e * e)
-      .select(col("aid"), col("bid"))
-      .ckptNoStats
+    val nbr = gridEpsPairs(pts, e)
     val base = pts.join(
         nbr.groupBy("aid").agg(count(lit(1)).as("nc")),
         col("id") === col("aid"), "left")

@@ -363,8 +363,21 @@ class MediaSpec extends SparkSpec {
       MediaRow(2L, "image", MediaCodec.synthPng(2L, 10L)), W) === None)
   }
 
-  test("media pipeline stays map-side (no shuffle before the final agg)") {
-    val plan = mediaDecode(mediaTable(spark, sf)).queryExecution.executedPlan.toString
-    assert(!plan.contains("Exchange"), s"decode should not shuffle:\n$plan")
+  test("media decode spreads across cores and never shuffles media bytes") {
+    val df = mediaDecode(mediaTable(spark, sf))
+    val plan = df.queryExecution.executedPlan.toString
+    // The ONE allowed exchange is the tiny (doc_id, n_chars) spread
+    // BEFORE the synth/decode map — media payload bytes must never
+    // cross a shuffle (the r12 map-side contract, sharpened: the old
+    // zero-exchange form silently pinned the whole codec chain to the
+    // parquet scan's task count — one task at bench scale).
+    val exchanges = "\\bExchange ".r.findAllIn(plan).length
+    assert(exchanges === 1, s"expected exactly the pre-synth spread:\n$plan")
+    assert(plan.contains("Exchange hashpartitioning(doc_id#"),
+      s"the one exchange must be the pre-synth id spread:\n$plan")
+    // And the spread genuinely widens the decode: as many partitions as
+    // the cluster offers (capped by row count upstream of the map).
+    assert(df.rdd.getNumPartitions >= spark.sparkContext.defaultParallelism,
+      "decode parallelism must not be pinned to the scan's split count")
   }
 }
