@@ -62,8 +62,12 @@ object ScaleBench {
     val la0 = loadavg
 
     // ---- build the ×REP fixture dir (untimed) ------------------------
-    val outDir = java.nio.file.Files.createTempDirectory("graft_scale")
-      .toString
+    // SPARK_GRAFT_SCALE_KEEP=<dir>: build (and keep) the scaled fixtures
+    // there instead of a deleted-at-exit temp dir — so PlanDump can be
+    // pointed at the ×REP inputs (e.g. the q09 WindowGroupLimit check).
+    val keepDir = sys.env.get("SPARK_GRAFT_SCALE_KEEP")
+    val outDir = keepDir.getOrElse(
+      java.nio.file.Files.createTempDirectory("graft_scale").toString)
     def keySpan(df: DataFrame, c: String): Long = {
       val row = df.agg(max(col(c))).head
       require(!row.isNullAt(0),
@@ -201,8 +205,9 @@ object ScaleBench {
       s""""loadavg_before":$la0,"loadavg_after":$loadavg,""" +
       s""""sf":"$sfDir","scaled_dir_rows_lineitem":${rep * 600000L}}""")
     spark.stop()
-    try org.apache.commons.io.FileUtils
-      .deleteDirectory(new java.io.File(outDir))
-    catch { case _: Throwable => () }
+    if (keepDir.isEmpty)
+      try org.apache.commons.io.FileUtils
+        .deleteDirectory(new java.io.File(outDir))
+      catch { case _: Throwable => () }
   }
 }

@@ -1,5 +1,7 @@
 package graft
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions.{col, explode, expr, lit, max}
 import org.apache.spark.sql.streaming.Trigger
@@ -85,6 +87,13 @@ object StreamBench {
       }
     val n = spark.read.parquet(eventsPath).count()
 
+    // Per-trigger duration breakdown of the LAST drain (engine-reported
+    // StreamingQueryProgress.durationMs, summed across the drain's
+    // micro-batches): the admitted mode's gap to unbounded is a
+    // per-trigger constant — this shows which engine phase owns it
+    // (planning vs offset-log vs addBatch task time) without guessing.
+    var lastBreakdown: Map[String, Long] = Map.empty
+    var lastBatches = 0
     def drain(maxPerTrigger: Option[Long]): Double = {
       val ckpt = newTempDir("sb_ck")
       val ds = Consumer.source(ConsumerConfig(
@@ -95,7 +104,14 @@ object StreamBench {
         .format("noop").option("checkpointLocation", ckpt)
         .trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
-      n / ((System.nanoTime() - t0) / 1e9)
+      val rate = n / ((System.nanoTime() - t0) / 1e9)
+      val prog = q.recentProgress
+      lastBatches = prog.length
+      lastBreakdown = prog.toSeq
+        .flatMap(_.durationMs.asScala.toSeq.map { case (k, v) =>
+          (k, v.longValue) })
+        .groupMapReduce(_._1)(_._2)(_ + _)
+      rate
     }
 
     drain(None) // session + shard-store + JIT warm-up, untimed
@@ -111,8 +127,12 @@ object StreamBench {
     val runsJson = results.map { case (k, rs) =>
       s""""$k":[${rs.map(math.round).mkString(",")}]"""
     }.mkString(",")
+    val durJson = lastBreakdown.toSeq.sortBy(-_._2)
+      .map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
     println(s"""{"metric":"stream_drain","records":$n,$body,""" +
       s""""runs":{$runsJson},"replicate":$rep,""" +
+      s""""last_drain_batches":$lastBatches,""" +
+      s""""last_drain_duration_ms":$durJson,""" +
       s""""loadavg_before":$la0,"loadavg_after":$loadavg,"sf":"$sfDir"}""")
     spark.stop()
     tempDirs.foreach { d =>

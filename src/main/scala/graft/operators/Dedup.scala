@@ -710,8 +710,14 @@ object Dedup {
         // that branch exactly once, and min skips the edge branch's
         // nulls), so convergence needs no |V|⨝|V| join against the
         // previous round — just a filter over the round's own output.
+        // shuffle_hash on the |V|-sized label relation: the checkpoint
+        // leaves carry no stats (deliberately), which would otherwise
+        // sort the |E|-sized edge stream EVERY round under the default
+        // sort-merge choice (guide §3.1 — hash join when one side is
+        // per-partition buildable; the label table is node-sized).
         val labelT = labels.schema("label").dataType
-        val stepped = ckpt(edges.join(labels, col("dst") === col("node"))
+        val stepped = ckpt(edges.join(labels.hint("shuffle_hash"),
+            col("dst") === col("node"))
           .select(col("src").as("node"), col("label"),
             lit(null).cast(labelT).as("old"))
           .union(labels.select(col("node"), col("label"),
@@ -728,7 +734,8 @@ object Dedup {
         if (iters > 2) {
           for (_ <- 1 to 2) {
             val lk = cur.select(col("node").as("ln"), col("label").as("ll"))
-            val nxt = ckpt(cur.join(lk, col("label") === col("ln"))
+            val nxt = ckpt(cur.join(lk.hint("shuffle_hash"),
+                col("label") === col("ln"))
               .select(col("node"), col("ll").as("label"), col("old")))
             freed ::= cur
             cur = nxt

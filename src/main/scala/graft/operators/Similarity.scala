@@ -3478,8 +3478,13 @@ object Similarity {
       .withColumn("cy", fdiv(col("y")))
       .localCheckpoint(false) // stats-ok: one-shot quantized points feeding the grid probe
     val nbr = gridEpsPairs(pts, e)
+    // All census-assembly joins hash-build their node-sized side
+    // (core / label tables ≤ |P| rows): the checkpointed leaves carry
+    // no stats, so the default choice would sort the pair-sized stream
+    // at every join (guide §3.1).
     val core = pts.join(
-        nbr.groupBy("aid").agg(count(lit(1)).as("nc")),
+        nbr.groupBy("aid").agg(count(lit(1)).as("nc"))
+          .hint("shuffle_hash"),
         col("id") === col("aid"), "left")
       .filter(coalesce(col("nc"), lit(0L)) + 1 >= minPts)
       .select(col("id"))
@@ -3487,15 +3492,20 @@ object Similarity {
     // Core-core edges + self-pairs (isolated cores form singleton
     // clusters; dedupClusters only labels nodes that appear in a pair).
     val ce = nbr
-      .join(core.withColumnRenamed("id", "aid"), Seq("aid"))
-      .join(core.withColumnRenamed("id", "bid"), Seq("bid"))
+      .join(core.withColumnRenamed("id", "aid").hint("shuffle_hash"),
+        Seq("aid"))
+      .join(core.withColumnRenamed("id", "bid").hint("shuffle_hash"),
+        Seq("bid"))
       .select(col("aid"), col("bid"))
       .union(core.select(col("id").as("aid"), col("id").as("bid")))
     val labs = Dedup.dedupClusters(ce, "aid", "bid")
     val borders = nbr
-      .join(core.withColumnRenamed("id", "aid"), Seq("aid"), "left_anti")
-      .join(core.withColumnRenamed("id", "bid"), Seq("bid"))
-      .join(labs.withColumnRenamed("doc_id", "bid"), Seq("bid"))
+      .join(core.withColumnRenamed("id", "aid").hint("shuffle_hash"),
+        Seq("aid"), "left_anti")
+      .join(core.withColumnRenamed("id", "bid").hint("shuffle_hash"),
+        Seq("bid"))
+      .join(labs.withColumnRenamed("doc_id", "bid").hint("shuffle_hash"),
+        Seq("bid"))
       .groupBy("aid").agg(min("cluster_id").as("cluster_id"))
     val clusters = labs.groupBy("cluster_id")
       .agg(count(lit(1)).as("n_core"))
@@ -3505,9 +3515,9 @@ object Similarity {
         (col("n_core") + coalesce(col("n_border"), lit(0L))).as("n_points"),
         col("n_core"), coalesce(col("n_border"), lit(0L)).as("n_border"))
     val noise = pts
-      .join(core.withColumnRenamed("id", "nid"),
+      .join(core.withColumnRenamed("id", "nid").hint("shuffle_hash"),
         col("id") === col("nid"), "left_anti")
-      .join(borders.withColumnRenamed("aid", "nid"),
+      .join(borders.withColumnRenamed("aid", "nid").hint("shuffle_hash"),
         col("id") === col("nid"), "left_anti")
       .agg(count(lit(1)).as("n_points"))
       .select(lit(-1L).as("cluster_id"), col("n_points"),
@@ -3550,29 +3560,39 @@ object Similarity {
       "dbscanState: point ids must be >= 0 (labels share the id domain; " +
         "-1 is the census noise sentinel)")
     val nbr = gridEpsPairs(pts, e)
+    // Node-sized sides hash-build, pair-sized streams never sort — the
+    // same census-assembly join discipline as [[dbscanGrid]].
     val base = pts.join(
-        nbr.groupBy("aid").agg(count(lit(1)).as("nc")),
+        nbr.groupBy("aid").agg(count(lit(1)).as("nc"))
+          .hint("shuffle_hash"),
         col("id") === col("aid"), "left")
       .select(col("id"), col("x"), col("y"),
         coalesce(col("nc"), lit(0L)).as("ncnt"))
       .ckptNoStats
     val core = base.filter(col("ncnt") + 1 >= minPts).select(col("id"))
     val ce = nbr
-      .join(core.withColumnRenamed("id", "aid"), Seq("aid"))
-      .join(core.withColumnRenamed("id", "bid"), Seq("bid"))
+      .join(core.withColumnRenamed("id", "aid").hint("shuffle_hash"),
+        Seq("aid"))
+      .join(core.withColumnRenamed("id", "bid").hint("shuffle_hash"),
+        Seq("bid"))
       .select(col("aid"), col("bid"))
       .union(core.select(col("id").as("aid"), col("id").as("bid")))
     val labs = Dedup.dedupClusters(ce, "aid", "bid")
     val borders = nbr
-      .join(core.withColumnRenamed("id", "aid"), Seq("aid"), "left_anti")
-      .join(core.withColumnRenamed("id", "bid"), Seq("bid"))
-      .join(labs.withColumnRenamed("doc_id", "bid"), Seq("bid"))
+      .join(core.withColumnRenamed("id", "aid").hint("shuffle_hash"),
+        Seq("aid"), "left_anti")
+      .join(core.withColumnRenamed("id", "bid").hint("shuffle_hash"),
+        Seq("bid"))
+      .join(labs.withColumnRenamed("doc_id", "bid").hint("shuffle_hash"),
+        Seq("bid"))
       .groupBy("aid")
       .agg(sort_array(collect_set(col("cluster_id"))).as("bcls"))
     base
       .join(labs.withColumnRenamed("doc_id", "id")
-        .withColumnRenamed("cluster_id", "cluster"), Seq("id"), "left")
-      .join(borders.withColumnRenamed("aid", "id"), Seq("id"), "left")
+        .withColumnRenamed("cluster_id", "cluster").hint("shuffle_hash"),
+        Seq("id"), "left")
+      .join(borders.withColumnRenamed("aid", "id").hint("shuffle_hash"),
+        Seq("id"), "left")
       .select(col("id"), col("x"), col("y"), col("ncnt"),
         col("cluster"), col("bcls"))
   }
@@ -3678,7 +3698,7 @@ object Similarity {
         "left_anti")
       .groupBy(col("bid").as("id")).agg(count(lit(1)).as("add"))
     val dn = p1.groupBy(col("aid").as("id")).agg(count(lit(1)).as("dnc"))
-    val baseUp = st.join(addB, Seq("id"), "left")
+    val baseUp = st.join(addB.hint("shuffle_hash"), Seq("id"), "left")
       .withColumn("ncnt2", col("ncnt") + coalesce(col("add"), lit(0L)))
       .ckptNoStats
     val deltaUp = dpts.join(dn, Seq("id"), "left")
@@ -3702,8 +3722,10 @@ object Similarity {
     // New core-core edges at rep level (+ self-pairs so isolated new
     // cores form singleton clusters), closed transitively.
     val edges = p1.unionByName(p2)
-      .join(reps.select(col("id").as("aid"), col("rep").as("r1")), Seq("aid"))
-      .join(reps.select(col("id").as("bid"), col("rep").as("r2")), Seq("bid"))
+      .join(reps.select(col("id").as("aid"), col("rep").as("r1"))
+        .hint("shuffle_hash"), Seq("aid"))
+      .join(reps.select(col("id").as("bid"), col("rep").as("r2"))
+        .hint("shuffle_hash"), Seq("bid"))
       .select(col("r1"), col("r2"))
       .unionByName(newCoreBase.select(col("id")).unionByName(coreDelta)
         .select(col("id").as("r1"), col("id").as("r2")))
@@ -3758,10 +3780,14 @@ object Similarity {
         col("bcls"))
       .unionByName(deltaUp.select(col("id"), col("x"), col("y"),
         col("ncnt2").as("ncnt"), lit(null).cast("array<long>").as("bcls")))
+    // Hash-build the node-or-smaller right sides (core labels, rebuilt
+    // border sets, touched ids) — the stats-dropped leaves would default
+    // the whole assembly chain to sort-merge (guide §3.1).
     merged
-      .join(clustered, Seq("id"), "left")
-      .join(rebuilt, Seq("id"), "left")
-      .join(touchedIds.withColumn("touched", lit(true)), Seq("id"), "left")
+      .join(clustered.hint("shuffle_hash"), Seq("id"), "left")
+      .join(rebuilt.hint("shuffle_hash"), Seq("id"), "left")
+      .join(touchedIds.withColumn("touched", lit(true))
+        .hint("shuffle_hash"), Seq("id"), "left")
       .select(col("id"), col("x"), col("y"), col("ncnt"),
         col("clab").as("cluster"),
         when(col("clab").isNotNull, lit(null).cast("array<long>"))
@@ -3829,7 +3855,7 @@ object Similarity {
     // (a) neighbor-count drops: deleted × remaining pairs, one grid probe.
     val p1 = gridPairs(dpts, restPts).ckptNoStats
     val sub = p1.groupBy(col("bid").as("id")).agg(count(lit(1)).as("drop"))
-    val up = rest.join(sub, Seq("id"), "left")
+    val up = rest.join(sub.hint("shuffle_hash"), Seq("id"), "left")
       .withColumn("ncnt2", col("ncnt") - coalesce(col("drop"), lit(0L)))
       .withColumn("isCore", col("ncnt2") + 1 >= minPts)
       .ckptNoStats
@@ -3864,7 +3890,7 @@ object Similarity {
     // relab is MEMBER-sized (one touched component can be big) — a plain
     // equi-join, not a forced broadcast; AQE picks the strategy.
     val coreLabs = up.filter(col("isCore"))
-      .join(relab, Seq("id"), "left")
+      .join(relab.hint("shuffle_hash"), Seq("id"), "left")
       .select(col("id"), col("x"), col("y"), col("ncnt2"),
         coalesce(col("newlab"), col("cluster")).as("clab"))
       .ckptNoStats
@@ -3882,18 +3908,22 @@ object Similarity {
       .select(col("id"), col("x"), col("y")))
     val coreCells = cells(coreLabs.select(col("id"), col("x"), col("y")))
     val newB = gridPairs(rebuildPts, coreCells)
-      .join(coreLabs.select(col("id").as("bid"), col("clab")), Seq("bid"))
+      .join(coreLabs.select(col("id").as("bid"), col("clab"))
+        .hint("shuffle_hash"), Seq("bid"))
       .groupBy(col("aid").as("id"))
       .agg(sort_array(collect_set(col("clab"))).as("bcls2"))
       .ckptNoStats
     // Assemble: cores drop their set; non-core rows take the rebuilt set
     // where rebuilt (absent row = no remaining core neighbor = noise),
-    // else carry the old one.
+    // else carry the old one. Node-sized right sides hash-build — the
+    // stats-dropped leaves would default the chain to sort-merge.
     up.select(col("id"), col("x"), col("y"), col("ncnt2").as("ncnt"),
         col("isCore"), col("bcls"))
-      .join(coreLabs.select(col("id"), col("clab")), Seq("id"), "left")
-      .join(rebuildIds.withColumn("rebuilt", lit(true)), Seq("id"), "left")
-      .join(newB, Seq("id"), "left")
+      .join(coreLabs.select(col("id"), col("clab")).hint("shuffle_hash"),
+        Seq("id"), "left")
+      .join(rebuildIds.withColumn("rebuilt", lit(true))
+        .hint("shuffle_hash"), Seq("id"), "left")
+      .join(newB.hint("shuffle_hash"), Seq("id"), "left")
       .select(col("id"), col("x"), col("y"), col("ncnt"),
         when(col("isCore"), col("clab"))
           .otherwise(lit(null).cast("long")).as("cluster"),
